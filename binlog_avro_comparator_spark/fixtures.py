@@ -1,0 +1,165 @@
+"""Deterministic CDC fixture derivation.
+
+The reference toolset consumes two inputs: a normalized MySQL-binlog
+event table and an Avro CDC record table (SURVEY.md section 1.2,
+/root/reference/compare_timestamps.go:13-64).  The test corpus doesn't
+ship those, so we derive both -- deterministically and with *only*
+SQL-expressible arithmetic -- from the driver-generated ``events``
+table.  The same derivation is mirrored literally in ``oracle.py`` as
+DuckDB CTEs, which is what makes every compare operator oracle-checkable.
+
+The derivation plants every edge case the reference's semantics care
+about (file:line cites into /root/reference/compare_timestamps.go):
+
+  ======================  ===================================================
+  event_id % 7   == 0     immediate_commmit_timestamp NULL -> coalesce
+                          fallback to the second-precision timestamp (:200-204)
+  event_id % 53  == 0     binlog row takes the key of event_id+4 (same file)
+                          -> duplicate key, last-write-wins dedup (:147)
+  event_id % 211 == 0     log_position = 0 -> dropped, zero-as-null (:137)
+  event_id % 223 == 0     binlog_file = '' -> dropped (:137)
+  event_id % 13  == 0     no Avro row emitted -> BINLOG_ONLY finding (:254-271)
+  event_id % 17  == 5     Avro key offset by +7 -> AVRO_ONLY finding (:187-192)
+  event_id % 29  == 1     Avro binlog_position = 0 -> skipped probe row (:176)
+  event_id % 11  == 0     Avro ts +250ms -> beyond the 100ms tolerance (:214)
+  event_id % 19  == 0     GTID off-by-one -> report-only mismatch (:223-229)
+  event_id % 23  == 0     change_type rotated -> report-only mismatch (:231-246)
+  ======================  ===================================================
+
+Everything else matches within tolerance (jitter = event_id % 90 ms).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Keep in sync with oracle.CDC_CTES (tested by tests/test_oracle_parity.py).
+N_BINLOG_FILES = 4
+DUP_KEY_MOD = 53
+ZERO_POS_MOD = 211
+EMPTY_FILE_MOD = 223
+NULL_ICT_MOD = 7
+AVRO_MISSING_MOD = 13
+AVRO_ORPHAN_MOD, AVRO_ORPHAN_REM = 17, 5
+AVRO_BADKEY_MOD, AVRO_BADKEY_REM = 29, 1
+TS_MISMATCH_MOD = 11
+GTID_MISMATCH_MOD = 19
+CT_MISMATCH_MOD = 23
+TS_JITTER_MOD = 90
+TS_MISMATCH_DELTA_MS = 250
+TOLERANCE_MS = 100
+
+# events.event_type -> binlog event_type (json_parser.go:56-66 vocabulary)
+EVENT_TYPE_MAP = {
+    "click": "WriteRowsEventV2",
+    "view": "UpdateRowsEventV2",
+    "purchase": "DeleteRowsEventV2",
+    "signup": "XID",
+    # 'error' and anything else -> 'Query' (irrelevant, filtered by F1)
+}
+
+# binlog event_type -> CDC change type (compare_timestamps.go:231-238,
+# with quirk Q1 fixed: DeleteRowsEventV2 -> DELETE)
+CHANGE_TYPE_MAP = {
+    "click": "INSERT",
+    "view": "UPDATE",
+    "purchase": "DELETE",
+}
+# injected wrong change types (rotation) for event_id % CT_MISMATCH_MOD == 0
+CHANGE_TYPE_ROTATED = {"click": "UPDATE", "view": "DELETE", "purchase": "INSERT"}
+
+DML_SOURCE_TYPES = ("click", "view", "purchase")
+
+
+def _event_type_col() -> F.Column:
+    c = F.col("event_type")
+    out = F.lit("Query")
+    for src, dst in EVENT_TYPE_MAP.items():
+        out = F.when(c == src, dst).otherwise(out)
+    return out
+
+
+def _binlog_file_col() -> F.Column:
+    return F.concat(
+        F.lit("mysql-bin."),
+        F.lpad((F.col("event_id") % N_BINLOG_FILES).cast("string"), 6, "0"),
+    )
+
+
+def _base_pos(eid: F.Column) -> F.Column:
+    # end-of-event position; >= 4 like real binlogs (comparator.sh:93 -offset 4)
+    return F.lit(100) * F.floor(eid / N_BINLOG_FILES).cast("long") + F.lit(4)
+
+
+def derive_binlog_events(events: DataFrame) -> DataFrame:
+    """events -> the ``binlog_events`` contract table (FIXTURES.md F-1).
+
+    Column spellings with triple-m / 'orignal' are the reference's
+    contract (json_parser.go:95,:102 -- quirk Q6); preserved verbatim.
+    """
+    eid = F.col("event_id")
+    return events.select(
+        _event_type_col().alias("event_type"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("timestamp"),
+        F.when(eid % NULL_ICT_MOD == 0, F.lit(None).cast("string"))
+        .otherwise(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"))
+        .alias("immediate_commmit_timestamp"),
+        F.when(eid % ZERO_POS_MOD == 0, F.lit(0).cast("long"))
+        .when(eid % DUP_KEY_MOD == 0, _base_pos(eid + F.lit(N_BINLOG_FILES)))
+        .otherwise(_base_pos(eid))
+        .alias("log_position"),
+        F.concat(F.lit("db"), (F.col("user_id") % 2).cast("string")).alias("schema"),
+        F.concat(F.lit("t"), (F.col("user_id") % 3).cast("string")).alias("table"),
+        F.concat(F.lit("uuid-0:"), eid.cast("string")).alias("gtid_next"),
+        F.when(eid % EMPTY_FILE_MOD == 0, F.lit("")).otherwise(_binlog_file_col()).alias("binlog_file"),
+        eid.alias("line_no"),
+    )
+
+
+def derive_avro_rows(events: DataFrame) -> DataFrame:
+    """events -> the flat ``avro_rows`` table (FIXTURES.md F-2, flattened).
+
+    ``source_timestamp`` is epoch-millis (compare_timestamps.go:44,:213),
+    generated relative to the *effective* binlog time (which is
+    second-truncated when the high-precision timestamp is NULL) so that
+    only the deliberately-planted rows exceed the 100 ms tolerance.
+    """
+    eid = F.col("event_id")
+    base_ms = F.when(
+        eid % NULL_ICT_MOD == 0,
+        F.unix_millis(F.date_trunc("second", F.col("ts"))),
+    ).otherwise(F.unix_millis(F.col("ts")))
+    delta_ms = F.when(eid % TS_MISMATCH_MOD == 0, F.lit(TS_MISMATCH_DELTA_MS)).otherwise(
+        eid % TS_JITTER_MOD
+    )
+    ct = F.lit(None).cast("string")
+    for src in DML_SOURCE_TYPES:
+        ct = F.when(
+            F.col("event_type") == src,
+            F.when(eid % CT_MISMATCH_MOD == 0, CHANGE_TYPE_ROTATED[src]).otherwise(
+                F.lit(CHANGE_TYPE_MAP[src])
+            ),
+        ).otherwise(ct)
+    # mixed case exercises the case-insensitive compare (compare_timestamps.go:241)
+    ct = F.when(eid % 2 == 0, F.lower(ct)).otherwise(ct)
+    gtid_eid = F.when(eid % GTID_MISMATCH_MOD == 0, eid + 1).otherwise(eid)
+    pos = F.when(
+        (eid % AVRO_BADKEY_MOD) == AVRO_BADKEY_REM, F.lit(0).cast("long")
+    ).when(
+        (eid % AVRO_ORPHAN_MOD) == AVRO_ORPHAN_REM, _base_pos(eid) + 7
+    ).otherwise(_base_pos(eid))
+    return (
+        events.filter(F.col("event_type").isin(*DML_SOURCE_TYPES))
+        .filter(eid % AVRO_MISSING_MOD != 0)
+        .select(
+            (base_ms + delta_ms).alias("source_timestamp"),
+            F.concat(F.lit("db"), (F.col("user_id") % 2).cast("string")).alias("database"),
+            F.concat(F.lit("t"), (F.col("user_id") % 3).cast("string")).alias("table"),
+            ct.alias("change_type"),
+            F.concat(F.lit("uuid-0:"), gtid_eid.cast("string")).alias("gtid"),
+            _binlog_file_col().alias("binlog_file"),
+            pos.alias("binlog_position"),
+            (F.col("event_type") == "purchase").alias("is_deleted"),
+            eid.alias("avro_line_no"),
+        )
+    )

@@ -1,0 +1,101 @@
+"""Relational analytics queries over the TPC-H-ish tables.
+
+These exercise the relational surface the reference lacks (SURVEY.md
+section 2.10: group-by aggregation, sort, top-k, multi-way join,
+window) so the engine is a complete query surface, and double as bench
+headliners.
+
+Float determinism: monetary aggregates are summed as DECIMAL (exact,
+order-independent) and only then cast to DOUBLE, so Spark's partial
+aggregation order can't perturb results vs. single-threaded oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_DEC = "decimal(12,2)"
+
+
+def q1_pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: scan -> filter -> hash agg.
+    One shuffle on the tiny (flag, status) grouping key; partial
+    aggregation does nearly all the work map-side."""
+    qty = F.col("l_quantity").cast(_DEC)
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc_mult = (F.lit(1) - F.col("l_discount")).cast(_DEC)
+    tax_mult = (F.lit(1) + F.col("l_tax")).cast(_DEC)
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * disc_mult).cast("double").alias("sum_disc_price"),
+            F.sum(price * disc_mult * tax_mult).cast("double").alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+        .withColumn("avg_price", F.col("sum_base_price") / F.col("count_order"))
+    )
+
+
+def top_revenue_orders(orders: DataFrame, lineitem: DataFrame, k: int = 10) -> DataFrame:
+    """Join + aggregate + global top-k.
+
+    Revenue aggregates lineitem *before* the join (shuffle carries one
+    row per order, not one per line item), then joins orders -- the
+    aggregate-below-join placement that matters at 100 TB.  Top-k is a
+    window rank, cheap after AQE coalesces the aggregated side.
+    """
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc_mult = (F.lit(1) - F.col("l_discount")).cast(_DEC)
+    rev = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(price * disc_mult).cast("double").alias("revenue"))
+    )
+    joined = rev.join(
+        orders.select("o_orderkey", "o_custkey", "o_orderstatus"),
+        rev["l_orderkey"] == F.col("o_orderkey"),
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+    return (
+        joined.select("o_orderkey", "o_custkey", "o_orderstatus", "revenue")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def customer_nation_revenue(
+    customer: DataFrame, nation: DataFrame, orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Multi-way join with broadcast dimensions: lineitem -> orders ->
+    customer -> nation, revenue rolled up per nation.  nation/customer
+    are broadcast (classic star-schema plan); the only big shuffle is
+    lineitem's pre-aggregation by order key."""
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc_mult = (F.lit(1) - F.col("l_discount")).cast(_DEC)
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.sum(price * disc_mult).alias("order_rev")
+    )
+    j = (
+        per_order.join(
+            orders.select("o_orderkey", "o_custkey"),
+            per_order["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(
+            F.sum("order_rev").cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )

@@ -1,0 +1,304 @@
+"""The CDC consistency diff core.
+
+Re-expresses the reference's single-threaded hash-join-and-compare
+(/root/reference/compare_timestamps.go) as declarative DataFrame
+transformations, SURVEY.md section 2 operator IDs in comments:
+
+  prepare_binlog  -- F1 relevance filter, F2 null-key drop, J2
+                     last-write-wins dedup (explicit window over line_no;
+                     never rely on scan order)
+  prepare_avro    -- F3 null-key drop
+  matched_pairs   -- J1/J3 composite-key inner join + C1-C5 comparison
+                     columns
+  avro_only       -- J4 left-anti join
+  binlog_only     -- J5 right-anti join + F4 DML-only filter
+  findings        -- S10 report-as-data: one row per discrepancy
+  summary         -- A1 conditional-count aggregation + A2 verdict
+
+Scale design: the three joins share one shuffle key (binlog_file,
+binlog_position).  At 100 TB both sides are large, so the default lets
+Catalyst/AQE pick the physical join (sort-merge with both sides hash-
+partitioned on the key; AQE converts to broadcast when a side turns out
+small, and splits skewed keys).  ``CompareConfig.broadcast_build=True``
+forces the reference's asymmetry (bounded binlog build side) when the
+caller knows it holds.  All comparison expressions are built-in column
+functions -- whole-stage-codegen, no Python in the hot path.
+
+Note the reference counts *per probe row*: duplicate avro keys each
+count as a match (compare_timestamps.go:194-195), timestamp-parse
+failures count as mismatches and suppress the GTID/change-type checks
+for that row (:206-211).  Replicated exactly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+KEY = ["binlog_file", "binlog_position"]
+
+# Accepted by the build-side relevance filter (compare_timestamps.go:124).
+_DML_SUFFIX = "RowsEventV2"
+
+# RFC3339 / RFC3339Nano layouts as emitted by json_parser.go:83,:117.
+# Spark is microsecond-precision; fractional digits beyond 6 are handled
+# by the optional-section pattern and truncated (documented precision
+# difference; invisible under the 100 ms tolerance, SURVEY.md P9).
+TS_SECOND_FMT = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+TS_MICRO_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+
+
+@dataclass(frozen=True)
+class CompareConfig:
+    tolerance_ms: int = 100  # compare_timestamps.go:214
+    # Q1: the reference's DELETE inference is dead code (suffix
+    # 'DeleteRowsV2' never matches 'DeleteRowsEventV2').  Default is the
+    # *intended* semantics; strict mode reproduces the quirk.
+    strict_reference_parity: bool = False
+    # None -> let Catalyst/AQE choose; True -> broadcast the binlog
+    # (build) side like the reference's in-memory map (:73).
+    broadcast_build: bool | None = None
+
+
+def prepare_binlog(binlog: DataFrame) -> DataFrame:
+    """F1 + F2 + J2: relevance filter, null-key drop, last-write-wins dedup.
+
+    The reference gets last-write-wins for free from insertion order
+    (version-ordered file loop + line order, compare_timestamps.go:147).
+    Spark scan order is arbitrary, so the order is data: ``line_no``
+    must be a deterministic per-file line ordinal (sources supply it)
+    and the dedup is an explicit window.
+    """
+    df = binlog.filter(
+        (F.col("event_type").endswith(_DML_SUFFIX) | (F.col("event_type") == "XID"))
+        & F.col("binlog_file").isNotNull()
+        & (F.col("binlog_file") != "")
+        & F.col("log_position").isNotNull()
+        & (F.col("log_position") != 0)  # Q5 zero-as-null
+    ).withColumnRenamed("log_position", "binlog_position")
+    w = Window.partitionBy(*KEY).orderBy(F.col("line_no").desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def prepare_avro(avro: DataFrame) -> DataFrame:
+    """F3: drop probe rows with unusable keys (compare_timestamps.go:176-179)."""
+    return avro.filter(
+        F.col("binlog_file").isNotNull()
+        & (F.col("binlog_file") != "")
+        & F.col("binlog_position").isNotNull()
+        & (F.col("binlog_position") != 0)
+    )
+
+
+def binlog_effective_ms(ict: F.Column, ts: F.Column) -> F.Column:
+    """C1: high-precision timestamp if present, else the second-precision
+    one (compare_timestamps.go:200-204).  NULL result == parse failure."""
+    return (
+        F.when(
+            ict.isNotNull() & (ict != ""),
+            F.unix_millis(F.try_to_timestamp(ict, F.lit(TS_MICRO_FMT))),
+        )
+        .when(
+            ts.isNotNull() & (ts != ""),
+            F.unix_millis(F.try_to_timestamp(ts, F.lit(TS_SECOND_FMT))),
+        )
+        .otherwise(F.lit(None).cast("long"))
+    )
+
+
+def inferred_change_type(event_type: F.Column, cfg: CompareConfig) -> F.Column:
+    """C5: CDC change type inferred from the binlog event type
+    (compare_timestamps.go:231-238)."""
+    delete_suffix = "DeleteRowsV2" if cfg.strict_reference_parity else "DeleteRowsEventV2"
+    return (
+        F.when(event_type.endswith("WriteRowsEventV2"), "INSERT")
+        .when(event_type.endswith("UpdateRowsEventV2"), "UPDATE")
+        .when(event_type.endswith(delete_suffix), "DELETE")
+        .otherwise("")
+    )
+
+
+def matched_pairs(
+    binlog_prepared: DataFrame,
+    avro_prepared: DataFrame,
+    cfg: CompareConfig = CompareConfig(),
+) -> DataFrame:
+    """J3 inner join + C1-C5 comparison columns, one row per matched
+    avro record (probe-side granularity, like the reference)."""
+    build = binlog_prepared.select(
+        *KEY,
+        "event_type",
+        "timestamp",
+        "immediate_commmit_timestamp",
+        "gtid_next",
+        F.col("schema").alias("binlog_schema"),
+        F.col("table").alias("binlog_table"),
+    )
+    if cfg.broadcast_build:
+        build = F.broadcast(build)
+    j = avro_prepared.join(build, on=KEY, how="inner")
+
+    binlog_ms = binlog_effective_ms(
+        F.col("immediate_commmit_timestamp"), F.col("timestamp")
+    )
+    inferred = inferred_change_type(F.col("event_type"), cfg)
+    j = (
+        j.withColumn("binlog_ms", binlog_ms)
+        .withColumn("ts_delta_ms", F.col("source_timestamp") - F.col("binlog_ms"))
+        .withColumn(
+            "ts_mismatch",
+            F.col("binlog_ms").isNull()
+            | (F.abs(F.col("ts_delta_ms")) > cfg.tolerance_ms),
+        )
+        .withColumn("inferred_change_type", inferred)
+        .withColumn(
+            "gtid_mismatch",
+            F.col("binlog_ms").isNotNull()  # parse failure skips checks (:210)
+            & F.col("gtid").isNotNull() & (F.col("gtid") != "")
+            & F.col("gtid_next").isNotNull() & (F.col("gtid_next") != "")
+            & (F.col("gtid") != F.col("gtid_next")),
+        )
+        .withColumn(
+            "change_type_mismatch",
+            F.col("binlog_ms").isNotNull()
+            & F.col("change_type").isNotNull() & (F.col("change_type") != "")
+            & (F.col("inferred_change_type") != "")
+            & (F.upper(F.col("change_type")) != F.col("inferred_change_type")),
+        )
+    )
+    return j
+
+
+def avro_only(binlog_prepared: DataFrame, avro_prepared: DataFrame) -> DataFrame:
+    """J4: avro records whose key has no binlog event (:187-192)."""
+    return avro_prepared.join(binlog_prepared.select(*KEY), on=KEY, how="left_anti")
+
+
+def binlog_only(binlog_prepared: DataFrame, avro_prepared: DataFrame) -> DataFrame:
+    """J5 + F4: binlog DML events with no avro record.  XID events are
+    joinable (commit-position stamping, Q4) but never reported missing
+    (:258-265; live V2 suffixes only, the V1 branches are dead code Q2)."""
+    return binlog_prepared.join(
+        avro_prepared.select(*KEY), on=KEY, how="left_anti"
+    ).filter(F.col("event_type").endswith(_DML_SUFFIX))
+
+
+def findings(
+    matched: DataFrame,
+    avro_only_df: DataFrame,
+    binlog_only_df: DataFrame,
+) -> DataFrame:
+    """S10: report-as-data.  One row per discrepancy.
+
+    ``counted`` mirrors Q3: only timestamp failures feed the summary's
+    ``mismatches`` counter; GTID/change-type findings are report-only
+    (the commented-out increments at compare_timestamps.go:228,:245).
+    """
+    empty = F.lit("")
+
+    def _mk(df: DataFrame, kind: str, detail: F.Column, counted: bool) -> DataFrame:
+        return df.select(
+            F.lit(kind).alias("kind"),
+            F.col("binlog_file"),
+            F.col("binlog_position"),
+            detail.alias("detail"),
+            F.lit(counted).alias("counted"),
+        )
+
+    ts_parse_err = _mk(
+        matched.filter(F.col("binlog_ms").isNull()),
+        "TIMESTAMP_PARSE_ERROR",
+        F.concat(
+            F.lit("ict="), F.coalesce(F.col("immediate_commmit_timestamp"), empty),
+            F.lit(" ts="), F.coalesce(F.col("timestamp"), empty),
+        ),
+        True,
+    )
+    ts_mismatch = _mk(
+        matched.filter(F.col("binlog_ms").isNotNull() & F.col("ts_mismatch")),
+        "TIMESTAMP_MISMATCH",
+        F.concat(
+            F.lit("avro_ms="), F.col("source_timestamp").cast("string"),
+            F.lit(" binlog_ms="), F.col("binlog_ms").cast("string"),
+        ),
+        True,
+    )
+    gtid = _mk(
+        matched.filter(F.col("gtid_mismatch")),
+        "GTID_MISMATCH",
+        F.concat(F.lit("avro="), F.col("gtid"), F.lit(" binlog="), F.col("gtid_next")),
+        False,
+    )
+    ct = _mk(
+        matched.filter(F.col("change_type_mismatch")),
+        "CHANGE_TYPE_MISMATCH",
+        F.concat(
+            F.lit("avro="), F.col("change_type"),
+            F.lit(" inferred="), F.col("inferred_change_type"),
+        ),
+        False,
+    )
+    a_only = _mk(
+        avro_only_df,
+        "AVRO_ONLY_BINLOG_KEY",
+        F.concat(
+            F.lit("db="), F.coalesce(F.col("database"), empty),
+            F.lit(" table="), F.coalesce(F.col("table"), empty),
+            F.lit(" type="), F.coalesce(F.col("change_type"), empty),
+        ),
+        True,
+    )
+    b_only = _mk(
+        binlog_only_df,
+        "BINLOG_ONLY_DML",
+        F.concat(
+            F.lit("event="), F.col("event_type"),
+            F.lit(" schema="), F.coalesce(F.col("schema"), empty),
+            F.lit(" table="), F.coalesce(F.col("table"), empty),
+        ),
+        True,
+    )
+    return ts_parse_err.unionAll(ts_mismatch).unionAll(gtid).unionAll(ct).unionAll(a_only).unionAll(b_only)
+
+
+def summary(
+    total_avro_records: DataFrame,
+    binlog_prepared: DataFrame,
+    matched: DataFrame,
+    avro_only_df: DataFrame,
+    binlog_only_df: DataFrame,
+) -> DataFrame:
+    """A1 counters + A2 verdict as a single-row DataFrame.
+
+    ``total_avro_records`` is the *raw* avro input (the reference's
+    lineNum counts skipped rows too, compare_timestamps.go:169).
+    """
+    m = matched.agg(
+        F.count("*").alias("matched"),
+        F.sum(F.col("ts_mismatch").cast("long")).alias("ts_mismatches"),
+    )
+    counts = (
+        total_avro_records.agg(F.count("*").alias("total_avro_records"))
+        .crossJoin(binlog_prepared.agg(F.count("*").alias("binlog_build_events")))
+        .crossJoin(m)
+        .crossJoin(avro_only_df.agg(F.count("*").alias("avro_only")))
+        .crossJoin(binlog_only_df.agg(F.count("*").alias("binlog_only")))
+    )
+    return counts.select(
+        "total_avro_records",
+        "binlog_build_events",
+        "matched",
+        F.coalesce(F.col("ts_mismatches"), F.lit(0)).alias("ts_mismatches"),
+        "avro_only",
+        "binlog_only",
+        (
+            (F.coalesce(F.col("ts_mismatches"), F.lit(0)) == 0)
+            & (F.col("avro_only") == 0)
+            & (F.col("binlog_only") == 0)
+        ).alias("consistent"),
+    )

@@ -1,0 +1,155 @@
+"""Deduplication operators over the ``documents`` table.
+
+Four tiers, each a standard large-corpus dedup technique:
+
+  exact_dedup        -- md5(text) hash-groupBy.  One shuffle on the
+                        hash; at 100 TB this is the cheapest possible
+                        exact dedup (the hash is 16 bytes regardless of
+                        document size, so shuffle volume is tiny).
+  shingles           -- distinct word-k-gram sets (building block).
+  minhash_signatures -- k independent min-hashes per document; one
+                        explode + one groupBy(doc) with k min() partial
+                        aggregates (map-side combined, shuffle carries
+                        k longs per doc).
+  lsh_candidate_pairs-- banded MinHash-LSH: equi-self-join per band on
+                        the band key.  This is the scale path: candidate
+                        generation is O(sum of bucket sizes squared) per
+                        band instead of O(n^2); each band join is a plain
+                        shuffled equi-join Catalyst handles.
+  jaccard_pairs      -- exact n-gram Jaccard for candidate pairs seeded
+                        from rare shingles (doc-frequency-capped, the
+                        classic guard against hot shingles exploding the
+                        pair count -- and against join skew at scale).
+
+All hashing is the portable md5-48bit word hash (textstats.word_hash)
+so DuckDB oracles replicate values exactly; arithmetic keeps every
+intermediate under 2^63.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .textstats import TOKEN_RE, word_hash
+
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1 (Mersenne), keeps a*h below 2^62
+MINHASH_K = 16
+LSH_BANDS = 4
+LSH_ROWS = 4  # LSH_BANDS * LSH_ROWS == MINHASH_K
+
+
+def minhash_params(k: int = MINHASH_K) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficients for h_i(x) = (a*x + b) mod p.
+    Fixed small-constant generation -- no RNG, identical in the oracle."""
+    return [(2 * i + 3, 7 * i + 1) for i in range(k)]
+
+
+def shingles(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Distinct word k-gram shingles per document, with the portable
+    shingle hash.  (doc_id, shingle, h)"""
+    words = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))
+    n = F.size(words)
+    # Guard: Spark's sequence(1, 0) counts *down* instead of returning
+    # an empty array, so documents shorter than k words need an explicit
+    # empty branch.
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i, k))
+    )
+    return (
+        documents.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+        .withColumn("h", word_hash(F.col("shingle")) % MINHASH_PRIME)
+    )
+
+
+def minhash_signatures(documents: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, min_0 .. min_{k-1}) MinHash signature matrix."""
+    sh = shingles(documents)
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"min_{i}")
+        for i, (a, b) in enumerate(minhash_params(k))
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    documents: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+) -> DataFrame:
+    """Banded LSH over the signature matrix: docs sharing any band's
+    concatenated signature slice become a candidate pair."""
+    sig = minhash_signatures(documents, bands * rows).cache()
+    pairs = None
+    for b in range(bands):
+        cols = [f"min_{b * rows + r}" for r in range(rows)]
+        key = F.concat_ws("_", *[F.col(c).cast("string") for c in cols])
+        banded = sig.select(F.col("doc_id"), key.alias("band_key"))
+        left = banded.alias("l")
+        right = banded.alias("r")
+        p = (
+            left.join(right, on="band_key")
+            .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+            .select(
+                F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+            )
+        )
+        pairs = p if pairs is None else pairs.unionAll(p)
+    return pairs.distinct()
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Exact duplicate groups by content hash; keeper = min doc_id."""
+    return (
+        documents.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def jaccard_pairs(
+    documents: DataFrame, k: int = 3, max_df: int = 10
+) -> DataFrame:
+    """Exact word-k-gram Jaccard for candidate pairs that share at least
+    one *rare* shingle (document frequency <= max_df)."""
+    sh = shingles(documents, k).select("doc_id", "shingle").cache()
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    rare = sh.join(
+        df_counts.filter(F.col("df") <= max_df).select("shingle"), on="shingle"
+    )
+    cand = (
+        rare.alias("l")
+        .join(rare.alias("r"), on="shingle")
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    inter = (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_intersect"))
+    )
+    return (
+        cand.join(inter, on=["doc_a", "doc_b"], how="left")
+        .fillna({"n_intersect": 0})
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "n_a"), on="doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "n_b"), on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_intersect",
+            (F.col("n_a") + F.col("n_b") - F.col("n_intersect")).alias("n_union"),
+            (
+                F.col("n_intersect")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_intersect"))
+            ).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,135 @@
+"""Similarity search over the ``embeddings`` table (array<float>).
+
+``cosine_topk`` is the exact brute-force baseline: broadcast the query
+set, score every (query, candidate) pair with built-in array functions
+(``zip_with`` + ``aggregate`` -- JVM-side fold, no Python), rank per
+query with a window.  Exact and oracle-checkable.
+
+``cosine_topk_lsh`` is the scale path: random-hyperplane (SimHash) LSH
+-- sign-pattern bucket key from fixed deterministic pseudo-hyperplanes,
+candidates only within the same bucket, then exact re-rank.  Turns the
+O(n_q * n) scan into a bucketed equi-join.  At 100 TB you'd additionally
+partition the corpus by bucket so each probe touches one partition
+(IVF-style); the bucketing column is exactly what you'd partition by.
+
+Scores are rounded to 6 decimals *before* ranking: the dot-product fold
+order differs between engines (and between partitionings), so raw
+doubles can differ in the last ulp; ranking on the rounded score with a
+vec_id tie-break keeps top-k deterministic and engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+COS_ROUND = 6
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: F.Column) -> F.Column:
+    return F.sqrt(_dot(a, a))
+
+
+def with_norm(embeddings: DataFrame) -> DataFrame:
+    return embeddings.withColumn("norm", _norm(F.col("embedding")))
+
+
+def cosine_topk(
+    embeddings: DataFrame, n_queries: int = 32, k: int = 5
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the first ``n_queries`` vectors.
+
+    (query_id, neighbor_id, cos_sim, rank); self-matches excluded.
+    """
+    emb = with_norm(embeddings)
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("norm").alias("q_norm"),
+    )
+    pairs = emb.crossJoin(F.broadcast(queries)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = F.round(
+        _dot(F.col("embedding"), F.col("q_embedding"))
+        / (F.col("norm") * F.col("q_norm")),
+        COS_ROUND,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_bucket(embedding: F.Column, n_planes: int = 8, dim: int = 64) -> F.Column:
+    """Deterministic pseudo-random-hyperplane sign bucket.
+
+    Plane p's weight for dimension d is +1 / -1 by a fixed arithmetic
+    pattern (no RNG -- reproducible anywhere):
+    sign = +1 iff (d * (2p + 3) + p) mod 7 < 4 else -1.
+    Bucket key = the n_planes sign bits as a string.
+    """
+    bits = []
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                embedding,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, d: x.cast("double")
+                * F.when((d * (2 * p + 3) + p) % 7 < 4, 1.0).otherwise(-1.0),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def cosine_topk_lsh(
+    embeddings: DataFrame, n_queries: int = 32, k: int = 5, n_planes: int = 8
+) -> DataFrame:
+    """Approximate top-k: exact re-rank within hyperplane-LSH buckets."""
+    emb = with_norm(embeddings).withColumn(
+        "bucket", hyperplane_bucket(F.col("embedding"), n_planes)
+    )
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("norm").alias("q_norm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    pairs = emb.join(
+        F.broadcast(queries), F.col("bucket") == F.col("q_bucket")
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    cos = F.round(
+        _dot(F.col("embedding"), F.col("q_embedding"))
+        / (F.col("norm") * F.col("q_norm")),
+        COS_ROUND,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

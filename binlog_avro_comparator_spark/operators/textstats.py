@@ -1,0 +1,118 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Training-data-pipeline primitives: token counting, quality scoring,
+language ID, document fingerprinting.  All pure built-in column
+functions (JVM-side, whole-stage codegen) -- no Python UDFs.  Every
+numeric output is either integer-exact or a single IEEE division of
+integer-exact inputs, so the DuckDB oracles reproduce values bit-for-bit.
+
+Scale: each operator is a narrow per-row projection -- no shuffle at
+all; at 100 TB these run at scan speed and pushdown prunes to the
+``text`` column.  The fingerprint fold is O(len) per row with bounded
+intermediates (48-bit word hashes, mod-1e9+7 accumulator) chosen so the
+same arithmetic is expressible in any engine without 64-bit overflow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+TOKEN_RE = r"\S+"
+BPE_ISH_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+PUNCT_RE = "[.,!?;:]"
+
+EN_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+FR_STOPWORDS = ("le", "la", "et", "les", "des", "un", "une")
+DE_STOPWORDS = ("der", "die", "und", "das", "ist", "ein", "nicht")
+
+FP_PRIME = 1_000_000_007
+FP_MULT = 31
+
+
+def _count_re(col: F.Column, pattern: str) -> F.Column:
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
+
+
+def _stopword_re(words: tuple[str, ...]) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Whitespace and BPE-ish regex token counts per document."""
+    t = F.col("text")
+    return documents.select(
+        "doc_id",
+        F.length(t).alias("text_len"),
+        _count_re(t, TOKEN_RE).alias("n_ws_tokens"),
+        _count_re(t, BPE_ISH_RE).alias("n_bpe_tokens"),
+        "n_chars",
+    )
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Length / punctuation / stopword heuristics.
+
+    Ratios are single divisions of exact integers -> deterministic
+    doubles, reproducible in any IEEE-754 engine.
+    """
+    t = F.col("text")
+    n_words = _count_re(t, TOKEN_RE)
+    n_stop = _count_re(t, _stopword_re(EN_STOPWORDS))
+    n_punct = _count_re(t, PUNCT_RE)
+    text_len = F.length(t)
+    return documents.select(
+        "doc_id",
+        text_len.alias("text_len"),
+        n_words.alias("n_words"),
+        n_stop.alias("n_stopwords"),
+        n_punct.alias("n_punct"),
+        (text_len / n_words).alias("chars_per_word"),
+        (n_stop / n_words).alias("stopword_ratio"),
+        (n_punct / text_len).alias("punct_ratio"),
+    )
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Stopword-hit language heuristic (en/fr/de/unknown)."""
+    t = F.col("text")
+    en = _count_re(t, _stopword_re(EN_STOPWORDS))
+    fr = _count_re(t, _stopword_re(FR_STOPWORDS))
+    de = _count_re(t, _stopword_re(DE_STOPWORDS))
+    guess = (
+        F.when((en == 0) & (fr == 0) & (de == 0), "unknown")
+        .when((en >= fr) & (en >= de), "en")
+        .when(fr >= de, "fr")
+        .otherwise("de")
+    )
+    return documents.select(
+        "doc_id",
+        en.alias("en_hits"),
+        fr.alias("fr_hits"),
+        de.alias("de_hits"),
+        guess.alias("lang_guess"),
+        "lang",
+    )
+
+
+def word_hash(col: F.Column) -> F.Column:
+    """Deterministic 48-bit word hash shared with the DuckDB oracles:
+    the first 12 hex digits of md5, as a BIGINT.  (Engine-native hashes
+    like xxhash64 differ across engines; md5 is the portable choice.)"""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
+def fingerprints(documents: DataFrame) -> DataFrame:
+    """Order-sensitive rolling document fingerprint:
+    fold (acc * 31 + h(word)) mod 1e9+7 over the word sequence."""
+    words = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))
+    hashes = F.transform(words, word_hash)
+    fp = F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * FP_MULT + h) % FP_PRIME,
+    )
+    return documents.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        fp.alias("fingerprint"),
+    )

@@ -1,0 +1,462 @@
+"""Query registry: the driver contract surface.
+
+``queries()`` maps names to (spark, sf_dir) -> DataFrame callables;
+``oracle_sql()`` maps the same names to DuckDB SQL that computes the
+identical result over the same parquet tables.  Column names/aliases
+match pairwise -- the driver sorts columns by name before value-hashing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import oracle
+from ..fixtures import derive_avro_rows, derive_binlog_events
+from ..operators import compare as C
+from ..operators.analytics import (
+    customer_nation_revenue,
+    q1_pricing_summary,
+    top_revenue_orders,
+)
+from ..operators.dedup import (
+    MINHASH_PRIME,
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    minhash_params,
+)
+from ..operators.sessionize import sessionize
+from ..operators.similarity import cosine_topk
+from ..operators.textstats import (
+    fingerprints,
+    lang_id,
+    quality_scores,
+    token_stats,
+)
+from ..session import ensure_session_conf
+from ..sources import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _cdc_frames(spark: SparkSession, sf_dir: str):
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    binlog = derive_binlog_events(ev)
+    avro = derive_avro_rows(ev)
+    return avro, C.prepare_binlog(binlog), C.prepare_avro(avro)
+
+
+# --- CDC parity queries ----------------------------------------------------
+
+def _q_cdc_binlog_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session_conf(spark)
+    return derive_binlog_events(load_table(spark, sf_dir, "events"))
+
+
+def _q_cdc_avro_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session_conf(spark)
+    return derive_avro_rows(load_table(spark, sf_dir, "events"))
+
+
+def _q_cdc_binlog_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, bp, _ = _cdc_frames(spark, sf_dir)
+    return bp.select(
+        "event_type",
+        "timestamp",
+        "immediate_commmit_timestamp",
+        "binlog_position",
+        "schema",
+        "table",
+        "gtid_next",
+        "binlog_file",
+        "line_no",
+    )
+
+
+def _q_cdc_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    avro, bp, ap = _cdc_frames(spark, sf_dir)
+    return C.matched_pairs(bp, ap).select(
+        "binlog_file",
+        "binlog_position",
+        "avro_line_no",
+        "event_type",
+        "change_type",
+        "inferred_change_type",
+        "gtid",
+        "gtid_next",
+        "source_timestamp",
+        "binlog_ms",
+        "ts_delta_ms",
+        "ts_mismatch",
+        "gtid_mismatch",
+        "change_type_mismatch",
+    )
+
+
+def _q_cdc_avro_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    avro, bp, ap = _cdc_frames(spark, sf_dir)
+    return C.avro_only(bp, ap).select(
+        "binlog_file",
+        "binlog_position",
+        "avro_line_no",
+        "database",
+        "table",
+        "change_type",
+        "source_timestamp",
+    )
+
+
+def _q_cdc_binlog_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    avro, bp, ap = _cdc_frames(spark, sf_dir)
+    return C.binlog_only(bp, ap).select(
+        "binlog_file",
+        "binlog_position",
+        "event_type",
+        "schema",
+        "table",
+        "timestamp",
+        "line_no",
+    )
+
+
+def _q_cdc_findings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    avro, bp, ap = _cdc_frames(spark, sf_dir)
+    matched = C.matched_pairs(bp, ap)
+    return C.findings(matched, C.avro_only(bp, ap), C.binlog_only(bp, ap))
+
+
+def _q_cdc_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    avro, bp, ap = _cdc_frames(spark, sf_dir)
+    matched = C.matched_pairs(bp, ap)
+    return C.summary(avro, bp, matched, C.avro_only(bp, ap), C.binlog_only(bp, ap))
+
+
+# --- extension queries -----------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session_conf(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+def _q_dedup_exact(spark, sf_dir):
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def _q_token_count(spark, sf_dir):
+    return token_stats(_docs(spark, sf_dir))
+
+
+def _q_text_quality(spark, sf_dir):
+    return quality_scores(_docs(spark, sf_dir))
+
+
+def _q_lang_id(spark, sf_dir):
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    return fingerprints(_docs(spark, sf_dir))
+
+
+def _q_minhash_signatures(spark, sf_dir):
+    return minhash_signatures(_docs(spark, sf_dir))
+
+
+def _q_lsh_pairs(spark, sf_dir):
+    return lsh_candidate_pairs(_docs(spark, sf_dir))
+
+
+def _q_jaccard_pairs(spark, sf_dir):
+    return jaccard_pairs(_docs(spark, sf_dir))
+
+
+def _q_ann_cosine_topk(spark, sf_dir):
+    ensure_session_conf(spark)
+    return cosine_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_events_sessionize(spark, sf_dir):
+    ensure_session_conf(spark)
+    return sessionize(load_table(spark, sf_dir, "events"))
+
+
+def _q_q1(spark, sf_dir):
+    ensure_session_conf(spark)
+    return q1_pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_top_revenue(spark, sf_dir):
+    ensure_session_conf(spark)
+    return top_revenue_orders(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+def _q_nation_revenue(spark, sf_dir):
+    ensure_session_conf(spark)
+    return customer_nation_revenue(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def queries() -> dict[str, QueryFn]:
+    return {
+        "cdc_binlog_events": _q_cdc_binlog_events,
+        "cdc_avro_rows": _q_cdc_avro_rows,
+        "cdc_binlog_prepared": _q_cdc_binlog_prepared,
+        "cdc_matches": _q_cdc_matches,
+        "cdc_avro_only": _q_cdc_avro_only,
+        "cdc_binlog_only": _q_cdc_binlog_only,
+        "cdc_findings": _q_cdc_findings,
+        "cdc_summary": _q_cdc_summary,
+        "dedup_exact": _q_dedup_exact,
+        "token_count": _q_token_count,
+        "text_quality": _q_text_quality,
+        "lang_id": _q_lang_id,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "minhash_signatures": _q_minhash_signatures,
+        "minhash_lsh_pairs": _q_lsh_pairs,
+        "ngram_jaccard_pairs": _q_jaccard_pairs,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "events_sessionize": _q_events_sessionize,
+        "q1_pricing_summary": _q_q1,
+        "top_revenue_orders": _q_top_revenue,
+        "customer_nation_revenue": _q_nation_revenue,
+    }
+
+
+# --- DuckDB oracles --------------------------------------------------------
+
+_TOKEN_RE_SQL = r"\S+"
+_BPE_RE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+_EN_RE = r"\b(the|a|and|of|to|in|is)\b"
+_FR_RE = r"\b(le|la|et|les|des|un|une)\b"
+_DE_RE = r"\b(der|die|und|das|ist|ein|nicht)\b"
+
+_SHINGLE_CTE = rf"""
+doc_words AS (
+  SELECT doc_id, regexp_extract_all(text, '{_TOKEN_RE_SQL}') AS w FROM documents
+),
+doc_shingles AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             CASE WHEN len(w) >= 3 THEN generate_series(1, len(w) - 2) ELSE [] END,
+             i -> array_to_string(w[i:i+2], ' '))) AS shingle
+    FROM doc_words
+  )
+),
+shingle_hashes AS (
+  SELECT doc_id, shingle,
+         ('0x' || substr(md5(shingle), 1, 12))::BIGINT % {MINHASH_PRIME} AS h
+  FROM doc_shingles
+)
+"""
+
+
+def _minhash_aggs() -> str:
+    return ",\n    ".join(
+        f"min(({a} * h + {b}) % {MINHASH_PRIME}) AS min_{i}"
+        for i, (a, b) in enumerate(minhash_params())
+    )
+
+
+def _minhash_sig_sql() -> str:
+    return (
+        f"WITH {_SHINGLE_CTE}\n"
+        f"SELECT doc_id,\n    {_minhash_aggs()}\nFROM shingle_hashes GROUP BY doc_id"
+    )
+
+
+def _lsh_pairs_sql() -> str:
+    band_joins = []
+    for b in range(4):
+        cols = [f"min_{b * 4 + r}" for r in range(4)]
+        lkey = " || '_' || ".join(f"CAST(l.{c} AS VARCHAR)" for c in cols)
+        rkey = " || '_' || ".join(f"CAST(r.{c} AS VARCHAR)" for c in cols)
+        band_joins.append(
+            f"SELECT l.doc_id AS doc_a, r.doc_id AS doc_b\n"
+            f"FROM sig l JOIN sig r ON ({lkey}) = ({rkey})\n"
+            f"WHERE l.doc_id < r.doc_id"
+        )
+    union = "\nUNION ALL\n".join(band_joins)
+    return (
+        f"WITH {_SHINGLE_CTE},\n"
+        f"sig AS (SELECT doc_id,\n    {_minhash_aggs()}\nFROM shingle_hashes GROUP BY doc_id)\n"
+        f"SELECT DISTINCT doc_a, doc_b FROM (\n{union}\n)"
+    )
+
+
+def oracle_sql() -> dict[str, str]:
+    sql: dict[str, str] = {
+        "cdc_binlog_events": oracle.cdc_binlog_events(),
+        "cdc_avro_rows": oracle.cdc_avro_rows(),
+        "cdc_binlog_prepared": oracle.cdc_binlog_prepared(),
+        "cdc_matches": oracle.cdc_matches(),
+        "cdc_avro_only": oracle.cdc_avro_only(),
+        "cdc_binlog_only": oracle.cdc_binlog_only(),
+        "cdc_findings": oracle.cdc_findings(),
+        "cdc_summary": oracle.cdc_summary(),
+        "dedup_exact": (
+            "SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,"
+            " count(*) AS n_copies FROM documents GROUP BY md5(text)"
+        ),
+        "token_count": rf"""
+SELECT doc_id, length(text) AS text_len,
+       len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS n_bpe_tokens,
+       n_chars
+FROM documents""",
+        "text_quality": rf"""
+SELECT doc_id, length(text) AS text_len,
+       len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS n_words,
+       len(regexp_extract_all(text, '{_EN_RE}')) AS n_stopwords,
+       len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+       length(text) / len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS chars_per_word,
+       len(regexp_extract_all(text, '{_EN_RE}')) / len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS stopword_ratio,
+       len(regexp_extract_all(text, '[.,!?;:]')) / length(text) AS punct_ratio
+FROM documents""",
+        "lang_id": rf"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_EN_RE}')) AS en_hits,
+       len(regexp_extract_all(text, '{_FR_RE}')) AS fr_hits,
+       len(regexp_extract_all(text, '{_DE_RE}')) AS de_hits,
+       CASE
+         WHEN len(regexp_extract_all(text, '{_EN_RE}')) = 0
+          AND len(regexp_extract_all(text, '{_FR_RE}')) = 0
+          AND len(regexp_extract_all(text, '{_DE_RE}')) = 0 THEN 'unknown'
+         WHEN len(regexp_extract_all(text, '{_EN_RE}')) >= len(regexp_extract_all(text, '{_FR_RE}'))
+          AND len(regexp_extract_all(text, '{_EN_RE}')) >= len(regexp_extract_all(text, '{_DE_RE}')) THEN 'en'
+         WHEN len(regexp_extract_all(text, '{_FR_RE}')) >= len(regexp_extract_all(text, '{_DE_RE}')) THEN 'fr'
+         ELSE 'de' END AS lang_guess,
+       lang
+FROM documents""",
+        "doc_fingerprint": rf"""
+SELECT doc_id, len(w) AS n_words,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(w, x -> ('0x' || substr(md5(x), 1, 12))::BIGINT)),
+         (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
+FROM (SELECT doc_id, regexp_extract_all(text, '{_TOKEN_RE_SQL}') AS w FROM documents)""",
+        "minhash_signatures": _minhash_sig_sql(),
+        "minhash_lsh_pairs": _lsh_pairs_sql(),
+        "ngram_jaccard_pairs": f"""
+WITH {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM doc_shingles GROUP BY doc_id),
+dfreq AS (SELECT shingle, count(*) AS df FROM doc_shingles GROUP BY shingle),
+rare AS (
+  SELECT s.doc_id, s.shingle FROM doc_shingles s
+  JOIN dfreq USING (shingle) WHERE df <= 10
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM rare l JOIN rare r USING (shingle) WHERE l.doc_id < r.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_intersect
+  FROM cand c
+  JOIN doc_shingles sa ON sa.doc_id = c.doc_a
+  JOIN doc_shingles sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT c.doc_a, c.doc_b,
+       coalesce(i.n_intersect, 0) AS n_intersect,
+       na.n_shingles + nb.n_shingles - coalesce(i.n_intersect, 0) AS n_union,
+       coalesce(i.n_intersect, 0) / (na.n_shingles + nb.n_shingles - coalesce(i.n_intersect, 0)) AS jaccard
+FROM cand c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes na ON na.doc_id = c.doc_a
+JOIN sizes nb ON nb.doc_id = c.doc_b""",
+        "ann_cosine_topk": """
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS ord,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS norm FROM ex GROUP BY vec_id),
+q AS (SELECT * FROM ex WHERE vec_id < 32),
+dots AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, sum(q.v * e.v) AS dot
+  FROM q JOIN ex e ON q.ord = e.ord AND e.vec_id <> q.vec_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(dot / (nq.norm * ne.norm), 6) AS cos_sim
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms ne ON ne.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5""",
+        "events_sessionize": """
+WITH e AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+         lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+  FROM events
+),
+s AS (
+  SELECT *, CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS is_new
+  FROM e
+),
+x AS (
+  SELECT *, sum(is_new) OVER (
+      PARTITION BY user_id ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM s
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms
+FROM x GROUP BY user_id, session_id""",
+        "q1_pricing_summary": """
+SELECT *, sum_qty / count_order AS avg_qty, sum_base_price / count_order AS avg_price
+FROM (
+  SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2)) * CAST(1 + l_tax AS DECIMAL(12,2))) AS DOUBLE) AS sum_charge,
+         count(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+  GROUP BY l_returnflag, l_linestatus
+)""",
+        "top_revenue_orders": """
+WITH rev AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, revenue, rank FROM (
+  SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, rev.revenue,
+         row_number() OVER (ORDER BY revenue DESC, o_orderkey) AS rank
+  FROM rev JOIN orders o ON rev.l_orderkey = o.o_orderkey
+) WHERE rank <= 10""",
+        "customer_nation_revenue": """
+WITH per_order AS (
+  SELECT l_orderkey,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS order_rev
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT n_name, CAST(sum(order_rev) AS DOUBLE) AS revenue, count(*) AS n_orders
+FROM per_order
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name""",
+    }
+    return sql
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """The flagship query: full consistency diff -> findings DataFrame."""
+    return _q_cdc_findings(spark, sf_dir)

@@ -1,0 +1,3 @@
+from .tables import TABLES, load_table, register_tables
+
+__all__ = ["TABLES", "load_table", "register_tables"]
