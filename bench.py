@@ -1,0 +1,69 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced to full materialization with a count over the
+result (no driver-side collect of payload rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from binlog_avro_comparator_spark.session import get_spark
+from binlog_avro_comparator_spark.plans import registry
+
+# Headline set: flagship CDC diff + one per extension family + the
+# relational bench queries.
+BENCH_QUERIES = [
+    "cdc_findings",
+    "cdc_summary",
+    "events_sessionize",
+    "dedup_exact",
+    "doc_fingerprint",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "ann_cosine_topk",
+    "q1_pricing_summary",
+    "top_revenue_orders",
+    "customer_nation_revenue",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.queries()
+    timings: dict[str, float] = {}
+    # warm the JVM/codegen once with the cheapest query so the first
+    # measured entry doesn't pay session spin-up
+    qs["cdc_summary"](spark, sf_dir).count()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,197 @@
+"""Golden-fixture tests for the CDC diff core.
+
+Hand-built binlog/avro inputs covering every semantic branch of
+/root/reference/compare_timestamps.go (SURVEY.md section 5, item 2),
+with hand-computed expected findings and summary counters.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import types as T
+
+from binlog_avro_comparator_spark.operators import compare as C
+
+BASE = datetime(2025, 6, 1, 10, 0, 0, tzinfo=timezone.utc)
+BASE_MS = int(BASE.timestamp() * 1000)
+
+TS = "2025-06-01T10:00:00Z"
+ICT = "2025-06-01T10:00:00.123456Z"
+ICT_MS = BASE_MS + 123  # epoch millis of ICT (floor of .123456)
+
+BINLOG_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("timestamp", T.StringType()),
+        T.StructField("immediate_commmit_timestamp", T.StringType()),
+        T.StructField("log_position", T.LongType()),
+        T.StructField("schema", T.StringType()),
+        T.StructField("table", T.StringType()),
+        T.StructField("gtid_next", T.StringType()),
+        T.StructField("binlog_file", T.StringType()),
+        T.StructField("line_no", T.LongType()),
+    ]
+)
+
+AVRO_SCHEMA = T.StructType(
+    [
+        T.StructField("source_timestamp", T.LongType()),
+        T.StructField("database", T.StringType()),
+        T.StructField("table", T.StringType()),
+        T.StructField("change_type", T.StringType()),
+        T.StructField("gtid", T.StringType()),
+        T.StructField("binlog_file", T.StringType()),
+        T.StructField("binlog_position", T.LongType()),
+        T.StructField("is_deleted", T.BooleanType()),
+        T.StructField("avro_line_no", T.LongType()),
+    ]
+)
+
+
+def _b(event_type, pos, line_no, ts=TS, ict=ICT, gtid="g", file="f1"):
+    return (event_type, ts, ict, pos, "db", "t", gtid, file, line_no)
+
+
+def _a(pos, src_ms, ct="INSERT", gtid="g", file="f1", line=0):
+    return (src_ms, "db", "t", ct, gtid, file, pos, False, line)
+
+
+BINLOG_ROWS = [
+    _b("WriteRowsEventV2", 100, 1),                       # clean match
+    _b("UpdateRowsEventV2", 200, 2, ict=None),            # C1 fallback; avro +150ms -> mismatch
+    _b("DeleteRowsEventV2", 300, 3),                      # Q1: ct check differs by mode
+    _b("XID", 400, 4),                                    # XID matched (Q4)
+    _b("XID", 500, 5),                                    # XID unmatched -> suppressed (F4)
+    _b("WriteRowsEventV2", 600, 6),                       # BINLOG_ONLY
+    _b("Query", 700, 7),                                  # F1-filtered
+    _b("WriteRowsEventV2", 0, 8),                         # Q5 zero pos -> dropped
+    _b("WriteRowsEventV2", 800, 9, file=""),              # empty file -> dropped
+    _b("WriteRowsEventV2", 900, 10, gtid="gA"),           # dup key, loser
+    _b("WriteRowsEventV2", 900, 11, gtid="gB"),           # dup key, winner (J2)
+    _b("WriteRowsEventV2", 1000, 12, ict="garbage"),      # parse error (counted)
+    _b("WriteRowsEventV2", 1100, 13, gtid="gX"),          # GTID mismatch (report-only)
+    _b("WriteRowsEventV2", 1200, 14),                     # tolerance edge: |delta| == 100 -> OK
+    _b("WriteRowsEventV2", 1300, 15),                     # tolerance edge: |delta| == 101 -> mismatch
+]
+
+AVRO_ROWS = [
+    _a(100, ICT_MS + 50),
+    _a(200, BASE_MS + 150, ct="UPDATE"),
+    _a(300, ICT_MS, ct="INSERT"),          # wrong ct for a Delete event
+    _a(400, ICT_MS, ct=""),                # XID: inferred '' -> ct check skipped
+    _a(600 + 9999, ICT_MS),                # AVRO_ONLY (no binlog key)
+    _a(900, ICT_MS, gtid="gB"),            # matches dedup winner -> no gtid finding
+    _a(1000, ICT_MS),                      # hits the parse-error row
+    _a(1100, ICT_MS, gtid="gY"),           # GTID mismatch
+    _a(1200, ICT_MS + 100),                # exactly at tolerance -> OK
+    _a(1300, ICT_MS + 101),                # just beyond -> mismatch
+    _a(0, ICT_MS),                         # F3 bad key -> skipped (still in total)
+]
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    binlog = spark.createDataFrame(BINLOG_ROWS, BINLOG_SCHEMA)
+    avro = spark.createDataFrame(AVRO_ROWS, AVRO_SCHEMA)
+    bp = C.prepare_binlog(binlog)
+    ap = C.prepare_avro(avro)
+    return avro, bp, ap
+
+
+def test_prepare_binlog(frames):
+    _, bp, _ = frames
+    rows = {(r.binlog_file, r.binlog_position): r for r in bp.collect()}
+    assert len(rows) == 11  # 15 - Query - zero-pos - empty-file - dup loser
+    assert rows[("f1", 900)].gtid_next == "gB"  # last-write-wins
+    assert ("f1", 0) not in rows
+    assert ("", 800) not in rows
+
+
+def test_matched_flags(frames):
+    avro, bp, ap = frames
+    m = {r.binlog_position: r for r in C.matched_pairs(bp, ap).collect()}
+    assert len(m) == 9
+    assert not m[100].ts_mismatch and not m[100].gtid_mismatch
+    assert m[200].ts_mismatch  # fallback path, +150ms
+    assert m[200].binlog_ms == BASE_MS  # second-precision fallback
+    assert m[300].change_type_mismatch  # default mode: DELETE inferred
+    assert m[400].inferred_change_type == ""  # XID -> no inference
+    assert not m[400].change_type_mismatch
+    assert m[1000].binlog_ms is None and m[1000].ts_mismatch  # parse error
+    assert not m[1000].gtid_mismatch  # suppressed after parse error
+    assert m[1100].gtid_mismatch and not m[1100].ts_mismatch
+    assert not m[1200].ts_mismatch  # |delta| == tolerance is OK
+    assert m[1300].ts_mismatch  # |delta| == tolerance + 1
+
+
+def test_strict_reference_parity_q1(frames):
+    _, bp, ap = frames
+    cfg = C.CompareConfig(strict_reference_parity=True)
+    m = {r.binlog_position: r for r in C.matched_pairs(bp, ap, cfg).collect()}
+    # Q1 quirk: DeleteRowsEventV2 does not end in 'DeleteRowsV2'
+    assert m[300].inferred_change_type == ""
+    assert not m[300].change_type_mismatch
+
+
+def test_anti_joins(frames):
+    _, bp, ap = frames
+    ao = C.avro_only(bp, ap).collect()
+    assert [r.binlog_position for r in ao] == [600 + 9999]
+    bo = C.binlog_only(bp, ap).collect()
+    assert [r.binlog_position for r in bo] == [600]  # XID@500 suppressed
+
+
+def test_findings_and_summary(frames):
+    avro, bp, ap = frames
+    m = C.matched_pairs(bp, ap)
+    ao, bo = C.avro_only(bp, ap), C.binlog_only(bp, ap)
+    f = C.findings(m, ao, bo)
+    by_kind = {}
+    for r in f.collect():
+        by_kind.setdefault(r.kind, []).append(r)
+    assert len(by_kind["TIMESTAMP_MISMATCH"]) == 2      # pos 200, 1300
+    assert len(by_kind["TIMESTAMP_PARSE_ERROR"]) == 1   # pos 1000
+    assert len(by_kind["GTID_MISMATCH"]) == 1           # pos 1100
+    assert len(by_kind["CHANGE_TYPE_MISMATCH"]) == 1    # pos 300
+    assert len(by_kind["AVRO_ONLY_BINLOG_KEY"]) == 1
+    assert len(by_kind["BINLOG_ONLY_DML"]) == 1
+    assert not by_kind["GTID_MISMATCH"][0].counted      # Q3 report-only
+    assert not by_kind["CHANGE_TYPE_MISMATCH"][0].counted
+
+    s = C.summary(avro, bp, m, ao, bo).collect()[0]
+    assert s.total_avro_records == 11  # includes the F3-skipped row
+    assert s.binlog_build_events == 11
+    assert s.matched == 9
+    assert s.ts_mismatches == 3  # 200, 1000 (parse), 1300
+    assert s.avro_only == 1
+    assert s.binlog_only == 1
+    assert not s.consistent
+
+
+def test_input_order_invariance(spark, frames):
+    """J2 regression (SURVEY.md section 5, item 3): results must not
+    depend on input row order."""
+    avro, bp, ap = frames
+    binlog_rev = spark.createDataFrame(list(reversed(BINLOG_ROWS)), BINLOG_SCHEMA)
+    bp2 = C.prepare_binlog(binlog_rev.repartition(7))
+    m1 = sorted(
+        (r.binlog_position, r.gtid_next) for r in C.matched_pairs(bp, ap).collect()
+    )
+    m2 = sorted(
+        (r.binlog_position, r.gtid_next) for r in C.matched_pairs(bp2, ap).collect()
+    )
+    assert m1 == m2
+
+
+def test_all_consistent_verdict(spark):
+    """A2: verdict is true iff all three counters are zero."""
+    binlog = spark.createDataFrame(
+        [_b("WriteRowsEventV2", 100, 1)], BINLOG_SCHEMA
+    )
+    avro = spark.createDataFrame([_a(100, ICT_MS)], AVRO_SCHEMA)
+    bp, ap = C.prepare_binlog(binlog), C.prepare_avro(avro)
+    m = C.matched_pairs(bp, ap)
+    s = C.summary(avro, bp, m, C.avro_only(bp, ap), C.binlog_only(bp, ap)).collect()[0]
+    assert s.consistent and s.matched == 1 and s.ts_mismatches == 0

@@ -1,0 +1,129 @@
+"""Unit tests for the dedup / similarity / text / sessionize operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F, types as T
+
+from binlog_avro_comparator_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    shingles,
+)
+from binlog_avro_comparator_spark.operators.sessionize import sessionize
+from binlog_avro_comparator_spark.operators.similarity import cosine_topk
+from binlog_avro_comparator_spark.operators.textstats import (
+    fingerprints,
+    lang_id,
+    token_stats,
+)
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)], DOCS_SCHEMA
+    )
+
+
+def test_exact_dedup(spark):
+    df = _docs(spark, ["same text here", "same text here", "different"])
+    out = {r.keep_doc_id: r.n_copies for r in exact_dedup(df).collect()}
+    assert out == {0: 2, 2: 1}
+
+
+def test_shingles_short_doc_empty(spark):
+    df = _docs(spark, ["one two", "a b c d"])
+    rows = shingles(df).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.shingle)
+    assert 0 not in by_doc  # < 3 words -> no shingles (not bogus ones)
+    assert sorted(by_doc[1]) == ["a b c", "b c d"]
+
+
+def test_jaccard_identical_docs(spark):
+    df = _docs(spark, ["the quick brown fox jumps", "the quick brown fox jumps", "zz yy xx ww vv"])
+    rows = {(r.doc_a, r.doc_b): r for r in jaccard_pairs(df).collect()}
+    assert rows[(0, 1)].jaccard == 1.0
+    assert (0, 2) not in rows  # no shared shingle -> not a candidate
+
+
+def test_lsh_finds_identical_docs(spark):
+    df = _docs(spark, ["w1 w2 w3 w4 w5 w6", "w1 w2 w3 w4 w5 w6", "q1 q2 q3 q4 q5 q6"])
+    pairs = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(df).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs
+
+
+def test_token_stats_and_lang(spark):
+    df = _docs(spark, ["the cat is on the mat!", "le chat et la table des un"])
+    ts = {r.doc_id: r for r in token_stats(df).collect()}
+    assert ts[0].n_ws_tokens == 6
+    assert ts[0].n_bpe_tokens == 7  # 'mat' + '!' split
+    lg = {r.doc_id: r.lang_guess for r in lang_id(df).collect()}
+    assert lg[0] == "en" and lg[1] == "fr"
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = _docs(spark, ["a b c", "c b a", "a b c"])
+    fp = {r.doc_id: r.fingerprint for r in fingerprints(df).collect()}
+    assert fp[0] == fp[2]
+    assert fp[0] != fp[1]  # rolling hash is order-sensitive
+
+
+def test_cosine_topk_self_similarity(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0], 0),
+            (1, [1.0, 0.0, 0.0], 0),   # identical to 0
+            (2, [0.0, 1.0, 0.0], 1),   # orthogonal
+            (3, [0.9, 0.1, 0.0], 0),   # close to 0
+        ],
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+                T.StructField("label", T.IntegerType()),
+            ]
+        ),
+    )
+    out = cosine_topk(emb, n_queries=1, k=3).collect()
+    ranked = [(r.rank, r.neighbor_id, r.cos_sim) for r in sorted(out, key=lambda r: r.rank)]
+    assert ranked[0][1] == 1 and ranked[0][2] == 1.0  # identical vector first
+    assert ranked[1][1] == 3                          # then the near one
+    assert ranked[2][1] == 2 and ranked[2][2] == 0.0  # orthogonal last
+
+
+def test_sessionize_gap_split(spark):
+    base = 1_700_000_000_000_000  # epoch micros
+    rows = [
+        (1, base, 10, "click", 0.0, "{}"),
+        (2, base + 60_000_000, 10, "click", 0.0, "{}"),            # +1 min: same session
+        (3, base + 45 * 60_000_000, 10, "click", 0.0, "{}"),       # +45 min: new session
+        (4, base, 20, "click", 0.0, "{}"),                          # other user
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts_us", T.LongType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        ),
+    ).withColumn("ts", F.timestamp_micros(F.col("ts_us"))).drop("ts_us")
+    out = {(r.user_id, r.session_id): r.n_events for r in sessionize(ev).collect()}
+    assert out == {(10, 1): 2, (10, 2): 1, (20, 1): 1}
