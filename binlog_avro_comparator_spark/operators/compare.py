@@ -42,11 +42,18 @@ KEY = ["binlog_file", "binlog_position"]
 _DML_SUFFIX = "RowsEventV2"
 
 # RFC3339 / RFC3339Nano layouts as emitted by json_parser.go:83,:117.
-# Spark is microsecond-precision; fractional digits beyond 6 are handled
-# by the optional-section pattern and truncated (documented precision
-# difference; invisible under the 100 ms tolerance, SURVEY.md P9).
+# Go's time.Parse(RFC3339Nano, ...) accepts 0-9 fractional digits; Spark
+# is microsecond-precision, so digits beyond 6 are truncated before
+# parsing (documented precision difference; invisible under the 100 ms
+# tolerance, SURVEY.md P9) and 0-6 digits are handled by optional
+# pattern sections.
 TS_SECOND_FMT = "yyyy-MM-dd'T'HH:mm:ss'Z'"
-TS_MICRO_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+TS_NANO_FMT = "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][.SSSSS][.SSSS][.SSS][.SS][.S]'Z'"
+
+
+def _parse_rfc3339nano(col: F.Column) -> F.Column:
+    truncated = F.regexp_replace(col, r"(\.\d{6})\d+", r"$1")
+    return F.try_to_timestamp(truncated, F.lit(TS_NANO_FMT))
 
 
 @dataclass(frozen=True)
@@ -101,7 +108,7 @@ def binlog_effective_ms(ict: F.Column, ts: F.Column) -> F.Column:
     return (
         F.when(
             ict.isNotNull() & (ict != ""),
-            F.unix_millis(F.try_to_timestamp(ict, F.lit(TS_MICRO_FMT))),
+            F.unix_millis(_parse_rfc3339nano(ict)),
         )
         .when(
             ts.isNotNull() & (ts != ""),

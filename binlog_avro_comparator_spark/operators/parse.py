@@ -1,0 +1,197 @@
+"""Binlog parser-text -> binlog_events table (SURVEY.md P1-P9).
+
+The reference's json_parser.go is a line-at-a-time state machine: a
+`=== Type ===` header opens an event, k:v lines populate it, the next
+header (or EOF) flushes it.  The idiomatic Spark translation makes the
+state a *cumulative sum*: ``event_id = sum(is_header) over (file order
+by line_no)`` -- every line gets the id of the event it belongs to, and
+assembly becomes a groupBy.  (Same trick as gap sessionization.)
+
+Shuffle budget: one window + two groupBys, all partitioned by
+(binlog_file[, event_id]) -- the natural partitioning; a file's events
+never cross executors.  All parsing is regexp/string built-ins.
+
+Semantics replicated (file:line into /root/reference/json_parser.go):
+  P1 header regex ^=== (.+?) ===$         (:29)
+  P2 k:v regex    ^([^:]+): (.+)$         (:30)
+  P3 blank + '--' lines dropped           (:35-41)
+  P4 pre-header k:v lines dropped          (:70-72)
+  P5 key normalization lower+underscore    (:77)
+  P6 event-type canonicalization, incl. the in-body 'Event type:'
+     override                              (:56-66, :124-131)
+  P7 best-effort int64 coercion (typed contract cols; dynamic tail
+     stays string)                         (:95-100, :133-138)
+  P8 'Date' -> RFC3339 string, raw kept on failure (:80-87)
+  P9 high-precision timestamps, both layouts, RFC3339Nano output,
+     raw kept on failure                   (:102-122)
+
+Precision: Go parses nanoseconds; Spark timestamps are microseconds.
+Layout (a) keeps the *original string* (no reformat -- same as Go,
+which stores the extracted substring verbatim on success, :108), so no
+precision is lost where it matters.  Layout (b) reformats through a
+timestamp and truncates ns -> us; under the comparator's 100 ms
+tolerance this is invisible (SURVEY.md P9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+HEADER_RE = r"^=== (.+?) ===$"
+KV_RE = r"^([^:]+): (.+)$"
+
+# layout (a): "<epoch> (2006-01-02T15:04:05.123456789Z)"  (json_parser.go:103-112)
+PAREN_NANO_RE = r"\(([^)]*Z)\)$"
+# layout (b): "2006-01-02 15:04:05.999999999 -0700 MST"    (json_parser.go:113-122)
+MST_RE = r"^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}(?:\.\d{1,9})?) ([+-]\d{4}) [A-Za-z][A-Za-z0-9/_+-]*$"
+
+_HP_KEYS = ("immediate_commmit_timestamp", "orignal_commmit_timestamp")
+
+
+def _canon_event_type(c: F.Column) -> F.Column:
+    """P6: contains-based canonicalization; otherwise strip ONE trailing
+    'Event' (Go strings.TrimSuffix == regexp 'Event$')."""
+    return (
+        F.when(c.contains("WriteRowsEventV2"), "WriteRowsEventV2")
+        .when(c.contains("UpdateRowsEventV2"), "UpdateRowsEventV2")
+        .when(c.contains("DeleteRowsEventV2"), "DeleteRowsEventV2")
+        .otherwise(F.regexp_replace(c, "Event$", ""))
+    )
+
+
+def _rfc3339nano_trim(ts: F.Column) -> F.Column:
+    """Format a timestamp like Go's time.RFC3339Nano: fractional part
+    with trailing zeros trimmed, dot dropped when fraction is empty."""
+    s = F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    s = F.regexp_replace(s, r"0+$", "")
+    s = F.regexp_replace(s, r"\.$", "")
+    return F.concat(s, F.lit("Z"))
+
+
+def _parse_hp_timestamp(v: F.Column) -> F.Column:
+    """P9: high-precision timestamp value -> RFC3339Nano string, or the
+    raw value when neither layout parses (warn-and-keep semantics)."""
+    extracted = F.regexp_extract(v, PAREN_NANO_RE, 1)
+    # truncate >6 fraction digits for validation (Spark parses us max);
+    # the *stored* value is the untouched extracted string, like Go.
+    ext_us = F.regexp_replace(
+        extracted, r"(\.\d{6})\d+", r"$1"
+    )
+    ext_valid = F.try_to_timestamp(
+        ext_us, F.lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][.SSSSS][.SSSS][.SSS][.SS][.S]'Z'")
+    ).isNotNull()
+
+    mst_dt = F.regexp_extract(v, MST_RE, 1)
+    mst_off = F.regexp_extract(v, MST_RE, 2)
+    mst_us = F.regexp_replace(mst_dt, r"(\.\d{6})\d+", r"$1")
+    mst_ts = F.try_to_timestamp(
+        F.concat_ws(" ", mst_us, mst_off),
+        F.lit("yyyy-MM-dd HH:mm:ss[.SSSSSS][.SSSSS][.SSSS][.SSS][.SS][.S] XX"),
+    )
+
+    return (
+        F.when(v.contains("(") & v.endswith("Z)") & ext_valid, extracted)
+        .when(
+            v.contains("(") & v.endswith("Z)") & ~ext_valid, v
+        )  # extraction failed validation -> keep raw (json_parser.go:110-111)
+        .when(mst_ts.isNotNull(), _rfc3339nano_trim(mst_ts))
+        .otherwise(v)  # keep raw (:118-120)
+    )
+
+
+def assemble_events(lines: DataFrame) -> DataFrame:
+    """P1-P6 structural phase: lines -> one row per event with
+    (binlog_file, event_id, event_type, kvs map<norm_key, raw_value>).
+    """
+    trimmed = lines.withColumn("value", F.trim(F.col("value")))
+    # P3: noise filter
+    body = trimmed.filter((F.col("value") != "") & (F.col("value") != "--"))
+    header = F.regexp_extract(F.col("value"), HEADER_RE, 1)
+    body = body.withColumn("header", header).withColumn(
+        "is_header", (F.col("header") != "").cast("long")
+    )
+    # P4: cumulative header count = event id; id 0 == before any header
+    w = Window.partitionBy("binlog_file").orderBy("line_no")
+    body = body.withColumn("event_id", F.sum("is_header").over(w)).filter(
+        F.col("event_id") > 0
+    )
+
+    # k:v split (P2) + key normalization (P5)
+    kv_key = F.trim(F.regexp_extract(F.col("value"), KV_RE, 1))
+    kv_val = F.trim(F.regexp_extract(F.col("value"), KV_RE, 2))
+    body = body.withColumn("kv_key", kv_key).withColumn("kv_val", kv_val)
+
+    # duplicate keys within an event: Go map semantics -> last line wins
+    kv = (
+        body.filter((F.col("is_header") == 0) & (F.col("kv_key") != ""))
+        .groupBy("binlog_file", "event_id", "kv_key")
+        .agg(F.max_by("kv_val", "line_no").alias("kv_val"))
+    )
+    kv_maps = kv.groupBy("binlog_file", "event_id").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.lower(F.regexp_replace("kv_key", " ", "_")).alias("k"),
+                    F.col("kv_val").alias("v"),
+                )
+            )
+        ).alias("kvs")
+    )
+    headers = (
+        body.filter(F.col("is_header") == 1)
+        .groupBy("binlog_file", "event_id")
+        .agg(F.min("header").alias("raw_header"))
+    )
+    ev = headers.join(kv_maps, ["binlog_file", "event_id"], "left").withColumn(
+        "kvs", F.coalesce(F.col("kvs"), F.expr("cast(map() as map<string,string>)"))
+    )
+    # P6: header canonicalization + in-body 'Event type:' override
+    header_type = _canon_event_type(F.col("raw_header"))
+    body_type = F.col("kvs")["event_type"]
+    event_type = (
+        F.when(body_type.contains("WriteRowsEventV2"), "WriteRowsEventV2")
+        .when(body_type.contains("UpdateRowsEventV2"), "UpdateRowsEventV2")
+        .when(body_type.contains("DeleteRowsEventV2"), "DeleteRowsEventV2")
+        .otherwise(header_type)
+    )
+    return ev.select(
+        "binlog_file",
+        "event_id",
+        event_type.alias("event_type"),
+        "kvs",
+    )
+
+
+def parse_binlog_text(lines: DataFrame) -> DataFrame:
+    """Full P1-P9: lines -> the binlog_events contract table
+    (+ ``extra`` map carrying the dynamic tail, P7 keeps it string-typed;
+    ``line_no`` = event_id, preserving per-file order for J2)."""
+    ev = assemble_events(lines)
+    kvs = F.col("kvs")
+
+    date_raw = kvs["date"]
+    date_ts = F.try_to_timestamp(date_raw, F.lit("yyyy-MM-dd HH:mm:ss"))
+    # P8: RFC3339 on success; raw string kept under `date` in extra on failure
+    timestamp = F.when(
+        date_ts.isNotNull(), F.date_format(date_ts, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    ).otherwise(F.lit(None).cast("string"))
+
+    def hp(key: str) -> F.Column:
+        v = kvs[key]
+        return F.when(v.isNotNull(), _parse_hp_timestamp(v))
+
+    return ev.select(
+        F.col("event_type"),
+        timestamp.alias("timestamp"),
+        hp("immediate_commmit_timestamp").alias("immediate_commmit_timestamp"),
+        hp("orignal_commmit_timestamp").alias("orignal_commmit_timestamp"),
+        F.coalesce(
+            kvs["log_position"].try_cast("long"), F.lit(0)
+        ).alias("log_position"),
+        kvs["table"].alias("table"),
+        kvs["schema"].alias("schema"),
+        kvs["gtid_next"].alias("gtid_next"),
+        F.col("binlog_file"),
+        F.col("event_id").alias("line_no"),
+        F.col("kvs").alias("extra"),
+    )

@@ -1,0 +1,104 @@
+"""Permissive JSONL readers (SURVEY.md S7/S8) and the avro union
+unwrap/wrap projections (R1).
+
+The reference warns-and-skips malformed lines (compare_timestamps.go:
+113-116, :171-174).  Spark's PERMISSIVE mode is the same policy with
+the error channel as data: corrupt lines land in ``_corrupt_record``
+and are counted, not fatal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..schemas import AVRO_JSONL_SCHEMA, BINLOG_EVENT_SCHEMA
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def _with_corrupt(schema: T.StructType) -> T.StructType:
+    return T.StructType(list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())])
+
+
+def read_binlog_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """S7: binlog_metadata.json -> typed contract columns + corrupt channel.
+
+    The reference parses into an open map then re-marshals into the
+    8-field struct (compare_timestamps.go:130-135); with a declared read
+    schema that narrowing (R3) is free -- unknown keys are simply not
+    materialized, and the json scan prunes to the declared columns.
+    """
+    return spark.read.schema(_with_corrupt(BINLOG_EVENT_SCHEMA)).option(
+        "mode", "PERMISSIVE"
+    ).json(path)
+
+
+def read_avro_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """S8: avro_rows.json (union-wrapped) -> nested typed struct."""
+    return spark.read.schema(_with_corrupt(AVRO_JSONL_SCHEMA)).option(
+        "mode", "PERMISSIVE"
+    ).json(path)
+
+
+def corrupt_count(df: DataFrame) -> DataFrame:
+    """Skipped-records counter for the summary (SURVEY.md section 2.8).
+
+    Spark refuses internal-only queries over ``_corrupt_record`` on an
+    uncached JSON scan (the column is populated during parsing, not
+    stored), so the input is cached here -- callers typically also want
+    the parsed rows, making the cache useful rather than wasted.
+    """
+    df = df.cache()
+    return df.agg(
+        F.count("*").alias("total_lines"),
+        F.sum(F.col(CORRUPT_COL).isNotNull().cast("long")).alias("corrupt_lines"),
+    )
+
+
+def unwrap_avro(df: DataFrame) -> DataFrame:
+    """R1 + R2: dissolve the union wrappers and flatten source_metadata
+    into the flat probe-side shape the compare operators consume.
+
+    Go zero-values on absent wrappers ("" / 0 / false) are replicated
+    with coalesce so F3's null-key semantics match the reference's
+    (compare_timestamps.go:176: missing wrapper -> zero value -> skip).
+    """
+    sm = "source_metadata"
+    return df.select(
+        F.col("source_timestamp"),
+        F.col(f"{sm}.database").alias("database"),
+        F.col(f"{sm}.table").alias("table"),
+        F.coalesce(F.col(f"{sm}.change_type.string"), F.lit("")).alias("change_type"),
+        F.coalesce(F.col(f"{sm}.gtid.string"), F.lit("")).alias("gtid"),
+        F.coalesce(F.col(f"{sm}.binlog_file.string"), F.lit("")).alias("binlog_file"),
+        F.coalesce(F.col(f"{sm}.binlog_position.long"), F.lit(0)).alias("binlog_position"),
+        F.coalesce(F.col(f"{sm}.is_deleted.boolean"), F.lit(False)).alias("is_deleted"),
+        F.col(f"{sm}.primary_keys").alias("primary_keys"),
+    )
+
+
+def wrap_avro(flat: DataFrame) -> DataFrame:
+    """Inverse of unwrap_avro: rebuild the union-wrapped JSONL shape
+    (for emitting byte-shaped avro-tools-style JSON, S6/S9)."""
+
+    def w(col: str, key: str) -> F.Column:
+        return F.struct(F.col(col).alias(key))
+
+    return flat.select(
+        F.col("source_timestamp"),
+        F.struct(
+            F.col("database"),
+            F.col("table"),
+            w("change_type", "string").alias("change_type"),
+            w("gtid", "string").alias("gtid"),
+            w("binlog_file", "string").alias("binlog_file"),
+            w("binlog_position", "long").alias("binlog_position"),
+            w("is_deleted", "boolean").alias("is_deleted"),
+            F.col("primary_keys"),
+        ).alias("source_metadata"),
+    )
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "append") -> None:
+    """S9: JSONL append sink."""
+    df.write.mode(mode).json(path)

@@ -1,0 +1,212 @@
+"""Golden tests for ingestion: parser-text sessionization (P1-P9),
+JSONL readers (S7/S8), avro union unwrap/wrap (R1).
+
+Fixture text follows FIXTURES.md F-3, covering every branch of
+/root/reference/json_parser.go: blank/'--' noise, pre-header k:v lines,
+unparseable Date fallback, both high-precision timestamp layouts,
+in-body 'Event type:' override, 'Event' suffix trimming.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from binlog_avro_comparator_spark.operators.parse import parse_binlog_text
+from binlog_avro_comparator_spark.sources.binlog_text import read_parser_text
+from binlog_avro_comparator_spark.sources.jsonl import (
+    corrupt_count,
+    read_avro_jsonl,
+    read_binlog_jsonl,
+    unwrap_avro,
+    wrap_avro,
+)
+
+FILE1 = """Orphan line: dropped before any header
+
+=== WriteRowsEventV2 ===
+Date: 2025-06-01 12:00:00
+Log position: 1234
+Schema: mydb
+Table: orders
+Immediate commmit timestamp: 1748779200123456 (2025-06-01T12:00:00.123456789Z)
+--
+=== XIDEvent ===
+Date: 2025-06-01 12:00:01
+Log position: 1290
+XID: 42
+--
+=== GTIDEvent ===
+Date: bogus date value
+Log position: 1300
+GTID_NEXT: uuid:7
+Orignal commmit timestamp: 2025-06-01 12:00:01.999999999 +0000 UTC
+--
+=== TableMapEvent ===
+Event type: UpdateRowsEventV2 (subtype)
+Log position: 1400
+"""
+
+FILE2 = """=== DeleteRowsEventV2 ===
+Date: 2025-06-02 08:30:00
+Log position: 4
+Immediate commmit timestamp: not a timestamp at all
+"""
+
+
+@pytest.fixture(scope="module")
+def parsed(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("binlog_text")
+    (d / "mysql-bin.000001").write_text(FILE1)
+    (d / "mysql-bin.000002").write_text(FILE2)
+    lines = read_parser_text(spark, str(d))
+    rows = parse_binlog_text(lines).collect()
+    return {(r.binlog_file, r.line_no): r for r in rows}
+
+
+def test_event_count_and_lineage(parsed):
+    files = {}
+    for (f, _), _r in parsed.items():
+        files[f] = files.get(f, 0) + 1
+    assert files == {"mysql-bin.000001": 4, "mysql-bin.000002": 1}
+
+
+def test_write_event_full_parse(parsed):
+    r = parsed[("mysql-bin.000001", 1)]
+    assert r.event_type == "WriteRowsEventV2"
+    assert r.timestamp == "2025-06-01T12:00:00Z"
+    # layout (a): extracted substring stored verbatim (nanos preserved)
+    assert r.immediate_commmit_timestamp == "2025-06-01T12:00:00.123456789Z"
+    assert r.log_position == 1234
+    assert r.schema == "mydb" and r.table == "orders"
+
+
+def test_event_suffix_trimmed_once(parsed):
+    assert parsed[("mysql-bin.000001", 2)].event_type == "XID"
+    assert parsed[("mysql-bin.000001", 3)].event_type == "GTID"
+
+
+def test_date_parse_failure_keeps_raw(parsed):
+    r = parsed[("mysql-bin.000001", 3)]
+    assert r.timestamp is None
+    assert r.extra["date"] == "bogus date value"  # raw kept (json_parser.go:85-87)
+    assert r.gtid_next == "uuid:7"
+
+
+def test_mst_layout_reformatted_rfc3339nano(parsed):
+    r = parsed[("mysql-bin.000001", 3)]
+    # ns truncated to us, trailing zeros trimmed like Go RFC3339Nano
+    assert r.orignal_commmit_timestamp == "2025-06-01T12:00:01.999999Z"
+
+
+def test_body_event_type_overrides_header(parsed):
+    r = parsed[("mysql-bin.000001", 4)]
+    assert r.event_type == "UpdateRowsEventV2"  # not 'TableMap'
+
+
+def test_hp_parse_failure_keeps_raw(parsed):
+    r = parsed[("mysql-bin.000002", 1)]
+    assert r.event_type == "DeleteRowsEventV2"
+    assert r.immediate_commmit_timestamp == "not a timestamp at all"
+    assert r.log_position == 4
+
+
+AVRO_LINES = [
+    {
+        "source_timestamp": 1748779200100,
+        "source_metadata": {
+            "database": "mydb",
+            "table": "orders",
+            "change_type": {"string": "INSERT"},
+            "gtid": {"string": "uuid:1"},
+            "datastream_master_server_uuid": {"string": "u"},
+            "datastream_master_server_id": {"long": 1},
+            "binlog_file": {"string": "mysql-bin.000001"},
+            "binlog_position": {"long": 1234},
+            "is_deleted": {"boolean": False},
+            "primary_keys": ["order_id"],
+        },
+        "payload": {
+            "order_id": {"int": 7},
+            "customer_name": {"string": "c"},
+            "product_name": {"string": "p"},
+            "quantity": {"int": 2},
+            "order_timestamp": {"long": 1748779200000},
+        },
+    },
+    # nulled unions -> Go zero values after unwrap
+    {
+        "source_timestamp": 1748779200200,
+        "source_metadata": {
+            "database": "mydb",
+            "table": "orders",
+            "change_type": None,
+            "gtid": None,
+            "binlog_file": None,
+            "binlog_position": None,
+            "is_deleted": None,
+            "primary_keys": [],
+        },
+    },
+]
+
+
+@pytest.fixture(scope="module")
+def avro_jsonl_path(tmp_path_factory):
+    d = tmp_path_factory.mktemp("avro_jsonl")
+    p = d / "avro_rows.json"
+    with p.open("w") as f:
+        for rec in AVRO_LINES:
+            f.write(json.dumps(rec) + "\n")
+        f.write("this is not json\n")  # malformed -> corrupt channel
+    return str(p)
+
+
+def test_avro_jsonl_unwrap_and_corrupt(spark, avro_jsonl_path):
+    df = read_avro_jsonl(spark, avro_jsonl_path)
+    cc = corrupt_count(df).collect()[0]
+    assert cc.total_lines == 3 and cc.corrupt_lines == 1
+    flat = {r.source_timestamp: r for r in unwrap_avro(df.filter("_corrupt_record is null")).collect()}
+    ok = flat[1748779200100]
+    assert ok.binlog_file == "mysql-bin.000001" and ok.binlog_position == 1234
+    assert ok.change_type == "INSERT" and ok.primary_keys == ["order_id"]
+    z = flat[1748779200200]
+    # absent wrappers -> Go zero values (compare_timestamps.go:176 relies on this)
+    assert z.binlog_file == "" and z.binlog_position == 0
+    assert z.change_type == "" and z.is_deleted is False
+
+
+def test_wrap_roundtrip(spark, avro_jsonl_path):
+    df = read_avro_jsonl(spark, avro_jsonl_path).filter("_corrupt_record is null")
+    flat = unwrap_avro(df)
+    rewrapped = wrap_avro(flat)
+    back = unwrap_avro(rewrapped.select("source_timestamp", "source_metadata"))
+    a = sorted(flat.select("source_timestamp", "binlog_file", "binlog_position").collect())
+    b = sorted(back.select("source_timestamp", "binlog_file", "binlog_position").collect())
+    assert a == b
+
+
+def test_binlog_jsonl_reader(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("binlog_jsonl")
+    p = d / "binlog_metadata.json"
+    recs = [
+        {
+            "event_type": "WriteRowsEventV2",
+            "timestamp": "2025-06-01T12:00:00Z",
+            "immediate_commmit_timestamp": "2025-06-01T12:00:00.123456789Z",
+            "log_position": 1234,
+            "table": "orders",
+            "schema": "mydb",
+            "binlog_file": "mysql-bin.000001",
+            "xid": 99,  # dynamic tail: ignored by the contract schema
+        },
+        {"event_type": "XID", "log_position": 1290, "binlog_file": "mysql-bin.000001"},
+    ]
+    p.write_text("\n".join(json.dumps(r) for r in recs) + "\nnot json\n")
+    df = read_binlog_jsonl(spark, str(p))
+    cc = corrupt_count(df).collect()[0]
+    assert cc.total_lines == 3 and cc.corrupt_lines == 1
+    rows = {r.log_position: r for r in df.filter("_corrupt_record is null").collect()}
+    assert rows[1234].immediate_commmit_timestamp == "2025-06-01T12:00:00.123456789Z"
+    assert rows[1290].event_type == "XID"
