@@ -31,7 +31,7 @@ Everything else matches within tolerance (jitter = event_id % 90 ms).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # Keep in sync with oracle.CDC_CTES (tested by tests/test_oracle_parity.py).
 N_BINLOG_FILES = 4
@@ -113,6 +113,55 @@ def derive_binlog_events(events: DataFrame) -> DataFrame:
         F.concat(F.lit("uuid-0:"), eid.cast("string")).alias("gtid_next"),
         F.when(eid % EMPTY_FILE_MOD == 0, F.lit("")).otherwise(_binlog_file_col()).alias("binlog_file"),
         eid.alias("line_no"),
+    )
+
+
+def generate_parser_text_lines(events: DataFrame) -> DataFrame:
+    """Render the derived binlog events as go-binlogparser-style text
+    lines (FIXTURES.md F-3 format) -> (binlog_file, line_no, value).
+
+    Exists so the full text-parsing pipeline (operators/parse.py) gets a
+    driver-checked roundtrip: generate text from the derivation, parse it
+    back with P1-P9, and the oracle computes the expected table directly
+    from the same derivation -- two independent paths, one result.
+    """
+    b = derive_binlog_events(events).filter(F.col("binlog_file") != "")
+    header = F.when(
+        F.col("event_type").isin("XID", "Query", "GTID"),
+        F.concat(F.col("event_type"), F.lit("Event")),
+    ).otherwise(F.col("event_type"))
+    date_v = F.regexp_replace(
+        F.regexp_replace(F.col("timestamp"), "T", " "), "Z$", ""
+    )
+    lines_arr = F.array(
+        F.concat(F.lit("=== "), header, F.lit(" ===")),
+        F.concat(F.lit("Date: "), date_v),
+        F.concat(F.lit("Log position: "), F.col("log_position").cast("string")),
+        F.concat(F.lit("Schema: "), F.col("schema")),
+        F.concat(F.lit("Table: "), F.col("table")),
+        F.concat(F.lit("GTID_NEXT: "), F.col("gtid_next")),
+        # the paren layout of json_parser.go:103; '--' when ict is null
+        # (separator lines are parser noise, so the arity stays fixed)
+        F.when(
+            F.col("immediate_commmit_timestamp").isNotNull(),
+            F.concat(
+                F.lit("Immediate commmit timestamp: 0 ("),
+                F.col("immediate_commmit_timestamp"),
+                F.lit(")"),
+            ),
+        ).otherwise(F.lit("--")),
+        F.lit("--"),
+    )
+    w = Window.partitionBy("binlog_file").orderBy("line_no")
+    ordered = b.withColumn("__ord", F.row_number().over(w))
+    return ordered.select(
+        "binlog_file",
+        F.posexplode(lines_arr).alias("idx", "value"),
+        (F.col("__ord") * 10).alias("__base"),
+    ).select(
+        "binlog_file",
+        (F.col("__base") + F.col("idx")).alias("line_no"),
+        "value",
     )
 
 

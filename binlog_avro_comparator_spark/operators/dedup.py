@@ -109,6 +109,78 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
     )
 
 
+SIMHASH_BITS = 48  # < 63 so the value and xor stay in BIGINT range
+
+
+def simhash_fingerprints(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-document SimHash: for each bit j, sum +-1 over the word
+    hashes' j-th bits; bit j of the fingerprint = (sum > 0).
+
+    One explode + one groupBy(doc) with `bits` conditional-sum partial
+    aggregates -- map-side combined, shuffle carries `bits` longs per
+    doc.  The fingerprint packs into a BIGINT so hamming distance is
+    ``bit_count(a XOR b)`` (both engines have bit_count).
+    """
+    words = F.explode(
+        F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))
+    ).alias("word")
+    wh = documents.select("doc_id", words).select(
+        "doc_id", word_hash(F.col("word")).alias("h")
+    )
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    sums = wh.groupBy("doc_id").agg(*aggs)
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp + term
+    return sums.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    documents: DataFrame,
+    max_hamming: int = 6,
+    bands: int = 4,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash: candidates share at least one of
+    ``bands`` bit-slices (pigeonhole: any pair within hamming <
+    bands must agree on some slice), then exact hamming filter."""
+    fps = simhash_fingerprints(documents, bits).cache()
+    slice_bits = bits // bands
+    mask = (1 << slice_bits) - 1
+    pairs = None
+    for b in range(bands):
+        key = F.shiftright(F.col("simhash"), b * slice_bits).bitwiseAND(mask)
+        banded = fps.select("doc_id", "simhash", key.alias("band_key"))
+        p = (
+            banded.alias("l")
+            .join(banded.alias("r"), on="band_key")
+            .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+            .select(
+                F.col("l.doc_id").alias("doc_a"),
+                F.col("r.doc_id").alias("doc_b"),
+                F.col("l.simhash").alias("sim_a"),
+                F.col("r.simhash").alias("sim_b"),
+            )
+        )
+        pairs = p if pairs is None else pairs.unionAll(p)
+    return (
+        pairs.distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def jaccard_pairs(
     documents: DataFrame, k: int = 3, max_df: int = 10
 ) -> DataFrame:

@@ -1,0 +1,143 @@
+"""Multimodal column plumbing (training-data-pipeline extension).
+
+Media rides as an opaque ``binary`` column with typed metadata; decode /
+feature-extract / resize / frame-sample run as Arrow-batched pandas
+iterators over ``mapInPandas`` -- the Spark-side contract (schema,
+partitioning, batch shape, UDF signature) is real and tested.
+
+The actual codec step is environment-dependent: image/audio libraries
+are not in this container, so ``_decode_image`` tries PIL and falls
+back to a DETERMINISTIC FAKE decoder (clearly marked) that derives
+plausible dimensions from the bytes.  Swapping in a real decoder
+changes one function, not the pipeline.
+
+Scale notes: media bytes dominate row size, so the operators
+repartition by media_id before the Python stage (spreads large blobs,
+avoids a straggler holding many big rows), keep the binary column out
+of any shuffle that doesn't need it, and emit features WITHOUT the
+payload so downstream ops are narrow.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # 'image' | 'audio' | 'video'
+        T.StructField("content", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("source_uri", T.StringType()),
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("decoder", T.StringType()),
+    ]
+)
+
+
+def _decode_image(content: bytes) -> tuple[int, int, str]:
+    """Return (width, height, decoder_name).
+
+    Real path: PIL, when importable.  Fallback: DETERMINISTIC FAKE --
+    dimensions derived from the content hash so tests are stable and
+    the pipeline shape is exercised end-to-end without codec libs.
+    """
+    try:
+        import io
+
+        from PIL import Image  # type: ignore
+
+        with Image.open(io.BytesIO(content)) as im:
+            return im.width, im.height, "pil"
+    except Exception:  # noqa: BLE001 -- lib missing or bytes not an image
+        h = hashlib.sha256(content).digest()
+        return 64 + h[0] % 192, 64 + h[1] % 192, "fake-deterministic"
+
+
+def image_features(media: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Decode + feature-extract images via Arrow-batched mapInPandas."""
+    df = media.filter(F.col("kind") == "image")
+    if partitions:
+        df = df.repartition(partitions, "media_id")
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content)
+                w, h, dec = _decode_image(b)
+                out.append(
+                    (mid, hashlib.sha256(b).hexdigest(), len(b), w, h, dec)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "sha256",
+                    "n_bytes",
+                    "width",
+                    "height",
+                    "decoder",
+                ],
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        _extract, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame_sha256", T.StringType()),
+    ]
+)
+
+
+def sample_video_frames(media: DataFrame, every_n: int = 10, max_frames: int = 8) -> DataFrame:
+    """Frame-sampling stub for video: emits every_n-th 'frame' up to
+    max_frames per video.  Frame extraction itself is the deterministic
+    fake (slices of the byte stream hashed); a real implementation swaps
+    the slicing for a codec call, the explode shape stays identical."""
+    df = media.filter(F.col("kind") == "video")
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content)
+                n_chunks = max(len(b) // 1024, 1)
+                for i, chunk_idx in enumerate(range(0, n_chunks, every_n)):
+                    if i >= max_frames:
+                        break
+                    chunk = b[chunk_idx * 1024 : (chunk_idx + 1) * 1024]
+                    rows.append(
+                        (mid, chunk_idx, hashlib.sha256(chunk).hexdigest())
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_index", "frame_sha256"]
+            )
+
+    return df.select("media_id", "content").mapInPandas(_sample, schema=FRAME_SCHEMA)

@@ -100,6 +100,40 @@ def hyperplane_bucket(embedding: F.Column, n_planes: int = 8, dim: int = 64) -> 
     return F.concat(*bits)
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.99, n_planes: int = 8
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed.
+
+    Candidates = same hyperplane sign bucket (an O(n^2/buckets)
+    self-join instead of O(n^2)); survivors = rounded cosine >=
+    threshold.  The bucket column is also the natural partitioning key
+    for corpus-scale runs.
+    """
+    emb = with_norm(embeddings).withColumn(
+        "bucket", hyperplane_bucket(F.col("embedding"), n_planes)
+    )
+    sides = emb.select("vec_id", "embedding", "norm", "bucket")
+    pairs = (
+        sides.alias("l")
+        .join(sides.alias("r"), on="bucket")
+        .filter(F.col("l.vec_id") < F.col("r.vec_id"))
+    )
+    cos = F.round(
+        _dot(F.col("l.embedding"), F.col("r.embedding"))
+        / (F.col("l.norm") * F.col("r.norm")),
+        COS_ROUND,
+    )
+    return (
+        pairs.select(
+            F.col("l.vec_id").alias("vec_a"),
+            F.col("r.vec_id").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def cosine_topk_lsh(
     embeddings: DataFrame, n_queries: int = 32, k: int = 5, n_planes: int = 8
 ) -> DataFrame:

@@ -1,0 +1,96 @@
+"""E1/E3-equivalent orchestration (SURVEY.md section 3).
+
+The reference's comparator.sh chains three processes through files;
+here the whole flow is one lazy Spark plan: read -> parse -> prepare ->
+join -> compare -> findings/summary.  The intermediate JSONL file of
+the reference becomes an *optional* materialization (resume point /
+debugging), not a requirement.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import compare as C
+from .operators.parse import parse_binlog_text
+from .sources.binlog_text import read_parser_text
+from .sources.jsonl import read_avro_jsonl, read_binlog_jsonl, unwrap_avro
+
+
+@dataclass
+class ComparisonResult:
+    findings: DataFrame
+    summary: DataFrame
+
+
+def run_comparison(
+    spark: SparkSession,
+    *,
+    binlog_text_dir: str | None = None,
+    binlog_jsonl: str | None = None,
+    avro_jsonl: str,
+    cfg: C.CompareConfig = C.CompareConfig(),
+    materialize_binlog_jsonl: str | None = None,
+) -> ComparisonResult:
+    """Full pipeline from raw inputs to findings + summary.
+
+    Binlog side comes from either raw parser text (E1: stages S1-S4 +
+    P1-P9) or pre-normalized JSONL (E3: S7).  Avro side is the
+    union-wrapped JSONL (S8 + R1).
+    """
+    if (binlog_text_dir is None) == (binlog_jsonl is None):
+        raise ValueError("provide exactly one of binlog_text_dir / binlog_jsonl")
+
+    if binlog_text_dir is not None:
+        binlog = parse_binlog_text(read_parser_text(spark, binlog_text_dir)).drop(
+            "extra", "orignal_commmit_timestamp"
+        )
+        if materialize_binlog_jsonl:
+            binlog.write.mode("overwrite").json(materialize_binlog_jsonl)
+            binlog = spark.read.json(materialize_binlog_jsonl)
+    else:
+        # cache: filtering on _corrupt_record over a raw JSON scan is
+        # disallowed by Spark without materializing the parse first
+        raw = read_binlog_jsonl(spark, binlog_jsonl).cache()
+        binlog = raw.filter(raw["_corrupt_record"].isNull()).drop(
+            "_corrupt_record", "orignal_commmit_timestamp"
+        )
+        # JSONL input carries no line order; fall back to log_position
+        # (monotone within a file) for the last-write-wins window.
+        binlog = binlog.withColumn("line_no", binlog["log_position"])
+
+    araw = read_avro_jsonl(spark, avro_jsonl).cache()
+    avro = unwrap_avro(araw.filter(araw["_corrupt_record"].isNull()))
+
+    bp = C.prepare_binlog(binlog)
+    ap = C.prepare_avro(avro)
+    matched = C.matched_pairs(bp, ap, cfg)
+    ao = C.avro_only(bp, ap)
+    bo = C.binlog_only(bp, ap)
+    return ComparisonResult(
+        findings=C.findings(matched, ao, bo),
+        summary=C.summary(avro, bp, matched, ao, bo),
+    )
+
+
+def format_report(result: ComparisonResult) -> str:
+    """S10-style console report (the DataFrames remain the real API)."""
+    s = result.summary.collect()[0]
+    lines = [
+        "--- Comparison Summary ---",
+        f"Total Avro Records Processed: {s.total_avro_records}",
+        f"Total Matched by Binlog Key: {s.matched}",
+        f"Total Timestamp Mismatches (within matched set): {s.ts_mismatches}",
+        f"Avro Records with no Binlog Event match (by key): {s.avro_only}",
+        f"Binlog DML Events with no Avro Record match (by key): {s.binlog_only}",
+        "",
+        (
+            "CONCLUSION: All Avro records have matching binlog events, and "
+            "timestamps/metadata are consistent."
+            if s.consistent
+            else "CONCLUSION: WARNING - There were discrepancies found during comparison."
+        ),
+    ]
+    return "\n".join(lines)

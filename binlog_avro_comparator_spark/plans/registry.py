@@ -13,7 +13,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .. import oracle
-from ..fixtures import derive_avro_rows, derive_binlog_events
+from ..fixtures import (
+    derive_avro_rows,
+    derive_binlog_events,
+    generate_parser_text_lines,
+)
+from ..operators.parse import parse_binlog_text
 from ..operators import compare as C
 from ..operators.analytics import (
     customer_nation_revenue,
@@ -22,14 +27,17 @@ from ..operators.analytics import (
 )
 from ..operators.dedup import (
     MINHASH_PRIME,
+    SIMHASH_BITS,
     exact_dedup,
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
     minhash_params,
+    simhash_fingerprints,
+    simhash_near_pairs,
 )
 from ..operators.sessionize import sessionize
-from ..operators.similarity import cosine_topk
+from ..operators.similarity import cosine_topk, embedding_near_dup_pairs
 from ..operators.textstats import (
     fingerprints,
     lang_id,
@@ -135,6 +143,24 @@ def _q_cdc_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.summary(avro, bp, matched, C.avro_only(bp, ap), C.binlog_only(bp, ap))
 
 
+def _q_cdc_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generate parser text from the derivation, re-parse with the full
+    P1-P9 pipeline; the oracle computes the same table directly."""
+    ensure_session_conf(spark)
+    lines = generate_parser_text_lines(load_table(spark, sf_dir, "events"))
+    return parse_binlog_text(lines).select(
+        "event_type",
+        "timestamp",
+        "immediate_commmit_timestamp",
+        "log_position",
+        "schema",
+        "table",
+        "gtid_next",
+        "binlog_file",
+        "line_no",
+    )
+
+
 # --- extension queries -----------------------------------------------------
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -172,6 +198,19 @@ def _q_lsh_pairs(spark, sf_dir):
 
 def _q_jaccard_pairs(spark, sf_dir):
     return jaccard_pairs(_docs(spark, sf_dir))
+
+
+def _q_simhash(spark, sf_dir):
+    return simhash_fingerprints(_docs(spark, sf_dir))
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    return simhash_near_pairs(_docs(spark, sf_dir))
+
+
+def _q_embedding_near_dup(spark, sf_dir):
+    ensure_session_conf(spark)
+    return embedding_near_dup_pairs(load_table(spark, sf_dir, "embeddings"))
 
 
 def _q_ann_cosine_topk(spark, sf_dir):
@@ -216,6 +255,7 @@ def queries() -> dict[str, QueryFn]:
         "cdc_binlog_only": _q_cdc_binlog_only,
         "cdc_findings": _q_cdc_findings,
         "cdc_summary": _q_cdc_summary,
+        "cdc_parse_binlog_text": _q_cdc_parse_roundtrip,
         "dedup_exact": _q_dedup_exact,
         "token_count": _q_token_count,
         "text_quality": _q_text_quality,
@@ -224,6 +264,9 @@ def queries() -> dict[str, QueryFn]:
         "minhash_signatures": _q_minhash_signatures,
         "minhash_lsh_pairs": _q_lsh_pairs,
         "ngram_jaccard_pairs": _q_jaccard_pairs,
+        "simhash_fingerprints": _q_simhash,
+        "simhash_near_pairs": _q_simhash_pairs,
+        "embedding_near_dup": _q_embedding_near_dup,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "events_sessionize": _q_events_sessionize,
         "q1_pricing_summary": _q_q1,
@@ -294,6 +337,56 @@ def _lsh_pairs_sql() -> str:
     )
 
 
+def _simhash_ctes() -> str:
+    """Shared CTEs computing per-doc SimHash fingerprints (DuckDB mirror
+    of dedup.simhash_fingerprints, same portable md5-48bit word hash)."""
+    sums = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    pack = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j}::BIGINT ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return rf"""wh AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 12))::BIGINT AS h
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS w FROM documents)
+),
+sums AS (SELECT doc_id, {sums} FROM wh GROUP BY doc_id),
+fps AS (SELECT doc_id, {pack} AS simhash FROM sums)"""
+
+
+def _simhash_fp_sql() -> str:
+    return f"WITH {_simhash_ctes()}\nSELECT doc_id, simhash FROM fps"
+
+
+def _simhash_pairs_sql(max_hamming: int = 6, bands: int = 4) -> str:
+    slice_bits = SIMHASH_BITS // bands
+    mask = (1 << slice_bits) - 1
+    joins = "\nUNION ALL\n".join(
+        f"SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, l.simhash AS sim_a, r.simhash AS sim_b\n"
+        f"FROM fps l JOIN fps r ON ((l.simhash >> {b * slice_bits}) & {mask}) = ((r.simhash >> {b * slice_bits}) & {mask})\n"
+        f"WHERE l.doc_id < r.doc_id"
+        for b in range(bands)
+    )
+    return f"""WITH {_simhash_ctes()}
+SELECT DISTINCT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming
+FROM (
+{joins}
+)
+WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}"""
+
+
+def _hyperplane_bucket_sql(n_planes: int = 8) -> str:
+    """DuckDB mirror of similarity.hyperplane_bucket over unnested
+    embeddings (dimension index `ord` is 1-based, Spark's is 0-based)."""
+    bits = " || ".join(
+        f"(CASE WHEN sum(v * (CASE WHEN ((ord - 1) * {2 * p + 3} + {p}) % 7 < 4 THEN 1.0 ELSE -1.0 END)) >= 0 THEN '1' ELSE '0' END)"
+        for p in range(n_planes)
+    )
+    return f"SELECT vec_id, {bits} AS bucket FROM ex GROUP BY vec_id"
+
+
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {
         "cdc_binlog_events": oracle.cdc_binlog_events(),
@@ -304,6 +397,16 @@ def oracle_sql() -> dict[str, str]:
         "cdc_binlog_only": oracle.cdc_binlog_only(),
         "cdc_findings": oracle.cdc_findings(),
         "cdc_summary": oracle.cdc_summary(),
+        # Roundtrip oracle: the parse pipeline must reproduce the
+        # derivation table directly (line_no becomes the per-file event
+        # ordinal, since text regenerates events in line_no order).
+        "cdc_parse_binlog_text": "WITH "
+        + oracle.CDC_CTES.strip().rstrip()
+        + """
+SELECT event_type, "timestamp", immediate_commmit_timestamp, log_position,
+       "schema", "table", gtid_next, binlog_file,
+       row_number() OVER (PARTITION BY binlog_file ORDER BY line_no) AS line_no
+FROM binlog_events_cdc WHERE binlog_file <> ''""",
         "dedup_exact": (
             "SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,"
             " count(*) AS n_copies FROM documents GROUP BY md5(text)"
@@ -347,6 +450,34 @@ SELECT doc_id, len(w) AS n_words,
 FROM (SELECT doc_id, regexp_extract_all(text, '{_TOKEN_RE_SQL}') AS w FROM documents)""",
         "minhash_signatures": _minhash_sig_sql(),
         "minhash_lsh_pairs": _lsh_pairs_sql(),
+        "simhash_fingerprints": _simhash_fp_sql(),
+        "simhash_near_pairs": _simhash_pairs_sql(),
+        "embedding_near_dup": f"""
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS ord,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS norm FROM ex GROUP BY vec_id),
+buckets AS ({_hyperplane_bucket_sql()}),
+cand AS (
+  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b
+  FROM buckets l JOIN buckets r ON l.bucket = r.bucket
+  WHERE l.vec_id < r.vec_id
+),
+dots AS (
+  SELECT c.vec_a, c.vec_b, sum(ea.v * eb.v) AS dot
+  FROM cand c
+  JOIN ex ea ON ea.vec_id = c.vec_a
+  JOIN ex eb ON eb.vec_id = c.vec_b AND ea.ord = eb.ord
+  GROUP BY c.vec_a, c.vec_b
+)
+SELECT vec_a, vec_b,
+       round(dot / (na.norm * nb.norm), 6) AS cos_sim
+FROM dots
+JOIN norms na ON na.vec_id = vec_a
+JOIN norms nb ON nb.vec_id = vec_b
+WHERE round(dot / (na.norm * nb.norm), 6) >= 0.99""",
         "ngram_jaccard_pairs": f"""
 WITH {_SHINGLE_CTE},
 sizes AS (SELECT doc_id, count(*) AS n_shingles FROM doc_shingles GROUP BY doc_id),

@@ -1,0 +1,131 @@
+"""End-to-end pipeline driver, streaming variant, multimodal plumbing."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from binlog_avro_comparator_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    image_features,
+    sample_video_frames,
+)
+from binlog_avro_comparator_spark.pipeline import format_report, run_comparison
+from binlog_avro_comparator_spark.streaming import (
+    stream_avro_jsonl,
+    streaming_findings,
+)
+
+BINLOG_TEXT = """=== WriteRowsEventV2 ===
+Date: 2025-06-01 12:00:00
+Log position: 100
+Schema: shop
+Table: orders
+--
+=== WriteRowsEventV2 ===
+Date: 2025-06-01 12:00:05
+Log position: 200
+Schema: shop
+Table: orders
+"""
+
+
+def _avro_rec(pos: int, ts_ms: int, file: str = "mysql-bin.000001") -> dict:
+    return {
+        "source_timestamp": ts_ms,
+        "source_metadata": {
+            "database": "shop",
+            "table": "orders",
+            "change_type": {"string": "INSERT"},
+            "gtid": None,
+            "binlog_file": {"string": file},
+            "binlog_position": {"long": pos},
+            "is_deleted": {"boolean": False},
+            "primary_keys": ["id"],
+        },
+    }
+
+
+BASE_MS = 1748779200000  # 2025-06-01T12:00:00Z
+
+
+@pytest.fixture(scope="module")
+def io_dirs(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pipeline")
+    (d / "binlog_text").mkdir()
+    (d / "binlog_text" / "mysql-bin.000001").write_text(BINLOG_TEXT)
+    (d / "avro").mkdir()
+    with (d / "avro" / "avro_rows.json").open("w") as f:
+        f.write(json.dumps(_avro_rec(100, BASE_MS + 20)) + "\n")  # match
+        f.write(json.dumps(_avro_rec(200, BASE_MS + 5000 + 500)) + "\n")  # ts mismatch
+        f.write(json.dumps(_avro_rec(999, BASE_MS)) + "\n")  # avro-only
+    return d
+
+
+def test_run_comparison_text_entry(spark, io_dirs):
+    res = run_comparison(
+        spark,
+        binlog_text_dir=str(io_dirs / "binlog_text"),
+        avro_jsonl=str(io_dirs / "avro" / "avro_rows.json"),
+    )
+    kinds = sorted(r.kind for r in res.findings.collect())
+    assert kinds == ["AVRO_ONLY_BINLOG_KEY", "TIMESTAMP_MISMATCH"]
+    s = res.summary.collect()[0]
+    assert (s.total_avro_records, s.matched, s.ts_mismatches, s.avro_only, s.binlog_only) == (3, 2, 1, 1, 0)
+    report = format_report(res)
+    assert "WARNING" in report and "Total Avro Records Processed: 3" in report
+
+
+def test_run_comparison_requires_one_binlog_input(spark, io_dirs):
+    with pytest.raises(ValueError):
+        run_comparison(spark, avro_jsonl="x")
+
+
+def test_streaming_findings_availablenow(spark, io_dirs, tmp_path):
+    from binlog_avro_comparator_spark.operators.parse import parse_binlog_text
+    from binlog_avro_comparator_spark.sources.binlog_text import read_parser_text
+
+    binlog = parse_binlog_text(
+        read_parser_text(spark, str(io_dirs / "binlog_text"))
+    )
+    stream = stream_avro_jsonl(spark, str(io_dirs / "avro"))
+    assert stream.isStreaming
+    out = streaming_findings(binlog, stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("findings_stream")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM findings_stream").collect()
+    kinds = sorted(r.kind for r in rows)
+    assert kinds == ["AVRO_ONLY_BINLOG_KEY", "TIMESTAMP_MISMATCH"]
+
+
+def test_image_features_plumbing(spark):
+    rows = [
+        (1, "image", b"\x89PNG-fake-bytes-1", ("s3://x/1.png", "image/png", 17)),
+        (2, "image", b"\x89PNG-fake-bytes-22", ("s3://x/2.png", "image/png", 18)),
+        (3, "video", b"\x00" * 4096, ("s3://x/3.mp4", "video/mp4", 4096)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r.media_id: r for r in image_features(media).collect()}
+    assert set(feats) == {1, 2}  # video filtered out
+    assert feats[1].decoder == "fake-deterministic"
+    assert feats[1].n_bytes == 17
+    assert 64 <= feats[1].width < 256 and 64 <= feats[1].height < 256
+    # determinism: same bytes -> same features
+    feats2 = {r.media_id: r for r in image_features(media).collect()}
+    assert feats[1] == feats2[1]
+
+
+def test_video_frame_sampling(spark):
+    rows = [(7, "video", bytes(range(256)) * 200, ("u", "video/mp4", 51200))]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    frames = sample_video_frames(media, every_n=10, max_frames=3).collect()
+    assert [f.frame_index for f in sorted(frames, key=lambda f: f.frame_index)] == [0, 10, 20]
+    assert all(len(f.frame_sha256) == 64 for f in frames)
