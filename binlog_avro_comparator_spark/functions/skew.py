@@ -1,0 +1,72 @@
+"""Skew-mitigation utilities for hot keys.
+
+AQE's skew-join splitting covers sort-merge joins automatically; these
+helpers cover the two cases it doesn't:
+
+- ``salted_aggregate``: a groupBy where one key holds a large share of
+  all rows (a hot binlog_file, an empty-string key, a null-ish bucket).
+  Two-phase: aggregate on (key, salt) first -- spreading the hot key
+  over ``n_salts`` reducers -- then merge the partials.  Works for any
+  algebraic aggregate (sum/count/min/max), which is what the engine's
+  summary counters are.
+
+- ``salted_broadcastable_join``: a large-x-small join where the small
+  side fits in a broadcast but the large side's key is skewed.  With a
+  broadcast there is no shuffle at all, so skew is moot -- the helper
+  exists to make that decision explicit and assert the small side really
+  is small (guarding against silently planning a 100 GB broadcast).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+SALT_COL = "__salt"
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    ``aggs`` maps output column -> (input column, fn) with fn in
+    {sum, count, min, max}.  count merges with sum in phase 2.
+    """
+    merge_fn = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+    salted = df.withColumn(
+        SALT_COL, (F.rand(seed=7) * n_salts).cast("int")
+    )
+    phase1 = salted.groupBy(*keys, SALT_COL).agg(
+        *[
+            getattr(F, fn)(col).alias(out)
+            for out, (col, fn) in aggs.items()
+        ]
+    )
+    return phase1.groupBy(*keys).agg(
+        *[
+            getattr(F, merge_fn[fn])(out).alias(out)
+            for out, (_, fn) in aggs.items()
+        ]
+    )
+
+
+def salted_broadcastable_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    max_small_rows: int = 10_000_000,
+) -> DataFrame:
+    """Broadcast the small side (skew-immune: no shuffle of the large
+    side at all), refusing if the small side is unexpectedly large."""
+    n = small.count()
+    if n > max_small_rows:
+        raise ValueError(
+            f"small side has {n} rows > max_small_rows={max_small_rows}; "
+            "a broadcast would risk OOM -- use a shuffled join with AQE "
+            "skew handling instead"
+        )
+    return large.join(F.broadcast(small), on=on, how=how)

@@ -130,13 +130,77 @@ def inferred_change_type(event_type: F.Column, cfg: CompareConfig) -> F.Column:
     )
 
 
+def diff_joined(
+    binlog_prepared: DataFrame,
+    avro_prepared: DataFrame,
+    cfg: CompareConfig = CompareConfig(),
+) -> DataFrame:
+    """The whole diff in ONE join: full-outer on the composite key with
+    presence markers, plus the C1-C5 comparison columns.
+
+    This subsumes J3 (both present), J4 (binlog side absent), and J5
+    (avro side absent): findings and summary each become a single pass
+    over this frame instead of three separate joins that would rescan
+    and re-shuffle both inputs.  At scale: one shuffle per side
+    (sort-merge full-outer); the narrower inner/anti operators below
+    stay available -- and broadcastable -- when only one slice is
+    wanted.
+    """
+    build = binlog_prepared.select(
+        *KEY,
+        "event_type",
+        "timestamp",
+        "immediate_commmit_timestamp",
+        "gtid_next",
+        F.col("schema").alias("binlog_schema"),
+        F.col("table").alias("binlog_table"),
+        "line_no",
+        F.lit(True).alias("__has_binlog"),
+    )
+    probe = avro_prepared.withColumn("__has_avro", F.lit(True))
+    j = probe.join(build, on=KEY, how="full_outer")
+
+    binlog_ms = binlog_effective_ms(
+        F.col("immediate_commmit_timestamp"), F.col("timestamp")
+    )
+    inferred = inferred_change_type(F.col("event_type"), cfg)
+    return (
+        j.withColumn("binlog_ms", binlog_ms)
+        .withColumn("ts_delta_ms", F.col("source_timestamp") - F.col("binlog_ms"))
+        .withColumn(
+            "ts_mismatch",
+            F.col("binlog_ms").isNull()
+            | (F.abs(F.col("ts_delta_ms")) > cfg.tolerance_ms),
+        )
+        .withColumn("inferred_change_type", inferred)
+        .withColumn(
+            "gtid_mismatch",
+            F.col("binlog_ms").isNotNull()  # parse failure skips checks (:210)
+            & F.col("gtid").isNotNull() & (F.col("gtid") != "")
+            & F.col("gtid_next").isNotNull() & (F.col("gtid_next") != "")
+            & (F.col("gtid") != F.col("gtid_next")),
+        )
+        .withColumn(
+            "change_type_mismatch",
+            F.col("binlog_ms").isNotNull()
+            & F.col("change_type").isNotNull() & (F.col("change_type") != "")
+            & (F.col("inferred_change_type") != "")
+            & (F.upper(F.col("change_type")) != F.col("inferred_change_type")),
+        )
+    )
+
+
 def matched_pairs(
     binlog_prepared: DataFrame,
     avro_prepared: DataFrame,
     cfg: CompareConfig = CompareConfig(),
 ) -> DataFrame:
     """J3 inner join + C1-C5 comparison columns, one row per matched
-    avro record (probe-side granularity, like the reference)."""
+    avro record (probe-side granularity, like the reference).
+
+    Narrow variant: when only the matched slice is needed, an inner
+    join lets Catalyst/AQE broadcast the build side (cfg.broadcast_build
+    forces it, mirroring the reference's in-memory map)."""
     build = binlog_prepared.select(
         *KEY,
         "event_type",
@@ -193,6 +257,143 @@ def binlog_only(binlog_prepared: DataFrame, avro_prepared: DataFrame) -> DataFra
     return binlog_prepared.join(
         avro_prepared.select(*KEY), on=KEY, how="left_anti"
     ).filter(F.col("event_type").endswith(_DML_SUFFIX))
+
+
+def findings_onepass(
+    binlog_prepared: DataFrame,
+    avro_prepared: DataFrame,
+    cfg: CompareConfig = CompareConfig(),
+) -> DataFrame:
+    """S10 findings in a single pass: build a per-row array of finding
+    structs over diff_joined and explode it.  One scan per input, one
+    join, one explode -- versus the compositional findings() whose union
+    branches each re-derive their inputs.  Output schema and row set are
+    identical to findings()."""
+    j = diff_joined(binlog_prepared, avro_prepared, cfg)
+    empty = F.lit("")
+    both = F.col("__has_avro").isNotNull() & F.col("__has_binlog").isNotNull()
+
+    def _f(cond: F.Column, kind: str, detail: F.Column, counted: bool) -> F.Column:
+        return F.when(
+            cond,
+            F.struct(
+                F.lit(kind).alias("kind"),
+                detail.alias("detail"),
+                F.lit(counted).alias("counted"),
+            ),
+        )
+
+    ts_detail = F.concat(
+        F.lit("avro_ms="), F.col("source_timestamp").cast("string"),
+        F.lit(" binlog_ms="), F.col("binlog_ms").cast("string"),
+    )
+    arr = F.array(
+        _f(
+            both & F.col("binlog_ms").isNull(),
+            "TIMESTAMP_PARSE_ERROR",
+            F.concat(
+                F.lit("ict="), F.coalesce(F.col("immediate_commmit_timestamp"), empty),
+                F.lit(" ts="), F.coalesce(F.col("timestamp"), empty),
+            ),
+            True,
+        ),
+        _f(
+            both & F.col("binlog_ms").isNotNull() & F.col("ts_mismatch"),
+            "TIMESTAMP_MISMATCH",
+            ts_detail,
+            True,
+        ),
+        _f(
+            both & F.col("gtid_mismatch"),
+            "GTID_MISMATCH",
+            F.concat(F.lit("avro="), F.col("gtid"), F.lit(" binlog="), F.col("gtid_next")),
+            False,
+        ),
+        _f(
+            both & F.col("change_type_mismatch"),
+            "CHANGE_TYPE_MISMATCH",
+            F.concat(
+                F.lit("avro="), F.col("change_type"),
+                F.lit(" inferred="), F.col("inferred_change_type"),
+            ),
+            False,
+        ),
+        _f(
+            F.col("__has_binlog").isNull(),
+            "AVRO_ONLY_BINLOG_KEY",
+            F.concat(
+                F.lit("db="), F.coalesce(F.col("database"), empty),
+                F.lit(" table="), F.coalesce(F.col("table"), empty),
+                F.lit(" type="), F.coalesce(F.col("change_type"), empty),
+            ),
+            True,
+        ),
+        _f(
+            F.col("__has_avro").isNull()
+            & F.col("event_type").endswith(_DML_SUFFIX),
+            "BINLOG_ONLY_DML",
+            F.concat(
+                F.lit("event="), F.col("event_type"),
+                F.lit(" schema="), F.coalesce(F.col("binlog_schema"), empty),
+                F.lit(" table="), F.coalesce(F.col("binlog_table"), empty),
+            ),
+            True,
+        ),
+    )
+    return j.select(
+        *KEY,
+        F.explode(F.filter(arr, lambda x: x.isNotNull())).alias("f"),
+    ).select(
+        F.col("f.kind").alias("kind"),
+        *KEY,
+        F.col("f.detail").alias("detail"),
+        F.col("f.counted").alias("counted"),
+    )
+
+
+def summary_onepass(
+    total_avro_records: DataFrame,
+    binlog_prepared: DataFrame,
+    avro_prepared: DataFrame,
+    cfg: CompareConfig = CompareConfig(),
+) -> DataFrame:
+    """A1/A2 in a single aggregation pass over diff_joined (plus one
+    narrow count of the raw avro input, which the reference counts
+    before key-validation -- compare_timestamps.go:169)."""
+    j = diff_joined(binlog_prepared, avro_prepared, cfg)
+    both = F.col("__has_avro").isNotNull() & F.col("__has_binlog").isNotNull()
+    agg = j.agg(
+        F.sum(both.cast("long")).alias("matched"),
+        F.sum((both & F.col("ts_mismatch")).cast("long")).alias("ts_mismatches"),
+        F.sum(F.col("__has_binlog").isNull().cast("long")).alias("avro_only"),
+        F.sum(
+            (
+                F.col("__has_avro").isNull()
+                & F.col("event_type").endswith(_DML_SUFFIX)
+            ).cast("long")
+        ).alias("binlog_only"),
+        # a build event may match several avro rows; count distinct keys
+        F.count_distinct(
+            F.when(F.col("__has_binlog").isNotNull(), F.concat_ws("\x00", *KEY))
+        ).alias("binlog_build_events"),
+    )
+    return (
+        total_avro_records.agg(F.count("*").alias("total_avro_records"))
+        .crossJoin(agg)
+        .select(
+            "total_avro_records",
+            "binlog_build_events",
+            F.coalesce(F.col("matched"), F.lit(0)).alias("matched"),
+            F.coalesce(F.col("ts_mismatches"), F.lit(0)).alias("ts_mismatches"),
+            F.coalesce(F.col("avro_only"), F.lit(0)).alias("avro_only"),
+            F.coalesce(F.col("binlog_only"), F.lit(0)).alias("binlog_only"),
+            (
+                (F.coalesce(F.col("ts_mismatches"), F.lit(0)) == 0)
+                & (F.coalesce(F.col("avro_only"), F.lit(0)) == 0)
+                & (F.coalesce(F.col("binlog_only"), F.lit(0)) == 0)
+            ).alias("consistent"),
+        )
+    )
 
 
 def findings(

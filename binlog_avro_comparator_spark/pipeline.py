@@ -66,12 +66,9 @@ def run_comparison(
 
     bp = C.prepare_binlog(binlog)
     ap = C.prepare_avro(avro)
-    matched = C.matched_pairs(bp, ap, cfg)
-    ao = C.avro_only(bp, ap)
-    bo = C.binlog_only(bp, ap)
     return ComparisonResult(
-        findings=C.findings(matched, ao, bo),
-        summary=C.summary(avro, bp, matched, ao, bo),
+        findings=C.findings_onepass(bp, ap, cfg),
+        summary=C.summary_onepass(avro, bp, ap, cfg),
     )
 
 

@@ -37,7 +37,11 @@ from ..operators.dedup import (
     simhash_near_pairs,
 )
 from ..operators.sessionize import sessionize
-from ..operators.similarity import cosine_topk, embedding_near_dup_pairs
+from ..operators.similarity import (
+    cosine_topk,
+    cosine_topk_lsh,
+    embedding_near_dup_pairs,
+)
 from ..operators.textstats import (
     fingerprints,
     lang_id,
@@ -133,14 +137,12 @@ def _q_cdc_binlog_only(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_cdc_findings(spark: SparkSession, sf_dir: str) -> DataFrame:
     avro, bp, ap = _cdc_frames(spark, sf_dir)
-    matched = C.matched_pairs(bp, ap)
-    return C.findings(matched, C.avro_only(bp, ap), C.binlog_only(bp, ap))
+    return C.findings_onepass(bp, ap)
 
 
 def _q_cdc_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     avro, bp, ap = _cdc_frames(spark, sf_dir)
-    matched = C.matched_pairs(bp, ap)
-    return C.summary(avro, bp, matched, C.avro_only(bp, ap), C.binlog_only(bp, ap))
+    return C.summary_onepass(avro, bp, ap)
 
 
 def _q_cdc_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -218,6 +220,11 @@ def _q_ann_cosine_topk(spark, sf_dir):
     return cosine_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_ann_cosine_topk_lsh(spark, sf_dir):
+    ensure_session_conf(spark)
+    return cosine_topk_lsh(load_table(spark, sf_dir, "embeddings"))
+
+
 def _q_events_sessionize(spark, sf_dir):
     ensure_session_conf(spark)
     return sessionize(load_table(spark, sf_dir, "events"))
@@ -268,6 +275,7 @@ def queries() -> dict[str, QueryFn]:
         "simhash_near_pairs": _q_simhash_pairs,
         "embedding_near_dup": _q_embedding_near_dup,
         "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_cosine_topk_lsh": _q_ann_cosine_topk_lsh,
         "events_sessionize": _q_events_sessionize,
         "q1_pricing_summary": _q_q1,
         "top_revenue_orders": _q_top_revenue,
@@ -517,6 +525,39 @@ dots AS (
   SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, sum(q.v * e.v) AS dot
   FROM q JOIN ex e ON q.ord = e.ord AND e.vec_id <> q.vec_id
   GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(dot / (nq.norm * ne.norm), 6) AS cos_sim
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms ne ON ne.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5""",
+        "ann_cosine_topk_lsh": f"""
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS ord,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS norm FROM ex GROUP BY vec_id),
+buckets AS ({_hyperplane_bucket_sql()}),
+q AS (SELECT * FROM ex WHERE vec_id < 32),
+cand AS (
+  SELECT qb.vec_id AS query_id, eb.vec_id AS neighbor_id
+  FROM buckets qb JOIN buckets eb ON qb.bucket = eb.bucket
+  WHERE qb.vec_id < 32 AND eb.vec_id <> qb.vec_id
+),
+dots AS (
+  SELECT c.query_id, c.neighbor_id, sum(qe.v * ee.v) AS dot
+  FROM cand c
+  JOIN ex qe ON qe.vec_id = c.query_id
+  JOIN ex ee ON ee.vec_id = c.neighbor_id AND qe.ord = ee.ord
+  GROUP BY c.query_id, c.neighbor_id
 ),
 scored AS (
   SELECT query_id, neighbor_id,

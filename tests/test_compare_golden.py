@@ -170,6 +170,20 @@ def test_findings_and_summary(frames):
     assert not s.consistent
 
 
+def test_onepass_equals_compositional(frames):
+    """findings_onepass/summary_onepass (single full-outer join) must be
+    row-identical to the compositional three-join formulation."""
+    avro, bp, ap = frames
+    m = C.matched_pairs(bp, ap)
+    ao, bo = C.avro_only(bp, ap), C.binlog_only(bp, ap)
+    comp = sorted(tuple(r) for r in C.findings(m, ao, bo).collect())
+    onep = sorted(tuple(r) for r in C.findings_onepass(bp, ap).collect())
+    assert comp == onep
+    s1 = C.summary(avro, bp, m, ao, bo).collect()[0]
+    s2 = C.summary_onepass(avro, bp, ap).collect()[0]
+    assert tuple(s1) == tuple(s2)
+
+
 def test_input_order_invariance(spark, frames):
     """J2 regression (SURVEY.md section 5, item 3): results must not
     depend on input row order."""

@@ -1,0 +1,81 @@
+"""Physical-plan property tests: the plans we designed for are the
+plans Catalyst actually produces (pushdown, broadcast, codegen,
+single-join diff).  Guards against regressions that stay correct but
+quietly lose the 100x-scale properties."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from binlog_avro_comparator_spark.operators.analytics import (
+    customer_nation_revenue,
+    q1_pricing_summary,
+)
+from binlog_avro_comparator_spark.operators import compare as C
+from binlog_avro_comparator_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df, mode="formatted") -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_q1_filter_pushed_to_parquet(spark):
+    plan = _plan(q1_pricing_summary(load_table(spark, SF, "lineitem")))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: untouched columns are not read
+    assert "l_partkey" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_q1_partial_aggregation(spark):
+    plan = _plan(q1_pricing_summary(load_table(spark, SF, "lineitem")))
+    # map-side combine: two HashAggregates around one Exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
+
+
+def test_nation_revenue_broadcasts_dims(spark):
+    df = customer_nation_revenue(
+        load_table(spark, SF, "customer"),
+        load_table(spark, SF, "nation"),
+        load_table(spark, SF, "orders"),
+        load_table(spark, SF, "lineitem"),
+    )
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2  # customer and nation
+
+
+def test_diff_joined_is_single_join(spark):
+    from binlog_avro_comparator_spark.fixtures import (
+        derive_avro_rows,
+        derive_binlog_events,
+    )
+
+    ev = load_table(spark, SF, "events")
+    bp = C.prepare_binlog(derive_binlog_events(ev))
+    ap = C.prepare_avro(derive_avro_rows(ev))
+    import re
+
+    plan = _plan(C.findings_onepass(bp, ap))
+    # exactly one join node (the full-outer), and the events parquet is
+    # scanned once per side -- not once per finding kind
+    join_nodes = re.findall(r"^\(\d+\) \w*Join", plan, re.M)
+    assert len(join_nodes) == 1, join_nodes
+    scan_nodes = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+    assert len(scan_nodes) == 2, scan_nodes
+    assert "FullOuter" in plan
+
+
+def test_prepare_binlog_uses_window_group_limit(spark):
+    from binlog_avro_comparator_spark.fixtures import derive_binlog_events
+
+    bp = C.prepare_binlog(derive_binlog_events(load_table(spark, SF, "events")))
+    plan = _plan(bp)
+    # Spark's rank-limit pushdown: the row_number()==1 dedup becomes
+    # WindowGroupLimit (partial top-1 before the shuffle), so the full
+    # per-key row set is never materialized post-shuffle
+    assert "WindowGroupLimit" in plan
