@@ -84,7 +84,15 @@ def prepare_binlog(binlog: DataFrame) -> DataFrame:
         & F.col("log_position").isNotNull()
         & (F.col("log_position") != 0)  # Q5 zero-as-null
     ).withColumnRenamed("log_position", "binlog_position")
-    w = Window.partitionBy(*KEY).orderBy(F.col("line_no").desc())
+    # content tie-breaks keep the pick deterministic even when line_no
+    # ties (e.g. JSONL inputs that carry no real line order)
+    w = Window.partitionBy(*KEY).orderBy(
+        F.col("line_no").desc(),
+        F.col("event_type").desc_nulls_last(),
+        F.col("timestamp").desc_nulls_last(),
+        F.col("immediate_commmit_timestamp").desc_nulls_last(),
+        F.col("gtid_next").desc_nulls_last(),
+    )
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

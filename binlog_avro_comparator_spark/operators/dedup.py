@@ -210,9 +210,13 @@ def jaccard_pairs(
     """Exact word-k-gram Jaccard for candidate pairs that share at least
     one *rare* shingle (document frequency <= max_df)."""
     sh = shingles(documents, k).select("doc_id", "shingle").cache()
-    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    rare = sh.join(
-        df_counts.filter(F.col("df") <= max_df).select("shingle"), on="shingle"
+    # doc-frequency as a window count: one shuffle on shingle, no join
+    # back (vs groupBy + re-join), and the same shuffle already
+    # co-locates rows for the candidate self-join below
+    rare = (
+        sh.withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
+        .filter(F.col("df") <= max_df)
+        .drop("df")
     )
     cand = (
         rare.alias("l")

@@ -94,6 +94,46 @@ def lang_id(documents: DataFrame) -> DataFrame:
     )
 
 
+def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k terms per document by tf-idf.
+
+    tf = term count in doc; idf = ln(N / doc-frequency).  Scores are
+    rounded to 6 decimals before ranking (libm ln() may differ in the
+    last ulp across engines) with a term-name tie-break.
+
+    Scale: one explode + two hash aggregations (term counts, doc
+    frequencies) + a window per doc.  The df table is tiny (vocabulary-
+    sized) and broadcasts.
+    """
+    from pyspark.sql import Window
+
+    words = documents.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))
+        ).alias("term"),
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_counts = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = documents.count()  # small driver-side scalar, like the oracle's count(*)
+    scored = tf.join(F.broadcast(df_counts), on="term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def word_hash(col: F.Column) -> F.Column:
     """Deterministic 48-bit word hash shared with the DuckDB oracles:
     the first 12 hex digits of md5, as a BIGINT.  (Engine-native hashes

@@ -46,6 +46,7 @@ from ..operators.textstats import (
     fingerprints,
     lang_id,
     quality_scores,
+    tfidf_top_terms,
     token_stats,
 )
 from ..session import ensure_session_conf
@@ -190,6 +191,20 @@ def _q_doc_fingerprint(spark, sf_dir):
     return fingerprints(_docs(spark, sf_dir))
 
 
+def _q_tfidf(spark, sf_dir):
+    return tfidf_top_terms(_docs(spark, sf_dir))
+
+
+def _q_distinct_users(spark, sf_dir):
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
 def _q_minhash_signatures(spark, sf_dir):
     return minhash_signatures(_docs(spark, sf_dir))
 
@@ -268,6 +283,8 @@ def queries() -> dict[str, QueryFn]:
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
+        "tfidf_top_terms": _q_tfidf,
+        "distinct_users_per_type": _q_distinct_users,
         "minhash_signatures": _q_minhash_signatures,
         "minhash_lsh_pairs": _q_lsh_pairs,
         "ngram_jaccard_pairs": _q_jaccard_pairs,
@@ -456,6 +473,28 @@ SELECT doc_id, len(w) AS n_words,
            list_transform(w, x -> ('0x' || substr(md5(x), 1, 12))::BIGINT)),
          (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
 FROM (SELECT doc_id, regexp_extract_all(text, '{_TOKEN_RE_SQL}') AS w FROM documents)""",
+        "tfidf_top_terms": rf"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term),
+dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+  FROM tf JOIN dfc USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf, rank FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= 3""",
+        "distinct_users_per_type": """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
+       round(avg(value), 4) AS avg_value
+FROM events GROUP BY event_type""",
         "minhash_signatures": _minhash_sig_sql(),
         "minhash_lsh_pairs": _lsh_pairs_sql(),
         "simhash_fingerprints": _simhash_fp_sql(),

@@ -1,0 +1,100 @@
+"""Property-based invariants over random CDC inputs (SURVEY.md
+section 5, item 3).
+
+A single module-scoped random corpus (fixed seed) would hide
+generator-shaped bugs, so hypothesis drives the shape: random key
+overlaps, duplicate keys, invalid keys, random timestamps.  Invariants:
+
+  I1  matched + avro_only == valid avro rows (every valid probe row
+      lands in exactly one bucket)
+  I2  binlog_only <= DML build events
+  I3  consistent <=> all three counters zero
+  I4  results invariant under input row order permutation
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from binlog_avro_comparator_spark.operators import compare as C
+from tests.test_compare_golden import AVRO_SCHEMA, BINLOG_SCHEMA
+
+_ET = ["WriteRowsEventV2", "UpdateRowsEventV2", "DeleteRowsEventV2", "XID", "Query"]
+
+
+def _mk_rows(seed: int, n_binlog: int, n_avro: int):
+    rng = random.Random(seed)
+    binlog = []
+    for i in range(n_binlog):
+        binlog.append(
+            (
+                rng.choice(_ET),
+                "2025-06-01T12:00:00Z" if rng.random() > 0.1 else None,
+                "2025-06-01T12:00:00.123456Z" if rng.random() > 0.3 else None,
+                rng.choice([0, 100, 200, 300, 400, 500]),
+                "db",
+                "t",
+                f"g{rng.randrange(4)}",
+                rng.choice(["", "f1", "f2"]),
+                i,
+            )
+        )
+    avro = []
+    for i in range(n_avro):
+        avro.append(
+            (
+                1748779200000 + rng.randrange(-500, 500),
+                "db",
+                "t",
+                rng.choice(["INSERT", "update", "DELETE", ""]),
+                f"g{rng.randrange(4)}",
+                rng.choice(["", "f1", "f2", "f9"]),
+                rng.choice([0, 100, 200, 300, 999]),
+                False,
+                i,
+            )
+        )
+    return binlog, avro
+
+
+@pytest.fixture(scope="module")
+def run(spark):
+    def _run(seed: int, n_binlog: int, n_avro: int, permute: bool = False):
+        binlog_rows, avro_rows = _mk_rows(seed, n_binlog, n_avro)
+        if permute:
+            rng = random.Random(seed + 1)
+            rng.shuffle(binlog_rows)
+            rng.shuffle(avro_rows)
+        binlog = spark.createDataFrame(binlog_rows, BINLOG_SCHEMA).repartition(5)
+        avro = spark.createDataFrame(avro_rows, AVRO_SCHEMA).repartition(3)
+        bp, ap = C.prepare_binlog(binlog), C.prepare_avro(avro)
+        s = C.summary_onepass(avro, bp, ap).collect()[0]
+        valid_avro = ap.count()
+        dml_build = bp.filter(
+            bp["event_type"].endswith("RowsEventV2")
+        ).count()
+        return s, valid_avro, dml_build
+
+    return _run
+
+
+@settings(max_examples=8, deadline=None)
+@given(seed=st.integers(0, 10_000))
+def test_counter_invariants(run, seed):
+    s, valid_avro, dml_build = run(seed, n_binlog=40, n_avro=30)
+    assert s.matched + s.avro_only == valid_avro  # I1
+    assert s.binlog_only <= dml_build  # I2
+    assert s.consistent == (
+        s.ts_mismatches == 0 and s.avro_only == 0 and s.binlog_only == 0
+    )  # I3
+
+
+@settings(max_examples=4, deadline=None)
+@given(seed=st.integers(0, 10_000))
+def test_permutation_invariance(run, seed):
+    s1, _, _ = run(seed, n_binlog=40, n_avro=30, permute=False)
+    s2, _, _ = run(seed, n_binlog=40, n_avro=30, permute=True)
+    assert tuple(s1) == tuple(s2)  # I4
