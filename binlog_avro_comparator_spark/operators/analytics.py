@@ -66,6 +66,43 @@ def top_revenue_orders(orders: DataFrame, lineitem: DataFrame, k: int = 10) -> D
     )
 
 
+def high_value_customers(customer: DataFrame, orders: DataFrame, min_total: float = 100_000.0) -> DataFrame:
+    """LEFT SEMI join: customers having at least one high-value order.
+    Semi joins ship only the key column of the probe side -- at scale
+    that's the cheapest existence check there is."""
+    big = orders.filter(F.col("o_totalprice") >= min_total).select("o_custkey")
+    return customer.join(
+        big, customer["c_custkey"] == big["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def user_set_ops(events: DataFrame) -> DataFrame:
+    """Set operations over per-type user sets: INTERSECT (purchasers who
+    also clicked) and EXCEPT (purchasers who never clicked), tagged."""
+    purchasers = events.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    clickers = events.filter(F.col("event_type") == "click").select("user_id").distinct()
+    both = purchasers.intersect(clickers).select(
+        F.col("user_id"), F.lit("purchase_and_click").alias("cohort")
+    )
+    only = purchasers.exceptAll(clickers).select(
+        F.col("user_id"), F.lit("purchase_no_click").alias("cohort")
+    )
+    return both.unionAll(only)
+
+
+def revenue_rollup(orders: DataFrame) -> DataFrame:
+    """ROLLUP aggregation: order totals by (status, priority) with
+    subtotals and a grand total -- the grouping-sets tier."""
+    price = F.col("o_totalprice").cast(_DEC)
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.sum(price).cast("double").alias("total_price"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
 def customer_nation_revenue(
     customer: DataFrame, nation: DataFrame, orders: DataFrame, lineitem: DataFrame
 ) -> DataFrame:

@@ -22,9 +22,13 @@ from ..operators.parse import parse_binlog_text
 from ..operators import compare as C
 from ..operators.analytics import (
     customer_nation_revenue,
+    high_value_customers,
     q1_pricing_summary,
+    revenue_rollup,
     top_revenue_orders,
+    user_set_ops,
 )
+from ..operators.multimodal import image_features
 from ..operators.dedup import (
     MINHASH_PRIME,
     SIMHASH_BITS,
@@ -257,6 +261,35 @@ def _q_top_revenue(spark, sf_dir):
     )
 
 
+def _q_high_value_customers(spark, sf_dir):
+    ensure_session_conf(spark)
+    return high_value_customers(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+def _q_user_set_ops(spark, sf_dir):
+    ensure_session_conf(spark)
+    return user_set_ops(load_table(spark, sf_dir, "events"))
+
+
+def _q_revenue_rollup(spark, sf_dir):
+    ensure_session_conf(spark)
+    return revenue_rollup(load_table(spark, sf_dir, "orders"))
+
+
+def _q_media_features(spark, sf_dir):
+    """Multimodal plumbing, oracle-checked: documents' text bytes as
+    opaque binary media, features extracted via Arrow mapInPandas."""
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+    )
+    return image_features(media)
+
+
 def _q_nation_revenue(spark, sf_dir):
     ensure_session_conf(spark)
     return customer_nation_revenue(
@@ -297,6 +330,10 @@ def queries() -> dict[str, QueryFn]:
         "q1_pricing_summary": _q_q1,
         "top_revenue_orders": _q_top_revenue,
         "customer_nation_revenue": _q_nation_revenue,
+        "high_value_customers": _q_high_value_customers,
+        "user_set_ops": _q_user_set_ops,
+        "revenue_rollup": _q_revenue_rollup,
+        "media_image_features": _q_media_features,
     }
 
 
@@ -652,6 +689,35 @@ SELECT o_orderkey, o_custkey, o_orderstatus, revenue, rank FROM (
          row_number() OVER (ORDER BY revenue DESC, o_orderkey) AS rank
   FROM rev JOIN orders o ON rev.l_orderkey = o.o_orderkey
 ) WHERE rank <= 10""",
+        "high_value_customers": """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice >= 100000.0)""",
+        "user_set_ops": """
+SELECT user_id, 'purchase_and_click' AS cohort FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+  INTERSECT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+)
+UNION ALL
+SELECT user_id, 'purchase_no_click' FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+  EXCEPT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+)""",
+        "revenue_rollup": """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+       count(*) AS n_orders
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+        "media_image_features": """
+SELECT doc_id AS media_id, sha256(text) AS sha256,
+       octet_length(encode(text)) AS n_bytes,
+       64 + (('0x' || substr(sha256(text), 1, 2))::INT % 192) AS width,
+       64 + (('0x' || substr(sha256(text), 3, 2))::INT % 192) AS height,
+       'fake-deterministic' AS decoder
+FROM documents""",
         "customer_nation_revenue": """
 WITH per_order AS (
   SELECT l_orderkey,
