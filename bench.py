@@ -24,15 +24,22 @@ from binlog_avro_comparator_spark.plans import registry
 BENCH_QUERIES = [
     "cdc_findings",
     "cdc_summary",
+    "cdc_parse_binlog_text",
     "events_sessionize",
     "dedup_exact",
     "doc_fingerprint",
+    "tfidf_top_terms",
     "minhash_lsh_pairs",
+    "simhash_near_pairs",
     "ngram_jaccard_pairs",
     "ann_cosine_topk",
+    "ann_cosine_topk_pandas",
+    "ann_cosine_topk_lsh",
+    "media_image_features",
     "q1_pricing_summary",
     "top_revenue_orders",
     "customer_nation_revenue",
+    "revenue_rollup",
 ]
 
 

@@ -44,6 +44,7 @@ from ..operators.sessionize import sessionize
 from ..operators.similarity import (
     cosine_topk,
     cosine_topk_lsh,
+    cosine_topk_pandas,
     embedding_near_dup_pairs,
 )
 from ..operators.textstats import (
@@ -244,6 +245,11 @@ def _q_ann_cosine_topk_lsh(spark, sf_dir):
     return cosine_topk_lsh(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_ann_cosine_topk_pandas(spark, sf_dir):
+    ensure_session_conf(spark)
+    return cosine_topk_pandas(load_table(spark, sf_dir, "embeddings"))
+
+
 def _q_events_sessionize(spark, sf_dir):
     ensure_session_conf(spark)
     return sessionize(load_table(spark, sf_dir, "events"))
@@ -326,6 +332,7 @@ def queries() -> dict[str, QueryFn]:
         "embedding_near_dup": _q_embedding_near_dup,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_cosine_topk_lsh": _q_ann_cosine_topk_lsh,
+        "ann_cosine_topk_pandas": _q_ann_cosine_topk_pandas,
         "events_sessionize": _q_events_sessionize,
         "q1_pricing_summary": _q_q1,
         "top_revenue_orders": _q_top_revenue,
@@ -634,6 +641,33 @@ dots AS (
   JOIN ex qe ON qe.vec_id = c.query_id
   JOIN ex ee ON ee.vec_id = c.neighbor_id AND qe.ord = ee.ord
   GROUP BY c.query_id, c.neighbor_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(dot / (nq.norm * ne.norm), 6) AS cos_sim
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms ne ON ne.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5""",
+        # identical contract to ann_cosine_topk -- the pandas/numpy path
+        # must reproduce the fold-based result exactly
+        "ann_cosine_topk_pandas": """
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS ord,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS norm FROM ex GROUP BY vec_id),
+q AS (SELECT * FROM ex WHERE vec_id < 32),
+dots AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, sum(q.v * e.v) AS dot
+  FROM q JOIN ex e ON q.ord = e.ord AND e.vec_id <> q.vec_id
+  GROUP BY 1, 2
 ),
 scored AS (
   SELECT query_id, neighbor_id,
