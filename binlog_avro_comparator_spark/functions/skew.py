@@ -19,7 +19,7 @@ helpers cover the two cases it doesn't:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 SALT_COL = "__salt"
 

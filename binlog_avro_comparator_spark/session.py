@@ -23,9 +23,15 @@ from pyspark.sql import SparkSession
 def get_spark(app_name: str = "binlog_avro_comparator_spark", cpus: int | None = None) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    # local mode = one JVM: driver memory is the only memory knob that
+    # matters (default 1g OOMs multi-million-row shuffles; oversizing to
+    # ~box RAM measurably hurts small-job latency via GC sizing -- 16g
+    # benched best for both the sf0.1 suite and a 10M-row diff)
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
+        .config("spark.driver.memory", mem)
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
