@@ -44,9 +44,21 @@ def minhash_params(k: int = MINHASH_K) -> list[tuple[int, int]]:
     return [(2 * i + 3, 7 * i + 1) for i in range(k)]
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a small-file scan before CPU-heavy per-row work.
+
+    The corpus tables arrive as one parquet file -> one task, so
+    shingling/hashing would run on a single core no matter how many the
+    box has.  One cheap shuffle of the narrow rows unlocks them all; on
+    a real many-file corpus this is a no-op-sized rebalance.
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def shingles(documents: DataFrame, k: int = 3) -> DataFrame:
     """Distinct word k-gram shingles per document, with the portable
     shingle hash.  (doc_id, shingle, h)"""
+    documents = _spread(documents)
     words = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))
     n = F.size(words)
     # Guard: Spark's sequence(1, 0) counts *down* instead of returning
@@ -137,7 +149,7 @@ def simhash_fingerprints(documents: DataFrame, bits: int = SIMHASH_BITS) -> Data
     words = F.explode(
         F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))
     ).alias("word")
-    wh = documents.select("doc_id", words).select(
+    wh = _spread(documents).select("doc_id", words).select(
         "doc_id", word_hash(F.col("word")).alias("h")
     )
     aggs = [

@@ -144,6 +144,10 @@ def word_hash(col: F.Column) -> F.Column:
 def fingerprints(documents: DataFrame) -> DataFrame:
     """Order-sensitive rolling document fingerprint:
     fold (acc * 31 + h(word)) mod 1e9+7 over the word sequence."""
+    # single-file corpus scans need a spread before per-row hashing
+    # (one parquet file == one task otherwise)
+    n = documents.sparkSession.sparkContext.defaultParallelism
+    documents = documents.repartition(n)
     words = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))
     hashes = F.transform(words, word_hash)
     fp = F.aggregate(
