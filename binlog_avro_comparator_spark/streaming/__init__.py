@@ -1,4 +1,10 @@
 from .compare_stream import stream_avro_jsonl, streaming_findings
 from .sessionize_stream import sessionize_stream
+from .windowed_agg import windowed_event_counts
 
-__all__ = ["stream_avro_jsonl", "streaming_findings", "sessionize_stream"]
+__all__ = [
+    "stream_avro_jsonl",
+    "streaming_findings",
+    "sessionize_stream",
+    "windowed_event_counts",
+]

@@ -59,6 +59,67 @@ def test_sessionize_stream_closes_on_gap(spark, tmp_path):
     assert got == {(10, 2), (20, 1)}
 
 
+def test_windowed_agg_with_watermark(spark, tmp_path):
+    import json
+
+    from binlog_avro_comparator_spark.streaming import windowed_event_counts
+
+    base = 1_700_000_000_000_000  # epoch micros, aligned to windows below
+    rows = [
+        ("click", base, 1.0),
+        ("click", base + 2 * 60_000_000, 3.0),        # same 10-min window
+        ("view", base + 5 * 60_000_000, 7.0),
+        ("click", base + 12 * 60_000_000, 2.0),        # next window
+        ("view", base + 61 * 60_000_000, 9.0),         # advances watermark past both
+    ]
+    src = tmp_path / "wsrc"
+    src.mkdir()
+    with (src / "b0.json").open("w") as f:
+        for et, us, v in rows:
+            f.write(json.dumps({"event_type": et, "ts_us": us, "value": v}) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .json(str(src))
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    )
+    out = windowed_event_counts(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("winagg")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "wck"))
+        .start()
+    )
+    q.awaitTermination(180)
+    # windows align to epoch 10-minute boundaries, not to `base`
+    aligned = (base // 1000) - ((base // 1000) % 600_000)
+    got = {
+        (r.event_type, (r.window_start_ms - aligned) // 60000): (
+            r.n_events,
+            r.min_value,
+            r.max_value,
+        )
+        for r in spark.sql("SELECT * FROM winagg").collect()
+    }
+    # append mode: only windows the watermark has passed are emitted --
+    # the first three windows finalize, the +61min event's own window
+    # stays open in state.  base sits 200s into its aligned window, so
+    # base+12min lands in the window starting at aligned+10min.
+    assert got == {
+        ("click", 0): (2, 1.0, 3.0),
+        ("view", 0): (1, 7.0, 7.0),
+        ("click", 10): (1, 2.0, 2.0),
+    }
+
+
 def test_salted_aggregate_matches_plain(spark):
     df = spark.range(0, 10_000).select(
         (F.col("id") % 3).alias("k"), (F.col("id") % 7).alias("v")
