@@ -33,7 +33,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-# Keep in sync with oracle.CDC_CTES (tested by tests/test_oracle_parity.py).
+# Keep in sync with oracle.py's CDC CTEs: the oracle queries themselves
+# guard this twin-derivation (every cdc_* entry in scratch/check.py runs
+# this fixture through Spark AND the mirrored SQL through DuckDB).
 N_BINLOG_FILES = 4
 DUP_KEY_MOD = 53
 ZERO_POS_MOD = 211

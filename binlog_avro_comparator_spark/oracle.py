@@ -226,10 +226,10 @@ SELECT
   (SELECT count(*) FROM avro_rows_cdc) AS total_avro_records,
   (SELECT count(*) FROM binlog_prepared) AS binlog_build_events,
   (SELECT count(*) FROM matched_flagged) AS matched,
-  (SELECT coalesce(sum(CASE WHEN ts_mismatch THEN 1 ELSE 0 END), 0) FROM matched_flagged) AS ts_mismatches,
+  (SELECT CAST(coalesce(sum(CASE WHEN ts_mismatch THEN 1 ELSE 0 END), 0) AS BIGINT) FROM matched_flagged) AS ts_mismatches,
   (SELECT count(*) FROM avro_only_cdc) AS avro_only,
   (SELECT count(*) FROM binlog_only_cdc) AS binlog_only,
-  ((SELECT coalesce(sum(CASE WHEN ts_mismatch THEN 1 ELSE 0 END), 0) FROM matched_flagged) = 0
+  ((SELECT CAST(coalesce(sum(CASE WHEN ts_mismatch THEN 1 ELSE 0 END), 0) AS BIGINT) FROM matched_flagged) = 0
    AND (SELECT count(*) FROM avro_only_cdc) = 0
    AND (SELECT count(*) FROM binlog_only_cdc) = 0) AS consistent"""
     )

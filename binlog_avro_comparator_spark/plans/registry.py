@@ -684,7 +684,7 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
         "events_sessionize": """
 WITH e AS (
   SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
-         lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+         lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
   FROM events
 ),
 s AS (
@@ -692,8 +692,8 @@ s AS (
   FROM e
 ),
 x AS (
-  SELECT *, sum(is_new) OVER (
-      PARTITION BY user_id ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+  SELECT *, CAST(sum(is_new) OVER (
+      PARTITION BY user_id ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM s
 )
 SELECT user_id, session_id, count(*) AS n_events,

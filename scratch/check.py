@@ -27,22 +27,23 @@ from decimal import Decimal
 
 
 def norm_cell(v):
+    # Type-TAGGED so an int64 never compares equal to a float64 with the
+    # same value (the driver's hash distinguishes 1 from 1.0 -- round-1's
+    # two hash-fails were exactly this, hidden by a laxer normalizer).
     if v is None:
         return "NULL"
     if isinstance(v, (bool, np.bool_)):
-        return str(bool(v))
+        return "B:" + str(bool(v))
     if isinstance(v, (int, np.integer)):
-        return str(int(v))
+        return "I:" + str(int(v))
     if isinstance(v, (float, np.floating)):
         f = float(v)
         if math.isnan(f):
             return "NULL"
-        if f.is_integer():
-            return str(int(f))
-        return repr(f)
+        return "F:" + repr(f)
     if isinstance(v, Decimal):
-        return str(v)
-    return str(v)
+        return "D:" + str(v)
+    return "S:" + str(v)
 
 
 def canon(df: pd.DataFrame) -> list[tuple]:
