@@ -45,8 +45,12 @@ def top_revenue_orders(orders: DataFrame, lineitem: DataFrame, k: int = 10) -> D
 
     Revenue aggregates lineitem *before* the join (shuffle carries one
     row per order, not one per line item), then joins orders -- the
-    aggregate-below-join placement that matters at 100 TB.  Top-k is a
-    window rank, cheap after AQE coalesces the aggregated side.
+    aggregate-below-join placement that matters at 100 TB.  Top-k is
+    ``orderBy().limit(k)``, which Spark plans as TakeOrderedAndProject:
+    every partition keeps only its local k rows and the driver merges
+    k*numPartitions candidates -- no global sort, no single-task window
+    funnel.  The rank column is attached afterwards with a window over
+    the k surviving rows (bounded work regardless of input size).
     """
     price = F.col("l_extendedprice").cast(_DEC)
     disc_mult = (F.lit(1) - F.col("l_discount")).cast(_DEC)
@@ -58,12 +62,13 @@ def top_revenue_orders(orders: DataFrame, lineitem: DataFrame, k: int = 10) -> D
         orders.select("o_orderkey", "o_custkey", "o_orderstatus"),
         rev["l_orderkey"] == F.col("o_orderkey"),
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
-    return (
+    topk = (
         joined.select("o_orderkey", "o_custkey", "o_orderstatus", "revenue")
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(k)
     )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+    return topk.withColumn("rank", F.row_number().over(w))
 
 
 def high_value_customers(customer: DataFrame, orders: DataFrame, min_total: float = 100_000.0) -> DataFrame:

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..functions.partitioning import spread_small_scan
 from .textstats import TOKEN_RE, word_hash
 
 MINHASH_PRIME = 2_147_483_647  # 2^31 - 1 (Mersenne), keeps a*h below 2^62
@@ -44,15 +45,7 @@ def minhash_params(k: int = MINHASH_K) -> list[tuple[int, int]]:
     return [(2 * i + 3, 7 * i + 1) for i in range(k)]
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition a small-file scan before CPU-heavy per-row work.
-
-    The corpus tables arrive as one parquet file -> one task, so
-    shingling/hashing would run on a single core no matter how many the
-    box has.  One cheap shuffle of the narrow rows unlocks them all; on
-    a real many-file corpus this is a no-op-sized rebalance.
-    """
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+_spread = spread_small_scan  # see functions/partitioning.py for the guard
 
 
 def shingles(documents: DataFrame, k: int = 3) -> DataFrame:

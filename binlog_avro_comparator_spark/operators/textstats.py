@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.partitioning import spread_small_scan
+
 TOKEN_RE = r"\S+"
 BPE_ISH_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 PUNCT_RE = "[.,!?;:]"
@@ -102,8 +104,12 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     last ulp across engines) with a term-name tie-break.
 
     Scale: one explode + two hash aggregations (term counts, doc
-    frequencies) + a window per doc.  The df table is tiny (vocabulary-
-    sized) and broadcasts.
+    frequencies) + a window per doc.  The df table is usually
+    vocabulary-sized and broadcasts; for web-corpus vocabularies that
+    outgrow a broadcast, drop the hint and let AQE pick a shuffled join.
+    The corpus size N enters the plan as a broadcast 1-row aggregate
+    (crossJoin), NOT a driver-side ``.count()`` -- the whole query stays
+    one lazy plan with a single pass over ``documents``.
     """
     from pyspark.sql import Window
 
@@ -115,15 +121,19 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     )
     tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_counts = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n_docs = documents.count()  # small driver-side scalar, like the oracle's count(*)
-    scored = tf.join(F.broadcast(df_counts), on="term").select(
-        "doc_id",
-        "term",
-        "tf",
-        "df",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
-        ).alias("tfidf"),
+    n_docs = documents.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_counts), on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tfidf").desc(), F.col("term").asc()
@@ -145,9 +155,9 @@ def fingerprints(documents: DataFrame) -> DataFrame:
     """Order-sensitive rolling document fingerprint:
     fold (acc * 31 + h(word)) mod 1e9+7 over the word sequence."""
     # single-file corpus scans need a spread before per-row hashing
-    # (one parquet file == one task otherwise)
-    n = documents.sparkSession.sparkContext.defaultParallelism
-    documents = documents.repartition(n)
+    # (one parquet file == one task otherwise); no-op on well-
+    # partitioned inputs
+    documents = spread_small_scan(documents)
     words = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))
     hashes = F.transform(words, word_hash)
     fp = F.aggregate(

@@ -127,3 +127,16 @@ def test_sessionize_gap_split(spark):
     ).withColumn("ts", F.timestamp_micros(F.col("ts_us"))).drop("ts_us")
     out = {(r.user_id, r.session_id): r.n_events for r in sessionize(ev).collect()}
     assert out == {(10, 1): 2, (10, 2): 1, (20, 1): 1}
+
+
+def test_spread_small_scan_is_conditional(spark):
+    from binlog_avro_comparator_spark.functions.partitioning import spread_small_scan
+
+    target = spark.sparkContext.defaultParallelism
+    # a single-partition input gets spread to full parallelism
+    small = spark.range(0, 100, 1, 1)
+    assert spread_small_scan(small).rdd.getNumPartitions() == target
+    # a well-partitioned input passes through with NO shuffle added
+    wide = spark.range(0, 1000, 1, max(2, target))
+    spread = spread_small_scan(wide)
+    assert spread is wide

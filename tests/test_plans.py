@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from binlog_avro_comparator_spark.operators.analytics import (
     customer_nation_revenue,
     q1_pricing_summary,
+    top_revenue_orders,
 )
 from binlog_avro_comparator_spark.operators import compare as C
 from binlog_avro_comparator_spark.sources import load_table
@@ -68,6 +69,21 @@ def test_diff_joined_is_single_join(spark):
     scan_nodes = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
     assert len(scan_nodes) == 2, scan_nodes
     assert "FullOuter" in plan
+
+
+def test_top_revenue_orders_is_take_ordered(spark):
+    df = top_revenue_orders(
+        load_table(spark, SF, "orders"), load_table(spark, SF, "lineitem")
+    )
+    plan = _plan(df, "simple")
+    # global top-k must plan as TakeOrderedAndProject (per-partition local
+    # top-k + driver merge), never a full sort or an unpartitioned window
+    # over the whole join result
+    assert "TakeOrderedAndProject" in plan
+    win_pos = plan.find("Window")
+    take_pos = plan.find("TakeOrderedAndProject")
+    # the only Window sits above the k-row limit, not below it
+    assert win_pos != -1 and win_pos < take_pos
 
 
 def test_prepare_binlog_uses_window_group_limit(spark):
