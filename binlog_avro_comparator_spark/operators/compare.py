@@ -56,6 +56,15 @@ def _parse_rfc3339nano(col: F.Column) -> F.Column:
     return F.try_to_timestamp(truncated, F.lit(TS_NANO_FMT))
 
 
+# Go zero-value time.Time{}.UnixMilli().  When BOTH timestamp fields are
+# empty the reference never calls time.Parse (compare_timestamps.go:200-204)
+# so errParseTime stays nil and the comparison runs against the zero-value
+# time: the row is a *counted* TIMESTAMP_MISMATCH (|delta| is astronomical)
+# and the GTID/change-type checks still execute.  Only a non-empty field
+# that fails to parse is a TIMESTAMP_PARSE_ERROR (:206-211).
+GO_ZERO_TIME_MS = -62_135_596_800_000
+
+
 @dataclass(frozen=True)
 class CompareConfig:
     tolerance_ms: int = 100  # compare_timestamps.go:214
@@ -112,7 +121,9 @@ def prepare_avro(avro: DataFrame) -> DataFrame:
 
 def binlog_effective_ms(ict: F.Column, ts: F.Column) -> F.Column:
     """C1: high-precision timestamp if present, else the second-precision
-    one (compare_timestamps.go:200-204).  NULL result == parse failure."""
+    one (compare_timestamps.go:200-204).  NULL result == parse failure of
+    a NON-empty field; both-empty yields Go's zero-value time instead
+    (see GO_ZERO_TIME_MS)."""
     return (
         F.when(
             ict.isNotNull() & (ict != ""),
@@ -122,7 +133,7 @@ def binlog_effective_ms(ict: F.Column, ts: F.Column) -> F.Column:
             ts.isNotNull() & (ts != ""),
             F.unix_millis(F.try_to_timestamp(ts, F.lit(TS_SECOND_FMT))),
         )
-        .otherwise(F.lit(None).cast("long"))
+        .otherwise(F.lit(GO_ZERO_TIME_MS).cast("long"))
     )
 
 

@@ -161,29 +161,51 @@ def simhash_fingerprints(documents: DataFrame, bits: int = SIMHASH_BITS) -> Data
     return sums.select("doc_id", fp.alias("simhash"))
 
 
+def simhash_band_slices(bits: int, bands: int) -> list[tuple[int, int]]:
+    """(offset, width) per band, spreading ``bits`` as evenly as
+    possible (first ``bits % bands`` bands get the extra bit)."""
+    base, extra = divmod(bits, bands)
+    slices, off = [], 0
+    for b in range(bands):
+        width = base + (1 if b < extra else 0)
+        slices.append((off, width))
+        off += width
+    return slices
+
+
 def simhash_near_pairs(
     documents: DataFrame,
-    max_hamming: int = 6,
-    bands: int = 4,
+    max_hamming: int = 3,
+    bands: int | None = None,
     bits: int = SIMHASH_BITS,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash: candidates share at least one of
-    ``bands`` bit-slices (pigeonhole: any pair within hamming <
-    bands must agree on some slice), then exact hamming filter.
+    ``bands`` bit-slices, then exact hamming filter.
+
+    Recall contract: a pair at hamming distance d differs in at most d
+    slices, so with ``bands >= max_hamming + 1`` (the default) the
+    pigeonhole principle guarantees some slice agrees -- recall is
+    EXACT, not approximate.  Passing fewer bands trades recall for
+    cheaper candidate generation (pairs at distance >= bands can miss
+    every slice and are silently dropped).  Band widths shrink as bands
+    grow (width = bits/bands), which raises the per-band collision rate
+    -- at 48 bits, max_hamming=3 -> 4x12-bit bands (4096-ary keys) is
+    the sweet spot; beyond max_hamming ~6 prefer re-ranking a MinHash
+    candidate set instead.
 
     Same single-join explode-bands shape as lsh_candidate_pairs."""
+    if bands is None:
+        bands = max_hamming + 1
     fps = simhash_fingerprints(documents, bits)
-    slice_bits = bits // bands
-    mask = (1 << slice_bits) - 1
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
-                F.shiftright(F.col("simhash"), b * slice_bits)
-                .bitwiseAND(mask)
+                F.shiftright(F.col("simhash"), off)
+                .bitwiseAND((1 << width) - 1)
                 .alias("band_key"),
             )
-            for b in range(bands)
+            for b, (off, width) in enumerate(simhash_band_slices(bits, bands))
         ]
     )
     banded = fps.select("doc_id", "simhash", F.explode(band_structs).alias("bk")).select(

@@ -93,7 +93,7 @@ matched AS (
           THEN epoch_ms(try_strptime(b.immediate_commmit_timestamp, '%Y-%m-%dT%H:%M:%S.%fZ'))
         WHEN b."timestamp" IS NOT NULL AND b."timestamp" <> ''
           THEN epoch_ms(try_strptime(b."timestamp", '%Y-%m-%dT%H:%M:%SZ'))
-        ELSE NULL END AS binlog_ms,
+        ELSE -62135596800000 END AS binlog_ms,
       CAST(NULL AS BIGINT) AS ts_delta_ms,
       FALSE AS ts_mismatch,
       CASE

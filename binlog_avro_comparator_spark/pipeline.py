@@ -16,7 +16,11 @@ from pyspark.sql import DataFrame, SparkSession
 from .operators import compare as C
 from .operators.parse import parse_binlog_text
 from .sources.binlog_text import read_parser_text
-from .sources.jsonl import read_avro_jsonl, read_binlog_jsonl, unwrap_avro
+from .sources.jsonl import (
+    read_avro_jsonl,
+    read_binlog_jsonl_ordered,
+    unwrap_avro,
+)
 
 
 @dataclass
@@ -51,24 +55,27 @@ def run_comparison(
             binlog.write.mode("overwrite").json(materialize_binlog_jsonl)
             binlog = spark.read.json(materialize_binlog_jsonl)
     else:
-        # cache: filtering on _corrupt_record over a raw JSON scan is
-        # disallowed by Spark without materializing the parse first
-        raw = read_binlog_jsonl(spark, binlog_jsonl).cache()
+        # ordered reader: line_no is a real per-file ordinal, so the
+        # last-write-wins dedup resolves duplicate keys to the same row
+        # as the reference's sequential map overwrite (go:118,147).
+        # (log_position is constant within a (file, position) dedup
+        # partition, so it could never order the window.)
+        raw = read_binlog_jsonl_ordered(spark, binlog_jsonl)
         binlog = raw.filter(raw["_corrupt_record"].isNull()).drop(
             "_corrupt_record", "orignal_commmit_timestamp"
         )
-        # JSONL input carries no line order; fall back to log_position
-        # (monotone within a file) for the last-write-wins window.
-        binlog = binlog.withColumn("line_no", binlog["log_position"])
 
     araw = read_avro_jsonl(spark, avro_jsonl).cache()
     avro = unwrap_avro(araw.filter(araw["_corrupt_record"].isNull()))
 
     bp = C.prepare_binlog(binlog)
     ap = C.prepare_avro(avro)
+    # summary's total_avro_records counts the RAW input including
+    # malformed lines (compare_timestamps.go:169,280 counts every line),
+    # hence araw (pre-corrupt-filter), not the unwrapped frame
     return ComparisonResult(
         findings=C.findings_onepass(bp, ap, cfg),
-        summary=C.summary_onepass(avro, bp, ap, cfg),
+        summary=C.summary_onepass(araw, bp, ap, cfg),
     )
 
 

@@ -37,6 +37,7 @@ from ..operators.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
     minhash_params,
+    simhash_band_slices,
     simhash_fingerprints,
     simhash_near_pairs,
 )
@@ -429,14 +430,16 @@ def _simhash_fp_sql() -> str:
     return f"WITH {_simhash_ctes()}\nSELECT doc_id, simhash FROM fps"
 
 
-def _simhash_pairs_sql(max_hamming: int = 6, bands: int = 4) -> str:
-    slice_bits = SIMHASH_BITS // bands
-    mask = (1 << slice_bits) - 1
+def _simhash_pairs_sql(max_hamming: int = 3, bands: int | None = None) -> str:
+    # mirror of dedup.simhash_near_pairs: bands = max_hamming + 1 by
+    # default so the pigeonhole recall guarantee holds
+    if bands is None:
+        bands = max_hamming + 1
     joins = "\nUNION ALL\n".join(
         f"SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, l.simhash AS sim_a, r.simhash AS sim_b\n"
-        f"FROM fps l JOIN fps r ON ((l.simhash >> {b * slice_bits}) & {mask}) = ((r.simhash >> {b * slice_bits}) & {mask})\n"
+        f"FROM fps l JOIN fps r ON ((l.simhash >> {off}) & {(1 << width) - 1}) = ((r.simhash >> {off}) & {(1 << width) - 1})\n"
         f"WHERE l.doc_id < r.doc_id"
-        for b in range(bands)
+        for off, width in simhash_band_slices(SIMHASH_BITS, bands)
     )
     return f"""WITH {_simhash_ctes()}
 SELECT DISTINCT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming

@@ -9,7 +9,7 @@ and are counted, not fatal.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
 
 from ..schemas import AVRO_JSONL_SCHEMA, BINLOG_EVENT_SCHEMA
 
@@ -31,6 +31,47 @@ def read_binlog_jsonl(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(_with_corrupt(BINLOG_EVENT_SCHEMA)).option(
         "mode", "PERMISSIVE"
     ).json(path)
+
+
+def read_binlog_jsonl_ordered(spark: SparkSession, path: str) -> DataFrame:
+    """S7 with line order as data: like read_binlog_jsonl but each row
+    carries a ``line_no`` that reproduces the reference's sequential map
+    overwrite order (compare_timestamps.go:118,147 -- later lines win).
+
+    A plain json scan cannot supply this: Spark splits files into
+    size-binned partitions whose ids do NOT follow file offsets, so
+    ``monotonically_increasing_id`` would mis-order lines.  Instead each
+    file is read whole (one task per file, the same sequential-unit
+    bound as the text parser) and posexplode yields exact per-file line
+    positions.  Multi-file input is ordered by file name -- version
+    order for rotated logs -- via a broadcast-joined file ordinal, and
+    ``line_no = file_ord * 2^40 + position`` keeps the combined ordinal
+    a single sortable BIGINT (8M files x 1T lines headroom).
+    """
+    raw = spark.read.text(path, wholetext=True)
+    lines = (
+        raw.select(
+            F.input_file_name().alias("__fname"),
+            F.posexplode(F.split(F.col("value"), "\n")).alias("__idx", "__line"),
+        )
+        .filter(F.trim(F.col("__line")) != "")
+    )
+    file_ord = (
+        lines.select("__fname")
+        .distinct()
+        .withColumn("__file_ord", F.row_number().over(Window.orderBy("__fname")))
+    )  # one row per FILE -- the global window is over a dimension-sized frame
+    parsed = lines.join(F.broadcast(file_ord), on="__fname").select(
+        (F.col("__file_ord") * F.lit(1 << 40).cast("long") + F.col("__idx") + 1).alias(
+            "line_no"
+        ),
+        F.from_json(
+            F.col("__line"),
+            _with_corrupt(BINLOG_EVENT_SCHEMA),
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ).alias("__r"),
+    )
+    return parsed.select("line_no", "__r.*")
 
 
 def read_avro_jsonl(spark: SparkSession, path: str) -> DataFrame:

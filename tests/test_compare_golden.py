@@ -209,3 +209,28 @@ def test_all_consistent_verdict(spark):
     m = C.matched_pairs(bp, ap)
     s = C.summary(avro, bp, m, C.avro_only(bp, ap), C.binlog_only(bp, ap)).collect()[0]
     assert s.consistent and s.matched == 1 and s.ts_mismatches == 0
+
+
+def test_both_empty_timestamps_is_counted_mismatch(spark):
+    """Both timestamp fields empty: the reference never calls time.Parse
+    (compare_timestamps.go:200-204), so the row compares against Go's
+    zero-value time -- a *counted* TIMESTAMP_MISMATCH, not a parse
+    error, and the GTID/change-type checks still run (:223-246)."""
+    binlog = spark.createDataFrame(
+        [_b("WriteRowsEventV2", 100, 1, ts="", ict="", gtid="gX")], BINLOG_SCHEMA
+    )
+    avro = spark.createDataFrame(
+        [_a(100, ICT_MS, ct="UPDATE", gtid="gY")], AVRO_SCHEMA
+    )
+    bp, ap = C.prepare_binlog(binlog), C.prepare_avro(avro)
+    m = C.matched_pairs(bp, ap).collect()[0]
+    assert m.binlog_ms == C.GO_ZERO_TIME_MS
+    assert m.ts_mismatch
+    assert m.gtid_mismatch            # not suppressed
+    assert m.change_type_mismatch     # WriteRows infers INSERT != UPDATE
+    kinds = {r.kind for r in C.findings_onepass(bp, ap).collect()}
+    assert "TIMESTAMP_MISMATCH" in kinds
+    assert "TIMESTAMP_PARSE_ERROR" not in kinds
+    assert "GTID_MISMATCH" in kinds
+    s = C.summary_onepass(avro, bp, ap).collect()[0]
+    assert s.ts_mismatches == 1

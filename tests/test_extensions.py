@@ -140,3 +140,41 @@ def test_spread_small_scan_is_conditional(spark):
     wide = spark.range(0, 1000, 1, max(2, target))
     spread = spread_small_scan(wide)
     assert spread is wide
+
+
+def test_simhash_band_slices_partition_bits():
+    from binlog_avro_comparator_spark.operators.dedup import simhash_band_slices
+
+    for bits, bands in [(48, 4), (48, 7), (48, 5), (64, 8)]:
+        slices = simhash_band_slices(bits, bands)
+        assert len(slices) == bands
+        covered = []
+        for off, width in slices:
+            assert width >= 1
+            covered.extend(range(off, off + width))
+        assert covered == list(range(bits))  # disjoint, exhaustive, ordered
+
+
+def test_simhash_near_pairs_exact_recall(spark):
+    """With bands = max_hamming + 1 (default), banding must find EVERY
+    pair within the hamming radius -- verified against brute force."""
+    from itertools import combinations
+
+    from binlog_avro_comparator_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_near_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    texts = [base + tail for tail in ["", "alpha", "beta", "gamma gamma", "x y z", "omega"]]
+    docs = _docs(spark, texts)
+    fps = {r.doc_id: r.simhash for r in simhash_fingerprints(docs).collect()}
+    brute = {
+        (a, b)
+        for a, b in combinations(sorted(fps), 2)
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    banded = {
+        (r.doc_a, r.doc_b) for r in simhash_near_pairs(docs, max_hamming=3).collect()
+    }
+    assert banded == brute

@@ -210,3 +210,62 @@ def test_binlog_jsonl_reader(spark, tmp_path_factory):
     rows = {r.log_position: r for r in df.filter("_corrupt_record is null").collect()}
     assert rows[1234].immediate_commmit_timestamp == "2025-06-01T12:00:00.123456789Z"
     assert rows[1290].event_type == "XID"
+
+
+def test_binlog_jsonl_ordered_reader_last_line_wins(spark, tmp_path):
+    """The ordered JSONL reader supplies a real per-file line ordinal, so
+    the last-write-wins dedup resolves duplicate keys to the LATER line
+    (the reference's sequential map overwrite, compare_timestamps.go:147)
+    -- even when the content tie-breaks would prefer the earlier row."""
+    import json
+
+    from binlog_avro_comparator_spark.operators import compare as C
+    from binlog_avro_comparator_spark.sources.jsonl import (
+        read_binlog_jsonl_ordered,
+    )
+
+    def rec(gtid):
+        return {
+            "event_type": "WriteRowsEventV2",
+            "timestamp": "2025-06-01T12:00:00Z",
+            "log_position": 1234,
+            "binlog_file": "mysql-bin.000001",
+            "gtid_next": gtid,
+        }
+
+    p = tmp_path / "binlog_metadata.json"
+    # 'zzz' first: content tie-breaks sort desc, so reusing log_position
+    # as line_no would wrongly keep 'zzz'; the true line order keeps 'aaa'
+    p.write_text(json.dumps(rec("zzz")) + "\n" + json.dumps(rec("aaa")) + "\nnot json\n")
+    df = read_binlog_jsonl_ordered(spark, str(p))
+    assert df.filter("_corrupt_record is not null").count() == 1
+    good = df.filter("_corrupt_record is null")
+    assert [r.gtid_next for r in good.orderBy("line_no").collect()] == ["zzz", "aaa"]
+    bp = C.prepare_binlog(good.drop("_corrupt_record", "orignal_commmit_timestamp"))
+    assert [r.gtid_next for r in bp.collect()] == ["aaa"]
+
+
+def test_binlog_jsonl_ordered_reader_multifile_order(spark, tmp_path):
+    """line_no orders across files by file name (version order)."""
+    import json
+
+    from binlog_avro_comparator_spark.sources.jsonl import (
+        read_binlog_jsonl_ordered,
+    )
+
+    d = tmp_path / "jsonl"
+    d.mkdir()
+    for i, fname in enumerate(["b.json", "a.json"]):
+        (d / fname).write_text(
+            json.dumps(
+                {
+                    "event_type": "XID",
+                    "log_position": 10 + i,
+                    "binlog_file": fname,
+                }
+            )
+            + "\n"
+        )
+    df = read_binlog_jsonl_ordered(spark, str(d))
+    ordered = [r.binlog_file for r in df.orderBy("line_no").collect()]
+    assert ordered == ["a.json", "b.json"]

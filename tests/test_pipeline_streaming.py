@@ -129,3 +129,19 @@ def test_video_frame_sampling(spark):
     frames = sample_video_frames(media, every_n=10, max_frames=3).collect()
     assert [f.frame_index for f in sorted(frames, key=lambda f: f.frame_index)] == [0, 10, 20]
     assert all(len(f.frame_sha256) == 64 for f in frames)
+
+
+def test_summary_counts_corrupt_avro_lines(spark, io_dirs, tmp_path):
+    """total_avro_records counts every input line including malformed
+    ones (the reference's lineNum, compare_timestamps.go:169,280)."""
+    avro = tmp_path / "avro_rows.json"
+    src = (io_dirs / "avro" / "avro_rows.json").read_text()
+    avro.write_text(src + "this line is not json\n")
+    res = run_comparison(
+        spark,
+        binlog_text_dir=str(io_dirs / "binlog_text"),
+        avro_jsonl=str(avro),
+    )
+    s = res.summary.collect()[0]
+    # one more total than the clean run; every other counter unchanged
+    assert (s.total_avro_records, s.matched, s.ts_mismatches, s.avro_only, s.binlog_only) == (4, 2, 1, 1, 0)
