@@ -142,6 +142,21 @@ def cdc_avro_rows() -> str:
     return _PREFIX + "SELECT * FROM avro_rows_cdc"
 
 
+def cdc_avro_native_scan() -> str:
+    """Twin of registry._q_cdc_avro_native_scan: the .avro files are
+    encoded FROM avro_rows_cdc, so reading them back must reproduce it
+    (plus the synthesized primary_keys column, flattened to CSV because
+    the driver hash is scalar-typed)."""
+    return (
+        _PREFIX
+        + """
+SELECT source_timestamp, database, "table", change_type, gtid,
+       binlog_file, binlog_position, is_deleted,
+       database || ',' || "table" AS primary_keys_csv
+FROM avro_rows_cdc"""
+    )
+
+
 def cdc_binlog_prepared() -> str:
     return (
         _PREFIX

@@ -18,6 +18,8 @@ from ..fixtures import (
     derive_binlog_events,
     generate_parser_text_lines,
 )
+from ..sources.avro import DATASTREAM_AVRO_SCHEMA, read_avro_dir
+from ..sources.avro_codec import encode_container
 from ..operators.parse import parse_binlog_text
 from ..operators import compare as C
 from ..operators.analytics import (
@@ -79,6 +81,67 @@ def _q_cdc_binlog_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_cdc_avro_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_conf(spark)
     return derive_avro_rows(load_table(spark, sf_dir, "events"))
+
+
+# Fixed sync marker so generated fixture files are byte-stable run-to-run.
+_AVRO_FIXTURE_SYNC = bytes(range(16))
+
+
+def _q_cdc_avro_native_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 end-to-end: the derived avro_rows table is encoded into real
+    ``.avro`` container files (one per binlog segment, pure-Python codec)
+    and read back through the full native path -- binaryFile scan ->
+    Arrow-batched decode -> flatten_probe (avro_to_json.sh:52-70 is the
+    reference loop this replaces).  The driver-side encode is fixture
+    scaffolding, bounded by the DML row count; the decode under test is
+    fully distributed (one task per file)."""
+    import os
+    import tempfile
+
+    ensure_session_conf(spark)
+    avro = derive_avro_rows(load_table(spark, sf_dir, "events"))
+    by_file: dict[str, list[dict]] = {}
+    for r in avro.collect():
+        by_file.setdefault(r.binlog_file, []).append(
+            {
+                "source_timestamp": r.source_timestamp,
+                "source_metadata": {
+                    "database": r.database,
+                    "table": r.table,
+                    "change_type": r.change_type,
+                    "gtid": r.gtid,
+                    "datastream_master_server_uuid": None,
+                    "datastream_master_server_id": None,
+                    "binlog_file": r.binlog_file,
+                    "binlog_position": r.binlog_position,
+                    "is_deleted": r.is_deleted,
+                    "primary_keys": [r.database, r.table],
+                },
+            }
+        )
+    d = tempfile.mkdtemp(prefix="cdc_avro_native_")
+    for fname, recs in sorted(by_file.items()):
+        recs.sort(
+            key=lambda rec: (
+                rec["source_timestamp"],
+                rec["source_metadata"]["binlog_position"],
+            )
+        )
+        with open(os.path.join(d, f"{fname}.avro"), "wb") as fh:
+            fh.write(
+                encode_container(DATASTREAM_AVRO_SCHEMA, recs, sync=_AVRO_FIXTURE_SYNC)
+            )
+    return read_avro_dir(spark, d).select(
+        "source_timestamp",
+        "database",
+        "table",
+        "change_type",
+        "gtid",
+        "binlog_file",
+        "binlog_position",
+        "is_deleted",
+        F.array_join("primary_keys", ",").alias("primary_keys_csv"),
+    )
 
 
 def _q_cdc_binlog_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,6 +374,7 @@ def queries() -> dict[str, QueryFn]:
     return {
         "cdc_binlog_events": _q_cdc_binlog_events,
         "cdc_avro_rows": _q_cdc_avro_rows,
+        "cdc_avro_native_scan": _q_cdc_avro_native_scan,
         "cdc_binlog_prepared": _q_cdc_binlog_prepared,
         "cdc_matches": _q_cdc_matches,
         "cdc_avro_only": _q_cdc_avro_only,
@@ -463,6 +527,7 @@ def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {
         "cdc_binlog_events": oracle.cdc_binlog_events(),
         "cdc_avro_rows": oracle.cdc_avro_rows(),
+        "cdc_avro_native_scan": oracle.cdc_avro_native_scan(),
         "cdc_binlog_prepared": oracle.cdc_binlog_prepared(),
         "cdc_matches": oracle.cdc_matches(),
         "cdc_avro_only": oracle.cdc_avro_only(),

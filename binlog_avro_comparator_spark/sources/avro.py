@@ -1,22 +1,72 @@
 """Native Avro source (SURVEY.md S5/S6).
 
-``spark.read.format("avro")`` replaces the reference's per-file
-`java -jar avro-tools tojson` loop (avro_to_json.sh:52-70) with one
-vectorized scan, and dissolves ["null", X] unions into plain nullable
-columns -- the wrapper layer (compare_timestamps.go:26-40) vanishes.
+Replaces the reference's per-file `java -jar avro-tools tojson` loop
+(avro_to_json.sh:52-70) with one distributed scan.  Two engines:
 
-The external spark-avro module is not bundled in every PySpark
-distribution (it isn't in this container), so the reader probes for it
-and raises an actionable error when absent.  The JSONL surface
-(sources.jsonl) is feature-complete regardless -- it is also the layer
-the reference's own comparator consumes.
+- ``spark.read.format("avro")`` when the spark-avro datasource is on
+  the classpath: block-splittable, fully JVM-side.  Preferred at scale
+  (a 100 TB avro lake with large files splits at block granularity).
+- A dependency-free fallback (this container has no spark-avro):
+  Spark's ``binaryFile`` source lists and ships the files, and the
+  pure-Python codec (``avro_codec``, Apache Avro 1.11 spec) decodes
+  them inside ``mapInPandas`` Arrow batches.  Parallelism is
+  file-granular -- the right shape for CDC/binlog-style avro dumps
+  (many bounded files, one per binlog segment), documented as the
+  fallback's scale contract.
+
+Both engines produce the same unwrapped frame: ["null", X] unions
+dissolve into plain nullable columns, so the JSON wrapper layer the
+reference hand-unwraps (compare_timestamps.go:26-40) vanishes, and one
+shared projection (`flatten_probe`) emits the probe-side shape.
 """
 
 from __future__ import annotations
 
+from typing import Any, Iterator
+
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..schemas import AVRO_NATIVE_SCHEMA
+from .avro_codec import decode_container
 from .jsonl import unwrap_avro  # re-export convenience
+
+# Writer schema of the reference's Datastream-shaped avro files
+# (field set from compare_timestamps.go:43-64; union-wrapping visible in
+# avro-tools' JSON output, avro_to_json.sh:60).  Used by fixture
+# generators; the decoder itself is schema-driven from each file header.
+DATASTREAM_AVRO_SCHEMA: dict = {
+    "type": "record",
+    "name": "avro_row",
+    "fields": [
+        {
+            "name": "source_timestamp",
+            "type": {"type": "long", "logicalType": "timestamp-millis"},
+        },
+        {
+            "name": "source_metadata",
+            "type": {
+                "type": "record",
+                "name": "source_metadata",
+                "fields": [
+                    {"name": "database", "type": "string"},
+                    {"name": "table", "type": "string"},
+                    {"name": "change_type", "type": ["null", "string"]},
+                    {"name": "gtid", "type": ["null", "string"]},
+                    {"name": "datastream_master_server_uuid", "type": ["null", "string"]},
+                    {"name": "datastream_master_server_id", "type": ["null", "long"]},
+                    {"name": "binlog_file", "type": ["null", "string"]},
+                    {"name": "binlog_position", "type": ["null", "long"]},
+                    {"name": "is_deleted", "type": ["null", "boolean"]},
+                    {"name": "primary_keys", "type": {"type": "array", "items": "string"}},
+                ],
+            },
+        },
+    ],
+}
+
+_META_FIELDS = [f["name"] for f in DATASTREAM_AVRO_SCHEMA["fields"][1]["type"]["fields"]]
 
 
 def avro_available(spark: SparkSession) -> bool:
@@ -30,20 +80,10 @@ def avro_available(spark: SparkSession) -> bool:
     return True
 
 
-def read_avro_dir(spark: SparkSession, path: str) -> DataFrame:
-    """S5: one scan over a directory of .avro files; flat probe shape.
-
-    Native avro columns are already unwrapped, so the flattening is a
-    plain nested projection (no union handling needed).
-    """
-    if not avro_available(spark):
-        raise NotImplementedError(
-            "spark-avro datasource not on the classpath. Start the session "
-            "with --packages org.apache.spark:spark-avro_2.13:<spark-version> "
-            "or ingest via the union-wrapped JSONL path "
-            "(sources.jsonl.read_avro_jsonl), which is feature-complete."
-        )
-    df = spark.read.format("avro").load(f"{path}/*.avro")
+def flatten_probe(df: DataFrame) -> DataFrame:
+    """Nested native frame -> flat probe shape.  The ''/0/False
+    coalesces mirror Go's zero-values for absent union branches
+    (compare_timestamps.go:67-105)."""
     sm = "source_metadata"
     return df.select(
         "source_timestamp",
@@ -56,3 +96,44 @@ def read_avro_dir(spark: SparkSession, path: str) -> DataFrame:
         F.coalesce(F.col(f"{sm}.is_deleted"), F.lit(False)).alias("is_deleted"),
         F.col(f"{sm}.primary_keys").alias("primary_keys"),
     )
+
+
+def read_avro_native(spark: SparkSession, path: str) -> DataFrame:
+    """S5 via the spark-avro datasource (block-splittable JVM scan)."""
+    return spark.read.format("avro").load(f"{path}/*.avro")
+
+
+def read_avro_python(spark: SparkSession, path: str) -> DataFrame:
+    """S5 fallback: binaryFile listing + Arrow-batched pure-Python
+    decode.  One decode task per file; a file is the sequential unit
+    (same bound as the reference's per-file avro-tools loop, but files
+    decode concurrently across the cluster instead of serially)."""
+    files = spark.read.format("binaryFile").option("pathGlobFilter", "*.avro").load(path)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for content in pdf["content"]:
+                _, records = decode_container(bytes(content))
+                rows: list[dict[str, Any]] = []
+                for rec in records:
+                    meta = rec.get("source_metadata") or {}
+                    rows.append(
+                        {
+                            "source_timestamp": rec.get("source_timestamp"),
+                            "source_metadata": {k: meta.get(k) for k in _META_FIELDS},
+                        }
+                    )
+                if rows:
+                    yield pd.DataFrame(rows)
+
+    return files.select("content").mapInPandas(decode, schema=AVRO_NATIVE_SCHEMA)
+
+
+def read_avro_dir(spark: SparkSession, path: str) -> DataFrame:
+    """S5: one scan over a directory of .avro files; flat probe shape.
+    Uses the JVM datasource when present, else the pure-Python engine."""
+    if avro_available(spark):
+        nested = read_avro_native(spark, path)
+    else:
+        nested = read_avro_python(spark, path)
+    return flatten_probe(nested)

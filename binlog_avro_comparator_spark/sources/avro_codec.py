@@ -1,0 +1,324 @@
+"""Pure-Python Avro Object Container File codec (SURVEY.md S5).
+
+The external spark-avro datasource is not bundled in this container, so
+the native ``.avro`` runtime path (the reference's only real ingestion,
+avro_to_json.sh:52-70, via `avro-tools tojson`) is served by this
+dependency-free codec instead: the distributed reader in ``avro.py``
+scans files with Spark's binaryFile source and decodes them in Arrow
+batches via ``mapInPandas``.
+
+Implements the published Apache Avro 1.11 specification
+(container file format + binary encoding):
+  - header: magic ``Obj\\x01``, file-metadata map (``avro.schema``,
+    ``avro.codec``), 16-byte sync marker
+  - blocks: zigzag-varint record count, byte size, payload, sync marker
+  - codecs: ``null`` and ``deflate`` (raw zlib, -15 window bits)
+  - values: zigzag varint int/long, little-endian float/double,
+    length-prefixed bytes/string, union = branch index + value,
+    array/map in count-prefixed blocks (negative count = byte-size
+    follows), enum = int index, fixed = N raw bytes, record = fields
+    in schema order
+
+The encoder exists for fixture generation (tests and the oracle-checked
+``cdc_avro_native_scan`` query synthesize ``.avro`` inputs with it); the
+decoder is the engine path.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import zlib
+from typing import Any, Iterator
+
+MAGIC = b"Obj\x01"
+SYNC_SIZE = 16
+
+_PRIMITIVES = {"null", "boolean", "int", "long", "float", "double", "bytes", "string"}
+
+
+# ---------------------------------------------------------------------------
+# binary primitives
+# ---------------------------------------------------------------------------
+def zigzag_encode(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def zigzag_decode(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def write_long(buf: io.BytesIO, n: int) -> None:
+    z = zigzag_encode(n) & 0xFFFFFFFFFFFFFFFF
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            buf.write(bytes((b | 0x80,)))
+        else:
+            buf.write(bytes((b,)))
+            return
+
+
+class _Reader:
+    """Cursor over one container file's bytes."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+
+    def read(self, n: int) -> bytes:
+        b = self.data[self.pos : self.pos + n]
+        if len(b) != n:
+            raise EOFError(f"avro: truncated read at {self.pos} (wanted {n} bytes)")
+        self.pos += n
+        return b
+
+    def read_long(self) -> int:
+        shift, acc = 0, 0
+        while True:
+            byte = self.data[self.pos]
+            self.pos += 1
+            acc |= (byte & 0x7F) << shift
+            if not byte & 0x80:
+                return zigzag_decode(acc)
+            shift += 7
+            if shift > 70:
+                raise ValueError("avro: varint too long (corrupt file)")
+
+    def read_bytes(self) -> bytes:
+        return self.read(self.read_long())
+
+    def at_end(self) -> bool:
+        return self.pos >= len(self.data)
+
+
+# ---------------------------------------------------------------------------
+# schema-driven value decode
+# ---------------------------------------------------------------------------
+def decode_value(r: _Reader, schema: Any) -> Any:
+    if isinstance(schema, dict) and schema.get("type") in _PRIMITIVES and len(schema) <= 2:
+        # {"type": "long", "logicalType": ...} -- logical types ride on
+        # primitives; expose the raw primitive (timestamp-millis stays a
+        # long, matching compare_timestamps.go:44's int64 contract)
+        schema = schema["type"]
+    if isinstance(schema, str):
+        if schema == "null":
+            return None
+        if schema == "boolean":
+            return r.read(1) != b"\x00"
+        if schema in ("int", "long"):
+            return r.read_long()
+        if schema == "float":
+            return struct.unpack("<f", r.read(4))[0]
+        if schema == "double":
+            return struct.unpack("<d", r.read(8))[0]
+        if schema == "bytes":
+            return r.read_bytes()
+        if schema == "string":
+            return r.read_bytes().decode("utf-8")
+        raise ValueError(f"avro: unknown named type reference {schema!r}")
+    if isinstance(schema, list):  # union: branch index then value
+        idx = r.read_long()
+        if not 0 <= idx < len(schema):
+            raise ValueError(f"avro: union branch {idx} out of range")
+        return decode_value(r, schema[idx])
+    t = schema["type"]
+    if t == "record":
+        return {f["name"]: decode_value(r, f["type"]) for f in schema["fields"]}
+    if t == "enum":
+        return schema["symbols"][r.read_long()]
+    if t == "fixed":
+        return r.read(schema["size"])
+    if t == "array":
+        out = []
+        while True:
+            count = r.read_long()
+            if count == 0:
+                return out
+            if count < 0:  # block byte-size follows; skip it, decode items
+                r.read_long()
+                count = -count
+            for _ in range(count):
+                out.append(decode_value(r, schema["items"]))
+    if t == "map":
+        out: dict[str, Any] = {}
+        while True:
+            count = r.read_long()
+            if count == 0:
+                return out
+            if count < 0:
+                r.read_long()
+                count = -count
+            for _ in range(count):
+                k = r.read_bytes().decode("utf-8")
+                out[k] = decode_value(r, schema["values"])
+    if t in _PRIMITIVES:
+        return decode_value(r, t)
+    raise ValueError(f"avro: unsupported schema type {t!r}")
+
+
+def decode_container(data: bytes) -> tuple[dict, Iterator[dict]]:
+    """Parse one Object Container File: returns (writer schema, record
+    iterator).  Lazy per-block so a multi-block file never holds more
+    than one inflated block in memory."""
+    r = _Reader(data)
+    if r.read(4) != MAGIC:
+        raise ValueError("avro: bad magic (not an Object Container File)")
+    meta: dict[str, bytes] = {}
+    while True:
+        count = r.read_long()
+        if count == 0:
+            break
+        if count < 0:
+            r.read_long()
+            count = -count
+        for _ in range(count):
+            k = r.read_bytes().decode("utf-8")
+            meta[k] = r.read_bytes()
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"avro: unsupported codec {codec!r}")
+    sync = r.read(SYNC_SIZE)
+
+    def records() -> Iterator[dict]:
+        while not r.at_end():
+            n = r.read_long()
+            block = r.read(r.read_long())
+            if codec == "deflate":
+                block = zlib.decompress(block, -15)
+            if r.read(SYNC_SIZE) != sync:
+                raise ValueError("avro: sync marker mismatch (corrupt block)")
+            br = _Reader(block)
+            for _ in range(n):
+                yield decode_value(br, schema)
+
+    return schema, records()
+
+
+# ---------------------------------------------------------------------------
+# encode (fixture generation only -- the engine never writes avro)
+# ---------------------------------------------------------------------------
+def encode_value(buf: io.BytesIO, schema: Any, value: Any) -> None:
+    if isinstance(schema, dict) and schema.get("type") in _PRIMITIVES and len(schema) <= 2:
+        schema = schema["type"]
+    if isinstance(schema, str):
+        if schema == "null":
+            return
+        if schema == "boolean":
+            buf.write(b"\x01" if value else b"\x00")
+        elif schema in ("int", "long"):
+            write_long(buf, value)
+        elif schema == "float":
+            buf.write(struct.pack("<f", value))
+        elif schema == "double":
+            buf.write(struct.pack("<d", value))
+        elif schema == "bytes":
+            write_long(buf, len(value))
+            buf.write(value)
+        elif schema == "string":
+            b = value.encode("utf-8")
+            write_long(buf, len(b))
+            buf.write(b)
+        else:
+            raise ValueError(f"avro: unknown type {schema!r}")
+        return
+    if isinstance(schema, list):  # union: first matching branch
+        for idx, branch in enumerate(schema):
+            if _union_match(branch, value):
+                write_long(buf, idx)
+                encode_value(buf, branch, value)
+                return
+        raise ValueError(f"avro: no union branch for {value!r} in {schema!r}")
+    t = schema["type"]
+    if t == "record":
+        for f in schema["fields"]:
+            encode_value(buf, f["type"], value[f["name"]])
+    elif t == "enum":
+        write_long(buf, schema["symbols"].index(value))
+    elif t == "fixed":
+        buf.write(value)
+    elif t == "array":
+        if value:
+            write_long(buf, len(value))
+            for item in value:
+                encode_value(buf, schema["items"], item)
+        write_long(buf, 0)
+    elif t == "map":
+        if value:
+            write_long(buf, len(value))
+            for k, v in value.items():
+                encode_value(buf, "string", k)
+                encode_value(buf, schema["values"], v)
+        write_long(buf, 0)
+    elif t in _PRIMITIVES:
+        encode_value(buf, t, value)
+    else:
+        raise ValueError(f"avro: unsupported schema type {t!r}")
+
+
+def _union_match(branch: Any, value: Any) -> bool:
+    name = branch if isinstance(branch, str) else branch.get("type")
+    if value is None:
+        return name == "null"
+    if isinstance(value, bool):
+        return name == "boolean"
+    if isinstance(value, int):
+        return name in ("int", "long")
+    if isinstance(value, float):
+        return name in ("float", "double")
+    if isinstance(value, str):
+        return name in ("string", "enum")
+    if isinstance(value, bytes):
+        return name in ("bytes", "fixed")
+    if isinstance(value, dict):
+        return name in ("record", "map")
+    if isinstance(value, list):
+        return name == "array"
+    return False
+
+
+def encode_container(
+    schema: dict,
+    records: list[dict],
+    codec: str = "deflate",
+    records_per_block: int = 1000,
+    sync: bytes | None = None,
+) -> bytes:
+    """Serialize records into one Object Container File.  Deterministic
+    when ``sync`` is supplied (fixtures pass a fixed marker so generated
+    files are byte-stable across runs)."""
+    if sync is None:
+        sync = os.urandom(SYNC_SIZE)
+    if len(sync) != SYNC_SIZE:
+        raise ValueError("avro: sync marker must be 16 bytes")
+    out = io.BytesIO()
+    out.write(MAGIC)
+    meta = {
+        "avro.schema": json.dumps(schema, separators=(",", ":")).encode(),
+        "avro.codec": codec.encode(),
+    }
+    write_long(out, len(meta))
+    for k, v in meta.items():
+        encode_value(out, "string", k)
+        write_long(out, len(v))
+        out.write(v)
+    write_long(out, 0)
+    out.write(sync)
+    for start in range(0, len(records), records_per_block):
+        chunk = records[start : start + records_per_block]
+        body = io.BytesIO()
+        for rec in chunk:
+            encode_value(body, schema, rec)
+        raw = body.getvalue()
+        if codec == "deflate":
+            comp = zlib.compressobj(9, zlib.DEFLATED, -15)
+            raw = comp.compress(raw) + comp.flush()
+        write_long(out, len(chunk))
+        write_long(out, len(raw))
+        out.write(raw)
+        out.write(sync)
+    return out.getvalue()

@@ -1,0 +1,190 @@
+"""S5 native-.avro runtime path: pure-Python container codec +
+distributed binaryFile/mapInPandas reader (avro_to_json.sh:52-70 is the
+reference behavior being replaced)."""
+
+from __future__ import annotations
+
+import io
+
+import pytest
+
+from binlog_avro_comparator_spark.schemas import AVRO_NATIVE_SCHEMA
+from binlog_avro_comparator_spark.sources.avro import (
+    DATASTREAM_AVRO_SCHEMA,
+    flatten_probe,
+    read_avro_dir,
+    read_avro_python,
+)
+from binlog_avro_comparator_spark.sources.avro_codec import (
+    _Reader,
+    decode_container,
+    decode_value,
+    encode_container,
+    encode_value,
+    write_long,
+    zigzag_decode,
+    zigzag_encode,
+)
+
+SYNC = b"\x00\x01\x02\x03\x04\x05\x06\x07\x08\x09\x0a\x0b\x0c\x0d\x0e\x0f"
+
+
+def _rec(i: int, *, null_meta: bool = False) -> dict:
+    return {
+        "source_timestamp": 1_704_180_000_000 + i,
+        "source_metadata": {
+            "database": f"db{i % 2}",
+            "table": f"t{i % 3}",
+            "change_type": None if null_meta else "INSERT",
+            "gtid": None if null_meta else f"uuid-0:{i}",
+            "datastream_master_server_uuid": None,
+            "datastream_master_server_id": None if null_meta else 42,
+            "binlog_file": None if null_meta else "mysql-bin.000001",
+            "binlog_position": None if null_meta else 100 * i + 4,
+            "is_deleted": None if null_meta else (i % 5 == 0),
+            "primary_keys": [] if null_meta else ["id", f"k{i}"],
+        },
+    }
+
+
+def test_zigzag_edge_values():
+    for n in [0, -1, 1, -2, 2, 2**31 - 1, -(2**31), 2**62, -(2**63), 2**63 - 1]:
+        assert zigzag_decode(zigzag_encode(n)) == n
+
+
+def test_varint_long_roundtrip():
+    for n in [0, -1, 127, 128, -300, 10**18, -(10**18), 2**63 - 1, -(2**63)]:
+        buf = io.BytesIO()
+        write_long(buf, n)
+        assert _Reader(buf.getvalue()).read_long() == n
+
+
+def test_value_roundtrip_all_types():
+    schema = {
+        "type": "record",
+        "name": "kitchen_sink",
+        "fields": [
+            {"name": "b", "type": "boolean"},
+            {"name": "i", "type": "int"},
+            {"name": "l", "type": "long"},
+            {"name": "f", "type": "float"},
+            {"name": "d", "type": "double"},
+            {"name": "s", "type": "string"},
+            {"name": "by", "type": "bytes"},
+            {"name": "u", "type": ["null", "string", "long"]},
+            {"name": "arr", "type": {"type": "array", "items": "long"}},
+            {"name": "m", "type": {"type": "map", "values": "string"}},
+            {"name": "e", "type": {"type": "enum", "name": "col", "symbols": ["R", "G", "B"]}},
+            {"name": "fx", "type": {"type": "fixed", "name": "f8", "size": 8}},
+        ],
+    }
+    value = {
+        "b": True,
+        "i": -7,
+        "l": 2**40,
+        "f": 0.5,
+        "d": -1.25,
+        "s": "héllo ☃",
+        "by": b"\x00\xff",
+        "u": 99,
+        "arr": [1, -2, 3],
+        "m": {"k1": "v1", "k2": "v2"},
+        "e": "G",
+        "fx": b"12345678",
+    }
+    buf = io.BytesIO()
+    encode_value(buf, schema, value)
+    assert decode_value(_Reader(buf.getvalue()), schema) == value
+    # union null branch
+    buf2 = io.BytesIO()
+    encode_value(buf2, ["null", "string"], None)
+    assert decode_value(_Reader(buf2.getvalue()), ["null", "string"]) is None
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_container_roundtrip_multiblock(codec):
+    records = [_rec(i, null_meta=(i % 4 == 3)) for i in range(25)]
+    blob = encode_container(
+        DATASTREAM_AVRO_SCHEMA, records, codec=codec, records_per_block=7, sync=SYNC
+    )
+    schema, it = decode_container(blob)
+    assert schema["name"] == "avro_row"
+    assert list(it) == records
+
+
+def test_container_deterministic_with_fixed_sync():
+    records = [_rec(i) for i in range(5)]
+    a = encode_container(DATASTREAM_AVRO_SCHEMA, records, sync=SYNC)
+    b = encode_container(DATASTREAM_AVRO_SCHEMA, records, sync=SYNC)
+    assert a == b
+
+
+def test_container_corruption_detected():
+    blob = encode_container(DATASTREAM_AVRO_SCHEMA, [_rec(0)], sync=SYNC)
+    with pytest.raises(ValueError, match="bad magic"):
+        decode_container(b"Nope" + blob[4:])
+    # flip a byte inside the block's trailing sync marker
+    _, it = decode_container(blob[:-1] + bytes([blob[-1] ^ 0xFF]))
+    with pytest.raises(ValueError, match="sync marker"):
+        list(it)
+
+
+def test_read_avro_dir_distributed(spark, tmp_path):
+    """End-to-end S5: two generated .avro files -> one flat probe frame.
+    Exercises the full fallback engine (binaryFile scan + mapInPandas
+    decode + flatten_probe) exactly as read_avro_dir dispatches it."""
+    d = tmp_path / "avro"
+    d.mkdir()
+    recs_a = [_rec(i) for i in range(10)]
+    recs_b = [_rec(i + 10, null_meta=(i % 2 == 0)) for i in range(6)]
+    (d / "part-a.avro").write_bytes(
+        encode_container(DATASTREAM_AVRO_SCHEMA, recs_a, sync=SYNC)
+    )
+    (d / "part-b.avro").write_bytes(
+        encode_container(DATASTREAM_AVRO_SCHEMA, recs_b, codec="null", sync=SYNC)
+    )
+    (d / "ignored.txt").write_text("not avro")
+
+    df = read_avro_dir(spark, str(d))
+    rows = {r.source_timestamp: r for r in df.collect()}
+    assert len(rows) == 16
+    r5 = rows[1_704_180_000_000 + 5]
+    assert (r5.database, r5.table) == ("db1", "t2")
+    assert r5.binlog_position == 504 and r5.is_deleted is True
+    assert r5.primary_keys == ["id", "k5"]
+    # null union branches coalesce to Go zero-values in the probe shape
+    r10 = rows[1_704_180_000_000 + 10]
+    assert (r10.change_type, r10.gtid, r10.binlog_file) == ("", "", "")
+    assert (r10.binlog_position, r10.is_deleted) == (0, False)
+
+
+def test_fallback_parallelism_is_per_file(spark, tmp_path):
+    """The decode stage must carry one task per file (the fallback's
+    documented scale contract), not a single serial task."""
+    d = tmp_path / "many"
+    d.mkdir()
+    for i in range(4):
+        (d / f"f{i}.avro").write_bytes(
+            encode_container(DATASTREAM_AVRO_SCHEMA, [_rec(i)], sync=SYNC)
+        )
+    nested = read_avro_python(spark, str(d))
+    assert nested.rdd.getNumPartitions() >= 4
+    assert nested.count() == 4
+
+
+def test_flatten_probe_projection(spark):
+    """The nested->probe projection in isolation (native-path shape)."""
+    nested = spark.createDataFrame(
+        [
+            (
+                1000,
+                ("dbx", "ty", None, None, None, None, None, None, None, ["pk"]),
+            )
+        ],
+        AVRO_NATIVE_SCHEMA,
+    )
+    row = flatten_probe(nested).collect()[0]
+    assert row.database == "dbx" and row.table == "ty"
+    assert row.change_type == "" and row.gtid == "" and row.binlog_file == ""
+    assert row.binlog_position == 0 and row.is_deleted is False
+    assert row.primary_keys == ["pk"]
