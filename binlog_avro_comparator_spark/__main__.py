@@ -22,6 +22,12 @@ def main(argv: list[str] | None = None) -> int:
     src.add_argument("--binlog-jsonl", help="binlog_metadata.json path")
     p.add_argument("--avro-jsonl", required=True, help="avro_rows.json path")
     p.add_argument("--findings-out", help="optional directory to write findings JSONL")
+    p.add_argument(
+        "--print-findings",
+        action="store_true",
+        help="stream per-discrepancy console lines in the reference's "
+        "compare_timestamps output shape (E1 parity)",
+    )
     p.add_argument("--tolerance-ms", type=int, default=100)
     p.add_argument(
         "--strict-parity",
@@ -50,6 +56,22 @@ def main(argv: list[str] | None = None) -> int:
         )
         if args.findings_out:
             res.findings.write.mode("overwrite").json(args.findings_out)
+        if args.print_findings:
+            # toLocalIterator streams one sorted partition at a time --
+            # the driver never holds the full findings set
+            ordered = res.console.orderBy(
+                "section", "line_ref", "key_file", "key_pos", "ord"
+            )
+            binlog_only_seen = False
+            for row in ordered.toLocalIterator():
+                if row.section == 1 and not binlog_only_seen:
+                    print("\n--- Unmatched Binlog DML Events (BINLOG_ONLY) ---")
+                    binlog_only_seen = True
+                print(row.text)
+            if not binlog_only_seen:
+                print("\n--- Unmatched Binlog DML Events (BINLOG_ONLY) ---")
+                print("No DML binlog events found without a matching Avro record.")
+            print()
         summary = res.summary.collect()[0]
         print(format_report(res))
         return 0 if summary.consistent else 2

@@ -76,23 +76,72 @@ def cosine_topk(
     )
 
 
-def hyperplane_bucket(embedding: F.Column, n_planes: int = 8, dim: int = 64) -> F.Column:
-    """Deterministic pseudo-random-hyperplane sign bucket.
+def planes_for_corpus(
+    corpus_rows: int,
+    target_bucket_rows: int = 1024,
+    min_planes: int = 4,
+    max_planes: int = 32,
+) -> int:
+    """Hyperplane count sized to the corpus (the fixed-8 default is a
+    test-scale setting; at 100 TB it MUST grow or within-bucket pairs go
+    quadratic).
 
-    Plane p's weight for dimension d is +1 / -1 by a fixed arithmetic
-    pattern (no RNG -- reproducible anywhere):
-    sign = +1 iff (d * (2p + 3) + p) mod 7 < 4 else -1.
-    Bucket key = the n_planes sign bits as a string.
-    """
+    Sizing rule: ``2^planes ~= corpus_rows / target_bucket_rows``, i.e.
+    ``planes = ceil(log2(corpus_rows / target_bucket_rows))``.  Expected
+    bucket occupancy is then ~target_bucket_rows, so the bucketed
+    self-join generates ~``corpus_rows * target_bucket_rows / 2`` pairs
+    -- LINEAR in corpus size at fixed target, not quadratic.  Examples:
+    1e6 rows -> 10 planes (1024 buckets); 1e9 -> 20; 1e11 (a ~100 TB
+    embedding corpus) -> 27 planes / 134M buckets.
+
+    Recall falls as planes grow (each plane halves the chance a true
+    near-pair shares every sign): pair with cosine angle theta survives
+    one table with p ~= (1 - theta/pi)^planes.  Compensate with
+    ``n_tables`` OR-construction (see embedding_near_dup_pairs), whose
+    union recall is 1-(1-p)^tables."""
+    import math
+
+    if corpus_rows <= 0:
+        return min_planes
+    raw = math.ceil(math.log2(max(corpus_rows / target_bucket_rows, 1.0)))
+    return max(min_planes, min(max_planes, raw))
+
+
+def plane_signs(p: int, dim: int = 64) -> list[float]:
+    """Deterministic +-1 weight vector for hyperplane ``p`` (no RNG --
+    reproducible anywhere; splitmix64-style avalanche so every plane
+    index yields an independent-looking pattern, unbounded family).
+
+    Computed at PLAN BUILD TIME in Python and embedded as literals, so
+    the Spark plan and the DuckDB oracle SQL share the exact weights --
+    and the executors do a plain literal-array dot product, no per-row
+    modular arithmetic."""
+    out = []
+    for d in range(dim):
+        x = (p * 0x9E3779B97F4A7C15 + d * 0xBF58476D1CE4E5B9 + 0xD6E8FEB86659FD93) % 2**64
+        x ^= x >> 30
+        x = (x * 0xBF58476D1CE4E5B9) % 2**64
+        x ^= x >> 27
+        x = (x * 0x94D049BB133111EB) % 2**64
+        x ^= x >> 31
+        out.append(1.0 if x & 1 else -1.0)
+    return out
+
+
+def hyperplane_bucket(
+    embedding: F.Column, n_planes: int = 8, dim: int = 64, table: int = 0
+) -> F.Column:
+    """Deterministic random-hyperplane sign bucket: bucket key = the
+    ``n_planes`` sign bits of literal +-1 projections (``plane_signs``)
+    as a string.
+
+    ``table`` selects a disjoint slice of the plane family (table t uses
+    plane indices t*n_planes ..) for LSH OR-construction."""
     bits = []
-    for p in range(n_planes):
+    for p in range(table * n_planes, (table + 1) * n_planes):
+        signs = F.array(*[F.lit(s) for s in plane_signs(p, dim)])
         proj = F.aggregate(
-            F.zip_with(
-                embedding,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda x, d: x.cast("double")
-                * F.when((d * (2 * p + 3) + p) % 7 < 4, 1.0).otherwise(-1.0),
-            ),
+            F.zip_with(embedding, signs, lambda x, s: x.cast("double") * s),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -170,36 +219,71 @@ def cosine_topk_pandas(
 
 
 def embedding_near_dup_pairs(
-    embeddings: DataFrame, threshold: float = 0.99, n_planes: int = 8
+    embeddings: DataFrame,
+    threshold: float = 0.99,
+    n_planes: int | None = None,
+    corpus_rows: int | None = None,
+    n_tables: int = 1,
+    target_bucket_rows: int = 1024,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed.
 
-    Candidates = same hyperplane sign bucket (an O(n^2/buckets)
+    Candidates = same hyperplane sign bucket in at least one of
+    ``n_tables`` independent plane families (an O(n^2/buckets)
     self-join instead of O(n^2)); survivors = rounded cosine >=
     threshold.  The bucket column is also the natural partitioning key
     for corpus-scale runs.
-    """
-    emb = with_norm(embeddings).withColumn(
-        "bucket", hyperplane_bucket(F.col("embedding"), n_planes)
+
+    Geometry: pass ``corpus_rows`` (cheap parquet-metadata count) to
+    size the plane count via ``planes_for_corpus`` -- bucket count then
+    GROWS with the corpus and candidate volume stays linear.  Explicit
+    ``n_planes`` overrides; with neither, the test-scale default of 8
+    planes applies.  Raise ``n_tables`` alongside plane count to hold
+    recall (AND planes within a table, OR across tables) -- the
+    explode-tables single equi-join is the same shape as
+    dedup.lsh_candidate_pairs, so more tables widen the join input
+    linearly without extra join stages."""
+    if n_planes is None:
+        n_planes = (
+            planes_for_corpus(corpus_rows, target_bucket_rows)
+            if corpus_rows is not None
+            else 8
+        )
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table_id"),
+                hyperplane_bucket(F.col("embedding"), n_planes, table=t).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
     )
-    sides = emb.select("vec_id", "embedding", "norm", "bucket")
+    emb = with_norm(embeddings).select(
+        "vec_id", "embedding", "norm", F.explode(buckets).alias("tb")
+    )
+    sides = emb.select("vec_id", "embedding", "norm", "tb.table_id", "tb.bucket")
     pairs = (
         sides.alias("l")
-        .join(sides.alias("r"), on="bucket")
+        .join(sides.alias("r"), on=["table_id", "bucket"])
         .filter(F.col("l.vec_id") < F.col("r.vec_id"))
-    )
-    cos = F.round(
-        _dot(F.col("l.embedding"), F.col("r.embedding"))
-        / (F.col("l.norm") * F.col("r.norm")),
-        COS_ROUND,
-    )
-    return (
-        pairs.select(
+        .select(
             F.col("l.vec_id").alias("vec_a"),
             F.col("r.vec_id").alias("vec_b"),
-            cos.alias("cos_sim"),
+            F.col("l.embedding").alias("emb_a"),
+            F.col("r.embedding").alias("emb_b"),
+            F.col("l.norm").alias("norm_a"),
+            F.col("r.norm").alias("norm_b"),
         )
-        .filter(F.col("cos_sim") >= threshold)
+    )
+    if n_tables > 1:
+        # OR-construction: a pair colliding in several tables must score once
+        pairs = pairs.dropDuplicates(["vec_a", "vec_b"])
+    cos = F.round(
+        _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b")),
+        COS_ROUND,
+    )
+    return pairs.select("vec_a", "vec_b", cos.alias("cos_sim")).filter(
+        F.col("cos_sim") >= threshold
     )
 
 

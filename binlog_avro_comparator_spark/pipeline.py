@@ -13,11 +13,13 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from .operators import compare as C
-from .operators.parse import parse_binlog_text
+from .operators.parse import parse_binlog_text, _rfc3339nano_trim
 from .sources.binlog_text import read_parser_text
 from .sources.jsonl import (
-    read_avro_jsonl,
+    read_avro_jsonl_ordered,
     read_binlog_jsonl_ordered,
     unwrap_avro,
 )
@@ -27,6 +29,7 @@ from .sources.jsonl import (
 class ComparisonResult:
     findings: DataFrame
     summary: DataFrame
+    console: DataFrame | None = None
 
 
 def run_comparison(
@@ -65,7 +68,9 @@ def run_comparison(
             "_corrupt_record", "orignal_commmit_timestamp"
         )
 
-    araw = read_avro_jsonl(spark, avro_jsonl).cache()
+    # ordered avro reader: avro_line_no is the reference's lineNum
+    # (compare_timestamps.go:169), quoted in every console finding
+    araw = read_avro_jsonl_ordered(spark, avro_jsonl).cache()
     avro = unwrap_avro(araw.filter(araw["_corrupt_record"].isNull()))
 
     bp = C.prepare_binlog(binlog)
@@ -76,6 +81,140 @@ def run_comparison(
     return ComparisonResult(
         findings=C.findings_onepass(bp, ap, cfg),
         summary=C.summary_onepass(araw, bp, ap, cfg),
+        console=console_findings(bp, ap, cfg),
+    )
+
+
+def console_findings(
+    bp: DataFrame, ap: DataFrame, cfg: C.CompareConfig = C.CompareConfig()
+) -> DataFrame:
+    """Per-discrepancy console lines in the reference's exact printf
+    shapes (compare_timestamps.go:188-190,206-207,216-219,223-227,
+    242-246,258-267) as a DataFrame -- one row per finding, multi-line
+    findings as one string with embedded newlines, with sort columns
+    (section, then avro line order / binlog key) so streaming them in
+    order reproduces the report layout.
+
+    Two documented divergences from Go byte-output: the parse-error
+    line omits Go's library-internal error suffix, and binlog
+    timestamps render at millisecond precision (the comparison itself
+    is millis, compare_timestamps.go:213).  BINLOG_ONLY ordering is
+    deterministic by key here; the reference iterates a Go map
+    (random order)."""
+    j = C.diff_joined(bp, ap, cfg)
+    has_avro = F.col("__has_avro").isNotNull()
+    has_binlog = F.col("__has_binlog").isNotNull()
+    line_no = (
+        F.coalesce(F.col("avro_line_no"), F.lit(0))
+        if "avro_line_no" in j.columns
+        else F.lit(0)
+    )
+    key = F.format_string("{%s %d}", F.col("binlog_file"), F.col("binlog_position"))
+    parse_ok = F.col("binlog_ms").isNotNull()
+    avro_rfc = _rfc3339nano_trim(F.timestamp_millis(F.col("source_timestamp")))
+    binlog_rfc = _rfc3339nano_trim(F.timestamp_millis(F.col("binlog_ms")))
+
+    def _f(cond: F.Column, ordi: int, text: F.Column) -> F.Column:
+        return F.when(
+            cond, F.struct(F.lit(ordi).alias("ord"), text.alias("text"))
+        )
+
+    findings = F.array(
+        _f(
+            has_avro & ~has_binlog,
+            0,
+            F.format_string(
+                "AVRO_ONLY_BINLOG_KEY: Line %d. Key %s (DB: %s, Table: %s, Type: %s)"
+                " -> No matching binlog event found.",
+                line_no,
+                key,
+                F.col("database"),
+                F.col("table"),
+                F.col("change_type"),
+            ),
+        ),
+        _f(
+            has_avro & has_binlog & ~parse_ok,
+            1,
+            F.format_string(
+                "ERROR: Line %d. Key %s. Could not parse binlog timestamp '%s' or '%s'.",
+                line_no,
+                key,
+                F.coalesce(F.col("immediate_commmit_timestamp"), F.lit("")),
+                F.coalesce(F.col("timestamp"), F.lit("")),
+            ),
+        ),
+        _f(
+            has_avro & has_binlog & parse_ok & F.col("ts_mismatch"),
+            2,
+            F.format_string(
+                "MISMATCH (Timestamp): Line %d. Key %s\n"
+                "  Avro TS: %s (Unix MS: %d)\n"
+                "  Binlog TS: %s (Event Type: %s)",
+                line_no,
+                key,
+                avro_rfc,
+                F.col("source_timestamp"),
+                binlog_rfc,
+                F.col("event_type"),
+            ),
+        ),
+        _f(
+            F.col("gtid_mismatch"),
+            3,
+            F.format_string(
+                "MISMATCH (GTID): Line %d. Key %s\n"
+                "  Avro GTID: %s\n"
+                "  Binlog GTID_NEXT: %s",
+                line_no,
+                key,
+                F.col("gtid"),
+                F.col("gtid_next"),
+            ),
+        ),
+        _f(
+            F.col("change_type_mismatch"),
+            4,
+            F.format_string(
+                "MISMATCH (ChangeType): Line %d. Key %s\n"
+                "  Avro ChangeType: %s\n"
+                "  Inferred Binlog ChangeType (from %s): %s",
+                line_no,
+                key,
+                F.col("change_type"),
+                F.col("event_type"),
+                F.col("inferred_change_type"),
+            ),
+        ),
+        _f(
+            has_binlog
+            & ~has_avro
+            & F.col("event_type").endswith(C._DML_SUFFIX),
+            5,
+            F.format_string(
+                "BINLOG_ONLY (DML): Key %s (Event: %s, Schema: %s, Table: %s, TS: %s)"
+                " -> No matching Avro record found.",
+                key,
+                F.col("event_type"),
+                F.coalesce(F.col("binlog_schema"), F.lit("")),
+                F.coalesce(F.col("binlog_table"), F.lit("")),
+                F.coalesce(F.col("timestamp"), F.lit("")),
+            ),
+        ),
+    )
+    return j.select(
+        F.when(has_avro, 0).otherwise(1).alias("section"),
+        line_no.alias("line_ref"),
+        F.col("binlog_file").alias("key_file"),
+        F.col("binlog_position").alias("key_pos"),
+        F.explode(F.filter(findings, lambda x: x.isNotNull())).alias("f"),
+    ).select(
+        "section",
+        "line_ref",
+        "key_file",
+        "key_pos",
+        F.col("f.ord").alias("ord"),
+        F.col("f.text").alias("text"),
     )
 
 

@@ -49,6 +49,7 @@ from ..operators.similarity import (
     cosine_topk_lsh,
     cosine_topk_pandas,
     embedding_near_dup_pairs,
+    plane_signs,
 )
 from ..operators.textstats import (
     fingerprints,
@@ -516,8 +517,12 @@ WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}"""
 def _hyperplane_bucket_sql(n_planes: int = 8) -> str:
     """DuckDB mirror of similarity.hyperplane_bucket over unnested
     embeddings (dimension index `ord` is 1-based, Spark's is 0-based)."""
+    def lit_list(p: int) -> str:
+        # same literal weights as the Spark plan (similarity.plane_signs)
+        return "[" + ",".join(str(s) for s in plane_signs(p)) + "]::DOUBLE[]"
+
     bits = " || ".join(
-        f"(CASE WHEN sum(v * (CASE WHEN ((ord - 1) * {2 * p + 3} + {p}) % 7 < 4 THEN 1.0 ELSE -1.0 END)) >= 0 THEN '1' ELSE '0' END)"
+        f"(CASE WHEN sum(v * ({lit_list(p)})[ord]) >= 0 THEN '1' ELSE '0' END)"
         for p in range(n_planes)
     )
     return f"SELECT vec_id, {bits} AS bucket FROM ex GROUP BY vec_id"

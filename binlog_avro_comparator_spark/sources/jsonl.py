@@ -74,6 +74,28 @@ def read_binlog_jsonl_ordered(spark: SparkSession, path: str) -> DataFrame:
     return parsed.select("line_no", "__r.*")
 
 
+def read_avro_jsonl_ordered(spark: SparkSession, path: str) -> DataFrame:
+    """S8 with line order as data: like read_avro_jsonl but each row
+    carries ``avro_line_no``, the 1-based per-file line ordinal -- the
+    reference's ``lineNum`` (compare_timestamps.go:169) that its console
+    report quotes per finding.  Same wholetext+posexplode mechanism as
+    read_binlog_jsonl_ordered (one task per file; multi-file ordered by
+    file name via a broadcast ordinal)."""
+    raw = spark.read.text(path, wholetext=True)
+    lines = raw.select(
+        F.posexplode(F.split(F.col("value"), "\n")).alias("__idx", "__line"),
+    ).filter(F.trim(F.col("__line")) != "")
+    parsed = lines.select(
+        (F.col("__idx") + 1).alias("avro_line_no"),  # file-local, like lineNum
+        F.from_json(
+            F.col("__line"),
+            _with_corrupt(AVRO_JSONL_SCHEMA),
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ).alias("__r"),
+    )
+    return parsed.select("avro_line_no", "__r.*")
+
+
 def read_avro_jsonl(spark: SparkSession, path: str) -> DataFrame:
     """S8: avro_rows.json (union-wrapped) -> nested typed struct."""
     return spark.read.schema(_with_corrupt(AVRO_JSONL_SCHEMA)).option(
@@ -105,7 +127,9 @@ def unwrap_avro(df: DataFrame) -> DataFrame:
     (compare_timestamps.go:176: missing wrapper -> zero value -> skip).
     """
     sm = "source_metadata"
+    passthrough = [F.col("avro_line_no")] if "avro_line_no" in df.columns else []
     return df.select(
+        *passthrough,
         F.col("source_timestamp"),
         F.col(f"{sm}.database").alias("database"),
         F.col(f"{sm}.table").alias("table"),
@@ -143,3 +167,96 @@ def wrap_avro(flat: DataFrame) -> DataFrame:
 def write_jsonl(df: DataFrame, path: str, mode: str = "append") -> None:
     """S9: JSONL append sink."""
     df.write.mode(mode).json(path)
+
+
+def _json_quote(col: F.Column) -> F.Column:
+    """Render a string column as a Go-``json.Marshal``-byte-exact JSON
+    string literal, entirely JVM-side: ``to_json`` of a 1-array handles
+    quote/backslash/control escaping, then Go's default HTML-escaping
+    (& < > -> \\u00XX, json_parser.go uses plain json.Marshal) and the
+    U+2028/U+2029 rule are applied on top."""
+    j = F.to_json(F.array(col))
+    frag = j.substr(F.lit(2), F.length(j) - F.lit(2))
+    for ch, esc in [
+        ("&", "\\u0026"),
+        ("<", "\\u003c"),
+        (">", "\\u003e"),
+        (" ", "\\u2028"),
+        (" ", "\\u2029"),
+    ]:
+        frag = F.replace(frag, F.lit(ch), F.lit(esc))
+    return frag
+
+
+def _int_or_quoted(v: F.Column) -> F.Column:
+    """Go's P7 coercion at EMISSION (json_parser.go:95-101,134-139):
+    int64-parseable values print as bare canonical digits, everything
+    else as a JSON string.  try_cast matches strconv.ParseInt on the
+    relevant surface: optional sign, base-10 digits, overflow -> fail."""
+    lv = v.try_cast("long")
+    return F.when(lv.isNotNull(), lv.cast("string")).otherwise(_json_quote(v))
+
+
+def go_json_lines(parsed: DataFrame) -> DataFrame:
+    """S9 byte-exact form: render each parsed event exactly as the
+    reference's ``json.Marshal(map[string]interface{})`` line
+    (json_parser.go:46-51): keys sorted bytewise, P7 ints bare, Date
+    success under ``timestamp``/failure raw under ``date``, processed
+    high-precision timestamps, canonical event_type (the in-body
+    ``Event type:`` kv never emits its own key), ``binlog_file`` last
+    -- one string column ``value`` per event, for ``write_jsonl_go``.
+
+    Pure built-in expressions (map transform + sort + concat): emission
+    stays in whole-stage codegen, scan-speed at any corpus size."""
+    ex = F.col("extra")
+    base = F.transform_values(
+        F.map_filter(
+            ex,
+            lambda k, _: ~k.isin(
+                "event_type",
+                "date",
+                "immediate_commmit_timestamp",
+                "orignal_commmit_timestamp",
+            ),
+        ),
+        lambda _, v: _int_or_quoted(v),
+    )
+    specials = F.map_filter(
+        F.create_map(
+            F.lit("event_type"),
+            _json_quote(F.col("event_type")),
+            F.lit("binlog_file"),
+            _json_quote(F.col("binlog_file")),
+            F.lit("timestamp"),
+            F.when(F.col("timestamp").isNotNull(), _json_quote(F.col("timestamp"))),
+            F.lit("date"),
+            F.when(
+                F.col("timestamp").isNull() & ex["date"].isNotNull(),
+                _json_quote(ex["date"]),
+            ),
+            F.lit("immediate_commmit_timestamp"),
+            F.when(
+                F.col("immediate_commmit_timestamp").isNotNull(),
+                _json_quote(F.col("immediate_commmit_timestamp")),
+            ),
+            F.lit("orignal_commmit_timestamp"),
+            F.when(
+                F.col("orignal_commmit_timestamp").isNotNull(),
+                _json_quote(F.col("orignal_commmit_timestamp")),
+            ),
+        ),
+        lambda _, v: v.isNotNull(),
+    )
+    ents = F.array_sort(F.map_entries(F.map_concat(base, specials)))
+    frags = F.transform(
+        ents, lambda e: F.concat(_json_quote(e["key"]), F.lit(":"), e["value"])
+    )
+    return parsed.select(
+        F.concat(F.lit("{"), F.array_join(frags, ","), F.lit("}")).alias("value")
+    )
+
+
+def write_jsonl_go(parsed: DataFrame, path: str, mode: str = "append") -> None:
+    """S9 with drop-in intermediate-file parity: emits the same bytes
+    the reference's parser pipeline appends (comparator.sh:95)."""
+    go_json_lines(parsed).write.mode(mode).text(path)

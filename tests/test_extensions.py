@@ -178,3 +178,94 @@ def test_simhash_near_pairs_exact_recall(spark):
         (r.doc_a, r.doc_b) for r in simhash_near_pairs(docs, max_hamming=3).collect()
     }
     assert banded == brute
+
+
+def _embs(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_planes_for_corpus_sizing_rule():
+    from binlog_avro_comparator_spark.operators.similarity import planes_for_corpus
+
+    # monotone growth with corpus size, clamped at both ends
+    sizes = [10**4, 10**6, 10**9, 10**11]
+    planes = [planes_for_corpus(n) for n in sizes]
+    assert planes == sorted(planes)
+    assert planes_for_corpus(10**6) == 10       # 2^10 * 1024 ~= 1e6
+    assert planes_for_corpus(10**9) == 20
+    assert planes_for_corpus(10**11) == 27      # ~100 TB corpus
+    assert planes_for_corpus(10) == 4           # min clamp
+    assert planes_for_corpus(10**30) == 32      # max clamp
+    # halving target doubles buckets (one more plane)
+    assert planes_for_corpus(10**6, target_bucket_rows=512) == 11
+
+
+def test_bucket_cardinality_grows_with_planes(spark):
+    import math
+    import random
+
+    rng = random.Random(7)
+    vecs = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(200)]
+    emb = _embs(spark, vecs)
+    from binlog_avro_comparator_spark.operators.similarity import hyperplane_bucket
+
+    counts = {
+        p: emb.select(
+            hyperplane_bucket(F.col("embedding"), n_planes=p).alias("b")
+        ).agg(F.countDistinct("b")).collect()[0][0]
+        for p in (4, 8, 12)
+    }
+    assert counts[4] < counts[8] < counts[12]
+    assert counts[4] <= 2**4 and counts[8] <= 2**8
+
+
+def test_near_dup_multi_table_recall_superset(spark):
+    """OR-construction across tables can only ADD candidate pairs; at a
+    plane count high enough to split a true near-pair in table 0, a
+    second table recovers it."""
+    import random
+
+    from binlog_avro_comparator_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    rng = random.Random(3)
+    base = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(40)]
+    # plant near-duplicates: tiny perturbations of existing vectors
+    vecs = base + [[x + rng.gauss(0, 1e-3) for x in v] for v in base[:10]]
+    emb = _embs(spark, vecs)
+
+    def pairset(**kw):
+        return {
+            (r.vec_a, r.vec_b)
+            for r in embedding_near_dup_pairs(emb, threshold=0.98, **kw).collect()
+        }
+
+    one = pairset(n_planes=12, n_tables=1)
+    two = pairset(n_planes=12, n_tables=2)
+    four = pairset(n_planes=12, n_tables=4)
+    assert one <= two <= four
+    # every planted pair has cosine ~1; with 4 tables recall should be total
+    assert {(i, 40 + i) for i in range(10)} <= four
+
+
+def test_near_dup_corpus_rows_drives_planes(spark):
+    """corpus_rows hint resolves geometry via planes_for_corpus and the
+    operator still runs end-to-end."""
+    from binlog_avro_comparator_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    vecs = [[1.0] * 64, [1.0] * 64, [-1.0] * 64]
+    emb = _embs(spark, vecs)
+    # 10^6-row hint -> 10 planes; identical vectors always share buckets
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_near_dup_pairs(
+            emb, threshold=0.99, corpus_rows=10**6
+        ).collect()
+    }
+    assert got == {(0, 1)}

@@ -269,3 +269,63 @@ def test_binlog_jsonl_ordered_reader_multifile_order(spark, tmp_path):
     df = read_binlog_jsonl_ordered(spark, str(d))
     ordered = [r.binlog_file for r in df.orderBy("line_no").collect()]
     assert ordered == ["a.json", "b.json"]
+
+
+def test_go_json_lines_byte_exact(spark, tmp_path):
+    r"""S9 drop-in parity: emitted lines must be byte-identical to the
+    reference parser's `json.Marshal(map)` output (json_parser.go:46-51):
+    bytewise-sorted keys, P7 ints bare, Date-failure raw under `date`,
+    hp timestamps processed, HTML-escaped & < >, in-body `Event type:`
+    key never emitted."""
+    from binlog_avro_comparator_spark.operators.parse import parse_binlog_text
+    from binlog_avro_comparator_spark.sources.jsonl import (
+        go_json_lines,
+        write_jsonl_go,
+    )
+
+    text = [
+        "=== WriteRowsEventV2 ===",
+        "Date: 2025-06-01 12:00:01",
+        "Log position: 5678",
+        "Table: orders",
+        "Schema: shop",
+        "GTID_NEXT: uuid-1:42",
+        "XID: 4242",
+        'Query: INSERT INTO t VALUES (1 < 2 & 3 > 0, "q\\")',
+        "=== AnonymousGTIDEvent ===",
+        "Date: not-a-date",
+        "Log position: not-a-number",
+        "Immediate commmit timestamp: 1749000000123456 (2025-06-01T12:00:00.123456789Z)",
+        "Orignal commmit timestamp: 2025-06-01 12:00:00.5 +0000 UTC",
+        "Last_committed: 7",
+    ]
+    lines = spark.createDataFrame(
+        [("mysql-bin.000007", i, s) for i, s in enumerate(text)],
+        "binlog_file string, line_no long, value string",
+    )
+    parsed = parse_binlog_text(lines)
+    got = [r.value for r in go_json_lines(parsed).orderBy("value").collect()]
+    want = [
+        # exactly what `go run json_parser.go mysql-bin.000007` prints
+        '{"binlog_file":"mysql-bin.000007","date":"not-a-date",'
+        '"event_type":"AnonymousGTID",'
+        '"immediate_commmit_timestamp":"2025-06-01T12:00:00.123456789Z",'
+        '"last_committed":7,"log_position":"not-a-number",'
+        '"orignal_commmit_timestamp":"2025-06-01T12:00:00.5Z"}',
+        '{"binlog_file":"mysql-bin.000007","event_type":"WriteRowsEventV2",'
+        '"gtid_next":"uuid-1:42","log_position":5678,'
+        '"query":"INSERT INTO t VALUES (1 \\u003c 2 \\u0026 3 \\u003e 0, \\"q\\\\\\")",'
+        '"schema":"shop","table":"orders",'
+        '"timestamp":"2025-06-01T12:00:01Z","xid":4242}',
+    ]
+    assert got == sorted(want)
+
+    out = tmp_path / "parity_out"
+    write_jsonl_go(parsed, str(out), mode="overwrite")
+    emitted = sorted(
+        line
+        for p in out.glob("part-*")
+        for line in p.read_text().splitlines()
+        if line
+    )
+    assert emitted == sorted(want)

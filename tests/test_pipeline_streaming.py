@@ -145,3 +145,30 @@ def test_summary_counts_corrupt_avro_lines(spark, io_dirs, tmp_path):
     s = res.summary.collect()[0]
     # one more total than the clean run; every other counter unchanged
     assert (s.total_avro_records, s.matched, s.ts_mismatches, s.avro_only, s.binlog_only) == (4, 2, 1, 1, 0)
+
+
+def test_console_findings_reference_shapes(spark, io_dirs):
+    """--print-findings lines reproduce the reference's printf shapes
+    (compare_timestamps.go:188,216-219,242): per-avro-line numbering,
+    {file position} key rendering, indented detail lines."""
+    res = run_comparison(
+        spark,
+        binlog_text_dir=str(io_dirs / "binlog_text"),
+        avro_jsonl=str(io_dirs / "avro" / "avro_rows.json"),
+    )
+    rows = res.console.orderBy(
+        "section", "line_ref", "key_file", "key_pos", "ord"
+    ).collect()
+    texts = [r.text for r in rows]
+    # line 2 is the planted ts-mismatch (500ms past tolerance)
+    assert texts[0] == (
+        "MISMATCH (Timestamp): Line 2. Key {mysql-bin.000001 200}\n"
+        "  Avro TS: 2025-06-01T12:00:05.5Z (Unix MS: 1748779205500)\n"
+        "  Binlog TS: 2025-06-01T12:00:05Z (Event Type: WriteRowsEventV2)"
+    )
+    # line 3 is the planted avro-only key
+    assert texts[1] == (
+        "AVRO_ONLY_BINLOG_KEY: Line 3. Key {mysql-bin.000001 999} "
+        "(DB: shop, Table: orders, Type: INSERT) -> No matching binlog event found."
+    )
+    assert len(texts) == 2  # no binlog-only, no gtid/ct findings
