@@ -42,6 +42,15 @@ BENCH_QUERIES = [
     "revenue_rollup",
 ]
 
+# Added after round 1 -- timed separately so the headline total stays
+# comparable round-over-round.
+EXTRA_QUERIES = [
+    "ann_cosine_topk_ivf",
+    "dedup_clusters",
+    "events_windowed_stream",
+    "cdc_avro_native_scan",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -58,6 +67,11 @@ def main() -> None:
         qs[name](spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
     total = round(sum(timings.values()), 3)
+    extra: dict[str, float] = {}
+    for name in EXTRA_QUERIES:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        extra[name] = round(time.time() - t0, 3)
     print(
         json.dumps(
             {
@@ -65,6 +79,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extra_queries": extra,
                 "sf": sf,
             }
         )

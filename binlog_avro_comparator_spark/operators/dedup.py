@@ -279,3 +279,78 @@ def jaccard_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def dedup_clusters(
+    documents: DataFrame,
+    max_iter: int = 15,
+    edges: DataFrame | None = None,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the
+    MinHash-LSH candidate graph, labels = min doc_id per component --
+    the step a training-data pipeline runs after pair generation to
+    pick one canonical document per duplicate group.
+
+    Algorithm: iterative min-label propagation (the standard
+    MapReduce-era connected-components recipe): every node starts
+    labeled with itself; each round takes the min label across
+    neighbors; fixpoint = components labeled by their min node id.
+    Deterministic and order-independent, so any engine agrees.
+
+    Scale shape: each round is one join + one aggregation over the
+    EDGE frame (nodes outside every edge never enter).  Rounds needed
+    = graph diameter; near-dup graphs are shallow (LSH buckets create
+    clique-ish clusters), so a handful of rounds closes even web-scale
+    corpora.  Lineage is truncated per round (localCheckpoint) and the
+    convergence probe is a single sum() action -- label sums decrease
+    monotonically and stall exactly at the fixpoint.  Raises if
+    max_iter rounds don't converge rather than returning a partial
+    clustering.
+
+    ``edges`` overrides the default MinHash-LSH pair graph with any
+    (doc_a, doc_b) frame -- e.g. simhash or embedding near-dup pairs.
+    """
+    if edges is None:
+        edges = lsh_candidate_pairs(documents)
+    # materialize the edge frame ONCE -- it feeds the initial labels and
+    # every propagation round; without this each round would re-run the
+    # whole upstream candidate-generation pipeline
+    sym = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["node"] == nbr["src"], "left")
+            .select(
+                labels["node"],
+                F.least(
+                    labels["label"], F.coalesce(F.col("nbr_label"), labels["label"])
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels = new_labels
+        if new_sum == prev_sum:
+            return labels.select(
+                F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+            )
+        prev_sum = new_sum
+    raise RuntimeError(
+        f"dedup_clusters: no fixpoint after {max_iter} rounds "
+        "(component diameter exceeds max_iter)"
+    )

@@ -287,6 +287,117 @@ def embedding_near_dup_pairs(
     )
 
 
+def assign_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    centroid_stride: int = 37,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: (centroids, assignment).
+
+    Centroids are the corpus vectors at ``vec_id = i * stride`` -- a
+    deterministic 'training sample' reproducible in any engine
+    (production would k-means a sample; every downstream plan shape is
+    identical, only the centroid values differ).  Assignment is one
+    broadcast cross-join against the tiny centroid set folded by a
+    ``max_by`` partial aggregation: linear scan, map-side combined, a
+    single n-row shuffle -- no per-vector window.
+    """
+    emb = with_norm(embeddings)
+    cents = emb.filter(
+        (F.col("vec_id") % centroid_stride == 0)
+        & (F.col("vec_id") < centroid_stride * n_centroids)
+    ).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("c_embedding"),
+        F.col("norm").alias("c_norm"),
+    )
+    cos = F.round(
+        _dot(F.col("embedding"), F.col("c_embedding"))
+        / (F.col("norm") * F.col("c_norm")),
+        COS_ROUND,
+    )
+    # argmax ordering packed into ONE long: (cos * 1e6 as int) << 32
+    # minus centroid_id -- max picks highest cos, then lowest centroid.
+    # A struct ordering key would force SortAggregate; a scalar long
+    # keeps the argmax a HashAggregate with map-side partials.
+    packed = F.round(cos * 1e6).cast("long") * F.lit(1 << 32).cast("long") - F.col(
+        "centroid_id"
+    )
+    assignment = (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", packed.alias("c_key"), "centroid_id")
+        .groupBy("vec_id")
+        .agg(F.max_by("centroid_id", F.col("c_key")).alias("centroid_id"))
+    )
+    return cents, assignment
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    n_queries: int = 32,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    centroid_stride: int = 37,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted file): vectors are bucketed
+    by nearest centroid, each query probes its ``n_probe`` nearest
+    centroid lists, and only those lists are exactly re-ranked.
+
+    The 100 TB shape: assignment is a linear scan (see
+    assign_centroids); the probe join touches ``n_probe/n_centroids``
+    of the corpus per query instead of all of it; re-rank cost scales
+    with list sizes, tuned by (n_centroids, n_probe).  At real scale
+    the assignment column doubles as the partition key so each probe
+    reads only its lists -- same plan, partition-pruned.
+    """
+    cents, assignment = assign_centroids(embeddings, n_centroids, centroid_stride)
+    emb = with_norm(embeddings)
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("norm").alias("q_norm"),
+    )
+    q_cos = F.round(
+        _dot(F.col("q_embedding"), F.col("c_embedding"))
+        / (F.col("q_norm") * F.col("c_norm")),
+        COS_ROUND,
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("p_cos").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .select("query_id", "q_embedding", "q_norm", q_cos.alias("p_cos"), "centroid_id")
+        .withColumn("p_rank", F.row_number().over(probe_w))
+        .filter(F.col("p_rank") <= n_probe)
+        .select("query_id", "q_embedding", "q_norm", "centroid_id")
+    )
+    # probes is (n_queries * n_probe) rows -- broadcast side of the list join
+    cand = (
+        assignment.join(F.broadcast(probes), on="centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(emb.select("vec_id", "embedding", "norm"), on="vec_id")
+    )
+    cos = F.round(
+        _dot(F.col("embedding"), F.col("q_embedding"))
+        / (F.col("norm") * F.col("q_norm")),
+        COS_ROUND,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def cosine_topk_lsh(
     embeddings: DataFrame, n_queries: int = 32, k: int = 5, n_planes: int = 8
 ) -> DataFrame:

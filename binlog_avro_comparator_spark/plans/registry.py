@@ -34,6 +34,7 @@ from ..operators.multimodal import image_features
 from ..operators.dedup import (
     MINHASH_PRIME,
     SIMHASH_BITS,
+    dedup_clusters,
     exact_dedup,
     jaccard_pairs,
     lsh_candidate_pairs,
@@ -46,6 +47,7 @@ from ..operators.dedup import (
 from ..operators.sessionize import sessionize
 from ..operators.similarity import (
     cosine_topk,
+    cosine_topk_ivf,
     cosine_topk_lsh,
     cosine_topk_pandas,
     embedding_near_dup_pairs,
@@ -283,6 +285,11 @@ def _q_lsh_pairs(spark, sf_dir):
     return lsh_candidate_pairs(_docs(spark, sf_dir))
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    ensure_session_conf(spark)
+    return dedup_clusters(_docs(spark, sf_dir))
+
+
 def _q_jaccard_pairs(spark, sf_dir):
     return jaccard_pairs(_docs(spark, sf_dir))
 
@@ -308,6 +315,52 @@ def _q_ann_cosine_topk(spark, sf_dir):
 def _q_ann_cosine_topk_lsh(spark, sf_dir):
     ensure_session_conf(spark)
     return cosine_topk_lsh(load_table(spark, sf_dir, "embeddings"))
+
+
+_STREAM_SINK_SEQ = 0
+
+
+def _q_events_windowed_stream(spark, sf_dir):
+    """Structured Streaming in the driver contract: the events table
+    replayed as a file stream through the watermarked windowed
+    aggregation (streaming/windowed_agg.py), availableNow trigger, then
+    the finished result returned as a batch frame.
+
+    Complete output mode is used HERE because it emits every window
+    including those the final watermark hasn't passed -- that makes the
+    result equal the batch aggregation, which is exactly what the
+    DuckDB oracle computes.  The production append-mode contract
+    (late-data drop, state eviction) is pinned by pytest
+    (test_streaming_state.py)."""
+    global _STREAM_SINK_SEQ
+    from ..sources.tables import _EVENTS_SCHEMA
+    from ..streaming.windowed_agg import windowed_event_counts
+
+    ensure_session_conf(spark)
+    stream = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    _STREAM_SINK_SEQ += 1
+    name = f"events_windowed_stream_sink_{_STREAM_SINK_SEQ}"
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name)
+
+
+def _q_ann_cosine_topk_ivf(spark, sf_dir):
+    ensure_session_conf(spark)
+    return cosine_topk_ivf(load_table(spark, sf_dir, "embeddings"))
 
 
 def _q_ann_cosine_topk_pandas(spark, sf_dir):
@@ -392,14 +445,17 @@ def queries() -> dict[str, QueryFn]:
         "distinct_users_per_type": _q_distinct_users,
         "minhash_signatures": _q_minhash_signatures,
         "minhash_lsh_pairs": _q_lsh_pairs,
+        "dedup_clusters": _q_dedup_clusters,
         "ngram_jaccard_pairs": _q_jaccard_pairs,
         "simhash_fingerprints": _q_simhash,
         "simhash_near_pairs": _q_simhash_pairs,
         "embedding_near_dup": _q_embedding_near_dup,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_cosine_topk_lsh": _q_ann_cosine_topk_lsh,
+        "ann_cosine_topk_ivf": _q_ann_cosine_topk_ivf,
         "ann_cosine_topk_pandas": _q_ann_cosine_topk_pandas,
         "events_sessionize": _q_events_sessionize,
+        "events_windowed_stream": _q_events_windowed_stream,
         "q1_pricing_summary": _q_q1,
         "top_revenue_orders": _q_top_revenue,
         "customer_nation_revenue": _q_nation_revenue,
@@ -453,7 +509,7 @@ def _minhash_sig_sql() -> str:
     )
 
 
-def _lsh_pairs_sql() -> str:
+def _lsh_band_union() -> str:
     band_joins = []
     for b in range(4):
         cols = [f"min_{b * 4 + r}" for r in range(4)]
@@ -464,11 +520,34 @@ def _lsh_pairs_sql() -> str:
             f"FROM sig l JOIN sig r ON ({lkey}) = ({rkey})\n"
             f"WHERE l.doc_id < r.doc_id"
         )
-    union = "\nUNION ALL\n".join(band_joins)
+    return "\nUNION ALL\n".join(band_joins)
+
+
+def _lsh_pairs_sql() -> str:
     return (
         f"WITH {_SHINGLE_CTE},\n"
         f"sig AS (SELECT doc_id,\n    {_minhash_aggs()}\nFROM shingle_hashes GROUP BY doc_id)\n"
-        f"SELECT DISTINCT doc_a, doc_b FROM (\n{union}\n)"
+        f"SELECT DISTINCT doc_a, doc_b FROM (\n{_lsh_band_union()}\n)"
+    )
+
+
+def _dedup_clusters_sql() -> str:
+    """Twin of dedup.dedup_clusters: same LSH edge set, components via
+    a recursive reachability walk (fixpoint-deduped UNION), label =
+    least node id reachable."""
+    return (
+        f"WITH RECURSIVE {_SHINGLE_CTE},\n"
+        f"sig AS (SELECT doc_id,\n    {_minhash_aggs()}\nFROM shingle_hashes GROUP BY doc_id),\n"
+        f"pairs AS (SELECT DISTINCT doc_a, doc_b FROM (\n{_lsh_band_union()}\n)),\n"
+        "sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs\n"
+        "        UNION ALL SELECT doc_b, doc_a FROM pairs),\n"
+        "walk(node, reach) AS (\n"
+        "  SELECT src, dst FROM sym\n"
+        "  UNION\n"
+        "  SELECT w.node, s.dst FROM walk w JOIN sym s ON s.src = w.reach\n"
+        ")\n"
+        "SELECT node AS doc_id, least(node, min(reach)) AS cluster_id\n"
+        "FROM walk GROUP BY node"
     )
 
 
@@ -614,6 +693,7 @@ SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
 FROM events GROUP BY event_type""",
         "minhash_signatures": _minhash_sig_sql(),
         "minhash_lsh_pairs": _lsh_pairs_sql(),
+        "dedup_clusters": _dedup_clusters_sql(),
         "simhash_fingerprints": _simhash_fp_sql(),
         "simhash_near_pairs": _simhash_pairs_sql(),
         "embedding_near_dup": f"""
@@ -680,6 +760,65 @@ q AS (SELECT * FROM ex WHERE vec_id < 32),
 dots AS (
   SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, sum(q.v * e.v) AS dot
   FROM q JOIN ex e ON q.ord = e.ord AND e.vec_id <> q.vec_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(dot / (nq.norm * ne.norm), 6) AS cos_sim
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms ne ON ne.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5""",
+        # Twin of similarity.cosine_topk_ivf: centroid pick, argmax
+        # assignment, n_probe probing and re-rank all mirrored; the
+        # max_by struct tie-break equals (c_cos DESC, centroid_id).
+        "ann_cosine_topk_ivf": """
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS ord,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS norm FROM ex GROUP BY vec_id),
+cdots AS (
+  SELECT e.vec_id AS vec_id, ce.vec_id AS centroid_id, sum(e.v * ce.v) AS dot
+  FROM ex e JOIN ex ce ON e.ord = ce.ord
+  WHERE ce.vec_id % 37 = 0 AND ce.vec_id < 37 * 16
+  GROUP BY 1, 2
+),
+ccos AS (
+  SELECT c.vec_id, c.centroid_id,
+         round(c.dot / (nv.norm * nc.norm), 6) AS c_cos
+  FROM cdots c
+  JOIN norms nv ON nv.vec_id = c.vec_id
+  JOIN norms nc ON nc.vec_id = c.centroid_id
+),
+assignment AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY c_cos DESC, centroid_id) AS rn
+    FROM ccos) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, centroid_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY c_cos DESC, centroid_id) AS rn
+    FROM ccos WHERE vec_id < 32) WHERE rn <= 4
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assignment a ON a.centroid_id = p.centroid_id
+  WHERE a.vec_id <> p.query_id
+),
+dots AS (
+  SELECT c.query_id, c.neighbor_id, sum(q.v * e.v) AS dot
+  FROM cand c
+  JOIN ex q ON q.vec_id = c.query_id
+  JOIN ex e ON e.vec_id = c.neighbor_id AND e.ord = q.ord
   GROUP BY 1, 2
 ),
 scored AS (
@@ -772,6 +911,18 @@ x AS (
 SELECT user_id, session_id, count(*) AS n_events,
        min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms
 FROM x GROUP BY user_id, session_id""",
+        # The streaming query's complete-mode result equals the batch
+        # tumbling-window aggregation: 10-minute epoch-aligned windows
+        # (Spark F.window aligns to the 1970 epoch, == ms floor-division)
+        "events_windowed_stream": """
+SELECT (epoch_ms(ts) // 600000) * 600000 AS window_start_ms,
+       (epoch_ms(ts) // 600000) * 600000 + 600000 AS window_end_ms,
+       event_type,
+       count(*) AS n_events,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events
+GROUP BY 1, 2, 3""",
         "q1_pricing_summary": """
 SELECT *, sum_qty / count_order AS avg_qty, sum_base_price / count_order AS avg_price
 FROM (

@@ -269,3 +269,102 @@ def test_near_dup_corpus_rows_drives_planes(spark):
         ).collect()
     }
     assert got == {(0, 1)}
+
+
+def test_ivf_probing_all_lists_is_exact(spark):
+    """IVF with n_probe == n_centroids scans every inverted list, so it
+    must reproduce the exact brute-force top-k bit for bit."""
+    import random
+
+    from binlog_avro_comparator_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivf,
+    )
+
+    rng = random.Random(11)
+    emb = _embs(spark, [[rng.gauss(0, 1) for _ in range(64)] for _ in range(120)])
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk(emb, n_queries=8, k=3).collect()
+    }
+    ivf_all = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk_ivf(
+            emb, n_queries=8, k=3, n_centroids=4, n_probe=4, centroid_stride=11
+        ).collect()
+    }
+    assert ivf_all == exact
+    # restricted probing returns a (possibly smaller) high-quality subset
+    ivf_1 = cosine_topk_ivf(
+        emb, n_queries=8, k=3, n_centroids=4, n_probe=1, centroid_stride=11
+    )
+    assert 0 < ivf_1.count() <= len(exact)
+
+
+def test_dedup_clusters_transitive_chain(spark):
+    """Min-label propagation must close transitive chains: a path graph
+    a-b-c-d (diameter 3) collapses to one cluster labeled min(node)."""
+    from binlog_avro_comparator_spark.operators.dedup import dedup_clusters
+
+    edges = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 40), (70, 80)], "doc_a long, doc_b long"
+    )
+    docs = _docs(spark, ["irrelevant"])
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup_clusters(docs, edges=edges).collect()
+    }
+    assert got == {(10, 10), (20, 10), (30, 10), (40, 10), (70, 70), (80, 70)}
+
+
+def test_dedup_clusters_on_lsh_pairs(spark):
+    """End-to-end over real LSH edges: identical docs cluster together,
+    the odd one out is absent (no edges touch it)."""
+    from binlog_avro_comparator_spark.operators.dedup import dedup_clusters
+
+    docs = _docs(
+        spark,
+        [
+            "w1 w2 w3 w4 w5 w6 w7 w8",
+            "w1 w2 w3 w4 w5 w6 w7 w8",
+            "totally different content here entirely",
+        ],
+    )
+    got = {(r.doc_id, r.cluster_id) for r in dedup_clusters(docs).collect()}
+    assert got == {(0, 0), (1, 0)}
+
+
+def test_windowed_stream_matches_batch(spark):
+    """The availableNow streaming windowed agg (complete mode) equals
+    the equivalent batch aggregation -- the oracle-parity contract."""
+    from binlog_avro_comparator_spark.plans.registry import (
+        _q_events_windowed_stream,
+    )
+    from binlog_avro_comparator_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    streamed = {
+        tuple(r) for r in _q_events_windowed_stream(spark, sf).collect()
+    }
+    ev = load_table(spark, sf, "events")
+    batch = {
+        tuple(r)
+        for r in ev.groupBy(
+            F.window("ts", "10 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.unix_millis("w.start").alias("window_start_ms"),
+            F.unix_millis("w.end").alias("window_end_ms"),
+            "event_type",
+            "n_events",
+            "min_value",
+            "max_value",
+        )
+        .collect()
+    }
+    assert streamed == batch and len(streamed) > 0

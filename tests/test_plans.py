@@ -95,3 +95,17 @@ def test_prepare_binlog_uses_window_group_limit(spark):
     # WindowGroupLimit (partial top-1 before the shuffle), so the full
     # per-key row set is never materialized post-shuffle
     assert "WindowGroupLimit" in plan
+
+
+def test_ivf_assignment_no_window_broadcast_centroids(spark):
+    """IVF assignment must be a broadcast cross-join folded by a
+    max_by partial aggregation -- no per-vector Window (which would
+    shuffle n_vectors * n_centroids rows), centroids broadcast."""
+    from binlog_avro_comparator_spark.operators.similarity import assign_centroids
+
+    emb = load_table(spark, SF, "embeddings")
+    _, assignment = assign_centroids(emb)
+    plan = _plan(assignment)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final max_by
