@@ -170,3 +170,61 @@ def fingerprints(documents: DataFrame) -> DataFrame:
         F.size(words).alias("n_words"),
         fp.alias("fingerprint"),
     )
+
+
+# --- corpus curation operators ---------------------------------------------
+
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+URL_RE = "https?://[^\\s]+"
+
+
+def clean_text(documents: DataFrame) -> DataFrame:
+    """PII / noise scrub, the standard pre-training text hygiene pass:
+    emails and URLs replaced with sentinel tokens, whitespace collapsed,
+    edges trimmed.  Pure regexp_replace projections -- scan-speed, no
+    shuffle; the regexes use the portable character-class subset that
+    Java regex and RE2 interpret identically (oracle adds DuckDB's 'g'
+    flag since its regexp_replace is first-match by default)."""
+    t = F.col("text")
+    cleaned = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    cleaned = F.regexp_replace(cleaned, URL_RE, "<URL>")
+    cleaned = F.trim(F.regexp_replace(cleaned, "\\s+", " "))
+    return documents.select(
+        "doc_id",
+        cleaned.alias("clean_text"),
+        (F.length(t) - F.length(cleaned)).alias("removed_chars"),
+    )
+
+
+def length_quantiles(documents: DataFrame, approx: bool = False) -> DataFrame:
+    """Per-language document-length distribution (p50/p90/p99 of
+    n_chars) -- the curation dashboard numbers used to set length
+    filters.
+
+    Exact mode buffers each group's values (fine up to millions of
+    docs per language); at 100 TB pass ``approx=True`` for
+    approx_percentile's fixed-memory sketch -- same columns, bounded
+    error, one map-side-combinable aggregation.  The oracle checks the
+    exact mode (both engines implement R-7 linear interpolation)."""
+    pct = F.approx_percentile if approx else F.percentile
+    n = F.col("n_chars")
+    return documents.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        pct(n, F.lit(0.5)).alias("p50_chars"),
+        pct(n, F.lit(0.9)).alias("p90_chars"),
+        pct(n, F.lit(0.99)).alias("p99_chars"),
+    )
+
+
+def stratified_sample(documents: DataFrame, mod: int = 10) -> DataFrame:
+    """Deterministic 1/mod stratified sample: keep documents where the
+    portable hash of (lang, doc_id) lands in residue 0.  No RNG, no
+    sort, reproducible in any engine and stable under reruns/appends --
+    the properties a training-data sampling step actually needs (seeded
+    ``sample()`` is partition-layout-dependent).  Stratification: the
+    language is folded into the hash so each language is sampled at the
+    same rate independently."""
+    key = F.concat_ws(":", F.col("lang"), F.col("doc_id").cast("string"))
+    return documents.select("doc_id", "lang", "source", "n_chars").filter(
+        word_hash(key) % mod == 0
+    )

@@ -54,9 +54,12 @@ from ..operators.similarity import (
     plane_signs,
 )
 from ..operators.textstats import (
+    clean_text,
     fingerprints,
     lang_id,
+    length_quantiles,
     quality_scores,
+    stratified_sample,
     tfidf_top_terms,
     token_stats,
 )
@@ -285,6 +288,21 @@ def _q_lsh_pairs(spark, sf_dir):
     return lsh_candidate_pairs(_docs(spark, sf_dir))
 
 
+def _q_clean_text(spark, sf_dir):
+    ensure_session_conf(spark)
+    return clean_text(_docs(spark, sf_dir))
+
+
+def _q_length_quantiles(spark, sf_dir):
+    ensure_session_conf(spark)
+    return length_quantiles(_docs(spark, sf_dir))
+
+
+def _q_stratified_sample(spark, sf_dir):
+    ensure_session_conf(spark)
+    return stratified_sample(_docs(spark, sf_dir))
+
+
 def _q_dedup_clusters(spark, sf_dir):
     ensure_session_conf(spark)
     return dedup_clusters(_docs(spark, sf_dir))
@@ -446,6 +464,9 @@ def queries() -> dict[str, QueryFn]:
         "minhash_signatures": _q_minhash_signatures,
         "minhash_lsh_pairs": _q_lsh_pairs,
         "dedup_clusters": _q_dedup_clusters,
+        "text_clean": _q_clean_text,
+        "doc_length_quantiles": _q_length_quantiles,
+        "doc_stratified_sample": _q_stratified_sample,
         "ngram_jaccard_pairs": _q_jaccard_pairs,
         "simhash_fingerprints": _q_simhash,
         "simhash_near_pairs": _q_simhash_pairs,
@@ -694,6 +715,30 @@ FROM events GROUP BY event_type""",
         "minhash_signatures": _minhash_sig_sql(),
         "minhash_lsh_pairs": _lsh_pairs_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
+        "text_clean": """
+SELECT doc_id,
+       trim(regexp_replace(
+           regexp_replace(
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               'https?://[^\\s]+', '<URL>', 'g'),
+           '\\s+', ' ', 'g')) AS clean_text,
+       length(text) - length(trim(regexp_replace(
+           regexp_replace(
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               'https?://[^\\s]+', '<URL>', 'g'),
+           '\\s+', ' ', 'g'))) AS removed_chars
+FROM documents""",
+        # exact interpolated quantiles: both engines implement R-7
+        "doc_length_quantiles": """
+SELECT lang, count(*) AS n_docs,
+       quantile_cont(n_chars, 0.5) AS p50_chars,
+       quantile_cont(n_chars, 0.9) AS p90_chars,
+       quantile_cont(n_chars, 0.99) AS p99_chars
+FROM documents GROUP BY lang""",
+        "doc_stratified_sample": """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE ('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 10 = 0""",
         "simhash_fingerprints": _simhash_fp_sql(),
         "simhash_near_pairs": _simhash_pairs_sql(),
         "embedding_near_dup": f"""

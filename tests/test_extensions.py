@@ -368,3 +368,49 @@ def test_windowed_stream_matches_batch(spark):
         .collect()
     }
     assert streamed == batch and len(streamed) > 0
+
+
+def test_clean_text_redacts_and_collapses(spark):
+    from binlog_avro_comparator_spark.operators.textstats import clean_text
+
+    docs = _docs(
+        spark,
+        [
+            "contact me at john.doe+x@example.co.uk   or https://ex.com/a?b=1 now",
+            "no pii   here\tjust   spaces",
+        ],
+    )
+    rows = {r.doc_id: r for r in clean_text(docs).collect()}
+    assert rows[0].clean_text == "contact me at <EMAIL> or <URL> now"
+    assert rows[1].clean_text == "no pii here just spaces"
+    assert rows[1].removed_chars > 0
+
+
+def test_length_quantiles_hand_computed(spark):
+    from binlog_avro_comparator_spark.operators.textstats import length_quantiles
+
+    docs = spark.createDataFrame(
+        [(i, "x", "en", "s", n) for i, n in enumerate([10, 20, 30, 40])],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = length_quantiles(docs).collect()[0]
+    # R-7 interpolation over [10,20,30,40]
+    assert (r.n_docs, r.p50_chars, r.p90_chars) == (4, 25.0, 37.0)
+    # approx mode: same shape, sketch-based (long results), plausible values
+    ra = length_quantiles(docs, approx=True).collect()[0]
+    assert ra.n_docs == 4 and 10 <= ra.p50_chars <= 30
+
+
+def test_stratified_sample_deterministic_rate(spark):
+    from binlog_avro_comparator_spark.operators.textstats import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en" if i % 2 else "fr", "s", i) for i in range(2000)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    a = {r.doc_id for r in stratified_sample(docs).collect()}
+    b = {r.doc_id for r in stratified_sample(docs.repartition(7)).collect()}
+    assert a == b  # layout-independent, rerun-stable
+    assert 0.05 < len(a) / 2000 < 0.15  # ~1/10 rate
+    by_lang = stratified_sample(docs).groupBy("lang").count().collect()
+    assert {r["lang"] for r in by_lang} == {"en", "fr"}  # both strata sampled
