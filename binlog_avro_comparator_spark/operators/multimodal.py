@@ -141,3 +141,102 @@ def sample_video_frames(media: DataFrame, every_n: int = 10, max_frames: int = 8
             )
 
     return df.select("media_id", "content").mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("decoder", T.StringType()),
+    ]
+)
+
+
+def _decode_audio(content: bytes) -> tuple[int, int, int, float, str]:
+    """(channels, sample_rate, n_samples, rms, decoder).
+
+    Real path: stdlib ``wave`` for RIFF/WAVE PCM16 -- an actual decode,
+    no external codec libs needed.  Fallback for any other byte format:
+    the DETERMINISTIC FAKE (hash-derived, clearly marked), same contract
+    as the image decoder."""
+    try:
+        import io
+        import wave
+
+        import numpy as np
+
+        with wave.open(io.BytesIO(content), "rb") as w:
+            ch, sr, n, width = (
+                w.getnchannels(),
+                w.getframerate(),
+                w.getnframes(),
+                w.getsampwidth(),
+            )
+            raw = w.readframes(n)
+        if width != 2:
+            raise ValueError("only PCM16 real-decoded")
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+        rms = float(np.sqrt((x * x).mean())) if x.size else 0.0
+        return ch, sr, n, rms, "wave"
+    except Exception:  # noqa: BLE001 -- not a PCM16 WAV
+        h = hashlib.sha256(content).digest()
+        return (
+            1 + h[0] % 2,
+            (8000, 16000, 44100)[h[1] % 3],
+            256 + h[2],
+            (h[3] % 1000) / 1000.0,
+            "fake-deterministic",
+        )
+
+
+def audio_features(media: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Decode + feature-extract audio via Arrow-batched mapInPandas.
+    Same scale contract as image_features: features emitted WITHOUT the
+    payload, blobs spread by media_id when requested."""
+    df = media.filter(F.col("kind") == "audio")
+    if partitions:
+        df = df.repartition(partitions, "media_id")
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content)
+                ch, sr, n, rms, dec = _decode_audio(b)
+                out.append(
+                    (
+                        mid,
+                        hashlib.sha256(b).hexdigest(),
+                        len(b),
+                        ch,
+                        sr,
+                        n,
+                        n / sr,
+                        rms,
+                        dec,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "sha256",
+                    "n_bytes",
+                    "channels",
+                    "sample_rate",
+                    "n_samples",
+                    "duration_s",
+                    "rms",
+                    "decoder",
+                ],
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        _extract, schema=AUDIO_FEATURES_SCHEMA
+    )

@@ -30,7 +30,7 @@ from ..operators.analytics import (
     top_revenue_orders,
     user_set_ops,
 )
-from ..operators.multimodal import image_features
+from ..operators.multimodal import audio_features, image_features
 from ..operators.dedup import (
     MINHASH_PRIME,
     SIMHASH_BITS,
@@ -432,6 +432,54 @@ def _q_media_features(spark, sf_dir):
     return image_features(media)
 
 
+def _q_media_audio_features(spark, sf_dir):
+    """Real audio decode, oracle-checked: PCM16 WAV files synthesized
+    per document (parameters derived from doc_id), decoded back by the
+    stdlib-wave path of audio_features.  The DuckDB twin recomputes the
+    expected features from the same doc_id derivation WITHOUT decoding
+    -- so the check proves decode inverts encode.  Constant-amplitude
+    signal makes rms exactly amp/32768 (power-of-two division, IEEE
+    exact in both engines)."""
+    import io
+    import struct
+    import wave
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                ch = 1 + did % 2
+                sr = (8000, 16000, 44100)[did % 3]
+                n = 400 + (did % 50) * 8
+                amp = 1000 + (did % 20) * 500
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(ch)
+                    w.setsampwidth(2)
+                    w.setframerate(sr)
+                    w.writeframes(struct.pack(f"<{n * ch}h", *([amp] * (n * ch))))
+                rows.append((did, "audio", buf.getvalue()))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "content"])
+
+    import pandas as pd
+
+    media = docs.mapInPandas(
+        synth, schema="media_id long, kind string, content binary"
+    )
+    return audio_features(media).select(
+        "media_id",
+        "channels",
+        "sample_rate",
+        "n_samples",
+        "duration_s",
+        "rms",
+        "decoder",
+    )
+
+
 def _q_nation_revenue(spark, sf_dir):
     ensure_session_conf(spark)
     return customer_nation_revenue(
@@ -484,6 +532,7 @@ def queries() -> dict[str, QueryFn]:
         "user_set_ops": _q_user_set_ops,
         "revenue_rollup": _q_revenue_rollup,
         "media_image_features": _q_media_features,
+        "media_audio_features": _q_media_audio_features,
     }
 
 
@@ -1020,6 +1069,18 @@ SELECT doc_id AS media_id, sha256(text) AS sha256,
        64 + (('0x' || substr(sha256(text), 1, 2))::INT % 192) AS width,
        64 + (('0x' || substr(sha256(text), 3, 2))::INT % 192) AS height,
        'fake-deterministic' AS decoder
+FROM documents""",
+        # Derivation twin of the WAV synth in _q_media_audio_features:
+        # recomputes expected decode outputs from doc_id without decoding
+        "media_audio_features": """
+SELECT doc_id AS media_id,
+       CAST(1 + doc_id % 2 AS INT) AS channels,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS INT) AS sample_rate,
+       400 + (doc_id % 50) * 8 AS n_samples,
+       CAST(400 + (doc_id % 50) * 8 AS DOUBLE)
+         / (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END) AS duration_s,
+       CAST(1000 + (doc_id % 20) * 500 AS DOUBLE) / 32768 AS rms,
+       'wave' AS decoder
 FROM documents""",
         "customer_nation_revenue": """
 WITH per_order AS (

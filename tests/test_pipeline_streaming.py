@@ -172,3 +172,37 @@ def test_console_findings_reference_shapes(spark, io_dirs):
         "(DB: shop, Table: orders, Type: INSERT) -> No matching binlog event found."
     )
     assert len(texts) == 2  # no binlog-only, no gtid/ct findings
+
+
+def test_audio_features_real_wav_and_fallback(spark):
+    """PCM16 WAV bytes take the REAL stdlib-wave decode path (stereo,
+    correct rate/frames, exact constant-signal rms); non-WAV bytes fall
+    back to the deterministic fake."""
+    import io
+    import struct
+    import wave
+
+    from binlog_avro_comparator_spark.operators.multimodal import audio_features
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(struct.pack("<640h", *([4096] * 640)))  # 320 frames
+    media = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(buf.getvalue()), None),
+            (2, "audio", bytearray(b"not a wav at all"), None),
+            (3, "image", bytearray(b"skipped"), None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in audio_features(media).collect()}
+    assert set(rows) == {1, 2}
+    r1 = rows[1]
+    assert (r1.channels, r1.sample_rate, r1.n_samples, r1.decoder) == (2, 16000, 320, "wave")
+    assert r1.duration_s == 320 / 16000
+    assert r1.rms == 4096 / 32768  # constant amplitude -> exact
+    assert rows[2].decoder == "fake-deterministic"
+    assert rows[2].sample_rate in (8000, 16000, 44100)
