@@ -91,7 +91,8 @@ def lsh_candidate_pairs(
     the join key (band_id, band_key) also spreads hot buckets across
     band_ids, softening skew).
     """
-    sig = minhash_signatures(documents, bands * rows)
+    # cached: both join sides reference it (see simhash_near_pairs note)
+    sig = minhash_signatures(documents, bands * rows).cache()
     band_structs = F.array(
         *[
             F.struct(
@@ -196,7 +197,11 @@ def simhash_near_pairs(
     Same single-join explode-bands shape as lsh_candidate_pairs."""
     if bands is None:
         bands = max_hamming + 1
-    fps = simhash_fingerprints(documents, bits)
+    # the self-join references the fingerprint frame twice and AQE's
+    # broadcast conversion defeats exchange reuse, so without a persist
+    # the whole scan+explode+agg pipeline runs twice; fingerprints are
+    # ~16 bytes/doc, the cheapest thing in the query to keep around
+    fps = simhash_fingerprints(documents, bits).cache()
     band_structs = F.array(
         *[
             F.struct(

@@ -401,10 +401,13 @@ def cosine_topk_ivf(
 def cosine_topk_lsh(
     embeddings: DataFrame, n_queries: int = 32, k: int = 5, n_planes: int = 8
 ) -> DataFrame:
-    """Approximate top-k: exact re-rank within hyperplane-LSH buckets."""
+    """Approximate top-k: exact re-rank within hyperplane-LSH buckets.
+
+    The bucketed frame feeds both the corpus side and the query filter;
+    cached so the norm + n_planes projections compute once."""
     emb = with_norm(embeddings).withColumn(
         "bucket", hyperplane_bucket(F.col("embedding"), n_planes)
-    )
+    ).cache()
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_embedding"),
