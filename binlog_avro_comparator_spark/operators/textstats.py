@@ -228,3 +228,63 @@ def stratified_sample(documents: DataFrame, mod: int = 10) -> DataFrame:
     return documents.select("doc_id", "lang", "source", "n_chars").filter(
         word_hash(key) % mod == 0
     )
+
+
+def repetition_scores(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Within-document k-gram repetition ratio -- the standard
+    'repetitious text' quality signal (boilerplate, keyword stuffing,
+    decode loops all show up as duplicate n-grams).  Pure per-row array
+    expressions: no explode, no shuffle, scan speed at any corpus size.
+
+    repetition_ratio = (n_grams - n_distinct_grams) / n_grams, 0.0 for
+    docs shorter than k words (single exact-int division -> the double
+    is engine-deterministic)."""
+    words = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))
+    n = F.size(words)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
+    total = F.size(grams).cast("long")
+    distinct = F.size(F.array_distinct(grams)).cast("long")
+    ratio = F.when(total > 0, (total - distinct) / total).otherwise(F.lit(0.0))
+    return documents.select(
+        "doc_id",
+        total.alias("n_grams"),
+        distinct.alias("n_distinct_grams"),
+        ratio.alias("repetition_ratio"),
+    )
+
+
+def contamination_scores(
+    documents: DataFrame, benchmark_max_id: int = 10, k: int = 3
+) -> DataFrame:
+    """Benchmark-contamination check: per document, the fraction of its
+    distinct k-gram shingles that appear anywhere in the benchmark
+    shingle set (here: docs with doc_id < benchmark_max_id stand in for
+    an eval suite).  The pre-training hygiene step that keeps eval data
+    out of the corpus.
+
+    Scale shape: eval suites are ~fixed-size, so the benchmark shingle
+    set is broadcast and the check is a broadcast left-join at scan
+    speed over the corpus shingles -- no corpus-sized shuffle.  Docs
+    with zero shingles (< k words) are absent from the output."""
+    from .dedup import shingles
+
+    sh = shingles(documents, k)
+    bench = (
+        sh.filter(F.col("doc_id") < benchmark_max_id)
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    marked = sh.filter(F.col("doc_id") >= benchmark_max_id).join(
+        F.broadcast(bench), on="shingle", how="left"
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_contaminated"),
+        (
+            F.coalesce(F.sum("__hit"), F.lit(0)) / F.count("*")
+        ).alias("contamination"),
+    )

@@ -55,10 +55,12 @@ from ..operators.similarity import (
 )
 from ..operators.textstats import (
     clean_text,
+    contamination_scores,
     fingerprints,
     lang_id,
     length_quantiles,
     quality_scores,
+    repetition_scores,
     stratified_sample,
     tfidf_top_terms,
     token_stats,
@@ -303,6 +305,16 @@ def _q_stratified_sample(spark, sf_dir):
     return stratified_sample(_docs(spark, sf_dir))
 
 
+def _q_repetition(spark, sf_dir):
+    ensure_session_conf(spark)
+    return repetition_scores(_docs(spark, sf_dir))
+
+
+def _q_contamination(spark, sf_dir):
+    ensure_session_conf(spark)
+    return contamination_scores(_docs(spark, sf_dir))
+
+
 def _q_dedup_clusters(spark, sf_dir):
     ensure_session_conf(spark)
     return dedup_clusters(_docs(spark, sf_dir))
@@ -515,6 +527,8 @@ def queries() -> dict[str, QueryFn]:
         "text_clean": _q_clean_text,
         "doc_length_quantiles": _q_length_quantiles,
         "doc_stratified_sample": _q_stratified_sample,
+        "doc_repetition": _q_repetition,
+        "doc_contamination": _q_contamination,
         "ngram_jaccard_pairs": _q_jaccard_pairs,
         "simhash_fingerprints": _q_simhash,
         "simhash_near_pairs": _q_simhash_pairs,
@@ -788,6 +802,35 @@ FROM documents GROUP BY lang""",
 SELECT doc_id, lang, source, n_chars
 FROM documents
 WHERE ('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 10 = 0""",
+        "doc_repetition": rf"""
+WITH doc_words AS (
+  SELECT doc_id, regexp_extract_all(text, '{_TOKEN_RE_SQL}') AS w FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3 THEN list_transform(
+             generate_series(1, len(w) - 2), i -> array_to_string(w[i:i+2], ' '))
+         ELSE [] END AS grams
+  FROM doc_words
+)
+SELECT doc_id, len(grams) AS n_grams,
+       len(list_distinct(grams)) AS n_distinct_grams,
+       CASE WHEN len(grams) > 0
+            THEN (len(grams) - len(list_distinct(grams))) / len(grams)
+            ELSE 0.0 END AS repetition_ratio
+FROM g""",
+        "doc_contamination": f"""
+WITH {_SHINGLE_CTE},
+bench AS (SELECT DISTINCT shingle FROM doc_shingles WHERE doc_id < 10),
+marked AS (
+  SELECT s.doc_id, CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM doc_shingles s LEFT JOIN bench b ON s.shingle = b.shingle
+  WHERE s.doc_id >= 10
+)
+SELECT doc_id, count(*) AS n_shingles,
+       CAST(sum(hit) AS BIGINT) AS n_contaminated,
+       sum(hit) / count(*) AS contamination
+FROM marked GROUP BY doc_id""",
         "simhash_fingerprints": _simhash_fp_sql(),
         "simhash_near_pairs": _simhash_pairs_sql(),
         "embedding_near_dup": f"""

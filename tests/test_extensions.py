@@ -414,3 +414,33 @@ def test_stratified_sample_deterministic_rate(spark):
     assert 0.05 < len(a) / 2000 < 0.15  # ~1/10 rate
     by_lang = stratified_sample(docs).groupBy("lang").count().collect()
     assert {r["lang"] for r in by_lang} == {"en", "fr"}  # both strata sampled
+
+
+def test_repetition_scores_hand_computed(spark):
+    from binlog_avro_comparator_spark.operators.textstats import repetition_scores
+
+    docs = _docs(spark, ["a b c a b c a b c", "all words unique here now", "x y"])
+    rows = {r.doc_id: r for r in repetition_scores(docs).collect()}
+    # trigrams of doc 0: 7 total, 3 distinct -> ratio 4/7
+    assert (rows[0].n_grams, rows[0].n_distinct_grams) == (7, 3)
+    assert rows[0].repetition_ratio == 4 / 7
+    assert rows[1].repetition_ratio == 0.0
+    assert (rows[2].n_grams, rows[2].repetition_ratio) == (0, 0.0)  # < k words
+
+
+def test_contamination_scores_hand_computed(spark):
+    from binlog_avro_comparator_spark.operators.textstats import (
+        contamination_scores,
+    )
+
+    texts = ["the quick brown fox jumps"] + ["pad"] * 9  # doc 0 = benchmark
+    texts += [
+        "the quick brown fox sleeps",   # doc 10: shares 2 of 3 shingles
+        "completely novel text corpus today",  # doc 11: clean
+    ]
+    docs = _docs(spark, texts)
+    rows = {r.doc_id: r for r in contamination_scores(docs).collect()}
+    assert set(rows) == {10, 11}  # benchmark + short docs excluded
+    assert (rows[10].n_shingles, rows[10].n_contaminated) == (3, 2)
+    assert rows[10].contamination == 2 / 3
+    assert rows[11].n_contaminated == 0 and rows[11].contamination == 0.0
