@@ -359,3 +359,20 @@ def dedup_clusters(
         f"dedup_clusters: no fixpoint after {max_iter} rounds "
         "(component diameter exceeds max_iter)"
     )
+
+
+def dedup_keep_canonical(documents: DataFrame, max_iter: int = 15) -> DataFrame:
+    """The corpus AFTER near-dup deduplication: drop every document
+    that belongs to a duplicate cluster but is not its canonical (min
+    doc_id) member.  This is the materialization step a training
+    pipeline actually ships -- clusters identify the groups,
+    this picks the survivors.
+
+    One left-anti join of the corpus against the non-canonical cluster
+    rows (a frame bounded by the number of duplicated docs, typically a
+    small fraction of the corpus)."""
+    clusters = dedup_clusters(documents, max_iter=max_iter)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return documents.join(losers, on="doc_id", how="left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )

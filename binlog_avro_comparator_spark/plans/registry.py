@@ -35,6 +35,7 @@ from ..operators.dedup import (
     MINHASH_PRIME,
     SIMHASH_BITS,
     dedup_clusters,
+    dedup_keep_canonical,
     exact_dedup,
     jaccard_pairs,
     lsh_candidate_pairs,
@@ -305,6 +306,11 @@ def _q_stratified_sample(spark, sf_dir):
     return stratified_sample(_docs(spark, sf_dir))
 
 
+def _q_dedup_keep_canonical(spark, sf_dir):
+    ensure_session_conf(spark)
+    return dedup_keep_canonical(_docs(spark, sf_dir))
+
+
 def _q_repetition(spark, sf_dir):
     ensure_session_conf(spark)
     return repetition_scores(_docs(spark, sf_dir))
@@ -524,6 +530,7 @@ def queries() -> dict[str, QueryFn]:
         "minhash_signatures": _q_minhash_signatures,
         "minhash_lsh_pairs": _q_lsh_pairs,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_keep_canonical": _q_dedup_keep_canonical,
         "text_clean": _q_clean_text,
         "doc_length_quantiles": _q_length_quantiles,
         "doc_stratified_sample": _q_stratified_sample,
@@ -778,6 +785,13 @@ FROM events GROUP BY event_type""",
         "minhash_signatures": _minhash_sig_sql(),
         "minhash_lsh_pairs": _lsh_pairs_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
+        "dedup_keep_canonical": (
+            "SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d\n"
+            "ANTI JOIN (\n"
+            "  SELECT doc_id FROM (\n" + _dedup_clusters_sql() + "\n"
+            "  ) WHERE doc_id <> cluster_id\n"
+            ") l ON d.doc_id = l.doc_id"
+        ),
         "text_clean": """
 SELECT doc_id,
        trim(regexp_replace(

@@ -444,3 +444,18 @@ def test_contamination_scores_hand_computed(spark):
     assert (rows[10].n_shingles, rows[10].n_contaminated) == (3, 2)
     assert rows[10].contamination == 2 / 3
     assert rows[11].n_contaminated == 0 and rows[11].contamination == 0.0
+
+
+def test_dedup_keep_canonical_drops_losers(spark):
+    from binlog_avro_comparator_spark.operators.dedup import dedup_keep_canonical
+
+    docs = spark.createDataFrame(
+        [
+            (0, "w1 w2 w3 w4 w5 w6", "en", "s", 17),
+            (1, "w1 w2 w3 w4 w5 w6", "en", "s", 17),  # dup of 0 -> dropped
+            (2, "other text entirely different", "en", "s", 29),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    kept = {r.doc_id for r in dedup_keep_canonical(docs).collect()}
+    assert kept == {0, 2}
