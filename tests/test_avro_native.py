@@ -188,3 +188,65 @@ def test_flatten_probe_projection(spark):
     assert row.change_type == "" and row.gtid == "" and row.binlog_file == ""
     assert row.binlog_position == 0 and row.is_deleted is False
     assert row.primary_keys == ["pk"]
+
+
+def test_codec_property_roundtrip():
+    """Hypothesis sweep: arbitrary values through the kitchen-sink
+    schema survive encode->decode bit-exactly (zigzag full int64 range,
+    unicode strings, null unions, variable arrays/maps, both codecs)."""
+    from hypothesis import given, settings, strategies as st
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "l", "type": "long"},
+            {"name": "i", "type": "int"},
+            {"name": "s", "type": "string"},
+            {"name": "b", "type": "bytes"},
+            {"name": "f", "type": "boolean"},
+            {"name": "d", "type": "double"},
+            {"name": "u", "type": ["null", "long", "string"]},
+            {"name": "arr", "type": {"type": "array", "items": "long"}},
+            {"name": "m", "type": {"type": "map", "values": "string"}},
+        ],
+    }
+    rec = st.fixed_dictionaries(
+        {
+            "l": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            "i": st.integers(min_value=-(2**31), max_value=2**31 - 1),
+            "s": st.text(max_size=40),
+            "b": st.binary(max_size=40),
+            "f": st.booleans(),
+            "d": st.floats(allow_nan=False, width=64),
+            "u": st.one_of(
+                st.none(),
+                st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                st.text(max_size=10),
+            ),
+            "arr": st.lists(
+                st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=8
+            ),
+            "m": st.dictionaries(st.text(max_size=8), st.text(max_size=8), max_size=4),
+        }
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(rec, max_size=12), st.sampled_from(["null", "deflate"]))
+    def roundtrip(records, codec):
+        blob = encode_container(schema, records, codec=codec, records_per_block=5, sync=SYNC)
+        _, it = decode_container(blob)
+        assert list(it) == records
+
+    roundtrip()
+
+
+def test_codec_truncated_and_unknown_codec_errors():
+    blob = encode_container(DATASTREAM_AVRO_SCHEMA, [_rec(0)], sync=SYNC)
+    with pytest.raises(EOFError):
+        _, it = decode_container(blob[: len(blob) // 2])
+        list(it)
+    # unsupported codec named in the header -> actionable error
+    bad = blob.replace(b"deflate", b"snappyy", 1)
+    with pytest.raises(ValueError, match="codec"):
+        decode_container(bad)
