@@ -234,3 +234,30 @@ def test_both_empty_timestamps_is_counted_mismatch(spark):
     assert "GTID_MISMATCH" in kinds
     s = C.summary_onepass(avro, bp, ap).collect()[0]
     assert s.ts_mismatches == 1
+
+
+def test_console_findings_all_sections(spark):
+    """console_findings over the full golden scenario: BINLOG_ONLY and
+    parse-error line shapes (compare_timestamps.go:206-207,264-266),
+    section split, and per-kind presence."""
+    from binlog_avro_comparator_spark.pipeline import console_findings
+
+    binlog = spark.createDataFrame(BINLOG_ROWS, BINLOG_SCHEMA)
+    avro = spark.createDataFrame(AVRO_ROWS, AVRO_SCHEMA)
+    rows = console_findings(C.prepare_binlog(binlog), C.prepare_avro(avro)).collect()
+    by_prefix = {}
+    for r in rows:
+        by_prefix.setdefault(r.text.split(":")[0], []).append(r)
+    bonly = by_prefix["BINLOG_ONLY (DML)"]
+    assert len(bonly) == 1 and bonly[0].section == 1
+    assert bonly[0].text == (
+        "BINLOG_ONLY (DML): Key {f1 600} (Event: WriteRowsEventV2, "
+        "Schema: db, Table: t, TS: 2025-06-01T10:00:00Z)"
+        " -> No matching Avro record found."
+    )
+    errs = by_prefix["ERROR"]
+    assert len(errs) == 1 and "Key {f1 1000}" in errs[0].text
+    assert "Could not parse binlog timestamp 'garbage' or " in errs[0].text
+    # every avro-stream finding sits in section 0
+    assert all(r.section == 0 for r in rows if not r.text.startswith("BINLOG_ONLY"))
+    assert "MISMATCH (GTID)" in {r.text.split(": Line")[0] for r in rows}

@@ -109,3 +109,14 @@ def test_ivf_assignment_no_window_broadcast_centroids(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "Window" not in plan
     assert plan.count("HashAggregate") >= 2  # partial + final max_by
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    """The benchmark shingle set must be the broadcast side -- the
+    corpus-side shingles never shuffle for the join."""
+    from binlog_avro_comparator_spark.operators.textstats import (
+        contamination_scores,
+    )
+
+    plan = _plan(contamination_scores(load_table(spark, SF, "documents")))
+    assert "BroadcastHashJoin" in plan
