@@ -141,3 +141,33 @@ def customer_nation_revenue(
             F.count("*").alias("n_orders"),
         )
     )
+
+
+def running_windows(events: DataFrame) -> DataFrame:
+    """Running-window family over the event stream: per-user running
+    count and max, previous-event gap (lag), and a 3-row sliding min --
+    ROWS-frame windows + offset functions, the remaining §2.10 window
+    shapes (cumulative frames were already covered by sessionize's
+    cumulative sum).
+
+    Every output is order-exact (counts, max/min, timestamp
+    subtraction -- no float accumulation), so the values are identical
+    in any engine without rounding tricks.  Scale: one shuffle on
+    user_id; within a partition the window is a single sort -- the
+    same bound as any per-key sessionization."""
+    ts_ms = F.unix_millis(F.col("ts"))
+    base = events.select(
+        "user_id", "event_id", ts_ms.alias("ts_ms"), "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    last3 = w.rowsBetween(-2, 0)
+    return base.select(
+        "user_id",
+        "event_id",
+        "ts_ms",
+        F.count("*").over(cum).alias("n_events_so_far"),
+        F.max("value").over(cum).alias("running_max_value"),
+        (F.col("ts_ms") - F.lag("ts_ms", 1).over(w)).alias("gap_ms"),
+        F.min("value").over(last3).alias("min_value_3"),
+    )

@@ -27,6 +27,7 @@ from ..operators.analytics import (
     high_value_customers,
     q1_pricing_summary,
     revenue_rollup,
+    running_windows,
     top_revenue_orders,
     user_set_ops,
 )
@@ -356,6 +357,45 @@ def _q_ann_cosine_topk_lsh(spark, sf_dir):
 _STREAM_SINK_SEQ = 0
 
 
+def _q_cdc_findings_stream(spark, sf_dir):
+    """The CDC diff itself run as Structured Streaming, driver-checked:
+    avro records arrive as JSONL files discovered incrementally
+    (maxFilesPerTrigger=1 -> several micro-batches), stream-static
+    joined against the closed binlog build side
+    (streaming/compare_stream.py).  availableNow drains the source; the
+    appended findings equal the batch findings minus the inherently
+    end-of-stream BINLOG_ONLY check (module docstring explains why that
+    one cannot stream)."""
+    global _STREAM_SINK_SEQ
+    import tempfile
+
+    from ..sources.jsonl import wrap_avro
+    from ..streaming import stream_avro_jsonl, streaming_findings
+
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    binlog = derive_binlog_events(ev)
+    avro_flat = derive_avro_rows(ev).withColumn(
+        "primary_keys", F.array(F.col("database"), F.col("table"))
+    )
+    d = tempfile.mkdtemp(prefix="cdc_stream_avro_")
+    wrap_avro(avro_flat).repartition(4).write.mode("overwrite").json(d)
+    stream = stream_avro_jsonl(spark, d, max_files_per_trigger=1)
+    _STREAM_SINK_SEQ += 1
+    name = f"cdc_findings_stream_sink_{_STREAM_SINK_SEQ}"
+    q = (
+        streaming_findings(binlog, stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name)
+
+
 def _q_events_windowed_stream(spark, sf_dir):
     """Structured Streaming in the driver contract: the events table
     replayed as a file stream through the watermarked windowed
@@ -448,6 +488,32 @@ def _q_media_features(spark, sf_dir):
         F.encode(F.col("text"), "utf-8").alias("content"),
     )
     return image_features(media)
+
+
+def _q_salted_type_stats(spark, sf_dir):
+    """Skew-safe two-phase aggregation as a driver query: event_type
+    has only 5 values (maximal key skew), the textbook salted-agg case.
+    All outputs are exact (count/min/max/integer-sum), so the result is
+    salt-invariant and equals the plain GROUP BY the oracle runs."""
+    from ..functions import salted_aggregate
+
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return salted_aggregate(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("event_id", "count"),
+            "max_value": ("value", "max"),
+            "min_id": ("event_id", "min"),
+            "sum_ids": ("event_id", "sum"),
+        },
+    )
+
+
+def _q_running_windows(spark, sf_dir):
+    ensure_session_conf(spark)
+    return running_windows(load_table(spark, sf_dir, "events"))
 
 
 def _q_media_audio_features(spark, sf_dir):
@@ -545,7 +611,10 @@ def queries() -> dict[str, QueryFn]:
         "ann_cosine_topk_ivf": _q_ann_cosine_topk_ivf,
         "ann_cosine_topk_pandas": _q_ann_cosine_topk_pandas,
         "events_sessionize": _q_events_sessionize,
+        "events_running_windows": _q_running_windows,
+        "events_salted_type_stats": _q_salted_type_stats,
         "events_windowed_stream": _q_events_windowed_stream,
+        "cdc_findings_stream": _q_cdc_findings_stream,
         "q1_pricing_summary": _q_q1,
         "top_revenue_orders": _q_top_revenue,
         "customer_nation_revenue": _q_nation_revenue,
@@ -708,6 +777,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_avro_only": oracle.cdc_avro_only(),
         "cdc_binlog_only": oracle.cdc_binlog_only(),
         "cdc_findings": oracle.cdc_findings(),
+        "cdc_findings_stream": oracle.cdc_findings_stream(),
         "cdc_summary": oracle.cdc_summary(),
         # Roundtrip oracle: the parse pipeline must reproduce the
         # derivation table directly (line_no becomes the per-file event
@@ -1062,6 +1132,23 @@ x AS (
 SELECT user_id, session_id, count(*) AS n_events,
        min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms
 FROM x GROUP BY user_id, session_id""",
+        "events_salted_type_stats": """
+SELECT event_type, count(event_id) AS n_events, max(value) AS max_value,
+       min(event_id) AS min_id, CAST(sum(event_id) AS BIGINT) AS sum_ids
+FROM events GROUP BY event_type""",
+        "events_running_windows": """
+SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+       count(*) OVER cum AS n_events_so_far,
+       max(value) OVER cum AS running_max_value,
+       epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER w AS gap_ms,
+       min(value) OVER last3 AS min_value_3
+FROM events
+WINDOW
+  w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id),
+  cum AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+  last3 AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
         # The streaming query's complete-mode result equals the batch
         # tumbling-window aggregation: 10-minute epoch-aligned windows
         # (Spark F.window aligns to the 1970 epoch, == ms floor-division)
