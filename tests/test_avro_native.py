@@ -250,3 +250,88 @@ def test_codec_truncated_and_unknown_codec_errors():
     bad = blob.replace(b"deflate", b"snappyy", 1)
     with pytest.raises(ValueError, match="codec"):
         decode_container(bad)
+
+
+def test_cross_validated_against_apache_avro_java(spark):
+    """Spec-compliance cross-check against the OFFICIAL Apache Avro
+    implementation (the avro jar on Spark's classpath):
+
+    1. bytes from OUR encoder decode correctly in Java's
+       DataFileReader (proves files we synthesize are standard), and
+    2. bytes from Java's DataFileWriter decode correctly in OUR
+       decoder (proves the engine reads real-world .avro files).
+    """
+    import json
+
+    jvm = spark._jvm
+    rec = {
+        "source_timestamp": 1_704_180_000_123,
+        "source_metadata": {
+            "database": "db1",
+            "table": "t2",
+            "change_type": "INSERT",
+            "gtid": None,
+            "datastream_master_server_uuid": None,
+            "datastream_master_server_id": 42,
+            "binlog_file": "mysql-bin.000001",
+            "binlog_position": 504,
+            "is_deleted": True,
+            "primary_keys": ["id", "k5"],
+        },
+    }
+
+    # direction 1: our encoder -> Java reader
+    blob = encode_container(
+        DATASTREAM_AVRO_SCHEMA, [rec], codec="deflate", sync=SYNC
+    )
+    dfr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.org.apache.avro.file.SeekableByteArrayInput(bytearray(blob)),
+        jvm.org.apache.avro.generic.GenericDatumReader(),
+    )
+    assert dfr.getSchema().getName() == "avro_row"
+    got = []
+    while dfr.hasNext():
+        got.append(json.loads(str(dfr.next())))
+    dfr.close()
+    assert got == [rec]
+
+    # direction 2: Java writer -> our decoder.  The record is built by
+    # Java's own JSON decoder (py4j flattens java.lang.Long to Python
+    # int, so field-wise puts can't carry long types) -- which also
+    # exercises the avro-JSON union wrapping the reference's avro-tools
+    # output uses ({"string": v} / {"long": v} / null).
+    jschema = jvm.org.apache.avro.Schema.Parser().parse(
+        json.dumps(DATASTREAM_AVRO_SCHEMA)
+    )
+    avro_json = json.dumps(
+        {
+            "source_timestamp": 1_704_180_000_123,
+            "source_metadata": {
+                "database": "db1",
+                "table": "t2",
+                "change_type": {"string": "INSERT"},
+                "gtid": None,
+                "datastream_master_server_uuid": None,
+                "datastream_master_server_id": {"long": 42},
+                "binlog_file": {"string": "mysql-bin.000001"},
+                "binlog_position": {"long": 504},
+                "is_deleted": {"boolean": True},
+                "primary_keys": ["id", "k5"],
+            },
+        }
+    )
+    jreader = jvm.org.apache.avro.generic.GenericDatumReader(jschema)
+    jrec = jreader.read(
+        None, jvm.org.apache.avro.io.DecoderFactory.get().jsonDecoder(jschema, avro_json)
+    )
+    baos = jvm.java.io.ByteArrayOutputStream()
+    dfw = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(jschema)
+    )
+    dfw.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+    dfw.create(jschema, baos)
+    dfw.append(jrec)
+    dfw.close()
+    schema, it = decode_container(bytes(baos.toByteArray()))
+    assert schema["name"] == "avro_row"
+    assert list(it) == [rec]
