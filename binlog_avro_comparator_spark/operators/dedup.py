@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.partitioning import spread_small_scan
-from .textstats import TOKEN_RE, word_hash
+from .textstats import TOKEN_RE, gram_array, word_hash
 
 MINHASH_PRIME = 2_147_483_647  # 2^31 - 1 (Mersenne), keeps a*h below 2^62
 MINHASH_K = 16
@@ -52,17 +52,7 @@ def shingles(documents: DataFrame, k: int = 3) -> DataFrame:
     """Distinct word k-gram shingles per document, with the portable
     shingle hash.  (doc_id, shingle, h)"""
     documents = _spread(documents)
-    words = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))
-    n = F.size(words)
-    # Guard: Spark's sequence(1, 0) counts *down* instead of returning
-    # an empty array, so documents shorter than k words need an explicit
-    # empty branch.
-    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
-        F.array().cast("array<int>")
-    )
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(words, i, k))
-    )
+    grams = gram_array(F.col("text"), k)  # shared helper (see textstats)
     return (
         documents.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
         .withColumn("h", word_hash(F.col("shingle")) % MINHASH_PRIME)
@@ -373,6 +363,4 @@ def dedup_keep_canonical(documents: DataFrame, max_iter: int = 15) -> DataFrame:
     small fraction of the corpus)."""
     clusters = dedup_clusters(documents, max_iter=max_iter)
     losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
-    return documents.join(losers, on="doc_id", how="left_anti").select(
-        "doc_id", "lang", "source", "n_chars"
-    )
+    return documents.join(losers, on="doc_id", how="left_anti")

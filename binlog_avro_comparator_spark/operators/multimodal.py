@@ -179,8 +179,10 @@ def _decode_audio(content: bytes) -> tuple[int, int, int, float, str]:
                 w.getsampwidth(),
             )
             raw = w.readframes(n)
-        if width != 2:
-            raise ValueError("only PCM16 real-decoded")
+        if width != 2 or sr <= 0:
+            # non-PCM16 or corrupt header (wave parses framerate=0
+            # without complaint) -> deterministic-fake path
+            raise ValueError("only PCM16 with positive rate real-decoded")
         x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
         rms = float(np.sqrt((x * x).mean())) if x.size else 0.0
         return ch, sr, n, rms, "wave"

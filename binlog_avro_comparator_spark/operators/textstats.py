@@ -35,6 +35,20 @@ def _count_re(col: F.Column, pattern: str) -> F.Column:
     return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
 
 
+def gram_array(text: F.Column, k: int) -> F.Column:
+    """Word k-gram array for a text column (order-preserving, repeats
+    kept).  Shared by shingling (dedup) and repetition scoring.
+    Guard: Spark's sequence(1, 0) counts DOWN instead of returning an
+    empty array, so texts shorter than k words need the explicit empty
+    branch."""
+    words = F.regexp_extract_all(text, F.lit(TOKEN_RE), F.lit(0))
+    n = F.size(words)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
+
+
 def _stopword_re(words: tuple[str, ...]) -> str:
     return r"\b(" + "|".join(words) + r")\b"
 
@@ -239,12 +253,7 @@ def repetition_scores(documents: DataFrame, k: int = 3) -> DataFrame:
     repetition_ratio = (n_grams - n_distinct_grams) / n_grams, 0.0 for
     docs shorter than k words (single exact-int division -> the double
     is engine-deterministic)."""
-    words = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))
-    n = F.size(words)
-    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
-        F.array().cast("array<int>")
-    )
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
+    grams = gram_array(F.col("text"), k)
     total = F.size(grams).cast("long")
     distinct = F.size(F.array_distinct(grams)).cast("long")
     ratio = F.when(total > 0, (total - distinct) / total).otherwise(F.lit(0.0))

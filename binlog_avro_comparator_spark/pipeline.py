@@ -73,8 +73,11 @@ def run_comparison(
     araw = read_avro_jsonl_ordered(spark, avro_jsonl).cache()
     avro = unwrap_avro(araw.filter(araw["_corrupt_record"].isNull()))
 
-    bp = C.prepare_binlog(binlog)
-    ap = C.prepare_avro(avro)
+    # cached: findings, summary, and console are three independent
+    # actions over the same prepared frames -- without the persist each
+    # one re-runs the reads, parse windows, and dedup from scratch
+    bp = C.prepare_binlog(binlog).cache()
+    ap = C.prepare_avro(avro).cache()
     # summary's total_avro_records counts the RAW input including
     # malformed lines (compare_timestamps.go:169,280 counts every line),
     # hence araw (pre-corrupt-filter), not the unwrapped frame

@@ -26,7 +26,7 @@ from typing import Any, Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from ..schemas import AVRO_NATIVE_SCHEMA
 from .avro_codec import decode_container
@@ -83,10 +83,21 @@ def avro_available(spark: SparkSession) -> bool:
 def flatten_probe(df: DataFrame) -> DataFrame:
     """Nested native frame -> flat probe shape.  The ''/0/False
     coalesces mirror Go's zero-values for absent union branches
-    (compare_timestamps.go:67-105)."""
+    (compare_timestamps.go:67-105).
+
+    source_timestamp is normalized to epoch-millis LONG regardless of
+    engine: spark-avro materializes the timestamp-millis logical type
+    as TimestampType, while the pure-Python codec (and the reference's
+    int64 contract, compare_timestamps.go:44) keeps the raw long."""
     sm = "source_metadata"
+    ts_field = next(f for f in df.schema.fields if f.name == "source_timestamp")
+    src_ts = (
+        F.unix_millis(F.col("source_timestamp"))
+        if isinstance(ts_field.dataType, T.TimestampType)
+        else F.col("source_timestamp").cast("long")
+    )
     return df.select(
-        "source_timestamp",
+        src_ts.alias("source_timestamp"),
         F.col(f"{sm}.database").alias("database"),
         F.col(f"{sm}.table").alias("table"),
         F.coalesce(F.col(f"{sm}.change_type"), F.lit("")).alias("change_type"),

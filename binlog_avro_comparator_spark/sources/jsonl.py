@@ -209,12 +209,21 @@ def go_json_lines(parsed: DataFrame) -> DataFrame:
     Pure built-in expressions (map transform + sort + concat): emission
     stays in whole-stage codegen, scan-speed at any corpus size."""
     ex = F.col("extra")
+    # every key the specials map can emit must be excluded here, or
+    # map_concat throws DUPLICATED_MAP_KEY (dedup policy EXCEPTION) on
+    # inputs whose kv lines collide with them.  For 'binlog_file' the
+    # exclusion is exact Go parity (the flush-time set always overwrites
+    # a kv line, json_parser.go:45); for a pathological 'Timestamp:' kv
+    # Go's outcome is line-order-dependent map overwrite -- we let the
+    # Date-derived value win (documented divergence).
     base = F.transform_values(
         F.map_filter(
             ex,
             lambda k, _: ~k.isin(
                 "event_type",
                 "date",
+                "timestamp",
+                "binlog_file",
                 "immediate_commmit_timestamp",
                 "orignal_commmit_timestamp",
             ),

@@ -329,3 +329,28 @@ def test_go_json_lines_byte_exact(spark, tmp_path):
         if line
     )
     assert emitted == sorted(want)
+
+
+def test_go_json_lines_survives_colliding_kv_keys(spark):
+    """kv lines whose normalized keys collide with emitter specials
+    ('Timestamp:', 'Binlog file:') must not crash map_concat; the
+    special wins (binlog_file exactly like Go's flush-time overwrite)."""
+    from binlog_avro_comparator_spark.operators.parse import parse_binlog_text
+    from binlog_avro_comparator_spark.sources.jsonl import go_json_lines
+
+    text = [
+        "=== XIDEvent ===",
+        "Date: 2025-06-01 12:00:01",
+        "Timestamp: 999999",
+        "Binlog file: spoofed-name.000009",
+        "XID: 7",
+    ]
+    lines = spark.createDataFrame(
+        [("real-name.000001", i, s) for i, s in enumerate(text)],
+        "binlog_file string, line_no long, value string",
+    )
+    [row] = go_json_lines(parse_binlog_text(lines)).collect()
+    assert row.value == (
+        '{"binlog_file":"real-name.000001","event_type":"XID",'
+        '"timestamp":"2025-06-01T12:00:01Z","xid":7}'
+    )

@@ -206,3 +206,27 @@ def test_audio_features_real_wav_and_fallback(spark):
     assert r1.rms == 4096 / 32768  # constant amplitude -> exact
     assert rows[2].decoder == "fake-deterministic"
     assert rows[2].sample_rate in (8000, 16000, 44100)
+
+
+def test_audio_zero_rate_wav_falls_back(spark):
+    """A WAV whose header declares framerate=0 parses cleanly in stdlib
+    wave; it must take the deterministic-fake path instead of dividing
+    by zero in the executor."""
+    import io
+    import wave
+
+    from binlog_avro_comparator_spark.operators.multimodal import audio_features
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(1)  # wave refuses 0 at write time; patch below
+        w.writeframes(b"\x00\x00" * 4)
+    blob = bytearray(buf.getvalue())
+    idx = blob.find((1).to_bytes(4, "little"), blob.find(b"fmt "))
+    blob[idx : idx + 4] = (0).to_bytes(4, "little")  # sample rate -> 0
+    media = spark.createDataFrame([(1, "audio", blob, None)], MEDIA_SCHEMA)
+    [row] = audio_features(media).collect()
+    assert row.decoder == "fake-deterministic"
+    assert row.sample_rate > 0
