@@ -171,3 +171,47 @@ def running_windows(events: DataFrame) -> DataFrame:
         (F.col("ts_ms") - F.lag("ts_ms", 1).over(w)).alias("gap_ms"),
         F.min("value").over(last3).alias("min_value_3"),
     )
+
+
+KMV_K = 64
+KMV_SPACE = float(1 << 48)  # word_hash domain
+
+
+def kmv_distinct_users(events: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Distinct-count SKETCH per event type: k-minimum-values (KMV /
+    bottom-k) estimator over the portable 48-bit hash -- the classic
+    fixed-memory distinct sketch (Bar-Yossef et al. 2002), built from
+    plain DataFrame ops.
+
+    Estimate = (k-1) * HASH_SPACE / kth_smallest_hash; groups with
+    fewer than k distinct hashes report exactly.  Unlike
+    approx_count_distinct (whose HLL sketch is engine-internal), every
+    intermediate here is integer-exact and the hash is the shared
+    md5-48bit, so the ESTIMATE itself is reproducible in any engine --
+    the property that makes a sketch auditable across systems.
+
+    Scale shape: distinct (type, hash) pairs -> per-group bottom-k via
+    a rank window over at most |distinct users| rows -> 3-column
+    aggregate.  State per group is k longs, like any bottom-k sketch;
+    merging partial sketches = union + re-rank, which is exactly what
+    the shuffle does."""
+    from .textstats import word_hash
+
+    hashed = events.select(
+        "event_type", word_hash(F.col("user_id").cast("string")).alias("h")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    bottom = hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    agg = bottom.groupBy("event_type").agg(
+        F.count("*").alias("n_kept"),
+        F.max("h").alias("kth_hash"),
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise((k - 1) * F.lit(KMV_SPACE) / F.col("kth_hash"))
+    return agg.select(
+        "event_type",
+        "n_kept",
+        "kth_hash",
+        F.round(est, 4).alias("est_distinct_users"),
+    )

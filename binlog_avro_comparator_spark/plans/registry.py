@@ -25,6 +25,7 @@ from ..operators import compare as C
 from ..operators.analytics import (
     customer_nation_revenue,
     high_value_customers,
+    kmv_distinct_users,
     q1_pricing_summary,
     revenue_rollup,
     running_windows,
@@ -513,6 +514,11 @@ def _q_media_features(spark, sf_dir):
     return image_features(media)
 
 
+def _q_kmv_distinct(spark, sf_dir):
+    ensure_session_conf(spark)
+    return kmv_distinct_users(load_table(spark, sf_dir, "events"))
+
+
 def _q_salted_type_stats(spark, sf_dir):
     """Skew-safe two-phase aggregation as a driver query: event_type
     has only 5 values (maximal key skew), the textbook salted-agg case.
@@ -636,6 +642,7 @@ def queries() -> dict[str, QueryFn]:
         "events_sessionize": _q_events_sessionize,
         "events_running_windows": _q_running_windows,
         "events_salted_type_stats": _q_salted_type_stats,
+        "events_kmv_distinct_users": _q_kmv_distinct,
         "events_windowed_stream": _q_events_windowed_stream,
         "cdc_findings_stream": _q_cdc_findings_stream,
         "q1_pricing_summary": _q_q1,
@@ -1155,6 +1162,29 @@ x AS (
 SELECT user_id, session_id, count(*) AS n_events,
        min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms
 FROM x GROUP BY user_id, session_id""",
+        # KMV sketch twin: identical hash -> identical bottom-k ->
+        # identical estimate (integer-exact until the final division)
+        "events_kmv_distinct_users": """
+WITH hashed AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+  FROM events
+),
+bottom AS (
+  SELECT * FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM hashed
+  ) WHERE rn <= 64
+),
+agg AS (
+  SELECT event_type, count(*) AS n_kept, max(h) AS kth_hash
+  FROM bottom GROUP BY event_type
+)
+SELECT event_type, n_kept, kth_hash,
+       round(CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+                  ELSE 63 * 281474976710656.0 / kth_hash END, 4) AS est_distinct_users
+FROM agg""",
         "events_salted_type_stats": """
 SELECT event_type, count(event_id) AS n_events, max(value) AS max_value,
        min(event_id) AS min_id, CAST(sum(event_id) AS BIGINT) AS sum_ids

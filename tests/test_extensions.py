@@ -459,3 +459,21 @@ def test_dedup_keep_canonical_drops_losers(spark):
     )
     kept = {r.doc_id for r in dedup_keep_canonical(docs).collect()}
     assert kept == {0, 2}
+
+
+def test_kmv_estimate_accuracy_and_exact_smallgroup(spark):
+    """KMV: groups under k report exactly; larger groups estimate
+    within the expected ~1/sqrt(k) relative error band."""
+    from binlog_avro_comparator_spark.operators.analytics import kmv_distinct_users
+
+    rows = [(i, "big", i % 2000) for i in range(6000)]          # 2000 distinct
+    rows += [(10_000 + i, "small", i) for i in range(40)]       # 40 < k
+    ev = spark.createDataFrame(
+        [(eid, None, uid, et, 0.0, None) for eid, et, uid in
+         ((r[0], r[1], r[2]) for r in rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = {r.event_type: r for r in kmv_distinct_users(ev).collect()}
+    assert got["small"].est_distinct_users == 40.0  # exact fallback
+    est = got["big"].est_distinct_users
+    assert abs(est - 2000) / 2000 < 0.4  # ~3 sigma at k=64
