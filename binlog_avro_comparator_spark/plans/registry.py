@@ -514,6 +514,65 @@ def _q_media_features(spark, sf_dir):
     return image_features(media)
 
 
+def _q_asof_purchase(spark, sf_dir):
+    """As-of join: for each click, the user's latest purchase at or
+    before it (union-window construction, operators/joins.py); DuckDB's
+    native ASOF JOIN is the independent oracle."""
+    from ..operators.joins import as_of_join
+
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_millis("ts").alias("ts_ms"), "value"
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts_ms")
+        .agg(
+            F.max("event_id").alias("p_event_id"),
+            F.max_by("value", "event_id").alias("p_value"),
+        )
+        .withColumn("p_ts_ms", F.col("ts_ms"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_ms"
+    )
+    j = as_of_join(
+        clicks, purch, ["user_id"], "ts_ms", ["p_event_id", "p_ts_ms", "p_value"]
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        F.col("__asof.p_event_id").alias("purchase_event_id"),
+        F.col("__asof.p_ts_ms").alias("purchase_ts_ms"),
+        F.col("__asof.p_value").alias("purchase_value"),
+    )
+
+
+def _q_view_click_range(spark, sf_dir):
+    """Banded range join: clicks within 10 minutes after a view by the
+    same user (interval-bucketed equi-join, operators/joins.py)."""
+    from ..operators.joins import range_join_bucketed
+
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_millis("ts").alias("ts_ms")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts_ms"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_ms"
+    )
+    j = range_join_bucketed(views, clicks, ["user_id"], "ts_ms", 0, 600_000)
+    return j.select(
+        F.col("event_id").alias("view_event_id"),
+        F.col("r_event_id").alias("click_event_id"),
+        "user_id",
+        (F.col("r_ts_ms") - F.col("ts_ms")).alias("gap_ms"),
+    )
+
+
 def _q_kmv_distinct(spark, sf_dir):
     ensure_session_conf(spark)
     return kmv_distinct_users(load_table(spark, sf_dir, "events"))
@@ -643,6 +702,8 @@ def queries() -> dict[str, QueryFn]:
         "events_running_windows": _q_running_windows,
         "events_salted_type_stats": _q_salted_type_stats,
         "events_kmv_distinct_users": _q_kmv_distinct,
+        "events_asof_purchase": _q_asof_purchase,
+        "events_view_click_range": _q_view_click_range,
         "events_windowed_stream": _q_events_windowed_stream,
         "cdc_findings_stream": _q_cdc_findings_stream,
         "q1_pricing_summary": _q_q1,
@@ -1162,6 +1223,36 @@ x AS (
 SELECT user_id, session_id, count(*) AS n_events,
        min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms
 FROM x GROUP BY user_id, session_id""",
+        # DuckDB's native ASOF JOIN independently checks the
+        # union-window as-of construction
+        "events_asof_purchase": """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms, value FROM events
+),
+purch AS (
+  SELECT user_id, ts_ms, max(event_id) AS p_event_id,
+         arg_max(value, event_id) AS p_value
+  FROM ev WHERE event_type = 'purchase' GROUP BY user_id, ts_ms
+),
+clicks AS (
+  SELECT event_id, user_id, ts_ms FROM ev WHERE event_type = 'click'
+)
+SELECT c.event_id, c.user_id, c.ts_ms,
+       p.p_event_id AS purchase_event_id,
+       p.ts_ms AS purchase_ts_ms,
+       p.p_value AS purchase_value
+FROM clicks c
+ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND c.ts_ms >= p.ts_ms""",
+        "events_view_click_range": """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+)
+SELECT v.event_id AS view_event_id, c.event_id AS click_event_id,
+       v.user_id, c.ts_ms - v.ts_ms AS gap_ms
+FROM ev v JOIN ev c
+  ON v.user_id = c.user_id
+ AND c.ts_ms >= v.ts_ms AND c.ts_ms < v.ts_ms + 600000
+WHERE v.event_type = 'view' AND c.event_type = 'click'""",
         # KMV sketch twin: identical hash -> identical bottom-k ->
         # identical estimate (integer-exact until the final division)
         "events_kmv_distinct_users": """

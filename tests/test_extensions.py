@@ -477,3 +477,57 @@ def test_kmv_estimate_accuracy_and_exact_smallgroup(spark):
     assert got["small"].est_distinct_users == 40.0  # exact fallback
     est = got["big"].est_distinct_users
     assert abs(est - 2000) / 2000 < 0.4  # ~3 sigma at k=64
+
+
+def test_as_of_join_semantics(spark):
+    """<= semantics (equal ts matches), latest-prior wins, tie broken
+    by tie_col (highest), no-prior-right keeps NULL payload."""
+    from binlog_avro_comparator_spark.operators.joins import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, 50, 50), (1, 100, 100), (1, 150, 150), (2, 10, 10)],
+        "user_id long, event_id long, ts_ms long",
+    )
+    right = spark.createDataFrame(
+        [(1, 900, 100, 1.0), (1, 901, 100, 2.0), (1, 902, 120, 3.0)],
+        "user_id long, rid long, ts_ms long, v double",
+    )
+    out = {
+        r.event_id: r["__asof"]
+        for r in as_of_join(
+            left, right, ["user_id"], "ts_ms", ["rid", "v"], tie_col="rid"
+        ).collect()
+    }
+    assert out[50] is None                    # nothing at or before 50
+    assert out[100].rid == 901                # equal-ts matches; tie -> max rid
+    assert out[150].rid == 902                # latest prior
+    assert out[10] is None                    # other key untouched
+
+
+def test_range_join_bucketed_boundaries(spark):
+    """Band is [lo, hi): lo edge included, hi edge excluded; pairs
+    spanning a bucket boundary are found exactly once."""
+    from binlog_avro_comparator_spark.operators.joins import range_join_bucketed
+
+    left = spark.createDataFrame(
+        [(1, 10, 1000)], "user_id long, event_id long, ts_ms long"
+    )
+    right = spark.createDataFrame(
+        [(1, 20, 1000), (1, 21, 1099), (1, 22, 1100), (1, 23, 999), (2, 24, 1050)],
+        "user_id long, event_id long, ts_ms long",
+    )
+    got = sorted(
+        r.r_event_id
+        for r in range_join_bucketed(
+            left, right, ["user_id"], "ts_ms", 0, 100
+        ).collect()
+    )
+    assert got == [20, 21]  # 1100 excluded (hi), 999 excluded (lo), user 2 excluded
+    # cross-boundary: band [50, 150) from ts=1000 spans two 100-wide buckets
+    got2 = sorted(
+        r.r_event_id
+        for r in range_join_bucketed(
+            left, right, ["user_id"], "ts_ms", 50, 150
+        ).collect()
+    )
+    assert got2 == [21, 22]  # each found exactly once (no dup from explode)
