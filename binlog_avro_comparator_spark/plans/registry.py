@@ -339,6 +339,31 @@ def _q_contamination(spark, sf_dir):
     return contamination_scores(_docs(spark, sf_dir))
 
 
+def _q_corpus_curation(spark, sf_dir):
+    """The whole curation pipeline composed as ONE plan: drop
+    repetitious documents (ratio > 0.2), drop non-canonical near-dup
+    cluster members, drop benchmark-contaminated documents (> 1/3 of
+    shingles leaked), then report per-language survivors.  Everything
+    but the clustering fixpoint is a single lazy Catalyst plan -- the
+    point of building each step as a DataFrame operator."""
+    ensure_session_conf(spark)
+    docs = _docs(spark, sf_dir)
+    rep_ok = repetition_scores(docs).filter(F.col("repetition_ratio") <= 0.2).select(
+        "doc_id"
+    )
+    kept = dedup_keep_canonical(docs).join(rep_ok, on="doc_id")
+    contaminated = (
+        contamination_scores(docs)
+        .filter(F.col("contamination") > 1.0 / 3.0)
+        .select("doc_id")
+    )
+    survivors = kept.join(contaminated, on="doc_id", how="left_anti")
+    return survivors.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 def _q_dedup_clusters(spark, sf_dir):
     ensure_session_conf(spark)
     return dedup_clusters(_docs(spark, sf_dir))
@@ -685,6 +710,7 @@ def queries() -> dict[str, QueryFn]:
         "minhash_lsh_pairs": _q_lsh_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_keep_canonical": _q_dedup_keep_canonical,
+        "corpus_curation_pipeline": _q_corpus_curation,
         "text_clean": _q_clean_text,
         "doc_length_quantiles": _q_length_quantiles,
         "doc_stratified_sample": _q_stratified_sample,
@@ -779,6 +805,52 @@ def _lsh_pairs_sql() -> str:
         f"WITH {_SHINGLE_CTE},\n"
         f"sig AS (SELECT doc_id,\n    {_minhash_aggs()}\nFROM shingle_hashes GROUP BY doc_id)\n"
         f"SELECT DISTINCT doc_a, doc_b FROM (\n{_lsh_band_union()}\n)"
+    )
+
+
+def _corpus_curation_sql() -> str:
+    """Twin of registry._q_corpus_curation: repetition filter +
+    non-canonical-dup drop + contamination drop, composed from the same
+    CTE pieces the individual oracles use."""
+    return (
+        f"WITH RECURSIVE {_SHINGLE_CTE},\n"
+        f"sig AS (SELECT doc_id,\n    {_minhash_aggs()}\nFROM shingle_hashes GROUP BY doc_id),\n"
+        f"pairs AS (SELECT DISTINCT doc_a, doc_b FROM (\n{_lsh_band_union()}\n)),\n"
+        "sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs\n"
+        "        UNION ALL SELECT doc_b, doc_a FROM pairs),\n"
+        "walk(node, reach) AS (\n"
+        "  SELECT src, dst FROM sym\n"
+        "  UNION\n"
+        "  SELECT w.node, s.dst FROM walk w JOIN sym s ON s.src = w.reach\n"
+        "),\n"
+        "losers AS (\n"
+        "  SELECT node AS doc_id FROM walk GROUP BY node\n"
+        "  HAVING least(node, min(reach)) <> node\n"
+        "),\n"
+        "rep AS (\n"
+        "  SELECT doc_id,\n"
+        "         CASE WHEN len(grams) > 0\n"
+        "              THEN (len(grams) - len(list_distinct(grams))) / len(grams)\n"
+        "              ELSE 0.0 END AS ratio\n"
+        "  FROM (SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_transform(\n"
+        "          generate_series(1, len(w) - 2), i -> array_to_string(w[i:i+2], ' '))\n"
+        "        ELSE [] END AS grams FROM doc_words)\n"
+        "),\n"
+        "bench AS (SELECT DISTINCT shingle FROM doc_shingles WHERE doc_id < 10),\n"
+        "contam AS (\n"
+        "  SELECT s.doc_id FROM doc_shingles s LEFT JOIN bench b ON s.shingle = b.shingle\n"
+        "  WHERE s.doc_id >= 10\n"
+        "  GROUP BY s.doc_id\n"
+        "  HAVING sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) / count(*) > 1.0/3.0\n"
+        "),\n"
+        "survivors AS (\n"
+        "  SELECT d.lang, d.n_chars FROM documents d\n"
+        "  JOIN rep ON rep.doc_id = d.doc_id AND rep.ratio <= 0.2\n"
+        "  ANTI JOIN losers l ON d.doc_id = l.doc_id\n"
+        "  ANTI JOIN contam c ON d.doc_id = c.doc_id\n"
+        ")\n"
+        "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars\n"
+        "FROM survivors GROUP BY lang"
     )
 
 
@@ -946,6 +1018,7 @@ FROM events GROUP BY event_type""",
         "minhash_signatures": _minhash_sig_sql(),
         "minhash_lsh_pairs": _lsh_pairs_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
+        "corpus_curation_pipeline": _corpus_curation_sql(),
         "dedup_keep_canonical": (
             "SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d\n"
             "ANTI JOIN (\n"
