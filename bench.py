@@ -49,6 +49,8 @@ EXTRA_QUERIES = [
     "dedup_clusters",
     "events_windowed_stream",
     "cdc_avro_native_scan",
+    "events_asof_purchase",
+    "events_kmv_distinct_users",
 ]
 
 
