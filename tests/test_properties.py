@@ -98,3 +98,56 @@ def test_permutation_invariance(run, seed):
     s1, _, _ = run(seed, n_binlog=40, n_avro=30, permute=False)
     s2, _, _ = run(seed, n_binlog=40, n_avro=30, permute=True)
     assert tuple(s1) == tuple(s2)  # I4
+
+
+def test_as_of_and_range_join_match_bruteforce(spark):
+    """Property: the union-window as-of and the bucketed range join
+    agree with a naive Python reference on randomized inputs."""
+    import random
+
+    from binlog_avro_comparator_spark.operators.joins import (
+        as_of_join,
+        range_join_bucketed,
+    )
+
+    rng = random.Random(13)
+    for trial in range(3):
+        left = [
+            (rng.randrange(4), i, rng.randrange(0, 500))
+            for i in range(60)
+        ]
+        right = [
+            (rng.randrange(4), 1000 + i, rng.randrange(0, 500))
+            for i in range(60)
+        ]
+        ldf = spark.createDataFrame(left, "k long, event_id long, ts_ms long")
+        rdf = spark.createDataFrame(right, "k long, rid long, ts_ms long")
+
+        # brute-force as-of: latest right at-or-before, tie -> max rid
+        def brute_asof(lk, lts):
+            cands = [(ts, rid) for (k, rid, ts) in right if k == lk and ts <= lts]
+            return max(cands)[1] if cands else None
+
+        got = {
+            r.event_id: (r["__asof"].rid if r["__asof"] is not None else None)
+            for r in as_of_join(
+                ldf, rdf, ["k"], "ts_ms", ["rid"], tie_col="rid"
+            ).collect()
+        }
+        want = {eid: brute_asof(k, ts) for (k, eid, ts) in left}
+        assert got == want, f"as-of trial {trial}"
+
+        # brute-force range join on [0, 75)
+        want_pairs = {
+            (eid, rid)
+            for (lk, eid, lts) in left
+            for (rk, rid, rts) in right
+            if lk == rk and lts <= rts < lts + 75
+        }
+        got_pairs = {
+            (r.event_id, r.r_rid)
+            for r in range_join_bucketed(
+                ldf, rdf, ["k"], "ts_ms", 0, 75
+            ).collect()
+        }
+        assert got_pairs == want_pairs, f"range trial {trial}"
