@@ -15,7 +15,7 @@ same arithmetic is expressible in any engine without 64-bit overflow.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.partitioning import spread_small_scan
 
@@ -297,3 +297,74 @@ def contamination_scores(
             F.coalesce(F.sum("__hit"), F.lit(0)) / F.count("*")
         ).alias("contamination"),
     )
+
+
+def shard_assignments(documents: DataFrame, n_shards: int = 32) -> DataFrame:
+    """Training-shard assignment + balance report: documents hash to
+    ``doc_id % n_shards``-free, layout-independent shards via the
+    portable hash, and the output is the per-shard manifest a packing
+    step consumes (doc count, total whitespace tokens, total chars).
+
+    Hash sharding is the scale answer to greedy bin packing: stateless,
+    deterministic under reruns/appends, and balanced to ~1/sqrt(docs
+    per shard) without any sequential pass."""
+    shard = (word_hash(F.col("doc_id").cast("string")) % n_shards).alias("shard")
+    tokens = _count_re(F.col("text"), TOKEN_RE)
+    return (
+        documents.select(shard, tokens.alias("n_tokens"), "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+def quality_deciles(documents: DataFrame) -> DataFrame:
+    """Curriculum binning: documents bucketed into length deciles
+    (decile 1 = longest) -- the bucketing step a curriculum schedule
+    consumes.
+
+    Deliberately NOT ntile(): a global unpartitioned window funnels the
+    corpus through one task (the top-k scale-killer pattern).  Instead
+    the nine exact decile boundaries come from ONE 1-row percentile
+    aggregate, cross-joined back (broadcast of one row), and each doc's
+    decile is a pure per-row comparison -- scan-speed at any corpus
+    size.  Ties at a boundary land in the better (lower) decile; exact
+    R-7 percentiles keep the boundaries engine-identical."""
+    bounds = documents.agg(
+        F.percentile(
+            F.col("n_chars"),
+            F.array(*[F.lit(q / 10.0) for q in range(9, 0, -1)]),
+        ).alias("__bs")
+    )
+    decile = F.lit(1) + F.size(
+        F.filter(F.col("__bs"), lambda b: F.col("n_chars") < b)
+    )
+    return documents.select("doc_id", "lang", "n_chars").crossJoin(
+        F.broadcast(bounds)
+    ).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        decile.alias("decile"),
+    )
+
+
+def corpus_vocab_topk(documents: DataFrame, k: int = 200) -> DataFrame:
+    """Frequency-ranked vocabulary: the top-``k`` whitespace tokens
+    with total counts and dense ids -- the vocab-build step before
+    token-to-id mapping.  Explode + count is one map-side-combined
+    aggregation; the global top-k is orderBy().limit() (planned as
+    TakeOrderedAndProject -- no single-task global window), and the
+    dense rank is a window over only the k survivors."""
+    words = documents.select(
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))
+        ).alias("word")
+    )
+    counts = words.groupBy("word").agg(F.count("*").alias("n"))
+    top = counts.orderBy(F.col("n").desc(), F.col("word").asc()).limit(k)
+    w = Window.orderBy(F.col("n").desc(), F.col("word").asc())
+    return top.withColumn("token_id", F.row_number().over(w))

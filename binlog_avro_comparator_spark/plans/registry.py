@@ -59,11 +59,14 @@ from ..operators.similarity import (
 from ..operators.textstats import (
     clean_text,
     contamination_scores,
+    corpus_vocab_topk,
     fingerprints,
     lang_id,
     length_quantiles,
+    quality_deciles,
     quality_scores,
     repetition_scores,
+    shard_assignments,
     stratified_sample,
     tfidf_top_terms,
     token_stats,
@@ -337,6 +340,21 @@ def _q_repetition(spark, sf_dir):
 def _q_contamination(spark, sf_dir):
     ensure_session_conf(spark)
     return contamination_scores(_docs(spark, sf_dir))
+
+
+def _q_shard_assignments(spark, sf_dir):
+    ensure_session_conf(spark)
+    return shard_assignments(_docs(spark, sf_dir))
+
+
+def _q_quality_deciles(spark, sf_dir):
+    ensure_session_conf(spark)
+    return quality_deciles(_docs(spark, sf_dir))
+
+
+def _q_corpus_vocab(spark, sf_dir):
+    ensure_session_conf(spark)
+    return corpus_vocab_topk(_docs(spark, sf_dir))
 
 
 def _q_corpus_curation(spark, sf_dir):
@@ -711,6 +729,9 @@ def queries() -> dict[str, QueryFn]:
         "dedup_clusters": _q_dedup_clusters,
         "dedup_keep_canonical": _q_dedup_keep_canonical,
         "corpus_curation_pipeline": _q_corpus_curation,
+        "doc_shards": _q_shard_assignments,
+        "doc_quality_deciles": _q_quality_deciles,
+        "corpus_vocab_topk": _q_corpus_vocab,
         "text_clean": _q_clean_text,
         "doc_length_quantiles": _q_length_quantiles,
         "doc_stratified_sample": _q_stratified_sample,
@@ -1019,6 +1040,30 @@ FROM events GROUP BY event_type""",
         "minhash_lsh_pairs": _lsh_pairs_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
         "corpus_curation_pipeline": _corpus_curation_sql(),
+        "doc_shards": f"""
+SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 32 AS shard,
+       count(*) AS n_docs,
+       CAST(sum(len(regexp_extract_all(text, '{_TOKEN_RE_SQL}'))) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1""",
+        # boundary-based deciles (see textstats.quality_deciles: no
+        # global window); quantile_cont == Spark percentile (both R-7)
+        "doc_quality_deciles": """
+WITH bs AS (
+  SELECT quantile_cont(n_chars, [0.9, 0.8, 0.7, 0.6, 0.5, 0.4, 0.3, 0.2, 0.1]) AS b
+  FROM documents
+)
+SELECT doc_id, lang, n_chars,
+       1 + len(list_filter(bs.b, x -> n_chars < x)) AS decile
+FROM documents, bs""",
+        "corpus_vocab_topk": f"""
+WITH counts AS (
+  SELECT w AS word, count(*) AS n
+  FROM (SELECT unnest(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS w FROM documents)
+  GROUP BY w
+),
+top AS (SELECT * FROM counts ORDER BY n DESC, word LIMIT 200)
+SELECT word, n, row_number() OVER (ORDER BY n DESC, word) AS token_id FROM top""",
         "dedup_keep_canonical": (
             "SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d\n"
             "ANTI JOIN (\n"

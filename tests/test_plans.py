@@ -120,3 +120,22 @@ def test_contamination_broadcasts_benchmark(spark):
 
     plan = _plan(contamination_scores(load_table(spark, SF, "documents")))
     assert "BroadcastHashJoin" in plan
+
+
+def test_vocab_topk_is_take_ordered(spark):
+    """Global vocab top-k must plan as TakeOrderedAndProject, not a
+    single-task global window over every distinct word."""
+    from binlog_avro_comparator_spark.operators.textstats import corpus_vocab_topk
+
+    plan = _plan(corpus_vocab_topk(load_table(spark, SF, "documents")))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_quality_deciles_no_global_window(spark):
+    """Decile assignment is boundary-comparison, never a global ntile
+    window; the single-row boundary frame is broadcast."""
+    from binlog_avro_comparator_spark.operators.textstats import quality_deciles
+
+    plan = _plan(quality_deciles(load_table(spark, SF, "documents")))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
