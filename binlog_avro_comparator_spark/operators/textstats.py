@@ -368,3 +368,42 @@ def corpus_vocab_topk(documents: DataFrame, k: int = 200) -> DataFrame:
     top = counts.orderBy(F.col("n").desc(), F.col("word").asc()).limit(k)
     w = Window.orderBy(F.col("n").desc(), F.col("word").asc())
     return top.withColumn("token_id", F.row_number().over(w))
+
+
+def encode_token_ids(
+    documents: DataFrame, vocab: DataFrame | None = None, k: int = 200
+) -> DataFrame:
+    """Token-to-id document encoding against a frequency-ranked vocab
+    (corpus_vocab_topk by default): every whitespace token maps to its
+    dense id, out-of-vocabulary to 0 -- the final text->training-input
+    step after cleaning/dedup/sharding.
+
+    Shape: posexplode tokens, broadcast-join the (bounded, vocab-sized)
+    id table, regroup per document with position-ordered ids.  The only
+    corpus-sized shuffle is the per-doc regroup; ids ride as CSV here
+    because the driver hash compares scalars (real pipelines keep the
+    int array)."""
+    if vocab is None:
+        vocab = corpus_vocab_topk(documents, k)
+    words = documents.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))
+        ).alias("pos", "word"),
+    )
+    joined = words.join(
+        F.broadcast(vocab.select("word", "token_id")), on="word", how="left"
+    )
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("pos"), F.coalesce(F.col("token_id"), F.lit(0)).alias("tid")
+            )
+        )
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.array_join(
+            F.transform(ordered, lambda s: s["tid"].cast("string")), ","
+        ).alias("token_ids_csv"),
+    )

@@ -60,6 +60,7 @@ from ..operators.textstats import (
     clean_text,
     contamination_scores,
     corpus_vocab_topk,
+    encode_token_ids,
     fingerprints,
     lang_id,
     length_quantiles,
@@ -355,6 +356,11 @@ def _q_quality_deciles(spark, sf_dir):
 def _q_corpus_vocab(spark, sf_dir):
     ensure_session_conf(spark)
     return corpus_vocab_topk(_docs(spark, sf_dir))
+
+
+def _q_token_ids(spark, sf_dir):
+    ensure_session_conf(spark)
+    return encode_token_ids(_docs(spark, sf_dir))
 
 
 def _q_corpus_curation(spark, sf_dir):
@@ -732,6 +738,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_shards": _q_shard_assignments,
         "doc_quality_deciles": _q_quality_deciles,
         "corpus_vocab_topk": _q_corpus_vocab,
+        "doc_token_ids": _q_token_ids,
         "text_clean": _q_clean_text,
         "doc_length_quantiles": _q_length_quantiles,
         "doc_stratified_sample": _q_stratified_sample,
@@ -1056,6 +1063,29 @@ WITH bs AS (
 SELECT doc_id, lang, n_chars,
        1 + len(list_filter(bs.b, x -> n_chars < x)) AS decile
 FROM documents, bs""",
+        "doc_token_ids": f"""
+WITH counts AS (
+  SELECT w AS word, count(*) AS n
+  FROM (SELECT unnest(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS w FROM documents)
+  GROUP BY w
+),
+top AS (SELECT * FROM counts ORDER BY n DESC, word LIMIT 200),
+vocab AS (
+  SELECT word, row_number() OVER (ORDER BY n DESC, word) AS token_id FROM top
+),
+words AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS word,
+         generate_subscripts(regexp_extract_all(text, '{_TOKEN_RE_SQL}'), 1) AS pos
+  FROM documents
+),
+joined AS (
+  SELECT doc_id, pos, coalesce(v.token_id, 0) AS tid
+  FROM words LEFT JOIN vocab v USING (word)
+)
+SELECT doc_id, count(*) AS n_tokens,
+       string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos) AS token_ids_csv
+FROM joined GROUP BY doc_id""",
         "corpus_vocab_topk": f"""
 WITH counts AS (
   SELECT w AS word, count(*) AS n

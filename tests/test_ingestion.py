@@ -354,3 +354,52 @@ def test_go_json_lines_survives_colliding_kv_keys(spark):
         '{"binlog_file":"real-name.000001","event_type":"XID",'
         '"timestamp":"2025-06-01T12:00:01Z","xid":7}'
     )
+
+
+def test_go_jsonl_emission_reingests_identically(spark, tmp_path):
+    """Closure: files emitted by write_jsonl_go are valid input for
+    read_binlog_jsonl_ordered and survive the round trip with identical
+    contract columns -- the emitted intermediate file is drop-in
+    compatible with our own E3 path, like the reference's comparator.sh
+    chaining parser output into the comparer."""
+    from binlog_avro_comparator_spark.operators.parse import parse_binlog_text
+    from binlog_avro_comparator_spark.sources.jsonl import (
+        read_binlog_jsonl_ordered,
+        write_jsonl_go,
+    )
+
+    text = [
+        "=== WriteRowsEventV2 ===",
+        "Date: 2025-06-01 12:00:01",
+        "Log position: 5678",
+        "Table: orders",
+        "Schema: shop",
+        "GTID_NEXT: uuid-1:42",
+        "Immediate commmit timestamp: 17490 (2025-06-01T12:00:01.123456789Z)",
+        "=== XIDEvent ===",
+        "Date: 2025-06-01 12:00:02",
+        "Log position: 5700",
+        "XID: 99",
+    ]
+    lines = spark.createDataFrame(
+        [("mysql-bin.000002", i, s) for i, s in enumerate(text)],
+        "binlog_file string, line_no long, value string",
+    )
+    parsed = parse_binlog_text(lines)
+    out = tmp_path / "emitted"
+    write_jsonl_go(parsed, str(out), mode="overwrite")
+    back = read_binlog_jsonl_ordered(spark, str(out))
+    assert back.filter("_corrupt_record is not null").count() == 0
+    cols = [
+        "event_type",
+        "timestamp",
+        "immediate_commmit_timestamp",
+        "log_position",
+        "table",
+        "schema",
+        "gtid_next",
+        "binlog_file",
+    ]
+    orig = sorted(tuple(r) for r in parsed.select(*cols).collect())
+    rt = sorted(tuple(r) for r in back.select(*cols).collect())
+    assert rt == orig
