@@ -177,13 +177,24 @@ def _json_quote(col: F.Column) -> F.Column:
     U+2028/U+2029 rule are applied on top."""
     j = F.to_json(F.array(col))
     frag = j.substr(F.lit(2), F.length(j) - F.lit(2))
-    for ch, esc in [
+    # Go control-char forms differ from Jackson's: Go only shorthands
+    # \t \n \r and writes every other <0x20 byte as lowercase \u00XX,
+    # while Jackson adds \b \f shorthands and uppercases the hex.  The
+    # divergent set is finite -- literal replaces, still codegen'd.
+    repl = [
+        ("\\b", "\\u0008"),
+        ("\\f", "\\u000c"),
         ("&", "\\u0026"),
         ("<", "\\u003c"),
         (">", "\\u003e"),
         (" ", "\\u2028"),
         (" ", "\\u2029"),
-    ]:
+    ] + [
+        (f"\\u{c:04X}", f"\\u{c:04x}")
+        for c in range(0x20)
+        if f"{c:04X}" != f"{c:04x}"  # hex digits A-F present
+    ]
+    for ch, esc in repl:
         frag = F.replace(frag, F.lit(ch), F.lit(esc))
     return frag
 

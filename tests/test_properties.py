@@ -151,3 +151,73 @@ def test_as_of_and_range_join_match_bruteforce(spark):
             ).collect()
         }
         assert got_pairs == want_pairs, f"range trial {trial}"
+
+
+def test_go_json_lines_property_vs_go_model(spark):
+    """Property: for arbitrary kv payloads (unicode, quotes,
+    backslashes, HTML chars, int-like strings, colliding keys), the
+    Spark emitter's bytes equal a direct Python model of Go's
+    json.Marshal(map) algorithm: sorted keys, compact separators,
+    ParseInt-or-string values, HTML escaping."""
+    import json
+    import re
+
+    from hypothesis import given, settings, strategies as st
+
+    from binlog_avro_comparator_spark.operators.parse import parse_binlog_text
+    from binlog_avro_comparator_spark.sources.jsonl import go_json_lines
+
+    SPECIALS = {
+        "event_type", "date", "timestamp", "binlog_file",
+        "immediate_commmit_timestamp", "orignal_commmit_timestamp",
+    }
+    key_st = st.from_regex(r"[a-z_]{1,10}", fullmatch=True)
+    val_st = (
+        st.one_of(
+            st.from_regex(r"[+-]?[0-9]{1,25}", fullmatch=True),
+            st.text(
+                alphabet=st.characters(
+                    codec="utf-8", exclude_characters="\n\r"
+                ),
+                min_size=1,
+                max_size=25,
+            ),
+        )
+        .map(str.strip)
+        .filter(lambda v: v)
+    )
+
+    def go_model(kvs: dict) -> str:
+        m = {
+            "event_type": "Query",
+            "binlog_file": "f1",
+            "timestamp": "2025-06-01T12:00:01Z",
+        }
+        for k, v in kvs.items():
+            if k in SPECIALS:
+                continue
+            if re.fullmatch(r"[+-]?[0-9]+", v) and -(2**63) <= int(v) < 2**63:
+                m[k] = int(v)
+            else:
+                m[k] = v
+        s = json.dumps(m, sort_keys=True, separators=(",", ":"), ensure_ascii=False)
+        # Python shorthands \b \f where Go writes lowercase \u00XX
+        for ch, esc in [("\\b", "\\u0008"), ("\\f", "\\u000c"),
+                        ("&", "\\u0026"), ("<", "\\u003c"), (">", "\\u003e"),
+                        (" ", "\\u2028"), (" ", "\\u2029")]:
+            s = s.replace(ch, esc)
+        return s
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.dictionaries(key_st, val_st, min_size=0, max_size=6))
+    def roundtrip(kvs):
+        text = ["=== QueryEvent ===", "Date: 2025-06-01 12:00:01"]
+        text += [f"{k}: {v}" for k, v in kvs.items()]
+        lines = spark.createDataFrame(
+            [("f1", i, s) for i, s in enumerate(text)],
+            "binlog_file string, line_no long, value string",
+        )
+        [row] = go_json_lines(parse_binlog_text(lines)).collect()
+        assert row.value == go_model(kvs)
+
+    roundtrip()
