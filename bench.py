@@ -60,20 +60,33 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.queries()
-    timings: dict[str, float] = {}
     # warm the JVM/codegen once with the cheapest query so the first
     # measured entry doesn't pay session spin-up
     qs["cdc_summary"](spark, sf_dir).count()
-    for name in BENCH_QUERIES:
-        t0 = time.time()
-        qs[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+
+    def run_set(names: list[str]) -> tuple[dict[str, float], dict[str, float]]:
+        """(first-pass, best-of-N) timings.  The FIRST pass is the
+        headline -- same single-run methodology as the round-1 baseline,
+        so totals stay comparable round-over-round.  The best-of pass
+        (JIT/codegen warm) is reported separately as the steady-state
+        number a long-lived cluster session would see."""
+        runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+        first: dict[str, float] = {}
+        best: dict[str, float] = {}
+        for i in range(max(1, runs)):
+            for name in names:
+                t0 = time.time()
+                qs[name](spark, sf_dir).count()
+                dt = round(time.time() - t0, 3)
+                if i == 0:
+                    first[name] = dt
+                if name not in best or dt < best[name]:
+                    best[name] = dt
+        return first, best
+
+    timings, warm = run_set(BENCH_QUERIES)
     total = round(sum(timings.values()), 3)
-    extra: dict[str, float] = {}
-    for name in EXTRA_QUERIES:
-        t0 = time.time()
-        qs[name](spark, sf_dir).count()
-        extra[name] = round(time.time() - t0, 3)
+    extra, extra_warm = run_set(EXTRA_QUERIES)
     print(
         json.dumps(
             {
@@ -82,6 +95,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "extra_queries": extra,
+                "warm_total": round(sum(warm.values()), 3),
+                "queries_warm": warm,
+                "extra_queries_warm": extra_warm,
                 "sf": sf,
             }
         )
