@@ -1,0 +1,80 @@
+"""Corpus-curation CLI: drive the training-data pipeline over a
+documents parquet from the shell.
+
+  python -m binlog_avro_comparator_spark.curate \\
+      --docs /path/documents.parquet --out /path/cleaned \\
+      [--max-repetition 0.2] [--max-contamination 0.34] [--cpus 8]
+
+Writes the surviving documents (full rows) as parquet under --out and
+prints one JSON summary line.  The filters compose lazily exactly like
+the oracle-checked ``corpus_curation_pipeline`` query; see SCALE.md
+for the shuffle audit of each stage.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    p = argparse.ArgumentParser(prog="binlog_avro_comparator_spark.curate")
+    p.add_argument("--docs", required=True, help="documents parquet path")
+    p.add_argument("--out", required=True, help="output parquet directory")
+    p.add_argument("--max-repetition", type=float, default=0.2)
+    p.add_argument("--max-contamination", type=float, default=1.0 / 3.0)
+    p.add_argument("--benchmark-max-id", type=int, default=10)
+    p.add_argument("--cpus", type=int, default=None)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import dedup_keep_canonical
+    from .operators.textstats import contamination_scores, repetition_scores
+    from .session import get_spark
+
+    # an injected session (tests, notebooks) is the caller's to manage;
+    # only a session we created here gets stopped
+    owns_session = spark is None
+    if owns_session:
+        spark = get_spark("corpus-curate", cpus=args.cpus)
+        spark.sparkContext.setLogLevel("WARN")
+    try:
+        docs = spark.read.parquet(args.docs)
+        total = docs.count()
+        rep_ok = (
+            repetition_scores(docs)
+            .filter(F.col("repetition_ratio") <= args.max_repetition)
+            .select("doc_id")
+        )
+        contaminated = (
+            contamination_scores(docs, benchmark_max_id=args.benchmark_max_id)
+            .filter(F.col("contamination") > args.max_contamination)
+            .select("doc_id")
+        )
+        survivors = (
+            dedup_keep_canonical(docs)
+            .join(rep_ok, on="doc_id")
+            .join(contaminated, on="doc_id", how="left_anti")
+        )
+        survivors.write.mode("overwrite").parquet(args.out)
+        kept = spark.read.parquet(args.out).count()
+        print(
+            json.dumps(
+                {
+                    "total_docs": total,
+                    "kept_docs": kept,
+                    "dropped_docs": total - kept,
+                    "out": args.out,
+                }
+            )
+        )
+        return 0
+    finally:
+        if owns_session:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -335,3 +335,39 @@ def test_cross_validated_against_apache_avro_java(spark):
     schema, it = decode_container(bytes(baos.toByteArray()))
     assert schema["name"] == "avro_row"
     assert list(it) == [rec]
+
+
+def test_decoder_fuzz_corruption_fails_cleanly():
+    """Fuzz: random single-byte corruptions of a valid container must
+    either decode to the original records (corruption hit dead space /
+    was value-neutral) or raise a clean ValueError/EOFError/zlib error
+    -- never hang, never return garbage silently for header/sync
+    damage.  Deflate's checksumless raw stream means a flipped byte
+    INSIDE a compressed block can decode to altered values; the
+    container-level guards (magic, sync, lengths) are what this codec
+    promises, matching the Java implementation's behavior."""
+    import random
+    import zlib
+
+    records = [_rec(i) for i in range(8)]
+    blob = bytearray(
+        encode_container(DATASTREAM_AVRO_SCHEMA, records, codec="null", sync=SYNC)
+    )
+    rng = random.Random(99)
+    clean, errors = 0, 0
+    for _ in range(300):
+        b = bytearray(blob)
+        pos = rng.randrange(len(b))
+        b[pos] ^= 1 << rng.randrange(8)
+        try:
+            schema, it = decode_container(bytes(b))
+            out = list(it)
+        except (ValueError, EOFError, KeyError, IndexError, OverflowError,
+                UnicodeDecodeError, zlib.error):
+            errors += 1
+            continue
+        clean += 1
+        # a successful decode of a corrupted NULL-codec container can
+        # only differ from the original in decoded VALUES, never shape
+        assert len(out) == len(records)
+    assert errors > 0 and clean > 0  # both regimes exercised

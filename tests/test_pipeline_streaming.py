@@ -230,3 +230,25 @@ def test_audio_zero_rate_wav_falls_back(spark):
     [row] = audio_features(media).collect()
     assert row.decoder == "fake-deterministic"
     assert row.sample_rate > 0
+
+
+def test_curate_cli_end_to_end(spark, tmp_path):
+    """The curation CLI writes surviving full rows and reports counts.
+    (Injects the session-scoped SparkSession; the CLI only stops
+    sessions it created itself.)"""
+    from binlog_avro_comparator_spark.curate import main as curate_main
+
+    out = tmp_path / "curated"
+    rc = curate_main(
+        [
+            "--docs",
+            "/root/testdata/sf0.001/documents.parquet",
+            "--out",
+            str(out),
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    kept = spark.read.parquet(str(out))
+    assert 0 < kept.count() <= 500
+    assert "text" in kept.columns  # full rows, payload included
