@@ -242,3 +242,72 @@ def audio_features(media: DataFrame, partitions: int | None = None) -> DataFrame
     return df.select("media_id", "content").mapInPandas(
         _extract, schema=AUDIO_FEATURES_SCHEMA
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+        T.StructField("resized_sha256", T.StringType()),
+        T.StructField("decoder", T.StringType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Resize plumbing: every image re-emitted as a (width x height)
+    payload.  Real path: PIL when importable.  Fallback: DETERMINISTIC
+    FAKE payload (sha256-seeded bytes of the right length) so the
+    Spark-side contract -- binary-in/binary-out mapInPandas, Arrow
+    batches, payload sizes -- is exercised end-to-end without codec
+    libs.  Swapping in a real resampler changes one function."""
+
+    def _resize(content: bytes) -> tuple[bytes, str]:
+        try:
+            import io
+
+            from PIL import Image  # type: ignore
+
+            with Image.open(io.BytesIO(content)) as im:
+                out = io.BytesIO()
+                im.resize((width, height)).save(out, format="PNG")
+                return out.getvalue(), "pil"
+        except Exception:  # noqa: BLE001
+            seed = hashlib.sha256(content + f"{width}x{height}".encode()).digest()
+            reps = (width * height * 3) // len(seed) + 1
+            return (seed * reps)[: width * height * 3], "fake-deterministic"
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                payload, dec = _resize(bytes(content))
+                rows.append(
+                    (
+                        mid,
+                        width,
+                        height,
+                        payload,
+                        hashlib.sha256(payload).hexdigest(),
+                        dec,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "resized",
+                    "resized_sha256",
+                    "decoder",
+                ],
+            )
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "content")
+        .mapInPandas(_run, schema=RESIZED_SCHEMA)
+    )

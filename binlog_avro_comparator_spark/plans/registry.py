@@ -622,6 +622,27 @@ def _q_view_click_range(spark, sf_dir):
     )
 
 
+def _q_events_props_stats(spark, sf_dir):
+    """Semi-structured column handling: ``props`` is a JSON string;
+    schema-on-read ``from_json`` extracts the typed field inline (no
+    second pass, no UDF) and the aggregate runs on the parsed value.
+    The oracle extracts the same field with a regexp so it needs no
+    DuckDB JSON extension."""
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k long")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+        )
+    )
+
+
 def _q_kmv_distinct(spark, sf_dir):
     ensure_session_conf(spark)
     return kmv_distinct_users(load_table(spark, sf_dir, "events"))
@@ -757,6 +778,7 @@ def queries() -> dict[str, QueryFn]:
         "events_salted_type_stats": _q_salted_type_stats,
         "events_kmv_distinct_users": _q_kmv_distinct,
         "events_asof_purchase": _q_asof_purchase,
+        "events_props_stats": _q_events_props_stats,
         "events_view_click_range": _q_view_click_range,
         "events_windowed_stream": _q_events_windowed_stream,
         "cdc_findings_stream": _q_cdc_findings_stream,
@@ -1371,6 +1393,16 @@ x AS (
 SELECT user_id, session_id, count(*) AS n_events,
        min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms
 FROM x GROUP BY user_id, session_id""",
+        "events_props_stats": r"""
+SELECT event_type,
+       count(k) AS n_with_k, min(k) AS min_k, max(k) AS max_k,
+       CAST(sum(k) AS BIGINT) AS sum_k
+FROM (
+  SELECT event_type,
+         TRY_CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS BIGINT) AS k
+  FROM events
+)
+GROUP BY event_type""",
         # DuckDB's native ASOF JOIN independently checks the
         # union-window as-of construction
         "events_asof_purchase": """

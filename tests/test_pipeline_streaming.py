@@ -252,3 +252,21 @@ def test_curate_cli_end_to_end(spark, tmp_path):
     kept = spark.read.parquet(str(out))
     assert 0 < kept.count() <= 500
     assert "text" in kept.columns  # full rows, payload included
+
+
+def test_resize_images_plumbing(spark):
+    """Binary-in/binary-out resize: payload sizes match the target
+    geometry (fake path: 3 bytes/pixel), deterministic across calls."""
+    from binlog_avro_comparator_spark.operators.multimodal import resize_images
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"imgbytes-a"), None), (2, "video", bytearray(b"skip"), None)],
+        MEDIA_SCHEMA,
+    )
+    [r1] = resize_images(media, width=8, height=4).collect()
+    assert (r1.media_id, r1.width, r1.height) == (1, 8, 4)
+    assert len(r1.resized) == 8 * 4 * 3
+    [r2] = resize_images(media, width=8, height=4).collect()
+    assert bytes(r1.resized) == bytes(r2.resized)  # deterministic
+    [r3] = resize_images(media, width=16, height=4).collect()
+    assert bytes(r3.resized) != bytes(r1.resized)  # geometry-dependent
