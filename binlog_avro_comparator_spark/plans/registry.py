@@ -622,6 +622,25 @@ def _q_view_click_range(spark, sf_dir):
     )
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q_events_pivot(spark, sf_dir):
+    """Pivot family: per user-cohort event-type count matrix.  The
+    explicit value list keeps the pivot a single pass (no extra
+    distinct-values job) and makes the output schema static -- the
+    form that scales.  Counts only: integer-exact across engines."""
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("cohort", F.col("user_id") % 10)
+        .groupBy("cohort")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
 def _q_events_props_stats(spark, sf_dir):
     """Semi-structured column handling: ``props`` is a JSON string;
     schema-on-read ``from_json`` extracts the typed field inline (no
@@ -779,6 +798,7 @@ def queries() -> dict[str, QueryFn]:
         "events_kmv_distinct_users": _q_kmv_distinct,
         "events_asof_purchase": _q_asof_purchase,
         "events_props_stats": _q_events_props_stats,
+        "events_type_pivot": _q_events_pivot,
         "events_view_click_range": _q_view_click_range,
         "events_windowed_stream": _q_events_windowed_stream,
         "cdc_findings_stream": _q_cdc_findings_stream,
@@ -1393,6 +1413,15 @@ x AS (
 SELECT user_id, session_id, count(*) AS n_events,
        min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms
 FROM x GROUP BY user_id, session_id""",
+        # pivot == conditional aggregation, the portable SQL twin
+        "events_type_pivot": """
+SELECT user_id % 10 AS cohort,
+       CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS click,
+       CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS error,
+       CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
+       CAST(coalesce(sum(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS BIGINT) AS signup,
+       CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS view
+FROM events GROUP BY 1""",
         "events_props_stats": r"""
 SELECT event_type,
        count(k) AS n_with_k, min(k) AS min_k, max(k) AS max_k,
