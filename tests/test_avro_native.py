@@ -371,3 +371,27 @@ def test_decoder_fuzz_corruption_fails_cleanly():
         # only differ from the original in decoded VALUES, never shape
         assert len(out) == len(records)
     assert errors > 0 and clean > 0  # both regimes exercised
+
+
+def test_flatten_probe_normalizes_timestamp_type(spark):
+    """spark-avro materializes timestamp-millis as TimestampType; the
+    shared projection must emit epoch-millis LONG for that engine too
+    (the pure-Python path's long passes through unchanged)."""
+    import datetime
+
+    from pyspark.sql import functions as F, types as T
+
+    nested_schema = T.StructType(
+        [
+            T.StructField("source_timestamp", T.TimestampType()),
+            AVRO_NATIVE_SCHEMA["source_metadata"],
+        ]
+    )
+    ts = datetime.datetime(2025, 6, 1, 12, 0, 0, 123000, tzinfo=datetime.timezone.utc)
+    nested = spark.createDataFrame(
+        [(ts, ("db", "t", None, None, None, None, None, None, None, []))],
+        nested_schema,
+    )
+    row = flatten_probe(nested).collect()[0]
+    assert row.source_timestamp == 1_748_779_200_123  # epoch millis, long
+    assert flatten_probe(nested).schema["source_timestamp"].dataType.simpleString() == "bigint"
