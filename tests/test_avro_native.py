@@ -395,3 +395,30 @@ def test_flatten_probe_normalizes_timestamp_type(spark):
     row = flatten_probe(nested).collect()[0]
     assert row.source_timestamp == 1_748_779_200_123  # epoch millis, long
     assert flatten_probe(nested).schema["source_timestamp"].dataType.simpleString() == "bigint"
+
+
+def test_avro2json_cli_end_to_end(spark, tmp_path):
+    """E2 parity loop: .avro files -> avro2json CLI -> JSONL that the
+    comparator's typed reader ingests with identical values."""
+    from binlog_avro_comparator_spark.avro2json import main as a2j_main
+    from binlog_avro_comparator_spark.sources.jsonl import (
+        read_avro_jsonl,
+        unwrap_avro,
+    )
+
+    d = tmp_path / "avro"
+    d.mkdir()
+    recs = [_rec(i, null_meta=(i % 3 == 2)) for i in range(9)]
+    (d / "a.avro").write_bytes(encode_container(DATASTREAM_AVRO_SCHEMA, recs[:5], sync=SYNC))
+    (d / "b.avro").write_bytes(encode_container(DATASTREAM_AVRO_SCHEMA, recs[5:], sync=SYNC))
+    out = tmp_path / "avro_rows.json"
+    rc = a2j_main(["--avro-dir", str(d), "--out", str(out)], spark=spark)
+    assert rc == 0
+    assert len(out.read_text().splitlines()) == 9
+    back = unwrap_avro(read_avro_jsonl(spark, str(out)).filter("_corrupt_record is null"))
+    rows = {r.source_timestamp: r for r in back.collect()}
+    assert len(rows) == 9
+    r3 = rows[1_704_180_000_000 + 3]
+    assert (r3.database, r3.binlog_position, r3.gtid) == ("db1", 304, "uuid-0:3")
+    r2 = rows[1_704_180_000_000 + 2]  # null_meta row -> Go zero-values
+    assert (r2.change_type, r2.binlog_position, r2.is_deleted) == ("", 0, False)
