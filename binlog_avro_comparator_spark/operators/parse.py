@@ -37,8 +37,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-HEADER_RE = r"^=== (.+?) ===$"
-KV_RE = r"^([^:]+): (.+)$"
+# (?d) = Java UNIX_LINES: '.' and '$' treat ONLY \n as a line
+# terminator, matching Go's RE2 semantics -- without it a value
+# containing NEL/U+2028/U+2029 fails the match in Java (dropping the
+# kv line) while the reference keeps it.
+HEADER_RE = r"(?d)^=== (.+?) ===$"
+KV_RE = r"(?d)^([^:]+): (.+)$"
 
 # layout (a): "<epoch> (2006-01-02T15:04:05.123456789Z)"  (json_parser.go:103-112)
 PAREN_NANO_RE = r"\(([^)]*Z)\)$"

@@ -181,21 +181,33 @@ def _json_quote(col: F.Column) -> F.Column:
     # \t \n \r and writes every other <0x20 byte as lowercase \u00XX,
     # while Jackson adds \b \f shorthands and uppercases the hex.  The
     # divergent set is finite -- literal replaces, still codegen'd.
-    repl = [
-        ("\\b", "\\u0008"),
-        ("\\f", "\\u000c"),
+    # literal-character replacements first (no escape ambiguity)
+    for ch, esc in [
         ("&", "\\u0026"),
         ("<", "\\u003c"),
         (">", "\\u003e"),
-        (" ", "\\u2028"),
-        (" ", "\\u2029"),
-    ] + [
-        (f"\\u{c:04X}", f"\\u{c:04x}")
-        for c in range(0x20)
-        if f"{c:04X}" != f"{c:04x}"  # hex digits A-F present
-    ]
-    for ch, esc in repl:
+        ("\u2028", "\\u2028"),
+        ("\u2029", "\\u2029"),
+    ]:
         frag = F.replace(frag, F.lit(ch), F.lit(esc))
+    # escape-sequence rewrites must only hit REAL escapes: a literal
+    # backslash was itself escaped to \\\\, so a naive replace of the
+    # two-char sequence \\b would also fire at an escaped-backslash
+    # boundary (value 'a\\bc' -> to_json 'a\\\\bc' must stay '\\\\b', not
+    # become '\\\\u0008').  The regex requires an EVEN run of preceding
+    # backslashes (guarded by a lookbehind), i.e. the b/f/u is the
+    # escape itself, matching Go byte-for-byte.
+    seq_rewrites = [("b", "u0008"), ("f", "u000c")] + [
+        (f"u{c:04X}", f"u{c:04x}")
+        for c in range(0x20)
+        if f"{c:04X}" != f"{c:04x}"
+    ]
+    for suffix, repl_suffix in seq_rewrites:
+        frag = F.regexp_replace(
+            frag,
+            r"(?<!\\)((?:\\\\)*)\\" + suffix,
+            r"$1\\" + repl_suffix,
+        )
     return frag
 
 

@@ -201,11 +201,21 @@ def test_go_json_lines_property_vs_go_model(spark):
             else:
                 m[k] = v
         s = json.dumps(m, sort_keys=True, separators=(",", ":"), ensure_ascii=False)
-        # Python shorthands \b \f where Go writes lowercase \u00XX
-        for ch, esc in [("\\b", "\\u0008"), ("\\f", "\\u000c"),
-                        ("&", "\\u0026"), ("<", "\\u003c"), (">", "\\u003e"),
-                        (" ", "\\u2028"), (" ", "\\u2029")]:
+        # Go writes lowercase \u00XX where Python shorthands \b \f or
+        # uppercases hex; only REAL escapes (even backslash run) rewrite
+        for ch, esc in [("&", "\\u0026"), ("<", "\\u003c"), (">", "\\u003e"),
+                        ("\u2028", "\\u2028"), ("\u2029", "\\u2029")]:
             s = s.replace(ch, esc)
+        s = re.sub(r"(?<!\\)((?:\\\\)*)\\b", lambda mm: mm.group(1) + "\\u0008", s)
+        s = re.sub(r"(?<!\\)((?:\\\\)*)\\f", lambda mm: mm.group(1) + "\\u000c", s)
+        for c in range(0x20):
+            hx, lx = f"{c:04X}", f"{c:04x}"
+            if hx != lx:
+                s = re.sub(
+                    r"(?<!\\)((?:\\\\)*)\\u" + hx,
+                    lambda mm, lx=lx: mm.group(1) + "\\u" + lx,
+                    s,
+                )
         return s
 
     @settings(max_examples=12, deadline=None)
