@@ -25,13 +25,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     p.add_argument("--max-repetition", type=float, default=0.2)
     p.add_argument("--max-contamination", type=float, default=1.0 / 3.0)
     p.add_argument("--benchmark-max-id", type=int, default=10)
+    p.add_argument(
+        "--keep-benchmark",
+        action="store_true",
+        help="keep the benchmark/eval documents themselves in the output "
+        "(default: dropped -- training corpora must exclude eval texts)",
+    )
     p.add_argument("--cpus", type=int, default=None)
     args = p.parse_args(argv)
 
-    from pyspark.sql import functions as F
-
-    from .operators.dedup import dedup_keep_canonical
-    from .operators.textstats import contamination_scores, repetition_scores
+    from .operators.curation import curation_survivors
     from .session import get_spark
 
     # an injected session (tests, notebooks) is the caller's to manage;
@@ -43,20 +46,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     try:
         docs = spark.read.parquet(args.docs)
         total = docs.count()
-        rep_ok = (
-            repetition_scores(docs)
-            .filter(F.col("repetition_ratio") <= args.max_repetition)
-            .select("doc_id")
-        )
-        contaminated = (
-            contamination_scores(docs, benchmark_max_id=args.benchmark_max_id)
-            .filter(F.col("contamination") > args.max_contamination)
-            .select("doc_id")
-        )
-        survivors = (
-            dedup_keep_canonical(docs)
-            .join(rep_ok, on="doc_id")
-            .join(contaminated, on="doc_id", how="left_anti")
+        survivors = curation_survivors(
+            docs,
+            max_repetition=args.max_repetition,
+            max_contamination=args.max_contamination,
+            benchmark_max_id=args.benchmark_max_id,
+            drop_benchmark=not args.keep_benchmark,
         )
         survivors.write.mode("overwrite").parquet(args.out)
         kept = spark.read.parquet(args.out).count()

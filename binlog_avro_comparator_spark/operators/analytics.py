@@ -197,9 +197,11 @@ def kmv_distinct_users(events: DataFrame, k: int = KMV_K) -> DataFrame:
     the shuffle does."""
     from .textstats import word_hash
 
-    hashed = events.select(
-        "event_type", word_hash(F.col("user_id").cast("string")).alias("h")
-    ).distinct()
+    hashed = (
+        events.filter(F.col("user_id").isNotNull())  # NULL is not a user
+        .select("event_type", word_hash(F.col("user_id").cast("string")).alias("h"))
+        .distinct()
+    )
     w = Window.partitionBy("event_type").orderBy("h")
     bottom = hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
     agg = bottom.groupBy("event_type").agg(

@@ -50,7 +50,9 @@ def as_of_join(
     l = left.select(
         *left.columns,
         F.lit(1).alias("__is_left"),
-        F.lit(None).cast("long").alias("__tie"),
+        # null placeholders typed from the right side so unionByName
+        # works for ANY tie/payload column types
+        F.lit(None).cast(r.schema["__tie"].dataType).alias("__tie"),
         F.lit(None).cast(r.schema["__asof"].dataType).alias("__asof"),
     )
     unioned = r.unionByName(l, allowMissingColumns=True)

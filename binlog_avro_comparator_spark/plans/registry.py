@@ -370,18 +370,10 @@ def _q_corpus_curation(spark, sf_dir):
     shingles leaked), then report per-language survivors.  Everything
     but the clustering fixpoint is a single lazy Catalyst plan -- the
     point of building each step as a DataFrame operator."""
+    from ..operators.curation import curation_survivors
+
     ensure_session_conf(spark)
-    docs = _docs(spark, sf_dir)
-    rep_ok = repetition_scores(docs).filter(F.col("repetition_ratio") <= 0.2).select(
-        "doc_id"
-    )
-    kept = dedup_keep_canonical(docs).join(rep_ok, on="doc_id")
-    contaminated = (
-        contamination_scores(docs)
-        .filter(F.col("contamination") > 1.0 / 3.0)
-        .select("doc_id")
-    )
-    survivors = kept.join(contaminated, on="doc_id", how="left_anti")
+    survivors = curation_survivors(_docs(spark, sf_dir))
     return survivors.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
@@ -1468,7 +1460,7 @@ WHERE v.event_type = 'view' AND c.event_type = 'click'""",
 WITH hashed AS (
   SELECT DISTINCT event_type,
          ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
-  FROM events
+  FROM events WHERE user_id IS NOT NULL
 ),
 bottom AS (
   SELECT * FROM (

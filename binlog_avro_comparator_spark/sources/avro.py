@@ -114,30 +114,48 @@ def read_avro_native(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.format("avro").load(f"{path}/*.avro")
 
 
-def read_avro_python(spark: SparkSession, path: str) -> DataFrame:
+def read_avro_python(
+    spark: SparkSession, path: str, with_lineage: bool = False
+) -> DataFrame:
     """S5 fallback: binaryFile listing + Arrow-batched pure-Python
     decode.  One decode task per file; a file is the sequential unit
     (same bound as the reference's per-file avro-tools loop, but files
-    decode concurrently across the cluster instead of serially)."""
+    decode concurrently across the cluster instead of serially).
+
+    ``with_lineage=True`` adds (``__file``, ``__pos``): source file
+    path and the record's 0-based position within it -- the exact
+    ordering of the reference's sequential per-file loop, for
+    consumers that must reproduce it (avro2json)."""
     files = spark.read.format("binaryFile").option("pathGlobFilter", "*.avro").load(path)
+
+    schema = AVRO_NATIVE_SCHEMA
+    if with_lineage:
+        from pyspark.sql import types as _T
+
+        schema = _T.StructType(
+            [_T.StructField("__file", _T.StringType()), _T.StructField("__pos", _T.LongType())]
+            + list(AVRO_NATIVE_SCHEMA.fields)
+        )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for content in pdf["content"]:
+            for fname, content in zip(pdf["path"], pdf["content"]):
                 _, records = decode_container(bytes(content))
                 rows: list[dict[str, Any]] = []
-                for rec in records:
+                for pos, rec in enumerate(records):
                     meta = rec.get("source_metadata") or {}
-                    rows.append(
-                        {
-                            "source_timestamp": rec.get("source_timestamp"),
-                            "source_metadata": {k: meta.get(k) for k in _META_FIELDS},
-                        }
-                    )
+                    row: dict[str, Any] = {
+                        "source_timestamp": rec.get("source_timestamp"),
+                        "source_metadata": {k: meta.get(k) for k in _META_FIELDS},
+                    }
+                    if with_lineage:
+                        row["__file"] = fname
+                        row["__pos"] = pos
+                    rows.append(row)
                 if rows:
                     yield pd.DataFrame(rows)
 
-    return files.select("content").mapInPandas(decode, schema=AVRO_NATIVE_SCHEMA)
+    return files.select("path", "content").mapInPandas(decode, schema=schema)
 
 
 def read_avro_dir(spark: SparkSession, path: str) -> DataFrame:

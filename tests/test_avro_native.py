@@ -414,11 +414,24 @@ def test_avro2json_cli_end_to_end(spark, tmp_path):
     out = tmp_path / "avro_rows.json"
     rc = a2j_main(["--avro-dir", str(d), "--out", str(out)], spark=spark)
     assert rc == 0
-    assert len(out.read_text().splitlines()) == 9
+    emitted = out.read_text().splitlines()
+    assert len(emitted) == 9
+    # reference ordering: files by name, records by in-file position
+    import json as _json
+
+    ts_order = [_json.loads(ln)["source_timestamp"] for ln in emitted]
+    assert ts_order == [1_704_180_000_000 + i for i in range(9)]
+    # null union branches emit literal null, like avro-tools
+    rec2 = _json.loads(emitted[2])
+    assert rec2["source_metadata"]["change_type"] is None
+    assert rec2["source_metadata"]["binlog_position"] is None
+    rec3 = _json.loads(emitted[3])
+    assert rec3["source_metadata"]["change_type"] == {"string": "INSERT"}
+    assert rec3["source_metadata"]["datastream_master_server_id"] == {"long": 42}
     back = unwrap_avro(read_avro_jsonl(spark, str(out)).filter("_corrupt_record is null"))
     rows = {r.source_timestamp: r for r in back.collect()}
     assert len(rows) == 9
     r3 = rows[1_704_180_000_000 + 3]
     assert (r3.database, r3.binlog_position, r3.gtid) == ("db1", 304, "uuid-0:3")
-    r2 = rows[1_704_180_000_000 + 2]  # null_meta row -> Go zero-values
+    r2 = rows[1_704_180_000_000 + 2]  # null branches -> Go zero-values on unwrap
     assert (r2.change_type, r2.binlog_position, r2.is_deleted) == ("", 0, False)

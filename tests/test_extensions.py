@@ -531,3 +531,19 @@ def test_range_join_bucketed_boundaries(spark):
         ).collect()
     )
     assert got2 == [21, 22]  # each found exactly once (no dup from explode)
+
+
+def test_as_of_join_string_tie_col(spark):
+    """tie_col of any orderable type works (null placeholder is typed
+    from the right side)."""
+    from binlog_avro_comparator_spark.operators.joins import as_of_join
+
+    left = spark.createDataFrame([(1, 5, 100)], "k long, event_id long, ts_ms long")
+    right = spark.createDataFrame(
+        [(1, "aa", 100, 1.0), (1, "zz", 100, 2.0)],
+        "k long, tag string, ts_ms long, v double",
+    )
+    [row] = as_of_join(
+        left, right, ["k"], "ts_ms", ["tag", "v"], tie_col="tag"
+    ).collect()
+    assert row["__asof"].tag == "zz"  # highest tie wins

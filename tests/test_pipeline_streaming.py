@@ -252,6 +252,8 @@ def test_curate_cli_end_to_end(spark, tmp_path):
     kept = spark.read.parquet(str(out))
     assert 0 < kept.count() <= 500
     assert "text" in kept.columns  # full rows, payload included
+    # eval/benchmark docs themselves are excluded from training output
+    assert kept.filter("doc_id < 10").count() == 0
 
 
 def test_resize_images_plumbing(spark):
