@@ -364,3 +364,30 @@ def dedup_keep_canonical(documents: DataFrame, max_iter: int = 15) -> DataFrame:
     clusters = dedup_clusters(documents, max_iter=max_iter)
     losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     return documents.join(losers, on="doc_id", how="left_anti")
+
+
+def repeated_span_stats(documents: DataFrame, k: int = 20) -> DataFrame:
+    """Cross-document repeated-span statistics: for each document, how
+    many of its distinct word ``k``-grams appear in at least one OTHER
+    document -- the scalable core of exact-substring deduplication
+    (long verbatim spans shared across documents are the classic
+    memorization / boilerplate signal; k=20 ~ the span length used in
+    the published exact-substring dedup recipe).
+
+    Shape: distinct per-doc spans (hashed to 48 bits -- the shuffle
+    carries a long, not a 20-word string), span document-frequency via
+    one window over the span hash (no self-join), then a per-doc
+    aggregate.  Documents shorter than k words have no spans and are
+    absent, like the other shingle operators."""
+    sh = shingles(documents, k)
+    df_w = Window.partitionBy("h")
+    marked = sh.select(
+        "doc_id", "h", (F.count("*").over(df_w) >= 2).alias("is_repeated")
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("is_repeated").cast("long")).alias("n_repeated"),
+        (F.sum(F.col("is_repeated").cast("long")) / F.count("*")).alias(
+            "repeated_ratio"
+        ),
+    )

@@ -42,6 +42,7 @@ from ..operators.dedup import (
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
+    repeated_span_stats,
     minhash_params,
     simhash_band_slices,
     simhash_fingerprints,
@@ -323,6 +324,11 @@ def _q_length_quantiles(spark, sf_dir):
 def _q_stratified_sample(spark, sf_dir):
     ensure_session_conf(spark)
     return stratified_sample(_docs(spark, sf_dir))
+
+
+def _q_repeated_spans(spark, sf_dir):
+    ensure_session_conf(spark)
+    return repeated_span_stats(_docs(spark, sf_dir))
 
 
 def _q_dedup_keep_canonical(spark, sf_dir):
@@ -766,6 +772,7 @@ def queries() -> dict[str, QueryFn]:
         "minhash_lsh_pairs": _q_lsh_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_keep_canonical": _q_dedup_keep_canonical,
+        "doc_repeated_spans": _q_repeated_spans,
         "corpus_curation_pipeline": _q_corpus_curation,
         "doc_shards": _q_shard_assignments,
         "doc_quality_deciles": _q_quality_deciles,
@@ -1159,6 +1166,27 @@ FROM documents GROUP BY lang""",
 SELECT doc_id, lang, source, n_chars
 FROM documents
 WHERE ('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 10 = 0""",
+        "doc_repeated_spans": rf"""
+WITH doc_words AS (
+  SELECT doc_id, regexp_extract_all(text, '{_TOKEN_RE_SQL}') AS w FROM documents
+),
+doc_spans AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(span), 1, 12))::BIGINT % {MINHASH_PRIME} AS h
+  FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN len(w) >= 20 THEN list_transform(
+        generate_series(1, len(w) - 19), i -> array_to_string(w[i:i+19], ' '))
+      ELSE [] END) AS span
+    FROM doc_words
+  )
+),
+span_df AS (SELECT h, count(*) AS df FROM doc_spans GROUP BY h)
+SELECT d.doc_id, count(*) AS n_spans,
+       CAST(sum(CASE WHEN s.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
+       sum(CASE WHEN s.df >= 2 THEN 1 ELSE 0 END) / count(*) AS repeated_ratio
+FROM doc_spans d JOIN span_df s USING (h)
+GROUP BY d.doc_id""",
         "doc_repetition": rf"""
 WITH doc_words AS (
   SELECT doc_id, regexp_extract_all(text, '{_TOKEN_RE_SQL}') AS w FROM documents

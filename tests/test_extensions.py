@@ -547,3 +547,25 @@ def test_as_of_join_string_tie_col(spark):
         left, right, ["k"], "ts_ms", ["tag", "v"], tie_col="tag"
     ).collect()
     assert row["__asof"].tag == "zz"  # highest tie wins
+
+
+def test_repeated_span_stats_hand_computed(spark):
+    from binlog_avro_comparator_spark.operators.dedup import repeated_span_stats
+
+    base = " ".join(f"w{i}" for i in range(25))
+    docs = _docs(
+        spark,
+        [
+            base + " tail one",          # shares the 25-word prefix spans
+            base + " tail two",          # with doc 0
+            " ".join(f"u{i}" for i in range(30)),  # all spans unique
+            "too short",                  # < 20 words -> absent
+        ],
+    )
+    rows = {r.doc_id: r for r in repeated_span_stats(docs, k=20).collect()}
+    assert set(rows) == {0, 1, 2}
+    # docs 0/1: 27 words -> 8 spans each; spans 1-7 all fall within the
+    # shared "w0..w24 tail" prefix (27th word differs), span 8 doesn't
+    assert (rows[0].n_spans, rows[0].n_repeated) == (8, 7)
+    assert rows[0].repeated_ratio == 7 / 8
+    assert (rows[2].n_repeated, rows[2].repeated_ratio) == (0, 0.0)
