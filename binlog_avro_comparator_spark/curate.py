@@ -31,6 +31,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         help="keep the benchmark/eval documents themselves in the output "
         "(default: dropped -- training corpora must exclude eval texts)",
     )
+    p.add_argument(
+        "--partition-by",
+        default=None,
+        help="column to partition the output parquet by (e.g. lang) -- "
+        "the layout a per-language training mixture reads selectively",
+    )
     p.add_argument("--cpus", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -53,7 +59,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             benchmark_max_id=args.benchmark_max_id,
             drop_benchmark=not args.keep_benchmark,
         )
-        survivors.write.mode("overwrite").parquet(args.out)
+        writer = survivors.write.mode("overwrite")
+        if args.partition_by:
+            writer = writer.partitionBy(args.partition_by)
+        writer.parquet(args.out)
         kept = spark.read.parquet(args.out).count()
         print(
             json.dumps(

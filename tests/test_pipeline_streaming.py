@@ -254,6 +254,17 @@ def test_curate_cli_end_to_end(spark, tmp_path):
     assert "text" in kept.columns  # full rows, payload included
     # eval/benchmark docs themselves are excluded from training output
     assert kept.filter("doc_id < 10").count() == 0
+    # partitioned layout variant
+    out2 = tmp_path / "curated_by_lang"
+    rc2 = curate_main(
+        ["--docs", "/root/testdata/sf0.001/documents.parquet",
+         "--out", str(out2), "--partition-by", "lang"],
+        spark=spark,
+    )
+    assert rc2 == 0
+    langs = {p.name.split("=")[1] for p in out2.glob("lang=*")}
+    assert len(langs) >= 2  # hive-partitioned by language
+    assert spark.read.parquet(str(out2)).count() == kept.count()
 
 
 def test_resize_images_plumbing(spark):
