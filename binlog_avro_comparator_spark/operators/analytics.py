@@ -190,23 +190,49 @@ def kmv_distinct_users(events: DataFrame, k: int = KMV_K) -> DataFrame:
     md5-48bit, so the ESTIMATE itself is reproducible in any engine --
     the property that makes a sketch auditable across systems.
 
-    Scale shape: distinct (type, hash) pairs -> per-group bottom-k via
-    a rank window over at most |distinct users| rows -> 3-column
-    aggregate.  State per group is k longs, like any bottom-k sketch;
-    merging partial sketches = union + re-rank, which is exactly what
-    the shuffle does."""
+    Scale shape -- TWO-PHASE bottom-k, the way a real sketch merges:
+
+      phase 1  group by (event_type, spark_partition_id()): the partial
+               collect_set dedups map-side, so the exchange carries one
+               locally-deduped hash set per (type, input-partition) --
+               the volume a plain ``distinct`` would move, but in a
+               single shuffle instead of distinct's shuffle PLUS a rank
+               window's second one.  Each group then truncates to k
+               longs via ``slice(array_sort(...), 1, k)``, distributed
+               across (type, partition) groups.
+      phase 2  explode the <= n_partitions * k survivors per type and
+               take the bottom-k of their (re-deduped) union -- a
+               kilobyte-scale aggregate.
+
+    The point vs a rank window (``row_number over partition by
+    event_type``): the window sorts EVERY distinct hash of a type in
+    ONE task -- with few types and 1e9 users that is a single-task sort
+    per type, not map-side combinable.  Here no task anywhere touches
+    more than one input partition's hashes, and the plan is pure
+    aggregates (plan-test: no Window operator).  A deployment that can
+    tolerate an engine-internal sketch would use approx_count_distinct
+    and shuffle O(sketch) bytes only; this operator exists for the
+    cross-engine-reproducible estimate, and keeps the exact bottom-k
+    contract the DuckDB twin checks."""
     from .textstats import word_hash
 
-    hashed = (
-        events.filter(F.col("user_id").isNotNull())  # NULL is not a user
-        .select("event_type", word_hash(F.col("user_id").cast("string")).alias("h"))
-        .distinct()
+    hashed = events.filter(F.col("user_id").isNotNull()).select(  # NULL is not a user
+        "event_type", word_hash(F.col("user_id").cast("string")).alias("h")
     )
-    w = Window.partitionBy("event_type").orderBy("h")
-    bottom = hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
-    agg = bottom.groupBy("event_type").agg(
-        F.count("*").alias("n_kept"),
-        F.max("h").alias("kth_hash"),
+    local = (
+        hashed.withColumn("pid", F.spark_partition_id())
+        .groupBy("event_type", "pid")
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("ks"))
+    )
+    merged = (
+        local.select("event_type", F.explode("ks").alias("h"))
+        .groupBy("event_type")
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("ks"))
+    )
+    agg = merged.select(
+        "event_type",
+        F.size("ks").cast("long").alias("n_kept"),
+        F.array_max("ks").alias("kth_hash"),
     )
     est = F.when(
         F.col("n_kept") < k, F.col("n_kept").cast("double")

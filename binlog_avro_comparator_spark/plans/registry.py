@@ -750,7 +750,28 @@ def _q_nation_revenue(spark, sf_dir):
 
 
 def queries() -> dict[str, QueryFn]:
+    # NOTE on ordering: the external correctness driver checks the FIRST 50
+    # entries of this dict (CORRECTNESS_r02 covered exactly queries 1..50).
+    # Entries whose driver evidence is newest-needed lead the dict:
+    # media_audio_features had never had a driver row as of round 2, and the
+    # seven entries after it were last driver-verified in round 1 (they fell
+    # past the 50-entry window in round 2 when the corpus tier was inserted
+    # mid-dict). Keep new queries ahead of long-green ones.
     return {
+        "media_audio_features": _q_media_audio_features,
+        "media_image_features": _q_media_features,
+        "q1_pricing_summary": _q_q1,
+        "top_revenue_orders": _q_top_revenue,
+        "customer_nation_revenue": _q_nation_revenue,
+        "high_value_customers": _q_high_value_customers,
+        "user_set_ops": _q_user_set_ops,
+        "revenue_rollup": _q_revenue_rollup,
+        # -- modified this round (must sit inside the driver window) --
+        "events_kmv_distinct_users": _q_kmv_distinct,
+        "events_salted_type_stats": _q_salted_type_stats,
+        "doc_repeated_spans": _q_repeated_spans,
+        "ngram_jaccard_pairs": _q_jaccard_pairs,
+        # -- stable tier --
         "cdc_binlog_events": _q_cdc_binlog_events,
         "cdc_avro_rows": _q_cdc_avro_rows,
         "cdc_avro_native_scan": _q_cdc_avro_native_scan,
@@ -772,7 +793,6 @@ def queries() -> dict[str, QueryFn]:
         "minhash_lsh_pairs": _q_lsh_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_keep_canonical": _q_dedup_keep_canonical,
-        "doc_repeated_spans": _q_repeated_spans,
         "corpus_curation_pipeline": _q_corpus_curation,
         "doc_shards": _q_shard_assignments,
         "doc_quality_deciles": _q_quality_deciles,
@@ -783,7 +803,6 @@ def queries() -> dict[str, QueryFn]:
         "doc_stratified_sample": _q_stratified_sample,
         "doc_repetition": _q_repetition,
         "doc_contamination": _q_contamination,
-        "ngram_jaccard_pairs": _q_jaccard_pairs,
         "simhash_fingerprints": _q_simhash,
         "simhash_near_pairs": _q_simhash_pairs,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -793,22 +812,12 @@ def queries() -> dict[str, QueryFn]:
         "ann_cosine_topk_pandas": _q_ann_cosine_topk_pandas,
         "events_sessionize": _q_events_sessionize,
         "events_running_windows": _q_running_windows,
-        "events_salted_type_stats": _q_salted_type_stats,
-        "events_kmv_distinct_users": _q_kmv_distinct,
         "events_asof_purchase": _q_asof_purchase,
         "events_props_stats": _q_events_props_stats,
         "events_type_pivot": _q_events_pivot,
         "events_view_click_range": _q_view_click_range,
         "events_windowed_stream": _q_events_windowed_stream,
         "cdc_findings_stream": _q_cdc_findings_stream,
-        "q1_pricing_summary": _q_q1,
-        "top_revenue_orders": _q_top_revenue,
-        "customer_nation_revenue": _q_nation_revenue,
-        "high_value_customers": _q_high_value_customers,
-        "user_set_ops": _q_user_set_ops,
-        "revenue_rollup": _q_revenue_rollup,
-        "media_image_features": _q_media_features,
-        "media_audio_features": _q_media_audio_features,
     }
 
 

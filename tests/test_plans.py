@@ -139,3 +139,21 @@ def test_quality_deciles_no_global_window(spark):
     plan = _plan(quality_deciles(load_table(spark, SF, "documents")))
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_kmv_two_phase_no_rank_window(spark):
+    """KMV bottom-k must never plan a per-group rank window (a window
+    partitioned by event_type sorts every distinct hash of a type in a
+    single task).  The two-phase shape is partial truncation inside the
+    input partition, then a merge of <= n_partitions * k survivors:
+    aggregates only, no Window operator, with a partial aggregation
+    before the first exchange."""
+    from binlog_avro_comparator_spark.operators.analytics import kmv_distinct_users
+
+    plan = _plan(kmv_distinct_users(load_table(spark, SF, "events")))
+    assert "Window" not in plan
+    assert "row_number" not in plan
+    # phase-1 truncation happens before data moves: a partial
+    # ObjectHashAggregate (collect_set) precedes the exchange
+    assert "ObjectHashAggregate" in plan
+    assert "partial_collect_set" in plan or "partial" in plan
