@@ -232,13 +232,16 @@ def jaccard_pairs(
     """Exact word-k-gram Jaccard for candidate pairs that share at least
     one *rare* shingle (document frequency <= max_df)."""
     sh = shingles(documents, k).select("doc_id", "shingle").cache()
-    # doc-frequency as a window count: one shuffle on shingle, no join
-    # back (vs groupBy + re-join), and the same shuffle already
-    # co-locates rows for the candidate self-join below
-    rare = (
-        sh.withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
-        .filter(F.col("df") <= max_df)
-        .drop("df")
+    # doc-frequency via groupBy + join-back, NOT a count window: the
+    # partial HashAggregate combines map-side, so a boilerplate shingle
+    # present in millions of documents costs one long per input
+    # partition on the wire -- a `count(*) over (partition by shingle)`
+    # would instead funnel every one of those rows through a single
+    # window task.  The join-back keys are the same hot keys, but a
+    # join is AQE-skew-splittable; a window partition is not.
+    shingle_df = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    rare = sh.join(
+        shingle_df.filter(F.col("df") <= max_df).select("shingle"), on="shingle"
     )
     cand = (
         rare.alias("l")
@@ -375,14 +378,20 @@ def repeated_span_stats(documents: DataFrame, k: int = 20) -> DataFrame:
     the published exact-substring dedup recipe).
 
     Shape: distinct per-doc spans (hashed to 48 bits -- the shuffle
-    carries a long, not a 20-word string), span document-frequency via
-    one window over the span hash (no self-join), then a per-doc
+    carries a long, not a 20-word string); span document-frequency via
+    ``groupBy(h).count()`` + join-back, NOT a count window -- the
+    partial aggregate combines map-side, so a boilerplate span shared
+    by 1% of a web corpus ships one long per input partition instead of
+    routing millions of rows through a single window-partition task,
+    and the hot-key join-back is AQE-skew-splittable.  Then a per-doc
     aggregate.  Documents shorter than k words have no spans and are
     absent, like the other shingle operators."""
-    sh = shingles(documents, k)
-    df_w = Window.partitionBy("h")
-    marked = sh.select(
-        "doc_id", "h", (F.count("*").over(df_w) >= 2).alias("is_repeated")
+    # cached: both the df aggregate and the join-back scan it, and AQE's
+    # broadcast conversion would otherwise defeat exchange reuse
+    sh = shingles(documents, k).select("doc_id", "h").cache()
+    span_df = sh.groupBy("h").agg(F.count("*").alias("span_df"))
+    marked = sh.join(span_df, on="h").select(
+        "doc_id", (F.col("span_df") >= 2).alias("is_repeated")
     )
     return marked.groupBy("doc_id").agg(
         F.count("*").alias("n_spans"),

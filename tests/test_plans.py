@@ -141,6 +141,23 @@ def test_quality_deciles_no_global_window(spark):
     assert "BroadcastNestedLoopJoin" in plan
 
 
+def test_span_df_no_count_window(spark):
+    """Span/shingle document frequency must be a map-side-combinable
+    groupBy + join-back, never `count(*) over (partition by h)` -- a
+    window partition funnels every row of a hot (boilerplate) span
+    through one task with no partial aggregation."""
+    from binlog_avro_comparator_spark.operators.dedup import (
+        jaccard_pairs,
+        repeated_span_stats,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    for df in (repeated_span_stats(docs), jaccard_pairs(docs)):
+        plan = _plan(df)
+        assert "Window" not in plan
+        assert "partial_count" in plan
+
+
 def test_kmv_two_phase_no_rank_window(spark):
     """KMV bottom-k must never plan a per-group rank window (a window
     partitioned by event_type sorts every distinct hash of a type in a
