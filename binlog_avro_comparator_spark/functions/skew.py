@@ -34,10 +34,18 @@ def salted_aggregate(
 
     ``aggs`` maps output column -> (input column, fn) with fn in
     {sum, count, min, max}.  count merges with sum in phase 2.
+
+    The salt is ``pmod(hash(every column), n_salts)`` -- deterministic
+    row-for-row (same input -> same salt -> same phase-1 partials on any
+    rerun or recomputed partition), unlike a rand() salt, while still
+    spreading a hot KEY's rows across salts because the hash covers the
+    non-key columns too.  Fully duplicate rows co-locate on one salt,
+    which only narrows spread if a key's rows are mostly identical --
+    harmless for algebraic aggregates.
     """
     merge_fn = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
     salted = df.withColumn(
-        SALT_COL, (F.rand(seed=7) * n_salts).cast("int")
+        SALT_COL, F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts))
     )
     phase1 = salted.groupBy(*keys, SALT_COL).agg(
         *[
