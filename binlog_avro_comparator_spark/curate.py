@@ -59,11 +59,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             benchmark_max_id=args.benchmark_max_id,
             drop_benchmark=not args.keep_benchmark,
         )
+        # count BEFORE writing (cached so the pipeline runs once): with
+        # aggressive thresholds zero docs can survive, Spark then writes
+        # no part files and a read-back of the empty dir would raise a
+        # schema-inference error after an otherwise successful write
+        survivors = survivors.persist()
+        kept = survivors.count()
         writer = survivors.write.mode("overwrite")
         if args.partition_by:
             writer = writer.partitionBy(args.partition_by)
         writer.parquet(args.out)
-        kept = spark.read.parquet(args.out).count()
+        survivors.unpersist()
         print(
             json.dumps(
                 {

@@ -82,12 +82,22 @@ def range_join_bucketed(
     width = hi_ms - lo_ms
     if width <= 0:
         raise ValueError("range_join_bucketed: need hi_ms > lo_ms")
+
+    def floor_bucket(col):
+        # floor division, exact in integer arithmetic: pmod is always
+        # non-negative, so (x - pmod(x, w)) is the largest multiple of w
+        # <= x even for negative x.  A bare (x / w).cast('long') would
+        # truncate toward zero and put negative timestamps on opposite
+        # sides of zero into inconsistent buckets, silently dropping
+        # valid pairs.
+        return ((col - F.pmod(col, F.lit(width))) / width).cast("long")
+
     rb = right.select(
         *[F.col(c).alias(f"r_{c}") for c in right.columns],
-        (F.col(ts_col) / width).cast("long").alias("__bucket"),
+        floor_bucket(F.col(ts_col)).alias("__bucket"),
     )
-    lo_b = ((F.col(ts_col) + lo_ms) / width).cast("long")
-    hi_b = ((F.col(ts_col) + hi_ms - 1) / width).cast("long")
+    lo_b = floor_bucket(F.col(ts_col) + lo_ms)
+    hi_b = floor_bucket(F.col(ts_col) + hi_ms - 1)
     lb = left.withColumn(
         "__bucket", F.explode(F.array_distinct(F.array(lo_b, hi_b)))
     )

@@ -47,6 +47,17 @@ def read_binlog_jsonl_ordered(spark: SparkSession, path: str) -> DataFrame:
     order for rotated logs -- via a broadcast-joined file ordinal, and
     ``line_no = file_ord * 2^40 + position`` keeps the combined ordinal
     a single sortable BIGINT (8M files x 1T lines headroom).
+
+    SIZE CEILING (wholetext): each file materializes as ONE row -- a
+    single JVM string (hard ~2 GB value limit; practically keep files
+    <= a few hundred MB so the per-task line array fits executor
+    memory).  That matches the domain: binlog/CDC logs are rotated at
+    fixed sizes (MySQL max_binlog_size caps at 1 GB), and line order is
+    only meaningful per rotated file.  For huge UNORDERED inputs use
+    read_binlog_jsonl, which is block-splittable; an exact dense line
+    ordinal fundamentally requires a sequential pass per file, so the
+    ceiling is inherent to "order as data", not an implementation
+    accident.
     """
     raw = spark.read.text(path, wholetext=True)
     lines = (
@@ -80,7 +91,10 @@ def read_avro_jsonl_ordered(spark: SparkSession, path: str) -> DataFrame:
     reference's ``lineNum`` (compare_timestamps.go:169) that its console
     report quotes per finding.  Same wholetext+posexplode mechanism as
     read_binlog_jsonl_ordered (one task per file; multi-file ordered by
-    file name via a broadcast ordinal)."""
+    file name via a broadcast ordinal) -- including its per-file size
+    ceiling (one JVM string per file, ~2 GB hard / few-hundred-MB
+    practical; see that docstring).  Use read_avro_jsonl for large
+    inputs where line numbers aren't needed."""
     raw = spark.read.text(path, wholetext=True)
     lines = raw.select(
         F.posexplode(F.split(F.col("value"), "\n")).alias("__idx", "__line"),

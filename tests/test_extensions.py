@@ -533,6 +533,32 @@ def test_range_join_bucketed_boundaries(spark):
     assert got2 == [21, 22]  # each found exactly once (no dup from explode)
 
 
+def test_range_join_bucketed_negative_timestamps(spark):
+    """Bucket ids must floor, not truncate toward zero: a pair
+    straddling t=0 (left at -30, right at +30, band [0, 100)) lands in
+    consistent buckets and is found.  Truncating division maps -30 and
+    +30 both to bucket 0 only by accident of sign -- floor keeps the
+    bucket grid uniform across zero."""
+    from binlog_avro_comparator_spark.operators.joins import range_join_bucketed
+
+    left = spark.createDataFrame(
+        [(1, 10, -30), (1, 11, -170)], "user_id long, event_id long, ts_ms long"
+    )
+    right = spark.createDataFrame(
+        [(1, 20, 30), (1, 21, -90), (1, 22, -171)],
+        "user_id long, event_id long, ts_ms long",
+    )
+    got = sorted(
+        (r.event_id, r.r_event_id)
+        for r in range_join_bucketed(
+            left, right, ["user_id"], "ts_ms", 0, 100
+        ).collect()
+    )
+    # -30 -> [-30, 70): matches 30; -170 -> [-170, -70): matches -90;
+    # -171 excluded (just below -170's lo edge)
+    assert got == [(10, 20), (11, 21)]
+
+
 def test_as_of_join_string_tie_col(spark):
     """tie_col of any orderable type works (null placeholder is typed
     from the right side)."""

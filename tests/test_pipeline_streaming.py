@@ -267,6 +267,21 @@ def test_curate_cli_end_to_end(spark, tmp_path):
     assert spark.read.parquet(str(out2)).count() == kept.count()
 
 
+def test_curate_cli_zero_survivors(spark, tmp_path):
+    """Aggressive thresholds can drop every document; the CLI must
+    still exit 0 and report kept_docs=0 instead of crashing on a
+    read-back of an empty parquet directory."""
+    from binlog_avro_comparator_spark.curate import main as curate_main
+
+    out = tmp_path / "curated_none"
+    rc = curate_main(
+        ["--docs", "/root/testdata/sf0.001/documents.parquet",
+         "--out", str(out), "--max-repetition", "-1.0"],
+        spark=spark,
+    )
+    assert rc == 0
+
+
 def test_resize_images_plumbing(spark):
     """Binary-in/binary-out resize: payload sizes match the target
     geometry (fake path: 3 bytes/pixel), deterministic across calls."""
