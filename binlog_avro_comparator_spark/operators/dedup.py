@@ -45,6 +45,56 @@ def minhash_params(k: int = MINHASH_K) -> list[tuple[int, int]]:
     return [(2 * i + 3, 7 * i + 1) for i in range(k)]
 
 
+def bands_for_corpus(
+    corpus_rows: int,
+    threshold: float = 0.7,
+    bg_jaccard: float = 0.1,
+    target_candidate_fanout: float = 1.0,
+    min_rows: int = 2,
+    max_rows: int = 16,
+    max_bands: int = 64,
+) -> tuple[int, int]:
+    """(bands, rows) sized to the corpus -- the MinHash twin of
+    similarity.planes_for_corpus (the fixed 4x4 default is a test-scale
+    setting; at 100 TB the band key MUST lengthen or false candidates
+    go quadratic).
+
+    Candidate-volume math.  A random (non-near-dup) pair with background
+    Jaccard ``bg`` collides in one band of ``rows`` minhashes with
+    probability ~ bg^rows, so each document expects
+    ``corpus_rows * bands * bg^rows`` false candidates.  Holding that at
+    ``target_candidate_fanout`` per band gives
+
+        rows = ceil( ln(corpus_rows / fanout) / ln(1 / bg) )
+
+    -- logarithmic in corpus size, exactly how planes_for_corpus grows
+    log2(corpus/target).  Examples (bg=0.1, fanout=1): 1e6 docs -> 6
+    rows, 1e9 -> 9, 1e11 (a ~100 TB web corpus) -> 11.
+
+    Recall.  A true pair at similarity s survives some band with
+    p = 1-(1-s^rows)^bands; the S-curve midpoint sits near
+    (1/bands)^(1/rows), so we pick ``bands = round(threshold^-rows)``
+    to center the curve on the design threshold.  Longer band keys
+    therefore cost signature width: K = bands*rows minhashes (1e9 docs
+    at threshold 0.8 -> rows=9, bands=8, K=72 -- the real price of
+    high-corpus LSH, paid in map-side hashing, never in shuffle
+    volume, which stays `bands` longs per doc).  minhash_signatures
+    accepts any k, and lsh_candidate_pairs passes bands*rows through.
+    """
+    import math
+
+    if corpus_rows <= 0:
+        return LSH_BANDS, LSH_ROWS
+    raw_rows = math.ceil(
+        math.log(max(corpus_rows / target_candidate_fanout, 1.0))
+        / math.log(1.0 / bg_jaccard)
+    )
+    rows = max(min_rows, min(max_rows, raw_rows))
+    raw_bands = round(threshold ** (-rows))
+    bands = max(1, min(max_bands, raw_bands))
+    return bands, rows
+
+
 _spread = spread_small_scan  # see functions/partitioning.py for the guard
 
 
@@ -70,7 +120,11 @@ def minhash_signatures(documents: DataFrame, k: int = MINHASH_K) -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    documents: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+    documents: DataFrame,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    corpus_rows: int | None = None,
+    threshold: float = 0.7,
 ) -> DataFrame:
     """Banded LSH over the signature matrix: docs sharing any band's
     concatenated signature slice become a candidate pair.
@@ -80,7 +134,15 @@ def lsh_candidate_pairs(
     instead of per-band joins + union (4x fewer joins; at corpus scale
     the join key (band_id, band_key) also spreads hot buckets across
     band_ids, softening skew).
+
+    Pass ``corpus_rows`` to size (bands, rows) from the corpus via
+    ``bands_for_corpus`` (band keys lengthen logarithmically with the
+    corpus so false-candidate volume stays linear); explicit
+    bands/rows apply otherwise, with the 4x4 default a test-scale
+    setting matching the DuckDB oracle.
     """
+    if corpus_rows is not None:
+        bands, rows = bands_for_corpus(corpus_rows, threshold)
     # cached: both join sides reference it (see simhash_near_pairs note)
     sig = minhash_signatures(documents, bands * rows).cache()
     band_structs = F.array(

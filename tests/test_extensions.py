@@ -203,6 +203,27 @@ def test_planes_for_corpus_sizing_rule():
     assert planes_for_corpus(10**6, target_bucket_rows=512) == 11
 
 
+def test_bands_for_corpus_sizing_rule():
+    from binlog_avro_comparator_spark.operators.dedup import bands_for_corpus
+
+    # band-key length (rows) grows logarithmically with corpus size
+    sizes = [10**4, 10**6, 10**9, 10**11]
+    rows = [bands_for_corpus(n)[1] for n in sizes]
+    assert rows == sorted(rows)
+    assert bands_for_corpus(10**6)[1] == 6    # ln(1e6)/ln(10)
+    assert bands_for_corpus(10**9)[1] == 9
+    assert bands_for_corpus(10**11)[1] == 11  # ~100 TB corpus
+    # bands center the S-curve midpoint (1/b)^(1/r) on the threshold
+    b, r = bands_for_corpus(10**9, threshold=0.8)
+    assert abs((1.0 / b) ** (1.0 / r) - 0.8) < 0.03
+    # a lower threshold needs more bands at the same corpus size
+    assert bands_for_corpus(10**9, threshold=0.6)[0] > b
+    # degenerate corpus falls back to the test-scale 4x4 default
+    assert bands_for_corpus(0) == (4, 4)
+    # signature width = bands*rows is what minhash_signatures consumes
+    assert all(bands_for_corpus(n)[0] * bands_for_corpus(n)[1] > 0 for n in sizes)
+
+
 def test_bucket_cardinality_grows_with_planes(spark):
     import math
     import random
