@@ -37,6 +37,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         help="column to partition the output parquet by (e.g. lang) -- "
         "the layout a per-language training mixture reads selectively",
     )
+    p.add_argument(
+        "--trim-spans",
+        type=int,
+        default=None,
+        metavar="K",
+        help="additionally trim word K-gram spans repeated across the "
+        "surviving documents (exact-substring dedup materialization; "
+        "rewrites text, whitespace-normalized)",
+    )
     p.add_argument("--cpus", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -58,6 +67,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             max_contamination=args.max_contamination,
             benchmark_max_id=args.benchmark_max_id,
             drop_benchmark=not args.keep_benchmark,
+            trim_spans_k=args.trim_spans,
         )
         # count BEFORE writing (cached so the pipeline runs once): with
         # aggressive thresholds zero docs can survive, Spark then writes

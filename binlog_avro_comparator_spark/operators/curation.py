@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import dedup_keep_canonical
+from .dedup import dedup_keep_canonical, remove_repeated_spans
 from .textstats import contamination_scores, repetition_scores
 
 
@@ -19,6 +19,7 @@ def curation_survivors(
     benchmark_max_id: int = 10,
     drop_benchmark: bool = False,
     max_iter: int = 15,
+    trim_spans_k: int | None = None,
 ) -> DataFrame:
     """Documents surviving all curation filters (full rows).
 
@@ -26,7 +27,15 @@ def curation_survivors(
     documents themselves -- a TRAINING corpus must exclude the eval
     texts outright, not just partial leaks of them (the CLI defaults to
     dropping; the oracle-checked query keeps them for contract
-    stability)."""
+    stability).
+
+    ``trim_spans_k`` (off by default, preserving the oracle contract)
+    additionally rewrites each surviving document's text through
+    ``remove_repeated_spans(k=trim_spans_k)`` -- whole-document filters
+    first, then span-level exact-substring trimming of what survives,
+    the order the published recipe uses (no point trimming documents
+    that are about to be dropped outright).  Note the trimmed text is
+    whitespace-normalized (see remove_repeated_spans)."""
     rep_ok = (
         repetition_scores(documents)
         .filter(F.col("repetition_ratio") <= max_repetition)
@@ -41,4 +50,16 @@ def curation_survivors(
     out = kept.join(contaminated, on="doc_id", how="left_anti")
     if drop_benchmark:
         out = out.filter(F.col("doc_id") >= benchmark_max_id)
+    if trim_spans_k is not None:
+        # span df is computed over the SURVIVORS (a span repeated only
+        # in already-dropped docs is not a duplicate in the output
+        # corpus); full rows keep all their columns, text is replaced
+        cleaned = remove_repeated_spans(out, k=trim_spans_k).select(
+            "doc_id", F.col("text").alias("__trimmed")
+        )
+        out = (
+            out.join(cleaned, on="doc_id")
+            .withColumn("text", F.col("__trimmed"))
+            .drop("__trimmed")
+        )
     return out

@@ -462,3 +462,84 @@ def repeated_span_stats(documents: DataFrame, k: int = 20) -> DataFrame:
             "repeated_ratio"
         ),
     )
+
+
+def remove_repeated_spans(
+    documents: DataFrame, k: int = 20, min_df: int = 2, keep_first: bool = True
+) -> DataFrame:
+    """Exact-substring dedup MATERIALIZATION: trim every word ``k``-gram
+    span that appears in >= ``min_df`` distinct documents out of the
+    text, keeping (by default) the occurrence in the lowest-doc_id
+    document -- the removal step of the published exact-substring
+    dedup recipe, where repeated_span_stats is the measurement step.
+
+    Semantics: a span occurrence in doc D starting at word position p
+    covers word indices [p, p+k); the union of covered indices of all
+    non-kept repeated spans is dropped and the text is rebuilt as the
+    single-space join of the surviving words in order (whitespace is
+    normalized -- tokenization is ``TOKEN_RE``, so only inter-word
+    whitespace is affected).  Overlapping spans merge naturally through
+    the distinct covered-index set; an L-word verbatim run shared
+    across documents yields L-k+1 overlapping spans whose union is the
+    whole run.  Intra-document repetition alone does NOT trigger
+    removal (df counts distinct documents).
+
+    Scale shape: spans ship as 48-bit hashes + an int position; span df
+    is a map-side-combinable groupBy (same de-skew story as
+    repeated_span_stats); covered indices explode only the REPEATED
+    span occurrences (k x the duplicated fraction of the corpus, not
+    k x the corpus); the rebuild is one per-doc aggregate whose state
+    is the document's own words.  Every join key (h, then (doc_id,
+    idx)) is AQE-skew-splittable.
+
+    Returns all documents: (doc_id, text, n_words, n_kept, n_removed);
+    a fully-duplicated document comes back with text = '' rather than
+    vanishing."""
+    docs = _spread(documents)
+    words = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))
+    base = docs.select("doc_id", words.alias("w"))
+    # every occurrence, 1-based start position (matches DuckDB slices)
+    spans = (
+        docs.select("doc_id", F.posexplode(gram_array(F.col("text"), k)).alias("p0", "gram"))
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).alias("pos"),
+            (word_hash(F.col("gram")) % MINHASH_PRIME).alias("h"),
+        )
+        .cache()  # df aggregate + removal join both scan it
+    )
+    span_df = spans.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("df"),
+        F.min("doc_id").alias("keeper"),
+    ).filter(F.col("df") >= min_df)
+    rem = spans.join(span_df, on="h")
+    if keep_first:
+        rem = rem.filter(F.col("doc_id") != F.col("keeper"))
+    covered = rem.select(
+        "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("idx")
+    ).distinct()
+    tokens = base.select(
+        "doc_id", F.posexplode(F.col("w")).alias("i0", "word")
+    ).select("doc_id", (F.col("i0") + 1).alias("idx"), "word")
+    kept = tokens.join(covered, on=["doc_id", "idx"], how="left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "word"))),
+                lambda s: s["word"],
+            ),
+        ).alias("__text"),
+        F.count("*").alias("__n_kept"),
+    )
+    return (
+        base.select("doc_id", F.size("w").cast("long").alias("n_words"))
+        .join(rebuilt, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("__text"), F.lit("")).alias("text"),
+            "n_words",
+            F.coalesce(F.col("__n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_words") - F.coalesce(F.col("__n_kept"), F.lit(0))).cast("long").alias("n_removed"),
+        )
+    )

@@ -42,6 +42,7 @@ from ..operators.dedup import (
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
+    remove_repeated_spans,
     repeated_span_stats,
     minhash_params,
     simhash_band_slices,
@@ -329,6 +330,11 @@ def _q_stratified_sample(spark, sf_dir):
 def _q_repeated_spans(spark, sf_dir):
     ensure_session_conf(spark)
     return repeated_span_stats(_docs(spark, sf_dir))
+
+
+def _q_remove_spans(spark, sf_dir):
+    ensure_session_conf(spark)
+    return remove_repeated_spans(_docs(spark, sf_dir))
 
 
 def _q_dedup_keep_canonical(spark, sf_dir):
@@ -766,7 +772,8 @@ def queries() -> dict[str, QueryFn]:
         "high_value_customers": _q_high_value_customers,
         "user_set_ops": _q_user_set_ops,
         "revenue_rollup": _q_revenue_rollup,
-        # -- modified this round (must sit inside the driver window) --
+        # -- new / modified this round (must sit inside the driver window) --
+        "doc_span_removal": _q_remove_spans,
         "events_kmv_distinct_users": _q_kmv_distinct,
         "events_salted_type_stats": _q_salted_type_stats,
         "doc_repeated_spans": _q_repeated_spans,
@@ -1196,6 +1203,55 @@ SELECT d.doc_id, count(*) AS n_spans,
        sum(CASE WHEN s.df >= 2 THEN 1 ELSE 0 END) / count(*) AS repeated_ratio
 FROM doc_spans d JOIN span_df s USING (h)
 GROUP BY d.doc_id""",
+        # twin of dedup.remove_repeated_spans (k=20, keep_first):
+        # same 48-bit span hash, EVERY occurrence with its 1-based
+        # position, df over distinct docs, covered-index union, rebuild
+        # as the ordered single-space join of surviving words
+        "doc_span_removal": rf"""
+WITH doc_words AS (
+  SELECT doc_id, regexp_extract_all(text, '{_TOKEN_RE_SQL}') AS w FROM documents
+),
+spans AS (
+  SELECT doc_id, s.pos AS pos, s.h AS h FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN len(w) >= 20 THEN list_transform(
+        generate_series(1, len(w) - 19),
+        i -> struct_pack(pos := i,
+               h := ('0x' || substr(md5(array_to_string(w[i:i+19], ' ')), 1, 12))::BIGINT % {MINHASH_PRIME}))
+      ELSE [] END) AS s
+    FROM doc_words)
+),
+spandf AS (
+  SELECT h, min(doc_id) AS keeper FROM spans GROUP BY h
+  HAVING count(DISTINCT doc_id) >= 2
+),
+rem AS (
+  SELECT s.doc_id, s.pos FROM spans s JOIN spandf d USING (h)
+  WHERE s.doc_id <> d.keeper
+),
+covered AS (
+  SELECT DISTINCT doc_id, pos + unnest(generate_series(0, 19)) AS idx FROM rem
+),
+tokens AS (
+  SELECT doc_id, t.idx AS idx, t.word AS word FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(w)),
+      i -> struct_pack(idx := i, word := w[i]))) AS t
+    FROM doc_words)
+),
+kept AS (
+  SELECT t.doc_id, t.idx, t.word
+  FROM tokens t ANTI JOIN covered c ON t.doc_id = c.doc_id AND t.idx = c.idx
+),
+reb AS (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY idx) AS text, count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(r.text, '') AS text,
+       CAST(len(d.w) AS BIGINT) AS n_words,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(len(d.w) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+FROM doc_words d LEFT JOIN reb r USING (doc_id)""",
         "doc_repetition": rf"""
 WITH doc_words AS (
   SELECT doc_id, regexp_extract_all(text, '{_TOKEN_RE_SQL}') AS w FROM documents

@@ -616,3 +616,57 @@ def test_repeated_span_stats_hand_computed(spark):
     assert (rows[0].n_spans, rows[0].n_repeated) == (8, 7)
     assert rows[0].repeated_ratio == 7 / 8
     assert (rows[2].n_repeated, rows[2].repeated_ratio) == (0, 0.0)
+
+
+def test_remove_repeated_spans_golden_overlap(spark):
+    """Hand-built overlapping-span case: the shared run 'a b c d e'
+    yields three overlapping 3-gram spans in each doc; their covered
+    union is trimmed from the non-keeper only, whitespace normalized.
+    Intra-doc repetition does not trigger (df is over distinct docs),
+    and a fully-shared doc comes back as '' instead of vanishing."""
+    from binlog_avro_comparator_spark.operators.dedup import remove_repeated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e x"),       # keeper of the shared spans
+            (2, "z  a b c d e"),      # overlapping spans cover idx 2..6
+            (3, "unique words only"),
+            (4, "p q r p q r"),       # intra-doc repeat only
+            (5, "a b c d e x"),       # exact dup of doc 1 -> fully covered
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in remove_repeated_spans(docs, k=3).collect()}
+    assert got[1].text == "a b c d e x" and got[1].n_removed == 0
+    assert got[2].text == "z" and (got[2].n_words, got[2].n_kept) == (6, 1)
+    assert got[3].text == "unique words only" and got[3].n_removed == 0
+    assert got[4].text == "p q r p q r" and got[4].n_removed == 0
+    assert got[5].text == "" and got[5].n_kept == 0  # present, emptied
+
+
+def test_curation_trim_spans_composition(spark):
+    """trim_spans_k composes span trimming onto the survivor set: full
+    rows keep their columns, text is the trimmed rebuild, and span df
+    is computed over survivors only."""
+    from binlog_avro_comparator_spark.operators.curation import curation_survivors
+
+    long_unique = " ".join(f"u{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (100, long_unique + " a b c d e end", "en", "s", 1),
+            (101, long_unique[:0] + "start a b c d e close", "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {
+        r.doc_id: r
+        for r in curation_survivors(
+            docs, max_repetition=1.0, max_contamination=2.0, trim_spans_k=3
+        ).collect()
+    }
+    # both survive the whole-doc filters; doc 100 (lower id) keeps the
+    # shared run, doc 101 loses it
+    assert "a b c d e" in out[100].text
+    assert "a b c d e" not in out[101].text
+    assert out[101].text.startswith("start")
+    assert out[101].lang == "en" and out[101].source == "s"  # full rows
