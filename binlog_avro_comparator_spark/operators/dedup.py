@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..functions.caching import scoped_cache
 from ..functions.partitioning import spread_small_scan
 from .textstats import TOKEN_RE, gram_array, word_hash
 
@@ -144,7 +145,7 @@ def lsh_candidate_pairs(
     if corpus_rows is not None:
         bands, rows = bands_for_corpus(corpus_rows, threshold)
     # cached: both join sides reference it (see simhash_near_pairs note)
-    sig = minhash_signatures(documents, bands * rows).cache()
+    sig = scoped_cache(minhash_signatures(documents, bands * rows))
     band_structs = F.array(
         *[
             F.struct(
@@ -253,7 +254,7 @@ def simhash_near_pairs(
     # broadcast conversion defeats exchange reuse, so without a persist
     # the whole scan+explode+agg pipeline runs twice; fingerprints are
     # ~16 bytes/doc, the cheapest thing in the query to keep around
-    fps = simhash_fingerprints(documents, bits).cache()
+    fps = scoped_cache(simhash_fingerprints(documents, bits))
     band_structs = F.array(
         *[
             F.struct(
@@ -293,7 +294,7 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact word-k-gram Jaccard for candidate pairs that share at least
     one *rare* shingle (document frequency <= max_df)."""
-    sh = shingles(documents, k).select("doc_id", "shingle").cache()
+    sh = scoped_cache(shingles(documents, k).select("doc_id", "shingle"))
     # doc-frequency via groupBy + join-back, NOT a count window: the
     # partial HashAggregate combines map-side, so a boilerplate shingle
     # present in millions of documents costs one long per input
@@ -450,7 +451,7 @@ def repeated_span_stats(documents: DataFrame, k: int = 20) -> DataFrame:
     absent, like the other shingle operators."""
     # cached: both the df aggregate and the join-back scan it, and AQE's
     # broadcast conversion would otherwise defeat exchange reuse
-    sh = shingles(documents, k).select("doc_id", "h").cache()
+    sh = scoped_cache(shingles(documents, k).select("doc_id", "h"))
     span_df = sh.groupBy("h").agg(F.count("*").alias("span_df"))
     marked = sh.join(span_df, on="h").select(
         "doc_id", (F.col("span_df") >= 2).alias("is_repeated")
@@ -506,8 +507,8 @@ def remove_repeated_spans(
             (F.col("p0") + 1).alias("pos"),
             (word_hash(F.col("gram")) % MINHASH_PRIME).alias("h"),
         )
-        .cache()  # df aggregate + removal join both scan it
     )
+    spans = scoped_cache(spans)  # df aggregate + removal join both scan it
     span_df = spans.groupBy("h").agg(
         F.count_distinct("doc_id").alias("df"),
         F.min("doc_id").alias("keeper"),

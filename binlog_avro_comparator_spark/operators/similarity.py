@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..functions.caching import scoped_cache
+
 COS_ROUND = 6
 
 
@@ -415,9 +417,9 @@ def cosine_topk_lsh(
 
     The bucketed frame feeds both the corpus side and the query filter;
     cached so the norm + n_planes projections compute once."""
-    emb = with_norm(embeddings).withColumn(
+    emb = scoped_cache(with_norm(embeddings).withColumn(
         "bucket", hyperplane_bucket(F.col("embedding"), n_planes)
-    ).cache()
+    ))
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_embedding"),

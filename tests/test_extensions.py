@@ -618,6 +618,32 @@ def test_repeated_span_stats_hand_computed(spark):
     assert (rows[2].n_repeated, rows[2].repeated_ratio) == (0, 0.0)
 
 
+def test_cache_scope_releases_operator_caches(spark):
+    """Running many corpora through caching operators inside
+    cache_scope must not accumulate persisted frames: storage returns
+    to baseline after each scope (a long-lived service would otherwise
+    leak the signature cache per corpus)."""
+    from binlog_avro_comparator_spark.functions.caching import cache_scope
+    from binlog_avro_comparator_spark.operators.dedup import lsh_candidate_pairs
+
+    jsc = spark.sparkContext._jsc
+
+    def n_persistent():
+        return jsc.getPersistentRDDs().size()
+
+    spark.catalog.clearCache()
+    base = n_persistent()
+    for offset in (0, 1000):
+        corpus = spark.createDataFrame(
+            [(offset + i, f"doc {i} body words alpha beta gamma {i}") for i in range(30)],
+            "doc_id long, text string",
+        )
+        with cache_scope():
+            lsh_candidate_pairs(corpus).count()  # materializes the sig cache
+            assert n_persistent() >= base + 1    # cache was real
+        assert n_persistent() == base            # and released on scope exit
+
+
 def test_remove_repeated_spans_golden_overlap(spark):
     """Hand-built overlapping-span case: the shared run 'a b c d e'
     yields three overlapping 3-gram spans in each doc; their covered
