@@ -110,20 +110,36 @@ _FIXTURE_DIRS: dict[tuple[str, str], str] = {}
 
 
 def _q_cdc_avro_native_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S5 end-to-end: the derived avro_rows table is encoded into real
-    ``.avro`` container files (one per binlog segment, pure-Python codec)
-    and read back through the full native path -- binaryFile scan ->
-    Arrow-batched decode -> flatten_probe (avro_to_json.sh:52-70 is the
-    reference loop this replaces).  The driver-side encode is fixture
-    scaffolding, bounded by the DML row count; the decode under test is
-    fully distributed (one task per file)."""
+    """S5 end-to-end, pure-Python engine: the derived avro_rows table is
+    encoded into real ``.avro`` container files (one per binlog segment,
+    pure-Python codec) and read back through the dependency-free path --
+    binaryFile scan -> Arrow-batched decode -> flatten_probe
+    (avro_to_json.sh:52-70 is the reference loop this replaces).  The
+    driver-side encode is fixture scaffolding, bounded by the DML row
+    count; the decode under test is fully distributed (one task per
+    file).  The JVM-engine twin is cdc_avro_native_scan_jvm."""
+    return _avro_fixture_scan(spark, sf_dir, engine="python")
+
+
+def _q_cdc_avro_native_scan_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 via the block-splittable JVM avro reader (sources/avro.py
+    avro_jvm_format: Spark 4 bundles AvroFileFormat inside spark-sql;
+    the FQCN bypasses the unregistered short name).  Same fixture files
+    and oracle as the pure-Python engine -- the two engines must agree
+    byte-for-byte, including the TimestampType materialization of the
+    timestamp-millis logical type (flatten_probe normalizes both to
+    epoch-millis LONG)."""
+    return _avro_fixture_scan(spark, sf_dir, engine="jvm")
+
+
+def _avro_fixture_scan(spark: SparkSession, sf_dir: str, engine: str) -> DataFrame:
     import os
     import tempfile
 
     ensure_session_conf(spark)
     cached = _FIXTURE_DIRS.get(("avro_native", sf_dir))
     if cached is not None:
-        return _avro_native_probe(spark, cached)
+        return _avro_native_probe(spark, cached, engine)
     avro = derive_avro_rows(load_table(spark, sf_dir, "events"))
     by_file: dict[str, list[dict]] = {}
     for r in avro.collect():
@@ -157,11 +173,23 @@ def _q_cdc_avro_native_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 encode_container(DATASTREAM_AVRO_SCHEMA, recs, sync=_AVRO_FIXTURE_SYNC)
             )
     _FIXTURE_DIRS[("avro_native", sf_dir)] = d
-    return _avro_native_probe(spark, d)
+    return _avro_native_probe(spark, d, engine)
 
 
-def _avro_native_probe(spark: SparkSession, d: str) -> DataFrame:
-    return read_avro_dir(spark, d).select(
+def _avro_native_probe(spark: SparkSession, d: str, engine: str = "auto") -> DataFrame:
+    from ..sources.avro import flatten_probe, read_avro_native, read_avro_python
+
+    if engine == "python":
+        nested = read_avro_python(spark, d)
+    elif engine == "jvm":
+        nested = read_avro_native(spark, d)
+    else:
+        return _probe_shape(read_avro_dir(spark, d))
+    return _probe_shape(flatten_probe(nested))
+
+
+def _probe_shape(df: DataFrame) -> DataFrame:
+    return df.select(
         "source_timestamp",
         "database",
         "table",
@@ -774,6 +802,7 @@ def queries() -> dict[str, QueryFn]:
         "revenue_rollup": _q_revenue_rollup,
         # -- new / modified this round (must sit inside the driver window) --
         "doc_span_removal": _q_remove_spans,
+        "cdc_avro_native_scan_jvm": _q_cdc_avro_native_scan_jvm,
         "events_kmv_distinct_users": _q_kmv_distinct,
         "events_salted_type_stats": _q_salted_type_stats,
         "doc_repeated_spans": _q_repeated_spans,
@@ -1020,6 +1049,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_binlog_events": oracle.cdc_binlog_events(),
         "cdc_avro_rows": oracle.cdc_avro_rows(),
         "cdc_avro_native_scan": oracle.cdc_avro_native_scan(),
+        # JVM engine reads the same fixture files -> same oracle
+        "cdc_avro_native_scan_jvm": oracle.cdc_avro_native_scan(),
         "cdc_binlog_prepared": oracle.cdc_binlog_prepared(),
         "cdc_matches": oracle.cdc_matches(),
         "cdc_avro_only": oracle.cdc_avro_only(),

@@ -3,16 +3,18 @@
 Replaces the reference's per-file `java -jar avro-tools tojson` loop
 (avro_to_json.sh:52-70) with one distributed scan.  Two engines:
 
-- ``spark.read.format("avro")`` when the spark-avro datasource is on
-  the classpath: block-splittable, fully JVM-side.  Preferred at scale
-  (a 100 TB avro lake with large files splits at block granularity).
-- A dependency-free fallback (this container has no spark-avro):
-  Spark's ``binaryFile`` source lists and ships the files, and the
-  pure-Python codec (``avro_codec``, Apache Avro 1.11 spec) decodes
-  them inside ``mapInPandas`` Arrow batches.  Parallelism is
-  file-granular -- the right shape for CDC/binlog-style avro dumps
-  (many bounded files, one per binlog segment), documented as the
-  fallback's scale contract.
+- The JVM avro datasource: block-splittable, fully JVM-side.
+  Preferred at scale (a 100 TB avro lake with large files splits at
+  block granularity).  Spark 4 bundles the full implementation inside
+  spark-sql; only the "avro" short name is unregistered without the
+  spark-avro module jar, so resolution falls back to the
+  fully-qualified AvroFileFormat class name (see avro_jvm_format).
+- A dependency-free fallback: Spark's ``binaryFile`` source lists and
+  ships the files, and the pure-Python codec (``avro_codec``, Apache
+  Avro 1.11 spec) decodes them inside ``mapInPandas`` Arrow batches.
+  Parallelism is file-granular -- the right shape for CDC/binlog-style
+  avro dumps (many bounded files, one per binlog segment), documented
+  as the fallback's scale contract.  Both engines are oracle-checked.
 
 Both engines produce the same unwrapped frame: ["null", X] unions
 dissolve into plain nullable columns, so the JSON wrapper layer the
@@ -69,15 +71,41 @@ DATASTREAM_AVRO_SCHEMA: dict = {
 _META_FIELDS = [f["name"] for f in DATASTREAM_AVRO_SCHEMA["fields"][1]["type"]["fields"]]
 
 
+# Spark 4 ships the complete Avro implementation inside spark-sql
+# (AvroFileFormat, AvroDeserializer, ... are all in the main jar) but
+# does NOT register the "avro" short name unless the spark-avro module
+# jar adds its DataSourceRegister entry -- lookupDataSource then throws
+# the "Avro is built-in but external" error.  The fully-qualified v1
+# class name bypasses short-name lookup and uses the bundled classes
+# directly, giving the block-splittable JVM reader with zero extra
+# deployment.  Resolution order: short name (a real spark-avro jar on
+# the classpath wins), then the bundled FQCN.
+_AVRO_FQCN = "org.apache.spark.sql.avro.AvroFileFormat"
+_FORMAT_CACHE: dict[str, str | None] = {}
+
+
+def avro_jvm_format(spark: SparkSession) -> str | None:
+    """The usable JVM avro format name for this session, or None."""
+    key = spark.sparkContext.applicationId
+    if key not in _FORMAT_CACHE:
+        _FORMAT_CACHE[key] = None
+        for fmt in ("avro", _AVRO_FQCN):
+            try:
+                spark.read.format(fmt).load("/nonexistent-probe-path.avro")
+            except Exception as e:  # noqa: BLE001
+                msg = str(e)
+                if "Failed to find data source" in msg or "DATA_SOURCE_NOT_FOUND" in msg:
+                    continue
+                _FORMAT_CACHE[key] = fmt  # resolved; the path error proves it loaded
+                break
+            else:  # pragma: no cover - probe path never exists
+                _FORMAT_CACHE[key] = fmt
+                break
+    return _FORMAT_CACHE[key]
+
+
 def avro_available(spark: SparkSession) -> bool:
-    try:
-        spark.read.format("avro").load("/nonexistent-probe-path.avro")
-    except Exception as e:  # noqa: BLE001
-        msg = str(e)
-        if "Failed to find data source: avro" in msg:
-            return False
-        return True  # datasource resolved; the path error proves it loaded
-    return True
+    return avro_jvm_format(spark) is not None
 
 
 def flatten_probe(df: DataFrame) -> DataFrame:
@@ -110,8 +138,15 @@ def flatten_probe(df: DataFrame) -> DataFrame:
 
 
 def read_avro_native(spark: SparkSession, path: str) -> DataFrame:
-    """S5 via the spark-avro datasource (block-splittable JVM scan)."""
-    return spark.read.format("avro").load(f"{path}/*.avro")
+    """S5 via the JVM avro datasource (block-splittable scan -- the
+    shape you want for a 100 TB avro lake with multi-GB files, vs the
+    Python fallback's file-granular parallelism)."""
+    fmt = avro_jvm_format(spark)
+    if fmt is None:
+        raise RuntimeError(
+            "no JVM avro datasource on this classpath; use read_avro_python"
+        )
+    return spark.read.format(fmt).load(f"{path}/*.avro")
 
 
 def read_avro_python(

@@ -158,6 +158,38 @@ def test_read_avro_dir_distributed(spark, tmp_path):
     assert (r10.binlog_position, r10.is_deleted) == (0, False)
 
 
+def test_jvm_avro_engine_matches_python(spark, tmp_path):
+    """The bundled-in-spark-sql JVM AvroFileFormat (resolved by FQCN,
+    see avro_jvm_format) reads our codec's container files and agrees
+    row-for-row with the pure-Python engine, including timestamp-millis
+    normalization through flatten_probe."""
+    from binlog_avro_comparator_spark.sources.avro import (
+        avro_jvm_format,
+        flatten_probe,
+        read_avro_native,
+        read_avro_python,
+    )
+
+    fmt = avro_jvm_format(spark)
+    assert fmt is not None, "Spark 4 bundles AvroFileFormat in spark-sql"
+
+    d = tmp_path / "avro"
+    d.mkdir()
+    recs = [_rec(i) for i in range(8)] + [_rec(8, null_meta=True)]
+    (d / "p.avro").write_bytes(encode_container(DATASTREAM_AVRO_SCHEMA, recs, sync=SYNC))
+
+    def flat(df):
+        return sorted(
+            (r.source_timestamp, r.database, r.change_type, r.binlog_position,
+             r.is_deleted, tuple(r.primary_keys))
+            for r in flatten_probe(df).collect()
+        )
+
+    got_jvm = flat(read_avro_native(spark, str(d)))
+    got_py = flat(read_avro_python(spark, str(d)))
+    assert got_jvm == got_py and len(got_jvm) == 9
+
+
 def test_fallback_parallelism_is_per_file(spark, tmp_path):
     """The decode stage must carry one task per file (the fallback's
     documented scale contract), not a single serial task."""
