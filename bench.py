@@ -51,6 +51,9 @@ EXTRA_QUERIES = [
     "cdc_avro_native_scan",
     "events_asof_purchase",
     "events_kmv_distinct_users",
+    # round 3
+    "doc_span_removal",
+    "cdc_avro_native_scan_jvm",
 ]
 
 

@@ -407,3 +407,126 @@ def encode_token_ids(
             F.transform(ordered, lambda s: s["tid"].cast("string")), ","
         ).alias("token_ids_csv"),
     )
+
+
+def unigram_logprob_scores(documents: DataFrame) -> DataFrame:
+    """Per-document mean unigram log10-probability under the corpus's
+    own unigram distribution -- the cheap LM-perplexity proxy used for
+    quality scoring (a doc of globally-rare tokens scores low, fluent
+    common-word text scores high; the standard first-pass filter before
+    an actual LM scores candidates).
+
+    mean_logprob = mean_i log10(count(t_i)/T)
+                 = (sum_i log10 count(t_i)) / n  -  log10(T)
+
+    Scale: one explode + a map-side-combined term-count aggregate; the
+    count table broadcasts (vocabulary-sized -- drop the hint past
+    broadcast size and AQE picks a shuffled join); the corpus total T
+    enters as a broadcast 1-row aggregate, NOT a driver .count(), so
+    the whole query is one lazy plan.  Scores round to 6 decimals
+    (libm log10 and float-sum order differ across engines in the last
+    ulp)."""
+    words = documents.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))
+        ).alias("term"),
+    )
+    tc = words.groupBy("term").agg(F.count("*").alias("tc"))
+    total = tc.agg(F.sum("tc").cast("double").alias("total_tokens"))
+    return (
+        words.join(F.broadcast(tc), on="term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.log10(F.col("tc").cast("double"))).alias("__slog"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("__slog") / F.col("n_tokens") - F.log10(F.col("total_tokens")), 6
+            ).alias("mean_logprob"),
+        )
+    )
+
+
+def mixture_weights(
+    documents: DataFrame, by: list[str] | None = None, alpha: float = 0.7
+) -> DataFrame:
+    """Training-mixture sampling weights per corpus slice: raw weight =
+    the slice's share of corpus tokens; smoothed weight = temperature-
+    flattened share (w^alpha, renormalized) -- the standard multilingual
+    mixture rule (alpha<1 up-samples small languages/sources so the
+    model sees them; alpha=1 is proportional sampling).
+
+    All-longs until two divisions and one pow: group token totals are
+    exact, the corpus total is a broadcast 1-row aggregate, and both
+    weights round to 6 decimals for cross-engine determinism.  Shape:
+    one map-side-combined aggregate over the corpus + arithmetic over
+    the (tiny) group frame."""
+    by = by or ["lang", "source"]
+    toks = documents.select(
+        *by,
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))
+        ).cast("long").alias("__n"),
+    )
+    grp = toks.groupBy(*by).agg(
+        F.count("*").alias("n_docs"), F.sum("__n").alias("n_tokens")
+    )
+    total = grp.agg(F.sum("n_tokens").cast("double").alias("__total"))
+    weighted = grp.crossJoin(F.broadcast(total)).withColumn(
+        "weight", F.col("n_tokens") / F.col("__total")
+    ).withColumn("__pw", F.pow(F.col("weight"), F.lit(alpha)))
+    norm = weighted.agg(F.sum("__pw").alias("__z"))
+    return (
+        weighted.crossJoin(F.broadcast(norm))
+        .select(
+            *by,
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("weight"), 6).alias("weight"),
+            F.round(F.col("__pw") / F.col("__z"), 6).alias("weight_smoothed"),
+        )
+    )
+
+
+def sample_k_per_group(
+    documents: DataFrame, group_col: str = "lang", k: int = 10
+) -> DataFrame:
+    """Deterministic uniform-without-replacement sample of exactly
+    ``min(k, group size)`` documents per group: order every doc by the
+    portable md5-48bit hash of its id and keep each group's bottom-k --
+    rerun- and layout-independent, like shard_assignments.
+
+    Two-phase bottom-k (the kmv_distinct_users shape -- NO per-group
+    rank window, which would sort a whole group in one task): phase 1
+    truncates (hash, doc_id) structs to k per (group, input partition),
+    phase 2 merges the <= partitions*k survivors.  The sampled ids then
+    join back for full rows -- a hash join on a k*groups-row frame that
+    always broadcasts."""
+    hashed = documents.select(
+        group_col, "doc_id", word_hash(F.col("doc_id").cast("string")).alias("__h")
+    )
+    local = (
+        hashed.withColumn("__pid", F.spark_partition_id())
+        .groupBy(group_col, "__pid")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("__h", "doc_id"))), 1, k
+            ).alias("__ks")
+        )
+    )
+    merged = (
+        local.select(group_col, F.explode("__ks").alias("__s"))
+        .groupBy(group_col)
+        .agg(F.slice(F.array_sort(F.collect_list("__s")), 1, k).alias("__ks"))
+    )
+    picked = merged.select(
+        F.explode(F.transform(F.col("__ks"), lambda s: s["doc_id"])).alias("doc_id")
+    )
+    return documents.join(F.broadcast(picked), on="doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )

@@ -355,6 +355,27 @@ def _q_stratified_sample(spark, sf_dir):
     return stratified_sample(_docs(spark, sf_dir))
 
 
+def _q_unigram_logprob(spark, sf_dir):
+    ensure_session_conf(spark)
+    from ..operators.textstats import unigram_logprob_scores
+
+    return unigram_logprob_scores(_docs(spark, sf_dir))
+
+
+def _q_mixture_weights(spark, sf_dir):
+    ensure_session_conf(spark)
+    from ..operators.textstats import mixture_weights
+
+    return mixture_weights(_docs(spark, sf_dir))
+
+
+def _q_sample_k_per_group(spark, sf_dir):
+    ensure_session_conf(spark)
+    from ..operators.textstats import sample_k_per_group
+
+    return sample_k_per_group(_docs(spark, sf_dir))
+
+
 def _q_repeated_spans(spark, sf_dir):
     ensure_session_conf(spark)
     return repeated_span_stats(_docs(spark, sf_dir))
@@ -803,6 +824,9 @@ def queries() -> dict[str, QueryFn]:
         # -- new / modified this round (must sit inside the driver window) --
         "doc_span_removal": _q_remove_spans,
         "cdc_avro_native_scan_jvm": _q_cdc_avro_native_scan_jvm,
+        "doc_unigram_logprob": _q_unigram_logprob,
+        "corpus_mixture_weights": _q_mixture_weights,
+        "doc_sample_k_per_group": _q_sample_k_per_group,
         "events_kmv_distinct_users": _q_kmv_distinct,
         "events_salted_type_stats": _q_salted_type_stats,
         "doc_repeated_spans": _q_repeated_spans,
@@ -1213,6 +1237,51 @@ FROM documents GROUP BY lang""",
 SELECT doc_id, lang, source, n_chars
 FROM documents
 WHERE ('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 10 = 0""",
+        "doc_unigram_logprob": rf"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS term FROM documents
+),
+tc AS (SELECT term, count(*) AS tc FROM words GROUP BY term),
+total AS (SELECT CAST(sum(tc) AS DOUBLE) AS total_tokens FROM tc)
+SELECT doc_id, count(*) AS n_tokens,
+       round(sum(log10(CAST(tc.tc AS DOUBLE))) / count(*)
+             - log10((SELECT total_tokens FROM total)), 6) AS mean_logprob
+FROM words JOIN tc USING (term)
+GROUP BY doc_id""",
+        "corpus_mixture_weights": rf"""
+WITH toks AS (
+  SELECT lang, source, len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS n FROM documents
+),
+grp AS (
+  SELECT lang, source, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+  FROM toks GROUP BY lang, source
+),
+tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS t FROM grp),
+w AS (
+  SELECT lang, source, n_docs, n_tokens,
+         n_tokens / (SELECT t FROM tot) AS weight,
+         pow(n_tokens / (SELECT t FROM tot), 0.7) AS pw
+  FROM grp
+),
+z AS (SELECT sum(pw) AS z FROM w)
+SELECT lang, source, n_docs, n_tokens, round(weight, 6) AS weight,
+       round(pw / (SELECT z FROM z), 6) AS weight_smoothed
+FROM w""",
+        # twin of textstats.sample_k_per_group: bottom-k by the portable
+        # doc_id hash per lang (the oracle may use a rank window -- the
+        # Spark side must not, plan-tested)
+        "doc_sample_k_per_group": """
+WITH hashed AS (
+  SELECT doc_id, lang, source, n_chars,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS h
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, lang, source, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+  FROM hashed
+)
+SELECT doc_id, lang, source, n_chars FROM ranked WHERE rn <= 10""",
         "doc_repeated_spans": rf"""
 WITH doc_words AS (
   SELECT doc_id, regexp_extract_all(text, '{_TOKEN_RE_SQL}') AS w FROM documents

@@ -618,6 +618,59 @@ def test_repeated_span_stats_hand_computed(spark):
     assert (rows[2].n_repeated, rows[2].repeated_ratio) == (0, 0.0)
 
 
+def test_unigram_logprob_ordering(spark):
+    """Docs made of globally-common tokens outscore docs of rare
+    tokens; n_tokens is the doc's own token count."""
+    from binlog_avro_comparator_spark.operators.textstats import (
+        unigram_logprob_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the the the the"), (2, "the the rare1 rare2"), (3, "the")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in unigram_logprob_scores(docs).collect()}
+    assert got[1].n_tokens == 4
+    # doc 1 is all 'the' (count 7 of 9 tokens); doc 2 mixes two singletons
+    assert got[1].mean_logprob > got[2].mean_logprob
+    import math
+    assert abs(got[1].mean_logprob - round(math.log10(7 / 9), 6)) < 1e-9
+
+
+def test_mixture_weights_normalized(spark):
+    """Raw and smoothed weights each sum to 1; alpha<1 up-samples the
+    smaller slice (smoothed > raw for the minority group)."""
+    from binlog_avro_comparator_spark.operators.textstats import mixture_weights
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h", "en", "s"), (2, "a b c d e f g h", "en", "s"),
+         (3, "x y", "fr", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = {r.lang: r for r in mixture_weights(docs, by=["lang"]).collect()}
+    assert abs(sum(r.weight for r in rows.values()) - 1.0) < 1e-5
+    assert abs(sum(r.weight_smoothed for r in rows.values()) - 1.0) < 1e-5
+    assert rows["fr"].weight_smoothed > rows["fr"].weight  # up-sampled
+    assert rows["en"].n_tokens == 16 and rows["fr"].n_docs == 1
+
+
+def test_sample_k_per_group_exact_and_deterministic(spark):
+    """Exactly min(k, group size) docs per group, and the picked set is
+    identical across reruns and input partitionings."""
+    from binlog_avro_comparator_spark.operators.textstats import sample_k_per_group
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en" if i % 3 else "fr", "s", 10) for i in range(60)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    a = sample_k_per_group(docs, k=5)
+    counts = {r.lang: r.n for r in a.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"en": 5, "fr": 5}
+    ids_a = sorted(r.doc_id for r in a.collect())
+    ids_b = sorted(r.doc_id for r in sample_k_per_group(docs.repartition(13), k=5).collect())
+    assert ids_a == ids_b
+
+
 def test_cache_scope_releases_operator_caches(spark):
     """Running many corpora through caching operators inside
     cache_scope must not accumulate persisted frames: storage returns

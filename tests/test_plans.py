@@ -158,6 +158,16 @@ def test_span_df_no_count_window(spark):
         assert "partial_count" in plan
 
 
+def test_sample_k_per_group_no_rank_window(spark):
+    """Per-group sampling uses the two-phase bottom-k shape, never a
+    per-group rank window (single-task sort of the whole group)."""
+    from binlog_avro_comparator_spark.operators.textstats import sample_k_per_group
+
+    plan = _plan(sample_k_per_group(load_table(spark, SF, "documents")))
+    assert "Window" not in plan
+    assert "row_number" not in plan
+
+
 def test_kmv_two_phase_no_rank_window(spark):
     """KMV bottom-k must never plan a per-group rank window (a window
     partitioned by event_type sorts every distinct hash of a type in a
