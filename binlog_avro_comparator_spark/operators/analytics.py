@@ -143,6 +143,176 @@ def customer_nation_revenue(
     )
 
 
+def regional_supplier_volume(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+    date_lo: str = "1998-01-01",
+    date_hi: str = "1999-01-01",
+) -> DataFrame:
+    """TPC-H Q5-shaped local-supplier volume: revenue per nation for
+    line items whose customer and supplier sit in the same nation,
+    within one region and one order-date year.
+
+    Star-schema plan, the 100 TB shape: region -> nation -> supplier
+    are broadcast (region prunes nation, nation prunes supplier BEFORE
+    the fact join, so the filter reaches the big side as a join-key
+    reduction); orders is filtered by the date predicate AT THE SCAN
+    (pushed to parquet row-group pruning) and only then joined to
+    lineitem -- the one genuinely big-big shuffle in the query.  The
+    customer join stays unhinted: at sf0.01 AQE broadcasts it, at 100 TB
+    customer is itself large and AQE picks shuffle sides.  The
+    same-nation requirement (c_nationkey = s_nationkey) rides as a
+    post-join filter on two already-present small ints, not an extra
+    join."""
+    r = region.filter(F.col("r_name") == region_name).select("r_regionkey")
+    n = nation.join(
+        F.broadcast(r), nation["n_regionkey"] == r["r_regionkey"]
+    ).select("n_nationkey", "n_name")
+    s = supplier.join(
+        F.broadcast(n), supplier["s_nationkey"] == n["n_nationkey"]
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_lo).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_hi).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc_mult = (F.lit(1) - F.col("l_discount")).cast(_DEC)
+    j = (
+        lineitem.select("l_orderkey", "l_suppkey", price.alias("__p"), disc_mult.alias("__d"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            customer.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+    )
+    return j.groupBy("n_name").agg(
+        F.sum(F.col("__p") * F.col("__d")).cast("double").alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def part_profit_by_nation(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+    name_pattern: str = "%bolt%",
+) -> DataFrame:
+    """TPC-H Q9-shaped product-line profit: discounted revenue per
+    (supplier nation, order year) for parts matching a name pattern.
+
+    The selective dimension leads: part is filtered by the LIKE at its
+    scan and broadcast, so the fact table sheds non-matching rows in
+    the very first (map-side) join -- the cheapest place to lose data.
+    supplier+nation broadcast likewise.  orders arrives pre-projected
+    to (key, year): the year is computed BEFORE the shuffle so the
+    exchange carries an int, not a timestamp.  One big shuffle total
+    (lineitem x orders)."""
+    p = part.filter(F.col("p_name").like(name_pattern)).select("p_partkey")
+    sn = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supplier["s_nationkey"] == F.col("n_nationkey"),
+    ).select("s_suppkey", "n_name")
+    o = orders.select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc_mult = (F.lit(1) - F.col("l_discount")).cast(_DEC)
+    j = (
+        lineitem.select(
+            "l_orderkey", "l_partkey", "l_suppkey",
+            (price * disc_mult).alias("__amount"),
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return j.groupBy("n_name", "o_year").agg(
+        F.sum("__amount").cast("double").alias("profit"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def funnel_stages(events: DataFrame) -> DataFrame:
+    """Ordered-funnel analysis: for each user, the first ``view``, the
+    first ``click`` strictly after that view, and the first ``purchase``
+    strictly after that click -- the classic product-analytics funnel,
+    which SQL engines without MATCH_RECOGNIZE express as N chained
+    self-joins.
+
+    Here it is ONE shuffle: group events per user, sort the (bounded,
+    per-user) struct array once, and walk the stages with higher-order
+    array functions -- each stage is ``try_element_at(filter(...), 1)``
+    against the previous stage's (ts, event_id) cursor.  "After" is
+    strict on the (ts_ms, event_id) pair, so ties are deterministic and
+    a same-millisecond click still counts if its event_id is larger.
+    At 100 TB: per-user arrays are session-sized (the same bound
+    sessionize and any per-key window already accepts); no stage joins,
+    no window over the full stream.  ``stage_reached`` in {1,2,3}; users
+    with no view event do not appear."""
+    ts_ms = F.unix_millis(F.col("ts"))
+    base = events.filter(
+        F.col("event_type").isin("view", "click", "purchase")
+        & F.col("user_id").isNotNull()
+    ).select(
+        "user_id",
+        F.struct(
+            ts_ms.alias("ts_ms"),
+            F.col("event_id").alias("event_id"),
+            F.col("event_type").alias("etype"),
+        ).alias("e"),
+    )
+    per_user = base.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("e")).alias("es")
+    )
+
+    def _after(etype: str, prev: str) -> F.Column:
+        # first event of `etype` strictly after the (ts, id) of `prev`
+        return F.try_element_at(
+            F.filter(
+                F.col("es"),
+                lambda x: (x["etype"] == etype)
+                & (
+                    (x["ts_ms"] > F.col(f"{prev}.ts_ms"))
+                    | (
+                        (x["ts_ms"] == F.col(f"{prev}.ts_ms"))
+                        & (x["event_id"] > F.col(f"{prev}.event_id"))
+                    )
+                ),
+            ),
+            F.lit(1),
+        )
+
+    staged = (
+        per_user.withColumn(
+            "e1",
+            F.try_element_at(F.filter(F.col("es"), lambda x: x["etype"] == "view"), F.lit(1)),
+        )
+        .filter(F.col("e1").isNotNull())
+        .withColumn("e2", _after("click", "e1"))
+        .withColumn("e3", _after("purchase", "e2"))
+    )
+    return staged.select(
+        "user_id",
+        F.col("e1.ts_ms").alias("view_ts_ms"),
+        F.col("e2.ts_ms").alias("click_ts_ms"),
+        F.col("e3.ts_ms").alias("purchase_ts_ms"),
+        (
+            F.lit(1)
+            + F.col("e2").isNotNull().cast("int")
+            + F.col("e3").isNotNull().cast("int")
+        ).alias("stage_reached"),
+    )
+
+
 def running_windows(events: DataFrame) -> DataFrame:
     """Running-window family over the event stream: per-user running
     count and max, previous-event gap (lag), and a 3-row sliding min --

@@ -493,6 +493,132 @@ def mixture_weights(
     )
 
 
+def pack_sequences(
+    documents: DataFrame, budget: int = 512, n_shards: int = 8
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate the corpus (in a
+    deterministic order) and cut it every ``budget`` tokens; each
+    document is assigned to the training sequence where it STARTS
+    (the consumer cuts the straddle).  This is concat-then-chunk
+    packing -- zero padding waste, the standard pretraining layout.
+
+    A single global concatenation order would be a global sort, so the
+    stream is sharded first (portable hash, like shard_assignments) and
+    each shard packs independently: the window runs PARTITIONED by
+    shard, giving n_shards-way parallelism with one task's worth of
+    state each.  At 100 TB you size n_shards to the cluster (one shard
+    ~ one final .bin file); the per-shard running sum is the only
+    sequential dependency, exactly as in the single-writer tool this
+    replaces.  Order within a shard is (hash, doc_id): deterministic
+    under reruns and layout changes, and uncorrelated with document
+    content (packing theory wants exchangeable order, not sorted-by-
+    length order, which would bias sequences toward same-length docs)."""
+    h = word_hash(F.col("doc_id").cast("string"))
+    base = documents.select(
+        "doc_id",
+        h.alias("__h"),
+        (h % n_shards).alias("shard"),
+        _count_re(F.col("text"), TOKEN_RE).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("__h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return base.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        offset.alias("stream_offset"),
+        F.floor(offset / budget).cast("long").alias("seq_id"),
+        (offset % budget).alias("seq_offset"),
+    )
+
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def chunk_documents(
+    documents: DataFrame, chunk: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Overlapping token-window chunks (size ``chunk``, step ``stride``
+    -- overlap = chunk - stride), the context-window splitter for
+    embedding / retrieval pipelines.
+
+    Pure per-row array work: tokenize once, generate the start offsets
+    with ``sequence``, slice per start -- no shuffle, no Python, runs at
+    scan speed and scales embarrassingly.  The last chunk of a doc may
+    be short (standard); empty docs yield no chunks."""
+    words = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))
+    n = F.size(words)
+    starts = F.when(n > 0, F.sequence(F.lit(1), n, F.lit(stride))).otherwise(
+        F.array().cast("array<int>")
+    )
+    exploded = documents.select(
+        "doc_id", words.alias("__w"), F.explode(starts).alias("start")
+    )
+    piece = F.slice(F.col("__w"), F.col("start"), chunk)
+    return exploded.select(
+        "doc_id",
+        F.floor((F.col("start") - 1) / stride).cast("long").alias("chunk_id"),
+        F.col("start").cast("long").alias("start_token"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def mixture_sample(
+    documents: DataFrame,
+    by: list[str] | None = None,
+    alpha: float = 0.7,
+    frac: float = 0.5,
+) -> DataFrame:
+    """APPLY the training mixture: deterministic per-document sampling
+    at each slice's temperature-smoothed rate, producing a corpus whose
+    expected token budget is ``frac`` of the input with slice shares
+    following ``mixture_weights(alpha)`` -- the step that turns mixture
+    math into an actual training corpus.
+
+    Keep rule: keep doc iff hash(doc) < floor(p_slice * 2^48) on the
+    portable 48-bit hash -- rerun/layout-independent, and the threshold
+    is floored IDENTICALLY in both engines (a bare double->int cast
+    rounds in DuckDB but truncates in Spark; floor() first removes the
+    difference).  p_slice = min(1, frac * total_tokens * w_smoothed /
+    slice_tokens): up-weighted small slices keep everything (capped at
+    1 -- sampling can't mint new data), big slices thin out.
+
+    Scale: the slice-rate frame is mixture_weights' output (tiny),
+    broadcast back onto the corpus; the corpus itself never shuffles --
+    filter at scan speed."""
+    by = by or ["lang", "source"]
+    weights = mixture_weights(documents, by=by, alpha=alpha)
+    total = weights.agg(F.sum("n_tokens").cast("double").alias("__total"))
+    rates = (
+        weights.crossJoin(F.broadcast(total))
+        .select(
+            *by,
+            F.least(
+                F.lit(1.0),
+                F.lit(frac)
+                * F.col("__total")
+                * F.col("weight_smoothed")
+                / F.col("n_tokens"),
+            ).alias("__p"),
+        )
+    )
+    HASH_SPACE = float(1 << 48)
+    keep = word_hash(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) < F.floor(
+        F.col("__p") * HASH_SPACE
+    ).cast("long")
+    return (
+        documents.join(F.broadcast(rates), on=by)
+        .filter(keep)
+        .select("doc_id", *by, "n_chars", F.round("__p", 6).alias("keep_rate"))
+    )
+
+
 def sample_k_per_group(
     documents: DataFrame, group_col: str = "lang", k: int = 10
 ) -> DataFrame:

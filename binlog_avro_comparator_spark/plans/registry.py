@@ -24,14 +24,18 @@ from ..operators.parse import parse_binlog_text
 from ..operators import compare as C
 from ..operators.analytics import (
     customer_nation_revenue,
+    funnel_stages,
     high_value_customers,
     kmv_distinct_users,
+    part_profit_by_nation,
     q1_pricing_summary,
+    regional_supplier_volume,
     revenue_rollup,
     running_windows,
     top_revenue_orders,
     user_set_ops,
 )
+from ..operators.snapshot import apply_changes
 from ..operators.multimodal import audio_features, image_features
 from ..operators.dedup import (
     MINHASH_PRIME,
@@ -376,6 +380,27 @@ def _q_sample_k_per_group(spark, sf_dir):
     return sample_k_per_group(_docs(spark, sf_dir))
 
 
+def _q_pack_sequences(spark, sf_dir):
+    ensure_session_conf(spark)
+    from ..operators.textstats import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir))
+
+
+def _q_doc_chunks(spark, sf_dir):
+    ensure_session_conf(spark)
+    from ..operators.textstats import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir))
+
+
+def _q_mixture_sample(spark, sf_dir):
+    ensure_session_conf(spark)
+    from ..operators.textstats import mixture_sample
+
+    return mixture_sample(_docs(spark, sf_dir))
+
+
 def _q_repeated_spans(spark, sf_dir):
     ensure_session_conf(spark)
     return repeated_span_stats(_docs(spark, sf_dir))
@@ -604,6 +629,39 @@ def _q_revenue_rollup(spark, sf_dir):
     return revenue_rollup(load_table(spark, sf_dir, "orders"))
 
 
+def _q_regional_supplier_volume(spark, sf_dir):
+    ensure_session_conf(spark)
+    return regional_supplier_volume(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+def _q_part_profit_by_nation(spark, sf_dir):
+    ensure_session_conf(spark)
+    return part_profit_by_nation(
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def _q_events_funnel(spark, sf_dir):
+    ensure_session_conf(spark)
+    return funnel_stages(load_table(spark, sf_dir, "events"))
+
+
+def _q_cdc_apply_changes(spark, sf_dir):
+    ensure_session_conf(spark)
+    return apply_changes(load_table(spark, sf_dir, "events"))
+
+
 def _q_media_features(spark, sf_dir):
     """Multimodal plumbing, oracle-checked: documents' text bytes as
     opaque binary media, features extracted via Arrow mapInPandas."""
@@ -813,6 +871,14 @@ def queries() -> dict[str, QueryFn]:
     # past the 50-entry window in round 2 when the corpus tier was inserted
     # mid-dict). Keep new queries ahead of long-green ones.
     return {
+        # -- round 3 additions (never driver-verified -> lead the dict) --
+        "cdc_apply_changes": _q_cdc_apply_changes,
+        "regional_supplier_volume": _q_regional_supplier_volume,
+        "part_profit_by_nation": _q_part_profit_by_nation,
+        "events_funnel": _q_events_funnel,
+        "doc_pack_sequences": _q_pack_sequences,
+        "doc_chunks": _q_doc_chunks,
+        "corpus_mixture_sample": _q_mixture_sample,
         "media_audio_features": _q_media_audio_features,
         "media_image_features": _q_media_features,
         "q1_pricing_summary": _q_q1,
@@ -1699,6 +1765,148 @@ SELECT (epoch_ms(ts) // 600000) * 600000 AS window_start_ms,
        max(value) AS max_value
 FROM events
 GROUP BY 1, 2, 3""",
+        "cdc_apply_changes": """
+WITH changes AS (
+  SELECT user_id,
+         CASE event_type WHEN 'click' THEN 'INSERT'
+                         WHEN 'view' THEN 'UPDATE'
+                         ELSE 'DELETE' END AS op,
+         epoch_ms(ts) AS ts_ms, event_id, value
+  FROM events
+  WHERE event_type IN ('click', 'view', 'purchase') AND user_id IS NOT NULL
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts_ms DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_changes
+  FROM changes
+)
+SELECT user_id, op AS last_op, ts_ms AS last_ts_ms, event_id AS last_event_id,
+       round(value, 4) AS last_value, n_changes
+FROM ranked WHERE rn = 1 AND op <> 'DELETE'""",
+        "regional_supplier_volume": """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+  AND c_nationkey = s_nationkey
+GROUP BY n_name""",
+        "part_profit_by_nation": """
+SELECT n_name, year(o_orderdate) AS o_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS profit,
+       count(*) AS n_items
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%bolt%'
+GROUP BY n_name, year(o_orderdate)""",
+        "events_funnel": """
+WITH e AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type
+  FROM events
+  WHERE event_type IN ('view', 'click', 'purchase') AND user_id IS NOT NULL
+),
+v AS (
+  SELECT user_id, ts_ms, event_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS rn
+    FROM e WHERE event_type = 'view'
+  ) WHERE rn = 1
+),
+c AS (
+  SELECT user_id, ts_ms, event_id FROM (
+    SELECT e.user_id, e.ts_ms, e.event_id,
+           row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts_ms, e.event_id) AS rn
+    FROM e JOIN v USING (user_id)
+    WHERE e.event_type = 'click'
+      AND (e.ts_ms > v.ts_ms OR (e.ts_ms = v.ts_ms AND e.event_id > v.event_id))
+  ) WHERE rn = 1
+),
+p AS (
+  SELECT user_id, ts_ms FROM (
+    SELECT e.user_id, e.ts_ms,
+           row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts_ms, e.event_id) AS rn
+    FROM e JOIN c USING (user_id)
+    WHERE e.event_type = 'purchase'
+      AND (e.ts_ms > c.ts_ms OR (e.ts_ms = c.ts_ms AND e.event_id > c.event_id))
+  ) WHERE rn = 1
+)
+SELECT v.user_id, v.ts_ms AS view_ts_ms, c.ts_ms AS click_ts_ms, p.ts_ms AS purchase_ts_ms,
+       1 + CAST(c.user_id IS NOT NULL AS INT) + CAST(p.user_id IS NOT NULL AS INT) AS stage_reached
+FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON v.user_id = p.user_id""",
+        # twin of textstats.pack_sequences: the oracle runs the running
+        # sum as one window (fine for DuckDB); the Spark side shards it
+        "doc_pack_sequences": rf"""
+WITH base AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS h,
+         CAST(len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+off AS (
+  SELECT doc_id, h % 8 AS shard, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY h % 8 ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS stream_offset
+  FROM base
+)
+SELECT doc_id, shard, n_tokens, stream_offset,
+       stream_offset // 512 AS seq_id,
+       stream_offset % 512 AS seq_offset
+FROM off""",
+        "doc_chunks": rf"""
+WITH dw AS (
+  SELECT doc_id, regexp_extract_all(text, '{_TOKEN_RE_SQL}') AS w FROM documents
+),
+st AS (
+  SELECT doc_id, w,
+         unnest(CASE WHEN len(w) > 0 THEN generate_series(1, len(w), 48)
+                ELSE [] END) AS start
+  FROM dw
+)
+SELECT doc_id,
+       CAST((start - 1) // 48 AS BIGINT) AS chunk_id,
+       CAST(start AS BIGINT) AS start_token,
+       CAST(len(w[start:start+63]) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(w[start:start+63], ' ') AS chunk_text
+FROM st""",
+        # twin of textstats.mixture_sample: identical double-arithmetic
+        # order ((frac*total)*ws)/n_tokens, identical floor()ed 48-bit
+        # keep threshold (a bare cast rounds in DuckDB but truncates in
+        # Spark -- floor first removes the difference)
+        "corpus_mixture_sample": rf"""
+WITH toks AS (
+  SELECT lang, source, len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS n FROM documents
+),
+grp AS (
+  SELECT lang, source, CAST(sum(n) AS BIGINT) AS n_tokens FROM toks GROUP BY lang, source
+),
+tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS t FROM grp),
+w AS (
+  SELECT lang, source, n_tokens,
+         pow(n_tokens / (SELECT t FROM tot), 0.7) AS pw
+  FROM grp
+),
+z AS (SELECT sum(pw) AS z FROM w),
+rates AS (
+  SELECT lang, source,
+         least(CAST(1.0 AS DOUBLE),
+               CAST(0.5 AS DOUBLE) * (SELECT t FROM tot)
+               * round(pw / (SELECT z FROM z), 6) / n_tokens) AS p
+  FROM w
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars, round(r.p, 6) AS keep_rate
+FROM documents d JOIN rates r USING (lang, source)
+WHERE ('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 12))::BIGINT
+      < CAST(floor(r.p * 281474976710656.0) AS BIGINT)""",
         "q1_pricing_summary": """
 SELECT *, sum_qty / count_order AS avg_qty, sum_base_price / count_order AS avg_price
 FROM (

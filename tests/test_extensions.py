@@ -749,3 +749,168 @@ def test_curation_trim_spans_composition(spark):
     assert "a b c d e" not in out[101].text
     assert out[101].text.startswith("start")
     assert out[101].lang == "en" and out[101].source == "s"  # full rows
+
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _events(spark, rows):
+    return (
+        spark.createDataFrame(rows, EVENTS_SCHEMA)
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .drop("ts_us")
+    )
+
+
+def test_apply_changes_last_write_wins(spark):
+    from binlog_avro_comparator_spark.operators.snapshot import apply_changes
+
+    base = 1_700_000_000_000_000
+    ev = _events(
+        spark,
+        [
+            (1, base, 10, "click", 1.0, "{}"),      # INSERT
+            (2, base + 1_000_000, 10, "view", 2.0, "{}"),   # UPDATE -> last
+            (3, base, 20, "click", 1.0, "{}"),
+            (4, base + 1_000_000, 20, "purchase", 0.0, "{}"),  # DELETE -> gone
+            (5, base, 30, "purchase", 0.0, "{}"),
+            (6, base + 1_000_000, 30, "click", 9.0, "{}"),  # re-insert after delete
+            (7, base, 40, "signup", 0.0, "{}"),     # non-DML: ignored entirely
+        ],
+    )
+    got = {r.user_id: r for r in apply_changes(ev).collect()}
+    assert set(got) == {10, 30}
+    assert got[10].last_op == "UPDATE" and got[10].n_changes == 2
+    assert got[30].last_op == "INSERT" and got[30].last_value == 9.0
+    assert 40 not in got  # signup alone creates no row
+
+
+def test_apply_changes_same_ms_tiebreak(spark):
+    from binlog_avro_comparator_spark.operators.snapshot import apply_changes
+
+    base = 1_700_000_000_000_000
+    # same millisecond: higher event_id wins
+    ev = _events(
+        spark,
+        [
+            (1, base, 10, "click", 1.0, "{}"),
+            (2, base, 10, "purchase", 0.0, "{}"),
+        ],
+    )
+    assert apply_changes(ev).count() == 0  # event 2 (DELETE) wins the tie
+
+
+def test_funnel_stage_order_is_strict(spark):
+    from binlog_avro_comparator_spark.operators.analytics import funnel_stages
+
+    base = 1_700_000_000_000_000
+    ev = _events(
+        spark,
+        [
+            # user 10: click BEFORE the first view must not count
+            (1, base, 10, "click", 0.0, "{}"),
+            (2, base + 1_000_000, 10, "view", 0.0, "{}"),
+            (3, base + 2_000_000, 10, "click", 0.0, "{}"),
+            (4, base + 3_000_000, 10, "purchase", 0.0, "{}"),
+            # user 20: view only
+            (5, base, 20, "view", 0.0, "{}"),
+            # user 30: purchase before click -> stage 2 only
+            (6, base, 30, "view", 0.0, "{}"),
+            (7, base + 1_000_000, 30, "purchase", 0.0, "{}"),
+            (8, base + 2_000_000, 30, "click", 0.0, "{}"),
+            # user 40: no view -> absent
+            (9, base, 40, "click", 0.0, "{}"),
+        ],
+    )
+    got = {r.user_id: r for r in funnel_stages(ev).collect()}
+    assert set(got) == {10, 20, 30}
+    assert got[10].stage_reached == 3
+    assert got[10].click_ts_ms > got[10].view_ts_ms
+    assert got[20].stage_reached == 1 and got[20].click_ts_ms is None
+    assert got[30].stage_reached == 2 and got[30].purchase_ts_ms is None
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    """Chunks step by stride with chunk-stride overlap; the tail chunk
+    is short; empty docs emit nothing."""
+    from binlog_avro_comparator_spark.operators.textstats import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, words), (2, "only two"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        chunk_documents(docs, chunk=4, stride=3).collect(),
+        key=lambda r: (r.doc_id, r.chunk_id),
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: starts 1,4,7,10 -> sizes 4,4,4,1
+    assert [r.start_token for r in by_doc[1]] == [1, 4, 7, 10]
+    assert [r.n_chunk_tokens for r in by_doc[1]] == [4, 4, 4, 1]
+    assert by_doc[1][0].chunk_text == "w0 w1 w2 w3"
+    assert by_doc[1][1].chunk_text == "w3 w4 w5 w6"  # 1-token overlap
+    assert by_doc[1][3].chunk_text == "w9"
+    assert [r.n_chunk_tokens for r in by_doc[2]] == [2]
+    assert 3 not in by_doc
+
+
+def test_pack_sequences_offsets_contiguous(spark):
+    """Within a shard, stream offsets are the exclusive prefix sum of
+    token counts in (hash, doc_id) order -- no gaps, no padding -- and
+    seq assignment is offset // budget."""
+    from binlog_avro_comparator_spark.operators.textstats import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join("t" * 1 for _ in range(3 + i % 5))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    rows = pack_sequences(docs, budget=16, n_shards=4).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(len(v) for v in by_shard.values())  # every shard non-empty
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r.stream_offset)
+        acc = 0
+        for r in rs:
+            assert r.stream_offset == acc  # contiguous: exclusive prefix sum
+            assert r.seq_id == acc // 16
+            assert r.seq_offset == acc % 16
+            acc += r.n_tokens
+    # deterministic under repartitioning
+    again = pack_sequences(docs.repartition(7), budget=16, n_shards=4).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    """Up-weighted minority slices keep everything (rate capped at 1);
+    the majority slice thins; the picked set is rerun-deterministic."""
+    from binlog_avro_comparator_spark.operators.textstats import mixture_sample
+
+    docs = spark.createDataFrame(
+        [(i, "word " * 20, "en", "s", 100) for i in range(200)]
+        + [(1000 + i, "petit mot", "fr", "s", 9) for i in range(3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = mixture_sample(docs, frac=0.5)
+    rows = out.collect()
+    rates = {r.lang: r.keep_rate for r in rows}
+    assert rates.get("fr") == 1.0  # tiny slice fully kept after smoothing
+    assert rates["en"] < 1.0
+    kept_en = sum(1 for r in rows if r.lang == "en")
+    # deterministic hash sampling: expected ~ rate * 200, loose band
+    assert 0 < kept_en < 200
+    again = mixture_sample(docs.repartition(11), frac=0.5).collect()
+    assert sorted(r.doc_id for r in rows) == sorted(r.doc_id for r in again)

@@ -184,3 +184,66 @@ def test_kmv_two_phase_no_rank_window(spark):
     # ObjectHashAggregate (collect_set) precedes the exchange
     assert "ObjectHashAggregate" in plan
     assert "partial_collect_set" in plan or "partial" in plan
+
+
+def test_apply_changes_no_window(spark):
+    """Snapshot materialization is a max_by hash aggregate (map-side
+    combinable), never a per-key rank window."""
+    from binlog_avro_comparator_spark.operators.snapshot import apply_changes
+
+    plan = _plan(apply_changes(load_table(spark, SF, "events")))
+    assert "Window" not in plan
+    # struct-ordered max_by plans as SortAggregate; the partial_ marker
+    # proves map-side combine still applies (keys, not events, shuffle)
+    assert "partial_max_by" in plan
+
+
+def test_funnel_one_shuffle_no_window(spark):
+    """The funnel is one per-user aggregate + array walks: no stage
+    self-joins, no window over the event stream."""
+    from binlog_avro_comparator_spark.operators.analytics import funnel_stages
+
+    plan = _plan(funnel_stages(load_table(spark, SF, "events")))
+    assert "Window" not in plan
+    assert "Join" not in plan  # stages resolved inside the row, not by joins
+    assert plan.count("Exchange (") == 1  # the single user_id shuffle
+
+
+def test_regional_volume_pushdown_and_broadcast(spark):
+    """Q5 shape: the order-date predicate reaches the parquet scan and
+    the pruned supplier dimension broadcasts."""
+    from binlog_avro_comparator_spark.operators.analytics import (
+        regional_supplier_volume,
+    )
+
+    df = regional_supplier_volume(
+        load_table(spark, SF, "customer"),
+        load_table(spark, SF, "orders"),
+        load_table(spark, SF, "lineitem"),
+        load_table(spark, SF, "supplier"),
+        load_table(spark, SF, "nation"),
+        load_table(spark, SF, "region"),
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_part_profit_like_pushdown(spark):
+    """Q9 shape: the part-name LIKE filter is pushed to the part scan
+    (StringContains) and the filtered dimension broadcasts, so fact rows
+    shed in the first map-side join."""
+    from binlog_avro_comparator_spark.operators.analytics import (
+        part_profit_by_nation,
+    )
+
+    df = part_profit_by_nation(
+        load_table(spark, SF, "part"),
+        load_table(spark, SF, "supplier"),
+        load_table(spark, SF, "lineitem"),
+        load_table(spark, SF, "orders"),
+        load_table(spark, SF, "nation"),
+    )
+    plan = _plan(df)
+    assert "StringContains(p_name,bolt)" in plan
+    assert "BroadcastHashJoin" in plan
