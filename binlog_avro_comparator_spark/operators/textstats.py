@@ -210,6 +210,80 @@ def clean_text(documents: DataFrame) -> DataFrame:
     )
 
 
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+\d{1,3}[- ]\d{3}[- ]\d{3,4}[- ]\d{2,4}"
+SSN_ISH_RE = r"\b\d{3}-\d{2}-\d{4}\b"
+
+# (name, pattern, sentinel) in REPLACEMENT ORDER: email first so an IP
+# or digit-run inside an address is redacted as part of the address,
+# never double-counted by a later pattern's pass over the rewritten text
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", EMAIL_RE, "<EMAIL>"),
+    ("ipv4", IPV4_RE, "<IP>"),
+    ("phone", PHONE_RE, "<PHONE>"),
+    ("id", SSN_ISH_RE, "<ID>"),
+)
+
+
+def redact_pii(documents: DataFrame) -> DataFrame:
+    """Typed PII redaction -- the release-gate scrub a public training
+    corpus goes through: emails, IPv4 addresses, international phone
+    numbers, and SSN-shaped ids replaced with sentinel tokens, with a
+    per-type occurrence count (the audit trail reviewers sign off on).
+
+    Counts are taken on the text AS EACH PATTERN SEES IT (the running
+    redacted form), so an IPv4 inside an already-redacted email is
+    counted once as email, never twice -- the count of a pattern equals
+    the number of substitutions it performed.  All patterns live in the
+    character-class + bounded-repetition subset that Java regex and RE2
+    interpret identically (no lookaround, no backreferences), so the
+    DuckDB twin reproduces the redacted text byte-for-byte.
+
+    Scale: a chain of regexp_replace projections -- no shuffle, no
+    Python, scan speed; at 100 TB this is exactly as parallel as the
+    input layout."""
+    t = F.col("text")
+    counts = []
+    for name, pat, rep in PII_PATTERNS:
+        counts.append(_count_re(t, pat).cast("long").alias(f"n_{name}"))
+        t = F.regexp_replace(t, pat, rep)
+    total = sum((F.col(f"n_{n}") for n, _, _ in PII_PATTERNS[1:]),
+                F.col(f"n_{PII_PATTERNS[0][0]}"))
+    return documents.select("doc_id", *counts, t.alias("text_redacted")).select(
+        "doc_id",
+        *[f"n_{n}" for n, _, _ in PII_PATTERNS],
+        total.alias("n_pii"),
+        "text_redacted",
+    )
+
+
+def split_assignments(
+    documents: DataFrame, weights: tuple[int, int, int] = (90, 5, 5)
+) -> DataFrame:
+    """Deterministic train/val/test split: bucket = portable 48-bit
+    hash of the salted doc_id mod 100, cut at the cumulative weights.
+    Rerun- and layout-independent (hash of the KEY, never of partition
+    or row position): a document keeps its split across reruns, cluster
+    sizes, and file layouts -- the property that makes held-out sets
+    trustworthy.  The salt ("split:") decorrelates this hash from every
+    other hash-derived decision in the pipeline (sharding, sampling),
+    so the test set is not biased by, e.g., shard assignment.
+
+    Scale: one scan-speed projection, no shuffle; the split is data,
+    so downstream writers just partitionBy("split")."""
+    train_w, val_w, _ = weights
+    bucket = word_hash(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    split = (
+        F.when(bucket < train_w, "train")
+        .when(bucket < train_w + val_w, "val")
+        .otherwise("test")
+    )
+    return documents.select(
+        "doc_id", "lang", "source",
+        bucket.alias("bucket"), split.alias("split"),
+    )
+
+
 def length_quantiles(documents: DataFrame, approx: bool = False) -> DataFrame:
     """Per-language document-length distribution (p50/p90/p99 of
     n_chars) -- the curation dashboard numbers used to set length

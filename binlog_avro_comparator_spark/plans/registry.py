@@ -64,6 +64,8 @@ from ..operators.similarity import (
 )
 from ..operators.textstats import (
     clean_text,
+    redact_pii,
+    split_assignments,
     contamination_scores,
     corpus_vocab_topk,
     encode_token_ids,
@@ -399,6 +401,35 @@ def _q_mixture_sample(spark, sf_dir):
     from ..operators.textstats import mixture_sample
 
     return mixture_sample(_docs(spark, sf_dir))
+
+
+def _inject_pii(docs: DataFrame) -> DataFrame:
+    """The synthetic corpus contains no digits at all, so a redaction
+    query over it would be a trivially-zero oracle.  Deterministically
+    append doc_id-derived PII (email / IPv4 / phone / SSN-shaped id,
+    each on a different doc_id stride) with an expression the DuckDB
+    twin states verbatim -- the redaction regexes then do real work and
+    the redacted text is value-compared byte-for-byte."""
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    piece = lambda mod, col: F.when(did % mod == 0, col).otherwise(F.lit(""))
+    email = piece(3, F.concat(F.lit(" user"), ds, F.lit("@example.com")))
+    ip = piece(4, F.concat(F.lit(" 10.0."), (did % 256).cast("string"), F.lit(".7")))
+    phone = piece(
+        5, F.concat(F.lit(" +1 555 0"), (F.lit(100) + did % 900).cast("string"), F.lit(" 99"))
+    )
+    ssn = piece(7, F.concat(F.lit(" 123-45-"), (F.lit(1000) + did % 9000).cast("string")))
+    return docs.withColumn("text", F.concat(F.col("text"), email, ip, phone, ssn))
+
+
+def _q_redact_pii(spark, sf_dir):
+    ensure_session_conf(spark)
+    return redact_pii(_inject_pii(_docs(spark, sf_dir)))
+
+
+def _q_split_assignments(spark, sf_dir):
+    ensure_session_conf(spark)
+    return split_assignments(_docs(spark, sf_dir))
 
 
 def _q_repeated_spans(spark, sf_dir):
@@ -872,6 +903,8 @@ def queries() -> dict[str, QueryFn]:
     # mid-dict). Keep new queries ahead of long-green ones.
     return {
         # -- round 3 additions (never driver-verified -> lead the dict) --
+        "doc_redact_pii": _q_redact_pii,
+        "doc_split_assignments": _q_split_assignments,
         "cdc_apply_changes": _q_cdc_apply_changes,
         "regional_supplier_volume": _q_regional_supplier_volume,
         "part_profit_by_nation": _q_part_profit_by_nation,
@@ -1132,6 +1165,54 @@ def _hyperplane_bucket_sql(n_planes: int = 8) -> str:
         for p in range(n_planes)
     )
     return f"SELECT vec_id, {bits} AS bucket FROM ex GROUP BY vec_id"
+
+
+def _redact_pii_sql() -> str:
+    """DuckDB twin of redact_pii over _inject_pii: the injection CASEs
+    are stated verbatim, then each pattern counts-then-replaces on the
+    running text exactly as the operator does (DuckDB regexp_replace
+    needs the explicit 'g' flag; Spark's is global by default)."""
+    from ..operators.textstats import EMAIL_RE, IPV4_RE, PHONE_RE, SSN_ISH_RE
+
+    return rf"""
+WITH pii AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0 THEN ' user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 4 = 0 THEN ' 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' +1 555 0' || CAST(100 + doc_id % 900 AS VARCHAR) || ' 99' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ' 123-45-' || CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END
+         AS text
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_email,
+         regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS text
+  FROM pii
+),
+s2 AS (
+  SELECT doc_id, n_email,
+         CAST(len(regexp_extract_all(text, '{IPV4_RE}')) AS BIGINT) AS n_ipv4,
+         regexp_replace(text, '{IPV4_RE}', '<IP>', 'g') AS text
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_email, n_ipv4,
+         CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT) AS n_phone,
+         regexp_replace(text, '{PHONE_RE}', '<PHONE>', 'g') AS text
+  FROM s2
+),
+s4 AS (
+  SELECT doc_id, n_email, n_ipv4, n_phone,
+         CAST(len(regexp_extract_all(text, '{SSN_ISH_RE}')) AS BIGINT) AS n_id,
+         regexp_replace(text, '{SSN_ISH_RE}', '<ID>', 'g') AS text
+  FROM s3
+)
+SELECT doc_id, n_email, n_ipv4, n_phone, n_id,
+       n_email + n_ipv4 + n_phone + n_id AS n_pii,
+       text AS text_redacted
+FROM s4"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1765,6 +1846,18 @@ SELECT (epoch_ms(ts) // 600000) * 600000 AS window_start_ms,
        max(value) AS max_value
 FROM events
 GROUP BY 1, 2, 3""",
+        "doc_redact_pii": _redact_pii_sql(),
+        "doc_split_assignments": """
+WITH b AS (
+  SELECT doc_id, lang, source,
+         ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, source, bucket,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM b""",
         "cdc_apply_changes": """
 WITH changes AS (
   SELECT user_id,

@@ -914,3 +914,51 @@ def test_mixture_sample_rates_and_determinism(spark):
     assert 0 < kept_en < 200
     again = mixture_sample(docs.repartition(11), frac=0.5).collect()
     assert sorted(r.doc_id for r in rows) == sorted(r.doc_id for r in again)
+
+
+def test_redact_pii_types_and_counts(spark):
+    """Each PII type is counted and replaced by its sentinel; a pattern
+    counts what it actually substitutes (an IP inside an email is email,
+    not email + ip); clean text passes through untouched."""
+    from binlog_avro_comparator_spark.operators.textstats import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "host 192.168.0.12 and 10.0.0.1 up"),
+            (3, "call +44 123 4567 89 today"),
+            (4, "ssn 123-45-6789."),
+            (5, "at user@10.0.0.1.example.com ok"),  # IP absorbed by the email
+            (6, "nothing to hide"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert got[1].n_email == 1 and got[1].text_redacted == "mail <EMAIL> now"
+    assert got[2].n_ipv4 == 2 and got[2].text_redacted == "host <IP> and <IP> up"
+    assert got[3].n_phone == 1 and got[3].text_redacted == "call <PHONE> today"
+    assert got[4].n_id == 1 and got[4].text_redacted == "ssn <ID>."
+    assert got[5].n_email == 1 and got[5].n_ipv4 == 0  # counted once, as email
+    assert got[6].n_pii == 0 and got[6].text_redacted == "nothing to hide"
+    assert all(r.n_pii == r.n_email + r.n_ipv4 + r.n_phone + r.n_id for r in got.values())
+
+
+def test_split_assignments_deterministic_partition(spark):
+    """Every document lands in exactly one split; assignment is a pure
+    function of doc_id (layout/rerun independent); proportions track the
+    90/5/5 weights loosely at n=2000."""
+    from binlog_avro_comparator_spark.operators.textstats import split_assignments
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "s") for i in range(2000)],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = split_assignments(docs).collect()
+    assert len(rows) == 2000
+    by = {}
+    for r in rows:
+        assert r.split == ("train" if r.bucket < 90 else "val" if r.bucket < 95 else "test")
+        by[r.split] = by.get(r.split, 0) + 1
+    assert by["train"] > 1600 and 40 < by["val"] < 180 and 40 < by["test"] < 180
+    again = {r.doc_id: r.split for r in split_assignments(docs.repartition(13)).collect()}
+    assert all(again[r.doc_id] == r.split for r in rows)
