@@ -446,3 +446,92 @@ def cosine_topk_lsh(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def kmeans_assignments(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    stride: int = 37,
+    dim: int = 64,
+) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus -- the iterative-
+    algorithm tier (cluster-then-balance curation, IVF index training).
+    Deterministic end to end: init centroids are the corpus vectors at
+    ``vec_id = i * stride`` (the assign_centroids convention), every
+    per-vector score and every centroid coordinate is rounded to 1e-6
+    before it is compared or reused, and ties break to the lowest
+    centroid id -- so any engine computing the same recipe lands on the
+    same assignment (the DuckDB twin unrolls the same iterations).
+
+    Spark-first shape, per iteration:
+      * assignment -- broadcast the k centroids, fold the dot product
+        JVM-side (zip_with + aggregate), argmax via ``max_by`` on a
+        packed scalar long: ONE map-side-combinable hash aggregate,
+        no window, no Python;
+      * update -- groupBy(centroid) with ``dim`` avg() columns: one
+        k x dim shuffle of partial sums, map-side combined.
+    The whole n_iter loop is ONE lazy plan (no driver collect): the
+    corpus is scanned 1 + n_iter times from the scoped cache.  At
+    100 TB with many iterations you would localCheckpoint each
+    centroid frame to truncate lineage (the dedup_clusters pattern);
+    at fixed small n_iter the straight-line plan is cheaper.
+    Euclidean argmin uses score = x.c - |c|^2/2 (the |x|^2 term is
+    constant per vector and drops out of the argmax).
+
+    Empty clusters drop out for the next iteration (k shrinks), the
+    standard Lloyd degenerate case, identical in the twin.
+
+    Returns (vec_id, centroid_id, cluster_size) for the final
+    iteration's assignment."""
+    x = F.col("embedding").cast("array<double>")
+    emb = scoped_cache(embeddings.select("vec_id", x.alias("x")))
+    cents = emb.filter(
+        (F.col("vec_id") % stride == 0) & (F.col("vec_id") < stride * k)
+    ).select(
+        (F.col("vec_id") / stride).cast("long").alias("centroid_id"),
+        F.transform(F.col("x"), lambda v: F.round(v, COS_ROUND)).alias("c"),
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        cn2 = F.aggregate(
+            F.col("c"), F.lit(0.0), lambda acc, v: acc + v * v
+        ).alias("__cn2")
+        dot = F.aggregate(
+            F.zip_with(F.col("x"), F.col("c"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        score = F.round(dot - 0.5 * F.col("__cn2"), COS_ROUND)
+        packed = F.round(score * 1e6).cast("long") * F.lit(1 << 32).cast(
+            "long"
+        ) - F.col("centroid_id")
+        return (
+            emb.crossJoin(F.broadcast(centroids.select("centroid_id", "c", cn2)))
+            .select("vec_id", packed.alias("__key"), "centroid_id")
+            .groupBy("vec_id")
+            .agg(F.max_by("centroid_id", F.col("__key")).alias("centroid_id"))
+        )
+
+    def update(assignment: DataFrame) -> DataFrame:
+        joined = assignment.join(emb, on="vec_id")
+        means = joined.groupBy("centroid_id").agg(
+            *[
+                F.round(F.avg(F.col("x")[i]), COS_ROUND).alias(f"__m{i}")
+                for i in range(dim)
+            ]
+        )
+        return means.select(
+            "centroid_id",
+            F.array(*[F.col(f"__m{i}") for i in range(dim)]).alias("c"),
+        )
+
+    assignment = assign(cents)
+    for _ in range(n_iter - 1):
+        assignment = assign(update(assignment))
+    sizes = assignment.groupBy("centroid_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return assignment.join(F.broadcast(sizes), on="centroid_id").select(
+        "vec_id", "centroid_id", "cluster_size"
+    )

@@ -422,6 +422,13 @@ def _inject_pii(docs: DataFrame) -> DataFrame:
     return docs.withColumn("text", F.concat(F.col("text"), email, ip, phone, ssn))
 
 
+def _q_kmeans(spark, sf_dir):
+    ensure_session_conf(spark)
+    from ..operators.similarity import kmeans_assignments
+
+    return kmeans_assignments(load_table(spark, sf_dir, "embeddings"))
+
+
 def _q_redact_pii(spark, sf_dir):
     ensure_session_conf(spark)
     return redact_pii(_inject_pii(_docs(spark, sf_dir)))
@@ -905,6 +912,7 @@ def queries() -> dict[str, QueryFn]:
         # -- round 3 additions (never driver-verified -> lead the dict) --
         "doc_redact_pii": _q_redact_pii,
         "doc_split_assignments": _q_split_assignments,
+        "embedding_kmeans": _q_kmeans,
         "cdc_apply_changes": _q_cdc_apply_changes,
         "regional_supplier_volume": _q_regional_supplier_volume,
         "part_profit_by_nation": _q_part_profit_by_nation,
@@ -1846,6 +1854,57 @@ SELECT (epoch_ms(ts) // 600000) * 600000 AS window_start_ms,
        max(value) AS max_value
 FROM events
 GROUP BY 1, 2, 3""",
+        # Twin of similarity.kmeans_assignments (k=8, stride=37,
+        # n_iter=2 unrolled): identical init, per-step 1e-6 rounding,
+        # argmin euclidean via score = dot - |c|^2/2, lowest-centroid
+        # tie-break; empty clusters drop out exactly as in Spark.
+        "embedding_kmeans": """
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS ord,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+c0 AS (
+  SELECT vec_id // 37 AS centroid_id, ord, round(v, 6) AS cv
+  FROM ex WHERE vec_id % 37 = 0 AND vec_id < 37 * 8
+),
+cn0 AS (SELECT centroid_id, sum(cv * cv) AS n2 FROM c0 GROUP BY 1),
+s0 AS (
+  SELECT e.vec_id, c.centroid_id,
+         round(sum(e.v * c.cv) - 0.5 * any_value(cn.n2), 6) AS score
+  FROM ex e JOIN c0 c ON e.ord = c.ord
+  JOIN cn0 cn ON cn.centroid_id = c.centroid_id
+  GROUP BY 1, 2
+),
+a0 AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+    FROM s0) WHERE rn = 1
+),
+c1 AS (
+  SELECT a.centroid_id, e.ord, round(avg(e.v), 6) AS cv
+  FROM ex e JOIN a0 a ON a.vec_id = e.vec_id
+  GROUP BY 1, 2
+),
+cn1 AS (SELECT centroid_id, sum(cv * cv) AS n2 FROM c1 GROUP BY 1),
+s1 AS (
+  SELECT e.vec_id, c.centroid_id,
+         round(sum(e.v * c.cv) - 0.5 * any_value(cn.n2), 6) AS score
+  FROM ex e JOIN c1 c ON e.ord = c.ord
+  JOIN cn1 cn ON cn.centroid_id = c.centroid_id
+  GROUP BY 1, 2
+),
+a1 AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+    FROM s1) WHERE rn = 1
+)
+SELECT a1.vec_id, a1.centroid_id, sz.cluster_size
+FROM a1 JOIN (
+  SELECT centroid_id, count(*) AS cluster_size FROM a1 GROUP BY 1
+) sz ON sz.centroid_id = a1.centroid_id""",
         "doc_redact_pii": _redact_pii_sql(),
         "doc_split_assignments": """
 WITH b AS (

@@ -962,3 +962,31 @@ def test_split_assignments_deterministic_partition(spark):
     assert by["train"] > 1600 and 40 < by["val"] < 180 and 40 < by["test"] < 180
     again = {r.doc_id: r.split for r in split_assignments(docs.repartition(13)).collect()}
     assert all(again[r.doc_id] == r.split for r in rows)
+
+
+def test_kmeans_deterministic_and_partitioning_invariant(spark):
+    """Every vector gets exactly one cluster; assignment is a pure
+    function of the data (repartition-invariant); cluster_size is
+    consistent with the assignment."""
+    import random
+
+    from binlog_avro_comparator_spark.operators.similarity import kmeans_assignments
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)
+    ]
+    docs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_assignments(docs, k=3, n_iter=3, stride=10, dim=8).collect()
+    assert len(out) == 120 and len({r.vec_id for r in out}) == 120
+    sizes = {}
+    for r in out:
+        sizes[r.centroid_id] = sizes.get(r.centroid_id, 0) + 1
+    assert all(r.cluster_size == sizes[r.centroid_id] for r in out)
+    assert sum(sizes.values()) == 120 and len(sizes) >= 2
+    again = kmeans_assignments(
+        docs.repartition(13), k=3, n_iter=3, stride=10, dim=8
+    ).collect()
+    assert {(r.vec_id, r.centroid_id) for r in again} == {
+        (r.vec_id, r.centroid_id) for r in out
+    }

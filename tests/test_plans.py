@@ -247,3 +247,15 @@ def test_part_profit_like_pushdown(spark):
     plan = _plan(df)
     assert "StringContains(p_name,bolt)" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_kmeans_assignment_no_rank_window(spark):
+    """K-means assignment is max_by hash aggregation over a broadcast
+    centroid set -- never a per-vector rank window; partial_ proves the
+    map-side combine."""
+    from binlog_avro_comparator_spark.operators.similarity import kmeans_assignments
+
+    plan = _plan(kmeans_assignments(load_table(spark, SF, "embeddings")))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "partial_max_by" in plan
