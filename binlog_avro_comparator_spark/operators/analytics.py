@@ -413,3 +413,62 @@ def kmv_distinct_users(events: DataFrame, k: int = KMV_K) -> DataFrame:
         "kth_hash",
         F.round(est, 4).alias("est_distinct_users"),
     )
+
+
+def rank_family(events: DataFrame) -> DataFrame:
+    """The ranking-function surface in one query: rank / dense_rank /
+    percent_rank / cume_dist over a TIED ordering (value floored to an
+    int bucket -- gaps and plateaus become visible) and ntile over a
+    UNIQUE ordering (ties would make ntile assignment order-dependent;
+    (ts, event_id) is total, so the decile is deterministic).
+
+    Determinism contract: every output column is a pure function of the
+    data -- tied rows share rank/dense_rank/percent_rank/cume_dist by
+    definition, and ntile's ordering is unique -- so any engine
+    reproduces it bit-for-bit (percent_rank/cume_dist rounded to 1e-6).
+
+    Scale note: a rank over PARTITION BY event_type sorts each type's
+    full partition in one task -- this query exists for SQL-surface
+    parity and analyst workloads where groups are bounded.  Global
+    top-k wants TakeOrderedAndProject (top_revenue_orders), per-group
+    top-k wants WindowGroupLimit pushdown (last-write-wins dedup), and
+    quantile binning wants the broadcast-percentile shape
+    (quality_deciles) -- all three already in the repo."""
+    ts_ms = F.unix_millis(F.col("ts"))
+    vb = F.floor(F.col("value")).cast("long")
+    tied = Window.partitionBy("event_type").orderBy(vb)
+    unique = Window.partitionBy("event_type").orderBy(ts_ms, "event_id")
+    return events.select(
+        "event_id",
+        "event_type",
+        vb.alias("value_bucket"),
+        F.rank().over(tied).alias("rnk"),
+        F.dense_rank().over(tied).alias("dense_rnk"),
+        F.round(F.percent_rank().over(tied), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(tied), 6).alias("cume"),
+        F.ntile(10).over(unique).alias("time_decile"),
+    )
+
+
+def orders_cube(orders: DataFrame) -> DataFrame:
+    """CUBE aggregate over (order year, order status): every rollup
+    combination (both, year-only, status-only, grand total) in one
+    pass -- the OLAP subtotal surface (revenue_rollup covers ROLLUP;
+    this is the full lattice).
+
+    Spark plans CUBE as a single Expand + hash aggregate: each input
+    row is replicated once per grouping set BEFORE the shuffle and
+    partially aggregated map-side, so the exchange carries one partial
+    row per (grouping set x key) per input partition -- at 100 TB the
+    4x Expand factor is map-local and the shuffle stays tiny.
+    grouping_id distinguishes a genuine NULL key from a subtotal
+    row."""
+    yr = F.year("o_orderdate").alias("o_year")
+    return (
+        orders.cube(yr, F.col("o_orderstatus"))
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("total_price"),
+        )
+    )

@@ -422,6 +422,65 @@ def _inject_pii(docs: DataFrame) -> DataFrame:
     return docs.withColumn("text", F.concat(F.col("text"), email, ip, phone, ssn))
 
 
+def _q_rank_family(spark, sf_dir):
+    ensure_session_conf(spark)
+    from ..operators.analytics import rank_family
+
+    return rank_family(load_table(spark, sf_dir, "events"))
+
+
+def _q_orders_cube(spark, sf_dir):
+    ensure_session_conf(spark)
+    from ..operators.analytics import orders_cube
+
+    return orders_cube(load_table(spark, sf_dir, "orders"))
+
+
+def _q_events_dedup_stream(spark, sf_dir):
+    """Streaming dedup in the driver contract: the events table
+    replayed as a file stream with every row DUPLICATED (the
+    at-least-once redelivery case), drained through watermarked
+    dropDuplicates on event_id via availableNow.  Copies are
+    byte-identical, so the survivor set equals the original table
+    regardless of arrival order -- which is exactly what the oracle
+    states."""
+    global _STREAM_SINK_SEQ
+    from ..sources.tables import _EVENTS_SCHEMA
+    from ..streaming.dedup_stream import dedup_stream
+
+    ensure_session_conf(spark)
+    stream = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("__copy", F.explode(F.array(F.lit(0), F.lit(1))))
+        .drop("__copy")
+    )
+    _STREAM_SINK_SEQ += 1
+    name = f"events_dedup_stream_sink_{_STREAM_SINK_SEQ}"
+    out = dedup_stream(stream).select(
+        "event_id",
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(f"{name}: availableNow drain exceeded 300s")
+    q.stop()
+    return spark.table(name)
+
+
 def _q_kmeans(spark, sf_dir):
     ensure_session_conf(spark)
     from ..operators.similarity import kmeans_assignments
@@ -913,6 +972,9 @@ def queries() -> dict[str, QueryFn]:
         "doc_redact_pii": _q_redact_pii,
         "doc_split_assignments": _q_split_assignments,
         "embedding_kmeans": _q_kmeans,
+        "events_rank_family": _q_rank_family,
+        "orders_cube": _q_orders_cube,
+        "events_dedup_stream": _q_events_dedup_stream,
         "cdc_apply_changes": _q_cdc_apply_changes,
         "regional_supplier_volume": _q_regional_supplier_volume,
         "part_profit_by_nation": _q_part_profit_by_nation,
@@ -1854,6 +1916,28 @@ SELECT (epoch_ms(ts) // 600000) * 600000 AS window_start_ms,
        max(value) AS max_value
 FROM events
 GROUP BY 1, 2, 3""",
+        "events_rank_family": """
+SELECT event_id, event_type,
+       CAST(floor(value) AS BIGINT) AS value_bucket,
+       rank() OVER tied AS rnk,
+       dense_rank() OVER tied AS dense_rnk,
+       round(percent_rank() OVER tied, 6) AS pct_rank,
+       round(cume_dist() OVER tied, 6) AS cume,
+       ntile(10) OVER uniq AS time_decile
+FROM events
+WINDOW tied AS (PARTITION BY event_type ORDER BY CAST(floor(value) AS BIGINT)),
+       uniq AS (PARTITION BY event_type ORDER BY epoch_ms(ts), event_id)""",
+        "orders_cube": """
+SELECT year(o_orderdate) AS o_year, o_orderstatus,
+       grouping(year(o_orderdate), o_orderstatus) AS gid,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE(year(o_orderdate), o_orderstatus)""",
+        # The duplicated replay collapses back to the original table.
+        "events_dedup_stream": """
+SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value, props
+FROM events""",
         # Twin of similarity.kmeans_assignments (k=8, stride=37,
         # n_iter=2 unrolled): identical init, per-step 1e-6 rounding,
         # argmin euclidean via score = dot - |c|^2/2, lowest-centroid

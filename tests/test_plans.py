@@ -259,3 +259,14 @@ def test_kmeans_assignment_no_rank_window(spark):
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "partial_max_by" in plan
+
+
+def test_orders_cube_expand_partial_agg(spark):
+    """CUBE plans as one Expand + hash aggregate with map-side partials
+    -- the grouping-set replication happens before the exchange, never
+    as separate per-set jobs."""
+    from binlog_avro_comparator_spark.operators.analytics import orders_cube
+
+    plan = _plan(orders_cube(load_table(spark, SF, "orders")))
+    assert "Expand" in plan
+    assert plan.count("Exchange (") == 1

@@ -160,3 +160,79 @@ def test_salted_broadcastable_join_guard(spark):
     assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
     with pytest.raises(ValueError, match="max_small_rows"):
         salted_broadcastable_join(large, small, on=["k"], max_small_rows=5)
+
+
+def test_dedup_stream_cross_batch_and_eviction(spark, tmp_path):
+    """dropDuplicates state works ACROSS micro-batches (a redelivery in
+    a later file is dropped), and a key redelivered after the watermark
+    evicted it passes through again -- bounded state, the documented
+    trade."""
+    import json
+    import os
+    import time
+
+    from binlog_avro_comparator_spark.streaming.dedup_stream import dedup_stream
+
+    base = 1_700_000_000_000_000
+    batches = [
+        # batch 0: key 1 twice in-batch, key 2 once
+        [(1, base, "click"), (1, base, "click"), (2, base + 1_000_000, "view")],
+        # batch 1: key 1 redelivered (cross-batch dup) + key 3 two hours
+        # later -- advances the watermark (used by the NEXT batch) to
+        # base+90min, far past key 2's base+1s+30min expiry
+        [(1, base, "click"), (3, base + 7_200_000_000, "view")],
+        # batch 2: eviction happens at END of a batch, so this batch
+        # (any row) is where the advanced watermark actually clears
+        # key 2's entry
+        [(4, base + 7_201_000_000, "click")],
+        # batch 3: key 2 reappears AFTER eviction with a CURRENT event
+        # time -> new state entry, passes through again.  (Reappearing
+        # with its ORIGINAL old timestamp would be late data, dropped
+        # by the watermark before dedup -- also the correct contract.)
+        [(2, base + 7_202_000_000, "view")],
+    ]
+    src = tmp_path / "dsrc"
+    src.mkdir()
+    now = time.time()
+    for i, rows in enumerate(batches):
+        p = src / f"b{i}.json"
+        with p.open("w") as f:
+            for eid, us, et in rows:
+                f.write(json.dumps({"event_id": eid, "ts_us": us, "event_type": et}) + "\n")
+        # FileStreamSource orders batches by mtime; same-second writes
+        # would make batch order (and thus watermark history) arbitrary
+        os.utime(p, (now + i, now + i))
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    )
+    out = dedup_stream(stream, key_cols=("event_id",), watermark_delay="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedupstream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "dck"))
+        .start()
+    )
+    q.awaitTermination(180)
+    got = [
+        (r.event_id, r.event_type)
+        for r in spark.sql("SELECT event_id, event_type FROM dedupstream").collect()
+    ]
+    assert sorted(got) == [
+        (1, "click"),
+        (2, "view"),
+        (2, "view"),
+        (3, "view"),
+        (4, "click"),
+    ]
