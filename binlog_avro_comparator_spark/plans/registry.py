@@ -481,6 +481,42 @@ def _q_events_dedup_stream(spark, sf_dir):
     return spark.table(name)
 
 
+def _q_cdc_snapshot_stream(spark, sf_dir):
+    """The SAME apply_changes operator, run on a stream: Structured
+    Streaming executes the identical logical plan incrementally (the
+    max_by aggregate becomes stateful, one state row per live user),
+    and complete output mode emits the materialized snapshot -- batch
+    and streaming share the operator, which is the point of declaring
+    the plan instead of the execution.  Oracle: identical to
+    cdc_apply_changes."""
+    global _STREAM_SINK_SEQ
+    from ..operators.snapshot import apply_changes
+    from ..sources.tables import _EVENTS_SCHEMA
+
+    ensure_session_conf(spark)
+    stream = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    _STREAM_SINK_SEQ += 1
+    name = f"cdc_snapshot_stream_sink_{_STREAM_SINK_SEQ}"
+    q = (
+        apply_changes(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(f"{name}: availableNow drain exceeded 300s")
+    q.stop()
+    return spark.table(name)
+
+
 def _q_kmeans(spark, sf_dir):
     ensure_session_conf(spark)
     from ..operators.similarity import kmeans_assignments
@@ -975,6 +1011,7 @@ def queries() -> dict[str, QueryFn]:
         "events_rank_family": _q_rank_family,
         "orders_cube": _q_orders_cube,
         "events_dedup_stream": _q_events_dedup_stream,
+        "cdc_snapshot_stream": _q_cdc_snapshot_stream,
         "cdc_apply_changes": _q_cdc_apply_changes,
         "regional_supplier_volume": _q_regional_supplier_volume,
         "part_profit_by_nation": _q_part_profit_by_nation,
@@ -2221,6 +2258,8 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name""",
     }
+    # streaming twin runs the same logical plan -> same oracle
+    sql["cdc_snapshot_stream"] = sql["cdc_apply_changes"]
     return sql
 
 

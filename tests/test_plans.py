@@ -270,3 +270,37 @@ def test_orders_cube_expand_partial_agg(spark):
     plan = _plan(orders_cube(load_table(spark, SF, "orders")))
     assert "Expand" in plan
     assert plan.count("Exchange (") == 1
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """The co-located-join claim in SCALE.md, demonstrated: two tables
+    bucketed by the join key into the same bucket count join with ZERO
+    exchanges -- the layout prepaid the shuffle.  This is the 100 TB
+    recipe for repeated joins against the same key (fact tables
+    re-joined per run, CDC snapshots joined to their change streams)."""
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        for name in ("bt_a", "bt_b"):
+            (
+                df.write.format("parquet")
+                .bucketBy(8, "k")
+                .sortBy("k")
+                .option("path", str(tmp_path / name))
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bt_a").join(
+            spark.table("bt_b").withColumnRenamed("v", "v2"), on="k"
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucketing replaced both shuffles
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
