@@ -472,3 +472,64 @@ def orders_cube(orders: DataFrame) -> DataFrame:
             F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("total_price"),
         )
     )
+
+
+def trailing_window_10min(events: DataFrame) -> DataFrame:
+    """Time-RANGE-frame trailing aggregate: per user, the event count
+    and exact value max over the PRECEDING 10 MINUTES of event time --
+    the rate-limit / rolling-exposure query, and the RANGE-frame
+    complement to running_windows' ROWS frames (a ROWS frame counts
+    rows; a RANGE frame spans time, however many events it holds).
+
+    rangeBetween is expressed on the epoch-millis long, so both engines
+    bound the frame with identical integer arithmetic; count and max
+    are order-exact (no float accumulation).  Scale: one user_id
+    shuffle, one sort per partition -- the frame adds no extra pass
+    (Spark keeps a sliding frame cursor), and per-user partitions are
+    the same bound every per-key window in the repo accepts."""
+    ts_ms = F.unix_millis(F.col("ts"))
+    base = events.select("user_id", "event_id", ts_ms.alias("ts_ms"), "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms")
+        .rangeBetween(-600_000, 0)
+    )
+    return base.select(
+        "user_id",
+        "event_id",
+        "ts_ms",
+        F.count("*").over(w).alias("n_last_10min"),
+        F.max("value").over(w).alias("max_value_10min"),
+    )
+
+
+def part_above_brand_avg(part: DataFrame) -> DataFrame:
+    """Correlated-subquery surface: parts priced above the average
+    retail price OF THEIR BRAND -- 'WHERE p_retailprice > (SELECT
+    avg(...) WHERE brand = outer.brand)' in SQL.
+
+    Spark-first: Catalyst decorrelates this to aggregate-then-join, so
+    we declare that plan directly -- a small per-brand average
+    (broadcast) joined back, comparison as a filter.  The correlated
+    form and the declared form are the same logical plan after
+    rewriting; at 100 TB the explicit form is also the explainable one
+    (1-row-per-brand frame broadcast, fact side never shuffles).
+    avg is a single IEEE division of a decimal-exact sum, rounded to 4
+    for engine determinism like the other price averages."""
+    avg_by_brand = part.groupBy("p_brand").agg(
+        F.round(
+            F.sum(F.col("p_retailprice").cast(_DEC)).cast("double")
+            / F.count("*"),
+            4,
+        ).alias("brand_avg")
+    )
+    return (
+        part.join(F.broadcast(avg_by_brand), on="p_brand")
+        .filter(F.col("p_retailprice").cast("double") > F.col("brand_avg"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.col("p_retailprice").cast("double").alias("p_retailprice"),
+            "brand_avg",
+        )
+    )

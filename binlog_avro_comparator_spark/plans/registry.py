@@ -422,6 +422,20 @@ def _inject_pii(docs: DataFrame) -> DataFrame:
     return docs.withColumn("text", F.concat(F.col("text"), email, ip, phone, ssn))
 
 
+def _q_trailing_10min(spark, sf_dir):
+    ensure_session_conf(spark)
+    from ..operators.analytics import trailing_window_10min
+
+    return trailing_window_10min(load_table(spark, sf_dir, "events"))
+
+
+def _q_part_above_brand_avg(spark, sf_dir):
+    ensure_session_conf(spark)
+    from ..operators.analytics import part_above_brand_avg
+
+    return part_above_brand_avg(load_table(spark, sf_dir, "part"))
+
+
 def _q_rank_family(spark, sf_dir):
     ensure_session_conf(spark)
     from ..operators.analytics import rank_family
@@ -1012,6 +1026,8 @@ def queries() -> dict[str, QueryFn]:
         "orders_cube": _q_orders_cube,
         "events_dedup_stream": _q_events_dedup_stream,
         "cdc_snapshot_stream": _q_cdc_snapshot_stream,
+        "events_trailing_10min": _q_trailing_10min,
+        "part_above_brand_avg": _q_part_above_brand_avg,
         "cdc_apply_changes": _q_cdc_apply_changes,
         "regional_supplier_volume": _q_regional_supplier_volume,
         "part_profit_by_nation": _q_part_profit_by_nation,
@@ -1953,6 +1969,23 @@ SELECT (epoch_ms(ts) // 600000) * 600000 AS window_start_ms,
        max(value) AS max_value
 FROM events
 GROUP BY 1, 2, 3""",
+        "events_trailing_10min": """
+SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+       count(*) OVER w AS n_last_10min,
+       max(value) OVER w AS max_value_10min
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+             RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW)""",
+        "part_above_brand_avg": """
+WITH ca AS (
+  SELECT p_brand,
+         round(CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS brand_avg
+  FROM part GROUP BY 1
+)
+SELECT p_partkey, p_brand,
+       CAST(p_retailprice AS DOUBLE) AS p_retailprice, brand_avg
+FROM part JOIN ca USING (p_brand)
+WHERE CAST(p_retailprice AS DOUBLE) > brand_avg""",
         "events_rank_family": """
 SELECT event_id, event_type,
        CAST(floor(value) AS BIGINT) AS value_bucket,
