@@ -54,6 +54,20 @@ EXTRA_QUERIES = [
     # round 3
     "doc_span_removal",
     "cdc_avro_native_scan_jvm",
+    "cdc_apply_changes",
+    "events_funnel",
+    "regional_supplier_volume",
+    "part_profit_by_nation",
+    "doc_pack_sequences",
+    "doc_chunks",
+    "corpus_mixture_sample",
+    "doc_redact_pii",
+    "doc_split_assignments",
+    "embedding_kmeans",
+    "events_rank_family",
+    "orders_cube",
+    "events_trailing_10min",
+    "part_above_brand_avg",
 ]
 
 
