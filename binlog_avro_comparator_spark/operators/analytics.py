@@ -533,3 +533,44 @@ def part_above_brand_avg(part: DataFrame) -> DataFrame:
             "brand_avg",
         )
     )
+
+
+def top_parts_per_brand(part: DataFrame, k: int = 3) -> DataFrame:
+    """Per-GROUP top-k (the 'latest k orders per customer' shape):
+    rank over (brand, price DESC) filtered to rank <= k.
+
+    Spark 3.5+ plans the rank-then-filter idiom as WindowGroupLimit:
+    each map task keeps only its local top-k PER GROUP before the
+    shuffle, so the exchange carries k rows per (group x partition),
+    not the group's whole history -- the per-group analogue of
+    TakeOrderedAndProject (plan-tested).  Ordering ties break on
+    p_partkey so the k survivors are engine-deterministic."""
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        part.select(
+            "p_brand",
+            "p_partkey",
+            F.col("p_retailprice").cast("double").alias("p_retailprice"),
+        )
+        .withColumn("price_rank", F.row_number().over(w))
+        .filter(F.col("price_rank") <= k)
+    )
+
+
+def value_histogram(events: DataFrame, width: float = 10.0) -> DataFrame:
+    """Fixed-width histogram of the value column per event type -- the
+    profiling query every column gets before filters are chosen.
+    floor(value/width) is exact integer bucketing (no percentile state);
+    one map-side-combinable aggregate, shuffle carries (type, bucket)
+    partials."""
+    bucket = F.floor(F.col("value") / width).cast("long")
+    return (
+        events.groupBy("event_type", bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 4).alias("min_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        )
+    )

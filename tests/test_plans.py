@@ -304,3 +304,13 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bt_a")
         spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_top_parts_per_brand_window_group_limit(spark):
+    """Per-group top-k compiles to WindowGroupLimit: local top-k per
+    map task BEFORE the exchange, so a group's whole history never
+    ships to one task."""
+    from binlog_avro_comparator_spark.operators.analytics import top_parts_per_brand
+
+    plan = _plan(top_parts_per_brand(load_table(spark, SF, "part")))
+    assert "WindowGroupLimit" in plan
