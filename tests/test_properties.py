@@ -231,3 +231,141 @@ def test_go_json_lines_property_vs_go_model(spark):
         assert row.value == go_model(kvs)
 
     roundtrip()
+
+
+# --- round-3 operator invariants vs tiny Python references ---------------
+
+_SNAP_OPS = {"click": "INSERT", "view": "UPDATE", "purchase": "DELETE"}
+
+
+def _ref_apply_changes(rows):
+    """10-line reference: last (ts, event_id) write per user wins, final
+    DELETE removes the user."""
+    per_user = {}
+    for eid, ts_us, uid, et, val in rows:
+        if et not in _SNAP_OPS or uid is None:
+            continue
+        st_ = per_user.setdefault(uid, [])
+        st_.append((ts_us // 1000, eid, _SNAP_OPS[et], val))
+    out = {}
+    for uid, changes in per_user.items():
+        changes.sort()
+        ts_ms, eid, op, val = changes[-1]
+        if op != "DELETE":
+            out[uid] = (op, ts_ms, eid, round(val, 4), len(changes))
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_apply_changes_matches_reference(spark, seed):
+    from pyspark.sql import functions as F, types as T
+
+    from binlog_avro_comparator_spark.operators.snapshot import apply_changes
+
+    rng = random.Random(seed)
+    base = 1_700_000_000_000_000
+    rows = []
+    for i in range(rng.randrange(1, 120)):
+        rows.append(
+            (
+                i,
+                base + rng.randrange(0, 50) * 1000,  # µs: forces ms ties
+                rng.choice([None, 1, 2, 3, 4]),
+                rng.choice(["click", "view", "purchase", "signup"]),
+                rng.uniform(0, 100),
+            )
+        )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    df = (
+        spark.createDataFrame(rows, schema)
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .drop("ts_us")
+    )
+    got = {
+        r.user_id: (r.last_op, r.last_ts_ms, r.last_event_id, r.last_value, r.n_changes)
+        for r in apply_changes(df).collect()
+    }
+    # reference counts ALL applied changes (incl. pre-delete ones)
+    ref = _ref_apply_changes(rows)
+    assert got == ref
+
+
+def _ref_funnel(rows):
+    """Reference funnel: first view; first click strictly after it;
+    first purchase strictly after that click -- ordering on (ts_ms,
+    event_id)."""
+    by_user = {}
+    for eid, ts_us, uid, et, _ in rows:
+        if uid is None or et not in ("view", "click", "purchase"):
+            continue
+        by_user.setdefault(uid, []).append((ts_us // 1000, eid, et))
+    out = {}
+    for uid, evs in by_user.items():
+        evs.sort()
+        def first(et, after=None):
+            for ts, eid, t in evs:
+                if t == et and (after is None or (ts, eid) > after):
+                    return (ts, eid)
+            return None
+        v = first("view")
+        if v is None:
+            continue
+        c = first("click", v)
+        p = first("purchase", c) if c else None
+        out[uid] = (
+            v[0],
+            c[0] if c else None,
+            p[0] if p else None,
+            1 + (c is not None) + (p is not None),
+        )
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_funnel_matches_reference(spark, seed):
+    from pyspark.sql import functions as F, types as T
+
+    from binlog_avro_comparator_spark.operators.analytics import funnel_stages
+
+    rng = random.Random(seed)
+    base = 1_700_000_000_000_000
+    rows = []
+    for i in range(rng.randrange(1, 120)):
+        rows.append(
+            (
+                i,
+                base + rng.randrange(0, 30) * 1000,
+                rng.choice([None, 1, 2, 3]),
+                rng.choice(["view", "click", "purchase", "signup"]),
+                0.0,
+            )
+        )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    df = (
+        spark.createDataFrame(rows, schema)
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .drop("ts_us")
+    )
+    got = {
+        r.user_id: (r.view_ts_ms, r.click_ts_ms, r.purchase_ts_ms, r.stage_reached)
+        for r in funnel_stages(df).collect()
+    }
+    assert got == _ref_funnel(rows)
