@@ -835,6 +835,22 @@ def _q_media_features(spark, sf_dir):
     return image_features(media)
 
 
+def _q_media_video_frames(spark, sf_dir):
+    """Video frame-sampling plumbing, oracle-checked: documents' text
+    bytes as opaque video blobs, every 10th 1024-byte 'frame' (up to 8)
+    hashed via Arrow mapInPandas; the corpus is ASCII so the DuckDB
+    twin states the same slicing over VARCHAR."""
+    from ..operators.multimodal import sample_video_frames
+
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+    )
+    return sample_video_frames(media)
+
+
 def _q_asof_purchase(spark, sf_dir):
     """As-of join: for each click, the user's latest purchase at or
     before it (union-window construction, operators/joins.py); DuckDB's
@@ -1052,6 +1068,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_pack_sequences": _q_pack_sequences,
         "doc_chunks": _q_doc_chunks,
         "corpus_mixture_sample": _q_mixture_sample,
+        "media_video_frames": _q_media_video_frames,
         "media_audio_features": _q_media_audio_features,
         "media_image_features": _q_media_features,
         "q1_pricing_summary": _q_q1,
@@ -2293,6 +2310,28 @@ SELECT o_orderstatus, o_orderpriority,
        count(*) AS n_orders
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+        # Twin of sample_video_frames over the same text-bytes blobs:
+        # n_chunks = max(len//1024, 1); every 10th chunk, first 8.
+        "media_video_frames": """
+WITH v AS (
+  SELECT doc_id AS media_id, text,
+         greatest(length(text) // 1024, 1) AS n_chunks
+  FROM documents
+),
+frames AS (
+  SELECT media_id, text,
+         unnest(generate_series(0, n_chunks - 1, 10)) AS chunk_idx
+  FROM v
+),
+capped AS (
+  SELECT media_id, chunk_idx, text,
+         row_number() OVER (PARTITION BY media_id ORDER BY chunk_idx) AS rn
+  FROM frames
+)
+SELECT media_id,
+       CAST(chunk_idx AS INT) AS frame_index,
+       sha256(substring(text, chunk_idx * 1024 + 1, 1024)) AS frame_sha256
+FROM capped WHERE rn <= 8""",
         "media_image_features": """
 SELECT doc_id AS media_id, sha256(text) AS sha256,
        octet_length(encode(text)) AS n_bytes,
