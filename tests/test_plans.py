@@ -314,3 +314,22 @@ def test_top_parts_per_brand_window_group_limit(spark):
 
     plan = _plan(top_parts_per_brand(load_table(spark, SF, "part")))
     assert "WindowGroupLimit" in plan
+
+
+def test_redact_pii_zero_exchange(spark):
+    """PII redaction is a pure projection chain -- zero shuffles, scan
+    speed at any corpus size."""
+    from binlog_avro_comparator_spark.operators.textstats import redact_pii
+
+    docs = load_table(spark, SF, "documents")
+    plan = _plan(redact_pii(docs))
+    assert "Exchange" not in plan
+
+
+def test_trailing_window_single_exchange(spark):
+    """The RANGE-frame trailing window costs exactly one user_id
+    shuffle -- the frame itself adds no extra pass."""
+    from binlog_avro_comparator_spark.operators.analytics import trailing_window_10min
+
+    plan = _plan(trailing_window_10min(load_table(spark, SF, "events")))
+    assert plan.count("Exchange (") == 1
