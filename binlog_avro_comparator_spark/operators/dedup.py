@@ -293,22 +293,31 @@ def jaccard_pairs(
     documents: DataFrame, k: int = 3, max_df: int = 10
 ) -> DataFrame:
     """Exact word-k-gram Jaccard for candidate pairs that share at least
-    one *rare* shingle (document frequency <= max_df)."""
-    sh = scoped_cache(shingles(documents, k).select("doc_id", "shingle"))
+    one *rare* shingle (document frequency <= max_df).
+
+    Shingles travel EXCLUSIVELY as their portable 48-bit hashes: every
+    shuffle (df aggregate, candidate self-join, intersection join)
+    carries (doc_id, h) = 16 bytes/row instead of a k-word string --
+    at web-corpus scale that is most of the operator's wire volume.
+    Set semantics are over the hashes in BOTH engines (the DuckDB twin
+    hashes the same distinct shingles), so a hash collision -- one in
+    ~MINHASH_PRIME per pair -- perturbs both sides identically and
+    value parity is exact, the same contract minhash already rides."""
+    sh = scoped_cache(shingles(documents, k).select("doc_id", "h"))
     # doc-frequency via groupBy + join-back, NOT a count window: the
     # partial HashAggregate combines map-side, so a boilerplate shingle
     # present in millions of documents costs one long per input
-    # partition on the wire -- a `count(*) over (partition by shingle)`
+    # partition on the wire -- a `count(*) over (partition by h)`
     # would instead funnel every one of those rows through a single
     # window task.  The join-back keys are the same hot keys, but a
     # join is AQE-skew-splittable; a window partition is not.
-    shingle_df = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    shingle_df = sh.groupBy("h").agg(F.count("*").alias("df"))
     rare = sh.join(
-        shingle_df.filter(F.col("df") <= max_df).select("shingle"), on="shingle"
+        shingle_df.filter(F.col("df") <= max_df).select("h"), on="h"
     )
     cand = (
         rare.alias("l")
-        .join(rare.alias("r"), on="shingle")
+        .join(rare.alias("r"), on="h")
         .filter(F.col("l.doc_id") < F.col("r.doc_id"))
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .distinct()
@@ -319,7 +328,7 @@ def jaccard_pairs(
         .join(
             sh.alias("sb"),
             (F.col("doc_b") == F.col("sb.doc_id"))
-            & (F.col("sa.shingle") == F.col("sb.shingle")),
+            & (F.col("sa.h") == F.col("sb.h")),
         )
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_intersect"))

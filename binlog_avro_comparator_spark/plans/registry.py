@@ -1715,21 +1715,21 @@ JOIN norms nb ON nb.vec_id = vec_b
 WHERE round(dot / (na.norm * nb.norm), 6) >= 0.99""",
         "ngram_jaccard_pairs": f"""
 WITH {_SHINGLE_CTE},
-sizes AS (SELECT doc_id, count(*) AS n_shingles FROM doc_shingles GROUP BY doc_id),
-dfreq AS (SELECT shingle, count(*) AS df FROM doc_shingles GROUP BY shingle),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingle_hashes GROUP BY doc_id),
+dfreq AS (SELECT h, count(*) AS df FROM shingle_hashes GROUP BY h),
 rare AS (
-  SELECT s.doc_id, s.shingle FROM doc_shingles s
-  JOIN dfreq USING (shingle) WHERE df <= 10
+  SELECT s.doc_id, s.h FROM shingle_hashes s
+  JOIN dfreq USING (h) WHERE df <= 10
 ),
 cand AS (
   SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-  FROM rare l JOIN rare r USING (shingle) WHERE l.doc_id < r.doc_id
+  FROM rare l JOIN rare r USING (h) WHERE l.doc_id < r.doc_id
 ),
 inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS n_intersect
   FROM cand c
-  JOIN doc_shingles sa ON sa.doc_id = c.doc_a
-  JOIN doc_shingles sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+  JOIN shingle_hashes sa ON sa.doc_id = c.doc_a
+  JOIN shingle_hashes sb ON sb.doc_id = c.doc_b AND sa.h = sb.h
   GROUP BY c.doc_a, c.doc_b
 )
 SELECT c.doc_a, c.doc_b,
