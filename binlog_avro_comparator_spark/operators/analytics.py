@@ -574,3 +574,92 @@ def value_histogram(events: DataFrame, width: float = 10.0) -> DataFrame:
             F.round(F.max("value"), 4).alias("max_value"),
         )
     )
+
+
+def customer_order_distribution(
+    customer: DataFrame, orders: DataFrame, exclude_priority: str = "1-URGENT"
+) -> DataFrame:
+    """TPC-H Q13-shaped customer order-count distribution: how many
+    customers placed exactly N qualifying orders, INCLUDING the
+    zero-order customers only an outer join can see.
+
+    Two-aggregate shape: orders is filtered at the scan, pre-aggregated
+    to (o_custkey, cnt) -- map-side combinable, the shuffle carries one
+    row per customer that ever ordered -- then LEFT joined onto
+    customer (null -> 0) and re-aggregated by count.  The second
+    aggregate's key space is tiny (distinct counts), so the only real
+    shuffle is the per-customer one; at 100 TB both sides of that join
+    are customer-cardinality, not order-cardinality, and AQE picks the
+    join strategy.  Returns (c_count, custdist)."""
+    per_cust = (
+        orders.filter(F.col("o_orderpriority") != exclude_priority)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("__cnt"))
+    )
+    counts = customer.select("c_custkey").join(
+        per_cust, customer["c_custkey"] == per_cust["o_custkey"], "left"
+    ).select(F.coalesce(F.col("__cnt"), F.lit(0)).alias("c_count"))
+    return counts.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def late_shipment_orders(
+    orders: DataFrame, lineitem: DataFrame, late_days: int = 80
+) -> DataFrame:
+    """TPC-H Q4-shaped order-priority check: orders with AT LEAST ONE
+    line item shipped more than ``late_days`` after the order date,
+    counted per priority.  (The synthetic lineitem has no commit/
+    receipt dates; ship-vs-order lateness is the same EXISTS shape.)
+
+    The EXISTS is a LEFT SEMI hash join on l_orderkey -- each order
+    emits at most once no matter how many late items it has, so no
+    distinct pass; the lateness inequality rides on the hash match as
+    a join residual, not a nested-loop condition.  The semi join's
+    build side is pre-projected to (key, date); the per-priority
+    aggregate after it is map-side combinable over a 5-value key.
+    Returns (o_orderpriority, order_count)."""
+    o = orders.select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = lineitem.select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+def big_ticket_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_qty: float = 180.0,
+) -> DataFrame:
+    """TPC-H Q18-shaped large-volume-order report: orders whose total
+    line-item quantity exceeds ``min_qty``, with their customer.
+
+    HAVING-on-a-join-key shape: the lineitem aggregate runs FIRST and
+    its survivor set (a few per mille of orders) drives everything --
+    orders and customer join onto it, so at 100 TB the two dimension
+    joins see thousands of rows, not billions; AQE broadcasts the
+    survivor side.  The quantity sum is decimal-exact, cast to double
+    only at the output boundary.  Returns (c_name, c_custkey,
+    o_orderkey, o_orderdate_ms, o_totalprice, total_qty)."""
+    qty = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("__q"))
+        .filter(F.col("__q") > min_qty)
+    )
+    j = qty.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).join(
+        customer, F.col("o_custkey") == F.col("c_custkey")
+    )
+    return j.select(
+        "c_name",
+        "c_custkey",
+        "o_orderkey",
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_ms"),
+        "o_totalprice",
+        F.col("__q").cast("double").alias("total_qty"),
+    )

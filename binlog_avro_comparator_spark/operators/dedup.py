@@ -553,3 +553,84 @@ def remove_repeated_spans(
             (F.col("n_words") - F.coalesce(F.col("__n_kept"), F.lit(0))).cast("long").alias("n_removed"),
         )
     )
+
+
+def remove_boilerplate_segments(
+    documents: DataFrame, seg_words: int = 8, df_threshold: int = 5
+) -> DataFrame:
+    """Segment-level boilerplate removal -- the CCNet-style paragraph
+    dedup pass: split each document into non-overlapping ``seg_words``-
+    word segments, count each distinct segment's document frequency
+    across the corpus, and drop EVERY occurrence of segments that
+    appear in >= ``df_threshold`` distinct documents (headers, footers,
+    cookie banners, navigation chrome).  Differs from
+    remove_repeated_spans in both unit (fixed non-overlapping segments,
+    the paragraph stand-in for corpora whose texts carry no newlines)
+    and policy (boilerplate is dropped everywhere -- no keeper copy;
+    span dedup keeps the first occurrence).  On a real web corpus the
+    segmentation step would split on '\\n' instead; everything
+    downstream of the (doc_id, seg_idx, segment) frame is unchanged.
+
+    Scale shape: segments ship as 48-bit hashes; document frequency is
+    distinct (doc_id, h) -> ``groupBy(h).count()`` -- both partial
+    aggregates combine map-side, so a footer shared by half the corpus
+    ships one long per input partition, never a hot window partition.
+    The boilerplate-hash set (rows = distinct segments over threshold,
+    tiny vs the corpus) comes back via a left-anti join that AQE can
+    broadcast; the rebuild is one per-doc aggregate over the doc's own
+    surviving segments.
+
+    Returns all documents: (doc_id, text_clean, n_segments, n_dropped);
+    an all-boilerplate document comes back with text_clean = ''."""
+    docs = _spread(documents)
+    words = F.array_remove(
+        F.split(F.trim(F.col("text")), r"\s+"), ""
+    )
+    n_seg = F.ceil(F.size(F.col("w")) / F.lit(seg_words)).cast("long")
+    base = docs.select("doc_id", words.alias("w")).select(
+        "doc_id", "w", n_seg.alias("n_segments")
+    )
+    seg_idx = F.when(
+        F.col("n_segments") > 0, F.sequence(F.lit(0), (F.col("n_segments") - 1).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    occ = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                seg_idx,
+                lambda i: F.concat_ws(" ", F.slice(F.col("w"), i * seg_words + 1, seg_words)),
+            )
+        ).alias("seg_idx", "seg"),
+    ).withColumn("h", word_hash(F.col("seg")) % MINHASH_PRIME)
+    occ = scoped_cache(occ)  # df aggregate + anti-join both scan it
+    boiler = (
+        occ.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= df_threshold)
+        .select("h")
+    )
+    kept = occ.join(boiler, on="h", how="left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s["seg"],
+            ),
+        ).alias("__text"),
+        F.count("*").alias("__n_kept"),
+    )
+    return (
+        base.select("doc_id", "n_segments")
+        .join(rebuilt, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("__text"), F.lit("")).alias("text_clean"),
+            "n_segments",
+            (F.col("n_segments") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )

@@ -535,3 +535,109 @@ def kmeans_assignments(
     return assignment.join(F.broadcast(sizes), on="centroid_id").select(
         "vec_id", "centroid_id", "cluster_size"
     )
+
+
+def semdedup_survivors(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    threshold: float = 0.99,
+    stride: int = 37,
+    dim: int = 64,
+) -> DataFrame:
+    """SemDeDup (published semantic-dedup recipe): k-means-cluster the
+    embedding corpus, then prune near-duplicates WITHIN each cluster --
+    pairwise cosine is computed only between cluster co-members, so the
+    pair volume is O(sum of cluster sizes squared), not O(n^2).  At
+    100 TB the knob is k: size it like a bucket count (k ~ n /
+    target_cluster_rows) and the within-cluster self-join stays linear
+    in the corpus; the cluster id is also the join/shuffle key, so each
+    cluster's pairs build inside one shuffle partition (AQE splits any
+    outlier cluster).
+
+    Dedup policy: a vector is a loser iff it is the HIGHER vec_id of
+    some qualifying pair (rounded cosine >= threshold) -- the greedy
+    keep-lowest-id rule, deterministic and engine-reproducible; like
+    the LSH near-dup tier, chains prune to their minimum element
+    without a transitive-closure pass.
+
+    Returns surviving (vec_id, centroid_id, cluster_size)."""
+    assignment = kmeans_assignments(
+        embeddings, k=k, n_iter=n_iter, stride=stride, dim=dim
+    )
+    # cached: the self-join's two sides and the survivor anti-join all
+    # scan it, and it embeds the full k-means plan
+    sides = scoped_cache(
+        with_norm(embeddings)
+        .select("vec_id", "embedding", "norm")
+        .join(assignment, on="vec_id")
+    )
+    cos = F.round(
+        _dot(F.col("l.embedding"), F.col("r.embedding"))
+        / (F.col("l.norm") * F.col("r.norm")),
+        COS_ROUND,
+    )
+    losers = (
+        sides.alias("l")
+        .join(sides.alias("r"), on="centroid_id")
+        .filter(F.col("l.vec_id") < F.col("r.vec_id"))
+        .filter(cos >= threshold)
+        .select(F.col("r.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return sides.join(losers, on="vec_id", how="left_anti").select(
+        "vec_id", "centroid_id", "cluster_size"
+    )
+
+
+def quantize_embeddings_int8(embeddings: DataFrame, dim: int = 64) -> DataFrame:
+    """Scalar (per-dimension, asymmetric) int8 quantization of the
+    embedding corpus -- the standard 4x shrink for ANN serving: code_d
+    = round((v_d - min_d) / ((max_d - min_d) / 255)) in 0..255, plus a
+    per-vector reconstruction-error summary.
+
+    Engine shape, zero corpus shuffle: pass 1 is ONE aggregate row of
+    2 x dim partial min/max scalars (map-side combined); that row is
+    broadcast back (1-row crossJoin, the quality_deciles pattern) and
+    pass 2 is a pure per-row projection -- at 100 TB the corpus
+    streams through twice, never shuffles, and the codes parquet is a
+    quarter the footprint.
+
+    Determinism contract: codes use floor(x + 0.5) (identical halfway
+    behavior in any engine, no banker's rounding); the error summary
+    is an INTEGER -- per-dim |v - reconstruction| in 1e-6 units,
+    floor(+0.5)-rounded then summed -- so the oracle comparison is
+    exact, no float hash wobble.  Returns (vec_id, codes array<int>,
+    err_units bigint)."""
+    x = F.col("embedding").cast("array<double>")
+    emb = embeddings.select("vec_id", x.alias("x"))
+    stats = emb.agg(
+        *[F.min(F.col("x")[i]).alias(f"__mn{i}") for i in range(dim)],
+        *[F.max(F.col("x")[i]).alias(f"__mx{i}") for i in range(dim)],
+    )
+    j = emb.crossJoin(F.broadcast(stats))
+
+    def code(i):
+        mn, mx = F.col(f"__mn{i}"), F.col(f"__mx{i}")
+        scale = (mx - mn) / F.lit(255.0)
+        raw = F.floor((F.col("x")[i] - mn) / scale + F.lit(0.5))
+        return F.when(
+            mx > mn, F.least(F.lit(255), F.greatest(F.lit(0), raw))
+        ).otherwise(F.lit(0)).cast("int")
+
+    def err_units(i):
+        mn, mx = F.col(f"__mn{i}"), F.col(f"__mx{i}")
+        scale = (mx - mn) / F.lit(255.0)
+        recon = mn + code(i).cast("double") * scale
+        return F.floor(F.abs(F.col("x")[i] - recon) * F.lit(1e6) + F.lit(0.5)).cast(
+            "long"
+        )
+
+    total_err = None
+    for i in range(dim):
+        total_err = err_units(i) if total_err is None else total_err + err_units(i)
+    return j.select(
+        "vec_id",
+        F.array(*[code(i) for i in range(dim)]).alias("codes"),
+        total_err.alias("err_units"),
+    )

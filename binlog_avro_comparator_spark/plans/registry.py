@@ -23,8 +23,11 @@ from ..sources.avro_codec import encode_container
 from ..operators.parse import parse_binlog_text
 from ..operators import compare as C
 from ..operators.analytics import (
+    big_ticket_orders,
     customer_nation_revenue,
+    customer_order_distribution,
     funnel_stages,
+    late_shipment_orders,
     high_value_customers,
     kmv_distinct_users,
     part_profit_by_nation,
@@ -46,6 +49,7 @@ from ..operators.dedup import (
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
+    remove_boilerplate_segments,
     remove_repeated_spans,
     repeated_span_stats,
     minhash_params,
@@ -473,7 +477,7 @@ def _q_events_dedup_stream(spark, sf_dir):
     regardless of arrival order -- which is exactly what the oracle
     states."""
     global _STREAM_SINK_SEQ
-    from ..sources.tables import _EVENTS_SCHEMA
+    from ..sources.tables import _EVENTS_SCHEMA, events_ts_column
     from ..streaming.dedup_stream import dedup_stream
 
     ensure_session_conf(spark)
@@ -481,7 +485,7 @@ def _q_events_dedup_stream(spark, sf_dir):
         spark.readStream.schema(_EVENTS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ts", events_ts_column(sf_dir))
         .withColumn("__copy", F.explode(F.array(F.lit(0), F.lit(1))))
         .drop("__copy")
     )
@@ -509,6 +513,46 @@ def _q_events_dedup_stream(spark, sf_dir):
     return spark.table(name)
 
 
+def _q_events_join_stream(spark, sf_dir):
+    """Stream-stream interval join in the driver contract: the events
+    table replayed as TWO independent file streams (views / clicks),
+    drained through the watermarked time-range inner join via
+    availableNow.  Both sides fully arrive inside the watermark
+    allowance, so the emitted pairs equal the batch interval join --
+    the oracle is the events_view_click_range SQL verbatim."""
+    global _STREAM_SINK_SEQ
+    from ..sources.tables import _EVENTS_SCHEMA, events_ts_column
+    from ..streaming.join_stream import view_click_join_stream
+
+    ensure_session_conf(spark)
+
+    def _side(event_type):
+        return (
+            spark.readStream.schema(_EVENTS_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", events_ts_column(sf_dir))
+            .filter(F.col("event_type") == event_type)
+            .select("event_id", "user_id", "ts")
+        )
+
+    _STREAM_SINK_SEQ += 1
+    name = f"events_join_stream_sink_{_STREAM_SINK_SEQ}"
+    out = view_click_join_stream(_side("view"), _side("click"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(f"{name}: availableNow drain exceeded 300s")
+    q.stop()
+    return spark.table(name)
+
+
 def _q_cdc_snapshot_stream(spark, sf_dir):
     """The SAME apply_changes operator, run on a stream: Structured
     Streaming executes the identical logical plan incrementally (the
@@ -519,14 +563,14 @@ def _q_cdc_snapshot_stream(spark, sf_dir):
     cdc_apply_changes."""
     global _STREAM_SINK_SEQ
     from ..operators.snapshot import apply_changes
-    from ..sources.tables import _EVENTS_SCHEMA
+    from ..sources.tables import _EVENTS_SCHEMA, events_ts_column
 
     ensure_session_conf(spark)
     stream = (
         spark.readStream.schema(_EVENTS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ts", events_ts_column(sf_dir))
     )
     _STREAM_SINK_SEQ += 1
     name = f"cdc_snapshot_stream_sink_{_STREAM_SINK_SEQ}"
@@ -543,6 +587,20 @@ def _q_cdc_snapshot_stream(spark, sf_dir):
         raise RuntimeError(f"{name}: availableNow drain exceeded 300s")
     q.stop()
     return spark.table(name)
+
+
+def _q_quantize_int8(spark, sf_dir):
+    ensure_session_conf(spark)
+    from ..operators.similarity import quantize_embeddings_int8
+
+    return quantize_embeddings_int8(load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_semdedup(spark, sf_dir):
+    ensure_session_conf(spark)
+    from ..operators.similarity import semdedup_survivors
+
+    return semdedup_survivors(load_table(spark, sf_dir, "embeddings"))
 
 
 def _q_kmeans(spark, sf_dir):
@@ -570,6 +628,15 @@ def _q_repeated_spans(spark, sf_dir):
 def _q_remove_spans(spark, sf_dir):
     ensure_session_conf(spark)
     return remove_repeated_spans(_docs(spark, sf_dir))
+
+
+def _q_remove_boilerplate(spark, sf_dir):
+    ensure_session_conf(spark)
+    # seg_words=3 / df_threshold=4 so the synthetic corpus (small vocab,
+    # no newlines) actually has over-threshold segments at test scale
+    return remove_boilerplate_segments(
+        _docs(spark, sf_dir), seg_words=3, df_threshold=4
+    )
 
 
 def _q_dedup_keep_canonical(spark, sf_dir):
@@ -719,7 +786,7 @@ def _q_events_windowed_stream(spark, sf_dir):
     (late-data drop, state eviction) is pinned by pytest
     (test_streaming_state.py)."""
     global _STREAM_SINK_SEQ
-    from ..sources.tables import _EVENTS_SCHEMA
+    from ..sources.tables import _EVENTS_SCHEMA, events_ts_column
     from ..streaming.windowed_agg import windowed_event_counts
 
     ensure_session_conf(spark)
@@ -727,7 +794,7 @@ def _q_events_windowed_stream(spark, sf_dir):
         spark.readStream.schema(_EVENTS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ts", events_ts_column(sf_dir))
     )
     _STREAM_SINK_SEQ += 1
     name = f"events_windowed_stream_sink_{_STREAM_SINK_SEQ}"
@@ -770,6 +837,29 @@ def _q_top_revenue(spark, sf_dir):
     ensure_session_conf(spark)
     return top_revenue_orders(
         load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+def _q_customer_order_distribution(spark, sf_dir):
+    ensure_session_conf(spark)
+    return customer_order_distribution(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+def _q_late_shipment_orders(spark, sf_dir):
+    ensure_session_conf(spark)
+    return late_shipment_orders(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+def _q_big_ticket_orders(spark, sf_dir):
+    ensure_session_conf(spark)
+    return big_ticket_orders(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
     )
 
 
@@ -1050,6 +1140,13 @@ def queries() -> dict[str, QueryFn]:
     # forward next round.
     return {
         # -- round 3 additions (never driver-verified -> lead the dict) --
+        "doc_boilerplate_removal": _q_remove_boilerplate,
+        "embedding_semdedup": _q_semdedup,
+        "events_join_stream": _q_events_join_stream,
+        "customer_order_distribution": _q_customer_order_distribution,
+        "late_shipment_orders": _q_late_shipment_orders,
+        "big_ticket_orders": _q_big_ticket_orders,
+        "embedding_quantize_int8": _q_quantize_int8,
         "doc_redact_pii": _q_redact_pii,
         "doc_split_assignments": _q_split_assignments,
         "embedding_kmeans": _q_kmeans,
@@ -1139,6 +1236,19 @@ def queries() -> dict[str, QueryFn]:
 
 # --- DuckDB oracles --------------------------------------------------------
 
+# shared by events_view_click_range (batch interval join) and
+# events_join_stream (its streaming twin -- same result by contract)
+_VIEW_CLICK_RANGE_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+)
+SELECT v.event_id AS view_event_id, c.event_id AS click_event_id,
+       v.user_id, c.ts_ms - v.ts_ms AS gap_ms
+FROM ev v JOIN ev c
+  ON v.user_id = c.user_id
+ AND c.ts_ms >= v.ts_ms AND c.ts_ms < v.ts_ms + 600000
+WHERE v.event_type = 'view' AND c.event_type = 'click'"""
+
 _TOKEN_RE_SQL = r"\S+"
 _BPE_RE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 _EN_RE = r"\b(the|a|and|of|to|in|is)\b"
@@ -1164,6 +1274,54 @@ shingle_hashes AS (
   FROM doc_shingles
 )
 """
+
+
+# twin of similarity.kmeans_assignments (k=8, n_iter=2, stride=37):
+# both Lloyd's iterations unrolled; every score / centroid coordinate
+# rounded to 1e-6 before comparison, ties to the lowest centroid id.
+# Shared by the embedding_kmeans and embedding_semdedup oracles.
+_KMEANS_CTE = """ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS ord,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+c0 AS (
+  SELECT vec_id // 37 AS centroid_id, ord, round(v, 6) AS cv
+  FROM ex WHERE vec_id % 37 = 0 AND vec_id < 37 * 8
+),
+cn0 AS (SELECT centroid_id, sum(cv * cv) AS n2 FROM c0 GROUP BY 1),
+s0 AS (
+  SELECT e.vec_id, c.centroid_id,
+         round(sum(e.v * c.cv) - 0.5 * any_value(cn.n2), 6) AS score
+  FROM ex e JOIN c0 c ON e.ord = c.ord
+  JOIN cn0 cn ON cn.centroid_id = c.centroid_id
+  GROUP BY 1, 2
+),
+a0 AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+    FROM s0) WHERE rn = 1
+),
+c1 AS (
+  SELECT a.centroid_id, e.ord, round(avg(e.v), 6) AS cv
+  FROM ex e JOIN a0 a ON a.vec_id = e.vec_id
+  GROUP BY 1, 2
+),
+cn1 AS (SELECT centroid_id, sum(cv * cv) AS n2 FROM c1 GROUP BY 1),
+s1 AS (
+  SELECT e.vec_id, c.centroid_id,
+         round(sum(e.v * c.cv) - 0.5 * any_value(cn.n2), 6) AS score
+  FROM ex e JOIN c1 c ON e.ord = c.ord
+  JOIN cn1 cn ON cn.centroid_id = c.centroid_id
+  GROUP BY 1, 2
+),
+a1 AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+    FROM s1) WHERE rn = 1
+)"""
 
 
 def _minhash_aggs() -> str:
@@ -1656,6 +1814,40 @@ SELECT d.doc_id,
        CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
        CAST(len(d.w) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
 FROM doc_words d LEFT JOIN reb r USING (doc_id)""",
+        # twin of dedup.remove_boilerplate_segments (seg_words=3,
+        # df_threshold=4): non-overlapping 3-word segments, 48-bit
+        # segment hash, df over distinct docs, drop ALL over-threshold
+        # occurrences, rebuild in segment order
+        "doc_boilerplate_removal": rf"""
+WITH doc_words AS (
+  SELECT doc_id, regexp_extract_all(trim(text), '{_TOKEN_RE_SQL}') AS w FROM documents
+),
+base AS (
+  SELECT doc_id, w, CAST(ceil(len(w) / 3.0) AS BIGINT) AS n_segments FROM doc_words
+),
+occ AS (
+  SELECT doc_id, s.seg_idx AS seg_idx, s.seg AS seg,
+         ('0x' || substr(md5(s.seg), 1, 12))::BIGINT % {MINHASH_PRIME} AS h
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             CASE WHEN n_segments > 0
+                  THEN generate_series(0, CAST(n_segments AS INT) - 1) ELSE [] END,
+             i -> struct_pack(seg_idx := i,
+                    seg := array_to_string(w[i*3+1:i*3+3], ' ')))) AS s
+    FROM base) t
+),
+boiler AS (
+  SELECT h FROM (SELECT DISTINCT doc_id, h FROM occ) GROUP BY h HAVING count(*) >= 4
+),
+kept AS (SELECT * FROM occ ANTI JOIN boiler USING (h)),
+rebuilt AS (
+  SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS t, count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id, coalesce(r.t, '') AS text_clean, b.n_segments,
+       CAST(b.n_segments - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped
+FROM base b LEFT JOIN rebuilt r USING (doc_id)""",
         "doc_repetition": rf"""
 WITH doc_words AS (
   SELECT doc_id, regexp_extract_all(text, '{_TOKEN_RE_SQL}') AS w FROM documents
@@ -1941,16 +2133,48 @@ SELECT c.event_id, c.user_id, c.ts_ms,
        p.p_value AS purchase_value
 FROM clicks c
 ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND c.ts_ms >= p.ts_ms""",
-        "events_view_click_range": """
-WITH ev AS (
-  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+        # twin of analytics.customer_order_distribution (Q13 shape):
+        # left join so zero-order customers appear as c_count = 0
+        "customer_order_distribution": """
+WITH per_cust AS (
+  SELECT o_custkey, count(*) AS cnt FROM orders
+  WHERE o_orderpriority <> '1-URGENT' GROUP BY o_custkey
+),
+counts AS (
+  SELECT coalesce(p.cnt, 0) AS c_count
+  FROM customer c LEFT JOIN per_cust p ON c.c_custkey = p.o_custkey
 )
-SELECT v.event_id AS view_event_id, c.event_id AS click_event_id,
-       v.user_id, c.ts_ms - v.ts_ms AS gap_ms
-FROM ev v JOIN ev c
-  ON v.user_id = c.user_id
- AND c.ts_ms >= v.ts_ms AND c.ts_ms < v.ts_ms + 600000
-WHERE v.event_type = 'view' AND c.event_type = 'click'""",
+SELECT c_count, count(*) AS custdist FROM counts GROUP BY c_count""",
+        # twin of analytics.late_shipment_orders (Q4 shape, EXISTS as
+        # semi join; lateness = shipped > 80 days after order date)
+        "late_shipment_orders": """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 80 DAY
+)
+GROUP BY o_orderpriority""",
+        # twin of analytics.big_ticket_orders (Q18 shape): HAVING sum
+        # of quantity > 180, decimal-exact then double at the boundary
+        "big_ticket_orders": """
+WITH qty AS (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS q
+  FROM lineitem GROUP BY l_orderkey HAVING q > 180
+)
+SELECT c_name, c_custkey, o_orderkey,
+       epoch_ms(o_orderdate) AS o_orderdate_ms,
+       o_totalprice,
+       CAST(q AS DOUBLE) AS total_qty
+FROM qty
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey""",
+        "events_view_click_range": _VIEW_CLICK_RANGE_SQL,
+        # the stream-stream join's contract IS batch equivalence: a
+        # fully-drained finite replay emits exactly the batch interval
+        # join, so the oracle is the same SQL verbatim
+        "events_join_stream": _VIEW_CLICK_RANGE_SQL,
         # KMV sketch twin: identical hash -> identical bottom-k ->
         # identical estimate (integer-exact until the final division)
         "events_kmv_distinct_users": """
@@ -2063,53 +2287,68 @@ FROM events""",
         # n_iter=2 unrolled): identical init, per-step 1e-6 rounding,
         # argmin euclidean via score = dot - |c|^2/2, lowest-centroid
         # tie-break; empty clusters drop out exactly as in Spark.
-        "embedding_kmeans": """
+        "embedding_kmeans": f"""
+WITH {_KMEANS_CTE}
+SELECT a1.vec_id, a1.centroid_id, sz.cluster_size
+FROM a1 JOIN (
+  SELECT centroid_id, count(*) AS cluster_size FROM a1 GROUP BY 1
+) sz ON sz.centroid_id = a1.centroid_id""",
+        # twin of similarity.semdedup_survivors (k=8, n_iter=2,
+        # threshold=0.99): the SAME unrolled k-means CTE, then pairwise
+        # cosine within each cluster, losers = higher vec_id of any
+        # qualifying pair, survivors by anti-join
+        "embedding_semdedup": f"""
+WITH {_KMEANS_CTE},
+sz AS (SELECT centroid_id, count(*) AS cluster_size FROM a1 GROUP BY 1),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS norm FROM ex GROUP BY vec_id),
+cand AS (
+  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b
+  FROM a1 l JOIN a1 r ON l.centroid_id = r.centroid_id
+  WHERE l.vec_id < r.vec_id
+),
+dots AS (
+  SELECT c.vec_a, c.vec_b, sum(ea.v * eb.v) AS dot
+  FROM cand c
+  JOIN ex ea ON ea.vec_id = c.vec_a
+  JOIN ex eb ON eb.vec_id = c.vec_b AND ea.ord = eb.ord
+  GROUP BY c.vec_a, c.vec_b
+),
+losers AS (
+  SELECT DISTINCT d.vec_b AS vec_id
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.vec_a
+  JOIN norms nb ON nb.vec_id = d.vec_b
+  WHERE round(d.dot / (na.norm * nb.norm), 6) >= 0.99
+)
+SELECT a1.vec_id, a1.centroid_id, sz.cluster_size
+FROM a1
+JOIN sz ON sz.centroid_id = a1.centroid_id
+ANTI JOIN losers ON losers.vec_id = a1.vec_id""",
+        # twin of similarity.quantize_embeddings_int8: same per-dim
+        # min/max, floor(+0.5) codes, integer 1e-6-unit error sum
+        "embedding_quantize_int8": """
 WITH ex AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS ord,
          unnest(embedding)::DOUBLE AS v
   FROM embeddings
 ),
-c0 AS (
-  SELECT vec_id // 37 AS centroid_id, ord, round(v, 6) AS cv
-  FROM ex WHERE vec_id % 37 = 0 AND vec_id < 37 * 8
+stats AS (SELECT ord, min(v) AS mn, max(v) AS mx FROM ex GROUP BY ord),
+coded AS (
+  SELECT e.vec_id, e.ord, e.v, s.mn, s.mx,
+         CASE WHEN s.mx > s.mn THEN
+           CAST(least(255, greatest(0,
+             floor((e.v - s.mn) / ((s.mx - s.mn) / 255.0) + 0.5))) AS INT)
+         ELSE 0 END AS code
+  FROM ex e JOIN stats s ON e.ord = s.ord
 ),
-cn0 AS (SELECT centroid_id, sum(cv * cv) AS n2 FROM c0 GROUP BY 1),
-s0 AS (
-  SELECT e.vec_id, c.centroid_id,
-         round(sum(e.v * c.cv) - 0.5 * any_value(cn.n2), 6) AS score
-  FROM ex e JOIN c0 c ON e.ord = c.ord
-  JOIN cn0 cn ON cn.centroid_id = c.centroid_id
-  GROUP BY 1, 2
-),
-a0 AS (
-  SELECT vec_id, centroid_id FROM (
-    SELECT *, row_number() OVER (
-        PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
-    FROM s0) WHERE rn = 1
-),
-c1 AS (
-  SELECT a.centroid_id, e.ord, round(avg(e.v), 6) AS cv
-  FROM ex e JOIN a0 a ON a.vec_id = e.vec_id
-  GROUP BY 1, 2
-),
-cn1 AS (SELECT centroid_id, sum(cv * cv) AS n2 FROM c1 GROUP BY 1),
-s1 AS (
-  SELECT e.vec_id, c.centroid_id,
-         round(sum(e.v * c.cv) - 0.5 * any_value(cn.n2), 6) AS score
-  FROM ex e JOIN c1 c ON e.ord = c.ord
-  JOIN cn1 cn ON cn.centroid_id = c.centroid_id
-  GROUP BY 1, 2
-),
-a1 AS (
-  SELECT vec_id, centroid_id FROM (
-    SELECT *, row_number() OVER (
-        PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
-    FROM s1) WHERE rn = 1
+errs AS (
+  SELECT vec_id, ord, code,
+         CAST(floor(abs(v - (mn + code * ((mx - mn) / 255.0))) * 1e6 + 0.5) AS BIGINT) AS eu
+  FROM coded
 )
-SELECT a1.vec_id, a1.centroid_id, sz.cluster_size
-FROM a1 JOIN (
-  SELECT centroid_id, count(*) AS cluster_size FROM a1 GROUP BY 1
-) sz ON sz.centroid_id = a1.centroid_id""",
+SELECT vec_id, list(code ORDER BY ord) AS codes,
+       CAST(sum(eu) AS BIGINT) AS err_units
+FROM errs GROUP BY vec_id""",
         "doc_redact_pii": _redact_pii_sql(),
         "doc_split_assignments": """
 WITH b AS (

@@ -990,3 +990,61 @@ def test_kmeans_deterministic_and_partitioning_invariant(spark):
     assert {(r.vec_id, r.centroid_id) for r in again} == {
         (r.vec_id, r.centroid_id) for r in out
     }
+
+
+def test_remove_boilerplate_segments_golden(spark):
+    """Hand-built boilerplate case: the 3-word segment 'nav home about'
+    opens 4 of 5 docs (df=4 >= threshold) and is dropped from ALL of
+    them -- no keeper copy, unlike span dedup.  Segment boundaries are
+    non-overlapping (doc 4's 'x nav home' / 'about y z' segments do NOT
+    match the boilerplate segment), an under-threshold segment stays,
+    and an all-boilerplate doc comes back as '' instead of vanishing."""
+    from binlog_avro_comparator_spark.operators.dedup import (
+        remove_boilerplate_segments,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "nav home about alpha beta gamma"),
+            (2, "nav home about delta eps zeta"),
+            (3, "nav home about eta theta iota"),
+            (4, "x nav home about y z"),       # offset -> different segments
+            (5, "nav home about"),             # boilerplate only -> ''
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in remove_boilerplate_segments(
+            docs, seg_words=3, df_threshold=4
+        ).collect()
+    }
+    assert got[1].text_clean == "alpha beta gamma" and got[1].n_dropped == 1
+    assert got[2].text_clean == "delta eps zeta" and got[2].n_dropped == 1
+    assert got[3].text_clean == "eta theta iota" and got[3].n_dropped == 1
+    assert got[4].text_clean == "x nav home about y z" and got[4].n_dropped == 0
+    assert got[5].text_clean == "" and (got[5].n_segments, got[5].n_dropped) == (1, 1)
+
+
+def test_semdedup_prunes_planted_cluster_dup(spark):
+    """SemDeDup keeps the lowest vec_id of a planted near-identical
+    pair and never compares across clusters: two opposite-direction
+    groups land in different k-means clusters, so the cross-group
+    cosine (-1) is never even computed, and within the first cluster
+    the exact-duplicate vector loses to its lower-id twin."""
+    from binlog_avro_comparator_spark.operators.similarity import semdedup_survivors
+
+    dim = 4
+    base = [1.0, 0.2, 0.1, 0.0]
+    anti = [-1.0, -0.2, -0.1, 0.0]
+    rows = [
+        (0, [float(v) for v in base]),        # centroid seed (stride hits vec_id 0)
+        (1, [float(v) for v in base]),        # exact dup of 0 -> loser
+        (2, [float(v * 1.001) for v in base]),# near dup of 0 -> loser
+        (3, [float(v) for v in anti]),        # other direction, survives
+        (4, [0.0, 0.0, 0.0, 1.0]),            # orthogonal, survives
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = semdedup_survivors(emb, k=2, n_iter=2, threshold=0.99, stride=3, dim=4)
+    survivors = sorted(r.vec_id for r in got.collect())
+    assert survivors == [0, 3, 4]

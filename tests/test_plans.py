@@ -333,3 +333,16 @@ def test_trailing_window_single_exchange(spark):
 
     plan = _plan(trailing_window_10min(load_table(spark, SF, "events")))
     assert plan.count("Exchange (") == 1
+
+
+def test_boilerplate_df_no_count_window(spark):
+    """Segment document frequency is distinct + groupBy (both partial
+    aggregates, map-side combined), never a count window -- a footer
+    shared by half the corpus must not funnel one window partition."""
+    from binlog_avro_comparator_spark.operators.dedup import (
+        remove_boilerplate_segments,
+    )
+
+    plan = _plan(remove_boilerplate_segments(load_table(spark, SF, "documents")))
+    assert "Window" not in plan
+    assert "partial_count" in plan
