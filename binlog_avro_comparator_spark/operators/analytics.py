@@ -663,3 +663,31 @@ def big_ticket_orders(
         "o_totalprice",
         F.col("__q").cast("double").alias("total_qty"),
     )
+
+
+def monthly_revenue_growth(orders: DataFrame) -> DataFrame:
+    """Month-over-month order-revenue trend: per-month totals with the
+    previous month's total, absolute delta, and growth ratio -- the
+    lag-window time-series shape (the running_windows family covers
+    ROWS frames; this is the calendar-bucket + lag tier).
+
+    Scale shape: the month aggregate is map-side combined (the shuffle
+    carries ~one row per month per input partition) and the lag window
+    runs over the AGGREGATED frame -- tens of rows, one task, which is
+    exactly where a global-ordering window belongs.  Revenue sums are
+    decimal-exact, cast to double at the boundary; the growth ratio is
+    a single division of those doubles, rounded to 6.  Returns
+    (month, revenue, prev_revenue, delta, growth)."""
+    per_month = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(F.sum(F.col("o_totalprice").cast(_DEC)).alias("__rev"))
+    w = Window.orderBy("month")
+    rev = F.col("__rev").cast("double")
+    prev = F.lag(rev).over(w)
+    return per_month.select(
+        "month",
+        rev.alias("revenue"),
+        prev.alias("prev_revenue"),
+        F.round(rev - prev, 4).alias("delta"),
+        F.round(rev / prev, 6).alias("growth"),
+    )

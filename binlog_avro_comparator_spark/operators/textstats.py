@@ -730,3 +730,114 @@ def sample_k_per_group(
     return documents.join(F.broadcast(picked), on="doc_id").select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+def dsir_importance_weights(
+    documents: DataFrame, target_lang: str = "en", n_buckets: int = 256
+) -> DataFrame:
+    """DSIR-style data selection weight (the published hashed-n-gram
+    importance-resampling recipe): score every document by how much
+    more likely its tokens are under a TARGET slice's hashed-unigram
+    distribution than under the whole corpus's -- then sample the
+    corpus proportionally to exp(weight) to steer a 100 TB crawl
+    toward the target domain without training a classifier.  Here the
+    target slice is ``lang == target_lang``; any predicate works.
+
+    weight(doc) = mean_i [ log10 p_tgt(b_i) - log10 p_corpus(b_i) ],
+    b_i = hash(token_i) mod ``n_buckets``, both distributions add-1
+    smoothed over the bucket space.
+
+    Scale shape: one token explode feeds BOTH bucket-count aggregates
+    (map-side combined; the hashed space is fixed-size, so the count
+    frames are ``n_buckets`` rows however big the corpus is); the
+    per-bucket log-ratio table is broadcast; the per-doc pass is a
+    (doc_id, bucket) aggregate joined to that broadcast -- the corpus
+    shuffles once, as (doc_id, bucket, count) rows.  The ratio is
+    rounded to 6 decimals BEFORE weighting (libm/log-sum ulp contract,
+    same as unigram_logprob_scores).  Returns (doc_id, n_tokens,
+    dsir_weight)."""
+    words = documents.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))
+        ).alias("term"),
+    ).select(
+        "doc_id", "lang", F.pmod(word_hash(F.col("term")), F.lit(n_buckets)).alias("b")
+    )
+    cc = words.groupBy("b").agg(F.count("*").alias("cc"))
+    tc = (
+        words.filter(F.col("lang") == target_lang)
+        .groupBy("b")
+        .agg(F.count("*").alias("tc"))
+    )
+    counts = cc.join(tc, on="b", how="left").na.fill({"tc": 0})
+    totals = counts.agg(
+        F.sum("cc").cast("double").alias("tot_corpus"),
+        F.sum("tc").cast("double").alias("tot_target"),
+    )
+    ratio = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.round(
+            F.log10((F.col("tc") + 1) / (F.col("tot_target") + n_buckets))
+            - F.log10((F.col("cc") + 1) / (F.col("tot_corpus") + n_buckets)),
+            6,
+        ).alias("lr"),
+    )
+    per_doc = words.groupBy("doc_id", "b").agg(F.count("*").alias("cnt"))
+    return (
+        per_doc.join(F.broadcast(ratio), on="b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.round(F.sum(F.col("cnt") * F.col("lr")) / F.sum("cnt"), 6).alias(
+                "dsir_weight"
+            ),
+        )
+    )
+
+
+def bigram_logprob_scores(documents: DataFrame) -> DataFrame:
+    """Per-document mean add-1-smoothed bigram log10-probability under
+    the corpus's own bigram model -- one rung up the LM-quality ladder
+    from unigram_logprob_scores (word-salad documents whose unigrams
+    are all common still score low, because their TRANSITIONS are
+    rare).
+
+    mean_i log10 p(w_{i+1} | w_i),
+    p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V),  V = distinct unigrams.
+
+    Scale shape: bigrams come from one per-row gram_array (zero
+    shuffle); the bigram- and unigram-count model tables are map-side-
+    combined aggregates, vocabulary-sized not corpus-sized, and join
+    back broadcast (past broadcast size drop the hints and AQE picks
+    shuffled joins -- the plan is unchanged).  V enters as a broadcast
+    1-row aggregate, not a driver count.  Documents with < 2 tokens
+    have no bigrams and are absent, like the shingle operators.
+    Returns (doc_id, n_bigrams, mean_bigram_logprob)."""
+    bi = documents.select(
+        "doc_id", F.explode(gram_array(F.col("text"), 2)).alias("bg")
+    )
+    uni = documents.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))
+        ).alias("term"),
+    )
+    bgc = bi.groupBy("bg").agg(F.count("*").alias("c12"))
+    w1c = uni.groupBy("term").agg(F.count("*").alias("c1"))
+    vsize = w1c.agg(F.count("*").cast("double").alias("V"))
+    scored = (
+        bi.join(F.broadcast(bgc), on="bg")
+        .withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+        .join(F.broadcast(w1c), F.col("w1") == F.col("term"))
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "doc_id",
+            F.log10((F.col("c12") + 1) / (F.col("c1") + F.col("V"))).alias("__lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("__lp"), 6).alias("mean_bigram_logprob"),
+    )

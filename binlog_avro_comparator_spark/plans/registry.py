@@ -28,6 +28,7 @@ from ..operators.analytics import (
     customer_order_distribution,
     funnel_stages,
     late_shipment_orders,
+    monthly_revenue_growth,
     high_value_customers,
     kmv_distinct_users,
     part_profit_by_nation,
@@ -589,6 +590,20 @@ def _q_cdc_snapshot_stream(spark, sf_dir):
     return spark.table(name)
 
 
+def _q_dsir_weights(spark, sf_dir):
+    ensure_session_conf(spark)
+    from ..operators.textstats import dsir_importance_weights
+
+    return dsir_importance_weights(_docs(spark, sf_dir))
+
+
+def _q_bigram_logprob(spark, sf_dir):
+    ensure_session_conf(spark)
+    from ..operators.textstats import bigram_logprob_scores
+
+    return bigram_logprob_scores(_docs(spark, sf_dir))
+
+
 def _q_quantize_int8(spark, sf_dir):
     ensure_session_conf(spark)
     from ..operators.similarity import quantize_embeddings_int8
@@ -838,6 +853,11 @@ def _q_top_revenue(spark, sf_dir):
     return top_revenue_orders(
         load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
     )
+
+
+def _q_monthly_revenue_growth(spark, sf_dir):
+    ensure_session_conf(spark)
+    return monthly_revenue_growth(load_table(spark, sf_dir, "orders"))
 
 
 def _q_customer_order_distribution(spark, sf_dir):
@@ -1147,6 +1167,9 @@ def queries() -> dict[str, QueryFn]:
         "late_shipment_orders": _q_late_shipment_orders,
         "big_ticket_orders": _q_big_ticket_orders,
         "embedding_quantize_int8": _q_quantize_int8,
+        "doc_dsir_weights": _q_dsir_weights,
+        "doc_bigram_logprob": _q_bigram_logprob,
+        "monthly_revenue_growth": _q_monthly_revenue_growth,
         "doc_redact_pii": _q_redact_pii,
         "doc_split_assignments": _q_split_assignments,
         "embedding_kmeans": _q_kmeans,
@@ -2133,6 +2156,19 @@ SELECT c.event_id, c.user_id, c.ts_ms,
        p.p_value AS purchase_value
 FROM clicks c
 ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND c.ts_ms >= p.ts_ms""",
+        # twin of analytics.monthly_revenue_growth: decimal-exact month
+        # totals, lag over the aggregated frame
+        "monthly_revenue_growth": """
+WITH per_month AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY month
+)
+SELECT month, revenue,
+       lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+       round(revenue - lag(revenue) OVER (ORDER BY month), 4) AS delta,
+       round(revenue / lag(revenue) OVER (ORDER BY month), 6) AS growth
+FROM per_month""",
         # twin of analytics.customer_order_distribution (Q13 shape):
         # left join so zero-order customers appear as c_count = 0
         "customer_order_distribution": """
@@ -2324,6 +2360,56 @@ SELECT a1.vec_id, a1.centroid_id, sz.cluster_size
 FROM a1
 JOIN sz ON sz.centroid_id = a1.centroid_id
 ANTI JOIN losers ON losers.vec_id = a1.vec_id""",
+        # twin of textstats.dsir_importance_weights (target lang 'en',
+        # 256 hashed-unigram buckets, add-1 smoothing; log-ratio
+        # rounded to 6 before weighting, exactly like the Spark side)
+        "doc_dsir_weights": rf"""
+WITH words AS (
+  SELECT doc_id, lang, unnest(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS term
+  FROM documents
+),
+wb AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(term), 1, 12))::BIGINT % 256 AS b
+  FROM words
+),
+cc AS (SELECT b, count(*) AS cc FROM wb GROUP BY b),
+tc AS (SELECT b, count(*) AS tc FROM wb WHERE lang = 'en' GROUP BY b),
+counts AS (
+  SELECT cc.b, cc.cc, coalesce(tc.tc, 0) AS tc FROM cc LEFT JOIN tc USING (b)
+),
+tot AS (SELECT sum(cc)::DOUBLE AS tot_corpus, sum(tc)::DOUBLE AS tot_target FROM counts),
+ratio AS (
+  SELECT b, round(log10((tc + 1) / (tot_target + 256)) - log10((cc + 1) / (tot_corpus + 256)), 6) AS lr
+  FROM counts, tot
+),
+pd AS (SELECT doc_id, b, count(*) AS cnt FROM wb GROUP BY doc_id, b)
+SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       round(sum(cnt * lr) / sum(cnt), 6) AS dsir_weight
+FROM pd JOIN ratio USING (b) GROUP BY doc_id""",
+        # twin of textstats.bigram_logprob_scores (add-1 smoothing,
+        # V = distinct unigrams)
+        "doc_bigram_logprob": rf"""
+WITH doc_words AS (
+  SELECT doc_id, regexp_extract_all(text, '{_TOKEN_RE_SQL}') AS w FROM documents
+),
+bi AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(w) >= 2 THEN list_transform(
+      generate_series(1, len(w) - 1), i -> array_to_string(w[i:i+1], ' '))
+    ELSE [] END) AS bg
+  FROM doc_words
+),
+uni AS (SELECT doc_id, unnest(w) AS term FROM doc_words),
+bgc AS (SELECT bg, count(*) AS c12 FROM bi GROUP BY bg),
+w1c AS (SELECT term, count(*) AS c1 FROM uni GROUP BY term),
+v AS (SELECT count(*)::DOUBLE AS V FROM w1c)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(avg(log10((c12 + 1) / (c1 + V))), 6) AS mean_bigram_logprob
+FROM bi
+JOIN bgc USING (bg)
+JOIN w1c ON split_part(bg, ' ', 1) = term, v
+GROUP BY doc_id""",
         # twin of similarity.quantize_embeddings_int8: same per-dim
         # min/max, floor(+0.5) codes, integer 1e-6-unit error sum
         "embedding_quantize_int8": """
