@@ -52,6 +52,15 @@ EXTRA_QUERIES = [
     "events_asof_purchase",
     "events_kmv_distinct_users",
     # round 3
+    "doc_boilerplate_removal",
+    "embedding_semdedup",
+    "embedding_quantize_int8",
+    "doc_dsir_weights",
+    "doc_bigram_logprob",
+    "customer_order_distribution",
+    "late_shipment_orders",
+    "big_ticket_orders",
+    "monthly_revenue_growth",
     "doc_span_removal",
     "cdc_avro_native_scan_jvm",
     "cdc_apply_changes",

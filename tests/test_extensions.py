@@ -1048,3 +1048,53 @@ def test_semdedup_prunes_planted_cluster_dup(spark):
     got = semdedup_survivors(emb, k=2, n_iter=2, threshold=0.99, stride=3, dim=4)
     survivors = sorted(r.vec_id for r in got.collect())
     assert survivors == [0, 3, 4]
+
+
+def test_customer_order_distribution_counts_zero_order_customers(spark):
+    """Q13's defining property: customers with no qualifying orders
+    appear in the c_count = 0 bucket (an inner join would lose them),
+    and excluded-priority orders don't count."""
+    from binlog_avro_comparator_spark.operators.analytics import (
+        customer_order_distribution,
+    )
+
+    customer = spark.createDataFrame(
+        [(1,), (2,), (3,)], "c_custkey long"
+    )
+    orders = spark.createDataFrame(
+        [
+            (10, 1, "5-LOW"),
+            (11, 1, "5-LOW"),
+            (12, 2, "1-URGENT"),  # excluded -> customer 2 counts as zero
+        ],
+        "o_orderkey long, o_custkey long, o_orderpriority string",
+    )
+    got = {
+        r.c_count: r.custdist
+        for r in customer_order_distribution(customer, orders).collect()
+    }
+    assert got == {0: 2, 2: 1}
+
+
+def test_quantize_int8_endpoints_and_constant_dim(spark):
+    """Endpoint values code to 0/255 exactly; a constant dimension
+    (max == min) codes to 0 with zero reconstruction error; errors are
+    integer units."""
+    from binlog_avro_comparator_spark.operators.similarity import (
+        quantize_embeddings_int8,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 5.0]),
+            (1, [1.0, 5.0]),
+            (2, [0.5, 5.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: r for r in quantize_embeddings_int8(emb, dim=2).collect()}
+    assert got[0].codes == [0, 0] and got[0].err_units == 0
+    assert got[1].codes == [255, 0] and got[1].err_units == 0
+    # 0.5 -> code floor(127.5 + 0.5) = 128, recon 128/255 ~ 0.50196...
+    assert got[2].codes == [128, 0]
+    assert got[2].err_units == round(abs(0.5 - 128 / 255.0) * 1e6)

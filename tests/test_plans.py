@@ -346,3 +346,29 @@ def test_boilerplate_df_no_count_window(spark):
     plan = _plan(remove_boilerplate_segments(load_table(spark, SF, "documents")))
     assert "Window" not in plan
     assert "partial_count" in plan
+
+
+def test_dsir_ratio_broadcast_no_window(spark):
+    """The DSIR per-bucket log-ratio table must come back as a
+    broadcast join (it is n_buckets rows at ANY corpus size) and the
+    per-doc pass must be aggregates only -- no window anywhere."""
+    from binlog_avro_comparator_spark.operators.textstats import (
+        dsir_importance_weights,
+    )
+
+    plan = _plan(dsir_importance_weights(load_table(spark, SF, "documents")))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_monthly_growth_window_over_aggregate_only(spark):
+    """The lag window must consume the month-aggregated frame (tens of
+    rows), never the raw orders scan: the partial aggregate has to sit
+    BELOW the window in the plan."""
+    from binlog_avro_comparator_spark.operators.analytics import (
+        monthly_revenue_growth,
+    )
+
+    plan = _plan(monthly_revenue_growth(load_table(spark, SF, "orders")))
+    assert "Window" in plan
+    assert plan.index("partial") < plan.index("Window")
