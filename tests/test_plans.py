@@ -371,4 +371,6 @@ def test_monthly_growth_window_over_aggregate_only(spark):
 
     plan = _plan(monthly_revenue_growth(load_table(spark, SF, "orders")))
     assert "Window" in plan
-    assert plan.index("partial") < plan.index("Window")
+    # the tree prints top-down: the window node must sit ABOVE the
+    # partial aggregate (i.e. print first), consuming its output
+    assert plan.index("Window") < plan.index("partial")
