@@ -554,6 +554,46 @@ def _q_events_join_stream(spark, sf_dir):
     return spark.table(name)
 
 
+def _q_events_left_join_stream(spark, sf_dir):
+    """LEFT OUTER stream-stream join in the driver contract: same
+    replay harness as events_join_stream, but matchless views must
+    emit null-padded once the watermark rules a click out.  The oracle
+    states the end-of-replay contract exactly: all inner pairs, plus
+    null rows for matchless views older than the final watermark
+    horizon (see view_click_left_join_stream's docstring)."""
+    global _STREAM_SINK_SEQ
+    from ..sources.tables import _EVENTS_SCHEMA, events_ts_column
+    from ..streaming.join_stream import view_click_left_join_stream
+
+    ensure_session_conf(spark)
+
+    def _side(event_type):
+        return (
+            spark.readStream.schema(_EVENTS_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", events_ts_column(sf_dir))
+            .filter(F.col("event_type") == event_type)
+            .select("event_id", "user_id", "ts")
+        )
+
+    _STREAM_SINK_SEQ += 1
+    name = f"events_left_join_stream_sink_{_STREAM_SINK_SEQ}"
+    out = view_click_left_join_stream(_side("view"), _side("click"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(f"{name}: availableNow drain exceeded 300s")
+    q.stop()
+    return spark.table(name)
+
+
 def _q_cdc_snapshot_stream(spark, sf_dir):
     """The SAME apply_changes operator, run on a stream: Structured
     Streaming executes the identical logical plan incrementally (the
@@ -1170,6 +1210,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_dsir_weights": _q_dsir_weights,
         "doc_bigram_logprob": _q_bigram_logprob,
         "monthly_revenue_growth": _q_monthly_revenue_growth,
+        "events_left_join_stream": _q_events_left_join_stream,
         "doc_redact_pii": _q_redact_pii,
         "doc_split_assignments": _q_split_assignments,
         "embedding_kmeans": _q_kmeans,
@@ -2211,6 +2252,37 @@ JOIN customer ON c_custkey = o_custkey""",
         # fully-drained finite replay emits exactly the batch interval
         # join, so the oracle is the same SQL verbatim
         "events_join_stream": _VIEW_CLICK_RANGE_SQL,
+        # twin of the LEFT OUTER variant's end-of-replay contract: all
+        # inner pairs, plus null-padded rows for matchless views whose
+        # window closed before the final watermark W = min(side maxes)
+        # - 10 s delay (matchless views younger than that are still in
+        # state when the replay ends and are absent by design)
+        "events_left_join_stream": """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+),
+v AS (SELECT event_id, user_id, ts_ms FROM ev WHERE event_type = 'view'),
+c AS (SELECT event_id, user_id, ts_ms FROM ev WHERE event_type = 'click'),
+wm AS (
+  SELECT least((SELECT max(ts_ms) FROM v), (SELECT max(ts_ms) FROM c)) - 10000 AS w
+),
+matched AS (
+  SELECT v.event_id AS view_event_id, c.event_id AS click_event_id,
+         v.user_id, c.ts_ms - v.ts_ms AS gap_ms
+  FROM v JOIN c
+    ON v.user_id = c.user_id
+   AND c.ts_ms >= v.ts_ms AND c.ts_ms < v.ts_ms + 600000
+)
+SELECT * FROM matched
+UNION ALL
+SELECT v.event_id, CAST(NULL AS BIGINT), v.user_id, CAST(NULL AS BIGINT)
+FROM v, wm
+WHERE v.ts_ms + 600000 < wm.w
+  AND NOT EXISTS (
+    SELECT 1 FROM c
+    WHERE c.user_id = v.user_id
+      AND c.ts_ms >= v.ts_ms AND c.ts_ms < v.ts_ms + 600000
+  )""",
         # KMV sketch twin: identical hash -> identical bottom-k ->
         # identical estimate (integer-exact until the final division)
         "events_kmv_distinct_users": """

@@ -78,3 +78,57 @@ def view_click_join_stream(
         "user_id",
         (F.unix_millis("click_ts") - F.unix_millis("view_ts")).alias("gap_ms"),
     )
+
+
+def view_click_left_join_stream(
+    views: DataFrame,
+    clicks: DataFrame,
+    window_ms: int = 600_000,
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every view emits -- with
+    its clicks if any arrive in the window, or ONCE with nulls after
+    the watermark proves no click can still come.
+
+    This is the semantics the watermark machinery exists for: an inner
+    join only ever adds rows, but an outer join must assert a NEGATIVE
+    ("no click happened within 10 minutes"), which is unknowable on an
+    open stream until the watermark passes view_ts + window.  Spark
+    holds the unmatched view in state exactly that long, then emits the
+    null-padded row and evicts -- so the null results arrive late by
+    (window + delay), the price of correctness on out-of-order input.
+
+    End-of-replay contract (what the oracle states): with both sides
+    drained via availableNow, the final watermark W = min over inputs
+    of (max event time - delay); inner pairs all emit, and a matchless
+    view emits null-padded iff view_ts + window < W.  Matchless views
+    YOUNGER than that horizon are still legitimately in state when the
+    replay ends -- the stream cannot yet rule out a future click --
+    and are absent, like cdc_findings_stream's end-of-stream
+    BINLOG_ONLY tier."""
+    v = views.withWatermark("ts", watermark_delay).select(
+        F.col("event_id").alias("view_event_id"),
+        F.col("user_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    c = clicks.withWatermark("ts", watermark_delay).select(
+        F.col("event_id").alias("click_event_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = v.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (
+            F.col("click_ts")
+            < F.col("view_ts") + F.expr(f"INTERVAL {window_ms} MILLISECONDS")
+        ),
+        "leftOuter",
+    )
+    return joined.select(
+        "view_event_id",
+        "click_event_id",
+        "user_id",
+        (F.unix_millis("click_ts") - F.unix_millis("view_ts")).alias("gap_ms"),
+    )
