@@ -641,3 +641,67 @@ def quantize_embeddings_int8(embeddings: DataFrame, dim: int = 64) -> DataFrame:
         F.array(*[code(i) for i in range(dim)]).alias("codes"),
         total_err.alias("err_units"),
     )
+
+
+def cluster_profiles(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    stride: int = 37,
+    dim: int = 64,
+) -> DataFrame:
+    """Per-cluster corpus profile via ``applyInPandas`` -- the
+    grouped-map Pandas UDF tier: each k-means cluster's members arrive
+    as ONE Arrow-backed pandas frame and the profile (member count,
+    mean vector norm, total per-dimension variance) is computed with
+    numpy.
+
+    This profile IS SQL-expressible -- that is exactly what the DuckDB
+    oracle proves -- and a pure-builtin engine would use the aggregate
+    form.  The operator exists to pin the grouped-map path itself
+    (grouping key semantics, Arrow batch shape, output schema contract)
+    with an oracle-checked example: the per-group step of a real
+    per-cluster PCA / medoid / coreset pass has this exact plumbing,
+    only a different numpy body.
+
+    Scale shape: one shuffle on centroid_id (the grouped-map contract:
+    each group materializes in ONE task's memory -- the operator's
+    stated limit; size k accordingly, same knob as semdedup), numpy
+    math per group, rounding to 6 before emit (float-sum order
+    contract).  Returns (centroid_id, n_members, mean_norm,
+    var_trace)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    assignment = kmeans_assignments(
+        embeddings, k=k, n_iter=n_iter, stride=stride, dim=dim
+    )
+    joined = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    ).join(assignment.select("vec_id", "centroid_id"), on="vec_id")
+
+    schema = T.StructType(
+        [
+            T.StructField("centroid_id", T.LongType()),
+            T.StructField("n_members", T.LongType()),
+            T.StructField("mean_norm", T.DoubleType()),
+            T.StructField("var_trace", T.DoubleType()),
+        ]
+    )
+
+    def profile(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.array(list(pdf["x"]), dtype=np.float64)
+        norms = np.sqrt((m * m).sum(axis=1))
+        return pd.DataFrame(
+            [
+                {
+                    "centroid_id": int(pdf["centroid_id"].iloc[0]),
+                    "n_members": len(pdf),
+                    "mean_norm": round(float(norms.mean()), 6),
+                    "var_trace": round(float(m.var(axis=0).sum()), 6),
+                }
+            ]
+        )
+
+    return joined.groupBy("centroid_id").applyInPandas(profile, schema)

@@ -753,9 +753,12 @@ def dsir_importance_weights(
     per-bucket log-ratio table is broadcast; the per-doc pass is a
     (doc_id, bucket) aggregate joined to that broadcast -- the corpus
     shuffles once, as (doc_id, bucket, count) rows.  The ratio is
-    rounded to 6 decimals BEFORE weighting (libm/log-sum ulp contract,
-    same as unigram_logprob_scores).  Returns (doc_id, n_tokens,
-    dsir_weight)."""
+    rounded to 6 decimals BEFORE weighting and then fixed to INTEGER
+    1e-6 units, so the per-doc weight is an exact BIGINT sum -- the
+    rounded-division form put ~1%% of docs exactly on a 6-decimal
+    rounding boundary where engine ulps flip the last digit (caught at
+    the sf0.01 gate).  weight = dsir_units / (1e6 * n_tokens).
+    Returns (doc_id, n_tokens, dsir_units)."""
     words = documents.select(
         "doc_id",
         "lang",
@@ -784,15 +787,14 @@ def dsir_importance_weights(
             6,
         ).alias("lr"),
     )
+    lr_units = F.round(F.col("lr") * 1e6).cast("long")
     per_doc = words.groupBy("doc_id", "b").agg(F.count("*").alias("cnt"))
     return (
-        per_doc.join(F.broadcast(ratio), on="b")
+        per_doc.join(F.broadcast(ratio.select("b", lr_units.alias("lru"))), on="b")
         .groupBy("doc_id")
         .agg(
             F.sum("cnt").alias("n_tokens"),
-            F.round(F.sum(F.col("cnt") * F.col("lr")) / F.sum("cnt"), 6).alias(
-                "dsir_weight"
-            ),
+            F.sum(F.col("cnt") * F.col("lru")).alias("dsir_units"),
         )
     )
 

@@ -630,6 +630,13 @@ def _q_cdc_snapshot_stream(spark, sf_dir):
     return spark.table(name)
 
 
+def _q_cluster_profiles(spark, sf_dir):
+    ensure_session_conf(spark)
+    from ..operators.similarity import cluster_profiles
+
+    return cluster_profiles(load_table(spark, sf_dir, "embeddings"))
+
+
 def _q_dsir_weights(spark, sf_dir):
     ensure_session_conf(spark)
     from ..operators.textstats import dsir_importance_weights
@@ -1211,6 +1218,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_bigram_logprob": _q_bigram_logprob,
         "monthly_revenue_growth": _q_monthly_revenue_growth,
         "events_left_join_stream": _q_events_left_join_stream,
+        "embedding_cluster_profiles": _q_cluster_profiles,
         "doc_redact_pii": _q_redact_pii,
         "doc_split_assignments": _q_split_assignments,
         "embedding_kmeans": _q_kmeans,
@@ -2455,10 +2463,11 @@ ratio AS (
   SELECT b, round(log10((tc + 1) / (tot_target + 256)) - log10((cc + 1) / (tot_corpus + 256)), 6) AS lr
   FROM counts, tot
 ),
+rat_units AS (SELECT b, CAST(round(lr * 1e6) AS BIGINT) AS lru FROM ratio),
 pd AS (SELECT doc_id, b, count(*) AS cnt FROM wb GROUP BY doc_id, b)
 SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
-       round(sum(cnt * lr) / sum(cnt), 6) AS dsir_weight
-FROM pd JOIN ratio USING (b) GROUP BY doc_id""",
+       CAST(sum(cnt * lru) AS BIGINT) AS dsir_units
+FROM pd JOIN rat_units USING (b) GROUP BY doc_id""",
         # twin of textstats.bigram_logprob_scores (add-1 smoothing,
         # V = distinct unigrams)
         "doc_bigram_logprob": rf"""
@@ -2507,6 +2516,23 @@ errs AS (
 SELECT vec_id, list(code ORDER BY ord) AS codes,
        CAST(sum(eu) AS BIGINT) AS err_units
 FROM errs GROUP BY vec_id""",
+        # twin of similarity.cluster_profiles: the SQL form of the
+        # grouped-map profile (the operator deliberately computes it
+        # via applyInPandas -- see its docstring)
+        "embedding_cluster_profiles": f"""
+WITH {_KMEANS_CTE},
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS norm FROM ex GROUP BY vec_id),
+dimvar AS (
+  SELECT a.centroid_id, e.ord, var_pop(e.v) AS vp
+  FROM ex e JOIN a1 a ON a.vec_id = e.vec_id
+  GROUP BY a.centroid_id, e.ord
+)
+SELECT a.centroid_id,
+       count(*) AS n_members,
+       round(avg(n.norm), 6) AS mean_norm,
+       (SELECT round(sum(vp), 6) FROM dimvar d WHERE d.centroid_id = a.centroid_id) AS var_trace
+FROM a1 a JOIN norms n ON n.vec_id = a.vec_id
+GROUP BY a.centroid_id""",
         "doc_redact_pii": _redact_pii_sql(),
         "doc_split_assignments": """
 WITH b AS (
