@@ -1,0 +1,63 @@
+"""Z-order (Morton) layout keys: multi-dimensional data clustering for
+scan pruning.
+
+Parquet prunes row groups with per-column min/max stats, but a sort on
+ONE column destroys locality on every other: after `ORDER BY
+l_partkey`, a predicate on l_suppkey still scans every file.  The
+Z-order curve interleaves the BITS of several keys, so rows close on
+the curve are close in every dimension at once -- sorting the table by
+z_key keeps min/max ranges tight for ALL interleaved columns, and
+point/range predicates on any of them prune most files.  This is the
+published multi-dimensional-clustering recipe table formats expose as
+`OPTIMIZE ... ZORDER BY`; here it is a plain column expression any
+writer can use.
+
+At 100 TB the write pattern is::
+
+    df.withColumn("z", zorder_key(F.col("a"), F.col("b")))
+      .repartitionByRange(n_files, "z")      # range partition = file
+      .sortWithinPartitions("z")             # tight stats inside files
+      .write.parquet(...)
+
+-- one range shuffle, no global sort, and every downstream scan with a
+predicate on `a` OR `b` prunes.  The expression itself is a pure
+bitwise literal chain: JVM whole-stage-codegen, no UDF, no shuffle.
+
+Keys are folded into ``bits`` bits via pmod, the standard coarse
+bucketing (layout wants LOCALITY, not uniqueness -- collisions just
+co-locate rows, which is the point).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def zorder_key(a: Column, b: Column, bits: int = 16) -> Column:
+    """Interleave the low ``bits`` bits of two integer columns into a
+    ``2*bits``-bit Morton key (a's bits at even positions, b's at odd).
+    Deterministic, engine-portable integer arithmetic (the DuckDB twin
+    spells out the same shift/mask chain)."""
+    az = F.pmod(a.cast("long"), F.lit(1 << bits))
+    bz = F.pmod(b.cast("long"), F.lit(1 << bits))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftright(az, i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(bz, i).bitwiseAND(F.lit(1))
+        z = z.bitwiseOR(F.shiftleft(abit, 2 * i)).bitwiseOR(
+            F.shiftleft(bbit, 2 * i + 1)
+        )
+    return z
+
+
+def zorder_key_sql(a: str, b: str, bits: int = 16) -> str:
+    """The identical interleave as a SQL expression string (DuckDB
+    oracle twin of ``zorder_key``)."""
+    m = 1 << bits
+    terms = []
+    for i in range(bits):
+        # every term fully parenthesized: DuckDB gives << and | equal
+        # left-associative precedence, so a bare chain mis-parses
+        terms.append(f"(((({a} % {m}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({b} % {m}) >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"

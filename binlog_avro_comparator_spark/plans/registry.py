@@ -18,6 +18,7 @@ from ..fixtures import (
     derive_binlog_events,
     generate_parser_text_lines,
 )
+from ..functions.zorder import zorder_key_sql
 from ..sources.avro import DATASTREAM_AVRO_SCHEMA, read_avro_dir
 from ..sources.avro_codec import encode_container
 from ..operators.parse import parse_binlog_text
@@ -630,6 +631,26 @@ def _q_cdc_snapshot_stream(spark, sf_dir):
     return spark.table(name)
 
 
+def _q_zorder_layout(spark, sf_dir):
+    """Z-order layout keys for lineitem on (l_partkey, l_suppkey): the
+    key + target-file assignment a layout-optimizing writer would
+    range-partition and sort by (functions/zorder.py docstring has the
+    full write recipe)."""
+    ensure_session_conf(spark)
+    from ..functions.zorder import zorder_key
+
+    li = load_table(spark, sf_dir, "lineitem")
+    z = zorder_key(F.col("l_partkey"), F.col("l_suppkey"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        z.alias("z_key"),
+        F.shiftright(z, 26).alias("file_id"),
+    )
+
+
 def _q_cluster_profiles(spark, sf_dir):
     ensure_session_conf(spark)
     from ..operators.similarity import cluster_profiles
@@ -1219,6 +1240,7 @@ def queries() -> dict[str, QueryFn]:
         "monthly_revenue_growth": _q_monthly_revenue_growth,
         "events_left_join_stream": _q_events_left_join_stream,
         "embedding_cluster_profiles": _q_cluster_profiles,
+        "lineitem_zorder_layout": _q_zorder_layout,
         "doc_redact_pii": _q_redact_pii,
         "doc_split_assignments": _q_split_assignments,
         "embedding_kmeans": _q_kmeans,
@@ -2516,6 +2538,13 @@ errs AS (
 SELECT vec_id, list(code ORDER BY ord) AS codes,
        CAST(sum(eu) AS BIGINT) AS err_units
 FROM errs GROUP BY vec_id""",
+        # twin of _q_zorder_layout: the identical bit-interleave chain
+        # spelled out by functions.zorder.zorder_key_sql
+        "lineitem_zorder_layout": f"""
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       {zorder_key_sql("l_partkey", "l_suppkey")} AS z_key,
+       {zorder_key_sql("l_partkey", "l_suppkey")} >> 26 AS file_id
+FROM lineitem""",
         # twin of similarity.cluster_profiles: the SQL form of the
         # grouped-map profile (the operator deliberately computes it
         # via applyInPandas -- see its docstring)

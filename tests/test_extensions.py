@@ -1098,3 +1098,25 @@ def test_quantize_int8_endpoints_and_constant_dim(spark):
     # 0.5 -> code floor(127.5 + 0.5) = 128, recon 128/255 ~ 0.50196...
     assert got[2].codes == [128, 0]
     assert got[2].err_units == round(abs(0.5 - 128 / 255.0) * 1e6)
+
+
+def test_zorder_key_matches_python_interleave(spark):
+    """zorder_key == the reference Morton interleave, including key
+    folding (values >= 2^bits wrap via pmod)."""
+    from binlog_avro_comparator_spark.functions.zorder import zorder_key
+
+    def morton(a, b, bits=16):
+        a %= 1 << bits
+        b %= 1 << bits
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    pairs = [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535), (65536, 2), (12345, 54321)]
+    df = spark.createDataFrame(pairs, "a long, b long").select(
+        "a", "b", zorder_key(F.col("a"), F.col("b")).alias("z")
+    )
+    got = {(r.a, r.b): r.z for r in df.collect()}
+    assert got == {(a, b): morton(a, b) for a, b in pairs}
