@@ -46,6 +46,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "surviving documents (exact-substring dedup materialization; "
         "rewrites text, whitespace-normalized)",
     )
+    p.add_argument(
+        "--boilerplate-segs",
+        type=int,
+        default=None,
+        metavar="W",
+        help="additionally drop every occurrence of non-overlapping "
+        "W-word segments shared by >= --boilerplate-df surviving "
+        "documents (CCNet-style boilerplate removal; runs before "
+        "--trim-spans)",
+    )
+    p.add_argument("--boilerplate-df", type=int, default=5)
     p.add_argument("--cpus", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -68,6 +79,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             benchmark_max_id=args.benchmark_max_id,
             drop_benchmark=not args.keep_benchmark,
             trim_spans_k=args.trim_spans,
+            boilerplate_seg_words=args.boilerplate_segs,
+            boilerplate_df_threshold=args.boilerplate_df,
         )
         # count BEFORE writing (cached so the pipeline runs once): with
         # aggressive thresholds zero docs can survive, Spark then writes

@@ -8,7 +8,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import dedup_keep_canonical, remove_repeated_spans
+from .dedup import (
+    dedup_keep_canonical,
+    remove_boilerplate_segments,
+    remove_repeated_spans,
+)
 from .textstats import contamination_scores, repetition_scores
 
 
@@ -20,6 +24,8 @@ def curation_survivors(
     drop_benchmark: bool = False,
     max_iter: int = 15,
     trim_spans_k: int | None = None,
+    boilerplate_seg_words: int | None = None,
+    boilerplate_df_threshold: int = 5,
 ) -> DataFrame:
     """Documents surviving all curation filters (full rows).
 
@@ -35,7 +41,13 @@ def curation_survivors(
     first, then span-level exact-substring trimming of what survives,
     the order the published recipe uses (no point trimming documents
     that are about to be dropped outright).  Note the trimmed text is
-    whitespace-normalized (see remove_repeated_spans)."""
+    whitespace-normalized (see remove_repeated_spans).
+
+    ``boilerplate_seg_words`` (off by default, same contract note)
+    runs ``remove_boilerplate_segments`` over the survivors FIRST --
+    boilerplate (drop-everywhere) before span dedup (keep-first), so a
+    shared footer cannot donate a 'keeper' copy that span trimming
+    would preserve in one document."""
     rep_ok = (
         repetition_scores(documents)
         .filter(F.col("repetition_ratio") <= max_repetition)
@@ -50,6 +62,17 @@ def curation_survivors(
     out = kept.join(contaminated, on="doc_id", how="left_anti")
     if drop_benchmark:
         out = out.filter(F.col("doc_id") >= benchmark_max_id)
+    if boilerplate_seg_words is not None:
+        deboiler = remove_boilerplate_segments(
+            out,
+            seg_words=boilerplate_seg_words,
+            df_threshold=boilerplate_df_threshold,
+        ).select("doc_id", F.col("text_clean").alias("__deboiler"))
+        out = (
+            out.join(deboiler, on="doc_id")
+            .withColumn("text", F.col("__deboiler"))
+            .drop("__deboiler")
+        )
     if trim_spans_k is not None:
         # span df is computed over the SURVIVORS (a span repeated only
         # in already-dropped docs is not a duplicate in the output

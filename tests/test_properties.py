@@ -369,3 +369,82 @@ def test_funnel_matches_reference(spark, seed):
         for r in funnel_stages(df).collect()
     }
     assert got == _ref_funnel(rows)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31))
+def test_boilerplate_removal_matches_python_reference(spark, seed):
+    """remove_boilerplate_segments == a direct Python implementation of
+    the CCNet-style recipe over random small-vocab corpora (random doc
+    counts/lengths force segment collisions both above and below the
+    df threshold)."""
+    from collections import Counter
+
+    from binlog_avro_comparator_spark.operators.dedup import (
+        remove_boilerplate_segments,
+    )
+
+    rng = random.Random(seed)
+    vocab = ["aa", "bb", "cc", "dd"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 14)))
+        for _ in range(rng.randrange(2, 16))
+    ]
+    W, TH = 2, 3
+
+    def ref(texts):
+        segs_per_doc = []
+        for t in texts:
+            w = t.split()
+            segs_per_doc.append(
+                [" ".join(w[i : i + W]) for i in range(0, len(w), W)]
+            )
+        df = Counter()
+        for segs in segs_per_doc:
+            for s in set(segs):
+                df[s] += 1
+        out = {}
+        for i, segs in enumerate(segs_per_doc):
+            keep = [s for s in segs if df[s] < TH]
+            out[i] = (" ".join(keep), len(segs), len(segs) - len(keep))
+        return out
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.text_clean, r.n_segments, r.n_dropped)
+        for r in remove_boilerplate_segments(
+            docs, seg_words=W, df_threshold=TH
+        ).collect()
+    }
+    assert got == ref(texts)
+
+
+def test_curation_boilerplate_composition(spark):
+    """boilerplate removal composes into curation_survivors BEFORE span
+    trimming, over the survivor set only; full rows keep their columns."""
+    from binlog_avro_comparator_spark.operators.curation import curation_survivors
+
+    footer = "all rights reserved"
+    bodies = ["alpha beta gamma", "delta eps zeta", "eta theta iota", "kappa mu nu"]
+    docs = spark.createDataFrame(
+        [
+            (100 + i, f"{body} {footer}", "en", "s", 1)
+            for i, body in enumerate(bodies)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {
+        r.doc_id: r.text
+        for r in curation_survivors(
+            docs,
+            max_repetition=1.0,
+            max_contamination=2.0,
+            boilerplate_seg_words=3,
+            boilerplate_df_threshold=4,
+        ).collect()
+    }
+    # the shared footer segment ('all rights reserved' aligns at word
+    # offset 3 in every doc) is dropped EVERYWHERE, bodies survive
+    assert out == {100 + i: body for i, body in enumerate(bodies)}
