@@ -691,3 +691,33 @@ def monthly_revenue_growth(orders: DataFrame) -> DataFrame:
         F.round(rev - prev, 4).alias("delta"),
         F.round(rev / prev, 6).alias("growth"),
     )
+
+
+def hll_distinct_users(events: DataFrame, max_rel_err: float = 0.1) -> DataFrame:
+    """Engine-native HyperLogLog distinct-count sketch next to the
+    exact answer -- the mergeable-sketch tier Spark ships built in
+    (``approx_count_distinct`` = HLL++, constant memory per group,
+    map-side combinable partials), complementing the portable KMV
+    sketch in kmv_distinct_users.
+
+    Sketch estimates are ALGORITHM-specific, so no two engines agree
+    digit-for-digit; the cross-engine contract is the published error
+    bound, not the estimate.  The output therefore carries the exact
+    count (oracle-comparable) and ``within_bound`` = |approx - exact|
+    / exact <= ``max_rel_err`` -- with default rsd 5%% and a 10%%
+    bound the flag is deterministically true in any correct engine,
+    and THAT is what the oracle asserts (DuckDB's own HLL must satisfy
+    its own bound).  Returns (event_type, n_exact, within_bound)."""
+    agg = events.filter(F.col("user_id").isNotNull()).groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id").alias("__n_approx"),
+    )
+    return agg.select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("__n_approx") - F.col("n_exact"))
+            / F.col("n_exact")
+            <= max_rel_err
+        ).alias("within_bound"),
+    )

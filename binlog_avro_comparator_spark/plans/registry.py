@@ -28,6 +28,7 @@ from ..operators.analytics import (
     customer_nation_revenue,
     customer_order_distribution,
     funnel_stages,
+    hll_distinct_users,
     late_shipment_orders,
     monthly_revenue_growth,
     high_value_customers,
@@ -595,6 +596,52 @@ def _q_events_left_join_stream(spark, sf_dir):
     return spark.table(name)
 
 
+def _q_events_top_type_stream(spark, sf_dir):
+    """Streaming top-1-per-window: the stateful windowed aggregation
+    drains via availableNow (complete mode, same machinery as
+    events_windowed_stream), then the busiest event type per window is
+    ranked over the MATERIALIZED state -- the standard two-stage
+    streaming-top-k pattern (Structured Streaming does not run rank
+    windows inside a streaming query; production re-ranks the tiny
+    complete-mode state per trigger, here once at end of replay).
+    Ties break to the lexicographically LARGEST type (max of the
+    (count, type) tuple), identical in the oracle."""
+    global _STREAM_SINK_SEQ
+    from ..sources.tables import _EVENTS_SCHEMA, events_ts_column
+    from ..streaming.windowed_agg import windowed_event_counts
+
+    ensure_session_conf(spark)
+    stream = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", events_ts_column(sf_dir))
+    )
+    _STREAM_SINK_SEQ += 1
+    name = f"events_top_type_stream_sink_{_STREAM_SINK_SEQ}"
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(f"{name}: availableNow drain exceeded 300s")
+    q.stop()
+    state = spark.table(name)
+    return state.groupBy("window_start_ms").agg(
+        F.max_by(
+            "event_type", F.struct(F.col("n_events"), F.col("event_type"))
+        ).alias("top_event_type"),
+        F.max(F.struct(F.col("n_events"), F.col("event_type")))["n_events"].alias(
+            "top_count"
+        ),
+    )
+
+
 def _q_cdc_snapshot_stream(spark, sf_dir):
     """The SAME apply_changes operator, run on a stream: Structured
     Streaming executes the identical logical plan incrementally (the
@@ -923,6 +970,11 @@ def _q_top_revenue(spark, sf_dir):
     )
 
 
+def _q_hll_distinct_users(spark, sf_dir):
+    ensure_session_conf(spark)
+    return hll_distinct_users(load_table(spark, sf_dir, "events"))
+
+
 def _q_monthly_revenue_growth(spark, sf_dir):
     ensure_session_conf(spark)
     return monthly_revenue_growth(load_table(spark, sf_dir, "orders"))
@@ -1241,6 +1293,8 @@ def queries() -> dict[str, QueryFn]:
         "events_left_join_stream": _q_events_left_join_stream,
         "embedding_cluster_profiles": _q_cluster_profiles,
         "lineitem_zorder_layout": _q_zorder_layout,
+        "events_hll_distinct_users": _q_hll_distinct_users,
+        "events_top_type_stream": _q_events_top_type_stream,
         "doc_redact_pii": _q_redact_pii,
         "doc_split_assignments": _q_split_assignments,
         "embedding_kmeans": _q_kmeans,
@@ -2356,6 +2410,23 @@ WINDOW
         # The streaming query's complete-mode result equals the batch
         # tumbling-window aggregation: 10-minute epoch-aligned windows
         # (Spark F.window aligns to the 1970 epoch, == ms floor-division)
+        # twin of _q_events_top_type_stream: busiest type per window
+        # from the same batch-equal windowed counts; ties to the
+        # lexicographically largest type via the (count, type) tuple
+        "events_top_type_stream": """
+WITH wc AS (
+  SELECT (epoch_ms(ts) // 600000) * 600000 AS window_start_ms,
+         event_type, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY window_start_ms
+      ORDER BY n_events DESC, event_type DESC) AS rn
+  FROM wc
+)
+SELECT window_start_ms, event_type AS top_event_type, n_events AS top_count
+FROM ranked WHERE rn = 1""",
         "events_windowed_stream": """
 SELECT (epoch_ms(ts) // 600000) * 600000 AS window_start_ms,
        (epoch_ms(ts) // 600000) * 600000 + 600000 AS window_end_ms,
@@ -2538,6 +2609,17 @@ errs AS (
 SELECT vec_id, list(code ORDER BY ord) AS codes,
        CAST(sum(eu) AS BIGINT) AS err_units
 FROM errs GROUP BY vec_id""",
+        # twin of analytics.hll_distinct_users: the exact counts are
+        # compared value-for-value; the sketch contract is the bound
+        # flag (each engine's own HLL must sit within 10% of exact --
+        # estimates themselves are algorithm-specific, see docstring)
+        "events_hll_distinct_users": """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_exact,
+       abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+         / count(DISTINCT user_id) <= 0.1 AS within_bound
+FROM events WHERE user_id IS NOT NULL
+GROUP BY event_type""",
         # twin of _q_zorder_layout: the identical bit-interleave chain
         # spelled out by functions.zorder.zorder_key_sql
         "lineitem_zorder_layout": f"""
