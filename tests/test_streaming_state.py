@@ -236,3 +236,76 @@ def test_dedup_stream_cross_batch_and_eviction(spark, tmp_path):
         (3, "view"),
         (4, "click"),
     ]
+
+
+def test_stream_stream_join_cross_batch_and_window_bound(spark, tmp_path):
+    """Stream-stream inner interval join across micro-batches: a click
+    arriving in a LATER batch still pairs with a buffered view (state
+    held within the horizon), clicks outside the 10-min window never
+    pair, and the same-user same-window click pairs with BOTH
+    qualifying views (join, not first-match)."""
+    import json
+
+    from binlog_avro_comparator_spark.streaming.join_stream import (
+        view_click_join_stream,
+    )
+
+    base = 1_700_000_000_000_000  # epoch micros
+
+    def write_batch(name, rows):
+        with (src / name).open("w") as f:
+            for eid, uid, us in rows:
+                f.write(json.dumps({"event_id": eid, "user_id": uid, "ts_us": us}) + "\n")
+
+    src = tmp_path / "views"
+    src.mkdir()
+    write_batch("b0.json", [
+        (1, 10, base),                       # view, user 10
+        (2, 10, base + 60_000_000),          # second view, same user, +1 min
+        (3, 20, base),                       # view, user 20
+    ])
+    vschema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts_us", T.LongType()),
+        ]
+    )
+    views = (
+        spark.readStream.schema(vschema).option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .select("event_id", "user_id", "ts")
+    )
+    csrc = tmp_path / "clicks"
+    csrc.mkdir()
+    with (csrc / "c0.json").open("w") as f:
+        for eid, uid, us in [
+            (100, 10, base + 5 * 60_000_000),    # pairs with views 1 AND 2
+            (101, 20, base + 20 * 60_000_000),   # 20 min after view 3 -> outside window
+        ]:
+            f.write(json.dumps({"event_id": eid, "user_id": uid, "ts_us": us}) + "\n")
+    clicks = (
+        spark.readStream.schema(vschema)
+        .json(str(csrc))
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .select("event_id", "user_id", "ts")
+    )
+    out = view_click_join_stream(views, clicks)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "jck"))
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.view_event_id, r.click_event_id, r.gap_ms)
+        for r in spark.sql("SELECT * FROM ssj").collect()
+    }
+    assert got == {
+        (1, 100, 5 * 60_000),
+        (2, 100, 4 * 60_000),
+    }
