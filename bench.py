@@ -52,6 +52,10 @@ EXTRA_QUERIES = [
     "events_asof_purchase",
     "events_kmv_distinct_users",
     # round 3
+    "events_left_join_stream",
+    "embedding_cluster_profiles",
+    "lineitem_zorder_layout",
+    "events_hll_distinct_users",
     "doc_boilerplate_removal",
     "embedding_semdedup",
     "embedding_quantize_int8",
