@@ -843,3 +843,45 @@ def bigram_logprob_scores(documents: DataFrame) -> DataFrame:
         F.count("*").alias("n_bigrams"),
         F.round(F.avg("__lp"), 6).alias("mean_bigram_logprob"),
     )
+
+
+def top_terms_per_doc(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-``k`` terms via a Python UDTF -- the
+    table-function tier of the UDF surface (scalar pandas_udf,
+    mapInPandas, applyInPandas, applyInPandasWithState are covered
+    elsewhere; this is the one-row-in / many-rows-out LATERAL shape).
+
+    Like cluster_profiles, the result is deliberately SQL-expressible
+    (explode + count + rank -- the oracle's form) so the UDTF plumbing
+    itself is what the oracle certifies: argument binding, LATERAL
+    correlation, per-row row-set emission, schema contract.  A real
+    use of this tier is a tokenizer or parser emitting a variable
+    number of typed rows per document.
+
+    Determinism: ties rank by (count desc, term asc) inside the UDTF,
+    identical to the oracle's ORDER BY.  Scale: the UDTF runs
+    per-row with no state across rows -- embarrassingly parallel,
+    no shuffle; only the Python-worker serialization boundary
+    (Arrow-batched) distinguishes it from a built-in explode."""
+    from collections import Counter
+
+    from pyspark.sql.functions import udtf
+
+    spark = documents.sparkSession
+
+    @udtf(returnType="term string, cnt bigint, rank int")
+    class TopTerms:
+        def eval(self, text: str, k: int):  # noqa: ANN001
+            counts = Counter((text or "").split())
+            ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+            for i, (term, n) in enumerate(ranked, 1):
+                yield term, n, i
+
+    spark.udtf.register("__top_terms_udtf", TopTerms)
+    documents.select("doc_id", "text").createOrReplaceTempView("__ttpd_docs")
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, t.term, t.cnt, t.rank
+        FROM __ttpd_docs d, LATERAL __top_terms_udtf(d.text, {int(k)}) t
+        """
+    )

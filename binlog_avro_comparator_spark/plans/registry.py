@@ -304,6 +304,51 @@ def _q_cdc_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_parse_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME parse roundtrip as cdc_parse_binlog_text, but the text
+    arrives through the Spark 4 Python DataSource (sources/pyds.py:
+    `spark.read.format("binlogtext")`, one InputPartition per file)
+    instead of the wholetext recipe -- two source implementations, one
+    parser, one oracle.  The fixture write-out is driver-side
+    scaffolding (memoized per sf_dir, bounded by the fixture line
+    count)."""
+    import tempfile
+
+    ensure_session_conf(spark)
+    from ..sources.pyds import register_binlog_text_source
+
+    d = _FIXTURE_DIRS.get(("parser_text", sf_dir))
+    if d is None:
+        lines = (
+            generate_parser_text_lines(load_table(spark, sf_dir, "events"))
+            .orderBy("binlog_file", "line_no")
+            .collect()
+        )
+        by_file: dict[str, list[str]] = {}
+        for r in lines:
+            by_file.setdefault(r.binlog_file, []).append(r.value)
+        d = tempfile.mkdtemp(prefix="pyds_parser_text_")
+        import os
+
+        for fname, vals in by_file.items():
+            with open(os.path.join(d, f"{fname}.txt"), "w", encoding="utf-8") as f:
+                f.write("\n".join(vals) + "\n")
+        _FIXTURE_DIRS[("parser_text", sf_dir)] = d
+    register_binlog_text_source(spark)
+    raw = spark.read.format("binlogtext").option("path", d).load()
+    return parse_binlog_text(raw).select(
+        "event_type",
+        "timestamp",
+        "immediate_commmit_timestamp",
+        "log_position",
+        "schema",
+        "table",
+        "gtid_next",
+        "binlog_file",
+        "line_no",
+    )
+
+
 # --- extension queries -----------------------------------------------------
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -970,6 +1015,13 @@ def _q_top_revenue(spark, sf_dir):
     )
 
 
+def _q_top_terms_udtf(spark, sf_dir):
+    ensure_session_conf(spark)
+    from ..operators.textstats import top_terms_per_doc
+
+    return top_terms_per_doc(_docs(spark, sf_dir))
+
+
 def _q_hll_distinct_users(spark, sf_dir):
     ensure_session_conf(spark)
     return hll_distinct_users(load_table(spark, sf_dir, "events"))
@@ -1295,6 +1347,8 @@ def queries() -> dict[str, QueryFn]:
         "lineitem_zorder_layout": _q_zorder_layout,
         "events_hll_distinct_users": _q_hll_distinct_users,
         "events_top_type_stream": _q_events_top_type_stream,
+        "doc_top_terms_udtf": _q_top_terms_udtf,
+        "cdc_parse_binlog_text_pyds": _q_cdc_parse_pyds,
         "doc_redact_pii": _q_redact_pii,
         "doc_split_assignments": _q_split_assignments,
         "embedding_kmeans": _q_kmeans,
@@ -1696,6 +1750,15 @@ def oracle_sql() -> dict[str, str]:
         # derivation table directly (line_no becomes the per-file event
         # ordinal, since text regenerates events in line_no order).
         "cdc_parse_binlog_text": "WITH "
+        + oracle.CDC_CTES.strip().rstrip()
+        + """
+SELECT event_type, "timestamp", immediate_commmit_timestamp, log_position,
+       "schema", "table", gtid_next, binlog_file,
+       row_number() OVER (PARTITION BY binlog_file ORDER BY line_no) AS line_no
+FROM binlog_events_cdc WHERE binlog_file <> ''""",
+        # identical contract through the Python DataSource (same text,
+        # same parser, same expected table)
+        "cdc_parse_binlog_text_pyds": "WITH "
         + oracle.CDC_CTES.strip().rstrip()
         + """
 SELECT event_type, "timestamp", immediate_commmit_timestamp, log_position,
@@ -2609,6 +2672,21 @@ errs AS (
 SELECT vec_id, list(code ORDER BY ord) AS codes,
        CAST(sum(eu) AS BIGINT) AS err_units
 FROM errs GROUP BY vec_id""",
+        # twin of textstats.top_terms_per_doc: the SQL form of the
+        # UDTF's per-row row-set (explode + count + rank, same
+        # tie-break) -- whitespace split() == the \S+ token regex
+        "doc_top_terms_udtf": rf"""
+WITH terms AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS term
+  FROM documents
+),
+counts AS (SELECT doc_id, term, count(*) AS cnt FROM terms GROUP BY doc_id, term),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY doc_id ORDER BY cnt DESC, term) AS INT) AS rank
+  FROM counts
+)
+SELECT doc_id, term, cnt, rank FROM ranked WHERE rank <= 3""",
         # twin of analytics.hll_distinct_users: the exact counts are
         # compared value-for-value; the sketch contract is the bound
         # flag (each engine's own HLL must sit within 10% of exact --

@@ -1,0 +1,92 @@
+"""Spark 4 Python DataSource for the binlog parser-text format -- the
+engine-native custom-source extension point (`spark.dataSource.register`
++ `spark.read.format("binlogtext")`), expressing S1-S4 as a SOURCE
+contract instead of a read recipe.
+
+`sources/binlog_text.read_parser_text` composes the same result from
+built-in scans (wholetext + posexplode) and stays the default -- it
+rides the JVM text reader.  This DataSource exists because a real
+deployment of the reference's ingest (comparator.sh:85-100: version-
+ordered `mysql-bin.*` files, each parsed sequentially, lineage stamped
+per file) eventually needs source-level behaviors the recipe can't
+express: the PARTITION LIST ITSELF carries the version ordering
+contract, options travel with the format name, and the schema is
+declared once by the source rather than re-derived by every caller.
+
+Scale shape: one InputPartition per binlog file (the file is the
+sequential unit -- event assembly windows within a file; parallelism is
+across files, identical to the wholetext path), rows streamed from the
+Python worker in Arrow batches.  The Python-worker hop costs ~2x the
+JVM text scan at equal file counts -- the price of the extension point;
+use it where the contract matters, not for raw scan throughput.
+
+Line semantics: dense 1-based ``line_no`` per file in file order,
+trailing newline produces no phantom empty line (the wholetext+split
+path emits one; it is parser noise either way, and parsed records --
+which re-derive the per-file EVENT ordinal -- are identical, which is
+what the shared oracle asserts).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+def _version_key(path: str) -> tuple:
+    """`ls -v`-style natural sort key (comparator.sh:85 iterates
+    mysql-bin.000001 < mysql-bin.000002 < ... < mysql-bin.000010)."""
+    parts = re.split(r"(\d+)", os.path.basename(path))
+    return tuple(int(p) if p.isdigit() else p for p in parts)
+
+
+class _BinlogTextPartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class BinlogTextReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("binlogtext source requires a path")
+
+    def partitions(self):
+        if os.path.isdir(self._path):
+            files = [
+                os.path.join(self._path, f)
+                for f in os.listdir(self._path)
+                if os.path.isfile(os.path.join(self._path, f))
+            ]
+        else:
+            import glob
+
+            files = [f for f in glob.glob(self._path) if os.path.isfile(f)]
+        return [
+            _BinlogTextPartition(f) for f in sorted(files, key=_version_key)
+        ]
+
+    def read(self, partition: _BinlogTextPartition):
+        name = re.sub(r"\.txt$", "", os.path.basename(partition.path))
+        with open(partition.path, encoding="utf-8", errors="replace") as f:
+            for i, line in enumerate(f, 1):
+                yield (name, i, line.rstrip("\n"))
+
+
+class BinlogTextDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "binlogtext"
+
+    def schema(self) -> str:
+        return "binlog_file string, line_no bigint, value string"
+
+    def reader(self, schema) -> BinlogTextReader:  # noqa: ANN001
+        return BinlogTextReader(self.options)
+
+
+def register_binlog_text_source(spark) -> None:  # noqa: ANN001
+    """Idempotent registration of the ``binlogtext`` format."""
+    spark.dataSource.register(BinlogTextDataSource)
