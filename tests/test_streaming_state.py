@@ -309,3 +309,66 @@ def test_stream_stream_join_cross_batch_and_window_bound(spark, tmp_path):
         (1, 100, 5 * 60_000),
         (2, 100, 4 * 60_000),
     }
+
+
+def test_streaming_checkpoint_recovery_no_double_count(spark, tmp_path):
+    """Restarting a stateful streaming query from its checkpoint must
+    resume at the recorded source offsets: files drained before the
+    stop are not re-counted, files added while down are picked up, and
+    the final complete-mode state equals the batch aggregate over ALL
+    files -- the exactly-once contract a 100 TB ingest leans on after
+    any executor/driver loss."""
+    import json
+
+    from binlog_avro_comparator_spark.streaming import windowed_event_counts
+
+    base = 1_700_000_000_000_000
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(name, rows):
+        with (src / name).open("w") as f:
+            for et, us in rows:
+                f.write(json.dumps({"event_type": et, "ts_us": us, "value": 1.0}) + "\n")
+
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def drain(qname):
+        stream = (
+            spark.readStream.schema(schema)
+            .json(str(src))
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        )
+        q = (
+            windowed_event_counts(stream)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        assert q.awaitTermination(180)
+        q.stop()
+        return {
+            (r.window_start_ms, r.event_type): r.n_events
+            for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        }
+
+    write("b0.json", [("click", base), ("click", base + 1_000_000)])
+    first = drain("ckpt_run1")
+    win = (1_700_000_000_000 // 600_000) * 600_000  # 10-min window start
+    assert first[(win, "click")] == 2
+
+    write("b1.json", [("click", base + 2_000_000), ("view", base + 3_000_000)])
+    second = drain("ckpt_run2")
+    # resumed, not replayed: 2 old + 1 new click (not 4), plus the view
+    assert second[(win, "click")] == 3
+    assert second[(win, "view")] == 1
