@@ -556,7 +556,10 @@ def remove_repeated_spans(
 
 
 def remove_boilerplate_segments(
-    documents: DataFrame, seg_words: int = 8, df_threshold: int = 5
+    documents: DataFrame,
+    seg_words: int = 8,
+    df_threshold: int = 5,
+    by_lines: bool = False,
 ) -> DataFrame:
     """Segment-level boilerplate removal -- the CCNet-style paragraph
     dedup pass: split each document into non-overlapping ``seg_words``-
@@ -567,9 +570,14 @@ def remove_boilerplate_segments(
     remove_repeated_spans in both unit (fixed non-overlapping segments,
     the paragraph stand-in for corpora whose texts carry no newlines)
     and policy (boilerplate is dropped everywhere -- no keeper copy;
-    span dedup keeps the first occurrence).  On a real web corpus the
-    segmentation step would split on '\\n' instead; everything
-    downstream of the (doc_id, seg_idx, segment) frame is unchanged.
+    span dedup keeps the first occurrence).  ``by_lines=True``
+    switches the unit to NEWLINE-delimited lines (CCNet's actual
+    paragraph unit for real web corpora -- blank lines dropped,
+    per-line inner whitespace preserved); the fixed-word-window
+    default is the stand-in for corpora whose texts carry no newlines,
+    and everything downstream of the (doc_id, seg_idx, segment) frame
+    is identical in both modes -- the rebuild joins with '\\n' in line
+    mode.
 
     Scale shape: segments ship as 48-bit hashes; document frequency is
     distinct (doc_id, h) -> ``groupBy(h).count()`` -- both partial
@@ -583,25 +591,38 @@ def remove_boilerplate_segments(
     Returns all documents: (doc_id, text_clean, n_segments, n_dropped);
     an all-boilerplate document comes back with text_clean = ''."""
     docs = _spread(documents)
-    words = F.array_remove(
-        F.split(F.trim(F.col("text")), r"\s+"), ""
-    )
-    n_seg = F.ceil(F.size(F.col("w")) / F.lit(seg_words)).cast("long")
-    base = docs.select("doc_id", words.alias("w")).select(
-        "doc_id", "w", n_seg.alias("n_segments")
-    )
-    seg_idx = F.when(
-        F.col("n_segments") > 0, F.sequence(F.lit(0), (F.col("n_segments") - 1).cast("int"))
-    ).otherwise(F.array().cast("array<int>"))
-    occ = base.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                seg_idx,
-                lambda i: F.concat_ws(" ", F.slice(F.col("w"), i * seg_words + 1, seg_words)),
-            )
-        ).alias("seg_idx", "seg"),
-    ).withColumn("h", word_hash(F.col("seg")) % MINHASH_PRIME)
+    join_sep = "\n" if by_lines else " "
+    if by_lines:
+        segs = F.filter(
+            F.transform(F.split(F.col("text"), "\n"), lambda x: F.trim(x)),
+            lambda x: x != "",
+        )
+        base = docs.select("doc_id", segs.alias("segs")).select(
+            "doc_id", "segs", F.size("segs").cast("long").alias("n_segments")
+        )
+        occ = base.select(
+            "doc_id", F.posexplode(F.col("segs")).alias("seg_idx", "seg")
+        ).withColumn("h", word_hash(F.col("seg")) % MINHASH_PRIME)
+    else:
+        words = F.array_remove(
+            F.split(F.trim(F.col("text")), r"\s+"), ""
+        )
+        n_seg = F.ceil(F.size(F.col("w")) / F.lit(seg_words)).cast("long")
+        base = docs.select("doc_id", words.alias("w")).select(
+            "doc_id", "w", n_seg.alias("n_segments")
+        )
+        seg_idx = F.when(
+            F.col("n_segments") > 0, F.sequence(F.lit(0), (F.col("n_segments") - 1).cast("int"))
+        ).otherwise(F.array().cast("array<int>"))
+        occ = base.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    seg_idx,
+                    lambda i: F.concat_ws(" ", F.slice(F.col("w"), i * seg_words + 1, seg_words)),
+                )
+            ).alias("seg_idx", "seg"),
+        ).withColumn("h", word_hash(F.col("seg")) % MINHASH_PRIME)
     occ = scoped_cache(occ)  # df aggregate + anti-join both scan it
     boiler = (
         occ.select("doc_id", "h")
@@ -614,7 +635,7 @@ def remove_boilerplate_segments(
     kept = occ.join(boiler, on="h", how="left_anti")
     rebuilt = kept.groupBy("doc_id").agg(
         F.concat_ws(
-            " ",
+            join_sep,
             F.transform(
                 F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
                 lambda s: s["seg"],

@@ -1120,3 +1120,35 @@ def test_zorder_key_matches_python_interleave(spark):
     )
     got = {(r.a, r.b): r.z for r in df.collect()}
     assert got == {(a, b): morton(a, b) for a, b in pairs}
+
+
+def test_remove_boilerplate_by_lines(spark):
+    """by_lines mode: the unit is the newline-delimited line (CCNet's
+    real paragraph unit) -- a footer LINE shared by 4 docs is dropped
+    everywhere regardless of its word count, blank lines never count
+    as segments, and the rebuild joins with newlines."""
+    from binlog_avro_comparator_spark.operators.dedup import (
+        remove_boilerplate_segments,
+    )
+
+    footer = "copyright 2026 example corp all rights reserved"
+    docs = spark.createDataFrame(
+        [
+            (1, f"body one\n\n{footer}"),
+            (2, f"body two\n{footer}"),
+            (3, f"body three\n{footer}"),
+            (4, f"{footer}\nbody four"),
+            (5, "standalone"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in remove_boilerplate_segments(
+            docs, df_threshold=4, by_lines=True
+        ).collect()
+    }
+    assert got[1].text_clean == "body one" and got[1].n_segments == 2
+    assert got[2].text_clean == "body two"
+    assert got[4].text_clean == "body four"
+    assert got[5].text_clean == "standalone" and got[5].n_dropped == 0
