@@ -611,36 +611,51 @@ def quantize_embeddings_int8(embeddings: DataFrame, dim: int = 64) -> DataFrame:
     err_units bigint)."""
     x = F.col("embedding").cast("array<double>")
     emb = embeddings.select("vec_id", x.alias("x"))
-    stats = emb.agg(
-        *[F.min(F.col("x")[i]).alias(f"__mn{i}") for i in range(dim)],
-        *[F.max(F.col("x")[i]).alias(f"__mx{i}") for i in range(dim)],
+    # per-dim stats via posexplode + groupBy(ord): the per-dim partial
+    # min/max still combines map-side (64 rows per input partition ship,
+    # the corpus itself never shuffles), and the whole plan is a handful
+    # of array expressions -- a 2*dim-scalar-aggregate formulation
+    # compiled a multi-second whole-stage-codegen unit per session
+    per_dim = (
+        emb.select(F.posexplode(F.col("x")).alias("ord", "v"))
+        .groupBy("ord")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    )
+    stats = per_dim.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("ord", "mn", "mx"))).alias("__s")
+    ).select(
+        F.transform(F.col("__s"), lambda t: t["mn"]).alias("__mins"),
+        F.transform(F.col("__s"), lambda t: t["mx"]).alias("__maxs"),
     )
     j = emb.crossJoin(F.broadcast(stats))
+    mins, maxs = F.col("__mins"), F.col("__maxs")
 
-    def code(i):
-        mn, mx = F.col(f"__mn{i}"), F.col(f"__mx{i}")
+    def code_at(v, i):
+        mn, mx = F.get(mins, i), F.get(maxs, i)
         scale = (mx - mn) / F.lit(255.0)
-        raw = F.floor((F.col("x")[i] - mn) / scale + F.lit(0.5))
-        return F.when(
-            mx > mn, F.least(F.lit(255), F.greatest(F.lit(0), raw))
-        ).otherwise(F.lit(0)).cast("int")
-
-    def err_units(i):
-        mn, mx = F.col(f"__mn{i}"), F.col(f"__mx{i}")
-        scale = (mx - mn) / F.lit(255.0)
-        recon = mn + code(i).cast("double") * scale
-        return F.floor(F.abs(F.col("x")[i] - recon) * F.lit(1e6) + F.lit(0.5)).cast(
-            "long"
+        raw = F.floor((v - mn) / scale + F.lit(0.5))
+        return (
+            F.when(mx > mn, F.least(F.lit(255), F.greatest(F.lit(0), raw)))
+            .otherwise(F.lit(0))
+            .cast("int")
         )
 
-    total_err = None
-    for i in range(dim):
-        total_err = err_units(i) if total_err is None else total_err + err_units(i)
-    return j.select(
-        "vec_id",
-        F.array(*[code(i) for i in range(dim)]).alias("codes"),
-        total_err.alias("err_units"),
+    codes = F.transform(F.col("x"), lambda v, i: code_at(v, i))
+    coded = j.select("vec_id", "x", "__mins", "__maxs", codes.alias("codes"))
+
+    def err_at(i):
+        mn, mx = F.get(mins, i), F.get(maxs, i)
+        scale = (mx - mn) / F.lit(255.0)
+        recon = mn + F.get(F.col("codes"), i).cast("double") * scale
+        v = F.get(F.col("x"), i)
+        return F.floor(F.abs(v - recon) * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+    total_err = F.aggregate(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + err_at(i),
     )
+    return coded.select("vec_id", "codes", total_err.alias("err_units"))
 
 
 def cluster_profiles(

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..functions.caching import scoped_cache
 from ..functions.partitioning import spread_small_scan
 
 TOKEN_RE = r"\S+"
@@ -817,8 +818,13 @@ def bigram_logprob_scores(documents: DataFrame) -> DataFrame:
     1-row aggregate, not a driver count.  Documents with < 2 tokens
     have no bigrams and are absent, like the shingle operators.
     Returns (doc_id, n_bigrams, mean_bigram_logprob)."""
-    bi = documents.select(
-        "doc_id", F.explode(gram_array(F.col("text"), 2)).alias("bg")
+    # cached: the model build (bgc) and the scoring join both scan the
+    # exploded bigram frame; without the cache the regex tokenization
+    # and explode run twice over the corpus
+    bi = scoped_cache(
+        documents.select(
+            "doc_id", F.explode(gram_array(F.col("text"), 2)).alias("bg")
+        )
     )
     uni = documents.select(
         "doc_id",
