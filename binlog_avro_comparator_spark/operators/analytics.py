@@ -721,3 +721,47 @@ def hll_distinct_users(events: DataFrame, max_rel_err: float = 0.1) -> DataFrame
             <= max_rel_err
         ).alias("within_bound"),
     )
+
+
+def late_exclusive_suppliers(
+    orders: DataFrame, lineitem: DataFrame, late_days: int = 80
+) -> DataFrame:
+    """TPC-H Q21-shaped 'suppliers who kept orders waiting': for each
+    supplier, the count of multi-supplier orders where THEIR item
+    shipped more than ``late_days`` after the order date and no other
+    supplier's item did -- the classic correlated EXISTS + NOT EXISTS
+    pair.
+
+    Spark-first DECORRELATION: instead of two correlated subqueries
+    per row (the oracle states that literal form), the per-order facts
+    are computed ONCE -- distinct suppliers and distinct LATE suppliers
+    per order, one map-side-combinable aggregate -- and joined back;
+    the EXISTS pair collapses to `is_late AND n_suppliers > 1 AND
+    n_late_suppliers = 1`.  Two shuffles total (the orders join and
+    the per-order aggregate; the join-back rides the same order key
+    partitioning), independent of supplier count.  Returns
+    (l_suppkey, numwait)."""
+    li = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate").join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    flagged = li.select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+        ).alias("__late"),
+    )
+    per_supp = flagged.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("__late").alias("__s_late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("__n_supp"),
+        F.sum(F.col("__s_late").cast("long")).alias("__n_late"),
+    )
+    qualifying = (
+        per_supp.join(per_order, on="l_orderkey")
+        .filter(F.col("__s_late") & (F.col("__n_supp") > 1) & (F.col("__n_late") == 1))
+    )
+    return qualifying.groupBy("l_suppkey").agg(F.count("*").alias("numwait"))

@@ -29,6 +29,7 @@ from ..operators.analytics import (
     customer_order_distribution,
     funnel_stages,
     hll_distinct_users,
+    late_exclusive_suppliers,
     late_shipment_orders,
     monthly_revenue_growth,
     high_value_customers,
@@ -1022,6 +1023,13 @@ def _q_top_terms_udtf(spark, sf_dir):
     return top_terms_per_doc(_docs(spark, sf_dir))
 
 
+def _q_late_exclusive_suppliers(spark, sf_dir):
+    ensure_session_conf(spark)
+    return late_exclusive_suppliers(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
 def _q_hll_distinct_users(spark, sf_dir):
     ensure_session_conf(spark)
     return hll_distinct_users(load_table(spark, sf_dir, "events"))
@@ -1350,6 +1358,7 @@ def queries() -> dict[str, QueryFn]:
         "events_top_type_stream": _q_events_top_type_stream,
         "doc_top_terms_udtf": _q_top_terms_udtf,
         "cdc_parse_binlog_text_pyds": _q_cdc_parse_pyds,
+        "late_exclusive_suppliers": _q_late_exclusive_suppliers,
         "doc_redact_pii": _q_redact_pii,
         "doc_split_assignments": _q_split_assignments,
         "embedding_kmeans": _q_kmeans,
@@ -2358,6 +2367,32 @@ SELECT month, revenue,
        round(revenue - lag(revenue) OVER (ORDER BY month), 4) AS delta,
        round(revenue / lag(revenue) OVER (ORDER BY month), 6) AS growth
 FROM per_month""",
+        # twin of analytics.late_exclusive_suppliers (Q21 shape) in the
+        # LITERAL correlated form -- the Spark side decorrelates it;
+        # two independent derivations, one result
+        "late_exclusive_suppliers": """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 80 DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+ps AS (
+  SELECT l_orderkey, l_suppkey, max(late) AS s_late
+  FROM li GROUP BY l_orderkey, l_suppkey
+)
+SELECT p.l_suppkey, count(*) AS numwait
+FROM ps p
+WHERE p.s_late
+  AND EXISTS (
+    SELECT 1 FROM ps o
+    WHERE o.l_orderkey = p.l_orderkey AND o.l_suppkey <> p.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM ps o
+    WHERE o.l_orderkey = p.l_orderkey AND o.l_suppkey <> p.l_suppkey
+      AND o.s_late
+  )
+GROUP BY p.l_suppkey""",
         # twin of analytics.customer_order_distribution (Q13 shape):
         # left join so zero-order customers appear as c_count = 0
         "customer_order_distribution": """
