@@ -52,6 +52,10 @@ EXTRA_QUERIES = [
     "events_asof_purchase",
     "events_kmv_distinct_users",
     # round 3
+    "late_exclusive_suppliers",
+    "doc_top_terms_udtf",
+    "cdc_parse_binlog_text_pyds",
+    "events_top_type_stream",
     "events_left_join_stream",
     "embedding_cluster_profiles",
     "lineitem_zorder_layout",
