@@ -765,3 +765,74 @@ def late_exclusive_suppliers(
         .filter(F.col("__s_late") & (F.col("__n_supp") > 1) & (F.col("__n_late") == 1))
     )
     return qualifying.groupBy("l_suppkey").agg(F.count("*").alias("numwait"))
+
+
+def data_quality_report(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Constraint-check report over the star schema -- the data-quality
+    gate a pipeline runs before publishing a snapshot: one row per
+    declared rule with its violation count (0 = pass).
+
+    Rules: key non-null, key uniqueness, referential integrity
+    (orders.o_custkey -> customer, lineitem.l_orderkey -> orders),
+    domain ranges (non-negative totalprice, discount in [0,1]),
+    cross-field sanity (shipdate not before orderdate by > 30 days
+    pre-dating, as a changed-data tripwire).
+
+    Scale shape: each rule is ONE aggregate or ONE anti-join count --
+    all map-side combinable or AQE-planned; the rules union into a
+    single lazy plan so one action materializes the whole report.
+    Violation ROWS are a filter away (same predicates); the report
+    carries counts because at 100 TB you gate on the count and sample
+    the rows, not ship them."""
+    checks = []
+
+    def add(rule: str, df: DataFrame) -> None:
+        checks.append(
+            df.agg(F.count("*").cast("long").alias("violations")).select(
+                F.lit(rule).alias("rule"), "violations"
+            )
+        )
+
+    add("customer.c_custkey not null", customer.filter(F.col("c_custkey").isNull()))
+    add(
+        "customer.c_custkey unique",
+        customer.groupBy("c_custkey").agg(F.count("*").alias("n")).filter(F.col("n") > 1),
+    )
+    add("orders.o_orderkey not null", orders.filter(F.col("o_orderkey").isNull()))
+    add(
+        "orders.o_orderkey unique",
+        orders.groupBy("o_orderkey").agg(F.count("*").alias("n")).filter(F.col("n") > 1),
+    )
+    add(
+        "orders.o_custkey -> customer",
+        orders.join(
+            customer.select("c_custkey"),
+            orders["o_custkey"] == F.col("c_custkey"),
+            "left_anti",
+        ),
+    )
+    add(
+        "lineitem.l_orderkey -> orders",
+        lineitem.join(
+            orders.select(F.col("o_orderkey").alias("__ok")),
+            lineitem["l_orderkey"] == F.col("__ok"),
+            "left_anti",
+        ),
+    )
+    add("orders.o_totalprice >= 0", orders.filter(F.col("o_totalprice") < 0))
+    add(
+        "lineitem.l_discount in [0,1]",
+        lineitem.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+    )
+    add(
+        "lineitem shipped >= orderdate - 30d",
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"]).filter(
+            F.col("l_shipdate") < F.col("o_orderdate") - F.expr("INTERVAL 30 DAYS")
+        ),
+    )
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

@@ -27,6 +27,7 @@ from ..operators.analytics import (
     big_ticket_orders,
     customer_nation_revenue,
     customer_order_distribution,
+    data_quality_report,
     funnel_stages,
     hll_distinct_users,
     late_exclusive_suppliers,
@@ -1023,6 +1024,15 @@ def _q_top_terms_udtf(spark, sf_dir):
     return top_terms_per_doc(_docs(spark, sf_dir))
 
 
+def _q_data_quality_report(spark, sf_dir):
+    ensure_session_conf(spark)
+    return data_quality_report(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
 def _q_late_exclusive_suppliers(spark, sf_dir):
     ensure_session_conf(spark)
     return late_exclusive_suppliers(
@@ -1359,6 +1369,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_top_terms_udtf": _q_top_terms_udtf,
         "cdc_parse_binlog_text_pyds": _q_cdc_parse_pyds,
         "late_exclusive_suppliers": _q_late_exclusive_suppliers,
+        "star_data_quality": _q_data_quality_report,
         "doc_redact_pii": _q_redact_pii,
         "doc_split_assignments": _q_split_assignments,
         "embedding_kmeans": _q_kmeans,
@@ -2367,6 +2378,30 @@ SELECT month, revenue,
        round(revenue - lag(revenue) OVER (ORDER BY month), 4) AS delta,
        round(revenue / lag(revenue) OVER (ORDER BY month), 6) AS growth
 FROM per_month""",
+        # twin of analytics.data_quality_report: one SELECT per rule,
+        # same rule strings, UNION ALL
+        "star_data_quality": """
+SELECT 'customer.c_custkey not null' AS rule,
+       (SELECT count(*) FROM customer WHERE c_custkey IS NULL) AS violations
+UNION ALL SELECT 'customer.c_custkey unique',
+       (SELECT count(*) FROM (SELECT c_custkey FROM customer GROUP BY c_custkey HAVING count(*) > 1))
+UNION ALL SELECT 'orders.o_orderkey not null',
+       (SELECT count(*) FROM orders WHERE o_orderkey IS NULL)
+UNION ALL SELECT 'orders.o_orderkey unique',
+       (SELECT count(*) FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1))
+UNION ALL SELECT 'orders.o_custkey -> customer',
+       (SELECT count(*) FROM orders o WHERE NOT EXISTS (
+          SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+UNION ALL SELECT 'lineitem.l_orderkey -> orders',
+       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS (
+          SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL SELECT 'orders.o_totalprice >= 0',
+       (SELECT count(*) FROM orders WHERE o_totalprice < 0)
+UNION ALL SELECT 'lineitem.l_discount in [0,1]',
+       (SELECT count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1)
+UNION ALL SELECT 'lineitem shipped >= orderdate - 30d',
+       (SELECT count(*) FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate < o.o_orderdate - INTERVAL 30 DAY)""",
         # twin of analytics.late_exclusive_suppliers (Q21 shape) in the
         # LITERAL correlated form -- the Spark side decorrelates it;
         # two independent derivations, one result
