@@ -643,6 +643,48 @@ def _q_events_left_join_stream(spark, sf_dir):
     return spark.table(name)
 
 
+def _q_cdc_snapshot_incremental(spark, sf_dir):
+    """Incremental snapshot maintenance in the driver contract: the
+    events table is re-chunked into 4 parquet files (driver-side
+    scaffolding, memoized), replayed one file per micro-batch, and each
+    batch folds into the versioned parquet state via foreachBatch
+    (streaming/snapshot_sink.py).  Reading the final snapshot must
+    equal batch apply_changes over all events -- the oracle is that SQL
+    verbatim.  The chunking is arbitrary on purpose: the state merge is
+    associative, so ANY batch boundary yields the same snapshot."""
+    global _STREAM_SINK_SEQ
+    import tempfile
+
+    from ..sources.tables import _EVENTS_SCHEMA, events_ts_column
+    from ..streaming.snapshot_sink import maintain_snapshot, read_snapshot
+
+    ensure_session_conf(spark)
+    chunks = _FIXTURE_DIRS.get(("events_chunks", sf_dir))
+    if chunks is None:
+        chunks = tempfile.mkdtemp(prefix="events_chunks_")
+        load_table(spark, sf_dir, "events").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(chunks)
+        _FIXTURE_DIRS[("events_chunks", sf_dir)] = chunks
+    _STREAM_SINK_SEQ += 1
+    work = tempfile.mkdtemp(prefix=f"snapshot_inc_{_STREAM_SINK_SEQ}_")
+    stream = (
+        spark.readStream.schema(
+            load_table(spark, sf_dir, "events").schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunks)
+    )
+    q = maintain_snapshot(
+        stream, f"{work}/state", f"{work}/ckpt"
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("snapshot maintenance drain exceeded 300s")
+    q.stop()
+    return read_snapshot(spark, f"{work}/state")
+
+
 def _q_events_top_type_stream(spark, sf_dir):
     """Streaming top-1-per-window: the stateful windowed aggregation
     drains via availableNow (complete mode, same machinery as
@@ -1370,6 +1412,7 @@ def queries() -> dict[str, QueryFn]:
         "cdc_parse_binlog_text_pyds": _q_cdc_parse_pyds,
         "late_exclusive_suppliers": _q_late_exclusive_suppliers,
         "star_data_quality": _q_data_quality_report,
+        "cdc_snapshot_incremental": _q_cdc_snapshot_incremental,
         "doc_redact_pii": _q_redact_pii,
         "doc_split_assignments": _q_split_assignments,
         "embedding_kmeans": _q_kmeans,
@@ -1471,6 +1514,29 @@ FROM ev v JOIN ev c
   ON v.user_id = c.user_id
  AND c.ts_ms >= v.ts_ms AND c.ts_ms < v.ts_ms + 600000
 WHERE v.event_type = 'view' AND c.event_type = 'click'"""
+
+# shared by cdc_apply_changes (batch), cdc_snapshot_stream (complete-
+# mode streaming), and cdc_snapshot_incremental (foreachBatch
+# maintenance) -- three execution strategies, one result by contract
+_APPLY_CHANGES_SQL = """
+WITH changes AS (
+  SELECT user_id,
+         CASE event_type WHEN 'click' THEN 'INSERT'
+                         WHEN 'view' THEN 'UPDATE'
+                         ELSE 'DELETE' END AS op,
+         epoch_ms(ts) AS ts_ms, event_id, value
+  FROM events
+  WHERE event_type IN ('click', 'view', 'purchase') AND user_id IS NOT NULL
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts_ms DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_changes
+  FROM changes
+)
+SELECT user_id, op AS last_op, ts_ms AS last_ts_ms, event_id AS last_event_id,
+       round(value, 4) AS last_value, n_changes
+FROM ranked WHERE rn = 1 AND op <> 'DELETE'"""
 
 _TOKEN_RE_SQL = r"\S+"
 _BPE_RE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -2805,25 +2871,11 @@ SELECT doc_id, lang, source, bucket,
             WHEN bucket < 95 THEN 'val'
             ELSE 'test' END AS split
 FROM b""",
-        "cdc_apply_changes": """
-WITH changes AS (
-  SELECT user_id,
-         CASE event_type WHEN 'click' THEN 'INSERT'
-                         WHEN 'view' THEN 'UPDATE'
-                         ELSE 'DELETE' END AS op,
-         epoch_ms(ts) AS ts_ms, event_id, value
-  FROM events
-  WHERE event_type IN ('click', 'view', 'purchase') AND user_id IS NOT NULL
-),
-ranked AS (
-  SELECT *,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts_ms DESC, event_id DESC) AS rn,
-         count(*) OVER (PARTITION BY user_id) AS n_changes
-  FROM changes
-)
-SELECT user_id, op AS last_op, ts_ms AS last_ts_ms, event_id AS last_event_id,
-       round(value, 4) AS last_value, n_changes
-FROM ranked WHERE rn = 1 AND op <> 'DELETE'""",
+        "cdc_apply_changes": _APPLY_CHANGES_SQL,
+        # the incremental maintenance contract IS batch equivalence:
+        # after draining the chunked replay, the stored snapshot equals
+        # apply_changes over all events -- same SQL verbatim
+        "cdc_snapshot_incremental": _APPLY_CHANGES_SQL,
         "regional_supplier_volume": """
 SELECT n_name,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
