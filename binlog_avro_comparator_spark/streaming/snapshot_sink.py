@@ -117,13 +117,44 @@ def maintain_snapshot(
     )
 
 
-def read_snapshot(spark: SparkSession, state_dir: str) -> DataFrame:
-    """The live snapshot: latest state version, tombstones dropped,
-    projected to the batch apply_changes output contract."""
-    latest = _latest_version(state_dir)
-    if latest is None:
-        raise FileNotFoundError(f"no snapshot committed under {state_dir}")
-    state = spark.read.parquet(latest)
+def list_versions(state_dir: str) -> list[str]:
+    """Committed version names, oldest first (numeric batch order)."""
+    return sorted(
+        (d for d in os.listdir(state_dir) if d.startswith("v")),
+        key=lambda d: int(d[1:]),
+    )
+
+
+def prune_versions(state_dir: str, keep: int = 2) -> list[str]:
+    """Drop all but the newest ``keep`` versions (never the one LATEST
+    points at).  Returns the removed version names.  The versioned
+    layout is the poor-man's time travel; pruning bounds its storage
+    to keep x state size."""
+    import shutil
+
+    latest = os.path.basename(_latest_version(state_dir) or "")
+    versions = list_versions(state_dir)
+    victims = [v for v in versions[:-keep] if v != latest] if keep else []
+    for v in victims:
+        shutil.rmtree(os.path.join(state_dir, v))
+    return victims
+
+
+def read_snapshot(
+    spark: SparkSession, state_dir: str, version: str | None = None
+) -> DataFrame:
+    """The snapshot as of ``version`` (default: latest): tombstones
+    dropped, projected to the batch apply_changes output contract.
+    Passing an older committed version is time travel -- the state AS
+    OF that batch."""
+    target = (
+        os.path.join(state_dir, version)
+        if version is not None
+        else _latest_version(state_dir)
+    )
+    if target is None or not os.path.isdir(target):
+        raise FileNotFoundError(f"no snapshot version under {state_dir}")
+    state = spark.read.parquet(target)
     return state.filter(F.col("last.op") != "DELETE").select(
         "user_id",
         F.col("last.op").alias("last_op"),

@@ -372,3 +372,68 @@ def test_streaming_checkpoint_recovery_no_double_count(spark, tmp_path):
     # resumed, not replayed: 2 old + 1 new click (not 4), plus the view
     assert second[(win, "click")] == 3
     assert second[(win, "view")] == 1
+
+
+def test_incremental_snapshot_time_travel_and_prune(spark, tmp_path):
+    """foreachBatch snapshot maintenance: each micro-batch commits a
+    version; an older version reads as the state AS OF that batch
+    (time travel), pruning keeps the newest versions and never the
+    LATEST pointer's target, and the final snapshot equals the batch
+    operator over all events."""
+    from binlog_avro_comparator_spark.operators.snapshot import apply_changes
+    from binlog_avro_comparator_spark.streaming.snapshot_sink import (
+        list_versions,
+        maintain_snapshot,
+        prune_versions,
+        read_snapshot,
+    )
+
+    base = 1_700_000_000_000_000
+    rows = [
+        # chunk 0: user 1 INSERT, user 2 INSERT
+        [(1, base, 1, "click", 1.0, "{}"), (2, base + 1_000_000, 2, "click", 2.0, "{}")],
+        # chunk 1: user 1 UPDATE, user 2 DELETE
+        [(3, base + 2_000_000, 1, "view", 3.0, "{}"),
+         (4, base + 3_000_000, 2, "purchase", 0.0, "{}")],
+    ]
+    src = tmp_path / "chunks"
+    src.mkdir()
+    schema = (
+        "event_id long, ts_us long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    frames = []
+    for i, chunk in enumerate(rows):
+        df = spark.createDataFrame(chunk, schema).withColumn(
+            "ts", F.timestamp_micros(F.col("ts_us"))
+        ).drop("ts_us")
+        df.coalesce(1).write.parquet(str(src / f"c{i}"))
+        frames.append(df)
+    stream = (
+        spark.readStream.schema(frames[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = maintain_snapshot(stream, str(tmp_path / "state"), str(tmp_path / "ck"))
+    assert q.awaitTermination(180)
+    q.stop()
+
+    state_dir = str(tmp_path / "state")
+    versions = list_versions(state_dir)
+    assert len(versions) == 2
+
+    # time travel: as of the FIRST batch both users are live
+    v0 = {r.user_id: r.last_op for r in read_snapshot(spark, state_dir, versions[0]).collect()}
+    final = {r.user_id: r for r in read_snapshot(spark, state_dir).collect()}
+    all_events = frames[0].unionByName(frames[1])
+    batch = {r.user_id: r for r in apply_changes(all_events).collect()}
+    # one chunk arrived first; whichever it was, the final state matches batch
+    assert set(v0) in ({1, 2}, {1}, {2})
+    assert {u: (r.last_op, r.n_changes) for u, r in final.items()} == {
+        u: (r.last_op, r.n_changes) for u, r in batch.items()
+    }
+    assert final[1].last_op == "UPDATE" and 2 not in final
+
+    removed = prune_versions(state_dir, keep=1)
+    assert removed == [versions[0]]
+    assert {r.user_id for r in read_snapshot(spark, state_dir).collect()} == {1}
