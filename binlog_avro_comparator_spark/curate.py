@@ -70,8 +70,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         spark = get_spark("corpus-curate", cpus=args.cpus)
         spark.sparkContext.setLogLevel("WARN")
     try:
-        docs = spark.read.parquet(args.docs)
-        total = docs.count()
+        from pyspark.sql import Observation, functions as F
+
+        # both counters ride the WRITE job itself (df.observe metrics
+        # resolve when the single action finishes): no persist, no
+        # second materialization of the pipeline, and the zero-survivor
+        # case needs no read-back guard because the count comes from
+        # the write, not from re-reading the output
+        in_obs, out_obs = Observation("curate-in"), Observation("curate-out")
+        docs = spark.read.parquet(args.docs).observe(
+            in_obs, F.count(F.lit(1)).alias("n")
+        )
         survivors = curation_survivors(
             docs,
             max_repetition=args.max_repetition,
@@ -81,18 +90,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             trim_spans_k=args.trim_spans,
             boilerplate_seg_words=args.boilerplate_segs,
             boilerplate_df_threshold=args.boilerplate_df,
-        )
-        # count BEFORE writing (cached so the pipeline runs once): with
-        # aggressive thresholds zero docs can survive, Spark then writes
-        # no part files and a read-back of the empty dir would raise a
-        # schema-inference error after an otherwise successful write
-        survivors = survivors.persist()
-        kept = survivors.count()
+        ).observe(out_obs, F.count(F.lit(1)).alias("n"))
         writer = survivors.write.mode("overwrite")
         if args.partition_by:
             writer = writer.partitionBy(args.partition_by)
         writer.parquet(args.out)
-        survivors.unpersist()
+        total, kept = in_obs.get["n"], out_obs.get["n"]
         print(
             json.dumps(
                 {
