@@ -448,3 +448,148 @@ def test_curation_boilerplate_composition(spark):
     # the shared footer segment ('all rights reserved' aligns at word
     # offset 3 in every doc) is dropped EVERYWHERE, bodies survive
     assert out == {100 + i: body for i, body in enumerate(bodies)}
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31))
+def test_incremental_snapshot_any_chunking_matches_batch(spark, tmp_path_factory, seed):
+    """The snapshot state merge is associative: ANY random chunking of
+    a random change stream, drained one chunk per micro-batch, yields
+    exactly the batch apply_changes result -- including duplicate-key
+    churn, deletes, and delete-then-reinsert."""
+    from pyspark.sql import functions as F
+
+    from binlog_avro_comparator_spark.operators.snapshot import apply_changes
+    from binlog_avro_comparator_spark.streaming.snapshot_sink import (
+        maintain_snapshot,
+        read_snapshot,
+    )
+
+    rng = random.Random(seed)
+    base = 1_700_000_000_000_000
+    n = rng.randrange(5, 40)
+    rows = [
+        (
+            i,
+            base + i * 1_000_000 + rng.randrange(0, 3),  # occasional ts ties
+            rng.randrange(1, 6),
+            rng.choice(["click", "view", "purchase", "error"]),
+            round(rng.uniform(0, 50), 3),
+            "{}",
+        )
+        for i in range(n)
+    ]
+    schema = (
+        "event_id long, ts_us long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    tmp = tmp_path_factory.mktemp("snapinc")
+    src = tmp / "chunks"
+    src.mkdir()
+    n_chunks = rng.randrange(1, 5)
+    chunks = [[] for _ in range(n_chunks)]
+    for r in rows:
+        chunks[rng.randrange(n_chunks)].append(r)
+    frames = []
+    for i, chunk in enumerate(c for c in chunks if c):
+        df = spark.createDataFrame(chunk, schema).withColumn(
+            "ts", F.timestamp_micros(F.col("ts_us"))
+        ).drop("ts_us")
+        df.coalesce(1).write.parquet(str(src / f"c{i}"))
+        frames.append(df)
+    all_events = frames[0]
+    for f_ in frames[1:]:
+        all_events = all_events.unionByName(f_)
+
+    stream = (
+        spark.readStream.schema(frames[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = maintain_snapshot(stream, str(tmp / "state"), str(tmp / "ck"))
+    assert q.awaitTermination(180)
+    q.stop()
+
+    got = {
+        r.user_id: (r.last_op, r.last_ts_ms, r.last_event_id, r.last_value, r.n_changes)
+        for r in read_snapshot(spark, str(tmp / "state")).collect()
+    }
+    want = {
+        r.user_id: (r.last_op, r.last_ts_ms, r.last_event_id, r.last_value, r.n_changes)
+        for r in apply_changes(all_events).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=4, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31))
+def test_semdedup_matches_python_reference(spark, seed):
+    """semdedup_survivors == a direct Python implementation of the
+    recipe (deterministic k-means then greedy keep-lowest-id pruning
+    within clusters) over random small corpora."""
+    import math
+
+    from binlog_avro_comparator_spark.operators.similarity import semdedup_survivors
+
+    rng = random.Random(seed)
+    dim, k, stride, n_iter, thr = 4, 2, 3, 2, 0.95
+    n = rng.randrange(7, 20)
+    vecs = []
+    for i in range(n):
+        if vecs and rng.random() < 0.3:
+            src = rng.choice(vecs)  # plant a near-duplicate
+            vecs.append([v * (1 + rng.uniform(-1e-4, 1e-4)) for v in src])
+        else:
+            vecs.append([rng.uniform(-1, 1) for _ in range(dim)])
+
+    def rnd(x):
+        return round(x, 6)
+
+    def assign(cents):
+        out = {}
+        for i, x in enumerate(vecs):
+            best = None
+            for cid, c in cents.items():
+                cn2 = sum(v * v for v in c)
+                score = rnd(sum(a * b for a, b in zip(x, c)) - 0.5 * cn2)
+                key = (score, -cid)
+                if best is None or key > best[0]:
+                    best = (key, cid)
+            out[i] = best[1]
+        return out
+
+    cents = {
+        i // stride: [rnd(v) for v in vecs[i]]
+        for i in range(0, min(len(vecs), stride * k), stride)
+        if i % stride == 0
+    }
+    a = assign(cents)
+    for _ in range(n_iter - 1):
+        newc = {}
+        for cid in set(a.values()):
+            members = [vecs[i] for i in a if a[i] == cid]
+            newc[cid] = [rnd(sum(m[d] for m in members) / len(members)) for d in range(dim)]
+        a = assign(newc)
+
+    losers = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            if a[i] != a[j]:
+                continue
+            na = math.sqrt(sum(v * v for v in vecs[i]))
+            nb = math.sqrt(sum(v * v for v in vecs[j]))
+            cos = rnd(sum(x * y for x, y in zip(vecs[i], vecs[j])) / (na * nb))
+            if cos >= thr:
+                losers.add(j)
+    want = sorted(set(range(n)) - losers)
+
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    got = sorted(
+        r.vec_id
+        for r in semdedup_survivors(
+            emb, k=k, n_iter=n_iter, threshold=thr, stride=stride, dim=dim
+        ).collect()
+    )
+    assert got == want
