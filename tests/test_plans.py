@@ -374,3 +374,55 @@ def test_monthly_growth_window_over_aggregate_only(spark):
     # the tree prints top-down: the window node must sit ABOVE the
     # partial aggregate (i.e. print first), consuming its output
     assert plan.index("Window") < plan.index("partial")
+
+
+def test_late_shipment_exists_is_semi_join(spark):
+    """The Q4-shape EXISTS must plan as a LEFT SEMI hash join (each
+    order emits at most once, no distinct pass), with the lateness
+    inequality riding as a join residual -- never a nested-loop."""
+    from binlog_avro_comparator_spark.operators.analytics import late_shipment_orders
+
+    plan = _plan(
+        late_shipment_orders(
+            load_table(spark, SF, "orders"), load_table(spark, SF, "lineitem")
+        )
+    )
+    assert "LeftSemi" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_big_ticket_aggregate_below_joins(spark):
+    """Q18 shape: the lineitem HAVING-aggregate must sit BELOW the
+    orders/customer joins (top-down plan text: joins print first), so
+    the dimension joins see the tiny survivor set, not raw lineitem."""
+    from binlog_avro_comparator_spark.operators.analytics import big_ticket_orders
+
+    plan = _plan(
+        big_ticket_orders(
+            load_table(spark, SF, "customer"),
+            load_table(spark, SF, "orders"),
+            load_table(spark, SF, "lineitem"),
+        )
+    )
+    assert "partial_sum" in plan
+    first_join = min(
+        i for i in (plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"), plan.find("ShuffledHashJoin"))
+        if i >= 0
+    )
+    assert first_join < plan.index("partial_sum")
+
+
+def test_q21_decorrelated_no_window_no_nested_loop(spark):
+    """The Q21 shape must stay decorrelated: per-order aggregates +
+    join-back, no window, no nested-loop correlated execution."""
+    from binlog_avro_comparator_spark.operators.analytics import (
+        late_exclusive_suppliers,
+    )
+
+    plan = _plan(
+        late_exclusive_suppliers(
+            load_table(spark, SF, "orders"), load_table(spark, SF, "lineitem")
+        )
+    )
+    assert "Window" not in plan
+    assert "NestedLoop" not in plan
