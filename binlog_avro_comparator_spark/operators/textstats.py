@@ -891,3 +891,43 @@ def top_terms_per_doc(documents: DataFrame, k: int = 3) -> DataFrame:
         FROM __ttpd_docs d, LATERAL __top_terms_udtf(d.text, {int(k)}) t
         """
     )
+
+
+def length_bucket_padding(
+    documents: DataFrame, bounds: tuple[int, ...] = (64, 128, 256, 512)
+) -> DataFrame:
+    """Sequence-length bucketing report -- the padding-waste numbers
+    that decide a training batcher's bucket boundaries: each document
+    goes to the smallest bucket whose bound fits its token count
+    (over-long documents truncate into the largest bucket), and each
+    bucket reports how many tokens padding to its bound would waste.
+
+    All-integer output (real vs padded token counts; the waste ratio
+    is one division away) -- same exactness contract as dsir_units.
+    One map-side-combinable aggregate over a per-row bucket expression;
+    nothing shuffles but the k bucket rows per input partition.
+    Returns (bucket_bound, n_docs, real_tokens, padded_tokens,
+    waste_tokens)."""
+    n_raw = F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0)))
+    top = bounds[-1]
+    n = F.least(n_raw, F.lit(top))
+    bucket = F.lit(top)
+    for b in reversed(bounds[:-1]):
+        bucket = F.when(n <= b, F.lit(b)).otherwise(bucket)
+    return (
+        documents.select(bucket.alias("bucket_bound"), n.alias("__n"))
+        .groupBy("bucket_bound")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__n").cast("long").alias("real_tokens"),
+        )
+        .select(
+            "bucket_bound",
+            "n_docs",
+            "real_tokens",
+            (F.col("n_docs") * F.col("bucket_bound")).cast("long").alias("padded_tokens"),
+            (F.col("n_docs") * F.col("bucket_bound") - F.col("real_tokens"))
+            .cast("long")
+            .alias("waste_tokens"),
+        )
+    )

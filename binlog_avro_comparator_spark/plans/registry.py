@@ -794,6 +794,13 @@ def _q_cluster_profiles(spark, sf_dir):
     return cluster_profiles(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_length_bucket_padding(spark, sf_dir):
+    ensure_session_conf(spark)
+    from ..operators.textstats import length_bucket_padding
+
+    return length_bucket_padding(_docs(spark, sf_dir))
+
+
 def _q_dsir_weights(spark, sf_dir):
     ensure_session_conf(spark)
     from ..operators.textstats import dsir_importance_weights
@@ -1413,6 +1420,7 @@ def queries() -> dict[str, QueryFn]:
         "late_exclusive_suppliers": _q_late_exclusive_suppliers,
         "star_data_quality": _q_data_quality_report,
         "cdc_snapshot_incremental": _q_cdc_snapshot_incremental,
+        "doc_length_bucket_padding": _q_length_bucket_padding,
         "doc_redact_pii": _q_redact_pii,
         "doc_split_assignments": _q_split_assignments,
         "embedding_kmeans": _q_kmeans,
@@ -2809,6 +2817,23 @@ errs AS (
 SELECT vec_id, list(code ORDER BY ord) AS codes,
        CAST(sum(eu) AS BIGINT) AS err_units
 FROM errs GROUP BY vec_id""",
+        # twin of textstats.length_bucket_padding (bounds 64/128/256/
+        # 512, over-long docs truncate into the top bucket)
+        "doc_length_bucket_padding": rf"""
+WITH n AS (
+  SELECT least(len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')), 512) AS n
+  FROM documents
+),
+b AS (
+  SELECT CASE WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+              WHEN n <= 256 THEN 256 ELSE 512 END AS bucket_bound, n
+  FROM n
+)
+SELECT bucket_bound, count(*) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS real_tokens,
+       CAST(count(*) * bucket_bound AS BIGINT) AS padded_tokens,
+       CAST(count(*) * bucket_bound - sum(n) AS BIGINT) AS waste_tokens
+FROM b GROUP BY bucket_bound""",
         # twin of textstats.top_terms_per_doc: the SQL form of the
         # UDTF's per-row row-set (explode + count + rank, same
         # tie-break) -- whitespace split() == the \S+ token regex
