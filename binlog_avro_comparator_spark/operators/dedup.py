@@ -655,3 +655,83 @@ def remove_boilerplate_segments(
             .alias("n_dropped"),
         )
     )
+
+
+def fuzzy_contamination_pairs(
+    documents: DataFrame,
+    benchmark_max_id: int = 10,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """FUZZY benchmark decontamination -- MinHash-LSH candidate
+    generation between the corpus and the benchmark/eval slice, then
+    exact shingle Jaccard per candidate: catches PARAPHRASED or
+    partially-edited eval leaks that textstats.contamination_scores's
+    exact-shingle overlap understates (the published decontamination
+    recipes run exactly this n-gram/MinHash tier).
+
+    Asymmetric LSH shape, the part that matters at 100 TB: the
+    benchmark side is tiny by construction, so its banded signatures
+    and its shingle set BROADCAST -- the corpus streams through one
+    band equi-join and one shingle join-back, shuffling nothing but
+    its own banded keys; there is no corpus-corpus pair volume at all
+    (unlike lsh_candidate_pairs, candidates are corpus x benchmark
+    only).
+
+    Returns (doc_id, bench_id, n_intersect, n_union, jaccard) for every
+    LSH-candidate pair -- threshold downstream (jaccard is exact, so
+    any cut is a post-filter)."""
+    docs = _spread(documents)
+    sh = scoped_cache(shingles(docs).select("doc_id", "h"))
+    sig = minhash_signatures(docs, bands * rows)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    "_",
+                    *[F.col(f"min_{b * rows + r}").cast("string") for r in range(rows)],
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id",
+        F.col("bk.band_id").alias("band_id"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+    bench_banded = banded.filter(F.col("doc_id") < benchmark_max_id).select(
+        F.col("doc_id").alias("bench_id"), "band_id", "band_key"
+    )
+    cand = (
+        banded.filter(F.col("doc_id") >= benchmark_max_id)
+        .join(F.broadcast(bench_banded), on=["band_id", "band_key"])
+        .select("doc_id", "bench_id")
+        .distinct()
+    )
+    bench_sh = sh.filter(F.col("doc_id") < benchmark_max_id).select(
+        F.col("doc_id").alias("bench_id"), F.col("h").alias("bh")
+    )
+    corpus_sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_doc"))
+    bench_sizes = bench_sh.groupBy("bench_id").agg(F.count("*").alias("n_bench"))
+    inter = (
+        sh.join(F.broadcast(bench_sh), sh["h"] == F.col("bh"))
+        .select("doc_id", "bench_id")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_intersect"))
+    )
+    out = (
+        cand.join(inter, on=["doc_id", "bench_id"], how="left")
+        .na.fill({"n_intersect": 0})
+        .join(corpus_sizes, on="doc_id")
+        .join(F.broadcast(bench_sizes), on="bench_id")
+    )
+    union = F.col("n_doc") + F.col("n_bench") - F.col("n_intersect")
+    return out.select(
+        "doc_id",
+        "bench_id",
+        F.col("n_intersect").cast("long").alias("n_intersect"),
+        union.cast("long").alias("n_union"),
+        (F.col("n_intersect") / union).alias("jaccard"),
+    )

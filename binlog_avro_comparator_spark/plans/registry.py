@@ -794,6 +794,13 @@ def _q_cluster_profiles(spark, sf_dir):
     return cluster_profiles(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_fuzzy_contamination(spark, sf_dir):
+    ensure_session_conf(spark)
+    from ..operators.dedup import fuzzy_contamination_pairs
+
+    return fuzzy_contamination_pairs(_docs(spark, sf_dir))
+
+
 def _q_length_bucket_padding(spark, sf_dir):
     ensure_session_conf(spark)
     from ..operators.textstats import length_bucket_padding
@@ -1421,6 +1428,7 @@ def queries() -> dict[str, QueryFn]:
         "star_data_quality": _q_data_quality_report,
         "cdc_snapshot_incremental": _q_cdc_snapshot_incremental,
         "doc_length_bucket_padding": _q_length_bucket_padding,
+        "doc_fuzzy_contamination": _q_fuzzy_contamination,
         "doc_redact_pii": _q_redact_pii,
         "doc_split_assignments": _q_split_assignments,
         "embedding_kmeans": _q_kmeans,
@@ -1654,6 +1662,43 @@ def _lsh_pairs_sql() -> str:
         f"WITH {_SHINGLE_CTE},\n"
         f"sig AS (SELECT doc_id,\n    {_minhash_aggs()}\nFROM shingle_hashes GROUP BY doc_id)\n"
         f"SELECT DISTINCT doc_a, doc_b FROM (\n{_lsh_band_union()}\n)"
+    )
+
+
+def _fuzzy_contamination_sql() -> str:
+    """Twin of dedup.fuzzy_contamination_pairs (benchmark_max_id=10,
+    4x4 banding): corpus-x-benchmark band join, exact shingle Jaccard
+    per candidate."""
+    band_joins = []
+    for b in range(4):
+        cols = [f"min_{b * 4 + r}" for r in range(4)]
+        lkey = " || '_' || ".join(f"CAST(l.{c} AS VARCHAR)" for c in cols)
+        rkey = " || '_' || ".join(f"CAST(r.{c} AS VARCHAR)" for c in cols)
+        band_joins.append(
+            f"SELECT l.doc_id AS doc_id, r.doc_id AS bench_id\n"
+            f"FROM sig l JOIN sig r ON ({lkey}) = ({rkey})\n"
+            f"WHERE l.doc_id >= 10 AND r.doc_id < 10"
+        )
+    cand_union = "\nUNION ALL\n".join(band_joins)
+    return (
+        f"WITH {_SHINGLE_CTE},\n"
+        f"sig AS (SELECT doc_id,\n    {_minhash_aggs()}\nFROM shingle_hashes GROUP BY doc_id),\n"
+        f"cand AS (SELECT DISTINCT doc_id, bench_id FROM (\n{cand_union}\n)),\n"
+        "inter AS (\n"
+        "  SELECT s.doc_id, b.doc_id AS bench_id, count(*) AS n_intersect\n"
+        "  FROM shingle_hashes s JOIN shingle_hashes b\n"
+        "    ON s.h = b.h AND s.doc_id >= 10 AND b.doc_id < 10\n"
+        "  GROUP BY s.doc_id, b.doc_id\n"
+        "),\n"
+        "sizes AS (SELECT doc_id, count(*) AS n FROM shingle_hashes GROUP BY doc_id)\n"
+        "SELECT c.doc_id, c.bench_id,\n"
+        "       CAST(coalesce(i.n_intersect, 0) AS BIGINT) AS n_intersect,\n"
+        "       CAST(sd.n + sb.n - coalesce(i.n_intersect, 0) AS BIGINT) AS n_union,\n"
+        "       coalesce(i.n_intersect, 0) / (sd.n + sb.n - coalesce(i.n_intersect, 0)) AS jaccard\n"
+        "FROM cand c\n"
+        "LEFT JOIN inter i ON i.doc_id = c.doc_id AND i.bench_id = c.bench_id\n"
+        "JOIN sizes sd ON sd.doc_id = c.doc_id\n"
+        "JOIN sizes sb ON sb.doc_id = c.bench_id"
     )
 
 
@@ -2171,6 +2216,7 @@ SELECT doc_id, len(grams) AS n_grams,
             THEN (len(grams) - len(list_distinct(grams))) / len(grams)
             ELSE 0.0 END AS repetition_ratio
 FROM g""",
+        "doc_fuzzy_contamination": _fuzzy_contamination_sql(),
         "doc_contamination": f"""
 WITH {_SHINGLE_CTE},
 bench AS (SELECT DISTINCT shingle FROM doc_shingles WHERE doc_id < 10),
