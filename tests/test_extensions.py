@@ -1152,3 +1152,34 @@ def test_remove_boilerplate_by_lines(spark):
     assert got[2].text_clean == "body two"
     assert got[4].text_clean == "body four"
     assert got[5].text_clean == "standalone" and got[5].n_dropped == 0
+
+
+def test_fuzzy_contamination_catches_paraphrase(spark):
+    """A corpus doc that lightly edits a benchmark doc still collides
+    in some LSH band and scores a high (but < 1) exact Jaccard; an
+    unrelated doc produces no candidate pair at all; an exact copy
+    scores 1.0.  Candidates are corpus x benchmark only -- corpus
+    near-dups of each other never appear."""
+    from binlog_avro_comparator_spark.operators.dedup import (
+        fuzzy_contamination_pairs,
+    )
+
+    bench = " ".join(f"w{i}" for i in range(48)) + " closing words here"
+    para = bench.replace("w20", "edited")  # light mid-document edit
+    rows = [
+        (0, bench),                      # benchmark slice: doc_id < 10
+        (1, "completely different words everywhere nothing shared at all"),
+        (10, para),                      # paraphrased leak
+        (11, bench),                     # verbatim leak
+        (12, "unrelated corpus document with its own content entirely"),
+        (13, "unrelated corpus document with its own content entirely"),  # corpus dup
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.bench_id): r.jaccard
+        for r in fuzzy_contamination_pairs(docs, benchmark_max_id=10).collect()
+    }
+    assert got[(11, 0)] == 1.0
+    assert (10, 0) in got and 0.5 < got[(10, 0)] < 1.0
+    assert all(d not in (12, 13) for d, _ in got)   # no corpus-corpus pairs
+    assert all(b == 0 for _, b in got)              # doc 1 never matches
