@@ -189,8 +189,14 @@ def parse_binlog_text(lines: DataFrame) -> DataFrame:
         timestamp.alias("timestamp"),
         hp("immediate_commmit_timestamp").alias("immediate_commmit_timestamp"),
         hp("orignal_commmit_timestamp").alias("orignal_commmit_timestamp"),
+        # strict ParseInt surface: Spark's bare cast trims control
+        # chars Go rejects (see sources/jsonl._int_or_quoted)
         F.coalesce(
-            kvs["log_position"].try_cast("long"), F.lit(0)
+            F.when(
+                kvs["log_position"].rlike(r"^[+-]?[0-9]+$"),
+                kvs["log_position"],
+            ).try_cast("long"),
+            F.lit(0),
         ).alias("log_position"),
         kvs["table"].alias("table"),
         kvs["schema"].alias("schema"),

@@ -228,9 +228,12 @@ def _json_quote(col: F.Column) -> F.Column:
 def _int_or_quoted(v: F.Column) -> F.Column:
     """Go's P7 coercion at EMISSION (json_parser.go:95-101,134-139):
     int64-parseable values print as bare canonical digits, everything
-    else as a JSON string.  try_cast matches strconv.ParseInt on the
-    relevant surface: optional sign, base-10 digits, overflow -> fail."""
-    lv = v.try_cast("long")
+    else as a JSON string.  strconv.ParseInt surface = optional sign +
+    base-10 digits ONLY, overflow -> fail; the strict regex guard
+    matters because Spark's cast TRIMS whitespace/control characters
+    first ("2\x06" would coerce where Go keeps the string -- found by
+    the hypothesis byte-parity property)."""
+    lv = F.when(v.rlike(r"^[+-]?[0-9]+$"), v).try_cast("long")
     return F.when(lv.isNotNull(), lv.cast("string")).otherwise(_json_quote(v))
 
 
