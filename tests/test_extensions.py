@@ -1183,3 +1183,21 @@ def test_fuzzy_contamination_catches_paraphrase(spark):
     assert (10, 0) in got and 0.5 < got[(10, 0)] < 1.0
     assert all(d not in (12, 13) for d, _ in got)   # no corpus-corpus pairs
     assert all(b == 0 for _, b in got)              # doc 1 never matches
+
+
+def test_mllib_slice_classifier_separates(spark):
+    """The MLlib bridge: engine scoring operators -> feature vector ->
+    distributed LogisticRegression.  On the synthetic corpus the 'en'
+    slice is separable enough that the fitted model ranks true-slice
+    docs above others on average (the classifier-based curation
+    signal); training is in-cluster, scoring is per-row."""
+    from binlog_avro_comparator_spark.operators.mlbridge import (
+        train_slice_classifier,
+    )
+    from binlog_avro_comparator_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    _, scored = train_slice_classifier(docs)
+    rows = scored.groupBy("label").agg(F.avg("p_target").alias("m")).collect()
+    means = {int(r.label): r.m for r in rows}
+    assert 0.0 < means[0] < means[1] < 1.0
