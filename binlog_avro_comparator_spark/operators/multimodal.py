@@ -311,3 +311,26 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFr
         .select("media_id", "content")
         .mapInPandas(_run, schema=RESIZED_SCHEMA)
     )
+
+
+def media_exact_dedup(media: DataFrame) -> DataFrame:
+    """Exact blob dedup -- the sha-first pass every image/audio corpus
+    runs before any perceptual matching: group by content digest, keep
+    the lowest media_id.  Identical scale shape to the text tier's
+    exact_dedup (operators/dedup.py): the shuffle carries a 32-byte
+    digest per blob regardless of payload size, and the payload itself
+    never moves -- the digest is computed at the scan.  Returns
+    (sha256, keep_media_id, n_copies, total_bytes)."""
+    return (
+        media.select(
+            F.sha2(F.col("content"), 256).alias("sha256"),
+            "media_id",
+            F.octet_length(F.col("content")).alias("__n"),
+        )
+        .groupBy("sha256")
+        .agg(
+            F.min("media_id").alias("keep_media_id"),
+            F.count("*").alias("n_copies"),
+            F.sum("__n").cast("long").alias("total_bytes"),
+        )
+    )

@@ -1179,6 +1179,25 @@ def _q_cdc_apply_changes(spark, sf_dir):
     return apply_changes(load_table(spark, sf_dir, "events"))
 
 
+def _q_media_exact_dedup(spark, sf_dir):
+    """Blob-level exact dedup over the derived media frame (documents'
+    text bytes as opaque content, doubled for ids >= 490 to plant
+    duplicates the synthetic corpus lacks at blob level)."""
+    from ..operators.multimodal import media_exact_dedup
+
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(
+            F.when(F.col("doc_id") % 490 < 10, F.lit("shared-blob")).otherwise(
+                F.col("text")
+            ),
+            "utf-8",
+        ).alias("content"),
+    )
+    return media_exact_dedup(media)
+
+
 def _q_media_features(spark, sf_dir):
     """Multimodal plumbing, oracle-checked: documents' text bytes as
     opaque binary media, features extracted via Arrow mapInPandas."""
@@ -1429,6 +1448,7 @@ def queries() -> dict[str, QueryFn]:
         "cdc_snapshot_incremental": _q_cdc_snapshot_incremental,
         "doc_length_bucket_padding": _q_length_bucket_padding,
         "doc_fuzzy_contamination": _q_fuzzy_contamination,
+        "media_exact_dedup": _q_media_exact_dedup,
         "doc_redact_pii": _q_redact_pii,
         "doc_split_assignments": _q_split_assignments,
         "embedding_kmeans": _q_kmeans,
@@ -2217,6 +2237,19 @@ SELECT doc_id, len(grams) AS n_grams,
             ELSE 0.0 END AS repetition_ratio
 FROM g""",
         "doc_fuzzy_contamination": _fuzzy_contamination_sql(),
+        # twin of _q_media_exact_dedup: same planted-duplicate blob
+        # derivation, digest groupBy
+        "media_exact_dedup": """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 490 < 10 THEN 'shared-blob' ELSE text END AS content
+  FROM documents
+)
+SELECT sha256(content) AS sha256,
+       min(media_id) AS keep_media_id,
+       count(*) AS n_copies,
+       CAST(sum(octet_length(encode(content))) AS BIGINT) AS total_bytes
+FROM media GROUP BY sha256(content)""",
         "doc_contamination": f"""
 WITH {_SHINGLE_CTE},
 bench AS (SELECT DISTINCT shingle FROM doc_shingles WHERE doc_id < 10),
