@@ -1429,26 +1429,28 @@ def queries() -> dict[str, QueryFn]:
         "doc_boilerplate_removal": _q_remove_boilerplate,
         "embedding_semdedup": _q_semdedup,
         "events_join_stream": _q_events_join_stream,
-        "customer_order_distribution": _q_customer_order_distribution,
-        "late_shipment_orders": _q_late_shipment_orders,
         "big_ticket_orders": _q_big_ticket_orders,
         "embedding_quantize_int8": _q_quantize_int8,
         "doc_dsir_weights": _q_dsir_weights,
         "doc_bigram_logprob": _q_bigram_logprob,
-        "monthly_revenue_growth": _q_monthly_revenue_growth,
         "events_left_join_stream": _q_events_left_join_stream,
         "embedding_cluster_profiles": _q_cluster_profiles,
         "lineitem_zorder_layout": _q_zorder_layout,
-        "events_hll_distinct_users": _q_hll_distinct_users,
         "events_top_type_stream": _q_events_top_type_stream,
         "doc_top_terms_udtf": _q_top_terms_udtf,
         "cdc_parse_binlog_text_pyds": _q_cdc_parse_pyds,
         "late_exclusive_suppliers": _q_late_exclusive_suppliers,
-        "star_data_quality": _q_data_quality_report,
         "cdc_snapshot_incremental": _q_cdc_snapshot_incremental,
-        "doc_length_bucket_padding": _q_length_bucket_padding,
         "doc_fuzzy_contamination": _q_fuzzy_contamination,
         "media_exact_dedup": _q_media_exact_dedup,
+        # -- round-2 verdict fix evidence (driver rows wanted for the
+        # reshaped plans and the new JVM-avro / span-removal paths) --
+        "doc_span_removal": _q_remove_spans,
+        "cdc_avro_native_scan_jvm": _q_cdc_avro_native_scan_jvm,
+        "events_kmv_distinct_users": _q_kmv_distinct,
+        "events_salted_type_stats": _q_salted_type_stats,
+        "doc_repeated_spans": _q_repeated_spans,
+        "ngram_jaccard_pairs": _q_jaccard_pairs,
         "doc_redact_pii": _q_redact_pii,
         "doc_split_assignments": _q_split_assignments,
         "embedding_kmeans": _q_kmeans,
@@ -1477,15 +1479,17 @@ def queries() -> dict[str, QueryFn]:
         "user_set_ops": _q_user_set_ops,
         "revenue_rollup": _q_revenue_rollup,
         # -- new / modified this round (must sit inside the driver window) --
-        "doc_span_removal": _q_remove_spans,
-        "cdc_avro_native_scan_jvm": _q_cdc_avro_native_scan_jvm,
         "doc_unigram_logprob": _q_unigram_logprob,
         "corpus_mixture_weights": _q_mixture_weights,
         "doc_sample_k_per_group": _q_sample_k_per_group,
-        "events_kmv_distinct_users": _q_kmv_distinct,
-        "events_salted_type_stats": _q_salted_type_stats,
-        "doc_repeated_spans": _q_repeated_spans,
-        "ngram_jaccard_pairs": _q_jaccard_pairs,
+        # -- session additions with strong local evidence, rotated out
+        # of the window in favor of the verdict-fix rows above --
+        "customer_order_distribution": _q_customer_order_distribution,
+        "late_shipment_orders": _q_late_shipment_orders,
+        "monthly_revenue_growth": _q_monthly_revenue_growth,
+        "events_hll_distinct_users": _q_hll_distinct_users,
+        "star_data_quality": _q_data_quality_report,
+        "doc_length_bucket_padding": _q_length_bucket_padding,
         # -- stable tier --
         "cdc_binlog_events": _q_cdc_binlog_events,
         "cdc_avro_rows": _q_cdc_avro_rows,
