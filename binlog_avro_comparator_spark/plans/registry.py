@@ -826,7 +826,16 @@ def _q_quantize_int8(spark, sf_dir):
     ensure_session_conf(spark)
     from ..operators.similarity import quantize_embeddings_int8
 
-    return quantize_embeddings_int8(load_table(spark, sf_dir, "embeddings"))
+    # The operator's codes column is array<int> (the useful API shape);
+    # the driver's oracle canonicalization cannot hash list cells, so the
+    # registered query projects it to CSV -- the primary_keys_csv pattern.
+    return quantize_embeddings_int8(
+        load_table(spark, sf_dir, "embeddings")
+    ).select(
+        "vec_id",
+        F.array_join(F.col("codes"), ",").alias("codes_csv"),
+        "err_units",
+    )
 
 
 def _q_semdedup(spark, sf_dir):
@@ -1417,36 +1426,52 @@ def _q_nation_revenue(spark, sf_dir):
 def queries() -> dict[str, QueryFn]:
     # NOTE on ordering: the external correctness driver checks the FIRST 50
     # entries of this dict (CORRECTNESS_r02 covered exactly queries 1..50).
-    # Window priority: novel round-3 operator families and the round-2
-    # verdict's explicit fix-evidence queries lead; positions 45-50 are
-    # the r2-displaced relational set the verdict asked to re-check; the
-    # tail is r3 entries with strong local evidence plus the stable
-    # r2-green tier.  With 105 registered queries a 50-entry window
-    # cannot cover everything; ALL entries, window or not, are
-    # value-verified locally each round at sf0.01 AND sf0.1 by
-    # scratch/check.py (endurance evidence in SCALE.md).  Rotate the
-    # unwindowed tail forward next round.
+    # Window priority (round 4): the r3 verdict's rule -- every
+    # never-driver-verified query sits inside the 50-entry window BEFORE
+    # any new registration.  Positions 1-10 are the nine queries that
+    # have never had a driver row (registry additions that r3's window
+    # squeezed out) plus embedding_quantize_int8, r3's one red row (now
+    # projected to CSV).  After these, media/int8-adjacent rows the r4
+    # changes touched, then the freshest green tier for regression
+    # coverage.  With 105 registered queries a 50-entry window cannot
+    # cover everything; ALL entries, window or not, are value-verified
+    # locally each round at sf0.01 AND sf0.1 by scratch/check.py
+    # (endurance evidence in SCALE.md).
     return {
-        # -- round 3 additions (never driver-verified -> lead the dict) --
+        # -- never driver-verified (pre-r4) + the r3 red row: must all
+        # go green this round so that every registered query has had a
+        # green driver row in some round.  Freeze: no new registrations
+        # until that holds. --
+        "doc_unigram_logprob": _q_unigram_logprob,
+        "corpus_mixture_weights": _q_mixture_weights,
+        "doc_sample_k_per_group": _q_sample_k_per_group,
+        "customer_order_distribution": _q_customer_order_distribution,
+        "late_shipment_orders": _q_late_shipment_orders,
+        "monthly_revenue_growth": _q_monthly_revenue_growth,
+        "events_hll_distinct_users": _q_hll_distinct_users,
+        "star_data_quality": _q_data_quality_report,
+        "doc_length_bucket_padding": _q_length_bucket_padding,
+        "embedding_quantize_int8": _q_quantize_int8,
+        # -- queries whose implementation or oracle changed in r4
+        # (media decoder, stream-join boundary, UDTF tokenizer) --
+        "media_image_features": _q_media_features,
+        "events_left_join_stream": _q_events_left_join_stream,
+        "doc_top_terms_udtf": _q_top_terms_udtf,
+        "lineitem_zorder_layout": _q_zorder_layout,
+        "cdc_snapshot_incremental": _q_cdc_snapshot_incremental,
+        # -- freshest green tier (r3 window, regression coverage) --
         "doc_boilerplate_removal": _q_remove_boilerplate,
         "embedding_semdedup": _q_semdedup,
         "events_join_stream": _q_events_join_stream,
         "big_ticket_orders": _q_big_ticket_orders,
-        "embedding_quantize_int8": _q_quantize_int8,
         "doc_dsir_weights": _q_dsir_weights,
         "doc_bigram_logprob": _q_bigram_logprob,
-        "events_left_join_stream": _q_events_left_join_stream,
         "embedding_cluster_profiles": _q_cluster_profiles,
-        "lineitem_zorder_layout": _q_zorder_layout,
         "events_top_type_stream": _q_events_top_type_stream,
-        "doc_top_terms_udtf": _q_top_terms_udtf,
         "cdc_parse_binlog_text_pyds": _q_cdc_parse_pyds,
         "late_exclusive_suppliers": _q_late_exclusive_suppliers,
-        "cdc_snapshot_incremental": _q_cdc_snapshot_incremental,
         "doc_fuzzy_contamination": _q_fuzzy_contamination,
         "media_exact_dedup": _q_media_exact_dedup,
-        # -- round-2 verdict fix evidence (driver rows wanted for the
-        # reshaped plans and the new JVM-avro / span-removal paths) --
         "doc_span_removal": _q_remove_spans,
         "cdc_avro_native_scan_jvm": _q_cdc_avro_native_scan_jvm,
         "events_kmv_distinct_users": _q_kmv_distinct,
@@ -1470,28 +1495,16 @@ def queries() -> dict[str, QueryFn]:
         "events_funnel": _q_events_funnel,
         "doc_pack_sequences": _q_pack_sequences,
         "doc_chunks": _q_doc_chunks,
+        # ---- driver window boundary (~50) ----
         "corpus_mixture_sample": _q_mixture_sample,
         "media_video_frames": _q_media_video_frames,
         "media_audio_features": _q_media_audio_features,
-        "media_image_features": _q_media_features,
         "q1_pricing_summary": _q_q1,
         "top_revenue_orders": _q_top_revenue,
         "customer_nation_revenue": _q_nation_revenue,
         "high_value_customers": _q_high_value_customers,
         "user_set_ops": _q_user_set_ops,
         "revenue_rollup": _q_revenue_rollup,
-        # -- new / modified this round (must sit inside the driver window) --
-        "doc_unigram_logprob": _q_unigram_logprob,
-        "corpus_mixture_weights": _q_mixture_weights,
-        "doc_sample_k_per_group": _q_sample_k_per_group,
-        # -- session additions with strong local evidence, rotated out
-        # of the window in favor of the verdict-fix rows above --
-        "customer_order_distribution": _q_customer_order_distribution,
-        "late_shipment_orders": _q_late_shipment_orders,
-        "monthly_revenue_growth": _q_monthly_revenue_growth,
-        "events_hll_distinct_users": _q_hll_distinct_users,
-        "star_data_quality": _q_data_quality_report,
-        "doc_length_bucket_padding": _q_length_bucket_padding,
         # -- stable tier --
         "cdc_binlog_events": _q_cdc_binlog_events,
         "cdc_avro_rows": _q_cdc_avro_rows,
@@ -2899,7 +2912,8 @@ errs AS (
          CAST(floor(abs(v - (mn + code * ((mx - mn) / 255.0))) * 1e6 + 0.5) AS BIGINT) AS eu
   FROM coded
 )
-SELECT vec_id, list(code ORDER BY ord) AS codes,
+SELECT vec_id,
+       array_to_string(list(code ORDER BY ord), ',') AS codes_csv,
        CAST(sum(eu) AS BIGINT) AS err_units
 FROM errs GROUP BY vec_id""",
         # twin of textstats.length_bucket_padding (bounds 64/128/256/
