@@ -121,6 +121,16 @@ def main() -> None:
     timings, warm = run_set(BENCH_QUERIES)
     total = round(sum(timings.values()), 3)
     extra, extra_warm = run_set(EXTRA_QUERIES)
+    # Detail lines FIRST, final summary line LAST and SHORT: the driver
+    # tail-captures stdout and parses the last JSON line -- round 3's
+    # single 2.4 KB line got its head truncated and recorded as
+    # parsed:null.  Keep everything the driver needs (metric/value/
+    # queries/sf contract) in a compact final line and push the big
+    # per-query dicts to their own preceding lines.
+    print(json.dumps({"detail": "extra_queries", "timings": extra}))
+    print(json.dumps({"detail": "extra_queries_warm", "timings": extra_warm}))
+    print(json.dumps({"detail": "queries_warm", "timings": warm}))
+    sys.stdout.flush()
     print(
         json.dumps(
             {
@@ -128,10 +138,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "extra_queries": extra,
                 "warm_total": round(sum(warm.values()), 3),
-                "queries_warm": warm,
-                "extra_queries_warm": extra_warm,
+                "extra_total": round(sum(extra.values()), 3),
                 "sf": sf,
             }
         )

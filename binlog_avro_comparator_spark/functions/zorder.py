@@ -52,12 +52,17 @@ def zorder_key(a: Column, b: Column, bits: int = 16) -> Column:
 
 def zorder_key_sql(a: str, b: str, bits: int = 16) -> str:
     """The identical interleave as a SQL expression string (DuckDB
-    oracle twin of ``zorder_key``)."""
+    oracle twin of ``zorder_key``).  The fold uses a non-negative mod
+    -- ``((x % m) + m) % m`` -- because DuckDB's ``%`` keeps the
+    dividend's sign while Spark's ``pmod`` is always non-negative;
+    without it the two interleaves diverge on negative keys."""
     m = 1 << bits
     terms = []
     for i in range(bits):
         # every term fully parenthesized: DuckDB gives << and | equal
         # left-associative precedence, so a bare chain mis-parses
-        terms.append(f"(((({a} % {m}) >> {i}) & 1) << {2 * i})")
-        terms.append(f"(((({b} % {m}) >> {i}) & 1) << {2 * i + 1})")
+        az = f"((({a} % {m}) + {m}) % {m})"
+        bz = f"((({b} % {m}) + {m}) % {m})"
+        terms.append(f"((({az} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({bz} >> {i}) & 1) << {2 * i + 1})")
     return "(" + " | ".join(terms) + ")"

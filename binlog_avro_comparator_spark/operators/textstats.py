@@ -869,6 +869,7 @@ def top_terms_per_doc(documents: DataFrame, k: int = 3) -> DataFrame:
     per-row with no state across rows -- embarrassingly parallel,
     no shuffle; only the Python-worker serialization boundary
     (Arrow-batched) distinguishes it from a built-in explode."""
+    import re
     from collections import Counter
 
     from pyspark.sql.functions import udtf
@@ -878,7 +879,11 @@ def top_terms_per_doc(documents: DataFrame, k: int = 3) -> DataFrame:
     @udtf(returnType="term string, cnt bigint, rank int")
     class TopTerms:
         def eval(self, text: str, k: int):  # noqa: ANN001
-            counts = Counter((text or "").split())
+            # ASCII-whitespace tokenization, NOT str.split(): Python's
+            # split() also breaks on Unicode whitespace (NBSP, U+2028,
+            # ...) while the oracle's regex \S+ treats only ASCII
+            # whitespace as separators -- the boundaries must agree.
+            counts = Counter(re.findall(r"[^ \t\n\r\f\v]+", text or ""))
             ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
             for i, (term, n) in enumerate(ranked, 1):
                 yield term, n, i

@@ -2644,9 +2644,12 @@ JOIN customer ON c_custkey = o_custkey""",
         "events_join_stream": _VIEW_CLICK_RANGE_SQL,
         # twin of the LEFT OUTER variant's end-of-replay contract: all
         # inner pairs, plus null-padded rows for matchless views whose
-        # window closed before the final watermark W = min(side maxes)
-        # - 10 s delay (matchless views younger than that are still in
-        # state when the replay ends and are absent by design)
+        # window closed at or before the final watermark W = min(side
+        # maxes) - 10 s delay (matchless views younger than that are
+        # still in state when the replay ends and are absent by
+        # design).  The horizon is INCLUSIVE (<=): Spark's state
+        # eviction emits the null row when view_ts + window == W --
+        # pinned empirically by test_left_join_boundary_horizon
         "events_left_join_stream": """
 WITH ev AS (
   SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
@@ -2667,7 +2670,7 @@ SELECT * FROM matched
 UNION ALL
 SELECT v.event_id, CAST(NULL AS BIGINT), v.user_id, CAST(NULL AS BIGINT)
 FROM v, wm
-WHERE v.ts_ms + 600000 < wm.w
+WHERE v.ts_ms + 600000 <= wm.w
   AND NOT EXISTS (
     SELECT 1 FROM c
     WHERE c.user_id = v.user_id

@@ -101,7 +101,8 @@ def view_click_left_join_stream(
     End-of-replay contract (what the oracle states): with both sides
     drained via availableNow, the final watermark W = min over inputs
     of (max event time - delay); inner pairs all emit, and a matchless
-    view emits null-padded iff view_ts + window < W.  Matchless views
+    view emits null-padded iff view_ts + window <= W -- the horizon is
+    inclusive, pinned by test_left_join_boundary_horizon.  Matchless views
     YOUNGER than that horizon are still legitimately in state when the
     replay ends -- the stream cannot yet rule out a future click --
     and are absent, like cdc_findings_stream's end-of-stream

@@ -89,25 +89,46 @@ def _latest_version(state_dir: str) -> str | None:
         return os.path.join(state_dir, f.read().strip())
 
 
+def commit_batch(
+    spark: SparkSession, state_dir: str, batch_df: DataFrame, batch_id: int
+) -> None:
+    """Fold one micro-batch into the stored state: merge the delta,
+    commit version ``v{batch_id}``, swing the LATEST pointer.
+
+    Idempotent under foreachBatch's at-least-once replay.  Two replay
+    positions exist and both are safe:
+      (a) pointer already swung to v{batch_id} -> the batch fully
+          committed; re-merging would double n_changes and overwrite
+          the very parquet dir being read.  No-op.
+      (b) v{batch_id} written but pointer not swung -> prev still
+          names the previous version, so the re-merge reads clean
+          inputs and the overwrite of v{batch_id} is idempotent."""
+    prev = _latest_version(state_dir)
+    vdir = os.path.join(state_dir, f"v{batch_id}")
+    if prev is not None and os.path.basename(prev) == f"v{batch_id}":
+        return
+    delta = _batch_state(batch_df)
+    merged = merge_states(spark.read.parquet(prev), delta) if prev else delta
+    merged.write.mode("overwrite").parquet(vdir)
+    # Atomic pointer swing: write-temp + os.replace so a concurrent
+    # reader never observes a truncated/empty LATEST.
+    pointer = os.path.join(state_dir, "LATEST")
+    tmp = pointer + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(f"v{batch_id}")
+    os.replace(tmp, pointer)
+
+
 def maintain_snapshot(
     events_stream: DataFrame, state_dir: str, checkpoint_dir: str
 ):
     """Start the foreachBatch maintenance query (caller awaits it).
-    Each batch: fold the delta into the stored state, commit a new
-    version, swing the LATEST pointer."""
+    Each batch commits through ``commit_batch`` (idempotent)."""
     os.makedirs(state_dir, exist_ok=True)
     spark = events_stream.sparkSession
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        delta = _batch_state(batch_df)
-        prev = _latest_version(state_dir)
-        merged = (
-            merge_states(spark.read.parquet(prev), delta) if prev else delta
-        )
-        vdir = os.path.join(state_dir, f"v{batch_id}")
-        merged.write.mode("overwrite").parquet(vdir)
-        with open(os.path.join(state_dir, "LATEST"), "w", encoding="utf-8") as f:
-            f.write(f"v{batch_id}")
+        commit_batch(spark, state_dir, batch_df, batch_id)
 
     return (
         events_stream.writeStream.foreachBatch(upsert)

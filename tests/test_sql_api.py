@@ -40,3 +40,34 @@ def test_sql_findings_counts(spark):
     }
     for kind in ("TIMESTAMP_MISMATCH", "AVRO_ONLY_BINLOG_KEY", "BINLOG_ONLY_DML"):
         assert sql_kinds[kind] == df_kinds[kind], kind
+
+
+def test_registry_outputs_are_hashable_by_the_driver(spark):
+    """Oracle-canonicalization guard: the external driver canonicalizes
+    results with pandas sort_values over every column, which throws on
+    list/dict cells.  Therefore NO registered query may emit a
+    top-level array/map/struct column -- complex shapes must be
+    projected to scalars (CSV via array_join, exploded rows, ...)
+    before registration.  embedding_quantize_int8's round-3 red row was
+    exactly this; this test makes the class of bug a local pytest
+    failure instead of a driver-round discovery.
+
+    Building the DataFrame is enough -- schemas are available without
+    executing -- but streaming-backed queries drain eagerly inside
+    their query fn, so this runs them at sf0.001 where the drain is
+    cheap."""
+    from pyspark.sql import types as T
+
+    from binlog_avro_comparator_spark.plans import registry
+
+    banned = (T.ArrayType, T.MapType, T.StructType)
+    offenders = []
+    for name, fn in registry.queries().items():
+        schema = fn(spark, SF).schema
+        for field in schema.fields:
+            if isinstance(field.dataType, banned):
+                offenders.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
+    assert offenders == [], (
+        "driver-unhashable output columns (project to scalar before "
+        f"registering): {offenders}"
+    )

@@ -437,3 +437,99 @@ def test_incremental_snapshot_time_travel_and_prune(spark, tmp_path):
     removed = prune_versions(state_dir, keep=1)
     assert removed == [versions[0]]
     assert {r.user_id for r in read_snapshot(spark, state_dir).collect()} == {1}
+
+
+def test_snapshot_commit_batch_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running a committed batch must
+    be a no-op (same n_changes, no read-while-overwrite of the version
+    dir), and a retry from the written-but-pointer-not-swung position
+    must converge to the same state."""
+    from binlog_avro_comparator_spark.streaming.snapshot_sink import (
+        commit_batch,
+        read_snapshot,
+    )
+
+    base = 1_700_000_000_000_000
+    schema = (
+        "event_id long, ts_us long, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def frame(chunk):
+        return (
+            spark.createDataFrame(chunk, schema)
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+            .drop("ts_us")
+        )
+
+    b0 = frame([(1, base, 1, "click", 1.0, "{}")])
+    b1 = frame([(2, base + 1_000_000, 1, "view", 2.0, "{}")])
+    state_dir = str(tmp_path / "state")
+    import os
+
+    os.makedirs(state_dir)
+    commit_batch(spark, state_dir, b0, 0)
+    commit_batch(spark, state_dir, b1, 1)
+    snap = {r.user_id: r for r in read_snapshot(spark, state_dir).collect()}
+    assert snap[1].n_changes == 2 and snap[1].last_op == "UPDATE"
+
+    # (a) full replay of the committed batch 1: pointer already at v1
+    commit_batch(spark, state_dir, b1, 1)
+    snap2 = {r.user_id: r for r in read_snapshot(spark, state_dir).collect()}
+    assert snap2[1].n_changes == 2  # NOT doubled
+
+    # (b) retry from written-but-not-swung: swing the pointer back to
+    # v0 (simulating a crash between write and swing) and re-commit
+    with open(os.path.join(state_dir, "LATEST"), "w", encoding="utf-8") as f:
+        f.write("v0")
+    commit_batch(spark, state_dir, b1, 1)
+    snap3 = {r.user_id: r for r in read_snapshot(spark, state_dir).collect()}
+    assert snap3[1].n_changes == 2 and snap3[1].last_op == "UPDATE"
+
+
+def test_left_join_boundary_horizon(spark, tmp_path):
+    """Pin Spark's null-emission horizon for the LEFT OUTER
+    stream-stream interval join: with final watermark W = min(side
+    maxes) - delay, a matchless view emits its null-padded row iff
+    view_ts + window <= W -- INCLUSIVE at the boundary.  The
+    events_left_join_stream oracle depends on this exact inequality."""
+    from binlog_avro_comparator_spark.streaming.join_stream import (
+        view_click_left_join_stream,
+    )
+
+    T0 = 1_700_000_000_000
+    WINDOW, DELAY = 600_000, 10_000
+    maxts = T0 + 2_000_000
+    w = maxts - DELAY
+    rows_v = [
+        (1001, 1, maxts),            # anchor; user 1 has a click
+        (2001, 21, w - WINDOW - 1),  # closes at W-1: null row expected
+        (2002, 22, w - WINDOW),      # closes exactly at W: null row expected
+        (2003, 23, w - WINDOW + 1),  # closes at W+1: still in state, absent
+    ]
+    rows_c = [(3001, 1, maxts)]
+    for rows, name in ((rows_v, "views"), (rows_c, "clicks")):
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts_ms long"
+        ).withColumn("ts", F.timestamp_millis("ts_ms")).select(
+            "event_id", "user_id", "ts"
+        ).coalesce(1).write.parquet(str(tmp_path / name))
+
+    stream_schema = "event_id long, user_id long, ts timestamp"
+    out = view_click_left_join_stream(
+        spark.readStream.schema(stream_schema).parquet(str(tmp_path / "views")),
+        spark.readStream.schema(stream_schema).parquet(str(tmp_path / "clicks")),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("boundary_probe_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    q.stop()
+    res = spark.table("boundary_probe_sink").collect()
+    null_views = {r.view_event_id for r in res if r.click_event_id is None}
+    assert null_views == {2001, 2002}
+    assert {r.view_event_id for r in res if r.click_event_id is not None} == {1001}
