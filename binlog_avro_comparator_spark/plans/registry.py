@@ -1208,15 +1208,51 @@ def _q_media_exact_dedup(spark, sf_dir):
 
 
 def _q_media_features(spark, sf_dir):
-    """Multimodal plumbing, oracle-checked: documents' text bytes as
-    opaque binary media, features extracted via Arrow mapInPandas."""
+    """Multimodal decode, oracle-checked on the REAL decoder path:
+    each document becomes an IHDR-valid synthetic PNG -- the 8-byte
+    PNG signature, a spec-layout IHDR chunk whose width/height derive
+    from doc_id (8-bit RGB, zero CRC placeholder: the header parser
+    does not verify CRC and DuckDB cannot compute PNG's CRC-32), and
+    the text bytes as opaque payload.  image_features' pure-stdlib
+    IHDR parser (multimodal._decode_image) reads the dims back, so the
+    green row certifies decoder='ihdr', not the deterministic fake;
+    the oracle reconstructs the identical blob byte for byte.
+
+    Digest column: the operator's sha256 is over raw bytes, which this
+    DuckDB (1.0) cannot hash (sha256 is VARCHAR-only), so the
+    registered query certifies blob identity as sha256 over the
+    lowercase hex encoding -- computed independently on both sides
+    from the full content bytes, so it still pins every byte."""
     docs = _docs(spark, sf_dir)
+    # 89 PNG \r \n 1a \n | len=13 | "IHDR"
+    png_prefix = bytes.fromhex("89504e470d0a1a0a0000000d49484452")
+    # bit depth 08, color type 02 (RGB), compression/filter/interlace
+    # 00, then 4 zero CRC bytes
+    ihdr_tail = bytes.fromhex("080200000000000000")
+    be32 = lambda c: F.unhex(F.lpad(F.hex(c.cast("long")), 8, "0"))  # noqa: E731
+    width = (F.col("doc_id") % 192 + 64).cast("long")
+    height = ((F.col("doc_id") * 7) % 192 + 64).cast("long")
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
-        F.encode(F.col("text"), "utf-8").alias("content"),
+        F.concat(
+            F.lit(png_prefix),
+            be32(width),
+            be32(height),
+            F.lit(ihdr_tail),
+            F.encode(F.col("text"), "utf-8"),
+        ).alias("content"),
     )
-    return image_features(media)
+    hex_digest = media.select(
+        "media_id",
+        F.sha2(F.lower(F.hex(F.col("content"))), 256).alias("sha256_hex"),
+    )
+    return (
+        image_features(media)
+        .drop("sha256")
+        .join(hex_digest, on="media_id")
+        .select("media_id", "sha256_hex", "n_bytes", "width", "height", "decoder")
+    )
 
 
 def _q_media_video_frames(spark, sf_dir):
@@ -3194,13 +3230,28 @@ SELECT media_id,
        CAST(chunk_idx AS INT) AS frame_index,
        sha256(substring(text, chunk_idx * 1024 + 1, 1024)) AS frame_sha256
 FROM capped WHERE rn <= 8""",
+        # Byte-exact blob twin: rebuild the IHDR-valid synthetic PNG
+        # (signature + IHDR with doc_id-derived dims + text payload)
+        # and recompute sha256/n_bytes over the SAME bytes the Spark
+        # side hashes; width/height are the values the IHDR parser
+        # reads back
         "media_image_features": """
-SELECT doc_id AS media_id, sha256(text) AS sha256,
-       octet_length(encode(text)) AS n_bytes,
-       64 + (('0x' || substr(sha256(text), 1, 2))::INT % 192) AS width,
-       64 + (('0x' || substr(sha256(text), 3, 2))::INT % 192) AS height,
-       'fake-deterministic' AS decoder
-FROM documents""",
+WITH blob AS (
+  SELECT doc_id,
+         unhex('89504E470D0A1A0A0000000D49484452')
+         || unhex(lpad(to_hex(64 + doc_id % 192), 8, '0'))
+         || unhex(lpad(to_hex(64 + (doc_id * 7) % 192), 8, '0'))
+         || unhex('080200000000000000')
+         || encode(text) AS content,
+         64 + doc_id % 192 AS width,
+         64 + (doc_id * 7) % 192 AS height
+  FROM documents
+)
+SELECT doc_id AS media_id, sha256(lower(hex(content))) AS sha256_hex,
+       octet_length(content) AS n_bytes,
+       CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+       'ihdr' AS decoder
+FROM blob""",
         # Derivation twin of the WAV synth in _q_media_audio_features:
         # recomputes expected decode outputs from doc_id without decoding
         "media_audio_features": """

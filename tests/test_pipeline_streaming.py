@@ -298,3 +298,31 @@ def test_resize_images_plumbing(spark):
     assert bytes(r1.resized) == bytes(r2.resized)  # deterministic
     [r3] = resize_images(media, width=16, height=4).collect()
     assert bytes(r3.resized) != bytes(r1.resized)  # geometry-dependent
+
+
+def test_image_ihdr_decoder_real_png_header(spark):
+    """The pure-stdlib PNG path: a structurally-valid signature+IHDR
+    yields the spec dims and decoder='ihdr'; truncated or non-PNG
+    bytes fall through to the deterministic fake."""
+    import struct
+
+    from binlog_avro_comparator_spark.operators.multimodal import _decode_image
+
+    def png(w, h):
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + b"\x00\x00\x00\x0dIHDR"
+            + struct.pack(">II", w, h)
+            + b"\x08\x02\x00\x00\x00"
+            + b"\x00\x00\x00\x00"  # CRC placeholder, parser skips it
+        )
+
+    assert _decode_image(png(640, 480)) == (640, 480, "ihdr")
+    assert _decode_image(png(1, 99999)) == (1, 99999, "ihdr")
+    # truncated before the dims -> not parseable as PNG
+    assert _decode_image(png(640, 480)[:20])[2] == "fake-deterministic"
+    assert _decode_image(b"\x89PNG-fake-bytes-1")[2] == "fake-deterministic"
+    # end-to-end through the mapInPandas operator
+    rows = [(9, "image", png(320, 200) + b"payload", ("u", "image/png", 0))]
+    feats = image_features(spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()
+    assert (feats[0].width, feats[0].height, feats[0].decoder) == (320, 200, "ihdr")
