@@ -518,6 +518,34 @@ def _q_orders_cube(spark, sf_dir):
     return orders_cube(load_table(spark, sf_dir, "orders"))
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _stream_state_partitions(spark: SparkSession, n: int = 8):
+    """Scope streaming-state partition count to the state size.
+
+    ``spark.sql.shuffle.partitions`` at query START fixes the state-
+    store partition count for that checkpoint's lifetime, and every
+    micro-batch pays one state-store commit PER partition PER store
+    instance (a stream-stream join runs four).  The r4 profile
+    (scratch/leftjoin_profile.py): the sf0.1 left-join replay holds
+    ~40k state rows, and walls scale with the partition count -- 32
+    partitions 7.4 s, 8 partitions 3.0 s, 4 partitions 2.4 s -- pure
+    commit overhead, zero compute.  So these replay harnesses size
+    state partitions to the state actually held instead of inheriting
+    the batch default.  At 100 TB the same dial turns the other way:
+    state partitions ~ state volume / executor-heap budget, decoupled
+    from the batch shuffle width.  Fresh checkpoints per run make the
+    scoped override safe; the conf is restored on exit."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def _q_events_dedup_stream(spark, sf_dir):
     """Streaming dedup in the driver contract: the events table
     replayed as a file stream with every row DUPLICATED (the
@@ -549,17 +577,18 @@ def _q_events_dedup_stream(spark, sf_dir):
         "value",
         "props",
     )
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
+    with _stream_state_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(f"{name}: availableNow drain exceeded 300s")
         q.stop()
-        raise RuntimeError(f"{name}: availableNow drain exceeded 300s")
-    q.stop()
     return spark.table(name)
 
 
@@ -589,17 +618,18 @@ def _q_events_join_stream(spark, sf_dir):
     _STREAM_SINK_SEQ += 1
     name = f"events_join_stream_sink_{_STREAM_SINK_SEQ}"
     out = view_click_join_stream(_side("view"), _side("click"))
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
+    with _stream_state_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(f"{name}: availableNow drain exceeded 300s")
         q.stop()
-        raise RuntimeError(f"{name}: availableNow drain exceeded 300s")
-    q.stop()
     return spark.table(name)
 
 
@@ -629,17 +659,18 @@ def _q_events_left_join_stream(spark, sf_dir):
     _STREAM_SINK_SEQ += 1
     name = f"events_left_join_stream_sink_{_STREAM_SINK_SEQ}"
     out = view_click_left_join_stream(_side("view"), _side("click"))
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
+    with _stream_state_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(f"{name}: availableNow drain exceeded 300s")
         q.stop()
-        raise RuntimeError(f"{name}: availableNow drain exceeded 300s")
-    q.stop()
     return spark.table(name)
 
 
@@ -708,17 +739,18 @@ def _q_events_top_type_stream(spark, sf_dir):
     )
     _STREAM_SINK_SEQ += 1
     name = f"events_top_type_stream_sink_{_STREAM_SINK_SEQ}"
-    q = (
-        windowed_event_counts(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError(f"{name}: availableNow drain exceeded 300s")
+    with _stream_state_partitions(spark):
+        q = (
+            windowed_event_counts(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(f"{name}: availableNow drain exceeded 300s")
     q.stop()
     state = spark.table(name)
     return state.groupBy("window_start_ms").agg(
@@ -752,17 +784,18 @@ def _q_cdc_snapshot_stream(spark, sf_dir):
     )
     _STREAM_SINK_SEQ += 1
     name = f"cdc_snapshot_stream_sink_{_STREAM_SINK_SEQ}"
-    q = (
-        apply_changes(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError(f"{name}: availableNow drain exceeded 300s")
+    with _stream_state_partitions(spark):
+        q = (
+            apply_changes(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(f"{name}: availableNow drain exceeded 300s")
     q.stop()
     return spark.table(name)
 
@@ -1000,18 +1033,19 @@ def _q_cdc_findings_stream(spark, sf_dir):
     stream = stream_avro_jsonl(spark, d, max_files_per_trigger=1)
     _STREAM_SINK_SEQ += 1
     name = f"cdc_findings_stream_sink_{_STREAM_SINK_SEQ}"
-    q = (
-        streaming_findings(binlog, stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
+    with _stream_state_partitions(spark):
+        q = (
+            streaming_findings(binlog, stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(f"{name}: availableNow drain exceeded 300s")
         q.stop()
-        raise RuntimeError(f"{name}: availableNow drain exceeded 300s")
-    q.stop()
     return spark.table(name)
 
 
@@ -1040,18 +1074,19 @@ def _q_events_windowed_stream(spark, sf_dir):
     )
     _STREAM_SINK_SEQ += 1
     name = f"events_windowed_stream_sink_{_STREAM_SINK_SEQ}"
-    q = (
-        windowed_event_counts(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
+    with _stream_state_partitions(spark):
+        q = (
+            windowed_event_counts(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(f"{name}: availableNow drain exceeded 300s")
         q.stop()
-        raise RuntimeError(f"{name}: availableNow drain exceeded 300s")
-    q.stop()
     return spark.table(name)
 
 
