@@ -85,6 +85,20 @@ EXTRA_QUERIES = [
     "orders_cube",
     "events_trailing_10min",
     "part_above_brand_avg",
+    # round 4
+    "discounted_revenue",
+    "promo_revenue_share",
+    "late_line_priority_mix",
+    "volume_shipping",
+    "nation_market_share",
+    "returned_item_losses",
+    "important_parts",
+    "top_revenue_supplier",
+    "min_cost_supplier_per_part",
+    "excess_quantity_suppliers",
+    "idle_rich_customers",
+    "doc_type_token_ratio",
+    "events_session_stream",
 ]
 
 

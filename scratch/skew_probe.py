@@ -74,7 +74,13 @@ def prepared_frames(hot: bool):
     return bp, ap
 
 
-for label in ("even", "hot"):
+# JVM/codegen warm-up so the first measured config doesn't pay
+# session spin-up (first run measured 22s even / 5.6s hot purely from
+# ordering)
+bp0, ap0 = prepared_frames(hot=False)
+C.diff_joined(bp0, ap0).write.format("noop").mode("overwrite").save()
+
+for label in ("even", "hot", "even", "hot"):
     bp, ap = prepared_frames(hot=label == "hot")
     t0 = time.time()
     # full materialization of the joined+compared frame (count() would
