@@ -99,6 +99,7 @@ EXTRA_QUERIES = [
     "idle_rich_customers",
     "doc_type_token_ratio",
     "events_session_stream",
+    "cdc_parse_binlog_binary",
 ]
 
 

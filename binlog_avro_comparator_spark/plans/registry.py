@@ -1647,6 +1647,40 @@ def _q_events_session_stream(spark, sf_dir):
     return spark.table(name)
 
 
+def _q_cdc_parse_binlog_binary(spark, sf_dir):
+    """S2 closed: real binlog v4 BYTES through the native binary
+    decoder (sources/binlog_binary.py) -> the same parsed-event
+    contract table as the text path, no external parser binary and no
+    text intermediate.  The fixture write-out (derived events encoded
+    as genuine binlog files) is driver-side scaffolding, memoized per
+    sf_dir and bounded by the fixture event count -- the same
+    acceptance as the pyds text fixture; the DECODE path is fully
+    distributed (binaryFile scan + Arrow-batched mapInPandas)."""
+    import os
+    import tempfile
+
+    ensure_session_conf(spark)
+    from ..sources.binlog_binary import encode_binlog_file, read_binlog_binary_dir
+
+    d = _FIXTURE_DIRS.get(("binlog_binary", sf_dir))
+    if d is None:
+        rows = (
+            derive_binlog_events(load_table(spark, sf_dir, "events"))
+            .filter(F.col("binlog_file") != "")
+            .orderBy("binlog_file", "line_no")
+            .collect()
+        )
+        by_file: dict[str, list[dict]] = {}
+        for r in rows:
+            by_file.setdefault(r.binlog_file, []).append(r.asDict())
+        d = tempfile.mkdtemp(prefix="binlog_binary_")
+        for fname, evs in by_file.items():
+            with open(os.path.join(d, fname), "wb") as f:
+                f.write(encode_binlog_file(evs))
+        _FIXTURE_DIRS[("binlog_binary", sf_dir)] = d
+    return read_binlog_binary_dir(spark, d)
+
+
 def queries() -> dict[str, QueryFn]:
     # NOTE on ordering: the external correctness driver checks the FIRST 50
     # entries of this dict (CORRECTNESS_r02 covered exactly queries 1..50).
@@ -1699,6 +1733,7 @@ def queries() -> dict[str, QueryFn]:
         "idle_rich_customers": _q_idle_rich_customers,
         "doc_type_token_ratio": _q_type_token_ratio,
         "events_session_stream": _q_events_session_stream,
+        "cdc_parse_binlog_binary": _q_cdc_parse_binlog_binary,
         # -- freshest green tier (r3 window, regression coverage) --
         "doc_boilerplate_removal": _q_remove_boilerplate,
         "embedding_semdedup": _q_semdedup,
@@ -1721,8 +1756,8 @@ def queries() -> dict[str, QueryFn]:
         "doc_redact_pii": _q_redact_pii,
         "doc_split_assignments": _q_split_assignments,
         "embedding_kmeans": _q_kmeans,
-        "events_rank_family": _q_rank_family,
         # ---- driver window boundary (position 50) ----
+        "events_rank_family": _q_rank_family,
         "orders_cube": _q_orders_cube,
         "events_dedup_stream": _q_events_dedup_stream,
         "cdc_snapshot_stream": _q_cdc_snapshot_stream,
@@ -3690,6 +3725,39 @@ SELECT user_id,
        min(value) AS min_value,
        max(value) AS max_value
 FROM sess GROUP BY user_id, sid""",
+        # twin of the S2 binary path: the same fixture derivation the
+        # text oracle uses, adjusted for what REAL binlog bytes carry
+        # (XID events have no schema/table, Query events have schema
+        # only; gtid is SID:GNO with the fixture SID, GNO=line_no+1).
+        "cdc_parse_binlog_binary": """
+WITH bb AS (
+  SELECT
+    CASE event_type
+      WHEN 'click' THEN 'WriteRowsEventV2'
+      WHEN 'view' THEN 'UpdateRowsEventV2'
+      WHEN 'purchase' THEN 'DeleteRowsEventV2'
+      WHEN 'signup' THEN 'XID'
+      ELSE 'Query' END AS event_type,
+    strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS "timestamp",
+    CASE WHEN event_id % 7 = 0 THEN NULL
+         ELSE strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') END AS immediate_commmit_timestamp,
+    CASE WHEN event_id % 211 = 0 THEN 0
+         WHEN event_id % 53 = 0 THEN 100 * ((event_id + 4) // 4) + 4
+         ELSE 100 * (event_id // 4) + 4 END AS log_position,
+    'db' || CAST(user_id % 2 AS VARCHAR) AS schema_d,
+    't' || CAST(user_id % 3 AS VARCHAR) AS table_d,
+    CASE WHEN event_id % 223 = 0 THEN ''
+         ELSE 'mysql-bin.' || lpad(CAST(event_id % 4 AS VARCHAR), 6, '0') END AS binlog_file,
+    event_id AS line_no
+  FROM events
+)
+SELECT event_type, "timestamp", immediate_commmit_timestamp, log_position,
+       CASE WHEN event_type = 'XID' THEN NULL ELSE schema_d END AS "schema",
+       CASE WHEN event_type LIKE '%RowsEventV2' THEN table_d ELSE NULL END AS "table",
+       '0f8e1a24-3b5c-4d6e-8f90-a1b2c3d4e5f6:' || CAST(line_no + 1 AS VARCHAR) AS gtid_next,
+       binlog_file,
+       row_number() OVER (PARTITION BY binlog_file ORDER BY line_no) AS line_no
+FROM bb WHERE binlog_file <> ''""",
     }
     # streaming twin runs the same logical plan -> same oracle
     sql["cdc_snapshot_stream"] = sql["cdc_apply_changes"]

@@ -1,0 +1,320 @@
+"""S2: MySQL binlog BINARY decode -- the one reference stage that was
+previously out of engine scope (comparator.sh:91-93 shells out to an
+external ``go-binlogparser`` binary and ingests its TEXT; rounds 1-3
+started at that text layer).  This module closes the gap with a native
+binary-layer source: real binlog v4 bytes in, the parsed-event
+contract table out -- no external binary, no text intermediate.
+
+Format knowledge is public (MySQL source/docs: binary log file layout
+``0xFE 'bin'`` magic + v4 events with a 19-byte little-endian common
+header ``timestamp:4 type:1 server_id:4 event_size:4 log_pos:4
+flags:2``).  The decoder understands the event types the comparator's
+metadata contract touches:
+
+  FORMAT_DESCRIPTION (15)  skipped (validates the stream start)
+  GTID_LOG (33)            SID(16) + GNO(8) -> ``gtid_next``; the
+                           7-byte immediate_commit_timestamp (micros)
+                           -> ``immediate_commmit_timestamp`` (triple-m
+                           contract spelling, quirk Q6); 0 means the
+                           field was absent -> NULL
+  TABLE_MAP (19)           schema/table names for the FOLLOWING rows
+                           event
+  WRITE/UPDATE/DELETE_ROWS v2 (30/31/32), XID (16), QUERY (2)
+                           the emitted metadata rows (json_parser.go's
+                           :56-66 event-type vocabulary)
+
+Row IMAGES inside rows events are deliberately not decoded: the
+comparator's contract (compare_timestamps.go:13-64) consumes event
+metadata only, and the reference's own text layer never surfaces row
+data either.  A real binlog therefore decodes correctly even though
+rows-event payloads are skipped by ``event_size``.
+
+Scale: ``spark.read.format("binaryFile")`` parallelizes across files
+(binlogs rotate, so files are bounded -- the same unit of parallelism
+the reference's per-file loop and our text path use); within a file
+decoding is inherently sequential (events chain by log_pos), done in
+one Arrow-batched mapInPandas pass with pure ``struct`` parsing and no
+payload retained after its row is emitted.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+MAGIC = b"\xfebin"
+HEADER_LEN = 19
+
+FORMAT_DESCRIPTION_EVENT = 15
+XID_EVENT = 16
+QUERY_EVENT = 2
+TABLE_MAP_EVENT = 19
+WRITE_ROWS_EVENT_V2 = 30
+UPDATE_ROWS_EVENT_V2 = 31
+DELETE_ROWS_EVENT_V2 = 32
+GTID_LOG_EVENT = 33
+
+_ROWS_NAMES = {
+    WRITE_ROWS_EVENT_V2: "WriteRowsEventV2",
+    UPDATE_ROWS_EVENT_V2: "UpdateRowsEventV2",
+    DELETE_ROWS_EVENT_V2: "DeleteRowsEventV2",
+}
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("binlog_file", T.StringType()),
+        T.StructField("line_no", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("timestamp", T.StringType()),
+        T.StructField("immediate_commmit_timestamp", T.StringType()),
+        T.StructField("log_position", T.LongType()),
+        T.StructField("schema", T.StringType()),
+        T.StructField("table", T.StringType()),
+        T.StructField("gtid_next", T.StringType()),
+    ]
+)
+
+
+# --- encode (fixture/test side) -------------------------------------------
+
+def _header(ts_sec: int, type_code: int, payload_len: int, log_pos: int) -> bytes:
+    return struct.pack(
+        "<IBIIIH", ts_sec & 0xFFFFFFFF, type_code, 1, HEADER_LEN + payload_len,
+        log_pos & 0xFFFFFFFF, 0,
+    )
+
+
+def _event(ts_sec: int, type_code: int, payload: bytes, log_pos: int) -> bytes:
+    return _header(ts_sec, type_code, len(payload), log_pos) + payload
+
+
+def _fde(ts_sec: int) -> bytes:
+    payload = (
+        struct.pack("<H", 4)
+        + b"8.0.0-synthetic".ljust(50, b"\x00")
+        + struct.pack("<I", ts_sec & 0xFFFFFFFF)
+        + bytes([HEADER_LEN])
+        + bytes(39)  # post-header length table, skipped via event_size
+    )
+    return _event(ts_sec, FORMAT_DESCRIPTION_EVENT, payload, 0)
+
+
+def _gtid(ts_sec: int, sid: bytes, gno: int, ict_us: int, log_pos: int) -> bytes:
+    payload = (
+        bytes([1])                      # commit flag
+        + sid                           # 16-byte SID
+        + struct.pack("<q", gno)
+        + bytes([2])                    # logical timestamp typecode
+        + struct.pack("<qq", 0, 0)      # last_committed, sequence_number
+        + struct.pack("<Q", ict_us & 0x00FFFFFFFFFFFFFF)[:7]  # 7-byte micros
+    )
+    return _event(ts_sec, GTID_LOG_EVENT, payload, log_pos)
+
+
+def _table_map(ts_sec: int, schema: str, table: str, log_pos: int) -> bytes:
+    s, t = schema.encode(), table.encode()
+    payload = (
+        struct.pack("<IH", 1, 0) + b"\x00\x00"  # table_id(6) + flags(2)
+        + bytes([len(s)]) + s + b"\x00"
+        + bytes([len(t)]) + t + b"\x00"
+        + bytes([1, 3])                 # 1 column, type LONG
+        + bytes([0])                    # metadata block length 0
+        + bytes([0])                    # null bitmap
+    )
+    return _event(ts_sec, TABLE_MAP_EVENT, payload, log_pos)
+
+
+def _rows(ts_sec: int, type_code: int, log_pos: int) -> bytes:
+    payload = (
+        struct.pack("<IH", 1, 0) + b"\x00\x00"  # table_id(6) + flags(2)
+        + struct.pack("<H", 2)          # v2 extra-info length (incl. itself)
+        + bytes([1])                    # column count (lenenc, 1)
+        + bytes([1])                    # columns-present bitmap
+    )
+    if type_code == UPDATE_ROWS_EVENT_V2:
+        payload += bytes([1])           # after-image bitmap
+    return _event(ts_sec, type_code, payload, log_pos)
+
+
+def _xid(ts_sec: int, xid: int, log_pos: int) -> bytes:
+    return _event(ts_sec, XID_EVENT, struct.pack("<Q", xid & (2**64 - 1)), log_pos)
+
+
+def _query(ts_sec: int, schema: str, log_pos: int) -> bytes:
+    s = schema.encode()
+    payload = (
+        struct.pack("<IIBHH", 1, 0, len(s), 0, 0)  # thread, exec, len, err, status
+        + s + b"\x00" + b"BEGIN"
+    )
+    return _event(ts_sec, QUERY_EVENT, payload, log_pos)
+
+
+FIXTURE_SID = bytes.fromhex("0f8e1a243b5c4d6e8f90a1b2c3d4e5f6")
+FIXTURE_SID_STR = "0f8e1a24-3b5c-4d6e-8f90-a1b2c3d4e5f6"
+
+
+def _parse_ts_sec(rfc3339: str) -> int:
+    dt = datetime.strptime(rfc3339, "%Y-%m-%dT%H:%M:%SZ").replace(
+        tzinfo=timezone.utc
+    )
+    return int(dt.timestamp())
+
+
+def _parse_ict_us(ict: str | None) -> int:
+    if not ict:
+        return 0  # encoded zero = field absent (decoder maps back to NULL)
+    dt = datetime.strptime(ict, "%Y-%m-%dT%H:%M:%S.%fZ").replace(
+        tzinfo=timezone.utc
+    )
+    return int(dt.timestamp()) * 1_000_000 + dt.microsecond
+
+
+def encode_binlog_file(events: list[dict]) -> bytes:
+    """Render derived contract events (one file's worth, already in
+    line order) as a real binlog v4 byte stream: magic + FDE, then per
+    event a GTID_LOG (gtid_next + immediate commit timestamp), a
+    TABLE_MAP for rows events, and the event itself.  ``events`` dicts
+    carry the derive_binlog_events columns plus ``line_no`` (GNO =
+    line_no + 1 -- GTID sequence numbers are >= 1)."""
+    if not events:
+        return MAGIC + _fde(0)
+    out = [MAGIC, _fde(_parse_ts_sec(events[0]["timestamp"]))]
+    for ev in events:
+        ts = _parse_ts_sec(ev["timestamp"])
+        pos = int(ev["log_position"])
+        gno = int(ev["line_no"]) + 1
+        out.append(
+            _gtid(ts, FIXTURE_SID, gno, _parse_ict_us(ev["immediate_commmit_timestamp"]), pos)
+        )
+        et = ev["event_type"]
+        if et in _ROWS_NAMES.values():
+            out.append(_table_map(ts, ev["schema"], ev["table"], pos))
+            code = {v: k for k, v in _ROWS_NAMES.items()}[et]
+            out.append(_rows(ts, code, pos))
+        elif et == "XID":
+            out.append(_xid(ts, int(ev["line_no"]), pos))
+        else:  # Query and anything else the header vocabulary folds there
+            out.append(_query(ts, ev["schema"], pos))
+    return b"".join(out)
+
+
+# --- decode (the engine source) -------------------------------------------
+
+def _fmt_ts(sec: int) -> str:
+    return datetime.fromtimestamp(sec, tz=timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%SZ"
+    )
+
+
+def _fmt_ict(us: int) -> str:
+    dt = datetime.fromtimestamp(us // 1_000_000, tz=timezone.utc)
+    return dt.strftime("%Y-%m-%dT%H:%M:%S") + f".{us % 1_000_000:06d}Z"
+
+
+def _sid_str(sid: bytes) -> str:
+    h = sid.hex()
+    return f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:]}"
+
+
+def decode_binlog_bytes(basename: str, data: bytes) -> Iterator[tuple]:
+    """One file's bytes -> contract rows.  Tolerant the way the text
+    layer is (SURVEY section 2.8): a truncated trailing event stops the
+    scan instead of raising; unknown event types are skipped by
+    event_size (forward-compatible, exactly how real consumers skip
+    events they don't understand)."""
+    if not data.startswith(MAGIC):
+        return
+    off = len(MAGIC)
+    gtid: str | None = None
+    ict: str | None = None
+    schema: str | None = None
+    table: str | None = None
+    ordinal = 0
+    n = len(data)
+    while off + HEADER_LEN <= n:
+        ts_sec, code, _server, size, log_pos, _flags = struct.unpack_from(
+            "<IBIIIH", data, off
+        )
+        if size < HEADER_LEN or off + size > n:
+            break  # truncated tail: warn-and-stop, never raise
+        body = data[off + HEADER_LEN : off + size]
+        off += size
+        if code == GTID_LOG_EVENT:
+            if len(body) >= 1 + 16 + 8 + 1 + 16 + 7:
+                sid = body[1:17]
+                (gno,) = struct.unpack_from("<q", body, 17)
+                us = int.from_bytes(body[42:49], "little") & 0x00FFFFFFFFFFFFFF
+                gtid = f"{_sid_str(sid)}:{gno}"
+                ict = _fmt_ict(us) if us else None
+            continue
+        if code == TABLE_MAP_EVENT:
+            p = 8  # table_id(6) + flags(2)
+            slen = body[p]
+            schema = body[p + 1 : p + 1 + slen].decode("utf-8", "replace")
+            p += 1 + slen + 1
+            tlen = body[p]
+            table = body[p + 1 : p + 1 + tlen].decode("utf-8", "replace")
+            continue
+        if code in _ROWS_NAMES:
+            ordinal += 1
+            yield (basename, ordinal, _ROWS_NAMES[code], _fmt_ts(ts_sec), ict,
+                   log_pos, schema, table, gtid)
+        elif code == XID_EVENT:
+            ordinal += 1
+            yield (basename, ordinal, "XID", _fmt_ts(ts_sec), ict,
+                   log_pos, None, None, gtid)
+        elif code == QUERY_EVENT:
+            slen, = struct.unpack_from("<B", body, 8)
+            qschema = body[13 : 13 + slen].decode("utf-8", "replace")
+            ordinal += 1
+            yield (basename, ordinal, "Query", _fmt_ts(ts_sec), ict,
+                   log_pos, qschema or None, None, gtid)
+        # FDE and anything else: skipped by event_size
+
+
+def read_binlog_binary_dir(spark: SparkSession, path: str) -> DataFrame:
+    """Directory of ``mysql-bin.*`` binary logs -> the parsed-event
+    contract table (same columns as the text path's P1-P9 output).
+
+    binaryFile scan parallelizes across files; each file decodes once
+    inside an Arrow-batched mapInPandas (pure struct parsing, no
+    Python-per-row UDF).  Only ``path`` and ``content`` are read from
+    the source (column pruning keeps the scan to what's used)."""
+    import os
+
+    import pandas as pd
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "mysql-bin.*")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                rows.extend(
+                    decode_binlog_bytes(os.path.basename(p), bytes(content))
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in DECODED_SCHEMA.fields]
+            )
+
+    out = files.mapInPandas(decode, schema=DECODED_SCHEMA)
+    # contract column order (matches cdc_parse_binlog_text)
+    return out.select(
+        "event_type",
+        "timestamp",
+        "immediate_commmit_timestamp",
+        F.col("log_position"),
+        "schema",
+        "table",
+        "gtid_next",
+        "binlog_file",
+        "line_no",
+    )

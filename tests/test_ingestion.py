@@ -403,3 +403,96 @@ def test_go_jsonl_emission_reingests_identically(spark, tmp_path):
     orig = sorted(tuple(r) for r in parsed.select(*cols).collect())
     rt = sorted(tuple(r) for r in back.select(*cols).collect())
     assert rt == orig
+
+
+# --- S2: binlog BINARY codec ---------------------------------------------
+
+class TestBinlogBinaryCodec:
+    EVS = [
+        dict(event_type="WriteRowsEventV2", timestamp="2024-01-01T00:00:07Z",
+             immediate_commmit_timestamp="2024-01-01T00:00:07.179575Z",
+             log_position=104, schema="db1", table="t2", line_no=1),
+        dict(event_type="XID", timestamp="2024-01-01T00:03:52Z",
+             immediate_commmit_timestamp=None, log_position=204,
+             schema="db0", table="t0", line_no=4),
+        dict(event_type="Query", timestamp="2024-01-01T00:06:29Z",
+             immediate_commmit_timestamp="2024-01-01T00:06:29.165275Z",
+             log_position=304, schema="db0", table="t1", line_no=5),
+        dict(event_type="UpdateRowsEventV2", timestamp="2024-01-01T00:08:00Z",
+             immediate_commmit_timestamp="2024-01-01T00:08:00.000001Z",
+             log_position=404, schema="db1", table="t0", line_no=8),
+    ]
+
+    def _roundtrip(self):
+        from binlog_avro_comparator_spark.sources.binlog_binary import (
+            decode_binlog_bytes, encode_binlog_file)
+
+        blob = encode_binlog_file(self.EVS)
+        return blob, list(decode_binlog_bytes("mysql-bin.000001", blob))
+
+    def test_roundtrip_fields(self):
+        _, rows = self._roundtrip()
+        assert [r[2] for r in rows] == [
+            "WriteRowsEventV2", "XID", "Query", "UpdateRowsEventV2"]
+        # rows event carries TABLE_MAP schema/table; XID neither;
+        # Query schema only (what real binlog bytes actually contain)
+        assert rows[0][6:8] == ("db1", "t2")
+        assert rows[1][6:8] == (None, None)
+        assert rows[2][6:8] == ("db0", None)
+        # null ict survives the zero-micros encoding
+        assert rows[1][4] is None
+        assert rows[0][4] == "2024-01-01T00:00:07.179575Z"
+        # gtid = fixture SID : line_no+1
+        assert rows[0][8].endswith(":2") and rows[3][8].endswith(":9")
+        # log positions verbatim from the event headers
+        assert [r[5] for r in rows] == [104, 204, 304, 404]
+
+    def test_truncated_tail_stops_without_raising(self):
+        from binlog_avro_comparator_spark.sources.binlog_binary import (
+            decode_binlog_bytes)
+
+        blob, rows = self._roundtrip()
+        truncated = list(decode_binlog_bytes("f", blob[:-3]))
+        assert len(truncated) == len(rows) - 1
+
+    def test_non_binlog_bytes_yield_nothing(self):
+        from binlog_avro_comparator_spark.sources.binlog_binary import (
+            decode_binlog_bytes)
+
+        assert list(decode_binlog_bytes("f", b"not a binlog at all")) == []
+
+    def test_unknown_event_type_skipped_by_size(self):
+        import struct
+
+        from binlog_avro_comparator_spark.sources.binlog_binary import (
+            MAGIC, decode_binlog_bytes, encode_binlog_file)
+
+        blob = encode_binlog_file(self.EVS)
+        # splice an unknown type-200 event right after the magic+FDE
+        fde_end = len(MAGIC) + struct.unpack_from("<I", blob, len(MAGIC) + 9)[0]
+        unknown = struct.pack("<IBIIIH", 0, 200, 1, 19 + 5, 0, 0) + b"\x00" * 5
+        spliced = blob[:fde_end] + unknown + blob[fde_end:]
+        assert len(list(decode_binlog_bytes("f", spliced))) == len(self.EVS)
+
+    def test_distributed_scan_matches_local_decode(self, spark):
+        import os
+        import tempfile
+
+        from binlog_avro_comparator_spark.sources.binlog_binary import (
+            decode_binlog_bytes, encode_binlog_file, read_binlog_binary_dir)
+
+        blob = encode_binlog_file(self.EVS)
+        d = tempfile.mkdtemp(prefix="binlog_bin_test_")
+        for name in ("mysql-bin.000001", "mysql-bin.000002"):
+            with open(os.path.join(d, name), "wb") as f:
+                f.write(blob)
+        got = read_binlog_binary_dir(spark, d).collect()
+        assert len(got) == 2 * len(self.EVS)
+        one = sorted(
+            [r for r in got if r.binlog_file == "mysql-bin.000001"],
+            key=lambda r: r.line_no,
+        )
+        local = list(decode_binlog_bytes("mysql-bin.000001", blob))
+        assert [(r.event_type, r.line_no, r.log_position) for r in one] == [
+            (t[2], t[1], t[5]) for t in local
+        ]
