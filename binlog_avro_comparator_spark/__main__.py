@@ -2,7 +2,7 @@
 ./comparator.sh (E1) and ./compare_timestamps A B (E3).
 
   python -m binlog_avro_comparator_spark \
-      --binlog-text DIR | --binlog-jsonl FILE \
+      --binlog-text DIR | --binlog-jsonl FILE | --binlog-binary DIR \
       --avro-jsonl FILE [--findings-out DIR] [--strict-parity]
 """
 
@@ -20,6 +20,11 @@ def main(argv: list[str] | None = None) -> int:
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--binlog-text", help="directory of parser-text binlog dumps")
     src.add_argument("--binlog-jsonl", help="binlog_metadata.json path")
+    src.add_argument(
+        "--binlog-binary",
+        help="directory of raw mysql-bin.* binary logs (native v4 decode, "
+        "no external parser binary)",
+    )
     p.add_argument("--avro-jsonl", required=True, help="avro_rows.json path")
     p.add_argument("--findings-out", help="optional directory to write findings JSONL")
     p.add_argument(
@@ -48,6 +53,7 @@ def main(argv: list[str] | None = None) -> int:
             spark,
             binlog_text_dir=args.binlog_text,
             binlog_jsonl=args.binlog_jsonl,
+            binlog_binary_dir=args.binlog_binary,
             avro_jsonl=args.avro_jsonl,
             cfg=CompareConfig(
                 tolerance_ms=args.tolerance_ms,

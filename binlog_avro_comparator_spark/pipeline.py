@@ -37,20 +37,32 @@ def run_comparison(
     *,
     binlog_text_dir: str | None = None,
     binlog_jsonl: str | None = None,
+    binlog_binary_dir: str | None = None,
     avro_jsonl: str,
     cfg: C.CompareConfig = C.CompareConfig(),
     materialize_binlog_jsonl: str | None = None,
 ) -> ComparisonResult:
     """Full pipeline from raw inputs to findings + summary.
 
-    Binlog side comes from either raw parser text (E1: stages S1-S4 +
-    P1-P9) or pre-normalized JSONL (E3: S7).  Avro side is the
-    union-wrapped JSONL (S8 + R1).
+    Binlog side comes from raw parser text (E1: stages S1-S4 + P1-P9),
+    pre-normalized JSONL (E3: S7), or -- closing S2 -- raw binlog v4
+    BYTES through the native binary decoder (no external parser).
+    Avro side is the union-wrapped JSONL (S8 + R1).
     """
-    if (binlog_text_dir is None) == (binlog_jsonl is None):
-        raise ValueError("provide exactly one of binlog_text_dir / binlog_jsonl")
+    n_sources = sum(
+        x is not None for x in (binlog_text_dir, binlog_jsonl, binlog_binary_dir)
+    )
+    if n_sources != 1:
+        raise ValueError(
+            "provide exactly one of binlog_text_dir / binlog_jsonl / "
+            "binlog_binary_dir"
+        )
 
-    if binlog_text_dir is not None:
+    if binlog_binary_dir is not None:
+        from .sources.binlog_binary import read_binlog_binary_dir
+
+        binlog = read_binlog_binary_dir(spark, binlog_binary_dir)
+    elif binlog_text_dir is not None:
         binlog = parse_binlog_text(read_parser_text(spark, binlog_text_dir)).drop(
             "extra", "orignal_commmit_timestamp"
         )

@@ -1691,7 +1691,7 @@ def queries() -> dict[str, QueryFn]:
     # squeezed out) plus embedding_quantize_int8, r3's one red row (now
     # projected to CSV).  After these, media/int8-adjacent rows the r4
     # changes touched, then the freshest green tier for regression
-    # coverage.  With 118 registered queries a 50-entry window cannot
+    # coverage.  With 119 registered queries a 50-entry window cannot
     # cover everything; ALL entries, window or not, are value-verified
     # locally each round at sf0.01 AND sf0.1 by scratch/check.py
     # (endurance evidence in SCALE.md).

@@ -326,3 +326,44 @@ def test_image_ihdr_decoder_real_png_header(spark):
     rows = [(9, "image", png(320, 200) + b"payload", ("u", "image/png", 0))]
     feats = image_features(spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()
     assert (feats[0].width, feats[0].height, feats[0].decoder) == (320, 200, "ihdr")
+
+
+def test_run_comparison_binary_entry(spark, io_dirs, tmp_path):
+    """S2 end to end: the SAME two events as the text fixture, but
+    entering as raw binlog v4 bytes through the native decoder --
+    identical findings and counters to test_run_comparison_text_entry."""
+    from binlog_avro_comparator_spark.sources.binlog_binary import (
+        encode_binlog_file,
+    )
+
+    evs = [
+        dict(event_type="WriteRowsEventV2", timestamp="2025-06-01T12:00:00Z",
+             immediate_commmit_timestamp=None, log_position=100,
+             schema="shop", table="orders", line_no=1),
+        dict(event_type="WriteRowsEventV2", timestamp="2025-06-01T12:00:05Z",
+             immediate_commmit_timestamp=None, log_position=200,
+             schema="shop", table="orders", line_no=2),
+    ]
+    d = tmp_path / "binlog_binary"
+    d.mkdir()
+    (d / "mysql-bin.000001").write_bytes(encode_binlog_file(evs))
+    res = run_comparison(
+        spark,
+        binlog_binary_dir=str(d),
+        avro_jsonl=str(io_dirs / "avro" / "avro_rows.json"),
+    )
+    kinds = sorted(r.kind for r in res.findings.collect())
+    assert kinds == ["AVRO_ONLY_BINLOG_KEY", "TIMESTAMP_MISMATCH"]
+    s = res.summary.collect()[0]
+    assert (s.total_avro_records, s.matched, s.ts_mismatches, s.avro_only,
+            s.binlog_only) == (3, 2, 1, 1, 0)
+
+
+def test_run_comparison_rejects_two_binlog_inputs(spark, io_dirs):
+    with pytest.raises(ValueError):
+        run_comparison(
+            spark,
+            binlog_text_dir="a",
+            binlog_binary_dir="b",
+            avro_jsonl="x",
+        )
