@@ -593,3 +593,66 @@ def test_semdedup_matches_python_reference(spark, seed):
         ).collect()
     )
     assert got == want
+
+
+# --- S2 binary codec: pure-Python property (no Spark session needed) ------
+
+_name_st = st.text(
+    st.characters(codec="utf-8", exclude_characters="\x00"),
+    min_size=0,
+    max_size=40,
+)
+
+
+@st.composite
+def _binlog_events(draw):
+    n = draw(st.integers(min_value=0, max_value=25))
+    evs = []
+    for i in range(n):
+        et = draw(st.sampled_from(
+            ["WriteRowsEventV2", "UpdateRowsEventV2", "DeleteRowsEventV2",
+             "XID", "Query"]))
+        sec = draw(st.integers(min_value=0, max_value=2**32 - 1))
+        ict_us = draw(st.one_of(
+            st.none(), st.integers(min_value=1, max_value=2**48)))
+        from binlog_avro_comparator_spark.sources.binlog_binary import (
+            _fmt_ict, _fmt_ts)
+        evs.append(dict(
+            event_type=et,
+            timestamp=_fmt_ts(sec),
+            immediate_commmit_timestamp=None if ict_us is None else _fmt_ict(ict_us),
+            log_position=draw(st.integers(min_value=0, max_value=2**32 - 1)),
+            # schema/table lengths ride 1-byte fields: cap utf-8 size
+            schema=draw(_name_st.filter(lambda s: len(s.encode()) < 250)),
+            table=draw(_name_st.filter(lambda s: len(s.encode()) < 250)),
+            line_no=i,
+        ))
+    return evs
+
+
+@settings(max_examples=60, deadline=None)
+@given(_binlog_events())
+def test_binlog_binary_roundtrip_property(evs):
+    """encode -> decode is lossless for every field the contract
+    carries, for arbitrary event sequences including unicode names,
+    null/extreme commit timestamps, and zero positions."""
+    from binlog_avro_comparator_spark.sources.binlog_binary import (
+        FIXTURE_SID_STR, decode_binlog_bytes, encode_binlog_file)
+
+    rows = list(decode_binlog_bytes("f", encode_binlog_file(evs)))
+    assert len(rows) == len(evs)
+    for i, (ev, row) in enumerate(zip(evs, rows)):
+        _, line_no, et, ts, ict, pos, schema, table, gtid = row
+        assert line_no == i + 1
+        assert et == ev["event_type"]
+        assert ts == ev["timestamp"]
+        assert ict == ev["immediate_commmit_timestamp"]
+        assert pos == ev["log_position"]
+        assert gtid == f"{FIXTURE_SID_STR}:{ev['line_no'] + 1}"
+        if et.endswith("RowsEventV2"):
+            assert (schema, table) == (ev["schema"], ev["table"])
+        elif et == "XID":
+            assert (schema, table) == (None, None)
+        else:  # Query: schema only, empty collapses to NULL
+            assert table is None
+            assert schema == (ev["schema"] or None)
