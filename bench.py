@@ -100,6 +100,10 @@ EXTRA_QUERIES = [
     "doc_type_token_ratio",
     "events_session_stream",
     "cdc_parse_binlog_binary",
+    "shipping_priority",
+    "supplier_part_counts",
+    "small_quantity_revenue",
+    "brand_bracket_revenue",
 ]
 
 

@@ -1299,3 +1299,179 @@ def idle_rich_customers(
             "totacctbal"
         ),
     )
+
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-06-01",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3-shaped shipping priority: unshipped-revenue top-k for
+    one market segment (orders placed before ``cutoff``, line items
+    shipped after it; o_orderpriority plays o_shippriority on this
+    schema).
+
+    The segment filter runs on the customer DIM and semi-joins into
+    orders (broadcast -- only matching custkeys ship); the date
+    predicates push to both fact scans; lineitem revenue aggregates
+    per order BEFORE the orders join so the big shuffle carries one
+    row per order.  Top-k is TakeOrderedAndProject, never a global
+    sort.  Returns (l_orderkey, revenue, o_orderdate, o_orderpriority)
+    with the date formatted as yyyy-MM-dd so the cross-engine hash
+    compares strings, not timestamp encodings."""
+    cut = F.lit(cutoff).cast("timestamp")
+    cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    ords = (
+        orders.filter(F.col("o_orderdate") < cut)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    rev = (
+        lineitem.filter(F.col("l_shipdate") > cut)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(_DEC)
+                * (F.lit(1) - F.col("l_discount")).cast(_DEC)
+            ).alias("__rev")
+        )
+    )
+    return (
+        rev.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            F.col("__rev").cast("double").alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(k)
+    )
+
+
+def supplier_part_counts(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    excl_brand: str = "Brand#1",
+    excl_type: str = "PROMO",
+    sizes: tuple[int, ...] = (1, 4, 9, 14, 19, 24, 29, 34, 39, 44, 49),
+) -> DataFrame:
+    """TPC-H Q16-shaped supplier/part relationship count: how many
+    DISTINCT suppliers can furnish each (brand, type, size) bucket,
+    excluding one brand, one type family, and complained-about
+    suppliers (no partsupp in this corpus: the observed distinct
+    (l_partkey, l_suppkey) shipping pairs play the relationship, and
+    a negative account balance plays the complaint flag).
+
+    The NOT-IN supplier exclusion decorrelates to a LEFT ANTI hash
+    join against a ~100-row broadcast side; the part filters are
+    dimension-side (brand/type inequality + an IN-list on size, all
+    pushed to the part scan).  The fact pass reduces to distinct
+    pairs FIRST -- the count-distinct then runs over the already-
+    deduplicated relationship frame, so the wide shuffle carries
+    (partkey, suppkey) pairs once each, not one row per line item.
+    Returns (p_brand, p_type, p_size, supplier_cnt)."""
+    rel = lineitem.select("l_partkey", "l_suppkey").distinct()
+    bad = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    rel = rel.join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+    pt = part.filter(
+        (F.col("p_brand") != excl_brand)
+        & (F.col("p_type") != excl_type)
+        & F.col("p_size").isin(*sizes)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        rel.join(pt, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame, part: DataFrame, brand: str = "Brand#23", frac: float = 0.2
+) -> DataFrame:
+    """TPC-H Q17-shaped small-quantity-order revenue: the yearly gross
+    loss if orders below ``frac`` of a part's average quantity were no
+    longer filled, over one brand (no p_container on this schema; the
+    brand filter alone scopes the part set).
+
+    The correlated per-part average DECORRELATES to one groupBy over
+    the brand's line items + a join-back -- no window touches the
+    fact, and both the threshold side and the join are scoped to the
+    brand's partkeys (semi-join pushdown, broadcast at any scale
+    where one brand's catalog fits an executor).  The quantity
+    threshold stays in DOUBLE: quantities are integral doubles, their
+    sum is exact (< 2^53), so avg and frac*avg are bit-identical
+    across engines and the strict < cut is deterministic.  Returns
+    one row (avg_yearly)."""
+    pk = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    li = lineitem.select("l_partkey", "l_quantity", "l_extendedprice").join(
+        F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    thresh = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (F.avg("l_quantity") * frac).alias("__cut")
+    )
+    small = li.join(
+        thresh,
+        (F.col("l_partkey") == F.col("__pk")) & (F.col("l_quantity") < F.col("__cut")),
+    )
+    return small.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double") / F.lit(7.0), 4
+        ).alias("avg_yearly")
+    )
+
+
+def brand_bracket_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    brackets: tuple[tuple[str, int, float], ...] = (
+        ("Brand#12", 5, 11.0),
+        ("Brand#23", 10, 20.0),
+        ("Brand#24", 15, 30.0),
+    ),
+) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive-predicate revenue: an OR of three
+    (brand, max size, quantity window) conjunctions, each bracket
+    pairing a part-side predicate with a lineitem-side one (no
+    p_container / l_shipmode here; size and a 10-wide quantity band
+    play those roles, quantity band = (max_qty-10, max_qty]).
+
+    The join stays a single partkey EQUI-join -- the disjunction rides
+    as a residual filter, so Catalyst still plans a hash join, never a
+    cartesian.  Each side ALSO gets the union of its own bracket
+    predicates pushed to its scan (brand IN-list + size cap on part,
+    the overall quantity envelope on lineitem): the residual only
+    re-checks bracket pairing on rows that already passed the scan
+    cut.  Returns one row (revenue)."""
+    qty_lo = min(b[2] for b in brackets) - 10.0
+    qty_hi = max(b[2] for b in brackets)
+    pt = part.filter(
+        F.col("p_brand").isin(*[b[0] for b in brackets])
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= max(b[1] for b in brackets))
+    ).select("p_partkey", "p_brand", "p_size")
+    li = lineitem.filter(
+        (F.col("l_quantity") > qty_lo) & (F.col("l_quantity") <= qty_hi)
+    ).select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    residual = None
+    for brand, max_size, max_q in brackets:
+        clause = (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size") <= max_size)
+            & (F.col("l_quantity") > max_q - 10.0)
+            & (F.col("l_quantity") <= max_q)
+        )
+        residual = clause if residual is None else (residual | clause)
+    joined = li.join(pt, (F.col("l_partkey") == F.col("p_partkey")) & residual)
+    return joined.agg(
+        F.sum(
+            F.col("l_extendedprice").cast(_DEC)
+            * (F.lit(1) - F.col("l_discount")).cast(_DEC)
+        )
+        .cast("double")
+        .alias("revenue")
+    )

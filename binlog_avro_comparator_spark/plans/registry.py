@@ -25,7 +25,11 @@ from ..operators.parse import parse_binlog_text
 from ..operators import compare as C
 from ..operators.analytics import (
     big_ticket_orders,
+    brand_bracket_revenue,
     discounted_revenue,
+    shipping_priority,
+    small_quantity_revenue,
+    supplier_part_counts,
     excess_quantity_suppliers,
     idle_rich_customers,
     important_parts,
@@ -1681,6 +1685,38 @@ def _q_cdc_parse_binlog_binary(spark, sf_dir):
     return read_binlog_binary_dir(spark, d)
 
 
+def _q_shipping_priority(spark, sf_dir):
+    ensure_session_conf(spark)
+    return shipping_priority(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def _q_supplier_part_counts(spark, sf_dir):
+    ensure_session_conf(spark)
+    return supplier_part_counts(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
+def _q_small_quantity_revenue(spark, sf_dir):
+    ensure_session_conf(spark)
+    return small_quantity_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+def _q_brand_bracket_revenue(spark, sf_dir):
+    ensure_session_conf(spark)
+    return brand_bracket_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     # NOTE on ordering: the external correctness driver checks the FIRST 50
     # entries of this dict (CORRECTNESS_r02 covered exactly queries 1..50).
@@ -1691,7 +1727,7 @@ def queries() -> dict[str, QueryFn]:
     # squeezed out) plus embedding_quantize_int8, r3's one red row (now
     # projected to CSV).  After these, media/int8-adjacent rows the r4
     # changes touched, then the freshest green tier for regression
-    # coverage.  With 119 registered queries a 50-entry window cannot
+    # coverage.  With 123 registered queries a 50-entry window cannot
     # cover everything; ALL entries, window or not, are value-verified
     # locally each round at sf0.01 AND sf0.1 by scratch/check.py
     # (endurance evidence in SCALE.md).
@@ -1734,6 +1770,10 @@ def queries() -> dict[str, QueryFn]:
         "doc_type_token_ratio": _q_type_token_ratio,
         "events_session_stream": _q_events_session_stream,
         "cdc_parse_binlog_binary": _q_cdc_parse_binlog_binary,
+        "shipping_priority": _q_shipping_priority,
+        "supplier_part_counts": _q_supplier_part_counts,
+        "small_quantity_revenue": _q_small_quantity_revenue,
+        "brand_bracket_revenue": _q_brand_bracket_revenue,
         # -- freshest green tier (r3 window, regression coverage) --
         "doc_boilerplate_removal": _q_remove_boilerplate,
         "embedding_semdedup": _q_semdedup,
@@ -1752,11 +1792,13 @@ def queries() -> dict[str, QueryFn]:
         "events_kmv_distinct_users": _q_kmv_distinct,
         "events_salted_type_stats": _q_salted_type_stats,
         "doc_repeated_spans": _q_repeated_spans,
+        # ---- driver window boundary (position 50) ----
+        # (the 4 TPC-H completion queries above pushed these r3-green
+        # rows out of the window; they keep their r3 driver evidence)
         "ngram_jaccard_pairs": _q_jaccard_pairs,
         "doc_redact_pii": _q_redact_pii,
         "doc_split_assignments": _q_split_assignments,
         "embedding_kmeans": _q_kmeans,
-        # ---- driver window boundary (position 50) ----
         "events_rank_family": _q_rank_family,
         "orders_cube": _q_orders_cube,
         "events_dedup_stream": _q_events_dedup_stream,
@@ -3682,6 +3724,63 @@ WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                   AND o_orderdate >= TIMESTAMP '1999-01-01')
 GROUP BY c_nationkey""",
+        # twin of analytics.shipping_priority (Q3 shape: segment dim
+        # semi-join, per-order revenue below the join, top-10)
+        "shipping_priority": """
+WITH rev AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+  FROM lineitem
+  WHERE l_shipdate > TIMESTAMP '1998-06-01'
+  GROUP BY l_orderkey
+)
+SELECT l_orderkey, revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority
+FROM rev
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE o_orderdate < TIMESTAMP '1998-06-01'
+  AND c_mktsegment = 'BUILDING'
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10""",
+        # twin of analytics.supplier_part_counts (Q16 shape: distinct
+        # shipping pairs play partsupp, negative balance plays the
+        # complaint flag, NOT IN decorrelated to an anti join)
+        "supplier_part_counts": """
+WITH rel AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+)
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM rel
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34, 39, 44, 49)
+GROUP BY p_brand, p_type, p_size""",
+        # twin of analytics.small_quantity_revenue (Q17 shape:
+        # correlated per-part average decorrelated to groupBy +
+        # join-back; integral-double quantities keep the cut exact)
+        "small_quantity_revenue": """
+WITH li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23')
+), cut AS (
+  SELECT l_partkey AS pk, avg(l_quantity) * 0.2 AS c FROM li GROUP BY l_partkey
+)
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 4)
+         AS avg_yearly
+FROM li JOIN cut ON l_partkey = pk AND l_quantity < c""",
+        # twin of analytics.brand_bracket_revenue (Q19 shape: one
+        # partkey equi-join, the bracket disjunction as residual)
+        "brand_bracket_revenue": """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity > 1  AND l_quantity <= 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity > 10 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+       AND l_quantity > 20 AND l_quantity <= 30)""",
         # twin of textstats.type_token_ratio (same \\S+ tokenizer over
         # the lower-cased text; list_distinct plays array_distinct)
         "doc_type_token_ratio": r"""

@@ -559,3 +559,71 @@ def test_type_token_ratio_values(spark):
     assert (got[1].n_tokens, got[1].n_types, got[1].ttr) == (5, 3, 0.6)
     assert (got[2].n_tokens, got[2].n_types, got[2].ttr) == (0, 0, 0.0)
     assert (got[3].n_tokens, got[3].n_types, got[3].ttr) == (3, 1, round(1 / 3, 6))
+
+def test_shipping_priority_agg_below_join_topk(spark):
+    from binlog_avro_comparator_spark.operators.analytics import shipping_priority
+
+    df = shipping_priority(
+        load_table(spark, SF, "customer"),
+        load_table(spark, SF, "orders"),
+        load_table(spark, SF, "lineitem"),
+    )
+    plan = _plan(df)
+    # per-order revenue reduces lineitem BEFORE the orders join: the
+    # aggregate has map-side combine and no join output feeds it
+    assert "partial_sum" in plan
+    assert "TakeOrderedAndProject" in plan  # top-10, never a global sort
+    # both date predicates reach their parquet scans
+    assert "GreaterThan(l_shipdate" in plan
+    assert "LessThan(o_orderdate" in plan
+    # segment filter runs on the customer dim as a semi join
+    assert "LeftSemi" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_supplier_part_counts_anti_join_distinct_first(spark):
+    from binlog_avro_comparator_spark.operators.analytics import supplier_part_counts
+
+    df = supplier_part_counts(
+        load_table(spark, SF, "lineitem"),
+        load_table(spark, SF, "part"),
+        load_table(spark, SF, "supplier"),
+    )
+    plan = _plan(df)
+    # NOT IN decorrelated to a broadcast anti join on the tiny bad-supplier set
+    assert "LeftAnti" in plan and "Broadcast" in plan
+    # the dimension filters (brand/type/size in-list) reach the part scan
+    assert "Not(EqualTo(p_brand,Brand#1))" in plan
+    assert "In(p_size" in plan
+    # no window anywhere: distinct + groupBy only
+    assert "Window" not in plan
+
+
+def test_small_quantity_revenue_no_fact_window(spark):
+    from binlog_avro_comparator_spark.operators.analytics import small_quantity_revenue
+
+    df = small_quantity_revenue(
+        load_table(spark, SF, "lineitem"), load_table(spark, SF, "part")
+    )
+    plan = _plan(df)
+    # correlated avg decorrelated: groupBy + join-back, no window over the fact
+    assert "Window" not in plan
+    # brand scopes the part dim and semi-joins into lineitem (broadcast)
+    assert "EqualTo(p_brand,Brand#23)" in plan
+    assert "LeftSemi" in plan
+
+
+def test_brand_bracket_revenue_equi_join_residual(spark):
+    from binlog_avro_comparator_spark.operators.analytics import brand_bracket_revenue
+
+    df = brand_bracket_revenue(
+        load_table(spark, SF, "lineitem"), load_table(spark, SF, "part")
+    )
+    plan = _plan(df)
+    # the disjunction must NOT degrade the join to a nested-loop cartesian:
+    # Catalyst keeps the partkey equi-join and carries the OR as residual
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # scan-level envelopes pushed on both sides
+    assert "In(p_brand" in plan
+    assert "GreaterThan(l_quantity" in plan and "LessThanOrEqual(l_quantity" in plan
