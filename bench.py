@@ -104,6 +104,9 @@ EXTRA_QUERIES = [
     "supplier_part_counts",
     "small_quantity_revenue",
     "brand_bracket_revenue",
+    "corpus_source_reputation",
+    "doc_source_filter",
+    "events_enrich_stream",
 ]
 
 

@@ -962,3 +962,59 @@ def type_token_ratio(documents: DataFrame) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("ttr"),
     )
+
+
+def source_reputation(documents: DataFrame, min_stop_rate: float = 0.065) -> DataFrame:
+    """Per-source reputation table: corpus-level stopword / punctuation
+    rates per origin ``source`` (the domain-level quality signal a web
+    curation pipeline applies before any per-document scoring --
+    CCNet/RefinedWeb-style URL/domain filtering, with ``source``
+    playing the domain).
+
+    Rates are RATIO-OF-SUMS, not mean-of-ratios: the integer token
+    counters are summed exactly (order-independent) and divided once,
+    so the double is bit-identical across engines and partitionings --
+    a mean of per-doc double ratios would depend on reduction order.
+    One map-side-combined aggregate over ~#sources keys; nothing else
+    shuffles.  Returns (source, n_docs, stop_rate, punct_rate,
+    reputable)."""
+    t = F.col("text")
+    per_doc = documents.select(
+        "source",
+        _count_re(t, _stopword_re(EN_STOPWORDS)).alias("__stop"),
+        _count_re(t, TOKEN_RE).alias("__words"),
+        _count_re(t, PUNCT_RE).alias("__punct"),
+        F.length(t).alias("__len"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__stop").alias("__s"),
+            F.sum("__words").alias("__w"),
+            F.sum("__punct").alias("__p"),
+            F.sum("__len").alias("__l"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("__s") / F.col("__w"), 6).alias("stop_rate"),
+            F.round(F.col("__p") / F.col("__l"), 6).alias("punct_rate"),
+            (F.round(F.col("__s") / F.col("__w"), 6) >= min_stop_rate).alias(
+                "reputable"
+            ),
+        )
+    )
+
+
+def filter_by_source_reputation(
+    documents: DataFrame, min_stop_rate: float = 0.065
+) -> DataFrame:
+    """Keep only documents from reputable sources: the per-source
+    verdict (a ~#sources-row frame) broadcasts back onto the corpus as
+    an equi-join -- the 100 TB shape is a map-side hash lookup per doc,
+    zero fact shuffle.  Returns (doc_id, source, stop_rate)."""
+    rep = source_reputation(documents, min_stop_rate).filter(F.col("reputable"))
+    return documents.join(
+        F.broadcast(rep.select("source", "stop_rate")), "source"
+    ).select("doc_id", "source", "stop_rate")

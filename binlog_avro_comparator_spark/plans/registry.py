@@ -93,6 +93,7 @@ from ..operators.textstats import (
     contamination_scores,
     corpus_vocab_topk,
     encode_token_ids,
+    filter_by_source_reputation,
     fingerprints,
     lang_id,
     length_quantiles,
@@ -100,6 +101,7 @@ from ..operators.textstats import (
     quality_scores,
     repetition_scores,
     shard_assignments,
+    source_reputation,
     stratified_sample,
     tfidf_top_terms,
     token_stats,
@@ -1717,6 +1719,54 @@ def _q_brand_bracket_revenue(spark, sf_dir):
     )
 
 
+def _q_source_reputation(spark, sf_dir):
+    ensure_session_conf(spark)
+    return source_reputation(_docs(spark, sf_dir))
+
+
+def _q_doc_source_filter(spark, sf_dir):
+    ensure_session_conf(spark)
+    return filter_by_source_reputation(_docs(spark, sf_dir))
+
+
+def _q_events_enrich_stream(spark, sf_dir):
+    """Stream-static enrichment join in the driver contract: the
+    events table replayed as a file stream, left-joined per micro-batch
+    to the BATCH per-user profile aggregated from the same table
+    (broadcast dimension, stateless join, no watermark).  Every stream
+    row is emitted exactly once, so the drained sink equals the batch
+    join -- which is the oracle verbatim."""
+    global _STREAM_SINK_SEQ
+    from ..sources.tables import _EVENTS_SCHEMA, events_ts_column
+    from ..streaming.enrich_stream import enrich_with_profile, user_profile
+
+    ensure_session_conf(spark)
+    batch_events = load_table(spark, sf_dir, "events")
+    profile = user_profile(batch_events)
+    stream = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", events_ts_column(sf_dir))
+    )
+    _STREAM_SINK_SEQ += 1
+    name = f"events_enrich_stream_sink_{_STREAM_SINK_SEQ}"
+    out = enrich_with_profile(stream, profile)
+    with _stream_state_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(f"{name}: availableNow drain exceeded 300s")
+        q.stop()
+    return spark.table(name)
+
+
 def queries() -> dict[str, QueryFn]:
     # NOTE on ordering: the external correctness driver checks the FIRST 50
     # entries of this dict (CORRECTNESS_r02 covered exactly queries 1..50).
@@ -1727,7 +1777,7 @@ def queries() -> dict[str, QueryFn]:
     # squeezed out) plus embedding_quantize_int8, r3's one red row (now
     # projected to CSV).  After these, media/int8-adjacent rows the r4
     # changes touched, then the freshest green tier for regression
-    # coverage.  With 123 registered queries a 50-entry window cannot
+    # coverage.  With 126 registered queries a 50-entry window cannot
     # cover everything; ALL entries, window or not, are value-verified
     # locally each round at sf0.01 AND sf0.1 by scratch/check.py
     # (endurance evidence in SCALE.md).
@@ -1774,6 +1824,9 @@ def queries() -> dict[str, QueryFn]:
         "supplier_part_counts": _q_supplier_part_counts,
         "small_quantity_revenue": _q_small_quantity_revenue,
         "brand_bracket_revenue": _q_brand_bracket_revenue,
+        "corpus_source_reputation": _q_source_reputation,
+        "doc_source_filter": _q_doc_source_filter,
+        "events_enrich_stream": _q_events_enrich_stream,
         # -- freshest green tier (r3 window, regression coverage) --
         "doc_boilerplate_removal": _q_remove_boilerplate,
         "embedding_semdedup": _q_semdedup,
@@ -1789,12 +1842,13 @@ def queries() -> dict[str, QueryFn]:
         "media_exact_dedup": _q_media_exact_dedup,
         "doc_span_removal": _q_remove_spans,
         "cdc_avro_native_scan_jvm": _q_cdc_avro_native_scan_jvm,
+        # ---- driver window boundary (position 50) ----
+        # (the 7 r4 additions above -- 4 TPC-H completions, source
+        # reputation x2, stream-static enrich -- pushed these r3-green
+        # rows out of the window; they keep their r3 driver evidence)
         "events_kmv_distinct_users": _q_kmv_distinct,
         "events_salted_type_stats": _q_salted_type_stats,
         "doc_repeated_spans": _q_repeated_spans,
-        # ---- driver window boundary (position 50) ----
-        # (the 4 TPC-H completion queries above pushed these r3-green
-        # rows out of the window; they keep their r3 driver evidence)
         "ngram_jaccard_pairs": _q_jaccard_pairs,
         "doc_redact_pii": _q_redact_pii,
         "doc_split_assignments": _q_split_assignments,
@@ -3781,6 +3835,50 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
        AND l_quantity > 10 AND l_quantity <= 20)
    OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
        AND l_quantity > 20 AND l_quantity <= 30)""",
+        # twin of textstats.source_reputation (domain-level curation
+        # signal; ratio-of-sums so the double is order-independent)
+        "corpus_source_reputation": rf"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         sum(len(regexp_extract_all(text, '{_EN_RE}'))) AS s,
+         sum(len(regexp_extract_all(text, '{_TOKEN_RE_SQL}'))) AS w,
+         sum(len(regexp_extract_all(text, '[.,!?;:]'))) AS p,
+         sum(length(text)) AS l
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs,
+       round(CAST(s AS DOUBLE) / w, 6) AS stop_rate,
+       round(CAST(p AS DOUBLE) / l, 6) AS punct_rate,
+       round(CAST(s AS DOUBLE) / w, 6) >= 0.065 AS reputable
+FROM per""",
+        # twin of textstats.filter_by_source_reputation (the per-source
+        # verdict broadcast back onto the corpus)
+        "doc_source_filter": rf"""
+WITH per AS (
+  SELECT source,
+         sum(len(regexp_extract_all(text, '{_EN_RE}'))) AS s,
+         sum(len(regexp_extract_all(text, '{_TOKEN_RE_SQL}'))) AS w
+  FROM documents GROUP BY source
+), rep AS (
+  SELECT source, round(CAST(s AS DOUBLE) / w, 6) AS stop_rate FROM per
+  WHERE round(CAST(s AS DOUBLE) / w, 6) >= 0.065
+)
+SELECT doc_id, documents.source AS source, stop_rate
+FROM documents JOIN rep ON documents.source = rep.source""",
+        # twin of streaming/enrich_stream.py: a stream-static join
+        # emits each stream row exactly once, so the drained sink
+        # equals this batch left join verbatim
+        "events_enrich_stream": """
+WITH prof AS (
+  SELECT user_id, count(*) AS user_n_events,
+         count(CASE WHEN event_type = 'purchase' THEN 1 END) AS user_n_purchases,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS user_total_value
+  FROM events GROUP BY user_id
+)
+SELECT event_id, e.user_id AS user_id, event_type, value,
+       user_n_events, user_n_purchases, user_total_value,
+       coalesce(user_n_purchases, 0) >= 5 AS is_power_user
+FROM events e LEFT JOIN prof ON e.user_id = prof.user_id""",
         # twin of textstats.type_token_ratio (same \\S+ tokenizer over
         # the lower-cased text; list_distinct plays array_distinct)
         "doc_type_token_ratio": r"""

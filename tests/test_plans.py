@@ -627,3 +627,60 @@ def test_brand_bracket_revenue_equi_join_residual(spark):
     # scan-level envelopes pushed on both sides
     assert "In(p_brand" in plan
     assert "GreaterThan(l_quantity" in plan and "LessThanOrEqual(l_quantity" in plan
+
+
+def test_doc_source_filter_broadcast_no_fact_shuffle(spark):
+    from binlog_avro_comparator_spark.operators.textstats import (
+        filter_by_source_reputation,
+    )
+    from binlog_avro_comparator_spark.sources.tables import load_table as _lt
+
+    df = filter_by_source_reputation(_lt(spark, SF, "documents"))
+    plan = _plan(df)
+    # the per-source verdict broadcasts back onto the corpus: the only
+    # exchange in the plan is the ~#sources-key aggregate (+broadcast),
+    # never a hash repartition of the documents fact for the join
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_enrich_stream_join_is_stateless(spark):
+    """A stream-static join must plan ZERO stateful operators: no
+    state store, no watermark bookkeeping -- each micro-batch is a
+    broadcast hash lookup.  Assert via the drained query's last
+    progress: stateOperators is empty (a stream-stream join or
+    streaming agg would report state rows/commits there)."""
+    import json as _json
+
+    from binlog_avro_comparator_spark.sources.tables import (
+        _EVENTS_SCHEMA,
+        events_ts_column,
+        load_table as _lt,
+    )
+    from binlog_avro_comparator_spark.streaming.enrich_stream import (
+        enrich_with_profile,
+        user_profile,
+    )
+    from pyspark.sql import functions as F_
+
+    profile = user_profile(_lt(spark, SF, "events"))
+    stream = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF)
+        .withColumn("ts", events_ts_column(SF))
+    )
+    q = (
+        enrich_with_profile(stream, profile)
+        .writeStream.format("memory")
+        .queryName("enrich_stateless_probe")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    progress = _json.loads(q.lastProgress.json) if q.lastProgress else {}
+    q.stop()
+    assert progress.get("stateOperators") == []
+    n = spark.table("enrich_stateless_probe").count()
+    assert n == _lt(spark, SF, "events").count()
