@@ -107,6 +107,7 @@ EXTRA_QUERIES = [
     "corpus_source_reputation",
     "doc_source_filter",
     "events_enrich_stream",
+    "doc_gopher_quality",
 ]
 
 

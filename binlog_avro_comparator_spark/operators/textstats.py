@@ -1018,3 +1018,57 @@ def filter_by_source_reputation(
     return documents.join(
         F.broadcast(rep.select("source", "stop_rate")), "source"
     ).select("doc_id", "source", "stop_rate")
+
+
+def gopher_quality_flags(
+    documents: DataFrame,
+    min_words: int = 25,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 4.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style rule battery (Rae et al. 2021, table A1, adapted to
+    single-line synthetic docs): per-document quality flags for word
+    count bounds, mean word length bounds, symbol-to-word ratio,
+    fraction of words containing an alphabetic character, and a minimum
+    stopword-hit count -- plus the AND of all five as ``passes_gopher``.
+
+    Every signal is an integer count; ratios are single divisions of
+    exact ints rounded to 6, so the flags are bit-deterministic across
+    engines and partitionings.  Pure column expressions over one token
+    array (no UDF, no shuffle) -- at 100 TB this runs at scan speed
+    inside whole-stage codegen."""
+    t = F.col("text")
+    toks = F.regexp_extract_all(t, F.lit(r"(\S+)"), 1)
+    n_words = F.size(toks)
+    word_chars = F.aggregate(
+        toks, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    n_symbols = _count_re(t, PUNCT_RE) + _count_re(t, "[#@]")
+    n_stop = _count_re(t, _stopword_re(EN_STOPWORDS))
+    mean_wl = F.round(word_chars / n_words, 6)
+    sym_ratio = F.round(n_symbols / n_words, 6)
+    alpha_frac = F.round(n_alpha / n_words, 6)
+    r_words = (n_words >= min_words) & (n_words <= max_words)
+    r_wl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    r_sym = sym_ratio <= max_symbol_ratio
+    r_alpha = alpha_frac >= min_alpha_frac
+    r_stop = n_stop >= min_stop_hits
+    return documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_word_ratio"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_stop.alias("n_stop_hits"),
+        r_words.alias("ok_word_count"),
+        r_wl.alias("ok_word_len"),
+        r_sym.alias("ok_symbol_ratio"),
+        r_alpha.alias("ok_alpha_words"),
+        r_stop.alias("ok_stopwords"),
+        (r_words & r_wl & r_sym & r_alpha & r_stop).alias("passes_gopher"),
+    )

@@ -100,6 +100,7 @@ from ..operators.textstats import (
     quality_deciles,
     quality_scores,
     repetition_scores,
+    gopher_quality_flags,
     shard_assignments,
     source_reputation,
     stratified_sample,
@@ -1719,6 +1720,11 @@ def _q_brand_bracket_revenue(spark, sf_dir):
     )
 
 
+def _q_gopher_quality(spark, sf_dir):
+    ensure_session_conf(spark)
+    return gopher_quality_flags(_docs(spark, sf_dir))
+
+
 def _q_source_reputation(spark, sf_dir):
     ensure_session_conf(spark)
     return source_reputation(_docs(spark, sf_dir))
@@ -1777,7 +1783,7 @@ def queries() -> dict[str, QueryFn]:
     # squeezed out) plus embedding_quantize_int8, r3's one red row (now
     # projected to CSV).  After these, media/int8-adjacent rows the r4
     # changes touched, then the freshest green tier for regression
-    # coverage.  With 126 registered queries a 50-entry window cannot
+    # coverage.  With 127 registered queries a 50-entry window cannot
     # cover everything; ALL entries, window or not, are value-verified
     # locally each round at sf0.01 AND sf0.1 by scratch/check.py
     # (endurance evidence in SCALE.md).
@@ -1827,6 +1833,7 @@ def queries() -> dict[str, QueryFn]:
         "corpus_source_reputation": _q_source_reputation,
         "doc_source_filter": _q_doc_source_filter,
         "events_enrich_stream": _q_events_enrich_stream,
+        "doc_gopher_quality": _q_gopher_quality,
         # -- freshest green tier (r3 window, regression coverage) --
         "doc_boilerplate_removal": _q_remove_boilerplate,
         "embedding_semdedup": _q_semdedup,
@@ -1841,11 +1848,12 @@ def queries() -> dict[str, QueryFn]:
         "doc_fuzzy_contamination": _q_fuzzy_contamination,
         "media_exact_dedup": _q_media_exact_dedup,
         "doc_span_removal": _q_remove_spans,
-        "cdc_avro_native_scan_jvm": _q_cdc_avro_native_scan_jvm,
         # ---- driver window boundary (position 50) ----
-        # (the 7 r4 additions above -- 4 TPC-H completions, source
-        # reputation x2, stream-static enrich -- pushed these r3-green
-        # rows out of the window; they keep their r3 driver evidence)
+        # (the 8 r4 additions above -- 4 TPC-H completions, source
+        # reputation x2, stream-static enrich, gopher rules -- pushed
+        # these r3-green rows out of the window; they keep their
+        # r2/r3 driver evidence)
+        "cdc_avro_native_scan_jvm": _q_cdc_avro_native_scan_jvm,
         "events_kmv_distinct_users": _q_kmv_distinct,
         "events_salted_type_stats": _q_salted_type_stats,
         "doc_repeated_spans": _q_repeated_spans,
@@ -3865,6 +3873,41 @@ WITH per AS (
 )
 SELECT doc_id, documents.source AS source, stop_rate
 FROM documents JOIN rep ON documents.source = rep.source""",
+        # twin of textstats.gopher_quality_flags (Gopher rule battery;
+        # integer counts + single rounded divisions keep every flag
+        # bit-deterministic across engines)
+        "doc_gopher_quality": rf"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks,
+         len(regexp_extract_all(text, '[.,!?;:]'))
+           + len(regexp_extract_all(text, '[#@]')) AS n_symbols,
+         len(regexp_extract_all(text, '{_EN_RE}')) AS n_stop
+  FROM documents
+), s AS (
+  SELECT doc_id, len(toks) AS n_words,
+         list_sum(list_transform(toks, x -> length(x))) AS word_chars,
+         len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+         n_symbols, n_stop
+  FROM t
+), r AS (
+  SELECT doc_id, n_words,
+         round(CAST(word_chars AS DOUBLE) / n_words, 6) AS mean_word_len,
+         round(CAST(n_symbols AS DOUBLE) / n_words, 6) AS symbol_word_ratio,
+         round(CAST(n_alpha AS DOUBLE) / n_words, 6) AS alpha_word_frac,
+         n_stop AS n_stop_hits
+  FROM s
+)
+SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, alpha_word_frac,
+       n_stop_hits,
+       n_words BETWEEN 25 AND 100000 AS ok_word_count,
+       mean_word_len BETWEEN 4.0 AND 10.0 AS ok_word_len,
+       symbol_word_ratio <= 0.1 AS ok_symbol_ratio,
+       alpha_word_frac >= 0.8 AS ok_alpha_words,
+       n_stop_hits >= 2 AS ok_stopwords,
+       (n_words BETWEEN 25 AND 100000) AND (mean_word_len BETWEEN 4.0 AND 10.0)
+         AND symbol_word_ratio <= 0.1 AND alpha_word_frac >= 0.8
+         AND n_stop_hits >= 2 AS passes_gopher
+FROM r""",
         # twin of streaming/enrich_stream.py: a stream-static join
         # emits each stream row exactly once, so the drained sink
         # equals this batch left join verbatim

@@ -684,3 +684,21 @@ def test_enrich_stream_join_is_stateless(spark):
     assert progress.get("stateOperators") == []
     n = spark.table("enrich_stateless_probe").count()
     assert n == _lt(spark, SF, "events").count()
+
+
+def test_gopher_flags_zero_exchange(spark):
+    """The Gopher rule battery is a pure projection: no Exchange, no
+    Window, no Python -- scan-speed inside whole-stage codegen."""
+    from binlog_avro_comparator_spark.operators.textstats import gopher_quality_flags
+
+    plan = _plan(gopher_quality_flags(load_table(spark, SF, "documents")))
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # one scan, pruned to the two columns the rules read (the
+    # higher-order lambdas stay JVM-side but outside codegen -- still
+    # a single pass over the input)
+    import re as _re
+
+    assert len(_re.findall(r"^\(\d+\) Scan parquet", plan, _re.M)) == 1
+    assert "struct<doc_id:bigint,text:string>" in plan
