@@ -1201,3 +1201,63 @@ def test_mllib_slice_classifier_separates(spark):
     rows = scored.groupBy("label").agg(F.avg("p_target").alias("m")).collect()
     means = {int(r.label): r.m for r in rows}
     assert 0.0 < means[0] < means[1] < 1.0
+
+
+def test_gopher_flags_rules(spark):
+    from binlog_avro_comparator_spark.operators.textstats import gopher_quality_flags
+
+    rows = [
+        # passes all five rules: 26 words, wordlen in [4,10], no
+        # symbols, all alpha, >= 2 stopword hits
+        (1, " ".join(["the", "quick"] * 13), "en", "s", 0),
+        # too short (2 words) -> fails word count, passes others
+        (2, "the word", "en", "s", 0),
+        # symbol-heavy -> fails symbol ratio
+        (3, " ".join(["the;", "a,", "x!"] * 9), "en", "s", 0),
+        # numeric tokens -> fails alpha fraction and stopwords
+        (4, " ".join(["123", "456"] * 13), "en", "s", 0),
+    ]
+    df = spark.createDataFrame(rows, DOCS_SCHEMA)
+    got = {r["doc_id"]: r for r in gopher_quality_flags(df).collect()}
+    assert got[1]["passes_gopher"]
+    assert not got[2]["ok_word_count"] and got[2]["ok_alpha_words"]
+    assert not got[3]["ok_symbol_ratio"]
+    assert not got[4]["ok_alpha_words"] and not got[4]["ok_stopwords"]
+    assert not got[4]["passes_gopher"]
+
+
+def test_source_reputation_ratio_of_sums(spark):
+    """The per-source rate must be ratio-of-sums, not mean of per-doc
+    ratios: one long low-stopword doc outweighs many short clean ones
+    under ratio-of-sums, and the two disagree on this fixture."""
+    from binlog_avro_comparator_spark.operators.textstats import source_reputation
+
+    rows = [
+        # srcA: one short all-stopword doc (ratio 1.0) + one long
+        # stopword-free doc.  mean-of-ratios = 0.5 (would pass);
+        # ratio-of-sums = 2/42 ~= 0.048 (fails the 0.065 cut).
+        (1, "the a", "en", "srcA", 0),
+        (2, " ".join(["word"] * 40), "en", "srcA", 0),
+        (3, "the a of to", "en", "srcB", 0),
+    ]
+    df = spark.createDataFrame(rows, DOCS_SCHEMA)
+    got = {r["source"]: r for r in source_reputation(df).collect()}
+    assert abs(got["srcA"]["stop_rate"] - round(2 / 42, 6)) < 1e-9
+    assert got["srcB"]["stop_rate"] == 1.0
+    assert got["srcB"]["reputable"] and not got["srcA"]["reputable"]
+
+
+def test_enrich_profile_power_user_flag(spark):
+    from binlog_avro_comparator_spark.streaming.enrich_stream import user_profile
+
+    rows = [(i, 1000 + i, "u1" if i < 6 else "u2",
+             "purchase" if i < 5 else "click", float(i), "{}")
+            for i in range(10)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_ms long, user_id string, event_type string, value double, props string"
+    )
+    prof = {r["user_id"]: r for r in user_profile(ev).collect()}
+    assert prof["u1"]["user_n_purchases"] == 5
+    assert prof["u1"]["user_n_events"] == 6
+    assert prof["u2"]["user_n_purchases"] == 0
+    assert prof["u1"]["user_total_value"] == float(sum(range(6)))
