@@ -108,6 +108,7 @@ EXTRA_QUERIES = [
     "doc_source_filter",
     "events_enrich_stream",
     "doc_gopher_quality",
+    "corpus_heavy_langs",
 ]
 
 

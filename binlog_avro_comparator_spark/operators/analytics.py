@@ -1475,3 +1475,83 @@ def brand_bracket_revenue(
         .cast("double")
         .alias("revenue")
     )
+
+
+def misra_gries_heavy_hitters(
+    df: DataFrame, key_col: str, share: float = 0.05
+) -> DataFrame:
+    """Frequent-items sketch (Misra-Gries 1982): every key holding more
+    than ``share`` of the rows, found WITHOUT shuffling per-key counts
+    -- the third sketch tier next to KMV (bottom-k distinct) and HLL.
+
+    Two phases, the way a real heavy-hitter pipeline runs:
+
+      phase 1  true Misra-Gries per input partition via a mapInPandas
+               GENERATOR: one pass over the partition's Arrow batches
+               with a counter dict capped at ceil(1/share) entries
+               (arrival increments a tracked key, a full table decrements
+               all); emits only the surviving candidate KEYS.  The MG
+               guarantee transfers by pigeonhole: a key with global
+               frequency > share*N exceeds share*N_p in at least one
+               partition, and MG with 1/share counters never evicts such
+               a key for good within that partition.  Network cost of
+               phase 1 is <= 1/share rows PER PARTITION -- Arrow moves
+               the key column JVM->Python locally, but nothing wider
+               than the candidate list ever crosses the wire.  (A pure
+               groupBy formulation would shuffle one row per
+               partition-distinct key -- exactly the cost a sketch
+               exists to avoid; this is the case where the built-in
+               operators genuinely can't express bounded-memory
+               semantics, so Python earns its place.)
+      phase 2  exact confirmation: the deduped candidate set (<=
+               n_partitions/share keys) broadcast-semi-joins back into
+               the fact, exact counts of ONLY those keys, strict filter
+               against the 1-row broadcast total.
+
+    Output equals the exact ``HAVING count > share*N`` answer -- the
+    sketch changes the cost, not the result -- so the operator is fully
+    oracle-comparable.  Returns (key, cnt, share) ordered nowhere;
+    callers sort."""
+    import math
+    from pyspark.sql import types as T
+
+    k = max(1, math.ceil(1.0 / share))
+
+    def _mg(batches):
+        # mergeable-summary form (Agarwal/Cormode et al. 2012): fold
+        # each Arrow batch's exact value_counts into the sketch, then
+        # trim back to k counters by subtracting the (k+1)-th largest
+        # count from all and dropping the non-positive -- vectorized,
+        # same N_p/(k+1) undercount bound as row-at-a-time MG, so no
+        # heavy key is ever a false negative (strict > in phase 2).
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for key, n in pdf["key"].dropna().value_counts().items():
+                counters[key] = counters.get(key, 0) + int(n)
+            if len(counters) > k:
+                sub = sorted(counters.values(), reverse=True)[k]
+                counters = {c: n - sub for c, n in counters.items() if n > sub}
+        yield pd.DataFrame({"key": list(counters.keys())})
+
+    keyed = df.select(F.col(key_col).cast("string").alias("key"))
+    cand = (
+        keyed.mapInPandas(_mg, T.StructType([T.StructField("key", T.StringType())]))
+        .distinct()
+    )
+    total = keyed.agg(F.count("key").alias("__n"))
+    exact = (
+        keyed.join(F.broadcast(cand), "key", "left_semi")
+        .groupBy("key")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt").cast("double") > F.col("__n").cast("double") * share)
+        .select(
+            "key",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("__n"), 6).alias("share"),
+        )
+    )

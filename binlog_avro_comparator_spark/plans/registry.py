@@ -47,6 +47,7 @@ from ..operators.analytics import (
     hll_distinct_users,
     late_exclusive_suppliers,
     late_shipment_orders,
+    misra_gries_heavy_hitters,
     monthly_revenue_growth,
     high_value_customers,
     kmv_distinct_users,
@@ -1725,6 +1726,11 @@ def _q_gopher_quality(spark, sf_dir):
     return gopher_quality_flags(_docs(spark, sf_dir))
 
 
+def _q_heavy_langs(spark, sf_dir):
+    ensure_session_conf(spark)
+    return misra_gries_heavy_hitters(_docs(spark, sf_dir), "lang", share=0.25)
+
+
 def _q_source_reputation(spark, sf_dir):
     ensure_session_conf(spark)
     return source_reputation(_docs(spark, sf_dir))
@@ -1783,7 +1789,7 @@ def queries() -> dict[str, QueryFn]:
     # squeezed out) plus embedding_quantize_int8, r3's one red row (now
     # projected to CSV).  After these, media/int8-adjacent rows the r4
     # changes touched, then the freshest green tier for regression
-    # coverage.  With 127 registered queries a 50-entry window cannot
+    # coverage.  With 128 registered queries a 50-entry window cannot
     # cover everything; ALL entries, window or not, are value-verified
     # locally each round at sf0.01 AND sf0.1 by scratch/check.py
     # (endurance evidence in SCALE.md).
@@ -1834,6 +1840,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_source_filter": _q_doc_source_filter,
         "events_enrich_stream": _q_events_enrich_stream,
         "doc_gopher_quality": _q_gopher_quality,
+        "corpus_heavy_langs": _q_heavy_langs,
         # -- freshest green tier (r3 window, regression coverage) --
         "doc_boilerplate_removal": _q_remove_boilerplate,
         "embedding_semdedup": _q_semdedup,
@@ -1847,12 +1854,12 @@ def queries() -> dict[str, QueryFn]:
         "late_exclusive_suppliers": _q_late_exclusive_suppliers,
         "doc_fuzzy_contamination": _q_fuzzy_contamination,
         "media_exact_dedup": _q_media_exact_dedup,
-        "doc_span_removal": _q_remove_spans,
         # ---- driver window boundary (position 50) ----
-        # (the 8 r4 additions above -- 4 TPC-H completions, source
-        # reputation x2, stream-static enrich, gopher rules -- pushed
-        # these r3-green rows out of the window; they keep their
-        # r2/r3 driver evidence)
+        # (the 9 r4 additions above -- 4 TPC-H completions, source
+        # reputation x2, stream-static enrich, gopher rules, MG heavy
+        # hitters -- pushed these r3-green rows out of the window;
+        # they keep their r2/r3 driver evidence)
+        "doc_span_removal": _q_remove_spans,
         "cdc_avro_native_scan_jvm": _q_cdc_avro_native_scan_jvm,
         "events_kmv_distinct_users": _q_kmv_distinct,
         "events_salted_type_stats": _q_salted_type_stats,
@@ -3908,6 +3915,15 @@ SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, alpha_word_frac,
          AND symbol_word_ratio <= 0.1 AND alpha_word_frac >= 0.8
          AND n_stop_hits >= 2 AS passes_gopher
 FROM r""",
+        # twin of analytics.misra_gries_heavy_hitters: the sketch
+        # changes the cost, not the result, so the oracle is the exact
+        # strict-share HAVING
+        "corpus_heavy_langs": """
+WITH n AS (SELECT count(*) AS total FROM documents)
+SELECT lang AS key, count(*) AS cnt,
+       round(CAST(count(*) AS DOUBLE) / (SELECT total FROM n), 6) AS share
+FROM documents GROUP BY lang
+HAVING CAST(count(*) AS DOUBLE) > (SELECT total FROM n) * 0.25""",
         # twin of streaming/enrich_stream.py: a stream-static join
         # emits each stream row exactly once, so the drained sink
         # equals this batch left join verbatim

@@ -1261,3 +1261,22 @@ def test_enrich_profile_power_user_flag(spark):
     assert prof["u1"]["user_n_events"] == 6
     assert prof["u2"]["user_n_purchases"] == 0
     assert prof["u1"]["user_total_value"] == float(sum(range(6)))
+
+
+def test_misra_gries_adversarial_partitioning(spark):
+    """The MG guarantee must hold under a partitioning chosen to dilute
+    the heavy key: one key holding ~30% of rows spread evenly across
+    every partition, decoys concentrated.  The result must equal the
+    exact strict-share answer regardless of layout."""
+    from binlog_avro_comparator_spark.operators.analytics import (
+        misra_gries_heavy_hitters,
+    )
+
+    # 300 'hot' rows + 700 rows of 70 distinct decoys (10 each)
+    rows = [("hot",)] * 300 + [(f"d{i}",) for i in range(70) for _ in range(10)]
+    df = spark.createDataFrame(rows, "key string").repartition(8)
+    got = misra_gries_heavy_hitters(df, "key", share=0.25).collect()
+    assert [(r["key"], r["cnt"]) for r in got] == [("hot", 300)]
+    assert abs(got[0]["share"] - 0.3) < 1e-9
+    # share above every key's frequency -> empty, not an error
+    assert misra_gries_heavy_hitters(df, "key", share=0.5).count() == 0
