@@ -57,6 +57,21 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "--trim-spans)",
     )
     p.add_argument("--boilerplate-df", type=int, default=5)
+    p.add_argument(
+        "--gopher",
+        action="store_true",
+        help="prepend the Gopher rule battery (word count / word length "
+        "/ symbol ratio / alpha fraction / stopword rules) before the "
+        "expensive stages",
+    )
+    p.add_argument(
+        "--min-source-rep",
+        type=float,
+        default=None,
+        metavar="RATE",
+        help="drop documents whose source's corpus-level stopword rate "
+        "is below RATE (domain-reputation cut, before dedup)",
+    )
     p.add_argument("--cpus", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -90,6 +105,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             trim_spans_k=args.trim_spans,
             boilerplate_seg_words=args.boilerplate_segs,
             boilerplate_df_threshold=args.boilerplate_df,
+            gopher_rules=args.gopher,
+            min_source_stop_rate=args.min_source_rep,
         ).observe(out_obs, F.count(F.lit(1)).alias("n"))
         writer = survivors.write.mode("overwrite")
         if args.partition_by:

@@ -13,7 +13,12 @@ from .dedup import (
     remove_boilerplate_segments,
     remove_repeated_spans,
 )
-from .textstats import contamination_scores, repetition_scores
+from .textstats import (
+    contamination_scores,
+    filter_by_source_reputation,
+    gopher_quality_flags,
+    repetition_scores,
+)
 
 
 def curation_survivors(
@@ -26,6 +31,8 @@ def curation_survivors(
     trim_spans_k: int | None = None,
     boilerplate_seg_words: int | None = None,
     boilerplate_df_threshold: int = 5,
+    gopher_rules: bool = False,
+    min_source_stop_rate: float | None = None,
 ) -> DataFrame:
     """Documents surviving all curation filters (full rows).
 
@@ -47,7 +54,27 @@ def curation_survivors(
     runs ``remove_boilerplate_segments`` over the survivors FIRST --
     boilerplate (drop-everywhere) before span dedup (keep-first), so a
     shared footer cannot donate a 'keeper' copy that span trimming
-    would preserve in one document."""
+    would preserve in one document.
+
+    ``gopher_rules`` / ``min_source_stop_rate`` (off by default, same
+    contract note) prepend the CHEAP gates -- the Gopher rule battery
+    (zero-exchange projection) and the domain/source reputation cut
+    (one ~#sources aggregate + broadcast) -- BEFORE the expensive
+    dedup/contamination stages, the published-recipe ordering: rule
+    filters first so clustering and shingling never touch documents a
+    projection would have dropped."""
+    if gopher_rules:
+        ok = (
+            gopher_quality_flags(documents)
+            .filter(F.col("passes_gopher"))
+            .select("doc_id")
+        )
+        documents = documents.join(ok, on="doc_id", how="left_semi")
+    if min_source_stop_rate is not None:
+        ok_src = filter_by_source_reputation(
+            documents, min_stop_rate=min_source_stop_rate
+        ).select("doc_id")
+        documents = documents.join(ok_src, on="doc_id", how="left_semi")
     rep_ok = (
         repetition_scores(documents)
         .filter(F.col("repetition_ratio") <= max_repetition)

@@ -1280,3 +1280,35 @@ def test_misra_gries_adversarial_partitioning(spark):
     assert abs(got[0]["share"] - 0.3) < 1e-9
     # share above every key's frequency -> empty, not an error
     assert misra_gries_heavy_hitters(df, "key", share=0.5).count() == 0
+
+
+def test_curation_gopher_and_source_gates(spark):
+    """The cheap gates prepend: a Gopher-failing doc and a doc from a
+    low-reputation source drop BEFORE dedup; survivors keep full rows."""
+    from binlog_avro_comparator_spark.operators.curation import curation_survivors
+
+    # 32 words, stopworded, mean word length (3+9+6+1)/4 = 4.75
+    good = " ".join(["the", "wordsmith", "keeper", "a"] * 8)
+    rows = [
+        (100, good, "en", "srcGood", 1),
+        (101, "too short", "en", "srcGood", 1),  # fails gopher word count
+        # srcBad: stopword-free -> source stop_rate 0 -> reputation drop
+        (102, " ".join(["zq"] * 40), "en", "srcBad", 1),
+        (103, " ".join(["zq"] * 40) + " extra", "en", "srcBad", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = curation_survivors(
+        docs,
+        max_repetition=1.0,
+        max_contamination=2.0,
+        gopher_rules=True,
+        min_source_stop_rate=0.05,
+    )
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == [100]
+    # gates off -> the gopher-failing and bad-source docs pass through
+    # (103 still folds into 102's near-dup cluster; 102 is canonical)
+    loose = curation_survivors(docs, max_repetition=1.0, max_contamination=2.0)
+    assert sorted(r.doc_id for r in loose.collect()) == [100, 101, 102]
