@@ -109,6 +109,7 @@ EXTRA_QUERIES = [
     "events_enrich_stream",
     "doc_gopher_quality",
     "corpus_heavy_langs",
+    "cdc_latency_stats",
 ]
 
 

@@ -529,3 +529,46 @@ def summary(
             & (F.col("binlog_only") == 0)
         ).alias("consistent"),
     )
+
+
+def latency_stats(matched: DataFrame, approx: bool = False) -> DataFrame:
+    """CDC replication-lag distribution per change type over the
+    matched pairs -- the operational report BEHIND the reference's
+    100 ms tolerance check (compare_timestamps.go:213-216 asks who
+    breached the band; an operator running continuously also needs the
+    delay PROFILE the band was calibrated against).
+
+    One map-side-combined aggregate over the handful of change types:
+    mean is the exact integer sum divided once (ts_delta_ms is a
+    long); p50/p90/p99 are exact R-7 percentiles (engine-identical,
+    same contract as doc_length_quantiles), with ``approx=True``
+    switching to approx_percentile's fixed-memory sketch when a
+    group's value list outgrows executor memory at true corpus scale.
+    Parse-failed rows (binlog_ms null) are excluded -- their lag is
+    undefined and they are already counted as findings.  Returns
+    (change_type, n, min_ms, max_ms, mean_ms, p50_ms, p90_ms,
+    p99_ms)."""
+    pct = F.approx_percentile if approx else F.percentile
+    ok = matched.filter(F.col("binlog_ms").isNotNull())
+    return (
+        ok.groupBy("change_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("ts_delta_ms").alias("min_ms"),
+            F.max("ts_delta_ms").alias("max_ms"),
+            F.sum("ts_delta_ms").alias("__sum"),
+            pct(F.col("ts_delta_ms"), F.lit(0.5)).alias("p50_ms"),
+            pct(F.col("ts_delta_ms"), F.lit(0.9)).alias("p90_ms"),
+            pct(F.col("ts_delta_ms"), F.lit(0.99)).alias("p99_ms"),
+        )
+        .select(
+            "change_type",
+            "n",
+            "min_ms",
+            "max_ms",
+            F.round(F.col("__sum").cast("double") / F.col("n"), 6).alias("mean_ms"),
+            "p50_ms",
+            "p90_ms",
+            "p99_ms",
+        )
+    )

@@ -277,3 +277,23 @@ SELECT
    AND (SELECT count(*) FROM avro_only_cdc) = 0
    AND (SELECT count(*) FROM binlog_only_cdc) = 0) AS consistent"""
     )
+
+
+def cdc_latency_stats() -> str:
+    """Twin of compare.latency_stats: per-change-type lag profile over
+    matched pairs; quantile_cont == Spark percentile (both R-7), mean
+    is the exact integer sum divided once."""
+    return (
+        _PREFIX
+        + """
+SELECT change_type, count(*) AS n,
+       min(ts_delta_ms) AS min_ms,
+       max(ts_delta_ms) AS max_ms,
+       round(CAST(sum(ts_delta_ms) AS DOUBLE) / count(*), 6) AS mean_ms,
+       quantile_cont(ts_delta_ms, 0.5) AS p50_ms,
+       quantile_cont(ts_delta_ms, 0.9) AS p90_ms,
+       quantile_cont(ts_delta_ms, 0.99) AS p99_ms
+FROM matched_flagged
+WHERE binlog_ms IS NOT NULL
+GROUP BY change_type"""
+    )

@@ -1721,6 +1721,11 @@ def _q_brand_bracket_revenue(spark, sf_dir):
     )
 
 
+def _q_cdc_latency_stats(spark, sf_dir):
+    avro, bp, ap = _cdc_frames(spark, sf_dir)
+    return C.latency_stats(C.matched_pairs(bp, ap))
+
+
 def _q_gopher_quality(spark, sf_dir):
     ensure_session_conf(spark)
     return gopher_quality_flags(_docs(spark, sf_dir))
@@ -1789,7 +1794,7 @@ def queries() -> dict[str, QueryFn]:
     # squeezed out) plus embedding_quantize_int8, r3's one red row (now
     # projected to CSV).  After these, media/int8-adjacent rows the r4
     # changes touched, then the freshest green tier for regression
-    # coverage.  With 128 registered queries a 50-entry window cannot
+    # coverage.  With 129 registered queries a 50-entry window cannot
     # cover everything; ALL entries, window or not, are value-verified
     # locally each round at sf0.01 AND sf0.1 by scratch/check.py
     # (endurance evidence in SCALE.md).
@@ -1841,6 +1846,7 @@ def queries() -> dict[str, QueryFn]:
         "events_enrich_stream": _q_events_enrich_stream,
         "doc_gopher_quality": _q_gopher_quality,
         "corpus_heavy_langs": _q_heavy_langs,
+        "cdc_latency_stats": _q_cdc_latency_stats,
         # -- freshest green tier (r3 window, regression coverage) --
         "doc_boilerplate_removal": _q_remove_boilerplate,
         "embedding_semdedup": _q_semdedup,
@@ -2306,6 +2312,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_avro_native_scan_jvm": oracle.cdc_avro_native_scan(),
         "cdc_binlog_prepared": oracle.cdc_binlog_prepared(),
         "cdc_matches": oracle.cdc_matches(),
+        "cdc_latency_stats": oracle.cdc_latency_stats(),
         "cdc_avro_only": oracle.cdc_avro_only(),
         "cdc_binlog_only": oracle.cdc_binlog_only(),
         "cdc_findings": oracle.cdc_findings(),
