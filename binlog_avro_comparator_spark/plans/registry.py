@@ -1859,12 +1859,12 @@ def queries() -> dict[str, QueryFn]:
         "cdc_parse_binlog_text_pyds": _q_cdc_parse_pyds,
         "late_exclusive_suppliers": _q_late_exclusive_suppliers,
         "doc_fuzzy_contamination": _q_fuzzy_contamination,
-        "media_exact_dedup": _q_media_exact_dedup,
         # ---- driver window boundary (position 50) ----
-        # (the 9 r4 additions above -- 4 TPC-H completions, source
+        # (the 10 r4 additions above -- 4 TPC-H completions, source
         # reputation x2, stream-static enrich, gopher rules, MG heavy
-        # hitters -- pushed these r3-green rows out of the window;
-        # they keep their r2/r3 driver evidence)
+        # hitters, CDC latency profile -- pushed these r3-green rows
+        # out of the window; they keep their r2/r3 driver evidence)
+        "media_exact_dedup": _q_media_exact_dedup,
         "doc_span_removal": _q_remove_spans,
         "cdc_avro_native_scan_jvm": _q_cdc_avro_native_scan_jvm,
         "events_kmv_distinct_users": _q_kmv_distinct,
