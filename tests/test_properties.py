@@ -656,3 +656,41 @@ def test_binlog_binary_roundtrip_property(evs):
         else:  # Query: schema only, empty collapses to NULL
             assert table is None
             assert schema == (ev["schema"] or None)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_misra_gries_matches_exact_heavy_hitters(spark, seed):
+    """Any data, any share, any partitioning: the MG sketch + exact
+    confirmation must equal the exact strict-share answer computed in
+    plain Python (no false negatives from candidate trimming, no false
+    positives from the confirmation filter)."""
+    from collections import Counter
+
+    from binlog_avro_comparator_spark.operators.analytics import (
+        misra_gries_heavy_hitters,
+    )
+
+    rng = random.Random(seed)
+    # zipf-ish skew: a few hot keys, a long tail
+    keys = []
+    for i in range(rng.randrange(50, 400)):
+        if rng.random() < 0.4:
+            keys.append(f"hot{rng.randrange(3)}")
+        else:
+            keys.append(f"tail{rng.randrange(60)}")
+    share = rng.choice([0.05, 0.1, 0.2, 0.3])
+    n_parts = rng.choice([1, 3, 8, 17])
+    exact = Counter(keys)
+    n = len(keys)
+    expect = sorted(
+        (k, c) for k, c in exact.items() if float(c) > float(n) * share
+    )
+    df = spark.createDataFrame([(k,) for k in keys], "k string").repartition(
+        n_parts
+    )
+    got = sorted(
+        (r["key"], r["cnt"])
+        for r in misra_gries_heavy_hitters(df, "k", share=share).collect()
+    )
+    assert got == expect, (seed, share, n_parts)
