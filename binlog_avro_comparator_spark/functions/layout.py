@@ -1,0 +1,93 @@
+"""Table-layout maintenance: the janitorial operations a 100 TB
+parquet estate needs between queries.
+
+``compact_parquet_dir`` -- the small-files problem: a streaming sink or
+an over-partitioned write leaves thousands of KB-scale files, and every
+subsequent scan pays one task + one open per file.  Compaction rewrites
+the directory into ceil(bytes/target) files via ``coalesce`` (a
+NARROW dependency: tasks concatenate input splits, no shuffle, no
+re-sort -- existing intra-file ordering like a Z-order layout is
+preserved per output file).  At cluster scale the same routine runs
+per partition-directory so one compaction never rewrites the whole
+table; here it takes one directory, which IS that unit.
+
+``write_zordered`` -- the executable form of the Z-order recipe that
+zorder_key's docstring describes: range-partition by the Morton key
+(global file-level clustering: each output file owns a key range) and
+sort within partitions (row-level clustering inside each file) so
+min/max column statistics prune on BOTH interleaved dimensions.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from .zorder import zorder_key
+
+
+def compact_parquet_dir(
+    spark: SparkSession, path: str, target_bytes: int = 128 * 1024 * 1024
+) -> dict:
+    """Rewrite the parquet directory at ``path`` into
+    ``ceil(total_bytes / target_bytes)`` files.
+
+    The swap is write-new-then-rename (tmp dir beside the target, old
+    dir moved away before the new one moves in, removed only after):
+    a reader holding the old file handles keeps a consistent view, and
+    a crash mid-swap leaves either the old or the new directory intact
+    under a recoverable name, never a half-written mix.  Driver-side
+    work is directory metadata only (os.walk for sizes); the data
+    movement is the executors' coalesce write.  Returns
+    {files_before, files_after, bytes}."""
+    sizes = [
+        os.path.getsize(os.path.join(r, f))
+        for r, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    ]
+    total = sum(sizes)
+    n_out = max(1, math.ceil(total / target_bytes))
+    tmp = f"{path.rstrip('/')}.__compact_{uuid.uuid4().hex[:8]}"
+    spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    bak = f"{path.rstrip('/')}.__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak)
+    files_after = sum(
+        1
+        for r, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    return {"files_before": len(sizes), "files_after": files_after, "bytes": total}
+
+
+def write_zordered(
+    df: DataFrame,
+    a: Column | str,
+    b: Column | str,
+    path: str,
+    n_files: int,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` as ``n_files`` parquet files Z-ordered on integer
+    columns (a, b): repartitionByRange on the Morton key gives each
+    file a disjoint key range (file-level pruning via min/max stats on
+    BOTH dimensions), sortWithinPartitions clusters rows inside each
+    file (row-group-level pruning).  The transient __z column is
+    dropped before the write so the stored schema is the caller's."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    (
+        df.withColumn("__z", zorder_key(a, b, bits=bits))
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

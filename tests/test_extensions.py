@@ -1312,3 +1312,45 @@ def test_curation_gopher_and_source_gates(spark):
     # (103 still folds into 102's near-dup cluster; 102 is canonical)
     loose = curation_survivors(docs, max_repetition=1.0, max_contamination=2.0)
     assert sorted(r.doc_id for r in loose.collect()) == [100, 101, 102]
+
+
+def test_compact_parquet_dir(spark, tmp_path):
+    from binlog_avro_comparator_spark.functions.layout import compact_parquet_dir
+
+    p = str(tmp_path / "frag")
+    spark.range(0, 10_000).withColumn("v", F.col("id") * 2).repartition(
+        64
+    ).write.parquet(p)
+    before = spark.read.parquet(p).orderBy("id").collect()
+    stats = compact_parquet_dir(spark, p, target_bytes=1 << 40)  # -> 1 file
+    assert stats["files_before"] == 64 and stats["files_after"] == 1
+    after = spark.read.parquet(p).orderBy("id").collect()
+    assert after == before
+    # no stray tmp/backup dirs left beside the target
+    assert [d for d in tmp_path.iterdir()] == [tmp_path / "frag"]
+
+
+def test_write_zordered_disjoint_file_ranges(spark, tmp_path):
+    """Each output file must own a disjoint Morton-key range -- that
+    range disjointness IS what makes file-level min/max pruning work
+    on both interleaved dimensions."""
+    from binlog_avro_comparator_spark.functions.layout import write_zordered
+    from binlog_avro_comparator_spark.functions.zorder import zorder_key
+
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    p = str(tmp_path / "zordered")
+    write_zordered(df, "x", "y", p, n_files=8, bits=6)
+    back = spark.read.parquet(p)
+    assert back.count() == 4096
+    ranges = (
+        back.withColumn("__z", zorder_key(F.col("x"), F.col("y"), bits=6))
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("__z").alias("lo"), F.max("__z").alias("hi"))
+        .collect()
+    )
+    assert len(ranges) == 8
+    spans = sorted((r["lo"], r["hi"]) for r in ranges)
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 < lo2, spans  # strictly disjoint, ordered
