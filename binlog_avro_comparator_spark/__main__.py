@@ -35,6 +35,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--tolerance-ms", type=int, default=100)
     p.add_argument(
+        "--latency-report",
+        action="store_true",
+        help="additionally print the per-change-type replication-lag "
+        "profile (n/min/max/mean/p50/p90/p99 ms) over matched pairs",
+    )
+    p.add_argument(
         "--strict-parity",
         action="store_true",
         help="reproduce the reference's dead-DELETE-inference quirk (Q1)",
@@ -77,6 +83,15 @@ def main(argv: list[str] | None = None) -> int:
             if not binlog_only_seen:
                 print("\n--- Unmatched Binlog DML Events (BINLOG_ONLY) ---")
                 print("No DML binlog events found without a matching Avro record.")
+            print()
+        if args.latency_report:
+            print("--- Replication lag (matched pairs, ms) ---")
+            for r in res.latency.orderBy("change_type").collect():
+                print(
+                    f"{r.change_type or '(none)'}: n={r.n} min={r.min_ms} "
+                    f"max={r.max_ms} mean={r.mean_ms} p50={r.p50_ms} "
+                    f"p90={r.p90_ms} p99={r.p99_ms}"
+                )
             print()
         summary = res.summary.collect()[0]
         print(format_report(res))

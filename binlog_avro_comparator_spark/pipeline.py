@@ -30,6 +30,10 @@ class ComparisonResult:
     findings: DataFrame
     summary: DataFrame
     console: DataFrame | None = None
+    #: per-change-type replication-lag profile (compare.latency_stats)
+    #: over the matched pairs -- the operational report behind the
+    #: tolerance band; lazy like every other member
+    latency: DataFrame | None = None
 
 
 def run_comparison(
@@ -97,6 +101,7 @@ def run_comparison(
         findings=C.findings_onepass(bp, ap, cfg),
         summary=C.summary_onepass(araw, bp, ap, cfg),
         console=console_findings(bp, ap, cfg),
+        latency=C.latency_stats(C.matched_pairs(bp, ap, cfg)),
     )
 
 

@@ -78,6 +78,23 @@ def test_run_comparison_text_entry(spark, io_dirs):
     assert "WARNING" in report and "Total Avro Records Processed: 3" in report
 
 
+def test_run_comparison_latency_profile(spark, io_dirs):
+    """The lag profile rides the same prepared frames: two matches ->
+    one INSERT row with exact min/max/mean and n=2 (deltas +20 and
+    +500 ms on the fixture)."""
+    res = run_comparison(
+        spark,
+        binlog_text_dir=str(io_dirs / "binlog_text"),
+        avro_jsonl=str(io_dirs / "avro" / "avro_rows.json"),
+    )
+    lat = {r.change_type: r for r in res.latency.collect()}
+    assert list(lat) == ["INSERT"]
+    r = lat["INSERT"]
+    assert (r.n, r.min_ms, r.max_ms) == (2, 20, 500)
+    assert r.mean_ms == 260.0 and r.p50_ms == 260.0
+    assert r.p99_ms == 20 + 0.99 * (500 - 20)  # R-7 interpolation
+
+
 def test_run_comparison_requires_one_binlog_input(spark, io_dirs):
     with pytest.raises(ValueError):
         run_comparison(spark, avro_jsonl="x")
