@@ -51,3 +51,17 @@ SELECT
   sum(CASE WHEN __has_avro IS NULL AND event_type LIKE '%RowsEventV2' THEN 1 ELSE 0 END) AS binlog_only
 FROM cdc_diff
 """
+
+LATENCY_SQL = """
+SELECT change_type, count(*) AS n,
+       min(ts_delta_ms) AS min_ms,
+       max(ts_delta_ms) AS max_ms,
+       round(CAST(sum(ts_delta_ms) AS DOUBLE) / count(*), 6) AS mean_ms,
+       percentile(ts_delta_ms, 0.5) AS p50_ms,
+       percentile(ts_delta_ms, 0.9) AS p90_ms,
+       percentile(ts_delta_ms, 0.99) AS p99_ms
+FROM cdc_diff
+WHERE __has_avro IS NOT NULL AND __has_binlog IS NOT NULL
+  AND binlog_ms IS NOT NULL
+GROUP BY change_type
+"""

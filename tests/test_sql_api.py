@@ -5,6 +5,7 @@ from __future__ import annotations
 from binlog_avro_comparator_spark.plans import registry
 from binlog_avro_comparator_spark.plans.sql_api import (
     FINDINGS_SQL,
+    LATENCY_SQL,
     SUMMARY_SQL,
     register_cdc_views,
 )
@@ -20,6 +21,24 @@ def test_sql_summary_matches_dataframe_api(spark):
     assert sql_row.ts_mismatches == df_row.ts_mismatches
     assert sql_row.avro_only == df_row.avro_only
     assert sql_row.binlog_only == df_row.binlog_only
+
+
+def test_sql_latency_matches_dataframe_api(spark):
+    register_cdc_views(spark, SF)
+    sql_rows = {
+        r.change_type: r for r in spark.sql(LATENCY_SQL).collect()
+    }
+    df_rows = {
+        r.change_type: r
+        for r in registry.queries()["cdc_latency_stats"](spark, SF).collect()
+    }
+    assert set(sql_rows) == set(df_rows)
+    for ct, r in df_rows.items():
+        s = sql_rows[ct]
+        assert (s.n, s.min_ms, s.max_ms, s.mean_ms) == (
+            r.n, r.min_ms, r.max_ms, r.mean_ms,
+        ), ct
+        assert (s.p50_ms, s.p90_ms, s.p99_ms) == (r.p50_ms, r.p90_ms, r.p99_ms)
 
 
 def test_sql_findings_counts(spark):
