@@ -110,6 +110,7 @@ EXTRA_QUERIES = [
     "doc_gopher_quality",
     "corpus_heavy_langs",
     "cdc_latency_stats",
+    "media_video_frames_riff",
 ]
 
 

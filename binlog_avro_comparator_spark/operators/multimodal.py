@@ -353,3 +353,137 @@ def media_exact_dedup(media: DataFrame) -> DataFrame:
             F.sum("__n").cast("long").alias("total_bytes"),
         )
     )
+
+
+# --- RIFF-AVI: the real-container video path -------------------------------
+#
+# Mirrors the IHDR (image) and stdlib-wave (audio) moves: the fixture
+# encoder writes GENUINE minimal AVI bytes (RIFF / LIST hdrl / avih /
+# LIST movi / 00dc frame chunks, little-endian sizes, even padding) and
+# the decoder is a real pure-stdlib container parse -- no codec library,
+# no fake.  Frame PAYLOAD decode (the JPEG inside a real capture's 00dc
+# chunk) stays out of scope in this container; the frames here carry raw
+# bytes and the features are per-frame hashes + header metadata, which
+# is exactly what the pipeline's dedup/fingerprint consumers need.
+
+_AVIH_FIELDS = 14  # uint32s in the avih chunk
+
+
+def encode_avi(
+    frames: list[bytes], width: int = 64, height: int = 48, usec_per_frame: int = 40_000
+) -> bytes:
+    """Minimal but genuine AVI container: every size field is a real
+    little-endian RIFF length, frame chunks are '00dc' with even
+    padding -- any RIFF walker (this module's parser included) parses
+    it without special-casing."""
+    import struct
+
+    avih = struct.pack(
+        "<14I",
+        usec_per_frame, 0, 0, 0, len(frames), 0, 1, 0, width, height, 0, 0, 0, 0,
+    )
+    hdrl_body = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
+    movi_body = b"movi"
+    for fr in frames:
+        movi_body += b"00dc" + struct.pack("<I", len(fr)) + fr
+        if len(fr) % 2:
+            movi_body += b"\x00"  # RIFF chunks are word-aligned
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def _parse_avi(content: bytes):
+    """(width, height, usec_per_frame, [frame bytes]) or None if the
+    bytes are not a RIFF-AVI container.  Tolerant walker: unknown
+    chunks are skipped by their declared size, truncation stops the
+    walk cleanly (partial frames list, like the binlog decoder's
+    truncated-tail contract)."""
+    import struct
+
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        return None
+    width = height = upf = 0
+    frames: list[bytes] = []
+
+    def walk(buf: bytes):
+        nonlocal width, height, upf
+        off = 0
+        while off + 8 <= len(buf):
+            fourcc = buf[off : off + 4]
+            (size,) = struct.unpack("<I", buf[off + 4 : off + 8])
+            body = buf[off + 8 : off + 8 + size]
+            truncated = len(body) < size
+            if fourcc == b"LIST" and len(body) > 4:
+                # descend even into a truncated list: salvage the
+                # complete chunks it still holds (binlog decoder's
+                # truncated-tail contract)
+                walk(body[4:])
+            elif fourcc == b"avih" and len(body) >= 4 * _AVIH_FIELDS:
+                vals = struct.unpack("<14I", body[: 4 * _AVIH_FIELDS])
+                upf, width, height = vals[0], vals[8], vals[9]
+            elif fourcc == b"00dc" and not truncated:
+                frames.append(body)
+            if truncated:
+                break  # nothing after a short chunk is trustworthy
+            off += 8 + size + (size % 2)
+
+    walk(content[12:])
+    return width, height, upf, frames
+
+
+VIDEO_FRAMES_RIFF_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame_sha256", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("decoder", T.StringType()),
+    ]
+)
+
+
+def video_frames_riff(media: DataFrame) -> DataFrame:
+    """Real-container frame extraction: RIFF-AVI blobs -> one row per
+    stored '00dc' frame (payload hashed, header width/height attached).
+    Non-AVI bytes fall back to the deterministic fake slicing of
+    sample_video_frames' contract (decoder column says which path ran).
+    Arrow-batched mapInPandas; output carries hashes and header ints
+    only -- the frame payloads never leave the task."""
+    df = media.filter(F.col("kind") == "video")
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content)
+                parsed = _parse_avi(b)
+                if parsed is not None:
+                    w, h, _, frames = parsed
+                    for i, fr in enumerate(frames):
+                        rows.append(
+                            (mid, i, hashlib.sha256(fr).hexdigest(), w, h,
+                             len(frames), "riff-avi")
+                        )
+                else:
+                    n_chunks = max(len(b) // 1024, 1)
+                    for i in range(min(n_chunks, 8)):
+                        chunk = b[i * 1024 : (i + 1) * 1024]
+                        rows.append(
+                            (mid, i, hashlib.sha256(chunk).hexdigest(), 0, 0,
+                             min(n_chunks, 8), "fake-deterministic")
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_index", "frame_sha256", "width",
+                    "height", "n_frames", "decoder",
+                ],
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        _extract, schema=VIDEO_FRAMES_RIFF_SCHEMA
+    )

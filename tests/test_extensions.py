@@ -1354,3 +1354,34 @@ def test_write_zordered_disjoint_file_ranges(spark, tmp_path):
     spans = sorted((r["lo"], r["hi"]) for r in ranges)
     for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
         assert hi1 < lo2, spans  # strictly disjoint, ordered
+
+
+def test_avi_roundtrip_and_truncation(spark):
+    """encode_avi -> _parse_avi roundtrip: header dims and every frame
+    byte-exact (odd-length frames exercise RIFF word padding); a
+    truncated tail yields the clean frames parsed so far, not an
+    error; non-AVI bytes take the fake path with decoder marked."""
+    from binlog_avro_comparator_spark.operators.multimodal import (
+        _parse_avi,
+        encode_avi,
+        video_frames_riff,
+    )
+
+    frames = [b"frame-one", b"xx", b"odd"]  # odd lengths force padding
+    blob = encode_avi(frames, width=320, height=200, usec_per_frame=33_333)
+    w, h, upf, back = _parse_avi(blob)
+    assert (w, h, upf) == (320, 200, 33_333)
+    assert back == frames
+    # truncation: drop the last 4 bytes -> final frame lost, rest clean
+    w2, h2, _, back2 = _parse_avi(blob[:-4])
+    assert (w2, h2) == (320, 200) and back2 == frames[:2]
+    assert _parse_avi(b"not a riff container") is None
+
+    media = spark.createDataFrame(
+        [(1, "video", blob), (2, "video", b"raw-bytes-not-avi" * 100)],
+        "media_id long, kind string, content binary",
+    )
+    rows = {(r.media_id, r.frame_index): r for r in video_frames_riff(media).collect()}
+    assert rows[(1, 0)].decoder == "riff-avi" and rows[(1, 0)].width == 320
+    assert rows[(1, 2)].n_frames == 3
+    assert rows[(2, 0)].decoder == "fake-deterministic"
