@@ -111,6 +111,8 @@ EXTRA_QUERIES = [
     "corpus_heavy_langs",
     "cdc_latency_stats",
     "media_video_frames_riff",
+    "events_time_rollup",
+    "events_gap_fill",
 ]
 
 

@@ -1555,3 +1555,96 @@ def misra_gries_heavy_hitters(
             F.round(F.col("cnt").cast("double") / F.col("__n"), 6).alias("share"),
         )
     )
+
+
+def time_rollup(events: DataFrame) -> DataFrame:
+    """Hypertable-style hierarchical time rollup: event counts and
+    decimal-exact value sums at minute, hour, and day granularity (plus
+    the grand total) in ONE pass -- ``rollup(day, hour, minute)`` plans
+    a single Expand + partially-aggregated hash agg, so the fact is
+    scanned once and each row contributes its four grouping combinations
+    map-side; no per-granularity re-scan, no self-union.
+
+    The level label derives from WHICH bucket columns are non-null
+    (ts is never null here, so a null bucket can only mean 'rolled
+    up') -- portable across engines, no grouping_id() dialect.  Buckets
+    are emitted as formatted strings so the cross-engine hash compares
+    text, not timestamp encodings.  Returns (level, day, hour, minute,
+    n_events, sum_value)."""
+    e = events.select(
+        F.date_trunc("day", F.col("ts")).alias("__d"),
+        F.date_trunc("hour", F.col("ts")).alias("__h"),
+        F.date_trunc("minute", F.col("ts")).alias("__m"),
+        "value",
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return (
+        e.rollup("__d", "__h", "__m")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("sum_value"),
+        )
+        .select(
+            F.when(F.col("__m").isNotNull(), "minute")
+            .when(F.col("__h").isNotNull(), "hour")
+            .when(F.col("__d").isNotNull(), "day")
+            .otherwise("total")
+            .alias("level"),
+            F.date_format("__d", fmt).alias("day"),
+            F.date_format("__h", fmt).alias("hour"),
+            F.date_format("__m", fmt).alias("minute"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def gap_fill_locf(events: DataFrame, step: str = "day") -> DataFrame:
+    """Time-series gap filling with last-observation-carried-forward:
+    every user gets a dense ``step``-bucket grid between their first
+    and last event, empty buckets inherit the latest earlier value --
+    the TimescaleDB time_bucket_gapfill + locf() pattern.
+
+    Shape: per-(user, bucket) observed values reduce map-side FIRST
+    (arg-max by event_id -- unique ids make the in-bucket pick exact,
+    never a float tie); the grid explodes a per-user sequence() whose
+    length is bounded by the user's own active span; the LOCF window
+    partitions BY USER (bounded partitions, never a global window).
+    At 100 TB the grid is the only row-multiplying step and it scales
+    with users x span/step, independent of event volume.  Returns
+    (user_id, bucket, observed, n_events, value_filled)."""
+    b = F.date_trunc(step, F.col("ts"))
+    per_bucket = (
+        events.select("user_id", b.alias("__b"), "event_id", "value")
+        .groupBy("user_id", "__b")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max_by("value", "event_id").alias("__v"),
+        )
+    )
+    grid = (
+        events.select("user_id", b.alias("__b"))
+        .groupBy("user_id")
+        .agg(F.min("__b").alias("__lo"), F.max("__b").alias("__hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.expr(f"sequence(__lo, __hi, interval 1 {step})")
+            ).alias("__b"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = grid.join(per_bucket, on=["user_id", "__b"], how="left")
+    return joined.select(
+        "user_id",
+        F.date_format("__b", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        F.col("__v").isNotNull().alias("observed"),
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        F.last("__v", ignorenulls=True).over(w).alias("value_filled"),
+    )

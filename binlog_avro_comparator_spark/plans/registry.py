@@ -46,8 +46,10 @@ from ..operators.analytics import (
     funnel_stages,
     hll_distinct_users,
     late_exclusive_suppliers,
+    gap_fill_locf,
     late_shipment_orders,
     misra_gries_heavy_hitters,
+    time_rollup,
     monthly_revenue_growth,
     high_value_customers,
     kmv_distinct_users,
@@ -1763,6 +1765,16 @@ def _q_brand_bracket_revenue(spark, sf_dir):
     )
 
 
+def _q_events_time_rollup(spark, sf_dir):
+    ensure_session_conf(spark)
+    return time_rollup(load_table(spark, sf_dir, "events"))
+
+
+def _q_events_gap_fill(spark, sf_dir):
+    ensure_session_conf(spark)
+    return gap_fill_locf(load_table(spark, sf_dir, "events"))
+
+
 def _q_cdc_latency_stats(spark, sf_dir):
     avro, bp, ap = _cdc_frames(spark, sf_dir)
     return C.latency_stats(C.matched_pairs(bp, ap))
@@ -1836,7 +1848,7 @@ def queries() -> dict[str, QueryFn]:
     # squeezed out) plus embedding_quantize_int8, r3's one red row (now
     # projected to CSV).  After these, media/int8-adjacent rows the r4
     # changes touched, then the freshest green tier for regression
-    # coverage.  With 130 registered queries a 50-entry window cannot
+    # coverage.  With 132 registered queries a 50-entry window cannot
     # cover everything; ALL entries, window or not, are value-verified
     # locally each round at sf0.01 AND sf0.1 by scratch/check.py
     # (endurance evidence in SCALE.md).
@@ -1890,6 +1902,8 @@ def queries() -> dict[str, QueryFn]:
         "corpus_heavy_langs": _q_heavy_langs,
         "cdc_latency_stats": _q_cdc_latency_stats,
         "media_video_frames_riff": _q_media_video_frames_riff,
+        "events_time_rollup": _q_events_time_rollup,
+        "events_gap_fill": _q_events_gap_fill,
         # -- freshest green tier (r3 window, regression coverage) --
         "doc_boilerplate_removal": _q_remove_boilerplate,
         "embedding_semdedup": _q_semdedup,
@@ -1899,14 +1913,14 @@ def queries() -> dict[str, QueryFn]:
         "doc_bigram_logprob": _q_bigram_logprob,
         "embedding_cluster_profiles": _q_cluster_profiles,
         "events_top_type_stream": _q_events_top_type_stream,
+        # ---- driver window boundary (position 50) ----
+        # (the 13 r4 additions above -- 4 TPC-H completions, source
+        # reputation x2, stream-static enrich, gopher rules, MG heavy
+        # hitters, CDC latency profile, RIFF-AVI video, time rollup,
+        # LOCF gap fill -- pushed these r3-green rows out of the
+        # window; they keep their r2/r3 driver evidence)
         "cdc_parse_binlog_text_pyds": _q_cdc_parse_pyds,
         "late_exclusive_suppliers": _q_late_exclusive_suppliers,
-        # ---- driver window boundary (position 50) ----
-        # (the 11 r4 additions above -- 4 TPC-H completions, source
-        # reputation x2, stream-static enrich, gopher rules, MG heavy
-        # hitters, CDC latency profile, RIFF-AVI video -- pushed these
-        # r3-green rows out of the window; they keep their r2/r3
-        # driver evidence)
         "doc_fuzzy_contamination": _q_fuzzy_contamination,
         "media_exact_dedup": _q_media_exact_dedup,
         "doc_span_removal": _q_remove_spans,
@@ -3631,6 +3645,46 @@ SELECT media_id,
        CAST(chunk_idx AS INT) AS frame_index,
        sha256(substring(text, chunk_idx * 1024 + 1, 1024)) AS frame_sha256
 FROM capped WHERE rn <= 8""",
+        # twin of analytics.time_rollup (single-pass hierarchical
+        # rollup; level from which buckets are non-null, no
+        # grouping_id dialect)
+        "events_time_rollup": """
+WITH e AS (
+  SELECT date_trunc('day', ts) AS d, date_trunc('hour', ts) AS h,
+         date_trunc('minute', ts) AS m, value
+  FROM events
+)
+SELECT CASE WHEN m IS NOT NULL THEN 'minute'
+            WHEN h IS NOT NULL THEN 'hour'
+            WHEN d IS NOT NULL THEN 'day'
+            ELSE 'total' END AS level,
+       strftime(d, '%Y-%m-%d %H:%M:%S') AS day,
+       strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+       strftime(m, '%Y-%m-%d %H:%M:%S') AS minute,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
+FROM e GROUP BY ROLLUP(d, h, m)""",
+        # twin of analytics.gap_fill_locf (dense per-user day grid,
+        # arg-max-by-event-id in-bucket pick, IGNORE NULLS carry)
+        "events_gap_fill": """
+WITH pb AS (
+  SELECT user_id, date_trunc('day', ts) AS b, count(*) AS n_events,
+         arg_max(value, event_id) AS v
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, min(b) AS lo, max(b) AS hi FROM pb GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS b
+  FROM bounds
+)
+SELECT g.user_id AS user_id,
+       strftime(g.b, '%Y-%m-%d %H:%M:%S') AS bucket,
+       pb.v IS NOT NULL AS observed,
+       coalesce(pb.n_events, 0) AS n_events,
+       last_value(pb.v IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.b
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+FROM grid g LEFT JOIN pb ON g.user_id = pb.user_id AND g.b = pb.b""",
         # twin of the RIFF-AVI path: frame slicing + header dims
         # restated over the ASCII text (sha256 of each 64-byte slice;
         # dims are the doc-derived ints the avih parser reads back)

@@ -702,3 +702,31 @@ def test_gopher_flags_zero_exchange(spark):
 
     assert len(_re.findall(r"^\(\d+\) Scan parquet", plan, _re.M)) == 1
     assert "struct<doc_id:bigint,text:string>" in plan
+
+
+def test_time_rollup_single_pass_expand(spark):
+    """Hierarchical rollup must be ONE scan + Expand + partial agg --
+    never a per-granularity self-union of scans."""
+    import re as _re
+
+    from binlog_avro_comparator_spark.operators.analytics import time_rollup
+
+    plan = _plan(time_rollup(load_table(spark, SF, "events")))
+    assert "Expand" in plan
+    assert len(_re.findall(r"^\(\d+\) Scan parquet", plan, _re.M)) == 1
+    assert "Union" not in plan
+    assert "partial_count" in plan  # map-side combine under the rollup
+
+
+def test_gap_fill_user_partitioned_window(spark):
+    """The LOCF window must partition by user (bounded partitions) --
+    an unpartitioned global window here would funnel the whole grid
+    through one task."""
+    from binlog_avro_comparator_spark.operators.analytics import gap_fill_locf
+
+    plan = _plan(gap_fill_locf(load_table(spark, SF, "events")))
+    assert "Window" in plan
+    # every Window node's partition spec names user_id
+    for seg in plan.split("Arguments: ")[1:]:
+        if "last(" in seg.split("\n")[0]:
+            assert "user_id" in seg.split("\n")[0]
