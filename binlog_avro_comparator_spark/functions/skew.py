@@ -78,3 +78,41 @@ def salted_broadcastable_join(
             "skew handling instead"
         )
     return large.join(F.broadcast(small), on=on, how=how)
+
+
+def salted_shuffle_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Big-big shuffle join with one HOT-KEYED side: the skewed side
+    gets a deterministic row-level salt appended to the join key, the
+    other side is REPLICATED n_salts ways (explode of a literal array),
+    and the equi-join runs on (keys..., salt) -- a hot key's rows land
+    on n_salts reducers instead of one.
+
+    When to reach for this instead of AQE's skew-join split: AQE only
+    splits at shuffle-read time inside a SortMergeJoin stage; a salted
+    plan also survives where AQE can't act (stream-stream joins, a
+    join feeding a same-key aggregate that would re-concentrate, or a
+    key so hot that even AQE's split granularity leaves a straggler).
+    Cost model is explicit: the other side's shuffle volume multiplies
+    by n_salts -- size n_salts to the skew factor, not higher.
+
+    The salt is pmod(hash(all skewed-side columns), n_salts): the same
+    determinism contract as salted_aggregate (stable under retries and
+    recomputed partitions, spreads a hot key because non-key columns
+    vary).  Join-key columns are dropped from ``other`` after the join
+    (same names), so the output schema matches a plain
+    ``skewed.join(other, on, how)``."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted_shuffle_join supports inner/left only")
+    s = skewed.withColumn(
+        SALT_COL, F.pmod(F.hash(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
+    )
+    o = other.withColumn(
+        SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return s.join(o, on=[*on, SALT_COL], how=how).drop(SALT_COL)

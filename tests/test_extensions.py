@@ -1385,3 +1385,26 @@ def test_avi_roundtrip_and_truncation(spark):
     assert rows[(1, 0)].decoder == "riff-avi" and rows[(1, 0)].width == 320
     assert rows[(1, 2)].n_frames == 3
     assert rows[(2, 0)].decoder == "fake-deterministic"
+
+
+def test_salted_shuffle_join_matches_plain_join(spark):
+    from binlog_avro_comparator_spark.functions.skew import salted_shuffle_join
+
+    # one hot key (90% of left rows) + a tail
+    left = spark.createDataFrame(
+        [(1 if i < 900 else i % 50 + 2, i) for i in range(1000)], "k long, lv long"
+    )
+    right = spark.createDataFrame([(i, i * 10) for i in range(60)], "k long, rv long")
+    plain = set(
+        (r.k, r.lv, r.rv) for r in left.join(right, on="k", how="inner").collect()
+    )
+    salted = set(
+        (r.k, r.lv, r.rv)
+        for r in salted_shuffle_join(left, right, on=["k"], n_salts=4).collect()
+    )
+    assert salted == plain and len(plain) == 1000
+    # left join keeps unmatched left rows exactly once
+    left2 = left.union(spark.createDataFrame([(999_999, -1)], "k long, lv long"))
+    lj = salted_shuffle_join(left2, right, on=["k"], n_salts=4, how="left")
+    assert lj.filter(F.col("k") == 999_999).count() == 1
+    assert lj.count() == 1001
