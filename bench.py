@@ -113,6 +113,7 @@ EXTRA_QUERIES = [
     "media_video_frames_riff",
     "events_time_rollup",
     "events_gap_fill",
+    "cdc_snapshot_diff",
 ]
 
 

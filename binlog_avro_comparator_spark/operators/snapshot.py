@@ -65,3 +65,46 @@ def apply_changes(events: DataFrame) -> DataFrame:
         F.round(F.col("last.value"), 4).alias("last_value"),
         "n_changes",
     )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Change-data-feed between two materialized snapshot versions:
+    which keys were INSERTed, UPDATEd, or DELETEd going old -> new --
+    the read side of the versioned-snapshot story (time travel gives
+    you the states; this gives you the delta a downstream consumer
+    replays).
+
+    ONE full-outer hash join on the snapshot key; UPDATE is any
+    difference in the non-key columns (struct inequality, one
+    comparison, no per-column plan blowup); identical rows drop out.
+    Both inputs are already aggregate-sized (one row per live key), so
+    at 100 TB the diff costs one snapshot-sized shuffle, not an event
+    replay.  Returns (user_id, change, old_last_event_id,
+    new_last_event_id, old_n_changes, new_n_changes)."""
+    payload = [c for c in old.columns if c != "user_id"]
+    o = old.select(
+        F.col("user_id").alias("__ok"),
+        F.struct(*payload).alias("__ov"),
+    )
+    n = new.select(
+        F.col("user_id").alias("__nk"),
+        F.struct(*payload).alias("__nv"),
+    )
+    j = o.join(n, F.col("__ok") == F.col("__nk"), "full_outer")
+    change = (
+        F.when(F.col("__ok").isNull(), "INSERT")
+        .when(F.col("__nk").isNull(), "DELETE")
+        .when(F.col("__ov") != F.col("__nv"), "UPDATE")
+    )
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(
+            F.coalesce(F.col("__ok"), F.col("__nk")).alias("user_id"),
+            "change",
+            F.col("__ov.last_event_id").alias("old_last_event_id"),
+            F.col("__nv.last_event_id").alias("new_last_event_id"),
+            F.col("__ov.n_changes").alias("old_n_changes"),
+            F.col("__nv.n_changes").alias("new_n_changes"),
+        )
+    )

@@ -61,7 +61,7 @@ from ..operators.analytics import (
     top_revenue_orders,
     user_set_ops,
 )
-from ..operators.snapshot import apply_changes
+from ..operators.snapshot import apply_changes, snapshot_diff
 from ..operators.multimodal import audio_features, image_features
 from ..operators.dedup import (
     MINHASH_PRIME,
@@ -794,7 +794,7 @@ def _q_cdc_snapshot_stream(spark, sf_dir):
     the plan instead of the execution.  Oracle: identical to
     cdc_apply_changes."""
     global _STREAM_SINK_SEQ
-    from ..operators.snapshot import apply_changes
+    from ..operators.snapshot import apply_changes, snapshot_diff
     from ..sources.tables import _EVENTS_SCHEMA, events_ts_column
 
     ensure_session_conf(spark)
@@ -1765,6 +1765,19 @@ def _q_brand_bracket_revenue(spark, sf_dir):
     )
 
 
+def _q_cdc_snapshot_diff(spark, sf_dir):
+    """Delta between the day-15 snapshot and the final one: both
+    states materialize from the same event table (time-based split --
+    the reproducible stand-in for two stored versions), diffed by ONE
+    full-outer join on the key."""
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    return snapshot_diff(
+        apply_changes(ev.filter(F.col("ts") < cutoff)), apply_changes(ev)
+    )
+
+
 def _q_events_time_rollup(spark, sf_dir):
     ensure_session_conf(spark)
     return time_rollup(load_table(spark, sf_dir, "events"))
@@ -1848,7 +1861,7 @@ def queries() -> dict[str, QueryFn]:
     # squeezed out) plus embedding_quantize_int8, r3's one red row (now
     # projected to CSV).  After these, media/int8-adjacent rows the r4
     # changes touched, then the freshest green tier for regression
-    # coverage.  With 132 registered queries a 50-entry window cannot
+    # coverage.  With 133 registered queries a 50-entry window cannot
     # cover everything; ALL entries, window or not, are value-verified
     # locally each round at sf0.01 AND sf0.1 by scratch/check.py
     # (endurance evidence in SCALE.md).
@@ -1904,6 +1917,7 @@ def queries() -> dict[str, QueryFn]:
         "media_video_frames_riff": _q_media_video_frames_riff,
         "events_time_rollup": _q_events_time_rollup,
         "events_gap_fill": _q_events_gap_fill,
+        "cdc_snapshot_diff": _q_cdc_snapshot_diff,
         # -- freshest green tier (r3 window, regression coverage) --
         "doc_boilerplate_removal": _q_remove_boilerplate,
         "embedding_semdedup": _q_semdedup,
@@ -1912,13 +1926,13 @@ def queries() -> dict[str, QueryFn]:
         "doc_dsir_weights": _q_dsir_weights,
         "doc_bigram_logprob": _q_bigram_logprob,
         "embedding_cluster_profiles": _q_cluster_profiles,
-        "events_top_type_stream": _q_events_top_type_stream,
         # ---- driver window boundary (position 50) ----
-        # (the 13 r4 additions above -- 4 TPC-H completions, source
+        # (the 14 r4 additions above -- 4 TPC-H completions, source
         # reputation x2, stream-static enrich, gopher rules, MG heavy
         # hitters, CDC latency profile, RIFF-AVI video, time rollup,
-        # LOCF gap fill -- pushed these r3-green rows out of the
-        # window; they keep their r2/r3 driver evidence)
+        # LOCF gap fill, snapshot diff -- pushed these r3-green rows
+        # out of the window; they keep their r2/r3 driver evidence)
+        "events_top_type_stream": _q_events_top_type_stream,
         "cdc_parse_binlog_text_pyds": _q_cdc_parse_pyds,
         "late_exclusive_suppliers": _q_late_exclusive_suppliers,
         "doc_fuzzy_contamination": _q_fuzzy_contamination,
@@ -2023,6 +2037,47 @@ WHERE v.event_type = 'view' AND c.event_type = 'click'"""
 # shared by cdc_apply_changes (batch), cdc_snapshot_stream (complete-
 # mode streaming), and cdc_snapshot_incremental (foreachBatch
 # maintenance) -- three execution strategies, one result by contract
+_SNAPSHOT_DIFF_SQL = """
+WITH changes AS (
+  SELECT user_id,
+         CASE event_type WHEN 'click' THEN 'INSERT'
+                         WHEN 'view' THEN 'UPDATE'
+                         ELSE 'DELETE' END AS op,
+         epoch_ms(ts) AS ts_ms, event_id, value, ts
+  FROM events
+  WHERE event_type IN ('click', 'view', 'purchase') AND user_id IS NOT NULL
+),
+snap_of AS (
+  SELECT user_id, op AS last_op, ts_ms AS last_ts_ms,
+         event_id AS last_event_id, round(value, 4) AS last_value, n_changes,
+         cutoff
+  FROM (
+    SELECT c.*, s.cutoff,
+           row_number() OVER (PARTITION BY s.cutoff, c.user_id
+                              ORDER BY c.ts_ms DESC, c.event_id DESC) AS rn,
+           count(*) OVER (PARTITION BY s.cutoff, c.user_id) AS n_changes
+    FROM changes c
+    JOIN (SELECT TIMESTAMP '2024-01-16' AS cutoff
+          UNION ALL SELECT TIMESTAMP '2099-01-01') s
+      ON c.ts < s.cutoff
+  ) WHERE rn = 1 AND op <> 'DELETE'
+),
+old_s AS (SELECT * FROM snap_of WHERE cutoff = TIMESTAMP '2024-01-16'),
+new_s AS (SELECT * FROM snap_of WHERE cutoff = TIMESTAMP '2099-01-01')
+SELECT coalesce(o.user_id, n.user_id) AS user_id,
+       CASE WHEN o.user_id IS NULL THEN 'INSERT'
+            WHEN n.user_id IS NULL THEN 'DELETE'
+            ELSE 'UPDATE' END AS change,
+       o.last_event_id AS old_last_event_id,
+       n.last_event_id AS new_last_event_id,
+       o.n_changes AS old_n_changes,
+       n.n_changes AS new_n_changes
+FROM old_s o
+FULL OUTER JOIN new_s n ON o.user_id = n.user_id
+WHERE o.user_id IS NULL OR n.user_id IS NULL
+   OR (o.last_op, o.last_ts_ms, o.last_event_id, o.last_value, o.n_changes)
+      <> (n.last_op, n.last_ts_ms, n.last_event_id, n.last_value, n.n_changes)"""
+
 _APPLY_CHANGES_SQL = """
 WITH changes AS (
   SELECT user_id,
@@ -3450,6 +3505,7 @@ SELECT doc_id, lang, source, bucket,
             ELSE 'test' END AS split
 FROM b""",
         "cdc_apply_changes": _APPLY_CHANGES_SQL,
+        "cdc_snapshot_diff": _SNAPSHOT_DIFF_SQL,
         # the incremental maintenance contract IS batch equivalence:
         # after draining the chunked replay, the stored snapshot equals
         # apply_changes over all events -- same SQL verbatim
