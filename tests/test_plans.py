@@ -730,3 +730,23 @@ def test_gap_fill_user_partitioned_window(spark):
     for seg in plan.split("Arguments: ")[1:]:
         if "last(" in seg.split("\n")[0]:
             assert "user_id" in seg.split("\n")[0]
+
+
+def test_snapshot_diff_single_full_outer_join(spark):
+    """The version diff must be ONE full-outer hash join over the two
+    aggregate-sized snapshot states -- never an event-level replay or
+    a per-column join fanout."""
+    import re as _re
+
+    from binlog_avro_comparator_spark.operators.snapshot import (
+        apply_changes,
+        snapshot_diff,
+    )
+
+    ev = load_table(spark, SF, "events")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    plan = _plan(snapshot_diff(apply_changes(ev.filter(F.col("ts") < cutoff)),
+                               apply_changes(ev)))
+    joins = _re.findall(r"^\(\d+\) \w*Join", plan, _re.M)
+    assert len(joins) == 1, joins
+    assert "FullOuter" in plan
