@@ -205,3 +205,39 @@ def parse_binlog_text(lines: DataFrame) -> DataFrame:
         F.col("event_id").alias("line_no"),
         F.col("kvs").alias("extra"),
     )
+
+
+# the D3 contract keys the downstream consumer declares
+# (compare_timestamps.go:13-22); everything else in the open-schema
+# tail is drift the operator below surfaces
+CONTRACT_KEYS = (
+    "date",
+    "log_position",
+    "schema",
+    "table",
+    "gtid_next",
+    "immediate_commmit_timestamp",
+    "orignal_commmit_timestamp",
+)
+
+
+def schema_drift_report(parsed: DataFrame) -> DataFrame:
+    """Open-schema drift detection over the parsed binlog events: which
+    keys does the feed ACTUALLY carry, per event type, and which of
+    them are outside the declared contract (the D3 table is
+    map[string]interface{} -- json_parser.go:27 -- so a parser upgrade
+    or a new MySQL version can grow the tail silently; this report is
+    how an operator notices before a consumer breaks).
+
+    explode(map_keys) -> one map-side-combined aggregate over
+    (event_type, key); key cardinality is bounded by the parser's
+    vocabulary, so the shuffle is a few hundred rows at any corpus
+    size.  Returns (event_type, key, n_events, in_contract)."""
+    keys = parsed.select(
+        "event_type", F.explode(F.map_keys(F.col("extra"))).alias("key")
+    )
+    return (
+        keys.groupBy("event_type", "key")
+        .agg(F.count("*").alias("n_events"))
+        .withColumn("in_contract", F.col("key").isin(*CONTRACT_KEYS))
+    )

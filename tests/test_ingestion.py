@@ -496,3 +496,39 @@ class TestBinlogBinaryCodec:
         assert [(r.event_type, r.line_no, r.log_position) for r in one] == [
             (t[2], t[1], t[5]) for t in local
         ]
+
+
+def test_schema_drift_report_flags_unknown_keys(spark):
+    """A feed carrying keys beyond the declared D3 contract (here a
+    fictional 'Compression type') is surfaced per event type with
+    in_contract=false; contract keys report true."""
+    from binlog_avro_comparator_spark.operators.parse import (
+        parse_binlog_text,
+        schema_drift_report,
+    )
+
+    text = """=== WriteRowsEventV2 ===
+Date: 2025-06-01 12:00:00
+Log position: 100
+Schema: shop
+Table: orders
+Compression type: ZSTD
+--
+=== XIDEvent ===
+Date: 2025-06-01 12:00:01
+Log position: 200
+Xid: 77
+--
+"""
+    lines = spark.createDataFrame(
+        [("mysql-bin.000001", i, ln) for i, ln in enumerate(text.splitlines())],
+        "binlog_file string, line_no long, value string",
+    )
+    rep = {
+        (r.event_type, r.key): r
+        for r in schema_drift_report(parse_binlog_text(lines)).collect()
+    }
+    assert not rep[("WriteRowsEventV2", "compression_type")].in_contract
+    assert rep[("WriteRowsEventV2", "schema")].in_contract
+    assert not rep[("XID", "xid")].in_contract  # open tail, not contract
+    assert rep[("XID", "date")].in_contract
