@@ -750,3 +750,23 @@ def test_snapshot_diff_single_full_outer_join(spark):
     joins = _re.findall(r"^\(\d+\) \w*Join", plan, _re.M)
     assert len(joins) == 1, joins
     assert "FullOuter" in plan
+
+
+def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
+    """Hive-partitioned writes must prune at planning time: a filter on
+    the partition column becomes PartitionFilters (whole directories
+    skipped), NOT a post-scan Filter over all files -- the layout facet
+    of pushdown next to the PushedFilters tests above."""
+    p = str(tmp_path / "by_type")
+    load_table(spark, SF, "events").write.partitionBy("event_type").parquet(p)
+    df = spark.read.parquet(p).filter(F.col("event_type") == "purchase")
+    plan = _plan(df)
+    seg = plan.split("PartitionFilters:")[1].split("\n")[0]
+    assert "event_type" in seg and "purchase" in seg
+    # and the partition predicate is fully consumed by pruning -- no
+    # residual data filter re-checks it
+    data_filters = [
+        ln for ln in plan.splitlines() if ln.startswith("Condition")
+    ]
+    assert all("event_type" not in ln for ln in data_filters)
+    assert df.count() > 0
