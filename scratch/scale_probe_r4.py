@@ -64,9 +64,38 @@ part = load_table(spark, SF, "part")
 supplier = load_table(spark, SF, "supplier")
 customer = load_table(spark, SF, "customer")
 
-probe("mg_heavy_hitters", lambda m: misra_gries_heavy_hitters(rep_docs(m), "lang", 0.25))
-probe("gopher_quality", lambda m: gopher_quality_flags(rep_docs(m)))
-probe("source_reputation", lambda m: source_reputation(rep_docs(m)))
-probe("supplier_part_counts", lambda m: supplier_part_counts(rep_lineitem(m), part, supplier))
-probe("shipping_priority", lambda m: shipping_priority(customer, rep_orders(m), rep_lineitem(m)))
+import sys as _sys
+
+_MODE = _sys.argv[1] if len(_sys.argv) > 1 else "r4"
+
+if _MODE == "r4":
+    probe("mg_heavy_hitters", lambda m: misra_gries_heavy_hitters(rep_docs(m), "lang", 0.25))
+    probe("gopher_quality", lambda m: gopher_quality_flags(rep_docs(m)))
+    probe("source_reputation", lambda m: source_reputation(rep_docs(m)))
+    probe("supplier_part_counts", lambda m: supplier_part_counts(rep_lineitem(m), part, supplier))
+    probe("shipping_priority", lambda m: shipping_priority(customer, rep_orders(m), rep_lineitem(m)))
+
+# time-series + snapshot-diff probes: python scratch/scale_probe_r4.py ts
+if _MODE == "ts":
+    from binlog_avro_comparator_spark.operators.analytics import (
+        gap_fill_locf, time_rollup,
+    )
+    from binlog_avro_comparator_spark.operators.snapshot import (
+        apply_changes, snapshot_diff,
+    )
+
+    def rep_events(mult):
+        base = load_table(spark, SF, "events")
+        return (base.crossJoin(spark.range(mult).select(F.col("id").alias("__m")))
+                .select((F.col("event_id") * mult + F.col("__m")).alias("event_id"),
+                        "ts",
+                        (F.col("user_id") * mult + F.col("__m")).alias("user_id"),
+                        "event_type", "value", "props"))
+
+    probe("time_rollup", lambda m: time_rollup(rep_events(m)))
+    probe("gap_fill_locf", lambda m: gap_fill_locf(rep_events(m)))
+    probe("snapshot_diff", lambda m: snapshot_diff(
+        apply_changes(rep_events(m).filter(F.col("ts") < F.lit("2024-01-16").cast("timestamp"))),
+        apply_changes(rep_events(m))))
+
 spark.stop()
