@@ -1524,23 +1524,47 @@ def misra_gries_heavy_hitters(
         # count from all and dropping the non-positive -- vectorized,
         # same N_p/(k+1) undercount bound as row-at-a-time MG, so no
         # heavy key is ever a false negative (strict > in phase 2).
+        # The same pass also counts the partition's rows (emitted as a
+        # null-key row), so the global N needs NO separate scan: the
+        # operator reads the input exactly twice -- sketch + confirm.
         import pandas as pd
 
         counters: dict = {}
+        n_rows = 0
         for pdf in batches:
+            n_rows += int(pdf["key"].notna().sum())
             for key, n in pdf["key"].dropna().value_counts().items():
                 counters[key] = counters.get(key, 0) + int(n)
             if len(counters) > k:
                 sub = sorted(counters.values(), reverse=True)[k]
                 counters = {c: n - sub for c, n in counters.items() if n > sub}
-        yield pd.DataFrame({"key": list(counters.keys())})
+        yield pd.DataFrame(
+            {
+                "key": list(counters.keys()) + [None],
+                "part_rows": [0] * len(counters) + [n_rows],
+            }
+        )
+
+    from ..functions.caching import scoped_cache
 
     keyed = df.select(F.col(key_col).cast("string").alias("key"))
-    cand = (
-        keyed.mapInPandas(_mg, T.StructType([T.StructField("key", T.StringType())]))
-        .distinct()
+    # candidates AND the total ride one sketch pass; the tiny sketch
+    # frame (<= (k+1) rows per partition) is scoped-cached because two
+    # plan subtrees read it -- without the cache the Python stage (and
+    # the input scan under it) would run twice
+    sketch = scoped_cache(
+        keyed.mapInPandas(
+            _mg,
+            T.StructType(
+                [
+                    T.StructField("key", T.StringType()),
+                    T.StructField("part_rows", T.LongType()),
+                ]
+            ),
+        )
     )
-    total = keyed.agg(F.count("key").alias("__n"))
+    cand = sketch.filter(F.col("key").isNotNull()).select("key").distinct()
+    total = sketch.agg(F.sum("part_rows").alias("__n"))
     exact = (
         keyed.join(F.broadcast(cand), "key", "left_semi")
         .groupBy("key")
