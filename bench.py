@@ -114,6 +114,7 @@ EXTRA_QUERIES = [
     "events_time_rollup",
     "events_gap_fill",
     "cdc_snapshot_diff",
+    "cdc_replica_checksums",
 ]
 
 

@@ -572,3 +572,63 @@ def latency_stats(matched: DataFrame, approx: bool = False) -> DataFrame:
             "p99_ms",
         )
     )
+
+
+def content_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Order-independent content checksum: SUM of the portable 48-bit
+    md5 over each row's canonical encoding (unit-separator-joined
+    columns, NULL as a sentinel byte) -- the anti-entropy primitive for
+    cheap replica comparison: two sides agree on (n_rows, checksum)
+    with overwhelming probability iff they hold the same multiset of
+    rows, for the cost of one scan and a 1-row result, no join.
+
+    Sum is decimal(38,0) (exact, order/partitioning-independent; never
+    a float fold) and is EMITTED AS A STRING so the cross-engine
+    compare sees digits, not integer-width encodings.  Callers pass
+    string/integer columns only -- float columns would reintroduce
+    engine-specific decimal formatting into the hash input."""
+    row = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
+    )
+    h = F.conv(F.substring(F.md5(row), 1, 12), 16, 10).cast("decimal(38,0)")
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(h).cast("string").alias("checksum"),
+    )
+
+
+def replica_checksums(
+    binlog_prepared: DataFrame, avro_prepared: DataFrame
+) -> DataFrame:
+    """The checksum form of the consistency question: do the two sides
+    hold the same JOIN-KEY multiset?  One scan per side, two 1-row
+    frames crossed -- at 100 TB this answers 'did replication drop or
+    duplicate anything' hourly for pennies, with the full diff
+    (findings_onepass) reserved for the runs where the checksums
+    disagree.  Returns one row (binlog_rows, avro_rows,
+    binlog_checksum, avro_checksum, keys_match)."""
+    b = content_checksum(
+        binlog_prepared.select("binlog_file", "binlog_position"),
+        ["binlog_file", "binlog_position"],
+    ).select(
+        F.col("n_rows").alias("binlog_rows"),
+        F.col("checksum").alias("binlog_checksum"),
+    )
+    a = content_checksum(
+        avro_prepared.select("binlog_file", "binlog_position"),
+        ["binlog_file", "binlog_position"],
+    ).select(
+        F.col("n_rows").alias("avro_rows"), F.col("checksum").alias("avro_checksum")
+    )
+    return (
+        b.crossJoin(F.broadcast(a))
+        .withColumn(
+            "keys_match",
+            (F.col("binlog_rows") == F.col("avro_rows"))
+            & (F.col("binlog_checksum") == F.col("avro_checksum")),
+        )
+        .select(
+            "binlog_rows", "avro_rows", "binlog_checksum", "avro_checksum",
+            "keys_match",
+        )
+    )

@@ -297,3 +297,27 @@ FROM matched_flagged
 WHERE binlog_ms IS NOT NULL
 GROUP BY change_type"""
     )
+
+
+def cdc_replica_checksums() -> str:
+    """Twin of compare.replica_checksums: per-side key-multiset
+    checksum (sum of 48-bit md5 over file<US>position), HUGEINT sum
+    emitted as digits."""
+    return (
+        _PREFIX
+        + """
+SELECT b.n AS binlog_rows, a.n AS avro_rows,
+       CAST(b.c AS VARCHAR) AS binlog_checksum,
+       CAST(a.c AS VARCHAR) AS avro_checksum,
+       (b.n = a.n AND b.c = a.c) AS keys_match
+FROM (
+  SELECT count(*) AS n,
+         sum(CAST(('0x' || substr(md5(binlog_file || chr(31) ||
+             CAST(log_position AS VARCHAR)), 1, 12)) AS BIGINT)::HUGEINT) AS c
+  FROM binlog_prepared) b,
+  (
+  SELECT count(*) AS n,
+         sum(CAST(('0x' || substr(md5(binlog_file || chr(31) ||
+             CAST(binlog_position AS VARCHAR)), 1, 12)) AS BIGINT)::HUGEINT) AS c
+  FROM avro_prepared) a"""
+    )

@@ -1793,6 +1793,11 @@ def _q_cdc_latency_stats(spark, sf_dir):
     return C.latency_stats(C.matched_pairs(bp, ap))
 
 
+def _q_cdc_replica_checksums(spark, sf_dir):
+    avro, bp, ap = _cdc_frames(spark, sf_dir)
+    return C.replica_checksums(bp, ap)
+
+
 def _q_gopher_quality(spark, sf_dir):
     ensure_session_conf(spark)
     return gopher_quality_flags(_docs(spark, sf_dir))
@@ -1861,7 +1866,7 @@ def queries() -> dict[str, QueryFn]:
     # squeezed out) plus embedding_quantize_int8, r3's one red row (now
     # projected to CSV).  After these, media/int8-adjacent rows the r4
     # changes touched, then the freshest green tier for regression
-    # coverage.  With 133 registered queries a 50-entry window cannot
+    # coverage.  With 134 registered queries a 50-entry window cannot
     # cover everything; ALL entries, window or not, are value-verified
     # locally each round at sf0.01 AND sf0.1 by scratch/check.py
     # (endurance evidence in SCALE.md).
@@ -1918,6 +1923,7 @@ def queries() -> dict[str, QueryFn]:
         "events_time_rollup": _q_events_time_rollup,
         "events_gap_fill": _q_events_gap_fill,
         "cdc_snapshot_diff": _q_cdc_snapshot_diff,
+        "cdc_replica_checksums": _q_cdc_replica_checksums,
         # -- freshest green tier (r3 window, regression coverage) --
         "doc_boilerplate_removal": _q_remove_boilerplate,
         "embedding_semdedup": _q_semdedup,
@@ -1925,13 +1931,14 @@ def queries() -> dict[str, QueryFn]:
         "big_ticket_orders": _q_big_ticket_orders,
         "doc_dsir_weights": _q_dsir_weights,
         "doc_bigram_logprob": _q_bigram_logprob,
-        "embedding_cluster_profiles": _q_cluster_profiles,
         # ---- driver window boundary (position 50) ----
-        # (the 14 r4 additions above -- 4 TPC-H completions, source
+        # (the 15 r4 additions above -- 4 TPC-H completions, source
         # reputation x2, stream-static enrich, gopher rules, MG heavy
         # hitters, CDC latency profile, RIFF-AVI video, time rollup,
-        # LOCF gap fill, snapshot diff -- pushed these r3-green rows
-        # out of the window; they keep their r2/r3 driver evidence)
+        # LOCF gap fill, snapshot diff, replica checksums -- pushed these
+        # r3-green rows out of the window; they keep their r2/r3
+        # driver evidence)
+        "embedding_cluster_profiles": _q_cluster_profiles,
         "events_top_type_stream": _q_events_top_type_stream,
         "cdc_parse_binlog_text_pyds": _q_cdc_parse_pyds,
         "late_exclusive_suppliers": _q_late_exclusive_suppliers,
@@ -2426,6 +2433,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_binlog_prepared": oracle.cdc_binlog_prepared(),
         "cdc_matches": oracle.cdc_matches(),
         "cdc_latency_stats": oracle.cdc_latency_stats(),
+        "cdc_replica_checksums": oracle.cdc_replica_checksums(),
         "cdc_avro_only": oracle.cdc_avro_only(),
         "cdc_binlog_only": oracle.cdc_binlog_only(),
         "cdc_findings": oracle.cdc_findings(),

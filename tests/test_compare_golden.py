@@ -261,3 +261,21 @@ def test_console_findings_all_sections(spark):
     # every avro-stream finding sits in section 0
     assert all(r.section == 0 for r in rows if not r.text.startswith("BINLOG_ONLY"))
     assert "MISMATCH (GTID)" in {r.text.split(": Line")[0] for r in rows}
+
+
+def test_content_checksum_order_and_partition_invariant(spark):
+    """The checksum must be identical for any row order / partitioning
+    of the same multiset, and differ when one row changes."""
+    from binlog_avro_comparator_spark.operators.compare import content_checksum
+
+    rows = [(f"f{i % 3}", i) for i in range(500)]
+    a = spark.createDataFrame(rows, "binlog_file string, binlog_position long")
+    b = spark.createDataFrame(list(reversed(rows)), "binlog_file string, binlog_position long").repartition(13)
+    ca = content_checksum(a, ["binlog_file", "binlog_position"]).collect()[0]
+    cb = content_checksum(b, ["binlog_file", "binlog_position"]).collect()[0]
+    assert (ca.n_rows, ca.checksum) == (cb.n_rows, cb.checksum)
+    mutated = spark.createDataFrame(
+        rows[:-1] + [("f9", 999999)], "binlog_file string, binlog_position long"
+    )
+    cm = content_checksum(mutated, ["binlog_file", "binlog_position"]).collect()[0]
+    assert cm.checksum != ca.checksum
