@@ -115,6 +115,7 @@ EXTRA_QUERIES = [
     "events_gap_fill",
     "cdc_snapshot_diff",
     "cdc_replica_checksums",
+    "doc_arrow_slugs",
 ]
 
 

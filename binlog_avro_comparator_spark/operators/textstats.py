@@ -1089,3 +1089,26 @@ def gopher_quality_flags(
         r_stop.alias("ok_stopwords"),
         (r_words & r_wl & r_sym & r_alpha & r_stop).alias("passes_gopher"),
     )
+
+
+def doc_slugs(documents: DataFrame, max_chars: int = 60) -> DataFrame:
+    """URL-slug derivation via an ARROW-OPTIMIZED scalar Python UDF
+    (``@udf(useArrow=True)``) -- deliberately: this completes the
+    engine's Python-execution surface tour (pandas_udf, mapInPandas,
+    applyInPandas(+WithState), UDTF, Python DataSource, and now the
+    Arrow scalar UDF), and the work itself is trivially SQL-expressible
+    so the oracle certifies the SURFACE, same policy as the UDTF tier.
+    Arrow batching moves rows columnar instead of pickled-per-row --
+    the only acceptable form of a scalar Python UDF; the row-at-a-time
+    default stays banned from this codebase.  Returns (doc_id, slug)."""
+    import re as _re
+
+    from pyspark.sql import types as T
+
+    @F.udf(returnType=T.StringType(), useArrow=True)
+    def _slug(text: str) -> str:
+        if text is None:
+            return None
+        return _re.sub(r"[^a-z0-9]+", "-", text[:max_chars].lower()).strip("-")
+
+    return documents.select("doc_id", _slug(F.col("text")).alias("slug"))

@@ -103,6 +103,7 @@ from ..operators.textstats import (
     quality_deciles,
     quality_scores,
     repetition_scores,
+    doc_slugs,
     gopher_quality_flags,
     shard_assignments,
     source_reputation,
@@ -1798,6 +1799,11 @@ def _q_cdc_replica_checksums(spark, sf_dir):
     return C.replica_checksums(bp, ap)
 
 
+def _q_doc_slugs(spark, sf_dir):
+    ensure_session_conf(spark)
+    return doc_slugs(_docs(spark, sf_dir))
+
+
 def _q_gopher_quality(spark, sf_dir):
     ensure_session_conf(spark)
     return gopher_quality_flags(_docs(spark, sf_dir))
@@ -1866,7 +1872,7 @@ def queries() -> dict[str, QueryFn]:
     # squeezed out) plus embedding_quantize_int8, r3's one red row (now
     # projected to CSV).  After these, media/int8-adjacent rows the r4
     # changes touched, then the freshest green tier for regression
-    # coverage.  With 134 registered queries a 50-entry window cannot
+    # coverage.  With 135 registered queries a 50-entry window cannot
     # cover everything; ALL entries, window or not, are value-verified
     # locally each round at sf0.01 AND sf0.1 by scratch/check.py
     # (endurance evidence in SCALE.md).
@@ -1924,13 +1930,13 @@ def queries() -> dict[str, QueryFn]:
         "events_gap_fill": _q_events_gap_fill,
         "cdc_snapshot_diff": _q_cdc_snapshot_diff,
         "cdc_replica_checksums": _q_cdc_replica_checksums,
+        "doc_arrow_slugs": _q_doc_slugs,
         # -- freshest green tier (r3 window, regression coverage) --
         "doc_boilerplate_removal": _q_remove_boilerplate,
         "embedding_semdedup": _q_semdedup,
         "events_join_stream": _q_events_join_stream,
         "big_ticket_orders": _q_big_ticket_orders,
         "doc_dsir_weights": _q_dsir_weights,
-        "doc_bigram_logprob": _q_bigram_logprob,
         # ---- driver window boundary (position 50) ----
         # (the 15 r4 additions above -- 4 TPC-H completions, source
         # reputation x2, stream-static enrich, gopher rules, MG heavy
@@ -1938,6 +1944,7 @@ def queries() -> dict[str, QueryFn]:
         # LOCF gap fill, snapshot diff, replica checksums -- pushed these
         # r3-green rows out of the window; they keep their r2/r3
         # driver evidence)
+        "doc_bigram_logprob": _q_bigram_logprob,
         "embedding_cluster_profiles": _q_cluster_profiles,
         "events_top_type_stream": _q_events_top_type_stream,
         "cdc_parse_binlog_text_pyds": _q_cdc_parse_pyds,
@@ -4068,6 +4075,14 @@ WITH per AS (
 )
 SELECT doc_id, documents.source AS source, stop_rate
 FROM documents JOIN rep ON documents.source = rep.source""",
+        # twin of textstats.doc_slugs (the Arrow scalar-UDF surface;
+        # the transformation itself is SQL-expressible BY DESIGN so the
+        # oracle certifies the plumbing, same policy as the UDTF tier)
+        "doc_arrow_slugs": """
+SELECT doc_id,
+       trim(regexp_replace(lower(substr(text, 1, 60)),
+                           '[^a-z0-9]+', '-', 'g'), '-') AS slug
+FROM documents""",
         # twin of textstats.gopher_quality_flags (Gopher rule battery;
         # integer counts + single rounded divisions keep every flag
         # bit-deterministic across engines)
