@@ -918,11 +918,13 @@ def late_line_priority_mix(
     (late_bucket, high_line_count, low_line_count)."""
     o = orders.select("o_orderkey", "o_orderdate", "o_orderpriority")
     li = lineitem.select("l_orderkey", "l_shipdate")
-    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).filter(
-        F.col("l_shipdate")
-        > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
-    )
     days_late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    # filter and bucket share ONE arithmetic (calendar-day datediff):
+    # a timestamp-interval filter would admit 60-day-12-hour lines
+    # whose datediff is 60, mislabeling them into the '61-90' bucket
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        days_late > late_days
+    )
     bucket = (
         F.when(days_late <= 90, F.lit("61-90"))
         .when(days_late <= 120, F.lit("91-120"))
@@ -1251,10 +1253,20 @@ def excess_quantity_suppliers(
     li = lineitem.select("l_partkey", "l_suppkey", "l_quantity").join(
         pk, F.col("l_partkey") == F.col("p_partkey"), "left_semi"
     )
-    per_supp = li.groupBy("l_suppkey").agg(
-        F.sum(F.col("l_quantity").cast(_DEC)).alias("__q")
+    from ..functions.caching import scoped_cache
+
+    # the per-supplier aggregate is read TWICE (threshold total +
+    # cut), so it is scoped-cached: without the cache each reader
+    # re-executes the fact scan + semi-join as its own subtree.  The
+    # frame is aggregate-sized (one row per supplier); decimal sums
+    # are exact, so the sum-of-sums total equals a direct fact total
+    # bit-for-bit
+    per_supp = scoped_cache(
+        li.groupBy("l_suppkey").agg(
+            F.sum(F.col("l_quantity").cast(_DEC)).alias("__q")
+        )
     )
-    total = li.agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("__t"))
+    total = per_supp.agg(F.sum("__q").alias("__t"))
     cut = per_supp.crossJoin(F.broadcast(total)).filter(
         F.col("__q").cast("double") > F.col("__t").cast("double") * share
     )

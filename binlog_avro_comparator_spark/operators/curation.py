@@ -63,6 +63,14 @@ def curation_survivors(
     dedup/contamination stages, the published-recipe ordering: rule
     filters first so clustering and shingling never touch documents a
     projection would have dropped."""
+    # the reputation verdict is a CORPUS-level rate by contract, so it
+    # is computed over the ORIGINAL frame -- measuring it after the
+    # Gopher cut would let a spam source launder its rate by having its
+    # worst documents removed first
+    if min_source_stop_rate is not None:
+        ok_src = filter_by_source_reputation(
+            documents, min_stop_rate=min_source_stop_rate
+        ).select("doc_id")
     if gopher_rules:
         ok = (
             gopher_quality_flags(documents)
@@ -71,9 +79,6 @@ def curation_survivors(
         )
         documents = documents.join(ok, on="doc_id", how="left_semi")
     if min_source_stop_rate is not None:
-        ok_src = filter_by_source_reputation(
-            documents, min_stop_rate=min_source_stop_rate
-        ).select("doc_id")
         documents = documents.join(ok_src, on="doc_id", how="left_semi")
     rep_ok = (
         repetition_scores(documents)

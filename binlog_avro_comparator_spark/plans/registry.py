@@ -1899,8 +1899,9 @@ def queries() -> dict[str, QueryFn]:
         "lineitem_zorder_layout": _q_zorder_layout,
         "cdc_snapshot_incremental": _q_cdc_snapshot_incremental,
         # -- NEW in r4 (registered only after the never-verified head
-        # above, per the r3 freeze rule; all 13 sit inside the 50-entry
-        # window so each gets a driver row in its first round) --
+        # above, per the r3 freeze rule; all 30 r4 additions sit inside
+        # the 50-entry window so each gets a driver row in its first
+        # round) --
         "discounted_revenue": _q_discounted_revenue,
         "promo_revenue_share": _q_promo_revenue_share,
         "late_line_priority_mix": _q_late_line_priority_mix,
@@ -1938,12 +1939,13 @@ def queries() -> dict[str, QueryFn]:
         "big_ticket_orders": _q_big_ticket_orders,
         "doc_dsir_weights": _q_dsir_weights,
         # ---- driver window boundary (position 50) ----
-        # (the 15 r4 additions above -- 4 TPC-H completions, source
-        # reputation x2, stream-static enrich, gopher rules, MG heavy
-        # hitters, CDC latency profile, RIFF-AVI video, time rollup,
-        # LOCF gap fill, snapshot diff, replica checksums -- pushed these
-        # r3-green rows out of the window; they keep their r2/r3
-        # driver evidence)
+        # (the 30 r4 additions above -- 14 relational/stream/binary,
+        # 4 TPC-H completions, source reputation x2, stream-static
+        # enrich, gopher rules, MG heavy hitters, CDC latency profile,
+        # RIFF-AVI video, time rollup, LOCF gap fill, snapshot diff,
+        # replica checksums, Arrow-UDF slugs -- pushed these r3-green
+        # rows out of the window; they keep their r2/r3 driver
+        # evidence)
         "doc_bigram_logprob": _q_bigram_logprob,
         "embedding_cluster_profiles": _q_cluster_profiles,
         "events_top_type_stream": _q_events_top_type_stream,
@@ -3852,7 +3854,7 @@ SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 90 THEN '61-90'
        count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count,
        count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+WHERE date_diff('day', o_orderdate, l_shipdate) > 60
 GROUP BY 1""",
         # twin of analytics.volume_shipping (Q7 shape: nation-pair
         # disjunctive residual after broadcast dimension joins)

@@ -103,13 +103,19 @@ def _fde(ts_sec: int) -> bytes:
 
 
 def _gtid(ts_sec: int, sid: bytes, gno: int, ict_us: int, log_pos: int) -> bytes:
+    # realistic replica shape: bit 55 of the 7-byte field is the
+    # 'original commit timestamp follows' FLAG (set on any binlog a
+    # replica wrote), with the 7-byte original timestamp appended --
+    # encoding it exercises the decoder's flag strip on every fixture
+    ict7 = (ict_us & ((1 << 55) - 1)) | (1 << 55)
     payload = (
         bytes([1])                      # commit flag
         + sid                           # 16-byte SID
         + struct.pack("<q", gno)
         + bytes([2])                    # logical timestamp typecode
         + struct.pack("<qq", 0, 0)      # last_committed, sequence_number
-        + struct.pack("<Q", ict_us & 0x00FFFFFFFFFFFFFF)[:7]  # 7-byte micros
+        + struct.pack("<Q", ict7)[:7]   # 7-byte micros + flag bit 55
+        + struct.pack("<Q", ict_us & ((1 << 55) - 1))[:7]  # original ts
     )
     return _event(ts_sec, GTID_LOG_EVENT, payload, log_pos)
 
@@ -144,10 +150,15 @@ def _xid(ts_sec: int, xid: int, log_pos: int) -> bytes:
 
 
 def _query(ts_sec: int, schema: str, log_pos: int) -> bytes:
+    # realistic server shape: a non-empty status-variable block
+    # (Q_FLAGS2 = type 0x00 + uint32) sits between the post-header and
+    # the schema name on every real MySQL Query event -- encoding it
+    # exercises the decoder's status_vars_length skip on every fixture
     s = schema.encode()
+    status = bytes([0x00]) + struct.pack("<I", 0)  # Q_FLAGS2
     payload = (
-        struct.pack("<IIBHH", 1, 0, len(s), 0, 0)  # thread, exec, len, err, status
-        + s + b"\x00" + b"BEGIN"
+        struct.pack("<IIBHH", 1, 0, len(s), 0, len(status))
+        + status + s + b"\x00" + b"BEGIN"
     )
     return _event(ts_sec, QUERY_EVENT, payload, log_pos)
 
@@ -246,7 +257,13 @@ def decode_binlog_bytes(basename: str, data: bytes) -> Iterator[tuple]:
             if len(body) >= 1 + 16 + 8 + 1 + 16 + 7:
                 sid = body[1:17]
                 (gno,) = struct.unpack_from("<q", body, 17)
-                us = int.from_bytes(body[42:49], "little") & 0x00FFFFFFFFFFFFFF
+                # bit 55 of the 7-byte field is a FLAG ('original
+                # commit timestamp follows'), set on any binlog a
+                # replica wrote -- it is NOT part of the microseconds;
+                # without the strip a replica's timestamps jump by
+                # 2^55 us (~year 3100) and every matched pair reports
+                # TIMESTAMP_MISMATCH
+                us = int.from_bytes(body[42:49], "little") & ((1 << 55) - 1)
                 gtid = f"{_sid_str(sid)}:{gno}"
                 ict = _fmt_ict(us) if us else None
             continue
@@ -267,8 +284,17 @@ def decode_binlog_bytes(basename: str, data: bytes) -> Iterator[tuple]:
             yield (basename, ordinal, "XID", _fmt_ts(ts_sec), ict,
                    log_pos, None, None, gtid)
         elif code == QUERY_EVENT:
+            # post-header: thread_id(4) exec_time(4) schema_len(1)
+            # error_code(2) status_vars_len(2); real servers ALWAYS
+            # write status vars (Q_FLAGS2, Q_SQL_MODE, charset, ...)
+            # between the post-header and the schema name -- skipping
+            # by the declared length is what makes genuine binlogs
+            # decode, not just the zero-status fixture bytes
             slen, = struct.unpack_from("<B", body, 8)
-            qschema = body[13 : 13 + slen].decode("utf-8", "replace")
+            svlen, = struct.unpack_from("<H", body, 11)
+            qschema = body[13 + svlen : 13 + svlen + slen].decode(
+                "utf-8", "replace"
+            )
             ordinal += 1
             yield (basename, ordinal, "Query", _fmt_ts(ts_sec), ict,
                    log_pos, qschema or None, None, gtid)

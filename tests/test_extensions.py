@@ -1408,3 +1408,29 @@ def test_salted_shuffle_join_matches_plain_join(spark):
     lj = salted_shuffle_join(left2, right, on=["k"], n_salts=4, how="left")
     assert lj.filter(F.col("k") == 999_999).count() == 1
     assert lj.count() == 1001
+
+
+def test_source_reputation_not_laundered_by_gopher_cut(spark):
+    """Reputation is a CORPUS-level rate: a spam source must not become
+    reputable because its worst documents were removed by the Gopher
+    gate first.  srcSpam's corpus rate is 16/432 ~= 0.037 (< 0.065),
+    even though its one Gopher-surviving doc alone rates 0.5."""
+    from binlog_avro_comparator_spark.operators.curation import curation_survivors
+
+    good = " ".join(["the", "wordsmith", "keeper", "a"] * 8)
+    rows = [
+        (100, good, "en", "srcSpam", 1),               # passes gopher
+        (101, " ".join(["zq"] * 400), "en", "srcSpam", 1),  # fails gopher
+        (102, good + " extra wordage here", "en", "srcOk", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = curation_survivors(
+        docs,
+        max_repetition=1.0,
+        max_contamination=2.0,
+        gopher_rules=True,
+        min_source_stop_rate=0.065,
+    )
+    assert sorted(r.doc_id for r in out.collect()) == [102]
