@@ -1434,3 +1434,37 @@ def test_source_reputation_not_laundered_by_gopher_cut(spark):
         min_source_stop_rate=0.065,
     )
     assert sorted(r.doc_id for r in out.collect()) == [102]
+
+
+def test_new_operators_empty_input_safe(spark):
+    """Zero-row inputs: every round-4 operator yields an empty (or
+    grand-total-only) frame, never a crash -- the behavior a scheduled
+    pipeline hits on an empty partition day."""
+    from binlog_avro_comparator_spark.operators.analytics import (
+        gap_fill_locf,
+        misra_gries_heavy_hitters,
+        time_rollup,
+    )
+    from binlog_avro_comparator_spark.operators.snapshot import (
+        apply_changes,
+        snapshot_diff,
+    )
+    from binlog_avro_comparator_spark.operators.textstats import (
+        gopher_quality_flags,
+        source_reputation,
+    )
+
+    no_docs = spark.createDataFrame([], DOCS_SCHEMA)
+    assert gopher_quality_flags(no_docs).count() == 0
+    assert source_reputation(no_docs).count() == 0
+    assert misra_gries_heavy_hitters(no_docs, "lang", 0.25).count() == 0
+    no_events = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    rollup = time_rollup(no_events).collect()
+    # rollup of nothing = at most the grand-total row (count 0)
+    assert all(r.level == "total" and r.n_events == 0 for r in rollup)
+    assert gap_fill_locf(no_events).count() == 0
+    assert snapshot_diff(
+        apply_changes(no_events), apply_changes(no_events)
+    ).count() == 0
