@@ -116,6 +116,7 @@ EXTRA_QUERIES = [
     "cdc_snapshot_diff",
     "cdc_replica_checksums",
     "doc_arrow_slugs",
+    "doc_levenshtein_pairs",
 ]
 
 

@@ -735,3 +735,41 @@ def fuzzy_contamination_pairs(
         union.cast("long").alias("n_union"),
         (F.col("n_intersect") / union).alias("jaccard"),
     )
+
+
+def levenshtein_near_pairs(
+    documents: DataFrame,
+    prefix_chars: int = 100,
+    max_dist: int = 30,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """Char-level near-duplicate pairs: LSH candidates confirmed by
+    EDIT DISTANCE over a bounded prefix -- the character-granularity
+    member of the dedup family (exact hash / MinHash-Jaccard / SimHash
+    / n-gram Jaccard operate on tokens or shingles; OCR noise, small
+    in-place edits, and template fills are cheaper to confirm at the
+    character level).
+
+    Scale: candidates come from the banded LSH self-join (never
+    all-pairs), and the O(prefix^2) Levenshtein DP runs ONLY on
+    candidates, JVM-side, over a CAPPED prefix -- cost per candidate
+    is a constant, independent of document length.  Texts join back
+    onto the (small) candidate set by doc id, not the other way
+    around.  Returns (doc_a, doc_b, edit_distance)."""
+    cand = lsh_candidate_pairs(documents, bands=bands, rows=rows)
+    ta = documents.select(
+        F.col("doc_id").alias("doc_a"),
+        F.substring("text", 1, prefix_chars).alias("__ta"),
+    )
+    tb = documents.select(
+        F.col("doc_id").alias("doc_b"),
+        F.substring("text", 1, prefix_chars).alias("__tb"),
+    )
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("edit_distance", F.levenshtein(F.col("__ta"), F.col("__tb")))
+        .filter(F.col("edit_distance") <= max_dist)
+        .select("doc_a", "doc_b", "edit_distance")
+    )

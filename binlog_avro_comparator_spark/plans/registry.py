@@ -70,6 +70,7 @@ from ..operators.dedup import (
     dedup_keep_canonical,
     exact_dedup,
     jaccard_pairs,
+    levenshtein_near_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
     remove_boilerplate_segments,
@@ -1799,6 +1800,11 @@ def _q_cdc_replica_checksums(spark, sf_dir):
     return C.replica_checksums(bp, ap)
 
 
+def _q_levenshtein_pairs(spark, sf_dir):
+    ensure_session_conf(spark)
+    return levenshtein_near_pairs(_docs(spark, sf_dir))
+
+
 def _q_doc_slugs(spark, sf_dir):
     ensure_session_conf(spark)
     return doc_slugs(_docs(spark, sf_dir))
@@ -1872,7 +1878,7 @@ def queries() -> dict[str, QueryFn]:
     # squeezed out) plus embedding_quantize_int8, r3's one red row (now
     # projected to CSV).  After these, media/int8-adjacent rows the r4
     # changes touched, then the freshest green tier for regression
-    # coverage.  With 135 registered queries a 50-entry window cannot
+    # coverage.  With 136 registered queries a 50-entry window cannot
     # cover everything; ALL entries, window or not, are value-verified
     # locally each round at sf0.01 AND sf0.1 by scratch/check.py
     # (endurance evidence in SCALE.md).
@@ -1932,12 +1938,12 @@ def queries() -> dict[str, QueryFn]:
         "cdc_snapshot_diff": _q_cdc_snapshot_diff,
         "cdc_replica_checksums": _q_cdc_replica_checksums,
         "doc_arrow_slugs": _q_doc_slugs,
+        "doc_levenshtein_pairs": _q_levenshtein_pairs,
         # -- freshest green tier (r3 window, regression coverage) --
         "doc_boilerplate_removal": _q_remove_boilerplate,
         "embedding_semdedup": _q_semdedup,
         "events_join_stream": _q_events_join_stream,
         "big_ticket_orders": _q_big_ticket_orders,
-        "doc_dsir_weights": _q_dsir_weights,
         # ---- driver window boundary (position 50) ----
         # (the 30 r4 additions above -- 14 relational/stream/binary,
         # 4 TPC-H completions, source reputation x2, stream-static
@@ -1946,6 +1952,7 @@ def queries() -> dict[str, QueryFn]:
         # replica checksums, Arrow-UDF slugs -- pushed these r3-green
         # rows out of the window; they keep their r2/r3 driver
         # evidence)
+        "doc_dsir_weights": _q_dsir_weights,
         "doc_bigram_logprob": _q_bigram_logprob,
         "embedding_cluster_profiles": _q_cluster_profiles,
         "events_top_type_stream": _q_events_top_type_stream,
@@ -2532,6 +2539,19 @@ SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
 FROM events GROUP BY event_type""",
         "minhash_signatures": _minhash_sig_sql(),
         "minhash_lsh_pairs": _lsh_pairs_sql(),
+        "doc_levenshtein_pairs": _lsh_pairs_sql().replace(
+            "SELECT DISTINCT doc_a, doc_b FROM (",
+            ",\ncand AS (SELECT DISTINCT doc_a, doc_b FROM (",
+        )
+        + """
+)
+SELECT doc_a, doc_b,
+       levenshtein(substr(ta.text, 1, 100), substr(tb.text, 1, 100))
+         AS edit_distance
+FROM cand
+JOIN documents ta ON cand.doc_a = ta.doc_id
+JOIN documents tb ON cand.doc_b = tb.doc_id
+WHERE levenshtein(substr(ta.text, 1, 100), substr(tb.text, 1, 100)) <= 30""",
         "dedup_clusters": _dedup_clusters_sql(),
         "corpus_curation_pipeline": _corpus_curation_sql(),
         "doc_shards": f"""
