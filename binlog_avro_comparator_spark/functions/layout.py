@@ -37,10 +37,15 @@ def compact_parquet_dir(
     ``ceil(total_bytes / target_bytes)`` files.
 
     The swap is write-new-then-rename (tmp dir beside the target, old
-    dir moved away before the new one moves in, removed only after):
-    a reader holding the old file handles keeps a consistent view, and
-    a crash mid-swap leaves either the old or the new directory intact
-    under a recoverable name, never a half-written mix.  Driver-side
+    dir moved away before the new one moves in, removed only after).
+    A reader that already opened the old files keeps a consistent
+    view; a reader that RESOLVES the path inside the two-rename window
+    sees a missing directory (two renames cannot be made atomic on a
+    plain filesystem), and a crash in that window leaves the data
+    intact but under the .__old_* / .__compact_* recovery names --
+    single-writer maintenance windows are the operating assumption, a
+    catalog/table-format pointer swap is the upgrade when readers are
+    concurrent.  Driver-side
     work is directory metadata only (os.walk for sizes); the data
     movement is the executors' coalesce write.  Returns
     {files_before, files_after, bytes}."""

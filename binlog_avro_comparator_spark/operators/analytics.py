@@ -925,10 +925,14 @@ def late_line_priority_mix(
     j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).filter(
         days_late > late_days
     )
+    # bucket edges/labels DERIVE from late_days (default 60 -> 61-90 /
+    # 91-120 / 120+, the oracle's literals) so a retuned threshold
+    # can't leave lines wearing another threshold's label
+    e1, e2 = late_days + 30, late_days + 60
     bucket = (
-        F.when(days_late <= 90, F.lit("61-90"))
-        .when(days_late <= 120, F.lit("91-120"))
-        .otherwise(F.lit("120+"))
+        F.when(days_late <= e1, F.lit(f"{late_days + 1}-{e1}"))
+        .when(days_late <= e2, F.lit(f"{e1 + 1}-{e2}"))
+        .otherwise(F.lit(f"{e2}+"))
     )
     is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
@@ -1117,15 +1121,21 @@ def important_parts(lineitem: DataFrame, part: DataFrame, factor: float = 1.5) -
     ).cast(_DEC)
     li = lineitem.select("l_partkey", rev.alias("__rev"))
     per_part = li.groupBy("l_partkey").agg(
-        F.sum("__rev").cast("double").alias("__v")
+        F.sum("__rev").alias("__vd"),
+    ).select("l_partkey", F.col("__vd"), F.col("__vd").cast("double").alias("__v"))
+    # threshold = decimal sum / count, divided ONCE -- avg() over the
+    # per-part doubles would fold in partial-aggregation order and a
+    # part within an ulp of avg*factor could flip between engines,
+    # breaking the module's float-determinism contract
+    avg_v = per_part.agg(
+        (F.sum("__vd").cast("double") / F.count("*")).alias("__avg")
     )
-    avg_v = per_part.agg(F.avg("__v").alias("__avg"))
     cut = per_part.crossJoin(F.broadcast(avg_v)).filter(
         F.col("__v") > F.col("__avg") * factor
     )
     return cut.join(part, F.col("l_partkey") == F.col("p_partkey")).select(
         "p_partkey", "p_name", F.col("__v").alias("part_value")
-    )
+    )  # __v double for output; the cut compared against the exact-sum avg
 
 
 def top_revenue_supplier(
@@ -1292,8 +1302,13 @@ def idle_rich_customers(
     shuffles a single long per recent order, nothing else, and the
     final per-nation aggregate is map-side combinable over 25 keys.
     Returns (c_nationkey, numcust, totacctbal)."""
+    # decimal sum / count, one division: avg() over raw doubles folds
+    # in partial order (see important_parts note)
     avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("__avg")
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count("*")
+        ).alias("__avg")
     )
     rich = customer.crossJoin(F.broadcast(avg_bal)).filter(
         F.col("c_acctbal") > F.col("__avg")

@@ -591,9 +591,14 @@ def content_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
         "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
     )
     h = F.conv(F.substring(F.md5(row), 1, 12), 16, 10).cast("decimal(38,0)")
+    # an EMPTY frame checksums to "0", not NULL: sum-over-nothing is
+    # coalesced so two quiet replicas compare equal instead of a
+    # NULL == NULL three-valued non-answer raising a false alarm
     return df.agg(
         F.count("*").alias("n_rows"),
-        F.sum(h).cast("string").alias("checksum"),
+        F.coalesce(F.sum(h), F.lit(0).cast("decimal(38,0)"))
+        .cast("string")
+        .alias("checksum"),
     )
 
 

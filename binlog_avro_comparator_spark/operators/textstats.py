@@ -1052,7 +1052,9 @@ def gopher_quality_flags(
     staged = documents.select(
         "doc_id",
         t.alias("__t"),
-        F.regexp_extract_all(t, F.lit(r"(\S+)"), 1).alias("__toks"),
+        # the module's ONE tokenizer (TOKEN_RE), mirrored by the
+        # oracle's _TOKEN_RE_SQL -- no second literal to drift
+        F.regexp_extract_all(t, F.lit(TOKEN_RE), F.lit(0)).alias("__toks"),
     ).select(
         "doc_id",
         "__t",

@@ -312,12 +312,14 @@ SELECT b.n AS binlog_rows, a.n AS avro_rows,
        (b.n = a.n AND b.c = a.c) AS keys_match
 FROM (
   SELECT count(*) AS n,
-         sum(CAST(('0x' || substr(md5(binlog_file || chr(31) ||
-             CAST(log_position AS VARCHAR)), 1, 12)) AS BIGINT)::HUGEINT) AS c
+         coalesce(sum(CAST(('0x' || substr(md5(binlog_file || chr(31) ||
+             CAST(log_position AS VARCHAR)), 1, 12)) AS BIGINT)::HUGEINT),
+             0::HUGEINT) AS c
   FROM binlog_prepared) b,
   (
   SELECT count(*) AS n,
-         sum(CAST(('0x' || substr(md5(binlog_file || chr(31) ||
-             CAST(binlog_position AS VARCHAR)), 1, 12)) AS BIGINT)::HUGEINT) AS c
+         coalesce(sum(CAST(('0x' || substr(md5(binlog_file || chr(31) ||
+             CAST(binlog_position AS VARCHAR)), 1, 12)) AS BIGINT)::HUGEINT),
+             0::HUGEINT) AS c
   FROM avro_prepared) a"""
     )

@@ -570,6 +570,27 @@ def _stream_state_partitions(spark: SparkSession, n: int = 8):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def _drain_to_table(spark: SparkSession, out: DataFrame, name: str, mode: str) -> DataFrame:
+    """Shared availableNow drain: start ``out`` as a memory sink under
+    a state-partition scope, wait (bounded), stop, return the
+    materialized table.  One definition so the conf scoping, timeout,
+    and stop discipline can't drift between the ten streaming
+    queries that use it."""
+    with _stream_state_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(f"{name}: availableNow drain exceeded 300s")
+        q.stop()
+    return spark.table(name)
+
+
 def _q_events_dedup_stream(spark, sf_dir):
     """Streaming dedup in the driver contract: the events table
     replayed as a file stream with every row DUPLICATED (the
@@ -601,19 +622,7 @@ def _q_events_dedup_stream(spark, sf_dir):
         "value",
         "props",
     )
-    with _stream_state_partitions(spark):
-        q = (
-            out.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError(f"{name}: availableNow drain exceeded 300s")
-        q.stop()
-    return spark.table(name)
+    return _drain_to_table(spark, out, name, "append")
 
 
 def _q_events_join_stream(spark, sf_dir):
@@ -642,19 +651,7 @@ def _q_events_join_stream(spark, sf_dir):
     _STREAM_SINK_SEQ += 1
     name = f"events_join_stream_sink_{_STREAM_SINK_SEQ}"
     out = view_click_join_stream(_side("view"), _side("click"))
-    with _stream_state_partitions(spark):
-        q = (
-            out.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError(f"{name}: availableNow drain exceeded 300s")
-        q.stop()
-    return spark.table(name)
+    return _drain_to_table(spark, out, name, "append")
 
 
 def _q_events_left_join_stream(spark, sf_dir):
@@ -683,19 +680,7 @@ def _q_events_left_join_stream(spark, sf_dir):
     _STREAM_SINK_SEQ += 1
     name = f"events_left_join_stream_sink_{_STREAM_SINK_SEQ}"
     out = view_click_left_join_stream(_side("view"), _side("click"))
-    with _stream_state_partitions(spark):
-        q = (
-            out.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError(f"{name}: availableNow drain exceeded 300s")
-        q.stop()
-    return spark.table(name)
+    return _drain_to_table(spark, out, name, "append")
 
 
 def _q_cdc_snapshot_incremental(spark, sf_dir):
@@ -763,20 +748,7 @@ def _q_events_top_type_stream(spark, sf_dir):
     )
     _STREAM_SINK_SEQ += 1
     name = f"events_top_type_stream_sink_{_STREAM_SINK_SEQ}"
-    with _stream_state_partitions(spark):
-        q = (
-            windowed_event_counts(stream)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError(f"{name}: availableNow drain exceeded 300s")
-    q.stop()
-    state = spark.table(name)
+    state = _drain_to_table(spark, windowed_event_counts(stream), name, "complete")
     return state.groupBy("window_start_ms").agg(
         F.max_by(
             "event_type", F.struct(F.col("n_events"), F.col("event_type"))
@@ -808,20 +780,7 @@ def _q_cdc_snapshot_stream(spark, sf_dir):
     )
     _STREAM_SINK_SEQ += 1
     name = f"cdc_snapshot_stream_sink_{_STREAM_SINK_SEQ}"
-    with _stream_state_partitions(spark):
-        q = (
-            apply_changes(stream)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError(f"{name}: availableNow drain exceeded 300s")
-    q.stop()
-    return spark.table(name)
+    return _drain_to_table(spark, apply_changes(stream), name, "complete")
 
 
 def _q_zorder_layout(spark, sf_dir):
@@ -1057,20 +1016,7 @@ def _q_cdc_findings_stream(spark, sf_dir):
     stream = stream_avro_jsonl(spark, d, max_files_per_trigger=1)
     _STREAM_SINK_SEQ += 1
     name = f"cdc_findings_stream_sink_{_STREAM_SINK_SEQ}"
-    with _stream_state_partitions(spark):
-        q = (
-            streaming_findings(binlog, stream)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError(f"{name}: availableNow drain exceeded 300s")
-        q.stop()
-    return spark.table(name)
+    return _drain_to_table(spark, streaming_findings(binlog, stream), name, "append")
 
 
 def _q_events_windowed_stream(spark, sf_dir):
@@ -1098,20 +1044,7 @@ def _q_events_windowed_stream(spark, sf_dir):
     )
     _STREAM_SINK_SEQ += 1
     name = f"events_windowed_stream_sink_{_STREAM_SINK_SEQ}"
-    with _stream_state_partitions(spark):
-        q = (
-            windowed_event_counts(stream)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError(f"{name}: availableNow drain exceeded 300s")
-        q.stop()
-    return spark.table(name)
+    return _drain_to_table(spark, windowed_event_counts(stream), name, "complete")
 
 
 def _q_ann_cosine_topk_ivf(spark, sf_dir):
@@ -1302,6 +1235,12 @@ def _q_media_features(spark, sf_dir):
             F.encode(F.col("text"), "utf-8"),
         ).alias("content"),
     )
+    # two readers (hex digest + IHDR feature extraction) over the same
+    # synthetic-PNG projection: scoped-cached so the documents scan and
+    # blob construction run once, not once per subtree
+    from ..functions.caching import scoped_cache
+
+    media = scoped_cache(media)
     hex_digest = media.select(
         "media_id",
         F.sha2(F.lower(F.hex(F.col("content"))), 256).alias("sha256_hex"),
@@ -1685,20 +1624,7 @@ def _q_events_session_stream(spark, sf_dir):
     )
     _STREAM_SINK_SEQ += 1
     name = f"events_session_stream_sink_{_STREAM_SINK_SEQ}"
-    with _stream_state_partitions(spark):
-        q = (
-            session_window_stats(stream)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError(f"{name}: availableNow drain exceeded 300s")
-        q.stop()
-    return spark.table(name)
+    return _drain_to_table(spark, session_window_stats(stream), name, "complete")
 
 
 def _q_cdc_parse_binlog_binary(spark, sf_dir):
@@ -1853,19 +1779,7 @@ def _q_events_enrich_stream(spark, sf_dir):
     _STREAM_SINK_SEQ += 1
     name = f"events_enrich_stream_sink_{_STREAM_SINK_SEQ}"
     out = enrich_with_profile(stream, profile)
-    with _stream_state_partitions(spark):
-        q = (
-            out.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError(f"{name}: availableNow drain exceeded 300s")
-        q.stop()
-    return spark.table(name)
+    return _drain_to_table(spark, out, name, "append")
 
 
 def queries() -> dict[str, QueryFn]:
@@ -3939,12 +3853,13 @@ WITH li AS (
          CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2)) AS rev
   FROM lineitem
 ), per_part AS (
-  SELECT l_partkey, CAST(sum(rev) AS DOUBLE) AS v FROM li GROUP BY l_partkey
+  SELECT l_partkey, sum(rev) AS vd FROM li GROUP BY l_partkey
 )
-SELECT p_partkey, p_name, v AS part_value
+SELECT p_partkey, p_name, CAST(vd AS DOUBLE) AS part_value
 FROM per_part
 JOIN part ON l_partkey = p_partkey
-WHERE v > (SELECT avg(v) FROM per_part) * 1.5""",
+WHERE CAST(vd AS DOUBLE) >
+      (SELECT CAST(sum(vd) AS DOUBLE) / count(*) FROM per_part) * 1.5""",
         # twin of analytics.top_revenue_supplier (Q15 shape: argmax via
         # 1-row max broadcast back onto the per-supplier aggregate)
         "top_revenue_supplier": """
@@ -4006,7 +3921,8 @@ WHERE CAST(sq AS DOUBLE) > (SELECT CAST(sum(q) AS DOUBLE) FROM li) * 0.002""",
 SELECT c_nationkey, count(*) AS numcust,
        round(CAST(sum(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE), 4) AS totacctbal
 FROM customer
-WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*) FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                   AND o_orderdate >= TIMESTAMP '1999-01-01')
 GROUP BY c_nationkey""",

@@ -254,9 +254,16 @@ def decode_binlog_bytes(basename: str, data: bytes) -> Iterator[tuple]:
         body = data[off + HEADER_LEN : off + size]
         off += size
         if code == GTID_LOG_EVENT:
-            if len(body) >= 1 + 16 + 8 + 1 + 16 + 7:
+            # SID+GNO need only the 25-byte prefix -- the MySQL
+            # 5.6/5.7 Gtid_log_event is 42 bytes (no commit-timestamp
+            # fields) and must still yield gtid_next; the 7-byte
+            # immediate_commit_timestamp exists only in the 8.0 layout
+            # (>= 49 bytes)
+            if len(body) >= 1 + 16 + 8:
                 sid = body[1:17]
                 (gno,) = struct.unpack_from("<q", body, 17)
+                gtid = f"{_sid_str(sid)}:{gno}"
+            if len(body) >= 1 + 16 + 8 + 1 + 16 + 7:
                 # bit 55 of the 7-byte field is a FLAG ('original
                 # commit timestamp follows'), set on any binlog a
                 # replica wrote -- it is NOT part of the microseconds;
@@ -264,12 +271,18 @@ def decode_binlog_bytes(basename: str, data: bytes) -> Iterator[tuple]:
                 # 2^55 us (~year 3100) and every matched pair reports
                 # TIMESTAMP_MISMATCH
                 us = int.from_bytes(body[42:49], "little") & ((1 << 55) - 1)
-                gtid = f"{_sid_str(sid)}:{gno}"
                 ict = _fmt_ict(us) if us else None
             continue
         if code == TABLE_MAP_EVENT:
+            # malformed bodies (declared event_size too small for the
+            # fields) skip the event rather than raising -- the module
+            # contract is warn-and-skip, never a failed Spark job
             p = 8  # table_id(6) + flags(2)
+            if len(body) < p + 1:
+                continue
             slen = body[p]
+            if len(body) < p + 1 + slen + 1 + 1:
+                continue
             schema = body[p + 1 : p + 1 + slen].decode("utf-8", "replace")
             p += 1 + slen + 1
             tlen = body[p]
@@ -290,6 +303,8 @@ def decode_binlog_bytes(basename: str, data: bytes) -> Iterator[tuple]:
             # between the post-header and the schema name -- skipping
             # by the declared length is what makes genuine binlogs
             # decode, not just the zero-status fixture bytes
+            if len(body) < 13:
+                continue  # malformed post-header: warn-and-skip
             slen, = struct.unpack_from("<B", body, 8)
             svlen, = struct.unpack_from("<H", body, 11)
             qschema = body[13 + svlen : 13 + svlen + slen].decode(

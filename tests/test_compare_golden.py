@@ -279,3 +279,19 @@ def test_content_checksum_order_and_partition_invariant(spark):
     )
     cm = content_checksum(mutated, ["binlog_file", "binlog_position"]).collect()[0]
     assert cm.checksum != ca.checksum
+
+
+def test_replica_checksums_empty_sides_match(spark):
+    """Two empty replicas are trivially consistent: keys_match must be
+    TRUE (checksum '0'), never a NULL three-valued non-answer."""
+    from binlog_avro_comparator_spark.operators.compare import replica_checksums
+
+    empty_b = spark.createDataFrame(
+        [], "binlog_file string, binlog_position long, event_type string"
+    )
+    empty_a = spark.createDataFrame(
+        [], "binlog_file string, binlog_position long, avro_line_no long"
+    )
+    row = replica_checksums(empty_b, empty_a).collect()[0]
+    assert row.keys_match is True
+    assert row.binlog_checksum == "0" and row.avro_checksum == "0"

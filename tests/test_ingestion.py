@@ -532,3 +532,46 @@ Xid: 77
     assert rep[("WriteRowsEventV2", "schema")].in_contract
     assert not rep[("XID", "xid")].in_contract  # open tail, not contract
     assert rep[("XID", "date")].in_contract
+
+
+def test_binlog_binary_malformed_and_57_layout():
+    """Decoder robustness: (a) truncated Query/TABLE_MAP bodies skip
+    instead of raising; (b) the 42-byte MySQL 5.6/5.7 GTID layout (no
+    commit-timestamp fields) still yields gtid_next with ict None."""
+    import struct
+
+    from binlog_avro_comparator_spark.sources.binlog_binary import (
+        FIXTURE_SID,
+        FIXTURE_SID_STR,
+        HEADER_LEN,
+        MAGIC,
+        decode_binlog_bytes,
+    )
+
+    def ev(code, payload, log_pos=100):
+        return (
+            struct.pack(
+                "<IBIIIH", 1748779200, code, 1, HEADER_LEN + len(payload),
+                log_pos, 0,
+            )
+            + payload
+        )
+
+    gtid_57 = (
+        bytes([1]) + FIXTURE_SID + struct.pack("<q", 7)
+        + bytes([2]) + struct.pack("<qq", 0, 0)
+    )  # 42 bytes, no timestamps
+    assert len(gtid_57) == 42
+    blob = (
+        MAGIC
+        + ev(33, gtid_57)                      # GTID_LOG_EVENT, 5.7 form
+        + ev(2, b"\x00" * 9)                   # Query with 9-byte body: skip
+        + ev(19, b"\x00" * 8)                  # TABLE_MAP 8-byte body: skip
+        + ev(30, b"\x00" * 12, log_pos=200)    # WriteRowsV2
+    )
+    rows = list(decode_binlog_bytes("mysql-bin.000001", blob))
+    assert len(rows) == 1  # only the rows event yields
+    (_, _, etype, _, ict, log_pos, schema, table, gtid) = rows[0]
+    assert etype == "WriteRowsEventV2" and log_pos == 200
+    assert gtid == f"{FIXTURE_SID_STR}:7"
+    assert ict is None  # 5.7 layout carries no commit timestamp
