@@ -117,6 +117,7 @@ EXTRA_QUERIES = [
     "cdc_replica_checksums",
     "doc_arrow_slugs",
     "doc_levenshtein_pairs",
+    "events_value_anomalies",
 ]
 
 

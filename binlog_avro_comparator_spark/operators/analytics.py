@@ -1699,3 +1699,43 @@ def gap_fill_locf(events: DataFrame, step: str = "day") -> DataFrame:
         F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
         F.last("__v", ignorenulls=True).over(w).alias("value_filled"),
     )
+
+
+def value_anomalies(events: DataFrame, z_cut: float = 3.0) -> DataFrame:
+    """Per-type z-score anomaly flags over the value column -- the
+    basic statistical outlier gate a metrics pipeline runs before
+    training on telemetry.
+
+    Moments are EXACT-SUM: sum and sum-of-squares accumulate as
+    decimals (order-independent), mean and variance come from single
+    double divisions of those exact sums, and IEEE sqrt is correctly
+    rounded -- so the z-scores, and therefore the flags, are
+    bit-reproducible in any engine (a running Welford fold would not
+    be).  One map-side-combined aggregate over a handful of type keys,
+    broadcast back onto the stream of rows: zero extra shuffle beyond
+    the tiny aggregate.  Returns (event_id, event_type, value, zscore,
+    is_anomaly)."""
+    v = F.col("value").cast("decimal(18,6)")
+    stats = events.groupBy("event_type").agg(
+        F.count("*").alias("__n"),
+        F.sum(v).alias("__s"),
+        F.sum(v * v).alias("__ss"),
+    )
+    mean = F.col("__s").cast("double") / F.col("__n")
+    var = F.col("__ss").cast("double") / F.col("__n") - mean * mean
+    enriched = events.select("event_id", "event_type", "value").join(
+        F.broadcast(
+            stats.select(
+                "event_type", mean.alias("__mean"), F.sqrt(var).alias("__std")
+            )
+        ),
+        "event_type",
+    )
+    z = F.round((F.col("value") - F.col("__mean")) / F.col("__std"), 6)
+    return enriched.select(
+        "event_id",
+        "event_type",
+        "value",
+        z.alias("zscore"),
+        (F.abs(z) > z_cut).alias("is_anomaly"),
+    )

@@ -50,6 +50,7 @@ from ..operators.analytics import (
     late_shipment_orders,
     misra_gries_heavy_hitters,
     time_rollup,
+    value_anomalies,
     monthly_revenue_growth,
     high_value_customers,
     kmv_distinct_users,
@@ -1726,6 +1727,11 @@ def _q_cdc_replica_checksums(spark, sf_dir):
     return C.replica_checksums(bp, ap)
 
 
+def _q_value_anomalies(spark, sf_dir):
+    ensure_session_conf(spark)
+    return value_anomalies(load_table(spark, sf_dir, "events"))
+
+
 def _q_levenshtein_pairs(spark, sf_dir):
     ensure_session_conf(spark)
     return levenshtein_near_pairs(_docs(spark, sf_dir))
@@ -1792,7 +1798,7 @@ def queries() -> dict[str, QueryFn]:
     # squeezed out) plus embedding_quantize_int8, r3's one red row (now
     # projected to CSV).  After these, media/int8-adjacent rows the r4
     # changes touched, then the freshest green tier for regression
-    # coverage.  With 136 registered queries a 50-entry window cannot
+    # coverage.  With 137 registered queries a 50-entry window cannot
     # cover everything; ALL entries, window or not, are value-verified
     # locally each round at sf0.01 AND sf0.1 by scratch/check.py
     # (endurance evidence in SCALE.md).
@@ -1853,11 +1859,11 @@ def queries() -> dict[str, QueryFn]:
         "cdc_replica_checksums": _q_cdc_replica_checksums,
         "doc_arrow_slugs": _q_doc_slugs,
         "doc_levenshtein_pairs": _q_levenshtein_pairs,
+        "events_value_anomalies": _q_value_anomalies,
         # -- freshest green tier (r3 window, regression coverage) --
         "doc_boilerplate_removal": _q_remove_boilerplate,
         "embedding_semdedup": _q_semdedup,
         "events_join_stream": _q_events_join_stream,
-        "big_ticket_orders": _q_big_ticket_orders,
         # ---- driver window boundary (position 50) ----
         # (the 30 r4 additions above -- 14 relational/stream/binary,
         # 4 TPC-H completions, source reputation x2, stream-static
@@ -1866,6 +1872,7 @@ def queries() -> dict[str, QueryFn]:
         # replica checksums, Arrow-UDF slugs -- pushed these r3-green
         # rows out of the window; they keep their r2/r3 driver
         # evidence)
+        "big_ticket_orders": _q_big_ticket_orders,
         "doc_dsir_weights": _q_dsir_weights,
         "doc_bigram_logprob": _q_bigram_logprob,
         "embedding_cluster_profiles": _q_cluster_profiles,
@@ -4013,6 +4020,26 @@ WITH per AS (
 )
 SELECT doc_id, documents.source AS source, stop_rate
 FROM documents JOIN rep ON documents.source = rep.source""",
+        # twin of analytics.value_anomalies (exact-sum moments: mean
+        # and variance from decimal sums divided once; IEEE sqrt is
+        # correctly rounded, so z-scores match bit-for-bit)
+        "events_value_anomalies": """
+WITH stats AS (
+  SELECT event_type, count(*) AS n,
+         sum(CAST(value AS DECIMAL(18,6))) AS s,
+         sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS ss
+  FROM events GROUP BY event_type
+), m AS (
+  SELECT event_type,
+         CAST(s AS DOUBLE) / n AS mean,
+         sqrt(CAST(ss AS DOUBLE) / n
+              - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS std
+  FROM stats
+)
+SELECT event_id, e.event_type AS event_type, value,
+       round((value - mean) / std, 6) AS zscore,
+       abs(round((value - mean) / std, 6)) > 3.0 AS is_anomaly
+FROM events e JOIN m ON e.event_type = m.event_type""",
         # twin of textstats.doc_slugs (the Arrow scalar-UDF surface;
         # the transformation itself is SQL-expressible BY DESIGN so the
         # oracle certifies the plumbing, same policy as the UDTF tier)
