@@ -1468,3 +1468,19 @@ def test_new_operators_empty_input_safe(spark):
     assert snapshot_diff(
         apply_changes(no_events), apply_changes(no_events)
     ).count() == 0
+
+
+def test_value_anomalies_flags_planted_outlier(spark):
+    from binlog_avro_comparator_spark.operators.analytics import value_anomalies
+
+    rows = [(i, 1000 + i, i % 7, "click", 10.0 + (i % 3), "{}") for i in range(60)]
+    rows.append((999, 2000, 1, "click", 10_000.0, "{}"))  # planted outlier
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts_ms long, user_id long, event_type string, value double, props string",
+    )
+    out = {r.event_id: r for r in value_anomalies(ev).collect()}
+    assert out[999].is_anomaly
+    flagged = [e for e, r in out.items() if r.is_anomaly]
+    assert flagged == [999]  # the tight cluster stays unflagged
+    assert abs(out[0].zscore) < 1.0
