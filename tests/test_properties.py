@@ -694,3 +694,36 @@ def test_misra_gries_matches_exact_heavy_hitters(spark, seed):
         for r in misra_gries_heavy_hitters(df, "k", share=share).collect()
     )
     assert got == expect, (seed, share, n_parts)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_percentile_interpolation_matches_duckdb(spark, seed):
+    """The quantile family's cross-engine contract: Spark F.percentile
+    and DuckDB quantile_cont both implement R-7 linear interpolation,
+    so on IDENTICAL doubles the results are bit-equal -- no tolerance.
+    (cdc_latency_stats, doc_length_quantiles, quality deciles all rest
+    on this.)"""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(seed)
+    vals = [round(rng.uniform(-1e6, 1e6), 6) for _ in range(rng.randrange(1, 300))]
+    qs = [0.01, 0.25, 0.5, 0.9, 0.99]
+    got = (
+        spark.createDataFrame([(v,) for v in vals], "v double")
+        .agg(*[F.percentile("v", F.lit(q)).alias(f"p{i}") for i, q in enumerate(qs)])
+        .collect()[0]
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    want = con.execute(
+        "SELECT "
+        + ", ".join(f"quantile_cont(v, {q})" for q in qs)
+        + " FROM t"
+    ).fetchone()
+    con.close()
+    for i in range(len(qs)):
+        assert got[f"p{i}"] == want[i], (qs[i], got[f"p{i}"], want[i])
