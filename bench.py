@@ -118,6 +118,7 @@ EXTRA_QUERIES = [
     "doc_arrow_slugs",
     "doc_levenshtein_pairs",
     "events_value_anomalies",
+    "events_burst_minutes",
 ]
 
 

@@ -1739,3 +1739,43 @@ def value_anomalies(events: DataFrame, z_cut: float = 3.0) -> DataFrame:
         z.alias("zscore"),
         (F.abs(z) > z_cut).alias("is_anomaly"),
     )
+
+
+def burst_minutes(events: DataFrame, z_cut: float = 3.0) -> DataFrame:
+    """Rate-spike detection: minute buckets whose event count sits
+    more than ``z_cut`` sigmas above the mean minute rate -- the
+    traffic-burst gate an ingestion pipeline runs before trusting a
+    window of telemetry.
+
+    Two tiny aggregates: minute counts (map-side combined), then
+    exact-sum moments OVER THE COUNTS (integer sum and sum-of-squares
+    -- order-independent; single double divisions + IEEE sqrt, same
+    bit-reproducibility contract as value_anomalies) broadcast back
+    onto the minute frame.  Returns (minute, n_events, zscore,
+    is_burst) with the minute formatted for cross-engine hashing."""
+    per_min = events.groupBy(
+        F.date_trunc("minute", F.col("ts")).alias("__m")
+    ).agg(F.count("*").alias("n_events"))
+    stats = per_min.agg(
+        F.count("*").alias("__k"),
+        F.sum("n_events").alias("__s"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("__ss"),
+    )
+    mean = F.col("__s").cast("double") / F.col("__k")
+    var = F.col("__ss").cast("double") / F.col("__k") - mean * mean
+    z = F.round(
+        (F.col("n_events") - F.col("__mean")) / F.col("__std"), 6
+    )
+    return (
+        per_min.crossJoin(
+            F.broadcast(
+                stats.select(mean.alias("__mean"), F.sqrt(var).alias("__std"))
+            )
+        )
+        .select(
+            F.date_format("__m", "yyyy-MM-dd HH:mm:ss").alias("minute"),
+            "n_events",
+            z.alias("zscore"),
+            (z > z_cut).alias("is_burst"),
+        )
+    )

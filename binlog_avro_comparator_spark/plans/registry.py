@@ -50,6 +50,7 @@ from ..operators.analytics import (
     late_shipment_orders,
     misra_gries_heavy_hitters,
     time_rollup,
+    burst_minutes,
     value_anomalies,
     monthly_revenue_growth,
     high_value_customers,
@@ -1727,6 +1728,11 @@ def _q_cdc_replica_checksums(spark, sf_dir):
     return C.replica_checksums(bp, ap)
 
 
+def _q_burst_minutes(spark, sf_dir):
+    ensure_session_conf(spark)
+    return burst_minutes(load_table(spark, sf_dir, "events"))
+
+
 def _q_value_anomalies(spark, sf_dir):
     ensure_session_conf(spark)
     return value_anomalies(load_table(spark, sf_dir, "events"))
@@ -1798,7 +1804,7 @@ def queries() -> dict[str, QueryFn]:
     # squeezed out) plus embedding_quantize_int8, r3's one red row (now
     # projected to CSV).  After these, media/int8-adjacent rows the r4
     # changes touched, then the freshest green tier for regression
-    # coverage.  With 137 registered queries a 50-entry window cannot
+    # coverage.  With 138 registered queries a 50-entry window cannot
     # cover everything; ALL entries, window or not, are value-verified
     # locally each round at sf0.01 AND sf0.1 by scratch/check.py
     # (endurance evidence in SCALE.md).
@@ -1860,10 +1866,10 @@ def queries() -> dict[str, QueryFn]:
         "doc_arrow_slugs": _q_doc_slugs,
         "doc_levenshtein_pairs": _q_levenshtein_pairs,
         "events_value_anomalies": _q_value_anomalies,
+        "events_burst_minutes": _q_burst_minutes,
         # -- freshest green tier (r3 window, regression coverage) --
         "doc_boilerplate_removal": _q_remove_boilerplate,
         "embedding_semdedup": _q_semdedup,
-        "events_join_stream": _q_events_join_stream,
         # ---- driver window boundary (position 50) ----
         # (the 30 r4 additions above -- 14 relational/stream/binary,
         # 4 TPC-H completions, source reputation x2, stream-static
@@ -1872,6 +1878,7 @@ def queries() -> dict[str, QueryFn]:
         # replica checksums, Arrow-UDF slugs -- pushed these r3-green
         # rows out of the window; they keep their r2/r3 driver
         # evidence)
+        "events_join_stream": _q_events_join_stream,
         "big_ticket_orders": _q_big_ticket_orders,
         "doc_dsir_weights": _q_dsir_weights,
         "doc_bigram_logprob": _q_bigram_logprob,
@@ -4020,6 +4027,26 @@ WITH per AS (
 )
 SELECT doc_id, documents.source AS source, stop_rate
 FROM documents JOIN rep ON documents.source = rep.source""",
+        # twin of analytics.burst_minutes (integer-exact moments over
+        # the minute counts, one division each, IEEE sqrt)
+        "events_burst_minutes": """
+WITH pm AS (
+  SELECT date_trunc('minute', ts) AS m, count(*) AS n_events
+  FROM events GROUP BY 1
+), st AS (
+  SELECT count(*) AS k, sum(n_events) AS s,
+         sum(n_events * n_events) AS ss
+  FROM pm
+), mo AS (
+  SELECT CAST(s AS DOUBLE) / k AS mean,
+         sqrt(CAST(ss AS DOUBLE) / k
+              - (CAST(s AS DOUBLE) / k) * (CAST(s AS DOUBLE) / k)) AS std
+  FROM st
+)
+SELECT strftime(m, '%Y-%m-%d %H:%M:%S') AS minute, n_events,
+       round((n_events - mean) / std, 6) AS zscore,
+       round((n_events - mean) / std, 6) > 3.0 AS is_burst
+FROM pm, mo""",
         # twin of analytics.value_anomalies (exact-sum moments: mean
         # and variance from decimal sums divided once; IEEE sqrt is
         # correctly rounded, so z-scores match bit-for-bit)
