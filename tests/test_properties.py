@@ -727,3 +727,107 @@ def test_percentile_interpolation_matches_duckdb(spark, seed):
     con.close()
     for i in range(len(qs)):
         assert got[f"p{i}"] == want[i], (qs[i], got[f"p{i}"], want[i])
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_time_rollup_hierarchy_invariants(spark, seed):
+    """Random event sets: each rollup level's counts/sums must re-sum
+    exactly to the level above (minutes->hour, hours->day, days->
+    total) -- the defining property of a hierarchical rollup, checked
+    with decimal-exact equality."""
+    from collections import defaultdict
+
+    from binlog_avro_comparator_spark.operators.analytics import time_rollup
+    from pyspark.sql import functions as F
+
+    rng = random.Random(seed)
+    base = 1_700_000_000_000_000
+    rows = [
+        (
+            i,
+            base + rng.randrange(0, 3 * 86_400) * 1_000_000,
+            rng.randrange(5),
+            "click",
+            round(rng.uniform(-5, 5), 3),
+            "{}",
+        )
+        for i in range(rng.randrange(1, 200))
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts_us long, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.timestamp_micros(F.col("ts_us"))).drop("ts_us")
+    out = time_rollup(ev).collect()
+    by_level = defaultdict(list)
+    for r in out:
+        by_level[r.level].append(r)
+    n_total = by_level["total"][0].n_events
+    assert sum(r.n_events for r in by_level["minute"]) == n_total
+    assert sum(r.n_events for r in by_level["hour"]) == n_total
+    assert sum(r.n_events for r in by_level["day"]) == n_total
+    # sums re-aggregate exactly (values rounded to 6 at every level
+    # from the same exact decimal partials)
+    for lvl in ("minute", "hour", "day"):
+        assert abs(
+            sum(r.sum_value for r in by_level[lvl])
+            - by_level["total"][0].sum_value
+        ) < 1e-6 * max(1, len(by_level[lvl]))
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_gap_fill_locf_matches_python_reference(spark, seed):
+    """Random sparse per-user event streams: the distributed LOCF grid
+    must equal a straightforward Python carry-forward walk."""
+    from binlog_avro_comparator_spark.operators.analytics import gap_fill_locf
+    from pyspark.sql import functions as F
+
+    rng = random.Random(seed)
+    day_us = 86_400 * 1_000_000
+    base = 1_700_000_000_000_000
+    base_day = (base // day_us) * day_us  # align to the bucket grid
+    rows = []
+    eid = 0
+    for uid in range(rng.randrange(1, 5)):
+        for _ in range(rng.randrange(1, 12)):
+            rows.append(
+                (eid, base_day + rng.randrange(0, 20) * day_us
+                 + rng.randrange(0, day_us), uid, "click",
+                 round(rng.uniform(0, 100), 3), "{}")
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts_us long, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.timestamp_micros(F.col("ts_us"))).drop("ts_us")
+    got = {
+        (r.user_id, r.bucket): (r.observed, r.n_events, r.value_filled)
+        for r in gap_fill_locf(ev).collect()
+    }
+    # python reference
+    import datetime as dt
+
+    per_user: dict = {}
+    for (e, ts_us, uid, _t, v, _p) in [
+        (r[0], r[1], r[2], r[3], r[4], r[5]) for r in rows
+    ]:
+        day = ts_us // day_us * day_us
+        per_user.setdefault(uid, {}).setdefault(day, []).append((e, v))
+    expect = {}
+    for uid, days in per_user.items():
+        lo, hi = min(days), max(days)
+        carry = None
+        d = lo
+        while d <= hi:
+            if d in days:
+                carry = max(days[d])[1]  # arg-max by event_id
+                expect_key = (uid, dt.datetime.utcfromtimestamp(
+                    d // 1_000_000).strftime("%Y-%m-%d %H:%M:%S"))
+                expect[expect_key] = (True, len(days[d]), carry)
+            else:
+                expect_key = (uid, dt.datetime.utcfromtimestamp(
+                    d // 1_000_000).strftime("%Y-%m-%d %H:%M:%S"))
+                expect[expect_key] = (False, 0, carry)
+            d += day_us
+    assert got == expect, seed
