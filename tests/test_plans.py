@@ -770,3 +770,32 @@ def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
     ]
     assert all("event_type" not in ln for ln in data_filters)
     assert df.count() > 0
+
+
+def test_anomaly_and_burst_broadcast_stats(spark):
+    """Both z-score gates must broadcast their tiny stats frame back
+    onto the data -- never shuffle the fact for the join -- and carry
+    exact decimal partial sums under the aggregate."""
+    from binlog_avro_comparator_spark.operators.analytics import (
+        burst_minutes,
+        value_anomalies,
+    )
+
+    ev = load_table(spark, SF, "events")
+    for df in (value_anomalies(ev), burst_minutes(ev)):
+        plan = _plan(df)
+        assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+        assert "partial_sum" in plan
+        assert "Window" not in plan
+
+
+def test_levenshtein_pairs_no_cartesian(spark):
+    """Edit-distance confirmation must ride the LSH candidate join --
+    never an all-pairs cartesian over the corpus."""
+    from binlog_avro_comparator_spark.operators.dedup import levenshtein_near_pairs
+
+    plan = _plan(levenshtein_near_pairs(load_table(spark, SF, "documents")))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan  # JVM-side expression, no Python stage
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
