@@ -1484,3 +1484,37 @@ def test_value_anomalies_flags_planted_outlier(spark):
     flagged = [e for e, r in out.items() if r.is_anomaly]
     assert flagged == [999]  # the tight cluster stays unflagged
     assert abs(out[0].zscore) < 1.0
+
+
+def test_snapshot_diff_classifies_changes(spark):
+    """Hand-built event stream: a user created before and untouched
+    after the cutoff drops out of the diff; one updated, one created
+    after (INSERT), one deleted after (DELETE)."""
+    from binlog_avro_comparator_spark.operators.snapshot import (
+        apply_changes,
+        snapshot_diff,
+    )
+
+    base = 1_700_000_000_000_000
+    day = 86_400 * 1_000_000
+    rows = [
+        # user 1: created before cutoff, never touched again
+        (1, base, 1, "click", 1.0, "{}"),
+        # user 2: created before, updated after -> UPDATE
+        (2, base, 2, "click", 2.0, "{}"),
+        (3, base + 5 * day, 2, "view", 2.5, "{}"),
+        # user 3: created after -> INSERT
+        (4, base + 5 * day, 3, "click", 3.0, "{}"),
+        # user 4: created before, deleted after -> DELETE
+        (5, base, 4, "click", 4.0, "{}"),
+        (6, base + 5 * day, 4, "purchase", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts_us long, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.timestamp_micros(F.col("ts_us"))).drop("ts_us")
+    cutoff = F.timestamp_micros(F.lit(base + 2 * day))
+    old = apply_changes(ev.filter(F.col("ts") < cutoff))
+    new = apply_changes(ev)
+    got = {r.user_id: r.change for r in snapshot_diff(old, new).collect()}
+    assert got == {2: "UPDATE", 3: "INSERT", 4: "DELETE"}
