@@ -831,3 +831,39 @@ def test_gap_fill_locf_matches_python_reference(spark, seed):
                 expect[expect_key] = (False, 0, carry)
             d += day_us
     assert got == expect, seed
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_content_checksum_multiset_property(spark, seed):
+    """Random multisets: checksums agree iff the multisets agree --
+    permutation/partitioning never matters, any single-row mutation,
+    duplication, or drop changes the digest."""
+    from binlog_avro_comparator_spark.operators.compare import content_checksum
+
+    rng = random.Random(seed)
+    rows = [
+        (f"f{rng.randrange(4)}", rng.randrange(1000))
+        for _ in range(rng.randrange(1, 200))
+    ]
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+    a = spark.createDataFrame(rows, "binlog_file string, binlog_position long")
+    b = spark.createDataFrame(
+        shuffled, "binlog_file string, binlog_position long"
+    ).repartition(rng.choice([1, 3, 7]))
+    ca = content_checksum(a, ["binlog_file", "binlog_position"]).collect()[0]
+    cb = content_checksum(b, ["binlog_file", "binlog_position"]).collect()[0]
+    assert (ca.n_rows, ca.checksum) == (cb.n_rows, cb.checksum)
+    mutate = rng.choice(["dup", "drop", "edit"])
+    if mutate == "dup":
+        changed = rows + [rows[0]]
+    elif mutate == "drop":
+        changed = rows[1:] if len(rows) > 1 else rows + [("new", 1)]
+    else:
+        changed = rows[:-1] + [(rows[-1][0], rows[-1][1] + 100_000)]
+    cc = content_checksum(
+        spark.createDataFrame(changed, "binlog_file string, binlog_position long"),
+        ["binlog_file", "binlog_position"],
+    ).collect()[0]
+    assert (cc.n_rows, cc.checksum) != (ca.n_rows, ca.checksum), mutate
