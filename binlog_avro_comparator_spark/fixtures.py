@@ -51,6 +51,27 @@ TS_JITTER_MOD = 90
 TS_MISMATCH_DELTA_MS = 250
 TOLERANCE_MS = 100
 
+# --- payload (row-image) edge cases ---------------------------------------
+# The reference DECLARES payload columns (compare_timestamps.go:57-63:
+# order_id, customer_name, product_name, quantity, order_timestamp) but
+# never compares them; the payload tier extends the diff to row images.
+# Planted divergences (binlog row image vs avro payload):
+#   eid % 43 == 6   binlog customer_name NULL in the row image (null
+#                   bitmap exercised) while avro carries the value
+#                   -> BINLOG_NULL finding
+#   eid % 31 == 2   avro quantity = quantity + 1      -> MISMATCH
+#   eid % 37 == 3   avro product_name = 'prod-X'      -> MISMATCH
+#   eid % 47 == 7   avro order_timestamp NULL         -> AVRO_NULL
+# UPDATE before-images differ deterministically from the after-image
+# (quantity + 5, order_timestamp - 1000) so before/after decoding is
+# distinguishable byte-level, not just by label.
+PAYLOAD_NULL_NAME_MOD, PAYLOAD_NULL_NAME_REM = 43, 6
+AVRO_QTY_MISMATCH_MOD, AVRO_QTY_MISMATCH_REM = 31, 2
+AVRO_PROD_MISMATCH_MOD, AVRO_PROD_MISMATCH_REM = 37, 3
+AVRO_NULL_OTS_MOD, AVRO_NULL_OTS_REM = 47, 7
+UPDATE_BEFORE_QTY_DELTA = 5
+UPDATE_BEFORE_OTS_DELTA_MS = 1000
+
 # events.event_type -> binlog event_type (json_parser.go:56-66 vocabulary)
 EVENT_TYPE_MAP = {
     "click": "WriteRowsEventV2",
@@ -115,6 +136,91 @@ def derive_binlog_events(events: DataFrame) -> DataFrame:
         F.concat(F.lit("uuid-0:"), eid.cast("string")).alias("gtid_next"),
         F.when(eid % EMPTY_FILE_MOD == 0, F.lit("")).otherwise(_binlog_file_col()).alias("binlog_file"),
         eid.alias("line_no"),
+    )
+
+
+def _payload_cols(eid: F.Column) -> list[F.Column]:
+    """Ground-truth row payload (the binlog row image's AFTER values) --
+    the five columns the reference declares (compare_timestamps.go:57-63),
+    derived with only SQL-expressible arithmetic so the DuckDB oracle
+    mirrors them verbatim."""
+    return [
+        (eid % 100000).alias("order_id"),
+        F.when(
+            eid % PAYLOAD_NULL_NAME_MOD == PAYLOAD_NULL_NAME_REM,
+            F.lit(None).cast("string"),
+        )
+        .otherwise(
+            F.concat(F.lit("cust-"), (F.col("user_id") % 1000).cast("string"))
+        )
+        .alias("customer_name"),
+        F.concat(F.lit("prod-"), (eid % 97).cast("string")).alias("product_name"),
+        (F.lit(1) + eid % 10).alias("quantity"),
+        F.unix_millis(F.col("ts")).alias("order_timestamp"),
+    ]
+
+
+def derive_binlog_events_with_payload(events: DataFrame) -> DataFrame:
+    """derive_binlog_events + row-image payload columns for DML events
+    (non-DML rows keep NULL payload -- they carry no row image).
+
+    ``before_quantity``/``before_order_timestamp`` are the UPDATE
+    before-image values (after - deltas); the encoder writes them into
+    the before image so before/after decode is value-distinguishable."""
+    eid = F.col("event_id")
+    pay = events.filter(F.col("event_type").isin(*DML_SOURCE_TYPES)).select(
+        eid.alias("line_no"),
+        *_payload_cols(eid),
+        (F.lit(1) + eid % 10 + F.lit(UPDATE_BEFORE_QTY_DELTA)).alias(
+            "before_quantity"
+        ),
+        (F.unix_millis(F.col("ts")) - F.lit(UPDATE_BEFORE_OTS_DELTA_MS)).alias(
+            "before_order_timestamp"
+        ),
+    )
+    return derive_binlog_events(events).join(pay, "line_no", "left")
+
+
+def derive_avro_payload(events: DataFrame) -> DataFrame:
+    """The avro side's ``payload.*`` columns keyed by ``avro_line_no``,
+    with the planted divergences from the binlog row image (see the
+    module docstring's payload table).  Join-compatible with
+    derive_avro_rows output on avro_line_no."""
+    eid = F.col("event_id")
+    base = dict(zip(
+        ["order_id", "customer_name", "product_name", "quantity", "order_timestamp"],
+        _payload_cols(eid),
+    ))
+    return (
+        events.filter(F.col("event_type").isin(*DML_SOURCE_TYPES))
+        .filter(eid % AVRO_MISSING_MOD != 0)
+        .select(
+            eid.alias("avro_line_no"),
+            base["order_id"],
+            # avro always carries the name -- binlog-side NULLs surface
+            # as BINLOG_NULL findings, never silently agree
+            F.concat(
+                F.lit("cust-"), (F.col("user_id") % 1000).cast("string")
+            ).alias("customer_name"),
+            F.when(
+                eid % AVRO_PROD_MISMATCH_MOD == AVRO_PROD_MISMATCH_REM,
+                F.lit("prod-X"),
+            )
+            .otherwise(F.concat(F.lit("prod-"), (eid % 97).cast("string")))
+            .alias("product_name"),
+            F.when(
+                eid % AVRO_QTY_MISMATCH_MOD == AVRO_QTY_MISMATCH_REM,
+                F.lit(1) + eid % 10 + 1,
+            )
+            .otherwise(F.lit(1) + eid % 10)
+            .alias("quantity"),
+            F.when(
+                eid % AVRO_NULL_OTS_MOD == AVRO_NULL_OTS_REM,
+                F.lit(None).cast("long"),
+            )
+            .otherwise(F.unix_millis(F.col("ts")))
+            .alias("order_timestamp"),
+        )
     )
 
 

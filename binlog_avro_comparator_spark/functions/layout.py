@@ -47,8 +47,26 @@ def compact_parquet_dir(
     catalog/table-format pointer swap is the upgrade when readers are
     concurrent.  Driver-side
     work is directory metadata only (os.walk for sizes); the data
-    movement is the executors' coalesce write.  Returns
+    movement is the executors' coalesce write.
+
+    Refuses a hive-partitioned table ROOT: spark.read.parquet would
+    infer partition columns from key=value paths and the flat rewrite
+    would silently materialize them as physical columns while
+    destroying the directory layout.  Compaction operates on ONE leaf
+    partition directory at a time -- call it per-partition.  Returns
     {files_before, files_after, bytes}."""
+    part_dirs = sorted(
+        d
+        for d in os.listdir(path)
+        if os.path.isdir(os.path.join(path, d)) and "=" in d
+    )
+    if part_dirs:
+        raise ValueError(
+            f"compact_parquet_dir: {path!r} looks like a hive-partitioned "
+            f"table root (subdirectories {part_dirs[:3]}...); compact each "
+            "leaf partition directory instead -- a flat rewrite would "
+            "flatten the partition layout into physical columns"
+        )
     sizes = [
         os.path.getsize(os.path.join(r, f))
         for r, _, files in os.walk(path)

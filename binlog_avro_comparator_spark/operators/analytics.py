@@ -1537,8 +1537,13 @@ def misra_gries_heavy_hitters(
 
     Output equals the exact ``HAVING count > share*N`` answer -- the
     sketch changes the cost, not the result -- so the operator is fully
-    oracle-comparable.  Returns (key, cnt, share) ordered nowhere;
-    callers sort."""
+    oracle-comparable.  NULL keys are out of scope BY CONTRACT: a null
+    is the absence of a key, not a key, so the sketch skips null rows,
+    N counts only non-null rows, and phase 2's equi-semi-join could
+    never match a null candidate anyway (SQL null != null) -- the
+    exclusion is consistent end-to-end, and the oracle twin restricts
+    to non-null keys to match.  Returns (key, cnt, share) ordered
+    nowhere; callers sort."""
     import math
     from pyspark.sql import types as T
 
@@ -1731,7 +1736,18 @@ def value_anomalies(events: DataFrame, z_cut: float = 3.0) -> DataFrame:
         ),
         "event_type",
     )
-    z = F.round((F.col("value") - F.col("__mean")) / F.col("__std"), 6)
+    # zero-variance guard: a constant-valued (or single-row) type has
+    # std == 0; Spark's divide-by-zero yields NULL while an IEEE-float
+    # engine yields inf/NaN -- neither is a useful flag, so both engines
+    # pin the z-score of such groups to exactly 0.0 (CASE-mirrored in
+    # the oracle SQL)
+    z = F.round(
+        F.when(
+            F.col("__std") > 0,
+            (F.col("value") - F.col("__mean")) / F.col("__std"),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
     return enriched.select(
         "event_id",
         "event_type",
@@ -1763,8 +1779,15 @@ def burst_minutes(events: DataFrame, z_cut: float = 3.0) -> DataFrame:
     )
     mean = F.col("__s").cast("double") / F.col("__k")
     var = F.col("__ss").cast("double") / F.col("__k") - mean * mean
+    # same zero-variance guard as value_anomalies: a uniform minute
+    # rate (std == 0) pins every z-score to 0.0 in both engines instead
+    # of NULL-vs-inf divergence
     z = F.round(
-        (F.col("n_events") - F.col("__mean")) / F.col("__std"), 6
+        F.when(
+            F.col("__std") > 0,
+            (F.col("n_events") - F.col("__mean")) / F.col("__std"),
+        ).otherwise(F.lit(0.0)),
+        6,
     )
     return (
         per_min.crossJoin(

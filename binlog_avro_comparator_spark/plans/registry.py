@@ -4044,8 +4044,10 @@ WITH pm AS (
   FROM st
 )
 SELECT strftime(m, '%Y-%m-%d %H:%M:%S') AS minute, n_events,
-       round((n_events - mean) / std, 6) AS zscore,
-       round((n_events - mean) / std, 6) > 3.0 AS is_burst
+       round(CASE WHEN std > 0 THEN (n_events - mean) / std
+                  ELSE 0.0 END, 6) AS zscore,
+       round(CASE WHEN std > 0 THEN (n_events - mean) / std
+                  ELSE 0.0 END, 6) > 3.0 AS is_burst
 FROM pm, mo""",
         # twin of analytics.value_anomalies (exact-sum moments: mean
         # and variance from decimal sums divided once; IEEE sqrt is
@@ -4064,8 +4066,10 @@ WITH stats AS (
   FROM stats
 )
 SELECT event_id, e.event_type AS event_type, value,
-       round((value - mean) / std, 6) AS zscore,
-       abs(round((value - mean) / std, 6)) > 3.0 AS is_anomaly
+       round(CASE WHEN std > 0 THEN (value - mean) / std
+                  ELSE 0.0 END, 6) AS zscore,
+       abs(round(CASE WHEN std > 0 THEN (value - mean) / std
+                      ELSE 0.0 END, 6)) > 3.0 AS is_anomaly
 FROM events e JOIN m ON e.event_type = m.event_type""",
         # twin of textstats.doc_slugs (the Arrow scalar-UDF surface;
         # the transformation itself is SQL-expressible BY DESIGN so the
@@ -4113,11 +4117,15 @@ FROM r""",
         # twin of analytics.misra_gries_heavy_hitters: the sketch
         # changes the cost, not the result, so the oracle is the exact
         # strict-share HAVING
+        # null keys are OUT OF SCOPE on both sides by contract (see the
+        # operator docstring): the sketch drops them and phase 2's
+        # null-never-equi-joins semi-join can't resurrect them, so the
+        # oracle's N and groups both restrict to non-null langs
         "corpus_heavy_langs": """
-WITH n AS (SELECT count(*) AS total FROM documents)
+WITH n AS (SELECT count(*) AS total FROM documents WHERE lang IS NOT NULL)
 SELECT lang AS key, count(*) AS cnt,
        round(CAST(count(*) AS DOUBLE) / (SELECT total FROM n), 6) AS share
-FROM documents GROUP BY lang
+FROM documents WHERE lang IS NOT NULL GROUP BY lang
 HAVING CAST(count(*) AS DOUBLE) > (SELECT total FROM n) * 0.25""",
         # twin of streaming/enrich_stream.py: a stream-static join
         # emits each stream row exactly once, so the drained sink

@@ -23,11 +23,21 @@ metadata contract touches:
                            the emitted metadata rows (json_parser.go's
                            :56-66 event-type vocabulary)
 
-Row IMAGES inside rows events are deliberately not decoded: the
-comparator's contract (compare_timestamps.go:13-64) consumes event
-metadata only, and the reference's own text layer never surfaces row
-data either.  A real binlog therefore decodes correctly even though
-rows-event payloads are skipped by ``event_size``.
+TWO decode tiers, matching the two consumer contracts:
+
+  decode_binlog_bytes       metadata-only (the reference's contract:
+                            compare_timestamps.go:13-22 consumes event
+                            metadata; row payloads skipped by
+                            event_size -- cheap, no TABLE_MAP state)
+  decode_binlog_rows_bytes  row-image decode: TABLE_MAP column types/
+                            metadata/optional COLUMN_NAME (the 8.0
+                            binlog_row_metadata=FULL TLV) drive a full
+                            WRITE/UPDATE/DELETE image parse into a
+                            payload map -- the one capability the
+                            reference DECLARES (its avro struct carries
+                            payload.* -- compare_timestamps.go:57-63)
+                            but never checks; operators/compare.py's
+                            payload_diff closes that gap.
 
 Scale: ``spark.read.format("binaryFile")`` parallelizes across files
 (binlogs rotate, so files are bounded -- the same unit of parallelism
@@ -62,6 +72,34 @@ _ROWS_NAMES = {
     UPDATE_ROWS_EVENT_V2: "UpdateRowsEventV2",
     DELETE_ROWS_EVENT_V2: "DeleteRowsEventV2",
 }
+
+# MySQL column type codes (public protocol constants) -- the subset the
+# row-image decoder understands.  Anything else aborts that event's row
+# decode (the field length would be unknowable), warn-and-skip style.
+MYSQL_TYPE_TINY = 1
+MYSQL_TYPE_SHORT = 2
+MYSQL_TYPE_LONG = 3
+MYSQL_TYPE_FLOAT = 4
+MYSQL_TYPE_DOUBLE = 5
+MYSQL_TYPE_LONGLONG = 8
+MYSQL_TYPE_INT24 = 9
+MYSQL_TYPE_VARCHAR = 15
+
+# TABLE_MAP optional-metadata TLV type for column names
+# (binlog_row_metadata=FULL writes it; public MySQL 8.0 format).
+_OPTMETA_COLUMN_NAME = 4
+
+# Fixture payload columns: the five the reference's avro contract
+# declares (compare_timestamps.go:57-63).  VARCHAR metadata = max byte
+# length (< 256 -> 1-byte value length prefix); customer_name is the
+# one nullable column (null-bitmap coverage).
+PAYLOAD_COLUMNS = [
+    ("order_id", MYSQL_TYPE_LONG, None),
+    ("customer_name", MYSQL_TYPE_VARCHAR, 64),
+    ("product_name", MYSQL_TYPE_VARCHAR, 64),
+    ("quantity", MYSQL_TYPE_LONG, None),
+    ("order_timestamp", MYSQL_TYPE_LONGLONG, None),
+]
 
 DECODED_SCHEMA = T.StructType(
     [
@@ -120,6 +158,17 @@ def _gtid(ts_sec: int, sid: bytes, gno: int, ict_us: int, log_pos: int) -> bytes
     return _event(ts_sec, GTID_LOG_EVENT, payload, log_pos)
 
 
+def _lenenc(n: int) -> bytes:
+    """MySQL length-encoded integer (public wire format)."""
+    if n < 0xFB:
+        return bytes([n])
+    if n < 1 << 16:
+        return b"\xfc" + struct.pack("<H", n)
+    if n < 1 << 24:
+        return b"\xfd" + struct.pack("<I", n)[:3]
+    return b"\xfe" + struct.pack("<Q", n)
+
+
 def _table_map(ts_sec: int, schema: str, table: str, log_pos: int) -> bytes:
     s, t = schema.encode(), table.encode()
     payload = (
@@ -131,6 +180,77 @@ def _table_map(ts_sec: int, schema: str, table: str, log_pos: int) -> bytes:
         + bytes([0])                    # null bitmap
     )
     return _event(ts_sec, TABLE_MAP_EVENT, payload, log_pos)
+
+
+def _table_map_payload(ts_sec: int, schema: str, table: str, log_pos: int) -> bytes:
+    """TABLE_MAP declaring the PAYLOAD_COLUMNS shape: column types,
+    per-type metadata (VARCHAR max length, 2 bytes LE), null bitmap
+    (customer_name nullable), and the MySQL 8.0 optional-metadata TLV
+    carrying COLUMN_NAME (binlog_row_metadata=FULL) so the decoder can
+    emit a named payload map instead of positional c0..c4."""
+    s, t = schema.encode(), table.encode()
+    meta = b"".join(
+        struct.pack("<H", m) for _, typ, m in PAYLOAD_COLUMNS
+        if typ == MYSQL_TYPE_VARCHAR
+    )
+    null_bitmap = 0
+    for i, (name, _, _) in enumerate(PAYLOAD_COLUMNS):
+        if name == "customer_name":
+            null_bitmap |= 1 << i
+    names_blob = b"".join(
+        _lenenc(len(n.encode())) + n.encode() for n, _, _ in PAYLOAD_COLUMNS
+    )
+    payload = (
+        struct.pack("<IH", 1, 0) + b"\x00\x00"  # table_id(6) + flags(2)
+        + bytes([len(s)]) + s + b"\x00"
+        + bytes([len(t)]) + t + b"\x00"
+        + _lenenc(len(PAYLOAD_COLUMNS))
+        + bytes(typ for _, typ, _ in PAYLOAD_COLUMNS)
+        + _lenenc(len(meta)) + meta
+        + bytes([null_bitmap])
+        + bytes([_OPTMETA_COLUMN_NAME]) + _lenenc(len(names_blob)) + names_blob
+    )
+    return _event(ts_sec, TABLE_MAP_EVENT, payload, log_pos)
+
+
+def _encode_image(values: tuple) -> bytes:
+    """One row image for the PAYLOAD_COLUMNS shape: null bitmap over
+    the (all-present) columns, then each non-null value in declared
+    order -- LONG as <i, LONGLONG as <q, VARCHAR as 1-byte-len + utf8
+    (max length < 256)."""
+    null_bits = 0
+    out = []
+    for i, ((_, typ, _), v) in enumerate(zip(PAYLOAD_COLUMNS, values)):
+        if v is None:
+            null_bits |= 1 << i
+            continue
+        if typ == MYSQL_TYPE_LONG:
+            out.append(struct.pack("<i", int(v)))
+        elif typ == MYSQL_TYPE_LONGLONG:
+            out.append(struct.pack("<q", int(v)))
+        else:  # VARCHAR, max < 256
+            b = str(v).encode()
+            out.append(bytes([len(b)]) + b)
+    return bytes([null_bits]) + b"".join(out)
+
+
+def _rows_payload(
+    ts_sec: int, type_code: int, log_pos: int, images: list[tuple]
+) -> bytes:
+    """Rows event v2 with GENUINE row images (vs the metadata-only
+    ``_rows`` stub): full columns-present bitmaps and one encoded image
+    per entry in ``images`` (UPDATE passes before/after alternating)."""
+    present = bytes([(1 << len(PAYLOAD_COLUMNS)) - 1])
+    payload = (
+        struct.pack("<IH", 1, 0) + b"\x00\x00"  # table_id(6) + flags(2)
+        + struct.pack("<H", 2)          # v2 extra-info length (incl. itself)
+        + _lenenc(len(PAYLOAD_COLUMNS))
+        + present
+    )
+    if type_code == UPDATE_ROWS_EVENT_V2:
+        payload += present              # after-image columns bitmap
+    payload += b"".join(_encode_image(img) for img in images)
+    return _event(ts_sec, type_code, payload, log_pos)
 
 
 def _rows(ts_sec: int, type_code: int, log_pos: int) -> bytes:
@@ -202,9 +322,31 @@ def encode_binlog_file(events: list[dict]) -> bytes:
         )
         et = ev["event_type"]
         if et in _ROWS_NAMES.values():
-            out.append(_table_map(ts, ev["schema"], ev["table"], pos))
             code = {v: k for k, v in _ROWS_NAMES.items()}[et]
-            out.append(_rows(ts, code, pos))
+            # payload-bearing event dicts (derive_binlog_events_with_payload)
+            # get the full-fidelity encoding: typed TABLE_MAP + genuine row
+            # images; metadata-only dicts keep the legacy stub bytes so the
+            # existing byte-golden fixtures are unchanged
+            if ev.get("order_timestamp") is not None:
+                after = (
+                    ev["order_id"], ev["customer_name"], ev["product_name"],
+                    ev["quantity"], ev["order_timestamp"],
+                )
+                if code == WRITE_ROWS_EVENT_V2:
+                    images = [after]
+                elif code == UPDATE_ROWS_EVENT_V2:
+                    before = (
+                        ev["order_id"], ev["customer_name"], ev["product_name"],
+                        ev["before_quantity"], ev["before_order_timestamp"],
+                    )
+                    images = [before, after]
+                else:  # DELETE: the removed row is the before image
+                    images = [after]
+                out.append(_table_map_payload(ts, ev["schema"], ev["table"], pos))
+                out.append(_rows_payload(ts, code, pos, images))
+            else:
+                out.append(_table_map(ts, ev["schema"], ev["table"], pos))
+                out.append(_rows(ts, code, pos))
         elif et == "XID":
             out.append(_xid(ts, int(ev["line_no"]), pos))
         else:  # Query and anything else the header vocabulary folds there
@@ -254,6 +396,11 @@ def decode_binlog_bytes(basename: str, data: bytes) -> Iterator[tuple]:
         body = data[off + HEADER_LEN : off + size]
         off += size
         if code == GTID_LOG_EVENT:
+            # a GTID event opens a NEW transaction: clear the previous
+            # transaction's immediate_commit_timestamp up front so a
+            # short-layout (5.6/5.7, 42-byte) event that lacks the
+            # field doesn't inherit the prior transaction's value
+            ict = None
             # SID+GNO need only the 25-byte prefix -- the MySQL
             # 5.6/5.7 Gtid_log_event is 42 bytes (no commit-timestamp
             # fields) and must still yield gtid_next; the 7-byte
@@ -314,6 +461,296 @@ def decode_binlog_bytes(basename: str, data: bytes) -> Iterator[tuple]:
             yield (basename, ordinal, "Query", _fmt_ts(ts_sec), ict,
                    log_pos, qschema or None, None, gtid)
         # FDE and anything else: skipped by event_size
+
+
+# --- row-image decode (payload tier) --------------------------------------
+
+ROWS_SCHEMA = T.StructType(
+    [
+        T.StructField("binlog_file", T.StringType()),
+        T.StructField("event_no", T.LongType()),
+        T.StructField("row_no", T.IntegerType()),
+        T.StructField("image", T.StringType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("timestamp", T.StringType()),
+        T.StructField("immediate_commmit_timestamp", T.StringType()),
+        T.StructField("log_position", T.LongType()),
+        T.StructField("schema", T.StringType()),
+        T.StructField("table", T.StringType()),
+        T.StructField("gtid_next", T.StringType()),
+        T.StructField("payload", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+# metadata bytes per column type inside TABLE_MAP
+_META_LEN = {
+    MYSQL_TYPE_TINY: 0, MYSQL_TYPE_SHORT: 0, MYSQL_TYPE_LONG: 0,
+    MYSQL_TYPE_LONGLONG: 0, MYSQL_TYPE_INT24: 0,
+    MYSQL_TYPE_FLOAT: 1, MYSQL_TYPE_DOUBLE: 1, MYSQL_TYPE_VARCHAR: 2,
+}
+
+
+def _read_lenenc(data: bytes, p: int) -> tuple[int, int] | None:
+    """Length-encoded int at offset p -> (value, new offset); None on
+    truncation."""
+    if p >= len(data):
+        return None
+    b0 = data[p]
+    if b0 < 0xFB:
+        return b0, p + 1
+    need = {0xFC: 2, 0xFD: 3, 0xFE: 8}.get(b0)
+    if need is None or p + 1 + need > len(data):
+        return None
+    return int.from_bytes(data[p + 1 : p + 1 + need], "little"), p + 1 + need
+
+
+def _parse_table_map(body: bytes) -> dict | None:
+    """Full TABLE_MAP parse: names + column types + metadata + optional
+    COLUMN_NAME metadata (MySQL 8.0 binlog_row_metadata=FULL).  Returns
+    {table_id, schema, table, types, metas, names} -- ``types`` is None
+    when the column region is malformed (schema/table still usable) and
+    ``names`` falls back to positional c0..cN when the optional TLV is
+    absent (pre-8.0 binlogs don't log column names)."""
+    if len(body) < 9:
+        return None
+    table_id = int.from_bytes(body[0:6], "little")
+    p = 8  # table_id(6) + flags(2)
+    slen = body[p]
+    if len(body) < p + 1 + slen + 1 + 1:
+        return None
+    schema = body[p + 1 : p + 1 + slen].decode("utf-8", "replace")
+    p += 1 + slen + 1
+    tlen = body[p]
+    if len(body) < p + 1 + tlen + 1:
+        return None
+    table = body[p + 1 : p + 1 + tlen].decode("utf-8", "replace")
+    p += 1 + tlen + 1
+    out = {"table_id": table_id, "schema": schema, "table": table,
+           "types": None, "metas": None, "names": None}
+    r = _read_lenenc(body, p)
+    if r is None:
+        return out
+    n_cols, p = r
+    if p + n_cols > len(body):
+        return out
+    types = list(body[p : p + n_cols])
+    p += n_cols
+    r = _read_lenenc(body, p)
+    if r is None:
+        return out
+    meta_len, p = r
+    if p + meta_len > len(body):
+        return out
+    meta_blob, mp = body[p : p + meta_len], 0
+    metas: list[int] = []
+    for t in types:
+        w = _META_LEN.get(t)
+        if w is None or mp + w > len(meta_blob):
+            return out  # unknown type: row decode impossible
+        metas.append(int.from_bytes(meta_blob[mp : mp + w], "little") if w else 0)
+        mp += w
+    p += meta_len + (n_cols + 7) // 8  # skip null bitmap
+    names = [f"c{i}" for i in range(n_cols)]
+    # optional metadata TLVs (type, lenenc length, value)
+    while p + 1 < len(body):
+        t = body[p]
+        r = _read_lenenc(body, p + 1)
+        if r is None:
+            break
+        vlen, p = r
+        if p + vlen > len(body):
+            break
+        if t == _OPTMETA_COLUMN_NAME:
+            blob, q, got = body[p : p + vlen], 0, []
+            while q < len(blob):
+                rr = _read_lenenc(blob, q)
+                if rr is None:
+                    break
+                nl, q = rr
+                got.append(blob[q : q + nl].decode("utf-8", "replace"))
+                q += nl
+            if len(got) == n_cols:
+                names = got
+        p += vlen
+    out["types"], out["metas"], out["names"] = types, metas, names
+    return out
+
+
+def _decode_value(body: bytes, p: int, typ: int, meta: int):
+    """One column value at offset p -> (string value, new offset);
+    None on truncation.  Integers render as decimal strings, floats via
+    repr (shortest round-trip), VARCHAR as utf8."""
+    try:
+        if typ == MYSQL_TYPE_TINY:
+            return str(struct.unpack_from("<b", body, p)[0]), p + 1
+        if typ == MYSQL_TYPE_SHORT:
+            return str(struct.unpack_from("<h", body, p)[0]), p + 2
+        if typ == MYSQL_TYPE_INT24:
+            if p + 3 > len(body):
+                return None
+            v = int.from_bytes(body[p : p + 3], "little")
+            return str(v - (1 << 24) if v & (1 << 23) else v), p + 3
+        if typ == MYSQL_TYPE_LONG:
+            return str(struct.unpack_from("<i", body, p)[0]), p + 4
+        if typ == MYSQL_TYPE_LONGLONG:
+            return str(struct.unpack_from("<q", body, p)[0]), p + 8
+        if typ == MYSQL_TYPE_FLOAT:
+            return repr(struct.unpack_from("<f", body, p)[0]), p + 4
+        if typ == MYSQL_TYPE_DOUBLE:
+            return repr(struct.unpack_from("<d", body, p)[0]), p + 8
+        if typ == MYSQL_TYPE_VARCHAR:
+            w = 2 if meta > 255 else 1
+            if p + w > len(body):
+                return None
+            ln = int.from_bytes(body[p : p + w], "little")
+            if p + w + ln > len(body):
+                return None
+            return body[p + w : p + w + ln].decode("utf-8", "replace"), p + w + ln
+    except struct.error:
+        return None
+    return None  # unreachable for supported types
+
+
+def _decode_image(body: bytes, p: int, tm: dict, present: int):
+    """One row image -> (payload dict, new offset); None on any
+    malformation.  ``present`` is the columns-present bitmap for this
+    image; the null bitmap indexes over PRESENT columns only."""
+    types, metas, names = tm["types"], tm["metas"], tm["names"]
+    idx_present = [i for i in range(len(types)) if present >> i & 1]
+    nb_len = (len(idx_present) + 7) // 8
+    if p + nb_len > len(body):
+        return None
+    null_bits = int.from_bytes(body[p : p + nb_len], "little")
+    p += nb_len
+    payload: dict = {}
+    for j, i in enumerate(idx_present):
+        if null_bits >> j & 1:
+            payload[names[i]] = None
+            continue
+        r = _decode_value(body, p, types[i], metas[i])
+        if r is None:
+            return None
+        payload[names[i]], p = r
+    return payload, p
+
+
+def decode_binlog_rows_bytes(basename: str, data: bytes) -> Iterator[tuple]:
+    """One file's bytes -> ROW-IMAGE rows: one output row per decoded
+    image inside every WRITE/UPDATE/DELETE rows event (UPDATE yields a
+    'before' and an 'after' row).  ``event_no`` is the 1-based ordinal
+    of the rows event within its file (over rows events only, so it is
+    derivable as a row_number in any engine); ``row_no`` the 1-based
+    image ordinal within the event.  Same tolerance contract as the
+    metadata decoder: truncated tails stop the scan, events whose table
+    map lacks decodable column types (unknown type codes, malformed
+    metadata) are skipped whole, never raised on."""
+    if not data.startswith(MAGIC):
+        return
+    off = len(MAGIC)
+    gtid: str | None = None
+    ict: str | None = None
+    table_maps: dict[int, dict] = {}
+    event_no = 0
+    n = len(data)
+    while off + HEADER_LEN <= n:
+        ts_sec, code, _server, size, log_pos, _flags = struct.unpack_from(
+            "<IBIIIH", data, off
+        )
+        if size < HEADER_LEN or off + size > n:
+            break
+        body = data[off + HEADER_LEN : off + size]
+        off += size
+        if code == GTID_LOG_EVENT:
+            ict = None  # new transaction: clear the previous ict
+            if len(body) >= 1 + 16 + 8:
+                sid = body[1:17]
+                (gno,) = struct.unpack_from("<q", body, 17)
+                gtid = f"{_sid_str(sid)}:{gno}"
+            if len(body) >= 1 + 16 + 8 + 1 + 16 + 7:
+                us = int.from_bytes(body[42:49], "little") & ((1 << 55) - 1)
+                ict = _fmt_ict(us) if us else None
+            continue
+        if code == TABLE_MAP_EVENT:
+            tm = _parse_table_map(body)
+            if tm is not None:
+                table_maps[tm["table_id"]] = tm
+            continue
+        if code not in _ROWS_NAMES:
+            continue
+        event_no += 1
+        if len(body) < 10:
+            continue
+        table_id = int.from_bytes(body[0:6], "little")
+        tm = table_maps.get(table_id)
+        if tm is None or tm["types"] is None:
+            continue  # no decodable column map: skip the event whole
+        (extra_len,) = struct.unpack_from("<H", body, 8)
+        p = 8 + max(2, extra_len)  # extra-info length includes itself
+        r = _read_lenenc(body, p)
+        if r is None:
+            continue
+        n_cols, p = r
+        if n_cols != len(tm["types"]):
+            continue
+        bm_len = (n_cols + 7) // 8
+        if p + bm_len > len(body):
+            continue
+        present1 = int.from_bytes(body[p : p + bm_len], "little")
+        p += bm_len
+        present2 = present1
+        if code == UPDATE_ROWS_EVENT_V2:
+            if p + bm_len > len(body):
+                continue
+            present2 = int.from_bytes(body[p : p + bm_len], "little")
+            p += bm_len
+        ev_name = _ROWS_NAMES[code]
+        row_no = 0
+        while p < len(body):
+            if code == UPDATE_ROWS_EVENT_V2:
+                image = "before" if row_no % 2 == 0 else "after"
+                present = present1 if row_no % 2 == 0 else present2
+            else:
+                image = "before" if code == DELETE_ROWS_EVENT_V2 else "after"
+                present = present1
+            r = _decode_image(body, p, tm, present)
+            if r is None:
+                break  # malformed remainder: keep what decoded so far
+            payload, p = r
+            row_no += 1
+            yield (basename, event_no, row_no, image, ev_name,
+                   _fmt_ts(ts_sec), ict, log_pos, tm["schema"], tm["table"],
+                   gtid, payload)
+
+
+def read_binlog_rows_dir(spark: SparkSession, path: str) -> DataFrame:
+    """Directory of binary binlogs -> the ROW-IMAGE table (one row per
+    image, ``payload`` as map<string,string>).  Same distribution shape
+    as read_binlog_binary_dir: binaryFile scan parallelizes across
+    files (the binlog rotation unit), decode is one Arrow-batched
+    mapInPandas pass of pure struct parsing."""
+    import os
+
+    import pandas as pd
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "mysql-bin.*")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                rows.extend(
+                    decode_binlog_rows_bytes(os.path.basename(p), bytes(content))
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in ROWS_SCHEMA.fields]
+            )
+
+    return files.mapInPandas(decode, schema=ROWS_SCHEMA)
 
 
 def read_binlog_binary_dir(spark: SparkSession, path: str) -> DataFrame:
