@@ -18,14 +18,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def _scan_file_count(df: DataFrame) -> int | None:
+    """Number of files under the frame's scan relations, from the
+    ANALYZED plan's file indexes -- pure driver metadata (no job, no
+    ``df.rdd`` conversion, which would re-plan the query to RDD form on
+    every guarded call).  None when any relation isn't file-based (e.g.
+    a local createDataFrame relation): the caller then assumes the
+    input is small -- exactly the in-memory test-corpus case."""
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        total = 0
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.nodeName() != "LogicalRelation":
+                return None
+            total += len(leaf.relation().location().inputFiles())
+        return total
+    except Exception:
+        return None
+
+
 def spread_small_scan(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     """Round-robin repartition ``df`` to the cluster's default
-    parallelism, but ONLY if its current partition count is below
-    ``min_fraction`` of that parallelism.  Well-partitioned inputs pass
-    through untouched (no shuffle added to the plan)."""
+    parallelism, but ONLY if the input is materially under-split: fewer
+    source FILES than ``min_fraction`` of the default parallelism.
+    Well-partitioned inputs (a 100 TB scan has tens of thousands of
+    splits) pass through untouched -- no shuffle added to the plan.
+
+    File count is a conservative lower bound on scan splits (large
+    files split further by maxPartitionBytes, never merge below it
+    while openCostInBytes stays default), so the guard can only
+    over-trigger on inputs that are already cheap to reshuffle."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     threshold = max(1, int(target * min_fraction))
-    if df.rdd.getNumPartitions() >= threshold:
+    n_files = _scan_file_count(df)
+    if n_files is not None and n_files >= threshold:
         return df
     return df.repartition(target)

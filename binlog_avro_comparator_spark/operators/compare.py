@@ -637,3 +637,106 @@ def replica_checksums(
             "keys_match",
         )
     )
+
+
+# --- payload tier: row-image vs avro payload.* -----------------------------
+
+def prepare_binlog_payload(rows: DataFrame) -> DataFrame:
+    """Row-image frame (sources/binlog_binary.ROWS_SCHEMA) -> one
+    EFFECTIVE payload per surviving key, mirroring the metadata path's
+    prepare semantics (F2 null-key drop, Q5 zero-as-null, J2
+    last-write-wins): the row state a CDC consumer would hold after the
+    event is the AFTER image for WRITE/UPDATE and the BEFORE image for
+    DELETE (the removed row).  ``event_no`` is the per-file rows-event
+    ordinal, so the window pick is deterministic and derivable in any
+    engine.  Returns (binlog_file, binlog_position, payload)."""
+    eff = rows.filter(
+        (
+            F.col("event_type").isin("WriteRowsEventV2", "UpdateRowsEventV2")
+            & (F.col("image") == "after")
+        )
+        | (
+            (F.col("event_type") == "DeleteRowsEventV2")
+            & (F.col("image") == "before")
+        )
+    )
+    df = eff.filter(
+        F.col("binlog_file").isNotNull()
+        & (F.col("binlog_file") != "")
+        & F.col("log_position").isNotNull()
+        & (F.col("log_position") != 0)
+    ).withColumnRenamed("log_position", "binlog_position")
+    w = Window.partitionBy(*KEY).orderBy(
+        F.col("event_no").desc(), F.col("row_no").desc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*KEY, "payload")
+    )
+
+
+def payload_diff(
+    binlog_payload: DataFrame, avro_payload: DataFrame
+) -> DataFrame:
+    """Column-level payload diff: binlog row images vs avro
+    ``payload.*`` -- the check the reference DECLARES the columns for
+    (compare_timestamps.go:57-63 carries order_id..order_timestamp in
+    its avro struct) but never performs.  Both inputs are
+    (binlog_file, binlog_position, payload map<string,string>); the
+    avro side stringifies its typed columns with the same canonical
+    rendering the decoder uses (integers as decimal text).
+
+    Shape: ONE inner equi-join on the composite key (same shuffle key
+    as every other compare operator, so at scale the exchange is
+    shared/AQE-optimized), then a per-row explode of the UNION of both
+    maps' key sets -- findings granularity is (key, column), and only
+    disagreeing columns survive.  All expressions are built-in column
+    functions: codegen end-to-end, no Python.
+
+    Statuses: MISMATCH (both present, different), BINLOG_NULL (row
+    image holds NULL / lacks the column, avro has a value), AVRO_NULL
+    (the inverse).  Agreeing columns -- including both-NULL -- emit
+    nothing.  Returns (binlog_file, binlog_position, column,
+    binlog_value, avro_value, status)."""
+    b = binlog_payload.select(*KEY, F.col("payload").alias("__bp"))
+    a = avro_payload.select(*KEY, F.col("payload").alias("__ap"))
+    j = b.join(a, on=KEY, how="inner")
+    cols = F.array_distinct(
+        F.concat(
+            F.map_keys(F.col("__bp")),
+            F.map_keys(F.col("__ap")),
+        )
+    )
+    exploded = j.select(
+        *KEY,
+        F.explode(cols).alias("column"),
+        F.col("__bp"),
+        F.col("__ap"),
+    ).select(
+        *KEY,
+        "column",
+        F.element_at(F.col("__bp"), F.col("column")).alias("binlog_value"),
+        F.element_at(F.col("__ap"), F.col("column")).alias("avro_value"),
+    )
+    status = (
+        F.when(
+            F.col("binlog_value").isNull() & F.col("avro_value").isNotNull(),
+            "BINLOG_NULL",
+        )
+        .when(
+            F.col("binlog_value").isNotNull() & F.col("avro_value").isNull(),
+            "AVRO_NULL",
+        )
+        .when(
+            F.col("binlog_value").isNotNull()
+            & F.col("avro_value").isNotNull()
+            & (F.col("binlog_value") != F.col("avro_value")),
+            "MISMATCH",
+        )
+    )
+    return (
+        exploded.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(*KEY, "column", "binlog_value", "avro_value", "status")
+    )

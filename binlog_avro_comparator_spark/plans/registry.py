@@ -14,8 +14,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .. import oracle
 from ..fixtures import (
+    derive_avro_payload,
     derive_avro_rows,
     derive_binlog_events,
+    derive_binlog_events_with_payload,
     generate_parser_text_lines,
 )
 from ..functions.zorder import zorder_key_sql
@@ -150,6 +152,73 @@ _AVRO_FIXTURE_SYNC = bytes(range(16))
 _FIXTURE_DIRS: dict[tuple[str, str], str] = {}
 
 
+def _fixture_write_distributed(df: DataFrame, file_col: str, d: str, render) -> None:
+    """Write one fixture file per distinct ``file_col`` value from the
+    EXECUTORS: hash-repartition on the file key (all rows of one file
+    land whole in one task -- binlog rotation bounds a file's rows),
+    then foreachPartition renders and writes.  Replaces the former
+    driver ``collect()`` loops, so fixture generation scales with the
+    cluster and driver memory stays flat at any SF.  Local mode shares
+    one filesystem; on a real cluster ``d`` must be shared storage.
+    ``render(key, rows) -> (filename, bytes)``; rows arrive unsorted
+    (render sorts -- partition-internal order is not deterministic)."""
+    import os
+
+    def _write_part(rows):
+        by_file: dict = {}
+        for r in rows:
+            rd = r.asDict()
+            by_file.setdefault(rd[file_col], []).append(rd)
+        for key, rws in by_file.items():
+            fname, data = render(key, rws)
+            tmp = os.path.join(d, f".__tmp_{fname}")
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, os.path.join(d, fname))
+
+    df.repartition(F.col(file_col)).foreachPartition(_write_part)
+
+
+def _render_binlog_binary(fname: str, rows: list[dict]) -> tuple[str, bytes]:
+    from ..sources.binlog_binary import encode_binlog_file
+
+    rows.sort(key=lambda r: r["line_no"])
+    return fname, encode_binlog_file(rows)
+
+
+def _render_parser_text(fname: str, rows: list[dict]) -> tuple[str, bytes]:
+    rows.sort(key=lambda r: r["line_no"])
+    return (
+        f"{fname}.txt",
+        ("\n".join(r["value"] for r in rows) + "\n").encode("utf-8"),
+    )
+
+
+def _render_avro(fname: str, rows: list[dict]) -> tuple[str, bytes]:
+    rows.sort(key=lambda r: (r["source_timestamp"], r["binlog_position"]))
+    recs = [
+        {
+            "source_timestamp": r["source_timestamp"],
+            "source_metadata": {
+                "database": r["database"],
+                "table": r["table"],
+                "change_type": r["change_type"],
+                "gtid": r["gtid"],
+                "datastream_master_server_uuid": None,
+                "datastream_master_server_id": None,
+                "binlog_file": r["binlog_file"],
+                "binlog_position": r["binlog_position"],
+                "is_deleted": r["is_deleted"],
+                "primary_keys": [r["database"], r["table"]],
+            },
+        }
+        for r in rows
+    ]
+    return f"{fname}.avro", encode_container(
+        DATASTREAM_AVRO_SCHEMA, recs, sync=_AVRO_FIXTURE_SYNC
+    )
+
+
 def _q_cdc_avro_native_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5 end-to-end, pure-Python engine: the derived avro_rows table is
     encoded into real ``.avro`` container files (one per binlog segment,
@@ -182,37 +251,8 @@ def _avro_fixture_scan(spark: SparkSession, sf_dir: str, engine: str) -> DataFra
     if cached is not None:
         return _avro_native_probe(spark, cached, engine)
     avro = derive_avro_rows(load_table(spark, sf_dir, "events"))
-    by_file: dict[str, list[dict]] = {}
-    for r in avro.collect():
-        by_file.setdefault(r.binlog_file, []).append(
-            {
-                "source_timestamp": r.source_timestamp,
-                "source_metadata": {
-                    "database": r.database,
-                    "table": r.table,
-                    "change_type": r.change_type,
-                    "gtid": r.gtid,
-                    "datastream_master_server_uuid": None,
-                    "datastream_master_server_id": None,
-                    "binlog_file": r.binlog_file,
-                    "binlog_position": r.binlog_position,
-                    "is_deleted": r.is_deleted,
-                    "primary_keys": [r.database, r.table],
-                },
-            }
-        )
     d = tempfile.mkdtemp(prefix="cdc_avro_native_")
-    for fname, recs in sorted(by_file.items()):
-        recs.sort(
-            key=lambda rec: (
-                rec["source_timestamp"],
-                rec["source_metadata"]["binlog_position"],
-            )
-        )
-        with open(os.path.join(d, f"{fname}.avro"), "wb") as fh:
-            fh.write(
-                encode_container(DATASTREAM_AVRO_SCHEMA, recs, sync=_AVRO_FIXTURE_SYNC)
-            )
+    _fixture_write_distributed(avro, "binlog_file", d, _render_avro)
     _FIXTURE_DIRS[("avro_native", sf_dir)] = d
     return _avro_native_probe(spark, d, engine)
 
@@ -347,20 +387,9 @@ def _q_cdc_parse_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _FIXTURE_DIRS.get(("parser_text", sf_dir))
     if d is None:
-        lines = (
-            generate_parser_text_lines(load_table(spark, sf_dir, "events"))
-            .orderBy("binlog_file", "line_no")
-            .collect()
-        )
-        by_file: dict[str, list[str]] = {}
-        for r in lines:
-            by_file.setdefault(r.binlog_file, []).append(r.value)
+        lines = generate_parser_text_lines(load_table(spark, sf_dir, "events"))
         d = tempfile.mkdtemp(prefix="pyds_parser_text_")
-        import os
-
-        for fname, vals in by_file.items():
-            with open(os.path.join(d, f"{fname}.txt"), "w", encoding="utf-8") as f:
-                f.write("\n".join(vals) + "\n")
+        _fixture_write_distributed(lines, "binlog_file", d, _render_parser_text)
         _FIXTURE_DIRS[("parser_text", sf_dir)] = d
     register_binlog_text_source(spark)
     raw = spark.read.format("binlogtext").option("path", d).load()
@@ -1629,38 +1658,109 @@ def _q_events_session_stream(spark, sf_dir):
     return _drain_to_table(spark, session_window_stats(stream), name, "complete")
 
 
+def _binlog_binary_fixture_dir(spark, sf_dir) -> str:
+    """One payload-bearing binary binlog fixture dir per sf_dir, shared
+    by the metadata-decode, row-image-decode, and payload-diff queries:
+    derived events (WITH row payloads) encoded as genuine binlog v4
+    files by the executors (_fixture_write_distributed -- no driver
+    collect), memoized like every other fixture."""
+    import tempfile
+
+    d = _FIXTURE_DIRS.get(("binlog_binary", sf_dir))
+    if d is None:
+        b = derive_binlog_events_with_payload(
+            load_table(spark, sf_dir, "events")
+        ).filter(F.col("binlog_file") != "")
+        d = tempfile.mkdtemp(prefix="binlog_binary_")
+        _fixture_write_distributed(b, "binlog_file", d, _render_binlog_binary)
+        _FIXTURE_DIRS[("binlog_binary", sf_dir)] = d
+    return d
+
+
 def _q_cdc_parse_binlog_binary(spark, sf_dir):
     """S2 closed: real binlog v4 BYTES through the native binary
     decoder (sources/binlog_binary.py) -> the same parsed-event
     contract table as the text path, no external parser binary and no
-    text intermediate.  The fixture write-out (derived events encoded
-    as genuine binlog files) is driver-side scaffolding, memoized per
-    sf_dir and bounded by the fixture event count -- the same
-    acceptance as the pyds text fixture; the DECODE path is fully
-    distributed (binaryFile scan + Arrow-batched mapInPandas)."""
-    import os
-    import tempfile
-
+    text intermediate.  The fixture files now carry genuine row images;
+    this metadata-tier query proves the cheap decoder skips them
+    correctly.  The DECODE path is fully distributed (binaryFile scan +
+    Arrow-batched mapInPandas)."""
     ensure_session_conf(spark)
-    from ..sources.binlog_binary import encode_binlog_file, read_binlog_binary_dir
+    from ..sources.binlog_binary import read_binlog_binary_dir
 
-    d = _FIXTURE_DIRS.get(("binlog_binary", sf_dir))
-    if d is None:
-        rows = (
-            derive_binlog_events(load_table(spark, sf_dir, "events"))
-            .filter(F.col("binlog_file") != "")
-            .orderBy("binlog_file", "line_no")
-            .collect()
-        )
-        by_file: dict[str, list[dict]] = {}
-        for r in rows:
-            by_file.setdefault(r.binlog_file, []).append(r.asDict())
-        d = tempfile.mkdtemp(prefix="binlog_binary_")
-        for fname, evs in by_file.items():
-            with open(os.path.join(d, fname), "wb") as f:
-                f.write(encode_binlog_file(evs))
-        _FIXTURE_DIRS[("binlog_binary", sf_dir)] = d
-    return read_binlog_binary_dir(spark, d)
+    return read_binlog_binary_dir(spark, _binlog_binary_fixture_dir(spark, sf_dir))
+
+
+def _q_cdc_parse_binlog_rows(spark, sf_dir):
+    """Row-image tier: the SAME fixture bytes, decoded at full depth --
+    TABLE_MAP column types + optional COLUMN_NAME metadata drive the
+    WRITE/UPDATE/DELETE image parse (UPDATE yields before AND after
+    rows, value-distinguishable by the planted deltas); the payload map
+    is surfaced as typed columns so the DuckDB oracle compares values,
+    not map encodings."""
+    ensure_session_conf(spark)
+    from ..sources.binlog_binary import read_binlog_rows_dir
+
+    rows = read_binlog_rows_dir(spark, _binlog_binary_fixture_dir(spark, sf_dir))
+    p = F.col("payload")
+    return rows.select(
+        "binlog_file",
+        "event_no",
+        "row_no",
+        "image",
+        "event_type",
+        "timestamp",
+        "immediate_commmit_timestamp",
+        "log_position",
+        "schema",
+        "table",
+        "gtid_next",
+        F.element_at(p, F.lit("order_id")).cast("long").alias("order_id"),
+        F.element_at(p, F.lit("customer_name")).alias("customer_name"),
+        F.element_at(p, F.lit("product_name")).alias("product_name"),
+        F.element_at(p, F.lit("quantity")).cast("long").alias("quantity"),
+        F.element_at(p, F.lit("order_timestamp")).cast("long").alias("order_timestamp"),
+    )
+
+
+def _q_cdc_payload_diff(spark, sf_dir):
+    """The capability the reference declares columns for but never
+    ships (compare_timestamps.go:57-63): column-level diff of binlog
+    ROW IMAGES (decoded from genuine bytes) against the avro side's
+    payload.*.  Binlog side: effective image per key (after for
+    WRITE/UPDATE, before for DELETE) with the same null-key drop +
+    last-write-wins dedup as the metadata compare; avro side: the
+    derived payload columns stringified canonically into the same map
+    shape.  Planted divergences produce MISMATCH / BINLOG_NULL /
+    AVRO_NULL findings; agreeing columns emit nothing."""
+    ensure_session_conf(spark)
+    from ..sources.binlog_binary import read_binlog_rows_dir
+
+    rows = read_binlog_rows_dir(spark, _binlog_binary_fixture_dir(spark, sf_dir))
+    bp = C.prepare_binlog_payload(rows)
+    ev = load_table(spark, sf_dir, "events")
+    avro = derive_avro_rows(ev).join(derive_avro_payload(ev), "avro_line_no")
+    ap = C.prepare_avro(avro).select(
+        "binlog_file",
+        "binlog_position",
+        F.map_from_arrays(
+            F.array(
+                F.lit("order_id"),
+                F.lit("customer_name"),
+                F.lit("product_name"),
+                F.lit("quantity"),
+                F.lit("order_timestamp"),
+            ),
+            F.array(
+                F.col("order_id").cast("string"),
+                F.col("customer_name"),
+                F.col("product_name"),
+                F.col("quantity").cast("string"),
+                F.col("order_timestamp").cast("string"),
+            ),
+        ).alias("payload"),
+    )
+    return C.payload_diff(bp, ap)
 
 
 def _q_shipping_priority(spark, sf_dir):
@@ -1848,6 +1948,8 @@ def queries() -> dict[str, QueryFn]:
         "doc_type_token_ratio": _q_type_token_ratio,
         "events_session_stream": _q_events_session_stream,
         "cdc_parse_binlog_binary": _q_cdc_parse_binlog_binary,
+        "cdc_parse_binlog_rows": _q_cdc_parse_binlog_rows,
+        "cdc_payload_diff": _q_cdc_payload_diff,
         "shipping_priority": _q_shipping_priority,
         "supplier_part_counts": _q_supplier_part_counts,
         "small_quantity_revenue": _q_small_quantity_revenue,
@@ -4217,6 +4319,126 @@ SELECT event_type, "timestamp", immediate_commmit_timestamp, log_position,
        binlog_file,
        row_number() OVER (PARTITION BY binlog_file ORDER BY line_no) AS line_no
 FROM bb WHERE binlog_file <> ''""",
+        # twin of the row-image tier: same derivation restricted to DML
+        # (only rows events carry images), payload from the fixture
+        # arithmetic; UPDATE contributes a before row (quantity+5,
+        # order_timestamp-1000) AND an after row.
+        "cdc_parse_binlog_rows": """
+WITH dml AS (
+  SELECT event_id AS eid, user_id, ts,
+    CASE event_type WHEN 'click' THEN 'WriteRowsEventV2'
+                    WHEN 'view' THEN 'UpdateRowsEventV2'
+                    ELSE 'DeleteRowsEventV2' END AS event_type,
+    strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS ts_s,
+    CASE WHEN event_id % 7 = 0 THEN NULL
+         ELSE strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') END AS ict,
+    CASE WHEN event_id % 211 = 0 THEN 0
+         WHEN event_id % 53 = 0 THEN 100 * ((event_id + 4) // 4) + 4
+         ELSE 100 * (event_id // 4) + 4 END AS log_position,
+    'db' || CAST(user_id % 2 AS VARCHAR) AS schema_d,
+    't' || CAST(user_id % 3 AS VARCHAR) AS table_d,
+    'mysql-bin.' || lpad(CAST(event_id % 4 AS VARCHAR), 6, '0') AS binlog_file
+  FROM events
+  WHERE event_type IN ('click','view','purchase') AND event_id % 223 <> 0
+), pay AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY binlog_file ORDER BY eid) AS event_no,
+    eid % 100000 AS order_id,
+    CASE WHEN eid % 43 = 6 THEN NULL
+         ELSE 'cust-' || CAST(user_id % 1000 AS VARCHAR) END AS customer_name,
+    'prod-' || CAST(eid % 97 AS VARCHAR) AS product_name,
+    1 + eid % 10 AS quantity,
+    epoch_ms(ts) AS order_timestamp,
+    '0f8e1a24-3b5c-4d6e-8f90-a1b2c3d4e5f6:' || CAST(eid + 1 AS VARCHAR) AS gtid_next
+  FROM dml
+)
+SELECT binlog_file, event_no, 1 AS row_no,
+       CASE WHEN event_type = 'WriteRowsEventV2' THEN 'after'
+            ELSE 'before' END AS image,
+       event_type, ts_s AS "timestamp", ict AS immediate_commmit_timestamp,
+       log_position, schema_d AS "schema", table_d AS "table", gtid_next,
+       order_id, customer_name, product_name,
+       CASE WHEN event_type = 'UpdateRowsEventV2' THEN quantity + 5
+            ELSE quantity END AS quantity,
+       CASE WHEN event_type = 'UpdateRowsEventV2' THEN order_timestamp - 1000
+            ELSE order_timestamp END AS order_timestamp
+FROM pay
+UNION ALL
+SELECT binlog_file, event_no, 2 AS row_no, 'after' AS image,
+       event_type, ts_s, ict, log_position, schema_d, table_d, gtid_next,
+       order_id, customer_name, product_name, quantity, order_timestamp
+FROM pay WHERE event_type = 'UpdateRowsEventV2'""",
+        # twin of payload_diff: effective image per surviving key (the
+        # plain payload values for every DML type -- only UPDATE's
+        # BEFORE image differs and it is not the effective state),
+        # prepare semantics mirrored (zero-pos drop, last-write-wins by
+        # eid), avro divergences planted per fixtures.py, unpivoted to
+        # (key, column) findings with only disagreements surviving.
+        "cdc_payload_diff": """
+WITH dml AS (
+  SELECT event_id AS eid, user_id, ts, event_type,
+    CASE WHEN event_id % 211 = 0 THEN 0
+         WHEN event_id % 53 = 0 THEN 100 * ((event_id + 4) // 4) + 4
+         ELSE 100 * (event_id // 4) + 4 END AS log_position,
+    'mysql-bin.' || lpad(CAST(event_id % 4 AS VARCHAR), 6, '0') AS binlog_file
+  FROM events
+  WHERE event_type IN ('click','view','purchase') AND event_id % 223 <> 0
+), bl AS (
+  SELECT binlog_file, log_position AS binlog_position,
+    CAST(eid % 100000 AS VARCHAR) AS order_id,
+    CASE WHEN eid % 43 = 6 THEN NULL
+         ELSE 'cust-' || CAST(user_id % 1000 AS VARCHAR) END AS customer_name,
+    'prod-' || CAST(eid % 97 AS VARCHAR) AS product_name,
+    CAST(1 + eid % 10 AS VARCHAR) AS quantity,
+    CAST(epoch_ms(ts) AS VARCHAR) AS order_timestamp
+  FROM dml WHERE log_position <> 0
+  QUALIFY row_number() OVER (
+    PARTITION BY binlog_file, log_position ORDER BY eid DESC) = 1
+), av AS (
+  SELECT
+    'mysql-bin.' || lpad(CAST(event_id % 4 AS VARCHAR), 6, '0') AS binlog_file,
+    CASE WHEN event_id % 17 = 5 THEN 100 * (event_id // 4) + 4 + 7
+         ELSE 100 * (event_id // 4) + 4 END AS binlog_position,
+    CAST(event_id % 100000 AS VARCHAR) AS order_id,
+    'cust-' || CAST(user_id % 1000 AS VARCHAR) AS customer_name,
+    CASE WHEN event_id % 37 = 3 THEN 'prod-X'
+         ELSE 'prod-' || CAST(event_id % 97 AS VARCHAR) END AS product_name,
+    CASE WHEN event_id % 31 = 2 THEN CAST(1 + event_id % 10 + 1 AS VARCHAR)
+         ELSE CAST(1 + event_id % 10 AS VARCHAR) END AS quantity,
+    CASE WHEN event_id % 47 = 7 THEN NULL
+         ELSE CAST(epoch_ms(ts) AS VARCHAR) END AS order_timestamp
+  FROM events
+  WHERE event_type IN ('click','view','purchase')
+    AND event_id % 13 <> 0 AND event_id % 29 <> 1
+), unp AS (
+  SELECT b.binlog_file, b.binlog_position, 'order_id' AS "column",
+         b.order_id AS binlog_value, a.order_id AS avro_value
+  FROM bl b JOIN av a USING (binlog_file, binlog_position)
+  UNION ALL
+  SELECT b.binlog_file, b.binlog_position, 'customer_name',
+         b.customer_name, a.customer_name
+  FROM bl b JOIN av a USING (binlog_file, binlog_position)
+  UNION ALL
+  SELECT b.binlog_file, b.binlog_position, 'product_name',
+         b.product_name, a.product_name
+  FROM bl b JOIN av a USING (binlog_file, binlog_position)
+  UNION ALL
+  SELECT b.binlog_file, b.binlog_position, 'quantity',
+         b.quantity, a.quantity
+  FROM bl b JOIN av a USING (binlog_file, binlog_position)
+  UNION ALL
+  SELECT b.binlog_file, b.binlog_position, 'order_timestamp',
+         b.order_timestamp, a.order_timestamp
+  FROM bl b JOIN av a USING (binlog_file, binlog_position)
+)
+SELECT binlog_file, binlog_position, "column", binlog_value, avro_value,
+       CASE WHEN binlog_value IS NULL AND avro_value IS NOT NULL
+              THEN 'BINLOG_NULL'
+            WHEN binlog_value IS NOT NULL AND avro_value IS NULL
+              THEN 'AVRO_NULL'
+            WHEN binlog_value <> avro_value THEN 'MISMATCH' END AS status
+FROM unp
+WHERE status IS NOT NULL""",
     }
     # streaming twin runs the same logical plan -> same oracle
     sql["cdc_snapshot_stream"] = sql["cdc_apply_changes"]

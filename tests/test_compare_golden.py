@@ -295,3 +295,64 @@ def test_replica_checksums_empty_sides_match(spark):
     row = replica_checksums(empty_b, empty_a).collect()[0]
     assert row.keys_match is True
     assert row.binlog_checksum == "0" and row.avro_checksum == "0"
+
+
+def test_payload_diff_statuses_and_prepare(spark):
+    """payload_diff column-level findings: MISMATCH / BINLOG_NULL /
+    AVRO_NULL statuses, agreeing columns silent, DELETE's before image
+    is the effective state, and last-write-wins dedup picks the higher
+    event_no for a duplicated key."""
+    from binlog_avro_comparator_spark.operators.compare import (
+        payload_diff, prepare_binlog_payload)
+
+    def row(event_no, row_no, image, et, pos, payload, file="mysql-bin.000001"):
+        return (file, event_no, row_no, image, et, "2024-01-01T00:00:00Z",
+                None, pos, "db", "t", "g:1", payload)
+
+    rows = spark.createDataFrame(
+        [
+            # key 100: WRITE, avro disagrees on quantity only
+            row(1, 1, "after", "WriteRowsEventV2", 100,
+                {"order_id": "1", "name": "a", "quantity": "3"}),
+            # key 200: UPDATE -- before image must NOT leak into the diff
+            row(2, 1, "before", "UpdateRowsEventV2", 200,
+                {"order_id": "2", "name": "WRONG", "quantity": "9"}),
+            row(2, 2, "after", "UpdateRowsEventV2", 200,
+                {"order_id": "2", "name": "b", "quantity": "4"}),
+            # key 300: DELETE -- before image IS the effective state;
+            # binlog name NULL vs avro value -> BINLOG_NULL
+            row(3, 1, "before", "DeleteRowsEventV2", 300,
+                {"order_id": "3", "name": None, "quantity": "5"}),
+            # key 400: duplicated -- event_no 5 must win over 4
+            row(4, 1, "after", "WriteRowsEventV2", 400,
+                {"order_id": "9", "name": "stale", "quantity": "1"}),
+            row(5, 1, "after", "WriteRowsEventV2", 400,
+                {"order_id": "4", "name": "d", "quantity": "1"}),
+            # zero position: dropped by prepare
+            row(6, 1, "after", "WriteRowsEventV2", 0,
+                {"order_id": "x", "name": "x", "quantity": "x"}),
+        ],
+        "binlog_file string, event_no long, row_no int, image string, "
+        "event_type string, timestamp string, "
+        "immediate_commmit_timestamp string, log_position long, "
+        "schema string, table string, gtid_next string, "
+        "payload map<string,string>",
+    )
+    avro = spark.createDataFrame(
+        [
+            ("mysql-bin.000001", 100, {"order_id": "1", "name": "a", "quantity": "99"}),
+            ("mysql-bin.000001", 200, {"order_id": "2", "name": "b", "quantity": None}),
+            ("mysql-bin.000001", 300, {"order_id": "3", "name": "c", "quantity": "5"}),
+            ("mysql-bin.000001", 400, {"order_id": "4", "name": "d", "quantity": "1"}),
+        ],
+        "binlog_file string, binlog_position long, payload map<string,string>",
+    )
+    got = {
+        (r.binlog_position, r.column): (r.binlog_value, r.avro_value, r.status)
+        for r in payload_diff(prepare_binlog_payload(rows), avro).collect()
+    }
+    assert got == {
+        (100, "quantity"): ("3", "99", "MISMATCH"),
+        (200, "quantity"): ("4", None, "AVRO_NULL"),
+        (300, "name"): (None, "c", "BINLOG_NULL"),
+    }

@@ -129,17 +129,29 @@ def test_sessionize_gap_split(spark):
     assert out == {(10, 1): 2, (10, 2): 1, (20, 1): 1}
 
 
-def test_spread_small_scan_is_conditional(spark):
-    from binlog_avro_comparator_spark.functions.partitioning import spread_small_scan
+def test_spread_small_scan_is_conditional(spark, tmp_path):
+    from binlog_avro_comparator_spark.functions.partitioning import (
+        _scan_file_count,
+        spread_small_scan,
+    )
 
     target = spark.sparkContext.defaultParallelism
-    # a single-partition input gets spread to full parallelism
-    small = spark.range(0, 100, 1, 1)
-    assert spread_small_scan(small).rdd.getNumPartitions() == target
-    # a well-partitioned input passes through with NO shuffle added
-    wide = spark.range(0, 1000, 1, max(2, target))
-    spread = spread_small_scan(wide)
-    assert spread is wide
+    # a single-FILE scan gets spread to full parallelism
+    spark.range(0, 100).coalesce(1).write.parquet(str(tmp_path / "single"))
+    single = spark.read.parquet(str(tmp_path / "single"))
+    assert _scan_file_count(single) == 1
+    assert spread_small_scan(single).rdd.getNumPartitions() == target
+    # a well-split scan passes through with NO shuffle added (identity)
+    n_files = max(2, target)
+    spark.range(0, 1000).repartition(n_files).write.parquet(str(tmp_path / "multi"))
+    wide = spark.read.parquet(str(tmp_path / "multi"))
+    assert _scan_file_count(wide) == n_files
+    assert spread_small_scan(wide) is wide
+    # filters/projections above the scan don't hide the file count
+    assert _scan_file_count(wide.filter("id > 10").select("id")) == n_files
+    # non-file inputs (in-memory test corpora) are assumed small
+    assert _scan_file_count(spark.range(0, 100, 1, 1)) is None
+    assert spread_small_scan(spark.range(0, 100, 1, 1)).rdd.getNumPartitions() == target
 
 
 def test_simhash_band_slices_partition_bits():
@@ -673,19 +685,22 @@ def test_sample_k_per_group_exact_and_deterministic(spark):
 
 def test_cache_scope_releases_operator_caches(spark):
     """Running many corpora through caching operators inside
-    cache_scope must not accumulate persisted frames: storage returns
-    to baseline after each scope (a long-lived service would otherwise
-    leak the signature cache per corpus)."""
+    cache_scope must not accumulate persisted frames: every frame the
+    scope registered is unpersisted on exit and the registry drains to
+    its entry mark.  Asserts on cache_scope's OWN registry + the
+    frames' storage levels -- not on getPersistentRDDs() counts, whose
+    baseline races the ContextCleaner GC-ing other tests'
+    localCheckpoint RDDs (the round-4 flake)."""
+    from binlog_avro_comparator_spark.functions import caching
     from binlog_avro_comparator_spark.functions.caching import cache_scope
     from binlog_avro_comparator_spark.operators.dedup import lsh_candidate_pairs
 
-    jsc = spark.sparkContext._jsc
+    base = len(caching._LIVE)
 
-    def n_persistent():
-        return jsc.getPersistentRDDs().size()
+    def is_cached(df):
+        lvl = df.storageLevel
+        return lvl.useMemory or lvl.useDisk
 
-    spark.catalog.clearCache()
-    base = n_persistent()
     for offset in (0, 1000):
         corpus = spark.createDataFrame(
             [(offset + i, f"doc {i} body words alpha beta gamma {i}") for i in range(30)],
@@ -693,8 +708,11 @@ def test_cache_scope_releases_operator_caches(spark):
         )
         with cache_scope():
             lsh_candidate_pairs(corpus).count()  # materializes the sig cache
-            assert n_persistent() >= base + 1    # cache was real
-        assert n_persistent() == base            # and released on scope exit
+            handles = list(caching._LIVE[base:])
+            assert handles                       # cache was real
+            assert all(is_cached(df) for df in handles)
+        assert len(caching._LIVE) == base        # registry drained on exit
+        assert not any(is_cached(df) for df in handles)  # frames unpersisted
 
 
 def test_remove_repeated_spans_golden_overlap(spark):

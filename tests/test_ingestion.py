@@ -575,3 +575,185 @@ def test_binlog_binary_malformed_and_57_layout():
     assert etype == "WriteRowsEventV2" and log_pos == 200
     assert gtid == f"{FIXTURE_SID_STR}:7"
     assert ict is None  # 5.7 layout carries no commit timestamp
+
+
+# --- S2+: row-image (payload) decode tier ---------------------------------
+
+class TestBinlogRowImages:
+    """The payload tier: genuine row-image bytes in, payload maps out
+    (sources/binlog_binary.py decode_binlog_rows_bytes).  The reference
+    declares the payload columns (compare_timestamps.go:57-63) but
+    never decodes them; these tests pin the byte-level contract."""
+
+    EVS = [
+        dict(event_type="WriteRowsEventV2", timestamp="2024-01-01T00:00:01Z",
+             immediate_commmit_timestamp="2024-01-01T00:00:01.000123Z",
+             log_position=104, schema="db0", table="t1", line_no=0,
+             order_id=7, customer_name="cust-5", product_name="prod-7",
+             quantity=3, order_timestamp=1704067201000,
+             before_quantity=8, before_order_timestamp=1704067200000),
+        dict(event_type="UpdateRowsEventV2", timestamp="2024-01-01T00:00:02Z",
+             immediate_commmit_timestamp=None,
+             log_position=204, schema="db1", table="t2", line_no=1,
+             order_id=8, customer_name=None, product_name="prod-8",
+             quantity=4, order_timestamp=1704067202000,
+             before_quantity=9, before_order_timestamp=1704067201000),
+        dict(event_type="DeleteRowsEventV2", timestamp="2024-01-01T00:00:03Z",
+             immediate_commmit_timestamp="2024-01-01T00:00:03.500000Z",
+             log_position=304, schema="db0", table="t0", line_no=2,
+             order_id=9, customer_name="cust-1", product_name="prod-9",
+             quantity=5, order_timestamp=1704067203000,
+             before_quantity=10, before_order_timestamp=1704067202000),
+        dict(event_type="XID", timestamp="2024-01-01T00:00:04Z",
+             immediate_commmit_timestamp=None, log_position=404,
+             schema="db0", table="t0", line_no=3),
+    ]
+
+    def _rows(self, blob=None):
+        from binlog_avro_comparator_spark.sources.binlog_binary import (
+            decode_binlog_rows_bytes, encode_binlog_file)
+
+        if blob is None:
+            blob = encode_binlog_file(self.EVS)
+        return list(decode_binlog_rows_bytes("mysql-bin.000000", blob))
+
+    def test_roundtrip_images_and_nulls(self):
+        rows = self._rows()
+        # write: 1 after; update: before+after; delete: 1 before; XID: none
+        assert [(r[1], r[2], r[3], r[4]) for r in rows] == [
+            (1, 1, "after", "WriteRowsEventV2"),
+            (2, 1, "before", "UpdateRowsEventV2"),
+            (2, 2, "after", "UpdateRowsEventV2"),
+            (3, 1, "before", "DeleteRowsEventV2"),
+        ]
+        write, before, after, delete = (r[11] for r in rows)
+        assert write == {"order_id": "7", "customer_name": "cust-5",
+                         "product_name": "prod-7", "quantity": "3",
+                         "order_timestamp": "1704067201000"}
+        # update before/after differ by the planted deltas
+        assert (before["quantity"], after["quantity"]) == ("9", "4")
+        assert int(after["order_timestamp"]) - int(before["order_timestamp"]) == 1000
+        # null bitmap: customer_name NULL survives as a None map value
+        assert before["customer_name"] is None and after["customer_name"] is None
+        # delete's image is the removed row
+        assert delete["product_name"] == "prod-9"
+        # TABLE_MAP names/schema ride along per event
+        assert rows[1][8:10] == ("db1", "t2")
+
+    def test_ict_clears_on_57_gtid_after_80_gtid(self):
+        """ADVICE r4: a 5.6/5.7 short-layout GTID event must CLEAR the
+        previous transaction's immediate_commit_timestamp, in both
+        decode tiers."""
+        import struct
+
+        from binlog_avro_comparator_spark.sources.binlog_binary import (
+            FIXTURE_SID, HEADER_LEN, MAGIC, WRITE_ROWS_EVENT_V2,
+            _gtid, _rows_payload, _table_map_payload, decode_binlog_bytes,
+            decode_binlog_rows_bytes)
+
+        def raw(code, payload, log_pos):
+            return struct.pack(
+                "<IBIIIH", 1704067200, code, 1, HEADER_LEN + len(payload),
+                log_pos, 0) + payload
+
+        gtid_57 = raw(33, bytes([1]) + FIXTURE_SID + struct.pack("<q", 9)
+                      + bytes([2]) + struct.pack("<qq", 0, 0), 200)
+        img = (1, "n", "p", 2, 10)
+        blob = (
+            MAGIC
+            + _gtid(1704067200, FIXTURE_SID, 1, 1704067200000123, 100)
+            + _table_map_payload(1704067200, "db0", "t0", 100)
+            + _rows_payload(1704067200, WRITE_ROWS_EVENT_V2, 100, [img])
+            + gtid_57
+            + _table_map_payload(1704067200, "db0", "t0", 200)
+            + _rows_payload(1704067200, WRITE_ROWS_EVENT_V2, 200, [img])
+        )
+        meta = list(decode_binlog_bytes("f", blob))
+        assert meta[0][4] is not None          # 8.0 txn carries its ict
+        assert meta[1][4] is None              # 5.7 txn must NOT inherit it
+        assert meta[1][8].endswith(":9")       # but does carry its gtid
+        imgs = list(decode_binlog_rows_bytes("f", blob))
+        assert [r[6] for r in imgs] == [meta[0][4], None]
+
+    def test_multi_row_event(self):
+        """One WRITE rows event carrying TWO row images (real binlogs
+        batch rows per event) -> two output rows, row_no 1 and 2."""
+        from binlog_avro_comparator_spark.sources.binlog_binary import (
+            FIXTURE_SID, MAGIC, WRITE_ROWS_EVENT_V2, _gtid, _rows_payload,
+            _table_map_payload, decode_binlog_rows_bytes)
+
+        img1 = (1, "a", "p1", 2, 1000)
+        img2 = (2, None, "p2", 3, 2000)
+        blob = (
+            MAGIC
+            + _gtid(0, FIXTURE_SID, 1, 0, 100)
+            + _table_map_payload(0, "db", "t", 100)
+            + _rows_payload(0, WRITE_ROWS_EVENT_V2, 100, [img1, img2])
+        )
+        rows = list(decode_binlog_rows_bytes("f", blob))
+        assert [(r[1], r[2], r[3]) for r in rows] == [(1, 1, "after"), (1, 2, "after")]
+        assert rows[0][11]["order_id"] == "1"
+        assert rows[1][11]["customer_name"] is None
+        assert rows[1][11]["order_timestamp"] == "2000"
+
+    def test_unknown_column_type_skips_event_not_file(self):
+        """A TABLE_MAP declaring a type the decoder doesn't know (246 =
+        NEWDECIMAL) makes that table's row events undecodable -- they
+        are skipped whole (event_no still advances: the ordinal is a
+        property of the FILE) and later tables still decode."""
+        from binlog_avro_comparator_spark.sources.binlog_binary import (
+            FIXTURE_SID, MAGIC, WRITE_ROWS_EVENT_V2, _event, _gtid, _lenenc,
+            _rows_payload, _table_map_payload, decode_binlog_rows_bytes)
+
+        bad_tm = _event(0, 19, (
+            b"\x02\x00\x00\x00\x00\x00" + b"\x00\x00"      # table_id=2
+            + bytes([2]) + b"db" + b"\x00"
+            + bytes([1]) + b"x" + b"\x00"
+            + _lenenc(1) + bytes([246])                     # NEWDECIMAL
+            + _lenenc(2) + b"\x0a\x02"                      # its metadata
+            + bytes([0])
+        ), 100)
+        bad_rows = _event(0, WRITE_ROWS_EVENT_V2, (
+            b"\x02\x00\x00\x00\x00\x00" + b"\x00\x00"
+            + b"\x02\x00" + _lenenc(1) + bytes([1])
+            + b"\x00" + b"\x99\x99\x99"                     # undecodable
+        ), 100)
+        good = (
+            _table_map_payload(0, "db", "t", 200)
+            + _rows_payload(0, WRITE_ROWS_EVENT_V2, 200, [(5, "n", "p", 1, 10)])
+        )
+        blob = MAGIC + _gtid(0, FIXTURE_SID, 1, 0, 50) + bad_tm + bad_rows + good
+        rows = list(decode_binlog_rows_bytes("f", blob))
+        assert len(rows) == 1
+        assert rows[0][1] == 2          # ordinal advanced past the bad event
+        assert rows[0][11]["order_id"] == "5"
+
+    def test_legacy_table_map_positional_names(self):
+        """Pre-8.0 binlogs carry no COLUMN_NAME metadata: the 1-column
+        legacy TABLE_MAP + a hand-built image decode under positional
+        names (c0)."""
+        from binlog_avro_comparator_spark.sources.binlog_binary import (
+            FIXTURE_SID, MAGIC, WRITE_ROWS_EVENT_V2, _event, _gtid, _lenenc,
+            _table_map, decode_binlog_rows_bytes)
+
+        import struct as st
+        rows_ev = _event(0, WRITE_ROWS_EVENT_V2, (
+            b"\x01\x00\x00\x00\x00\x00" + b"\x00\x00"
+            + b"\x02\x00" + _lenenc(1) + bytes([1])
+            + b"\x00" + st.pack("<i", -42)
+        ), 100)
+        blob = (MAGIC + _gtid(0, FIXTURE_SID, 3, 0, 100)
+                + _table_map(0, "db", "t", 100) + rows_ev)
+        rows = list(decode_binlog_rows_bytes("f", blob))
+        assert len(rows) == 1 and rows[0][11] == {"c0": "-42"}
+
+    def test_truncated_image_keeps_decoded_prefix(self):
+        from binlog_avro_comparator_spark.sources.binlog_binary import (
+            encode_binlog_file)
+
+        # drop the trailing XID so the file ENDS with the delete event,
+        # then chop inside its image: earlier events survive, the
+        # partial image is discarded, nothing raises
+        blob = encode_binlog_file(self.EVS[:3])
+        rows = self._rows(blob[:-6])
+        assert [(r[1], r[2]) for r in rows] == [(1, 1), (2, 1), (2, 2)]
