@@ -28,6 +28,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--avro-jsonl", required=True, help="avro_rows.json path")
     p.add_argument("--findings-out", help="optional directory to write findings JSONL")
     p.add_argument(
+        "--debug-log",
+        help="optional directory for the debug_log.txt twin (the "
+        "warn-and-skip channel as text lines, comparator.sh:32 parity)",
+    )
+    p.add_argument(
         "--print-findings",
         action="store_true",
         help="stream per-discrepancy console lines in the reference's "
@@ -68,6 +73,10 @@ def main(argv: list[str] | None = None) -> int:
         )
         if args.findings_out:
             res.findings.write.mode("overwrite").json(args.findings_out)
+        if args.debug_log:
+            from .pipeline import write_debug_log
+
+            write_debug_log(res.debug_log, args.debug_log)
         if args.print_findings:
             # toLocalIterator streams one sorted partition at a time --
             # the driver never holds the full findings set

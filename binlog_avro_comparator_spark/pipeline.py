@@ -34,6 +34,9 @@ class ComparisonResult:
     #: over the matched pairs -- the operational report behind the
     #: tolerance band; lazy like every other member
     latency: DataFrame | None = None
+    #: debug_log.txt twin (comparator.sh:32): the warn-and-skip channel
+    #: as orderable text lines; write_debug_log persists it
+    debug_log: DataFrame | None = None
 
 
 def run_comparison(
@@ -102,6 +105,145 @@ def run_comparison(
         summary=C.summary_onepass(araw, bp, ap, cfg),
         console=console_findings(bp, ap, cfg),
         latency=C.latency_stats(C.matched_pairs(bp, ap, cfg)),
+        debug_log=debug_log_lines(
+            binlog,
+            avro,
+            binlog_corrupt=(
+                raw.filter(raw["_corrupt_record"].isNotNull())
+                if binlog_jsonl is not None
+                else None
+            ),
+            avro_corrupt=araw.filter(araw["_corrupt_record"].isNotNull()),
+        ),
+    )
+
+
+def debug_log_lines(
+    binlog: DataFrame,
+    avro: DataFrame,
+    binlog_corrupt: DataFrame | None = None,
+    avro_corrupt: DataFrame | None = None,
+) -> DataFrame:
+    """The reference's ``debug_log.txt`` as data (comparator.sh:32,
+    :123 collects the Go programs' stderr there): every warn-and-skip
+    the pipeline performs, one row per skip, in the reference's
+    Fprintf shapes --
+
+      compare_timestamps.go:114  malformed binlog JSON line
+      compare_timestamps.go:138  relevant binlog event missing
+                                 binlog_file / log_position
+      compare_timestamps.go:172  malformed Avro JSON line
+      compare_timestamps.go:177  Avro record missing key fields
+
+    Documented divergences: line numbers are per-file ordinals (the
+    engine's order-as-data contract; the ordered JSONL reader's
+    file_ord*2^40+pos encoding is decoded back to the in-file position,
+    which equals Go's global lineNum for the reference's single
+    binlog_metadata.json input), and the malformed-line detail is the
+    raw line rather than Go's json-library error text.  Returns
+    (src, line_ref, value); sort by (src, line_ref) to reproduce a
+    deterministic log.  The frame is pure column functions over the
+    already-read inputs -- computing it adds no extra source scan
+    beyond the shared cached frames."""
+
+    def _file_pos(col: F.Column) -> F.Column:
+        # decode the sortable combined ordinal to the per-file position
+        return F.pmod(col, F.lit(1 << 40))
+
+    line_no = (
+        F.coalesce(F.col("line_no"), F.lit(0))
+        if "line_no" in binlog.columns
+        else F.lit(0)
+    )
+    bad_key = (
+        F.col("binlog_file").isNull()
+        | (F.col("binlog_file") == "")
+        | F.col("log_position").isNull()
+        | (F.col("log_position") == 0)
+    )
+    relevant = F.col("event_type").endswith(C._DML_SUFFIX) | (
+        F.col("event_type") == "XID"
+    )
+    parts = [
+        binlog.filter(relevant & bad_key).select(
+            F.lit(1).alias("src"),
+            line_no.alias("line_ref"),
+            F.format_string(
+                "Warning: Skipping binlog event on line %d due to missing "
+                "'binlog_file' or 'log_position'. Event: %s",
+                _file_pos(line_no),
+                F.to_json(
+                    F.struct("event_type", "binlog_file", "log_position")
+                ),
+            ).alias("value"),
+        ),
+        avro.filter(
+            F.col("binlog_file").isNull()
+            | (F.col("binlog_file") == "")
+            | F.col("binlog_position").isNull()
+            | (F.col("binlog_position") == 0)
+        ).select(
+            F.lit(3).alias("src"),
+            F.coalesce(F.col("avro_line_no"), F.lit(0)).alias("line_ref"),
+            F.format_string(
+                "Warning: Skipping Avro record on line %d due to missing "
+                "'binlog_file' or 'binlog_position' in source_metadata.",
+                F.coalesce(F.col("avro_line_no"), F.lit(0)),
+            ).alias("value"),
+        ),
+    ]
+    if binlog_corrupt is not None:
+        bline = (
+            F.coalesce(F.col("line_no"), F.lit(0))
+            if "line_no" in binlog_corrupt.columns
+            else F.lit(0)
+        )
+        parts.append(
+            binlog_corrupt.select(
+                F.lit(0).alias("src"),
+                bline.alias("line_ref"),
+                F.format_string(
+                    "Warning: Skipping malformed binlog JSON line %d: %s",
+                    _file_pos(bline),
+                    F.col("_corrupt_record"),
+                ).alias("value"),
+            )
+        )
+    if avro_corrupt is not None:
+        aline = (
+            F.coalesce(F.col("avro_line_no"), F.lit(0))
+            if "avro_line_no" in avro_corrupt.columns
+            else F.lit(0)
+        )
+        parts.append(
+            avro_corrupt.select(
+                F.lit(2).alias("src"),
+                aline.alias("line_ref"),
+                F.format_string(
+                    "Warning: Error unmarshalling Avro JSON line %d: (line: %s)",
+                    aline,
+                    F.col("_corrupt_record"),
+                ).alias("value"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def write_debug_log(debug_log: DataFrame, path: str) -> None:
+    """Persist the debug channel as ONE text file under ``path`` (the
+    comparator.sh single-file artifact shape): deterministic
+    (src, line_ref) order, executor-side write -- coalesce(1) is a
+    narrow concatenation of the already-small skip stream, never a
+    shuffle of the inputs."""
+    (
+        debug_log.orderBy("src", "line_ref", "value")
+        .select("value")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(path)
     )
 
 

@@ -29,6 +29,18 @@ user_id -- pre-partition both by the key and the merge is co-located.
 End-of-replay contract: after draining a finite replay, reading the
 snapshot equals batch ``apply_changes`` over all events -- that
 equivalence IS the driver oracle (cdc_apply_changes's SQL verbatim).
+
+SINGLE-WRITER EXCLUSION (operating assumption, not enforced code):
+exactly one maintenance query owns a state_dir.  Within a query,
+foreachBatch batches are serial, and Structured Streaming's checkpoint
+lock keeps a second instance of the SAME query out; what nothing here
+prevents is two DIFFERENT queries pointed at one state_dir -- their
+interleaved merge/write/swing sequences could each read a stale prev
+and drop the other's delta (lost update).  Deployments must pin
+state_dir 1:1 to checkpoint_dir (same pairing, same lifecycle); a
+catalog table format with MERGE + optimistic concurrency (Delta/
+Iceberg) is the upgrade that makes multi-writer safe, replacing this
+storage layer without touching the merge semantics above it.
 """
 
 from __future__ import annotations

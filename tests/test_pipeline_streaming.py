@@ -384,3 +384,64 @@ def test_run_comparison_rejects_two_binlog_inputs(spark, io_dirs):
             binlog_binary_dir="b",
             avro_jsonl="x",
         )
+
+
+def test_debug_log_twin_line_shapes(spark, tmp_path):
+    """debug_log.txt parity (comparator.sh:32): the warn-and-skip
+    channel persists as one ordered text file whose lines follow the
+    reference's Fprintf shapes -- malformed binlog JSON, relevant
+    binlog event with missing key, malformed Avro JSON, Avro record
+    with missing key fields."""
+    import os
+
+    from binlog_avro_comparator_spark.pipeline import write_debug_log
+
+    bl = tmp_path / "binlog_metadata.json"
+    bl.write_text(
+        "\n".join(
+            [
+                json.dumps({"event_type": "WriteRowsEventV2",
+                            "timestamp": "2025-06-01T12:00:00Z",
+                            "log_position": 100,
+                            "binlog_file": "mysql-bin.000001"}),
+                "{not json at all",                       # malformed -> :114
+                json.dumps({"event_type": "WriteRowsEventV2",
+                            "timestamp": "2025-06-01T12:00:01Z",
+                            "log_position": 0,            # zero key -> :138
+                            "binlog_file": "mysql-bin.000001"}),
+                json.dumps({"event_type": "Query",        # irrelevant: silent
+                            "timestamp": "2025-06-01T12:00:02Z",
+                            "log_position": 0,
+                            "binlog_file": ""}),
+            ]
+        )
+        + "\n"
+    )
+    av = tmp_path / "avro_rows.json"
+    with av.open("w") as f:
+        f.write(json.dumps(_avro_rec(100, BASE_MS)) + "\n")
+        f.write("definitely not json\n")                  # malformed -> :172
+        f.write(json.dumps(_avro_rec(0, BASE_MS)) + "\n")  # zero key -> :177
+    res = run_comparison(
+        spark, binlog_jsonl=str(bl), avro_jsonl=str(av)
+    )
+    out = str(tmp_path / "debug_log")
+    write_debug_log(res.debug_log, out)
+    parts = [p for p in os.listdir(out) if p.startswith("part-")]
+    assert len(parts) == 1  # the reference's single-file artifact shape
+    lines = (tmp_path / "debug_log" / parts[0]).read_text().splitlines()
+    assert lines[0].startswith(
+        "Warning: Skipping malformed binlog JSON line 2: {not json at all"
+    )
+    assert lines[1].startswith(
+        "Warning: Skipping binlog event on line 3 due to missing "
+        "'binlog_file' or 'log_position'. Event: "
+    ) and '"log_position":0' in lines[1]
+    assert lines[2].startswith(
+        "Warning: Error unmarshalling Avro JSON line 2: (line: definitely not json"
+    )
+    assert lines[3] == (
+        "Warning: Skipping Avro record on line 3 due to missing "
+        "'binlog_file' or 'binlog_position' in source_metadata."
+    )
+    assert len(lines) == 4  # irrelevant Query skip stays silent (go:124)

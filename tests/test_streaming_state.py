@@ -487,6 +487,73 @@ def test_snapshot_commit_batch_replay_idempotent(spark, tmp_path):
     assert snap3[1].n_changes == 2 and snap3[1].last_op == "UPDATE"
 
 
+def test_snapshot_commit_crash_between_write_and_swing(spark, tmp_path):
+    """TRUE crash injection: kill commit_batch AFTER the v-dir parquet
+    write but BEFORE the pointer swing (monkeypatched os.replace raises
+    once), then recover by re-running the batch -- the retry must read
+    the still-clean previous version, rewrite v1 idempotently, swing
+    the pointer, and land on exactly the clean two-batch state."""
+    import os
+
+    from binlog_avro_comparator_spark.streaming import snapshot_sink
+    from binlog_avro_comparator_spark.streaming.snapshot_sink import (
+        commit_batch,
+        read_snapshot,
+    )
+
+    base = 1_700_000_000_000_000
+    schema = (
+        "event_id long, ts_us long, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def frame(chunk):
+        return (
+            spark.createDataFrame(chunk, schema)
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+            .drop("ts_us")
+        )
+
+    b0 = frame([(1, base, 1, "click", 1.0, "{}"),
+                (2, base, 2, "click", 5.0, "{}")])
+    b1 = frame([(3, base + 1_000_000, 1, "view", 2.0, "{}"),
+                (4, base + 2_000_000, 2, "purchase", 0.0, "{}")])
+    state_dir = str(tmp_path / "state")
+    os.makedirs(state_dir)
+    commit_batch(spark, state_dir, b0, 0)
+
+    real_replace = os.replace
+    boom = {"armed": True}
+
+    def dying_replace(src, dst):
+        if boom["armed"] and os.path.basename(dst) == "LATEST":
+            boom["armed"] = False
+            raise OSError("injected crash before pointer swing")
+        return real_replace(src, dst)
+
+    snapshot_sink.os.replace = dying_replace
+    try:
+        with pytest.raises(OSError, match="injected crash"):
+            commit_batch(spark, state_dir, b1, 1)
+        # post-crash invariants: v1 exists, pointer still names v0,
+        # so readers keep seeing the consistent previous snapshot
+        assert os.path.isdir(os.path.join(state_dir, "v1"))
+        with open(os.path.join(state_dir, "LATEST"), encoding="utf-8") as f:
+            assert f.read().strip() == "v0"
+        snap = {r.user_id: r for r in read_snapshot(spark, state_dir).collect()}
+        assert snap[1].n_changes == 1 and snap[2].n_changes == 1
+        # recovery: foreachBatch replays batch 1 -> exact clean result
+        commit_batch(spark, state_dir, b1, 1)
+    finally:
+        snapshot_sink.os.replace = real_replace
+    with open(os.path.join(state_dir, "LATEST"), encoding="utf-8") as f:
+        assert f.read().strip() == "v1"
+    snap = {r.user_id: r for r in read_snapshot(spark, state_dir).collect()}
+    assert snap[1].n_changes == 2 and snap[1].last_op == "UPDATE"
+    # user 2's purchase is a DELETE tombstone: filtered at read time
+    assert 2 not in snap
+
+
 def test_left_join_boundary_horizon(spark, tmp_path):
     """Pin Spark's null-emission horizon for the LEFT OUTER
     stream-stream interval join: with final watermark W = min(side
