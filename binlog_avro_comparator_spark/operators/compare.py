@@ -740,3 +740,23 @@ def payload_diff(
         .filter(F.col("status").isNotNull())
         .select(*KEY, "column", "binlog_value", "avro_value", "status")
     )
+
+
+def payload_diff_summary(diff: DataFrame, approx: bool = False) -> DataFrame:
+    """Operational rollup of payload_diff findings: one row per
+    (column, status) with the finding count and how many distinct keys
+    it touches -- the dashboard view that tells 'one column drifted
+    everywhere' (codec/schema bug) from 'many columns on few keys'
+    (replay corruption).  One map-side-combined aggregate over the
+    findings stream; ``approx=True`` swaps the exact distinct-key
+    count for approx_count_distinct when 100 TB group widths make the
+    exact count's per-group key set too heavy (same switch pattern as
+    latency_stats).  Returns (column, status, n_findings, n_keys)."""
+    key = F.concat_ws("/", *KEY)
+    n_keys = (
+        F.approx_count_distinct(key) if approx else F.count_distinct(key)
+    )
+    return diff.groupBy("column", "status").agg(
+        F.count("*").alias("n_findings"),
+        n_keys.alias("n_keys"),
+    )

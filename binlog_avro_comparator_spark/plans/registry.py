@@ -1763,6 +1763,14 @@ def _q_cdc_payload_diff(spark, sf_dir):
     return C.payload_diff(bp, ap)
 
 
+def _q_cdc_payload_summary(spark, sf_dir):
+    """Operational rollup of the payload diff: (column, status) finding
+    counts + exact distinct-key counts -- one map-side-combined
+    aggregate over the findings stream (approx_count_distinct is the
+    100 TB switch, exact here for oracle comparability)."""
+    return C.payload_diff_summary(_q_cdc_payload_diff(spark, sf_dir))
+
+
 def _q_shipping_priority(spark, sf_dir):
     ensure_session_conf(spark)
     return shipping_priority(
@@ -1950,6 +1958,7 @@ def queries() -> dict[str, QueryFn]:
         "cdc_parse_binlog_binary": _q_cdc_parse_binlog_binary,
         "cdc_parse_binlog_rows": _q_cdc_parse_binlog_rows,
         "cdc_payload_diff": _q_cdc_payload_diff,
+        "cdc_payload_summary": _q_cdc_payload_summary,
         "shipping_priority": _q_shipping_priority,
         "supplier_part_counts": _q_supplier_part_counts,
         "small_quantity_revenue": _q_small_quantity_revenue,
@@ -4440,6 +4449,15 @@ SELECT binlog_file, binlog_position, "column", binlog_value, avro_value,
 FROM unp
 WHERE status IS NOT NULL""",
     }
+    # rollup twin: GROUP BY over the diff oracle (same CTE chain), with
+    # the same "/"-joined composite key for the exact distinct count
+    sql["cdc_payload_summary"] = (
+        "WITH diff AS (" + sql["cdc_payload_diff"] + """)
+SELECT "column", status, count(*) AS n_findings,
+       count(DISTINCT binlog_file || '/' || CAST(binlog_position AS VARCHAR))
+         AS n_keys
+FROM diff GROUP BY "column", status"""
+    )
     # streaming twin runs the same logical plan -> same oracle
     sql["cdc_snapshot_stream"] = sql["cdc_apply_changes"]
     return sql

@@ -12,20 +12,35 @@ Two variants, 10M rows per side, full diff (compare.diff_joined):
                 hot file across all partitions, so file heat never
                 concentrates into one reducer.
   hot-keys      90% hot file AND the avro side draws 30% of its rows
-                from just 64 distinct composite keys (a realistic
-                replay/retry storm writing the same keys over and
-                over).  Binlog side stays deduped/unique (prepare's J2
-                guarantees that invariant), so the join fans out
-                probe-side only -- no row explosion, but the shuffle
-                partitions holding the 64 keys are ~7000x the median.
-                This is exactly the partition-level skew AQE's
-                skew-join split exists for; the probe prints whether
-                the final adaptive plan marked the join skew=true.
+                from just 8 distinct composite keys (a replay/retry
+                storm rewriting the same keys).  Binlog side stays
+                deduped/unique (prepare's J2 invariant), so the join
+                fans out probe-side only -- no row explosion, but the
+                8 hot reduce partitions are ~10x the median in BYTES
+                (each hot row still carries its distinct gtid/
+                timestamp payload, so compression cannot flatten the
+                skew the way it does for constant-payload rows).
 
-Pass bar: hot-file within ~1.5x of even; hot-keys completes without
-straggler blowup (wall within ~2x of even) AND the plan shows AQE
-handled it (skew=true) or partition sizes stayed under the split
-threshold (also a pass: skew absorbed by hashing + AQE coalescing).
+Findings this probe pins (see SCALE.md):
+  - file heat is invisible to the composite-key hash (hot-file <= even)
+  - AQE CANNOT skew-split the one-pass FULL OUTER diff join --
+    OptimizeSkewedJoin supports inner/semi/anti/one-sided-outer only
+    (splitting both sides of a full outer would duplicate
+    null-emitting partitions).  Expected skew_marked_joins=0 there BY
+    DESIGN, with wall still within the pass bar because per-key heat
+    is bounded by the probe-side rows of that key.
+  - the narrow 3-join form (matched_pairs inner + anti joins) IS
+    skew-splittable: the addendum demonstrates skew=true +
+    AQEShuffleRead skewed on the same distribution -- the escape
+    hatch when a pathological key storm does hurt.
+  - skew detection is BYTES-based on compressed map output: a hot key
+    with constant/compressible payload can hide from it (an earlier
+    revision of this probe aggregated a pruned column set and the 5M-
+    row hot partition weighed 1.8 MiB).  Evidence aggregates a hash
+    OF EVERY COLUMN to defeat pruning, like a real findings sink.
+
+Pass bar: hot-file within ~1.5x of even; hot-keys within ~2x of even;
+addendum shows skew_marked_joins >= 1 on the inner form.
 """
 import re
 import sys
@@ -67,12 +82,12 @@ def frames(variant: str):
         F.lit("t0").alias("table"),
         F.col("id").alias("line_no"),
     )
-    # hot-keys: 30% of avro rows collapse onto 64 distinct positions
+    # hot-keys: 30% of avro rows collapse onto 8 distinct positions
     # (all inside the hot file) -- duplicate composite keys on the
     # PROBE side, the reference's own granularity (go counts per row)
     pos = F.col("id")
     if variant == "hot-keys":
-        pos = F.when(F.col("id") % 10 < 3, (F.col("id") % 64) * 10 + 1).otherwise(
+        pos = F.when(F.col("id") % 10 < 3, (F.col("id") % 8) * 10 + 1).otherwise(
             F.col("id")
         )
     file_a = file_col if variant != "hot-keys" else F.when(
@@ -94,17 +109,47 @@ def frames(variant: str):
     return bp, ap
 
 
-def run(variant: str):
+def _evidence(out):
+    """Aggregate a hash of EVERY output column: nothing prunes, so the
+    shuffle carries the full row payload -- bytes-based skew detection
+    sees what a real findings sink would see."""
+    return out.agg(
+        F.count("*").alias("n"),
+        F.bit_xor(F.xxhash64(*out.columns)).alias("h"),  # xor: no ANSI overflow
+    )
+
+
+def run(variant: str, low_threshold: bool = False):
+    """Timing from a full-column noop write; AQE plan evidence from a
+    count over the same join (collect() finalizes THAT frame's adaptive
+    plan, so executedPlan() shows the real post-execution decisions --
+    the write's QueryExecution is a separate object we can't reach from
+    PySpark).  ``low_threshold`` drops the skew-split trigger to 4 MB
+    so the probe's ~300 MB hot partitions qualify the way a 100x bigger
+    partition would against the 256 MB production default."""
+    conf = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": (
+            "4m" if low_threshold else "256m"
+        ),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": (
+            "4m" if low_threshold else "64m"
+        ),
+    }
+    for k, v in conf.items():
+        spark.conf.set(k, v)
     bp, ap = frames(variant)
     out = C.diff_joined(bp, ap)
     t0 = time.time()
     out.write.format("noop").mode("overwrite").save()
     dt = time.time() - t0
-    plan = out._jdf.queryExecution().executedPlan().toString()
+    cnt = _evidence(out)
+    cnt.collect()
+    plan = cnt._jdf.queryExecution().executedPlan().toString()
     n_skew = len(re.findall(r"skew=true", plan))
     final = "isFinalPlan=true" in plan
+    label = variant + ("+lowthresh" if low_threshold else "")
     print(
-        f"diff_joined 10M/side  {variant:>8}  wall={dt:6.1f}s  "
+        f"diff_joined 10M/side  {label:>18}  wall={dt:6.1f}s  "
         f"aqe_final={final}  skew_marked_joins={n_skew}",
         flush=True,
     )
@@ -113,4 +158,34 @@ def run(variant: str):
 run("even")  # warm-up + baseline
 for v in ("even", "hot-file", "hot-keys", "even", "hot-file", "hot-keys"):
     run(v)
+run("hot-keys", low_threshold=True)
+run("even", low_threshold=True)
+spark.stop()
+
+# --- addendum: the skew-splittable escape hatch ---------------------------
+# AQE's OptimizeSkewedJoin does NOT support FullOuter (Spark design:
+# splitting both sides of a full-outer would duplicate null-emitting
+# partitions).  The diff's narrow 3-join form (matched_pairs inner +
+# avro_only anti + binlog_only anti) IS splittable -- demonstrate on the
+# hot-keys distribution with the low threshold.
+spark = get_spark("skew-probe-r5b")
+spark.sparkContext.setLogLevel("ERROR")
+for k, v in {
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4m",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
+}.items():
+    spark.conf.set(k, v)
+bp, ap = frames("hot-keys")
+inner = C.matched_pairs(bp, ap)
+t0 = time.time()
+inner.write.format("noop").mode("overwrite").save()
+dt = time.time() - t0
+cnt = _evidence(inner)
+cnt.collect()
+plan = cnt._jdf.queryExecution().executedPlan().toString()
+print(
+    f"matched_pairs(inner) 10M/side  hot-keys+lowthresh  wall={dt:6.1f}s  "
+    f"skew_marked_joins={len(re.findall(r'skew=true', plan))}",
+    flush=True,
+)
 spark.stop()

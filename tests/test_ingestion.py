@@ -757,3 +757,49 @@ class TestBinlogRowImages:
         blob = encode_binlog_file(self.EVS[:3])
         rows = self._rows(blob[:-6])
         assert [(r[1], r[2]) for r in rows] == [(1, 1), (2, 1), (2, 2)]
+
+
+def test_row_images_interleaved_table_maps():
+    """Real binlogs interleave rows events of DIFFERENT tables; the
+    decoder keys TABLE_MAP state by table_id, so a second table's map
+    (different column count/shape) must not clobber the first's -- each
+    rows event decodes under ITS table's types and names."""
+    import struct as st
+
+    from binlog_avro_comparator_spark.sources.binlog_binary import (
+        FIXTURE_SID, MAGIC, WRITE_ROWS_EVENT_V2, _event, _gtid, _lenenc,
+        _rows_payload, _table_map_payload, decode_binlog_rows_bytes)
+
+    # table 2: a DIFFERENT shape (single LONG column named "other_id",
+    # via the optional COLUMN_NAME TLV), hand-encoded with table_id=2
+    names = _lenenc(len(b"other_id")) + b"other_id"
+    tm2 = _event(0, 19, (
+        b"\x02\x00\x00\x00\x00\x00" + b"\x00\x00"
+        + bytes([2]) + b"db" + b"\x00"
+        + bytes([2]) + b"t2" + b"\x00"
+        + _lenenc(1) + bytes([3])           # one LONG column
+        + _lenenc(0)                        # no metadata
+        + bytes([0])                        # null bitmap
+        + bytes([4]) + _lenenc(len(names)) + names
+    ), 150)
+    rows2 = _event(0, WRITE_ROWS_EVENT_V2, (
+        b"\x02\x00\x00\x00\x00\x00" + b"\x00\x00"
+        + b"\x02\x00" + _lenenc(1) + bytes([1])
+        + b"\x00" + st.pack("<i", 777)
+    ), 150)
+    blob = (
+        MAGIC
+        + _gtid(0, FIXTURE_SID, 1, 0, 100)
+        + _table_map_payload(0, "db", "t1", 100)   # table_id=1, 5 columns
+        + tm2 + rows2                              # table 2 interleaves
+        + _rows_payload(0, WRITE_ROWS_EVENT_V2, 100, [(5, "n", "p", 1, 10)])
+    )
+    rows = list(decode_binlog_rows_bytes("f", blob))
+    assert len(rows) == 2
+    assert rows[0][9] == "t2" and rows[0][11] == {"other_id": "777"}
+    # table 1's 5-column map survived table 2's arrival
+    assert rows[1][9] == "t1" and rows[1][11]["order_id"] == "5"
+    assert set(rows[1][11]) == {
+        "order_id", "customer_name", "product_name", "quantity",
+        "order_timestamp",
+    }

@@ -799,3 +799,41 @@ def test_levenshtein_pairs_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "levenshtein" in plan  # JVM-side expression, no Python stage
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_payload_diff_single_join_no_cartesian(spark):
+    """The payload tier keeps the metadata diff's plan shape: ONE
+    equi-join on the shared (binlog_file, binlog_position) key -- no
+    cartesian product (the key-union explode happens ABOVE the join,
+    per joined row), and the last-write-wins dedup compiles to the same
+    WindowGroupLimit pre-filter as prepare_binlog."""
+    from binlog_avro_comparator_spark.fixtures import (
+        derive_avro_payload,
+        derive_avro_rows,
+    )
+    from binlog_avro_comparator_spark.sources.binlog_binary import ROWS_SCHEMA
+
+    ev = load_table(spark, SF, "events")
+    rows = spark.createDataFrame([], ROWS_SCHEMA)
+    avro = derive_avro_rows(ev).join(derive_avro_payload(ev), "avro_line_no")
+    ap = C.prepare_avro(avro).select(
+        "binlog_file",
+        "binlog_position",
+        F.create_map(F.lit("order_id"), F.col("order_id").cast("string")).alias(
+            "payload"
+        ),
+    )
+    diff = C.payload_diff(C.prepare_binlog_payload(rows), ap)
+    plan = _plan(diff)
+    import re
+
+    simple = _plan(diff, "simple")
+    joins = re.findall(
+        r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", simple
+    )
+    # exactly one binlog-vs-avro join (avro's own line_no join for the
+    # payload columns may broadcast, so allow it); never a cartesian
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert 1 <= len(joins) <= 2
+    assert "WindowGroupLimit" in plan  # dedup pre-filters before the full sort
+    assert "Generate" in plan and "explode" in plan  # findings fan out above the join
