@@ -119,6 +119,10 @@ EXTRA_QUERIES = [
     "doc_levenshtein_pairs",
     "events_value_anomalies",
     "events_burst_minutes",
+    # round 5
+    "cdc_parse_binlog_rows",
+    "cdc_payload_diff",
+    "cdc_payload_summary",
 ]
 
 
