@@ -33,6 +33,11 @@ def main(argv: list[str] | None = None) -> int:
         "warn-and-skip channel as text lines, comparator.sh:32 parity)",
     )
     p.add_argument(
+        "--payload-findings-out",
+        help="binary-binlog path only: directory for column-level "
+        "payload findings JSONL (row images vs avro payload.*)",
+    )
+    p.add_argument(
         "--print-findings",
         action="store_true",
         help="stream per-discrepancy console lines in the reference's "
@@ -77,6 +82,13 @@ def main(argv: list[str] | None = None) -> int:
             from .pipeline import write_debug_log
 
             write_debug_log(res.debug_log, args.debug_log)
+        if args.payload_findings_out:
+            if res.payload_findings is None:
+                p.error("--payload-findings-out requires --binlog-binary "
+                        "(row images exist only in binary binlogs)")
+            res.payload_findings.write.mode("overwrite").json(
+                args.payload_findings_out
+            )
         if args.print_findings:
             # toLocalIterator streams one sorted partition at a time --
             # the driver never holds the full findings set

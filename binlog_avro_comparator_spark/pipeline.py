@@ -37,6 +37,10 @@ class ComparisonResult:
     #: debug_log.txt twin (comparator.sh:32): the warn-and-skip channel
     #: as orderable text lines; write_debug_log persists it
     debug_log: DataFrame | None = None
+    #: column-level payload findings (binlog row images vs avro
+    #: payload.*) -- populated only on the binary-binlog path, where
+    #: row images exist to compare; None elsewhere
+    payload_findings: DataFrame | None = None
 
 
 def run_comparison(
@@ -92,6 +96,23 @@ def run_comparison(
     araw = read_avro_jsonl_ordered(spark, avro_jsonl).cache()
     avro = unwrap_avro(araw.filter(araw["_corrupt_record"].isNull()))
 
+    # binary path: the same bytes also carry row images -- surface the
+    # payload-level diff (the check the reference declares columns for,
+    # compare_timestamps.go:57-63, but never runs)
+    payload_findings = None
+    if binlog_binary_dir is not None:
+        from .sources.binlog_binary import read_binlog_rows_dir
+        from .sources.jsonl import unwrap_avro_payload
+
+        payload_findings = C.payload_diff(
+            C.prepare_binlog_payload(
+                read_binlog_rows_dir(spark, binlog_binary_dir)
+            ),
+            C.prepare_avro(
+                unwrap_avro_payload(araw.filter(araw["_corrupt_record"].isNull()))
+            ),
+        )
+
     # cached: findings, summary, and console are three independent
     # actions over the same prepared frames -- without the persist each
     # one re-runs the reads, parse windows, and dedup from scratch
@@ -115,6 +136,7 @@ def run_comparison(
             ),
             avro_corrupt=araw.filter(araw["_corrupt_record"].isNotNull()),
         ),
+        payload_findings=payload_findings,
     )
 
 

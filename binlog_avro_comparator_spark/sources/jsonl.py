@@ -156,6 +156,45 @@ def unwrap_avro(df: DataFrame) -> DataFrame:
     )
 
 
+def unwrap_avro_payload(df: DataFrame) -> DataFrame:
+    """``payload.*`` of the union-wrapped JSONL frame -> the keyed
+    stringified payload map ``operators/compare.payload_diff``
+    consumes: (binlog_file, binlog_position, payload).
+
+    Unlike the metadata unwrap, absent unions stay NULL (not Go zero
+    values): the payload comparison's whole point is distinguishing
+    'column absent/null' from 'column disagrees', so a null wrapper
+    surfaces as a null map value and becomes an AVRO_NULL /
+    BINLOG_NULL finding, never a fabricated zero that would fake a
+    MISMATCH.  Values stringify with the same canonical integer
+    rendering the binary row-image decoder uses.  The KEY columns keep
+    the zero-value coalesce so prepare_avro's F3 drop behaves
+    identically to the metadata path."""
+    sm, p = "source_metadata", "payload"
+    return df.select(
+        F.coalesce(F.col(f"{sm}.binlog_file.string"), F.lit("")).alias("binlog_file"),
+        F.coalesce(F.col(f"{sm}.binlog_position.long"), F.lit(0)).alias(
+            "binlog_position"
+        ),
+        F.map_from_arrays(
+            F.array(
+                F.lit("order_id"),
+                F.lit("customer_name"),
+                F.lit("product_name"),
+                F.lit("quantity"),
+                F.lit("order_timestamp"),
+            ),
+            F.array(
+                F.col(f"{p}.order_id.int").cast("string"),
+                F.col(f"{p}.customer_name.string"),
+                F.col(f"{p}.product_name.string"),
+                F.col(f"{p}.quantity.int").cast("string"),
+                F.col(f"{p}.order_timestamp.long").cast("string"),
+            ),
+        ).alias("payload"),
+    )
+
+
 def wrap_avro(flat: DataFrame) -> DataFrame:
     """Inverse of unwrap_avro: rebuild the union-wrapped JSONL shape
     (for emitting byte-shaped avro-tools-style JSON, S6/S9)."""

@@ -445,3 +445,68 @@ def test_debug_log_twin_line_shapes(spark, tmp_path):
         "'binlog_file' or 'binlog_position' in source_metadata."
     )
     assert len(lines) == 4  # irrelevant Query skip stays silent (go:124)
+
+
+def test_run_comparison_binary_payload_findings_end_to_end(spark, tmp_path):
+    """Payload tier through the WHOLE pipeline: genuine row-image bytes
+    on the binlog side, union-wrapped payload.* JSONL on the avro side,
+    payload_findings surfacing exactly the planted column divergences
+    -- the check compare_timestamps.go declares its payload struct for
+    (:57-63) but never performs."""
+    from binlog_avro_comparator_spark.sources.binlog_binary import (
+        encode_binlog_file,
+    )
+
+    def ev(line_no, pos, et="WriteRowsEventV2", **pay):
+        base = dict(
+            event_type=et, timestamp="2025-06-01T12:00:00Z",
+            immediate_commmit_timestamp=None, log_position=pos,
+            schema="shop", table="orders", line_no=line_no,
+            order_id=line_no, customer_name=f"c{line_no}",
+            product_name=f"p{line_no}", quantity=2,
+            order_timestamp=BASE_MS, before_quantity=7,
+            before_order_timestamp=BASE_MS - 1000,
+        )
+        base.update(pay)
+        return base
+
+    evs = [
+        ev(1, 100),                              # agrees with avro
+        ev(2, 200, quantity=3),                  # avro says 9 -> MISMATCH
+        ev(3, 300, customer_name=None),          # row image NULL -> BINLOG_NULL
+        ev(4, 400, et="UpdateRowsEventV2"),      # after image agrees; before must not leak
+    ]
+    d = tmp_path / "binlog_binary"
+    d.mkdir()
+    (d / "mysql-bin.000001").write_bytes(encode_binlog_file(evs))
+
+    def rec(pos, line_no, quantity=2, name=None):
+        r = _avro_rec(pos, BASE_MS)
+        r["payload"] = {
+            "order_id": {"int": line_no},
+            "customer_name": {"string": name or f"c{line_no}"},
+            "product_name": {"string": f"p{line_no}"},
+            "quantity": {"int": quantity},
+            "order_timestamp": {"long": BASE_MS},
+        }
+        return r
+
+    av = tmp_path / "avro_rows.json"
+    with av.open("w") as f:
+        f.write(json.dumps(rec(100, 1)) + "\n")
+        f.write(json.dumps(rec(200, 2, quantity=9)) + "\n")
+        f.write(json.dumps(rec(300, 3, name="c3")) + "\n")
+        f.write(json.dumps(rec(400, 4)) + "\n")
+
+    res = run_comparison(spark, binlog_binary_dir=str(d), avro_jsonl=str(av))
+    got = {
+        (r.binlog_position, r.column): (r.binlog_value, r.avro_value, r.status)
+        for r in res.payload_findings.collect()
+    }
+    assert got == {
+        (200, "quantity"): ("3", "9", "MISMATCH"),
+        (300, "customer_name"): (None, "c3", "BINLOG_NULL"),
+    }
+    # the metadata tier still agrees on every key
+    s = res.summary.collect()[0]
+    assert (s.matched, s.avro_only, s.binlog_only) == (4, 0, 0)
