@@ -1802,3 +1802,99 @@ def burst_minutes(events: DataFrame, z_cut: float = 3.0) -> DataFrame:
             (z > z_cut).alias("is_burst"),
         )
     )
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Weekly retention-cohort matrix: users grouped by the week of
+    their first event (the cohort), tracked across subsequent weeks --
+    the canonical product-analytics rollup (cohort x week-offset ->
+    active users, retention rate vs the cohort's own size).
+
+    ONE per-user shuffle does all the heavy lifting: a single
+    ``groupBy(user_id)`` emits the cohort week (min) and the distinct
+    active weeks (collect_set -- bounded by the calendar, ~52 entries
+    per user-year, never by event volume since weeks are deduped
+    map-side inside the set agg).  Exploding that set and re-grouping
+    by (cohort, offset) is a second shuffle over ~cohorts*offsets
+    keys -- tiny.  Cohort sizes are the offset-0 slice of the same
+    frame (every user is active in their own first week by
+    construction), broadcast back for the rate -- no third pass over
+    the events.  At 100 TB the user_id groupBy is the same uniform
+    near-unique-key shuffle sessionize already rides; no window, no
+    self-join.  Returns (cohort_week, week_offset, n_users,
+    retention) with the week formatted for cross-engine hashing."""
+    wk = F.date_trunc("week", F.col("ts"))
+    per_user = (
+        events.filter(F.col("user_id").isNotNull())
+        .select("user_id", wk.alias("__wk"))
+        .groupBy("user_id")
+        .agg(
+            F.min("__wk").alias("__cohort"),
+            F.collect_set("__wk").alias("__weeks"),
+        )
+    )
+    activity = per_user.select(
+        "__cohort",
+        F.explode("__weeks").alias("__wk"),
+    ).select(
+        "__cohort",
+        (F.datediff(F.col("__wk"), F.col("__cohort")) / 7).cast("int").alias(
+            "week_offset"
+        ),
+    )
+    matrix = activity.groupBy("__cohort", "week_offset").agg(
+        F.count("*").alias("n_users")
+    )
+    sizes = matrix.filter(F.col("week_offset") == 0).select(
+        F.col("__cohort").alias("__c0"), F.col("n_users").alias("__cohort_size")
+    )
+    return (
+        matrix.join(F.broadcast(sizes), matrix["__cohort"] == sizes["__c0"])
+        .select(
+            F.date_format("__cohort", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_users",
+            F.round(
+                F.col("n_users").cast("double") / F.col("__cohort_size"), 6
+            ).alias("retention"),
+        )
+    )
+
+
+def event_type_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: P(next event_type | current event_type), the session-flow
+    profile a behavioural pipeline derives before funnel design.
+
+    ONE shuffle: the per-user ``lead`` window (partition user_id,
+    order ts then event_id for a total deterministic order) pairs each
+    event with its successor in-partition; the (from, to) count and
+    the from-marginal are both map-side-combined aggregates over a
+    handful of type-pair keys, and the probability joins the tiny
+    marginal back broadcast.  Same skew bound as sessionize: a user's
+    history is the session-bounded unit.  End-of-stream events (no
+    successor) are dropped -- the matrix is over observed transitions.
+    Returns (from_type, to_type, n_transitions, p_transition)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.filter(F.col("user_id").isNotNull())
+        .select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    marginals = counts.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("__from_total")
+    )
+    return counts.join(F.broadcast(marginals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double") / F.col("__from_total"), 6
+        ).alias("p_transition"),
+    )

@@ -773,3 +773,42 @@ def levenshtein_near_pairs(
         .filter(F.col("edit_distance") <= max_dist)
         .select("doc_a", "doc_b", "edit_distance")
     )
+
+
+def shingle_novelty(documents: DataFrame) -> DataFrame:
+    """Per-document novelty score: the fraction of a document's
+    distinct shingles whose FIRST corpus occurrence (lowest doc_id --
+    ingestion order as tie-break-free arrival proxy) is this document
+    itself.  Low novelty means the document is assembled from already-
+    seen phrasing -- the streaming-ingestion cousin of dedup scoring
+    (RefinedWeb-style "what does this doc add" gating) that ranks
+    documents by marginal contribution instead of pairing them.
+
+    Rides the shared ``shingles`` frame (portable 48-bit hash): one
+    groupBy(h) min-agg finds each shingle's first holder, one
+    join-back on h tags every (doc, shingle) row, one groupBy(doc)
+    folds the flag.  All three shuffles carry hashes and longs --
+    never text.  Hot shingles (stopword trigrams held by millions of
+    docs) are AQE-splittable join keys on the tag join, and the
+    min-agg absorbs them map-side; nothing is quadratic anywhere.
+    Returns (doc_id, n_shingles, n_novel, novelty)."""
+    sh = shingles(documents).select("doc_id", "h")
+    first = sh.groupBy("h").agg(F.min("doc_id").alias("__first_doc"))
+    tagged = sh.join(first, "h").select(
+        "doc_id", (F.col("doc_id") == F.col("__first_doc")).cast("int").alias("__novel")
+    )
+    return (
+        tagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum("__novel").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_shingles").cast("double"), 6
+            ).alias("novelty"),
+        )
+    )

@@ -1114,3 +1114,124 @@ def doc_slugs(documents: DataFrame, max_chars: int = 60) -> DataFrame:
         return _re.sub(r"[^a-z0-9]+", "-", text[:max_chars].lower()).strip("-")
 
     return documents.select("doc_id", _slug(F.col("text")).alias("slug"))
+
+
+def inverted_index(documents: DataFrame, min_df: int = 2) -> DataFrame:
+    """Posting-list summary per term: the search-index build step a
+    retrieval pipeline runs over a curated corpus (term -> document
+    frequency, total term frequency, and the highest-tf document as
+    the head of the ranked posting list).
+
+    Two map-side-combined aggregations and nothing else: per-(doc,
+    term) tf first (the explode dedupes into compact counts before
+    anything crosses the wire), then per-term rollup where the head
+    posting rides a lexicographic struct-max (tf desc, doc_id asc via
+    negation) -- deterministic ties, no window over the full posting
+    set, no per-term sort.  ``min_df`` prunes the hapax tail (the
+    bulk of any vocabulary by type count) AFTER the rollup, keeping
+    output bounded.  Terms are case-folded with the shared tokenizer.
+    At 100 TB both shuffles carry (term-key, few longs) -- never text
+    -- and hot stopword terms are plain aggregate hot keys (map-side
+    combine absorbs them; no join against the hot key).  Returns
+    (term, df_docs, total_tf, top_doc_id, top_doc_tf)."""
+    tf = (
+        documents.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit(TOKEN_RE), F.lit(0)
+                )
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    head = F.max(
+        F.struct(
+            F.col("tf").alias("t"),
+            (-F.col("doc_id")).alias("nd"),
+        )
+    )
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count("*").alias("df_docs"),
+            F.sum("tf").alias("total_tf"),
+            head.alias("__head"),
+        )
+        .filter(F.col("df_docs") >= min_df)
+        .select(
+            "term",
+            "df_docs",
+            "total_tf",
+            (-F.col("__head.nd")).cast("bigint").alias("top_doc_id"),
+            F.col("__head.t").alias("top_doc_tf"),
+        )
+    )
+
+
+def term_pmi(
+    documents: DataFrame, top_v: int = 100, min_pair_docs: int = 3
+) -> DataFrame:
+    """Pointwise mutual information over co-occurring vocabulary
+    terms: which term pairs appear in the same document more often
+    than independence predicts -- the corpus-association profile
+    (collocation mining, topic seeds) a curation pipeline derives
+    from document-level co-occurrence.
+
+    The quadratic blowup is CAPPED BY CONSTRUCTION: only the top
+    ``top_v`` vocabulary terms (by document frequency, deterministic
+    df-then-term order, TakeOrderedAndProject -- no global window)
+    enter the pair join, so a document contributes at most
+    C(top_v, 2) pairs regardless of its length, and the vocab frame
+    itself is broadcast (~100 rows) -- the corpus never shuffles for
+    vocab membership.  The pair generator is ONE self-equi-join of
+    the distinct (doc, vocab-term) frame on doc_id with ``term_a <
+    term_b`` -- the same bucketed-self-join discipline as the LSH
+    tiers: candidates bounded per doc, never all-pairs across the
+    corpus.  PMI marginals are document frequencies off the broadcast
+    vocab frame; log is natural on both engines.  Returns (term_a,
+    term_b, n_ab, pmi)."""
+    dt = documents.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit(TOKEN_RE), F.lit(0)
+                )
+            )
+        ).alias("term"),
+    )
+    df_counts = dt.groupBy("term").agg(F.count("*").alias("df"))
+    vocab = df_counts.orderBy(F.col("df").desc(), F.col("term").asc()).limit(top_v)
+    n_docs = documents.select(F.count("*").alias("__n_docs"))
+    dv = dt.join(F.broadcast(vocab.select("term")), "term").select("doc_id", "term")
+    left = dv.select("doc_id", F.col("term").alias("term_a"))
+    right = dv.select("doc_id", F.col("term").alias("term_b"))
+    pairs = (
+        left.join(right, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pair_docs)
+    )
+    va = F.broadcast(vocab.select(F.col("term").alias("term_a"), F.col("df").alias("__df_a")))
+    vb = F.broadcast(vocab.select(F.col("term").alias("term_b"), F.col("df").alias("__df_b")))
+    return (
+        pairs.join(va, "term_a")
+        .join(vb, "term_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term_a",
+            "term_b",
+            "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab").cast("double")
+                    * F.col("__n_docs").cast("double")
+                    / (F.col("__df_a").cast("double") * F.col("__df_b").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

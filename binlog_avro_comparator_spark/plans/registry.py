@@ -54,6 +54,8 @@ from ..operators.analytics import (
     time_rollup,
     burst_minutes,
     value_anomalies,
+    retention_cohorts,
+    event_type_transitions,
     monthly_revenue_growth,
     high_value_customers,
     kmv_distinct_users,
@@ -84,6 +86,7 @@ from ..operators.dedup import (
     simhash_band_slices,
     simhash_fingerprints,
     simhash_near_pairs,
+    shingle_novelty,
 )
 from ..operators.sessionize import sessionize
 from ..operators.similarity import (
@@ -116,6 +119,8 @@ from ..operators.textstats import (
     tfidf_top_terms,
     token_stats,
     type_token_ratio,
+    inverted_index,
+    term_pmi,
 )
 from ..session import ensure_session_conf
 from ..sources import load_table
@@ -1211,6 +1216,28 @@ def _q_cdc_apply_changes(spark, sf_dir):
     return apply_changes(load_table(spark, sf_dir, "events"))
 
 
+def _q_events_retention_cohorts(spark, sf_dir):
+    ensure_session_conf(spark)
+    return retention_cohorts(load_table(spark, sf_dir, "events"))
+
+
+def _q_events_type_transitions(spark, sf_dir):
+    ensure_session_conf(spark)
+    return event_type_transitions(load_table(spark, sf_dir, "events"))
+
+
+def _q_doc_inverted_index(spark, sf_dir):
+    return inverted_index(_docs(spark, sf_dir))
+
+
+def _q_doc_term_pmi(spark, sf_dir):
+    return term_pmi(_docs(spark, sf_dir))
+
+
+def _q_doc_shingle_novelty(spark, sf_dir):
+    return shingle_novelty(_docs(spark, sf_dir))
+
+
 def _q_media_exact_dedup(spark, sf_dir):
     """Blob-level exact dedup over the derived media frame (documents'
     text bytes as opaque content, doubled for ids >= 490 to plant
@@ -2020,6 +2047,11 @@ def queries() -> dict[str, QueryFn]:
         "regional_supplier_volume": _q_regional_supplier_volume,
         "part_profit_by_nation": _q_part_profit_by_nation,
         "events_funnel": _q_events_funnel,
+        "events_retention_cohorts": _q_events_retention_cohorts,
+        "events_type_transitions": _q_events_type_transitions,
+        "doc_inverted_index": _q_doc_inverted_index,
+        "doc_term_pmi": _q_doc_term_pmi,
+        "doc_shingle_novelty": _q_doc_shingle_novelty,
         "doc_pack_sequences": _q_pack_sequences,
         "doc_chunks": _q_doc_chunks,
         "corpus_mixture_sample": _q_mixture_sample,
@@ -2918,6 +2950,62 @@ FROM cand c
 LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
 JOIN sizes na ON na.doc_id = c.doc_a
 JOIN sizes nb ON nb.doc_id = c.doc_b""",
+        # twin of dedup.shingle_novelty: first-holder min over the
+        # shared shingle-hash frame, per-doc novel fraction
+        "doc_shingle_novelty": f"""
+WITH {_SHINGLE_CTE},
+first_holder AS (SELECT h, min(doc_id) AS first_doc FROM shingle_hashes GROUP BY h)
+SELECT s.doc_id, count(*) AS n_shingles,
+       CAST(sum(CASE WHEN s.doc_id = f.first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       round(CAST(sum(CASE WHEN s.doc_id = f.first_doc THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS novelty
+FROM shingle_hashes s JOIN first_holder f USING (h)
+GROUP BY s.doc_id""",
+        # twin of textstats.inverted_index: per-(doc, term) tf, per-term
+        # rollup, head posting by (tf DESC, doc_id ASC)
+        "doc_inverted_index": f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}')) AS term
+    FROM documents
+  ) GROUP BY doc_id, term
+),
+ranked AS (
+  SELECT term, tf, doc_id,
+         row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id ASC) AS rn
+  FROM tf
+),
+agg AS (
+  SELECT term, count(*) AS df_docs, CAST(sum(tf) AS BIGINT) AS total_tf
+  FROM tf GROUP BY term
+)
+SELECT a.term, a.df_docs, a.total_tf, r.doc_id AS top_doc_id, r.tf AS top_doc_tf
+FROM agg a JOIN ranked r ON a.term = r.term AND r.rn = 1
+WHERE a.df_docs >= 2""",
+        # twin of textstats.term_pmi: top-100 vocab by (df DESC, term),
+        # doc-level co-occurrence self-join, natural-log PMI
+        "doc_term_pmi": f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}')) AS term
+    FROM documents
+  )
+),
+dfreq AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+vocab AS (SELECT term, df FROM dfreq ORDER BY df DESC, term ASC LIMIT 100),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+dv AS (SELECT dt.doc_id, dt.term FROM dt JOIN vocab USING (term)),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_ab
+  FROM dv a JOIN dv b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2 HAVING count(*) >= 3
+)
+SELECT p.term_a, p.term_b, p.n_ab,
+       round(ln(CAST(p.n_ab AS DOUBLE) * (SELECT n_docs FROM nd)
+                / (CAST(va.df AS DOUBLE) * CAST(vb.df AS DOUBLE))), 6) AS pmi
+FROM pairs p
+JOIN vocab va ON va.term = p.term_a
+JOIN vocab vb ON vb.term = p.term_b""",
         "ann_cosine_topk": """
 WITH ex AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS ord,
@@ -3644,6 +3732,43 @@ p AS (
 SELECT v.user_id, v.ts_ms AS view_ts_ms, c.ts_ms AS click_ts_ms, p.ts_ms AS purchase_ts_ms,
        1 + CAST(c.user_id IS NOT NULL AS INT) + CAST(p.user_id IS NOT NULL AS INT) AS stage_reached
 FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON v.user_id = p.user_id""",
+        # twin of analytics.retention_cohorts: weekly cohorts, distinct
+        # active weeks per user, offset matrix, rate vs offset-0 size
+        "events_retention_cohorts": """
+WITH e AS (
+  SELECT user_id, date_trunc('week', ts) AS wk
+  FROM events WHERE user_id IS NOT NULL
+),
+per_user AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT e.user_id, p.cohort,
+         CAST(date_diff('day', p.cohort, e.wk) / 7 AS INT) AS week_offset
+  FROM e JOIN per_user p USING (user_id)
+),
+matrix AS (
+  SELECT cohort, week_offset, count(*) AS n_users
+  FROM activity GROUP BY cohort, week_offset
+),
+sizes AS (SELECT cohort, n_users AS cohort_size FROM matrix WHERE week_offset = 0)
+SELECT strftime(m.cohort, '%Y-%m-%d') AS cohort_week, m.week_offset, m.n_users,
+       round(CAST(m.n_users AS DOUBLE) / s.cohort_size, 6) AS retention
+FROM matrix m JOIN sizes s USING (cohort)""",
+        # twin of analytics.event_type_transitions: per-user lead pairs
+        # under the same total (ts, event_id) order
+        "events_type_transitions": """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events WHERE user_id IS NOT NULL
+),
+counts AS (
+  SELECT from_type, to_type, count(*) AS n_transitions
+  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+),
+marg AS (SELECT from_type, sum(n_transitions) AS t FROM counts GROUP BY 1)
+SELECT c.from_type, c.to_type, c.n_transitions,
+       round(CAST(c.n_transitions AS DOUBLE) / m.t, 6) AS p_transition
+FROM counts c JOIN marg m USING (from_type)""",
         # twin of textstats.pack_sequences: the oracle runs the running
         # sum as one window (fine for DuckDB); the Spark side shards it
         "doc_pack_sequences": rf"""

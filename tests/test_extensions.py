@@ -1536,3 +1536,126 @@ def test_snapshot_diff_classifies_changes(spark):
     new = apply_changes(ev)
     got = {r.user_id: r.change for r in snapshot_diff(old, new).collect()}
     assert got == {2: "UPDATE", 3: "INSERT", 4: "DELETE"}
+
+
+def test_retention_cohorts_hand_matrix(spark):
+    """Two cohorts, hand-checkable offsets: cohort wk0 = users 1,2
+    (user 1 returns in wk1 and wk3; user 2 never), cohort wk1 =
+    user 3 (returns wk2).  Retention = n_users / cohort size."""
+    from binlog_avro_comparator_spark.operators.analytics import retention_cohorts
+
+    wk = 7 * 24 * 3600 * 1_000_000  # a week of microseconds
+    base = 1_500_000_000_000_000  # 2017-07-14, a Friday
+    rows = [
+        (1, base, 1, "view", 1.0, "{}"),
+        (2, base + wk, 1, "view", 1.0, "{}"),
+        (3, base + 3 * wk, 1, "view", 1.0, "{}"),
+        (4, base + 1, 2, "view", 1.0, "{}"),
+        (5, base + wk, 3, "view", 1.0, "{}"),
+        (6, base + 2 * wk, 3, "view", 1.0, "{}"),
+        (7, base, None, "view", 1.0, "{}"),  # null user dropped
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts_us long, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.timestamp_micros(F.col("ts_us"))).drop("ts_us")
+    got = {
+        (r.cohort_week, r.week_offset): (r.n_users, r.retention)
+        for r in retention_cohorts(ev).collect()
+    }
+    # base week Monday is 2017-07-10; base+wk Monday is 2017-07-17
+    assert got == {
+        ("2017-07-10", 0): (2, 1.0),
+        ("2017-07-10", 1): (1, 0.5),
+        ("2017-07-10", 3): (1, 0.5),
+        ("2017-07-17", 0): (1, 1.0),
+        ("2017-07-17", 1): (1, 1.0),
+    }
+
+
+def test_event_type_transitions_hand_matrix(spark):
+    """user 1: view->click->purchase; user 2: view->view.  Transition
+    probabilities are per from-type over the union of both users."""
+    from binlog_avro_comparator_spark.operators.analytics import (
+        event_type_transitions,
+    )
+
+    rows = [
+        (1, 1_000, 1, "view"),
+        (2, 2_000, 1, "click"),
+        (3, 3_000, 1, "purchase"),
+        (4, 1_000, 2, "view"),
+        (5, 2_000, 2, "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_us long, user_id long, event_type string"
+    ).withColumn("ts", F.timestamp_micros(F.col("ts_us"))).drop("ts_us")
+    got = {
+        (r.from_type, r.to_type): (r.n_transitions, r.p_transition)
+        for r in event_type_transitions(ev).collect()
+    }
+    assert got == {
+        ("view", "click"): (1, 0.5),
+        ("view", "view"): (1, 0.5),
+        ("click", "purchase"): (1, 1.0),
+    }
+
+
+def test_inverted_index_head_posting_tie_break(spark):
+    """Head posting is (tf DESC, doc_id ASC): equal tf picks the lower
+    doc_id; min_df prunes singleton terms."""
+    from binlog_avro_comparator_spark.operators.textstats import inverted_index
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "apple banana banana"),
+            (3, "apple cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.term: r for r in inverted_index(docs).collect()}
+    assert set(got) == {"apple", "banana"}  # cherry has df 1 -> pruned
+    assert (got["apple"].df_docs, got["apple"].total_tf) == (3, 4)
+    assert (got["apple"].top_doc_id, got["apple"].top_doc_tf) == (1, 2)
+    # banana: tf 1 in doc 1, tf 2 in doc 2 -> head is doc 2
+    assert (got["banana"].top_doc_id, got["banana"].top_doc_tf) == (2, 2)
+
+
+def test_term_pmi_independence_and_association(spark):
+    """Terms in every doc have PMI 0 with each other; a pair that only
+    co-occurs in a subset scores ln(n_ab * N / (df_a * df_b))."""
+    import math
+
+    from binlog_avro_comparator_spark.operators.textstats import term_pmi
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta" + (" gamma delta" if i < 4 else "")) for i in range(8)],
+        "doc_id long, text string",
+    )
+    got = {(r.term_a, r.term_b): r.pmi for r in term_pmi(docs).collect()}
+    assert got[("alpha", "beta")] == 0.0
+    assert got[("delta", "gamma")] == round(math.log(4 * 8 / (4 * 4)), 6)
+    assert got[("alpha", "gamma")] == round(math.log(4 * 8 / (8 * 4)), 6)
+
+
+def test_shingle_novelty_first_holder_wins(spark):
+    """doc 1 owns all its shingles (first by doc_id); an exact copy at
+    doc 2 scores 0; a half-overlapping doc scores the novel fraction."""
+    from binlog_avro_comparator_spark.operators.dedup import shingle_novelty
+
+    text = "one two three four five"
+    docs = spark.createDataFrame(
+        [
+            (1, text),
+            (2, text),  # exact copy -> nothing novel
+            (3, "one two three six seven"),  # shares 1 of 3 shingles
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in shingle_novelty(docs).collect()}
+    assert (got[1].n_shingles, got[1].n_novel, got[1].novelty) == (3, 3, 1.0)
+    assert (got[2].n_shingles, got[2].n_novel, got[2].novelty) == (3, 0, 0.0)
+    # doc 3 shingles: "one two three" (seen), "two three six", "three six seven"
+    assert (got[3].n_shingles, got[3].n_novel) == (3, 2)
+    assert got[3].novelty == round(2 / 3, 6)
