@@ -123,6 +123,11 @@ EXTRA_QUERIES = [
     "cdc_parse_binlog_rows",
     "cdc_payload_diff",
     "cdc_payload_summary",
+    "events_retention_cohorts",
+    "events_type_transitions",
+    "doc_inverted_index",
+    "doc_term_pmi",
+    "doc_shingle_novelty",
 ]
 
 

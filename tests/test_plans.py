@@ -837,3 +837,54 @@ def test_payload_diff_single_join_no_cartesian(spark):
     assert 1 <= len(joins) <= 2
     assert "WindowGroupLimit" in plan  # dedup pre-filters before the full sort
     assert "Generate" in plan and "explode" in plan  # findings fan out above the join
+
+
+def test_retention_cohorts_no_window_broadcast_sizes(spark):
+    """The cohort matrix is aggregates only (no window over events) and
+    the offset-0 size frame joins back broadcast."""
+    from binlog_avro_comparator_spark.operators.analytics import retention_cohorts
+
+    plan = _plan(retention_cohorts(load_table(spark, SF, "events")))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_term_pmi_vocab_broadcast_no_cartesian(spark):
+    """Vocab membership and marginals ride broadcasts; the only
+    non-broadcast join is the doc_id self-equi-join -- never a
+    cartesian product."""
+    from binlog_avro_comparator_spark.operators.textstats import term_pmi
+
+    plan = _plan(term_pmi(load_table(spark, SF, "documents")))
+    assert "CartesianProduct" not in plan
+    # 3 broadcast joins (vocab membership, df_a, df_b) + the 1-row
+    # n_docs scalar as BroadcastNestedLoopJoin
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_inverted_index_partial_agg_no_window(spark):
+    """Both rollups map-side combine; the head posting is a struct max
+    inside the aggregate, not a row_number window over postings."""
+    from binlog_avro_comparator_spark.operators.textstats import inverted_index
+
+    plan = _plan(inverted_index(load_table(spark, SF, "documents")))
+    assert "Window" not in plan
+    assert "partial_count" in plan or "partial" in plan
+    assert plan.count("HashAggregate") >= 4  # 2 aggs x partial/final
+
+
+def test_shingle_novelty_aggregates_and_single_tag_join(spark):
+    """First-holder is an aggregate (map-side combinable), the tag join
+    is the only join, and no window anywhere."""
+    from binlog_avro_comparator_spark.operators.dedup import shingle_novelty
+
+    plan = _plan(shingle_novelty(load_table(spark, SF, "documents")), mode="simple")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    n_joins = (
+        plan.count("SortMergeJoin")
+        + plan.count("BroadcastHashJoin")
+        + plan.count("ShuffledHashJoin")
+    )
+    assert n_joins == 1
