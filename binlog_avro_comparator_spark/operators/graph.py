@@ -1,0 +1,112 @@
+"""Graph analytics over relational edges: link-analysis operators a
+curation/analytics pipeline derives from its own fact tables (here the
+customer--supplier purchase graph), complementing the dedup tier's
+connected components (dedup.dedup_clusters) with importance scoring.
+
+Determinism contract: ranks live in INTEGER units (1e-12 of total
+mass) and every per-iteration step is integer arithmetic -- floor
+division for the spread, integer scaling for damping -- so sums are
+order-independent and every engine produces bit-identical ranks at any
+partitioning (the repo-wide exact-sum discipline; doubles appear only
+in the final display column, derived from identical integers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: total rank mass in integer units (1 unit = 1e-12 of the graph's mass)
+RANK_UNIT = 1_000_000_000_000
+
+#: damping factor as an integer ratio (0.85 = 17/20)
+DAMP_NUM, DAMP_DEN = 17, 20
+
+
+def purchase_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Undirected customer--supplier purchase edges, one row per
+    direction.  Node ids are prefixed strings ('c:' / 's:') so the two
+    key spaces never collide.  The distinct pair set compacts the fact
+    table BEFORE any rank iteration touches it: lineitem rows collapse
+    to at most |customers| x |suppliers| edges, usually far fewer."""
+    pairs = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    # prefixes make the two directions disjoint: plain unionAll, no dedup
+    return pairs.unionAll(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def pagerank(edges: DataFrame, n_iter: int = 3) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected edge list (both
+    directions present -- so there are no dangling nodes and no
+    teleport-mass correction term).
+
+    Shape per iteration: ONE join of the (cached, degree-annotated)
+    edge frame against the current rank frame on src, then ONE
+    map-side-combined sum by dst -- the Pregel message-passing step as
+    two shuffles, no window, no driver collect (n_iter is a fixed
+    hyperparameter, not a convergence probe; for convergence-driven
+    runs see dedup.dedup_clusters' 1-row probe + localCheckpoint
+    pattern, which applies verbatim here).  The edge frame is
+    persisted because every iteration re-reads it; at 100 TB you would
+    also pre-partition it by src so the per-iteration join reuses one
+    partitioning.  Integer contract: spread = units DIV degree (floor),
+    new rank = (1-d) mass share + (17 * inbound) DIV 20 -- every engine
+    agrees bit-for-bit at any partitioning.
+
+    Returns (node, rank_units, rank) sorted nowhere -- callers order.
+    """
+    from ..functions.caching import scoped_cache
+
+    deg = edges.groupBy("src").agg(F.count("*").alias("__deg"))
+    # every iteration re-reads the degree-annotated edge frame: cache it
+    # through the owned registry (callers release via cache_scope) --
+    # an eager unpersist here would fire at plan-BUILD time, before the
+    # lazy result ever materializes, and silently recompute the edge
+    # join once per iteration
+    ann = scoped_cache(edges.join(deg, "src"))
+    n_nodes = deg.select(F.count("*").alias("__n"))
+    # base mass = floor(0.15 * UNIT / N) in pure integers, applied
+    # inside the loop as (3*U) DIV (20*N)
+    ranks = deg.crossJoin(F.broadcast(n_nodes)).select(
+        F.col("src").alias("node"),
+        F.expr(f"CAST({RANK_UNIT} AS BIGINT) DIV __n").alias("units"),
+    )
+    for _ in range(n_iter):
+        inbound = (
+            ann.join(ranks, ann["src"] == ranks["node"])
+            .select(
+                F.col("dst"),
+                F.expr("units DIV __deg").alias("__contrib"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("__contrib").alias("__in"))
+        )
+        ranks = inbound.crossJoin(F.broadcast(n_nodes)).select(
+            F.col("dst").alias("node"),
+            (
+                F.expr(f"CAST({3 * RANK_UNIT} AS BIGINT) DIV (20 * __n)")
+                + F.expr(f"({DAMP_NUM} * __in) DIV {DAMP_DEN}")
+            ).alias("units"),
+        )
+    return ranks.select(
+        "node",
+        F.col("units").alias("rank_units"),
+        F.round(F.col("units").cast("double") / F.lit(float(RANK_UNIT)), 6).alias(
+            "rank"
+        ),
+    )
+
+
+def supplier_pagerank(
+    orders: DataFrame, lineitem: DataFrame, n_iter: int = 3
+) -> DataFrame:
+    """PageRank over the purchase graph, suppliers only -- 'which
+    suppliers sit at the center of the purchase network' as a ranked
+    table.  Returns (node, rank_units, rank) for 's:' nodes."""
+    pr = pagerank(purchase_edges(orders, lineitem), n_iter=n_iter)
+    return pr.filter(F.col("node").startswith("s:"))

@@ -1238,6 +1238,15 @@ def _q_doc_shingle_novelty(spark, sf_dir):
     return shingle_novelty(_docs(spark, sf_dir))
 
 
+def _q_graph_supplier_pagerank(spark, sf_dir):
+    from ..operators.graph import supplier_pagerank
+
+    ensure_session_conf(spark)
+    return supplier_pagerank(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
 def _q_media_exact_dedup(spark, sf_dir):
     """Blob-level exact dedup over the derived media frame (documents'
     text bytes as opaque content, doubled for ids >= 490 to plant
@@ -2052,6 +2061,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_inverted_index": _q_doc_inverted_index,
         "doc_term_pmi": _q_doc_term_pmi,
         "doc_shingle_novelty": _q_doc_shingle_novelty,
+        "graph_supplier_pagerank": _q_graph_supplier_pagerank,
         "doc_pack_sequences": _q_pack_sequences,
         "doc_chunks": _q_doc_chunks,
         "corpus_mixture_sample": _q_mixture_sample,
@@ -2961,6 +2971,46 @@ SELECT s.doc_id, count(*) AS n_shingles,
              / count(*), 6) AS novelty
 FROM shingle_hashes s JOIN first_holder f USING (h)
 GROUP BY s.doc_id""",
+        # twin of graph.supplier_pagerank: 3 Pregel steps unrolled,
+        # integer rank units (floor spread, 17/20 damping) so every
+        # engine agrees bit-for-bit regardless of summation order
+        "graph_supplier_pagerank": """
+WITH pairs AS (
+  SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+n AS (SELECT count(*) AS n_nodes FROM deg),
+r0 AS (
+  SELECT src AS node,
+         CAST(1000000000000 // (SELECT n_nodes FROM n) AS BIGINT) AS units
+  FROM deg
+),
+r1 AS (
+  SELECT e.dst AS node,
+         CAST(3000000000000 // (20 * (SELECT n_nodes FROM n))
+              + (17 * sum(r.units // d.deg)) // 20 AS BIGINT) AS units
+  FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+),
+r2 AS (
+  SELECT e.dst AS node,
+         CAST(3000000000000 // (20 * (SELECT n_nodes FROM n))
+              + (17 * sum(r.units // d.deg)) // 20 AS BIGINT) AS units
+  FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+),
+r3 AS (
+  SELECT e.dst AS node,
+         CAST(3000000000000 // (20 * (SELECT n_nodes FROM n))
+              + (17 * sum(r.units // d.deg)) // 20 AS BIGINT) AS units
+  FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+)
+SELECT node, units AS rank_units,
+       round(CAST(units AS DOUBLE) / 1000000000000.0, 6) AS rank
+FROM r3 WHERE node LIKE 's:%'""",
         # twin of textstats.inverted_index: per-(doc, term) tf, per-term
         # rollup, head posting by (tf DESC, doc_id ASC)
         "doc_inverted_index": f"""

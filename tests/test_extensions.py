@@ -1659,3 +1659,32 @@ def test_shingle_novelty_first_holder_wins(spark):
     # doc 3 shingles: "one two three" (seen), "two three six", "three six seven"
     assert (got[3].n_shingles, got[3].n_novel) == (3, 2)
     assert got[3].novelty == round(2 / 3, 6)
+
+
+def test_pagerank_integer_contract_and_partition_invariance(spark):
+    """Hand graph: star c1-{s1,s2,s3} + chain c2-s1.  s1 (degree 2)
+    must outrank s2/s3 (degree 1, same neighborhood); total mass stays
+    within rounding-loss of RANK_UNIT; repartitioning the edge input
+    changes nothing (integer sums are order-independent)."""
+    from binlog_avro_comparator_spark.operators.graph import (
+        RANK_UNIT,
+        pagerank,
+        purchase_edges,
+    )
+
+    orders = spark.createDataFrame(
+        [(1, 101), (2, 101), (3, 102)], "o_orderkey long, o_custkey long"
+    )
+    lineitem = spark.createDataFrame(
+        [(1, 11), (1, 12), (2, 13), (3, 11)], "l_orderkey long, l_suppkey long"
+    )
+    edges = purchase_edges(orders, lineitem)
+    got = {r.node: r.rank_units for r in pagerank(edges).collect()}
+    assert set(got) == {"c:101", "c:102", "s:11", "s:12", "s:13"}
+    assert got["s:11"] > got["s:12"] == got["s:13"]
+    # floor divisions only LOSE mass: total <= UNIT, within n_nodes*iters units
+    assert RANK_UNIT - 5 * 3 * 25 < sum(got.values()) <= RANK_UNIT
+    again = {
+        r.node: r.rank_units for r in pagerank(edges.repartition(7)).collect()
+    }
+    assert again == got
