@@ -128,6 +128,7 @@ EXTRA_QUERIES = [
     "doc_inverted_index",
     "doc_term_pmi",
     "doc_shingle_novelty",
+    "graph_supplier_pagerank",
 ]
 
 
