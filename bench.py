@@ -129,6 +129,7 @@ EXTRA_QUERIES = [
     "doc_term_pmi",
     "doc_shingle_novelty",
     "graph_supplier_pagerank",
+    "embedding_pq_codes",
 ]
 
 

@@ -720,3 +720,50 @@ def cluster_profiles(
         )
 
     return joined.groupBy("centroid_id").applyInPandas(profile, schema)
+
+
+def pq_codes(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    n_iter: int = 2,
+    stride: int = 37,
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization codebook assignment: split each vector into
+    ``m`` contiguous subspaces and k-means-quantize each subspace
+    independently -- the compression half of the IVF-PQ ANN design
+    (Jegou et al., "Product Quantization for Nearest Neighbor Search").
+    A vector becomes m small codes (m * log2(k) bits here vs dim * 32
+    raw): the memory knob that makes billion-vector ANN fit a cluster,
+    with IVF (cosine_topk_ivf) as the routing half and asymmetric-
+    distance re-rank as the query-time composition.
+
+    Spark-first: each subspace runs the SAME deterministic Lloyd's
+    recipe as ``kmeans_assignments`` (broadcast centroids, packed
+    max_by argmin, per-step 1e-6 rounding, lowest-id ties) over a
+    sliced view of the corpus -- m independent lazy plans whose scans
+    the scoped cache shares, unioned into the long-format code table.
+    Nothing new crosses the wire: per subspace it is the k-means
+    shuffle at 1/m the width.  Determinism is inherited, so the DuckDB
+    twin (same iterations unrolled per subspace) lands on identical
+    codes.  Returns (vec_id, subspace, code)."""
+    sub = dim // m
+    parts = []
+    for s in range(m):
+        sliced = embeddings.select(
+            "vec_id",
+            F.slice(F.col("embedding"), s * sub + 1, sub).alias("embedding"),
+        )
+        a = kmeans_assignments(sliced, k=k, n_iter=n_iter, stride=stride, dim=sub)
+        parts.append(
+            a.select(
+                "vec_id",
+                F.lit(s).alias("subspace"),
+                F.col("centroid_id").alias("code"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

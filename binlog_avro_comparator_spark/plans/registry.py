@@ -1238,6 +1238,13 @@ def _q_doc_shingle_novelty(spark, sf_dir):
     return shingle_novelty(_docs(spark, sf_dir))
 
 
+def _q_embedding_pq_codes(spark, sf_dir):
+    from ..operators.similarity import pq_codes
+
+    ensure_session_conf(spark)
+    return pq_codes(load_table(spark, sf_dir, "embeddings"))
+
+
 def _q_graph_supplier_pagerank(spark, sf_dir):
     from ..operators.graph import supplier_pagerank
 
@@ -2062,6 +2069,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_term_pmi": _q_doc_term_pmi,
         "doc_shingle_novelty": _q_doc_shingle_novelty,
         "graph_supplier_pagerank": _q_graph_supplier_pagerank,
+        "embedding_pq_codes": _q_embedding_pq_codes,
         "doc_pack_sequences": _q_pack_sequences,
         "doc_chunks": _q_doc_chunks,
         "corpus_mixture_sample": _q_mixture_sample,
@@ -2275,6 +2283,70 @@ a1 AS (
         PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
     FROM s1) WHERE rn = 1
 )"""
+
+
+def _pq_kmeans_cte(p: str, lo: int, hi: int, k: int = 8, stride: int = 37) -> str:
+    """One subspace's unrolled 2-iteration k-means chain (the
+    _KMEANS_CTE recipe verbatim, prefixed and re-based onto the ord
+    slice [lo, hi]) -- twin of similarity.pq_codes' per-subspace
+    kmeans_assignments call."""
+    return f"""{p}ex AS (
+  SELECT vec_id, ord - {lo - 1} AS ord, v FROM ex WHERE ord BETWEEN {lo} AND {hi}
+),
+{p}c0 AS (
+  SELECT vec_id // {stride} AS centroid_id, ord, round(v, 6) AS cv
+  FROM {p}ex WHERE vec_id % {stride} = 0 AND vec_id < {stride} * {k}
+),
+{p}cn0 AS (SELECT centroid_id, sum(cv * cv) AS n2 FROM {p}c0 GROUP BY 1),
+{p}s0 AS (
+  SELECT e.vec_id, c.centroid_id,
+         round(sum(e.v * c.cv) - 0.5 * any_value(cn.n2), 6) AS score
+  FROM {p}ex e JOIN {p}c0 c ON e.ord = c.ord
+  JOIN {p}cn0 cn ON cn.centroid_id = c.centroid_id
+  GROUP BY 1, 2
+),
+{p}a0 AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+    FROM {p}s0) WHERE rn = 1
+),
+{p}c1 AS (
+  SELECT a.centroid_id, e.ord, round(avg(e.v), 6) AS cv
+  FROM {p}ex e JOIN {p}a0 a ON a.vec_id = e.vec_id
+  GROUP BY 1, 2
+),
+{p}cn1 AS (SELECT centroid_id, sum(cv * cv) AS n2 FROM {p}c1 GROUP BY 1),
+{p}s1 AS (
+  SELECT e.vec_id, c.centroid_id,
+         round(sum(e.v * c.cv) - 0.5 * any_value(cn.n2), 6) AS score
+  FROM {p}ex e JOIN {p}c1 c ON e.ord = c.ord
+  JOIN {p}cn1 cn ON cn.centroid_id = c.centroid_id
+  GROUP BY 1, 2
+),
+{p}a1 AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+    FROM {p}s1) WHERE rn = 1
+)"""
+
+
+def _pq_codes_sql(m: int = 4, sub: int = 16) -> str:
+    ctes = ",\n".join(
+        _pq_kmeans_cte(f"p{s}", s * sub + 1, (s + 1) * sub) for s in range(m)
+    )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {s} AS subspace, centroid_id AS code FROM p{s}a1"
+        for s in range(m)
+    )
+    return f"""WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS ord,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+{ctes}
+{sel}"""
 
 
 def _minhash_aggs() -> str:
@@ -2971,6 +3043,9 @@ SELECT s.doc_id, count(*) AS n_shingles,
              / count(*), 6) AS novelty
 FROM shingle_hashes s JOIN first_holder f USING (h)
 GROUP BY s.doc_id""",
+        # twin of similarity.pq_codes: the _KMEANS_CTE recipe per
+        # subspace (prefixed, ord-rebased), long-format union
+        "embedding_pq_codes": _pq_codes_sql(),
         # twin of graph.supplier_pagerank: 3 Pregel steps unrolled,
         # integer rank units (floor spread, 17/20 damping) so every
         # engine agrees bit-for-bit regardless of summation order

@@ -1688,3 +1688,24 @@ def test_pagerank_integer_contract_and_partition_invariance(spark):
         r.node: r.rank_units for r in pagerank(edges.repartition(7)).collect()
     }
     assert again == got
+
+
+def test_pq_codes_shape_and_subspace_independence(spark):
+    """Every vector gets exactly m codes in [0, k); two vectors equal
+    in one subspace but different in another share the code only where
+    they agree (subspace quantizers are independent)."""
+    import numpy as np
+
+    from binlog_avro_comparator_spark.operators.similarity import pq_codes
+
+    rng = np.random.RandomState(7)
+    base = rng.rand(300, 64).astype(float)
+    # vec 298 copies vec 0's FIRST 16 dims (subspace 0) only
+    base[298, :16] = base[0, :16]
+    rows = [(i, [float(v) for v in base[i]]) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = pq_codes(emb).collect()
+    assert len(out) == 300 * 4
+    assert all(0 <= r.code < 8 for r in out)
+    codes = {(r.vec_id, r.subspace): r.code for r in out}
+    assert codes[(298, 0)] == codes[(0, 0)]
