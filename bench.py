@@ -130,6 +130,7 @@ EXTRA_QUERIES = [
     "doc_shingle_novelty",
     "graph_supplier_pagerank",
     "embedding_pq_codes",
+    "ann_pq_adc_topk",
 ]
 
 

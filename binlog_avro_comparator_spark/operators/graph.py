@@ -62,12 +62,16 @@ def pagerank(edges: DataFrame, n_iter: int = 3) -> DataFrame:
     """
     from ..functions.caching import scoped_cache
 
-    deg = edges.groupBy("src").agg(F.count("*").alias("__deg"))
-    # every iteration re-reads the degree-annotated edge frame: cache it
-    # through the owned registry (callers release via cache_scope) --
-    # an eager unpersist here would fire at plan-BUILD time, before the
-    # lazy result ever materializes, and silently recompute the edge
-    # join once per iteration
+    # cache both the edge list and its degree table through the owned
+    # registry (callers release via cache_scope): edges feeds deg + the
+    # annotated join, deg feeds the init ranks, the node count AND the
+    # join -- uncached, the upstream edge derivation (often a distinct
+    # over a fact join) would re-run once per consumer.  An eager
+    # unpersist here would fire at plan-BUILD time, before the lazy
+    # result ever materializes, and silently recompute the edge join
+    # once per iteration.
+    edges = scoped_cache(edges)
+    deg = scoped_cache(edges.groupBy("src").agg(F.count("*").alias("__deg")))
     ann = scoped_cache(edges.join(deg, "src"))
     n_nodes = deg.select(F.count("*").alias("__n"))
     # base mass = floor(0.15 * UNIT / N) in pure integers, applied

@@ -454,7 +454,8 @@ def kmeans_assignments(
     n_iter: int = 2,
     stride: int = 37,
     dim: int = 64,
-) -> DataFrame:
+    return_centroids: bool = False,
+):
     """Lloyd's k-means over the embedding corpus -- the iterative-
     algorithm tier (cluster-then-balance curation, IVF index training).
     Deterministic end to end: init centroids are the corpus vectors at
@@ -483,7 +484,9 @@ def kmeans_assignments(
     standard Lloyd degenerate case, identical in the twin.
 
     Returns (vec_id, centroid_id, cluster_size) for the final
-    iteration's assignment."""
+    iteration's assignment; with ``return_centroids=True`` returns the
+    bare (assignment, centroid-frame) pair instead -- the codebook
+    hook pq_adc_topk builds on."""
     x = F.col("embedding").cast("array<double>")
     emb = scoped_cache(embeddings.select("vec_id", x.alias("x")))
     cents = emb.filter(
@@ -528,7 +531,10 @@ def kmeans_assignments(
 
     assignment = assign(cents)
     for _ in range(n_iter - 1):
-        assignment = assign(update(assignment))
+        cents = update(assignment)
+        assignment = assign(cents)
+    if return_centroids:
+        return assignment, cents
     sizes = assignment.groupBy("centroid_id").agg(
         F.count("*").alias("cluster_size")
     )
@@ -767,3 +773,93 @@ def pq_codes(
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    n_queries: int = 32,
+    topk: int = 5,
+    m: int = 4,
+    k: int = 8,
+    n_iter: int = 2,
+    stride: int = 37,
+    dim: int = 64,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes -- the query half of
+    IVF-PQ: exact query vectors scored against the corpus's compressed
+    representation (sum over subspaces of dot(query slice, codebook
+    centroid the code points at)), never against raw corpus vectors.
+
+    Spark-first shape: the per-subspace codebooks (k rows each) and
+    the sliced query frame (n_queries * m rows) are BROADCAST; the
+    corpus contributes only its code table (m small ints per vector),
+    so the scan side of the score join carries codes, not embeddings --
+    that is the entire point of PQ at 100 TB (memory: m*log2(k) bits
+    per vector; at cluster scale the per-query centroid dots become an
+    m x k lookup table computed once per query, which is exactly what
+    the broadcast-join arrangement expresses).  Scores fold per
+    subspace JVM-side and sum in one map-side-combined aggregate;
+    ranking is rank<=k per query (WindowGroupLimit: local top-k before
+    the exchange).  Same determinism contract as the rest of the
+    tier: 1e-6-rounded scores, vec_id tie-break.
+
+    Returns (query_id, neighbor_id, score, rank)."""
+    sub = dim // m
+    code_parts, cent_parts, q_parts = [], [], []
+    for s in range(m):
+        sliced = embeddings.select(
+            "vec_id",
+            F.slice(F.col("embedding"), s * sub + 1, sub).alias("embedding"),
+        )
+        a, c = kmeans_assignments(
+            sliced, k=k, n_iter=n_iter, stride=stride, dim=sub,
+            return_centroids=True,
+        )
+        code_parts.append(
+            a.select(
+                "vec_id", F.lit(s).alias("subspace"), F.col("centroid_id").alias("code")
+            )
+        )
+        cent_parts.append(
+            c.select(
+                F.lit(s).alias("subspace"), F.col("centroid_id").alias("code"), "c"
+            )
+        )
+        q_parts.append(
+            embeddings.filter(F.col("vec_id") < n_queries).select(
+                F.col("vec_id").alias("query_id"),
+                F.lit(s).alias("subspace"),
+                F.slice(F.col("embedding"), s * sub + 1, sub)
+                .cast("array<double>")
+                .alias("q"),
+            )
+        )
+
+    def _union(frames):
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionAll(f)
+        return out
+
+    codes, cents, queries = _union(code_parts), _union(cent_parts), _union(q_parts)
+    part_dot = F.aggregate(
+        F.zip_with(F.col("q"), F.col("c"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        codes.join(F.broadcast(cents), ["subspace", "code"])
+        .join(F.broadcast(queries), "subspace")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", part_dot.alias("__d"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("__d"), COS_ROUND).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "score", "rank")
+    )

@@ -1245,6 +1245,13 @@ def _q_embedding_pq_codes(spark, sf_dir):
     return pq_codes(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_ann_pq_adc_topk(spark, sf_dir):
+    from ..operators.similarity import pq_adc_topk
+
+    ensure_session_conf(spark)
+    return pq_adc_topk(load_table(spark, sf_dir, "embeddings"))
+
+
 def _q_graph_supplier_pagerank(spark, sf_dir):
     from ..operators.graph import supplier_pagerank
 
@@ -2070,6 +2077,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_shingle_novelty": _q_doc_shingle_novelty,
         "graph_supplier_pagerank": _q_graph_supplier_pagerank,
         "embedding_pq_codes": _q_embedding_pq_codes,
+        "ann_pq_adc_topk": _q_ann_pq_adc_topk,
         "doc_pack_sequences": _q_pack_sequences,
         "doc_chunks": _q_doc_chunks,
         "corpus_mixture_sample": _q_mixture_sample,
@@ -2347,6 +2355,50 @@ def _pq_codes_sql(m: int = 4, sub: int = 16) -> str:
 ),
 {ctes}
 {sel}"""
+
+
+def _pq_adc_sql(m: int = 4, sub: int = 16, n_queries: int = 32, topk: int = 5) -> str:
+    """Twin of similarity.pq_adc_topk: per-subspace codebooks (the c1
+    frames the codes index) joined to the code table and the sliced
+    query vectors; one grouped sum per (query, vector), rounded, then
+    rank<=topk with the vec_id tie-break."""
+    ctes = ",\n".join(
+        _pq_kmeans_cte(f"p{s}", s * sub + 1, (s + 1) * sub) for s in range(m)
+    )
+    codes = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {s} AS subspace, centroid_id AS code FROM p{s}a1"
+        for s in range(m)
+    )
+    cents = "\nUNION ALL\n".join(
+        f"SELECT {s} AS subspace, centroid_id AS code, ord, cv FROM p{s}c1"
+        for s in range(m)
+    )
+    return f"""WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS ord,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+{ctes},
+codes AS ({codes}),
+cents AS ({cents}),
+q AS (
+  SELECT vec_id AS query_id, (ord - 1) // {sub} AS subspace,
+         (ord - 1) % {sub} + 1 AS ord, v AS qv
+  FROM ex WHERE vec_id < {n_queries}
+),
+scores AS (
+  SELECT q.query_id, k.vec_id, round(sum(q.qv * c.cv), 6) AS score
+  FROM codes k
+  JOIN cents c ON c.subspace = k.subspace AND c.code = k.code
+  JOIN q ON q.subspace = k.subspace AND q.ord = c.ord
+  WHERE k.vec_id <> q.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id AS neighbor_id, score, rank FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+  FROM scores
+) WHERE rank <= {topk}"""
 
 
 def _minhash_aggs() -> str:
@@ -3046,6 +3098,8 @@ GROUP BY s.doc_id""",
         # twin of similarity.pq_codes: the _KMEANS_CTE recipe per
         # subspace (prefixed, ord-rebased), long-format union
         "embedding_pq_codes": _pq_codes_sql(),
+        # twin of similarity.pq_adc_topk (see _pq_adc_sql)
+        "ann_pq_adc_topk": _pq_adc_sql(),
         # twin of graph.supplier_pagerank: 3 Pregel steps unrolled,
         # integer rank units (floor spread, 17/20 damping) so every
         # engine agrees bit-for-bit regardless of summation order

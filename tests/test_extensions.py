@@ -1709,3 +1709,29 @@ def test_pq_codes_shape_and_subspace_independence(spark):
     assert all(0 <= r.code < 8 for r in out)
     codes = {(r.vec_id, r.subspace): r.code for r in out}
     assert codes[(298, 0)] == codes[(0, 0)]
+
+
+def test_pq_adc_topk_retrieves_planted_clusters(spark):
+    """Corpus of 8 well-separated block clusters (cluster j spikes dims
+    [8j, 8j+8)): ADC over PQ codes must retrieve same-cluster neighbors
+    for every query, and ranks must be a clean 1..5 per query."""
+    from binlog_avro_comparator_spark.operators.similarity import pq_adc_topk
+
+    rows = []
+    for i in range(296):
+        j = i % 8
+        # deterministic small jitter, no RNG
+        vec = [0.5 + ((i * 64 + d) % 7) * 0.01 for d in range(64)]
+        for d in range(8 * j, 8 * j + 8):
+            vec[d] = 10.0 + ((i + d) % 5) * 0.05
+        rows.append((i, [float(v) for v in vec]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = pq_adc_topk(emb).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(32))
+    for q, rs in by_q.items():
+        assert sorted(r.rank for r in rs) == [1, 2, 3, 4, 5]
+        same = sum(1 for r in rs if r.neighbor_id % 8 == q % 8)
+        assert same >= 4, (q, [(r.neighbor_id, r.score) for r in rs])
