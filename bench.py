@@ -131,6 +131,7 @@ EXTRA_QUERIES = [
     "graph_supplier_pagerank",
     "embedding_pq_codes",
     "ann_pq_adc_topk",
+    "cdc_payload_diff_stream",
 ]
 
 

@@ -1813,6 +1813,63 @@ def _q_cdc_payload_diff(spark, sf_dir):
     return C.payload_diff(bp, ap)
 
 
+def _q_cdc_payload_diff_stream(spark, sf_dir):
+    """Streaming twin of cdc_payload_diff: binlog row images static
+    (closed files), avro payload records replayed as an incremental
+    JSONL file stream (4 files, maxFilesPerTrigger=1 -> several
+    micro-batches), drained availableNow through the stateless
+    stream-static payload diff.  The appended findings equal the batch
+    operator's output, which is what the shared oracle states."""
+    global _STREAM_SINK_SEQ
+    import tempfile
+
+    from ..streaming.compare_stream import streaming_payload_diff
+    from ..sources.binlog_binary import read_binlog_rows_dir
+
+    ensure_session_conf(spark)
+    rows = read_binlog_rows_dir(spark, _binlog_binary_fixture_dir(spark, sf_dir))
+    bp = C.prepare_binlog_payload(rows)
+    ev = load_table(spark, sf_dir, "events")
+    avro = derive_avro_rows(ev).join(derive_avro_payload(ev), "avro_line_no")
+    ap = C.prepare_avro(avro).select(
+        "binlog_file",
+        "binlog_position",
+        F.map_from_arrays(
+            F.array(
+                F.lit("order_id"),
+                F.lit("customer_name"),
+                F.lit("product_name"),
+                F.lit("quantity"),
+                F.lit("order_timestamp"),
+            ),
+            F.array(
+                F.col("order_id").cast("string"),
+                F.col("customer_name"),
+                F.col("product_name"),
+                F.col("quantity").cast("string"),
+                F.col("order_timestamp").cast("string"),
+            ),
+        ).alias("payload"),
+    )
+    d = _FIXTURE_DIRS.get(("stream_avro_payload", sf_dir))
+    if d is None:
+        d = tempfile.mkdtemp(prefix="cdc_stream_avro_payload_")
+        ap.repartition(4).write.mode("overwrite").json(d)
+        _FIXTURE_DIRS[("stream_avro_payload", sf_dir)] = d
+    ap_stream = (
+        spark.readStream.schema(
+            "binlog_file string, binlog_position bigint, payload map<string,string>"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(d)
+    )
+    _STREAM_SINK_SEQ += 1
+    name = f"cdc_payload_diff_stream_sink_{_STREAM_SINK_SEQ}"
+    return _drain_to_table(
+        spark, streaming_payload_diff(bp, ap_stream), name, "append"
+    )
+
+
 def _q_cdc_payload_summary(spark, sf_dir):
     """Operational rollup of the payload diff: (column, status) finding
     counts + exact distinct-key counts -- one map-side-combined
@@ -2008,6 +2065,7 @@ def queries() -> dict[str, QueryFn]:
         "cdc_parse_binlog_binary": _q_cdc_parse_binlog_binary,
         "cdc_parse_binlog_rows": _q_cdc_parse_binlog_rows,
         "cdc_payload_diff": _q_cdc_payload_diff,
+        "cdc_payload_diff_stream": _q_cdc_payload_diff_stream,
         "cdc_payload_summary": _q_cdc_payload_summary,
         "shipping_priority": _q_shipping_priority,
         "supplier_part_counts": _q_supplier_part_counts,
@@ -4764,6 +4822,9 @@ FROM diff GROUP BY "column", status"""
     )
     # streaming twin runs the same logical plan -> same oracle
     sql["cdc_snapshot_stream"] = sql["cdc_apply_changes"]
+    # stateless stream-static payload diff appends exactly the batch
+    # findings -> same oracle
+    sql["cdc_payload_diff_stream"] = sql["cdc_payload_diff"]
     return sql
 
 

@@ -123,3 +123,19 @@ def streaming_findings(
         )
     )
     return matched_findings.unionAll(avro_only_findings)
+
+
+def streaming_payload_diff(
+    binlog_payload_static: DataFrame, avro_payload_stream: DataFrame
+) -> DataFrame:
+    """Payload-level diff as a stream: decoded binlog row images are
+    the closed/static build side (rotation is the watermark, same
+    contract as streaming_findings), avro payload records arrive
+    continuously.  ``compare.payload_diff`` is stateless per matched
+    row -- one inner stream-static equi-join plus a per-row explode of
+    the column union -- so it appends findings as records arrive with
+    NO state store at all; the static side is broadcast per
+    micro-batch.  Same output contract as the batch operator:
+    (binlog_file, binlog_position, column, binlog_value, avro_value,
+    status)."""
+    return C.payload_diff(F.broadcast(binlog_payload_static), avro_payload_stream)

@@ -888,3 +888,55 @@ def test_shingle_novelty_aggregates_and_single_tag_join(spark):
         + plan.count("ShuffledHashJoin")
     )
     assert n_joins == 1
+
+
+def test_payload_diff_stream_is_stateless(spark):
+    """The stream-static payload diff must plan ZERO stateful
+    operators (no state store, no watermark): each micro-batch is a
+    broadcast lookup against the closed binlog image side plus a
+    per-row column-union explode.  Same probe as the enrich test:
+    drained progress reports stateOperators == []."""
+    import json as _json
+    import tempfile
+
+    from pyspark.sql import functions as F_
+
+    from binlog_avro_comparator_spark.streaming.compare_stream import (
+        streaming_payload_diff,
+    )
+
+    bp = spark.createDataFrame(
+        [("f1", 100, {"a": "1", "b": "x"}), ("f1", 200, {"a": "2"})],
+        "binlog_file string, binlog_position long, payload map<string,string>",
+    )
+    ap = spark.createDataFrame(
+        [("f1", 100, {"a": "1", "b": "y"}), ("f1", 200, {"a": "2", "c": "z"})],
+        "binlog_file string, binlog_position long, payload map<string,string>",
+    )
+    d = tempfile.mkdtemp(prefix="payload_stream_plan_")
+    ap.repartition(2).write.mode("overwrite").json(d)
+    stream = (
+        spark.readStream.schema(
+            "binlog_file string, binlog_position bigint, payload map<string,string>"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(d)
+    )
+    q = (
+        streaming_payload_diff(bp, stream)
+        .writeStream.format("memory")
+        .queryName("payload_diff_stateless_probe")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    progress = _json.loads(q.lastProgress.json) if q.lastProgress else {}
+    q.stop()
+    assert progress.get("stateOperators") == []
+    got = {
+        (r.binlog_position, r.column): r.status
+        for r in spark.table("payload_diff_stateless_probe").collect()
+    }
+    # column c exists only on the avro side -> the BINLOG side is null
+    assert got == {(100, "b"): "MISMATCH", (200, "c"): "BINLOG_NULL"}
