@@ -72,6 +72,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         help="drop documents whose source's corpus-level stopword rate "
         "is below RATE (domain-reputation cut, before dedup)",
     )
+    p.add_argument(
+        "--min-novelty",
+        type=float,
+        default=None,
+        help="drop documents whose shingle-novelty score (fraction of "
+        "their distinct shingles first seen in them) is below this",
+    )
     p.add_argument("--cpus", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -107,6 +114,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             boilerplate_df_threshold=args.boilerplate_df,
             gopher_rules=args.gopher,
             min_source_stop_rate=args.min_source_rep,
+            min_novelty=args.min_novelty,
         ).observe(out_obs, F.count(F.lit(1)).alias("n"))
         writer = survivors.write.mode("overwrite")
         if args.partition_by:

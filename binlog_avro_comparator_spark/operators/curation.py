@@ -12,6 +12,7 @@ from .dedup import (
     dedup_keep_canonical,
     remove_boilerplate_segments,
     remove_repeated_spans,
+    shingle_novelty,
 )
 from .textstats import (
     contamination_scores,
@@ -33,6 +34,7 @@ def curation_survivors(
     boilerplate_df_threshold: int = 5,
     gopher_rules: bool = False,
     min_source_stop_rate: float | None = None,
+    min_novelty: float | None = None,
 ) -> DataFrame:
     """Documents surviving all curation filters (full rows).
 
@@ -62,11 +64,26 @@ def curation_survivors(
     (one ~#sources aggregate + broadcast) -- BEFORE the expensive
     dedup/contamination stages, the published-recipe ordering: rule
     filters first so clustering and shingling never touch documents a
-    projection would have dropped."""
-    # the reputation verdict is a CORPUS-level rate by contract, so it
-    # is computed over the ORIGINAL frame -- measuring it after the
-    # Gopher cut would let a spam source launder its rate by having its
-    # worst documents removed first
+    projection would have dropped.
+
+    ``min_novelty`` (off by default, same contract note) drops
+    documents whose shingle-novelty score -- the fraction of their
+    distinct shingles first seen in THEM (dedup.shingle_novelty) --
+    falls below the threshold: the marginal-contribution gate that
+    catches recombined/templated text near-dup pair filters miss.
+    Scored over the original corpus; too-short-to-shingle documents
+    are kept (score undefined, not zero)."""
+    # corpus-level signals (reputation, novelty) are computed over the
+    # ORIGINAL frame by contract -- measuring them after other cuts
+    # would make each document's score depend on filter ordering (and
+    # let a spam source launder its rate by having its worst documents
+    # removed first)
+    if min_novelty is not None:
+        stale = (
+            shingle_novelty(documents)
+            .filter(F.col("novelty") < min_novelty)
+            .select("doc_id")
+        )
     if min_source_stop_rate is not None:
         ok_src = filter_by_source_reputation(
             documents, min_stop_rate=min_source_stop_rate
@@ -80,6 +97,11 @@ def curation_survivors(
         documents = documents.join(ok, on="doc_id", how="left_semi")
     if min_source_stop_rate is not None:
         documents = documents.join(ok_src, on="doc_id", how="left_semi")
+    if min_novelty is not None:
+        # anti-join on the LOW-novelty set: documents too short to
+        # shingle have no novelty row and are kept (score undefined,
+        # not zero)
+        documents = documents.join(stale, on="doc_id", how="left_anti")
     rep_ok = (
         repetition_scores(documents)
         .filter(F.col("repetition_ratio") <= max_repetition)

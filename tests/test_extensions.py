@@ -1735,3 +1735,31 @@ def test_pq_adc_topk_retrieves_planted_clusters(spark):
         assert sorted(r.rank for r in rs) == [1, 2, 3, 4, 5]
         same = sum(1 for r in rs if r.neighbor_id % 8 == q % 8)
         assert same >= 4, (q, [(r.neighbor_id, r.score) for r in rs])
+
+
+def test_curation_min_novelty_gate(spark):
+    """The novelty gate drops a document assembled entirely from
+    already-seen phrasing (novelty 0 vs its sources) while keeping the
+    originals; too-short-to-shingle docs survive (score undefined)."""
+    from binlog_avro_comparator_spark.operators.curation import curation_survivors
+
+    a = "alpha beta gamma delta epsilon zeta"
+    b = "one two three four five six seven"
+    recombined = "alpha beta gamma one two three"  # every shingle? no:
+    # its shingles: (alpha beta gamma) seen in a; (beta gamma one),
+    # (gamma one two) NOVEL; (one two three) seen in b -> novelty 0.5
+    rows = [
+        (10, a, "en", "s", 1),
+        (11, b, "en", "s", 1),
+        (12, recombined, "en", "s", 1),
+        (13, "hi", "en", "s", 1),  # no shingles -> kept
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    strict = curation_survivors(
+        docs, max_repetition=1.0, max_contamination=2.0, min_novelty=0.6
+    )
+    assert sorted(r.doc_id for r in strict.collect()) == [10, 11, 13]
+    loose = curation_survivors(docs, max_repetition=1.0, max_contamination=2.0)
+    assert sorted(r.doc_id for r in loose.collect()) == [10, 11, 12, 13]
