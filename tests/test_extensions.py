@@ -1763,3 +1763,38 @@ def test_curation_min_novelty_gate(spark):
     assert sorted(r.doc_id for r in strict.collect()) == [10, 11, 13]
     loose = curation_survivors(docs, max_repetition=1.0, max_contamination=2.0)
     assert sorted(r.doc_id for r in loose.collect()) == [10, 11, 12, 13]
+
+
+def test_round5_operators_empty_input_safe(spark):
+    """Zero-row inputs for the round-5 additions: empty frames out,
+    never a crash (the empty-partition-day contract)."""
+    from binlog_avro_comparator_spark.operators.analytics import (
+        event_type_transitions,
+        retention_cohorts,
+    )
+    from binlog_avro_comparator_spark.operators.dedup import shingle_novelty
+    from binlog_avro_comparator_spark.operators.graph import pagerank, purchase_edges
+    from binlog_avro_comparator_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codes,
+    )
+    from binlog_avro_comparator_spark.operators.textstats import (
+        inverted_index,
+        term_pmi,
+    )
+
+    no_docs = spark.createDataFrame([], DOCS_SCHEMA)
+    assert inverted_index(no_docs).count() == 0
+    assert term_pmi(no_docs).count() == 0
+    assert shingle_novelty(no_docs).count() == 0
+    no_events = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    assert retention_cohorts(no_events).count() == 0
+    assert event_type_transitions(no_events).count() == 0
+    no_orders = spark.createDataFrame([], "o_orderkey long, o_custkey long")
+    no_li = spark.createDataFrame([], "l_orderkey long, l_suppkey long")
+    assert pagerank(purchase_edges(no_orders, no_li)).count() == 0
+    no_emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert pq_codes(no_emb).count() == 0
+    assert pq_adc_topk(no_emb).count() == 0
