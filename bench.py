@@ -132,6 +132,7 @@ EXTRA_QUERIES = [
     "embedding_pq_codes",
     "ann_pq_adc_topk",
     "cdc_payload_diff_stream",
+    "cdc_merge_upsert",
 ]
 
 

@@ -27,11 +27,15 @@ from pyspark.sql import DataFrame, functions as F
 _OP = {"click": "INSERT", "view": "UPDATE", "purchase": "DELETE"}
 
 
-def apply_changes(events: DataFrame) -> DataFrame:
+def apply_changes(events: DataFrame, keep_deletes: bool = False) -> DataFrame:
     """Materialize the per-user snapshot implied by the event stream:
     click=INSERT, view=UPDATE, purchase=DELETE, applied in (ts,
     event_id) order; users whose LAST change is a DELETE are absent
     from the snapshot.
+
+    ``keep_deletes=True`` keeps the DELETE-final rows (tombstones) --
+    the DELTA form a downstream MERGE consumes (merge_upsert), where a
+    trailing delete must travel instead of vanishing.
 
     Output: one row per live user -- the last operation's type, time,
     value, and the number of changes applied."""
@@ -57,7 +61,9 @@ def apply_changes(events: DataFrame) -> DataFrame:
         F.max_by("c", F.col("__ord")).alias("last"),
         F.count("*").alias("n_changes"),
     )
-    return snap.filter(F.col("last.op") != "DELETE").select(
+    if not keep_deletes:
+        snap = snap.filter(F.col("last.op") != "DELETE")
+    return snap.select(
         "user_id",
         F.col("last.op").alias("last_op"),
         F.col("last.ts_ms").alias("last_ts_ms"),
@@ -107,4 +113,43 @@ def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
             F.col("__ov.n_changes").alias("old_n_changes"),
             F.col("__nv.n_changes").alias("new_n_changes"),
         )
+    )
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    delete_col: str | None = None,
+) -> DataFrame:
+    """SQL ``MERGE INTO`` semantics as one relational operator: rows of
+    ``source`` that match a ``target`` key REPLACE that row's non-key
+    columns (WHEN MATCHED THEN UPDATE), unmatched source rows INSERT,
+    and -- when ``delete_col`` names a boolean column on the source --
+    flagged rows DELETE (a delete of an absent key is a no-op, the
+    standard MERGE contract).  The lazy-table counterpart of the
+    foreachBatch snapshot sink's eager fold: Delta/Iceberg expose this
+    statement; plain-parquet pipelines re-express it exactly like this.
+
+    Shape: ONE full-outer join on the key -- the same snapshot-sized
+    shuffle as snapshot_diff, co-partitioned with it when composed.
+    Non-key payloads travel as single structs (row-atomic, no
+    per-column join explosion), and the survivor pick is one coalesce:
+    codegen end to end.  Contract: source carries the same columns as
+    target (plus the flag), at most one row per key (pre-fold deltas
+    with apply_changes(keep_deletes=True), exactly as SQL MERGE
+    requires a unique source match).
+
+    Returns the merged table with target's column layout."""
+    data_cols = [c for c in target.columns if c not in keys]
+    t = target.select(*keys, F.struct(*data_cols).alias("__t"))
+    flag = (
+        F.col(delete_col) if delete_col else F.lit(False)
+    )
+    s = source.select(*keys, F.struct(*data_cols).alias("__s"), flag.alias("__del"))
+    j = t.join(s, on=keys, how="full_outer")
+    return (
+        j.filter(~F.coalesce(F.col("__del"), F.lit(False)))
+        .select(*keys, F.coalesce("__s", "__t").alias("__r"))
+        .select(*keys, *[F.col(f"__r.{c}").alias(c) for c in data_cols])
     )

@@ -1923,6 +1923,21 @@ def _q_cdc_snapshot_diff(spark, sf_dir):
     )
 
 
+def _q_cdc_merge_upsert(spark, sf_dir):
+    """MERGE INTO over the snapshot family: the day-15 snapshot is the
+    target, the post-cutoff changes fold (tombstones kept) are the
+    source, flagged deletes remove keys -- one full-outer join."""
+    from ..operators.snapshot import merge_upsert
+
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    target = apply_changes(ev.filter(F.col("ts") < cutoff))
+    delta = apply_changes(ev.filter(F.col("ts") >= cutoff), keep_deletes=True)
+    src = delta.withColumn("__is_delete", F.col("last_op") == "DELETE")
+    return merge_upsert(target, src, keys=["user_id"], delete_col="__is_delete")
+
+
 def _q_events_time_rollup(spark, sf_dir):
     ensure_session_conf(spark)
     return time_rollup(load_table(spark, sf_dir, "events"))
@@ -2081,6 +2096,7 @@ def queries() -> dict[str, QueryFn]:
         "events_time_rollup": _q_events_time_rollup,
         "events_gap_fill": _q_events_gap_fill,
         "cdc_snapshot_diff": _q_cdc_snapshot_diff,
+        "cdc_merge_upsert": _q_cdc_merge_upsert,
         "cdc_replica_checksums": _q_cdc_replica_checksums,
         "doc_arrow_slugs": _q_doc_slugs,
         "doc_levenshtein_pairs": _q_levenshtein_pairs,
@@ -3907,6 +3923,50 @@ SELECT doc_id, lang, source, bucket,
 FROM b""",
         "cdc_apply_changes": _APPLY_CHANGES_SQL,
         "cdc_snapshot_diff": _SNAPSHOT_DIFF_SQL,
+        # twin of snapshot.merge_upsert over the same cutoff split:
+        # source row present -> ALL its columns win (row-wise CASE,
+        # mirroring the struct coalesce -- never per-column coalesce,
+        # which would resurrect target values under source NULLs);
+        # flagged deletes drop the key, delete-of-absent is a no-op
+        "cdc_merge_upsert": """
+WITH changes AS (
+  SELECT user_id,
+         CASE event_type WHEN 'click' THEN 'INSERT'
+                         WHEN 'view' THEN 'UPDATE'
+                         ELSE 'DELETE' END AS op,
+         epoch_ms(ts) AS ts_ms, event_id, value, ts
+  FROM events
+  WHERE event_type IN ('click', 'view', 'purchase') AND user_id IS NOT NULL
+),
+old_snap AS (
+  SELECT user_id, op AS last_op, ts_ms AS last_ts_ms,
+         event_id AS last_event_id, round(value, 4) AS last_value, n_changes
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts_ms DESC, event_id DESC) AS rn,
+           count(*) OVER (PARTITION BY user_id) AS n_changes
+    FROM changes WHERE ts < TIMESTAMP '2024-01-16'
+  ) WHERE rn = 1 AND op <> 'DELETE'
+),
+delta AS (
+  SELECT user_id, op AS last_op, ts_ms AS last_ts_ms,
+         event_id AS last_event_id, round(value, 4) AS last_value, n_changes
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts_ms DESC, event_id DESC) AS rn,
+           count(*) OVER (PARTITION BY user_id) AS n_changes
+    FROM changes WHERE ts >= TIMESTAMP '2024-01-16'
+  ) WHERE rn = 1
+)
+SELECT coalesce(d.user_id, o.user_id) AS user_id,
+       CASE WHEN d.user_id IS NOT NULL THEN d.last_op ELSE o.last_op END AS last_op,
+       CASE WHEN d.user_id IS NOT NULL THEN d.last_ts_ms ELSE o.last_ts_ms END AS last_ts_ms,
+       CASE WHEN d.user_id IS NOT NULL THEN d.last_event_id ELSE o.last_event_id END AS last_event_id,
+       CASE WHEN d.user_id IS NOT NULL THEN d.last_value ELSE o.last_value END AS last_value,
+       CASE WHEN d.user_id IS NOT NULL THEN d.n_changes ELSE o.n_changes END AS n_changes
+FROM old_snap o
+FULL OUTER JOIN delta d ON o.user_id = d.user_id
+WHERE NOT coalesce(d.last_op = 'DELETE', FALSE)""",
         # the incremental maintenance contract IS batch equivalence:
         # after draining the chunked replay, the stored snapshot equals
         # apply_changes over all events -- same SQL verbatim

@@ -1798,3 +1798,56 @@ def test_round5_operators_empty_input_safe(spark):
     no_emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert pq_codes(no_emb).count() == 0
     assert pq_adc_topk(no_emb).count() == 0
+
+
+def test_merge_upsert_semantics(spark):
+    """Hand merge: update replaces the WHOLE row (source NULLs win --
+    never per-column resurrection of target values), insert adds,
+    delete removes, delete-of-absent no-ops, untouched rows pass."""
+    from binlog_avro_comparator_spark.operators.snapshot import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "k long, name string, v long",
+    )
+    source = spark.createDataFrame(
+        [
+            (2, None, 99, False),   # update: name becomes NULL
+            (4, "d", 40, False),    # insert
+            (3, "x", 0, True),      # delete
+            (5, "y", 0, True),      # delete of absent key: no-op
+        ],
+        "k long, name string, v long, is_del boolean",
+    )
+    got = {
+        r.k: (r.name, r.v)
+        for r in merge_upsert(target, source, ["k"], delete_col="is_del").collect()
+    }
+    assert got == {1: ("a", 10), 2: (None, 99), 4: ("d", 40)}
+
+
+def test_merge_upsert_snapshot_invariant(spark):
+    """merge(snapshot(<cutoff), delta(>=cutoff, tombstones kept))
+    carries exactly the LIVE keys of snapshot(all) -- key-set and
+    last-op agreement (n_changes differs by design: MERGE replaces
+    rows, it does not sum histories)."""
+    from binlog_avro_comparator_spark.operators.snapshot import (
+        apply_changes,
+        merge_upsert,
+    )
+    from binlog_avro_comparator_spark.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    target = apply_changes(ev.filter(F.col("ts") < cutoff))
+    delta = apply_changes(ev.filter(F.col("ts") >= cutoff), keep_deletes=True)
+    merged = merge_upsert(
+        target,
+        delta.withColumn("__d", F.col("last_op") == "DELETE"),
+        ["user_id"],
+        delete_col="__d",
+    )
+    full = apply_changes(ev)
+    m = {r.user_id: (r.last_op, r.last_event_id) for r in merged.collect()}
+    f = {r.user_id: (r.last_op, r.last_event_id) for r in full.collect()}
+    assert m == f
