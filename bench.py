@@ -133,6 +133,7 @@ EXTRA_QUERIES = [
     "ann_pq_adc_topk",
     "cdc_payload_diff_stream",
     "cdc_merge_upsert",
+    "doc_bm25_topk",
 ]
 
 

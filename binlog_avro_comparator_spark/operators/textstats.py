@@ -1235,3 +1235,66 @@ def term_pmi(
             ).alias("pmi"),
         )
     )
+
+
+def bm25_topk(
+    documents: DataFrame,
+    query_terms: tuple[str, ...] = ("spark", "join", "fast"),
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranked retrieval over the corpus for a fixed query-term
+    set -- the canonical lexical search scorer (Robertson/Sparck Jones;
+    the +1 idf form that stays positive at any df), the query-side
+    companion of ``inverted_index``.
+
+    Scale shape: the term filter is a tiny literal IN applied BEFORE
+    any aggregation, so only query-term postings ever aggregate or
+    shuffle; document length and the corpus stats are one
+    map-side-combined count and one 1-row broadcast scalar; per-term
+    df is a query-terms-sized frame.  The global top-k is
+    orderBy().limit() (TakeOrderedAndProject -- no single-task window
+    over the corpus), with the rank window applied only to the k
+    survivors.  Determinism: integer tf/dl, single-division avgdl,
+    expression shapes mirrored operation-for-operation in the oracle,
+    score rounded to 6 before ranking with a doc_id tie-break.
+
+    Returns (doc_id, score, rank)."""
+    toks = documents.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), F.lit(0))
+        ).alias("term"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("__n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("__avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*query_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfq = tf.groupBy("term").agg(F.count("*").alias("__df"))
+    scored = (
+        tf.join(F.broadcast(dfq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        ((F.col("__n_docs") - F.col("__df")).cast("double") + F.lit(0.5))
+        / (F.col("__df").cast("double") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    num = F.col("tf").cast("double") * F.lit(k1 + 1.0)
+    den = F.col("tf").cast("double") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.col("__avgdl")
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.round(F.sum(idf * num / den), 6).alias("score")
+    )
+    top = per_doc.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w))

@@ -1238,6 +1238,12 @@ def _q_doc_shingle_novelty(spark, sf_dir):
     return shingle_novelty(_docs(spark, sf_dir))
 
 
+def _q_doc_bm25_topk(spark, sf_dir):
+    from ..operators.textstats import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir))
+
+
 def _q_embedding_pq_codes(spark, sf_dir):
     from ..operators.similarity import pq_codes
 
@@ -2149,6 +2155,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_inverted_index": _q_doc_inverted_index,
         "doc_term_pmi": _q_doc_term_pmi,
         "doc_shingle_novelty": _q_doc_shingle_novelty,
+        "doc_bm25_topk": _q_doc_bm25_topk,
         "graph_supplier_pagerank": _q_graph_supplier_pagerank,
         "embedding_pq_codes": _q_embedding_pq_codes,
         "ann_pq_adc_topk": _q_ann_pq_adc_topk,
@@ -3235,6 +3242,43 @@ agg AS (
 SELECT a.term, a.df_docs, a.total_tf, r.doc_id AS top_doc_id, r.tf AS top_doc_tf
 FROM agg a JOIN ranked r ON a.term = r.term AND r.rn = 1
 WHERE a.df_docs >= 2""",
+        # twin of textstats.bm25_topk: expression shapes mirrored op
+        # for op (k1+1 written as the SUM 1.2+1.0, never the folded
+        # 2.2 literal -- they differ by an ulp); rank over the k
+        # survivors of an ORDER BY LIMIT
+        "doc_bm25_topk": f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ('spark', 'join', 'fast') GROUP BY 1, 2
+),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT t.doc_id,
+         round(sum(
+           ln((CAST(s.n_docs - q.df AS DOUBLE) + 0.5)
+              / (CAST(q.df AS DOUBLE) + 0.5) + 1.0)
+           * (CAST(t.tf AS DOUBLE) * (1.2 + 1.0))
+           / (CAST(t.tf AS DOUBLE)
+              + 1.2 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE) / s.avgdl))
+         ), 6) AS score
+  FROM tf t
+  JOIN dfq q USING (term)
+  JOIN dl d USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY t.doc_id
+)
+SELECT doc_id, score, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 10)
+)""",
         # twin of textstats.term_pmi: top-100 vocab by (df DESC, term),
         # doc-level co-occurrence self-join, natural-log PMI
         "doc_term_pmi": f"""

@@ -1851,3 +1851,31 @@ def test_merge_upsert_snapshot_invariant(spark):
     m = {r.user_id: (r.last_op, r.last_event_id) for r in merged.collect()}
     f = {r.user_id: (r.last_op, r.last_event_id) for r in full.collect()}
     assert m == f
+
+
+def test_bm25_prefers_rare_term_and_short_docs(spark):
+    """BM25 sanity on a hand corpus: a doc matching the RARE query
+    term outranks one matching only the common term; among equal-tf
+    matches the shorter document scores higher (length normalization);
+    non-matching docs are absent."""
+    from binlog_avro_comparator_spark.operators.textstats import bm25_topk
+
+    filler = " ".join(["pad"] * 30)
+    docs = spark.createDataFrame(
+        [
+            (1, "rare common"),                  # short, both terms
+            (2, "rare common " + filler),        # long, both terms
+            (3, "common " + filler),             # common only
+            (4, "common common common"),         # common only, high tf
+            (5, filler),                         # no match
+            (6, "common"),                       # common only, short
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, query_terms=("rare", "common"), k=6).collect()
+    ranked = [r.doc_id for r in sorted(out, key=lambda r: r.rank)]
+    assert 5 not in ranked
+    # rare-term docs hold the top two slots; short beats long
+    assert ranked[:2] == [1, 2]
+    scores = {r.doc_id: r.score for r in out}
+    assert scores[1] > scores[2] > scores[3]
