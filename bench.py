@@ -134,6 +134,7 @@ EXTRA_QUERIES = [
     "cdc_payload_diff_stream",
     "cdc_merge_upsert",
     "doc_bm25_topk",
+    "doc_weighted_sample",
 ]
 
 

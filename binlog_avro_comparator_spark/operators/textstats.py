@@ -1298,3 +1298,35 @@ def bm25_topk(
     top = per_doc.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def weighted_sample_topk(
+    documents: DataFrame, k: int = 50, weight_col: str = "n_chars"
+) -> DataFrame:
+    """Weighted sampling without replacement via the exponential-sort
+    trick (Efraimidis-Spirakis A-ES): each document draws a key
+    ln(u)/w from its portable hash-uniform u and weight w, and the
+    global top-k keys ARE a weighted sample without replacement -- the
+    standard one-pass distributed recipe (a sequential weighted
+    reservoir cannot shard; this is its exchangeable equivalent).
+
+    Determinism: u derives from the shared md5 word_hash (exact 48-bit
+    integer + 0.5, divided by 2^48 -- both operations exact), so every
+    engine draws the SAME "randomness"; the key is rounded to 1e-9
+    before ranking (ln differs by an ulp across libms) with a doc_id
+    tie-break.  One projection + TakeOrderedAndProject: no shuffle
+    beyond the top-k merge, any corpus size.
+
+    Returns (doc_id, weight, sample_key, rank)."""
+    u = (word_hash(F.col("doc_id").cast("string")).cast("double") + F.lit(0.5)) / F.lit(
+        float(1 << 48)
+    )
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 9)
+    keyed = documents.select(
+        "doc_id",
+        F.col(weight_col).alias("weight"),
+        key.alias("sample_key"),
+    )
+    top = keyed.orderBy(F.col("sample_key").desc(), F.col("doc_id").asc()).limit(k)
+    w = Window.orderBy(F.col("sample_key").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w))

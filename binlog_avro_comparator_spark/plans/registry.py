@@ -1244,6 +1244,12 @@ def _q_doc_bm25_topk(spark, sf_dir):
     return bm25_topk(_docs(spark, sf_dir))
 
 
+def _q_doc_weighted_sample(spark, sf_dir):
+    from ..operators.textstats import weighted_sample_topk
+
+    return weighted_sample_topk(_docs(spark, sf_dir))
+
+
 def _q_embedding_pq_codes(spark, sf_dir):
     from ..operators.similarity import pq_codes
 
@@ -2156,6 +2162,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_term_pmi": _q_doc_term_pmi,
         "doc_shingle_novelty": _q_doc_shingle_novelty,
         "doc_bm25_topk": _q_doc_bm25_topk,
+        "doc_weighted_sample": _q_doc_weighted_sample,
         "graph_supplier_pagerank": _q_graph_supplier_pagerank,
         "embedding_pq_codes": _q_embedding_pq_codes,
         "ann_pq_adc_topk": _q_ann_pq_adc_topk,
@@ -3278,6 +3285,21 @@ scored AS (
 SELECT doc_id, score, rank FROM (
   SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
   FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 10)
+)""",
+        # twin of textstats.weighted_sample_topk: same md5-derived
+        # uniform (exact integer + 0.5 over 2^48), ln-key rounded to
+        # 1e-9 (cross-libm ulp), doc_id tie-break
+        "doc_weighted_sample": """
+WITH keyed AS (
+  SELECT doc_id, n_chars AS weight,
+         round(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                        AS DOUBLE) + 0.5) / 281474976710656.0)
+               / CAST(n_chars AS DOUBLE), 9) AS sample_key
+  FROM documents
+)
+SELECT doc_id, weight, sample_key, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY sample_key DESC, doc_id) AS rank
+  FROM (SELECT * FROM keyed ORDER BY sample_key DESC, doc_id LIMIT 50)
 )""",
         # twin of textstats.term_pmi: top-100 vocab by (df DESC, term),
         # doc-level co-occurrence self-join, natural-log PMI

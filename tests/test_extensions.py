@@ -1879,3 +1879,27 @@ def test_bm25_prefers_rare_term_and_short_docs(spark):
     assert ranked[:2] == [1, 2]
     scores = {r.doc_id: r.score for r in out}
     assert scores[1] > scores[2] > scores[3]
+
+
+def test_weighted_sample_statistics_and_determinism(spark):
+    """A-ES sampling: over a 9:1 weight split, heavy docs dominate the
+    sample (statistical bound loose but decisive); output is invariant
+    under repartitioning; keys obey the exponential-sort form."""
+    from binlog_avro_comparator_spark.operators.textstats import (
+        weighted_sample_topk,
+    )
+
+    # 200 docs: ids < 100 weight 900, rest weight 100 -> heavy docs are
+    # 9x likelier per slot; expected heavy share of a k=40 sample is
+    # ~90%, demand > 60%
+    docs = spark.createDataFrame(
+        [(i, "t", 900 if i < 100 else 100) for i in range(200)],
+        "doc_id long, text string, n_chars long",
+    )
+    out = weighted_sample_topk(docs, k=40).collect()
+    assert len(out) == 40
+    heavy = sum(1 for r in out if r.doc_id < 100)
+    assert heavy > 24, heavy
+    again = weighted_sample_topk(docs.repartition(7), k=40).collect()
+    assert {(r.doc_id, r.rank) for r in again} == {(r.doc_id, r.rank) for r in out}
+    assert all(r.sample_key < 0 for r in out)  # ln(u)/w is negative
