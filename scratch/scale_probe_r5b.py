@@ -101,3 +101,31 @@ for mult in (1, 10):
         timed(f"transitions x{mult}", event_type_transitions(rep_events(mult)))
         o, li = rep_purchases(mult)
         timed(f"pagerank x{mult}", pagerank(purchase_edges(o, li)))
+
+
+# -- second wave: merge / bm25 / weighted sample ------------------------
+from binlog_avro_comparator_spark.operators.snapshot import (
+    apply_changes,
+    merge_upsert,
+)
+from binlog_avro_comparator_spark.operators.textstats import (
+    bm25_topk,
+    weighted_sample_topk,
+)
+
+if "--wave2" in sys.argv:
+    for mult in (1, 10):
+        with cache_scope():
+            print(f"--- wave2 mult={mult}")
+            ev = rep_events(mult)
+            cutoff = F.lit("2024-01-16").cast("timestamp")
+            tgt = apply_changes(ev.filter(F.col("ts") < cutoff))
+            delta = apply_changes(
+                ev.filter(F.col("ts") >= cutoff), keep_deletes=True
+            ).withColumn("__d", F.col("last_op") == "DELETE")
+            timed(
+                f"merge_upsert x{mult}",
+                merge_upsert(tgt, delta, ["user_id"], delete_col="__d"),
+            )
+            timed(f"bm25 x{mult}", bm25_topk(rep_docs(mult)))
+            timed(f"weighted_sample x{mult}", weighted_sample_topk(rep_docs(mult)))
