@@ -867,3 +867,42 @@ def test_content_checksum_multiset_property(spark, seed):
         ["binlog_file", "binlog_position"],
     ).collect()[0]
     assert (cc.n_rows, cc.checksum) != (ca.n_rows, ca.checksum), mutate
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_merge_upsert_matches_dict_fold(spark, seed):
+    """merge_upsert == the dict semantics of SQL MERGE: source row
+    present -> replaces the whole target row (source NULLs included);
+    flagged -> key removed; else target rows pass through."""
+    from binlog_avro_comparator_spark.operators.snapshot import merge_upsert
+
+    rng = random.Random(seed)
+    t_rows = [
+        (k, rng.choice([None, "a", "b", "c"]), rng.randrange(100))
+        for k in rng.sample(range(40), rng.randrange(1, 25))
+    ]
+    s_rows = [
+        (
+            k,
+            rng.choice([None, "x", "y"]),
+            rng.randrange(100),
+            rng.random() < 0.3,
+        )
+        for k in rng.sample(range(50), rng.randrange(1, 25))
+    ]
+    expect = {k: (n, v) for k, n, v in t_rows}
+    for k, n, v, is_del in s_rows:
+        if is_del:
+            expect.pop(k, None)
+        else:
+            expect[k] = (n, v)
+    target = spark.createDataFrame(t_rows, "k long, name string, v long")
+    source = spark.createDataFrame(
+        s_rows, "k long, name string, v long, is_del boolean"
+    )
+    got = {
+        r.k: (r.name, r.v)
+        for r in merge_upsert(target, source, ["k"], delete_col="is_del").collect()
+    }
+    assert got == expect
