@@ -42,7 +42,9 @@ def norm(v):
 def canon(df):
     cols = sorted(df.columns)
     return sorted(tuple(norm(v) for v in r) for r in df[cols].itertuples(index=False, name=None))
-for name in ["cdc_summary", "cdc_findings", "q1_pricing_summary", "ann_cosine_topk"]:
+for name in ["cdc_summary", "cdc_findings", "q1_pricing_summary", "ann_cosine_topk",
+             "cdc_merge_upsert", "doc_bm25_topk", "doc_weighted_sample",
+             "graph_supplier_pagerank", "embedding_pq_codes", "events_retention_cohorts"]:
     sdf = qs[name](spark, "/root/testdata/sf0.01").toPandas()
     ddf = con.sql(osql[name]).df()
     match = canon(sdf) == canon(ddf)
