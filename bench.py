@@ -135,6 +135,7 @@ EXTRA_QUERIES = [
     "cdc_merge_upsert",
     "doc_bm25_topk",
     "doc_weighted_sample",
+    "graph_near_dup_triangles",
 ]
 
 

@@ -114,3 +114,38 @@ def supplier_pagerank(
     table.  Returns (node, rank_units, rank) for 's:' nodes."""
     pr = pagerank(purchase_edges(orders, lineitem), n_iter=n_iter)
     return pr.filter(F.col("node").startswith("s:"))
+
+
+def triangles(edges: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame:
+    """Triangle enumeration over an ID-ORIENTED edge list (every edge
+    stored once with ``a < b`` -- exactly the shape the dedup tier's
+    candidate-pair operators emit): a triangle is (x, y, z), x<y<z,
+    with all three oriented edges present.  Over near-dup pairs,
+    triangles are mutually-similar cliques -- the dedup-QA signal
+    separating genuine duplicate clusters from chains of borderline
+    pairs (a cluster that is all triangles collapses safely; a chain
+    does not).
+
+    Shape: the classic oriented wedge join -- TWO equi-joins, wedge
+    (x,y)+(y,z) closed by (x,z).  ID orientation means each triangle
+    is found exactly once, no permutation dedup pass.  Skew bound:
+    wedge fan-out is per-node out-degree squared; upstream candidate
+    generators already cap per-node candidates (band sizing, rare-
+    shingle df caps), and at web scale you would re-orient by DEGREE
+    (lowest-degree vertex first) -- the standard bound making wedge
+    volume O(m^1.5); ID order stands in for it at fixture scale and
+    keeps the oracle twin trivial.  Returns (doc_a, doc_b, doc_c),
+    a < b < c."""
+    e = edges.select(F.col(a).alias("__x"), F.col(b).alias("__y"))
+    wedge = e.join(
+        e.select(F.col("__x").alias("__y"), F.col("__y").alias("__z")), "__y"
+    )
+    closing = e.select(F.col("__x"), F.col("__y").alias("__z"))
+    return (
+        wedge.join(closing, ["__x", "__z"])
+        .select(
+            F.col("__x").alias("doc_a"),
+            F.col("__y").alias("doc_b"),
+            F.col("__z").alias("doc_c"),
+        )
+    )

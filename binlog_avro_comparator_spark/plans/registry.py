@@ -1250,6 +1250,14 @@ def _q_doc_weighted_sample(spark, sf_dir):
     return weighted_sample_topk(_docs(spark, sf_dir))
 
 
+def _q_graph_near_dup_triangles(spark, sf_dir):
+    """Triangles over the LSH candidate pairs: mutually-similar
+    cliques, the dedup-QA view of the near-dup graph."""
+    from ..operators.graph import triangles
+
+    return triangles(lsh_candidate_pairs(_docs(spark, sf_dir)))
+
+
 def _q_embedding_pq_codes(spark, sf_dir):
     from ..operators.similarity import pq_codes
 
@@ -2164,6 +2172,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_bm25_topk": _q_doc_bm25_topk,
         "doc_weighted_sample": _q_doc_weighted_sample,
         "graph_supplier_pagerank": _q_graph_supplier_pagerank,
+        "graph_near_dup_triangles": _q_graph_near_dup_triangles,
         "embedding_pq_codes": _q_embedding_pq_codes,
         "ann_pq_adc_topk": _q_ann_pq_adc_topk,
         "doc_pack_sequences": _q_pack_sequences,
@@ -3183,6 +3192,17 @@ SELECT s.doc_id, count(*) AS n_shingles,
              / count(*), 6) AS novelty
 FROM shingle_hashes s JOIN first_holder f USING (h)
 GROUP BY s.doc_id""",
+        # twin of graph.triangles over the LSH pair CTE: oriented
+        # wedge + closing edge, each triangle found once
+        "graph_near_dup_triangles": (
+            f"WITH {_SHINGLE_CTE},\n"
+            f"sig AS (SELECT doc_id,\n    {_minhash_aggs()}\nFROM shingle_hashes GROUP BY doc_id),\n"
+            f"pairs AS (SELECT DISTINCT doc_a, doc_b FROM (\n{_lsh_band_union()}\n))\n"
+            """SELECT w1.doc_a, w1.doc_b, w2.doc_b AS doc_c
+FROM pairs w1
+JOIN pairs w2 ON w2.doc_a = w1.doc_b
+JOIN pairs c ON c.doc_a = w1.doc_a AND c.doc_b = w2.doc_b"""
+        ),
         # twin of similarity.pq_codes: the _KMEANS_CTE recipe per
         # subspace (prefixed, ord-rebased), long-format union
         "embedding_pq_codes": _pq_codes_sql(),

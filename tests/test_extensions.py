@@ -1903,3 +1903,17 @@ def test_weighted_sample_statistics_and_determinism(spark):
     again = weighted_sample_topk(docs.repartition(7), k=40).collect()
     assert {(r.doc_id, r.rank) for r in again} == {(r.doc_id, r.rank) for r in out}
     assert all(r.sample_key < 0 for r in out)  # ln(u)/w is negative
+
+
+def test_triangles_clique_vs_chain(spark):
+    """A 4-clique yields its C(4,3)=4 triangles exactly once each; a
+    4-chain yields none; orientation (a<b) is preserved."""
+    from binlog_avro_comparator_spark.operators.graph import triangles
+
+    clique = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    chain = [(10, 11), (11, 12), (12, 13)]
+    edges = spark.createDataFrame(clique + chain, "doc_a long, doc_b long")
+    got = sorted(
+        (r.doc_a, r.doc_b, r.doc_c) for r in triangles(edges).collect()
+    )
+    assert got == [(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)]
