@@ -136,6 +136,7 @@ EXTRA_QUERIES = [
     "doc_bm25_topk",
     "doc_weighted_sample",
     "graph_near_dup_triangles",
+    "events_cms_counts",
 ]
 
 

@@ -1898,3 +1898,60 @@ def event_type_transitions(events: DataFrame) -> DataFrame:
             F.col("n_transitions").cast("double") / F.col("__from_total"), 6
         ).alias("p_transition"),
     )
+
+
+def cms_type_counts(events: DataFrame, d: int = 4, w: int = 64) -> DataFrame:
+    """Count-Min Sketch frequency estimates next to exact truth -- the
+    bounded-memory COUNTER sketch (Cormode-Muthukrishnan) completing
+    the sketch family (HLL/KMV distinct, Misra-Gries heavy hitters):
+    d x w integer counters estimate any key's count with one-sided
+    error (est >= true, over-count <= N*e/w w.h.p.), and two sketches
+    merge by cell-wise addition -- which is EXACTLY what Spark's
+    partial aggregation does here, so the build is one map-side-
+    combined groupBy over (depth, bucket) keys: d*w counters cross the
+    wire per partition, never the stream.
+
+    Estimates query the d counters for each distinct key (broadcast
+    sketch, min over depths).  Every hash is the shared portable
+    md5-48bit (depth salted into the input), so counters, estimates,
+    and the overestimate gap are bit-identical in any engine -- unlike
+    engine-internal CMS implementations, the sketch itself is the
+    oracle-checked contract.  Returns (key, true_n, est_n, overcount)
+    with overcount >= 0 by construction."""
+    from .textstats import word_hash
+
+    key = F.col("event_type")
+    depths = F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("depth")
+    hashed = events.filter(key.isNotNull()).select(
+        key.alias("key"), depths
+    ).select(
+        "key",
+        "depth",
+        (
+            word_hash(F.concat(F.col("depth").cast("string"), F.lit(":"), F.col("key")))
+            % w
+        ).alias("bucket"),
+    )
+    sketch = hashed.groupBy("depth", "bucket").agg(F.count("*").alias("__c"))
+    truth = events.filter(key.isNotNull()).groupBy(key.alias("key")).agg(
+        F.count("*").alias("true_n")
+    )
+    probes = truth.select(
+        "key", "true_n", F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("depth")
+    ).select(
+        "key",
+        "true_n",
+        "depth",
+        (
+            word_hash(F.concat(F.col("depth").cast("string"), F.lit(":"), F.col("key")))
+            % w
+        ).alias("bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["depth", "bucket"])
+        .groupBy("key", "true_n")
+        .agg(F.min("__c").alias("est_n"))
+    )
+    return est.select(
+        "key", "true_n", "est_n", (F.col("est_n") - F.col("true_n")).alias("overcount")
+    )

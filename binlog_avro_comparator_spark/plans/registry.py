@@ -1216,6 +1216,13 @@ def _q_cdc_apply_changes(spark, sf_dir):
     return apply_changes(load_table(spark, sf_dir, "events"))
 
 
+def _q_events_cms_counts(spark, sf_dir):
+    from ..operators.analytics import cms_type_counts
+
+    ensure_session_conf(spark)
+    return cms_type_counts(load_table(spark, sf_dir, "events"))
+
+
 def _q_events_retention_cohorts(spark, sf_dir):
     ensure_session_conf(spark)
     return retention_cohorts(load_table(spark, sf_dir, "events"))
@@ -2166,6 +2173,7 @@ def queries() -> dict[str, QueryFn]:
         "events_funnel": _q_events_funnel,
         "events_retention_cohorts": _q_events_retention_cohorts,
         "events_type_transitions": _q_events_type_transitions,
+        "events_cms_counts": _q_events_cms_counts,
         "doc_inverted_index": _q_doc_inverted_index,
         "doc_term_pmi": _q_doc_term_pmi,
         "doc_shingle_novelty": _q_doc_shingle_novelty,
@@ -4115,6 +4123,30 @@ p AS (
 SELECT v.user_id, v.ts_ms AS view_ts_ms, c.ts_ms AS click_ts_ms, p.ts_ms AS purchase_ts_ms,
        1 + CAST(c.user_id IS NOT NULL AS INT) + CAST(p.user_id IS NOT NULL AS INT) AS stage_reached
 FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON v.user_id = p.user_id""",
+        # twin of analytics.cms_type_counts: same md5 depth-salted
+        # buckets, cell-wise counters, min-over-depths estimate
+        "events_cms_counts": f"""
+WITH hashed AS (
+  SELECT event_type AS key, d.depth,
+         ('0x' || substr(md5(CAST(d.depth AS VARCHAR) || ':' || event_type), 1, 12))::BIGINT % 64 AS bucket
+  FROM events
+  CROSS JOIN (SELECT unnest(range(4)) AS depth) d
+  WHERE event_type IS NOT NULL
+),
+sketch AS (SELECT depth, bucket, count(*) AS c FROM hashed GROUP BY 1, 2),
+truth AS (
+  SELECT event_type AS key, count(*) AS true_n FROM events
+  WHERE event_type IS NOT NULL GROUP BY 1
+),
+probes AS (
+  SELECT t.key, t.true_n, d.depth,
+         ('0x' || substr(md5(CAST(d.depth AS VARCHAR) || ':' || t.key), 1, 12))::BIGINT % 64 AS bucket
+  FROM truth t CROSS JOIN (SELECT unnest(range(4)) AS depth) d
+)
+SELECT p.key, p.true_n, CAST(min(s.c) AS BIGINT) AS est_n,
+       CAST(min(s.c) - p.true_n AS BIGINT) AS overcount
+FROM probes p JOIN sketch s ON s.depth = p.depth AND s.bucket = p.bucket
+GROUP BY p.key, p.true_n""",
         # twin of analytics.retention_cohorts: weekly cohorts, distinct
         # active weeks per user, offset matrix, rate vs offset-0 size
         "events_retention_cohorts": """

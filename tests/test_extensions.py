@@ -1917,3 +1917,28 @@ def test_triangles_clique_vs_chain(spark):
         (r.doc_a, r.doc_b, r.doc_c) for r in triangles(edges).collect()
     )
     assert got == [(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)]
+
+
+def test_cms_overestimates_and_narrow_width_collides(spark):
+    """CMS one-sided error: est >= true always; with a deliberately
+    tiny width (w=2) collisions force overcounts, while a comfortable
+    width yields exact counts for a handful of keys; partial-agg
+    mergeability = repartition invariance."""
+    from binlog_avro_comparator_spark.operators.analytics import cms_type_counts
+
+    rows = [
+        (i, 1_700_000_000_000_000 + i, 1, ["a", "b", "c", "d", "e"][i % 5], 1.0, "{}")
+        for i in range(500)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts_us long, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.timestamp_micros(F.col("ts_us"))).drop("ts_us")
+    wide = {r.key: r for r in cms_type_counts(ev, d=4, w=64).collect()}
+    assert all(r.overcount >= 0 for r in wide.values())
+    assert all(r.est_n == r.true_n for r in wide.values())  # 5 keys, 64 buckets
+    narrow = cms_type_counts(ev, d=2, w=2).collect()
+    assert all(r.est_n >= r.true_n for r in narrow)
+    assert any(r.overcount > 0 for r in narrow)  # 5 keys into 2 buckets must collide
+    again = {r.key: r.est_n for r in cms_type_counts(ev.repartition(9), d=4, w=64).collect()}
+    assert again == {k: r.est_n for k, r in wide.items()}
