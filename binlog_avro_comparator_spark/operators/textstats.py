@@ -1321,7 +1321,10 @@ def weighted_sample_topk(
     u = (word_hash(F.col("doc_id").cast("string")).cast("double") + F.lit(0.5)) / F.lit(
         float(1 << 48)
     )
-    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 9)
+    # + 0.0 canonicalizes IEEE signed zero: a tiny negative key that
+    # rounds to zero must compare equal across engines (-0.0 + 0.0 is
+    # +0.0 by the standard; found by the sf1 gate on a weight-1 doc)
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 9) + F.lit(0.0)
     keyed = documents.select(
         "doc_id",
         F.col(weight_col).alias("weight"),

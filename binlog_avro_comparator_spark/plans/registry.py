@@ -3322,7 +3322,7 @@ WITH keyed AS (
   SELECT doc_id, n_chars AS weight,
          round(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
                         AS DOUBLE) + 0.5) / 281474976710656.0)
-               / CAST(n_chars AS DOUBLE), 9) AS sample_key
+               / CAST(n_chars AS DOUBLE), 9) + 0.0 AS sample_key
   FROM documents
 )
 SELECT doc_id, weight, sample_key, rank FROM (
