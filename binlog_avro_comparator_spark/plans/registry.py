@@ -4812,29 +4812,40 @@ FROM t""",
         # island rule must too).  Boundary pinned by
         # test_session_window_gap_boundary: an event at EXACTLY
         # prev + gap still merges; only a strictly larger gap splits.
+        # Sessionize over DISTINCT (user, us) then join rows back: the
+        # lag-gap-island over raw rows is TIE-ORDER-SENSITIVE when a
+        # session boundary lands on a duplicated timestamp (an
+        # unflagged duplicate sorted before the flagged row attaches to
+        # the PREVIOUS session -- DuckDB's parallel sort made the
+        # oracle nondeterministic on a duplicate-heavy sf1 corpus;
+        # Spark's session_window has no such sensitivity).  Distinct
+        # timestamps have no ties, so the island assignment is unique.
         "events_session_stream": """
 WITH e AS (
   SELECT user_id, epoch_us(ts) AS us, value FROM events
+), d AS (
+  SELECT DISTINCT user_id, us FROM e
 ), flagged AS (
-  SELECT user_id, us, value,
+  SELECT user_id, us,
          CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
                    > 1800000000 THEN 1
               WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL THEN 1
               ELSE 0 END AS new_s
-  FROM e
+  FROM d
 ), sess AS (
-  SELECT user_id, us, value,
+  SELECT user_id, us,
          sum(new_s) OVER (PARTITION BY user_id ORDER BY us
                           ROWS UNBOUNDED PRECEDING) AS sid
   FROM flagged
 )
-SELECT user_id,
-       min(us) // 1000 AS session_start_ms,
-       (max(us) + 1800000000) // 1000 AS session_end_ms,
+SELECT e.user_id,
+       min(e.us) // 1000 AS session_start_ms,
+       (max(e.us) + 1800000000) // 1000 AS session_end_ms,
        count(*) AS n_events,
-       min(value) AS min_value,
-       max(value) AS max_value
-FROM sess GROUP BY user_id, sid""",
+       min(e.value) AS min_value,
+       max(e.value) AS max_value
+FROM e JOIN sess s ON s.user_id = e.user_id AND s.us = e.us
+GROUP BY e.user_id, s.sid""",
         # twin of the S2 binary path: the same fixture derivation the
         # text oracle uses, adjusted for what REAL binlog bytes carry
         # (XID events have no schema/table, Query events have schema
