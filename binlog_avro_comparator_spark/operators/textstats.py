@@ -374,6 +374,92 @@ def contamination_scores(
     )
 
 
+def bloom_contamination(
+    documents: DataFrame,
+    benchmark_max_id: int = 10,
+    k: int = 3,
+    m_bits: int = 4096,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination through a Bloom filter -- the form the
+    check takes when even the benchmark's distinct shingle SET is too
+    big to broadcast raw (a multi-suite eval battery of 13-grams runs
+    to billions of strings; its Bloom bitmap is a few hundred MB at a
+    1% false-positive rate).  `contamination_scores` broadcasts the
+    set itself; this operator compresses it to an m-bit bitmap and the
+    probe becomes pure bit arithmetic.
+
+    Everything is deterministic, so the filter IS the cross-engine
+    contract: positions come from the shared portable md5-48 hash
+    (depth salted into the input, the Count-Min idiom), the bitmap is
+    32-bit words in BIGINTs (shifts stay in non-negative range in any
+    engine), and even the false positives -- a Bloom filter's one
+    honest lie -- land on the same shingles everywhere.
+
+    Scale shape: the bitmap lives as an (m_bits/32)-row frame built by
+    one map-side-combined bit_or aggregate over benchmark positions
+    (never collected to the driver), and the corpus probe is
+    ``n_hashes`` BROADCAST joins against that <=m/32-row frame -- a
+    hit needs ALL depths set, computed as a per-row product of bit
+    tests, so the only real shuffle is the final per-doc aggregate.
+    False positives are the capacity dial: sized like the real thing
+    (m ~ 1.44 * n * log2(1/p) * n_hashes), the overcount is bounded by
+    p while the membership state shrinks ~10x vs exact shingle
+    broadcast.  Returns (doc_id, n_shingles, n_bloom_hits, bloom_rate)
+    for corpus docs; bloom_rate >= the exact contamination rate by
+    construction (no false negatives)."""
+    from .dedup import shingles
+
+    def pos_expr(j: int) -> F.Column:
+        return word_hash(
+            F.concat(F.lit(f"{j}:"), F.col("shingle"))
+        ) % m_bits
+
+    sh = shingles(documents, k).select("doc_id", "shingle")
+    bench_pos = (
+        sh.filter(F.col("doc_id") < benchmark_max_id)
+        .select("shingle")
+        .distinct()
+        .select(
+            F.explode(F.array(*[pos_expr(j) for j in range(n_hashes)])).alias("pos")
+        )
+    )
+    bitmap = bench_pos.groupBy(
+        F.floor(F.col("pos") / 32).alias("__w")
+    ).agg(
+        # shiftleft's python wrapper only takes a literal bit count
+        F.bit_or(F.expr("shiftleft(1L, cast(pos % 32 as int))")).alias("__bits")
+    )
+
+    probe = sh.filter(F.col("doc_id") >= benchmark_max_id)
+    hits = []
+    for j in range(n_hashes):
+        pos = pos_expr(j)
+        probe = probe.withColumn(f"__w{j}", F.floor(pos / 32)).withColumn(
+            f"__b{j}", (pos % 32).cast("int")
+        )
+        probe = probe.join(
+            F.broadcast(
+                bitmap.select(
+                    F.col("__w").alias(f"__w{j}"), F.col("__bits").alias(f"__bits{j}")
+                )
+            ),
+            on=f"__w{j}",
+            how="left",
+        )
+        # shiftright's python wrapper only takes a literal bit count;
+        # the SQL form accepts the per-row column
+        hits.append(F.expr(f"shiftright(coalesce(__bits{j}, 0L), __b{j}) & 1"))
+    bloom_hit = hits[0]
+    for h in hits[1:]:
+        bloom_hit = bloom_hit * h
+    return probe.select("doc_id", bloom_hit.alias("__hit")).groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum("__hit").alias("n_bloom_hits"),
+        F.round(F.sum("__hit") / F.count("*"), 6).alias("bloom_rate"),
+    )
+
+
 def shard_assignments(documents: DataFrame, n_shards: int = 32) -> DataFrame:
     """Training-shard assignment + balance report: documents hash to
     ``doc_id % n_shards``-free, layout-independent shards via the

@@ -951,6 +951,13 @@ def _q_contamination(spark, sf_dir):
     return contamination_scores(_docs(spark, sf_dir))
 
 
+def _q_doc_bloom_contamination(spark, sf_dir):
+    ensure_session_conf(spark)
+    from ..operators.textstats import bloom_contamination
+
+    return bloom_contamination(_docs(spark, sf_dir))
+
+
 def _q_shard_assignments(spark, sf_dir):
     ensure_session_conf(spark)
     return shard_assignments(_docs(spark, sf_dir))
@@ -2066,24 +2073,38 @@ def queries() -> dict[str, QueryFn]:
     # locally each round at sf0.01 AND sf0.1 by scratch/check.py
     # (endurance evidence in SCALE.md).
     return {
-        # -- never driver-verified (pre-r4) + the r3 red row: must all
-        # go green this round so that every registered query has had a
-        # green driver row in some round.  Freeze: no new registrations
-        # until that holds. --
-        "doc_unigram_logprob": _q_unigram_logprob,
-        "corpus_mixture_weights": _q_mixture_weights,
-        "doc_sample_k_per_group": _q_sample_k_per_group,
-        "customer_order_distribution": _q_customer_order_distribution,
-        "late_shipment_orders": _q_late_shipment_orders,
-        "monthly_revenue_growth": _q_monthly_revenue_growth,
-        "events_hll_distinct_users": _q_hll_distinct_users,
-        "star_data_quality": _q_data_quality_report,
-        "doc_length_bucket_padding": _q_length_bucket_padding,
-        "embedding_quantize_int8": _q_quantize_int8,
-        # -- queries whose implementation or oracle changed in r4
-        # (media decoder, stream-join boundary, UDTF tokenizer) --
-        "media_image_features": _q_media_features,
-        "events_left_join_stream": _q_events_left_join_stream,
+        # -- NEW in r5, never driver-verified: every registered query
+        # gets a driver row in its first round (r3 freeze rule), so
+        # all 17 r5 additions lead the window.  The payload tier +
+        # merge sit first (CDC core), then the corpus-analysis /
+        # retrieval / graph / sketch / PQ additions. --
+        "cdc_parse_binlog_rows": _q_cdc_parse_binlog_rows,
+        "cdc_payload_diff": _q_cdc_payload_diff,
+        "cdc_payload_diff_stream": _q_cdc_payload_diff_stream,
+        "cdc_payload_summary": _q_cdc_payload_summary,
+        "cdc_merge_upsert": _q_cdc_merge_upsert,
+        "events_retention_cohorts": _q_events_retention_cohorts,
+        "events_type_transitions": _q_events_type_transitions,
+        "events_cms_counts": _q_events_cms_counts,
+        "doc_inverted_index": _q_doc_inverted_index,
+        "doc_term_pmi": _q_doc_term_pmi,
+        "doc_shingle_novelty": _q_doc_shingle_novelty,
+        "doc_bm25_topk": _q_doc_bm25_topk,
+        "doc_weighted_sample": _q_doc_weighted_sample,
+        "graph_supplier_pagerank": _q_graph_supplier_pagerank,
+        "graph_near_dup_triangles": _q_graph_near_dup_triangles,
+        "embedding_pq_codes": _q_embedding_pq_codes,
+        "ann_pq_adc_topk": _q_ann_pq_adc_topk,
+        "doc_bloom_contamination": _q_doc_bloom_contamination,
+        # -- impl or oracle changed in r5 (ADVICE fixes: z-score zero
+        # guard, MG null-key contract, 5.7-after-8.0 ict reset,
+        # session-oracle tie order): re-certify under the driver --
+        "events_value_anomalies": _q_value_anomalies,
+        "events_burst_minutes": _q_burst_minutes,
+        "corpus_heavy_langs": _q_heavy_langs,
+        "cdc_parse_binlog_binary": _q_cdc_parse_binlog_binary,
+        "events_session_stream": _q_events_session_stream,
+        # -- r4-green regression coverage fills the window to 50 --
         "doc_top_terms_udtf": _q_top_terms_udtf,
         "lineitem_zorder_layout": _q_zorder_layout,
         "cdc_snapshot_incremental": _q_cdc_snapshot_incremental,
@@ -2103,12 +2124,6 @@ def queries() -> dict[str, QueryFn]:
         "excess_quantity_suppliers": _q_excess_quantity_suppliers,
         "idle_rich_customers": _q_idle_rich_customers,
         "doc_type_token_ratio": _q_type_token_ratio,
-        "events_session_stream": _q_events_session_stream,
-        "cdc_parse_binlog_binary": _q_cdc_parse_binlog_binary,
-        "cdc_parse_binlog_rows": _q_cdc_parse_binlog_rows,
-        "cdc_payload_diff": _q_cdc_payload_diff,
-        "cdc_payload_diff_stream": _q_cdc_payload_diff_stream,
-        "cdc_payload_summary": _q_cdc_payload_summary,
         "shipping_priority": _q_shipping_priority,
         "supplier_part_counts": _q_supplier_part_counts,
         "small_quantity_revenue": _q_small_quantity_revenue,
@@ -2117,29 +2132,34 @@ def queries() -> dict[str, QueryFn]:
         "doc_source_filter": _q_doc_source_filter,
         "events_enrich_stream": _q_events_enrich_stream,
         "doc_gopher_quality": _q_gopher_quality,
-        "corpus_heavy_langs": _q_heavy_langs,
         "cdc_latency_stats": _q_cdc_latency_stats,
         "media_video_frames_riff": _q_media_video_frames_riff,
         "events_time_rollup": _q_events_time_rollup,
         "events_gap_fill": _q_events_gap_fill,
         "cdc_snapshot_diff": _q_cdc_snapshot_diff,
-        "cdc_merge_upsert": _q_cdc_merge_upsert,
         "cdc_replica_checksums": _q_cdc_replica_checksums,
         "doc_arrow_slugs": _q_doc_slugs,
         "doc_levenshtein_pairs": _q_levenshtein_pairs,
-        "events_value_anomalies": _q_value_anomalies,
-        "events_burst_minutes": _q_burst_minutes,
-        # -- freshest green tier (r3 window, regression coverage) --
+        # -- freshest green tier (regression coverage) --
         "doc_boilerplate_removal": _q_remove_boilerplate,
         "embedding_semdedup": _q_semdedup,
         # ---- driver window boundary (position 50) ----
-        # (the 30 r4 additions above -- 14 relational/stream/binary,
-        # 4 TPC-H completions, source reputation x2, stream-static
-        # enrich, gopher rules, MG heavy hitters, CDC latency profile,
-        # RIFF-AVI video, time rollup, LOCF gap fill, snapshot diff,
-        # replica checksums, Arrow-UDF slugs -- pushed these r3-green
-        # rows out of the window; they keep their r2/r3 driver
-        # evidence)
+        # (the 17 r5 additions + 5 r5-changed re-certifications pushed
+        # these r4-green rows out of the window; they keep their r4
+        # driver evidence and stay value-verified each round by
+        # scratch/check.py at sf0.01 and sf0.1)
+        "doc_unigram_logprob": _q_unigram_logprob,
+        "corpus_mixture_weights": _q_mixture_weights,
+        "doc_sample_k_per_group": _q_sample_k_per_group,
+        "customer_order_distribution": _q_customer_order_distribution,
+        "late_shipment_orders": _q_late_shipment_orders,
+        "monthly_revenue_growth": _q_monthly_revenue_growth,
+        "events_hll_distinct_users": _q_hll_distinct_users,
+        "star_data_quality": _q_data_quality_report,
+        "doc_length_bucket_padding": _q_length_bucket_padding,
+        "embedding_quantize_int8": _q_quantize_int8,
+        "media_image_features": _q_media_features,
+        "events_left_join_stream": _q_events_left_join_stream,
         "events_join_stream": _q_events_join_stream,
         "big_ticket_orders": _q_big_ticket_orders,
         "doc_dsir_weights": _q_dsir_weights,
@@ -2171,18 +2191,6 @@ def queries() -> dict[str, QueryFn]:
         "regional_supplier_volume": _q_regional_supplier_volume,
         "part_profit_by_nation": _q_part_profit_by_nation,
         "events_funnel": _q_events_funnel,
-        "events_retention_cohorts": _q_events_retention_cohorts,
-        "events_type_transitions": _q_events_type_transitions,
-        "events_cms_counts": _q_events_cms_counts,
-        "doc_inverted_index": _q_doc_inverted_index,
-        "doc_term_pmi": _q_doc_term_pmi,
-        "doc_shingle_novelty": _q_doc_shingle_novelty,
-        "doc_bm25_topk": _q_doc_bm25_topk,
-        "doc_weighted_sample": _q_doc_weighted_sample,
-        "graph_supplier_pagerank": _q_graph_supplier_pagerank,
-        "graph_near_dup_triangles": _q_graph_near_dup_triangles,
-        "embedding_pq_codes": _q_embedding_pq_codes,
-        "ann_pq_adc_topk": _q_ann_pq_adc_topk,
         "doc_pack_sequences": _q_pack_sequences,
         "doc_chunks": _q_doc_chunks,
         "corpus_mixture_sample": _q_mixture_sample,
@@ -3200,6 +3208,38 @@ SELECT s.doc_id, count(*) AS n_shingles,
              / count(*), 6) AS novelty
 FROM shingle_hashes s JOIN first_holder f USING (h)
 GROUP BY s.doc_id""",
+        # twin of textstats.bloom_contamination: identical md5-48
+        # depth-salted positions, identical 32-bit-word bitmap, so the
+        # filter -- false positives included -- is the shared contract
+        "doc_bloom_contamination": f"""
+WITH {_SHINGLE_CTE},
+bench AS (SELECT DISTINCT shingle FROM doc_shingles WHERE doc_id < 10),
+bench_pos AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5(j::VARCHAR || ':' || shingle), 1, 12))::BIGINT % 4096 AS pos
+  FROM bench CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+),
+bitmap AS (
+  SELECT pos // 32 AS word, bit_or((1::BIGINT << (pos % 32)::INT)) AS bits
+  FROM bench_pos GROUP BY 1
+),
+probe AS (
+  SELECT doc_id, shingle,
+         ('0x' || substr(md5(j::VARCHAR || ':' || shingle), 1, 12))::BIGINT % 4096 AS pos
+  FROM doc_shingles CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+  WHERE doc_id >= 10
+),
+hits AS (
+  SELECT doc_id, shingle,
+         min(CASE WHEN (coalesce(b.bits, 0) >> (p.pos % 32)::INT) & 1 = 1
+                  THEN 1 ELSE 0 END) AS hit
+  FROM probe p LEFT JOIN bitmap b ON p.pos // 32 = b.word
+  GROUP BY doc_id, shingle
+)
+SELECT doc_id, count(*) AS n_shingles,
+       CAST(sum(hit) AS BIGINT) AS n_bloom_hits,
+       round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS bloom_rate
+FROM hits GROUP BY doc_id""",
         # twin of graph.triangles over the LSH pair CTE: oriented
         # wedge + closing edge, each triangle found once
         "graph_near_dup_triangles": (

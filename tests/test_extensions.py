@@ -1172,6 +1172,51 @@ def test_remove_boilerplate_by_lines(spark):
     assert got[5].text_clean == "standalone" and got[5].n_dropped == 0
 
 
+def test_bloom_contamination_no_false_negatives(spark):
+    """The Bloom variant must flag every shingle the exact broadcast
+    check flags (one-sided error), agree exactly when the bitmap is
+    collision-free, and collapse to the exact rates at generous m."""
+    from binlog_avro_comparator_spark.operators.textstats import (
+        bloom_contamination,
+        contamination_scores,
+    )
+
+    texts = ["the quick brown fox jumps over the lazy dog today"] + ["pad"] * 9
+    texts += [
+        "the quick brown fox jumps high",      # overlaps the benchmark
+        "completely novel text corpus for training runs",  # clean
+        "over the lazy dog today it leaps",    # partial overlap
+    ]
+    docs = _docs(spark, texts)
+    exact = {r.doc_id: r for r in contamination_scores(docs).collect()}
+    bloom = {r.doc_id: r for r in bloom_contamination(docs).collect()}
+    assert set(bloom) == set(exact)
+    for doc_id, ex in exact.items():
+        bl = bloom[doc_id]
+        assert bl.n_shingles == ex.n_shingles
+        # one-sided: never misses a true hit
+        assert bl.n_bloom_hits >= ex.n_contaminated
+    # at m=4096 with a handful of benchmark shingles, collisions are
+    # absent and the Bloom answer IS the exact answer
+    assert all(
+        bloom[d].n_bloom_hits == exact[d].n_contaminated for d in exact
+    )
+
+
+def test_bloom_contamination_single_shuffle_plan(spark):
+    """The corpus side must reach the per-doc aggregate through
+    broadcast joins only: no shuffle of corpus shingles, no sort-merge
+    join anywhere in the plan."""
+    from binlog_avro_comparator_spark.operators.textstats import (
+        bloom_contamination,
+    )
+
+    docs = _docs(spark, [f"alpha beta gamma delta {i} epsilon" for i in range(30)])
+    plan = bloom_contamination(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_fuzzy_contamination_catches_paraphrase(spark):
     """A corpus doc that lightly edits a benchmark doc still collides
     in some LSH band and scores a high (but < 1) exact Jaccard; an
