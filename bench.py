@@ -137,6 +137,8 @@ EXTRA_QUERIES = [
     "doc_weighted_sample",
     "graph_near_dup_triangles",
     "events_cms_counts",
+    "doc_bloom_contamination",
+    "events_hdr_quantiles",
 ]
 
 

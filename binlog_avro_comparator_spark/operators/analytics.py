@@ -1900,6 +1900,107 @@ def event_type_transitions(events: DataFrame) -> DataFrame:
     )
 
 
+def hdr_quantiles(
+    events: DataFrame, qs: tuple = (0.5, 0.9, 0.99)
+) -> DataFrame:
+    """Histogram-sketch quantiles (HdrHistogram-style) next to the
+    exact percentiles -- the QUANTILE member of the sketch family
+    (HLL/KMV distinct, CMS/Misra-Gries frequency): values land in
+    log-spaced buckets of 16 subbuckets per octave, per-partition
+    bucket counts merge by plain addition (Spark's partial aggregation
+    IS the sketch merge), and any quantile reads off the cumulative
+    histogram with relative error bounded by the bucket width (6.25%
+    worst-case, half that at the midpoint estimate).  This is how
+    latency percentiles actually get computed at 100 TB: an exact
+    percentile needs a global sort (or one pass per group through
+    approx_percentile's GK summaries); the histogram needs one
+    map-side-combined groupBy over a few hundred (type, bucket) keys,
+    is streamable, and two days' sketches merge cell-wise.
+
+    Determinism is the point: bucketing is PURE INTEGER bit
+    arithmetic -- centi-units, bit-length octaves, shifts -- with no
+    libm in sight, so the sketch, the picked buckets, and the midpoint
+    estimates are bit-identical in any engine.  The sketch itself is
+    the oracle-checked contract (the CMS/HLL discipline); the exact
+    R-7 percentile rides along to exhibit the error, which the bucket
+    geometry bounds.  Returns (event_type, q, est_value, exact_value,
+    rel_err)."""
+    qlits = [float(q) for q in qs]
+    u = F.floor(F.col("value") * 100).cast("long")
+    base = events.filter(F.col("value").isNotNull()).select(
+        "event_type", u.alias("__u")
+    )
+    # HdrHistogram index: values < 16 centi-units are exact (bucket =
+    # value); above, the top 5 bits place the value in (octave,
+    # subbucket) -- bin()'s digit count is floor(log2)+1, kept integer
+    b = F.length(F.bin(F.col("__u"))).cast("long")
+    top5 = F.expr("shiftright(__u, cast(length(bin(__u)) - 5 as int))")
+    idx = F.when(F.col("__u") < 16, F.col("__u")).otherwise(
+        (b - 5) * 16 + top5
+    )
+    hist = (
+        base.select("event_type", idx.alias("__idx"))
+        .groupBy("event_type", "__idx")
+        .agg(F.count("*").alias("__n"))
+    )
+    # the window runs over the AGGREGATED histogram only (a few
+    # hundred rows per type), never the event stream
+    cum = hist.withColumn(
+        "__cum",
+        F.sum("__n").over(
+            Window.partitionBy("event_type").orderBy("__idx")
+        ),
+    )
+    qarr = F.array(*[F.lit(q) for q in qlits])
+    ranks = (
+        hist.groupBy("event_type")
+        .agg(F.sum("__n").alias("__total"))
+        .select(
+            "event_type", "__total", F.explode(qarr).alias("q")
+        )
+        .withColumn("__rank", F.ceil(F.col("q") * F.col("__total")).cast("long"))
+    )
+    picked = (
+        cum.join(F.broadcast(ranks), "event_type")
+        .filter(F.col("__cum") >= F.col("__rank"))
+        .groupBy("event_type", "q")
+        .agg(F.min("__idx").alias("__pick"))
+    )
+    # invert the index to the bucket's [low, low+width) centi-range
+    low = F.when(F.col("__pick") < 16, F.col("__pick")).otherwise(
+        F.expr(
+            "shiftleft(16 + (__pick - 16) % 16, cast((__pick - 16) / 16 as int))"
+        )
+    )
+    width = F.when(F.col("__pick") < 16, F.lit(1).cast("long")).otherwise(
+        F.expr("shiftleft(1L, cast((__pick - 16) / 16 as int))")
+    )
+    est_raw = (low.cast("double") + width.cast("double") / 2.0) / 100.0
+    exact = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(F.percentile(F.col("value"), qarr).alias("__ps"))
+        .select(
+            "event_type",
+            F.posexplode("__ps").alias("__i", "__exact"),
+        )
+        .withColumn("q", F.element_at(qarr, F.col("__i") + 1))
+        .drop("__i")
+    )
+    joined = picked.join(exact, ["event_type", "q"])
+    rel = F.when(
+        F.col("__exact") > 0,
+        F.abs(est_raw - F.col("__exact")) / F.col("__exact"),
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        "event_type",
+        "q",
+        F.round(est_raw, 6).alias("est_value"),
+        F.round(F.col("__exact"), 6).alias("exact_value"),
+        F.round(rel, 6).alias("rel_err"),
+    )
+
+
 def cms_type_counts(events: DataFrame, d: int = 4, w: int = 64) -> DataFrame:
     """Count-Min Sketch frequency estimates next to exact truth -- the
     bounded-memory COUNTER sketch (Cormode-Muthukrishnan) completing

@@ -2002,6 +2002,13 @@ def _q_value_anomalies(spark, sf_dir):
     return value_anomalies(load_table(spark, sf_dir, "events"))
 
 
+def _q_hdr_quantiles(spark, sf_dir):
+    ensure_session_conf(spark)
+    from ..operators.analytics import hdr_quantiles
+
+    return hdr_quantiles(load_table(spark, sf_dir, "events"))
+
+
 def _q_levenshtein_pairs(spark, sf_dir):
     ensure_session_conf(spark)
     return levenshtein_near_pairs(_docs(spark, sf_dir))
@@ -2096,6 +2103,7 @@ def queries() -> dict[str, QueryFn]:
         "embedding_pq_codes": _q_embedding_pq_codes,
         "ann_pq_adc_topk": _q_ann_pq_adc_topk,
         "doc_bloom_contamination": _q_doc_bloom_contamination,
+        "events_hdr_quantiles": _q_hdr_quantiles,
         # -- impl or oracle changed in r5 (ADVICE fixes: z-score zero
         # guard, MG null-key contract, 5.7-after-8.0 ict reset,
         # session-oracle tie order): re-certify under the driver --
@@ -4762,6 +4770,59 @@ SELECT event_id, e.event_type AS event_type, value,
        abs(round(CASE WHEN std > 0 THEN (value - mean) / std
                       ELSE 0.0 END, 6)) > 3.0 AS is_anomaly
 FROM events e JOIN m ON e.event_type = m.event_type""",
+        # twin of analytics.hdr_quantiles: identical integer bucket
+        # arithmetic (centi-units, bin()-digit octaves, shifts), so the
+        # sketch, the picked buckets, and the midpoint estimates match
+        # bit-for-bit; the exact side is the R-7 percentile both
+        # engines compute identically (property-tested)
+        "events_hdr_quantiles": """
+WITH base AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS u
+  FROM events WHERE value IS NOT NULL
+),
+ix AS (
+  SELECT event_type,
+         CASE WHEN u < 16 THEN u
+              ELSE (length(bin(u)) - 5) * 16 + (u >> (length(bin(u)) - 5))
+         END AS idx
+  FROM base
+),
+hist AS (SELECT event_type, idx, count(*) AS n FROM ix GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, idx,
+         sum(n) OVER (PARTITION BY event_type ORDER BY idx) AS c
+  FROM hist
+),
+ranks AS (
+  SELECT event_type, q, CAST(ceil(q * total) AS BIGINT) AS r
+  FROM (SELECT event_type, sum(n) AS total FROM hist GROUP BY 1)
+  CROSS JOIN (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q)
+),
+picked AS (
+  SELECT c.event_type, r.q, min(c.idx) AS pick
+  FROM cum c JOIN ranks r ON c.event_type = r.event_type AND c.c >= r.r
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT event_type, q,
+         (CASE WHEN pick < 16 THEN pick
+               ELSE (16 + (pick - 16) % 16) << ((pick - 16) // 16) END
+          + (CASE WHEN pick < 16 THEN 1
+                  ELSE 1 << ((pick - 16) // 16) END) / 2.0) / 100.0 AS est_raw
+  FROM picked
+),
+exact AS (
+  SELECT event_type,
+         unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q,
+         unnest(quantile_cont(value, [0.5, 0.9, 0.99])) AS exact_raw
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+)
+SELECT e.event_type, e.q,
+       round(est_raw, 6) AS est_value,
+       round(exact_raw, 6) AS exact_value,
+       round(CASE WHEN exact_raw > 0 THEN abs(est_raw - exact_raw) / exact_raw
+                  ELSE 0.0 END, 6) AS rel_err
+FROM est e JOIN exact x ON e.event_type = x.event_type AND e.q = x.q""",
         # twin of textstats.doc_slugs (the Arrow scalar-UDF surface;
         # the transformation itself is SQL-expressible BY DESIGN so the
         # oracle certifies the plumbing, same policy as the UDTF tier)

@@ -1964,6 +1964,43 @@ def test_triangles_clique_vs_chain(spark):
     assert got == [(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)]
 
 
+def test_hdr_quantiles_bounded_error_and_merge_invariance(spark):
+    """Histogram-sketch quantiles: the midpoint estimate sits inside
+    the picked bucket, so the relative error against the exact R-7
+    percentile stays within the bucket geometry (6.25%/octave, plus
+    centi-unit quantization on small values); sub-16-centi values are
+    EXACT; and the bucket counts merge by addition, so the result is
+    partitioning-invariant."""
+    from binlog_avro_comparator_spark.operators.analytics import hdr_quantiles
+
+    rows = [
+        (i, 1_700_000_000_000_000 + i, 1, "click" if i % 2 else "view",
+         float(i % 200) + 0.37, "{}")
+        for i in range(400)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts_us long, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.timestamp_micros(F.col("ts_us"))).drop("ts_us")
+    out = hdr_quantiles(ev).collect()
+    assert len(out) == 2 * 3  # two types x three quantiles
+    assert all(r.rel_err <= 0.0725 for r in out), [
+        (r.event_type, r.q, r.rel_err) for r in out
+    ]
+    # values < 0.16 land in the exact unit buckets: estimate == value
+    tiny = spark.createDataFrame(
+        [(i, 1_700_000_000_000_000, 1, "t", 0.05, "{}") for i in range(20)],
+        "event_id long, ts_us long, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.timestamp_micros(F.col("ts_us"))).drop("ts_us")
+    trow = hdr_quantiles(tiny).collect()[0]
+    assert trow.est_value == 0.055 and trow.exact_value == 0.05
+    again = {
+        (r.event_type, r.q): r.est_value
+        for r in hdr_quantiles(ev.repartition(13)).collect()
+    }
+    assert again == {(r.event_type, r.q): r.est_value for r in out}
+
+
 def test_cms_overestimates_and_narrow_width_collides(spark):
     """CMS one-sided error: est >= true always; with a deliberately
     tiny width (w=2) collisions force overcounts, while a comfortable
