@@ -1938,7 +1938,11 @@ def hdr_quantiles(
     idx = F.when(F.col("__u") < 16, F.col("__u")).otherwise(
         (b - 5) * 16 + top5
     )
-    hist = (
+    from ..functions.caching import scoped_cache
+
+    # two plan subtrees read the histogram (cumulative walk + totals);
+    # scope-cache it so the event scan + bucket aggregate run once
+    hist = scoped_cache(
         base.select("event_type", idx.alias("__idx"))
         .groupBy("event_type", "__idx")
         .agg(F.count("*").alias("__n"))

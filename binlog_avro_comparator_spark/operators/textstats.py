@@ -424,11 +424,17 @@ def bloom_contamination(
             F.explode(F.array(*[pos_expr(j) for j in range(n_hashes)])).alias("pos")
         )
     )
-    bitmap = bench_pos.groupBy(
-        F.floor(F.col("pos") / 32).alias("__w")
-    ).agg(
-        # shiftleft's python wrapper only takes a literal bit count
-        F.bit_or(F.expr("shiftleft(1L, cast(pos % 32 as int))")).alias("__bits")
+    from ..functions.caching import scoped_cache
+
+    # scope-cached because n_hashes broadcast joins read it with
+    # different column aliases, which defeats exchange reuse -- without
+    # the cache the benchmark scan + shingle explode would run once PER
+    # DEPTH (plan-tested)
+    bitmap = scoped_cache(
+        bench_pos.groupBy(F.floor(F.col("pos") / 32).alias("__w")).agg(
+            # shiftleft's python wrapper only takes a literal bit count
+            F.bit_or(F.expr("shiftleft(1L, cast(pos % 32 as int))")).alias("__bits")
+        )
     )
 
     probe = sh.filter(F.col("doc_id") >= benchmark_max_id)

@@ -940,3 +940,38 @@ def test_payload_diff_stream_is_stateless(spark):
     }
     # column c exists only on the avro side -> the BINLOG side is null
     assert got == {(100, "b"): "MISMATCH", (200, "c"): "BINLOG_NULL"}
+
+
+def test_bloom_contamination_scans_documents_twice_only(spark):
+    """The bitmap is scope-cached: without it, each of the n_hashes
+    broadcast joins rebuilds the benchmark scan + shingle explode.
+    The whole plan must read documents exactly twice (probe + bench
+    bitmap build) and join only by broadcast."""
+    import re as _re
+
+    from binlog_avro_comparator_spark.operators.textstats import (
+        bloom_contamination,
+    )
+
+    plan = _plan(bloom_contamination(load_table(spark, SF, "documents")))
+    assert len(_re.findall(r"^\(\d+\) Scan parquet", plan, _re.M)) == 2, plan
+    assert "SortMergeJoin" not in plan
+    assert "InMemoryTableScan" in plan  # the cached bitmap, reused per depth
+
+
+def test_hdr_quantiles_scans_events_twice_only(spark):
+    """The bucket histogram is scope-cached (cumulative walk + totals
+    both read it); the only other scan is the exact-percentile side.
+    The quantile pick's window must run over the aggregated histogram,
+    never the event stream."""
+    import re as _re
+
+    from binlog_avro_comparator_spark.operators.analytics import hdr_quantiles
+
+    df = hdr_quantiles(load_table(spark, SF, "events"))
+    plan = _plan(df)
+    assert len(_re.findall(r"^\(\d+\) Scan parquet", plan, _re.M)) == 2, plan
+    # the Window node consumes the cached histogram, not a raw scan:
+    # its subtree below the sort is the InMemoryTableScan
+    assert "InMemoryTableScan" in plan
+    assert "SortMergeJoin" not in plan
