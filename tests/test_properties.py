@@ -906,3 +906,81 @@ def test_merge_upsert_matches_dict_fold(spark, seed):
         for r in merge_upsert(target, source, ["k"], delete_col="is_del").collect()
     }
     assert got == expect
+
+
+@settings(max_examples=6, deadline=None)
+@given(seed=st.integers(0, 10_000))
+def test_hdr_quantiles_match_python_reference(spark, seed):
+    """Property: the histogram-sketch estimate is the EXACT output of
+    the integer bucket walk -- a pure-Python replica of the bucketing
+    (centi-units, bit-length octaves, shifts) predicts est_value
+    bit-for-bit on random inputs, and the bucket geometry bounds the
+    relative error against the exact percentile."""
+    import math
+    import random
+
+    from binlog_avro_comparator_spark.operators.analytics import hdr_quantiles
+
+    rng = random.Random(seed)
+    vals = [round(rng.uniform(0.0, 600.0), 2) for _ in range(120)]
+    ev = spark.createDataFrame(
+        [(i, 1_700_000_000_000_000 + i, 1, "t", v, "{}") for i, v in enumerate(vals)],
+        "event_id long, ts_us long, user_id long, event_type string, value double, props string",
+    ).selectExpr("event_id", "timestamp_micros(ts_us) AS ts", "user_id",
+                 "event_type", "value", "props")
+
+    def ref_idx(v: float) -> int:
+        u = int(math.floor(v * 100))
+        if u < 16:
+            return u
+        b = u.bit_length()
+        return (b - 5) * 16 + (u >> (b - 5))
+
+    def ref_est(q: float) -> float:
+        hist: dict[int, int] = {}
+        for v in vals:
+            hist[ref_idx(v)] = hist.get(ref_idx(v), 0) + 1
+        rank = math.ceil(q * len(vals))
+        cum = 0
+        for idx in sorted(hist):
+            cum += hist[idx]
+            if cum >= rank:
+                break
+        if idx < 16:
+            low, width = idx, 1
+        else:
+            o, r = (idx - 16) // 16, (idx - 16) % 16
+            low, width = (16 + r) << o, 1 << o
+        return round((low + width / 2.0) / 100.0, 6)
+
+    rows = {r.q: r for r in hdr_quantiles(ev).collect()}
+    for q in (0.5, 0.9, 0.99):
+        assert rows[q].est_value == ref_est(q), (seed, q)
+        assert rows[q].rel_err <= 0.0725, (seed, q, rows[q].rel_err)
+
+
+@settings(max_examples=6, deadline=None)
+@given(seed=st.integers(0, 10_000))
+def test_bloom_contamination_superset_of_exact(spark, seed):
+    """Property: on random corpora the Bloom check never misses a true
+    contaminated shingle (one-sided error), per doc and in aggregate."""
+    import random
+
+    from binlog_avro_comparator_spark.operators.textstats import (
+        bloom_contamination,
+        contamination_scores,
+    )
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choices(vocab, k=rng.randrange(3, 25))) for _ in range(30)]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    exact = {r.doc_id: r for r in contamination_scores(docs).collect()}
+    bloom = {r.doc_id: r for r in bloom_contamination(docs).collect()}
+    assert set(bloom) == set(exact)
+    for d, ex in exact.items():
+        assert bloom[d].n_shingles == ex.n_shingles, (seed, d)
+        assert bloom[d].n_bloom_hits >= ex.n_contaminated, (seed, d)
