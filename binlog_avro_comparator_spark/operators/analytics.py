@@ -1923,7 +1923,11 @@ def hdr_quantiles(
     estimates are bit-identical in any engine.  The sketch itself is
     the oracle-checked contract (the CMS/HLL discipline); the exact
     R-7 percentile rides along to exhibit the error, which the bucket
-    geometry bounds.  Returns (event_type, q, est_value, exact_value,
+    geometry bounds.  Domain contract: values must be >= 0 (the
+    HdrHistogram assumption -- latencies, sizes, prices); a negative
+    value's two's-complement bit length would bucket it above
+    everything, so shift-to-positive at the caller like the real
+    library does.  Returns (event_type, q, est_value, exact_value,
     rel_err)."""
     qlits = [float(q) for q in qs]
     u = F.floor(F.col("value") * 100).cast("long")
