@@ -139,6 +139,8 @@ EXTRA_QUERIES = [
     "events_cms_counts",
     "doc_bloom_contamination",
     "events_hdr_quantiles",
+    "cdc_scd2_history",
+    "cdc_scd2_lookup",
 ]
 
 

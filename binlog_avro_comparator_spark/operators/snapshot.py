@@ -153,3 +153,89 @@ def merge_upsert(
         .select(*keys, F.coalesce("__s", "__t").alias("__r"))
         .select(*keys, *[F.col(f"__r.{c}").alias(c) for c in data_cols])
     )
+
+
+def scd2_history(events: DataFrame) -> DataFrame:
+    """Slowly-changing-dimension Type-2 history from the change
+    stream: every INSERT/UPDATE opens a dimension version carrying the
+    row's value, valid from its change time until the NEXT change of
+    any kind (a DELETE closes the open version without opening one) --
+    the warehouse-standard effective-dated form of the same stream
+    apply_changes folds to "current state only".  The reference
+    consumes its CDC stream positionally (compare_timestamps.go:147);
+    here order is data, the explicit (ts, event_id) pair, so the
+    intervals are deterministic under any partitioning.
+
+    Scale: one shuffle on the dimension key.  Both windows (the
+    lead() that closes intervals and the row_number() that numbers
+    versions) share the same partitioning, so Catalyst plans a single
+    Exchange; per-key state is the key's change count -- the same
+    bound sessionize already lives with -- and a hot key degrades one
+    task, not the stage (AQE skew split applies to the exchange).
+
+    Output: (user_id, version, op, value, valid_from_ms, valid_to_ms,
+    is_current) -- valid_to_ms NULL means the version is still open."""
+    from pyspark.sql import Window
+
+    op = F.lit(None).cast("string")
+    for src, dst in _OP.items():
+        op = F.when(F.col("event_type") == src, dst).otherwise(op)
+    ch = events.filter(
+        F.col("event_type").isin(*_OP) & F.col("user_id").isNotNull()
+    ).select(
+        "user_id",
+        "event_id",
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        op.alias("op"),
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    seq = ch.withColumn("valid_to_ms", F.lead("ts_ms").over(w))
+    versions = seq.filter(F.col("op") != F.lit("DELETE"))
+    return versions.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("version"),
+        "op",
+        F.round(F.col("value"), 4).alias("value"),
+        F.col("ts_ms").alias("valid_from_ms"),
+        "valid_to_ms",
+        F.col("valid_to_ms").isNull().alias("is_current"),
+    )
+
+
+def scd2_lookup(history: DataFrame, probes: DataFrame) -> DataFrame:
+    """Point-in-time (effective-dated) lookup against an SCD2 history:
+    for each probe (probe_event_id, user_id, probe_ts_ms), return the
+    version whose half-open validity interval [valid_from_ms,
+    valid_to_ms) covers the probe instant -- NULL version when the key
+    had no state yet (probe predates the first version, or lands in a
+    deleted gap).  This is the dimension-join every fact pipeline runs
+    against a Type-2 dimension: "what did the row look like WHEN the
+    fact happened", not "what does it look like now".
+
+    Scale: an equi-join on the dimension key with the interval
+    predicate as a residual filter -- a plain shuffled hash join, NOT
+    a range/theta join, because intervals of one key are disjoint by
+    construction so the residual keeps at most one row per probe.
+    Candidate volume per probe = that key's version count (the same
+    per-key bound as the history build), never a cross product."""
+    h = history.select(
+        F.col("user_id").alias("__hk"),
+        "version",
+        F.col("value").alias("state_value"),
+        "valid_from_ms",
+        "valid_to_ms",
+    )
+    cond = (
+        (F.col("user_id") == F.col("__hk"))
+        & (F.col("probe_ts_ms") >= F.col("valid_from_ms"))
+        & (F.col("valid_to_ms").isNull() | (F.col("probe_ts_ms") < F.col("valid_to_ms")))
+    )
+    return probes.join(h, cond, "left").select(
+        "probe_event_id",
+        "user_id",
+        "probe_ts_ms",
+        "version",
+        "state_value",
+        "valid_from_ms",
+    )

@@ -1972,6 +1972,36 @@ def _q_cdc_merge_upsert(spark, sf_dir):
     return merge_upsert(target, src, keys=["user_id"], delete_col="__is_delete")
 
 
+def _q_cdc_scd2_history(spark, sf_dir):
+    """Type-2 effective-dated history of the per-user dimension the
+    change stream describes: one row per surviving version with its
+    half-open validity interval -- the warehouse companion of
+    apply_changes (current state) and snapshot_diff (delta)."""
+    from ..operators.snapshot import scd2_history
+
+    ensure_session_conf(spark)
+    return scd2_history(load_table(spark, sf_dir, "events"))
+
+
+def _q_cdc_scd2_lookup(spark, sf_dir):
+    """Point-in-time dimension join: each error event probes the SCD2
+    history for the user's state AT the error instant (NULL when the
+    user had no live version yet -- pre-first-insert or inside a
+    deleted gap)."""
+    from ..operators.snapshot import scd2_history, scd2_lookup
+
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    probes = ev.filter(
+        (F.col("event_type") == "error") & F.col("user_id").isNotNull()
+    ).select(
+        F.col("event_id").alias("probe_event_id"),
+        "user_id",
+        F.unix_millis(F.col("ts")).alias("probe_ts_ms"),
+    )
+    return scd2_lookup(scd2_history(ev), probes)
+
+
 def _q_events_time_rollup(spark, sf_dir):
     ensure_session_conf(spark)
     return time_rollup(load_table(spark, sf_dir, "events"))
@@ -2090,6 +2120,8 @@ def queries() -> dict[str, QueryFn]:
         "cdc_payload_diff_stream": _q_cdc_payload_diff_stream,
         "cdc_payload_summary": _q_cdc_payload_summary,
         "cdc_merge_upsert": _q_cdc_merge_upsert,
+        "cdc_scd2_history": _q_cdc_scd2_history,
+        "cdc_scd2_lookup": _q_cdc_scd2_lookup,
         "events_retention_cohorts": _q_events_retention_cohorts,
         "events_type_transitions": _q_events_type_transitions,
         "events_cms_counts": _q_events_cms_counts,
@@ -4065,6 +4097,70 @@ SELECT doc_id, lang, source, bucket,
 FROM b""",
         "cdc_apply_changes": _APPLY_CHANGES_SQL,
         "cdc_snapshot_diff": _SNAPSHOT_DIFF_SQL,
+        # twin of snapshot.scd2_history: lead() over ALL changes closes
+        # intervals (a DELETE terminates the open version), then the
+        # version numbering runs over the surviving INSERT/UPDATE rows
+        # only -- same two-window construction, same (ts, event_id)
+        # order-as-data tiebreak
+        "cdc_scd2_history": """
+WITH ch AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+         CASE event_type WHEN 'click' THEN 'INSERT'
+                         WHEN 'view' THEN 'UPDATE'
+                         WHEN 'purchase' THEN 'DELETE' END AS op,
+         value
+  FROM events
+  WHERE event_type IN ('click','view','purchase') AND user_id IS NOT NULL
+),
+seq AS (
+  SELECT *, lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)
+              AS valid_to_ms
+  FROM ch
+)
+SELECT user_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)
+         AS version,
+       op, round(value, 4) AS value,
+       ts_ms AS valid_from_ms, valid_to_ms,
+       (valid_to_ms IS NULL) AS is_current
+FROM seq WHERE op <> 'DELETE'""",
+        # twin of snapshot.scd2_lookup: same history CTE, probes are the
+        # error events, half-open interval containment; LEFT JOIN keeps
+        # stateless probes (pre-first-version or in a deleted gap)
+        "cdc_scd2_lookup": """
+WITH ch AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+         CASE event_type WHEN 'click' THEN 'INSERT'
+                         WHEN 'view' THEN 'UPDATE'
+                         WHEN 'purchase' THEN 'DELETE' END AS op,
+         value
+  FROM events
+  WHERE event_type IN ('click','view','purchase') AND user_id IS NOT NULL
+),
+seq AS (
+  SELECT *, lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)
+              AS valid_to_ms
+  FROM ch
+),
+hist AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)
+           AS version,
+         round(value, 4) AS state_value,
+         ts_ms AS valid_from_ms, valid_to_ms
+  FROM seq WHERE op <> 'DELETE'
+),
+probes AS (
+  SELECT event_id AS probe_event_id, user_id, epoch_ms(ts) AS probe_ts_ms
+  FROM events WHERE event_type = 'error' AND user_id IS NOT NULL
+)
+SELECT p.probe_event_id, p.user_id, p.probe_ts_ms,
+       h.version, h.state_value, h.valid_from_ms
+FROM probes p
+LEFT JOIN hist h
+  ON p.user_id = h.user_id
+ AND p.probe_ts_ms >= h.valid_from_ms
+ AND (h.valid_to_ms IS NULL OR p.probe_ts_ms < h.valid_to_ms)""",
         # twin of snapshot.merge_upsert over the same cutoff split:
         # source row present -> ALL its columns win (row-wise CASE,
         # mirroring the struct coalesce -- never per-column coalesce,

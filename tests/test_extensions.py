@@ -2024,3 +2024,71 @@ def test_cms_overestimates_and_narrow_width_collides(spark):
     assert any(r.overcount > 0 for r in narrow)  # 5 keys into 2 buckets must collide
     again = {r.key: r.est_n for r in cms_type_counts(ev.repartition(9), d=4, w=64).collect()}
     assert again == {k: r.est_n for k, r in wide.items()}
+
+
+def test_scd2_history_intervals(spark):
+    """INSERT/UPDATE open versions, any next change closes the open
+    one, a DELETE closes without opening -- and the post-delete
+    re-insert starts a NEW interval after a coverage gap."""
+    from binlog_avro_comparator_spark.operators.snapshot import scd2_history
+
+    base = 1_700_000_000_000_000  # microseconds
+    s = 1_000_000
+    ev = _events(
+        spark,
+        [
+            (1, base, 10, "click", 1.0, "{}"),           # v1
+            (2, base + 1 * s, 10, "view", 2.0, "{}"),    # v2
+            (3, base + 2 * s, 10, "purchase", 0.0, "{}"),  # DELETE closes v2
+            (4, base + 3 * s, 10, "click", 9.0, "{}"),   # v3, open
+            (5, base, 20, "signup", 5.0, "{}"),          # non-DML: no version
+        ],
+    )
+    rows = {r.version: r for r in scd2_history(ev).collect()}
+    ms = base // 1000
+    assert set(rows) == {1, 2, 3}
+    assert (rows[1].valid_from_ms, rows[1].valid_to_ms) == (ms, ms + 1000)
+    assert (rows[2].valid_from_ms, rows[2].valid_to_ms) == (ms + 1000, ms + 2000)
+    assert rows[2].op == "UPDATE" and not rows[2].is_current
+    # v3 opens AFTER the deleted gap [t+2s, t+3s) and stays open
+    assert rows[3].valid_from_ms == ms + 3000 and rows[3].valid_to_ms is None
+    assert rows[3].is_current and rows[3].value == 9.0
+
+
+def test_scd2_lookup_point_in_time(spark):
+    """Probes resolve against the half-open interval containing them:
+    inclusive of valid_from, exclusive of valid_to; NULL before the
+    first version and inside a deleted gap."""
+    from binlog_avro_comparator_spark.operators.snapshot import (
+        scd2_history,
+        scd2_lookup,
+    )
+
+    base = 1_700_000_000_000_000
+    s = 1_000_000
+    ev = _events(
+        spark,
+        [
+            (1, base, 10, "click", 1.0, "{}"),
+            (2, base + 1 * s, 10, "view", 2.0, "{}"),
+            (3, base + 2 * s, 10, "purchase", 0.0, "{}"),
+            (4, base + 3 * s, 10, "click", 9.0, "{}"),
+        ],
+    )
+    ms = base // 1000
+    probes = spark.createDataFrame(
+        [
+            (100, 10, ms - 1),     # pre-first-version -> NULL
+            (101, 10, ms),         # == valid_from of v1 -> v1 (inclusive)
+            (102, 10, ms + 999),   # inside v1
+            (103, 10, ms + 1000),  # == valid_to of v1 -> v2 (exclusive end)
+            (104, 10, ms + 2500),  # deleted gap -> NULL
+            (105, 10, ms + 9000),  # open current version -> v3
+        ],
+        "probe_event_id long, user_id long, probe_ts_ms long",
+    )
+    got = {
+        r.probe_event_id: r.version
+        for r in scd2_lookup(scd2_history(ev), probes).collect()
+    }
+    assert got == {100: None, 101: 1, 102: 1, 103: 2, 104: None, 105: 3}

@@ -975,3 +975,39 @@ def test_hdr_quantiles_scans_events_twice_only(spark):
     # its subtree below the sort is the InMemoryTableScan
     assert "InMemoryTableScan" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_scd2_history_single_exchange(spark):
+    """Both windows (interval-closing lead and version row_number)
+    share the user_id partitioning: ONE Exchange, never two."""
+    import re as _re
+
+    from binlog_avro_comparator_spark.operators.snapshot import scd2_history
+
+    plan = _plan(scd2_history(load_table(spark, SF, "events")))
+    shuffles = _re.findall(r"^\(\d+\) Exchange", plan, _re.M)
+    assert len(shuffles) == 1, plan
+
+
+def test_scd2_lookup_equi_join_not_range(spark):
+    """The point-in-time lookup must plan as an equi hash join on the
+    dimension key with the interval as residual -- disjoint intervals
+    make the residual selective, so no range/theta join machinery and
+    never a cartesian product."""
+    from binlog_avro_comparator_spark.operators.snapshot import (
+        scd2_history,
+        scd2_lookup,
+    )
+
+    ev = load_table(spark, SF, "events")
+    probes = ev.filter(
+        (F.col("event_type") == "error") & F.col("user_id").isNotNull()
+    ).select(
+        F.col("event_id").alias("probe_event_id"),
+        "user_id",
+        F.unix_millis(F.col("ts")).alias("probe_ts_ms"),
+    )
+    plan = _plan(scd2_lookup(scd2_history(ev), probes))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
