@@ -141,6 +141,7 @@ EXTRA_QUERIES = [
     "events_hdr_quantiles",
     "cdc_scd2_history",
     "cdc_scd2_lookup",
+    "lineitem_measure_profile",
 ]
 
 

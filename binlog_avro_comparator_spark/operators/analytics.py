@@ -2064,3 +2064,44 @@ def cms_type_counts(events: DataFrame, d: int = 4, w: int = 64) -> DataFrame:
     return est.select(
         "key", "true_n", "est_n", (F.col("est_n") - F.col("true_n")).alias("overcount")
     )
+
+
+def measure_profile(lineitem: DataFrame) -> DataFrame:
+    """Long-form measure profile: UNPIVOT the wide numeric measures to
+    (measure, value) rows -- the melt every feature-statistics pass
+    over a training table starts with -- then one GROUPING SETS
+    aggregate producing both the per-returnflag and the measure-total
+    stats in a single pass.  The two relational verbs the repo had not
+    yet exercised as first-class operators: df.unpivot (an Expand, one
+    scan, zero shuffle, never a per-measure UNION of scans) and
+    df.groupingSets (a second Expand + ONE shuffled hash aggregate for
+    all grouping sets -- never one aggregate per set).
+
+    Scale: Expand multiplies rows 4x BEFORE the partial aggregate, but
+    partial aggregation collapses them map-side to ~(flags x measures
+    x sets) keys, so the shuffle carries dozens of rows regardless of
+    fact size.  Sums are decimal-exact then cast to double (the q1
+    discipline), so any engine and any partitioning produce identical
+    bits; avg is one double division of those exacts.  is_total =
+    grouping(l_returnflag) disambiguates the rolled-up rows from a
+    hypothetical NULL flag value."""
+    measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    melted = lineitem.select("l_returnflag", *measures).unpivot(
+        ["l_returnflag"], measures, "measure", "value"
+    )
+    return (
+        melted.groupingSets(
+            [["l_returnflag", "measure"], ["measure"]], "l_returnflag", "measure"
+        )
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("is_total"),
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+            F.round(
+                F.sum(F.col("value").cast(_DEC)).cast("double") / F.count("*"), 6
+            ).alias("avg_value"),
+        )
+        .select(
+            "l_returnflag", "measure", "is_total", "n", "sum_value", "avg_value"
+        )
+    )

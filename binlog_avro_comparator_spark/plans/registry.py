@@ -2002,6 +2002,16 @@ def _q_cdc_scd2_lookup(spark, sf_dir):
     return scd2_lookup(scd2_history(ev), probes)
 
 
+def _q_lineitem_measure_profile(spark, sf_dir):
+    """UNPIVOT + GROUPING SETS in one pass: melt the four lineitem
+    measures to long form (one Expand, zero shuffle), then a single
+    grouping-sets aggregate emits per-flag and measure-total stats."""
+    from ..operators.analytics import measure_profile
+
+    ensure_session_conf(spark)
+    return measure_profile(load_table(spark, sf_dir, "lineitem"))
+
+
 def _q_events_time_rollup(spark, sf_dir):
     ensure_session_conf(spark)
     return time_rollup(load_table(spark, sf_dir, "events"))
@@ -2122,6 +2132,7 @@ def queries() -> dict[str, QueryFn]:
         "cdc_merge_upsert": _q_cdc_merge_upsert,
         "cdc_scd2_history": _q_cdc_scd2_history,
         "cdc_scd2_lookup": _q_cdc_scd2_lookup,
+        "lineitem_measure_profile": _q_lineitem_measure_profile,
         "events_retention_cohorts": _q_events_retention_cohorts,
         "events_type_transitions": _q_events_type_transitions,
         "events_cms_counts": _q_events_cms_counts,
@@ -4161,6 +4172,27 @@ LEFT JOIN hist h
   ON p.user_id = h.user_id
  AND p.probe_ts_ms >= h.valid_from_ms
  AND (h.valid_to_ms IS NULL OR p.probe_ts_ms < h.valid_to_ms)""",
+        # twin of analytics.measure_profile: explicit UNION ALL melt
+        # (the unpivot), GROUPING SETS over it, decimal-exact sums cast
+        # to double (the q1 discipline), grouping() marker mirrored
+        "lineitem_measure_profile": """
+WITH m AS (
+  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_tax', l_tax FROM lineitem
+)
+SELECT l_returnflag, measure,
+       CAST(grouping(l_returnflag) AS INT) AS is_total,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+       round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6)
+         AS avg_value
+FROM m
+GROUP BY GROUPING SETS ((l_returnflag, measure), (measure))""",
         # twin of snapshot.merge_upsert over the same cutoff split:
         # source row present -> ALL its columns win (row-wise CASE,
         # mirroring the struct coalesce -- never per-column coalesce,

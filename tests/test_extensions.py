@@ -2092,3 +2092,27 @@ def test_scd2_lookup_point_in_time(spark):
         for r in scd2_lookup(scd2_history(ev), probes).collect()
     }
     assert got == {100: None, 101: 1, 102: 1, 103: 2, 104: None, 105: 3}
+
+
+def test_measure_profile_sets_and_totals(spark):
+    """The melt produces one row per (row, measure); the grouping sets
+    emit per-flag stats AND measure totals in the same frame, totals
+    marked is_total=1 with a NULL flag; sums are decimal-exact."""
+    from binlog_avro_comparator_spark.operators.analytics import measure_profile
+
+    li = spark.createDataFrame(
+        [("A", 1.0, 10.0, 0.1, 0.02), ("A", 2.0, 20.0, 0.2, 0.04),
+         ("R", 4.0, 40.0, 0.3, 0.06)],
+        "l_returnflag string, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double",
+    )
+    rows = measure_profile(li).collect()
+    # 2 flags x 4 measures + 4 measure totals
+    assert len(rows) == 12
+    per = {(r.l_returnflag, r.measure): r for r in rows if r.is_total == 0}
+    tot = {r.measure: r for r in rows if r.is_total == 1}
+    assert all(r.l_returnflag is None for r in tot.values())
+    assert per[("A", "l_quantity")].sum_value == 3.0
+    assert per[("A", "l_quantity")].avg_value == 1.5
+    assert tot["l_quantity"].n == 3 and tot["l_quantity"].sum_value == 7.0
+    assert tot["l_discount"].sum_value == 0.6  # decimal sum: no fp drift

@@ -1011,3 +1011,18 @@ def test_scd2_lookup_equi_join_not_range(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_measure_profile_one_shuffle_two_expands(spark):
+    """Unpivot and grouping sets must each plan as an Expand over ONE
+    scan, with a single shuffled hash aggregate for all grouping sets
+    -- never a per-measure scan union or a per-set aggregate."""
+    import re as _re
+
+    from binlog_avro_comparator_spark.operators.analytics import measure_profile
+
+    plan = _plan(measure_profile(load_table(spark, SF, "lineitem")))
+    assert len(_re.findall(r"^\(\d+\) Expand", plan, _re.M)) == 2, plan
+    assert len(_re.findall(r"^\(\d+\) Exchange", plan, _re.M)) == 1, plan
+    assert len(_re.findall(r"^\(\d+\) Scan parquet", plan, _re.M)) == 1, plan
+    assert "partial_" in plan  # map-side combine below the one shuffle
