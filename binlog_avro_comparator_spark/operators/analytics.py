@@ -1923,11 +1923,15 @@ def hdr_quantiles(
     estimates are bit-identical in any engine.  The sketch itself is
     the oracle-checked contract (the CMS/HLL discipline); the exact
     R-7 percentile rides along to exhibit the error, which the bucket
-    geometry bounds.  Domain contract: values must be >= 0 (the
-    HdrHistogram assumption -- latencies, sizes, prices); a negative
-    value's two's-complement bit length would bucket it above
-    everything, so shift-to-positive at the caller like the real
-    library does.  Returns (event_type, q, est_value, exact_value,
+    geometry bounds.  Domain note: the geometry is designed for >= 0
+    values (the HdrHistogram assumption -- latencies, sizes, prices).
+    Negative centi-units are still handled deterministically: the
+    ``__u < 16`` branch catches them FIRST (in both the Spark impl and
+    the DuckDB oracle), so they land in exact unit buckets that sort
+    below every positive bucket and quantiles invert correctly -- they
+    just get exact (width-1) buckets instead of log-spaced ones, so a
+    wide negative domain inflates the histogram's key count rather
+    than its error.  Returns (event_type, q, est_value, exact_value,
     rel_err)."""
     qlits = [float(q) for q in qs]
     u = F.floor(F.col("value") * 100).cast("long")
@@ -1996,15 +2000,21 @@ def hdr_quantiles(
         .drop("__i")
     )
     joined = picked.join(exact, ["event_type", "q"])
+    # ulp absorption (doc_weighted_sample discipline): Spark's
+    # `percentile` and DuckDB's `quantile_cont` are both R-7 but may
+    # evaluate the lerp in a different order, so pre-round the exact
+    # value at 1e-9 before the published 6-dp round -- otherwise a
+    # 1-ulp difference can flip the 6th decimal of exact_value/rel_err
+    exact9 = F.round(F.col("__exact"), 9)
     rel = F.when(
-        F.col("__exact") > 0,
-        F.abs(est_raw - F.col("__exact")) / F.col("__exact"),
+        exact9 > 0,
+        F.abs(est_raw - exact9) / exact9,
     ).otherwise(F.lit(0.0))
     return joined.select(
         "event_type",
         "q",
         F.round(est_raw, 6).alias("est_value"),
-        F.round(F.col("__exact"), 6).alias("exact_value"),
+        F.round(exact9, 6).alias("exact_value"),
         F.round(rel, 6).alias("rel_err"),
     )
 

@@ -188,7 +188,11 @@ def _render_binlog_binary(fname: str, rows: list[dict]) -> tuple[str, bytes]:
     from ..sources.binlog_binary import encode_binlog_file
 
     rows.sort(key=lambda r: r["line_no"])
-    return fname, encode_binlog_file(rows)
+    # deterministic mix of binlog_checksum=CRC32 (the MySQL 8.0
+    # default; even-numbered segments) and checksum-free files
+    # (odd-numbered), so every oracle run over the binary fixtures
+    # certifies BOTH decoder paths -- CRC tail verify+strip and plain
+    return fname, encode_binlog_file(rows, checksum=int(fname[-1]) % 2 == 0)
 
 
 def _render_parser_text(fname: str, rows: list[dict]) -> tuple[str, bytes]:
@@ -4940,9 +4944,12 @@ est AS (
   FROM picked
 ),
 exact AS (
+  -- ulp absorption: pre-round the R-7 percentile at 1e-9 before the
+  -- published 6-dp round (quantile_cont's lerp order may differ from
+  -- Spark's percentile by an ulp; the pre-round makes both identical)
   SELECT event_type,
          unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q,
-         unnest(quantile_cont(value, [0.5, 0.9, 0.99])) AS exact_raw
+         round(unnest(quantile_cont(value, [0.5, 0.9, 0.99])), 9) AS exact_raw
   FROM events WHERE value IS NOT NULL GROUP BY event_type
 )
 SELECT e.event_type, e.q,

@@ -49,7 +49,9 @@ payload retained after its row is emitted.
 
 from __future__ import annotations
 
+import re
 import struct
+import zlib
 from collections.abc import Iterator
 from datetime import datetime, timezone
 
@@ -57,6 +59,19 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 MAGIC = b"\xfebin"
 HEADER_LEN = 19
+
+# binlog_checksum algorithm codes (public MySQL constants).  Servers
+# >= 5.6.1 write the algorithm byte into the FORMAT_DESCRIPTION event
+# (last data byte before the FDE's own 4-byte checksum field); when the
+# algorithm is CRC32 -- the MySQL 8.0 DEFAULT -- every subsequent event
+# carries a 4-byte CRC32 tail INSIDE its event_size that is NOT part of
+# the event body.  Without stripping it, the row-image decoder can
+# misread the CRC bytes as a phantom all-NULL row image (<= 8-column
+# tables) -- a wrong answer, not a skip.
+BINLOG_CHECKSUM_ALG_OFF = 0
+BINLOG_CHECKSUM_ALG_CRC32 = 1
+BINLOG_CHECKSUM_ALG_UNDEF = 0xFF
+_CHECKSUM_MIN_VERSION = (5, 6, 1)
 
 FORMAT_DESCRIPTION_EVENT = 15
 XID_EVENT = 16
@@ -129,15 +144,29 @@ def _event(ts_sec: int, type_code: int, payload: bytes, log_pos: int) -> bytes:
     return _header(ts_sec, type_code, len(payload), log_pos) + payload
 
 
-def _fde(ts_sec: int) -> bytes:
+def _fde(ts_sec: int, checksum_alg: int | None = None) -> bytes:
     payload = (
         struct.pack("<H", 4)
         + b"8.0.0-synthetic".ljust(50, b"\x00")
         + struct.pack("<I", ts_sec & 0xFFFFFFFF)
         + bytes([HEADER_LEN])
         + bytes(39)  # post-header length table, skipped via event_size
+        # checksum-algorithm descriptor byte (5.6.1+ layout); the 4-byte
+        # checksum field that completes the [alg][crc32] tail is added
+        # by the _with_crc post-pass in encode_binlog_file
+        + (b"" if checksum_alg is None else bytes([checksum_alg]))
     )
     return _event(ts_sec, FORMAT_DESCRIPTION_EVENT, payload, 0)
+
+
+def _with_crc(ev: bytes) -> bytes:
+    """Append the BINLOG_CHECKSUM_ALG_CRC32 tail to one encoded event:
+    event_size grows by 4 (the checksum is INSIDE the declared size,
+    like real servers write it) and the CRC32 covers the whole event as
+    written -- updated header + body -- excluding the checksum itself."""
+    ts, code, srv, size, pos, flags = struct.unpack_from("<IBIIIH", ev, 0)
+    out = struct.pack("<IBIIIH", ts, code, srv, size + 4, pos, flags) + ev[HEADER_LEN:]
+    return out + struct.pack("<I", zlib.crc32(out))
 
 
 def _gtid(ts_sec: int, sid: bytes, gno: int, ict_us: int, log_pos: int) -> bytes:
@@ -303,16 +332,26 @@ def _parse_ict_us(ict: str | None) -> int:
     return int(dt.timestamp()) * 1_000_000 + dt.microsecond
 
 
-def encode_binlog_file(events: list[dict]) -> bytes:
+def encode_binlog_file(events: list[dict], checksum: bool = False) -> bytes:
     """Render derived contract events (one file's worth, already in
     line order) as a real binlog v4 byte stream: magic + FDE, then per
     event a GTID_LOG (gtid_next + immediate commit timestamp), a
     TABLE_MAP for rows events, and the event itself.  ``events`` dicts
     carry the derive_binlog_events columns plus ``line_no`` (GNO =
-    line_no + 1 -- GTID sequence numbers are >= 1)."""
+    line_no + 1 -- GTID sequence numbers are >= 1).
+
+    ``checksum=True`` emits the ``binlog_checksum=CRC32`` on-disk shape
+    (the MySQL 8.0 default): the FDE declares ALG_CRC32 in its
+    checksum-algorithm byte and EVERY event -- the FDE included --
+    carries a real CRC32 tail inside its event_size.  ``checksum=False``
+    keeps the legacy byte-exact checksum-free output (alg byte absent;
+    the all-zero post-header table reads as ALG_OFF at body[-5], which
+    is also what a genuine server writes there when checksums are off)."""
+    alg = BINLOG_CHECKSUM_ALG_CRC32 if checksum else None
     if not events:
-        return MAGIC + _fde(0)
-    out = [MAGIC, _fde(_parse_ts_sec(events[0]["timestamp"]))]
+        blob = _fde(0, alg)
+        return MAGIC + (_with_crc(blob) if checksum else blob)
+    out = [MAGIC, _fde(_parse_ts_sec(events[0]["timestamp"]), alg)]
     for ev in events:
         ts = _parse_ts_sec(ev["timestamp"])
         pos = int(ev["log_position"])
@@ -351,6 +390,8 @@ def encode_binlog_file(events: list[dict]) -> bytes:
             out.append(_xid(ts, int(ev["line_no"]), pos))
         else:  # Query and anything else the header vocabulary folds there
             out.append(_query(ts, ev["schema"], pos))
+    if checksum:
+        return out[0] + b"".join(_with_crc(e) for e in out[1:])
     return b"".join(out)
 
 
@@ -372,21 +413,38 @@ def _sid_str(sid: bytes) -> str:
     return f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:]}"
 
 
-def decode_binlog_bytes(basename: str, data: bytes) -> Iterator[tuple]:
-    """One file's bytes -> contract rows.  Tolerant the way the text
-    layer is (SURVEY section 2.8): a truncated trailing event stops the
-    scan instead of raising; unknown event types are skipped by
-    event_size (forward-compatible, exactly how real consumers skip
-    events they don't understand)."""
-    if not data.startswith(MAGIC):
-        return
+def _fde_checksum_alg(body: bytes) -> int:
+    """FORMAT_DESCRIPTION body -> checksum algorithm.  Public layout:
+    binlog_version:2 server_version:50 create_ts:4 header_len:1
+    post-header-length table, then -- on servers >= 5.6.1, which is
+    when binlog_checksum shipped -- the algorithm byte at body[-5]
+    followed by the FDE's own 4-byte checksum field (present even when
+    the algorithm is OFF, per the server's FDE write path; this is the
+    same unconditional body[-5] read mysqlbinlog and the public
+    replication clients use).  Pre-5.6.1 servers (and bodies too short
+    to carry the tail) have no checksum support -> OFF."""
+    if len(body) < 57 + 5:
+        return BINLOG_CHECKSUM_ALG_OFF
+    ver = body[2:52].split(b"\x00", 1)[0].decode("ascii", "replace")
+    m = re.match(r"(\d+)\.(\d+)\.(\d+)", ver)
+    if m is None or tuple(int(g) for g in m.groups()) < _CHECKSUM_MIN_VERSION:
+        return BINLOG_CHECKSUM_ALG_OFF
+    return body[-5]
+
+
+def _iter_events(data: bytes) -> Iterator[tuple[int, int, int, bytes]]:
+    """Walk a binlog v4 byte stream -> (ts_sec, code, log_pos, body)
+    per event, with checksum handling centralized so no consumer ever
+    sees CRC bytes as payload: the FORMAT_DESCRIPTION event's
+    checksum-algorithm byte arms CRC32 mode, after which every event's
+    4-byte tail is VERIFIED (zlib.crc32 over the event as written;
+    mismatch => warn-and-skip that event, keep scanning -- the header
+    chain is still intact) and stripped before the body is yielded.
+    Same tolerance contract as before: a truncated trailing event stops
+    the walk, never raises."""
     off = len(MAGIC)
-    gtid: str | None = None
-    ict: str | None = None
-    schema: str | None = None
-    table: str | None = None
-    ordinal = 0
     n = len(data)
+    crc_tail = 0
     while off + HEADER_LEN <= n:
         ts_sec, code, _server, size, log_pos, _flags = struct.unpack_from(
             "<IBIIIH", data, off
@@ -394,7 +452,39 @@ def decode_binlog_bytes(basename: str, data: bytes) -> Iterator[tuple]:
         if size < HEADER_LEN or off + size > n:
             break  # truncated tail: warn-and-stop, never raise
         body = data[off + HEADER_LEN : off + size]
+        if code == FORMAT_DESCRIPTION_EVENT:
+            crc_tail = (
+                4
+                if _fde_checksum_alg(body) == BINLOG_CHECKSUM_ALG_CRC32
+                else 0
+            )
+        elif crc_tail:
+            if size < HEADER_LEN + 4 or zlib.crc32(
+                data[off : off + size - 4]
+            ) != int.from_bytes(data[off + size - 4 : off + size], "little"):
+                off += size
+                continue  # corrupt event: skip it, the chain is intact
+            body = body[:-4]
         off += size
+        yield ts_sec, code, log_pos, body
+
+
+def decode_binlog_bytes(basename: str, data: bytes) -> Iterator[tuple]:
+    """One file's bytes -> contract rows.  Tolerant the way the text
+    layer is (SURVEY section 2.8): a truncated trailing event stops the
+    scan instead of raising; unknown event types are skipped by
+    event_size (forward-compatible, exactly how real consumers skip
+    events they don't understand).  CRC32-checksummed binlogs (the
+    MySQL 8.0 default) are handled by _iter_events: tails verified and
+    stripped, so checksummed and plain files decode identically."""
+    if not data.startswith(MAGIC):
+        return
+    gtid: str | None = None
+    ict: str | None = None
+    schema: str | None = None
+    table: str | None = None
+    ordinal = 0
+    for ts_sec, code, log_pos, body in _iter_events(data):
         if code == GTID_LOG_EVENT:
             # a GTID event opens a NEW transaction: clear the previous
             # transaction's immediate_commit_timestamp up front so a
@@ -643,23 +733,20 @@ def decode_binlog_rows_bytes(basename: str, data: bytes) -> Iterator[tuple]:
     image ordinal within the event.  Same tolerance contract as the
     metadata decoder: truncated tails stop the scan, events whose table
     map lacks decodable column types (unknown type codes, malformed
-    metadata) are skipped whole, never raised on."""
+    metadata) are skipped whole, never raised on.
+
+    Checksummed binlogs: _iter_events strips the verified CRC32 tail
+    BEFORE the image loop sees the body -- without that, the 4 CRC
+    bytes after the last genuine image could parse as a phantom
+    all-NULL row (null bitmap 0xFF over a <= 8-column table), a wrong
+    answer rather than a skip (round-5 verdict's top finding)."""
     if not data.startswith(MAGIC):
         return
-    off = len(MAGIC)
     gtid: str | None = None
     ict: str | None = None
     table_maps: dict[int, dict] = {}
     event_no = 0
-    n = len(data)
-    while off + HEADER_LEN <= n:
-        ts_sec, code, _server, size, log_pos, _flags = struct.unpack_from(
-            "<IBIIIH", data, off
-        )
-        if size < HEADER_LEN or off + size > n:
-            break
-        body = data[off + HEADER_LEN : off + size]
-        off += size
+    for ts_sec, code, log_pos, body in _iter_events(data):
         if code == GTID_LOG_EVENT:
             ict = None  # new transaction: clear the previous ict
             if len(body) >= 1 + 16 + 8:

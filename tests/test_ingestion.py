@@ -577,6 +577,88 @@ def test_binlog_binary_malformed_and_57_layout():
     assert ict is None  # 5.7 layout carries no commit timestamp
 
 
+class TestBinlogChecksum:
+    """binlog_checksum=CRC32 (the MySQL 8.0 default): the FDE's
+    checksum-algorithm byte arms CRC mode, every later event carries a
+    verified 4-byte tail inside event_size that must be stripped before
+    body parsing -- otherwise the row-image loop can read the CRC as a
+    phantom all-NULL image (round-5 verdict's top latent-wrong-answer
+    finding)."""
+
+    def _evs(self):
+        # share the payload-bearing fixture (defined just below;
+        # resolved at call time, so forward reference is fine)
+        return TestBinlogRowImages.EVS
+
+    def test_checksummed_decode_equals_plain_both_tiers(self):
+        from binlog_avro_comparator_spark.sources.binlog_binary import (
+            decode_binlog_bytes, decode_binlog_rows_bytes,
+            encode_binlog_file)
+
+        plain = encode_binlog_file(self._evs())
+        csum = encode_binlog_file(self._evs(), checksum=True)
+        assert csum != plain and len(csum) > len(plain)
+        assert list(decode_binlog_bytes("f", csum)) == list(
+            decode_binlog_bytes("f", plain))
+        assert list(decode_binlog_rows_bytes("f", csum)) == list(
+            decode_binlog_rows_bytes("f", plain))
+
+    def test_fde_declares_crc32(self):
+        import struct
+
+        from binlog_avro_comparator_spark.sources.binlog_binary import (
+            BINLOG_CHECKSUM_ALG_CRC32, MAGIC, _fde_checksum_alg,
+            encode_binlog_file)
+
+        csum = encode_binlog_file(self._evs(), checksum=True)
+        fde_size = struct.unpack_from("<I", csum, len(MAGIC) + 9)[0]
+        fde_body = csum[len(MAGIC) + 19 : len(MAGIC) + fde_size]
+        assert _fde_checksum_alg(fde_body) == BINLOG_CHECKSUM_ALG_CRC32
+        plain = encode_binlog_file(self._evs())
+        p_size = struct.unpack_from("<I", plain, len(MAGIC) + 9)[0]
+        assert _fde_checksum_alg(plain[len(MAGIC) + 19 : len(MAGIC) + p_size]) == 0
+
+    def test_crc_mismatch_skips_only_that_event(self):
+        from binlog_avro_comparator_spark.sources.binlog_binary import (
+            decode_binlog_bytes, encode_binlog_file)
+
+        csum = encode_binlog_file(self._evs(), checksum=True)
+        good = list(decode_binlog_bytes("f", csum))
+        bad = bytearray(csum)
+        bad[-10] ^= 0xFF  # corrupt the LAST event's body
+        got = list(decode_binlog_bytes("f", bytes(bad)))
+        assert len(got) == len(good) - 1
+        assert got == good[:-1]
+
+    def test_no_phantom_image_from_crc_tail(self):
+        """The exact failure mode the strip prevents: 4 trailing bytes
+        starting 0xFF after the last genuine image parse as a phantom
+        all-NULL image when NOT stripped (fake tail on a plain file);
+        the same event in a checksummed file decodes clean."""
+        from binlog_avro_comparator_spark.sources.binlog_binary import (
+            MAGIC, _fde, _parse_ts_sec, _rows_payload, _table_map_payload,
+            _with_crc, decode_binlog_rows_bytes)
+
+        ts = _parse_ts_sec("2024-01-01T00:00:01Z")
+        img = (7, "cust-5", "prod-7", 3, 1704067201000)
+        tm = _table_map_payload(ts, "db0", "t1", 104)
+        rows_ev = _rows_payload(ts, 30, 104, [img])  # WRITE, one image
+        # un-stripped CRC-like tail => phantom all-NULL image is YIELDED
+        import struct
+        h = list(struct.unpack_from("<IBIIIH", rows_ev, 0))
+        h[3] += 4  # event_size grows as if a checksum were inside
+        faked = struct.pack("<IBIIIH", *h) + rows_ev[19:] + b"\xff\x00\x00\x00"
+        phantom = list(decode_binlog_rows_bytes("f", MAGIC + _fde(ts) + tm + faked))
+        assert len(phantom) == 2  # genuine image + the phantom
+        assert all(v is None for v in phantom[1][11].values())
+        # checksummed file: tail stripped, exactly one genuine image
+        blob = MAGIC + b"".join(
+            _with_crc(e) for e in (_fde(ts, 1), tm, rows_ev))
+        clean = list(decode_binlog_rows_bytes("f", blob))
+        assert len(clean) == 1
+        assert clean[0][11]["order_id"] == "7"
+
+
 # --- S2+: row-image (payload) decode tier ---------------------------------
 
 class TestBinlogRowImages:
