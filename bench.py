@@ -142,6 +142,9 @@ EXTRA_QUERIES = [
     "cdc_scd2_history",
     "cdc_scd2_lookup",
     "lineitem_measure_profile",
+    # round 6
+    "cdc_parse_binlog_typed",
+    "cdc_payload_diff_typed",
 ]
 
 

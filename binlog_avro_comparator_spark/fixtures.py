@@ -181,6 +181,113 @@ def derive_binlog_events_with_payload(events: DataFrame) -> DataFrame:
     return derive_binlog_events(events).join(pay, "line_no", "left")
 
 
+# --- typed row-image fixtures (extended column types) ----------------------
+# Ground truth for the typed decode tier (sources/binlog_binary.py
+# TYPED_COLUMNS): every value is derived as the CANONICAL STRING the
+# decoder renders, with only SQL-expressible arithmetic, so the DuckDB
+# oracle mirrors it verbatim.  Planted avro-side divergences:
+#   eid % 31 == 2   avro t_dec = cents + 1       -> MISMATCH
+#   eid % 47 == 7   avro t_dt NULL               -> AVRO_NULL
+#   eid % 43 == 6   binlog t_text NULL (bitmap)  -> BINLOG_NULL
+#   eid % 13 == 0   no avro row                  -> joins away (inner)
+TYPED_NULL_TEXT_MOD, TYPED_NULL_TEXT_REM = 43, 6
+TYPED_DEC_MISMATCH_MOD, TYPED_DEC_MISMATCH_REM = 31, 2
+TYPED_DT_NULL_MOD, TYPED_DT_NULL_REM = 47, 7
+
+
+def _typed_value_cols(eid: F.Column) -> dict[str, F.Column]:
+    ts = F.col("ts")
+    cents = F.lit(1) + (eid * 37) % 9999999
+    t_time = F.concat(
+        F.when(eid % 5 == 0, F.lit("-")).otherwise(F.lit("")),
+        F.lpad((F.lit(1) + eid % 99).cast("string"), 2, "0"),
+        F.lit(":"),
+        F.lpad((eid % 60).cast("string"), 2, "0"),
+        F.lit(":"),
+        F.lpad(((eid * 7) % 60).cast("string"), 2, "0"),
+    )
+    t_dec = F.concat(
+        F.when(eid % 3 == 0, F.lit("-")).otherwise(F.lit("")),
+        F.floor(cents / 100).cast("string"),
+        F.lit("."),
+        F.lpad((cents % 100).cast("string"), 2, "0"),
+    )
+    return {
+        "t_id": (eid % 1000000).cast("string"),
+        "t_date": F.date_format(ts, "yyyy-MM-dd"),
+        "t_year": F.date_format(ts, "yyyy"),
+        "t_dt": F.date_format(ts, "yyyy-MM-dd HH:mm:ss.SSS"),
+        "t_ts": F.date_format(ts, "yyyy-MM-dd HH:mm:ss"),
+        "t_time": t_time,
+        "t_dec": t_dec,
+        "t_text": F.when(
+            eid % TYPED_NULL_TEXT_MOD == TYPED_NULL_TEXT_REM,
+            F.lit(None).cast("string"),
+        ).otherwise(F.concat(F.lit("text-"), eid.cast("string"))),
+        "t_char": F.concat(F.lit("c"), (eid % 100).cast("string")),
+        "t_enum": (F.lit(1) + eid % 3).cast("string"),
+        "t_set": (eid % 8).cast("string"),
+    }
+
+
+def derive_typed_rows(events: DataFrame) -> DataFrame:
+    """events -> the typed-fixture row table: per DML event one WRITE
+    row image over the TYPED_COLUMNS shape (canonical value strings) +
+    the file/position/timestamp metadata the encoder needs."""
+    eid = F.col("event_id")
+    vals = _typed_value_cols(eid)
+    return (
+        events.filter(F.col("event_type").isin(*DML_SOURCE_TYPES))
+        .filter(eid % EMPTY_FILE_MOD != 0)
+        .select(
+            _binlog_file_col().alias("binlog_file"),
+            eid.alias("line_no"),
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("timestamp"),
+            _base_pos(eid).alias("log_position"),
+            *[c.alias(n) for n, c in vals.items()],
+        )
+    )
+
+
+def derive_typed_avro_payload(events: DataFrame) -> DataFrame:
+    """The avro twin of the typed row images, as (binlog_file,
+    binlog_position, payload map<string,string>) with the planted
+    divergences -- input to payload_diff's probe side."""
+    eid = F.col("event_id")
+    vals = _typed_value_cols(eid)
+    cents = F.lit(1) + (eid * 37) % 9999999 + 1  # +1 -> MISMATCH rows
+    dec_wrong = F.concat(
+        F.when(eid % 3 == 0, F.lit("-")).otherwise(F.lit("")),
+        F.floor(cents / 100).cast("string"),
+        F.lit("."),
+        F.lpad((cents % 100).cast("string"), 2, "0"),
+    )
+    overrides = dict(vals)
+    overrides["t_dec"] = F.when(
+        eid % TYPED_DEC_MISMATCH_MOD == TYPED_DEC_MISMATCH_REM, dec_wrong
+    ).otherwise(vals["t_dec"])
+    overrides["t_dt"] = F.when(
+        eid % TYPED_DT_NULL_MOD == TYPED_DT_NULL_REM,
+        F.lit(None).cast("string"),
+    ).otherwise(vals["t_dt"])
+    # avro always carries t_text (binlog-side NULLs -> BINLOG_NULL)
+    overrides["t_text"] = F.concat(F.lit("text-"), eid.cast("string"))
+    names = list(overrides)
+    return (
+        events.filter(F.col("event_type").isin(*DML_SOURCE_TYPES))
+        .filter(eid % EMPTY_FILE_MOD != 0)
+        .filter(eid % AVRO_MISSING_MOD != 0)
+        .select(
+            _binlog_file_col().alias("binlog_file"),
+            _base_pos(eid).alias("binlog_position"),
+            F.map_from_arrays(
+                F.array(*[F.lit(n) for n in names]),
+                F.array(*[overrides[n] for n in names]),
+            ).alias("payload"),
+        )
+    )
+
+
 def derive_avro_payload(events: DataFrame) -> DataFrame:
     """The avro side's ``payload.*`` columns keyed by ``avro_line_no``,
     with the planted divergences from the binlog row image (see the

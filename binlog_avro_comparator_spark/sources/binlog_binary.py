@@ -98,7 +98,19 @@ MYSQL_TYPE_FLOAT = 4
 MYSQL_TYPE_DOUBLE = 5
 MYSQL_TYPE_LONGLONG = 8
 MYSQL_TYPE_INT24 = 9
+MYSQL_TYPE_DATE = 10
+MYSQL_TYPE_YEAR = 13
 MYSQL_TYPE_VARCHAR = 15
+# the 5.6.4+ temporal formats real CDC tables actually carry (big-endian
+# packed integers + fractional-second tail, public my_time layout)
+MYSQL_TYPE_TIMESTAMP2 = 17
+MYSQL_TYPE_DATETIME2 = 18
+MYSQL_TYPE_TIME2 = 19
+MYSQL_TYPE_NEWDECIMAL = 246
+MYSQL_TYPE_ENUM = 247  # appears in TABLE_MAP as STRING + real-type meta
+MYSQL_TYPE_SET = 248  # ditto
+MYSQL_TYPE_BLOB = 252  # all BLOB/TEXT variants map here in binlogs
+MYSQL_TYPE_STRING = 254  # CHAR; meta byte0 carries ENUM/SET real type
 
 # TABLE_MAP optional-metadata TLV type for column names
 # (binlog_row_metadata=FULL writes it; public MySQL 8.0 format).
@@ -292,6 +304,213 @@ def _rows(ts_sec: int, type_code: int, log_pos: int) -> bytes:
     if type_code == UPDATE_ROWS_EVENT_V2:
         payload += bytes([1])           # after-image bitmap
     return _event(ts_sec, type_code, payload, log_pos)
+
+
+# --- typed fixture (extended column types) --------------------------------
+# A second fixture table exercising the column types real CDC tables
+# carry beyond the 8-type reference subset: temporal2 formats, packed
+# decimal, TEXT/BLOB, CHAR, ENUM, SET.  meta is the RAW TABLE_MAP
+# metadata bytes for the column (discrete bytes, first-byte-high for
+# NEWDECIMAL/STRING -- matching _META_BE on the decode side).
+TYPED_COLUMNS = [
+    ("t_id", MYSQL_TYPE_LONG, b""),
+    ("t_date", MYSQL_TYPE_DATE, b""),
+    ("t_year", MYSQL_TYPE_YEAR, b""),
+    ("t_dt", MYSQL_TYPE_DATETIME2, bytes([3])),       # DATETIME(3)
+    ("t_ts", MYSQL_TYPE_TIMESTAMP2, bytes([0])),      # TIMESTAMP(0)
+    ("t_time", MYSQL_TYPE_TIME2, bytes([0])),         # TIME(0)
+    ("t_dec", MYSQL_TYPE_NEWDECIMAL, bytes([12, 2])),  # DECIMAL(12,2)
+    ("t_text", MYSQL_TYPE_BLOB, bytes([2])),          # TEXT (2B length)
+    ("t_char", MYSQL_TYPE_STRING, bytes([MYSQL_TYPE_STRING, 80])),  # CHAR(20) utf8mb4
+    ("t_enum", MYSQL_TYPE_STRING, bytes([MYSQL_TYPE_ENUM, 1])),
+    ("t_set", MYSQL_TYPE_STRING, bytes([MYSQL_TYPE_SET, 1])),
+]
+TYPED_NULLABLE = {"t_text"}
+TYPED_SCHEMA_NAME, TYPED_TABLE_NAME = "tdb", "typed"
+
+
+def _encode_decimal(s: str, precision: int, scale: int) -> bytes:
+    """Inverse of _decode_decimal: canonical decimal string -> packed
+    bytes (big-endian 9-digit groups, sign in the first byte's MSB,
+    negative values fully inverted)."""
+    neg = s.startswith("-")
+    if neg:
+        s = s[1:]
+    ip, _, fp = s.partition(".")
+    fp = (fp + "0" * scale)[:scale]
+    intg = precision - scale
+    ip = ip.zfill(intg) if intg else ""
+    intg0, frac0 = intg // 9, scale // 9
+    intg0x, frac0x = intg - intg0 * 9, scale - frac0 * 9
+    buf = bytearray()
+    if intg0x:
+        buf += int(ip[:intg0x] or "0").to_bytes(_DEC_DIG2BYTES[intg0x], "big")
+        ip = ip[intg0x:]
+    for i in range(intg0):
+        buf += int(ip[i * 9 : (i + 1) * 9] or "0").to_bytes(4, "big")
+    for i in range(frac0):
+        buf += int(fp[i * 9 : (i + 1) * 9]).to_bytes(4, "big")
+    if frac0x:
+        buf += int(fp[frac0 * 9 : frac0 * 9 + frac0x]).to_bytes(
+            _DEC_DIG2BYTES[frac0x], "big"
+        )
+    if neg:
+        for i in range(len(buf)):
+            buf[i] = ~buf[i] & 0xFF
+    buf[0] ^= 0x80
+    return bytes(buf)
+
+
+def _encode_frac(micros: int, fsp: int) -> bytes:
+    n = _frac_bytes(fsp)
+    return (micros // 10 ** (6 - 2 * n)).to_bytes(n, "big") if n else b""
+
+
+def _split_dt(s: str) -> tuple[int, int, int, int, int, int, int]:
+    """'YYYY-MM-DD HH:MM:SS[.f]' -> (y, mo, d, h, mi, sec, micros)."""
+    date_part, time_part = s.split(" ")
+    y, mo, d = (int(x) for x in date_part.split("-"))
+    hms, _, fr = time_part.partition(".")
+    h, mi, sec = (int(x) for x in hms.split(":"))
+    return y, mo, d, h, mi, sec, int((fr + "000000")[:6]) if fr else 0
+
+
+def _encode_typed_value(typ: int, meta: bytes, v: str) -> bytes:
+    """Canonical string (the exact _decode_value rendering) -> row-image
+    bytes for one column.  The encode/decode pair is the roundtrip the
+    typed-fixture tests pin."""
+    if typ == MYSQL_TYPE_LONG:
+        return struct.pack("<i", int(v))
+    if typ == MYSQL_TYPE_DATE:
+        y, mo, d = (int(x) for x in v.split("-"))
+        return ((y << 9) | (mo << 5) | d).to_bytes(3, "little")
+    if typ == MYSQL_TYPE_YEAR:
+        return bytes([0 if v == "0000" else int(v) - 1900])
+    if typ == MYSQL_TYPE_DATETIME2:
+        fsp = meta[0]
+        y, mo, d, h, mi, sec, micros = _split_dt(v)
+        packed = (
+            (((y * 13 + mo) & 0x1FFFF) << 22)
+            | (d << 17) | (h << 12) | (mi << 6) | sec
+        )
+        return (packed + 0x8000000000).to_bytes(5, "big") + _encode_frac(micros, fsp)
+    if typ == MYSQL_TYPE_TIMESTAMP2:
+        fsp = meta[0]
+        y, mo, d, h, mi, sec, micros = _split_dt(v)
+        epoch = int(
+            datetime(y, mo, d, h, mi, sec, tzinfo=timezone.utc).timestamp()
+        )
+        return epoch.to_bytes(4, "big") + _encode_frac(micros, fsp)
+    if typ == MYSQL_TYPE_TIME2:
+        fsp = meta[0]
+        neg = v.startswith("-")
+        if neg:
+            v = v[1:]
+        hms_s, _, fr = v.partition(".")
+        h, mi, sec = (int(x) for x in hms_s.split(":"))
+        micros = int((fr + "000000")[:6]) if fr else 0
+        hms = (h << 12) | (mi << 6) | sec
+        if fsp >= 5:
+            packed = (hms << 24) + micros
+            if neg:
+                packed = -packed
+            return (packed + 0x800000000000).to_bytes(6, "big")
+        n = _frac_bytes(fsp)
+        frac_units = micros // 10 ** (6 - 2 * n) if n else 0
+        if neg and frac_units:
+            intpart, frac = -hms - 1, (1 << (8 * n)) - frac_units
+        else:
+            intpart, frac = (-hms if neg else hms), frac_units
+        out = (intpart + 0x800000).to_bytes(3, "big")
+        return out + (frac.to_bytes(n, "big") if n else b"")
+    if typ == MYSQL_TYPE_NEWDECIMAL:
+        return _encode_decimal(v, meta[0], meta[1])
+    if typ == MYSQL_TYPE_BLOB:
+        b = v.encode()
+        return len(b).to_bytes(meta[0], "little") + b
+    if typ == MYSQL_TYPE_STRING:
+        real = meta[0]
+        if real in (MYSQL_TYPE_ENUM, MYSQL_TYPE_SET):
+            return int(v).to_bytes(meta[1], "little")
+        b = v.encode()
+        w = 2 if meta[1] > 255 else 1
+        return len(b).to_bytes(w, "little") + b
+    raise ValueError(f"unsupported typed column type {typ}")
+
+
+def _table_map_typed(ts_sec: int, log_pos: int) -> bytes:
+    """TABLE_MAP declaring the TYPED_COLUMNS shape (same structure as
+    _table_map_payload: types + raw per-type metadata + null bitmap +
+    the COLUMN_NAME optional-metadata TLV)."""
+    s, t = TYPED_SCHEMA_NAME.encode(), TYPED_TABLE_NAME.encode()
+    meta = b"".join(m for _, _, m in TYPED_COLUMNS)
+    null_bitmap = 0
+    for i, (name, _, _) in enumerate(TYPED_COLUMNS):
+        if name in TYPED_NULLABLE:
+            null_bitmap |= 1 << i
+    names_blob = b"".join(
+        _lenenc(len(n.encode())) + n.encode() for n, _, _ in TYPED_COLUMNS
+    )
+    nb_len = (len(TYPED_COLUMNS) + 7) // 8
+    payload = (
+        struct.pack("<IH", 2, 0) + b"\x00\x00"  # table_id=2 + flags
+        + bytes([len(s)]) + s + b"\x00"
+        + bytes([len(t)]) + t + b"\x00"
+        + _lenenc(len(TYPED_COLUMNS))
+        + bytes(typ for _, typ, _ in TYPED_COLUMNS)
+        + _lenenc(len(meta)) + meta
+        + null_bitmap.to_bytes(nb_len, "little")
+        + bytes([_OPTMETA_COLUMN_NAME]) + _lenenc(len(names_blob)) + names_blob
+    )
+    return _event(ts_sec, TABLE_MAP_EVENT, payload, log_pos)
+
+
+def _typed_rows_event(ts_sec: int, log_pos: int, values: dict) -> bytes:
+    """WRITE rows event v2 with ONE image over the TYPED_COLUMNS
+    shape; ``values`` maps column name -> canonical string (None =
+    SQL NULL, must be a TYPED_NULLABLE column)."""
+    n = len(TYPED_COLUMNS)
+    nb_len = (n + 7) // 8
+    present = ((1 << n) - 1).to_bytes(nb_len, "little")
+    null_bits = 0
+    out = []
+    for i, (name, typ, meta) in enumerate(TYPED_COLUMNS):
+        v = values.get(name)
+        if v is None:
+            null_bits |= 1 << i
+            continue
+        out.append(_encode_typed_value(typ, meta, str(v)))
+    payload = (
+        struct.pack("<IH", 2, 0) + b"\x00\x00"
+        + struct.pack("<H", 2)
+        + _lenenc(n)
+        + present
+        + null_bits.to_bytes(nb_len, "little")
+        + b"".join(out)
+    )
+    return _event(ts_sec, WRITE_ROWS_EVENT_V2, payload, log_pos)
+
+
+def encode_typed_binlog_file(rows: list[dict], checksum: bool = False) -> bytes:
+    """Render typed-fixture rows (one file, line order) as a binlog v4
+    stream: magic + FDE, then per row GTID + typed TABLE_MAP + a WRITE
+    rows event carrying the row's image.  Each dict needs ``timestamp``
+    (RFC3339 Z), ``log_position``, ``line_no`` and the TYPED_COLUMNS
+    value strings.  ``checksum`` mirrors encode_binlog_file."""
+    alg = BINLOG_CHECKSUM_ALG_CRC32 if checksum else None
+    if not rows:
+        blob = _fde(0, alg)
+        return MAGIC + (_with_crc(blob) if checksum else blob)
+    out = [_fde(_parse_ts_sec(rows[0]["timestamp"]), alg)]
+    for r in rows:
+        ts = _parse_ts_sec(r["timestamp"])
+        pos = int(r["log_position"])
+        out.append(_gtid(ts, FIXTURE_SID, int(r["line_no"]) + 1, 0, pos))
+        out.append(_table_map_typed(ts, pos))
+        out.append(_typed_rows_event(ts, pos, r))
+    if checksum:
+        return MAGIC + b"".join(_with_crc(e) for e in out)
+    return MAGIC + b"".join(out)
 
 
 def _xid(ts_sec: int, xid: int, log_pos: int) -> bytes:
@@ -577,7 +796,88 @@ _META_LEN = {
     MYSQL_TYPE_TINY: 0, MYSQL_TYPE_SHORT: 0, MYSQL_TYPE_LONG: 0,
     MYSQL_TYPE_LONGLONG: 0, MYSQL_TYPE_INT24: 0,
     MYSQL_TYPE_FLOAT: 1, MYSQL_TYPE_DOUBLE: 1, MYSQL_TYPE_VARCHAR: 2,
+    MYSQL_TYPE_DATE: 0, MYSQL_TYPE_YEAR: 0,
+    MYSQL_TYPE_TIMESTAMP2: 1, MYSQL_TYPE_DATETIME2: 1, MYSQL_TYPE_TIME2: 1,
+    MYSQL_TYPE_NEWDECIMAL: 2,  # [precision][scale]
+    MYSQL_TYPE_BLOB: 1,  # length-prefix width (1/2/3/4 bytes)
+    MYSQL_TYPE_STRING: 2,  # [real-type-or-packed-high-bits][length]
 }
+# meta whose two bytes combine FIRST-BYTE-HIGH (the TABLE_MAP stores
+# them as discrete bytes, not a little-endian int): NEWDECIMAL is
+# (precision, scale), STRING is (real type | packed length bits, len)
+_META_BE = {MYSQL_TYPE_NEWDECIMAL, MYSQL_TYPE_STRING}
+
+# decimal binary layout (public strings/decimal.c): groups of 9 decimal
+# digits pack into 4 big-endian bytes; a leading/trailing partial group
+# of d digits needs _DEC_DIG2BYTES[d] bytes
+_DEC_DIG2BYTES = [0, 1, 1, 2, 2, 3, 3, 4, 4, 4]
+
+
+def _frac_bytes(fsp: int) -> int:
+    """Fractional-second storage width: fsp digits round up to whole
+    byte pairs -- 0 -> 0B, 1-2 -> 1B, 3-4 -> 2B, 5-6 -> 3B."""
+    return (fsp + 1) // 2
+
+
+def _read_frac(body: bytes, p: int, fsp: int) -> tuple[int, int] | None:
+    """Read the big-endian fractional-second field at p -> (micros,
+    new offset); the stored unit is 10^(2*bytes) per second."""
+    n = _frac_bytes(fsp)
+    if p + n > len(body):
+        return None
+    if n == 0:
+        return 0, p
+    v = int.from_bytes(body[p : p + n], "big")
+    return v * 10 ** (6 - 2 * n), p + n
+
+
+def _fmt_frac(micros: int, fsp: int) -> str:
+    return "." + f"{micros:06d}"[:fsp] if fsp else ""
+
+
+def _decode_decimal(body: bytes, p: int, precision: int, scale: int):
+    """NEWDECIMAL at offset p -> (canonical decimal string with exactly
+    ``scale`` fraction digits, new offset); None on truncation.  Public
+    layout: sign = MSB of the first byte (1 = non-negative), negative
+    values stored with ALL bytes inverted, digits in big-endian groups
+    of 9 (partial lead/tail groups per _DEC_DIG2BYTES)."""
+    intg = precision - scale
+    intg0, frac0 = intg // 9, scale // 9
+    intg0x, frac0x = intg - intg0 * 9, scale - frac0 * 9
+    size = (
+        intg0 * 4 + _DEC_DIG2BYTES[intg0x]
+        + frac0 * 4 + _DEC_DIG2BYTES[frac0x]
+    )
+    if p + size > len(body) or size == 0:
+        return None
+    buf = bytearray(body[p : p + size])
+    negative = not (buf[0] & 0x80)
+    buf[0] ^= 0x80
+    if negative:
+        for i in range(size):
+            buf[i] = ~buf[i] & 0xFF
+    q = 0
+    int_digits = []
+    if intg0x:
+        w = _DEC_DIG2BYTES[intg0x]
+        int_digits.append(str(int.from_bytes(buf[q : q + w], "big")).zfill(intg0x))
+        q += w
+    for _ in range(intg0):
+        int_digits.append(str(int.from_bytes(buf[q : q + 4], "big")).zfill(9))
+        q += 4
+    frac_digits = []
+    for _ in range(frac0):
+        frac_digits.append(str(int.from_bytes(buf[q : q + 4], "big")).zfill(9))
+        q += 4
+    if frac0x:
+        w = _DEC_DIG2BYTES[frac0x]
+        frac_digits.append(str(int.from_bytes(buf[q : q + w], "big")).zfill(frac0x))
+        q += w
+    ip = "".join(int_digits).lstrip("0") or "0"
+    s = ("-" if negative else "") + ip
+    if scale:
+        s += "." + "".join(frac_digits)
+    return s, p + size
 
 
 def _read_lenenc(data: bytes, p: int) -> tuple[int, int] | None:
@@ -637,7 +937,14 @@ def _parse_table_map(body: bytes) -> dict | None:
         w = _META_LEN.get(t)
         if w is None or mp + w > len(meta_blob):
             return out  # unknown type: row decode impossible
-        metas.append(int.from_bytes(meta_blob[mp : mp + w], "little") if w else 0)
+        metas.append(
+            int.from_bytes(
+                meta_blob[mp : mp + w],
+                "big" if t in _META_BE else "little",
+            )
+            if w
+            else 0
+        )
         mp += w
     p += meta_len + (n_cols + 7) // 8  # skip null bitmap
     names = [f"c{i}" for i in range(n_cols)]
@@ -666,10 +973,30 @@ def _parse_table_map(body: bytes) -> dict | None:
     return out
 
 
+def _read_len_prefixed(body: bytes, p: int, w: int):
+    """w-byte little-endian length prefix + that many utf8 bytes at
+    offset p -> (text, new offset); None on truncation.  Shared by
+    VARCHAR, CHAR (STRING) and BLOB/TEXT values."""
+    if p + w > len(body):
+        return None
+    ln = int.from_bytes(body[p : p + w], "little")
+    if p + w + ln > len(body):
+        return None
+    return body[p + w : p + w + ln].decode("utf-8", "replace"), p + w + ln
+
+
 def _decode_value(body: bytes, p: int, typ: int, meta: int):
     """One column value at offset p -> (string value, new offset);
-    None on truncation.  Integers render as decimal strings, floats via
-    repr (shortest round-trip), VARCHAR as utf8."""
+    None on truncation.  Canonical renderings (what the payload map
+    carries; each is the exact string the typed fixture derivation
+    produces, so oracles compare values not encodings): integers as
+    decimal text, floats via repr (shortest round-trip), VARCHAR/CHAR/
+    TEXT as utf8, DATE ``YYYY-MM-DD``, YEAR ``YYYY``, DATETIME2
+    ``YYYY-MM-DD HH:MM:SS[.fsp]``, TIMESTAMP2 the same rendered in
+    UTC, TIME2 ``[-]HH:MM:SS[.fsp]``, NEWDECIMAL with exactly
+    ``scale`` fraction digits, ENUM as the 1-based index, SET as the
+    member bitmask integer (basic TABLE_MAP metadata carries no
+    name lists)."""
     try:
         if typ == MYSQL_TYPE_TINY:
             return str(struct.unpack_from("<b", body, p)[0]), p + 1
@@ -689,13 +1016,91 @@ def _decode_value(body: bytes, p: int, typ: int, meta: int):
         if typ == MYSQL_TYPE_DOUBLE:
             return repr(struct.unpack_from("<d", body, p)[0]), p + 8
         if typ == MYSQL_TYPE_VARCHAR:
-            w = 2 if meta > 255 else 1
-            if p + w > len(body):
+            return _read_len_prefixed(body, p, 2 if meta > 255 else 1)
+        if typ == MYSQL_TYPE_DATE:
+            # 3 bytes LE: day(5) | month(4) | year(15)
+            if p + 3 > len(body):
                 return None
-            ln = int.from_bytes(body[p : p + w], "little")
-            if p + w + ln > len(body):
+            v = int.from_bytes(body[p : p + 3], "little")
+            return f"{v >> 9:04d}-{(v >> 5) & 15:02d}-{v & 31:02d}", p + 3
+        if typ == MYSQL_TYPE_YEAR:
+            # 1 byte: offset from 1900; 0 is the zero-year
+            v = body[p] if p < len(body) else None
+            if v is None:
                 return None
-            return body[p + w : p + w + ln].decode("utf-8", "replace"), p + w + ln
+            return ("0000" if v == 0 else str(1900 + v)), p + 1
+        if typ == MYSQL_TYPE_DATETIME2:
+            # 5 bytes BE (sign-offset packed: ym(17) d(5) h(5) m(6)
+            # s(6)) + fractional tail; public my_time.h layout
+            if p + 5 > len(body):
+                return None
+            packed = int.from_bytes(body[p : p + 5], "big") - 0x8000000000
+            r = _read_frac(body, p + 5, meta)
+            if r is None:
+                return None
+            micros, q = r
+            ym = (packed >> 22) & 0x1FFFF
+            s = (
+                f"{ym // 13:04d}-{ym % 13:02d}-{(packed >> 17) & 31:02d} "
+                f"{(packed >> 12) & 31:02d}:{(packed >> 6) & 63:02d}:"
+                f"{packed & 63:02d}"
+            )
+            return s + _fmt_frac(micros, meta), q
+        if typ == MYSQL_TYPE_TIMESTAMP2:
+            # 4 bytes BE epoch seconds + fractional tail; rendered in
+            # UTC (engine-deterministic; session-tz rendering would
+            # make the payload value depend on the host)
+            if p + 4 > len(body):
+                return None
+            sec = int.from_bytes(body[p : p + 4], "big")
+            r = _read_frac(body, p + 4, meta)
+            if r is None:
+                return None
+            micros, q = r
+            dt = datetime.fromtimestamp(sec, tz=timezone.utc)
+            return dt.strftime("%Y-%m-%d %H:%M:%S") + _fmt_frac(micros, meta), q
+        if typ == MYSQL_TYPE_TIME2:
+            if meta >= 5:
+                if p + 6 > len(body):
+                    return None
+                packed = int.from_bytes(body[p : p + 6], "big") - 0x800000000000
+                q = p + 6
+            else:
+                n = _frac_bytes(meta)
+                if p + 3 + n > len(body):
+                    return None
+                intpart = int.from_bytes(body[p : p + 3], "big") - 0x800000
+                frac = int.from_bytes(body[p + 3 : p + 3 + n], "big") if n else 0
+                if intpart < 0 and frac:
+                    intpart += 1
+                    frac -= 1 << (8 * n)
+                packed = (intpart << 24) + frac * (10000 if n == 1 else 100)
+                q = p + 3 + n
+            neg = packed < 0
+            if neg:
+                packed = -packed
+            hms, micros = packed >> 24, packed & 0xFFFFFF
+            s = (
+                ("-" if neg else "")
+                + f"{(hms >> 12) & 0x3FF:02d}:{(hms >> 6) & 63:02d}:{hms & 63:02d}"
+            )
+            return s + _fmt_frac(micros, meta), q
+        if typ == MYSQL_TYPE_NEWDECIMAL:
+            return _decode_decimal(body, p, meta >> 8, meta & 0xFF)
+        if typ == MYSQL_TYPE_BLOB:
+            if not 1 <= meta <= 4:
+                return None
+            return _read_len_prefixed(body, p, meta)
+        if typ == MYSQL_TYPE_STRING:
+            real, b1 = meta >> 8, meta & 0xFF
+            if real == MYSQL_TYPE_ENUM or real == MYSQL_TYPE_SET:
+                if not 1 <= b1 <= 8 or p + b1 > len(body):
+                    return None
+                return str(int.from_bytes(body[p : p + b1], "little")), p + b1
+            # CHAR: the high length bits may be packed into the type
+            # byte (the public ((b0 & 0x30) ^ 0x30) << 4 trick)
+            length = b1 if (real & 0x30) == 0x30 else b1 | (((real & 0x30) ^ 0x30) << 4)
+            return _read_len_prefixed(body, p, 2 if length > 255 else 1)
     except struct.error:
         return None
     return None  # unreachable for supported types

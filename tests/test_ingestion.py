@@ -659,6 +659,114 @@ class TestBinlogChecksum:
         assert clean[0][11]["order_id"] == "7"
 
 
+class TestTypedRowImages:
+    """Extended column types (round-6): packed temporals, NEWDECIMAL,
+    TEXT/BLOB, CHAR, ENUM, SET through the typed fixture codec
+    (TYPED_COLUMNS).  Decode follows the public MySQL row-image
+    layouts; encode is the exact inverse, so roundtrip equality pins
+    both directions."""
+
+    ROWS = [
+        dict(timestamp="2024-03-05T06:07:08Z", log_position=104, line_no=0,
+             t_id="7", t_date="2024-03-05", t_year="2024",
+             t_dt="2024-03-05 06:07:08.123", t_ts="2024-03-05 06:07:08",
+             t_time="-13:05:59", t_dec="-1234567.89", t_text="text-ü-7",
+             t_char="c42", t_enum="2", t_set="5"),
+        dict(timestamp="2024-03-05T06:07:09Z", log_position=204, line_no=1,
+             t_id="-2147483648", t_date="1999-12-31", t_year="0000",
+             t_dt="9999-12-31 23:59:59.999", t_ts="1970-01-01 00:00:00",
+             t_time="838:59:59", t_dec="0.00", t_text=None,
+             t_char="", t_enum="1", t_set="0"),
+    ]
+
+    def _decode(self, checksum=False):
+        from binlog_avro_comparator_spark.sources.binlog_binary import (
+            decode_binlog_rows_bytes, encode_typed_binlog_file)
+
+        blob = encode_typed_binlog_file(self.ROWS, checksum=checksum)
+        return list(decode_binlog_rows_bytes("mysql-bin.000000", blob))
+
+    def test_roundtrip_all_types(self):
+        for checksum in (False, True):
+            got = self._decode(checksum)
+            assert len(got) == 2
+            for r, exp in zip(got, self.ROWS):
+                assert r[4] == "WriteRowsEventV2" and r[3] == "after"
+                pay = r[11]
+                for k, v in exp.items():
+                    if k in ("timestamp", "log_position", "line_no"):
+                        continue
+                    assert pay[k] == v, (checksum, k, pay[k], v)
+
+    def test_schema_table_and_names_from_table_map(self):
+        got = self._decode()
+        assert (got[0][8], got[0][9]) == ("tdb", "typed")
+        assert set(got[0][11]) == {
+            "t_id", "t_date", "t_year", "t_dt", "t_ts", "t_time",
+            "t_dec", "t_text", "t_char", "t_enum", "t_set"}
+
+    def test_decimal_codec_exhaustive_shapes(self):
+        """decimal.c layout across group boundaries: scales/precisions
+        spanning partial + full 9-digit groups, both signs."""
+        from binlog_avro_comparator_spark.sources.binlog_binary import (
+            _decode_decimal, _encode_decimal)
+
+        cases = [
+            ("0", 1, 0), ("-5", 3, 0), ("123456789", 9, 0),
+            ("1234567890", 10, 0), ("0.1", 2, 1), ("-0.000001", 7, 6),
+            ("123456789012345678.123456789", 27, 9),
+            ("-999999999999999999.999999999", 27, 9),
+            ("42.50", 12, 2), ("-42.05", 12, 2),
+            ("0.123456789012", 13, 12),
+        ]
+        for s, prec, scale in cases:
+            blob = _encode_decimal(s, prec, scale)
+            out, q = _decode_decimal(blob, 0, prec, scale)
+            assert q == len(blob)
+            assert out == s, (s, prec, scale, out)
+
+    def test_time2_fractional_and_negative(self):
+        """TIME2 with fsp 3: the negative-with-fraction storage
+        convention (intpart borrows, fraction complements)."""
+        from binlog_avro_comparator_spark.sources.binlog_binary import (
+            MYSQL_TYPE_TIME2, _decode_value, _encode_typed_value)
+
+        for s in ("00:00:00.001", "-00:00:00.001", "812:13:14.999",
+                  "-812:13:14.999", "00:00:01.000"):
+            blob = _encode_typed_value(MYSQL_TYPE_TIME2, bytes([3]), s)
+            out, q = _decode_value(blob, 0, MYSQL_TYPE_TIME2, 3)
+            assert q == len(blob) and out == s, (s, out)
+
+    def test_timestamp2_full_microseconds(self):
+        from binlog_avro_comparator_spark.sources.binlog_binary import (
+            MYSQL_TYPE_TIMESTAMP2, _decode_value, _encode_typed_value)
+
+        s = "2024-03-05 06:07:08.123456"
+        blob = _encode_typed_value(MYSQL_TYPE_TIMESTAMP2, bytes([6]), s)
+        out, q = _decode_value(blob, 0, MYSQL_TYPE_TIMESTAMP2, 6)
+        assert q == len(blob) and out == s
+
+    def test_unknown_type_still_skips_whole_event(self):
+        """A TABLE_MAP declaring a type the decoder doesn't know (JSON,
+        code 245) keeps the warn-and-skip contract."""
+        from binlog_avro_comparator_spark.sources import binlog_binary as bb
+
+        orig, orig_enc = bb.TYPED_COLUMNS, bb._encode_typed_value
+
+        def fake_enc(typ, meta, v):
+            return b"\x01x" if typ == 245 else orig_enc(typ, meta, v)
+
+        try:
+            bb.TYPED_COLUMNS = orig[:1] + [("t_json", 245, bytes([4]))]
+            bb._encode_typed_value = fake_enc
+            blob = bb.encode_typed_binlog_file(
+                [dict(timestamp="2024-03-05T06:07:08Z", log_position=104,
+                      line_no=0, t_id="7", t_json="x")])
+        finally:
+            bb.TYPED_COLUMNS, bb._encode_typed_value = orig, orig_enc
+        assert list(bb.decode_binlog_rows_bytes("f", blob)) == []
+
+
 # --- S2+: row-image (payload) decode tier ---------------------------------
 
 class TestBinlogRowImages:
