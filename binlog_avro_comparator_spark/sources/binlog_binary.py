@@ -81,6 +81,16 @@ WRITE_ROWS_EVENT_V2 = 30
 UPDATE_ROWS_EVENT_V2 = 31
 DELETE_ROWS_EVENT_V2 = 32
 GTID_LOG_EVENT = 33
+# MySQL 8.0.20+ binlog_transaction_compression wraps a transaction's
+# events in one Transaction_payload_event (public libbinlogevents
+# layout: TLV header fields + the embedded event stream)
+TRANSACTION_PAYLOAD_EVENT = 40
+# TLV field types (OTW_PAYLOAD_*): 0 = header-end mark, 1 = payload
+# size, 2 = compression type, 3 = uncompressed size
+_TX_FIELD_END, _TX_FIELD_SIZE = 0, 1
+_TX_FIELD_COMPRESSION, _TX_FIELD_UNCOMP_SIZE = 2, 3
+TX_COMPRESSION_ZSTD = 0
+TX_COMPRESSION_NONE = 255
 
 _ROWS_NAMES = {
     WRITE_ROWS_EVENT_V2: "WriteRowsEventV2",
@@ -513,6 +523,43 @@ def encode_typed_binlog_file(rows: list[dict], checksum: bool = False) -> bytes:
     return MAGIC + b"".join(out)
 
 
+def tx_payload_event(
+    ts_sec: int,
+    log_pos: int,
+    inner: bytes,
+    compression: int = TX_COMPRESSION_NONE,
+) -> bytes:
+    """Transaction_payload_event wrapping an embedded event stream
+    (headers included, no magic, no per-event checksums -- the wrapped
+    shape MySQL 8.0.20+ binlog_transaction_compression writes).  TLV
+    fields: compression type, uncompressed size, payload size,
+    header-end mark, then the (possibly compressed) payload.
+    ``compression=TX_COMPRESSION_ZSTD`` requires an importable zstd
+    codec (fixture-side only; raises ImportError without one)."""
+    payload = inner
+    if compression == TX_COMPRESSION_ZSTD:
+        try:
+            import zstandard
+
+            payload = zstandard.ZstdCompressor().compress(inner)
+        except ImportError:
+            from compression import zstd
+
+            payload = zstd.compress(inner)
+
+    def fld(t: int, v: int) -> bytes:
+        vb = v.to_bytes(max(1, (v.bit_length() + 7) // 8), "little")
+        return _lenenc(t) + _lenenc(len(vb)) + vb
+
+    tlv = (
+        fld(_TX_FIELD_COMPRESSION, compression)
+        + fld(_TX_FIELD_UNCOMP_SIZE, len(inner))
+        + fld(_TX_FIELD_SIZE, len(payload))
+        + _lenenc(_TX_FIELD_END)
+    )
+    return _event(ts_sec, TRANSACTION_PAYLOAD_EVENT, tlv + payload, log_pos)
+
+
 def _xid(ts_sec: int, xid: int, log_pos: int) -> bytes:
     return _event(ts_sec, XID_EVENT, struct.pack("<Q", xid & (2**64 - 1)), log_pos)
 
@@ -651,7 +698,64 @@ def _fde_checksum_alg(body: bytes) -> int:
     return body[-5]
 
 
-def _iter_events(data: bytes) -> Iterator[tuple[int, int, int, bytes]]:
+def _transaction_payload_fields(body: bytes):
+    """Transaction_payload_event body -> (compression_type,
+    payload_bytes); None on malformation.  TLV header: repeated
+    [type:lenenc][length:lenenc][value:length bytes] fields (integer
+    values little-endian) until the header-end mark (type 0, no
+    length), then the embedded payload."""
+    p = 0
+    ctype = None
+    psize = None
+    while True:
+        r = _read_lenenc(body, p)
+        if r is None:
+            return None
+        t, p = r
+        if t == _TX_FIELD_END:
+            break
+        r = _read_lenenc(body, p)
+        if r is None:
+            return None
+        ln, p = r
+        if p + ln > len(body):
+            return None
+        val = int.from_bytes(body[p : p + ln], "little")
+        p += ln
+        if t == _TX_FIELD_SIZE:
+            psize = val
+        elif t == _TX_FIELD_COMPRESSION:
+            ctype = val
+        # _TX_FIELD_UNCOMP_SIZE is advisory
+    payload = body[p : p + psize] if psize is not None else body[p:]
+    return ctype, payload
+
+
+def _zstd_decompress(data: bytes) -> bytes | None:
+    """zstd if a codec is importable (the ``zstandard`` package or the
+    3.14+ ``compression.zstd`` stdlib module), else None -- the caller
+    turns None into a COUNTED skip rather than a silent one."""
+    try:
+        import zstandard
+
+        return zstandard.ZstdDecompressor().decompress(data)
+    except ImportError:
+        pass
+    except Exception:
+        return None  # corrupt frame: counted skip, never raise
+    try:
+        from compression import zstd
+
+        return zstd.decompress(data)
+    except ImportError:
+        return None
+    except Exception:
+        return None
+
+
+def _iter_events(
+    data: bytes, stats: dict | None = None
+) -> Iterator[tuple[int, int, int, bytes]]:
     """Walk a binlog v4 byte stream -> (ts_sec, code, log_pos, body)
     per event, with checksum handling centralized so no consumer ever
     sees CRC bytes as payload: the FORMAT_DESCRIPTION event's
@@ -660,7 +764,15 @@ def _iter_events(data: bytes) -> Iterator[tuple[int, int, int, bytes]]:
     mismatch => warn-and-skip that event, keep scanning -- the header
     chain is still intact) and stripped before the body is yielded.
     Same tolerance contract as before: a truncated trailing event stops
-    the walk, never raises."""
+    the walk, never raises.
+
+    Transaction_payload_event (compressed transactions, MySQL 8.0.20+)
+    is unwrapped transparently: the embedded event stream -- which
+    carries NO per-event checksums; the outer event's CRC covers it --
+    is yielded event by event.  A zstd payload with no importable
+    codec, or a corrupt TLV/frame, is a COUNTED skip via ``stats``
+    (keys ``compressed_tx_skipped`` / ``crc_failed``), never a silent
+    one and never a raise."""
     off = len(MAGIC)
     n = len(data)
     crc_tail = 0
@@ -682,20 +794,50 @@ def _iter_events(data: bytes) -> Iterator[tuple[int, int, int, bytes]]:
                 data[off : off + size - 4]
             ) != int.from_bytes(data[off + size - 4 : off + size], "little"):
                 off += size
+                if stats is not None:
+                    stats["crc_failed"] = stats.get("crc_failed", 0) + 1
                 continue  # corrupt event: skip it, the chain is intact
             body = body[:-4]
         off += size
+        if code == TRANSACTION_PAYLOAD_EVENT:
+            r = _transaction_payload_fields(body)
+            inner = None
+            if r is not None:
+                ctype, payload = r
+                if ctype in (TX_COMPRESSION_NONE, None):
+                    inner = payload
+                elif ctype == TX_COMPRESSION_ZSTD:
+                    inner = _zstd_decompress(payload)
+            if inner is None:
+                if stats is not None:
+                    stats["compressed_tx_skipped"] = (
+                        stats.get("compressed_tx_skipped", 0) + 1
+                    )
+                continue
+            ioff, m = 0, len(inner)
+            while ioff + HEADER_LEN <= m:
+                its, icode, _isrv, isize, ipos, _ifl = struct.unpack_from(
+                    "<IBIIIH", inner, ioff
+                )
+                if isize < HEADER_LEN or ioff + isize > m:
+                    break
+                yield its, icode, ipos, inner[ioff + HEADER_LEN : ioff + isize]
+                ioff += isize
+            continue
         yield ts_sec, code, log_pos, body
 
 
-def decode_binlog_bytes(basename: str, data: bytes) -> Iterator[tuple]:
+def decode_binlog_bytes(
+    basename: str, data: bytes, stats: dict | None = None
+) -> Iterator[tuple]:
     """One file's bytes -> contract rows.  Tolerant the way the text
     layer is (SURVEY section 2.8): a truncated trailing event stops the
     scan instead of raising; unknown event types are skipped by
     event_size (forward-compatible, exactly how real consumers skip
     events they don't understand).  CRC32-checksummed binlogs (the
     MySQL 8.0 default) are handled by _iter_events: tails verified and
-    stripped, so checksummed and plain files decode identically."""
+    stripped, so checksummed and plain files decode identically;
+    compressed transactions are unwrapped or COUNTED into ``stats``."""
     if not data.startswith(MAGIC):
         return
     gtid: str | None = None
@@ -703,7 +845,7 @@ def decode_binlog_bytes(basename: str, data: bytes) -> Iterator[tuple]:
     schema: str | None = None
     table: str | None = None
     ordinal = 0
-    for ts_sec, code, log_pos, body in _iter_events(data):
+    for ts_sec, code, log_pos, body in _iter_events(data, stats):
         if code == GTID_LOG_EVENT:
             # a GTID event opens a NEW transaction: clear the previous
             # transaction's immediate_commit_timestamp up front so a
@@ -1129,7 +1271,9 @@ def _decode_image(body: bytes, p: int, tm: dict, present: int):
     return payload, p
 
 
-def decode_binlog_rows_bytes(basename: str, data: bytes) -> Iterator[tuple]:
+def decode_binlog_rows_bytes(
+    basename: str, data: bytes, stats: dict | None = None
+) -> Iterator[tuple]:
     """One file's bytes -> ROW-IMAGE rows: one output row per decoded
     image inside every WRITE/UPDATE/DELETE rows event (UPDATE yields a
     'before' and an 'after' row).  ``event_no`` is the 1-based ordinal
@@ -1151,7 +1295,7 @@ def decode_binlog_rows_bytes(basename: str, data: bytes) -> Iterator[tuple]:
     ict: str | None = None
     table_maps: dict[int, dict] = {}
     event_no = 0
-    for ts_sec, code, log_pos, body in _iter_events(data):
+    for ts_sec, code, log_pos, body in _iter_events(data, stats):
         if code == GTID_LOG_EVENT:
             ict = None  # new transaction: clear the previous ict
             if len(body) >= 1 + 16 + 8:
@@ -1243,6 +1387,142 @@ def read_binlog_rows_dir(spark: SparkSession, path: str) -> DataFrame:
             )
 
     return files.mapInPandas(decode, schema=ROWS_SCHEMA)
+
+
+def decode_binlog_drift_bytes(basename: str, data: bytes) -> Iterator[tuple]:
+    """Schema-drift rows for the BINARY path (twin of the text path's
+    operators/parse.schema_drift_report): one row per TABLE_MAP whose
+    column signature (names + types) differs from the PREVIOUS map for
+    the same schema.table in this file -- i.e. DDL between
+    transactions.  The rows decoder keeps decoding correctly across
+    the change (each rows event uses the map in force at its
+    position); this channel makes the change VISIBLE instead of
+    silent.  Yields (binlog_file, log_position, schema, table,
+    n_cols_before, n_cols_after, added_cols, removed_cols) with the
+    added/removed column-name lists as csv."""
+    if not data.startswith(MAGIC):
+        return
+    seen: dict[tuple, tuple] = {}  # (schema, table) -> (names, types)
+    for _ts, code, log_pos, body in _iter_events(data):
+        if code != TABLE_MAP_EVENT:
+            continue
+        tm = _parse_table_map(body)
+        if tm is None or tm["types"] is None:
+            continue
+        key = (tm["schema"], tm["table"])
+        sig = (tuple(tm["names"]), tuple(tm["types"]))
+        prev = seen.get(key)
+        seen[key] = sig
+        if prev is None or prev == sig:
+            continue
+        before, after = set(prev[0]), set(sig[0])
+        yield (
+            basename,
+            log_pos,
+            tm["schema"],
+            tm["table"],
+            len(prev[0]),
+            len(sig[0]),
+            ",".join(sorted(after - before)),
+            ",".join(sorted(before - after)),
+        )
+
+
+DRIFT_SCHEMA = T.StructType(
+    [
+        T.StructField("binlog_file", T.StringType()),
+        T.StructField("log_position", T.LongType()),
+        T.StructField("schema", T.StringType()),
+        T.StructField("table", T.StringType()),
+        T.StructField("n_cols_before", T.IntegerType()),
+        T.StructField("n_cols_after", T.IntegerType()),
+        T.StructField("added_cols", T.StringType()),
+        T.StructField("removed_cols", T.StringType()),
+    ]
+)
+
+
+def read_binlog_schema_drift_dir(spark: SparkSession, path: str) -> DataFrame:
+    """Directory of binary binlogs -> schema-drift rows (one per
+    mid-file TABLE_MAP signature change).  Same distribution shape as
+    the other binary readers."""
+    import os
+
+    import pandas as pd
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "mysql-bin.*")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def drift(batches):
+        for pdf in batches:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                rows.extend(
+                    decode_binlog_drift_bytes(
+                        os.path.basename(p), bytes(content)
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in DRIFT_SCHEMA.fields]
+            )
+
+    return files.mapInPandas(drift, schema=DRIFT_SCHEMA)
+
+
+SKIP_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("binlog_file", T.StringType()),
+        T.StructField("crc_failed", T.LongType()),
+        T.StructField("compressed_tx_skipped", T.LongType()),
+    ]
+)
+
+
+def read_binlog_skip_stats_dir(spark: SparkSession, path: str) -> DataFrame:
+    """Debug-log channel for the binary source (the SURVEY 2.8
+    warn-and-skip contract made queryable): per-file counters of
+    events the decoder REFUSED rather than decoded -- CRC32 failures
+    and compressed transactions without an importable zstd codec.
+    Same distribution shape as the decoders (binaryFile scan, one
+    Arrow-batched pass); emits one row per file so a monitoring query
+    can alert on skips instead of discovering them in lost rows."""
+    import os
+
+    import pandas as pd
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "mysql-bin.*")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def count(batches):
+        for pdf in batches:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                if not data.startswith(MAGIC):
+                    continue
+                stats: dict = {}
+                for _ in _iter_events(data, stats):
+                    pass
+                rows.append(
+                    (
+                        os.path.basename(p),
+                        stats.get("crc_failed", 0),
+                        stats.get("compressed_tx_skipped", 0),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in SKIP_STATS_SCHEMA.fields]
+            )
+
+    return files.mapInPandas(count, schema=SKIP_STATS_SCHEMA)
 
 
 def read_binlog_binary_dir(spark: SparkSession, path: str) -> DataFrame:

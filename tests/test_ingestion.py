@@ -767,6 +767,163 @@ class TestTypedRowImages:
         assert list(bb.decode_binlog_rows_bytes("f", blob)) == []
 
 
+class TestTransactionPayload:
+    """Transaction_payload_event (MySQL 8.0.20+ compressed
+    transactions): NONE-compression payloads unwrap transparently in
+    both decode tiers; zstd decodes when a codec is importable, else
+    it is a COUNTED skip (stats + the queryable skip-stats channel),
+    never a silent one."""
+
+    def _wrapped_and_plain(self, checksum=False):
+        """(wrapped_blob, plain_blob): one WRITE transaction either
+        inline or inside a NONE-compression Transaction_payload."""
+        from binlog_avro_comparator_spark.sources.binlog_binary import (
+            FIXTURE_SID, MAGIC, _fde, _gtid, _parse_ts_sec, _rows_payload,
+            _table_map_payload, _with_crc, tx_payload_event)
+
+        ts = _parse_ts_sec("2024-01-01T00:00:01Z")
+        img = (7, "cust-5", "prod-7", 3, 1704067201000)
+        gtid = _gtid(ts, FIXTURE_SID, 1, 0, 104)
+        inner = _table_map_payload(ts, "db0", "t1", 104) + _rows_payload(
+            ts, 30, 104, [img])
+        evs_plain = [gtid, _table_map_payload(ts, "db0", "t1", 104),
+                     _rows_payload(ts, 30, 104, [img])]
+        evs_wrapped = [gtid, tx_payload_event(ts, 104, inner)]
+        alg = 1 if checksum else None
+        mk = (lambda evs: MAGIC + b"".join(
+            _with_crc(e) for e in [_fde(ts, alg)] + evs)) if checksum else (
+            lambda evs: MAGIC + b"".join([_fde(ts, alg)] + evs))
+        return mk(evs_wrapped), mk(evs_plain)
+
+    def test_none_compression_unwraps_identically(self):
+        from binlog_avro_comparator_spark.sources.binlog_binary import (
+            decode_binlog_bytes, decode_binlog_rows_bytes)
+
+        for checksum in (False, True):
+            wrapped, plain = self._wrapped_and_plain(checksum)
+            assert list(decode_binlog_bytes("f", wrapped)) == list(
+                decode_binlog_bytes("f", plain))
+            rows = list(decode_binlog_rows_bytes("f", wrapped))
+            assert rows == list(decode_binlog_rows_bytes("f", plain))
+            assert rows and rows[0][11]["order_id"] == "7"
+
+    def test_zstd_roundtrip_or_counted_skip(self):
+        """With a zstd codec importable the compressed payload decodes
+        to the same rows; without one it is a counted skip."""
+        from binlog_avro_comparator_spark.sources import binlog_binary as bb
+
+        try:
+            import zstandard  # noqa: F401
+            have_zstd = True
+        except ImportError:
+            have_zstd = False
+        wrapped, plain = self._wrapped_and_plain()
+        # recompress the payload as zstd by rebuilding the wrapper
+        ts = bb._parse_ts_sec("2024-01-01T00:00:01Z")
+        img = (7, "cust-5", "prod-7", 3, 1704067201000)
+        inner = bb._table_map_payload(ts, "db0", "t1", 104) + bb._rows_payload(
+            ts, 30, 104, [img])
+        if have_zstd:
+            z = bb.tx_payload_event(
+                ts, 104, inner, compression=bb.TX_COMPRESSION_ZSTD)
+            blob = plain[: plain.index(inner)]  # magic+fde+gtid prefix
+            stats = {}
+            got = list(bb.decode_binlog_rows_bytes(
+                "f", wrapped.replace(inner, b"") and blob + z, stats))
+            assert got and got[0][11]["order_id"] == "7"
+            assert "compressed_tx_skipped" not in stats
+        else:
+            # fake a zstd-compressed payload: compression type 0 with
+            # bytes no decoder exists for -> counted skip, no rows
+            def fld(t, v):
+                vb = v.to_bytes(max(1, (v.bit_length() + 7) // 8), "little")
+                return bb._lenenc(t) + bb._lenenc(len(vb)) + vb
+
+            fakez = b"\x28\xb5\x2f\xfd" + b"\x00" * 8  # zstd magic + junk
+            tlv = (fld(2, 0) + fld(3, len(inner)) + fld(1, len(fakez))
+                   + bb._lenenc(0))
+            zev = bb._event(ts, bb.TRANSACTION_PAYLOAD_EVENT, tlv + fakez, 104)
+            head = plain.split(inner)[0]
+            stats = {}
+            got = list(bb.decode_binlog_rows_bytes("f", head + zev, stats))
+            assert got == []
+            assert stats.get("compressed_tx_skipped") == 1
+
+    def test_skip_stats_channel(self, spark, tmp_path):
+        from binlog_avro_comparator_spark.sources import binlog_binary as bb
+        from binlog_avro_comparator_spark.sources.binlog_binary import (
+            read_binlog_skip_stats_dir)
+
+        wrapped, plain = self._wrapped_and_plain(checksum=True)
+        # corrupt the final event's CRC in one file
+        bad = bytearray(wrapped)
+        bad[-10] ^= 0xFF
+        (tmp_path / "mysql-bin.000001").write_bytes(bytes(bad))
+        (tmp_path / "mysql-bin.000002").write_bytes(plain)
+        got = {
+            r.binlog_file: r
+            for r in read_binlog_skip_stats_dir(spark, str(tmp_path)).collect()
+        }
+        assert got["mysql-bin.000001"].crc_failed == 1
+        assert got["mysql-bin.000002"].crc_failed == 0
+        assert got["mysql-bin.000002"].compressed_tx_skipped == 0
+
+
+class TestBinarySchemaDrift:
+    """Mid-file DDL: a TABLE_MAP whose column signature changes.  The
+    rows decoder must keep decoding correctly per epoch (each rows
+    event uses the map in force at its position) and the drift channel
+    must surface the change as a row."""
+
+    def _blob_with_drift(self):
+        from binlog_avro_comparator_spark.sources import binlog_binary as bb
+
+        ts = bb._parse_ts_sec("2024-01-01T00:00:01Z")
+        img5 = (7, "cust-5", "prod-7", 3, 1704067201000)
+        epoch1 = bb._table_map_payload(ts, "db0", "t1", 104) + bb._rows_payload(
+            ts, 30, 104, [img5])
+        orig = bb.PAYLOAD_COLUMNS
+        try:
+            bb.PAYLOAD_COLUMNS = orig + [("extra_flag", bb.MYSQL_TYPE_TINY, None)]
+            img6 = img5 + (1,)
+            epoch2 = bb._table_map_payload(ts, "db0", "t1", 204) + bb._rows_payload(
+                ts, 30, 204, [img6])
+        finally:
+            bb.PAYLOAD_COLUMNS = orig
+        return bb.MAGIC + bb._fde(ts) + epoch1 + epoch2
+
+    def test_per_epoch_payloads_and_drift_row(self):
+        from binlog_avro_comparator_spark.sources.binlog_binary import (
+            decode_binlog_drift_bytes, decode_binlog_rows_bytes)
+
+        blob = self._blob_with_drift()
+        rows = list(decode_binlog_rows_bytes("f", blob))
+        assert len(rows) == 2
+        assert set(rows[0][11]) == {"order_id", "customer_name",
+                                    "product_name", "quantity",
+                                    "order_timestamp"}
+        assert set(rows[1][11]) == set(rows[0][11]) | {"extra_flag"}
+        assert rows[1][11]["extra_flag"] == "1"
+        drift = list(decode_binlog_drift_bytes("f", blob))
+        assert drift == [("f", 204, "db0", "t1", 5, 6, "extra_flag", "")]
+
+    def test_no_drift_without_ddl(self):
+        from binlog_avro_comparator_spark.sources.binlog_binary import (
+            decode_binlog_drift_bytes, encode_binlog_file)
+
+        blob = encode_binlog_file(TestBinlogRowImages.EVS, checksum=True)
+        assert list(decode_binlog_drift_bytes("f", blob)) == []
+
+    def test_distributed_drift_reader(self, spark, tmp_path):
+        from binlog_avro_comparator_spark.sources.binlog_binary import (
+            read_binlog_schema_drift_dir)
+
+        (tmp_path / "mysql-bin.000001").write_bytes(self._blob_with_drift())
+        got = read_binlog_schema_drift_dir(spark, str(tmp_path)).collect()
+        assert len(got) == 1
+        assert got[0].added_cols == "extra_flag" and got[0].n_cols_after == 6
+
+
 # --- S2+: row-image (payload) decode tier ---------------------------------
 
 class TestBinlogRowImages:
