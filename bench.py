@@ -145,6 +145,7 @@ EXTRA_QUERIES = [
     # round 6
     "cdc_parse_binlog_typed",
     "cdc_payload_diff_typed",
+    "embedding_kmeans_gemm",
 ]
 
 

@@ -455,6 +455,7 @@ def kmeans_assignments(
     stride: int = 37,
     dim: int = 64,
     return_centroids: bool = False,
+    gemm_threshold: int = 64,
 ):
     """Lloyd's k-means over the embedding corpus -- the iterative-
     algorithm tier (cluster-then-balance curation, IVF index training).
@@ -480,6 +481,24 @@ def kmeans_assignments(
     Euclidean argmin uses score = x.c - |c|^2/2 (the |x|^2 term is
     constant per vector and drops out of the argmax).
 
+    LARGE-k path (k > ``gemm_threshold``, round-5 verdict item): the
+    broadcast-crossJoin assignment expands every row k times, so its
+    CPU scales O(n*k*dim) -- fine at k=8, a scan-CPU multiplier when
+    SemDeDup sizes k like a bucket count.  Above the threshold,
+    assignment routes through the cosine_topk_pandas GEMM pattern
+    instead: the k x dim centroid matrix is collected (k x dim doubles
+    -- a few MB even at k=65536) and broadcast, and each Arrow batch
+    does ONE numpy matmul + argmax, so per-row cost is a dense GEMM
+    row, near-flat in k until k*dim outgrows cache.  Scores and the
+    packed lowest-id tie-break are computed with the SAME rounding
+    contract as the JVM fold, so both paths produce identical
+    assignments (equivalence is pytest- and oracle-pinned; the one
+    theoretical divergence is a dot product landing exactly on a 5e-7
+    rounding midpoint, where JVM fold order and GEMM summation order
+    could differ in the last ulp).  The collect per iteration is the
+    deliberate trade: at large k you want the codebook materialized
+    (lineage truncation) anyway.
+
     Empty clusters drop out for the next iteration (k shrinks), the
     standard Lloyd degenerate case, identical in the twin.
 
@@ -496,7 +515,7 @@ def kmeans_assignments(
         F.transform(F.col("x"), lambda v: F.round(v, COS_ROUND)).alias("c"),
     )
 
-    def assign(centroids: DataFrame) -> DataFrame:
+    def assign_jvm(centroids: DataFrame) -> DataFrame:
         cn2 = F.aggregate(
             F.col("c"), F.lit(0.0), lambda acc, v: acc + v * v
         ).alias("__cn2")
@@ -515,6 +534,47 @@ def kmeans_assignments(
             .groupBy("vec_id")
             .agg(F.max_by("centroid_id", F.col("__key")).alias("centroid_id"))
         )
+
+    def assign_gemm(centroids: DataFrame) -> DataFrame:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        rows = centroids.select("centroid_id", "c").collect()
+        cid = np.array([r.centroid_id for r in rows], dtype=np.int64)
+        cmat = np.array([r.c for r in rows], dtype=np.float64)
+        cn2 = (cmat * cmat).sum(axis=1)
+        b = embeddings.sparkSession.sparkContext.broadcast((cid, cmat, cn2))
+        schema = T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("centroid_id", T.LongType()),
+            ]
+        )
+
+        def _assign(batches):
+            cid_, cmat_, cn2_ = b.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                x = np.array(list(pdf["x"]), dtype=np.float64)
+                # (batch, k) scores in one GEMM; identical rounding +
+                # packed lowest-id tie-break as the JVM fold
+                score = np.round(x @ cmat_.T - 0.5 * cn2_, COS_ROUND)
+                packed = (
+                    np.round(score * 1e6).astype(np.int64) * (1 << 32) - cid_
+                )
+                best = packed.argmax(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(),
+                        "centroid_id": cid_[best],
+                    }
+                )
+
+        return emb.mapInPandas(_assign, schema=schema)
+
+    assign = assign_gemm if k > gemm_threshold else assign_jvm
 
     def update(assignment: DataFrame) -> DataFrame:
         joined = assignment.join(emb, on="vec_id")

@@ -910,6 +910,19 @@ def _q_kmeans(spark, sf_dir):
     return kmeans_assignments(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_kmeans_gemm(spark, sf_dir):
+    """The large-k GEMM assignment path (mapInPandas matmul + packed
+    argmax, round-5 verdict item 5) forced at the oracle's k=8 via
+    gemm_threshold=0 -- the SAME DuckDB twin certifies both
+    assignment engines produce identical clusters."""
+    ensure_session_conf(spark)
+    from ..operators.similarity import kmeans_assignments
+
+    return kmeans_assignments(
+        load_table(spark, sf_dir, "embeddings"), gemm_threshold=0
+    )
+
+
 def _q_redact_pii(spark, sf_dir):
     ensure_session_conf(spark)
     return redact_pii(_inject_pii(_docs(spark, sf_dir)))
@@ -2199,6 +2212,7 @@ def queries() -> dict[str, QueryFn]:
         # sampling window (r3 freeze rule) --
         "cdc_parse_binlog_typed": _q_cdc_parse_binlog_typed,
         "cdc_payload_diff_typed": _q_cdc_payload_diff_typed,
+        "embedding_kmeans_gemm": _q_kmeans_gemm,
         # -- NEW in r5: the payload tier + merge sit first (CDC core),
         # then the corpus-analysis / retrieval / graph / sketch / PQ
         # additions. --
@@ -4093,6 +4107,14 @@ FROM events""",
         # argmin euclidean via score = dot - |c|^2/2, lowest-centroid
         # tie-break; empty clusters drop out exactly as in Spark.
         "embedding_kmeans": f"""
+WITH {_KMEANS_CTE}
+SELECT a1.vec_id, a1.centroid_id, sz.cluster_size
+FROM a1 JOIN (
+  SELECT centroid_id, count(*) AS cluster_size FROM a1 GROUP BY 1
+) sz ON sz.centroid_id = a1.centroid_id""",
+        # the GEMM assignment path must land on the SAME clusters --
+        # one oracle, two engines (JVM fold vs numpy matmul)
+        "embedding_kmeans_gemm": f"""
 WITH {_KMEANS_CTE}
 SELECT a1.vec_id, a1.centroid_id, sz.cluster_size
 FROM a1 JOIN (

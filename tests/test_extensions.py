@@ -1010,6 +1010,32 @@ def test_kmeans_deterministic_and_partitioning_invariant(spark):
     }
 
 
+def test_kmeans_gemm_path_matches_jvm_path(spark):
+    """The large-k GEMM assignment (mapInPandas matmul + packed
+    argmax) must produce bit-identical assignments to the JVM
+    broadcast-fold path -- forced here at small k via gemm_threshold=0
+    so both paths run on the same data."""
+    import random
+
+    from binlog_avro_comparator_spark.operators.similarity import (
+        kmeans_assignments)
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(150)]
+    docs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    jvm = {
+        (r.vec_id, r.centroid_id)
+        for r in kmeans_assignments(docs, k=8, n_iter=3, stride=7, dim=8).collect()
+    }
+    gemm = {
+        (r.vec_id, r.centroid_id)
+        for r in kmeans_assignments(
+            docs, k=8, n_iter=3, stride=7, dim=8, gemm_threshold=0
+        ).collect()
+    }
+    assert gemm == jvm and len(jvm) == 150
+
+
 def test_remove_boilerplate_segments_golden(spark):
     """Hand-built boilerplate case: the 3-word segment 'nav home about'
     opens 4 of 5 docs (df=4 >= threshold) and is dropped from ALL of
