@@ -146,6 +146,7 @@ EXTRA_QUERIES = [
     "cdc_parse_binlog_typed",
     "cdc_payload_diff_typed",
     "embedding_kmeans_gemm",
+    "cdc_payload_findings_stream",
 ]
 
 

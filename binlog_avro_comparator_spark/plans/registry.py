@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .. import oracle
 from ..fixtures import (
@@ -1895,6 +1895,94 @@ def _q_cdc_payload_diff_typed(spark, sf_dir):
     return C.payload_diff(bp, ap)
 
 
+_PAYLOAD_NAMES = [
+    "order_id", "customer_name", "product_name", "quantity",
+    "order_timestamp",
+]
+
+
+def _payload_map(prefix: str = "") -> F.Column:
+    return F.map_from_arrays(
+        F.array(*[F.lit(n) for n in _PAYLOAD_NAMES]),
+        F.array(*[F.col(prefix + n).cast("string") for n in _PAYLOAD_NAMES]),
+    )
+
+
+def _q_cdc_payload_findings_stream(spark, sf_dir):
+    """FULL OUTER payload findings with BOTH sides live (round-5
+    verdict item 8): the watermarked stream-stream join adds the
+    BINLOG_ONLY / AVRO_ONLY tiers the stateless stream-static diff
+    cannot assert, under the strict post-watermark horizon pinned by
+    test_payload_findings_stream_horizons.  Each side replays as one
+    JSON file (single micro-batch per source, so no intermediate
+    watermark can drop late-listed rows); event time is the source
+    event's timestamp on both sides, which the oracle mirrors."""
+    global _STREAM_SINK_SEQ
+    import tempfile
+
+    from ..streaming.compare_stream import streaming_payload_findings
+
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    d = _FIXTURE_DIRS.get(("stream_payload_findings", sf_dir))
+    if d is None:
+        # binlog side: prepared row images (last-write-wins per key,
+        # zero-pos and empty-file drops) + event-time ms
+        b = derive_binlog_events_with_payload(ev).filter(
+            F.col("order_timestamp").isNotNull()
+            & (F.col("binlog_file") != "")
+            & (F.col("log_position") != 0)
+        )
+        w = Window.partitionBy("binlog_file", "log_position").orderBy(
+            F.col("line_no").desc()
+        )
+        bframe = (
+            b.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "binlog_file",
+                F.col("log_position").alias("binlog_position"),
+                _payload_map().alias("payload"),
+                F.col("order_timestamp").alias("ts_ms"),
+            )
+        )
+        avro = derive_avro_rows(ev).join(derive_avro_payload(ev), "avro_line_no")
+        ats = ev.select(
+            F.col("event_id").alias("avro_line_no"),
+            F.unix_millis("ts").alias("__ats"),
+        )
+        aframe = (
+            C.prepare_avro(avro)
+            .join(ats, "avro_line_no")
+            .select(
+                "binlog_file",
+                "binlog_position",
+                _payload_map().alias("payload"),
+                F.col("__ats").alias("ts_ms"),
+            )
+        )
+        d = tempfile.mkdtemp(prefix="cdc_payload_findings_stream_")
+        bframe.coalesce(1).write.mode("overwrite").json(d + "/b")
+        aframe.coalesce(1).write.mode("overwrite").json(d + "/a")
+        _FIXTURE_DIRS[("stream_payload_findings", sf_dir)] = d
+    schema = (
+        "binlog_file string, binlog_position bigint, "
+        "payload map<string,string>, ts_ms bigint"
+    )
+
+    def rd(sub):
+        return (
+            spark.readStream.schema(schema)
+            .json(d + "/" + sub)
+            .withColumn("ts", F.timestamp_millis("ts_ms"))
+        )
+
+    out = streaming_payload_findings(rd("b"), rd("a"), window_ms=5000)
+    _STREAM_SINK_SEQ += 1
+    name = f"cdc_payload_findings_stream_sink_{_STREAM_SINK_SEQ}"
+    return _drain_to_table(spark, out, name, "append")
+
+
 def _q_cdc_payload_diff(spark, sf_dir):
     """The capability the reference declares columns for but never
     ships (compare_timestamps.go:57-63): column-level diff of binlog
@@ -2213,6 +2301,7 @@ def queries() -> dict[str, QueryFn]:
         "cdc_parse_binlog_typed": _q_cdc_parse_binlog_typed,
         "cdc_payload_diff_typed": _q_cdc_payload_diff_typed,
         "embedding_kmeans_gemm": _q_kmeans_gemm,
+        "cdc_payload_findings_stream": _q_cdc_payload_findings_stream,
         # -- NEW in r5: the payload tier + merge sit first (CDC core),
         # then the corpus-analysis / retrieval / graph / sketch / PQ
         # additions. --
@@ -5447,6 +5536,100 @@ FROM diff GROUP BY "column", status"""
     # stateless stream-static payload diff appends exactly the batch
     # findings -> same oracle
     sql["cdc_payload_diff_stream"] = sql["cdc_payload_diff"]
+    # FULL OUTER payload findings stream: matched tier = the batch
+    # payload diff verbatim; the BINLOG_ONLY / AVRO_ONLY tiers obey
+    # the strict post-watermark horizon ts + window < W (pinned by
+    # test_payload_findings_stream_horizons), W = least of the two
+    # sides' max event times (delay 0), window_ms = 5000.  Event time
+    # on both replay sides is the source event's epoch millis, so
+    # ts_ms = epoch_ms(ts) per surviving row.
+    sql["cdc_payload_findings_stream"] = """
+WITH dml AS (
+  SELECT event_id AS eid, user_id, ts, event_type,
+    CASE WHEN event_id % 211 = 0 THEN 0
+         WHEN event_id % 53 = 0 THEN 100 * ((event_id + 4) // 4) + 4
+         ELSE 100 * (event_id // 4) + 4 END AS log_position,
+    'mysql-bin.' || lpad(CAST(event_id % 4 AS VARCHAR), 6, '0') AS binlog_file
+  FROM events
+  WHERE event_type IN ('click','view','purchase') AND event_id % 223 <> 0
+), bl AS (
+  SELECT binlog_file, log_position AS binlog_position,
+    CAST(eid % 100000 AS VARCHAR) AS order_id,
+    CASE WHEN eid % 43 = 6 THEN NULL
+         ELSE 'cust-' || CAST(user_id % 1000 AS VARCHAR) END AS customer_name,
+    'prod-' || CAST(eid % 97 AS VARCHAR) AS product_name,
+    CAST(1 + eid % 10 AS VARCHAR) AS quantity,
+    CAST(epoch_ms(ts) AS VARCHAR) AS order_timestamp,
+    epoch_ms(ts) AS ts_ms
+  FROM dml WHERE log_position <> 0
+  QUALIFY row_number() OVER (
+    PARTITION BY binlog_file, log_position ORDER BY eid DESC) = 1
+), av AS (
+  SELECT
+    'mysql-bin.' || lpad(CAST(event_id % 4 AS VARCHAR), 6, '0') AS binlog_file,
+    CASE WHEN event_id % 17 = 5 THEN 100 * (event_id // 4) + 4 + 7
+         ELSE 100 * (event_id // 4) + 4 END AS binlog_position,
+    CAST(event_id % 100000 AS VARCHAR) AS order_id,
+    'cust-' || CAST(user_id % 1000 AS VARCHAR) AS customer_name,
+    CASE WHEN event_id % 37 = 3 THEN 'prod-X'
+         ELSE 'prod-' || CAST(event_id % 97 AS VARCHAR) END AS product_name,
+    CASE WHEN event_id % 31 = 2 THEN CAST(1 + event_id % 10 + 1 AS VARCHAR)
+         ELSE CAST(1 + event_id % 10 AS VARCHAR) END AS quantity,
+    CASE WHEN event_id % 47 = 7 THEN NULL
+         ELSE CAST(epoch_ms(ts) AS VARCHAR) END AS order_timestamp,
+    epoch_ms(ts) AS ts_ms
+  FROM events
+  WHERE event_type IN ('click','view','purchase')
+    AND event_id % 13 <> 0 AND event_id % 29 <> 1
+), wm AS (
+  SELECT least((SELECT max(ts_ms) FROM bl),
+               (SELECT max(ts_ms) FROM av)) AS w
+), unp AS (
+  SELECT b.binlog_file, b.binlog_position, 'order_id' AS "column",
+         b.order_id AS binlog_value, a.order_id AS avro_value
+  FROM bl b JOIN av a USING (binlog_file, binlog_position)
+  UNION ALL
+  SELECT b.binlog_file, b.binlog_position, 'customer_name',
+         b.customer_name, a.customer_name
+  FROM bl b JOIN av a USING (binlog_file, binlog_position)
+  UNION ALL
+  SELECT b.binlog_file, b.binlog_position, 'product_name',
+         b.product_name, a.product_name
+  FROM bl b JOIN av a USING (binlog_file, binlog_position)
+  UNION ALL
+  SELECT b.binlog_file, b.binlog_position, 'quantity',
+         b.quantity, a.quantity
+  FROM bl b JOIN av a USING (binlog_file, binlog_position)
+  UNION ALL
+  SELECT b.binlog_file, b.binlog_position, 'order_timestamp',
+         b.order_timestamp, a.order_timestamp
+  FROM bl b JOIN av a USING (binlog_file, binlog_position)
+)
+SELECT binlog_file, binlog_position, "column", binlog_value, avro_value,
+       CASE WHEN binlog_value IS NULL AND avro_value IS NOT NULL
+              THEN 'BINLOG_NULL'
+            WHEN binlog_value IS NOT NULL AND avro_value IS NULL
+              THEN 'AVRO_NULL'
+            WHEN binlog_value <> avro_value THEN 'MISMATCH' END AS status
+FROM unp
+WHERE (binlog_value IS NULL) <> (avro_value IS NULL)
+   OR binlog_value <> avro_value
+UNION ALL
+SELECT b.binlog_file, b.binlog_position, CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'BINLOG_ONLY'
+FROM bl b, wm
+WHERE b.ts_ms + 5000 < wm.w
+  AND NOT EXISTS (SELECT 1 FROM av a
+                  WHERE a.binlog_file = b.binlog_file
+                    AND a.binlog_position = b.binlog_position)
+UNION ALL
+SELECT a.binlog_file, a.binlog_position, CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'AVRO_ONLY'
+FROM av a, wm
+WHERE a.ts_ms + 5000 < wm.w
+  AND NOT EXISTS (SELECT 1 FROM bl b
+                  WHERE b.binlog_file = a.binlog_file
+                    AND b.binlog_position = a.binlog_position)"""
     return sql
 
 

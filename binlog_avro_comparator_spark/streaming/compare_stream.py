@@ -125,6 +125,127 @@ def streaming_findings(
     return matched_findings.unionAll(avro_only_findings)
 
 
+def streaming_payload_findings(
+    binlog_stream: DataFrame,
+    avro_stream: DataFrame,
+    window_ms: int = 2000,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """FULL OUTER payload diff with BOTH sides live -- the tier the
+    stateless stream-static diff cannot give: binlog-only and
+    avro-only findings are NEGATIVES ('the partner never arrived'),
+    unknowable on an open stream until the watermark proves no partner
+    can still come, exactly view_click_left_join_stream's contract
+    extended to both directions.
+
+    Inputs: (binlog_file, binlog_position, payload map<string,string>,
+    ts event-time) on each side.  Shape: ONE watermarked stream-stream
+    full-outer join on the composite key plus the |a_ts - b_ts| <=
+    window_ms range predicate that bounds both state stores, then a
+    SINGLE stateless projection that explodes each joined row into its
+    findings -- matched rows into per-column MISMATCH / BINLOG_NULL /
+    AVRO_NULL rows (the batch payload_diff contract), unmatched rows
+    into one BINLOG_ONLY / AVRO_ONLY row (column and values NULL).
+    Building the findings as a filtered transform() array and exploding
+    once keeps the join single-instance (a union of filtered branches
+    would re-instantiate the stateful join per branch).
+
+    End-of-replay contract (what the oracle states): with both sides
+    drained via availableNow, final watermark W = min over inputs of
+    (max event time - delay); matched pairs all emit; a matchless
+    binlog row emits iff b_ts + window < W, a matchless avro row iff
+    a_ts + window < W -- STRICT, because the inclusive <= range
+    predicate keeps a partner with ts == boundary admissible when the
+    watermark merely equals it (pinned by
+    test_payload_findings_stream_horizons; note the LEFT interval
+    join's horizon is inclusive instead, its range predicate being
+    half-open).  Returns (binlog_file, binlog_position, column,
+    binlog_value, avro_value, status)."""
+    b = binlog_stream.select(
+        F.col("binlog_file"),
+        F.col("binlog_position"),
+        F.col("payload").alias("__bp"),
+        F.col("ts").alias("b_ts"),
+    ).withWatermark("b_ts", watermark_delay)
+    a = avro_stream.select(
+        F.col("binlog_file").alias("a_file"),
+        F.col("binlog_position").alias("a_pos"),
+        F.col("payload").alias("__ap"),
+        F.col("ts").alias("a_ts"),
+    ).withWatermark("a_ts", watermark_delay)
+    iv = F.expr(f"INTERVAL {window_ms} MILLISECONDS")
+    j = b.join(
+        a,
+        (F.col("binlog_file") == F.col("a_file"))
+        & (F.col("binlog_position") == F.col("a_pos"))
+        & (F.col("a_ts") >= F.col("b_ts") - iv)
+        & (F.col("a_ts") <= F.col("b_ts") + iv),
+        "fullOuter",
+    )
+    bp, ap = F.col("__bp"), F.col("__ap")
+    null_s = F.lit(None).cast("string")
+
+    def _finding(column, bv, av, status):
+        return F.struct(
+            column.alias("column"),
+            bv.alias("binlog_value"),
+            av.alias("avro_value"),
+            status.alias("status"),
+        )
+
+    cols = F.array_distinct(F.concat(F.map_keys(bp), F.map_keys(ap)))
+    per_col = F.filter(
+        F.transform(
+            cols,
+            lambda c: _finding(
+                c,
+                F.element_at(bp, c),
+                F.element_at(ap, c),
+                F.when(
+                    F.element_at(bp, c).isNull()
+                    & F.element_at(ap, c).isNotNull(),
+                    F.lit("BINLOG_NULL"),
+                )
+                .when(
+                    F.element_at(bp, c).isNotNull()
+                    & F.element_at(ap, c).isNull(),
+                    F.lit("AVRO_NULL"),
+                )
+                .when(
+                    F.element_at(bp, c).isNotNull()
+                    & F.element_at(ap, c).isNotNull()
+                    & (F.element_at(bp, c) != F.element_at(ap, c)),
+                    F.lit("MISMATCH"),
+                ),
+            ),
+        ),
+        lambda s: s["status"].isNotNull(),
+    )
+    findings = (
+        F.when(
+            bp.isNull(),
+            F.array(_finding(null_s, null_s, null_s, F.lit("AVRO_ONLY"))),
+        )
+        .when(
+            ap.isNull(),
+            F.array(_finding(null_s, null_s, null_s, F.lit("BINLOG_ONLY"))),
+        )
+        .otherwise(per_col)
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("binlog_file"), F.col("a_file")).alias(
+                "binlog_file"
+            ),
+            F.coalesce(F.col("binlog_position"), F.col("a_pos")).alias(
+                "binlog_position"
+            ),
+            F.explode(findings).alias("__f"),
+        )
+        .select("binlog_file", "binlog_position", "__f.*")
+    )
+
+
 def streaming_payload_diff(
     binlog_payload_static: DataFrame, avro_payload_stream: DataFrame
 ) -> DataFrame:

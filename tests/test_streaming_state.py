@@ -600,3 +600,73 @@ def test_left_join_boundary_horizon(spark, tmp_path):
     null_views = {r.view_event_id for r in res if r.click_event_id is None}
     assert null_views == {2001, 2002}
     assert {r.view_event_id for r in res if r.click_event_id is not None} == {1001}
+
+
+def test_payload_findings_stream_horizons(spark, tmp_path):
+    """Pin the FULL OUTER payload-findings emission contract: matched
+    pairs emit per-column findings; a matchless binlog row emits
+    BINLOG_ONLY iff b_ts + window < W (STRICT -- the inclusive
+    <= range predicate means a partner with a_ts == b_ts + window is
+    still admissible when the watermark merely equals it), and a
+    matchless avro row AVRO_ONLY iff a_ts + window < W, where W =
+    min(side maxes) - delay.  The cdc_payload_findings_stream oracle
+    depends on these exact inequalities."""
+    from binlog_avro_comparator_spark.streaming.compare_stream import (
+        streaming_payload_findings,
+    )
+
+    T0 = 1_700_000_000_000
+    WINDOW = 2_000
+    M = T0 + 100_000  # both sides' max event time; delay=0 -> W = M
+    b_rows = [
+        ("f", 100, {"a": "1", "b": "x", "c": None, "d": "only-b"}, M),
+        ("f", 200, {"a": "1"}, M - WINDOW),      # closes AT W: absent
+        ("f", 300, {"a": "1"}, M - WINDOW - 1),  # strictly closed: emits
+        ("f", 400, {"a": "1"}, M - 9_000),       # well closed: emits
+    ]
+    a_rows = [
+        ("f", 100, {"a": "2", "b": "x", "c": "av", "d": None}, M),
+        ("f", 500, {"a": "1"}, M - WINDOW - 1),  # strictly closed: emits
+        ("f", 600, {"a": "1"}, M - WINDOW),      # closes AT W: absent
+    ]
+    schema = (
+        "binlog_file string, binlog_position long, "
+        "payload map<string,string>, ts_ms long"
+    )
+    for rows, name in ((b_rows, "b"), (a_rows, "a")):
+        spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.timestamp_millis("ts_ms")
+        ).select("binlog_file", "binlog_position", "payload", "ts").coalesce(
+            1
+        ).write.parquet(str(tmp_path / name))
+
+    stream_schema = (
+        "binlog_file string, binlog_position long, "
+        "payload map<string,string>, ts timestamp"
+    )
+    out = streaming_payload_findings(
+        spark.readStream.schema(stream_schema).parquet(str(tmp_path / "b")),
+        spark.readStream.schema(stream_schema).parquet(str(tmp_path / "a")),
+        window_ms=WINDOW,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("payload_findings_probe")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    q.stop()
+    res = spark.table("payload_findings_probe").collect()
+    by_status = {}
+    for r in res:
+        by_status.setdefault(r.status, []).append(r)
+    # matched key 100: a MISMATCH, c BINLOG_NULL, d AVRO_NULL, b agrees
+    matched = {(r.column, r.status) for r in res if r.binlog_position == 100}
+    assert matched == {("a", "MISMATCH"), ("c", "BINLOG_NULL"),
+                       ("d", "AVRO_NULL")}
+    assert {r.binlog_position for r in by_status["BINLOG_ONLY"]} == {300, 400}
+    assert {r.binlog_position for r in by_status["AVRO_ONLY"]} == {500}
+    only = by_status["BINLOG_ONLY"][0]
+    assert only.column is None and only.binlog_value is None
