@@ -261,6 +261,33 @@ def test_kmeans_assignment_no_rank_window(spark):
     assert "partial_max_by" in plan
 
 
+def test_kmeans_gemm_no_row_expansion(spark):
+    """The large-k GEMM assignment plan contains NO k-fold row
+    expansion (no nested-loop/cartesian join) and no rank window --
+    assignment is one Arrow mapInPandas pass over the corpus."""
+    from binlog_avro_comparator_spark.operators.similarity import kmeans_assignments
+
+    plan = _plan(
+        kmeans_assignments(load_table(spark, SF, "embeddings"), gemm_threshold=0)
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_typed_rows_scan_prunes_columns(spark):
+    """The typed binary scan reads only (path, content) from the
+    binaryFile source -- the decode is one MapInPandas over the pruned
+    scan, no extra exchange before it."""
+    from binlog_avro_comparator_spark.plans.registry import queries
+
+    df = queries()["cdc_parse_binlog_typed"](spark, SF)
+    plan = _plan(df)
+    assert "MapInPandas" in plan
+    assert "ReadSchema: struct<path:string,content:binary>" in plan
+
+
 def test_orders_cube_expand_partial_agg(spark):
     """CUBE plans as one Expand + hash aggregate with map-side partials
     -- the grouping-set replication happens before the exchange, never
