@@ -227,6 +227,15 @@ def _typed_value_cols(eid: F.Column) -> dict[str, F.Column]:
         "t_char": F.concat(F.lit("c"), (eid % 100).cast("string")),
         "t_enum": (F.lit(1) + eid % 3).cast("string"),
         "t_set": (eid % 8).cast("string"),
+        # canonical compact JSON text (the exact _decode_json_blob
+        # rendering: insertion-order keys, no spaces)
+        "t_json": F.concat(
+            F.lit('{"k":'),
+            (eid % 50).cast("string"),
+            F.lit(',"s":"v-'),
+            (eid % 7).cast("string"),
+            F.lit('"}'),
+        ),
     }
 
 

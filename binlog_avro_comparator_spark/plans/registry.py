@@ -1854,7 +1854,7 @@ def _typed_binlog_fixture_dir(spark, sf_dir) -> str:
 
 _TYPED_NAMES = [
     "t_id", "t_date", "t_year", "t_dt", "t_ts", "t_time",
-    "t_dec", "t_text", "t_char", "t_enum", "t_set",
+    "t_dec", "t_text", "t_char", "t_enum", "t_set", "t_json",
 ]
 
 
@@ -3017,6 +3017,10 @@ _TYPED_VALUE_SQL = {
     "t_char": "'c' || CAST(eid % 100 AS VARCHAR)",
     "t_enum": "CAST(1 + eid % 3 AS VARCHAR)",
     "t_set": "CAST(eid % 8 AS VARCHAR)",
+    "t_json": (
+        "'{\"k\":' || CAST(eid % 50 AS VARCHAR)"
+        " || ',\"s\":\"v-' || CAST(eid % 7 AS VARCHAR) || '\"}'"
+    ),
 }
 
 _TYPED_DML_CTE = """dml AS (

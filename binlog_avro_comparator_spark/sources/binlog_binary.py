@@ -116,6 +116,7 @@ MYSQL_TYPE_VARCHAR = 15
 MYSQL_TYPE_TIMESTAMP2 = 17
 MYSQL_TYPE_DATETIME2 = 18
 MYSQL_TYPE_TIME2 = 19
+MYSQL_TYPE_JSON = 245  # binary JSON document (public json_binary layout)
 MYSQL_TYPE_NEWDECIMAL = 246
 MYSQL_TYPE_ENUM = 247  # appears in TABLE_MAP as STRING + real-type meta
 MYSQL_TYPE_SET = 248  # ditto
@@ -334,6 +335,7 @@ TYPED_COLUMNS = [
     ("t_char", MYSQL_TYPE_STRING, bytes([MYSQL_TYPE_STRING, 80])),  # CHAR(20) utf8mb4
     ("t_enum", MYSQL_TYPE_STRING, bytes([MYSQL_TYPE_ENUM, 1])),
     ("t_set", MYSQL_TYPE_STRING, bytes([MYSQL_TYPE_SET, 1])),
+    ("t_json", MYSQL_TYPE_JSON, bytes([4])),
 ]
 TYPED_NULLABLE = {"t_text"}
 TYPED_SCHEMA_NAME, TYPED_TABLE_NAME = "tdb", "typed"
@@ -438,6 +440,11 @@ def _encode_typed_value(typ: int, meta: bytes, v: str) -> bytes:
     if typ == MYSQL_TYPE_BLOB:
         b = v.encode()
         return len(b).to_bytes(meta[0], "little") + b
+    if typ == MYSQL_TYPE_JSON:
+        import json as _json
+
+        doc = _encode_json_doc(_json.loads(v))
+        return len(doc).to_bytes(meta[0], "little") + doc
     if typ == MYSQL_TYPE_STRING:
         real = meta[0]
         if real in (MYSQL_TYPE_ENUM, MYSQL_TYPE_SET):
@@ -941,6 +948,7 @@ _META_LEN = {
     MYSQL_TYPE_DATE: 0, MYSQL_TYPE_YEAR: 0,
     MYSQL_TYPE_TIMESTAMP2: 1, MYSQL_TYPE_DATETIME2: 1, MYSQL_TYPE_TIME2: 1,
     MYSQL_TYPE_NEWDECIMAL: 2,  # [precision][scale]
+    MYSQL_TYPE_JSON: 1,  # length-prefix width (4 on real servers)
     MYSQL_TYPE_BLOB: 1,  # length-prefix width (1/2/3/4 bytes)
     MYSQL_TYPE_STRING: 2,  # [real-type-or-packed-high-bits][length]
 }
@@ -975,6 +983,193 @@ def _read_frac(body: bytes, p: int, fsp: int) -> tuple[int, int] | None:
 
 def _fmt_frac(micros: int, fsp: int) -> str:
     return "." + f"{micros:06d}"[:fsp] if fsp else ""
+
+
+# MySQL binary JSON value types (public json_binary.h layout)
+_JSON_SMALL_OBJECT = 0x00
+_JSON_LARGE_OBJECT = 0x01
+_JSON_SMALL_ARRAY = 0x02
+_JSON_LARGE_ARRAY = 0x03
+_JSON_LITERAL = 0x04
+_JSON_INT16 = 0x05
+_JSON_UINT16 = 0x06
+_JSON_INT32 = 0x07
+_JSON_UINT32 = 0x08
+_JSON_INT64 = 0x09
+_JSON_UINT64 = 0x0A
+_JSON_DOUBLE = 0x0B
+_JSON_STRING = 0x0C
+
+_JSON_ERR = object()  # decode-failure sentinel (None is a valid JSON value)
+
+
+def _json_varlen(data: bytes, p: int):
+    """Variable-length string size (7 bits per byte, high bit =
+    continuation) -> (length, new offset); None on malformation."""
+    length, shift = 0, 0
+    while p < len(data) and shift <= 28:
+        b = data[p]
+        p += 1
+        length |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return length, p
+        shift += 7
+    return None
+
+
+def _json_val(t: int, data: bytes):
+    """One binary-JSON value of type ``t`` whose payload begins at
+    data[0] (container offsets are relative to data[0], per the public
+    layout) -> python value, or _JSON_ERR on malformation."""
+    try:
+        if t == _JSON_LITERAL:
+            return {0: None, 1: True, 2: False}.get(data[0], _JSON_ERR)
+        if t == _JSON_INT16:
+            return struct.unpack_from("<h", data, 0)[0]
+        if t == _JSON_UINT16:
+            return struct.unpack_from("<H", data, 0)[0]
+        if t == _JSON_INT32:
+            return struct.unpack_from("<i", data, 0)[0]
+        if t == _JSON_UINT32:
+            return struct.unpack_from("<I", data, 0)[0]
+        if t == _JSON_INT64:
+            return struct.unpack_from("<q", data, 0)[0]
+        if t == _JSON_UINT64:
+            return struct.unpack_from("<Q", data, 0)[0]
+        if t == _JSON_DOUBLE:
+            return struct.unpack_from("<d", data, 0)[0]
+        if t == _JSON_STRING:
+            r = _json_varlen(data, 0)
+            if r is None:
+                return _JSON_ERR
+            ln, q = r
+            if q + ln > len(data):
+                return _JSON_ERR
+            return data[q : q + ln].decode("utf-8", "replace")
+        if t in (
+            _JSON_SMALL_OBJECT,
+            _JSON_LARGE_OBJECT,
+            _JSON_SMALL_ARRAY,
+            _JSON_LARGE_ARRAY,
+        ):
+            large = t in (_JSON_LARGE_OBJECT, _JSON_LARGE_ARRAY)
+            is_obj = t in (_JSON_SMALL_OBJECT, _JSON_LARGE_OBJECT)
+            w = 4 if large else 2
+            if len(data) < 2 * w:
+                return _JSON_ERR
+            count = int.from_bytes(data[0:w], "little")
+            p = 2 * w
+            keys = []
+            if is_obj:
+                for _ in range(count):
+                    if p + w + 2 > len(data):
+                        return _JSON_ERR
+                    koff = int.from_bytes(data[p : p + w], "little")
+                    klen = int.from_bytes(data[p + w : p + w + 2], "little")
+                    if koff + klen > len(data):
+                        return _JSON_ERR
+                    keys.append(
+                        data[koff : koff + klen].decode("utf-8", "replace")
+                    )
+                    p += w + 2
+            vals = []
+            inline_types = {_JSON_LITERAL, _JSON_INT16, _JSON_UINT16}
+            if large:
+                inline_types |= {_JSON_INT32, _JSON_UINT32}
+            for _ in range(count):
+                if p + 1 + w > len(data):
+                    return _JSON_ERR
+                vt = data[p]
+                if vt in inline_types:
+                    v = _json_val(vt, data[p + 1 : p + 1 + w])
+                else:
+                    voff = int.from_bytes(data[p + 1 : p + 1 + w], "little")
+                    if voff > len(data):
+                        return _JSON_ERR
+                    v = _json_val(vt, data[voff:])
+                if v is _JSON_ERR:
+                    return _JSON_ERR
+                vals.append(v)
+                p += 1 + w
+            return dict(zip(keys, vals)) if is_obj else vals
+    except (struct.error, IndexError):
+        return _JSON_ERR
+    return _JSON_ERR
+
+
+def _decode_json_blob(blob: bytes):
+    """Whole binary-JSON document (type byte + payload) -> canonical
+    compact JSON text, or None on malformation."""
+    import json as _json
+
+    if not blob:
+        return None
+    v = _json_val(blob[0], blob[1:])
+    if v is _JSON_ERR:
+        return None
+    return _json.dumps(v, separators=(",", ":"), ensure_ascii=False)
+
+
+def _encode_json_value(v) -> tuple[int, bytes]:
+    """Python value -> (type byte, payload bytes), small container
+    format (the fixture-side inverse of _json_val; real servers write
+    large format only past 64 KiB)."""
+    if v is None or isinstance(v, bool):
+        return _JSON_LITERAL, bytes([0 if v is None else 1 if v else 2])
+    if isinstance(v, int):
+        if -(1 << 15) <= v < (1 << 15):
+            return _JSON_INT16, struct.pack("<h", v)
+        if -(1 << 31) <= v < (1 << 31):
+            return _JSON_INT32, struct.pack("<i", v)
+        return _JSON_INT64, struct.pack("<q", v)
+    if isinstance(v, float):
+        return _JSON_DOUBLE, struct.pack("<d", v)
+    if isinstance(v, str):
+        b = v.encode()
+        ln, out = len(b), bytearray()
+        while True:
+            out.append((ln & 0x7F) | (0x80 if ln > 0x7F else 0))
+            ln >>= 7
+            if not ln:
+                break
+        return _JSON_STRING, bytes(out) + b
+    # containers: small format, 2-byte counts/offsets
+    is_obj = isinstance(v, dict)
+    items = list(v.items()) if is_obj else [(None, x) for x in v]
+    w, count = 2, len(items)
+    header_len = 2 * w + (count * (w + 2) if is_obj else 0) + count * (1 + w)
+    key_blobs = [str(k).encode() for k, _ in items] if is_obj else []
+    enc = [_encode_json_value(x) for _, x in items]
+    # keys first, then out-of-line values, after the entry tables
+    tail = bytearray()
+    key_offs = []
+    for kb in key_blobs:
+        key_offs.append(header_len + len(tail))
+        tail += kb
+    val_entries = []
+    for t, payload in enc:
+        if t in (_JSON_LITERAL, _JSON_INT16, _JSON_UINT16):
+            val_entries.append(bytes([t]) + payload.ljust(w, b"\x00"))
+        else:
+            val_entries.append(
+                bytes([t]) + (header_len + len(tail)).to_bytes(w, "little")
+            )
+            tail += payload
+    size = header_len + len(tail)
+    out = bytearray()
+    out += count.to_bytes(w, "little") + size.to_bytes(w, "little")
+    if is_obj:
+        for off, kb in zip(key_offs, key_blobs):
+            out += off.to_bytes(w, "little") + len(kb).to_bytes(2, "little")
+    for ve in val_entries:
+        out += ve
+    out += tail
+    return (_JSON_SMALL_OBJECT if is_obj else _JSON_SMALL_ARRAY), bytes(out)
+
+
+def _encode_json_doc(v) -> bytes:
+    t, payload = _encode_json_value(v)
+    return bytes([t]) + payload
 
 
 def _decode_decimal(body: bytes, p: int, precision: int, scale: int):
@@ -1233,6 +1428,17 @@ def _decode_value(body: bytes, p: int, typ: int, meta: int):
             if not 1 <= meta <= 4:
                 return None
             return _read_len_prefixed(body, p, meta)
+        if typ == MYSQL_TYPE_JSON:
+            w = meta if 1 <= meta <= 4 else 4
+            if p + w > len(body):
+                return None
+            ln = int.from_bytes(body[p : p + w], "little")
+            if p + w + ln > len(body):
+                return None
+            doc = _decode_json_blob(body[p + w : p + w + ln])
+            if doc is None:
+                return None
+            return doc, p + w + ln
         if typ == MYSQL_TYPE_STRING:
             real, b1 = meta >> 8, meta & 0xFF
             if real == MYSQL_TYPE_ENUM or real == MYSQL_TYPE_SET:

@@ -44,7 +44,10 @@ def canon(df):
     return sorted(tuple(norm(v) for v in r) for r in df[cols].itertuples(index=False, name=None))
 for name in ["cdc_summary", "cdc_findings", "q1_pricing_summary", "ann_cosine_topk",
              "cdc_merge_upsert", "doc_bm25_topk", "doc_weighted_sample",
-             "graph_supplier_pagerank", "embedding_pq_codes", "events_retention_cohorts"]:
+             "graph_supplier_pagerank", "embedding_pq_codes", "events_retention_cohorts",
+             # round 6
+             "cdc_parse_binlog_typed", "cdc_payload_diff_typed",
+             "embedding_kmeans_gemm", "cdc_payload_findings_stream"]:
     sdf = qs[name](spark, "/root/testdata/sf0.01").toPandas()
     ddf = con.sql(osql[name]).df()
     match = canon(sdf) == canon(ddf)

@@ -671,12 +671,14 @@ class TestTypedRowImages:
              t_id="7", t_date="2024-03-05", t_year="2024",
              t_dt="2024-03-05 06:07:08.123", t_ts="2024-03-05 06:07:08",
              t_time="-13:05:59", t_dec="-1234567.89", t_text="text-ü-7",
-             t_char="c42", t_enum="2", t_set="5"),
+             t_char="c42", t_enum="2", t_set="5",
+             t_json='{"k":7,"s":"v-0"}'),
         dict(timestamp="2024-03-05T06:07:09Z", log_position=204, line_no=1,
              t_id="-2147483648", t_date="1999-12-31", t_year="0000",
              t_dt="9999-12-31 23:59:59.999", t_ts="1970-01-01 00:00:00",
              t_time="838:59:59", t_dec="0.00", t_text=None,
-             t_char="", t_enum="1", t_set="0"),
+             t_char="", t_enum="1", t_set="0",
+             t_json='{"a":[1,true,null,"x",1.5],"n":-70000,"o":{"b":false}}'),
     ]
 
     def _decode(self, checksum=False):
@@ -703,7 +705,7 @@ class TestTypedRowImages:
         assert (got[0][8], got[0][9]) == ("tdb", "typed")
         assert set(got[0][11]) == {
             "t_id", "t_date", "t_year", "t_dt", "t_ts", "t_time",
-            "t_dec", "t_text", "t_char", "t_enum", "t_set"}
+            "t_dec", "t_text", "t_char", "t_enum", "t_set", "t_json"}
 
     def test_decimal_codec_exhaustive_shapes(self):
         """decimal.c layout across group boundaries: scales/precisions
@@ -747,24 +749,66 @@ class TestTypedRowImages:
         assert q == len(blob) and out == s
 
     def test_unknown_type_still_skips_whole_event(self):
-        """A TABLE_MAP declaring a type the decoder doesn't know (JSON,
-        code 245) keeps the warn-and-skip contract."""
+        """A TABLE_MAP declaring a type the decoder doesn't know (code
+        243, unassigned) keeps the warn-and-skip contract."""
         from binlog_avro_comparator_spark.sources import binlog_binary as bb
 
         orig, orig_enc = bb.TYPED_COLUMNS, bb._encode_typed_value
 
         def fake_enc(typ, meta, v):
-            return b"\x01x" if typ == 245 else orig_enc(typ, meta, v)
+            return b"\x01x" if typ == 243 else orig_enc(typ, meta, v)
 
         try:
-            bb.TYPED_COLUMNS = orig[:1] + [("t_json", 245, bytes([4]))]
+            bb.TYPED_COLUMNS = orig[:1] + [("t_mystery", 243, bytes([4]))]
             bb._encode_typed_value = fake_enc
             blob = bb.encode_typed_binlog_file(
                 [dict(timestamp="2024-03-05T06:07:08Z", log_position=104,
-                      line_no=0, t_id="7", t_json="x")])
+                      line_no=0, t_id="7", t_mystery="x")])
         finally:
             bb.TYPED_COLUMNS, bb._encode_typed_value = orig, orig_enc
         assert list(bb.decode_binlog_rows_bytes("f", blob)) == []
+
+    def test_json_codec_shapes(self):
+        """Binary JSON roundtrip across value types: nested containers,
+        literals, int widths, double, unicode strings, strings > 127
+        bytes (varlen continuation), top-level scalars and arrays; a
+        LARGE-format container (4-byte offsets, inlined int32) decodes
+        too even though the fixture encoder only writes small."""
+        import json
+        import struct
+
+        from binlog_avro_comparator_spark.sources.binlog_binary import (
+            _decode_json_blob, _encode_json_doc)
+
+        cases = [
+            {"k": 7, "s": "v-0"},
+            {"a": [1, True, None, "x", 1.5], "n": -70000,
+             "big": 9_000_000_000, "o": {"b": False}},
+            [],
+            {},
+            [1, [2, [3]]],
+            "just a string",
+            {"u": "héllo-ü", "long": "x" * 300},
+            42,
+            None,
+        ]
+        for v in cases:
+            out = _decode_json_blob(_encode_json_doc(v))
+            assert out == json.dumps(v, separators=(",", ":"),
+                                     ensure_ascii=False), (v, out)
+        # hand-built LARGE array [7, "hi"]: count/size/offsets 4-byte
+        payload = bytearray()
+        payload += (2).to_bytes(4, "little")          # count
+        entries_end = 8 + 2 * 5
+        s_off = entries_end
+        tail = bytes([2]) + b"hi"                     # varlen 2 + bytes
+        payload += (entries_end + len(tail)).to_bytes(4, "little")  # size
+        payload += bytes([0x07]) + (7).to_bytes(4, "little")        # inline int32
+        payload += bytes([0x0C]) + s_off.to_bytes(4, "little")      # offset str
+        payload += tail
+        assert _decode_json_blob(bytes([0x03]) + bytes(payload)) == '[7,"hi"]'
+        # malformed: truncated container -> None (warn-and-skip upstream)
+        assert _decode_json_blob(bytes([0x00, 0x02])) is None
 
 
 class TestTransactionPayload:
