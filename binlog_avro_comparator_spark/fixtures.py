@@ -236,6 +236,12 @@ def _typed_value_cols(eid: F.Column) -> dict[str, F.Column]:
             (eid % 7).cast("string"),
             F.lit('"}'),
         ),
+        # unsigned tiers (SIGNEDNESS TLV): values past the sign bit,
+        # where a signed misread would go negative
+        "t_u8": (F.lit(128) + eid % 128).cast("string"),
+        "t_u64": (
+            F.expr("CAST('9223372036854775808' AS DECIMAL(20,0))") + eid
+        ).cast("string"),
     }
 
 

@@ -1855,6 +1855,7 @@ def _typed_binlog_fixture_dir(spark, sf_dir) -> str:
 _TYPED_NAMES = [
     "t_id", "t_date", "t_year", "t_dt", "t_ts", "t_time",
     "t_dec", "t_text", "t_char", "t_enum", "t_set", "t_json",
+    "t_u8", "t_u64",
 ]
 
 
@@ -3021,6 +3022,8 @@ _TYPED_VALUE_SQL = {
         "'{\"k\":' || CAST(eid % 50 AS VARCHAR)"
         " || ',\"s\":\"v-' || CAST(eid % 7 AS VARCHAR) || '\"}'"
     ),
+    "t_u8": "CAST(128 + eid % 128 AS VARCHAR)",
+    "t_u64": "CAST(9223372036854775808::HUGEINT + eid AS VARCHAR)",
 }
 
 _TYPED_DML_CTE = """dml AS (

@@ -123,9 +123,20 @@ MYSQL_TYPE_SET = 248  # ditto
 MYSQL_TYPE_BLOB = 252  # all BLOB/TEXT variants map here in binlogs
 MYSQL_TYPE_STRING = 254  # CHAR; meta byte0 carries ENUM/SET real type
 
-# TABLE_MAP optional-metadata TLV type for column names
-# (binlog_row_metadata=FULL writes it; public MySQL 8.0 format).
+# TABLE_MAP optional-metadata TLV types (public MySQL 8.0 format):
+# SIGNEDNESS (always written when the table has numeric columns; one
+# bit per NUMERIC column, MSB-first) and COLUMN_NAME
+# (binlog_row_metadata=FULL).
+_OPTMETA_SIGNEDNESS = 1
 _OPTMETA_COLUMN_NAME = 4
+
+# the column types that consume a SIGNEDNESS bit (the set the public
+# replication clients use; one bit per such column, in column order)
+_NUMERIC_TYPES = {
+    MYSQL_TYPE_TINY, MYSQL_TYPE_SHORT, MYSQL_TYPE_INT24, MYSQL_TYPE_LONG,
+    MYSQL_TYPE_LONGLONG, MYSQL_TYPE_FLOAT, MYSQL_TYPE_DOUBLE,
+    MYSQL_TYPE_NEWDECIMAL,
+}
 
 # Fixture payload columns: the five the reference's avro contract
 # declares (compare_timestamps.go:57-63).  VARCHAR metadata = max byte
@@ -336,8 +347,11 @@ TYPED_COLUMNS = [
     ("t_enum", MYSQL_TYPE_STRING, bytes([MYSQL_TYPE_ENUM, 1])),
     ("t_set", MYSQL_TYPE_STRING, bytes([MYSQL_TYPE_SET, 1])),
     ("t_json", MYSQL_TYPE_JSON, bytes([4])),
+    ("t_u8", MYSQL_TYPE_TINY, b""),        # TINYINT UNSIGNED
+    ("t_u64", MYSQL_TYPE_LONGLONG, b""),   # BIGINT UNSIGNED (> 2^63)
 ]
 TYPED_NULLABLE = {"t_text"}
+TYPED_UNSIGNED = {"t_u8", "t_u64"}
 TYPED_SCHEMA_NAME, TYPED_TABLE_NAME = "tdb", "typed"
 
 
@@ -391,8 +405,16 @@ def _encode_typed_value(typ: int, meta: bytes, v: str) -> bytes:
     """Canonical string (the exact _decode_value rendering) -> row-image
     bytes for one column.  The encode/decode pair is the roundtrip the
     typed-fixture tests pin."""
+    if typ == MYSQL_TYPE_TINY:
+        return (int(v) & 0xFF).to_bytes(1, "little")
+    if typ == MYSQL_TYPE_SHORT:
+        return (int(v) & 0xFFFF).to_bytes(2, "little")
+    if typ == MYSQL_TYPE_INT24:
+        return (int(v) & 0xFFFFFF).to_bytes(3, "little")
     if typ == MYSQL_TYPE_LONG:
-        return struct.pack("<i", int(v))
+        return (int(v) & 0xFFFFFFFF).to_bytes(4, "little")
+    if typ == MYSQL_TYPE_LONGLONG:
+        return (int(v) & (1 << 64) - 1).to_bytes(8, "little")
     if typ == MYSQL_TYPE_DATE:
         y, mo, d = (int(x) for x in v.split("-"))
         return ((y << 9) | (mo << 5) | d).to_bytes(3, "little")
@@ -468,6 +490,18 @@ def _table_map_typed(ts_sec: int, log_pos: int) -> bytes:
     names_blob = b"".join(
         _lenenc(len(n.encode())) + n.encode() for n, _, _ in TYPED_COLUMNS
     )
+    # SIGNEDNESS TLV: one bit per numeric column (MSB-first), set for
+    # the TYPED_UNSIGNED columns -- what real servers always write
+    sign_bits = bytearray()
+    bit = 0
+    for name, typ, _ in TYPED_COLUMNS:
+        if typ not in _NUMERIC_TYPES:
+            continue
+        if bit % 8 == 0:
+            sign_bits.append(0)
+        if name in TYPED_UNSIGNED:
+            sign_bits[bit // 8] |= 1 << (7 - bit % 8)
+        bit += 1
     nb_len = (len(TYPED_COLUMNS) + 7) // 8
     payload = (
         struct.pack("<IH", 2, 0) + b"\x00\x00"  # table_id=2 + flags
@@ -477,6 +511,8 @@ def _table_map_typed(ts_sec: int, log_pos: int) -> bytes:
         + bytes(typ for _, typ, _ in TYPED_COLUMNS)
         + _lenenc(len(meta)) + meta
         + null_bitmap.to_bytes(nb_len, "little")
+        + bytes([_OPTMETA_SIGNEDNESS]) + _lenenc(len(sign_bits))
+        + bytes(sign_bits)
         + bytes([_OPTMETA_COLUMN_NAME]) + _lenenc(len(names_blob)) + names_blob
     )
     return _event(ts_sec, TABLE_MAP_EVENT, payload, log_pos)
@@ -1253,7 +1289,7 @@ def _parse_table_map(body: bytes) -> dict | None:
     table = body[p + 1 : p + 1 + tlen].decode("utf-8", "replace")
     p += 1 + tlen + 1
     out = {"table_id": table_id, "schema": schema, "table": table,
-           "types": None, "metas": None, "names": None}
+           "types": None, "metas": None, "names": None, "unsigned": None}
     r = _read_lenenc(body, p)
     if r is None:
         return out
@@ -1285,6 +1321,7 @@ def _parse_table_map(body: bytes) -> dict | None:
         mp += w
     p += meta_len + (n_cols + 7) // 8  # skip null bitmap
     names = [f"c{i}" for i in range(n_cols)]
+    unsigned = [False] * n_cols
     # optional metadata TLVs (type, lenenc length, value)
     while p + 1 < len(body):
         t = body[p]
@@ -1305,8 +1342,22 @@ def _parse_table_map(body: bytes) -> dict | None:
                 q += nl
             if len(got) == n_cols:
                 names = got
+        elif t == _OPTMETA_SIGNEDNESS:
+            # one bit per NUMERIC column, MSB-first in column order --
+            # without this an UNSIGNED BIGINT above 2^63 decodes as a
+            # negative number (a wrong answer, not a skip)
+            blob = body[p : p + vlen]
+            bit = 0
+            for i, ct in enumerate(types):
+                if ct not in _NUMERIC_TYPES:
+                    continue
+                byte_i, bit_i = bit // 8, bit % 8
+                if byte_i < len(blob):
+                    unsigned[i] = bool(blob[byte_i] >> (7 - bit_i) & 1)
+                bit += 1
         p += vlen
     out["types"], out["metas"], out["names"] = types, metas, names
+    out["unsigned"] = unsigned
     return out
 
 
@@ -1322,32 +1373,38 @@ def _read_len_prefixed(body: bytes, p: int, w: int):
     return body[p + w : p + w + ln].decode("utf-8", "replace"), p + w + ln
 
 
-def _decode_value(body: bytes, p: int, typ: int, meta: int):
+def _decode_value(body: bytes, p: int, typ: int, meta: int, unsigned: bool = False):
     """One column value at offset p -> (string value, new offset);
     None on truncation.  Canonical renderings (what the payload map
     carries; each is the exact string the typed fixture derivation
     produces, so oracles compare values not encodings): integers as
-    decimal text, floats via repr (shortest round-trip), VARCHAR/CHAR/
-    TEXT as utf8, DATE ``YYYY-MM-DD``, YEAR ``YYYY``, DATETIME2
+    decimal text (``unsigned`` from the SIGNEDNESS TLV switches the
+    integer types to their unsigned reading), floats via repr
+    (shortest round-trip), VARCHAR/CHAR/TEXT as utf8, DATE
+    ``YYYY-MM-DD``, YEAR ``YYYY``, DATETIME2
     ``YYYY-MM-DD HH:MM:SS[.fsp]``, TIMESTAMP2 the same rendered in
     UTC, TIME2 ``[-]HH:MM:SS[.fsp]``, NEWDECIMAL with exactly
     ``scale`` fraction digits, ENUM as the 1-based index, SET as the
     member bitmask integer (basic TABLE_MAP metadata carries no
-    name lists)."""
+    name lists), JSON as canonical compact text."""
     try:
         if typ == MYSQL_TYPE_TINY:
+            if unsigned:
+                return (str(body[p]), p + 1) if p < len(body) else None
             return str(struct.unpack_from("<b", body, p)[0]), p + 1
         if typ == MYSQL_TYPE_SHORT:
-            return str(struct.unpack_from("<h", body, p)[0]), p + 2
+            return str(struct.unpack_from("<H" if unsigned else "<h", body, p)[0]), p + 2
         if typ == MYSQL_TYPE_INT24:
             if p + 3 > len(body):
                 return None
             v = int.from_bytes(body[p : p + 3], "little")
-            return str(v - (1 << 24) if v & (1 << 23) else v), p + 3
+            if not unsigned and v & (1 << 23):
+                v -= 1 << 24
+            return str(v), p + 3
         if typ == MYSQL_TYPE_LONG:
-            return str(struct.unpack_from("<i", body, p)[0]), p + 4
+            return str(struct.unpack_from("<I" if unsigned else "<i", body, p)[0]), p + 4
         if typ == MYSQL_TYPE_LONGLONG:
-            return str(struct.unpack_from("<q", body, p)[0]), p + 8
+            return str(struct.unpack_from("<Q" if unsigned else "<q", body, p)[0]), p + 8
         if typ == MYSQL_TYPE_FLOAT:
             return repr(struct.unpack_from("<f", body, p)[0]), p + 4
         if typ == MYSQL_TYPE_DOUBLE:
@@ -1459,6 +1516,7 @@ def _decode_image(body: bytes, p: int, tm: dict, present: int):
     malformation.  ``present`` is the columns-present bitmap for this
     image; the null bitmap indexes over PRESENT columns only."""
     types, metas, names = tm["types"], tm["metas"], tm["names"]
+    unsigned = tm.get("unsigned") or [False] * len(types)
     idx_present = [i for i in range(len(types)) if present >> i & 1]
     nb_len = (len(idx_present) + 7) // 8
     if p + nb_len > len(body):
@@ -1470,7 +1528,7 @@ def _decode_image(body: bytes, p: int, tm: dict, present: int):
         if null_bits >> j & 1:
             payload[names[i]] = None
             continue
-        r = _decode_value(body, p, types[i], metas[i])
+        r = _decode_value(body, p, types[i], metas[i], unsigned[i])
         if r is None:
             return None
         payload[names[i]], p = r
