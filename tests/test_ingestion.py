@@ -926,6 +926,34 @@ class TestTransactionPayload:
         assert got["mysql-bin.000002"].compressed_tx_skipped == 0
 
 
+def test_minimal_row_image_partial_present_bitmap():
+    """binlog_row_image=MINIMAL: the columns-present bitmap omits
+    columns, and the image carries ONLY the present ones (null bitmap
+    indexes over present columns).  The decoder must surface exactly
+    the present columns -- absent ones don't appear in the payload at
+    all (distinct from SQL NULL)."""
+    import struct
+
+    from binlog_avro_comparator_spark.sources import binlog_binary as bb
+
+    ts = bb._parse_ts_sec("2024-01-01T00:00:01Z")
+    tm = bb._table_map_payload(ts, "db0", "t1", 104)
+    # present: order_id (bit 0) and quantity (bit 3) only
+    present = 0b01001
+    image = bytes([0]) + struct.pack("<i", 7) + struct.pack("<i", 3)
+    payload = (
+        struct.pack("<IH", 1, 0) + b"\x00\x00"
+        + struct.pack("<H", 2)
+        + bb._lenenc(5)
+        + bytes([present])
+        + image
+    )
+    ev = bb._event(ts, bb.WRITE_ROWS_EVENT_V2, payload, 104)
+    rows = list(bb.decode_binlog_rows_bytes("f", bb.MAGIC + bb._fde(ts) + tm + ev))
+    assert len(rows) == 1
+    assert rows[0][11] == {"order_id": "7", "quantity": "3"}
+
+
 class TestBinarySchemaDrift:
     """Mid-file DDL: a TABLE_MAP whose column signature changes.  The
     rows decoder must keep decoding correctly per epoch (each rows
