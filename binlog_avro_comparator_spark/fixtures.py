@@ -242,6 +242,15 @@ def _typed_value_cols(eid: F.Column) -> dict[str, F.Column]:
         "t_u64": (
             F.expr("CAST('9223372036854775808' AS DECIMAL(20,0))") + eid
         ).cast("string"),
+        # POINT with exactly-representable .5/.25 fractions so the
+        # decoder's repr() rendering matches the string concat
+        "t_geo": F.concat(
+            F.lit("SRID=4326;POINT("),
+            (eid % 100).cast("string"),
+            F.lit(".5 "),
+            (eid % 50).cast("string"),
+            F.lit(".25)"),
+        ),
     }
 
 

@@ -1855,7 +1855,7 @@ def _typed_binlog_fixture_dir(spark, sf_dir) -> str:
 _TYPED_NAMES = [
     "t_id", "t_date", "t_year", "t_dt", "t_ts", "t_time",
     "t_dec", "t_text", "t_char", "t_enum", "t_set", "t_json",
-    "t_u8", "t_u64",
+    "t_u8", "t_u64", "t_geo",
 ]
 
 
@@ -3024,6 +3024,10 @@ _TYPED_VALUE_SQL = {
     ),
     "t_u8": "CAST(128 + eid % 128 AS VARCHAR)",
     "t_u64": "CAST(9223372036854775808::HUGEINT + eid AS VARCHAR)",
+    "t_geo": (
+        "'SRID=4326;POINT(' || CAST(eid % 100 AS VARCHAR)"
+        " || '.5 ' || CAST(eid % 50 AS VARCHAR) || '.25)'"
+    ),
 }
 
 _TYPED_DML_CTE = """dml AS (

@@ -122,6 +122,7 @@ MYSQL_TYPE_ENUM = 247  # appears in TABLE_MAP as STRING + real-type meta
 MYSQL_TYPE_SET = 248  # ditto
 MYSQL_TYPE_BLOB = 252  # all BLOB/TEXT variants map here in binlogs
 MYSQL_TYPE_STRING = 254  # CHAR; meta byte0 carries ENUM/SET real type
+MYSQL_TYPE_GEOMETRY = 255  # length-prefixed SRID + WKB
 
 # TABLE_MAP optional-metadata TLV types (public MySQL 8.0 format):
 # SIGNEDNESS (always written when the table has numeric columns; one
@@ -349,6 +350,7 @@ TYPED_COLUMNS = [
     ("t_json", MYSQL_TYPE_JSON, bytes([4])),
     ("t_u8", MYSQL_TYPE_TINY, b""),        # TINYINT UNSIGNED
     ("t_u64", MYSQL_TYPE_LONGLONG, b""),   # BIGINT UNSIGNED (> 2^63)
+    ("t_geo", MYSQL_TYPE_GEOMETRY, bytes([4])),  # POINT
 ]
 TYPED_NULLABLE = {"t_text"}
 TYPED_UNSIGNED = {"t_u8", "t_u64"}
@@ -467,6 +469,21 @@ def _encode_typed_value(typ: int, meta: bytes, v: str) -> bytes:
 
         doc = _encode_json_doc(_json.loads(v))
         return len(doc).to_bytes(meta[0], "little") + doc
+    if typ == MYSQL_TYPE_GEOMETRY:
+        m = re.fullmatch(r"SRID=(\d+);POINT\(([^ ]+) ([^)]+)\)", v)
+        if m:
+            blob = (
+                int(m.group(1)).to_bytes(4, "little")
+                + bytes([1])
+                + (1).to_bytes(4, "little")
+                + struct.pack("<dd", float(m.group(2)), float(m.group(3)))
+            )
+        else:
+            mh = re.fullmatch(r"SRID=(\d+);0x([0-9A-Fa-f]*)", v)
+            blob = int(mh.group(1)).to_bytes(4, "little") + bytes.fromhex(
+                mh.group(2)
+            )
+        return len(blob).to_bytes(meta[0], "little") + blob
     if typ == MYSQL_TYPE_STRING:
         real = meta[0]
         if real in (MYSQL_TYPE_ENUM, MYSQL_TYPE_SET):
@@ -986,6 +1003,7 @@ _META_LEN = {
     MYSQL_TYPE_NEWDECIMAL: 2,  # [precision][scale]
     MYSQL_TYPE_JSON: 1,  # length-prefix width (4 on real servers)
     MYSQL_TYPE_BLOB: 1,  # length-prefix width (1/2/3/4 bytes)
+    MYSQL_TYPE_GEOMETRY: 1,  # length-prefix width (4 on real servers)
     MYSQL_TYPE_STRING: 2,  # [real-type-or-packed-high-bits][length]
 }
 # meta whose two bytes combine FIRST-BYTE-HIGH (the TABLE_MAP stores
@@ -1496,6 +1514,27 @@ def _decode_value(body: bytes, p: int, typ: int, meta: int, unsigned: bool = Fal
             if doc is None:
                 return None
             return doc, p + w + ln
+        if typ == MYSQL_TYPE_GEOMETRY:
+            # length-prefixed [SRID:4 LE][WKB]; POINT (the common CDC
+            # geometry -- lat/lng columns) renders as text, anything
+            # else falls back to a lossless hex rendering
+            w = meta if 1 <= meta <= 4 else 4
+            if p + w > len(body):
+                return None
+            ln = int.from_bytes(body[p : p + w], "little")
+            if p + w + ln > len(body) or ln < 4:
+                return None
+            blob = body[p + w : p + w + ln]
+            srid = int.from_bytes(blob[0:4], "little")
+            wkb = blob[4:]
+            if (
+                len(wkb) == 21
+                and wkb[0] == 1  # little-endian WKB
+                and int.from_bytes(wkb[1:5], "little") == 1  # POINT
+            ):
+                x, y = struct.unpack_from("<dd", wkb, 5)
+                return f"SRID={srid};POINT({x!r} {y!r})", p + w + ln
+            return f"SRID={srid};0x{wkb.hex().upper()}", p + w + ln
         if typ == MYSQL_TYPE_STRING:
             real, b1 = meta >> 8, meta & 0xFF
             if real == MYSQL_TYPE_ENUM or real == MYSQL_TYPE_SET:

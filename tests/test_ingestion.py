@@ -673,14 +673,16 @@ class TestTypedRowImages:
              t_time="-13:05:59", t_dec="-1234567.89", t_text="text-ü-7",
              t_char="c42", t_enum="2", t_set="5",
              t_json='{"k":7,"s":"v-0"}',
-             t_u8="200", t_u64="18446744073709551615"),
+             t_u8="200", t_u64="18446744073709551615",
+             t_geo="SRID=4326;POINT(13.5 7.25)"),
         dict(timestamp="2024-03-05T06:07:09Z", log_position=204, line_no=1,
              t_id="-2147483648", t_date="1999-12-31", t_year="0000",
              t_dt="9999-12-31 23:59:59.999", t_ts="1970-01-01 00:00:00",
              t_time="838:59:59", t_dec="0.00", t_text=None,
              t_char="", t_enum="1", t_set="0",
              t_json='{"a":[1,true,null,"x",1.5],"n":-70000,"o":{"b":false}}',
-             t_u8="128", t_u64="9223372036854775808"),
+             t_u8="128", t_u64="9223372036854775808",
+             t_geo="SRID=0;0x0102030405"),  # non-point: hex fallback
     ]
 
     def _decode(self, checksum=False):
@@ -708,7 +710,7 @@ class TestTypedRowImages:
         assert set(got[0][11]) == {
             "t_id", "t_date", "t_year", "t_dt", "t_ts", "t_time",
             "t_dec", "t_text", "t_char", "t_enum", "t_set", "t_json",
-            "t_u8", "t_u64"}
+            "t_u8", "t_u64", "t_geo"}
 
     def test_signedness_tlv_controls_integer_reading(self):
         """The same 8 bytes read as 2^63 unsigned (SIGNEDNESS bit set)
