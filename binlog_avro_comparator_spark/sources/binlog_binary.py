@@ -108,9 +108,13 @@ MYSQL_TYPE_FLOAT = 4
 MYSQL_TYPE_DOUBLE = 5
 MYSQL_TYPE_LONGLONG = 8
 MYSQL_TYPE_INT24 = 9
+MYSQL_TYPE_TIMESTAMP = 7  # legacy pre-5.6.4: 4-byte LE epoch seconds
 MYSQL_TYPE_DATE = 10
+MYSQL_TYPE_TIME = 11  # legacy: 3-byte LE HHMMSS decimal
+MYSQL_TYPE_DATETIME = 12  # legacy: 8-byte LE YYYYMMDDHHMMSS decimal
 MYSQL_TYPE_YEAR = 13
 MYSQL_TYPE_VARCHAR = 15
+MYSQL_TYPE_BIT = 16
 # the 5.6.4+ temporal formats real CDC tables actually carry (big-endian
 # packed integers + fractional-second tail, public my_time layout)
 MYSQL_TYPE_TIMESTAMP2 = 17
@@ -420,6 +424,26 @@ def _encode_typed_value(typ: int, meta: bytes, v: str) -> bytes:
     if typ == MYSQL_TYPE_DATE:
         y, mo, d = (int(x) for x in v.split("-"))
         return ((y << 9) | (mo << 5) | d).to_bytes(3, "little")
+    if typ == MYSQL_TYPE_TIMESTAMP:
+        y, mo, d, h, mi, sec, _ = _split_dt(v)
+        epoch = int(
+            datetime(y, mo, d, h, mi, sec, tzinfo=timezone.utc).timestamp()
+        )
+        return epoch.to_bytes(4, "little")
+    if typ == MYSQL_TYPE_DATETIME:
+        y, mo, d, h, mi, sec, _ = _split_dt(v)
+        n = ((y * 100 + mo) * 100 + d) * 1_000_000 + (h * 100 + mi) * 100 + sec
+        return n.to_bytes(8, "little")
+    if typ == MYSQL_TYPE_TIME:
+        neg = v.startswith("-")
+        h, mi, sec = (int(x) for x in v.lstrip("-").split(":"))
+        n = h * 10000 + mi * 100 + sec
+        if neg:
+            n = -n
+        return (n & 0xFFFFFF).to_bytes(3, "little")
+    if typ == MYSQL_TYPE_BIT:
+        nbits = meta[0] + meta[1] * 8  # meta = [bits % 8][whole bytes]
+        return int(v).to_bytes((nbits + 7) // 8, "big")
     if typ == MYSQL_TYPE_YEAR:
         return bytes([0 if v == "0000" else int(v) - 1900])
     if typ == MYSQL_TYPE_DATETIME2:
@@ -999,6 +1023,8 @@ _META_LEN = {
     MYSQL_TYPE_LONGLONG: 0, MYSQL_TYPE_INT24: 0,
     MYSQL_TYPE_FLOAT: 1, MYSQL_TYPE_DOUBLE: 1, MYSQL_TYPE_VARCHAR: 2,
     MYSQL_TYPE_DATE: 0, MYSQL_TYPE_YEAR: 0,
+    MYSQL_TYPE_TIMESTAMP: 0, MYSQL_TYPE_TIME: 0, MYSQL_TYPE_DATETIME: 0,
+    MYSQL_TYPE_BIT: 2,  # [bits % 8][whole bytes]
     MYSQL_TYPE_TIMESTAMP2: 1, MYSQL_TYPE_DATETIME2: 1, MYSQL_TYPE_TIME2: 1,
     MYSQL_TYPE_NEWDECIMAL: 2,  # [precision][scale]
     MYSQL_TYPE_JSON: 1,  # length-prefix width (4 on real servers)
@@ -1435,6 +1461,46 @@ def _decode_value(body: bytes, p: int, typ: int, meta: int, unsigned: bool = Fal
                 return None
             v = int.from_bytes(body[p : p + 3], "little")
             return f"{v >> 9:04d}-{(v >> 5) & 15:02d}-{v & 31:02d}", p + 3
+        if typ == MYSQL_TYPE_TIMESTAMP:
+            # legacy 4-byte LE epoch seconds, rendered in UTC like
+            # TIMESTAMP2
+            if p + 4 > len(body):
+                return None
+            sec = int.from_bytes(body[p : p + 4], "little")
+            dt = datetime.fromtimestamp(sec, tz=timezone.utc)
+            return dt.strftime("%Y-%m-%d %H:%M:%S"), p + 4
+        if typ == MYSQL_TYPE_DATETIME:
+            # legacy 8-byte LE integer YYYYMMDDHHMMSS
+            if p + 8 > len(body):
+                return None
+            v = int.from_bytes(body[p : p + 8], "little")
+            d, hms = divmod(v, 1_000_000)
+            return (
+                f"{d // 10000:04d}-{d // 100 % 100:02d}-{d % 100:02d} "
+                f"{hms // 10000:02d}:{hms // 100 % 100:02d}:{hms % 100:02d}",
+                p + 8,
+            )
+        if typ == MYSQL_TYPE_TIME:
+            # legacy 3-byte LE signed integer HHMMSS
+            if p + 3 > len(body):
+                return None
+            v = int.from_bytes(body[p : p + 3], "little")
+            if v & (1 << 23):
+                v -= 1 << 24
+            sign, v = ("-" if v < 0 else ""), abs(v)
+            return (
+                f"{sign}{v // 10000:02d}:{v // 100 % 100:02d}:{v % 100:02d}",
+                p + 3,
+            )
+        if typ == MYSQL_TYPE_BIT:
+            nbits = (meta >> 8) * 8 + (meta & 0xFF)
+            nbytes = (nbits + 7) // 8
+            if nbytes == 0 or p + nbytes > len(body):
+                return None
+            return (
+                str(int.from_bytes(body[p : p + nbytes], "big")),
+                p + nbytes,
+            )
         if typ == MYSQL_TYPE_YEAR:
             # 1 byte: offset from 1900; 0 is the zero-year
             v = body[p] if p < len(body) else None

@@ -754,6 +754,31 @@ class TestTypedRowImages:
             out, q = _decode_value(blob, 0, MYSQL_TYPE_TIME2, 3)
             assert q == len(blob) and out == s, (s, out)
 
+    def test_bit_and_legacy_temporal_codecs(self):
+        """BIT (big-endian, [bits%8][bytes] metadata) and the legacy
+        pre-5.6.4 temporal formats: TIMESTAMP (4-byte epoch), DATETIME
+        (YYYYMMDDHHMMSS integer), TIME (signed HHMMSS integer)."""
+        from binlog_avro_comparator_spark.sources.binlog_binary import (
+            MYSQL_TYPE_BIT, MYSQL_TYPE_DATETIME, MYSQL_TYPE_TIME,
+            MYSQL_TYPE_TIMESTAMP, _decode_value, _encode_typed_value)
+
+        cases = [
+            (MYSQL_TYPE_BIT, bytes([4, 1]), "4095"),   # BIT(12)
+            (MYSQL_TYPE_BIT, bytes([0, 1]), "255"),    # BIT(8)
+            (MYSQL_TYPE_TIMESTAMP, b"", "2024-03-05 06:07:08"),
+            (MYSQL_TYPE_DATETIME, b"", "9999-12-31 23:59:59"),
+            (MYSQL_TYPE_TIME, b"", "-813:05:59"),
+            (MYSQL_TYPE_TIME, b"", "00:00:01"),
+        ]
+        for typ, meta_bytes, s in cases:
+            blob = _encode_typed_value(typ, meta_bytes, s)
+            # decode meta = the TABLE_MAP LE 2-byte combine for BIT
+            meta_int = (
+                meta_bytes[0] | (meta_bytes[1] << 8) if meta_bytes else 0
+            )
+            out, q = _decode_value(blob, 0, typ, meta_int)
+            assert q == len(blob) and out == s, (typ, s, out)
+
     def test_timestamp2_full_microseconds(self):
         from binlog_avro_comparator_spark.sources.binlog_binary import (
             MYSQL_TYPE_TIMESTAMP2, _decode_value, _encode_typed_value)
