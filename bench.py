@@ -147,6 +147,7 @@ EXTRA_QUERIES = [
     "cdc_payload_diff_typed",
     "embedding_kmeans_gemm",
     "cdc_payload_findings_stream",
+    "cdc_binlog_skip_stats",
 ]
 
 

@@ -1984,6 +1984,21 @@ def _q_cdc_payload_findings_stream(spark, sf_dir):
     return _drain_to_table(spark, out, name, "append")
 
 
+def _q_cdc_binlog_skip_stats(spark, sf_dir):
+    """The binary source's debug-log channel as a driver-checked
+    query: per-file counters of refused events (CRC failures,
+    compressed transactions without a codec) over the SHARED binary
+    fixture dir -- all zero on clean inputs, which is exactly what the
+    oracle states; the non-zero paths are pytest-pinned
+    (test_skip_stats_channel)."""
+    ensure_session_conf(spark)
+    from ..sources.binlog_binary import read_binlog_skip_stats_dir
+
+    return read_binlog_skip_stats_dir(
+        spark, _binlog_binary_fixture_dir(spark, sf_dir)
+    )
+
+
 def _q_cdc_payload_diff(spark, sf_dir):
     """The capability the reference declares columns for but never
     ships (compare_timestamps.go:57-63): column-level diff of binlog
@@ -2303,6 +2318,7 @@ def queries() -> dict[str, QueryFn]:
         "cdc_payload_diff_typed": _q_cdc_payload_diff_typed,
         "embedding_kmeans_gemm": _q_kmeans_gemm,
         "cdc_payload_findings_stream": _q_cdc_payload_findings_stream,
+        "cdc_binlog_skip_stats": _q_cdc_binlog_skip_stats,
         # -- NEW in r5: the payload tier + merge sit first (CDC core),
         # then the corpus-analysis / retrieval / graph / sketch / PQ
         # additions. --
@@ -3103,6 +3119,15 @@ def oracle_sql() -> dict[str, str]:
         # fixtures._typed_value_cols via _TYPED_VALUE_SQL
         "cdc_parse_binlog_typed": _TYPED_PARSE_ORACLE,
         "cdc_payload_diff_typed": _TYPED_DIFF_ORACLE,
+        # debug channel: clean fixtures refuse nothing -- one all-zero
+        # row per binlog segment file
+        "cdc_binlog_skip_stats": """
+SELECT DISTINCT
+  'mysql-bin.' || lpad(CAST(event_id % 4 AS VARCHAR), 6, '0') AS binlog_file,
+  CAST(0 AS BIGINT) AS crc_failed,
+  CAST(0 AS BIGINT) AS compressed_tx_skipped
+FROM events
+WHERE event_id % 223 <> 0""",
         "cdc_binlog_events": oracle.cdc_binlog_events(),
         "cdc_avro_rows": oracle.cdc_avro_rows(),
         "cdc_avro_native_scan": oracle.cdc_avro_native_scan(),
