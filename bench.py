@@ -148,6 +148,7 @@ EXTRA_QUERIES = [
     "embedding_kmeans_gemm",
     "cdc_payload_findings_stream",
     "cdc_binlog_skip_stats",
+    "cdc_parse_binlog_stream",
 ]
 
 

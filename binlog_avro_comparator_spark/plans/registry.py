@@ -1984,6 +1984,23 @@ def _q_cdc_payload_findings_stream(spark, sf_dir):
     return _drain_to_table(spark, out, name, "append")
 
 
+def _q_cdc_parse_binlog_stream(spark, sf_dir):
+    """Streaming S2: the binary fixture dir tailed as a file stream
+    (maxFilesPerTrigger=1 -> one micro-batch per rotated segment),
+    decoded by the SAME Arrow pass as the batch reader and drained
+    availableNow.  Stateless decode means append rows equal the batch
+    table exactly -- the shared oracle."""
+    global _STREAM_SINK_SEQ
+    from ..sources.binlog_binary import stream_binlog_binary_dir
+
+    ensure_session_conf(spark)
+    d = _binlog_binary_fixture_dir(spark, sf_dir)
+    out = stream_binlog_binary_dir(spark, d, max_files_per_trigger=1)
+    _STREAM_SINK_SEQ += 1
+    name = f"cdc_parse_binlog_stream_sink_{_STREAM_SINK_SEQ}"
+    return _drain_to_table(spark, out, name, "append")
+
+
 def _q_cdc_binlog_skip_stats(spark, sf_dir):
     """The binary source's debug-log channel as a driver-checked
     query: per-file counters of refused events (CRC failures,
@@ -2319,6 +2336,7 @@ def queries() -> dict[str, QueryFn]:
         "embedding_kmeans_gemm": _q_kmeans_gemm,
         "cdc_payload_findings_stream": _q_cdc_payload_findings_stream,
         "cdc_binlog_skip_stats": _q_cdc_binlog_skip_stats,
+        "cdc_parse_binlog_stream": _q_cdc_parse_binlog_stream,
         # -- NEW in r5: the payload tier + merge sit first (CDC core),
         # then the corpus-analysis / retrieval / graph / sketch / PQ
         # additions. --
@@ -5572,6 +5590,9 @@ FROM diff GROUP BY "column", status"""
     # stateless stream-static payload diff appends exactly the batch
     # findings -> same oracle
     sql["cdc_payload_diff_stream"] = sql["cdc_payload_diff"]
+    # streaming S2 decode is stateless per file -> appended rows equal
+    # the batch decode exactly
+    sql["cdc_parse_binlog_stream"] = sql["cdc_parse_binlog_binary"]
     # FULL OUTER payload findings stream: matched tier = the batch
     # payload diff verbatim; the BINLOG_ONLY / AVRO_ONLY tiers obey
     # the strict post-watermark horizon ts + window < W (pinned by

@@ -1894,6 +1894,37 @@ def read_binlog_skip_stats_dir(spark: SparkSession, path: str) -> DataFrame:
     return files.mapInPandas(count, schema=SKIP_STATS_SCHEMA)
 
 
+def _decode_metadata_batches(batches):
+    """Shared Arrow decode pass for the batch and streaming metadata
+    readers: (path, content) pandas batches -> DECODED_SCHEMA frames."""
+    import os
+
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for p, content in zip(pdf["path"], pdf["content"]):
+            rows.extend(
+                decode_binlog_bytes(os.path.basename(p), bytes(content))
+            )
+        yield pd.DataFrame(
+            rows, columns=[f.name for f in DECODED_SCHEMA.fields]
+        )
+
+
+_CONTRACT_COLS = [
+    "event_type",
+    "timestamp",
+    "immediate_commmit_timestamp",
+    "log_position",
+    "schema",
+    "table",
+    "gtid_next",
+    "binlog_file",
+    "line_no",
+]
+
+
 def read_binlog_binary_dir(spark: SparkSession, path: str) -> DataFrame:
     """Directory of ``mysql-bin.*`` binary logs -> the parsed-event
     contract table (same columns as the text path's P1-P9 output).
@@ -1902,38 +1933,45 @@ def read_binlog_binary_dir(spark: SparkSession, path: str) -> DataFrame:
     inside an Arrow-batched mapInPandas (pure struct parsing, no
     Python-per-row UDF).  Only ``path`` and ``content`` are read from
     the source (column pruning keeps the scan to what's used)."""
-    import os
-
-    import pandas as pd
-
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "mysql-bin.*")
         .load(path)
         .select("path", "content")
     )
-
-    def decode(batches):
-        for pdf in batches:
-            rows = []
-            for p, content in zip(pdf["path"], pdf["content"]):
-                rows.extend(
-                    decode_binlog_bytes(os.path.basename(p), bytes(content))
-                )
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in DECODED_SCHEMA.fields]
-            )
-
-    out = files.mapInPandas(decode, schema=DECODED_SCHEMA)
+    out = files.mapInPandas(_decode_metadata_batches, schema=DECODED_SCHEMA)
     # contract column order (matches cdc_parse_binlog_text)
-    return out.select(
-        "event_type",
-        "timestamp",
-        "immediate_commmit_timestamp",
-        F.col("log_position"),
-        "schema",
-        "table",
-        "gtid_next",
-        "binlog_file",
-        "line_no",
+    return out.select(*_CONTRACT_COLS)
+
+
+def stream_binlog_binary_dir(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """STREAMING twin of read_binlog_binary_dir: tail a binlog
+    directory as files rotate in (Spark's binaryFile file-stream
+    source discovers new ``mysql-bin.*`` files incrementally), decode
+    each once through the same Arrow pass, append contract rows.
+    Decode is stateless per file, so the stream needs no watermark and
+    no state store -- rotation is the natural micro-batch unit,
+    mirroring how the reference only ever reads files after `FLUSH
+    BINARY LOGS` closes them (README.md:68-73).  Caveat shared with
+    every file source: a file is read ONCE at discovery; an
+    still-growing segment's later appends are not re-read -- tail only
+    rotated-out files."""
+    reader = (
+        spark.readStream.format("binaryFile")
+        # file-stream sources require the schema up front (binaryFile's
+        # fixed four columns)
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", "mysql-bin.*")
     )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(path).select("path", "content")
+    out = files.mapInPandas(_decode_metadata_batches, schema=DECODED_SCHEMA)
+    return out.select(*_CONTRACT_COLS)

@@ -953,6 +953,37 @@ class TestTransactionPayload:
         assert got["mysql-bin.000002"].compressed_tx_skipped == 0
 
 
+def test_stream_binlog_binary_matches_batch(spark, tmp_path):
+    """The streaming binary source (tail rotated-out segments) appends
+    exactly the batch reader's rows -- stateless decode, no watermark,
+    one micro-batch per file."""
+    from binlog_avro_comparator_spark.sources.binlog_binary import (
+        encode_binlog_file, read_binlog_binary_dir,
+        stream_binlog_binary_dir)
+
+    evs = TestBinlogRowImages.EVS
+    (tmp_path / "mysql-bin.000001").write_bytes(encode_binlog_file(evs))
+    (tmp_path / "mysql-bin.000002").write_bytes(
+        encode_binlog_file(evs, checksum=True))
+    out = stream_binlog_binary_dir(spark, str(tmp_path), max_files_per_trigger=1)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("binlog_stream_probe")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    q.stop()
+    got = sorted(
+        tuple(r) for r in spark.table("binlog_stream_probe").collect()
+    )
+    want = sorted(
+        tuple(r) for r in read_binlog_binary_dir(spark, str(tmp_path)).collect()
+    )
+    assert got == want and len(got) == 2 * len(evs)
+
+
 def test_minimal_row_image_partial_present_bitmap():
     """binlog_row_image=MINIMAL: the columns-present bitmap omits
     columns, and the image carries ONLY the present ones (null bitmap
