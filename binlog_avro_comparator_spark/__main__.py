@@ -38,6 +38,16 @@ def main(argv: list[str] | None = None) -> int:
         "payload findings JSONL (row images vs avro payload.*)",
     )
     p.add_argument(
+        "--skip-stats-out",
+        help="binary-binlog path only: directory for per-file decoder "
+        "skip counters JSONL (crc_failed, compressed_tx_skipped)",
+    )
+    p.add_argument(
+        "--drift-out",
+        help="binary-binlog path only: directory for mid-file "
+        "TABLE_MAP schema-drift rows JSONL (DDL between transactions)",
+    )
+    p.add_argument(
         "--print-findings",
         action="store_true",
         help="stream per-discrepancy console lines in the reference's "
@@ -57,6 +67,9 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--cpus", type=int, default=None)
     args = p.parse_args(argv)
+    if (args.skip_stats_out or args.drift_out) and not args.binlog_binary:
+        p.error("--skip-stats-out/--drift-out require --binlog-binary "
+                "(decoder-level channels)")
 
     from .operators.compare import CompareConfig
     from .pipeline import format_report, run_comparison
@@ -89,6 +102,20 @@ def main(argv: list[str] | None = None) -> int:
             res.payload_findings.write.mode("overwrite").json(
                 args.payload_findings_out
             )
+        if args.skip_stats_out or args.drift_out:
+            from .sources.binlog_binary import (
+                read_binlog_schema_drift_dir,
+                read_binlog_skip_stats_dir,
+            )
+
+            if args.skip_stats_out:
+                read_binlog_skip_stats_dir(
+                    spark, args.binlog_binary
+                ).write.mode("overwrite").json(args.skip_stats_out)
+            if args.drift_out:
+                read_binlog_schema_drift_dir(
+                    spark, args.binlog_binary
+                ).write.mode("overwrite").json(args.drift_out)
         if args.print_findings:
             # toLocalIterator streams one sorted partition at a time --
             # the driver never holds the full findings set

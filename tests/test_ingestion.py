@@ -984,6 +984,19 @@ def test_stream_binlog_binary_matches_batch(spark, tmp_path):
     assert got == want and len(got) == 2 * len(evs)
 
 
+def test_cli_rejects_skip_stats_without_binary_source():
+    """--skip-stats-out / --drift-out are decoder-level channels; the
+    CLI must refuse them for text/jsonl sources BEFORE spinning Spark."""
+    import pytest
+
+    from binlog_avro_comparator_spark.__main__ import main
+
+    with pytest.raises(SystemExit) as e:
+        main(["--binlog-text", "/tmp/x", "--avro-jsonl", "/tmp/y",
+              "--skip-stats-out", "/tmp/z"])
+    assert e.value.code == 2  # argparse usage error
+
+
 def test_minimal_row_image_partial_present_bitmap():
     """binlog_row_image=MINIMAL: the columns-present bitmap omits
     columns, and the image carries ONLY the present ones (null bitmap
