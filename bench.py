@@ -149,6 +149,9 @@ EXTRA_QUERIES = [
     "cdc_payload_findings_stream",
     "cdc_binlog_skip_stats",
     "cdc_parse_binlog_stream",
+    "cdc_gtid_gaps",
+    "cdc_order_audit",
+    "cdc_lag_timeline",
 ]
 
 

@@ -2001,6 +2001,31 @@ def _q_cdc_parse_binlog_stream(spark, sf_dir):
     return _drain_to_table(spark, out, name, "append")
 
 
+def _q_cdc_gtid_gaps(spark, sf_dir):
+    """GTID sequence-gap detection (lost-transaction check) over the
+    prepared binlog feed -- gaps here come from the derivation's
+    planted drops (irrelevant Query rows, zero positions, empty files,
+    dedup losers), which is exactly what a real feed's gaps look
+    like."""
+    _, bp, _ = _cdc_frames(spark, sf_dir)
+    return C.gtid_gaps(bp)
+
+
+def _q_cdc_order_audit(spark, sf_dir):
+    """Per-file log_position monotonicity audit over the RAW feed --
+    the zeroed-position rows plant genuine inversions."""
+    ensure_session_conf(spark)
+    return C.order_audit(
+        derive_binlog_events(load_table(spark, sf_dir, "events"))
+    )
+
+
+def _q_cdc_lag_timeline(spark, sf_dir):
+    """Replication-lag trend per minute bucket over matched pairs."""
+    _, bp, ap = _cdc_frames(spark, sf_dir)
+    return C.lag_timeline(C.matched_pairs(bp, ap))
+
+
 def _q_cdc_binlog_skip_stats(spark, sf_dir):
     """The binary source's debug-log channel as a driver-checked
     query: per-file counters of refused events (CRC failures,
@@ -2337,6 +2362,9 @@ def queries() -> dict[str, QueryFn]:
         "cdc_payload_findings_stream": _q_cdc_payload_findings_stream,
         "cdc_binlog_skip_stats": _q_cdc_binlog_skip_stats,
         "cdc_parse_binlog_stream": _q_cdc_parse_binlog_stream,
+        "cdc_gtid_gaps": _q_cdc_gtid_gaps,
+        "cdc_order_audit": _q_cdc_order_audit,
+        "cdc_lag_timeline": _q_cdc_lag_timeline,
         # -- NEW in r5: the payload tier + merge sit first (CDC core),
         # then the corpus-analysis / retrieval / graph / sketch / PQ
         # additions. --
@@ -3137,6 +3165,44 @@ def oracle_sql() -> dict[str, str]:
         # fixtures._typed_value_cols via _TYPED_VALUE_SQL
         "cdc_parse_binlog_typed": _TYPED_PARSE_ORACLE,
         "cdc_payload_diff_typed": _TYPED_DIFF_ORACLE,
+        # ops tier: GTID gaps = GNOs the prepared feed never carried
+        # (Query drops, zero positions, empty files, dedup losers)
+        "cdc_gtid_gaps": "WITH " + oracle.CDC_CTES.strip() + """
+, g AS (
+  SELECT DISTINCT split_part(gtid_next, ':', 1) AS sid,
+         CAST(split_part(gtid_next, ':', 2) AS BIGINT) AS gno
+  FROM binlog_prepared WHERE contains(gtid_next, ':')
+)
+SELECT sid, prev + 1 AS gap_start, gno - 1 AS gap_end,
+       gno - prev - 1 AS n_missing
+FROM (SELECT sid, gno,
+             lag(gno) OVER (PARTITION BY sid ORDER BY gno) AS prev
+      FROM g)
+WHERE prev IS NOT NULL AND gno > prev + 1""",
+        # ops tier: per-file position-monotonicity audit on the RAW
+        # feed; zeroed positions are the planted inversions
+        "cdc_order_audit": "WITH " + oracle.CDC_CTES.strip() + """
+, base AS (SELECT * FROM binlog_events_cdc WHERE binlog_file <> ''),
+inv AS (
+  SELECT binlog_file, log_position,
+         max(log_position) OVER (
+           PARTITION BY binlog_file ORDER BY line_no
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_max
+  FROM base)
+SELECT binlog_file, count(*) AS n_events,
+       CAST(coalesce(sum(CASE WHEN log_position < run_max
+                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_inversions,
+       min(log_position) AS min_pos, max(log_position) AS max_pos
+FROM inv GROUP BY binlog_file""",
+        # ops tier: per-minute replication-lag trend over matched pairs
+        "cdc_lag_timeline": "WITH " + oracle.CDC_CTES.strip() + """
+SELECT CAST(floor(source_timestamp / 60000) * 60000 AS BIGINT) AS bucket_ms,
+       count(*) AS n,
+       round(quantile_cont(ts_delta_ms, 0.5), 6) AS p50_ms,
+       round(quantile_cont(ts_delta_ms, 0.99), 6) AS p99_ms
+FROM matched WHERE ts_delta_ms IS NOT NULL
+GROUP BY 1""",
         # debug channel: clean fixtures refuse nothing -- one all-zero
         # row per binlog segment file
         "cdc_binlog_skip_stats": """

@@ -356,3 +356,55 @@ def test_payload_diff_statuses_and_prepare(spark):
         (200, "quantity"): ("4", None, "AVRO_NULL"),
         (300, "name"): (None, "c", "BINLOG_NULL"),
     }
+
+
+def test_gtid_gaps_ranges_and_multi_sid(spark):
+    """Gap ranges per server UUID: consecutive GNOs emit nothing, a
+    hole becomes one (start, end, n_missing) row, SIDs don't cross."""
+    from binlog_avro_comparator_spark.operators.compare import gtid_gaps
+
+    rows = [("f", 1, f"A:{g}") for g in (1, 2, 5, 6, 10)]
+    rows += [("f", 1, "B:3"), ("f", 1, "B:4"), ("f", 1, "no-colon-here")]
+    df = spark.createDataFrame(
+        rows, "binlog_file string, binlog_position long, gtid_next string"
+    )
+    got = {(r.sid, r.gap_start, r.gap_end, r.n_missing)
+           for r in gtid_gaps(df).collect()}
+    assert got == {("A", 3, 4, 2), ("A", 7, 9, 3)}
+
+
+def test_order_audit_counts_inversions(spark):
+    """An event below the running max counts as an inversion; equal or
+    increasing positions don't; empty-file rows are excluded."""
+    from binlog_avro_comparator_spark.operators.compare import order_audit
+
+    rows = [
+        ("f1", 1, 100), ("f1", 2, 200), ("f1", 3, 150),  # inversion
+        ("f1", 4, 200),                                  # equal to max: ok
+        ("f1", 5, 0),                                    # zero: inversion
+        ("f2", 1, 10), ("f2", 2, 20),
+        ("", 1, 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "binlog_file string, line_no long, log_position long"
+    )
+    got = {r.binlog_file: r for r in order_audit(df).collect()}
+    assert set(got) == {"f1", "f2"}
+    assert got["f1"].n_inversions == 2 and got["f1"].n_events == 5
+    assert (got["f1"].min_pos, got["f1"].max_pos) == (0, 200)
+    assert got["f2"].n_inversions == 0
+
+
+def test_lag_timeline_buckets_and_percentiles(spark):
+    """Minute bucketing + integer-exact percentiles over signed lag."""
+    from binlog_avro_comparator_spark.operators.compare import lag_timeline
+
+    base = 1_700_000_000_000 - 1_700_000_000_000 % 60_000
+    rows = [(base + 1, 10), (base + 2, 20), (base + 3, 30),
+            (base + 60_001, -5)]
+    df = spark.createDataFrame(
+        rows, "source_timestamp long, ts_delta_ms long"
+    )
+    got = {r.bucket_ms: r for r in lag_timeline(df).collect()}
+    assert got[base].n == 3 and got[base].p50_ms == 20.0
+    assert got[base + 60_000].n == 1 and got[base + 60_000].p99_ms == -5.0
