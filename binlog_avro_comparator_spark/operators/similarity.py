@@ -923,3 +923,136 @@ def pq_adc_topk(
         .filter(F.col("rank") <= topk)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "score", "rank")
     )
+
+
+# bit d of the sign word, as a signed-64 literal: bit 63 is long-min so
+# the OR-fold (never an additive fold, which would overflow under ANSI)
+# stays inside BIGINT in both engines; DuckDB cannot even evaluate
+# 1::BIGINT << 63 (range error), so the literal table is the portable form
+SIGN_POWERS = [1 << d for d in range(63)] + [-(1 << 63)]
+
+
+def sign_bit_words(embeddings: DataFrame, dim: int = 64) -> DataFrame:
+    """Binary (1-bit) quantization of the corpus: bit d of ``sign_word``
+    is set iff v_d exceeds the corpus mean of dimension d -- the 64x
+    shrink under the int8 path's 4x, and the representation Hamming-ANN
+    scans (see ``hamming_topk``).  Mean-thresholding (rather than
+    sign(v)) keeps every bit informative when a dimension's values are
+    offset from zero.
+
+    Engine shape is the quantize_embeddings_int8 twin, zero corpus
+    shuffle: pass 1 aggregates dim per-dimension means (map-side
+    combined, 64 rows per input partition cross the wire); the 1-row
+    stats frame is broadcast back and pass 2 is a pure per-row
+    projection folding (v_d > thr_d) into one BIGINT with bitwise OR.
+    At 100 TB the corpus streams through twice and the packed words are
+    8 bytes/vector -- small enough to pin in memory on every executor.
+
+    Determinism: thresholds are the 1e-6-rounded means (fold-order ulp
+    absorbed, the COS_ROUND discipline), the packed powers are literal
+    signed-64 values identical in any engine, and popcount of a
+    two's-complement negative agrees between Java and DuckDB.
+
+    Returns (vec_id, sign_word bigint, n_pos int)."""
+    x = F.col("embedding").cast("array<double>")
+    emb = embeddings.select("vec_id", x.alias("x"))
+    per_dim = (
+        emb.select(F.posexplode("x").alias("ord", "v"))
+        .groupBy("ord")
+        .agg(F.round(F.avg("v"), COS_ROUND).alias("thr"))
+    )
+    stats = (
+        per_dim.groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("ord", "thr"))).alias("__s"))
+        .select(F.transform(F.col("__s"), lambda t: t["thr"]).alias("__thrs"))
+    )
+    powers = F.array(*[F.lit(p).cast("long") for p in SIGN_POWERS[:dim]])
+    bits = F.zip_with(
+        F.col("x"), F.col("__thrs"), lambda v, t: (v > t).cast("long")
+    )
+    word = F.aggregate(
+        F.zip_with(bits, powers, lambda b, p: b * p),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc.bitwiseOR(t),
+    )
+    return (
+        emb.crossJoin(F.broadcast(stats))
+        .select("vec_id", word.alias("sign_word"))
+        .select(
+            "vec_id",
+            "sign_word",
+            F.bit_count(F.col("sign_word")).alias("n_pos"),
+        )
+    )
+
+
+def hamming_topk(
+    embeddings: DataFrame,
+    n_queries: int = 32,
+    k: int = 5,
+    rerank: int = 20,
+    dim: int = 64,
+) -> DataFrame:
+    """Two-stage ANN over the 1-bit corpus: stage 1 ranks candidates by
+    Hamming distance between packed sign words (one XOR + popcount per
+    pair -- the entire corpus-side read is 8 bytes/vector), stage 2
+    re-ranks the ``rerank`` Hamming survivors per query with the exact
+    cosine.  This is the binary-quantization serving pattern
+    (sign-random-projection ANN): the float corpus is touched only for
+    n_queries * rerank survivors, so at 100 TB the heavy scan streams
+    words, not embeddings -- a 32x I/O cut vs the float32 corpus, and
+    the XOR+popcount pair costs ~2 instructions where the 64-dim dot
+    costs ~128 flops.  The LSH/IVF tiers bound WHICH vectors get
+    scored; this tier bounds the BYTES per scored vector -- on a real
+    cluster you compose them (bucket first, Hamming within bucket).
+
+    Both stages are WindowGroupLimit shapes (rank <= R pushes the
+    per-partition top-R below the exchange); queries are a broadcast
+    n_queries-row frame on both stages, so nothing shuffles but
+    survivor rows.  Determinism: Hamming is integer-exact; stage-1
+    boundary ties break by vec_id; stage-2 re-ranks on the
+    1e-6-rounded cosine with the vec_id tie-break (the tier contract).
+
+    Returns (query_id, neighbor_id, hamming_dist, cos_sim, rank)."""
+    words = scoped_cache(sign_bit_words(embeddings, dim=dim))
+    qwords = words.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("sign_word").alias("q_word")
+    )
+    ham = F.bit_count(F.col("sign_word").bitwiseXOR(F.col("q_word")))
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("hamming_dist").asc(), F.col("vec_id").asc()
+    )
+    cand = (
+        words.crossJoin(F.broadcast(qwords))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", ham.alias("hamming_dist"))
+        .withColumn("__r", F.row_number().over(w1))
+        .filter(F.col("__r") <= rerank)
+        .drop("__r")
+    )
+    emb = with_norm(embeddings)
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("norm").alias("q_norm"),
+    )
+    cos = F.round(
+        _dot(F.col("q_embedding"), F.col("embedding"))
+        / (F.col("q_norm") * F.col("norm")),
+        COS_ROUND,
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.join(emb, "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "hamming_dist",
+            cos.alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )

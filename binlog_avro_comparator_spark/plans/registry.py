@@ -1046,6 +1046,28 @@ def _q_ann_cosine_topk_lsh(spark, sf_dir):
     return cosine_topk_lsh(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_embedding_sign_bits(spark, sf_dir):
+    """1-bit (sign) quantization: per-dimension mean thresholds packed
+    into one BIGINT per vector (similarity.sign_bit_words) -- the 64x
+    shrink tier under int8/PQ, and the representation ann_hamming_topk
+    serves from."""
+    ensure_session_conf(spark)
+    from ..operators.similarity import sign_bit_words
+
+    return sign_bit_words(load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_ann_hamming_topk(spark, sf_dir):
+    """Binary-quantization ANN: Hamming scan over packed sign words
+    (XOR + popcount, 8 bytes/vector corpus-side) shortlists rerank
+    candidates per query; exact cosine re-ranks the survivors
+    (similarity.hamming_topk)."""
+    ensure_session_conf(spark)
+    from ..operators.similarity import hamming_topk
+
+    return hamming_topk(load_table(spark, sf_dir, "embeddings"))
+
+
 _STREAM_SINK_SEQ = 0
 
 
@@ -2535,6 +2557,8 @@ def queries() -> dict[str, QueryFn]:
         "ann_cosine_topk_lsh": _q_ann_cosine_topk_lsh,
         "ann_cosine_topk_ivf": _q_ann_cosine_topk_ivf,
         "ann_cosine_topk_pandas": _q_ann_cosine_topk_pandas,
+        "embedding_sign_bits": _q_embedding_sign_bits,
+        "ann_hamming_topk": _q_ann_hamming_topk,
         "events_sessionize": _q_events_sessionize,
         "events_running_windows": _q_running_windows,
         "events_asof_purchase": _q_asof_purchase,
@@ -3986,6 +4010,81 @@ scored AS (
   JOIN norms ne ON ne.vec_id = neighbor_id
 )
 SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5""",
+        # twin of similarity.sign_bit_words: per-dim mean thresholds
+        # (1e-6-rounded, the ulp-absorption discipline), literal
+        # signed-64 bit values OR-folded -- DuckDB cannot shift 1<<63
+        # so bit 63 is the long-min literal, same table as SIGN_POWERS
+        "embedding_sign_bits": """
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS ord,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+thr AS (SELECT ord, round(avg(v), 6) AS thr FROM ex GROUP BY ord),
+words AS (
+  SELECT e.vec_id,
+         bit_or(CASE WHEN e.v > t.thr THEN
+             CASE WHEN e.ord = 63 THEN -9223372036854775807 - 1
+                  ELSE 1::BIGINT << e.ord END
+           ELSE 0::BIGINT END) AS sign_word
+  FROM ex e JOIN thr t ON e.ord = t.ord
+  GROUP BY e.vec_id
+)
+SELECT vec_id, sign_word, CAST(bit_count(sign_word) AS INT) AS n_pos
+FROM words""",
+        # twin of similarity.hamming_topk: same words CTE, Hamming
+        # shortlist (rank<=20 on (distance, vec_id)), exact-cosine
+        # re-rank of the survivors (rank<=5 on (cos desc, neighbor))
+        "ann_hamming_topk": """
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS ord,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+thr AS (SELECT ord, round(avg(v), 6) AS thr FROM ex GROUP BY ord),
+words AS (
+  SELECT e.vec_id,
+         bit_or(CASE WHEN e.v > t.thr THEN
+             CASE WHEN e.ord = 63 THEN -9223372036854775807 - 1
+                  ELSE 1::BIGINT << e.ord END
+           ELSE 0::BIGINT END) AS sign_word
+  FROM ex e JOIN thr t ON e.ord = t.ord
+  GROUP BY e.vec_id
+),
+qw AS (SELECT vec_id AS query_id, sign_word AS q_word FROM words
+       WHERE vec_id < 32),
+hams AS (
+  SELECT q.query_id, w.vec_id,
+         CAST(bit_count(xor(w.sign_word, q.q_word)) AS INT) AS hamming_dist
+  FROM words w JOIN qw q ON w.vec_id <> q.query_id
+),
+cand AS (
+  SELECT query_id, vec_id, hamming_dist FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY hamming_dist, vec_id) AS r
+    FROM hams) WHERE r <= 20
+),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS norm FROM ex GROUP BY vec_id),
+dots AS (
+  SELECT c.query_id, c.vec_id AS neighbor_id, c.hamming_dist,
+         sum(q.v * e.v) AS dot
+  FROM cand c
+  JOIN ex q ON q.vec_id = c.query_id
+  JOIN ex e ON e.vec_id = c.vec_id AND e.ord = q.ord
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT query_id, neighbor_id, hamming_dist,
+         round(dot / (nq.norm * ne.norm), 6) AS cos_sim
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms ne ON ne.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, hamming_dist, cos_sim, rank FROM (
   SELECT *, row_number() OVER (
       PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
   FROM scored

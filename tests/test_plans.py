@@ -1053,3 +1053,26 @@ def test_measure_profile_one_shuffle_two_expands(spark):
     assert len(_re.findall(r"^\(\d+\) Exchange", plan, _re.M)) == 1, plan
     assert len(_re.findall(r"^\(\d+\) Scan parquet", plan, _re.M)) == 1, plan
     assert "partial_" in plan  # map-side combine below the one shuffle
+
+
+def test_sign_bits_broadcast_stats_and_hamming_group_limit(spark):
+    """Binary-quantization tier plan contract: the per-dim stats frame
+    joins back by BROADCAST (the corpus never shuffles for pass 2), and
+    both hamming_topk rank stages compile to WindowGroupLimit so each
+    map task keeps only its local top-R before any exchange."""
+    import re as _re
+
+    from binlog_avro_comparator_spark.operators.similarity import (
+        hamming_topk,
+        sign_bit_words,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    wplan = _plan(sign_bit_words(emb))
+    assert "BroadcastExchange" in wplan
+    # the only Exchange of corpus-derived rows is the 64-row per-dim agg
+    assert "CartesianProduct" not in wplan
+    hplan = _plan(hamming_topk(emb))
+    assert len(_re.findall(r"WindowGroupLimit", hplan)) >= 2, hplan
+    # query frames ride broadcast joins -- no corpus-vs-corpus shuffle join
+    assert "SortMergeJoin" not in hplan, hplan
