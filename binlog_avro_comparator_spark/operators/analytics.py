@@ -347,6 +347,27 @@ KMV_K = 64
 KMV_SPACE = float(1 << 48)  # word_hash domain
 
 
+def _kmv_bottom_k(events: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Per-type bottom-k sketch frame (event_type, ks array<long>),
+    built two-phase so no task anywhere sorts more than one input
+    partition's hashes (see kmv_distinct_users for the full argument)."""
+    from .textstats import word_hash
+
+    hashed = events.filter(F.col("user_id").isNotNull()).select(  # NULL is not a user
+        "event_type", word_hash(F.col("user_id").cast("string")).alias("h")
+    )
+    local = (
+        hashed.withColumn("pid", F.spark_partition_id())
+        .groupBy("event_type", "pid")
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("ks"))
+    )
+    return (
+        local.select("event_type", F.explode("ks").alias("h"))
+        .groupBy("event_type")
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("ks"))
+    )
+
+
 def kmv_distinct_users(events: DataFrame, k: int = KMV_K) -> DataFrame:
     """Distinct-count SKETCH per event type: k-minimum-values (KMV /
     bottom-k) estimator over the portable 48-bit hash -- the classic
@@ -384,22 +405,7 @@ def kmv_distinct_users(events: DataFrame, k: int = KMV_K) -> DataFrame:
     and shuffle O(sketch) bytes only; this operator exists for the
     cross-engine-reproducible estimate, and keeps the exact bottom-k
     contract the DuckDB twin checks."""
-    from .textstats import word_hash
-
-    hashed = events.filter(F.col("user_id").isNotNull()).select(  # NULL is not a user
-        "event_type", word_hash(F.col("user_id").cast("string")).alias("h")
-    )
-    local = (
-        hashed.withColumn("pid", F.spark_partition_id())
-        .groupBy("event_type", "pid")
-        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("ks"))
-    )
-    merged = (
-        local.select("event_type", F.explode("ks").alias("h"))
-        .groupBy("event_type")
-        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("ks"))
-    )
-    agg = merged.select(
+    agg = _kmv_bottom_k(events, k).select(
         "event_type",
         F.size("ks").cast("long").alias("n_kept"),
         F.array_max("ks").alias("kth_hash"),
@@ -412,6 +418,120 @@ def kmv_distinct_users(events: DataFrame, k: int = KMV_K) -> DataFrame:
         "n_kept",
         "kth_hash",
         F.round(est, 4).alias("est_distinct_users"),
+    )
+
+
+def kmv_set_ops(events: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Set-operation ESTIMATES between every pair of event types' user
+    sets from their KMV sketches -- the theta-sketch trick that makes
+    bottom-k the composable distinct sketch: two sketches merge to the
+    union's sketch (bottom-k of the concatenation), the Jaccard
+    estimator is the fraction of the union sketch's hashes present in
+    BOTH input sketches, and intersection = jaccard * union.  HLL can
+    only union; this is why audit pipelines carry KMV.
+
+    Engine shape: the corpus is touched exactly twice -- once for the
+    per-type sketches (the two-phase bottom-k of _kmv_bottom_k: one
+    shuffle of locally-deduped hash sets), once for the exact exhibit
+    side (a distinct (user, type) frame self-joined on user_id --
+    shuffles by user, the unavoidable exact cost that the sketch path
+    exists to avoid).  Everything pairwise happens on the n_types-row
+    sketch frame: the pair join, union-merge, and intersect are array
+    ops over k=64 longs, broadcast-joined -- at 100 TB the pairwise
+    stage costs kilobytes regardless of corpus size.
+
+    Determinism: hashes are the portable md5-48bit words, merges are
+    sorted-distinct array ops, estimates are single divisions of
+    exactly-determined values (the kmv_distinct_users contract).
+
+    Returns one row per unordered type pair: (type_a, type_b,
+    n_union_kept, union_kth, est_union, sketch_common, jaccard_est,
+    est_intersection, exact_a, exact_b, exact_union,
+    exact_intersection)."""
+    sketches = _kmv_bottom_k(events, k)
+    a = sketches.select(
+        F.col("event_type").alias("type_a"), F.col("ks").alias("ks_a")
+    )
+    b = sketches.select(
+        F.col("event_type").alias("type_b"), F.col("ks").alias("ks_b")
+    )
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    u = F.slice(
+        F.array_sort(F.array_distinct(F.concat(F.col("ks_a"), F.col("ks_b")))),
+        1,
+        k,
+    )
+    paired = pairs.select(
+        "type_a",
+        "type_b",
+        u.alias("__u"),
+        F.size(F.array_intersect(F.array_intersect(u, F.col("ks_a")), F.col("ks_b")))
+        .cast("long")
+        .alias("sketch_common"),
+    ).select(
+        "type_a",
+        "type_b",
+        F.size("__u").cast("long").alias("n_union_kept"),
+        F.array_max("__u").alias("union_kth"),
+        "sketch_common",
+    )
+    est_union = F.when(
+        F.col("n_union_kept") < k, F.col("n_union_kept").cast("double")
+    ).otherwise((k - 1) * F.lit(KMV_SPACE) / F.col("union_kth"))
+    jac = F.col("sketch_common") / F.col("n_union_kept")
+    est = paired.select(
+        "type_a",
+        "type_b",
+        "n_union_kept",
+        "union_kth",
+        F.round(est_union, 4).alias("est_union"),
+        "sketch_common",
+        F.round(jac, 6).alias("jaccard_est"),
+        F.round(jac * est_union, 4).alias("est_intersection"),
+    )
+    ut = events.filter(F.col("user_id").isNotNull()).select(
+        "user_id", "event_type"
+    ).distinct()
+    inter = (
+        ut.alias("x")
+        .join(ut.alias("y"), "user_id")
+        .filter(F.col("x.event_type") < F.col("y.event_type"))
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("exact_intersection"))
+    )
+    counts = ut.groupBy("event_type").agg(F.count("*").alias("n"))
+    return (
+        est.join(
+            F.broadcast(counts.select(F.col("event_type").alias("type_a"), F.col("n").alias("exact_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(counts.select(F.col("event_type").alias("type_b"), F.col("n").alias("exact_b"))),
+            "type_b",
+        )
+        .join(F.broadcast(inter), ["type_a", "type_b"], "left")
+        .withColumn(
+            "exact_intersection", F.coalesce(F.col("exact_intersection"), F.lit(0))
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_union_kept",
+            "union_kth",
+            "est_union",
+            "sketch_common",
+            "jaccard_est",
+            "est_intersection",
+            "exact_a",
+            "exact_b",
+            (F.col("exact_a") + F.col("exact_b") - F.col("exact_intersection")).alias(
+                "exact_union"
+            ),
+            "exact_intersection",
+        )
     )
 
 

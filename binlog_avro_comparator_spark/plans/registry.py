@@ -1571,6 +1571,17 @@ def _q_kmv_distinct(spark, sf_dir):
     return kmv_distinct_users(load_table(spark, sf_dir, "events"))
 
 
+def _q_kmv_setops(spark, sf_dir):
+    """Theta-style set operations from KMV sketches: union / Jaccard /
+    intersection estimates for every event-type pair's user sets,
+    merged purely from the per-type bottom-k sketches, with the exact
+    values as the error exhibit (analytics.kmv_set_ops)."""
+    ensure_session_conf(spark)
+    from ..operators.analytics import kmv_set_ops
+
+    return kmv_set_ops(load_table(spark, sf_dir, "events"))
+
+
 def _q_salted_type_stats(spark, sf_dir):
     """Skew-safe two-phase aggregation as a driver query: event_type
     has only 5 values (maximal key skew), the textbook salted-agg case.
@@ -2489,6 +2500,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_span_removal": _q_remove_spans,
         "cdc_avro_native_scan_jvm": _q_cdc_avro_native_scan_jvm,
         "events_kmv_distinct_users": _q_kmv_distinct,
+        "events_kmv_setops": _q_kmv_setops,
         "events_salted_type_stats": _q_salted_type_stats,
         "doc_repeated_spans": _q_repeated_spans,
         "ngram_jaccard_pairs": _q_jaccard_pairs,
@@ -4308,6 +4320,64 @@ SELECT event_type, n_kept, kth_hash,
        round(CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
                   ELSE 63 * 281474976710656.0 / kth_hash END, 4) AS est_distinct_users
 FROM agg""",
+        # twin of analytics.kmv_set_ops: same bottom-64 sketches, union
+        # merged by sorted-distinct slice, Jaccard = fraction of the
+        # union sketch present in BOTH sides, intersection = jac*union;
+        # exact side from the distinct (user, type) frame
+        "events_kmv_setops": """
+WITH hashed AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+sketches AS (
+  SELECT event_type, list_slice(list_sort(list(h)), 1, 64) AS ks
+  FROM hashed GROUP BY event_type
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.ks AS ks_a, b.ks AS ks_b,
+         list_slice(list_sort(list_distinct(a.ks || b.ks)), 1, 64) AS u
+  FROM sketches a JOIN sketches b ON a.event_type < b.event_type
+),
+est AS (
+  SELECT type_a, type_b,
+         len(u) AS n_union_kept,
+         list_max(u) AS union_kth,
+         len(list_intersect(list_intersect(u, ks_a), ks_b)) AS sketch_common
+  FROM pairs
+),
+scored AS (
+  SELECT type_a, type_b,
+         CAST(n_union_kept AS BIGINT) AS n_union_kept, union_kth,
+         CASE WHEN n_union_kept < 64 THEN CAST(n_union_kept AS DOUBLE)
+              ELSE 63 * 281474976710656.0 / union_kth END AS est_union_raw,
+         CAST(sketch_common AS BIGINT) AS sketch_common,
+         CAST(sketch_common AS DOUBLE) / n_union_kept AS jac_raw
+  FROM est
+),
+ut AS (SELECT DISTINCT user_id, event_type FROM events
+       WHERE user_id IS NOT NULL),
+inter AS (
+  SELECT x.event_type AS type_a, y.event_type AS type_b,
+         count(*) AS exact_intersection
+  FROM ut x JOIN ut y ON x.user_id = y.user_id
+  WHERE x.event_type < y.event_type
+  GROUP BY 1, 2
+),
+counts AS (SELECT event_type, count(*) AS n FROM ut GROUP BY event_type)
+SELECT s.type_a, s.type_b, s.n_union_kept, s.union_kth,
+       round(s.est_union_raw, 4) AS est_union,
+       s.sketch_common,
+       round(s.jac_raw, 6) AS jaccard_est,
+       round(s.jac_raw * s.est_union_raw, 4) AS est_intersection,
+       ca.n AS exact_a, cb.n AS exact_b,
+       ca.n + cb.n - coalesce(i.exact_intersection, 0) AS exact_union,
+       coalesce(i.exact_intersection, 0) AS exact_intersection
+FROM scored s
+JOIN counts ca ON ca.event_type = s.type_a
+JOIN counts cb ON cb.event_type = s.type_b
+LEFT JOIN inter i ON i.type_a = s.type_a AND i.type_b = s.type_b""",
         "events_salted_type_stats": """
 SELECT event_type, count(event_id) AS n_events, max(value) AS max_value,
        min(event_id) AS min_id, CAST(sum(event_id) AS BIGINT) AS sum_ids

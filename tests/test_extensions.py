@@ -2215,3 +2215,68 @@ def test_hamming_topk_agrees_with_bruteforce_on_planted(spark):
     # stage-1 metric is carried through: same-cluster neighbors are
     # Hamming-near while the planted opposite cluster is ~dim away
     assert all(r.hamming_dist <= 16 for r in got)
+
+
+def test_kmv_set_ops_exact_below_k(spark):
+    """With fewer than k distinct users per side the sketches ARE the
+    sets, so every estimate must equal its exact twin -- the
+    boundary that pins the estimator wiring (union merge, common
+    count, jaccard, intersection product)."""
+    from binlog_avro_comparator_spark.operators.analytics import kmv_set_ops
+
+    rows = []
+    # A = u0..u19, B = u10..u29 (overlap 10), C = u0..u4 (subset of A)
+    for u in range(20):
+        rows.append((f"u{u}", "A"))
+    for u in range(10, 30):
+        rows.append((f"u{u}", "B"))
+    for u in range(5):
+        rows.append((f"u{u}", "C"))
+    ev = spark.createDataFrame(
+        [(uid, t, i) for i, (uid, t) in enumerate(rows)],
+        "user_id string, event_type string, event_id long",
+    )
+    got = {(r.type_a, r.type_b): r for r in kmv_set_ops(ev).collect()}
+    ab = got[("A", "B")]
+    assert ab.exact_a == 20 and ab.exact_b == 20
+    assert ab.exact_intersection == 10 and ab.exact_union == 30
+    assert ab.n_union_kept == 30 and ab.est_union == 30.0
+    assert ab.sketch_common == 10
+    assert ab.jaccard_est == round(10 / 30, 6)
+    assert ab.est_intersection == round(10 / 30 * 30.0, 4)
+    ac = got[("A", "C")]
+    assert ac.exact_intersection == 5 and ac.sketch_common == 5
+    bc = got[("B", "C")]  # disjoint pair
+    assert bc.exact_intersection == 0 and bc.sketch_common == 0
+    assert bc.jaccard_est == 0.0 and bc.est_intersection == 0.0
+
+
+def test_kmv_union_sketch_composability(spark):
+    """The merged pair sketch equals the sketch of the concatenated
+    corpus: bottom-k(bottom-k(A) ++ bottom-k(B)) == bottom-k(A ++ B).
+    This is the property that lets two days' sketches merge without
+    the raw data."""
+    from binlog_avro_comparator_spark.operators.analytics import (
+        _kmv_bottom_k,
+        kmv_set_ops,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    rows = [(f"u{rng.randrange(400)}", t, i)
+            for i, t in enumerate(["A"] * 600 + ["B"] * 600)]
+    ev = spark.createDataFrame(
+        rows, "user_id string, event_type string, event_id long"
+    )
+    merged = {
+        (r.type_a, r.type_b): r for r in kmv_set_ops(ev).collect()
+    }[("A", "B")]
+    # sketch of the union corpus: relabel both types to one
+    from pyspark.sql import functions as F
+
+    union_ks = _kmv_bottom_k(
+        ev.withColumn("event_type", F.lit("U"))
+    ).collect()[0].ks
+    assert merged.n_union_kept == len(union_ks)
+    assert merged.union_kth == max(union_ks)
