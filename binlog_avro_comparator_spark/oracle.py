@@ -157,6 +157,30 @@ FROM avro_rows_cdc"""
     )
 
 
+def cdc_avro_evolved_scan() -> str:
+    """Twin of registry._q_cdc_avro_evolved_scan: even binlog segments
+    (avro_line_no % 2 = 0 -- the file digit is event_id % 4) were
+    written under the legacy v1 producer schema, so their
+    binlog_position / is_deleted resolve to the reader defaults (null)
+    and their int server_id (binlog_position % 1000000) promotes to
+    long; odd segments carry the current schema with a null
+    server_id."""
+    return (
+        _PREFIX
+        + """
+SELECT source_timestamp, database, "table", change_type, gtid,
+       binlog_file,
+       CASE WHEN avro_line_no % 2 = 0 THEN NULL
+            ELSE binlog_position END AS binlog_position,
+       CASE WHEN avro_line_no % 2 = 0 THEN NULL
+            ELSE is_deleted END AS is_deleted,
+       CASE WHEN avro_line_no % 2 = 0 THEN binlog_position % 1000000
+            ELSE NULL END AS datastream_master_server_id,
+       database || ',' || "table" AS primary_keys_csv
+FROM avro_rows_cdc"""
+    )
+
+
 def cdc_binlog_prepared() -> str:
     return (
         _PREFIX

@@ -230,6 +230,117 @@ def _render_avro(fname: str, rows: list[dict]) -> tuple[str, bytes]:
     )
 
 
+# What a YEAR-OLD producer of the Datastream feed wrote: ``table`` was
+# still called ``table_name`` (reader alias), ``legacy_txn_id`` existed
+# (reader drops it), ``datastream_master_server_id`` was an int (reader
+# promotes to long), the fields are in a different order (resolution is
+# by name), and binlog_position / is_deleted did not exist yet (reader
+# defaults fill null).  Fixture scaffolding only -- the engine never
+# sees this literal, it reads the writer schema from each file header.
+_AVRO_V1_WRITER_SCHEMA: dict = {
+    "type": "record",
+    "name": "avro_row",
+    "fields": [
+        {
+            "name": "source_timestamp",
+            "type": {"type": "long", "logicalType": "timestamp-millis"},
+        },
+        {
+            "name": "source_metadata",
+            "type": {
+                "type": "record",
+                "name": "source_metadata",
+                "fields": [
+                    {"name": "table_name", "type": "string"},
+                    {"name": "database", "type": "string"},
+                    {"name": "legacy_txn_id", "type": "string"},
+                    {"name": "change_type", "type": ["null", "string"]},
+                    {"name": "gtid", "type": ["null", "string"]},
+                    {"name": "datastream_master_server_uuid", "type": ["null", "string"]},
+                    {"name": "datastream_master_server_id", "type": ["null", "int"]},
+                    {"name": "binlog_file", "type": ["null", "string"]},
+                    {"name": "primary_keys", "type": {"type": "array", "items": "string"}},
+                ],
+            },
+        },
+    ],
+}
+
+
+def _render_avro_evolved(fname: str, rows: list[dict]) -> tuple[str, bytes]:
+    """Even segments are written by the LEGACY producer (v1 schema
+    above), odd segments by the current one -- one directory, two
+    writer schemas, the shape a real evolving lake has."""
+    if int(fname[-1]) % 2 != 0:
+        return _render_avro(fname, rows)
+    rows.sort(key=lambda r: (r["source_timestamp"], r["binlog_position"]))
+    recs = [
+        {
+            "source_timestamp": r["source_timestamp"],
+            "source_metadata": {
+                "table_name": r["table"],
+                "database": r["database"],
+                "legacy_txn_id": r["gtid"],
+                "change_type": r["change_type"],
+                "gtid": r["gtid"],
+                "datastream_master_server_uuid": None,
+                "datastream_master_server_id": int(r["binlog_position"]) % 1000000,
+                "binlog_file": r["binlog_file"],
+                "primary_keys": [r["database"], r["table"]],
+            },
+        }
+        for r in rows
+    ]
+    return f"{fname}.avro", encode_container(
+        _AVRO_V1_WRITER_SCHEMA, recs, sync=_AVRO_FIXTURE_SYNC
+    )
+
+
+def _q_cdc_avro_evolved_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan (Avro 1.11 schema resolution): the fixture
+    directory mixes files written under the legacy v1 producer schema
+    (field renamed -- reader alias; extra field -- dropped; int
+    server_id -- promoted to long; binlog_position / is_deleted absent
+    -- reader defaults) with current-schema files, and ONE
+    reader-schema scan surfaces them as a uniform frame
+    (sources/avro.py DATASTREAM_AVRO_READER_SCHEMA;
+    avro_codec.resolve_read).  Per-file resolution happens inside the
+    distributed decode task against that file's own header schema --
+    no driver-side schema census, which is what makes this work on a
+    lake of millions of files.  Nulls are NOT zero-coalesced here:
+    surfacing which fields the old producer couldn't know is the
+    point."""
+    import tempfile
+
+    ensure_session_conf(spark)
+    from ..sources.avro import DATASTREAM_AVRO_READER_SCHEMA, read_avro_python
+
+    d = _FIXTURE_DIRS.get(("avro_evolved", sf_dir))
+    if d is None:
+        avro = derive_avro_rows(load_table(spark, sf_dir, "events"))
+        d = tempfile.mkdtemp(prefix="cdc_avro_evolved_")
+        _fixture_write_distributed(avro, "binlog_file", d, _render_avro_evolved)
+        _FIXTURE_DIRS[("avro_evolved", sf_dir)] = d
+    nested = read_avro_python(
+        spark, d, reader_schema=DATASTREAM_AVRO_READER_SCHEMA
+    )
+    sm = "source_metadata"
+    return nested.select(
+        F.col("source_timestamp").cast("long").alias("source_timestamp"),
+        F.col(f"{sm}.database").alias("database"),
+        F.col(f"{sm}.table").alias("table"),
+        F.col(f"{sm}.change_type").alias("change_type"),
+        F.col(f"{sm}.gtid").alias("gtid"),
+        F.col(f"{sm}.binlog_file").alias("binlog_file"),
+        F.col(f"{sm}.binlog_position").alias("binlog_position"),
+        F.col(f"{sm}.is_deleted").alias("is_deleted"),
+        F.col(f"{sm}.datastream_master_server_id").alias(
+            "datastream_master_server_id"
+        ),
+        F.array_join(F.col(f"{sm}.primary_keys"), ",").alias("primary_keys_csv"),
+    )
+
+
 def _q_cdc_avro_native_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5 end-to-end, pure-Python engine: the derived avro_rows table is
     encoded into real ``.avro`` container files (one per binlog segment,
@@ -2534,6 +2645,7 @@ def queries() -> dict[str, QueryFn]:
         "cdc_binlog_events": _q_cdc_binlog_events,
         "cdc_avro_rows": _q_cdc_avro_rows,
         "cdc_avro_native_scan": _q_cdc_avro_native_scan,
+        "cdc_avro_evolved_scan": _q_cdc_avro_evolved_scan,
         "cdc_binlog_prepared": _q_cdc_binlog_prepared,
         "cdc_matches": _q_cdc_matches,
         "cdc_avro_only": _q_cdc_avro_only,
@@ -3251,6 +3363,7 @@ WHERE event_id % 223 <> 0""",
         "cdc_binlog_events": oracle.cdc_binlog_events(),
         "cdc_avro_rows": oracle.cdc_avro_rows(),
         "cdc_avro_native_scan": oracle.cdc_avro_native_scan(),
+        "cdc_avro_evolved_scan": oracle.cdc_avro_evolved_scan(),
         # JVM engine reads the same fixture files -> same oracle
         "cdc_avro_native_scan_jvm": oracle.cdc_avro_native_scan(),
         "cdc_binlog_prepared": oracle.cdc_binlog_prepared(),

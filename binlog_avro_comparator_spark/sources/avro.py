@@ -71,6 +71,27 @@ DATASTREAM_AVRO_SCHEMA: dict = {
 _META_FIELDS = [f["name"] for f in DATASTREAM_AVRO_SCHEMA["fields"][1]["type"]["fields"]]
 
 
+def _evolution_reader_schema() -> dict:
+    """The canonical schema as a READER schema for evolved lakes:
+    every nullable field declares ``default: null`` (so files written
+    before the field existed resolve instead of erroring) and
+    ``table`` accepts the legacy producer name ``table_name`` via an
+    alias -- the two knobs Avro schema resolution actually turns.
+    Built from DATASTREAM_AVRO_SCHEMA so the shapes can never drift."""
+    import copy
+
+    rs = copy.deepcopy(DATASTREAM_AVRO_SCHEMA)
+    for f in rs["fields"][1]["type"]["fields"]:
+        if isinstance(f["type"], list) and f["type"][0] == "null":
+            f["default"] = None
+        if f["name"] == "table":
+            f["aliases"] = ["table_name"]
+    return rs
+
+
+DATASTREAM_AVRO_READER_SCHEMA: dict = _evolution_reader_schema()
+
+
 # Spark 4 ships the complete Avro implementation inside spark-sql
 # (AvroFileFormat, AvroDeserializer, ... are all in the main jar) but
 # does NOT register the "avro" short name unless the spark-avro module
@@ -150,7 +171,10 @@ def read_avro_native(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_avro_python(
-    spark: SparkSession, path: str, with_lineage: bool = False
+    spark: SparkSession,
+    path: str,
+    with_lineage: bool = False,
+    reader_schema: dict | None = None,
 ) -> DataFrame:
     """S5 fallback: binaryFile listing + Arrow-batched pure-Python
     decode.  One decode task per file; a file is the sequential unit
@@ -160,7 +184,12 @@ def read_avro_python(
     ``with_lineage=True`` adds (``__file``, ``__pos``): source file
     path and the record's 0-based position within it -- the exact
     ordering of the reference's sequential per-file loop, for
-    consumers that must reproduce it (avro2json)."""
+    consumers that must reproduce it (avro2json).
+
+    ``reader_schema``: apply Avro schema resolution per file (see
+    avro_codec.resolve_read) so a directory mixing producer schema
+    versions scans as one uniform frame -- each task resolves against
+    the writer schema embedded in its own file's header."""
     files = spark.read.format("binaryFile").option("pathGlobFilter", "*.avro").load(path)
 
     schema = AVRO_NATIVE_SCHEMA
@@ -175,7 +204,9 @@ def read_avro_python(
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for fname, content in zip(pdf["path"], pdf["content"]):
-                _, records = decode_container(bytes(content))
+                _, records = decode_container(
+                    bytes(content), reader_schema=reader_schema
+                )
                 rows: list[dict[str, Any]] = []
                 for pos, rec in enumerate(records):
                     meta = rec.get("source_metadata") or {}

@@ -160,10 +160,17 @@ def decode_value(r: _Reader, schema: Any) -> Any:
     raise ValueError(f"avro: unsupported schema type {t!r}")
 
 
-def decode_container(data: bytes) -> tuple[dict, Iterator[dict]]:
+def decode_container(
+    data: bytes, reader_schema: Any = None
+) -> tuple[dict, Iterator[dict]]:
     """Parse one Object Container File: returns (writer schema, record
     iterator).  Lazy per-block so a multi-block file never holds more
-    than one inflated block in memory."""
+    than one inflated block in memory.
+
+    ``reader_schema``: surface every record in THIS schema's shape
+    regardless of the schema the file was written with (Avro schema
+    resolution -- see ``resolve_read``).  A lake written over years by
+    evolving producers reads as one uniform frame."""
     r = _Reader(data)
     if r.read(4) != MAGIC:
         raise ValueError("avro: bad magic (not an Object Container File)")
@@ -184,6 +191,8 @@ def decode_container(data: bytes) -> tuple[dict, Iterator[dict]]:
         raise ValueError(f"avro: unsupported codec {codec!r}")
     sync = r.read(SYNC_SIZE)
 
+    resolved = reader_schema is not None and reader_schema != schema
+
     def records() -> Iterator[dict]:
         while not r.at_end():
             n = r.read_long()
@@ -194,7 +203,10 @@ def decode_container(data: bytes) -> tuple[dict, Iterator[dict]]:
                 raise ValueError("avro: sync marker mismatch (corrupt block)")
             br = _Reader(block)
             for _ in range(n):
-                yield decode_value(br, schema)
+                if resolved:
+                    yield resolve_read(br, schema, reader_schema)
+                else:
+                    yield decode_value(br, schema)
 
     return schema, records()
 
@@ -322,3 +334,161 @@ def encode_container(
         out.write(raw)
         out.write(sync)
     return out.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# schema resolution (Avro 1.11 spec "Schema Resolution": reading data
+# written with an OLD producer schema under the pipeline's current
+# reader schema -- match by field name/alias, apply reader defaults,
+# promote primitives, skip writer-only fields)
+# ---------------------------------------------------------------------------
+_PROMOTIONS = {
+    "int": {"long", "float", "double"},
+    "long": {"float", "double"},
+    "float": {"double"},
+    "string": {"bytes"},
+    "bytes": {"string"},
+}
+
+_NO_DEFAULT = object()
+
+
+def _unwrap(schema: Any) -> Any:
+    """Logical types ride on primitives; resolution sees the primitive
+    (the decode_value convention)."""
+    if (
+        isinstance(schema, dict)
+        and schema.get("type") in _PRIMITIVES
+        and "fields" not in schema
+    ):
+        return schema["type"]
+    return schema
+
+
+def _resolvable(writer: Any, reader: Any) -> bool:
+    """Can data of ``writer`` be read as ``reader``?  (Shallow check
+    used for union branch selection; nested mismatches surface as
+    errors during the recursive resolve.)"""
+    w, rd = _unwrap(writer), _unwrap(reader)
+    if isinstance(rd, list):
+        return any(_resolvable(w, b) for b in rd)
+    if isinstance(w, list):
+        # a writer union matches if any branch could; per-datum the
+        # actual branch is checked again at resolve time
+        return any(_resolvable(b, rd) for b in w)
+    if isinstance(w, str) and isinstance(rd, str):
+        return w == rd or rd in _PROMOTIONS.get(w, ())
+    if isinstance(w, dict) and isinstance(rd, dict):
+        wt, rt = w.get("type"), rd.get("type")
+        if wt != rt:
+            return False
+        if wt in ("record", "enum", "fixed"):
+            names = {rd.get("name")} | set(rd.get("aliases", ()))
+            return w.get("name") in names
+        return True  # array/map: item mismatch surfaces in recursion
+    return False
+
+
+def _promote(value: Any, w: str, rd: str) -> Any:
+    if w == rd:
+        return value
+    if rd not in _PROMOTIONS.get(w, ()):
+        raise ValueError(f"avro: cannot promote {w!r} to {rd!r}")
+    if rd in ("float", "double"):
+        return float(value)
+    if w == "string" and rd == "bytes":
+        return value.encode("utf-8")
+    if w == "bytes" and rd == "string":
+        return value.decode("utf-8")
+    return value  # int -> long
+
+
+def resolve_read(r: _Reader, writer: Any, reader: Any) -> Any:
+    """Decode one value written as ``writer`` but surfaced as
+    ``reader`` (Avro 1.11 schema resolution).  Writer-only record
+    fields are decoded and discarded (a pure skip walks the same
+    bytes); reader-only fields take their declared default."""
+    w, rd = _unwrap(writer), _unwrap(reader)
+    if isinstance(w, list):  # writer union: branch index picks the datum
+        idx = r.read_long()
+        if not 0 <= idx < len(w):
+            raise ValueError(f"avro: union branch {idx} out of range")
+        return resolve_read(r, w[idx], rd)
+    if isinstance(rd, list):  # reader union, writer not: first match wins
+        for branch in rd:
+            if _resolvable(w, branch):
+                return resolve_read(r, w, branch)
+        raise ValueError(f"avro: no reader branch accepts writer {w!r}")
+    if isinstance(w, str):
+        if not isinstance(rd, str):
+            raise ValueError(f"avro: writer {w!r} vs reader {rd!r}")
+        return _promote(decode_value(r, w), w, rd)
+    wt = w["type"]
+    if wt == "record":
+        if not _resolvable(w, rd):
+            raise ValueError(
+                f"avro: record {w.get('name')!r} does not resolve to "
+                f"{rd.get('name')!r}"
+            )
+        by_name: dict[str, Any] = {}
+        alias_of = {
+            a: f["name"] for f in rd["fields"] for a in f.get("aliases", ())
+        }
+        reader_fields = {f["name"]: f for f in rd["fields"]}
+        for wf in w["fields"]:
+            name = wf["name"]
+            name = name if name in reader_fields else alias_of.get(name, name)
+            rf = reader_fields.get(name)
+            if rf is None:  # writer-only: walk the bytes, drop the value
+                decode_value(r, wf["type"])
+            else:
+                by_name[name] = resolve_read(r, wf["type"], rf["type"])
+        out = {}
+        for rf in rd["fields"]:
+            if rf["name"] in by_name:
+                out[rf["name"]] = by_name[rf["name"]]
+            else:
+                dflt = rf.get("default", _NO_DEFAULT)
+                if dflt is _NO_DEFAULT:
+                    raise ValueError(
+                        f"avro: field {rf['name']!r} missing from writer "
+                        "schema and reader declares no default"
+                    )
+                out[rf["name"]] = dflt
+        return out
+    if wt == "enum":
+        sym = w["symbols"][r.read_long()]
+        if sym in rd["symbols"]:
+            return sym
+        dflt = rd.get("default")
+        if dflt is None:
+            raise ValueError(f"avro: enum symbol {sym!r} unknown to reader")
+        return dflt
+    if wt == "fixed":
+        if rd.get("size") != w["size"]:
+            raise ValueError("avro: fixed size mismatch")
+        return r.read(w["size"])
+    if wt == "array":
+        out_l: list[Any] = []
+        while True:
+            count = r.read_long()
+            if count == 0:
+                return out_l
+            if count < 0:
+                r.read_long()
+                count = -count
+            for _ in range(count):
+                out_l.append(resolve_read(r, w["items"], rd["items"]))
+    if wt == "map":
+        out_m: dict[str, Any] = {}
+        while True:
+            count = r.read_long()
+            if count == 0:
+                return out_m
+            if count < 0:
+                r.read_long()
+                count = -count
+            for _ in range(count):
+                key = r.read_bytes().decode("utf-8")
+                out_m[key] = resolve_read(r, w["values"], rd["values"])
+    raise ValueError(f"avro: unsupported writer type {wt!r}")

@@ -467,3 +467,107 @@ def test_avro2json_cli_end_to_end(spark, tmp_path):
     assert (r3.database, r3.binlog_position, r3.gtid) == ("db1", 304, "uuid-0:3")
     r2 = rows[1_704_180_000_000 + 2]  # null branches -> Go zero-values on unwrap
     assert (r2.change_type, r2.binlog_position, r2.is_deleted) == ("", 0, False)
+
+
+# ---------------------------------------------------------------------------
+# schema resolution (Avro 1.11 "Schema Resolution")
+# ---------------------------------------------------------------------------
+def _resolve_one(writer_schema, reader_schema, value):
+    import io as _io
+
+    from binlog_avro_comparator_spark.sources.avro_codec import (
+        _Reader,
+        encode_value,
+        resolve_read,
+    )
+
+    buf = _io.BytesIO()
+    encode_value(buf, writer_schema, value)
+    return resolve_read(_Reader(buf.getvalue()), writer_schema, reader_schema)
+
+
+def test_resolution_rename_default_skip_promote():
+    """One record exercising all four resolution moves: field matched
+    via reader alias, writer-only field skipped, reader-only field
+    defaulted, int promoted to long inside a union."""
+    writer = {
+        "type": "record", "name": "r", "fields": [
+            {"name": "table_name", "type": "string"},
+            {"name": "legacy", "type": "string"},
+            {"name": "sid", "type": ["null", "int"]},
+        ],
+    }
+    reader = {
+        "type": "record", "name": "r", "fields": [
+            {"name": "table", "type": "string", "aliases": ["table_name"]},
+            {"name": "sid", "type": ["null", "long"]},
+            {"name": "pos", "type": ["null", "long"], "default": None},
+        ],
+    }
+    got = _resolve_one(writer, reader, {"table_name": "t1", "legacy": "x", "sid": 7})
+    assert got == {"table": "t1", "sid": 7, "pos": None}
+    assert isinstance(got["sid"], int)
+
+
+def test_resolution_missing_field_without_default_errors():
+    import pytest as _pytest
+
+    writer = {"type": "record", "name": "r",
+              "fields": [{"name": "a", "type": "string"}]}
+    reader = {"type": "record", "name": "r",
+              "fields": [{"name": "a", "type": "string"},
+                         {"name": "b", "type": "string"}]}
+    with _pytest.raises(ValueError, match="no default"):
+        _resolve_one(writer, reader, {"a": "x"})
+
+
+def test_resolution_primitive_promotions():
+    assert _resolve_one("int", "double", 3) == 3.0
+    assert _resolve_one("long", "float", 5) == 5.0
+    assert _resolve_one("float", "double", 1.5) == 1.5
+    assert _resolve_one("string", "bytes", "hi") == b"hi"
+    assert _resolve_one("bytes", "string", b"hi") == "hi"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="promote"):
+        _resolve_one("double", "float", 1.0)
+
+
+def test_resolution_enum_and_nested_array():
+    writer = {"type": "record", "name": "r", "fields": [
+        {"name": "e", "type": {"type": "enum", "name": "E",
+                               "symbols": ["A", "B", "NEWER"]}},
+        {"name": "xs", "type": {"type": "array", "items": "int"}},
+    ]}
+    reader = {"type": "record", "name": "r", "fields": [
+        {"name": "e", "type": {"type": "enum", "name": "E",
+                               "symbols": ["A", "B"], "default": "A"}},
+        {"name": "xs", "type": {"type": "array", "items": "long"}},
+    ]}
+    got = _resolve_one(writer, reader, {"e": "NEWER", "xs": [1, 2]})
+    assert got == {"e": "A", "xs": [1, 2]}  # unknown symbol -> reader default
+    got2 = _resolve_one(writer, reader, {"e": "B", "xs": []})
+    assert got2["e"] == "B"
+
+
+def test_container_reader_schema_resolution_roundtrip():
+    """decode_container(reader_schema=...) surfaces a v1-written file
+    in the current shape; identical schemas bypass resolution."""
+    from binlog_avro_comparator_spark.sources.avro_codec import (
+        decode_container,
+        encode_container,
+    )
+
+    writer = {"type": "record", "name": "row", "fields": [
+        {"name": "k", "type": "string"},
+        {"name": "gone", "type": "long"},
+    ]}
+    reader = {"type": "record", "name": "row", "fields": [
+        {"name": "k", "type": "string"},
+        {"name": "added", "type": ["null", "string"], "default": None},
+    ]}
+    data = encode_container(writer, [{"k": "a", "gone": 1}, {"k": "b", "gone": 2}])
+    _, recs = decode_container(data, reader_schema=reader)
+    assert list(recs) == [{"k": "a", "added": None}, {"k": "b", "added": None}]
+    _, plain = decode_container(data)
+    assert list(plain)[0] == {"k": "a", "gone": 1}
