@@ -1905,6 +1905,34 @@ def _q_events_session_stream(spark, sf_dir):
     return _drain_to_table(spark, session_window_stats(stream), name, "complete")
 
 
+def _q_events_running_stats_stream(spark, sf_dir):
+    """Custom stateful streaming in the driver contract: per-user
+    cumulative (count, max) emitting one row per event
+    (streaming/running_stats_stream.py), replayed availableNow from
+    the events file and drained append-mode.  Targets the Spark 4
+    transformWithState API (named ValueState) and auto-falls-back to
+    applyInPandasWithState where the v2 protobuf protocol dependency
+    is absent -- both paths run the same fold, so the oracle (the
+    batch cumulative window) is api-independent.  Emission is
+    per-event (duplicate-free under any batch split) and the
+    single-file replay delivers each user's rows in one ordered
+    batch."""
+    global _STREAM_SINK_SEQ
+    from ..sources.tables import _EVENTS_SCHEMA, events_ts_column
+    from ..streaming.running_stats_stream import running_stats_stream
+
+    ensure_session_conf(spark)
+    stream = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", events_ts_column(sf_dir))
+    )
+    _STREAM_SINK_SEQ += 1
+    name = f"events_running_stats_stream_sink_{_STREAM_SINK_SEQ}"
+    return _drain_to_table(spark, running_stats_stream(stream), name, "append")
+
+
 def _binlog_binary_fixture_dir(spark, sf_dir) -> str:
     """One payload-bearing binary binlog fixture dir per sf_dir, shared
     by the metadata-decode, row-image-decode, and payload-diff queries:
@@ -2542,6 +2570,7 @@ def queries() -> dict[str, QueryFn]:
         "corpus_heavy_langs": _q_heavy_langs,
         "cdc_parse_binlog_binary": _q_cdc_parse_binlog_binary,
         "events_session_stream": _q_events_session_stream,
+        "events_running_stats_stream": _q_events_running_stats_stream,
         # -- r4-green regression coverage fills the window to 50 --
         "doc_top_terms_udtf": _q_top_terms_udtf,
         "lineitem_zorder_layout": _q_zorder_layout,
@@ -4495,6 +4524,17 @@ LEFT JOIN inter i ON i.type_a = s.type_a AND i.type_b = s.type_b""",
 SELECT event_type, count(event_id) AS n_events, max(value) AS max_value,
        min(event_id) AS min_id, CAST(sum(event_id) AS BIGINT) AS sum_ids
 FROM events GROUP BY event_type""",
+        # twin of streaming/running_stats_stream.py: the batch
+        # cumulative window equals the per-event emission of the
+        # ValueState processor (count/max over (ts, event_id) order)
+        "events_running_stats_stream": """
+SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+       count(*) OVER cum AS n_events_so_far,
+       max(value) OVER cum AS running_max_value
+FROM events
+WHERE value IS NOT NULL
+WINDOW cum AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
         "events_running_windows": """
 SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
        count(*) OVER cum AS n_events_so_far,

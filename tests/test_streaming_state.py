@@ -670,3 +670,106 @@ def test_payload_findings_stream_horizons(spark, tmp_path):
     assert {r.binlog_position for r in by_status["AVRO_ONLY"]} == {500}
     only = by_status["BINLOG_ONLY"][0]
     assert only.column is None and only.binlog_value is None
+
+
+def _run_running_stats(spark, tmp_path, api, two_files=True):
+    import json
+
+    from binlog_avro_comparator_spark.streaming.running_stats_stream import (
+        running_stats_stream,
+    )
+
+    base_us = 1_700_000_000_000_000
+    # user 10: values rise then fall (max must STICK); user 20: one event
+    # per file (state must carry across micro-batches)
+    rows = [
+        (1, 10, base_us, 5.0),
+        (2, 10, base_us + 1_000_000, 9.0),
+        (3, 20, base_us + 2_000_000, 1.0),
+        (4, 10, base_us + 10_000_000, 3.0),
+        (5, 20, base_us + 11_000_000, 0.5),
+    ]
+    src = tmp_path / f"rs_{api}"
+    src.mkdir()
+    split = 3 if two_files else len(rows)
+    for i, (fname, chunk) in enumerate(
+        (("b0.json", rows[:split]), ("b1.json", rows[split:]))
+    ):
+        if chunk:
+            with (src / fname).open("w") as f:
+                for eid, uid, us, v in chunk:
+                    f.write(json.dumps(
+                        {"event_id": eid, "user_id": uid, "ts_us": us, "value": v}
+                    ) + "\n")
+            # FileStreamSource orders micro-batches by mtime: pin b0
+            # strictly older so the cross-batch assertion is stable
+            import os
+
+            t = 1_700_000_000 + i * 60
+            os.utime(src / fname, (t, t))
+    schema = "event_id long, user_id long, ts_us long, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    )
+    name = f"rs_sink_{api}_{two_files}"
+    q = (
+        running_stats_stream(stream, api=api)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    q.stop()
+    return {r.event_id: r for r in spark.table(name).collect()}
+
+
+_RS_EXPECTED = {
+    1: (10, 1, 5.0),
+    2: (10, 2, 9.0),
+    3: (20, 1, 1.0),
+    4: (10, 3, 9.0),   # later smaller value: count advances, max sticks
+    5: (20, 2, 1.0),   # second micro-batch: state carried
+}
+
+
+def test_running_stats_stream_v1_cross_batch(spark, tmp_path):
+    """GroupState path: per-event emission with state carried across
+    micro-batches equals the batch cumulative window."""
+    got = _run_running_stats(spark, tmp_path, api="v1")
+    assert len(got) == 5
+    for eid, (uid, n, mx) in _RS_EXPECTED.items():
+        r = got[eid]
+        assert (r.user_id, r.n_events_so_far, r.running_max_value) == (uid, n, mx), eid
+
+
+def test_running_stats_stream_v2_cross_batch(spark, tmp_path):
+    """transformWithState path (State API v2): identical contract.
+    Skips where the v2 protobuf protocol dependency is absent."""
+    from binlog_avro_comparator_spark.streaming.running_stats_stream import (
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available():
+        pytest.skip("google.protobuf not importable: State API v2 "
+                    "python protocol unavailable in this environment")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        got = _run_running_stats(spark, tmp_path, api="v2")
+        assert len(got) == 5
+        for eid, (uid, n, mx) in _RS_EXPECTED.items():
+            r = got[eid]
+            assert (r.user_id, r.n_events_so_far, r.running_max_value) == (uid, n, mx), eid
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
