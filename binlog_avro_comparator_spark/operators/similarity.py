@@ -1056,3 +1056,64 @@ def hamming_topk(
         .withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
     )
+
+
+def ann_recall_report(
+    embeddings: DataFrame, n_queries: int = 32, k: int = 5
+) -> DataFrame:
+    """Recall@k evaluation of every approximate ANN tier against the
+    exact brute-force top-k -- the eval harness a retrieval pipeline
+    runs before trusting an index: for each method (hyperplane LSH,
+    binary-Hamming rerank, IVF probing), how many of the true top-k
+    neighbors did it return?
+
+    Engine shape: ground truth and each method are the SAME bucketed /
+    WindowGroupLimit plans graded elsewhere (cosine_topk*,
+    hamming_topk); the report adds only broadcast-sized joins of
+    n_queries*k-row frames and one global rollup per method -- the
+    eval is free at any corpus size relative to the index builds it
+    measures.  Determinism: every input frame is deterministic
+    (1e-6-rounded scores, vec_id tie-breaks), hits are exact integer
+    joins, recall is one division.
+
+    Returns (method, n_returned, total_hits, recall) -- recall over
+    the FIXED denominator n_queries*k, so a method that returns fewer
+    candidates (sparse LSH buckets) is penalized, as an index eval
+    should."""
+    emb = scoped_cache(embeddings)
+    truth = cosine_topk(emb, n_queries=n_queries, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    methods = {
+        "lsh": cosine_topk_lsh(emb, n_queries=n_queries, k=k),
+        "hamming": hamming_topk(emb, n_queries=n_queries, k=k),
+        "ivf": cosine_topk_ivf(emb, n_queries=n_queries, k=k),
+    }
+    tagged = None
+    for name, df in methods.items():
+        t = df.select(
+            F.lit(name).alias("method"), "query_id", "neighbor_id"
+        )
+        tagged = t if tagged is None else tagged.unionAll(t)
+    hits = tagged.join(
+        F.broadcast(truth.withColumn("__hit", F.lit(1))),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return (
+        hits.groupBy("method")
+        .agg(
+            F.count("*").alias("n_returned"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long")
+            .alias("total_hits"),
+        )
+        .select(
+            "method",
+            "n_returned",
+            "total_hits",
+            F.round(F.col("total_hits") / F.lit(n_queries * k), 6).alias(
+                "recall"
+            ),
+        )
+    )

@@ -1157,6 +1157,16 @@ def _q_ann_cosine_topk_lsh(spark, sf_dir):
     return cosine_topk_lsh(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_ann_recall_report(spark, sf_dir):
+    """Recall@k eval of each approximate ANN tier (LSH, Hamming, IVF)
+    against the exact brute-force top-k (similarity.ann_recall_report)
+    -- the index-trust report a retrieval pipeline runs per corpus."""
+    ensure_session_conf(spark)
+    from ..operators.similarity import ann_recall_report
+
+    return ann_recall_report(load_table(spark, sf_dir, "embeddings"))
+
+
 def _q_embedding_sign_bits(spark, sf_dir):
     """1-bit (sign) quantization: per-dimension mean thresholds packed
     into one BIGINT per vector (similarity.sign_bit_words) -- the 64x
@@ -2712,6 +2722,7 @@ def queries() -> dict[str, QueryFn]:
         "ann_cosine_topk_pandas": _q_ann_cosine_topk_pandas,
         "embedding_sign_bits": _q_embedding_sign_bits,
         "ann_hamming_topk": _q_ann_hamming_topk,
+        "ann_recall_report": _q_ann_recall_report,
         "events_sessionize": _q_events_sessionize,
         "events_running_windows": _q_running_windows,
         "events_asof_purchase": _q_asof_purchase,
@@ -6075,6 +6086,29 @@ WHERE a.ts_ms + 5000 < wm.w
   AND NOT EXISTS (SELECT 1 FROM bl b
                   WHERE b.binlog_file = a.binlog_file
                     AND b.binlog_position = a.binlog_position)"""
+    # recall eval: composed from the method oracles above so the
+    # ground truth and every index tier stay literally the same SQL
+    sql["ann_recall_report"] = f"""
+WITH truth AS (SELECT query_id, neighbor_id FROM ({sql["ann_cosine_topk"]})),
+tagged AS (
+  SELECT 'lsh' AS method, query_id, neighbor_id
+  FROM ({sql["ann_cosine_topk_lsh"]})
+  UNION ALL
+  SELECT 'hamming' AS method, query_id, neighbor_id
+  FROM ({sql["ann_hamming_topk"]})
+  UNION ALL
+  SELECT 'ivf' AS method, query_id, neighbor_id
+  FROM ({sql["ann_cosine_topk_ivf"]})
+)
+SELECT t.method, count(*) AS n_returned,
+       CAST(sum(CASE WHEN tr.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS total_hits,
+       round(sum(CASE WHEN tr.query_id IS NOT NULL THEN 1 ELSE 0 END)
+             / 160.0, 6) AS recall
+FROM tagged t
+LEFT JOIN truth tr
+  ON tr.query_id = t.query_id AND tr.neighbor_id = t.neighbor_id
+GROUP BY t.method"""
     return sql
 
 

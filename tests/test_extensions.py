@@ -2280,3 +2280,40 @@ def test_kmv_union_sketch_composability(spark):
     ).collect()[0].ks
     assert merged.n_union_kept == len(union_ks)
     assert merged.union_kth == max(union_ks)
+
+
+def test_ann_recall_report_planted_clusters(spark):
+    """On well-separated planted clusters every tier retrieves the
+    true neighbors: recall 1.0 for hamming/ivf-style exact-rerank
+    paths (denominator = n_queries * k, n_returned bounded by it)."""
+    from binlog_avro_comparator_spark.operators.similarity import (
+        ann_recall_report,
+    )
+
+    import random
+
+    rng = random.Random(5)
+    dim = 64
+
+    def around(center, n):
+        return [
+            [c + rng.uniform(-0.05, 0.05) for c in center] for _ in range(n)
+        ]
+
+    a = [1.0 if d < 32 else -1.0 for d in range(dim)]
+    b = [-1.0 if d < 32 else 1.0 for d in range(dim)]
+    # cluster size 15: each query's 14 same-cluster candidates all tie
+    # at Hamming 0, so the default rerank=20 shortlist covers them and
+    # the exact re-rank recovers the true top-k
+    vecs = around(a, 15) + around(b, 15)
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.method: r for r in ann_recall_report(emb, n_queries=4, k=3).collect()}
+    assert set(got) == {"lsh", "hamming", "ivf"}
+    for m, r in got.items():
+        assert 0 <= r.total_hits <= r.n_returned <= 12, m
+        assert r.recall == round(r.total_hits / 12.0, 6), m
+    # hamming reranks 20 >= cluster size candidates exactly: full recall
+    assert got["hamming"].recall == 1.0
