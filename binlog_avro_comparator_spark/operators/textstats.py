@@ -1425,3 +1425,51 @@ def weighted_sample_topk(
     top = keyed.orderBy(F.col("sample_key").desc(), F.col("doc_id").asc()).limit(k)
     w = Window.orderBy(F.col("sample_key").desc(), F.col("doc_id").asc())
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def bpe_merge_candidates(documents: DataFrame, k: int = 20) -> DataFrame:
+    """One iteration of byte-pair-encoding vocabulary induction: count
+    every adjacent character pair across the corpus (weighted by word
+    frequency) and rank the top-``k`` merge candidates -- the inner
+    step a BPE/WordPiece tokenizer trainer repeats until the vocab is
+    full (Sennrich et al. 2016).
+
+    The scale trick is the same one real trainers use: pair counting
+    runs over the DISTINCT-WORD table weighted by word frequency, not
+    over the corpus -- the corpus is scanned exactly once (the
+    map-side-combined word count); everything after is vocab-sized.
+    Adjacent positions enumerate per occurrence inside a word
+    ('aaa' contributes ('a','a') twice), matching the textbook
+    algorithm.  Pure integer counts, lexicographic tie-breaks, and the
+    global top-k is orderBy().limit() (TakeOrderedAndProject -- no
+    single-task global window).
+
+    Returns (left_sym, right_sym, pair_count, merge_rank)."""
+    words = documents.select(
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))
+        ).alias("word")
+    )
+    wf = words.groupBy("word").agg(F.count("*").alias("n"))
+    # sequence(1, 0) would DESCEND in Spark; guard 1-char words to an
+    # explicit empty pair list instead
+    pair_structs = F.when(
+        F.length("word") > 1,
+        F.expr(
+            "transform(sequence(1, length(word) - 1), "
+            "i -> struct(substring(word, i, 1) AS l, "
+            "substring(word, i + 1, 1) AS r))"
+        ),
+    ).otherwise(F.expr("array()"))
+    pairs = (
+        wf.select("n", F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.l").alias("left_sym"), F.col("p.r").alias("right_sym"))
+        .agg(F.sum("n").cast("long").alias("pair_count"))
+    )
+    top = pairs.orderBy(
+        F.col("pair_count").desc(), F.col("left_sym").asc(), F.col("right_sym").asc()
+    ).limit(k)
+    w = Window.orderBy(
+        F.col("pair_count").desc(), F.col("left_sym").asc(), F.col("right_sym").asc()
+    )
+    return top.withColumn("merge_rank", F.row_number().over(w))

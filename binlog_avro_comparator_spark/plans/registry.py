@@ -1157,6 +1157,16 @@ def _q_ann_cosine_topk_lsh(spark, sf_dir):
     return cosine_topk_lsh(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_bpe_merges(spark, sf_dir):
+    """Top BPE merge candidates over the documents corpus: one
+    tokenizer-trainer iteration, pair counts on the distinct-word
+    table weighted by frequency (textstats.bpe_merge_candidates)."""
+    ensure_session_conf(spark)
+    from ..operators.textstats import bpe_merge_candidates
+
+    return bpe_merge_candidates(_docs(spark, sf_dir))
+
+
 def _q_ann_recall_report(spark, sf_dir):
     """Recall@k eval of each approximate ANN tier (LSH, Hamming, IVF)
     against the exact brute-force top-k (similarity.ann_recall_report)
@@ -2707,6 +2717,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_shards": _q_shard_assignments,
         "doc_quality_deciles": _q_quality_deciles,
         "corpus_vocab_topk": _q_corpus_vocab,
+        "corpus_bpe_merges": _q_bpe_merges,
         "doc_token_ids": _q_token_ids,
         "text_clean": _q_clean_text,
         "doc_length_quantiles": _q_length_quantiles,
@@ -3553,6 +3564,27 @@ joined AS (
 SELECT doc_id, count(*) AS n_tokens,
        string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos) AS token_ids_csv
 FROM joined GROUP BY doc_id""",
+        # twin of textstats.bpe_merge_candidates: distinct-word pair
+        # enumeration via range() (empty for 1-char words), weighted by
+        # word frequency, lexicographic tie-breaks
+        "corpus_bpe_merges": f"""
+WITH wf AS (
+  SELECT w AS word, count(*) AS n
+  FROM (SELECT unnest(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS w FROM documents)
+  GROUP BY w
+),
+pos AS (SELECT word, n, unnest(range(1, length(word))) AS i FROM wf),
+pairs AS (
+  SELECT substr(word, i, 1) AS left_sym, substr(word, i + 1, 1) AS right_sym,
+         CAST(sum(n) AS BIGINT) AS pair_count
+  FROM pos GROUP BY 1, 2
+),
+top AS (SELECT * FROM pairs
+        ORDER BY pair_count DESC, left_sym, right_sym LIMIT 20)
+SELECT left_sym, right_sym, pair_count,
+       row_number() OVER (ORDER BY pair_count DESC, left_sym, right_sym)
+         AS merge_rank
+FROM top""",
         "corpus_vocab_topk": f"""
 WITH counts AS (
   SELECT w AS word, count(*) AS n

@@ -2317,3 +2317,23 @@ def test_ann_recall_report_planted_clusters(spark):
         assert r.recall == round(r.total_hits / 12.0, 6), m
     # hamming reranks 20 >= cluster size candidates exactly: full recall
     assert got["hamming"].recall == 1.0
+
+
+def test_bpe_merge_candidates_textbook_counts(spark):
+    """Pair counts equal the textbook per-occurrence enumeration:
+    'aaa' contributes ('a','a') twice per occurrence, 1-char words
+    contribute nothing, counts weight by word frequency."""
+    from binlog_avro_comparator_spark.operators.textstats import (
+        bpe_merge_candidates,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaa ab"), (2, "aaa x"), (3, "ab ab")],
+        "doc_id long, text string",
+    )
+    got = {(r.left_sym, r.right_sym): r for r in bpe_merge_candidates(docs).collect()}
+    # 'aaa' freq 2 -> ('a','a') 2*2=4; 'ab' freq 3 -> ('a','b') 3; 'x' nothing
+    assert got[("a", "a")].pair_count == 4
+    assert got[("a", "b")].pair_count == 3
+    assert set(got) == {("a", "a"), ("a", "b")}
+    assert got[("a", "a")].merge_rank == 1 and got[("a", "b")].merge_rank == 2
