@@ -23,6 +23,7 @@ from ..fixtures import (
     generate_parser_text_lines,
 )
 from ..functions.zorder import zorder_key_sql
+from ..functions.hilbert import hilbert_sql_ctes
 from ..sources.avro import DATASTREAM_AVRO_SCHEMA, read_avro_dir
 from ..sources.avro_codec import encode_container
 from ..operators.parse import parse_binlog_text
@@ -953,6 +954,27 @@ def _q_zorder_layout(spark, sf_dir):
         "l_suppkey",
         z.alias("z_key"),
         F.shiftright(z, 26).alias("file_id"),
+    )
+
+
+def _q_hilbert_layout(spark, sf_dir):
+    """Hilbert-curve layout keys for lineitem on (l_partkey, l_suppkey):
+    the locality-improving sibling of the Z-order layout (same
+    repartitionByRange + sortWithinPartitions write recipe; see
+    functions/hilbert.py for why the curve clusters strictly better
+    and why the walk is a fold, not an unrolled expression)."""
+    ensure_session_conf(spark)
+    from ..functions.hilbert import hilbert_key
+
+    li = load_table(spark, sf_dir, "lineitem")
+    h = hilbert_key(F.col("l_partkey"), F.col("l_suppkey"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        h.alias("h_key"),
+        F.shiftright(h, 26).alias("file_id"),
     )
 
 
@@ -2594,6 +2616,7 @@ def queries() -> dict[str, QueryFn]:
         # -- r4-green regression coverage fills the window to 50 --
         "doc_top_terms_udtf": _q_top_terms_udtf,
         "lineitem_zorder_layout": _q_zorder_layout,
+        "lineitem_hilbert_layout": _q_hilbert_layout,
         "cdc_snapshot_incremental": _q_cdc_snapshot_incremental,
         # -- NEW in r4 (registered only after the never-verified head
         # above, per the r3 freeze rule; all 30 r4 additions sit inside
@@ -4847,6 +4870,15 @@ FROM events WHERE user_id IS NOT NULL
 GROUP BY event_type""",
         # twin of _q_zorder_layout: the identical bit-interleave chain
         # spelled out by functions.zorder.zorder_key_sql
+        # twin of functions/hilbert.py: the same 16-level walk as a
+        # linear CTE chain (generated by hilbert_sql_ctes)
+        "lineitem_hilbert_layout": hilbert_sql_ctes(
+            "l_partkey", "l_suppkey", "lineitem",
+            "l_orderkey, l_linenumber, l_partkey, l_suppkey",
+        ) + """
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, h_key,
+       h_key >> 26 AS file_id
+FROM hk""",
         "lineitem_zorder_layout": f"""
 SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
        {zorder_key_sql("l_partkey", "l_suppkey")} AS z_key,

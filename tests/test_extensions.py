@@ -2337,3 +2337,45 @@ def test_bpe_merge_candidates_textbook_counts(spark):
     assert got[("a", "b")].pair_count == 3
     assert set(got) == {("a", "a"), ("a", "b")}
     assert got[("a", "a")].merge_rank == 1 and got[("a", "b")].merge_rank == 2
+
+
+def test_hilbert_key_matches_reference_and_adjacency(spark):
+    """hilbert_key == the classic xy2d walk (order-1 canonical U plus a
+    full order-4 grid incl. the pmod fold of out-of-range/negative
+    keys), and consecutive curve positions are ADJACENT cells -- the
+    locality property Z-order lacks and the reason this key exists."""
+    from binlog_avro_comparator_spark.functions.hilbert import hilbert_key
+
+    def xy2d(n_bits, x, y):
+        d = 0
+        s = 1 << (n_bits - 1)
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    pts = [(x, y) for x in range(16) for y in range(16)] + [(-3, 70001), (99999, -1)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    out = df.select(
+        "x", "y",
+        hilbert_key(F.col("x"), F.col("y"), bits=4).alias("h4"),
+        hilbert_key(F.col("x"), F.col("y")).alias("h16"),
+    ).collect()
+    grid = {}
+    for r in out:
+        if 0 <= r.x < 16 and 0 <= r.y < 16:
+            assert r.h4 == xy2d(4, r.x, r.y), (r.x, r.y)
+            grid[r.h4] = (r.x, r.y)
+        assert r.h16 == xy2d(16, r.x % (1 << 16), r.y % (1 << 16)), (r.x, r.y)
+    # curve order-1: (0,0)->0 (0,1)->1 (1,1)->2 (1,0)->3
+    assert [grid[d] for d in range(4)][:1] == [(0, 0)]
+    # adjacency: every consecutive pair of curve positions is 1 step apart
+    for d in range(255):
+        (x1, y1), (x2, y2) = grid[d], grid[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, d
