@@ -1473,3 +1473,45 @@ def bpe_merge_candidates(documents: DataFrame, k: int = 20) -> DataFrame:
         F.col("pair_count").desc(), F.col("left_sym").asc(), F.col("right_sym").asc()
     )
     return top.withColumn("merge_rank", F.row_number().over(w))
+
+
+def leakage_safe_splits(
+    documents: DataFrame, weights: tuple[int, int, int] = (90, 5, 5)
+) -> DataFrame:
+    """Train/val/test assignment at the NEAR-DUP-CLUSTER level: every
+    document hashes its cluster's canonical id (its own id if
+    unclustered), so a duplicate group can never straddle splits --
+    the leakage that quietly inflates eval scores when a test document
+    has a near-copy in train.  Same salted portable hash and cut
+    points as ``split_assignments``, so unclustered documents land
+    exactly where the doc-level split puts them; only duplicate-group
+    members move (onto their canonical's assignment).
+
+    Scale: the cluster frame (from dedup_clusters: min-label connected
+    components over the LSH pair graph) is bounded by the number of
+    DUPLICATED docs, joined back on doc_id -- one key-shuffle join the
+    optimizer may broadcast when the duplicate fraction is small; the
+    split itself stays a scan-speed projection.
+
+    Returns (doc_id, split_key, bucket, split)."""
+    from .dedup import dedup_clusters
+
+    train_w, val_w, _ = weights
+    clusters = dedup_clusters(documents)
+    key = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    bucket = word_hash(F.concat(F.lit("split:"), key.cast("string"))) % 100
+    split = (
+        F.when(bucket < train_w, "train")
+        .when(bucket < train_w + val_w, "val")
+        .otherwise("test")
+    )
+    return (
+        documents.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            key.alias("split_key"),
+            bucket.alias("bucket"),
+            split.alias("split"),
+        )
+    )

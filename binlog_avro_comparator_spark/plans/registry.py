@@ -1179,6 +1179,16 @@ def _q_ann_cosine_topk_lsh(spark, sf_dir):
     return cosine_topk_lsh(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_leakage_safe_splits(spark, sf_dir):
+    """Cluster-level train/val/test split: near-dup groups hash as one
+    unit so no duplicate pair straddles splits
+    (textstats.leakage_safe_splits over dedup_clusters)."""
+    ensure_session_conf(spark)
+    from ..operators.textstats import leakage_safe_splits
+
+    return leakage_safe_splits(_docs(spark, sf_dir))
+
+
 def _q_bpe_merges(spark, sf_dir):
     """Top BPE merge candidates over the documents corpus: one
     tokenizer-trainer iteration, pair counts on the distinct-word
@@ -2689,6 +2699,7 @@ def queries() -> dict[str, QueryFn]:
         "ngram_jaccard_pairs": _q_jaccard_pairs,
         "doc_redact_pii": _q_redact_pii,
         "doc_split_assignments": _q_split_assignments,
+        "doc_leakage_safe_splits": _q_leakage_safe_splits,
         "embedding_kmeans": _q_kmeans,
         "events_rank_family": _q_rank_family,
         "orders_cube": _q_orders_cube,
@@ -4902,6 +4913,26 @@ SELECT a.centroid_id,
 FROM a1 a JOIN norms n ON n.vec_id = a.vec_id
 GROUP BY a.centroid_id""",
         "doc_redact_pii": _redact_pii_sql(),
+        # twin of textstats.leakage_safe_splits: clusters CTE is the
+        # dedup_clusters oracle verbatim, split hash on the canonical id
+        "doc_leakage_safe_splits": """
+WITH cl AS (
+""" + _dedup_clusters_sql() + """
+),
+j AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS split_key
+  FROM documents d LEFT JOIN cl c ON c.doc_id = d.doc_id
+),
+b AS (
+  SELECT doc_id, split_key,
+         ('0x' || substr(md5('split:' || CAST(split_key AS VARCHAR)), 1, 12))::BIGINT % 100 AS bucket
+  FROM j
+)
+SELECT doc_id, split_key, bucket,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM b""",
         "doc_split_assignments": """
 WITH b AS (
   SELECT doc_id, lang, source,

@@ -2379,3 +2379,32 @@ def test_hilbert_key_matches_reference_and_adjacency(spark):
     for d in range(255):
         (x1, y1), (x2, y2) = grid[d], grid[d + 1]
         assert abs(x1 - x2) + abs(y1 - y2) == 1, d
+
+
+def test_leakage_safe_splits_cluster_cohesion(spark):
+    """Every near-dup cluster lands whole in ONE split (the leakage
+    guarantee), and unclustered docs match the doc-level split
+    exactly (same salt, same cut points)."""
+    from binlog_avro_comparator_spark.operators.textstats import (
+        leakage_safe_splits,
+        split_assignments,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight ") * 3
+    docs = spark.createDataFrame(
+        [
+            (1, base, "en", "web"),
+            (2, base + "tail", "en", "web"),        # near-dup of 1
+            (50, "completely different text about spark engines and "
+                 "distributed joins " * 5, "en", "web"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {r.doc_id: r for r in leakage_safe_splits(docs).collect()}
+    assert got[1].split_key == got[2].split_key == 1  # canonical = min id
+    assert got[1].split == got[2].split               # cohesion
+    doc_level = {r.doc_id: r for r in split_assignments(docs).collect()}
+    assert got[50].split_key == 50
+    assert got[50].split == doc_level[50].split
+    assert got[1].split == doc_level[1].split  # canonical keeps its own slot
