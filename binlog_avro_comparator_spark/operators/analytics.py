@@ -2235,3 +2235,115 @@ def measure_profile(lineitem: DataFrame) -> DataFrame:
             "l_returnflag", "measure", "is_total", "n", "sum_value", "avg_value"
         )
     )
+
+
+def purchase_attribution(events: DataFrame, gap_ms: int = 30 * 60 * 1000) -> DataFrame:
+    """Session-scoped conversion attribution: for every purchase, the
+    FIRST and LAST preceding non-purchase touch (view/click) by the
+    same user inside the same 30-minute-gap session, plus the touch
+    count -- first-touch and last-touch attribution in one pass, the
+    analytic a marketing/conversion pipeline runs next to the funnel.
+
+    Engine shape: the gap sessionization (lag + cumulative is-new sum,
+    operators/sessionize.py's construction) and the attribution
+    windows all share ONE (user_id) partitioning under the total
+    (ts_ms, event_id) order, so the whole operator is a single
+    key-shuffle followed by window evaluation -- no self-joins, no
+    per-purchase scans.  first/last touch ride IGNORE-NULLS
+    first/last_value over the preceding-rows frame; attribution of a
+    purchase with no session touches reports nulls and zero (a direct
+    conversion), which the oracle mirrors.
+
+    Returns (event_id, user_id, ts_ms, session_id, first_touch_id,
+    first_touch_type, last_touch_id, last_touch_type, n_touches)."""
+    ms = F.unix_millis(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_ms").asc(), F.col("event_id").asc()
+    )
+    base = events.select(
+        "user_id", "event_id", "event_type", ms.alias("ts_ms")
+    ).withColumn("prev_ms", F.lag("ts_ms").over(w))
+    sess = base.withColumn(
+        "is_new",
+        (
+            F.col("prev_ms").isNull()
+            | ((F.col("ts_ms") - F.col("prev_ms")) > gap_ms)
+        ).cast("long"),
+    ).withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy(
+        F.col("ts_ms").asc(), F.col("event_id").asc()
+    )
+    prior = ws.rowsBetween(Window.unboundedPreceding, -1)
+    touch = F.when(
+        F.col("event_type") != "purchase",
+        F.struct(F.col("event_id").alias("id"), F.col("event_type").alias("t")),
+    )
+    attributed = (
+        sess.withColumn("__first", F.first(touch, ignorenulls=True).over(prior))
+        .withColumn("__last", F.last(touch, ignorenulls=True).over(prior))
+        .withColumn(
+            "n_touches",
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("event_type") != "purchase", 1).otherwise(0)
+                ).over(prior),
+                F.lit(0),
+            ).cast("long"),
+        )
+    )
+    return attributed.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        "session_id",
+        F.col("__first.id").alias("first_touch_id"),
+        F.col("__first.t").alias("first_touch_type"),
+        F.col("__last.id").alias("last_touch_id"),
+        F.col("__last.t").alias("last_touch_type"),
+        "n_touches",
+    )
+
+
+def hll_sketch_table_union(
+    events: DataFrame, max_rel_err: float = 0.1
+) -> DataFrame:
+    """The MERGEABLE-sketch-table pattern on Spark's bundled Apache
+    DataSketches HLL surface (``hll_sketch_agg`` -> binary sketch
+    column, ``hll_union_agg`` -> merged sketch,
+    ``hll_sketch_estimate``): per-(type, day) sketches stand in for
+    the materialized daily sketch table a 100 TB pipeline persists,
+    and the per-type answer is computed by UNIONING those sketches --
+    re-aggregation reads kilobytes of sketch state, never the raw
+    events again.  This is the operational difference from
+    approx_count_distinct (hll_distinct_users), whose sketch lives and
+    dies inside one query.
+
+    Cross-engine contract as in hll_distinct_users: estimates are
+    algorithm-specific, so the oracle asserts the exact count and the
+    published error BOUND (the flag is deterministically true in any
+    correct engine), plus the day count proving the union really
+    spanned partitions.  Returns (event_type, n_days, n_exact,
+    within_bound)."""
+    clean = events.filter(F.col("user_id").isNotNull())
+    daily = clean.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("__day")
+    ).agg(F.hll_sketch_agg(F.col("user_id")).alias("__sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("__sk"))).alias("__approx"),
+    )
+    exact = clean.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "n_days",
+        "n_exact",
+        (
+            F.abs(F.col("__approx") - F.col("n_exact")) / F.col("n_exact")
+            <= max_rel_err
+        ).alias("within_bound"),
+    )

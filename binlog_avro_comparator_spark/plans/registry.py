@@ -1179,6 +1179,26 @@ def _q_ann_cosine_topk_lsh(spark, sf_dir):
     return cosine_topk_lsh(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_purchase_attribution(spark, sf_dir):
+    """First/last-touch conversion attribution per purchase within the
+    30-minute-gap session (analytics.purchase_attribution)."""
+    ensure_session_conf(spark)
+    from ..operators.analytics import purchase_attribution
+
+    return purchase_attribution(load_table(spark, sf_dir, "events"))
+
+
+def _q_hll_sketch_union(spark, sf_dir):
+    """Mergeable DataSketches HLL table: per-(type, day) sketches
+    unioned to the per-type estimate (analytics.hll_sketch_table_union);
+    oracle asserts the exact count + error bound, the hll_distinct_users
+    contract."""
+    ensure_session_conf(spark)
+    from ..operators.analytics import hll_sketch_table_union
+
+    return hll_sketch_table_union(load_table(spark, sf_dir, "events"))
+
+
 def _q_leakage_safe_splits(spark, sf_dir):
     """Cluster-level train/val/test split: near-dup groups hash as one
     unit so no duplicate pair straddles splits
@@ -2675,6 +2695,8 @@ def queries() -> dict[str, QueryFn]:
         "late_shipment_orders": _q_late_shipment_orders,
         "monthly_revenue_growth": _q_monthly_revenue_growth,
         "events_hll_distinct_users": _q_hll_distinct_users,
+        "events_hll_sketch_union": _q_hll_sketch_union,
+        "events_attribution": _q_purchase_attribution,
         "star_data_quality": _q_data_quality_report,
         "doc_length_bucket_padding": _q_length_bucket_padding,
         "embedding_quantize_int8": _q_quantize_int8,
@@ -4872,6 +4894,58 @@ SELECT doc_id, term, cnt, rank FROM ranked WHERE rank <= 3""",
         # compared value-for-value; the sketch contract is the bound
         # flag (each engine's own HLL must sit within 10% of exact --
         # estimates themselves are algorithm-specific, see docstring)
+        # twin of analytics.purchase_attribution: same gap-session
+        # construction as events_sessionize, IGNORE-NULLS first/last
+        # over the preceding-rows frame
+        "events_attribution": """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+         lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
+  FROM events
+),
+s AS (
+  SELECT *, CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000
+                 THEN 1 ELSE 0 END AS is_new
+  FROM e
+),
+sid AS (
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS session_id
+  FROM s
+),
+att AS (
+  SELECT *,
+    first_value(CASE WHEN event_type <> 'purchase' THEN event_id END IGNORE NULLS)
+      OVER prior AS first_touch_id,
+    first_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      OVER prior AS first_touch_type,
+    last_value(CASE WHEN event_type <> 'purchase' THEN event_id END IGNORE NULLS)
+      OVER prior AS last_touch_id,
+    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      OVER prior AS last_touch_type,
+    coalesce(sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+      OVER prior, 0) AS n_touches
+  FROM sid
+  WINDOW prior AS (PARTITION BY user_id, session_id ORDER BY ts_ms, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, ts_ms, session_id, first_touch_id,
+       first_touch_type, last_touch_id, last_touch_type,
+       CAST(n_touches AS BIGINT) AS n_touches
+FROM att WHERE event_type = 'purchase'""",
+        # twin of analytics.hll_sketch_table_union: the union of the
+        # daily sketches must answer like one sketch over the whole
+        # type -- DuckDB asserts its own estimator's bound (the
+        # hll_distinct_users contract) + the day count
+        "events_hll_sketch_union": """
+SELECT event_type,
+       count(DISTINCT date_trunc('day', ts)) AS n_days,
+       count(DISTINCT user_id) AS n_exact,
+       abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+         / count(DISTINCT user_id) <= 0.1 AS within_bound
+FROM events WHERE user_id IS NOT NULL
+GROUP BY event_type""",
         "events_hll_distinct_users": """
 SELECT event_type,
        count(DISTINCT user_id) AS n_exact,

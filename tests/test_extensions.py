@@ -2408,3 +2408,39 @@ def test_leakage_safe_splits_cluster_cohesion(spark):
     assert got[50].split_key == 50
     assert got[50].split == doc_level[50].split
     assert got[1].split == doc_level[1].split  # canonical keeps its own slot
+
+
+def test_purchase_attribution_semantics(spark):
+    """First/last touch resolve inside the session only; direct
+    conversions (no prior touch) report nulls and zero; a second
+    purchase in the same session counts earlier touches but never the
+    earlier purchase."""
+    from binlog_avro_comparator_spark.operators.analytics import (
+        purchase_attribution,
+    )
+    from pyspark.sql import functions as F
+
+    m = 60_000
+    rows = [
+        # user 1, session 1: view, click, purchase, purchase
+        (1, 1, "view", 0), (2, 1, "click", m), (3, 1, "purchase", 2 * m),
+        (4, 1, "purchase", 3 * m),
+        # user 1, session 2 (gap > 30 min): direct purchase
+        (5, 1, "purchase", 2 * m + 40 * m),
+        # user 2: touch in a PREVIOUS session must not attribute
+        (6, 2, "view", 0), (7, 2, "purchase", 50 * m),
+    ]
+    ev = spark.createDataFrame(
+        [(e, u, t, ts) for e, u, t, ts in rows],
+        "event_id long, user_id long, event_type string, ts_off long",
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.timestamp_millis(F.lit(1_700_000_000_000) + F.col("ts_off")).alias("ts"),
+    )
+    got = {r.event_id: r for r in purchase_attribution(ev).collect()}
+    assert set(got) == {3, 4, 5, 7}
+    assert (got[3].first_touch_id, got[3].last_touch_id, got[3].n_touches) == (1, 2, 2)
+    # purchase 4: same touches; the earlier purchase 3 is not a touch
+    assert (got[4].first_touch_id, got[4].last_touch_id, got[4].n_touches) == (1, 2, 2)
+    assert (got[5].first_touch_id, got[5].n_touches) == (None, 0)  # direct
+    assert (got[7].first_touch_id, got[7].n_touches) == (None, 0)  # cross-session
