@@ -2609,6 +2609,21 @@ def queries() -> dict[str, QueryFn]:
         "cdc_gtid_gaps": _q_cdc_gtid_gaps,
         "cdc_order_audit": _q_cdc_order_audit,
         "cdc_lag_timeline": _q_cdc_lag_timeline,
+        # -- round-6 continuation additions (inside the driver's
+        # 50-entry window for their first driver row; the displaced
+        # r5 rows keep their r5 driver evidence and stay green in
+        # the local full-registry sweep) --
+        "embedding_sign_bits": _q_embedding_sign_bits,
+        "ann_hamming_topk": _q_ann_hamming_topk,
+        "ann_recall_report": _q_ann_recall_report,
+        "events_kmv_setops": _q_kmv_setops,
+        "cdc_avro_evolved_scan": _q_cdc_avro_evolved_scan,
+        "events_running_stats_stream": _q_events_running_stats_stream,
+        "corpus_bpe_merges": _q_bpe_merges,
+        "lineitem_hilbert_layout": _q_hilbert_layout,
+        "doc_leakage_safe_splits": _q_leakage_safe_splits,
+        "events_attribution": _q_purchase_attribution,
+        "events_hll_sketch_union": _q_hll_sketch_union,
         # -- NEW in r5: the payload tier + merge sit first (CDC core),
         # then the corpus-analysis / retrieval / graph / sketch / PQ
         # additions. --
@@ -2642,11 +2657,9 @@ def queries() -> dict[str, QueryFn]:
         "corpus_heavy_langs": _q_heavy_langs,
         "cdc_parse_binlog_binary": _q_cdc_parse_binlog_binary,
         "events_session_stream": _q_events_session_stream,
-        "events_running_stats_stream": _q_events_running_stats_stream,
         # -- r4-green regression coverage fills the window to 50 --
         "doc_top_terms_udtf": _q_top_terms_udtf,
         "lineitem_zorder_layout": _q_zorder_layout,
-        "lineitem_hilbert_layout": _q_hilbert_layout,
         "cdc_snapshot_incremental": _q_cdc_snapshot_incremental,
         # -- NEW in r4 (registered only after the never-verified head
         # above, per the r3 freeze rule; all 30 r4 additions sit inside
@@ -2695,8 +2708,6 @@ def queries() -> dict[str, QueryFn]:
         "late_shipment_orders": _q_late_shipment_orders,
         "monthly_revenue_growth": _q_monthly_revenue_growth,
         "events_hll_distinct_users": _q_hll_distinct_users,
-        "events_hll_sketch_union": _q_hll_sketch_union,
-        "events_attribution": _q_purchase_attribution,
         "star_data_quality": _q_data_quality_report,
         "doc_length_bucket_padding": _q_length_bucket_padding,
         "embedding_quantize_int8": _q_quantize_int8,
@@ -2715,13 +2726,11 @@ def queries() -> dict[str, QueryFn]:
         "doc_span_removal": _q_remove_spans,
         "cdc_avro_native_scan_jvm": _q_cdc_avro_native_scan_jvm,
         "events_kmv_distinct_users": _q_kmv_distinct,
-        "events_kmv_setops": _q_kmv_setops,
         "events_salted_type_stats": _q_salted_type_stats,
         "doc_repeated_spans": _q_repeated_spans,
         "ngram_jaccard_pairs": _q_jaccard_pairs,
         "doc_redact_pii": _q_redact_pii,
         "doc_split_assignments": _q_split_assignments,
-        "doc_leakage_safe_splits": _q_leakage_safe_splits,
         "embedding_kmeans": _q_kmeans,
         "events_rank_family": _q_rank_family,
         "orders_cube": _q_orders_cube,
@@ -2750,7 +2759,6 @@ def queries() -> dict[str, QueryFn]:
         "cdc_binlog_events": _q_cdc_binlog_events,
         "cdc_avro_rows": _q_cdc_avro_rows,
         "cdc_avro_native_scan": _q_cdc_avro_native_scan,
-        "cdc_avro_evolved_scan": _q_cdc_avro_evolved_scan,
         "cdc_binlog_prepared": _q_cdc_binlog_prepared,
         "cdc_matches": _q_cdc_matches,
         "cdc_avro_only": _q_cdc_avro_only,
@@ -2773,7 +2781,6 @@ def queries() -> dict[str, QueryFn]:
         "doc_shards": _q_shard_assignments,
         "doc_quality_deciles": _q_quality_deciles,
         "corpus_vocab_topk": _q_corpus_vocab,
-        "corpus_bpe_merges": _q_bpe_merges,
         "doc_token_ids": _q_token_ids,
         "text_clean": _q_clean_text,
         "doc_length_quantiles": _q_length_quantiles,
@@ -2787,9 +2794,6 @@ def queries() -> dict[str, QueryFn]:
         "ann_cosine_topk_lsh": _q_ann_cosine_topk_lsh,
         "ann_cosine_topk_ivf": _q_ann_cosine_topk_ivf,
         "ann_cosine_topk_pandas": _q_ann_cosine_topk_pandas,
-        "embedding_sign_bits": _q_embedding_sign_bits,
-        "ann_hamming_topk": _q_ann_hamming_topk,
-        "ann_recall_report": _q_ann_recall_report,
         "events_sessionize": _q_events_sessionize,
         "events_running_windows": _q_running_windows,
         "events_asof_purchase": _q_asof_purchase,
