@@ -1076,3 +1076,31 @@ def test_sign_bits_broadcast_stats_and_hamming_group_limit(spark):
     assert len(_re.findall(r"WindowGroupLimit", hplan)) >= 2, hplan
     # query frames ride broadcast joins -- no corpus-vs-corpus shuffle join
     assert "SortMergeJoin" not in hplan, hplan
+
+
+def test_attribution_single_key_shuffle(spark):
+    """Sessionization + all attribution windows share one (user_id)
+    partitioning: exactly ONE Exchange of event rows, no joins."""
+    import re as _re
+
+    from binlog_avro_comparator_spark.operators.analytics import (
+        purchase_attribution,
+    )
+
+    plan = _plan(purchase_attribution(load_table(spark, SF, "events")))
+    assert len(_re.findall(r"^\(\d+\) Exchange", plan, _re.M)) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_bpe_merges_vocab_sized_topk(spark):
+    """Pair counting aggregates map-side and the global top-k compiles
+    to TakeOrderedAndProject -- never a single-task global window over
+    the pair table."""
+    from binlog_avro_comparator_spark.operators.textstats import (
+        bpe_merge_candidates,
+    )
+    from binlog_avro_comparator_spark.sources.tables import load_table as _lt
+
+    plan = _plan(bpe_merge_candidates(_lt(spark, SF, "documents")))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_" in plan  # map-side combine below the shuffles
