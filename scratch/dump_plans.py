@@ -49,6 +49,13 @@ PICKS = [
     ("cdc_parse_binlog_typed", "typed row-image decode: pruned (path, content) binaryFile scan -> ONE MapInPandas, no exchange before decode"),
     ("cdc_payload_diff_typed", "typed payload diff: same single inner equi-join + column-union explode as the 5-column tier"),
     ("embedding_kmeans_gemm", "large-k assignment: MapInPandas GEMM argmin -- NO k-fold row expansion, no window"),
+    # round 6 continuation
+    ("embedding_sign_bits", "binary quantization: 64-row per-dim stats agg broadcast back, corpus never shuffles"),
+    ("ann_hamming_topk", "Hamming ANN: two WindowGroupLimit stages, queries broadcast, no corpus-vs-corpus shuffle join"),
+    ("events_kmv_setops", "KMV set ops: pairwise stage on the n_types-row sketch frame, exact exhibit as the one corpus join"),
+    ("events_attribution", "attribution: ONE user_id Exchange shared by sessionization + all windows, zero joins"),
+    ("corpus_bpe_merges", "BPE merges: vocab-sized pair agg, TakeOrderedAndProject top-k"),
+    ("lineitem_hilbert_layout", "Hilbert keys: pure per-row fold projection, no exchange"),
 ]
 
 
