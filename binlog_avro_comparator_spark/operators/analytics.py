@@ -2347,3 +2347,55 @@ def hll_sketch_table_union(
             <= max_rel_err
         ).alias("within_bound"),
     )
+
+
+def join_key_skew_report(events: DataFrame, key: str = "user_id") -> DataFrame:
+    """Shuffle-skew diagnostic for a join/aggregation key: per-key row
+    counts summarized into the numbers that predict whether a shuffle
+    on this key needs salting or AQE skew-split -- key cardinality,
+    max and p99 per-key volume, the max/avg skew factor, and the
+    heaviest key itself.  This is the profile you run BEFORE keying a
+    100 TB join; the engine's salting utilities
+    (functions/skew.py, salted_aggregate) are the remedies it points
+    at.
+
+    Shape: one map-side-combined count per key; every summary then
+    runs over the AGGREGATED (n_keys-row) frame -- the percentile,
+    the 1-row top-key frame, and the scalar rollup never touch the
+    event stream.  avg is a single division of exact longs; p99 is
+    the R-7 interpolation over integer counts, 1e-9 pre-rounded (ulp
+    absorption) then published at 4 dp.
+
+    Returns (key_col, n_keys, n_rows, max_key_rows, avg_key_rows,
+    p99_key_rows, skew_factor, top_key)."""
+    kc = (
+        events.filter(F.col(key).isNotNull())
+        .groupBy(F.col(key).alias("k"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    from ..functions.caching import scoped_cache
+
+    kc = scoped_cache(kc)
+    top = kc.orderBy(F.col("cnt").desc(), F.col("k").desc()).limit(1).select(
+        F.col("k").alias("top_key")
+    )
+    summary = kc.groupBy().agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_key_rows"),
+        F.round(F.round(F.percentile(F.col("cnt"), F.lit(0.99)), 9), 4).alias(
+            "p99_key_rows"
+        ),
+    )
+    return summary.crossJoin(F.broadcast(top)).select(
+        F.lit(key).alias("key_col"),
+        "n_keys",
+        "n_rows",
+        "max_key_rows",
+        F.round(F.col("n_rows") / F.col("n_keys"), 4).alias("avg_key_rows"),
+        "p99_key_rows",
+        F.round(
+            F.col("max_key_rows") / (F.col("n_rows") / F.col("n_keys")), 4
+        ).alias("skew_factor"),
+        "top_key",
+    )

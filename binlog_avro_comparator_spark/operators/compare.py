@@ -859,3 +859,34 @@ def lag_timeline(matched: DataFrame, bucket_ms: int = 60_000) -> DataFrame:
             ),
         )
     )
+
+
+def resume_bookmarks(binlog_prepared: DataFrame) -> DataFrame:
+    """Per-file resume bookmarks over the PREPARED feed: the
+    checkpoint a restarting CDC consumer stores -- last position, last
+    GTID (by feed order), and the event count that certifies how much
+    of the file was consumed.  One map-side-combined aggregate; at
+    100 TB this is the metadata-sized job you run after every
+    ingestion wave, and `cdc_gtid_gaps` then audits the bookmarks'
+    GTID sequence for holes.
+
+    Returns (binlog_file, n_events, last_position, last_line_no,
+    last_gtid)."""
+    last = F.max(
+        F.struct(F.col("line_no"), F.col("gtid_next").alias("g"))
+    )
+    return (
+        binlog_prepared.groupBy("binlog_file")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("binlog_position").alias("last_position"),
+            last.alias("__last"),
+        )
+        .select(
+            "binlog_file",
+            "n_events",
+            "last_position",
+            F.col("__last.line_no").alias("last_line_no"),
+            F.col("__last.g").alias("last_gtid"),
+        )
+    )

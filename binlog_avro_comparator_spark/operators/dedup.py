@@ -812,3 +812,37 @@ def shingle_novelty(documents: DataFrame) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+def dedup_keep_best(documents: DataFrame, max_iter: int = 15) -> DataFrame:
+    """Quality-aware near-dup survivor selection: within each duplicate
+    cluster keep the LONGEST member (max n_chars, doc_id tie-break) --
+    the curation policy that prefers the most complete copy where
+    ``dedup_keep_canonical`` just keeps the smallest id.  Same cluster
+    graph, different argmax.
+
+    Shape: winners resolve with ONE struct-max aggregate over the
+    cluster frame (max(n_chars), then min doc_id via the negated-id
+    trick -- never a window over members), losers anti-join the corpus.
+    Every frame but the corpus itself is bounded by the number of
+    DUPLICATED docs.  Returns the surviving corpus rows
+    (doc_id, lang, source, n_chars)."""
+    clusters = dedup_clusters(documents, max_iter=max_iter)
+    members = clusters.join(
+        documents.select("doc_id", "n_chars"), "doc_id"
+    )
+    winners = members.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("__neg"))
+        ).alias("__w")
+    ).select(
+        "cluster_id", (-F.col("__w.__neg")).alias("keep_id")
+    )
+    losers = (
+        members.join(winners, "cluster_id")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id")
+    )
+    return documents.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )

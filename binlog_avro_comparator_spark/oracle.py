@@ -157,6 +157,32 @@ FROM avro_rows_cdc"""
     )
 
 
+def cdc_resume_bookmarks() -> str:
+    """Twin of compare.resume_bookmarks: per-file rollup over the
+    prepared feed; last_gtid = gtid of the max line_no (the feed
+    order)."""
+    return (
+        _PREFIX
+        + """
+, b AS (
+  SELECT binlog_file, count(*) AS n_events,
+         max(log_position) AS last_position,
+         max(line_no) AS last_line_no
+  FROM binlog_prepared GROUP BY 1
+),
+lastg AS (
+  SELECT binlog_file, gtid_next AS last_gtid FROM (
+    SELECT binlog_file, gtid_next,
+           row_number() OVER (PARTITION BY binlog_file
+                              ORDER BY line_no DESC) AS rn
+    FROM binlog_prepared) WHERE rn = 1
+)
+SELECT b.binlog_file, b.n_events, b.last_position, b.last_line_no,
+       lastg.last_gtid
+FROM b JOIN lastg ON lastg.binlog_file = b.binlog_file"""
+    )
+
+
 def cdc_avro_evolved_scan() -> str:
     """Twin of registry._q_cdc_avro_evolved_scan: even binlog segments
     (avro_line_no % 2 = 0 -- the file digit is event_id % 4) were

@@ -1179,6 +1179,36 @@ def _q_ann_cosine_topk_lsh(spark, sf_dir):
     return cosine_topk_lsh(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware dedup survivors: longest member per near-dup
+    cluster (dedup.dedup_keep_best) -- the keep-most-complete policy
+    next to keep-canonical."""
+    ensure_session_conf(spark)
+    from ..operators.dedup import dedup_keep_best
+
+    return dedup_keep_best(_docs(spark, sf_dir))
+
+
+def _q_cdc_resume_bookmarks(spark, sf_dir):
+    """Per-file CDC resume bookmarks (compare.resume_bookmarks): last
+    position / GTID / line and the consumed-event count a restarting
+    consumer checkpoints."""
+    _, bp, _ = _cdc_frames(spark, sf_dir)
+    from ..operators.compare import resume_bookmarks
+
+    return resume_bookmarks(bp)
+
+
+def _q_events_skew_report(spark, sf_dir):
+    """Join-key skew diagnostic on events.user_id
+    (analytics.join_key_skew_report): cardinality, max/p99 per-key
+    volume, skew factor, heaviest key."""
+    ensure_session_conf(spark)
+    from ..operators.analytics import join_key_skew_report
+
+    return join_key_skew_report(load_table(spark, sf_dir, "events"))
+
+
 def _q_purchase_attribution(spark, sf_dir):
     """First/last-touch conversion attribution per purchase within the
     30-minute-gap session (analytics.purchase_attribution)."""
@@ -2624,6 +2654,9 @@ def queries() -> dict[str, QueryFn]:
         "doc_leakage_safe_splits": _q_leakage_safe_splits,
         "events_attribution": _q_purchase_attribution,
         "events_hll_sketch_union": _q_hll_sketch_union,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "cdc_resume_bookmarks": _q_cdc_resume_bookmarks,
+        "events_skew_report": _q_events_skew_report,
         # -- NEW in r5: the payload tier + merge sit first (CDC core),
         # then the corpus-analysis / retrieval / graph / sketch / PQ
         # additions. --
@@ -3475,6 +3508,7 @@ WHERE event_id % 223 <> 0""",
         "cdc_avro_rows": oracle.cdc_avro_rows(),
         "cdc_avro_native_scan": oracle.cdc_avro_native_scan(),
         "cdc_avro_evolved_scan": oracle.cdc_avro_evolved_scan(),
+        "cdc_resume_bookmarks": oracle.cdc_resume_bookmarks(),
         # JVM engine reads the same fixture files -> same oracle
         "cdc_avro_native_scan_jvm": oracle.cdc_avro_native_scan(),
         "cdc_binlog_prepared": oracle.cdc_binlog_prepared(),
@@ -4901,6 +4935,47 @@ SELECT doc_id, term, cnt, rank FROM ranked WHERE rank <= 3""",
         # twin of analytics.purchase_attribution: same gap-session
         # construction as events_sessionize, IGNORE-NULLS first/last
         # over the preceding-rows frame
+        # twin of dedup.dedup_keep_best: clusters CTE verbatim, winner
+        # = (n_chars DESC, doc_id) per cluster, losers anti-joined
+        "dedup_keep_best": """
+WITH cl AS (
+""" + _dedup_clusters_sql() + """
+),
+m AS (
+  SELECT c.cluster_id, d.doc_id, d.n_chars
+  FROM cl c JOIN documents d ON d.doc_id = c.doc_id
+),
+w AS (
+  SELECT cluster_id, doc_id AS keep_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
+    FROM m) WHERE rn = 1
+),
+losers AS (
+  SELECT m.doc_id FROM m JOIN w ON w.cluster_id = m.cluster_id
+  WHERE m.doc_id <> w.keep_id
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d ANTI JOIN losers l ON l.doc_id = d.doc_id""",
+        # twin of analytics.join_key_skew_report over events.user_id
+        "events_skew_report": """
+WITH kc AS (
+  SELECT user_id AS k, count(*) AS cnt FROM events
+  WHERE user_id IS NOT NULL GROUP BY 1
+),
+top AS (SELECT k AS top_key FROM kc ORDER BY cnt DESC, k DESC LIMIT 1),
+s AS (
+  SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
+         max(cnt) AS max_key_rows,
+         round(round(quantile_cont(cnt, 0.99), 9), 4) AS p99_key_rows
+  FROM kc
+)
+SELECT 'user_id' AS key_col, n_keys, n_rows, max_key_rows,
+       round(CAST(n_rows AS DOUBLE) / n_keys, 4) AS avg_key_rows,
+       p99_key_rows,
+       round(max_key_rows / (CAST(n_rows AS DOUBLE) / n_keys), 4) AS skew_factor,
+       top_key
+FROM s, top""",
         "events_attribution": """
 WITH e AS (
   SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,

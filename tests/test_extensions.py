@@ -2444,3 +2444,64 @@ def test_purchase_attribution_semantics(spark):
     assert (got[4].first_touch_id, got[4].last_touch_id, got[4].n_touches) == (1, 2, 2)
     assert (got[5].first_touch_id, got[5].n_touches) == (None, 0)  # direct
     assert (got[7].first_touch_id, got[7].n_touches) == (None, 0)  # cross-session
+
+
+def test_dedup_keep_best_prefers_longest(spark):
+    """keep-best keeps the LONGEST cluster member where keep-canonical
+    keeps the smallest id; unclustered docs always survive."""
+    from binlog_avro_comparator_spark.operators.dedup import (
+        dedup_keep_best,
+        dedup_keep_canonical,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight ") * 3
+    docs = spark.createDataFrame(
+        [
+            (1, base, "en", "web", 100),
+            (2, base + " extended tail words", "en", "web", 300),  # longest dup
+            (9, "unrelated engine text about shuffles " * 6, "en", "web", 50),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    best = {r.doc_id for r in dedup_keep_best(docs).collect()}
+    canon = {r.doc_id for r in dedup_keep_canonical(docs).collect()}
+    assert best == {2, 9}   # longest member survives
+    assert canon == {1, 9}  # canonical keeps min id
+
+
+def test_resume_bookmarks_rollup(spark):
+    """Bookmarks report the max position, feed-order-last gtid, and
+    per-file event counts."""
+    from binlog_avro_comparator_spark.operators.compare import resume_bookmarks
+
+    bp = spark.createDataFrame(
+        [
+            ("f1", 100, "uuid:1", 1),
+            ("f1", 300, "uuid:3", 3),
+            ("f1", 200, "uuid:2", 2),
+            ("f2", 50, "uuid:9", 9),
+        ],
+        "binlog_file string, binlog_position long, gtid_next string, line_no long",
+    )
+    got = {r.binlog_file: r for r in resume_bookmarks(bp).collect()}
+    assert got["f1"].n_events == 3
+    assert got["f1"].last_position == 300
+    assert got["f1"].last_line_no == 3 and got["f1"].last_gtid == "uuid:3"
+    assert got["f2"].n_events == 1 and got["f2"].last_gtid == "uuid:9"
+
+
+def test_skew_report_detects_hot_key(spark):
+    """A planted 90%-hot key dominates max/skew; summary stats are
+    exact over the per-key counts."""
+    from binlog_avro_comparator_spark.operators.analytics import (
+        join_key_skew_report,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(7, i) for i in range(90)] + [(i + 100, 1000 + i) for i in range(10)]
+    ev = spark.createDataFrame(rows, "user_id long, event_id long")
+    r = join_key_skew_report(ev).collect()[0]
+    assert (r.n_keys, r.n_rows, r.max_key_rows, r.top_key) == (11, 100, 90, 7)
+    assert r.avg_key_rows == round(100 / 11, 4)
+    assert r.skew_factor == round(90 / (100 / 11), 4)
