@@ -1515,3 +1515,64 @@ def leakage_safe_splits(
             split.alias("split"),
         )
     )
+
+
+def hybrid_search_topk(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    query_terms: tuple[str, ...] = ("spark", "join", "fast"),
+    query_vec_id: int = 0,
+    n_candidates: int = 50,
+    k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid lexical+dense retrieval with reciprocal-rank fusion --
+    the RAG serving pattern: BM25 shortlists ``n_candidates`` by the
+    query TERMS, the query EMBEDDING re-scores those candidates by
+    cosine, and the two rankings fuse as RRF
+    (sum of 1/(rrf_k + rank); Cormack et al. 2009) -- the fusion
+    production search engines use precisely because it is
+    rank-based: no score normalization across incomparable scales,
+    and integer ranks make it deterministic in any engine.
+
+    Scale shape: the dense side never scans the corpus -- cosine is
+    computed ONLY for the BM25 survivors (n_candidates rows joined to
+    their embeddings, query vector broadcast), so the embedding table
+    is probed, not swept; both rank windows run over the candidate
+    frame.  At 100 TB this is the standard two-tower serving layout:
+    inverted index prunes, embeddings re-rank.
+
+    Returns (doc_id, bm25_rank, cos_rank, cos_sim, rrf_score, rank)."""
+    from .similarity import COS_ROUND, _dot, with_norm
+
+    bm = bm25_topk(documents, query_terms=query_terms, k=n_candidates).select(
+        "doc_id", F.col("rank").alias("bm25_rank")
+    )
+    emb = with_norm(embeddings)
+    qv = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_embedding"), F.col("norm").alias("q_norm")
+    )
+    cos = F.round(
+        _dot(F.col("q_embedding"), F.col("embedding"))
+        / (F.col("q_norm") * F.col("norm")),
+        COS_ROUND,
+    )
+    cand = (
+        bm.join(emb, bm["doc_id"] == emb["vec_id"])
+        .crossJoin(F.broadcast(qv))
+        .select("doc_id", "bm25_rank", cos.alias("cos_sim"))
+    )
+    wc = Window.orderBy(F.col("cos_sim").desc(), F.col("doc_id").asc())
+    rrf = F.round(
+        F.lit(1.0) / (F.lit(rrf_k) + F.col("bm25_rank"))
+        + F.lit(1.0) / (F.lit(rrf_k) + F.col("cos_rank")),
+        9,
+    )
+    wf = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+    return (
+        cand.withColumn("cos_rank", F.row_number().over(wc))
+        .withColumn("rrf_score", rrf)
+        .withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "bm25_rank", "cos_rank", "cos_sim", "rrf_score", "rank")
+    )

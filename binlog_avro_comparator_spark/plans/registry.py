@@ -1179,6 +1179,18 @@ def _q_ann_cosine_topk_lsh(spark, sf_dir):
     return cosine_topk_lsh(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_hybrid_search(spark, sf_dir):
+    """Hybrid BM25 + dense retrieval with reciprocal-rank fusion
+    (textstats.hybrid_search_topk): lexical shortlist, cosine re-rank
+    against the query embedding, RRF fuse -- the RAG serving shape."""
+    ensure_session_conf(spark)
+    from ..operators.textstats import hybrid_search_topk
+
+    return hybrid_search_topk(
+        _docs(spark, sf_dir), load_table(spark, sf_dir, "embeddings")
+    )
+
+
 def _q_dedup_keep_best(spark, sf_dir):
     """Quality-aware dedup survivors: longest member per near-dup
     cluster (dedup.dedup_keep_best) -- the keep-most-complete policy
@@ -2657,6 +2669,7 @@ def queries() -> dict[str, QueryFn]:
         "dedup_keep_best": _q_dedup_keep_best,
         "cdc_resume_bookmarks": _q_cdc_resume_bookmarks,
         "events_skew_report": _q_events_skew_report,
+        "doc_hybrid_search": _q_hybrid_search,
         # -- NEW in r5: the payload tier + merge sit first (CDC core),
         # then the corpus-analysis / retrieval / graph / sketch / PQ
         # additions. --
@@ -3451,6 +3464,45 @@ WHERE (binlog_value IS NULL) <> (avro_value IS NULL)
 )
 
 
+
+def _bm25_sql(k: int) -> str:
+    """BM25 oracle SQL, parameterized by the candidate count so the
+    hybrid-retrieval oracle can reuse the identical scorer at a wider
+    k (doc_bm25_topk uses k=10)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ('spark', 'join', 'fast') GROUP BY 1, 2
+),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT t.doc_id,
+         round(sum(
+           ln((CAST(s.n_docs - q.df AS DOUBLE) + 0.5)
+              / (CAST(q.df AS DOUBLE) + 0.5) + 1.0)
+           * (CAST(t.tf AS DOUBLE) * (1.2 + 1.0))
+           / (CAST(t.tf AS DOUBLE)
+              + 1.2 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE) / s.avgdl))
+         ), 6) AS score
+  FROM tf t
+  JOIN dfq q USING (term)
+  JOIN dl d USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY t.doc_id
+)
+SELECT doc_id, score, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT {k})
+)"""
+
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {
         # extended-type row-image tier: derivation mirrored from
@@ -4089,39 +4141,7 @@ WHERE a.df_docs >= 2""",
         # for op (k1+1 written as the SUM 1.2+1.0, never the folded
         # 2.2 literal -- they differ by an ulp); rank over the k
         # survivors of an ORDER BY LIMIT
-        "doc_bm25_topk": f"""
-WITH toks AS (
-  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}')) AS term
-  FROM documents
-),
-dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
-stats AS (
-  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
-),
-tf AS (
-  SELECT doc_id, term, count(*) AS tf FROM toks
-  WHERE term IN ('spark', 'join', 'fast') GROUP BY 1, 2
-),
-dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-scored AS (
-  SELECT t.doc_id,
-         round(sum(
-           ln((CAST(s.n_docs - q.df AS DOUBLE) + 0.5)
-              / (CAST(q.df AS DOUBLE) + 0.5) + 1.0)
-           * (CAST(t.tf AS DOUBLE) * (1.2 + 1.0))
-           / (CAST(t.tf AS DOUBLE)
-              + 1.2 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE) / s.avgdl))
-         ), 6) AS score
-  FROM tf t
-  JOIN dfq q USING (term)
-  JOIN dl d USING (doc_id)
-  CROSS JOIN stats s
-  GROUP BY t.doc_id
-)
-SELECT doc_id, score, rank FROM (
-  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
-  FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 10)
-)""",
+        "doc_bm25_topk": _bm25_sql(10),
         # twin of textstats.weighted_sample_topk: same md5-derived
         # uniform (exact integer + 0.5 over 2^48), ln-key rounded to
         # 1e-9 (cross-libm ulp), doc_id tie-break
@@ -4937,6 +4957,43 @@ SELECT doc_id, term, cnt, rank FROM ranked WHERE rank <= 3""",
         # over the preceding-rows frame
         # twin of dedup.dedup_keep_best: clusters CTE verbatim, winner
         # = (n_chars DESC, doc_id) per cluster, losers anti-joined
+        # twin of textstats.hybrid_search_topk: BM25 candidates via the
+        # shared parameterized scorer, cosine over survivors only, RRF
+        # = 1/(60+r1) + 1/(60+r2) on integer ranks
+        "doc_hybrid_search": """
+WITH b AS (SELECT * FROM (
+""" + _bm25_sql(50) + """
+)),
+ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS ord,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS norm FROM ex GROUP BY vec_id),
+q AS (SELECT * FROM ex WHERE vec_id = 0),
+cand AS (
+  SELECT b.doc_id, b.rank AS bm25_rank,
+         round(sum(q.v * e.v) / (nq.norm * ne.norm), 6) AS cos_sim
+  FROM b
+  JOIN ex e ON e.vec_id = b.doc_id
+  JOIN q ON q.ord = e.ord
+  JOIN norms ne ON ne.vec_id = b.doc_id
+  JOIN norms nq ON nq.vec_id = 0
+  GROUP BY b.doc_id, b.rank, nq.norm, ne.norm
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS cos_rank
+  FROM cand
+),
+fused AS (
+  SELECT doc_id, bm25_rank, cos_rank, cos_sim,
+         round(1.0 / (60 + bm25_rank) + 1.0 / (60 + cos_rank), 9) AS rrf_score
+  FROM ranked
+)
+SELECT doc_id, bm25_rank, cos_rank, cos_sim, rrf_score, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rank
+  FROM fused
+) WHERE rank <= 10""",
         "dedup_keep_best": """
 WITH cl AS (
 """ + _dedup_clusters_sql() + """

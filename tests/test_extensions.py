@@ -2505,3 +2505,45 @@ def test_skew_report_detects_hot_key(spark):
     assert (r.n_keys, r.n_rows, r.max_key_rows, r.top_key) == (11, 100, 90, 7)
     assert r.avg_key_rows == round(100 / 11, 4)
     assert r.skew_factor == round(90 / (100 / 11), 4)
+
+
+def test_hybrid_search_rrf_fusion(spark):
+    """RRF fuses the two rankings: a planted doc that is best on BOTH
+    signals wins; fusion scores equal the hand formula from the
+    integer ranks; dense scoring touches only BM25 survivors (a doc
+    without the query terms never appears, however similar its
+    embedding)."""
+    from binlog_avro_comparator_spark.operators.textstats import (
+        hybrid_search_topk,
+    )
+
+    filler = "lorem ipsum dolor sit amet " * 10
+    docs = spark.createDataFrame(
+        [
+            (0, "query doc placeholder", "en", "web"),       # query embedding row
+            (1, "spark join fast spark join fast " + filler, "en", "web"),
+            (2, "spark " + filler, "en", "web"),
+            (3, filler, "en", "web"),                         # no terms: excluded
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    qv = [1.0] * 8
+    embs = spark.createDataFrame(
+        [
+            (0, qv),
+            (1, [0.9] * 8),        # near the query vector
+            (2, [-1.0] * 8),       # opposite
+            (3, qv),               # identical -- but lexically excluded
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = hybrid_search_topk(
+        docs, embs, query_terms=("spark", "join", "fast"), k=5
+    ).collect()
+    by_doc = {r.doc_id: r for r in got}
+    assert 3 not in by_doc  # dense side probes candidates only
+    assert got[0].doc_id == 1  # best on both signals
+    for r in got:
+        assert r.rrf_score == round(
+            1.0 / (60 + r.bm25_rank) + 1.0 / (60 + r.cos_rank), 9
+        )
