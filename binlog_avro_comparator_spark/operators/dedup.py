@@ -846,3 +846,124 @@ def dedup_keep_best(documents: DataFrame, max_iter: int = 15) -> DataFrame:
     return documents.join(losers, "doc_id", "left_anti").select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+def incremental_dedup_matches(
+    documents: DataFrame,
+    new_mod: int = 10,
+    threshold: float = 0.5,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """INCREMENTAL near-dup check: does each document of the NEW batch
+    (here: doc_id % new_mod == 0, a scale-proportional slice standing
+    in for today's crawl) duplicate anything already in the HISTORICAL
+    corpus?  This is the nightly-ingest shape -- you never re-cluster
+    the whole lake, you probe the new batch against it -- and the
+    asymmetric twin of fuzzy_contamination_pairs with the roles
+    flipped: the NEW side is the small one, so ITS banded signatures
+    and shingles broadcast while the history streams through one band
+    equi-join and one shingle join-back (at 100 TB the history's
+    banded signatures are a materialized index; the join shape is
+    identical).
+
+    Per new doc the best history match resolves by ONE struct-max
+    (jaccard, then min match id) -- never a window over candidates --
+    and every new doc reports a row (no candidates -> zero jaccard,
+    null match, not a duplicate).  Jaccard is exact
+    (intersect/union of shingle sets), so ``threshold`` is a pure
+    post-filter flag.
+
+    Returns (doc_id, best_match_id, n_intersect, n_union, jaccard,
+    is_duplicate)."""
+    docs = _spread(documents)
+    is_new = F.col("doc_id") % new_mod == 0
+    sh = scoped_cache(shingles(docs).select("doc_id", "h"))
+    sig = minhash_signatures(docs, bands * rows)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    "_",
+                    *[F.col(f"min_{b * rows + r}").cast("string") for r in range(rows)],
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id",
+        F.col("bk.band_id").alias("band_id"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+    new_banded = banded.filter(is_new).select(
+        F.col("doc_id").alias("new_id"), "band_id", "band_key"
+    )
+    cand = (
+        banded.filter(~is_new)
+        .join(F.broadcast(new_banded), on=["band_id", "band_key"])
+        .select(F.col("doc_id").alias("hist_id"), "new_id")
+        .distinct()
+    )
+    new_sh = sh.filter(is_new).select(
+        F.col("doc_id").alias("new_id"), F.col("h").alias("nh")
+    )
+    inter = (
+        sh.filter(~is_new)
+        .join(F.broadcast(new_sh), sh["h"] == F.col("nh"))
+        .select(F.col("doc_id").alias("hist_id"), "new_id")
+        .groupBy("hist_id", "new_id")
+        .agg(F.count("*").alias("n_intersect"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    scored = (
+        cand.join(inter, on=["hist_id", "new_id"], how="left")
+        .na.fill({"n_intersect": 0})
+        .join(sizes.select(F.col("doc_id").alias("hist_id"), F.col("n").alias("n_hist")), "hist_id")
+        .join(
+            F.broadcast(
+                sizes.select(F.col("doc_id").alias("new_id"), F.col("n").alias("n_new"))
+            ),
+            "new_id",
+        )
+    )
+    union = F.col("n_hist") + F.col("n_new") - F.col("n_intersect")
+    pairs = scored.select(
+        "new_id",
+        "hist_id",
+        F.col("n_intersect").cast("long").alias("n_intersect"),
+        union.cast("long").alias("n_union"),
+        (F.col("n_intersect") / union).alias("jaccard"),
+    )
+    best = pairs.groupBy("new_id").agg(
+        F.max(
+            F.struct(
+                F.col("jaccard"),
+                (-F.col("hist_id")).alias("__neg"),
+                F.col("n_intersect"),
+                F.col("n_union"),
+            )
+        ).alias("__b")
+    ).select(
+        "new_id",
+        (-F.col("__b.__neg")).alias("best_match_id"),
+        F.col("__b.n_intersect").alias("n_intersect"),
+        F.col("__b.n_union").alias("n_union"),
+        F.col("__b.jaccard").alias("jaccard"),
+    )
+    return (
+        documents.filter(is_new)
+        .select("doc_id")
+        .join(best, documents["doc_id"] == best["new_id"], "left")
+        .select(
+            "doc_id",
+            "best_match_id",
+            F.coalesce(F.col("n_intersect"), F.lit(0).cast("long")).alias("n_intersect"),
+            F.coalesce(F.col("n_union"), F.lit(0).cast("long")).alias("n_union"),
+            F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("jaccard"),
+            (F.coalesce(F.col("jaccard"), F.lit(0.0)) >= threshold).alias(
+                "is_duplicate"
+            ),
+        )
+    )

@@ -1179,6 +1179,16 @@ def _q_ann_cosine_topk_lsh(spark, sf_dir):
     return cosine_topk_lsh(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_incremental_dedup(spark, sf_dir):
+    """Nightly-ingest dedup probe: the new batch (doc_id % 10 == 0)
+    checked against the historical corpus, best match + verdict per
+    new doc (dedup.incremental_dedup_matches)."""
+    ensure_session_conf(spark)
+    from ..operators.dedup import incremental_dedup_matches
+
+    return incremental_dedup_matches(_docs(spark, sf_dir))
+
+
 def _q_hybrid_search(spark, sf_dir):
     """Hybrid BM25 + dense retrieval with reciprocal-rank fusion
     (textstats.hybrid_search_topk): lexical shortlist, cosine re-rank
@@ -2670,6 +2680,7 @@ def queries() -> dict[str, QueryFn]:
         "cdc_resume_bookmarks": _q_cdc_resume_bookmarks,
         "events_skew_report": _q_events_skew_report,
         "doc_hybrid_search": _q_hybrid_search,
+        "dedup_incremental": _q_incremental_dedup,
         # -- NEW in r5: the payload tier + merge sit first (CDC core),
         # then the corpus-analysis / retrieval / graph / sketch / PQ
         # additions. --
@@ -3183,6 +3194,58 @@ def _fuzzy_contamination_sql() -> str:
         "LEFT JOIN inter i ON i.doc_id = c.doc_id AND i.bench_id = c.bench_id\n"
         "JOIN sizes sd ON sd.doc_id = c.doc_id\n"
         "JOIN sizes sb ON sb.doc_id = c.bench_id"
+    )
+
+
+def _incremental_dedup_sql() -> str:
+    """Twin of dedup.incremental_dedup_matches (new = doc_id % 10 = 0,
+    4x4 banding, threshold 0.5): history-x-new band join, exact
+    Jaccard, per-new-doc best match, every new doc reported."""
+    band_joins = []
+    for b in range(4):
+        cols = [f"min_{b * 4 + r}" for r in range(4)]
+        lkey = " || '_' || ".join(f"CAST(l.{c} AS VARCHAR)" for c in cols)
+        rkey = " || '_' || ".join(f"CAST(r.{c} AS VARCHAR)" for c in cols)
+        band_joins.append(
+            f"SELECT l.doc_id AS hist_id, r.doc_id AS new_id\n"
+            f"FROM sig l JOIN sig r ON ({lkey}) = ({rkey})\n"
+            f"WHERE l.doc_id % 10 <> 0 AND r.doc_id % 10 = 0"
+        )
+    cand_union = "\nUNION ALL\n".join(band_joins)
+    return (
+        f"WITH {_SHINGLE_CTE},\n"
+        f"sig AS (SELECT doc_id,\n    {_minhash_aggs()}\nFROM shingle_hashes GROUP BY doc_id),\n"
+        f"cand AS (SELECT DISTINCT hist_id, new_id FROM (\n{cand_union}\n)),\n"
+        "inter AS (\n"
+        "  SELECT s.doc_id AS hist_id, b.doc_id AS new_id, count(*) AS n_intersect\n"
+        "  FROM shingle_hashes s JOIN shingle_hashes b\n"
+        "    ON s.h = b.h AND s.doc_id % 10 <> 0 AND b.doc_id % 10 = 0\n"
+        "  GROUP BY 1, 2\n"
+        "),\n"
+        "sizes AS (SELECT doc_id, count(*) AS n FROM shingle_hashes GROUP BY doc_id),\n"
+        "pairs AS (\n"
+        "  SELECT c.new_id, c.hist_id,\n"
+        "         CAST(coalesce(i.n_intersect, 0) AS BIGINT) AS n_intersect,\n"
+        "         CAST(sh.n + sn.n - coalesce(i.n_intersect, 0) AS BIGINT) AS n_union,\n"
+        "         coalesce(i.n_intersect, 0) / (sh.n + sn.n - coalesce(i.n_intersect, 0)) AS jaccard\n"
+        "  FROM cand c\n"
+        "  LEFT JOIN inter i ON i.hist_id = c.hist_id AND i.new_id = c.new_id\n"
+        "  JOIN sizes sh ON sh.doc_id = c.hist_id\n"
+        "  JOIN sizes sn ON sn.doc_id = c.new_id\n"
+        "),\n"
+        "best AS (\n"
+        "  SELECT new_id, hist_id AS best_match_id, n_intersect, n_union, jaccard FROM (\n"
+        "    SELECT *, row_number() OVER (\n"
+        "        PARTITION BY new_id ORDER BY jaccard DESC, hist_id) AS rn\n"
+        "    FROM pairs) WHERE rn = 1\n"
+        ")\n"
+        "SELECT d.doc_id, b.best_match_id,\n"
+        "       CAST(coalesce(b.n_intersect, 0) AS BIGINT) AS n_intersect,\n"
+        "       CAST(coalesce(b.n_union, 0) AS BIGINT) AS n_union,\n"
+        "       coalesce(b.jaccard, 0.0) AS jaccard,\n"
+        "       coalesce(b.jaccard, 0.0) >= 0.5 AS is_duplicate\n"
+        "FROM documents d LEFT JOIN best b ON b.new_id = d.doc_id\n"
+        "WHERE d.doc_id % 10 = 0"
     )
 
 
@@ -3937,6 +4000,7 @@ SELECT doc_id, len(grams) AS n_grams,
             ELSE 0.0 END AS repetition_ratio
 FROM g""",
         "doc_fuzzy_contamination": _fuzzy_contamination_sql(),
+        "dedup_incremental": _incremental_dedup_sql(),
         # twin of _q_media_exact_dedup: same planted-duplicate blob
         # derivation, digest groupBy
         "media_exact_dedup": """

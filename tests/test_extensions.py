@@ -2547,3 +2547,30 @@ def test_hybrid_search_rrf_fusion(spark):
         assert r.rrf_score == round(
             1.0 / (60 + r.bm25_rank) + 1.0 / (60 + r.cos_rank), 9
         )
+
+
+def test_incremental_dedup_matches_planted(spark):
+    """A planted new-batch copy of a history doc reports that doc as
+    its best match with jaccard ~1 and is_duplicate; a novel new doc
+    reports zero/none; history docs never appear in the output."""
+    from binlog_avro_comparator_spark.operators.dedup import (
+        incremental_dedup_matches,
+    )
+
+    hist_text = ("the quick brown fox jumps over the lazy dog and then "
+                 "runs far away into the deep dark forest tonight ") * 3
+    docs = spark.createDataFrame(
+        [
+            (1, hist_text, "en", "web"),                        # history
+            (3, "unrelated history text about engines " * 8, "en", "web"),
+            (10, hist_text, "en", "web"),                       # new: exact copy of 1
+            (20, "genuinely novel content nothing shares " * 8, "en", "web"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {r.doc_id: r for r in incremental_dedup_matches(docs).collect()}
+    assert set(got) == {10, 20}
+    assert got[10].best_match_id == 1 and got[10].is_duplicate
+    assert got[10].jaccard == 1.0
+    assert got[20].best_match_id is None and not got[20].is_duplicate
+    assert got[20].jaccard == 0.0 and got[20].n_intersect == 0
