@@ -2054,60 +2054,17 @@ def hdr_quantiles(
     than its error.  Returns (event_type, q, est_value, exact_value,
     rel_err)."""
     qlits = [float(q) for q in qs]
-    u = F.floor(F.col("value") * 100).cast("long")
-    base = events.filter(F.col("value").isNotNull()).select(
-        "event_type", u.alias("__u")
-    )
-    # HdrHistogram index: values < 16 centi-units are exact (bucket =
-    # value); above, the top 5 bits place the value in (octave,
-    # subbucket) -- bin()'s digit count is floor(log2)+1, kept integer
-    b = F.length(F.bin(F.col("__u"))).cast("long")
-    top5 = F.expr("shiftright(__u, cast(length(bin(__u)) - 5 as int))")
-    idx = F.when(F.col("__u") < 16, F.col("__u")).otherwise(
-        (b - 5) * 16 + top5
-    )
     from ..functions.caching import scoped_cache
 
     # two plan subtrees read the histogram (cumulative walk + totals);
     # scope-cache it so the event scan + bucket aggregate run once
     hist = scoped_cache(
-        base.select("event_type", idx.alias("__idx"))
+        hdr_bucket_frame(events)
         .groupBy("event_type", "__idx")
         .agg(F.count("*").alias("__n"))
     )
-    # the window runs over the AGGREGATED histogram only (a few
-    # hundred rows per type), never the event stream
-    cum = hist.withColumn(
-        "__cum",
-        F.sum("__n").over(
-            Window.partitionBy("event_type").orderBy("__idx")
-        ),
-    )
+    picked = hdr_quantile_estimates(hist, qs)
     qarr = F.array(*[F.lit(q) for q in qlits])
-    ranks = (
-        hist.groupBy("event_type")
-        .agg(F.sum("__n").alias("__total"))
-        .select(
-            "event_type", "__total", F.explode(qarr).alias("q")
-        )
-        .withColumn("__rank", F.ceil(F.col("q") * F.col("__total")).cast("long"))
-    )
-    picked = (
-        cum.join(F.broadcast(ranks), "event_type")
-        .filter(F.col("__cum") >= F.col("__rank"))
-        .groupBy("event_type", "q")
-        .agg(F.min("__idx").alias("__pick"))
-    )
-    # invert the index to the bucket's [low, low+width) centi-range
-    low = F.when(F.col("__pick") < 16, F.col("__pick")).otherwise(
-        F.expr(
-            "shiftleft(16 + (__pick - 16) % 16, cast((__pick - 16) / 16 as int))"
-        )
-    )
-    width = F.when(F.col("__pick") < 16, F.lit(1).cast("long")).otherwise(
-        F.expr("shiftleft(1L, cast((__pick - 16) / 16 as int))")
-    )
-    est_raw = (low.cast("double") + width.cast("double") / 2.0) / 100.0
     exact = (
         events.filter(F.col("value").isNotNull())
         .groupBy("event_type")
@@ -2128,15 +2085,82 @@ def hdr_quantiles(
     exact9 = F.round(F.col("__exact"), 9)
     rel = F.when(
         exact9 > 0,
-        F.abs(est_raw - exact9) / exact9,
+        F.abs(F.col("__est_raw") - exact9) / exact9,
     ).otherwise(F.lit(0.0))
     return joined.select(
         "event_type",
         "q",
-        F.round(est_raw, 6).alias("est_value"),
+        F.round(F.col("__est_raw"), 6).alias("est_value"),
         F.round(exact9, 6).alias("exact_value"),
         F.round(rel, 6).alias("rel_err"),
     )
+
+
+def hdr_bucket_frame(events: DataFrame) -> DataFrame:
+    """(event_type, __idx): each non-null value mapped to its
+    HdrHistogram bucket index -- values < 16 centi-units are exact
+    (bucket = value); above, the top 5 bits place the value in
+    (octave, subbucket); bin()'s digit count is floor(log2)+1, kept
+    integer.  The groupBy(event_type, __idx).count() over this frame
+    IS the sketch -- in batch (hdr_quantiles) and as a streaming
+    aggregation (registry events_hdr_stream) alike."""
+    u = F.floor(F.col("value") * 100).cast("long")
+    base = events.filter(F.col("value").isNotNull()).select(
+        "event_type", u.alias("__u")
+    )
+    b = F.length(F.bin(F.col("__u"))).cast("long")
+    top5 = F.expr("shiftright(__u, cast(length(bin(__u)) - 5 as int))")
+    idx = F.when(F.col("__u") < 16, F.col("__u")).otherwise(
+        (b - 5) * 16 + top5
+    )
+    return base.select("event_type", idx.alias("__idx"))
+
+
+def hdr_quantile_estimates(
+    hist: DataFrame, qs: tuple, hist_for_ranks: DataFrame | None = None
+) -> DataFrame:
+    """Quantile inversion over a materialized (event_type, __idx, __n)
+    bucket histogram: cumulative walk, rank pick, bucket-midpoint
+    estimate -- every window/aggregate runs over the AGGREGATED
+    histogram only (a few hundred rows per type), never the event
+    stream, which is what lets the histogram come from ANYWHERE (a
+    batch aggregate, a drained streaming state table, yesterday's
+    persisted sketch).  Returns (event_type, q, __est_raw)."""
+    qarr = F.array(*[F.lit(float(q)) for q in qs])
+    # the histogram feeds two join sides; a MATERIALIZED hist (memory
+    # table) trips conflicting-reference resolution if the same
+    # DataFrame instance feeds both, so callers with a table-backed
+    # hist pass an independent read as ``hist_for_ranks`` (fresh
+    # attribute ids); the batch path's scope-cached frame self-joins
+    # fine and defaults to ``hist``
+    cum = hist.withColumn(
+        "__cum",
+        F.sum("__n").over(Window.partitionBy("event_type").orderBy("__idx")),
+    )
+    ranks = (
+        (hist_for_ranks if hist_for_ranks is not None else hist)
+        .groupBy("event_type")
+        .agg(F.sum("__n").alias("__total"))
+        .select("event_type", "__total", F.explode(qarr).alias("q"))
+        .withColumn("__rank", F.ceil(F.col("q") * F.col("__total")).cast("long"))
+    )
+    picked = (
+        cum.join(F.broadcast(ranks), "event_type")
+        .filter(F.col("__cum") >= F.col("__rank"))
+        .groupBy("event_type", "q")
+        .agg(F.min("__idx").alias("__pick"))
+    )
+    # invert the index to the bucket's [low, low+width) centi-range
+    low = F.when(F.col("__pick") < 16, F.col("__pick")).otherwise(
+        F.expr(
+            "shiftleft(16 + (__pick - 16) % 16, cast((__pick - 16) / 16 as int))"
+        )
+    )
+    width = F.when(F.col("__pick") < 16, F.lit(1).cast("long")).otherwise(
+        F.expr("shiftleft(1L, cast((__pick - 16) / 16 as int))")
+    )
+    est_raw = (low.cast("double") + width.cast("double") / 2.0) / 100.0
+    return picked.select("event_type", "q", est_raw.alias("__est_raw"))
 
 
 def cms_type_counts(events: DataFrame, d: int = 4, w: int = 64) -> DataFrame:

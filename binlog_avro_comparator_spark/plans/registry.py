@@ -1179,6 +1179,43 @@ def _q_ann_cosine_topk_lsh(spark, sf_dir):
     return cosine_topk_lsh(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_events_hdr_stream(spark, sf_dir):
+    """The HDR quantile sketch RUN AS A STREAM: the integer bucket
+    aggregation (analytics.hdr_bucket_frame) is a plain streaming
+    groupBy -- per-micro-batch counts fold into state exactly like the
+    batch partial aggregation folds per partition, because cell-wise
+    addition IS the sketch merge -- drained complete-mode, then the
+    quantile inversion (hdr_quantile_estimates) runs over the
+    materialized few-hundred-row state (the two-stage pattern of
+    events_top_type_stream).  The estimates equal the batch sketch's
+    bit for bit; the exact-percentile exhibit column is batch-only by
+    nature and the oracle states the sketch contract alone."""
+    global _STREAM_SINK_SEQ
+    from ..operators.analytics import hdr_bucket_frame, hdr_quantile_estimates
+    from ..sources.tables import _EVENTS_SCHEMA, events_ts_column
+
+    ensure_session_conf(spark)
+    stream = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", events_ts_column(sf_dir))
+    )
+    hist = hdr_bucket_frame(stream).groupBy("event_type", "__idx").agg(
+        F.count("*").alias("__n")
+    )
+    _STREAM_SINK_SEQ += 1
+    name = f"events_hdr_stream_sink_{_STREAM_SINK_SEQ}"
+    # localCheckpoint: the memory-sink relation is not multi-instance
+    # safe, so the helper's cum x ranks self-join would hit conflicting
+    # attribute ids; checkpointing the few-hundred-row state converts
+    # it to a self-join-safe LogicalRDD (and the sketch is tiny)
+    state = _drain_to_table(spark, hist, name, "complete").localCheckpoint()
+    return hdr_quantile_estimates(state, (0.5, 0.9, 0.99)).select(
+        "event_type", "q", F.round(F.col("__est_raw"), 6).alias("est_value")
+    )
+
+
 def _q_incremental_dedup(spark, sf_dir):
     """Nightly-ingest dedup probe: the new batch (doc_id % 10 == 0)
     checked against the historical corpus, best match + verdict per
@@ -2681,6 +2718,7 @@ def queries() -> dict[str, QueryFn]:
         "events_skew_report": _q_events_skew_report,
         "doc_hybrid_search": _q_hybrid_search,
         "dedup_incremental": _q_incremental_dedup,
+        "events_hdr_stream": _q_events_hdr_stream,
         # -- NEW in r5: the payload tier + merge sit first (CDC core),
         # then the corpus-analysis / retrieval / graph / sketch / PQ
         # additions. --
@@ -6015,6 +6053,43 @@ FROM events e JOIN m ON e.event_type = m.event_type""",
         # sketch, the picked buckets, and the midpoint estimates match
         # bit-for-bit; the exact side is the R-7 percentile both
         # engines compute identically (property-tested)
+        # twin of _q_events_hdr_stream: the sketch contract alone --
+        # identical bucket arithmetic, complete-mode state == batch hist
+        "events_hdr_stream": """
+WITH base AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS u
+  FROM events WHERE value IS NOT NULL
+),
+ix AS (
+  SELECT event_type,
+         CASE WHEN u < 16 THEN u
+              ELSE (length(bin(u)) - 5) * 16 + (u >> (length(bin(u)) - 5))
+         END AS idx
+  FROM base
+),
+hist AS (SELECT event_type, idx, count(*) AS n FROM ix GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, idx,
+         sum(n) OVER (PARTITION BY event_type ORDER BY idx) AS c
+  FROM hist
+),
+ranks AS (
+  SELECT event_type, q, CAST(ceil(q * total) AS BIGINT) AS r
+  FROM (SELECT event_type, sum(n) AS total FROM hist GROUP BY 1)
+  CROSS JOIN (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q)
+),
+picked AS (
+  SELECT c.event_type, r.q, min(c.idx) AS pick
+  FROM cum c JOIN ranks r ON c.event_type = r.event_type AND c.c >= r.r
+  GROUP BY 1, 2
+)
+SELECT event_type, q,
+       round((CASE WHEN pick < 16 THEN pick
+               ELSE (16 + (pick - 16) % 16) << ((pick - 16) // 16) END
+          + (CASE WHEN pick < 16 THEN 1
+                  ELSE 1 << ((pick - 16) // 16) END) / 2.0) / 100.0, 6)
+         AS est_value
+FROM picked""",
         "events_hdr_quantiles": """
 WITH base AS (
   SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS u
