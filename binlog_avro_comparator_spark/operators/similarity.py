@@ -1117,3 +1117,60 @@ def ann_recall_report(
             ),
         )
     )
+
+
+def matryoshka_recall_report(
+    embeddings: DataFrame,
+    prefix_dims: tuple = (8, 16, 32),
+    n_queries: int = 32,
+    k: int = 5,
+) -> DataFrame:
+    """Matryoshka-truncation evaluation: how much top-k recall survives
+    when vectors are cut to their first d dimensions?  MRL-trained
+    embeddings (Kusupati et al. 2022) pack coarse-to-fine information
+    so short prefixes stay usable -- serving stacks exploit that by
+    retrieving with a cheap prefix and re-ranking with the full
+    vector; this report measures whether YOUR embedding column earns
+    that (a non-MRL embedding, like this synthetic corpus, will show
+    the recall cliff that says don't truncate).
+
+    Shape: per prefix length, the same brute-force scorer
+    (cosine_topk) over F.slice()'d vectors -- a pure projection, no
+    extra corpus pass beyond each tier's scan -- graded against the
+    full-dimension top-k exactly like ann_recall_report grades the
+    index tiers; hits resolve in broadcast-sized joins.
+
+    Returns (prefix_dim, n_returned, total_hits, recall)."""
+    emb = scoped_cache(embeddings)
+    truth = cosine_topk(emb, n_queries=n_queries, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    tagged = None
+    for d in prefix_dims:
+        sliced = emb.select(
+            "vec_id", F.slice(F.col("embedding"), 1, int(d)).alias("embedding")
+        )
+        t = cosine_topk(sliced, n_queries=n_queries, k=k).select(
+            F.lit(int(d)).alias("prefix_dim"), "query_id", "neighbor_id"
+        )
+        tagged = t if tagged is None else tagged.unionAll(t)
+    hits = tagged.join(
+        F.broadcast(truth.withColumn("__hit", F.lit(1))),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return (
+        hits.groupBy("prefix_dim")
+        .agg(
+            F.count("*").alias("n_returned"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long")
+            .alias("total_hits"),
+        )
+        .select(
+            "prefix_dim",
+            "n_returned",
+            "total_hits",
+            F.round(F.col("total_hits") / F.lit(n_queries * k), 6).alias("recall"),
+        )
+    )

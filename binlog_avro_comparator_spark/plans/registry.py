@@ -1179,6 +1179,16 @@ def _q_ann_cosine_topk_lsh(spark, sf_dir):
     return cosine_topk_lsh(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_matryoshka_recall(spark, sf_dir):
+    """Matryoshka-truncation recall report: prefix-sliced vectors
+    scored by the same brute-force scorer, graded against the
+    full-dimension top-k (similarity.matryoshka_recall_report)."""
+    ensure_session_conf(spark)
+    from ..operators.similarity import matryoshka_recall_report
+
+    return matryoshka_recall_report(load_table(spark, sf_dir, "embeddings"))
+
+
 def _q_events_hdr_stream(spark, sf_dir):
     """The HDR quantile sketch RUN AS A STREAM: the integer bucket
     aggregation (analytics.hdr_bucket_frame) is a plain streaming
@@ -2719,6 +2729,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_hybrid_search": _q_hybrid_search,
         "dedup_incremental": _q_incremental_dedup,
         "events_hdr_stream": _q_events_hdr_stream,
+        "ann_matryoshka_recall": _q_matryoshka_recall,
         # -- NEW in r5: the payload tier + merge sit first (CDC core),
         # then the corpus-analysis / retrieval / graph / sketch / PQ
         # additions. --
@@ -3603,6 +3614,40 @@ SELECT doc_id, score, rank FROM (
   SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
   FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT {k})
 )"""
+
+def _brute_cosine_sql(prefix: int | None = None) -> str:
+    """Brute-force cosine top-k oracle, optionally over the first
+    ``prefix`` dimensions (the Matryoshka truncation eval's tiers);
+    prefix=None is the ann_cosine_topk scorer."""
+    cut = f" WHERE ord <= {prefix}" if prefix else ""
+    return f"""
+WITH ex AS (
+  SELECT * FROM (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS ord,
+           unnest(embedding)::DOUBLE AS v
+    FROM embeddings
+  ){cut}
+),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS norm FROM ex GROUP BY vec_id),
+q AS (SELECT * FROM ex WHERE vec_id < 32),
+dots AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, sum(q.v * e.v) AS dot
+  FROM q JOIN ex e ON q.ord = e.ord AND e.vec_id <> q.vec_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(dot / (nq.norm * ne.norm), 6) AS cos_sim
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms ne ON ne.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5"""
+
 
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {
@@ -6530,6 +6575,26 @@ WHERE a.ts_ms + 5000 < wm.w
   AND NOT EXISTS (SELECT 1 FROM bl b
                   WHERE b.binlog_file = a.binlog_file
                     AND b.binlog_position = a.binlog_position)"""
+    # Matryoshka eval: per-prefix brute-force tiers from the shared
+    # parameterized scorer, graded like ann_recall_report
+    tiers = "\nUNION ALL\n".join(
+        f"SELECT {d} AS prefix_dim, query_id, neighbor_id FROM ({_brute_cosine_sql(d)})"
+        for d in (8, 16, 32)
+    )
+    sql["ann_matryoshka_recall"] = f"""
+WITH truth AS (SELECT query_id, neighbor_id FROM ({_brute_cosine_sql()})),
+tagged AS (
+{tiers}
+)
+SELECT t.prefix_dim, count(*) AS n_returned,
+       CAST(sum(CASE WHEN tr.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS total_hits,
+       round(sum(CASE WHEN tr.query_id IS NOT NULL THEN 1 ELSE 0 END)
+             / 160.0, 6) AS recall
+FROM tagged t
+LEFT JOIN truth tr
+  ON tr.query_id = t.query_id AND tr.neighbor_id = t.neighbor_id
+GROUP BY t.prefix_dim"""
     # recall eval: composed from the method oracles above so the
     # ground truth and every index tier stay literally the same SQL
     sql["ann_recall_report"] = f"""

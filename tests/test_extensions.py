@@ -2574,3 +2574,38 @@ def test_incremental_dedup_matches_planted(spark):
     assert got[10].jaccard == 1.0
     assert got[20].best_match_id is None and not got[20].is_duplicate
     assert got[20].jaccard == 0.0 and got[20].n_intersect == 0
+
+
+def test_matryoshka_recall_planted_prefix_structure(spark):
+    """Exact-duplicate clusters interleaved by id parity make recall
+    fully deterministic: a prefix that SEES the separating dims
+    recovers the full top-k (recall 1.0); a prefix of constant dims
+    ties everything, so the id tie-break retrieves the three lowest
+    ids and exactly one per query is a true neighbor."""
+    from binlog_avro_comparator_spark.operators.similarity import (
+        matryoshka_recall_report,
+    )
+
+    dim = 64
+    # dims 0..1 constant everywhere; dims 2..7 separate the clusters;
+    # tail constant.  Cluster A = even ids, B = odd ids (interleaved).
+    def vec(cluster):
+        sep = 1.0 if cluster == 0 else -1.0
+        return [1.0, 1.0] + [sep] * 6 + [0.5] * (dim - 8)
+
+    emb = spark.createDataFrame(
+        [(i, vec(i % 2)) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.prefix_dim: r for r in matryoshka_recall_report(
+        emb, prefix_dims=(2, 8), n_queries=4, k=3
+    ).collect()}
+    assert set(got) == {2, 8}
+    for r in got.values():
+        assert r.n_returned == 12
+        assert r.recall == round(r.total_hits / 12.0, 6)
+    # prefix 8 sees the separating dims: identical ranking to truth
+    assert got[8].recall == 1.0
+    # prefix 2 is constant: all-tie, ids 1,2,3 (2,3,4 for q>=1) come
+    # back and exactly one of the three matches each query's cluster
+    assert got[2].total_hits == 4
