@@ -2609,3 +2609,62 @@ def test_matryoshka_recall_planted_prefix_structure(spark):
     # prefix 2 is constant: all-tie, ids 1,2,3 (2,3,4 for q>=1) come
     # back and exactly one of the three matches each query's cluster
     assert got[2].total_hits == 4
+
+
+def test_pipeline_dag_builds_once_and_prunes(spark):
+    """Diamond deps build each node exactly once; targets prune the
+    graph; cycles and unbound sources error at the right time."""
+    import pytest as _pytest
+
+    from binlog_avro_comparator_spark.plans.dag import CycleError, Pipeline
+    from pyspark.sql import functions as F
+
+    p = Pipeline()
+    p.source("base")
+    calls = []
+
+    @p.table()
+    def left(spark, base):
+        calls.append("left")
+        return base.withColumn("l", F.col("x") + 1)
+
+    @p.table()
+    def right(spark, base):
+        calls.append("right")
+        return base.withColumn("r", F.col("x") * 2)
+
+    @p.table()
+    def joined(spark, left, right):
+        calls.append("joined")
+        return left.join(right, "x")
+
+    @p.table()
+    def unrelated(spark, base):
+        calls.append("unrelated")
+        return base
+
+    base = spark.createDataFrame([(1,), (2,)], "x long")
+    out = p.materialize(spark, targets=["joined"], sources={"base": base})
+    assert sorted(calls) == ["joined", "left", "right"]  # pruned + once each
+    assert out["joined"].count() == 2
+    assert "unrelated" not in out
+
+    with _pytest.raises(ValueError, match="not bound"):
+        p.materialize(spark, targets=["left"])
+
+    p2 = Pipeline()
+
+    @p2.table()
+    def a(spark, b):
+        return b
+
+    with _pytest.raises(CycleError):
+        @p2.table()
+        def b(spark, a):
+            return a
+
+    p3 = Pipeline()
+    with _pytest.raises(ValueError, match="must be 'spark'"):
+        @p3.table()
+        def bad(base):
+            return base
