@@ -66,3 +66,35 @@ def zorder_key_sql(a: str, b: str, bits: int = 16) -> str:
         terms.append(f"((({az} >> {i}) & 1) << {2 * i})")
         terms.append(f"((({bz} >> {i}) & 1) << {2 * i + 1})")
     return "(" + " | ".join(terms) + ")"
+
+
+def zorder_key_n(cols: list[Column], bits: int = 16) -> Column:
+    """N-column Morton interleave: column j's bit i lands at position
+    ``i * n + j`` -- the 2-column ``zorder_key`` generalized so a
+    layout can cluster three or four predicate columns at once (the
+    key is ``n * bits`` wide; keep ``n * bits <= 62``).  Same pmod
+    fold, same pure-codegen bitwise chain."""
+    n = len(cols)
+    if n * bits > 62:
+        raise ValueError(f"zorder_key_n: {n} x {bits} bits exceeds a long")
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        cz = F.pmod(c.cast("long"), F.lit(1 << bits))
+        for i in range(bits):
+            bit = F.shiftright(cz, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return z
+
+
+def zorder_key_n_sql(names: list[str], bits: int = 16) -> str:
+    """The identical n-column interleave as SQL text (DuckDB twin of
+    ``zorder_key_n``); same non-negative-mod and full-parenthesization
+    rules as ``zorder_key_sql``."""
+    n = len(names)
+    m = 1 << bits
+    terms = []
+    for j, a in enumerate(names):
+        az = f"((({a} % {m}) + {m}) % {m})"
+        for i in range(bits):
+            terms.append(f"((({az} >> {i}) & 1) << {i * n + j})")
+    return "(" + " | ".join(terms) + ")"

@@ -2423,3 +2423,86 @@ def join_key_skew_report(events: DataFrame, key: str = "user_id") -> DataFrame:
         ).alias("skew_factor"),
         "top_key",
     )
+
+
+def winsorized_values(
+    events: DataFrame, lo: float = 0.01, hi: float = 0.99
+) -> DataFrame:
+    """Winsorization: clip each value to its event type's [p01, p99]
+    band -- the standard outlier treatment before moments-based
+    features (a single fat-fingered reading otherwise owns the mean).
+    Bounds come from ONE tiny per-type aggregate broadcast back onto
+    the stream (the value_anomalies shape: the corpus never shuffles,
+    clipping is a scan-speed projection).
+
+    Determinism: bounds are R-7 percentiles pre-rounded at 1e-9 (the
+    cross-engine lerp ulp absorbed) and published at 6 dp; the clip
+    compares against the ROUNDED bounds on both engines, so a value
+    within an ulp of a bound clips identically.  Returns (event_id,
+    event_type, value, lo_bound, hi_bound, value_winsorized,
+    was_clipped)."""
+    bounds = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.round(F.round(F.percentile("value", F.lit(lo)), 9), 6).alias("lo_bound"),
+            F.round(F.round(F.percentile("value", F.lit(hi)), 9), 6).alias("hi_bound"),
+        )
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo_bound")), F.col("hi_bound"))
+    return (
+        events.filter(F.col("value").isNotNull())
+        .join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            "lo_bound",
+            "hi_bound",
+            clipped.alias("value_winsorized"),
+            ((F.col("value") < F.col("lo_bound")) | (F.col("value") > F.col("hi_bound"))).alias(
+                "was_clipped"
+            ),
+        )
+    )
+
+
+def rolling_monthly_active_customers(orders: DataFrame, window_m: int = 3) -> DataFrame:
+    """Monthly active customers plus the trailing-``window_m``-month
+    ROLLING distinct count -- the MAU/rolling-MAU pair every growth
+    dashboard carries, and a distinct-count that a plain window CANNOT
+    express (count(distinct) over a frame is unsupported; re-counting
+    from raw per month re-scans the fact table).
+
+    Shape: one distinct (customer, month) frame (map-side combinable),
+    then each row EXPLODES to the <= window_m target months it is
+    visible in -- the replication factor is the window length, never
+    the data -- and one count-distinct per target month finishes.  At
+    100 TB the rolling tier costs window_m x the distinct frame, not
+    window_m x the fact table.  Returns (month, n_active,
+    n_active_rolling)."""
+    cm = (
+        orders.select(
+            F.col("o_custkey").alias("c"),
+            F.trunc(F.col("o_orderdate"), "month").alias("m"),  # DATE-typed month
+        )
+        .distinct()
+    )
+    monthly = cm.groupBy("m").agg(F.count("*").alias("n_active"))
+    visible = cm.select(
+        "c",
+        F.explode(
+            F.array(*[F.add_months(F.col("m"), i) for i in range(window_m)])
+        ).alias("m"),
+    )
+    rolling = visible.groupBy("m").agg(
+        F.count_distinct("c").alias("n_active_rolling")
+    )
+    return (
+        monthly.join(rolling, "m")
+        .select(
+            F.date_format("m", "yyyy-MM").alias("month"),
+            "n_active",
+            "n_active_rolling",
+        )
+    )

@@ -22,7 +22,7 @@ from ..fixtures import (
     derive_typed_rows,
     generate_parser_text_lines,
 )
-from ..functions.zorder import zorder_key_sql
+from ..functions.zorder import zorder_key_n_sql, zorder_key_sql
 from ..functions.hilbert import hilbert_sql_ctes
 from ..sources.avro import DATASTREAM_AVRO_SCHEMA, read_avro_dir
 from ..sources.avro_codec import encode_container
@@ -1177,6 +1177,43 @@ def _q_ann_cosine_topk(spark, sf_dir):
 def _q_ann_cosine_topk_lsh(spark, sf_dir):
     ensure_session_conf(spark)
     return cosine_topk_lsh(load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_winsorized(spark, sf_dir):
+    """Winsorized values: per-type [p01, p99] clip from a broadcast
+    bounds frame (analytics.winsorized_values)."""
+    ensure_session_conf(spark)
+    from ..operators.analytics import winsorized_values
+
+    return winsorized_values(load_table(spark, sf_dir, "events"))
+
+
+def _q_zorder3_layout(spark, sf_dir):
+    """Three-column Morton layout keys (functions/zorder.zorder_key_n)
+    on (l_partkey, l_suppkey, l_orderkey) -- the n-dim generalization
+    of the 2-column Z-order layout, 48-bit key."""
+    ensure_session_conf(spark)
+    from ..functions.zorder import zorder_key_n
+
+    li = load_table(spark, sf_dir, "lineitem")
+    z = zorder_key_n([F.col("l_partkey"), F.col("l_suppkey"), F.col("l_orderkey")])
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        z.alias("z3_key"),
+        F.shiftright(z, 42).alias("file_id"),
+    )
+
+
+def _q_rolling_mau(spark, sf_dir):
+    """Monthly + trailing-3-month rolling active customers
+    (analytics.rolling_monthly_active_customers): the rolling distinct
+    a window frame cannot express, via window_m-fold explode of the
+    distinct (customer, month) frame."""
+    ensure_session_conf(spark)
+    from ..operators.analytics import rolling_monthly_active_customers
+
+    return rolling_monthly_active_customers(load_table(spark, sf_dir, "orders"))
 
 
 def _q_matryoshka_recall(spark, sf_dir):
@@ -2730,6 +2767,9 @@ def queries() -> dict[str, QueryFn]:
         "dedup_incremental": _q_incremental_dedup,
         "events_hdr_stream": _q_events_hdr_stream,
         "ann_matryoshka_recall": _q_matryoshka_recall,
+        "events_winsorized": _q_winsorized,
+        "lineitem_zorder3_layout": _q_zorder3_layout,
+        "orders_rolling_mau": _q_rolling_mau,
         # -- NEW in r5: the payload tier + merge sit first (CDC core),
         # then the corpus-analysis / retrieval / graph / sketch / PQ
         # additions. --
@@ -5240,6 +5280,13 @@ GROUP BY event_type""",
         # spelled out by functions.zorder.zorder_key_sql
         # twin of functions/hilbert.py: the same 16-level walk as a
         # linear CTE chain (generated by hilbert_sql_ctes)
+        # twin of _q_zorder3_layout: the identical 3-way interleave
+        # spelled out by functions.zorder.zorder_key_n_sql
+        "lineitem_zorder3_layout": f"""
+SELECT l_orderkey, l_linenumber,
+       {zorder_key_n_sql(["l_partkey", "l_suppkey", "l_orderkey"])} AS z3_key,
+       {zorder_key_n_sql(["l_partkey", "l_suppkey", "l_orderkey"])} >> 42 AS file_id
+FROM lineitem""",
         "lineitem_hilbert_layout": hilbert_sql_ctes(
             "l_partkey", "l_suppkey", "lineitem",
             "l_orderkey, l_linenumber, l_partkey, l_suppkey",
@@ -6100,6 +6147,34 @@ FROM events e JOIN m ON e.event_type = m.event_type""",
         # engines compute identically (property-tested)
         # twin of _q_events_hdr_stream: the sketch contract alone --
         # identical bucket arithmetic, complete-mode state == batch hist
+        # twin of analytics.winsorized_values: 1e-9-pre-rounded R-7
+        # bounds published at 6 dp, clip against the ROUNDED bounds
+        "events_winsorized": """
+WITH b AS (
+  SELECT event_type,
+         round(round(quantile_cont(value, 0.01), 9), 6) AS lo_bound,
+         round(round(quantile_cont(value, 0.99), 9), 6) AS hi_bound
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+)
+SELECT event_id, e.event_type AS event_type, value, lo_bound, hi_bound,
+       least(greatest(value, lo_bound), hi_bound) AS value_winsorized,
+       (value < lo_bound OR value > hi_bound) AS was_clipped
+FROM events e JOIN b ON b.event_type = e.event_type
+WHERE value IS NOT NULL""",
+        # twin of analytics.rolling_monthly_active_customers
+        "orders_rolling_mau": """
+WITH cm AS (
+  SELECT DISTINCT o_custkey AS c, date_trunc('month', o_orderdate) AS m
+  FROM orders
+),
+monthly AS (SELECT m, count(*) AS n_active FROM cm GROUP BY m),
+visible AS (
+  SELECT c, m + i * INTERVAL 1 MONTH AS m
+  FROM cm, (SELECT unnest([0, 1, 2]) AS i) t
+),
+rolling AS (SELECT m, count(DISTINCT c) AS n_active_rolling FROM visible GROUP BY m)
+SELECT strftime(mo.m, '%Y-%m') AS month, mo.n_active, r.n_active_rolling
+FROM monthly mo JOIN rolling r ON r.m = mo.m""",
         "events_hdr_stream": """
 WITH base AS (
   SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS u

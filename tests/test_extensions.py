@@ -2668,3 +2668,77 @@ def test_pipeline_dag_builds_once_and_prunes(spark):
         @p3.table()
         def bad(base):
             return base
+
+
+def test_zorder_key_n_matches_reference_and_2col(spark):
+    """zorder_key_n == a Python n-way interleave; for n=2 it equals
+    zorder_key bit for bit; >62-bit configurations are rejected."""
+    import pytest as _pytest
+
+    from binlog_avro_comparator_spark.functions.zorder import (
+        zorder_key,
+        zorder_key_n,
+    )
+
+    def interleave(vals, bits=16):
+        n = len(vals)
+        z = 0
+        for j, v in enumerate(vals):
+            v %= 1 << bits
+            for i in range(bits):
+                z |= ((v >> i) & 1) << (i * n + j)
+        return z
+
+    rows = [(1, 2, 3), (65535, 0, 65535), (-5, 70000, 9)]
+    df = spark.createDataFrame(rows, "a long, b long, c long")
+    out = df.select(
+        "a", "b", "c",
+        zorder_key_n([F.col("a"), F.col("b"), F.col("c")]).alias("z3"),
+        zorder_key_n([F.col("a"), F.col("b")]).alias("z2n"),
+        zorder_key(F.col("a"), F.col("b")).alias("z2"),
+    ).collect()
+    for r in out:
+        assert r.z3 == interleave([r.a, r.b, r.c]), (r.a, r.b, r.c)
+        assert r.z2n == r.z2 == interleave([r.a, r.b])
+    with _pytest.raises(ValueError, match="exceeds"):
+        zorder_key_n([F.col("a")] * 4, bits=16)
+
+
+def test_winsorize_and_rolling_mau_semantics(spark):
+    """Winsorize clips exactly at the published bounds; rolling MAU
+    counts a customer once per trailing window however many months
+    they ordered in."""
+    from binlog_avro_comparator_spark.operators.analytics import (
+        rolling_monthly_active_customers,
+        winsorized_values,
+    )
+    import datetime
+
+    ev = spark.createDataFrame(
+        [(i, "t", float(i)) for i in range(1, 101)],
+        "event_id long, event_type string, value double",
+    )
+    got = {r.event_id: r for r in winsorized_values(ev).collect()}
+    clipped = [r for r in got.values() if r.was_clipped]
+    assert {r.event_id for r in clipped} == {1, 100}
+    assert got[1].value_winsorized == got[1].lo_bound
+    assert got[100].value_winsorized == got[100].hi_bound
+    assert got[50].value_winsorized == 50.0 and not got[50].was_clipped
+
+    d = datetime.date
+    orders = spark.createDataFrame(
+        [
+            (1, d(2024, 1, 5)), (1, d(2024, 1, 20)),   # same month: once
+            (1, d(2024, 2, 1)),
+            (2, d(2024, 2, 10)),
+            (3, d(2024, 4, 1)),
+        ],
+        "o_custkey long, o_orderdate date",
+    )
+    got_m = {r.month: r for r in rolling_monthly_active_customers(orders).collect()}
+    assert got_m["2024-01"].n_active == 1 and got_m["2024-01"].n_active_rolling == 1
+    # Feb: active {1,2}; rolling Jan-Feb distinct {1,2}
+    assert got_m["2024-02"].n_active == 2 and got_m["2024-02"].n_active_rolling == 2
+    # Apr: active {3}; rolling Feb-Apr distinct {1,2,3}
+    assert got_m["2024-04"].n_active == 1 and got_m["2024-04"].n_active_rolling == 3
+    assert "2024-03" not in got_m  # no orders -> no monthly row
