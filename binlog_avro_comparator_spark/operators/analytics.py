@@ -2506,3 +2506,73 @@ def rolling_monthly_active_customers(orders: DataFrame, window_m: int = 3) -> Da
             "n_active_rolling",
         )
     )
+
+
+# P(Poisson(1) <= k) for k = 0..5: the inverse-CDF thresholds of the
+# bootstrap weights.  LITERAL doubles shared with the DuckDB oracle so
+# the replicate weights are bit-identical in any engine.
+POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+
+
+def bootstrap_mean_price(lineitem: DataFrame, b: int = 32) -> DataFrame:
+    """Poisson bootstrap of mean(l_extendedprice): ``b`` resampling
+    replicates in ONE pass, each row drawing a Poisson(1) weight per
+    replicate from its portable hash-uniform (the distributed
+    bootstrap -- true resampling would need the row count up front and
+    a shuffle per replicate; Poisson weights are exchangeable,
+    per-row, and mergeable, which is why large-scale systems bootstrap
+    this way).  The replicate spread IS the standard error of the
+    mean -- the error bar a 100 TB aggregate should ship with.
+
+    Determinism: u = md5-48bit / 2^48 exactly as in weighted sampling;
+    weights come from literal CDF thresholds (POISSON1_CDF, shared
+    with the oracle); each replicate's numerator is an EXACT decimal
+    sum (integer weight x decimal price) and its denominator an
+    integer sum, so every replicate mean is one double division --
+    no cross-engine sum-order drift anywhere.  Returns b+1 rows:
+    (replicate, n_eff, mean_price) with replicate 0 = the unweighted
+    point estimate."""
+    from .textstats import word_hash
+
+    key = F.concat_ws(
+        "_",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("replicate").cast("string"),
+    )
+    u = word_hash(key) / F.lit(float(1 << 48))
+    w = F.lit(len(POISSON1_CDF))
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    reps = lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        F.explode(F.sequence(F.lit(1), F.lit(b))).alias("replicate"),
+    ).select(
+        "replicate", w.alias("w"), F.col("l_extendedprice").alias("p")
+    )
+    boot = reps.groupBy("replicate").agg(
+        F.sum("w").cast("long").alias("n_eff"),
+        (F.sum(F.col("w") * F.col("p")).cast("double") / F.sum("w")).alias(
+            "mean_price"
+        ),
+    )
+    point = lineitem.groupBy().agg(
+        F.count("*").alias("n_eff"),
+        (F.sum("l_extendedprice").cast("double") / F.count("*")).alias(
+            "mean_price"
+        ),
+    ).select(F.lit(0).alias("replicate"), "n_eff", "mean_price")
+    return point.unionAll(
+        boot.select("replicate", "n_eff", "mean_price")
+    ).select(
+        "replicate", "n_eff", F.round(F.col("mean_price"), 6).alias("mean_price")
+    )

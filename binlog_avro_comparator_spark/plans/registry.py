@@ -1179,6 +1179,16 @@ def _q_ann_cosine_topk_lsh(spark, sf_dir):
     return cosine_topk_lsh(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_bootstrap_mean(spark, sf_dir):
+    """Poisson-bootstrap error bars for mean(l_extendedprice): 32
+    deterministic replicates in one pass
+    (analytics.bootstrap_mean_price)."""
+    ensure_session_conf(spark)
+    from ..operators.analytics import bootstrap_mean_price
+
+    return bootstrap_mean_price(load_table(spark, sf_dir, "lineitem"))
+
+
 def _q_winsorized(spark, sf_dir):
     """Winsorized values: per-type [p01, p99] clip from a broadcast
     bounds frame (analytics.winsorized_values)."""
@@ -2770,6 +2780,7 @@ def queries() -> dict[str, QueryFn]:
         "events_winsorized": _q_winsorized,
         "lineitem_zorder3_layout": _q_zorder3_layout,
         "orders_rolling_mau": _q_rolling_mau,
+        "lineitem_bootstrap_mean": _q_bootstrap_mean,
         # -- NEW in r5: the payload tier + merge sit first (CDC core),
         # then the corpus-analysis / retrieval / graph / sketch / PQ
         # additions. --
@@ -6149,6 +6160,35 @@ FROM events e JOIN m ON e.event_type = m.event_type""",
         # identical bucket arithmetic, complete-mode state == batch hist
         # twin of analytics.winsorized_values: 1e-9-pre-rounded R-7
         # bounds published at 6 dp, clip against the ROUNDED bounds
+        # twin of analytics.bootstrap_mean_price: same md5-48 uniform,
+        # same literal Poisson(1) CDF thresholds, exact decimal sums
+        "lineitem_bootstrap_mean": """
+WITH reps AS (
+  SELECT l_orderkey, l_linenumber, l_extendedprice, i AS replicate
+  FROM lineitem, (SELECT unnest(range(1, 33)) AS i) t
+),
+uni AS (
+  SELECT replicate, l_extendedprice AS p,
+         ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_' ||
+                             CAST(l_linenumber AS VARCHAR) || '_' ||
+                             CAST(replicate AS VARCHAR)), 1, 12))::BIGINT
+           / 281474976710656.0 AS u
+  FROM reps
+),
+weighted AS (
+  SELECT replicate, CASE WHEN u < 0.36787944117144233 THEN 0 WHEN u < 0.7357588823428847 THEN 1 WHEN u < 0.9196986029286058 THEN 2 WHEN u < 0.9810118431238462 THEN 3 WHEN u < 0.9963401531726563 THEN 4 WHEN u < 0.9994058151824183 THEN 5 ELSE 6 END AS w, p FROM uni
+),
+boot AS (
+  SELECT replicate, CAST(sum(w) AS BIGINT) AS n_eff,
+         round(CAST(sum(w * p) AS DOUBLE) / sum(w), 6) AS mean_price
+  FROM weighted GROUP BY replicate
+),
+point AS (
+  SELECT 0 AS replicate, count(*) AS n_eff,
+         round(CAST(sum(l_extendedprice) AS DOUBLE) / count(*), 6) AS mean_price
+  FROM lineitem
+)
+SELECT * FROM point UNION ALL SELECT * FROM boot""",
         "events_winsorized": """
 WITH b AS (
   SELECT event_type,

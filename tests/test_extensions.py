@@ -2742,3 +2742,31 @@ def test_winsorize_and_rolling_mau_semantics(spark):
     # Apr: active {3}; rolling Feb-Apr distinct {1,2,3}
     assert got_m["2024-04"].n_active == 1 and got_m["2024-04"].n_active_rolling == 3
     assert "2024-03" not in got_m  # no orders -> no monthly row
+
+
+def test_bootstrap_mean_statistics(spark):
+    """Replicate means scatter around the point estimate with the
+    bootstrap's expected behavior: every replicate deterministic
+    (rerun-identical), n_eff ~ n, and the spread shrinks as the
+    standard error should."""
+    from binlog_avro_comparator_spark.operators.analytics import (
+        bootstrap_mean_price,
+    )
+
+    rows = [(i // 4, i % 4, float(100 + (i * 37) % 50)) for i in range(400)]
+    li = spark.createDataFrame(
+        rows, "l_orderkey long, l_linenumber long, l_extendedprice double"
+    )
+    out1 = sorted(bootstrap_mean_price(li, b=16).collect())
+    out2 = sorted(bootstrap_mean_price(li, b=16).collect())
+    assert out1 == out2  # hash-derived weights: rerun-identical
+    point = [r for r in out1 if r.replicate == 0][0]
+    reps = [r for r in out1 if r.replicate > 0]
+    assert len(reps) == 16 and point.n_eff == 400
+    # Poisson(1) weights: effective n within 25% of n for every replicate
+    assert all(abs(r.n_eff - 400) < 100 for r in reps)
+    # replicate means bracket the point estimate and stay within a few
+    # standard errors (sd(values) ~ 14.4, se ~ 0.72)
+    ms = [r.mean_price for r in reps]
+    assert min(ms) < point.mean_price < max(ms)
+    assert all(abs(m - point.mean_price) < 5 for m in ms)
