@@ -2576,3 +2576,265 @@ def bootstrap_mean_price(lineitem: DataFrame, b: int = 32) -> DataFrame:
     ).select(
         "replicate", "n_eff", F.round(F.col("mean_price"), 6).alias("mean_price")
     )
+
+
+def ab_test_welch(events: DataFrame) -> DataFrame:
+    """Welch two-sample t-test per event type -- the experiment
+    readout an A/B platform computes over billions of exposures.  Arms
+    are assigned by the PORTABLE 48-bit md5 user hash (parity bit), so
+    the split -- and therefore every statistic -- is reproducible in
+    any engine and stable under reshuffling/backfill (the property a
+    random() split lacks).
+
+    Shape: ONE map-side-combined aggregate over a handful of type keys
+    -- conditional exact-decimal sums per arm (count / sum / sum of
+    squares accumulate order-independently), then the Welch t statistic
+    and Satterthwaite degrees of freedom come from single double
+    expressions over those exact sums, evaluated in the same order in
+    the DuckDB twin.  No second pass, no per-user shuffle: the fact
+    stream is scanned once and only (type x 6) numbers cross the wire.
+    Returns (event_type, n_a, n_b, mean_a, mean_b, mean_diff, t_stat,
+    df)."""
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+        ).cast("long")
+        % 2
+    )
+    v = F.col("value").cast("decimal(18,6)")
+    base = events.filter(F.col("value").isNotNull()).select(
+        "event_type", arm.alias("__arm"), v.alias("__v")
+    )
+
+    def _side(tag: int, name: str):
+        onside = F.col("__arm") == tag
+        return [
+            F.count(F.when(onside, 1)).alias(f"__n_{name}"),
+            F.sum(F.when(onside, F.col("__v"))).alias(f"__s_{name}"),
+            F.sum(F.when(onside, F.col("__v") * F.col("__v"))).alias(
+                f"__ss_{name}"
+            ),
+        ]
+
+    agg = base.groupBy("event_type").agg(*_side(0, "a"), *_side(1, "b"))
+
+    def _stats(name: str):
+        n = F.col(f"__n_{name}").cast("double")
+        s = F.col(f"__s_{name}")
+        ss = F.col(f"__ss_{name}")
+        mean = s.cast("double") / n
+        # sample variance from the exact sums via the value_anomalies
+        # discipline: single double divisions of exact decimals (a
+        # decimal n*ss - s*s would overflow precision 38 and round
+        # differently per engine)
+        var = (ss.cast("double") / n - mean * mean) * (n / (n - F.lit(1.0)))
+        return mean, var, n
+
+    mean_a, var_a, n_a = _stats("a")
+    mean_b, var_b, n_b = _stats("b")
+    sa = var_a / n_a
+    sb = var_b / n_b
+    se2 = sa + sb
+    t = F.when(se2 > 0, (mean_a - mean_b) / F.sqrt(se2)).otherwise(F.lit(0.0))
+    df = F.when(
+        (sa > 0) | (sb > 0),
+        (se2 * se2)
+        / (sa * sa / (n_a - F.lit(1.0)) + sb * sb / (n_b - F.lit(1.0))),
+    ).otherwise(F.lit(0.0))
+    return agg.filter((F.col("__n_a") > 1) & (F.col("__n_b") > 1)).select(
+        "event_type",
+        F.col("__n_a").alias("n_a"),
+        F.col("__n_b").alias("n_b"),
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(mean_a - mean_b, 6).alias("mean_diff"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(df, 6).alias("df"),
+    )
+
+
+def value_trend_ols(events: DataFrame) -> DataFrame:
+    """Per-type least-squares trend of value over time -- the
+    closed-form OLS a metrics warehouse fits to every series without a
+    single ML-library import, and WITHOUT a sort: simple linear
+    regression is just five sufficient statistics.
+
+    x is the HOUR index (epoch-millis div 3600000): an exact BIGINT
+    small enough that every sufficient statistic (sx, sxx as longs;
+    sy, syy, sxy as narrow decimals) accumulates EXACTLY and therefore
+    order-independently; the combination algebra (n*sxy - sx*sy etc.)
+    then runs in double with one cast per sum and the same op order in
+    the DuckDB twin, so the fit is bit-reproducible at any
+    partitioning (the cancellation double admits is the same bits in
+    both engines).  ONE map-side-combined aggregate; nothing but
+    (type x 6) numbers shuffle.  Returns (event_type, n, slope_per_hour,
+    intercept, r2)."""
+    x = F.expr("unix_millis(ts) div 3600000")
+    y = F.col("value").cast("decimal(18,6)")
+    base = events.filter(F.col("value").isNotNull()).select(
+        "event_type", x.alias("__x"), y.alias("__y")
+    )
+    # sums stay EXACT: hour indexes and their squares fit comfortably
+    # in longs, value cross terms in narrow decimals (the x side is
+    # pre-narrowed to decimal(10,0) so the product precision stays
+    # inside 38 -- a decimal(38)*decimal(38) product would overflow and
+    # round engine-specifically)
+    xd = F.col("__x").cast("decimal(10,0)")
+    agg = base.groupBy("event_type").agg(
+        F.count("*").alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+        F.sum(xd * F.col("__y")).alias("__sxy"),
+    )
+    # combination algebra in DOUBLE, identical op order in the DuckDB
+    # twin: the exact sums cast once, then n*sxy - sx*sy etc.; the
+    # cancellation this admits is the same bits in both engines
+    n = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    num = n * F.col("__sxy").cast("double") - sx * sy
+    den = n * F.col("__sxx").cast("double") - sx * sx
+    deny = n * F.col("__syy").cast("double") - sy * sy
+    slope = F.when(den > 0, num / den).otherwise(F.lit(0.0))
+    intercept = (
+        F.col("__sy").cast("double") - slope * F.col("__sx").cast("double")
+    ) / F.col("__n").cast("double")
+    r2 = F.when(
+        (den > 0) & (deny > 0),
+        (num / (F.sqrt(den) * F.sqrt(deny)))
+        * (num / (F.sqrt(den) * F.sqrt(deny))),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "event_type",
+        F.col("__n").alias("n"),
+        F.round(slope, 6).alias("slope_per_hour"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+def cusum_changepoints(events: DataFrame) -> DataFrame:
+    """CUSUM change-point detection on per-type minute rates: the
+    running sum of (count - mean rate) peaks exactly where the series'
+    level shifts -- the standard one-pass answer to "WHEN did this
+    metric change", complementing burst_minutes' "which single minutes
+    spiked".
+
+    Shape discipline: the event stream collapses to a (type, minute)
+    count frame FIRST (map-side combined), the per-type mean comes
+    from a second tiny aggregate over those counts (exact integer
+    sums, one double division), and the cumulative walk is a window
+    over the AGGREGATED frame only -- thousands of rows, never the
+    fact table; at 100 TB the window input is still calendar-bounded.
+    The change point is the arg-max |cusum| picked by ONE struct-max
+    (earliest minute wins ties via the negated epoch), no second
+    window.  Returns (event_type, change_minute, cusum_at_peak,
+    n_minutes)."""
+    per_min = events.groupBy(
+        "event_type", F.date_trunc("minute", F.col("ts")).alias("__m")
+    ).agg(F.count("*").alias("__c"))
+    stats = per_min.groupBy("event_type").agg(
+        F.sum("__c").alias("__tot"), F.count("*").alias("__k")
+    )
+    mean = F.col("__tot").cast("double") / F.col("__k").cast("double")
+    dev = per_min.join(
+        F.broadcast(stats.select("event_type", mean.alias("__mean"))),
+        "event_type",
+    ).select(
+        "event_type",
+        "__m",
+        (F.col("__c").cast("double") - F.col("__mean")).alias("__d"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("__m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    walked = dev.select(
+        "event_type",
+        "__m",
+        F.round(F.sum("__d").over(w), 6).alias("__cusum"),
+    )
+    peak = walked.groupBy("event_type").agg(
+        F.max(
+            F.struct(
+                F.abs(F.col("__cusum")).alias("a"),
+                (-F.unix_timestamp("__m")).alias("negm"),
+                F.col("__cusum").alias("c"),
+            )
+        ).alias("__pk"),
+        F.count("*").alias("n_minutes"),
+    )
+    return peak.select(
+        "event_type",
+        F.date_format(
+            F.to_timestamp(-F.col("__pk.negm")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("change_minute"),
+        F.col("__pk.c").alias("cusum_at_peak"),
+        "n_minutes",
+    )
+
+
+def basket_brand_pairs(
+    lineitem: DataFrame, part: DataFrame, min_support: int = 2
+) -> DataFrame:
+    """Market-basket pair mining: brand pairs that co-occur in the
+    same order, with support and lift -- the first iteration of
+    Apriori/FP-growth, which at warehouse scale is usually the only
+    one anybody runs ("what sells together").
+
+    The fact table collapses to the DISTINCT (order, brand) frame
+    before anything pairs up (map-side combinable; the dimension join
+    is a broadcast hash join -- part is the small side by orders of
+    magnitude).  The pair join is a self-equi-join ON THE ORDER KEY
+    with a < b, so candidates are bounded by C(brands-per-order, 2)
+    per order -- a per-basket constant, never corpus-quadratic; brand
+    marginals and the order count are broadcast back for the lift.
+    Lift's divisions run in one double expression mirrored by the
+    oracle.  Returns (brand_a, brand_b, n_orders_both, lift)."""
+    ob = (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            lineitem.l_partkey == F.col("p_partkey"),
+        )
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    from ..functions.caching import scoped_cache
+
+    ob = scoped_cache(ob)  # three readers: pairs, marginals, order count
+    left = ob.select("o", F.col("b").alias("brand_a"))
+    right = ob.select("o", F.col("b").alias("brand_b"))
+    pairs = (
+        left.join(right, "o")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("n_orders_both"))
+        .filter(F.col("n_orders_both") >= min_support)
+    )
+    marg = ob.groupBy("b").agg(F.count("*").alias("__nb"))
+    n_orders = ob.select(F.count_distinct("o").alias("__no"))
+    lift = (
+        F.col("n_orders_both").cast("double")
+        * F.col("__no").cast("double")
+        / (F.col("__na_ct").cast("double") * F.col("__nb_ct").cast("double"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(marg.select(F.col("b").alias("brand_a"), F.col("__nb").alias("__na_ct"))),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("b").alias("brand_b"), F.col("__nb").alias("__nb_ct"))),
+            "brand_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_orders_both",
+            F.round(lift, 6).alias("lift"),
+        )
+    )

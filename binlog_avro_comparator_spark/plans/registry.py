@@ -2729,6 +2729,48 @@ def _q_events_enrich_stream(spark, sf_dir):
     return _drain_to_table(spark, out, name, "append")
 
 
+def _q_ab_test_welch(spark, sf_dir):
+    """Welch two-sample t-test per event type over the md5-parity user
+    split (analytics.ab_test_welch): one conditional-sum aggregate,
+    statistics from exact sums."""
+    ensure_session_conf(spark)
+    from ..operators.analytics import ab_test_welch
+
+    return ab_test_welch(load_table(spark, sf_dir, "events"))
+
+
+def _q_value_trend_ols(spark, sf_dir):
+    """Closed-form per-type OLS trend of value over the hour index
+    (analytics.value_trend_ols): five exact sufficient statistics, one
+    aggregate, no sort."""
+    ensure_session_conf(spark)
+    from ..operators.analytics import value_trend_ols
+
+    return value_trend_ols(load_table(spark, sf_dir, "events"))
+
+
+def _q_cusum_changepoints(spark, sf_dir):
+    """CUSUM change-point per event type (analytics.cusum_changepoints):
+    running deviation sum over the minute-count frame, arg-max pick by
+    struct-max."""
+    ensure_session_conf(spark)
+    from ..operators.analytics import cusum_changepoints
+
+    return cusum_changepoints(load_table(spark, sf_dir, "events"))
+
+
+def _q_basket_brand_pairs(spark, sf_dir):
+    """Market-basket brand pair mining with support + lift
+    (analytics.basket_brand_pairs): distinct (order, brand) frame,
+    a<b self-join bounded per basket, broadcast marginals."""
+    ensure_session_conf(spark)
+    from ..operators.analytics import basket_brand_pairs
+
+    return basket_brand_pairs(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     # NOTE on ordering: the external correctness driver checks the FIRST 50
     # entries of this dict (CORRECTNESS_r02 covered exactly queries 1..50).
@@ -2781,6 +2823,10 @@ def queries() -> dict[str, QueryFn]:
         "lineitem_zorder3_layout": _q_zorder3_layout,
         "orders_rolling_mau": _q_rolling_mau,
         "lineitem_bootstrap_mean": _q_bootstrap_mean,
+        "events_ab_test": _q_ab_test_welch,
+        "events_value_trend": _q_value_trend_ols,
+        "events_cusum_changepoints": _q_cusum_changepoints,
+        "lineitem_basket_pairs": _q_basket_brand_pairs,
         # -- NEW in r5: the payload tier + merge sit first (CDC core),
         # then the corpus-analysis / retrieval / graph / sketch / PQ
         # additions. --
@@ -6201,6 +6247,143 @@ SELECT event_id, e.event_type AS event_type, value, lo_bound, hi_bound,
        (value < lo_bound OR value > hi_bound) AS was_clipped
 FROM events e JOIN b ON b.event_type = e.event_type
 WHERE value IS NOT NULL""",
+        # twin of analytics.ab_test_welch: same md5-parity arm split,
+        # same exact conditional sums, same double op order
+        "events_ab_test": """
+WITH base AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT % 2 AS arm,
+         CAST(value AS DECIMAL(18,6)) AS v
+  FROM events WHERE value IS NOT NULL
+),
+agg AS (
+  SELECT event_type,
+         count(*) FILTER (WHERE arm = 0) AS n_a,
+         sum(v)   FILTER (WHERE arm = 0) AS s_a,
+         sum(v*v) FILTER (WHERE arm = 0) AS ss_a,
+         count(*) FILTER (WHERE arm = 1) AS n_b,
+         sum(v)   FILTER (WHERE arm = 1) AS s_b,
+         sum(v*v) FILTER (WHERE arm = 1) AS ss_b
+  FROM base GROUP BY event_type
+),
+m AS (
+  SELECT event_type, n_a, n_b,
+         CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+         CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+         (CAST(ss_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+            - (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+              * (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)))
+           * (CAST(n_a AS DOUBLE) / (CAST(n_a AS DOUBLE) - 1.0)) AS var_a,
+         (CAST(ss_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+            - (CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+              * (CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)))
+           * (CAST(n_b AS DOUBLE) / (CAST(n_b AS DOUBLE) - 1.0)) AS var_b
+  FROM agg WHERE n_a > 1 AND n_b > 1
+),
+k AS (
+  SELECT event_type, n_a, n_b, mean_a, mean_b,
+         var_a / CAST(n_a AS DOUBLE) AS sa,
+         var_b / CAST(n_b AS DOUBLE) AS sb
+  FROM m
+)
+SELECT event_type, n_a, n_b,
+       round(mean_a, 6) AS mean_a,
+       round(mean_b, 6) AS mean_b,
+       round(mean_a - mean_b, 6) AS mean_diff,
+       round(CASE WHEN sa + sb > 0
+                  THEN (mean_a - mean_b) / sqrt(sa + sb) ELSE 0.0 END, 6) AS t_stat,
+       round(CASE WHEN sa > 0 OR sb > 0
+                  THEN ((sa + sb) * (sa + sb))
+                       / (sa * sa / (CAST(n_a AS DOUBLE) - 1.0)
+                          + sb * sb / (CAST(n_b AS DOUBLE) - 1.0))
+                  ELSE 0.0 END, 6) AS df
+FROM k""",
+        # twin of analytics.value_trend_ols: exact sufficient
+        # statistics, double combination in the same op order
+        "events_value_trend": """
+WITH base AS (
+  SELECT event_type, epoch_ms(ts) // 3600000 AS x,
+         CAST(value AS DECIMAL(18,6)) AS y
+  FROM events WHERE value IS NOT NULL
+),
+agg AS (
+  SELECT event_type, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy,
+         sum(CAST(x AS DECIMAL(10,0)) * y) AS sxy
+  FROM base GROUP BY event_type
+),
+k AS (
+  SELECT event_type, n,
+         CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+         CAST(sy AS DOUBLE) AS syd,
+         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny
+  FROM agg
+)
+SELECT event_type, n,
+       round(CASE WHEN den > 0 THEN num / den ELSE 0.0 END, 6) AS slope_per_hour,
+       round((syd - (CASE WHEN den > 0 THEN num / den ELSE 0.0 END) * sxd) / nd,
+             6) AS intercept,
+       round(CASE WHEN den > 0 AND deny > 0
+                  THEN (num / (sqrt(den) * sqrt(deny)))
+                       * (num / (sqrt(den) * sqrt(deny)))
+                  ELSE 0.0 END, 6) AS r2
+FROM k""",
+        # twin of analytics.cusum_changepoints: running deviation sum
+        # over the minute-count frame, arg-max via a rank window
+        "events_cusum_changepoints": """
+WITH pm AS (
+  SELECT event_type, date_trunc('minute', ts) AS m, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type, CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean,
+         count(*) AS n_minutes
+  FROM pm GROUP BY event_type
+),
+walked AS (
+  SELECT pm.event_type AS event_type, m,
+         round(sum(CAST(c AS DOUBLE) - mean)
+                 OVER (PARTITION BY pm.event_type ORDER BY m
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               6) AS cusum
+  FROM pm JOIN st ON st.event_type = pm.event_type
+),
+ranked AS (
+  SELECT event_type, m, cusum,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs(cusum) DESC, m ASC) AS rn
+  FROM walked
+)
+SELECT r.event_type AS event_type,
+       strftime(m, '%Y-%m-%d %H:%M:%S') AS change_minute,
+       cusum AS cusum_at_peak, n_minutes
+FROM ranked r JOIN st ON st.event_type = r.event_type
+WHERE rn = 1""",
+        # twin of analytics.basket_brand_pairs
+        "lineitem_basket_pairs": """
+WITH ob AS (
+  SELECT DISTINCT l_orderkey AS o, p_brand AS b
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+),
+pairs AS (
+  SELECT a.b AS brand_a, bb.b AS brand_b, count(*) AS n_orders_both
+  FROM ob a JOIN ob bb ON a.o = bb.o AND a.b < bb.b
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+marg AS (SELECT b, count(*) AS nb FROM ob GROUP BY b),
+no AS (SELECT count(DISTINCT o) AS n_orders FROM ob)
+SELECT brand_a, brand_b, n_orders_both,
+       round(CAST(n_orders_both AS DOUBLE) * CAST(n_orders AS DOUBLE)
+               / (CAST(ma.nb AS DOUBLE) * CAST(mb.nb AS DOUBLE)), 6) AS lift
+FROM pairs JOIN marg ma ON ma.b = brand_a
+           JOIN marg mb ON mb.b = brand_b
+           CROSS JOIN no""",
         # twin of analytics.rolling_monthly_active_customers
         "orders_rolling_mau": """
 WITH cm AS (

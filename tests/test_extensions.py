@@ -2770,3 +2770,134 @@ def test_bootstrap_mean_statistics(spark):
     ms = [r.mean_price for r in reps]
     assert min(ms) < point.mean_price < max(ms)
     assert all(abs(m - point.mean_price) < 5 for m in ms)
+
+
+def test_ab_test_welch_matches_hand_computation(spark):
+    """The Welch statistics equal a from-scratch Python computation
+    over the SAME md5-parity split -- pins the portable arm assignment
+    and the exact-sums-then-double arithmetic."""
+    import hashlib
+    import math
+
+    from binlog_avro_comparator_spark.operators.analytics import ab_test_welch
+
+    rows = [(i, 1000 + i, "t", float(10 + (i * 7) % 13)) for i in range(200)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double"
+    )
+    got = ab_test_welch(ev).collect()
+    assert len(got) == 1
+    r = got[0]
+
+    def arm(uid):
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[:12], 16) % 2
+
+    a = [v for (_, u, _, v) in rows if arm(u) == 0]
+    b = [v for (_, u, _, v) in rows if arm(u) == 1]
+    assert r.n_a == len(a) and r.n_b == len(b)
+    ma, mb = sum(a) / len(a), sum(b) / len(b)
+    va = (sum(x * x for x in a) / len(a) - ma * ma) * (len(a) / (len(a) - 1.0))
+    vb = (sum(x * x for x in b) / len(b) - mb * mb) * (len(b) / (len(b) - 1.0))
+    sa, sb = va / len(a), vb / len(b)
+    t = (ma - mb) / math.sqrt(sa + sb)
+    df = (sa + sb) ** 2 / (sa * sa / (len(a) - 1) + sb * sb / (len(b) - 1))
+    assert abs(r.mean_a - round(ma, 6)) < 1e-9
+    assert abs(r.t_stat - round(t, 6)) < 1e-6
+    assert abs(r.df - round(df, 6)) < 1e-4
+    # Welch df sits between min(n)-1 and n_a+n_b-2
+    assert min(r.n_a, r.n_b) - 1 <= r.df <= r.n_a + r.n_b - 2
+
+
+def test_value_trend_ols_recovers_planted_line(spark):
+    """A perfectly linear series fits with the planted slope and
+    r2 == 1; a constant series reports slope 0 / r2 0 via the
+    zero-variance guard."""
+    from binlog_avro_comparator_spark.operators.analytics import value_trend_ols
+
+    rows = []
+    for h in range(48):  # value = 5 + 2*(hour index) on the 'lin' type
+        ts = f"2024-01-01 {h % 24:02d}:30:00" if h < 24 else f"2024-01-02 {h % 24:02d}:30:00"
+        x = 473352 + h  # hour index of 2024-01-01 00:xx UTC is epoch//3600
+        rows.append((h, ts, "lin", 5.0 + 2.0 * x))
+        rows.append((1000 + h, ts, "flat", 7.0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r.event_type: r for r in value_trend_ols(ev).collect()}
+    assert got["lin"].n == 48
+    assert abs(got["lin"].slope_per_hour - 2.0) < 1e-4
+    assert abs(got["lin"].r2 - 1.0) < 1e-6
+    assert got["flat"].slope_per_hour == 0.0 or abs(got["flat"].slope_per_hour) < 1e-9
+    assert got["flat"].r2 == 0.0
+
+
+def test_cusum_changepoint_finds_level_shift(spark):
+    """Minute rate steps from 2/min to 8/min at minute 30 of 60: the
+    CUSUM trough sits at the last pre-shift minute (minute 29), where
+    the running sum of (count - overall mean) is most negative."""
+    from binlog_avro_comparator_spark.operators.analytics import (
+        cusum_changepoints,
+    )
+
+    rows = []
+    eid = 0
+    for m in range(60):
+        rate = 2 if m < 30 else 8
+        for i in range(rate):
+            rows.append((eid, f"2024-01-01 00:{m:02d}:{i:02d}", "t"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = cusum_changepoints(ev).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.n_minutes == 60
+    assert r.change_minute == "2024-01-01 00:29:00"
+    # mean rate is 5; 30 minutes at -3 deviation -> peak magnitude 90
+    assert abs(r.cusum_at_peak - (-90.0)) < 1e-9
+
+
+def test_basket_pairs_support_and_lift(spark):
+    """Hand-built baskets: counts bounded per order, lift > 1 for
+    brands that co-occur more than independence predicts."""
+    from binlog_avro_comparator_spark.operators.analytics import (
+        basket_brand_pairs,
+    )
+
+    # 10 orders: A+B together in 6, A alone in 2, B alone in 2... plus
+    # C everywhere (independent of both)
+    li, pt = [], [(1, "A"), (2, "B"), (3, "C")]
+    ln = 0
+    for o in range(10):
+        parts = [3]
+        if o < 6:
+            parts += [1, 2]
+        elif o < 8:
+            parts += [1]
+        else:
+            parts += [2]
+        for p in parts:
+            li.append((o, p, ln))
+            ln += 1
+    lineitem = spark.createDataFrame(
+        li, "l_orderkey long, l_partkey long, l_linenumber long"
+    )
+    part = spark.createDataFrame(pt, "p_partkey long, p_brand string")
+    got = {
+        (r.brand_a, r.brand_b): r
+        for r in basket_brand_pairs(lineitem, part).collect()
+    }
+    ab = got[("A", "B")]
+    assert ab.n_orders_both == 6
+    # lift = 6*10/(8*8) = 0.9375
+    assert abs(ab.lift - 0.9375) < 1e-9
+    # C co-occurs with A in all 8 of A's orders: lift = 8*10/(8*10) = 1
+    assert abs(got[("A", "C")].lift - 1.0) < 1e-9
+    # duplicate lineitems within an order must not inflate support
+    lineitem2 = lineitem.unionAll(lineitem)
+    got2 = {
+        (r.brand_a, r.brand_b): r.n_orders_both
+        for r in basket_brand_pairs(lineitem2, part).collect()
+    }
+    assert got2[("A", "B")] == 6
