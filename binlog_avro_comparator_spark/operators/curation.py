@@ -140,3 +140,75 @@ def curation_survivors(
             .drop("__trimmed")
         )
     return out
+
+
+def erasure_requests_sample(events: DataFrame, modulus: int = 101) -> DataFrame:
+    """Deterministic stand-in for a right-to-be-forgotten request
+    feed: the ~1/modulus of users whose portable 48-bit md5 hash is 0
+    mod ``modulus``.  Real deployments replace this with the actual
+    request table; everything downstream (erase / erasure_audit) only
+    sees a (user_id) frame either way."""
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    return (
+        events.select("user_id")
+        .distinct()
+        .filter(h % modulus == 0)
+    )
+
+
+def erase(df: DataFrame, key: str, requests: DataFrame) -> DataFrame:
+    """The purge itself: LEFT ANTI join against the request set on the
+    subject key.  The request side is broadcast (a deletion queue is
+    small by law -- it drains on every sweep); the fact table streams
+    through map-side, no shuffle, no sort -- at 100 TB this is a scan
+    that rewrites surviving files, which is exactly what a compliance
+    sweep over a data lake must be."""
+    return df.join(
+        F.broadcast(requests.select(F.col(requests.columns[0]).alias(key))),
+        key,
+        "left_anti",
+    )
+
+
+def erasure_audit(
+    facts: list[tuple[str, DataFrame, str]], requests: DataFrame
+) -> DataFrame:
+    """Compliance evidence for a right-to-be-forgotten sweep: per fact
+    table, total rows, rows purged, and distinct subjects actually hit
+    -- the numbers the audit log must carry so "we deleted it" is a
+    provable statement rather than a claim.
+
+    Each table contributes ONE aggregate over a broadcast-flagged scan
+    (the request set joins map-side, the count-distinct is over the
+    tiny hit subset); audits union into a frame of len(facts) rows.
+    Purge and audit read the same request frame, so the counts are the
+    deltas the erase() pass produces by construction.  Returns
+    (table_name, n_rows_total, n_rows_purged, n_subjects_purged)."""
+    req = requests.select(
+        F.col(requests.columns[0]).alias("__subject")
+    ).withColumn("__hit", F.lit(True))
+    audits = []
+    for name, df, key in facts:
+        flagged = df.select(F.col(key).alias("__subject")).join(
+            F.broadcast(req), "__subject", "left"
+        )
+        audits.append(
+            flagged.agg(
+                F.count("*").alias("n_rows_total"),
+                F.count(F.when(F.col("__hit"), 1)).alias("n_rows_purged"),
+                F.count_distinct(
+                    F.when(F.col("__hit"), F.col("__subject"))
+                ).alias("n_subjects_purged"),
+            ).select(
+                F.lit(name).alias("table_name"),
+                "n_rows_total",
+                "n_rows_purged",
+                "n_subjects_purged",
+            )
+        )
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionAll(a)
+    return out

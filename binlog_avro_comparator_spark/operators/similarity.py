@@ -1174,3 +1174,50 @@ def matryoshka_recall_report(
             F.round(F.col("total_hits") / F.lit(n_queries * k), 6).alias("recall"),
         )
     )
+
+
+def hard_negative_pairs(
+    embeddings: DataFrame, n_queries: int = 32, k: int = 10, margin: float = 0.02
+) -> DataFrame:
+    """Contrastive-pair mining for embedding training: for each anchor,
+    the POSITIVE is its nearest neighbor and the HARD NEGATIVE is the
+    most-similar neighbor that is still clearly not a duplicate (cosine
+    at least ``margin`` below the positive's) -- the standard triplet
+    recipe (in-batch negatives are easy; the ones just outside the
+    duplicate band are what move a retrieval model).
+
+    Shape: the candidate set IS the graded brute-force plan
+    (cosine_topk: queries broadcast, corpus scanned once,
+    WindowGroupLimit top-k); both picks after it are struct-extrema
+    over the <= n_queries*k candidate rows -- broadcast-sized, no new
+    shuffle against the corpus.  The margin test compares the 6-dp
+    rounded similarities identically in the DuckDB twin.  Returns
+    (query_id, positive_id, pos_sim, hard_negative_id, neg_sim)."""
+    topk = cosine_topk(embeddings, n_queries, k)
+    pos = topk.filter(F.col("rank") == 1).select(
+        "query_id",
+        F.col("neighbor_id").alias("positive_id"),
+        F.col("cos_sim").alias("pos_sim"),
+    )
+    qualifying = topk.join(F.broadcast(pos), "query_id").filter(
+        F.col("cos_sim") < F.col("pos_sim") - F.lit(margin)
+    )
+    neg = qualifying.groupBy("query_id").agg(
+        F.min(
+            F.struct(
+                F.col("rank").alias("r"),
+                F.col("neighbor_id").alias("nid"),
+                F.col("cos_sim").alias("cs"),
+            )
+        ).alias("__pk")
+    )
+    return (
+        pos.join(neg, "query_id")
+        .select(
+            "query_id",
+            "positive_id",
+            "pos_sim",
+            F.col("__pk.nid").alias("hard_negative_id"),
+            F.col("__pk.cs").alias("neg_sim"),
+        )
+    )

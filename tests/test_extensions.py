@@ -2901,3 +2901,69 @@ def test_basket_pairs_support_and_lift(spark):
         for r in basket_brand_pairs(lineitem2, part).collect()
     }
     assert got2[("A", "B")] == 6
+
+
+def test_hard_negative_mining_planted_clusters(spark):
+    """Anchor 0 has a near-exact duplicate (vec 40) and a distinct
+    cluster nearby: the positive must be the duplicate and the hard
+    negative a non-duplicate at least the margin below it."""
+    from binlog_avro_comparator_spark.operators.similarity import (
+        hard_negative_pairs,
+    )
+
+    rows = []
+    # anchors 0..3: unit vectors along distinct-ish directions
+    base = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+            [0.0, 0.0, 1.0, 0.0], [0.0, 0.0, 0.0, 1.0]]
+    for i, v in enumerate(base):
+        rows.append((i, v))
+    # 40: near-duplicate of anchor 0; 41..44 moderately similar to 0
+    rows.append((40, [0.999, 0.01, 0.0, 0.0]))
+    for j in range(41, 45):
+        rows.append((j, [0.8, 0.1 * (j - 40), 0.05, 0.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r.query_id: r
+        for r in hard_negative_pairs(emb, n_queries=1, k=8).collect()
+    }
+    r = got[0]
+    assert r.positive_id == 40 and r.pos_sim > 0.99
+    assert r.hard_negative_id != 40
+    assert r.neg_sim < r.pos_sim - 0.02
+    # hardest = MOST similar qualifying neighbor: nothing qualifying
+    # scores above it
+    assert r.neg_sim >= 0.5
+
+
+def test_erasure_sweep_purges_and_audits_consistently(spark):
+    """erase() drops exactly the requested subjects' rows and the
+    audit's arithmetic matches: total - purged == surviving rows."""
+    from binlog_avro_comparator_spark.operators.curation import (
+        erasure_audit,
+        erase,
+    )
+
+    ev = spark.createDataFrame(
+        [(i, i % 7) for i in range(70)], "event_id long, user_id long"
+    )
+    od = spark.createDataFrame(
+        [(i, i % 5) for i in range(20)], "o_orderkey long, o_custkey long"
+    )
+    req = spark.createDataFrame([(2,), (4,)], "user_id long")
+    audit = {
+        r.table_name: r
+        for r in erasure_audit(
+            [("events", ev, "user_id"), ("orders", od, "o_custkey")], req
+        ).collect()
+    }
+    assert audit["events"].n_rows_total == 70
+    assert audit["events"].n_rows_purged == 20  # users 2 and 4, 10 rows each
+    assert audit["events"].n_subjects_purged == 2
+    assert audit["orders"].n_rows_purged == 8  # custkeys 2 and 4, 4 rows each
+    survivors = erase(ev, "user_id", req)
+    assert survivors.count() == 70 - 20
+    assert survivors.filter(F.col("user_id").isin(2, 4)).count() == 0
+    # a subject absent from the data audits as a no-op, not an error
+    req2 = spark.createDataFrame([(99,)], "user_id long")
+    audit2 = erasure_audit([("events", ev, "user_id")], req2).collect()[0]
+    assert audit2.n_rows_purged == 0 and audit2.n_subjects_purged == 0
