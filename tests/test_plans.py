@@ -1104,3 +1104,63 @@ def test_bpe_merges_vocab_sized_topk(spark):
     plan = _plan(bpe_merge_candidates(_lt(spark, SF, "documents")))
     assert "TakeOrderedAndProject" in plan, plan
     assert "partial_" in plan  # map-side combine below the shuffles
+
+
+def test_ab_test_single_exchange_no_join(spark):
+    """The Welch test is ONE map-side-combined aggregate: a single
+    Exchange of (type x 6) partial sums, no join anywhere."""
+    import re as _re
+
+    from binlog_avro_comparator_spark.operators.analytics import ab_test_welch
+
+    plan = _plan(ab_test_welch(load_table(spark, SF, "events")))
+    assert len(_re.findall(r"^\(\d+\) Exchange", plan, _re.M)) == 1, plan
+    assert "Join" not in plan, plan
+    assert "partial_" in plan  # map-side combine below the shuffle
+
+
+def test_value_trend_single_exchange_no_join(spark):
+    """OLS from sufficient statistics: one aggregate, one Exchange,
+    no join, no sort of the fact table."""
+    import re as _re
+
+    from binlog_avro_comparator_spark.operators.analytics import value_trend_ols
+
+    plan = _plan(value_trend_ols(load_table(spark, SF, "events")))
+    assert len(_re.findall(r"^\(\d+\) Exchange", plan, _re.M)) == 1, plan
+    assert "Join" not in plan, plan
+    assert "Sort" not in plan.replace("SortAggregate", ""), plan
+
+
+def test_basket_pairs_broadcasts_dim_and_marginals(spark):
+    """part joins broadcast; the only shuffles key on the bounded
+    distinct (order, brand) frame, never raw lineitem rows."""
+    from binlog_avro_comparator_spark.operators.analytics import (
+        basket_brand_pairs,
+    )
+
+    plan = _plan(
+        basket_brand_pairs(
+            load_table(spark, SF, "lineitem"), load_table(spark, SF, "part")
+        )
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    # the a<b pair join keys on the order; no cartesian anywhere
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_erasure_audit_broadcast_only(spark):
+    """The purge-audit scan joins the request set map-side: no
+    Exchange of fact rows for the join (only the final 1-row
+    aggregates shuffle)."""
+    from binlog_avro_comparator_spark.operators.curation import (
+        erasure_audit,
+        erasure_requests_sample,
+    )
+
+    ev = load_table(spark, SF, "events")
+    plan = _plan(
+        erasure_audit([("events", ev, "user_id")], erasure_requests_sample(ev))
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
