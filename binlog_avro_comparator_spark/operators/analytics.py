@@ -2838,3 +2838,50 @@ def basket_brand_pairs(
             F.round(lift, 6).alias("lift"),
         )
     )
+
+
+def customer_360(orders: DataFrame, events: DataFrame) -> DataFrame:
+    """Entity-360 consolidation: the order side and the behavioral
+    side of a customer folded into one profile row per entity -- the
+    canonical warehouse "golden record" join, where neither side is
+    authoritative and absence on either side is itself a segment
+    (churned buyer, window shopper).
+
+    Both sides pre-aggregate to one row per key BEFORE the join --
+    max_by/count/sum fold map-side, so the FULL OUTER join shuffles
+    two key-sized frames, never raw facts (at 100 TB the join cost is
+    the entity count).  Money stays decimal until the final double
+    cast.  Returns (entity_id, n_orders, total_spend, n_events,
+    last_event_type, segment)."""
+    o = orders.groupBy(F.col("o_custkey").alias("__k")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("__spend"),
+    )
+    e = events.filter(F.col("user_id").isNotNull()).groupBy(
+        F.col("user_id").alias("__k")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.max_by(
+            "event_type",
+            F.struct(F.unix_millis("ts").alias("t"), F.col("event_id").alias("i")),
+        ).alias("last_event_type"),
+    )
+    j = o.join(e, "__k", "full_outer")
+    segment = (
+        F.when(F.col("n_orders").isNull(), "prospect")
+        .when(F.col("n_events").isNull(), "dormant_buyer")
+        .otherwise("active_buyer")
+    )
+    return j.select(
+        F.col("__k").alias("entity_id"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        F.round(
+            F.coalesce(
+                F.col("__spend"), F.lit(0).cast("decimal(18,2)")
+            ).cast("double"),
+            2,
+        ).alias("total_spend"),
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        "last_event_type",
+        segment.alias("segment"),
+    )

@@ -239,3 +239,89 @@ def scd2_lookup(history: DataFrame, probes: DataFrame) -> DataFrame:
         "state_value",
         "valid_from_ms",
     )
+
+
+def ivm_refresh_typestats(
+    events: DataFrame, cutoff: str = "2024-01-16"
+) -> DataFrame:
+    """Incremental view maintenance: refresh a materialized GROUP BY
+    view -- live users and their summed last_value per last_op -- from
+    a change delta WITHOUT recomputing it from the full feed.  This is
+    the Materialize/DBSP retraction recipe every CDC-fed dashboard
+    table ultimately needs: for each key the delta touches, RETRACT
+    the key's old contribution (-1, -value against its old group) and
+    ADD the new one (+1, +value against the new group); fold the
+    signed contributions into the stored view.
+
+    Here the "stored" inputs (the snapshot and view as of ``cutoff``)
+    are derived in-plan from the pre-cutoff feed so the operator is
+    self-contained and oracle-checkable; in production they are real
+    tables and ONLY the delta tier runs: one apply_changes fold over
+    the delta (key-sized), one equi-join of the affected keys against
+    the stored snapshot, one tiny signed aggregate merged into the
+    view -- the fact history is never rescanned, which is the whole
+    point at 100 TB.  Sums carry decimal(18,4) so retraction is EXACT
+    (a double running sum would drift from the recompute).  The DuckDB
+    oracle recomputes the view from the full feed; incremental ==
+    recompute is the correctness statement.  Returns (last_op,
+    n_users, sum_last_value)."""
+    cut = F.lit(cutoff).cast("timestamp")
+    dec = "decimal(18,4)"
+    old_snap = apply_changes(
+        events.filter(F.col("ts") < cut), keep_deletes=True
+    )
+    view_old = (
+        old_snap.filter(F.col("last_op") != "DELETE")
+        .groupBy("last_op")
+        .agg(
+            F.count("*").alias("__n0"),
+            F.sum(F.col("last_value").cast(dec)).alias("__s0"),
+        )
+    )
+    delta_last = apply_changes(
+        events.filter(F.col("ts") >= cut), keep_deletes=True
+    ).select(
+        "user_id",
+        F.col("last_op").alias("__d_op"),
+        F.col("last_value").alias("__d_val"),
+    )
+    # every delta change is newer than every stored change (cutoff
+    # semantics), so the delta's per-key fold IS the key's new state
+    affected = delta_last.join(
+        old_snap.select(
+            "user_id",
+            F.col("last_op").alias("__o_op"),
+            F.col("last_value").alias("__o_val"),
+        ),
+        "user_id",
+        "left",
+    )
+    retract = affected.filter(
+        F.col("__o_op").isNotNull() & (F.col("__o_op") != "DELETE")
+    ).select(
+        F.col("__o_op").alias("last_op"),
+        F.lit(-1).alias("__dn"),
+        (-F.col("__o_val").cast(dec)).alias("__dv"),
+    )
+    add = affected.filter(F.col("__d_op") != "DELETE").select(
+        F.col("__d_op").alias("last_op"),
+        F.lit(1).alias("__dn"),
+        F.col("__d_val").cast(dec).alias("__dv"),
+    )
+    contrib = (
+        retract.unionAll(add)
+        .groupBy("last_op")
+        .agg(F.sum("__dn").alias("__n1"), F.sum("__dv").alias("__s1"))
+    )
+    merged = view_old.join(contrib, "last_op", "full_outer")
+    zero = F.lit(0).cast(dec)
+    n = F.coalesce(F.col("__n0"), F.lit(0)) + F.coalesce(F.col("__n1"), F.lit(0))
+    s = F.coalesce(F.col("__s0"), zero) + F.coalesce(F.col("__s1"), zero)
+    return (
+        merged.select(
+            "last_op",
+            n.alias("n_users"),
+            F.round(s.cast("double"), 4).alias("sum_last_value"),
+        )
+        .filter(F.col("n_users") > 0)
+    )

@@ -2797,6 +2797,28 @@ def _q_erasure_audit(spark, sf_dir):
     )
 
 
+def _q_ivm_refresh(spark, sf_dir):
+    """Incremental view maintenance (snapshot.ivm_refresh_typestats):
+    signed retract/add contributions from the post-cutoff delta folded
+    into the stored per-op view; oracle recomputes from the full feed."""
+    ensure_session_conf(spark)
+    from ..operators.snapshot import ivm_refresh_typestats
+
+    return ivm_refresh_typestats(load_table(spark, sf_dir, "events"))
+
+
+def _q_customer_360(spark, sf_dir):
+    """Entity-360 golden record (analytics.customer_360): per-key
+    pre-aggregates on both sides, one FULL OUTER join of key-sized
+    frames, absence-as-segment."""
+    ensure_session_conf(spark)
+    from ..operators.analytics import customer_360
+
+    return customer_360(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "events")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     # NOTE on ordering: the external correctness driver checks the FIRST 50
     # entries of this dict (CORRECTNESS_r02 covered exactly queries 1..50).
@@ -2855,6 +2877,8 @@ def queries() -> dict[str, QueryFn]:
         "lineitem_basket_pairs": _q_basket_brand_pairs,
         "ann_hard_negatives": _q_hard_negatives,
         "gdpr_erasure_audit": _q_erasure_audit,
+        "cdc_ivm_refresh": _q_ivm_refresh,
+        "customer_360_profile": _q_customer_360,
         # -- NEW in r5: the payload tier + merge sit first (CDC core),
         # then the corpus-analysis / retrieval / graph / sketch / PQ
         # additions. --
@@ -6481,6 +6505,55 @@ SELECT 'orders' AS table_name,
        count(DISTINCT CASE WHEN o_custkey IN (SELECT subject FROM req)
                            THEN o_custkey END) AS n_subjects_purged
 FROM orders""",
+        # twin of snapshot.ivm_refresh_typestats: the view recomputed
+        # from the FULL feed -- incremental == recompute is the claim
+        "cdc_ivm_refresh": """
+WITH changes AS (
+  SELECT user_id,
+         CASE event_type WHEN 'click' THEN 'INSERT'
+                         WHEN 'view' THEN 'UPDATE'
+                         ELSE 'DELETE' END AS op,
+         epoch_ms(ts) AS ts_ms, event_id, value
+  FROM events
+  WHERE event_type IN ('click', 'view', 'purchase') AND user_id IS NOT NULL
+),
+snap AS (
+  SELECT user_id, op AS last_op, round(value, 4) AS last_value
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts_ms DESC, event_id DESC) AS rn
+    FROM changes
+  ) WHERE rn = 1 AND op <> 'DELETE'
+)
+SELECT last_op, count(*) AS n_users,
+       round(CAST(sum(CAST(last_value AS DECIMAL(18,4))) AS DOUBLE), 4)
+         AS sum_last_value
+FROM snap GROUP BY last_op""",
+        # twin of analytics.customer_360
+        "customer_360_profile": """
+WITH o AS (
+  SELECT o_custkey AS k, count(*) AS n_orders,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+  FROM orders GROUP BY 1
+),
+ev AS (
+  SELECT user_id AS k, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_events
+  FROM events WHERE user_id IS NOT NULL
+),
+e AS (SELECT k, n_events, event_type AS last_event_type FROM ev WHERE rn = 1)
+SELECT coalesce(o.k, e.k) AS entity_id,
+       coalesce(n_orders, 0) AS n_orders,
+       round(CAST(coalesce(spend, CAST(0 AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS total_spend,
+       coalesce(n_events, 0) AS n_events,
+       last_event_type,
+       CASE WHEN o.k IS NULL THEN 'prospect'
+            WHEN e.k IS NULL THEN 'dormant_buyer'
+            ELSE 'active_buyer' END AS segment
+FROM o FULL OUTER JOIN e ON o.k = e.k""",
         # twin of analytics.rolling_monthly_active_customers
         "orders_rolling_mau": """
 WITH cm AS (

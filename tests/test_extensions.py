@@ -2967,3 +2967,73 @@ def test_erasure_sweep_purges_and_audits_consistently(spark):
     req2 = spark.createDataFrame([(99,)], "user_id long")
     audit2 = erasure_audit([("events", ev, "user_id")], req2).collect()[0]
     assert audit2.n_rows_purged == 0 and audit2.n_subjects_purged == 0
+
+
+def test_ivm_refresh_equals_full_recompute(spark):
+    """The retraction algebra: a user moving between groups across the
+    cutoff, a post-cutoff delete, and a brand-new user all land the
+    incremental view exactly on the full recompute."""
+    from binlog_avro_comparator_spark.operators.snapshot import (
+        apply_changes,
+        ivm_refresh_typestats,
+    )
+
+    rows = [
+        # pre-cutoff: u1 INSERT (click), u2 UPDATE-last (view), u3 click
+        (1, "2024-01-10 00:00:00", 1, "click", 10.0),
+        (2, "2024-01-11 00:00:00", 2, "click", 20.0),
+        (3, "2024-01-12 00:00:00", 2, "view", 21.0),
+        (4, "2024-01-13 00:00:00", 3, "click", 30.0),
+        # post-cutoff: u1 flips to view-group, u3 deleted, u4 appears
+        (5, "2024-01-20 00:00:00", 1, "view", 11.0),
+        (6, "2024-01-21 00:00:00", 3, "purchase", 0.0),
+        (7, "2024-01-22 00:00:00", 4, "click", 40.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r.last_op: r for r in ivm_refresh_typestats(ev).collect()}
+    full = (
+        apply_changes(ev)
+        .groupBy("last_op")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.round(
+                F.sum(F.col("last_value").cast("decimal(18,4)")).cast("double"), 4
+            ).alias("sum_last_value"),
+        )
+        .collect()
+    )
+    want = {r.last_op: r for r in full}
+    assert set(got) == set(want) == {"INSERT", "UPDATE"}
+    for op in want:
+        assert got[op].n_users == want[op].n_users, op
+        assert got[op].sum_last_value == want[op].sum_last_value, op
+    # spot values: INSERT group is u4 only (u1 moved out, u3 deleted)
+    assert got["INSERT"].n_users == 1 and got["INSERT"].sum_last_value == 40.0
+    # UPDATE group: u1 (11.0) + u2 (21.0)
+    assert got["UPDATE"].n_users == 2 and got["UPDATE"].sum_last_value == 32.0
+
+
+def test_customer_360_segments(spark):
+    from binlog_avro_comparator_spark.operators.analytics import customer_360
+
+    orders = spark.createDataFrame(
+        [(1, 10, 100.0), (2, 10, 50.0), (3, 20, 25.0)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 10, "view"),
+            (2, "2024-01-02 00:00:00", 10, "click"),
+            (3, "2024-01-01 00:00:00", 30, "view"),
+        ],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r.entity_id: r for r in customer_360(orders, events).collect()}
+    assert got[10].segment == "active_buyer"
+    assert got[10].n_orders == 2 and got[10].total_spend == 150.0
+    assert got[10].last_event_type == "click"  # latest ts wins
+    assert got[20].segment == "dormant_buyer" and got[20].n_events == 0
+    assert got[30].segment == "prospect" and got[30].n_orders == 0
+    assert got[30].total_spend == 0.0
