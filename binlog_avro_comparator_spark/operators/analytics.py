@@ -2885,3 +2885,61 @@ def customer_360(orders: DataFrame, events: DataFrame) -> DataFrame:
         "last_event_type",
         segment.alias("segment"),
     )
+
+
+def chi_square_independence(events: DataFrame) -> DataFrame:
+    """Pearson chi-square test of independence between event type and
+    hour-of-day -- "does behavior depend on time of day", the
+    categorical counterpart of the A/B tier's mean tests.
+
+    The contingency table is ONE map-side-combined aggregate (type x
+    24 cells); marginals, the grand total, and the full r x c grid
+    (including EMPTY cells, whose expected counts still contribute)
+    all derive from that tiny frame -- broadcast-sized joins, the fact
+    table is scanned once.  Per-cell contributions are rounded at 9 dp
+    and summed as decimals, so the statistic is order-independent (a
+    raw double sum over cells would vary with partitioning); Cramer's
+    V normalizes it to [0, 1].  Returns one row (n_rows, n_cols, dof,
+    chi2, cramers_v)."""
+    cells = events.groupBy(
+        "event_type", F.hour("ts").alias("__h")
+    ).agg(F.count("*").alias("__o"))
+    from ..functions.caching import scoped_cache
+
+    cells = scoped_cache(cells)
+    rowt = cells.groupBy("event_type").agg(F.sum("__o").alias("__rt"))
+    colt = cells.groupBy("__h").agg(F.sum("__o").alias("__ct"))
+    tot = cells.agg(F.sum("__o").alias("__n"))
+    grid = (
+        rowt.crossJoin(colt)
+        .join(cells, ["event_type", "__h"], "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    o = F.coalesce(F.col("__o"), F.lit(0)).cast("double")
+    e = (
+        F.col("__rt").cast("double")
+        * F.col("__ct").cast("double")
+        / F.col("__n").cast("double")
+    )
+    contrib = F.round((o - e) * (o - e) / e, 9).cast("decimal(38,12)")
+    agg = grid.agg(
+        F.sum(contrib).alias("__chi2"),
+        F.count_distinct("event_type").alias("__r"),
+        F.count_distinct("__h").alias("__c"),
+        F.max("__n").alias("__nn"),
+    )
+    chi2 = F.col("__chi2").cast("double")
+    v = F.sqrt(
+        chi2
+        / (
+            F.col("__nn").cast("double")
+            * F.least(F.col("__r") - 1, F.col("__c") - 1).cast("double")
+        )
+    )
+    return agg.select(
+        F.col("__r").alias("n_rows"),
+        F.col("__c").alias("n_cols"),
+        ((F.col("__r") - 1) * (F.col("__c") - 1)).alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(v, 6).alias("cramers_v"),
+    )

@@ -2819,6 +2819,16 @@ def _q_customer_360(spark, sf_dir):
     )
 
 
+def _q_chi_square(spark, sf_dir):
+    """Chi-square independence of event type x hour-of-day
+    (analytics.chi_square_independence): one contingency aggregate,
+    decimal-summed cell contributions, Cramer's V."""
+    ensure_session_conf(spark)
+    from ..operators.analytics import chi_square_independence
+
+    return chi_square_independence(load_table(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, QueryFn]:
     # NOTE on ordering: the external correctness driver checks the FIRST 50
     # entries of this dict (CORRECTNESS_r02 covered exactly queries 1..50).
@@ -2879,6 +2889,7 @@ def queries() -> dict[str, QueryFn]:
         "gdpr_erasure_audit": _q_erasure_audit,
         "cdc_ivm_refresh": _q_ivm_refresh,
         "customer_360_profile": _q_customer_360,
+        "events_chi_square": _q_chi_square,
         # -- NEW in r5: the payload tier + merge sit first (CDC core),
         # then the corpus-analysis / retrieval / graph / sketch / PQ
         # additions. --
@@ -6554,6 +6565,40 @@ SELECT coalesce(o.k, e.k) AS entity_id,
             WHEN e.k IS NULL THEN 'dormant_buyer'
             ELSE 'active_buyer' END AS segment
 FROM o FULL OUTER JOIN e ON o.k = e.k""",
+        # twin of analytics.chi_square_independence
+        "events_chi_square": """
+WITH cells AS (
+  SELECT event_type, hour(ts) AS h, count(*) AS o
+  FROM events GROUP BY 1, 2
+),
+rowt AS (SELECT event_type, sum(o) AS rt FROM cells GROUP BY 1),
+colt AS (SELECT h, sum(o) AS ct FROM cells GROUP BY 1),
+tot AS (SELECT sum(o) AS n FROM cells),
+grid AS (
+  SELECT r.event_type, c.h, rt, ct, n, coalesce(cells.o, 0) AS o
+  FROM rowt r CROSS JOIN colt c
+  LEFT JOIN cells ON cells.event_type = r.event_type AND cells.h = c.h
+  CROSS JOIN tot
+),
+contrib AS (
+  SELECT event_type, h, n,
+         CAST(round((CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                    / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+              AS DECIMAL(38,12)) AS cc
+  FROM grid
+),
+agg AS (
+  SELECT sum(cc) AS chi2d, count(DISTINCT event_type) AS r,
+         count(DISTINCT h) AS c, max(n) AS nn
+  FROM contrib
+)
+SELECT r AS n_rows, c AS n_cols, (r - 1) * (c - 1) AS dof,
+       round(CAST(chi2d AS DOUBLE), 6) AS chi2,
+       round(sqrt(CAST(chi2d AS DOUBLE)
+                  / (CAST(nn AS DOUBLE) * CAST(least(r - 1, c - 1) AS DOUBLE))), 6)
+         AS cramers_v
+FROM agg""",
         # twin of analytics.rolling_monthly_active_customers
         "orders_rolling_mau": """
 WITH cm AS (

@@ -3037,3 +3037,36 @@ def test_customer_360_segments(spark):
     assert got[20].segment == "dormant_buyer" and got[20].n_events == 0
     assert got[30].segment == "prospect" and got[30].n_orders == 0
     assert got[30].total_spend == 0.0
+
+
+def test_chi_square_independence_semantics(spark):
+    """A perfectly independent 2x2 table scores chi2 == 0; a fully
+    dependent one scores chi2 == N (Cramer's V == 1); empty grid
+    cells still contribute their expected counts."""
+    from binlog_avro_comparator_spark.operators.analytics import (
+        chi_square_independence,
+    )
+
+    def mk(rows):
+        out, eid = [], 0
+        for (et, hour, n) in rows:
+            for _ in range(n):
+                out.append((eid, f"2024-01-01 {hour:02d}:00:00", et))
+                eid += 1
+        return spark.createDataFrame(
+            out, "event_id long, ts string, event_type string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    # independent: both types spread 50/50 over both hours
+    ind = chi_square_independence(
+        mk([("a", 1, 10), ("a", 2, 10), ("b", 1, 20), ("b", 2, 20)])
+    ).collect()[0]
+    assert ind.dof == 1 and ind.chi2 == 0.0 and ind.cramers_v == 0.0
+    # fully dependent: type determines the hour; the (a,2)/(b,1) grid
+    # cells are EMPTY and must still contribute
+    dep = chi_square_independence(
+        mk([("a", 1, 15), ("b", 2, 15)])
+    ).collect()[0]
+    assert dep.dof == 1
+    assert abs(dep.chi2 - 30.0) < 1e-6  # chi2 == N for a perfect 2x2
+    assert abs(dep.cramers_v - 1.0) < 1e-9
