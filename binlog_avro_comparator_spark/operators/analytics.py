@@ -2943,3 +2943,122 @@ def chi_square_independence(events: DataFrame) -> DataFrame:
         F.round(chi2, 6).alias("chi2"),
         F.round(v, 6).alias("cramers_v"),
     )
+
+
+def psi_drift_report(
+    events: DataFrame, cutoff: str = "2024-01-16", n_buckets: int = 10
+) -> DataFrame:
+    """Population stability index between the pre-cutoff (reference)
+    and post-cutoff (current) value distributions -- the ML-ops drift
+    gate that decides whether a model's input distribution moved
+    enough to retrain.
+
+    Bucket edges are the reference deciles (R-7, ulp-pre-rounded at
+    1e-9 then published at 6 dp -- the winsorize discipline), computed
+    by ONE tiny aggregate and broadcast as an array; each side's
+    bucket assignment is a JVM-side array filter against that rounded
+    edge list, so both engines place boundary-adjacent values
+    identically.  Proportions are Laplace-smoothed ((c + 0.5) /
+    (n + buckets/2)) so an empty bucket contributes a finite term;
+    each contribution is rounded at 9 dp (absorbing cross-libm ln
+    ulps) and the total sums as decimals.  Returns one row per bucket
+    (bucket, n_ref, n_cur, psi_contrib, psi_total)."""
+    cut = F.lit(cutoff).cast("timestamp")
+    base = events.filter(F.col("value").isNotNull())
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    edges = base.filter(F.col("ts") < cut).agg(
+        F.array(
+            *[
+                F.round(F.round(F.percentile("value", F.lit(q)), 9), 6)
+                for q in qs
+            ]
+        ).alias("__edges")
+    )
+    bucketed = base.crossJoin(F.broadcast(edges)).select(
+        (F.col("ts") >= cut).alias("__cur"),
+        F.size(
+            F.filter(F.col("__edges"), lambda b: b < F.col("value"))
+        ).alias("bucket"),
+    )
+    counts = bucketed.groupBy("bucket").agg(
+        F.count(F.when(~F.col("__cur"), 1)).alias("n_ref"),
+        F.count(F.when(F.col("__cur"), 1)).alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc")
+    )
+    half = F.lit(n_buckets / 2.0)
+    j = counts.crossJoin(F.broadcast(tot))
+    p = (F.col("n_ref").cast("double") + 0.5) / (
+        F.col("__tr").cast("double") + half
+    )
+    q = (F.col("n_cur").cast("double") + 0.5) / (
+        F.col("__tc").cast("double") + half
+    )
+    contrib = F.round((p - q) * F.log(p / q), 9).cast("decimal(38,12)")
+    per_bucket = j.select(
+        "bucket", "n_ref", "n_cur", contrib.alias("__contrib")
+    )
+    from ..functions.caching import scoped_cache
+
+    per_bucket = scoped_cache(per_bucket)
+    total = per_bucket.agg(
+        F.round(F.sum("__contrib").cast("double"), 6).alias("psi_total")
+    )
+    return per_bucket.crossJoin(F.broadcast(total)).select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.round(F.col("__contrib").cast("double"), 6).alias("psi_contrib"),
+        "psi_total",
+    )
+
+
+def ks_drift_report(events: DataFrame, cutoff: str = "2024-01-16") -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic per event type,
+    computed over the HDR bucket sketch rather than raw values -- the
+    100 TB-shaped KS: both sides collapse to (type, bucket) counts
+    (pure-integer bucketing, map-side combined), the empirical CDFs
+    walk the AGGREGATED few-hundred-row frame, and the statistic is
+    the max |CDF_pre - CDF_post| over shared bucket support.  Bucket
+    granularity bounds the error exactly like hdr_quantiles' estimates
+    (<= the bucket's probability mass).  Returns (event_type, n_pre,
+    n_post, ks_stat)."""
+    cut = F.lit(cutoff).cast("timestamp")
+    # hdr_bucket_frame's exact integer bucketing, with the pre/post
+    # side tag carried through (the shared frame projects only
+    # (event_type, __idx), so the arithmetic is restated inline)
+    u = F.floor(F.col("value") * 100).cast("long")
+    base = events.filter(F.col("value").isNotNull()).select(
+        "event_type", (F.col("ts") >= cut).alias("__cur"), u.alias("__u")
+    )
+    b = F.length(F.bin(F.col("__u"))).cast("long")
+    top5 = F.expr("shiftright(__u, cast(length(bin(__u)) - 5 as int))")
+    idx = F.when(F.col("__u") < 16, F.col("__u")).otherwise((b - 5) * 16 + top5)
+    counts = base.select(
+        "event_type", "__cur", idx.alias("__idx")
+    ).groupBy("event_type", "__idx").agg(
+        F.count(F.when(~F.col("__cur"), 1)).alias("__np"),
+        F.count(F.when(F.col("__cur"), 1)).alias("__nc"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("__idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy("event_type")
+    cdfp = F.sum("__np").over(w).cast("double") / F.sum("__np").over(
+        tot_w
+    ).cast("double")
+    cdfc = F.sum("__nc").over(w).cast("double") / F.sum("__nc").over(
+        tot_w
+    ).cast("double")
+    walked = counts.select(
+        "event_type",
+        F.sum("__np").over(tot_w).alias("n_pre"),
+        F.sum("__nc").over(tot_w).alias("n_post"),
+        F.round(F.abs(cdfp - cdfc), 9).alias("__d"),
+    )
+    return walked.groupBy("event_type", "n_pre", "n_post").agg(
+        F.round(F.max("__d"), 6).alias("ks_stat")
+    )

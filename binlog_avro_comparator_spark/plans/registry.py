@@ -2829,6 +2829,25 @@ def _q_chi_square(spark, sf_dir):
     return chi_square_independence(load_table(spark, sf_dir, "events"))
 
 
+def _q_psi_drift(spark, sf_dir):
+    """Population stability index pre/post cutoff
+    (analytics.psi_drift_report): reference-decile buckets, smoothed
+    proportions, decimal-summed contributions."""
+    ensure_session_conf(spark)
+    from ..operators.analytics import psi_drift_report
+
+    return psi_drift_report(load_table(spark, sf_dir, "events"))
+
+
+def _q_ks_drift(spark, sf_dir):
+    """Two-sample KS drift per type over the HDR bucket sketch
+    (analytics.ks_drift_report)."""
+    ensure_session_conf(spark)
+    from ..operators.analytics import ks_drift_report
+
+    return ks_drift_report(load_table(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, QueryFn]:
     # NOTE on ordering: the external correctness driver checks the FIRST 50
     # entries of this dict (CORRECTNESS_r02 covered exactly queries 1..50).
@@ -2890,6 +2909,8 @@ def queries() -> dict[str, QueryFn]:
         "cdc_ivm_refresh": _q_ivm_refresh,
         "customer_360_profile": _q_customer_360,
         "events_chi_square": _q_chi_square,
+        "events_psi_drift": _q_psi_drift,
+        "events_ks_drift": _q_ks_drift,
         # -- NEW in r5: the payload tier + merge sit first (CDC core),
         # then the corpus-analysis / retrieval / graph / sketch / PQ
         # additions. --
@@ -6599,6 +6620,75 @@ SELECT r AS n_rows, c AS n_cols, (r - 1) * (c - 1) AS dof,
                   / (CAST(nn AS DOUBLE) * CAST(least(r - 1, c - 1) AS DOUBLE))), 6)
          AS cramers_v
 FROM agg""",
+        # twin of analytics.psi_drift_report
+        "events_psi_drift": """
+WITH base AS (SELECT ts, value FROM events WHERE value IS NOT NULL),
+edges AS (
+  SELECT [round(round(quantile_cont(value, 0.1), 9), 6), round(round(quantile_cont(value, 0.2), 9), 6), round(round(quantile_cont(value, 0.3), 9), 6), round(round(quantile_cont(value, 0.4), 9), 6), round(round(quantile_cont(value, 0.5), 9), 6), round(round(quantile_cont(value, 0.6), 9), 6), round(round(quantile_cont(value, 0.7), 9), 6), round(round(quantile_cont(value, 0.8), 9), 6), round(round(quantile_cont(value, 0.9), 9), 6)] AS e
+  FROM base WHERE ts < TIMESTAMP '2024-01-16'
+),
+bucketed AS (
+  SELECT (ts >= TIMESTAMP '2024-01-16') AS cur,
+         len(list_filter(e, b -> b < value)) AS bucket
+  FROM base CROSS JOIN edges
+),
+counts AS (
+  SELECT bucket,
+         count(*) FILTER (WHERE NOT cur) AS n_ref,
+         count(*) FILTER (WHERE cur) AS n_cur
+  FROM bucketed GROUP BY 1
+),
+tot AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM counts),
+per AS (
+  SELECT bucket, n_ref, n_cur,
+         CAST(round(((CAST(n_ref AS DOUBLE) + 0.5) / (CAST(tr AS DOUBLE) + 5.0)
+                     - (CAST(n_cur AS DOUBLE) + 0.5) / (CAST(tc AS DOUBLE) + 5.0))
+                    * ln(((CAST(n_ref AS DOUBLE) + 0.5) / (CAST(tr AS DOUBLE) + 5.0))
+                         / ((CAST(n_cur AS DOUBLE) + 0.5) / (CAST(tc AS DOUBLE) + 5.0))),
+                    9) AS DECIMAL(38,12)) AS contrib
+  FROM counts CROSS JOIN tot
+),
+tt AS (SELECT round(CAST(sum(contrib) AS DOUBLE), 6) AS psi_total FROM per)
+SELECT bucket, n_ref, n_cur,
+       round(CAST(contrib AS DOUBLE), 6) AS psi_contrib, psi_total
+FROM per CROSS JOIN tt""",
+        # twin of analytics.ks_drift_report (HDR bucket arithmetic
+        # shared with events_hdr_quantiles)
+        "events_ks_drift": """
+WITH base AS (
+  SELECT event_type, (ts >= TIMESTAMP '2024-01-16') AS cur,
+         CAST(floor(value * 100) AS BIGINT) AS u
+  FROM events WHERE value IS NOT NULL
+),
+ix AS (
+  SELECT event_type, cur,
+         CASE WHEN u < 16 THEN u
+              ELSE (length(bin(u)) - 5) * 16 + (u >> (length(bin(u)) - 5))
+         END AS idx
+  FROM base
+),
+hist AS (
+  SELECT event_type, idx,
+         count(*) FILTER (WHERE NOT cur) AS np,
+         count(*) FILTER (WHERE cur) AS nc
+  FROM ix GROUP BY 1, 2
+),
+walked AS (
+  SELECT event_type,
+         sum(np) OVER (PARTITION BY event_type) AS n_pre,
+         sum(nc) OVER (PARTITION BY event_type) AS n_post,
+         round(abs(CAST(sum(np) OVER (PARTITION BY event_type ORDER BY idx
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                     / CAST(sum(np) OVER (PARTITION BY event_type) AS DOUBLE)
+                   - CAST(sum(nc) OVER (PARTITION BY event_type ORDER BY idx
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                     / CAST(sum(nc) OVER (PARTITION BY event_type) AS DOUBLE)),
+               9) AS d
+  FROM hist
+)
+SELECT event_type, CAST(n_pre AS BIGINT) AS n_pre,
+       CAST(n_post AS BIGINT) AS n_post, round(max(d), 6) AS ks_stat
+FROM walked GROUP BY event_type, n_pre, n_post""",
         # twin of analytics.rolling_monthly_active_customers
         "orders_rolling_mau": """
 WITH cm AS (

@@ -3070,3 +3070,59 @@ def test_chi_square_independence_semantics(spark):
     assert dep.dof == 1
     assert abs(dep.chi2 - 30.0) < 1e-6  # chi2 == N for a perfect 2x2
     assert abs(dep.cramers_v - 1.0) < 1e-9
+
+
+def test_psi_drift_detects_planted_shift(spark):
+    """Identical pre/post distributions score ~0 PSI; a shifted
+    post-cutoff distribution scores big; contributions sum to the
+    published total."""
+    from binlog_avro_comparator_spark.operators.analytics import (
+        psi_drift_report,
+    )
+
+    def mk(post_offset):
+        rows = []
+        for i in range(400):
+            rows.append((i, "2024-01-05 00:00:00", float(i % 100)))
+        for i in range(400):
+            rows.append(
+                (1000 + i, "2024-01-25 00:00:00", float(i % 100 + post_offset))
+            )
+        return spark.createDataFrame(
+            rows, "event_id long, ts string, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    stable = psi_drift_report(mk(0)).collect()
+    assert len(stable) == 10
+    assert all(abs(r.psi_total) < 0.01 for r in stable)
+    assert (
+        abs(sum(r.psi_contrib for r in stable) - stable[0].psi_total) < 1e-4
+    )
+    shifted = psi_drift_report(mk(80)).collect()
+    assert shifted[0].psi_total > 0.5  # industry "significant drift" >> 0.2
+
+
+def test_ks_drift_bounds_and_shift(spark):
+    """KS == 0 for identical sides, ~1 for disjoint supports, and the
+    statistic is invariant to repartitioning (sketch determinism)."""
+    from binlog_avro_comparator_spark.operators.analytics import ks_drift_report
+
+    def mk(post_base):
+        rows = []
+        for i in range(300):
+            rows.append((i, "2024-01-05 00:00:00", "t", float(1 + i % 50)))
+            rows.append(
+                (1000 + i, "2024-01-25 00:00:00", "t", float(post_base + i % 50))
+            )
+        return spark.createDataFrame(
+            rows, "event_id long, ts string, event_type string, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    same = ks_drift_report(mk(1)).collect()[0]
+    assert same.ks_stat == 0.0 and same.n_pre == 300 and same.n_post == 300
+    disjoint = ks_drift_report(mk(100000)).collect()[0]
+    assert disjoint.ks_stat == 1.0
+    df = mk(25)
+    a = ks_drift_report(df).collect()[0].ks_stat
+    b = ks_drift_report(df.repartition(17)).collect()[0].ks_stat
+    assert a == b and 0.0 < a < 1.0
