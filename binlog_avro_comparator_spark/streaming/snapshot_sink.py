@@ -196,3 +196,132 @@ def read_snapshot(
         F.round(F.col("last.value"), 4).alias("last_value"),
         "n_changes",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming IVM: maintain a downstream GROUP BY view NEXT TO the snapshot,
+# with retraction arithmetic per micro-batch (the streaming twin of
+# operators/snapshot.ivm_refresh_typestats).
+
+_DEC = "decimal(18,4)"
+
+
+def _contributions(delta: DataFrame, old_state: DataFrame | None) -> DataFrame:
+    """Signed view contributions for one micro-batch: for each key the
+    delta touches, retract the key's OLD live contribution and add its
+    NEW merged one.  The new per-key state is max((ts, id)) of stored
+    vs delta -- NOT "delta wins" -- so arbitrary batch boundaries
+    (out-of-order replay chunks) land on the same view as any other
+    order; that associativity is what lets the view never be
+    recomputed.  Returns (last_op, __dn, __dv) rows."""
+    d = delta.select(
+        "user_id",
+        F.col("last").alias("__d_last"),
+    )
+    if old_state is not None:
+        o = old_state.select(
+            "user_id", F.col("last").alias("__o_last")
+        )
+        j = d.join(o, "user_id", "left")
+    else:
+        j = d.withColumn(
+            "__o_last", F.lit(None).cast(d.schema["__d_last"].dataType)
+        )
+    take_delta = F.col("__o_last").isNull() | (
+        F.struct(F.col("__d_last.ts_ms"), F.col("__d_last.event_id"))
+        > F.struct(F.col("__o_last.ts_ms"), F.col("__o_last.event_id"))
+    )
+    j = j.withColumn(
+        "__n_last", F.when(take_delta, F.col("__d_last")).otherwise(F.col("__o_last"))
+    )
+    val = lambda c: F.round(F.col(f"{c}.value"), 4).cast(_DEC)  # noqa: E731
+    retract = j.filter(
+        F.col("__o_last").isNotNull() & (F.col("__o_last.op") != "DELETE")
+    ).select(
+        F.col("__o_last.op").alias("last_op"),
+        F.lit(-1).alias("__dn"),
+        (-val("__o_last")).alias("__dv"),
+    )
+    add = j.filter(F.col("__n_last.op") != "DELETE").select(
+        F.col("__n_last.op").alias("last_op"),
+        F.lit(1).alias("__dn"),
+        val("__n_last").alias("__dv"),
+    )
+    return retract.unionAll(add)
+
+
+def commit_ivm_batch(
+    spark: SparkSession, work_dir: str, batch_df: DataFrame, batch_id: int
+) -> None:
+    """Fold one micro-batch into versioned (state, view) twins: the
+    snapshot state merges as in commit_batch; the VIEW folds only the
+    signed contributions of the batch's affected keys -- it is never
+    rebuilt from the state, which is the IVM contract.  Same
+    write-new-then-swing-pointer idempotency as commit_batch."""
+    prev = _latest_version(work_dir)
+    if prev is not None and os.path.basename(prev) == f"v{batch_id}":
+        return
+    delta = _batch_state(batch_df)
+    old_state = spark.read.parquet(os.path.join(prev, "state")) if prev else None
+    contrib = (
+        _contributions(delta, old_state)
+        .groupBy("last_op")
+        .agg(F.sum("__dn").alias("__n1"), F.sum("__dv").alias("__s1"))
+    )
+    if prev:
+        old_view = spark.read.parquet(os.path.join(prev, "view"))
+        merged_view = old_view.join(contrib, "last_op", "full_outer").select(
+            "last_op",
+            (
+                F.coalesce(F.col("n_users"), F.lit(0))
+                + F.coalesce(F.col("__n1"), F.lit(0))
+            ).alias("n_users"),
+            (
+                F.coalesce(F.col("__sum"), F.lit(0).cast(_DEC))
+                + F.coalesce(F.col("__s1"), F.lit(0).cast(_DEC))
+            ).alias("__sum"),
+        )
+        new_state = merge_states(old_state, delta)
+    else:
+        merged_view = contrib.select(
+            "last_op",
+            F.col("__n1").alias("n_users"),
+            F.col("__s1").alias("__sum"),
+        )
+        new_state = delta
+    vdir = os.path.join(work_dir, f"v{batch_id}")
+    new_state.write.mode("overwrite").parquet(os.path.join(vdir, "state"))
+    merged_view.write.mode("overwrite").parquet(os.path.join(vdir, "view"))
+    pointer = os.path.join(work_dir, "LATEST")
+    tmp = pointer + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(f"v{batch_id}")
+    os.replace(tmp, pointer)
+
+
+def maintain_ivm(events_stream: DataFrame, work_dir: str, checkpoint_dir: str):
+    """Start the foreachBatch IVM maintenance query (caller awaits)."""
+    os.makedirs(work_dir, exist_ok=True)
+    spark = events_stream.sparkSession
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        commit_ivm_batch(spark, work_dir, batch_df, batch_id)
+
+    return (
+        events_stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_ivm_view(spark: SparkSession, work_dir: str) -> DataFrame:
+    """The maintained view at LATEST: live groups only, sum published
+    as a rounded double (the batch operator's read shape)."""
+    latest = _latest_version(work_dir)
+    view = spark.read.parquet(os.path.join(latest, "view"))
+    return view.filter(F.col("n_users") > 0).select(
+        "last_op",
+        "n_users",
+        F.round(F.col("__sum").cast("double"), 4).alias("sum_last_value"),
+    )

@@ -510,3 +510,63 @@ def test_run_comparison_binary_payload_findings_end_to_end(spark, tmp_path):
     # the metadata tier still agrees on every key
     s = res.summary.collect()[0]
     assert (s.matched, s.avro_only, s.binlog_only) == (4, 0, 0)
+
+
+def test_ivm_stream_out_of_order_batches_and_idempotent_replay(spark, tmp_path):
+    """commit_ivm_batch: batch 2 carries an OLDER event for a user than
+    batch 1 (arbitrary chunk boundaries) -- the merged view must still
+    equal the full recompute; replaying a committed batch is a no-op."""
+    from binlog_avro_comparator_spark.operators.snapshot import apply_changes
+    from binlog_avro_comparator_spark.streaming.snapshot_sink import (
+        commit_ivm_batch,
+        read_ivm_view,
+    )
+
+    def ev(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, event_type string, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    # u1: view(5.0) at t2 arrives in batch 1, click(9.0) at t1 arrives
+    # LATER in batch 2 (older event, must NOT displace the view state);
+    # u2: click in b1 then purchase (delete) in b2; u3 only in b2
+    b1 = ev([
+        (2, "2024-01-02 00:00:00", 1, "view", 5.0),
+        (3, "2024-01-01 00:00:00", 2, "click", 7.0),
+    ])
+    b2 = ev([
+        (1, "2024-01-01 00:00:00", 1, "click", 9.0),
+        (4, "2024-01-03 00:00:00", 2, "purchase", 0.0),
+        (5, "2024-01-02 00:00:00", 3, "click", 3.0),
+    ])
+    work = str(tmp_path / "ivm")
+    import os
+
+    os.makedirs(work)
+    commit_ivm_batch(spark, work, b1, 0)
+    commit_ivm_batch(spark, work, b2, 1)
+    got = {r.last_op: r for r in read_ivm_view(spark, work).collect()}
+    full = {
+        r.last_op: r
+        for r in apply_changes(b1.unionAll(b2))
+        .groupBy("last_op")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.round(
+                F.sum(F.col("last_value").cast("decimal(18,4)")).cast("double"), 4
+            ).alias("sum_last_value"),
+        )
+        .collect()
+    }
+    assert set(got) == set(full) == {"UPDATE", "INSERT"}
+    for op in full:
+        assert got[op].n_users == full[op].n_users
+        assert got[op].sum_last_value == full[op].sum_last_value
+    # u1 stayed in the view-group with value 5.0 (older click ignored),
+    # u2 erased, u3 inserted
+    assert got["UPDATE"].n_users == 1 and got["UPDATE"].sum_last_value == 5.0
+    assert got["INSERT"].n_users == 1 and got["INSERT"].sum_last_value == 3.0
+    # at-least-once replay of batch 1: pointer already swung -> no-op
+    before = sorted(read_ivm_view(spark, work).collect())
+    commit_ivm_batch(spark, work, b2, 1)
+    assert sorted(read_ivm_view(spark, work).collect()) == before
