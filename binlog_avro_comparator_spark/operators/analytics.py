@@ -3062,3 +3062,52 @@ def ks_drift_report(events: DataFrame, cutoff: str = "2024-01-16") -> DataFrame:
     return walked.groupBy("event_type", "n_pre", "n_post").agg(
         F.round(F.max("__d"), 6).alias("ks_stat")
     )
+
+
+def mad_anomalies(events: DataFrame, z_cut: float = 3.5) -> DataFrame:
+    """Robust outlier flags via the median absolute deviation -- the
+    Iglewicz-Hoaglin modified z-score (0.6745 * (x - median) / MAD)
+    that value_anomalies' moment-based z cannot give you when the
+    contamination itself inflates the standard deviation (one fat
+    tail and sigma doubles; the median and MAD barely move).
+
+    Two tiny per-type aggregates: the median (R-7, ulp-pre-rounded at
+    1e-9 then 6 dp -- the winsorize discipline), then the MAD over
+    deviations from the BROADCAST median; both broadcast back onto the
+    stream, so the corpus is scanned twice and shuffled never.
+    Zero-MAD groups (constant values) pin the score to 0.0 on both
+    engines.  Returns (event_id, event_type, value, mod_z,
+    is_anomaly)."""
+    base = events.filter(F.col("value").isNotNull())
+    med = base.groupBy("event_type").agg(
+        F.round(F.round(F.percentile("value", F.lit(0.5)), 9), 6).alias("__med")
+    )
+    dev = base.select("event_type", "value").join(
+        F.broadcast(med), "event_type"
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(
+            F.round(
+                F.percentile(F.abs(F.col("value") - F.col("__med")), F.lit(0.5)),
+                9,
+            ),
+            6,
+        ).alias("__mad")
+    )
+    scored = base.select("event_id", "event_type", "value").join(
+        F.broadcast(med.join(mad, "event_type")), "event_type"
+    )
+    z = F.round(
+        F.when(
+            F.col("__mad") > 0,
+            F.lit(0.6745) * (F.col("value") - F.col("__med")) / F.col("__mad"),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    return scored.select(
+        "event_id",
+        "event_type",
+        "value",
+        z.alias("mod_z"),
+        (F.abs(z) > z_cut).alias("is_anomaly"),
+    )

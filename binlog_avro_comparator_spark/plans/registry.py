@@ -2882,6 +2882,15 @@ def _q_ivm_stream(spark, sf_dir):
     return read_ivm_view(spark, f"{work}/state")
 
 
+def _q_mad_anomalies(spark, sf_dir):
+    """MAD modified-z outlier flags (analytics.mad_anomalies): two
+    broadcast percentile aggregates, zero corpus shuffle."""
+    ensure_session_conf(spark)
+    from ..operators.analytics import mad_anomalies
+
+    return mad_anomalies(load_table(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, QueryFn]:
     # NOTE on ordering: the external correctness driver checks the FIRST 50
     # entries of this dict (CORRECTNESS_r02 covered exactly queries 1..50).
@@ -2946,6 +2955,7 @@ def queries() -> dict[str, QueryFn]:
         "events_psi_drift": _q_psi_drift,
         "events_ks_drift": _q_ks_drift,
         "cdc_ivm_stream": _q_ivm_stream,
+        "events_mad_anomalies": _q_mad_anomalies,
         # -- NEW in r5: the payload tier + merge sit first (CDC core),
         # then the corpus-analysis / retrieval / graph / sketch / PQ
         # additions. --
@@ -6724,6 +6734,31 @@ walked AS (
 SELECT event_type, CAST(n_pre AS BIGINT) AS n_pre,
        CAST(n_post AS BIGINT) AS n_post, round(max(d), 6) AS ks_stat
 FROM walked GROUP BY event_type, n_pre, n_post""",
+        # twin of analytics.mad_anomalies
+        "events_mad_anomalies": """
+WITH base AS (
+  SELECT event_id, event_type, value FROM events WHERE value IS NOT NULL
+),
+med AS (
+  SELECT event_type,
+         round(round(quantile_cont(value, 0.5), 9), 6) AS m
+  FROM base GROUP BY 1
+),
+mad AS (
+  SELECT b.event_type,
+         round(round(quantile_cont(abs(value - m), 0.5), 9), 6) AS d
+  FROM base b JOIN med ON med.event_type = b.event_type GROUP BY 1
+),
+scored AS (
+  SELECT event_id, b.event_type AS event_type, value,
+         round(CASE WHEN d > 0 THEN 0.6745 * (value - m) / d
+                    ELSE 0.0 END, 6) AS mod_z
+  FROM base b
+  JOIN med ON med.event_type = b.event_type
+  JOIN mad ON mad.event_type = b.event_type
+)
+SELECT event_id, event_type, value, mod_z, abs(mod_z) > 3.5 AS is_anomaly
+FROM scored""",
         # twin of analytics.rolling_monthly_active_customers
         "orders_rolling_mau": """
 WITH cm AS (

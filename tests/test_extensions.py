@@ -3126,3 +3126,19 @@ def test_ks_drift_bounds_and_shift(spark):
     a = ks_drift_report(df).collect()[0].ks_stat
     b = ks_drift_report(df.repartition(17)).collect()[0].ks_stat
     assert a == b and 0.0 < a < 1.0
+
+
+def test_mad_anomalies_robust_to_contamination(spark):
+    """A single extreme value flags under MAD while barely moving the
+    median/MAD; a constant group pins mod_z to 0 (zero-MAD guard)."""
+    from binlog_avro_comparator_spark.operators.analytics import mad_anomalies
+
+    rows = [(i, "t", float(10 + i % 5)) for i in range(99)]
+    rows.append((99, "t", 10000.0))           # the contaminant
+    rows += [(100 + i, "const", 7.0) for i in range(10)]
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    got = {r.event_id: r for r in mad_anomalies(ev).collect()}
+    assert got[99].is_anomaly and got[99].mod_z > 100
+    # the bulk is clean: values 10..14 around median 12, MAD 1 -> |z| <= 1.35
+    assert all(not got[i].is_anomaly for i in range(99))
+    assert got[100].mod_z == 0.0 and not got[100].is_anomaly
