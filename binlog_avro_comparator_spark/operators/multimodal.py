@@ -487,3 +487,43 @@ def video_frames_riff(media: DataFrame) -> DataFrame:
     return df.select("media_id", "content").mapInPandas(
         _extract, schema=VIDEO_FRAMES_RIFF_SCHEMA
     )
+
+
+def arrow_blob_digest(media: DataFrame) -> DataFrame:
+    """Content digests over opaque blobs via ``mapInArrow`` -- the
+    LOWEST-overhead Python execution surface (raw Arrow RecordBatches,
+    no pandas materialization), completing the tour next to
+    udf(useArrow=True) / pandas_udf / mapInPandas / applyInPandas(+
+    WithState) / UDTF / Python DataSource.  For byte-shoveling work
+    like hashing/framing a binary column, skipping the Arrow->pandas
+    conversion avoids copying every blob into Python objects twice;
+    the per-batch loop touches each buffer once.
+
+    Stateless per-batch map: no shuffle, composes with any upstream
+    partitioning; at 100 TB this is scan-speed.  Returns (media_id,
+    n_bytes, digest) -- md5 hex, the same portable digest the dedup
+    tier keys on (DuckDB's md5() is the oracle twin).
+    """
+    import pyarrow as pa
+
+    def digest_batches(batches):
+        import hashlib
+
+        for batch in batches:
+            ids = batch.column("media_id")
+            blobs = batch.column("content")
+            digs = pa.array(
+                [
+                    hashlib.md5(b.as_py()).hexdigest() if b.is_valid else None
+                    for b in blobs
+                ],
+                type=pa.string(),
+            )
+            lens = pa.compute.binary_length(blobs).cast(pa.int32())
+            yield pa.RecordBatch.from_arrays(
+                [ids, lens, digs], ["media_id", "n_bytes", "digest"]
+            )
+
+    return media.select("media_id", "content").mapInArrow(
+        digest_batches, "media_id long, n_bytes int, digest string"
+    )

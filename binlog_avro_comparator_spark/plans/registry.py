@@ -2891,6 +2891,26 @@ def _q_mad_anomalies(spark, sf_dir):
     return mad_anomalies(load_table(spark, sf_dir, "events"))
 
 
+def _q_media_arrow_digest(spark, sf_dir):
+    """mapInArrow blob digests over the derived media frame
+    (multimodal.arrow_blob_digest): md5 hex + byte length straight off
+    Arrow buffers, no pandas materialization."""
+    ensure_session_conf(spark)
+    from ..operators.multimodal import arrow_blob_digest
+
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(
+            F.when(F.col("doc_id") % 490 < 10, F.lit("shared-blob")).otherwise(
+                F.col("text")
+            ),
+            "utf-8",
+        ).alias("content"),
+    )
+    return arrow_blob_digest(media)
+
+
 def queries() -> dict[str, QueryFn]:
     # NOTE on ordering: the external correctness driver checks the FIRST 50
     # entries of this dict (CORRECTNESS_r02 covered exactly queries 1..50).
@@ -2956,6 +2976,7 @@ def queries() -> dict[str, QueryFn]:
         "events_ks_drift": _q_ks_drift,
         "cdc_ivm_stream": _q_ivm_stream,
         "events_mad_anomalies": _q_mad_anomalies,
+        "media_arrow_digest": _q_media_arrow_digest,
         # -- NEW in r5: the payload tier + merge sit first (CDC core),
         # then the corpus-analysis / retrieval / graph / sketch / PQ
         # additions. --
@@ -6759,6 +6780,14 @@ scored AS (
 )
 SELECT event_id, event_type, value, mod_z, abs(mod_z) > 3.5 AS is_anomaly
 FROM scored""",
+        # twin of multimodal.arrow_blob_digest (same derived media frame)
+        "media_arrow_digest": """
+SELECT doc_id AS media_id,
+       octet_length(encode(CASE WHEN doc_id % 490 < 10 THEN 'shared-blob'
+                                ELSE text END)) AS n_bytes,
+       md5(CASE WHEN doc_id % 490 < 10 THEN 'shared-blob' ELSE text END)
+         AS digest
+FROM documents""",
         # twin of analytics.rolling_monthly_active_customers
         "orders_rolling_mau": """
 WITH cm AS (

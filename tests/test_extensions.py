@@ -3142,3 +3142,29 @@ def test_mad_anomalies_robust_to_contamination(spark):
     # the bulk is clean: values 10..14 around median 12, MAD 1 -> |z| <= 1.35
     assert all(not got[i].is_anomaly for i in range(99))
     assert got[100].mod_z == 0.0 and not got[100].is_anomaly
+
+
+def test_observation_metrics_single_pass(spark):
+    """with_metrics/cdc_ingest_metrics: counters land after one action
+    with no second scan, and match a direct aggregate."""
+    from binlog_avro_comparator_spark.functions.observe import (
+        cdc_ingest_metrics,
+        with_metrics,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, 100, "g1"), (2, 0, None), (3, None, "g3"), (4, 250, "g4")],
+        "event_id long, log_position long, gtid string",
+    )
+    observed, obs = cdc_ingest_metrics(ev)
+    out = observed.filter(F.col("log_position").isNotNull()).count()
+    assert out == 3  # the observed frame still behaves as the input
+    got = obs.get
+    assert got["n_rows"] == 4  # metrics see PRE-filter rows (attach point)
+    assert got["n_invalid_position"] == 2
+    assert got["max_position"] == 250
+    assert got["n_missing_gtid"] == 1
+    # generic helper: custom metric names
+    df2, obs2 = with_metrics(ev, "custom", F.sum("event_id").alias("s"))
+    df2.collect()
+    assert obs2.get["s"] == 10
