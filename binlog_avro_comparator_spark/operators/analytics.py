@@ -3111,3 +3111,83 @@ def mad_anomalies(events: DataFrame, z_cut: float = 3.5) -> DataFrame:
         z.alias("mod_z"),
         (F.abs(z) > z_cut).alias("is_anomaly"),
     )
+
+
+def twap_daily(events: DataFrame) -> DataFrame:
+    """Time-weighted average value per user-day over irregular samples
+    -- the TWAP every IoT/market pipeline needs because a plain mean
+    over-weights chatty periods: each observation holds until the next
+    one (LOCF weighting), the last one holds to midnight.
+
+    One (user, day) window under the total (ts, event_id) order
+    supplies the holding interval; the weighted sum accumulates as
+    decimal (interval-ms x value products are exact), one double
+    division publishes.  The window partitioning is the natural key
+    partitioning -- per-key cost bounded by that user-day's samples,
+    hot users split across days.  Zero-length holds (same-timestamp
+    ties) carry zero weight on both engines by the same arithmetic.
+    Returns (user_id, day, n_samples, twap)."""
+    base = events.filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.unix_millis("ts").alias("__ms"),
+        "event_id",
+        F.col("value").cast("decimal(18,6)").alias("__v"),
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("__ms", "event_id")
+    day_end = (
+        F.unix_millis(F.date_add(F.col("day"), 1).cast("timestamp"))
+    )
+    hold = F.coalesce(F.lead("__ms").over(w), day_end) - F.col("__ms")
+    weighted = base.select(
+        "user_id",
+        "day",
+        hold.cast("decimal(18,0)").alias("__w"),
+        F.col("__v"),
+    )
+    agg = weighted.groupBy("user_id", "day").agg(
+        F.count("*").alias("n_samples"),
+        F.sum(F.col("__w") * F.col("__v")).alias("__wv"),
+        F.sum("__w").alias("__tw"),
+    )
+    return agg.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_samples",
+        F.round(
+            F.col("__wv").cast("double") / F.col("__tw").cast("double"), 6
+        ).alias("twap"),
+    )
+
+
+def event_path_trigrams(events: DataFrame, k: int = 20) -> DataFrame:
+    """Top-k behavioral trigrams: the most common 3-step event-type
+    paths across users -- the sequence-mining readout one step past
+    the Markov transition matrix (events_type_transitions), where
+    funnels that the pairwise view hides become visible.
+
+    One per-user window (total (ts, event_id) order) supplies both
+    lookaheads, the trigram count map-side combines over a bounded
+    vocabulary (types^3 keys), and the global top-k compiles to
+    TakeOrderedAndProject under the deterministic (n DESC, path) tie
+    order.  Returns (step_1, step_2, step_3, n)."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_millis("ts"), "event_id"
+    )
+    tri = (
+        events.filter(F.col("user_id").isNotNull())
+        .select(
+            F.col("event_type").alias("step_1"),
+            F.lead("event_type", 1).over(w).alias("step_2"),
+            F.lead("event_type", 2).over(w).alias("step_3"),
+        )
+        .filter(F.col("step_3").isNotNull())
+    )
+    counts = tri.groupBy("step_1", "step_2", "step_3").agg(
+        F.count("*").alias("n")
+    )
+    return counts.orderBy(
+        F.col("n").desc(), "step_1", "step_2", "step_3"
+    ).limit(k)

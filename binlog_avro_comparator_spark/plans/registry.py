@@ -2911,6 +2911,25 @@ def _q_media_arrow_digest(spark, sf_dir):
     return arrow_blob_digest(media)
 
 
+def _q_twap_daily(spark, sf_dir):
+    """Time-weighted average value per user-day (analytics.twap_daily):
+    LOCF holding intervals from one key-partitioned window, exact
+    decimal weighted sums."""
+    ensure_session_conf(spark)
+    from ..operators.analytics import twap_daily
+
+    return twap_daily(load_table(spark, sf_dir, "events"))
+
+
+def _q_path_trigrams(spark, sf_dir):
+    """Top-k 3-step event-type paths (analytics.event_path_trigrams):
+    one per-user window, bounded-vocabulary count, TakeOrdered top-k."""
+    ensure_session_conf(spark)
+    from ..operators.analytics import event_path_trigrams
+
+    return event_path_trigrams(load_table(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, QueryFn]:
     # NOTE on ordering: the external correctness driver checks the FIRST 50
     # entries of this dict (CORRECTNESS_r02 covered exactly queries 1..50).
@@ -2977,6 +2996,8 @@ def queries() -> dict[str, QueryFn]:
         "cdc_ivm_stream": _q_ivm_stream,
         "events_mad_anomalies": _q_mad_anomalies,
         "media_arrow_digest": _q_media_arrow_digest,
+        "events_twap_daily": _q_twap_daily,
+        "events_path_trigrams": _q_path_trigrams,
         # -- NEW in r5: the payload tier + merge sit first (CDC core),
         # then the corpus-analysis / retrieval / graph / sketch / PQ
         # additions. --
@@ -6788,6 +6809,38 @@ SELECT doc_id AS media_id,
        md5(CASE WHEN doc_id % 490 < 10 THEN 'shared-blob' ELSE text END)
          AS digest
 FROM documents""",
+        # twin of analytics.twap_daily
+        "events_twap_daily": """
+WITH base AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, epoch_ms(ts) AS ms, event_id,
+         CAST(value AS DECIMAL(18,6)) AS v
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+),
+held AS (
+  SELECT user_id, day, v,
+         CAST(coalesce(lead(ms) OVER (PARTITION BY user_id, day
+                                      ORDER BY ms, event_id),
+                       epoch_ms(CAST(day + 1 AS TIMESTAMP))) - ms
+              AS DECIMAL(18,0)) AS w
+  FROM base
+)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day, count(*) AS n_samples,
+       round(CAST(sum(w * v) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 6) AS twap
+FROM held GROUP BY user_id, day""",
+        # twin of analytics.event_path_trigrams
+        "events_path_trigrams": """
+WITH tri AS (
+  SELECT event_type AS step_1,
+         lead(event_type, 1) OVER w AS step_2,
+         lead(event_type, 2) OVER w AS step_3
+  FROM events WHERE user_id IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+)
+SELECT step_1, step_2, step_3, count(*) AS n
+FROM tri WHERE step_3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n DESC, step_1, step_2, step_3
+LIMIT 20""",
         # twin of analytics.rolling_monthly_active_customers
         "orders_rolling_mau": """
 WITH cm AS (

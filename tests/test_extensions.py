@@ -3168,3 +3168,50 @@ def test_observation_metrics_single_pass(spark):
     df2, obs2 = with_metrics(ev, "custom", F.sum("event_id").alias("s"))
     df2.collect()
     assert obs2.get["s"] == 10
+
+
+def test_twap_weights_by_holding_time(spark):
+    """10.0 held for 90% of the day then 20.0 for 10% -> twap 11.0;
+    a same-timestamp tie carries zero weight; plain mean would say 15."""
+    from binlog_avro_comparator_spark.operators.analytics import twap_daily
+
+    rows = [
+        # day is 86400000 ms; first sample holds 0:00->21:36 (77760000
+        # ms = 90%), second 21:36->24:00 (8640000 ms = 10%)
+        (1, "2024-01-01 00:00:00", 7, 10.0),
+        (2, "2024-01-01 21:36:00", 7, 20.0),
+        # user 8: two samples at the SAME instant -- first one zero-weight
+        (3, "2024-01-02 00:00:00", 8, 999.0),
+        (4, "2024-01-02 00:00:00", 8, 5.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {(r.user_id, r.day): r for r in twap_daily(ev).collect()}
+    assert got[(7, "2024-01-01")].twap == 11.0
+    assert got[(7, "2024-01-01")].n_samples == 2
+    assert got[(8, "2024-01-02")].twap == 5.0  # 999 held zero ms
+
+
+def test_path_trigrams_ordering_and_bounds(spark):
+    from binlog_avro_comparator_spark.operators.analytics import (
+        event_path_trigrams,
+    )
+
+    rows, eid = [], 0
+    for u in range(5):  # every user walks a->b->c->b
+        for i, t in enumerate(["a", "b", "c", "b"]):
+            rows.append((eid, f"2024-01-01 00:0{i}:00", u, t))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = event_path_trigrams(ev, k=5).collect()
+    # 2 distinct trigrams per user: (a,b,c) and (b,c,b), 5 each
+    assert len(got) == 2
+    assert got[0].n == 5 and got[1].n == 5
+    # deterministic tie order: (a,b,c) before (b,c,b)
+    assert (got[0].step_1, got[0].step_2, got[0].step_3) == ("a", "b", "c")
+    # paths never cross user boundaries: no trigram ends at another
+    # user's first event
+    assert all(r.step_3 in ("c", "b") for r in got)
