@@ -152,6 +152,43 @@ EXTRA_QUERIES = [
     "cdc_gtid_gaps",
     "cdc_order_audit",
     "cdc_lag_timeline",
+    # round 6 continuation (quantization/eval/retrieval/stats tiers)
+    "embedding_sign_bits",
+    "ann_hamming_topk",
+    "ann_recall_report",
+    "events_kmv_setops",
+    "events_hll_sketch_union",
+    "cdc_avro_evolved_scan",
+    "corpus_bpe_merges",
+    "lineitem_hilbert_layout",
+    "doc_leakage_safe_splits",
+    "events_attribution",
+    "dedup_keep_best",
+    "cdc_resume_bookmarks",
+    "events_skew_report",
+    "doc_hybrid_search",
+    "dedup_incremental",
+    "ann_matryoshka_recall",
+    "events_winsorized",
+    "lineitem_zorder3_layout",
+    "orders_rolling_mau",
+    "lineitem_bootstrap_mean",
+    # round 6 continuation (statistics/drift/IVM/compliance tier)
+    "events_ab_test",
+    "events_value_trend",
+    "events_cusum_changepoints",
+    "lineitem_basket_pairs",
+    "ann_hard_negatives",
+    "gdpr_erasure_audit",
+    "cdc_ivm_refresh",
+    "customer_360_profile",
+    "events_chi_square",
+    "events_psi_drift",
+    "events_ks_drift",
+    "events_mad_anomalies",
+    "events_twap_daily",
+    "events_path_trigrams",
+    "media_arrow_digest",
 ]
 
 
