@@ -3191,3 +3191,75 @@ def event_path_trigrams(events: DataFrame, k: int = 20) -> DataFrame:
     return counts.orderBy(
         F.col("n").desc(), "step_1", "step_2", "step_3"
     ).limit(k)
+
+
+def hll_rolling_distinct(
+    events: DataFrame, window_h: int = 3, max_rel_err: float = 0.15
+) -> DataFrame:
+    """Trailing-``window_h``-hour rolling DISTINCT users from MERGED
+    hourly HLL sketch partials -- the sketch answer to the problem
+    orders_rolling_mau solves exactly: a rolling count-distinct that no
+    window frame can express.  The exact path explodes the distinct
+    (user, hour) frame window_h-fold; this path explodes only the
+    per-hour SKETCH ROWS (kilobytes each, one per hour), so at 100 TB
+    the rolling tier costs window_h x a few-hundred-row sketch table
+    instead of window_h x the distinct frame -- the persisted-partials
+    pattern of hll_sketch_table_union applied to a sliding window.
+
+    Cross-engine contract (the hll family discipline): estimates are
+    algorithm-specific, so the published columns are the exact rolling
+    count (explode path, itself the orders_rolling_mau recipe on
+    hours) and the deterministically-true error-bound flag.  Returns
+    (hour, n_hours_merged, n_exact_rolling, within_bound)."""
+    clean = events.filter(F.col("user_id").isNotNull())
+    hourly = clean.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("__h")
+    ).agg(F.hll_sketch_agg(F.col("user_id")).alias("__sk"))
+    visible = hourly.select(
+        F.explode(
+            F.array(
+                *[
+                    (F.col("__h") + F.make_dt_interval(F.lit(0), F.lit(i)))
+                    for i in range(window_h)
+                ]
+            )
+        ).alias("__th"),
+        "__sk",
+    )
+    merged = visible.groupBy("__th").agg(
+        F.count("*").cast("long").alias("n_hours_merged"),
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("__sk"))).alias("__approx"),
+    )
+    uh = clean.select(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("__h")
+    ).distinct()
+    exact = (
+        uh.select(
+            "user_id",
+            F.explode(
+                F.array(
+                    *[
+                        (F.col("__h") + F.make_dt_interval(F.lit(0), F.lit(i)))
+                        for i in range(window_h)
+                    ]
+                )
+            ).alias("__th"),
+        )
+        .groupBy("__th")
+        .agg(F.count_distinct("user_id").alias("n_exact_rolling"))
+    )
+    # target hours past the data's end exist on both paths identically
+    # (every source hour projects the same window_h targets)
+    return (
+        merged.join(exact, "__th")
+        .select(
+            F.date_format("__th", "yyyy-MM-dd HH:00:00").alias("hour"),
+            "n_hours_merged",
+            "n_exact_rolling",
+            (
+                F.abs(F.col("__approx") - F.col("n_exact_rolling"))
+                / F.col("n_exact_rolling")
+                <= max_rel_err
+            ).alias("within_bound"),
+        )
+    )

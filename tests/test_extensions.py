@@ -3215,3 +3215,33 @@ def test_path_trigrams_ordering_and_bounds(spark):
     # paths never cross user boundaries: no trigram ends at another
     # user's first event
     assert all(r.step_3 in ("c", "b") for r in got)
+
+
+def test_hll_rolling_distinct_merges_hours(spark):
+    """Hand-built hours: users seen in hour H count in H..H+2; the
+    sketch-union estimate tracks the exact rolling count."""
+    from binlog_avro_comparator_spark.operators.analytics import (
+        hll_rolling_distinct,
+    )
+
+    rows = []
+    eid = 0
+    # hour 0: users 0..9; hour 1: users 5..14; hour 5: user 100
+    for h, users in [(0, range(10)), (1, range(5, 15)), (5, [100])]:
+        for u in users:
+            rows.append((eid, f"2024-01-01 {h:02d}:30:00", u))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r.hour: r for r in hll_rolling_distinct(ev).collect()}
+    # hour 1 sees hour-0 and hour-1 users: 15 distinct, 2 merged hours
+    assert got["2024-01-01 01:00:00"].n_exact_rolling == 15
+    assert got["2024-01-01 01:00:00"].n_hours_merged == 2
+    # hour 3 sees only hour-1 users (0 aged out)
+    assert got["2024-01-01 03:00:00"].n_exact_rolling == 10
+    # hour 5 is isolated
+    assert got["2024-01-01 05:00:00"].n_exact_rolling == 1
+    assert all(r.within_bound for r in got.values())
+    # hour 2 merges both source hours too
+    assert got["2024-01-01 02:00:00"].n_exact_rolling == 15
