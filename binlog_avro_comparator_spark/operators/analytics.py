@@ -2984,6 +2984,16 @@ def psi_drift_report(
         F.count(F.when(~F.col("__cur"), 1)).alias("n_ref"),
         F.count(F.when(F.col("__cur"), 1)).alias("n_cur"),
     )
+    return psi_from_counts(counts, n_buckets)
+
+
+def psi_from_counts(counts: DataFrame, n_buckets: int = 10) -> DataFrame:
+    """PSI inversion over a materialized (bucket, n_ref, n_cur) count
+    frame -- the hdr_quantile_estimates pattern applied to drift: the
+    counts can come from the batch bucketing pass, a drained streaming
+    state table (events_psi_stream), or yesterday's persisted
+    histogram; everything here runs over the few-row aggregated frame
+    only."""
     tot = counts.agg(
         F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc")
     )
