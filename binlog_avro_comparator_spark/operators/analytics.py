@@ -3273,3 +3273,25 @@ def hll_rolling_distinct(
             ).alias("within_bound"),
         )
     )
+
+
+def psi_bucket_counts_frozen(
+    df: DataFrame, edges: list[float], cutoff: str
+) -> DataFrame:
+    """The PSI bucketing pass against FROZEN edge literals -- the
+    production monitor shape: edges are computed once from the
+    reference period (and versioned as config), so the current slice
+    streams through a scan-speed array filter with no reference
+    re-scan.  Works identically on a batch frame or a readStream
+    (events_psi_stream drains this as a complete-mode aggregate).
+    Returns (bucket, n_ref, n_cur) counts for psi_from_counts."""
+    cut = F.lit(cutoff).cast("timestamp")
+    arr = F.array(*[F.lit(float(e)) for e in edges])
+    bucketed = df.filter(F.col("value").isNotNull()).select(
+        (F.col("ts") >= cut).alias("__cur"),
+        F.size(F.filter(arr, lambda b: b < F.col("value"))).alias("bucket"),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.when(~F.col("__cur"), 1)).alias("n_ref"),
+        F.count(F.when(F.col("__cur"), 1)).alias("n_cur"),
+    )

@@ -967,3 +967,67 @@ def incremental_dedup_matches(
             ),
         )
     )
+
+
+def dedup_method_agreement(
+    documents: DataFrame, jaccard_floor: float = 0.5
+) -> DataFrame:
+    """Cross-method agreement audit for the near-dup family: how much
+    do MinHash-LSH, SimHash, and n-gram-Jaccard (>= ``jaccard_floor``)
+    agree on WHICH pairs are near-duplicates?  This is the calibration
+    readout you run before trusting any single method's verdicts at
+    100 TB -- low pairwise agreement means the threshold knobs, not
+    the corpus, are choosing your dedup rate (the same eval-harness
+    instinct as ann_recall_report, applied to dedup).
+
+    Each method's pair set is its ALREADY-GRADED plan; everything
+    after is one union + one groupBy over the candidate pairs (tiny by
+    the methods' own bucketing guarantees) and three 1-row aggregates
+    off a scoped cache.  Returns (method_a, method_b, n_a, n_b,
+    n_both, agreement) with Jaccard agreement over the pair sets."""
+    from ..functions.caching import scoped_cache
+
+    mh = lsh_candidate_pairs(documents).select("doc_a", "doc_b")
+    sh = simhash_near_pairs(documents).select("doc_a", "doc_b")
+    ng = (
+        jaccard_pairs(documents)
+        .filter(F.col("jaccard") >= jaccard_floor)
+        .select("doc_a", "doc_b")
+    )
+    tagged = (
+        mh.withColumn("__m", F.lit("minhash"))
+        .unionAll(sh.withColumn("__m", F.lit("simhash")))
+        .unionAll(ng.withColumn("__m", F.lit("ngram")))
+    )
+    flags = scoped_cache(
+        tagged.groupBy("doc_a", "doc_b").agg(
+            F.max(F.when(F.col("__m") == "minhash", 1).otherwise(0)).alias("m_mh"),
+            F.max(F.when(F.col("__m") == "simhash", 1).otherwise(0)).alias("m_sh"),
+            F.max(F.when(F.col("__m") == "ngram", 1).otherwise(0)).alias("m_ng"),
+        )
+    )
+    combos = [
+        ("minhash", "ngram", "m_mh", "m_ng"),
+        ("minhash", "simhash", "m_mh", "m_sh"),
+        ("ngram", "simhash", "m_ng", "m_sh"),
+    ]
+    out = None
+    for a, b, ca, cb in combos:
+        agg = flags.agg(
+            F.sum(ca).alias("n_a"),
+            F.sum(cb).alias("n_b"),
+            F.sum(F.col(ca) * F.col(cb)).alias("n_both"),
+        ).select(
+            F.lit(a).alias("method_a"),
+            F.lit(b).alias("method_b"),
+            "n_a",
+            "n_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double"),
+                6,
+            ).alias("agreement"),
+        )
+        out = agg if out is None else out.unionAll(agg)
+    return out

@@ -2940,6 +2940,59 @@ def _q_hll_rolling(spark, sf_dir):
     return hll_rolling_distinct(load_table(spark, sf_dir, "events"))
 
 
+def _q_psi_stream(spark, sf_dir):
+    """The PSI drift gate RUN AS A STREAM (the ML-ops monitor shape):
+    reference decile edges are computed ONCE from the pre-cutoff batch
+    slice and frozen as literals (versioned config in production); the
+    event feed streams through the scan-speed bucket filter, counts
+    fold in complete-mode state (cell-wise addition, the sketch-merge
+    property), and the PSI inversion (psi_from_counts) runs over the
+    drained few-row table.  Equal to the batch gate by contract -- the
+    oracle is events_psi_drift's SQL verbatim."""
+    global _STREAM_SINK_SEQ
+    from ..operators.analytics import psi_bucket_counts_frozen, psi_from_counts
+    from ..sources.tables import _EVENTS_SCHEMA, events_ts_column
+
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    cut = "2024-01-16"
+    qs = [i / 10 for i in range(1, 10)]
+    edges = (
+        ev.filter(F.col("value").isNotNull())
+        .filter(F.col("ts") < F.lit(cut).cast("timestamp"))
+        .agg(
+            *[
+                F.round(F.round(F.percentile("value", F.lit(q)), 9), 6).alias(
+                    f"e{i}"
+                )
+                for i, q in enumerate(qs)
+            ]
+        )
+        .collect()[0]
+    )  # 9 floats -- the frozen, versioned monitor config
+    stream = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", events_ts_column(sf_dir))
+    )
+    counts = psi_bucket_counts_frozen(stream, list(edges), cut)
+    _STREAM_SINK_SEQ += 1
+    name = f"events_psi_stream_sink_{_STREAM_SINK_SEQ}"
+    state = _drain_to_table(spark, counts, name, "complete").localCheckpoint()
+    return psi_from_counts(state)
+
+
+def _q_dedup_agreement(spark, sf_dir):
+    """Cross-method near-dup agreement audit
+    (dedup.dedup_method_agreement): union of the graded pair plans,
+    one flag groupBy, three 1-row aggregates."""
+    ensure_session_conf(spark)
+    from ..operators.dedup import dedup_method_agreement
+
+    return dedup_method_agreement(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, QueryFn]:
     # NOTE on ordering: the external correctness driver checks the FIRST 50
     # entries of this dict (CORRECTNESS_r02 covered exactly queries 1..50).
@@ -3009,6 +3062,8 @@ def queries() -> dict[str, QueryFn]:
         "events_twap_daily": _q_twap_daily,
         "events_path_trigrams": _q_path_trigrams,
         "events_hll_rolling": _q_hll_rolling,
+        "events_psi_stream": _q_psi_stream,
+        "dedup_method_agreement": _q_dedup_agreement,
         # -- NEW in r5: the payload tier + merge sit first (CDC core),
         # then the corpus-analysis / retrieval / graph / sketch / PQ
         # additions. --
@@ -7273,6 +7328,41 @@ FROM diff GROUP BY "column", status"""
     # streaming twin runs the same logical plan -> same oracle
     sql["cdc_snapshot_stream"] = sql["cdc_apply_changes"]
     sql["cdc_ivm_stream"] = sql["cdc_ivm_refresh"]
+    sql["events_psi_stream"] = sql["events_psi_drift"]
+    # agreement audit composed from the method oracles so each pair
+    # set stays literally the verified SQL (ann_recall_report pattern)
+    sql["dedup_method_agreement"] = f"""
+WITH tagged AS (
+  SELECT 'minhash' AS m, doc_a, doc_b FROM ({sql["minhash_lsh_pairs"]})
+  UNION ALL
+  SELECT 'simhash' AS m, doc_a, doc_b FROM ({sql["simhash_near_pairs"]})
+  UNION ALL
+  SELECT 'ngram' AS m, doc_a, doc_b FROM ({sql["ngram_jaccard_pairs"]}) WHERE jaccard >= 0.5
+),
+flags AS (
+  SELECT doc_a, doc_b,
+         max(CASE WHEN m = 'minhash' THEN 1 ELSE 0 END) AS m_mh,
+         max(CASE WHEN m = 'simhash' THEN 1 ELSE 0 END) AS m_sh,
+         max(CASE WHEN m = 'ngram' THEN 1 ELSE 0 END) AS m_ng
+  FROM tagged GROUP BY 1, 2
+),
+combos AS (
+  SELECT 'minhash' AS method_a, 'ngram' AS method_b,
+         sum(m_mh) AS n_a, sum(m_ng) AS n_b, sum(m_mh * m_ng) AS n_both
+  FROM flags
+  UNION ALL
+  SELECT 'minhash', 'simhash', sum(m_mh), sum(m_sh), sum(m_mh * m_sh)
+  FROM flags
+  UNION ALL
+  SELECT 'ngram', 'simhash', sum(m_ng), sum(m_sh), sum(m_ng * m_sh)
+  FROM flags
+)
+SELECT method_a, method_b,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(n_both AS BIGINT) AS n_both,
+       round(CAST(n_both AS DOUBLE) / CAST(n_a + n_b - n_both AS DOUBLE), 6)
+         AS agreement
+FROM combos"""
     # stateless stream-static payload diff appends exactly the batch
     # findings -> same oracle
     sql["cdc_payload_diff_stream"] = sql["cdc_payload_diff"]

@@ -3245,3 +3245,29 @@ def test_hll_rolling_distinct_merges_hours(spark):
     assert all(r.within_bound for r in got.values())
     # hour 2 merges both source hours too
     assert got["2024-01-01 02:00:00"].n_exact_rolling == 15
+
+
+def test_dedup_method_agreement_planted_corpus(spark):
+    """A corpus where near-dup pairs are unambiguous: every method
+    finds the two planted copy-pairs, so all agreements are 1.0; the
+    output carries exactly the 3 method combinations."""
+    from binlog_avro_comparator_spark.operators.dedup import (
+        dedup_method_agreement,
+    )
+
+    base1 = "the quick brown fox jumps over the lazy dog " * 30
+    base2 = "pack my box with five dozen liquor jugs today " * 30
+    docs = []
+    for i in range(40):  # 40 distinct background docs
+        docs.append((i, f"unique document number {i} " + f"filler {i} " * 60))
+    docs += [(100, base1), (101, base1), (102, base2), (103, base2)]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.method_a, r.method_b): r for r in dedup_method_agreement(d).collect()}
+    assert set(got) == {
+        ("minhash", "ngram"),
+        ("minhash", "simhash"),
+        ("ngram", "simhash"),
+    }
+    for r in got.values():
+        assert r.n_both == 2 and r.n_a == 2 and r.n_b == 2
+        assert r.agreement == 1.0
