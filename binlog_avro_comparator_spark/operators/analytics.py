@@ -3295,3 +3295,85 @@ def psi_bucket_counts_frozen(
         F.count(F.when(~F.col("__cur"), 1)).alias("n_ref"),
         F.count(F.when(F.col("__cur"), 1)).alias("n_cur"),
     )
+
+
+def join_plan_report(
+    left: DataFrame,
+    left_key: str,
+    right: DataFrame,
+    right_key: str,
+    broadcast_rows: int = 1_000_000,
+    skew_cut: float = 8.0,
+) -> DataFrame:
+    """Pre-flight join planner: EXACT output cardinality and skew for
+    an equi-join, computed from the two per-key count frames BEFORE
+    anyone pays for the join itself -- sum(n_left(k) * n_right(k)) is
+    the join size, its largest per-key term is the task that will
+    straggle, and the two input row counts decide broadcastability.
+    This is the homework behind every strategy hint the engine ships
+    (functions/skew.salted_shuffle_join, broadcast(), AQE thresholds),
+    and pairs with join_key_skew_report's single-side profile.
+
+    Cost: two map-side-combined key-count aggregates and one key-sized
+    join between them -- at 100 TB you pay key-cardinality, not fact
+    tonnage, to know whether the real join is safe.  The strategy
+    column applies the engine's own decision ladder on exact integers:
+    broadcast when a side fits, salted shuffle when one key owns more
+    than ``skew_cut`` x the mean per-key output, plain shuffle
+    otherwise.  Returns ONE row."""
+    lc = left.groupBy(F.col(left_key).alias("__k")).agg(
+        F.count("*").alias("__nl")
+    )
+    rc = right.groupBy(F.col(right_key).alias("__k")).agg(
+        F.count("*").alias("__nr")
+    )
+    per_key = lc.join(rc, "__k").select(
+        "__k", (F.col("__nl") * F.col("__nr")).alias("__prod")
+    )
+    from ..functions.caching import scoped_cache
+
+    stats = scoped_cache(
+        per_key.agg(
+            F.sum("__prod").alias("est_join_rows"),
+            F.count("*").alias("n_join_keys"),
+            F.max(
+                F.struct(F.col("__prod").alias("p"), F.col("__k").alias("k"))
+            ).alias("__top"),
+        )
+    )
+    sides = (
+        lc.agg(
+            F.sum("__nl").alias("n_left"), F.count("*").alias("n_left_keys")
+        )
+        .crossJoin(
+            rc.agg(
+                F.sum("__nr").alias("n_right"),
+                F.count("*").alias("n_right_keys"),
+            )
+        )
+    )
+    j = stats.crossJoin(sides)
+    mean_per_key = F.col("est_join_rows").cast("double") / F.col(
+        "n_join_keys"
+    ).cast("double")
+    skew = F.round(F.col("__top.p").cast("double") / mean_per_key, 6)
+    strategy = (
+        F.when(
+            F.least(F.col("n_left"), F.col("n_right")) <= broadcast_rows,
+            "broadcast",
+        )
+        .when(skew > skew_cut, "salted_shuffle")
+        .otherwise("shuffle")
+    )
+    return j.select(
+        "n_left",
+        "n_right",
+        "n_left_keys",
+        "n_right_keys",
+        "est_join_rows",
+        "n_join_keys",
+        F.col("__top.k").alias("top_key"),
+        F.col("__top.p").alias("top_key_rows"),
+        skew.alias("skew_factor"),
+        strategy.alias("strategy"),
+    )

@@ -325,3 +325,80 @@ def ivm_refresh_typestats(
         )
         .filter(F.col("n_users") > 0)
     )
+
+
+def scd2_audit(history: DataFrame) -> DataFrame:
+    """Invariant auditor for an SCD2 history table -- the checks a
+    warehouse runs nightly because a broken dimension silently corrupts
+    every point-in-time join downstream (scd2_lookup's correctness
+    RESTS on interval disjointness): per key, versions must not
+    overlap, each version must close exactly where the next opens (no
+    unexplained gaps -- a gap is legitimate only across a DELETE), at
+    most one version may be open, and every interval must be non-empty
+    (from < to).
+
+    Gaps between consecutive versions are REPORTED but not counted
+    against consistency: the history encodes a DELETE as
+    close-without-open, so a later re-insert legitimately leaves a
+    hole, and the version rows alone cannot distinguish that from a
+    lost change (pair with cdc_gtid_gaps on the feed for that).
+
+    One window over the history (already key-partitioned, version
+    order), then one rollup -- the audit costs a history scan, nothing
+    else.  Returns ONE row: (n_keys, n_versions, n_overlaps, n_gaps,
+    n_multi_open, n_empty_intervals, consistent)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("version")
+    nxt_from = F.lead("valid_from_ms").over(w)
+    seq = history.select(
+        "user_id",
+        "version",
+        "op",
+        "valid_from_ms",
+        "valid_to_ms",
+        nxt_from.alias("__nxt_from"),
+    )
+    overlap = (
+        F.col("__nxt_from").isNotNull()
+        & F.col("valid_to_ms").isNotNull()
+        & (F.col("__nxt_from") < F.col("valid_to_ms"))
+    )
+    gap = (
+        F.col("__nxt_from").isNotNull()
+        & F.col("valid_to_ms").isNotNull()
+        & (F.col("__nxt_from") > F.col("valid_to_ms"))
+    )
+    open_v = F.col("valid_to_ms").isNull()
+    empty = F.col("valid_to_ms").isNotNull() & (
+        F.col("valid_to_ms") <= F.col("valid_from_ms")
+    )
+    per_key = seq.groupBy("user_id").agg(
+        F.count("*").alias("__nv"),
+        F.sum(overlap.cast("int")).alias("__no"),
+        F.sum(gap.cast("int")).alias("__ng"),
+        F.sum(open_v.cast("int")).alias("__nopen"),
+        F.sum(empty.cast("int")).alias("__ne"),
+    )
+    agg = per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("__nv").alias("n_versions"),
+        F.sum("__no").alias("n_overlaps"),
+        F.sum("__ng").alias("n_gaps"),
+        F.sum((F.col("__nopen") > 1).cast("int")).alias("n_multi_open"),
+        F.sum("__ne").alias("n_empty_intervals"),
+    )
+    consistent = (
+        (F.col("n_overlaps") == 0)
+        & (F.col("n_multi_open") == 0)
+        & (F.col("n_empty_intervals") == 0)
+    )
+    return agg.select(
+        "n_keys",
+        "n_versions",
+        "n_overlaps",
+        "n_gaps",
+        "n_multi_open",
+        "n_empty_intervals",
+        consistent.alias("consistent"),
+    )

@@ -2993,6 +2993,32 @@ def _q_dedup_agreement(spark, sf_dir):
     return dedup_method_agreement(_docs(spark, sf_dir))
 
 
+def _q_scd2_audit(spark, sf_dir):
+    """SCD2 interval-invariant audit (snapshot.scd2_audit) over the
+    built history: overlaps/multi-open/empty intervals fail
+    consistency; delete-shaped gaps are reported informationally."""
+    ensure_session_conf(spark)
+    from ..operators.snapshot import scd2_audit, scd2_history
+
+    return scd2_audit(scd2_history(load_table(spark, sf_dir, "events")))
+
+
+def _q_join_plan(spark, sf_dir):
+    """Pre-flight join planner (analytics.join_plan_report) for the
+    events x orders user join: exact cardinality + skew from key-count
+    frames, engine decision ladder on exact integers."""
+    ensure_session_conf(spark)
+    from ..operators.analytics import join_plan_report
+
+    return join_plan_report(
+        load_table(spark, sf_dir, "events"),
+        "user_id",
+        load_table(spark, sf_dir, "orders"),
+        "o_custkey",
+        broadcast_rows=1000,
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     # NOTE on ordering: the external correctness driver checks the FIRST 50
     # entries of this dict (CORRECTNESS_r02 covered exactly queries 1..50).
@@ -3064,6 +3090,8 @@ def queries() -> dict[str, QueryFn]:
         "events_hll_rolling": _q_hll_rolling,
         "events_psi_stream": _q_psi_stream,
         "dedup_method_agreement": _q_dedup_agreement,
+        "cdc_scd2_audit": _q_scd2_audit,
+        "events_join_plan": _q_join_plan,
         # -- NEW in r5: the payload tier + merge sit first (CDC core),
         # then the corpus-analysis / retrieval / graph / sketch / PQ
         # additions. --
@@ -6938,6 +6966,36 @@ SELECT strftime(m.th, '%Y-%m-%d %H:00:00') AS hour,
 FROM merged m
 JOIN exact e ON e.th = m.th
 JOIN appx x ON x.th = m.th""",
+        # twin of analytics.join_plan_report (events x orders on user)
+        "events_join_plan": """
+WITH lc AS (SELECT user_id AS k, count(*) AS nl FROM events GROUP BY 1),
+rc AS (SELECT o_custkey AS k, count(*) AS nr FROM orders GROUP BY 1),
+pk AS (SELECT lc.k AS k, nl * nr AS prod FROM lc JOIN rc ON rc.k = lc.k),
+st AS (
+  SELECT CAST(sum(prod) AS BIGINT) AS est_join_rows,
+         count(*) AS n_join_keys,
+         max({'p': prod, 'k': k}) AS top
+  FROM pk
+),
+sides AS (
+  SELECT CAST((SELECT sum(nl) FROM lc) AS BIGINT) AS n_left,
+         (SELECT count(*) FROM lc) AS n_left_keys,
+         CAST((SELECT sum(nr) FROM rc) AS BIGINT) AS n_right,
+         (SELECT count(*) FROM rc) AS n_right_keys
+)
+SELECT n_left, n_right, n_left_keys, n_right_keys, est_join_rows,
+       n_join_keys,
+       CAST(top.k AS BIGINT) AS top_key,
+       CAST(top.p AS BIGINT) AS top_key_rows,
+       round(CAST(top.p AS DOUBLE)
+             / (CAST(est_join_rows AS DOUBLE) / CAST(n_join_keys AS DOUBLE)),
+             6) AS skew_factor,
+       CASE WHEN least(n_left, n_right) <= 1000 THEN 'broadcast'
+            WHEN CAST(top.p AS DOUBLE)
+                 / (CAST(est_join_rows AS DOUBLE) / CAST(n_join_keys AS DOUBLE))
+                 > 8.0 THEN 'salted_shuffle'
+            ELSE 'shuffle' END AS strategy
+FROM st, sides""",
         # twin of analytics.rolling_monthly_active_customers
         "orders_rolling_mau": """
 WITH cm AS (
@@ -7329,6 +7387,36 @@ FROM diff GROUP BY "column", status"""
     sql["cdc_snapshot_stream"] = sql["cdc_apply_changes"]
     sql["cdc_ivm_stream"] = sql["cdc_ivm_refresh"]
     sql["events_psi_stream"] = sql["events_psi_drift"]
+    # SCD2 audit composed over the verified history SQL
+    sql["cdc_scd2_audit"] = f"""
+WITH hist AS ({sql["cdc_scd2_history"]}),
+seq AS (
+  SELECT user_id, version, op, valid_from_ms, valid_to_ms,
+         lead(valid_from_ms) OVER (PARTITION BY user_id ORDER BY version)
+           AS nxt_from
+  FROM hist
+),
+per_key AS (
+  SELECT user_id, count(*) AS nv,
+         sum(CASE WHEN nxt_from IS NOT NULL AND valid_to_ms IS NOT NULL
+                       AND nxt_from < valid_to_ms THEN 1 ELSE 0 END) AS no,
+         sum(CASE WHEN nxt_from IS NOT NULL AND valid_to_ms IS NOT NULL
+                       AND nxt_from > valid_to_ms THEN 1 ELSE 0 END) AS ng,
+         sum(CASE WHEN valid_to_ms IS NULL THEN 1 ELSE 0 END) AS nopen,
+         sum(CASE WHEN valid_to_ms IS NOT NULL
+                       AND valid_to_ms <= valid_from_ms THEN 1 ELSE 0 END) AS ne
+  FROM seq GROUP BY user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(nv) AS BIGINT) AS n_versions,
+       CAST(sum(no) AS BIGINT) AS n_overlaps,
+       CAST(sum(ng) AS BIGINT) AS n_gaps,
+       CAST(sum(CASE WHEN nopen > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_multi_open,
+       CAST(sum(ne) AS BIGINT) AS n_empty_intervals,
+       (sum(no) = 0 AND sum(CASE WHEN nopen > 1 THEN 1 ELSE 0 END) = 0
+        AND sum(ne) = 0) AS consistent
+FROM per_key"""
     # agreement audit composed from the method oracles so each pair
     # set stays literally the verified SQL (ann_recall_report pattern)
     sql["dedup_method_agreement"] = f"""

@@ -3271,3 +3271,65 @@ def test_dedup_method_agreement_planted_corpus(spark):
     for r in got.values():
         assert r.n_both == 2 and r.n_a == 2 and r.n_b == 2
         assert r.agreement == 1.0
+
+
+def test_scd2_audit_detects_planted_corruption(spark):
+    """A healthy built history audits consistent; hand-corrupted
+    interval rows trip exactly the right counters."""
+    from binlog_avro_comparator_spark.operators.snapshot import (
+        scd2_audit,
+        scd2_history,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "click", 1.0),
+        (2, "2024-01-02 00:00:00", 1, "view", 2.0),
+        (3, "2024-01-03 00:00:00", 1, "purchase", 0.0),  # delete -> gap
+        (4, "2024-01-04 00:00:00", 1, "click", 3.0),
+        (5, "2024-01-01 00:00:00", 2, "click", 9.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    hist = scd2_history(ev)
+    ok = scd2_audit(hist).collect()[0]
+    assert ok.consistent and ok.n_overlaps == 0 and ok.n_multi_open == 0
+    assert ok.n_gaps == 1  # the delete hole, reported not failed
+    # corrupt: make user 1's first version overlap into the second
+    bad = hist.withColumn(
+        "valid_to_ms",
+        F.when(
+            (F.col("user_id") == 1) & (F.col("version") == 1),
+            F.col("valid_to_ms") + 86400000 * 2,
+        ).otherwise(F.col("valid_to_ms")),
+    )
+    r = scd2_audit(bad).collect()[0]
+    assert not r.consistent and r.n_overlaps == 1
+
+
+def test_join_plan_report_exact_cardinality_and_ladder(spark):
+    """est_join_rows equals the actual join count; the strategy ladder
+    picks broadcast for a small side and salted_shuffle under a
+    planted hot key."""
+    from binlog_avro_comparator_spark.operators.analytics import (
+        join_plan_report,
+    )
+
+    left = spark.createDataFrame(
+        [(i, i % 10) for i in range(1000)], "event_id long, user_id long"
+    )
+    right = spark.createDataFrame(
+        [(i, i % 10) for i in range(50)], "o_orderkey long, o_custkey long"
+    )
+    r = join_plan_report(left, "user_id", right, "o_custkey", broadcast_rows=100).collect()[0]
+    actual = left.join(right, left.user_id == right.o_custkey).count()
+    assert r.est_join_rows == actual == 1000 * 5  # 100 x 5 per key x 10 keys
+    assert r.strategy == "broadcast" and r.n_join_keys == 10
+    # hot key: 91% of the left on key 0, small broadcast ruled out
+    hot = spark.createDataFrame(
+        [(i, 0 if i < 9100 else i % 10) for i in range(10000)],
+        "event_id long, user_id long",
+    )
+    r2 = join_plan_report(hot, "user_id", right, "o_custkey", broadcast_rows=10).collect()[0]
+    assert r2.strategy == "salted_shuffle" and r2.top_key == 0
+    assert r2.skew_factor > 8.0
