@@ -1576,3 +1576,48 @@ def hybrid_search_topk(
         .filter(F.col("rank") <= k)
         .select("doc_id", "bm25_rank", "cos_rank", "cos_sim", "rrf_score", "rank")
     )
+
+
+def lang_id_confusion(documents: DataFrame) -> DataFrame:
+    """Confusion matrix + accuracy for the n-gram lang-id heuristic
+    against the corpus's ground-truth labels -- the eval harness that
+    tells you whether the cheap classifier is good enough to gate a
+    mixture on (the ann_recall_report instinct applied to text
+    classification: every heuristic that FILTERS data earns a graded
+    readout).
+
+    The scored frame is the already-verified lang_id plan; the matrix
+    is one (true, pred) aggregate over it, with per-true-label recall
+    and the matrix-wide accuracy broadcast back from two tiny
+    aggregates.  Returns (lang, lang_guess, n, recall, accuracy)."""
+    scored = lang_id(documents).select(
+        "lang", "lang_guess", (F.col("lang") == F.col("lang_guess")).alias("__ok")
+    )
+    from ..functions.caching import scoped_cache
+
+    cells = scoped_cache(
+        scored.groupBy("lang", "lang_guess").agg(
+            F.count("*").alias("n"), F.sum(F.col("__ok").cast("int")).alias("__nok")
+        )
+    )
+    per_true = cells.groupBy("lang").agg(
+        F.sum("n").alias("__nt"), F.sum("__nok").alias("__tok")
+    )
+    total = cells.agg(
+        F.round(
+            F.sum("__nok").cast("double") / F.sum("n").cast("double"), 6
+        ).alias("accuracy")
+    )
+    return (
+        cells.join(F.broadcast(per_true), "lang")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "lang_guess",
+            "n",
+            F.round(
+                F.col("__tok").cast("double") / F.col("__nt").cast("double"), 6
+            ).alias("recall"),
+            "accuracy",
+        )
+    )

@@ -3019,6 +3019,16 @@ def _q_join_plan(spark, sf_dir):
     )
 
 
+def _q_lang_confusion(spark, sf_dir):
+    """Lang-id heuristic confusion matrix vs ground truth
+    (textstats.lang_id_confusion): graded readout over the verified
+    lang_id plan."""
+    ensure_session_conf(spark)
+    from ..operators.textstats import lang_id_confusion
+
+    return lang_id_confusion(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, QueryFn]:
     # NOTE on ordering: the external correctness driver checks the FIRST 50
     # entries of this dict (CORRECTNESS_r02 covered exactly queries 1..50).
@@ -3092,6 +3102,7 @@ def queries() -> dict[str, QueryFn]:
         "dedup_method_agreement": _q_dedup_agreement,
         "cdc_scd2_audit": _q_scd2_audit,
         "events_join_plan": _q_join_plan,
+        "lang_id_confusion": _q_lang_confusion,
         # -- NEW in r5: the payload tier + merge sit first (CDC core),
         # then the corpus-analysis / retrieval / graph / sketch / PQ
         # additions. --
@@ -7417,6 +7428,25 @@ SELECT CAST(count(*) AS BIGINT) AS n_keys,
        (sum(no) = 0 AND sum(CASE WHEN nopen > 1 THEN 1 ELSE 0 END) = 0
         AND sum(ne) = 0) AS consistent
 FROM per_key"""
+    # confusion matrix composed over the verified lang_id oracle
+    sql["lang_id_confusion"] = f"""
+WITH scored AS (SELECT lang, lang_guess,
+                       CASE WHEN lang = lang_guess THEN 1 ELSE 0 END AS ok
+                FROM ({sql["lang_id"]})),
+cells AS (
+  SELECT lang, lang_guess, count(*) AS n, sum(ok) AS nok
+  FROM scored GROUP BY 1, 2
+),
+per_true AS (SELECT lang, sum(n) AS nt, sum(nok) AS tok FROM cells GROUP BY 1),
+total AS (
+  SELECT round(CAST(sum(nok) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6)
+           AS accuracy
+  FROM cells
+)
+SELECT c.lang AS lang, lang_guess, n,
+       round(CAST(tok AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS recall,
+       accuracy
+FROM cells c JOIN per_true p ON p.lang = c.lang CROSS JOIN total"""
     # agreement audit composed from the method oracles so each pair
     # set stays literally the verified SQL (ann_recall_report pattern)
     sql["dedup_method_agreement"] = f"""

@@ -3333,3 +3333,24 @@ def test_join_plan_report_exact_cardinality_and_ladder(spark):
     r2 = join_plan_report(hot, "user_id", right, "o_custkey", broadcast_rows=10).collect()[0]
     assert r2.strategy == "salted_shuffle" and r2.top_key == 0
     assert r2.skew_factor > 8.0
+
+
+def test_lang_id_confusion_planted_labels(spark):
+    """Docs whose stopwords unambiguously identify their language:
+    diagonal cells dominate, recall/accuracy arithmetic checks out."""
+    from binlog_avro_comparator_spark.operators.textstats import (
+        lang_id_confusion,
+    )
+
+    en = "the and is of to in that it was he for on are with " * 5
+    fr = "le la les et de un une est dans que pour sur avec ne " * 5
+    docs = [(i, en, "en") for i in range(8)] + [
+        (10 + i, fr, "fr") for i in range(4)
+    ] + [(20, fr, "en")]  # one mislabeled row -> off-diagonal cell
+    d = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    got = {(r.lang, r.lang_guess): r for r in lang_id_confusion(d).collect()}
+    assert got[("en", "en")].n == 8
+    assert got[("fr", "fr")].n == 4 and got[("fr", "fr")].recall == 1.0
+    assert got[("en", "fr")].n == 1  # the planted mislabel
+    assert abs(got[("en", "en")].recall - 8 / 9) < 1e-6
+    assert abs(got[("en", "en")].accuracy - 12 / 13) < 1e-6
