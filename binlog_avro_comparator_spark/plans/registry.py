@@ -3029,6 +3029,28 @@ def _q_lang_confusion(spark, sf_dir):
     return lang_id_confusion(_docs(spark, sf_dir))
 
 
+def _q_dedup_closure(spark, sf_dir):
+    """Transitive closure of the near-dup pair graph via Spark 4's
+    RECURSIVE CTE -- chains a~b~c surface as direct (a, c) reach pairs
+    without the hand-rolled label-propagation loop (dedup_clusters'
+    iterative operator remains the giant-component-scale path; the
+    recursive form is the declarative one Catalyst now plans natively).
+    Edges run strictly doc_a < doc_b, so recursion terminates on any
+    input; UNION ALL duplicates collapse in the final DISTINCT."""
+    ensure_session_conf(spark)
+    from ..operators.dedup import lsh_candidate_pairs
+
+    pairs = lsh_candidate_pairs(_docs(spark, sf_dir)).select("doc_a", "doc_b")
+    pairs.createOrReplaceTempView("nd_pairs")
+    return spark.sql("""
+WITH RECURSIVE reach(doc_a, doc_b) AS (
+  SELECT doc_a, doc_b FROM nd_pairs
+  UNION ALL
+  SELECT r.doc_a, p.doc_b FROM reach r JOIN nd_pairs p ON p.doc_a = r.doc_b
+)
+SELECT DISTINCT doc_a, doc_b FROM reach""")
+
+
 def queries() -> dict[str, QueryFn]:
     # NOTE on ordering: the external correctness driver checks the FIRST 50
     # entries of this dict (CORRECTNESS_r02 covered exactly queries 1..50).
@@ -3103,6 +3125,7 @@ def queries() -> dict[str, QueryFn]:
         "cdc_scd2_audit": _q_scd2_audit,
         "events_join_plan": _q_join_plan,
         "lang_id_confusion": _q_lang_confusion,
+        "dedup_transitive_closure": _q_dedup_closure,
         # -- NEW in r5: the payload tier + merge sit first (CDC core),
         # then the corpus-analysis / retrieval / graph / sketch / PQ
         # additions. --
@@ -7428,6 +7451,15 @@ SELECT CAST(count(*) AS BIGINT) AS n_keys,
        (sum(no) = 0 AND sum(CASE WHEN nopen > 1 THEN 1 ELSE 0 END) = 0
         AND sum(ne) = 0) AS consistent
 FROM per_key"""
+    # recursive closure composed over the verified pair oracle
+    sql["dedup_transitive_closure"] = f"""
+WITH RECURSIVE base(doc_a, doc_b) AS ({sql["minhash_lsh_pairs"]}),
+reach(doc_a, doc_b) AS (
+  SELECT doc_a, doc_b FROM base
+  UNION ALL
+  SELECT r.doc_a, p.doc_b FROM reach r JOIN base p ON p.doc_a = r.doc_b
+)
+SELECT DISTINCT doc_a, doc_b FROM reach"""
     # confusion matrix composed over the verified lang_id oracle
     sql["lang_id_confusion"] = f"""
 WITH scored AS (SELECT lang, lang_guess,

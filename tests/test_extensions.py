@@ -3354,3 +3354,26 @@ def test_lang_id_confusion_planted_labels(spark):
     assert got[("en", "fr")].n == 1  # the planted mislabel
     assert abs(got[("en", "en")].recall - 8 / 9) < 1e-6
     assert abs(got[("en", "en")].accuracy - 12 / 13) < 1e-6
+
+
+def test_recursive_closure_chains(spark):
+    """A 4-doc near-dup chain closes to all C(4,2) reach pairs through
+    the recursive CTE, and disconnected pairs stay separate."""
+    from binlog_avro_comparator_spark.operators.dedup import lsh_candidate_pairs  # noqa: F401
+
+    spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    ).createOrReplaceTempView("nd_pairs")
+    out = sorted(
+        (r.doc_a, r.doc_b)
+        for r in spark.sql(
+            """
+WITH RECURSIVE reach(doc_a, doc_b) AS (
+  SELECT doc_a, doc_b FROM nd_pairs
+  UNION ALL
+  SELECT r.doc_a, p.doc_b FROM reach r JOIN nd_pairs p ON p.doc_a = r.doc_b
+)
+SELECT DISTINCT doc_a, doc_b FROM reach"""
+        ).collect()
+    )
+    assert out == [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (10, 11)]
