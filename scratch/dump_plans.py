@@ -56,6 +56,14 @@ PICKS = [
     ("events_attribution", "attribution: ONE user_id Exchange shared by sessionization + all windows, zero joins"),
     ("corpus_bpe_merges", "BPE merges: vocab-sized pair agg, TakeOrderedAndProject top-k"),
     ("lineitem_hilbert_layout", "Hilbert keys: pure per-row fold projection, no exchange"),
+    # round 6 continuation (statistics / drift / IVM / compliance)
+    ("events_ab_test", "Welch A/B: ONE map-side-combined aggregate, no join -- (type x 6) sums on the wire"),
+    ("events_value_trend", "closed-form OLS: one aggregate of exact sufficient statistics, no sort, no join"),
+    ("cdc_ivm_refresh", "IVM refresh: delta fold + ONE equi-join against the stored snapshot + tiny signed agg; history never rescanned"),
+    ("events_psi_drift", "PSI gate: 1-row decile edge frame broadcast, scan-speed array-filter bucketing"),
+    ("gdpr_erasure_audit", "erasure audit: request set broadcast, fact scan map-side, 1-row aggregates"),
+    ("events_join_plan", "join planner: two key-count aggregates + key-sized join -- key cardinality, not fact tonnage"),
+    ("lineitem_basket_pairs", "market basket: distinct (order, brand) frame, per-basket-bounded self-join, broadcast marginals"),
 ]
 
 
