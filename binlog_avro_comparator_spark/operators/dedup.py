@@ -1031,3 +1031,32 @@ def dedup_method_agreement(
         )
         out = agg if out is None else out.unionAll(agg)
     return out
+
+
+def template_dedup(documents: DataFrame) -> DataFrame:
+    """Template-level duplicate groups: exact dedup over the text with
+    every digit run collapsed to `0` and whitespace normalized -- the
+    cheap pass that catches machine-generated boilerplate ("Order
+    #8231 shipped on 2024-01-07") that exact hashing misses and
+    MinHash wastes shingle work on.  Standard first tier of a web-
+    corpus dedup ladder: normalize -> hash -> group.
+
+    Same shape as exact_dedup (one md5 groupBy, hash-only shuffle);
+    the normalization is three JVM regex/transform expressions at scan
+    speed.  Returns (template_hash, keep_doc_id, n_copies,
+    n_distinct_texts) -- n_distinct_texts > 1 is what separates true
+    template families from byte-identical copies."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), "[0-9]+", "0"),
+            "\\s+",
+            " ",
+        )
+    )
+    return documents.select(
+        "doc_id", F.md5(norm).alias("template_hash"), F.md5("text").alias("__th")
+    ).groupBy("template_hash").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count("*").alias("n_copies"),
+        F.count_distinct("__th").alias("n_distinct_texts"),
+    )

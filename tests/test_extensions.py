@@ -3377,3 +3377,22 @@ SELECT DISTINCT doc_a, doc_b FROM reach"""
         ).collect()
     )
     assert out == [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (10, 11)]
+
+
+def test_template_dedup_collapses_numbered_boilerplate(spark):
+    """Docs differing only in digits/whitespace fold into one template
+    family with n_distinct_texts > 1; genuinely distinct docs don't."""
+    from binlog_avro_comparator_spark.operators.dedup import template_dedup
+
+    docs = [
+        (1, "Order #8231 shipped  on 2024-01-07"),
+        (2, "Order #99 shipped on 1999-12-31"),
+        (3, "Order #8231 shipped  on 2024-01-07"),  # byte-identical to 1
+        (4, "A completely different document"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.keep_doc_id: r for r in template_dedup(d).collect()}
+    assert len(got) == 2
+    fam = got[1]
+    assert fam.n_copies == 3 and fam.n_distinct_texts == 2
+    assert got[4].n_copies == 1 and got[4].n_distinct_texts == 1
