@@ -3060,6 +3060,18 @@ def _q_template_dedup(spark, sf_dir):
     return template_dedup(_docs(spark, sf_dir))
 
 
+def _q_binlog_variant(spark, sf_dir):
+    """D3 open-schema ingestion on Spark 4 VARIANT
+    (sources/jsonl.binlog_events_via_variant): JSON wire form ->
+    parse_json -> try_variant_get contract columns."""
+    ensure_session_conf(spark)
+    from ..sources.jsonl import binlog_events_via_variant
+
+    return binlog_events_via_variant(
+        derive_binlog_events(load_table(spark, sf_dir, "events"))
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     # NOTE on ordering: the external correctness driver checks the FIRST 50
     # entries of this dict (CORRECTNESS_r02 covered exactly queries 1..50).
@@ -3133,6 +3145,7 @@ def queries() -> dict[str, QueryFn]:
         "lang_id_confusion": _q_lang_confusion,
         "dedup_transitive_closure": _q_dedup_closure,
         "dedup_template": _q_template_dedup,
+        "cdc_binlog_variant": _q_binlog_variant,
         # -- NEW in r5: the payload tier + merge sit first (CDC core),
         # then the corpus-analysis / retrieval / graph / sketch / PQ
         # additions. --
@@ -7458,6 +7471,14 @@ SELECT CAST(count(*) AS BIGINT) AS n_keys,
        (sum(no) = 0 AND sum(CASE WHEN nopen > 1 THEN 1 ELSE 0 END) = 0
         AND sum(ne) = 0) AS consistent
 FROM per_key"""
+    # VARIANT ingestion: same contract columns off the derivation CTE
+    sql["cdc_binlog_variant"] = oracle.cdc_binlog_events().replace(
+        "SELECT * FROM binlog_events_cdc",
+        '''SELECT event_type, "timestamp", log_position, "schema", "table",
+       gtid_next, binlog_file, line_no,
+       event_type LIKE '%RowsEventV2' AS is_dml
+FROM binlog_events_cdc''',
+    )
     # template dedup: identical normalization chain in DuckDB
     sql["dedup_template"] = """
 SELECT md5(trim(regexp_replace(regexp_replace(text, '[0-9]+', '0', 'g'),

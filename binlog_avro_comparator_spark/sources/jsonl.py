@@ -348,3 +348,40 @@ def write_jsonl_go(parsed: DataFrame, path: str, mode: str = "append") -> None:
     """S9 with drop-in intermediate-file parity: emits the same bytes
     the reference's parser pipeline appends (comparator.sh:95)."""
     go_json_lines(parsed).write.mode(mode).text(path)
+
+
+def binlog_events_via_variant(events_frame) -> "DataFrame":
+    """The D3 open-schema ingestion re-expressed on Spark 4's VARIANT
+    type: each event round-trips through its JSON-lines wire form
+    (to_json), lands as ONE semi-structured VARIANT value
+    (parse_json), and the downstream contract columns are pulled with
+    try_variant_get -- exactly how a 100 TB lake should hold the
+    reference's map[string]interface{} tail (json_parser.go:27,53):
+    no schema census up front, binary-encoded shredded storage, typed
+    extraction at read time, unknown keys preserved instead of
+    dropped.  try_* extraction keeps the warn-and-skip contract under
+    ANSI mode (a type-mismatched key nulls, never throws).
+
+    Columns mirror the declared reader (jsonl.read_binlog_jsonl), so
+    the two ingestion strategies are interchangeable downstream -- the
+    oracle reads the same fields straight off the derivation CTE."""
+    from pyspark.sql import functions as F
+
+    wire = events_frame.select(
+        F.to_json(F.struct(*events_frame.columns)).alias("__line")
+    )
+    v = wire.select(F.parse_json(F.col("__line")).alias("__v"))
+    get = lambda path, typ: F.try_variant_get(  # noqa: E731
+        F.col("__v"), f"$.{path}", typ
+    )
+    return v.select(
+        get("event_type", "string").alias("event_type"),
+        get("timestamp", "string").alias("timestamp"),
+        get("log_position", "long").alias("log_position"),
+        get("schema", "string").alias("schema"),
+        get("table", "string").alias("table"),
+        get("gtid_next", "string").alias("gtid_next"),
+        get("binlog_file", "string").alias("binlog_file"),
+        get("line_no", "long").alias("line_no"),
+        get("event_type", "string").endswith("RowsEventV2").alias("is_dml"),
+    )

@@ -1306,3 +1306,41 @@ def test_row_images_interleaved_table_maps():
         "order_id", "customer_name", "product_name", "quantity",
         "order_timestamp",
     }
+
+
+def test_variant_ingestion_matches_declared_reader(spark):
+    """The VARIANT path and the declared-schema path agree field for
+    field, unknown keys don't break extraction, and a type-mismatched
+    key nulls instead of throwing (try_ contract under ANSI)."""
+    from pyspark.sql import functions as F
+
+    from binlog_avro_comparator_spark.sources.jsonl import (
+        binlog_events_via_variant,
+    )
+
+    frame = spark.createDataFrame(
+        [
+            ("WriteRowsEventV2", "2024-01-01T00:00:00Z", 104, "db", "t",
+             None, "bin.000001", 1),
+            ("XID", "2024-01-01T00:00:01Z", 208, None, None, "g:1",
+             "bin.000001", 2),
+        ],
+        "event_type string, timestamp string, log_position long, "
+        "schema string, table string, gtid_next string, "
+        "binlog_file string, line_no long",
+    )
+    got = {r.line_no: r for r in binlog_events_via_variant(frame).collect()}
+    assert got[1].is_dml and not got[2].is_dml
+    assert got[1].log_position == 104 and got[2].gtid_next == "g:1"
+    assert got[1].gtid_next is None  # absent key -> NULL, not error
+    # type-mismatched extraction nulls: feed a line where log_position
+    # is a string that is not a number
+    bad = spark.createDataFrame(
+        [('{"event_type": "Query", "log_position": "oops", "line_no": 3}',)],
+        "js string",
+    ).select(F.parse_json("js").alias("__v"))
+    r = bad.select(
+        F.try_variant_get("__v", "$.log_position", "long").alias("lp"),
+        F.try_variant_get("__v", "$.line_no", "long").alias("ln"),
+    ).collect()[0]
+    assert r.lp is None and r.ln == 3
