@@ -3377,3 +3377,230 @@ def join_plan_report(
         skew.alias("skew_factor"),
         strategy.alias("strategy"),
     )
+
+
+def conversion_ab_test(events: DataFrame) -> DataFrame:
+    """Two-proportion z-test on CONVERSION (did the user purchase?)
+    between the md5-parity arms -- the binary-outcome sibling of
+    ab_test_welch's mean test; most experiments read out on a rate,
+    not a mean.
+
+    One distinct (user, converted) fold (map-side combinable: max of
+    the purchase flag per user), then ONE conditional aggregate over
+    the user frame; the pooled-variance z statistic is a single double
+    expression over four exact counts, mirrored op-for-op.  Returns
+    one row (n_a, n_b, conv_a, conv_b, rate_a, rate_b, z_stat)."""
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+        ).cast("long")
+        % 2
+    )
+    users = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "purchase").cast("int")).alias(
+                "__conv"
+            )
+        )
+        .select(arm.alias("__arm"), "__conv")
+    )
+    agg = users.agg(
+        F.count(F.when(F.col("__arm") == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("__arm") == 1, 1)).alias("n_b"),
+        F.sum(F.when(F.col("__arm") == 0, F.col("__conv"))).alias("conv_a"),
+        F.sum(F.when(F.col("__arm") == 1, F.col("__conv"))).alias("conv_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    pa = F.col("conv_a").cast("double") / na
+    pb = F.col("conv_b").cast("double") / nb
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (na + nb)
+    se = F.sqrt(pool * (1.0 - pool) * (1.0 / na + 1.0 / nb))
+    z = F.when(se > 0, (pa - pb) / se).otherwise(F.lit(0.0))
+    return agg.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_stat"),
+    )
+
+
+# P(first digit = d) under Benford's law, as LITERAL doubles shared
+# with the DuckDB twin (log10(1 + 1/d) -- evaluated once here so no
+# engine's libm is in the comparison path).
+BENFORD_P = (
+    0.3010299956639812,
+    0.17609125905568124,
+    0.12493873660829993,
+    0.09691001300805642,
+    0.07918124604762482,
+    0.06694678963061322,
+    0.05799194697768673,
+    0.05115252244738129,
+    0.04575749056067514,
+)
+
+
+def benford_audit(orders: DataFrame) -> DataFrame:
+    """Benford's-law first-digit audit over order totals -- the
+    classic fabricated-numbers screen (organic monetary amounts follow
+    log-uniform first digits; invented ones don't).  Not a proof of
+    fraud, a cheap tripwire worth running on any financial feed.
+
+    First digits via string head of the absolute value (exact integer
+    semantics, no libm); ONE 9-key aggregate; expected shares are
+    literal constants so the chi-square statistic is identical in any
+    engine.  Returns (digit, n, share, expected, chi2_total)."""
+    d = F.substring(
+        F.abs(F.col("o_totalprice")).cast("decimal(18,2)").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .select(d.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    exp_map = F.element_at(
+        F.array(*[F.lit(p) for p in BENFORD_P]), F.col("digit")
+    )
+    tot = counts.agg(F.sum("n").alias("__t"))
+    j = counts.crossJoin(F.broadcast(tot))
+    share = F.col("n").cast("double") / F.col("__t").cast("double")
+    e = exp_map * F.col("__t").cast("double")
+    cell = F.round(
+        (F.col("n").cast("double") - e) * (F.col("n").cast("double") - e) / e,
+        9,
+    ).cast("decimal(38,12)")
+    from ..functions.caching import scoped_cache
+
+    per = scoped_cache(
+        j.select(
+            "digit",
+            "n",
+            F.round(share, 6).alias("share"),
+            F.round(exp_map, 6).alias("expected"),
+            cell.alias("__cell"),
+        )
+    )
+    chi2 = per.agg(
+        F.round(F.sum("__cell").cast("double"), 6).alias("chi2_total")
+    )
+    return per.crossJoin(F.broadcast(chi2)).select(
+        "digit", "n", "share", "expected", "chi2_total"
+    )
+
+
+def abc_classes(orders: DataFrame) -> DataFrame:
+    """ABC / Pareto classification of customers by revenue: A = the
+    heavy heads covering the first 80% of cumulative revenue, B = the
+    next 15%, C = the long tail -- inventory-management's oldest
+    segmentation, and the shape behind "20% of customers are 80% of
+    revenue".
+
+    The fact table folds to one exact-decimal revenue row per customer
+    FIRST, and the cumulative sum over that entity frame is TWO-PHASE:
+    revenue-range buckets (approximate percentile boundaries -- they
+    only choose the partitioning, never the answer, because decimal
+    addition is exact under any grouping), per-bucket totals folded to
+    broadcast exclusive offsets, then a window PARTITIONED by bucket.
+    No global single-task window exists in the plan, so the recipe
+    survives a 100M-entity frame; ordering is (revenue DESC, key) --
+    value ties share a bucket by construction, keeping the phases
+    exact.  Returns (o_custkey, revenue, cum_share, abc_class)."""
+    from ..functions.caching import scoped_cache
+
+    per = scoped_cache(
+        orders.groupBy("o_custkey").agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("__rev")
+        )
+    )
+    n_buckets = 8
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = per.agg(
+        F.array(
+            *[F.percentile_approx("__rev", F.lit(q)) for q in qs]
+        ).alias("__b")
+    )
+    # strictly-less membership: equal revenues always share a bucket,
+    # so the bucket phases add exactly the rows the global order would
+    bucketed = per.crossJoin(F.broadcast(bounds)).select(
+        "o_custkey",
+        "__rev",
+        F.size(F.filter(F.col("__b"), lambda b: b < F.col("__rev"))).alias(
+            "__bk"
+        ),
+    )
+    btot = bucketed.groupBy("__bk").agg(F.sum("__rev").alias("__bt"))
+    wb = (
+        Window.orderBy(F.col("__bk").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # <= n_buckets rows: the only global window is bucket-sized
+    offsets = btot.select(
+        "__bk",
+        F.coalesce(
+            F.sum("__bt").over(wb), F.lit(0).cast("decimal(38,2)")
+        ).alias("__off"),
+    )
+    w = (
+        Window.partitionBy("__bk")
+        .orderBy(F.col("__rev").desc(), F.col("o_custkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = per.agg(F.sum("__rev").alias("__t"))
+    walked = (
+        bucketed.join(F.broadcast(offsets), "__bk")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "o_custkey",
+            F.round(F.col("__rev").cast("double"), 2).alias("revenue"),
+            F.round(
+                (F.col("__off") + F.sum("__rev").over(w)).cast("double")
+                / F.col("__t").cast("double"),
+                6,
+            ).alias("cum_share"),
+        )
+    )
+    cls = (
+        F.when(F.col("cum_share") <= 0.80, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+    )
+    return walked.select(
+        "o_custkey", "revenue", "cum_share", cls.alias("abc_class")
+    )
+
+
+def anomaly_scores_frozen(
+    df: DataFrame, stats: list, z_cut: float = 3.0
+) -> DataFrame:
+    """value_anomalies' scoring pass against FROZEN per-type (mean,
+    std) literals -- the deployed-monitor shape (the psi frozen-edges
+    discipline applied to z-scores): stats version as config, the live
+    feed scores stateless at scan speed.  Works identically on a batch
+    frame or a readStream; with stats computed from the full feed the
+    stream's output equals batch value_anomalies row for row.
+    ``stats`` rows carry (event_type, mean, std)."""
+    mean_expr = F.lit(None).cast("double")
+    std_expr = F.lit(None).cast("double")
+    for r in stats:
+        cond = F.col("event_type") == r["event_type"]
+        mean_expr = F.when(cond, F.lit(r["mean"])).otherwise(mean_expr)
+        std_expr = F.when(cond, F.lit(r["std"])).otherwise(std_expr)
+    z = F.round(
+        F.when(
+            std_expr > 0, (F.col("value") - mean_expr) / std_expr
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    return df.select(
+        "event_id",
+        "event_type",
+        "value",
+        z.alias("zscore"),
+        (F.abs(z) > z_cut).alias("is_anomaly"),
+    )

@@ -3072,6 +3072,75 @@ def _q_binlog_variant(spark, sf_dir):
     )
 
 
+def _q_conversion_ab(spark, sf_dir):
+    """Two-proportion conversion z-test over the md5-parity arms
+    (analytics.conversion_ab_test)."""
+    ensure_session_conf(spark)
+    from ..operators.analytics import conversion_ab_test
+
+    return conversion_ab_test(load_table(spark, sf_dir, "events"))
+
+
+def _q_benford(spark, sf_dir):
+    """Benford first-digit audit over order totals
+    (analytics.benford_audit)."""
+    ensure_session_conf(spark)
+    from ..operators.analytics import benford_audit
+
+    return benford_audit(load_table(spark, sf_dir, "orders"))
+
+
+def _q_abc_classes(spark, sf_dir):
+    """ABC/Pareto customer classification (analytics.abc_classes):
+    bucketed two-phase exact-decimal prefix sum, no global window."""
+    ensure_session_conf(spark)
+    from ..operators.analytics import abc_classes
+
+    return abc_classes(load_table(spark, sf_dir, "orders"))
+
+
+def _q_anomaly_stream(spark, sf_dir):
+    """value_anomalies run as a STREAM against frozen per-type stats
+    (analytics.anomaly_scores_frozen): stats from the full batch feed
+    (versioned monitor config), stream scores stateless -- equals the
+    batch operator row for row, so the oracle is events_value_anomalies
+    verbatim."""
+    global _STREAM_SINK_SEQ
+    from ..operators.analytics import anomaly_scores_frozen
+    from ..sources.tables import _EVENTS_SCHEMA, events_ts_column
+
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,6)")
+    stats = [
+        r.asDict()
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("__n"), F.sum(v).alias("__s"), F.sum(v * v).alias("__ss")
+        )
+        .select(
+            "event_type",
+            (F.col("__s").cast("double") / F.col("__n")).alias("mean"),
+            F.sqrt(
+                F.col("__ss").cast("double") / F.col("__n")
+                - (F.col("__s").cast("double") / F.col("__n"))
+                * (F.col("__s").cast("double") / F.col("__n"))
+            ).alias("std"),
+        )
+        .collect()
+    ]  # handful of (type, mean, std) rows -- the frozen config
+    stream = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", events_ts_column(sf_dir))
+    )
+    out = anomaly_scores_frozen(stream, stats)
+    _STREAM_SINK_SEQ += 1
+    name = f"events_anomaly_stream_sink_{_STREAM_SINK_SEQ}"
+    return _drain_to_table(spark, out, name, "append")
+
+
 def queries() -> dict[str, QueryFn]:
     # NOTE on ordering: the external correctness driver checks the FIRST 50
     # entries of this dict (CORRECTNESS_r02 covered exactly queries 1..50).
@@ -3146,6 +3215,10 @@ def queries() -> dict[str, QueryFn]:
         "dedup_transitive_closure": _q_dedup_closure,
         "dedup_template": _q_template_dedup,
         "cdc_binlog_variant": _q_binlog_variant,
+        "events_conversion_ab": _q_conversion_ab,
+        "orders_benford_audit": _q_benford,
+        "customer_abc_classes": _q_abc_classes,
+        "events_anomaly_stream": _q_anomaly_stream,
         # -- NEW in r5: the payload tier + merge sit first (CDC core),
         # then the corpus-analysis / retrieval / graph / sketch / PQ
         # additions. --
@@ -7441,6 +7514,7 @@ FROM diff GROUP BY "column", status"""
     sql["cdc_snapshot_stream"] = sql["cdc_apply_changes"]
     sql["cdc_ivm_stream"] = sql["cdc_ivm_refresh"]
     sql["events_psi_stream"] = sql["events_psi_drift"]
+    sql["events_anomaly_stream"] = sql["events_value_anomalies"]
     # SCD2 audit composed over the verified history SQL
     sql["cdc_scd2_audit"] = f"""
 WITH hist AS ({sql["cdc_scd2_history"]}),
@@ -7471,6 +7545,81 @@ SELECT CAST(count(*) AS BIGINT) AS n_keys,
        (sum(no) = 0 AND sum(CASE WHEN nopen > 1 THEN 1 ELSE 0 END) = 0
         AND sum(ne) = 0) AS consistent
 FROM per_key"""
+    # twin of analytics.conversion_ab_test
+    sql["events_conversion_ab"] = """
+WITH users AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT % 2
+           AS arm
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+),
+agg AS (
+  SELECT count(*) FILTER (WHERE arm = 0) AS n_a,
+         count(*) FILTER (WHERE arm = 1) AS n_b,
+         CAST(sum(conv) FILTER (WHERE arm = 0) AS BIGINT) AS conv_a,
+         CAST(sum(conv) FILTER (WHERE arm = 1) AS BIGINT) AS conv_b
+  FROM users
+),
+k AS (
+  SELECT n_a, n_b, conv_a, conv_b,
+         CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+         CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+         CAST(conv_a + conv_b AS DOUBLE)
+           / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pool
+  FROM agg
+),
+s AS (
+  SELECT *, sqrt(pool * (1.0 - pool)
+                 * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+            AS se
+  FROM k
+)
+SELECT n_a, n_b, conv_a, conv_b,
+       round(pa, 6) AS rate_a, round(pb, 6) AS rate_b,
+       round(CASE WHEN se > 0 THEN (pa - pb) / se ELSE 0.0 END, 6) AS z_stat
+FROM s"""
+    # twin of analytics.benford_audit (same literal Benford shares)
+    sql["orders_benford_audit"] = """
+WITH counts AS (
+  SELECT CAST(substr(CAST(CAST(abs(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+                     1, 1) AS INTEGER) AS digit,
+         count(*) AS n
+  FROM orders WHERE o_totalprice > 0 GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM counts),
+per AS (
+  SELECT digit, n,
+         round(CAST(n AS DOUBLE) / t, 6) AS share,
+         round([0.3010299956639812, 0.17609125905568124, 0.12493873660829993, 0.09691001300805642, 0.07918124604762482, 0.06694678963061322, 0.05799194697768673, 0.05115252244738129, 0.04575749056067514][digit], 6) AS expected,
+         CAST(round((CAST(n AS DOUBLE) - [0.3010299956639812, 0.17609125905568124, 0.12493873660829993, 0.09691001300805642, 0.07918124604762482, 0.06694678963061322, 0.05799194697768673, 0.05115252244738129, 0.04575749056067514][digit] * t)
+                    * (CAST(n AS DOUBLE) - [0.3010299956639812, 0.17609125905568124, 0.12493873660829993, 0.09691001300805642, 0.07918124604762482, 0.06694678963061322, 0.05799194697768673, 0.05115252244738129, 0.04575749056067514][digit] * t)
+                    / ([0.3010299956639812, 0.17609125905568124, 0.12493873660829993, 0.09691001300805642, 0.07918124604762482, 0.06694678963061322, 0.05799194697768673, 0.05115252244738129, 0.04575749056067514][digit] * t), 9) AS DECIMAL(38,12)) AS cell
+  FROM counts, tot
+),
+c AS (SELECT round(CAST(sum(cell) AS DOUBLE), 6) AS chi2_total FROM per)
+SELECT digit, n, share, expected, chi2_total FROM per, c"""
+    # twin of analytics.abc_classes: plain global window -- the bucketed
+    # two-phase Spark plan lands on identical values because decimal
+    # addition is exact under any grouping
+    sql["customer_abc_classes"] = """
+WITH per AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT sum(rev) AS t FROM per),
+walked AS (
+  SELECT o_custkey, round(CAST(rev AS DOUBLE), 2) AS revenue,
+         round(CAST(sum(rev) OVER (ORDER BY rev DESC, o_custkey
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS DOUBLE)
+               / CAST(t AS DOUBLE), 6) AS cum_share
+  FROM per, tot
+)
+SELECT o_custkey, revenue, cum_share,
+       CASE WHEN cum_share <= 0.80 THEN 'A'
+            WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc_class
+FROM walked"""
     # VARIANT ingestion: same contract columns off the derivation CTE
     sql["cdc_binlog_variant"] = oracle.cdc_binlog_events().replace(
         "SELECT * FROM binlog_events_cdc",

@@ -3396,3 +3396,79 @@ def test_template_dedup_collapses_numbered_boilerplate(spark):
     fam = got[1]
     assert fam.n_copies == 3 and fam.n_distinct_texts == 2
     assert got[4].n_copies == 1 and got[4].n_distinct_texts == 1
+
+
+def test_conversion_ab_two_proportion(spark):
+    """Hand-checkable conversion rates per arm; pooled z matches a
+    from-scratch computation over the same md5 split."""
+    import hashlib
+    import math
+
+    from binlog_avro_comparator_spark.operators.analytics import (
+        conversion_ab_test,
+    )
+
+    rows = []
+    for u in range(100):
+        rows.append((u * 2, u, "view"))
+        if u % 3 == 0:  # every third user converts
+            rows.append((u * 2 + 1, u, "purchase"))
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, event_type string")
+    r = conversion_ab_test(ev).collect()[0]
+
+    def arm(uid):
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[:12], 16) % 2
+
+    a = [u for u in range(100) if arm(u) == 0]
+    b = [u for u in range(100) if arm(u) == 1]
+    ca = sum(1 for u in a if u % 3 == 0)
+    cb = sum(1 for u in b if u % 3 == 0)
+    assert (r.n_a, r.n_b, r.conv_a, r.conv_b) == (len(a), len(b), ca, cb)
+    pa, pb = ca / len(a), cb / len(b)
+    pool = (ca + cb) / 100
+    se = math.sqrt(pool * (1 - pool) * (1 / len(a) + 1 / len(b)))
+    assert abs(r.z_stat - round((pa - pb) / se, 6)) < 1e-6
+
+
+def test_benford_audit_follows_and_flags(spark):
+    """A log-uniform sample scores a small chi2; a constant-first-digit
+    sample scores a huge one; shares sum to ~1."""
+    import math
+
+    from binlog_avro_comparator_spark.operators.analytics import benford_audit
+
+    # log-uniform over [1, 10^4): first digits follow Benford closely
+    ben = [(i, math.exp(math.log(10) * (i * 4.0 / 2000.0))) for i in range(2000)]
+    d1 = benford_audit(
+        spark.createDataFrame(ben, "o_orderkey long, o_totalprice double")
+    ).collect()
+    assert abs(sum(r.share for r in d1) - 1.0) < 1e-3
+    chi_ben = d1[0].chi2_total
+    flat = [(i, 100.0 + i * 0.01) for i in range(2000)]  # all start with 1
+    d2 = benford_audit(
+        spark.createDataFrame(flat, "o_orderkey long, o_totalprice double")
+    ).collect()
+    assert d2[0].chi2_total > 100 * max(chi_ben, 1.0)
+
+
+def test_abc_classes_two_phase_equals_global(spark):
+    """The bucketed prefix sum equals a driver-side global cumsum, and
+    the class boundaries land where the shares say."""
+    from binlog_avro_comparator_spark.operators.analytics import abc_classes
+
+    rows = [(k, float(1000 - k)) for k in range(100)]  # distinct revenues
+    orders = spark.createDataFrame(rows, "o_custkey long, o_totalprice double")
+    got = sorted(abc_classes(orders).collect(), key=lambda r: -r.revenue)
+    total = sum(v for _, v in rows)
+    cum = 0.0
+    for r in got:
+        cum += r.revenue
+        assert abs(r.cum_share - round(cum / total, 6)) < 1e-6
+    assert got[0].abc_class == "A" and got[-1].abc_class == "C"
+    # ties share buckets: duplicate revenues don't break exactness
+    dup = spark.createDataFrame(
+        [(k, 50.0) for k in range(40)], "o_custkey long, o_totalprice double"
+    )
+    gd = sorted(abc_classes(dup).collect(), key=lambda r: r.o_custkey)
+    assert abs(gd[-1].cum_share - 1.0) < 1e-9
+    assert [round(r.cum_share * 40) for r in gd] == list(range(1, 41))
