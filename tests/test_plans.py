@@ -1164,3 +1164,29 @@ def test_erasure_audit_broadcast_only(spark):
     )
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_abc_classes_window_is_bucket_partitioned(spark):
+    """The entity-frame cumulative window is PARTITIONED by the
+    revenue bucket; the only unpartitioned window in the plan runs
+    over the n_buckets-row offsets aggregate, never the entity frame."""
+    from binlog_avro_comparator_spark.operators.analytics import abc_classes
+
+    plan = _plan(abc_classes(load_table(spark, SF, "orders")), mode="extended")
+    assert "windowspecdefinition(__bk" in plan, plan[:4000]
+
+
+def test_conversion_ab_single_fact_exchange(spark):
+    """One per-user fold + one 1-row aggregate: the event table
+    shuffles once (on user), nothing joins."""
+    import re as _re
+
+    from binlog_avro_comparator_spark.operators.analytics import (
+        conversion_ab_test,
+    )
+
+    plan = _plan(conversion_ab_test(load_table(spark, SF, "events")))
+    assert "Join" not in plan, plan
+    # two Exchanges total: user-key partial agg + the final single-row
+    # gather; neither moves raw events twice
+    assert len(_re.findall(r"^\(\d+\) Exchange", plan, _re.M)) <= 2, plan
