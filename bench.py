@@ -189,6 +189,17 @@ EXTRA_QUERIES = [
     "events_twap_daily",
     "events_path_trigrams",
     "media_arrow_digest",
+    "events_hll_rolling",
+    "dedup_method_agreement",
+    "cdc_scd2_audit",
+    "events_join_plan",
+    "lang_id_confusion",
+    "dedup_transitive_closure",
+    "dedup_template",
+    "cdc_binlog_variant",
+    "events_conversion_ab",
+    "orders_benford_audit",
+    "customer_abc_classes",
 ]
 
 
