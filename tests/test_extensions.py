@@ -3472,3 +3472,48 @@ def test_abc_classes_two_phase_equals_global(spark):
     gd = sorted(abc_classes(dup).collect(), key=lambda r: r.o_custkey)
     assert abs(gd[-1].cum_share - 1.0) < 1e-9
     assert [round(r.cum_share * 40) for r in gd] == list(range(1, 41))
+
+
+def test_monitor_cli_end_to_end(spark, tmp_path):
+    """The monitor CLI runs every gate over a healthy feed (exit 0)
+    and trips on a drifted one (exit 3), emitting one JSON line per
+    gate plus the verdict."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from binlog_avro_comparator_spark.monitor import main as monitor_main
+
+    def write(path, post_offset):
+        rows = []
+        for i in range(300):
+            rows.append((i, "2024-01-05 00:00:00", 1, "click", float(i % 50)))
+            rows.append(
+                (1000 + i, "2024-01-25 00:00:00", 2, "click",
+                 float(i % 50 + post_offset))
+            )
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string, value double",
+        ).withColumn("ts", F.to_timestamp("ts")).write.mode("overwrite").parquet(path)
+
+    healthy = str(tmp_path / "healthy")
+    write(healthy, 0)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = monitor_main(["--events", healthy], spark=spark)
+    lines = [json.loads(x) for x in buf.getvalue().splitlines() if x.strip()]
+    assert rc == 0
+    assert lines[-1]["verdict"] == "HEALTHY"
+    assert {l.get("gate") for l in lines[:-1]} == {
+        "psi", "ks", "anomalies", "bursts", "cusum"
+    }
+    drifted = str(tmp_path / "drifted")
+    write(drifted, 500)
+    buf2 = io.StringIO()
+    with redirect_stdout(buf2):
+        rc2 = monitor_main(["--events", drifted], spark=spark)
+    lines2 = [json.loads(x) for x in buf2.getvalue().splitlines() if x.strip()]
+    assert rc2 == 3
+    assert lines2[-1]["verdict"] == "ALERT"
+    assert "psi" in lines2[-1]["tripped"] and "ks" in lines2[-1]["tripped"]
