@@ -984,3 +984,90 @@ def test_bloom_contamination_superset_of_exact(spark, seed):
     for d, ex in exact.items():
         assert bloom[d].n_shingles == ex.n_shingles, (seed, d)
         assert bloom[d].n_bloom_hits >= ex.n_contaminated, (seed, d)
+
+
+@settings(max_examples=6, deadline=None)
+@given(seed=st.integers(0, 10_000))
+def test_ivm_incremental_equals_recompute_random_streams(spark, seed):
+    """THE IVM algebra property: for a random change stream and a
+    random cutoff, folding the post-cutoff delta into the stored view
+    equals recomputing the view from the full feed -- retractions,
+    group moves, deletes, re-inserts and all."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from binlog_avro_comparator_spark.operators.snapshot import (
+        apply_changes,
+        ivm_refresh_typestats,
+    )
+
+    rng = random.Random(seed)
+    types = ["click", "view", "purchase"]
+    rows = []
+    for eid in range(120):
+        day = rng.randrange(1, 29)
+        rows.append(
+            (eid, f"2024-01-{day:02d} {rng.randrange(24):02d}:00:00",
+             rng.randrange(12), rng.choice(types),
+             round(rng.uniform(0, 100), 2))
+        )
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    cutoff = f"2024-01-{rng.randrange(2, 28):02d}"
+    inc = {
+        r.last_op: (r.n_users, r.sum_last_value)
+        for r in ivm_refresh_typestats(ev, cutoff=cutoff).collect()
+    }
+    full = {
+        r.last_op: (r.n_users, r.sum_last_value)
+        for r in apply_changes(ev)
+        .groupBy("last_op")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.round(
+                F.sum(F.col("last_value").cast("decimal(18,4)")).cast("double"),
+                4,
+            ).alias("sum_last_value"),
+        )
+        .collect()
+    }
+    assert inc == full, (seed, cutoff, inc, full)
+
+
+@settings(max_examples=5, deadline=None)
+@given(seed=st.integers(0, 10_000))
+def test_ols_and_abc_partition_invariance(spark, seed):
+    """Exact sufficient statistics make the OLS fit identical under any
+    repartitioning; exact decimal addition makes the bucketed ABC
+    cumulative shares identical too."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from binlog_avro_comparator_spark.operators.analytics import (
+        abc_classes,
+        value_trend_ols,
+    )
+
+    rng = random.Random(seed)
+    rows = [
+        (i, f"2024-01-{rng.randrange(1, 29):02d} {rng.randrange(24):02d}:00:00",
+         rng.choice(["a", "b"]), round(rng.uniform(0, 500), 2))
+        for i in range(200)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    base = sorted(map(tuple, value_trend_ols(ev).collect()))
+    shuf = sorted(map(tuple, value_trend_ols(ev.repartition(13)).collect()))
+    assert base == shuf, seed
+    orders = spark.createDataFrame(
+        [(i % 37, round(rng.uniform(1, 9999), 2)) for i in range(300)],
+        "o_custkey long, o_totalprice double",
+    )
+    a1 = sorted(map(tuple, abc_classes(orders).collect()))
+    a2 = sorted(map(tuple, abc_classes(orders.repartition(11)).collect()))
+    assert a1 == a2, seed
