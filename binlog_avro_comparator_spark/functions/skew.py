@@ -116,3 +116,61 @@ def salted_shuffle_join(
         SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return s.join(o, on=[*on, SALT_COL], how=how).drop(SALT_COL)
+
+
+def auto_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    broadcast_rows: int = 1_000_000,
+    skew_cut: float = 8.0,
+    n_salts: int = 8,
+) -> tuple[DataFrame, str]:
+    """Execute an equi-join through the planner's decision ladder
+    (analytics.join_plan_report made actionable): broadcast when a
+    side fits, salted shuffle when one key owns more than ``skew_cut``
+    x the mean per-key output, plain shuffle (AQE's problem) otherwise.
+
+    The planning pass costs two key-count aggregates and a key-sized
+    join -- at 100 TB you pay key-cardinality up front instead of
+    discovering the straggler at hour three.  The result rows are
+    IDENTICAL for every strategy (that is the point); only the physical
+    plan changes.  Returns (joined_frame, strategy)."""
+    lc = left.groupBy(*on).agg(F.count("*").alias("__nl"))
+    rc = right.groupBy(*on).agg(F.count("*").alias("__nr"))
+    stats = (
+        lc.join(rc, on)
+        .agg(
+            F.sum(F.col("__nl") * F.col("__nr")).alias("est"),
+            F.count("*").alias("keys"),
+            F.max(F.col("__nl") * F.col("__nr")).alias("top"),
+        )
+        .crossJoin(
+            lc.agg(F.sum("__nl").alias("n_left")).crossJoin(
+                rc.agg(F.sum("__nr").alias("n_right"))
+            )
+        )
+        .collect()[0]
+    )  # five scalars -- the planner's whole footprint on the driver
+    n_left, n_right = stats.n_left or 0, stats.n_right or 0
+    skew = (
+        (stats.top * stats.keys / stats.est) if stats.est else 0.0
+    )
+    if min(n_left, n_right) <= broadcast_rows:
+        small_is_right = n_right <= n_left
+        if small_is_right:
+            return left.join(F.broadcast(right), on, how), "broadcast"
+        # broadcast the small LEFT under join-type constraints: inner
+        # commutes; for outer joins keep sides and hint the left
+        if how == "inner":
+            return right.join(F.broadcast(left), on, how).select(
+                *left.columns,
+                *[c for c in right.columns if c not in left.columns],
+            ), "broadcast"
+        return F.broadcast(left).join(right, on, how), "broadcast"
+    if skew > skew_cut:
+        return salted_shuffle_join(left, right, on, n_salts=n_salts, how=how), (
+            "salted_shuffle"
+        )
+    return left.join(right, on, how), "shuffle"

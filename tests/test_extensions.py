@@ -3517,3 +3517,42 @@ def test_monitor_cli_end_to_end(spark, tmp_path):
     assert rc2 == 3
     assert lines2[-1]["verdict"] == "ALERT"
     assert "psi" in lines2[-1]["tripped"] and "ks" in lines2[-1]["tripped"]
+
+
+def test_auto_join_ladder_and_equivalence(spark):
+    """auto_join picks the expected strategy per shape and every
+    strategy returns exactly the plain join's rows."""
+    from binlog_avro_comparator_spark.functions.skew import auto_join
+
+    right = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(10)], "k long, name string"
+    )
+
+    def rows(df):
+        return sorted(map(tuple, df.select("k", "v", "name").collect()))
+
+    small_left = spark.createDataFrame(
+        [(i % 10, i) for i in range(200)], "k long, v long"
+    )
+    j, s = auto_join(small_left, right, ["k"], broadcast_rows=50)
+    assert s == "broadcast"
+    assert rows(j) == rows(small_left.join(right, "k"))
+    hot = spark.createDataFrame(
+        [(0 if i < 1800 else i % 10, i) for i in range(2000)], "k long, v long"
+    )
+    # replicate the dim so neither side is broadcastable at threshold 5
+    big_right = right.unionAll(right)
+    j2, s2 = auto_join(hot, big_right, ["k"], broadcast_rows=5)
+    assert s2 == "salted_shuffle"
+    assert rows(j2) == rows(hot.join(big_right, "k"))
+    flat = spark.createDataFrame(
+        [(i % 10, i) for i in range(2000)], "k long, v long"
+    )
+    j3, s3 = auto_join(flat, big_right, ["k"], broadcast_rows=5)
+    assert s3 == "shuffle"
+    assert rows(j3) == rows(flat.join(big_right, "k"))
+    # left-outer preserved through the broadcast path
+    lo = spark.createDataFrame([(99, 1)], "k long, v long")
+    j4, s4 = auto_join(lo, right, ["k"], how="left", broadcast_rows=50)
+    assert s4 == "broadcast" and j4.count() == 1
+    assert j4.collect()[0].name is None
