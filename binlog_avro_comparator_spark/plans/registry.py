@@ -3151,7 +3151,7 @@ def queries() -> dict[str, QueryFn]:
     # the committed FULLSWEEP record: ALL entries, window or not, are
     # value-verified locally each round at sf0.01 (and the heavy tiers
     # at sf0.1) by scratch/check.py -- see FULLSWEEP_r06.md for the
-    # round-close 214/214 tally and SCALE.md for endurance evidence.
+    # round-close 220/220 tally and SCALE.md for endurance evidence.
     return {
         # -- NEW in r6, never driver-verified: lead the 50-query
         # sampling window (r3 freeze rule) --
