@@ -1221,3 +1221,56 @@ def hard_negative_pairs(
             F.col("__pk.cs").alias("neg_sim"),
         )
     )
+
+
+def embedding_label_drift(embeddings: DataFrame) -> DataFrame:
+    """Embedding-space drift by segment: cosine between each label's
+    MEAN vector and the corpus mean -- the vector-valued sibling of
+    the scalar drift gates (PSI/KS watch a number; this watches where
+    a segment's embedding mass points).  A label whose centroid swings
+    away from the corpus is the retrieval-era symptom of a source
+    gone off-distribution.
+
+    Exactness discipline: per-dimension sums accumulate as decimals
+    (float -> decimal cast is value-deterministic), means are single
+    double divisions, and the cosine's dot/norm terms are 12-dp-rounded
+    per dimension and summed as decimals -- no order-dependent double
+    folds anywhere, so the report is identical at any partitioning.
+    Two aggregates over the exploded (label, dim) frame; everything
+    after is dims x labels tiny.  Returns (label, n_vectors,
+    cos_to_corpus)."""
+    ex = embeddings.select(
+        "label", F.posexplode("embedding").alias("__ord", "__v")
+    ).select(
+        "label", "__ord", F.col("__v").cast("decimal(18,9)").alias("__v")
+    )
+    from ..functions.caching import scoped_cache
+
+    per_dim = scoped_cache(
+        ex.groupBy("label", "__ord").agg(
+            F.sum("__v").alias("__s"), F.count("*").alias("__n")
+        )
+    )
+    lbl = per_dim.select(
+        "label",
+        "__ord",
+        (F.col("__s").cast("double") / F.col("__n")).alias("__m"),
+        "__n",
+    )
+    corpus = per_dim.groupBy("__ord").agg(
+        (F.sum("__s").cast("double") / F.sum("__n")).alias("__cm")
+    )
+    j = lbl.join(F.broadcast(corpus), "__ord")
+    dec = "decimal(38,12)"
+    agg = j.groupBy("label").agg(
+        F.max("__n").alias("n_vectors"),
+        F.sum(F.round(F.col("__m") * F.col("__cm"), 12).cast(dec)).alias("__dot"),
+        F.sum(F.round(F.col("__m") * F.col("__m"), 12).cast(dec)).alias("__a2"),
+        F.sum(F.round(F.col("__cm") * F.col("__cm"), 12).cast(dec)).alias("__b2"),
+    )
+    cos = F.col("__dot").cast("double") / (
+        F.sqrt(F.col("__a2").cast("double")) * F.sqrt(F.col("__b2").cast("double"))
+    )
+    return agg.select(
+        "label", "n_vectors", F.round(cos, 6).alias("cos_to_corpus")
+    )

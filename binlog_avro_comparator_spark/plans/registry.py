@@ -3141,6 +3141,16 @@ def _q_anomaly_stream(spark, sf_dir):
     return _drain_to_table(spark, out, name, "append")
 
 
+def _q_embedding_drift(spark, sf_dir):
+    """Per-label centroid drift vs the corpus mean
+    (similarity.embedding_label_drift): decimal-exact per-dim sums,
+    12-dp-rounded cosine terms."""
+    ensure_session_conf(spark)
+    from ..operators.similarity import embedding_label_drift
+
+    return embedding_label_drift(load_table(spark, sf_dir, "embeddings"))
+
+
 def queries() -> dict[str, QueryFn]:
     # NOTE on ordering: the external correctness driver checks the FIRST 50
     # entries of this dict (CORRECTNESS_r02 covered exactly queries 1..50).
@@ -3219,6 +3229,7 @@ def queries() -> dict[str, QueryFn]:
         "orders_benford_audit": _q_benford,
         "customer_abc_classes": _q_abc_classes,
         "events_anomaly_stream": _q_anomaly_stream,
+        "embedding_label_drift": _q_embedding_drift,
         # -- NEW in r5: the payload tier + merge sit first (CDC core),
         # then the corpus-analysis / retrieval / graph / sketch / PQ
         # additions. --
@@ -7620,6 +7631,34 @@ SELECT o_custkey, revenue, cum_share,
        CASE WHEN cum_share <= 0.80 THEN 'A'
             WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc_class
 FROM walked"""
+    # twin of similarity.embedding_label_drift
+    sql["embedding_label_drift"] = """
+WITH ex AS (
+  SELECT label, generate_subscripts(embedding, 1) AS ord,
+         CAST(unnest(embedding) AS DECIMAL(18,9)) AS v
+  FROM embeddings
+),
+per_dim AS (
+  SELECT label, ord, sum(v) AS s, count(*) AS n FROM ex GROUP BY 1, 2
+),
+lbl AS (
+  SELECT label, ord, CAST(s AS DOUBLE) / n AS m, n FROM per_dim
+),
+corpus AS (
+  SELECT ord, CAST(sum(s) AS DOUBLE) / sum(n) AS cm FROM per_dim GROUP BY 1
+),
+agg AS (
+  SELECT label, max(n) AS n_vectors,
+         sum(CAST(round(m * cm, 12) AS DECIMAL(38,12))) AS dot,
+         sum(CAST(round(m * m, 12) AS DECIMAL(38,12))) AS a2,
+         sum(CAST(round(cm * cm, 12) AS DECIMAL(38,12))) AS b2
+  FROM lbl JOIN corpus USING (ord) GROUP BY label
+)
+SELECT label, CAST(n_vectors AS BIGINT) AS n_vectors,
+       round(CAST(dot AS DOUBLE)
+             / (sqrt(CAST(a2 AS DOUBLE)) * sqrt(CAST(b2 AS DOUBLE))), 6)
+         AS cos_to_corpus
+FROM agg"""
     # VARIANT ingestion: same contract columns off the derivation CTE
     sql["cdc_binlog_variant"] = oracle.cdc_binlog_events().replace(
         "SELECT * FROM binlog_events_cdc",

@@ -3556,3 +3556,30 @@ def test_auto_join_ladder_and_equivalence(spark):
     j4, s4 = auto_join(lo, right, ["k"], how="left", broadcast_rows=50)
     assert s4 == "broadcast" and j4.count() == 1
     assert j4.collect()[0].name is None
+
+
+def test_embedding_label_drift_detects_shifted_segment(spark):
+    """A label whose vectors point opposite the corpus scores a low
+    (negative) cosine; an on-distribution label scores near 1; the
+    report is repartition-invariant."""
+    from binlog_avro_comparator_spark.operators.similarity import (
+        embedding_label_drift,
+    )
+
+    rows = []
+    for i in range(40):  # bulk: along +x with small jitter
+        rows.append((i, [1.0, 0.01 * (i % 5), 0.0, 0.0], "bulk"))
+    for i in range(40, 50):  # drifted: along -x
+        rows.append((i, [-1.0, 0.0, 0.01 * (i % 3), 0.0], "drifted"))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    got = {r.label: r for r in embedding_label_drift(emb).collect()}
+    assert got["bulk"].n_vectors == 40 and got["drifted"].n_vectors == 10
+    assert got["bulk"].cos_to_corpus > 0.99
+    assert got["drifted"].cos_to_corpus < -0.9
+    again = {
+        r.label: r.cos_to_corpus
+        for r in embedding_label_drift(emb.repartition(7)).collect()
+    }
+    assert again == {k: v.cos_to_corpus for k, v in got.items()}
