@@ -90,3 +90,89 @@ class BinlogTextDataSource(DataSource):
 def register_binlog_text_source(spark) -> None:  # noqa: ANN001
     """Idempotent registration of the ``binlogtext`` format."""
     spark.dataSource.register(BinlogTextDataSource)
+
+
+# ---------------------------------------------------------------------------
+# The WRITER half of the Python DataSource surface: a committing JSONL
+# sink for the byte-exact Go emission (S9's write path as a format).
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+@dataclass
+class _TmpFileCommit(WriterCommitMessage):
+    tmp_path: str
+    n_rows: int
+
+
+class GoJsonlWriter(DataSourceWriter):
+    """Two-phase commit the way every real sink does it: each task
+    writes a hidden ``.part-*.tmp`` (never visible to readers), the
+    driver's commit() renames the survivors into place, abort() deletes
+    them -- so a failed/speculated task can never leave a half-file a
+    downstream reader would ingest.  The storage layer here is a
+    shared filesystem (local mode / NFS / fuse mounts); an object-store
+    deployment swaps the rename for a multipart-complete, the protocol
+    above is unchanged."""
+
+    def __init__(self, path: str, overwrite: bool):
+        self.path = path
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".part-{uuid.uuid4().hex}.tmp")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(row[0] + "\n")
+                n += 1
+        return _TmpFileCommit(tmp, n)
+
+    def commit(self, messages):
+        import os
+
+        if self.overwrite:
+            for name in os.listdir(self.path):
+                if name.endswith(".jsonl"):
+                    os.remove(os.path.join(self.path, name))
+        for i, m in enumerate(messages):
+            if m.n_rows:
+                os.replace(
+                    m.tmp_path, os.path.join(self.path, f"part-{i:05d}.jsonl")
+                )
+            else:
+                os.remove(m.tmp_path)  # empty partitions leave no file
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            try:
+                os.remove(m.tmp_path)
+            except OSError:
+                pass
+
+
+class GoJsonlDataSource(DataSource):
+    """``df.write.format("gojsonl").mode(...).save(dir)`` over a
+    ONE-STRING-COLUMN frame (compose with jsonl.go_json_lines for the
+    byte-exact Go emission).  Registered next to the reader source so
+    the engine's custom-connector story covers both directions."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "gojsonl"
+
+    def writer(self, schema, overwrite: bool):
+        if len(schema.fields) != 1 or schema.fields[0].dataType.typeName() != "string":
+            raise ValueError(
+                "gojsonl expects exactly one string column "
+                "(pre-format with jsonl.go_json_lines)"
+            )
+        return GoJsonlWriter(self.options["path"], overwrite)

@@ -1344,3 +1344,52 @@ def test_variant_ingestion_matches_declared_reader(spark):
         F.try_variant_get("__v", "$.line_no", "long").alias("ln"),
     ).collect()[0]
     assert r.lp is None and r.ln == 3
+
+
+def test_gojsonl_python_datasource_writer(spark, tmp_path):
+    """The writer half of the Python DataSource surface: two-phase
+    commit leaves only complete part files, bytes equal the Go form,
+    overwrite replaces, and a non-string schema is rejected."""
+    import os
+
+    import pytest as _pytest
+
+    from binlog_avro_comparator_spark.operators.parse import parse_binlog_text
+    from binlog_avro_comparator_spark.sources.jsonl import go_json_lines
+    from binlog_avro_comparator_spark.sources.pyds import GoJsonlDataSource
+
+    spark.dataSource.register(GoJsonlDataSource)
+    text = []
+    for i in range(50):
+        text += [
+            "=== WriteRowsEventV2 ===",
+            f"Date: 2025-06-01 12:00:{i % 60:02d}",
+            f"Log position: {100 + i}",
+            "Table: orders",
+        ]
+    raw = spark.createDataFrame(
+        [("mysql-bin.000001", i, s) for i, s in enumerate(text)],
+        "binlog_file string, line_no long, value string",
+    )
+    lines = go_json_lines(parse_binlog_text(raw))
+    out = str(tmp_path / "sink")
+    lines.write.format("gojsonl").mode("append").save(out)
+    files = sorted(f for f in os.listdir(out) if f.endswith(".jsonl"))
+    assert files and not [f for f in os.listdir(out) if f.endswith(".tmp")]
+    got = []
+    for f in files:
+        got += open(os.path.join(out, f), encoding="utf-8").read().splitlines()
+    want = [r[0] for r in lines.collect()]
+    assert sorted(got) == sorted(want)  # byte-exact lines, all present
+    # overwrite drops the previous generation
+    lines.limit(5).repartition(1).write.format("gojsonl").mode(
+        "overwrite"
+    ).save(out)
+    files2 = [f for f in os.listdir(out) if f.endswith(".jsonl")]
+    total = sum(
+        len(open(os.path.join(out, f), encoding="utf-8").read().splitlines())
+        for f in files2
+    )
+    assert total == 5
+    with _pytest.raises(Exception, match="one string column"):
+        raw.write.format("gojsonl").mode("append").save(str(tmp_path / "bad"))
