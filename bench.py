@@ -200,6 +200,7 @@ EXTRA_QUERIES = [
     "events_conversion_ab",
     "orders_benford_audit",
     "customer_abc_classes",
+    "embedding_label_drift",
 ]
 
 

@@ -64,6 +64,7 @@ PICKS = [
     ("gdpr_erasure_audit", "erasure audit: request set broadcast, fact scan map-side, 1-row aggregates"),
     ("events_join_plan", "join planner: two key-count aggregates + key-sized join -- key cardinality, not fact tonnage"),
     ("lineitem_basket_pairs", "market basket: distinct (order, brand) frame, per-basket-bounded self-join, broadcast marginals"),
+    ("customer_abc_classes", "Pareto ABC: bucketed two-phase exact-decimal prefix sum -- the entity window is PARTITIONED by revenue bucket"),
 ]
 
 
