@@ -3604,3 +3604,80 @@ def anomaly_scores_frozen(
         z.alias("zscore"),
         (F.abs(z) > z_cut).alias("is_anomaly"),
     )
+
+
+def multitouch_attribution(
+    events: DataFrame, gap_ms: int = 30 * 60 * 1000
+) -> DataFrame:
+    """LINEAR multi-touch attribution: every purchase's conversion
+    credit splits equally across ALL its preceding in-session touches
+    (1/n each), aggregated per touch type -- the model marketing teams
+    reach for when first/last-touch (purchase_attribution) over-credits
+    the endpoints of the journey.
+
+    Shape: the same single-key-shuffle sessionized frame as
+    purchase_attribution; the purchase-x-touch pairing is a
+    session-keyed equi-join whose candidates are bounded by the
+    session's own length (the per-basket bound of the market-basket
+    join, applied in time).  Per-pair credits are 1/n rounded at 9 dp
+    and summed as decimals -- order-independent and engine-identical.
+    Returns (touch_type, n_credited_touches, credit)."""
+    ms = F.unix_millis(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_ms").asc(), F.col("event_id").asc()
+    )
+    base = events.filter(F.col("user_id").isNotNull()).select(
+        "user_id", "event_id", "event_type", ms.alias("ts_ms")
+    ).withColumn("prev_ms", F.lag("ts_ms").over(w))
+    sess = base.withColumn(
+        "is_new",
+        (
+            F.col("prev_ms").isNull()
+            | ((F.col("ts_ms") - F.col("prev_ms")) > gap_ms)
+        ).cast("long"),
+    ).withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy(
+        F.col("ts_ms").asc(), F.col("event_id").asc()
+    )
+    prior = ws.rowsBetween(Window.unboundedPreceding, -1)
+    is_touch = (F.col("event_type") != "purchase").cast("long")
+    from ..functions.caching import scoped_cache
+
+    tagged = scoped_cache(
+        sess.withColumn(
+            "__n_prior", F.coalesce(F.sum(is_touch).over(prior), F.lit(0))
+        )
+    )
+    purchases = tagged.filter(
+        (F.col("event_type") == "purchase") & (F.col("__n_prior") > 0)
+    ).select(
+        "user_id",
+        "session_id",
+        F.col("ts_ms").alias("__p_ms"),
+        F.col("event_id").alias("__p_id"),
+        F.col("__n_prior").alias("__n"),
+    )
+    touches = tagged.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        "session_id",
+        F.col("ts_ms").alias("__t_ms"),
+        F.col("event_id").alias("__t_id"),
+        F.col("event_type").alias("touch_type"),
+    )
+    before = (F.col("__t_ms") < F.col("__p_ms")) | (
+        (F.col("__t_ms") == F.col("__p_ms")) & (F.col("__t_id") < F.col("__p_id"))
+    )
+    credit = F.round(F.lit(1.0) / F.col("__n").cast("double"), 9).cast(
+        "decimal(38,12)"
+    )
+    pairs = touches.join(purchases, ["user_id", "session_id"]).filter(before)
+    return (
+        pairs.groupBy("touch_type")
+        .agg(
+            F.count("*").alias("n_credited_touches"),
+            F.round(F.sum(credit).cast("double"), 6).alias("credit"),
+        )
+    )

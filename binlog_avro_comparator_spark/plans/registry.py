@@ -3151,6 +3151,15 @@ def _q_embedding_drift(spark, sf_dir):
     return embedding_label_drift(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_multitouch(spark, sf_dir):
+    """Linear multi-touch attribution (analytics.multitouch_attribution):
+    1/n credit per in-session preceding touch, session-bounded pairing."""
+    ensure_session_conf(spark)
+    from ..operators.analytics import multitouch_attribution
+
+    return multitouch_attribution(load_table(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, QueryFn]:
     # NOTE on ordering: the external correctness driver checks the FIRST 50
     # entries of this dict (CORRECTNESS_r02 covered exactly queries 1..50).
@@ -3230,6 +3239,7 @@ def queries() -> dict[str, QueryFn]:
         "customer_abc_classes": _q_abc_classes,
         "events_anomaly_stream": _q_anomaly_stream,
         "embedding_label_drift": _q_embedding_drift,
+        "events_attribution_multitouch": _q_multitouch,
         # -- NEW in r5: the payload tier + merge sit first (CDC core),
         # then the corpus-analysis / retrieval / graph / sketch / PQ
         # additions. --
@@ -7631,6 +7641,46 @@ SELECT o_custkey, revenue, cum_share,
        CASE WHEN cum_share <= 0.80 THEN 'A'
             WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc_class
 FROM walked"""
+    # twin of analytics.multitouch_attribution
+    sql["events_attribution_multitouch"] = """
+WITH base AS (
+  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+         lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_ms(ts), event_id) AS prev_ms
+  FROM events WHERE user_id IS NOT NULL
+),
+sess AS (
+  SELECT *, sum(CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000
+                     THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS session_id
+  FROM base
+),
+tagged AS (
+  SELECT *, coalesce(sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id, session_id
+                             ORDER BY ts_ms, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS n_prior
+  FROM sess
+),
+purchases AS (
+  SELECT user_id, session_id, ts_ms AS p_ms, event_id AS p_id, n_prior AS n
+  FROM tagged WHERE event_type = 'purchase' AND n_prior > 0
+),
+touches AS (
+  SELECT user_id, session_id, ts_ms AS t_ms, event_id AS t_id,
+         event_type AS touch_type
+  FROM tagged WHERE event_type <> 'purchase'
+),
+pairs AS (
+  SELECT touch_type,
+         CAST(round(1.0 / CAST(n AS DOUBLE), 9) AS DECIMAL(38,12)) AS credit
+  FROM touches t JOIN purchases p USING (user_id, session_id)
+  WHERE t.t_ms < p.p_ms OR (t.t_ms = p.p_ms AND t.t_id < p.p_id)
+)
+SELECT touch_type, count(*) AS n_credited_touches,
+       round(CAST(sum(credit) AS DOUBLE), 6) AS credit
+FROM pairs GROUP BY touch_type"""
     # twin of similarity.embedding_label_drift
     sql["embedding_label_drift"] = """
 WITH ex AS (

@@ -3583,3 +3583,32 @@ def test_embedding_label_drift_detects_shifted_segment(spark):
         for r in embedding_label_drift(emb.repartition(7)).collect()
     }
     assert again == {k: v.cos_to_corpus for k, v in got.items()}
+
+
+def test_multitouch_linear_credit(spark):
+    """Hand journey: view, click, purchase (each gets 1/2), then a
+    second purchase in-session with 2 touches before it -> the two
+    touches earn another 1/2 each... no new touches means SAME n;
+    credits sum to the number of attributed conversions."""
+    from binlog_avro_comparator_spark.operators.analytics import (
+        multitouch_attribution,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, "view"),
+        (2, "2024-01-01 10:01:00", 7, "click"),
+        (3, "2024-01-01 10:02:00", 7, "purchase"),  # 2 touches -> 1/2 each
+        (4, "2024-01-01 10:03:00", 7, "purchase"),  # still 2 touches
+        (5, "2024-01-01 12:00:00", 7, "purchase"),  # new session, 0 touches
+        (6, "2024-01-01 09:00:00", 8, "view"),      # other user, no purchase
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r.touch_type: r for r in multitouch_attribution(ev).collect()}
+    assert set(got) == {"view", "click"}
+    # each touch credited by both same-session purchases: 0.5 + 0.5
+    assert got["view"].credit == 1.0 and got["click"].credit == 1.0
+    assert got["view"].n_credited_touches == 2
+    # total credit equals attributed purchases (2; the direct one drops)
+    assert sum(r.credit for r in got.values()) == 2.0
