@@ -201,6 +201,7 @@ EXTRA_QUERIES = [
     "orders_benford_audit",
     "customer_abc_classes",
     "embedding_label_drift",
+    "events_attribution_multitouch",
 ]
 
 

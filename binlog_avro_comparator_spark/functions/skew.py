@@ -157,18 +157,19 @@ def auto_join(
     skew = (
         (stats.top * stats.keys / stats.est) if stats.est else 0.0
     )
-    if min(n_left, n_right) <= broadcast_rows:
-        small_is_right = n_right <= n_left
-        if small_is_right:
-            return left.join(F.broadcast(right), on, how), "broadcast"
-        # broadcast the small LEFT under join-type constraints: inner
-        # commutes; for outer joins keep sides and hint the left
+    if n_right <= broadcast_rows:
+        return left.join(F.broadcast(right), on, how), "broadcast"
+    if n_left <= broadcast_rows:
+        # the small side is the LEFT: inner commutes, so flip and hash-
+        # broadcast it; an OUTER join cannot hash-broadcast its
+        # preserved side (Spark would silently ignore the hint), so
+        # outer joins with only a small left fall through to the
+        # shuffle tiers instead of claiming a broadcast that never runs
         if how == "inner":
             return right.join(F.broadcast(left), on, how).select(
                 *left.columns,
                 *[c for c in right.columns if c not in left.columns],
             ), "broadcast"
-        return F.broadcast(left).join(right, on, how), "broadcast"
     if skew > skew_cut:
         return salted_shuffle_join(left, right, on, n_salts=n_salts, how=how), (
             "salted_shuffle"

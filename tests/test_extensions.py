@@ -3551,11 +3551,15 @@ def test_auto_join_ladder_and_equivalence(spark):
     j3, s3 = auto_join(flat, big_right, ["k"], broadcast_rows=5)
     assert s3 == "shuffle"
     assert rows(j3) == rows(flat.join(big_right, "k"))
-    # left-outer preserved through the broadcast path
+    # left-outer with a small RIGHT broadcasts; with only a small LEFT
+    # it must NOT claim broadcast (Spark can't hash-broadcast the
+    # preserved side) -- it falls through to the shuffle tiers
     lo = spark.createDataFrame([(99, 1)], "k long, v long")
     j4, s4 = auto_join(lo, right, ["k"], how="left", broadcast_rows=50)
     assert s4 == "broadcast" and j4.count() == 1
     assert j4.collect()[0].name is None
+    j5, s5 = auto_join(lo, big_right, ["k"], how="left", broadcast_rows=5)
+    assert s5 in ("shuffle", "salted_shuffle") and j5.count() == 1
 
 
 def test_embedding_label_drift_detects_shifted_segment(spark):
