@@ -3607,7 +3607,7 @@ def anomaly_scores_frozen(
 
 
 def multitouch_attribution(
-    events: DataFrame, gap_ms: int = 30 * 60 * 1000
+    events: DataFrame, gap_ms: int = 30 * 60 * 1000, model: str = "linear"
 ) -> DataFrame:
     """LINEAR multi-touch attribution: every purchase's conversion
     credit splits equally across ALL its preceding in-session touches
@@ -3670,10 +3670,29 @@ def multitouch_attribution(
     before = (F.col("__t_ms") < F.col("__p_ms")) | (
         (F.col("__t_ms") == F.col("__p_ms")) & (F.col("__t_id") < F.col("__p_id"))
     )
-    credit = F.round(F.lit(1.0) / F.col("__n").cast("double"), 9).cast(
-        "decimal(38,12)"
-    )
     pairs = touches.join(purchases, ["user_id", "session_id"]).filter(before)
+    if model == "linear":
+        credit = F.round(F.lit(1.0) / F.col("__n").cast("double"), 9)
+    elif model == "position":
+        # U-shaped: endpoints 0.4 each, interior splits 0.2 -- the
+        # position window is per PURCHASE (session-bounded candidates)
+        wp = Window.partitionBy("user_id", "session_id", "__p_id").orderBy(
+            "__t_ms", "__t_id"
+        )
+        pos = F.row_number().over(wp)
+        pairs = pairs.withColumn("__pos", pos)
+        n = F.col("__n").cast("double")
+        credit = F.round(
+            F.when(F.col("__n") == 1, F.lit(1.0))
+            .when(F.col("__n") == 2, F.lit(0.5))
+            .when(F.col("__pos") == 1, F.lit(0.4))
+            .when(F.col("__pos") == F.col("__n"), F.lit(0.4))
+            .otherwise(F.lit(0.2) / (n - F.lit(2.0))),
+            9,
+        )
+    else:
+        raise ValueError(f"unknown attribution model: {model!r}")
+    credit = credit.cast("decimal(38,12)")
     return (
         pairs.groupBy("touch_type")
         .agg(

@@ -3160,6 +3160,17 @@ def _q_multitouch(spark, sf_dir):
     return multitouch_attribution(load_table(spark, sf_dir, "events"))
 
 
+def _q_multitouch_position(spark, sf_dir):
+    """U-shaped 40/20/40 attribution (multitouch_attribution
+    model='position')."""
+    ensure_session_conf(spark)
+    from ..operators.analytics import multitouch_attribution
+
+    return multitouch_attribution(
+        load_table(spark, sf_dir, "events"), model="position"
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     # NOTE on ordering: the external correctness driver checks the FIRST 50
     # entries of this dict (CORRECTNESS_r02 covered exactly queries 1..50).
@@ -3240,6 +3251,7 @@ def queries() -> dict[str, QueryFn]:
         "events_anomaly_stream": _q_anomaly_stream,
         "embedding_label_drift": _q_embedding_drift,
         "events_attribution_multitouch": _q_multitouch,
+        "events_attribution_position": _q_multitouch_position,
         # -- NEW in r5: the payload tier + merge sit first (CDC core),
         # then the corpus-analysis / retrieval / graph / sketch / PQ
         # additions. --
@@ -7681,6 +7693,34 @@ pairs AS (
 SELECT touch_type, count(*) AS n_credited_touches,
        round(CAST(sum(credit) AS DOUBLE), 6) AS credit
 FROM pairs GROUP BY touch_type"""
+    # U-shaped twin: same CTEs with the position window
+    sql["events_attribution_position"] = sql[
+        "events_attribution_multitouch"
+    ].replace(
+        """pairs AS (
+  SELECT touch_type,
+         CAST(round(1.0 / CAST(n AS DOUBLE), 9) AS DECIMAL(38,12)) AS credit
+  FROM touches t JOIN purchases p USING (user_id, session_id)
+  WHERE t.t_ms < p.p_ms OR (t.t_ms = p.p_ms AND t.t_id < p.p_id)
+)""",
+        """ranked AS (
+  SELECT touch_type, n,
+         row_number() OVER (PARTITION BY user_id, session_id, p_id
+                            ORDER BY t_ms, t_id) AS pos
+  FROM touches t JOIN purchases p USING (user_id, session_id)
+  WHERE t.t_ms < p.p_ms OR (t.t_ms = p.p_ms AND t.t_id < p.p_id)
+),
+pairs AS (
+  SELECT touch_type,
+         CAST(round(CASE WHEN n = 1 THEN 1.0
+                         WHEN n = 2 THEN 0.5
+                         WHEN pos = 1 THEN 0.4
+                         WHEN pos = n THEN 0.4
+                         ELSE 0.2 / (CAST(n AS DOUBLE) - 2.0) END, 9)
+              AS DECIMAL(38,12)) AS credit
+  FROM ranked
+)""",
+    )
     # twin of similarity.embedding_label_drift
     sql["embedding_label_drift"] = """
 WITH ex AS (

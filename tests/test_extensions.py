@@ -3616,3 +3616,26 @@ def test_multitouch_linear_credit(spark):
     assert got["view"].n_credited_touches == 2
     # total credit equals attributed purchases (2; the direct one drops)
     assert sum(r.credit for r in got.values()) == 2.0
+
+
+def test_position_attribution_u_shape(spark):
+    """4 touches before a purchase: endpoints 0.4 each, the two middle
+    touches 0.1 each; credit still conserves to 1 per conversion."""
+    from binlog_avro_comparator_spark.operators.analytics import (
+        multitouch_attribution,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, "view"),
+        (2, "2024-01-01 10:01:00", 7, "click"),
+        (3, "2024-01-01 10:02:00", 7, "signup"),
+        (4, "2024-01-01 10:03:00", 7, "error"),
+        (5, "2024-01-01 10:04:00", 7, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r.touch_type: r.credit for r in
+           multitouch_attribution(ev, model="position").collect()}
+    assert got == {"view": 0.4, "click": 0.1, "signup": 0.1, "error": 0.4}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
