@@ -1060,3 +1060,73 @@ def template_dedup(documents: DataFrame) -> DataFrame:
         F.count("*").alias("n_copies"),
         F.count_distinct("__th").alias("n_distinct_texts"),
     )
+
+
+def prefix_filter_pairs(
+    documents: DataFrame, k: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (the PPJoin
+    family): every pair with word-k-gram Jaccard >= ``threshold``,
+    with a COMPLETENESS GUARANTEE -- if two sets satisfy the
+    threshold they must share a token inside both prefixes of length
+    |S| - ceil(t*|S|) + 1 under one global token order, so unlike the
+    probabilistic LSH tiers no qualifying pair can be missed.  The
+    global order is (df ASC, h) -- rarest first, the classic choice,
+    because rare tokens prune hardest.
+
+    Scale shape mirrors jaccard_pairs: hashes-only shuffles, df via
+    groupBy + join-back (AQE-splittable, no count window), the
+    candidate self-join runs over PREFIX tokens only (a t=0.5 prefix
+    is about half the set -- and the rare half, whose join keys are
+    the coldest), and exact verification touches candidates only.
+    Returns (doc_a, doc_b, n_intersect, n_union, jaccard) for pairs at
+    or above the threshold."""
+    sh = scoped_cache(shingles(documents, k).select("doc_id", "h"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    dfreq = sh.groupBy("h").agg(F.count("*").alias("__df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("__df", "h")
+    ranked = (
+        sh.join(dfreq, "h")
+        .join(sizes, "doc_id")
+        .withColumn("__rn", F.row_number().over(w))
+    )
+    pref = ranked.filter(
+        F.col("__rn")
+        <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    ).select("doc_id", "h")
+    cand = (
+        pref.alias("l")
+        .join(pref.alias("r"), on="h")
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.h") == F.col("sb.h")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_intersect"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("__na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("__nb"))
+    uni = F.col("__na") + F.col("__nb") - F.col("n_intersect")
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_intersect",
+            uni.alias("n_union"),
+            (F.col("n_intersect") / uni).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -3171,6 +3171,15 @@ def _q_multitouch_position(spark, sf_dir):
     )
 
 
+def _q_prefix_filter(spark, sf_dir):
+    """Exact prefix-filter set-similarity join (dedup.prefix_filter_pairs):
+    complete at the threshold, rare-first global token order."""
+    ensure_session_conf(spark)
+    from ..operators.dedup import prefix_filter_pairs
+
+    return prefix_filter_pairs(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, QueryFn]:
     # NOTE on ordering: the external correctness driver checks the FIRST 50
     # entries of this dict (CORRECTNESS_r02 covered exactly queries 1..50).
@@ -3252,6 +3261,7 @@ def queries() -> dict[str, QueryFn]:
         "embedding_label_drift": _q_embedding_drift,
         "events_attribution_multitouch": _q_multitouch,
         "events_attribution_position": _q_multitouch_position,
+        "dedup_prefix_filter_pairs": _q_prefix_filter,
         # -- NEW in r5: the payload tier + merge sit first (CDC core),
         # then the corpus-analysis / retrieval / graph / sketch / PQ
         # additions. --
@@ -4686,6 +4696,25 @@ FROM cand c
 LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
 JOIN sizes na ON na.doc_id = c.doc_a
 JOIN sizes nb ON nb.doc_id = c.doc_b""",
+        # twin of dedup.prefix_filter_pairs: brute-force threshold join
+        # (ALL shared-token pairs verified) -- completeness of the
+        # Spark side's prefix filter is exactly what equality asserts
+        "dedup_prefix_filter_pairs": f"""
+WITH {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM shingle_hashes GROUP BY doc_id),
+inter AS (
+  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS n_intersect
+  FROM shingle_hashes sa JOIN shingle_hashes sb
+    ON sa.h = sb.h AND sa.doc_id < sb.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_intersect,
+       na.n + nb.n - n_intersect AS n_union,
+       n_intersect / (na.n + nb.n - n_intersect) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE n_intersect / (na.n + nb.n - n_intersect) >= 0.5""",
         # twin of dedup.shingle_novelty: first-holder min over the
         # shared shingle-hash frame, per-doc novel fraction
         "doc_shingle_novelty": f"""

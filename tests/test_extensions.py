@@ -3639,3 +3639,31 @@ def test_position_attribution_u_shape(spark):
            multitouch_attribution(ev, model="position").collect()}
     assert got == {"view": 0.4, "click": 0.1, "signup": 0.1, "error": 0.4}
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_prefix_filter_join_complete_at_threshold(spark):
+    """The prefix filter finds EXACTLY the brute-force threshold pairs
+    -- completeness (no missed pair) and precision (verification
+    filters the candidates) on a corpus with planted pairs straddling
+    the threshold."""
+    from binlog_avro_comparator_spark.operators.dedup import (
+        jaccard_pairs,
+        prefix_filter_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    docs = [(i, f"unique {i} " + " ".join(f"w{i}_{j}" for j in range(30)))
+            for i in range(30)]
+    docs.append((100, base))
+    docs.append((101, base + "lambda mu nu "))      # high-overlap pair
+    docs.append((102, "alpha beta gamma " + " ".join(f"x{j}" for j in range(40))))
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in prefix_filter_pairs(d).collect()}
+    # brute force over ALL candidate pairs (df cap lifted high)
+    brute = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(d, max_df=10_000).filter("jaccard >= 0.5").collect()
+    }
+    assert got == brute
+    assert (100, 101) in got and got[(100, 101)] >= 0.5
+    assert (100, 102) not in got  # below threshold must be absent
