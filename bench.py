@@ -202,6 +202,8 @@ EXTRA_QUERIES = [
     "customer_abc_classes",
     "embedding_label_drift",
     "events_attribution_multitouch",
+    "events_attribution_position",
+    "dedup_prefix_filter_pairs",
 ]
 
 
