@@ -3673,6 +3673,26 @@ def multitouch_attribution(
     pairs = touches.join(purchases, ["user_id", "session_id"]).filter(before)
     if model == "linear":
         credit = F.round(F.lit(1.0) / F.col("__n").cast("double"), 9)
+    elif model == "time_decay":
+        # exponential recency weighting, half-life = 10 min: per-pair
+        # raw weights round at 9 dp (absorbing cross-libm pow ulps) and
+        # normalize per purchase over a DECIMAL window sum, so each
+        # conversion still hands out exactly ~1.0 credit
+        wp = Window.partitionBy("user_id", "session_id", "__p_id")
+        raw = F.round(
+            F.pow(
+                F.lit(2.0),
+                -(F.col("__p_ms") - F.col("__t_ms")).cast("double")
+                / F.lit(600000.0),
+            ),
+            9,
+        ).cast("decimal(38,12)")
+        pairs = pairs.withColumn("__w", raw).withColumn(
+            "__wsum", F.sum("__w").over(wp)
+        )
+        credit = F.round(
+            F.col("__w").cast("double") / F.col("__wsum").cast("double"), 9
+        )
     elif model == "position":
         # U-shaped: endpoints 0.4 each, interior splits 0.2 -- the
         # position window is per PURCHASE (session-bounded candidates)

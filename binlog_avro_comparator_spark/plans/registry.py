@@ -3180,6 +3180,18 @@ def _q_prefix_filter(spark, sf_dir):
     return prefix_filter_pairs(_docs(spark, sf_dir))
 
 
+def _q_multitouch_decay(spark, sf_dir):
+    """Time-decay attribution (multitouch_attribution
+    model='time_decay'): 2^(-age/10min) weights normalized per
+    purchase."""
+    ensure_session_conf(spark)
+    from ..operators.analytics import multitouch_attribution
+
+    return multitouch_attribution(
+        load_table(spark, sf_dir, "events"), model="time_decay"
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     # NOTE on ordering: the external correctness driver checks the FIRST 50
     # entries of this dict (CORRECTNESS_r02 covered exactly queries 1..50).
@@ -3262,6 +3274,7 @@ def queries() -> dict[str, QueryFn]:
         "events_attribution_multitouch": _q_multitouch,
         "events_attribution_position": _q_multitouch_position,
         "dedup_prefix_filter_pairs": _q_prefix_filter,
+        "events_attribution_decay": _q_multitouch_decay,
         # -- NEW in r5: the payload tier + merge sit first (CDC core),
         # then the corpus-analysis / retrieval / graph / sketch / PQ
         # additions. --
@@ -7722,6 +7735,32 @@ pairs AS (
 SELECT touch_type, count(*) AS n_credited_touches,
        round(CAST(sum(credit) AS DOUBLE), 6) AS credit
 FROM pairs GROUP BY touch_type"""
+    # time-decay twin: same CTEs with the weight window
+    sql["events_attribution_decay"] = sql[
+        "events_attribution_multitouch"
+    ].replace(
+        """pairs AS (
+  SELECT touch_type,
+         CAST(round(1.0 / CAST(n AS DOUBLE), 9) AS DECIMAL(38,12)) AS credit
+  FROM touches t JOIN purchases p USING (user_id, session_id)
+  WHERE t.t_ms < p.p_ms OR (t.t_ms = p.p_ms AND t.t_id < p.p_id)
+)""",
+        """weighted AS (
+  SELECT touch_type, user_id, session_id, p_id,
+         CAST(round(pow(2.0, -CAST(p_ms - t_ms AS DOUBLE) / 600000.0), 9)
+              AS DECIMAL(38,12)) AS w
+  FROM touches t JOIN purchases p USING (user_id, session_id)
+  WHERE t.t_ms < p.p_ms OR (t.t_ms = p.p_ms AND t.t_id < p.p_id)
+),
+pairs AS (
+  SELECT touch_type,
+         CAST(round(CAST(w AS DOUBLE)
+                    / CAST(sum(w) OVER (PARTITION BY user_id, session_id, p_id)
+                           AS DOUBLE), 9)
+              AS DECIMAL(38,12)) AS credit
+  FROM weighted
+)""",
+    )
     # U-shaped twin: same CTEs with the position window
     sql["events_attribution_position"] = sql[
         "events_attribution_multitouch"

@@ -3667,3 +3667,27 @@ def test_prefix_filter_join_complete_at_threshold(spark):
     assert got == brute
     assert (100, 101) in got and got[(100, 101)] >= 0.5
     assert (100, 102) not in got  # below threshold must be absent
+
+
+def test_time_decay_attribution_recency(spark):
+    """Two touches, 10 minutes apart, purchase right after the second:
+    the recent touch earns 2x the stale one (one half-life apart), and
+    per-conversion credit still sums to 1."""
+    from binlog_avro_comparator_spark.operators.analytics import (
+        multitouch_attribution,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, "view"),
+        (2, "2024-01-01 10:10:00", 7, "click"),
+        (3, "2024-01-01 10:10:00", 8, "purchase"),  # other user: dropped
+        (4, "2024-01-01 10:10:01", 7, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r.touch_type: r.credit for r in
+           multitouch_attribution(ev, model="time_decay").collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    # ages 601s vs 1s -> weight ratio ~ 2^(600/600) = 2
+    assert 1.9 < got["click"] / got["view"] < 2.1
