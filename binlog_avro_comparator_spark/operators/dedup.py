@@ -1130,3 +1130,67 @@ def prefix_filter_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def containment_pairs(
+    documents: DataFrame, k: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Directional set-CONTAINMENT join: pairs where at least
+    ``threshold`` of the source document's word-k-grams appear inside
+    the target -- the quote/subset detector (near-total containment
+    with low symmetric Jaccard = a small doc embedded in a big one),
+    which the symmetric tiers structurally cannot rank.
+
+    Same completeness algebra as prefix_filter_pairs, adapted to the
+    asymmetric predicate: if c(A->B) >= t then A and B share at least
+    ceil(t*|A|) tokens, so A's rare-first prefix of length
+    |A| - ceil(t*|A|) + 1 must land at least one token inside B's FULL
+    set -- candidates come from (source prefix) x (target all), the
+    target side pruned only by the prefix tokens' own (cold, rare)
+    document frequencies.  Verification is candidate-bounded and
+    exact.  Returns (doc_src, doc_dst, n_intersect, n_src,
+    containment) for ordered pairs at or above the threshold."""
+    sh = scoped_cache(shingles(documents, k).select("doc_id", "h"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    dfreq = sh.groupBy("h").agg(F.count("*").alias("__df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("__df", "h")
+    pref = (
+        sh.join(dfreq, "h")
+        .join(sizes, "doc_id")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(
+            F.col("__rn")
+            <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+        )
+        .select(F.col("doc_id").alias("doc_src"), "h")
+    )
+    cand = (
+        pref.join(sh.select(F.col("doc_id").alias("doc_dst"), "h"), "h")
+        .filter(F.col("doc_src") != F.col("doc_dst"))
+        .select("doc_src", "doc_dst")
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.alias("sa"), F.col("doc_src") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_dst") == F.col("sb.doc_id"))
+            & (F.col("sa.h") == F.col("sb.h")),
+        )
+        .groupBy("doc_src", "doc_dst")
+        .agg(F.count("*").alias("n_intersect"))
+    )
+    ns = sizes.select(F.col("doc_id").alias("doc_src"), F.col("n").alias("n_src"))
+    return (
+        inter.join(ns, "doc_src")
+        .select(
+            "doc_src",
+            "doc_dst",
+            "n_intersect",
+            "n_src",
+            (F.col("n_intersect") / F.col("n_src")).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

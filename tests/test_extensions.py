@@ -3691,3 +3691,28 @@ def test_time_decay_attribution_recency(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-6
     # ages 601s vs 1s -> weight ratio ~ 2^(600/600) = 2
     assert 1.9 < got["click"] / got["view"] < 2.1
+
+
+def test_containment_join_finds_embedded_quote(spark):
+    """A short doc fully embedded in a long one: containment fires
+    src->dst at ~1.0 while symmetric Jaccard sits far below the
+    near-dup bar -- and the reverse direction does NOT fire."""
+    from binlog_avro_comparator_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    quote = "to be or not to be that is the question of the age"
+    host = quote + " " + " ".join(f"filler{j} host{j}" for j in range(60))
+    docs = [(1, quote), (2, host)] + [
+        (10 + i, " ".join(f"u{i}_{j}" for j in range(40))) for i in range(10)
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.doc_src, r.doc_dst): r for r in containment_pairs(d).collect()}
+    assert (1, 2) in got and got[(1, 2)].containment >= 0.9
+    assert (2, 1) not in got  # the host is NOT contained in the quote
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(d, max_df=1000).collect()
+    }
+    assert jac.get((1, 2), 0.0) < 0.2  # symmetric view can't see it
