@@ -1621,3 +1621,72 @@ def lang_id_confusion(documents: DataFrame) -> DataFrame:
             "accuracy",
         )
     )
+
+
+def token_allocation(
+    documents: DataFrame, budget_frac: float = 0.5
+) -> DataFrame:
+    """Water-filling token allocation: split a token budget across
+    sources so every source gets an equal share EXCEPT those too small
+    to use it, whose leftover redistributes to the rest -- the
+    constrained mixture plan behind "sample uniformly across sources,
+    but don't oversample the small ones past their caps" (the step
+    between mixture_weights' unconstrained proportions and an actual
+    sampling run).
+
+    The classic iterative water level has a CLOSED FORM over the
+    sorted caps: with caps ascending and exclusive cumulative sums,
+    the level is lambda = (T - cum_i) / (k - i) at the first source
+    whose cap exceeds it -- one per-source aggregate, one sort window
+    over the ~#sources frame, pure algebra, no loop.  Returns (source,
+    n_tokens_cap, allocation, water_level, is_capped)."""
+    caps = documents.groupBy("source").agg(
+        F.sum(_count_re(F.col("text"), TOKEN_RE)).cast("long").alias("__cap")
+    )
+    from pyspark.sql import Window
+    from ..functions.caching import scoped_cache
+
+    w = Window.orderBy(F.col("__cap").asc(), F.col("source").asc())
+    ranked = scoped_cache(
+        caps.withColumn("__i", F.row_number().over(w)).withColumn(
+            "__cum",
+            F.coalesce(
+                F.sum("__cap").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+    )
+    tot = ranked.agg(
+        F.sum("__cap").alias("__t"), F.count("*").alias("__k")
+    )
+    j = ranked.crossJoin(F.broadcast(tot)).withColumn(
+        "__target", F.floor(F.lit(budget_frac) * F.col("__t")).cast("double")
+    )
+    # candidate level at each position; the true level is the first
+    # candidate the local cap cannot absorb (caps before it are fully
+    # taken, the rest share the remainder equally)
+    cand = (F.col("__target") - F.col("__cum").cast("double")) / (
+        F.col("__k") - F.col("__i") + 1
+    ).cast("double")
+    # the true level is the FIRST (lowest-index) valid candidate: below
+    # it candidates rise as capped sources release budget, above it
+    # they fall -- so pick by index, not by value
+    leveled = j.filter(F.col("__cap").cast("double") >= cand).select(
+        F.struct(F.col("__i").alias("i"), cand.alias("lvl")).alias("__c")
+    )
+    level = leveled.agg(
+        F.round(F.min("__c").getField("lvl"), 6).alias("water_level")
+    )
+    out = j.crossJoin(F.broadcast(level))
+    alloc = F.round(
+        F.least(F.col("__cap").cast("double"), F.col("water_level")), 6
+    )
+    return out.select(
+        "source",
+        F.col("__cap").alias("n_tokens_cap"),
+        alloc.alias("allocation"),
+        "water_level",
+        (F.col("__cap").cast("double") <= F.col("water_level")).alias(
+            "is_capped"
+        ),
+    )

@@ -3201,6 +3201,15 @@ def _q_containment(spark, sf_dir):
     return containment_pairs(_docs(spark, sf_dir))
 
 
+def _q_token_allocation(spark, sf_dir):
+    """Water-filling token budget allocation across sources
+    (textstats.token_allocation): closed-form level over sorted caps."""
+    ensure_session_conf(spark)
+    from ..operators.textstats import token_allocation
+
+    return token_allocation(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, QueryFn]:
     # NOTE on ordering: the external correctness driver checks the FIRST 50
     # entries of this dict (CORRECTNESS_r02 covered exactly queries 1..50).
@@ -3285,6 +3294,7 @@ def queries() -> dict[str, QueryFn]:
         "dedup_prefix_filter_pairs": _q_prefix_filter,
         "events_attribution_decay": _q_multitouch_decay,
         "dedup_containment_pairs": _q_containment,
+        "corpus_token_allocation": _q_token_allocation,
         # -- NEW in r5: the payload tier + merge sit first (CDC core),
         # then the corpus-analysis / retrieval / graph / sketch / PQ
         # additions. --
@@ -4302,6 +4312,38 @@ SELECT doc_id, length(text) AS text_len,
        len(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS n_bpe_tokens,
        n_chars
 FROM documents""",
+        # twin of textstats.token_allocation
+        "corpus_token_allocation": rf"""
+WITH caps AS (
+  SELECT source,
+         CAST(sum(len(regexp_extract_all(text, '{_TOKEN_RE_SQL}'))) AS BIGINT)
+           AS cap
+  FROM documents GROUP BY source
+),
+ranked AS (
+  SELECT source, cap,
+         row_number() OVER (ORDER BY cap, source) AS i,
+         coalesce(sum(cap) OVER (ORDER BY cap, source
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS cum
+  FROM caps
+),
+tot AS (SELECT sum(cap) AS t, count(*) AS k FROM caps),
+j AS (
+  SELECT *, floor(0.5 * CAST(t AS DOUBLE)) AS target,
+         (floor(0.5 * CAST(t AS DOUBLE)) - CAST(cum AS DOUBLE))
+           / CAST(k - i + 1 AS DOUBLE) AS cand
+  FROM ranked, tot
+),
+lvl AS (
+  SELECT round(min({{'i': i, 'cand': cand}}).cand, 6) AS water_level
+  FROM j WHERE CAST(cap AS DOUBLE) >= cand
+)
+SELECT source, cap AS n_tokens_cap,
+       round(least(CAST(cap AS DOUBLE), water_level), 6) AS allocation,
+       water_level,
+       CAST(cap AS DOUBLE) <= water_level AS is_capped
+FROM j, lvl""",
         "text_quality": rf"""
 SELECT doc_id, length(text) AS text_len,
        len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS n_words,

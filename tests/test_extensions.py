@@ -3716,3 +3716,26 @@ def test_containment_join_finds_embedded_quote(spark):
         for r in jaccard_pairs(d, max_df=1000).collect()
     }
     assert jac.get((1, 2), 0.0) < 0.2  # symmetric view can't see it
+
+
+def test_token_allocation_water_filling(spark):
+    """Hand caps [10, 20, 100, 200] with a 50% budget (165): the two
+    small sources cap out (10 + 20), the two big ones split the rest
+    at level 67.5; allocations sum to the target."""
+    from binlog_avro_comparator_spark.operators.textstats import (
+        token_allocation,
+    )
+
+    docs = []
+    did = 0
+    for src_name, n in [("s10", 10), ("s20", 20), ("s100", 100), ("s200", 200)]:
+        docs.append((did, " ".join(f"t{j}" for j in range(n)), src_name))
+        did += 1
+    d = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    got = {r.source: r for r in token_allocation(d).collect()}
+    assert got["s10"].is_capped and got["s10"].allocation == 10.0
+    assert got["s20"].is_capped and got["s20"].allocation == 20.0
+    assert got["s100"].allocation == 67.5 == got["s200"].allocation
+    assert not got["s100"].is_capped
+    assert abs(sum(r.allocation for r in got.values()) - 165.0) < 1e-6
+    assert got["s100"].water_level == 67.5
