@@ -1194,3 +1194,26 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def source_redundancy(documents: DataFrame) -> DataFrame:
+    """Per-source redundancy: what fraction of each source's documents
+    sit inside a near-dup cluster -- the report that tells a curation
+    pipeline WHICH feeds to deduplicate aggressively (or stop
+    ingesting) rather than just which documents to drop.  Clusters are
+    the verified connected-components frame; this adds one join back
+    to the corpus for the source column and one per-source aggregate.
+    Returns (source, n_docs, n_clustered, redundancy)."""
+    clusters = dedup_clusters(documents).select("doc_id")
+    tagged = documents.select("doc_id", "source").join(
+        clusters.withColumn("__dup", F.lit(1)), "doc_id", "left"
+    )
+    return tagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum("__dup"), F.lit(0)).cast("long").alias("n_clustered"),
+        F.round(
+            F.coalesce(F.sum("__dup"), F.lit(0)).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("redundancy"),
+    )

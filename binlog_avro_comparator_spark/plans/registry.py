@@ -3210,6 +3210,15 @@ def _q_token_allocation(spark, sf_dir):
     return token_allocation(_docs(spark, sf_dir))
 
 
+def _q_source_redundancy(spark, sf_dir):
+    """Per-source near-dup redundancy (dedup.source_redundancy):
+    cluster membership joined back for the feed-level verdict."""
+    ensure_session_conf(spark)
+    from ..operators.dedup import source_redundancy
+
+    return source_redundancy(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, QueryFn]:
     # NOTE on ordering: the external correctness driver checks the FIRST 50
     # entries of this dict (CORRECTNESS_r02 covered exactly queries 1..50).
@@ -3295,6 +3304,7 @@ def queries() -> dict[str, QueryFn]:
         "events_attribution_decay": _q_multitouch_decay,
         "dedup_containment_pairs": _q_containment,
         "corpus_token_allocation": _q_token_allocation,
+        "corpus_source_redundancy": _q_source_redundancy,
         # -- NEW in r5: the payload tier + merge sit first (CDC core),
         # then the corpus-analysis / retrieval / graph / sketch / PQ
         # additions. --
@@ -7908,6 +7918,17 @@ reach(doc_a, doc_b) AS (
   SELECT r.doc_a, p.doc_b FROM reach r JOIN base p ON p.doc_a = r.doc_b
 )
 SELECT DISTINCT doc_a, doc_b FROM reach"""
+    # redundancy composed over the verified cluster oracle
+    sql["corpus_source_redundancy"] = f"""
+SELECT d.source AS source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clustered,
+       round(CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS redundancy
+FROM documents d
+LEFT JOIN (SELECT DISTINCT doc_id FROM ({sql["dedup_clusters"]})) c
+  ON c.doc_id = d.doc_id
+GROUP BY d.source"""
     # confusion matrix composed over the verified lang_id oracle
     sql["lang_id_confusion"] = f"""
 WITH scored AS (SELECT lang, lang_guess,

@@ -3739,3 +3739,19 @@ def test_token_allocation_water_filling(spark):
     assert not got["s100"].is_capped
     assert abs(sum(r.allocation for r in got.values()) - 165.0) < 1e-6
     assert got["s100"].water_level == 67.5
+
+
+def test_source_redundancy_flags_duplicate_heavy_feed(spark):
+    """A source whose docs are all copies reports redundancy 1.0; a
+    clean source reports 0."""
+    from binlog_avro_comparator_spark.operators.dedup import source_redundancy
+
+    dup = "the same exact boilerplate text repeated for every doc " * 10
+    docs = [(i, dup, "spammy") for i in range(6)] + [
+        (10 + i, f"unique {i} " + " ".join(f"w{i}_{j}" for j in range(40)), "clean")
+        for i in range(6)
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    got = {r.source: r for r in source_redundancy(d).collect()}
+    assert got["spammy"].redundancy == 1.0 and got["spammy"].n_clustered == 6
+    assert got["clean"].redundancy == 0.0
