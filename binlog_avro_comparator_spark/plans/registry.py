@@ -3219,6 +3219,15 @@ def _q_source_redundancy(spark, sf_dir):
     return source_redundancy(_docs(spark, sf_dir))
 
 
+def _q_minhash_error(spark, sf_dir):
+    """MinHash estimator calibration (dedup.minhash_estimate_error):
+    signature-agreement estimate vs exact Jaccard per LSH pair."""
+    ensure_session_conf(spark)
+    from ..operators.dedup import minhash_estimate_error
+
+    return minhash_estimate_error(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, QueryFn]:
     # NOTE on ordering: the external correctness driver checks the FIRST 50
     # entries of this dict (CORRECTNESS_r02 covered exactly queries 1..50).
@@ -3305,6 +3314,7 @@ def queries() -> dict[str, QueryFn]:
         "dedup_containment_pairs": _q_containment,
         "corpus_token_allocation": _q_token_allocation,
         "corpus_source_redundancy": _q_source_redundancy,
+        "dedup_minhash_error": _q_minhash_error,
         # -- NEW in r5: the payload tier + merge sit first (CDC core),
         # then the corpus-analysis / retrieval / graph / sketch / PQ
         # additions. --
@@ -7918,6 +7928,37 @@ reach(doc_a, doc_b) AS (
   SELECT r.doc_a, p.doc_b FROM reach r JOIN base p ON p.doc_a = r.doc_b
 )
 SELECT DISTINCT doc_a, doc_b FROM reach"""
+    # estimator calibration composed from the signature + pair oracles
+    sql["dedup_minhash_error"] = f"""
+WITH {_SHINGLE_CTE},
+pairs AS (SELECT doc_a, doc_b FROM ({sql["minhash_lsh_pairs"]})),
+sigs AS (SELECT * FROM ({sql["minhash_signatures"]})),
+est AS (
+  SELECT doc_a, doc_b,
+         round((CASE WHEN a.min_0 = b.min_0 THEN 1 ELSE 0 END + CASE WHEN a.min_1 = b.min_1 THEN 1 ELSE 0 END + CASE WHEN a.min_2 = b.min_2 THEN 1 ELSE 0 END + CASE WHEN a.min_3 = b.min_3 THEN 1 ELSE 0 END + CASE WHEN a.min_4 = b.min_4 THEN 1 ELSE 0 END + CASE WHEN a.min_5 = b.min_5 THEN 1 ELSE 0 END + CASE WHEN a.min_6 = b.min_6 THEN 1 ELSE 0 END + CASE WHEN a.min_7 = b.min_7 THEN 1 ELSE 0 END + CASE WHEN a.min_8 = b.min_8 THEN 1 ELSE 0 END + CASE WHEN a.min_9 = b.min_9 THEN 1 ELSE 0 END + CASE WHEN a.min_10 = b.min_10 THEN 1 ELSE 0 END + CASE WHEN a.min_11 = b.min_11 THEN 1 ELSE 0 END + CASE WHEN a.min_12 = b.min_12 THEN 1 ELSE 0 END + CASE WHEN a.min_13 = b.min_13 THEN 1 ELSE 0 END + CASE WHEN a.min_14 = b.min_14 THEN 1 ELSE 0 END + CASE WHEN a.min_15 = b.min_15 THEN 1 ELSE 0 END) / 16.0, 6) AS est_jaccard
+  FROM pairs JOIN sigs a ON a.doc_id = doc_a JOIN sigs b ON b.doc_id = doc_b
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingle_hashes GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS i
+  FROM pairs p
+  JOIN shingle_hashes sa ON sa.doc_id = p.doc_a
+  JOIN shingle_hashes sb ON sb.doc_id = p.doc_b AND sb.h = sa.h
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT p.doc_a, p.doc_b,
+         round(CAST(coalesce(i.i, 0) AS DOUBLE)
+               / CAST(na.n + nb.n - coalesce(i.i, 0) AS DOUBLE), 6)
+           AS exact_jaccard
+  FROM pairs p
+  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+  JOIN sizes na ON na.doc_id = p.doc_a
+  JOIN sizes nb ON nb.doc_id = p.doc_b
+)
+SELECT e.doc_a AS doc_a, e.doc_b AS doc_b, est_jaccard, exact_jaccard,
+       round(abs(est_jaccard - exact_jaccard), 6) AS abs_err
+FROM est e JOIN exact x ON x.doc_a = e.doc_a AND x.doc_b = e.doc_b"""
     # redundancy composed over the verified cluster oracle
     sql["corpus_source_redundancy"] = f"""
 SELECT d.source AS source, count(*) AS n_docs,

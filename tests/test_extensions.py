@@ -3755,3 +3755,27 @@ def test_source_redundancy_flags_duplicate_heavy_feed(spark):
     got = {r.source: r for r in source_redundancy(d).collect()}
     assert got["spammy"].redundancy == 1.0 and got["spammy"].n_clustered == 6
     assert got["clean"].redundancy == 0.0
+
+
+def test_minhash_estimate_tracks_exact(spark):
+    """On near-identical planted pairs both est and exact sit near 1
+    and the absolute error stays below the 1/sqrt(k)-scale bound a
+    16-slot signature promises."""
+    from binlog_avro_comparator_spark.operators.dedup import (
+        minhash_estimate_error,
+    )
+
+    base = "one two three four five six seven eight nine ten " * 20
+    docs = [(100, base), (101, base + "eleven twelve "),
+            (102, base), (103, base)]
+    docs += [(i, " ".join(f"z{i}_{j}" for j in range(50))) for i in range(20)]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    got = minhash_estimate_error(d).collect()
+    assert got, "planted copies must be LSH candidates"
+    for r in got:
+        assert r.exact_jaccard > 0.8          # candidates are real dups
+        assert r.abs_err <= 0.5               # 16-slot worst case bound
+        assert abs(r.abs_err - abs(r.est_jaccard - r.exact_jaccard)) < 1e-9
+    # the byte-identical pair estimates exactly 1.0
+    ident = [r for r in got if (r.doc_a, r.doc_b) in ((100, 102), (102, 103), (100, 103))]
+    assert ident and all(r.est_jaccard == 1.0 for r in ident)
