@@ -3720,3 +3720,45 @@ def multitouch_attribution(
             F.round(F.sum(credit).cast("double"), 6).alias("credit"),
         )
     )
+
+
+def median_of_means(lineitem: DataFrame, n_buckets: int = 32) -> DataFrame:
+    """Median-of-means estimator for a heavy-tailed mean: rows hash
+    into ``n_buckets`` deterministic buckets, each bucket contributes
+    its exact-sum mean, and the estimate is the MEDIAN of those means
+    -- sub-Gaussian concentration from nothing but a groupBy, where
+    the plain mean's error is hostage to the tail (the robust-
+    statistics sibling of the Poisson bootstrap's error bars).
+
+    The bucket key is the portable 48-bit md5 of the row key, so the
+    buckets -- and therefore the estimate -- are identical in any
+    engine and under any partitioning; bucket means are single double
+    divisions of decimal sums; the median is R-7 with the 1e-9 ulp
+    pre-round over a 32-row frame.  ONE map-side-combined aggregate
+    over n_buckets keys.  Returns (n_rows, n_buckets, mean,
+    median_of_means)."""
+    key = F.concat_ws(
+        ":", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(key), 1, 12), 16, 10).cast("long")
+        % n_buckets
+    )
+    v = F.col("l_extendedprice").cast("decimal(18,2)")
+    per = lineitem.groupBy(bucket.alias("__b")).agg(
+        F.count("*").alias("__n"), F.sum(v).alias("__s")
+    )
+    bmean = (F.col("__s").cast("double") / F.col("__n").cast("double")).alias(
+        "__m"
+    )
+    means = per.select("__b", "__n", "__s", bmean)
+    return means.agg(
+        F.sum("__n").alias("n_rows"),
+        F.count("*").alias("n_buckets"),
+        F.round(
+            F.sum("__s").cast("double") / F.sum("__n").cast("double"), 6
+        ).alias("mean"),
+        F.round(F.round(F.percentile("__m", F.lit(0.5)), 9), 6).alias(
+            "median_of_means"
+        ),
+    )

@@ -3228,6 +3228,15 @@ def _q_minhash_error(spark, sf_dir):
     return minhash_estimate_error(_docs(spark, sf_dir))
 
 
+def _q_median_of_means(spark, sf_dir):
+    """Median-of-means robust mean (analytics.median_of_means):
+    md5-bucketed exact-sum means, R-7 median over the bucket frame."""
+    ensure_session_conf(spark)
+    from ..operators.analytics import median_of_means
+
+    return median_of_means(load_table(spark, sf_dir, "lineitem"))
+
+
 def queries() -> dict[str, QueryFn]:
     # NOTE on ordering: the external correctness driver checks the FIRST 50
     # entries of this dict (CORRECTNESS_r02 covered exactly queries 1..50).
@@ -3315,6 +3324,7 @@ def queries() -> dict[str, QueryFn]:
         "corpus_token_allocation": _q_token_allocation,
         "corpus_source_redundancy": _q_source_redundancy,
         "dedup_minhash_error": _q_minhash_error,
+        "lineitem_median_of_means": _q_median_of_means,
         # -- NEW in r5: the payload tier + merge sit first (CDC core),
         # then the corpus-analysis / retrieval / graph / sketch / PQ
         # additions. --
@@ -4364,6 +4374,20 @@ SELECT source, cap AS n_tokens_cap,
        water_level,
        CAST(cap AS DOUBLE) <= water_level AS is_capped
 FROM j, lvl""",
+        # twin of analytics.median_of_means
+        "lineitem_median_of_means": """
+WITH per AS (
+  SELECT ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':'
+                             || CAST(l_linenumber AS VARCHAR)), 1, 12))::BIGINT
+           % 32 AS b,
+         count(*) AS n, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS s
+  FROM lineitem GROUP BY 1
+),
+means AS (SELECT b, n, s, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m FROM per)
+SELECT CAST(sum(n) AS BIGINT) AS n_rows, count(*) AS n_buckets,
+       round(CAST(sum(s) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6) AS mean,
+       round(round(quantile_cont(m, 0.5), 9), 6) AS median_of_means
+FROM means""",
         "text_quality": rf"""
 SELECT doc_id, length(text) AS text_len,
        len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS n_words,

@@ -3779,3 +3779,28 @@ def test_minhash_estimate_tracks_exact(spark):
     # the byte-identical pair estimates exactly 1.0
     ident = [r for r in got if (r.doc_a, r.doc_b) in ((100, 102), (102, 103), (100, 103))]
     assert ident and all(r.est_jaccard == 1.0 for r in ident)
+
+
+def test_median_of_means_shrugs_off_outlier(spark):
+    """One enormous outlier drags the plain mean far away while the
+    median of 32 bucket means barely moves -- the robustness the
+    estimator exists for; also partition-invariant."""
+    from binlog_avro_comparator_spark.operators.analytics import median_of_means
+
+    rows = [(i // 4, i % 4, 100.0 + (i % 7)) for i in range(2000)]
+    clean = spark.createDataFrame(
+        rows, "l_orderkey long, l_linenumber long, l_extendedprice double"
+    )
+    dirty = clean.unionAll(
+        spark.createDataFrame(
+            [(9999, 0, 1e9)],
+            "l_orderkey long, l_linenumber long, l_extendedprice double",
+        )
+    )
+    c = median_of_means(clean).collect()[0]
+    d = median_of_means(dirty).collect()[0]
+    assert abs(c.mean - c.median_of_means) < 1.0        # clean: they agree
+    assert d.mean > 1000                                 # outlier owns the mean
+    assert abs(d.median_of_means - c.median_of_means) < 5  # MoM barely moves
+    d2 = median_of_means(dirty.repartition(17)).collect()[0]
+    assert d2.median_of_means == d.median_of_means
