@@ -204,6 +204,12 @@ EXTRA_QUERIES = [
     "events_attribution_multitouch",
     "events_attribution_position",
     "dedup_prefix_filter_pairs",
+    "events_attribution_decay",
+    "dedup_containment_pairs",
+    "corpus_token_allocation",
+    "corpus_source_redundancy",
+    "dedup_minhash_error",
+    "lineitem_median_of_means",
 ]
 
 
