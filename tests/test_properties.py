@@ -1071,3 +1071,38 @@ def test_ols_and_abc_partition_invariance(spark, seed):
     a1 = sorted(map(tuple, abc_classes(orders).collect()))
     a2 = sorted(map(tuple, abc_classes(orders.repartition(11)).collect()))
     assert a1 == a2, seed
+
+
+@settings(max_examples=5, deadline=None)
+@given(seed=st.integers(0, 10_000))
+def test_prefix_filter_complete_on_random_corpora(spark, seed):
+    """THE completeness property: on random corpora with overlapping
+    vocabulary, the prefix-filter join returns exactly the brute-force
+    threshold pairs -- no qualifying pair may ever be pruned."""
+    import random
+
+    from binlog_avro_comparator_spark.operators.dedup import (
+        jaccard_pairs,
+        prefix_filter_pairs,
+    )
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(25)]  # small vocab -> heavy overlap
+    docs = []
+    for i in range(24):
+        n = rng.randrange(8, 30)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    # plant one near-copy so the threshold set is non-trivially nonempty
+    docs.append((100, docs[0][1]))
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in prefix_filter_pairs(d).collect()
+    }
+    brute = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in jaccard_pairs(d, max_df=100_000)
+        .filter("jaccard >= 0.5")
+        .collect()
+    }
+    assert got == brute, (seed, got.keys() ^ brute.keys())
