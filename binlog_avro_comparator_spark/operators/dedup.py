@@ -1293,3 +1293,43 @@ def minhash_estimate_error(documents: DataFrame, k: int = MINHASH_K) -> DataFram
             "abs_err"
         ),
     )
+
+
+def cluster_label_consensus(documents: DataFrame) -> DataFrame:
+    """Label denoising over near-dup components: documents in one
+    cluster are the same content, so their metadata labels should
+    agree -- the majority language per cluster is the consensus, and a
+    member that disagrees is either a mislabel or a (more interesting)
+    translation.  Curation pipelines run exactly this to clean crawl
+    labels before per-language mixtures are drawn.
+
+    Clusters are the verified connected-components frame; consensus is
+    ONE argmax (struct-max over (votes, reversed-label) -- largest
+    vote, lexicographically smallest label on ties) over the
+    cluster-sized (cluster, lang) counts; one join back flags members.
+    Returns (doc_id, cluster_id, lang, consensus_lang, agrees)."""
+    clusters = dedup_clusters(documents)
+    member = clusters.join(
+        documents.select("doc_id", "lang"), "doc_id"
+    )
+    votes = member.groupBy("cluster_id", "lang").agg(
+        F.count("*").alias("__v")
+    )
+    # min_by over (-votes, label): most votes wins, ties break to the
+    # lexicographically smallest label -- one deterministic aggregate
+    consensus = votes.groupBy("cluster_id").agg(
+        F.min_by(
+            "lang",
+            F.struct((-F.col("__v")).alias("nv"), F.col("lang").alias("l")),
+        ).alias("consensus_lang")
+    )
+    return (
+        member.join(F.broadcast(consensus), "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "lang",
+            "consensus_lang",
+            (F.col("lang") == F.col("consensus_lang")).alias("agrees"),
+        )
+    )

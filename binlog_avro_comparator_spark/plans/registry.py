@@ -3237,6 +3237,15 @@ def _q_median_of_means(spark, sf_dir):
     return median_of_means(load_table(spark, sf_dir, "lineitem"))
 
 
+def _q_label_consensus(spark, sf_dir):
+    """Near-dup cluster label consensus (dedup.cluster_label_consensus):
+    majority lang per component, disagreement flags."""
+    ensure_session_conf(spark)
+    from ..operators.dedup import cluster_label_consensus
+
+    return cluster_label_consensus(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, QueryFn]:
     # NOTE on ordering: the external correctness driver checks the FIRST 50
     # entries of this dict (CORRECTNESS_r02 covered exactly queries 1..50).
@@ -3325,6 +3334,7 @@ def queries() -> dict[str, QueryFn]:
         "corpus_source_redundancy": _q_source_redundancy,
         "dedup_minhash_error": _q_minhash_error,
         "lineitem_median_of_means": _q_median_of_means,
+        "dedup_label_consensus": _q_label_consensus,
         # -- NEW in r5: the payload tier + merge sit first (CDC core),
         # then the corpus-analysis / retrieval / graph / sketch / PQ
         # additions. --
@@ -7952,6 +7962,26 @@ reach(doc_a, doc_b) AS (
   SELECT r.doc_a, p.doc_b FROM reach r JOIN base p ON p.doc_a = r.doc_b
 )
 SELECT DISTINCT doc_a, doc_b FROM reach"""
+    # label consensus composed over the verified cluster oracle
+    sql["dedup_label_consensus"] = f"""
+WITH clusters AS ({sql["dedup_clusters"]}),
+member AS (
+  SELECT c.doc_id, c.cluster_id, d.lang
+  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+),
+votes AS (
+  SELECT cluster_id, lang, count(*) AS v FROM member GROUP BY 1, 2
+),
+consensus AS (
+  SELECT cluster_id, lang AS consensus_lang FROM (
+    SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                 ORDER BY v DESC, lang ASC) AS rn
+    FROM votes
+  ) WHERE rn = 1
+)
+SELECT m.doc_id, m.cluster_id, m.lang, consensus_lang,
+       m.lang = consensus_lang AS agrees
+FROM member m JOIN consensus USING (cluster_id)"""
     # estimator calibration composed from the signature + pair oracles
     sql["dedup_minhash_error"] = f"""
 WITH {_SHINGLE_CTE},

@@ -3804,3 +3804,25 @@ def test_median_of_means_shrugs_off_outlier(spark):
     assert abs(d.median_of_means - c.median_of_means) < 5  # MoM barely moves
     d2 = median_of_means(dirty.repartition(17)).collect()[0]
     assert d2.median_of_means == d.median_of_means
+
+
+def test_label_consensus_flags_minority_label(spark):
+    """3 copies labeled en + 1 labeled de in one cluster: consensus
+    en, the de member flagged; vote ties break to the smaller label."""
+    from binlog_avro_comparator_spark.operators.dedup import (
+        cluster_label_consensus,
+    )
+
+    dup = "same text content in every copy of this document " * 8
+    tie = "another duplicated body shared by exactly two docs " * 8
+    docs = [
+        (1, dup, "en"), (2, dup, "en"), (3, dup, "en"), (4, dup, "de"),
+        (10, tie, "fr"), (11, tie, "es"),
+    ] + [(20 + i, f"unique {i} " + " ".join(f"q{i}_{j}" for j in range(40)), "en")
+         for i in range(8)]
+    d = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    got = {r.doc_id: r for r in cluster_label_consensus(d).collect()}
+    assert got[4].consensus_lang == "en" and not got[4].agrees
+    assert got[1].agrees and got[2].agrees and got[3].agrees
+    # 1-1 tie between es and fr -> smallest label wins
+    assert got[10].consensus_lang == "es" and got[11].agrees
