@@ -3762,3 +3762,77 @@ def median_of_means(lineitem: DataFrame, n_buckets: int = 32) -> DataFrame:
             "median_of_means"
         ),
     )
+
+
+def rfm_scores(orders: DataFrame, n_bins: int = 5) -> DataFrame:
+    """RFM customer scoring -- recency / frequency / monetary quintile
+    scores (5 = best) and the concatenated segment code, the oldest
+    segmentation in CRM and still the first thing a retention team
+    asks the warehouse for.
+
+    Per-customer facts fold in ONE aggregate (max date, count, exact
+    decimal spend); each dimension's quintile boundaries come from one
+    1-row percentile aggregate broadcast back (the quality_deciles
+    discipline -- never an ntile() window funneling every customer
+    through one task), with the R-7 + 1e-9 ulp pre-round keeping the
+    cuts engine-identical.  Scoring is a per-row comparison at scan
+    speed.  Returns (o_custkey, recency_days, frequency, monetary,
+    r_score, f_score, m_score, segment)."""
+    from ..functions.caching import scoped_cache
+
+    per = scoped_cache(
+        orders.groupBy("o_custkey").agg(
+            F.max("o_orderdate").alias("__last"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("__m"),
+        )
+    )
+    anchor = per.agg(F.max("__last").alias("__anchor"))
+    base = per.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        F.datediff(F.col("__anchor"), F.col("__last")).alias("recency_days"),
+        "frequency",
+        F.round(F.col("__m").cast("double"), 2).alias("monetary"),
+    )
+    base = scoped_cache(base)
+    qs = [i / n_bins for i in range(1, n_bins)]
+
+    def boundaries(col):
+        return base.agg(
+            F.array(
+                *[
+                    F.round(F.round(F.percentile(col, F.lit(q)), 9), 6)
+                    for q in qs
+                ]
+            ).alias(f"__b_{col}")
+        )
+
+    out = (
+        base.crossJoin(F.broadcast(boundaries("recency_days")))
+        .crossJoin(F.broadcast(boundaries("frequency")))
+        .crossJoin(F.broadcast(boundaries("monetary")))
+    )
+
+    def score(col, higher_is_better):
+        over = F.size(
+            F.filter(F.col(f"__b_{col}"), lambda b: b < F.col(col))
+        )
+        return (F.lit(1) + over) if higher_is_better else (F.lit(5) - over)
+
+    r, fq, m = (
+        score("recency_days", False),  # recent (small) = high score
+        score("frequency", True),
+        score("monetary", True),
+    )
+    return out.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r.alias("r_score"),
+        fq.alias("f_score"),
+        m.alias("m_score"),
+        F.concat(
+            r.cast("string"), fq.cast("string"), m.cast("string")
+        ).alias("segment"),
+    )

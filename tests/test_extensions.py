@@ -3826,3 +3826,30 @@ def test_label_consensus_flags_minority_label(spark):
     assert got[1].agrees and got[2].agrees and got[3].agrees
     # 1-1 tie between es and fr -> smallest label wins
     assert got[10].consensus_lang == "es" and got[11].agrees
+
+
+def test_rfm_scores_hand_cohort(spark):
+    """A freshly-active big spender scores 555; a stale one-order
+    minnow scores 1s on every axis; segment concatenates the scores."""
+    from binlog_avro_comparator_spark.operators.analytics import rfm_scores
+
+    rows = []
+    oid = 0
+    # customer k: k+1 orders, latest on day 28-k, each worth (k+1)*10
+    import datetime
+
+    for k in range(10):
+        for j in range(k + 1):
+            d = datetime.date(2024, 1, 28 - k - j)
+            rows.append((oid, k, float((k + 1) * 10), d))
+            oid += 1
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate date"
+    )
+    got = {r.o_custkey: r for r in rfm_scores(orders).collect()}
+    best = got[9]  # most orders, highest value... but oldest recency
+    assert best.f_score == 5 and best.m_score == 5 and best.r_score == 1
+    fresh = got[0]  # newest single order, cheapest
+    assert fresh.r_score == 5 and fresh.f_score == 1 and fresh.m_score == 1
+    assert fresh.segment == "511" and best.segment == "155"
+    assert fresh.recency_days == 0  # anchored to the corpus max date
