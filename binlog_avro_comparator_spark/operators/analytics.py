@@ -3836,3 +3836,52 @@ def rfm_scores(orders: DataFrame, n_bins: int = 5) -> DataFrame:
             r.cast("string"), fq.cast("string"), m.cast("string")
         ).alias("segment"),
     )
+
+
+def funnel_timing(events: DataFrame) -> DataFrame:
+    """Funnel VELOCITY on top of funnel_stages' reach: per transition
+    (view->click, click->purchase), how many users attempted it, how
+    many converted, the conversion rate, and the R-7 median
+    time-to-convert -- the "where do users stall, and for how long"
+    readout a growth team reads next to the raw funnel counts.
+
+    One aggregate over the (already one-shuffle) per-user stage frame;
+    medians carry the 1e-9 ulp pre-round.  Returns one row per
+    transition (step, n_eligible, n_converted, conversion_rate,
+    median_gap_ms)."""
+    staged = funnel_stages(events)
+
+    def _row(step, from_col, to_col):
+        eligible = staged.filter(F.col(from_col).isNotNull())
+        agg = eligible.agg(
+            F.count("*").alias("n_eligible"),
+            F.count(F.col(to_col)).alias("n_converted"),
+            F.round(
+                F.count(F.col(to_col)).cast("double")
+                / F.count("*").cast("double"),
+                6,
+            ).alias("conversion_rate"),
+            F.round(
+                F.round(
+                    F.percentile(
+                        F.col(to_col) - F.col(from_col), F.lit(0.5)
+                    ),
+                    9,
+                ),
+                6,
+            ).alias("median_gap_ms"),
+        )
+        return agg.select(
+            F.lit(step).alias("step"),
+            "n_eligible",
+            "n_converted",
+            "conversion_rate",
+            "median_gap_ms",
+        )
+
+    from ..functions.caching import scoped_cache
+
+    staged = scoped_cache(staged)
+    return _row("view_to_click", "view_ts_ms", "click_ts_ms").unionAll(
+        _row("click_to_purchase", "click_ts_ms", "purchase_ts_ms")
+    )

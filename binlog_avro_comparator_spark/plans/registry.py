@@ -3255,6 +3255,15 @@ def _q_rfm(spark, sf_dir):
     return rfm_scores(load_table(spark, sf_dir, "orders"))
 
 
+def _q_funnel_timing(spark, sf_dir):
+    """Funnel velocity (analytics.funnel_timing): per-transition
+    conversion rate + R-7 median time-to-convert."""
+    ensure_session_conf(spark)
+    from ..operators.analytics import funnel_timing
+
+    return funnel_timing(load_table(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, QueryFn]:
     # NOTE on ordering: the external correctness driver checks the FIRST 50
     # entries of this dict (CORRECTNESS_r02 covered exactly queries 1..50).
@@ -3345,6 +3354,7 @@ def queries() -> dict[str, QueryFn]:
         "lineitem_median_of_means": _q_median_of_means,
         "dedup_label_consensus": _q_label_consensus,
         "customer_rfm_scores": _q_rfm,
+        "events_funnel_timing": _q_funnel_timing,
         # -- NEW in r5: the payload tier + merge sit first (CDC core),
         # then the corpus-analysis / retrieval / graph / sketch / PQ
         # additions. --
@@ -8015,6 +8025,28 @@ reach(doc_a, doc_b) AS (
   SELECT r.doc_a, p.doc_b FROM reach r JOIN base p ON p.doc_a = r.doc_b
 )
 SELECT DISTINCT doc_a, doc_b FROM reach"""
+    # funnel velocity composed over the verified funnel oracle
+    sql["events_funnel_timing"] = f"""
+WITH staged AS ({sql["events_funnel"]}),
+vc AS (
+  SELECT count(*) AS n_eligible, count(click_ts_ms) AS n_converted,
+         round(CAST(count(click_ts_ms) AS DOUBLE) / count(*), 6)
+           AS conversion_rate,
+         round(round(quantile_cont(click_ts_ms - view_ts_ms, 0.5), 9), 6)
+           AS median_gap_ms
+  FROM staged WHERE view_ts_ms IS NOT NULL
+),
+cp AS (
+  SELECT count(*) AS n_eligible, count(purchase_ts_ms) AS n_converted,
+         round(CAST(count(purchase_ts_ms) AS DOUBLE) / count(*), 6)
+           AS conversion_rate,
+         round(round(quantile_cont(purchase_ts_ms - click_ts_ms, 0.5), 9), 6)
+           AS median_gap_ms
+  FROM staged WHERE click_ts_ms IS NOT NULL
+)
+SELECT 'view_to_click' AS step, * FROM vc
+UNION ALL
+SELECT 'click_to_purchase' AS step, * FROM cp"""
     # label consensus composed over the verified cluster oracle
     sql["dedup_label_consensus"] = f"""
 WITH clusters AS ({sql["dedup_clusters"]}),

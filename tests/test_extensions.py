@@ -3853,3 +3853,29 @@ def test_rfm_scores_hand_cohort(spark):
     assert fresh.r_score == 5 and fresh.f_score == 1 and fresh.m_score == 1
     assert fresh.segment == "511" and best.segment == "155"
     assert fresh.recency_days == 0  # anchored to the corpus max date
+
+
+def test_funnel_timing_rates_and_medians(spark):
+    """3 users view; 2 click (gaps 60s and 180s -> median 120s);
+    1 purchases 30s after the click."""
+    from binlog_avro_comparator_spark.operators.analytics import funnel_timing
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view"),
+        (2, "2024-01-01 10:01:00", 1, "click"),
+        (3, "2024-01-01 10:01:30", 1, "purchase"),
+        (4, "2024-01-01 10:00:00", 2, "view"),
+        (5, "2024-01-01 10:03:00", 2, "click"),
+        (6, "2024-01-01 10:00:00", 3, "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r.step: r for r in funnel_timing(ev).collect()}
+    vc = got["view_to_click"]
+    assert vc.n_eligible == 3 and vc.n_converted == 2
+    assert abs(vc.conversion_rate - 2 / 3) < 1e-6
+    assert vc.median_gap_ms == 120000.0
+    cp = got["click_to_purchase"]
+    assert cp.n_eligible == 2 and cp.n_converted == 1
+    assert cp.median_gap_ms == 30000.0
