@@ -210,6 +210,9 @@ EXTRA_QUERIES = [
     "corpus_source_redundancy",
     "dedup_minhash_error",
     "lineitem_median_of_means",
+    "dedup_label_consensus",
+    "customer_rfm_scores",
+    "events_funnel_timing",
 ]
 
 
