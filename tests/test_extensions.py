@@ -3879,3 +3879,28 @@ def test_funnel_timing_rates_and_medians(spark):
     cp = got["click_to_purchase"]
     assert cp.n_eligible == 2 and cp.n_converted == 1
     assert cp.median_gap_ms == 30000.0
+
+
+def test_source_hygiene_no_row_udfs_or_rdd():
+    """Engine-wide contract pinned as a lint: no row-at-a-time Python
+    UDFs (every @udf must be Arrow-enabled) and no .rdd plan breaks in
+    the package -- the 'stay JVM-side / Arrow-batched' rule the scale
+    story depends on, enforced so a future edit can't silently
+    reintroduce the slow path."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path("binlog_avro_comparator_spark")
+    offenders = []
+    for py in pkg.rglob("*.py"):
+        src = py.read_text(encoding="utf-8")
+        for m in re.finditer(r"(?:@|F\.)udf\((.*)", src):
+            args = m.group(1)  # rest of the decorator line
+            if "useArrow=True" not in args:
+                offenders.append(f"{py}: row-at-a-time udf ({args[:40]})")
+        # .rdd in executable code (attribute access), not in prose
+        for i, line in enumerate(src.splitlines(), 1):
+            stripped = line.split("#", 1)[0]
+            if re.search(r"\.rdd\b", stripped) and "``" not in line:
+                offenders.append(f"{py}:{i}: .rdd plan break")
+    assert not offenders, offenders
