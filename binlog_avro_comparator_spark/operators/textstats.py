@@ -1690,3 +1690,64 @@ def token_allocation(
             "is_capped"
         ),
     )
+
+
+def zipf_fit(documents: DataFrame, v: int = 500) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS of log-frequency
+    on log-rank for the top-``v`` terms -- slope near -1 is healthy
+    natural text; a flat slope means templated/duplicated content and
+    a cliff means OCR noise or vocabulary collapse.  One of the oldest
+    corpus-health diagnostics, here as one tiny frame computation.
+
+    The word count is the corpus's ONE heavy aggregate; the top-v cut
+    is TakeOrdered-shaped under the deterministic (freq DESC, term)
+    order, ranks are row_numbers over the v-row frame, both logs are
+    9-dp ulp-rounded before accumulating as decimals (the
+    value_trend_ols discipline at log scale), and the closed-form fit
+    runs in double with mirrored op order.  Returns (v_size, slope,
+    intercept, r2)."""
+    words = documents.select(
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))
+        ).alias("w")
+    )
+    freq = words.groupBy("w").agg(F.count("*").alias("__f"))
+    top = freq.orderBy(F.col("__f").desc(), F.col("w").asc()).limit(v)
+    from pyspark.sql import Window
+
+    rnk = F.row_number().over(
+        Window.orderBy(F.col("__f").desc(), F.col("w").asc())
+    )
+    # decimal(12,9): log magnitudes are tiny, and the narrow type keeps
+    # the x*y product inside precision 38 (a 28,9 pair would overflow
+    # and round engine-specifically)
+    xy = top.select(
+        F.round(F.log(rnk.cast("double")), 9).cast("decimal(12,9)").alias("__x"),
+        F.round(F.log(F.col("__f").cast("double")), 9)
+        .cast("decimal(12,9)")
+        .alias("__y"),
+    )
+    agg = xy.agg(
+        F.count("*").alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+    )
+    n = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    num = n * F.col("__sxy").cast("double") - sx * sy
+    den = n * F.col("__sxx").cast("double") - sx * sx
+    deny = n * F.col("__syy").cast("double") - sy * sy
+    slope = F.when(den > 0, num / den).otherwise(F.lit(0.0))
+    r = num / (F.sqrt(den) * F.sqrt(deny))
+    return agg.select(
+        F.col("__n").alias("v_size"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            F.when((den > 0) & (deny > 0), r * r).otherwise(F.lit(0.0)), 6
+        ).alias("r2"),
+    )

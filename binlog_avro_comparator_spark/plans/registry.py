@@ -3264,6 +3264,15 @@ def _q_funnel_timing(spark, sf_dir):
     return funnel_timing(load_table(spark, sf_dir, "events"))
 
 
+def _q_zipf(spark, sf_dir):
+    """Zipf rank-frequency fit over the top-500 vocabulary
+    (textstats.zipf_fit)."""
+    ensure_session_conf(spark)
+    from ..operators.textstats import zipf_fit
+
+    return zipf_fit(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, QueryFn]:
     # NOTE on ordering: the external correctness driver checks the FIRST 50
     # entries of this dict (CORRECTNESS_r02 covered exactly queries 1..50).
@@ -3355,6 +3364,7 @@ def queries() -> dict[str, QueryFn]:
         "dedup_label_consensus": _q_label_consensus,
         "customer_rfm_scores": _q_rfm,
         "events_funnel_timing": _q_funnel_timing,
+        "corpus_zipf_fit": _q_zipf,
         # -- NEW in r5: the payload tier + merge sit first (CDC core),
         # then the corpus-analysis / retrieval / graph / sketch / PQ
         # additions. --
@@ -4461,6 +4471,48 @@ SELECT o_custkey, recency_days, frequency, monetary,
        CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
          || CAST(m_score AS VARCHAR) AS segment
 FROM scored""",
+        # twin of textstats.zipf_fit
+        "corpus_zipf_fit": rf"""
+WITH words AS (
+  SELECT unnest(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS w
+  FROM documents
+),
+freq AS (SELECT w, count(*) AS f FROM words GROUP BY w),
+top AS (
+  SELECT f, row_number() OVER (ORDER BY f DESC, w ASC) AS rnk
+  FROM freq ORDER BY f DESC, w ASC LIMIT 500
+),
+xy AS (
+  SELECT CAST(round(ln(CAST(rnk AS DOUBLE)), 9) AS DECIMAL(12,9)) AS x,
+         CAST(round(ln(CAST(f AS DOUBLE)), 9) AS DECIMAL(12,9)) AS y
+  FROM top
+),
+agg AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM xy
+),
+k AS (
+  SELECT n,
+         CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+         CAST(sy AS DOUBLE) AS syd,
+         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny
+  FROM agg
+)
+SELECT n AS v_size,
+       round(CASE WHEN den > 0 THEN num / den ELSE 0.0 END, 6) AS slope,
+       round((syd - (CASE WHEN den > 0 THEN num / den ELSE 0.0 END) * sxd)
+             / nd, 6) AS intercept,
+       round(CASE WHEN den > 0 AND deny > 0
+                  THEN (num / (sqrt(den) * sqrt(deny)))
+                       * (num / (sqrt(den) * sqrt(deny)))
+                  ELSE 0.0 END, 6) AS r2
+FROM k""",
         "text_quality": rf"""
 SELECT doc_id, length(text) AS text_len,
        len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS n_words,

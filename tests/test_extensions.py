@@ -3904,3 +3904,21 @@ def test_source_hygiene_no_row_udfs_or_rdd():
             if re.search(r"\.rdd\b", stripped) and "``" not in line:
                 offenders.append(f"{py}:{i}: .rdd plan break")
     assert not offenders, offenders
+
+
+def test_zipf_fit_recovers_power_law(spark):
+    """A corpus built with exact 1/rank frequencies fits slope ~ -1
+    with r2 ~ 1; a uniform-frequency corpus fits slope ~ 0."""
+    from binlog_avro_comparator_spark.operators.textstats import zipf_fit
+
+    zipf_words = []
+    for r in range(1, 41):
+        zipf_words += [f"w{r:03d}"] * (1200 // r)
+    docs = [(0, " ".join(zipf_words))]
+    z = zipf_fit(spark.createDataFrame(docs, "doc_id long, text string"), v=40).collect()[0]
+    assert z.v_size == 40
+    assert -1.05 < z.slope < -0.95
+    assert z.r2 > 0.99
+    flat = [(0, " ".join(f"u{r}" for r in range(40)) * 5)]
+    f = zipf_fit(spark.createDataFrame(flat, "doc_id long, text string"), v=40).collect()[0]
+    assert abs(f.slope) < 0.01 and f.v_size == 40
