@@ -3919,6 +3919,6 @@ def test_zipf_fit_recovers_power_law(spark):
     assert z.v_size == 40
     assert -1.05 < z.slope < -0.95
     assert z.r2 > 0.99
-    flat = [(0, " ".join(f"u{r}" for r in range(40)) * 5)]
+    flat = [(0, (" ".join(f"u{r}" for r in range(40)) + " ") * 5)]
     f = zipf_fit(spark.createDataFrame(flat, "doc_id long, text string"), v=40).collect()[0]
     assert abs(f.slope) < 0.01 and f.v_size == 40
