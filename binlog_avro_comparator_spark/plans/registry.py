@@ -3277,16 +3277,41 @@ def queries() -> dict[str, QueryFn]:
     # NOTE on ordering: the external correctness driver checks the FIRST 50
     # entries of this dict (CORRECTNESS_r02 covered exactly queries 1..50).
     # Window priority (r3 verdict rule): never-driver-verified queries
-    # lead the window.  Round 6 registered 54 new queries -- more than
-    # the window holds -- so the window carries the first 50 of them in
-    # registration order and the tail (cdc_scd2_audit onward) relies on
-    # the committed FULLSWEEP record: ALL entries, window or not, are
-    # value-verified locally each round at sf0.01 (and the heavy tiers
-    # at sf0.1) by scratch/check.py -- see FULLSWEEP_r06.md for the
-    # round-close 220/220 tally and SCALE.md for endurance evidence.
+    # lead the window.  Round 7 puts the 24 r6-overflow entries first
+    # (the only registrations without a CORRECTNESS row, per the r6
+    # verdict item 1), followed by round-7 additions; the rest of the
+    # window back-fills with r6-green rows.  ALL entries, window or
+    # not, are value-verified locally each round at sf0.01 by
+    # scratch/check.py -- see FULLSWEEP_r07.md.
     return {
-        # -- NEW in r6, never driver-verified: lead the 50-query
-        # sampling window (r3 freeze rule) --
+        # -- r6 tail that never landed in a driver window (the r6 batch
+        # overflowed the 50-entry window): these 24 lead round 7 so each
+        # finally gets a CORRECTNESS row (r3 freeze rule) --
+        "cdc_scd2_audit": _q_scd2_audit,
+        "events_join_plan": _q_join_plan,
+        "lang_id_confusion": _q_lang_confusion,
+        "dedup_transitive_closure": _q_dedup_closure,
+        "dedup_template": _q_template_dedup,
+        "cdc_binlog_variant": _q_binlog_variant,
+        "events_conversion_ab": _q_conversion_ab,
+        "orders_benford_audit": _q_benford,
+        "customer_abc_classes": _q_abc_classes,
+        "events_anomaly_stream": _q_anomaly_stream,
+        "embedding_label_drift": _q_embedding_drift,
+        "events_attribution_multitouch": _q_multitouch,
+        "events_attribution_position": _q_multitouch_position,
+        "dedup_prefix_filter_pairs": _q_prefix_filter,
+        "events_attribution_decay": _q_multitouch_decay,
+        "dedup_containment_pairs": _q_containment,
+        "corpus_token_allocation": _q_token_allocation,
+        "corpus_source_redundancy": _q_source_redundancy,
+        "dedup_minhash_error": _q_minhash_error,
+        "lineitem_median_of_means": _q_median_of_means,
+        "dedup_label_consensus": _q_label_consensus,
+        "customer_rfm_scores": _q_rfm,
+        "events_funnel_timing": _q_funnel_timing,
+        "corpus_zipf_fit": _q_zipf,
+        # -- r6-verified (driver-green in CORRECTNESS_r06) --
         "cdc_parse_binlog_typed": _q_cdc_parse_binlog_typed,
         "cdc_payload_diff_typed": _q_cdc_payload_diff_typed,
         "embedding_kmeans_gemm": _q_kmeans_gemm,
@@ -3341,30 +3366,6 @@ def queries() -> dict[str, QueryFn]:
         "events_hll_rolling": _q_hll_rolling,
         "events_psi_stream": _q_psi_stream,
         "dedup_method_agreement": _q_dedup_agreement,
-        "cdc_scd2_audit": _q_scd2_audit,
-        "events_join_plan": _q_join_plan,
-        "lang_id_confusion": _q_lang_confusion,
-        "dedup_transitive_closure": _q_dedup_closure,
-        "dedup_template": _q_template_dedup,
-        "cdc_binlog_variant": _q_binlog_variant,
-        "events_conversion_ab": _q_conversion_ab,
-        "orders_benford_audit": _q_benford,
-        "customer_abc_classes": _q_abc_classes,
-        "events_anomaly_stream": _q_anomaly_stream,
-        "embedding_label_drift": _q_embedding_drift,
-        "events_attribution_multitouch": _q_multitouch,
-        "events_attribution_position": _q_multitouch_position,
-        "dedup_prefix_filter_pairs": _q_prefix_filter,
-        "events_attribution_decay": _q_multitouch_decay,
-        "dedup_containment_pairs": _q_containment,
-        "corpus_token_allocation": _q_token_allocation,
-        "corpus_source_redundancy": _q_source_redundancy,
-        "dedup_minhash_error": _q_minhash_error,
-        "lineitem_median_of_means": _q_median_of_means,
-        "dedup_label_consensus": _q_label_consensus,
-        "customer_rfm_scores": _q_rfm,
-        "events_funnel_timing": _q_funnel_timing,
-        "corpus_zipf_fit": _q_zipf,
         # -- NEW in r5: the payload tier + merge sit first (CDC core),
         # then the corpus-analysis / retrieval / graph / sketch / PQ
         # additions. --
