@@ -1079,8 +1079,24 @@ def prefix_filter_pairs(
     candidate self-join runs over PREFIX tokens only (a t=0.5 prefix
     is about half the set -- and the rare half, whose join keys are
     the coldest), and exact verification touches candidates only.
-    Returns (doc_a, doc_b, n_intersect, n_union, jaccard) for pairs at
-    or above the threshold."""
+    The full PPJoin prune stack runs INSIDE the candidate join, before
+    any pair reaches verification:
+
+    * LENGTH window -- J(A,B) >= t forces overlap >= t*max(|A|,|B|)
+      and overlap <= min(|A|,|B|), so both ``n_b >= ceil(t*n_a)`` and
+      ``n_a >= ceil(t*n_b)``; a hot shingle shared by a 10-gram quote
+      and a 10k-gram page no longer produces a candidate.
+    * POSITIONAL filter -- a token at sorted positions (i, j) of the
+      two sets splits each set into a before-part and a from-here
+      part, so overlap <= min(i-1, j-1) + min(n_a-i, n_b-j) + 1.
+      Every shared prefix token yields such a bound; the pair
+      survives only if the MINIMUM bound still reaches the
+      equivalent-overlap threshold ceil(t/(1+t) * (n_a+n_b)).
+
+    Both prunes are upper-bound algebra on exact quantities, so the
+    completeness guarantee is untouched (property-tested).  Returns
+    (doc_a, doc_b, n_intersect, n_union, jaccard) for pairs at or
+    above the threshold."""
     sh = scoped_cache(shingles(documents, k).select("doc_id", "h"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     dfreq = sh.groupBy("h").agg(F.count("*").alias("__df"))
@@ -1095,15 +1111,38 @@ def prefix_filter_pairs(
     pref = ranked.filter(
         F.col("__rn")
         <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
-    ).select("doc_id", "h")
+    ).select("doc_id", "h", "__rn", "n")
+    t = F.lit(threshold)
+    overlap_bound = (
+        F.least(F.col("l.__rn") - 1, F.col("r.__rn") - 1)
+        + F.least(
+            F.col("l.n") - F.col("l.__rn"), F.col("r.n") - F.col("r.__rn")
+        )
+        + 1
+    )
+    min_overlap = F.ceil(
+        t / (F.lit(1.0) + t) * (F.col("l.n") + F.col("r.n"))
+    )
     cand = (
         pref.alias("l")
         .join(pref.alias("r"), on="h")
-        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
-        .select(
+        .filter(
+            (F.col("l.doc_id") < F.col("r.doc_id"))
+            # length window: t*n_a <= n_b and t*n_b <= n_a
+            & (F.col("r.n") >= F.ceil(t * F.col("l.n")))
+            & (F.col("l.n") >= F.ceil(t * F.col("r.n")))
+        )
+        .groupBy(
             F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
         )
-        .distinct()
+        # positional filter: every shared prefix token yields a valid
+        # overlap upper bound; the tightest one must still qualify
+        .agg(
+            F.min(overlap_bound).alias("__ub"),
+            F.min(min_overlap).alias("__need"),
+        )
+        .filter(F.col("__ub") >= F.col("__need"))
+        .select("doc_a", "doc_b")
     )
     inter = (
         cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
@@ -1147,9 +1186,14 @@ def containment_pairs(
     |A| - ceil(t*|A|) + 1 must land at least one token inside B's FULL
     set -- candidates come from (source prefix) x (target all), the
     target side pruned only by the prefix tokens' own (cold, rare)
-    document frequencies.  Verification is candidate-bounded and
-    exact.  Returns (doc_src, doc_dst, n_intersect, n_src,
-    containment) for ordered pairs at or above the threshold."""
+    document frequencies.  A LENGTH prune runs inside the candidate
+    join: containment >= t means intersection >= ceil(t*n_src), and
+    intersection <= n_dst, so any target with n_dst < ceil(t*n_src)
+    can never qualify -- at corpus scale this stops a small quote-doc
+    prefix token from fanning out across the posting list's sub-quote-
+    sized targets.  Verification is candidate-bounded and exact.
+    Returns (doc_src, doc_dst, n_intersect, n_src, containment) for
+    ordered pairs at or above the threshold."""
     sh = scoped_cache(shingles(documents, k).select("doc_id", "h"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     dfreq = sh.groupBy("h").agg(F.count("*").alias("__df"))
@@ -1164,11 +1208,19 @@ def containment_pairs(
             F.col("__rn")
             <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
         )
-        .select(F.col("doc_id").alias("doc_src"), "h")
+        .select(F.col("doc_id").alias("doc_src"), "h", "n")
+    )
+    dst = sh.join(sizes, "doc_id").select(
+        F.col("doc_id").alias("doc_dst"), "h", F.col("n").alias("__n_dst")
     )
     cand = (
-        pref.join(sh.select(F.col("doc_id").alias("doc_dst"), "h"), "h")
-        .filter(F.col("doc_src") != F.col("doc_dst"))
+        pref.join(dst, "h")
+        .filter(
+            (F.col("doc_src") != F.col("doc_dst"))
+            # length prune: intersection <= n_dst, so containment >= t
+            # requires n_dst >= ceil(t * n_src)
+            & (F.col("__n_dst") >= F.ceil(F.lit(threshold) * F.col("n")))
+        )
         .select("doc_src", "doc_dst")
         .distinct()
     )
