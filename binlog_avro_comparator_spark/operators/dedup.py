@@ -426,6 +426,69 @@ def dedup_clusters(
     )
 
 
+def closure_pairs(
+    documents: DataFrame,
+    cap: int = 10_000,
+    edges: DataFrame | None = None,
+    max_iter: int = 15,
+) -> DataFrame:
+    """Transitive closure of the near-dup pair graph as unordered
+    pairs: every (doc_a, doc_b), doc_a < doc_b, that share a connected
+    component -- chains a~b~c surface as direct (a, c) pairs even when
+    no single method linked them.
+
+    Scale design (r6 verdict item 3): the closure is computed as
+    component LABELING first (dedup_clusters' min-label fixpoint --
+    intermediates linear in nodes+edges, rounds = graph diameter),
+    then pairs are enumerated by a label self-join.  A recursive
+    reach-pair expansion (the r6 form) enumerates every monotone PATH
+    before deduplicating, which detonates on the dense clique-ish
+    components real boilerplate families produce; the label self-join
+    touches exactly the output pairs and nothing else.  Because pair
+    output is inherently O(|component|^2), components larger than
+    ``cap`` are EXCLUDED from enumeration and surface through
+    closure_overflow's counted channel instead -- at corpus scale a
+    10M-doc boilerplate family should be a (cluster, size) report row,
+    never 5*10^13 pairs."""
+    labels = dedup_clusters(documents, max_iter=max_iter, edges=edges)
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("__n"))
+    ok = labels.join(
+        F.broadcast(sizes.filter(F.col("__n") <= cap).select("cluster_id")),
+        "cluster_id",
+    )
+    left = ok.select("cluster_id", F.col("doc_id").alias("doc_a"))
+    right = ok.select("cluster_id", F.col("doc_id").alias("doc_b"))
+    return (
+        left.join(right, "cluster_id")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+
+
+def closure_overflow(
+    documents: DataFrame,
+    cap: int = 10_000,
+    edges: DataFrame | None = None,
+    max_iter: int = 15,
+) -> DataFrame:
+    """The counted overflow channel for closure_pairs: one row per
+    connected component whose size exceeds ``cap``, with the number of
+    pairs enumeration WOULD have produced -- the guard that turns a
+    boilerplate-family detonation into a report row.  Returns
+    (cluster_id, n_docs, n_pairs_suppressed)."""
+    labels = dedup_clusters(documents, max_iter=max_iter, edges=edges)
+    return (
+        labels.groupBy("cluster_id")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > cap)
+        .select(
+            "cluster_id",
+            "n_docs",
+            F.expr("n_docs * (n_docs - 1) DIV 2").alias("n_pairs_suppressed"),
+        )
+    )
+
+
 def dedup_keep_canonical(documents: DataFrame, max_iter: int = 15) -> DataFrame:
     """The corpus AFTER near-dup deduplication: drop every document
     that belongs to a duplicate cluster but is not its canonical (min

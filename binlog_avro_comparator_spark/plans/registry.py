@@ -3030,25 +3030,33 @@ def _q_lang_confusion(spark, sf_dir):
 
 
 def _q_dedup_closure(spark, sf_dir):
-    """Transitive closure of the near-dup pair graph via Spark 4's
-    RECURSIVE CTE -- chains a~b~c surface as direct (a, c) reach pairs
-    without the hand-rolled label-propagation loop (dedup_clusters'
-    iterative operator remains the giant-component-scale path; the
-    recursive form is the declarative one Catalyst now plans natively).
-    Edges run strictly doc_a < doc_b, so recursion terminates on any
-    input; UNION ALL duplicates collapse in the final DISTINCT."""
+    """Transitive closure of the near-dup pair graph as unordered
+    component pairs (dedup.closure_pairs).  Round-7 re-expression of
+    the r6 recursive-CTE reach query: (a) semantics upgraded from
+    monotone-path reach to true UNDIRECTED closure -- edges (1,5),(2,5)
+    now surface (1,2), which the increasing-path recursion missed;
+    (b) computed as min-label fixpoint + label self-join, so
+    intermediates are linear in nodes+edges instead of enumerating
+    every path through a dense component; (c) guarded by a component-
+    size cap with a counted overflow twin (dedup_closure_overflow).
+    The recursive-CTE pair expansion survives as the DuckDB ORACLE,
+    where sf0.01 scale keeps it cheap."""
     ensure_session_conf(spark)
-    from ..operators.dedup import lsh_candidate_pairs
+    from ..operators.dedup import closure_pairs
 
-    pairs = lsh_candidate_pairs(_docs(spark, sf_dir)).select("doc_a", "doc_b")
-    pairs.createOrReplaceTempView("nd_pairs")
-    return spark.sql("""
-WITH RECURSIVE reach(doc_a, doc_b) AS (
-  SELECT doc_a, doc_b FROM nd_pairs
-  UNION ALL
-  SELECT r.doc_a, p.doc_b FROM reach r JOIN nd_pairs p ON p.doc_a = r.doc_b
-)
-SELECT DISTINCT doc_a, doc_b FROM reach""")
+    return closure_pairs(_docs(spark, sf_dir))
+
+
+def _q_closure_overflow(spark, sf_dir):
+    """The counted overflow channel for the closure guard
+    (dedup.closure_overflow): components larger than the cap surface
+    as (cluster_id, n_docs, n_pairs_suppressed) report rows instead of
+    O(n^2) pairs.  Registered with cap=2 so the sf0.01 corpus
+    exercises the channel with a real row (production default 10k)."""
+    ensure_session_conf(spark)
+    from ..operators.dedup import closure_overflow
+
+    return closure_overflow(_docs(spark, sf_dir), cap=2)
 
 
 def _q_template_dedup(spark, sf_dir):
@@ -3311,6 +3319,8 @@ def queries() -> dict[str, QueryFn]:
         "customer_rfm_scores": _q_rfm,
         "events_funnel_timing": _q_funnel_timing,
         "corpus_zipf_fit": _q_zipf,
+        # -- NEW in r7: inside the driver window on first registration --
+        "dedup_closure_overflow": _q_closure_overflow,
         # -- r6-verified (driver-green in CORRECTNESS_r06) --
         "cdc_parse_binlog_typed": _q_cdc_parse_binlog_typed,
         "cdc_payload_diff_typed": _q_cdc_payload_diff_typed,
@@ -8069,15 +8079,42 @@ SELECT md5(trim(regexp_replace(regexp_replace(text, '[0-9]+', '0', 'g'),
        count(*) AS n_copies,
        count(DISTINCT md5(text)) AS n_distinct_texts
 FROM documents GROUP BY 1"""
-    # recursive closure composed over the verified pair oracle
+    # undirected recursive closure composed over the verified pair
+    # oracle -- the pair-expansion recursion is kept HERE (test-scale
+    # DuckDB) while the Spark side runs the linear label fixpoint
     sql["dedup_transitive_closure"] = f"""
 WITH RECURSIVE base(doc_a, doc_b) AS ({sql["minhash_lsh_pairs"]}),
-reach(doc_a, doc_b) AS (
-  SELECT doc_a, doc_b FROM base
-  UNION ALL
-  SELECT r.doc_a, p.doc_b FROM reach r JOIN base p ON p.doc_a = r.doc_b
+sym(a, b) AS (
+  SELECT doc_a, doc_b FROM base UNION SELECT doc_b, doc_a FROM base
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b WHERE r.a <> s.b
 )
-SELECT DISTINCT doc_a, doc_b FROM reach"""
+SELECT DISTINCT a AS doc_a, b AS doc_b FROM reach WHERE a < b"""
+    # component labeling + size report over the same reach relation;
+    # the overflow channel = components above the cap (2 at test scale)
+    sql["dedup_closure_overflow"] = f"""
+WITH RECURSIVE base(doc_a, doc_b) AS ({sql["minhash_lsh_pairs"]}),
+sym(a, b) AS (
+  SELECT doc_a, doc_b FROM base UNION SELECT doc_b, doc_a FROM base
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b WHERE r.a <> s.b
+),
+lab AS (
+  SELECT a AS doc_id, min(b) AS reach_min
+  FROM (SELECT a, b FROM reach UNION ALL SELECT a, a FROM sym) GROUP BY a
+),
+comp AS (
+  SELECT least(doc_id, reach_min) AS cluster_id, count(*) AS n_docs
+  FROM lab GROUP BY 1
+)
+SELECT cluster_id, n_docs, (n_docs * (n_docs - 1)) // 2 AS n_pairs_suppressed
+FROM comp WHERE n_docs > 2"""
     # funnel velocity composed over the verified funnel oracle
     sql["events_funnel_timing"] = f"""
 WITH staged AS ({sql["events_funnel"]}),
