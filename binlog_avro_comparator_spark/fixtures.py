@@ -273,10 +273,16 @@ def derive_typed_rows(events: DataFrame) -> DataFrame:
     )
 
 
-def derive_typed_avro_payload(events: DataFrame) -> DataFrame:
-    """The avro twin of the typed row images, as (binlog_file,
-    binlog_position, payload map<string,string>) with the planted
-    divergences -- input to payload_diff's probe side."""
+def derive_typed_avro_columns(events: DataFrame) -> DataFrame:
+    """The avro twin of the typed row images as a FLAT frame: one
+    column per typed name (canonical string, with the planted
+    divergences) plus ``t_dt_ms`` -- the epoch-millis long twin of
+    t_dt (NULL on the AVRO_NULL rows) that the real ``.avro`` typed
+    fixture encodes as a timestamp-millis logical column (registry
+    ``_render_avro_typed``).  ``t_dec`` is encoded from this canonical
+    string into a decimal(12,2) logical column, so the typed diff
+    exercises genuine avro decimal bytes against the binlog
+    NEWDECIMAL decode."""
     eid = F.col("event_id")
     vals = _typed_value_cols(eid)
     cents = F.lit(1) + (eid * 37) % 9999999 + 1  # +1 -> MISMATCH rows
@@ -296,7 +302,10 @@ def derive_typed_avro_payload(events: DataFrame) -> DataFrame:
     ).otherwise(vals["t_dt"])
     # avro always carries t_text (binlog-side NULLs -> BINLOG_NULL)
     overrides["t_text"] = F.concat(F.lit("text-"), eid.cast("string"))
-    names = list(overrides)
+    t_dt_ms = F.when(
+        eid % TYPED_DT_NULL_MOD == TYPED_DT_NULL_REM,
+        F.lit(None).cast("long"),
+    ).otherwise(F.unix_millis(F.col("ts")))
     return (
         events.filter(F.col("event_type").isin(*DML_SOURCE_TYPES))
         .filter(eid % EMPTY_FILE_MOD != 0)
@@ -304,11 +313,33 @@ def derive_typed_avro_payload(events: DataFrame) -> DataFrame:
         .select(
             _binlog_file_col().alias("binlog_file"),
             _base_pos(eid).alias("binlog_position"),
-            F.map_from_arrays(
-                F.array(*[F.lit(n) for n in names]),
-                F.array(*[overrides[n] for n in names]),
-            ).alias("payload"),
+            *[overrides[n].alias(n) for n in overrides],
+            t_dt_ms.alias("t_dt_ms"),
         )
+    )
+
+
+TYPED_PAYLOAD_NAMES: list[str] = [
+    "t_id", "t_date", "t_year", "t_dt", "t_ts", "t_time", "t_dec",
+    "t_text", "t_char", "t_enum", "t_set", "t_json", "t_u8", "t_u64",
+    "t_geo",
+]
+
+
+def derive_typed_avro_payload(events: DataFrame) -> DataFrame:
+    """The avro twin of the typed row images, as (binlog_file,
+    binlog_position, payload map<string,string>) with the planted
+    divergences -- input to payload_diff's probe side.  Built from
+    derive_typed_avro_columns so the in-memory twin and the real
+    ``.avro`` fixture can never drift."""
+    cols = derive_typed_avro_columns(events)
+    return cols.select(
+        "binlog_file",
+        "binlog_position",
+        F.map_from_arrays(
+            F.array(*[F.lit(n) for n in TYPED_PAYLOAD_NAMES]),
+            F.array(*[F.col(n) for n in TYPED_PAYLOAD_NAMES]),
+        ).alias("payload"),
     )
 
 

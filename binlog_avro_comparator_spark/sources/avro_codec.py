@@ -26,17 +26,76 @@ decoder is the engine path.
 
 from __future__ import annotations
 
+import datetime as _dt
 import io
 import json
 import os
 import struct
 import zlib
+from decimal import Decimal
 from typing import Any, Iterator
 
 MAGIC = b"Obj\x01"
 SYNC_SIZE = 16
 
 _PRIMITIVES = {"null", "boolean", "int", "long", "float", "double", "bytes", "string"}
+
+# ---------------------------------------------------------------------------
+# logical types (Avro 1.11 spec "Logical Types") -- OPT-IN: the engine's
+# Datastream contract keeps timestamp-millis as a raw long
+# (compare_timestamps.go:44's int64 contract), so conversion only runs
+# when the caller asks for it (decode_container(..., logical_types=True)).
+# Unknown logical annotations fall back to the raw primitive, as the
+# spec requires.
+# ---------------------------------------------------------------------------
+_EPOCH_DATE = _dt.date(1970, 1, 1)
+_EPOCH_DT = _dt.datetime(1970, 1, 1)
+
+
+def from_logical(raw: Any, schema: dict) -> Any:
+    """Raw decoded primitive/fixed -> the logical type's in-memory
+    form: decimal -> decimal.Decimal, date -> datetime.date,
+    time-millis/micros -> datetime.time, timestamp-millis/micros ->
+    naive-UTC datetime.datetime, uuid -> str (already one)."""
+    lt = schema.get("logicalType")
+    if lt == "decimal":
+        # bytes/fixed: big-endian two's-complement unscaled integer
+        unscaled = int.from_bytes(raw, "big", signed=True)
+        return Decimal(unscaled).scaleb(-schema.get("scale", 0))
+    if lt == "date":
+        return _EPOCH_DATE + _dt.timedelta(days=raw)
+    if lt == "time-millis":
+        return (_EPOCH_DT + _dt.timedelta(milliseconds=raw)).time()
+    if lt == "time-micros":
+        return (_EPOCH_DT + _dt.timedelta(microseconds=raw)).time()
+    if lt == "timestamp-millis":
+        return _EPOCH_DT + _dt.timedelta(milliseconds=raw)
+    if lt == "timestamp-micros":
+        return _EPOCH_DT + _dt.timedelta(microseconds=raw)
+    return raw  # uuid is already a string; unknown logicals stay raw
+
+
+def to_logical_raw(value: Any, schema: dict) -> Any:
+    """Inverse of from_logical (encoder side): typed value -> the raw
+    primitive the wire format carries.  Raw-typed inputs pass through
+    so fixtures may supply pre-encoded primitives."""
+    lt = schema.get("logicalType")
+    if lt == "decimal" and isinstance(value, Decimal):
+        scale = schema.get("scale", 0)
+        unscaled = int(value.scaleb(scale).to_integral_value())
+        if schema.get("type") == "fixed":
+            return unscaled.to_bytes(schema["size"], "big", signed=True)
+        n = max(1, (unscaled.bit_length() + 8) // 8)  # sign bit included
+        return unscaled.to_bytes(n, "big", signed=True)
+    if lt == "date" and isinstance(value, _dt.date) and not isinstance(value, _dt.datetime):
+        return (value - _EPOCH_DATE).days
+    if lt in ("time-millis", "time-micros") and isinstance(value, _dt.time):
+        us = ((value.hour * 60 + value.minute) * 60 + value.second) * 1_000_000 + value.microsecond
+        return us // 1000 if lt == "time-millis" else us
+    if lt in ("timestamp-millis", "timestamp-micros") and isinstance(value, _dt.datetime):
+        us = round((value - _EPOCH_DT).total_seconds() * 1_000_000)
+        return us // 1000 if lt == "timestamp-millis" else us
+    return value
 
 
 # ---------------------------------------------------------------------------
@@ -98,12 +157,18 @@ class _Reader:
 # ---------------------------------------------------------------------------
 # schema-driven value decode
 # ---------------------------------------------------------------------------
-def decode_value(r: _Reader, schema: Any) -> Any:
-    if isinstance(schema, dict) and schema.get("type") in _PRIMITIVES and len(schema) <= 2:
+def decode_value(r: _Reader, schema: Any, logical: bool = False) -> Any:
+    if isinstance(schema, dict) and schema.get("type") in _PRIMITIVES:
         # {"type": "long", "logicalType": ...} -- logical types ride on
-        # primitives; expose the raw primitive (timestamp-millis stays a
-        # long, matching compare_timestamps.go:44's int64 contract)
-        schema = schema["type"]
+        # primitives; by default expose the raw primitive
+        # (timestamp-millis stays a long, matching
+        # compare_timestamps.go:44's int64 contract).  With
+        # ``logical=True`` the annotation converts (decimal/date/time/
+        # timestamp/uuid -> typed Python values, see from_logical).
+        raw = decode_value(r, schema["type"])
+        if logical and "logicalType" in schema:
+            return from_logical(raw, schema)
+        return raw
     if isinstance(schema, str):
         if schema == "null":
             return None
@@ -124,14 +189,20 @@ def decode_value(r: _Reader, schema: Any) -> Any:
         idx = r.read_long()
         if not 0 <= idx < len(schema):
             raise ValueError(f"avro: union branch {idx} out of range")
-        return decode_value(r, schema[idx])
+        return decode_value(r, schema[idx], logical)
     t = schema["type"]
     if t == "record":
-        return {f["name"]: decode_value(r, f["type"]) for f in schema["fields"]}
+        return {
+            f["name"]: decode_value(r, f["type"], logical)
+            for f in schema["fields"]
+        }
     if t == "enum":
         return schema["symbols"][r.read_long()]
     if t == "fixed":
-        return r.read(schema["size"])
+        raw = r.read(schema["size"])
+        if logical and "logicalType" in schema:
+            return from_logical(raw, schema)
+        return raw
     if t == "array":
         out = []
         while True:
@@ -142,7 +213,7 @@ def decode_value(r: _Reader, schema: Any) -> Any:
                 r.read_long()
                 count = -count
             for _ in range(count):
-                out.append(decode_value(r, schema["items"]))
+                out.append(decode_value(r, schema["items"], logical))
     if t == "map":
         out: dict[str, Any] = {}
         while True:
@@ -154,14 +225,14 @@ def decode_value(r: _Reader, schema: Any) -> Any:
                 count = -count
             for _ in range(count):
                 k = r.read_bytes().decode("utf-8")
-                out[k] = decode_value(r, schema["values"])
+                out[k] = decode_value(r, schema["values"], logical)
     if t in _PRIMITIVES:
         return decode_value(r, t)
     raise ValueError(f"avro: unsupported schema type {t!r}")
 
 
 def decode_container(
-    data: bytes, reader_schema: Any = None
+    data: bytes, reader_schema: Any = None, logical_types: bool = False
 ) -> tuple[dict, Iterator[dict]]:
     """Parse one Object Container File: returns (writer schema, record
     iterator).  Lazy per-block so a multi-block file never holds more
@@ -170,7 +241,12 @@ def decode_container(
     ``reader_schema``: surface every record in THIS schema's shape
     regardless of the schema the file was written with (Avro schema
     resolution -- see ``resolve_read``).  A lake written over years by
-    evolving producers reads as one uniform frame."""
+    evolving producers reads as one uniform frame.
+
+    ``logical_types``: convert logical annotations (decimal, date,
+    time-millis/micros, timestamp-millis/micros, uuid) to typed Python
+    values instead of raw primitives -- what a Datastream lake with
+    DECIMAL columns needs to surface typed Spark frames."""
     r = _Reader(data)
     if r.read(4) != MAGIC:
         raise ValueError("avro: bad magic (not an Object Container File)")
@@ -204,9 +280,9 @@ def decode_container(
             br = _Reader(block)
             for _ in range(n):
                 if resolved:
-                    yield resolve_read(br, schema, reader_schema)
+                    yield resolve_read(br, schema, reader_schema, logical_types)
                 else:
-                    yield decode_value(br, schema)
+                    yield decode_value(br, schema, logical_types)
 
     return schema, records()
 
@@ -215,7 +291,9 @@ def decode_container(
 # encode (fixture generation only -- the engine never writes avro)
 # ---------------------------------------------------------------------------
 def encode_value(buf: io.BytesIO, schema: Any, value: Any) -> None:
-    if isinstance(schema, dict) and schema.get("type") in _PRIMITIVES and len(schema) <= 2:
+    if isinstance(schema, dict) and schema.get("type") in _PRIMITIVES:
+        if "logicalType" in schema:
+            value = to_logical_raw(value, schema)
         schema = schema["type"]
     if isinstance(schema, str):
         if schema == "null":
@@ -252,6 +330,8 @@ def encode_value(buf: io.BytesIO, schema: Any, value: Any) -> None:
     elif t == "enum":
         write_long(buf, schema["symbols"].index(value))
     elif t == "fixed":
+        if "logicalType" in schema:
+            value = to_logical_raw(value, schema)
         buf.write(value)
     elif t == "array":
         if value:
@@ -278,6 +358,18 @@ def _union_match(branch: Any, value: Any) -> bool:
         return name == "null"
     if isinstance(value, bool):
         return name == "boolean"
+    # logical-typed values pick the branch carrying their annotation
+    # (checked before the raw-primitive rules; datetime before date --
+    # datetime subclasses date)
+    lt = branch.get("logicalType", "") if isinstance(branch, dict) else ""
+    if isinstance(value, Decimal):
+        return lt == "decimal"
+    if isinstance(value, _dt.datetime):
+        return lt.startswith("timestamp-")
+    if isinstance(value, _dt.date):
+        return lt == "date"
+    if isinstance(value, _dt.time):
+        return lt.startswith("time-")
     if isinstance(value, int):
         return name in ("int", "long")
     if isinstance(value, float):
@@ -403,26 +495,34 @@ def _promote(value: Any, w: str, rd: str) -> Any:
     return value  # int -> long
 
 
-def resolve_read(r: _Reader, writer: Any, reader: Any) -> Any:
+def resolve_read(
+    r: _Reader, writer: Any, reader: Any, logical: bool = False
+) -> Any:
     """Decode one value written as ``writer`` but surfaced as
     ``reader`` (Avro 1.11 schema resolution).  Writer-only record
     fields are decoded and discarded (a pure skip walks the same
-    bytes); reader-only fields take their declared default."""
+    bytes); reader-only fields take their declared default.  With
+    ``logical=True`` the READER's logical annotations convert (the
+    reader schema is the pipeline's declared contract, so its
+    logicalType wins; a writer-only annotation surfaces raw)."""
     w, rd = _unwrap(writer), _unwrap(reader)
     if isinstance(w, list):  # writer union: branch index picks the datum
         idx = r.read_long()
         if not 0 <= idx < len(w):
             raise ValueError(f"avro: union branch {idx} out of range")
-        return resolve_read(r, w[idx], rd)
+        return resolve_read(r, w[idx], rd, logical)
     if isinstance(rd, list):  # reader union, writer not: first match wins
         for branch in rd:
             if _resolvable(w, branch):
-                return resolve_read(r, w, branch)
+                return resolve_read(r, w, branch, logical)
         raise ValueError(f"avro: no reader branch accepts writer {w!r}")
     if isinstance(w, str):
         if not isinstance(rd, str):
             raise ValueError(f"avro: writer {w!r} vs reader {rd!r}")
-        return _promote(decode_value(r, w), w, rd)
+        val = _promote(decode_value(r, w), w, rd)
+        if logical and isinstance(reader, dict) and "logicalType" in reader:
+            return from_logical(val, reader)
+        return val
     wt = w["type"]
     if wt == "record":
         if not _resolvable(w, rd):
@@ -442,7 +542,7 @@ def resolve_read(r: _Reader, writer: Any, reader: Any) -> Any:
             if rf is None:  # writer-only: walk the bytes, drop the value
                 decode_value(r, wf["type"])
             else:
-                by_name[name] = resolve_read(r, wf["type"], rf["type"])
+                by_name[name] = resolve_read(r, wf["type"], rf["type"], logical)
         out = {}
         for rf in rd["fields"]:
             if rf["name"] in by_name:
@@ -467,7 +567,10 @@ def resolve_read(r: _Reader, writer: Any, reader: Any) -> Any:
     if wt == "fixed":
         if rd.get("size") != w["size"]:
             raise ValueError("avro: fixed size mismatch")
-        return r.read(w["size"])
+        raw = r.read(w["size"])
+        if logical and "logicalType" in rd:
+            return from_logical(raw, rd)
+        return raw
     if wt == "array":
         out_l: list[Any] = []
         while True:
@@ -478,7 +581,7 @@ def resolve_read(r: _Reader, writer: Any, reader: Any) -> Any:
                 r.read_long()
                 count = -count
             for _ in range(count):
-                out_l.append(resolve_read(r, w["items"], rd["items"]))
+                out_l.append(resolve_read(r, w["items"], rd["items"], logical))
     if wt == "map":
         out_m: dict[str, Any] = {}
         while True:
@@ -490,5 +593,5 @@ def resolve_read(r: _Reader, writer: Any, reader: Any) -> Any:
                 count = -count
             for _ in range(count):
                 key = r.read_bytes().decode("utf-8")
-                out_m[key] = resolve_read(r, w["values"], rd["values"])
+                out_m[key] = resolve_read(r, w["values"], rd["values"], logical)
     raise ValueError(f"avro: unsupported writer type {wt!r}")

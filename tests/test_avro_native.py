@@ -571,3 +571,95 @@ def test_container_reader_schema_resolution_roundtrip():
     assert list(recs) == [{"k": "a", "added": None}, {"k": "b", "added": None}]
     _, plain = decode_container(data)
     assert list(plain)[0] == {"k": "a", "gone": 1}
+
+
+# ---------------------------------------------------------------------------
+# logical types (round 7): decimal / date / time / timestamp / uuid
+# ---------------------------------------------------------------------------
+def test_logical_types_roundtrip():
+    """Typed Python values -> avro wire bytes -> typed values, for
+    every logical annotation the codec converts; raw primitives pass
+    through the same schema untouched when logical decode is off."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from binlog_avro_comparator_spark.sources.avro_codec import (
+        decode_container,
+        encode_container,
+    )
+
+    schema = {
+        "type": "record", "name": "r", "fields": [
+            {"name": "dec", "type": {"type": "bytes", "logicalType": "decimal",
+                                     "precision": 12, "scale": 2}},
+            {"name": "decf", "type": {"type": "fixed", "name": "d8", "size": 8,
+                                      "logicalType": "decimal",
+                                      "precision": 15, "scale": 3}},
+            {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+            {"name": "tms", "type": {"type": "int", "logicalType": "time-millis"}},
+            {"name": "tus", "type": {"type": "long", "logicalType": "time-micros"}},
+            {"name": "tsms", "type": {"type": "long",
+                                      "logicalType": "timestamp-millis"}},
+            {"name": "tsus", "type": {"type": "long",
+                                      "logicalType": "timestamp-micros"}},
+            {"name": "u", "type": {"type": "string", "logicalType": "uuid"}},
+        ],
+    }
+    rec = {
+        "dec": Decimal("-1234.56"),
+        "decf": Decimal("0.001"),
+        "d": dt.date(2024, 2, 29),
+        "tms": dt.time(23, 59, 59, 123000),
+        "tus": dt.time(0, 0, 0, 1),
+        "tsms": dt.datetime(2024, 1, 2, 3, 4, 5, 678000),
+        "tsus": dt.datetime(1999, 12, 31, 23, 59, 59, 999999),
+        "u": "00000000-0000-4000-8000-000000000007",
+    }
+    data = encode_container(schema, [rec], sync=b"\x00" * 16)
+    _, it = decode_container(data, logical_types=True)
+    got = next(iter(it))
+    assert got == rec
+    assert isinstance(got["dec"], Decimal) and isinstance(got["decf"], Decimal)
+    # logical decode OFF: raw primitives (spec default the engine's
+    # Datastream contract relies on -- timestamp-millis stays a long)
+    _, raw_it = decode_container(data)
+    raw = next(iter(raw_it))
+    assert raw["tsms"] == 1704164645678 and isinstance(raw["tsms"], int)
+    assert raw["d"] == (dt.date(2024, 2, 29) - dt.date(1970, 1, 1)).days
+    assert isinstance(raw["dec"], bytes)
+    # negative unscaled two's complement survives exactly
+    assert int.from_bytes(raw["dec"], "big", signed=True) == -123456
+
+
+def test_logical_decimal_resolution_reader_annotation_wins():
+    """Schema resolution + logical decode: the reader's decimal
+    annotation converts even through a union, and a plain-long reader
+    over a timestamp-millis writer surfaces the raw long."""
+    import io as _io
+
+    from decimal import Decimal
+
+    from binlog_avro_comparator_spark.sources.avro_codec import (
+        _Reader,
+        encode_value,
+        resolve_read,
+    )
+
+    dec_t = {"type": "bytes", "logicalType": "decimal",
+             "precision": 12, "scale": 2}
+    writer = {"type": "record", "name": "r", "fields": [
+        {"name": "amt", "type": ["null", dec_t]},
+        {"name": "ts", "type": {"type": "long",
+                                "logicalType": "timestamp-millis"}},
+    ]}
+    reader_plain = {"type": "record", "name": "r", "fields": [
+        {"name": "amt", "type": ["null", dec_t]},
+        {"name": "ts", "type": "long"},
+    ]}
+    buf = _io.BytesIO()
+    encode_value(buf, writer, {"amt": Decimal("42.07"), "ts": 1234})
+    got = resolve_read(_Reader(buf.getvalue()), writer, reader_plain, True)
+    assert got == {"amt": Decimal("42.07"), "ts": 1234}
+    # logical=False: raw bytes surface
+    got_raw = resolve_read(_Reader(buf.getvalue()), writer, reader_plain, False)
+    assert isinstance(got_raw["amt"], bytes)
