@@ -861,6 +861,43 @@ def lag_timeline(matched: DataFrame, bucket_ms: int = 60_000) -> DataFrame:
     )
 
 
+def rotate_chain_audit(rotates: DataFrame) -> DataFrame:
+    """Rotation-chain audit (r6 verdict item 5): the reference consumes
+    segments in `ls -v` order and trusts that listing to be complete
+    (comparator.sh:85-100); this operator makes the trust checkable.
+    Input = one row per segment file from read_binlog_rotate_dir
+    (binlog_file, rotate_next, rotate_pos); each closed file's
+    ROTATE_EVENT must name EXACTLY the next file present in the
+    directory.  Statuses:
+
+      OK             rotate_next == the next listed file
+      ACTIVE_TAIL    last file, no rotate -- the segment still being
+                     written (or the feed stopped cleanly)
+      CHAIN_GAP      rotate names a file the listing doesn't have next
+                     (a segment was dropped/lost between rotations)
+      MISSING_ROTATE a non-final file without a rotate (truncated tail
+                     or foreign bytes)
+
+    The frame is FILE-cardinality (one row per segment -- bounded by
+    rotation policy, ~100k rows for 100 TB of binlogs), so the single
+    global lead() window is metadata-sized, never data-sized.
+    Returns (binlog_file, rotate_next, expected_next, status)."""
+    w = Window.orderBy("binlog_file")
+    nxt = F.lead("binlog_file").over(w)
+    return rotates.select(
+        "binlog_file",
+        "rotate_next",
+        nxt.alias("expected_next"),
+        F.when(
+            F.col("rotate_next").isNull() & nxt.isNull(), F.lit("ACTIVE_TAIL")
+        )
+        .when(F.col("rotate_next").isNull(), F.lit("MISSING_ROTATE"))
+        .when(F.col("rotate_next") == nxt, F.lit("OK"))
+        .otherwise(F.lit("CHAIN_GAP"))
+        .alias("status"),
+    )
+
+
 def resume_bookmarks(binlog_prepared: DataFrame) -> DataFrame:
     """Per-file resume bookmarks over the PREPARED feed: the
     checkpoint a restarting CDC consumer stores -- last position, last

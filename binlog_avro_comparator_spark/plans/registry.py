@@ -194,8 +194,16 @@ def _render_binlog_binary(fname: str, rows: list[dict]) -> tuple[str, bytes]:
     # deterministic mix of binlog_checksum=CRC32 (the MySQL 8.0
     # default; even-numbered segments) and checksum-free files
     # (odd-numbered), so every oracle run over the binary fixtures
-    # certifies BOTH decoder paths -- CRC tail verify+strip and plain
-    return fname, encode_binlog_file(rows, checksum=int(fname[-1]) % 2 == 0)
+    # certifies BOTH decoder paths -- CRC tail verify+strip and plain.
+    # __next_file (when the fixture frame carries it) closes each
+    # segment with a ROTATE_EVENT naming its successor -- the chain
+    # rotate_chain_audit verifies; the last segment stays rotate-free
+    # (the active tail).
+    return fname, encode_binlog_file(
+        rows,
+        checksum=int(fname[-1]) % 2 == 0,
+        next_file=rows[0].get("__next_file"),
+    )
 
 
 def _render_parser_text(fname: str, rows: list[dict]) -> tuple[str, bytes]:
@@ -2285,6 +2293,16 @@ def _binlog_binary_fixture_dir(spark, sf_dir) -> str:
         b = derive_binlog_events_with_payload(
             load_table(spark, sf_dir, "events")
         ).filter(F.col("binlog_file") != "")
+        # rotation chain: each segment's successor by name order (the
+        # `ls -v` contract); the file-name frame is segment-cardinality
+        files = b.select("binlog_file").distinct()
+        chain = files.select(
+            "binlog_file",
+            F.lead("binlog_file")
+            .over(Window.orderBy("binlog_file"))
+            .alias("__next_file"),
+        )
+        b = b.join(F.broadcast(chain), "binlog_file")
         d = tempfile.mkdtemp(prefix="binlog_binary_")
         _fixture_write_distributed(b, "binlog_file", d, _render_binlog_binary)
         _FIXTURE_DIRS[("binlog_binary", sf_dir)] = d
@@ -2649,6 +2667,24 @@ def _q_cdc_lag_timeline(spark, sf_dir):
     """Replication-lag trend per minute bucket over matched pairs."""
     _, bp, ap = _cdc_frames(spark, sf_dir)
     return C.lag_timeline(C.matched_pairs(bp, ap))
+
+
+def _q_cdc_rotate_chain(spark, sf_dir):
+    """Rotation-chain audit over the SHARED binary fixture dir (r6
+    verdict item 5): every closed segment ends with a real
+    ROTATE_EVENT naming its successor (sources/binlog_binary
+    encode/decode_binlog_rotate), and compare.rotate_chain_audit
+    asserts the chain matches the directory listing -- the `ls -v`
+    completeness assumption the reference never checks
+    (comparator.sh:85-100) surfaced as findings.  Clean fixture =
+    OK rows + one ACTIVE_TAIL; the CHAIN_GAP / MISSING_ROTATE paths
+    are pytest-pinned (test_rotate_chain_*)."""
+    ensure_session_conf(spark)
+    from ..sources.binlog_binary import read_binlog_rotate_dir
+
+    return C.rotate_chain_audit(
+        read_binlog_rotate_dir(spark, _binlog_binary_fixture_dir(spark, sf_dir))
+    )
 
 
 def _q_cdc_binlog_skip_stats(spark, sf_dir):
@@ -3557,6 +3593,7 @@ def queries() -> dict[str, QueryFn]:
         # -- NEW in r7: inside the driver window on first registration --
         "dedup_closure_overflow": _q_closure_overflow,
         "cdc_avro_logical_scan": _q_cdc_avro_logical_scan,
+        "cdc_rotate_chain": _q_cdc_rotate_chain,
         # -- r6-verified (driver-green in CORRECTNESS_r06) --
         "cdc_parse_binlog_typed": _q_cdc_parse_binlog_typed,
         "cdc_payload_diff_typed": _q_cdc_payload_diff_typed,
@@ -4584,6 +4621,25 @@ SELECT DISTINCT
   CAST(0 AS BIGINT) AS compressed_tx_skipped
 FROM events
 WHERE event_id % 223 <> 0""",
+        # rotation chain: the fixture writes a correct chain, so the
+        # audit reads all-OK + one ACTIVE_TAIL; file set mirrors the
+        # skip-stats derivation (events partition to 4 segments, the
+        # EMPTY_FILE_MOD rows carry no file)
+        "cdc_rotate_chain": """
+WITH files AS (
+  SELECT DISTINCT
+    'mysql-bin.' || lpad(CAST(event_id % 4 AS VARCHAR), 6, '0') AS binlog_file
+  FROM events WHERE event_id % 223 <> 0
+),
+chain AS (
+  SELECT binlog_file,
+         lead(binlog_file) OVER (ORDER BY binlog_file) AS expected_next
+  FROM files
+)
+SELECT binlog_file, expected_next AS rotate_next, expected_next,
+       CASE WHEN expected_next IS NULL THEN 'ACTIVE_TAIL' ELSE 'OK' END
+         AS status
+FROM chain""",
         "cdc_binlog_events": oracle.cdc_binlog_events(),
         "cdc_avro_rows": oracle.cdc_avro_rows(),
         "cdc_avro_native_scan": oracle.cdc_avro_native_scan(),

@@ -1393,3 +1393,72 @@ def test_gojsonl_python_datasource_writer(spark, tmp_path):
     assert total == 5
     with _pytest.raises(Exception, match="one string column"):
         raw.write.format("gojsonl").mode("append").save(str(tmp_path / "bad"))
+
+
+def test_rotate_chain_audit_statuses(spark, tmp_path):
+    """rotate_chain_audit surfaces every chain state: OK links,
+    CHAIN_GAP where a segment named by a ROTATE is absent from the
+    listing (deleted/lost file), MISSING_ROTATE for a rotate-less
+    non-final file, ACTIVE_TAIL for the last segment."""
+    from binlog_avro_comparator_spark.operators.compare import rotate_chain_audit
+    from binlog_avro_comparator_spark.sources.binlog_binary import (
+        encode_binlog_file, read_binlog_rotate_dir)
+
+    evs = TestBinlogRowImages.EVS
+    # 000000 closed WITHOUT a rotate (truncated tail) -> MISSING_ROTATE
+    (tmp_path / "mysql-bin.000000").write_bytes(encode_binlog_file(evs))
+    (tmp_path / "mysql-bin.000001").write_bytes(
+        encode_binlog_file(evs, next_file="mysql-bin.000002"))
+    # 000002 rotates to 000003, but 000003 was deleted -> CHAIN_GAP
+    (tmp_path / "mysql-bin.000002").write_bytes(
+        encode_binlog_file(evs, checksum=True, next_file="mysql-bin.000003"))
+    (tmp_path / "mysql-bin.000004").write_bytes(
+        encode_binlog_file(evs, next_file="mysql-bin.000005"))
+    (tmp_path / "mysql-bin.000005").write_bytes(encode_binlog_file(evs))
+    got = {
+        r.binlog_file: r.status
+        for r in rotate_chain_audit(
+            read_binlog_rotate_dir(spark, str(tmp_path))
+        ).collect()
+    }
+    assert got == {
+        "mysql-bin.000000": "MISSING_ROTATE",
+        "mysql-bin.000001": "OK",
+        "mysql-bin.000002": "CHAIN_GAP",
+        "mysql-bin.000004": "OK",
+        "mysql-bin.000005": "ACTIVE_TAIL",
+    }
+
+
+def test_rotate_chain_stream_gap_on_deleted_file(spark, tmp_path):
+    """A segment deleted from the tail directory surfaces as a
+    CHAIN_GAP finding when the audit runs over the STREAMING rotate
+    source -- the dropped file is detectable from the rotation chain
+    alone, before any GTID-gap evidence accumulates."""
+    from binlog_avro_comparator_spark.operators.compare import rotate_chain_audit
+    from binlog_avro_comparator_spark.sources.binlog_binary import (
+        encode_binlog_file, stream_binlog_rotate_dir)
+
+    evs = TestBinlogRowImages.EVS
+    for i, nxt in ((1, 2), (2, 3), (3, 4)):
+        (tmp_path / f"mysql-bin.{i:06d}").write_bytes(
+            encode_binlog_file(evs, next_file=f"mysql-bin.{nxt:06d}"))
+    (tmp_path / "mysql-bin.000004").write_bytes(encode_binlog_file(evs))
+    (tmp_path / "mysql-bin.000003").unlink()  # lost mid-tail
+    q = (
+        stream_binlog_rotate_dir(spark, str(tmp_path))
+        .writeStream.format("memory")
+        .queryName("rotate_stream_probe")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    q.stop()
+    audit = {
+        r.binlog_file: r.status
+        for r in rotate_chain_audit(spark.table("rotate_stream_probe")).collect()
+    }
+    assert audit["mysql-bin.000002"] == "CHAIN_GAP"
+    assert audit["mysql-bin.000001"] == "OK"
+    assert audit["mysql-bin.000004"] == "ACTIVE_TAIL"
