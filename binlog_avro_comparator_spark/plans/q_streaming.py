@@ -1,0 +1,703 @@
+"""Structured Streaming queries (memory-sink drained) (split from registry.py, round 7; behavior
+identical -- see registry.py for the assembly order)."""
+
+from __future__ import annotations
+
+from ._shared import *  # noqa: F401,F403
+from .q_cdc import *  # noqa: F401,F403
+from .q_corpus import *  # noqa: F401,F403
+from .q_ann import *  # noqa: F401,F403
+from .q_analytics import *  # noqa: F401,F403
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _stream_state_partitions(spark: SparkSession, n: int = 8):
+    """Scope streaming-state partition count to the state size.
+
+    ``spark.sql.shuffle.partitions`` at query START fixes the state-
+    store partition count for that checkpoint's lifetime, and every
+    micro-batch pays one state-store commit PER partition PER store
+    instance (a stream-stream join runs four).  The r4 profile
+    (scratch/leftjoin_profile.py): the sf0.1 left-join replay holds
+    ~40k state rows, and walls scale with the partition count -- 32
+    partitions 7.4 s, 8 partitions 3.0 s, 4 partitions 2.4 s -- pure
+    commit overhead, zero compute.  So these replay harnesses size
+    state partitions to the state actually held instead of inheriting
+    the batch default.  At 100 TB the same dial turns the other way:
+    state partitions ~ state volume / executor-heap budget, decoupled
+    from the batch shuffle width.  Fresh checkpoints per run make the
+    scoped override safe; the conf is restored on exit."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _drain_to_table(spark: SparkSession, out: DataFrame, name: str, mode: str) -> DataFrame:
+    """Shared availableNow drain: start ``out`` as a memory sink under
+    a state-partition scope, wait (bounded), stop, return the
+    materialized table.  One definition so the conf scoping, timeout,
+    and stop discipline can't drift between the ten streaming
+    queries that use it."""
+    with _stream_state_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(f"{name}: availableNow drain exceeded 300s")
+        q.stop()
+    return spark.table(name)
+
+
+def _q_events_dedup_stream(spark, sf_dir):
+    """Streaming dedup in the driver contract: the events table
+    replayed as a file stream with every row DUPLICATED (the
+    at-least-once redelivery case), drained through watermarked
+    dropDuplicates on event_id via availableNow.  Copies are
+    byte-identical, so the survivor set equals the original table
+    regardless of arrival order -- which is exactly what the oracle
+    states."""
+    global _STREAM_SINK_SEQ
+    from ..sources.tables import _EVENTS_SCHEMA, events_ts_column
+    from ..streaming.dedup_stream import dedup_stream
+
+    ensure_session_conf(spark)
+    stream = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", events_ts_column(sf_dir))
+        .withColumn("__copy", F.explode(F.array(F.lit(0), F.lit(1))))
+        .drop("__copy")
+    )
+    _STREAM_SINK_SEQ += 1
+    name = f"events_dedup_stream_sink_{_STREAM_SINK_SEQ}"
+    out = dedup_stream(stream).select(
+        "event_id",
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    return _drain_to_table(spark, out, name, "append")
+
+
+def _q_events_join_stream(spark, sf_dir):
+    """Stream-stream interval join in the driver contract: the events
+    table replayed as TWO independent file streams (views / clicks),
+    drained through the watermarked time-range inner join via
+    availableNow.  Both sides fully arrive inside the watermark
+    allowance, so the emitted pairs equal the batch interval join --
+    the oracle is the events_view_click_range SQL verbatim."""
+    global _STREAM_SINK_SEQ
+    from ..sources.tables import _EVENTS_SCHEMA, events_ts_column
+    from ..streaming.join_stream import view_click_join_stream
+
+    ensure_session_conf(spark)
+
+    def _side(event_type):
+        return (
+            spark.readStream.schema(_EVENTS_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", events_ts_column(sf_dir))
+            .filter(F.col("event_type") == event_type)
+            .select("event_id", "user_id", "ts")
+        )
+
+    _STREAM_SINK_SEQ += 1
+    name = f"events_join_stream_sink_{_STREAM_SINK_SEQ}"
+    out = view_click_join_stream(_side("view"), _side("click"))
+    return _drain_to_table(spark, out, name, "append")
+
+
+def _q_events_left_join_stream(spark, sf_dir):
+    """LEFT OUTER stream-stream join in the driver contract: same
+    replay harness as events_join_stream, but matchless views must
+    emit null-padded once the watermark rules a click out.  The oracle
+    states the end-of-replay contract exactly: all inner pairs, plus
+    null rows for matchless views older than the final watermark
+    horizon (see view_click_left_join_stream's docstring)."""
+    global _STREAM_SINK_SEQ
+    from ..sources.tables import _EVENTS_SCHEMA, events_ts_column
+    from ..streaming.join_stream import view_click_left_join_stream
+
+    ensure_session_conf(spark)
+
+    def _side(event_type):
+        return (
+            spark.readStream.schema(_EVENTS_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", events_ts_column(sf_dir))
+            .filter(F.col("event_type") == event_type)
+            .select("event_id", "user_id", "ts")
+        )
+
+    _STREAM_SINK_SEQ += 1
+    name = f"events_left_join_stream_sink_{_STREAM_SINK_SEQ}"
+    out = view_click_left_join_stream(_side("view"), _side("click"))
+    return _drain_to_table(spark, out, name, "append")
+
+
+def _q_cdc_snapshot_incremental(spark, sf_dir):
+    """Incremental snapshot maintenance in the driver contract: the
+    events table is re-chunked into 4 parquet files (driver-side
+    scaffolding, memoized), replayed one file per micro-batch, and each
+    batch folds into the versioned parquet state via foreachBatch
+    (streaming/snapshot_sink.py).  Reading the final snapshot must
+    equal batch apply_changes over all events -- the oracle is that SQL
+    verbatim.  The chunking is arbitrary on purpose: the state merge is
+    associative, so ANY batch boundary yields the same snapshot."""
+    global _STREAM_SINK_SEQ
+    import tempfile
+
+    from ..sources.tables import _EVENTS_SCHEMA, events_ts_column
+    from ..streaming.snapshot_sink import maintain_snapshot, read_snapshot
+
+    ensure_session_conf(spark)
+    chunks = _FIXTURE_DIRS.get(("events_chunks", sf_dir))
+    if chunks is None:
+        chunks = tempfile.mkdtemp(prefix="events_chunks_")
+        load_table(spark, sf_dir, "events").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(chunks)
+        _FIXTURE_DIRS[("events_chunks", sf_dir)] = chunks
+    _STREAM_SINK_SEQ += 1
+    work = tempfile.mkdtemp(prefix=f"snapshot_inc_{_STREAM_SINK_SEQ}_")
+    stream = (
+        spark.readStream.schema(
+            load_table(spark, sf_dir, "events").schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunks)
+    )
+    q = maintain_snapshot(
+        stream, f"{work}/state", f"{work}/ckpt"
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("snapshot maintenance drain exceeded 300s")
+    q.stop()
+    return read_snapshot(spark, f"{work}/state")
+
+
+def _q_events_top_type_stream(spark, sf_dir):
+    """Streaming top-1-per-window: the stateful windowed aggregation
+    drains via availableNow (complete mode, same machinery as
+    events_windowed_stream), then the busiest event type per window is
+    ranked over the MATERIALIZED state -- the standard two-stage
+    streaming-top-k pattern (Structured Streaming does not run rank
+    windows inside a streaming query; production re-ranks the tiny
+    complete-mode state per trigger, here once at end of replay).
+    Ties break to the lexicographically LARGEST type (max of the
+    (count, type) tuple), identical in the oracle."""
+    global _STREAM_SINK_SEQ
+    from ..sources.tables import _EVENTS_SCHEMA, events_ts_column
+    from ..streaming.windowed_agg import windowed_event_counts
+
+    ensure_session_conf(spark)
+    stream = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", events_ts_column(sf_dir))
+    )
+    _STREAM_SINK_SEQ += 1
+    name = f"events_top_type_stream_sink_{_STREAM_SINK_SEQ}"
+    state = _drain_to_table(spark, windowed_event_counts(stream), name, "complete")
+    return state.groupBy("window_start_ms").agg(
+        F.max_by(
+            "event_type", F.struct(F.col("n_events"), F.col("event_type"))
+        ).alias("top_event_type"),
+        F.max(F.struct(F.col("n_events"), F.col("event_type")))["n_events"].alias(
+            "top_count"
+        ),
+    )
+
+
+def _q_cdc_snapshot_stream(spark, sf_dir):
+    """The SAME apply_changes operator, run on a stream: Structured
+    Streaming executes the identical logical plan incrementally (the
+    max_by aggregate becomes stateful, one state row per live user),
+    and complete output mode emits the materialized snapshot -- batch
+    and streaming share the operator, which is the point of declaring
+    the plan instead of the execution.  Oracle: identical to
+    cdc_apply_changes."""
+    global _STREAM_SINK_SEQ
+    from ..operators.snapshot import apply_changes, snapshot_diff
+    from ..sources.tables import _EVENTS_SCHEMA, events_ts_column
+
+    ensure_session_conf(spark)
+    stream = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", events_ts_column(sf_dir))
+    )
+    _STREAM_SINK_SEQ += 1
+    name = f"cdc_snapshot_stream_sink_{_STREAM_SINK_SEQ}"
+    return _drain_to_table(spark, apply_changes(stream), name, "complete")
+
+
+def _q_events_hdr_stream(spark, sf_dir):
+    """The HDR quantile sketch RUN AS A STREAM: the integer bucket
+    aggregation (analytics.hdr_bucket_frame) is a plain streaming
+    groupBy -- per-micro-batch counts fold into state exactly like the
+    batch partial aggregation folds per partition, because cell-wise
+    addition IS the sketch merge -- drained complete-mode, then the
+    quantile inversion (hdr_quantile_estimates) runs over the
+    materialized few-hundred-row state (the two-stage pattern of
+    events_top_type_stream).  The estimates equal the batch sketch's
+    bit for bit; the exact-percentile exhibit column is batch-only by
+    nature and the oracle states the sketch contract alone."""
+    global _STREAM_SINK_SEQ
+    from ..operators.analytics import hdr_bucket_frame, hdr_quantile_estimates
+    from ..sources.tables import _EVENTS_SCHEMA, events_ts_column
+
+    ensure_session_conf(spark)
+    stream = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", events_ts_column(sf_dir))
+    )
+    hist = hdr_bucket_frame(stream).groupBy("event_type", "__idx").agg(
+        F.count("*").alias("__n")
+    )
+    _STREAM_SINK_SEQ += 1
+    name = f"events_hdr_stream_sink_{_STREAM_SINK_SEQ}"
+    # localCheckpoint: the memory-sink relation is not multi-instance
+    # safe, so the helper's cum x ranks self-join would hit conflicting
+    # attribute ids; checkpointing the few-hundred-row state converts
+    # it to a self-join-safe LogicalRDD (and the sketch is tiny)
+    state = _drain_to_table(spark, hist, name, "complete").localCheckpoint()
+    return hdr_quantile_estimates(state, (0.5, 0.9, 0.99)).select(
+        "event_type", "q", F.round(F.col("__est_raw"), 6).alias("est_value")
+    )
+
+
+_STREAM_SINK_SEQ = 0
+
+
+def _q_cdc_findings_stream(spark, sf_dir):
+    """The CDC diff itself run as Structured Streaming, driver-checked:
+    avro records arrive as JSONL files discovered incrementally
+    (maxFilesPerTrigger=1 -> several micro-batches), stream-static
+    joined against the closed binlog build side
+    (streaming/compare_stream.py).  availableNow drains the source; the
+    appended findings equal the batch findings minus the inherently
+    end-of-stream BINLOG_ONLY check (module docstring explains why that
+    one cannot stream)."""
+    global _STREAM_SINK_SEQ
+    import tempfile
+
+    from ..sources.jsonl import wrap_avro
+    from ..streaming import stream_avro_jsonl, streaming_findings
+
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    binlog = derive_binlog_events(ev)
+    avro_flat = derive_avro_rows(ev).withColumn(
+        "primary_keys", F.array(F.col("database"), F.col("table"))
+    )
+    d = _FIXTURE_DIRS.get(("stream_avro", sf_dir))
+    if d is None:
+        d = tempfile.mkdtemp(prefix="cdc_stream_avro_")
+        wrap_avro(avro_flat).repartition(4).write.mode("overwrite").json(d)
+        _FIXTURE_DIRS[("stream_avro", sf_dir)] = d
+    stream = stream_avro_jsonl(spark, d, max_files_per_trigger=1)
+    _STREAM_SINK_SEQ += 1
+    name = f"cdc_findings_stream_sink_{_STREAM_SINK_SEQ}"
+    return _drain_to_table(spark, streaming_findings(binlog, stream), name, "append")
+
+
+def _q_events_windowed_stream(spark, sf_dir):
+    """Structured Streaming in the driver contract: the events table
+    replayed as a file stream through the watermarked windowed
+    aggregation (streaming/windowed_agg.py), availableNow trigger, then
+    the finished result returned as a batch frame.
+
+    Complete output mode is used HERE because it emits every window
+    including those the final watermark hasn't passed -- that makes the
+    result equal the batch aggregation, which is exactly what the
+    DuckDB oracle computes.  The production append-mode contract
+    (late-data drop, state eviction) is pinned by pytest
+    (test_streaming_state.py)."""
+    global _STREAM_SINK_SEQ
+    from ..sources.tables import _EVENTS_SCHEMA, events_ts_column
+    from ..streaming.windowed_agg import windowed_event_counts
+
+    ensure_session_conf(spark)
+    stream = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", events_ts_column(sf_dir))
+    )
+    _STREAM_SINK_SEQ += 1
+    name = f"events_windowed_stream_sink_{_STREAM_SINK_SEQ}"
+    return _drain_to_table(spark, windowed_event_counts(stream), name, "complete")
+
+
+def _q_events_session_stream(spark, sf_dir):
+    """Engine-native session windows as a streaming drain: the events
+    table replayed as a file stream through the watermarked
+    ``session_window`` aggregation, availableNow trigger, result
+    returned as a batch frame.
+
+    Complete output mode so the drained result equals the batch
+    session assignment (every session emitted, none withheld by the
+    final watermark) -- which is exactly what the DuckDB lag-gap-island
+    oracle computes.  Append-mode eviction behavior is pinned by
+    pytest (test_streaming_state.py)."""
+    global _STREAM_SINK_SEQ
+    from ..sources.tables import _EVENTS_SCHEMA, events_ts_column
+    from ..streaming.session_stream import session_window_stats
+
+    ensure_session_conf(spark)
+    stream = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", events_ts_column(sf_dir))
+    )
+    _STREAM_SINK_SEQ += 1
+    name = f"events_session_stream_sink_{_STREAM_SINK_SEQ}"
+    return _drain_to_table(spark, session_window_stats(stream), name, "complete")
+
+
+def _q_events_running_stats_stream(spark, sf_dir):
+    """Custom stateful streaming in the driver contract: per-user
+    cumulative (count, max) emitting one row per event
+    (streaming/running_stats_stream.py), replayed availableNow from
+    the events file and drained append-mode.  Targets the Spark 4
+    transformWithState API (named ValueState) and auto-falls-back to
+    applyInPandasWithState where the v2 protobuf protocol dependency
+    is absent -- both paths run the same fold, so the oracle (the
+    batch cumulative window) is api-independent.  Emission is
+    per-event (duplicate-free under any batch split) and the
+    single-file replay delivers each user's rows in one ordered
+    batch."""
+    global _STREAM_SINK_SEQ
+    from ..sources.tables import _EVENTS_SCHEMA, events_ts_column
+    from ..streaming.running_stats_stream import running_stats_stream
+
+    ensure_session_conf(spark)
+    stream = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", events_ts_column(sf_dir))
+    )
+    _STREAM_SINK_SEQ += 1
+    name = f"events_running_stats_stream_sink_{_STREAM_SINK_SEQ}"
+    return _drain_to_table(spark, running_stats_stream(stream), name, "append")
+
+
+def _q_cdc_payload_findings_stream(spark, sf_dir):
+    """FULL OUTER payload findings with BOTH sides live (round-5
+    verdict item 8): the watermarked stream-stream join adds the
+    BINLOG_ONLY / AVRO_ONLY tiers the stateless stream-static diff
+    cannot assert, under the strict post-watermark horizon pinned by
+    test_payload_findings_stream_horizons.  Each side replays as one
+    JSON file (single micro-batch per source, so no intermediate
+    watermark can drop late-listed rows); event time is the source
+    event's timestamp on both sides, which the oracle mirrors."""
+    global _STREAM_SINK_SEQ
+    import tempfile
+
+    from ..streaming.compare_stream import streaming_payload_findings
+
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    d = _FIXTURE_DIRS.get(("stream_payload_findings", sf_dir))
+    if d is None:
+        # binlog side: prepared row images (last-write-wins per key,
+        # zero-pos and empty-file drops) + event-time ms
+        b = derive_binlog_events_with_payload(ev).filter(
+            F.col("order_timestamp").isNotNull()
+            & (F.col("binlog_file") != "")
+            & (F.col("log_position") != 0)
+        )
+        w = Window.partitionBy("binlog_file", "log_position").orderBy(
+            F.col("line_no").desc()
+        )
+        bframe = (
+            b.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "binlog_file",
+                F.col("log_position").alias("binlog_position"),
+                _payload_map().alias("payload"),
+                F.col("order_timestamp").alias("ts_ms"),
+            )
+        )
+        avro = derive_avro_rows(ev).join(derive_avro_payload(ev), "avro_line_no")
+        ats = ev.select(
+            F.col("event_id").alias("avro_line_no"),
+            F.unix_millis("ts").alias("__ats"),
+        )
+        aframe = (
+            C.prepare_avro(avro)
+            .join(ats, "avro_line_no")
+            .select(
+                "binlog_file",
+                "binlog_position",
+                _payload_map().alias("payload"),
+                F.col("__ats").alias("ts_ms"),
+            )
+        )
+        d = tempfile.mkdtemp(prefix="cdc_payload_findings_stream_")
+        bframe.coalesce(1).write.mode("overwrite").json(d + "/b")
+        aframe.coalesce(1).write.mode("overwrite").json(d + "/a")
+        _FIXTURE_DIRS[("stream_payload_findings", sf_dir)] = d
+    schema = (
+        "binlog_file string, binlog_position bigint, "
+        "payload map<string,string>, ts_ms bigint"
+    )
+
+    def rd(sub):
+        return (
+            spark.readStream.schema(schema)
+            .json(d + "/" + sub)
+            .withColumn("ts", F.timestamp_millis("ts_ms"))
+        )
+
+    out = streaming_payload_findings(rd("b"), rd("a"), window_ms=5000)
+    _STREAM_SINK_SEQ += 1
+    name = f"cdc_payload_findings_stream_sink_{_STREAM_SINK_SEQ}"
+    return _drain_to_table(spark, out, name, "append")
+
+
+def _q_cdc_parse_binlog_stream(spark, sf_dir):
+    """Streaming S2: the binary fixture dir tailed as a file stream
+    (maxFilesPerTrigger=1 -> one micro-batch per rotated segment),
+    decoded by the SAME Arrow pass as the batch reader and drained
+    availableNow.  Stateless decode means append rows equal the batch
+    table exactly -- the shared oracle."""
+    global _STREAM_SINK_SEQ
+    from ..sources.binlog_binary import stream_binlog_binary_dir
+
+    ensure_session_conf(spark)
+    d = _binlog_binary_fixture_dir(spark, sf_dir)
+    out = stream_binlog_binary_dir(spark, d, max_files_per_trigger=1)
+    _STREAM_SINK_SEQ += 1
+    name = f"cdc_parse_binlog_stream_sink_{_STREAM_SINK_SEQ}"
+    return _drain_to_table(spark, out, name, "append")
+
+
+def _q_cdc_payload_diff_stream(spark, sf_dir):
+    """Streaming twin of cdc_payload_diff: binlog row images static
+    (closed files), avro payload records replayed as an incremental
+    JSONL file stream (4 files, maxFilesPerTrigger=1 -> several
+    micro-batches), drained availableNow through the stateless
+    stream-static payload diff.  The appended findings equal the batch
+    operator's output, which is what the shared oracle states."""
+    global _STREAM_SINK_SEQ
+    import tempfile
+
+    from ..streaming.compare_stream import streaming_payload_diff
+    from ..sources.binlog_binary import read_binlog_rows_dir
+
+    ensure_session_conf(spark)
+    rows = read_binlog_rows_dir(spark, _binlog_binary_fixture_dir(spark, sf_dir))
+    bp = C.prepare_binlog_payload(rows)
+    ev = load_table(spark, sf_dir, "events")
+    avro = derive_avro_rows(ev).join(derive_avro_payload(ev), "avro_line_no")
+    ap = C.prepare_avro(avro).select(
+        "binlog_file",
+        "binlog_position",
+        F.map_from_arrays(
+            F.array(
+                F.lit("order_id"),
+                F.lit("customer_name"),
+                F.lit("product_name"),
+                F.lit("quantity"),
+                F.lit("order_timestamp"),
+            ),
+            F.array(
+                F.col("order_id").cast("string"),
+                F.col("customer_name"),
+                F.col("product_name"),
+                F.col("quantity").cast("string"),
+                F.col("order_timestamp").cast("string"),
+            ),
+        ).alias("payload"),
+    )
+    d = _FIXTURE_DIRS.get(("stream_avro_payload", sf_dir))
+    if d is None:
+        d = tempfile.mkdtemp(prefix="cdc_stream_avro_payload_")
+        ap.repartition(4).write.mode("overwrite").json(d)
+        _FIXTURE_DIRS[("stream_avro_payload", sf_dir)] = d
+    ap_stream = (
+        spark.readStream.schema(
+            "binlog_file string, binlog_position bigint, payload map<string,string>"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(d)
+    )
+    _STREAM_SINK_SEQ += 1
+    name = f"cdc_payload_diff_stream_sink_{_STREAM_SINK_SEQ}"
+    return _drain_to_table(
+        spark, streaming_payload_diff(bp, ap_stream), name, "append"
+    )
+
+
+def _q_events_enrich_stream(spark, sf_dir):
+    """Stream-static enrichment join in the driver contract: the
+    events table replayed as a file stream, left-joined per micro-batch
+    to the BATCH per-user profile aggregated from the same table
+    (broadcast dimension, stateless join, no watermark).  Every stream
+    row is emitted exactly once, so the drained sink equals the batch
+    join -- which is the oracle verbatim."""
+    global _STREAM_SINK_SEQ
+    from ..sources.tables import _EVENTS_SCHEMA, events_ts_column
+    from ..streaming.enrich_stream import enrich_with_profile, user_profile
+
+    ensure_session_conf(spark)
+    batch_events = load_table(spark, sf_dir, "events")
+    profile = user_profile(batch_events)
+    stream = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", events_ts_column(sf_dir))
+    )
+    _STREAM_SINK_SEQ += 1
+    name = f"events_enrich_stream_sink_{_STREAM_SINK_SEQ}"
+    out = enrich_with_profile(stream, profile)
+    return _drain_to_table(spark, out, name, "append")
+
+
+def _q_ivm_stream(spark, sf_dir):
+    """Streaming IVM (streaming/snapshot_sink.maintain_ivm): the
+    events table replayed in 4 arbitrary-boundary micro-batches; each
+    batch folds signed retract/add contributions into a versioned view
+    that is never rebuilt from the snapshot.  The final view must equal
+    the full-feed recompute -- the cdc_ivm_refresh oracle verbatim."""
+    global _STREAM_SINK_SEQ
+    import tempfile
+
+    from ..streaming.snapshot_sink import maintain_ivm, read_ivm_view
+
+    ensure_session_conf(spark)
+    chunks = _FIXTURE_DIRS.get(("events_chunks", sf_dir))
+    if chunks is None:
+        chunks = tempfile.mkdtemp(prefix="events_chunks_")
+        load_table(spark, sf_dir, "events").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(chunks)
+        _FIXTURE_DIRS[("events_chunks", sf_dir)] = chunks
+    _STREAM_SINK_SEQ += 1
+    work = tempfile.mkdtemp(prefix=f"ivm_inc_{_STREAM_SINK_SEQ}_")
+    stream = (
+        spark.readStream.schema(load_table(spark, sf_dir, "events").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunks)
+    )
+    q = maintain_ivm(stream, f"{work}/state", f"{work}/ckpt")
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("IVM maintenance drain exceeded 300s")
+    q.stop()
+    return read_ivm_view(spark, f"{work}/state")
+
+
+def _q_psi_stream(spark, sf_dir):
+    """The PSI drift gate RUN AS A STREAM (the ML-ops monitor shape):
+    reference decile edges are computed ONCE from the pre-cutoff batch
+    slice and frozen as literals (versioned config in production); the
+    event feed streams through the scan-speed bucket filter, counts
+    fold in complete-mode state (cell-wise addition, the sketch-merge
+    property), and the PSI inversion (psi_from_counts) runs over the
+    drained few-row table.  Equal to the batch gate by contract -- the
+    oracle is events_psi_drift's SQL verbatim."""
+    global _STREAM_SINK_SEQ
+    from ..operators.analytics import psi_bucket_counts_frozen, psi_from_counts
+    from ..sources.tables import _EVENTS_SCHEMA, events_ts_column
+
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    cut = "2024-01-16"
+    qs = [i / 10 for i in range(1, 10)]
+    edges = (
+        ev.filter(F.col("value").isNotNull())
+        .filter(F.col("ts") < F.lit(cut).cast("timestamp"))
+        .agg(
+            *[
+                F.round(F.round(F.percentile("value", F.lit(q)), 9), 6).alias(
+                    f"e{i}"
+                )
+                for i, q in enumerate(qs)
+            ]
+        )
+        .collect()[0]
+    )  # 9 floats -- the frozen, versioned monitor config
+    stream = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", events_ts_column(sf_dir))
+    )
+    counts = psi_bucket_counts_frozen(stream, list(edges), cut)
+    _STREAM_SINK_SEQ += 1
+    name = f"events_psi_stream_sink_{_STREAM_SINK_SEQ}"
+    state = _drain_to_table(spark, counts, name, "complete").localCheckpoint()
+    return psi_from_counts(state)
+
+
+def _q_anomaly_stream(spark, sf_dir):
+    """value_anomalies run as a STREAM against frozen per-type stats
+    (analytics.anomaly_scores_frozen): stats from the full batch feed
+    (versioned monitor config), stream scores stateless -- equals the
+    batch operator row for row, so the oracle is events_value_anomalies
+    verbatim."""
+    global _STREAM_SINK_SEQ
+    from ..operators.analytics import anomaly_scores_frozen
+    from ..sources.tables import _EVENTS_SCHEMA, events_ts_column
+
+    ensure_session_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,6)")
+    stats = [
+        r.asDict()
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("__n"), F.sum(v).alias("__s"), F.sum(v * v).alias("__ss")
+        )
+        .select(
+            "event_type",
+            (F.col("__s").cast("double") / F.col("__n")).alias("mean"),
+            F.sqrt(
+                F.col("__ss").cast("double") / F.col("__n")
+                - (F.col("__s").cast("double") / F.col("__n"))
+                * (F.col("__s").cast("double") / F.col("__n"))
+            ).alias("std"),
+        )
+        .collect()
+    ]  # handful of (type, mean, std) rows -- the frozen config
+    stream = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", events_ts_column(sf_dir))
+    )
+    out = anomaly_scores_frozen(stream, stats)
+    _STREAM_SINK_SEQ += 1
+    name = f"events_anomaly_stream_sink_{_STREAM_SINK_SEQ}"
+    return _drain_to_table(spark, out, name, "append")
+
+
+__all__ = [_n for _n in list(globals()) if not _n.startswith('__') and _n != '_shared']

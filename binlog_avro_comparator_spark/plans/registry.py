@@ -4,3552 +4,28 @@
 ``oracle_sql()`` maps the same names to DuckDB SQL that computes the
 identical result over the same parquet tables.  Column names/aliases
 match pairwise -- the driver sorts columns by name before value-hashing.
+
+Round 7 split the implementations into family modules (q_cdc /
+q_streaming / q_corpus / q_ann / q_analytics, plus the oracle SQL in
+oracles_cdc / oracles_corpus / oracles_analytics with shared CTE
+fragments in oracle_ctes); this module re-exports every name and owns
+the two contract functions, so the ordering of the queries() dict --
+which the external driver samples -- stays in one reviewable place.
 """
 
 from __future__ import annotations
 
-from collections.abc import Callable
+from ._shared import *  # noqa: F401,F403
+from .q_cdc import *  # noqa: F401,F403
+from .q_streaming import *  # noqa: F401,F403
+from .q_corpus import *  # noqa: F401,F403
+from .q_ann import *  # noqa: F401,F403
+from .q_analytics import *  # noqa: F401,F403
+from . import oracles_cdc as _oracles_1
+from . import oracles_corpus as _oracles_2
+from . import oracles_analytics as _oracles_3
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from .. import oracle
-from ..fixtures import (
-    derive_avro_payload,
-    derive_avro_rows,
-    derive_binlog_events,
-    derive_binlog_events_with_payload,
-    derive_typed_avro_payload,
-    derive_typed_rows,
-    generate_parser_text_lines,
-)
-from ..functions.zorder import zorder_key_n_sql, zorder_key_sql
-from ..functions.hilbert import hilbert_sql_ctes
-from ..sources.avro import DATASTREAM_AVRO_SCHEMA, read_avro_dir
-from ..sources.avro_codec import encode_container
-from ..operators.parse import parse_binlog_text
-from ..operators import compare as C
-from ..operators.analytics import (
-    big_ticket_orders,
-    brand_bracket_revenue,
-    discounted_revenue,
-    shipping_priority,
-    small_quantity_revenue,
-    supplier_part_counts,
-    excess_quantity_suppliers,
-    idle_rich_customers,
-    important_parts,
-    late_line_priority_mix,
-    min_cost_supplier_per_part,
-    nation_market_share,
-    promo_revenue_share,
-    returned_item_losses,
-    top_revenue_supplier,
-    volume_shipping,
-    customer_nation_revenue,
-    customer_order_distribution,
-    data_quality_report,
-    funnel_stages,
-    hll_distinct_users,
-    late_exclusive_suppliers,
-    gap_fill_locf,
-    late_shipment_orders,
-    misra_gries_heavy_hitters,
-    time_rollup,
-    burst_minutes,
-    value_anomalies,
-    retention_cohorts,
-    event_type_transitions,
-    monthly_revenue_growth,
-    high_value_customers,
-    kmv_distinct_users,
-    part_profit_by_nation,
-    q1_pricing_summary,
-    regional_supplier_volume,
-    revenue_rollup,
-    running_windows,
-    top_revenue_orders,
-    user_set_ops,
-)
-from ..operators.snapshot import apply_changes, snapshot_diff
-from ..operators.multimodal import audio_features, image_features
-from ..operators.dedup import (
-    MINHASH_PRIME,
-    SIMHASH_BITS,
-    dedup_clusters,
-    dedup_keep_canonical,
-    exact_dedup,
-    jaccard_pairs,
-    levenshtein_near_pairs,
-    lsh_candidate_pairs,
-    minhash_signatures,
-    remove_boilerplate_segments,
-    remove_repeated_spans,
-    repeated_span_stats,
-    minhash_params,
-    simhash_band_slices,
-    simhash_fingerprints,
-    simhash_near_pairs,
-    shingle_novelty,
-)
-from ..operators.sessionize import sessionize
-from ..operators.similarity import (
-    cosine_topk,
-    cosine_topk_ivf,
-    cosine_topk_lsh,
-    cosine_topk_pandas,
-    embedding_near_dup_pairs,
-    plane_signs,
-)
-from ..operators.textstats import (
-    clean_text,
-    redact_pii,
-    split_assignments,
-    contamination_scores,
-    corpus_vocab_topk,
-    encode_token_ids,
-    filter_by_source_reputation,
-    fingerprints,
-    lang_id,
-    length_quantiles,
-    quality_deciles,
-    quality_scores,
-    repetition_scores,
-    doc_slugs,
-    gopher_quality_flags,
-    shard_assignments,
-    source_reputation,
-    stratified_sample,
-    tfidf_top_terms,
-    token_stats,
-    type_token_ratio,
-    inverted_index,
-    term_pmi,
-)
-from ..session import ensure_session_conf
-from ..sources import load_table
-
-QueryFn = Callable[[SparkSession, str], DataFrame]
-
-
-def _cdc_frames(spark: SparkSession, sf_dir: str):
-    ensure_session_conf(spark)
-    ev = load_table(spark, sf_dir, "events")
-    binlog = derive_binlog_events(ev)
-    avro = derive_avro_rows(ev)
-    return avro, C.prepare_binlog(binlog), C.prepare_avro(avro)
-
-
-# --- CDC parity queries ----------------------------------------------------
-
-def _q_cdc_binlog_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ensure_session_conf(spark)
-    return derive_binlog_events(load_table(spark, sf_dir, "events"))
-
-
-def _q_cdc_avro_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ensure_session_conf(spark)
-    return derive_avro_rows(load_table(spark, sf_dir, "events"))
-
-
-# Fixed sync marker so generated fixture files are byte-stable run-to-run.
-_AVRO_FIXTURE_SYNC = bytes(range(16))
-
-# fixture dirs memoized per (kind, sf_dir): repeated invocations (bench
-# loops, driver double-runs) reuse the files instead of re-collecting,
-# re-encoding, and leaking a fresh tempdir each call
-_FIXTURE_DIRS: dict[tuple[str, str], str] = {}
-
-
-def _fixture_write_distributed(df: DataFrame, file_col: str, d: str, render) -> None:
-    """Write one fixture file per distinct ``file_col`` value from the
-    EXECUTORS: hash-repartition on the file key (all rows of one file
-    land whole in one task -- binlog rotation bounds a file's rows),
-    then foreachPartition renders and writes.  Replaces the former
-    driver ``collect()`` loops, so fixture generation scales with the
-    cluster and driver memory stays flat at any SF.  Local mode shares
-    one filesystem; on a real cluster ``d`` must be shared storage.
-    ``render(key, rows) -> (filename, bytes)``; rows arrive unsorted
-    (render sorts -- partition-internal order is not deterministic)."""
-    import os
-
-    def _write_part(rows):
-        by_file: dict = {}
-        for r in rows:
-            rd = r.asDict()
-            by_file.setdefault(rd[file_col], []).append(rd)
-        for key, rws in by_file.items():
-            fname, data = render(key, rws)
-            tmp = os.path.join(d, f".__tmp_{fname}")
-            with open(tmp, "wb") as f:
-                f.write(data)
-            os.replace(tmp, os.path.join(d, fname))
-
-    df.repartition(F.col(file_col)).foreachPartition(_write_part)
-
-
-def _render_binlog_binary(fname: str, rows: list[dict]) -> tuple[str, bytes]:
-    from ..sources.binlog_binary import encode_binlog_file
-
-    rows.sort(key=lambda r: r["line_no"])
-    # deterministic mix of binlog_checksum=CRC32 (the MySQL 8.0
-    # default; even-numbered segments) and checksum-free files
-    # (odd-numbered), so every oracle run over the binary fixtures
-    # certifies BOTH decoder paths -- CRC tail verify+strip and plain.
-    # __next_file (when the fixture frame carries it) closes each
-    # segment with a ROTATE_EVENT naming its successor -- the chain
-    # rotate_chain_audit verifies; the last segment stays rotate-free
-    # (the active tail).
-    return fname, encode_binlog_file(
-        rows,
-        checksum=int(fname[-1]) % 2 == 0,
-        next_file=rows[0].get("__next_file"),
-    )
-
-
-def _render_parser_text(fname: str, rows: list[dict]) -> tuple[str, bytes]:
-    rows.sort(key=lambda r: r["line_no"])
-    return (
-        f"{fname}.txt",
-        ("\n".join(r["value"] for r in rows) + "\n").encode("utf-8"),
-    )
-
-
-def _render_avro(fname: str, rows: list[dict]) -> tuple[str, bytes]:
-    rows.sort(key=lambda r: (r["source_timestamp"], r["binlog_position"]))
-    recs = [
-        {
-            "source_timestamp": r["source_timestamp"],
-            "source_metadata": {
-                "database": r["database"],
-                "table": r["table"],
-                "change_type": r["change_type"],
-                "gtid": r["gtid"],
-                "datastream_master_server_uuid": None,
-                "datastream_master_server_id": None,
-                "binlog_file": r["binlog_file"],
-                "binlog_position": r["binlog_position"],
-                "is_deleted": r["is_deleted"],
-                "primary_keys": [r["database"], r["table"]],
-            },
-        }
-        for r in rows
-    ]
-    return f"{fname}.avro", encode_container(
-        DATASTREAM_AVRO_SCHEMA, recs, sync=_AVRO_FIXTURE_SYNC
-    )
-
-
-# What a YEAR-OLD producer of the Datastream feed wrote: ``table`` was
-# still called ``table_name`` (reader alias), ``legacy_txn_id`` existed
-# (reader drops it), ``datastream_master_server_id`` was an int (reader
-# promotes to long), the fields are in a different order (resolution is
-# by name), and binlog_position / is_deleted did not exist yet (reader
-# defaults fill null).  Fixture scaffolding only -- the engine never
-# sees this literal, it reads the writer schema from each file header.
-_AVRO_V1_WRITER_SCHEMA: dict = {
-    "type": "record",
-    "name": "avro_row",
-    "fields": [
-        {
-            "name": "source_timestamp",
-            "type": {"type": "long", "logicalType": "timestamp-millis"},
-        },
-        {
-            "name": "source_metadata",
-            "type": {
-                "type": "record",
-                "name": "source_metadata",
-                "fields": [
-                    {"name": "table_name", "type": "string"},
-                    {"name": "database", "type": "string"},
-                    {"name": "legacy_txn_id", "type": "string"},
-                    {"name": "change_type", "type": ["null", "string"]},
-                    {"name": "gtid", "type": ["null", "string"]},
-                    {"name": "datastream_master_server_uuid", "type": ["null", "string"]},
-                    {"name": "datastream_master_server_id", "type": ["null", "int"]},
-                    {"name": "binlog_file", "type": ["null", "string"]},
-                    {"name": "primary_keys", "type": {"type": "array", "items": "string"}},
-                ],
-            },
-        },
-    ],
-}
-
-
-def _render_avro_evolved(fname: str, rows: list[dict]) -> tuple[str, bytes]:
-    """Even segments are written by the LEGACY producer (v1 schema
-    above), odd segments by the current one -- one directory, two
-    writer schemas, the shape a real evolving lake has."""
-    if int(fname[-1]) % 2 != 0:
-        return _render_avro(fname, rows)
-    rows.sort(key=lambda r: (r["source_timestamp"], r["binlog_position"]))
-    recs = [
-        {
-            "source_timestamp": r["source_timestamp"],
-            "source_metadata": {
-                "table_name": r["table"],
-                "database": r["database"],
-                "legacy_txn_id": r["gtid"],
-                "change_type": r["change_type"],
-                "gtid": r["gtid"],
-                "datastream_master_server_uuid": None,
-                "datastream_master_server_id": int(r["binlog_position"]) % 1000000,
-                "binlog_file": r["binlog_file"],
-                "primary_keys": [r["database"], r["table"]],
-            },
-        }
-        for r in rows
-    ]
-    return f"{fname}.avro", encode_container(
-        _AVRO_V1_WRITER_SCHEMA, recs, sync=_AVRO_FIXTURE_SYNC
-    )
-
-
-def _q_cdc_avro_evolved_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Schema-evolution scan (Avro 1.11 schema resolution): the fixture
-    directory mixes files written under the legacy v1 producer schema
-    (field renamed -- reader alias; extra field -- dropped; int
-    server_id -- promoted to long; binlog_position / is_deleted absent
-    -- reader defaults) with current-schema files, and ONE
-    reader-schema scan surfaces them as a uniform frame
-    (sources/avro.py DATASTREAM_AVRO_READER_SCHEMA;
-    avro_codec.resolve_read).  Per-file resolution happens inside the
-    distributed decode task against that file's own header schema --
-    no driver-side schema census, which is what makes this work on a
-    lake of millions of files.  Nulls are NOT zero-coalesced here:
-    surfacing which fields the old producer couldn't know is the
-    point."""
-    import tempfile
-
-    ensure_session_conf(spark)
-    from ..sources.avro import DATASTREAM_AVRO_READER_SCHEMA, read_avro_python
-
-    d = _FIXTURE_DIRS.get(("avro_evolved", sf_dir))
-    if d is None:
-        avro = derive_avro_rows(load_table(spark, sf_dir, "events"))
-        d = tempfile.mkdtemp(prefix="cdc_avro_evolved_")
-        _fixture_write_distributed(avro, "binlog_file", d, _render_avro_evolved)
-        _FIXTURE_DIRS[("avro_evolved", sf_dir)] = d
-    nested = read_avro_python(
-        spark, d, reader_schema=DATASTREAM_AVRO_READER_SCHEMA
-    )
-    sm = "source_metadata"
-    return nested.select(
-        F.col("source_timestamp").cast("long").alias("source_timestamp"),
-        F.col(f"{sm}.database").alias("database"),
-        F.col(f"{sm}.table").alias("table"),
-        F.col(f"{sm}.change_type").alias("change_type"),
-        F.col(f"{sm}.gtid").alias("gtid"),
-        F.col(f"{sm}.binlog_file").alias("binlog_file"),
-        F.col(f"{sm}.binlog_position").alias("binlog_position"),
-        F.col(f"{sm}.is_deleted").alias("is_deleted"),
-        F.col(f"{sm}.datastream_master_server_id").alias(
-            "datastream_master_server_id"
-        ),
-        F.array_join(F.col(f"{sm}.primary_keys"), ",").alias("primary_keys_csv"),
-    )
-
-
-# Logical-type lake schema: every Avro 1.11 logical annotation the
-# codec decodes, in one record (decimal/date/time-micros/
-# timestamp-micros/uuid).
-_AVRO_LOGICAL_SCHEMA: dict = {
-    "type": "record",
-    "name": "logical_row",
-    "fields": [
-        {"name": "id", "type": "long"},
-        {
-            "name": "amount",
-            "type": {
-                "type": "bytes",
-                "logicalType": "decimal",
-                "precision": 12,
-                "scale": 2,
-            },
-        },
-        {
-            "name": "created_ts",
-            "type": {"type": "long", "logicalType": "timestamp-micros"},
-        },
-        {"name": "created_date", "type": {"type": "int", "logicalType": "date"}},
-        {"name": "t_of_day", "type": {"type": "long", "logicalType": "time-micros"}},
-        {"name": "uid", "type": {"type": "string", "logicalType": "uuid"}},
-    ],
-}
-
-
-def _render_avro_logical(fname: str, rows: list[dict]) -> tuple[str, bytes]:
-    import datetime as dt
-    from decimal import Decimal
-
-    rows.sort(key=lambda r: r["id"])
-    recs = [
-        {
-            "id": r["id"],
-            "amount": Decimal(r["amount_str"]),
-            "created_ts": r["ts_us"],  # raw long on timestamp-micros
-            "created_date": dt.date.fromisoformat(r["date_str"]),
-            "t_of_day": r["tod_us"],  # raw long on time-micros
-            "uid": r["uid"],
-        }
-        for r in rows
-    ]
-    return f"{fname}.avro", encode_container(
-        _AVRO_LOGICAL_SCHEMA, recs, sync=_AVRO_FIXTURE_SYNC
-    )
-
-
-def _q_cdc_avro_logical_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Logical-type ``.avro`` scan (r6 verdict item 4): a lake whose
-    money column is a real Avro decimal(12,2) (big-endian unscaled
-    bytes), with timestamp-micros / date / time-micros / uuid columns
-    alongside, decoded by the pure-Python codec
-    (avro_codec.from_logical) into TYPED Spark columns -- DecimalType,
-    TimestampType, DateType, TimeType -- via sources/avro.
-    read_avro_logical.  The reference outsources all of this to
-    avro-tools (avro_to_json.sh:52-70), whose JSON output stringifies
-    logicals; here they stay typed and queryable.  Output canonicalizes
-    the temporals for the cross-engine compare (epoch micros / ISO
-    strings); `amount` stays DECIMAL end-to-end."""
-    import tempfile
-
-    ensure_session_conf(spark)
-    from ..sources.avro import read_avro_logical
-    from pyspark.sql import types as T
-
-    d = _FIXTURE_DIRS.get(("avro_logical", sf_dir))
-    if d is None:
-        eid = F.col("event_id")
-        cents = F.lit(1) + (eid * 53) % 99999999
-        amount = F.concat(
-            F.when(eid % 4 == 0, F.lit("-")).otherwise(F.lit("")),
-            F.floor(cents / 100).cast("string"),
-            F.lit("."),
-            F.lpad((cents % 100).cast("string"), 2, "0"),
-        )
-        us = F.unix_micros(F.col("ts"))
-        frame = load_table(spark, sf_dir, "events").select(
-            F.concat(F.lit("lake-"), (eid % 8).cast("string")).alias("file_no"),
-            eid.alias("id"),
-            amount.alias("amount_str"),
-            us.alias("ts_us"),
-            F.date_format("ts", "yyyy-MM-dd").alias("date_str"),
-            # whole-second time-of-day (micros since midnight)
-            ((us / 1_000_000).cast("long") % 86400 * 1_000_000).alias("tod_us"),
-            F.concat(
-                F.lit("00000000-0000-4000-8000-"),
-                F.lpad(eid.cast("string"), 12, "0"),
-            ).alias("uid"),
-        )
-        d = tempfile.mkdtemp(prefix="cdc_avro_logical_")
-        _fixture_write_distributed(frame, "file_no", d, _render_avro_logical)
-        _FIXTURE_DIRS[("avro_logical", sf_dir)] = d
-    nested = read_avro_logical(
-        spark,
-        d,
-        T.StructType(
-            [
-                T.StructField("id", T.LongType()),
-                T.StructField("amount", T.DecimalType(12, 2)),
-                T.StructField("created_ts", T.TimestampType()),
-                T.StructField("created_date", T.DateType()),
-                T.StructField("t_of_day", T.TimeType()),
-                T.StructField("uid", T.StringType()),
-            ]
-        ),
-    )
-    return nested.select(
-        "id",
-        # the frame column IS DecimalType(12,2); the compare row uses
-        # its canonical string (DuckDB's pandas bridge degrades
-        # DECIMAL to float64, which would false-fail the exact hash)
-        F.col("amount").cast("string").alias("amount"),
-        F.unix_micros("created_ts").alias("created_ts_us"),
-        F.col("created_date").cast("string").alias("created_date"),
-        F.col("t_of_day").cast("string").alias("time_of_day"),
-        "uid",
-    )
-
-
-def _q_cdc_avro_native_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S5 end-to-end, pure-Python engine: the derived avro_rows table is
-    encoded into real ``.avro`` container files (one per binlog segment,
-    pure-Python codec) and read back through the dependency-free path --
-    binaryFile scan -> Arrow-batched decode -> flatten_probe
-    (avro_to_json.sh:52-70 is the reference loop this replaces).  The
-    driver-side encode is fixture scaffolding, bounded by the DML row
-    count; the decode under test is fully distributed (one task per
-    file).  The JVM-engine twin is cdc_avro_native_scan_jvm."""
-    return _avro_fixture_scan(spark, sf_dir, engine="python")
-
-
-def _q_cdc_avro_native_scan_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S5 via the block-splittable JVM avro reader (sources/avro.py
-    avro_jvm_format: Spark 4 bundles AvroFileFormat inside spark-sql;
-    the FQCN bypasses the unregistered short name).  Same fixture files
-    and oracle as the pure-Python engine -- the two engines must agree
-    byte-for-byte, including the TimestampType materialization of the
-    timestamp-millis logical type (flatten_probe normalizes both to
-    epoch-millis LONG)."""
-    return _avro_fixture_scan(spark, sf_dir, engine="jvm")
-
-
-def _avro_fixture_scan(spark: SparkSession, sf_dir: str, engine: str) -> DataFrame:
-    import os
-    import tempfile
-
-    ensure_session_conf(spark)
-    cached = _FIXTURE_DIRS.get(("avro_native", sf_dir))
-    if cached is not None:
-        return _avro_native_probe(spark, cached, engine)
-    avro = derive_avro_rows(load_table(spark, sf_dir, "events"))
-    d = tempfile.mkdtemp(prefix="cdc_avro_native_")
-    _fixture_write_distributed(avro, "binlog_file", d, _render_avro)
-    _FIXTURE_DIRS[("avro_native", sf_dir)] = d
-    return _avro_native_probe(spark, d, engine)
-
-
-def _avro_native_probe(spark: SparkSession, d: str, engine: str = "auto") -> DataFrame:
-    from ..sources.avro import flatten_probe, read_avro_native, read_avro_python
-
-    if engine == "python":
-        nested = read_avro_python(spark, d)
-    elif engine == "jvm":
-        nested = read_avro_native(spark, d)
-    else:
-        return _probe_shape(read_avro_dir(spark, d))
-    return _probe_shape(flatten_probe(nested))
-
-
-def _probe_shape(df: DataFrame) -> DataFrame:
-    return df.select(
-        "source_timestamp",
-        "database",
-        "table",
-        "change_type",
-        "gtid",
-        "binlog_file",
-        "binlog_position",
-        "is_deleted",
-        F.array_join("primary_keys", ",").alias("primary_keys_csv"),
-    )
-
-
-def _q_cdc_binlog_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _, bp, _ = _cdc_frames(spark, sf_dir)
-    return bp.select(
-        "event_type",
-        "timestamp",
-        "immediate_commmit_timestamp",
-        "binlog_position",
-        "schema",
-        "table",
-        "gtid_next",
-        "binlog_file",
-        "line_no",
-    )
-
-
-def _q_cdc_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    avro, bp, ap = _cdc_frames(spark, sf_dir)
-    return C.matched_pairs(bp, ap).select(
-        "binlog_file",
-        "binlog_position",
-        "avro_line_no",
-        "event_type",
-        "change_type",
-        "inferred_change_type",
-        "gtid",
-        "gtid_next",
-        "source_timestamp",
-        "binlog_ms",
-        "ts_delta_ms",
-        "ts_mismatch",
-        "gtid_mismatch",
-        "change_type_mismatch",
-    )
-
-
-def _q_cdc_avro_only(spark: SparkSession, sf_dir: str) -> DataFrame:
-    avro, bp, ap = _cdc_frames(spark, sf_dir)
-    return C.avro_only(bp, ap).select(
-        "binlog_file",
-        "binlog_position",
-        "avro_line_no",
-        "database",
-        "table",
-        "change_type",
-        "source_timestamp",
-    )
-
-
-def _q_cdc_binlog_only(spark: SparkSession, sf_dir: str) -> DataFrame:
-    avro, bp, ap = _cdc_frames(spark, sf_dir)
-    return C.binlog_only(bp, ap).select(
-        "binlog_file",
-        "binlog_position",
-        "event_type",
-        "schema",
-        "table",
-        "timestamp",
-        "line_no",
-    )
-
-
-def _q_cdc_findings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    avro, bp, ap = _cdc_frames(spark, sf_dir)
-    return C.findings_onepass(bp, ap)
-
-
-def _q_cdc_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    avro, bp, ap = _cdc_frames(spark, sf_dir)
-    return C.summary_onepass(avro, bp, ap)
-
-
-def _q_cdc_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Generate parser text from the derivation, re-parse with the full
-    P1-P9 pipeline; the oracle computes the same table directly."""
-    ensure_session_conf(spark)
-    lines = generate_parser_text_lines(load_table(spark, sf_dir, "events"))
-    return parse_binlog_text(lines).select(
-        "event_type",
-        "timestamp",
-        "immediate_commmit_timestamp",
-        "log_position",
-        "schema",
-        "table",
-        "gtid_next",
-        "binlog_file",
-        "line_no",
-    )
-
-
-def _q_cdc_parse_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SAME parse roundtrip as cdc_parse_binlog_text, but the text
-    arrives through the Spark 4 Python DataSource (sources/pyds.py:
-    `spark.read.format("binlogtext")`, one InputPartition per file)
-    instead of the wholetext recipe -- two source implementations, one
-    parser, one oracle.  The fixture write-out is driver-side
-    scaffolding (memoized per sf_dir, bounded by the fixture line
-    count)."""
-    import tempfile
-
-    ensure_session_conf(spark)
-    from ..sources.pyds import register_binlog_text_source
-
-    d = _FIXTURE_DIRS.get(("parser_text", sf_dir))
-    if d is None:
-        lines = generate_parser_text_lines(load_table(spark, sf_dir, "events"))
-        d = tempfile.mkdtemp(prefix="pyds_parser_text_")
-        _fixture_write_distributed(lines, "binlog_file", d, _render_parser_text)
-        _FIXTURE_DIRS[("parser_text", sf_dir)] = d
-    register_binlog_text_source(spark)
-    raw = spark.read.format("binlogtext").option("path", d).load()
-    return parse_binlog_text(raw).select(
-        "event_type",
-        "timestamp",
-        "immediate_commmit_timestamp",
-        "log_position",
-        "schema",
-        "table",
-        "gtid_next",
-        "binlog_file",
-        "line_no",
-    )
-
-
-# --- extension queries -----------------------------------------------------
-
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ensure_session_conf(spark)
-    return load_table(spark, sf_dir, "documents")
-
-
-def _q_dedup_exact(spark, sf_dir):
-    return exact_dedup(_docs(spark, sf_dir))
-
-
-def _q_token_count(spark, sf_dir):
-    return token_stats(_docs(spark, sf_dir))
-
-
-def _q_text_quality(spark, sf_dir):
-    return quality_scores(_docs(spark, sf_dir))
-
-
-def _q_lang_id(spark, sf_dir):
-    return lang_id(_docs(spark, sf_dir))
-
-
-def _q_doc_fingerprint(spark, sf_dir):
-    return fingerprints(_docs(spark, sf_dir))
-
-
-def _q_tfidf(spark, sf_dir):
-    return tfidf_top_terms(_docs(spark, sf_dir))
-
-
-def _q_distinct_users(spark, sf_dir):
-    ensure_session_conf(spark)
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.count_distinct("user_id").alias("n_users"),
-        F.count("*").alias("n_events"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
-    )
-
-
-def _q_minhash_signatures(spark, sf_dir):
-    return minhash_signatures(_docs(spark, sf_dir))
-
-
-def _q_lsh_pairs(spark, sf_dir):
-    return lsh_candidate_pairs(_docs(spark, sf_dir))
-
-
-def _q_clean_text(spark, sf_dir):
-    ensure_session_conf(spark)
-    return clean_text(_docs(spark, sf_dir))
-
-
-def _q_length_quantiles(spark, sf_dir):
-    ensure_session_conf(spark)
-    return length_quantiles(_docs(spark, sf_dir))
-
-
-def _q_stratified_sample(spark, sf_dir):
-    ensure_session_conf(spark)
-    return stratified_sample(_docs(spark, sf_dir))
-
-
-def _q_unigram_logprob(spark, sf_dir):
-    ensure_session_conf(spark)
-    from ..operators.textstats import unigram_logprob_scores
-
-    return unigram_logprob_scores(_docs(spark, sf_dir))
-
-
-def _q_mixture_weights(spark, sf_dir):
-    ensure_session_conf(spark)
-    from ..operators.textstats import mixture_weights
-
-    return mixture_weights(_docs(spark, sf_dir))
-
-
-def _q_sample_k_per_group(spark, sf_dir):
-    ensure_session_conf(spark)
-    from ..operators.textstats import sample_k_per_group
-
-    return sample_k_per_group(_docs(spark, sf_dir))
-
-
-def _q_pack_sequences(spark, sf_dir):
-    ensure_session_conf(spark)
-    from ..operators.textstats import pack_sequences
-
-    return pack_sequences(_docs(spark, sf_dir))
-
-
-def _q_doc_chunks(spark, sf_dir):
-    ensure_session_conf(spark)
-    from ..operators.textstats import chunk_documents
-
-    return chunk_documents(_docs(spark, sf_dir))
-
-
-def _q_mixture_sample(spark, sf_dir):
-    ensure_session_conf(spark)
-    from ..operators.textstats import mixture_sample
-
-    return mixture_sample(_docs(spark, sf_dir))
-
-
-def _inject_pii(docs: DataFrame) -> DataFrame:
-    """The synthetic corpus contains no digits at all, so a redaction
-    query over it would be a trivially-zero oracle.  Deterministically
-    append doc_id-derived PII (email / IPv4 / phone / SSN-shaped id,
-    each on a different doc_id stride) with an expression the DuckDB
-    twin states verbatim -- the redaction regexes then do real work and
-    the redacted text is value-compared byte-for-byte."""
-    did = F.col("doc_id")
-    ds = did.cast("string")
-    piece = lambda mod, col: F.when(did % mod == 0, col).otherwise(F.lit(""))
-    email = piece(3, F.concat(F.lit(" user"), ds, F.lit("@example.com")))
-    ip = piece(4, F.concat(F.lit(" 10.0."), (did % 256).cast("string"), F.lit(".7")))
-    phone = piece(
-        5, F.concat(F.lit(" +1 555 0"), (F.lit(100) + did % 900).cast("string"), F.lit(" 99"))
-    )
-    ssn = piece(7, F.concat(F.lit(" 123-45-"), (F.lit(1000) + did % 9000).cast("string")))
-    return docs.withColumn("text", F.concat(F.col("text"), email, ip, phone, ssn))
-
-
-def _q_trailing_10min(spark, sf_dir):
-    ensure_session_conf(spark)
-    from ..operators.analytics import trailing_window_10min
-
-    return trailing_window_10min(load_table(spark, sf_dir, "events"))
-
-
-def _q_part_above_brand_avg(spark, sf_dir):
-    ensure_session_conf(spark)
-    from ..operators.analytics import part_above_brand_avg
-
-    return part_above_brand_avg(load_table(spark, sf_dir, "part"))
-
-
-def _q_top_parts_per_brand(spark, sf_dir):
-    ensure_session_conf(spark)
-    from ..operators.analytics import top_parts_per_brand
-
-    return top_parts_per_brand(load_table(spark, sf_dir, "part"))
-
-
-def _q_value_histogram(spark, sf_dir):
-    ensure_session_conf(spark)
-    from ..operators.analytics import value_histogram
-
-    return value_histogram(load_table(spark, sf_dir, "events"))
-
-
-def _q_rank_family(spark, sf_dir):
-    ensure_session_conf(spark)
-    from ..operators.analytics import rank_family
-
-    return rank_family(load_table(spark, sf_dir, "events"))
-
-
-def _q_orders_cube(spark, sf_dir):
-    ensure_session_conf(spark)
-    from ..operators.analytics import orders_cube
-
-    return orders_cube(load_table(spark, sf_dir, "orders"))
-
-
-from contextlib import contextmanager
-
-
-@contextmanager
-def _stream_state_partitions(spark: SparkSession, n: int = 8):
-    """Scope streaming-state partition count to the state size.
-
-    ``spark.sql.shuffle.partitions`` at query START fixes the state-
-    store partition count for that checkpoint's lifetime, and every
-    micro-batch pays one state-store commit PER partition PER store
-    instance (a stream-stream join runs four).  The r4 profile
-    (scratch/leftjoin_profile.py): the sf0.1 left-join replay holds
-    ~40k state rows, and walls scale with the partition count -- 32
-    partitions 7.4 s, 8 partitions 3.0 s, 4 partitions 2.4 s -- pure
-    commit overhead, zero compute.  So these replay harnesses size
-    state partitions to the state actually held instead of inheriting
-    the batch default.  At 100 TB the same dial turns the other way:
-    state partitions ~ state volume / executor-heap budget, decoupled
-    from the batch shuffle width.  Fresh checkpoints per run make the
-    scoped override safe; the conf is restored on exit."""
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-
-
-def _drain_to_table(spark: SparkSession, out: DataFrame, name: str, mode: str) -> DataFrame:
-    """Shared availableNow drain: start ``out`` as a memory sink under
-    a state-partition scope, wait (bounded), stop, return the
-    materialized table.  One definition so the conf scoping, timeout,
-    and stop discipline can't drift between the ten streaming
-    queries that use it."""
-    with _stream_state_partitions(spark):
-        q = (
-            out.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError(f"{name}: availableNow drain exceeded 300s")
-        q.stop()
-    return spark.table(name)
-
-
-def _q_events_dedup_stream(spark, sf_dir):
-    """Streaming dedup in the driver contract: the events table
-    replayed as a file stream with every row DUPLICATED (the
-    at-least-once redelivery case), drained through watermarked
-    dropDuplicates on event_id via availableNow.  Copies are
-    byte-identical, so the survivor set equals the original table
-    regardless of arrival order -- which is exactly what the oracle
-    states."""
-    global _STREAM_SINK_SEQ
-    from ..sources.tables import _EVENTS_SCHEMA, events_ts_column
-    from ..streaming.dedup_stream import dedup_stream
-
-    ensure_session_conf(spark)
-    stream = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", events_ts_column(sf_dir))
-        .withColumn("__copy", F.explode(F.array(F.lit(0), F.lit(1))))
-        .drop("__copy")
-    )
-    _STREAM_SINK_SEQ += 1
-    name = f"events_dedup_stream_sink_{_STREAM_SINK_SEQ}"
-    out = dedup_stream(stream).select(
-        "event_id",
-        F.unix_millis(F.col("ts")).alias("ts_ms"),
-        "user_id",
-        "event_type",
-        "value",
-        "props",
-    )
-    return _drain_to_table(spark, out, name, "append")
-
-
-def _q_events_join_stream(spark, sf_dir):
-    """Stream-stream interval join in the driver contract: the events
-    table replayed as TWO independent file streams (views / clicks),
-    drained through the watermarked time-range inner join via
-    availableNow.  Both sides fully arrive inside the watermark
-    allowance, so the emitted pairs equal the batch interval join --
-    the oracle is the events_view_click_range SQL verbatim."""
-    global _STREAM_SINK_SEQ
-    from ..sources.tables import _EVENTS_SCHEMA, events_ts_column
-    from ..streaming.join_stream import view_click_join_stream
-
-    ensure_session_conf(spark)
-
-    def _side(event_type):
-        return (
-            spark.readStream.schema(_EVENTS_SCHEMA)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .withColumn("ts", events_ts_column(sf_dir))
-            .filter(F.col("event_type") == event_type)
-            .select("event_id", "user_id", "ts")
-        )
-
-    _STREAM_SINK_SEQ += 1
-    name = f"events_join_stream_sink_{_STREAM_SINK_SEQ}"
-    out = view_click_join_stream(_side("view"), _side("click"))
-    return _drain_to_table(spark, out, name, "append")
-
-
-def _q_events_left_join_stream(spark, sf_dir):
-    """LEFT OUTER stream-stream join in the driver contract: same
-    replay harness as events_join_stream, but matchless views must
-    emit null-padded once the watermark rules a click out.  The oracle
-    states the end-of-replay contract exactly: all inner pairs, plus
-    null rows for matchless views older than the final watermark
-    horizon (see view_click_left_join_stream's docstring)."""
-    global _STREAM_SINK_SEQ
-    from ..sources.tables import _EVENTS_SCHEMA, events_ts_column
-    from ..streaming.join_stream import view_click_left_join_stream
-
-    ensure_session_conf(spark)
-
-    def _side(event_type):
-        return (
-            spark.readStream.schema(_EVENTS_SCHEMA)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .withColumn("ts", events_ts_column(sf_dir))
-            .filter(F.col("event_type") == event_type)
-            .select("event_id", "user_id", "ts")
-        )
-
-    _STREAM_SINK_SEQ += 1
-    name = f"events_left_join_stream_sink_{_STREAM_SINK_SEQ}"
-    out = view_click_left_join_stream(_side("view"), _side("click"))
-    return _drain_to_table(spark, out, name, "append")
-
-
-def _q_cdc_snapshot_incremental(spark, sf_dir):
-    """Incremental snapshot maintenance in the driver contract: the
-    events table is re-chunked into 4 parquet files (driver-side
-    scaffolding, memoized), replayed one file per micro-batch, and each
-    batch folds into the versioned parquet state via foreachBatch
-    (streaming/snapshot_sink.py).  Reading the final snapshot must
-    equal batch apply_changes over all events -- the oracle is that SQL
-    verbatim.  The chunking is arbitrary on purpose: the state merge is
-    associative, so ANY batch boundary yields the same snapshot."""
-    global _STREAM_SINK_SEQ
-    import tempfile
-
-    from ..sources.tables import _EVENTS_SCHEMA, events_ts_column
-    from ..streaming.snapshot_sink import maintain_snapshot, read_snapshot
-
-    ensure_session_conf(spark)
-    chunks = _FIXTURE_DIRS.get(("events_chunks", sf_dir))
-    if chunks is None:
-        chunks = tempfile.mkdtemp(prefix="events_chunks_")
-        load_table(spark, sf_dir, "events").repartition(4).write.mode(
-            "overwrite"
-        ).parquet(chunks)
-        _FIXTURE_DIRS[("events_chunks", sf_dir)] = chunks
-    _STREAM_SINK_SEQ += 1
-    work = tempfile.mkdtemp(prefix=f"snapshot_inc_{_STREAM_SINK_SEQ}_")
-    stream = (
-        spark.readStream.schema(
-            load_table(spark, sf_dir, "events").schema
-        )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(chunks)
-    )
-    q = maintain_snapshot(
-        stream, f"{work}/state", f"{work}/ckpt"
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("snapshot maintenance drain exceeded 300s")
-    q.stop()
-    return read_snapshot(spark, f"{work}/state")
-
-
-def _q_events_top_type_stream(spark, sf_dir):
-    """Streaming top-1-per-window: the stateful windowed aggregation
-    drains via availableNow (complete mode, same machinery as
-    events_windowed_stream), then the busiest event type per window is
-    ranked over the MATERIALIZED state -- the standard two-stage
-    streaming-top-k pattern (Structured Streaming does not run rank
-    windows inside a streaming query; production re-ranks the tiny
-    complete-mode state per trigger, here once at end of replay).
-    Ties break to the lexicographically LARGEST type (max of the
-    (count, type) tuple), identical in the oracle."""
-    global _STREAM_SINK_SEQ
-    from ..sources.tables import _EVENTS_SCHEMA, events_ts_column
-    from ..streaming.windowed_agg import windowed_event_counts
-
-    ensure_session_conf(spark)
-    stream = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", events_ts_column(sf_dir))
-    )
-    _STREAM_SINK_SEQ += 1
-    name = f"events_top_type_stream_sink_{_STREAM_SINK_SEQ}"
-    state = _drain_to_table(spark, windowed_event_counts(stream), name, "complete")
-    return state.groupBy("window_start_ms").agg(
-        F.max_by(
-            "event_type", F.struct(F.col("n_events"), F.col("event_type"))
-        ).alias("top_event_type"),
-        F.max(F.struct(F.col("n_events"), F.col("event_type")))["n_events"].alias(
-            "top_count"
-        ),
-    )
-
-
-def _q_cdc_snapshot_stream(spark, sf_dir):
-    """The SAME apply_changes operator, run on a stream: Structured
-    Streaming executes the identical logical plan incrementally (the
-    max_by aggregate becomes stateful, one state row per live user),
-    and complete output mode emits the materialized snapshot -- batch
-    and streaming share the operator, which is the point of declaring
-    the plan instead of the execution.  Oracle: identical to
-    cdc_apply_changes."""
-    global _STREAM_SINK_SEQ
-    from ..operators.snapshot import apply_changes, snapshot_diff
-    from ..sources.tables import _EVENTS_SCHEMA, events_ts_column
-
-    ensure_session_conf(spark)
-    stream = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", events_ts_column(sf_dir))
-    )
-    _STREAM_SINK_SEQ += 1
-    name = f"cdc_snapshot_stream_sink_{_STREAM_SINK_SEQ}"
-    return _drain_to_table(spark, apply_changes(stream), name, "complete")
-
-
-def _q_zorder_layout(spark, sf_dir):
-    """Z-order layout keys for lineitem on (l_partkey, l_suppkey): the
-    key + target-file assignment a layout-optimizing writer would
-    range-partition and sort by (functions/zorder.py docstring has the
-    full write recipe)."""
-    ensure_session_conf(spark)
-    from ..functions.zorder import zorder_key
-
-    li = load_table(spark, sf_dir, "lineitem")
-    z = zorder_key(F.col("l_partkey"), F.col("l_suppkey"))
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        "l_partkey",
-        "l_suppkey",
-        z.alias("z_key"),
-        F.shiftright(z, 26).alias("file_id"),
-    )
-
-
-def _q_hilbert_layout(spark, sf_dir):
-    """Hilbert-curve layout keys for lineitem on (l_partkey, l_suppkey):
-    the locality-improving sibling of the Z-order layout (same
-    repartitionByRange + sortWithinPartitions write recipe; see
-    functions/hilbert.py for why the curve clusters strictly better
-    and why the walk is a fold, not an unrolled expression)."""
-    ensure_session_conf(spark)
-    from ..functions.hilbert import hilbert_key
-
-    li = load_table(spark, sf_dir, "lineitem")
-    h = hilbert_key(F.col("l_partkey"), F.col("l_suppkey"))
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        "l_partkey",
-        "l_suppkey",
-        h.alias("h_key"),
-        F.shiftright(h, 26).alias("file_id"),
-    )
-
-
-def _q_cluster_profiles(spark, sf_dir):
-    ensure_session_conf(spark)
-    from ..operators.similarity import cluster_profiles
-
-    return cluster_profiles(load_table(spark, sf_dir, "embeddings"))
-
-
-def _q_fuzzy_contamination(spark, sf_dir):
-    ensure_session_conf(spark)
-    from ..operators.dedup import fuzzy_contamination_pairs
-
-    return fuzzy_contamination_pairs(_docs(spark, sf_dir))
-
-
-def _q_length_bucket_padding(spark, sf_dir):
-    ensure_session_conf(spark)
-    from ..operators.textstats import length_bucket_padding
-
-    return length_bucket_padding(_docs(spark, sf_dir))
-
-
-def _q_dsir_weights(spark, sf_dir):
-    ensure_session_conf(spark)
-    from ..operators.textstats import dsir_importance_weights
-
-    return dsir_importance_weights(_docs(spark, sf_dir))
-
-
-def _q_bigram_logprob(spark, sf_dir):
-    ensure_session_conf(spark)
-    from ..operators.textstats import bigram_logprob_scores
-
-    return bigram_logprob_scores(_docs(spark, sf_dir))
-
-
-def _q_quantize_int8(spark, sf_dir):
-    ensure_session_conf(spark)
-    from ..operators.similarity import quantize_embeddings_int8
-
-    # The operator's codes column is array<int> (the useful API shape);
-    # the driver's oracle canonicalization cannot hash list cells, so the
-    # registered query projects it to CSV -- the primary_keys_csv pattern.
-    return quantize_embeddings_int8(
-        load_table(spark, sf_dir, "embeddings")
-    ).select(
-        "vec_id",
-        F.array_join(F.col("codes"), ",").alias("codes_csv"),
-        "err_units",
-    )
-
-
-def _q_semdedup(spark, sf_dir):
-    ensure_session_conf(spark)
-    from ..operators.similarity import semdedup_survivors
-
-    return semdedup_survivors(load_table(spark, sf_dir, "embeddings"))
-
-
-def _q_kmeans(spark, sf_dir):
-    ensure_session_conf(spark)
-    from ..operators.similarity import kmeans_assignments
-
-    return kmeans_assignments(load_table(spark, sf_dir, "embeddings"))
-
-
-def _q_kmeans_gemm(spark, sf_dir):
-    """The large-k GEMM assignment path (mapInPandas matmul + packed
-    argmax, round-5 verdict item 5) forced at the oracle's k=8 via
-    gemm_threshold=0 -- the SAME DuckDB twin certifies both
-    assignment engines produce identical clusters."""
-    ensure_session_conf(spark)
-    from ..operators.similarity import kmeans_assignments
-
-    return kmeans_assignments(
-        load_table(spark, sf_dir, "embeddings"), gemm_threshold=0
-    )
-
-
-def _q_redact_pii(spark, sf_dir):
-    ensure_session_conf(spark)
-    return redact_pii(_inject_pii(_docs(spark, sf_dir)))
-
-
-def _q_split_assignments(spark, sf_dir):
-    ensure_session_conf(spark)
-    return split_assignments(_docs(spark, sf_dir))
-
-
-def _q_repeated_spans(spark, sf_dir):
-    ensure_session_conf(spark)
-    return repeated_span_stats(_docs(spark, sf_dir))
-
-
-def _q_remove_spans(spark, sf_dir):
-    ensure_session_conf(spark)
-    return remove_repeated_spans(_docs(spark, sf_dir))
-
-
-def _q_remove_boilerplate(spark, sf_dir):
-    ensure_session_conf(spark)
-    # seg_words=3 / df_threshold=4 so the synthetic corpus (small vocab,
-    # no newlines) actually has over-threshold segments at test scale
-    return remove_boilerplate_segments(
-        _docs(spark, sf_dir), seg_words=3, df_threshold=4
-    )
-
-
-def _q_dedup_keep_canonical(spark, sf_dir):
-    ensure_session_conf(spark)
-    # metadata-only projection: the driver hash compares scalar columns
-    return dedup_keep_canonical(_docs(spark, sf_dir)).select(
-        "doc_id", "lang", "source", "n_chars"
-    )
-
-
-def _q_repetition(spark, sf_dir):
-    ensure_session_conf(spark)
-    return repetition_scores(_docs(spark, sf_dir))
-
-
-def _q_contamination(spark, sf_dir):
-    ensure_session_conf(spark)
-    return contamination_scores(_docs(spark, sf_dir))
-
-
-def _q_doc_bloom_contamination(spark, sf_dir):
-    ensure_session_conf(spark)
-    from ..operators.textstats import bloom_contamination
-
-    return bloom_contamination(_docs(spark, sf_dir))
-
-
-def _q_shard_assignments(spark, sf_dir):
-    ensure_session_conf(spark)
-    return shard_assignments(_docs(spark, sf_dir))
-
-
-def _q_quality_deciles(spark, sf_dir):
-    ensure_session_conf(spark)
-    return quality_deciles(_docs(spark, sf_dir))
-
-
-def _q_corpus_vocab(spark, sf_dir):
-    ensure_session_conf(spark)
-    return corpus_vocab_topk(_docs(spark, sf_dir))
-
-
-def _q_token_ids(spark, sf_dir):
-    ensure_session_conf(spark)
-    return encode_token_ids(_docs(spark, sf_dir))
-
-
-def _q_corpus_curation(spark, sf_dir):
-    """The whole curation pipeline composed as ONE plan: drop
-    repetitious documents (ratio > 0.2), drop non-canonical near-dup
-    cluster members, drop benchmark-contaminated documents (> 1/3 of
-    shingles leaked), then report per-language survivors.  Everything
-    but the clustering fixpoint is a single lazy Catalyst plan -- the
-    point of building each step as a DataFrame operator."""
-    from ..operators.curation import curation_survivors
-
-    ensure_session_conf(spark)
-    survivors = curation_survivors(_docs(spark, sf_dir))
-    return survivors.groupBy("lang").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_chars").alias("total_chars"),
-    )
-
-
-def _q_dedup_clusters(spark, sf_dir):
-    ensure_session_conf(spark)
-    return dedup_clusters(_docs(spark, sf_dir))
-
-
-def _q_jaccard_pairs(spark, sf_dir):
-    return jaccard_pairs(_docs(spark, sf_dir))
-
-
-def _q_simhash(spark, sf_dir):
-    return simhash_fingerprints(_docs(spark, sf_dir))
-
-
-def _q_simhash_pairs(spark, sf_dir):
-    return simhash_near_pairs(_docs(spark, sf_dir))
-
-
-def _q_embedding_near_dup(spark, sf_dir):
-    ensure_session_conf(spark)
-    return embedding_near_dup_pairs(load_table(spark, sf_dir, "embeddings"))
-
-
-def _q_ann_cosine_topk(spark, sf_dir):
-    ensure_session_conf(spark)
-    return cosine_topk(load_table(spark, sf_dir, "embeddings"))
-
-
-def _q_ann_cosine_topk_lsh(spark, sf_dir):
-    ensure_session_conf(spark)
-    return cosine_topk_lsh(load_table(spark, sf_dir, "embeddings"))
-
-
-def _q_bootstrap_mean(spark, sf_dir):
-    """Poisson-bootstrap error bars for mean(l_extendedprice): 32
-    deterministic replicates in one pass
-    (analytics.bootstrap_mean_price)."""
-    ensure_session_conf(spark)
-    from ..operators.analytics import bootstrap_mean_price
-
-    return bootstrap_mean_price(load_table(spark, sf_dir, "lineitem"))
-
-
-def _q_winsorized(spark, sf_dir):
-    """Winsorized values: per-type [p01, p99] clip from a broadcast
-    bounds frame (analytics.winsorized_values)."""
-    ensure_session_conf(spark)
-    from ..operators.analytics import winsorized_values
-
-    return winsorized_values(load_table(spark, sf_dir, "events"))
-
-
-def _q_zorder3_layout(spark, sf_dir):
-    """Three-column Morton layout keys (functions/zorder.zorder_key_n)
-    on (l_partkey, l_suppkey, l_orderkey) -- the n-dim generalization
-    of the 2-column Z-order layout, 48-bit key."""
-    ensure_session_conf(spark)
-    from ..functions.zorder import zorder_key_n
-
-    li = load_table(spark, sf_dir, "lineitem")
-    z = zorder_key_n([F.col("l_partkey"), F.col("l_suppkey"), F.col("l_orderkey")])
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        z.alias("z3_key"),
-        F.shiftright(z, 42).alias("file_id"),
-    )
-
-
-def _q_rolling_mau(spark, sf_dir):
-    """Monthly + trailing-3-month rolling active customers
-    (analytics.rolling_monthly_active_customers): the rolling distinct
-    a window frame cannot express, via window_m-fold explode of the
-    distinct (customer, month) frame."""
-    ensure_session_conf(spark)
-    from ..operators.analytics import rolling_monthly_active_customers
-
-    return rolling_monthly_active_customers(load_table(spark, sf_dir, "orders"))
-
-
-def _q_matryoshka_recall(spark, sf_dir):
-    """Matryoshka-truncation recall report: prefix-sliced vectors
-    scored by the same brute-force scorer, graded against the
-    full-dimension top-k (similarity.matryoshka_recall_report)."""
-    ensure_session_conf(spark)
-    from ..operators.similarity import matryoshka_recall_report
-
-    return matryoshka_recall_report(load_table(spark, sf_dir, "embeddings"))
-
-
-def _q_events_hdr_stream(spark, sf_dir):
-    """The HDR quantile sketch RUN AS A STREAM: the integer bucket
-    aggregation (analytics.hdr_bucket_frame) is a plain streaming
-    groupBy -- per-micro-batch counts fold into state exactly like the
-    batch partial aggregation folds per partition, because cell-wise
-    addition IS the sketch merge -- drained complete-mode, then the
-    quantile inversion (hdr_quantile_estimates) runs over the
-    materialized few-hundred-row state (the two-stage pattern of
-    events_top_type_stream).  The estimates equal the batch sketch's
-    bit for bit; the exact-percentile exhibit column is batch-only by
-    nature and the oracle states the sketch contract alone."""
-    global _STREAM_SINK_SEQ
-    from ..operators.analytics import hdr_bucket_frame, hdr_quantile_estimates
-    from ..sources.tables import _EVENTS_SCHEMA, events_ts_column
-
-    ensure_session_conf(spark)
-    stream = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", events_ts_column(sf_dir))
-    )
-    hist = hdr_bucket_frame(stream).groupBy("event_type", "__idx").agg(
-        F.count("*").alias("__n")
-    )
-    _STREAM_SINK_SEQ += 1
-    name = f"events_hdr_stream_sink_{_STREAM_SINK_SEQ}"
-    # localCheckpoint: the memory-sink relation is not multi-instance
-    # safe, so the helper's cum x ranks self-join would hit conflicting
-    # attribute ids; checkpointing the few-hundred-row state converts
-    # it to a self-join-safe LogicalRDD (and the sketch is tiny)
-    state = _drain_to_table(spark, hist, name, "complete").localCheckpoint()
-    return hdr_quantile_estimates(state, (0.5, 0.9, 0.99)).select(
-        "event_type", "q", F.round(F.col("__est_raw"), 6).alias("est_value")
-    )
-
-
-def _q_incremental_dedup(spark, sf_dir):
-    """Nightly-ingest dedup probe: the new batch (doc_id % 10 == 0)
-    checked against the historical corpus, best match + verdict per
-    new doc (dedup.incremental_dedup_matches)."""
-    ensure_session_conf(spark)
-    from ..operators.dedup import incremental_dedup_matches
-
-    return incremental_dedup_matches(_docs(spark, sf_dir))
-
-
-def _q_hybrid_search(spark, sf_dir):
-    """Hybrid BM25 + dense retrieval with reciprocal-rank fusion
-    (textstats.hybrid_search_topk): lexical shortlist, cosine re-rank
-    against the query embedding, RRF fuse -- the RAG serving shape."""
-    ensure_session_conf(spark)
-    from ..operators.textstats import hybrid_search_topk
-
-    return hybrid_search_topk(
-        _docs(spark, sf_dir), load_table(spark, sf_dir, "embeddings")
-    )
-
-
-def _q_dedup_keep_best(spark, sf_dir):
-    """Quality-aware dedup survivors: longest member per near-dup
-    cluster (dedup.dedup_keep_best) -- the keep-most-complete policy
-    next to keep-canonical."""
-    ensure_session_conf(spark)
-    from ..operators.dedup import dedup_keep_best
-
-    return dedup_keep_best(_docs(spark, sf_dir))
-
-
-def _q_cdc_resume_bookmarks(spark, sf_dir):
-    """Per-file CDC resume bookmarks (compare.resume_bookmarks): last
-    position / GTID / line and the consumed-event count a restarting
-    consumer checkpoints."""
-    _, bp, _ = _cdc_frames(spark, sf_dir)
-    from ..operators.compare import resume_bookmarks
-
-    return resume_bookmarks(bp)
-
-
-def _q_events_skew_report(spark, sf_dir):
-    """Join-key skew diagnostic on events.user_id
-    (analytics.join_key_skew_report): cardinality, max/p99 per-key
-    volume, skew factor, heaviest key."""
-    ensure_session_conf(spark)
-    from ..operators.analytics import join_key_skew_report
-
-    return join_key_skew_report(load_table(spark, sf_dir, "events"))
-
-
-def _q_purchase_attribution(spark, sf_dir):
-    """First/last-touch conversion attribution per purchase within the
-    30-minute-gap session (analytics.purchase_attribution)."""
-    ensure_session_conf(spark)
-    from ..operators.analytics import purchase_attribution
-
-    return purchase_attribution(load_table(spark, sf_dir, "events"))
-
-
-def _q_hll_sketch_union(spark, sf_dir):
-    """Mergeable DataSketches HLL table: per-(type, day) sketches
-    unioned to the per-type estimate (analytics.hll_sketch_table_union);
-    oracle asserts the exact count + error bound, the hll_distinct_users
-    contract."""
-    ensure_session_conf(spark)
-    from ..operators.analytics import hll_sketch_table_union
-
-    return hll_sketch_table_union(load_table(spark, sf_dir, "events"))
-
-
-def _q_leakage_safe_splits(spark, sf_dir):
-    """Cluster-level train/val/test split: near-dup groups hash as one
-    unit so no duplicate pair straddles splits
-    (textstats.leakage_safe_splits over dedup_clusters)."""
-    ensure_session_conf(spark)
-    from ..operators.textstats import leakage_safe_splits
-
-    return leakage_safe_splits(_docs(spark, sf_dir))
-
-
-def _q_bpe_merges(spark, sf_dir):
-    """Top BPE merge candidates over the documents corpus: one
-    tokenizer-trainer iteration, pair counts on the distinct-word
-    table weighted by frequency (textstats.bpe_merge_candidates)."""
-    ensure_session_conf(spark)
-    from ..operators.textstats import bpe_merge_candidates
-
-    return bpe_merge_candidates(_docs(spark, sf_dir))
-
-
-def _q_ann_recall_report(spark, sf_dir):
-    """Recall@k eval of each approximate ANN tier (LSH, Hamming, IVF)
-    against the exact brute-force top-k (similarity.ann_recall_report)
-    -- the index-trust report a retrieval pipeline runs per corpus."""
-    ensure_session_conf(spark)
-    from ..operators.similarity import ann_recall_report
-
-    return ann_recall_report(load_table(spark, sf_dir, "embeddings"))
-
-
-def _q_embedding_sign_bits(spark, sf_dir):
-    """1-bit (sign) quantization: per-dimension mean thresholds packed
-    into one BIGINT per vector (similarity.sign_bit_words) -- the 64x
-    shrink tier under int8/PQ, and the representation ann_hamming_topk
-    serves from."""
-    ensure_session_conf(spark)
-    from ..operators.similarity import sign_bit_words
-
-    return sign_bit_words(load_table(spark, sf_dir, "embeddings"))
-
-
-def _q_ann_hamming_topk(spark, sf_dir):
-    """Binary-quantization ANN: Hamming scan over packed sign words
-    (XOR + popcount, 8 bytes/vector corpus-side) shortlists rerank
-    candidates per query; exact cosine re-ranks the survivors
-    (similarity.hamming_topk)."""
-    ensure_session_conf(spark)
-    from ..operators.similarity import hamming_topk
-
-    return hamming_topk(load_table(spark, sf_dir, "embeddings"))
-
-
-_STREAM_SINK_SEQ = 0
-
-
-def _q_cdc_findings_stream(spark, sf_dir):
-    """The CDC diff itself run as Structured Streaming, driver-checked:
-    avro records arrive as JSONL files discovered incrementally
-    (maxFilesPerTrigger=1 -> several micro-batches), stream-static
-    joined against the closed binlog build side
-    (streaming/compare_stream.py).  availableNow drains the source; the
-    appended findings equal the batch findings minus the inherently
-    end-of-stream BINLOG_ONLY check (module docstring explains why that
-    one cannot stream)."""
-    global _STREAM_SINK_SEQ
-    import tempfile
-
-    from ..sources.jsonl import wrap_avro
-    from ..streaming import stream_avro_jsonl, streaming_findings
-
-    ensure_session_conf(spark)
-    ev = load_table(spark, sf_dir, "events")
-    binlog = derive_binlog_events(ev)
-    avro_flat = derive_avro_rows(ev).withColumn(
-        "primary_keys", F.array(F.col("database"), F.col("table"))
-    )
-    d = _FIXTURE_DIRS.get(("stream_avro", sf_dir))
-    if d is None:
-        d = tempfile.mkdtemp(prefix="cdc_stream_avro_")
-        wrap_avro(avro_flat).repartition(4).write.mode("overwrite").json(d)
-        _FIXTURE_DIRS[("stream_avro", sf_dir)] = d
-    stream = stream_avro_jsonl(spark, d, max_files_per_trigger=1)
-    _STREAM_SINK_SEQ += 1
-    name = f"cdc_findings_stream_sink_{_STREAM_SINK_SEQ}"
-    return _drain_to_table(spark, streaming_findings(binlog, stream), name, "append")
-
-
-def _q_events_windowed_stream(spark, sf_dir):
-    """Structured Streaming in the driver contract: the events table
-    replayed as a file stream through the watermarked windowed
-    aggregation (streaming/windowed_agg.py), availableNow trigger, then
-    the finished result returned as a batch frame.
-
-    Complete output mode is used HERE because it emits every window
-    including those the final watermark hasn't passed -- that makes the
-    result equal the batch aggregation, which is exactly what the
-    DuckDB oracle computes.  The production append-mode contract
-    (late-data drop, state eviction) is pinned by pytest
-    (test_streaming_state.py)."""
-    global _STREAM_SINK_SEQ
-    from ..sources.tables import _EVENTS_SCHEMA, events_ts_column
-    from ..streaming.windowed_agg import windowed_event_counts
-
-    ensure_session_conf(spark)
-    stream = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", events_ts_column(sf_dir))
-    )
-    _STREAM_SINK_SEQ += 1
-    name = f"events_windowed_stream_sink_{_STREAM_SINK_SEQ}"
-    return _drain_to_table(spark, windowed_event_counts(stream), name, "complete")
-
-
-def _q_ann_cosine_topk_ivf(spark, sf_dir):
-    ensure_session_conf(spark)
-    return cosine_topk_ivf(load_table(spark, sf_dir, "embeddings"))
-
-
-def _q_ann_cosine_topk_pandas(spark, sf_dir):
-    ensure_session_conf(spark)
-    return cosine_topk_pandas(load_table(spark, sf_dir, "embeddings"))
-
-
-def _q_events_sessionize(spark, sf_dir):
-    ensure_session_conf(spark)
-    return sessionize(load_table(spark, sf_dir, "events"))
-
-
-def _q_q1(spark, sf_dir):
-    ensure_session_conf(spark)
-    return q1_pricing_summary(load_table(spark, sf_dir, "lineitem"))
-
-
-def _q_top_revenue(spark, sf_dir):
-    ensure_session_conf(spark)
-    return top_revenue_orders(
-        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
-    )
-
-
-def _q_top_terms_udtf(spark, sf_dir):
-    ensure_session_conf(spark)
-    from ..operators.textstats import top_terms_per_doc
-
-    return top_terms_per_doc(_docs(spark, sf_dir))
-
-
-def _q_data_quality_report(spark, sf_dir):
-    ensure_session_conf(spark)
-    return data_quality_report(
-        load_table(spark, sf_dir, "customer"),
-        load_table(spark, sf_dir, "orders"),
-        load_table(spark, sf_dir, "lineitem"),
-    )
-
-
-def _q_late_exclusive_suppliers(spark, sf_dir):
-    ensure_session_conf(spark)
-    return late_exclusive_suppliers(
-        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
-    )
-
-
-def _q_hll_distinct_users(spark, sf_dir):
-    ensure_session_conf(spark)
-    return hll_distinct_users(load_table(spark, sf_dir, "events"))
-
-
-def _q_monthly_revenue_growth(spark, sf_dir):
-    ensure_session_conf(spark)
-    return monthly_revenue_growth(load_table(spark, sf_dir, "orders"))
-
-
-def _q_customer_order_distribution(spark, sf_dir):
-    ensure_session_conf(spark)
-    return customer_order_distribution(
-        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
-    )
-
-
-def _q_late_shipment_orders(spark, sf_dir):
-    ensure_session_conf(spark)
-    return late_shipment_orders(
-        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
-    )
-
-
-def _q_big_ticket_orders(spark, sf_dir):
-    ensure_session_conf(spark)
-    return big_ticket_orders(
-        load_table(spark, sf_dir, "customer"),
-        load_table(spark, sf_dir, "orders"),
-        load_table(spark, sf_dir, "lineitem"),
-    )
-
-
-def _q_high_value_customers(spark, sf_dir):
-    ensure_session_conf(spark)
-    return high_value_customers(
-        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
-    )
-
-
-def _q_user_set_ops(spark, sf_dir):
-    ensure_session_conf(spark)
-    return user_set_ops(load_table(spark, sf_dir, "events"))
-
-
-def _q_revenue_rollup(spark, sf_dir):
-    ensure_session_conf(spark)
-    return revenue_rollup(load_table(spark, sf_dir, "orders"))
-
-
-def _q_regional_supplier_volume(spark, sf_dir):
-    ensure_session_conf(spark)
-    return regional_supplier_volume(
-        load_table(spark, sf_dir, "customer"),
-        load_table(spark, sf_dir, "orders"),
-        load_table(spark, sf_dir, "lineitem"),
-        load_table(spark, sf_dir, "supplier"),
-        load_table(spark, sf_dir, "nation"),
-        load_table(spark, sf_dir, "region"),
-    )
-
-
-def _q_part_profit_by_nation(spark, sf_dir):
-    ensure_session_conf(spark)
-    return part_profit_by_nation(
-        load_table(spark, sf_dir, "part"),
-        load_table(spark, sf_dir, "supplier"),
-        load_table(spark, sf_dir, "lineitem"),
-        load_table(spark, sf_dir, "orders"),
-        load_table(spark, sf_dir, "nation"),
-    )
-
-
-def _q_events_funnel(spark, sf_dir):
-    ensure_session_conf(spark)
-    return funnel_stages(load_table(spark, sf_dir, "events"))
-
-
-def _q_cdc_apply_changes(spark, sf_dir):
-    ensure_session_conf(spark)
-    return apply_changes(load_table(spark, sf_dir, "events"))
-
-
-def _q_events_cms_counts(spark, sf_dir):
-    from ..operators.analytics import cms_type_counts
-
-    ensure_session_conf(spark)
-    return cms_type_counts(load_table(spark, sf_dir, "events"))
-
-
-def _q_events_retention_cohorts(spark, sf_dir):
-    ensure_session_conf(spark)
-    return retention_cohorts(load_table(spark, sf_dir, "events"))
-
-
-def _q_events_type_transitions(spark, sf_dir):
-    ensure_session_conf(spark)
-    return event_type_transitions(load_table(spark, sf_dir, "events"))
-
-
-def _q_doc_inverted_index(spark, sf_dir):
-    return inverted_index(_docs(spark, sf_dir))
-
-
-def _q_doc_term_pmi(spark, sf_dir):
-    return term_pmi(_docs(spark, sf_dir))
-
-
-def _q_doc_shingle_novelty(spark, sf_dir):
-    return shingle_novelty(_docs(spark, sf_dir))
-
-
-def _q_doc_bm25_topk(spark, sf_dir):
-    from ..operators.textstats import bm25_topk
-
-    return bm25_topk(_docs(spark, sf_dir))
-
-
-def _q_doc_weighted_sample(spark, sf_dir):
-    from ..operators.textstats import weighted_sample_topk
-
-    return weighted_sample_topk(_docs(spark, sf_dir))
-
-
-def _q_graph_near_dup_triangles(spark, sf_dir):
-    """Triangles over the LSH candidate pairs: mutually-similar
-    cliques, the dedup-QA view of the near-dup graph."""
-    from ..operators.graph import triangles
-
-    return triangles(lsh_candidate_pairs(_docs(spark, sf_dir)))
-
-
-def _q_embedding_pq_codes(spark, sf_dir):
-    from ..operators.similarity import pq_codes
-
-    ensure_session_conf(spark)
-    return pq_codes(load_table(spark, sf_dir, "embeddings"))
-
-
-def _q_ann_pq_adc_topk(spark, sf_dir):
-    from ..operators.similarity import pq_adc_topk
-
-    ensure_session_conf(spark)
-    return pq_adc_topk(load_table(spark, sf_dir, "embeddings"))
-
-
-def _q_graph_supplier_pagerank(spark, sf_dir):
-    from ..operators.graph import supplier_pagerank
-
-    ensure_session_conf(spark)
-    return supplier_pagerank(
-        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
-    )
-
-
-def _q_media_exact_dedup(spark, sf_dir):
-    """Blob-level exact dedup over the derived media frame (documents'
-    text bytes as opaque content, doubled for ids >= 490 to plant
-    duplicates the synthetic corpus lacks at blob level)."""
-    from ..operators.multimodal import media_exact_dedup
-
-    docs = _docs(spark, sf_dir)
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.encode(
-            F.when(F.col("doc_id") % 490 < 10, F.lit("shared-blob")).otherwise(
-                F.col("text")
-            ),
-            "utf-8",
-        ).alias("content"),
-    )
-    return media_exact_dedup(media)
-
-
-def _q_media_features(spark, sf_dir):
-    """Multimodal decode, oracle-checked on the REAL decoder path:
-    each document becomes an IHDR-valid synthetic PNG -- the 8-byte
-    PNG signature, a spec-layout IHDR chunk whose width/height derive
-    from doc_id (8-bit RGB, zero CRC placeholder: the header parser
-    does not verify CRC and DuckDB cannot compute PNG's CRC-32), and
-    the text bytes as opaque payload.  image_features' pure-stdlib
-    IHDR parser (multimodal._decode_image) reads the dims back, so the
-    green row certifies decoder='ihdr', not the deterministic fake;
-    the oracle reconstructs the identical blob byte for byte.
-
-    Digest column: the operator's sha256 is over raw bytes, which this
-    DuckDB (1.0) cannot hash (sha256 is VARCHAR-only), so the
-    registered query certifies blob identity as sha256 over the
-    lowercase hex encoding -- computed independently on both sides
-    from the full content bytes, so it still pins every byte."""
-    docs = _docs(spark, sf_dir)
-    # 89 PNG \r \n 1a \n | len=13 | "IHDR"
-    png_prefix = bytes.fromhex("89504e470d0a1a0a0000000d49484452")
-    # bit depth 08, color type 02 (RGB), compression/filter/interlace
-    # 00, then 4 zero CRC bytes
-    ihdr_tail = bytes.fromhex("080200000000000000")
-    be32 = lambda c: F.unhex(F.lpad(F.hex(c.cast("long")), 8, "0"))  # noqa: E731
-    width = (F.col("doc_id") % 192 + 64).cast("long")
-    height = ((F.col("doc_id") * 7) % 192 + 64).cast("long")
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.lit("image").alias("kind"),
-        F.concat(
-            F.lit(png_prefix),
-            be32(width),
-            be32(height),
-            F.lit(ihdr_tail),
-            F.encode(F.col("text"), "utf-8"),
-        ).alias("content"),
-    )
-    # two readers (hex digest + IHDR feature extraction) over the same
-    # synthetic-PNG projection: scoped-cached so the documents scan and
-    # blob construction run once, not once per subtree
-    from ..functions.caching import scoped_cache
-
-    media = scoped_cache(media)
-    hex_digest = media.select(
-        "media_id",
-        F.sha2(F.lower(F.hex(F.col("content"))), 256).alias("sha256_hex"),
-    )
-    return (
-        image_features(media)
-        .drop("sha256")
-        .join(hex_digest, on="media_id")
-        .select("media_id", "sha256_hex", "n_bytes", "width", "height", "decoder")
-    )
-
-
-def _q_media_video_frames(spark, sf_dir):
-    """Video frame-sampling plumbing, oracle-checked: documents' text
-    bytes as opaque video blobs, every 10th 1024-byte 'frame' (up to 8)
-    hashed via Arrow mapInPandas; the corpus is ASCII so the DuckDB
-    twin states the same slicing over VARCHAR."""
-    from ..operators.multimodal import sample_video_frames
-
-    docs = _docs(spark, sf_dir)
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.lit("video").alias("kind"),
-        F.encode(F.col("text"), "utf-8").alias("content"),
-    )
-    return sample_video_frames(media)
-
-
-def _q_media_video_frames_riff(spark, sf_dir):
-    """Real-CONTAINER video path: each document's text bytes packed as
-    a GENUINE minimal RIFF-AVI (LIST hdrl/avih + movi '00dc' chunks,
-    64-byte frames, max 8, doc-derived header dims) in one distributed
-    mapInPandas stage, then decoded back by the pure-stdlib RIFF walker
-    -- same move as the IHDR image and binlog-binary paths: real bytes,
-    real parser, no driver-side collect anywhere.  The oracle restates
-    the frame slicing + header dims directly over the ASCII text."""
-    import pandas as _pd
-
-    from ..operators.multimodal import encode_avi, video_frames_riff
-
-    ensure_session_conf(spark)
-    docs = _docs(spark, sf_dir)
-
-    def _enc(batches):
-        for pdf in batches:
-            rows = []
-            for did, text in zip(pdf["doc_id"], pdf["text"]):
-                b = text.encode("utf-8")
-                n = min(max(len(b) // 64, 1), 8)
-                frames = [b[i * 64 : (i + 1) * 64] for i in range(n)]
-                rows.append(
-                    (
-                        int(did),
-                        "video",
-                        encode_avi(
-                            frames,
-                            width=64 + int(did) % 192,
-                            height=48 + int(did) % 100,
-                        ),
-                    )
-                )
-            yield _pd.DataFrame(rows, columns=["media_id", "kind", "content"])
-
-    media = docs.select("doc_id", "text").mapInPandas(
-        _enc,
-        "media_id long, kind string, content binary",
-    )
-    return video_frames_riff(media)
-
-
-def _q_asof_purchase(spark, sf_dir):
-    """As-of join: for each click, the user's latest purchase at or
-    before it (union-window construction, operators/joins.py); DuckDB's
-    native ASOF JOIN is the independent oracle."""
-    from ..operators.joins import as_of_join
-
-    ensure_session_conf(spark)
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", F.unix_millis("ts").alias("ts_ms"), "value"
-    )
-    purch = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id", "ts_ms")
-        .agg(
-            F.max("event_id").alias("p_event_id"),
-            F.max_by("value", "event_id").alias("p_value"),
-        )
-        .withColumn("p_ts_ms", F.col("ts_ms"))
-    )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts_ms"
-    )
-    j = as_of_join(
-        clicks, purch, ["user_id"], "ts_ms", ["p_event_id", "p_ts_ms", "p_value"]
-    )
-    return j.select(
-        "event_id",
-        "user_id",
-        "ts_ms",
-        F.col("__asof.p_event_id").alias("purchase_event_id"),
-        F.col("__asof.p_ts_ms").alias("purchase_ts_ms"),
-        F.col("__asof.p_value").alias("purchase_value"),
-    )
-
-
-def _q_view_click_range(spark, sf_dir):
-    """Banded range join: clicks within 10 minutes after a view by the
-    same user (interval-bucketed equi-join, operators/joins.py)."""
-    from ..operators.joins import range_join_bucketed
-
-    ensure_session_conf(spark)
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", F.unix_millis("ts").alias("ts_ms")
-    )
-    views = ev.filter(F.col("event_type") == "view").select(
-        "event_id", "user_id", "ts_ms"
-    )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts_ms"
-    )
-    j = range_join_bucketed(views, clicks, ["user_id"], "ts_ms", 0, 600_000)
-    return j.select(
-        F.col("event_id").alias("view_event_id"),
-        F.col("r_event_id").alias("click_event_id"),
-        "user_id",
-        (F.col("r_ts_ms") - F.col("ts_ms")).alias("gap_ms"),
-    )
-
-
-_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
-
-
-def _q_events_pivot(spark, sf_dir):
-    """Pivot family: per user-cohort event-type count matrix.  The
-    explicit value list keeps the pivot a single pass (no extra
-    distinct-values job) and makes the output schema static -- the
-    form that scales.  Counts only: integer-exact across engines."""
-    ensure_session_conf(spark)
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.withColumn("cohort", F.col("user_id") % 10)
-        .groupBy("cohort")
-        .pivot("event_type", _EVENT_TYPES)
-        .count()
-        .na.fill(0, _EVENT_TYPES)
-    )
-
-
-def _q_events_props_stats(spark, sf_dir):
-    """Semi-structured column handling: ``props`` is a JSON string;
-    schema-on-read ``from_json`` extracts the typed field inline (no
-    second pass, no UDF) and the aggregate runs on the parsed value.
-    The oracle extracts the same field with a regexp so it needs no
-    DuckDB JSON extension."""
-    ensure_session_conf(spark)
-    ev = load_table(spark, sf_dir, "events")
-    k = F.from_json(F.col("props"), "k long")["k"]
-    return (
-        ev.select("event_type", k.alias("k"))
-        .groupBy("event_type")
-        .agg(
-            F.count("k").alias("n_with_k"),
-            F.min("k").alias("min_k"),
-            F.max("k").alias("max_k"),
-            F.sum("k").cast("long").alias("sum_k"),
-        )
-    )
-
-
-def _q_kmv_distinct(spark, sf_dir):
-    ensure_session_conf(spark)
-    return kmv_distinct_users(load_table(spark, sf_dir, "events"))
-
-
-def _q_kmv_setops(spark, sf_dir):
-    """Theta-style set operations from KMV sketches: union / Jaccard /
-    intersection estimates for every event-type pair's user sets,
-    merged purely from the per-type bottom-k sketches, with the exact
-    values as the error exhibit (analytics.kmv_set_ops)."""
-    ensure_session_conf(spark)
-    from ..operators.analytics import kmv_set_ops
-
-    return kmv_set_ops(load_table(spark, sf_dir, "events"))
-
-
-def _q_salted_type_stats(spark, sf_dir):
-    """Skew-safe two-phase aggregation as a driver query: event_type
-    has only 5 values (maximal key skew), the textbook salted-agg case.
-    All outputs are exact (count/min/max/integer-sum), so the result is
-    salt-invariant and equals the plain GROUP BY the oracle runs."""
-    from ..functions import salted_aggregate
-
-    ensure_session_conf(spark)
-    ev = load_table(spark, sf_dir, "events")
-    return salted_aggregate(
-        ev,
-        ["event_type"],
-        {
-            "n_events": ("event_id", "count"),
-            "max_value": ("value", "max"),
-            "min_id": ("event_id", "min"),
-            "sum_ids": ("event_id", "sum"),
-        },
-    )
-
-
-def _q_running_windows(spark, sf_dir):
-    ensure_session_conf(spark)
-    return running_windows(load_table(spark, sf_dir, "events"))
-
-
-def _q_media_audio_features(spark, sf_dir):
-    """Real audio decode, oracle-checked: PCM16 WAV files synthesized
-    per document (parameters derived from doc_id), decoded back by the
-    stdlib-wave path of audio_features.  The DuckDB twin recomputes the
-    expected features from the same doc_id derivation WITHOUT decoding
-    -- so the check proves decode inverts encode.  Constant-amplitude
-    signal makes rms exactly amp/32768 (power-of-two division, IEEE
-    exact in both engines)."""
-    import io
-    import struct
-    import wave
-
-    docs = _docs(spark, sf_dir).select("doc_id")
-
-    def synth(batches):
-        for pdf in batches:
-            rows = []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                ch = 1 + did % 2
-                sr = (8000, 16000, 44100)[did % 3]
-                n = 400 + (did % 50) * 8
-                amp = 1000 + (did % 20) * 500
-                buf = io.BytesIO()
-                with wave.open(buf, "wb") as w:
-                    w.setnchannels(ch)
-                    w.setsampwidth(2)
-                    w.setframerate(sr)
-                    w.writeframes(struct.pack(f"<{n * ch}h", *([amp] * (n * ch))))
-                rows.append((did, "audio", buf.getvalue()))
-            yield pd.DataFrame(rows, columns=["media_id", "kind", "content"])
-
-    import pandas as pd
-
-    media = docs.mapInPandas(
-        synth, schema="media_id long, kind string, content binary"
-    )
-    return audio_features(media).select(
-        "media_id",
-        "channels",
-        "sample_rate",
-        "n_samples",
-        "duration_s",
-        "rms",
-        "decoder",
-    )
-
-
-def _q_nation_revenue(spark, sf_dir):
-    ensure_session_conf(spark)
-    return customer_nation_revenue(
-        load_table(spark, sf_dir, "customer"),
-        load_table(spark, sf_dir, "nation"),
-        load_table(spark, sf_dir, "orders"),
-        load_table(spark, sf_dir, "lineitem"),
-    )
-
-
-# --- round-4 relational tier (TPC-H Q2/Q6/Q7/Q8/Q10/Q11/Q12/Q14/Q15/
-# Q20/Q22 shapes over the available schema), lexical diversity, and the
-# engine-native session-window stream ------------------------------------
-
-def _q_discounted_revenue(spark, sf_dir):
-    ensure_session_conf(spark)
-    return discounted_revenue(load_table(spark, sf_dir, "lineitem"))
-
-
-def _q_promo_revenue_share(spark, sf_dir):
-    ensure_session_conf(spark)
-    return promo_revenue_share(
-        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
-    )
-
-
-def _q_late_line_priority_mix(spark, sf_dir):
-    ensure_session_conf(spark)
-    return late_line_priority_mix(
-        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
-    )
-
-
-def _q_volume_shipping(spark, sf_dir):
-    ensure_session_conf(spark)
-    return volume_shipping(
-        load_table(spark, sf_dir, "lineitem"),
-        load_table(spark, sf_dir, "orders"),
-        load_table(spark, sf_dir, "customer"),
-        load_table(spark, sf_dir, "supplier"),
-        load_table(spark, sf_dir, "nation"),
-    )
-
-
-def _q_nation_market_share(spark, sf_dir):
-    ensure_session_conf(spark)
-    return nation_market_share(
-        load_table(spark, sf_dir, "lineitem"),
-        load_table(spark, sf_dir, "orders"),
-        load_table(spark, sf_dir, "customer"),
-        load_table(spark, sf_dir, "supplier"),
-        load_table(spark, sf_dir, "nation"),
-        load_table(spark, sf_dir, "region"),
-    )
-
-
-def _q_returned_item_losses(spark, sf_dir):
-    ensure_session_conf(spark)
-    return returned_item_losses(
-        load_table(spark, sf_dir, "customer"),
-        load_table(spark, sf_dir, "orders"),
-        load_table(spark, sf_dir, "lineitem"),
-        load_table(spark, sf_dir, "nation"),
-    )
-
-
-def _q_important_parts(spark, sf_dir):
-    ensure_session_conf(spark)
-    return important_parts(
-        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
-    )
-
-
-def _q_top_revenue_supplier(spark, sf_dir):
-    ensure_session_conf(spark)
-    return top_revenue_supplier(
-        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "supplier")
-    )
-
-
-def _q_min_cost_supplier_per_part(spark, sf_dir):
-    ensure_session_conf(spark)
-    return min_cost_supplier_per_part(
-        load_table(spark, sf_dir, "lineitem"),
-        load_table(spark, sf_dir, "supplier"),
-        load_table(spark, sf_dir, "nation"),
-        load_table(spark, sf_dir, "region"),
-    )
-
-
-def _q_excess_quantity_suppliers(spark, sf_dir):
-    ensure_session_conf(spark)
-    return excess_quantity_suppliers(
-        load_table(spark, sf_dir, "lineitem"),
-        load_table(spark, sf_dir, "part"),
-        load_table(spark, sf_dir, "supplier"),
-    )
-
-
-def _q_idle_rich_customers(spark, sf_dir):
-    ensure_session_conf(spark)
-    return idle_rich_customers(
-        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
-    )
-
-
-def _q_type_token_ratio(spark, sf_dir):
-    ensure_session_conf(spark)
-    return type_token_ratio(_docs(spark, sf_dir))
-
-
-def _q_events_session_stream(spark, sf_dir):
-    """Engine-native session windows as a streaming drain: the events
-    table replayed as a file stream through the watermarked
-    ``session_window`` aggregation, availableNow trigger, result
-    returned as a batch frame.
-
-    Complete output mode so the drained result equals the batch
-    session assignment (every session emitted, none withheld by the
-    final watermark) -- which is exactly what the DuckDB lag-gap-island
-    oracle computes.  Append-mode eviction behavior is pinned by
-    pytest (test_streaming_state.py)."""
-    global _STREAM_SINK_SEQ
-    from ..sources.tables import _EVENTS_SCHEMA, events_ts_column
-    from ..streaming.session_stream import session_window_stats
-
-    ensure_session_conf(spark)
-    stream = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", events_ts_column(sf_dir))
-    )
-    _STREAM_SINK_SEQ += 1
-    name = f"events_session_stream_sink_{_STREAM_SINK_SEQ}"
-    return _drain_to_table(spark, session_window_stats(stream), name, "complete")
-
-
-def _q_events_running_stats_stream(spark, sf_dir):
-    """Custom stateful streaming in the driver contract: per-user
-    cumulative (count, max) emitting one row per event
-    (streaming/running_stats_stream.py), replayed availableNow from
-    the events file and drained append-mode.  Targets the Spark 4
-    transformWithState API (named ValueState) and auto-falls-back to
-    applyInPandasWithState where the v2 protobuf protocol dependency
-    is absent -- both paths run the same fold, so the oracle (the
-    batch cumulative window) is api-independent.  Emission is
-    per-event (duplicate-free under any batch split) and the
-    single-file replay delivers each user's rows in one ordered
-    batch."""
-    global _STREAM_SINK_SEQ
-    from ..sources.tables import _EVENTS_SCHEMA, events_ts_column
-    from ..streaming.running_stats_stream import running_stats_stream
-
-    ensure_session_conf(spark)
-    stream = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", events_ts_column(sf_dir))
-    )
-    _STREAM_SINK_SEQ += 1
-    name = f"events_running_stats_stream_sink_{_STREAM_SINK_SEQ}"
-    return _drain_to_table(spark, running_stats_stream(stream), name, "append")
-
-
-def _binlog_binary_fixture_dir(spark, sf_dir) -> str:
-    """One payload-bearing binary binlog fixture dir per sf_dir, shared
-    by the metadata-decode, row-image-decode, and payload-diff queries:
-    derived events (WITH row payloads) encoded as genuine binlog v4
-    files by the executors (_fixture_write_distributed -- no driver
-    collect), memoized like every other fixture."""
-    import tempfile
-
-    d = _FIXTURE_DIRS.get(("binlog_binary", sf_dir))
-    if d is None:
-        b = derive_binlog_events_with_payload(
-            load_table(spark, sf_dir, "events")
-        ).filter(F.col("binlog_file") != "")
-        # rotation chain: each segment's successor by name order (the
-        # `ls -v` contract); the file-name frame is segment-cardinality
-        files = b.select("binlog_file").distinct()
-        chain = files.select(
-            "binlog_file",
-            F.lead("binlog_file")
-            .over(Window.orderBy("binlog_file"))
-            .alias("__next_file"),
-        )
-        b = b.join(F.broadcast(chain), "binlog_file")
-        d = tempfile.mkdtemp(prefix="binlog_binary_")
-        _fixture_write_distributed(b, "binlog_file", d, _render_binlog_binary)
-        _FIXTURE_DIRS[("binlog_binary", sf_dir)] = d
-    return d
-
-
-def _q_cdc_parse_binlog_binary(spark, sf_dir):
-    """S2 closed: real binlog v4 BYTES through the native binary
-    decoder (sources/binlog_binary.py) -> the same parsed-event
-    contract table as the text path, no external parser binary and no
-    text intermediate.  The fixture files now carry genuine row images;
-    this metadata-tier query proves the cheap decoder skips them
-    correctly.  The DECODE path is fully distributed (binaryFile scan +
-    Arrow-batched mapInPandas)."""
-    ensure_session_conf(spark)
-    from ..sources.binlog_binary import read_binlog_binary_dir
-
-    return read_binlog_binary_dir(spark, _binlog_binary_fixture_dir(spark, sf_dir))
-
-
-def _q_cdc_parse_binlog_rows(spark, sf_dir):
-    """Row-image tier: the SAME fixture bytes, decoded at full depth --
-    TABLE_MAP column types + optional COLUMN_NAME metadata drive the
-    WRITE/UPDATE/DELETE image parse (UPDATE yields before AND after
-    rows, value-distinguishable by the planted deltas); the payload map
-    is surfaced as typed columns so the DuckDB oracle compares values,
-    not map encodings."""
-    ensure_session_conf(spark)
-    from ..sources.binlog_binary import read_binlog_rows_dir
-
-    rows = read_binlog_rows_dir(spark, _binlog_binary_fixture_dir(spark, sf_dir))
-    p = F.col("payload")
-    return rows.select(
-        "binlog_file",
-        "event_no",
-        "row_no",
-        "image",
-        "event_type",
-        "timestamp",
-        "immediate_commmit_timestamp",
-        "log_position",
-        "schema",
-        "table",
-        "gtid_next",
-        F.element_at(p, F.lit("order_id")).cast("long").alias("order_id"),
-        F.element_at(p, F.lit("customer_name")).alias("customer_name"),
-        F.element_at(p, F.lit("product_name")).alias("product_name"),
-        F.element_at(p, F.lit("quantity")).cast("long").alias("quantity"),
-        F.element_at(p, F.lit("order_timestamp")).cast("long").alias("order_timestamp"),
-    )
-
-
-def _render_binlog_typed(fname: str, rows: list[dict]) -> tuple[str, bytes]:
-    from ..sources.binlog_binary import encode_typed_binlog_file
-
-    rows.sort(key=lambda r: r["line_no"])
-    # same checksum mix as the main binary fixture: even segments CRC32
-    return fname, encode_typed_binlog_file(
-        rows, checksum=int(fname[-1]) % 2 == 0
-    )
-
-
-def _typed_binlog_fixture_dir(spark, sf_dir) -> str:
-    """Binary binlog fixture dir for the TYPED table (extended column
-    types: DATE/YEAR/DATETIME2/TIMESTAMP2/TIME2/NEWDECIMAL/TEXT/CHAR/
-    ENUM/SET), one WRITE image per DML event; executor-rendered and
-    memoized like the payload fixture."""
-    import tempfile
-
-    d = _FIXTURE_DIRS.get(("binlog_typed", sf_dir))
-    if d is None:
-        b = derive_typed_rows(load_table(spark, sf_dir, "events"))
-        d = tempfile.mkdtemp(prefix="binlog_typed_")
-        _fixture_write_distributed(b, "binlog_file", d, _render_binlog_typed)
-        _FIXTURE_DIRS[("binlog_typed", sf_dir)] = d
-    return d
-
-
-_TYPED_NAMES = [
-    "t_id", "t_date", "t_year", "t_dt", "t_ts", "t_time",
-    "t_dec", "t_text", "t_char", "t_enum", "t_set", "t_json",
-    "t_u8", "t_u64", "t_geo",
-]
-
-
-# Avro schema of the TYPED twin lake: t_dec is a real decimal(12,2)
-# logical column (bytes, big-endian two's-complement unscaled int) and
-# t_dt a timestamp-millis logical column -- the column types a real
-# Datastream lake carries that the reference's fixed payload never
-# exercises (compare_timestamps.go:57-63 declares raw primitives only).
-_TYPED_AVRO_SCHEMA: dict = {
-    "type": "record",
-    "name": "typed_row",
-    "fields": [
-        {"name": "binlog_file", "type": "string"},
-        {"name": "binlog_position", "type": "long"},
-        {
-            "name": "t_dec",
-            "type": {
-                "type": "bytes",
-                "logicalType": "decimal",
-                "precision": 12,
-                "scale": 2,
-            },
-        },
-        {
-            "name": "t_dt",
-            "type": ["null", {"type": "long", "logicalType": "timestamp-millis"}],
-        },
-    ]
-    + [
-        {"name": n, "type": ["null", "string"]}
-        for n in _TYPED_NAMES
-        if n not in ("t_dec", "t_dt")
-    ],
-}
-
-
-def _render_avro_typed(fname: str, rows: list[dict]) -> tuple[str, bytes]:
-    from decimal import Decimal
-
-    rows.sort(key=lambda r: r["binlog_position"])
-    recs = []
-    for r in rows:
-        rec = {
-            "binlog_file": r["binlog_file"],
-            "binlog_position": r["binlog_position"],
-            # canonical decimal string -> decimal.Decimal; the codec
-            # encodes the unscaled two's-complement bytes
-            "t_dec": Decimal(r["t_dec"]),
-            # epoch-millis long rides the timestamp-millis branch raw
-            "t_dt": r["t_dt_ms"],
-        }
-        for n in _TYPED_NAMES:
-            if n not in ("t_dec", "t_dt"):
-                rec[n] = r[n]
-        recs.append(rec)
-    return f"{fname}.avro", encode_container(
-        _TYPED_AVRO_SCHEMA, recs, sync=_AVRO_FIXTURE_SYNC
-    )
-
-
-def _typed_avro_fixture_dir(spark, sf_dir) -> str:
-    """Real ``.avro`` fixture dir for the typed twin (decimal +
-    timestamp-millis logical columns); executor-rendered and memoized
-    like the binlog twin."""
-    import tempfile
-
-    d = _FIXTURE_DIRS.get(("avro_typed", sf_dir))
-    if d is None:
-        from ..fixtures import derive_typed_avro_columns
-
-        cols = derive_typed_avro_columns(load_table(spark, sf_dir, "events"))
-        d = tempfile.mkdtemp(prefix="avro_typed_")
-        _fixture_write_distributed(cols, "binlog_file", d, _render_avro_typed)
-        _FIXTURE_DIRS[("avro_typed", sf_dir)] = d
-    return d
-
-
-def _typed_avro_spark_schema():
-    from pyspark.sql import types as T
-
-    return T.StructType(
-        [
-            T.StructField("binlog_file", T.StringType()),
-            T.StructField("binlog_position", T.LongType()),
-            T.StructField("t_dec", T.DecimalType(12, 2)),
-            T.StructField("t_dt", T.TimestampType()),
-        ]
-        + [
-            T.StructField(n, T.StringType())
-            for n in _TYPED_NAMES
-            if n not in ("t_dec", "t_dt")
-        ]
-    )
-
-
-def _q_cdc_parse_binlog_typed(spark, sf_dir):
-    """Extended-type row-image decode: genuine binlog bytes whose
-    TABLE_MAP declares the column types real CDC tables carry beyond
-    the reference's avro contract -- packed temporals (DATETIME2/
-    TIMESTAMP2/TIME2), NEWDECIMAL, TEXT, CHAR, ENUM, SET
-    (sources/binlog_binary.py TYPED_COLUMNS; public MySQL row-image
-    layouts).  The payload map surfaces each as its canonical string,
-    compared verbatim against the DuckDB derivation."""
-    ensure_session_conf(spark)
-    from ..sources.binlog_binary import read_binlog_rows_dir
-
-    rows = read_binlog_rows_dir(spark, _typed_binlog_fixture_dir(spark, sf_dir))
-    p = F.col("payload")
-    return rows.select(
-        "binlog_file",
-        "event_no",
-        "log_position",
-        *[F.element_at(p, F.lit(n)).alias(n) for n in _TYPED_NAMES],
-    )
-
-
-def _q_cdc_payload_diff_typed(spark, sf_dir):
-    """payload_diff over the TYPED table with GENUINE BYTES ON BOTH
-    SIDES (r6 verdict item 4 closes the typed-diff loop): the binlog
-    side decodes NEWDECIMAL/DATETIME2/... row images from real binlog
-    bytes, and the avro side now decodes a real ``.avro`` lake whose
-    t_dec is a decimal(12,2) LOGICAL column (big-endian unscaled
-    bytes) and t_dt a timestamp-millis logical column
-    (sources/avro.read_avro_logical + avro_codec logical types).  The
-    typed columns canonicalize in Spark (decimal cast, UTC
-    date_format), then the same single-join bucketed payload_diff
-    compares them -- planted MISMATCH (t_dec), AVRO_NULL (t_dt) and
-    BINLOG_NULL (t_text) divergences, oracle unchanged from r6."""
-    ensure_session_conf(spark)
-    from ..sources.avro import read_avro_logical
-    from ..sources.binlog_binary import read_binlog_rows_dir
-
-    rows = read_binlog_rows_dir(spark, _typed_binlog_fixture_dir(spark, sf_dir))
-    bp = C.prepare_binlog_payload(rows)
-    nested = read_avro_logical(
-        spark,
-        _typed_avro_fixture_dir(spark, sf_dir),
-        _typed_avro_spark_schema(),
-    )
-    canon = {
-        "t_dec": F.col("t_dec").cast("string"),
-        "t_dt": F.date_format("t_dt", "yyyy-MM-dd HH:mm:ss.SSS"),
-    }
-    ap = nested.select(
-        "binlog_file",
-        "binlog_position",
-        F.map_from_arrays(
-            F.array(*[F.lit(n) for n in _TYPED_NAMES]),
-            F.array(*[canon.get(n, F.col(n)) for n in _TYPED_NAMES]),
-        ).alias("payload"),
-    )
-    return C.payload_diff(bp, ap)
-
-
-_PAYLOAD_NAMES = [
-    "order_id", "customer_name", "product_name", "quantity",
-    "order_timestamp",
-]
-
-
-def _payload_map(prefix: str = "") -> F.Column:
-    return F.map_from_arrays(
-        F.array(*[F.lit(n) for n in _PAYLOAD_NAMES]),
-        F.array(*[F.col(prefix + n).cast("string") for n in _PAYLOAD_NAMES]),
-    )
-
-
-def _q_cdc_payload_findings_stream(spark, sf_dir):
-    """FULL OUTER payload findings with BOTH sides live (round-5
-    verdict item 8): the watermarked stream-stream join adds the
-    BINLOG_ONLY / AVRO_ONLY tiers the stateless stream-static diff
-    cannot assert, under the strict post-watermark horizon pinned by
-    test_payload_findings_stream_horizons.  Each side replays as one
-    JSON file (single micro-batch per source, so no intermediate
-    watermark can drop late-listed rows); event time is the source
-    event's timestamp on both sides, which the oracle mirrors."""
-    global _STREAM_SINK_SEQ
-    import tempfile
-
-    from ..streaming.compare_stream import streaming_payload_findings
-
-    ensure_session_conf(spark)
-    ev = load_table(spark, sf_dir, "events")
-    d = _FIXTURE_DIRS.get(("stream_payload_findings", sf_dir))
-    if d is None:
-        # binlog side: prepared row images (last-write-wins per key,
-        # zero-pos and empty-file drops) + event-time ms
-        b = derive_binlog_events_with_payload(ev).filter(
-            F.col("order_timestamp").isNotNull()
-            & (F.col("binlog_file") != "")
-            & (F.col("log_position") != 0)
-        )
-        w = Window.partitionBy("binlog_file", "log_position").orderBy(
-            F.col("line_no").desc()
-        )
-        bframe = (
-            b.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select(
-                "binlog_file",
-                F.col("log_position").alias("binlog_position"),
-                _payload_map().alias("payload"),
-                F.col("order_timestamp").alias("ts_ms"),
-            )
-        )
-        avro = derive_avro_rows(ev).join(derive_avro_payload(ev), "avro_line_no")
-        ats = ev.select(
-            F.col("event_id").alias("avro_line_no"),
-            F.unix_millis("ts").alias("__ats"),
-        )
-        aframe = (
-            C.prepare_avro(avro)
-            .join(ats, "avro_line_no")
-            .select(
-                "binlog_file",
-                "binlog_position",
-                _payload_map().alias("payload"),
-                F.col("__ats").alias("ts_ms"),
-            )
-        )
-        d = tempfile.mkdtemp(prefix="cdc_payload_findings_stream_")
-        bframe.coalesce(1).write.mode("overwrite").json(d + "/b")
-        aframe.coalesce(1).write.mode("overwrite").json(d + "/a")
-        _FIXTURE_DIRS[("stream_payload_findings", sf_dir)] = d
-    schema = (
-        "binlog_file string, binlog_position bigint, "
-        "payload map<string,string>, ts_ms bigint"
-    )
-
-    def rd(sub):
-        return (
-            spark.readStream.schema(schema)
-            .json(d + "/" + sub)
-            .withColumn("ts", F.timestamp_millis("ts_ms"))
-        )
-
-    out = streaming_payload_findings(rd("b"), rd("a"), window_ms=5000)
-    _STREAM_SINK_SEQ += 1
-    name = f"cdc_payload_findings_stream_sink_{_STREAM_SINK_SEQ}"
-    return _drain_to_table(spark, out, name, "append")
-
-
-def _q_cdc_parse_binlog_stream(spark, sf_dir):
-    """Streaming S2: the binary fixture dir tailed as a file stream
-    (maxFilesPerTrigger=1 -> one micro-batch per rotated segment),
-    decoded by the SAME Arrow pass as the batch reader and drained
-    availableNow.  Stateless decode means append rows equal the batch
-    table exactly -- the shared oracle."""
-    global _STREAM_SINK_SEQ
-    from ..sources.binlog_binary import stream_binlog_binary_dir
-
-    ensure_session_conf(spark)
-    d = _binlog_binary_fixture_dir(spark, sf_dir)
-    out = stream_binlog_binary_dir(spark, d, max_files_per_trigger=1)
-    _STREAM_SINK_SEQ += 1
-    name = f"cdc_parse_binlog_stream_sink_{_STREAM_SINK_SEQ}"
-    return _drain_to_table(spark, out, name, "append")
-
-
-def _q_cdc_gtid_gaps(spark, sf_dir):
-    """GTID sequence-gap detection (lost-transaction check) over the
-    prepared binlog feed -- gaps here come from the derivation's
-    planted drops (irrelevant Query rows, zero positions, empty files,
-    dedup losers), which is exactly what a real feed's gaps look
-    like."""
-    _, bp, _ = _cdc_frames(spark, sf_dir)
-    return C.gtid_gaps(bp)
-
-
-def _q_cdc_order_audit(spark, sf_dir):
-    """Per-file log_position monotonicity audit over the RAW feed --
-    the zeroed-position rows plant genuine inversions."""
-    ensure_session_conf(spark)
-    return C.order_audit(
-        derive_binlog_events(load_table(spark, sf_dir, "events"))
-    )
-
-
-def _q_cdc_lag_timeline(spark, sf_dir):
-    """Replication-lag trend per minute bucket over matched pairs."""
-    _, bp, ap = _cdc_frames(spark, sf_dir)
-    return C.lag_timeline(C.matched_pairs(bp, ap))
-
-
-def _q_cdc_rotate_chain(spark, sf_dir):
-    """Rotation-chain audit over the SHARED binary fixture dir (r6
-    verdict item 5): every closed segment ends with a real
-    ROTATE_EVENT naming its successor (sources/binlog_binary
-    encode/decode_binlog_rotate), and compare.rotate_chain_audit
-    asserts the chain matches the directory listing -- the `ls -v`
-    completeness assumption the reference never checks
-    (comparator.sh:85-100) surfaced as findings.  Clean fixture =
-    OK rows + one ACTIVE_TAIL; the CHAIN_GAP / MISSING_ROTATE paths
-    are pytest-pinned (test_rotate_chain_*)."""
-    ensure_session_conf(spark)
-    from ..sources.binlog_binary import read_binlog_rotate_dir
-
-    return C.rotate_chain_audit(
-        read_binlog_rotate_dir(spark, _binlog_binary_fixture_dir(spark, sf_dir))
-    )
-
-
-def _q_cdc_binlog_skip_stats(spark, sf_dir):
-    """The binary source's debug-log channel as a driver-checked
-    query: per-file counters of refused events (CRC failures,
-    compressed transactions without a codec) over the SHARED binary
-    fixture dir -- all zero on clean inputs, which is exactly what the
-    oracle states; the non-zero paths are pytest-pinned
-    (test_skip_stats_channel)."""
-    ensure_session_conf(spark)
-    from ..sources.binlog_binary import read_binlog_skip_stats_dir
-
-    return read_binlog_skip_stats_dir(
-        spark, _binlog_binary_fixture_dir(spark, sf_dir)
-    )
-
-
-def _q_cdc_payload_diff(spark, sf_dir):
-    """The capability the reference declares columns for but never
-    ships (compare_timestamps.go:57-63): column-level diff of binlog
-    ROW IMAGES (decoded from genuine bytes) against the avro side's
-    payload.*.  Binlog side: effective image per key (after for
-    WRITE/UPDATE, before for DELETE) with the same null-key drop +
-    last-write-wins dedup as the metadata compare; avro side: the
-    derived payload columns stringified canonically into the same map
-    shape.  Planted divergences produce MISMATCH / BINLOG_NULL /
-    AVRO_NULL findings; agreeing columns emit nothing."""
-    ensure_session_conf(spark)
-    from ..sources.binlog_binary import read_binlog_rows_dir
-
-    rows = read_binlog_rows_dir(spark, _binlog_binary_fixture_dir(spark, sf_dir))
-    bp = C.prepare_binlog_payload(rows)
-    ev = load_table(spark, sf_dir, "events")
-    avro = derive_avro_rows(ev).join(derive_avro_payload(ev), "avro_line_no")
-    ap = C.prepare_avro(avro).select(
-        "binlog_file",
-        "binlog_position",
-        F.map_from_arrays(
-            F.array(
-                F.lit("order_id"),
-                F.lit("customer_name"),
-                F.lit("product_name"),
-                F.lit("quantity"),
-                F.lit("order_timestamp"),
-            ),
-            F.array(
-                F.col("order_id").cast("string"),
-                F.col("customer_name"),
-                F.col("product_name"),
-                F.col("quantity").cast("string"),
-                F.col("order_timestamp").cast("string"),
-            ),
-        ).alias("payload"),
-    )
-    return C.payload_diff(bp, ap)
-
-
-def _q_cdc_payload_diff_stream(spark, sf_dir):
-    """Streaming twin of cdc_payload_diff: binlog row images static
-    (closed files), avro payload records replayed as an incremental
-    JSONL file stream (4 files, maxFilesPerTrigger=1 -> several
-    micro-batches), drained availableNow through the stateless
-    stream-static payload diff.  The appended findings equal the batch
-    operator's output, which is what the shared oracle states."""
-    global _STREAM_SINK_SEQ
-    import tempfile
-
-    from ..streaming.compare_stream import streaming_payload_diff
-    from ..sources.binlog_binary import read_binlog_rows_dir
-
-    ensure_session_conf(spark)
-    rows = read_binlog_rows_dir(spark, _binlog_binary_fixture_dir(spark, sf_dir))
-    bp = C.prepare_binlog_payload(rows)
-    ev = load_table(spark, sf_dir, "events")
-    avro = derive_avro_rows(ev).join(derive_avro_payload(ev), "avro_line_no")
-    ap = C.prepare_avro(avro).select(
-        "binlog_file",
-        "binlog_position",
-        F.map_from_arrays(
-            F.array(
-                F.lit("order_id"),
-                F.lit("customer_name"),
-                F.lit("product_name"),
-                F.lit("quantity"),
-                F.lit("order_timestamp"),
-            ),
-            F.array(
-                F.col("order_id").cast("string"),
-                F.col("customer_name"),
-                F.col("product_name"),
-                F.col("quantity").cast("string"),
-                F.col("order_timestamp").cast("string"),
-            ),
-        ).alias("payload"),
-    )
-    d = _FIXTURE_DIRS.get(("stream_avro_payload", sf_dir))
-    if d is None:
-        d = tempfile.mkdtemp(prefix="cdc_stream_avro_payload_")
-        ap.repartition(4).write.mode("overwrite").json(d)
-        _FIXTURE_DIRS[("stream_avro_payload", sf_dir)] = d
-    ap_stream = (
-        spark.readStream.schema(
-            "binlog_file string, binlog_position bigint, payload map<string,string>"
-        )
-        .option("maxFilesPerTrigger", 1)
-        .json(d)
-    )
-    _STREAM_SINK_SEQ += 1
-    name = f"cdc_payload_diff_stream_sink_{_STREAM_SINK_SEQ}"
-    return _drain_to_table(
-        spark, streaming_payload_diff(bp, ap_stream), name, "append"
-    )
-
-
-def _q_cdc_payload_summary(spark, sf_dir):
-    """Operational rollup of the payload diff: (column, status) finding
-    counts + exact distinct-key counts -- one map-side-combined
-    aggregate over the findings stream (approx_count_distinct is the
-    100 TB switch, exact here for oracle comparability)."""
-    return C.payload_diff_summary(_q_cdc_payload_diff(spark, sf_dir))
-
-
-def _q_shipping_priority(spark, sf_dir):
-    ensure_session_conf(spark)
-    return shipping_priority(
-        load_table(spark, sf_dir, "customer"),
-        load_table(spark, sf_dir, "orders"),
-        load_table(spark, sf_dir, "lineitem"),
-    )
-
-
-def _q_supplier_part_counts(spark, sf_dir):
-    ensure_session_conf(spark)
-    return supplier_part_counts(
-        load_table(spark, sf_dir, "lineitem"),
-        load_table(spark, sf_dir, "part"),
-        load_table(spark, sf_dir, "supplier"),
-    )
-
-
-def _q_small_quantity_revenue(spark, sf_dir):
-    ensure_session_conf(spark)
-    return small_quantity_revenue(
-        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
-    )
-
-
-def _q_brand_bracket_revenue(spark, sf_dir):
-    ensure_session_conf(spark)
-    return brand_bracket_revenue(
-        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
-    )
-
-
-def _q_cdc_snapshot_diff(spark, sf_dir):
-    """Delta between the day-15 snapshot and the final one: both
-    states materialize from the same event table (time-based split --
-    the reproducible stand-in for two stored versions), diffed by ONE
-    full-outer join on the key."""
-    ensure_session_conf(spark)
-    ev = load_table(spark, sf_dir, "events")
-    cutoff = F.lit("2024-01-16").cast("timestamp")
-    return snapshot_diff(
-        apply_changes(ev.filter(F.col("ts") < cutoff)), apply_changes(ev)
-    )
-
-
-def _q_cdc_merge_upsert(spark, sf_dir):
-    """MERGE INTO over the snapshot family: the day-15 snapshot is the
-    target, the post-cutoff changes fold (tombstones kept) are the
-    source, flagged deletes remove keys -- one full-outer join."""
-    from ..operators.snapshot import merge_upsert
-
-    ensure_session_conf(spark)
-    ev = load_table(spark, sf_dir, "events")
-    cutoff = F.lit("2024-01-16").cast("timestamp")
-    target = apply_changes(ev.filter(F.col("ts") < cutoff))
-    delta = apply_changes(ev.filter(F.col("ts") >= cutoff), keep_deletes=True)
-    src = delta.withColumn("__is_delete", F.col("last_op") == "DELETE")
-    return merge_upsert(target, src, keys=["user_id"], delete_col="__is_delete")
-
-
-def _q_cdc_scd2_history(spark, sf_dir):
-    """Type-2 effective-dated history of the per-user dimension the
-    change stream describes: one row per surviving version with its
-    half-open validity interval -- the warehouse companion of
-    apply_changes (current state) and snapshot_diff (delta)."""
-    from ..operators.snapshot import scd2_history
-
-    ensure_session_conf(spark)
-    return scd2_history(load_table(spark, sf_dir, "events"))
-
-
-def _q_cdc_scd2_lookup(spark, sf_dir):
-    """Point-in-time dimension join: each error event probes the SCD2
-    history for the user's state AT the error instant (NULL when the
-    user had no live version yet -- pre-first-insert or inside a
-    deleted gap)."""
-    from ..operators.snapshot import scd2_history, scd2_lookup
-
-    ensure_session_conf(spark)
-    ev = load_table(spark, sf_dir, "events")
-    probes = ev.filter(
-        (F.col("event_type") == "error") & F.col("user_id").isNotNull()
-    ).select(
-        F.col("event_id").alias("probe_event_id"),
-        "user_id",
-        F.unix_millis(F.col("ts")).alias("probe_ts_ms"),
-    )
-    return scd2_lookup(scd2_history(ev), probes)
-
-
-def _q_lineitem_measure_profile(spark, sf_dir):
-    """UNPIVOT + GROUPING SETS in one pass: melt the four lineitem
-    measures to long form (one Expand, zero shuffle), then a single
-    grouping-sets aggregate emits per-flag and measure-total stats."""
-    from ..operators.analytics import measure_profile
-
-    ensure_session_conf(spark)
-    return measure_profile(load_table(spark, sf_dir, "lineitem"))
-
-
-def _q_events_time_rollup(spark, sf_dir):
-    ensure_session_conf(spark)
-    return time_rollup(load_table(spark, sf_dir, "events"))
-
-
-def _q_events_gap_fill(spark, sf_dir):
-    ensure_session_conf(spark)
-    return gap_fill_locf(load_table(spark, sf_dir, "events"))
-
-
-def _q_cdc_latency_stats(spark, sf_dir):
-    avro, bp, ap = _cdc_frames(spark, sf_dir)
-    return C.latency_stats(C.matched_pairs(bp, ap))
-
-
-def _q_cdc_replica_checksums(spark, sf_dir):
-    avro, bp, ap = _cdc_frames(spark, sf_dir)
-    return C.replica_checksums(bp, ap)
-
-
-def _q_burst_minutes(spark, sf_dir):
-    ensure_session_conf(spark)
-    return burst_minutes(load_table(spark, sf_dir, "events"))
-
-
-def _q_value_anomalies(spark, sf_dir):
-    ensure_session_conf(spark)
-    return value_anomalies(load_table(spark, sf_dir, "events"))
-
-
-def _q_hdr_quantiles(spark, sf_dir):
-    ensure_session_conf(spark)
-    from ..operators.analytics import hdr_quantiles
-
-    return hdr_quantiles(load_table(spark, sf_dir, "events"))
-
-
-def _q_levenshtein_pairs(spark, sf_dir):
-    ensure_session_conf(spark)
-    return levenshtein_near_pairs(_docs(spark, sf_dir))
-
-
-def _q_doc_slugs(spark, sf_dir):
-    ensure_session_conf(spark)
-    return doc_slugs(_docs(spark, sf_dir))
-
-
-def _q_gopher_quality(spark, sf_dir):
-    ensure_session_conf(spark)
-    return gopher_quality_flags(_docs(spark, sf_dir))
-
-
-def _q_heavy_langs(spark, sf_dir):
-    ensure_session_conf(spark)
-    return misra_gries_heavy_hitters(_docs(spark, sf_dir), "lang", share=0.25)
-
-
-def _q_source_reputation(spark, sf_dir):
-    ensure_session_conf(spark)
-    return source_reputation(_docs(spark, sf_dir))
-
-
-def _q_doc_source_filter(spark, sf_dir):
-    ensure_session_conf(spark)
-    return filter_by_source_reputation(_docs(spark, sf_dir))
-
-
-def _q_events_enrich_stream(spark, sf_dir):
-    """Stream-static enrichment join in the driver contract: the
-    events table replayed as a file stream, left-joined per micro-batch
-    to the BATCH per-user profile aggregated from the same table
-    (broadcast dimension, stateless join, no watermark).  Every stream
-    row is emitted exactly once, so the drained sink equals the batch
-    join -- which is the oracle verbatim."""
-    global _STREAM_SINK_SEQ
-    from ..sources.tables import _EVENTS_SCHEMA, events_ts_column
-    from ..streaming.enrich_stream import enrich_with_profile, user_profile
-
-    ensure_session_conf(spark)
-    batch_events = load_table(spark, sf_dir, "events")
-    profile = user_profile(batch_events)
-    stream = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", events_ts_column(sf_dir))
-    )
-    _STREAM_SINK_SEQ += 1
-    name = f"events_enrich_stream_sink_{_STREAM_SINK_SEQ}"
-    out = enrich_with_profile(stream, profile)
-    return _drain_to_table(spark, out, name, "append")
-
-
-def _q_ab_test_welch(spark, sf_dir):
-    """Welch two-sample t-test per event type over the md5-parity user
-    split (analytics.ab_test_welch): one conditional-sum aggregate,
-    statistics from exact sums."""
-    ensure_session_conf(spark)
-    from ..operators.analytics import ab_test_welch
-
-    return ab_test_welch(load_table(spark, sf_dir, "events"))
-
-
-def _q_value_trend_ols(spark, sf_dir):
-    """Closed-form per-type OLS trend of value over the hour index
-    (analytics.value_trend_ols): five exact sufficient statistics, one
-    aggregate, no sort."""
-    ensure_session_conf(spark)
-    from ..operators.analytics import value_trend_ols
-
-    return value_trend_ols(load_table(spark, sf_dir, "events"))
-
-
-def _q_cusum_changepoints(spark, sf_dir):
-    """CUSUM change-point per event type (analytics.cusum_changepoints):
-    running deviation sum over the minute-count frame, arg-max pick by
-    struct-max."""
-    ensure_session_conf(spark)
-    from ..operators.analytics import cusum_changepoints
-
-    return cusum_changepoints(load_table(spark, sf_dir, "events"))
-
-
-def _q_basket_brand_pairs(spark, sf_dir):
-    """Market-basket brand pair mining with support + lift
-    (analytics.basket_brand_pairs): distinct (order, brand) frame,
-    a<b self-join bounded per basket, broadcast marginals."""
-    ensure_session_conf(spark)
-    from ..operators.analytics import basket_brand_pairs
-
-    return basket_brand_pairs(
-        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
-    )
-
-
-def _q_hard_negatives(spark, sf_dir):
-    """Contrastive triplet mining (similarity.hard_negative_pairs):
-    positives and margin-gapped hard negatives picked from the graded
-    brute-force top-k candidate frame."""
-    ensure_session_conf(spark)
-    from ..operators.similarity import hard_negative_pairs
-
-    return hard_negative_pairs(load_table(spark, sf_dir, "embeddings"))
-
-
-def _q_erasure_audit(spark, sf_dir):
-    """Right-to-be-forgotten sweep audit (curation.erasure_audit) over
-    events + orders for the deterministic md5-sampled request set --
-    per-table totals, purged rows, distinct subjects hit."""
-    ensure_session_conf(spark)
-    from ..operators.curation import erasure_audit, erasure_requests_sample
-
-    events = load_table(spark, sf_dir, "events")
-    orders = load_table(spark, sf_dir, "orders")
-    requests = erasure_requests_sample(events)
-    return erasure_audit(
-        [("events", events, "user_id"), ("orders", orders, "o_custkey")],
-        requests,
-    )
-
-
-def _q_ivm_refresh(spark, sf_dir):
-    """Incremental view maintenance (snapshot.ivm_refresh_typestats):
-    signed retract/add contributions from the post-cutoff delta folded
-    into the stored per-op view; oracle recomputes from the full feed."""
-    ensure_session_conf(spark)
-    from ..operators.snapshot import ivm_refresh_typestats
-
-    return ivm_refresh_typestats(load_table(spark, sf_dir, "events"))
-
-
-def _q_customer_360(spark, sf_dir):
-    """Entity-360 golden record (analytics.customer_360): per-key
-    pre-aggregates on both sides, one FULL OUTER join of key-sized
-    frames, absence-as-segment."""
-    ensure_session_conf(spark)
-    from ..operators.analytics import customer_360
-
-    return customer_360(
-        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "events")
-    )
-
-
-def _q_chi_square(spark, sf_dir):
-    """Chi-square independence of event type x hour-of-day
-    (analytics.chi_square_independence): one contingency aggregate,
-    decimal-summed cell contributions, Cramer's V."""
-    ensure_session_conf(spark)
-    from ..operators.analytics import chi_square_independence
-
-    return chi_square_independence(load_table(spark, sf_dir, "events"))
-
-
-def _q_psi_drift(spark, sf_dir):
-    """Population stability index pre/post cutoff
-    (analytics.psi_drift_report): reference-decile buckets, smoothed
-    proportions, decimal-summed contributions."""
-    ensure_session_conf(spark)
-    from ..operators.analytics import psi_drift_report
-
-    return psi_drift_report(load_table(spark, sf_dir, "events"))
-
-
-def _q_ks_drift(spark, sf_dir):
-    """Two-sample KS drift per type over the HDR bucket sketch
-    (analytics.ks_drift_report)."""
-    ensure_session_conf(spark)
-    from ..operators.analytics import ks_drift_report
-
-    return ks_drift_report(load_table(spark, sf_dir, "events"))
-
-
-def _q_ivm_stream(spark, sf_dir):
-    """Streaming IVM (streaming/snapshot_sink.maintain_ivm): the
-    events table replayed in 4 arbitrary-boundary micro-batches; each
-    batch folds signed retract/add contributions into a versioned view
-    that is never rebuilt from the snapshot.  The final view must equal
-    the full-feed recompute -- the cdc_ivm_refresh oracle verbatim."""
-    global _STREAM_SINK_SEQ
-    import tempfile
-
-    from ..streaming.snapshot_sink import maintain_ivm, read_ivm_view
-
-    ensure_session_conf(spark)
-    chunks = _FIXTURE_DIRS.get(("events_chunks", sf_dir))
-    if chunks is None:
-        chunks = tempfile.mkdtemp(prefix="events_chunks_")
-        load_table(spark, sf_dir, "events").repartition(4).write.mode(
-            "overwrite"
-        ).parquet(chunks)
-        _FIXTURE_DIRS[("events_chunks", sf_dir)] = chunks
-    _STREAM_SINK_SEQ += 1
-    work = tempfile.mkdtemp(prefix=f"ivm_inc_{_STREAM_SINK_SEQ}_")
-    stream = (
-        spark.readStream.schema(load_table(spark, sf_dir, "events").schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(chunks)
-    )
-    q = maintain_ivm(stream, f"{work}/state", f"{work}/ckpt")
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("IVM maintenance drain exceeded 300s")
-    q.stop()
-    return read_ivm_view(spark, f"{work}/state")
-
-
-def _q_mad_anomalies(spark, sf_dir):
-    """MAD modified-z outlier flags (analytics.mad_anomalies): two
-    broadcast percentile aggregates, zero corpus shuffle."""
-    ensure_session_conf(spark)
-    from ..operators.analytics import mad_anomalies
-
-    return mad_anomalies(load_table(spark, sf_dir, "events"))
-
-
-def _q_media_arrow_digest(spark, sf_dir):
-    """mapInArrow blob digests over the derived media frame
-    (multimodal.arrow_blob_digest): md5 hex + byte length straight off
-    Arrow buffers, no pandas materialization."""
-    ensure_session_conf(spark)
-    from ..operators.multimodal import arrow_blob_digest
-
-    docs = _docs(spark, sf_dir)
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.encode(
-            F.when(F.col("doc_id") % 490 < 10, F.lit("shared-blob")).otherwise(
-                F.col("text")
-            ),
-            "utf-8",
-        ).alias("content"),
-    )
-    return arrow_blob_digest(media)
-
-
-def _q_twap_daily(spark, sf_dir):
-    """Time-weighted average value per user-day (analytics.twap_daily):
-    LOCF holding intervals from one key-partitioned window, exact
-    decimal weighted sums."""
-    ensure_session_conf(spark)
-    from ..operators.analytics import twap_daily
-
-    return twap_daily(load_table(spark, sf_dir, "events"))
-
-
-def _q_path_trigrams(spark, sf_dir):
-    """Top-k 3-step event-type paths (analytics.event_path_trigrams):
-    one per-user window, bounded-vocabulary count, TakeOrdered top-k."""
-    ensure_session_conf(spark)
-    from ..operators.analytics import event_path_trigrams
-
-    return event_path_trigrams(load_table(spark, sf_dir, "events"))
-
-
-def _q_hll_rolling(spark, sf_dir):
-    """Rolling distinct users from merged hourly HLL partials
-    (analytics.hll_rolling_distinct): sketch rows explode, raw events
-    never re-scan; exact explode path + error-bound flag as contract."""
-    ensure_session_conf(spark)
-    from ..operators.analytics import hll_rolling_distinct
-
-    return hll_rolling_distinct(load_table(spark, sf_dir, "events"))
-
-
-def _q_psi_stream(spark, sf_dir):
-    """The PSI drift gate RUN AS A STREAM (the ML-ops monitor shape):
-    reference decile edges are computed ONCE from the pre-cutoff batch
-    slice and frozen as literals (versioned config in production); the
-    event feed streams through the scan-speed bucket filter, counts
-    fold in complete-mode state (cell-wise addition, the sketch-merge
-    property), and the PSI inversion (psi_from_counts) runs over the
-    drained few-row table.  Equal to the batch gate by contract -- the
-    oracle is events_psi_drift's SQL verbatim."""
-    global _STREAM_SINK_SEQ
-    from ..operators.analytics import psi_bucket_counts_frozen, psi_from_counts
-    from ..sources.tables import _EVENTS_SCHEMA, events_ts_column
-
-    ensure_session_conf(spark)
-    ev = load_table(spark, sf_dir, "events")
-    cut = "2024-01-16"
-    qs = [i / 10 for i in range(1, 10)]
-    edges = (
-        ev.filter(F.col("value").isNotNull())
-        .filter(F.col("ts") < F.lit(cut).cast("timestamp"))
-        .agg(
-            *[
-                F.round(F.round(F.percentile("value", F.lit(q)), 9), 6).alias(
-                    f"e{i}"
-                )
-                for i, q in enumerate(qs)
-            ]
-        )
-        .collect()[0]
-    )  # 9 floats -- the frozen, versioned monitor config
-    stream = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", events_ts_column(sf_dir))
-    )
-    counts = psi_bucket_counts_frozen(stream, list(edges), cut)
-    _STREAM_SINK_SEQ += 1
-    name = f"events_psi_stream_sink_{_STREAM_SINK_SEQ}"
-    state = _drain_to_table(spark, counts, name, "complete").localCheckpoint()
-    return psi_from_counts(state)
-
-
-def _q_dedup_agreement(spark, sf_dir):
-    """Cross-method near-dup agreement audit
-    (dedup.dedup_method_agreement): union of the graded pair plans,
-    one flag groupBy, three 1-row aggregates."""
-    ensure_session_conf(spark)
-    from ..operators.dedup import dedup_method_agreement
-
-    return dedup_method_agreement(_docs(spark, sf_dir))
-
-
-def _q_scd2_audit(spark, sf_dir):
-    """SCD2 interval-invariant audit (snapshot.scd2_audit) over the
-    built history: overlaps/multi-open/empty intervals fail
-    consistency; delete-shaped gaps are reported informationally."""
-    ensure_session_conf(spark)
-    from ..operators.snapshot import scd2_audit, scd2_history
-
-    return scd2_audit(scd2_history(load_table(spark, sf_dir, "events")))
-
-
-def _q_join_plan(spark, sf_dir):
-    """Pre-flight join planner (analytics.join_plan_report) for the
-    events x orders user join: exact cardinality + skew from key-count
-    frames, engine decision ladder on exact integers."""
-    ensure_session_conf(spark)
-    from ..operators.analytics import join_plan_report
-
-    return join_plan_report(
-        load_table(spark, sf_dir, "events"),
-        "user_id",
-        load_table(spark, sf_dir, "orders"),
-        "o_custkey",
-        broadcast_rows=1000,
-    )
-
-
-def _q_lang_confusion(spark, sf_dir):
-    """Lang-id heuristic confusion matrix vs ground truth
-    (textstats.lang_id_confusion): graded readout over the verified
-    lang_id plan."""
-    ensure_session_conf(spark)
-    from ..operators.textstats import lang_id_confusion
-
-    return lang_id_confusion(_docs(spark, sf_dir))
-
-
-def _q_dedup_closure(spark, sf_dir):
-    """Transitive closure of the near-dup pair graph as unordered
-    component pairs (dedup.closure_pairs).  Round-7 re-expression of
-    the r6 recursive-CTE reach query: (a) semantics upgraded from
-    monotone-path reach to true UNDIRECTED closure -- edges (1,5),(2,5)
-    now surface (1,2), which the increasing-path recursion missed;
-    (b) computed as min-label fixpoint + label self-join, so
-    intermediates are linear in nodes+edges instead of enumerating
-    every path through a dense component; (c) guarded by a component-
-    size cap with a counted overflow twin (dedup_closure_overflow).
-    The recursive-CTE pair expansion survives as the DuckDB ORACLE,
-    where sf0.01 scale keeps it cheap."""
-    ensure_session_conf(spark)
-    from ..operators.dedup import closure_pairs
-
-    return closure_pairs(_docs(spark, sf_dir))
-
-
-def _q_closure_overflow(spark, sf_dir):
-    """The counted overflow channel for the closure guard
-    (dedup.closure_overflow): components larger than the cap surface
-    as (cluster_id, n_docs, n_pairs_suppressed) report rows instead of
-    O(n^2) pairs.  Registered with cap=2 so the sf0.01 corpus
-    exercises the channel with a real row (production default 10k)."""
-    ensure_session_conf(spark)
-    from ..operators.dedup import closure_overflow
-
-    return closure_overflow(_docs(spark, sf_dir), cap=2)
-
-
-def _q_template_dedup(spark, sf_dir):
-    """Template-level dedup (dedup.template_dedup): digit/whitespace
-    normalization then the exact_dedup hash-group shape."""
-    ensure_session_conf(spark)
-    from ..operators.dedup import template_dedup
-
-    return template_dedup(_docs(spark, sf_dir))
-
-
-def _q_binlog_variant(spark, sf_dir):
-    """D3 open-schema ingestion on Spark 4 VARIANT
-    (sources/jsonl.binlog_events_via_variant): JSON wire form ->
-    parse_json -> try_variant_get contract columns."""
-    ensure_session_conf(spark)
-    from ..sources.jsonl import binlog_events_via_variant
-
-    return binlog_events_via_variant(
-        derive_binlog_events(load_table(spark, sf_dir, "events"))
-    )
-
-
-def _q_conversion_ab(spark, sf_dir):
-    """Two-proportion conversion z-test over the md5-parity arms
-    (analytics.conversion_ab_test)."""
-    ensure_session_conf(spark)
-    from ..operators.analytics import conversion_ab_test
-
-    return conversion_ab_test(load_table(spark, sf_dir, "events"))
-
-
-def _q_benford(spark, sf_dir):
-    """Benford first-digit audit over order totals
-    (analytics.benford_audit)."""
-    ensure_session_conf(spark)
-    from ..operators.analytics import benford_audit
-
-    return benford_audit(load_table(spark, sf_dir, "orders"))
-
-
-def _q_abc_classes(spark, sf_dir):
-    """ABC/Pareto customer classification (analytics.abc_classes):
-    bucketed two-phase exact-decimal prefix sum, no global window."""
-    ensure_session_conf(spark)
-    from ..operators.analytics import abc_classes
-
-    return abc_classes(load_table(spark, sf_dir, "orders"))
-
-
-def _q_anomaly_stream(spark, sf_dir):
-    """value_anomalies run as a STREAM against frozen per-type stats
-    (analytics.anomaly_scores_frozen): stats from the full batch feed
-    (versioned monitor config), stream scores stateless -- equals the
-    batch operator row for row, so the oracle is events_value_anomalies
-    verbatim."""
-    global _STREAM_SINK_SEQ
-    from ..operators.analytics import anomaly_scores_frozen
-    from ..sources.tables import _EVENTS_SCHEMA, events_ts_column
-
-    ensure_session_conf(spark)
-    ev = load_table(spark, sf_dir, "events")
-    v = F.col("value").cast("decimal(18,6)")
-    stats = [
-        r.asDict()
-        for r in ev.groupBy("event_type")
-        .agg(
-            F.count("*").alias("__n"), F.sum(v).alias("__s"), F.sum(v * v).alias("__ss")
-        )
-        .select(
-            "event_type",
-            (F.col("__s").cast("double") / F.col("__n")).alias("mean"),
-            F.sqrt(
-                F.col("__ss").cast("double") / F.col("__n")
-                - (F.col("__s").cast("double") / F.col("__n"))
-                * (F.col("__s").cast("double") / F.col("__n"))
-            ).alias("std"),
-        )
-        .collect()
-    ]  # handful of (type, mean, std) rows -- the frozen config
-    stream = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", events_ts_column(sf_dir))
-    )
-    out = anomaly_scores_frozen(stream, stats)
-    _STREAM_SINK_SEQ += 1
-    name = f"events_anomaly_stream_sink_{_STREAM_SINK_SEQ}"
-    return _drain_to_table(spark, out, name, "append")
-
-
-def _q_embedding_drift(spark, sf_dir):
-    """Per-label centroid drift vs the corpus mean
-    (similarity.embedding_label_drift): decimal-exact per-dim sums,
-    12-dp-rounded cosine terms."""
-    ensure_session_conf(spark)
-    from ..operators.similarity import embedding_label_drift
-
-    return embedding_label_drift(load_table(spark, sf_dir, "embeddings"))
-
-
-def _q_multitouch(spark, sf_dir):
-    """Linear multi-touch attribution (analytics.multitouch_attribution):
-    1/n credit per in-session preceding touch, session-bounded pairing."""
-    ensure_session_conf(spark)
-    from ..operators.analytics import multitouch_attribution
-
-    return multitouch_attribution(load_table(spark, sf_dir, "events"))
-
-
-def _q_multitouch_position(spark, sf_dir):
-    """U-shaped 40/20/40 attribution (multitouch_attribution
-    model='position')."""
-    ensure_session_conf(spark)
-    from ..operators.analytics import multitouch_attribution
-
-    return multitouch_attribution(
-        load_table(spark, sf_dir, "events"), model="position"
-    )
-
-
-def _q_prefix_filter(spark, sf_dir):
-    """Exact prefix-filter set-similarity join (dedup.prefix_filter_pairs):
-    complete at the threshold, rare-first global token order."""
-    ensure_session_conf(spark)
-    from ..operators.dedup import prefix_filter_pairs
-
-    return prefix_filter_pairs(_docs(spark, sf_dir))
-
-
-def _q_multitouch_decay(spark, sf_dir):
-    """Time-decay attribution (multitouch_attribution
-    model='time_decay'): 2^(-age/10min) weights normalized per
-    purchase."""
-    ensure_session_conf(spark)
-    from ..operators.analytics import multitouch_attribution
-
-    return multitouch_attribution(
-        load_table(spark, sf_dir, "events"), model="time_decay"
-    )
-
-
-def _q_containment(spark, sf_dir):
-    """Directional containment join (dedup.containment_pairs): the
-    quote/subset detector, complete at the threshold."""
-    ensure_session_conf(spark)
-    from ..operators.dedup import containment_pairs
-
-    return containment_pairs(_docs(spark, sf_dir))
-
-
-def _q_token_allocation(spark, sf_dir):
-    """Water-filling token budget allocation across sources
-    (textstats.token_allocation): closed-form level over sorted caps."""
-    ensure_session_conf(spark)
-    from ..operators.textstats import token_allocation
-
-    return token_allocation(_docs(spark, sf_dir))
-
-
-def _q_source_redundancy(spark, sf_dir):
-    """Per-source near-dup redundancy (dedup.source_redundancy):
-    cluster membership joined back for the feed-level verdict."""
-    ensure_session_conf(spark)
-    from ..operators.dedup import source_redundancy
-
-    return source_redundancy(_docs(spark, sf_dir))
-
-
-def _q_minhash_error(spark, sf_dir):
-    """MinHash estimator calibration (dedup.minhash_estimate_error):
-    signature-agreement estimate vs exact Jaccard per LSH pair."""
-    ensure_session_conf(spark)
-    from ..operators.dedup import minhash_estimate_error
-
-    return minhash_estimate_error(_docs(spark, sf_dir))
-
-
-def _q_median_of_means(spark, sf_dir):
-    """Median-of-means robust mean (analytics.median_of_means):
-    md5-bucketed exact-sum means, R-7 median over the bucket frame."""
-    ensure_session_conf(spark)
-    from ..operators.analytics import median_of_means
-
-    return median_of_means(load_table(spark, sf_dir, "lineitem"))
-
-
-def _q_label_consensus(spark, sf_dir):
-    """Near-dup cluster label consensus (dedup.cluster_label_consensus):
-    majority lang per component, disagreement flags."""
-    ensure_session_conf(spark)
-    from ..operators.dedup import cluster_label_consensus
-
-    return cluster_label_consensus(_docs(spark, sf_dir))
-
-
-def _q_rfm(spark, sf_dir):
-    """RFM quintile scores + segment codes (analytics.rfm_scores):
-    broadcast percentile boundaries, never an ntile window."""
-    ensure_session_conf(spark)
-    from ..operators.analytics import rfm_scores
-
-    return rfm_scores(load_table(spark, sf_dir, "orders"))
-
-
-def _q_funnel_timing(spark, sf_dir):
-    """Funnel velocity (analytics.funnel_timing): per-transition
-    conversion rate + R-7 median time-to-convert."""
-    ensure_session_conf(spark)
-    from ..operators.analytics import funnel_timing
-
-    return funnel_timing(load_table(spark, sf_dir, "events"))
-
-
-def _q_zipf(spark, sf_dir):
-    """Zipf rank-frequency fit over the top-500 vocabulary
-    (textstats.zipf_fit)."""
-    ensure_session_conf(spark)
-    from ..operators.textstats import zipf_fit
-
-    return zipf_fit(_docs(spark, sf_dir))
 
 
 def queries() -> dict[str, QueryFn]:
@@ -3830,4882 +306,9 @@ def queries() -> dict[str, QueryFn]:
     }
 
 
-# --- DuckDB oracles --------------------------------------------------------
-
-# shared by events_view_click_range (batch interval join) and
-# events_join_stream (its streaming twin -- same result by contract)
-_VIEW_CLICK_RANGE_SQL = """
-WITH ev AS (
-  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
-)
-SELECT v.event_id AS view_event_id, c.event_id AS click_event_id,
-       v.user_id, c.ts_ms - v.ts_ms AS gap_ms
-FROM ev v JOIN ev c
-  ON v.user_id = c.user_id
- AND c.ts_ms >= v.ts_ms AND c.ts_ms < v.ts_ms + 600000
-WHERE v.event_type = 'view' AND c.event_type = 'click'"""
-
-# shared by cdc_apply_changes (batch), cdc_snapshot_stream (complete-
-# mode streaming), and cdc_snapshot_incremental (foreachBatch
-# maintenance) -- three execution strategies, one result by contract
-_SNAPSHOT_DIFF_SQL = """
-WITH changes AS (
-  SELECT user_id,
-         CASE event_type WHEN 'click' THEN 'INSERT'
-                         WHEN 'view' THEN 'UPDATE'
-                         ELSE 'DELETE' END AS op,
-         epoch_ms(ts) AS ts_ms, event_id, value, ts
-  FROM events
-  WHERE event_type IN ('click', 'view', 'purchase') AND user_id IS NOT NULL
-),
-snap_of AS (
-  SELECT user_id, op AS last_op, ts_ms AS last_ts_ms,
-         event_id AS last_event_id, round(value, 4) AS last_value, n_changes,
-         cutoff
-  FROM (
-    SELECT c.*, s.cutoff,
-           row_number() OVER (PARTITION BY s.cutoff, c.user_id
-                              ORDER BY c.ts_ms DESC, c.event_id DESC) AS rn,
-           count(*) OVER (PARTITION BY s.cutoff, c.user_id) AS n_changes
-    FROM changes c
-    JOIN (SELECT TIMESTAMP '2024-01-16' AS cutoff
-          UNION ALL SELECT TIMESTAMP '2099-01-01') s
-      ON c.ts < s.cutoff
-  ) WHERE rn = 1 AND op <> 'DELETE'
-),
-old_s AS (SELECT * FROM snap_of WHERE cutoff = TIMESTAMP '2024-01-16'),
-new_s AS (SELECT * FROM snap_of WHERE cutoff = TIMESTAMP '2099-01-01')
-SELECT coalesce(o.user_id, n.user_id) AS user_id,
-       CASE WHEN o.user_id IS NULL THEN 'INSERT'
-            WHEN n.user_id IS NULL THEN 'DELETE'
-            ELSE 'UPDATE' END AS change,
-       o.last_event_id AS old_last_event_id,
-       n.last_event_id AS new_last_event_id,
-       o.n_changes AS old_n_changes,
-       n.n_changes AS new_n_changes
-FROM old_s o
-FULL OUTER JOIN new_s n ON o.user_id = n.user_id
-WHERE o.user_id IS NULL OR n.user_id IS NULL
-   OR (o.last_op, o.last_ts_ms, o.last_event_id, o.last_value, o.n_changes)
-      <> (n.last_op, n.last_ts_ms, n.last_event_id, n.last_value, n.n_changes)"""
-
-_APPLY_CHANGES_SQL = """
-WITH changes AS (
-  SELECT user_id,
-         CASE event_type WHEN 'click' THEN 'INSERT'
-                         WHEN 'view' THEN 'UPDATE'
-                         ELSE 'DELETE' END AS op,
-         epoch_ms(ts) AS ts_ms, event_id, value
-  FROM events
-  WHERE event_type IN ('click', 'view', 'purchase') AND user_id IS NOT NULL
-),
-ranked AS (
-  SELECT *,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts_ms DESC, event_id DESC) AS rn,
-         count(*) OVER (PARTITION BY user_id) AS n_changes
-  FROM changes
-)
-SELECT user_id, op AS last_op, ts_ms AS last_ts_ms, event_id AS last_event_id,
-       round(value, 4) AS last_value, n_changes
-FROM ranked WHERE rn = 1 AND op <> 'DELETE'"""
-
-_TOKEN_RE_SQL = r"\S+"
-_BPE_RE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
-_EN_RE = r"\b(the|a|and|of|to|in|is)\b"
-_FR_RE = r"\b(le|la|et|les|des|un|une)\b"
-_DE_RE = r"\b(der|die|und|das|ist|ein|nicht)\b"
-
-_SHINGLE_CTE = rf"""
-doc_words AS (
-  SELECT doc_id, regexp_extract_all(text, '{_TOKEN_RE_SQL}') AS w FROM documents
-),
-doc_shingles AS (
-  SELECT DISTINCT doc_id, shingle FROM (
-    SELECT doc_id,
-           unnest(list_transform(
-             CASE WHEN len(w) >= 3 THEN generate_series(1, len(w) - 2) ELSE [] END,
-             i -> array_to_string(w[i:i+2], ' '))) AS shingle
-    FROM doc_words
-  )
-),
-shingle_hashes AS (
-  SELECT doc_id, shingle,
-         ('0x' || substr(md5(shingle), 1, 12))::BIGINT % {MINHASH_PRIME} AS h
-  FROM doc_shingles
-)
-"""
-
-
-# twin of similarity.kmeans_assignments (k=8, n_iter=2, stride=37):
-# both Lloyd's iterations unrolled; every score / centroid coordinate
-# rounded to 1e-6 before comparison, ties to the lowest centroid id.
-# Shared by the embedding_kmeans and embedding_semdedup oracles.
-_KMEANS_CTE = """ex AS (
-  SELECT vec_id, generate_subscripts(embedding, 1) AS ord,
-         unnest(embedding)::DOUBLE AS v
-  FROM embeddings
-),
-c0 AS (
-  SELECT vec_id // 37 AS centroid_id, ord, round(v, 6) AS cv
-  FROM ex WHERE vec_id % 37 = 0 AND vec_id < 37 * 8
-),
-cn0 AS (SELECT centroid_id, sum(cv * cv) AS n2 FROM c0 GROUP BY 1),
-s0 AS (
-  SELECT e.vec_id, c.centroid_id,
-         round(sum(e.v * c.cv) - 0.5 * any_value(cn.n2), 6) AS score
-  FROM ex e JOIN c0 c ON e.ord = c.ord
-  JOIN cn0 cn ON cn.centroid_id = c.centroid_id
-  GROUP BY 1, 2
-),
-a0 AS (
-  SELECT vec_id, centroid_id FROM (
-    SELECT *, row_number() OVER (
-        PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
-    FROM s0) WHERE rn = 1
-),
-c1 AS (
-  SELECT a.centroid_id, e.ord, round(avg(e.v), 6) AS cv
-  FROM ex e JOIN a0 a ON a.vec_id = e.vec_id
-  GROUP BY 1, 2
-),
-cn1 AS (SELECT centroid_id, sum(cv * cv) AS n2 FROM c1 GROUP BY 1),
-s1 AS (
-  SELECT e.vec_id, c.centroid_id,
-         round(sum(e.v * c.cv) - 0.5 * any_value(cn.n2), 6) AS score
-  FROM ex e JOIN c1 c ON e.ord = c.ord
-  JOIN cn1 cn ON cn.centroid_id = c.centroid_id
-  GROUP BY 1, 2
-),
-a1 AS (
-  SELECT vec_id, centroid_id FROM (
-    SELECT *, row_number() OVER (
-        PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
-    FROM s1) WHERE rn = 1
-)"""
-
-
-def _pq_kmeans_cte(p: str, lo: int, hi: int, k: int = 8, stride: int = 37) -> str:
-    """One subspace's unrolled 2-iteration k-means chain (the
-    _KMEANS_CTE recipe verbatim, prefixed and re-based onto the ord
-    slice [lo, hi]) -- twin of similarity.pq_codes' per-subspace
-    kmeans_assignments call."""
-    return f"""{p}ex AS (
-  SELECT vec_id, ord - {lo - 1} AS ord, v FROM ex WHERE ord BETWEEN {lo} AND {hi}
-),
-{p}c0 AS (
-  SELECT vec_id // {stride} AS centroid_id, ord, round(v, 6) AS cv
-  FROM {p}ex WHERE vec_id % {stride} = 0 AND vec_id < {stride} * {k}
-),
-{p}cn0 AS (SELECT centroid_id, sum(cv * cv) AS n2 FROM {p}c0 GROUP BY 1),
-{p}s0 AS (
-  SELECT e.vec_id, c.centroid_id,
-         round(sum(e.v * c.cv) - 0.5 * any_value(cn.n2), 6) AS score
-  FROM {p}ex e JOIN {p}c0 c ON e.ord = c.ord
-  JOIN {p}cn0 cn ON cn.centroid_id = c.centroid_id
-  GROUP BY 1, 2
-),
-{p}a0 AS (
-  SELECT vec_id, centroid_id FROM (
-    SELECT *, row_number() OVER (
-        PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
-    FROM {p}s0) WHERE rn = 1
-),
-{p}c1 AS (
-  SELECT a.centroid_id, e.ord, round(avg(e.v), 6) AS cv
-  FROM {p}ex e JOIN {p}a0 a ON a.vec_id = e.vec_id
-  GROUP BY 1, 2
-),
-{p}cn1 AS (SELECT centroid_id, sum(cv * cv) AS n2 FROM {p}c1 GROUP BY 1),
-{p}s1 AS (
-  SELECT e.vec_id, c.centroid_id,
-         round(sum(e.v * c.cv) - 0.5 * any_value(cn.n2), 6) AS score
-  FROM {p}ex e JOIN {p}c1 c ON e.ord = c.ord
-  JOIN {p}cn1 cn ON cn.centroid_id = c.centroid_id
-  GROUP BY 1, 2
-),
-{p}a1 AS (
-  SELECT vec_id, centroid_id FROM (
-    SELECT *, row_number() OVER (
-        PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
-    FROM {p}s1) WHERE rn = 1
-)"""
-
-
-def _pq_codes_sql(m: int = 4, sub: int = 16) -> str:
-    ctes = ",\n".join(
-        _pq_kmeans_cte(f"p{s}", s * sub + 1, (s + 1) * sub) for s in range(m)
-    )
-    sel = "\nUNION ALL\n".join(
-        f"SELECT vec_id, {s} AS subspace, centroid_id AS code FROM p{s}a1"
-        for s in range(m)
-    )
-    return f"""WITH ex AS (
-  SELECT vec_id, generate_subscripts(embedding, 1) AS ord,
-         unnest(embedding)::DOUBLE AS v
-  FROM embeddings
-),
-{ctes}
-{sel}"""
-
-
-def _pq_adc_sql(m: int = 4, sub: int = 16, n_queries: int = 32, topk: int = 5) -> str:
-    """Twin of similarity.pq_adc_topk: per-subspace codebooks (the c1
-    frames the codes index) joined to the code table and the sliced
-    query vectors; one grouped sum per (query, vector), rounded, then
-    rank<=topk with the vec_id tie-break."""
-    ctes = ",\n".join(
-        _pq_kmeans_cte(f"p{s}", s * sub + 1, (s + 1) * sub) for s in range(m)
-    )
-    codes = "\nUNION ALL\n".join(
-        f"SELECT vec_id, {s} AS subspace, centroid_id AS code FROM p{s}a1"
-        for s in range(m)
-    )
-    cents = "\nUNION ALL\n".join(
-        f"SELECT {s} AS subspace, centroid_id AS code, ord, cv FROM p{s}c1"
-        for s in range(m)
-    )
-    return f"""WITH ex AS (
-  SELECT vec_id, generate_subscripts(embedding, 1) AS ord,
-         unnest(embedding)::DOUBLE AS v
-  FROM embeddings
-),
-{ctes},
-codes AS ({codes}),
-cents AS ({cents}),
-q AS (
-  SELECT vec_id AS query_id, (ord - 1) // {sub} AS subspace,
-         (ord - 1) % {sub} + 1 AS ord, v AS qv
-  FROM ex WHERE vec_id < {n_queries}
-),
-scores AS (
-  SELECT q.query_id, k.vec_id, round(sum(q.qv * c.cv), 6) AS score
-  FROM codes k
-  JOIN cents c ON c.subspace = k.subspace AND c.code = k.code
-  JOIN q ON q.subspace = k.subspace AND q.ord = c.ord
-  WHERE k.vec_id <> q.query_id
-  GROUP BY 1, 2
-)
-SELECT query_id, vec_id AS neighbor_id, score, rank FROM (
-  SELECT *, row_number() OVER (
-      PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
-  FROM scores
-) WHERE rank <= {topk}"""
-
-
-def _minhash_aggs() -> str:
-    return ",\n    ".join(
-        f"min(({a} * h + {b}) % {MINHASH_PRIME}) AS min_{i}"
-        for i, (a, b) in enumerate(minhash_params())
-    )
-
-
-def _minhash_sig_sql() -> str:
-    return (
-        f"WITH {_SHINGLE_CTE}\n"
-        f"SELECT doc_id,\n    {_minhash_aggs()}\nFROM shingle_hashes GROUP BY doc_id"
-    )
-
-
-def _lsh_band_union() -> str:
-    band_joins = []
-    for b in range(4):
-        cols = [f"min_{b * 4 + r}" for r in range(4)]
-        lkey = " || '_' || ".join(f"CAST(l.{c} AS VARCHAR)" for c in cols)
-        rkey = " || '_' || ".join(f"CAST(r.{c} AS VARCHAR)" for c in cols)
-        band_joins.append(
-            f"SELECT l.doc_id AS doc_a, r.doc_id AS doc_b\n"
-            f"FROM sig l JOIN sig r ON ({lkey}) = ({rkey})\n"
-            f"WHERE l.doc_id < r.doc_id"
-        )
-    return "\nUNION ALL\n".join(band_joins)
-
-
-def _lsh_pairs_sql() -> str:
-    return (
-        f"WITH {_SHINGLE_CTE},\n"
-        f"sig AS (SELECT doc_id,\n    {_minhash_aggs()}\nFROM shingle_hashes GROUP BY doc_id)\n"
-        f"SELECT DISTINCT doc_a, doc_b FROM (\n{_lsh_band_union()}\n)"
-    )
-
-
-def _fuzzy_contamination_sql() -> str:
-    """Twin of dedup.fuzzy_contamination_pairs (benchmark_max_id=10,
-    4x4 banding): corpus-x-benchmark band join, exact shingle Jaccard
-    per candidate."""
-    band_joins = []
-    for b in range(4):
-        cols = [f"min_{b * 4 + r}" for r in range(4)]
-        lkey = " || '_' || ".join(f"CAST(l.{c} AS VARCHAR)" for c in cols)
-        rkey = " || '_' || ".join(f"CAST(r.{c} AS VARCHAR)" for c in cols)
-        band_joins.append(
-            f"SELECT l.doc_id AS doc_id, r.doc_id AS bench_id\n"
-            f"FROM sig l JOIN sig r ON ({lkey}) = ({rkey})\n"
-            f"WHERE l.doc_id >= 10 AND r.doc_id < 10"
-        )
-    cand_union = "\nUNION ALL\n".join(band_joins)
-    return (
-        f"WITH {_SHINGLE_CTE},\n"
-        f"sig AS (SELECT doc_id,\n    {_minhash_aggs()}\nFROM shingle_hashes GROUP BY doc_id),\n"
-        f"cand AS (SELECT DISTINCT doc_id, bench_id FROM (\n{cand_union}\n)),\n"
-        "inter AS (\n"
-        "  SELECT s.doc_id, b.doc_id AS bench_id, count(*) AS n_intersect\n"
-        "  FROM shingle_hashes s JOIN shingle_hashes b\n"
-        "    ON s.h = b.h AND s.doc_id >= 10 AND b.doc_id < 10\n"
-        "  GROUP BY s.doc_id, b.doc_id\n"
-        "),\n"
-        "sizes AS (SELECT doc_id, count(*) AS n FROM shingle_hashes GROUP BY doc_id)\n"
-        "SELECT c.doc_id, c.bench_id,\n"
-        "       CAST(coalesce(i.n_intersect, 0) AS BIGINT) AS n_intersect,\n"
-        "       CAST(sd.n + sb.n - coalesce(i.n_intersect, 0) AS BIGINT) AS n_union,\n"
-        "       coalesce(i.n_intersect, 0) / (sd.n + sb.n - coalesce(i.n_intersect, 0)) AS jaccard\n"
-        "FROM cand c\n"
-        "LEFT JOIN inter i ON i.doc_id = c.doc_id AND i.bench_id = c.bench_id\n"
-        "JOIN sizes sd ON sd.doc_id = c.doc_id\n"
-        "JOIN sizes sb ON sb.doc_id = c.bench_id"
-    )
-
-
-def _incremental_dedup_sql() -> str:
-    """Twin of dedup.incremental_dedup_matches (new = doc_id % 10 = 0,
-    4x4 banding, threshold 0.5): history-x-new band join, exact
-    Jaccard, per-new-doc best match, every new doc reported."""
-    band_joins = []
-    for b in range(4):
-        cols = [f"min_{b * 4 + r}" for r in range(4)]
-        lkey = " || '_' || ".join(f"CAST(l.{c} AS VARCHAR)" for c in cols)
-        rkey = " || '_' || ".join(f"CAST(r.{c} AS VARCHAR)" for c in cols)
-        band_joins.append(
-            f"SELECT l.doc_id AS hist_id, r.doc_id AS new_id\n"
-            f"FROM sig l JOIN sig r ON ({lkey}) = ({rkey})\n"
-            f"WHERE l.doc_id % 10 <> 0 AND r.doc_id % 10 = 0"
-        )
-    cand_union = "\nUNION ALL\n".join(band_joins)
-    return (
-        f"WITH {_SHINGLE_CTE},\n"
-        f"sig AS (SELECT doc_id,\n    {_minhash_aggs()}\nFROM shingle_hashes GROUP BY doc_id),\n"
-        f"cand AS (SELECT DISTINCT hist_id, new_id FROM (\n{cand_union}\n)),\n"
-        "inter AS (\n"
-        "  SELECT s.doc_id AS hist_id, b.doc_id AS new_id, count(*) AS n_intersect\n"
-        "  FROM shingle_hashes s JOIN shingle_hashes b\n"
-        "    ON s.h = b.h AND s.doc_id % 10 <> 0 AND b.doc_id % 10 = 0\n"
-        "  GROUP BY 1, 2\n"
-        "),\n"
-        "sizes AS (SELECT doc_id, count(*) AS n FROM shingle_hashes GROUP BY doc_id),\n"
-        "pairs AS (\n"
-        "  SELECT c.new_id, c.hist_id,\n"
-        "         CAST(coalesce(i.n_intersect, 0) AS BIGINT) AS n_intersect,\n"
-        "         CAST(sh.n + sn.n - coalesce(i.n_intersect, 0) AS BIGINT) AS n_union,\n"
-        "         coalesce(i.n_intersect, 0) / (sh.n + sn.n - coalesce(i.n_intersect, 0)) AS jaccard\n"
-        "  FROM cand c\n"
-        "  LEFT JOIN inter i ON i.hist_id = c.hist_id AND i.new_id = c.new_id\n"
-        "  JOIN sizes sh ON sh.doc_id = c.hist_id\n"
-        "  JOIN sizes sn ON sn.doc_id = c.new_id\n"
-        "),\n"
-        "best AS (\n"
-        "  SELECT new_id, hist_id AS best_match_id, n_intersect, n_union, jaccard FROM (\n"
-        "    SELECT *, row_number() OVER (\n"
-        "        PARTITION BY new_id ORDER BY jaccard DESC, hist_id) AS rn\n"
-        "    FROM pairs) WHERE rn = 1\n"
-        ")\n"
-        "SELECT d.doc_id, b.best_match_id,\n"
-        "       CAST(coalesce(b.n_intersect, 0) AS BIGINT) AS n_intersect,\n"
-        "       CAST(coalesce(b.n_union, 0) AS BIGINT) AS n_union,\n"
-        "       coalesce(b.jaccard, 0.0) AS jaccard,\n"
-        "       coalesce(b.jaccard, 0.0) >= 0.5 AS is_duplicate\n"
-        "FROM documents d LEFT JOIN best b ON b.new_id = d.doc_id\n"
-        "WHERE d.doc_id % 10 = 0"
-    )
-
-
-def _corpus_curation_sql() -> str:
-    """Twin of registry._q_corpus_curation: repetition filter +
-    non-canonical-dup drop + contamination drop, composed from the same
-    CTE pieces the individual oracles use."""
-    return (
-        f"WITH RECURSIVE {_SHINGLE_CTE},\n"
-        f"sig AS (SELECT doc_id,\n    {_minhash_aggs()}\nFROM shingle_hashes GROUP BY doc_id),\n"
-        f"pairs AS (SELECT DISTINCT doc_a, doc_b FROM (\n{_lsh_band_union()}\n)),\n"
-        "sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs\n"
-        "        UNION ALL SELECT doc_b, doc_a FROM pairs),\n"
-        "walk(node, reach) AS (\n"
-        "  SELECT src, dst FROM sym\n"
-        "  UNION\n"
-        "  SELECT w.node, s.dst FROM walk w JOIN sym s ON s.src = w.reach\n"
-        "),\n"
-        "losers AS (\n"
-        "  SELECT node AS doc_id FROM walk GROUP BY node\n"
-        "  HAVING least(node, min(reach)) <> node\n"
-        "),\n"
-        "rep AS (\n"
-        "  SELECT doc_id,\n"
-        "         CASE WHEN len(grams) > 0\n"
-        "              THEN (len(grams) - len(list_distinct(grams))) / len(grams)\n"
-        "              ELSE 0.0 END AS ratio\n"
-        "  FROM (SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_transform(\n"
-        "          generate_series(1, len(w) - 2), i -> array_to_string(w[i:i+2], ' '))\n"
-        "        ELSE [] END AS grams FROM doc_words)\n"
-        "),\n"
-        "bench AS (SELECT DISTINCT shingle FROM doc_shingles WHERE doc_id < 10),\n"
-        "contam AS (\n"
-        "  SELECT s.doc_id FROM doc_shingles s LEFT JOIN bench b ON s.shingle = b.shingle\n"
-        "  WHERE s.doc_id >= 10\n"
-        "  GROUP BY s.doc_id\n"
-        "  HAVING sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) / count(*) > 1.0/3.0\n"
-        "),\n"
-        "survivors AS (\n"
-        "  SELECT d.lang, d.n_chars FROM documents d\n"
-        "  JOIN rep ON rep.doc_id = d.doc_id AND rep.ratio <= 0.2\n"
-        "  ANTI JOIN losers l ON d.doc_id = l.doc_id\n"
-        "  ANTI JOIN contam c ON d.doc_id = c.doc_id\n"
-        ")\n"
-        "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars\n"
-        "FROM survivors GROUP BY lang"
-    )
-
-
-def _dedup_clusters_sql() -> str:
-    """Twin of dedup.dedup_clusters: same LSH edge set, components via
-    a recursive reachability walk (fixpoint-deduped UNION), label =
-    least node id reachable."""
-    return (
-        f"WITH RECURSIVE {_SHINGLE_CTE},\n"
-        f"sig AS (SELECT doc_id,\n    {_minhash_aggs()}\nFROM shingle_hashes GROUP BY doc_id),\n"
-        f"pairs AS (SELECT DISTINCT doc_a, doc_b FROM (\n{_lsh_band_union()}\n)),\n"
-        "sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs\n"
-        "        UNION ALL SELECT doc_b, doc_a FROM pairs),\n"
-        "walk(node, reach) AS (\n"
-        "  SELECT src, dst FROM sym\n"
-        "  UNION\n"
-        "  SELECT w.node, s.dst FROM walk w JOIN sym s ON s.src = w.reach\n"
-        ")\n"
-        "SELECT node AS doc_id, least(node, min(reach)) AS cluster_id\n"
-        "FROM walk GROUP BY node"
-    )
-
-
-def _simhash_ctes() -> str:
-    """Shared CTEs computing per-doc SimHash fingerprints (DuckDB mirror
-    of dedup.simhash_fingerprints, same portable md5-48bit word hash)."""
-    sums = ",\n    ".join(
-        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
-        for j in range(SIMHASH_BITS)
-    )
-    pack = " + ".join(
-        f"(CASE WHEN s{j} > 0 THEN {1 << j}::BIGINT ELSE 0 END)"
-        for j in range(SIMHASH_BITS)
-    )
-    return rf"""wh AS (
-  SELECT doc_id, ('0x' || substr(md5(w), 1, 12))::BIGINT AS h
-  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS w FROM documents)
-),
-sums AS (SELECT doc_id, {sums} FROM wh GROUP BY doc_id),
-fps AS (SELECT doc_id, {pack} AS simhash FROM sums)"""
-
-
-def _simhash_fp_sql() -> str:
-    return f"WITH {_simhash_ctes()}\nSELECT doc_id, simhash FROM fps"
-
-
-def _simhash_pairs_sql(max_hamming: int = 3, bands: int | None = None) -> str:
-    # mirror of dedup.simhash_near_pairs: bands = max_hamming + 1 by
-    # default so the pigeonhole recall guarantee holds
-    if bands is None:
-        bands = max_hamming + 1
-    joins = "\nUNION ALL\n".join(
-        f"SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, l.simhash AS sim_a, r.simhash AS sim_b\n"
-        f"FROM fps l JOIN fps r ON ((l.simhash >> {off}) & {(1 << width) - 1}) = ((r.simhash >> {off}) & {(1 << width) - 1})\n"
-        f"WHERE l.doc_id < r.doc_id"
-        for off, width in simhash_band_slices(SIMHASH_BITS, bands)
-    )
-    return f"""WITH {_simhash_ctes()}
-SELECT DISTINCT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming
-FROM (
-{joins}
-)
-WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}"""
-
-
-def _hyperplane_bucket_sql(n_planes: int = 8) -> str:
-    """DuckDB mirror of similarity.hyperplane_bucket over unnested
-    embeddings (dimension index `ord` is 1-based, Spark's is 0-based)."""
-    def lit_list(p: int) -> str:
-        # same literal weights as the Spark plan (similarity.plane_signs)
-        return "[" + ",".join(str(s) for s in plane_signs(p)) + "]::DOUBLE[]"
-
-    bits = " || ".join(
-        f"(CASE WHEN sum(v * ({lit_list(p)})[ord]) >= 0 THEN '1' ELSE '0' END)"
-        for p in range(n_planes)
-    )
-    return f"SELECT vec_id, {bits} AS bucket FROM ex GROUP BY vec_id"
-
-
-def _redact_pii_sql() -> str:
-    """DuckDB twin of redact_pii over _inject_pii: the injection CASEs
-    are stated verbatim, then each pattern counts-then-replaces on the
-    running text exactly as the operator does (DuckDB regexp_replace
-    needs the explicit 'g' flag; Spark's is global by default)."""
-    from ..operators.textstats import EMAIL_RE, IPV4_RE, PHONE_RE, SSN_ISH_RE
-
-    return rf"""
-WITH pii AS (
-  SELECT doc_id,
-         text
-         || CASE WHEN doc_id % 3 = 0 THEN ' user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
-         || CASE WHEN doc_id % 4 = 0 THEN ' 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END
-         || CASE WHEN doc_id % 5 = 0 THEN ' +1 555 0' || CAST(100 + doc_id % 900 AS VARCHAR) || ' 99' ELSE '' END
-         || CASE WHEN doc_id % 7 = 0 THEN ' 123-45-' || CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END
-         AS text
-  FROM documents
-),
-s1 AS (
-  SELECT doc_id,
-         CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_email,
-         regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS text
-  FROM pii
-),
-s2 AS (
-  SELECT doc_id, n_email,
-         CAST(len(regexp_extract_all(text, '{IPV4_RE}')) AS BIGINT) AS n_ipv4,
-         regexp_replace(text, '{IPV4_RE}', '<IP>', 'g') AS text
-  FROM s1
-),
-s3 AS (
-  SELECT doc_id, n_email, n_ipv4,
-         CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT) AS n_phone,
-         regexp_replace(text, '{PHONE_RE}', '<PHONE>', 'g') AS text
-  FROM s2
-),
-s4 AS (
-  SELECT doc_id, n_email, n_ipv4, n_phone,
-         CAST(len(regexp_extract_all(text, '{SSN_ISH_RE}')) AS BIGINT) AS n_id,
-         regexp_replace(text, '{SSN_ISH_RE}', '<ID>', 'g') AS text
-  FROM s3
-)
-SELECT doc_id, n_email, n_ipv4, n_phone, n_id,
-       n_email + n_ipv4 + n_phone + n_id AS n_pii,
-       text AS text_redacted
-FROM s4"""
-
-
-# --- typed-fixture oracle scaffolding --------------------------------------
-# DuckDB expressions mirroring fixtures._typed_value_cols verbatim (the
-# canonical strings the binary decoder renders).  Kept as a dict so the
-# parse oracle's projection and the diff oracle's 11 unpivot branches
-# are generated from ONE source of truth.
-_TYPED_VALUE_SQL = {
-    "t_id": "CAST(eid % 1000000 AS VARCHAR)",
-    "t_date": "strftime(ts, '%Y-%m-%d')",
-    "t_year": "strftime(ts, '%Y')",
-    "t_dt": "strftime(ts, '%Y-%m-%d %H:%M:%S.%g')",
-    "t_ts": "strftime(ts, '%Y-%m-%d %H:%M:%S')",
-    "t_time": (
-        "(CASE WHEN eid % 5 = 0 THEN '-' ELSE '' END)"
-        " || lpad(CAST(1 + eid % 99 AS VARCHAR), 2, '0')"
-        " || ':' || lpad(CAST(eid % 60 AS VARCHAR), 2, '0')"
-        " || ':' || lpad(CAST((eid * 7) % 60 AS VARCHAR), 2, '0')"
-    ),
-    "t_dec": (
-        "(CASE WHEN eid % 3 = 0 THEN '-' ELSE '' END)"
-        " || CAST((1 + (eid * 37) % 9999999) // 100 AS VARCHAR)"
-        " || '.' || lpad(CAST((1 + (eid * 37) % 9999999) % 100 AS VARCHAR), 2, '0')"
-    ),
-    "t_text": (
-        "CASE WHEN eid % 43 = 6 THEN NULL"
-        " ELSE 'text-' || CAST(eid AS VARCHAR) END"
-    ),
-    "t_char": "'c' || CAST(eid % 100 AS VARCHAR)",
-    "t_enum": "CAST(1 + eid % 3 AS VARCHAR)",
-    "t_set": "CAST(eid % 8 AS VARCHAR)",
-    "t_json": (
-        "'{\"k\":' || CAST(eid % 50 AS VARCHAR)"
-        " || ',\"s\":\"v-' || CAST(eid % 7 AS VARCHAR) || '\"}'"
-    ),
-    "t_u8": "CAST(128 + eid % 128 AS VARCHAR)",
-    "t_u64": "CAST(9223372036854775808::HUGEINT + eid AS VARCHAR)",
-    "t_geo": (
-        "'SRID=4326;POINT(' || CAST(eid % 100 AS VARCHAR)"
-        " || '.5 ' || CAST(eid % 50 AS VARCHAR) || '.25)'"
-    ),
-}
-
-_TYPED_DML_CTE = """dml AS (
-  SELECT event_id AS eid, ts,
-    100 * (event_id // 4) + 4 AS log_position,
-    'mysql-bin.' || lpad(CAST(event_id % 4 AS VARCHAR), 6, '0') AS binlog_file
-  FROM events
-  WHERE event_type IN ('click','view','purchase') AND event_id % 223 <> 0
-)"""
-
-_TYPED_PARSE_ORACLE = (
-    "WITH "
-    + _TYPED_DML_CTE
-    + """
-SELECT binlog_file,
-       row_number() OVER (PARTITION BY binlog_file ORDER BY eid) AS event_no,
-       log_position,
-    """
-    + ",\n    ".join(f"{e} AS {n}" for n, e in _TYPED_VALUE_SQL.items())
-    + "\nFROM dml"
-)
-
-# avro-side overrides (fixtures.derive_typed_avro_payload): wrong t_dec
-# on %31=2 (cents+1), NULL t_dt on %47=7, t_text always present; %13
-# rows absent entirely
-_TYPED_AVRO_SQL = dict(_TYPED_VALUE_SQL)
-_TYPED_AVRO_SQL["t_dec"] = (
-    "CASE WHEN eid % 31 = 2 THEN"
-    " (CASE WHEN eid % 3 = 0 THEN '-' ELSE '' END)"
-    " || CAST((2 + (eid * 37) % 9999999) // 100 AS VARCHAR)"
-    " || '.' || lpad(CAST((2 + (eid * 37) % 9999999) % 100 AS VARCHAR), 2, '0')"
-    " ELSE " + _TYPED_VALUE_SQL["t_dec"] + " END"
-)
-_TYPED_AVRO_SQL["t_dt"] = (
-    "CASE WHEN eid % 47 = 7 THEN NULL ELSE "
-    + _TYPED_VALUE_SQL["t_dt"] + " END"
-)
-_TYPED_AVRO_SQL["t_text"] = "'text-' || CAST(eid AS VARCHAR)"
-
-_TYPED_DIFF_ORACLE = (
-    "WITH "
-    + _TYPED_DML_CTE
-    + ", bl AS (\n  SELECT binlog_file, log_position AS binlog_position,\n    "
-    + ",\n    ".join(f"{e} AS {n}" for n, e in _TYPED_VALUE_SQL.items())
-    + "\n  FROM dml\n), av AS (\n"
-    + "  SELECT binlog_file, log_position AS binlog_position,\n    "
-    + ",\n    ".join(f"{e} AS {n}" for n, e in _TYPED_AVRO_SQL.items())
-    + "\n  FROM dml WHERE eid % 13 <> 0\n), unp AS (\n"
-    + "\n  UNION ALL\n".join(
-        f"""  SELECT b.binlog_file, b.binlog_position, '{n}' AS "column",
-         b.{n} AS binlog_value, a.{n} AS avro_value
-  FROM bl b JOIN av a USING (binlog_file, binlog_position)"""
-        for n in _TYPED_VALUE_SQL
-    )
-    + """
-)
-SELECT binlog_file, binlog_position, "column", binlog_value, avro_value,
-       CASE WHEN binlog_value IS NULL AND avro_value IS NOT NULL
-              THEN 'BINLOG_NULL'
-            WHEN binlog_value IS NOT NULL AND avro_value IS NULL
-              THEN 'AVRO_NULL'
-            ELSE 'MISMATCH' END AS status
-FROM unp
-WHERE (binlog_value IS NULL) <> (avro_value IS NULL)
-   OR (binlog_value IS NOT NULL AND avro_value IS NOT NULL
-       AND binlog_value <> avro_value)"""
-)
-
-
-
-def _bm25_sql(k: int) -> str:
-    """BM25 oracle SQL, parameterized by the candidate count so the
-    hybrid-retrieval oracle can reuse the identical scorer at a wider
-    k (doc_bm25_topk uses k=10)."""
-    return f"""
-WITH toks AS (
-  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}')) AS term
-  FROM documents
-),
-dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
-stats AS (
-  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
-),
-tf AS (
-  SELECT doc_id, term, count(*) AS tf FROM toks
-  WHERE term IN ('spark', 'join', 'fast') GROUP BY 1, 2
-),
-dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-scored AS (
-  SELECT t.doc_id,
-         round(sum(
-           ln((CAST(s.n_docs - q.df AS DOUBLE) + 0.5)
-              / (CAST(q.df AS DOUBLE) + 0.5) + 1.0)
-           * (CAST(t.tf AS DOUBLE) * (1.2 + 1.0))
-           / (CAST(t.tf AS DOUBLE)
-              + 1.2 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE) / s.avgdl))
-         ), 6) AS score
-  FROM tf t
-  JOIN dfq q USING (term)
-  JOIN dl d USING (doc_id)
-  CROSS JOIN stats s
-  GROUP BY t.doc_id
-)
-SELECT doc_id, score, rank FROM (
-  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
-  FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT {k})
-)"""
-
-def _brute_cosine_sql(prefix: int | None = None) -> str:
-    """Brute-force cosine top-k oracle, optionally over the first
-    ``prefix`` dimensions (the Matryoshka truncation eval's tiers);
-    prefix=None is the ann_cosine_topk scorer."""
-    cut = f" WHERE ord <= {prefix}" if prefix else ""
-    return f"""
-WITH ex AS (
-  SELECT * FROM (
-    SELECT vec_id, generate_subscripts(embedding, 1) AS ord,
-           unnest(embedding)::DOUBLE AS v
-    FROM embeddings
-  ){cut}
-),
-norms AS (SELECT vec_id, sqrt(sum(v * v)) AS norm FROM ex GROUP BY vec_id),
-q AS (SELECT * FROM ex WHERE vec_id < 32),
-dots AS (
-  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, sum(q.v * e.v) AS dot
-  FROM q JOIN ex e ON q.ord = e.ord AND e.vec_id <> q.vec_id
-  GROUP BY 1, 2
-),
-scored AS (
-  SELECT query_id, neighbor_id,
-         round(dot / (nq.norm * ne.norm), 6) AS cos_sim
-  FROM dots
-  JOIN norms nq ON nq.vec_id = query_id
-  JOIN norms ne ON ne.vec_id = neighbor_id
-)
-SELECT query_id, neighbor_id, cos_sim, rank FROM (
-  SELECT *, row_number() OVER (
-      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
-  FROM scored
-) WHERE rank <= 5"""
-
-
 def oracle_sql() -> dict[str, str]:
-    sql: dict[str, str] = {
-        # extended-type row-image tier: derivation mirrored from
-        # fixtures._typed_value_cols via _TYPED_VALUE_SQL
-        "cdc_parse_binlog_typed": _TYPED_PARSE_ORACLE,
-        "cdc_payload_diff_typed": _TYPED_DIFF_ORACLE,
-        # ops tier: GTID gaps = GNOs the prepared feed never carried
-        # (Query drops, zero positions, empty files, dedup losers)
-        "cdc_gtid_gaps": "WITH " + oracle.CDC_CTES.strip() + """
-, g AS (
-  SELECT DISTINCT split_part(gtid_next, ':', 1) AS sid,
-         CAST(split_part(gtid_next, ':', 2) AS BIGINT) AS gno
-  FROM binlog_prepared WHERE contains(gtid_next, ':')
-)
-SELECT sid, prev + 1 AS gap_start, gno - 1 AS gap_end,
-       gno - prev - 1 AS n_missing
-FROM (SELECT sid, gno,
-             lag(gno) OVER (PARTITION BY sid ORDER BY gno) AS prev
-      FROM g)
-WHERE prev IS NOT NULL AND gno > prev + 1""",
-        # ops tier: per-file position-monotonicity audit on the RAW
-        # feed; zeroed positions are the planted inversions
-        "cdc_order_audit": "WITH " + oracle.CDC_CTES.strip() + """
-, base AS (SELECT * FROM binlog_events_cdc WHERE binlog_file <> ''),
-inv AS (
-  SELECT binlog_file, log_position,
-         max(log_position) OVER (
-           PARTITION BY binlog_file ORDER BY line_no
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_max
-  FROM base)
-SELECT binlog_file, count(*) AS n_events,
-       CAST(coalesce(sum(CASE WHEN log_position < run_max
-                              THEN 1 ELSE 0 END), 0) AS BIGINT)
-         AS n_inversions,
-       min(log_position) AS min_pos, max(log_position) AS max_pos
-FROM inv GROUP BY binlog_file""",
-        # ops tier: per-minute replication-lag trend over matched pairs
-        "cdc_lag_timeline": "WITH " + oracle.CDC_CTES.strip() + """
-SELECT CAST(floor(source_timestamp / 60000) * 60000 AS BIGINT) AS bucket_ms,
-       count(*) AS n,
-       round(quantile_cont(ts_delta_ms, 0.5), 6) AS p50_ms,
-       round(quantile_cont(ts_delta_ms, 0.99), 6) AS p99_ms
-FROM matched WHERE ts_delta_ms IS NOT NULL
-GROUP BY 1""",
-        # debug channel: clean fixtures refuse nothing -- one all-zero
-        # row per binlog segment file
-        "cdc_binlog_skip_stats": """
-SELECT DISTINCT
-  'mysql-bin.' || lpad(CAST(event_id % 4 AS VARCHAR), 6, '0') AS binlog_file,
-  CAST(0 AS BIGINT) AS crc_failed,
-  CAST(0 AS BIGINT) AS compressed_tx_skipped
-FROM events
-WHERE event_id % 223 <> 0""",
-        # rotation chain: the fixture writes a correct chain, so the
-        # audit reads all-OK + one ACTIVE_TAIL; file set mirrors the
-        # skip-stats derivation (events partition to 4 segments, the
-        # EMPTY_FILE_MOD rows carry no file)
-        "cdc_rotate_chain": """
-WITH files AS (
-  SELECT DISTINCT
-    'mysql-bin.' || lpad(CAST(event_id % 4 AS VARCHAR), 6, '0') AS binlog_file
-  FROM events WHERE event_id % 223 <> 0
-),
-chain AS (
-  SELECT binlog_file,
-         lead(binlog_file) OVER (ORDER BY binlog_file) AS expected_next
-  FROM files
-)
-SELECT binlog_file, expected_next AS rotate_next, expected_next,
-       CASE WHEN expected_next IS NULL THEN 'ACTIVE_TAIL' ELSE 'OK' END
-         AS status
-FROM chain""",
-        "cdc_binlog_events": oracle.cdc_binlog_events(),
-        "cdc_avro_rows": oracle.cdc_avro_rows(),
-        "cdc_avro_native_scan": oracle.cdc_avro_native_scan(),
-        "cdc_avro_evolved_scan": oracle.cdc_avro_evolved_scan(),
-        # logical-type lake scan: values re-derived from events with
-        # the same arithmetic the fixture encoder used; the Spark side
-        # went through real avro decimal/date/time/timestamp bytes
-        "cdc_avro_logical_scan": """
-SELECT event_id AS id,
-       concat(CASE WHEN event_id % 4 = 0 THEN '-' ELSE '' END,
-              CAST((1 + (event_id * 53) % 99999999) // 100 AS VARCHAR),
-              '.',
-              lpad(CAST((1 + (event_id * 53) % 99999999) % 100 AS VARCHAR),
-                   2, '0')) AS amount,
-       epoch_us(ts) AS created_ts_us,
-       strftime(ts, '%Y-%m-%d') AS created_date,
-       strftime(ts, '%H:%M:%S') AS time_of_day,
-       concat('00000000-0000-4000-8000-',
-              lpad(CAST(event_id AS VARCHAR), 12, '0')) AS uid
-FROM events""",
-        "cdc_resume_bookmarks": oracle.cdc_resume_bookmarks(),
-        # JVM engine reads the same fixture files -> same oracle
-        "cdc_avro_native_scan_jvm": oracle.cdc_avro_native_scan(),
-        "cdc_binlog_prepared": oracle.cdc_binlog_prepared(),
-        "cdc_matches": oracle.cdc_matches(),
-        "cdc_latency_stats": oracle.cdc_latency_stats(),
-        "cdc_replica_checksums": oracle.cdc_replica_checksums(),
-        "cdc_avro_only": oracle.cdc_avro_only(),
-        "cdc_binlog_only": oracle.cdc_binlog_only(),
-        "cdc_findings": oracle.cdc_findings(),
-        "cdc_findings_stream": oracle.cdc_findings_stream(),
-        "cdc_summary": oracle.cdc_summary(),
-        # Roundtrip oracle: the parse pipeline must reproduce the
-        # derivation table directly (line_no becomes the per-file event
-        # ordinal, since text regenerates events in line_no order).
-        "cdc_parse_binlog_text": "WITH "
-        + oracle.CDC_CTES.strip().rstrip()
-        + """
-SELECT event_type, "timestamp", immediate_commmit_timestamp, log_position,
-       "schema", "table", gtid_next, binlog_file,
-       row_number() OVER (PARTITION BY binlog_file ORDER BY line_no) AS line_no
-FROM binlog_events_cdc WHERE binlog_file <> ''""",
-        # identical contract through the Python DataSource (same text,
-        # same parser, same expected table)
-        "cdc_parse_binlog_text_pyds": "WITH "
-        + oracle.CDC_CTES.strip().rstrip()
-        + """
-SELECT event_type, "timestamp", immediate_commmit_timestamp, log_position,
-       "schema", "table", gtid_next, binlog_file,
-       row_number() OVER (PARTITION BY binlog_file ORDER BY line_no) AS line_no
-FROM binlog_events_cdc WHERE binlog_file <> ''""",
-        "dedup_exact": (
-            "SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,"
-            " count(*) AS n_copies FROM documents GROUP BY md5(text)"
-        ),
-        "token_count": rf"""
-SELECT doc_id, length(text) AS text_len,
-       len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS n_ws_tokens,
-       len(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS n_bpe_tokens,
-       n_chars
-FROM documents""",
-        # twin of textstats.token_allocation
-        "corpus_token_allocation": rf"""
-WITH caps AS (
-  SELECT source,
-         CAST(sum(len(regexp_extract_all(text, '{_TOKEN_RE_SQL}'))) AS BIGINT)
-           AS cap
-  FROM documents GROUP BY source
-),
-ranked AS (
-  SELECT source, cap,
-         row_number() OVER (ORDER BY cap, source) AS i,
-         coalesce(sum(cap) OVER (ORDER BY cap, source
-                                 ROWS BETWEEN UNBOUNDED PRECEDING
-                                 AND 1 PRECEDING), 0) AS cum
-  FROM caps
-),
-tot AS (SELECT sum(cap) AS t, count(*) AS k FROM caps),
-j AS (
-  SELECT *, floor(0.5 * CAST(t AS DOUBLE)) AS target,
-         (floor(0.5 * CAST(t AS DOUBLE)) - CAST(cum AS DOUBLE))
-           / CAST(k - i + 1 AS DOUBLE) AS cand
-  FROM ranked, tot
-),
-lvl AS (
-  SELECT round(min({{'i': i, 'cand': cand}}).cand, 6) AS water_level
-  FROM j WHERE CAST(cap AS DOUBLE) >= cand
-)
-SELECT source, cap AS n_tokens_cap,
-       round(least(CAST(cap AS DOUBLE), water_level), 6) AS allocation,
-       water_level,
-       CAST(cap AS DOUBLE) <= water_level AS is_capped
-FROM j, lvl""",
-        # twin of analytics.median_of_means
-        "lineitem_median_of_means": """
-WITH per AS (
-  SELECT ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':'
-                             || CAST(l_linenumber AS VARCHAR)), 1, 12))::BIGINT
-           % 32 AS b,
-         count(*) AS n, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS s
-  FROM lineitem GROUP BY 1
-),
-means AS (SELECT b, n, s, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m FROM per)
-SELECT CAST(sum(n) AS BIGINT) AS n_rows, count(*) AS n_buckets,
-       round(CAST(sum(s) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6) AS mean,
-       round(round(quantile_cont(m, 0.5), 9), 6) AS median_of_means
-FROM means""",
-        # twin of analytics.rfm_scores
-        "customer_rfm_scores": """
-WITH per AS (
-  SELECT o_custkey, max(o_orderdate) AS last_d, count(*) AS frequency,
-         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS m
-  FROM orders GROUP BY 1
-),
-anchor AS (SELECT max(last_d) AS a FROM per),
-base AS (
-  SELECT o_custkey, datediff('day', last_d, a) AS recency_days, frequency,
-         round(CAST(m AS DOUBLE), 2) AS monetary
-  FROM per, anchor
-),
-b AS (
-  SELECT
-    [round(round(quantile_cont(recency_days, 0.2), 9), 6),
-     round(round(quantile_cont(recency_days, 0.4), 9), 6),
-     round(round(quantile_cont(recency_days, 0.6), 9), 6),
-     round(round(quantile_cont(recency_days, 0.8), 9), 6)] AS br,
-    [round(round(quantile_cont(frequency, 0.2), 9), 6),
-     round(round(quantile_cont(frequency, 0.4), 9), 6),
-     round(round(quantile_cont(frequency, 0.6), 9), 6),
-     round(round(quantile_cont(frequency, 0.8), 9), 6)] AS bf,
-    [round(round(quantile_cont(monetary, 0.2), 9), 6),
-     round(round(quantile_cont(monetary, 0.4), 9), 6),
-     round(round(quantile_cont(monetary, 0.6), 9), 6),
-     round(round(quantile_cont(monetary, 0.8), 9), 6)] AS bm
-  FROM base
-),
-scored AS (
-  SELECT o_custkey, recency_days, frequency, monetary,
-         5 - len(list_filter(br, x -> x < recency_days)) AS r_score,
-         1 + len(list_filter(bf, x -> x < frequency)) AS f_score,
-         1 + len(list_filter(bm, x -> x < monetary)) AS m_score
-  FROM base, b
-)
-SELECT o_custkey, recency_days, frequency, monetary,
-       CAST(r_score AS INTEGER) AS r_score,
-       CAST(f_score AS INTEGER) AS f_score,
-       CAST(m_score AS INTEGER) AS m_score,
-       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
-         || CAST(m_score AS VARCHAR) AS segment
-FROM scored""",
-        # twin of textstats.zipf_fit
-        "corpus_zipf_fit": rf"""
-WITH words AS (
-  SELECT unnest(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS w
-  FROM documents
-),
-freq AS (SELECT w, count(*) AS f FROM words GROUP BY w),
-top AS (
-  SELECT f, row_number() OVER (ORDER BY f DESC, w ASC) AS rnk
-  FROM freq ORDER BY f DESC, w ASC LIMIT 500
-),
-xy AS (
-  SELECT CAST(round(ln(CAST(rnk AS DOUBLE)), 9) AS DECIMAL(12,9)) AS x,
-         CAST(round(ln(CAST(f AS DOUBLE)), 9) AS DECIMAL(12,9)) AS y
-  FROM top
-),
-agg AS (
-  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
-  FROM xy
-),
-k AS (
-  SELECT n,
-         CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
-         CAST(sy AS DOUBLE) AS syd,
-         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
-         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
-         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny
-  FROM agg
-)
-SELECT n AS v_size,
-       round(CASE WHEN den > 0 THEN num / den ELSE 0.0 END, 6) AS slope,
-       round((syd - (CASE WHEN den > 0 THEN num / den ELSE 0.0 END) * sxd)
-             / nd, 6) AS intercept,
-       round(CASE WHEN den > 0 AND deny > 0
-                  THEN (num / (sqrt(den) * sqrt(deny)))
-                       * (num / (sqrt(den) * sqrt(deny)))
-                  ELSE 0.0 END, 6) AS r2
-FROM k""",
-        "text_quality": rf"""
-SELECT doc_id, length(text) AS text_len,
-       len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS n_words,
-       len(regexp_extract_all(text, '{_EN_RE}')) AS n_stopwords,
-       len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
-       length(text) / len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS chars_per_word,
-       len(regexp_extract_all(text, '{_EN_RE}')) / len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS stopword_ratio,
-       len(regexp_extract_all(text, '[.,!?;:]')) / length(text) AS punct_ratio
-FROM documents""",
-        "lang_id": rf"""
-SELECT doc_id,
-       len(regexp_extract_all(text, '{_EN_RE}')) AS en_hits,
-       len(regexp_extract_all(text, '{_FR_RE}')) AS fr_hits,
-       len(regexp_extract_all(text, '{_DE_RE}')) AS de_hits,
-       CASE
-         WHEN len(regexp_extract_all(text, '{_EN_RE}')) = 0
-          AND len(regexp_extract_all(text, '{_FR_RE}')) = 0
-          AND len(regexp_extract_all(text, '{_DE_RE}')) = 0 THEN 'unknown'
-         WHEN len(regexp_extract_all(text, '{_EN_RE}')) >= len(regexp_extract_all(text, '{_FR_RE}'))
-          AND len(regexp_extract_all(text, '{_EN_RE}')) >= len(regexp_extract_all(text, '{_DE_RE}')) THEN 'en'
-         WHEN len(regexp_extract_all(text, '{_FR_RE}')) >= len(regexp_extract_all(text, '{_DE_RE}')) THEN 'fr'
-         ELSE 'de' END AS lang_guess,
-       lang
-FROM documents""",
-        "doc_fingerprint": rf"""
-SELECT doc_id, len(w) AS n_words,
-       list_reduce(
-         list_prepend(0::BIGINT,
-           list_transform(w, x -> ('0x' || substr(md5(x), 1, 12))::BIGINT)),
-         (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
-FROM (SELECT doc_id, regexp_extract_all(text, '{_TOKEN_RE_SQL}') AS w FROM documents)""",
-        "tfidf_top_terms": rf"""
-WITH words AS (
-  SELECT doc_id, unnest(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS term
-  FROM documents
-),
-tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term),
-dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-n AS (SELECT count(*) AS n_docs FROM documents),
-scored AS (
-  SELECT doc_id, term, tf, df,
-         round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
-  FROM tf JOIN dfc USING (term) CROSS JOIN n
-)
-SELECT doc_id, term, tf, df, tfidf, rank FROM (
-  SELECT *, row_number() OVER (
-      PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
-  FROM scored
-) WHERE rank <= 3""",
-        "distinct_users_per_type": """
-SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
-       round(avg(value), 4) AS avg_value
-FROM events GROUP BY event_type""",
-        "minhash_signatures": _minhash_sig_sql(),
-        "minhash_lsh_pairs": _lsh_pairs_sql(),
-        "doc_levenshtein_pairs": _lsh_pairs_sql().replace(
-            "SELECT DISTINCT doc_a, doc_b FROM (",
-            ",\ncand AS (SELECT DISTINCT doc_a, doc_b FROM (",
-        )
-        + """
-)
-SELECT doc_a, doc_b,
-       levenshtein(substr(ta.text, 1, 100), substr(tb.text, 1, 100))
-         AS edit_distance
-FROM cand
-JOIN documents ta ON cand.doc_a = ta.doc_id
-JOIN documents tb ON cand.doc_b = tb.doc_id
-WHERE levenshtein(substr(ta.text, 1, 100), substr(tb.text, 1, 100)) <= 30""",
-        "dedup_clusters": _dedup_clusters_sql(),
-        "corpus_curation_pipeline": _corpus_curation_sql(),
-        "doc_shards": f"""
-SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 32 AS shard,
-       count(*) AS n_docs,
-       CAST(sum(len(regexp_extract_all(text, '{_TOKEN_RE_SQL}'))) AS BIGINT) AS total_tokens,
-       CAST(sum(n_chars) AS BIGINT) AS total_chars
-FROM documents GROUP BY 1""",
-        # boundary-based deciles (see textstats.quality_deciles: no
-        # global window); quantile_cont == Spark percentile (both R-7)
-        "doc_quality_deciles": """
-WITH bs AS (
-  SELECT quantile_cont(n_chars, [0.9, 0.8, 0.7, 0.6, 0.5, 0.4, 0.3, 0.2, 0.1]) AS b
-  FROM documents
-)
-SELECT doc_id, lang, n_chars,
-       1 + len(list_filter(bs.b, x -> n_chars < x)) AS decile
-FROM documents, bs""",
-        "doc_token_ids": f"""
-WITH counts AS (
-  SELECT w AS word, count(*) AS n
-  FROM (SELECT unnest(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS w FROM documents)
-  GROUP BY w
-),
-top AS (SELECT * FROM counts ORDER BY n DESC, word LIMIT 200),
-vocab AS (
-  SELECT word, row_number() OVER (ORDER BY n DESC, word) AS token_id FROM top
-),
-words AS (
-  SELECT doc_id,
-         unnest(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS word,
-         generate_subscripts(regexp_extract_all(text, '{_TOKEN_RE_SQL}'), 1) AS pos
-  FROM documents
-),
-joined AS (
-  SELECT doc_id, pos, coalesce(v.token_id, 0) AS tid
-  FROM words LEFT JOIN vocab v USING (word)
-)
-SELECT doc_id, count(*) AS n_tokens,
-       string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos) AS token_ids_csv
-FROM joined GROUP BY doc_id""",
-        # twin of textstats.bpe_merge_candidates: distinct-word pair
-        # enumeration via range() (empty for 1-char words), weighted by
-        # word frequency, lexicographic tie-breaks
-        "corpus_bpe_merges": f"""
-WITH wf AS (
-  SELECT w AS word, count(*) AS n
-  FROM (SELECT unnest(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS w FROM documents)
-  GROUP BY w
-),
-pos AS (SELECT word, n, unnest(range(1, length(word))) AS i FROM wf),
-pairs AS (
-  SELECT substr(word, i, 1) AS left_sym, substr(word, i + 1, 1) AS right_sym,
-         CAST(sum(n) AS BIGINT) AS pair_count
-  FROM pos GROUP BY 1, 2
-),
-top AS (SELECT * FROM pairs
-        ORDER BY pair_count DESC, left_sym, right_sym LIMIT 20)
-SELECT left_sym, right_sym, pair_count,
-       row_number() OVER (ORDER BY pair_count DESC, left_sym, right_sym)
-         AS merge_rank
-FROM top""",
-        "corpus_vocab_topk": f"""
-WITH counts AS (
-  SELECT w AS word, count(*) AS n
-  FROM (SELECT unnest(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS w FROM documents)
-  GROUP BY w
-),
-top AS (SELECT * FROM counts ORDER BY n DESC, word LIMIT 200)
-SELECT word, n, row_number() OVER (ORDER BY n DESC, word) AS token_id FROM top""",
-        "dedup_keep_canonical": (
-            "SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d\n"
-            "ANTI JOIN (\n"
-            "  SELECT doc_id FROM (\n" + _dedup_clusters_sql() + "\n"
-            "  ) WHERE doc_id <> cluster_id\n"
-            ") l ON d.doc_id = l.doc_id"
-        ),
-        "text_clean": """
-SELECT doc_id,
-       trim(regexp_replace(
-           regexp_replace(
-               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-               'https?://[^\\s]+', '<URL>', 'g'),
-           '\\s+', ' ', 'g')) AS clean_text,
-       length(text) - length(trim(regexp_replace(
-           regexp_replace(
-               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-               'https?://[^\\s]+', '<URL>', 'g'),
-           '\\s+', ' ', 'g'))) AS removed_chars
-FROM documents""",
-        # exact interpolated quantiles: both engines implement R-7
-        "doc_length_quantiles": """
-SELECT lang, count(*) AS n_docs,
-       quantile_cont(n_chars, 0.5) AS p50_chars,
-       quantile_cont(n_chars, 0.9) AS p90_chars,
-       quantile_cont(n_chars, 0.99) AS p99_chars
-FROM documents GROUP BY lang""",
-        "doc_stratified_sample": """
-SELECT doc_id, lang, source, n_chars
-FROM documents
-WHERE ('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 10 = 0""",
-        "doc_unigram_logprob": rf"""
-WITH words AS (
-  SELECT doc_id, unnest(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS term FROM documents
-),
-tc AS (SELECT term, count(*) AS tc FROM words GROUP BY term),
-total AS (SELECT CAST(sum(tc) AS DOUBLE) AS total_tokens FROM tc)
-SELECT doc_id, count(*) AS n_tokens,
-       round(sum(log10(CAST(tc.tc AS DOUBLE))) / count(*)
-             - log10((SELECT total_tokens FROM total)), 6) AS mean_logprob
-FROM words JOIN tc USING (term)
-GROUP BY doc_id""",
-        "corpus_mixture_weights": rf"""
-WITH toks AS (
-  SELECT lang, source, len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS n FROM documents
-),
-grp AS (
-  SELECT lang, source, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
-  FROM toks GROUP BY lang, source
-),
-tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS t FROM grp),
-w AS (
-  SELECT lang, source, n_docs, n_tokens,
-         n_tokens / (SELECT t FROM tot) AS weight,
-         pow(n_tokens / (SELECT t FROM tot), 0.7) AS pw
-  FROM grp
-),
-z AS (SELECT sum(pw) AS z FROM w)
-SELECT lang, source, n_docs, n_tokens, round(weight, 6) AS weight,
-       round(pw / (SELECT z FROM z), 6) AS weight_smoothed
-FROM w""",
-        # twin of textstats.sample_k_per_group: bottom-k by the portable
-        # doc_id hash per lang (the oracle may use a rank window -- the
-        # Spark side must not, plan-tested)
-        "doc_sample_k_per_group": """
-WITH hashed AS (
-  SELECT doc_id, lang, source, n_chars,
-         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS h
-  FROM documents
-),
-ranked AS (
-  SELECT doc_id, lang, source, n_chars,
-         row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
-  FROM hashed
-)
-SELECT doc_id, lang, source, n_chars FROM ranked WHERE rn <= 10""",
-        "doc_repeated_spans": rf"""
-WITH doc_words AS (
-  SELECT doc_id, regexp_extract_all(text, '{_TOKEN_RE_SQL}') AS w FROM documents
-),
-doc_spans AS (
-  SELECT DISTINCT doc_id,
-         ('0x' || substr(md5(span), 1, 12))::BIGINT % {MINHASH_PRIME} AS h
-  FROM (
-    SELECT doc_id, unnest(
-      CASE WHEN len(w) >= 20 THEN list_transform(
-        generate_series(1, len(w) - 19), i -> array_to_string(w[i:i+19], ' '))
-      ELSE [] END) AS span
-    FROM doc_words
-  )
-),
-span_df AS (SELECT h, count(*) AS df FROM doc_spans GROUP BY h)
-SELECT d.doc_id, count(*) AS n_spans,
-       CAST(sum(CASE WHEN s.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
-       sum(CASE WHEN s.df >= 2 THEN 1 ELSE 0 END) / count(*) AS repeated_ratio
-FROM doc_spans d JOIN span_df s USING (h)
-GROUP BY d.doc_id""",
-        # twin of dedup.remove_repeated_spans (k=20, keep_first):
-        # same 48-bit span hash, EVERY occurrence with its 1-based
-        # position, df over distinct docs, covered-index union, rebuild
-        # as the ordered single-space join of surviving words
-        "doc_span_removal": rf"""
-WITH doc_words AS (
-  SELECT doc_id, regexp_extract_all(text, '{_TOKEN_RE_SQL}') AS w FROM documents
-),
-spans AS (
-  SELECT doc_id, s.pos AS pos, s.h AS h FROM (
-    SELECT doc_id, unnest(
-      CASE WHEN len(w) >= 20 THEN list_transform(
-        generate_series(1, len(w) - 19),
-        i -> struct_pack(pos := i,
-               h := ('0x' || substr(md5(array_to_string(w[i:i+19], ' ')), 1, 12))::BIGINT % {MINHASH_PRIME}))
-      ELSE [] END) AS s
-    FROM doc_words)
-),
-spandf AS (
-  SELECT h, min(doc_id) AS keeper FROM spans GROUP BY h
-  HAVING count(DISTINCT doc_id) >= 2
-),
-rem AS (
-  SELECT s.doc_id, s.pos FROM spans s JOIN spandf d USING (h)
-  WHERE s.doc_id <> d.keeper
-),
-covered AS (
-  SELECT DISTINCT doc_id, pos + unnest(generate_series(0, 19)) AS idx FROM rem
-),
-tokens AS (
-  SELECT doc_id, t.idx AS idx, t.word AS word FROM (
-    SELECT doc_id, unnest(list_transform(generate_series(1, len(w)),
-      i -> struct_pack(idx := i, word := w[i]))) AS t
-    FROM doc_words)
-),
-kept AS (
-  SELECT t.doc_id, t.idx, t.word
-  FROM tokens t ANTI JOIN covered c ON t.doc_id = c.doc_id AND t.idx = c.idx
-),
-reb AS (
-  SELECT doc_id, string_agg(word, ' ' ORDER BY idx) AS text, count(*) AS n_kept
-  FROM kept GROUP BY doc_id
-)
-SELECT d.doc_id,
-       coalesce(r.text, '') AS text,
-       CAST(len(d.w) AS BIGINT) AS n_words,
-       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
-       CAST(len(d.w) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
-FROM doc_words d LEFT JOIN reb r USING (doc_id)""",
-        # twin of dedup.remove_boilerplate_segments (seg_words=3,
-        # df_threshold=4): non-overlapping 3-word segments, 48-bit
-        # segment hash, df over distinct docs, drop ALL over-threshold
-        # occurrences, rebuild in segment order
-        "doc_boilerplate_removal": rf"""
-WITH doc_words AS (
-  SELECT doc_id, regexp_extract_all(trim(text), '{_TOKEN_RE_SQL}') AS w FROM documents
-),
-base AS (
-  SELECT doc_id, w, CAST(ceil(len(w) / 3.0) AS BIGINT) AS n_segments FROM doc_words
-),
-occ AS (
-  SELECT doc_id, s.seg_idx AS seg_idx, s.seg AS seg,
-         ('0x' || substr(md5(s.seg), 1, 12))::BIGINT % {MINHASH_PRIME} AS h
-  FROM (
-    SELECT doc_id,
-           unnest(list_transform(
-             CASE WHEN n_segments > 0
-                  THEN generate_series(0, CAST(n_segments AS INT) - 1) ELSE [] END,
-             i -> struct_pack(seg_idx := i,
-                    seg := array_to_string(w[i*3+1:i*3+3], ' ')))) AS s
-    FROM base) t
-),
-boiler AS (
-  SELECT h FROM (SELECT DISTINCT doc_id, h FROM occ) GROUP BY h HAVING count(*) >= 4
-),
-kept AS (SELECT * FROM occ ANTI JOIN boiler USING (h)),
-rebuilt AS (
-  SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS t, count(*) AS n_kept
-  FROM kept GROUP BY doc_id
-)
-SELECT b.doc_id, coalesce(r.t, '') AS text_clean, b.n_segments,
-       CAST(b.n_segments - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped
-FROM base b LEFT JOIN rebuilt r USING (doc_id)""",
-        "doc_repetition": rf"""
-WITH doc_words AS (
-  SELECT doc_id, regexp_extract_all(text, '{_TOKEN_RE_SQL}') AS w FROM documents
-),
-g AS (
-  SELECT doc_id,
-         CASE WHEN len(w) >= 3 THEN list_transform(
-             generate_series(1, len(w) - 2), i -> array_to_string(w[i:i+2], ' '))
-         ELSE [] END AS grams
-  FROM doc_words
-)
-SELECT doc_id, len(grams) AS n_grams,
-       len(list_distinct(grams)) AS n_distinct_grams,
-       CASE WHEN len(grams) > 0
-            THEN (len(grams) - len(list_distinct(grams))) / len(grams)
-            ELSE 0.0 END AS repetition_ratio
-FROM g""",
-        "doc_fuzzy_contamination": _fuzzy_contamination_sql(),
-        "dedup_incremental": _incremental_dedup_sql(),
-        # twin of _q_media_exact_dedup: same planted-duplicate blob
-        # derivation, digest groupBy
-        "media_exact_dedup": """
-WITH media AS (
-  SELECT doc_id AS media_id,
-         CASE WHEN doc_id % 490 < 10 THEN 'shared-blob' ELSE text END AS content
-  FROM documents
-)
-SELECT sha256(content) AS sha256,
-       min(media_id) AS keep_media_id,
-       count(*) AS n_copies,
-       CAST(sum(octet_length(encode(content))) AS BIGINT) AS total_bytes
-FROM media GROUP BY sha256(content)""",
-        "doc_contamination": f"""
-WITH {_SHINGLE_CTE},
-bench AS (SELECT DISTINCT shingle FROM doc_shingles WHERE doc_id < 10),
-marked AS (
-  SELECT s.doc_id, CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END AS hit
-  FROM doc_shingles s LEFT JOIN bench b ON s.shingle = b.shingle
-  WHERE s.doc_id >= 10
-)
-SELECT doc_id, count(*) AS n_shingles,
-       CAST(sum(hit) AS BIGINT) AS n_contaminated,
-       sum(hit) / count(*) AS contamination
-FROM marked GROUP BY doc_id""",
-        "simhash_fingerprints": _simhash_fp_sql(),
-        "simhash_near_pairs": _simhash_pairs_sql(),
-        "embedding_near_dup": f"""
-WITH ex AS (
-  SELECT vec_id, generate_subscripts(embedding, 1) AS ord,
-         unnest(embedding)::DOUBLE AS v
-  FROM embeddings
-),
-norms AS (SELECT vec_id, sqrt(sum(v * v)) AS norm FROM ex GROUP BY vec_id),
-buckets AS ({_hyperplane_bucket_sql()}),
-cand AS (
-  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b
-  FROM buckets l JOIN buckets r ON l.bucket = r.bucket
-  WHERE l.vec_id < r.vec_id
-),
-dots AS (
-  SELECT c.vec_a, c.vec_b, sum(ea.v * eb.v) AS dot
-  FROM cand c
-  JOIN ex ea ON ea.vec_id = c.vec_a
-  JOIN ex eb ON eb.vec_id = c.vec_b AND ea.ord = eb.ord
-  GROUP BY c.vec_a, c.vec_b
-)
-SELECT vec_a, vec_b,
-       round(dot / (na.norm * nb.norm), 6) AS cos_sim
-FROM dots
-JOIN norms na ON na.vec_id = vec_a
-JOIN norms nb ON nb.vec_id = vec_b
-WHERE round(dot / (na.norm * nb.norm), 6) >= 0.99""",
-        "ngram_jaccard_pairs": f"""
-WITH {_SHINGLE_CTE},
-sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingle_hashes GROUP BY doc_id),
-dfreq AS (SELECT h, count(*) AS df FROM shingle_hashes GROUP BY h),
-rare AS (
-  SELECT s.doc_id, s.h FROM shingle_hashes s
-  JOIN dfreq USING (h) WHERE df <= 10
-),
-cand AS (
-  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-  FROM rare l JOIN rare r USING (h) WHERE l.doc_id < r.doc_id
-),
-inter AS (
-  SELECT c.doc_a, c.doc_b, count(*) AS n_intersect
-  FROM cand c
-  JOIN shingle_hashes sa ON sa.doc_id = c.doc_a
-  JOIN shingle_hashes sb ON sb.doc_id = c.doc_b AND sa.h = sb.h
-  GROUP BY c.doc_a, c.doc_b
-)
-SELECT c.doc_a, c.doc_b,
-       coalesce(i.n_intersect, 0) AS n_intersect,
-       na.n_shingles + nb.n_shingles - coalesce(i.n_intersect, 0) AS n_union,
-       coalesce(i.n_intersect, 0) / (na.n_shingles + nb.n_shingles - coalesce(i.n_intersect, 0)) AS jaccard
-FROM cand c
-LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-JOIN sizes na ON na.doc_id = c.doc_a
-JOIN sizes nb ON nb.doc_id = c.doc_b""",
-        # twin of dedup.prefix_filter_pairs: brute-force threshold join
-        # (ALL shared-token pairs verified) -- completeness of the
-        # Spark side's prefix filter is exactly what equality asserts
-        "dedup_prefix_filter_pairs": f"""
-WITH {_SHINGLE_CTE},
-sizes AS (SELECT doc_id, count(*) AS n FROM shingle_hashes GROUP BY doc_id),
-inter AS (
-  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS n_intersect
-  FROM shingle_hashes sa JOIN shingle_hashes sb
-    ON sa.h = sb.h AND sa.doc_id < sb.doc_id
-  GROUP BY 1, 2
-)
-SELECT doc_a, doc_b, n_intersect,
-       na.n + nb.n - n_intersect AS n_union,
-       n_intersect / (na.n + nb.n - n_intersect) AS jaccard
-FROM inter
-JOIN sizes na ON na.doc_id = doc_a
-JOIN sizes nb ON nb.doc_id = doc_b
-WHERE n_intersect / (na.n + nb.n - n_intersect) >= 0.5""",
-        # twin of dedup.containment_pairs: brute directional join
-        "dedup_containment_pairs": f"""
-WITH {_SHINGLE_CTE},
-sizes AS (SELECT doc_id, count(*) AS n FROM shingle_hashes GROUP BY doc_id),
-inter AS (
-  SELECT sa.doc_id AS doc_src, sb.doc_id AS doc_dst, count(*) AS n_intersect
-  FROM shingle_hashes sa JOIN shingle_hashes sb
-    ON sa.h = sb.h AND sa.doc_id <> sb.doc_id
-  GROUP BY 1, 2
-)
-SELECT doc_src, doc_dst, n_intersect, s.n AS n_src,
-       n_intersect / s.n AS containment
-FROM inter JOIN sizes s ON s.doc_id = doc_src
-WHERE n_intersect / s.n >= 0.8""",
-        # twin of dedup.shingle_novelty: first-holder min over the
-        # shared shingle-hash frame, per-doc novel fraction
-        "doc_shingle_novelty": f"""
-WITH {_SHINGLE_CTE},
-first_holder AS (SELECT h, min(doc_id) AS first_doc FROM shingle_hashes GROUP BY h)
-SELECT s.doc_id, count(*) AS n_shingles,
-       CAST(sum(CASE WHEN s.doc_id = f.first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
-       round(CAST(sum(CASE WHEN s.doc_id = f.first_doc THEN 1 ELSE 0 END) AS DOUBLE)
-             / count(*), 6) AS novelty
-FROM shingle_hashes s JOIN first_holder f USING (h)
-GROUP BY s.doc_id""",
-        # twin of textstats.bloom_contamination: identical md5-48
-        # depth-salted positions, identical 32-bit-word bitmap, so the
-        # filter -- false positives included -- is the shared contract
-        "doc_bloom_contamination": f"""
-WITH {_SHINGLE_CTE},
-bench AS (SELECT DISTINCT shingle FROM doc_shingles WHERE doc_id < 10),
-bench_pos AS (
-  SELECT DISTINCT
-         ('0x' || substr(md5(j::VARCHAR || ':' || shingle), 1, 12))::BIGINT % 4096 AS pos
-  FROM bench CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
-),
-bitmap AS (
-  SELECT pos // 32 AS word, bit_or((1::BIGINT << (pos % 32)::INT)) AS bits
-  FROM bench_pos GROUP BY 1
-),
-probe AS (
-  SELECT doc_id, shingle,
-         ('0x' || substr(md5(j::VARCHAR || ':' || shingle), 1, 12))::BIGINT % 4096 AS pos
-  FROM doc_shingles CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
-  WHERE doc_id >= 10
-),
-hits AS (
-  SELECT doc_id, shingle,
-         min(CASE WHEN (coalesce(b.bits, 0) >> (p.pos % 32)::INT) & 1 = 1
-                  THEN 1 ELSE 0 END) AS hit
-  FROM probe p LEFT JOIN bitmap b ON p.pos // 32 = b.word
-  GROUP BY doc_id, shingle
-)
-SELECT doc_id, count(*) AS n_shingles,
-       CAST(sum(hit) AS BIGINT) AS n_bloom_hits,
-       round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS bloom_rate
-FROM hits GROUP BY doc_id""",
-        # twin of graph.triangles over the LSH pair CTE: oriented
-        # wedge + closing edge, each triangle found once
-        "graph_near_dup_triangles": (
-            f"WITH {_SHINGLE_CTE},\n"
-            f"sig AS (SELECT doc_id,\n    {_minhash_aggs()}\nFROM shingle_hashes GROUP BY doc_id),\n"
-            f"pairs AS (SELECT DISTINCT doc_a, doc_b FROM (\n{_lsh_band_union()}\n))\n"
-            """SELECT w1.doc_a, w1.doc_b, w2.doc_b AS doc_c
-FROM pairs w1
-JOIN pairs w2 ON w2.doc_a = w1.doc_b
-JOIN pairs c ON c.doc_a = w1.doc_a AND c.doc_b = w2.doc_b"""
-        ),
-        # twin of similarity.pq_codes: the _KMEANS_CTE recipe per
-        # subspace (prefixed, ord-rebased), long-format union
-        "embedding_pq_codes": _pq_codes_sql(),
-        # twin of similarity.pq_adc_topk (see _pq_adc_sql)
-        "ann_pq_adc_topk": _pq_adc_sql(),
-        # twin of graph.supplier_pagerank: 3 Pregel steps unrolled,
-        # integer rank units (floor spread, 17/20 damping) so every
-        # engine agrees bit-for-bit regardless of summation order
-        "graph_supplier_pagerank": """
-WITH pairs AS (
-  SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
-  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-),
-edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
-deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
-n AS (SELECT count(*) AS n_nodes FROM deg),
-r0 AS (
-  SELECT src AS node,
-         CAST(1000000000000 // (SELECT n_nodes FROM n) AS BIGINT) AS units
-  FROM deg
-),
-r1 AS (
-  SELECT e.dst AS node,
-         CAST(3000000000000 // (20 * (SELECT n_nodes FROM n))
-              + (17 * sum(r.units // d.deg)) // 20 AS BIGINT) AS units
-  FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON d.src = e.src
-  GROUP BY e.dst
-),
-r2 AS (
-  SELECT e.dst AS node,
-         CAST(3000000000000 // (20 * (SELECT n_nodes FROM n))
-              + (17 * sum(r.units // d.deg)) // 20 AS BIGINT) AS units
-  FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON d.src = e.src
-  GROUP BY e.dst
-),
-r3 AS (
-  SELECT e.dst AS node,
-         CAST(3000000000000 // (20 * (SELECT n_nodes FROM n))
-              + (17 * sum(r.units // d.deg)) // 20 AS BIGINT) AS units
-  FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON d.src = e.src
-  GROUP BY e.dst
-)
-SELECT node, units AS rank_units,
-       round(CAST(units AS DOUBLE) / 1000000000000.0, 6) AS rank
-FROM r3 WHERE node LIKE 's:%'""",
-        # twin of textstats.inverted_index: per-(doc, term) tf, per-term
-        # rollup, head posting by (tf DESC, doc_id ASC)
-        "doc_inverted_index": f"""
-WITH tf AS (
-  SELECT doc_id, term, count(*) AS tf FROM (
-    SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}')) AS term
-    FROM documents
-  ) GROUP BY doc_id, term
-),
-ranked AS (
-  SELECT term, tf, doc_id,
-         row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id ASC) AS rn
-  FROM tf
-),
-agg AS (
-  SELECT term, count(*) AS df_docs, CAST(sum(tf) AS BIGINT) AS total_tf
-  FROM tf GROUP BY term
-)
-SELECT a.term, a.df_docs, a.total_tf, r.doc_id AS top_doc_id, r.tf AS top_doc_tf
-FROM agg a JOIN ranked r ON a.term = r.term AND r.rn = 1
-WHERE a.df_docs >= 2""",
-        # twin of textstats.bm25_topk: expression shapes mirrored op
-        # for op (k1+1 written as the SUM 1.2+1.0, never the folded
-        # 2.2 literal -- they differ by an ulp); rank over the k
-        # survivors of an ORDER BY LIMIT
-        "doc_bm25_topk": _bm25_sql(10),
-        # twin of textstats.weighted_sample_topk: same md5-derived
-        # uniform (exact integer + 0.5 over 2^48), ln-key rounded to
-        # 1e-9 (cross-libm ulp), doc_id tie-break
-        "doc_weighted_sample": """
-WITH keyed AS (
-  SELECT doc_id, n_chars AS weight,
-         round(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
-                        AS DOUBLE) + 0.5) / 281474976710656.0)
-               / CAST(n_chars AS DOUBLE), 9) + 0.0 AS sample_key
-  FROM documents
-)
-SELECT doc_id, weight, sample_key, rank FROM (
-  SELECT *, row_number() OVER (ORDER BY sample_key DESC, doc_id) AS rank
-  FROM (SELECT * FROM keyed ORDER BY sample_key DESC, doc_id LIMIT 50)
-)""",
-        # twin of textstats.term_pmi: top-100 vocab by (df DESC, term),
-        # doc-level co-occurrence self-join, natural-log PMI
-        "doc_term_pmi": f"""
-WITH dt AS (
-  SELECT DISTINCT doc_id, term FROM (
-    SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}')) AS term
-    FROM documents
-  )
-),
-dfreq AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
-vocab AS (SELECT term, df FROM dfreq ORDER BY df DESC, term ASC LIMIT 100),
-nd AS (SELECT count(*) AS n_docs FROM documents),
-dv AS (SELECT dt.doc_id, dt.term FROM dt JOIN vocab USING (term)),
-pairs AS (
-  SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_ab
-  FROM dv a JOIN dv b ON a.doc_id = b.doc_id AND a.term < b.term
-  GROUP BY 1, 2 HAVING count(*) >= 3
-)
-SELECT p.term_a, p.term_b, p.n_ab,
-       round(ln(CAST(p.n_ab AS DOUBLE) * (SELECT n_docs FROM nd)
-                / (CAST(va.df AS DOUBLE) * CAST(vb.df AS DOUBLE))), 6) AS pmi
-FROM pairs p
-JOIN vocab va ON va.term = p.term_a
-JOIN vocab vb ON vb.term = p.term_b""",
-        "ann_cosine_topk": """
-WITH ex AS (
-  SELECT vec_id, generate_subscripts(embedding, 1) AS ord,
-         unnest(embedding)::DOUBLE AS v
-  FROM embeddings
-),
-norms AS (SELECT vec_id, sqrt(sum(v * v)) AS norm FROM ex GROUP BY vec_id),
-q AS (SELECT * FROM ex WHERE vec_id < 32),
-dots AS (
-  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, sum(q.v * e.v) AS dot
-  FROM q JOIN ex e ON q.ord = e.ord AND e.vec_id <> q.vec_id
-  GROUP BY 1, 2
-),
-scored AS (
-  SELECT query_id, neighbor_id,
-         round(dot / (nq.norm * ne.norm), 6) AS cos_sim
-  FROM dots
-  JOIN norms nq ON nq.vec_id = query_id
-  JOIN norms ne ON ne.vec_id = neighbor_id
-)
-SELECT query_id, neighbor_id, cos_sim, rank FROM (
-  SELECT *, row_number() OVER (
-      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
-  FROM scored
-) WHERE rank <= 5""",
-        # Twin of similarity.cosine_topk_ivf: centroid pick, argmax
-        # assignment, n_probe probing and re-rank all mirrored; the
-        # max_by struct tie-break equals (c_cos DESC, centroid_id).
-        "ann_cosine_topk_ivf": """
-WITH ex AS (
-  SELECT vec_id, generate_subscripts(embedding, 1) AS ord,
-         unnest(embedding)::DOUBLE AS v
-  FROM embeddings
-),
-norms AS (SELECT vec_id, sqrt(sum(v * v)) AS norm FROM ex GROUP BY vec_id),
-cdots AS (
-  SELECT e.vec_id AS vec_id, ce.vec_id AS centroid_id, sum(e.v * ce.v) AS dot
-  FROM ex e JOIN ex ce ON e.ord = ce.ord
-  WHERE ce.vec_id % 37 = 0 AND ce.vec_id < 37 * 16
-  GROUP BY 1, 2
-),
-ccos AS (
-  SELECT c.vec_id, c.centroid_id,
-         round(c.dot / (nv.norm * nc.norm), 6) AS c_cos
-  FROM cdots c
-  JOIN norms nv ON nv.vec_id = c.vec_id
-  JOIN norms nc ON nc.vec_id = c.centroid_id
-),
-assignment AS (
-  SELECT vec_id, centroid_id FROM (
-    SELECT *, row_number() OVER (
-        PARTITION BY vec_id ORDER BY c_cos DESC, centroid_id) AS rn
-    FROM ccos) WHERE rn = 1
-),
-probes AS (
-  SELECT vec_id AS query_id, centroid_id FROM (
-    SELECT *, row_number() OVER (
-        PARTITION BY vec_id ORDER BY c_cos DESC, centroid_id) AS rn
-    FROM ccos WHERE vec_id < 32) WHERE rn <= 4
-),
-cand AS (
-  SELECT p.query_id, a.vec_id AS neighbor_id
-  FROM probes p JOIN assignment a ON a.centroid_id = p.centroid_id
-  WHERE a.vec_id <> p.query_id
-),
-dots AS (
-  SELECT c.query_id, c.neighbor_id, sum(q.v * e.v) AS dot
-  FROM cand c
-  JOIN ex q ON q.vec_id = c.query_id
-  JOIN ex e ON e.vec_id = c.neighbor_id AND e.ord = q.ord
-  GROUP BY 1, 2
-),
-scored AS (
-  SELECT query_id, neighbor_id,
-         round(dot / (nq.norm * ne.norm), 6) AS cos_sim
-  FROM dots
-  JOIN norms nq ON nq.vec_id = query_id
-  JOIN norms ne ON ne.vec_id = neighbor_id
-)
-SELECT query_id, neighbor_id, cos_sim, rank FROM (
-  SELECT *, row_number() OVER (
-      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
-  FROM scored
-) WHERE rank <= 5""",
-        "ann_cosine_topk_lsh": f"""
-WITH ex AS (
-  SELECT vec_id, generate_subscripts(embedding, 1) AS ord,
-         unnest(embedding)::DOUBLE AS v
-  FROM embeddings
-),
-norms AS (SELECT vec_id, sqrt(sum(v * v)) AS norm FROM ex GROUP BY vec_id),
-buckets AS ({_hyperplane_bucket_sql()}),
-q AS (SELECT * FROM ex WHERE vec_id < 32),
-cand AS (
-  SELECT qb.vec_id AS query_id, eb.vec_id AS neighbor_id
-  FROM buckets qb JOIN buckets eb ON qb.bucket = eb.bucket
-  WHERE qb.vec_id < 32 AND eb.vec_id <> qb.vec_id
-),
-dots AS (
-  SELECT c.query_id, c.neighbor_id, sum(qe.v * ee.v) AS dot
-  FROM cand c
-  JOIN ex qe ON qe.vec_id = c.query_id
-  JOIN ex ee ON ee.vec_id = c.neighbor_id AND qe.ord = ee.ord
-  GROUP BY c.query_id, c.neighbor_id
-),
-scored AS (
-  SELECT query_id, neighbor_id,
-         round(dot / (nq.norm * ne.norm), 6) AS cos_sim
-  FROM dots
-  JOIN norms nq ON nq.vec_id = query_id
-  JOIN norms ne ON ne.vec_id = neighbor_id
-)
-SELECT query_id, neighbor_id, cos_sim, rank FROM (
-  SELECT *, row_number() OVER (
-      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
-  FROM scored
-) WHERE rank <= 5""",
-        # identical contract to ann_cosine_topk -- the pandas/numpy path
-        # must reproduce the fold-based result exactly
-        "ann_cosine_topk_pandas": """
-WITH ex AS (
-  SELECT vec_id, generate_subscripts(embedding, 1) AS ord,
-         unnest(embedding)::DOUBLE AS v
-  FROM embeddings
-),
-norms AS (SELECT vec_id, sqrt(sum(v * v)) AS norm FROM ex GROUP BY vec_id),
-q AS (SELECT * FROM ex WHERE vec_id < 32),
-dots AS (
-  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, sum(q.v * e.v) AS dot
-  FROM q JOIN ex e ON q.ord = e.ord AND e.vec_id <> q.vec_id
-  GROUP BY 1, 2
-),
-scored AS (
-  SELECT query_id, neighbor_id,
-         round(dot / (nq.norm * ne.norm), 6) AS cos_sim
-  FROM dots
-  JOIN norms nq ON nq.vec_id = query_id
-  JOIN norms ne ON ne.vec_id = neighbor_id
-)
-SELECT query_id, neighbor_id, cos_sim, rank FROM (
-  SELECT *, row_number() OVER (
-      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
-  FROM scored
-) WHERE rank <= 5""",
-        # twin of similarity.sign_bit_words: per-dim mean thresholds
-        # (1e-6-rounded, the ulp-absorption discipline), literal
-        # signed-64 bit values OR-folded -- DuckDB cannot shift 1<<63
-        # so bit 63 is the long-min literal, same table as SIGN_POWERS
-        "embedding_sign_bits": """
-WITH ex AS (
-  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS ord,
-         unnest(embedding)::DOUBLE AS v
-  FROM embeddings
-),
-thr AS (SELECT ord, round(avg(v), 6) AS thr FROM ex GROUP BY ord),
-words AS (
-  SELECT e.vec_id,
-         bit_or(CASE WHEN e.v > t.thr THEN
-             CASE WHEN e.ord = 63 THEN -9223372036854775807 - 1
-                  ELSE 1::BIGINT << e.ord END
-           ELSE 0::BIGINT END) AS sign_word
-  FROM ex e JOIN thr t ON e.ord = t.ord
-  GROUP BY e.vec_id
-)
-SELECT vec_id, sign_word, CAST(bit_count(sign_word) AS INT) AS n_pos
-FROM words""",
-        # twin of similarity.hamming_topk: same words CTE, Hamming
-        # shortlist (rank<=20 on (distance, vec_id)), exact-cosine
-        # re-rank of the survivors (rank<=5 on (cos desc, neighbor))
-        "ann_hamming_topk": """
-WITH ex AS (
-  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS ord,
-         unnest(embedding)::DOUBLE AS v
-  FROM embeddings
-),
-thr AS (SELECT ord, round(avg(v), 6) AS thr FROM ex GROUP BY ord),
-words AS (
-  SELECT e.vec_id,
-         bit_or(CASE WHEN e.v > t.thr THEN
-             CASE WHEN e.ord = 63 THEN -9223372036854775807 - 1
-                  ELSE 1::BIGINT << e.ord END
-           ELSE 0::BIGINT END) AS sign_word
-  FROM ex e JOIN thr t ON e.ord = t.ord
-  GROUP BY e.vec_id
-),
-qw AS (SELECT vec_id AS query_id, sign_word AS q_word FROM words
-       WHERE vec_id < 32),
-hams AS (
-  SELECT q.query_id, w.vec_id,
-         CAST(bit_count(xor(w.sign_word, q.q_word)) AS INT) AS hamming_dist
-  FROM words w JOIN qw q ON w.vec_id <> q.query_id
-),
-cand AS (
-  SELECT query_id, vec_id, hamming_dist FROM (
-    SELECT *, row_number() OVER (
-        PARTITION BY query_id ORDER BY hamming_dist, vec_id) AS r
-    FROM hams) WHERE r <= 20
-),
-norms AS (SELECT vec_id, sqrt(sum(v * v)) AS norm FROM ex GROUP BY vec_id),
-dots AS (
-  SELECT c.query_id, c.vec_id AS neighbor_id, c.hamming_dist,
-         sum(q.v * e.v) AS dot
-  FROM cand c
-  JOIN ex q ON q.vec_id = c.query_id
-  JOIN ex e ON e.vec_id = c.vec_id AND e.ord = q.ord
-  GROUP BY 1, 2, 3
-),
-scored AS (
-  SELECT query_id, neighbor_id, hamming_dist,
-         round(dot / (nq.norm * ne.norm), 6) AS cos_sim
-  FROM dots
-  JOIN norms nq ON nq.vec_id = query_id
-  JOIN norms ne ON ne.vec_id = neighbor_id
-)
-SELECT query_id, neighbor_id, hamming_dist, cos_sim, rank FROM (
-  SELECT *, row_number() OVER (
-      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
-  FROM scored
-) WHERE rank <= 5""",
-        "events_sessionize": """
-WITH e AS (
-  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
-         lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
-  FROM events
-),
-s AS (
-  SELECT *, CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS is_new
-  FROM e
-),
-x AS (
-  SELECT *, CAST(sum(is_new) OVER (
-      PARTITION BY user_id ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-  FROM s
-)
-SELECT user_id, session_id, count(*) AS n_events,
-       min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms
-FROM x GROUP BY user_id, session_id""",
-        # pivot == conditional aggregation, the portable SQL twin
-        "events_type_pivot": """
-SELECT user_id % 10 AS cohort,
-       CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS click,
-       CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS error,
-       CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
-       CAST(coalesce(sum(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS BIGINT) AS signup,
-       CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS view
-FROM events GROUP BY 1""",
-        "events_props_stats": r"""
-SELECT event_type,
-       count(k) AS n_with_k, min(k) AS min_k, max(k) AS max_k,
-       CAST(sum(k) AS BIGINT) AS sum_k
-FROM (
-  SELECT event_type,
-         TRY_CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS BIGINT) AS k
-  FROM events
-)
-GROUP BY event_type""",
-        # DuckDB's native ASOF JOIN independently checks the
-        # union-window as-of construction
-        "events_asof_purchase": """
-WITH ev AS (
-  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms, value FROM events
-),
-purch AS (
-  SELECT user_id, ts_ms, max(event_id) AS p_event_id,
-         arg_max(value, event_id) AS p_value
-  FROM ev WHERE event_type = 'purchase' GROUP BY user_id, ts_ms
-),
-clicks AS (
-  SELECT event_id, user_id, ts_ms FROM ev WHERE event_type = 'click'
-)
-SELECT c.event_id, c.user_id, c.ts_ms,
-       p.p_event_id AS purchase_event_id,
-       p.ts_ms AS purchase_ts_ms,
-       p.p_value AS purchase_value
-FROM clicks c
-ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND c.ts_ms >= p.ts_ms""",
-        # twin of analytics.monthly_revenue_growth: decimal-exact month
-        # totals, lag over the aggregated frame
-        "monthly_revenue_growth": """
-WITH per_month AS (
-  SELECT strftime(o_orderdate, '%Y-%m') AS month,
-         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
-  FROM orders GROUP BY month
-)
-SELECT month, revenue,
-       lag(revenue) OVER (ORDER BY month) AS prev_revenue,
-       round(revenue - lag(revenue) OVER (ORDER BY month), 4) AS delta,
-       round(revenue / lag(revenue) OVER (ORDER BY month), 6) AS growth
-FROM per_month""",
-        # twin of analytics.data_quality_report: one SELECT per rule,
-        # same rule strings, UNION ALL
-        "star_data_quality": """
-SELECT 'customer.c_custkey not null' AS rule,
-       (SELECT count(*) FROM customer WHERE c_custkey IS NULL) AS violations
-UNION ALL SELECT 'customer.c_custkey unique',
-       (SELECT count(*) FROM (SELECT c_custkey FROM customer GROUP BY c_custkey HAVING count(*) > 1))
-UNION ALL SELECT 'orders.o_orderkey not null',
-       (SELECT count(*) FROM orders WHERE o_orderkey IS NULL)
-UNION ALL SELECT 'orders.o_orderkey unique',
-       (SELECT count(*) FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1))
-UNION ALL SELECT 'orders.o_custkey -> customer',
-       (SELECT count(*) FROM orders o WHERE NOT EXISTS (
-          SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
-UNION ALL SELECT 'lineitem.l_orderkey -> orders',
-       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS (
-          SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
-UNION ALL SELECT 'orders.o_totalprice >= 0',
-       (SELECT count(*) FROM orders WHERE o_totalprice < 0)
-UNION ALL SELECT 'lineitem.l_discount in [0,1]',
-       (SELECT count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1)
-UNION ALL SELECT 'lineitem shipped >= orderdate - 30d',
-       (SELECT count(*) FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-        WHERE l.l_shipdate < o.o_orderdate - INTERVAL 30 DAY)""",
-        # twin of analytics.late_exclusive_suppliers (Q21 shape) in the
-        # LITERAL correlated form -- the Spark side decorrelates it;
-        # two independent derivations, one result
-        "late_exclusive_suppliers": """
-WITH li AS (
-  SELECT l_orderkey, l_suppkey,
-         l_shipdate > o_orderdate + INTERVAL 80 DAY AS late
-  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-),
-ps AS (
-  SELECT l_orderkey, l_suppkey, max(late) AS s_late
-  FROM li GROUP BY l_orderkey, l_suppkey
-)
-SELECT p.l_suppkey, count(*) AS numwait
-FROM ps p
-WHERE p.s_late
-  AND EXISTS (
-    SELECT 1 FROM ps o
-    WHERE o.l_orderkey = p.l_orderkey AND o.l_suppkey <> p.l_suppkey
-  )
-  AND NOT EXISTS (
-    SELECT 1 FROM ps o
-    WHERE o.l_orderkey = p.l_orderkey AND o.l_suppkey <> p.l_suppkey
-      AND o.s_late
-  )
-GROUP BY p.l_suppkey""",
-        # twin of analytics.customer_order_distribution (Q13 shape):
-        # left join so zero-order customers appear as c_count = 0
-        "customer_order_distribution": """
-WITH per_cust AS (
-  SELECT o_custkey, count(*) AS cnt FROM orders
-  WHERE o_orderpriority <> '1-URGENT' GROUP BY o_custkey
-),
-counts AS (
-  SELECT coalesce(p.cnt, 0) AS c_count
-  FROM customer c LEFT JOIN per_cust p ON c.c_custkey = p.o_custkey
-)
-SELECT c_count, count(*) AS custdist FROM counts GROUP BY c_count""",
-        # twin of analytics.late_shipment_orders (Q4 shape, EXISTS as
-        # semi join; lateness = shipped > 80 days after order date)
-        "late_shipment_orders": """
-SELECT o_orderpriority, count(*) AS order_count
-FROM orders o
-WHERE EXISTS (
-  SELECT 1 FROM lineitem l
-  WHERE l.l_orderkey = o.o_orderkey
-    AND l.l_shipdate > o.o_orderdate + INTERVAL 80 DAY
-)
-GROUP BY o_orderpriority""",
-        # twin of analytics.big_ticket_orders (Q18 shape): HAVING sum
-        # of quantity > 180, decimal-exact then double at the boundary
-        "big_ticket_orders": """
-WITH qty AS (
-  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS q
-  FROM lineitem GROUP BY l_orderkey HAVING q > 180
-)
-SELECT c_name, c_custkey, o_orderkey,
-       epoch_ms(o_orderdate) AS o_orderdate_ms,
-       o_totalprice,
-       CAST(q AS DOUBLE) AS total_qty
-FROM qty
-JOIN orders   ON o_orderkey = l_orderkey
-JOIN customer ON c_custkey = o_custkey""",
-        "events_view_click_range": _VIEW_CLICK_RANGE_SQL,
-        # the stream-stream join's contract IS batch equivalence: a
-        # fully-drained finite replay emits exactly the batch interval
-        # join, so the oracle is the same SQL verbatim
-        "events_join_stream": _VIEW_CLICK_RANGE_SQL,
-        # twin of the LEFT OUTER variant's end-of-replay contract: all
-        # inner pairs, plus null-padded rows for matchless views whose
-        # window closed at or before the final watermark W = min(side
-        # maxes) - 10 s delay (matchless views younger than that are
-        # still in state when the replay ends and are absent by
-        # design).  The horizon is INCLUSIVE (<=): Spark's state
-        # eviction emits the null row when view_ts + window == W --
-        # pinned empirically by test_left_join_boundary_horizon
-        "events_left_join_stream": """
-WITH ev AS (
-  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
-),
-v AS (SELECT event_id, user_id, ts_ms FROM ev WHERE event_type = 'view'),
-c AS (SELECT event_id, user_id, ts_ms FROM ev WHERE event_type = 'click'),
-wm AS (
-  SELECT least((SELECT max(ts_ms) FROM v), (SELECT max(ts_ms) FROM c)) - 10000 AS w
-),
-matched AS (
-  SELECT v.event_id AS view_event_id, c.event_id AS click_event_id,
-         v.user_id, c.ts_ms - v.ts_ms AS gap_ms
-  FROM v JOIN c
-    ON v.user_id = c.user_id
-   AND c.ts_ms >= v.ts_ms AND c.ts_ms < v.ts_ms + 600000
-)
-SELECT * FROM matched
-UNION ALL
-SELECT v.event_id, CAST(NULL AS BIGINT), v.user_id, CAST(NULL AS BIGINT)
-FROM v, wm
-WHERE v.ts_ms + 600000 <= wm.w
-  AND NOT EXISTS (
-    SELECT 1 FROM c
-    WHERE c.user_id = v.user_id
-      AND c.ts_ms >= v.ts_ms AND c.ts_ms < v.ts_ms + 600000
-  )""",
-        # KMV sketch twin: identical hash -> identical bottom-k ->
-        # identical estimate (integer-exact until the final division)
-        "events_kmv_distinct_users": """
-WITH hashed AS (
-  SELECT DISTINCT event_type,
-         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
-  FROM events WHERE user_id IS NOT NULL
-),
-bottom AS (
-  SELECT * FROM (
-    SELECT event_type, h,
-           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
-    FROM hashed
-  ) WHERE rn <= 64
-),
-agg AS (
-  SELECT event_type, count(*) AS n_kept, max(h) AS kth_hash
-  FROM bottom GROUP BY event_type
-)
-SELECT event_type, n_kept, kth_hash,
-       round(CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
-                  ELSE 63 * 281474976710656.0 / kth_hash END, 4) AS est_distinct_users
-FROM agg""",
-        # twin of analytics.kmv_set_ops: same bottom-64 sketches, union
-        # merged by sorted-distinct slice, Jaccard = fraction of the
-        # union sketch present in BOTH sides, intersection = jac*union;
-        # exact side from the distinct (user, type) frame
-        "events_kmv_setops": """
-WITH hashed AS (
-  SELECT DISTINCT event_type,
-         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
-  FROM events WHERE user_id IS NOT NULL
-),
-sketches AS (
-  SELECT event_type, list_slice(list_sort(list(h)), 1, 64) AS ks
-  FROM hashed GROUP BY event_type
-),
-pairs AS (
-  SELECT a.event_type AS type_a, b.event_type AS type_b,
-         a.ks AS ks_a, b.ks AS ks_b,
-         list_slice(list_sort(list_distinct(a.ks || b.ks)), 1, 64) AS u
-  FROM sketches a JOIN sketches b ON a.event_type < b.event_type
-),
-est AS (
-  SELECT type_a, type_b,
-         len(u) AS n_union_kept,
-         list_max(u) AS union_kth,
-         len(list_intersect(list_intersect(u, ks_a), ks_b)) AS sketch_common
-  FROM pairs
-),
-scored AS (
-  SELECT type_a, type_b,
-         CAST(n_union_kept AS BIGINT) AS n_union_kept, union_kth,
-         CASE WHEN n_union_kept < 64 THEN CAST(n_union_kept AS DOUBLE)
-              ELSE 63 * 281474976710656.0 / union_kth END AS est_union_raw,
-         CAST(sketch_common AS BIGINT) AS sketch_common,
-         CAST(sketch_common AS DOUBLE) / n_union_kept AS jac_raw
-  FROM est
-),
-ut AS (SELECT DISTINCT user_id, event_type FROM events
-       WHERE user_id IS NOT NULL),
-inter AS (
-  SELECT x.event_type AS type_a, y.event_type AS type_b,
-         count(*) AS exact_intersection
-  FROM ut x JOIN ut y ON x.user_id = y.user_id
-  WHERE x.event_type < y.event_type
-  GROUP BY 1, 2
-),
-counts AS (SELECT event_type, count(*) AS n FROM ut GROUP BY event_type)
-SELECT s.type_a, s.type_b, s.n_union_kept, s.union_kth,
-       round(s.est_union_raw, 4) AS est_union,
-       s.sketch_common,
-       round(s.jac_raw, 6) AS jaccard_est,
-       round(s.jac_raw * s.est_union_raw, 4) AS est_intersection,
-       ca.n AS exact_a, cb.n AS exact_b,
-       ca.n + cb.n - coalesce(i.exact_intersection, 0) AS exact_union,
-       coalesce(i.exact_intersection, 0) AS exact_intersection
-FROM scored s
-JOIN counts ca ON ca.event_type = s.type_a
-JOIN counts cb ON cb.event_type = s.type_b
-LEFT JOIN inter i ON i.type_a = s.type_a AND i.type_b = s.type_b""",
-        "events_salted_type_stats": """
-SELECT event_type, count(event_id) AS n_events, max(value) AS max_value,
-       min(event_id) AS min_id, CAST(sum(event_id) AS BIGINT) AS sum_ids
-FROM events GROUP BY event_type""",
-        # twin of streaming/running_stats_stream.py: the batch
-        # cumulative window equals the per-event emission of the
-        # ValueState processor (count/max over (ts, event_id) order)
-        "events_running_stats_stream": """
-SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
-       count(*) OVER cum AS n_events_so_far,
-       max(value) OVER cum AS running_max_value
-FROM events
-WHERE value IS NOT NULL
-WINDOW cum AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
-        "events_running_windows": """
-SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
-       count(*) OVER cum AS n_events_so_far,
-       max(value) OVER cum AS running_max_value,
-       epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER w AS gap_ms,
-       min(value) OVER last3 AS min_value_3
-FROM events
-WINDOW
-  w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id),
-  cum AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-  last3 AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
-            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
-        # The streaming query's complete-mode result equals the batch
-        # tumbling-window aggregation: 10-minute epoch-aligned windows
-        # (Spark F.window aligns to the 1970 epoch, == ms floor-division)
-        # twin of _q_events_top_type_stream: busiest type per window
-        # from the same batch-equal windowed counts; ties to the
-        # lexicographically largest type via the (count, type) tuple
-        "events_top_type_stream": """
-WITH wc AS (
-  SELECT (epoch_ms(ts) // 600000) * 600000 AS window_start_ms,
-         event_type, count(*) AS n_events
-  FROM events GROUP BY 1, 2
-),
-ranked AS (
-  SELECT *, row_number() OVER (
-      PARTITION BY window_start_ms
-      ORDER BY n_events DESC, event_type DESC) AS rn
-  FROM wc
-)
-SELECT window_start_ms, event_type AS top_event_type, n_events AS top_count
-FROM ranked WHERE rn = 1""",
-        "events_windowed_stream": """
-SELECT (epoch_ms(ts) // 600000) * 600000 AS window_start_ms,
-       (epoch_ms(ts) // 600000) * 600000 + 600000 AS window_end_ms,
-       event_type,
-       count(*) AS n_events,
-       min(value) AS min_value,
-       max(value) AS max_value
-FROM events
-GROUP BY 1, 2, 3""",
-        "top_parts_per_brand": """
-SELECT p_brand, p_partkey, CAST(p_retailprice AS DOUBLE) AS p_retailprice, price_rank
-FROM (
-  SELECT p_brand, p_partkey, p_retailprice,
-         row_number() OVER (
-             PARTITION BY p_brand
-             ORDER BY CAST(p_retailprice AS DOUBLE) DESC, p_partkey) AS price_rank
-  FROM part
-) WHERE price_rank <= 3""",
-        "events_value_histogram": """
-SELECT event_type,
-       CAST(floor(value / 10.0) AS BIGINT) AS bucket,
-       count(*) AS n,
-       round(min(value), 4) AS min_value,
-       round(max(value), 4) AS max_value
-FROM events
-GROUP BY 1, 2""",
-        "events_trailing_10min": """
-SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
-       count(*) OVER w AS n_last_10min,
-       max(value) OVER w AS max_value_10min
-FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
-             RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW)""",
-        "part_above_brand_avg": """
-WITH ca AS (
-  SELECT p_brand,
-         round(CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS brand_avg
-  FROM part GROUP BY 1
-)
-SELECT p_partkey, p_brand,
-       CAST(p_retailprice AS DOUBLE) AS p_retailprice, brand_avg
-FROM part JOIN ca USING (p_brand)
-WHERE CAST(p_retailprice AS DOUBLE) > brand_avg""",
-        "events_rank_family": """
-SELECT event_id, event_type,
-       CAST(floor(value) AS BIGINT) AS value_bucket,
-       rank() OVER tied AS rnk,
-       dense_rank() OVER tied AS dense_rnk,
-       round(percent_rank() OVER tied, 6) AS pct_rank,
-       round(cume_dist() OVER tied, 6) AS cume,
-       ntile(10) OVER uniq AS time_decile
-FROM events
-WINDOW tied AS (PARTITION BY event_type ORDER BY CAST(floor(value) AS BIGINT)),
-       uniq AS (PARTITION BY event_type ORDER BY epoch_ms(ts), event_id)""",
-        "orders_cube": """
-SELECT year(o_orderdate) AS o_year, o_orderstatus,
-       grouping(year(o_orderdate), o_orderstatus) AS gid,
-       count(*) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
-FROM orders
-GROUP BY CUBE(year(o_orderdate), o_orderstatus)""",
-        # The duplicated replay collapses back to the original table.
-        "events_dedup_stream": """
-SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value, props
-FROM events""",
-        # Twin of similarity.kmeans_assignments (k=8, stride=37,
-        # n_iter=2 unrolled): identical init, per-step 1e-6 rounding,
-        # argmin euclidean via score = dot - |c|^2/2, lowest-centroid
-        # tie-break; empty clusters drop out exactly as in Spark.
-        "embedding_kmeans": f"""
-WITH {_KMEANS_CTE}
-SELECT a1.vec_id, a1.centroid_id, sz.cluster_size
-FROM a1 JOIN (
-  SELECT centroid_id, count(*) AS cluster_size FROM a1 GROUP BY 1
-) sz ON sz.centroid_id = a1.centroid_id""",
-        # the GEMM assignment path must land on the SAME clusters --
-        # one oracle, two engines (JVM fold vs numpy matmul)
-        "embedding_kmeans_gemm": f"""
-WITH {_KMEANS_CTE}
-SELECT a1.vec_id, a1.centroid_id, sz.cluster_size
-FROM a1 JOIN (
-  SELECT centroid_id, count(*) AS cluster_size FROM a1 GROUP BY 1
-) sz ON sz.centroid_id = a1.centroid_id""",
-        # twin of similarity.semdedup_survivors (k=8, n_iter=2,
-        # threshold=0.99): the SAME unrolled k-means CTE, then pairwise
-        # cosine within each cluster, losers = higher vec_id of any
-        # qualifying pair, survivors by anti-join
-        "embedding_semdedup": f"""
-WITH {_KMEANS_CTE},
-sz AS (SELECT centroid_id, count(*) AS cluster_size FROM a1 GROUP BY 1),
-norms AS (SELECT vec_id, sqrt(sum(v * v)) AS norm FROM ex GROUP BY vec_id),
-cand AS (
-  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b
-  FROM a1 l JOIN a1 r ON l.centroid_id = r.centroid_id
-  WHERE l.vec_id < r.vec_id
-),
-dots AS (
-  SELECT c.vec_a, c.vec_b, sum(ea.v * eb.v) AS dot
-  FROM cand c
-  JOIN ex ea ON ea.vec_id = c.vec_a
-  JOIN ex eb ON eb.vec_id = c.vec_b AND ea.ord = eb.ord
-  GROUP BY c.vec_a, c.vec_b
-),
-losers AS (
-  SELECT DISTINCT d.vec_b AS vec_id
-  FROM dots d
-  JOIN norms na ON na.vec_id = d.vec_a
-  JOIN norms nb ON nb.vec_id = d.vec_b
-  WHERE round(d.dot / (na.norm * nb.norm), 6) >= 0.99
-)
-SELECT a1.vec_id, a1.centroid_id, sz.cluster_size
-FROM a1
-JOIN sz ON sz.centroid_id = a1.centroid_id
-ANTI JOIN losers ON losers.vec_id = a1.vec_id""",
-        # twin of textstats.dsir_importance_weights (target lang 'en',
-        # 256 hashed-unigram buckets, add-1 smoothing; log-ratio
-        # rounded to 6 before weighting, exactly like the Spark side)
-        "doc_dsir_weights": rf"""
-WITH words AS (
-  SELECT doc_id, lang, unnest(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS term
-  FROM documents
-),
-wb AS (
-  SELECT doc_id, lang,
-         ('0x' || substr(md5(term), 1, 12))::BIGINT % 256 AS b
-  FROM words
-),
-cc AS (SELECT b, count(*) AS cc FROM wb GROUP BY b),
-tc AS (SELECT b, count(*) AS tc FROM wb WHERE lang = 'en' GROUP BY b),
-counts AS (
-  SELECT cc.b, cc.cc, coalesce(tc.tc, 0) AS tc FROM cc LEFT JOIN tc USING (b)
-),
-tot AS (SELECT sum(cc)::DOUBLE AS tot_corpus, sum(tc)::DOUBLE AS tot_target FROM counts),
-ratio AS (
-  SELECT b, round(log10((tc + 1) / (tot_target + 256)) - log10((cc + 1) / (tot_corpus + 256)), 6) AS lr
-  FROM counts, tot
-),
-rat_units AS (SELECT b, CAST(round(lr * 1e6) AS BIGINT) AS lru FROM ratio),
-pd AS (SELECT doc_id, b, count(*) AS cnt FROM wb GROUP BY doc_id, b)
-SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
-       CAST(sum(cnt * lru) AS BIGINT) AS dsir_units
-FROM pd JOIN rat_units USING (b) GROUP BY doc_id""",
-        # twin of textstats.bigram_logprob_scores (add-1 smoothing,
-        # V = distinct unigrams)
-        "doc_bigram_logprob": rf"""
-WITH doc_words AS (
-  SELECT doc_id, regexp_extract_all(text, '{_TOKEN_RE_SQL}') AS w FROM documents
-),
-bi AS (
-  SELECT doc_id, unnest(
-    CASE WHEN len(w) >= 2 THEN list_transform(
-      generate_series(1, len(w) - 1), i -> array_to_string(w[i:i+1], ' '))
-    ELSE [] END) AS bg
-  FROM doc_words
-),
-uni AS (SELECT doc_id, unnest(w) AS term FROM doc_words),
-bgc AS (SELECT bg, count(*) AS c12 FROM bi GROUP BY bg),
-w1c AS (SELECT term, count(*) AS c1 FROM uni GROUP BY term),
-v AS (SELECT count(*)::DOUBLE AS V FROM w1c)
-SELECT doc_id, count(*) AS n_bigrams,
-       round(avg(log10((c12 + 1) / (c1 + V))), 6) AS mean_bigram_logprob
-FROM bi
-JOIN bgc USING (bg)
-JOIN w1c ON split_part(bg, ' ', 1) = term, v
-GROUP BY doc_id""",
-        # twin of similarity.quantize_embeddings_int8: same per-dim
-        # min/max, floor(+0.5) codes, integer 1e-6-unit error sum
-        "embedding_quantize_int8": """
-WITH ex AS (
-  SELECT vec_id, generate_subscripts(embedding, 1) AS ord,
-         unnest(embedding)::DOUBLE AS v
-  FROM embeddings
-),
-stats AS (SELECT ord, min(v) AS mn, max(v) AS mx FROM ex GROUP BY ord),
-coded AS (
-  SELECT e.vec_id, e.ord, e.v, s.mn, s.mx,
-         CASE WHEN s.mx > s.mn THEN
-           CAST(least(255, greatest(0,
-             floor((e.v - s.mn) / ((s.mx - s.mn) / 255.0) + 0.5))) AS INT)
-         ELSE 0 END AS code
-  FROM ex e JOIN stats s ON e.ord = s.ord
-),
-errs AS (
-  SELECT vec_id, ord, code,
-         CAST(floor(abs(v - (mn + code * ((mx - mn) / 255.0))) * 1e6 + 0.5) AS BIGINT) AS eu
-  FROM coded
-)
-SELECT vec_id,
-       array_to_string(list(code ORDER BY ord), ',') AS codes_csv,
-       CAST(sum(eu) AS BIGINT) AS err_units
-FROM errs GROUP BY vec_id""",
-        # twin of textstats.length_bucket_padding (bounds 64/128/256/
-        # 512, over-long docs truncate into the top bucket)
-        "doc_length_bucket_padding": rf"""
-WITH n AS (
-  SELECT least(len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')), 512) AS n
-  FROM documents
-),
-b AS (
-  SELECT CASE WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
-              WHEN n <= 256 THEN 256 ELSE 512 END AS bucket_bound, n
-  FROM n
-)
-SELECT bucket_bound, count(*) AS n_docs,
-       CAST(sum(n) AS BIGINT) AS real_tokens,
-       CAST(count(*) * bucket_bound AS BIGINT) AS padded_tokens,
-       CAST(count(*) * bucket_bound - sum(n) AS BIGINT) AS waste_tokens
-FROM b GROUP BY bucket_bound""",
-        # twin of textstats.top_terms_per_doc: the SQL form of the
-        # UDTF's per-row row-set (explode + count + rank, same
-        # tie-break) -- whitespace split() == the \S+ token regex
-        "doc_top_terms_udtf": rf"""
-WITH terms AS (
-  SELECT doc_id, unnest(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS term
-  FROM documents
-),
-counts AS (SELECT doc_id, term, count(*) AS cnt FROM terms GROUP BY doc_id, term),
-ranked AS (
-  SELECT *, CAST(row_number() OVER (
-      PARTITION BY doc_id ORDER BY cnt DESC, term) AS INT) AS rank
-  FROM counts
-)
-SELECT doc_id, term, cnt, rank FROM ranked WHERE rank <= 3""",
-        # twin of analytics.hll_distinct_users: the exact counts are
-        # compared value-for-value; the sketch contract is the bound
-        # flag (each engine's own HLL must sit within 10% of exact --
-        # estimates themselves are algorithm-specific, see docstring)
-        # twin of analytics.purchase_attribution: same gap-session
-        # construction as events_sessionize, IGNORE-NULLS first/last
-        # over the preceding-rows frame
-        # twin of dedup.dedup_keep_best: clusters CTE verbatim, winner
-        # = (n_chars DESC, doc_id) per cluster, losers anti-joined
-        # twin of textstats.hybrid_search_topk: BM25 candidates via the
-        # shared parameterized scorer, cosine over survivors only, RRF
-        # = 1/(60+r1) + 1/(60+r2) on integer ranks
-        "doc_hybrid_search": """
-WITH b AS (SELECT * FROM (
-""" + _bm25_sql(50) + """
-)),
-ex AS (
-  SELECT vec_id, generate_subscripts(embedding, 1) AS ord,
-         unnest(embedding)::DOUBLE AS v
-  FROM embeddings
-),
-norms AS (SELECT vec_id, sqrt(sum(v * v)) AS norm FROM ex GROUP BY vec_id),
-q AS (SELECT * FROM ex WHERE vec_id = 0),
-cand AS (
-  SELECT b.doc_id, b.rank AS bm25_rank,
-         round(sum(q.v * e.v) / (nq.norm * ne.norm), 6) AS cos_sim
-  FROM b
-  JOIN ex e ON e.vec_id = b.doc_id
-  JOIN q ON q.ord = e.ord
-  JOIN norms ne ON ne.vec_id = b.doc_id
-  JOIN norms nq ON nq.vec_id = 0
-  GROUP BY b.doc_id, b.rank, nq.norm, ne.norm
-),
-ranked AS (
-  SELECT *, row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS cos_rank
-  FROM cand
-),
-fused AS (
-  SELECT doc_id, bm25_rank, cos_rank, cos_sim,
-         round(1.0 / (60 + bm25_rank) + 1.0 / (60 + cos_rank), 9) AS rrf_score
-  FROM ranked
-)
-SELECT doc_id, bm25_rank, cos_rank, cos_sim, rrf_score, rank FROM (
-  SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rank
-  FROM fused
-) WHERE rank <= 10""",
-        "dedup_keep_best": """
-WITH cl AS (
-""" + _dedup_clusters_sql() + """
-),
-m AS (
-  SELECT c.cluster_id, d.doc_id, d.n_chars
-  FROM cl c JOIN documents d ON d.doc_id = c.doc_id
-),
-w AS (
-  SELECT cluster_id, doc_id AS keep_id FROM (
-    SELECT *, row_number() OVER (
-        PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
-    FROM m) WHERE rn = 1
-),
-losers AS (
-  SELECT m.doc_id FROM m JOIN w ON w.cluster_id = m.cluster_id
-  WHERE m.doc_id <> w.keep_id
-)
-SELECT d.doc_id, d.lang, d.source, d.n_chars
-FROM documents d ANTI JOIN losers l ON l.doc_id = d.doc_id""",
-        # twin of analytics.join_key_skew_report over events.user_id
-        "events_skew_report": """
-WITH kc AS (
-  SELECT user_id AS k, count(*) AS cnt FROM events
-  WHERE user_id IS NOT NULL GROUP BY 1
-),
-top AS (SELECT k AS top_key FROM kc ORDER BY cnt DESC, k DESC LIMIT 1),
-s AS (
-  SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
-         max(cnt) AS max_key_rows,
-         round(round(quantile_cont(cnt, 0.99), 9), 4) AS p99_key_rows
-  FROM kc
-)
-SELECT 'user_id' AS key_col, n_keys, n_rows, max_key_rows,
-       round(CAST(n_rows AS DOUBLE) / n_keys, 4) AS avg_key_rows,
-       p99_key_rows,
-       round(max_key_rows / (CAST(n_rows AS DOUBLE) / n_keys), 4) AS skew_factor,
-       top_key
-FROM s, top""",
-        "events_attribution": """
-WITH e AS (
-  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
-         lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
-  FROM events
-),
-s AS (
-  SELECT *, CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000
-                 THEN 1 ELSE 0 END AS is_new
-  FROM e
-),
-sid AS (
-  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-              AS session_id
-  FROM s
-),
-att AS (
-  SELECT *,
-    first_value(CASE WHEN event_type <> 'purchase' THEN event_id END IGNORE NULLS)
-      OVER prior AS first_touch_id,
-    first_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
-      OVER prior AS first_touch_type,
-    last_value(CASE WHEN event_type <> 'purchase' THEN event_id END IGNORE NULLS)
-      OVER prior AS last_touch_id,
-    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
-      OVER prior AS last_touch_type,
-    coalesce(sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
-      OVER prior, 0) AS n_touches
-  FROM sid
-  WINDOW prior AS (PARTITION BY user_id, session_id ORDER BY ts_ms, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-)
-SELECT event_id, user_id, ts_ms, session_id, first_touch_id,
-       first_touch_type, last_touch_id, last_touch_type,
-       CAST(n_touches AS BIGINT) AS n_touches
-FROM att WHERE event_type = 'purchase'""",
-        # twin of analytics.hll_sketch_table_union: the union of the
-        # daily sketches must answer like one sketch over the whole
-        # type -- DuckDB asserts its own estimator's bound (the
-        # hll_distinct_users contract) + the day count
-        "events_hll_sketch_union": """
-SELECT event_type,
-       count(DISTINCT date_trunc('day', ts)) AS n_days,
-       count(DISTINCT user_id) AS n_exact,
-       abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
-         / count(DISTINCT user_id) <= 0.1 AS within_bound
-FROM events WHERE user_id IS NOT NULL
-GROUP BY event_type""",
-        "events_hll_distinct_users": """
-SELECT event_type,
-       count(DISTINCT user_id) AS n_exact,
-       abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
-         / count(DISTINCT user_id) <= 0.1 AS within_bound
-FROM events WHERE user_id IS NOT NULL
-GROUP BY event_type""",
-        # twin of _q_zorder_layout: the identical bit-interleave chain
-        # spelled out by functions.zorder.zorder_key_sql
-        # twin of functions/hilbert.py: the same 16-level walk as a
-        # linear CTE chain (generated by hilbert_sql_ctes)
-        # twin of _q_zorder3_layout: the identical 3-way interleave
-        # spelled out by functions.zorder.zorder_key_n_sql
-        "lineitem_zorder3_layout": f"""
-SELECT l_orderkey, l_linenumber,
-       {zorder_key_n_sql(["l_partkey", "l_suppkey", "l_orderkey"])} AS z3_key,
-       {zorder_key_n_sql(["l_partkey", "l_suppkey", "l_orderkey"])} >> 42 AS file_id
-FROM lineitem""",
-        "lineitem_hilbert_layout": hilbert_sql_ctes(
-            "l_partkey", "l_suppkey", "lineitem",
-            "l_orderkey, l_linenumber, l_partkey, l_suppkey",
-        ) + """
-SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, h_key,
-       h_key >> 26 AS file_id
-FROM hk""",
-        "lineitem_zorder_layout": f"""
-SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-       {zorder_key_sql("l_partkey", "l_suppkey")} AS z_key,
-       {zorder_key_sql("l_partkey", "l_suppkey")} >> 26 AS file_id
-FROM lineitem""",
-        # twin of similarity.cluster_profiles: the SQL form of the
-        # grouped-map profile (the operator deliberately computes it
-        # via applyInPandas -- see its docstring)
-        "embedding_cluster_profiles": f"""
-WITH {_KMEANS_CTE},
-norms AS (SELECT vec_id, sqrt(sum(v * v)) AS norm FROM ex GROUP BY vec_id),
-dimvar AS (
-  SELECT a.centroid_id, e.ord, var_pop(e.v) AS vp
-  FROM ex e JOIN a1 a ON a.vec_id = e.vec_id
-  GROUP BY a.centroid_id, e.ord
-)
-SELECT a.centroid_id,
-       count(*) AS n_members,
-       round(avg(n.norm), 6) AS mean_norm,
-       (SELECT round(sum(vp), 6) FROM dimvar d WHERE d.centroid_id = a.centroid_id) AS var_trace
-FROM a1 a JOIN norms n ON n.vec_id = a.vec_id
-GROUP BY a.centroid_id""",
-        "doc_redact_pii": _redact_pii_sql(),
-        # twin of textstats.leakage_safe_splits: clusters CTE is the
-        # dedup_clusters oracle verbatim, split hash on the canonical id
-        "doc_leakage_safe_splits": """
-WITH cl AS (
-""" + _dedup_clusters_sql() + """
-),
-j AS (
-  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS split_key
-  FROM documents d LEFT JOIN cl c ON c.doc_id = d.doc_id
-),
-b AS (
-  SELECT doc_id, split_key,
-         ('0x' || substr(md5('split:' || CAST(split_key AS VARCHAR)), 1, 12))::BIGINT % 100 AS bucket
-  FROM j
-)
-SELECT doc_id, split_key, bucket,
-       CASE WHEN bucket < 90 THEN 'train'
-            WHEN bucket < 95 THEN 'val'
-            ELSE 'test' END AS split
-FROM b""",
-        "doc_split_assignments": """
-WITH b AS (
-  SELECT doc_id, lang, source,
-         ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100 AS bucket
-  FROM documents
-)
-SELECT doc_id, lang, source, bucket,
-       CASE WHEN bucket < 90 THEN 'train'
-            WHEN bucket < 95 THEN 'val'
-            ELSE 'test' END AS split
-FROM b""",
-        "cdc_apply_changes": _APPLY_CHANGES_SQL,
-        "cdc_snapshot_diff": _SNAPSHOT_DIFF_SQL,
-        # twin of snapshot.scd2_history: lead() over ALL changes closes
-        # intervals (a DELETE terminates the open version), then the
-        # version numbering runs over the surviving INSERT/UPDATE rows
-        # only -- same two-window construction, same (ts, event_id)
-        # order-as-data tiebreak
-        "cdc_scd2_history": """
-WITH ch AS (
-  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
-         CASE event_type WHEN 'click' THEN 'INSERT'
-                         WHEN 'view' THEN 'UPDATE'
-                         WHEN 'purchase' THEN 'DELETE' END AS op,
-         value
-  FROM events
-  WHERE event_type IN ('click','view','purchase') AND user_id IS NOT NULL
-),
-seq AS (
-  SELECT *, lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)
-              AS valid_to_ms
-  FROM ch
-)
-SELECT user_id,
-       row_number() OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)
-         AS version,
-       op, round(value, 4) AS value,
-       ts_ms AS valid_from_ms, valid_to_ms,
-       (valid_to_ms IS NULL) AS is_current
-FROM seq WHERE op <> 'DELETE'""",
-        # twin of snapshot.scd2_lookup: same history CTE, probes are the
-        # error events, half-open interval containment; LEFT JOIN keeps
-        # stateless probes (pre-first-version or in a deleted gap)
-        "cdc_scd2_lookup": """
-WITH ch AS (
-  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
-         CASE event_type WHEN 'click' THEN 'INSERT'
-                         WHEN 'view' THEN 'UPDATE'
-                         WHEN 'purchase' THEN 'DELETE' END AS op,
-         value
-  FROM events
-  WHERE event_type IN ('click','view','purchase') AND user_id IS NOT NULL
-),
-seq AS (
-  SELECT *, lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)
-              AS valid_to_ms
-  FROM ch
-),
-hist AS (
-  SELECT user_id,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)
-           AS version,
-         round(value, 4) AS state_value,
-         ts_ms AS valid_from_ms, valid_to_ms
-  FROM seq WHERE op <> 'DELETE'
-),
-probes AS (
-  SELECT event_id AS probe_event_id, user_id, epoch_ms(ts) AS probe_ts_ms
-  FROM events WHERE event_type = 'error' AND user_id IS NOT NULL
-)
-SELECT p.probe_event_id, p.user_id, p.probe_ts_ms,
-       h.version, h.state_value, h.valid_from_ms
-FROM probes p
-LEFT JOIN hist h
-  ON p.user_id = h.user_id
- AND p.probe_ts_ms >= h.valid_from_ms
- AND (h.valid_to_ms IS NULL OR p.probe_ts_ms < h.valid_to_ms)""",
-        # twin of analytics.measure_profile: explicit UNION ALL melt
-        # (the unpivot), GROUPING SETS over it, decimal-exact sums cast
-        # to double (the q1 discipline), grouping() marker mirrored
-        "lineitem_measure_profile": """
-WITH m AS (
-  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
-  UNION ALL
-  SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
-  UNION ALL
-  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
-  UNION ALL
-  SELECT l_returnflag, 'l_tax', l_tax FROM lineitem
-)
-SELECT l_returnflag, measure,
-       CAST(grouping(l_returnflag) AS INT) AS is_total,
-       count(*) AS n,
-       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
-       round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6)
-         AS avg_value
-FROM m
-GROUP BY GROUPING SETS ((l_returnflag, measure), (measure))""",
-        # twin of snapshot.merge_upsert over the same cutoff split:
-        # source row present -> ALL its columns win (row-wise CASE,
-        # mirroring the struct coalesce -- never per-column coalesce,
-        # which would resurrect target values under source NULLs);
-        # flagged deletes drop the key, delete-of-absent is a no-op
-        "cdc_merge_upsert": """
-WITH changes AS (
-  SELECT user_id,
-         CASE event_type WHEN 'click' THEN 'INSERT'
-                         WHEN 'view' THEN 'UPDATE'
-                         ELSE 'DELETE' END AS op,
-         epoch_ms(ts) AS ts_ms, event_id, value, ts
-  FROM events
-  WHERE event_type IN ('click', 'view', 'purchase') AND user_id IS NOT NULL
-),
-old_snap AS (
-  SELECT user_id, op AS last_op, ts_ms AS last_ts_ms,
-         event_id AS last_event_id, round(value, 4) AS last_value, n_changes
-  FROM (
-    SELECT *, row_number() OVER (PARTITION BY user_id
-                                 ORDER BY ts_ms DESC, event_id DESC) AS rn,
-           count(*) OVER (PARTITION BY user_id) AS n_changes
-    FROM changes WHERE ts < TIMESTAMP '2024-01-16'
-  ) WHERE rn = 1 AND op <> 'DELETE'
-),
-delta AS (
-  SELECT user_id, op AS last_op, ts_ms AS last_ts_ms,
-         event_id AS last_event_id, round(value, 4) AS last_value, n_changes
-  FROM (
-    SELECT *, row_number() OVER (PARTITION BY user_id
-                                 ORDER BY ts_ms DESC, event_id DESC) AS rn,
-           count(*) OVER (PARTITION BY user_id) AS n_changes
-    FROM changes WHERE ts >= TIMESTAMP '2024-01-16'
-  ) WHERE rn = 1
-)
-SELECT coalesce(d.user_id, o.user_id) AS user_id,
-       CASE WHEN d.user_id IS NOT NULL THEN d.last_op ELSE o.last_op END AS last_op,
-       CASE WHEN d.user_id IS NOT NULL THEN d.last_ts_ms ELSE o.last_ts_ms END AS last_ts_ms,
-       CASE WHEN d.user_id IS NOT NULL THEN d.last_event_id ELSE o.last_event_id END AS last_event_id,
-       CASE WHEN d.user_id IS NOT NULL THEN d.last_value ELSE o.last_value END AS last_value,
-       CASE WHEN d.user_id IS NOT NULL THEN d.n_changes ELSE o.n_changes END AS n_changes
-FROM old_snap o
-FULL OUTER JOIN delta d ON o.user_id = d.user_id
-WHERE NOT coalesce(d.last_op = 'DELETE', FALSE)""",
-        # the incremental maintenance contract IS batch equivalence:
-        # after draining the chunked replay, the stored snapshot equals
-        # apply_changes over all events -- same SQL verbatim
-        "cdc_snapshot_incremental": _APPLY_CHANGES_SQL,
-        "regional_supplier_volume": """
-SELECT n_name,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
-       count(*) AS n_items
-FROM lineitem
-JOIN supplier ON l_suppkey = s_suppkey
-JOIN nation   ON s_nationkey = n_nationkey
-JOIN region   ON n_regionkey = r_regionkey
-JOIN orders   ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-WHERE r_name = 'ASIA'
-  AND o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
-  AND c_nationkey = s_nationkey
-GROUP BY n_name""",
-        "part_profit_by_nation": """
-SELECT n_name, year(o_orderdate) AS o_year,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS profit,
-       count(*) AS n_items
-FROM lineitem
-JOIN part     ON l_partkey = p_partkey
-JOIN supplier ON l_suppkey = s_suppkey
-JOIN nation   ON s_nationkey = n_nationkey
-JOIN orders   ON l_orderkey = o_orderkey
-WHERE p_name LIKE '%bolt%'
-GROUP BY n_name, year(o_orderdate)""",
-        "events_funnel": """
-WITH e AS (
-  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type
-  FROM events
-  WHERE event_type IN ('view', 'click', 'purchase') AND user_id IS NOT NULL
-),
-v AS (
-  SELECT user_id, ts_ms, event_id FROM (
-    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS rn
-    FROM e WHERE event_type = 'view'
-  ) WHERE rn = 1
-),
-c AS (
-  SELECT user_id, ts_ms, event_id FROM (
-    SELECT e.user_id, e.ts_ms, e.event_id,
-           row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts_ms, e.event_id) AS rn
-    FROM e JOIN v USING (user_id)
-    WHERE e.event_type = 'click'
-      AND (e.ts_ms > v.ts_ms OR (e.ts_ms = v.ts_ms AND e.event_id > v.event_id))
-  ) WHERE rn = 1
-),
-p AS (
-  SELECT user_id, ts_ms FROM (
-    SELECT e.user_id, e.ts_ms,
-           row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts_ms, e.event_id) AS rn
-    FROM e JOIN c USING (user_id)
-    WHERE e.event_type = 'purchase'
-      AND (e.ts_ms > c.ts_ms OR (e.ts_ms = c.ts_ms AND e.event_id > c.event_id))
-  ) WHERE rn = 1
-)
-SELECT v.user_id, v.ts_ms AS view_ts_ms, c.ts_ms AS click_ts_ms, p.ts_ms AS purchase_ts_ms,
-       1 + CAST(c.user_id IS NOT NULL AS INT) + CAST(p.user_id IS NOT NULL AS INT) AS stage_reached
-FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON v.user_id = p.user_id""",
-        # twin of analytics.cms_type_counts: same md5 depth-salted
-        # buckets, cell-wise counters, min-over-depths estimate
-        "events_cms_counts": f"""
-WITH hashed AS (
-  SELECT event_type AS key, d.depth,
-         ('0x' || substr(md5(CAST(d.depth AS VARCHAR) || ':' || event_type), 1, 12))::BIGINT % 64 AS bucket
-  FROM events
-  CROSS JOIN (SELECT unnest(range(4)) AS depth) d
-  WHERE event_type IS NOT NULL
-),
-sketch AS (SELECT depth, bucket, count(*) AS c FROM hashed GROUP BY 1, 2),
-truth AS (
-  SELECT event_type AS key, count(*) AS true_n FROM events
-  WHERE event_type IS NOT NULL GROUP BY 1
-),
-probes AS (
-  SELECT t.key, t.true_n, d.depth,
-         ('0x' || substr(md5(CAST(d.depth AS VARCHAR) || ':' || t.key), 1, 12))::BIGINT % 64 AS bucket
-  FROM truth t CROSS JOIN (SELECT unnest(range(4)) AS depth) d
-)
-SELECT p.key, p.true_n, CAST(min(s.c) AS BIGINT) AS est_n,
-       CAST(min(s.c) - p.true_n AS BIGINT) AS overcount
-FROM probes p JOIN sketch s ON s.depth = p.depth AND s.bucket = p.bucket
-GROUP BY p.key, p.true_n""",
-        # twin of analytics.retention_cohorts: weekly cohorts, distinct
-        # active weeks per user, offset matrix, rate vs offset-0 size
-        "events_retention_cohorts": """
-WITH e AS (
-  SELECT user_id, date_trunc('week', ts) AS wk
-  FROM events WHERE user_id IS NOT NULL
-),
-per_user AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY user_id),
-activity AS (
-  SELECT DISTINCT e.user_id, p.cohort,
-         CAST(date_diff('day', p.cohort, e.wk) / 7 AS INT) AS week_offset
-  FROM e JOIN per_user p USING (user_id)
-),
-matrix AS (
-  SELECT cohort, week_offset, count(*) AS n_users
-  FROM activity GROUP BY cohort, week_offset
-),
-sizes AS (SELECT cohort, n_users AS cohort_size FROM matrix WHERE week_offset = 0)
-SELECT strftime(m.cohort, '%Y-%m-%d') AS cohort_week, m.week_offset, m.n_users,
-       round(CAST(m.n_users AS DOUBLE) / s.cohort_size, 6) AS retention
-FROM matrix m JOIN sizes s USING (cohort)""",
-        # twin of analytics.event_type_transitions: per-user lead pairs
-        # under the same total (ts, event_id) order
-        "events_type_transitions": """
-WITH seq AS (
-  SELECT event_type AS from_type,
-         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
-  FROM events WHERE user_id IS NOT NULL
-),
-counts AS (
-  SELECT from_type, to_type, count(*) AS n_transitions
-  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
-),
-marg AS (SELECT from_type, sum(n_transitions) AS t FROM counts GROUP BY 1)
-SELECT c.from_type, c.to_type, c.n_transitions,
-       round(CAST(c.n_transitions AS DOUBLE) / m.t, 6) AS p_transition
-FROM counts c JOIN marg m USING (from_type)""",
-        # twin of textstats.pack_sequences: the oracle runs the running
-        # sum as one window (fine for DuckDB); the Spark side shards it
-        "doc_pack_sequences": rf"""
-WITH base AS (
-  SELECT doc_id,
-         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS h,
-         CAST(len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS BIGINT) AS n_tokens
-  FROM documents
-),
-off AS (
-  SELECT doc_id, h % 8 AS shard, n_tokens,
-         CAST(coalesce(sum(n_tokens) OVER (
-           PARTITION BY h % 8 ORDER BY h, doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS stream_offset
-  FROM base
-)
-SELECT doc_id, shard, n_tokens, stream_offset,
-       stream_offset // 512 AS seq_id,
-       stream_offset % 512 AS seq_offset
-FROM off""",
-        "doc_chunks": rf"""
-WITH dw AS (
-  SELECT doc_id, regexp_extract_all(text, '{_TOKEN_RE_SQL}') AS w FROM documents
-),
-st AS (
-  SELECT doc_id, w,
-         unnest(CASE WHEN len(w) > 0 THEN generate_series(1, len(w), 48)
-                ELSE [] END) AS start
-  FROM dw
-)
-SELECT doc_id,
-       CAST((start - 1) // 48 AS BIGINT) AS chunk_id,
-       CAST(start AS BIGINT) AS start_token,
-       CAST(len(w[start:start+63]) AS BIGINT) AS n_chunk_tokens,
-       array_to_string(w[start:start+63], ' ') AS chunk_text
-FROM st""",
-        # twin of textstats.mixture_sample: identical double-arithmetic
-        # order ((frac*total)*ws)/n_tokens, identical floor()ed 48-bit
-        # keep threshold (a bare cast rounds in DuckDB but truncates in
-        # Spark -- floor first removes the difference)
-        "corpus_mixture_sample": rf"""
-WITH toks AS (
-  SELECT lang, source, len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS n FROM documents
-),
-grp AS (
-  SELECT lang, source, CAST(sum(n) AS BIGINT) AS n_tokens FROM toks GROUP BY lang, source
-),
-tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS t FROM grp),
-w AS (
-  SELECT lang, source, n_tokens,
-         pow(n_tokens / (SELECT t FROM tot), 0.7) AS pw
-  FROM grp
-),
-z AS (SELECT sum(pw) AS z FROM w),
-rates AS (
-  SELECT lang, source,
-         least(CAST(1.0 AS DOUBLE),
-               CAST(0.5 AS DOUBLE) * (SELECT t FROM tot)
-               * round(pw / (SELECT z FROM z), 6) / n_tokens) AS p
-  FROM w
-)
-SELECT d.doc_id, d.lang, d.source, d.n_chars, round(r.p, 6) AS keep_rate
-FROM documents d JOIN rates r USING (lang, source)
-WHERE ('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 12))::BIGINT
-      < CAST(floor(r.p * 281474976710656.0) AS BIGINT)""",
-        "q1_pricing_summary": """
-SELECT *, sum_qty / count_order AS avg_qty, sum_base_price / count_order AS avg_price
-FROM (
-  SELECT l_returnflag, l_linestatus,
-         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc_price,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2)) * CAST(1 + l_tax AS DECIMAL(12,2))) AS DOUBLE) AS sum_charge,
-         count(*) AS count_order
-  FROM lineitem
-  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-  GROUP BY l_returnflag, l_linestatus
-)""",
-        "top_revenue_orders": """
-WITH rev AS (
-  SELECT l_orderkey,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
-  FROM lineitem GROUP BY l_orderkey
-)
-SELECT o_orderkey, o_custkey, o_orderstatus, revenue, rank FROM (
-  SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, rev.revenue,
-         row_number() OVER (ORDER BY revenue DESC, o_orderkey) AS rank
-  FROM rev JOIN orders o ON rev.l_orderkey = o.o_orderkey
-) WHERE rank <= 10""",
-        "high_value_customers": """
-SELECT c_custkey, c_name, c_mktsegment
-FROM customer
-WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice >= 100000.0)""",
-        "user_set_ops": """
-SELECT user_id, 'purchase_and_click' AS cohort FROM (
-  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
-  INTERSECT
-  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
-)
-UNION ALL
-SELECT user_id, 'purchase_no_click' FROM (
-  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
-  EXCEPT
-  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
-)""",
-        "revenue_rollup": """
-SELECT o_orderstatus, o_orderpriority,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
-       count(*) AS n_orders
-FROM orders
-GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
-        # Twin of sample_video_frames over the same text-bytes blobs:
-        # n_chunks = max(len//1024, 1); every 10th chunk, first 8.
-        "media_video_frames": """
-WITH v AS (
-  SELECT doc_id AS media_id, text,
-         greatest(length(text) // 1024, 1) AS n_chunks
-  FROM documents
-),
-frames AS (
-  SELECT media_id, text,
-         unnest(generate_series(0, n_chunks - 1, 10)) AS chunk_idx
-  FROM v
-),
-capped AS (
-  SELECT media_id, chunk_idx, text,
-         row_number() OVER (PARTITION BY media_id ORDER BY chunk_idx) AS rn
-  FROM frames
-)
-SELECT media_id,
-       CAST(chunk_idx AS INT) AS frame_index,
-       sha256(substring(text, chunk_idx * 1024 + 1, 1024)) AS frame_sha256
-FROM capped WHERE rn <= 8""",
-        # twin of analytics.time_rollup (single-pass hierarchical
-        # rollup; level from which buckets are non-null, no
-        # grouping_id dialect)
-        "events_time_rollup": """
-WITH e AS (
-  SELECT date_trunc('day', ts) AS d, date_trunc('hour', ts) AS h,
-         date_trunc('minute', ts) AS m, value
-  FROM events
-)
-SELECT CASE WHEN m IS NOT NULL THEN 'minute'
-            WHEN h IS NOT NULL THEN 'hour'
-            WHEN d IS NOT NULL THEN 'day'
-            ELSE 'total' END AS level,
-       strftime(d, '%Y-%m-%d %H:%M:%S') AS day,
-       strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
-       strftime(m, '%Y-%m-%d %H:%M:%S') AS minute,
-       count(*) AS n_events,
-       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
-FROM e GROUP BY ROLLUP(d, h, m)""",
-        # twin of analytics.gap_fill_locf (dense per-user day grid,
-        # arg-max-by-event-id in-bucket pick, IGNORE NULLS carry)
-        "events_gap_fill": """
-WITH pb AS (
-  SELECT user_id, date_trunc('day', ts) AS b, count(*) AS n_events,
-         arg_max(value, event_id) AS v
-  FROM events GROUP BY 1, 2
-), bounds AS (
-  SELECT user_id, min(b) AS lo, max(b) AS hi FROM pb GROUP BY user_id
-), grid AS (
-  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS b
-  FROM bounds
-)
-SELECT g.user_id AS user_id,
-       strftime(g.b, '%Y-%m-%d %H:%M:%S') AS bucket,
-       pb.v IS NOT NULL AS observed,
-       coalesce(pb.n_events, 0) AS n_events,
-       last_value(pb.v IGNORE NULLS) OVER (
-         PARTITION BY g.user_id ORDER BY g.b
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
-FROM grid g LEFT JOIN pb ON g.user_id = pb.user_id AND g.b = pb.b""",
-        # twin of the RIFF-AVI path: frame slicing + header dims
-        # restated over the ASCII text (sha256 of each 64-byte slice;
-        # dims are the doc-derived ints the avih parser reads back)
-        "media_video_frames_riff": """
-WITH v AS (
-  SELECT doc_id AS media_id, text,
-         least(greatest(length(text) // 64, 1), 8) AS n_frames,
-         64 + doc_id % 192 AS width, 48 + doc_id % 100 AS height
-  FROM documents
-), fr AS (
-  SELECT media_id, text, n_frames, width, height,
-         unnest(generate_series(0, n_frames - 1)) AS frame_index
-  FROM v
-)
-SELECT media_id, CAST(frame_index AS INT) AS frame_index,
-       sha256(substring(text, CAST(frame_index * 64 + 1 AS INT), 64)) AS frame_sha256,
-       CAST(width AS INT) AS width, CAST(height AS INT) AS height,
-       CAST(n_frames AS INT) AS n_frames, 'riff-avi' AS decoder
-FROM fr""",
-        # Byte-exact blob twin: rebuild the IHDR-valid synthetic PNG
-        # (signature + IHDR with doc_id-derived dims + text payload)
-        # and recompute sha256/n_bytes over the SAME bytes the Spark
-        # side hashes; width/height are the values the IHDR parser
-        # reads back
-        "media_image_features": """
-WITH blob AS (
-  SELECT doc_id,
-         unhex('89504E470D0A1A0A0000000D49484452')
-         || unhex(lpad(to_hex(64 + doc_id % 192), 8, '0'))
-         || unhex(lpad(to_hex(64 + (doc_id * 7) % 192), 8, '0'))
-         || unhex('080200000000000000')
-         || encode(text) AS content,
-         64 + doc_id % 192 AS width,
-         64 + (doc_id * 7) % 192 AS height
-  FROM documents
-)
-SELECT doc_id AS media_id, sha256(lower(hex(content))) AS sha256_hex,
-       octet_length(content) AS n_bytes,
-       CAST(width AS INT) AS width, CAST(height AS INT) AS height,
-       'ihdr' AS decoder
-FROM blob""",
-        # Derivation twin of the WAV synth in _q_media_audio_features:
-        # recomputes expected decode outputs from doc_id without decoding
-        "media_audio_features": """
-SELECT doc_id AS media_id,
-       CAST(1 + doc_id % 2 AS INT) AS channels,
-       CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS INT) AS sample_rate,
-       400 + (doc_id % 50) * 8 AS n_samples,
-       CAST(400 + (doc_id % 50) * 8 AS DOUBLE)
-         / (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END) AS duration_s,
-       CAST(1000 + (doc_id % 20) * 500 AS DOUBLE) / 32768 AS rms,
-       'wave' AS decoder
-FROM documents""",
-        "customer_nation_revenue": """
-WITH per_order AS (
-  SELECT l_orderkey,
-         sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS order_rev
-  FROM lineitem GROUP BY l_orderkey
-)
-SELECT n_name, CAST(sum(order_rev) AS DOUBLE) AS revenue, count(*) AS n_orders
-FROM per_order
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN nation ON c_nationkey = n_nationkey
-GROUP BY n_name""",
-        # twin of analytics.discounted_revenue (Q6 shape: filtered scan
-        # + one global decimal-exact sum)
-        "discounted_revenue": """
-SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
-FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-  AND l_shipdate <  TIMESTAMP '1998-01-01'
-  AND l_discount >= 0.05 AND l_discount <= 0.07
-  AND l_quantity < 24""",
-        # twin of analytics.promo_revenue_share (Q14 shape: conditional
-        # numerator rides the same pass as the denominator)
-        "promo_revenue_share": """
-WITH f AS (
-  SELECT CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2)) AS rev,
-         p_type
-  FROM lineitem JOIN part ON l_partkey = p_partkey
-  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
-    AND l_shipdate <  TIMESTAMP '1997-10-01'
-)
-SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev END) AS DOUBLE)
-                   / CAST(sum(rev) AS DOUBLE), 6) AS promo_revenue_pct
-FROM f""",
-        # twin of analytics.late_line_priority_mix (Q12 shape: join +
-        # CASE conditional aggregation; lateness bucket plays shipmode)
-        "late_line_priority_mix": """
-SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 90 THEN '61-90'
-            WHEN date_diff('day', o_orderdate, l_shipdate) <= 120 THEN '91-120'
-            ELSE '120+' END AS late_bucket,
-       count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count,
-       count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-WHERE date_diff('day', o_orderdate, l_shipdate) > 60
-GROUP BY 1""",
-        # twin of analytics.volume_shipping (Q7 shape: nation-pair
-        # disjunctive residual after broadcast dimension joins)
-        "volume_shipping": """
-SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
-       year(l_shipdate) AS l_year,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
-FROM lineitem
-JOIN supplier ON l_suppkey = s_suppkey
-JOIN nation sn ON s_nationkey = sn.n_nationkey
-JOIN orders   ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN nation cn ON c_nationkey = cn.n_nationkey
-WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
-   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
-GROUP BY 1, 2, 3""",
-        # twin of analytics.nation_market_share (Q8 shape: share of one
-        # supplier nation within one customer region, per order year)
-        "nation_market_share": """
-WITH j AS (
-  SELECT year(o_orderdate) AS o_year,
-         CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2)) AS rev,
-         sn.n_name = 'NATION_3' AS is_target
-  FROM lineitem
-  JOIN orders   ON l_orderkey = o_orderkey
-  JOIN customer ON o_custkey = c_custkey
-  JOIN nation cn ON c_nationkey = cn.n_nationkey
-  JOIN region   ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
-  JOIN supplier ON l_suppkey = s_suppkey
-  JOIN nation sn ON s_nationkey = sn.n_nationkey
-)
-SELECT o_year,
-       round(CAST(sum(CASE WHEN is_target THEN rev END) AS DOUBLE)
-             / CAST(sum(rev) AS DOUBLE), 6) AS mkt_share
-FROM j GROUP BY o_year""",
-        # twin of analytics.returned_item_losses (Q10 shape: returned
-        # slice aggregated per customer, dimensions after, top-20 by
-        # (revenue desc, custkey))
-        "returned_item_losses": """
-WITH per_cust AS (
-  SELECT o_custkey,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
-  FROM lineitem
-  JOIN orders ON l_orderkey = o_orderkey
-  WHERE l_returnflag = 'R'
-    AND o_orderdate >= TIMESTAMP '1998-01-01'
-    AND o_orderdate <  TIMESTAMP '1999-01-01'
-  GROUP BY o_custkey
-)
-SELECT c_custkey, c_name, revenue, n_name, c_acctbal
-FROM per_cust
-JOIN customer ON o_custkey = c_custkey
-JOIN nation   ON c_nationkey = n_nationkey
-ORDER BY revenue DESC, c_custkey ASC
-LIMIT 20""",
-        # twin of analytics.important_parts (Q11 shape: per-part value
-        # vs a broadcast scalar -- 1.5x the average part, so the cut
-        # survives catalog growth)
-        "important_parts": """
-WITH li AS (
-  SELECT l_partkey,
-         CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2)) AS rev
-  FROM lineitem
-), per_part AS (
-  SELECT l_partkey, sum(rev) AS vd FROM li GROUP BY l_partkey
-)
-SELECT p_partkey, p_name, CAST(vd AS DOUBLE) AS part_value
-FROM per_part
-JOIN part ON l_partkey = p_partkey
-WHERE CAST(vd AS DOUBLE) >
-      (SELECT CAST(sum(vd) AS DOUBLE) / count(*) FROM per_part) * 1.5""",
-        # twin of analytics.top_revenue_supplier (Q15 shape: argmax via
-        # 1-row max broadcast back onto the per-supplier aggregate)
-        "top_revenue_supplier": """
-WITH per_supp AS (
-  SELECT l_suppkey,
-         sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS r
-  FROM lineitem
-  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-    AND l_shipdate <  TIMESTAMP '1997-04-01'
-  GROUP BY l_suppkey
-)
-SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
-FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
-WHERE r = (SELECT max(r) FROM per_supp)""",
-        # twin of analytics.min_cost_supplier_per_part (Q2 shape:
-        # groupBy+join-back argmin; unit cost = decimal sums divided
-        # once, rounded to 4, so the equality key is exact)
-        "min_cost_supplier_per_part": """
-WITH rs AS (
-  SELECT n_nationkey, n_name FROM nation
-  JOIN region ON n_regionkey = r_regionkey
-  WHERE r_name = 'EUROPE'
-), s AS (
-  SELECT s_suppkey, s_name, n_name FROM supplier
-  JOIN rs ON s_nationkey = n_nationkey
-), ps AS (
-  SELECT l_partkey, l_suppkey,
-         (CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT) * 10000)
-           // CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT) AS unit_cost_e4
-  FROM lineitem
-  WHERE l_suppkey IN (SELECT s_suppkey FROM s)
-  GROUP BY l_partkey, l_suppkey
-), mn AS (
-  SELECT l_partkey AS pk, min(unit_cost_e4) AS m FROM ps GROUP BY l_partkey
-)
-SELECT ps.l_partkey AS p_partkey, s.s_suppkey, s.s_name, s.n_name, ps.unit_cost_e4
-FROM ps
-JOIN mn ON ps.l_partkey = mn.pk AND ps.unit_cost_e4 = mn.m
-JOIN s  ON ps.l_suppkey = s.s_suppkey
-ORDER BY unit_cost_e4 ASC, p_partkey ASC, s_suppkey ASC
-LIMIT 100""",
-        # twin of analytics.excess_quantity_suppliers (Q20 shape:
-        # part-name semi chain -> per-supplier qty vs a global-share
-        # scalar)
-        "excess_quantity_suppliers": """
-WITH li AS (
-  SELECT l_suppkey, CAST(l_quantity AS DECIMAL(12,2)) AS q
-  FROM lineitem
-  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
-), per_supp AS (
-  SELECT l_suppkey, sum(q) AS sq FROM li GROUP BY l_suppkey
-)
-SELECT s_suppkey, s_name, CAST(sq AS DOUBLE) AS ship_qty
-FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
-WHERE CAST(sq AS DOUBLE) > (SELECT CAST(sum(q) AS DOUBLE) FROM li) * 0.002""",
-        # twin of analytics.idle_rich_customers (Q22 shape: broadcast
-        # scalar average + left-anti dormancy test, per nation)
-        "idle_rich_customers": """
-SELECT c_nationkey, count(*) AS numcust,
-       round(CAST(sum(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE), 4) AS totacctbal
-FROM customer
-WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
-                   / count(*) FROM customer WHERE c_acctbal > 0)
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
-                  AND o_orderdate >= TIMESTAMP '1999-01-01')
-GROUP BY c_nationkey""",
-        # twin of analytics.shipping_priority (Q3 shape: segment dim
-        # semi-join, per-order revenue below the join, top-10)
-        "shipping_priority": """
-WITH rev AS (
-  SELECT l_orderkey,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
-  FROM lineitem
-  WHERE l_shipdate > TIMESTAMP '1998-06-01'
-  GROUP BY l_orderkey
-)
-SELECT l_orderkey, revenue,
-       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority
-FROM rev
-JOIN orders   ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-WHERE o_orderdate < TIMESTAMP '1998-06-01'
-  AND c_mktsegment = 'BUILDING'
-ORDER BY revenue DESC, l_orderkey ASC
-LIMIT 10""",
-        # twin of analytics.supplier_part_counts (Q16 shape: distinct
-        # shipping pairs play partsupp, negative balance plays the
-        # complaint flag, NOT IN decorrelated to an anti join)
-        "supplier_part_counts": """
-WITH rel AS (
-  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
-  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
-)
-SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
-FROM rel
-JOIN part ON l_partkey = p_partkey
-WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
-  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34, 39, 44, 49)
-GROUP BY p_brand, p_type, p_size""",
-        # twin of analytics.small_quantity_revenue (Q17 shape:
-        # correlated per-part average decorrelated to groupBy +
-        # join-back; integral-double quantities keep the cut exact)
-        "small_quantity_revenue": """
-WITH li AS (
-  SELECT l_partkey, l_quantity, l_extendedprice FROM lineitem
-  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23')
-), cut AS (
-  SELECT l_partkey AS pk, avg(l_quantity) * 0.2 AS c FROM li GROUP BY l_partkey
-)
-SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 4)
-         AS avg_yearly
-FROM li JOIN cut ON l_partkey = pk AND l_quantity < c""",
-        # twin of analytics.brand_bracket_revenue (Q19 shape: one
-        # partkey equi-join, the bracket disjunction as residual)
-        "brand_bracket_revenue": """
-SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
-FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
-       AND l_quantity > 1  AND l_quantity <= 11)
-   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
-       AND l_quantity > 10 AND l_quantity <= 20)
-   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
-       AND l_quantity > 20 AND l_quantity <= 30)""",
-        # twin of textstats.source_reputation (domain-level curation
-        # signal; ratio-of-sums so the double is order-independent)
-        "corpus_source_reputation": rf"""
-WITH per AS (
-  SELECT source, count(*) AS n_docs,
-         sum(len(regexp_extract_all(text, '{_EN_RE}'))) AS s,
-         sum(len(regexp_extract_all(text, '{_TOKEN_RE_SQL}'))) AS w,
-         sum(len(regexp_extract_all(text, '[.,!?;:]'))) AS p,
-         sum(length(text)) AS l
-  FROM documents GROUP BY source
-)
-SELECT source, n_docs,
-       round(CAST(s AS DOUBLE) / w, 6) AS stop_rate,
-       round(CAST(p AS DOUBLE) / l, 6) AS punct_rate,
-       round(CAST(s AS DOUBLE) / w, 6) >= 0.065 AS reputable
-FROM per""",
-        # twin of textstats.filter_by_source_reputation (the per-source
-        # verdict broadcast back onto the corpus)
-        "doc_source_filter": rf"""
-WITH per AS (
-  SELECT source,
-         sum(len(regexp_extract_all(text, '{_EN_RE}'))) AS s,
-         sum(len(regexp_extract_all(text, '{_TOKEN_RE_SQL}'))) AS w
-  FROM documents GROUP BY source
-), rep AS (
-  SELECT source, round(CAST(s AS DOUBLE) / w, 6) AS stop_rate FROM per
-  WHERE round(CAST(s AS DOUBLE) / w, 6) >= 0.065
-)
-SELECT doc_id, documents.source AS source, stop_rate
-FROM documents JOIN rep ON documents.source = rep.source""",
-        # twin of analytics.burst_minutes (integer-exact moments over
-        # the minute counts, one division each, IEEE sqrt)
-        "events_burst_minutes": """
-WITH pm AS (
-  SELECT date_trunc('minute', ts) AS m, count(*) AS n_events
-  FROM events GROUP BY 1
-), st AS (
-  SELECT count(*) AS k, sum(n_events) AS s,
-         sum(n_events * n_events) AS ss
-  FROM pm
-), mo AS (
-  SELECT CAST(s AS DOUBLE) / k AS mean,
-         sqrt(CAST(ss AS DOUBLE) / k
-              - (CAST(s AS DOUBLE) / k) * (CAST(s AS DOUBLE) / k)) AS std
-  FROM st
-)
-SELECT strftime(m, '%Y-%m-%d %H:%M:%S') AS minute, n_events,
-       round(CASE WHEN std > 0 THEN (n_events - mean) / std
-                  ELSE 0.0 END, 6) AS zscore,
-       round(CASE WHEN std > 0 THEN (n_events - mean) / std
-                  ELSE 0.0 END, 6) > 3.0 AS is_burst
-FROM pm, mo""",
-        # twin of analytics.value_anomalies (exact-sum moments: mean
-        # and variance from decimal sums divided once; IEEE sqrt is
-        # correctly rounded, so z-scores match bit-for-bit)
-        "events_value_anomalies": """
-WITH stats AS (
-  SELECT event_type, count(*) AS n,
-         sum(CAST(value AS DECIMAL(18,6))) AS s,
-         sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS ss
-  FROM events GROUP BY event_type
-), m AS (
-  SELECT event_type,
-         CAST(s AS DOUBLE) / n AS mean,
-         sqrt(CAST(ss AS DOUBLE) / n
-              - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS std
-  FROM stats
-)
-SELECT event_id, e.event_type AS event_type, value,
-       round(CASE WHEN std > 0 THEN (value - mean) / std
-                  ELSE 0.0 END, 6) AS zscore,
-       abs(round(CASE WHEN std > 0 THEN (value - mean) / std
-                      ELSE 0.0 END, 6)) > 3.0 AS is_anomaly
-FROM events e JOIN m ON e.event_type = m.event_type""",
-        # twin of analytics.hdr_quantiles: identical integer bucket
-        # arithmetic (centi-units, bin()-digit octaves, shifts), so the
-        # sketch, the picked buckets, and the midpoint estimates match
-        # bit-for-bit; the exact side is the R-7 percentile both
-        # engines compute identically (property-tested)
-        # twin of _q_events_hdr_stream: the sketch contract alone --
-        # identical bucket arithmetic, complete-mode state == batch hist
-        # twin of analytics.winsorized_values: 1e-9-pre-rounded R-7
-        # bounds published at 6 dp, clip against the ROUNDED bounds
-        # twin of analytics.bootstrap_mean_price: same md5-48 uniform,
-        # same literal Poisson(1) CDF thresholds, exact decimal sums
-        "lineitem_bootstrap_mean": """
-WITH reps AS (
-  SELECT l_orderkey, l_linenumber, l_extendedprice, i AS replicate
-  FROM lineitem, (SELECT unnest(range(1, 33)) AS i) t
-),
-uni AS (
-  SELECT replicate, l_extendedprice AS p,
-         ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_' ||
-                             CAST(l_linenumber AS VARCHAR) || '_' ||
-                             CAST(replicate AS VARCHAR)), 1, 12))::BIGINT
-           / 281474976710656.0 AS u
-  FROM reps
-),
-weighted AS (
-  SELECT replicate, CASE WHEN u < 0.36787944117144233 THEN 0 WHEN u < 0.7357588823428847 THEN 1 WHEN u < 0.9196986029286058 THEN 2 WHEN u < 0.9810118431238462 THEN 3 WHEN u < 0.9963401531726563 THEN 4 WHEN u < 0.9994058151824183 THEN 5 ELSE 6 END AS w, p FROM uni
-),
-boot AS (
-  SELECT replicate, CAST(sum(w) AS BIGINT) AS n_eff,
-         round(CAST(sum(w * p) AS DOUBLE) / sum(w), 6) AS mean_price
-  FROM weighted GROUP BY replicate
-),
-point AS (
-  SELECT 0 AS replicate, count(*) AS n_eff,
-         round(CAST(sum(l_extendedprice) AS DOUBLE) / count(*), 6) AS mean_price
-  FROM lineitem
-)
-SELECT * FROM point UNION ALL SELECT * FROM boot""",
-        "events_winsorized": """
-WITH b AS (
-  SELECT event_type,
-         round(round(quantile_cont(value, 0.01), 9), 6) AS lo_bound,
-         round(round(quantile_cont(value, 0.99), 9), 6) AS hi_bound
-  FROM events WHERE value IS NOT NULL GROUP BY 1
-)
-SELECT event_id, e.event_type AS event_type, value, lo_bound, hi_bound,
-       least(greatest(value, lo_bound), hi_bound) AS value_winsorized,
-       (value < lo_bound OR value > hi_bound) AS was_clipped
-FROM events e JOIN b ON b.event_type = e.event_type
-WHERE value IS NOT NULL""",
-        # twin of analytics.ab_test_welch: same md5-parity arm split,
-        # same exact conditional sums, same double op order
-        "events_ab_test": """
-WITH base AS (
-  SELECT event_type,
-         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT % 2 AS arm,
-         CAST(value AS DECIMAL(18,6)) AS v
-  FROM events WHERE value IS NOT NULL
-),
-agg AS (
-  SELECT event_type,
-         count(*) FILTER (WHERE arm = 0) AS n_a,
-         sum(v)   FILTER (WHERE arm = 0) AS s_a,
-         sum(v*v) FILTER (WHERE arm = 0) AS ss_a,
-         count(*) FILTER (WHERE arm = 1) AS n_b,
-         sum(v)   FILTER (WHERE arm = 1) AS s_b,
-         sum(v*v) FILTER (WHERE arm = 1) AS ss_b
-  FROM base GROUP BY event_type
-),
-m AS (
-  SELECT event_type, n_a, n_b,
-         CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
-         CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
-         (CAST(ss_a AS DOUBLE) / CAST(n_a AS DOUBLE)
-            - (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
-              * (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)))
-           * (CAST(n_a AS DOUBLE) / (CAST(n_a AS DOUBLE) - 1.0)) AS var_a,
-         (CAST(ss_b AS DOUBLE) / CAST(n_b AS DOUBLE)
-            - (CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
-              * (CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)))
-           * (CAST(n_b AS DOUBLE) / (CAST(n_b AS DOUBLE) - 1.0)) AS var_b
-  FROM agg WHERE n_a > 1 AND n_b > 1
-),
-k AS (
-  SELECT event_type, n_a, n_b, mean_a, mean_b,
-         var_a / CAST(n_a AS DOUBLE) AS sa,
-         var_b / CAST(n_b AS DOUBLE) AS sb
-  FROM m
-)
-SELECT event_type, n_a, n_b,
-       round(mean_a, 6) AS mean_a,
-       round(mean_b, 6) AS mean_b,
-       round(mean_a - mean_b, 6) AS mean_diff,
-       round(CASE WHEN sa + sb > 0
-                  THEN (mean_a - mean_b) / sqrt(sa + sb) ELSE 0.0 END, 6) AS t_stat,
-       round(CASE WHEN sa > 0 OR sb > 0
-                  THEN ((sa + sb) * (sa + sb))
-                       / (sa * sa / (CAST(n_a AS DOUBLE) - 1.0)
-                          + sb * sb / (CAST(n_b AS DOUBLE) - 1.0))
-                  ELSE 0.0 END, 6) AS df
-FROM k""",
-        # twin of analytics.value_trend_ols: exact sufficient
-        # statistics, double combination in the same op order
-        "events_value_trend": """
-WITH base AS (
-  SELECT event_type, epoch_ms(ts) // 3600000 AS x,
-         CAST(value AS DECIMAL(18,6)) AS y
-  FROM events WHERE value IS NOT NULL
-),
-agg AS (
-  SELECT event_type, count(*) AS n,
-         sum(x) AS sx, sum(y) AS sy,
-         sum(x * x) AS sxx, sum(y * y) AS syy,
-         sum(CAST(x AS DECIMAL(10,0)) * y) AS sxy
-  FROM base GROUP BY event_type
-),
-k AS (
-  SELECT event_type, n,
-         CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
-         CAST(sy AS DOUBLE) AS syd,
-         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
-         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
-         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny
-  FROM agg
-)
-SELECT event_type, n,
-       round(CASE WHEN den > 0 THEN num / den ELSE 0.0 END, 6) AS slope_per_hour,
-       round((syd - (CASE WHEN den > 0 THEN num / den ELSE 0.0 END) * sxd) / nd,
-             6) AS intercept,
-       round(CASE WHEN den > 0 AND deny > 0
-                  THEN (num / (sqrt(den) * sqrt(deny)))
-                       * (num / (sqrt(den) * sqrt(deny)))
-                  ELSE 0.0 END, 6) AS r2
-FROM k""",
-        # twin of analytics.cusum_changepoints: running deviation sum
-        # over the minute-count frame, arg-max via a rank window
-        "events_cusum_changepoints": """
-WITH pm AS (
-  SELECT event_type, date_trunc('minute', ts) AS m, count(*) AS c
-  FROM events GROUP BY 1, 2
-),
-st AS (
-  SELECT event_type, CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean,
-         count(*) AS n_minutes
-  FROM pm GROUP BY event_type
-),
-walked AS (
-  SELECT pm.event_type AS event_type, m,
-         round(sum(CAST(c AS DOUBLE) - mean)
-                 OVER (PARTITION BY pm.event_type ORDER BY m
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-               6) AS cusum
-  FROM pm JOIN st ON st.event_type = pm.event_type
-),
-ranked AS (
-  SELECT event_type, m, cusum,
-         row_number() OVER (PARTITION BY event_type
-                            ORDER BY abs(cusum) DESC, m ASC) AS rn
-  FROM walked
-)
-SELECT r.event_type AS event_type,
-       strftime(m, '%Y-%m-%d %H:%M:%S') AS change_minute,
-       cusum AS cusum_at_peak, n_minutes
-FROM ranked r JOIN st ON st.event_type = r.event_type
-WHERE rn = 1""",
-        # twin of analytics.basket_brand_pairs
-        "lineitem_basket_pairs": """
-WITH ob AS (
-  SELECT DISTINCT l_orderkey AS o, p_brand AS b
-  FROM lineitem JOIN part ON p_partkey = l_partkey
-),
-pairs AS (
-  SELECT a.b AS brand_a, bb.b AS brand_b, count(*) AS n_orders_both
-  FROM ob a JOIN ob bb ON a.o = bb.o AND a.b < bb.b
-  GROUP BY 1, 2 HAVING count(*) >= 2
-),
-marg AS (SELECT b, count(*) AS nb FROM ob GROUP BY b),
-no AS (SELECT count(DISTINCT o) AS n_orders FROM ob)
-SELECT brand_a, brand_b, n_orders_both,
-       round(CAST(n_orders_both AS DOUBLE) * CAST(n_orders AS DOUBLE)
-               / (CAST(ma.nb AS DOUBLE) * CAST(mb.nb AS DOUBLE)), 6) AS lift
-FROM pairs JOIN marg ma ON ma.b = brand_a
-           JOIN marg mb ON mb.b = brand_b
-           CROSS JOIN no""",
-        # twin of similarity.hard_negative_pairs: the brute-force topk
-        # CTEs (k=10), then the same rank-1 positive and first
-        # margin-gapped negative picks
-        "ann_hard_negatives": """
-WITH ex AS (
-  SELECT vec_id, generate_subscripts(embedding, 1) AS ord,
-         unnest(embedding)::DOUBLE AS v
-  FROM embeddings
-),
-norms AS (SELECT vec_id, sqrt(sum(v * v)) AS norm FROM ex GROUP BY vec_id),
-q AS (SELECT * FROM ex WHERE vec_id < 32),
-dots AS (
-  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, sum(q.v * e.v) AS dot
-  FROM q JOIN ex e ON q.ord = e.ord AND e.vec_id <> q.vec_id
-  GROUP BY 1, 2
-),
-scored AS (
-  SELECT query_id, neighbor_id,
-         round(dot / (nq.norm * ne.norm), 6) AS cos_sim
-  FROM dots
-  JOIN norms nq ON nq.vec_id = query_id
-  JOIN norms ne ON ne.vec_id = neighbor_id
-),
-topk AS (
-  SELECT * FROM (
-    SELECT *, row_number() OVER (
-        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
-    FROM scored
-  ) WHERE rank <= 10
-),
-pos AS (
-  SELECT query_id, neighbor_id AS positive_id, cos_sim AS pos_sim
-  FROM topk WHERE rank = 1
-),
-neg AS (
-  SELECT t.query_id AS query_id, t.neighbor_id, t.cos_sim, t.rank
-  FROM topk t JOIN pos p ON p.query_id = t.query_id
-  WHERE t.cos_sim < p.pos_sim - 0.02
-),
-first_neg AS (
-  SELECT query_id, neighbor_id AS hard_negative_id, cos_sim AS neg_sim
-  FROM (
-    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rank) AS rn
-    FROM neg
-  ) WHERE rn = 1
-)
-SELECT p.query_id AS query_id, positive_id, pos_sim, hard_negative_id, neg_sim
-FROM pos p JOIN first_neg n ON n.query_id = p.query_id""",
-        # twin of curation.erasure_audit over the md5-sampled requests
-        "gdpr_erasure_audit": """
-WITH req AS (
-  SELECT DISTINCT user_id AS subject FROM events
-  WHERE ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT % 101 = 0
-)
-SELECT 'events' AS table_name,
-       count(*) AS n_rows_total,
-       count(*) FILTER (WHERE user_id IN (SELECT subject FROM req))
-         AS n_rows_purged,
-       count(DISTINCT CASE WHEN user_id IN (SELECT subject FROM req)
-                           THEN user_id END) AS n_subjects_purged
-FROM events
-UNION ALL
-SELECT 'orders' AS table_name,
-       count(*) AS n_rows_total,
-       count(*) FILTER (WHERE o_custkey IN (SELECT subject FROM req))
-         AS n_rows_purged,
-       count(DISTINCT CASE WHEN o_custkey IN (SELECT subject FROM req)
-                           THEN o_custkey END) AS n_subjects_purged
-FROM orders""",
-        # twin of snapshot.ivm_refresh_typestats: the view recomputed
-        # from the FULL feed -- incremental == recompute is the claim
-        "cdc_ivm_refresh": """
-WITH changes AS (
-  SELECT user_id,
-         CASE event_type WHEN 'click' THEN 'INSERT'
-                         WHEN 'view' THEN 'UPDATE'
-                         ELSE 'DELETE' END AS op,
-         epoch_ms(ts) AS ts_ms, event_id, value
-  FROM events
-  WHERE event_type IN ('click', 'view', 'purchase') AND user_id IS NOT NULL
-),
-snap AS (
-  SELECT user_id, op AS last_op, round(value, 4) AS last_value
-  FROM (
-    SELECT *, row_number() OVER (PARTITION BY user_id
-                                 ORDER BY ts_ms DESC, event_id DESC) AS rn
-    FROM changes
-  ) WHERE rn = 1 AND op <> 'DELETE'
-)
-SELECT last_op, count(*) AS n_users,
-       round(CAST(sum(CAST(last_value AS DECIMAL(18,4))) AS DOUBLE), 4)
-         AS sum_last_value
-FROM snap GROUP BY last_op""",
-        # twin of analytics.customer_360
-        "customer_360_profile": """
-WITH o AS (
-  SELECT o_custkey AS k, count(*) AS n_orders,
-         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
-  FROM orders GROUP BY 1
-),
-ev AS (
-  SELECT user_id AS k, event_type,
-         row_number() OVER (PARTITION BY user_id
-                            ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn,
-         count(*) OVER (PARTITION BY user_id) AS n_events
-  FROM events WHERE user_id IS NOT NULL
-),
-e AS (SELECT k, n_events, event_type AS last_event_type FROM ev WHERE rn = 1)
-SELECT coalesce(o.k, e.k) AS entity_id,
-       coalesce(n_orders, 0) AS n_orders,
-       round(CAST(coalesce(spend, CAST(0 AS DECIMAL(18,2))) AS DOUBLE), 2)
-         AS total_spend,
-       coalesce(n_events, 0) AS n_events,
-       last_event_type,
-       CASE WHEN o.k IS NULL THEN 'prospect'
-            WHEN e.k IS NULL THEN 'dormant_buyer'
-            ELSE 'active_buyer' END AS segment
-FROM o FULL OUTER JOIN e ON o.k = e.k""",
-        # twin of analytics.chi_square_independence
-        "events_chi_square": """
-WITH cells AS (
-  SELECT event_type, hour(ts) AS h, count(*) AS o
-  FROM events GROUP BY 1, 2
-),
-rowt AS (SELECT event_type, sum(o) AS rt FROM cells GROUP BY 1),
-colt AS (SELECT h, sum(o) AS ct FROM cells GROUP BY 1),
-tot AS (SELECT sum(o) AS n FROM cells),
-grid AS (
-  SELECT r.event_type, c.h, rt, ct, n, coalesce(cells.o, 0) AS o
-  FROM rowt r CROSS JOIN colt c
-  LEFT JOIN cells ON cells.event_type = r.event_type AND cells.h = c.h
-  CROSS JOIN tot
-),
-contrib AS (
-  SELECT event_type, h, n,
-         CAST(round((CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
-                    * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
-                    / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)), 9)
-              AS DECIMAL(38,12)) AS cc
-  FROM grid
-),
-agg AS (
-  SELECT sum(cc) AS chi2d, count(DISTINCT event_type) AS r,
-         count(DISTINCT h) AS c, max(n) AS nn
-  FROM contrib
-)
-SELECT r AS n_rows, c AS n_cols, (r - 1) * (c - 1) AS dof,
-       round(CAST(chi2d AS DOUBLE), 6) AS chi2,
-       round(sqrt(CAST(chi2d AS DOUBLE)
-                  / (CAST(nn AS DOUBLE) * CAST(least(r - 1, c - 1) AS DOUBLE))), 6)
-         AS cramers_v
-FROM agg""",
-        # twin of analytics.psi_drift_report
-        "events_psi_drift": """
-WITH base AS (SELECT ts, value FROM events WHERE value IS NOT NULL),
-edges AS (
-  SELECT [round(round(quantile_cont(value, 0.1), 9), 6), round(round(quantile_cont(value, 0.2), 9), 6), round(round(quantile_cont(value, 0.3), 9), 6), round(round(quantile_cont(value, 0.4), 9), 6), round(round(quantile_cont(value, 0.5), 9), 6), round(round(quantile_cont(value, 0.6), 9), 6), round(round(quantile_cont(value, 0.7), 9), 6), round(round(quantile_cont(value, 0.8), 9), 6), round(round(quantile_cont(value, 0.9), 9), 6)] AS e
-  FROM base WHERE ts < TIMESTAMP '2024-01-16'
-),
-bucketed AS (
-  SELECT (ts >= TIMESTAMP '2024-01-16') AS cur,
-         len(list_filter(e, b -> b < value)) AS bucket
-  FROM base CROSS JOIN edges
-),
-counts AS (
-  SELECT bucket,
-         count(*) FILTER (WHERE NOT cur) AS n_ref,
-         count(*) FILTER (WHERE cur) AS n_cur
-  FROM bucketed GROUP BY 1
-),
-tot AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM counts),
-per AS (
-  SELECT bucket, n_ref, n_cur,
-         CAST(round(((CAST(n_ref AS DOUBLE) + 0.5) / (CAST(tr AS DOUBLE) + 5.0)
-                     - (CAST(n_cur AS DOUBLE) + 0.5) / (CAST(tc AS DOUBLE) + 5.0))
-                    * ln(((CAST(n_ref AS DOUBLE) + 0.5) / (CAST(tr AS DOUBLE) + 5.0))
-                         / ((CAST(n_cur AS DOUBLE) + 0.5) / (CAST(tc AS DOUBLE) + 5.0))),
-                    9) AS DECIMAL(38,12)) AS contrib
-  FROM counts CROSS JOIN tot
-),
-tt AS (SELECT round(CAST(sum(contrib) AS DOUBLE), 6) AS psi_total FROM per)
-SELECT bucket, n_ref, n_cur,
-       round(CAST(contrib AS DOUBLE), 6) AS psi_contrib, psi_total
-FROM per CROSS JOIN tt""",
-        # twin of analytics.ks_drift_report (HDR bucket arithmetic
-        # shared with events_hdr_quantiles)
-        "events_ks_drift": """
-WITH base AS (
-  SELECT event_type, (ts >= TIMESTAMP '2024-01-16') AS cur,
-         CAST(floor(value * 100) AS BIGINT) AS u
-  FROM events WHERE value IS NOT NULL
-),
-ix AS (
-  SELECT event_type, cur,
-         CASE WHEN u < 16 THEN u
-              ELSE (length(bin(u)) - 5) * 16 + (u >> (length(bin(u)) - 5))
-         END AS idx
-  FROM base
-),
-hist AS (
-  SELECT event_type, idx,
-         count(*) FILTER (WHERE NOT cur) AS np,
-         count(*) FILTER (WHERE cur) AS nc
-  FROM ix GROUP BY 1, 2
-),
-walked AS (
-  SELECT event_type,
-         sum(np) OVER (PARTITION BY event_type) AS n_pre,
-         sum(nc) OVER (PARTITION BY event_type) AS n_post,
-         round(abs(CAST(sum(np) OVER (PARTITION BY event_type ORDER BY idx
-                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-                     / CAST(sum(np) OVER (PARTITION BY event_type) AS DOUBLE)
-                   - CAST(sum(nc) OVER (PARTITION BY event_type ORDER BY idx
-                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-                     / CAST(sum(nc) OVER (PARTITION BY event_type) AS DOUBLE)),
-               9) AS d
-  FROM hist
-)
-SELECT event_type, CAST(n_pre AS BIGINT) AS n_pre,
-       CAST(n_post AS BIGINT) AS n_post, round(max(d), 6) AS ks_stat
-FROM walked GROUP BY event_type, n_pre, n_post""",
-        # twin of analytics.mad_anomalies
-        "events_mad_anomalies": """
-WITH base AS (
-  SELECT event_id, event_type, value FROM events WHERE value IS NOT NULL
-),
-med AS (
-  SELECT event_type,
-         round(round(quantile_cont(value, 0.5), 9), 6) AS m
-  FROM base GROUP BY 1
-),
-mad AS (
-  SELECT b.event_type,
-         round(round(quantile_cont(abs(value - m), 0.5), 9), 6) AS d
-  FROM base b JOIN med ON med.event_type = b.event_type GROUP BY 1
-),
-scored AS (
-  SELECT event_id, b.event_type AS event_type, value,
-         round(CASE WHEN d > 0 THEN 0.6745 * (value - m) / d
-                    ELSE 0.0 END, 6) AS mod_z
-  FROM base b
-  JOIN med ON med.event_type = b.event_type
-  JOIN mad ON mad.event_type = b.event_type
-)
-SELECT event_id, event_type, value, mod_z, abs(mod_z) > 3.5 AS is_anomaly
-FROM scored""",
-        # twin of multimodal.arrow_blob_digest (same derived media frame)
-        "media_arrow_digest": """
-SELECT doc_id AS media_id,
-       octet_length(encode(CASE WHEN doc_id % 490 < 10 THEN 'shared-blob'
-                                ELSE text END)) AS n_bytes,
-       md5(CASE WHEN doc_id % 490 < 10 THEN 'shared-blob' ELSE text END)
-         AS digest
-FROM documents""",
-        # twin of analytics.twap_daily
-        "events_twap_daily": """
-WITH base AS (
-  SELECT user_id, CAST(ts AS DATE) AS day, epoch_ms(ts) AS ms, event_id,
-         CAST(value AS DECIMAL(18,6)) AS v
-  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
-),
-held AS (
-  SELECT user_id, day, v,
-         CAST(coalesce(lead(ms) OVER (PARTITION BY user_id, day
-                                      ORDER BY ms, event_id),
-                       epoch_ms(CAST(day + 1 AS TIMESTAMP))) - ms
-              AS DECIMAL(18,0)) AS w
-  FROM base
-)
-SELECT user_id, strftime(day, '%Y-%m-%d') AS day, count(*) AS n_samples,
-       round(CAST(sum(w * v) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 6) AS twap
-FROM held GROUP BY user_id, day""",
-        # twin of analytics.event_path_trigrams
-        "events_path_trigrams": """
-WITH tri AS (
-  SELECT event_type AS step_1,
-         lead(event_type, 1) OVER w AS step_2,
-         lead(event_type, 2) OVER w AS step_3
-  FROM events WHERE user_id IS NOT NULL
-  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
-)
-SELECT step_1, step_2, step_3, count(*) AS n
-FROM tri WHERE step_3 IS NOT NULL
-GROUP BY 1, 2, 3
-ORDER BY n DESC, step_1, step_2, step_3
-LIMIT 20""",
-        # twin of analytics.hll_rolling_distinct (hll-family contract:
-        # exact rolling count + deterministically-true error bound)
-        "events_hll_rolling": """
-WITH uh AS (
-  SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
-  FROM events WHERE user_id IS NOT NULL
-),
-hours AS (SELECT DISTINCT h FROM uh),
-vis AS (
-  SELECT user_id, h + i * INTERVAL 1 HOUR AS th
-  FROM uh, (SELECT unnest([0, 1, 2]) AS i) t
-),
-exact AS (
-  SELECT th, count(DISTINCT user_id) AS n_exact_rolling FROM vis GROUP BY th
-),
-merged AS (
-  SELECT h + i * INTERVAL 1 HOUR AS th, count(*) AS n_hours_merged
-  FROM hours, (SELECT unnest([0, 1, 2]) AS i) t
-  GROUP BY 1
-),
-appx AS (
-  SELECT th, approx_count_distinct(user_id) AS a FROM vis GROUP BY th
-)
-SELECT strftime(m.th, '%Y-%m-%d %H:00:00') AS hour,
-       CAST(n_hours_merged AS BIGINT) AS n_hours_merged,
-       n_exact_rolling,
-       abs(a - n_exact_rolling) / CAST(n_exact_rolling AS DOUBLE) <= 0.15
-         AS within_bound
-FROM merged m
-JOIN exact e ON e.th = m.th
-JOIN appx x ON x.th = m.th""",
-        # twin of analytics.join_plan_report (events x orders on user)
-        "events_join_plan": """
-WITH lc AS (SELECT user_id AS k, count(*) AS nl FROM events GROUP BY 1),
-rc AS (SELECT o_custkey AS k, count(*) AS nr FROM orders GROUP BY 1),
-pk AS (SELECT lc.k AS k, nl * nr AS prod FROM lc JOIN rc ON rc.k = lc.k),
-st AS (
-  SELECT CAST(sum(prod) AS BIGINT) AS est_join_rows,
-         count(*) AS n_join_keys,
-         max({'p': prod, 'k': k}) AS top
-  FROM pk
-),
-sides AS (
-  SELECT CAST((SELECT sum(nl) FROM lc) AS BIGINT) AS n_left,
-         (SELECT count(*) FROM lc) AS n_left_keys,
-         CAST((SELECT sum(nr) FROM rc) AS BIGINT) AS n_right,
-         (SELECT count(*) FROM rc) AS n_right_keys
-)
-SELECT n_left, n_right, n_left_keys, n_right_keys, est_join_rows,
-       n_join_keys,
-       CAST(top.k AS BIGINT) AS top_key,
-       CAST(top.p AS BIGINT) AS top_key_rows,
-       round(CAST(top.p AS DOUBLE)
-             / (CAST(est_join_rows AS DOUBLE) / CAST(n_join_keys AS DOUBLE)),
-             6) AS skew_factor,
-       CASE WHEN least(n_left, n_right) <= 1000 THEN 'broadcast'
-            WHEN CAST(top.p AS DOUBLE)
-                 / (CAST(est_join_rows AS DOUBLE) / CAST(n_join_keys AS DOUBLE))
-                 > 8.0 THEN 'salted_shuffle'
-            ELSE 'shuffle' END AS strategy
-FROM st, sides""",
-        # twin of analytics.rolling_monthly_active_customers
-        "orders_rolling_mau": """
-WITH cm AS (
-  SELECT DISTINCT o_custkey AS c, date_trunc('month', o_orderdate) AS m
-  FROM orders
-),
-monthly AS (SELECT m, count(*) AS n_active FROM cm GROUP BY m),
-visible AS (
-  SELECT c, m + i * INTERVAL 1 MONTH AS m
-  FROM cm, (SELECT unnest([0, 1, 2]) AS i) t
-),
-rolling AS (SELECT m, count(DISTINCT c) AS n_active_rolling FROM visible GROUP BY m)
-SELECT strftime(mo.m, '%Y-%m') AS month, mo.n_active, r.n_active_rolling
-FROM monthly mo JOIN rolling r ON r.m = mo.m""",
-        "events_hdr_stream": """
-WITH base AS (
-  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS u
-  FROM events WHERE value IS NOT NULL
-),
-ix AS (
-  SELECT event_type,
-         CASE WHEN u < 16 THEN u
-              ELSE (length(bin(u)) - 5) * 16 + (u >> (length(bin(u)) - 5))
-         END AS idx
-  FROM base
-),
-hist AS (SELECT event_type, idx, count(*) AS n FROM ix GROUP BY 1, 2),
-cum AS (
-  SELECT event_type, idx,
-         sum(n) OVER (PARTITION BY event_type ORDER BY idx) AS c
-  FROM hist
-),
-ranks AS (
-  SELECT event_type, q, CAST(ceil(q * total) AS BIGINT) AS r
-  FROM (SELECT event_type, sum(n) AS total FROM hist GROUP BY 1)
-  CROSS JOIN (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q)
-),
-picked AS (
-  SELECT c.event_type, r.q, min(c.idx) AS pick
-  FROM cum c JOIN ranks r ON c.event_type = r.event_type AND c.c >= r.r
-  GROUP BY 1, 2
-)
-SELECT event_type, q,
-       round((CASE WHEN pick < 16 THEN pick
-               ELSE (16 + (pick - 16) % 16) << ((pick - 16) // 16) END
-          + (CASE WHEN pick < 16 THEN 1
-                  ELSE 1 << ((pick - 16) // 16) END) / 2.0) / 100.0, 6)
-         AS est_value
-FROM picked""",
-        "events_hdr_quantiles": """
-WITH base AS (
-  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS u
-  FROM events WHERE value IS NOT NULL
-),
-ix AS (
-  SELECT event_type,
-         CASE WHEN u < 16 THEN u
-              ELSE (length(bin(u)) - 5) * 16 + (u >> (length(bin(u)) - 5))
-         END AS idx
-  FROM base
-),
-hist AS (SELECT event_type, idx, count(*) AS n FROM ix GROUP BY 1, 2),
-cum AS (
-  SELECT event_type, idx,
-         sum(n) OVER (PARTITION BY event_type ORDER BY idx) AS c
-  FROM hist
-),
-ranks AS (
-  SELECT event_type, q, CAST(ceil(q * total) AS BIGINT) AS r
-  FROM (SELECT event_type, sum(n) AS total FROM hist GROUP BY 1)
-  CROSS JOIN (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q)
-),
-picked AS (
-  SELECT c.event_type, r.q, min(c.idx) AS pick
-  FROM cum c JOIN ranks r ON c.event_type = r.event_type AND c.c >= r.r
-  GROUP BY 1, 2
-),
-est AS (
-  SELECT event_type, q,
-         (CASE WHEN pick < 16 THEN pick
-               ELSE (16 + (pick - 16) % 16) << ((pick - 16) // 16) END
-          + (CASE WHEN pick < 16 THEN 1
-                  ELSE 1 << ((pick - 16) // 16) END) / 2.0) / 100.0 AS est_raw
-  FROM picked
-),
-exact AS (
-  -- ulp absorption: pre-round the R-7 percentile at 1e-9 before the
-  -- published 6-dp round (quantile_cont's lerp order may differ from
-  -- Spark's percentile by an ulp; the pre-round makes both identical)
-  SELECT event_type,
-         unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q,
-         round(unnest(quantile_cont(value, [0.5, 0.9, 0.99])), 9) AS exact_raw
-  FROM events WHERE value IS NOT NULL GROUP BY event_type
-)
-SELECT e.event_type, e.q,
-       round(est_raw, 6) AS est_value,
-       round(exact_raw, 6) AS exact_value,
-       round(CASE WHEN exact_raw > 0 THEN abs(est_raw - exact_raw) / exact_raw
-                  ELSE 0.0 END, 6) AS rel_err
-FROM est e JOIN exact x ON e.event_type = x.event_type AND e.q = x.q""",
-        # twin of textstats.doc_slugs (the Arrow scalar-UDF surface;
-        # the transformation itself is SQL-expressible BY DESIGN so the
-        # oracle certifies the plumbing, same policy as the UDTF tier)
-        "doc_arrow_slugs": """
-SELECT doc_id,
-       trim(regexp_replace(lower(substr(text, 1, 60)),
-                           '[^a-z0-9]+', '-', 'g'), '-') AS slug
-FROM documents""",
-        # twin of textstats.gopher_quality_flags (Gopher rule battery;
-        # integer counts + single rounded divisions keep every flag
-        # bit-deterministic across engines)
-        "doc_gopher_quality": rf"""
-WITH t AS (
-  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks,
-         len(regexp_extract_all(text, '[.,!?;:]'))
-           + len(regexp_extract_all(text, '[#@]')) AS n_symbols,
-         len(regexp_extract_all(text, '{_EN_RE}')) AS n_stop
-  FROM documents
-), s AS (
-  SELECT doc_id, len(toks) AS n_words,
-         list_sum(list_transform(toks, x -> length(x))) AS word_chars,
-         len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
-         n_symbols, n_stop
-  FROM t
-), r AS (
-  SELECT doc_id, n_words,
-         round(CAST(word_chars AS DOUBLE) / n_words, 6) AS mean_word_len,
-         round(CAST(n_symbols AS DOUBLE) / n_words, 6) AS symbol_word_ratio,
-         round(CAST(n_alpha AS DOUBLE) / n_words, 6) AS alpha_word_frac,
-         n_stop AS n_stop_hits
-  FROM s
-)
-SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, alpha_word_frac,
-       n_stop_hits,
-       n_words BETWEEN 25 AND 100000 AS ok_word_count,
-       mean_word_len BETWEEN 4.0 AND 10.0 AS ok_word_len,
-       symbol_word_ratio <= 0.1 AS ok_symbol_ratio,
-       alpha_word_frac >= 0.8 AS ok_alpha_words,
-       n_stop_hits >= 2 AS ok_stopwords,
-       (n_words BETWEEN 25 AND 100000) AND (mean_word_len BETWEEN 4.0 AND 10.0)
-         AND symbol_word_ratio <= 0.1 AND alpha_word_frac >= 0.8
-         AND n_stop_hits >= 2 AS passes_gopher
-FROM r""",
-        # twin of analytics.misra_gries_heavy_hitters: the sketch
-        # changes the cost, not the result, so the oracle is the exact
-        # strict-share HAVING
-        # null keys are OUT OF SCOPE on both sides by contract (see the
-        # operator docstring): the sketch drops them and phase 2's
-        # null-never-equi-joins semi-join can't resurrect them, so the
-        # oracle's N and groups both restrict to non-null langs
-        "corpus_heavy_langs": """
-WITH n AS (SELECT count(*) AS total FROM documents WHERE lang IS NOT NULL)
-SELECT lang AS key, count(*) AS cnt,
-       round(CAST(count(*) AS DOUBLE) / (SELECT total FROM n), 6) AS share
-FROM documents WHERE lang IS NOT NULL GROUP BY lang
-HAVING CAST(count(*) AS DOUBLE) > (SELECT total FROM n) * 0.25""",
-        # twin of streaming/enrich_stream.py: a stream-static join
-        # emits each stream row exactly once, so the drained sink
-        # equals this batch left join verbatim
-        "events_enrich_stream": """
-WITH prof AS (
-  SELECT user_id, count(*) AS user_n_events,
-         count(CASE WHEN event_type = 'purchase' THEN 1 END) AS user_n_purchases,
-         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS user_total_value
-  FROM events GROUP BY user_id
-)
-SELECT event_id, e.user_id AS user_id, event_type, value,
-       user_n_events, user_n_purchases, user_total_value,
-       coalesce(user_n_purchases, 0) >= 5 AS is_power_user
-FROM events e LEFT JOIN prof ON e.user_id = prof.user_id""",
-        # twin of textstats.type_token_ratio (same \\S+ tokenizer over
-        # the lower-cased text; list_distinct plays array_distinct)
-        "doc_type_token_ratio": r"""
-WITH t AS (
-  SELECT doc_id,
-         len(regexp_extract_all(lower(text), '\S+')) AS n_tokens,
-         len(list_distinct(regexp_extract_all(lower(text), '\S+'))) AS n_types
-  FROM documents
-)
-SELECT doc_id, n_tokens, n_types,
-       CASE WHEN n_tokens > 0
-            THEN round(CAST(n_types AS DOUBLE) / n_tokens, 6)
-            ELSE 0.0 END AS ttr
-FROM t""",
-        # twin of streaming/session_stream.py via the lag-gap-island
-        # formulation AT MICROSECOND precision (events.ts carries
-        # micros; Spark merges sessions on the full timestamp, so the
-        # island rule must too).  Boundary pinned by
-        # test_session_window_gap_boundary: an event at EXACTLY
-        # prev + gap still merges; only a strictly larger gap splits.
-        # Sessionize over DISTINCT (user, us) then join rows back: the
-        # lag-gap-island over raw rows is TIE-ORDER-SENSITIVE when a
-        # session boundary lands on a duplicated timestamp (an
-        # unflagged duplicate sorted before the flagged row attaches to
-        # the PREVIOUS session -- DuckDB's parallel sort made the
-        # oracle nondeterministic on a duplicate-heavy sf1 corpus;
-        # Spark's session_window has no such sensitivity).  Distinct
-        # timestamps have no ties, so the island assignment is unique.
-        "events_session_stream": """
-WITH e AS (
-  SELECT user_id, epoch_us(ts) AS us, value FROM events
-), d AS (
-  SELECT DISTINCT user_id, us FROM e
-), flagged AS (
-  SELECT user_id, us,
-         CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
-                   > 1800000000 THEN 1
-              WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL THEN 1
-              ELSE 0 END AS new_s
-  FROM d
-), sess AS (
-  SELECT user_id, us,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY us
-                          ROWS UNBOUNDED PRECEDING) AS sid
-  FROM flagged
-)
-SELECT e.user_id,
-       min(e.us) // 1000 AS session_start_ms,
-       (max(e.us) + 1800000000) // 1000 AS session_end_ms,
-       count(*) AS n_events,
-       min(e.value) AS min_value,
-       max(e.value) AS max_value
-FROM e JOIN sess s ON s.user_id = e.user_id AND s.us = e.us
-GROUP BY e.user_id, s.sid""",
-        # twin of the S2 binary path: the same fixture derivation the
-        # text oracle uses, adjusted for what REAL binlog bytes carry
-        # (XID events have no schema/table, Query events have schema
-        # only; gtid is SID:GNO with the fixture SID, GNO=line_no+1).
-        "cdc_parse_binlog_binary": """
-WITH bb AS (
-  SELECT
-    CASE event_type
-      WHEN 'click' THEN 'WriteRowsEventV2'
-      WHEN 'view' THEN 'UpdateRowsEventV2'
-      WHEN 'purchase' THEN 'DeleteRowsEventV2'
-      WHEN 'signup' THEN 'XID'
-      ELSE 'Query' END AS event_type,
-    strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS "timestamp",
-    CASE WHEN event_id % 7 = 0 THEN NULL
-         ELSE strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') END AS immediate_commmit_timestamp,
-    CASE WHEN event_id % 211 = 0 THEN 0
-         WHEN event_id % 53 = 0 THEN 100 * ((event_id + 4) // 4) + 4
-         ELSE 100 * (event_id // 4) + 4 END AS log_position,
-    'db' || CAST(user_id % 2 AS VARCHAR) AS schema_d,
-    't' || CAST(user_id % 3 AS VARCHAR) AS table_d,
-    CASE WHEN event_id % 223 = 0 THEN ''
-         ELSE 'mysql-bin.' || lpad(CAST(event_id % 4 AS VARCHAR), 6, '0') END AS binlog_file,
-    event_id AS line_no
-  FROM events
-)
-SELECT event_type, "timestamp", immediate_commmit_timestamp, log_position,
-       CASE WHEN event_type = 'XID' THEN NULL ELSE schema_d END AS "schema",
-       CASE WHEN event_type LIKE '%RowsEventV2' THEN table_d ELSE NULL END AS "table",
-       '0f8e1a24-3b5c-4d6e-8f90-a1b2c3d4e5f6:' || CAST(line_no + 1 AS VARCHAR) AS gtid_next,
-       binlog_file,
-       row_number() OVER (PARTITION BY binlog_file ORDER BY line_no) AS line_no
-FROM bb WHERE binlog_file <> ''""",
-        # twin of the row-image tier: same derivation restricted to DML
-        # (only rows events carry images), payload from the fixture
-        # arithmetic; UPDATE contributes a before row (quantity+5,
-        # order_timestamp-1000) AND an after row.
-        "cdc_parse_binlog_rows": """
-WITH dml AS (
-  SELECT event_id AS eid, user_id, ts,
-    CASE event_type WHEN 'click' THEN 'WriteRowsEventV2'
-                    WHEN 'view' THEN 'UpdateRowsEventV2'
-                    ELSE 'DeleteRowsEventV2' END AS event_type,
-    strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS ts_s,
-    CASE WHEN event_id % 7 = 0 THEN NULL
-         ELSE strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') END AS ict,
-    CASE WHEN event_id % 211 = 0 THEN 0
-         WHEN event_id % 53 = 0 THEN 100 * ((event_id + 4) // 4) + 4
-         ELSE 100 * (event_id // 4) + 4 END AS log_position,
-    'db' || CAST(user_id % 2 AS VARCHAR) AS schema_d,
-    't' || CAST(user_id % 3 AS VARCHAR) AS table_d,
-    'mysql-bin.' || lpad(CAST(event_id % 4 AS VARCHAR), 6, '0') AS binlog_file
-  FROM events
-  WHERE event_type IN ('click','view','purchase') AND event_id % 223 <> 0
-), pay AS (
-  SELECT *,
-    row_number() OVER (PARTITION BY binlog_file ORDER BY eid) AS event_no,
-    eid % 100000 AS order_id,
-    CASE WHEN eid % 43 = 6 THEN NULL
-         ELSE 'cust-' || CAST(user_id % 1000 AS VARCHAR) END AS customer_name,
-    'prod-' || CAST(eid % 97 AS VARCHAR) AS product_name,
-    1 + eid % 10 AS quantity,
-    epoch_ms(ts) AS order_timestamp,
-    '0f8e1a24-3b5c-4d6e-8f90-a1b2c3d4e5f6:' || CAST(eid + 1 AS VARCHAR) AS gtid_next
-  FROM dml
-)
-SELECT binlog_file, event_no, 1 AS row_no,
-       CASE WHEN event_type = 'WriteRowsEventV2' THEN 'after'
-            ELSE 'before' END AS image,
-       event_type, ts_s AS "timestamp", ict AS immediate_commmit_timestamp,
-       log_position, schema_d AS "schema", table_d AS "table", gtid_next,
-       order_id, customer_name, product_name,
-       CASE WHEN event_type = 'UpdateRowsEventV2' THEN quantity + 5
-            ELSE quantity END AS quantity,
-       CASE WHEN event_type = 'UpdateRowsEventV2' THEN order_timestamp - 1000
-            ELSE order_timestamp END AS order_timestamp
-FROM pay
-UNION ALL
-SELECT binlog_file, event_no, 2 AS row_no, 'after' AS image,
-       event_type, ts_s, ict, log_position, schema_d, table_d, gtid_next,
-       order_id, customer_name, product_name, quantity, order_timestamp
-FROM pay WHERE event_type = 'UpdateRowsEventV2'""",
-        # twin of payload_diff: effective image per surviving key (the
-        # plain payload values for every DML type -- only UPDATE's
-        # BEFORE image differs and it is not the effective state),
-        # prepare semantics mirrored (zero-pos drop, last-write-wins by
-        # eid), avro divergences planted per fixtures.py, unpivoted to
-        # (key, column) findings with only disagreements surviving.
-        "cdc_payload_diff": """
-WITH dml AS (
-  SELECT event_id AS eid, user_id, ts, event_type,
-    CASE WHEN event_id % 211 = 0 THEN 0
-         WHEN event_id % 53 = 0 THEN 100 * ((event_id + 4) // 4) + 4
-         ELSE 100 * (event_id // 4) + 4 END AS log_position,
-    'mysql-bin.' || lpad(CAST(event_id % 4 AS VARCHAR), 6, '0') AS binlog_file
-  FROM events
-  WHERE event_type IN ('click','view','purchase') AND event_id % 223 <> 0
-), bl AS (
-  SELECT binlog_file, log_position AS binlog_position,
-    CAST(eid % 100000 AS VARCHAR) AS order_id,
-    CASE WHEN eid % 43 = 6 THEN NULL
-         ELSE 'cust-' || CAST(user_id % 1000 AS VARCHAR) END AS customer_name,
-    'prod-' || CAST(eid % 97 AS VARCHAR) AS product_name,
-    CAST(1 + eid % 10 AS VARCHAR) AS quantity,
-    CAST(epoch_ms(ts) AS VARCHAR) AS order_timestamp
-  FROM dml WHERE log_position <> 0
-  QUALIFY row_number() OVER (
-    PARTITION BY binlog_file, log_position ORDER BY eid DESC) = 1
-), av AS (
-  SELECT
-    'mysql-bin.' || lpad(CAST(event_id % 4 AS VARCHAR), 6, '0') AS binlog_file,
-    CASE WHEN event_id % 17 = 5 THEN 100 * (event_id // 4) + 4 + 7
-         ELSE 100 * (event_id // 4) + 4 END AS binlog_position,
-    CAST(event_id % 100000 AS VARCHAR) AS order_id,
-    'cust-' || CAST(user_id % 1000 AS VARCHAR) AS customer_name,
-    CASE WHEN event_id % 37 = 3 THEN 'prod-X'
-         ELSE 'prod-' || CAST(event_id % 97 AS VARCHAR) END AS product_name,
-    CASE WHEN event_id % 31 = 2 THEN CAST(1 + event_id % 10 + 1 AS VARCHAR)
-         ELSE CAST(1 + event_id % 10 AS VARCHAR) END AS quantity,
-    CASE WHEN event_id % 47 = 7 THEN NULL
-         ELSE CAST(epoch_ms(ts) AS VARCHAR) END AS order_timestamp
-  FROM events
-  WHERE event_type IN ('click','view','purchase')
-    AND event_id % 13 <> 0 AND event_id % 29 <> 1
-), unp AS (
-  SELECT b.binlog_file, b.binlog_position, 'order_id' AS "column",
-         b.order_id AS binlog_value, a.order_id AS avro_value
-  FROM bl b JOIN av a USING (binlog_file, binlog_position)
-  UNION ALL
-  SELECT b.binlog_file, b.binlog_position, 'customer_name',
-         b.customer_name, a.customer_name
-  FROM bl b JOIN av a USING (binlog_file, binlog_position)
-  UNION ALL
-  SELECT b.binlog_file, b.binlog_position, 'product_name',
-         b.product_name, a.product_name
-  FROM bl b JOIN av a USING (binlog_file, binlog_position)
-  UNION ALL
-  SELECT b.binlog_file, b.binlog_position, 'quantity',
-         b.quantity, a.quantity
-  FROM bl b JOIN av a USING (binlog_file, binlog_position)
-  UNION ALL
-  SELECT b.binlog_file, b.binlog_position, 'order_timestamp',
-         b.order_timestamp, a.order_timestamp
-  FROM bl b JOIN av a USING (binlog_file, binlog_position)
-)
-SELECT binlog_file, binlog_position, "column", binlog_value, avro_value,
-       CASE WHEN binlog_value IS NULL AND avro_value IS NOT NULL
-              THEN 'BINLOG_NULL'
-            WHEN binlog_value IS NOT NULL AND avro_value IS NULL
-              THEN 'AVRO_NULL'
-            WHEN binlog_value <> avro_value THEN 'MISMATCH' END AS status
-FROM unp
-WHERE status IS NOT NULL""",
-    }
-    # rollup twin: GROUP BY over the diff oracle (same CTE chain), with
-    # the same "/"-joined composite key for the exact distinct count
-    sql["cdc_payload_summary"] = (
-        "WITH diff AS (" + sql["cdc_payload_diff"] + """)
-SELECT "column", status, count(*) AS n_findings,
-       count(DISTINCT binlog_file || '/' || CAST(binlog_position AS VARCHAR))
-         AS n_keys
-FROM diff GROUP BY "column", status"""
-    )
-    # streaming twin runs the same logical plan -> same oracle
-    sql["cdc_snapshot_stream"] = sql["cdc_apply_changes"]
-    sql["cdc_ivm_stream"] = sql["cdc_ivm_refresh"]
-    sql["events_psi_stream"] = sql["events_psi_drift"]
-    sql["events_anomaly_stream"] = sql["events_value_anomalies"]
-    # SCD2 audit composed over the verified history SQL
-    sql["cdc_scd2_audit"] = f"""
-WITH hist AS ({sql["cdc_scd2_history"]}),
-seq AS (
-  SELECT user_id, version, op, valid_from_ms, valid_to_ms,
-         lead(valid_from_ms) OVER (PARTITION BY user_id ORDER BY version)
-           AS nxt_from
-  FROM hist
-),
-per_key AS (
-  SELECT user_id, count(*) AS nv,
-         sum(CASE WHEN nxt_from IS NOT NULL AND valid_to_ms IS NOT NULL
-                       AND nxt_from < valid_to_ms THEN 1 ELSE 0 END) AS no,
-         sum(CASE WHEN nxt_from IS NOT NULL AND valid_to_ms IS NOT NULL
-                       AND nxt_from > valid_to_ms THEN 1 ELSE 0 END) AS ng,
-         sum(CASE WHEN valid_to_ms IS NULL THEN 1 ELSE 0 END) AS nopen,
-         sum(CASE WHEN valid_to_ms IS NOT NULL
-                       AND valid_to_ms <= valid_from_ms THEN 1 ELSE 0 END) AS ne
-  FROM seq GROUP BY user_id
-)
-SELECT CAST(count(*) AS BIGINT) AS n_keys,
-       CAST(sum(nv) AS BIGINT) AS n_versions,
-       CAST(sum(no) AS BIGINT) AS n_overlaps,
-       CAST(sum(ng) AS BIGINT) AS n_gaps,
-       CAST(sum(CASE WHEN nopen > 1 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_multi_open,
-       CAST(sum(ne) AS BIGINT) AS n_empty_intervals,
-       (sum(no) = 0 AND sum(CASE WHEN nopen > 1 THEN 1 ELSE 0 END) = 0
-        AND sum(ne) = 0) AS consistent
-FROM per_key"""
-    # twin of analytics.conversion_ab_test
-    sql["events_conversion_ab"] = """
-WITH users AS (
-  SELECT user_id,
-         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
-         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT % 2
-           AS arm
-  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
-),
-agg AS (
-  SELECT count(*) FILTER (WHERE arm = 0) AS n_a,
-         count(*) FILTER (WHERE arm = 1) AS n_b,
-         CAST(sum(conv) FILTER (WHERE arm = 0) AS BIGINT) AS conv_a,
-         CAST(sum(conv) FILTER (WHERE arm = 1) AS BIGINT) AS conv_b
-  FROM users
-),
-k AS (
-  SELECT n_a, n_b, conv_a, conv_b,
-         CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
-         CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
-         CAST(conv_a + conv_b AS DOUBLE)
-           / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pool
-  FROM agg
-),
-s AS (
-  SELECT *, sqrt(pool * (1.0 - pool)
-                 * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
-            AS se
-  FROM k
-)
-SELECT n_a, n_b, conv_a, conv_b,
-       round(pa, 6) AS rate_a, round(pb, 6) AS rate_b,
-       round(CASE WHEN se > 0 THEN (pa - pb) / se ELSE 0.0 END, 6) AS z_stat
-FROM s"""
-    # twin of analytics.benford_audit (same literal Benford shares)
-    sql["orders_benford_audit"] = """
-WITH counts AS (
-  SELECT CAST(substr(CAST(CAST(abs(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
-                     1, 1) AS INTEGER) AS digit,
-         count(*) AS n
-  FROM orders WHERE o_totalprice > 0 GROUP BY 1
-),
-tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM counts),
-per AS (
-  SELECT digit, n,
-         round(CAST(n AS DOUBLE) / t, 6) AS share,
-         round([0.3010299956639812, 0.17609125905568124, 0.12493873660829993, 0.09691001300805642, 0.07918124604762482, 0.06694678963061322, 0.05799194697768673, 0.05115252244738129, 0.04575749056067514][digit], 6) AS expected,
-         CAST(round((CAST(n AS DOUBLE) - [0.3010299956639812, 0.17609125905568124, 0.12493873660829993, 0.09691001300805642, 0.07918124604762482, 0.06694678963061322, 0.05799194697768673, 0.05115252244738129, 0.04575749056067514][digit] * t)
-                    * (CAST(n AS DOUBLE) - [0.3010299956639812, 0.17609125905568124, 0.12493873660829993, 0.09691001300805642, 0.07918124604762482, 0.06694678963061322, 0.05799194697768673, 0.05115252244738129, 0.04575749056067514][digit] * t)
-                    / ([0.3010299956639812, 0.17609125905568124, 0.12493873660829993, 0.09691001300805642, 0.07918124604762482, 0.06694678963061322, 0.05799194697768673, 0.05115252244738129, 0.04575749056067514][digit] * t), 9) AS DECIMAL(38,12)) AS cell
-  FROM counts, tot
-),
-c AS (SELECT round(CAST(sum(cell) AS DOUBLE), 6) AS chi2_total FROM per)
-SELECT digit, n, share, expected, chi2_total FROM per, c"""
-    # twin of analytics.abc_classes: plain global window -- the bucketed
-    # two-phase Spark plan lands on identical values because decimal
-    # addition is exact under any grouping
-    sql["customer_abc_classes"] = """
-WITH per AS (
-  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
-  FROM orders GROUP BY 1
-),
-tot AS (SELECT sum(rev) AS t FROM per),
-walked AS (
-  SELECT o_custkey, round(CAST(rev AS DOUBLE), 2) AS revenue,
-         round(CAST(sum(rev) OVER (ORDER BY rev DESC, o_custkey
-                                   ROWS BETWEEN UNBOUNDED PRECEDING
-                                   AND CURRENT ROW) AS DOUBLE)
-               / CAST(t AS DOUBLE), 6) AS cum_share
-  FROM per, tot
-)
-SELECT o_custkey, revenue, cum_share,
-       CASE WHEN cum_share <= 0.80 THEN 'A'
-            WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc_class
-FROM walked"""
-    # twin of analytics.multitouch_attribution
-    sql["events_attribution_multitouch"] = """
-WITH base AS (
-  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
-         lag(epoch_ms(ts)) OVER (PARTITION BY user_id
-                                 ORDER BY epoch_ms(ts), event_id) AS prev_ms
-  FROM events WHERE user_id IS NOT NULL
-),
-sess AS (
-  SELECT *, sum(CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000
-                     THEN 1 ELSE 0 END)
-              OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS session_id
-  FROM base
-),
-tagged AS (
-  SELECT *, coalesce(sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
-                       OVER (PARTITION BY user_id, session_id
-                             ORDER BY ts_ms, event_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                     0) AS n_prior
-  FROM sess
-),
-purchases AS (
-  SELECT user_id, session_id, ts_ms AS p_ms, event_id AS p_id, n_prior AS n
-  FROM tagged WHERE event_type = 'purchase' AND n_prior > 0
-),
-touches AS (
-  SELECT user_id, session_id, ts_ms AS t_ms, event_id AS t_id,
-         event_type AS touch_type
-  FROM tagged WHERE event_type <> 'purchase'
-),
-pairs AS (
-  SELECT touch_type,
-         CAST(round(1.0 / CAST(n AS DOUBLE), 9) AS DECIMAL(38,12)) AS credit
-  FROM touches t JOIN purchases p USING (user_id, session_id)
-  WHERE t.t_ms < p.p_ms OR (t.t_ms = p.p_ms AND t.t_id < p.p_id)
-)
-SELECT touch_type, count(*) AS n_credited_touches,
-       round(CAST(sum(credit) AS DOUBLE), 6) AS credit
-FROM pairs GROUP BY touch_type"""
-    # time-decay twin: same CTEs with the weight window
-    sql["events_attribution_decay"] = sql[
-        "events_attribution_multitouch"
-    ].replace(
-        """pairs AS (
-  SELECT touch_type,
-         CAST(round(1.0 / CAST(n AS DOUBLE), 9) AS DECIMAL(38,12)) AS credit
-  FROM touches t JOIN purchases p USING (user_id, session_id)
-  WHERE t.t_ms < p.p_ms OR (t.t_ms = p.p_ms AND t.t_id < p.p_id)
-)""",
-        """weighted AS (
-  SELECT touch_type, user_id, session_id, p_id,
-         CAST(round(pow(2.0, -CAST(p_ms - t_ms AS DOUBLE) / 600000.0), 9)
-              AS DECIMAL(38,12)) AS w
-  FROM touches t JOIN purchases p USING (user_id, session_id)
-  WHERE t.t_ms < p.p_ms OR (t.t_ms = p.p_ms AND t.t_id < p.p_id)
-),
-pairs AS (
-  SELECT touch_type,
-         CAST(round(CAST(w AS DOUBLE)
-                    / CAST(sum(w) OVER (PARTITION BY user_id, session_id, p_id)
-                           AS DOUBLE), 9)
-              AS DECIMAL(38,12)) AS credit
-  FROM weighted
-)""",
-    )
-    # U-shaped twin: same CTEs with the position window
-    sql["events_attribution_position"] = sql[
-        "events_attribution_multitouch"
-    ].replace(
-        """pairs AS (
-  SELECT touch_type,
-         CAST(round(1.0 / CAST(n AS DOUBLE), 9) AS DECIMAL(38,12)) AS credit
-  FROM touches t JOIN purchases p USING (user_id, session_id)
-  WHERE t.t_ms < p.p_ms OR (t.t_ms = p.p_ms AND t.t_id < p.p_id)
-)""",
-        """ranked AS (
-  SELECT touch_type, n,
-         row_number() OVER (PARTITION BY user_id, session_id, p_id
-                            ORDER BY t_ms, t_id) AS pos
-  FROM touches t JOIN purchases p USING (user_id, session_id)
-  WHERE t.t_ms < p.p_ms OR (t.t_ms = p.p_ms AND t.t_id < p.p_id)
-),
-pairs AS (
-  SELECT touch_type,
-         CAST(round(CASE WHEN n = 1 THEN 1.0
-                         WHEN n = 2 THEN 0.5
-                         WHEN pos = 1 THEN 0.4
-                         WHEN pos = n THEN 0.4
-                         ELSE 0.2 / (CAST(n AS DOUBLE) - 2.0) END, 9)
-              AS DECIMAL(38,12)) AS credit
-  FROM ranked
-)""",
-    )
-    # twin of similarity.embedding_label_drift
-    sql["embedding_label_drift"] = """
-WITH ex AS (
-  SELECT label, generate_subscripts(embedding, 1) AS ord,
-         CAST(unnest(embedding) AS DECIMAL(18,9)) AS v
-  FROM embeddings
-),
-per_dim AS (
-  SELECT label, ord, sum(v) AS s, count(*) AS n FROM ex GROUP BY 1, 2
-),
-lbl AS (
-  SELECT label, ord, CAST(s AS DOUBLE) / n AS m, n FROM per_dim
-),
-corpus AS (
-  SELECT ord, CAST(sum(s) AS DOUBLE) / sum(n) AS cm FROM per_dim GROUP BY 1
-),
-agg AS (
-  SELECT label, max(n) AS n_vectors,
-         sum(CAST(round(m * cm, 12) AS DECIMAL(38,12))) AS dot,
-         sum(CAST(round(m * m, 12) AS DECIMAL(38,12))) AS a2,
-         sum(CAST(round(cm * cm, 12) AS DECIMAL(38,12))) AS b2
-  FROM lbl JOIN corpus USING (ord) GROUP BY label
-)
-SELECT label, CAST(n_vectors AS BIGINT) AS n_vectors,
-       round(CAST(dot AS DOUBLE)
-             / (sqrt(CAST(a2 AS DOUBLE)) * sqrt(CAST(b2 AS DOUBLE))), 6)
-         AS cos_to_corpus
-FROM agg"""
-    # VARIANT ingestion: same contract columns off the derivation CTE
-    sql["cdc_binlog_variant"] = oracle.cdc_binlog_events().replace(
-        "SELECT * FROM binlog_events_cdc",
-        '''SELECT event_type, "timestamp", log_position, "schema", "table",
-       gtid_next, binlog_file, line_no,
-       event_type LIKE '%RowsEventV2' AS is_dml
-FROM binlog_events_cdc''',
-    )
-    # template dedup: identical normalization chain in DuckDB
-    sql["dedup_template"] = """
-SELECT md5(trim(regexp_replace(regexp_replace(text, '[0-9]+', '0', 'g'),
-                               '\\s+', ' ', 'g'))) AS template_hash,
-       min(doc_id) AS keep_doc_id,
-       count(*) AS n_copies,
-       count(DISTINCT md5(text)) AS n_distinct_texts
-FROM documents GROUP BY 1"""
-    # undirected recursive closure composed over the verified pair
-    # oracle -- the pair-expansion recursion is kept HERE (test-scale
-    # DuckDB) while the Spark side runs the linear label fixpoint
-    sql["dedup_transitive_closure"] = f"""
-WITH RECURSIVE base(doc_a, doc_b) AS ({sql["minhash_lsh_pairs"]}),
-sym(a, b) AS (
-  SELECT doc_a, doc_b FROM base UNION SELECT doc_b, doc_a FROM base
-),
-reach(a, b) AS (
-  SELECT a, b FROM sym
-  UNION
-  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b WHERE r.a <> s.b
-)
-SELECT DISTINCT a AS doc_a, b AS doc_b FROM reach WHERE a < b"""
-    # component labeling + size report over the same reach relation;
-    # the overflow channel = components above the cap (2 at test scale)
-    sql["dedup_closure_overflow"] = f"""
-WITH RECURSIVE base(doc_a, doc_b) AS ({sql["minhash_lsh_pairs"]}),
-sym(a, b) AS (
-  SELECT doc_a, doc_b FROM base UNION SELECT doc_b, doc_a FROM base
-),
-reach(a, b) AS (
-  SELECT a, b FROM sym
-  UNION
-  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b WHERE r.a <> s.b
-),
-lab AS (
-  SELECT a AS doc_id, min(b) AS reach_min
-  FROM (SELECT a, b FROM reach UNION ALL SELECT a, a FROM sym) GROUP BY a
-),
-comp AS (
-  SELECT least(doc_id, reach_min) AS cluster_id, count(*) AS n_docs
-  FROM lab GROUP BY 1
-)
-SELECT cluster_id, n_docs, (n_docs * (n_docs - 1)) // 2 AS n_pairs_suppressed
-FROM comp WHERE n_docs > 2"""
-    # funnel velocity composed over the verified funnel oracle
-    sql["events_funnel_timing"] = f"""
-WITH staged AS ({sql["events_funnel"]}),
-vc AS (
-  SELECT count(*) AS n_eligible, count(click_ts_ms) AS n_converted,
-         round(CAST(count(click_ts_ms) AS DOUBLE) / count(*), 6)
-           AS conversion_rate,
-         round(round(quantile_cont(click_ts_ms - view_ts_ms, 0.5), 9), 6)
-           AS median_gap_ms
-  FROM staged WHERE view_ts_ms IS NOT NULL
-),
-cp AS (
-  SELECT count(*) AS n_eligible, count(purchase_ts_ms) AS n_converted,
-         round(CAST(count(purchase_ts_ms) AS DOUBLE) / count(*), 6)
-           AS conversion_rate,
-         round(round(quantile_cont(purchase_ts_ms - click_ts_ms, 0.5), 9), 6)
-           AS median_gap_ms
-  FROM staged WHERE click_ts_ms IS NOT NULL
-)
-SELECT 'view_to_click' AS step, * FROM vc
-UNION ALL
-SELECT 'click_to_purchase' AS step, * FROM cp"""
-    # label consensus composed over the verified cluster oracle
-    sql["dedup_label_consensus"] = f"""
-WITH clusters AS ({sql["dedup_clusters"]}),
-member AS (
-  SELECT c.doc_id, c.cluster_id, d.lang
-  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
-),
-votes AS (
-  SELECT cluster_id, lang, count(*) AS v FROM member GROUP BY 1, 2
-),
-consensus AS (
-  SELECT cluster_id, lang AS consensus_lang FROM (
-    SELECT *, row_number() OVER (PARTITION BY cluster_id
-                                 ORDER BY v DESC, lang ASC) AS rn
-    FROM votes
-  ) WHERE rn = 1
-)
-SELECT m.doc_id, m.cluster_id, m.lang, consensus_lang,
-       m.lang = consensus_lang AS agrees
-FROM member m JOIN consensus USING (cluster_id)"""
-    # estimator calibration composed from the signature + pair oracles
-    sql["dedup_minhash_error"] = f"""
-WITH {_SHINGLE_CTE},
-pairs AS (SELECT doc_a, doc_b FROM ({sql["minhash_lsh_pairs"]})),
-sigs AS (SELECT * FROM ({sql["minhash_signatures"]})),
-est AS (
-  SELECT doc_a, doc_b,
-         round((CASE WHEN a.min_0 = b.min_0 THEN 1 ELSE 0 END + CASE WHEN a.min_1 = b.min_1 THEN 1 ELSE 0 END + CASE WHEN a.min_2 = b.min_2 THEN 1 ELSE 0 END + CASE WHEN a.min_3 = b.min_3 THEN 1 ELSE 0 END + CASE WHEN a.min_4 = b.min_4 THEN 1 ELSE 0 END + CASE WHEN a.min_5 = b.min_5 THEN 1 ELSE 0 END + CASE WHEN a.min_6 = b.min_6 THEN 1 ELSE 0 END + CASE WHEN a.min_7 = b.min_7 THEN 1 ELSE 0 END + CASE WHEN a.min_8 = b.min_8 THEN 1 ELSE 0 END + CASE WHEN a.min_9 = b.min_9 THEN 1 ELSE 0 END + CASE WHEN a.min_10 = b.min_10 THEN 1 ELSE 0 END + CASE WHEN a.min_11 = b.min_11 THEN 1 ELSE 0 END + CASE WHEN a.min_12 = b.min_12 THEN 1 ELSE 0 END + CASE WHEN a.min_13 = b.min_13 THEN 1 ELSE 0 END + CASE WHEN a.min_14 = b.min_14 THEN 1 ELSE 0 END + CASE WHEN a.min_15 = b.min_15 THEN 1 ELSE 0 END) / 16.0, 6) AS est_jaccard
-  FROM pairs JOIN sigs a ON a.doc_id = doc_a JOIN sigs b ON b.doc_id = doc_b
-),
-sizes AS (SELECT doc_id, count(*) AS n FROM shingle_hashes GROUP BY doc_id),
-inter AS (
-  SELECT p.doc_a, p.doc_b, count(*) AS i
-  FROM pairs p
-  JOIN shingle_hashes sa ON sa.doc_id = p.doc_a
-  JOIN shingle_hashes sb ON sb.doc_id = p.doc_b AND sb.h = sa.h
-  GROUP BY 1, 2
-),
-exact AS (
-  SELECT p.doc_a, p.doc_b,
-         round(CAST(coalesce(i.i, 0) AS DOUBLE)
-               / CAST(na.n + nb.n - coalesce(i.i, 0) AS DOUBLE), 6)
-           AS exact_jaccard
-  FROM pairs p
-  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
-  JOIN sizes na ON na.doc_id = p.doc_a
-  JOIN sizes nb ON nb.doc_id = p.doc_b
-)
-SELECT e.doc_a AS doc_a, e.doc_b AS doc_b, est_jaccard, exact_jaccard,
-       round(abs(est_jaccard - exact_jaccard), 6) AS abs_err
-FROM est e JOIN exact x ON x.doc_a = e.doc_a AND x.doc_b = e.doc_b"""
-    # redundancy composed over the verified cluster oracle
-    sql["corpus_source_redundancy"] = f"""
-SELECT d.source AS source, count(*) AS n_docs,
-       CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_clustered,
-       round(CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
-                  AS DOUBLE) / count(*), 6) AS redundancy
-FROM documents d
-LEFT JOIN (SELECT DISTINCT doc_id FROM ({sql["dedup_clusters"]})) c
-  ON c.doc_id = d.doc_id
-GROUP BY d.source"""
-    # confusion matrix composed over the verified lang_id oracle
-    sql["lang_id_confusion"] = f"""
-WITH scored AS (SELECT lang, lang_guess,
-                       CASE WHEN lang = lang_guess THEN 1 ELSE 0 END AS ok
-                FROM ({sql["lang_id"]})),
-cells AS (
-  SELECT lang, lang_guess, count(*) AS n, sum(ok) AS nok
-  FROM scored GROUP BY 1, 2
-),
-per_true AS (SELECT lang, sum(n) AS nt, sum(nok) AS tok FROM cells GROUP BY 1),
-total AS (
-  SELECT round(CAST(sum(nok) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6)
-           AS accuracy
-  FROM cells
-)
-SELECT c.lang AS lang, lang_guess, n,
-       round(CAST(tok AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS recall,
-       accuracy
-FROM cells c JOIN per_true p ON p.lang = c.lang CROSS JOIN total"""
-    # agreement audit composed from the method oracles so each pair
-    # set stays literally the verified SQL (ann_recall_report pattern)
-    sql["dedup_method_agreement"] = f"""
-WITH tagged AS (
-  SELECT 'minhash' AS m, doc_a, doc_b FROM ({sql["minhash_lsh_pairs"]})
-  UNION ALL
-  SELECT 'simhash' AS m, doc_a, doc_b FROM ({sql["simhash_near_pairs"]})
-  UNION ALL
-  SELECT 'ngram' AS m, doc_a, doc_b FROM ({sql["ngram_jaccard_pairs"]}) WHERE jaccard >= 0.5
-),
-flags AS (
-  SELECT doc_a, doc_b,
-         max(CASE WHEN m = 'minhash' THEN 1 ELSE 0 END) AS m_mh,
-         max(CASE WHEN m = 'simhash' THEN 1 ELSE 0 END) AS m_sh,
-         max(CASE WHEN m = 'ngram' THEN 1 ELSE 0 END) AS m_ng
-  FROM tagged GROUP BY 1, 2
-),
-combos AS (
-  SELECT 'minhash' AS method_a, 'ngram' AS method_b,
-         sum(m_mh) AS n_a, sum(m_ng) AS n_b, sum(m_mh * m_ng) AS n_both
-  FROM flags
-  UNION ALL
-  SELECT 'minhash', 'simhash', sum(m_mh), sum(m_sh), sum(m_mh * m_sh)
-  FROM flags
-  UNION ALL
-  SELECT 'ngram', 'simhash', sum(m_ng), sum(m_sh), sum(m_ng * m_sh)
-  FROM flags
-)
-SELECT method_a, method_b,
-       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-       CAST(n_both AS BIGINT) AS n_both,
-       round(CAST(n_both AS DOUBLE) / CAST(n_a + n_b - n_both AS DOUBLE), 6)
-         AS agreement
-FROM combos"""
-    # stateless stream-static payload diff appends exactly the batch
-    # findings -> same oracle
-    sql["cdc_payload_diff_stream"] = sql["cdc_payload_diff"]
-    # streaming S2 decode is stateless per file -> appended rows equal
-    # the batch decode exactly
-    sql["cdc_parse_binlog_stream"] = sql["cdc_parse_binlog_binary"]
-    # FULL OUTER payload findings stream: matched tier = the batch
-    # payload diff verbatim; the BINLOG_ONLY / AVRO_ONLY tiers obey
-    # the strict post-watermark horizon ts + window < W (pinned by
-    # test_payload_findings_stream_horizons), W = least of the two
-    # sides' max event times (delay 0), window_ms = 5000.  Event time
-    # on both replay sides is the source event's epoch millis, so
-    # ts_ms = epoch_ms(ts) per surviving row.
-    sql["cdc_payload_findings_stream"] = """
-WITH dml AS (
-  SELECT event_id AS eid, user_id, ts, event_type,
-    CASE WHEN event_id % 211 = 0 THEN 0
-         WHEN event_id % 53 = 0 THEN 100 * ((event_id + 4) // 4) + 4
-         ELSE 100 * (event_id // 4) + 4 END AS log_position,
-    'mysql-bin.' || lpad(CAST(event_id % 4 AS VARCHAR), 6, '0') AS binlog_file
-  FROM events
-  WHERE event_type IN ('click','view','purchase') AND event_id % 223 <> 0
-), bl AS (
-  SELECT binlog_file, log_position AS binlog_position,
-    CAST(eid % 100000 AS VARCHAR) AS order_id,
-    CASE WHEN eid % 43 = 6 THEN NULL
-         ELSE 'cust-' || CAST(user_id % 1000 AS VARCHAR) END AS customer_name,
-    'prod-' || CAST(eid % 97 AS VARCHAR) AS product_name,
-    CAST(1 + eid % 10 AS VARCHAR) AS quantity,
-    CAST(epoch_ms(ts) AS VARCHAR) AS order_timestamp,
-    epoch_ms(ts) AS ts_ms
-  FROM dml WHERE log_position <> 0
-  QUALIFY row_number() OVER (
-    PARTITION BY binlog_file, log_position ORDER BY eid DESC) = 1
-), av AS (
-  SELECT
-    'mysql-bin.' || lpad(CAST(event_id % 4 AS VARCHAR), 6, '0') AS binlog_file,
-    CASE WHEN event_id % 17 = 5 THEN 100 * (event_id // 4) + 4 + 7
-         ELSE 100 * (event_id // 4) + 4 END AS binlog_position,
-    CAST(event_id % 100000 AS VARCHAR) AS order_id,
-    'cust-' || CAST(user_id % 1000 AS VARCHAR) AS customer_name,
-    CASE WHEN event_id % 37 = 3 THEN 'prod-X'
-         ELSE 'prod-' || CAST(event_id % 97 AS VARCHAR) END AS product_name,
-    CASE WHEN event_id % 31 = 2 THEN CAST(1 + event_id % 10 + 1 AS VARCHAR)
-         ELSE CAST(1 + event_id % 10 AS VARCHAR) END AS quantity,
-    CASE WHEN event_id % 47 = 7 THEN NULL
-         ELSE CAST(epoch_ms(ts) AS VARCHAR) END AS order_timestamp,
-    epoch_ms(ts) AS ts_ms
-  FROM events
-  WHERE event_type IN ('click','view','purchase')
-    AND event_id % 13 <> 0 AND event_id % 29 <> 1
-), wm AS (
-  SELECT least((SELECT max(ts_ms) FROM bl),
-               (SELECT max(ts_ms) FROM av)) AS w
-), unp AS (
-  SELECT b.binlog_file, b.binlog_position, 'order_id' AS "column",
-         b.order_id AS binlog_value, a.order_id AS avro_value
-  FROM bl b JOIN av a USING (binlog_file, binlog_position)
-  UNION ALL
-  SELECT b.binlog_file, b.binlog_position, 'customer_name',
-         b.customer_name, a.customer_name
-  FROM bl b JOIN av a USING (binlog_file, binlog_position)
-  UNION ALL
-  SELECT b.binlog_file, b.binlog_position, 'product_name',
-         b.product_name, a.product_name
-  FROM bl b JOIN av a USING (binlog_file, binlog_position)
-  UNION ALL
-  SELECT b.binlog_file, b.binlog_position, 'quantity',
-         b.quantity, a.quantity
-  FROM bl b JOIN av a USING (binlog_file, binlog_position)
-  UNION ALL
-  SELECT b.binlog_file, b.binlog_position, 'order_timestamp',
-         b.order_timestamp, a.order_timestamp
-  FROM bl b JOIN av a USING (binlog_file, binlog_position)
-)
-SELECT binlog_file, binlog_position, "column", binlog_value, avro_value,
-       CASE WHEN binlog_value IS NULL AND avro_value IS NOT NULL
-              THEN 'BINLOG_NULL'
-            WHEN binlog_value IS NOT NULL AND avro_value IS NULL
-              THEN 'AVRO_NULL'
-            WHEN binlog_value <> avro_value THEN 'MISMATCH' END AS status
-FROM unp
-WHERE (binlog_value IS NULL) <> (avro_value IS NULL)
-   OR binlog_value <> avro_value
-UNION ALL
-SELECT b.binlog_file, b.binlog_position, CAST(NULL AS VARCHAR),
-       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'BINLOG_ONLY'
-FROM bl b, wm
-WHERE b.ts_ms + 5000 < wm.w
-  AND NOT EXISTS (SELECT 1 FROM av a
-                  WHERE a.binlog_file = b.binlog_file
-                    AND a.binlog_position = b.binlog_position)
-UNION ALL
-SELECT a.binlog_file, a.binlog_position, CAST(NULL AS VARCHAR),
-       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'AVRO_ONLY'
-FROM av a, wm
-WHERE a.ts_ms + 5000 < wm.w
-  AND NOT EXISTS (SELECT 1 FROM bl b
-                  WHERE b.binlog_file = a.binlog_file
-                    AND b.binlog_position = a.binlog_position)"""
-    # Matryoshka eval: per-prefix brute-force tiers from the shared
-    # parameterized scorer, graded like ann_recall_report
-    tiers = "\nUNION ALL\n".join(
-        f"SELECT {d} AS prefix_dim, query_id, neighbor_id FROM ({_brute_cosine_sql(d)})"
-        for d in (8, 16, 32)
-    )
-    sql["ann_matryoshka_recall"] = f"""
-WITH truth AS (SELECT query_id, neighbor_id FROM ({_brute_cosine_sql()})),
-tagged AS (
-{tiers}
-)
-SELECT t.prefix_dim, count(*) AS n_returned,
-       CAST(sum(CASE WHEN tr.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS total_hits,
-       round(sum(CASE WHEN tr.query_id IS NOT NULL THEN 1 ELSE 0 END)
-             / 160.0, 6) AS recall
-FROM tagged t
-LEFT JOIN truth tr
-  ON tr.query_id = t.query_id AND tr.neighbor_id = t.neighbor_id
-GROUP BY t.prefix_dim"""
-    # recall eval: composed from the method oracles above so the
-    # ground truth and every index tier stay literally the same SQL
-    sql["ann_recall_report"] = f"""
-WITH truth AS (SELECT query_id, neighbor_id FROM ({sql["ann_cosine_topk"]})),
-tagged AS (
-  SELECT 'lsh' AS method, query_id, neighbor_id
-  FROM ({sql["ann_cosine_topk_lsh"]})
-  UNION ALL
-  SELECT 'hamming' AS method, query_id, neighbor_id
-  FROM ({sql["ann_hamming_topk"]})
-  UNION ALL
-  SELECT 'ivf' AS method, query_id, neighbor_id
-  FROM ({sql["ann_cosine_topk_ivf"]})
-)
-SELECT t.method, count(*) AS n_returned,
-       CAST(sum(CASE WHEN tr.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS total_hits,
-       round(sum(CASE WHEN tr.query_id IS NOT NULL THEN 1 ELSE 0 END)
-             / 160.0, 6) AS recall
-FROM tagged t
-LEFT JOIN truth tr
-  ON tr.query_id = t.query_id AND tr.neighbor_id = t.neighbor_id
-GROUP BY t.method"""
+    sql: dict[str, str] = {}
+    _oracles_1.add(sql)
+    _oracles_2.add(sql)
+    _oracles_3.add(sql)
     return sql
-
-
-def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
-    """The flagship query: full consistency diff -> findings DataFrame."""
-    return _q_cdc_findings(spark, sf_dir)
