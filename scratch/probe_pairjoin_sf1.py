@@ -20,7 +20,6 @@ from binlog_avro_comparator_spark.operators.dedup import (
     containment_pairs,
     jaccard_pairs,
     lsh_candidate_pairs,
-    minhash_lsh_pairs,
     prefix_filter_pairs,
     shingles,
 )
@@ -99,7 +98,7 @@ for d in DIRS:
     jac_c, ppj_c, cont_c = cand_counts(docs)
     walls = {}
     for name, fn in (
-        ("minhash_lsh_pairs", minhash_lsh_pairs),
+        ("minhash_lsh_pairs", lsh_candidate_pairs),
         ("ngram_jaccard_pairs", jaccard_pairs),
         ("dedup_prefix_filter_pairs", prefix_filter_pairs),
         ("dedup_containment_pairs", containment_pairs),
