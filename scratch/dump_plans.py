@@ -65,6 +65,12 @@ PICKS = [
     ("events_join_plan", "join planner: two key-count aggregates + key-sized join -- key cardinality, not fact tonnage"),
     ("lineitem_basket_pairs", "market basket: distinct (order, brand) frame, per-basket-bounded self-join, broadcast marginals"),
     ("customer_abc_classes", "Pareto ABC: bucketed two-phase exact-decimal prefix sum -- the entity window is PARTITIONED by revenue bucket"),
+    # round 7
+    ("dedup_prefix_filter_pairs", "PPJoin: length window + positional bound filter INSIDE the prefix self-join, before verification"),
+    ("dedup_containment_pairs", "containment join: n_dst >= ceil(t*n_src) size prune rides the candidate join"),
+    ("dedup_transitive_closure", "closure: min-label fixpoint (linear) + label self-join -- no recursive pair expansion"),
+    ("cdc_avro_logical_scan", "logical-type avro lake: pruned binaryFile scan -> ONE MapInPandas decode to typed columns"),
+    ("cdc_rotate_chain", "rotate chain: per-file decode, single lead() window over the file-cardinality frame"),
 ]
 
 
