@@ -1274,3 +1274,94 @@ def embedding_label_drift(embeddings: DataFrame) -> DataFrame:
     return agg.select(
         "label", "n_vectors", F.round(cos, 6).alias("cos_to_corpus")
     )
+
+
+def bitext_margin_pairs(
+    embeddings: DataFrame,
+    src_label: int = 0,
+    dst_label: int = 1,
+    k: int = 4,
+    threshold: float = 1.0,
+) -> DataFrame:
+    """Margin-based bitext mining (the published ratio-margin criterion
+    of Artetxe & Schwenk, ACL 2019): candidate translation pairs
+    between two corpus segments (``label`` = language/shard) are scored
+    by cos(x, y) normalized by the mean cosine of each side's k nearest
+    neighbors in the OTHER segment --
+
+        margin(x, y) = cos(x, y) / ((avg_kNN(x) + avg_kNN(y)) / 2)
+
+    -- because raw cosine systematically over-selects HUB vectors
+    (points near everything); the margin asks "is y closer to x than
+    x's other neighbors are", which is what makes mined parallel pairs
+    usable as training data.  Returns the top-1 target per source with
+    margin >= ``threshold``: (src_id, dst_id, cos_sim, margin).
+
+    Determinism: cosines are 6-dp rounded before any use (the module's
+    ulp contract); the kNN sums accumulate as DECIMAL(18,6) so both
+    engines add exactly, and the margin is ONE double division of
+    exact quantities, rounded before ranking with a dst_id tie-break.
+
+    Scale shape: this is the exact broadcast-bounded form -- the pair
+    frame is |src| x |dst| with the smaller segment broadcast, the kNN
+    statistics are segment-cardinality aggregates, and the final join
+    of (sx, sy) back onto pairs is broadcast-sized.  At 100 TB the pair
+    GENERATION swaps to the LSH/IVF candidate tiers (hyperplane_bucket
+    keys on both segments); the margin algebra is unchanged because it
+    only needs each side's top-k, which bucketed candidates preserve
+    for exactly the high-cosine region the margin cares about."""
+    emb = with_norm(embeddings)
+    src = emb.filter(F.col("label") == src_label).select(
+        F.col("vec_id").alias("src_id"),
+        F.col("embedding").alias("s_emb"),
+        F.col("norm").alias("s_norm"),
+    )
+    dst = emb.filter(F.col("label") == dst_label).select(
+        F.col("vec_id").alias("dst_id"),
+        F.col("embedding").alias("d_emb"),
+        F.col("norm").alias("d_norm"),
+    )
+    cos = F.round(
+        _dot(F.col("s_emb"), F.col("d_emb"))
+        / (F.col("s_norm") * F.col("d_norm")),
+        COS_ROUND,
+    )
+    pairs = scoped_cache(
+        src.join(F.broadcast(dst))
+        .select("src_id", "dst_id", cos.alias("cos_sim"))
+    )
+    cdec = F.col("cos_sim").cast("decimal(18,6)")
+    wx = Window.partitionBy("src_id").orderBy(
+        F.col("cos_sim").desc(), F.col("dst_id").asc()
+    )
+    sx = (
+        pairs.withColumn("__r", F.row_number().over(wx))
+        .filter(F.col("__r") <= k)
+        .groupBy("src_id")
+        .agg(F.sum(cdec).alias("__sx"))
+    )
+    wy = Window.partitionBy("dst_id").orderBy(
+        F.col("cos_sim").desc(), F.col("src_id").asc()
+    )
+    sy = (
+        pairs.withColumn("__r", F.row_number().over(wy))
+        .filter(F.col("__r") <= k)
+        .groupBy("dst_id")
+        .agg(F.sum(cdec).alias("__sy"))
+    )
+    margin = F.round(
+        F.col("cos_sim") * (2 * k)
+        / (F.col("__sx") + F.col("__sy")).cast("double"),
+        COS_ROUND,
+    )
+    wm = Window.partitionBy("src_id").orderBy(
+        F.col("margin").desc(), F.col("dst_id").asc()
+    )
+    return (
+        pairs.join(F.broadcast(sx), "src_id")
+        .join(F.broadcast(sy), "dst_id")
+        .select("src_id", "dst_id", "cos_sim", margin.alias("margin"))
+        .withColumn("__r", F.row_number().over(wm))
+        .filter((F.col("__r") == 1) & (F.col("margin") >= threshold))
+        .select("src_id", "dst_id", "cos_sim", "margin")
+    )

@@ -1763,3 +1763,47 @@ FROM tagged t
 LEFT JOIN truth tr
   ON tr.query_id = t.query_id AND tr.neighbor_id = t.neighbor_id
 GROUP BY t.method"""
+
+    # margin-based bitext mining: brute cross-segment cosine, decimal
+    # kNN sums, one double division -- mirrors bitext_margin_pairs
+    sql["embedding_bitext_margin"] = """
+WITH ex AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS ord,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings WHERE label IN (0, 1)
+),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS norm FROM ex GROUP BY vec_id),
+dots AS (
+  SELECT s.vec_id AS src_id, d.vec_id AS dst_id, sum(s.v * d.v) AS dot
+  FROM ex s JOIN ex d ON s.ord = d.ord AND s.label = 0 AND d.label = 1
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT src_id, dst_id,
+         round(dot / (ns.norm * nd.norm), 6) AS cos_sim
+  FROM dots
+  JOIN norms ns ON ns.vec_id = src_id
+  JOIN norms nd ON nd.vec_id = dst_id
+),
+sx AS (
+  SELECT src_id, sum(CAST(cos_sim AS DECIMAL(18,6))) AS sxv FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY src_id ORDER BY cos_sim DESC, dst_id) AS r
+    FROM pairs) WHERE r <= 4 GROUP BY src_id
+),
+sy AS (
+  SELECT dst_id, sum(CAST(cos_sim AS DECIMAL(18,6))) AS syv FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY dst_id ORDER BY cos_sim DESC, src_id) AS r
+    FROM pairs) WHERE r <= 4 GROUP BY dst_id
+),
+scored AS (
+  SELECT p.src_id, p.dst_id, p.cos_sim,
+         round(p.cos_sim * 8 / CAST(sx.sxv + sy.syv AS DOUBLE), 6) AS margin
+  FROM pairs p JOIN sx ON sx.src_id = p.src_id JOIN sy ON sy.dst_id = p.dst_id
+)
+SELECT src_id, dst_id, cos_sim, margin FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY src_id ORDER BY margin DESC, dst_id) AS r
+  FROM scored
+) WHERE r = 1 AND margin >= 1.0"""

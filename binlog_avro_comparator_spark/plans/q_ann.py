@@ -356,4 +356,17 @@ def _q_embedding_drift(spark, sf_dir):
     return embedding_label_drift(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_bitext_margin(spark, sf_dir):
+    """Margin-based bitext mining between two label segments
+    (similarity.bitext_margin_pairs): ratio-margin criterion over
+    cross-segment cosines, top-1 target per source -- the parallel-
+    corpus mining step of a multilingual training pipeline."""
+    ensure_session_conf(spark)
+    from ..operators.similarity import bitext_margin_pairs
+
+    return bitext_margin_pairs(
+        load_table(spark, sf_dir, "embeddings"), src_label=0, dst_label=1
+    )
+
+
 __all__ = [_n for _n in list(globals()) if not _n.startswith('__') and _n != '_shared']

@@ -3922,3 +3922,44 @@ def test_zipf_fit_recovers_power_law(spark):
     flat = [(0, (" ".join(f"u{r}" for r in range(40)) + " ") * 5)]
     f = zipf_fit(spark.createDataFrame(flat, "doc_id long, text string"), v=40).collect()[0]
     assert abs(f.slope) < 0.01 and f.v_size == 40
+
+
+def test_bitext_margin_prefers_translation_over_hub(spark):
+    """The ratio margin exists to beat hub vectors: a target close to
+    EVERYTHING (the normalized corpus mean) must lose to each source's
+    true translation even when its raw cosine is high, and every
+    selected pair must be the planted translation."""
+    from binlog_avro_comparator_spark.operators.similarity import (
+        bitext_margin_pairs)
+
+    import math
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    dim = 8
+    srcs = []
+    for i in range(5):
+        v = [0.1] * dim          # shared component -> the hub is close
+        v[i] = 1.0               # per-source identity component
+        srcs.append(unit(v))
+    hub = unit([sum(v[d] for v in srcs) for d in range(dim)])
+    rows = []
+    for i, v in enumerate(srcs):
+        rows.append((i, v, 0))                       # source segment
+        w = list(v)
+        w[(i + 1) % dim] += 0.01                     # translation: tiny noise
+        rows.append((100 + i, unit(w), 1))
+    rows.append((999, hub, 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        r.src_id: r
+        for r in bitext_margin_pairs(emb, k=2, threshold=1.0).collect()
+    }
+    assert set(got) == {0, 1, 2, 3, 4}
+    for i, r in got.items():
+        assert r.dst_id == 100 + i, f"hub stole source {i}: {r}"
+        assert r.margin > 1.0
