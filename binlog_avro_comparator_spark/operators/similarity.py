@@ -1365,3 +1365,75 @@ def bitext_margin_pairs(
         .filter((F.col("__r") == 1) & (F.col("margin") >= threshold))
         .select("src_id", "dst_id", "cos_sim", "margin")
     )
+
+
+def knn_label_audit(embeddings: DataFrame, k: int = 5) -> DataFrame:
+    """kNN label-noise audit (the confident-learning recipe in its
+    simplest distributed form): every vector's label is checked against
+    the majority label of its k nearest neighbors by cosine -- a
+    disagreement is a candidate mislabel (or an out-of-distribution
+    sample), the rows a curation pipeline routes to re-annotation
+    before training a classifier head on them.
+
+    Majority is deterministic: most votes, then smallest label id.
+    Cosines are 6-dp rounded before ranking (module ulp contract) with
+    vec_id tie-breaks, so both engines pick identical neighbor sets.
+
+    Scale shape: the test-scale pair frame is the exact broadcast
+    self-join; at corpus scale the candidate generation swaps to the
+    hyperplane-bucket tiers (embedding_near_dup_pairs) exactly like
+    every other ANN consumer -- the vote algebra downstream of the
+    top-k frame is unchanged.  Returns (vec_id, label, knn_label,
+    n_votes, n_agree, mislabeled)."""
+    emb = with_norm(embeddings)
+    a = emb.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("norm").alias("a_norm"),
+        F.col("label").alias("a_label"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("norm").alias("b_norm"),
+        F.col("label").alias("b_label"),
+    )
+    cos = F.round(
+        _dot(F.col("a_emb"), F.col("b_emb"))
+        / (F.col("a_norm") * F.col("b_norm")),
+        COS_ROUND,
+    )
+    w = Window.partitionBy("a_id").orderBy(
+        F.col("cos_sim").desc(), F.col("b_id").asc()
+    )
+    topk = (
+        a.join(F.broadcast(b), F.col("a_id") != F.col("b_id"))
+        .select("a_id", "a_label", "b_id", "b_label", cos.alias("cos_sim"))
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+    )
+    votes = topk.groupBy("a_id", "a_label", "b_label").agg(
+        F.count("*").alias("n_votes")
+    )
+    best = F.max(
+        F.struct(
+            F.col("n_votes"), (-F.col("b_label")).alias("__neg")
+        )
+    )
+    out = votes.groupBy(
+        F.col("a_id").alias("vec_id"), F.col("a_label").alias("label")
+    ).agg(
+        best.alias("__best"),
+        F.sum(
+            F.when(F.col("b_label") == F.col("a_label"), F.col("n_votes"))
+            .otherwise(F.lit(0))
+        ).alias("n_agree"),
+    )
+    return out.select(
+        "vec_id",
+        "label",
+        (-F.col("__best.__neg")).alias("knn_label"),
+        F.col("__best.n_votes").alias("n_votes"),
+        "n_agree",
+        ((-F.col("__best.__neg")) != F.col("label")).alias("mislabeled"),
+    )

@@ -1807,3 +1807,54 @@ SELECT src_id, dst_id, cos_sim, margin FROM (
       PARTITION BY src_id ORDER BY margin DESC, dst_id) AS r
   FROM scored
 ) WHERE r = 1 AND margin >= 1.0"""
+
+    # kNN label audit: brute all-pairs cosine, deterministic majority
+    # (votes desc, label asc) -- mirrors knn_label_audit
+    sql["embedding_knn_label_audit"] = """
+WITH ex AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS ord,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS norm FROM ex GROUP BY vec_id),
+labels AS (SELECT DISTINCT vec_id, label FROM ex),
+dots AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id, sum(a.v * b.v) AS dot
+  FROM ex a JOIN ex b ON a.ord = b.ord AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+),
+topk AS (
+  SELECT * FROM (
+    SELECT a_id, b_id,
+           round(dot / (na.norm * nb.norm), 6) AS cos_sim,
+           row_number() OVER (
+             PARTITION BY a_id
+             ORDER BY round(dot / (na.norm * nb.norm), 6) DESC, b_id) AS r
+    FROM dots
+    JOIN norms na ON na.vec_id = a_id
+    JOIN norms nb ON nb.vec_id = b_id
+  ) WHERE r <= 5
+),
+votes AS (
+  SELECT t.a_id, la.label AS a_label, lb.label AS b_label,
+         count(*) AS n_votes
+  FROM topk t
+  JOIN labels la ON la.vec_id = t.a_id
+  JOIN labels lb ON lb.vec_id = t.b_id
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY a_id ORDER BY n_votes DESC, b_label ASC) AS r
+  FROM votes
+),
+agree AS (
+  SELECT a_id, coalesce(sum(CASE WHEN b_label = a_label
+                                 THEN n_votes END), 0) AS n_agree
+  FROM votes GROUP BY a_id
+)
+SELECT b.a_id AS vec_id, b.a_label AS label, b.b_label AS knn_label,
+       b.n_votes, CAST(a.n_agree AS BIGINT) AS n_agree,
+       b.b_label <> b.a_label AS mislabeled
+FROM best b JOIN agree a ON a.a_id = b.a_id
+WHERE b.r = 1"""

@@ -369,4 +369,14 @@ def _q_bitext_margin(spark, sf_dir):
     )
 
 
+def _q_knn_label_audit(spark, sf_dir):
+    """kNN label-noise audit (similarity.knn_label_audit): per-vector
+    majority-of-neighbors label vs the stored label -- the re-annotation
+    queue of an embedding-labeled corpus."""
+    ensure_session_conf(spark)
+    from ..operators.similarity import knn_label_audit
+
+    return knn_label_audit(load_table(spark, sf_dir, "embeddings"))
+
+
 __all__ = [_n for _n in list(globals()) if not _n.startswith('__') and _n != '_shared']

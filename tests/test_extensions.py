@@ -3963,3 +3963,29 @@ def test_bitext_margin_prefers_translation_over_hub(spark):
     for i, r in got.items():
         assert r.dst_id == 100 + i, f"hub stole source {i}: {r}"
         assert r.margin > 1.0
+
+
+def test_knn_label_audit_flags_planted_mislabel(spark):
+    """Two tight clusters; one vector carries the wrong cluster's label
+    -- the audit must flag exactly that vector, with its neighbors'
+    label as knn_label and full disagreement (n_agree = 0)."""
+    from binlog_avro_comparator_spark.operators.similarity import (
+        knn_label_audit)
+
+    rows = []
+    # cluster around e0 (label 7), cluster around e1 (label 3)
+    for i in range(6):
+        v = [10.0, float(i % 3), 0.0, 0.0]
+        rows.append((i, v, 7))
+    for i in range(6):
+        v = [0.0, 0.0, 10.0, float(i % 3)]
+        rows.append((100 + i, v, 3))
+    rows.append((999, [10.0, 1.5, 0.0, 0.0], 3))  # in cluster A, labeled B
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {r.vec_id: r for r in knn_label_audit(emb, k=5).collect()}
+    flagged = {v for v, r in got.items() if r.mislabeled}
+    assert flagged == {999}
+    assert got[999].knn_label == 7 and got[999].n_agree == 0
+    assert got[0].knn_label == 7 and not got[0].mislabeled
