@@ -1190,3 +1190,79 @@ def test_conversion_ab_single_fact_exchange(spark):
     # two Exchanges total: user-key partial agg + the final single-row
     # gather; neither moves raw events twice
     assert len(_re.findall(r"^\(\d+\) Exchange", plan, _re.M)) <= 2, plan
+
+
+def test_prefix_filter_prunes_inside_candidate_join(spark):
+    """Round-7 PPJoin: the length window and positional bound run
+    BEFORE verification -- the optimized plan carries the ceil()
+    length comparisons and the min-bound aggregate filter, and the
+    candidate self-join output feeds an aggregate (the positional
+    group), not a bare distinct."""
+    from binlog_avro_comparator_spark.operators.dedup import prefix_filter_pairs
+
+    docs = load_table(spark, SF, "documents")
+    plan = _plan(prefix_filter_pairs(docs), mode="extended")
+    # length window: both directions of n_b >= ceil(t * n_a)
+    assert plan.lower().count("ceil") >= 2
+    # positional filter: the min-bound >= min-required comparison
+    assert "least(" in plan.lower()
+
+
+def test_closure_has_no_recursion_and_caps_components(spark):
+    """The scale-safe closure plans as label fixpoint + ONE label
+    self-join: no recursive CTE node (UnionLoop/CTERelation), and the
+    size cap joins a broadcast component-size frame."""
+    from binlog_avro_comparator_spark.operators.dedup import closure_pairs
+
+    docs = load_table(spark, SF, "documents")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    plan = _plan(closure_pairs(docs, cap=64, edges=edges))
+    assert "UnionLoop" not in plan and "CTERelationRef" not in plan
+    assert "BroadcastExchange" in plan or "broadcast" in plan.lower()
+
+
+def test_rotate_chain_single_file_cardinality_window(spark):
+    """The rotate audit is ONE window over the per-file frame: a single
+    Window node, no join, and the binaryFile scan prunes to
+    (path, content)."""
+    from binlog_avro_comparator_spark.operators.compare import rotate_chain_audit
+    from binlog_avro_comparator_spark.sources.binlog_binary import (
+        encode_binlog_file, read_binlog_rotate_dir)
+    import tempfile, os
+
+    d = tempfile.mkdtemp(prefix="rotate_plan_")
+    with open(os.path.join(d, "mysql-bin.000001"), "wb") as f:
+        f.write(encode_binlog_file([], next_file="mysql-bin.000002"))
+    with open(os.path.join(d, "mysql-bin.000002"), "wb") as f:
+        f.write(encode_binlog_file([]))
+    plan = _plan(rotate_chain_audit(read_binlog_rotate_dir(spark, d)))
+    assert plan.count("Window") >= 1
+    assert "Join" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_avro_logical_scan_is_one_arrow_pass(spark):
+    """The logical-type lake scan is ONE MapInPandas over the pruned
+    (content) binaryFile scan -- typed columns come out of the Arrow
+    batch, no per-row expansion, no join."""
+    from binlog_avro_comparator_spark.plans.q_cdc import _q_cdc_avro_logical_scan
+
+    plan = _plan(_q_cdc_avro_logical_scan(spark, SF))
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    assert plan.count("Scan binaryFile") <= 2  # tree + detail of ONE scan
+    assert "ReadSchema: struct<content:binary>" in plan  # pruned listing
+
+
+def test_bitext_margin_broadcasts_segment_stats(spark):
+    """Bitext mining: the kNN-sum frames join back BROADCAST (segment
+    cardinality, never corpus-shuffled), and ranking is windowed per
+    source."""
+    from binlog_avro_comparator_spark.operators.similarity import (
+        bitext_margin_pairs)
+
+    plan = _plan(bitext_margin_pairs(load_table(spark, SF, "embeddings")))
+    assert "BroadcastExchange" in plan
+    assert "Window" in plan
