@@ -1379,38 +1379,60 @@ def knn_label_audit(embeddings: DataFrame, k: int = 5) -> DataFrame:
     Cosines are 6-dp rounded before ranking (module ulp contract) with
     vec_id tie-breaks, so both engines pick identical neighbor sets.
 
-    Scale shape: the test-scale pair frame is the exact broadcast
-    self-join; at corpus scale the candidate generation swaps to the
-    hyperplane-bucket tiers (embedding_near_dup_pairs) exactly like
-    every other ANN consumer -- the vote algebra downstream of the
-    top-k frame is unchanged.  Returns (vec_id, label, knn_label,
-    n_votes, n_agree, mislabeled)."""
-    emb = with_norm(embeddings)
-    a = emb.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("embedding").alias("a_emb"),
-        F.col("norm").alias("a_norm"),
-        F.col("label").alias("a_label"),
+    Scale shape: the test-scale exact path broadcasts the corpus
+    matrix and scores each Arrow batch with ONE numpy GEMM, taking the
+    per-row top-k INSIDE the batch (argsort under the same rounded-
+    cosine + vec_id tie order) -- so only n*k rows ever reach a
+    shuffle, never the n^2 pair frame.  At corpus scale the candidate
+    generation swaps to the hyperplane-bucket tiers
+    (embedding_near_dup_pairs) exactly like every other ANN consumer
+    -- the vote algebra downstream of the top-k frame is unchanged.
+    Returns (vec_id, label, knn_label, n_votes, n_agree,
+    mislabeled)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = embeddings.sparkSession
+    corpus = embeddings.select("vec_id", "embedding", "label").collect()
+    ids_ = np.array([r.vec_id for r in corpus], dtype=np.int64)
+    mat_ = np.array([r.embedding for r in corpus], dtype=np.float64)
+    labels_ = np.array([r.label for r in corpus], dtype=np.int64)
+    norms_ = np.sqrt((mat_ * mat_).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids_, mat_, labels_, norms_))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("a_id", T.LongType()),
+            # label keeps the source column's integer type so the
+            # audit's schema matches the table (and the oracle)
+            T.StructField("a_label", T.IntegerType()),
+            T.StructField("b_label", T.IntegerType()),
+        ]
     )
-    b = emb.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("embedding").alias("b_emb"),
-        F.col("norm").alias("b_norm"),
-        F.col("label").alias("b_label"),
-    )
-    cos = F.round(
-        _dot(F.col("a_emb"), F.col("b_emb"))
-        / (F.col("a_norm") * F.col("b_norm")),
-        COS_ROUND,
-    )
-    w = Window.partitionBy("a_id").orderBy(
-        F.col("cos_sim").desc(), F.col("b_id").asc()
-    )
-    topk = (
-        a.join(F.broadcast(b), F.col("a_id") != F.col("b_id"))
-        .select("a_id", "a_label", "b_id", "b_label", cos.alias("cos_sim"))
-        .withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= k)
+
+    def _topk(batches):
+        cids, cmat, clab, cnorm = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.array(list(pdf["embedding"]), dtype=np.float64)
+            an = np.sqrt((a * a).sum(axis=1))
+            cos = np.round((a @ cmat.T) / np.outer(an, cnorm), COS_ROUND)
+            a_ids = pdf["vec_id"].to_numpy()
+            a_lab = pdf["label"].to_numpy()
+            rows = []
+            for i in range(len(a_ids)):
+                row = cos[i].copy()
+                row[cids == a_ids[i]] = -np.inf  # exclude self
+                # rounded-cos desc, vec_id asc -- the module tie order
+                order = np.lexsort((cids, -row))[:k]
+                for j in order:
+                    rows.append((a_ids[i], a_lab[i], clab[j]))
+            yield pd.DataFrame(rows, columns=["a_id", "a_label", "b_label"])
+
+    topk = embeddings.select("vec_id", "embedding", "label").mapInPandas(
+        _topk, schema=out_schema
     )
     votes = topk.groupBy("a_id", "a_label", "b_label").agg(
         F.count("*").alias("n_votes")
