@@ -1858,3 +1858,7 @@ SELECT b.a_id AS vec_id, b.a_label AS label, b.b_label AS knn_label,
        b.b_label <> b.a_label AS mislabeled
 FROM best b JOIN agree a ON a.a_id = b.a_id
 WHERE b.r = 1"""
+
+    # the streaming Python DataSource roundtrip shares the batch
+    # pyds/text parse contract verbatim
+    sql["cdc_parse_stream_pyds"] = sql["cdc_parse_binlog_text_pyds"]

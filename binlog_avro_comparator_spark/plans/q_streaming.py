@@ -700,4 +700,48 @@ def _q_anomaly_stream(spark, sf_dir):
     return _drain_to_table(spark, out, name, "append")
 
 
+def _q_cdc_parse_stream_pyds(spark, sf_dir):
+    """Streaming S1-S4 through the PYTHON DataSource stream reader
+    (sources/pyds.BinlogTextStreamReader): the parser-text directory
+    tails as a custom-source stream -- offset = last version-ordered
+    segment name, one partition per newly-rotated file -- raw lines
+    drain availableNow, and the SAME parse pipeline as the batch
+    variants runs over the drained frame (per-file event assembly
+    needs whole files, which the segment-per-partition contract
+    guarantees).  Same oracle as cdc_parse_binlog_text_pyds: three
+    source implementations, one parser, one contract."""
+    global _STREAM_SINK_SEQ
+    import tempfile
+
+    ensure_session_conf(spark)
+    from ..sources.pyds import register_binlog_text_source
+
+    d = _FIXTURE_DIRS.get(("parser_text", sf_dir))
+    if d is None:
+        lines = generate_parser_text_lines(load_table(spark, sf_dir, "events"))
+        d = tempfile.mkdtemp(prefix="pyds_parser_text_")
+        _fixture_write_distributed(lines, "binlog_file", d, _render_parser_text)
+        _FIXTURE_DIRS[("parser_text", sf_dir)] = d
+    register_binlog_text_source(spark)
+    raw_stream = spark.readStream.format("binlogtext").option("path", d).load()
+    _STREAM_SINK_SEQ += 1
+    name = f"cdc_parse_pyds_stream_sink_{_STREAM_SINK_SEQ}"
+    # localCheckpoint: the parser self-joins the drained frame, and a
+    # memory-sink table joined with itself trips Spark's conflicting-
+    # reference resolution; checkpointing gives the parse a fresh,
+    # batch-identical lineage (the drain is fixture-sized)
+    raw = _drain_to_table(spark, raw_stream, name, "append").localCheckpoint()
+    return parse_binlog_text(raw).select(
+        "event_type",
+        "timestamp",
+        "immediate_commmit_timestamp",
+        "log_position",
+        "schema",
+        "table",
+        "gtid_next",
+        "binlog_file",
+        "line_no",
+    )
+
+
 __all__ = [_n for _n in list(globals()) if not _n.startswith('__') and _n != '_shared']

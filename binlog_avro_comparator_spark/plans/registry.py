@@ -72,6 +72,7 @@ def queries() -> dict[str, QueryFn]:
         "cdc_rotate_chain": _q_cdc_rotate_chain,
         "embedding_bitext_margin": _q_bitext_margin,
         "embedding_knn_label_audit": _q_knn_label_audit,
+        "cdc_parse_stream_pyds": _q_cdc_parse_stream_pyds,
         # -- r6-verified (driver-green in CORRECTNESS_r06) --
         "cdc_parse_binlog_typed": _q_cdc_parse_binlog_typed,
         "cdc_payload_diff_typed": _q_cdc_payload_diff_typed,

@@ -86,6 +86,9 @@ class BinlogTextDataSource(DataSource):
     def reader(self, schema) -> BinlogTextReader:  # noqa: ANN001
         return BinlogTextReader(self.options)
 
+    def streamReader(self, schema):  # noqa: ANN001
+        return BinlogTextStreamReader(self.options)
+
 
 def register_binlog_text_source(spark) -> None:  # noqa: ANN001
     """Idempotent registration of the ``binlogtext`` format."""
@@ -176,3 +179,74 @@ class GoJsonlDataSource(DataSource):
                 "(pre-format with jsonl.go_json_lines)"
             )
         return GoJsonlWriter(self.options["path"], overwrite)
+
+
+# ---------------------------------------------------------------------------
+# The STREAMING half of the reader: tail a binlog-text directory as a
+# Spark 4 Python DataSourceStreamReader.  Completes the custom-connector
+# surface tour: batch read (binlogtext), committed write (gojsonl), and
+# now incremental read with source-managed offsets.
+
+from pyspark.sql.datasource import DataSourceStreamReader
+
+
+class BinlogTextStreamReader(DataSourceStreamReader):
+    """Offset = the version-ordered name of the last segment consumed
+    (binlog names grow monotonically -- comparator.sh:85's `ls -v`
+    contract is exactly what makes a filename a valid offset).  Each
+    micro-batch plans ONE partition per newly-rotated file, so the
+    read parallelism and the recovery unit are both the segment, and a
+    checkpoint replay re-reads precisely the files between two offsets
+    (partitions(start, end) is a pure function of the listing).
+
+    Caveat shared with every file source: a file is consumed once at
+    discovery -- tail only rotated-out segments, never the one the
+    server is still writing (the reference's FLUSH BINARY LOGS
+    discipline, README.md:68-73)."""
+
+    def __init__(self, options: dict):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("binlogtext stream requires a path")
+
+    def _files(self) -> list[str]:
+        if not os.path.isdir(self._path):
+            return []
+        return [
+            os.path.join(self._path, f)
+            for f in os.listdir(self._path)
+            if os.path.isfile(os.path.join(self._path, f))
+        ]
+
+    def initialOffset(self) -> dict:
+        return {"last": ""}
+
+    def latestOffset(self) -> dict:
+        files = self._files()
+        if not files:
+            return {"last": ""}
+        top = max(files, key=_version_key)
+        return {"last": os.path.basename(top)}
+
+    def partitions(self, start: dict, end: dict):
+        s, e = start.get("last", ""), end.get("last", "")
+        if not e:
+            return []
+        picked = [
+            f
+            for f in self._files()
+            if (not s or _version_key(os.path.basename(f)) > _version_key(s))
+            and _version_key(os.path.basename(f)) <= _version_key(e)
+        ]
+        return [
+            _BinlogTextPartition(f) for f in sorted(picked, key=_version_key)
+        ]
+
+    def read(self, partition: _BinlogTextPartition):
+        name = re.sub(r"\.txt$", "", os.path.basename(partition.path))
+        with open(partition.path, encoding="utf-8", errors="replace") as f:
+            for i, line in enumerate(f, 1):
+                yield (name, i, line.rstrip("\n"))
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are derivable from the listing; nothing to persist

@@ -1462,3 +1462,45 @@ def test_rotate_chain_stream_gap_on_deleted_file(spark, tmp_path):
     assert audit["mysql-bin.000002"] == "CHAIN_GAP"
     assert audit["mysql-bin.000001"] == "OK"
     assert audit["mysql-bin.000004"] == "ACTIVE_TAIL"
+
+
+def test_pyds_stream_reader_offsets_resume(spark, tmp_path):
+    """The Python DataSource stream reader tails by version-ordered
+    segment name: a first availableNow run consumes the files present,
+    a restart from the SAME checkpoint picks up only the newly-rotated
+    segment (offset continuity), and re-running with nothing new adds
+    nothing (no re-reads)."""
+    from binlog_avro_comparator_spark.sources.pyds import (
+        register_binlog_text_source)
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    register_binlog_text_source(spark)
+    (src / "mysql-bin.000001.txt").write_text("a1\na2\n")
+    (src / "mysql-bin.000002.txt").write_text("b1\n")
+
+    def drain():
+        q = (
+            spark.readStream.format("binlogtext").option("path", str(src))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+        return sorted(tuple(r) for r in spark.read.parquet(out).collect())
+
+    first = drain()
+    assert len(first) == 3 and first[0][0] == "mysql-bin.000001"
+    (src / "mysql-bin.000003.txt").write_text("c1\nc2\n")
+    second = drain()
+    # the restart appended exactly the newly-rotated segment's rows
+    assert len(second) == 5
+    assert [r for r in second if r[0] == "mysql-bin.000003"] == [
+        ("mysql-bin.000003", 1, "c1"), ("mysql-bin.000003", 2, "c2")]
+    third = drain()
+    assert third == second  # nothing new, nothing re-read
