@@ -1862,3 +1862,25 @@ WHERE b.r = 1"""
     # the streaming Python DataSource roundtrip shares the batch
     # pyds/text parse contract verbatim
     sql["cdc_parse_stream_pyds"] = sql["cdc_parse_binlog_text_pyds"]
+
+    # avro lake schema census: the two producer fingerprints are the
+    # md5 of the canonical schema dumps the fixture encoder embeds
+    # (raw header bytes == json.dumps(schema, separators=(",", ":")))
+    import hashlib as _hashlib
+    import json as _json
+
+    _md5_v1 = _hashlib.md5(
+        _json.dumps(_AVRO_V1_WRITER_SCHEMA, separators=(",", ":")).encode()
+    ).hexdigest()
+    _md5_cur = _hashlib.md5(
+        _json.dumps(DATASTREAM_AVRO_SCHEMA, separators=(",", ":")).encode()
+    ).hexdigest()
+    sql["cdc_avro_schema_census"] = ("WITH " + oracle.CDC_CTES.strip() + f"""
+SELECT binlog_file || '.avro' AS file,
+       CASE WHEN CAST(substr(binlog_file, 11) AS BIGINT) % 2 = 0
+            THEN '{_md5_v1}' ELSE '{_md5_cur}' END AS schema_md5,
+       'deflate' AS codec,
+       count(*) AS n_records,
+       CAST(ceil(count(*) / 1000.0) AS BIGINT) AS n_blocks
+FROM avro_rows_cdc
+GROUP BY binlog_file""")

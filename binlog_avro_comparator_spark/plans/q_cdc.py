@@ -338,6 +338,33 @@ def _q_cdc_avro_logical_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _evolved_fixture_dir(spark, sf_dir) -> str:
+    import tempfile
+
+    d = _FIXTURE_DIRS.get(("avro_evolved", sf_dir))
+    if d is None:
+        avro = derive_avro_rows(load_table(spark, sf_dir, "events"))
+        d = tempfile.mkdtemp(prefix="cdc_avro_evolved_")
+        _fixture_write_distributed(avro, "binlog_file", d, _render_avro_evolved)
+        _FIXTURE_DIRS[("avro_evolved", sf_dir)] = d
+    return d
+
+
+def _q_cdc_avro_schema_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writer-schema census of the EVOLVED avro lake
+    (sources/avro.read_avro_schema_census): per file, the raw-bytes
+    md5 of the writer schema, codec, and block-header record counts --
+    schema-version inventory at metadata cost, the pass a real lake
+    migration starts with.  The oracle pins the two known producer
+    fingerprints (md5 of the canonical schema dumps the fixture
+    encoder wrote) and ceil(n/1000) blocks (the encoder's
+    records_per_block)."""
+    ensure_session_conf(spark)
+    from ..sources.avro import read_avro_schema_census
+
+    return read_avro_schema_census(spark, _evolved_fixture_dir(spark, sf_dir))
+
+
 def _q_cdc_avro_native_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5 end-to-end, pure-Python engine: the derived avro_rows table is
     encoded into real ``.avro`` container files (one per binlog segment,

@@ -263,6 +263,52 @@ def read_avro_logical(
     return files.select("content").mapInPandas(decode, schema=spark_schema)
 
 
+def read_avro_schema_census(spark: SparkSession, path: str) -> DataFrame:
+    """Writer-schema census over an avro lake at METADATA cost: per
+    file, the md5 fingerprint of the raw writer-schema bytes (exactly
+    as the producer serialized them), codec, and the record count
+    summed from block headers alone (avro_codec.container_stats never
+    decodes a value).  The first question against a lake written over
+    years by evolving producers -- which schema versions exist, where,
+    and how much data each covers -- answered by reading a few hundred
+    bytes per file.  Returns (file, schema_md5, codec, n_records,
+    n_blocks)."""
+    import hashlib
+    import os as _os
+
+    files = (
+        spark.read.format("binaryFile").option("pathGlobFilter", "*.avro").load(path)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("file", T.StringType()),
+            T.StructField("schema_md5", T.StringType()),
+            T.StructField("codec", T.StringType()),
+            T.StructField("n_records", T.LongType()),
+            T.StructField("n_blocks", T.LongType()),
+        ]
+    )
+    from .avro_codec import container_stats
+
+    def census(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                st = container_stats(bytes(content))
+                rows.append(
+                    (
+                        _os.path.basename(p),
+                        hashlib.md5(st["schema_json"]).hexdigest(),
+                        st["codec"],
+                        st["n_records"],
+                        st["n_blocks"],
+                    )
+                )
+            yield pd.DataFrame(rows, columns=schema.fieldNames())
+
+    return files.select("path", "content").mapInPandas(census, schema=schema)
+
+
 def read_avro_dir(spark: SparkSession, path: str) -> DataFrame:
     """S5: one scan over a directory of .avro files; flat probe shape.
     Uses the JVM datasource when present, else the pure-Python engine."""

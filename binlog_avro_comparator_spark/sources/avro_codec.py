@@ -595,3 +595,42 @@ def resolve_read(
                 key = r.read_bytes().decode("utf-8")
                 out_m[key] = resolve_read(r, w["values"], rd["values"], logical)
     raise ValueError(f"avro: unsupported writer type {wt!r}")
+
+
+def container_stats(data: bytes) -> dict:
+    """HEADER-ONLY statistics for one Object Container File: the
+    writer schema's raw bytes (exactly as the producer serialized
+    them -- fingerprints must not depend on a re-serialization),
+    codec, and the record count summed from BLOCK HEADERS alone (the
+    count varint precedes each block's payload, so counting rows costs
+    a few bytes per block, never a value decode).  The metadata pass a
+    lake census runs over millions of files."""
+    r = _Reader(data)
+    if r.read(4) != MAGIC:
+        raise ValueError("avro: bad magic (not an Object Container File)")
+    meta: dict[str, bytes] = {}
+    while True:
+        count = r.read_long()
+        if count == 0:
+            break
+        if count < 0:
+            r.read_long()
+            count = -count
+        for _ in range(count):
+            k = r.read_bytes().decode("utf-8")
+            meta[k] = r.read_bytes()
+    r.read(SYNC_SIZE)
+    n_records = 0
+    n_blocks = 0
+    while not r.at_end():
+        n = r.read_long()
+        size = r.read_long()
+        r.read(size + SYNC_SIZE)  # skip payload + sync, no decode
+        n_records += n
+        n_blocks += 1
+    return {
+        "schema_json": meta["avro.schema"],
+        "codec": meta.get("avro.codec", b"null").decode(),
+        "n_records": n_records,
+        "n_blocks": n_blocks,
+    }
