@@ -3885,3 +3885,57 @@ def funnel_timing(events: DataFrame) -> DataFrame:
     return _row("view_to_click", "view_ts_ms", "click_ts_ms").unionAll(
         _row("click_to_purchase", "click_ts_ms", "purchase_ts_ms")
     )
+
+
+def range_sort_plan(lineitem: DataFrame, n_partitions: int = 16) -> DataFrame:
+    """Balanced-sort RANGE PARTITION PLANNER: the boundaries and the
+    resulting per-partition balance report for a global sort of the
+    fact table by ``l_extendedprice`` -- the planning pass you run
+    before committing a 100 TB sort, because a RangePartitioner with
+    bad boundaries turns a cluster-wide sort into one straggler task.
+
+    Discipline mirrors quality_deciles: the n-1 boundaries come from
+    ONE 1-row exact R-7 percentile aggregate (the module's established
+    cross-engine quantile contract, quantile_cont on the DuckDB side),
+    6-dp rounded -- price granularity is cents, interpolation quarters
+    of cents, so the rounding is exact -- then broadcast back; each
+    row's partition is a pure comparison against the boundary array;
+    the report is one map-side-combined aggregate.  Skew shows up as
+    balance_ratio > 1 -- on a heavily duplicated key the boundaries
+    collapse and the report SAYS so (the point of planning before
+    sorting).  Returns one row per non-empty partition: (partition,
+    n_rows, min_price, max_price, balance_ratio)."""
+    qs = [i / n_partitions for i in range(1, n_partitions)]
+    bounds = lineitem.agg(
+        F.transform(
+            F.percentile(
+                F.col("l_extendedprice"), F.array(*[F.lit(q) for q in qs])
+            ),
+            lambda b: F.round(b, 6),
+        ).alias("__bs")
+    )
+    part = F.size(
+        F.filter(F.col("__bs"), lambda b: F.col("l_extendedprice") > b)
+    )
+    tagged = lineitem.select("l_extendedprice").crossJoin(
+        F.broadcast(bounds)
+    ).select(
+        F.col("l_extendedprice").alias("price"), part.alias("partition")
+    )
+    total = lineitem.count()
+    ideal = total / n_partitions
+    return (
+        tagged.groupBy("partition")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("price").alias("min_price"),
+            F.max("price").alias("max_price"),
+        )
+        .select(
+            "partition",
+            "n_rows",
+            "min_price",
+            "max_price",
+            F.round(F.col("n_rows") / F.lit(ideal), 6).alias("balance_ratio"),
+        )
+    )

@@ -1884,3 +1884,24 @@ SELECT binlog_file || '.avro' AS file,
        CAST(ceil(count(*) / 1000.0) AS BIGINT) AS n_blocks
 FROM avro_rows_cdc
 GROUP BY binlog_file""")
+
+    # range-sort planner: 15 exact R-7 boundaries (quantile_cont),
+    # 6-dp rounded; partition = #boundaries strictly below the price
+    sql["lineitem_range_sort_plan"] = """
+WITH b AS (
+  SELECT list_transform(
+           quantile_cont(l_extendedprice,
+             [x / 16.0 FOR x IN range(1, 16)]),
+           x -> round(x, 6)) AS bs,
+         count(*) AS total
+  FROM lineitem
+),
+tagged AS (
+  SELECT len(list_filter(b.bs, x -> l.l_extendedprice > x)) AS partition,
+         l.l_extendedprice AS price, b.total
+  FROM lineitem l, b
+)
+SELECT partition, count(*) AS n_rows,
+       min(price) AS min_price, max(price) AS max_price,
+       round(count(*) / (any_value(total) / 16.0), 6) AS balance_ratio
+FROM tagged GROUP BY partition"""

@@ -830,4 +830,14 @@ def _q_funnel_timing(spark, sf_dir):
     return funnel_timing(load_table(spark, sf_dir, "events"))
 
 
+def _q_range_sort_plan(spark, sf_dir):
+    """Balanced-sort range partition planner
+    (analytics.range_sort_plan): exact percentile boundaries + the
+    per-partition balance report for a global fact-table sort."""
+    ensure_session_conf(spark)
+    from ..operators.analytics import range_sort_plan
+
+    return range_sort_plan(load_table(spark, sf_dir, "lineitem"))
+
+
 __all__ = [_n for _n in list(globals()) if not _n.startswith('__') and _n != '_shared']
