@@ -213,6 +213,15 @@ EXTRA_QUERIES = [
     "dedup_label_consensus",
     "customer_rfm_scores",
     "events_funnel_timing",
+    # round 7
+    "dedup_transitive_closure",
+    "dedup_closure_overflow",
+    "cdc_avro_logical_scan",
+    "cdc_avro_schema_census",
+    "cdc_rotate_chain",
+    "embedding_bitext_margin",
+    "embedding_knn_label_audit",
+    "lineitem_range_sort_plan",
 ]
 
 
