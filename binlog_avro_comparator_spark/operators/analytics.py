@@ -3922,8 +3922,10 @@ def range_sort_plan(lineitem: DataFrame, n_partitions: int = 16) -> DataFrame:
     ).select(
         F.col("l_extendedprice").alias("price"), part.alias("partition")
     )
-    total = lineitem.count()
-    ideal = total / n_partitions
+    # total rides a window over the n_partitions-row REPORT frame (a
+    # global window over <=16 rows, never the fact table) -- no second
+    # scan for the denominator
+    total = F.sum("n_rows").over(Window.partitionBy())
     return (
         tagged.groupBy("partition")
         .agg(
@@ -3936,6 +3938,8 @@ def range_sort_plan(lineitem: DataFrame, n_partitions: int = 16) -> DataFrame:
             "n_rows",
             "min_price",
             "max_price",
-            F.round(F.col("n_rows") / F.lit(ideal), 6).alias("balance_ratio"),
+            F.round(
+                F.col("n_rows") / (total / F.lit(float(n_partitions))), 6
+            ).alias("balance_ratio"),
         )
     )
