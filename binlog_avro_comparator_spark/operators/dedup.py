@@ -1448,3 +1448,42 @@ def cluster_label_consensus(documents: DataFrame) -> DataFrame:
             (F.col("lang") == F.col("consensus_lang")).alias("agrees"),
         )
     )
+
+
+def shingle_saturation(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Shingle-vocabulary SATURATION diagnostic: the one-row report
+    that says whether the exact pair-join tier is safe to run at
+    shingle width ``k`` on THIS corpus.  The round-7 endurance probe
+    (SCALE.md) showed the failure mode: when the k-gram vocabulary
+    stops growing with the corpus (templated/log-like text, replicated
+    boilerplate), posting lists grow linearly with rows and the prefix
+    self-join goes quadratic -- while at a width where the vocabulary
+    keeps up, candidates grow linearly.  Mean df (= occurrences /
+    vocabulary) IS the saturation number: near 1 means k-grams are
+    mostly unique (safe); tens+ means run a larger k or the LSH tier.
+
+    One groupBy(h) + one aggregate over the df frame; df quantiles are
+    exact R-7 over integers (land on .0/.5 -- engine-identical).
+    Returns (n_shingle_rows, vocab_size, mean_df, p50_df, p90_df,
+    p99_df, max_df, hot_mass_share) where hot_mass_share is the
+    fraction of shingle OCCURRENCES carried by shingles with df > 10
+    (the mass the rare-first candidate tiers must work around)."""
+    sh = shingles(documents, k).select("h")
+    dfreq = sh.groupBy("h").agg(F.count("*").alias("df"))
+    return dfreq.agg(
+        F.sum("df").alias("n_shingle_rows"),
+        F.count("*").alias("vocab_size"),
+        F.round(
+            F.sum("df").cast("double") / F.count("*").cast("double"), 6
+        ).alias("mean_df"),
+        F.round(F.percentile(F.col("df"), F.lit(0.5)), 6).alias("p50_df"),
+        F.round(F.percentile(F.col("df"), F.lit(0.9)), 6).alias("p90_df"),
+        F.round(F.percentile(F.col("df"), F.lit(0.99)), 6).alias("p99_df"),
+        F.max("df").alias("max_df"),
+        F.round(
+            F.sum(F.when(F.col("df") > 10, F.col("df")).otherwise(F.lit(0)))
+            .cast("double")
+            / F.sum("df").cast("double"),
+            6,
+        ).alias("hot_mass_share"),
+    )

@@ -1204,3 +1204,18 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE date_diff('day', o_orderdate, l_shipdate) > 60
 GROUP BY 1""",
     })
+
+    # shingle-saturation diagnostic: same df frame as the pair oracles
+    sql["corpus_shingle_saturation"] = f"""
+WITH {_SHINGLE_CTE.strip()},
+dfreq AS (SELECT h, count(*) AS df FROM shingle_hashes GROUP BY h)
+SELECT CAST(sum(df) AS BIGINT) AS n_shingle_rows,
+       count(*) AS vocab_size,
+       round(CAST(sum(df) AS DOUBLE) / count(*), 6) AS mean_df,
+       round(quantile_cont(df, 0.5), 6) AS p50_df,
+       round(quantile_cont(df, 0.9), 6) AS p90_df,
+       round(quantile_cont(df, 0.99), 6) AS p99_df,
+       max(df) AS max_df,
+       round(CAST(sum(CASE WHEN df > 10 THEN df ELSE 0 END) AS DOUBLE)
+             / sum(df), 6) AS hot_mass_share
+FROM dfreq"""

@@ -493,4 +493,15 @@ def _q_zipf(spark, sf_dir):
     return zipf_fit(_docs(spark, sf_dir))
 
 
+def _q_shingle_saturation(spark, sf_dir):
+    """Shingle-vocabulary saturation diagnostic
+    (dedup.shingle_saturation): is the exact pair-join tier safe at
+    k=3 on this corpus, or does the vocabulary saturate (templated
+    text) and demand larger k / the LSH tier."""
+    ensure_session_conf(spark)
+    from ..operators.dedup import shingle_saturation
+
+    return shingle_saturation(_docs(spark, sf_dir))
+
+
 __all__ = [_n for _n in list(globals()) if not _n.startswith('__') and _n != '_shared']

@@ -75,6 +75,7 @@ def queries() -> dict[str, QueryFn]:
         "cdc_parse_stream_pyds": _q_cdc_parse_stream_pyds,
         "cdc_avro_schema_census": _q_cdc_avro_schema_census,
         "lineitem_range_sort_plan": _q_range_sort_plan,
+        "corpus_shingle_saturation": _q_shingle_saturation,
         # -- r6-verified (driver-green in CORRECTNESS_r06) --
         "cdc_parse_binlog_typed": _q_cdc_parse_binlog_typed,
         "cdc_payload_diff_typed": _q_cdc_payload_diff_typed,
