@@ -47,7 +47,13 @@ for name in ["cdc_summary", "cdc_findings", "q1_pricing_summary", "ann_cosine_to
              "graph_supplier_pagerank", "embedding_pq_codes", "events_retention_cohorts",
              # round 6
              "cdc_parse_binlog_typed", "cdc_payload_diff_typed",
-             "embedding_kmeans_gemm", "cdc_payload_findings_stream"]:
+             "embedding_kmeans_gemm", "cdc_payload_findings_stream",
+             # round 7
+             "dedup_transitive_closure", "dedup_closure_overflow",
+             "cdc_avro_logical_scan", "cdc_rotate_chain",
+             "embedding_bitext_margin", "embedding_knn_label_audit",
+             "cdc_parse_stream_pyds", "cdc_avro_schema_census",
+             "lineitem_range_sort_plan", "corpus_shingle_saturation"]:
     sdf = qs[name](spark, "/root/testdata/sf0.01").toPandas()
     ddf = con.sql(osql[name]).df()
     match = canon(sdf) == canon(ddf)
