@@ -1751,3 +1751,68 @@ def zipf_fit(documents: DataFrame, v: int = 500) -> DataFrame:
             F.when((den > 0) & (deny > 0), r * r).otherwise(F.lit(0.0)), 6
         ).alias("r2"),
     )
+
+
+def vocab_drift(documents: DataFrame, top_v: int = 200) -> DataFrame:
+    """CONTENT-drift gate: PSI over the word distribution between the
+    corpus's reference and current halves (doc_id parity stands in for
+    yesterday/today at test scale; a real feed splits on ingest date).
+    The value-level psi_drift_report catches a numeric column moving;
+    this catches the TEXT itself moving -- topic shift, a new spam
+    vocabulary, a source changing language -- which is what decides
+    whether mixture weights and quality gates need re-fitting.
+
+    Vocabulary = the reference half's top ``top_v`` words (one
+    map-side-combined count + TakeOrderedAndProject -- never a global
+    window); both halves' counts over that fixed vocabulary are
+    Laplace-smoothed shares, and each word's PSI contribution
+    (cur - ref) * ln(cur / ref) is 9-dp ulp-rounded and summed as a
+    DECIMAL so the statistic is partitioning-invariant.  Returns the
+    top 20 drift-driving words plus the total:
+    (word, ref_share, cur_share, psi_contribution, psi_total)."""
+    words = documents.select(
+        (F.col("doc_id") % 2 == 0).alias("__ref"),
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))
+        ).alias("word"),
+    )
+    counts = words.groupBy("word").agg(
+        F.sum(F.when(F.col("__ref"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(~F.col("__ref"), 1).otherwise(0)).alias("n_cur"),
+    )
+    vocab = counts.orderBy(F.col("n_ref").desc(), F.col("word")).limit(top_v)
+    tot = vocab.agg(
+        F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc")
+    )
+    shares = vocab.crossJoin(F.broadcast(tot)).select(
+        "word",
+        # Laplace smoothing keeps vanished/new words finite
+        ((F.col("n_ref") + 1).cast("double") / (F.col("__tr") + top_v))
+        .alias("ref_share"),
+        ((F.col("n_cur") + 1).cast("double") / (F.col("__tc") + top_v))
+        .alias("cur_share"),
+    )
+    contrib = F.round(
+        (F.col("cur_share") - F.col("ref_share"))
+        * F.log(F.col("cur_share") / F.col("ref_share")),
+        9,
+    )
+    scored = shares.select(
+        "word",
+        F.round("ref_share", 9).alias("ref_share"),
+        F.round("cur_share", 9).alias("cur_share"),
+        contrib.alias("psi_contribution"),
+    )
+    total = scored.agg(
+        F.round(
+            F.sum(F.col("psi_contribution").cast("decimal(18,9)")).cast(
+                "double"
+            ),
+            9,
+        ).alias("psi_total")
+    )
+    return (
+        scored.crossJoin(F.broadcast(total))
+        .orderBy(F.col("psi_contribution").desc(), F.col("word"))
+        .limit(20)
+    )

@@ -1219,3 +1219,40 @@ SELECT CAST(sum(df) AS BIGINT) AS n_shingle_rows,
        round(CAST(sum(CASE WHEN df > 10 THEN df ELSE 0 END) AS DOUBLE)
              / sum(df), 6) AS hot_mass_share
 FROM dfreq"""
+
+    # content drift: PSI over the reference half's top-200 words
+    sql["corpus_vocab_drift"] = f"""
+WITH words AS (
+  SELECT doc_id % 2 = 0 AS ref,
+         unnest(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS word
+  FROM documents
+),
+counts AS (
+  SELECT word,
+         sum(CASE WHEN ref THEN 1 ELSE 0 END) AS n_ref,
+         sum(CASE WHEN NOT ref THEN 1 ELSE 0 END) AS n_cur
+  FROM words GROUP BY word
+),
+vocab AS (SELECT * FROM counts ORDER BY n_ref DESC, word LIMIT 200),
+tot AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM vocab),
+shares AS (
+  SELECT word,
+         (n_ref + 1) / (tr + 200.0) AS ref_share,
+         (n_cur + 1) / (tc + 200.0) AS cur_share
+  FROM vocab, tot
+),
+scored AS (
+  SELECT word, round(ref_share, 9) AS ref_share,
+         round(cur_share, 9) AS cur_share,
+         round((cur_share - ref_share) * ln(cur_share / ref_share), 9)
+           AS psi_contribution
+  FROM shares
+),
+total AS (
+  SELECT round(CAST(sum(CAST(psi_contribution AS DECIMAL(18,9))) AS DOUBLE),
+               9) AS psi_total
+  FROM scored
+)
+SELECT s.word, s.ref_share, s.cur_share, s.psi_contribution, t.psi_total
+FROM scored s, total t
+ORDER BY psi_contribution DESC, word LIMIT 20"""

@@ -504,4 +504,13 @@ def _q_shingle_saturation(spark, sf_dir):
     return shingle_saturation(_docs(spark, sf_dir))
 
 
+def _q_vocab_drift(spark, sf_dir):
+    """Content-drift gate (textstats.vocab_drift): PSI over the word
+    distribution between corpus halves, top drift-driving words."""
+    ensure_session_conf(spark)
+    from ..operators.textstats import vocab_drift
+
+    return vocab_drift(_docs(spark, sf_dir))
+
+
 __all__ = [_n for _n in list(globals()) if not _n.startswith('__') and _n != '_shared']

@@ -76,6 +76,7 @@ def queries() -> dict[str, QueryFn]:
         "cdc_avro_schema_census": _q_cdc_avro_schema_census,
         "lineitem_range_sort_plan": _q_range_sort_plan,
         "corpus_shingle_saturation": _q_shingle_saturation,
+        "corpus_vocab_drift": _q_vocab_drift,
         # -- r6-verified (driver-green in CORRECTNESS_r06) --
         "cdc_parse_binlog_typed": _q_cdc_parse_binlog_typed,
         "cdc_payload_diff_typed": _q_cdc_payload_diff_typed,

@@ -3989,3 +3989,27 @@ def test_knn_label_audit_flags_planted_mislabel(spark):
     assert flagged == {999}
     assert got[999].knn_label == 7 and got[999].n_agree == 0
     assert got[0].knn_label == 7 and not got[0].mislabeled
+
+
+def test_vocab_drift_flags_content_shift(spark):
+    """A vocabulary that changes between halves produces a large PSI
+    with the new word leading the contributions; an identical corpus
+    reads ~0."""
+    from binlog_avro_comparator_spark.operators.textstats import vocab_drift
+
+    stable = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(40)],
+        "doc_id long, text string",
+    )
+    s = vocab_drift(stable).collect()
+    assert abs(s[0].psi_total) < 1e-6
+    shifted = spark.createDataFrame(
+        [
+            (i, "alpha beta gamma" if i % 2 == 0 else "alpha spamword spamword")
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    d = vocab_drift(shifted).collect()
+    assert d[0].psi_total > 0.5
+    assert d[0].word == "spamword" and d[0].psi_contribution > 0
