@@ -1106,3 +1106,60 @@ def test_prefix_filter_complete_on_random_corpora(spark, seed):
         .collect()
     }
     assert got == brute, (seed, got.keys() ^ brute.keys())
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_closure_matches_brute_reachability_and_conserves(spark, seed):
+    """closure_pairs == brute undirected transitive closure on random
+    edge sets, and the cap CONSERVES: capped pairs + overflow's
+    n_pairs_suppressed == the uncapped pair count (no component ever
+    silently vanishes)."""
+    import random
+
+    from binlog_avro_comparator_spark.operators.dedup import (
+        closure_overflow,
+        closure_pairs,
+    )
+
+    rng = random.Random(seed)
+    nodes = list(range(30))
+    edges = set()
+    for _ in range(25):
+        a, b = rng.sample(nodes, 2)
+        edges.add((min(a, b), max(a, b)))
+    e = spark.createDataFrame(sorted(edges), "doc_a long, doc_b long")
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+
+    # brute: union-find over the edge list
+    parent = {n: n for n in nodes}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    comps: dict[int, set] = {}
+    touched = {n for ab in edges for n in ab}
+    for n in touched:
+        comps.setdefault(find(n), set()).add(n)
+    brute = {
+        (a, b)
+        for members in comps.values()
+        for a in members
+        for b in members
+        if a < b
+    }
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in closure_pairs(docs, cap=10_000, edges=e).collect()
+    }
+    assert got == brute, (seed, got ^ brute)
+
+    cap = 4
+    capped = closure_pairs(docs, cap=cap, edges=e).count()
+    suppressed = sum(
+        r.n_pairs_suppressed
+        for r in closure_overflow(docs, cap=cap, edges=e).collect()
+    )
+    assert capped + suppressed == len(brute), (seed, capped, suppressed)
