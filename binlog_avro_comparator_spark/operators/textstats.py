@@ -1816,3 +1816,42 @@ def vocab_drift(documents: DataFrame, top_v: int = 200) -> DataFrame:
         .orderBy(F.col("psi_contribution").desc(), F.col("word"))
         .limit(20)
     )
+
+
+def epoch_manifest(
+    documents: DataFrame, n_epochs: int = 2, n_shards: int = 8
+) -> DataFrame:
+    """Deterministic EPOCH-SHUFFLE manifest: for each training epoch,
+    every document gets a shard and an in-shard position from the
+    portable hash of (doc_id, epoch) -- a different, reproducible
+    global order per epoch with zero driver-side state and no RNG.
+    This is the data-order half of training reproducibility: re-running
+    the manifest on any cluster, any partitioning, any day yields the
+    byte-identical schedule, and each epoch covers every document
+    exactly once (a permutation, property-tested).
+
+    Scale shape: one projection + one window PARTITIONED BY
+    (epoch, shard) -- the partition is a shard's worth of docs, which
+    is exactly the unit a data loader reads sequentially, so the sort
+    that defines in-shard order is the sort you were going to do
+    anyway.  Returns (epoch, shard, position, doc_id)."""
+    epochs = F.explode(
+        F.array(*[F.lit(e) for e in range(n_epochs)])
+    ).alias("epoch")
+    key = word_hash(
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit(":e"), F.col("epoch")
+        )
+    )
+    tagged = documents.select("doc_id").select("doc_id", epochs).select(
+        "epoch", "doc_id", key.alias("__k")
+    )
+    w = Window.partitionBy("epoch", (F.col("__k") % n_shards)).orderBy(
+        "__k", "doc_id"
+    )
+    return tagged.select(
+        "epoch",
+        (F.col("__k") % n_shards).cast("int").alias("shard"),
+        F.row_number().over(w).alias("position"),
+        "doc_id",
+    )

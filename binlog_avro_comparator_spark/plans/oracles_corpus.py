@@ -1256,3 +1256,20 @@ total AS (
 SELECT s.word, s.ref_share, s.cur_share, s.psi_contribution, t.psi_total
 FROM scored s, total t
 ORDER BY psi_contribution DESC, word LIMIT 20"""
+
+    # epoch-shuffle manifest: identical md5 arithmetic, per-(epoch,
+    # shard) dense positions under the same (key, doc_id) order
+    sql["corpus_epoch_manifest"] = """
+WITH tagged AS (
+  SELECT e.epoch, d.doc_id,
+         ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':e'
+                             || CAST(e.epoch AS VARCHAR)), 1, 12))::BIGINT
+           AS k
+  FROM documents d, (SELECT unnest([0, 1]) AS epoch) e
+)
+SELECT epoch, CAST(k % 8 AS INTEGER) AS shard,
+       CAST(row_number() OVER (
+           PARTITION BY epoch, k % 8 ORDER BY k, doc_id) AS BIGINT)
+         AS position,
+       doc_id
+FROM tagged"""

@@ -513,4 +513,14 @@ def _q_vocab_drift(spark, sf_dir):
     return vocab_drift(_docs(spark, sf_dir))
 
 
+def _q_epoch_manifest(spark, sf_dir):
+    """Deterministic epoch-shuffle manifest (textstats.epoch_manifest):
+    per-epoch reproducible global data order, shard + position per
+    document."""
+    ensure_session_conf(spark)
+    from ..operators.textstats import epoch_manifest
+
+    return epoch_manifest(_docs(spark, sf_dir))
+
+
 __all__ = [_n for _n in list(globals()) if not _n.startswith('__') and _n != '_shared']

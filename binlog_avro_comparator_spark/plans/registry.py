@@ -77,6 +77,7 @@ def queries() -> dict[str, QueryFn]:
         "lineitem_range_sort_plan": _q_range_sort_plan,
         "corpus_shingle_saturation": _q_shingle_saturation,
         "corpus_vocab_drift": _q_vocab_drift,
+        "corpus_epoch_manifest": _q_epoch_manifest,
         # -- r6-verified (driver-green in CORRECTNESS_r06) --
         "cdc_parse_binlog_typed": _q_cdc_parse_binlog_typed,
         "cdc_payload_diff_typed": _q_cdc_payload_diff_typed,

@@ -4013,3 +4013,32 @@ def test_vocab_drift_flags_content_shift(spark):
     d = vocab_drift(shifted).collect()
     assert d[0].psi_total > 0.5
     assert d[0].word == "spamword" and d[0].psi_contribution > 0
+
+
+def test_epoch_manifest_permutation_properties(spark):
+    """Each epoch covers every document exactly once (a permutation),
+    in-shard positions are dense from 1, the two epochs order the
+    corpus differently, and re-running yields the identical manifest
+    (no RNG anywhere)."""
+    from binlog_avro_comparator_spark.operators.textstats import epoch_manifest
+
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(200)], "doc_id long, text string"
+    )
+    m = epoch_manifest(docs).collect()
+    by_epoch = {}
+    for r in m:
+        by_epoch.setdefault(r.epoch, []).append(r)
+    assert set(by_epoch) == {0, 1}
+    orders = {}
+    for e, rows in by_epoch.items():
+        assert sorted(r.doc_id for r in rows) == list(range(200))
+        for shard in {r.shard for r in rows}:
+            pos = sorted(r.position for r in rows if r.shard == shard)
+            assert pos == list(range(1, len(pos) + 1))
+        orders[e] = [
+            r.doc_id for r in sorted(rows, key=lambda r: (r.shard, r.position))
+        ]
+    assert orders[0] != orders[1]  # epochs shuffle differently
+    again = sorted(tuple(r) for r in epoch_manifest(docs).collect())
+    assert again == sorted(tuple(r) for r in m)
