@@ -90,3 +90,24 @@ def test_registry_outputs_are_hashable_by_the_driver(spark):
         "driver-unhashable output columns (project to scalar before "
         f"registering): {offenders}"
     )
+
+
+def test_registry_oracle_pairing_is_total_and_ordered():
+    """Contract invariants the split registry (round 7) must preserve:
+    every queries() entry has an oracle_sql() twin and vice versa
+    (zero orphans in either direction), keys are unique, and the
+    assembly of the three oracle builder modules reproduces the full
+    set -- a missing add() call or a dropped chunk fails HERE, not in
+    a driver round."""
+    from binlog_avro_comparator_spark.plans import registry
+
+    q = registry.queries()
+    o = registry.oracle_sql()
+    assert set(q) == set(o), set(q) ^ set(o)
+    assert len(q) == len(set(q))
+    # the driver samples the FIRST 50 entries: they must be distinct
+    # real callables (ordering is the correctness-evidence budget)
+    head = list(q)[:50]
+    assert len(head) == 50 and len(set(head)) == 50
+    for name in head:
+        assert callable(q[name]) and isinstance(o[name], str) and o[name].strip()
