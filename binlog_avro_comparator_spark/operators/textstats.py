@@ -1781,6 +1781,15 @@ def vocab_drift(documents: DataFrame, top_v: int = 200) -> DataFrame:
         F.sum(F.when(~F.col("__ref"), 1).otherwise(0)).alias("n_cur"),
     )
     vocab = counts.orderBy(F.col("n_ref").desc(), F.col("word")).limit(top_v)
+    return vocab_psi_from_counts(vocab, top_v)
+
+
+def vocab_psi_from_counts(vocab: DataFrame, top_v: int = 200) -> DataFrame:
+    """The PSI scoring half of vocab_drift, over a (word, n_ref,
+    n_cur) vocabulary frame -- shared by the batch gate and the
+    streaming monitor (which folds n_cur in complete-mode state
+    against a FROZEN reference vocabulary) so the two can never drift
+    in arithmetic."""
     tot = vocab.agg(
         F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc")
     )

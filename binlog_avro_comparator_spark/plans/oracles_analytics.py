@@ -1905,3 +1905,6 @@ SELECT partition, count(*) AS n_rows,
        min(price) AS min_price, max(price) AS max_price,
        round(count(*) / (any_value(total) / 16.0), 6) AS balance_ratio
 FROM tagged GROUP BY partition"""
+
+    # streaming content-drift monitor == the batch gate by construction
+    sql["corpus_vocab_drift_stream"] = sql["corpus_vocab_drift"]

@@ -744,4 +744,60 @@ def _q_cdc_parse_stream_pyds(spark, sf_dir):
     )
 
 
+def _q_vocab_drift_stream(spark, sf_dir):
+    """The vocabulary drift gate RUN AS A STREAM (content-drift
+    monitor): the reference half's top-200 vocabulary with counts is
+    computed ONCE from the batch slice and frozen (a 200-row versioned
+    config -- the psi_stream discipline applied to words); the current
+    half streams through an explode + inner join against the frozen
+    vocabulary, counts fold in complete-mode state, and the shared
+    scorer (textstats.vocab_psi_from_counts) inverts the drained
+    200-row table.  Equal to the batch gate by construction -- the
+    oracle is corpus_vocab_drift's SQL verbatim."""
+    global _STREAM_SINK_SEQ
+    from ..operators.textstats import TOKEN_RE, vocab_psi_from_counts
+
+    ensure_session_conf(spark)
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        (F.col("doc_id") % 2 == 0).alias("__ref"),
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))
+        ).alias("word"),
+    )
+    ref_vocab = (
+        words.filter("__ref")
+        .groupBy("word")
+        .agg(F.count("*").alias("n_ref"))
+        .orderBy(F.col("n_ref").desc(), F.col("word"))
+        .limit(200)
+        .localCheckpoint()  # the frozen 200-row reference config
+    )
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    cur_counts = (
+        stream.filter(F.col("doc_id") % 2 != 0)
+        .select(
+            F.explode(
+                F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))
+            ).alias("word")
+        )
+        .join(F.broadcast(ref_vocab.select("word")), "word")
+        .groupBy("word")
+        .agg(F.count("*").alias("n_cur"))
+    )
+    _STREAM_SINK_SEQ += 1
+    name = f"vocab_drift_stream_sink_{_STREAM_SINK_SEQ}"
+    state = _drain_to_table(spark, cur_counts, name, "complete").localCheckpoint()
+    vocab = ref_vocab.join(state, "word", "left").select(
+        "word", "n_ref", F.coalesce("n_cur", F.lit(0)).alias("n_cur")
+    )
+    return vocab_psi_from_counts(vocab)
+
+
 __all__ = [_n for _n in list(globals()) if not _n.startswith('__') and _n != '_shared']
