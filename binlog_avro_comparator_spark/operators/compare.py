@@ -927,3 +927,55 @@ def resume_bookmarks(binlog_prepared: DataFrame) -> DataFrame:
             F.col("__last.g").alias("last_gtid"),
         )
     )
+
+
+def consistency_watermark(binlog_events: DataFrame) -> DataFrame:
+    """Cross-table CONSISTENCY WATERMARK: the highest GTID sequence
+    number every table's feed has fully applied -- the number a
+    multi-table snapshot must cut at, because cutting any higher reads
+    table A at a transaction table B hasn't applied yet (the classic
+    CDC fan-out consistency problem; the reference compares one table
+    and never faces it).
+
+    Two aggregates over the feed: per-(schema, table) max applied GNO
+    and event count; the watermark = min of those maxima (a
+    table-cardinality frame, broadcast back); then a conditional
+    count of each table's events at-or-below the watermark.  Returns
+    (schema, table, max_gno, watermark_gno, n_events,
+    n_at_watermark, holds_watermark) -- holds_watermark marks the
+    laggard(s) pinning the snapshot point."""
+    g = binlog_events.filter(
+        F.col("gtid_next").isNotNull()
+        & (F.col("gtid_next") != "")
+        & F.col("table").isNotNull()
+        & (F.col("table") != "")
+    ).select(
+        "schema",
+        "table",
+        F.split(F.col("gtid_next"), ":").getItem(1).cast("long").alias("gno"),
+    )
+    per = g.groupBy("schema", "table").agg(
+        F.max("gno").alias("max_gno"), F.count("*").alias("n_events")
+    )
+    wm = per.agg(F.min("max_gno").alias("watermark_gno"))
+    applied = (
+        g.crossJoin(F.broadcast(wm))
+        .filter(F.col("gno") <= F.col("watermark_gno"))
+        .groupBy("schema", "table")
+        .agg(F.count("*").alias("n_at_watermark"))
+    )
+    return (
+        per.crossJoin(F.broadcast(wm))
+        .join(applied, ["schema", "table"], "left")
+        .select(
+            "schema",
+            "table",
+            "max_gno",
+            "watermark_gno",
+            "n_events",
+            F.coalesce("n_at_watermark", F.lit(0)).alias("n_at_watermark"),
+            (F.col("max_gno") == F.col("watermark_gno")).alias(
+                "holds_watermark"
+            ),
+        )
+    )

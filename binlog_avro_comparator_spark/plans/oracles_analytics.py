@@ -1908,3 +1908,28 @@ FROM tagged GROUP BY partition"""
 
     # streaming content-drift monitor == the batch gate by construction
     sql["corpus_vocab_drift_stream"] = sql["corpus_vocab_drift"]
+
+    # cross-table consistency watermark over the derivation CTEs
+    sql["cdc_consistency_watermark"] = "WITH " + oracle.CDC_CTES.strip() + """
+, g AS (
+  SELECT "schema", "table",
+         CAST(split_part(gtid_next, ':', 2) AS BIGINT) AS gno
+  FROM binlog_events_cdc
+  WHERE gtid_next IS NOT NULL AND gtid_next <> ''
+    AND "table" IS NOT NULL AND "table" <> ''
+),
+per AS (
+  SELECT "schema", "table", max(gno) AS max_gno,
+         count(*) AS n_events
+  FROM g GROUP BY 1, 2
+),
+wm AS (SELECT min(max_gno) AS watermark_gno FROM per),
+applied AS (
+  SELECT g."schema", g."table", count(*) AS n_at_watermark
+  FROM g, wm WHERE g.gno <= wm.watermark_gno GROUP BY 1, 2
+)
+SELECT p."schema", p."table", p.max_gno, wm.watermark_gno, p.n_events,
+       coalesce(a.n_at_watermark, 0) AS n_at_watermark,
+       p.max_gno = wm.watermark_gno AS holds_watermark
+FROM per p CROSS JOIN wm
+LEFT JOIN applied a ON a."schema" = p."schema" AND a."table" = p."table" """

@@ -1093,4 +1093,14 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
     return _q_cdc_findings(spark, sf_dir)
 
 
+def _q_consistency_watermark(spark, sf_dir):
+    """Cross-table consistency watermark
+    (compare.consistency_watermark): the GTID snapshot point every
+    table has fully applied, with the laggard tables marked."""
+    ensure_session_conf(spark)
+    return C.consistency_watermark(
+        derive_binlog_events(load_table(spark, sf_dir, "events"))
+    )
+
+
 __all__ = [_n for _n in list(globals()) if not _n.startswith('__') and _n != '_shared']
