@@ -294,7 +294,14 @@ def read_avro_schema_census(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for p, content in zip(pdf["path"], pdf["content"]):
-                st = container_stats(bytes(content))
+                try:
+                    st = container_stats(bytes(content))
+                except Exception:  # noqa: BLE001
+                    # warn-and-skip contract (SURVEY 2.8): one truncated
+                    # or foreign file must not kill a million-file
+                    # census -- it becomes a CORRUPT row to triage
+                    rows.append((_os.path.basename(p), None, "CORRUPT", 0, 0))
+                    continue
                 rows.append(
                     (
                         _os.path.basename(p),

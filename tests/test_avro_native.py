@@ -663,3 +663,24 @@ def test_logical_decimal_resolution_reader_annotation_wins():
     # logical=False: raw bytes surface
     got_raw = resolve_read(_Reader(buf.getvalue()), writer, reader_plain, False)
     assert isinstance(got_raw["amt"], bytes)
+
+
+def test_schema_census_and_corrupt_file_row(spark, tmp_path):
+    """The census reads ONLY headers/block counts (values never
+    decode), and a truncated/foreign file surfaces as a CORRUPT row
+    instead of failing the scan (SURVEY 2.8 warn-and-skip)."""
+    from binlog_avro_comparator_spark.sources.avro import read_avro_schema_census
+    from binlog_avro_comparator_spark.sources.avro_codec import encode_container
+
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "x", "type": "long"}]}
+    data = encode_container(schema, [{"x": i} for i in range(2500)],
+                            sync=b"\x01" * 16)
+    (tmp_path / "a.avro").write_bytes(data)
+    (tmp_path / "b.avro").write_bytes(data[: len(data) // 2])  # truncated
+    (tmp_path / "c.avro").write_bytes(b"not an avro file at all")
+    got = {r.file: r for r in read_avro_schema_census(spark, str(tmp_path)).collect()}
+    assert got["a.avro"].n_records == 2500 and got["a.avro"].n_blocks == 3
+    assert got["a.avro"].codec == "deflate" and got["a.avro"].schema_md5
+    assert got["b.avro"].codec == "CORRUPT" and got["b.avro"].schema_md5 is None
+    assert got["c.avro"].codec == "CORRUPT"
