@@ -1396,8 +1396,10 @@ def knn_label_audit(embeddings: DataFrame, k: int = 5) -> DataFrame:
     spark = embeddings.sparkSession
     corpus = embeddings.select("vec_id", "embedding", "label").collect()
     ids_ = np.array([r.vec_id for r in corpus], dtype=np.int64)
-    mat_ = np.array([r.embedding for r in corpus], dtype=np.float64)
-    labels_ = np.array([r.label for r in corpus], dtype=np.int64)
+    order_ = np.argsort(ids_)  # id-ascending so column index = id rank
+    ids_ = ids_[order_]
+    mat_ = np.array([r.embedding for r in corpus], dtype=np.float64)[order_]
+    labels_ = np.array([r.label for r in corpus], dtype=np.int64)[order_]
     norms_ = np.sqrt((mat_ * mat_).sum(axis=1))
     bc = spark.sparkContext.broadcast((ids_, mat_, labels_, norms_))
 
@@ -1413,23 +1415,46 @@ def knn_label_audit(embeddings: DataFrame, k: int = 5) -> DataFrame:
 
     def _topk(batches):
         cids, cmat, clab, cnorm = bc.value
+        n = len(cids)
+        k_ = min(k, n - 1)
+        tie = np.int64(n) - np.arange(n, dtype=np.int64)
+        # row chunks bound each worker's scratch to ~chunk x n ints --
+        # 32 parallel Python workers on one box must not each hold a
+        # full batch x corpus key matrix
+        chunk = max(1, min(1024, (1 << 24) // max(n, 1)))
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            a = np.array(list(pdf["embedding"]), dtype=np.float64)
-            an = np.sqrt((a * a).sum(axis=1))
-            cos = np.round((a @ cmat.T) / np.outer(an, cnorm), COS_ROUND)
-            a_ids = pdf["vec_id"].to_numpy()
-            a_lab = pdf["label"].to_numpy()
-            rows = []
-            for i in range(len(a_ids)):
-                row = cos[i].copy()
-                row[cids == a_ids[i]] = -np.inf  # exclude self
-                # rounded-cos desc, vec_id asc -- the module tie order
-                order = np.lexsort((cids, -row))[:k]
-                for j in order:
-                    rows.append((a_ids[i], a_lab[i], clab[j]))
-            yield pd.DataFrame(rows, columns=["a_id", "a_label", "b_label"])
+            a_all = np.array(list(pdf["embedding"]), dtype=np.float64)
+            ids_all = pdf["vec_id"].to_numpy()
+            lab_all = pdf["label"].to_numpy()
+            an_all = np.sqrt((a_all * a_all).sum(axis=1))
+            for s in range(0, len(ids_all), chunk):
+                a = a_all[s : s + chunk]
+                an = an_all[s : s + chunk]
+                a_ids = ids_all[s : s + chunk]
+                a_lab = lab_all[s : s + chunk]
+                cos = np.round((a @ cmat.T) / np.outer(an, cnorm), COS_ROUND)
+                # the module tie order (rounded-cos desc, vec_id asc) as
+                # ONE integer key so top-k is a vectorized argpartition,
+                # no per-row Python: 6-dp cosine scales to an exact int,
+                # the id-rank complement breaks ties ascending
+                key = np.round(cos * 10**COS_ROUND).astype(np.int64)
+                key *= np.int64(n + 1)
+                key += tie
+                # exclude self: cids is id-sorted, searchsorted finds it
+                j = np.searchsorted(cids, a_ids)
+                j = np.clip(j, 0, n - 1)
+                hit = cids[j] == a_ids
+                key[np.nonzero(hit)[0], j[hit]] = np.iinfo(np.int64).min
+                top = np.argpartition(key, n - k_, axis=1)[:, n - k_:]
+                yield pd.DataFrame(
+                    {
+                        "a_id": np.repeat(a_ids, k_),
+                        "a_label": np.repeat(a_lab, k_),
+                        "b_label": clab[top].reshape(-1),
+                    }
+                )
 
     topk = embeddings.select("vec_id", "embedding", "label").mapInPandas(
         _topk, schema=out_schema
