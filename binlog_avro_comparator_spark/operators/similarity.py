@@ -1302,33 +1302,61 @@ def bitext_margin_pairs(
     engines add exactly, and the margin is ONE double division of
     exact quantities, rounded before ranking with a dst_id tie-break.
 
-    Scale shape: this is the exact broadcast-bounded form -- the pair
-    frame is |src| x |dst| with the smaller segment broadcast, the kNN
-    statistics are segment-cardinality aggregates, and the final join
-    of (sx, sy) back onto pairs is broadcast-sized.  At 100 TB the pair
-    GENERATION swaps to the LSH/IVF candidate tiers (hyperplane_bucket
-    keys on both segments); the margin algebra is unchanged because it
-    only needs each side's top-k, which bucketed candidates preserve
-    for exactly the high-cosine region the margin cares about."""
-    emb = with_norm(embeddings)
-    src = emb.filter(F.col("label") == src_label).select(
-        F.col("vec_id").alias("src_id"),
-        F.col("embedding").alias("s_emb"),
-        F.col("norm").alias("s_norm"),
+    Scale shape: this is the exact broadcast-bounded form -- the
+    target segment's matrix broadcasts and each source Arrow batch
+    scores in ONE numpy GEMM (the cosine_topk_pandas discipline), the
+    kNN statistics are segment-cardinality aggregates, and the final
+    join of (sx, sy) back onto pairs is broadcast-sized.  At 100 TB
+    the pair GENERATION swaps to the LSH/IVF candidate tiers
+    (hyperplane_bucket keys on both segments); the margin algebra is
+    unchanged because it only needs each side's top-k, which bucketed
+    candidates preserve for exactly the high-cosine region the margin
+    cares about."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = embeddings.sparkSession
+    d_rows = (
+        embeddings.filter(F.col("label") == dst_label)
+        .select("vec_id", "embedding")
+        .collect()
     )
-    dst = emb.filter(F.col("label") == dst_label).select(
-        F.col("vec_id").alias("dst_id"),
-        F.col("embedding").alias("d_emb"),
-        F.col("norm").alias("d_norm"),
+    d_ids = np.array([r.vec_id for r in d_rows], dtype=np.int64)
+    d_mat = np.array([r.embedding for r in d_rows], dtype=np.float64)
+    d_norm = np.sqrt((d_mat * d_mat).sum(axis=1))
+    bd = spark.sparkContext.broadcast((d_ids, d_mat, d_norm))
+
+    pair_schema = T.StructType(
+        [
+            T.StructField("src_id", T.LongType()),
+            T.StructField("dst_id", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
     )
-    cos = F.round(
-        _dot(F.col("s_emb"), F.col("d_emb"))
-        / (F.col("s_norm") * F.col("d_norm")),
-        COS_ROUND,
-    )
+
+    def _score(batches):
+        ids_, mat_, nrm_ = bd.value
+        m = len(ids_)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            s = np.array(list(pdf["embedding"]), dtype=np.float64)
+            sn = np.sqrt((s * s).sum(axis=1))
+            cos = np.round((s @ mat_.T) / np.outer(sn, nrm_), COS_ROUND)
+            s_ids = pdf["vec_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "src_id": np.repeat(s_ids, m),
+                    "dst_id": np.tile(ids_, len(s_ids)),
+                    "cos_sim": cos.reshape(-1),
+                }
+            )
+
     pairs = scoped_cache(
-        src.join(F.broadcast(dst))
-        .select("src_id", "dst_id", cos.alias("cos_sim"))
+        embeddings.filter(F.col("label") == src_label)
+        .select("vec_id", "embedding")
+        .mapInPandas(_score, schema=pair_schema)
     )
     cdec = F.col("cos_sim").cast("decimal(18,6)")
     wx = Window.partitionBy("src_id").orderBy(
