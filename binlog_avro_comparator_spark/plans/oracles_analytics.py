@@ -1933,3 +1933,16 @@ SELECT p."schema", p."table", p.max_gno, wm.watermark_gno, p.n_events,
        p.max_gno = wm.watermark_gno AS holds_watermark
 FROM per p CROSS JOIN wm
 LEFT JOIN applied a ON a."schema" = p."schema" AND a."table" = p."table" """
+
+    # layout grading: per-file footer stats + range-predicate pruning
+    # over the identical interleave chain
+    sql["lineitem_zorder_skipping"] = f"""
+WITH keyed AS (
+  SELECT l_partkey,
+         ({zorder_key_sql("l_partkey", "l_suppkey")}) >> 14 AS file_id
+  FROM lineitem
+)
+SELECT file_id, count(*) AS n_rows,
+       min(l_partkey) AS min_partkey, max(l_partkey) AS max_partkey,
+       max(l_partkey) < 100 OR min(l_partkey) > 200 AS skippable
+FROM keyed GROUP BY file_id"""

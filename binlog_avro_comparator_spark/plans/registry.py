@@ -80,6 +80,7 @@ def queries() -> dict[str, QueryFn]:
         "corpus_epoch_manifest": _q_epoch_manifest,
         "corpus_vocab_drift_stream": _q_vocab_drift_stream,
         "cdc_consistency_watermark": _q_consistency_watermark,
+        "lineitem_zorder_skipping": _q_zorder_skipping_report,
         # -- r6-verified (driver-green in CORRECTNESS_r06) --
         "cdc_parse_binlog_typed": _q_cdc_parse_binlog_typed,
         "cdc_payload_diff_typed": _q_cdc_payload_diff_typed,
