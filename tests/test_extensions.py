@@ -4042,3 +4042,41 @@ def test_epoch_manifest_permutation_properties(spark):
     assert orders[0] != orders[1]  # epochs shuffle differently
     again = sorted(tuple(r) for r in epoch_manifest(docs).collect())
     assert again == sorted(tuple(r) for r in m)
+
+
+def test_consistency_watermark_flags_laggard(spark):
+    """The watermark is the min of per-table max GNOs; the lagging
+    table holds it and counts only its applied rows at the cut."""
+    from binlog_avro_comparator_spark.operators.compare import (
+        consistency_watermark)
+
+    rows = []
+    for g in range(10):
+        rows.append(("db", "fast", f"u:{g}"))
+    for g in range(6):
+        rows.append(("db", "slow", f"u:{g}"))
+    df = spark.createDataFrame(rows, "schema string, table string, gtid_next string")
+    got = {r.table: r for r in consistency_watermark(df).collect()}
+    assert got["slow"].holds_watermark and not got["fast"].holds_watermark
+    assert got["fast"].watermark_gno == 5
+    assert got["fast"].n_events == 10 and got["fast"].n_at_watermark == 6
+    assert got["slow"].n_at_watermark == 6
+
+
+def test_range_sort_plan_balanced_vs_skewed(spark):
+    """Uniform keys plan near-1.0 balance everywhere; a heavily
+    duplicated key collapses boundaries and the report SAYS so
+    (some partition's balance_ratio far above 1)."""
+    from binlog_avro_comparator_spark.operators.analytics import range_sort_plan
+
+    uniform = spark.createDataFrame(
+        [(float(i),) for i in range(1600)], "l_extendedprice double"
+    )
+    u = range_sort_plan(uniform).collect()
+    assert all(0.8 <= r.balance_ratio <= 1.2 for r in u)
+    skewed = spark.createDataFrame(
+        [(42.0,)] * 1200 + [(float(i),) for i in range(400)],
+        "l_extendedprice double",
+    )
+    s = range_sort_plan(skewed).collect()
+    assert max(r.balance_ratio for r in s) > 4.0  # the hot-key partition
