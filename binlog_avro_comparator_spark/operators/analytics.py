@@ -3903,8 +3903,14 @@ def range_sort_plan(lineitem: DataFrame, n_partitions: int = 16) -> DataFrame:
     the report is one map-side-combined aggregate.  Skew shows up as
     balance_ratio > 1 -- on a heavily duplicated key the boundaries
     collapse and the report SAYS so (the point of planning before
-    sorting).  Returns one row per non-empty partition: (partition,
-    n_rows, min_price, max_price, balance_ratio)."""
+    sorting).  Exact percentiles buffer the value list in one
+    aggregation buffer -- the module's documented contract
+    (cdc_latency_stats / doc_length_quantiles) applies: swap in
+    approx_percentile with a tight accuracy when the fact column
+    outgrows an executor; boundaries then carry the sketch's rank
+    error, which the balance report itself surfaces.  Returns one row
+    per non-empty partition: (partition, n_rows, min_price, max_price,
+    balance_ratio)."""
     qs = [i / n_partitions for i in range(1, n_partitions)]
     bounds = lineitem.agg(
         F.transform(
