@@ -1946,3 +1946,24 @@ SELECT file_id, count(*) AS n_rows,
        min(l_partkey) AS min_partkey, max(l_partkey) AS max_partkey,
        max(l_partkey) < 100 OR min(l_partkey) > 200 AS skippable
 FROM keyed GROUP BY file_id"""
+
+    # per-source contamination rollup over the verified per-doc oracle
+    sql["corpus_contamination_by_source"] = f"""
+WITH scored AS ({sql["doc_contamination"]})
+SELECT d.source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN s.contamination >= 0.5 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_contaminated,
+       round(CAST(sum(CAST(s.contamination AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS mean_contamination
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+GROUP BY d.source"""
+    # IVF list balance over the verified k-means assignment
+    sql["ann_ivf_list_balance"] = f"""
+WITH asg AS ({sql["embedding_kmeans"]}),
+per AS (SELECT centroid_id, count(*) AS n_vectors FROM asg GROUP BY 1),
+tot AS (SELECT sum(n_vectors) AS t, count(*) AS c FROM per)
+SELECT per.centroid_id, per.n_vectors,
+       round(per.n_vectors / CAST(tot.t AS DOUBLE), 6) AS share,
+       round(per.n_vectors * tot.c / CAST(tot.t AS DOUBLE), 6)
+         AS load_factor
+FROM per CROSS JOIN tot"""

@@ -379,4 +379,25 @@ def _q_knn_label_audit(spark, sf_dir):
     return knn_label_audit(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_ivf_list_balance(spark, sf_dir):
+    """IVF index health: per-centroid posting-list sizes and load
+    factor (n / mean) from the verified k-means assignment -- the
+    report that says whether n_probe queries will hit balanced lists
+    or one hot centroid (the ANN twin of the join planner's skew
+    ladder)."""
+    ensure_session_conf(spark)
+    from ..operators.similarity import kmeans_assignments
+
+    asg = kmeans_assignments(load_table(spark, sf_dir, "embeddings"))
+    per = asg.groupBy("centroid_id").agg(F.count("*").alias("n_vectors"))
+    tot = F.sum("n_vectors").over(Window.partitionBy())
+    cnt = F.count("*").over(Window.partitionBy())
+    return per.select(
+        "centroid_id",
+        "n_vectors",
+        F.round(F.col("n_vectors") / tot, 6).alias("share"),
+        F.round(F.col("n_vectors") * cnt / tot, 6).alias("load_factor"),
+    )
+
+
 __all__ = [_n for _n in list(globals()) if not _n.startswith('__') and _n != '_shared']

@@ -523,4 +523,33 @@ def _q_epoch_manifest(spark, sf_dir):
     return epoch_manifest(_docs(spark, sf_dir))
 
 
+def _q_contamination_by_source(spark, sf_dir):
+    """Per-SOURCE contamination rollup: which feed leaks benchmark
+    text (the actionable form of the per-doc score -- you stop
+    ingesting a feed, not a document).  Composes the verified
+    contamination frame with one source join + one aggregate."""
+    ensure_session_conf(spark)
+    from ..operators.textstats import contamination_scores
+
+    docs = _docs(spark, sf_dir)
+    scored = contamination_scores(docs)
+    return (
+        scored.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.col("contamination") >= 0.5, 1).otherwise(0)
+            ).alias("n_contaminated"),
+            F.round(
+                F.sum(F.col("contamination").cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / F.count("*"),
+                6,
+            ).alias("mean_contamination"),
+        )
+    )
+
+
 __all__ = [_n for _n in list(globals()) if not _n.startswith('__') and _n != '_shared']

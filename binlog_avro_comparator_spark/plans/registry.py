@@ -81,6 +81,8 @@ def queries() -> dict[str, QueryFn]:
         "corpus_vocab_drift_stream": _q_vocab_drift_stream,
         "cdc_consistency_watermark": _q_consistency_watermark,
         "lineitem_zorder_skipping": _q_zorder_skipping_report,
+        "corpus_contamination_by_source": _q_contamination_by_source,
+        "ann_ivf_list_balance": _q_ivf_list_balance,
         # -- r6-verified (driver-green in CORRECTNESS_r06) --
         "cdc_parse_binlog_typed": _q_cdc_parse_binlog_typed,
         "cdc_payload_diff_typed": _q_cdc_payload_diff_typed,
