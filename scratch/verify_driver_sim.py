@@ -53,7 +53,11 @@ for name in ["cdc_summary", "cdc_findings", "q1_pricing_summary", "ann_cosine_to
              "cdc_avro_logical_scan", "cdc_rotate_chain",
              "embedding_bitext_margin", "embedding_knn_label_audit",
              "cdc_parse_stream_pyds", "cdc_avro_schema_census",
-             "lineitem_range_sort_plan", "corpus_shingle_saturation"]:
+             "lineitem_range_sort_plan", "corpus_shingle_saturation",
+             "corpus_vocab_drift", "corpus_epoch_manifest",
+             "corpus_vocab_drift_stream", "cdc_consistency_watermark",
+             "lineitem_zorder_skipping", "corpus_contamination_by_source",
+             "ann_ivf_list_balance"]:
     sdf = qs[name](spark, "/root/testdata/sf0.01").toPandas()
     ddf = con.sql(osql[name]).df()
     match = canon(sdf) == canon(ddf)
