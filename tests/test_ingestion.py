@@ -1504,3 +1504,31 @@ def test_pyds_stream_reader_offsets_resume(spark, tmp_path):
         ("mysql-bin.000003", 1, "c1"), ("mysql-bin.000003", 2, "c2")]
     third = drain()
     assert third == second  # nothing new, nothing re-read
+
+
+def test_rotate_decode_fuzz_never_raises():
+    """decode_binlog_rotate holds the module's tolerance contract on
+    arbitrary bytes: random corruptions of a real segment, truncations,
+    and pure garbage must yield a row (possibly rotate-less), never an
+    exception -- one bad file in a tailed directory must not kill the
+    chain audit."""
+    import random
+
+    from binlog_avro_comparator_spark.sources import binlog_binary as bb
+
+    base = bb.encode_binlog_file(
+        TestBinlogRowImages.EVS, checksum=True, next_file="mysql-bin.000999"
+    )
+    rng = random.Random(7)
+    # clean decode finds the rotate
+    assert bb.decode_binlog_rotate("f", base)[1] == "mysql-bin.000999"
+    for _ in range(200):
+        data = bytearray(base)
+        for _ in range(rng.randrange(1, 4)):
+            data[rng.randrange(len(data))] ^= 1 << rng.randrange(8)
+        out = bb.decode_binlog_rotate("f", bytes(data))
+        assert out[0] == "f" and (out[1] is None or isinstance(out[1], str))
+    for cut in (0, 3, 4, 19, len(base) // 2, len(base) - 1):
+        out = bb.decode_binlog_rotate("f", base[:cut])
+        assert out[0] == "f"
+    assert bb.decode_binlog_rotate("f", b"\x00" * 512)[1] is None
