@@ -1764,127 +1764,6 @@ LEFT JOIN truth tr
   ON tr.query_id = t.query_id AND tr.neighbor_id = t.neighbor_id
 GROUP BY t.method"""
 
-    # margin-based bitext mining: brute cross-segment cosine, decimal
-    # kNN sums, one double division -- mirrors bitext_margin_pairs
-    sql["embedding_bitext_margin"] = """
-WITH ex AS (
-  SELECT vec_id, label, generate_subscripts(embedding, 1) AS ord,
-         unnest(embedding)::DOUBLE AS v
-  FROM embeddings WHERE label IN (0, 1)
-),
-norms AS (SELECT vec_id, sqrt(sum(v * v)) AS norm FROM ex GROUP BY vec_id),
-dots AS (
-  SELECT s.vec_id AS src_id, d.vec_id AS dst_id, sum(s.v * d.v) AS dot
-  FROM ex s JOIN ex d ON s.ord = d.ord AND s.label = 0 AND d.label = 1
-  GROUP BY 1, 2
-),
-pairs AS (
-  SELECT src_id, dst_id,
-         round(dot / (ns.norm * nd.norm), 6) AS cos_sim
-  FROM dots
-  JOIN norms ns ON ns.vec_id = src_id
-  JOIN norms nd ON nd.vec_id = dst_id
-),
-sx AS (
-  SELECT src_id, sum(CAST(cos_sim AS DECIMAL(18,6))) AS sxv FROM (
-    SELECT *, row_number() OVER (
-        PARTITION BY src_id ORDER BY cos_sim DESC, dst_id) AS r
-    FROM pairs) WHERE r <= 4 GROUP BY src_id
-),
-sy AS (
-  SELECT dst_id, sum(CAST(cos_sim AS DECIMAL(18,6))) AS syv FROM (
-    SELECT *, row_number() OVER (
-        PARTITION BY dst_id ORDER BY cos_sim DESC, src_id) AS r
-    FROM pairs) WHERE r <= 4 GROUP BY dst_id
-),
-scored AS (
-  SELECT p.src_id, p.dst_id, p.cos_sim,
-         round(p.cos_sim * 8 / CAST(sx.sxv + sy.syv AS DOUBLE), 6) AS margin
-  FROM pairs p JOIN sx ON sx.src_id = p.src_id JOIN sy ON sy.dst_id = p.dst_id
-)
-SELECT src_id, dst_id, cos_sim, margin FROM (
-  SELECT *, row_number() OVER (
-      PARTITION BY src_id ORDER BY margin DESC, dst_id) AS r
-  FROM scored
-) WHERE r = 1 AND margin >= 1.0"""
-
-    # kNN label audit: brute all-pairs cosine, deterministic majority
-    # (votes desc, label asc) -- mirrors knn_label_audit
-    sql["embedding_knn_label_audit"] = """
-WITH ex AS (
-  SELECT vec_id, label, generate_subscripts(embedding, 1) AS ord,
-         unnest(embedding)::DOUBLE AS v
-  FROM embeddings
-),
-norms AS (SELECT vec_id, sqrt(sum(v * v)) AS norm FROM ex GROUP BY vec_id),
-labels AS (SELECT DISTINCT vec_id, label FROM ex),
-dots AS (
-  SELECT a.vec_id AS a_id, b.vec_id AS b_id, sum(a.v * b.v) AS dot
-  FROM ex a JOIN ex b ON a.ord = b.ord AND a.vec_id <> b.vec_id
-  GROUP BY 1, 2
-),
-topk AS (
-  SELECT * FROM (
-    SELECT a_id, b_id,
-           round(dot / (na.norm * nb.norm), 6) AS cos_sim,
-           row_number() OVER (
-             PARTITION BY a_id
-             ORDER BY round(dot / (na.norm * nb.norm), 6) DESC, b_id) AS r
-    FROM dots
-    JOIN norms na ON na.vec_id = a_id
-    JOIN norms nb ON nb.vec_id = b_id
-  ) WHERE r <= 5
-),
-votes AS (
-  SELECT t.a_id, la.label AS a_label, lb.label AS b_label,
-         count(*) AS n_votes
-  FROM topk t
-  JOIN labels la ON la.vec_id = t.a_id
-  JOIN labels lb ON lb.vec_id = t.b_id
-  GROUP BY 1, 2, 3
-),
-best AS (
-  SELECT *, row_number() OVER (
-      PARTITION BY a_id ORDER BY n_votes DESC, b_label ASC) AS r
-  FROM votes
-),
-agree AS (
-  SELECT a_id, coalesce(sum(CASE WHEN b_label = a_label
-                                 THEN n_votes END), 0) AS n_agree
-  FROM votes GROUP BY a_id
-)
-SELECT b.a_id AS vec_id, b.a_label AS label, b.b_label AS knn_label,
-       b.n_votes, CAST(a.n_agree AS BIGINT) AS n_agree,
-       b.b_label <> b.a_label AS mislabeled
-FROM best b JOIN agree a ON a.a_id = b.a_id
-WHERE b.r = 1"""
-
-    # the streaming Python DataSource roundtrip shares the batch
-    # pyds/text parse contract verbatim
-    sql["cdc_parse_stream_pyds"] = sql["cdc_parse_binlog_text_pyds"]
-
-    # avro lake schema census: the two producer fingerprints are the
-    # md5 of the canonical schema dumps the fixture encoder embeds
-    # (raw header bytes == json.dumps(schema, separators=(",", ":")))
-    import hashlib as _hashlib
-    import json as _json
-
-    _md5_v1 = _hashlib.md5(
-        _json.dumps(_AVRO_V1_WRITER_SCHEMA, separators=(",", ":")).encode()
-    ).hexdigest()
-    _md5_cur = _hashlib.md5(
-        _json.dumps(DATASTREAM_AVRO_SCHEMA, separators=(",", ":")).encode()
-    ).hexdigest()
-    sql["cdc_avro_schema_census"] = ("WITH " + oracle.CDC_CTES.strip() + f"""
-SELECT binlog_file || '.avro' AS file,
-       CASE WHEN CAST(substr(binlog_file, 11) AS BIGINT) % 2 = 0
-            THEN '{_md5_v1}' ELSE '{_md5_cur}' END AS schema_md5,
-       'deflate' AS codec,
-       count(*) AS n_records,
-       CAST(ceil(count(*) / 1000.0) AS BIGINT) AS n_blocks
-FROM avro_rows_cdc
-GROUP BY binlog_file""")
-
     # range-sort planner: 15 exact R-7 boundaries (quantile_cont),
     # 6-dp rounded; partition = #boundaries strictly below the price
     sql["lineitem_range_sort_plan"] = """
@@ -1906,34 +1785,6 @@ SELECT partition, count(*) AS n_rows,
        round(count(*) / (any_value(total) / 16.0), 6) AS balance_ratio
 FROM tagged GROUP BY partition"""
 
-    # streaming content-drift monitor == the batch gate by construction
-    sql["corpus_vocab_drift_stream"] = sql["corpus_vocab_drift"]
-
-    # cross-table consistency watermark over the derivation CTEs
-    sql["cdc_consistency_watermark"] = "WITH " + oracle.CDC_CTES.strip() + """
-, g AS (
-  SELECT "schema", "table",
-         CAST(split_part(gtid_next, ':', 2) AS BIGINT) AS gno
-  FROM binlog_events_cdc
-  WHERE gtid_next IS NOT NULL AND gtid_next <> ''
-    AND "table" IS NOT NULL AND "table" <> ''
-),
-per AS (
-  SELECT "schema", "table", max(gno) AS max_gno,
-         count(*) AS n_events
-  FROM g GROUP BY 1, 2
-),
-wm AS (SELECT min(max_gno) AS watermark_gno FROM per),
-applied AS (
-  SELECT g."schema", g."table", count(*) AS n_at_watermark
-  FROM g, wm WHERE g.gno <= wm.watermark_gno GROUP BY 1, 2
-)
-SELECT p."schema", p."table", p.max_gno, wm.watermark_gno, p.n_events,
-       coalesce(a.n_at_watermark, 0) AS n_at_watermark,
-       p.max_gno = wm.watermark_gno AS holds_watermark
-FROM per p CROSS JOIN wm
-LEFT JOIN applied a ON a."schema" = p."schema" AND a."table" = p."table" """
-
     # layout grading: per-file footer stats + range-predicate pruning
     # over the identical interleave chain
     sql["lineitem_zorder_skipping"] = f"""
@@ -1946,24 +1797,3 @@ SELECT file_id, count(*) AS n_rows,
        min(l_partkey) AS min_partkey, max(l_partkey) AS max_partkey,
        max(l_partkey) < 100 OR min(l_partkey) > 200 AS skippable
 FROM keyed GROUP BY file_id"""
-
-    # per-source contamination rollup over the verified per-doc oracle
-    sql["corpus_contamination_by_source"] = f"""
-WITH scored AS ({sql["doc_contamination"]})
-SELECT d.source, count(*) AS n_docs,
-       CAST(sum(CASE WHEN s.contamination >= 0.5 THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_contaminated,
-       round(CAST(sum(CAST(s.contamination AS DECIMAL(18,6))) AS DOUBLE)
-             / count(*), 6) AS mean_contamination
-FROM scored s JOIN documents d ON d.doc_id = s.doc_id
-GROUP BY d.source"""
-    # IVF list balance over the verified k-means assignment
-    sql["ann_ivf_list_balance"] = f"""
-WITH asg AS ({sql["embedding_kmeans"]}),
-per AS (SELECT centroid_id, count(*) AS n_vectors FROM asg GROUP BY 1),
-tot AS (SELECT sum(n_vectors) AS t, count(*) AS c FROM per)
-SELECT per.centroid_id, per.n_vectors,
-       round(per.n_vectors / CAST(tot.t AS DOUBLE), 6) AS share,
-       round(per.n_vectors * tot.c / CAST(tot.t AS DOUBLE), 6)
-         AS load_factor
-FROM per CROSS JOIN tot"""

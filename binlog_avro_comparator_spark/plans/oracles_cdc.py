@@ -1201,3 +1201,54 @@ UNION ALL SELECT 'lineitem shipped >= orderdate - 30d',
        (SELECT count(*) FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         WHERE l.l_shipdate < o.o_orderdate - INTERVAL 30 DAY)""",
     })
+
+    # the streaming Python DataSource roundtrip shares the batch
+    # pyds/text parse contract verbatim
+    sql["cdc_parse_stream_pyds"] = sql["cdc_parse_binlog_text_pyds"]
+
+    # avro lake schema census: the two producer fingerprints are the
+    # md5 of the canonical schema dumps the fixture encoder embeds
+    # (raw header bytes == json.dumps(schema, separators=(",", ":")))
+    import hashlib as _hashlib
+    import json as _json
+
+    _md5_v1 = _hashlib.md5(
+        _json.dumps(_AVRO_V1_WRITER_SCHEMA, separators=(",", ":")).encode()
+    ).hexdigest()
+    _md5_cur = _hashlib.md5(
+        _json.dumps(DATASTREAM_AVRO_SCHEMA, separators=(",", ":")).encode()
+    ).hexdigest()
+    sql["cdc_avro_schema_census"] = ("WITH " + oracle.CDC_CTES.strip() + f"""
+SELECT binlog_file || '.avro' AS file,
+       CASE WHEN CAST(substr(binlog_file, 11) AS BIGINT) % 2 = 0
+            THEN '{_md5_v1}' ELSE '{_md5_cur}' END AS schema_md5,
+       'deflate' AS codec,
+       count(*) AS n_records,
+       CAST(ceil(count(*) / 1000.0) AS BIGINT) AS n_blocks
+FROM avro_rows_cdc
+GROUP BY binlog_file""")
+
+    # cross-table consistency watermark over the derivation CTEs
+    sql["cdc_consistency_watermark"] = "WITH " + oracle.CDC_CTES.strip() + """
+, g AS (
+  SELECT "schema", "table",
+         CAST(split_part(gtid_next, ':', 2) AS BIGINT) AS gno
+  FROM binlog_events_cdc
+  WHERE gtid_next IS NOT NULL AND gtid_next <> ''
+    AND "table" IS NOT NULL AND "table" <> ''
+),
+per AS (
+  SELECT "schema", "table", max(gno) AS max_gno,
+         count(*) AS n_events
+  FROM g GROUP BY 1, 2
+),
+wm AS (SELECT min(max_gno) AS watermark_gno FROM per),
+applied AS (
+  SELECT g."schema", g."table", count(*) AS n_at_watermark
+  FROM g, wm WHERE g.gno <= wm.watermark_gno GROUP BY 1, 2
+)
+SELECT p."schema", p."table", p.max_gno, wm.watermark_gno, p.n_events,
+       coalesce(a.n_at_watermark, 0) AS n_at_watermark,
+       p.max_gno = wm.watermark_gno AS holds_watermark
+FROM per p CROSS JOIN wm
+LEFT JOIN applied a ON a."schema" = p."schema" AND a."table" = p."table" """
