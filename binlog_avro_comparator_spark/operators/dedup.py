@@ -21,6 +21,13 @@ Four tiers, each a standard large-corpus dedup technique:
                         classic guard against hot shingles exploding the
                         pair count -- and against join skew at scale).
 
+The EXACT joins (prefix_filter_pairs / containment_pairs) sit above the
+ladder with completeness guarantees and the PPJoin prune stack; run
+shingle_saturation FIRST -- its mean-df readout says whether the
+corpus's k-gram vocabulary is saturated (templated/log-like text), in
+which case the exact joins need a larger k or the LSH tier (the
+round-7 endurance probes in SCALE.md quantify both regimes).
+
 All hashing is the portable md5-48bit word hash (textstats.word_hash)
 so DuckDB oracles replicate values exactly; arithmetic keeps every
 intermediate under 2^63.
