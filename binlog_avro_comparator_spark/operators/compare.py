@@ -880,9 +880,15 @@ def rotate_chain_audit(rotates: DataFrame) -> DataFrame:
 
     The frame is FILE-cardinality (one row per segment -- bounded by
     rotation policy, ~100k rows for 100 TB of binlogs), so the single
-    global lead() window is metadata-sized, never data-sized.
+    global lead() window is metadata-sized, never data-sized.  The
+    listing order is NATURAL (`ls -v`): (name prefix, numeric suffix)
+    -- plain lexicographic ordering inverts at the index rollover
+    mysql-bin.999999 -> mysql-bin.1000000 and would report false
+    CHAIN_GAPs on an intact chain.
     Returns (binlog_file, rotate_next, expected_next, status)."""
-    w = Window.orderBy("binlog_file")
+    num = F.regexp_extract(F.col("binlog_file"), r"(\d+)$", 1).cast("long")
+    pfx = F.regexp_replace(F.col("binlog_file"), r"\d+$", "")
+    w = Window.orderBy(pfx, num, "binlog_file")
     nxt = F.lead("binlog_file").over(w)
     return rotates.select(
         "binlog_file",
@@ -944,15 +950,24 @@ def consistency_watermark(binlog_events: DataFrame) -> DataFrame:
     (schema, table, max_gno, watermark_gno, n_events,
     n_at_watermark, holds_watermark) -- holds_watermark marks the
     laggard(s) pinning the snapshot point."""
-    g = binlog_events.filter(
-        F.col("gtid_next").isNotNull()
-        & (F.col("gtid_next") != "")
-        & F.col("table").isNotNull()
-        & (F.col("table") != "")
-    ).select(
-        "schema",
-        "table",
-        F.split(F.col("gtid_next"), ":").getItem(1).cast("long").alias("gno"),
+    from ..functions.caching import scoped_cache
+
+    # both aggregates read the same filtered projection; cache it so
+    # the feed lineage scans once, not twice
+    g = scoped_cache(
+        binlog_events.filter(
+            F.col("gtid_next").isNotNull()
+            & (F.col("gtid_next") != "")
+            & F.col("table").isNotNull()
+            & (F.col("table") != "")
+        ).select(
+            "schema",
+            "table",
+            F.split(F.col("gtid_next"), ":")
+            .getItem(1)
+            .cast("long")
+            .alias("gno"),
+        )
     )
     per = g.groupBy("schema", "table").agg(
         F.max("gno").alias("max_gno"), F.count("*").alias("n_events")

@@ -1132,6 +1132,18 @@ def template_dedup(documents: DataFrame) -> DataFrame:
     )
 
 
+def _safe_ceil(x: F.Column) -> F.Column:
+    """ceil() for float products of exact integer quantities, biased a
+    hair DOWN so IEEE noise can never round a true integer UP: 0.56*25
+    is 14.000000000000002 in doubles, and a plain ceil() would demand
+    15 shared tokens of a pair whose exact requirement is 14 --
+    silently breaking the prefix/length/containment completeness
+    guarantees for caller-supplied thresholds.  The 1e-9 bias errs
+    toward keeping a borderline candidate (exact verification decides
+    it), never toward pruning a qualifying one."""
+    return F.ceil(x - F.lit(1e-9))
+
+
 def prefix_filter_pairs(
     documents: DataFrame, k: int = 3, threshold: float = 0.5
 ) -> DataFrame:
@@ -1180,7 +1192,7 @@ def prefix_filter_pairs(
     )
     pref = ranked.filter(
         F.col("__rn")
-        <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+        <= F.col("n") - _safe_ceil(F.lit(threshold) * F.col("n")) + 1
     ).select("doc_id", "h", "__rn", "n")
     t = F.lit(threshold)
     overlap_bound = (
@@ -1190,7 +1202,7 @@ def prefix_filter_pairs(
         )
         + 1
     )
-    min_overlap = F.ceil(
+    min_overlap = _safe_ceil(
         t / (F.lit(1.0) + t) * (F.col("l.n") + F.col("r.n"))
     )
     cand = (
@@ -1199,8 +1211,8 @@ def prefix_filter_pairs(
         .filter(
             (F.col("l.doc_id") < F.col("r.doc_id"))
             # length window: t*n_a <= n_b and t*n_b <= n_a
-            & (F.col("r.n") >= F.ceil(t * F.col("l.n")))
-            & (F.col("l.n") >= F.ceil(t * F.col("r.n")))
+            & (F.col("r.n") >= _safe_ceil(t * F.col("l.n")))
+            & (F.col("l.n") >= _safe_ceil(t * F.col("r.n")))
         )
         .groupBy(
             F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
@@ -1276,7 +1288,7 @@ def containment_pairs(
         .withColumn("__rn", F.row_number().over(w))
         .filter(
             F.col("__rn")
-            <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+            <= F.col("n") - _safe_ceil(F.lit(threshold) * F.col("n")) + 1
         )
         .select(F.col("doc_id").alias("doc_src"), "h", "n")
     )
@@ -1289,7 +1301,7 @@ def containment_pairs(
             (F.col("doc_src") != F.col("doc_dst"))
             # length prune: intersection <= n_dst, so containment >= t
             # requires n_dst >= ceil(t * n_src)
-            & (F.col("__n_dst") >= F.ceil(F.lit(threshold) * F.col("n")))
+            & (F.col("__n_dst") >= _safe_ceil(F.lit(threshold) * F.col("n")))
         )
         .select("doc_src", "doc_dst")
         .distinct()

@@ -1325,6 +1325,7 @@ def bitext_margin_pairs(
     d_ids = np.array([r.vec_id for r in d_rows], dtype=np.int64)
     d_mat = np.array([r.embedding for r in d_rows], dtype=np.float64)
     d_norm = np.sqrt((d_mat * d_mat).sum(axis=1))
+    d_norm = np.where(d_norm == 0.0, 1.0, d_norm)  # zero vector -> cos 0
     bd = spark.sparkContext.broadcast((d_ids, d_mat, d_norm))
 
     pair_schema = T.StructType(
@@ -1343,6 +1344,7 @@ def bitext_margin_pairs(
                 continue
             s = np.array(list(pdf["embedding"]), dtype=np.float64)
             sn = np.sqrt((s * s).sum(axis=1))
+            sn = np.where(sn == 0.0, 1.0, sn)
             cos = np.round((s @ mat_.T) / np.outer(sn, nrm_), COS_ROUND)
             s_ids = pdf["vec_id"].to_numpy()
             yield pd.DataFrame(
@@ -1366,7 +1368,7 @@ def bitext_margin_pairs(
         pairs.withColumn("__r", F.row_number().over(wx))
         .filter(F.col("__r") <= k)
         .groupBy("src_id")
-        .agg(F.sum(cdec).alias("__sx"))
+        .agg(F.sum(cdec).alias("__sx"), F.count("*").alias("__cx"))
     )
     wy = Window.partitionBy("dst_id").orderBy(
         F.col("cos_sim").desc(), F.col("src_id").asc()
@@ -1375,13 +1377,15 @@ def bitext_margin_pairs(
         pairs.withColumn("__r", F.row_number().over(wy))
         .filter(F.col("__r") <= k)
         .groupBy("dst_id")
-        .agg(F.sum(cdec).alias("__sy"))
+        .agg(F.sum(cdec).alias("__sy"), F.count("*").alias("__cy"))
     )
-    margin = F.round(
-        F.col("cos_sim") * (2 * k)
-        / (F.col("__sx") + F.col("__sy")).cast("double"),
-        COS_ROUND,
-    )
+    # denominators use the ACTUAL neighbor counts (a segment smaller
+    # than k must not halve its average and inflate every margin)
+    avg_nn = (
+        F.col("__sx").cast("double") / F.col("__cx")
+        + F.col("__sy").cast("double") / F.col("__cy")
+    ) / 2
+    margin = F.round(F.col("cos_sim") / avg_nn, COS_ROUND)
     wm = Window.partitionBy("src_id").orderBy(
         F.col("margin").desc(), F.col("dst_id").asc()
     )
@@ -1423,12 +1427,21 @@ def knn_label_audit(embeddings: DataFrame, k: int = 5) -> DataFrame:
 
     spark = embeddings.sparkSession
     corpus = embeddings.select("vec_id", "embedding", "label").collect()
+    if len(corpus) < 2:  # no neighbors exist; an empty audit, not a crash
+        return spark.createDataFrame(
+            [],
+            "vec_id long, label int, knn_label int, n_votes bigint, "
+            "n_agree bigint, mislabeled boolean",
+        )
     ids_ = np.array([r.vec_id for r in corpus], dtype=np.int64)
     order_ = np.argsort(ids_)  # id-ascending so column index = id rank
     ids_ = ids_[order_]
     mat_ = np.array([r.embedding for r in corpus], dtype=np.float64)[order_]
     labels_ = np.array([r.label for r in corpus], dtype=np.int64)[order_]
     norms_ = np.sqrt((mat_ * mat_).sum(axis=1))
+    # a zero vector has no direction: clamp its norm so cosines read 0
+    # (dot is 0 anyway) instead of NaN, which would poison the sort
+    norms_ = np.where(norms_ == 0.0, 1.0, norms_)
     bc = spark.sparkContext.broadcast((ids_, mat_, labels_, norms_))
 
     out_schema = T.StructType(
@@ -1457,6 +1470,7 @@ def knn_label_audit(embeddings: DataFrame, k: int = 5) -> DataFrame:
             ids_all = pdf["vec_id"].to_numpy()
             lab_all = pdf["label"].to_numpy()
             an_all = np.sqrt((a_all * a_all).sum(axis=1))
+            an_all = np.where(an_all == 0.0, 1.0, an_all)
             for s in range(0, len(ids_all), chunk):
                 a = a_all[s : s + chunk]
                 an = an_all[s : s + chunk]

@@ -1459,8 +1459,27 @@ reach(a, b) AS (
   SELECT a, b FROM sym
   UNION
   SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b WHERE r.a <> s.b
+),
+lab AS (
+  SELECT a AS doc_id, min(b) AS reach_min
+  FROM (SELECT a, b FROM reach UNION ALL SELECT a, a FROM sym) GROUP BY a
+),
+node_comp AS (
+  SELECT doc_id, least(doc_id, reach_min) AS cluster_id FROM lab
+),
+ok AS (
+  SELECT cluster_id FROM (
+    SELECT cluster_id, count(*) AS n_docs FROM node_comp GROUP BY 1
+  ) WHERE n_docs <= 10000
 )
-SELECT DISTINCT a AS doc_a, b AS doc_b FROM reach WHERE a < b"""
+-- the Spark side runs closure_pairs(cap=10000): components above the
+-- cap route to the overflow channel on BOTH sides, so the contract
+-- cannot silently diverge when a boilerplate family outgrows the cap
+SELECT DISTINCT r.a AS doc_a, r.b AS doc_b
+FROM reach r
+JOIN node_comp nc ON nc.doc_id = r.a
+JOIN ok ON ok.cluster_id = nc.cluster_id
+WHERE r.a < r.b"""
     # component labeling + size report over the same reach relation;
     # the overflow channel = components above the cap (2 at test scale)
     sql["dedup_closure_overflow"] = f"""

@@ -1296,20 +1296,24 @@ pairs AS (
   JOIN norms nd ON nd.vec_id = dst_id
 ),
 sx AS (
-  SELECT src_id, sum(CAST(cos_sim AS DECIMAL(18,6))) AS sxv FROM (
+  SELECT src_id, sum(CAST(cos_sim AS DECIMAL(18,6))) AS sxv,
+         count(*) AS cx FROM (
     SELECT *, row_number() OVER (
         PARTITION BY src_id ORDER BY cos_sim DESC, dst_id) AS r
     FROM pairs) WHERE r <= 4 GROUP BY src_id
 ),
 sy AS (
-  SELECT dst_id, sum(CAST(cos_sim AS DECIMAL(18,6))) AS syv FROM (
+  SELECT dst_id, sum(CAST(cos_sim AS DECIMAL(18,6))) AS syv,
+         count(*) AS cy FROM (
     SELECT *, row_number() OVER (
         PARTITION BY dst_id ORDER BY cos_sim DESC, src_id) AS r
     FROM pairs) WHERE r <= 4 GROUP BY dst_id
 ),
 scored AS (
   SELECT p.src_id, p.dst_id, p.cos_sim,
-         round(p.cos_sim * 8 / CAST(sx.sxv + sy.syv AS DOUBLE), 6) AS margin
+         round(p.cos_sim /
+               ((CAST(sx.sxv AS DOUBLE) / sx.cx
+                 + CAST(sy.syv AS DOUBLE) / sy.cy) / 2), 6) AS margin
   FROM pairs p JOIN sx ON sx.src_id = p.src_id JOIN sy ON sy.dst_id = p.dst_id
 )
 SELECT src_id, dst_id, cos_sim, margin FROM (

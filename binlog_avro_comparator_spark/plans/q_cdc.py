@@ -594,10 +594,19 @@ def _binlog_binary_fixture_dir(spark, sf_dir) -> str:
         # rotation chain: each segment's successor by name order (the
         # `ls -v` contract); the file-name frame is segment-cardinality
         files = b.select("binlog_file").distinct()
+        # natural `ls -v` order, matching rotate_chain_audit's contract
         chain = files.select(
             "binlog_file",
             F.lead("binlog_file")
-            .over(Window.orderBy("binlog_file"))
+            .over(
+                Window.orderBy(
+                    F.regexp_replace(F.col("binlog_file"), r"\d+$", ""),
+                    F.regexp_extract(
+                        F.col("binlog_file"), r"(\d+)$", 1
+                    ).cast("long"),
+                    "binlog_file",
+                )
+            )
             .alias("__next_file"),
         )
         b = b.join(F.broadcast(chain), "binlog_file")

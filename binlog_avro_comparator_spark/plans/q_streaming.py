@@ -765,10 +765,14 @@ def _q_vocab_drift_stream(spark, sf_dir):
             F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))
         ).alias("word"),
     )
+    # the frozen vocabulary mirrors the batch gate EXACTLY: top-200 of
+    # the FULL word-count frame ordered by reference count (a corpus
+    # whose reference half has < 200 distinct words back-fills with
+    # n_ref = 0 current-only words in both forms -- a ref-half-only
+    # build would silently diverge there)
     ref_vocab = (
-        words.filter("__ref")
-        .groupBy("word")
-        .agg(F.count("*").alias("n_ref"))
+        words.groupBy("word")
+        .agg(F.sum(F.when(F.col("__ref"), 1).otherwise(0)).alias("n_ref"))
         .orderBy(F.col("n_ref").desc(), F.col("word"))
         .limit(200)
         .localCheckpoint()  # the frozen 200-row reference config

@@ -4080,3 +4080,21 @@ def test_range_sort_plan_balanced_vs_skewed(spark):
     )
     s = range_sort_plan(skewed).collect()
     assert max(r.balance_ratio for r in s) > 4.0  # the hot-key partition
+
+
+def test_knn_label_audit_degenerate_corpora(spark):
+    """A 0- or 1-vector corpus has no neighbors: the audit returns an
+    empty frame with the contract schema instead of crashing inside
+    argpartition."""
+    from binlog_avro_comparator_spark.operators.similarity import (
+        knn_label_audit)
+
+    one = spark.createDataFrame(
+        [(1, [1.0, 0.0], 3)], "vec_id long, embedding array<float>, label int"
+    )
+    got = knn_label_audit(one)
+    assert got.count() == 0
+    assert got.columns == [
+        "vec_id", "label", "knn_label", "n_votes", "n_agree", "mislabeled"]
+    empty = one.filter("vec_id < 0")
+    assert knn_label_audit(empty).count() == 0

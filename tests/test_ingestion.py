@@ -1532,3 +1532,27 @@ def test_rotate_decode_fuzz_never_raises():
         out = bb.decode_binlog_rotate("f", base[:cut])
         assert out[0] == "f"
     assert bb.decode_binlog_rotate("f", b"\x00" * 512)[1] is None
+
+
+def test_rotate_chain_natural_order_at_index_rollover(spark, tmp_path):
+    """`ls -v` semantics at the 6->7 digit rollover: lexicographic
+    ordering would place 1000000 before 999999 and report a false
+    CHAIN_GAP; natural ordering keeps the intact chain green."""
+    from binlog_avro_comparator_spark.operators.compare import rotate_chain_audit
+    from binlog_avro_comparator_spark.sources.binlog_binary import (
+        encode_binlog_file, read_binlog_rotate_dir)
+
+    evs = TestBinlogRowImages.EVS
+    (tmp_path / "mysql-bin.999999").write_bytes(
+        encode_binlog_file(evs, next_file="mysql-bin.1000000"))
+    (tmp_path / "mysql-bin.1000000").write_bytes(encode_binlog_file(evs))
+    got = {
+        r.binlog_file: r.status
+        for r in rotate_chain_audit(
+            read_binlog_rotate_dir(spark, str(tmp_path))
+        ).collect()
+    }
+    assert got == {
+        "mysql-bin.999999": "OK",
+        "mysql-bin.1000000": "ACTIVE_TAIL",
+    }

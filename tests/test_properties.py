@@ -1163,3 +1163,29 @@ def test_closure_matches_brute_reachability_and_conserves(spark, seed):
         for r in closure_overflow(docs, cap=cap, edges=e).collect()
     )
     assert capped + suppressed == len(brute), (seed, capped, suppressed)
+
+
+def test_prefix_filter_complete_at_float_hazard_threshold(spark):
+    """Completeness at a threshold whose IEEE product overshoots the
+    exact integer (0.56 * 25 = 14.000000000000002): a pair with Jaccard
+    exactly 14/25 = 0.56 sits ON the threshold and must be returned --
+    a plain ceil() in the length window would demand 15 shared tokens
+    and silently prune it (the round-7 review finding)."""
+    from binlog_avro_comparator_spark.operators.dedup import (
+        containment_pairs,
+        prefix_filter_pairs,
+    )
+
+    # k=3 word shingles: 25 distinct trigrams needs 27 words etc.; use
+    # synthetic single-token "words" spaced so trigram counts are exact
+    a_words = [f"w{i}" for i in range(27)]      # 25 trigrams
+    b_words = [f"w{i}" for i in range(16)]      # 14 trigrams, all in A
+    d = spark.createDataFrame(
+        [(1, " ".join(a_words)), (2, " ".join(b_words))],
+        "doc_id long, text string",
+    )
+    got = prefix_filter_pairs(d, threshold=0.56).collect()
+    assert len(got) == 1 and got[0].n_intersect == 14 and got[0].n_union == 25
+    # containment: 14/14 of B's shingles inside A at a hazard threshold
+    c = {(r.doc_src, r.doc_dst) for r in containment_pairs(d, threshold=0.56).collect()}
+    assert (2, 1) in c
