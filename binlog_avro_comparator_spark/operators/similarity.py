@@ -289,6 +289,55 @@ def embedding_near_dup_pairs(
     )
 
 
+def hyperplane_candidates(
+    embeddings: DataFrame,
+    n_planes: int = 4,
+    n_tables: int = 2,
+    corpus_rows: int | None = None,
+    target_bucket_rows: int = 1024,
+) -> DataFrame:
+    """DIRECTED same-bucket candidate pairs (a_id, b_id) for the ANN
+    consumers that need per-query neighbor candidates rather than the
+    undirected a<b dedup pairs of embedding_near_dup_pairs: both
+    (x, y) and (y, x) appear, because a kNN audit needs y among x's
+    candidates AND x among y's.
+
+    Same LSH geometry as embedding_near_dup_pairs (AND of ``n_planes``
+    sign bits within a table, OR across ``n_tables`` plane families);
+    pass ``corpus_rows`` to size planes via planes_for_corpus so
+    candidate volume stays linear in the corpus.  The bucketed
+    self-join is the ONLY join -- O(sum bucket^2), never O(n^2) -- and
+    the bucket key is the natural partition column at 100 TB.
+
+    Returns (a_id, b_id), distinct across tables."""
+    if corpus_rows is not None:
+        n_planes = planes_for_corpus(corpus_rows, target_bucket_rows)
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table_id"),
+                hyperplane_bucket(
+                    F.col("embedding"), n_planes, table=t
+                ).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    sides = embeddings.select(
+        "vec_id", F.explode(buckets).alias("tb")
+    ).select("vec_id", "tb.table_id", "tb.bucket")
+    return (
+        sides.alias("l")
+        .join(sides.alias("r"), on=["table_id", "bucket"])
+        .filter(F.col("l.vec_id") != F.col("r.vec_id"))
+        .select(
+            F.col("l.vec_id").alias("a_id"),
+            F.col("r.vec_id").alias("b_id"),
+        )
+        .distinct()
+    )
+
+
 def assign_centroids(
     embeddings: DataFrame,
     n_centroids: int = 16,
@@ -1276,12 +1325,80 @@ def embedding_label_drift(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def _bitext_topk_pass(
+    queries: DataFrame,
+    target: DataFrame,
+    k: int,
+    q_col: str,
+    t_col: str,
+) -> DataFrame:
+    """One direction of the bitext kNN: stream ``queries`` through
+    mapInPandas against the broadcast ``target`` matrix, keeping each
+    query row's top-``k`` INSIDE the Arrow batch (argpartition under
+    the module's rounded-cosine + id tie order) -- only n*k rows ever
+    reach a shuffle, never the n_q x n_t pair frame (the r7 advisory's
+    quadratic materialization).  Returns (q_col, t_col, cos_sim)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = queries.sparkSession
+    t_rows = target.select("vec_id", "embedding").collect()
+    t_ids = np.array([r.vec_id for r in t_rows], dtype=np.int64)
+    t_order = np.argsort(t_ids)  # id-ascending so rank breaks ties
+    t_ids = t_ids[t_order]
+    t_mat = np.array([r.embedding for r in t_rows], dtype=np.float64)[t_order]
+    t_norm = np.sqrt((t_mat * t_mat).sum(axis=1))
+    t_norm = np.where(t_norm == 0.0, 1.0, t_norm)  # zero vector -> cos 0
+    bt = spark.sparkContext.broadcast((t_ids, t_mat, t_norm))
+
+    schema = T.StructType(
+        [
+            T.StructField(q_col, T.LongType()),
+            T.StructField(t_col, T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def _score(batches):
+        ids_, mat_, nrm_ = bt.value
+        m = len(ids_)
+        k_ = min(k, m)
+        # id-ascending tie complement: larger rank = smaller id wins
+        tie = np.int64(m) - np.arange(m, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            s = np.array(list(pdf["embedding"]), dtype=np.float64)
+            sn = np.sqrt((s * s).sum(axis=1))
+            sn = np.where(sn == 0.0, 1.0, sn)
+            cos = np.round((s @ mat_.T) / np.outer(sn, nrm_), COS_ROUND)
+            key = np.round(cos * 10**COS_ROUND).astype(np.int64)
+            key *= np.int64(m + 1)
+            key += tie
+            top = np.argpartition(key, m - k_, axis=1)[:, m - k_:]
+            s_ids = pdf["vec_id"].to_numpy()
+            rows = np.arange(len(s_ids))[:, None]
+            yield pd.DataFrame(
+                {
+                    q_col: np.repeat(s_ids, k_),
+                    t_col: ids_[top].reshape(-1),
+                    "cos_sim": cos[rows, top].reshape(-1),
+                }
+            )
+
+    return queries.select("vec_id", "embedding").mapInPandas(
+        _score, schema=schema
+    )
+
+
 def bitext_margin_pairs(
     embeddings: DataFrame,
     src_label: int = 0,
     dst_label: int = 1,
     k: int = 4,
     threshold: float = 1.0,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Margin-based bitext mining (the published ratio-margin criterion
     of Artetxe & Schwenk, ACL 2019): candidate translation pairs
@@ -1294,91 +1411,90 @@ def bitext_margin_pairs(
     -- because raw cosine systematically over-selects HUB vectors
     (points near everything); the margin asks "is y closer to x than
     x's other neighbors are", which is what makes mined parallel pairs
-    usable as training data.  Returns the top-1 target per source with
-    margin >= ``threshold``: (src_id, dst_id, cos_sim, margin).
+    usable as training data.  As published, the pairs RANKED by margin
+    are the union of each side's k nearest neighbors (forward kNN of x
+    union backward kNN of y) -- the margin of a pair neither side
+    shortlists is never computed.  Returns the top-1 target per source
+    with margin >= ``threshold``: (src_id, dst_id, cos_sim, margin).
 
     Determinism: cosines are 6-dp rounded before any use (the module's
     ulp contract); the kNN sums accumulate as DECIMAL(18,6) so both
     engines add exactly, and the margin is ONE double division of
     exact quantities, rounded before ranking with a dst_id tie-break.
 
-    Scale shape: this is the exact broadcast-bounded form -- the
-    target segment's matrix broadcasts and each source Arrow batch
-    scores in ONE numpy GEMM (the cosine_topk_pandas discipline), the
-    kNN statistics are segment-cardinality aggregates, and the final
-    join of (sx, sy) back onto pairs is broadcast-sized.  At 100 TB
-    the pair GENERATION swaps to the LSH/IVF candidate tiers
-    (hyperplane_bucket keys on both segments); the margin algebra is
-    unchanged because it only needs each side's top-k, which bucketed
-    candidates preserve for exactly the high-cosine region the margin
-    cares about."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    spark = embeddings.sparkSession
-    d_rows = (
-        embeddings.filter(F.col("label") == dst_label)
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    d_ids = np.array([r.vec_id for r in d_rows], dtype=np.int64)
-    d_mat = np.array([r.embedding for r in d_rows], dtype=np.float64)
-    d_norm = np.sqrt((d_mat * d_mat).sum(axis=1))
-    d_norm = np.where(d_norm == 0.0, 1.0, d_norm)  # zero vector -> cos 0
-    bd = spark.sparkContext.broadcast((d_ids, d_mat, d_norm))
-
-    pair_schema = T.StructType(
-        [
-            T.StructField("src_id", T.LongType()),
-            T.StructField("dst_id", T.LongType()),
-            T.StructField("cos_sim", T.DoubleType()),
-        ]
-    )
-
-    def _score(batches):
-        ids_, mat_, nrm_ = bd.value
-        m = len(ids_)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            s = np.array(list(pdf["embedding"]), dtype=np.float64)
-            sn = np.sqrt((s * s).sum(axis=1))
-            sn = np.where(sn == 0.0, 1.0, sn)
-            cos = np.round((s @ mat_.T) / np.outer(sn, nrm_), COS_ROUND)
-            s_ids = pdf["vec_id"].to_numpy()
-            yield pd.DataFrame(
-                {
-                    "src_id": np.repeat(s_ids, m),
-                    "dst_id": np.tile(ids_, len(s_ids)),
-                    "cos_sim": cos.reshape(-1),
-                }
-            )
-
-    pairs = scoped_cache(
-        embeddings.filter(F.col("label") == src_label)
-        .select("vec_id", "embedding")
-        .mapInPandas(_score, schema=pair_schema)
-    )
+    Scale shape -- two tiers sharing the margin algebra:
+    * ``candidates=None`` (exact, the oracle twin): each direction is
+      one mapInPandas pass against the broadcast other-segment matrix
+      taking the per-row top-k INSIDE the Arrow batch, so only n*k
+      rows reach a shuffle (never the n_src x n_dst frame).  The
+      broadcast side is still a driver collect -- the demo-scale tier.
+    * ``candidates=(src_id, dst_id) frame`` (the 100 TB path): pair
+      generation comes from a bucketed tier (hyperplane_candidates /
+      IVF lists), cosines are JVM-side array folds on the joined
+      pairs, and the per-side top-k are windows WITHIN candidates --
+      no driver collect anywhere, every join a bucketed equi-join."""
+    src = embeddings.filter(F.col("label") == src_label)
+    dst = embeddings.filter(F.col("label") == dst_label)
+    if candidates is None:
+        fwd = _bitext_topk_pass(src, dst, k, "src_id", "dst_id")
+        bwd = _bitext_topk_pass(dst, src, k, "dst_id", "src_id").select(
+            "src_id", "dst_id", "cos_sim"
+        )
+    else:
+        s = with_norm(src).select(
+            F.col("vec_id").alias("src_id"),
+            F.col("embedding").alias("s_emb"),
+            F.when(F.col("norm") == 0, F.lit(1.0))
+            .otherwise(F.col("norm"))
+            .alias("s_norm"),
+        )
+        d = with_norm(dst).select(
+            F.col("vec_id").alias("dst_id"),
+            F.col("embedding").alias("d_emb"),
+            F.when(F.col("norm") == 0, F.lit(1.0))
+            .otherwise(F.col("norm"))
+            .alias("d_norm"),
+        )
+        cos = F.round(
+            _dot(F.col("s_emb"), F.col("d_emb"))
+            / (F.col("s_norm") * F.col("d_norm")),
+            COS_ROUND,
+        )
+        scored = scoped_cache(
+            candidates.select("src_id", "dst_id")
+            .distinct()
+            .join(s, "src_id")
+            .join(d, "dst_id")
+            .select("src_id", "dst_id", cos.alias("cos_sim"))
+        )
+        wf = Window.partitionBy("src_id").orderBy(
+            F.col("cos_sim").desc(), F.col("dst_id").asc()
+        )
+        fwd = (
+            scored.withColumn("__r", F.row_number().over(wf))
+            .filter(F.col("__r") <= k)
+            .drop("__r")
+        )
+        wb = Window.partitionBy("dst_id").orderBy(
+            F.col("cos_sim").desc(), F.col("src_id").asc()
+        )
+        bwd = (
+            scored.withColumn("__r", F.row_number().over(wb))
+            .filter(F.col("__r") <= k)
+            .drop("__r")
+        )
+    fwd = scoped_cache(fwd)
+    bwd = scoped_cache(bwd)
     cdec = F.col("cos_sim").cast("decimal(18,6)")
-    wx = Window.partitionBy("src_id").orderBy(
-        F.col("cos_sim").desc(), F.col("dst_id").asc()
+    sx = fwd.groupBy("src_id").agg(
+        F.sum(cdec).alias("__sx"), F.count("*").alias("__cx")
     )
-    sx = (
-        pairs.withColumn("__r", F.row_number().over(wx))
-        .filter(F.col("__r") <= k)
-        .groupBy("src_id")
-        .agg(F.sum(cdec).alias("__sx"), F.count("*").alias("__cx"))
+    sy = bwd.groupBy("dst_id").agg(
+        F.sum(cdec).alias("__sy"), F.count("*").alias("__cy")
     )
-    wy = Window.partitionBy("dst_id").orderBy(
-        F.col("cos_sim").desc(), F.col("src_id").asc()
-    )
-    sy = (
-        pairs.withColumn("__r", F.row_number().over(wy))
-        .filter(F.col("__r") <= k)
-        .groupBy("dst_id")
-        .agg(F.sum(cdec).alias("__sy"), F.count("*").alias("__cy"))
-    )
+    # the ranked pool is the UNION of the two shortlists (set union --
+    # a pair both sides shortlist scores once)
+    pool = fwd.union(bwd).dropDuplicates(["src_id", "dst_id"])
     # denominators use the ACTUAL neighbor counts (a segment smaller
     # than k must not halve its average and inflate every margin)
     avg_nn = (
@@ -1390,7 +1506,7 @@ def bitext_margin_pairs(
         F.col("margin").desc(), F.col("dst_id").asc()
     )
     return (
-        pairs.join(F.broadcast(sx), "src_id")
+        pool.join(F.broadcast(sx), "src_id")
         .join(F.broadcast(sy), "dst_id")
         .select("src_id", "dst_id", "cos_sim", margin.alias("margin"))
         .withColumn("__r", F.row_number().over(wm))
@@ -1399,7 +1515,43 @@ def bitext_margin_pairs(
     )
 
 
-def knn_label_audit(embeddings: DataFrame, k: int = 5) -> DataFrame:
+def _knn_majority(topk: DataFrame) -> DataFrame:
+    """Shared vote algebra of the kNN label audit: from a neighbor
+    frame (a_id, a_label, b_label) -- one row per (vector, neighbor)
+    -- to the per-vector majority verdict.  Deterministic: most votes,
+    then smallest label id, all distributive aggregates (candidate-
+    tier agnostic: exact GEMM top-k and bucketed-candidate top-k feed
+    the identical tail)."""
+    votes = topk.groupBy("a_id", "a_label", "b_label").agg(
+        F.count("*").alias("n_votes")
+    )
+    best = F.max(
+        F.struct(
+            F.col("n_votes"), (-F.col("b_label")).alias("__neg")
+        )
+    )
+    out = votes.groupBy(
+        F.col("a_id").alias("vec_id"), F.col("a_label").alias("label")
+    ).agg(
+        best.alias("__best"),
+        F.sum(
+            F.when(F.col("b_label") == F.col("a_label"), F.col("n_votes"))
+            .otherwise(F.lit(0))
+        ).alias("n_agree"),
+    )
+    return out.select(
+        "vec_id",
+        "label",
+        (-F.col("__best.__neg")).alias("knn_label"),
+        F.col("__best.n_votes").alias("n_votes"),
+        "n_agree",
+        ((-F.col("__best.__neg")) != F.col("label")).alias("mislabeled"),
+    )
+
+
+def knn_label_audit(
+    embeddings: DataFrame, k: int = 5, candidates: DataFrame | None = None
+) -> DataFrame:
     """kNN label-noise audit (the confident-learning recipe in its
     simplest distributed form): every vector's label is checked against
     the majority label of its k nearest neighbors by cosine -- a
@@ -1411,19 +1563,60 @@ def knn_label_audit(embeddings: DataFrame, k: int = 5) -> DataFrame:
     Cosines are 6-dp rounded before ranking (module ulp contract) with
     vec_id tie-breaks, so both engines pick identical neighbor sets.
 
-    Scale shape: the test-scale exact path broadcasts the corpus
-    matrix and scores each Arrow batch with ONE numpy GEMM, taking the
-    per-row top-k INSIDE the batch (argsort under the same rounded-
-    cosine + vec_id tie order) -- so only n*k rows ever reach a
-    shuffle, never the n^2 pair frame.  At corpus scale the candidate
-    generation swaps to the hyperplane-bucket tiers
-    (embedding_near_dup_pairs) exactly like every other ANN consumer
-    -- the vote algebra downstream of the top-k frame is unchanged.
+    Scale shape -- two tiers feeding one vote tail (_knn_majority):
+    * ``candidates=None`` (exact, the oracle twin): broadcast the
+      corpus matrix and score each Arrow batch with ONE numpy GEMM,
+      taking the per-row top-k INSIDE the batch (argpartition under
+      the same rounded-cosine + vec_id tie order) -- so only n*k rows
+      ever reach a shuffle, never the n^2 pair frame.  The broadcast
+      is still a driver collect: the demo-scale tier.
+    * ``candidates=(a_id, b_id) frame`` (the 100 TB path): neighbor
+      candidates come from a bucketed tier (hyperplane_candidates /
+      IVF lists), cosines are JVM-side array folds on the joined
+      pairs, top-k is a window WITHIN candidates -- no driver collect,
+      no all-pairs anything; vectors the bucketing leaves candidate-
+      less are absent from the audit (the documented LSH recall
+      trade, tuned by planes/tables).
     Returns (vec_id, label, knn_label, n_votes, n_agree,
     mislabeled)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
+
+    if candidates is not None:
+        emb = with_norm(embeddings)
+        nz = F.when(F.col("norm") == 0, F.lit(1.0)).otherwise(F.col("norm"))
+        a = emb.select(
+            F.col("vec_id").alias("a_id"),
+            F.col("embedding").alias("a_emb"),
+            nz.alias("a_norm"),
+            F.col("label").alias("a_label"),
+        )
+        b = emb.select(
+            F.col("vec_id").alias("b_id"),
+            F.col("embedding").alias("b_emb"),
+            nz.alias("b_norm"),
+            F.col("label").alias("b_label"),
+        )
+        cos = F.round(
+            _dot(F.col("a_emb"), F.col("b_emb"))
+            / (F.col("a_norm") * F.col("b_norm")),
+            COS_ROUND,
+        )
+        w = Window.partitionBy("a_id").orderBy(
+            F.col("cos_sim").desc(), F.col("b_id").asc()
+        )
+        topk_c = (
+            candidates.select("a_id", "b_id")
+            .filter(F.col("a_id") != F.col("b_id"))
+            .distinct()
+            .join(a, "a_id")
+            .join(b, "b_id")
+            .select("a_id", "a_label", "b_id", "b_label", cos.alias("cos_sim"))
+            .withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= k)
+        )
+        return _knn_majority(topk_c.select("a_id", "a_label", "b_label"))
 
     spark = embeddings.sparkSession
     corpus = embeddings.select("vec_id", "embedding", "label").collect()
@@ -1501,28 +1694,4 @@ def knn_label_audit(embeddings: DataFrame, k: int = 5) -> DataFrame:
     topk = embeddings.select("vec_id", "embedding", "label").mapInPandas(
         _topk, schema=out_schema
     )
-    votes = topk.groupBy("a_id", "a_label", "b_label").agg(
-        F.count("*").alias("n_votes")
-    )
-    best = F.max(
-        F.struct(
-            F.col("n_votes"), (-F.col("b_label")).alias("__neg")
-        )
-    )
-    out = votes.groupBy(
-        F.col("a_id").alias("vec_id"), F.col("a_label").alias("label")
-    ).agg(
-        best.alias("__best"),
-        F.sum(
-            F.when(F.col("b_label") == F.col("a_label"), F.col("n_votes"))
-            .otherwise(F.lit(0))
-        ).alias("n_agree"),
-    )
-    return out.select(
-        "vec_id",
-        "label",
-        (-F.col("__best.__neg")).alias("knn_label"),
-        F.col("__best.n_votes").alias("n_votes"),
-        "n_agree",
-        ((-F.col("__best.__neg")) != F.col("label")).alias("mislabeled"),
-    )
+    return _knn_majority(topk)

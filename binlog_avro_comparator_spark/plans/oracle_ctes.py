@@ -502,18 +502,38 @@ FROM (
 WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}"""
 
 
-def _hyperplane_bucket_sql(n_planes: int = 8) -> str:
+def _hyperplane_bucket_sql(n_planes: int = 8, table: int = 0) -> str:
     """DuckDB mirror of similarity.hyperplane_bucket over unnested
-    embeddings (dimension index `ord` is 1-based, Spark's is 0-based)."""
+    embeddings (dimension index `ord` is 1-based, Spark's is 0-based).
+    ``table`` selects the same disjoint plane-family slice the Spark
+    side uses for LSH OR-construction."""
     def lit_list(p: int) -> str:
         # same literal weights as the Spark plan (similarity.plane_signs)
         return "[" + ",".join(str(s) for s in plane_signs(p)) + "]::DOUBLE[]"
 
     bits = " || ".join(
         f"(CASE WHEN sum(v * ({lit_list(p)})[ord]) >= 0 THEN '1' ELSE '0' END)"
-        for p in range(n_planes)
+        for p in range(table * n_planes, (table + 1) * n_planes)
     )
     return f"SELECT vec_id, {bits} AS bucket FROM ex GROUP BY vec_id"
+
+
+def _hyperplane_candidates_sql(n_planes: int = 4, n_tables: int = 2) -> str:
+    """DuckDB mirror of similarity.hyperplane_candidates: DIRECTED
+    distinct same-bucket pairs, OR-construction across ``n_tables``
+    disjoint plane families.  Expects an ``ex`` CTE in scope
+    (vec_id, ord, v unnested embeddings)."""
+    unions = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, bucket FROM "
+        f"({_hyperplane_bucket_sql(n_planes, table=t)})"
+        for t in range(n_tables)
+    )
+    return (
+        f"WITH tb AS ({unions}) "
+        "SELECT DISTINCT l.vec_id AS a_id, r.vec_id AS b_id "
+        "FROM tb l JOIN tb r ON l.t = r.t AND l.bucket = r.bucket "
+        "AND l.vec_id <> r.vec_id"
+    )
 
 
 def _redact_pii_sql() -> str:

@@ -1295,26 +1295,33 @@ pairs AS (
   JOIN norms ns ON ns.vec_id = src_id
   JOIN norms nd ON nd.vec_id = dst_id
 ),
-sx AS (
-  SELECT src_id, sum(CAST(cos_sim AS DECIMAL(18,6))) AS sxv,
-         count(*) AS cx FROM (
+fwd AS (
+  SELECT src_id, dst_id, cos_sim FROM (
     SELECT *, row_number() OVER (
         PARTITION BY src_id ORDER BY cos_sim DESC, dst_id) AS r
-    FROM pairs) WHERE r <= 4 GROUP BY src_id
+    FROM pairs) WHERE r <= 4
+),
+bwd AS (
+  SELECT src_id, dst_id, cos_sim FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY dst_id ORDER BY cos_sim DESC, src_id) AS r
+    FROM pairs) WHERE r <= 4
+),
+sx AS (
+  SELECT src_id, sum(CAST(cos_sim AS DECIMAL(18,6))) AS sxv,
+         count(*) AS cx FROM fwd GROUP BY src_id
 ),
 sy AS (
   SELECT dst_id, sum(CAST(cos_sim AS DECIMAL(18,6))) AS syv,
-         count(*) AS cy FROM (
-    SELECT *, row_number() OVER (
-        PARTITION BY dst_id ORDER BY cos_sim DESC, src_id) AS r
-    FROM pairs) WHERE r <= 4 GROUP BY dst_id
+         count(*) AS cy FROM bwd GROUP BY dst_id
 ),
+pool AS (SELECT * FROM fwd UNION SELECT * FROM bwd),
 scored AS (
   SELECT p.src_id, p.dst_id, p.cos_sim,
          round(p.cos_sim /
                ((CAST(sx.sxv AS DOUBLE) / sx.cx
                  + CAST(sy.syv AS DOUBLE) / sy.cy) / 2), 6) AS margin
-  FROM pairs p JOIN sx ON sx.src_id = p.src_id JOIN sy ON sy.dst_id = p.dst_id
+  FROM pool p JOIN sx ON sx.src_id = p.src_id JOIN sy ON sy.dst_id = p.dst_id
 )
 SELECT src_id, dst_id, cos_sim, margin FROM (
   SELECT *, row_number() OVER (
@@ -1372,6 +1379,137 @@ SELECT b.a_id AS vec_id, b.a_label AS label, b.b_label AS knn_label,
        b.b_label <> b.a_label AS mislabeled
 FROM best b JOIN agree a ON a.a_id = b.a_id
 WHERE b.r = 1"""
+
+    # kNN label audit, BUCKETED tier: identical vote tail, candidates
+    # restricted to LSH same-bucket pairs (4 planes x 2 OR-tables --
+    # the same literal plane weights as the Spark plan)
+    sql["embedding_knn_audit_bucketed"] = f"""
+WITH ex AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS ord,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id,
+         CASE WHEN sqrt(sum(v * v)) = 0 THEN 1.0
+              ELSE sqrt(sum(v * v)) END AS norm
+  FROM ex GROUP BY vec_id
+),
+labels AS (SELECT DISTINCT vec_id, label FROM ex),
+cand AS ({_hyperplane_candidates_sql(4, 2)}),
+dots AS (
+  SELECT c.a_id, c.b_id, sum(a.v * b.v) AS dot
+  FROM cand c
+  JOIN ex a ON a.vec_id = c.a_id
+  JOIN ex b ON b.vec_id = c.b_id AND b.ord = a.ord
+  GROUP BY 1, 2
+),
+topk AS (
+  SELECT * FROM (
+    SELECT d.a_id, d.b_id,
+           row_number() OVER (
+             PARTITION BY d.a_id
+             ORDER BY round(d.dot / (na.norm * nb.norm), 6) DESC,
+                      d.b_id) AS r
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.a_id
+    JOIN norms nb ON nb.vec_id = d.b_id
+  ) WHERE r <= 5
+),
+votes AS (
+  SELECT t.a_id, la.label AS a_label, lb.label AS b_label,
+         count(*) AS n_votes
+  FROM topk t
+  JOIN labels la ON la.vec_id = t.a_id
+  JOIN labels lb ON lb.vec_id = t.b_id
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY a_id ORDER BY n_votes DESC, b_label ASC) AS r
+  FROM votes
+),
+agree AS (
+  SELECT a_id, coalesce(sum(CASE WHEN b_label = a_label
+                                 THEN n_votes END), 0) AS n_agree
+  FROM votes GROUP BY a_id
+)
+SELECT b.a_id AS vec_id, b.a_label AS label, b.b_label AS knn_label,
+       b.n_votes, CAST(a.n_agree AS BIGINT) AS n_agree,
+       b.b_label <> b.a_label AS mislabeled
+FROM best b JOIN agree a ON a.a_id = b.a_id
+WHERE b.r = 1"""
+
+    # bitext margin mining, BUCKETED tier: candidate pairs from shared
+    # hyperplane buckets restricted to (src label 0, dst label 1), the
+    # same fwd/bwd shortlist + union-pool margin tail as the exact form
+    sql["embedding_bitext_margin_bucketed"] = f"""
+WITH ex AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS ord,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id,
+         CASE WHEN sqrt(sum(v * v)) = 0 THEN 1.0
+              ELSE sqrt(sum(v * v)) END AS norm
+  FROM ex GROUP BY vec_id
+),
+labels AS (SELECT DISTINCT vec_id, label FROM ex),
+cand0 AS ({_hyperplane_candidates_sql(4, 2)}),
+cand AS (
+  SELECT c.a_id AS src_id, c.b_id AS dst_id
+  FROM cand0 c
+  JOIN labels la ON la.vec_id = c.a_id AND la.label = 0
+  JOIN labels lb ON lb.vec_id = c.b_id AND lb.label = 1
+),
+dots AS (
+  SELECT c.src_id, c.dst_id, sum(a.v * b.v) AS dot
+  FROM cand c
+  JOIN ex a ON a.vec_id = c.src_id
+  JOIN ex b ON b.vec_id = c.dst_id AND b.ord = a.ord
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT src_id, dst_id,
+         round(dot / (ns.norm * nd.norm), 6) AS cos_sim
+  FROM dots
+  JOIN norms ns ON ns.vec_id = src_id
+  JOIN norms nd ON nd.vec_id = dst_id
+),
+fwd AS (
+  SELECT src_id, dst_id, cos_sim FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY src_id ORDER BY cos_sim DESC, dst_id) AS r
+    FROM pairs) WHERE r <= 4
+),
+bwd AS (
+  SELECT src_id, dst_id, cos_sim FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY dst_id ORDER BY cos_sim DESC, src_id) AS r
+    FROM pairs) WHERE r <= 4
+),
+sx AS (
+  SELECT src_id, sum(CAST(cos_sim AS DECIMAL(18,6))) AS sxv,
+         count(*) AS cx FROM fwd GROUP BY src_id
+),
+sy AS (
+  SELECT dst_id, sum(CAST(cos_sim AS DECIMAL(18,6))) AS syv,
+         count(*) AS cy FROM bwd GROUP BY dst_id
+),
+pool AS (SELECT * FROM fwd UNION SELECT * FROM bwd),
+scored AS (
+  SELECT p.src_id, p.dst_id, p.cos_sim,
+         round(p.cos_sim /
+               ((CAST(sx.sxv AS DOUBLE) / sx.cx
+                 + CAST(sy.syv AS DOUBLE) / sy.cy) / 2), 6) AS margin
+  FROM pool p JOIN sx ON sx.src_id = p.src_id JOIN sy ON sy.dst_id = p.dst_id
+)
+SELECT src_id, dst_id, cos_sim, margin FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY src_id ORDER BY margin DESC, dst_id) AS r
+  FROM scored
+) WHERE r = 1 AND margin >= 1.0"""
 
     # streaming content-drift monitor == the batch gate by construction
     sql["corpus_vocab_drift_stream"] = sql["corpus_vocab_drift"]

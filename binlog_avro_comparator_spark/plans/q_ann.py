@@ -379,6 +379,43 @@ def _q_knn_label_audit(spark, sf_dir):
     return knn_label_audit(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_knn_audit_bucketed(spark, sf_dir):
+    """kNN label-noise audit on the SCALE path
+    (similarity.knn_label_audit with candidates= from
+    similarity.hyperplane_candidates): neighbor candidates are LSH
+    same-bucket pairs (4 planes x 2 OR-tables), cosines JVM-side array
+    folds, top-k a window WITHIN candidates -- the no-driver-collect
+    tier the r7 verdict asked to make callable.  Same vote tail as the
+    exact audit."""
+    ensure_session_conf(spark)
+    from ..operators.similarity import hyperplane_candidates, knn_label_audit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = hyperplane_candidates(emb, n_planes=4, n_tables=2)
+    return knn_label_audit(emb, candidates=cand)
+
+
+def _q_bitext_margin_bucketed(spark, sf_dir):
+    """Margin-based bitext mining on the SCALE path
+    (similarity.bitext_margin_pairs with candidates=): cross-segment
+    candidate pairs from shared hyperplane buckets (4 planes x 2
+    OR-tables), per-side kNN statistics as windows within candidates,
+    margin algebra unchanged -- no driver collect anywhere."""
+    ensure_session_conf(spark)
+    from ..operators.similarity import (
+        bitext_margin_pairs,
+        hyperplane_candidates,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = hyperplane_candidates(emb, n_planes=4, n_tables=2).select(
+        F.col("a_id").alias("src_id"), F.col("b_id").alias("dst_id")
+    )
+    return bitext_margin_pairs(
+        emb, src_label=0, dst_label=1, candidates=cand
+    )
+
+
 def _q_ivf_list_balance(spark, sf_dir):
     """IVF index health: per-centroid posting-list sizes and load
     factor (n / mean) from the verified k-means assignment -- the

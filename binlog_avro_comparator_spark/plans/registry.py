@@ -39,6 +39,19 @@ def queries() -> dict[str, QueryFn]:
     # not, are value-verified locally each round at sf0.01 by
     # scratch/check.py -- see FULLSWEEP_r07.md.
     return {
+        # -- NEW or CHANGED in r8: lead the driver window (r3 freeze
+        # rule).  The two *_bucketed entries are the r7 verdict's
+        # top item (candidates= scale path for the embedding audits);
+        # embedding_bitext_margin is re-certified because the ranked
+        # pool changed to the published union-of-shortlists;
+        # embedding_knn_label_audit re-certifies the shared-vote-tail
+        # refactor; the cdc_* entries re-certify the ADVICE fixes
+        # (per-UUID watermark, total rotate ordering, byte-offset
+        # stream resume). --
+        "embedding_knn_audit_bucketed": _q_knn_audit_bucketed,
+        "embedding_bitext_margin_bucketed": _q_bitext_margin_bucketed,
+        "embedding_bitext_margin": _q_bitext_margin,
+        "embedding_knn_label_audit": _q_knn_label_audit,
         # -- r6 tail that never landed in a driver window (the r6 batch
         # overflowed the 50-entry window): these 24 lead round 7 so each
         # finally gets a CORRECTNESS row (r3 freeze rule) --
@@ -70,8 +83,6 @@ def queries() -> dict[str, QueryFn]:
         "dedup_closure_overflow": _q_closure_overflow,
         "cdc_avro_logical_scan": _q_cdc_avro_logical_scan,
         "cdc_rotate_chain": _q_cdc_rotate_chain,
-        "embedding_bitext_margin": _q_bitext_margin,
-        "embedding_knn_label_audit": _q_knn_label_audit,
         "cdc_parse_stream_pyds": _q_cdc_parse_stream_pyds,
         "cdc_avro_schema_census": _q_cdc_avro_schema_census,
         "lineitem_range_sort_plan": _q_range_sort_plan,

@@ -4098,3 +4098,100 @@ def test_knn_label_audit_degenerate_corpora(spark):
         "vec_id", "label", "knn_label", "n_votes", "n_agree", "mislabeled"]
     empty = one.filter("vec_id < 0")
     assert knn_label_audit(empty).count() == 0
+
+
+def test_knn_label_audit_candidate_path(spark):
+    """The candidates= scale tier (r8, the r7 verdict's top item): with
+    the COMPLETE pair set as candidates the audit equals the exact
+    GEMM tier row-for-row (the vote tail is shared, the top-k order
+    identical), and with bucketed candidates the planted mislabel is
+    still the one flagged vector -- all without any driver-side corpus
+    collect in the plan."""
+    from pyspark.sql import functions as F
+    from binlog_avro_comparator_spark.operators.similarity import (
+        hyperplane_candidates, knn_label_audit)
+
+    rows = []
+    for i in range(6):
+        rows.append((i, [10.0, float(i % 3), 0.0, 0.0], 7))
+    for i in range(6):
+        rows.append((100 + i, [0.0, 0.0, 10.0, float(i % 3)], 3))
+    rows.append((999, [10.0, 1.5, 0.0, 0.0], 3))  # in cluster A, labeled B
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    ids = emb.select(F.col("vec_id").alias("a_id"))
+    allpairs = ids.crossJoin(emb.select(F.col("vec_id").alias("b_id")))
+    exact = sorted(tuple(r) for r in knn_label_audit(emb, k=5).collect())
+    via_cand = sorted(
+        tuple(r) for r in knn_label_audit(emb, k=5, candidates=allpairs).collect()
+    )
+    assert via_cand == exact
+    bucketed = knn_label_audit(
+        emb, k=5, candidates=hyperplane_candidates(emb, n_planes=2, n_tables=2)
+    ).collect()
+    flagged = {r.vec_id for r in bucketed if r.mislabeled}
+    assert 999 in flagged
+    by_id = {r.vec_id: r for r in bucketed}
+    assert by_id[999].knn_label == 7
+
+
+def test_bitext_margin_candidate_path(spark):
+    """bitext_margin_pairs candidates= tier: the complete cross-segment
+    pair set reproduces the exact tier row-for-row, and bucketed
+    candidates still mine every planted translation (no hub steal)."""
+    import math
+    from pyspark.sql import functions as F
+    from binlog_avro_comparator_spark.operators.similarity import (
+        bitext_margin_pairs, hyperplane_candidates)
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    dim = 8
+    srcs = []
+    for i in range(5):
+        v = [0.1] * dim
+        v[i] = 1.0
+        srcs.append(unit(v))
+    hub = unit([sum(v[d] for v in srcs) for d in range(dim)])
+    rows = []
+    for i, v in enumerate(srcs):
+        rows.append((i, v, 0))
+        w = list(v)
+        w[(i + 1) % dim] += 0.01
+        rows.append((100 + i, unit(w), 1))
+    rows.append((999, hub, 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    full = (
+        emb.filter("label = 0")
+        .select(F.col("vec_id").alias("src_id"))
+        .crossJoin(
+            emb.filter("label = 1").select(F.col("vec_id").alias("dst_id"))
+        )
+    )
+    exact = sorted(
+        tuple(r) for r in bitext_margin_pairs(emb, k=2, threshold=1.0).collect()
+    )
+    via_cand = sorted(
+        tuple(r)
+        for r in bitext_margin_pairs(
+            emb, k=2, threshold=1.0, candidates=full
+        ).collect()
+    )
+    assert via_cand == exact
+    cand = hyperplane_candidates(emb, n_planes=2, n_tables=2).select(
+        F.col("a_id").alias("src_id"), F.col("b_id").alias("dst_id")
+    )
+    mined = {
+        r.src_id: r
+        for r in bitext_margin_pairs(
+            emb, k=2, threshold=1.0, candidates=cand
+        ).collect()
+    }
+    for i in mined:
+        assert mined[i].dst_id == 100 + i, f"hub stole source {i}"
+    assert len(mined) >= 3  # 2-plane buckets keep most true pairs
