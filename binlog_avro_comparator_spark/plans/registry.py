@@ -52,6 +52,7 @@ def queries() -> dict[str, QueryFn]:
         "embedding_bitext_margin_bucketed": _q_bitext_margin_bucketed,
         "embedding_bitext_margin": _q_bitext_margin,
         "embedding_knn_label_audit": _q_knn_label_audit,
+        "cdc_parse_stream_pyds": _q_cdc_parse_stream_pyds,
         # -- r6 tail that never landed in a driver window (the r6 batch
         # overflowed the 50-entry window): these 24 lead round 7 so each
         # finally gets a CORRECTNESS row (r3 freeze rule) --
@@ -83,7 +84,6 @@ def queries() -> dict[str, QueryFn]:
         "dedup_closure_overflow": _q_closure_overflow,
         "cdc_avro_logical_scan": _q_cdc_avro_logical_scan,
         "cdc_rotate_chain": _q_cdc_rotate_chain,
-        "cdc_parse_stream_pyds": _q_cdc_parse_stream_pyds,
         "cdc_avro_schema_census": _q_cdc_avro_schema_census,
         "lineitem_range_sort_plan": _q_range_sort_plan,
         "corpus_shingle_saturation": _q_shingle_saturation,

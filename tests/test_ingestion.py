@@ -1506,6 +1506,62 @@ def test_pyds_stream_reader_offsets_resume(spark, tmp_path):
     assert third == second  # nothing new, nothing re-read
 
 
+def test_pyds_stream_reader_tails_growing_segment(spark, tmp_path):
+    """Byte-offset resume (r8, the reference's `-offset 4` idiom as a
+    streaming offset): an ACTIVE segment that grows between triggers is
+    consumed incrementally -- each restart reads exactly the appended
+    delta with continuing line numbers; a torn final line (no newline
+    yet) is never emitted until the newline lands; rotation after
+    growth picks up the frozen tail plus the new segment."""
+    from binlog_avro_comparator_spark.sources.pyds import (
+        register_binlog_text_source)
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    register_binlog_text_source(spark)
+    (src / "mysql-bin.000001.txt").write_text("a1\na2\n")
+    (src / "mysql-bin.000002.txt").write_text("b1\n")
+
+    def drain():
+        q = (
+            spark.readStream.format("binlogtext").option("path", str(src))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+        return sorted(tuple(r) for r in spark.read.parquet(out).collect())
+
+    assert len(drain()) == 3
+    # the ACTIVE segment grows: only the delta is read, line_no continues
+    with open(src / "mysql-bin.000002.txt", "a") as f:
+        f.write("b2\nb3\n")
+    second = drain()
+    assert [r for r in second if r[0] == "mysql-bin.000002"] == [
+        ("mysql-bin.000002", 1, "b1"),
+        ("mysql-bin.000002", 2, "b2"),
+        ("mysql-bin.000002", 3, "b3"),
+    ]
+    # a torn line (no terminating newline) is not emitted yet
+    with open(src / "mysql-bin.000002.txt", "a") as f:
+        f.write("b4")
+    assert drain() == second
+    # the newline lands and the segment rotates out: the tail line and
+    # the new segment arrive in one batch, numbering intact
+    with open(src / "mysql-bin.000002.txt", "a") as f:
+        f.write("\n")
+    (src / "mysql-bin.000003.txt").write_text("c1\n")
+    final = drain()
+    assert ("mysql-bin.000002", 4, "b4") in final
+    assert ("mysql-bin.000003", 1, "c1") in final
+    assert len(final) == len(second) + 2
+
+
 def test_rotate_decode_fuzz_never_raises():
     """decode_binlog_rotate holds the module's tolerance contract on
     arbitrary bytes: random corruptions of a real segment, truncations,
