@@ -1475,6 +1475,95 @@ def bpe_merge_candidates(documents: DataFrame, k: int = 20) -> DataFrame:
     return top.withColumn("merge_rank", F.row_number().over(w))
 
 
+def bpe_train(documents: DataFrame, n_merges: int = 8) -> DataFrame:
+    """ITERATED byte-pair-encoding vocabulary induction (the full
+    Sennrich et al. 2016 trainer loop, not just one candidate count):
+    repeat ``n_merges`` times -- count every adjacent symbol pair
+    across the distinct-word table weighted by word frequency, merge
+    the most frequent pair (ties: lexicographic (left, right)) into a
+    new symbol everywhere, greedy left-to-right within each word, and
+    RE-COUNT on the merged symbols.  The output is the merges table a
+    tokenizer ships: (merge_rank, left_sym, right_sym, pair_count).
+
+    Scale shape (the pagerank discipline): the corpus is scanned ONCE
+    (map-side-combined word count); every iteration after runs on the
+    vocab-sized (word, freq, symbols) frame -- one pair-count shuffle
+    plus one narrow array-fold projection -- and the only driver
+    traffic is the 1-row argmax collect per iteration (integer counts,
+    deterministic tie-break, never a data-sized collect).  The greedy
+    merge application is a JVM-side ``aggregate`` fold over the symbol
+    array: append each symbol, or replace the accumulator's tail with
+    the merged token when (tail, next) equals the chosen pair --
+    exactly the textbook non-overlapping left-to-right rule ('aaaa'
+    under ('a','a') becomes ['aa','aa']: a token minted by this pass
+    never re-merges within the pass, because its string differs from
+    the pair's left side).
+
+    Stops early when no adjacent pairs remain (every word fused to one
+    token); the merges frame then has fewer than ``n_merges`` rows.
+
+    Reference tie-in: the reference has no tokenizer, but its corpus
+    twin (SURVEY.md extension mandate) needs one; bpe_merge_candidates
+    (one iteration, top-k report) remains the diagnostic view."""
+    spark = documents.sparkSession
+    words = documents.select(
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))
+        ).alias("word")
+    )
+    cur = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .select("n", F.split(F.col("word"), "").alias("syms"))
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    prev_cached = None
+    for rank in range(1, n_merges + 1):
+        cur = cur.cache()
+        pair_structs = F.when(
+            F.size("syms") > 1,
+            F.expr(
+                "transform(sequence(1, size(syms) - 1), "
+                "i -> struct(syms[i - 1] AS l, syms[i] AS r))"
+            ),
+        ).otherwise(F.expr("array()"))
+        best = (
+            cur.select("n", F.explode(pair_structs).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("n").cast("long").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if prev_cached is not None:
+            prev_cached.unpersist(blocking=False)
+        prev_cached = cur
+        if not best:
+            break
+        l, r, c = best[0].l, best[0].r, best[0].c
+        merges.append((rank, l, r, int(c)))
+        fold = F.aggregate(
+            F.col("syms"),
+            F.expr("CAST(array() AS ARRAY<STRING>)"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(l))
+                & (s == F.lit(r)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(F.element_at(acc, -1), s)),
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        cur = cur.select("n", fold.alias("syms"))
+    if prev_cached is not None:
+        prev_cached.unpersist(blocking=False)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string, pair_count long",
+    )
+
+
 def leakage_safe_splits(
     documents: DataFrame, weights: tuple[int, int, int] = (90, 5, 5)
 ) -> DataFrame:

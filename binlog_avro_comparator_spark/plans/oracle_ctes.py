@@ -536,6 +536,79 @@ def _hyperplane_candidates_sql(n_planes: int = 4, n_tables: int = 2) -> str:
     )
 
 
+def _bpe_train_sql(n_merges: int = 8) -> str:
+    """DuckDB mirror of textstats.bpe_train, the iterated BPE trainer,
+    as ``n_merges`` mechanically-unrolled CTE blocks (the pagerank
+    oracle discipline: fixed iteration count, integer counts, exact
+    tie-breaks).  The greedy left-to-right merge application is the
+    window-parity form: within each run of CONSECUTIVE eligible
+    positions (only possible when left==right), keep the odd ranks --
+    provably the same picks as the Spark side's array fold -- then drop
+    every position consumed by the merge on its left and re-number."""
+    from ..operators.textstats import TOKEN_RE
+
+    ctes = [
+        f"""w AS MATERIALIZED (
+  SELECT word, count(*) AS n FROM (
+    SELECT unnest(regexp_extract_all(text, '{TOKEN_RE}')) AS word
+    FROM documents
+  ) GROUP BY word
+)""",
+        """s0 AS MATERIALIZED (
+  SELECT word, n, pos, substring(word, pos, 1) AS sym FROM (
+    SELECT word, n, unnest(generate_series(1, length(word))) AS pos
+    FROM w
+  )
+)""",
+    ]
+    for i in range(1, n_merges + 1):
+        p = f"s{i - 1}"
+        ctes.append(f"""b{i} AS MATERIALIZED (
+  SELECT a.sym AS l, b.sym AS r, sum(a.n) AS c
+  FROM {p} a JOIN {p} b ON b.word = a.word AND b.pos = a.pos + 1
+  GROUP BY 1, 2 ORDER BY c DESC, l, r LIMIT 1
+)""")
+        ctes.append(f"""e{i} AS MATERIALIZED (
+  SELECT a.word, a.n, a.pos, a.sym, b.sym AS next_sym,
+         CASE WHEN a.sym = bb.l AND b.sym = bb.r THEN 1 ELSE 0 END AS elig
+  FROM {p} a
+  LEFT JOIN {p} b ON b.word = a.word AND b.pos = a.pos + 1
+  CROSS JOIN b{i} bb
+)""")
+        ctes.append(f"""m{i} AS MATERIALIZED (
+  SELECT word, pos FROM (
+    SELECT word, pos, elig,
+           row_number() OVER (
+             PARTITION BY word, elig, grp ORDER BY pos) AS rk
+    FROM (
+      SELECT *, pos - row_number() OVER (
+          PARTITION BY word, elig ORDER BY pos) AS grp
+      FROM e{i}
+    )
+  ) WHERE elig = 1 AND rk % 2 = 1
+)""")
+        ctes.append(f"""s{i} AS MATERIALIZED (
+  SELECT word, n,
+         CAST(row_number() OVER (PARTITION BY word ORDER BY pos)
+              AS BIGINT) AS pos,
+         CASE WHEN merged THEN sym || next_sym ELSE sym END AS sym
+  FROM (
+    SELECT e.word, e.n, e.pos, e.sym, e.next_sym,
+           (m.pos IS NOT NULL) AS merged
+    FROM e{i} e
+    LEFT JOIN m{i} m ON m.word = e.word AND m.pos = e.pos
+    LEFT JOIN m{i} prev ON prev.word = e.word AND prev.pos = e.pos - 1
+    WHERE prev.pos IS NULL
+  )
+)""")
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_rank, l AS left_sym, r AS right_sym, "
+        f"CAST(c AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
 def _redact_pii_sql() -> str:
     """DuckDB twin of redact_pii over _inject_pii: the injection CASEs
     are stated verbatim, then each pattern counts-then-replaces on the

@@ -1380,6 +1380,10 @@ SELECT b.a_id AS vec_id, b.a_label AS label, b.b_label AS knn_label,
 FROM best b JOIN agree a ON a.a_id = b.a_id
 WHERE b.r = 1"""
 
+    # iterated BPE trainer: 8 mechanically-unrolled merge rounds
+    # (window-parity greedy application -- see _bpe_train_sql)
+    sql["corpus_bpe_vocab"] = _bpe_train_sql(8)
+
     # kNN label audit, BUCKETED tier: identical vote tail, candidates
     # restricted to LSH same-bucket pairs (4 planes x 2 OR-tables --
     # the same literal plane weights as the Spark plan)

@@ -302,6 +302,18 @@ def _q_bpe_merges(spark, sf_dir):
     return bpe_merge_candidates(_docs(spark, sf_dir))
 
 
+def _q_bpe_vocab(spark, sf_dir):
+    """The FULL iterated BPE trainer (textstats.bpe_train, r7 verdict
+    item 3): 8 merge rounds over the distinct-word table, greedy
+    left-to-right application, re-count after every merge -- the
+    merges table a tokenizer ships, vs. bpe_merge_candidates' single
+    diagnostic iteration."""
+    ensure_session_conf(spark)
+    from ..operators.textstats import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), n_merges=8)
+
+
 def _q_top_terms_udtf(spark, sf_dir):
     ensure_session_conf(spark)
     from ..operators.textstats import top_terms_per_doc

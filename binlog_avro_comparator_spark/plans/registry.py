@@ -50,6 +50,7 @@ def queries() -> dict[str, QueryFn]:
         # stream resume). --
         "embedding_knn_audit_bucketed": _q_knn_audit_bucketed,
         "embedding_bitext_margin_bucketed": _q_bitext_margin_bucketed,
+        "corpus_bpe_vocab": _q_bpe_vocab,
         "embedding_bitext_margin": _q_bitext_margin,
         "embedding_knn_label_audit": _q_knn_label_audit,
         "cdc_parse_stream_pyds": _q_cdc_parse_stream_pyds,

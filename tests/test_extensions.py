@@ -4136,6 +4136,34 @@ def test_knn_label_audit_candidate_path(spark):
     assert by_id[999].knn_label == 7
 
 
+def test_bpe_train_textbook_merges(spark):
+    """The iterated trainer follows the Sennrich recipe exactly:
+    'aaab' x2 merges ('a','a') first (count 4 beats ('a','b')'s 2),
+    then the RE-COUNTED symbols tie ('a','b') with ('aa','a') and the
+    lexicographic tie-break picks ('a','b'), then ('aa','ab') fuses
+    the word; greedy application is non-overlapping left-to-right
+    ('aaaa' under ('a','a') -> ['aa','aa'], giving count 2 not 3);
+    early-stop leaves fewer rows when the vocab fuses out."""
+    from binlog_avro_comparator_spark.operators.textstats import bpe_train
+
+    docs = spark.createDataFrame(
+        [(0, "aaab"), (1, "aaab")], "doc_id long, text string"
+    )
+    got = [tuple(r) for r in bpe_train(docs, n_merges=10).collect()]
+    assert got == [
+        (1, "a", "a", 4),
+        (2, "a", "b", 2),
+        (3, "aa", "ab", 2),
+    ]  # early stop: single-token words have no pairs left
+    runs = spark.createDataFrame([(0, "aaaa aaaa")], "doc_id long, text string")
+    first = bpe_train(runs, n_merges=1).collect()[0]
+    assert (first.left_sym, first.right_sym, first.pair_count) == ("a", "a", 6)
+    second = bpe_train(runs, n_merges=2).collect()[1]
+    # after the greedy pass each word is ['aa','aa'] -> pair count 2
+    assert (second.left_sym, second.right_sym, second.pair_count) == (
+        "aa", "aa", 2)
+
+
 def test_bitext_margin_candidate_path(spark):
     """bitext_margin_pairs candidates= tier: the complete cross-segment
     pair set reproduces the exact tier row-for-row, and bucketed
