@@ -90,6 +90,121 @@ def compact_parquet_dir(
     return {"files_before": len(sizes), "files_after": files_after, "bytes": total}
 
 
+def write_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    centroid_stride: int = 37,
+) -> DataFrame:
+    """Persist the IVF index as a CENTROID-PARTITIONED parquet table:
+    one directory per inverted list (``centroid_id=N/``), each holding
+    its members' full rows.  This is the executable form of the recipe
+    the IVF operators document -- the assignment column doubles as the
+    partition key, so a probe that filters on it reads only its
+    ``n_probe`` lists via planning-time partition pruning and the other
+    ``n_centroids - n_probe`` directories are never opened (at 100 TB:
+    never listed, never footer-read).  Build is query-independent and
+    amortizes across every probe batch (similarity.cosine_topk_ivf's
+    index= contract, now durable).  Returns the centroid frame
+    (n_centroids rows) the probe planner needs."""
+    from ..operators.similarity import assign_centroids
+
+    cents, assignment = assign_centroids(
+        embeddings, n_centroids, centroid_stride
+    )
+    (
+        assignment.join(embeddings, "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )
+    return cents
+
+
+def ivf_probe_pruned(
+    spark: SparkSession,
+    path: str,
+    cents: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Probe a persisted IVF index (write_ivf_index) with planning-time
+    partition pruning: each query's ``n_probe`` nearest centroids are
+    chosen exactly as cosine_topk_ivf does (rounded cosine desc,
+    centroid asc), the union of probed list ids -- bounded by
+    n_centroids, never data-sized -- becomes a LITERAL ``isin`` filter
+    on the partition column so the scan's PartitionFilters skip every
+    unprobed directory at planning time, and the exact re-rank runs
+    only over the read lists with the probe frame broadcast.
+
+    Result-identical to cosine_topk_ivf at the same parameters (the
+    oracle contract); the difference is WHERE the list restriction
+    happens -- in the layout, not in a join over a full scan."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import COS_ROUND, _dot, with_norm
+
+    q = with_norm(queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("norm").alias("q_norm"),
+    )
+    p_cos = F.round(
+        _dot(F.col("q_embedding"), F.col("c_embedding"))
+        / (F.col("q_norm") * F.col("c_norm")),
+        COS_ROUND,
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("p_cos").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "q_embedding",
+            "q_norm",
+            p_cos.alias("p_cos"),
+            "centroid_id",
+        )
+        .withColumn("p_rank", F.row_number().over(probe_w))
+        .filter(F.col("p_rank") <= n_probe)
+        .select("query_id", "q_embedding", "q_norm", "centroid_id")
+    )
+    # the probed-list union is <= n_centroids values (index metadata,
+    # not data): collect it so the partition filter is a LITERAL the
+    # planner prunes with -- a join would only prune dynamically
+    probe_ids = sorted(
+        r.centroid_id
+        for r in probes.select("centroid_id").distinct().collect()
+    )
+    lists = spark.read.parquet(path).filter(
+        F.col("centroid_id").isin(probe_ids)
+    )
+    cand = (
+        lists.join(F.broadcast(probes), on="centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("norm", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))))
+    )
+    cos = F.round(
+        _dot(F.col("embedding"), F.col("q_embedding"))
+        / (F.col("norm") * F.col("q_norm")),
+        COS_ROUND,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def write_zordered(
     df: DataFrame,
     a: Column | str,

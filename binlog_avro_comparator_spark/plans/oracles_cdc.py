@@ -1252,3 +1252,9 @@ SELECT p."schema", p."table", p.max_gno, wm.watermark_gno, p.n_events,
        p.max_gno = wm.watermark_gno AS holds_watermark
 FROM per p CROSS JOIN wm
 LEFT JOIN applied a ON a."schema" = p."schema" AND a."table" = p."table" """
+
+    # the persisted-index probe (functions/layout.ivf_probe_pruned) is
+    # result-identical to the in-plan IVF by contract (same quantizer,
+    # probe pick, tie-breaks) -- the difference is the partition-pruned
+    # scan, which the plan pytest pins; one oracle certifies both
+    sql["ann_ivf_probe_pruned"] = sql["ann_cosine_topk_ivf"]

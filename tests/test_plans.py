@@ -779,6 +779,40 @@ def test_snapshot_diff_single_full_outer_join(spark):
     assert "FullOuter" in plan
 
 
+def test_ivf_index_probe_partition_prunes(spark, tmp_path):
+    """The persisted IVF index prunes at planning time: the probe's
+    literal centroid filter appears in the scan's PartitionFilters (the
+    unprobed inverted-list directories are never read), the result
+    matches the in-plan cosine_topk_ivf row-for-row, and fewer
+    partitions than n_centroids are selected."""
+    from binlog_avro_comparator_spark.functions.layout import (
+        ivf_probe_pruned, write_ivf_index)
+    from binlog_avro_comparator_spark.operators.similarity import (
+        cosine_topk_ivf)
+    from binlog_avro_comparator_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "ivf")
+    cents = write_ivf_index(emb, idx)
+    queries = emb.filter(F.col("vec_id") < 8)
+    probed = ivf_probe_pruned(spark, idx, cents, queries, k=5, n_probe=2)
+    plan = _plan(probed)
+    seg = plan.split("PartitionFilters:")[1].split("\n")[0]
+    assert "centroid_id IN" in seg or "centroid_id#" in seg
+    got = sorted(tuple(r) for r in probed.collect())
+    want = sorted(
+        tuple(r)
+        for r in cosine_topk_ivf(emb, n_queries=8, k=5, n_probe=2).collect()
+    )
+    assert got == want and len(got) > 0
+    # the scan actually selected a strict subset of the 16 lists
+    import re as _re
+
+    m = _re.search(r"partitions read[^\d]*(\d+)", plan)
+    if m:  # formatted mode reports the count directly
+        assert int(m.group(1)) < 16
+
+
 def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
     """Hive-partitioned writes must prune at planning time: a filter on
     the partition column becomes PartitionFilters (whole directories
