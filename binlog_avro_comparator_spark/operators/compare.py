@@ -878,19 +878,35 @@ def rotate_chain_audit(rotates: DataFrame) -> DataFrame:
       MISSING_ROTATE a non-final file without a rotate (truncated tail
                      or foreign bytes)
 
+      FOREIGN        filename carries no numeric suffix -- not a
+                     binlog segment (a stray README, an editor
+                     backup); excluded from the chain window so it
+                     can neither become someone's expected_next nor
+                     absorb ACTIVE_TAIL
+
     The frame is FILE-cardinality (one row per segment -- bounded by
     rotation policy, ~100k rows for 100 TB of binlogs), so the single
     global lead() window is metadata-sized, never data-sized.  The
     listing order is NATURAL (`ls -v`): (name prefix, numeric suffix)
     -- plain lexicographic ordering inverts at the index rollover
     mysql-bin.999999 -> mysql-bin.1000000 and would report false
-    CHAIN_GAPs on an intact chain.
+    CHAIN_GAPs on an intact chain.  Names WITHOUT a numeric suffix
+    route to FOREIGN before the window (the r7 advisory: a NULL sort
+    key ordered differently across engines and could fabricate
+    engine-divergent CHAIN_GAPs), so the window's ordering key is
+    total and engine-identical for arbitrary listings.
     Returns (binlog_file, rotate_next, expected_next, status)."""
-    num = F.regexp_extract(F.col("binlog_file"), r"(\d+)$", 1).cast("long")
+    # no-match extracts '' -- try_cast maps it to NULL instead of the
+    # ANSI cast error (the driver session runs ANSI ON)
+    raw_num = F.regexp_extract(F.col("binlog_file"), r"(\d+)$", 1)
     pfx = F.regexp_replace(F.col("binlog_file"), r"\d+$", "")
-    w = Window.orderBy(pfx, num, "binlog_file")
+    base = rotates.withColumn("__num", raw_num.try_cast("long")).withColumn(
+        "__pfx", pfx
+    )
+    segs = base.filter(F.col("__num").isNotNull())
+    w = Window.orderBy("__pfx", "__num", "binlog_file")
     nxt = F.lead("binlog_file").over(w)
-    return rotates.select(
+    chain = segs.select(
         "binlog_file",
         "rotate_next",
         nxt.alias("expected_next"),
@@ -902,6 +918,13 @@ def rotate_chain_audit(rotates: DataFrame) -> DataFrame:
         .otherwise(F.lit("CHAIN_GAP"))
         .alias("status"),
     )
+    foreign = base.filter(F.col("__num").isNull()).select(
+        "binlog_file",
+        "rotate_next",
+        F.lit(None).cast("string").alias("expected_next"),
+        F.lit("FOREIGN").alias("status"),
+    )
+    return chain.unionByName(foreign)
 
 
 def resume_bookmarks(binlog_prepared: DataFrame) -> DataFrame:
@@ -936,20 +959,27 @@ def resume_bookmarks(binlog_prepared: DataFrame) -> DataFrame:
 
 
 def consistency_watermark(binlog_events: DataFrame) -> DataFrame:
-    """Cross-table CONSISTENCY WATERMARK: the highest GTID sequence
-    number every table's feed has fully applied -- the number a
-    multi-table snapshot must cut at, because cutting any higher reads
-    table A at a transaction table B hasn't applied yet (the classic
-    CDC fan-out consistency problem; the reference compares one table
-    and never faces it).
+    """Cross-table CONSISTENCY WATERMARK: per GTID SOURCE, the highest
+    sequence number every table's feed has fully applied -- the number
+    a multi-table snapshot must cut at, because cutting any higher
+    reads table A at a transaction table B hasn't applied yet (the
+    classic CDC fan-out consistency problem; the reference compares
+    one table and never faces it).
 
-    Two aggregates over the feed: per-(schema, table) max applied GNO
-    and event count; the watermark = min of those maxima (a
-    table-cardinality frame, broadcast back); then a conditional
-    count of each table's events at-or-below the watermark.  Returns
-    (schema, table, max_gno, watermark_gno, n_events,
-    n_at_watermark, holds_watermark) -- holds_watermark marks the
-    laggard(s) pinning the snapshot point."""
+    GNOs only share a number line WITHIN one server UUID (the r7
+    advisory: on a multi-source feed, comparing GNOs across UUIDs is
+    meaningless), so the watermark partitions by the GTID's UUID
+    prefix -- the per-source watermark SET is what a multi-source
+    snapshot cuts at, exactly like a gtid_executed set.
+
+    Two aggregates over the feed: per-(uuid, schema, table) max
+    applied GNO and event count; the watermark = min of those maxima
+    within the uuid (a table-cardinality frame, broadcast back); then
+    a conditional count of each table's events at-or-below its uuid's
+    watermark.  Returns (source_uuid, schema, table, max_gno,
+    watermark_gno, n_events, n_at_watermark, holds_watermark) --
+    holds_watermark marks the laggard(s) pinning each source's
+    snapshot point."""
     from ..functions.caching import scoped_cache
 
     # both aggregates read the same filtered projection; cache it so
@@ -961,6 +991,7 @@ def consistency_watermark(binlog_events: DataFrame) -> DataFrame:
             & F.col("table").isNotNull()
             & (F.col("table") != "")
         ).select(
+            F.split(F.col("gtid_next"), ":").getItem(0).alias("source_uuid"),
             "schema",
             "table",
             F.split(F.col("gtid_next"), ":")
@@ -969,20 +1000,23 @@ def consistency_watermark(binlog_events: DataFrame) -> DataFrame:
             .alias("gno"),
         )
     )
-    per = g.groupBy("schema", "table").agg(
+    per = g.groupBy("source_uuid", "schema", "table").agg(
         F.max("gno").alias("max_gno"), F.count("*").alias("n_events")
     )
-    wm = per.agg(F.min("max_gno").alias("watermark_gno"))
+    wm = per.groupBy("source_uuid").agg(
+        F.min("max_gno").alias("watermark_gno")
+    )
     applied = (
-        g.crossJoin(F.broadcast(wm))
+        g.join(F.broadcast(wm), "source_uuid")
         .filter(F.col("gno") <= F.col("watermark_gno"))
-        .groupBy("schema", "table")
+        .groupBy("source_uuid", "schema", "table")
         .agg(F.count("*").alias("n_at_watermark"))
     )
     return (
-        per.crossJoin(F.broadcast(wm))
-        .join(applied, ["schema", "table"], "left")
+        per.join(F.broadcast(wm), "source_uuid")
+        .join(applied, ["source_uuid", "schema", "table"], "left")
         .select(
+            "source_uuid",
             "schema",
             "table",
             "max_gno",

@@ -1228,30 +1228,38 @@ SELECT binlog_file || '.avro' AS file,
 FROM avro_rows_cdc
 GROUP BY binlog_file""")
 
-    # cross-table consistency watermark over the derivation CTEs
+    # cross-table consistency watermark over the derivation CTEs --
+    # per GTID source UUID (r8: GNOs only compare within one server's
+    # sequence; the fixture is single-UUID, the operator is not)
     sql["cdc_consistency_watermark"] = "WITH " + oracle.CDC_CTES.strip() + """
 , g AS (
-  SELECT "schema", "table",
+  SELECT split_part(gtid_next, ':', 1) AS source_uuid, "schema", "table",
          CAST(split_part(gtid_next, ':', 2) AS BIGINT) AS gno
   FROM binlog_events_cdc
   WHERE gtid_next IS NOT NULL AND gtid_next <> ''
     AND "table" IS NOT NULL AND "table" <> ''
 ),
 per AS (
-  SELECT "schema", "table", max(gno) AS max_gno,
+  SELECT source_uuid, "schema", "table", max(gno) AS max_gno,
          count(*) AS n_events
-  FROM g GROUP BY 1, 2
+  FROM g GROUP BY 1, 2, 3
 ),
-wm AS (SELECT min(max_gno) AS watermark_gno FROM per),
+wm AS (
+  SELECT source_uuid, min(max_gno) AS watermark_gno
+  FROM per GROUP BY source_uuid
+),
 applied AS (
-  SELECT g."schema", g."table", count(*) AS n_at_watermark
-  FROM g, wm WHERE g.gno <= wm.watermark_gno GROUP BY 1, 2
+  SELECT g.source_uuid, g."schema", g."table", count(*) AS n_at_watermark
+  FROM g JOIN wm ON wm.source_uuid = g.source_uuid
+  WHERE g.gno <= wm.watermark_gno GROUP BY 1, 2, 3
 )
-SELECT p."schema", p."table", p.max_gno, wm.watermark_gno, p.n_events,
+SELECT p.source_uuid, p."schema", p."table", p.max_gno, wm.watermark_gno,
+       p.n_events,
        coalesce(a.n_at_watermark, 0) AS n_at_watermark,
        p.max_gno = wm.watermark_gno AS holds_watermark
-FROM per p CROSS JOIN wm
-LEFT JOIN applied a ON a."schema" = p."schema" AND a."table" = p."table" """
+FROM per p JOIN wm ON wm.source_uuid = p.source_uuid
+LEFT JOIN applied a ON a.source_uuid = p.source_uuid
+  AND a."schema" = p."schema" AND a."table" = p."table" """
 
     # the persisted-index probe (functions/layout.ivf_probe_pruned) is
     # result-identical to the in-plan IVF by contract (same quantizer,

@@ -55,6 +55,8 @@ def queries() -> dict[str, QueryFn]:
         "embedding_bitext_margin": _q_bitext_margin,
         "embedding_knn_label_audit": _q_knn_label_audit,
         "cdc_parse_stream_pyds": _q_cdc_parse_stream_pyds,
+        "cdc_consistency_watermark": _q_consistency_watermark,
+        "cdc_rotate_chain": _q_cdc_rotate_chain,
         # -- r6 tail that never landed in a driver window (the r6 batch
         # overflowed the 50-entry window): these 24 lead round 7 so each
         # finally gets a CORRECTNESS row (r3 freeze rule) --
@@ -85,14 +87,12 @@ def queries() -> dict[str, QueryFn]:
         # -- NEW in r7: inside the driver window on first registration --
         "dedup_closure_overflow": _q_closure_overflow,
         "cdc_avro_logical_scan": _q_cdc_avro_logical_scan,
-        "cdc_rotate_chain": _q_cdc_rotate_chain,
         "cdc_avro_schema_census": _q_cdc_avro_schema_census,
         "lineitem_range_sort_plan": _q_range_sort_plan,
         "corpus_shingle_saturation": _q_shingle_saturation,
         "corpus_vocab_drift": _q_vocab_drift,
         "corpus_epoch_manifest": _q_epoch_manifest,
         "corpus_vocab_drift_stream": _q_vocab_drift_stream,
-        "cdc_consistency_watermark": _q_consistency_watermark,
         "lineitem_zorder_skipping": _q_zorder_skipping_report,
         "corpus_contamination_by_source": _q_contamination_by_source,
         "ann_ivf_list_balance": _q_ivf_list_balance,

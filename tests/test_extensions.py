@@ -4045,8 +4045,9 @@ def test_epoch_manifest_permutation_properties(spark):
 
 
 def test_consistency_watermark_flags_laggard(spark):
-    """The watermark is the min of per-table max GNOs; the lagging
-    table holds it and counts only its applied rows at the cut."""
+    """The watermark is the min of per-table max GNOs WITHIN a GTID
+    source; the lagging table holds it and counts only its applied
+    rows at the cut."""
     from binlog_avro_comparator_spark.operators.compare import (
         consistency_watermark)
 
@@ -4061,6 +4062,68 @@ def test_consistency_watermark_flags_laggard(spark):
     assert got["fast"].watermark_gno == 5
     assert got["fast"].n_events == 10 and got["fast"].n_at_watermark == 6
     assert got["slow"].n_at_watermark == 6
+    assert got["fast"].source_uuid == "u"
+
+
+def test_consistency_watermark_partitions_by_source_uuid(spark):
+    """Multi-source feed (r8, the r7 advisory): GNOs from different
+    server UUIDs share one number line only by accident -- the
+    watermark must partition by UUID so each source gets its own
+    consistent cut instead of one meaningless global min."""
+    from binlog_avro_comparator_spark.operators.compare import (
+        consistency_watermark)
+
+    rows = []
+    # source A: both tables applied to 100 -- no laggard
+    for g in range(95, 101):
+        rows.append(("db", "t1", f"srvA:{g}"))
+        rows.append(("db", "t2", f"srvA:{g}"))
+    # source B: t1 at 7, t2 lagging at 3
+    for g in range(1, 8):
+        rows.append(("db", "t1", f"srvB:{g}"))
+    for g in range(1, 4):
+        rows.append(("db", "t2", f"srvB:{g}"))
+    df = spark.createDataFrame(
+        rows, "schema string, table string, gtid_next string"
+    )
+    got = {
+        (r.source_uuid, r.table): r for r in consistency_watermark(df).collect()
+    }
+    assert len(got) == 4
+    # source A cuts at 100 (everyone holds); a global min would have
+    # dragged it down to source B's 3
+    assert got[("srvA", "t1")].watermark_gno == 100
+    assert got[("srvA", "t1")].holds_watermark
+    assert got[("srvA", "t2")].holds_watermark
+    # source B cuts at its own laggard
+    assert got[("srvB", "t1")].watermark_gno == 3
+    assert not got[("srvB", "t1")].holds_watermark
+    assert got[("srvB", "t2")].holds_watermark
+    assert got[("srvB", "t1")].n_at_watermark == 3
+
+
+def test_rotate_chain_audit_foreign_names(spark):
+    """A filename with no numeric suffix (stray README, editor backup)
+    routes to FOREIGN and leaves the real chain intact -- a NULL sort
+    key must never fabricate a CHAIN_GAP (r8, the r7 advisory)."""
+    from binlog_avro_comparator_spark.operators.compare import (
+        rotate_chain_audit)
+
+    rows = [
+        ("mysql-bin.000001", "mysql-bin.000002", 4),
+        ("mysql-bin.000002", None, 4),
+        ("README", None, 0),
+        ("backup~", None, 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "binlog_file string, rotate_next string, rotate_pos long"
+    )
+    got = {r.binlog_file: r for r in rotate_chain_audit(df).collect()}
+    assert got["mysql-bin.000001"].status == "OK"
+    assert got["mysql-bin.000002"].status == "ACTIVE_TAIL"
+    assert got["README"].status == "FOREIGN"
+    assert got["backup~"].status == "FOREIGN"
+    assert got["README"].expected_next is None
 
 
 def test_range_sort_plan_balanced_vs_skewed(spark):
