@@ -222,6 +222,13 @@ EXTRA_QUERIES = [
     "embedding_bitext_margin",
     "embedding_knn_label_audit",
     "lineitem_range_sort_plan",
+    # round 8
+    "embedding_knn_audit_bucketed",
+    "embedding_bitext_margin_bucketed",
+    "corpus_bpe_vocab",
+    "corpus_bpe_encode",
+    "ann_ivf_probe_pruned",
+    "cdc_consistency_watermark",
 ]
 
 

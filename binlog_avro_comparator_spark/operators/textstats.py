@@ -1505,7 +1505,36 @@ def bpe_train(documents: DataFrame, n_merges: int = 8) -> DataFrame:
     Reference tie-in: the reference has no tokenizer, but its corpus
     twin (SURVEY.md extension mandate) needs one; bpe_merge_candidates
     (one iteration, top-k report) remains the diagnostic view."""
-    spark = documents.sparkSession
+    merges, _ = _bpe_fit(documents, n_merges)
+    return documents.sparkSession.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string, pair_count long",
+    )
+
+
+def bpe_encode_report(documents: DataFrame, n_merges: int = 8) -> DataFrame:
+    """The learned vocabulary APPLIED: per distinct word, its token
+    count after ``n_merges`` BPE rounds -- the compression report that
+    says whether the merges table is worth shipping (tokens-per-word
+    falling toward 1 as merges grow) and the per-word fertility a
+    token-budget planner multiplies by word frequency.  Same trainer
+    loop as bpe_train (one fit, vocab-sized frames throughout).
+
+    Returns (word, n_occurrences, n_chars, n_tokens)."""
+    _, final = _bpe_fit(documents, n_merges)
+    return final.select(
+        "word",
+        F.col("n").alias("n_occurrences"),
+        F.length("word").cast("long").alias("n_chars"),
+        F.size("syms").cast("long").alias("n_tokens"),
+    )
+
+
+def _bpe_fit(
+    documents: DataFrame, n_merges: int
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """The shared trainer loop: (merges list, final (word, n, syms)
+    frame).  See bpe_train for the algorithm and scale contract."""
     words = documents.select(
         F.explode(
             F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))
@@ -1514,12 +1543,15 @@ def bpe_train(documents: DataFrame, n_merges: int = 8) -> DataFrame:
     cur = (
         words.groupBy("word")
         .agg(F.count("*").alias("n"))
-        .select("n", F.split(F.col("word"), "").alias("syms"))
+        .select("word", "n", F.split(F.col("word"), "").alias("syms"))
     )
     merges: list[tuple[int, str, str, int]] = []
     prev_cached = None
     for rank in range(1, n_merges + 1):
-        cur = cur.cache()
+        # scoped so a long-lived service reclaims the per-iteration
+        # caches (cache_scope discipline); the final frame's cache
+        # stays live for the encode consumer
+        cur = scoped_cache(cur)
         pair_structs = F.when(
             F.size("syms") > 1,
             F.expr(
@@ -1555,13 +1587,8 @@ def bpe_train(documents: DataFrame, n_merges: int = 8) -> DataFrame:
                 ),
             ).otherwise(F.concat(acc, F.array(s))),
         )
-        cur = cur.select("n", fold.alias("syms"))
-    if prev_cached is not None:
-        prev_cached.unpersist(blocking=False)
-    return spark.createDataFrame(
-        merges,
-        "merge_rank int, left_sym string, right_sym string, pair_count long",
-    )
+        cur = cur.select("word", "n", fold.alias("syms"))
+    return merges, cur
 
 
 def leakage_safe_splits(

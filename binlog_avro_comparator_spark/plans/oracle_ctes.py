@@ -536,7 +536,7 @@ def _hyperplane_candidates_sql(n_planes: int = 4, n_tables: int = 2) -> str:
     )
 
 
-def _bpe_train_sql(n_merges: int = 8) -> str:
+def _bpe_train_sql(n_merges: int = 8, output: str = "merges") -> str:
     """DuckDB mirror of textstats.bpe_train, the iterated BPE trainer,
     as ``n_merges`` mechanically-unrolled CTE blocks (the pagerank
     oracle discipline: fixed iteration count, integer counts, exact
@@ -544,7 +544,10 @@ def _bpe_train_sql(n_merges: int = 8) -> str:
     window-parity form: within each run of CONSECUTIVE eligible
     positions (only possible when left==right), keep the odd ranks --
     provably the same picks as the Spark side's array fold -- then drop
-    every position consumed by the merge on its left and re-number."""
+    every position consumed by the merge on its left and re-number.
+    ``output='merges'`` emits the merges table (bpe_train);
+    ``output='encode'`` emits the per-word token-count report off the
+    final symbols frame (bpe_encode_report)."""
     from ..operators.textstats import TOKEN_RE
 
     ctes = [
@@ -601,11 +604,17 @@ def _bpe_train_sql(n_merges: int = 8) -> str:
     WHERE prev.pos IS NULL
   )
 )""")
-    finals = "\nUNION ALL\n".join(
-        f"SELECT {i} AS merge_rank, l AS left_sym, r AS right_sym, "
-        f"CAST(c AS BIGINT) AS pair_count FROM b{i}"
-        for i in range(1, n_merges + 1)
-    )
+    if output == "encode":
+        finals = f"""SELECT word, max(n) AS n_occurrences,
+       CAST(length(word) AS BIGINT) AS n_chars,
+       count(*) AS n_tokens
+FROM s{n_merges} GROUP BY word"""
+    else:
+        finals = "\nUNION ALL\n".join(
+            f"SELECT {i} AS merge_rank, l AS left_sym, r AS right_sym, "
+            f"CAST(c AS BIGINT) AS pair_count FROM b{i}"
+            for i in range(1, n_merges + 1)
+        )
     return "WITH " + ",\n".join(ctes) + "\n" + finals
 
 

@@ -1383,6 +1383,7 @@ WHERE b.r = 1"""
     # iterated BPE trainer: 8 mechanically-unrolled merge rounds
     # (window-parity greedy application -- see _bpe_train_sql)
     sql["corpus_bpe_vocab"] = _bpe_train_sql(8)
+    sql["corpus_bpe_encode"] = _bpe_train_sql(8, output="encode")
 
     # kNN label audit, BUCKETED tier: identical vote tail, candidates
     # restricted to LSH same-bucket pairs (4 planes x 2 OR-tables --

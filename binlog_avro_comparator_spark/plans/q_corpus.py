@@ -314,6 +314,17 @@ def _q_bpe_vocab(spark, sf_dir):
     return bpe_train(_docs(spark, sf_dir), n_merges=8)
 
 
+def _q_bpe_encode(spark, sf_dir):
+    """The trained BPE vocabulary applied back to the corpus
+    (textstats.bpe_encode_report): per-word token counts after 8
+    merges -- the compression/fertility report a token-budget planner
+    consumes."""
+    ensure_session_conf(spark)
+    from ..operators.textstats import bpe_encode_report
+
+    return bpe_encode_report(_docs(spark, sf_dir), n_merges=8)
+
+
 def _q_top_terms_udtf(spark, sf_dir):
     ensure_session_conf(spark)
     from ..operators.textstats import top_terms_per_doc

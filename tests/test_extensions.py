@@ -4225,6 +4225,16 @@ def test_bpe_train_textbook_merges(spark):
     # after the greedy pass each word is ['aa','aa'] -> pair count 2
     assert (second.left_sym, second.right_sym, second.pair_count) == (
         "aa", "aa", 2)
+    # the encode report applies the same merges: 'aaab' after 3 rounds
+    # is one token of 4 chars seen twice
+    from binlog_avro_comparator_spark.operators.textstats import (
+        bpe_encode_report)
+
+    enc = {r.word: r for r in bpe_encode_report(docs, n_merges=3).collect()}
+    assert enc["aaab"].n_tokens == 1 and enc["aaab"].n_occurrences == 2
+    assert enc["aaab"].n_chars == 4
+    partial = {r.word: r for r in bpe_encode_report(docs, n_merges=1).collect()}
+    assert partial["aaab"].n_tokens == 3  # ['aa','a','b']
 
 
 def test_bitext_margin_candidate_path(spark):
