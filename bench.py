@@ -243,7 +243,7 @@ def main() -> None:
     qs["cdc_summary"](spark, sf_dir).count()
 
     def run_set(
-        names: list[str], prewarm: bool = False
+        names: list[str], prewarm: bool = False, runs: int | None = None
     ) -> tuple[dict[str, float], dict[str, float]]:
         """(first-pass, best-of-N) timings.  With ``prewarm`` each query
         runs ONCE un-timed before the measured passes: first-use codegen
@@ -254,7 +254,8 @@ def main() -> None:
         a stable plan-execution number instead of a codegen lottery.
         The best-of pass is still reported as the steady-state a
         long-lived cluster session would see."""
-        runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+        if runs is None:
+            runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
         if prewarm:
             for name in names:
                 qs[name](spark, sf_dir).count()
@@ -273,7 +274,13 @@ def main() -> None:
 
     timings, warm = run_set(BENCH_QUERIES, prewarm=True)
     total = round(sum(timings.values()), 3)
-    extra, extra_warm = run_set(EXTRA_QUERIES)
+    # r8 (r7 verdict item 7): the extra tier gets the SAME shared-
+    # session warm pass as the headline -- its dominant first-pass
+    # costs were one-time fixture builds and streaming-sink setup, not
+    # plan execution -- and ONE measured pass, so total bench wall is
+    # unchanged (still 2 passes over the tier) while extra_total reads
+    # the steady-state a long-lived session sees.
+    extra, extra_warm = run_set(EXTRA_QUERIES, prewarm=True, runs=1)
     # Detail lines FIRST, final summary line LAST and SHORT: the driver
     # tail-captures stdout and parses the last JSON line -- round 3's
     # single 2.4 KB line got its head truncated and recorded as

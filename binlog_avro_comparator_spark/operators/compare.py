@@ -958,6 +958,53 @@ def resume_bookmarks(binlog_prepared: DataFrame) -> DataFrame:
     )
 
 
+def snapshot_at_watermark(binlog_events: DataFrame) -> DataFrame:
+    """The consistency watermark APPLIED: the manifest of the
+    consistent multi-table snapshot -- per (source_uuid, schema,
+    table), only the events at-or-below that source's watermark count,
+    and the manifest records where the cut landed (last applied GNO
+    and log position).  This is the frame a snapshot exporter actually
+    ships: every table of one source cut at the SAME transaction
+    horizon, so no cross-table read skew (consistency_watermark is the
+    audit; this is the action).
+
+    Same two-aggregate shape: the per-source watermark is a
+    table-cardinality broadcast, the cut is one filtered aggregate over
+    the feed -- no windows, map-side combined.  Returns (source_uuid,
+    schema, table, watermark_gno, n_rows, last_gno, last_position)."""
+    g = binlog_events.filter(
+        F.col("gtid_next").isNotNull()
+        & (F.col("gtid_next") != "")
+        & F.col("table").isNotNull()
+        & (F.col("table") != "")
+    ).select(
+        F.split(F.col("gtid_next"), ":").getItem(0).alias("source_uuid"),
+        "schema",
+        "table",
+        F.split(F.col("gtid_next"), ":")
+        .getItem(1)
+        .cast("long")
+        .alias("gno"),
+        "log_position",
+    )
+    per = g.groupBy("source_uuid", "schema", "table").agg(
+        F.max("gno").alias("max_gno")
+    )
+    wm = per.groupBy("source_uuid").agg(
+        F.min("max_gno").alias("watermark_gno")
+    )
+    return (
+        g.join(F.broadcast(wm), "source_uuid")
+        .filter(F.col("gno") <= F.col("watermark_gno"))
+        .groupBy("source_uuid", "schema", "table", "watermark_gno")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.max("gno").alias("last_gno"),
+            F.max("log_position").alias("last_position"),
+        )
+    )
+
+
 def consistency_watermark(binlog_events: DataFrame) -> DataFrame:
     """Cross-table CONSISTENCY WATERMARK: per GTID SOURCE, the highest
     sequence number every table's feed has fully applied -- the number

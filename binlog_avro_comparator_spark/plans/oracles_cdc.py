@@ -1266,3 +1266,28 @@ LEFT JOIN applied a ON a.source_uuid = p.source_uuid
     # probe pick, tie-breaks) -- the difference is the partition-pruned
     # scan, which the plan pytest pins; one oracle certifies both
     sql["ann_ivf_probe_pruned"] = sql["ann_cosine_topk_ivf"]
+
+    # the watermark applied: consistent multi-table snapshot manifest
+    sql["cdc_snapshot_at_watermark"] = "WITH " + oracle.CDC_CTES.strip() + """
+, g AS (
+  SELECT split_part(gtid_next, ':', 1) AS source_uuid, "schema", "table",
+         CAST(split_part(gtid_next, ':', 2) AS BIGINT) AS gno,
+         log_position
+  FROM binlog_events_cdc
+  WHERE gtid_next IS NOT NULL AND gtid_next <> ''
+    AND "table" IS NOT NULL AND "table" <> ''
+),
+per AS (
+  SELECT source_uuid, "schema", "table", max(gno) AS max_gno
+  FROM g GROUP BY 1, 2, 3
+),
+wm AS (
+  SELECT source_uuid, min(max_gno) AS watermark_gno
+  FROM per GROUP BY source_uuid
+)
+SELECT g.source_uuid, g."schema", g."table", wm.watermark_gno,
+       count(*) AS n_rows, max(g.gno) AS last_gno,
+       max(g.log_position) AS last_position
+FROM g JOIN wm ON wm.source_uuid = g.source_uuid
+WHERE g.gno <= wm.watermark_gno
+GROUP BY 1, 2, 3, 4"""

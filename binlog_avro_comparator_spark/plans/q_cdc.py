@@ -1112,4 +1112,15 @@ def _q_consistency_watermark(spark, sf_dir):
     )
 
 
+def _q_snapshot_at_watermark(spark, sf_dir):
+    """The watermark applied (compare.snapshot_at_watermark): the
+    consistent multi-table snapshot manifest -- every table of a
+    source cut at the same transaction horizon, with the cut's last
+    GNO/position recorded per table."""
+    ensure_session_conf(spark)
+    return C.snapshot_at_watermark(
+        derive_binlog_events(load_table(spark, sf_dir, "events"))
+    )
+
+
 __all__ = [_n for _n in list(globals()) if not _n.startswith('__') and _n != '_shared']

@@ -57,6 +57,7 @@ def queries() -> dict[str, QueryFn]:
         "embedding_knn_label_audit": _q_knn_label_audit,
         "cdc_parse_stream_pyds": _q_cdc_parse_stream_pyds,
         "cdc_consistency_watermark": _q_consistency_watermark,
+        "cdc_snapshot_at_watermark": _q_snapshot_at_watermark,
         "cdc_rotate_chain": _q_cdc_rotate_chain,
         # -- r6 tail that never landed in a driver window (the r6 batch
         # overflowed the 50-entry window): these 24 lead round 7 so each
