@@ -1645,6 +1645,9 @@ FROM combos"""
     # streaming S2 decode is stateless per file -> appended rows equal
     # the batch decode exactly
     sql["cdc_parse_binlog_stream"] = sql["cdc_parse_binlog_binary"]
+    # the r8 byte-offset binary tail drains the same fixture to the
+    # same contract rows -- three binary readers, one oracle
+    sql["cdc_parse_stream_binlogbin"] = sql["cdc_parse_binlog_binary"]
     # FULL OUTER payload findings stream: matched tier = the batch
     # payload diff verbatim; the BINLOG_ONLY / AVRO_ONLY tiers obey
     # the strict post-watermark horizon ts + window < W (pinned by

@@ -498,6 +498,35 @@ def _q_cdc_parse_binlog_stream(spark, sf_dir):
     return _drain_to_table(spark, out, name, "append")
 
 
+def _q_cdc_parse_stream_binlogbin(spark, sf_dir):
+    """Streaming S2 through the r8 BYTE-OFFSET binary tail
+    (sources/pyds.BinlogBinaryStreamReader): offset = (segment,
+    event-boundary byte pos, carried decoder context), so a growing
+    active segment replays incrementally -- here the fixture is
+    static, availableNow drains it whole, and the decoded contract
+    rows equal the batch decoder exactly (the shared oracle)."""
+    global _STREAM_SINK_SEQ
+    from ..sources.pyds import register_binlog_binary_source
+
+    ensure_session_conf(spark)
+    d = _binlog_binary_fixture_dir(spark, sf_dir)
+    register_binlog_binary_source(spark)
+    out = spark.readStream.format("binlogbin").option("path", d).load()
+    _STREAM_SINK_SEQ += 1
+    name = f"cdc_parse_binlogbin_stream_sink_{_STREAM_SINK_SEQ}"
+    return _drain_to_table(spark, out, name, "append").select(
+        "event_type",
+        "timestamp",
+        "immediate_commmit_timestamp",
+        "log_position",
+        "schema",
+        "table",
+        "gtid_next",
+        "binlog_file",
+        "line_no",
+    )
+
+
 def _q_cdc_payload_diff_stream(spark, sf_dir):
     """Streaming twin of cdc_payload_diff: binlog row images static
     (closed files), avro payload records replayed as an incremental
@@ -703,13 +732,15 @@ def _q_anomaly_stream(spark, sf_dir):
 def _q_cdc_parse_stream_pyds(spark, sf_dir):
     """Streaming S1-S4 through the PYTHON DataSource stream reader
     (sources/pyds.BinlogTextStreamReader): the parser-text directory
-    tails as a custom-source stream -- offset = last version-ordered
-    segment name, one partition per newly-rotated file -- raw lines
-    drain availableNow, and the SAME parse pipeline as the batch
-    variants runs over the drained frame (per-file event assembly
-    needs whole files, which the segment-per-partition contract
-    guarantees).  Same oracle as cdc_parse_binlog_text_pyds: three
-    source implementations, one parser, one contract."""
+    tails as a custom-source stream -- offset = (version-ordered
+    segment name, byte position, line count) since r8, so a growing
+    active segment replays incrementally -- raw lines drain
+    availableNow, and the SAME parse pipeline as the batch variants
+    runs over the drained frame (event assembly windows over the
+    complete drained table, so batch boundaries inside a segment are
+    invisible to the parser).  Same oracle as
+    cdc_parse_binlog_text_pyds: three source implementations, one
+    parser, one contract."""
     global _STREAM_SINK_SEQ
     import tempfile
 

@@ -31,13 +31,12 @@ from . import oracles_analytics as _oracles_3
 def queries() -> dict[str, QueryFn]:
     # NOTE on ordering: the external correctness driver checks the FIRST 50
     # entries of this dict (CORRECTNESS_r02 covered exactly queries 1..50).
-    # Window priority (r3 verdict rule): never-driver-verified queries
-    # lead the window.  Round 7 puts the 24 r6-overflow entries first
-    # (the only registrations without a CORRECTNESS row, per the r6
-    # verdict item 1), followed by round-7 additions; the rest of the
-    # window back-fills with r6-green rows.  ALL entries, window or
-    # not, are value-verified locally each round at sf0.01 by
-    # scratch/check.py -- see FULLSWEEP_r07.md.
+    # Window priority (r3 freeze rule): never-driver-verified or CHANGED
+    # queries lead the window.  Round 8 puts its 7 new registrations and
+    # 5 re-certifications first; the rest of the window back-fills with
+    # cumulative-green rows (the r1-r7 union covers all 250 prior
+    # entries).  ALL entries, window or not, are value-verified locally
+    # each round at sf0.01 by scratch/check.py -- see FULLSWEEP_r08.md.
     return {
         # -- NEW or CHANGED in r8: lead the driver window (r3 freeze
         # rule).  The two *_bucketed entries are the r7 verdict's
@@ -56,6 +55,7 @@ def queries() -> dict[str, QueryFn]:
         "embedding_bitext_margin": _q_bitext_margin,
         "embedding_knn_label_audit": _q_knn_label_audit,
         "cdc_parse_stream_pyds": _q_cdc_parse_stream_pyds,
+        "cdc_parse_stream_binlogbin": _q_cdc_parse_stream_binlogbin,
         "cdc_consistency_watermark": _q_consistency_watermark,
         "cdc_snapshot_at_watermark": _q_snapshot_at_watermark,
         "cdc_rotate_chain": _q_cdc_rotate_chain,

@@ -866,7 +866,7 @@ def _zstd_decompress(data: bytes) -> bytes | None:
 
 
 def _iter_events(
-    data: bytes, stats: dict | None = None
+    data: bytes, stats: dict | None = None, state: dict | None = None
 ) -> Iterator[tuple[int, int, int, bytes]]:
     """Walk a binlog v4 byte stream -> (ts_sec, code, log_pos, body)
     per event, with checksum handling centralized so no consumer ever
@@ -884,10 +884,21 @@ def _iter_events(
     is yielded event by event.  A zstd payload with no importable
     codec, or a corrupt TLV/frame, is a COUNTED skip via ``stats``
     (keys ``compressed_tx_skipped`` / ``crc_failed``), never a silent
-    one and never a raise."""
-    off = len(MAGIC)
+    one and never a raise.
+
+    ``state`` (r8, the byte-offset stream tail): when given, the walk
+    starts at ``state['pos']`` (default: after the magic) with CRC
+    mode seeded from ``state['crc']`` -- the two pieces of walk-level
+    context a mid-file resume must carry, since the FDE that arms CRC
+    mode only exists at the file head -- and writes both back as it
+    advances, so ``state['pos']`` always reads the boundary after the
+    last COMPLETE event (a torn tail event never moves it)."""
+    if state is None:
+        state = {}
+    off = int(state.get("pos") or len(MAGIC))
     n = len(data)
-    crc_tail = 0
+    crc_tail = int(state.get("crc") or 0)
+    state["pos"] = off
     while off + HEADER_LEN <= n:
         ts_sec, code, _server, size, log_pos, _flags = struct.unpack_from(
             "<IBIIIH", data, off
@@ -906,11 +917,14 @@ def _iter_events(
                 data[off : off + size - 4]
             ) != int.from_bytes(data[off + size - 4 : off + size], "little"):
                 off += size
+                state["pos"] = off
                 if stats is not None:
                     stats["crc_failed"] = stats.get("crc_failed", 0) + 1
                 continue  # corrupt event: skip it, the chain is intact
             body = body[:-4]
         off += size
+        state["pos"] = off
+        state["crc"] = crc_tail
         if code == TRANSACTION_PAYLOAD_EVENT:
             r = _transaction_payload_fields(body)
             inner = None
@@ -939,6 +953,25 @@ def _iter_events(
         yield ts_sec, code, log_pos, body
 
 
+def fresh_decode_ctx() -> dict:
+    """The decoder context a byte-sliced resume carries between
+    micro-batches (r8): walk-level (pos, crc -- see _iter_events) plus
+    row-level (the open transaction's gtid/ict, the current TABLE_MAP's
+    schema/table, and the per-file event ordinal).  A whole-file decode
+    starts from this; a delta decode starts from the previous slice's
+    end context, and the union of slice outputs equals the whole-file
+    decode (pinned by pytest)."""
+    return {
+        "pos": None,
+        "crc": 0,
+        "gtid": None,
+        "ict": None,
+        "schema": None,
+        "table": None,
+        "ordinal": 0,
+    }
+
+
 def decode_binlog_bytes(
     basename: str, data: bytes, stats: dict | None = None
 ) -> Iterator[tuple]:
@@ -952,12 +985,31 @@ def decode_binlog_bytes(
     compressed transactions are unwrapped or COUNTED into ``stats``."""
     if not data.startswith(MAGIC):
         return
-    gtid: str | None = None
-    ict: str | None = None
-    schema: str | None = None
-    table: str | None = None
-    ordinal = 0
-    for ts_sec, code, log_pos, body in _iter_events(data, stats):
+    yield from decode_binlog_slice(basename, data, fresh_decode_ctx(), stats)
+
+
+def decode_binlog_slice(
+    basename: str, data: bytes, ctx: dict, stats: dict | None = None
+) -> Iterator[tuple]:
+    """decode_binlog_bytes parameterized by a CARRIED context: start at
+    ``ctx['pos']`` with the walk + transaction + table-map state the
+    previous slice ended with, yield contract rows, and MUTATE ``ctx``
+    to the end-of-slice state (callers read it back after exhausting
+    the iterator).  This is what makes the binary stream tail resumable
+    mid-file: the offset stores (byte pos, ctx), so a growing segment
+    decodes incrementally yet byte-identically to a whole-file pass."""
+    gtid: str | None = ctx.get("gtid")
+    ict: str | None = ctx.get("ict")
+    schema: str | None = ctx.get("schema")
+    table: str | None = ctx.get("table")
+    ordinal = int(ctx.get("ordinal") or 0)
+
+    def _sync() -> None:
+        ctx.update(
+            gtid=gtid, ict=ict, schema=schema, table=table, ordinal=ordinal
+        )
+
+    for ts_sec, code, log_pos, body in _iter_events(data, stats, state=ctx):
         if code == GTID_LOG_EVENT:
             # a GTID event opens a NEW transaction: clear the previous
             # transaction's immediate_commit_timestamp up front so a
@@ -1024,6 +1076,7 @@ def decode_binlog_bytes(
             yield (basename, ordinal, "Query", _fmt_ts(ts_sec), ict,
                    log_pos, qschema or None, None, gtid)
         # FDE and anything else: skipped by event_size
+    _sync()
 
 
 # --- row-image decode (payload tier) --------------------------------------

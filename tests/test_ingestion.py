@@ -1562,6 +1562,112 @@ def test_pyds_stream_reader_tails_growing_segment(spark, tmp_path):
     assert len(final) == len(second) + 2
 
 
+def test_binlogbin_stream_tails_growing_segment(spark, tmp_path):
+    """The BINARY byte-offset tail (r8): offsets carry (event-boundary
+    byte pos, decoder context), so a growing mysql-bin.* segment is
+    consumed incrementally -- mid-transaction context (GTID, TABLE_MAP,
+    CRC mode, ordinals) survives the batch boundary and the union of
+    incremental batches equals the whole-file decode; a torn trailing
+    event is held back until its bytes complete."""
+    from binlog_avro_comparator_spark.sources import binlog_binary as bb
+    from binlog_avro_comparator_spark.sources.pyds import (
+        register_binlog_binary_source)
+
+    EVS = [
+        dict(event_type="WriteRowsEventV2", timestamp="2024-01-01T00:00:07Z",
+             immediate_commmit_timestamp="2024-01-01T00:00:07.179575Z",
+             log_position=104, schema="db1", table="t2", line_no=1),
+        dict(event_type="XID", timestamp="2024-01-01T00:03:52Z",
+             immediate_commmit_timestamp=None, log_position=204,
+             schema="db0", table="t0", line_no=4),
+        dict(event_type="Query", timestamp="2024-01-01T00:06:29Z",
+             immediate_commmit_timestamp="2024-01-01T00:06:29.165275Z",
+             log_position=304, schema="db0", table="t1", line_no=5),
+        dict(event_type="UpdateRowsEventV2", timestamp="2024-01-01T00:08:00Z",
+             immediate_commmit_timestamp="2024-01-01T00:08:00.000001Z",
+             log_position=404, schema="db1", table="t0", line_no=8),
+    ]
+    full = bb.encode_binlog_file(EVS, checksum=True)
+    # event boundaries, for a growth point that tears an event in half
+    st: dict = {}
+    bounds = []
+    for _ in bb._iter_events(full, state=st):
+        bounds.append(st["pos"])
+    cut = bounds[len(bounds) // 2]
+    src = tmp_path / "feed"
+    src.mkdir()
+    seg1 = bb.encode_binlog_file(EVS[:2], checksum=True)
+    (src / "mysql-bin.000001").write_bytes(seg1)
+    # active segment: first half of events + 10 torn bytes of the next
+    (src / "mysql-bin.000002").write_bytes(full[: cut + 10])
+    (src / "mysql-bin.index").write_text("mysql-bin.000001\n")  # ignored
+
+    register_binlog_binary_source(spark)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("binlogbin").option("path", str(src))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+        return sorted(
+            tuple(r) for r in spark.read.parquet(out).collect()
+        )
+
+    first = drain()
+    whole1 = list(bb.decode_binlog_bytes("mysql-bin.000001", seg1))
+    assert len(first) == len(whole1) + len(
+        list(bb.decode_binlog_bytes("mysql-bin.000002", full[:cut])))
+    # the active segment grows to completion: only the delta arrives,
+    # and the accumulated rows equal the whole-file decode exactly
+    (src / "mysql-bin.000002").write_bytes(full)
+    second = drain()
+    whole2 = list(bb.decode_binlog_bytes("mysql-bin.000002", full))
+    assert sorted(second) == sorted(
+        tuple(r) for r in (whole1 + whole2)
+    )
+    # idle restart reads nothing
+    assert drain() == second
+
+
+def test_binlogbin_slice_decode_equals_whole(spark):
+    """decode_binlog_slice parity: cutting at EVERY event boundary and
+    decoding the two halves with carried context reproduces the
+    whole-file decode row-for-row, checksummed or not -- the invariant
+    the binary stream offset rests on."""
+    from binlog_avro_comparator_spark.sources import binlog_binary as bb
+
+    EVS = [
+        dict(event_type="WriteRowsEventV2", timestamp="2024-01-01T00:00:07Z",
+             immediate_commmit_timestamp="2024-01-01T00:00:07.179575Z",
+             log_position=104, schema="db1", table="t2", line_no=1),
+        dict(event_type="XID", timestamp="2024-01-01T00:03:52Z",
+             immediate_commmit_timestamp=None, log_position=204,
+             schema="db0", table="t0", line_no=4),
+        dict(event_type="UpdateRowsEventV2", timestamp="2024-01-01T00:08:00Z",
+             immediate_commmit_timestamp="2024-01-01T00:08:00.000001Z",
+             log_position=404, schema="db1", table="t0", line_no=8),
+    ]
+    for cks in (False, True):
+        data = bb.encode_binlog_file(EVS, checksum=cks)
+        whole = list(bb.decode_binlog_bytes("f", data))
+        st: dict = {}
+        bounds = []
+        for _ in bb._iter_events(data, state=st):
+            bounds.append(st["pos"])
+        for cut in bounds:
+            ctx = bb.fresh_decode_ctx()
+            part1 = list(bb.decode_binlog_slice("f", data[:cut], ctx))
+            part2 = list(bb.decode_binlog_slice("f", data, ctx))
+            assert part1 + part2 == whole, (cks, cut)
+
+
 def test_rotate_decode_fuzz_never_raises():
     """decode_binlog_rotate holds the module's tolerance contract on
     arbitrary bytes: random corruptions of a real segment, truncations,
