@@ -1189,3 +1189,59 @@ def test_prefix_filter_complete_at_float_hazard_threshold(spark):
     # containment: 14/14 of B's shingles inside A at a hazard threshold
     c = {(r.doc_src, r.doc_dst) for r in containment_pairs(d, threshold=0.56).collect()}
     assert (2, 1) in c
+
+
+@settings(max_examples=6, deadline=None)
+@given(seed=st.integers(0, 10_000))
+def test_bpe_train_matches_textbook_reference(spark, seed):
+    """bpe_train against a pure-Python Sennrich reference on random
+    tiny corpora: identical merge sequence (count argmax with
+    lexicographic ties) AND identical greedy left-to-right application
+    -- the property the unrolled SQL oracle also certifies, here
+    across adversarial word shapes (runs like 'aaaa' where overlap
+    handling bites)."""
+    import random
+
+    from binlog_avro_comparator_spark.operators.textstats import bpe_train
+
+    rng = random.Random(seed)
+    words = [
+        "".join(rng.choice("ab") for _ in range(rng.randint(1, 6)))
+        for _ in range(rng.randint(1, 8))
+    ]
+    freqs: dict[str, int] = {}
+    for w in words:
+        freqs[w] = freqs.get(w, 0) + rng.randint(1, 3)
+
+    def ref_bpe(freqs: dict[str, int], n_merges: int):
+        vocab = {w: list(w) for w in freqs}
+        merges = []
+        for rank in range(1, n_merges + 1):
+            counts: dict[tuple[str, str], int] = {}
+            for w, syms in vocab.items():
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    counts[p] = counts.get(p, 0) + freqs[w]
+            if not counts:
+                break
+            best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            (l, r), c = best
+            merges.append((rank, l, r, c))
+            for w, syms in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                vocab[w] = out
+        return merges
+
+    docs = spark.createDataFrame(
+        [(i, " ".join([w] * n)) for i, (w, n) in enumerate(freqs.items())],
+        "doc_id long, text string",
+    )
+    got = [tuple(r) for r in bpe_train(docs, n_merges=4).collect()]
+    assert got == ref_bpe(freqs, 4), (seed, freqs)
