@@ -1636,6 +1636,44 @@ def test_binlogbin_stream_tails_growing_segment(spark, tmp_path):
     assert drain() == second
 
 
+def test_tail_cli_end_to_end(spark, tmp_path, capsys):
+    """The tail CLI (E-entrypoint for the byte-offset streams): a
+    drain run appends the decoded contract rows and prints the JSON
+    summary; a restart after the active segment grows appends exactly
+    the delta (checkpointed offsets, no re-reads)."""
+    from binlog_avro_comparator_spark.sources import binlog_binary as bb
+    from binlog_avro_comparator_spark.tail import main as tail_main
+
+    EVS = [
+        dict(event_type="WriteRowsEventV2", timestamp="2024-01-01T00:00:07Z",
+             immediate_commmit_timestamp="2024-01-01T00:00:07.179575Z",
+             log_position=104, schema="db1", table="t2", line_no=1),
+        dict(event_type="XID", timestamp="2024-01-01T00:03:52Z",
+             immediate_commmit_timestamp=None, log_position=204,
+             schema="db0", table="t0", line_no=4),
+    ]
+    src = tmp_path / "logs"
+    src.mkdir()
+    half = bb.encode_binlog_file(EVS[:1], checksum=True)
+    full = bb.encode_binlog_file(EVS, checksum=True)
+    assert full.startswith(half)  # growth is a pure append
+    (src / "mysql-bin.000001").write_bytes(half)
+    out, ckpt = str(tmp_path / "rows"), str(tmp_path / "ckpt")
+    args = ["--dir", str(src), "--format", "binary",
+            "--out", out, "--checkpoint", ckpt]
+    assert tail_main(args, spark=spark) == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["rows_total"] == 1
+    (src / "mysql-bin.000001").write_bytes(full)
+    assert tail_main(args, spark=spark) == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["rows_total"] == 2
+    got = sorted(
+        (r.event_type, r.line_no) for r in spark.read.parquet(out).collect()
+    )
+    assert got == [("WriteRowsEventV2", 1), ("XID", 2)]
+
+
 def test_binlogbin_slice_decode_equals_whole(spark):
     """decode_binlog_slice parity: cutting at EVERY event boundary and
     decoding the two halves with carried context reproduces the
