@@ -958,6 +958,46 @@ def resume_bookmarks(binlog_prepared: DataFrame) -> DataFrame:
     )
 
 
+def gtid_set_summary(prepared_binlog: DataFrame) -> DataFrame:
+    """``gtid_executed`` as data: per source server UUID, the APPLIED
+    GNOs compressed into maximal contiguous intervals -- the exact
+    representation MySQL replication exchanges (``uuid:1-5:7-9``) and
+    the resume token a CDC consumer publishes to peers.  The
+    complement of gtid_gaps over the same feed: gaps are what's
+    missing, this is what's held.
+
+    Shape: distinct (sid, gno), then the ISLANDS trick -- ``gno -
+    row_number()`` is constant exactly within a contiguous run -- so
+    interval assembly is one window plus one aggregate, no self-join,
+    no iteration; output is interval-cardinality (gaps + 1 per
+    server), metadata-sized at any feed size.  The same 100 TB note as
+    gtid_gaps applies: the per-SID window shuffles by server count,
+    and a per-GNO-block pre-aggregate preserves the output if one
+    server's history outgrows an executor.  Returns (sid,
+    interval_start, interval_end, n_gnos)."""
+    g = (
+        prepared_binlog.filter(F.col("gtid_next").contains(":"))
+        .select(
+            F.substring_index("gtid_next", ":", 1).alias("sid"),
+            F.substring_index("gtid_next", ":", -1).cast("long").alias("gno"),
+        )
+        .filter(F.col("gno").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy("sid").orderBy("gno")
+    island = (F.col("gno") - F.row_number().over(w)).alias("__island")
+    return (
+        g.select("sid", "gno", island)
+        .groupBy("sid", "__island")
+        .agg(
+            F.min("gno").alias("interval_start"),
+            F.max("gno").alias("interval_end"),
+            F.count("*").alias("n_gnos"),
+        )
+        .select("sid", "interval_start", "interval_end", "n_gnos")
+    )
+
+
 def snapshot_at_watermark(binlog_events: DataFrame) -> DataFrame:
     """The consistency watermark APPLIED: the manifest of the
     consistent multi-table snapshot -- per (source_uuid, schema,

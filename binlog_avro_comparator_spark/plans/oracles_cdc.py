@@ -17,6 +17,20 @@ def add(sql: dict) -> None:
         "cdc_payload_diff_typed": _TYPED_DIFF_ORACLE,
         # ops tier: GTID gaps = GNOs the prepared feed never carried
         # (Query drops, zero positions, empty files, dedup losers)
+        # the applied complement of the gaps: islands compression
+        "cdc_gtid_set": "WITH " + oracle.CDC_CTES.strip() + """
+, g AS (
+  SELECT DISTINCT split_part(gtid_next, ':', 1) AS sid,
+         CAST(split_part(gtid_next, ':', 2) AS BIGINT) AS gno
+  FROM binlog_prepared WHERE contains(gtid_next, ':')
+)
+SELECT sid, min(gno) AS interval_start, max(gno) AS interval_end,
+       count(*) AS n_gnos
+FROM (SELECT sid, gno,
+             gno - row_number() OVER (PARTITION BY sid ORDER BY gno)
+               AS island
+      FROM g)
+GROUP BY sid, island""",
         "cdc_gtid_gaps": "WITH " + oracle.CDC_CTES.strip() + """
 , g AS (
   SELECT DISTINCT split_part(gtid_next, ':', 1) AS sid,

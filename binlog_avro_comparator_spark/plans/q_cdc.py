@@ -869,6 +869,14 @@ def _q_cdc_gtid_gaps(spark, sf_dir):
     return C.gtid_gaps(bp)
 
 
+def _q_cdc_gtid_set(spark, sf_dir):
+    """gtid_executed interval summary (compare.gtid_set_summary): the
+    applied-GNO intervals a consumer publishes as its resume token --
+    the complement of cdc_gtid_gaps over the same prepared feed."""
+    _, bp, _ = _cdc_frames(spark, sf_dir)
+    return C.gtid_set_summary(bp)
+
+
 def _q_cdc_order_audit(spark, sf_dir):
     """Per-file log_position monotonicity audit over the RAW feed --
     the zeroed-position rows plant genuine inversions."""
