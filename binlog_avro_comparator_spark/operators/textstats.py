@@ -1591,6 +1591,93 @@ def _bpe_fit(
     return merges, cur
 
 
+COS_ROUND_TFIDF = 6
+
+
+def tfidf_neighbors(
+    documents: DataFrame, k: int = 5, max_df_frac: float = 0.8
+) -> DataFrame:
+    """Doc-to-doc lexical similarity top-k ('more like this'): TF-IDF
+    cosine between documents via an INVERTED-INDEX self-join -- the
+    lexical twin of the embedding ANN ladder and the retrieval-side
+    complement of the shingle-Jaccard dedup pairs (weighted cosine vs
+    set overlap).
+
+    Scale shape: the only join is posting-list x posting-list per term
+    (sum over terms of df^2 partial products), so the df CAP is the
+    scale guarantee -- terms in more than ``max_df_frac`` of the corpus
+    are dropped exactly like prefix-filtering drops hot shingles
+    (they contribute near-zero IDF weight anyway); run
+    corpus_shingle_saturation/corpus_zipf_fit as the pre-flight that
+    says whether the vocabulary is Zipfian enough for the cap to bite.
+    Everything else is map-side-combined aggregation.
+
+    Determinism (the module ulp contract): idf = round(ln((N+1)/(df+1))
+    + 1, 9); weights rounded to 9 dp; every pairwise product and
+    squared weight rounded to 12 dp and accumulated as DECIMAL so both
+    engines add exactly; ONE double division per pair, 6-dp rounded
+    before ranking with a doc_b tie-break.
+
+    Returns (doc_a, doc_b, cos_sim, rank) -- top-``k`` per doc_a."""
+    dec = "decimal(38,12)"
+    words = documents.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))
+        ).alias("word"),
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n_docs = words.select("doc_id").distinct().agg(
+        F.count("*").alias("n_docs")
+    )
+    idf = F.round(
+        F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1, 9
+    )
+    weights = scoped_cache(
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") <= F.col("n_docs") * max_df_frac)
+        .select(
+            "doc_id", "word", F.round(F.col("tf") * idf, 9).alias("w")
+        )
+    )
+    norms = weights.groupBy("doc_id").agg(
+        F.sum(F.round(F.col("w") * F.col("w"), 12).cast(dec)).alias("n2")
+    )
+    a = weights.select(
+        F.col("doc_id").alias("doc_a"), "word", F.col("w").alias("wa")
+    )
+    b = weights.select(
+        F.col("doc_id").alias("doc_b"), "word", F.col("w").alias("wb")
+    )
+    dots = (
+        a.join(b, "word")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(
+                F.round(F.col("wa") * F.col("wb"), 12).cast(dec)
+            ).alias("dot")
+        )
+    )
+    cos = F.round(
+        F.col("dot").cast("double")
+        / F.sqrt(F.col("na2").cast("double") * F.col("nb2").cast("double")),
+        COS_ROUND_TFIDF,
+    )
+    w_rank = Window.partitionBy("doc_a").orderBy(
+        F.col("cos_sim").desc(), F.col("doc_b").asc()
+    )
+    return (
+        dots.join(norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2")), "doc_a")
+        .join(norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2")), "doc_b")
+        .select("doc_a", "doc_b", cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def leakage_safe_splits(
     documents: DataFrame, weights: tuple[int, int, int] = (90, 5, 5)
 ) -> DataFrame:

@@ -1380,6 +1380,49 @@ SELECT b.a_id AS vec_id, b.a_label AS label, b.b_label AS knn_label,
 FROM best b JOIN agree a ON a.a_id = b.a_id
 WHERE b.r = 1"""
 
+    # doc-to-doc tf-idf cosine: same df cap, idf smoothing, 9/12-dp
+    # rounding ladder, decimal accumulation, one double division
+    sql["doc_tfidf_neighbors"] = """
+WITH words AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word
+  FROM documents
+),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2),
+df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM words),
+w AS (
+  SELECT t.doc_id, t.word,
+         round(t.tf * round(ln((nd.n_docs + 1) / (d.df + 1.0)) + 1, 9), 9)
+           AS w
+  FROM tf t JOIN df d ON d.word = t.word CROSS JOIN nd
+  WHERE d.df <= nd.n_docs * 0.8
+),
+norms AS (
+  SELECT doc_id,
+         sum(CAST(round(w * w, 12) AS DECIMAL(38,12))) AS n2
+  FROM w GROUP BY doc_id
+),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         sum(CAST(round(a.w * b.w, 12) AS DECIMAL(38,12))) AS dot
+  FROM w a JOIN w b ON a.word = b.word AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.doc_a, d.doc_b,
+         round(CAST(d.dot AS DOUBLE)
+               / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6)
+           AS cos_sim
+  FROM dots d
+  JOIN norms na ON na.doc_id = d.doc_a
+  JOIN norms nb ON nb.doc_id = d.doc_b
+)
+SELECT doc_a, doc_b, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_a ORDER BY cos_sim DESC, doc_b) AS rank
+  FROM scored
+) WHERE rank <= 5"""
+
     # iterated BPE trainer: 8 mechanically-unrolled merge rounds
     # (window-parity greedy application -- see _bpe_train_sql)
     sql["corpus_bpe_vocab"] = _bpe_train_sql(8)

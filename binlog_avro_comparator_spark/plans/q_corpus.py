@@ -325,6 +325,16 @@ def _q_bpe_encode(spark, sf_dir):
     return bpe_encode_report(_docs(spark, sf_dir), n_merges=8)
 
 
+def _q_tfidf_neighbors(spark, sf_dir):
+    """Doc-to-doc TF-IDF cosine top-k via the inverted-index join
+    (textstats.tfidf_neighbors): the lexical 'more like this' next to
+    the embedding ANN ladder; the df cap is the scale guarantee."""
+    ensure_session_conf(spark)
+    from ..operators.textstats import tfidf_neighbors
+
+    return tfidf_neighbors(_docs(spark, sf_dir), k=5)
+
+
 def _q_top_terms_udtf(spark, sf_dir):
     ensure_session_conf(spark)
     from ..operators.textstats import top_terms_per_doc

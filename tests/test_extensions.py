@@ -4199,6 +4199,31 @@ def test_knn_label_audit_candidate_path(spark):
     assert by_id[999].knn_label == 7
 
 
+def test_tfidf_neighbors_ranks_topical_match_first(spark):
+    """TF-IDF cosine must rank the topically-identical document first
+    (shared RARE terms), not the one sharing only corpus-wide stop
+    terms; the df cap drops a term present in every document."""
+    from binlog_avro_comparator_spark.operators.textstats import (
+        tfidf_neighbors)
+
+    rows = [
+        (0, "the quark gluon plasma the the"),
+        (1, "the quark gluon lattice the"),
+        (2, "the recipe butter flour the the"),
+        (3, "the recipe butter sugar the"),
+        (4, "the the the the"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.rank): r.doc_b
+        for r in tfidf_neighbors(docs, k=2, max_df_frac=0.9).collect()
+    }
+    # 'the' has df=5/5 > 0.9 -> dropped; doc 4 has no terms left at all
+    assert got[(0, 1)] == 1 and got[(1, 1)] == 0
+    assert got[(2, 1)] == 3 and got[(3, 1)] == 2
+    assert not any(a == 4 or b == 4 for (a, _), b in got.items())
+
+
 def test_bpe_train_textbook_merges(spark):
     """The iterated trainer follows the Sennrich recipe exactly:
     'aaab' x2 merges ('a','a') first (count 4 beats ('a','b')'s 2),
