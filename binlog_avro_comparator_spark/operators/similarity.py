@@ -1344,6 +1344,10 @@ def _bitext_topk_pass(
 
     spark = queries.sparkSession
     t_rows = target.select("vec_id", "embedding").collect()
+    if not t_rows:  # an empty segment has no neighbors, not a crash
+        return spark.createDataFrame(
+            [], f"{q_col} long, {t_col} long, cos_sim double"
+        )
     t_ids = np.array([r.vec_id for r in t_rows], dtype=np.int64)
     t_order = np.argsort(t_ids)  # id-ascending so rank breaks ties
     t_ids = t_ids[t_order]

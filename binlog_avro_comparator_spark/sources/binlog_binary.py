@@ -895,7 +895,8 @@ def _iter_events(
     last COMPLETE event (a torn tail event never moves it)."""
     if state is None:
         state = {}
-    off = int(state.get("pos") or len(MAGIC))
+    _p = state.get("pos")
+    off = len(MAGIC) if _p is None else int(_p)  # pos=0 is a real start
     n = len(data)
     crc_tail = int(state.get("crc") or 0)
     state["pos"] = off

@@ -425,18 +425,31 @@ class BinlogBinaryStreamReader(DataSourceStreamReader):
             ctx = dict(self._cache[1])
         else:
             ctx = fresh_decode_ctx()
-        with open(top, "rb") as f:
-            data = f.read()
-        if int(ctx.get("pos") or 0) > len(data):
+        base = int(ctx.get("pos") or 0)
+        size = os.path.getsize(top)
+        if base > size:
             raise RuntimeError(
                 f"binlog segment {name} shrank below the committed offset: "
                 "segment was truncated or replaced"
             )
-        # advance the context over the delta (rows discarded -- the
-        # executors re-decode their slice; this walk is the appended
-        # bytes only, thanks to the per-instance cache)
-        for _ in decode_binlog_slice(name, data, ctx):
+        # advance the context over the APPENDED DELTA only (seek past
+        # the committed prefix -- a 1 GB active segment costs its
+        # growth per trigger, not its size; rows are discarded, the
+        # executors re-decode their slice)
+        from .binlog_binary import MAGIC
+
+        with open(top, "rb") as f:
+            f.seek(base)
+            delta = f.read()
+        if base == 0 and not delta.startswith(MAGIC):
+            # foreign/not-yet-initialized head: hold the offset at 0
+            # (consumed nothing) until real binlog bytes appear
+            self._cache = (name, dict(ctx))
+            return {"last": name, "ctx": ctx}
+        ctx["pos"] = 0 if base else None  # rebase into the delta buffer
+        for _ in decode_binlog_slice(name, delta, ctx):
             pass
+        ctx["pos"] = base + int(ctx.get("pos") or 0)
         self._cache = (name, dict(ctx))
         return {"last": name, "ctx": ctx}
 
@@ -488,14 +501,18 @@ class BinlogBinaryStreamReader(DataSourceStreamReader):
     def read(self, partition: _BinlogBinPartition):
         from .binlog_binary import MAGIC, decode_binlog_slice
 
-        with open(partition.path, "rb") as f:
-            data = f.read()
-        if partition.end_pos is not None:
-            data = data[: partition.end_pos]
         ctx = dict(partition.ctx)
-        starting_fresh = not ctx.get("pos")
-        if starting_fresh and not data.startswith(MAGIC):
+        base = int(ctx.get("pos") or 0)
+        with open(partition.path, "rb") as f:
+            f.seek(base)  # only the slice's bytes ever load
+            data = (
+                f.read()
+                if partition.end_pos is None
+                else f.read(partition.end_pos - base)
+            )
+        if base == 0 and not data.startswith(MAGIC):
             return  # foreign bytes: warn-and-skip contract
+        ctx["pos"] = 0 if base else None  # rebase into the slice buffer
         name = os.path.basename(partition.path)
         yield from decode_binlog_slice(name, data, ctx)
 

@@ -71,6 +71,13 @@ PICKS = [
     ("dedup_transitive_closure", "closure: min-label fixpoint (linear) + label self-join -- no recursive pair expansion"),
     ("cdc_avro_logical_scan", "logical-type avro lake: pruned binaryFile scan -> ONE MapInPandas decode to typed columns"),
     ("cdc_rotate_chain", "rotate chain: per-file decode, single lead() window over the file-cardinality frame"),
+    # round 8
+    ("embedding_knn_audit_bucketed", "kNN audit scale tier: LSH bucket self-join candidates, JVM fold cosines, window top-k -- no driver collect, no MapInPandas"),
+    ("embedding_bitext_margin_bucketed", "bitext scale tier: cross-segment bucket candidates; fwd/bwd shortlists as windows WITHIN candidates"),
+    ("ann_ivf_probe_pruned", "persisted IVF probe: literal centroid_id IN (...) PartitionFilters -- unprobed list directories never read"),
+    ("cdc_snapshot_at_watermark", "watermark applied: per-source min-of-max broadcast back, one filtered aggregate over the feed"),
+    ("cdc_gtid_set", "gtid_executed intervals: islands trick -- one per-sid window + one aggregate, interval-cardinality output"),
+    ("doc_tfidf_neighbors", "lexical more-like-this: df-capped posting-list self-join, decimal-summed products, window top-k"),
 ]
 
 
