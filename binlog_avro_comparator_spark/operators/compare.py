@@ -958,6 +958,53 @@ def resume_bookmarks(binlog_prepared: DataFrame) -> DataFrame:
     )
 
 
+def transaction_summary(binlog_events: DataFrame) -> DataFrame:
+    """TRANSACTION reassembly over the event feed: group events by
+    GTID into the unit replication actually applies -- per transaction,
+    its DML row-event count, tables touched, position bounds, and
+    whether an XID commit marker arrived (``committed``).  An
+    uncommitted transaction at the feed tail is normal (still open); an
+    uncommitted one in the middle is a torn write the downstream
+    should quarantine -- exactly the risk the reference's XID-joinable
+    quirk (SURVEY Q3/Q5) papers over by joining XID rows silently.
+
+    One map-side-combined aggregate, transaction-cardinality output;
+    distinct-table counting rides a collect_set bounded by the
+    per-transaction table fan-out (small by construction -- a
+    transaction touches the tables one statement batch touches).
+    Returns (gtid, n_events, n_dml, n_tables, first_position,
+    last_position, committed)."""
+    is_dml = F.col("event_type").isin(
+        "WriteRowsEventV2", "UpdateRowsEventV2", "DeleteRowsEventV2"
+    )
+    return (
+        binlog_events.filter(
+            F.col("gtid_next").isNotNull() & (F.col("gtid_next") != "")
+        )
+        .groupBy(F.col("gtid_next").alias("gtid"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(is_dml.cast("long")).alias("n_dml"),
+            F.size(
+                F.array_distinct(
+                    F.collect_list(
+                        F.when(
+                            F.col("table").isNotNull()
+                            & (F.col("table") != ""),
+                            F.col("table"),
+                        )
+                    )
+                )
+            ).cast("long").alias("n_tables"),
+            F.min("log_position").alias("first_position"),
+            F.max("log_position").alias("last_position"),
+            F.max(
+                (F.col("event_type") == "XID").cast("int")
+            ).cast("boolean").alias("committed"),
+        )
+    )
+
+
 def gtid_set_summary(prepared_binlog: DataFrame) -> DataFrame:
     """``gtid_executed`` as data: per source server UUID, the APPLIED
     GNOs compressed into maximal contiguous intervals -- the exact

@@ -17,6 +17,22 @@ def add(sql: dict) -> None:
         "cdc_payload_diff_typed": _TYPED_DIFF_ORACLE,
         # ops tier: GTID gaps = GNOs the prepared feed never carried
         # (Query drops, zero positions, empty files, dedup losers)
+        # transaction reassembly: per-GTID rollup with commit markers
+        "cdc_transactions": "WITH " + oracle.CDC_CTES.strip() + """
+SELECT gtid_next AS gtid, count(*) AS n_events,
+       CAST(sum(CASE WHEN event_type IN ('WriteRowsEventV2',
+                'UpdateRowsEventV2', 'DeleteRowsEventV2')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_dml,
+       CAST(count(DISTINCT CASE WHEN "table" IS NOT NULL
+                 AND "table" <> '' THEN "table" END) AS BIGINT)
+         AS n_tables,
+       min(log_position) AS first_position,
+       max(log_position) AS last_position,
+       max(CASE WHEN event_type = 'XID' THEN 1 ELSE 0 END) = 1
+         AS committed
+FROM binlog_events_cdc
+WHERE gtid_next IS NOT NULL AND gtid_next <> ''
+GROUP BY gtid_next""",
         # the applied complement of the gaps: islands compression
         "cdc_gtid_set": "WITH " + oracle.CDC_CTES.strip() + """
 , g AS (

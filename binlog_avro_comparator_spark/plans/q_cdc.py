@@ -877,6 +877,17 @@ def _q_cdc_gtid_set(spark, sf_dir):
     return C.gtid_set_summary(bp)
 
 
+def _q_cdc_transactions(spark, sf_dir):
+    """Transaction reassembly (compare.transaction_summary): events
+    grouped into the unit replication applies, with commit markers --
+    the torn-write quarantine view the reference's silent XID join
+    (quirk Q3/Q5) never surfaces."""
+    ensure_session_conf(spark)
+    return C.transaction_summary(
+        derive_binlog_events(load_table(spark, sf_dir, "events"))
+    )
+
+
 def _q_cdc_order_audit(spark, sf_dir):
     """Per-file log_position monotonicity audit over the RAW feed --
     the zeroed-position rows plant genuine inversions."""

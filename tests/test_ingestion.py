@@ -1674,6 +1674,35 @@ def test_tail_cli_end_to_end(spark, tmp_path, capsys):
     assert got == [("WriteRowsEventV2", 1), ("XID", 2)]
 
 
+def test_tail_cli_text_format(spark, tmp_path, capsys):
+    """The tail CLI's text mode rides the byte-offset text source:
+    drain, grow the active segment, restart reads only the delta."""
+    from binlog_avro_comparator_spark.tail import main as tail_main
+
+    src = tmp_path / "logs"
+    src.mkdir()
+    (src / "mysql-bin.000001.txt").write_text("a1\na2\n")
+    out, ckpt = str(tmp_path / "rows"), str(tmp_path / "ckpt")
+    args = ["--dir", str(src), "--format", "text",
+            "--out", out, "--checkpoint", ckpt]
+    assert tail_main(args, spark=spark) == 0
+    assert json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1]
+    )["rows_total"] == 2
+    with open(src / "mysql-bin.000001.txt", "a") as f:
+        f.write("a3\n")
+    assert tail_main(args, spark=spark) == 0
+    assert json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1]
+    )["rows_total"] == 3
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert got == [
+        ("mysql-bin.000001", 1, "a1"),
+        ("mysql-bin.000001", 2, "a2"),
+        ("mysql-bin.000001", 3, "a3"),
+    ]
+
+
 def test_binlogbin_slice_decode_equals_whole(spark):
     """decode_binlog_slice parity: cutting at EVERY event boundary and
     decoding the two halves with carried context reproduces the
