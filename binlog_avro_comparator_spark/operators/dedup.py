@@ -918,6 +918,30 @@ def dedup_keep_best(documents: DataFrame, max_iter: int = 15) -> DataFrame:
     )
 
 
+def cluster_size_histogram(
+    documents: DataFrame, edges: DataFrame | None = None
+) -> DataFrame:
+    """Duplication-scale executive summary: the near-dup CLUSTER SIZE
+    distribution -- how many duplicate groups of each size the corpus
+    holds and how many documents they absorb.  The one-page answer to
+    'how duplicated is this crawl' that decides whether exact dedup
+    suffices or the fuzzy tiers must run; a fat tail here is the same
+    signal corpus_shingle_saturation reads lexically.
+
+    Composed over the verified connected-components frame: two
+    aggregates (component size, then size histogram) -- cluster-
+    cardinality then size-cardinality, metadata-sized output at any
+    corpus.  Returns (cluster_size, n_clusters, n_docs)."""
+    clusters = dedup_clusters(documents, edges=edges)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        (F.count("*") * F.col("cluster_size")).cast("long").alias("n_docs"),
+    )
+
+
 def incremental_dedup_matches(
     documents: DataFrame,
     new_mod: int = 10,

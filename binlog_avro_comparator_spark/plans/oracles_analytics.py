@@ -1524,6 +1524,15 @@ cp AS (
 SELECT 'view_to_click' AS step, * FROM vc
 UNION ALL
 SELECT 'click_to_purchase' AS step, * FROM cp"""
+    # duplication-scale histogram over the verified cluster oracle
+    sql["dedup_cluster_sizes"] = f"""
+WITH clusters AS ({sql["dedup_clusters"]}),
+sizes AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM clusters GROUP BY 1
+)
+SELECT cluster_size, count(*) AS n_clusters,
+       CAST(count(*) * cluster_size AS BIGINT) AS n_docs
+FROM sizes GROUP BY cluster_size"""
     # label consensus composed over the verified cluster oracle
     sql["dedup_label_consensus"] = f"""
 WITH clusters AS ({sql["dedup_clusters"]}),

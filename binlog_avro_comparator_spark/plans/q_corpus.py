@@ -325,6 +325,15 @@ def _q_bpe_encode(spark, sf_dir):
     return bpe_encode_report(_docs(spark, sf_dir), n_merges=8)
 
 
+def _q_cluster_size_histogram(spark, sf_dir):
+    """Near-dup cluster-size distribution (dedup.cluster_size_histogram):
+    the duplication-scale summary over the verified components frame."""
+    ensure_session_conf(spark)
+    from ..operators.dedup import cluster_size_histogram
+
+    return cluster_size_histogram(_docs(spark, sf_dir))
+
+
 def _q_tfidf_neighbors(spark, sf_dir):
     """Doc-to-doc TF-IDF cosine top-k via the inverted-index join
     (textstats.tfidf_neighbors): the lexical 'more like this' next to

@@ -62,6 +62,7 @@ def queries() -> dict[str, QueryFn]:
         "cdc_gtid_set": _q_cdc_gtid_set,
         "doc_tfidf_neighbors": _q_tfidf_neighbors,
         "cdc_transactions": _q_cdc_transactions,
+        "dedup_cluster_sizes": _q_cluster_size_histogram,
         # -- r6 tail that never landed in a driver window (the r6 batch
         # overflowed the 50-entry window): these 24 lead round 7 so each
         # finally gets a CORRECTNESS row (r3 freeze rule) --
