@@ -95,6 +95,7 @@ def write_ivf_index(
     path: str,
     n_centroids: int = 16,
     centroid_stride: int = 37,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """Persist the IVF index as a CENTROID-PARTITIONED parquet table:
     one directory per inverted list (``centroid_id=N/``), each holding
@@ -105,13 +106,20 @@ def write_ivf_index(
     ``n_centroids - n_probe`` directories are never opened (at 100 TB:
     never listed, never footer-read).  Build is query-independent and
     amortizes across every probe batch (similarity.cosine_topk_ivf's
-    index= contract, now durable).  Returns the centroid frame
-    (n_centroids rows) the probe planner needs."""
-    from ..operators.similarity import assign_centroids
+    index= contract, now durable).  Pass ``cents`` to build against a
+    FROZEN quantizer (the incremental-maintenance contract -- the base
+    build and every append_ivf_index batch must share it); otherwise
+    the stride quantizer derives centroids from ``embeddings``.
+    Returns the centroid frame (n_centroids rows) the probe planner
+    needs."""
+    from ..operators.similarity import assign_centroids, assign_to_centroids
 
-    cents, assignment = assign_centroids(
-        embeddings, n_centroids, centroid_stride
-    )
+    if cents is None:
+        cents, assignment = assign_centroids(
+            embeddings, n_centroids, centroid_stride
+        )
+    else:
+        assignment = assign_to_centroids(embeddings, cents)
     (
         assignment.join(embeddings, "vec_id")
         .write.mode("overwrite")
@@ -119,6 +127,30 @@ def write_ivf_index(
         .parquet(path)
     )
     return cents
+
+
+def append_ivf_index(
+    new_vectors: DataFrame, path: str, cents: DataFrame
+) -> None:
+    """INCREMENTAL IVF maintenance: assign a new vector batch against
+    the FROZEN centroid frame and append it into the centroid-
+    partitioned layout -- dynamic partition append, so only the list
+    directories the batch actually touches gain files; nothing is
+    rewritten, no rebuild.  Because assignment is query-independent
+    and the centroids are frozen, probe results over the appended
+    index equal a full rebuild BY CONSTRUCTION (pinned by the
+    ann_ivf_probe_incremental oracle); re-clustering (new centroids)
+    is a deliberate, separate rebuild -- exactly how production IVF
+    indexes handle ingest vs re-train."""
+    from ..operators.similarity import assign_to_centroids
+
+    (
+        assign_to_centroids(new_vectors, cents)
+        .join(new_vectors, "vec_id")
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )
 
 
 def ivf_probe_pruned(

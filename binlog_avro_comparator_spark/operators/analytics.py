@@ -3949,3 +3949,64 @@ def range_sort_plan(lineitem: DataFrame, n_partitions: int = 16) -> DataFrame:
             ).alias("balance_ratio"),
         )
     )
+
+
+def watermark_plan(events: DataFrame, block: int = 4096) -> DataFrame:
+    """Event-time DISORDER profile for watermark planning: per event,
+    its lateness relative to the maximum event time already seen in
+    arrival order (``event_id`` -- the feed's arrival counter), rolled
+    into the one-row report that answers "what
+    ``withWatermark`` delay keeps p99 of late data": late fraction,
+    lateness quantiles, and ``suggested_delay_ms = ceil(p99)``.  This
+    is the batch pre-flight for every watermarked streaming operator in
+    streaming/ -- measured disorder instead of a guessed delay.
+
+    Scale shape: the running max over arrival order is computed with
+    NO global window -- the bucketed two-phase prefix trick (the
+    customer_abc_classes discipline): per-block maxima (block =
+    event_id div ``block``) prefix-scan on the BLOCK-cardinality frame
+    only, broadcast back; the within-block running max is a window
+    PARTITIONED by block.  Quantiles are exact percentiles over the
+    lateness column (R-7, 1e-9 ulp pre-round), one aggregation row out.
+
+    Returns (n_events, n_late, late_frac, p50_ms, p90_ms, p99_ms,
+    max_ms, suggested_delay_ms)."""
+    ts_ms = F.unix_millis(F.col("ts"))
+    base = events.select(
+        (F.col("event_id") / block).cast("long").alias("__b"),
+        F.col("event_id").alias("__id"),
+        ts_ms.alias("__ms"),
+    )
+    blocks = base.groupBy("__b").agg(F.max("__ms").alias("__bmax"))
+    wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    prev = blocks.select(
+        "__b", F.max("__bmax").over(wb).alias("__pmax")
+    )
+    w_in = (
+        Window.partitionBy("__b")
+        .orderBy("__id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = base.withColumn("__rmax", F.max("__ms").over(w_in))
+    late = (
+        F.greatest(F.col("__rmax"), F.coalesce(F.col("__pmax"), F.col("__rmax")))
+        - F.col("__ms")
+    )
+    scored = run.join(F.broadcast(prev), "__b").select(late.alias("__late"))
+    p = lambda q: F.round(F.round(F.percentile("__late", F.lit(q)), 9), 6)
+    return scored.agg(
+        F.count("*").alias("n_events"),
+        F.sum((F.col("__late") > 0).cast("long")).alias("n_late"),
+        F.round(
+            F.sum((F.col("__late") > 0).cast("long"))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("late_frac"),
+        p(0.5).alias("p50_ms"),
+        p(0.9).alias("p90_ms"),
+        p(0.99).alias("p99_ms"),
+        F.max("__late").alias("max_ms"),
+        F.ceil(F.round(F.percentile("__late", F.lit(0.99)), 9))
+        .cast("long")
+        .alias("suggested_delay_ms"),
+    )

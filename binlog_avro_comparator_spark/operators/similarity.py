@@ -362,6 +362,17 @@ def assign_centroids(
         F.col("embedding").alias("c_embedding"),
         F.col("norm").alias("c_norm"),
     )
+    return cents, assign_to_centroids(embeddings, cents)
+
+
+def assign_to_centroids(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assignment against a PROVIDED (frozen) centroid frame -- the
+    shared quantizer of the build path (assign_centroids) and the
+    incremental index-append path (layout.append_ivf_index): one
+    broadcast cross-join against the tiny centroid set folded by a
+    ``max_by`` partial aggregation -- linear scan, map-side combined, a
+    single n-row shuffle, no per-vector window."""
+    emb = with_norm(embeddings)
     cos = F.round(
         _dot(F.col("embedding"), F.col("c_embedding"))
         / (F.col("norm") * F.col("c_norm")),
@@ -374,13 +385,12 @@ def assign_centroids(
     packed = F.round(cos * 1e6).cast("long") * F.lit(1 << 32).cast("long") - F.col(
         "centroid_id"
     )
-    assignment = (
+    return (
         emb.crossJoin(F.broadcast(cents))
         .select("vec_id", packed.alias("c_key"), "centroid_id")
         .groupBy("vec_id")
         .agg(F.max_by("centroid_id", F.col("c_key")).alias("centroid_id"))
     )
-    return cents, assignment
 
 
 def cosine_topk_ivf(

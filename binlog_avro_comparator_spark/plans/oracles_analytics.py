@@ -1653,6 +1653,29 @@ FROM combos"""
     sql["cdc_payload_diff_stream"] = sql["cdc_payload_diff"]
     # streaming S2 decode is stateless per file -> appended rows equal
     # the batch decode exactly
+    # watermark planning: naive global running max in the oracle, the
+    # bucketed two-phase form in Spark -- same numbers by construction
+    sql["events_watermark_plan"] = """
+WITH e AS (SELECT event_id, epoch_ms(ts) AS ms FROM events),
+r AS (
+  SELECT ms, max(ms) OVER (
+    ORDER BY event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rmax
+  FROM e
+),
+l AS (SELECT rmax - ms AS late FROM r)
+SELECT count(*) AS n_events,
+       CAST(sum(CASE WHEN late > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late,
+       round(sum(CASE WHEN late > 0 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS late_frac,
+       round(round(quantile_cont(late, 0.5), 9), 6) AS p50_ms,
+       round(round(quantile_cont(late, 0.9), 9), 6) AS p90_ms,
+       round(round(quantile_cont(late, 0.99), 9), 6) AS p99_ms,
+       max(late) AS max_ms,
+       CAST(ceil(round(quantile_cont(late, 0.99), 9)) AS BIGINT)
+         AS suggested_delay_ms
+FROM l"""
     sql["cdc_parse_binlog_stream"] = sql["cdc_parse_binlog_binary"]
     # the r8 byte-offset binary tail drains the same fixture to the
     # same contract rows -- three binary readers, one oracle

@@ -1296,6 +1296,9 @@ LEFT JOIN applied a ON a.source_uuid = p.source_uuid
     # probe pick, tie-breaks) -- the difference is the partition-pruned
     # scan, which the plan pytest pins; one oracle certifies both
     sql["ann_ivf_probe_pruned"] = sql["ann_cosine_topk_ivf"]
+    # incremental append == full rebuild by construction (frozen
+    # centroids, query-independent assignment): same oracle again
+    sql["ann_ivf_probe_incremental"] = sql["ann_cosine_topk_ivf"]
 
     # the watermark applied: consistent multi-table snapshot manifest
     sql["cdc_snapshot_at_watermark"] = "WITH " + oracle.CDC_CTES.strip() + """

@@ -882,4 +882,14 @@ def _q_zorder_skipping_report(spark, sf_dir):
     )
 
 
+def _q_watermark_plan(spark, sf_dir):
+    """Event-time disorder profile (analytics.watermark_plan): the
+    measured lateness quantiles that pick a streaming watermark delay
+    -- bucketed two-phase running max, no global window."""
+    ensure_session_conf(spark)
+    from ..operators.analytics import watermark_plan
+
+    return watermark_plan(load_table(spark, sf_dir, "events"))
+
+
 __all__ = [_n for _n in list(globals()) if not _n.startswith('__') and _n != '_shared']

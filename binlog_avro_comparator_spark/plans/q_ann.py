@@ -411,6 +411,41 @@ def _q_ivf_probe_pruned(spark, sf_dir):
     )
 
 
+def _q_ivf_probe_incremental(spark, sf_dir):
+    """Incremental-index invariant (layout.append_ivf_index): build
+    the IVF layout from 80% of the corpus, append the remaining 20%
+    against the FROZEN centroids, probe -- the result equals the
+    full-build probe (shared oracle), because assignment is
+    query-independent and centroid-frozen.  Index freshness without a
+    rebuild."""
+    import tempfile
+
+    ensure_session_conf(spark)
+    from ..functions.layout import (
+        append_ivf_index,
+        ivf_probe_pruned,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    entry = _IVF_INDEX_DIRS.get(("incremental", sf_dir))
+    if entry is None:
+        from ..operators.similarity import assign_centroids
+
+        d = tempfile.mkdtemp(prefix="ivf_index_inc_")
+        # the quantizer derives from the FULL corpus and freezes; the
+        # stored rows split 80/20 between base build and append
+        cents, _ = assign_centroids(emb)
+        cents = spark.createDataFrame(cents.collect(), schema=cents.schema)
+        write_ivf_index(emb.filter(F.col("vec_id") % 5 != 0), d, cents=cents)
+        append_ivf_index(emb.filter(F.col("vec_id") % 5 == 0), d, cents)
+        entry = _IVF_INDEX_DIRS[("incremental", sf_dir)] = (d, cents)
+    d, cents = entry
+    return ivf_probe_pruned(
+        spark, d, cents, emb.filter(F.col("vec_id") < 32), k=5, n_probe=4
+    )
+
+
 def _q_knn_audit_bucketed(spark, sf_dir):
     """kNN label-noise audit on the SCALE path
     (similarity.knn_label_audit with candidates= from

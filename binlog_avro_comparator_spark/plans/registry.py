@@ -63,6 +63,8 @@ def queries() -> dict[str, QueryFn]:
         "doc_tfidf_neighbors": _q_tfidf_neighbors,
         "cdc_transactions": _q_cdc_transactions,
         "dedup_cluster_sizes": _q_cluster_size_histogram,
+        "events_watermark_plan": _q_watermark_plan,
+        "ann_ivf_probe_incremental": _q_ivf_probe_incremental,
         # -- r6 tail that never landed in a driver window (the r6 batch
         # overflowed the 50-entry window): these 24 lead round 7 so each
         # finally gets a CORRECTNESS row (r3 freeze rule) --

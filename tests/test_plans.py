@@ -813,6 +813,50 @@ def test_ivf_index_probe_partition_prunes(spark, tmp_path):
         assert int(m.group(1)) < 16
 
 
+def test_ivf_index_incremental_append_equals_rebuild(spark, tmp_path):
+    """append_ivf_index against the frozen quantizer: probing the
+    80%-build + 20%-append index returns exactly the full-rebuild
+    probe, base files are never rewritten (append adds files, removes
+    none), and only the touched list directories gain files."""
+    import os
+
+    from binlog_avro_comparator_spark.functions.layout import (
+        append_ivf_index, ivf_probe_pruned, write_ivf_index)
+    from binlog_avro_comparator_spark.operators.similarity import (
+        assign_centroids)
+    from binlog_avro_comparator_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents, _ = assign_centroids(emb)
+    cents = spark.createDataFrame(cents.collect(), schema=cents.schema)
+    full_dir, inc_dir = str(tmp_path / "full"), str(tmp_path / "inc")
+    write_ivf_index(emb, full_dir, cents=cents)
+    write_ivf_index(emb.filter(F.col("vec_id") % 5 != 0), inc_dir, cents=cents)
+
+    def files(d):
+        return {
+            os.path.join(r, f)
+            for r, _, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        }
+
+    before = files(inc_dir)
+    append_ivf_index(emb.filter(F.col("vec_id") % 5 == 0), inc_dir, cents)
+    after = files(inc_dir)
+    assert before <= after and len(after) > len(before)  # pure append
+    q = emb.filter(F.col("vec_id") < 8)
+    got = sorted(
+        tuple(r)
+        for r in ivf_probe_pruned(spark, inc_dir, cents, q, k=5, n_probe=2).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in ivf_probe_pruned(spark, full_dir, cents, q, k=5, n_probe=2).collect()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
     """Hive-partitioned writes must prune at planning time: a filter on
     the partition column becomes PartitionFilters (whole directories
