@@ -4010,3 +4010,40 @@ def watermark_plan(events: DataFrame, block: int = 4096) -> DataFrame:
         .cast("long")
         .alias("suggested_delay_ms"),
     )
+
+
+def session_gap_profile(events: DataFrame) -> DataFrame:
+    """Inter-event GAP profile per user -- the measured input to a
+    sessionization timeout, the way watermark_plan is the measured
+    input to a watermark delay: gap quantiles over consecutive
+    same-user events, with ``suggested_timeout_ms = ceil(p95)`` (a
+    timeout below the p95 gap shreds genuine sessions; far above it
+    merges distinct visits).  Pairs with the sessionize operators in
+    operators/ and streaming/ whose timeout is otherwise a guess.
+
+    Shape: ONE window partitioned by user_id (the natural key -- state
+    scales with users, never corpus), ordered by (event time, event_id
+    tie-break); exact R-7 percentiles over the integer millisecond
+    gaps, 1e-9 ulp pre-round, one row out.  Returns (n_users, n_gaps,
+    p50_ms, p90_ms, p95_ms, max_ms, suggested_timeout_ms)."""
+    base = events.filter(F.col("user_id").isNotNull()).select(
+        "user_id",
+        F.unix_millis(F.col("ts")).alias("__ms"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("__ms", "event_id")
+    gaps = base.select(
+        "user_id", (F.col("__ms") - F.lag("__ms").over(w)).alias("__gap")
+    ).filter(F.col("__gap").isNotNull())
+    p = lambda q: F.round(F.round(F.percentile("__gap", F.lit(q)), 9), 6)
+    return gaps.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_gaps"),
+        p(0.5).alias("p50_ms"),
+        p(0.9).alias("p90_ms"),
+        p(0.95).alias("p95_ms"),
+        F.max("__gap").alias("max_ms"),
+        F.ceil(F.round(F.percentile("__gap", F.lit(0.95)), 9))
+        .cast("long")
+        .alias("suggested_timeout_ms"),
+    )

@@ -1653,6 +1653,27 @@ FROM combos"""
     sql["cdc_payload_diff_stream"] = sql["cdc_payload_diff"]
     # streaming S2 decode is stateless per file -> appended rows equal
     # the batch decode exactly
+    # session-gap quantiles: identical per-user lag frame
+    sql["events_session_gaps"] = """
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) AS ms, event_id FROM events
+  WHERE user_id IS NOT NULL
+),
+g AS (
+  SELECT user_id,
+         ms - lag(ms) OVER (
+           PARTITION BY user_id ORDER BY ms, event_id) AS gap
+  FROM e
+)
+SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       count(*) AS n_gaps,
+       round(round(quantile_cont(gap, 0.5), 9), 6) AS p50_ms,
+       round(round(quantile_cont(gap, 0.9), 9), 6) AS p90_ms,
+       round(round(quantile_cont(gap, 0.95), 9), 6) AS p95_ms,
+       max(gap) AS max_ms,
+       CAST(ceil(round(quantile_cont(gap, 0.95), 9)) AS BIGINT)
+         AS suggested_timeout_ms
+FROM g WHERE gap IS NOT NULL"""
     # watermark planning: naive global running max in the oracle, the
     # bucketed two-phase form in Spark -- same numbers by construction
     sql["events_watermark_plan"] = """

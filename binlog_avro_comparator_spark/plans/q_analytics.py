@@ -892,4 +892,14 @@ def _q_watermark_plan(spark, sf_dir):
     return watermark_plan(load_table(spark, sf_dir, "events"))
 
 
+def _q_session_gaps(spark, sf_dir):
+    """Per-user inter-event gap quantiles (analytics.session_gap_profile):
+    the measured sessionization timeout next to the measured watermark
+    delay."""
+    ensure_session_conf(spark)
+    from ..operators.analytics import session_gap_profile
+
+    return session_gap_profile(load_table(spark, sf_dir, "events"))
+
+
 __all__ = [_n for _n in list(globals()) if not _n.startswith('__') and _n != '_shared']

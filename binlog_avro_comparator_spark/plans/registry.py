@@ -65,6 +65,7 @@ def queries() -> dict[str, QueryFn]:
         "dedup_cluster_sizes": _q_cluster_size_histogram,
         "events_watermark_plan": _q_watermark_plan,
         "ann_ivf_probe_incremental": _q_ivf_probe_incremental,
+        "events_session_gaps": _q_session_gaps,
         # -- r6 tail that never landed in a driver window (the r6 batch
         # overflowed the 50-entry window): these 24 lead round 7 so each
         # finally gets a CORRECTNESS row (r3 freeze rule) --
