@@ -3951,7 +3951,7 @@ def range_sort_plan(lineitem: DataFrame, n_partitions: int = 16) -> DataFrame:
     )
 
 
-def watermark_plan(events: DataFrame, block: int = 4096) -> DataFrame:
+def watermark_plan(events: DataFrame, block: int = 1 << 20) -> DataFrame:
     """Event-time DISORDER profile for watermark planning: per event,
     its lateness relative to the maximum event time already seen in
     arrival order (``event_id`` -- the feed's arrival counter), rolled
@@ -3966,8 +3966,12 @@ def watermark_plan(events: DataFrame, block: int = 4096) -> DataFrame:
     customer_abc_classes discipline): per-block maxima (block =
     event_id div ``block``) prefix-scan on the BLOCK-cardinality frame
     only, broadcast back; the within-block running max is a window
-    PARTITIONED by block.  Quantiles are exact percentiles over the
-    lateness column (R-7, 1e-9 ulp pre-round), one aggregation row out.
+    PARTITIONED by block.  At the 1M-row default block, 1e11 events
+    make a ~100k-row block frame (the only unpartitioned window) and
+    ~100k within-block partitions whose state is one running max --
+    both ends stay executor-sized at any corpus.  Quantiles are exact
+    percentiles over the lateness column (R-7, 1e-9 ulp pre-round),
+    one aggregation row out.
 
     Returns (n_events, n_late, late_frac, p50_ms, p90_ms, p99_ms,
     max_ms, suggested_delay_ms)."""
