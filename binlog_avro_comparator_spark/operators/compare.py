@@ -1162,3 +1162,158 @@ def consistency_watermark(binlog_events: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def table_scorecard(
+    binlog_prepared: DataFrame,
+    avro_prepared: DataFrame,
+    cfg: CompareConfig = CompareConfig(),
+) -> DataFrame:
+    """Per-(schema, table) reconciliation scorecard: the reference's
+    scalar summary counters (compare_timestamps.go:266-280) broken out
+    by the table the change landed in -- the ops view that says WHICH
+    table's feed is unhealthy, not just that something is.
+
+    One pass over the shared ``diff_joined`` full-outer frame (no new
+    scan or join) plus one map-side-combined aggregate; output is
+    table-cardinality, so the rollup shuffle carries a handful of rows
+    per task at any feed size.  Matched counts are avro-row
+    granularity and BINLOG_ONLY counts DML events only, exactly like
+    ``summary``.  Returns (schema_name, table_name, n_matched,
+    n_ts_mismatch, n_gtid_mismatch, n_change_type_mismatch,
+    n_avro_only, n_binlog_only, consistent)."""
+    d = diff_joined(binlog_prepared, avro_prepared, cfg)
+    has_avro = F.col("__has_avro").isNotNull()
+    has_binlog = F.col("__has_binlog").isNotNull()
+    matched = has_avro & has_binlog
+    binlog_only_dml = (
+        has_binlog & ~has_avro & F.col("event_type").endswith(_DML_SUFFIX)
+    )
+    cnt = lambda c: F.sum(c.cast("long")).alias  # noqa: E731
+    out = (
+        d.filter(has_avro | binlog_only_dml)
+        .groupBy(
+            F.coalesce(F.col("database"), F.col("binlog_schema")).alias(
+                "schema_name"
+            ),
+            F.coalesce(F.col("table"), F.col("binlog_table")).alias(
+                "table_name"
+            ),
+        )
+        .agg(
+            cnt(matched)("n_matched"),
+            cnt(matched & F.col("ts_mismatch"))("n_ts_mismatch"),
+            cnt(matched & F.col("gtid_mismatch"))("n_gtid_mismatch"),
+            cnt(matched & F.col("change_type_mismatch"))(
+                "n_change_type_mismatch"
+            ),
+            cnt(has_avro & ~has_binlog)("n_avro_only"),
+            cnt(binlog_only_dml)("n_binlog_only"),
+        )
+    )
+    return out.withColumn(
+        "consistent",
+        (F.col("n_ts_mismatch") == 0)
+        & (F.col("n_change_type_mismatch") == 0)
+        & (F.col("n_avro_only") == 0)
+        & (F.col("n_binlog_only") == 0),
+    )
+
+
+def match_timeline(
+    binlog_prepared: DataFrame,
+    avro_prepared: DataFrame,
+    cfg: CompareConfig = CompareConfig(),
+    bucket_ms: int = 60_000,
+) -> DataFrame:
+    """Reconciliation health per time bucket: matched / mismatched /
+    missing counts by minute -- the trend line that separates a
+    steady-state tolerance problem from an outage window (every row
+    missing after minute X).  Complements ``lag_timeline`` (which
+    trends the lag VALUE over matched pairs only) by trending row
+    presence itself.
+
+    Bucket = the avro record's source_timestamp where one exists, else
+    the binlog-side effective timestamp, so BINLOG_ONLY rows land in
+    the minute the change was written.  One aggregate over the shared
+    one-pass frame; bucket-cardinality output.  Returns (bucket_ms,
+    n_matched, n_ts_mismatch, n_avro_only, n_binlog_only,
+    match_rate)."""
+    d = diff_joined(binlog_prepared, avro_prepared, cfg)
+    has_avro = F.col("__has_avro").isNotNull()
+    has_binlog = F.col("__has_binlog").isNotNull()
+    matched = has_avro & has_binlog
+    binlog_only_dml = (
+        has_binlog & ~has_avro & F.col("event_type").endswith(_DML_SUFFIX)
+    )
+    bucket = (
+        F.floor(
+            F.coalesce(F.col("source_timestamp"), F.col("binlog_ms"))
+            / F.lit(bucket_ms)
+        )
+        * F.lit(bucket_ms)
+    ).cast("long")
+    cnt = lambda c: F.sum(c.cast("long")).alias  # noqa: E731
+    out = (
+        d.filter(has_avro | binlog_only_dml)
+        .groupBy(bucket.alias("bucket_ms"))
+        .agg(
+            cnt(matched)("n_matched"),
+            cnt(matched & F.col("ts_mismatch"))("n_ts_mismatch"),
+            cnt(has_avro & ~has_binlog)("n_avro_only"),
+            cnt(binlog_only_dml)("n_binlog_only"),
+        )
+    )
+    total = (
+        F.col("n_matched") + F.col("n_avro_only") + F.col("n_binlog_only")
+    )
+    return out.withColumn(
+        "match_rate", F.round(F.col("n_matched") / total, 6)
+    )
+
+
+def gtid_coverage(
+    binlog_prepared: DataFrame,
+    avro_prepared: DataFrame,
+    cfg: CompareConfig = CompareConfig(),
+) -> DataFrame:
+    """Transaction-completeness audit: for every GTID in the binlog
+    feed, did ALL of its DML rows land in the avro lake (FULL), some
+    (PARTIAL -- the torn-transaction case a row-level diff reports as
+    scattered BINLOG_ONLY findings without connecting them), or none
+    (MISSING)?  The transaction-granularity rollup of the row-level
+    comparison -- replication applies transactions, so this is the
+    unit an operator actually replays.
+
+    Two aggregates over the shared one-pass frame: per-key landed
+    flags collapse first (duplicate avro rows for one binlog key
+    cannot double-count), then the per-GTID fold; both map-side
+    combine, output is transaction-cardinality.  Returns (gtid,
+    n_rows, n_landed, status)."""
+    d = diff_joined(binlog_prepared, avro_prepared, cfg)
+    has_binlog = F.col("__has_binlog").isNotNull()
+    dml = F.col("event_type").endswith(_DML_SUFFIX)
+    per_key = (
+        d.filter(
+            has_binlog
+            & dml
+            & F.col("gtid_next").isNotNull()
+            & (F.col("gtid_next") != "")
+        )
+        .groupBy(*KEY, "gtid_next")
+        .agg(
+            F.max(F.col("__has_avro").isNotNull().cast("long")).alias(
+                "__landed"
+            )
+        )
+    )
+    per_tx = per_key.groupBy(F.col("gtid_next").alias("gtid")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("__landed").alias("n_landed"),
+    )
+    return per_tx.withColumn(
+        "status",
+        F.when(F.col("n_landed") == F.col("n_rows"), "FULL")
+        .when(F.col("n_landed") == 0, "MISSING")
+        .otherwise("PARTIAL"),
+    )

@@ -33,6 +33,85 @@ SELECT gtid_next AS gtid, count(*) AS n_events,
 FROM binlog_events_cdc
 WHERE gtid_next IS NOT NULL AND gtid_next <> ''
 GROUP BY gtid_next""",
+        # per-table reconciliation scorecard: the summary counters
+        # broken out by (schema, table); matched counts avro-row
+        # granularity, BINLOG_ONLY counts DML only (like cdc_summary)
+        "cdc_table_scorecard": "WITH " + oracle.CDC_CTES.strip() + """
+, per AS (
+  SELECT database AS schema_name, "table" AS table_name,
+         1 AS m, CASE WHEN ts_mismatch THEN 1 ELSE 0 END AS tsm,
+         CASE WHEN gtid_mismatch THEN 1 ELSE 0 END AS gm,
+         CASE WHEN change_type_mismatch THEN 1 ELSE 0 END AS cm,
+         0 AS ao, 0 AS bo
+  FROM matched_flagged
+  UNION ALL
+  SELECT database, "table", 0, 0, 0, 0, 1, 0 FROM avro_only_cdc
+  UNION ALL
+  SELECT "schema", "table", 0, 0, 0, 0, 0, 1 FROM binlog_only_cdc
+)
+SELECT schema_name, table_name,
+       CAST(sum(m) AS BIGINT) AS n_matched,
+       CAST(sum(tsm) AS BIGINT) AS n_ts_mismatch,
+       CAST(sum(gm) AS BIGINT) AS n_gtid_mismatch,
+       CAST(sum(cm) AS BIGINT) AS n_change_type_mismatch,
+       CAST(sum(ao) AS BIGINT) AS n_avro_only,
+       CAST(sum(bo) AS BIGINT) AS n_binlog_only,
+       (sum(tsm) = 0 AND sum(cm) = 0 AND sum(ao) = 0 AND sum(bo) = 0)
+         AS consistent
+FROM per GROUP BY schema_name, table_name""",
+        # per-minute reconciliation health: row presence per bucket;
+        # BINLOG_ONLY rows bucket by the binlog-side effective ms
+        "cdc_match_timeline": "WITH " + oracle.CDC_CTES.strip() + """
+, per AS (
+  SELECT source_timestamp AS eff_ms,
+         1 AS m, CASE WHEN ts_mismatch THEN 1 ELSE 0 END AS tsm,
+         0 AS ao, 0 AS bo
+  FROM matched_flagged
+  UNION ALL
+  SELECT source_timestamp, 0, 0, 1, 0 FROM avro_only_cdc
+  UNION ALL
+  SELECT CASE
+           WHEN immediate_commmit_timestamp IS NOT NULL
+                AND immediate_commmit_timestamp <> ''
+             THEN epoch_ms(try_strptime(immediate_commmit_timestamp,
+                                        '%Y-%m-%dT%H:%M:%S.%fZ'))
+           WHEN "timestamp" IS NOT NULL AND "timestamp" <> ''
+             THEN epoch_ms(try_strptime("timestamp",
+                                        '%Y-%m-%dT%H:%M:%SZ'))
+           ELSE -62135596800000 END,
+         0, 0, 0, 1
+  FROM binlog_only_cdc
+)
+SELECT CAST(floor(eff_ms / 60000) * 60000 AS BIGINT) AS bucket_ms,
+       CAST(sum(m) AS BIGINT) AS n_matched,
+       CAST(sum(tsm) AS BIGINT) AS n_ts_mismatch,
+       CAST(sum(ao) AS BIGINT) AS n_avro_only,
+       CAST(sum(bo) AS BIGINT) AS n_binlog_only,
+       round(sum(m) / CAST(sum(m) + sum(ao) + sum(bo) AS DOUBLE), 6)
+         AS match_rate
+FROM per GROUP BY 1""",
+        # transaction-completeness: per-GTID landed-row rollup; the
+        # inner GROUP BY collapses duplicate avro matches per key so
+        # n_landed cannot double-count
+        "cdc_gtid_coverage": "WITH " + oracle.CDC_CTES.strip() + """
+, per_key AS (
+  SELECT b.gtid_next AS gtid, b.binlog_file, b.log_position,
+         max(CASE WHEN a.binlog_file IS NOT NULL THEN 1 ELSE 0 END)
+           AS landed
+  FROM binlog_prepared b
+  LEFT JOIN avro_prepared a
+    ON a.binlog_file = b.binlog_file
+   AND a.binlog_position = b.log_position
+  WHERE b.event_type LIKE '%RowsEventV2'
+    AND b.gtid_next IS NOT NULL AND b.gtid_next <> ''
+  GROUP BY 1, 2, 3
+)
+SELECT gtid, count(*) AS n_rows,
+       CAST(sum(landed) AS BIGINT) AS n_landed,
+       CASE WHEN sum(landed) = count(*) THEN 'FULL'
+            WHEN sum(landed) = 0 THEN 'MISSING'
+            ELSE 'PARTIAL' END AS status
+FROM per_key GROUP BY gtid""",
         # the applied complement of the gaps: islands compression
         "cdc_gtid_set": "WITH " + oracle.CDC_CTES.strip() + """
 , g AS (

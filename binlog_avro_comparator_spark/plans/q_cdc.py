@@ -1142,4 +1142,33 @@ def _q_snapshot_at_watermark(spark, sf_dir):
     )
 
 
+def _q_table_scorecard(spark, sf_dir):
+    """Per-table reconciliation scorecard (compare.table_scorecard):
+    the reference's scalar summary counters broken out by (schema,
+    table) over the shared one-pass diff frame -- which table's feed
+    is unhealthy, not just that something is."""
+    _, bp, ap = _cdc_frames(spark, sf_dir)
+    return C.table_scorecard(bp, ap)
+
+
+def _q_match_timeline(spark, sf_dir):
+    """Per-minute reconciliation health (compare.match_timeline):
+    matched / mismatched / missing counts per bucket -- the trend that
+    separates steady tolerance noise from an outage window; the
+    presence twin of cdc_lag_timeline."""
+    _, bp, ap = _cdc_frames(spark, sf_dir)
+    return C.match_timeline(bp, ap)
+
+
+def _q_gtid_coverage(spark, sf_dir):
+    """Transaction-completeness audit (compare.gtid_coverage): per
+    GTID, did every DML row land (FULL), some (PARTIAL -- the torn
+    transaction the row-level diff scatters into unconnected
+    BINLOG_ONLY findings), or none (MISSING)?  The PARTIAL path over
+    multi-row transactions is pytest-pinned (the fixture's GTIDs are
+    single-row by construction)."""
+    _, bp, ap = _cdc_frames(spark, sf_dir)
+    return C.gtid_coverage(bp, ap)
+
+
 __all__ = [_n for _n in list(globals()) if not _n.startswith('__') and _n != '_shared']

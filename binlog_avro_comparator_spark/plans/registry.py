@@ -47,6 +47,9 @@ def queries() -> dict[str, QueryFn]:
         # refactor; the cdc_* entries re-certify the ADVICE fixes
         # (per-UUID watermark, total rotate ordering, byte-offset
         # stream resume). --
+        "cdc_table_scorecard": _q_table_scorecard,
+        "cdc_match_timeline": _q_match_timeline,
+        "cdc_gtid_coverage": _q_gtid_coverage,
         "embedding_knn_audit_bucketed": _q_knn_audit_bucketed,
         "embedding_bitext_margin_bucketed": _q_bitext_margin_bucketed,
         "corpus_bpe_vocab": _q_bpe_vocab,

@@ -408,3 +408,129 @@ def test_lag_timeline_buckets_and_percentiles(spark):
     got = {r.bucket_ms: r for r in lag_timeline(df).collect()}
     assert got[base].n == 3 and got[base].p50_ms == 20.0
     assert got[base + 60_000].n == 1 and got[base + 60_000].p99_ms == -5.0
+
+
+def test_table_scorecard_golden_counts(frames):
+    """Per-table scorecard over the golden fixture: one (db, t) row
+    whose counters equal the hand-computed summary (matched 9, ts 3
+    incl. the parse error, gtid 1, ct 1, avro_only 1, binlog_only 1)."""
+    _, bp, ap = frames
+    rows = C.table_scorecard(bp, ap).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.schema_name, r.table_name) == ("db", "t")
+    assert r.n_matched == 9
+    assert r.n_ts_mismatch == 3
+    assert r.n_gtid_mismatch == 1
+    assert r.n_change_type_mismatch == 1
+    assert r.n_avro_only == 1
+    assert r.n_binlog_only == 1
+    assert not r.consistent
+
+
+def test_table_scorecard_splits_tables(spark):
+    """A healthy table stays consistent while the broken one is
+    flagged -- the per-table split is the operator's whole point."""
+    binlog = spark.createDataFrame(
+        [
+            ("WriteRowsEventV2", TS, ICT, 100, "db", "good", "g1", "f1", 1),
+            ("WriteRowsEventV2", TS, ICT, 200, "db", "bad", "g2", "f1", 2),
+        ],
+        BINLOG_SCHEMA,
+    )
+    avro = spark.createDataFrame(
+        [_a(100, ICT_MS)], AVRO_SCHEMA
+    )  # table 'bad' never lands
+    got = {
+        r.table_name: r
+        for r in C.table_scorecard(
+            C.prepare_binlog(binlog), C.prepare_avro(avro)
+        ).collect()
+    }
+    # the avro row carries table 't' but matches the binlog row by key;
+    # the scorecard groups matched rows by the avro-side table name
+    assert got["t"].n_matched == 1 and got["t"].consistent
+    assert got["bad"].n_binlog_only == 1 and not got["bad"].consistent
+
+
+def test_match_timeline_golden_single_bucket(frames):
+    """All golden rows land in one minute; the presence counters and
+    match rate equal the hand-computed summary."""
+    _, bp, ap = frames
+    rows = C.match_timeline(bp, ap).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.bucket_ms == BASE_MS - BASE_MS % 60_000
+    assert (r.n_matched, r.n_ts_mismatch) == (9, 3)
+    assert (r.n_avro_only, r.n_binlog_only) == (1, 1)
+    assert r.match_rate == round(9 / 11, 6)
+
+
+def test_match_timeline_outage_window(spark):
+    """Rows in a later minute that never land show up as a bucket with
+    match_rate 0 -- the outage-window signature."""
+    ok_ms = BASE_MS
+    out_ms = BASE_MS + 120_000
+    out_ts = "2025-06-01T10:02:00Z"
+    out_ict = "2025-06-01T10:02:00.000000Z"
+    binlog = spark.createDataFrame(
+        [
+            ("WriteRowsEventV2", TS, ICT, 100, "db", "t", "g1", "f1", 1),
+            ("WriteRowsEventV2", out_ts, out_ict, 200, "db", "t", "g2", "f1", 2),
+            ("WriteRowsEventV2", out_ts, out_ict, 300, "db", "t", "g3", "f1", 3),
+        ],
+        BINLOG_SCHEMA,
+    )
+    avro = spark.createDataFrame([_a(100, ok_ms)], AVRO_SCHEMA)
+    got = {
+        r.bucket_ms: r
+        for r in C.match_timeline(
+            C.prepare_binlog(binlog), C.prepare_avro(avro)
+        ).collect()
+    }
+    assert got[ok_ms - ok_ms % 60_000].match_rate == 1.0
+    bad = got[out_ms - out_ms % 60_000]
+    assert bad.n_binlog_only == 2 and bad.match_rate == 0.0
+
+
+def test_gtid_coverage_statuses(frames):
+    """Transaction-granularity landing: the golden fixture's shared
+    gtid 'g' spans 7 DML rows with one BINLOG_ONLY -> PARTIAL; the
+    fully-landed single-row transactions read FULL."""
+    _, bp, ap = frames
+    got = {r.gtid: r for r in C.gtid_coverage(bp, ap).collect()}
+    assert got["g"].status == "PARTIAL"
+    assert (got["g"].n_rows, got["g"].n_landed) == (7, 6)
+    assert got["gB"].status == "FULL" and got["gB"].n_rows == 1
+    assert got["gX"].status == "FULL"
+
+
+def test_gtid_coverage_missing_and_dup_avro(spark):
+    """A transaction with zero landed rows reads MISSING, and
+    duplicate avro rows for one binlog key cannot double-count
+    n_landed past n_rows."""
+    binlog = spark.createDataFrame(
+        [
+            ("WriteRowsEventV2", TS, ICT, 100, "db", "t", "tx1", "f1", 1),
+            ("UpdateRowsEventV2", TS, ICT, 200, "db", "t", "tx1", "f1", 2),
+            ("DeleteRowsEventV2", TS, ICT, 300, "db", "t", "tx2", "f1", 3),
+        ],
+        BINLOG_SCHEMA,
+    )
+    avro = spark.createDataFrame(
+        [
+            _a(100, ICT_MS, line=1),
+            _a(100, ICT_MS, line=2),  # duplicate landing for pos 100
+            _a(200, ICT_MS, line=3),
+        ],
+        AVRO_SCHEMA,
+    )
+    got = {
+        r.gtid: r
+        for r in C.gtid_coverage(
+            C.prepare_binlog(binlog), C.prepare_avro(avro)
+        ).collect()
+    }
+    assert got["tx1"].status == "FULL"
+    assert (got["tx1"].n_rows, got["tx1"].n_landed) == (2, 2)
+    assert got["tx2"].status == "MISSING" and got["tx2"].n_landed == 0
