@@ -1315,6 +1315,11 @@ UNION ALL SELECT 'lineitem shipped >= orderdate - 30d',
     # pyds/text parse contract verbatim
     sql["cdc_parse_stream_pyds"] = sql["cdc_parse_binlog_text_pyds"]
 
+    # streaming transaction reassembly: every aggregate in the
+    # per-GTID fold is mergeable, so the drained complete-mode state
+    # equals the batch rollup verbatim
+    sql["cdc_transactions_stream"] = sql["cdc_transactions"]
+
     # avro lake schema census: the two producer fingerprints are the
     # md5 of the canonical schema dumps the fixture encoder embeds
     # (raw header bytes == json.dumps(schema, separators=(",", ":")))

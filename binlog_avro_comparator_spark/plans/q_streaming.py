@@ -835,4 +835,34 @@ def _q_vocab_drift_stream(spark, sf_dir):
     return vocab_psi_from_counts(vocab)
 
 
+def _q_cdc_transactions_stream(spark, sf_dir):
+    """Transaction reassembly RUN AS A STREAM: the binlog feed arrives
+    as a file stream and compare.transaction_summary's per-GTID fold
+    becomes stateful -- every aggregate in it (count, conditional sum,
+    min/max position, XID max-marker, the collect_list behind the
+    bounded per-transaction table set) merges across micro-batches, so
+    the drained complete-mode state equals the batch rollup verbatim.
+    This is the ops view that matters MOST live: an uncommitted
+    transaction in the middle of a drained stream is a torn write to
+    quarantine right now, not at the next batch run.  State is one row
+    per open-or-recent transaction; at 100 TB the complete-mode drain
+    is replaced by the snapshot_sink foreachBatch fold, same algebra."""
+    global _STREAM_SINK_SEQ
+    from ..sources.tables import _EVENTS_SCHEMA, events_ts_column
+
+    ensure_session_conf(spark)
+    stream = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", events_ts_column(sf_dir))
+    )
+    _STREAM_SINK_SEQ += 1
+    name = f"cdc_transactions_stream_sink_{_STREAM_SINK_SEQ}"
+    return _drain_to_table(
+        spark, C.transaction_summary(derive_binlog_events(stream)), name,
+        "complete",
+    )
+
+
 __all__ = [_n for _n in list(globals()) if not _n.startswith('__') and _n != '_shared']

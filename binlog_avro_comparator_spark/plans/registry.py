@@ -48,6 +48,7 @@ def queries() -> dict[str, QueryFn]:
         # (per-UUID watermark, total rotate ordering, byte-offset
         # stream resume). --
         "cdc_table_scorecard": _q_table_scorecard,
+        "cdc_transactions_stream": _q_cdc_transactions_stream,
         "cdc_match_timeline": _q_match_timeline,
         "cdc_gtid_coverage": _q_gtid_coverage,
         "embedding_knn_audit_bucketed": _q_knn_audit_bucketed,

@@ -773,3 +773,81 @@ def test_running_stats_stream_v2_cross_batch(spark, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_transactions_stream_reassembles_across_batches(spark, tmp_path):
+    """A transaction whose DML rows and XID commit marker arrive in
+    DIFFERENT micro-batches must still fold to ONE committed summary
+    row -- the stateful reassembly that makes the live torn-write
+    quarantine possible.  Batch boundaries are forced with
+    maxFilesPerTrigger=1."""
+    import json
+    import os
+    import time
+
+    from binlog_avro_comparator_spark.operators.compare import (
+        transaction_summary,
+    )
+
+    batches = [
+        # batch 0: tx1's first two DML rows on two tables
+        [
+            ("WriteRowsEventV2", 100, "ta", "tx1"),
+            ("UpdateRowsEventV2", 200, "tb", "tx1"),
+        ],
+        # batch 1: tx1's commit marker + tx2's only row (no commit)
+        [
+            ("XID", 300, "", "tx1"),
+            ("DeleteRowsEventV2", 400, "tc", "tx2"),
+        ],
+    ]
+    src = tmp_path / "txsrc"
+    src.mkdir()
+    now = time.time()
+    for i, rows in enumerate(batches):
+        p = src / f"b{i}.json"
+        with p.open("w") as f:
+            for et, pos, tbl, gtid in rows:
+                f.write(
+                    json.dumps(
+                        {
+                            "event_type": et,
+                            "log_position": pos,
+                            "table": tbl,
+                            "gtid_next": gtid,
+                        }
+                    )
+                    + "\n"
+                )
+        os.utime(p, (now + i, now + i))
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("log_position", T.LongType()),
+            T.StructField("table", T.StringType()),
+            T.StructField("gtid_next", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        transaction_summary(stream)
+        .writeStream.format("memory")
+        .queryName("txstream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "txck"))
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r.gtid: r for r in spark.table("txstream").collect()}
+    assert set(got) == {"tx1", "tx2"}
+    t1 = got["tx1"]
+    assert (t1.n_events, t1.n_dml, t1.n_tables) == (3, 2, 2)
+    assert (t1.first_position, t1.last_position) == (100, 300)
+    assert t1.committed
+    t2 = got["tx2"]
+    assert (t2.n_events, t2.n_dml) == (1, 1) and not t2.committed
