@@ -1709,3 +1709,127 @@ def knn_label_audit(
         _topk, schema=out_schema
     )
     return _knn_majority(topk)
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    n_queries: int = 32,
+    topk: int = 5,
+    m: int = 4,
+    k: int = 8,
+    n_iter: int = 2,
+    stride: int = 37,
+    dim: int = 64,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    centroid_stride: int = 37,
+) -> DataFrame:
+    """The FULL IVF-PQ composition (Jegou et al.): IVF coarse routing
+    bounds WHICH vectors are scored (n_probe lists out of n_centroids
+    -- at cluster scale the list id is the partition column, so
+    unprobed lists are never read), and PQ asymmetric distance bounds
+    the BYTES per scored vector (m small codes, never the raw
+    embedding).  This is the memory-and-IO contract a billion-vector
+    ANN serving index actually runs; ``cosine_topk_ivf`` (exact
+    re-rank) and ``pq_adc_topk`` (full-corpus ADC) are its two halves,
+    verified independently -- here the candidate frame of the first
+    feeds the scorer of the second.
+
+    Spark-first: probes and codebooks broadcast; the corpus-side join
+    carries (query_id, neighbor_id) candidates and the code table's m
+    ints per vector.  Determinism inherited from both halves
+    (1e-6-rounded scores, vec_id tie-breaks).  Returns (query_id,
+    neighbor_id, score, rank)."""
+    cents_full, assignment = assign_centroids(
+        embeddings, n_centroids, centroid_stride
+    )
+    emb = with_norm(embeddings)
+    queries_full = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("norm").alias("q_norm"),
+    )
+    q_cos = F.round(
+        _dot(F.col("q_embedding"), F.col("c_embedding"))
+        / (F.col("q_norm") * F.col("c_norm")),
+        COS_ROUND,
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("p_cos").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        queries_full.crossJoin(F.broadcast(cents_full))
+        .select("query_id", q_cos.alias("p_cos"), "centroid_id")
+        .withColumn("p_rank", F.row_number().over(probe_w))
+        .filter(F.col("p_rank") <= n_probe)
+        .select("query_id", "centroid_id")
+    )
+    cand = (
+        assignment.join(F.broadcast(probes), on="centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+
+    sub = dim // m
+    code_parts, cent_parts, q_parts = [], [], []
+    for s in range(m):
+        sliced = embeddings.select(
+            "vec_id",
+            F.slice(F.col("embedding"), s * sub + 1, sub).alias("embedding"),
+        )
+        a, c = kmeans_assignments(
+            sliced, k=k, n_iter=n_iter, stride=stride, dim=sub,
+            return_centroids=True,
+        )
+        code_parts.append(
+            a.select(
+                "vec_id",
+                F.lit(s).alias("subspace"),
+                F.col("centroid_id").alias("code"),
+            )
+        )
+        cent_parts.append(
+            c.select(
+                F.lit(s).alias("subspace"),
+                F.col("centroid_id").alias("code"),
+                "c",
+            )
+        )
+        q_parts.append(
+            embeddings.filter(F.col("vec_id") < n_queries).select(
+                F.col("vec_id").alias("query_id"),
+                F.lit(s).alias("subspace"),
+                F.slice(F.col("embedding"), s * sub + 1, sub)
+                .cast("array<double>")
+                .alias("q"),
+            )
+        )
+
+    def _union(frames):
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionAll(f)
+        return out
+
+    codes, cents, queries = _union(code_parts), _union(cent_parts), _union(q_parts)
+    part_dot = F.aggregate(
+        F.zip_with(F.col("q"), F.col("c"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        cand.join(codes, cand.neighbor_id == codes.vec_id)
+        .join(F.broadcast(cents), ["subspace", "code"])
+        .join(F.broadcast(queries), ["subspace", "query_id"])
+        .select("query_id", "neighbor_id", part_dot.alias("__d"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("__d"), COS_ROUND).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

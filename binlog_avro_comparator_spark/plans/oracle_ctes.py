@@ -269,6 +269,90 @@ SELECT query_id, vec_id AS neighbor_id, score, rank FROM (
 ) WHERE rank <= {topk}"""
 
 
+def _ivf_pq_sql(
+    m: int = 4,
+    sub: int = 16,
+    n_queries: int = 32,
+    topk: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    stride: int = 37,
+) -> str:
+    """Twin of similarity.ivf_pq_topk: the ann_cosine_topk_ivf routing
+    CTEs (assignment + probes + cand) feeding the _pq_adc_sql scorer,
+    restricted to the candidate pairs -- the two verified halves
+    composed exactly like the Spark plan."""
+    ctes = ",\n".join(
+        _pq_kmeans_cte(f"p{s}", s * sub + 1, (s + 1) * sub) for s in range(m)
+    )
+    codes = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {s} AS subspace, centroid_id AS code FROM p{s}a1"
+        for s in range(m)
+    )
+    cents = "\nUNION ALL\n".join(
+        f"SELECT {s} AS subspace, centroid_id AS code, ord, cv FROM p{s}c1"
+        for s in range(m)
+    )
+    return f"""WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS ord,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS norm FROM ex GROUP BY vec_id),
+cdots AS (
+  SELECT e.vec_id AS vec_id, ce.vec_id AS centroid_id, sum(e.v * ce.v) AS dot
+  FROM ex e JOIN ex ce ON e.ord = ce.ord
+  WHERE ce.vec_id % {stride} = 0 AND ce.vec_id < {stride} * {n_centroids}
+  GROUP BY 1, 2
+),
+ccos AS (
+  SELECT c.vec_id, c.centroid_id,
+         round(c.dot / (nv.norm * nc.norm), 6) AS c_cos
+  FROM cdots c
+  JOIN norms nv ON nv.vec_id = c.vec_id
+  JOIN norms nc ON nc.vec_id = c.centroid_id
+),
+assignment AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY c_cos DESC, centroid_id) AS rn
+    FROM ccos) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, centroid_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY c_cos DESC, centroid_id) AS rn
+    FROM ccos WHERE vec_id < {n_queries}) WHERE rn <= {n_probe}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assignment a ON a.centroid_id = p.centroid_id
+  WHERE a.vec_id <> p.query_id
+),
+{ctes},
+codes AS ({codes}),
+cents AS ({cents}),
+q AS (
+  SELECT vec_id AS query_id, (ord - 1) // {sub} AS subspace,
+         (ord - 1) % {sub} + 1 AS ord, v AS qv
+  FROM ex WHERE vec_id < {n_queries}
+),
+scores AS (
+  SELECT cd.query_id, k.vec_id, round(sum(q.qv * c.cv), 6) AS score
+  FROM cand cd
+  JOIN codes k ON k.vec_id = cd.neighbor_id
+  JOIN cents c ON c.subspace = k.subspace AND c.code = k.code
+  JOIN q ON q.query_id = cd.query_id AND q.subspace = k.subspace
+        AND q.ord = c.ord
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id AS neighbor_id, score, rank FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+  FROM scores
+) WHERE rank <= {topk}"""
+
+
 def _minhash_aggs() -> str:
     return ",\n    ".join(
         f"min(({a} * h + {b}) % {MINHASH_PRIME}) AS min_{i}"

@@ -891,6 +891,8 @@ JOIN pairs c ON c.doc_a = w1.doc_a AND c.doc_b = w2.doc_b"""
         "embedding_pq_codes": _pq_codes_sql(),
         # twin of similarity.pq_adc_topk (see _pq_adc_sql)
         "ann_pq_adc_topk": _pq_adc_sql(),
+        # IVF routing + PQ-ADC scoring composed, like the Spark plan
+        "ann_ivf_pq_topk": _ivf_pq_sql(),
         # twin of graph.supplier_pagerank: 3 Pregel steps unrolled,
         # integer rank units (floor spread, 17/20 damping) so every
         # engine agrees bit-for-bit regardless of summation order

@@ -137,6 +137,19 @@ def _q_ann_pq_adc_topk(spark, sf_dir):
     return pq_adc_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_ann_ivf_pq_topk(spark, sf_dir):
+    """The full IVF-PQ composition (similarity.ivf_pq_topk): IVF
+    routing bounds WHICH vectors score (n_probe lists; the partition
+    prune at cluster scale), PQ asymmetric distance bounds the BYTES
+    per scored vector (m codes, never the raw embedding) -- the
+    billion-vector serving-index shape, composed from the two
+    independently-verified halves."""
+    from ..operators.similarity import ivf_pq_topk
+
+    ensure_session_conf(spark)
+    return ivf_pq_topk(load_table(spark, sf_dir, "embeddings"))
+
+
 def _q_media_exact_dedup(spark, sf_dir):
     """Blob-level exact dedup over the derived media frame (documents'
     text bytes as opaque content, doubled for ids >= 490 to plant

@@ -4321,3 +4321,40 @@ def test_bitext_margin_candidate_path(spark):
     for i in mined:
         assert mined[i].dst_id == 100 + i, f"hub stole source {i}"
     assert len(mined) >= 3  # 2-plane buckets keep most true pairs
+
+
+def test_ivf_pq_topk_planted_clusters_and_candidate_bound(spark):
+    """The composed IVF-PQ retriever on the 8-block-cluster corpus:
+    same-cluster retrieval holds through BOTH approximations (coarse
+    routing + code-book scoring), and the result set is a subset of
+    the IVF candidate set by construction -- a neighbor from an
+    unprobed list is impossible."""
+    from binlog_avro_comparator_spark.operators.similarity import (
+        assign_centroids,
+        ivf_pq_topk,
+    )
+
+    rows = []
+    for i in range(296):
+        j = i % 8
+        vec = [0.5 + ((i * 64 + d) % 7) * 0.01 for d in range(64)]
+        for d in range(8 * j, 8 * j + 8):
+            vec[d] = 10.0 + ((i + d) % 5) * 0.05
+        rows.append((i, [float(v) for v in vec]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = ivf_pq_topk(emb).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(32))
+    for q, rs in by_q.items():
+        assert sorted(r.rank for r in rs) == [1, 2, 3, 4, 5]
+        same = sum(1 for r in rs if r.neighbor_id % 8 == q % 8)
+        assert same >= 4, (q, [(r.neighbor_id, r.score) for r in rs])
+    # unprobed lists are structurally unreachable: every returned
+    # neighbor's coarse assignment must be one of its query's lists
+    _, assignment = assign_centroids(emb)
+    assigned = {r.vec_id: r.centroid_id for r in assignment.collect()}
+    for q, rs in by_q.items():
+        probed = {assigned[r.neighbor_id] for r in rs}
+        assert len(probed) <= 4  # n_probe
