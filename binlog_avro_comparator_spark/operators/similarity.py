@@ -1833,3 +1833,57 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= topk)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def embedding_coreset(
+    embeddings: DataFrame,
+    k: int = 8,
+    keep_frac: float = 0.7,
+    n_iter: int = 2,
+    stride: int = 37,
+    dim: int = 64,
+) -> DataFrame:
+    """Prototypicality-based coreset selection (the data-pruning recipe
+    of Sorscher et al., "Beyond neural scaling laws"): cluster the
+    corpus, score every vector by cosine to its cluster centroid, and
+    KEEP the hard examples -- the ``keep_frac`` least prototypical per
+    cluster -- because when data is abundant the easy, centroid-hugging
+    examples are the redundant ones.  The embedding-space member of the
+    curation family next to SemDeDup (which prunes near-DUPLICATES
+    within clusters; this prunes the EASY).
+
+    Per-cluster keep boundaries come from ONE k-row exact-percentile
+    aggregate broadcast back (the quality_deciles discipline -- never a
+    per-cluster window over the corpus), so selection is scan-speed at
+    any corpus size.  Cosines round to 1e-6 and boundaries to 1e-9
+    before the comparison, keeping the cut engine-identical.  Returns
+    (vec_id, centroid_id, cos_center, keep)."""
+    a, c = kmeans_assignments(
+        embeddings, k=k, n_iter=n_iter, stride=stride, dim=dim,
+        return_centroids=True,
+    )
+    cnorm = F.sqrt(
+        F.aggregate(F.col("c"), F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    cents = c.select("centroid_id", "c", cnorm.alias("__cnorm"))
+    cos = F.round(
+        _dot(F.col("embedding"), F.col("c"))
+        / (F.col("norm") * F.col("__cnorm")),
+        COS_ROUND,
+    )
+    scored = (
+        with_norm(embeddings)
+        .join(a.select("vec_id", "centroid_id"), "vec_id")
+        .join(F.broadcast(cents), "centroid_id")
+        .select("vec_id", "centroid_id", cos.alias("cos_center"))
+    )
+    scored = scoped_cache(scored)
+    bounds = scored.groupBy("centroid_id").agg(
+        F.round(F.percentile(F.col("cos_center"), keep_frac), 9).alias("__b")
+    )
+    return scored.join(F.broadcast(bounds), "centroid_id").select(
+        "vec_id",
+        "centroid_id",
+        "cos_center",
+        (F.col("cos_center") <= F.col("__b")).alias("keep"),
+    )

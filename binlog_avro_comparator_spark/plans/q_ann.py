@@ -150,6 +150,17 @@ def _q_ann_ivf_pq_topk(spark, sf_dir):
     return ivf_pq_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_embedding_coreset(spark, sf_dir):
+    """Prototypicality coreset selection (similarity.embedding_coreset):
+    keep the hard examples per k-means cluster, prune the
+    centroid-hugging easy ones -- the abundant-data pruning recipe,
+    with per-cluster boundaries from one k-row percentile aggregate."""
+    from ..operators.similarity import embedding_coreset
+
+    ensure_session_conf(spark)
+    return embedding_coreset(load_table(spark, sf_dir, "embeddings"))
+
+
 def _q_media_exact_dedup(spark, sf_dir):
     """Blob-level exact dedup over the derived media frame (documents'
     text bytes as opaque content, doubled for ids >= 490 to plant

@@ -4358,3 +4358,40 @@ def test_ivf_pq_topk_planted_clusters_and_candidate_bound(spark):
     for q, rs in by_q.items():
         probed = {assigned[r.neighbor_id] for r in rs}
         assert len(probed) <= 4  # n_probe
+
+
+def test_embedding_coreset_keeps_hard_prunes_easy(spark):
+    """Coreset selection on the 8-block-cluster corpus with planted
+    outliers: within every cluster the pruned set is exactly the
+    highest-cosine (most prototypical) tail, the planted hard examples
+    survive, and the keep rate tracks keep_frac."""
+    from binlog_avro_comparator_spark.operators.similarity import (
+        embedding_coreset,
+    )
+
+    rows = []
+    for i in range(296):
+        j = i % 8
+        vec = [0.5 + ((i * 64 + d) % 7) * 0.01 for d in range(64)]
+        for d in range(8 * j, 8 * j + 8):
+            vec[d] = 10.0 + ((i + d) % 5) * 0.05
+        if i >= 288:  # one planted outlier per cluster: half-strength
+            vec = [v * 0.5 if d >= 32 else v for d, v in enumerate(vec)]
+        rows.append((i, [float(v) for v in vec]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = embedding_coreset(emb).collect()
+    assert len(out) == 296
+    by_c = {}
+    for r in out:
+        by_c.setdefault(r.centroid_id, []).append(r)
+    for cid, rs in by_c.items():
+        kept = [r for r in rs if r.keep]
+        pruned = [r for r in rs if not r.keep]
+        if pruned:
+            # the cut is a clean threshold on prototypicality
+            assert max(r.cos_center for r in kept) <= min(
+                r.cos_center for r in pruned
+            )
+        assert 0.5 <= len(kept) / len(rs) <= 0.9
+    outliers = {r.vec_id: r for r in out if r.vec_id >= 288}
+    assert len(outliers) == 8 and all(r.keep for r in outliers.values())
