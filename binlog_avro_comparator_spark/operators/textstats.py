@@ -2067,3 +2067,123 @@ def epoch_manifest(
         F.row_number().over(w).alias("position"),
         "doc_id",
     )
+
+
+def data_card(
+    documents: DataFrame,
+    token_frame: DataFrame,
+    contamination_frame: DataFrame,
+    cluster_members: DataFrame,
+    contamination_threshold: float = 0.5,
+) -> DataFrame:
+    """Per-source DATA CARD: the one-page datasheet a corpus ships with
+    (Gebru et al., "Datasheets for Datasets") -- volume, token count,
+    language spread, benchmark-contamination rate, and near-duplicate
+    rate, per feed.  Composes the already-verified per-doc frames
+    (token_stats, contamination_scores, the connected-components
+    cluster membership) rather than re-deriving any signal, so the
+    card can never disagree with the operators it summarizes.
+
+    One per-doc join-up (each side doc-keyed, the joins co-shuffle on
+    doc_id) then ONE map-side-combined rollup; output is
+    source-cardinality.  Mean contamination accumulates as DECIMAL so
+    the card is partitioning-invariant.  Returns (source, n_docs,
+    total_chars, total_tokens, n_langs, mean_contamination,
+    n_contaminated, n_near_dup, dup_rate)."""
+    members = (
+        cluster_members.select("doc_id")
+        .distinct()
+        .withColumn("__dup", F.lit(1).cast("long"))
+    )
+    per_doc = (
+        documents.select("doc_id", "source", "lang", "n_chars")
+        .join(token_frame.select("doc_id", "n_bpe_tokens"), "doc_id")
+        .join(
+            contamination_frame.select("doc_id", "contamination"), "doc_id"
+        )
+        .join(members, "doc_id", "left")
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_bpe_tokens").alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(
+            F.sum(F.col("contamination").cast("decimal(18,6)")).cast(
+                "double"
+            )
+            / F.count("*"),
+            6,
+        ).alias("mean_contamination"),
+        F.sum(
+            (F.col("contamination") >= contamination_threshold).cast("long")
+        ).alias("n_contaminated"),
+        F.sum(F.coalesce(F.col("__dup"), F.lit(0))).alias("n_near_dup"),
+        F.round(
+            F.sum(F.coalesce(F.col("__dup"), F.lit(0))) / F.count("*"), 6
+        ).alias("dup_rate"),
+    )
+
+
+def quality_blend(documents: DataFrame) -> DataFrame:
+    """Ensemble quality score: three independent, already-verified
+    signals -- unigram LM fit (mean_logprob, higher = more natural),
+    n-gram repetition (repetition_ratio, lower = cleaner), lexical
+    diversity (ttr, higher = richer) -- each decile-normalized and
+    averaged into ONE filter-friendly score, the way production
+    curation stacks weak signals instead of trusting any single one
+    (a spam page can ace the LM filter and still die on repetition).
+
+    Each signal's nine decile boundaries come from one 1-row exact
+    percentile aggregate broadcast back (the quality_deciles
+    discipline -- no global window anywhere), so the blend is
+    scan-speed at any corpus size.  Decile semantics: 10 = best for
+    every signal (repetition inverts).  blend = mean of the three
+    decile goodnesses, one single-division double.  Returns (doc_id,
+    lp_decile, rep_decile, ttr_decile, blend_score)."""
+    lp = unigram_logprob_scores(documents).select("doc_id", "mean_logprob")
+    rep = repetition_scores(documents).select("doc_id", "repetition_ratio")
+    ttr = type_token_ratio(documents).select("doc_id", "ttr")
+
+    def _bounds(df, col):
+        return df.agg(
+            F.transform(
+                F.percentile(
+                    F.col(col),
+                    F.array(*[F.lit(q / 10.0) for q in range(1, 10)]),
+                ),
+                lambda b: F.round(b, 9),
+            ).alias(f"__bs_{col}")
+        )
+
+    def _decile(col):
+        return (
+            F.lit(1)
+            + F.size(
+                F.filter(
+                    F.col(f"__bs_{col}"), lambda b: b < F.col(col)
+                )
+            )
+        ).cast("int")
+
+    j = (
+        lp.join(rep, "doc_id")
+        .join(ttr, "doc_id")
+        .crossJoin(F.broadcast(_bounds(lp, "mean_logprob")))
+        .crossJoin(F.broadcast(_bounds(rep, "repetition_ratio")))
+        .crossJoin(F.broadcast(_bounds(ttr, "ttr")))
+    )
+    lp_d = _decile("mean_logprob")
+    rep_d = _decile("repetition_ratio")
+    ttr_d = _decile("ttr")
+    rep_good = F.lit(11) - rep_d
+    blend = F.round(
+        (lp_d + rep_good + ttr_d).cast("double") / F.lit(3.0), 6
+    )
+    return j.select(
+        "doc_id",
+        lp_d.alias("lp_decile"),
+        rep_d.alias("rep_decile"),
+        ttr_d.alias("ttr_decile"),
+        blend.alias("blend_score"),
+    )

@@ -1614,6 +1614,61 @@ SELECT c.lang AS lang, lang_guess, n,
        round(CAST(tok AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS recall,
        accuracy
 FROM cells c JOIN per_true p ON p.lang = c.lang CROSS JOIN total"""
+    # ensemble quality blend: the three verified signal oracles, each
+    # decile-normalized against its own 9 exact-percentile boundaries
+    # (rounded 1e-9), 10 = best per signal (repetition inverts)
+    _qlist = "[" + ", ".join(str(q / 10.0) for q in range(1, 10)) + "]"
+    sql["doc_quality_blend"] = f"""
+WITH lp AS (SELECT doc_id, mean_logprob FROM ({sql["doc_unigram_logprob"]})),
+rep AS (SELECT doc_id, repetition_ratio FROM ({sql["doc_repetition"]})),
+ttr AS (SELECT doc_id, ttr FROM ({sql["doc_type_token_ratio"]})),
+blp AS (SELECT list_transform(quantile_cont(mean_logprob, {_qlist}),
+                              b -> round(b, 9)) AS bs FROM lp),
+brep AS (SELECT list_transform(quantile_cont(repetition_ratio, {_qlist}),
+                               b -> round(b, 9)) AS bs FROM rep),
+bttr AS (SELECT list_transform(quantile_cont(ttr, {_qlist}),
+                               b -> round(b, 9)) AS bs FROM ttr),
+deciled AS (
+  SELECT l.doc_id,
+         1 + len(list_filter(blp.bs, b -> b < l.mean_logprob)) AS lp_decile,
+         1 + len(list_filter(brep.bs, b -> b < r.repetition_ratio))
+           AS rep_decile,
+         1 + len(list_filter(bttr.bs, b -> b < t.ttr)) AS ttr_decile
+  FROM lp l
+  JOIN rep r ON r.doc_id = l.doc_id
+  JOIN ttr t ON t.doc_id = l.doc_id
+  CROSS JOIN blp CROSS JOIN brep CROSS JOIN bttr
+)
+SELECT doc_id, lp_decile, rep_decile, ttr_decile,
+       round((lp_decile + 11 - rep_decile + ttr_decile) / 3.0, 6)
+         AS blend_score
+FROM deciled"""
+    # per-source data card: composed from the verified token_count /
+    # doc_contamination / dedup_clusters oracles so the datasheet can
+    # never disagree with the operators it summarizes
+    sql["corpus_data_card"] = f"""
+WITH toks AS ({sql["token_count"]}),
+cont AS ({sql["doc_contamination"]}),
+members AS (SELECT DISTINCT doc_id FROM ({sql["dedup_clusters"]})),
+per_doc AS (
+  SELECT d.source, d.lang, d.n_chars, t.n_bpe_tokens, c.contamination,
+         CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dup
+  FROM documents d
+  JOIN toks t ON t.doc_id = d.doc_id
+  JOIN cont c ON c.doc_id = d.doc_id
+  LEFT JOIN members m ON m.doc_id = d.doc_id
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(n_bpe_tokens) AS BIGINT) AS total_tokens,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       round(CAST(sum(CAST(contamination AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS mean_contamination,
+       CAST(sum(CASE WHEN contamination >= 0.5 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_contaminated,
+       CAST(sum(dup) AS BIGINT) AS n_near_dup,
+       round(CAST(sum(dup) AS DOUBLE) / count(*), 6) AS dup_rate
+FROM per_doc GROUP BY source"""
     # agreement audit composed from the method oracles so each pair
     # set stays literally the verified SQL (ann_recall_report pattern)
     sql["dedup_method_agreement"] = f"""

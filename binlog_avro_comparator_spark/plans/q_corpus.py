@@ -594,4 +594,33 @@ def _q_contamination_by_source(spark, sf_dir):
     )
 
 
+def _q_data_card(spark, sf_dir):
+    """Per-source data card (textstats.data_card): the datasheet
+    rollup -- volume, tokens, language spread, contamination rate,
+    near-dup rate -- composed from the verified token_stats,
+    contamination_scores, and dedup_clusters frames so the card can
+    never disagree with the operators it summarizes."""
+    ensure_session_conf(spark)
+    from ..operators.textstats import contamination_scores, data_card
+
+    docs = _docs(spark, sf_dir)
+    return data_card(
+        docs,
+        token_stats(docs),
+        contamination_scores(docs),
+        dedup_clusters(docs),
+    )
+
+
+def _q_quality_blend(spark, sf_dir):
+    """Ensemble quality score (textstats.quality_blend): LM fit +
+    repetition + lexical diversity, each decile-normalized off one
+    broadcast percentile row, averaged into one filter-friendly
+    score -- stacked weak signals instead of one trusted filter."""
+    ensure_session_conf(spark)
+    from ..operators.textstats import quality_blend
+
+    return quality_blend(_docs(spark, sf_dir))
+
+
 __all__ = [_n for _n in list(globals()) if not _n.startswith('__') and _n != '_shared']

@@ -57,6 +57,8 @@ def queries() -> dict[str, QueryFn]:
         "corpus_bpe_encode": _q_bpe_encode,
         "ann_ivf_pq_topk": _q_ann_ivf_pq_topk,
         "embedding_coreset": _q_embedding_coreset,
+        "corpus_data_card": _q_data_card,
+        "doc_quality_blend": _q_quality_blend,
         "ann_ivf_probe_pruned": _q_ivf_probe_pruned,
         "embedding_bitext_margin": _q_bitext_margin,
         "embedding_knn_label_audit": _q_knn_label_audit,

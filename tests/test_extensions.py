@@ -4395,3 +4395,68 @@ def test_embedding_coreset_keeps_hard_prunes_easy(spark):
         assert 0.5 <= len(kept) / len(rs) <= 0.9
     outliers = {r.vec_id: r for r in out if r.vec_id >= 288}
     assert len(outliers) == 8 and all(r.keep for r in outliers.values())
+
+
+def test_data_card_rollup_algebra(spark):
+    """The card's per-source algebra over hand-built per-doc frames:
+    counts, token sums, language spread, contamination mean/threshold,
+    and dup rate -- including a doc missing from the cluster frame and
+    a duplicate-free source."""
+    from binlog_avro_comparator_spark.operators.textstats import data_card
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x", "en", "a", 10),
+            (2, "x", "fr", "b", 20),
+            (3, "y", "en", "c", 30),
+        ],
+        "doc_id long, source string, lang string, text string, n_chars long",
+    )
+    toks = spark.createDataFrame(
+        [(1, 5), (2, 7), (3, 11)], "doc_id long, n_bpe_tokens long"
+    )
+    cont = spark.createDataFrame(
+        [(1, 0.8), (2, 0.2), (3, 0.0)], "doc_id long, contamination double"
+    )
+    clusters = spark.createDataFrame([(1, 1), (1, 1)], "doc_id long, c long")
+    got = {
+        r.source: r for r in data_card(docs, toks, cont, clusters).collect()
+    }
+    x = got["x"]
+    assert (x.n_docs, x.total_chars, x.total_tokens, x.n_langs) == (2, 30, 12, 2)
+    assert x.n_contaminated == 1 and x.mean_contamination == 0.5
+    assert x.n_near_dup == 1 and x.dup_rate == 0.5
+    y = got["y"]
+    assert y.n_near_dup == 0 and y.n_contaminated == 0 and y.n_langs == 1
+
+
+def test_quality_blend_ranks_spam_below_natural(spark):
+    """A repetitive low-diversity spam doc must blend below a natural
+    English doc: the ensemble catches what any single signal might
+    miss, and every decile stays in [1, 10]."""
+    from binlog_avro_comparator_spark.operators.textstats import (
+        quality_blend,
+    )
+
+    natural = (
+        "the quick brown fox jumps over a lazy dog while many other "
+        "animals watch the scene with great interest and some concern"
+    )
+    spam = "buy now " * 20
+    rows = [(0, natural), (1, spam)]
+    # filler docs so deciles have mass to split
+    for i in range(2, 30):
+        rows.append(
+            (i, f"document number {i} talks about topic {i % 7} and "
+                f"adds unique words w{i}a w{i}b w{i}c")
+        )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in quality_blend(docs).collect()}
+    assert len(got) == 30
+    for r in got.values():
+        assert 1 <= r.lp_decile <= 10
+        assert 1 <= r.rep_decile <= 10
+        assert 1 <= r.ttr_decile <= 10
+    assert got[1].blend_score < got[0].blend_score
+    # the spam doc is maximally repetitive and minimally diverse
+    assert got[1].rep_decile == 10 and got[1].ttr_decile == 1
