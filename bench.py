@@ -229,6 +229,14 @@ EXTRA_QUERIES = [
     "corpus_bpe_encode",
     "ann_ivf_probe_pruned",
     "cdc_consistency_watermark",
+    # round 8 continuation (CDC ops rollups, IVF-PQ, curation)
+    "cdc_table_scorecard",
+    "cdc_match_timeline",
+    "cdc_gtid_coverage",
+    "ann_ivf_pq_topk",
+    "embedding_coreset",
+    "corpus_data_card",
+    "doc_quality_blend",
 ]
 
 
