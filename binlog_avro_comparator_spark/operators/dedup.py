@@ -1530,3 +1530,34 @@ def shingle_saturation(documents: DataFrame, k: int = 3) -> DataFrame:
             6,
         ).alias("hot_mass_share"),
     )
+
+
+def threshold_curve(
+    documents: DataFrame, k: int = 3, max_df: int = 10
+) -> DataFrame:
+    """Similarity-threshold calibration curve: the exact-Jaccard
+    candidate pairs bucketed by 0.1 similarity bands, with the
+    cumulative pair count at-or-above each band -- the one-page readout
+    you consult BEFORE choosing a dedup threshold (how many pairs does
+    t=0.8 collapse vs t=0.6, and is there a cliff between them?).
+    Complements dedup_method_agreement (which compares methods at one
+    threshold) by sweeping the dial on one method.
+
+    Rides the verified jaccard_pairs frame; the only additions are one
+    band-cardinality aggregate and a window over the <= 11-row result.
+    Band arithmetic is floor(j*10)/10 on the identically-rounded
+    jaccard doubles, so both engines bucket identically.  Returns
+    (bucket, n_pairs, n_at_or_above)."""
+    pairs = jaccard_pairs(documents, k=k, max_df=max_df)
+    per = (
+        pairs.select(
+            (F.floor(F.col("jaccard") * 10) / 10.0).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    w = (
+        Window.orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per.withColumn("n_at_or_above", F.sum("n_pairs").over(w))

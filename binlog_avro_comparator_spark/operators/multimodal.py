@@ -527,3 +527,86 @@ def arrow_blob_digest(media: DataFrame) -> DataFrame:
     return media.select("media_id", "content").mapInArrow(
         digest_batches, "media_id long, n_bytes int, digest string"
     )
+
+
+def media_near_dup_pairs(
+    media: DataFrame,
+    chunk_bytes: int = 8,
+    threshold: float = 0.2,
+    max_df: int = 10,
+) -> DataFrame:
+    """NEAR-duplicate detection for opaque media blobs: fixed-width
+    byte-chunk Jaccard -- the ladder tier between media_exact_dedup
+    (whole-blob sha) and perceptual hashing (env-gated with the
+    codecs).  Catches the blob-level realities a sha misses: appended
+    or patched tails, truncated copies, shared headers with differing
+    payloads.  Byte-exact transforms only, so it works on any binary
+    column with no codec; re-ENCODED media won't match at byte level
+    and needs the perceptual tier, documented contract.
+
+    Same scale shape as the text tier's jaccard_pairs: blobs become
+    distinct 48-bit chunk hashes at the scan (the payload itself never
+    shuffles), candidates come ONLY from rare chunks (df <= max_df --
+    a shared file header is a hot chunk and generates no candidates),
+    and the exact intersection is candidate-bounded.  Returns (id_a,
+    id_b, n_common, jaccard >= threshold)."""
+    from ..functions.caching import scoped_cache
+    from .textstats import word_hash
+
+    width = 2 * chunk_bytes  # hex chars per chunk
+    hx = media.select("media_id", F.hex(F.col("content")).alias("hx"))
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil(F.length("hx") / F.lit(width))
+    ).cast("int")
+    chunks = hx.select(
+        "media_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.col("hx").substr(
+                    (i * width + 1).cast("int"), F.lit(width)
+                ),
+            )
+        ).alias("__ch"),
+    )
+    ch = chunks.select(
+        "media_id", word_hash(F.col("__ch")).alias("h")
+    ).distinct()
+    ch = scoped_cache(ch)
+    sizes = ch.groupBy("media_id").agg(F.count("*").alias("n"))
+    dfreq = ch.groupBy("h").agg(F.count("*").alias("__df"))
+    rare = ch.join(dfreq.filter(F.col("__df") <= max_df), "h")
+    pairs = (
+        rare.select(F.col("media_id").alias("id_a"), "h")
+        .join(rare.select(F.col("media_id").alias("id_b"), "h"), "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    inter = (
+        pairs.join(ch.select(F.col("media_id").alias("id_a"), "h"), "id_a")
+        .join(ch.select(F.col("media_id").alias("id_b"), "h"), ["id_b", "h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = (
+        inter.join(
+            sizes.select(F.col("media_id").alias("id_a"), F.col("n").alias("__na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("media_id").alias("id_b"), F.col("n").alias("__nb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("__na") + F.col("__nb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)

@@ -1614,6 +1614,69 @@ SELECT c.lang AS lang, lang_guess, n,
        round(CAST(tok AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS recall,
        accuracy
 FROM cells c JOIN per_true p ON p.lang = c.lang CROSS JOIN total"""
+    # blob-level near-dup: fixed-width byte-chunk jaccard over the hex
+    # form, candidates from rare chunks only, intersection
+    # candidate-bounded -- mirror of multimodal.media_near_dup_pairs
+    sql["media_near_dup"] = """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         hex(encode(CASE WHEN doc_id % 101 < 3
+             THEN repeat('HEADER-BLOCK ', 20) || text
+             ELSE text END)) AS hx
+  FROM documents
+),
+chunks AS (
+  SELECT DISTINCT media_id,
+         ('0x' || substr(md5(ch), 1, 12))::BIGINT AS h
+  FROM (
+    SELECT media_id,
+           unnest(list_transform(
+             generate_series(0, CAST(greatest(1,
+               ceil(len(hx) / 16.0)) AS BIGINT) - 1),
+             i -> substr(hx, CAST(i * 16 + 1 AS INT), 16))) AS ch
+    FROM media
+  )
+),
+sizes AS (SELECT media_id, count(*) AS n FROM chunks GROUP BY 1),
+dfreq AS (SELECT h, count(*) AS df FROM chunks GROUP BY 1),
+rare AS (SELECT c.media_id, c.h FROM chunks c
+         JOIN dfreq d ON d.h = c.h WHERE d.df <= 10),
+pairs AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+  FROM rare a JOIN rare b ON a.h = b.h
+  WHERE a.media_id < b.media_id
+),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS n_common
+  FROM pairs p
+  JOIN chunks ca ON ca.media_id = p.id_a
+  JOIN chunks cb ON cb.media_id = p.id_b AND cb.h = ca.h
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, i.n_common,
+       round(i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE), 6)
+         AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.media_id = i.id_a
+JOIN sizes sb ON sb.media_id = i.id_b
+WHERE round(i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE), 6)
+      >= 0.2"""
+    # threshold calibration curve over the verified jaccard pair frame
+    sql["dedup_threshold_curve"] = f"""
+WITH pairs AS ({sql["ngram_jaccard_pairs"]}),
+per AS (
+  SELECT floor(jaccard * 10) / 10.0 AS bucket, count(*) AS n_pairs
+  FROM pairs GROUP BY 1
+)
+SELECT bucket, n_pairs,
+       CAST(sum(n_pairs) OVER (
+         ORDER BY bucket DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_at_or_above
+FROM per"""
+    # streaming funnel: the per-user fold merges across micro-batches,
+    # so the drained complete-mode state equals the batch funnel
+    sql["events_funnel_stream"] = sql["events_funnel"]
     # ensemble quality blend: the three verified signal oracles, each
     # decile-normalized against its own 9 exact-percentile boundaries
     # (rounded 1e-9), 10 = best per signal (repetition inverts)

@@ -180,6 +180,27 @@ def _q_media_exact_dedup(spark, sf_dir):
     return media_exact_dedup(media)
 
 
+def _q_media_near_dup(spark, sf_dir):
+    """Blob-level NEAR-dup pairs (multimodal.media_near_dup_pairs):
+    byte-chunk Jaccard over the derived media frame, with a planted
+    shared 260-byte header block on doc_id % 101 < 3 so partial
+    overlaps exist at blob level (the synthetic corpus has none)."""
+    from ..operators.multimodal import media_near_dup_pairs
+
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(
+            F.when(
+                F.col("doc_id") % 101 < 3,
+                F.concat(F.repeat(F.lit("HEADER-BLOCK "), 20), F.col("text")),
+            ).otherwise(F.col("text")),
+            "utf-8",
+        ).alias("content"),
+    )
+    return media_near_dup_pairs(media)
+
+
 def _q_media_features(spark, sf_dir):
     """Multimodal decode, oracle-checked on the REAL decoder path:
     each document becomes an IHDR-valid synthetic PNG -- the 8-byte

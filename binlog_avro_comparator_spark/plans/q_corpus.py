@@ -612,6 +612,16 @@ def _q_data_card(spark, sf_dir):
     )
 
 
+def _q_threshold_curve(spark, sf_dir):
+    """Dedup threshold calibration (dedup.threshold_curve): candidate
+    pairs bucketed by 0.1 Jaccard bands with cumulative at-or-above
+    counts -- the dial-sweep readout before choosing t."""
+    ensure_session_conf(spark)
+    from ..operators.dedup import threshold_curve
+
+    return threshold_curve(_docs(spark, sf_dir))
+
+
 def _q_quality_blend(spark, sf_dir):
     """Ensemble quality score (textstats.quality_blend): LM fit +
     repetition + lexical diversity, each decile-normalized off one

@@ -835,6 +835,30 @@ def _q_vocab_drift_stream(spark, sf_dir):
     return vocab_psi_from_counts(vocab)
 
 
+def _q_events_funnel_stream(spark, sf_dir):
+    """The ordered funnel RUN AS A STREAM: funnel_stages is one
+    per-user aggregate (array_sort(collect_list) + higher-order stage
+    walks), so Structured Streaming folds the per-user event arrays
+    across micro-batches and the complete-mode drain equals the batch
+    funnel row for row -- the same plan-sharing argument as
+    cdc_snapshot_stream.  State is per-user session-bounded arrays;
+    at 100 TB you would age users out with a watermark on last
+    activity, same algebra."""
+    global _STREAM_SINK_SEQ
+    from ..sources.tables import _EVENTS_SCHEMA, events_ts_column
+
+    ensure_session_conf(spark)
+    stream = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", events_ts_column(sf_dir))
+    )
+    _STREAM_SINK_SEQ += 1
+    name = f"events_funnel_stream_sink_{_STREAM_SINK_SEQ}"
+    return _drain_to_table(spark, funnel_stages(stream), name, "complete")
+
+
 def _q_cdc_transactions_stream(spark, sf_dir):
     """Transaction reassembly RUN AS A STREAM: the binlog feed arrives
     as a file stream and compare.transaction_summary's per-GTID fold

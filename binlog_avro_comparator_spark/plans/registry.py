@@ -49,6 +49,7 @@ def queries() -> dict[str, QueryFn]:
         # stream resume). --
         "cdc_table_scorecard": _q_table_scorecard,
         "cdc_transactions_stream": _q_cdc_transactions_stream,
+        "events_funnel_stream": _q_events_funnel_stream,
         "cdc_match_timeline": _q_match_timeline,
         "cdc_gtid_coverage": _q_gtid_coverage,
         "embedding_knn_audit_bucketed": _q_knn_audit_bucketed,
@@ -59,6 +60,8 @@ def queries() -> dict[str, QueryFn]:
         "embedding_coreset": _q_embedding_coreset,
         "corpus_data_card": _q_data_card,
         "doc_quality_blend": _q_quality_blend,
+        "dedup_threshold_curve": _q_threshold_curve,
+        "media_near_dup": _q_media_near_dup,
         "ann_ivf_probe_pruned": _q_ivf_probe_pruned,
         "embedding_bitext_margin": _q_bitext_margin,
         "embedding_knn_label_audit": _q_knn_label_audit,

@@ -4460,3 +4460,63 @@ def test_quality_blend_ranks_spam_below_natural(spark):
     assert got[1].blend_score < got[0].blend_score
     # the spam doc is maximally repetitive and minimally diverse
     assert got[1].rep_decile == 10 and got[1].ttr_decile == 1
+
+
+def test_threshold_curve_bands_and_cumulative(spark):
+    """Planted pair similarities land in their 0.1 bands and the
+    cumulative column counts pairs at-or-above each band."""
+    from binlog_avro_comparator_spark.operators.dedup import (
+        threshold_curve,
+    )
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india "
+    docs = spark.createDataFrame(
+        [
+            (1, base + "juliet kilo"),
+            (2, base + "juliet kilo"),          # exact copy of 1 -> 1.0
+            (3, base + "zulu yankee xray whiskee victor uniform tango"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.bucket: r for r in threshold_curve(docs).collect()}
+    assert rows[1.0].n_pairs == 1 and rows[1.0].n_at_or_above == 1
+    partial = [b for b in rows if b < 1.0]
+    # (1,3) and (2,3) have IDENTICAL similarity -> one shared band
+    assert len(partial) == 1
+    band = partial[0]
+    assert rows[band].n_pairs == 2
+    assert rows[band].n_at_or_above == 3  # cumulative includes the copy
+
+
+def test_media_near_dup_tail_and_hot_header(spark):
+    """A blob with an appended tail pairs with its original at high
+    Jaccard; a header chunk shared by MANY blobs is hot (df > max_df)
+    and alone generates no candidate pairs."""
+    from binlog_avro_comparator_spark.operators.multimodal import (
+        media_near_dup_pairs,
+    )
+
+    base = bytes(range(256)) * 4  # 1 KiB of distinct byte patterns
+    rows = [
+        (1, bytearray(base)),
+        (2, bytearray(base + b"EXTRA-TAIL" * 3)),  # appended tail
+        (3, bytearray(b"completely different payload " * 40)),
+    ]
+    # 20 blobs sharing ONLY a hot 16-byte header + bodies with no
+    # shared 8-byte windows (per-blob sha256 keystream)
+    import hashlib as _hl
+
+    def _body(i):
+        out = b""
+        for blk in range(10):
+            out += _hl.sha256(f"blob-{i}-{blk}".encode()).digest()
+        return out
+
+    for i in range(10, 30):
+        rows.append((i, bytearray(b"COMMON-HEADER-XX" + _body(i))))
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {(r.id_a, r.id_b): r for r in media_near_dup_pairs(media).collect()}
+    assert (1, 2) in got and got[(1, 2)].jaccard >= 0.8
+    # the hot header must not pair the 20 unique-bodied blobs
+    assert not any(a >= 10 and b >= 10 for a, b in got)
+    assert not any(3 in (a, b) for a, b in got)
