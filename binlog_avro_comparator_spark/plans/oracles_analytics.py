@@ -1614,6 +1614,51 @@ SELECT c.lang AS lang, lang_guess, n,
        round(CAST(tok AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS recall,
        accuracy
 FROM cells c JOIN per_true p ON p.lang = c.lang CROSS JOIN total"""
+    # embedding dup clusters: recursive reachability walk (the
+    # dedup_clusters oracle recipe) over the embedding near-dup pair
+    # SQL re-based onto the planted-copy corpus (the synthetic
+    # embeddings are near-orthogonal -- zero natural near-dups)
+    sql["embedding_dup_clusters"] = f"""
+WITH RECURSIVE corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 25 = 0
+),
+ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS ord,
+         unnest(embedding)::DOUBLE AS v
+  FROM corpus
+),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS norm FROM ex GROUP BY vec_id),
+buckets AS ({_hyperplane_bucket_sql()}),
+cand AS (
+  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b
+  FROM buckets l JOIN buckets r ON l.bucket = r.bucket
+  WHERE l.vec_id < r.vec_id
+),
+dots AS (
+  SELECT c.vec_a, c.vec_b, sum(ea.v * eb.v) AS dot
+  FROM cand c
+  JOIN ex ea ON ea.vec_id = c.vec_a
+  JOIN ex eb ON eb.vec_id = c.vec_b AND ea.ord = eb.ord
+  GROUP BY c.vec_a, c.vec_b
+),
+pairs AS (
+  SELECT vec_a AS doc_a, vec_b AS doc_b
+  FROM dots
+  JOIN norms na ON na.vec_id = vec_a
+  JOIN norms nb ON nb.vec_id = vec_b
+  WHERE round(dot / (na.norm * nb.norm), 6) >= 0.99
+),
+sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+walk(node, reach) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT w.node, s.dst FROM walk w JOIN sym s ON s.src = w.reach
+)
+SELECT node AS vec_id, least(node, min(reach)) AS cluster_id
+FROM walk GROUP BY node"""
     # blob-level near-dup: fixed-width byte-chunk jaccard over the hex
     # form, candidates from rare chunks only, intersection
     # candidate-bounded -- mirror of multimodal.media_near_dup_pairs

@@ -180,6 +180,30 @@ def _q_media_exact_dedup(spark, sf_dir):
     return media_exact_dedup(media)
 
 
+def _q_embedding_dup_clusters(spark, sf_dir):
+    """Embedding-space duplicate CLUSTERS: connected components over
+    the cosine near-dup pair graph (dedup_clusters' min-label fixpoint
+    with the embedding edges plugged in) -- completes the embedding
+    dedup story pairs -> clusters, mirroring the text tier.  The
+    synthetic embeddings are near-orthogonal (zero natural near-dups
+    at any SF), so exact copies are PLANTED at vec_id % 25 == 0
+    (copy id = vec_id + 100000), the media_exact_dedup convention."""
+    from ..operators.similarity import embedding_near_dup_pairs
+
+    ensure_session_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.select("vec_id", "embedding", "label").unionByName(planted)
+    edges = embedding_near_dup_pairs(corpus, n_planes=8).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return dedup_clusters(None, edges=edges).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+
+
 def _q_media_near_dup(spark, sf_dir):
     """Blob-level NEAR-dup pairs (multimodal.media_near_dup_pairs):
     byte-chunk Jaccard over the derived media frame, with a planted

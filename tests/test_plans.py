@@ -1344,3 +1344,45 @@ def test_bitext_margin_broadcasts_segment_stats(spark):
     plan = _plan(bitext_margin_pairs(load_table(spark, SF, "embeddings")))
     assert "BroadcastExchange" in plan
     assert "Window" in plan
+
+
+def test_table_scorecard_single_join_single_scan_pair(spark):
+    """The per-table scorecard must ride the ONE full-outer diff join
+    (one scan per side, one aggregate) -- never a per-counter re-join
+    or a second fact pass."""
+    import re
+
+    from binlog_avro_comparator_spark.fixtures import (
+        derive_avro_rows,
+        derive_binlog_events,
+    )
+
+    ev = load_table(spark, SF, "events")
+    bp = C.prepare_binlog(derive_binlog_events(ev))
+    ap = C.prepare_avro(derive_avro_rows(ev))
+    plan = _plan(C.table_scorecard(bp, ap))
+    join_nodes = re.findall(r"^\(\d+\) \w*Join", plan, re.M)
+    assert len(join_nodes) == 1, join_nodes
+    scan_nodes = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+    assert len(scan_nodes) == 2, scan_nodes
+    assert "FullOuter" in plan
+
+
+def test_gtid_coverage_two_aggregates_one_join(spark):
+    """Transaction coverage: one full-outer join feeding the per-key
+    collapse and the per-GTID fold -- two aggregates, no re-scan."""
+    import re
+
+    from binlog_avro_comparator_spark.fixtures import (
+        derive_avro_rows,
+        derive_binlog_events,
+    )
+
+    ev = load_table(spark, SF, "events")
+    bp = C.prepare_binlog(derive_binlog_events(ev))
+    ap = C.prepare_avro(derive_avro_rows(ev))
+    plan = _plan(C.gtid_coverage(bp, ap))
+    join_nodes = re.findall(r"^\(\d+\) \w*Join", plan, re.M)
+    assert len(join_nodes) == 1, join_nodes
+    scan_nodes = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+    assert len(scan_nodes) == 2, scan_nodes
