@@ -4051,3 +4051,74 @@ def session_gap_profile(events: DataFrame) -> DataFrame:
         .cast("long")
         .alias("suggested_timeout_ms"),
     )
+
+
+def bot_scores(
+    events: DataFrame,
+    rate_cut_per_min: float = 20.0,
+    cv_cut: float = 0.2,
+    min_gaps: int = 5,
+) -> DataFrame:
+    """Bot-traffic scoring: per user, the event rate and the
+    REGULARITY of inter-event gaps -- the pre-analytics filter that
+    keeps metronomic scrapers and click-bots out of training data.
+    Humans are bursty (high gap coefficient-of-variation); bots fire
+    on timers (CV near zero) or flood (rate far above human).  Flag =
+    rate >= rate_cut OR (enough gaps AND cv <= cv_cut).
+
+    Scale shape: one user-partitioned lag window (state = the same
+    per-user bound sessionize accepts) feeding ONE map-side-combined
+    aggregate; gap moments accumulate as exact integers/decimals
+    (order-independent), mean/variance/CV are single double
+    expressions in mirrored op order (the value_anomalies discipline)
+    -- bit-reproducible flags in any engine.  Output is
+    user-cardinality.  Returns (user_id, n_events, n_types, span_ms,
+    rate_per_min, mean_gap_ms, gap_cv, bot_flag)."""
+    ts_ms = F.unix_millis(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(ts_ms, F.col("event_id"))
+    gapped = events.select(
+        "user_id",
+        "event_type",
+        ts_ms.alias("__ts"),
+        (ts_ms - F.lag(ts_ms).over(w)).alias("__gap"),
+    )
+    g = F.col("__gap")
+    per_user = gapped.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        (F.max("__ts") - F.min("__ts")).alias("span_ms"),
+        F.count(g).alias("__ng"),
+        F.sum(g.cast("decimal(18,0)")).alias("__gs"),
+        F.sum((g * g).cast("decimal(38,0)")).alias("__gss"),
+    )
+    mean_gap = F.col("__gs").cast("double") / F.col("__ng")
+    var = (
+        F.col("__gss").cast("double") / F.col("__ng") - mean_gap * mean_gap
+    )
+    cv = F.when(
+        (F.col("__ng") > 0) & (mean_gap > 0),
+        F.sqrt(F.greatest(var, F.lit(0.0))) / mean_gap,
+    ).otherwise(F.lit(0.0))
+    rate = (F.col("n_events") * 60000).cast("double") / F.greatest(
+        F.col("span_ms"), F.lit(60000)
+    )
+    out = per_user.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        "span_ms",
+        F.round(rate, 6).alias("rate_per_min"),
+        F.round(
+            F.when(F.col("__ng") > 0, mean_gap).otherwise(F.lit(0.0)), 6
+        ).alias("mean_gap_ms"),
+        F.round(cv, 6).alias("gap_cv"),
+    )
+    return out.withColumn(
+        "bot_flag",
+        (F.col("rate_per_min") >= rate_cut_per_min)
+        | (
+            (F.col("n_events") - 1 >= min_gaps)
+            & (F.col("gap_cv") <= cv_cut)
+            & (F.col("mean_gap_ms") > 0)
+        ),
+    )

@@ -1614,6 +1614,41 @@ SELECT c.lang AS lang, lang_guess, n,
        round(CAST(tok AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS recall,
        accuracy
 FROM cells c JOIN per_true p ON p.lang = c.lang CROSS JOIN total"""
+    # bot scoring: gap moments as exact integer/decimal sums, CV and
+    # rate in mirrored double op order (value_anomalies discipline)
+    sql["events_bot_scores"] = """
+WITH gapped AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms,
+         epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap
+  FROM events
+),
+per AS (
+  SELECT user_id, count(*) AS n_events,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+         max(ts_ms) - min(ts_ms) AS span_ms,
+         count(gap) AS ng,
+         CAST(sum(CAST(gap AS DECIMAL(18,0))) AS DOUBLE) AS gs,
+         CAST(sum(CAST(gap * gap AS DECIMAL(38,0))) AS DOUBLE) AS gss
+  FROM gapped GROUP BY user_id
+),
+scored AS (
+  SELECT user_id, n_events, n_types, span_ms,
+         round(CAST(n_events * 60000 AS DOUBLE)
+               / greatest(span_ms, 60000), 6) AS rate_per_min,
+         round(CASE WHEN ng > 0 THEN gs / ng ELSE 0.0 END, 6)
+           AS mean_gap_ms,
+         round(CASE WHEN ng > 0 AND gs / ng > 0
+               THEN sqrt(greatest(gss / ng - (gs / ng) * (gs / ng), 0.0))
+                    / (gs / ng)
+               ELSE 0.0 END, 6) AS gap_cv
+  FROM per
+)
+SELECT *,
+       (rate_per_min >= 20.0
+        OR (n_events - 1 >= 5 AND gap_cv <= 0.2 AND mean_gap_ms > 0))
+         AS bot_flag
+FROM scored"""
     # embedding dup clusters: recursive reachability walk (the
     # dedup_clusters oracle recipe) over the embedding near-dup pair
     # SQL re-based onto the planted-copy corpus (the synthetic

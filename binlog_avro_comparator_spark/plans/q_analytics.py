@@ -902,4 +902,14 @@ def _q_session_gaps(spark, sf_dir):
     return session_gap_profile(load_table(spark, sf_dir, "events"))
 
 
+def _q_bot_scores(spark, sf_dir):
+    """Bot-traffic scoring (analytics.bot_scores): per-user event rate
+    + inter-event gap regularity -- metronomic or flooding users
+    flagged before they pollute analytics or training data."""
+    ensure_session_conf(spark)
+    from ..operators.analytics import bot_scores
+
+    return bot_scores(load_table(spark, sf_dir, "events"))
+
+
 __all__ = [_n for _n in list(globals()) if not _n.startswith('__') and _n != '_shared']

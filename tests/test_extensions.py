@@ -4520,3 +4520,35 @@ def test_media_near_dup_tail_and_hot_header(spark):
     # the hot header must not pair the 20 unique-bodied blobs
     assert not any(a >= 10 and b >= 10 for a, b in got)
     assert not any(3 in (a, b) for a, b in got)
+
+
+def test_bot_scores_flags_metronome_and_flood(spark):
+    """A metronomic user (exact 1 s gaps -> CV 0) and a flooding user
+    (200 events in a minute) are flagged; a bursty human with varied
+    gaps is not."""
+    from binlog_avro_comparator_spark.operators.analytics import bot_scores
+
+    base = 1_700_000_000_000_000  # micros
+    rows = []
+    eid = 0
+    # metronome: 20 events exactly 1s apart (rate 19/min < cut -> CV path)
+    for i in range(20):
+        rows.append((eid, base + i * 1_000_000, 1, "click", 1.0, "{}")); eid += 1
+    # flood: 200 events 50ms apart (rate >= 20/min)
+    for i in range(200):
+        rows.append((eid, base + i * 50_000, 2, "view", 1.0, "{}")); eid += 1
+    # human: 10 events with wildly varying gaps over 2 hours
+    gaps = [0, 1, 5, 60, 2, 300, 30, 1200, 7, 3600]  # seconds, cumulative
+    t = 0
+    for i, g in enumerate(gaps):
+        t += g * 1_000_000
+        rows.append((eid, base + t, 3, "click", 1.0, "{}")); eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts_us long, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.timestamp_micros(F.col("ts_us"))).drop("ts_us")
+    got = {r.user_id: r for r in bot_scores(ev).collect()}
+    assert got[1].bot_flag and got[1].gap_cv == 0.0
+    assert got[2].bot_flag and got[2].rate_per_min >= 20
+    assert not got[3].bot_flag and got[3].gap_cv > 0.2
