@@ -149,3 +149,49 @@ def triangles(edges: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame
             F.col("__z").alias("doc_c"),
         )
     )
+
+
+def kcore_nodes(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 3,
+    a: str = "doc_a",
+    b: str = "doc_b",
+) -> DataFrame:
+    """Rounds-bounded k-core peel: repeatedly drop nodes with degree
+    < k in the surviving subgraph -- the density decomposition that
+    separates a near-dup graph's collapsible CORES (every member
+    mutually entangled) from its peripheral chains (pairs that peel
+    away).  Complements triangles (local density) with the global
+    view; over LSH pairs, core membership is the safest dedup-collapse
+    signal.
+
+    Fixed ``rounds`` iterations, pagerank-style, so the plan is ONE
+    lazy chain with no convergence probe and the oracle unrolls the
+    same rounds: each round is one self-join of the edge frame against
+    the survivor set + one map-side-combined degree count.  A true
+    fixpoint peel needs diameter-many rounds; near-dup graphs are
+    shallow, and the rounds-bounded result is a SUPERSET of the exact
+    core (never drops a true core member), which is the safe direction
+    for a collapse gate.  Edge frame is checkpointed once -- it feeds
+    every round.  Returns (doc_id, core_degree) for survivors."""
+    sym = (
+        edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .union(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    alive = sym.select(F.col("src").alias("node")).distinct()
+    deg = None
+    for _ in range(rounds):
+        deg = (
+            sym.join(alive.withColumnRenamed("node", "src"), "src")
+            .join(
+                alive.select(F.col("node").alias("dst")), "dst"
+            )
+            .groupBy("src")
+            .agg(F.count("*").alias("core_degree"))
+            .filter(F.col("core_degree") >= k)
+        )
+        alive = deg.select(F.col("src").alias("node"))
+    return deg.select(F.col("src").alias("doc_id"), "core_degree")

@@ -886,6 +886,30 @@ FROM pairs w1
 JOIN pairs w2 ON w2.doc_a = w1.doc_b
 JOIN pairs c ON c.doc_a = w1.doc_a AND c.doc_b = w2.doc_b"""
         ),
+        # twin of graph.kcore_nodes over the same LSH pairs: 3 peel
+        # rounds unrolled (a1..a3), survivors with their final degree
+        "graph_near_dup_kcore": (
+            f"WITH {_SHINGLE_CTE},\n"
+            f"sig AS (SELECT doc_id,\n    {_minhash_aggs()}\nFROM shingle_hashes GROUP BY doc_id),\n"
+            f"pairs AS (SELECT DISTINCT doc_a, doc_b FROM (\n{_lsh_band_union()}\n)),\n"
+            """sym AS (SELECT DISTINCT src, dst FROM (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+)),
+a0 AS (SELECT DISTINCT src AS node FROM sym),
+d1 AS (SELECT s.src AS node, count(*) AS deg FROM sym s
+       JOIN a0 x ON x.node = s.src JOIN a0 y ON y.node = s.dst
+       GROUP BY 1),
+a1 AS (SELECT node FROM d1 WHERE deg >= 2),
+d2 AS (SELECT s.src AS node, count(*) AS deg FROM sym s
+       JOIN a1 x ON x.node = s.src JOIN a1 y ON y.node = s.dst
+       GROUP BY 1),
+a2 AS (SELECT node FROM d2 WHERE deg >= 2),
+d3 AS (SELECT s.src AS node, count(*) AS deg FROM sym s
+       JOIN a2 x ON x.node = s.src JOIN a2 y ON y.node = s.dst
+       GROUP BY 1)
+SELECT node AS doc_id, deg AS core_degree FROM d3 WHERE deg >= 2"""
+        ),
         # twin of similarity.pq_codes: the _KMEANS_CTE recipe per
         # subspace (prefixed, ord-rebased), long-format union
         "embedding_pq_codes": _pq_codes_sql(),

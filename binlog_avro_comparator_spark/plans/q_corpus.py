@@ -383,6 +383,16 @@ def _q_graph_near_dup_triangles(spark, sf_dir):
     return triangles(lsh_candidate_pairs(_docs(spark, sf_dir)))
 
 
+def _q_graph_kcore(spark, sf_dir):
+    """Rounds-bounded k-core peel over the LSH candidate pairs
+    (graph.kcore_nodes): the global-density dedup-QA view next to
+    triangles' local one -- core members are the safest collapses."""
+    from ..operators.graph import kcore_nodes
+
+    ensure_session_conf(spark)
+    return kcore_nodes(lsh_candidate_pairs(_docs(spark, sf_dir)))
+
+
 def _q_type_token_ratio(spark, sf_dir):
     ensure_session_conf(spark)
     return type_token_ratio(_docs(spark, sf_dir))

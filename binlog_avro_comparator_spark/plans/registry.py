@@ -65,6 +65,7 @@ def queries() -> dict[str, QueryFn]:
         "media_near_dup": _q_media_near_dup,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
         "events_bot_scores": _q_bot_scores,
+        "graph_near_dup_kcore": _q_graph_kcore,
         "ann_ivf_probe_pruned": _q_ivf_probe_pruned,
         "embedding_bitext_margin": _q_bitext_margin,
         "embedding_knn_label_audit": _q_knn_label_audit,

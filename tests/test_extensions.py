@@ -4552,3 +4552,25 @@ def test_bot_scores_flags_metronome_and_flood(spark):
     assert got[1].bot_flag and got[1].gap_cv == 0.0
     assert got[2].bot_flag and got[2].rate_per_min >= 20
     assert not got[3].bot_flag and got[3].gap_cv > 0.2
+
+
+def test_kcore_peels_chain_keeps_clique(spark):
+    """A 4-clique survives the k=2 peel with degree 3; a pendant chain
+    hanging off it peels away round by round (the chain's tail has
+    degree 1, then its neighbor does, ...)."""
+    from binlog_avro_comparator_spark.operators.graph import kcore_nodes
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chain = [(3, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(clique + chain, "doc_a long, doc_b long")
+    got = {r.doc_id: r.core_degree for r in kcore_nodes(edges).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    # rounds-bounded superset semantics: node 3's final-round degree
+    # still counts chain node 10, which peels only in the NEXT round
+    assert got[0] == got[1] == got[2] == 3 and got[3] == 4
+    # one more round reaches the exact 2-core with clean degrees
+    exact = {
+        r.doc_id: r.core_degree
+        for r in kcore_nodes(edges, rounds=4).collect()
+    }
+    assert exact == {0: 3, 1: 3, 2: 3, 3: 3}
