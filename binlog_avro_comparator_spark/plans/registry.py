@@ -32,8 +32,8 @@ def queries() -> dict[str, QueryFn]:
     # NOTE on ordering: the external correctness driver checks the FIRST 50
     # entries of this dict (CORRECTNESS_r02 covered exactly queries 1..50).
     # Window priority (r3 freeze rule): never-driver-verified or CHANGED
-    # queries lead the window.  Round 8 puts its 26 new registrations
-    # (14 from the first session + 12 continuation entries) and 5
+    # queries lead the window.  Round 8 puts its 28 new registrations
+    # (14 from the first session + 14 continuation entries) and 5
     # re-certifications first; the rest of the window back-fills with
     # cumulative-green rows (the r1-r7 union covers all 250 prior
     # entries).  ALL entries, window or not, are value-verified locally
