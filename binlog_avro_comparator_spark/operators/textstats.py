@@ -2140,10 +2140,25 @@ def quality_blend(documents: DataFrame) -> DataFrame:
     scan-speed at any corpus size.  Decile semantics: 10 = best for
     every signal (repetition inverts).  blend = mean of the three
     decile goodnesses, one single-division double.  Returns (doc_id,
-    lp_decile, rep_decile, ttr_decile, blend_score)."""
-    lp = unigram_logprob_scores(documents).select("doc_id", "mean_logprob")
-    rep = repetition_scores(documents).select("doc_id", "repetition_ratio")
-    ttr = type_token_ratio(documents).select("doc_id", "ttr")
+    lp_decile, rep_decile, ttr_decile, blend_score).
+
+    Each signal frame feeds TWO consumers -- its own percentile-bounds
+    aggregate and the per-doc join -- so the frames ride the scoped
+    cache: without it Catalyst re-runs the whole signal pipeline
+    (the unigram LM's explode + term join in particular) once per
+    consumer, which the sf1 probe measured at ~2x the whole job.  The
+    scan is spread first (single-file corpora otherwise run the
+    token explode in one task)."""
+    from ..functions.partitioning import spread_small_scan
+
+    documents = spread_small_scan(documents)
+    lp = scoped_cache(
+        unigram_logprob_scores(documents).select("doc_id", "mean_logprob")
+    )
+    rep = scoped_cache(
+        repetition_scores(documents).select("doc_id", "repetition_ratio")
+    )
+    ttr = scoped_cache(type_token_ratio(documents).select("doc_id", "ttr"))
 
     def _bounds(df, col):
         return df.agg(
