@@ -1561,3 +1561,31 @@ def threshold_curve(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return per.withColumn("n_at_or_above", F.sum("n_pairs").over(w))
+
+
+def dedup_impact_report(documents: DataFrame, max_iter: int = 15) -> DataFrame:
+    """What dedup actually REMOVES, per source: document and character
+    volume dropped by the canonical-survivor materialization -- the
+    cost/benefit readout a pipeline owner reads before shipping a
+    dedup pass (source_redundancy says how much of a feed is
+    ENTANGLED; this says how much gets CUT, which is smaller -- one
+    survivor stays per cluster).
+
+    One join of the corpus against the loser set (bounded by
+    duplicated docs) + one map-side-combined rollup;
+    source-cardinality output.  Returns (source, n_docs, n_removed,
+    chars_removed, pct_docs_removed)."""
+    clusters = dedup_clusters(documents, max_iter=max_iter)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id", F.lit(1).alias("__loser")
+    )
+    tagged = documents.select("doc_id", "source", "n_chars").join(
+        losers, "doc_id", "left"
+    )
+    lost = F.coalesce(F.col("__loser"), F.lit(0))
+    return tagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(lost).cast("long").alias("n_removed"),
+        F.sum(F.col("n_chars") * lost).cast("long").alias("chars_removed"),
+        F.round(F.sum(lost) / F.count("*"), 6).alias("pct_docs_removed"),
+    )

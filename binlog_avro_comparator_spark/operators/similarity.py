@@ -1887,3 +1887,57 @@ def embedding_coreset(
         "cos_center",
         (F.col("cos_center") <= F.col("__b")).alias("keep"),
     )
+
+
+def ivf_probe_curve(
+    embeddings: DataFrame,
+    n_queries: int = 32,
+    k: int = 5,
+    probes: tuple = (1, 2, 4, 8),
+    n_centroids: int = 16,
+    centroid_stride: int = 37,
+) -> DataFrame:
+    """The n_probe TUNING CURVE: recall@k of the IVF index at each
+    probe count, against the exact brute-force truth -- the
+    measured readout behind the recall-vs-IO dial every IVF deployment
+    turns (probe few lists and miss neighbors, or probe many and read
+    more partitions).  "Measure, don't guess" applied to the index's
+    one free parameter; ann_recall_report grades methods at one
+    setting, this sweeps the setting.
+
+    The index (centroids + assignment) is built ONCE and shared across
+    every probe setting -- exactly how production would amortize it --
+    and the assignment frame rides the scoped cache because all
+    |probes| probe joins consume it.  Each setting adds only its
+    probe join + re-rank over its candidate lists; the report joins
+    are n_queries*k-row broadcasts.  Recall uses the fixed
+    n_queries*k denominator (the ann_recall_report contract).
+    Returns (n_probe, n_returned, total_hits, recall)."""
+    emb = scoped_cache(embeddings)
+    cents, assignment = assign_centroids(emb, n_centroids, centroid_stride)
+    index = (cents, scoped_cache(assignment))
+    truth = cosine_topk(emb, n_queries=n_queries, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    tagged = None
+    for p in probes:
+        t = cosine_topk_ivf(
+            emb, n_queries=n_queries, k=k, n_centroids=n_centroids,
+            n_probe=p, centroid_stride=centroid_stride, index=index,
+        ).select(
+            F.lit(p).cast("int").alias("n_probe"), "query_id", "neighbor_id"
+        )
+        tagged = t if tagged is None else tagged.unionAll(t)
+    hits = tagged.join(
+        F.broadcast(truth.withColumn("__hit", F.lit(1))),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    denom = n_queries * k
+    return hits.groupBy("n_probe").agg(
+        F.count("*").alias("n_returned"),
+        F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("total_hits"),
+        F.round(
+            F.coalesce(F.sum("__hit"), F.lit(0)) / F.lit(denom), 6
+        ).alias("recall"),
+    )

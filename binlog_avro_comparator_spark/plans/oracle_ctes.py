@@ -353,6 +353,112 @@ SELECT query_id, vec_id AS neighbor_id, score, rank FROM (
 ) WHERE rank <= {topk}"""
 
 
+def _ivf_probe_curve_sql(
+    probes=(1, 2, 4, 8),
+    n_queries: int = 32,
+    k: int = 5,
+    n_centroids: int = 16,
+    stride: int = 37,
+) -> str:
+    """Twin of similarity.ivf_probe_curve: one shared IVF index
+    (assignment + ranked probes), one per-probe re-rank segment, hits
+    against the brute-force truth, recall over the fixed n_queries*k
+    denominator."""
+    segs = []
+    unions = []
+    for p in probes:
+        segs.append(f"""cand{p} AS (
+  SELECT pr.query_id, a.vec_id AS neighbor_id
+  FROM (SELECT query_id, centroid_id FROM ranked_probes
+        WHERE rn <= {p}) pr
+  JOIN assignment a ON a.centroid_id = pr.centroid_id
+  WHERE a.vec_id <> pr.query_id
+),
+dots{p} AS (
+  SELECT c.query_id, c.neighbor_id, sum(q.v * e.v) AS dot
+  FROM cand{p} c
+  JOIN ex q ON q.vec_id = c.query_id
+  JOIN ex e ON e.vec_id = c.neighbor_id AND e.ord = q.ord
+  GROUP BY 1, 2
+),
+topk{p} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id, row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY round(dot / (nq.norm * ne.norm), 6) DESC, neighbor_id)
+      AS rank
+    FROM dots{p}
+    JOIN norms nq ON nq.vec_id = query_id
+    JOIN norms ne ON ne.vec_id = neighbor_id
+  ) WHERE rank <= {k}
+)""")
+        unions.append(
+            f"SELECT {p} AS n_probe, query_id, neighbor_id FROM topk{p}"
+        )
+    seg_sql = ",\n".join(segs)
+    union_sql = "\nUNION ALL\n".join(unions)
+    return f"""WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS ord,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS norm FROM ex GROUP BY vec_id),
+cdots AS (
+  SELECT e.vec_id AS vec_id, ce.vec_id AS centroid_id, sum(e.v * ce.v) AS dot
+  FROM ex e JOIN ex ce ON e.ord = ce.ord
+  WHERE ce.vec_id % {stride} = 0 AND ce.vec_id < {stride} * {n_centroids}
+  GROUP BY 1, 2
+),
+ccos AS (
+  SELECT c.vec_id, c.centroid_id,
+         round(c.dot / (nv.norm * nc.norm), 6) AS c_cos
+  FROM cdots c
+  JOIN norms nv ON nv.vec_id = c.vec_id
+  JOIN norms nc ON nc.vec_id = c.centroid_id
+),
+assignment AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY c_cos DESC, centroid_id) AS rn
+    FROM ccos) WHERE rn = 1
+),
+ranked_probes AS (
+  SELECT vec_id AS query_id, centroid_id, row_number() OVER (
+      PARTITION BY vec_id ORDER BY c_cos DESC, centroid_id) AS rn
+  FROM ccos WHERE vec_id < {n_queries}
+),
+tdots AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, sum(q.v * e.v) AS dot
+  FROM (SELECT * FROM ex WHERE vec_id < {n_queries}) q
+  JOIN ex e ON q.ord = e.ord AND e.vec_id <> q.vec_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id, row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY round(dot / (nq.norm * ne.norm), 6) DESC, neighbor_id)
+      AS rank
+    FROM tdots
+    JOIN norms nq ON nq.vec_id = query_id
+    JOIN norms ne ON ne.vec_id = neighbor_id
+  ) WHERE rank <= {k}
+),
+{seg_sql},
+returned AS ({union_sql})
+SELECT r.n_probe, count(*) AS n_returned,
+       CAST(coalesce(sum(CASE WHEN t.query_id IS NOT NULL
+                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS total_hits,
+       round(coalesce(sum(CASE WHEN t.query_id IS NOT NULL
+                               THEN 1 ELSE 0 END), 0)
+             / {n_queries * k}, 6) AS recall
+FROM returned r
+LEFT JOIN truth t
+  ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id
+GROUP BY r.n_probe"""
+
+
 def _minhash_aggs() -> str:
     return ",\n    ".join(
         f"min(({a} * h + {b}) % {MINHASH_PRIME}) AS min_{i}"

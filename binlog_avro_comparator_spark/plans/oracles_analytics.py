@@ -1614,6 +1614,21 @@ SELECT c.lang AS lang, lang_guess, n,
        round(CAST(tok AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS recall,
        accuracy
 FROM cells c JOIN per_true p ON p.lang = c.lang CROSS JOIN total"""
+    # dedup impact: losers = cluster members that are not the
+    # canonical (min-id) member, volume rollup per source
+    sql["dedup_impact_report"] = f"""
+WITH losers AS (
+  SELECT doc_id FROM ({sql["dedup_clusters"]}) WHERE doc_id <> cluster_id
+)
+SELECT d.source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_removed,
+       CAST(sum(CASE WHEN l.doc_id IS NOT NULL THEN d.n_chars ELSE 0 END)
+            AS BIGINT) AS chars_removed,
+       round(sum(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS pct_docs_removed
+FROM documents d LEFT JOIN losers l ON l.doc_id = d.doc_id
+GROUP BY d.source"""
     # bot scoring: gap moments as exact integer/decimal sums, CV and
     # rate in mirrored double op order (value_anomalies discipline)
     sql["events_bot_scores"] = """

@@ -917,6 +917,9 @@ SELECT node AS doc_id, deg AS core_degree FROM d3 WHERE deg >= 2"""
         "ann_pq_adc_topk": _pq_adc_sql(),
         # IVF routing + PQ-ADC scoring composed, like the Spark plan
         "ann_ivf_pq_topk": _ivf_pq_sql(),
+        # the n_probe tuning curve: shared index, per-probe re-rank,
+        # recall vs the brute truth over the fixed denominator
+        "ann_ivf_probe_curve": _ivf_probe_curve_sql(),
         # twin of graph.supplier_pagerank: 3 Pregel steps unrolled,
         # integer rank units (floor spread, 17/20 damping) so every
         # engine agrees bit-for-bit regardless of summation order

@@ -180,6 +180,16 @@ def _q_media_exact_dedup(spark, sf_dir):
     return media_exact_dedup(media)
 
 
+def _q_ivf_probe_curve(spark, sf_dir):
+    """The n_probe tuning curve (similarity.ivf_probe_curve): recall@k
+    at each probe count against brute-force truth, one shared index --
+    the measured readout behind IVF's one free parameter."""
+    from ..operators.similarity import ivf_probe_curve
+
+    ensure_session_conf(spark)
+    return ivf_probe_curve(load_table(spark, sf_dir, "embeddings"))
+
+
 def _q_embedding_dup_clusters(spark, sf_dir):
     """Embedding-space duplicate CLUSTERS: connected components over
     the cosine near-dup pair graph (dedup_clusters' min-label fixpoint

@@ -632,6 +632,16 @@ def _q_threshold_curve(spark, sf_dir):
     return threshold_curve(_docs(spark, sf_dir))
 
 
+def _q_dedup_impact(spark, sf_dir):
+    """Dedup impact report (dedup.dedup_impact_report): per-source doc
+    and character volume the canonical-survivor pass removes -- the
+    cost/benefit readout before shipping a dedup pass."""
+    ensure_session_conf(spark)
+    from ..operators.dedup import dedup_impact_report
+
+    return dedup_impact_report(_docs(spark, sf_dir))
+
+
 def _q_quality_blend(spark, sf_dir):
     """Ensemble quality score (textstats.quality_blend): LM fit +
     repetition + lexical diversity, each decile-normalized off one

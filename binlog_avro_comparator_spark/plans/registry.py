@@ -66,6 +66,8 @@ def queries() -> dict[str, QueryFn]:
         "embedding_dup_clusters": _q_embedding_dup_clusters,
         "events_bot_scores": _q_bot_scores,
         "graph_near_dup_kcore": _q_graph_kcore,
+        "ann_ivf_probe_curve": _q_ivf_probe_curve,
+        "dedup_impact_report": _q_dedup_impact,
         "ann_ivf_probe_pruned": _q_ivf_probe_pruned,
         "embedding_bitext_margin": _q_bitext_margin,
         "embedding_knn_label_audit": _q_knn_label_audit,

@@ -4574,3 +4574,56 @@ def test_kcore_peels_chain_keeps_clique(spark):
         for r in kcore_nodes(edges, rounds=4).collect()
     }
     assert exact == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_ivf_probe_curve_monotone_to_full(spark):
+    """Recall must be monotone non-decreasing in n_probe and reach 1.0
+    when every list is probed (n_probe == n_centroids ==
+    exact-equivalence, the cosine_topk_ivf exactness property)."""
+    from binlog_avro_comparator_spark.operators.similarity import (
+        ivf_probe_curve,
+    )
+
+    rows = []
+    for i in range(296):
+        j = i % 8
+        vec = [0.5 + ((i * 64 + d) % 7) * 0.01 for d in range(64)]
+        for d in range(8 * j, 8 * j + 8):
+            vec[d] = 10.0 + ((i + d) % 5) * 0.05
+        rows.append((i, [float(v) for v in vec]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r.n_probe: r
+        for r in ivf_probe_curve(emb, probes=(1, 2, 4, 16)).collect()
+    }
+    assert list(sorted(got)) == [1, 2, 4, 16]
+    rec = [got[p].recall for p in (1, 2, 4, 16)]
+    assert all(a <= b for a, b in zip(rec, rec[1:])), rec
+    assert got[16].recall == 1.0  # all 16 lists probed == brute force
+    assert got[16].n_returned == 32 * 5
+
+
+def test_dedup_impact_counts_losers_only(spark):
+    """Three copies in one source lose two (the canonical survives);
+    the clean source removes nothing."""
+    from binlog_avro_comparator_spark.operators.dedup import (
+        dedup_impact_report,
+    )
+
+    copy = "alpha bravo charlie delta echo foxtrot golf hotel india kilo"
+    docs = spark.createDataFrame(
+        [
+            (1, copy, "spam", len(copy)),
+            (2, copy, "spam", len(copy)),
+            (3, copy, "spam", len(copy)),
+            (4, "a completely unrelated document about trains", "clean", 45),
+        ],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    got = {r.source: r for r in dedup_impact_report(docs).collect()}
+    s = got["spam"]
+    assert (s.n_docs, s.n_removed) == (3, 2)
+    assert s.chars_removed == 2 * len(copy)
+    assert s.pct_docs_removed == round(2 / 3, 6)
+    c = got["clean"]
+    assert c.n_removed == 0 and c.pct_docs_removed == 0.0
