@@ -4122,3 +4122,40 @@ def bot_scores(
             & (F.col("mean_gap_ms") > 0)
         ),
     )
+
+
+def feed_gaps(events: DataFrame, bucket_ms: int = 60_000) -> DataFrame:
+    """Feed-SILENCE detection: contiguous runs of minutes with zero
+    events between the feed's first and last activity -- the dual of
+    burst_minutes (which finds spikes) and the ops trigger for "did
+    the producer stall?".  A replication pipeline that is merely slow
+    shows lag; one that is down shows a gap.
+
+    Shape: the event stream collapses to its DISTINCT active minutes
+    first (bucket-cardinality, map-side combined), then the gtid_gaps
+    islands idiom -- one lag window over the aggregated minute frame
+    -- emits one row per silent run.  Output is gap-cardinality;
+    nothing bigger than the active-minute set ever shuffles.  Returns
+    (gap_start_ms, gap_end_ms, n_minutes)."""
+    minutes = (
+        events.select(
+            (
+                F.floor(F.unix_millis(F.col("ts")) / bucket_ms) * bucket_ms
+            ).cast("long").alias("__m")
+        )
+        .distinct()
+    )
+    w = Window.orderBy("__m")
+    lagged = minutes.select(
+        "__m", F.lag("__m").over(w).alias("__prev")
+    ).filter(
+        F.col("__prev").isNotNull()
+        & (F.col("__m") - F.col("__prev") > bucket_ms)
+    )
+    return lagged.select(
+        (F.col("__prev") + bucket_ms).alias("gap_start_ms"),
+        (F.col("__m") - bucket_ms).alias("gap_end_ms"),
+        ((F.col("__m") - F.col("__prev")) / bucket_ms - 1)
+        .cast("long")
+        .alias("n_minutes"),
+    )

@@ -1317,3 +1317,67 @@ def gtid_coverage(
         .when(F.col("n_landed") == 0, "MISSING")
         .otherwise("PARTIAL"),
     )
+
+
+def near_miss_keys(
+    binlog_prepared: DataFrame,
+    avro_prepared: DataFrame,
+    tolerance: int = 16,
+) -> DataFrame:
+    """Near-miss key recovery: AVRO_ONLY and BINLOG_ONLY rows in the
+    SAME file whose positions differ by at most ``tolerance`` bytes --
+    the signature of a position-encoding drift between producers (one
+    stamps the event start, the other the row-image offset), which a
+    strict key join reports as two unrelated missing rows.  A matching
+    GTID on both sides corroborates that the pair is one transaction
+    (RECOVERABLE); without it the pair is only POSITIONAL.
+
+    Scale shape: both inputs are the anti-join RESIDUE (small by the
+    health of the feed, exactly when this audit matters); the
+    tolerance join is the bucketed range-join pattern -- positions
+    bucket by ``tolerance``, candidates come from an equi-join on
+    (file, bucket) with the probe side exploded to its three adjacent
+    buckets, and the |delta| <= tolerance residual filters -- never an
+    inequality theta join.  Returns (binlog_file, avro_position,
+    binlog_position, delta, gtid_match, status)."""
+    ao = avro_only(binlog_prepared, avro_prepared).select(
+        "binlog_file",
+        F.col("binlog_position").alias("avro_position"),
+        F.col("gtid").alias("__a_gtid"),
+    )
+    bo = binlog_only(binlog_prepared, avro_prepared).select(
+        "binlog_file",
+        F.col("binlog_position").alias("b_position"),
+        F.col("gtid_next").alias("__b_gtid"),
+    )
+    probe = ao.withColumn(
+        "__bucket",
+        F.explode(
+            F.array(
+                F.floor(F.col("avro_position") / tolerance) - 1,
+                F.floor(F.col("avro_position") / tolerance),
+                F.floor(F.col("avro_position") / tolerance) + 1,
+            )
+        ),
+    )
+    build = bo.withColumn(
+        "__bucket", F.floor(F.col("b_position") / tolerance)
+    )
+    j = probe.join(build, ["binlog_file", "__bucket"]).filter(
+        F.abs(F.col("avro_position") - F.col("b_position")) <= tolerance
+    )
+    gtid_match = (
+        F.col("__a_gtid").isNotNull()
+        & (F.col("__a_gtid") != "")
+        & (F.col("__a_gtid") == F.col("__b_gtid"))
+    )
+    return j.select(
+        "binlog_file",
+        "avro_position",
+        F.col("b_position").alias("binlog_position"),
+        (F.col("avro_position") - F.col("b_position")).alias("delta"),
+        gtid_match.alias("gtid_match"),
+        F.when(gtid_match, "RECOVERABLE").otherwise("POSITIONAL").alias(
+            "status"
+        ),
+    ).distinct()

@@ -112,6 +112,32 @@ SELECT gtid, count(*) AS n_rows,
             WHEN sum(landed) = 0 THEN 'MISSING'
             ELSE 'PARTIAL' END AS status
 FROM per_key GROUP BY gtid""",
+        # near-miss recovery: anti-residue rows within 16 bytes in the
+        # same file; GTID equality upgrades POSITIONAL to RECOVERABLE
+        "cdc_near_miss_keys": "WITH " + oracle.CDC_CTES.strip() + """
+SELECT DISTINCT a.binlog_file,
+       a.binlog_position AS avro_position,
+       b.log_position AS binlog_position,
+       a.binlog_position - b.log_position AS delta,
+       (a.gtid IS NOT NULL AND a.gtid <> '' AND a.gtid = b.gtid_next)
+         AS gtid_match,
+       CASE WHEN a.gtid IS NOT NULL AND a.gtid <> ''
+                 AND a.gtid = b.gtid_next
+            THEN 'RECOVERABLE' ELSE 'POSITIONAL' END AS status
+FROM avro_only_cdc a
+JOIN binlog_only_cdc b
+  ON b.binlog_file = a.binlog_file
+ AND abs(a.binlog_position - b.log_position) <= 16""",
+        # feed silence: islands over the distinct active minutes
+        "events_feed_gaps": """
+WITH m AS (
+  SELECT DISTINCT CAST(floor(epoch_ms(ts) / 60000) * 60000 AS BIGINT) AS m
+  FROM events
+),
+l AS (SELECT m, lag(m) OVER (ORDER BY m) AS prev FROM m)
+SELECT prev + 60000 AS gap_start_ms, m - 60000 AS gap_end_ms,
+       CAST((m - prev) / 60000 - 1 AS BIGINT) AS n_minutes
+FROM l WHERE prev IS NOT NULL AND m - prev > 60000""",
         # the applied complement of the gaps: islands compression
         "cdc_gtid_set": "WITH " + oracle.CDC_CTES.strip() + """
 , g AS (

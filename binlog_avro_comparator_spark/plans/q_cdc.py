@@ -1160,6 +1160,24 @@ def _q_match_timeline(spark, sf_dir):
     return C.match_timeline(bp, ap)
 
 
+def _q_near_miss_keys(spark, sf_dir):
+    """Near-miss key recovery (compare.near_miss_keys): AVRO_ONLY and
+    BINLOG_ONLY rows within 16 bytes in the same file -- the planted
+    eid % 17 == 5 position drift (+7) surfaces as RECOVERABLE pairs
+    (GTID corroborates) instead of two unrelated missing rows."""
+    _, bp, ap = _cdc_frames(spark, sf_dir)
+    return C.near_miss_keys(bp, ap)
+
+
+def _q_feed_gaps(spark, sf_dir):
+    """Feed-silence gaps (analytics.feed_gaps): contiguous zero-event
+    minute runs -- the producer-stall trigger, dual of burst_minutes."""
+    ensure_session_conf(spark)
+    from ..operators.analytics import feed_gaps
+
+    return feed_gaps(load_table(spark, sf_dir, "events"))
+
+
 def _q_gtid_coverage(spark, sf_dir):
     """Transaction-completeness audit (compare.gtid_coverage): per
     GTID, did every DML row land (FULL), some (PARTIAL -- the torn

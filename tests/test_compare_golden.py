@@ -534,3 +534,37 @@ def test_gtid_coverage_missing_and_dup_avro(spark):
     assert got["tx1"].status == "FULL"
     assert (got["tx1"].n_rows, got["tx1"].n_landed) == (2, 2)
     assert got["tx2"].status == "MISSING" and got["tx2"].n_landed == 0
+
+
+def test_near_miss_keys_statuses_and_bounds(spark):
+    """The +7-byte planted drift pairs as RECOVERABLE when GTIDs
+    corroborate, POSITIONAL when they don't, never beyond tolerance,
+    and across a bucket boundary (15 vs 17, tolerance 16)."""
+    binlog = spark.createDataFrame(
+        [
+            ("WriteRowsEventV2", TS, ICT, 100, "db", "t", "g1", "f1", 1),
+            ("WriteRowsEventV2", TS, ICT, 300, "db", "t", "g2", "f1", 2),
+            ("WriteRowsEventV2", TS, ICT, 500, "db", "t", "g3", "f1", 3),
+            ("WriteRowsEventV2", TS, ICT, 15, "db", "t", "g4", "f1", 4),
+        ],
+        BINLOG_SCHEMA,
+    )
+    avro = spark.createDataFrame(
+        [
+            _a(107, ICT_MS, gtid="g1"),   # +7, same gtid -> RECOVERABLE
+            _a(307, ICT_MS, gtid="zz"),   # +7, wrong gtid -> POSITIONAL
+            _a(517, ICT_MS, gtid="g3"),   # +17 -> beyond tolerance
+            _a(17, ICT_MS, gtid="g4"),    # +2 across bucket edge
+        ],
+        AVRO_SCHEMA,
+    )
+    got = {
+        r.binlog_position: r
+        for r in C.near_miss_keys(
+            C.prepare_binlog(binlog), C.prepare_avro(avro)
+        ).collect()
+    }
+    assert set(got) == {100, 300, 15}
+    assert got[100].status == "RECOVERABLE" and got[100].delta == 7
+    assert got[300].status == "POSITIONAL"
+    assert got[15].status == "RECOVERABLE" and got[15].delta == 2

@@ -4627,3 +4627,29 @@ def test_dedup_impact_counts_losers_only(spark):
     assert s.pct_docs_removed == round(2 / 3, 6)
     c = got["clean"]
     assert c.n_removed == 0 and c.pct_docs_removed == 0.0
+
+
+def test_feed_gaps_islands(spark):
+    """Active minutes 0,1,5,6,10 produce two silent runs: [2,4] (3
+    minutes) and [7,9] (3 minutes); adjacent minutes produce none."""
+    from binlog_avro_comparator_spark.operators.analytics import feed_gaps
+
+    base = 1_700_000_000_000_000 - (1_700_000_000_000_000 % 60_000_000)
+    rows = [
+        (i, base + m * 60_000_000, 1, "click", 1.0, "{}")
+        for i, m in enumerate([0, 1, 5, 6, 10])
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts_us long, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.timestamp_micros(F.col("ts_us"))).drop("ts_us")
+    got = sorted(
+        (r.gap_start_ms, r.gap_end_ms, r.n_minutes)
+        for r in feed_gaps(ev).collect()
+    )
+    base_ms = base // 1000
+    assert got == [
+        (base_ms + 2 * 60_000, base_ms + 4 * 60_000, 3),
+        (base_ms + 7 * 60_000, base_ms + 9 * 60_000, 3),
+    ]
