@@ -78,6 +78,15 @@ PICKS = [
     ("cdc_snapshot_at_watermark", "watermark applied: per-source min-of-max broadcast back, one filtered aggregate over the feed"),
     ("cdc_gtid_set", "gtid_executed intervals: islands trick -- one per-sid window + one aggregate, interval-cardinality output"),
     ("doc_tfidf_neighbors", "lexical more-like-this: df-capped posting-list self-join, decimal-summed products, window top-k"),
+    # round 8 continuation
+    ("cdc_table_scorecard", "per-table scorecard: the ONE full-outer diff join + one table-cardinality conditional-sum rollup"),
+    ("cdc_gtid_coverage", "transaction coverage: same single join, per-key landed collapse then per-GTID fold, both map-side combined"),
+    ("ann_ivf_pq_topk", "IVF-PQ composed: probes + codebooks + sliced queries broadcast; corpus side carries candidates + codes only"),
+    ("embedding_coreset", "coreset: broadcast k-row percentile boundary frame, selection is a per-row comparison"),
+    ("media_near_dup", "blob near-dup: blobs collapse to chunk hashes at the scan, rare-chunk candidates, candidate-bounded intersection"),
+    ("doc_quality_blend", "quality blend: three CACHED signal frames (no pipeline re-run per consumer), 1-row boundary broadcasts"),
+    ("cdc_near_miss_keys", "near-miss recovery: bucketed tolerance join over the anti residues -- equi join + residual, no theta join"),
+    ("events_feed_gaps", "feed silence: distinct active minutes first, islands lag window over the aggregated frame only"),
 ]
 
 
