@@ -237,6 +237,10 @@ EXTRA_QUERIES = [
     "embedding_coreset",
     "corpus_data_card",
     "doc_quality_blend",
+    "ann_ivf_probe_curve",
+    "dedup_impact_report",
+    "cdc_near_miss_keys",
+    "events_feed_gaps",
 ]
 
 
