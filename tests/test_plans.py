@@ -1386,3 +1386,42 @@ def test_gtid_coverage_two_aggregates_one_join(spark):
     assert len(join_nodes) == 1, join_nodes
     scan_nodes = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
     assert len(scan_nodes) == 2, scan_nodes
+
+
+def test_near_miss_keys_is_equi_join_not_theta(spark):
+    """The tolerance join must compile to equi hash/sort-merge joins on
+    (file, bucket) with the |delta| residual -- never a nested-loop or
+    cartesian theta join over the residues."""
+    from binlog_avro_comparator_spark.fixtures import (
+        derive_avro_rows,
+        derive_binlog_events,
+    )
+
+    ev = load_table(spark, SF, "events")
+    bp = C.prepare_binlog(derive_binlog_events(ev))
+    ap = C.prepare_avro(derive_avro_rows(ev))
+    plan = _plan(C.near_miss_keys(bp, ap))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_media_near_dup_no_cartesian_and_payload_pruned(spark):
+    """Blob near-dup: no cartesian anywhere, and the binary payload
+    column never crosses a shuffle -- only the 48-bit chunk hashes do
+    (the content column appears below the first aggregation only)."""
+    from binlog_avro_comparator_spark.operators.multimodal import (
+        media_near_dup_pairs,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+    )
+    plan = _plan(media_near_dup_pairs(media))
+    assert "CartesianProduct" not in plan
+    # every Exchange in the plan carries hashes/ids, never the payload
+    import re
+
+    for m in re.finditer(r"^\(\d+\) Exchange.*$", plan, re.M):
+        assert "content" not in m.group(0)
