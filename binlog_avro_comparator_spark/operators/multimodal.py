@@ -610,3 +610,47 @@ def media_near_dup_pairs(
         )
     )
     return out.filter(F.col("jaccard") >= threshold)
+
+
+# magic-byte signatures, hex form (uppercase, as F.hex emits):
+# PNG 89504E47, JPEG FFD8FF, RIFF (WAV/AVI carrier) 52494646 with the
+# format tag at bytes 8-11, PDF 25504446, GZIP 1F8B
+_MAGIC_PREFIXES = [
+    ("png", "89504E47"),
+    ("jpeg", "FFD8FF"),
+    ("pdf", "25504446"),
+    ("gzip", "1F8B"),
+]
+
+
+def media_type_census(media: DataFrame) -> DataFrame:
+    """Content-SNIFFED type inventory: what a media corpus actually
+    contains, by magic bytes -- the first pass a real ingest runs,
+    because extensions and upstream content-type headers lie and a
+    mislabeled blob crashes the decode tier downstream.  RIFF
+    containers split by their format tag (WAVE vs 'AVI ' vs other);
+    everything unrecognized lands in 'unknown' instead of failing.
+
+    Pure byte-prefix expressions over the scan (the hex of the first
+    12 bytes), one map-side-combined rollup -- payloads never shuffle,
+    output is type-cardinality.  Returns (media_type, n_blobs,
+    total_bytes, min_bytes, max_bytes)."""
+    head = F.hex(F.substring(F.col("content"), 1, 12))
+    riff_tag = F.substring(head, 17, 8)  # bytes 8..11, hex chars 17..24
+    t = F.when(head.startswith("52494646") & (riff_tag == "57415645"), "wav")
+    t = t.when(head.startswith("52494646") & (riff_tag == "41564920"), "avi")
+    t = t.when(head.startswith("52494646"), "riff-other")
+    for name, sig in _MAGIC_PREFIXES:
+        t = t.when(head.startswith(sig), name)
+    t = t.otherwise("unknown")
+    n = F.octet_length(F.col("content"))
+    return (
+        media.select(t.alias("media_type"), n.alias("__n"))
+        .groupBy("media_type")
+        .agg(
+            F.count("*").alias("n_blobs"),
+            F.sum("__n").cast("long").alias("total_bytes"),
+            F.min("__n").cast("long").alias("min_bytes"),
+            F.max("__n").cast("long").alias("max_bytes"),
+        )
+    )

@@ -1709,6 +1709,40 @@ walk(node, reach) AS (
 )
 SELECT node AS vec_id, least(node, min(reach)) AS cluster_id
 FROM walk GROUP BY node"""
+    # magic-byte census over the planted-signature media frame
+    sql["media_type_census"] = """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         unhex(CASE doc_id % 7
+                 WHEN 0 THEN '89504E470D0A1A0A'
+                 WHEN 1 THEN 'FFD8FFE000104A46'
+                 WHEN 2 THEN '524946460C00000057415645'
+                 WHEN 3 THEN '524946460C00000041564920'
+                 WHEN 4 THEN '255044462D312E37'
+                 WHEN 5 THEN '1F8B0800'
+                 ELSE '' END || hex(encode(text))) AS content
+  FROM documents
+),
+sniffed AS (
+  SELECT CASE
+           WHEN starts_with(hx, '52494646')
+                AND substr(hx, 17, 8) = '57415645' THEN 'wav'
+           WHEN starts_with(hx, '52494646')
+                AND substr(hx, 17, 8) = '41564920' THEN 'avi'
+           WHEN starts_with(hx, '52494646') THEN 'riff-other'
+           WHEN starts_with(hx, '89504E47') THEN 'png'
+           WHEN starts_with(hx, 'FFD8FF') THEN 'jpeg'
+           WHEN starts_with(hx, '25504446') THEN 'pdf'
+           WHEN starts_with(hx, '1F8B') THEN 'gzip'
+           ELSE 'unknown' END AS media_type,
+         octet_length(content) AS n
+  FROM (SELECT substr(hex(content), 1, 24) AS hx, content FROM media)
+)
+SELECT media_type, count(*) AS n_blobs,
+       CAST(sum(n) AS BIGINT) AS total_bytes,
+       CAST(min(n) AS BIGINT) AS min_bytes,
+       CAST(max(n) AS BIGINT) AS max_bytes
+FROM sniffed GROUP BY media_type"""
     # blob-level near-dup: fixed-width byte-chunk jaccard over the hex
     # form, candidates from rare chunks only, intersection
     # candidate-bounded -- mirror of multimodal.media_near_dup_pairs

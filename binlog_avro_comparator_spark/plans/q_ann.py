@@ -214,6 +214,34 @@ def _q_embedding_dup_clusters(spark, sf_dir):
     )
 
 
+def _q_media_type_census(spark, sf_dir):
+    """Magic-byte type inventory (multimodal.media_type_census) over a
+    media frame with PLANTED signatures (PNG/JPEG/WAV/AVI/PDF/GZIP by
+    doc_id % 7, the rest raw text -> unknown); content is built via
+    unhex(sig_hex || hex(text)) so both engines derive identical
+    bytes."""
+    from ..operators.multimodal import media_type_census
+
+    docs = _docs(spark, sf_dir)
+    m = F.col("doc_id") % 7
+    sig = (
+        F.when(m == 0, "89504E470D0A1A0A")
+        .when(m == 1, "FFD8FFE000104A46")
+        .when(m == 2, "524946460C00000057415645")
+        .when(m == 3, "524946460C00000041564920")
+        .when(m == 4, "255044462D312E37")
+        .when(m == 5, "1F8B0800")
+        .otherwise("")
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(F.concat(sig, F.hex(F.encode(F.col("text"), "utf-8")))).alias(
+            "content"
+        ),
+    )
+    return media_type_census(media)
+
+
 def _q_media_near_dup(spark, sf_dir):
     """Blob-level NEAR-dup pairs (multimodal.media_near_dup_pairs):
     byte-chunk Jaccard over the derived media frame, with a planted

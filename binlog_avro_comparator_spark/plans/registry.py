@@ -70,6 +70,7 @@ def queries() -> dict[str, QueryFn]:
         "dedup_impact_report": _q_dedup_impact,
         "cdc_near_miss_keys": _q_near_miss_keys,
         "events_feed_gaps": _q_feed_gaps,
+        "media_type_census": _q_media_type_census,
         "ann_ivf_probe_pruned": _q_ivf_probe_pruned,
         "embedding_bitext_margin": _q_bitext_margin,
         "embedding_knn_label_audit": _q_knn_label_audit,

@@ -4653,3 +4653,33 @@ def test_feed_gaps_islands(spark):
         (base_ms + 2 * 60_000, base_ms + 4 * 60_000, 3),
         (base_ms + 7 * 60_000, base_ms + 9 * 60_000, 3),
     ]
+
+
+def test_media_type_census_sniffs_and_survives_junk(spark):
+    """Planted real signatures classify correctly (incl. the RIFF
+    WAVE/AVI split), truncated blobs and junk land in 'unknown', and
+    byte accounting is exact."""
+    from binlog_avro_comparator_spark.operators.multimodal import (
+        media_type_census,
+    )
+
+    rows = [
+        (1, bytearray(b"\x89PNG\r\n\x1a\x08" + b"x" * 100)),
+        (2, bytearray(b"\xff\xd8\xff\xe0" + b"y" * 50)),
+        (3, bytearray(b"RIFF\x0c\x00\x00\x00WAVE" + b"z" * 20)),
+        (4, bytearray(b"RIFF\x0c\x00\x00\x00AVI " + b"z" * 20)),
+        (5, bytearray(b"RIFF\x0c\x00\x00\x00XXXX")),
+        (6, bytearray(b"%PDF-1.7 junk")),
+        (7, bytearray(b"\x1f\x8b\x08\x00gz")),
+        (8, bytearray(b"just text")),
+        (9, bytearray(b"\x89P")),  # truncated -> not a full PNG sig
+    ]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r.media_type: r for r in media_type_census(media).collect()}
+    assert got["png"].n_blobs == 1 and got["png"].total_bytes == 108
+    assert got["jpeg"].n_blobs == 1
+    assert got["wav"].n_blobs == 1 and got["avi"].n_blobs == 1
+    assert got["riff-other"].n_blobs == 1
+    assert got["pdf"].n_blobs == 1 and got["gzip"].n_blobs == 1
+    assert got["unknown"].n_blobs == 2  # text + truncated sig
+    assert got["unknown"].min_bytes == 2 and got["unknown"].max_bytes == 9
