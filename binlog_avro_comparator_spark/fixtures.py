@@ -435,6 +435,88 @@ def generate_parser_text_lines(events: DataFrame) -> DataFrame:
     )
 
 
+def ddl_statement_col() -> F.Column:
+    """Deterministic DDL strings for Query events, keyed on
+    ``line_no`` (= event_id) and the derived schema/table columns --
+    all SQL-expressible so the DuckDB oracle derives the identical
+    statements.  By event_id % 5: ADD-COLUMN ALTER (unqualified ->
+    default schema), qualified CREATE with IF NOT EXISTS, backtick-
+    quoted DROP, non-DDL noise (BEGIN -- must be filtered), and a
+    lowercase DROP-COLUMN ALTER (exercises case-insensitive
+    matching)."""
+    eid = F.col("line_no")
+    m = eid % 5
+    col_name = F.concat(F.lit("c"), (eid % 4).cast("string"))
+    return (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("ALTER TABLE "), F.col("table"),
+                F.lit(" ADD COLUMN "), col_name, F.lit(" INT"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("CREATE TABLE IF NOT EXISTS "), F.col("schema"),
+                F.lit("."), F.col("table"), F.lit(" (id INT PRIMARY KEY)"),
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("DROP TABLE `"), F.col("schema"), F.lit("`.`"),
+                F.col("table"), F.lit("`"),
+            ),
+        )
+        .when(m == 3, F.lit("BEGIN"))
+        .otherwise(
+            F.concat(
+                F.lit("alter table "), F.col("table"),
+                F.lit(" drop column "), col_name,
+            )
+        )
+    )
+
+
+def generate_ddl_text_lines(events: DataFrame) -> DataFrame:
+    """Render the derivation's Query events as parser-text lines WITH a
+    ``Query: <statement>`` kv carrying a deterministic DDL string --
+    the fixture behind the schema-change timeline (operators/ddl.py).
+    Same roundtrip design as generate_parser_text_lines: the registered
+    query parses these lines through the REAL text pipeline (P1-P9)
+    and extracts DDL from ``extra['query']``, while the oracle derives
+    the expected timeline from the same event arithmetic directly --
+    two independent paths, one result."""
+    b = derive_binlog_events(events).filter(
+        (F.col("binlog_file") != "") & (F.col("event_type") == "Query")
+    )
+    date_v = F.regexp_replace(
+        F.regexp_replace(F.col("timestamp"), "T", " "), "Z$", ""
+    )
+    lines_arr = F.array(
+        F.lit("=== QueryEvent ==="),
+        F.concat(F.lit("Date: "), date_v),
+        F.concat(F.lit("Log position: "), F.col("log_position").cast("string")),
+        F.concat(F.lit("Schema: "), F.col("schema")),
+        F.concat(F.lit("Table: "), F.col("table")),
+        F.concat(F.lit("GTID_NEXT: "), F.col("gtid_next")),
+        F.concat(F.lit("Query: "), ddl_statement_col()),
+        F.lit("--"),
+    )
+    w = Window.partitionBy("binlog_file").orderBy("line_no")
+    ordered = b.withColumn("__ord", F.row_number().over(w))
+    return ordered.select(
+        "binlog_file",
+        F.posexplode(lines_arr).alias("idx", "value"),
+        (F.col("__ord") * 10).alias("__base"),
+    ).select(
+        "binlog_file",
+        (F.col("__base") + F.col("idx")).alias("line_no"),
+        "value",
+    )
+
+
 def derive_avro_rows(events: DataFrame) -> DataFrame:
     """events -> the flat ``avro_rows`` table (FIXTURES.md F-2, flattened).
 

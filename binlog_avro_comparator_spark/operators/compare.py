@@ -742,6 +742,62 @@ def payload_diff(
     )
 
 
+def payload_diff_ddl_guard(
+    binlog_payload: DataFrame,
+    avro_payload: DataFrame,
+    key_tables: DataFrame,
+    drift_windows: DataFrame,
+) -> DataFrame:
+    """payload_diff with a DDL drift-window quarantine -- the guard the
+    bare diff lacks: after an ``ALTER TABLE`` lands in the binlog, row
+    images decode under the NEW table shape while the avro producer may
+    still write the OLD writer schema, so column diffs in that window
+    can silently mis-pair (a false MISMATCH is the loud failure; a
+    false AGREEMENT on shifted columns is the quiet one).  Every
+    matched key inside one of its table's drift windows
+    (operators/ddl.ddl_drift_windows: [ALTER, next writer-schema
+    refresh)) is therefore quarantined -- its column findings are
+    suppressed and replaced by ONE ``DDL_BOUNDARY`` row per key
+    (column ``*``) -- whether or not the un-guarded diff would have
+    reported anything there (the false-agreement case is exactly the
+    one that reports nothing).
+
+    Inputs: the two payload frames (payload_diff's own contract),
+    ``key_tables`` = (binlog_file, binlog_position, schema_name,
+    table_name) mapping each key to its table, and ``drift_windows`` =
+    (schema_name, table_name, win_from, win_to) coordinate intervals,
+    ALTER-cardinality and broadcast here.
+
+    Shuffle shape: the matched-key set reuses the SAME composite-key
+    equi-join as payload_diff (shared exchange under AQE), the window
+    test is a broadcast lookup, and the suppression is a co-partitioned
+    left-anti on the same key -- no new shuffle key anywhere.  Returns
+    payload_diff's contract with the extra status value."""
+    from .ddl import binlog_coord
+
+    matched = binlog_payload.select(*KEY).join(avro_payload.select(*KEY), KEY)
+    kt = matched.join(key_tables, KEY, "left").join(
+        F.broadcast(drift_windows), ["schema_name", "table_name"], "left"
+    )
+    coord = binlog_coord(F.col("binlog_file"), F.col("binlog_position"))
+    in_drift = (
+        F.col("win_from").isNotNull()
+        & (coord >= F.col("win_from"))
+        & (F.col("win_to").isNull() | (coord < F.col("win_to")))
+    )
+    drift_keys = kt.filter(in_drift).select(*KEY).distinct()
+    diff = payload_diff(binlog_payload, avro_payload)
+    safe = diff.join(drift_keys, KEY, "left_anti")
+    flagged = drift_keys.select(
+        *KEY,
+        F.lit("*").alias("column"),
+        F.lit(None).cast("string").alias("binlog_value"),
+        F.lit(None).cast("string").alias("avro_value"),
+        F.lit("DDL_BOUNDARY").alias("status"),
+    )
+    return safe.unionByName(flagged)
+
+
 def payload_diff_summary(diff: DataFrame, approx: bool = False) -> DataFrame:
     """Operational rollup of payload_diff findings: one row per
     (column, status) with the finding count and how many distinct keys

@@ -1037,4 +1037,61 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 ) WHERE rank <= 5"""
 
 
+# --- DDL schema-timeline CTEs (fixtures.generate_ddl_text_lines
+# mirror): Query events (event_type outside the DML+XID vocabulary)
+# with deterministic statements by event_id % 5; m=3 is non-DDL noise
+# (BEGIN) the extractor must drop.  Keep in sync with
+# fixtures.ddl_statement_col and the derive_binlog_events arithmetic.
+_DDL_STMT_CTE = """qsrc AS (
+  SELECT event_id, user_id,
+    strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS vts,
+    CASE WHEN event_id % 211 = 0 THEN 0
+         WHEN event_id % 53 = 0 THEN 100 * ((event_id + 4) // 4) + 4
+         ELSE 100 * (event_id // 4) + 4 END AS log_position,
+    'db' || CAST(user_id % 2 AS VARCHAR) AS schema_name,
+    't' || CAST(user_id % 3 AS VARCHAR) AS table_name,
+    'mysql-bin.' || lpad(CAST(event_id % 4 AS VARCHAR), 6, '0') AS binlog_file,
+    event_id % 5 AS m,
+    'c' || CAST(event_id % 4 AS VARCHAR) AS col_name
+  FROM events
+  WHERE event_type NOT IN ('click', 'view', 'purchase', 'signup')
+    AND event_id % 223 <> 0
+),
+ddl AS (
+  SELECT * EXCLUDE (m, col_name),
+    CASE WHEN m IN (0, 4) THEN 'ALTER'
+         WHEN m = 1 THEN 'CREATE'
+         WHEN m = 2 THEN 'DROP' END AS ddl_kind,
+    CASE m
+      WHEN 0 THEN 'ALTER TABLE ' || table_name || ' ADD COLUMN '
+                  || col_name || ' INT'
+      WHEN 1 THEN 'CREATE TABLE IF NOT EXISTS ' || schema_name || '.'
+                  || table_name || ' (id INT PRIMARY KEY)'
+      WHEN 2 THEN 'DROP TABLE `' || schema_name || '`.`'
+                  || table_name || '`'
+      WHEN 4 THEN 'alter table ' || table_name || ' drop column '
+                  || col_name
+    END AS statement
+  FROM qsrc WHERE m <> 3
+)"""
+
+# drift windows over the same derivation: ALTER opens, next CREATE for
+# the table closes; zero positions carry no coordinate (Q5)
+_DDL_WINDOWS_CTE = """qd AS (
+  SELECT schema_name, table_name, ddl_kind, event_id,
+    binlog_file || ':' || lpad(CAST(log_position AS VARCHAR), 12, '0')
+      AS coord
+  FROM ddl WHERE log_position <> 0
+),
+win AS (
+  SELECT schema_name, table_name, coord AS win_from, win_to FROM (
+    SELECT *,
+      min(CASE WHEN ddl_kind = 'CREATE' THEN coord END) OVER (
+        PARTITION BY schema_name, table_name ORDER BY coord, event_id
+        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS win_to
+    FROM qd
+  ) WHERE ddl_kind = 'ALTER'
+)"""
+
+
 __all__ = [_n for _n in list(globals()) if not _n.startswith('__') and _n != '_shared']

@@ -1199,6 +1199,66 @@ SELECT "column", status, count(*) AS n_findings,
          AS n_keys
 FROM diff GROUP BY "column", status"""
     )
+    # DDL-guarded payload diff: findings outside drift windows pass
+    # through verbatim; every MATCHED key inside a window collapses to
+    # one DDL_BOUNDARY row (false agreements quarantine too, so the
+    # drift set comes from the matched-key join, not the findings)
+    sql["cdc_payload_diff_guarded"] = (
+        "WITH diff AS (" + sql["cdc_payload_diff"] + f"""),
+{_DDL_STMT_CTE.strip()},
+{_DDL_WINDOWS_CTE.strip()},
+dmlk AS (
+  SELECT binlog_file, binlog_position, user_id FROM (
+    SELECT 'mysql-bin.' || lpad(CAST(event_id % 4 AS VARCHAR), 6, '0')
+             AS binlog_file,
+      CASE WHEN event_id % 211 = 0 THEN 0
+           WHEN event_id % 53 = 0 THEN 100 * ((event_id + 4) // 4) + 4
+           ELSE 100 * (event_id // 4) + 4 END AS binlog_position,
+      event_id, user_id
+    FROM events
+    WHERE event_type IN ('click', 'view', 'purchase')
+      AND event_id % 223 <> 0
+  ) WHERE binlog_position <> 0
+  QUALIFY row_number() OVER (
+    PARTITION BY binlog_file, binlog_position ORDER BY event_id DESC) = 1
+),
+avk AS (
+  SELECT DISTINCT
+    'mysql-bin.' || lpad(CAST(event_id % 4 AS VARCHAR), 6, '0')
+      AS binlog_file,
+    CASE WHEN event_id % 17 = 5 THEN 100 * (event_id // 4) + 4 + 7
+         ELSE 100 * (event_id // 4) + 4 END AS binlog_position
+  FROM events
+  WHERE event_type IN ('click', 'view', 'purchase')
+    AND event_id % 13 <> 0 AND event_id % 29 <> 1
+),
+drift AS (
+  SELECT DISTINCT k.binlog_file, k.binlog_position
+  FROM (
+    SELECT d.binlog_file, d.binlog_position,
+           'db' || CAST(d.user_id % 2 AS VARCHAR) AS schema_name,
+           't' || CAST(d.user_id % 3 AS VARCHAR) AS table_name,
+           d.binlog_file || ':'
+             || lpad(CAST(d.binlog_position AS VARCHAR), 12, '0') AS coord
+    FROM dmlk d JOIN avk a USING (binlog_file, binlog_position)
+  ) k
+  JOIN win w ON w.schema_name = k.schema_name
+            AND w.table_name = k.table_name
+  WHERE k.coord >= w.win_from
+    AND (w.win_to IS NULL OR k.coord < w.win_to)
+)
+SELECT d.binlog_file, d.binlog_position, d."column",
+       d.binlog_value, d.avro_value, d.status
+FROM diff d LEFT JOIN drift x USING (binlog_file, binlog_position)
+WHERE x.binlog_file IS NULL
+UNION ALL
+SELECT binlog_file, binlog_position, '*' AS "column",
+       CAST(NULL AS VARCHAR) AS binlog_value,
+       CAST(NULL AS VARCHAR) AS avro_value,
+       'DDL_BOUNDARY' AS status
+FROM drift"""
+    )
+
     # streaming twin runs the same logical plan -> same oracle
     sql["cdc_snapshot_stream"] = sql["cdc_apply_changes"]
     sql["cdc_ivm_stream"] = sql["cdc_ivm_refresh"]

@@ -1463,3 +1463,22 @@ SELECT g.source_uuid, g."schema", g."table", wm.watermark_gno,
 FROM g JOIN wm ON wm.source_uuid = g.source_uuid
 WHERE g.gno <= wm.watermark_gno
 GROUP BY 1, 2, 3, 4"""
+
+    # DDL schema-change timeline: the oracle derives the per-table
+    # SCD2 versions from the Query-event arithmetic directly, while
+    # the Spark side renders parser text and runs the full P1-P9
+    # pipeline + regexp DDL extraction -- two independent paths.
+    # event_id is the final ordering tiebreak: within one file the
+    # parser's per-file event ordinal is monotone in event_id, and
+    # (vts, file, pos) ties can only occur within one file's render.
+    sql["cdc_schema_timeline"] = f"WITH {_DDL_STMT_CTE}" + """
+SELECT schema_name, table_name,
+       row_number() OVER w AS version,
+       ddl_kind, statement,
+       vts AS valid_from,
+       lead(vts) OVER w AS valid_to,
+       (lead(vts) OVER w IS NULL) AS is_current,
+       binlog_file, log_position
+FROM ddl
+WINDOW w AS (PARTITION BY schema_name, table_name
+             ORDER BY vts, binlog_file, log_position, event_id)"""

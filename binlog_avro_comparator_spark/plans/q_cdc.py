@@ -1189,4 +1189,91 @@ def _q_gtid_coverage(spark, sf_dir):
     return C.gtid_coverage(bp, ap)
 
 
+def _ddl_statements(spark, sf_dir):
+    """Shared DDL extraction: the Query-event text fixture rendered
+    with deterministic DDL strings, parsed through the REAL text
+    pipeline (P1-P9), then regexp-extracted into statements.  Both
+    consumers (timeline + drift windows) ride one lazy chain."""
+    from ..fixtures import generate_ddl_text_lines
+    from ..operators.ddl import parse_ddl_statements
+
+    ensure_session_conf(spark)
+    lines = generate_ddl_text_lines(load_table(spark, sf_dir, "events"))
+    return parse_ddl_statements(parse_binlog_text(lines))
+
+
+def _q_cdc_schema_timeline(spark, sf_dir):
+    """Binlog DDL schema-change timeline (operators/ddl.py): Query
+    events carry ``query`` verbatim (json_parser.go:95 vocabulary; the
+    open tail lands it in ``extra``) -- this parses CREATE/ALTER/DROP
+    TABLE out of them (backticks, IF [NOT] EXISTS, unqualified names
+    resolved to the event's session default schema) into the
+    effective-dated per-(schema, table) schema-version table, SCD2
+    shape.  The Spark path renders the fixture as parser text and runs
+    the full P1-P9 pipeline first; the oracle derives the timeline
+    from the event arithmetic directly -- two independent paths."""
+    from ..operators.ddl import schema_timeline
+
+    return schema_timeline(_ddl_statements(spark, sf_dir))
+
+
+def _q_cdc_payload_diff_guarded(spark, sf_dir):
+    """payload_diff with the DDL drift-window quarantine
+    (compare.payload_diff_ddl_guard): matched keys inside a
+    [ALTER, next writer-schema refresh) window for their (schema,
+    table) collapse to one DDL_BOUNDARY row instead of untrusted
+    column findings -- closing the silent mis-pairing gap the r8
+    verdict named as the first thing a real CDC operator hits.  Same
+    genuine-bytes binlog side and derived avro side as
+    cdc_payload_diff; the windows come from the DDL timeline fixture;
+    key->table mapping is the LWW winner's (schema, table), the same
+    dedup rule the payload prepare uses."""
+    from ..operators.ddl import ddl_drift_windows
+    from ..sources.binlog_binary import read_binlog_rows_dir
+
+    ensure_session_conf(spark)
+    rows = read_binlog_rows_dir(spark, _binlog_binary_fixture_dir(spark, sf_dir))
+    bp = C.prepare_binlog_payload(rows)
+    ev = load_table(spark, sf_dir, "events")
+    avro = derive_avro_rows(ev).join(derive_avro_payload(ev), "avro_line_no")
+    ap = C.prepare_avro(avro).select(
+        "binlog_file",
+        "binlog_position",
+        F.map_from_arrays(
+            F.array(*[F.lit(n) for n in _PAYLOAD_NAMES]),
+            F.array(*[F.col(n).cast("string") for n in _PAYLOAD_NAMES]),
+        ).alias("payload"),
+    )
+    # key -> (schema, table): the LWW winner's row, same filters and
+    # ordering as prepare_binlog_payload so every matched key has meta
+    eff = rows.filter(
+        F.col("binlog_file").isNotNull()
+        & (F.col("binlog_file") != "")
+        & F.col("log_position").isNotNull()
+        & (F.col("log_position") != 0)
+    )
+    key_tables = (
+        eff.groupBy(
+            "binlog_file", F.col("log_position").alias("binlog_position")
+        )
+        .agg(
+            F.max_by(
+                F.struct(
+                    F.col("schema").alias("schema_name"),
+                    F.col("table").alias("table_name"),
+                ),
+                F.struct("event_no", "row_no"),
+            ).alias("__st")
+        )
+        .select(
+            "binlog_file",
+            "binlog_position",
+            F.col("__st.schema_name").alias("schema_name"),
+            F.col("__st.table_name").alias("table_name"),
+        )
+    )
+    windows = ddl_drift_windows(_ddl_statements(spark, sf_dir))
+    return C.payload_diff_ddl_guard(bp, ap, key_tables, windows)
+
+
 __all__ = [_n for _n in list(globals()) if not _n.startswith('__') and _n != '_shared']

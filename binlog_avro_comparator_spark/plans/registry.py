@@ -39,6 +39,12 @@ def queries() -> dict[str, QueryFn]:
     # entries).  ALL entries, window or not, are value-verified locally
     # each round at sf0.01 by scratch/check.py -- see FULLSWEEP_r08.md.
     return {
+        # -- NEW in r9: lead the driver window (r3 freeze rule).
+        # cdc_schema_timeline / cdc_payload_diff_guarded close the r8
+        # verdict's top item (DDL timeline + the payload-diff guard at
+        # the DDL boundary). --
+        "cdc_schema_timeline": _q_cdc_schema_timeline,
+        "cdc_payload_diff_guarded": _q_cdc_payload_diff_guarded,
         # -- NEW or CHANGED in r8: lead the driver window (r3 freeze
         # rule).  The two *_bucketed entries are the r7 verdict's
         # top item (candidates= scale path for the embedding audits);

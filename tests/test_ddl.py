@@ -1,0 +1,207 @@
+"""DDL schema-change timeline + payload-diff guard (operators/ddl.py).
+
+The reference parser carries Query-event statements verbatim
+(json_parser.go:95) but nothing consumes them; these tests pin the
+extraction grammar, the SCD2 timeline shape, the drift-window algebra,
+and -- the r8 verdict's named scenario -- an ALTER TABLE landing
+mid-stream quarantining the payload diffs after it.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from binlog_avro_comparator_spark.operators import compare as C
+from binlog_avro_comparator_spark.operators.ddl import (
+    ddl_drift_windows,
+    parse_ddl_statements,
+    schema_timeline,
+)
+
+PARSED_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("timestamp", T.StringType()),
+        T.StructField("binlog_file", T.StringType()),
+        T.StructField("log_position", T.LongType()),
+        T.StructField("line_no", T.LongType()),
+        T.StructField("schema", T.StringType()),
+        T.StructField("extra", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+
+def _parsed(spark, rows):
+    return spark.createDataFrame(rows, PARSED_SCHEMA)
+
+
+def _q(ts, file, pos, line, default_schema, stmt, etype="Query"):
+    return (etype, ts, file, pos, line, default_schema,
+            {"query": stmt} if stmt is not None else {})
+
+
+def test_parse_ddl_statements_grammar(spark):
+    rows = [
+        # unqualified -> session default schema
+        _q("2025-06-01T10:00:00Z", "mysql-bin.000001", 100, 1, "db0",
+           "ALTER TABLE t1 ADD COLUMN c1 INT"),
+        # qualified + IF NOT EXISTS
+        _q("2025-06-01T10:00:01Z", "mysql-bin.000001", 200, 2, "db0",
+           "CREATE TABLE IF NOT EXISTS db1.t2 (id INT PRIMARY KEY)"),
+        # backticks on both parts
+        _q("2025-06-01T10:00:02Z", "mysql-bin.000001", 300, 3, "db0",
+           "DROP TABLE `db1`.`t2`"),
+        # lowercase verb
+        _q("2025-06-01T10:00:03Z", "mysql-bin.000001", 400, 4, "db0",
+           "alter table t1 drop column c1"),
+        # non-DDL statements must drop
+        _q("2025-06-01T10:00:04Z", "mysql-bin.000001", 500, 5, "db0", "BEGIN"),
+        _q("2025-06-01T10:00:05Z", "mysql-bin.000001", 600, 6, "db0",
+           "INSERT INTO t1 VALUES (1)"),
+        # Query event with no query kv at all
+        _q("2025-06-01T10:00:06Z", "mysql-bin.000001", 700, 7, "db0", None),
+        # non-Query events never contribute
+        _q("2025-06-01T10:00:07Z", "mysql-bin.000001", 800, 8, "db0",
+           "ALTER TABLE t9 ADD COLUMN x INT", etype="WriteRowsEventV2"),
+    ]
+    out = parse_ddl_statements(_parsed(spark, rows)).orderBy("line_no")
+    got = [(r.schema_name, r.table_name, r.ddl_kind) for r in out.collect()]
+    assert got == [
+        ("db0", "t1", "ALTER"),
+        ("db1", "t2", "CREATE"),
+        ("db1", "t2", "DROP"),
+        ("db0", "t1", "ALTER"),
+    ]
+
+
+def test_schema_timeline_scd2_shape(spark):
+    rows = [
+        _q("2025-06-01T10:00:00Z", "mysql-bin.000001", 100, 1, "db0",
+           "CREATE TABLE t1 (id INT)"),
+        _q("2025-06-01T10:00:05Z", "mysql-bin.000001", 200, 2, "db0",
+           "ALTER TABLE t1 ADD COLUMN c1 INT"),
+        _q("2025-06-01T10:00:09Z", "mysql-bin.000002", 100, 1, "db0",
+           "DROP TABLE t1"),
+        # a second table interleaved -- versions are per-table
+        _q("2025-06-01T10:00:02Z", "mysql-bin.000001", 150, 9, "db0",
+           "CREATE TABLE t2 (id INT)"),
+    ]
+    tl = schema_timeline(parse_ddl_statements(_parsed(spark, rows)))
+    t1 = {r.version: r for r in tl.filter(F.col("table_name") == "t1").collect()}
+    assert [t1[v].ddl_kind for v in (1, 2, 3)] == ["CREATE", "ALTER", "DROP"]
+    # valid_to chains to the next version's valid_from
+    assert t1[1].valid_to == t1[2].valid_from
+    assert t1[2].valid_to == t1[3].valid_from
+    assert t1[3].valid_to is None and t1[3].is_current
+    assert not t1[1].is_current
+    t2 = tl.filter(F.col("table_name") == "t2").collect()
+    assert len(t2) == 1 and t2[0].version == 1 and t2[0].is_current
+
+
+def test_drift_windows_alter_until_create(spark):
+    rows = [
+        _q("2025-06-01T10:00:00Z", "mysql-bin.000001", 100, 1, "db0",
+           "ALTER TABLE t1 ADD COLUMN c1 INT"),
+        _q("2025-06-01T10:00:01Z", "mysql-bin.000001", 300, 2, "db0",
+           "CREATE TABLE t1 (id INT, c1 INT)"),
+        # second ALTER never reconciled -> open window
+        _q("2025-06-01T10:00:02Z", "mysql-bin.000002", 100, 3, "db0",
+           "alter table t1 drop column c1"),
+        # zero position carries no coordinate (Q5) -> skipped entirely
+        _q("2025-06-01T10:00:03Z", "mysql-bin.000002", 0, 4, "db0",
+           "ALTER TABLE t1 ADD COLUMN zz INT"),
+    ]
+    win = ddl_drift_windows(parse_ddl_statements(_parsed(spark, rows)))
+    got = sorted((r.win_from, r.win_to) for r in win.collect())
+    assert got == [
+        ("mysql-bin.000001:000000000100", "mysql-bin.000001:000000000300"),
+        ("mysql-bin.000002:000000000100", None),
+    ]
+
+
+PAYLOAD_T = T.StructType(
+    [
+        T.StructField("binlog_file", T.StringType()),
+        T.StructField("binlog_position", T.LongType()),
+        T.StructField("payload", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+KT_T = T.StructType(
+    [
+        T.StructField("binlog_file", T.StringType()),
+        T.StructField("binlog_position", T.LongType()),
+        T.StructField("schema_name", T.StringType()),
+        T.StructField("table_name", T.StringType()),
+    ]
+)
+WIN_T = T.StructType(
+    [
+        T.StructField("schema_name", T.StringType()),
+        T.StructField("table_name", T.StringType()),
+        T.StructField("win_from", T.StringType()),
+        T.StructField("win_to", T.StringType()),
+    ]
+)
+
+
+def test_payload_diff_guard_alter_mid_stream(spark):
+    """The r8 verdict's scenario: an ALTER lands mid-stream at position
+    500; keys before it keep their column findings, EVERY matched key
+    at-or-after it (divergent or falsely agreeing) collapses to one
+    DDL_BOUNDARY row, and unmatched keys stay with the metadata diff
+    (the guard never invents matches)."""
+    f = "mysql-bin.000001"
+    bp = spark.createDataFrame(
+        [
+            (f, 100, {"a": "1", "b": "x"}),    # pre-DDL, clean
+            (f, 200, {"a": "1", "b": "x"}),    # pre-DDL, b diverges
+            (f, 600, {"a": "2", "b": "y"}),    # post-DDL, diverges
+            (f, 700, {"a": "3", "b": "z"}),    # post-DDL, FALSE AGREEMENT
+            (f, 800, {"a": "9", "b": "q"}),    # post-DDL, no avro match
+        ],
+        PAYLOAD_T,
+    )
+    ap = spark.createDataFrame(
+        [
+            (f, 100, {"a": "1", "b": "x"}),
+            (f, 200, {"a": "1", "b": "DIFFERENT"}),
+            (f, 600, {"a": "2", "b": "WRONG"}),
+            (f, 700, {"a": "3", "b": "z"}),
+        ],
+        PAYLOAD_T,
+    )
+    kt = spark.createDataFrame(
+        [(f, p, "db0", "t1") for p in (100, 200, 600, 700, 800)], KT_T
+    )
+    win = spark.createDataFrame(
+        [("db0", "t1", f + ":" + "500".zfill(12), None)], WIN_T
+    )
+    out = C.payload_diff_ddl_guard(bp, ap, kt, win).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.binlog_position, []).append(r)
+    # pre-DDL: agreeing key emits nothing, diverging key keeps MISMATCH
+    assert 100 not in by_key
+    assert [(r.column, r.status) for r in by_key[200]] == [("b", "MISMATCH")]
+    # post-DDL: both matched keys quarantine -- including the false
+    # agreement at 700 that the bare diff would stay silent on
+    for pos in (600, 700):
+        assert [(r.column, r.status) for r in by_key[pos]] == [
+            ("*", "DDL_BOUNDARY")
+        ]
+    # unmatched key: not in the payload diff at all (metadata tier owns it)
+    assert 800 not in by_key
+    # quarantined keys carry no value columns
+    assert by_key[600][0].binlog_value is None
+
+
+def test_guard_outside_window_is_identity(spark):
+    """With no windows, the guard is payload_diff verbatim."""
+    f = "mysql-bin.000001"
+    bp = spark.createDataFrame([(f, 100, {"a": "1"})], PAYLOAD_T)
+    ap = spark.createDataFrame([(f, 100, {"a": "2"})], PAYLOAD_T)
+    kt = spark.createDataFrame([(f, 100, "db0", "t1")], KT_T)
+    win = spark.createDataFrame([], WIN_T)
+    out = C.payload_diff_ddl_guard(bp, ap, kt, win).collect()
+    assert [(r.column, r.status) for r in out] == [("a", "MISMATCH")]
