@@ -1866,6 +1866,10 @@ FROM per"""
     # streaming funnel: the per-user fold merges across micro-batches,
     # so the drained complete-mode state equals the batch funnel
     sql["events_funnel_stream"] = sql["events_funnel"]
+    # production incremental folds: reading LATEST state equals the
+    # batch operator over the whole replay -- same oracles verbatim
+    sql["cdc_transactions_incremental"] = sql["cdc_transactions"]
+    sql["events_funnel_incremental"] = sql["events_funnel"]
     # ensemble quality blend: the three verified signal oracles, each
     # decile-normalized against its own 9 exact-percentile boundaries
     # (rounded 1e-9), 10 = best per signal (repetition inverts)

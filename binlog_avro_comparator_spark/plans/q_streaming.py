@@ -889,4 +889,105 @@ def _q_cdc_transactions_stream(spark, sf_dir):
     )
 
 
+_CHUNK_SCHEMA = (
+    "event_id long, ts timestamp, user_id long,"
+    " event_type string, value double, props string"
+)
+
+
+def _events_chunk_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> str:
+    """Fixture scaffolding for the incremental-fold twins: the events
+    table split into ``n_chunks`` EVENT-TIME-ORDERED parquet files with
+    staggered mtimes, so a maxFilesPerTrigger=1 file stream replays
+    them as ordered micro-batches -- the arrival pattern a watermarked
+    production feed delivers.  The global ntile sort is fixture-only
+    (driver-scale corpus); production chunking is the feed's own
+    arrival order.  Memoized per sf_dir."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    cached = _FIXTURE_DIRS.get(("events_chunks", sf_dir))
+    if cached is not None:
+        return cached
+    ev = load_table(spark, sf_dir, "events")
+    chunked = ev.withColumn(
+        "__c", F.ntile(n_chunks).over(Window.orderBy("ts", "event_id"))
+    )
+    d = tempfile.mkdtemp(prefix="events_chunks_")
+    base_mtime = 1_700_000_000
+    for c in range(1, n_chunks + 1):
+        part_dir = os.path.join(d, f"__part_{c}")
+        chunked.filter(F.col("__c") == c).drop("__c").coalesce(1).write.parquet(
+            part_dir
+        )
+        [part] = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        dst = os.path.join(d, f"chunk_{c:02d}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(part_dir)
+        os.utime(dst, (base_mtime + c, base_mtime + c))
+    _FIXTURE_DIRS[("events_chunks", sf_dir)] = d
+    return d
+
+
+def _chunked_events_stream(spark: SparkSession, d: str) -> DataFrame:
+    return (
+        spark.readStream.schema(_CHUNK_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+
+
+def _run_fold(spark, maintain, read_state, d: str) -> DataFrame:
+    """Shared drive for the foreachBatch folds: fresh state/checkpoint
+    dirs per run (single-writer contract), availableNow drain under
+    the state-partition scope, then read LATEST."""
+    import tempfile
+
+    state_dir = tempfile.mkdtemp(prefix="fold_state_")
+    ckpt = tempfile.mkdtemp(prefix="fold_ckpt_")
+    with _stream_state_partitions(spark):
+        q = maintain(_chunked_events_stream(spark, d), state_dir, ckpt)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("incremental fold drain exceeded 300s")
+        q.stop()
+    return read_state(spark, state_dir)
+
+
+def _q_cdc_transactions_incremental(spark, sf_dir):
+    """Transaction reassembly as the PRODUCTION incremental fold
+    (streaming/fold_sinks.maintain_transactions): the events replay
+    arrives as 4 file-stream micro-batches and each batch folds its
+    per-GTID delta into a versioned state table -- state is the
+    transaction rollup itself, never the event history, and the
+    complete-mode drain of cdc_transactions_stream is replaced by the
+    snapshot_sink discipline SCALE.md prescribes.  Reading LATEST
+    equals the batch transaction_summary verbatim (the shared
+    oracle)."""
+    from ..streaming.fold_sinks import maintain_transactions, read_transactions
+
+    ensure_session_conf(spark)
+    d = _events_chunk_dir(spark, sf_dir)
+    return _run_fold(spark, maintain_transactions, read_transactions, d)
+
+
+def _q_events_funnel_incremental(spark, sf_dir):
+    """The ordered funnel as the PRODUCTION incremental fold
+    (streaming/fold_sinks.maintain_funnel): per-user CURSOR state
+    (three structs, no arrays) advanced across event-time-ordered
+    micro-batches -- the last-activity-watermark deployment SCALE.md
+    prescribes for events_funnel_stream, which holds every user's full
+    event array in complete-mode state.  Same-batch stage chains and
+    cross-batch chains both walk the strict (ts_ms, event_id) rule, so
+    reading LATEST equals batch funnel_stages row for row (the shared
+    oracle)."""
+    from ..streaming.fold_sinks import maintain_funnel, read_funnel
+
+    ensure_session_conf(spark)
+    d = _events_chunk_dir(spark, sf_dir)
+    return _run_fold(spark, maintain_funnel, read_funnel, d)
+
+
 __all__ = [_n for _n in list(globals()) if not _n.startswith('__') and _n != '_shared']

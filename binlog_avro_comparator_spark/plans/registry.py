@@ -45,6 +45,11 @@ def queries() -> dict[str, QueryFn]:
         # the DDL boundary). --
         "cdc_schema_timeline": _q_cdc_schema_timeline,
         "cdc_payload_diff_guarded": _q_cdc_payload_diff_guarded,
+        # production incremental folds for the complete-mode streams
+        # (r8 verdict item 2): versioned-state foreachBatch, multi
+        # micro-batch replay, state never holds the event history
+        "cdc_transactions_incremental": _q_cdc_transactions_incremental,
+        "events_funnel_incremental": _q_events_funnel_incremental,
         # -- NEW or CHANGED in r8: lead the driver window (r3 freeze
         # rule).  The two *_bucketed entries are the r7 verdict's
         # top item (candidates= scale path for the embedding audits);

@@ -1,0 +1,317 @@
+"""Production-shape incremental twins for the complete-mode replay
+streams (r8 verdict item 2): ``cdc_transactions_stream`` and
+``events_funnel_stream`` verify their fold algebra by draining ALL
+state through a complete-mode memory sink -- fine as an oracle, wrong
+as a deployment, because the sink re-emits every row every batch and
+the state store holds the whole rollup forever.  The production form
+is the ``snapshot_sink`` pattern: state lives in a versioned TABLE,
+each micro-batch folds only its delta, and reading LATEST equals the
+batch operator over everything replayed so far.  That batch-equals-
+fold equivalence IS the driver oracle for both twins.
+
+Transaction fold (``maintain_transactions``): every aggregate in
+compare.transaction_summary is mergeable -- counts add, min/max
+compose, the XID commit marker is a boolean max, and the per-
+transaction table set unions (bounded by statement fan-out, same bound
+the batch operator accepts).  Batch order is irrelevant: the merge is
+fully associative AND commutative, so out-of-order replay chunks land
+on the same state.
+
+Funnel fold (``maintain_funnel``): per-user cursor state (first view,
+first qualifying click, first qualifying purchase -- three structs, no
+arrays), advanced per batch by the same strict-(ts_ms, event_id)
+"after" walk the batch operator uses.  Correct under EVENT-TIME-ORDERED
+micro-batches (the file chunks a replay or a watermarked production
+feed delivers): a cursor, once set, can never be improved by later
+data, because later batches hold strictly later (ts, id) pairs.  A
+late event older than the watermark would be dropped in production;
+this fold makes the same call.  State is ONE row per user who has
+viewed -- never the event history -- which is the whole point: at
+100 TB the complete-mode drain holds every user's full event array,
+this holds 3 cursors.
+
+Storage reuses snapshot_sink's versioned-parquet + LATEST pointer
+discipline (write-new-then-swing, idempotent under foreachBatch's
+at-least-once replay) and its single-writer exclusion contract.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..fixtures import derive_binlog_events
+from .snapshot_sink import _latest_version
+
+
+def _swing_pointer(state_dir: str, batch_id: int) -> None:
+    pointer = os.path.join(state_dir, "LATEST")
+    tmp = pointer + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(f"v{batch_id}")
+    os.replace(tmp, pointer)
+
+
+# --------------------------------------------------------------------------
+# transaction reassembly fold
+
+
+def _txn_batch_state(events_batch: DataFrame) -> DataFrame:
+    """One micro-batch of raw events -> mergeable per-GTID state: the
+    same aggregates as compare.transaction_summary but with the table
+    SET kept as an array (sets union across batches; sizes don't)."""
+    b = derive_binlog_events(events_batch).filter(
+        F.col("gtid_next").isNotNull() & (F.col("gtid_next") != "")
+    )
+    is_dml = F.col("event_type").isin(
+        "WriteRowsEventV2", "UpdateRowsEventV2", "DeleteRowsEventV2"
+    )
+    return b.groupBy(F.col("gtid_next").alias("gtid")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(is_dml.cast("long")).alias("n_dml"),
+        F.array_distinct(
+            F.collect_list(
+                F.when(
+                    F.col("table").isNotNull() & (F.col("table") != ""),
+                    F.col("table"),
+                )
+            )
+        ).alias("tables"),
+        F.min("log_position").alias("first_position"),
+        F.max("log_position").alias("last_position"),
+        F.max((F.col("event_type") == "XID").cast("int")).alias("committed_i"),
+    )
+
+
+def merge_txn_states(stored: DataFrame, delta: DataFrame) -> DataFrame:
+    """Associative + commutative per-GTID merge: counts add, positions
+    min/max, commit marker max, table sets union."""
+    return (
+        stored.unionByName(delta)
+        .groupBy("gtid")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("n_dml").alias("n_dml"),
+            F.array_distinct(F.flatten(F.collect_list("tables"))).alias(
+                "tables"
+            ),
+            F.min("first_position").alias("first_position"),
+            F.max("last_position").alias("last_position"),
+            F.max("committed_i").alias("committed_i"),
+        )
+    )
+
+
+def commit_txn_batch(
+    spark: SparkSession, state_dir: str, batch_df: DataFrame, batch_id: int
+) -> None:
+    """Fold one micro-batch of raw events into the transaction state.
+    Same idempotency as snapshot_sink.commit_batch: a replayed batch
+    whose pointer already swung is a no-op."""
+    prev = _latest_version(state_dir)
+    if prev is not None and os.path.basename(prev) == f"v{batch_id}":
+        return
+    delta = _txn_batch_state(batch_df)
+    merged = (
+        merge_txn_states(spark.read.parquet(prev), delta) if prev else delta
+    )
+    merged.write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"v{batch_id}")
+    )
+    _swing_pointer(state_dir, batch_id)
+
+
+def maintain_transactions(
+    events_stream: DataFrame, state_dir: str, checkpoint_dir: str
+):
+    """Start the foreachBatch transaction-state maintenance query
+    (caller awaits)."""
+    os.makedirs(state_dir, exist_ok=True)
+    spark = events_stream.sparkSession
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        commit_txn_batch(spark, state_dir, batch_df, batch_id)
+
+    return (
+        events_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_transactions(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained state at LATEST, projected to the batch
+    transaction_summary contract."""
+    target = _latest_version(state_dir)
+    if target is None:
+        raise FileNotFoundError(f"no state version under {state_dir}")
+    return spark.read.parquet(target).select(
+        "gtid",
+        "n_events",
+        "n_dml",
+        F.size("tables").cast("long").alias("n_tables"),
+        "first_position",
+        "last_position",
+        F.col("committed_i").cast("boolean").alias("committed"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ordered-funnel fold
+
+
+def _after(x, cur: Column) -> Column:
+    """Strictly after the (ts_ms, event_id) cursor -- the batch
+    operator's tie rule (analytics.funnel_stages)."""
+    return (x["ts_ms"] > cur["ts_ms"]) | (
+        (x["ts_ms"] == cur["ts_ms"]) & (x["event_id"] > cur["event_id"])
+    )
+
+
+def _funnel_batch_arrays(events_batch: DataFrame) -> DataFrame:
+    """One micro-batch -> per-user sorted event array (bounded by the
+    batch, NOT the history -- the array never reaches state)."""
+    ts_ms = F.unix_millis(F.col("ts"))
+    base = events_batch.filter(
+        F.col("event_type").isin("view", "click", "purchase")
+        & F.col("user_id").isNotNull()
+    ).select(
+        "user_id",
+        F.struct(
+            ts_ms.alias("ts_ms"),
+            F.col("event_id").alias("event_id"),
+            F.col("event_type").alias("etype"),
+        ).alias("e"),
+    )
+    return base.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("e")).alias("es")
+    )
+
+
+def merge_funnel_state(
+    stored: DataFrame | None, batch_arrays: DataFrame
+) -> DataFrame:
+    """Advance per-user cursors with one batch's events.  A cursor,
+    once set, never moves (time-ordered batches mean later data is
+    strictly after it); an unset cursor fills from this batch's array,
+    searched strictly after the previous stage's cursor -- which may
+    itself have been set IN this batch (same-batch chains walk
+    correctly because the 'after' test is on (ts, id), not on batch
+    boundaries).  Users with no view yet hold no state row."""
+    if stored is not None:
+        j = stored.join(batch_arrays, "user_id", "full_outer")
+    else:
+        null_e = F.lit(None).cast(
+            "struct<ts_ms:bigint,event_id:bigint,etype:string>"
+        )
+        j = batch_arrays.select(
+            "user_id",
+            null_e.alias("e1"),
+            null_e.alias("e2"),
+            null_e.alias("e3"),
+            "es",
+        )
+    es = F.coalesce(
+        F.col("es"),
+        F.expr(
+            "cast(array() as"
+            " array<struct<ts_ms:bigint,event_id:bigint,etype:string>>)"
+        ),
+    )
+
+    def first(cond) -> Column:
+        return F.try_element_at(F.filter(es, cond), F.lit(1))
+
+    e1 = F.coalesce(F.col("e1"), first(lambda x: x["etype"] == "view"))
+    # chain through locals so same-batch stage advances see the new cursor
+    j = j.withColumn("__e1", e1)
+    e2 = F.coalesce(
+        F.col("e2"),
+        F.when(
+            F.col("__e1").isNotNull(),
+            first(
+                lambda x: (x["etype"] == "click") & _after(x, F.col("__e1"))
+            ),
+        ),
+    )
+    j = j.withColumn("__e2", e2)
+    e3 = F.coalesce(
+        F.col("e3"),
+        F.when(
+            F.col("__e2").isNotNull(),
+            first(
+                lambda x: (x["etype"] == "purchase") & _after(x, F.col("__e2"))
+            ),
+        ),
+    )
+    return (
+        j.withColumn("__e3", e3)
+        .filter(F.col("__e1").isNotNull())
+        .select(
+            "user_id",
+            F.col("__e1").alias("e1"),
+            F.col("__e2").alias("e2"),
+            F.col("__e3").alias("e3"),
+        )
+    )
+
+
+def commit_funnel_batch(
+    spark: SparkSession, state_dir: str, batch_df: DataFrame, batch_id: int
+) -> None:
+    """Fold one micro-batch into the per-user cursor state (same
+    write-then-swing idempotency as commit_txn_batch)."""
+    prev = _latest_version(state_dir)
+    if prev is not None and os.path.basename(prev) == f"v{batch_id}":
+        return
+    arrays = _funnel_batch_arrays(batch_df)
+    stored = spark.read.parquet(prev) if prev else None
+    merged = merge_funnel_state(stored, arrays)
+    merged.write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"v{batch_id}")
+    )
+    _swing_pointer(state_dir, batch_id)
+
+
+def maintain_funnel(
+    events_stream: DataFrame, state_dir: str, checkpoint_dir: str
+):
+    """Start the foreachBatch funnel-cursor maintenance query (caller
+    awaits).  Production aging hook: a watermark on last activity
+    would retire completed (stage 3) or long-idle users from state;
+    the fold algebra is unchanged by retirement because retired rows
+    are final."""
+    os.makedirs(state_dir, exist_ok=True)
+    spark = events_stream.sparkSession
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        commit_funnel_batch(spark, state_dir, batch_df, batch_id)
+
+    return (
+        events_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_funnel(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained cursors at LATEST, projected to the batch
+    funnel_stages contract."""
+    target = _latest_version(state_dir)
+    if target is None:
+        raise FileNotFoundError(f"no state version under {state_dir}")
+    s = spark.read.parquet(target)
+    return s.select(
+        "user_id",
+        F.col("e1.ts_ms").alias("view_ts_ms"),
+        F.col("e2.ts_ms").alias("click_ts_ms"),
+        F.col("e3.ts_ms").alias("purchase_ts_ms"),
+        (
+            F.lit(1)
+            + F.col("e2").isNotNull().cast("int")
+            + F.col("e3").isNotNull().cast("int")
+        ).alias("stage_reached"),
+    )

@@ -1,0 +1,216 @@
+"""Incremental fold sinks (streaming/fold_sinks.py): multi-micro-batch
+replay equals the batch operator, with state that never holds the
+event history (r8 verdict item 2's done-criteria)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from binlog_avro_comparator_spark.operators.analytics import funnel_stages
+from binlog_avro_comparator_spark.operators import compare as C
+from binlog_avro_comparator_spark.fixtures import derive_binlog_events
+from binlog_avro_comparator_spark.streaming.fold_sinks import (
+    maintain_funnel,
+    maintain_transactions,
+    read_funnel,
+    read_transactions,
+)
+
+EVENTS_T = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+# three event-time-ordered chunks; funnel chains deliberately span
+# batch boundaries (u1: view/click/purchase in three different
+# chunks), complete within one chunk (u2), stall (u3: view only),
+# and a same-millisecond tie resolved by event_id (u4)
+_CHUNKS = [
+    [
+        (1, "2025-06-01 10:00:00", 1, "view", 1.0, "{}"),
+        (2, "2025-06-01 10:00:01", 2, "view", 1.0, "{}"),
+        (3, "2025-06-01 10:00:01", 2, "click", 1.0, "{}"),
+        (4, "2025-06-01 10:00:02", 3, "signup", 1.0, "{}"),
+        (5, "2025-06-01 10:00:03", 4, "click", 1.0, "{}"),  # pre-view click
+    ],
+    [
+        (6, "2025-06-01 10:01:00", 1, "click", 1.0, "{}"),
+        (7, "2025-06-01 10:01:01", 2, "purchase", 1.0, "{}"),
+        (8, "2025-06-01 10:01:02", 3, "view", 1.0, "{}"),
+        # u4: view and a same-ms click with LARGER event_id -> counts
+        (9, "2025-06-01 10:01:03", 4, "view", 1.0, "{}"),
+        (10, "2025-06-01 10:01:03", 4, "click", 1.0, "{}"),
+    ],
+    [
+        (11, "2025-06-01 10:02:00", 1, "purchase", 1.0, "{}"),
+        (12, "2025-06-01 10:02:01", 5, "purchase", 1.0, "{}"),  # no view
+    ],
+]
+
+
+def _write_chunks(spark, tmp_path) -> str:
+    d = str(tmp_path / "chunks")
+    os.makedirs(d)
+    import shutil
+
+    for i, rows in enumerate(_CHUNKS):
+        df = spark.createDataFrame(
+            [
+                (eid, __import__("datetime").datetime.fromisoformat(ts), u, et, v, p)
+                for (eid, ts, u, et, v, p) in rows
+            ],
+            EVENTS_T,
+        )
+        part_dir = os.path.join(d, f"__part_{i}")
+        df.coalesce(1).write.parquet(part_dir)
+        [part] = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        dst = os.path.join(d, f"chunk_{i:02d}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(part_dir)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    return d
+
+
+def _all_events(spark):
+    return spark.createDataFrame(
+        [
+            (eid, __import__("datetime").datetime.fromisoformat(ts), u, et, v, p)
+            for rows in _CHUNKS
+            for (eid, ts, u, et, v, p) in rows
+        ],
+        EVENTS_T,
+    )
+
+
+def _stream(spark, d):
+    return (
+        spark.readStream.schema(EVENTS_T)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+
+
+def _drain(q):
+    assert q.awaitTermination(120)
+    q.stop()
+
+
+def _versions(state_dir):
+    return sorted(
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(state_dir, "v*"))
+        if os.path.isdir(p)
+    )
+
+
+def test_funnel_fold_equals_batch_across_three_triggers(spark, tmp_path):
+    d = _write_chunks(spark, tmp_path)
+    state_dir, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    _drain(maintain_funnel(_stream(spark, d), state_dir, ckpt))
+    # >= 3 micro-batches actually committed
+    assert len(_versions(state_dir)) == 3
+    got = {r.user_id: r for r in read_funnel(spark, state_dir).collect()}
+    exp = {r.user_id: r for r in funnel_stages(_all_events(spark)).collect()}
+    assert set(got) == set(exp)
+    for u in exp:
+        assert got[u] == exp[u], f"user {u}: {got[u]} != {exp[u]}"
+    # the cross-batch chain reached stage 3, the tie user stage 2
+    assert got[1].stage_reached == 3
+    assert got[4].stage_reached == 2
+    # state never holds the event history: no array columns, one row
+    # per viewed user, in EVERY committed version
+    for v in _versions(state_dir):
+        st = spark.read.parquet(os.path.join(state_dir, v))
+        assert not any(
+            isinstance(f.dataType, T.ArrayType) for f in st.schema.fields
+        )
+        assert st.count() <= 4  # users with a view, never event count
+
+
+def test_funnel_fold_prefix_equivalence(spark, tmp_path):
+    """Every intermediate version equals the batch operator over the
+    chunks folded so far -- the fold is exact at every trigger, not
+    just at the end."""
+    d = _write_chunks(spark, tmp_path)
+    state_dir, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    _drain(maintain_funnel(_stream(spark, d), state_dir, ckpt))
+    versions = _versions(state_dir)
+    for k, v in enumerate(versions):
+        prefix = spark.createDataFrame(
+            [
+                (eid, __import__("datetime").datetime.fromisoformat(ts), u, et, vl, p)
+                for rows in _CHUNKS[: k + 1]
+                for (eid, ts, u, et, vl, p) in rows
+            ],
+            EVENTS_T,
+        )
+        exp = sorted(
+            tuple(r) for r in funnel_stages(prefix).collect()
+        )
+        st = spark.read.parquet(os.path.join(state_dir, v))
+        got = sorted(
+            tuple(r)
+            for r in st.select(
+                "user_id",
+                F.col("e1.ts_ms"),
+                F.col("e2.ts_ms"),
+                F.col("e3.ts_ms"),
+                (
+                    F.lit(1)
+                    + F.col("e2").isNotNull().cast("int")
+                    + F.col("e3").isNotNull().cast("int")
+                ),
+            ).collect()
+        )
+        assert got == exp, f"version {v} diverges from batch prefix"
+
+
+def test_transactions_fold_equals_batch(spark, tmp_path):
+    d = _write_chunks(spark, tmp_path)
+    state_dir, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    _drain(maintain_transactions(_stream(spark, d), state_dir, ckpt))
+    assert len(_versions(state_dir)) == 3
+    got = sorted(
+        tuple(r) for r in read_transactions(spark, state_dir).collect()
+    )
+    exp = sorted(
+        tuple(r)
+        for r in C.transaction_summary(
+            derive_binlog_events(_all_events(spark))
+        ).collect()
+    )
+    assert got == exp
+
+
+def test_transactions_fold_idempotent_replay(spark, tmp_path):
+    """foreachBatch replay of an already-committed batch is a no-op
+    (the at-least-once contract): re-committing the last batch with
+    its own batch_id leaves the state identical -- without the guard
+    it would double every count in that batch."""
+    import binlog_avro_comparator_spark.streaming.fold_sinks as fs
+
+    d = _write_chunks(spark, tmp_path)
+    state_dir, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    _drain(maintain_transactions(_stream(spark, d), state_dir, ckpt))
+    before = sorted(
+        tuple(r) for r in read_transactions(spark, state_dir).collect()
+    )
+    assert os.path.basename(fs._latest_version(state_dir)) == "v2"
+    last_chunk = spark.read.schema(EVENTS_T).parquet(
+        os.path.join(d, "chunk_02.parquet")
+    )
+    fs.commit_txn_batch(spark, state_dir, last_chunk, 2)
+    after = sorted(
+        tuple(r) for r in read_transactions(spark, state_dir).collect()
+    )
+    assert after == before
