@@ -612,6 +612,216 @@ def media_near_dup_pairs(
     return out.filter(F.col("jaccard") >= threshold)
 
 
+# --------------------------------------------------------------------------
+# perceptual near-dup tier (r8 verdict item 3): byte-chunk Jaccard above
+# documents its own blind spot -- a re-encode (row-order flip, brightness
+# shift, container change) rewrites every pixel byte while the IMAGE is
+# unchanged.  The perceptual tier hashes DECODED CONTENT: an 8x8 grid
+# average-hash (aHash) over the luminance plane, which is invariant to
+# uniform brightness shifts (every cell and the global mean move
+# together) and to any re-encode that preserves pixels.  The decode is
+# real: a pure-stdlib 8-bit grayscale BMP parser (uncompressed
+# BITMAPINFOHEADER, the format that needs no codec library), with PIL
+# env-gated above it for everything else.
+
+
+def encode_bmp_gray(pixels: bytes, width: int, height: int) -> bytes:
+    """Encode row-major top-down 8-bit grayscale pixels as a classic
+    bottom-up BMP (BITMAPINFOHEADER + 256-entry gray palette).  Fixture
+    scaffolding for the perceptual tier; spec layout, so any real BMP
+    reader decodes it."""
+    import struct
+
+    pad = (-width) % 4
+    row_bytes = width + pad
+    pix_off = 14 + 40 + 256 * 4
+    file_size = pix_off + row_bytes * height
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, pix_off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 8, 0,
+        row_bytes * height, 2835, 2835, 256, 0,
+    )
+    palette = b"".join(bytes((i, i, i, 0)) for i in range(256))
+    rows = []
+    for r in range(height - 1, -1, -1):  # bottom-up row order
+        rows.append(pixels[r * width : (r + 1) * width] + b"\x00" * pad)
+    return header + info + palette + b"".join(rows)
+
+
+def _decode_bmp_gray(content: bytes):
+    """Pure-stdlib BMP decode: 8-bit uncompressed BITMAPINFOHEADER
+    only.  Returns (width, height, row-major TOP-DOWN pixel bytes) or
+    None when the blob is not such a BMP (the ladder falls through)."""
+    import struct
+
+    if len(content) < 54 or content[:2] != b"BM":
+        return None
+    pix_off = struct.unpack_from("<I", content, 10)[0]
+    hdr_size = struct.unpack_from("<I", content, 14)[0]
+    if hdr_size < 40:
+        return None
+    width, height = struct.unpack_from("<ii", content, 18)
+    bpp = struct.unpack_from("<H", content, 28)[0]
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if bpp != 8 or compression != 0 or width <= 0 or height == 0:
+        return None
+    top_down = height < 0
+    h = -height if top_down else height
+    row_bytes = (width + 3) // 4 * 4
+    if len(content) < pix_off + row_bytes * h:
+        return None
+    rows = []
+    for i in range(h):
+        start = pix_off + i * row_bytes
+        rows.append(content[start : start + width])
+    if not top_down:
+        rows.reverse()
+    return width, h, b"".join(rows)
+
+
+def _ahash_bands(width: int, height: int, pixels: bytes) -> list[int]:
+    """64-bit grid average-hash as four 16-bit band ints.  Integer-
+    exact: bit(cell) = (n_pixels * cell_sum > cell_n * total_sum),
+    i.e. cell mean > global mean with no float division -- the same
+    arithmetic any engine reproduces."""
+    total = sum(pixels)
+    n = width * height
+    bands = [0, 0, 0, 0]
+    for gr in range(8):
+        r0, r1 = (gr * height) // 8, ((gr + 1) * height) // 8
+        for gc in range(8):
+            c0, c1 = (gc * width) // 8, ((gc + 1) * width) // 8
+            s = 0
+            for r in range(r0, r1):
+                row = pixels[r * width : (r + 1) * width]
+                s += sum(row[c0:c1])
+            cell_n = (r1 - r0) * (c1 - c0)
+            if n * s > cell_n * total:
+                i = gr * 8 + gc
+                bands[i // 16] |= 1 << (i % 16)
+    return bands
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("b0", T.IntegerType()),
+        T.StructField("b1", T.IntegerType()),
+        T.StructField("b2", T.IntegerType()),
+        T.StructField("b3", T.IntegerType()),
+        T.StructField("decoder", T.StringType()),
+    ]
+)
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """Perceptual average-hash over decoded image content, as four
+    16-bit bands (b0..b3 -- band values are ALSO the LSH bucket keys
+    of the pair tier, and four ints sidestep 64-bit sign pitfalls
+    across engines).  Decode ladder mirrors _decode_image: stdlib BMP
+    parse, then PIL (env-gated; converted to 8-bit gray), then a
+    deterministic content-hash fake so non-images still flow.
+
+    Arrow-batched mapInPandas straight off the scan: the payload never
+    shuffles; output is 7 small ints + a tag per blob."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_cols = ["media_id", "width", "height", "b0", "b1", "b2", "b3", "decoder"]
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content)
+                dec = _decode_bmp_gray(b)
+                if dec is not None:
+                    w, h, pix = dec
+                    out.append((mid, w, h, *_ahash_bands(w, h, pix), "bmp"))
+                    continue
+                try:
+                    import io
+
+                    from PIL import Image  # type: ignore
+
+                    with Image.open(io.BytesIO(b)) as im:
+                        g = im.convert("L")
+                        pix = g.tobytes()
+                        out.append(
+                            (mid, g.width, g.height,
+                             *_ahash_bands(g.width, g.height, pix), "pil")
+                        )
+                        continue
+                except Exception:  # noqa: BLE001 -- lib missing or not an image
+                    pass
+                h8 = hashlib.sha256(b).digest()
+                fake = [
+                    int.from_bytes(h8[i : i + 2], "big") for i in range(0, 8, 2)
+                ]
+                out.append((mid, 0, 0, *fake, "fake-deterministic"))
+            yield pd.DataFrame(out, columns=out_cols)
+
+    return media.select("media_id", "content").mapInPandas(
+        _extract, schema=AHASH_SCHEMA
+    )
+
+
+def media_perceptual_dup_pairs(
+    media: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Perceptual near-duplicate pairs: aHash Hamming distance <=
+    ``max_hamming``, found via band-LSH -- the textbook pigeonhole:
+    with 4 bands and max_hamming < 4, any qualifying pair agrees
+    EXACTLY on at least one band, so a per-band equi-join is a
+    complete (not approximate) candidate generator.  Catches the
+    re-encodes byte chunking provably misses (brightness shift, row
+    re-order, container swap: every byte differs, no rare chunk is
+    shared).
+
+    Scale shape: blobs shrink to 4 band ints at the scan (payload
+    never shuffles), candidates are an equi-join on (band_idx, value)
+    -- bucket sizes bound the pair blowup exactly like the MinHash
+    tier -- and the verify step is 4 xor/bit_counts per candidate.
+    Returns (id_a, id_b, hamming)."""
+    ah = image_ahash(media).select("media_id", "b0", "b1", "b2", "b3")
+    from ..functions.caching import scoped_cache
+
+    ah = scoped_cache(ah)
+    bands = ah.select(
+        "media_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"), F.col(f"b{i}").alias("v")
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bv"),
+    ).select("media_id", F.col("bv.band").alias("band"), F.col("bv.v").alias("v"))
+    cand = (
+        bands.select(F.col("media_id").alias("id_a"), "band", "v")
+        .join(bands.select(F.col("media_id").alias("id_b"), "band", "v"), ["band", "v"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = ah.select(*[F.col(c).alias(f"{c}_a") for c in ah.columns])
+    b = ah.select(*[F.col(c).alias(f"{c}_b") for c in ah.columns])
+    ham = sum(
+        F.bit_count(
+            F.col(f"b{i}_a").cast("long").bitwiseXOR(F.col(f"b{i}_b").cast("long"))
+        )
+        for i in range(4)
+    )
+    return (
+        cand.join(a, cand.id_a == a.media_id_a)
+        .join(b, cand.id_b == b.media_id_b)
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 # magic-byte signatures, hex form (uppercase, as F.hex emits):
 # PNG 89504E47, JPEG FFD8FF, RIFF (WAV/AVI carrier) 52494646 with the
 # format tag at bytes 8-11, PDF 25504446, GZIP 1F8B

@@ -1259,6 +1259,72 @@ SELECT binlog_file, binlog_position, '*' AS "column",
 FROM drift"""
     )
 
+    # perceptual media tier: the oracle derives the aHash from the
+    # pixel ARITHMETIC (never touching bytes) while Spark encodes real
+    # BMPs and decodes them back -- encode->decode->hash vs pure SQL.
+    # Integer-exact bit rule: 64*cell_sum > total  <=>  cell mean >
+    # global mean for 16x16 images with 2x2 cells.
+    _AHASH_CTES = """med AS (
+  SELECT doc_id AS media_id, doc_id AS d, 0 AS shift FROM documents
+  UNION ALL
+  SELECT doc_id + 500000, doc_id, 32 FROM documents WHERE doc_id % 25 = 0
+),
+px AS (
+  SELECT m.media_id, r.r AS r, c.c AS c,
+         ((1 + m.d % 191) * (16 * r.r + c.c + 3) + (m.d // 191) * 11) % 192
+           + m.shift AS p
+  FROM med m, range(16) r(r), range(16) c(c)
+),
+tot AS (SELECT media_id, sum(p) AS total FROM px GROUP BY 1),
+cells AS (
+  SELECT media_id, (r // 2) * 8 + (c // 2) AS cell, sum(p) AS s4
+  FROM px GROUP BY 1, 2
+),
+bits AS (
+  SELECT c.media_id, c.cell,
+         CASE WHEN 64 * c.s4 > t.total THEN 1 ELSE 0 END AS b
+  FROM cells c JOIN tot t USING (media_id)
+),
+ah AS (
+  SELECT media_id,
+    CAST(sum(CASE WHEN cell < 16 THEN b << (cell % 16) END) AS INTEGER) AS b0,
+    CAST(sum(CASE WHEN cell >= 16 AND cell < 32 THEN b << (cell % 16) END)
+      AS INTEGER) AS b1,
+    CAST(sum(CASE WHEN cell >= 32 AND cell < 48 THEN b << (cell % 16) END)
+      AS INTEGER) AS b2,
+    CAST(sum(CASE WHEN cell >= 48 THEN b << (cell % 16) END) AS INTEGER) AS b3
+  FROM bits GROUP BY 1
+)"""
+    sql["media_ahash"] = f"""
+WITH {_AHASH_CTES}
+SELECT media_id, 16 AS width, 16 AS height, b0, b1, b2, b3,
+       'bmp' AS decoder
+FROM ah"""
+    sql["media_perceptual_dup"] = f"""
+WITH {_AHASH_CTES},
+bl AS (
+  SELECT media_id, 0 AS band, b0 AS v FROM ah
+  UNION ALL SELECT media_id, 1, b1 FROM ah
+  UNION ALL SELECT media_id, 2, b2 FROM ah
+  UNION ALL SELECT media_id, 3, b3 FROM ah
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+  FROM bl a JOIN bl b
+    ON a.band = b.band AND a.v = b.v AND a.media_id < b.media_id
+)
+SELECT * FROM (
+  SELECT c.id_a, c.id_b,
+    CAST(bit_count(xor(CAST(x.b0 AS BIGINT), CAST(y.b0 AS BIGINT)))
+       + bit_count(xor(CAST(x.b1 AS BIGINT), CAST(y.b1 AS BIGINT)))
+       + bit_count(xor(CAST(x.b2 AS BIGINT), CAST(y.b2 AS BIGINT)))
+       + bit_count(xor(CAST(x.b3 AS BIGINT), CAST(y.b3 AS BIGINT)))
+      AS INTEGER) AS hamming
+  FROM cand c
+  JOIN ah x ON x.media_id = c.id_a
+  JOIN ah y ON y.media_id = c.id_b
+) WHERE hamming <= 3"""
+
     # streaming twin runs the same logical plan -> same oracle
     sql["cdc_snapshot_stream"] = sql["cdc_apply_changes"]
     sql["cdc_ivm_stream"] = sql["cdc_ivm_refresh"]

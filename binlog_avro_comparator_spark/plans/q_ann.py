@@ -263,6 +263,65 @@ def _q_media_near_dup(spark, sf_dir):
     return media_near_dup_pairs(media)
 
 
+def _perceptual_media(spark, sf_dir):
+    """Synthetic-BMP media frame for the perceptual tier: each doc
+    becomes a real 16x16 8-bit grayscale BMP (spec layout, decoded
+    back by the pure-stdlib parser) whose pixels derive from doc_id
+    arithmetic only -- so the oracle recomputes the expected hash from
+    the same arithmetic WITHOUT touching bytes (encode -> decode ->
+    hash vs pure SQL: two independent paths).  doc_id % 25 == 0 plants
+    a brightness-shifted RE-ENCODE (every pixel byte +32, media_id
+    += 500000): zero shared rare byte-chunks -- provably invisible to
+    media_near_dup_pairs -- but aHash-identical, the exact blind spot
+    the r8 verdict named."""
+    from ..operators.multimodal import encode_bmp_gray
+
+    ensure_session_conf(spark)
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                base = bytes(
+                    ((1 + d % 191) * (16 * r + c + 3) + (d // 191) * 11) % 192
+                    for r in range(16)
+                    for c in range(16)
+                )
+                out.append((d, encode_bmp_gray(base, 16, 16)))
+                if d % 25 == 0:
+                    shifted = bytes(p + 32 for p in base)
+                    out.append((d + 500000, encode_bmp_gray(shifted, 16, 16)))
+            yield _pd.DataFrame(out, columns=["media_id", "content"])
+
+    return docs.mapInPandas(gen, "media_id long, content binary")
+
+
+def _q_media_ahash(spark, sf_dir):
+    """Perceptual average-hash (multimodal.image_ahash) over the
+    synthetic-BMP frame: the green row certifies decoder='bmp' -- the
+    REAL stdlib decode path, orientation-normalized bottom-up rows and
+    all -- with the four hash bands integer-exact against the oracle's
+    arithmetic derivation."""
+    from ..operators.multimodal import image_ahash
+
+    return image_ahash(_perceptual_media(spark, sf_dir))
+
+
+def _q_media_perceptual_dup(spark, sf_dir):
+    """Perceptual near-dup pairs (multimodal.media_perceptual_dup_pairs):
+    band-LSH candidates (pigeonhole-complete for hamming <= 3) +
+    xor/bit_count verify.  The planted brightness-shifted re-encodes
+    surface at hamming 0; the byte tier misses them by construction
+    (tests/test_extensions pins that miss)."""
+    from ..operators.multimodal import media_perceptual_dup_pairs
+
+    return media_perceptual_dup_pairs(_perceptual_media(spark, sf_dir))
+
+
 def _q_media_features(spark, sf_dir):
     """Multimodal decode, oracle-checked on the REAL decoder path:
     each document becomes an IHDR-valid synthetic PNG -- the 8-byte

@@ -50,6 +50,10 @@ def queries() -> dict[str, QueryFn]:
         # micro-batch replay, state never holds the event history
         "cdc_transactions_incremental": _q_cdc_transactions_incremental,
         "events_funnel_incremental": _q_events_funnel_incremental,
+        # perceptual media tier (r8 verdict item 3): decoded-content
+        # aHash catches the re-encodes byte chunking provably misses
+        "media_ahash": _q_media_ahash,
+        "media_perceptual_dup": _q_media_perceptual_dup,
         # -- NEW or CHANGED in r8: lead the driver window (r3 freeze
         # rule).  The two *_bucketed entries are the r7 verdict's
         # top item (candidates= scale path for the embedding audits);

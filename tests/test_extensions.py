@@ -4683,3 +4683,90 @@ def test_media_type_census_sniffs_and_survives_junk(spark):
     assert got["pdf"].n_blobs == 1 and got["gzip"].n_blobs == 1
     assert got["unknown"].n_blobs == 2  # text + truncated sig
     assert got["unknown"].min_bytes == 2 and got["unknown"].max_bytes == 9
+
+
+def test_bmp_roundtrip_and_orientation(spark):
+    """encode_bmp_gray -> _decode_bmp_gray is identity on pixels (the
+    bottom-up row order normalizes back to top-down), and non-BMP
+    bytes fall through the ladder."""
+    from binlog_avro_comparator_spark.operators.multimodal import (
+        _decode_bmp_gray,
+        encode_bmp_gray,
+    )
+
+    pix = bytes((3 * r + c) % 256 for r in range(6) for c in range(5))
+    blob = encode_bmp_gray(pix, 5, 6)  # width 5 forces row padding
+    w, h, back = _decode_bmp_gray(blob)
+    assert (w, h) == (5, 6) and back == pix
+    assert _decode_bmp_gray(b"not a bitmap at all") is None
+    assert _decode_bmp_gray(blob[:30]) is None  # truncated header
+
+
+def test_ahash_brightness_invariance_and_sensitivity(spark):
+    """The aHash is invariant to a uniform brightness shift (cell and
+    global means move together) but changes when content actually
+    moves; hamming arithmetic in the pair tier matches."""
+    from binlog_avro_comparator_spark.operators.multimodal import (
+        _ahash_bands,
+        encode_bmp_gray,
+        image_ahash,
+        media_perceptual_dup_pairs,
+    )
+
+    base = bytes((7 * (r // 2) + 11 * (c // 2)) % 160 for r in range(16) for c in range(16))
+    shifted = bytes(p + 32 for p in base)
+    flipped = bytes(base[(15 - r) * 16 + c] for r in range(16) for c in range(16))
+    assert _ahash_bands(16, 16, base) == _ahash_bands(16, 16, shifted)
+    assert _ahash_bands(16, 16, base) != _ahash_bands(16, 16, flipped)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_bmp_gray(base, 16, 16))),
+            (2, bytearray(encode_bmp_gray(shifted, 16, 16))),
+            (3, bytearray(encode_bmp_gray(flipped, 16, 16))),
+        ],
+        "media_id long, content binary",
+    )
+    ah = {r.media_id: r for r in image_ahash(media).collect()}
+    assert all(ah[i].decoder == "bmp" for i in (1, 2, 3))
+    assert (ah[1].b0, ah[1].b1, ah[1].b2, ah[1].b3) == (
+        ah[2].b0, ah[2].b1, ah[2].b2, ah[2].b3,
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in media_perceptual_dup_pairs(media).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+
+
+def test_perceptual_catches_what_byte_chunking_misses(spark):
+    """The r8 verdict's planted scenario end-to-end: a brightness-
+    shifted re-encode shares NO rare byte chunk with its original
+    (header chunks are hot across the corpus), so media_near_dup_pairs
+    stays silent -- while the perceptual tier reports hamming 0."""
+    from binlog_avro_comparator_spark.operators.multimodal import (
+        encode_bmp_gray,
+        media_near_dup_pairs,
+        media_perceptual_dup_pairs,
+    )
+
+    rows = []
+    for d in range(40):
+        base = bytes(
+            ((1 + d % 191) * (16 * r + c + 3)) % 192
+            for r in range(16)
+            for c in range(16)
+        )
+        rows.append((d, bytearray(encode_bmp_gray(base, 16, 16))))
+        if d == 7:
+            shifted = bytes(p + 32 for p in base)
+            rows.append((500007, bytearray(encode_bmp_gray(shifted, 16, 16))))
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    byte_pairs = {
+        (r.id_a, r.id_b) for r in media_near_dup_pairs(media).collect()
+    }
+    assert (7, 500007) not in byte_pairs  # the documented blind spot
+    perc = {
+        (r.id_a, r.id_b): r.hamming
+        for r in media_perceptual_dup_pairs(media).collect()
+    }
+    assert perc.get((7, 500007)) == 0  # the perceptual tier closes it
