@@ -241,7 +241,23 @@ EXTRA_QUERIES = [
     "dedup_impact_report",
     "cdc_near_miss_keys",
     "events_feed_gaps",
+    # round 9
+    "cdc_schema_timeline",
+    "cdc_payload_diff_guarded",
+    "cdc_transactions_incremental",
+    "events_funnel_incremental",
+    "media_ahash",
+    "media_perceptual_dup",
 ]
+
+# Plan-stable anchor (r8 verdict item 5): q1_pricing_summary's plan has
+# been unchanged since round 1, so its wall measures the VM, not the
+# code.  ref_warm_sec is the round-8 mid-round tracked series value
+# (BASELINE.md "Round-8 tracked series"); the normalized totals are
+# what the wall would read at reference VM speed -- the drift-immune
+# number for cross-round comparison.
+ANCHOR_QUERY = "q1_pricing_summary"
+ANCHOR_REF_WARM_SEC = 0.293
 
 
 def main() -> None:
@@ -284,6 +300,18 @@ def main() -> None:
                     best[name] = dt
         return first, best
 
+    def time_anchor(runs: int = 3) -> float:
+        """Best-of-N warm wall of the plan-stable anchor (it was
+        prewarmed by the headline pass or the session warmup)."""
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.time()
+            qs[ANCHOR_QUERY](spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    qs[ANCHOR_QUERY](spark, sf_dir).count()  # anchor's own prewarm
+    anchor_start = time_anchor()
     timings, warm = run_set(BENCH_QUERIES, prewarm=True)
     total = round(sum(timings.values()), 3)
     # r8 (r7 verdict item 7): the extra tier gets the SAME shared-
@@ -293,6 +321,24 @@ def main() -> None:
     # unchanged (still 2 passes over the tier) while extra_total reads
     # the steady-state a long-lived session sees.
     extra, extra_warm = run_set(EXTRA_QUERIES, prewarm=True, runs=1)
+    anchor_end = time_anchor()
+    # VM speed relative to the reference box-day; >1 = this run's VM
+    # is slower.  Normalized totals divide the drift out.
+    drift = round(
+        ((anchor_start + anchor_end) / 2) / ANCHOR_REF_WARM_SEC, 3
+    )
+    anchor = {
+        "query": ANCHOR_QUERY,
+        "ref_warm_sec": ANCHOR_REF_WARM_SEC,
+        "start_sec": anchor_start,
+        "end_sec": anchor_end,
+        "vm_drift": drift,
+    }
+    normalized = {
+        "headline_total": round(total / drift, 3),
+        "warm_total": round(sum(warm.values()) / drift, 3),
+        "extra_total": round(sum(extra.values()) / drift, 3),
+    }
     # Detail lines FIRST, final summary line LAST and SHORT: the driver
     # tail-captures stdout and parses the last JSON line -- round 3's
     # single 2.4 KB line got its head truncated and recorded as
@@ -312,6 +358,8 @@ def main() -> None:
                 "queries": timings,
                 "warm_total": round(sum(warm.values()), 3),
                 "extra_total": round(sum(extra.values()), 3),
+                "anchor": anchor,
+                "normalized": normalized,
                 "prewarmed": True,
                 "sf": sf,
             }

@@ -26,6 +26,27 @@ from ..functions.caching import scoped_cache
 
 COS_ROUND = 6
 
+# The exact demo tiers (knn_label_audit / bitext_margin_pairs without
+# candidates=) broadcast the corpus through a driver collect BY
+# CONTRACT -- they exist as oracle twins and small-corpus conveniences.
+# This cap makes the contract enforceable instead of documentation: a
+# 10^9-row frame hits a clear error, not a driver OOM.
+EXACT_TIER_ROW_CAP = 100_000
+
+
+def _exact_tier_guard(df: DataFrame, op: str) -> None:
+    """Refuse the exact tier above EXACT_TIER_ROW_CAP rows.  The probe
+    is ``limit(cap+1).count()`` -- a bounded scan, never a full count
+    of an unboundedly large frame."""
+    n = df.limit(EXACT_TIER_ROW_CAP + 1).count()
+    if n > EXACT_TIER_ROW_CAP:
+        raise ValueError(
+            f"{op}: the exact tier collects the corpus to the driver and "
+            f"this frame exceeds {EXACT_TIER_ROW_CAP} rows; pass "
+            "candidates= (hyperplane_candidates or an IVF list join) for "
+            "the bucketed scale path"
+        )
+
 
 def _dot(a: F.Column, b: F.Column) -> F.Column:
     return F.aggregate(
@@ -1450,6 +1471,8 @@ def bitext_margin_pairs(
     src = embeddings.filter(F.col("label") == src_label)
     dst = embeddings.filter(F.col("label") == dst_label)
     if candidates is None:
+        _exact_tier_guard(src, "bitext_margin_pairs")
+        _exact_tier_guard(dst, "bitext_margin_pairs")
         fwd = _bitext_topk_pass(src, dst, k, "src_id", "dst_id")
         bwd = _bitext_topk_pass(dst, src, k, "dst_id", "src_id").select(
             "src_id", "dst_id", "cos_sim"
@@ -1633,6 +1656,7 @@ def knn_label_audit(
         return _knn_majority(topk_c.select("a_id", "a_label", "b_label"))
 
     spark = embeddings.sparkSession
+    _exact_tier_guard(embeddings, "knn_label_audit")
     corpus = embeddings.select("vec_id", "embedding", "label").collect()
     if len(corpus) < 2:  # no neighbors exist; an empty audit, not a crash
         return spark.createDataFrame(
