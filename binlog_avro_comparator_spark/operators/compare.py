@@ -773,8 +773,15 @@ def payload_diff_ddl_guard(
     test is a broadcast lookup, and the suppression is a co-partitioned
     left-anti on the same key -- no new shuffle key anywhere.  Returns
     payload_diff's contract with the extra status value."""
+    from ..functions.caching import scoped_cache
     from .ddl import binlog_coord
 
+    # both payload frames feed TWO consumers (the matched-key set and
+    # the diff) -- scoped_cache or Catalyst re-runs the binary decode
+    # and the avro derivation once per subtree (the doc_quality_blend
+    # lesson: 27.8 -> ~3 s at sf0.1)
+    binlog_payload = scoped_cache(binlog_payload)
+    avro_payload = scoped_cache(avro_payload)
     matched = binlog_payload.select(*KEY).join(avro_payload.select(*KEY), KEY)
     kt = matched.join(key_tables, KEY, "left").join(
         F.broadcast(drift_windows), ["schema_name", "table_name"], "left"
@@ -785,7 +792,8 @@ def payload_diff_ddl_guard(
         & (coord >= F.col("win_from"))
         & (F.col("win_to").isNull() | (coord < F.col("win_to")))
     )
-    drift_keys = kt.filter(in_drift).select(*KEY).distinct()
+    # drift_keys feeds the anti-join AND the flagged rows
+    drift_keys = scoped_cache(kt.filter(in_drift).select(*KEY).distinct())
     diff = payload_diff(binlog_payload, avro_payload)
     safe = diff.join(drift_keys, KEY, "left_anti")
     flagged = drift_keys.select(

@@ -174,6 +174,102 @@ def ddl_drift_windows(ddl: DataFrame) -> DataFrame:
     )
 
 
+# column-grammar fragments for the effective-column fold
+_ADD_COL_RE = r"(?i)\badd\s+column\s+`?([A-Za-z_$][A-Za-z0-9_$]*)`?"
+_DROP_COL_RE = r"(?i)\bdrop\s+column\s+`?([A-Za-z_$][A-Za-z0-9_$]*)`?"
+# identifiers opening a column def: after '(' start or a comma; type
+# arguments like DECIMAL(10,2) never match (digit-led), constraint
+# clauses are filtered by keyword below
+_CREATE_COL_RE = r"(?:^|,)\s*`?([A-Za-z_$][A-Za-z0-9_$]*)"
+_CONSTRAINT_KEYWORDS = (
+    "primary", "key", "unique", "constraint", "foreign", "index", "check",
+)
+
+
+def _create_columns(stmt) -> F.Column:
+    """Column names declared by a CREATE TABLE's parenthesized list."""
+    inner = F.regexp_extract(stmt, r"\((.*)\)\s*$", 1)
+    cand = F.regexp_extract_all(inner, F.lit(_CREATE_COL_RE), F.lit(1))
+    return F.array_distinct(
+        F.filter(
+            cand, lambda c: ~F.lower(c).isin(*_CONSTRAINT_KEYWORDS)
+        )
+    )
+
+
+def schema_column_matrix(ddl: DataFrame) -> DataFrame:
+    """The timeline made ACTIONABLE: for every (schema, table,
+    version), the set of columns effectively present -- the inventory
+    a payload-diff consumer needs to know WHICH columns can mis-pair
+    across a boundary (the timeline says WHEN the shape moved; this
+    says WHAT it moved to).
+
+    Fold semantics per column: CREATE resets the table to its declared
+    list, ADD COLUMN adds, DROP COLUMN removes, DROP TABLE empties.
+    The fold is carry-forward, not a join triangle: a versions x
+    touched-columns grid (linear in statements, never statements^2)
+    gets a per-(table, column) ``last(effect) ignore nulls`` window --
+    one shuffle on table identity, metadata-sized end to end.
+    Returns (schema_name, table_name, version, column_name) for
+    present columns only."""
+    w = Window.partitionBy("schema_name", "table_name").orderBy(
+        "timestamp", "binlog_file", "log_position", "line_no"
+    )
+    empty = F.expr("cast(array() as array<string>)")
+    add_col = F.regexp_extract("statement", _ADD_COL_RE, 1)
+    drop_col = F.regexp_extract("statement", _DROP_COL_RE, 1)
+    create_cols = F.when(
+        F.col("ddl_kind") == "CREATE", _create_columns(F.col("statement"))
+    ).otherwise(empty)
+    d = ddl.select(
+        "schema_name",
+        "table_name",
+        "ddl_kind",
+        F.row_number().over(w).cast("long").alias("version"),
+        add_col.alias("__add"),
+        drop_col.alias("__drop"),
+        create_cols.alias("__create_cols"),
+    )
+    touched = F.array_distinct(
+        F.flatten(
+            F.array(
+                F.col("__create_cols"),
+                F.when(F.col("__add") != "", F.array("__add")).otherwise(empty),
+                F.when(F.col("__drop") != "", F.array("__drop")).otherwise(empty),
+            )
+        )
+    )
+    uni = (
+        d.select("schema_name", "table_name", F.explode(touched).alias("column_name"))
+        .distinct()
+    )
+    grid = d.join(uni, ["schema_name", "table_name"])
+    effect = (
+        F.when(
+            F.col("ddl_kind") == "CREATE",
+            F.array_contains(F.col("__create_cols"), F.col("column_name")),
+        )
+        .when(F.col("ddl_kind") == "DROP", F.lit(False))
+        .when(F.col("__add") == F.col("column_name"), F.lit(True))
+        .when(F.col("__drop") == F.col("column_name"), F.lit(False))
+    )
+    wp = (
+        Window.partitionBy("schema_name", "table_name", "column_name")
+        .orderBy("version")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pres = grid.select(
+        "schema_name",
+        "table_name",
+        "version",
+        "column_name",
+        F.last(effect, ignorenulls=True).over(wp).alias("__present"),
+    )
+    return pres.filter(F.col("__present")).select(
+        "schema_name", "table_name", "version", "column_name"
+    )
+
+
 def schema_census_drift(
     timeline: DataFrame, census_versions: DataFrame
 ) -> DataFrame:

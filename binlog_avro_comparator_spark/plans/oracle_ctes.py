@@ -1058,7 +1058,7 @@ _DDL_STMT_CTE = """qsrc AS (
     AND event_id % 223 <> 0
 ),
 ddl AS (
-  SELECT * EXCLUDE (m, col_name),
+  SELECT *,
     CASE WHEN m IN (0, 4) THEN 'ALTER'
          WHEN m = 1 THEN 'CREATE'
          WHEN m = 2 THEN 'DROP' END AS ddl_kind,

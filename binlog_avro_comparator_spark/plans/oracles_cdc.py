@@ -1482,3 +1482,39 @@ SELECT schema_name, table_name,
 FROM ddl
 WINDOW w AS (PARTITION BY schema_name, table_name
              ORDER BY vts, binlog_file, log_position, event_id)"""
+
+    # effective column inventory per schema version: the oracle folds
+    # the DDL SEMANTICS from the event arithmetic (m=1 CREATE declares
+    # ['id'], m=0 adds c{eid%4}, m=4 drops it, m=2 empties) while the
+    # Spark side genuinely parses the statements -- two paths again.
+    sql["cdc_schema_columns"] = f"WITH {_DDL_STMT_CTE}" + """,
+vd AS (
+  SELECT *, row_number() OVER (PARTITION BY schema_name, table_name
+      ORDER BY vts, binlog_file, log_position, event_id) AS version
+  FROM ddl
+),
+uni AS (
+  SELECT DISTINCT schema_name, table_name, col FROM (
+    SELECT schema_name, table_name, col_name AS col
+    FROM vd WHERE m IN (0, 4)
+    UNION ALL
+    SELECT DISTINCT schema_name, table_name, 'id' FROM vd WHERE m = 1
+  )
+),
+grid AS (
+  SELECT v.schema_name, v.table_name, v.version, u.col,
+    CASE WHEN v.m = 1 THEN (u.col = 'id')
+         WHEN v.m = 2 THEN FALSE
+         WHEN v.m = 0 AND v.col_name = u.col THEN TRUE
+         WHEN v.m = 4 AND v.col_name = u.col THEN FALSE
+         ELSE NULL END AS effect
+  FROM vd v JOIN uni u USING (schema_name, table_name)
+),
+pres AS (
+  SELECT *, last_value(effect IGNORE NULLS) OVER (
+    PARTITION BY schema_name, table_name, col ORDER BY version
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS present
+  FROM grid
+)
+SELECT schema_name, table_name, version, col AS column_name
+FROM pres WHERE present"""

@@ -1217,6 +1217,17 @@ def _q_cdc_schema_timeline(spark, sf_dir):
     return schema_timeline(_ddl_statements(spark, sf_dir))
 
 
+def _q_cdc_schema_columns(spark, sf_dir):
+    """Effective column inventory per schema version
+    (ddl.schema_column_matrix): the timeline made actionable -- WHAT
+    each version's shape is, not just when it changed.  Spark parses
+    the CREATE column lists and ALTER add/drop clauses genuinely; the
+    oracle folds the same semantics from the event arithmetic."""
+    from ..operators.ddl import schema_column_matrix
+
+    return schema_column_matrix(_ddl_statements(spark, sf_dir))
+
+
 def _q_cdc_payload_diff_guarded(spark, sf_dir):
     """payload_diff with the DDL drift-window quarantine
     (compare.payload_diff_ddl_guard): matched keys inside a

@@ -205,3 +205,78 @@ def test_guard_outside_window_is_identity(spark):
     win = spark.createDataFrame([], WIN_T)
     out = C.payload_diff_ddl_guard(bp, ap, kt, win).collect()
     assert [(r.column, r.status) for r in out] == [("a", "MISMATCH")]
+
+
+def test_schema_census_drift_flags_stale_lake(spark):
+    """A table whose binlog saw more shape changes than the lake has
+    writer-schema versions is flagged -- the reconciliation that
+    CLOSES a drift window (timeline says the shape moved; the census
+    says whether the producer caught up)."""
+    from binlog_avro_comparator_spark.operators.ddl import schema_census_drift
+
+    tl = schema_timeline(
+        parse_ddl_statements(
+            _parsed(
+                spark,
+                [
+                    _q("2025-06-01T10:00:00Z", "mysql-bin.000001", 100, 1,
+                       "db0", "CREATE TABLE t1 (id INT)"),
+                    _q("2025-06-01T10:00:01Z", "mysql-bin.000001", 200, 2,
+                       "db0", "ALTER TABLE t1 ADD COLUMN c1 INT"),
+                    _q("2025-06-01T10:00:02Z", "mysql-bin.000001", 300, 3,
+                       "db0", "CREATE TABLE t2 (id INT)"),
+                ],
+            )
+        )
+    )
+    census = spark.createDataFrame(
+        [("db0", "t1", 2), ("db0", "t2", 1)],
+        "schema_name string, table_name string, n_writer_schemas int",
+    )
+    ok = {
+        (r.schema_name, r.table_name): r.drift
+        for r in schema_census_drift(tl, census).collect()
+    }
+    assert ok == {("db0", "t1"): False, ("db0", "t2"): False}
+    stale = spark.createDataFrame(
+        [("db0", "t1", 1)],  # lake never shipped the post-ALTER schema
+        "schema_name string, table_name string, n_writer_schemas int",
+    )
+    got = {
+        (r.schema_name, r.table_name): (r.drift, r.n_writer_schemas)
+        for r in schema_census_drift(tl, stale).collect()
+    }
+    assert got[("db0", "t1")] == (True, 1)
+    assert got[("db0", "t2")] == (True, 0)  # absent from the lake entirely
+
+
+def test_schema_column_matrix_fold(spark):
+    """Effective column sets fold correctly: CREATE resets to the
+    declared list (constraint clauses and type args never parse as
+    columns), ADD/DROP COLUMN adjust, DROP TABLE empties, and versions
+    before a column's first action exclude it."""
+    from binlog_avro_comparator_spark.operators.ddl import schema_column_matrix
+
+    rows = [
+        _q("2025-06-01T10:00:00Z", "mysql-bin.000001", 100, 1, "db0",
+           "CREATE TABLE t1 (id INT PRIMARY KEY, amount DECIMAL(10,2),"
+           " note VARCHAR(40))"),
+        _q("2025-06-01T10:00:01Z", "mysql-bin.000001", 200, 2, "db0",
+           "ALTER TABLE t1 ADD COLUMN c1 INT"),
+        _q("2025-06-01T10:00:02Z", "mysql-bin.000001", 300, 3, "db0",
+           "alter table t1 drop column note"),
+        _q("2025-06-01T10:00:03Z", "mysql-bin.000001", 400, 4, "db0",
+           "CREATE TABLE t1 (id INT)"),  # reset: c1/amount gone
+        _q("2025-06-01T10:00:04Z", "mysql-bin.000001", 500, 5, "db0",
+           "DROP TABLE t1"),
+    ]
+    m = schema_column_matrix(parse_ddl_statements(_parsed(spark, rows)))
+    by_ver = {}
+    for r in m.collect():
+        by_ver.setdefault(r.version, set()).add(r.column_name)
+    assert by_ver[1] == {"id", "amount", "note"}  # DECIMAL(10,2)'s 2 and
+    # PRIMARY/KEY never parse as columns
+    assert by_ver[2] == {"id", "amount", "note", "c1"}
+    assert by_ver[3] == {"id", "amount", "c1"}
+    assert by_ver[4] == {"id"}
+    assert 5 not in by_ver  # DROP TABLE empties the set

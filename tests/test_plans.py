@@ -1425,3 +1425,79 @@ def test_media_near_dup_no_cartesian_and_payload_pruned(spark):
 
     for m in re.finditer(r"^\(\d+\) Exchange.*$", plan, re.M):
         assert "content" not in m.group(0)
+
+
+def test_guarded_diff_broadcast_windows_no_cartesian(spark):
+    """payload_diff_ddl_guard: the drift-window lookup is a BROADCAST
+    join (windows are ALTER-cardinality), the suppression is a keyed
+    left-anti (no new shuffle key), and nothing degenerates to a
+    cartesian/nested-loop."""
+    f = "mysql-bin.000001"
+    bp = spark.createDataFrame(
+        [(f, 100, {"a": "1"})],
+        "binlog_file string, binlog_position long,"
+        " payload map<string,string>",
+    )
+    ap = spark.createDataFrame(
+        [(f, 100, {"a": "2"})],
+        "binlog_file string, binlog_position long,"
+        " payload map<string,string>",
+    )
+    kt = spark.createDataFrame(
+        [(f, 100, "db0", "t1")],
+        "binlog_file string, binlog_position long,"
+        " schema_name string, table_name string",
+    )
+    win = spark.createDataFrame(
+        [("db0", "t1", f + ":000000000050", None)],
+        "schema_name string, table_name string,"
+        " win_from string, win_to string",
+    )
+    plan = _plan(C.payload_diff_ddl_guard(bp, ap, kt, win))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # the windows lookup
+    assert "LeftAnti" in plan  # keyed suppression, not a filter scan
+
+
+def test_schema_timeline_single_table_partitioned_window(spark):
+    """The SCD2 timeline is ONE window partitioned by table identity
+    -- no self-joins, no global (unpartitioned) sort."""
+    from binlog_avro_comparator_spark.fixtures import generate_ddl_text_lines
+    from binlog_avro_comparator_spark.operators.ddl import (
+        parse_ddl_statements,
+        schema_timeline,
+    )
+    from binlog_avro_comparator_spark.operators.parse import parse_binlog_text
+
+    lines = generate_ddl_text_lines(load_table(spark, SF, "events"))
+    plan = _plan(schema_timeline(parse_ddl_statements(parse_binlog_text(lines))))
+    assert "CartesianProduct" not in plan
+    # the timeline's own window partitions by (schema_name, table_name):
+    # its sort key leads with the partition columns, never a global sort
+    # the timeline window is PARTITIONED by table identity (a window
+    # spec leading with schema_name), never an unpartitioned sort
+    assert "windowspecdefinition(schema_name" in plan
+
+
+def test_perceptual_pairs_payload_never_shuffles(spark):
+    """media_perceptual_dup_pairs: blobs collapse to four band ints at
+    the scan; no Exchange carries the binary payload, and the
+    candidate join is an equi-join (no cartesian)."""
+    from binlog_avro_comparator_spark.operators.multimodal import (
+        encode_bmp_gray,
+        media_perceptual_dup_pairs,
+    )
+
+    pix = bytes(range(0, 256))
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_bmp_gray(pix, 16, 16)))],
+        "media_id long, content binary",
+    )
+    plan = _plan(media_perceptual_dup_pairs(media))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+
+    for m in re.finditer(r"^\(\d+\) Exchange.*$", plan, re.M):
+        assert "content" not in m.group(0)
