@@ -822,6 +822,127 @@ def media_perceptual_dup_pairs(
     )
 
 
+FRAME_AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("b0", T.IntegerType()),
+        T.StructField("b1", T.IntegerType()),
+        T.StructField("b2", T.IntegerType()),
+        T.StructField("b3", T.IntegerType()),
+        T.StructField("decoder", T.StringType()),
+    ]
+)
+
+
+def video_frame_ahash(media: DataFrame) -> DataFrame:
+    """Per-frame perceptual hash for RIFF-AVI blobs: the container
+    walker (_parse_avi) yields '00dc' frame payloads; a frame whose
+    length equals the header's width*height is a RAW grayscale raster
+    and gets the real grid average-hash, anything else (a compressed
+    codec this container lacks) falls back to a deterministic
+    content-hash fake, tagged by ``decoder``.  One mapInPandas off the
+    scan -- frame payloads never leave the task, only 4 band ints per
+    frame do."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "frame_index", "b0", "b1", "b2", "b3", "decoder"]
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                parsed = _parse_avi(bytes(content))
+                if parsed is None:
+                    continue
+                w, h, _, frames = parsed
+                for i, fr in enumerate(frames):
+                    if w > 0 and h > 0 and len(fr) == w * h:
+                        out.append(
+                            (mid, i, *_ahash_bands(w, h, fr), "raw-gray")
+                        )
+                    else:
+                        d8 = hashlib.sha256(fr).digest()
+                        fake = [
+                            int.from_bytes(d8[j : j + 2], "big")
+                            for j in range(0, 8, 2)
+                        ]
+                        out.append((mid, i, *fake, "fake-deterministic"))
+            yield pd.DataFrame(out, columns=cols)
+
+    return media.select("media_id", "content").mapInPandas(
+        _extract, schema=FRAME_AHASH_SCHEMA
+    )
+
+
+def video_perceptual_pairs(
+    media: DataFrame, threshold: float = 0.5, max_df: int = 10
+) -> DataFrame:
+    """Video near-duplicate detection by PERCEPTUAL frame-set Jaccard:
+    a video is the set of its frames' aHashes, and two videos match on
+    the overlap of those sets -- which survives exactly the transforms
+    that defeat byte- and sha-level comparison (re-render with a
+    brightness shift, re-containering, trailing-frame trims) while a
+    genuinely different cut shares nothing.
+
+    Same scale shape as the byte tier: blobs collapse to 64-bit frame
+    hashes at the scan (payload never shuffles), candidates come ONLY
+    from rare hashes (df <= max_df -- a black-frame hash shared by
+    half the corpus generates no candidates), and the intersection is
+    candidate-bounded.  Returns (id_a, id_b, n_common, jaccard >=
+    threshold)."""
+    from ..functions.caching import scoped_cache
+
+    fh = video_frame_ahash(media)
+    # hash key as a ':'-joined band string: engine-portable (a packed
+    # 64-bit int would hit signed-shift overflow divergence)
+    h = (
+        fh.select(
+            "media_id",
+            F.concat_ws(
+                ":", *[F.col(f"b{i}").cast("string") for i in range(4)]
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    h = scoped_cache(h)
+    sizes = h.groupBy("media_id").agg(F.count("*").alias("n"))
+    dfreq = h.groupBy("h").agg(F.count("*").alias("__df"))
+    rare = h.join(dfreq.filter(F.col("__df") <= max_df), "h")
+    pairs = (
+        rare.select(F.col("media_id").alias("id_a"), "h")
+        .join(rare.select(F.col("media_id").alias("id_b"), "h"), "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    inter = (
+        pairs.join(h.select(F.col("media_id").alias("id_a"), "h"), "id_a")
+        .join(h.select(F.col("media_id").alias("id_b"), "h"), ["id_b", "h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = (
+        inter.join(
+            sizes.select(F.col("media_id").alias("id_a"), F.col("n").alias("__na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("media_id").alias("id_b"), F.col("n").alias("__nb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("__na") + F.col("__nb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
 # magic-byte signatures, hex form (uppercase, as F.hex emits):
 # PNG 89504E47, JPEG FFD8FF, RIFF (WAV/AVI carrier) 52494646 with the
 # format tag at bytes 8-11, PDF 25504446, GZIP 1F8B

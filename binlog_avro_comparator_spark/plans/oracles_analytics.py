@@ -1271,7 +1271,8 @@ FROM drift"""
 ),
 px AS (
   SELECT m.media_id, r.r AS r, c.c AS c,
-         ((1 + m.d % 191) * (16 * r.r + c.c + 3) + (m.d // 191) * 11) % 192
+         ((1 + m.d % 191) * (16 * r.r + c.c + 3 + m.d // 191)
+          + (m.d % 7 + 2) * r.r * r.r + (m.d % 11 + 1) * c.c * c.c) % 192
            + m.shift AS p
   FROM med m, range(16) r(r), range(16) c(c)
 ),
@@ -1324,6 +1325,68 @@ SELECT * FROM (
   JOIN ah x ON x.media_id = c.id_a
   JOIN ah y ON y.media_id = c.id_b
 ) WHERE hamming <= 3"""
+
+    # video perceptual tier: per-(video, frame) aHash from the pixel
+    # arithmetic, frame-set Jaccard over rare hashes -- mirroring
+    # video_perceptual_pairs' candidate rule exactly
+    sql["video_perceptual_dup"] = """
+WITH vmed AS (
+  SELECT doc_id AS media_id, doc_id AS d, 0 AS shift,
+         3 + doc_id % 3 AS n_frames
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 600000, doc_id, 32, 2 + doc_id % 3
+  FROM documents WHERE doc_id % 20 = 0
+),
+vpx AS (
+  SELECT m.media_id, f.f AS f, r.r AS r, c.c AS c,
+    ((1 + m.d % 191) * (16 * r.r + c.c + 3 + 5 * f.f + m.d // 191)
+     + (m.d % 7 + 2) * r.r * r.r + (m.d % 11 + 1) * c.c * c.c) % 192
+      + m.shift AS p
+  FROM vmed m, range(8) f(f), range(16) r(r), range(16) c(c)
+  WHERE f.f < m.n_frames
+),
+vtot AS (SELECT media_id, f, sum(p) AS total FROM vpx GROUP BY 1, 2),
+vcells AS (
+  SELECT media_id, f, (r // 2) * 8 + (c // 2) AS cell, sum(p) AS s4
+  FROM vpx GROUP BY 1, 2, 3
+),
+vbands AS (
+  SELECT c.media_id, c.f, CAST(c.cell // 16 AS INTEGER) AS band,
+         CAST(sum(CASE WHEN 64 * c.s4 > t.total
+                       THEN 1 << (c.cell % 16) ELSE 0 END) AS INTEGER) AS v
+  FROM vcells c JOIN vtot t USING (media_id, f)
+  GROUP BY 1, 2, 3
+),
+vh AS (
+  SELECT DISTINCT media_id,
+    CAST(max(CASE WHEN band = 0 THEN v END) AS VARCHAR) || ':' ||
+    CAST(max(CASE WHEN band = 1 THEN v END) AS VARCHAR) || ':' ||
+    CAST(max(CASE WHEN band = 2 THEN v END) AS VARCHAR) || ':' ||
+    CAST(max(CASE WHEN band = 3 THEN v END) AS VARCHAR) AS h
+  FROM vbands GROUP BY media_id, f
+),
+vsizes AS (SELECT media_id, count(*) AS n FROM vh GROUP BY 1),
+vdf AS (SELECT h, count(*) AS df FROM vh GROUP BY 1),
+vrare AS (SELECT vh.media_id, vh.h FROM vh JOIN vdf USING (h) WHERE df <= 10),
+vpairs AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+  FROM vrare a JOIN vrare b ON a.h = b.h AND a.media_id < b.media_id
+),
+vinter AS (
+  SELECT p.id_a, p.id_b, count(*) AS n_common
+  FROM vpairs p
+  JOIN vh x ON x.media_id = p.id_a
+  JOIN vh y ON y.media_id = p.id_b AND y.h = x.h
+  GROUP BY 1, 2
+)
+SELECT * FROM (
+  SELECT i.id_a, i.id_b, i.n_common,
+         round(i.n_common / (sa.n + sb.n - i.n_common), 6) AS jaccard
+  FROM vinter i
+  JOIN vsizes sa ON sa.media_id = i.id_a
+  JOIN vsizes sb ON sb.media_id = i.id_b
+) WHERE jaccard >= 0.5"""
 
     # streaming twin runs the same logical plan -> same oracle
     sql["cdc_snapshot_stream"] = sql["cdc_apply_changes"]

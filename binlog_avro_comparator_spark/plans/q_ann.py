@@ -286,8 +286,17 @@ def _perceptual_media(spark, sf_dir):
             out = []
             for d in pdf["doc_id"]:
                 d = int(d)
+                # the d//191 term enters the PHASE (not as a uniform
+                # shift, which aHash is invariant to by design), so
+                # image content is unique per doc up to 191*192 docs
+                # and pair volume stays linear in corpus size
                 base = bytes(
-                    ((1 + d % 191) * (16 * r + c + 3) + (d // 191) * 11) % 192
+                    (
+                        (1 + d % 191) * (16 * r + c + 3 + d // 191)
+                        + (d % 7 + 2) * r * r
+                        + (d % 11 + 1) * c * c
+                    )
+                    % 192
                     for r in range(16)
                     for c in range(16)
                 )
@@ -298,6 +307,63 @@ def _perceptual_media(spark, sf_dir):
             yield _pd.DataFrame(out, columns=["media_id", "content"])
 
     return docs.mapInPandas(gen, "media_id long, content binary")
+
+
+def _perceptual_video(spark, sf_dir):
+    """Synthetic-AVI frame for the video perceptual tier: genuine RIFF
+    containers whose '00dc' frames are RAW 16x16 grayscale rasters
+    derived from (doc_id, frame) arithmetic.  doc_id % 20 == 0 plants
+    a RE-RENDER (every frame brightness +32, last frame trimmed,
+    media_id += 600000): all bytes and frame shas differ, but the
+    frame aHashes match on n-1 of n frames -- perceptual frame-set
+    Jaccard (n-1)/n >= 2/3."""
+    from ..operators.multimodal import encode_avi
+
+    ensure_session_conf(spark)
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 3 + d % 3
+                frames = [
+                    bytes(
+                        (
+                            (1 + d % 191)
+                            * (16 * r + c + 3 + 5 * f + d // 191)
+                            + (d % 7 + 2) * r * r
+                            + (d % 11 + 1) * c * c
+                        )
+                        % 192
+                        for r in range(16)
+                        for c in range(16)
+                    )
+                    for f in range(n)
+                ]
+                rows.append((d, encode_avi(frames, width=16, height=16)))
+                if d % 20 == 0:
+                    trimmed = [bytes(p + 32 for p in fr) for fr in frames[:-1]]
+                    rows.append(
+                        (d + 600000, encode_avi(trimmed, width=16, height=16))
+                    )
+            yield _pd.DataFrame(rows, columns=["media_id", "content"])
+
+    return docs.mapInPandas(gen, "media_id long, content binary")
+
+
+def _q_video_perceptual_dup(spark, sf_dir):
+    """Video near-dup by perceptual frame-set Jaccard
+    (multimodal.video_perceptual_pairs): real container walk -> raw
+    raster frames -> per-frame aHash -> rare-hash candidates -> set
+    overlap.  The planted brightness-shifted trimmed re-renders
+    surface at jaccard (n-1)/n; frame shas and bytes share nothing."""
+    from ..operators.multimodal import video_perceptual_pairs
+
+    return video_perceptual_pairs(_perceptual_video(spark, sf_dir))
 
 
 def _q_media_ahash(spark, sf_dir):

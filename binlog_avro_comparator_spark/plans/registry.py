@@ -55,6 +55,7 @@ def queries() -> dict[str, QueryFn]:
         # aHash catches the re-encodes byte chunking provably misses
         "media_ahash": _q_media_ahash,
         "media_perceptual_dup": _q_media_perceptual_dup,
+        "video_perceptual_dup": _q_video_perceptual_dup,
         # -- NEW or CHANGED in r8: lead the driver window (r3 freeze
         # rule).  The two *_bucketed entries are the r7 verdict's
         # top item (candidates= scale path for the embedding audits);

@@ -4799,3 +4799,39 @@ def test_exact_tier_guard_raises_above_cap(spark, monkeypatch):
         "a_id long, b_id long",
     )
     assert sim.knn_label_audit(emb, k=3, candidates=cand).count() == 30
+
+
+def test_video_perceptual_catches_rerender(spark):
+    """A brightness-shifted, last-frame-trimmed re-render shares zero
+    frame shas with its original but matches n-1 of n frame aHashes --
+    video_perceptual_pairs reports the pair at jaccard (n-1)/n while
+    the sha-level frame comparison sees disjoint sets."""
+    from binlog_avro_comparator_spark.operators.multimodal import (
+        encode_avi,
+        video_frame_ahash,
+        video_perceptual_pairs,
+    )
+
+    def raster(d, f):
+        return bytes(
+            ((1 + d) * (16 * r + c + 3 + 5 * f) + 3 * r * r) % 192
+            for r in range(16)
+            for c in range(16)
+        )
+
+    rows = []
+    for d in range(12):
+        frames = [raster(d, f) for f in range(4)]
+        rows.append((d, bytearray(encode_avi(frames, width=16, height=16))))
+    rerender = [bytes(p + 32 for p in raster(3, f)) for f in range(3)]
+    rows.append((600003, bytearray(encode_avi(rerender, width=16, height=16))))
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    fh = video_frame_ahash(media)
+    assert fh.filter(F.col("decoder") != "raw-gray").count() == 0
+    pairs = {
+        (r.id_a, r.id_b): (r.n_common, r.jaccard)
+        for r in video_perceptual_pairs(media).collect()
+    }
+    assert pairs[(3, 600003)] == (3, 0.75)  # 3 of 4 frames survive
+    # no other video pairs with anything
+    assert set(pairs) == {(3, 600003)}
