@@ -40,9 +40,16 @@ def queries() -> dict[str, QueryFn]:
     # each round at sf0.01 by scratch/check.py -- see FULLSWEEP_r08.md.
     return {
         # -- NEW in r9: lead the driver window (r3 freeze rule).
-        # cdc_schema_timeline / cdc_payload_diff_guarded close the r8
-        # verdict's top item (DDL timeline + the payload-diff guard at
-        # the DDL boundary). --
+        # cdc_schema_timeline / cdc_payload_diff_guarded /
+        # cdc_schema_columns close the r8 verdict's top item (DDL
+        # timeline + the payload-diff guard at the DDL boundary + the
+        # effective column inventory); the incremental folds are
+        # verdict item 2; the perceptual tier is item 3.  The r8
+        # entries that follow back-fill the 50-entry window with
+        # cumulative-green rows; embedding_knn_label_audit /
+        # embedding_bitext_margin re-certify the r9 guard-rail change,
+        # media_ahash/media_perceptual_dup/video_perceptual_dup the
+        # decorrelated fixtures. --
         "cdc_schema_timeline": _q_cdc_schema_timeline,
         "cdc_payload_diff_guarded": _q_cdc_payload_diff_guarded,
         "cdc_schema_columns": _q_cdc_schema_columns,

@@ -87,6 +87,12 @@ PICKS = [
     ("doc_quality_blend", "quality blend: three CACHED signal frames (no pipeline re-run per consumer), 1-row boundary broadcasts"),
     ("cdc_near_miss_keys", "near-miss recovery: bucketed tolerance join over the anti residues -- equi join + residual, no theta join"),
     ("events_feed_gaps", "feed silence: distinct active minutes first, islands lag window over the aggregated frame only"),
+    # round 9
+    ("cdc_schema_timeline", "DDL timeline: full text parse -> regexp extraction -> ONE table-partitioned SCD2 window, statement-cardinality end to end"),
+    ("cdc_payload_diff_guarded", "guarded diff: cached payload frames feed matched-set + diff once; windows broadcast; keyed left-anti suppression"),
+    ("cdc_schema_columns", "column matrix: versions x touched-columns grid + carry-forward last(effect) window -- linear in statements"),
+    ("media_perceptual_dup", "perceptual pairs: blobs -> 4 band ints at the scan (payload never shuffles), band equi-join candidates, xor/bit_count verify"),
+    ("video_perceptual_dup", "video near-dup: container walk + frame hashes at the scan, rare-hash candidates, candidate-bounded set intersection"),
 ]
 
 

@@ -214,3 +214,52 @@ def test_transactions_fold_idempotent_replay(spark, tmp_path):
         tuple(r) for r in read_transactions(spark, state_dir).collect()
     )
     assert after == before
+
+
+def test_funnel_fold_late_view_dropped_like_watermark(spark, tmp_path):
+    """Documented contract, pinned: a view arriving LATE (event-time
+    before an already-set cursor) does not rewrite history -- the fold
+    keeps the first view it saw, exactly the call a watermarked
+    production stream makes by dropping late data.  The batch operator
+    over the full (un-watermarked) history would prefer the earlier
+    view; the divergence is the advertised drop, not a bug."""
+    import datetime as dt
+    import shutil
+
+    chunks = [
+        [(1, "2025-06-01 10:01:00", 1, "view", 1.0, "{}"),
+         (2, "2025-06-01 10:02:00", 1, "click", 1.0, "{}")],
+        # late view: event-time BEFORE the cursor set by chunk 1
+        [(3, "2025-06-01 10:00:00", 1, "view", 1.0, "{}")],
+    ]
+    d = str(tmp_path / "chunks")
+    os.makedirs(d)
+    for i, rows in enumerate(chunks):
+        df = spark.createDataFrame(
+            [(e, dt.datetime.fromisoformat(t), u, et, v, p)
+             for (e, t, u, et, v, p) in rows],
+            EVENTS_T,
+        )
+        part_dir = os.path.join(d, f"__part_{i}")
+        df.coalesce(1).write.parquet(part_dir)
+        [part] = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        dst = os.path.join(d, f"chunk_{i:02d}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(part_dir)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    state_dir, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    _drain(maintain_funnel(_stream(spark, d), state_dir, ckpt))
+    [got] = read_funnel(spark, state_dir).collect()
+    # fold keeps the 10:01 view (cursor immutable); the click counts
+    assert got.view_ts_ms == 1748772060000
+    assert got.stage_reached == 2
+    # the un-watermarked batch operator WOULD pick the late 10:00 view
+    # (and then the click still qualifies) -- the divergence is the
+    # documented watermark drop
+    all_ev = spark.createDataFrame(
+        [(e, dt.datetime.fromisoformat(t), u, et, v, p)
+         for rows in chunks for (e, t, u, et, v, p) in rows],
+        EVENTS_T,
+    )
+    [batch] = funnel_stages(all_ev).collect()
+    assert batch.view_ts_ms == 1748772000000
