@@ -806,6 +806,57 @@ def payload_diff_ddl_guard(
     return safe.unionByName(flagged)
 
 
+def ddl_guard_impact(
+    binlog_payload: DataFrame,
+    avro_payload: DataFrame,
+    key_tables: DataFrame,
+    drift_windows: DataFrame,
+) -> DataFrame:
+    """Operational rollup of the DDL quarantine: per drift window, how
+    many matched keys it swallows -- the readout that turns the guard
+    from a silent suppressor into a dashboard line ('the 10:03 ALTER
+    on db0.t1 is blocking N reconciliations; ship the producer schema
+    refresh').  Windows that quarantine nothing still appear (n = 0):
+    an open window with zero traffic yet is still an open risk.
+
+    Same join shape as the guard (matched-key equi-join + broadcast
+    windows), one window-cardinality rollup.  Returns (schema_name,
+    table_name, win_from, win_to, n_quarantined)."""
+    from .ddl import binlog_coord
+
+    matched = binlog_payload.select(*KEY).join(avro_payload.select(*KEY), KEY)
+    kt = matched.join(key_tables, KEY, "left")
+    # inner join broadcasts (a left join with a broadcast LEFT side
+    # can't build a hash table on the small side); zero-traffic
+    # windows come back in a final window-cardinality left join
+    j = kt.join(F.broadcast(drift_windows), ["schema_name", "table_name"])
+    coord = binlog_coord(F.col("binlog_file"), F.col("binlog_position"))
+    in_win = (coord >= F.col("win_from")) & (
+        F.col("win_to").isNull() | (coord < F.col("win_to"))
+    )
+    # NULL win_to (open window) can't be an equi-join key: surrogate
+    wt = F.coalesce(F.col("win_to"), F.lit("~open~")).alias("__wt")
+    counts = (
+        j.filter(in_win)
+        .groupBy("schema_name", "table_name", "win_from", wt)
+        .agg(F.count("*").alias("__n"))
+    )
+    wkeys = ["schema_name", "table_name", "win_from", "__wt"]
+    return (
+        drift_windows.withColumn(
+            "__wt", F.coalesce(F.col("win_to"), F.lit("~open~"))
+        )
+        .join(counts, wkeys, "left")
+        .select(
+            "schema_name",
+            "table_name",
+            "win_from",
+            "win_to",
+            F.coalesce(F.col("__n"), F.lit(0)).alias("n_quarantined"),
+        )
+    )
+
+
 def payload_diff_summary(diff: DataFrame, approx: bool = False) -> DataFrame:
     """Operational rollup of payload_diff findings: one row per
     (column, status) with the finding count and how many distinct keys

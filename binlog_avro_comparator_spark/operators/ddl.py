@@ -16,10 +16,12 @@ across the DDL boundary.  This module closes that gap:
     schema-version table (SCD2 shape: version, valid_from, valid_to,
     is_current), ordered by event time with binlog coordinates as the
     tiebreak.
-  * :func:`ddl_boundaries` -- per table, the FIRST unreconciled ALTER
-    in binlog-coordinate order: the start of the window in which
-    row-image payloads may no longer line up with the avro writer
-    schema.
+  * :func:`ddl_drift_windows` -- per table, the coordinate intervals
+    [ALTER, next writer-schema refresh) in which row-image payloads may
+    no longer line up with the avro writer schema.
+  * :func:`schema_column_matrix` -- the effective column set per
+    version (CREATE resets, ADD/DROP COLUMN adjust, DROP TABLE
+    empties).
   * :func:`payload_diff_ddl_guard` lives in operators/compare.py (it
     composes with payload_diff's join); this module only produces the
     frames it consumes.
@@ -171,6 +173,9 @@ def ddl_drift_windows(ddl: DataFrame) -> DataFrame:
             F.col("coord").alias("win_from"),
             "win_to",
         )
+        # two ALTERs at one coordinate (the dup-key plant) open the
+        # SAME window -- emit it once
+        .distinct()
     )
 
 

@@ -1084,7 +1084,7 @@ _DDL_WINDOWS_CTE = """qd AS (
   FROM ddl WHERE log_position <> 0
 ),
 win AS (
-  SELECT schema_name, table_name, coord AS win_from, win_to FROM (
+  SELECT DISTINCT schema_name, table_name, coord AS win_from, win_to FROM (
     SELECT *,
       min(CASE WHEN ddl_kind = 'CREATE' THEN coord END) OVER (
         PARTITION BY schema_name, table_name ORDER BY coord, event_id

@@ -1259,6 +1259,53 @@ SELECT binlog_file, binlog_position, '*' AS "column",
 FROM drift"""
     )
 
+    # quarantine impact rollup: per drift window, the matched keys it
+    # swallows; zero-traffic windows kept by the left join
+    sql["cdc_ddl_guard_impact"] = f"""
+WITH {_DDL_STMT_CTE.strip()},
+{_DDL_WINDOWS_CTE.strip()},
+dmlk AS (
+  SELECT binlog_file, binlog_position, user_id FROM (
+    SELECT 'mysql-bin.' || lpad(CAST(event_id % 4 AS VARCHAR), 6, '0')
+             AS binlog_file,
+      CASE WHEN event_id % 211 = 0 THEN 0
+           WHEN event_id % 53 = 0 THEN 100 * ((event_id + 4) // 4) + 4
+           ELSE 100 * (event_id // 4) + 4 END AS binlog_position,
+      event_id, user_id
+    FROM events
+    WHERE event_type IN ('click', 'view', 'purchase')
+      AND event_id % 223 <> 0
+  ) WHERE binlog_position <> 0
+  QUALIFY row_number() OVER (
+    PARTITION BY binlog_file, binlog_position ORDER BY event_id DESC) = 1
+),
+avk AS (
+  SELECT DISTINCT
+    'mysql-bin.' || lpad(CAST(event_id % 4 AS VARCHAR), 6, '0')
+      AS binlog_file,
+    CASE WHEN event_id % 17 = 5 THEN 100 * (event_id // 4) + 4 + 7
+         ELSE 100 * (event_id // 4) + 4 END AS binlog_position
+  FROM events
+  WHERE event_type IN ('click', 'view', 'purchase')
+    AND event_id % 13 <> 0 AND event_id % 29 <> 1
+),
+kcoord AS (
+  SELECT d.binlog_file, d.binlog_position,
+         'db' || CAST(d.user_id % 2 AS VARCHAR) AS schema_name,
+         't' || CAST(d.user_id % 3 AS VARCHAR) AS table_name,
+         d.binlog_file || ':'
+           || lpad(CAST(d.binlog_position AS VARCHAR), 12, '0') AS coord
+  FROM dmlk d JOIN avk a USING (binlog_file, binlog_position)
+)
+SELECT w.schema_name, w.table_name, w.win_from, w.win_to,
+       count(k.binlog_file) AS n_quarantined
+FROM win w
+LEFT JOIN kcoord k
+  ON k.schema_name = w.schema_name AND k.table_name = w.table_name
+ AND k.coord >= w.win_from
+ AND (w.win_to IS NULL OR k.coord < w.win_to)
+GROUP BY 1, 2, 3, 4"""
+
     # perceptual media tier: the oracle derives the aHash from the
     # pixel ARITHMETIC (never touching bytes) while Spark encodes real
     # BMPs and decodes them back -- encode->decode->hash vs pure SQL.

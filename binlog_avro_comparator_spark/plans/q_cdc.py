@@ -1228,17 +1228,10 @@ def _q_cdc_schema_columns(spark, sf_dir):
     return schema_column_matrix(_ddl_statements(spark, sf_dir))
 
 
-def _q_cdc_payload_diff_guarded(spark, sf_dir):
-    """payload_diff with the DDL drift-window quarantine
-    (compare.payload_diff_ddl_guard): matched keys inside a
-    [ALTER, next writer-schema refresh) window for their (schema,
-    table) collapse to one DDL_BOUNDARY row instead of untrusted
-    column findings -- closing the silent mis-pairing gap the r8
-    verdict named as the first thing a real CDC operator hits.  Same
-    genuine-bytes binlog side and derived avro side as
-    cdc_payload_diff; the windows come from the DDL timeline fixture;
-    key->table mapping is the LWW winner's (schema, table), the same
-    dedup rule the payload prepare uses."""
+def _guard_frames(spark, sf_dir):
+    """Shared frames for the DDL-guard family: genuine-bytes binlog
+    payload side, derived avro side, LWW key->table meta, and the
+    drift windows from the DDL timeline fixture."""
     from ..operators.ddl import ddl_drift_windows
     from ..sources.binlog_binary import read_binlog_rows_dir
 
@@ -1284,7 +1277,28 @@ def _q_cdc_payload_diff_guarded(spark, sf_dir):
         )
     )
     windows = ddl_drift_windows(_ddl_statements(spark, sf_dir))
-    return C.payload_diff_ddl_guard(bp, ap, key_tables, windows)
+    return bp, ap, key_tables, windows
+
+
+def _q_cdc_payload_diff_guarded(spark, sf_dir):
+    """payload_diff with the DDL drift-window quarantine
+    (compare.payload_diff_ddl_guard): matched keys inside a
+    [ALTER, next writer-schema refresh) window for their (schema,
+    table) collapse to one DDL_BOUNDARY row instead of untrusted
+    column findings -- closing the silent mis-pairing gap the r8
+    verdict named.  Genuine-bytes binlog side, derived avro side;
+    key->table mapping is the LWW winner's (schema, table), the same
+    dedup rule the payload prepare uses."""
+    return C.payload_diff_ddl_guard(*_guard_frames(spark, sf_dir))
+
+
+def _q_cdc_ddl_guard_impact(spark, sf_dir):
+    """Quarantine impact rollup (compare.ddl_guard_impact): per drift
+    window, the matched keys it swallows -- the dashboard line that
+    tells which ALTER is blocking reconciliation and how hard;
+    zero-traffic windows appear with n = 0 (open risk, no damage
+    yet)."""
+    return C.ddl_guard_impact(*_guard_frames(spark, sf_dir))
 
 
 __all__ = [_n for _n in list(globals()) if not _n.startswith('__') and _n != '_shared']

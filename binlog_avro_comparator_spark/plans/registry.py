@@ -53,6 +53,7 @@ def queries() -> dict[str, QueryFn]:
         "cdc_schema_timeline": _q_cdc_schema_timeline,
         "cdc_payload_diff_guarded": _q_cdc_payload_diff_guarded,
         "cdc_schema_columns": _q_cdc_schema_columns,
+        "cdc_ddl_guard_impact": _q_cdc_ddl_guard_impact,
         # production incremental folds for the complete-mode streams
         # (r8 verdict item 2): versioned-state foreachBatch, multi
         # micro-batch replay, state never holds the event history
