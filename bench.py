@@ -244,10 +244,14 @@ EXTRA_QUERIES = [
     # round 9
     "cdc_schema_timeline",
     "cdc_payload_diff_guarded",
+    "cdc_schema_columns",
+    "cdc_ddl_guard_impact",
     "cdc_transactions_incremental",
     "events_funnel_incremental",
     "media_ahash",
     "media_perceptual_dup",
+    "video_perceptual_dup",
+    "embedding_prototypes",
 ]
 
 # Plan-stable anchor (r8 verdict item 5): q1_pricing_summary's plan has

@@ -1913,6 +1913,57 @@ def embedding_coreset(
     )
 
 
+def embedding_prototypes(
+    embeddings: DataFrame,
+    k: int = 8,
+    per_cluster: int = 5,
+    n_iter: int = 2,
+    stride: int = 37,
+    dim: int = 64,
+) -> DataFrame:
+    """Prototype selection: the ``per_cluster`` MOST prototypical
+    vectors per k-means cluster (highest cosine to the centroid) --
+    the dual of embedding_coreset (which keeps the hard tail).  This
+    is the 'show me what each cluster IS' pick: eval-set seeds,
+    labeling candidates, cluster naming -- the handful of examples a
+    curator reads before deciding what a million-document cluster
+    means.
+
+    Rank is a per-cluster window (cos desc, vec_id tiebreak), which
+    Spark executes as WindowGroupLimit: each task keeps only its local
+    top-``per_cluster`` BEFORE the shuffle, so the exchange carries
+    k * per_cluster * tasks rows, not the corpus -- the skew of k
+    partitions never sees full-cluster data.  Returns (vec_id,
+    centroid_id, cos_center, proto_rank)."""
+    a, c = kmeans_assignments(
+        embeddings, k=k, n_iter=n_iter, stride=stride, dim=dim,
+        return_centroids=True,
+    )
+    cnorm = F.sqrt(
+        F.aggregate(F.col("c"), F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    cents = c.select("centroid_id", "c", cnorm.alias("__cnorm"))
+    cos = F.round(
+        _dot(F.col("embedding"), F.col("c"))
+        / (F.col("norm") * F.col("__cnorm")),
+        COS_ROUND,
+    )
+    scored = (
+        with_norm(embeddings)
+        .join(a.select("vec_id", "centroid_id"), "vec_id")
+        .join(F.broadcast(cents), "centroid_id")
+        .select("vec_id", "centroid_id", cos.alias("cos_center"))
+    )
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.col("cos_center").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("proto_rank", F.row_number().over(w))
+        .filter(F.col("proto_rank") <= per_cluster)
+        .select("vec_id", "centroid_id", "cos_center", "proto_rank")
+    )
+
+
 def ivf_probe_curve(
     embeddings: DataFrame,
     n_queries: int = 32,

@@ -353,6 +353,31 @@ bounds AS (
 )
 SELECT s.vec_id, s.centroid_id, s.cos_center, s.cos_center <= b.b AS keep
 FROM scored s JOIN bounds b ON b.centroid_id = s.centroid_id""",
+        # twin of similarity.embedding_prototypes: same unrolled
+        # k-means + centroid-cosine scoring, per-cluster top-5 rank
+        "embedding_prototypes": f"""
+WITH {_KMEANS_CTE},
+cn AS (SELECT centroid_id, sqrt(sum(cv * cv)) AS cnorm FROM c1 GROUP BY 1),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS norm FROM ex GROUP BY vec_id),
+dots AS (
+  SELECT e.vec_id, a.centroid_id, sum(e.v * c.cv) AS dot
+  FROM ex e
+  JOIN a1 a ON a.vec_id = e.vec_id
+  JOIN c1 c ON c.centroid_id = a.centroid_id AND c.ord = e.ord
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.vec_id, d.centroid_id,
+         round(d.dot / (n.norm * cn.cnorm), 6) AS cos_center
+  FROM dots d
+  JOIN norms n ON n.vec_id = d.vec_id
+  JOIN cn ON cn.centroid_id = d.centroid_id
+)
+SELECT vec_id, centroid_id, cos_center, CAST(rn AS INT) AS proto_rank FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY centroid_id ORDER BY cos_center DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= 5""",
         # twin of similarity.semdedup_survivors (k=8, n_iter=2,
         # threshold=0.99): the SAME unrolled k-means CTE, then pairwise
         # cosine within each cluster, losers = higher vec_id of any

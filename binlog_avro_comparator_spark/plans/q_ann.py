@@ -161,6 +161,17 @@ def _q_embedding_coreset(spark, sf_dir):
     return embedding_coreset(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_embedding_prototypes(spark, sf_dir):
+    """Prototype selection (similarity.embedding_prototypes): per
+    k-means cluster the 5 most-central vectors -- the eval-seed /
+    labeling / cluster-naming pick, dual of the coreset; per-cluster
+    top-k executes as WindowGroupLimit (map-side partial limit)."""
+    from ..operators.similarity import embedding_prototypes
+
+    ensure_session_conf(spark)
+    return embedding_prototypes(load_table(spark, sf_dir, "embeddings"))
+
+
 def _q_media_exact_dedup(spark, sf_dir):
     """Blob-level exact dedup over the derived media frame (documents'
     text bytes as opaque content, doubled for ids >= 490 to plant

@@ -64,6 +64,7 @@ def queries() -> dict[str, QueryFn]:
         "media_ahash": _q_media_ahash,
         "media_perceptual_dup": _q_media_perceptual_dup,
         "video_perceptual_dup": _q_video_perceptual_dup,
+        "embedding_prototypes": _q_embedding_prototypes,
         # -- NEW or CHANGED in r8: lead the driver window (r3 freeze
         # rule).  The two *_bucketed entries are the r7 verdict's
         # top item (candidates= scale path for the embedding audits);
