@@ -4159,3 +4159,152 @@ def feed_gaps(events: DataFrame, bucket_ms: int = 60_000) -> DataFrame:
         .cast("long")
         .alias("n_minutes"),
     )
+
+
+def k_anonymity_report(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """k-anonymity / l-diversity audit over customer quasi-identifiers.
+
+    A release of ``customer`` keyed by the quasi-identifier tuple
+    (nation, market segment, account-balance bracket) is k-anonymous
+    iff every equivalence class holds >= k individuals, and l-diverse
+    iff every class sees >= l distinct values of the sensitive
+    attribute (here: the order priorities the class's members used --
+    a proxy for the behavioural column a real release would carry).
+    Sweeney's k-anonymity and Machanavajjhala's l-diversity are the
+    published framework; this is the audit a pipeline runs BEFORE
+    publishing a training slice keyed on demographic columns.
+
+    Scale shape: one shuffle to aggregate orders per customer is
+    avoided entirely -- the join key is c_custkey, so we aggregate
+    AFTER the join, and the single groupBy on the QI tuple map-side
+    combines (classes ~ |nations| x |segments| x |brackets|, a tiny
+    frame).  No windows, no driver collect; the customer x orders
+    join shuffles on custkey once (or broadcasts the dimension at
+    real scale where orders >> customer).  Returns one row per
+    equivalence class: (nationkey, mktsegment, bal_bracket, k,
+    l_diversity, risk_band) with HIGH < 5 <= MEDIUM < 20 <= LOW.
+    """
+    bracket = F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("int")
+    joined = customer.select(
+        "c_custkey",
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        bracket.alias("bal_bracket"),
+    ).join(
+        orders.select("o_custkey", "o_orderpriority"),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left",
+    )
+    per_class = joined.groupBy("nationkey", "mktsegment", "bal_bracket").agg(
+        F.count_distinct("c_custkey").alias("k"),
+        F.count_distinct("o_orderpriority").alias("l_diversity"),
+    )
+    risk = (
+        F.when(F.col("k") < 5, "HIGH")
+        .when(F.col("k") < 20, "MEDIUM")
+        .otherwise("LOW")
+    )
+    return per_class.select(
+        "nationkey", "mktsegment", "bal_bracket", "k", "l_diversity",
+        risk.alias("risk_band"),
+    )
+
+
+def seasonal_profile(orders: DataFrame) -> DataFrame:
+    """Classical seasonal decomposition of the monthly revenue series:
+    centered 12-month moving-average trend, per-month seasonal index,
+    and the deseasonalized series -- the ratio-to-moving-average half of a
+    Cleveland-style STL, kept to exactly the pieces two engines can
+    agree on bit-for-bit.
+
+    Float determinism: monthly revenue is a DECIMAL sum (exact,
+    order-independent); the trend is a DECIMAL window sum over ROWS
+    BETWEEN 5 PRECEDING AND 6 FOLLOWING divided once (only full
+    12-row frames keep a trend); the seasonal index is an exact
+    DECIMAL sum of the 6-dp-rounded ratios divided ONCE by the
+    month's count and left UNROUNDED -- the 6-dp decimal numerator
+    makes exact half-ulp ties at any further rounding boundary
+    likely (sf0.01 hits 1.0391555 in month 09), and HALF_UP (JVM
+    BigDecimal) vs round-via-double (C printf family) disagree
+    exactly there, so the contract value is the raw IEEE quotient,
+    which IS bit-deterministic (exact numerator, one division).
+
+    Scale shape: the calendar aggregate map-side combines down to one
+    row per month; the ordered window and the 12-row month-of-year
+    index frame both run over that months-sized frame (a single task,
+    which is exactly where a global-ordering window belongs -- the
+    raw orders table is never windowed).  Returns (month, revenue,
+    trend, ratio, month_of_year, seasonal_index, deseasonalized).
+    """
+    per_month = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(F.sum(F.col("o_totalprice").cast(_DEC)).alias("__rev"))
+    w = Window.orderBy("month").rowsBetween(-5, 6)
+    rev = F.col("__rev").cast("double")
+    trend = F.when(
+        F.count("*").over(w) == 12,
+        F.sum("__rev").over(w).cast("double") / F.lit(12.0),
+    )
+    ratio = F.round(rev / trend, 6)
+    monthly = per_month.select(
+        "month",
+        rev.alias("revenue"),
+        trend.alias("trend"),
+        ratio.alias("ratio"),
+        F.substring("month", 6, 2).alias("month_of_year"),
+    )
+    idx = monthly.groupBy("month_of_year").agg(
+        (
+            F.sum(F.col("ratio").cast("decimal(18,6)")).cast("double")
+            / F.count("ratio")
+        ).alias("seasonal_index")
+    )
+    return monthly.join(F.broadcast(idx), "month_of_year").select(
+        "month",
+        "revenue",
+        "trend",
+        "ratio",
+        "month_of_year",
+        "seasonal_index",
+        F.round(F.col("revenue") / F.col("seasonal_index"), 4).alias(
+            "deseasonalized"
+        ),
+    )
+
+
+def user_lifecycle(events: DataFrame, resurrect_days: int = 7) -> DataFrame:
+    """Growth-accounting lifecycle rollup: every active (user, day) is
+    NEW (first day ever), RETURNING (last activity within
+    ``resurrect_days``), or RESURRECTED (a longer gap) -- the
+    new/retained/resurrected ledger every DAU dashboard decomposes
+    into, per the standard growth-accounting identity.
+
+    Scale shape: dedup to (user, day) is one map-side-combinable
+    aggregate; the lag window partitions BY USER (millions of small
+    partitions, never a global sort); the final day rollup map-side
+    combines to calendar size.  Returns per day: (day, n_active,
+    n_new, n_returning, n_resurrected).
+    """
+    user_days = events.filter(F.col("user_id").isNotNull()).select(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    gap = F.datediff(
+        F.col("day").cast("date"), F.lag("day").over(w).cast("date")
+    )
+    status = (
+        F.when(gap.isNull(), "new")
+        .when(gap <= resurrect_days, "returning")
+        .otherwise("resurrected")
+    )
+    tagged = user_days.select("day", status.alias("status"))
+    return tagged.groupBy("day").agg(
+        F.count("*").alias("n_active"),
+        F.sum(F.when(F.col("status") == "new", 1).otherwise(0)).alias("n_new"),
+        F.sum(F.when(F.col("status") == "returning", 1).otherwise(0)).alias(
+            "n_returning"
+        ),
+        F.sum(F.when(F.col("status") == "resurrected", 1).otherwise(0)).alias(
+            "n_resurrected"
+        ),
+    )

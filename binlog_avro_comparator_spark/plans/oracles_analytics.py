@@ -2359,3 +2359,75 @@ SELECT file_id, count(*) AS n_rows,
        min(l_partkey) AS min_partkey, max(l_partkey) AS max_partkey,
        max(l_partkey) < 100 OR min(l_partkey) > 200 AS skippable
 FROM keyed GROUP BY file_id"""
+
+    # twin of analytics.k_anonymity_report: equivalence-class sizes
+    # over the QI tuple + l-diversity on the order-priority column
+    sql["customer_k_anonymity"] = """
+WITH j AS (
+  SELECT c_custkey, c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+         CAST(floor(c_acctbal / 1000.0) AS INTEGER) AS bal_bracket,
+         o_orderpriority
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+)
+SELECT nationkey, mktsegment, bal_bracket,
+       count(DISTINCT c_custkey) AS k,
+       count(DISTINCT o_orderpriority) AS l_diversity,
+       CASE WHEN count(DISTINCT c_custkey) < 5 THEN 'HIGH'
+            WHEN count(DISTINCT c_custkey) < 20 THEN 'MEDIUM'
+            ELSE 'LOW' END AS risk_band
+FROM j GROUP BY 1, 2, 3"""
+
+    # twin of analytics.seasonal_profile: decimal-exact monthly sums,
+    # 12-row centered-MA trend, exact-sum seasonal index
+    sql["orders_seasonal_profile"] = """
+WITH per_month AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+  FROM orders GROUP BY 1
+),
+trended AS (
+  SELECT month, CAST(rev AS DOUBLE) AS revenue,
+         CASE WHEN count(*) OVER w = 12
+              THEN CAST(sum(rev) OVER w AS DOUBLE) / 12.0 END AS trend
+  FROM per_month
+  WINDOW w AS (ORDER BY month ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING)
+),
+ratios AS (
+  SELECT month, revenue, trend,
+         round(revenue / trend, 6) AS ratio,
+         substr(month, 6, 2) AS month_of_year
+  FROM trended
+),
+idx AS (
+  SELECT month_of_year,
+         CAST(sum(CAST(ratio AS DECIMAL(18,6))) AS DOUBLE)
+           / count(ratio) AS seasonal_index
+  FROM ratios GROUP BY 1
+)
+SELECT r.month, r.revenue, r.trend, r.ratio, r.month_of_year,
+       i.seasonal_index,
+       round(r.revenue / i.seasonal_index, 4) AS deseasonalized
+FROM ratios r JOIN idx i USING (month_of_year)"""
+
+    # twin of analytics.user_lifecycle: per-user lag over distinct
+    # active days, growth-accounting rollup per day
+    sql["events_user_lifecycle"] = """
+WITH user_days AS (
+  SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+  FROM events WHERE user_id IS NOT NULL
+),
+tagged AS (
+  SELECT day,
+         CASE WHEN lag(day) OVER (PARTITION BY user_id ORDER BY day) IS NULL
+                THEN 'new'
+              WHEN date_diff('day',
+                     CAST(lag(day) OVER (PARTITION BY user_id ORDER BY day) AS DATE),
+                     CAST(day AS DATE)) <= 7 THEN 'returning'
+              ELSE 'resurrected' END AS status
+  FROM user_days
+)
+SELECT day, count(*) AS n_active,
+       CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(sum(CASE WHEN status = 'returning' THEN 1 ELSE 0 END) AS BIGINT) AS n_returning,
+       CAST(sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+FROM tagged GROUP BY day"""

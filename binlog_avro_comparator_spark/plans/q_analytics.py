@@ -912,4 +912,37 @@ def _q_bot_scores(spark, sf_dir):
     return bot_scores(load_table(spark, sf_dir, "events"))
 
 
+def _q_k_anonymity(spark, sf_dir):
+    """k-anonymity / l-diversity release audit
+    (analytics.k_anonymity_report): equivalence-class sizes over the
+    (nation, segment, balance-bracket) quasi-identifier with the
+    order-priority sensitive column -- HIGH/MEDIUM/LOW risk bands."""
+    ensure_session_conf(spark)
+    from ..operators.analytics import k_anonymity_report
+
+    return k_anonymity_report(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+def _q_seasonal_profile(spark, sf_dir):
+    """Monthly-revenue seasonal decomposition
+    (analytics.seasonal_profile): centered 12-month MA trend +
+    per-month seasonal index + deseasonalized series, all
+    decimal-exact."""
+    ensure_session_conf(spark)
+    from ..operators.analytics import seasonal_profile
+
+    return seasonal_profile(load_table(spark, sf_dir, "orders"))
+
+
+def _q_user_lifecycle(spark, sf_dir):
+    """Growth-accounting lifecycle ledger (analytics.user_lifecycle):
+    per-day new / returning / resurrected active-user decomposition."""
+    ensure_session_conf(spark)
+    from ..operators.analytics import user_lifecycle
+
+    return user_lifecycle(load_table(spark, sf_dir, "events"))
+
+
 __all__ = [_n for _n in list(globals()) if not _n.startswith('__') and _n != '_shared']

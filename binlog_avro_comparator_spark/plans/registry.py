@@ -50,6 +50,11 @@ def queries() -> dict[str, QueryFn]:
         # embedding_bitext_margin re-certify the r9 guard-rail change,
         # media_ahash/media_perceptual_dup/video_perceptual_dup the
         # decorrelated fixtures. --
+        # -- NEW in r9 continuation session: privacy release audit,
+        # calendar seasonal decomposition, growth-accounting ledger --
+        "customer_k_anonymity": _q_k_anonymity,
+        "orders_seasonal_profile": _q_seasonal_profile,
+        "events_user_lifecycle": _q_user_lifecycle,
         "cdc_schema_timeline": _q_cdc_schema_timeline,
         "cdc_payload_diff_guarded": _q_cdc_payload_diff_guarded,
         "cdc_schema_columns": _q_cdc_schema_columns,

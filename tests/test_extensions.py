@@ -4835,3 +4835,100 @@ def test_video_perceptual_catches_rerender(spark):
     assert pairs[(3, 600003)] == (3, 0.75)  # 3 of 4 frames survive
     # no other video pairs with anything
     assert set(pairs) == {(3, 600003)}
+
+
+def test_k_anonymity_bands_and_l_diversity(spark):
+    """Class of 2 -> HIGH; class of 6 -> MEDIUM; l-diversity counts
+    DISTINCT priorities of the class's orders; customers without
+    orders keep l = 0."""
+    from binlog_avro_comparator_spark.operators.analytics import (
+        k_anonymity_report,
+    )
+
+    cust = spark.createDataFrame(
+        # QI = (nation, segment, floor(bal/1000))
+        [(1, "c1", 10, 500.0, "AUTO"), (2, "c2", 10, 900.0, "AUTO")]  # HIGH, k=2
+        + [(10 + i, f"m{i}", 20, 1500.0, "BLDG") for i in range(6)]  # MEDIUM
+        + [(100, "lone", 30, 2500.0, "SHIP")],  # HIGH, no orders
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [(1, 1, "1-URGENT"), (2, 1, "2-HIGH"), (3, 2, "1-URGENT"),
+         (4, 10, "3-MEDIUM")],
+        "o_orderkey long, o_custkey long, o_orderpriority string",
+    )
+    got = {
+        (r.nationkey, r.mktsegment, r.bal_bracket): r
+        for r in k_anonymity_report(cust, orders).collect()
+    }
+    small = got[(10, "AUTO", 0)]
+    assert small.k == 2 and small.risk_band == "HIGH"
+    assert small.l_diversity == 2  # URGENT + HIGH across the class
+    med = got[(20, "BLDG", 1)]
+    assert med.k == 6 and med.risk_band == "MEDIUM" and med.l_diversity == 1
+    lone = got[(30, "SHIP", 2)]
+    assert lone.k == 1 and lone.l_diversity == 0 and lone.risk_band == "HIGH"
+
+
+def test_seasonal_profile_trend_window_and_index(spark):
+    """Trend exists only for full 12-row centered frames; the seasonal
+    index is the mean ratio of the month-of-year; a flat series gets
+    index 1.0 and deseasonalized == revenue."""
+    from binlog_avro_comparator_spark.operators.analytics import (
+        seasonal_profile,
+    )
+    import datetime
+
+    rows = []
+    k = 0
+    for year in (2023, 2024):
+        for m in range(1, 13):
+            rows.append((k, 1, datetime.datetime(year, m, 15), 1200.0))
+            k += 1
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate timestamp,"
+        " o_totalprice double",
+    )
+    got = {r.month: r for r in seasonal_profile(orders).collect()}
+    assert len(got) == 24
+    # months 1..5 of 2023 lack 5 preceding rows; month 7+5=12 needs 6
+    # following, so 2024-07 onward also has no trend
+    assert got["2023-01"].trend is None
+    assert got["2023-06"].trend == 1200.0
+    assert got["2024-06"].trend == 1200.0
+    assert got["2024-07"].trend is None
+    assert got["2023-06"].ratio == 1.0
+    assert got["2023-06"].seasonal_index == 1.0
+    assert got["2023-06"].deseasonalized == 1200.0
+
+
+def test_user_lifecycle_new_returning_resurrected(spark):
+    """First day ever = new; gap <= 7 days = returning; longer =
+    resurrected; multiple events one day count once."""
+    from binlog_avro_comparator_spark.operators.analytics import (
+        user_lifecycle,
+    )
+    import datetime
+
+    d = datetime.datetime
+    rows = [
+        # user 1: day 1 (new), day 3 (returning), day 20 (resurrected)
+        (0, d(2024, 1, 1, 8), 1, "click", 1.0, "{}"),
+        (1, d(2024, 1, 1, 9), 1, "view", 1.0, "{}"),  # same day, dedup
+        (2, d(2024, 1, 3, 8), 1, "click", 1.0, "{}"),
+        (3, d(2024, 1, 20, 8), 1, "click", 1.0, "{}"),
+        # user 2: day 3 only (new)
+        (4, d(2024, 1, 3, 10), 2, "view", 1.0, "{}"),
+        # null user ignored
+        (5, d(2024, 1, 1, 10), None, "view", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {r.day: r for r in user_lifecycle(ev).collect()}
+    assert got["2024-01-01"].n_active == 1 and got["2024-01-01"].n_new == 1
+    assert got["2024-01-03"].n_active == 2
+    assert got["2024-01-03"].n_new == 1 and got["2024-01-03"].n_returning == 1
+    assert got["2024-01-20"].n_resurrected == 1
