@@ -564,3 +564,25 @@ def derive_avro_rows(events: DataFrame) -> DataFrame:
             eid.alias("avro_line_no"),
         )
     )
+
+
+def derive_multimaster_changes(events: DataFrame) -> DataFrame:
+    """events -> a synthetic MULTI-writer change feed for the conflict
+    detector: the single-writer fixture (every GTID under uuid-0) can
+    never conflict, so this view assigns ownership in blocks of 64
+    events -- ``uuid-(event_id // 64) % 3`` -- modelling a topology
+    where masters take turns owning the write path and the hazard is a
+    key whose writes straddle an ownership handover.  Derived with only
+    SQL-expressible arithmetic so the DuckDB oracle mirrors it
+    verbatim (same discipline as every planted divergence above).
+
+    Returns (key, writer, ts_ms, event_id)."""
+    eid = F.col("event_id")
+    return events.filter(F.col("user_id").isNotNull()).select(
+        F.col("user_id").alias("key"),
+        F.concat(
+            F.lit("uuid-"), (F.floor(eid / 64) % 3).cast("string")
+        ).alias("writer"),
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        eid.alias("event_id"),
+    )

@@ -1496,3 +1496,54 @@ def near_miss_keys(
             "status"
         ),
     ).distinct()
+
+
+def multimaster_conflicts(
+    changes: DataFrame, tolerance_ms: int = 3_600_000
+) -> DataFrame:
+    """Multi-master write-conflict detection: keys where consecutive
+    writes come from DIFFERENT source servers within ``tolerance_ms``
+    -- the active-active replication hazard (MySQL group replication /
+    any multi-writer topology) where last-write-wins silently drops
+    one side's update.  A key written by two masters hours apart is a
+    normal failover; the SAME key flapping between masters inside the
+    tolerance window is a conflict a human must adjudicate.
+
+    Input contract: (key, writer, ts_ms, event_id) -- one row per
+    write, ``writer`` the server UUID owning the GTID.
+
+    Scale shape: one lag window PARTITIONED BY KEY (millions of small
+    partitions, never a global sort) + one map-side-combinable hash
+    aggregate per key; only conflicted keys survive the final filter,
+    so output is incident-sized.  The writer census per key rides the
+    same aggregate (count_distinct), no second pass.
+
+    Returns per conflicted key: (key, n_writers, n_events,
+    n_conflicts, first_conflict_ts_ms, last_conflict_ts_ms, writers
+    -- the sorted distinct writer list, comma-joined).
+    """
+    w = Window.partitionBy("key").orderBy("ts_ms", "event_id")
+    flagged = changes.select(
+        "key",
+        "writer",
+        "ts_ms",
+        (
+            (F.col("writer") != F.lag("writer").over(w))
+            & ((F.col("ts_ms") - F.lag("ts_ms").over(w)) <= tolerance_ms)
+        ).alias("__conflict"),
+    )
+    per_key = flagged.groupBy("key").agg(
+        F.count_distinct("writer").alias("n_writers"),
+        F.count("*").alias("n_events"),
+        F.sum(F.col("__conflict").cast("int")).alias("n_conflicts"),
+        F.min(F.when(F.col("__conflict"), F.col("ts_ms"))).alias(
+            "first_conflict_ts_ms"
+        ),
+        F.max(F.when(F.col("__conflict"), F.col("ts_ms"))).alias(
+            "last_conflict_ts_ms"
+        ),
+        F.array_join(F.array_sort(F.collect_set("writer")), ",").alias(
+            "writers"
+        ),
+    )
+    return per_key.filter(F.col("n_conflicts") > 0)

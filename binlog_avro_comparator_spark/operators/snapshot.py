@@ -402,3 +402,71 @@ def scd2_audit(history: DataFrame) -> DataFrame:
         "n_empty_intervals",
         consistent.alias("consistent"),
     )
+
+
+def changelog_compaction(events: DataFrame) -> DataFrame:
+    """Compact each key's change run into its NET effect -- the
+    changelog a CDC relay ships downstream instead of the full event
+    history (Kafka log-compaction / Debezium "tombstone + last image"
+    semantics, computed set-wise).
+
+    Net rule relative to the state BEFORE the feed, per key in (ts,
+    event_id) order:
+
+    - first=INSERT, last=DELETE  -> NOOP   (created then destroyed
+      inside the feed: downstream never needs to hear about it)
+    - last=DELETE                -> DELETE (existed before, gone now)
+    - first=INSERT               -> INSERT (new key, ship last image)
+    - otherwise                  -> UPDATE (existed before and after;
+      one UPDATE with the last image replaces the whole run)
+
+    Scale shape: ONE hash aggregate -- min_by/max_by on the (ts_ms,
+    event_id) ordering struct, map-side combinable, no window over the
+    event history and no shuffle beyond the single groupBy.  At 100 TB
+    this is the same plan as apply_changes: the event feed streams
+    through partial aggregates and only key-cardinality rows shuffle.
+
+    Returns (user_id, net_op, first_op, last_op, last_ts_ms,
+    last_event_id, last_value, n_events) -- n_events is the run length
+    the single net row replaces.
+    """
+    op = F.lit(None).cast("string")
+    for src, dst in _OP.items():
+        op = F.when(F.col("event_type") == src, dst).otherwise(op)
+    ts_ms = F.unix_millis(F.col("ts"))
+    changes = events.filter(
+        F.col("event_type").isin(*_OP) & F.col("user_id").isNotNull()
+    ).select(
+        "user_id",
+        F.struct(
+            op.alias("op"),
+            ts_ms.alias("ts_ms"),
+            F.col("event_id").alias("event_id"),
+            F.col("value").alias("value"),
+        ).alias("c"),
+        F.struct(ts_ms.alias("ts_ms"), F.col("event_id").alias("event_id")).alias(
+            "__ord"
+        ),
+    )
+    agg = changes.groupBy("user_id").agg(
+        F.min_by("c", F.col("__ord")).alias("first"),
+        F.max_by("c", F.col("__ord")).alias("last"),
+        F.count("*").alias("n_events"),
+    )
+    first_op, last_op = F.col("first.op"), F.col("last.op")
+    net = (
+        F.when((first_op == "INSERT") & (last_op == "DELETE"), "NOOP")
+        .when(last_op == "DELETE", "DELETE")
+        .when(first_op == "INSERT", "INSERT")
+        .otherwise("UPDATE")
+    )
+    return agg.select(
+        "user_id",
+        net.alias("net_op"),
+        first_op.alias("first_op"),
+        last_op.alias("last_op"),
+        F.col("last.ts_ms").alias("last_ts_ms"),
+        F.col("last.event_id").alias("last_event_id"),
+        F.round(F.col("last.value"), 4).alias("last_value"),
+        "n_events",
+    )

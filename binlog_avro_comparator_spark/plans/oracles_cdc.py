@@ -1518,3 +1518,67 @@ pres AS (
 )
 SELECT schema_name, table_name, version, col AS column_name
 FROM pres WHERE present"""
+
+    # twin of snapshot.changelog_compaction: arg_min/arg_max over the
+    # same (ts_ms, event_id) ordering tuple, same net rule
+    sql["cdc_changelog_compaction"] = """
+WITH changes AS (
+  SELECT user_id,
+         CASE event_type WHEN 'click' THEN 'INSERT'
+                         WHEN 'view' THEN 'UPDATE'
+                         ELSE 'DELETE' END AS op,
+         epoch_ms(ts) AS ts_ms, event_id, value
+  FROM events
+  WHERE event_type IN ('click', 'view', 'purchase') AND user_id IS NOT NULL
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts_ms, event_id) AS rn_first,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts_ms DESC, event_id DESC) AS rn_last,
+         count(*) OVER (PARTITION BY user_id) AS n_events,
+         first(op) OVER (PARTITION BY user_id
+                         ORDER BY ts_ms, event_id) AS first_op
+  FROM changes
+),
+agg AS (
+  SELECT user_id, first_op, op AS last_op, ts_ms AS last_ts_ms,
+         event_id AS last_event_id, round(value, 4) AS last_value, n_events
+  FROM ranked WHERE rn_last = 1
+)
+SELECT user_id,
+       CASE WHEN first_op = 'INSERT' AND last_op = 'DELETE' THEN 'NOOP'
+            WHEN last_op = 'DELETE' THEN 'DELETE'
+            WHEN first_op = 'INSERT' THEN 'INSERT'
+            ELSE 'UPDATE' END AS net_op,
+       first_op, last_op, last_ts_ms, last_event_id, last_value, n_events
+FROM agg"""
+
+    # twin of compare.multimaster_conflicts over the block-rotating
+    # synthetic writer view (fixtures.derive_multimaster_changes)
+    sql["cdc_multimaster_conflicts"] = """
+WITH c AS (
+  SELECT user_id AS key,
+         'uuid-' || CAST((event_id // 64) % 3 AS VARCHAR) AS writer,
+         epoch_ms(ts) AS ts_ms, event_id
+  FROM events WHERE user_id IS NOT NULL
+),
+flagged AS (
+  SELECT key, writer, ts_ms,
+         (writer <> lag(writer) OVER w
+          AND ts_ms - lag(ts_ms) OVER w <= 3600000) AS conflict
+  FROM c WINDOW w AS (PARTITION BY key ORDER BY ts_ms, event_id)
+),
+per_key AS (
+  SELECT key,
+         count(DISTINCT writer) AS n_writers,
+         count(*) AS n_events,
+         CAST(sum(CASE WHEN conflict THEN 1 ELSE 0 END) AS BIGINT) AS n_conflicts,
+         min(CASE WHEN conflict THEN ts_ms END) AS first_conflict_ts_ms,
+         max(CASE WHEN conflict THEN ts_ms END) AS last_conflict_ts_ms,
+         list_aggregate(list_sort(list(DISTINCT writer)), 'string_agg', ',')
+           AS writers
+  FROM flagged GROUP BY key
+)
+SELECT * FROM per_key WHERE n_conflicts > 0"""

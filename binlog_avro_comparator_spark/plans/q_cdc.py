@@ -1301,4 +1301,31 @@ def _q_cdc_ddl_guard_impact(spark, sf_dir):
     return C.ddl_guard_impact(*_guard_frames(spark, sf_dir))
 
 
+def _q_cdc_changelog_compaction(spark, sf_dir):
+    """Net-effect changelog compaction (snapshot.changelog_compaction):
+    each key's change run collapsed to the single op a downstream
+    consumer needs -- INSERT/UPDATE/DELETE with the last image, or
+    NOOP for keys created and destroyed inside the feed.  ONE
+    min_by/max_by hash aggregate, no event-history window."""
+    ensure_session_conf(spark)
+    from ..operators.snapshot import changelog_compaction
+
+    return changelog_compaction(load_table(spark, sf_dir, "events"))
+
+
+def _q_cdc_multimaster_conflicts(spark, sf_dir):
+    """Multi-master write conflicts (compare.multimaster_conflicts):
+    keys flapping between source servers within the 1 h tolerance --
+    the active-active last-write-wins hazard.  Writer ownership is
+    the block-rotating synthetic view (fixtures.
+    derive_multimaster_changes); one per-key lag window + one hash
+    aggregate."""
+    ensure_session_conf(spark)
+    from ..fixtures import derive_multimaster_changes
+
+    return C.multimaster_conflicts(
+        derive_multimaster_changes(load_table(spark, sf_dir, "events"))
+    )
+
+
 __all__ = [_n for _n in list(globals()) if not _n.startswith('__') and _n != '_shared']

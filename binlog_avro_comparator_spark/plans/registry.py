@@ -52,6 +52,8 @@ def queries() -> dict[str, QueryFn]:
         # decorrelated fixtures. --
         # -- NEW in r9 continuation session: privacy release audit,
         # calendar seasonal decomposition, growth-accounting ledger --
+        "cdc_changelog_compaction": _q_cdc_changelog_compaction,
+        "cdc_multimaster_conflicts": _q_cdc_multimaster_conflicts,
         "customer_k_anonymity": _q_k_anonymity,
         "orders_seasonal_profile": _q_seasonal_profile,
         "events_user_lifecycle": _q_user_lifecycle,

@@ -4932,3 +4932,73 @@ def test_user_lifecycle_new_returning_resurrected(spark):
     assert got["2024-01-03"].n_active == 2
     assert got["2024-01-03"].n_new == 1 and got["2024-01-03"].n_returning == 1
     assert got["2024-01-20"].n_resurrected == 1
+
+
+def test_changelog_compaction_net_rules(spark):
+    """INSERT..DELETE -> NOOP; ..DELETE -> DELETE; INSERT.. -> INSERT;
+    UPDATE-only run -> UPDATE with last image; DELETE-then-INSERT
+    (key recreated) -> UPDATE."""
+    from binlog_avro_comparator_spark.operators.snapshot import (
+        changelog_compaction,
+    )
+    import datetime
+
+    d = datetime.datetime
+    rows = [
+        # user 1: INSERT then DELETE -> NOOP
+        (0, d(2024, 1, 1), 1, "click", 1.0, "{}"),
+        (1, d(2024, 1, 2), 1, "purchase", 2.0, "{}"),
+        # user 2: UPDATE UPDATE -> UPDATE, last image = event 3
+        (2, d(2024, 1, 1), 2, "view", 3.0, "{}"),
+        (3, d(2024, 1, 2), 2, "view", 4.0, "{}"),
+        # user 3: INSERT UPDATE -> INSERT with last image
+        (4, d(2024, 1, 1), 3, "click", 5.0, "{}"),
+        (5, d(2024, 1, 2), 3, "view", 6.0, "{}"),
+        # user 4: UPDATE then DELETE -> DELETE
+        (6, d(2024, 1, 1), 4, "view", 7.0, "{}"),
+        (7, d(2024, 1, 2), 4, "purchase", 8.0, "{}"),
+        # user 5: DELETE then INSERT (recreated) -> UPDATE
+        (8, d(2024, 1, 1), 5, "purchase", 9.0, "{}"),
+        (9, d(2024, 1, 2), 5, "click", 10.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {r.user_id: r for r in changelog_compaction(ev).collect()}
+    assert got[1].net_op == "NOOP" and got[1].n_events == 2
+    assert got[2].net_op == "UPDATE" and got[2].last_event_id == 3
+    assert got[3].net_op == "INSERT" and got[3].last_value == 6.0
+    assert got[4].net_op == "DELETE"
+    assert got[5].net_op == "UPDATE" and got[5].last_op == "INSERT"
+
+
+def test_multimaster_conflicts_tolerance_and_census(spark):
+    """Writer flips inside the tolerance conflict; the same flip hours
+    apart (failover) does not; single-writer keys never appear."""
+    from binlog_avro_comparator_spark.operators.compare import (
+        multimaster_conflicts,
+    )
+
+    t0 = 1_700_000_000_000
+    rows = [
+        # key 1: A -> B 10s apart = conflict; B -> A 2h apart = clean
+        (1, "uuid-a", t0, 1),
+        (1, "uuid-b", t0 + 10_000, 2),
+        (1, "uuid-a", t0 + 7_200_000 + 10_000, 3),
+        # key 2: failover only (A -> B after 2h)
+        (2, "uuid-a", t0, 4),
+        (2, "uuid-b", t0 + 7_200_000, 5),
+        # key 3: single writer
+        (3, "uuid-a", t0, 6),
+        (3, "uuid-a", t0 + 1_000, 7),
+    ]
+    ch = spark.createDataFrame(
+        rows, "key long, writer string, ts_ms long, event_id long"
+    )
+    got = {r.key: r for r in multimaster_conflicts(ch, 3_600_000).collect()}
+    assert set(got) == {1}
+    r = got[1]
+    assert r.n_conflicts == 1 and r.n_writers == 2
+    assert r.first_conflict_ts_ms == t0 + 10_000
+    assert r.writers == "uuid-a,uuid-b"
