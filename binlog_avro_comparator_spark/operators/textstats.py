@@ -2202,3 +2202,128 @@ def quality_blend(documents: DataFrame) -> DataFrame:
         ttr_d.alias("ttr_decile"),
         blend.alias("blend_score"),
     )
+
+
+def encoding_anomalies(documents: DataFrame) -> DataFrame:
+    """Per-document transport-corruption profile: replacement
+    characters (U+FFFD -- a decoder already gave up), C0 control bytes
+    (binary bleed; TAB/LF/CR excluded), and the classic
+    UTF-8-read-as-Latin-1 mojibake markers (the 'A-tilde'/'A-circumflex'
+    lead bytes every double-encoded corpus is littered with) -- the
+    first gate a web-crawl pipeline runs before any text op trusts the
+    bytes.
+
+    Counts are length-diff exact; the printable-ASCII ratio is left
+    UNROUNDED (an int/int IEEE division is bit-identical across
+    engines, while rounding can land on exact half-ulp ties for
+    power-of-two lengths).  The verdict takes the worst tier present:
+    REPLACEMENT > CONTROL > MOJIBAKE > CLEAN.
+
+    Scale shape: embarrassingly parallel -- one projection, zero
+    shuffles, every expression JVM-codegen (regexp over the document
+    column); at 100 TB this is a single scan whose cost is the
+    regexes, and the output is doc-keyed so it joins back to any
+    curation pipeline for free.
+    """
+    t = F.col("text")
+
+    def n_stripped(pattern: str) -> F.Column:
+        return F.length(t) - F.length(
+            F.regexp_replace(t, F.lit(pattern), F.lit(""))
+        )
+
+    n_repl = n_stripped("�")
+    n_ctrl = n_stripped("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")
+    n_moji = n_stripped("[ÃÂ]|â€")
+    ascii_ratio = (
+        F.length(F.regexp_replace(t, F.lit("[^\\x20-\\x7E]"), F.lit("")))
+        / F.length(t)
+    )
+    verdict = (
+        F.when(n_repl > 0, "REPLACEMENT")
+        .when(n_ctrl > 0, "CONTROL")
+        .when(n_moji > 0, "MOJIBAKE")
+        .otherwise("CLEAN")
+    )
+    return documents.select(
+        "doc_id",
+        n_repl.alias("n_replacement"),
+        n_ctrl.alias("n_control"),
+        n_moji.alias("n_mojibake_marks"),
+        ascii_ratio.alias("ascii_ratio"),
+        verdict.alias("verdict"),
+    )
+
+
+def code_switch_profile(documents: DataFrame, seg_words: int = 20) -> DataFrame:
+    """Segment-level language-mixing profile: the document is cut into
+    fixed ``seg_words``-word segments, each segment language-guessed by
+    stopword membership (the lang_id heuristic applied per segment),
+    and the per-document mixing statistics reported -- dominant
+    segment language, how many switches between consecutive
+    identified segments, and whether the doc code-switches at all.
+    Word-level membership (not regex) so the DuckDB twin mirrors it
+    with a plain IN list.
+
+    Scale shape: one explode to words (linear in corpus tokens), two
+    map-side-combinable aggregates (words -> segments -> docs), one
+    per-doc lag window over the SEGMENT frame (tokens/seg_words rows,
+    partitioned by doc -- never a corpus-wide sort).  Returns
+    (doc_id, n_segments, n_en, n_fr, n_unknown, n_switches,
+    dominant_lang, code_switched).
+    """
+    words = documents.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word"),
+    ).select(
+        "doc_id",
+        F.floor(F.col("pos") / seg_words).alias("seg"),
+        "word",
+    )
+    en_hit = F.col("word").isin(*EN_STOPWORDS).cast("int")
+    fr_hit = F.col("word").isin(*FR_STOPWORDS).cast("int")
+    segs = words.groupBy("doc_id", "seg").agg(
+        F.sum(en_hit).alias("en_hits"), F.sum(fr_hit).alias("fr_hits")
+    )
+    seg_lang = (
+        F.when(
+            (F.col("en_hits") == 0) & (F.col("fr_hits") == 0), "unknown"
+        )
+        .when(F.col("en_hits") >= F.col("fr_hits"), "en")
+        .otherwise("fr")
+    )
+    tagged = segs.select("doc_id", "seg", seg_lang.alias("lang"))
+    w = Window.partitionBy("doc_id").orderBy("seg")
+    prev_known = F.last(
+        F.when(F.col("lang") != "unknown", F.col("lang")), ignorenulls=True
+    ).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    switch = (
+        (F.col("lang") != "unknown")
+        & prev_known.isNotNull()
+        & (F.col("lang") != prev_known)
+    )
+    flagged = tagged.select(
+        "doc_id", "lang", switch.cast("int").alias("is_switch")
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum((F.col("lang") == "en").cast("int")).alias("n_en"),
+        F.sum((F.col("lang") == "fr").cast("int")).alias("n_fr"),
+        F.sum((F.col("lang") == "unknown").cast("int")).alias("n_unknown"),
+        F.sum("is_switch").alias("n_switches"),
+    )
+    dominant = (
+        F.when((F.col("n_en") == 0) & (F.col("n_fr") == 0), "unknown")
+        .when(F.col("n_en") >= F.col("n_fr"), "en")
+        .otherwise("fr")
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_segments",
+        "n_en",
+        "n_fr",
+        "n_unknown",
+        "n_switches",
+        dominant.alias("dominant_lang"),
+        (F.col("n_switches") > 0).alias("code_switched"),
+    )

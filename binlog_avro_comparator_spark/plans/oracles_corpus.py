@@ -1635,3 +1635,96 @@ SELECT per.centroid_id, per.n_vectors,
        round(per.n_vectors * tot.c / CAST(tot.t AS DOUBLE), 6)
          AS load_factor
 FROM per CROSS JOIN tot"""
+
+    # twin of textstats.encoding_anomalies over the planted-corruption
+    # view (q_corpus._corrupted_text_view)
+    sql["doc_encoding_anomalies"] = """
+WITH corrupted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 3 THEN chr(195) || chr(169) || 'ber ' || text
+              WHEN doc_id % 29 = 7 THEN text || ' ' || chr(65533)
+              WHEN doc_id % 37 = 5 THEN text || chr(7)
+              ELSE text END AS text
+  FROM documents
+),
+counted AS (
+  SELECT doc_id,
+         length(text) - length(regexp_replace(text, chr(65533), '', 'g'))
+           AS n_replacement,
+         length(text) - length(regexp_replace(text,
+           '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g')) AS n_control,
+         length(text) - length(regexp_replace(text,
+           '[' || chr(195) || chr(194) || ']|' || chr(226) || chr(8364),
+           '', 'g')) AS n_mojibake_marks,
+         length(regexp_replace(text, '[^\\x20-\\x7E]', '', 'g'))
+           / CAST(length(text) AS DOUBLE) AS ascii_ratio
+  FROM corrupted
+)
+SELECT doc_id, n_replacement, n_control, n_mojibake_marks, ascii_ratio,
+       CASE WHEN n_replacement > 0 THEN 'REPLACEMENT'
+            WHEN n_control > 0 THEN 'CONTROL'
+            WHEN n_mojibake_marks > 0 THEN 'MOJIBAKE'
+            ELSE 'CLEAN' END AS verdict
+FROM counted"""
+
+    # twin of textstats.code_switch_profile over the planted
+    # code-switch view (q_corpus._q_code_switch)
+    _fr_run = ("le la les et des un une le la les " * 4).strip()
+    sql["doc_code_switch"] = f"""
+WITH mixed AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 2 THEN text || ' {_fr_run}'
+              ELSE text END AS text
+  FROM documents
+),
+words AS (
+  SELECT doc_id, (u.p - 1) // 20 AS seg, u.w AS word
+  FROM mixed,
+       UNNEST(list_transform(string_split(text, ' '),
+                             (x, i) -> {{'w': x, 'p': i}})) AS t(u)
+),
+segs AS (
+  SELECT doc_id, seg,
+         sum(CASE WHEN word IN ('the','a','and','of','to','in','is')
+                  THEN 1 ELSE 0 END) AS en_hits,
+         sum(CASE WHEN word IN ('le','la','et','les','des','un','une')
+                  THEN 1 ELSE 0 END) AS fr_hits
+  FROM words GROUP BY doc_id, seg
+),
+tagged AS (
+  SELECT doc_id, seg,
+         CASE WHEN en_hits = 0 AND fr_hits = 0 THEN 'unknown'
+              WHEN en_hits >= fr_hits THEN 'en'
+              ELSE 'fr' END AS lang
+  FROM segs
+),
+flagged AS (
+  SELECT doc_id, lang,
+         CASE WHEN lang <> 'unknown'
+               AND last_value(CASE WHEN lang <> 'unknown' THEN lang END
+                              IGNORE NULLS) OVER (
+                 PARTITION BY doc_id ORDER BY seg
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 IS NOT NULL
+               AND lang <> last_value(CASE WHEN lang <> 'unknown' THEN lang
+                                      END IGNORE NULLS) OVER (
+                 PARTITION BY doc_id ORDER BY seg
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS is_switch
+  FROM tagged
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_segments,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+         CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+         CAST(sum(CASE WHEN lang = 'unknown' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unknown,
+         CAST(sum(is_switch) AS BIGINT) AS n_switches
+  FROM flagged GROUP BY doc_id
+)
+SELECT doc_id, n_segments, n_en, n_fr, n_unknown, n_switches,
+       CASE WHEN n_en = 0 AND n_fr = 0 THEN 'unknown'
+            WHEN n_en >= n_fr THEN 'en'
+            ELSE 'fr' END AS dominant_lang,
+       n_switches > 0 AS code_switched
+FROM per_doc"""

@@ -653,4 +653,55 @@ def _q_quality_blend(spark, sf_dir):
     return quality_blend(_docs(spark, sf_dir))
 
 
+_FR_RUN = ("le la les et des un une le la les " * 4).strip()
+
+
+def _corrupted_text_view(documents):
+    """Planted transport-corruption view (SQL-mirrorable, same
+    discipline as every fixture divergence): doc_id%13==3 gets a
+    mojibake prefix, %29==7 a replacement char, %37==5 a C0 control
+    byte; everything else passes through clean."""
+    did = F.col("doc_id")
+    corrupted = (
+        F.when(did % 13 == 3, F.concat(F.lit("\u00c3\u00a9ber "), F.col("text")))
+        .when(did % 29 == 7, F.concat(F.col("text"), F.lit(" \ufffd")))
+        .when(did % 37 == 5, F.concat(F.col("text"), F.lit("\u0007")))
+        .otherwise(F.col("text"))
+    )
+    return documents.select("doc_id", corrupted.alias("text"))
+
+
+def _q_encoding_anomalies(spark, sf_dir):
+    """Transport-corruption gate (textstats.encoding_anomalies):
+    replacement chars, C0 control bleed, UTF-8-as-Latin-1 mojibake
+    marks + printable-ASCII ratio over the planted-corruption view."""
+    ensure_session_conf(spark)
+    from ..operators.textstats import encoding_anomalies
+
+    return encoding_anomalies(
+        _corrupted_text_view(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def _q_code_switch(spark, sf_dir):
+    """Segment-level language mixing (textstats.code_switch_profile):
+    docs with doc_id%11==2 get a 40-word French-stopword run appended
+    (the planted code-switch); the profile reports segment languages,
+    switch counts, and the code_switched flag."""
+    ensure_session_conf(spark)
+    from ..operators.textstats import code_switch_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 2,
+            F.concat(F.col("text"), F.lit(" " + _FR_RUN)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return code_switch_profile(mixed)
+
+
 __all__ = [_n for _n in list(globals()) if not _n.startswith('__') and _n != '_shared']

@@ -52,6 +52,8 @@ def queries() -> dict[str, QueryFn]:
         # decorrelated fixtures. --
         # -- NEW in r9 continuation session: privacy release audit,
         # calendar seasonal decomposition, growth-accounting ledger --
+        "doc_encoding_anomalies": _q_encoding_anomalies,
+        "doc_code_switch": _q_code_switch,
         "cdc_changelog_compaction": _q_cdc_changelog_compaction,
         "cdc_multimaster_conflicts": _q_cdc_multimaster_conflicts,
         "customer_k_anonymity": _q_k_anonymity,

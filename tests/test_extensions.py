@@ -5002,3 +5002,53 @@ def test_multimaster_conflicts_tolerance_and_census(spark):
     assert r.n_conflicts == 1 and r.n_writers == 2
     assert r.first_conflict_ts_ms == t0 + 10_000
     assert r.writers == "uuid-a,uuid-b"
+
+
+def test_encoding_anomalies_tiers_and_priority(spark):
+    """Replacement char outranks control outranks mojibake; clean text
+    is CLEAN with full ASCII ratio; counts are per-occurrence exact."""
+    from binlog_avro_comparator_spark.operators.textstats import (
+        encoding_anomalies,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "clean ascii text"),
+            (2, "moji \u00c3\u00a9 and \u00e2\u20ac marks"),
+            (3, "ctrl\u0007here"),
+            (4, "worst \ufffd with \u00c3 and \u0001"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in encoding_anomalies(docs).collect()}
+    assert got[1].verdict == "CLEAN" and got[1].ascii_ratio == 1.0
+    assert got[2].verdict == "MOJIBAKE" and got[2].n_mojibake_marks == 3
+    assert got[3].verdict == "CONTROL" and got[3].n_control == 1
+    assert got[4].verdict == "REPLACEMENT" and got[4].n_replacement == 1
+    assert got[4].n_control == 1 and got[4].n_mojibake_marks == 1
+
+
+def test_code_switch_profile_segments_and_switches(spark):
+    """A doc of 20 en words + 20 fr words = 2 segments, 1 switch; a
+    pure-en doc never switches; stopword-free segments are unknown and
+    transparent to switch counting (en, unknown, en = no switch)."""
+    from binlog_avro_comparator_spark.operators.textstats import (
+        code_switch_profile,
+    )
+
+    en20 = ("the cat and dog of it to go in out is up " * 2).split()[:20]
+    fr20 = ("le chat la chien et les des un une oui " * 2).split()[:20]
+    none20 = ["xyz"] * 20
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(en20 + fr20)),
+            (2, " ".join(en20 + en20)),
+            (3, " ".join(en20 + none20 + en20)),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in code_switch_profile(docs).collect()}
+    assert got[1].n_segments == 2 and got[1].n_switches == 1
+    assert got[1].code_switched and got[1].n_en == 1 and got[1].n_fr == 1
+    assert got[2].n_switches == 0 and got[2].dominant_lang == "en"
+    assert got[3].n_unknown == 1 and got[3].n_switches == 0
