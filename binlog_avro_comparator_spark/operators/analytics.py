@@ -4308,3 +4308,128 @@ def user_lifecycle(events: DataFrame, resurrect_days: int = 7) -> DataFrame:
             "n_resurrected"
         ),
     )
+
+
+def supplier_similarity(
+    lineitem: DataFrame,
+    min_jaccard: float = 0.17,
+    max_suppliers_per_part: int = 200,
+) -> DataFrame:
+    """Supplier-to-supplier similarity by shared part catalogs: Jaccard
+    over each supplier's distinct part set, pairs generated through the
+    part-side INVERTED INDEX (the set-similarity-join recipe: a pair is
+    enumerated once per shared part and counted, never supplier x
+    supplier).  The relational twin of the document MinHash tier --
+    same join shape, exact instead of sketched, for entity-resolution /
+    substitute-supplier questions.
+
+    Scale shape: dedup to (supplier, part) is one map-side-combinable
+    aggregate; pair enumeration self-joins WITHIN part groups only, so
+    cost is sum(suppliers_per_part^2) -- bounded by the
+    ``max_suppliers_per_part`` df-cap (the tfidf discipline: a part
+    carried by everyone says nothing about similarity and only feeds
+    the quadratic; capped parts are dropped, stated, not silently
+    sampled).  Per-supplier set sizes are a supplier-cardinality frame
+    broadcast back.  Jaccard = inter / (|A| + |B| - inter) is ONE
+    division of exact ints, left unrounded (bit-identical IEEE in any
+    engine; rounding can land on half-ulp ties for power-of-two
+    denominators).
+
+    Returns (supp_a, supp_b, n_shared, n_a, n_b, jaccard) for pairs
+    with jaccard >= ``min_jaccard``.
+    """
+    sp = lineitem.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    part_df = sp.groupBy("p").agg(F.count("*").alias("__df"))
+    sp_capped = sp.join(
+        part_df.filter(F.col("__df") <= max_suppliers_per_part).select("p"),
+        "p",
+    )
+    sizes = sp_capped.groupBy("s").agg(F.count("*").alias("n_parts"))
+    a = sp_capped.select(F.col("p"), F.col("s").alias("supp_a"))
+    b = sp_capped.select(F.col("p"), F.col("s").alias("supp_b"))
+    inter = (
+        a.join(b, "p")
+        .filter(F.col("supp_a") < F.col("supp_b"))
+        .groupBy("supp_a", "supp_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    jac = F.col("n_shared") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_shared")
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("s").alias("supp_a"),
+                                     F.col("n_parts").alias("n_a"))),
+            "supp_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("s").alias("supp_b"),
+                                     F.col("n_parts").alias("n_b"))),
+            "supp_b",
+        )
+        .select("supp_a", "supp_b", "n_shared", "n_a", "n_b",
+                jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+_AUTOCORR_LAGS = (1, 2, 3, 6, 12, 24)
+
+
+def hourly_autocorr(events: DataFrame) -> DataFrame:
+    """Traffic periodicity: Pearson autocorrelation of the hourly event
+    volume per event type at lags 1/2/3/6/12/24 h -- the seasonality
+    detector that tells a capacity planner (or an anomaly monitor
+    baselining against 'same hour yesterday') whether the signal
+    actually repeats at that period.
+
+    Exactness: hourly counts are integers; every Pearson term (N, sum
+    x, sum y, sum x^2, sum y^2, sum xy over the lag-aligned overlap) is
+    an exact BIGINT aggregate, and the correlation is computed ONCE
+    from those ints in a fixed double expression -- deterministic
+    across engines with no rounding contract needed.  Missing hours
+    simply produce no aligned pair (stated: gaps shrink N rather than
+    imputing zeros).
+
+    Scale shape: the hour rollup map-side combines to calendar size;
+    lag alignment is an equi-join of that calendar frame to itself
+    (hour = hour - lag) after a 6-row lag explode; the final aggregate
+    is per (type, lag) -- every stage is hash-partitioned on small
+    keys, the raw event table is touched once.
+    """
+    hours = events.groupBy(
+        "event_type",
+        F.floor(F.unix_millis("ts") / 3_600_000).alias("hour"),
+    ).agg(F.count("*").alias("c"))
+    lags = F.explode(
+        F.array(*[F.lit(v) for v in _AUTOCORR_LAGS])
+    ).alias("lag")
+    cur = hours.select("event_type", "hour", F.col("c").alias("cx"), lags)
+    prev = hours.select(
+        "event_type",
+        F.col("hour").alias("__ph"),
+        F.col("c").alias("cy"),
+    )
+    pairs = cur.join(
+        prev,
+        (cur.event_type == prev.event_type)
+        & (F.col("__ph") == F.col("hour") - F.col("lag")),
+    ).select(cur.event_type, "lag", "cx", "cy")
+    agg = pairs.groupBy("event_type", "lag").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("cx").alias("__sx"),
+        F.sum("cy").alias("__sy"),
+        F.sum(F.col("cx") * F.col("cx")).alias("__qx"),
+        F.sum(F.col("cy") * F.col("cy")).alias("__qy"),
+        F.sum(F.col("cx") * F.col("cy")).alias("__a"),
+    )
+    n, sx, sy = F.col("n_pairs"), F.col("__sx"), F.col("__sy")
+    vx = (n * F.col("__qx") - sx * sx).cast("double")
+    vy = (n * F.col("__qy") - sy * sy).cast("double")
+    num = (n * F.col("__a") - sx * sy).cast("double")
+    r = F.when(
+        (vx > 0) & (vy > 0), num / (F.sqrt(vx) * F.sqrt(vy))
+    )
+    return agg.select("event_type", "lag", "n_pairs", r.alias("r"))

@@ -2431,3 +2431,57 @@ SELECT day, count(*) AS n_active,
        CAST(sum(CASE WHEN status = 'returning' THEN 1 ELSE 0 END) AS BIGINT) AS n_returning,
        CAST(sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
 FROM tagged GROUP BY day"""
+
+    # twin of analytics.supplier_similarity (df cap 200, threshold .17
+    # -- selective at sf0.01: 176 of 4950 candidate pairs survive)
+    sql["supplier_similarity"] = """
+WITH sp AS (
+  SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+),
+capped AS (
+  SELECT * FROM sp WHERE p IN (
+    SELECT p FROM sp GROUP BY p HAVING count(*) <= 200)
+),
+sizes AS (SELECT s, count(*) AS n_parts FROM capped GROUP BY s),
+inter AS (
+  SELECT a.s AS supp_a, b.s AS supp_b, count(*) AS n_shared
+  FROM capped a JOIN capped b ON a.p = b.p AND a.s < b.s
+  GROUP BY 1, 2
+)
+SELECT supp_a, supp_b, n_shared, sa.n_parts AS n_a, sb.n_parts AS n_b,
+       n_shared / CAST(sa.n_parts + sb.n_parts - n_shared AS DOUBLE)
+         AS jaccard
+FROM inter
+JOIN sizes sa ON sa.s = supp_a
+JOIN sizes sb ON sb.s = supp_b
+WHERE n_shared / CAST(sa.n_parts + sb.n_parts - n_shared AS DOUBLE) >= 0.17"""
+
+    # twin of analytics.hourly_autocorr: exact-integer Pearson terms
+    sql["events_hourly_autocorr"] = """
+WITH hours AS (
+  SELECT event_type, epoch_ms(ts) // 3600000 AS hour, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+lags AS (SELECT unnest([1, 2, 3, 6, 12, 24]) AS lag),
+pairs AS (
+  SELECT cur.event_type, l.lag, cur.c AS cx, prev.c AS cy
+  FROM hours cur
+  CROSS JOIN lags l
+  JOIN hours prev
+    ON prev.event_type = cur.event_type
+   AND prev.hour = cur.hour - l.lag
+),
+agg AS (
+  SELECT event_type, lag, count(*) AS n_pairs,
+         sum(cx) AS sx, sum(cy) AS sy,
+         sum(cx * cx) AS qx, sum(cy * cy) AS qy,
+         sum(cx * cy) AS a
+  FROM pairs GROUP BY 1, 2
+)
+SELECT event_type, lag, n_pairs,
+       CASE WHEN n_pairs * qx - sx * sx > 0 AND n_pairs * qy - sy * sy > 0
+            THEN CAST(n_pairs * a - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n_pairs * qx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n_pairs * qy - sy * sy AS DOUBLE)))
+       END AS r
+FROM agg"""

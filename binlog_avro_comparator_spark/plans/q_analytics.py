@@ -945,4 +945,24 @@ def _q_user_lifecycle(spark, sf_dir):
     return user_lifecycle(load_table(spark, sf_dir, "events"))
 
 
+def _q_supplier_similarity(spark, sf_dir):
+    """Shared-catalog supplier Jaccard (analytics.supplier_similarity):
+    inverted-index pair enumeration with the df-cap discipline --
+    exact set similarity, never supplier x supplier."""
+    ensure_session_conf(spark)
+    from ..operators.analytics import supplier_similarity
+
+    return supplier_similarity(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_hourly_autocorr(spark, sf_dir):
+    """Hourly-volume autocorrelation (analytics.hourly_autocorr):
+    integer-exact Pearson terms, one double expression per (type,
+    lag) -- the periodicity detector."""
+    ensure_session_conf(spark)
+    from ..operators.analytics import hourly_autocorr
+
+    return hourly_autocorr(load_table(spark, sf_dir, "events"))
+
+
 __all__ = [_n for _n in list(globals()) if not _n.startswith('__') and _n != '_shared']

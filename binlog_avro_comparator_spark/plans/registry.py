@@ -52,6 +52,8 @@ def queries() -> dict[str, QueryFn]:
         # decorrelated fixtures. --
         # -- NEW in r9 continuation session: privacy release audit,
         # calendar seasonal decomposition, growth-accounting ledger --
+        "supplier_similarity": _q_supplier_similarity,
+        "events_hourly_autocorr": _q_hourly_autocorr,
         "doc_encoding_anomalies": _q_encoding_anomalies,
         "doc_code_switch": _q_code_switch,
         "cdc_changelog_compaction": _q_cdc_changelog_compaction,

@@ -5052,3 +5052,65 @@ def test_code_switch_profile_segments_and_switches(spark):
     assert got[1].code_switched and got[1].n_en == 1 and got[1].n_fr == 1
     assert got[2].n_switches == 0 and got[2].dominant_lang == "en"
     assert got[3].n_unknown == 1 and got[3].n_switches == 0
+
+
+def test_supplier_similarity_jaccard_and_df_cap(spark):
+    """Two suppliers sharing 2 of 3 parts -> jaccard 0.5; a part above
+    the df cap contributes to no pair and no set size."""
+    from binlog_avro_comparator_spark.operators.analytics import (
+        supplier_similarity,
+    )
+
+    rows = []
+    # suppliers 1,2 share parts 10,11; 1 also has 12, 2 also has 13
+    for s, p in [(1, 10), (1, 11), (1, 12), (2, 10), (2, 11), (2, 13)]:
+        rows.append((s, p))
+    # hot part 99 carried by everyone incl. supplier 3 (df cap = 2)
+    for s in (1, 2, 3):
+        rows.append((s, 99))
+    li = spark.createDataFrame(
+        [(i, p, s) for i, (s, p) in enumerate(rows)],
+        "l_orderkey long, l_partkey long, l_suppkey long",
+    )
+    got = supplier_similarity(
+        li, min_jaccard=0.0, max_suppliers_per_part=2
+    ).collect()
+    pairs = {(r.supp_a, r.supp_b): r for r in got}
+    assert set(pairs) == {(1, 2)}  # supplier 3 only had the capped part
+    r = pairs[(1, 2)]
+    assert r.n_shared == 2 and r.n_a == 3 and r.n_b == 3
+    assert r.jaccard == 0.5
+
+
+def test_hourly_autocorr_perfect_period(spark):
+    """A strictly periodic hourly pattern (period 2) autocorrelates to
+    +1 at lag 2 and -1 at lag 1; constant series have no defined r."""
+    from binlog_avro_comparator_spark.operators.analytics import (
+        hourly_autocorr,
+    )
+    import datetime
+
+    rows = []
+    eid = 0
+    base = datetime.datetime(2024, 1, 1)
+    for h in range(48):
+        n = 3 if h % 2 == 0 else 1  # alternating volume
+        for _ in range(n):
+            rows.append(
+                (eid, base + datetime.timedelta(hours=h), 1, "click", 1.0,
+                 "{}")
+            )
+            eid += 1
+        rows.append(
+            (eid, base + datetime.timedelta(hours=h), 1, "view", 1.0, "{}")
+        )  # constant 1/hour
+        eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {(r.event_type, r.lag): r for r in hourly_autocorr(ev).collect()}
+    assert got[("click", 2)].r == 1.0
+    assert got[("click", 1)].r == -1.0
+    assert got[("view", 1)].r is None  # zero variance
+    assert got[("click", 24)].n_pairs == 24
