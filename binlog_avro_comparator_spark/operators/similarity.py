@@ -2016,3 +2016,179 @@ def ivf_probe_curve(
             F.coalesce(F.sum("__hit"), F.lit(0)) / F.lit(denom), 6
         ).alias("recall"),
     )
+
+def pca_power_top1(embeddings: DataFrame, n_iter: int = 3) -> DataFrame:
+    """Top principal component by power iteration -- the linear-algebra
+    member of the iterative-algorithm tier next to Lloyd's k-means:
+    three fixed iterations of v <- normalize(Cov . v) from the uniform
+    unit start 1/8 (exact in binary), entirely as covariance-free
+    matrix-vector products (the classic large-scale PCA recipe: never
+    materialize the dim x dim covariance, only X^T (X v) passes).
+
+    Determinism contract -- STRONGER than the kmeans round-after-sum
+    discipline, which this operator empirically breaks: the synthetic
+    float32 coordinates sit within ~1e-7 of the 1e-6 decimal grid, so
+    projections against the uniform start land ON rounding midpoints
+    and engine sum-order flips the rounded digit for EVERY row.
+    Instead, inputs are quantized once to DECIMAL(12,6) and every
+    cross-row aggregate (projection, back-projection, squared norms,
+    distances) is an EXACT decimal sum -- order-independent by
+    construction -- rounded in decimal (HALF_UP is identical exact
+    arithmetic in the JVM and DuckDB) or cast to double for the single
+    division / sqrt per quantity, whose operands are then identical
+    bit patterns in any engine.
+
+    Scale shape: no corpus collect -- the direction lives as a 64-row
+    frame broadcast into each pass and localCheckpointed per iteration
+    (the dedup_clusters lineage-truncation discipline; without it the
+    unrolled lazy plan re-derives every prior pass under each crossJoin
+    and Catalyst explodes); per iteration the corpus contributes one
+    projection aggregate (groupBy vec_id over the scoped-cached long
+    form, cached because the mean-correction and the back-projection
+    both consume it) and one back-projection aggregate (groupBy ord),
+    both map-side combinable; every scalar (mu . v, mean projection,
+    norm, n) is a 1-row/64-row broadcast crossJoin, never a .count().
+    At 100 TB each iteration is two scans of the cached long form --
+    the same cost model as one Lloyd's iteration.
+
+    Centering is implicit: Cov . v = (1/n) X^T s - mu * mean(s) with
+    s_i = x_i . v - mu . v, so the raw corpus is never re-written
+    centered.
+
+    Returns 64 rows: (ord, loading, eigenvalue, total_variance,
+    explained_share) -- ord is 1-based to match SQL
+    generate_subscripts; the two scalars ride every row.
+    """
+    _D6 = "decimal(12,6)"
+    x = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+    ex = scoped_cache(
+        x.select("vec_id", F.posexplode("x").alias("ord0", "v")).select(
+            "vec_id",
+            (F.col("ord0") + 1).alias("ord"),
+            F.round("v", COS_ROUND).cast(_D6).alias("vd"),
+        )
+    )
+    n1 = x.agg(F.count("*").cast("double").alias("__n"))
+    mu = scoped_cache(
+        ex.groupBy("ord")
+        .agg(F.sum("vd").cast("double").alias("__msum"))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "ord",
+            F.round(F.col("__msum") / F.col("__n"), COS_ROUND)
+            .cast(_D6)
+            .alias("mud"),
+        )
+    )
+    v_cur = mu.select("ord", F.lit(0.125).cast(_D6).alias("vald"))
+
+    def project(v_df: DataFrame) -> DataFrame:
+        # mu . v and x_i . v as EXACT decimal sums; the subtraction and
+        # the 1e-6 rounding stay in decimal, so every engine produces
+        # the identical value regardless of aggregation order.
+        muv = mu.join(v_df, "ord").agg(
+            F.sum(F.col("mud") * F.col("vald")).alias("__muv")
+        )
+        return (
+            ex.join(F.broadcast(v_df), "ord")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("vd") * F.col("vald")).alias("__raw"))
+            .crossJoin(F.broadcast(muv))
+            .select(
+                "vec_id",
+                F.round(F.col("__raw") - F.col("__muv"), COS_ROUND)
+                .cast(_D6)
+                .alias("sd"),
+            )
+        )
+
+    for _ in range(n_iter):
+        s = scoped_cache(project(v_cur))
+        mean_s = s.crossJoin(F.broadcast(n1)).agg(
+            F.round(
+                F.sum(F.col("sd")).cast("double") / F.max(F.col("__n")),
+                COS_ROUND,
+            ).alias("__ms")
+        )
+        w = (
+            ex.join(s, "vec_id")
+            .groupBy("ord")
+            .agg(
+                F.sum(F.col("vd") * F.col("sd")).cast("double").alias(
+                    "__wsum"
+                )
+            )
+            .join(F.broadcast(mu), "ord")
+            .crossJoin(F.broadcast(mean_s))
+            .crossJoin(F.broadcast(n1))
+            .select(
+                "ord",
+                F.round(
+                    F.col("__wsum") / F.col("__n")
+                    - F.col("mud").cast("double") * F.col("__ms"),
+                    COS_ROUND,
+                )
+                .cast(_D6)
+                .alias("wd"),
+            )
+        )
+        norm = w.agg(
+            F.round(
+                F.sqrt(F.sum(F.col("wd") * F.col("wd")).cast("double")), 9
+            ).alias("__nm")
+        )
+        # 64-row direction frame: truncate lineage eagerly per
+        # iteration (the dedup_clusters localCheckpoint discipline) --
+        # without it the 3-iteration lazy plan re-derives every prior
+        # pass under each crossJoin and Catalyst explodes to 1000+
+        # stages.
+        v_cur = (
+            w.crossJoin(F.broadcast(norm))
+            .select(
+                "ord",
+                F.round(
+                    F.col("wd").cast("double") / F.col("__nm"), COS_ROUND
+                )
+                .cast(_D6)
+                .alias("vald"),
+            )
+            .localCheckpoint()
+        )
+
+    s_final = project(v_cur)
+    lam = s_final.crossJoin(F.broadcast(n1)).agg(
+        F.round(
+            F.sum(F.col("sd") * F.col("sd")).cast("double")
+            / F.max(F.col("__n")),
+            COS_ROUND,
+        ).alias("eigenvalue")
+    )
+    dist = (
+        ex.join(F.broadcast(mu), "ord")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                (F.col("vd") - F.col("mud")) * (F.col("vd") - F.col("mud"))
+            ).alias("__d")
+        )
+    )
+    tv = dist.crossJoin(F.broadcast(n1)).agg(
+        F.round(
+            F.sum("__d").cast("double") / F.max(F.col("__n")), COS_ROUND
+        ).alias("total_variance")
+    )
+    return (
+        v_cur.crossJoin(F.broadcast(lam))
+        .crossJoin(F.broadcast(tv))
+        .select(
+            "ord",
+            F.col("vald").cast("double").alias("loading"),
+            "eigenvalue",
+            "total_variance",
+            (F.col("eigenvalue") / F.col("total_variance")).alias(
+                "explained_share"
+            ),
+        )
+    )

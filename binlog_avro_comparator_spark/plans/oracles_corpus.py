@@ -1728,3 +1728,106 @@ SELECT doc_id, n_segments, n_en, n_fr, n_unknown, n_switches,
             ELSE 'fr' END AS dominant_lang,
        n_switches > 0 AS code_switched
 FROM per_doc"""
+
+    # twin of similarity.pca_power_top1: the three power iterations
+    # unrolled with the identical EXACT-DECIMAL contract -- inputs
+    # quantized to DECIMAL(12,6) once, every cross-row sum an exact
+    # decimal aggregate (order-independent), rounding in decimal
+    # (HALF_UP matches the JVM), one double division / sqrt per
+    # quantity on identical operands.  Every CTE is MATERIALIZED:
+    # DuckDB default-inlines CTE references, and the iteration chain
+    # references each predecessor several times, so inlining re-expands
+    # the whole prefix per reference -- exponential blow-up (the
+    # un-materialized form ran >500 s; materialized, <1 s at sf0.01).
+    def _pca_iter(t: int) -> str:
+        return f"""
+muv{t} AS MATERIALIZED (
+  SELECT sum(m.mud * v.vald) AS muv
+  FROM pmu m JOIN pv{t} v USING (ord)
+),
+ps{t} AS MATERIALIZED (
+  SELECT e.vec_id,
+         CAST(round(sum(e.vd * v.vald) - (SELECT muv FROM muv{t}), 6)
+              AS DECIMAL(12,6)) AS sd
+  FROM pex e JOIN pv{t} v USING (ord)
+  GROUP BY e.vec_id
+),
+pms{t} AS MATERIALIZED (
+  SELECT round(CAST(sum(sd) AS DOUBLE) / (SELECT n FROM pn), 6) AS ms
+  FROM ps{t}
+),
+pw{t} AS MATERIALIZED (
+  SELECT e.ord, CAST(sum(e.vd * s.sd) AS DOUBLE) AS wsum
+  FROM pex e JOIN ps{t} s USING (vec_id)
+  GROUP BY e.ord
+),
+pwc{t} AS MATERIALIZED (
+  SELECT w.ord,
+         CAST(round(w.wsum / (SELECT n FROM pn)
+               - CAST(m.mud AS DOUBLE) * (SELECT ms FROM pms{t}), 6)
+              AS DECIMAL(12,6)) AS wd
+  FROM pw{t} w JOIN pmu m USING (ord)
+),
+pnm{t} AS MATERIALIZED (
+  SELECT round(sqrt(CAST(sum(wd * wd) AS DOUBLE)), 9) AS nm FROM pwc{t}
+),
+pv{t + 1} AS MATERIALIZED (
+  SELECT ord,
+         CAST(round(CAST(wd AS DOUBLE) / (SELECT nm FROM pnm{t}), 6)
+              AS DECIMAL(12,6)) AS vald
+  FROM pwc{t}
+)"""
+
+    sql["embedding_pca_power"] = (
+        """
+WITH pex AS MATERIALIZED (
+  SELECT vec_id, ord,
+         CAST(round(v, 6) AS DECIMAL(12,6)) AS vd
+  FROM (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS ord,
+           unnest(embedding)::DOUBLE AS v
+    FROM embeddings)
+),
+pn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+pmu AS MATERIALIZED (
+  SELECT ord,
+         CAST(round(CAST(sum(vd) AS DOUBLE) / (SELECT n FROM pn), 6)
+              AS DECIMAL(12,6)) AS mud
+  FROM pex GROUP BY ord
+),
+pv0 AS MATERIALIZED (
+  SELECT ord, CAST(0.125 AS DECIMAL(12,6)) AS vald FROM pmu
+),"""
+        + ",".join(_pca_iter(t) for t in range(3))
+        + """,
+muvf AS MATERIALIZED (
+  SELECT sum(m.mud * v.vald) AS muv
+  FROM pmu m JOIN pv3 v USING (ord)
+),
+psf AS MATERIALIZED (
+  SELECT e.vec_id,
+         CAST(round(sum(e.vd * v.vald) - (SELECT muv FROM muvf), 6)
+              AS DECIMAL(12,6)) AS sd
+  FROM pex e JOIN pv3 v USING (ord)
+  GROUP BY e.vec_id
+),
+plam AS (
+  SELECT round(CAST(sum(sd * sd) AS DOUBLE) / (SELECT n FROM pn), 6)
+    AS eigenvalue
+  FROM psf
+),
+pdist AS MATERIALIZED (
+  SELECT e.vec_id, sum((e.vd - m.mud) * (e.vd - m.mud)) AS d
+  FROM pex e JOIN pmu m USING (ord)
+  GROUP BY e.vec_id
+),
+ptv AS (
+  SELECT round(CAST(sum(d) AS DOUBLE) / (SELECT n FROM pn), 6)
+    AS total_variance
+  FROM pdist
+)
+SELECT v.ord, CAST(v.vald AS DOUBLE) AS loading, l.eigenvalue,
+       t.total_variance,
+       l.eigenvalue / t.total_variance AS explained_share
+FROM pv3 v, plam l, ptv t"""
+    )

@@ -704,4 +704,15 @@ def _q_code_switch(spark, sf_dir):
     return code_switch_profile(mixed)
 
 
+def _q_pca_power(spark, sf_dir):
+    """Top principal component by 3 power iterations
+    (similarity.pca_power_top1): covariance-free X^T(Xv) passes, one
+    lazy plan, the kmeans rounding contract -- plus eigenvalue and
+    explained-variance share."""
+    ensure_session_conf(spark)
+    from ..operators.similarity import pca_power_top1
+
+    return pca_power_top1(load_table(spark, sf_dir, "embeddings"))
+
+
 __all__ = [_n for _n in list(globals()) if not _n.startswith('__') and _n != '_shared']

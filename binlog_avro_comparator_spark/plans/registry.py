@@ -52,6 +52,7 @@ def queries() -> dict[str, QueryFn]:
         # decorrelated fixtures. --
         # -- NEW in r9 continuation session: privacy release audit,
         # calendar seasonal decomposition, growth-accounting ledger --
+        "embedding_pca_power": _q_pca_power,
         "supplier_similarity": _q_supplier_similarity,
         "events_hourly_autocorr": _q_hourly_autocorr,
         "doc_encoding_anomalies": _q_encoding_anomalies,

@@ -5114,3 +5114,29 @@ def test_hourly_autocorr_perfect_period(spark):
     assert got[("click", 1)].r == -1.0
     assert got[("view", 1)].r is None  # zero variance
     assert got[("click", 24)].n_pairs == 24
+
+
+def test_pca_power_recovers_planted_direction(spark):
+    """Vectors spread along the (1,1,0,0)/sqrt(2) axis with tiny
+    orthogonal jitter: three power iterations recover the axis (up to
+    sign), and it explains nearly all variance."""
+    from binlog_avro_comparator_spark.operators.similarity import (
+        pca_power_top1,
+    )
+
+    rows = []
+    for i in range(60):
+        t = (i - 30) / 10.0  # spread -3..3 along the planted axis
+        eps = 0.01 * ((i % 5) - 2)  # small orthogonal jitter on dim 3
+        rows.append((i, [t * 0.7071, t * 0.7071, eps, 0.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.ord: r for r in pca_power_top1(emb).collect()}
+    assert len(got) == 4
+    share = got[1].explained_share
+    assert share > 0.99
+    # axis recovered up to sign: |loading_1| = |loading_2| ~ 0.7071
+    l1, l2, l3, l4 = (got[i].loading for i in (1, 2, 3, 4))
+    assert abs(abs(l1) - 0.7071) < 0.001 and abs(abs(l2) - 0.7071) < 0.001
+    assert l1 * l2 > 0  # same sign: the axis, not a mixture
+    assert abs(l3) < 0.02 and abs(l4) < 1e-6
+    assert got[1].eigenvalue > 0
