@@ -4433,3 +4433,102 @@ def hourly_autocorr(events: DataFrame) -> DataFrame:
         (vx > 0) & (vy > 0), num / (F.sqrt(vx) * F.sqrt(vy))
     )
     return agg.select("event_type", "lag", "n_pairs", r.alias("r"))
+
+
+def forecast_baseline_report(events: DataFrame) -> DataFrame:
+    """Forecast-baseline evaluation: how well does SEASONAL-NAIVE
+    (predict this hour = same hour yesterday) beat NAIVE-1 (= previous
+    hour) on the hourly event volume -- Hyndman's MASE framing, where
+    any real forecasting model must first beat exactly these two frees.
+    A capacity planner reads ``mase < 1`` as 'daily seasonality is
+    real, baseline on same-hour-yesterday'.
+
+    Exactness: hourly counts are integers, both absolute-error sums
+    are exact BIGINTs over the SAME evaluable hours (those with both
+    an h-24 and an h-1 observation -- gaps shrink the overlap, never
+    impute), and MASE = err_seasonal / err_naive needs ONE division
+    of those exact ints.  No rounding contract required anywhere.
+
+    Scale shape: calendar-sized hour rollup (map-side combined), two
+    equi-joins of that frame to itself at fixed offsets, one final
+    per-type aggregate.  Returns (event_type, n_hours,
+    mae_seasonal, mae_naive, mase).
+    """
+    hours = events.groupBy(
+        "event_type",
+        F.floor(F.unix_millis("ts") / 3_600_000).alias("hour"),
+    ).agg(F.count("*").alias("c"))
+    cur = hours.select("event_type", "hour", F.col("c").alias("c_now"))
+    day = hours.select(
+        "event_type", (F.col("hour") + 24).alias("hour"),
+        F.col("c").alias("c_day"),
+    )
+    prev = hours.select(
+        "event_type", (F.col("hour") + 1).alias("hour"),
+        F.col("c").alias("c_prev"),
+    )
+    joined = cur.join(day, ["event_type", "hour"]).join(
+        prev, ["event_type", "hour"]
+    )
+    agg = joined.groupBy("event_type").agg(
+        F.count("*").alias("n_hours"),
+        F.sum(F.abs(F.col("c_now") - F.col("c_day"))).alias("__es"),
+        F.sum(F.abs(F.col("c_now") - F.col("c_prev"))).alias("__en"),
+    )
+    return agg.select(
+        "event_type",
+        "n_hours",
+        (F.col("__es") / F.col("n_hours")).alias("mae_seasonal"),
+        (F.col("__en") / F.col("n_hours")).alias("mae_naive"),
+        F.when(
+            F.col("__en") > 0, F.col("__es") / F.col("__en")
+        ).alias("mase"),
+    )
+
+
+def top_movers(events: DataFrame, k: int = 10) -> DataFrame:
+    """Half-over-half activity movers: the users whose event volume
+    rose or fell hardest between the window's two halves (split at the
+    fixed snapshot cutoff the versioned-snapshot family already uses),
+    scored by the add-1-smoothed log volume ratio -- the triage list a
+    growth or abuse analyst reads first.
+
+    Determinism: counts are exact; the log ratio is rounded to 1e-6
+    BEFORE ranking (libm ln() may differ in the last ulp across
+    engines -- the tfidf discipline) with a user_id tie-break.
+
+    Scale shape: one conditional-count aggregate per user (map-side
+    combined), one global top-k per direction -- expressed as a rank
+    window that Spark executes as WindowGroupLimit (each task ships
+    only its local top-k, never the user table).  Returns per
+    direction (RISER/FALLER) the top ``k``: (direction, rank, user_id,
+    n_first, n_second, log_ratio).
+    """
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    per_user = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum((F.col("ts") < cutoff).cast("long")).alias("n_first"),
+            F.sum((F.col("ts") >= cutoff).cast("long")).alias("n_second"),
+        )
+    )
+    score = F.round(
+        F.log((F.col("n_second") + 1) / (F.col("n_first") + 1)), 6
+    )
+    scored = per_user.select(
+        "user_id", "n_first", "n_second", score.alias("log_ratio")
+    )
+    w_rise = Window.orderBy(F.col("log_ratio").desc(), "user_id")
+    w_fall = Window.orderBy(F.col("log_ratio").asc(), "user_id")
+    risers = scored.select(
+        F.lit("RISER").alias("direction"),
+        F.row_number().over(w_rise).alias("rank"),
+        "user_id", "n_first", "n_second", "log_ratio",
+    ).filter(F.col("rank") <= k)
+    fallers = scored.select(
+        F.lit("FALLER").alias("direction"),
+        F.row_number().over(w_fall).alias("rank"),
+        "user_id", "n_first", "n_second", "log_ratio",
+    ).filter(F.col("rank") <= k)
+    return risers.unionByName(fallers)

@@ -2485,3 +2485,60 @@ SELECT event_type, lag, n_pairs,
                     * sqrt(CAST(n_pairs * qy - sy * sy AS DOUBLE)))
        END AS r
 FROM agg"""
+
+    # twin of analytics.forecast_baseline_report
+    sql["events_forecast_baseline"] = """
+WITH hours AS (
+  SELECT event_type, epoch_ms(ts) // 3600000 AS hour, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+joined AS (
+  SELECT cur.event_type, cur.c AS c_now, d.c AS c_day, p.c AS c_prev
+  FROM hours cur
+  JOIN hours d ON d.event_type = cur.event_type AND d.hour = cur.hour - 24
+  JOIN hours p ON p.event_type = cur.event_type AND p.hour = cur.hour - 1
+),
+agg AS (
+  SELECT event_type, count(*) AS n_hours,
+         sum(abs(c_now - c_day)) AS es, sum(abs(c_now - c_prev)) AS en
+  FROM joined GROUP BY 1
+)
+SELECT event_type, n_hours,
+       es / CAST(n_hours AS DOUBLE) AS mae_seasonal,
+       en / CAST(n_hours AS DOUBLE) AS mae_naive,
+       CASE WHEN en > 0 THEN es / CAST(en AS DOUBLE) END AS mase
+FROM agg"""
+
+    # twin of analytics.top_movers (k=10, fixed 2024-01-16 split)
+    sql["events_top_movers"] = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_first,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_second
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+),
+scored AS (
+  SELECT user_id, n_first, n_second,
+         round(ln((n_second + 1) / CAST(n_first + 1 AS DOUBLE)), 6)
+           AS log_ratio
+  FROM per_user
+),
+r AS (
+  SELECT 'RISER' AS direction,
+         CAST(row_number() OVER (ORDER BY log_ratio DESC, user_id) AS INTEGER)
+           AS rank,
+         user_id, n_first, n_second, log_ratio
+  FROM scored
+),
+f AS (
+  SELECT 'FALLER' AS direction,
+         CAST(row_number() OVER (ORDER BY log_ratio ASC, user_id) AS INTEGER)
+           AS rank,
+         user_id, n_first, n_second, log_ratio
+  FROM scored
+)
+SELECT * FROM r WHERE rank <= 10
+UNION ALL
+SELECT * FROM f WHERE rank <= 10"""

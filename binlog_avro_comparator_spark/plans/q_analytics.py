@@ -965,4 +965,24 @@ def _q_hourly_autocorr(spark, sf_dir):
     return hourly_autocorr(load_table(spark, sf_dir, "events"))
 
 
+def _q_forecast_baseline(spark, sf_dir):
+    """Seasonal-naive vs naive-1 MASE report
+    (analytics.forecast_baseline_report): integer-exact error sums,
+    one division -- the must-beat baseline for any volume forecast."""
+    ensure_session_conf(spark)
+    from ..operators.analytics import forecast_baseline_report
+
+    return forecast_baseline_report(load_table(spark, sf_dir, "events"))
+
+
+def _q_top_movers(spark, sf_dir):
+    """Half-over-half log-ratio movers (analytics.top_movers): top-k
+    risers and fallers, WindowGroupLimit top-k, tfidf rounding
+    discipline on the log."""
+    ensure_session_conf(spark)
+    from ..operators.analytics import top_movers
+
+    return top_movers(load_table(spark, sf_dir, "events"))
+
+
 __all__ = [_n for _n in list(globals()) if not _n.startswith('__') and _n != '_shared']

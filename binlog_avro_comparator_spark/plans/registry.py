@@ -52,6 +52,8 @@ def queries() -> dict[str, QueryFn]:
         # decorrelated fixtures. --
         # -- NEW in r9 continuation session: privacy release audit,
         # calendar seasonal decomposition, growth-accounting ledger --
+        "events_forecast_baseline": _q_forecast_baseline,
+        "events_top_movers": _q_top_movers,
         "embedding_pca_power": _q_pca_power,
         "supplier_similarity": _q_supplier_similarity,
         "events_hourly_autocorr": _q_hourly_autocorr,

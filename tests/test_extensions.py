@@ -5140,3 +5140,61 @@ def test_pca_power_recovers_planted_direction(spark):
     assert l1 * l2 > 0  # same sign: the axis, not a mixture
     assert abs(l3) < 0.02 and abs(l4) < 1e-6
     assert got[1].eigenvalue > 0
+
+
+def test_forecast_baseline_perfect_seasonality(spark):
+    """A perfectly daily-periodic series has zero seasonal-naive error
+    (mase 0); hours missing either comparator drop out of the overlap."""
+    from binlog_avro_comparator_spark.operators.analytics import (
+        forecast_baseline_report,
+    )
+    import datetime
+
+    rows, eid = [], 0
+    base = datetime.datetime(2024, 1, 1)
+    for h in range(72):
+        n = 4 if h % 24 == 3 else 1  # daily spike at hour 3
+        for _ in range(n):
+            rows.append(
+                (eid, base + datetime.timedelta(hours=h), 1, "click", 1.0,
+                 "{}")
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {r.event_type: r for r in forecast_baseline_report(ev).collect()}
+    r = got["click"]
+    # evaluable hours: 24..71 have both h-24 and h-1 = 48
+    assert r.n_hours == 48
+    assert r.mae_seasonal == 0.0 and r.mase == 0.0
+    assert r.mae_naive > 0
+
+
+def test_top_movers_directions_and_smoothing(spark):
+    """A user active only in the second half is the top riser; one
+    active only in the first half the top faller; add-1 smoothing
+    keeps zero counts finite."""
+    from binlog_avro_comparator_spark.operators.analytics import top_movers
+    import datetime, math
+
+    d = datetime.datetime
+    rows, eid = [], 0
+    for _ in range(15):  # riser: 15 events after the split
+        rows.append((eid, d(2024, 1, 20), 1, "click", 1.0, "{}")); eid += 1
+    for _ in range(15):  # faller: 15 events before
+        rows.append((eid, d(2024, 1, 10), 2, "click", 1.0, "{}")); eid += 1
+    rows.append((eid, d(2024, 1, 10), 3, "click", 1.0, "{}")); eid += 1
+    rows.append((eid, d(2024, 1, 20), 3, "click", 1.0, "{}")); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = top_movers(ev, k=2).collect()
+    by = {(r.direction, r.rank): r for r in got}
+    assert by[("RISER", 1)].user_id == 1
+    assert by[("RISER", 1)].log_ratio == round(math.log(16.0), 6)
+    assert by[("FALLER", 1)].user_id == 2
+    assert by[("FALLER", 1)].log_ratio == round(math.log(1 / 16.0), 6)
+    assert by[("RISER", 2)].user_id == 3  # flat user ranks by tie-break

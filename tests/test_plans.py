@@ -1501,3 +1501,69 @@ def test_perceptual_pairs_payload_never_shuffles(spark):
 
     for m in re.finditer(r"^\(\d+\) Exchange.*$", plan, re.M):
         assert "content" not in m.group(0)
+
+
+def test_supplier_similarity_pairs_stay_equi(spark):
+    """Pair enumeration rides the part-side inverted index: equi-join
+    within part groups only, never a supplier x supplier cartesian;
+    set sizes come back as broadcasts."""
+    from binlog_avro_comparator_spark.operators.analytics import (
+        supplier_similarity,
+    )
+
+    plan = _plan(supplier_similarity(load_table(spark, SF, "lineitem")))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # both size frames
+
+
+def test_hourly_autocorr_and_forecast_equi_joins(spark):
+    """Lag alignment joins the calendar-sized hour frame to itself on
+    (type, hour) equi-keys; partial aggregation is map-side combined;
+    no cartesian anywhere (the 6-lag expansion is an explode, not a
+    crossJoin)."""
+    from binlog_avro_comparator_spark.operators.analytics import (
+        forecast_baseline_report,
+        hourly_autocorr,
+    )
+
+    ev = load_table(spark, SF, "events")
+    for df in (hourly_autocorr(ev), forecast_baseline_report(ev)):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "partial_sum" in plan
+
+
+def test_multimaster_conflicts_window_is_per_key(spark):
+    """The lag window partitions by key -- never a global sort over
+    the change feed."""
+    from binlog_avro_comparator_spark.fixtures import (
+        derive_multimaster_changes,
+    )
+    from binlog_avro_comparator_spark.operators.compare import (
+        multimaster_conflicts,
+    )
+
+    plan = _plan(
+        multimaster_conflicts(
+            derive_multimaster_changes(load_table(spark, SF, "events"))
+        )
+    )
+    assert "hashpartitioning(key" in plan
+    import re
+
+    # every window spec is keyed (no empty partition-by global window)
+    assert not re.search(r"windowspecdefinition\(ts_ms", plan)
+
+
+def test_lifecycle_window_partitioned_by_user(spark):
+    """user_lifecycle's lag window is per-user; the day rollup is
+    map-side combined."""
+    from binlog_avro_comparator_spark.operators.analytics import (
+        user_lifecycle,
+    )
+
+    plan = _plan(user_lifecycle(load_table(spark, SF, "events")))
+    assert "hashpartitioning(user_id" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
