@@ -4532,3 +4532,106 @@ def top_movers(events: DataFrame, k: int = 10) -> DataFrame:
         "user_id", "n_first", "n_second", "log_ratio",
     ).filter(F.col("rank") <= k)
     return risers.unionByName(fallers)
+
+
+def cohort_ltv(orders: DataFrame) -> DataFrame:
+    """Cohort lifetime-value triangle: customers grouped by the month
+    of their FIRST order, revenue tracked by month-age since that
+    first order -- the cumulative-LTV-per-cohort curve every
+    subscription/commerce dashboard draws, and the input to payback
+    and CAC-ceiling decisions.
+
+    Float determinism: revenue is decimal-exact per (cohort, age); the
+    cumulative sum runs over the SAME decimal column (exact at any
+    window order); LTV-per-member is a single division by the cohort
+    size, unrounded (exact decimal numerator cast to double over an
+    int -- identical IEEE in any engine).
+
+    Scale shape: the first-order month is ONE per-customer aggregate
+    (map-side combined); the triangle aggregate shuffles
+    (cohort, age) -- calendar x calendar cardinality; the running
+    window and the size join act on the triangle frame, never on
+    orders.  Cohort size = distinct buyers at age 0 (by construction
+    every cohort member buys in month 0).  Returns (cohort_month,
+    age_months, n_buyers, revenue, cum_revenue, cum_ltv_per_member).
+    """
+    mkey = F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+    first = (
+        orders.groupBy("o_custkey")
+        .agg(F.min(mkey).alias("__cohort_key"))
+    )
+    joined = orders.join(first, "o_custkey").select(
+        "o_custkey",
+        "o_totalprice",
+        F.col("__cohort_key").alias("ck"),
+        (mkey - F.col("__cohort_key")).alias("age_months"),
+    )
+    tri = joined.groupBy("ck", "age_months").agg(
+        F.count_distinct("o_custkey").alias("n_buyers"),
+        F.sum(F.col("o_totalprice").cast(_DEC)).alias("__rev"),
+    )
+    w = (
+        Window.partitionBy("ck")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sizes = tri.filter(F.col("age_months") == 0).select(
+        "ck", F.col("n_buyers").alias("__size")
+    )
+    cohort_month = F.concat(
+        F.floor(F.col("ck") / 12).cast("string"),
+        F.lit("-"),
+        F.lpad((F.col("ck") % 12 + 1).cast("string"), 2, "0"),
+    )
+    return (
+        tri.withColumn("__cum", F.sum("__rev").over(w))
+        .join(F.broadcast(sizes), "ck")
+        .select(
+            cohort_month.alias("cohort_month"),
+            "age_months",
+            "n_buyers",
+            F.col("__rev").cast("double").alias("revenue"),
+            F.col("__cum").cast("double").alias("cum_revenue"),
+            (F.col("__cum").cast("double") / F.col("__size")).alias(
+                "cum_ltv_per_member"
+            ),
+        )
+    )
+
+
+def fulfillment_sla_profile(
+    lineitem: DataFrame, orders: DataFrame, sla_days: int = 90
+) -> DataFrame:
+    """Order-to-ship latency profile per order priority: exact mean,
+    R-7 percentiles (p50/p90/p99, 6-dp rounded -- interpolation of
+    integer day counts is engine-identical given identical IEEE
+    inputs), and the share of line items blowing the ``sla_days`` SLA
+    -- the operations-facing dual of the revenue tier.
+
+    Scale shape: one lineitem-to-orders equi-join on orderkey (the
+    fact table's own key -- at warehouse scale both sides are bucketed
+    by it already), one hash aggregate per priority; delays are exact
+    int day counts so the mean is a single division of exact ints.
+    Returns (priority, n_lines, mean_delay_days, p50, p90, p99,
+    pct_over_sla).
+    """
+    j = lineitem.select("l_orderkey", "l_shipdate").join(
+        orders.select("o_orderkey", "o_orderpriority", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        ).alias("__d"),
+    )
+    return j.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").alias("n_lines"),
+        (F.sum("__d") / F.count("*")).alias("mean_delay_days"),
+        F.round(F.percentile("__d", 0.5), 6).alias("p50"),
+        F.round(F.percentile("__d", 0.9), 6).alias("p90"),
+        F.round(F.percentile("__d", 0.99), 6).alias("p99"),
+        (
+            F.sum((F.col("__d") > sla_days).cast("long")) / F.count("*")
+        ).alias("pct_over_sla"),
+    )

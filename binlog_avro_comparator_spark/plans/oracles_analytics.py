@@ -2542,3 +2542,51 @@ f AS (
 SELECT * FROM r WHERE rank <= 10
 UNION ALL
 SELECT * FROM f WHERE rank <= 10"""
+
+    # twin of analytics.cohort_ltv
+    sql["customer_cohort_ltv"] = """
+WITH mk AS (
+  SELECT o_custkey, o_totalprice,
+         year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m
+  FROM orders
+),
+first_m AS (SELECT o_custkey, min(m) AS ck FROM mk GROUP BY o_custkey),
+tri AS (
+  SELECT f.ck, mk.m - f.ck AS age_months,
+         count(DISTINCT mk.o_custkey) AS n_buyers,
+         sum(CAST(mk.o_totalprice AS DECIMAL(12,2))) AS rev
+  FROM mk JOIN first_m f USING (o_custkey)
+  GROUP BY 1, 2
+),
+sizes AS (SELECT ck, n_buyers AS sz FROM tri WHERE age_months = 0),
+cum AS (
+  SELECT ck, age_months, n_buyers, rev,
+         sum(rev) OVER (PARTITION BY ck ORDER BY age_months
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_rev
+  FROM tri
+)
+SELECT CAST(ck // 12 AS VARCHAR) || '-' ||
+         lpad(CAST(ck % 12 + 1 AS VARCHAR), 2, '0') AS cohort_month,
+       age_months, n_buyers,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(cum_rev AS DOUBLE) AS cum_revenue,
+       CAST(cum_rev AS DOUBLE) / s.sz AS cum_ltv_per_member
+FROM cum JOIN sizes s USING (ck)"""
+
+    # twin of analytics.fulfillment_sla_profile (sla 90 days)
+    sql["orders_fulfillment_sla"] = """
+WITH j AS (
+  SELECT o_orderpriority AS priority,
+         date_diff('day', CAST(o_orderdate AS DATE),
+                   CAST(l_shipdate AS DATE)) AS d
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT priority, count(*) AS n_lines,
+       sum(d) / CAST(count(*) AS DOUBLE) AS mean_delay_days,
+       round(quantile_cont(d, 0.5), 6) AS p50,
+       round(quantile_cont(d, 0.9), 6) AS p90,
+       round(quantile_cont(d, 0.99), 6) AS p99,
+       sum(CASE WHEN d > 90 THEN 1 ELSE 0 END)
+         / CAST(count(*) AS DOUBLE) AS pct_over_sla
+FROM j GROUP BY priority"""

@@ -985,4 +985,25 @@ def _q_top_movers(spark, sf_dir):
     return top_movers(load_table(spark, sf_dir, "events"))
 
 
+def _q_cohort_ltv(spark, sf_dir):
+    """Cohort LTV triangle (analytics.cohort_ltv): first-order-month
+    cohorts, decimal-exact revenue by month age, cumulative LTV per
+    member."""
+    ensure_session_conf(spark)
+    from ..operators.analytics import cohort_ltv
+
+    return cohort_ltv(load_table(spark, sf_dir, "orders"))
+
+
+def _q_fulfillment_sla(spark, sf_dir):
+    """Order-to-ship SLA profile (analytics.fulfillment_sla_profile):
+    exact-int delay stats + R-7 percentiles per priority."""
+    ensure_session_conf(spark)
+    from ..operators.analytics import fulfillment_sla_profile
+
+    return fulfillment_sla_profile(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    )
+
+
 __all__ = [_n for _n in list(globals()) if not _n.startswith('__') and _n != '_shared']

@@ -52,6 +52,8 @@ def queries() -> dict[str, QueryFn]:
         # decorrelated fixtures. --
         # -- NEW in r9 continuation session: privacy release audit,
         # calendar seasonal decomposition, growth-accounting ledger --
+        "customer_cohort_ltv": _q_cohort_ltv,
+        "orders_fulfillment_sla": _q_fulfillment_sla,
         "events_forecast_baseline": _q_forecast_baseline,
         "events_top_movers": _q_top_movers,
         "embedding_pca_power": _q_pca_power,

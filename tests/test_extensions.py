@@ -5198,3 +5198,58 @@ def test_top_movers_directions_and_smoothing(spark):
     assert by[("FALLER", 1)].user_id == 2
     assert by[("FALLER", 1)].log_ratio == round(math.log(1 / 16.0), 6)
     assert by[("RISER", 2)].user_id == 3  # flat user ranks by tie-break
+
+
+def test_cohort_ltv_triangle_and_cumulative(spark):
+    """Two customers first-buying in Jan form the 2024-01 cohort; a
+    Feb repeat purchase lands at age 1 with cumulative LTV = total /
+    cohort size; a Feb-first customer starts their own cohort."""
+    from binlog_avro_comparator_spark.operators.analytics import cohort_ltv
+    import datetime
+
+    d = datetime.datetime
+    orders = spark.createDataFrame(
+        [
+            (1, 10, d(2024, 1, 5), 100.0),
+            (2, 11, d(2024, 1, 20), 50.0),
+            (3, 10, d(2024, 2, 5), 30.0),  # repeat at age 1
+            (4, 12, d(2024, 2, 10), 70.0),  # new cohort
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp,"
+        " o_totalprice double",
+    )
+    got = {(r.cohort_month, r.age_months): r for r in cohort_ltv(orders).collect()}
+    jan0 = got[("2024-01", 0)]
+    assert jan0.n_buyers == 2 and jan0.revenue == 150.0
+    assert jan0.cum_ltv_per_member == 75.0
+    jan1 = got[("2024-01", 1)]
+    assert jan1.n_buyers == 1 and jan1.cum_revenue == 180.0
+    assert jan1.cum_ltv_per_member == 90.0
+    feb0 = got[("2024-02", 0)]
+    assert feb0.n_buyers == 1 and feb0.revenue == 70.0
+
+
+def test_fulfillment_sla_percentiles_and_breach(spark):
+    """Delays 1..10 days: p50 = 5.5 (R-7 interpolation), mean exact,
+    one line over a 9-day SLA -> 10% breach."""
+    from binlog_avro_comparator_spark.operators.analytics import (
+        fulfillment_sla_profile,
+    )
+    import datetime
+
+    d = datetime.datetime
+    orders = spark.createDataFrame(
+        [(k, 1, d(2024, 1, 1), "1-URGENT") for k in range(1, 11)],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        [(k, d(2024, 1, 1 + k)) for k in range(1, 11)],
+        "l_orderkey long, l_shipdate timestamp",
+    )
+    got = fulfillment_sla_profile(li, orders, sla_days=9).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.n_lines == 10 and r.mean_delay_days == 5.5
+    assert r.p50 == 5.5 and r.p99 == 9.91
+    assert r.pct_over_sla == 0.1
