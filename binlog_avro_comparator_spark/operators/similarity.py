@@ -2192,3 +2192,62 @@ def pca_power_top1(embeddings: DataFrame, n_iter: int = 3) -> DataFrame:
             ),
         )
     )
+
+
+def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension health census of the embedding table: mean,
+    standard deviation, min/max, and the DEAD flag (variance ~ 0) --
+    the feature-statistics pass that catches collapsed or saturated
+    dimensions before they silently waste index bytes (a dead dim
+    contributes nothing to any distance yet costs storage in every PQ
+    code and IVF list; whitening and Matryoshka truncation decisions
+    start from exactly this table).
+
+    Determinism: coordinates quantize to 1e-6 and scale to exact
+    INTEGERS (v * 1e6); the sum is an exact BIGINT, the sum of squares
+    an exact DECIMAL(38,0) -- both order-independent -- and mean/var
+    are fixed double expressions over those exact operands (identical
+    bit patterns in any engine; note the naive n*q - s^2 decimal form
+    overflows precision 38 and each engine truncates DIFFERENTLY,
+    which is why the moments stay integer and the algebra happens in
+    doubles).
+
+    Scale shape: one posexplode (linear in corpus x dim) + one hash
+    aggregate keyed by ord -- map-side combined to a dim-sized frame.
+    Returns (ord, n, mean, std, min_v, max_v, is_dead).
+    """
+    _D6 = "decimal(12,6)"
+    ex = embeddings.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "ord0", "v"
+        )
+    ).select(
+        (F.col("ord0") + 1).alias("ord"),
+        (F.round("v", COS_ROUND).cast(_D6) * 1_000_000)
+        .cast("long")
+        .alias("vi"),
+    )
+    agg = ex.groupBy("ord").agg(
+        F.count("*").alias("n"),
+        F.sum("vi").alias("__s"),
+        F.sum((F.col("vi") * F.col("vi")).cast("decimal(38,0)")).alias(
+            "__q"
+        ),
+        (F.min("vi") / 1_000_000.0).alias("min_v"),
+        (F.max("vi") / 1_000_000.0).alias("max_v"),
+    )
+    mean = F.col("__s").cast("double") / F.col("n") / 1e6
+    var = (
+        F.col("__q").cast("double") / F.col("n") / 1e12
+        - mean * mean
+    )
+    std = F.sqrt(var)
+    return agg.select(
+        "ord",
+        "n",
+        mean.alias("mean"),
+        std.alias("std"),
+        "min_v",
+        "max_v",
+        (std < 1e-6).alias("is_dead"),
+    )

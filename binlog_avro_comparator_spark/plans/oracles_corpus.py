@@ -1831,3 +1831,32 @@ SELECT v.ord, CAST(v.vald AS DOUBLE) AS loading, l.eigenvalue,
        l.eigenvalue / t.total_variance AS explained_share
 FROM pv3 v, plam l, ptv t"""
     )
+
+    # twin of similarity.embedding_dim_stats (integer-scaled moments,
+    # fixed double algebra -- the decimal n*q - s^2 form overflows
+    # precision 38 and engines truncate differently)
+    sql["embedding_dim_stats"] = """
+WITH ex AS (
+  SELECT ord,
+         CAST(CAST(round(v, 6) AS DECIMAL(12,6)) * 1000000 AS BIGINT) AS vi
+  FROM (
+    SELECT generate_subscripts(embedding, 1) AS ord,
+           unnest(embedding)::DOUBLE AS v
+    FROM embeddings)
+),
+agg AS (
+  SELECT ord, count(*) AS n, sum(vi) AS s,
+         sum(CAST(vi * vi AS DECIMAL(38,0))) AS q,
+         min(vi) / 1000000.0 AS min_v, max(vi) / 1000000.0 AS max_v
+  FROM ex GROUP BY ord
+)
+SELECT ord, n,
+       CAST(s AS DOUBLE) / n / 1e6 AS mean,
+       sqrt(CAST(q AS DOUBLE) / n / 1e12
+            - (CAST(s AS DOUBLE) / n / 1e6) * (CAST(s AS DOUBLE) / n / 1e6))
+         AS std,
+       min_v, max_v,
+       sqrt(CAST(q AS DOUBLE) / n / 1e12
+            - (CAST(s AS DOUBLE) / n / 1e6) * (CAST(s AS DOUBLE) / n / 1e6))
+         < 1e-6 AS is_dead
+FROM agg"""

@@ -715,4 +715,14 @@ def _q_pca_power(spark, sf_dir):
     return pca_power_top1(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_embedding_dim_stats(spark, sf_dir):
+    """Per-dimension embedding health census
+    (similarity.embedding_dim_stats): exact-decimal moments, dead-dim
+    flags -- the whitening / truncation input table."""
+    ensure_session_conf(spark)
+    from ..operators.similarity import embedding_dim_stats
+
+    return embedding_dim_stats(load_table(spark, sf_dir, "embeddings"))
+
+
 __all__ = [_n for _n in list(globals()) if not _n.startswith('__') and _n != '_shared']

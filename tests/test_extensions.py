@@ -5253,3 +5253,20 @@ def test_fulfillment_sla_percentiles_and_breach(spark):
     assert r.n_lines == 10 and r.mean_delay_days == 5.5
     assert r.p50 == 5.5 and r.p99 == 9.91
     assert r.pct_over_sla == 0.1
+
+
+def test_embedding_dim_stats_dead_dim(spark):
+    """A constant dimension is flagged dead with std exactly 0; a live
+    dimension reports exact integer-scaled moments."""
+    from binlog_avro_comparator_spark.operators.similarity import (
+        embedding_dim_stats,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [0.5, float(i)]) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.ord: r for r in embedding_dim_stats(emb).collect()}
+    assert got[1].is_dead and got[1].std == 0.0 and got[1].mean == 0.5
+    assert not got[2].is_dead
+    assert got[2].mean == 1.5 and got[2].min_v == 0.0 and got[2].max_v == 3.0
