@@ -2431,6 +2431,8 @@ SELECT day, count(*) AS n_active,
        CAST(sum(CASE WHEN status = 'returning' THEN 1 ELSE 0 END) AS BIGINT) AS n_returning,
        CAST(sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
 FROM tagged GROUP BY day"""
+    sql["events_lifecycle_incremental"] = sql["events_user_lifecycle"]
+
 
     # twin of analytics.supplier_similarity (df cap 200, threshold .17
     # -- selective at sf0.01: 176 of 4950 candidate pairs survive)

@@ -990,4 +990,19 @@ def _q_events_funnel_incremental(spark, sf_dir):
     return _run_fold(spark, maintain_funnel, read_funnel, d)
 
 
+def _q_events_lifecycle_incremental(spark, sf_dir):
+    """Growth accounting as the PRODUCTION incremental fold
+    (streaming/fold_sinks.maintain_lifecycle): per-user state is ONE
+    row (last active day -- all the batch lag window can read across
+    an event-time-ordered batch boundary) plus the calendar-sized
+    counter rollup; 4 file-stream micro-batches fold their deltas and
+    reading LATEST equals batch user_lifecycle verbatim (the shared
+    oracle)."""
+    from ..streaming.fold_sinks import maintain_lifecycle, read_lifecycle
+
+    ensure_session_conf(spark)
+    d = _events_chunk_dir(spark, sf_dir)
+    return _run_fold(spark, maintain_lifecycle, read_lifecycle, d)
+
+
 __all__ = [_n for _n in list(globals()) if not _n.startswith('__') and _n != '_shared']

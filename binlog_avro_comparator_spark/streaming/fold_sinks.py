@@ -315,3 +315,134 @@ def read_funnel(spark: SparkSession, state_dir: str) -> DataFrame:
             + F.col("e3").isNotNull().cast("int")
         ).alias("stage_reached"),
     )
+
+
+# --------------------------------------------------------------------------
+# growth-accounting lifecycle fold
+
+
+def _classify_lifecycle_batch(
+    users_prev: DataFrame | None, batch_df: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """One micro-batch's (day-counter delta, per-user day frame).
+
+    Per-user state is ONE row -- the last active day -- because under
+    event-time-ordered batches that is ALL the batch operator's lag
+    window can ever read across the batch boundary: the gap
+    classification needs only the immediately preceding active day.
+    Same-day reappearance in a later batch compares equal to the
+    stored last_day and is dropped (already counted); a day older than
+    last_day is late beyond the watermark and drops -- the same call
+    maintain_funnel makes."""
+    from pyspark.sql import Window
+
+    bd = (
+        batch_df.filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+        .distinct()
+    )
+    if users_prev is not None:
+        bd = bd.join(users_prev, "user_id", "left")
+    else:
+        bd = bd.withColumn("last_day", F.lit(None).cast("string"))
+    fresh = bd.filter(
+        F.col("last_day").isNull() | (F.col("day") > F.col("last_day"))
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    prev_day = F.coalesce(F.lag("day").over(w), F.col("last_day"))
+    gap = F.datediff(F.col("day").cast("date"), prev_day.cast("date"))
+    status = (
+        F.when(prev_day.isNull(), "new")
+        .when(gap <= 7, "returning")
+        .otherwise("resurrected")
+    )
+    tagged = fresh.select("user_id", "day", status.alias("status"))
+    delta = tagged.groupBy("day").agg(
+        F.count("*").alias("n_active"),
+        F.sum((F.col("status") == "new").cast("long")).alias("n_new"),
+        F.sum((F.col("status") == "returning").cast("long")).alias(
+            "n_returning"
+        ),
+        F.sum((F.col("status") == "resurrected").cast("long")).alias(
+            "n_resurrected"
+        ),
+    )
+    return delta, bd.select("user_id", "day")
+
+
+def commit_lifecycle_batch(
+    spark: SparkSession, state_dir: str, batch_df: DataFrame, batch_id: int
+) -> None:
+    """Fold one micro-batch into the (users, days) state pair.  Same
+    pointer-swing idempotency as the other folds; the version dir
+    holds TWO datasets (users/ = per-user last day, days/ = the
+    counter rollup) swung by one pointer."""
+    prev = _latest_version(state_dir)
+    if prev is not None and os.path.basename(prev) == f"v{batch_id}":
+        return
+    users_prev = (
+        spark.read.parquet(os.path.join(prev, "users")) if prev else None
+    )
+    delta, batch_days = _classify_lifecycle_batch(users_prev, batch_df)
+    if prev:
+        days_merged = (
+            spark.read.parquet(os.path.join(prev, "days"))
+            .unionByName(delta)
+            .groupBy("day")
+            .agg(
+                F.sum("n_active").alias("n_active"),
+                F.sum("n_new").alias("n_new"),
+                F.sum("n_returning").alias("n_returning"),
+                F.sum("n_resurrected").alias("n_resurrected"),
+            )
+        )
+        users_merged = (
+            users_prev.select("user_id", F.col("last_day").alias("day"))
+            .unionByName(batch_days)
+            .groupBy("user_id")
+            .agg(F.max("day").alias("last_day"))
+        )
+    else:
+        days_merged = delta
+        users_merged = batch_days.groupBy("user_id").agg(
+            F.max("day").alias("last_day")
+        )
+    vdir = os.path.join(state_dir, f"v{batch_id}")
+    users_merged.write.mode("overwrite").parquet(os.path.join(vdir, "users"))
+    days_merged.write.mode("overwrite").parquet(os.path.join(vdir, "days"))
+    _swing_pointer(state_dir, batch_id)
+
+
+def maintain_lifecycle(
+    events_stream: DataFrame, state_dir: str, checkpoint_dir: str
+):
+    """Start the foreachBatch lifecycle maintenance query (caller
+    awaits).  State is per-user ONE day plus the calendar-sized
+    counter rollup -- never the (user, day) history the batch
+    operator's window reads; the production aging hook retires users
+    idle past any resurrection horizon you still care to distinguish."""
+    os.makedirs(state_dir, exist_ok=True)
+    spark = events_stream.sparkSession
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        commit_lifecycle_batch(spark, state_dir, batch_df, batch_id)
+
+    return (
+        events_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_lifecycle(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained day rollup at LATEST -- the batch
+    user_lifecycle contract."""
+    target = _latest_version(state_dir)
+    if target is None:
+        raise FileNotFoundError(f"no state version under {state_dir}")
+    return spark.read.parquet(os.path.join(target, "days")).select(
+        "day", "n_active", "n_new", "n_returning", "n_resurrected"
+    )

@@ -263,3 +263,76 @@ def test_funnel_fold_late_view_dropped_like_watermark(spark, tmp_path):
     )
     [batch] = funnel_stages(all_ev).collect()
     assert batch.view_ts_ms == 1748772000000
+
+
+_LIFE_CHUNKS = [
+    # day-ordered chunks: u1 new on d1; u1 returning d3 (gap 2);
+    # u2 new d3; u1 resurrected d20 (gap 17); u2 same-day repeat in a
+    # LATER batch (must not recount)
+    [
+        (1, "2025-06-01 08:00:00", 1, "click", 1.0, "{}"),
+        (2, "2025-06-01 09:00:00", 1, "view", 1.0, "{}"),
+    ],
+    [
+        (3, "2025-06-03 08:00:00", 1, "click", 1.0, "{}"),
+        (4, "2025-06-03 09:00:00", 2, "view", 1.0, "{}"),
+    ],
+    [
+        (5, "2025-06-03 10:00:00", 2, "click", 1.0, "{}"),  # same-day repeat
+        (6, "2025-06-20 08:00:00", 1, "click", 1.0, "{}"),
+    ],
+]
+
+
+def _write_life_chunks(spark, tmp_path) -> str:
+    global _CHUNKS
+    saved = list(_CHUNKS)
+    _CHUNKS[:] = _LIFE_CHUNKS
+    try:
+        return _write_chunks(spark, tmp_path)
+    finally:
+        _CHUNKS[:] = saved
+
+
+def test_lifecycle_fold_equals_batch_and_bounded_state(spark, tmp_path):
+    """Reading LATEST equals batch user_lifecycle after 3 event-time-
+    ordered triggers; per-user state is one row (never the (user, day)
+    history); a same-day repeat in a later batch does not recount."""
+    from binlog_avro_comparator_spark.operators.analytics import (
+        user_lifecycle,
+    )
+    from binlog_avro_comparator_spark.streaming.fold_sinks import (
+        maintain_lifecycle,
+        read_lifecycle,
+        _latest_version,
+    )
+
+    d = _write_life_chunks(spark, tmp_path)
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    _drain(maintain_lifecycle(_stream(spark, d), state, ckpt))
+
+    got = {r.day: r for r in read_lifecycle(spark, state).collect()}
+    import datetime
+
+    all_rows = spark.createDataFrame(
+        [
+            (eid, datetime.datetime.fromisoformat(ts), u, et, v, p)
+            for rows in _LIFE_CHUNKS
+            for (eid, ts, u, et, v, p) in rows
+        ],
+        EVENTS_T,
+    )
+    want = {r.day: r for r in user_lifecycle(all_rows).collect()}
+    assert set(got) == set(want)
+    for day in want:
+        for c in ("n_active", "n_new", "n_returning", "n_resurrected"):
+            assert getattr(got[day], c) == getattr(want[day], c), (day, c)
+    # sanity of the interesting rows
+    assert got["2025-06-03"].n_returning == 1 and got["2025-06-03"].n_new == 1
+    assert got["2025-06-20"].n_resurrected == 1
+    # bounded state: one row per user at LATEST
+    users = spark.read.parquet(
+        os.path.join(_latest_version(state), "users")
+    )
+    assert users.count() == 2
