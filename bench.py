@@ -252,6 +252,23 @@ EXTRA_QUERIES = [
     "media_perceptual_dup",
     "video_perceptual_dup",
     "embedding_prototypes",
+    # round 9 continuation session
+    "customer_k_anonymity",
+    "orders_seasonal_profile",
+    "events_user_lifecycle",
+    "cdc_changelog_compaction",
+    "cdc_multimaster_conflicts",
+    "doc_encoding_anomalies",
+    "doc_code_switch",
+    "supplier_similarity",
+    "events_hourly_autocorr",
+    "embedding_pca_power",
+    "events_forecast_baseline",
+    "events_top_movers",
+    "customer_cohort_ltv",
+    "orders_fulfillment_sla",
+    "embedding_dim_stats",
+    "events_lifecycle_incremental",
 ]
 
 # Plan-stable anchor (r8 verdict item 5): q1_pricing_summary's plan has
