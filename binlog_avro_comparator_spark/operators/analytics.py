@@ -4312,7 +4312,7 @@ def user_lifecycle(events: DataFrame, resurrect_days: int = 7) -> DataFrame:
 
 def supplier_similarity(
     lineitem: DataFrame,
-    min_jaccard: float = 0.17,
+    top_k: int = 5,
     max_suppliers_per_part: int = 200,
 ) -> DataFrame:
     """Supplier-to-supplier similarity by shared part catalogs: Jaccard
@@ -4335,16 +4335,35 @@ def supplier_similarity(
     engine; rounding can land on half-ulp ties for power-of-two
     denominators).
 
-    Returns (supp_a, supp_b, n_shared, n_a, n_b, jaccard) for pairs
-    with jaccard >= ``min_jaccard``.
+    Output is each supplier's ``top_k`` most similar peers (jaccard
+    desc, supp_b tie-break) -- an ABSOLUTE jaccard threshold cannot be
+    scale-stable (overlap dilutes as the catalog grows: max pair
+    jaccard is 0.19 at sf0.01 but 0.035 at sf0.1), while "my 5 nearest
+    substitutes" is the question at any size, and the rank executes as
+    WindowGroupLimit so each task ships its local top-k only.  Returns
+    (supp_a, supp_b, n_shared, n_a, n_b, jaccard, rank).
     """
-    sp = lineitem.select(
-        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
-    ).distinct()
+    from pyspark.sql import Window
+
+    from ..functions.caching import scoped_cache
+
+    sp = scoped_cache(
+        lineitem.select(
+            F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+        ).distinct()
+    )
     part_df = sp.groupBy("p").agg(F.count("*").alias("__df"))
-    sp_capped = sp.join(
-        part_df.filter(F.col("__df") <= max_suppliers_per_part).select("p"),
-        "p",
+    # cached both sides: the df-cap filter, the two size frames, and
+    # the a/b pair legs would otherwise each re-run the distinct scan
+    # (4 computations of the same exchange -- measured 9.4 s -> cached
+    # once at sf0.1)
+    sp_capped = scoped_cache(
+        sp.join(
+            part_df.filter(F.col("__df") <= max_suppliers_per_part).select(
+                "p"
+            ),
+            "p",
+        )
     )
     sizes = sp_capped.groupBy("s").agg(F.count("*").alias("n_parts"))
     a = sp_capped.select(F.col("p"), F.col("s").alias("supp_a"))
@@ -4358,7 +4377,7 @@ def supplier_similarity(
     jac = F.col("n_shared") / (
         F.col("n_a") + F.col("n_b") - F.col("n_shared")
     )
-    return (
+    scored = (
         inter.join(
             F.broadcast(sizes.select(F.col("s").alias("supp_a"),
                                      F.col("n_parts").alias("n_a"))),
@@ -4371,8 +4390,13 @@ def supplier_similarity(
         )
         .select("supp_a", "supp_b", "n_shared", "n_a", "n_b",
                 jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= min_jaccard)
     )
+    w = Window.partitionBy("supp_a").orderBy(
+        F.col("jaccard").desc(), "supp_b"
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w)
+    ).filter(F.col("rank") <= top_k)
 
 
 _AUTOCORR_LAGS = (1, 2, 3, 6, 12, 24)
@@ -4634,4 +4658,65 @@ def fulfillment_sla_profile(
         (
             F.sum((F.col("__d") > sla_days).cast("long")) / F.count("*")
         ).alias("pct_over_sla"),
+    )
+
+
+def engagement_ratios(events: DataFrame) -> DataFrame:
+    """DAU / WAU / MAU and the DAU/MAU stickiness ratio per calendar
+    day -- the engagement panel every consumer product tracks, with
+    the trailing windows computed SET-exactly (a user active twice in
+    the window counts once) rather than as sums of daily actives.
+
+    The trailing distinct-user windows come from one explode: each
+    active (user, day) contributes to the 30 window-days it can be
+    visible in, and a conditional distinct count per window-day reads
+    DAU (offset 0), WAU (offset <= 6), and MAU (offset <= 29) in ONE
+    aggregate.  Only days that are themselves active emit a row (the
+    calendar join), so a silent feed produces gaps, not zeros --
+    consistent with events_feed_gaps being the silence detector.
+
+    Exactness: counts are integers; stickiness is one division.
+
+    Scale shape: |user-days| x 30 rows into one hash aggregate keyed
+    by day -- linear, map-side combinable, no window function at all;
+    the active-day calendar is a broadcast.  Returns (day, dau, wau,
+    mau, stickiness).
+    """
+    user_days = (
+        events.filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.floor(F.unix_millis("ts") / 86_400_000).alias("d"),
+        )
+        .distinct()
+    )
+    active_days = user_days.select("d").distinct()
+    contrib = user_days.select(
+        "user_id",
+        "d",
+        F.explode(F.sequence(F.lit(0), F.lit(29))).alias("o"),
+    ).select("user_id", (F.col("d") + F.col("o")).alias("wd"), "o")
+    per_day = (
+        contrib.join(
+            F.broadcast(active_days.select(F.col("d").alias("wd"))), "wd"
+        )
+        .groupBy("wd")
+        .agg(
+            F.count_distinct(
+                F.when(F.col("o") == 0, F.col("user_id"))
+            ).alias("dau"),
+            F.count_distinct(
+                F.when(F.col("o") <= 6, F.col("user_id"))
+            ).alias("wau"),
+            F.count_distinct("user_id").alias("mau"),
+        )
+    )
+    return per_day.select(
+        F.date_format(
+            F.timestamp_millis(F.col("wd") * 86_400_000), "yyyy-MM-dd"
+        ).alias("day"),
+        "dau",
+        "wau",
+        "mau",
+        (F.col("dau") / F.col("mau")).alias("stickiness"),
     )

@@ -2434,8 +2434,8 @@ FROM tagged GROUP BY day"""
     sql["events_lifecycle_incremental"] = sql["events_user_lifecycle"]
 
 
-    # twin of analytics.supplier_similarity (df cap 200, threshold .17
-    # -- selective at sf0.01: 176 of 4950 candidate pairs survive)
+    # twin of analytics.supplier_similarity (df cap 200, top-5 peers
+    # per supplier -- absolute thresholds are not scale-stable)
     sql["supplier_similarity"] = """
 WITH sp AS (
   SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
@@ -2449,14 +2449,21 @@ inter AS (
   SELECT a.s AS supp_a, b.s AS supp_b, count(*) AS n_shared
   FROM capped a JOIN capped b ON a.p = b.p AND a.s < b.s
   GROUP BY 1, 2
+),
+scored AS (
+  SELECT supp_a, supp_b, n_shared, sa.n_parts AS n_a, sb.n_parts AS n_b,
+         n_shared / CAST(sa.n_parts + sb.n_parts - n_shared AS DOUBLE)
+           AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.s = supp_a
+  JOIN sizes sb ON sb.s = supp_b
 )
-SELECT supp_a, supp_b, n_shared, sa.n_parts AS n_a, sb.n_parts AS n_b,
-       n_shared / CAST(sa.n_parts + sb.n_parts - n_shared AS DOUBLE)
-         AS jaccard
-FROM inter
-JOIN sizes sa ON sa.s = supp_a
-JOIN sizes sb ON sb.s = supp_b
-WHERE n_shared / CAST(sa.n_parts + sb.n_parts - n_shared AS DOUBLE) >= 0.17"""
+SELECT * FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY supp_a ORDER BY jaccard DESC, supp_b) AS INTEGER)
+    AS rank
+  FROM scored
+) WHERE rank <= 5"""
 
     # twin of analytics.hourly_autocorr: exact-integer Pearson terms
     sql["events_hourly_autocorr"] = """
@@ -2592,3 +2599,26 @@ SELECT priority, count(*) AS n_lines,
        sum(CASE WHEN d > 90 THEN 1 ELSE 0 END)
          / CAST(count(*) AS DOUBLE) AS pct_over_sla
 FROM j GROUP BY priority"""
+
+    # twin of analytics.engagement_ratios (exact trailing distincts)
+    sql["events_engagement_ratios"] = """
+WITH user_days AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS d
+  FROM events WHERE user_id IS NOT NULL
+),
+active AS (SELECT DISTINCT d FROM user_days),
+contrib AS (
+  SELECT u.user_id, u.d + o.o AS wd, o.o
+  FROM user_days u, (SELECT unnest(range(0, 30)) AS o) o
+),
+per_day AS (
+  SELECT c.wd,
+         count(DISTINCT CASE WHEN c.o = 0 THEN c.user_id END) AS dau,
+         count(DISTINCT CASE WHEN c.o <= 6 THEN c.user_id END) AS wau,
+         count(DISTINCT c.user_id) AS mau
+  FROM contrib c JOIN active a ON a.d = c.wd
+  GROUP BY c.wd
+)
+SELECT strftime(epoch_ms(wd * 86400000), '%Y-%m-%d') AS day,
+       dau, wau, mau, dau / CAST(mau AS DOUBLE) AS stickiness
+FROM per_day"""

@@ -1006,4 +1006,14 @@ def _q_fulfillment_sla(spark, sf_dir):
     )
 
 
+def _q_engagement_ratios(spark, sf_dir):
+    """DAU/WAU/MAU + stickiness (analytics.engagement_ratios):
+    set-exact trailing distincts from ONE explode + one aggregate --
+    no window function."""
+    ensure_session_conf(spark)
+    from ..operators.analytics import engagement_ratios
+
+    return engagement_ratios(load_table(spark, sf_dir, "events"))
+
+
 __all__ = [_n for _n in list(globals()) if not _n.startswith('__') and _n != '_shared']

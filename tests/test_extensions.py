@@ -5073,13 +5073,13 @@ def test_supplier_similarity_jaccard_and_df_cap(spark):
         "l_orderkey long, l_partkey long, l_suppkey long",
     )
     got = supplier_similarity(
-        li, min_jaccard=0.0, max_suppliers_per_part=2
+        li, top_k=5, max_suppliers_per_part=2
     ).collect()
     pairs = {(r.supp_a, r.supp_b): r for r in got}
     assert set(pairs) == {(1, 2)}  # supplier 3 only had the capped part
     r = pairs[(1, 2)]
     assert r.n_shared == 2 and r.n_a == 3 and r.n_b == 3
-    assert r.jaccard == 0.5
+    assert r.jaccard == 0.5 and r.rank == 1
 
 
 def test_hourly_autocorr_perfect_period(spark):
@@ -5270,3 +5270,33 @@ def test_embedding_dim_stats_dead_dim(spark):
     assert got[1].is_dead and got[1].std == 0.0 and got[1].mean == 0.5
     assert not got[2].is_dead
     assert got[2].mean == 1.5 and got[2].min_v == 0.0 and got[2].max_v == 3.0
+
+
+def test_engagement_ratios_set_exact_windows(spark):
+    """A user active twice inside the trailing week counts once in
+    WAU; MAU reaches back 30 days; stickiness = DAU/MAU; inactive
+    calendar days emit no row."""
+    from binlog_avro_comparator_spark.operators.analytics import (
+        engagement_ratios,
+    )
+    import datetime
+
+    d = datetime.datetime
+    rows = [
+        (0, d(2024, 1, 1), 1, "click", 1.0, "{}"),
+        (1, d(2024, 1, 3), 1, "click", 1.0, "{}"),  # same user twice in week
+        (2, d(2024, 1, 3), 2, "view", 1.0, "{}"),
+        (3, d(2024, 1, 25), 2, "view", 1.0, "{}"),  # u1's Jan-1 out of MAU? no: 24 days -> in
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {r.day: r for r in engagement_ratios(ev).collect()}
+    assert set(got) == {"2024-01-01", "2024-01-03", "2024-01-25"}
+    d3 = got["2024-01-03"]
+    assert d3.dau == 2 and d3.wau == 2 and d3.mau == 2
+    d25 = got["2024-01-25"]
+    # trailing 30d window [Dec 27, Jan 25] holds u1 (Jan 1, Jan 3) and u2
+    assert d25.dau == 1 and d25.wau == 1 and d25.mau == 2
+    assert d25.stickiness == 0.5
