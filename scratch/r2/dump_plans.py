@@ -93,6 +93,14 @@ PICKS = [
     ("cdc_schema_columns", "column matrix: versions x touched-columns grid + carry-forward last(effect) window -- linear in statements"),
     ("media_perceptual_dup", "perceptual pairs: blobs -> 4 band ints at the scan (payload never shuffles), band equi-join candidates, xor/bit_count verify"),
     ("video_perceptual_dup", "video near-dup: container walk + frame hashes at the scan, rare-hash candidates, candidate-bounded set intersection"),
+    # round 9 continuation
+    ("supplier_similarity", "set-similarity join: part-side inverted index, df-cap prune, cached distinct frame, WindowGroupLimit top-k peers"),
+    ("embedding_pca_power", "power iteration: exact-decimal projection/back-projection aggregates, 64-row direction broadcast, lineage checkpointed per pass"),
+    ("events_hourly_autocorr", "autocorrelation: calendar-sized hour frame self-joined at lag offsets, integer Pearson terms map-side combined"),
+    ("customer_cohort_ltv", "LTV triangle: per-customer first-month agg, calendar x calendar triangle, running window over the triangle only"),
+    ("events_engagement_ratios", "DAU/WAU/MAU: one explode + ONE conditional-distinct aggregate keyed by day -- no window function"),
+    ("cdc_multimaster_conflicts", "conflicts: per-key lag window + one aggregate, writer census rides the same pass, incident-sized output"),
+    ("cdc_changelog_compaction", "compaction: ONE min_by/max_by hash aggregate -- the apply_changes cost model, minimal-changelog output"),
 ]
 
 
