@@ -985,3 +985,95 @@ def media_type_census(media: DataFrame) -> DataFrame:
             F.max("__n").cast("long").alias("max_bytes"),
         )
     )
+
+
+AUDIO_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("phash", T.IntegerType()),
+        T.StructField("n_windows", T.IntegerType()),
+        T.StructField("decoder", T.StringType()),
+    ]
+)
+
+
+def audio_phash(media: DataFrame, n_windows: int = 16) -> DataFrame:
+    """Perceptual audio hash: the clip's energy CONTOUR as one bit per
+    time window -- ``rms(window) > median(rms over windows)`` -- packed
+    little-endian into an int.  Comparing contours to the clip's OWN
+    median makes the hash invariant to global gain (a re-mastered copy
+    at half volume hashes identically) and to resampling that
+    preserves the window structure -- exactly the two cheap
+    re-encodings that defeat byte hashing, completing the perceptual
+    triad next to the image aHash (brightness-invariant) and the video
+    frame-set tier (trim-invariant).
+
+    Real decode (stdlib ``wave``, PCM16) per blob inside ONE Arrow
+    batch pass; the hash leaves the scan as a single int -- the
+    payload-never-shuffles discipline.  Non-WAV bytes fall back to the
+    deterministic fake marked ``fake-deterministic``.
+
+    Returns (media_id, phash, n_windows, decoder).
+    """
+    import io
+    import wave
+
+    import numpy as np
+
+    df = media.filter(F.col("kind") == "audio")
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content)
+                try:
+                    with wave.open(io.BytesIO(b), "rb") as w:
+                        if w.getsampwidth() != 2 or w.getframerate() <= 0:
+                            raise ValueError("not PCM16")
+                        raw = w.readframes(w.getnframes())
+                    x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+                    per = x.size // n_windows
+                    if per == 0:
+                        raise ValueError("too short")
+                    x = x[: per * n_windows].reshape(n_windows, per)
+                    rms = np.sqrt((x * x).mean(axis=1))
+                    med = float(np.median(rms))
+                    h = 0
+                    for w_i in range(n_windows):
+                        if rms[w_i] > med:
+                            h |= 1 << w_i
+                    rows.append((int(mid), h, n_windows, "wave"))
+                except Exception:  # noqa: BLE001 -- not decodable PCM16
+                    hh = hashlib.sha256(b).digest()
+                    rows.append(
+                        (
+                            int(mid),
+                            int.from_bytes(hh[:2], "little"),
+                            n_windows,
+                            "fake-deterministic",
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "phash", "n_windows", "decoder"]
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        _hash, schema=AUDIO_PHASH_SCHEMA
+    )
+
+
+def audio_perceptual_pairs(media: DataFrame, n_windows: int = 16) -> DataFrame:
+    """Gain/resample-invariant audio near-dup pairs: clips whose
+    energy contours hash identically (audio_phash equality -- the
+    candidate join is an equi-join on the hash value, bucket sizes
+    bound the blowup exactly like every band-LSH tier here).
+
+    Returns (media_id_a, media_id_b, phash) with a < b.
+    """
+    h = audio_phash(media, n_windows=n_windows).select("media_id", "phash")
+    a = h.select(F.col("media_id").alias("media_id_a"), "phash")
+    b = h.select(F.col("media_id").alias("media_id_b"), "phash")
+    return a.join(b, "phash").filter(
+        F.col("media_id_a") < F.col("media_id_b")
+    ).select("media_id_a", "media_id_b", "phash")

@@ -1860,3 +1860,34 @@ SELECT ord, n,
             - (CAST(s AS DOUBLE) / n / 1e6) * (CAST(s AS DOUBLE) / n / 1e6))
          < 1e-6 AS is_dead
 FROM agg"""
+
+    # twin of multimodal.audio_perceptual_pairs over the synthesized
+    # windowed-PCM fixture: the hash recomputed from amplitude
+    # ARITHMETIC (never bytes) -- constant windows make rms == A
+    # IEEE-exactly, so the contour comparison is engine-identical
+    sql["media_audio_perceptual_dup"] = """
+WITH ids AS (
+  SELECT doc_id AS d, doc_id AS media_id, 1 AS div FROM documents
+  UNION ALL
+  SELECT doc_id, doc_id + 900000, 2 FROM documents WHERE doc_id % 17 = 4
+),
+win AS (
+  SELECT media_id,
+         ww.w,
+         CAST((500 + 400 * ((((d + 1) * (ww.w + 3)) % 97
+                             + ((d + 11) * (ww.w + 5)) % 89) % 8))
+              // div AS DOUBLE) AS a
+  FROM ids, (SELECT unnest(range(0, 16)) AS w) ww
+),
+med AS (
+  SELECT media_id, quantile_cont(a, 0.5) AS m FROM win GROUP BY media_id
+),
+h AS (
+  SELECT win.media_id,
+         CAST(sum(CASE WHEN win.a > med.m THEN 1 << win.w ELSE 0 END)
+              AS INTEGER) AS phash
+  FROM win JOIN med USING (media_id)
+  GROUP BY win.media_id
+)
+SELECT a.media_id AS media_id_a, b.media_id AS media_id_b, a.phash
+FROM h a JOIN h b ON a.phash = b.phash AND a.media_id < b.media_id"""

@@ -747,4 +747,62 @@ def _q_ivf_list_balance(spark, sf_dir):
     )
 
 
+def _q_audio_perceptual_dup(spark, sf_dir):
+    """Gain/resample-invariant audio near-dup
+    (multimodal.audio_perceptual_pairs): PCM16 clips synthesized per
+    doc as 16 constant-amplitude windows (level = a doc-and-window
+    integer mix, SQL-expressible); docs with doc_id%17==4 get a
+    re-mastered copy at HALF GAIN and 80 samples/window instead of
+    100 -- bytes and sha totally different, energy contour identical.
+    The Spark side REALLY decodes (stdlib wave) and hashes the
+    contour; the DuckDB twin recomputes the hash from the amplitude
+    arithmetic without ever building a WAV -- the check proves
+    decode + hash inverts encode, the media_ahash discipline."""
+    import io
+    import struct
+    import wave
+
+    import pandas as _pd
+
+    from ..operators.multimodal import audio_perceptual_pairs
+
+    ensure_session_conf(spark)
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def synth(batches):
+        def clip(did: int, div: int, per: int) -> bytes:
+            samples = []
+            for w in range(16):
+                # two coprime moduli: a single-mod mix collapses to
+                # doc_id mod 97 and every ~97th doc shares the whole
+                # contour (measured 1778 pairs); the pair keeps the
+                # class space at 97*89 >> corpus
+                lvl = (
+                    ((did + 1) * (w + 3)) % 97
+                    + ((did + 11) * (w + 5)) % 89
+                ) % 8
+                samples.extend([(500 + 400 * lvl) // div] * per)
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as wv:
+                wv.setnchannels(1)
+                wv.setsampwidth(2)
+                wv.setframerate(16000)
+                wv.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+            return buf.getvalue()
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rows.append((did, "audio", clip(did, 1, 100)))
+                if did % 17 == 4:
+                    rows.append((did + 900000, "audio", clip(did, 2, 80)))
+            yield _pd.DataFrame(rows, columns=["media_id", "kind", "content"])
+
+    media = docs.mapInPandas(
+        synth, schema="media_id long, kind string, content binary"
+    )
+    return audio_perceptual_pairs(media)
+
+
 __all__ = [_n for _n in list(globals()) if not _n.startswith('__') and _n != '_shared']

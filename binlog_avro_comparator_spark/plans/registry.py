@@ -52,6 +52,7 @@ def queries() -> dict[str, QueryFn]:
         # decorrelated fixtures. --
         # -- NEW in r9 continuation session: privacy release audit,
         # calendar seasonal decomposition, growth-accounting ledger --
+        "media_audio_perceptual_dup": _q_audio_perceptual_dup,
         "events_engagement_ratios": _q_engagement_ratios,
         "events_lifecycle_incremental": _q_events_lifecycle_incremental,
         "embedding_dim_stats": _q_embedding_dim_stats,

@@ -5300,3 +5300,50 @@ def test_engagement_ratios_set_exact_windows(spark):
     # trailing 30d window [Dec 27, Jan 25] holds u1 (Jan 1, Jan 3) and u2
     assert d25.dau == 1 and d25.wau == 1 and d25.mau == 2
     assert d25.stickiness == 0.5
+
+
+def test_audio_phash_gain_and_resample_invariant(spark):
+    """A half-gain, differently-sampled re-master hashes identically
+    (the energy CONTOUR survives); a different contour does not; real
+    clips take the wave decoder; junk bytes fall back deterministic."""
+    import io
+    import struct
+    import wave as wavemod
+
+    from binlog_avro_comparator_spark.operators.multimodal import (
+        audio_perceptual_pairs,
+        audio_phash,
+    )
+
+    def clip(levels, div, per):
+        samples = []
+        for lvl in levels:
+            samples.extend([(500 + 400 * lvl) // div] * per)
+        buf = io.BytesIO()
+        with wavemod.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+        return buf.getvalue()
+
+    contour = [0, 7, 1, 6, 2, 5, 3, 4, 0, 7, 1, 6, 2, 5, 3, 4]
+    other = list(reversed(contour))
+    media = spark.createDataFrame(
+        [
+            (1, "audio", clip(contour, 1, 100)),
+            (2, "audio", clip(contour, 2, 80)),  # re-master
+            (3, "audio", clip(other, 1, 100)),
+            (4, "audio", b"not a wav at all"),
+        ],
+        "media_id long, kind string, content binary",
+    )
+    hashes = {r.media_id: r for r in audio_phash(media).collect()}
+    assert hashes[1].decoder == "wave" and hashes[4].decoder == "fake-deterministic"
+    assert hashes[1].phash == hashes[2].phash
+    assert hashes[1].phash != hashes[3].phash
+    pairs = {
+        (r.media_id_a, r.media_id_b)
+        for r in audio_perceptual_pairs(media).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) not in pairs
