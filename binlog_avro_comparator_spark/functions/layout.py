@@ -261,3 +261,47 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 16,
+    sort_by: str | None = None,
+) -> None:
+    """Persist ``df`` as a BUCKETED managed table: rows are
+    hash-partitioned into ``n_buckets`` files by ``key`` at write time
+    and the bucket spec lands in the catalog, so every later
+    equi-join or aggregation on that key reads pre-shuffled data --
+    Spark plans NO Exchange on the bucketed side.  This is the
+    co-located-join recipe for the repeated fact-to-fact joins here
+    (payload diff joins binlog x avro on the same composite key every
+    run; at 100 TB the shuffle IS the job -- bucket both sides once,
+    join for free forever after).
+
+    ``sort_by`` additionally sorts within each bucket file (catalog
+    sort spec), which upgrades sort-merge joins to skip their sort.
+
+    The bucket count is a LAYOUT decision: buckets = files per write
+    batch, so size them like compaction targets (total bytes /
+    bucket ~ hundreds of MB), and keep the SAME count on both join
+    sides -- mismatched counts fall back to a shuffle on one side.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a dropped managed table can leave its warehouse directory behind
+    # (e.g. a crashed writer); saveAsTable refuses to reuse the
+    # location, so clear it -- the drop above established ownership
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    leftover = os.path.join(warehouse, table.split(".")[-1])
+    if os.path.isdir(leftover):
+        shutil.rmtree(leftover)
+    w = df.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, key
+    )
+    if sort_by:
+        w = w.sortBy(sort_by)
+    w.saveAsTable(table)

@@ -1567,3 +1567,42 @@ def test_lifecycle_window_partitioned_by_user(spark):
     plan = _plan(user_lifecycle(load_table(spark, SF, "events")))
     assert "hashpartitioning(user_id" in plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed by the same key with the same bucket count
+    join WITHOUT any Exchange -- the co-located-join guarantee
+    write_bucketed exists to provide (and the plan property a 100 TB
+    fact-to-fact join lives or dies by)."""
+    from binlog_avro_comparator_spark.functions.layout import (
+        write_bucketed,
+    )
+
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    try:
+        write_bucketed(li, "t_li_bucketed", "l_orderkey", 8)
+        write_bucketed(
+            orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+            "t_ord_bucketed",
+            "l_orderkey",
+            8,
+        )
+        a = spark.table("t_li_bucketed")
+        b = spark.table("t_ord_bucketed")
+        # force the sort-merge path (at test scale Spark would rather
+        # broadcast -- valid, but the property under test is that the
+        # SHUFFLE is gone when both sides are bucket-aligned)
+        joined = a.join(b.hint("merge"), "l_orderkey")
+        plan = _plan(joined)
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan
+        # and the result is right: every lineitem finds its order
+        assert joined.count() == li.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_ord_bucketed")
