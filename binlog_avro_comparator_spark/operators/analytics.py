@@ -4720,3 +4720,157 @@ def engagement_ratios(events: DataFrame) -> DataFrame:
         "mau",
         (F.col("dau") / F.col("mau")).alias("stickiness"),
     )
+
+
+def returns_control_chart(lineitem: DataFrame) -> DataFrame:
+    """Shewhart p-chart over the weekly RETURN RATE: each week's
+    returned-line fraction against 3-sigma binomial control limits
+    around the pooled rate -- the SPC gate that separates 'this week
+    is noise' from 'the process changed' (the statistical upgrade of
+    a fixed return-rate threshold).
+
+    Exactness: weekly and pooled counts are exact ints; p_bar and each
+    week's rate are single divisions; the limit sigma =
+    sqrt(p_bar*(1-p_bar)/n_week) is one fixed double expression per
+    row over those exact operands -- identical in any engine, no
+    rounding contract.
+
+    Scale shape: ONE conditional-count aggregate to week cardinality,
+    the pooled rate a 1-row broadcast back over the week frame.
+    Returns (week, n_lines, n_returned, rate, p_bar, ucl, lcl,
+    out_of_control).
+    """
+    weekly = lineitem.groupBy(
+        F.date_format(
+            F.date_trunc("week", F.col("l_shipdate")), "yyyy-MM-dd"
+        ).alias("week")
+    ).agg(
+        F.count("*").alias("n_lines"),
+        F.sum((F.col("l_returnflag") == "R").cast("long")).alias(
+            "n_returned"
+        ),
+    )
+    pooled = weekly.agg(
+        (
+            F.sum("n_returned").cast("double") / F.sum("n_lines")
+        ).alias("p_bar")
+    )
+    rate = F.col("n_returned") / F.col("n_lines")
+    sigma = F.sqrt(
+        F.col("p_bar") * (1 - F.col("p_bar")) / F.col("n_lines")
+    )
+    ucl = F.col("p_bar") + 3 * sigma
+    lcl = F.greatest(F.col("p_bar") - 3 * sigma, F.lit(0.0))
+    return weekly.crossJoin(F.broadcast(pooled)).select(
+        "week",
+        "n_lines",
+        "n_returned",
+        rate.alias("rate"),
+        "p_bar",
+        ucl.alias("ucl"),
+        lcl.alias("lcl"),
+        ((rate > ucl) | (rate < lcl)).alias("out_of_control"),
+    )
+
+
+def sourcing_concentration(lineitem: DataFrame) -> DataFrame:
+    """Herfindahl-Hirschman sourcing-concentration index per part
+    brand-bracket: HHI = sum(share^2) of each supplier's quantity
+    share within the bracket -- the procurement-risk score (DOJ bands:
+    < 0.15 competitive, < 0.25 moderate, else concentrated); a
+    bracket sourced 90/10 from two suppliers is one bankruptcy away
+    from a line-down.
+
+    Keyed by part-key bracket (partkey // 100 -- category-cardinality)
+    rather than raw part so the output is dashboard-sized at any SF.
+
+    Exactness: quantities sum as DECIMAL (exact); HHI =
+    sum(q_s^2) / (sum(q_s))^2 needs ONE division of exact decimal
+    casts -- never a sum of per-supplier ratio doubles.
+
+    Scale shape: two hash aggregates ((bracket, supplier) then
+    bracket), both map-side combined.  Returns (bracket, n_suppliers,
+    total_qty, hhi, band).
+    """
+    per_supp = lineitem.groupBy(
+        F.floor(F.col("l_partkey") / 100).alias("bracket"),
+        "l_suppkey",
+    ).agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("__q"))
+    agg = per_supp.groupBy("bracket").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum("__q").alias("__tot"),
+        F.sum(
+            (F.col("__q") * F.col("__q")).cast("decimal(38,4)")
+        ).alias("__sq"),
+    )
+    hhi = F.col("__sq").cast("double") / (
+        F.col("__tot").cast("double") * F.col("__tot").cast("double")
+    )
+    band = (
+        F.when(hhi < 0.15, "COMPETITIVE")
+        .when(hhi < 0.25, "MODERATE")
+        .otherwise("CONCENTRATED")
+    )
+    return agg.select(
+        "bracket",
+        "n_suppliers",
+        F.col("__tot").cast("double").alias("total_qty"),
+        hhi.alias("hhi"),
+        band.alias("band"),
+    )
+
+
+def slo_burn_rates(
+    events: DataFrame, budget: float = 0.05
+) -> DataFrame:
+    """Multi-window SLO burn-rate alerts (the Google SRE workbook
+    recipe): the error-event fraction over a trailing 1 h and a
+    trailing 6 h window, each expressed as a MULTIPLE of the error
+    budget -- page when BOTH windows burn hot (fast-burn confirmed by
+    the long window, so a single bad minute cannot page and a slow
+    leak still does).
+
+    Exactness: windowed counts are exact ints via the engagement-
+    ratios explode pattern (each hour's traffic contributes to the 6
+    trailing window-hours it is visible in -- no window function);
+    burn = (errors/total)/budget is a fixed double expression.
+
+    Returns per active hour: (hour_ms, n_1h, err_1h, burn_1h, n_6h,
+    err_6h, burn_6h, page) -- page = burn_1h > 2 AND burn_6h > 1.
+    """
+    hours = events.groupBy(
+        F.floor(F.unix_millis("ts") / 3_600_000).alias("h")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("e"),
+    )
+    contrib = hours.select(
+        "n",
+        "e",
+        F.explode(F.sequence(F.lit(0), F.lit(5))).alias("o"),
+        F.col("h"),
+    ).select("n", "e", "o", (F.col("h") + F.col("o")).alias("wh"))
+    win = (
+        contrib.join(
+            F.broadcast(hours.select(F.col("h").alias("wh"))), "wh"
+        )
+        .groupBy("wh")
+        .agg(
+            F.sum(F.when(F.col("o") == 0, F.col("n"))).alias("n_1h"),
+            F.sum(F.when(F.col("o") == 0, F.col("e"))).alias("err_1h"),
+            F.sum("n").alias("n_6h"),
+            F.sum("e").alias("err_6h"),
+        )
+    )
+    burn1 = F.col("err_1h") / F.col("n_1h") / budget
+    burn6 = F.col("err_6h") / F.col("n_6h") / budget
+    return win.select(
+        (F.col("wh") * 3_600_000).alias("hour_ms"),
+        "n_1h",
+        "err_1h",
+        burn1.alias("burn_1h"),
+        "n_6h",
+        "err_6h",
+        burn6.alias("burn_6h"),
+        ((burn1 > 2.0) & (burn6 > 1.0)).alias("page"),
+    )

@@ -2622,3 +2622,83 @@ per_day AS (
 SELECT strftime(epoch_ms(wd * 86400000), '%Y-%m-%d') AS day,
        dau, wau, mau, dau / CAST(mau AS DOUBLE) AS stickiness
 FROM per_day"""
+
+    # twin of analytics.returns_control_chart
+    sql["orders_returns_control"] = """
+WITH weekly AS (
+  SELECT strftime(date_trunc('week', l_shipdate), '%Y-%m-%d') AS week,
+         count(*) AS n_lines,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_returned
+  FROM lineitem GROUP BY 1
+),
+pooled AS (
+  SELECT sum(n_returned) / CAST(sum(n_lines) AS DOUBLE) AS p_bar
+  FROM weekly
+)
+SELECT week, n_lines, n_returned,
+       n_returned / CAST(n_lines AS DOUBLE) AS rate,
+       p.p_bar,
+       p.p_bar + 3 * sqrt(p.p_bar * (1 - p.p_bar) / n_lines) AS ucl,
+       greatest(p.p_bar - 3 * sqrt(p.p_bar * (1 - p.p_bar) / n_lines), 0.0)
+         AS lcl,
+       (n_returned / CAST(n_lines AS DOUBLE)
+          > p.p_bar + 3 * sqrt(p.p_bar * (1 - p.p_bar) / n_lines))
+       OR (n_returned / CAST(n_lines AS DOUBLE)
+          < greatest(p.p_bar - 3 * sqrt(p.p_bar * (1 - p.p_bar) / n_lines),
+                     0.0)) AS out_of_control
+FROM weekly CROSS JOIN pooled p"""
+
+    # twin of analytics.sourcing_concentration
+    sql["part_sourcing_hhi"] = """
+WITH per_supp AS (
+  SELECT l_partkey // 100 AS bracket, l_suppkey,
+         sum(CAST(l_quantity AS DECIMAL(12,2))) AS q
+  FROM lineitem GROUP BY 1, 2
+),
+agg AS (
+  SELECT bracket, count(*) AS n_suppliers, sum(q) AS tot,
+         sum(CAST(q * q AS DECIMAL(38,4))) AS sq
+  FROM per_supp GROUP BY bracket
+)
+SELECT bracket, n_suppliers,
+       CAST(tot AS DOUBLE) AS total_qty,
+       CAST(sq AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE))
+         AS hhi,
+       CASE WHEN CAST(sq AS DOUBLE)
+                 / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) < 0.15
+              THEN 'COMPETITIVE'
+            WHEN CAST(sq AS DOUBLE)
+                 / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) < 0.25
+              THEN 'MODERATE'
+            ELSE 'CONCENTRATED' END AS band
+FROM agg"""
+
+    # twin of analytics.slo_burn_rates (budget 0.05)
+    sql["events_slo_burn"] = """
+WITH hours AS (
+  SELECT epoch_ms(ts) // 3600000 AS h, count(*) AS n,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS e
+  FROM events GROUP BY 1
+),
+contrib AS (
+  SELECT n, e, o.o, h + o.o AS wh
+  FROM hours, (SELECT unnest(range(0, 6)) AS o) o
+),
+win AS (
+  SELECT c.wh,
+         CAST(sum(CASE WHEN c.o = 0 THEN c.n END) AS BIGINT) AS n_1h,
+         CAST(sum(CASE WHEN c.o = 0 THEN c.e END) AS BIGINT) AS err_1h,
+         CAST(sum(c.n) AS BIGINT) AS n_6h,
+         CAST(sum(c.e) AS BIGINT) AS err_6h
+  FROM contrib c JOIN hours a ON a.h = c.wh
+  GROUP BY c.wh
+)
+SELECT wh * 3600000 AS hour_ms, n_1h, err_1h,
+       err_1h / CAST(n_1h AS DOUBLE) / 0.05 AS burn_1h,
+       n_6h, err_6h,
+       err_6h / CAST(n_6h AS DOUBLE) / 0.05 AS burn_6h,
+       (err_1h / CAST(n_1h AS DOUBLE) / 0.05 > 2.0)
+         AND (err_6h / CAST(n_6h AS DOUBLE) / 0.05 > 1.0) AS page
+FROM win"""

@@ -1016,4 +1016,32 @@ def _q_engagement_ratios(spark, sf_dir):
     return engagement_ratios(load_table(spark, sf_dir, "events"))
 
 
+def _q_returns_control(spark, sf_dir):
+    """Weekly return-rate p-chart (analytics.returns_control_chart):
+    3-sigma binomial control limits around the pooled rate."""
+    ensure_session_conf(spark)
+    from ..operators.analytics import returns_control_chart
+
+    return returns_control_chart(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_sourcing_hhi(spark, sf_dir):
+    """Sourcing-concentration HHI per part bracket
+    (analytics.sourcing_concentration): exact-decimal share algebra,
+    DOJ bands."""
+    ensure_session_conf(spark)
+    from ..operators.analytics import sourcing_concentration
+
+    return sourcing_concentration(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_slo_burn(spark, sf_dir):
+    """Multi-window SLO burn rates (analytics.slo_burn_rates): 1 h / 6 h
+    trailing error-budget multiples, page on both-hot."""
+    ensure_session_conf(spark)
+    from ..operators.analytics import slo_burn_rates
+
+    return slo_burn_rates(load_table(spark, sf_dir, "events"))
+
+
 __all__ = [_n for _n in list(globals()) if not _n.startswith('__') and _n != '_shared']

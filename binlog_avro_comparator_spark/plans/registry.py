@@ -52,6 +52,9 @@ def queries() -> dict[str, QueryFn]:
         # decorrelated fixtures. --
         # -- NEW in r9 continuation session: privacy release audit,
         # calendar seasonal decomposition, growth-accounting ledger --
+        "orders_returns_control": _q_returns_control,
+        "part_sourcing_hhi": _q_sourcing_hhi,
+        "events_slo_burn": _q_slo_burn,
         "media_audio_perceptual_dup": _q_audio_perceptual_dup,
         "events_engagement_ratios": _q_engagement_ratios,
         "events_lifecycle_incremental": _q_events_lifecycle_incremental,

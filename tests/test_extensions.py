@@ -5347,3 +5347,77 @@ def test_audio_phash_gain_and_resample_invariant(spark):
         for r in audio_perceptual_pairs(media).collect()
     }
     assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+def test_returns_control_chart_flags_shifted_week(spark):
+    """A week with a genuinely shifted return rate breaches the
+    3-sigma limit; normal binomial noise does not."""
+    from binlog_avro_comparator_spark.operators.analytics import (
+        returns_control_chart,
+    )
+    import datetime
+
+    rows, k = [], 0
+    # 10 quiet weeks at 10% returns (100 lines each), week 11 at 50%
+    for wk in range(11):
+        ship = datetime.datetime(2024, 1, 1) + datetime.timedelta(weeks=wk)
+        n_ret = 50 if wk == 10 else 10
+        for i in range(100):
+            rows.append((k, ship, "R" if i < n_ret else "N")); k += 1
+    li = spark.createDataFrame(
+        rows, "l_orderkey long, l_shipdate timestamp, l_returnflag string"
+    )
+    got = sorted(returns_control_chart(li).collect(), key=lambda r: r.week)
+    assert [r.out_of_control for r in got[:10]] == [False] * 10
+    assert got[10].out_of_control and got[10].rate == 0.5
+
+
+def test_sourcing_hhi_bands(spark):
+    """Single-supplier bracket = HHI 1.0 CONCENTRATED; ten equal
+    suppliers = 0.1 COMPETITIVE."""
+    from binlog_avro_comparator_spark.operators.analytics import (
+        sourcing_concentration,
+    )
+
+    rows = [(1, 100, 1, 10.0)]  # bracket 1: sole supplier
+    for s in range(10):  # bracket 2: ten equal suppliers
+        rows.append((2, 200, s, 5.0))
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double",
+    )
+    got = {r.bracket: r for r in sourcing_concentration(li).collect()}
+    assert got[1].hhi == 1.0 and got[1].band == "CONCENTRATED"
+    assert got[2].hhi == 0.1 and got[2].band == "COMPETITIVE"
+    assert got[2].n_suppliers == 10
+
+
+def test_slo_burn_pages_only_when_both_windows_hot(spark):
+    """A single bad hour after clean history trips the 1 h window but
+    not the 6 h window (no page); sustained errors trip both."""
+    from binlog_avro_comparator_spark.operators.analytics import (
+        slo_burn_rates,
+    )
+    import datetime
+
+    rows, k = [], 0
+    base = datetime.datetime(2024, 1, 1)
+    # hours 0..9 clean (100 ok), hour 10 = 20% errors (one bad hour),
+    # hours 11..16 sustained 20% errors
+    for h in range(17):
+        bad = 20 if h >= 10 else 0
+        for i in range(100):
+            et = "error" if i < bad else "click"
+            rows.append((k, base + datetime.timedelta(hours=h), 1, et, 1.0,
+                         "{}")); k += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {int(r.hour_ms // 3600000 - 473352): r
+           for r in slo_burn_rates(ev, budget=0.05).collect()}
+    h10 = got[10]
+    assert h10.burn_1h == 4.0  # 20% / 5% budget
+    assert not h10.page  # 6h window still diluted
+    h16 = got[16]
+    assert h16.burn_1h == 4.0 and h16.burn_6h == 4.0 and h16.page
