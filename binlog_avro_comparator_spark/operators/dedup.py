@@ -1589,3 +1589,43 @@ def dedup_impact_report(documents: DataFrame, max_iter: int = 15) -> DataFrame:
         F.sum(F.col("n_chars") * lost).cast("long").alias("chars_removed"),
         F.round(F.sum(lost) / F.count("*"), 6).alias("pct_docs_removed"),
     )
+
+
+def survivorship_conflicts(documents: DataFrame, max_iter: int = 15) -> DataFrame:
+    """Survivorship-policy disagreement audit: duplicate clusters where
+    the quality policy (keep the LONGEST member, dedup_keep_best) and
+    the stability policy (keep the smallest id, dedup_keep_canonical)
+    pick DIFFERENT survivors -- the manual-review queue before a
+    curation pipeline switches policies, because each such cluster
+    changes the shipped corpus.
+
+    Shape: the same cluster frame both policies derive from, ONE
+    struct-max aggregate for the quality winner (never a member
+    window), and the canonical pick is free -- it IS the cluster id
+    (min label).  Output is conflict-cardinality.  Returns
+    (cluster_id, canonical_id, best_id, n_members, canonical_chars,
+    best_chars).
+    """
+    clusters = dedup_clusters(documents, max_iter=max_iter)
+    members = clusters.join(documents.select("doc_id", "n_chars"), "doc_id")
+    agg = members.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.max(
+            F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("__neg"))
+        ).alias("__w"),
+        F.max(
+            F.when(F.col("doc_id") == F.col("cluster_id"), F.col("n_chars"))
+        ).alias("canonical_chars"),
+    )
+    best_id = (-F.col("__w.__neg")).cast("long")
+    return (
+        agg.filter(best_id != F.col("cluster_id"))
+        .select(
+            "cluster_id",
+            F.col("cluster_id").alias("canonical_id"),
+            best_id.alias("best_id"),
+            "n_members",
+            "canonical_chars",
+            F.col("__w.n_chars").alias("best_chars"),
+        )
+    )

@@ -1891,3 +1891,30 @@ h AS (
 )
 SELECT a.media_id AS media_id_a, b.media_id AS media_id_b, a.phash
 FROM h a JOIN h b ON a.phash = b.phash AND a.media_id < b.media_id"""
+
+    # twin of dedup.survivorship_conflicts (composes the shared
+    # recursive cluster fragment -- same graph both policies read)
+    sql["dedup_survivorship_conflicts"] = """
+WITH cl AS (
+""" + _dedup_clusters_sql() + """
+),
+m AS (
+  SELECT c.cluster_id, d.doc_id, d.n_chars
+  FROM cl c JOIN documents d ON d.doc_id = c.doc_id
+),
+best AS (
+  SELECT cluster_id, doc_id AS best_id, n_chars AS best_chars FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
+    FROM m) WHERE rn = 1
+),
+agg AS (
+  SELECT cluster_id, count(*) AS n_members,
+         max(CASE WHEN doc_id = cluster_id THEN n_chars END)
+           AS canonical_chars
+  FROM m GROUP BY cluster_id
+)
+SELECT a.cluster_id, a.cluster_id AS canonical_id, b.best_id,
+       a.n_members, a.canonical_chars, b.best_chars
+FROM agg a JOIN best b USING (cluster_id)
+WHERE b.best_id <> a.cluster_id"""

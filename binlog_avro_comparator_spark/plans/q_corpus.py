@@ -725,4 +725,15 @@ def _q_embedding_dim_stats(spark, sf_dir):
     return embedding_dim_stats(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_survivorship_conflicts(spark, sf_dir):
+    """Survivorship-policy disagreement audit
+    (dedup.survivorship_conflicts): clusters where keep-best and
+    keep-canonical ship different corpora -- the review queue for a
+    policy switch."""
+    ensure_session_conf(spark)
+    from ..operators.dedup import survivorship_conflicts
+
+    return survivorship_conflicts(load_table(spark, sf_dir, "documents"))
+
+
 __all__ = [_n for _n in list(globals()) if not _n.startswith('__') and _n != '_shared']

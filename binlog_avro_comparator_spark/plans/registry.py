@@ -52,6 +52,7 @@ def queries() -> dict[str, QueryFn]:
         # decorrelated fixtures. --
         # -- NEW in r9 continuation session: privacy release audit,
         # calendar seasonal decomposition, growth-accounting ledger --
+        "dedup_survivorship_conflicts": _q_survivorship_conflicts,
         "orders_returns_control": _q_returns_control,
         "part_sourcing_hhi": _q_sourcing_hhi,
         "events_slo_burn": _q_slo_burn,

@@ -446,3 +446,40 @@ def read_lifecycle(spark: SparkSession, state_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(target, "days")).select(
         "day", "n_active", "n_new", "n_returning", "n_resurrected"
     )
+
+
+def vacuum_state_versions(state_dir: str, keep: int = 2) -> list[str]:
+    """Retention for the versioned fold sinks: every committed batch
+    writes a full ``v{batch}`` state copy and swings LATEST, so a
+    long-lived maintenance query accumulates one corpus-state-sized
+    directory PER TRIGGER -- the storage leak every versioned-snapshot
+    deployment must vacuum.  Removes all but the newest ``keep``
+    version directories, NEVER the one LATEST points at (a reader that
+    resolved the pointer just before the vacuum still finds its files;
+    keep >= 2 leaves one older version as the read-uncommitted escape
+    hatch the swing protocol assumes).
+
+    Returns the removed directory names (for the operator's log).
+    """
+    import shutil
+
+    target = _latest_version(state_dir)
+    versions = sorted(
+        (
+            d
+            for d in os.listdir(state_dir)
+            if d.startswith("v")
+            and d[1:].isdigit()
+            and os.path.isdir(os.path.join(state_dir, d))
+        ),
+        key=lambda d: int(d[1:]),
+    )
+    latest_name = os.path.basename(target) if target else None
+    doomed = [
+        d
+        for d in versions[: max(len(versions) - max(keep, 1), 0)]
+        if d != latest_name
+    ]
+    for d in doomed:
+        shutil.rmtree(os.path.join(state_dir, d))
+    return doomed

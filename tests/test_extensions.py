@@ -5421,3 +5421,29 @@ def test_slo_burn_pages_only_when_both_windows_hot(spark):
     assert not h10.page  # 6h window still diluted
     h16 = got[16]
     assert h16.burn_1h == 4.0 and h16.burn_6h == 4.0 and h16.page
+
+
+def test_survivorship_conflicts_only_on_disagreement(spark):
+    """A cluster whose longest member IS the canonical never appears;
+    one where a later, longer doc wins the quality policy does."""
+    from binlog_avro_comparator_spark.operators.dedup import (
+        survivorship_conflicts,
+    )
+
+    # duplicate text => same cluster; doc 11 longer than canonical 10;
+    # cluster (20, 21): canonical 20 is also the longest -> no row
+    t1 = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    t2 = "iota kappa lambda mu nu xi omicron pi rho sigma " * 8
+    docs = spark.createDataFrame(
+        [
+            (10, t1, "en", "s", 100),
+            (11, t1 + "tail words appended here", "en", "s", 150),
+            (20, t2 + "longer canonical body here", "en", "s", 180),
+            (21, t2, "en", "s", 120),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r.cluster_id: r for r in survivorship_conflicts(docs).collect()}
+    assert set(got) == {10}
+    assert got[10].best_id == 11 and got[10].canonical_id == 10
+    assert got[10].best_chars == 150 and got[10].canonical_chars == 100

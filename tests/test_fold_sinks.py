@@ -336,3 +336,26 @@ def test_lifecycle_fold_equals_batch_and_bounded_state(spark, tmp_path):
         os.path.join(_latest_version(state), "users")
     )
     assert users.count() == 2
+
+
+def test_vacuum_keeps_latest_and_n_newest(spark, tmp_path):
+    """After a 3-trigger fold, vacuum(keep=1) removes the old versions
+    but never the LATEST target; the maintained result still reads."""
+    from binlog_avro_comparator_spark.streaming.fold_sinks import (
+        maintain_transactions,
+        read_transactions,
+        vacuum_state_versions,
+    )
+
+    d = _write_chunks(spark, tmp_path)
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    _drain(maintain_transactions(_stream(spark, d), state, ckpt))
+    before = _versions(state)
+    assert len(before) == 3
+    removed = vacuum_state_versions(state, keep=1)
+    assert removed == before[:-1]
+    after = _versions(state)
+    assert after == before[-1:]
+    # still readable at LATEST
+    assert read_transactions(spark, state).count() > 0
