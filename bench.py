@@ -269,6 +269,12 @@ EXTRA_QUERIES = [
     "orders_fulfillment_sla",
     "embedding_dim_stats",
     "events_lifecycle_incremental",
+    "events_engagement_ratios",
+    "media_audio_perceptual_dup",
+    "orders_returns_control",
+    "part_sourcing_hhi",
+    "events_slo_burn",
+    "dedup_survivorship_conflicts",
 ]
 
 # Plan-stable anchor (r8 verdict item 5): q1_pricing_summary's plan has

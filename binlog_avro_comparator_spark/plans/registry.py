@@ -50,8 +50,17 @@ def queries() -> dict[str, QueryFn]:
         # embedding_bitext_margin re-certify the r9 guard-rail change,
         # media_ahash/media_perceptual_dup/video_perceptual_dup the
         # decorrelated fixtures. --
-        # -- NEW in r9 continuation session: privacy release audit,
-        # calendar seasonal decomposition, growth-accounting ledger --
+        # -- NEW in the r9 continuation session (23 entries): privacy
+        # release audit, calendar seasonal decomposition, growth
+        # accounting (batch + incremental fold), net-effect changelog
+        # compaction, multi-master conflicts, encoding-corruption gate,
+        # code-switch profile, supplier set similarity, integer-exact
+        # autocorrelation/MASE/SLO-burn, power-iteration PCA, cohort
+        # LTV, fulfillment SLA, embedding dim census, engagement
+        # panel, audio perceptual near-dup, SPC p-chart, sourcing HHI,
+        # survivorship audit.  All lead the driver window (r3 freeze
+        # rule); every entry value-verified at sf0.01 before
+        # registration. --
         "dedup_survivorship_conflicts": _q_survivorship_conflicts,
         "orders_returns_control": _q_returns_control,
         "part_sourcing_hhi": _q_sourcing_hhi,

@@ -101,6 +101,10 @@ PICKS = [
     ("events_engagement_ratios", "DAU/WAU/MAU: one explode + ONE conditional-distinct aggregate keyed by day -- no window function"),
     ("cdc_multimaster_conflicts", "conflicts: per-key lag window + one aggregate, writer census rides the same pass, incident-sized output"),
     ("cdc_changelog_compaction", "compaction: ONE min_by/max_by hash aggregate -- the apply_changes cost model, minimal-changelog output"),
+    ("events_slo_burn", "SLO burn: hour rollup + 6-offset explode into ONE conditional aggregate -- both trailing windows, no window function"),
+    ("part_sourcing_hhi", "HHI: two map-side-combined aggregates, exact-decimal share algebra, ONE division per bracket"),
+    ("media_audio_perceptual_dup", "audio near-dup: wave decode + contour hash INSIDE the scan batch, equi-join candidates on the hash int"),
+    ("dedup_survivorship_conflicts", "survivorship audit: shared cluster frame, one struct-max aggregate, conflict-cardinality output"),
 ]
 
 
