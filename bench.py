@@ -275,6 +275,7 @@ EXTRA_QUERIES = [
     "part_sourcing_hhi",
     "events_slo_burn",
     "dedup_survivorship_conflicts",
+    "embedding_pq_distortion",
 ]
 
 # Plan-stable anchor (r8 verdict item 5): q1_pricing_summary's plan has

@@ -2251,3 +2251,85 @@ def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
         "max_v",
         (std < 1e-6).alias("is_dead"),
     )
+
+
+def pq_distortion(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    n_iter: int = 2,
+    stride: int = 37,
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization distortion census: per (subspace, code),
+    how much signal the compression throws away -- mean and max
+    squared reconstruction error between each vector slice and its
+    assigned codeword.  This is the acceptance gate for a PQ memory
+    budget (Jegou et al. tune m and k exactly against this curve):
+    a code whose cell MSE dwarfs its neighbours is an under-split
+    region that will mis-rank ADC distances there.
+
+    Exactness: slice coordinates and codewords quantize to
+    DECIMAL(12,6) (codewords already carry the kmeans 1e-6 rounding
+    contract); every squared error and every sum of them is EXACT
+    decimal -- order-independent -- with one double division per
+    output row (the pca_power_top1 discipline).
+
+    Scale shape: per subspace, one explode (1/m the width) + two
+    equi-joins (assignment by vec, codeword by (centroid, ord) -- a
+    k x sub broadcast) + two hash aggregates.  Output is m * k rows.
+    Returns (subspace, code, n_vectors, mse, max_se).
+    """
+    _D6 = "decimal(12,6)"
+    sub = dim // m
+    parts = []
+    for s in range(m):
+        sliced = embeddings.select(
+            "vec_id",
+            F.slice(F.col("embedding"), s * sub + 1, sub).alias("embedding"),
+        )
+        a, c = kmeans_assignments(
+            sliced, k=k, n_iter=n_iter, stride=stride, dim=sub,
+            return_centroids=True,
+        )
+        ex = sliced.select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "ord0", "v"
+            ),
+        ).select(
+            "vec_id",
+            (F.col("ord0") + 1).alias("ord"),
+            F.round("v", COS_ROUND).cast(_D6).alias("vd"),
+        )
+        cex = c.select(
+            "centroid_id", F.posexplode("c").alias("ord0", "cv")
+        ).select(
+            "centroid_id",
+            (F.col("ord0") + 1).alias("ord"),
+            F.col("cv").cast(_D6).alias("cvd"),
+        )
+        diff = F.col("vd") - F.col("cvd")
+        per_vec = (
+            ex.join(a.select("vec_id", "centroid_id"), "vec_id")
+            .join(F.broadcast(cex), ["centroid_id", "ord"])
+            .groupBy("vec_id", "centroid_id")
+            .agg(F.sum(diff * diff).alias("se"))
+        )
+        parts.append(
+            per_vec.select(
+                F.lit(s).alias("subspace"),
+                F.col("centroid_id").alias("code"),
+                "se",
+            )
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    return allp.groupBy("subspace", "code").agg(
+        F.count("*").alias("n_vectors"),
+        (
+            F.sum("se").cast("double") / (F.count("*") * sub)
+        ).alias("mse"),
+        F.max("se").cast("double").alias("max_se"),
+    )

@@ -1094,4 +1094,39 @@ win AS (
 )"""
 
 
+
+
+def _pq_distortion_sql(m: int = 4, sub: int = 16) -> str:
+    """Twin of similarity.pq_distortion: per-subspace exact-decimal
+    squared reconstruction errors against the unrolled-kmeans
+    codewords, rolled up per (subspace, code)."""
+    ctes = ",\n".join(
+        _pq_kmeans_cte(f"p{s}", s * sub + 1, (s + 1) * sub) for s in range(m)
+    )
+    errs = "\nUNION ALL\n".join(
+        f"""SELECT {s} AS subspace, a.centroid_id AS code, e.vec_id,
+       sum((CAST(round(e.v, 6) AS DECIMAL(12,6))
+              - CAST(c.cv AS DECIMAL(12,6)))
+           * (CAST(round(e.v, 6) AS DECIMAL(12,6))
+              - CAST(c.cv AS DECIMAL(12,6)))) AS se
+FROM p{s}ex e
+JOIN p{s}a1 a USING (vec_id)
+JOIN p{s}c1 c ON c.centroid_id = a.centroid_id AND c.ord = e.ord
+GROUP BY 1, 2, 3"""
+        for s in range(m)
+    )
+    return f"""WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS ord,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+{ctes},
+errs AS (
+{errs}
+)
+SELECT subspace, code, count(*) AS n_vectors,
+       CAST(sum(se) AS DOUBLE) / (count(*) * {sub}) AS mse,
+       CAST(max(se) AS DOUBLE) AS max_se
+FROM errs GROUP BY 1, 2"""
+
 __all__ = [_n for _n in list(globals()) if not _n.startswith('__') and _n != '_shared']

@@ -1918,3 +1918,7 @@ SELECT a.cluster_id, a.cluster_id AS canonical_id, b.best_id,
        a.n_members, a.canonical_chars, b.best_chars
 FROM agg a JOIN best b USING (cluster_id)
 WHERE b.best_id <> a.cluster_id"""
+
+    # twin of similarity.pq_distortion (exact-decimal squared errors
+    # against the per-subspace unrolled-kmeans codewords)
+    sql["embedding_pq_distortion"] = _pq_distortion_sql()

@@ -805,4 +805,14 @@ def _q_audio_perceptual_dup(spark, sf_dir):
     return audio_perceptual_pairs(media)
 
 
+def _q_pq_distortion(spark, sf_dir):
+    """PQ distortion census (similarity.pq_distortion): per (subspace,
+    code) exact-decimal reconstruction error -- the acceptance gate
+    for a PQ memory budget."""
+    ensure_session_conf(spark)
+    from ..operators.similarity import pq_distortion
+
+    return pq_distortion(load_table(spark, sf_dir, "embeddings"))
+
+
 __all__ = [_n for _n in list(globals()) if not _n.startswith('__') and _n != '_shared']

@@ -61,6 +61,7 @@ def queries() -> dict[str, QueryFn]:
         # survivorship audit.  All lead the driver window (r3 freeze
         # rule); every entry value-verified at sf0.01 before
         # registration. --
+        "embedding_pq_distortion": _q_pq_distortion,
         "dedup_survivorship_conflicts": _q_survivorship_conflicts,
         "orders_returns_control": _q_returns_control,
         "part_sourcing_hhi": _q_sourcing_hhi,

@@ -5447,3 +5447,39 @@ def test_survivorship_conflicts_only_on_disagreement(spark):
     assert set(got) == {10}
     assert got[10].best_id == 11 and got[10].canonical_id == 10
     assert got[10].best_chars == 150 and got[10].canonical_chars == 100
+
+
+def test_pq_distortion_separable_codebook_is_lossless(spark):
+    """Vectors that ARE codewords reconstruct exactly (mse 0); a
+    perturbed vector contributes exactly its planted squared error."""
+    from binlog_avro_comparator_spark.operators.similarity import (
+        pq_distortion,
+    )
+
+    dim, m, k, stride = 8, 2, 2, 3
+    # seeds at vec_id 0 and 3 (stride 3): two distinct codewords per
+    # subspace; remaining vectors copy a seed exactly, one adds +0.5
+    # on the last dim (subspace 1)
+    base0 = [1.0] * dim
+    base1 = [-1.0] * dim
+    rows = [
+        (0, base0), (3, base1),
+        (1, base0), (2, base1),
+        (4, base0[:7] + [1.5]),  # planted error 0.25 in subspace 1
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.subspace, r.code): r
+        for r in pq_distortion(
+            emb, m=m, k=k, n_iter=2, stride=stride, dim=dim
+        ).collect()
+    }
+    # subspace 0: everything sits exactly on a codeword
+    assert all(r.mse == 0.0 for (s, _), r in got.items() if s == 0)
+    # subspace 1: the perturbed vector's cell carries the planted error
+    bad_cells = [r for (s, _), r in got.items() if s == 1 and r.max_se > 0]
+    assert len(bad_cells) == 1
+    cell = bad_cells[0]
+    # centroid moved to the mean of its members, so the planted +0.5
+    # splits: reconstruction error is positive and bounded by 0.25
+    assert 0 < cell.max_se <= 0.25
