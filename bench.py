@@ -299,7 +299,11 @@ def main() -> None:
     qs["cdc_summary"](spark, sf_dir).count()
 
     def run_set(
-        names: list[str], prewarm: bool = False, runs: int | None = None
+        names: list[str],
+        prewarm: bool = False,
+        runs: int | None = None,
+        anchor_every: int = 0,
+        segment_anchors: list | None = None,
     ) -> tuple[dict[str, float], dict[str, float]]:
         """(first-pass, best-of-N) timings.  With ``prewarm`` each query
         runs ONCE un-timed before the measured passes: first-use codegen
@@ -318,14 +322,48 @@ def main() -> None:
         first: dict[str, float] = {}
         best: dict[str, float] = {}
         for i in range(max(1, runs)):
-            for name in names:
+            seg_wall = 0.0
+            for j, name in enumerate(names):
                 t0 = time.time()
                 qs[name](spark, sf_dir).count()
                 dt = round(time.time() - t0, 3)
                 if i == 0:
                     first[name] = dt
+                    seg_wall += dt
                 if name not in best or dt < best[name]:
                     best[name] = dt
+                # interleaved anchor probes (round-9 final lesson: the
+                # VM band spans ~2x WITHIN one extras pass, which two
+                # endpoint anchors cannot see -- probe every
+                # ``anchor_every`` entries so each segment's wall can
+                # be normalized by the drift measured NEXT TO it)
+                if (
+                    anchor_every
+                    and i == 0
+                    and segment_anchors is not None
+                    and (j + 1) % anchor_every == 0
+                ):
+                    t0 = time.time()
+                    qs[ANCHOR_QUERY](spark, sf_dir).count()
+                    a = time.time() - t0
+                    segment_anchors.append(
+                        {
+                            "after": j + 1,
+                            "anchor_sec": round(a, 3),
+                            "segment_wall": round(seg_wall, 3),
+                        }
+                    )
+                    seg_wall = 0.0
+            if anchor_every and i == 0 and segment_anchors is not None and seg_wall:
+                t0 = time.time()
+                qs[ANCHOR_QUERY](spark, sf_dir).count()
+                segment_anchors.append(
+                    {
+                        "after": len(names),
+                        "anchor_sec": round(time.time() - t0, 3),
+                        "segment_wall": round(seg_wall, 3),
+                    }
+                )
         return first, best
 
     def time_anchor(runs: int = 3) -> float:
@@ -348,8 +386,22 @@ def main() -> None:
     # plan execution -- and ONE measured pass, so total bench wall is
     # unchanged (still 2 passes over the tier) while extra_total reads
     # the steady-state a long-lived session sees.
-    extra, extra_warm = run_set(EXTRA_QUERIES, prewarm=True, runs=1)
+    seg_anchors: list = []
+    extra, extra_warm = run_set(
+        EXTRA_QUERIES, prewarm=True, runs=1,
+        anchor_every=30, segment_anchors=seg_anchors,
+    )
     anchor_end = time_anchor()
+    # per-segment normalization: each segment's wall divided by the
+    # drift its adjacent probe measured
+    extra_total_seg = round(
+        sum(
+            seg["segment_wall"]
+            / max(seg["anchor_sec"] / ANCHOR_REF_WARM_SEC, 1e-9)
+            for seg in seg_anchors
+        ),
+        3,
+    ) if seg_anchors else None
     # VM speed relative to the reference box-day; >1 = this run's VM
     # is slower.  Normalized totals divide the drift out.
     drift = round(
@@ -366,6 +418,7 @@ def main() -> None:
         "headline_total": round(total / drift, 3),
         "warm_total": round(sum(warm.values()) / drift, 3),
         "extra_total": round(sum(extra.values()) / drift, 3),
+        "extra_total_segmented": extra_total_seg,
     }
     # Detail lines FIRST, final summary line LAST and SHORT: the driver
     # tail-captures stdout and parses the last JSON line -- round 3's
@@ -374,6 +427,7 @@ def main() -> None:
     # queries/sf contract) in a compact final line and push the big
     # per-query dicts to their own preceding lines.
     print(json.dumps({"detail": "extra_queries", "timings": extra}))
+    print(json.dumps({"detail": "extra_segment_anchors", "segments": seg_anchors}))
     print(json.dumps({"detail": "extra_queries_warm", "timings": extra_warm}))
     print(json.dumps({"detail": "queries_warm", "timings": warm}))
     sys.stdout.flush()
