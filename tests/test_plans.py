@@ -1606,3 +1606,44 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
         spark.sql("DROP TABLE IF EXISTS t_ord_bucketed")
+
+
+def test_engagement_and_slo_have_no_window_function(spark):
+    """The trailing distinct windows come from the explode pattern --
+    the plans must contain NO window operator and no cartesian."""
+    from binlog_avro_comparator_spark.operators.analytics import (
+        engagement_ratios,
+        slo_burn_rates,
+    )
+
+    ev = load_table(spark, SF, "events")
+    for df in (engagement_ratios(ev), slo_burn_rates(ev)):
+        plan = _plan(df)
+        assert "Window" not in plan, plan
+        assert "CartesianProduct" not in plan
+
+
+def test_cohort_ltv_window_runs_on_triangle_only(spark):
+    """The running-sum window partitions by cohort over the
+    (cohort, age) triangle -- orders are aggregated BEFORE any window
+    touches them."""
+    from binlog_avro_comparator_spark.operators.analytics import cohort_ltv
+
+    plan = _plan(cohort_ltv(load_table(spark, SF, "orders")))
+    # the window's child chain contains an aggregate, so the window
+    # consumes the triangle, not raw orders: assert partial agg exists
+    # AND the window partitions on the cohort key
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "windowspecdefinition(ck" in plan
+
+
+def test_pq_distortion_codewords_broadcast(spark):
+    """The codeword join is a broadcast (k x sub rows) -- the corpus
+    explode never shuffles against the codebook."""
+    from binlog_avro_comparator_spark.operators.similarity import (
+        pq_distortion,
+    )
+
+    plan = _plan(pq_distortion(load_table(spark, SF, "embeddings")))
+    assert plan.count("BroadcastHashJoin") >= 4  # one per subspace
+    assert "CartesianProduct" not in plan
