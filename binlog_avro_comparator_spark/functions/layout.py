@@ -289,14 +289,25 @@ def write_bucketed(
     sides -- mismatched counts fall back to a shuffle on one side.
     """
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # qualified names would make the leftover-path guess below point at
+    # a DIFFERENT table's live directory (managed location for db.tbl
+    # is warehouse/db.db/tbl, not warehouse/tbl) -- refuse rather than
+    # rmtree a guessed path
+    if "." in table:
+        raise ValueError(
+            "write_bucketed takes an unqualified table name (current-"
+            f"database managed table); got {table!r}"
+        )
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
     # a dropped managed table can leave its warehouse directory behind
     # (e.g. a crashed writer); saveAsTable refuses to reuse the
-    # location, so clear it -- the drop above established ownership
+    # location, so clear it -- the drop above established ownership,
+    # and the path is the catalog's own default location for an
+    # unqualified managed table, not a guess
     warehouse = spark.conf.get(
         "spark.sql.warehouse.dir", "spark-warehouse"
     ).removeprefix("file:")
-    leftover = os.path.join(warehouse, table.split(".")[-1])
+    leftover = os.path.join(os.path.abspath(warehouse), table)
     if os.path.isdir(leftover):
         shutil.rmtree(leftover)
     w = df.write.mode("overwrite").format("parquet").bucketBy(

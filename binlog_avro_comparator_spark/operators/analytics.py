@@ -4340,8 +4340,12 @@ def supplier_similarity(
     scale-stable (overlap dilutes as the catalog grows: max pair
     jaccard is 0.19 at sf0.01 but 0.035 at sf0.1), while "my 5 nearest
     substitutes" is the question at any size, and the rank executes as
-    WindowGroupLimit so each task ships its local top-k only.  Returns
-    (supp_a, supp_b, n_shared, n_a, n_b, jaccard, rank).
+    WindowGroupLimit so each task ships its local top-k only.  Pairs
+    are ENUMERATED once in canonical order (supp_a < supp_b) to halve
+    the quadratic, then MIRRORED before ranking so every supplier --
+    including the highest-keyed one -- sees all its neighbors, not
+    just the higher-keyed half.  Returns (supp_a, supp_b, n_shared,
+    n_a, n_b, jaccard, rank).
     """
     from pyspark.sql import Window
 
@@ -4391,10 +4395,24 @@ def supplier_similarity(
         .select("supp_a", "supp_b", "n_shared", "n_a", "n_b",
                 jac.alias("jaccard"))
     )
+    # mirror the canonical-order pairs so the top-k window sees each
+    # supplier's FULL neighborhood (a < b enumeration alone would hide
+    # every lower-keyed neighbor from a's list and give the max-keyed
+    # supplier no list at all)
+    mirrored = scored.unionByName(
+        scored.select(
+            F.col("supp_b").alias("supp_a"),
+            F.col("supp_a").alias("supp_b"),
+            "n_shared",
+            F.col("n_b").alias("n_a"),
+            F.col("n_a").alias("n_b"),
+            "jaccard",
+        )
+    )
     w = Window.partitionBy("supp_a").orderBy(
         F.col("jaccard").desc(), "supp_b"
     )
-    return scored.withColumn(
+    return mirrored.withColumn(
         "rank", F.row_number().over(w)
     ).filter(F.col("rank") <= top_k)
 
@@ -4449,10 +4467,16 @@ def hourly_autocorr(events: DataFrame) -> DataFrame:
         F.sum(F.col("cy") * F.col("cy")).alias("__qy"),
         F.sum(F.col("cx") * F.col("cy")).alias("__a"),
     )
-    n, sx, sy = F.col("n_pairs"), F.col("__sx"), F.col("__sy")
-    vx = (n * F.col("__qx") - sx * sx).cast("double")
-    vy = (n * F.col("__qy") - sy * sy).cast("double")
-    num = (n * F.col("__a") - sx * sy).cast("double")
+    # cast the exact BIGINT sums to double BEFORE combining (the
+    # established Pearson pattern at the trend fit above): n*qx with
+    # qx ~ hours*c^2 silently wraps int64 once hourly counts grow,
+    # while the same double expression is deterministic in any engine
+    n = F.col("n_pairs").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    vx = n * F.col("__qx").cast("double") - sx * sx
+    vy = n * F.col("__qy").cast("double") - sy * sy
+    num = n * F.col("__a").cast("double") - sx * sy
     r = F.when(
         (vx > 0) & (vy > 0), num / (F.sqrt(vx) * F.sqrt(vy))
     )

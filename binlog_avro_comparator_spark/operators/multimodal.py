@@ -990,7 +990,10 @@ def media_type_census(media: DataFrame) -> DataFrame:
 AUDIO_PHASH_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
-        T.StructField("phash", T.IntegerType()),
+        # long, not int: one bit per window, and n_windows is an
+        # exposed parameter -- an int32 schema silently truncates at
+        # Arrow conversion past 31 windows
+        T.StructField("phash", T.LongType()),
         T.StructField("n_windows", T.IntegerType()),
         T.StructField("decoder", T.StringType()),
     ]
@@ -1020,6 +1023,11 @@ def audio_phash(media: DataFrame, n_windows: int = 16) -> DataFrame:
 
     import numpy as np
 
+    if not 1 <= n_windows <= 63:
+        raise ValueError(
+            "audio_phash packs one bit per window into a signed 64-bit "
+            f"phash; n_windows must be in [1, 63], got {n_windows}"
+        )
     df = media.filter(F.col("kind") == "audio")
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1046,10 +1054,13 @@ def audio_phash(media: DataFrame, n_windows: int = 16) -> DataFrame:
                     rows.append((int(mid), h, n_windows, "wave"))
                 except Exception:  # noqa: BLE001 -- not decodable PCM16
                     hh = hashlib.sha256(b).digest()
+                    # mask to the real hashes' value domain (one bit
+                    # per window), whatever n_windows is
                     rows.append(
                         (
                             int(mid),
-                            int.from_bytes(hh[:2], "little"),
+                            int.from_bytes(hh[:8], "little")
+                            & ((1 << n_windows) - 1),
                             n_windows,
                             "fake-deterministic",
                         )

@@ -2457,12 +2457,18 @@ scored AS (
   FROM inter
   JOIN sizes sa ON sa.s = supp_a
   JOIN sizes sb ON sb.s = supp_b
+),
+mirrored AS (
+  SELECT supp_a, supp_b, n_shared, n_a, n_b, jaccard FROM scored
+  UNION ALL
+  SELECT supp_b AS supp_a, supp_a AS supp_b, n_shared,
+         n_b AS n_a, n_a AS n_b, jaccard FROM scored
 )
 SELECT * FROM (
   SELECT *, CAST(row_number() OVER (
       PARTITION BY supp_a ORDER BY jaccard DESC, supp_b) AS INTEGER)
     AS rank
-  FROM scored
+  FROM mirrored
 ) WHERE rank <= 5"""
 
     # twin of analytics.hourly_autocorr: exact-integer Pearson terms
@@ -2488,10 +2494,16 @@ agg AS (
   FROM pairs GROUP BY 1, 2
 )
 SELECT event_type, lag, n_pairs,
-       CASE WHEN n_pairs * qx - sx * sx > 0 AND n_pairs * qy - sy * sy > 0
-            THEN CAST(n_pairs * a - sx * sy AS DOUBLE)
-                 / (sqrt(CAST(n_pairs * qx - sx * sx AS DOUBLE))
-                    * sqrt(CAST(n_pairs * qy - sy * sy AS DOUBLE)))
+       CASE WHEN CAST(n_pairs AS DOUBLE) * CAST(qx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+             AND CAST(n_pairs AS DOUBLE) * CAST(qy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+            THEN (CAST(n_pairs AS DOUBLE) * CAST(a AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n_pairs AS DOUBLE) * CAST(qx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n_pairs AS DOUBLE) * CAST(qy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
        END AS r
 FROM agg"""
 

@@ -1435,7 +1435,7 @@ WHERE b.r = 1"""
 
     # doc-to-doc tf-idf cosine: same df cap, idf smoothing, 9/12-dp
     # rounding ladder, decimal accumulation, one double division
-    sql["doc_tfidf_neighbors"] = """
+    sql["doc_tfidf_neighbors"] = r"""
 WITH words AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word
   FROM documents
@@ -1885,7 +1885,7 @@ med AS (
 h AS (
   SELECT win.media_id,
          CAST(sum(CASE WHEN win.a > med.m THEN 1 << win.w ELSE 0 END)
-              AS INTEGER) AS phash
+              AS BIGINT) AS phash
   FROM win JOIN med USING (media_id)
   GROUP BY win.media_id
 )

@@ -5076,10 +5076,13 @@ def test_supplier_similarity_jaccard_and_df_cap(spark):
         li, top_k=5, max_suppliers_per_part=2
     ).collect()
     pairs = {(r.supp_a, r.supp_b): r for r in got}
-    assert set(pairs) == {(1, 2)}  # supplier 3 only had the capped part
-    r = pairs[(1, 2)]
-    assert r.n_shared == 2 and r.n_a == 3 and r.n_b == 3
-    assert r.jaccard == 0.5 and r.rank == 1
+    # SYMMETRIC contract: supplier 2 sees its lower-keyed neighbor too;
+    # supplier 3 only had the capped part, so no row either direction
+    assert set(pairs) == {(1, 2), (2, 1)}
+    for a, b in ((1, 2), (2, 1)):
+        r = pairs[(a, b)]
+        assert r.n_shared == 2 and r.n_a == 3 and r.n_b == 3
+        assert r.jaccard == 0.5 and r.rank == 1
 
 
 def test_hourly_autocorr_perfect_period(spark):
