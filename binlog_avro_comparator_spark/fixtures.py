@@ -439,20 +439,39 @@ def ddl_statement_col() -> F.Column:
     """Deterministic DDL strings for Query events, keyed on
     ``line_no`` (= event_id) and the derived schema/table columns --
     all SQL-expressible so the DuckDB oracle derives the identical
-    statements.  By event_id % 5: ADD-COLUMN ALTER (unqualified ->
-    default schema), qualified CREATE with IF NOT EXISTS, backtick-
-    quoted DROP, non-DDL noise (BEGIN -- must be filtered), and a
-    lowercase DROP-COLUMN ALTER (exercises case-insensitive
-    matching)."""
+    statements.  By event_id % 11:
+
+      0  ADD-COLUMN ALTER (unqualified -> default schema)
+      1  qualified CREATE with IF NOT EXISTS
+      2  backtick-quoted DROP
+      3  non-DDL noise (BEGIN -- must be filtered)
+      4  lowercase DROP-COLUMN ALTER (case-insensitive matching)
+      5  MULTI-CLAUSE ALTER: ADD COLUMN with a parens-comma type
+         (DECIMAL(10,2) -- must not split), DROP COLUMN, ADD INDEX
+         (recognized no-column-effect clause)
+      6  MODIFY COLUMN (retype: shape moves, membership does not)
+      7  CHANGE COLUMN old new (rename+retype -- the worst
+         mis-pairing case)
+      8  ALTER ... RENAME COLUMN old TO new
+      9  RENAME TABLE t TO t_r (threaded through the timeline)
+     10  ALTER against the RENAMED name (exercises canonical
+         threading) whose first clause is OUTSIDE the grammar
+         (CONVERT TO CHARACTER SET -- must land on the PARTIAL_PARSE
+         channel, and its window must quarantine whole-key)"""
     eid = F.col("line_no")
-    m = eid % 5
-    col_name = F.concat(F.lit("c"), (eid % 4).cast("string"))
+    m = eid % 11
+    four = (eid % 4).cast("string")
+    c_col = F.concat(F.lit("c"), four)
+    a_col = F.concat(F.lit("a"), four)
+    r_col = F.concat(F.lit("r"), four)
+    n_col = F.concat(F.lit("n"), four)
+    p_col = F.concat(F.lit("p"), four)
     return (
         F.when(
             m == 0,
             F.concat(
                 F.lit("ALTER TABLE "), F.col("table"),
-                F.lit(" ADD COLUMN "), col_name, F.lit(" INT"),
+                F.lit(" ADD COLUMN "), c_col, F.lit(" INT"),
             ),
         )
         .when(
@@ -470,11 +489,59 @@ def ddl_statement_col() -> F.Column:
             ),
         )
         .when(m == 3, F.lit("BEGIN"))
-        .otherwise(
+        .when(
+            m == 4,
             F.concat(
                 F.lit("alter table "), F.col("table"),
-                F.lit(" drop column "), col_name,
-            )
+                F.lit(" drop column "), c_col,
+            ),
+        )
+        .when(
+            m == 5,
+            F.concat(
+                F.lit("ALTER TABLE "), F.col("table"),
+                F.lit(" ADD COLUMN "), a_col, F.lit(" DECIMAL(10,2)"),
+                F.lit(", DROP COLUMN "), c_col,
+                F.lit(", ADD INDEX ix_"), a_col,
+                F.lit(" ("), a_col, F.lit(")"),
+            ),
+        )
+        .when(
+            m == 6,
+            F.concat(
+                F.lit("ALTER TABLE "), F.col("table"),
+                F.lit(" MODIFY COLUMN "), c_col,
+                F.lit(" BIGINT NOT NULL"),
+            ),
+        )
+        .when(
+            m == 7,
+            F.concat(
+                F.lit("ALTER TABLE "), F.col("table"),
+                F.lit(" CHANGE COLUMN "), c_col, F.lit(" "), r_col,
+                F.lit(" BIGINT"),
+            ),
+        )
+        .when(
+            m == 8,
+            F.concat(
+                F.lit("ALTER TABLE `"), F.col("table"),
+                F.lit("` RENAME COLUMN "), c_col, F.lit(" TO "), n_col,
+            ),
+        )
+        .when(
+            m == 9,
+            F.concat(
+                F.lit("RENAME TABLE "), F.col("table"),
+                F.lit(" TO "), F.col("table"), F.lit("_r"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("ALTER TABLE "), F.col("table"), F.lit("_r"),
+                F.lit(" CONVERT TO CHARACTER SET utf8mb4, ADD COLUMN "),
+                p_col, F.lit(" INT"),
+            ),
         )
     )
 

@@ -806,6 +806,91 @@ def payload_diff_ddl_guard(
     return safe.unionByName(flagged)
 
 
+def payload_diff_column_guard(
+    binlog_payload: DataFrame,
+    avro_payload: DataFrame,
+    key_tables: DataFrame,
+    window_columns: DataFrame,
+) -> DataFrame:
+    """COLUMN-granular DDL quarantine: the whole-key guard
+    (payload_diff_ddl_guard) goes blind inside a drift window exactly
+    when the feed is most suspect; this variant composes the clause
+    grammar's moved-column sets (ddl.ddl_drift_window_columns) so that
+    inside a window only the columns the opening ALTER actually
+    touched are quarantined -- a STABLE column's real mismatch keeps
+    reporting.
+
+    Per matched key inside its table's drift window(s):
+      * window moved-set KNOWN: findings on moved columns are
+        suppressed and replaced by one ``DDL_BOUNDARY`` row per
+        (key, moved column) -- emitted whether or not the bare diff
+        found anything there, since the false agreement on a shifted
+        column is the quiet failure; findings on every other column
+        pass through verbatim (the recovered coverage).
+      * moved-set UNKNOWN (table RENAME, or a PARTIAL_PARSE clause in
+        the opener): the conservative whole-key quarantine -- one
+        ``DDL_BOUNDARY`` row with column ``*`` -- because a partially
+        parsed ALTER may have moved columns the grammar never saw.
+    A key under multiple windows unions their moved sets and is
+    unknown if ANY window is.
+
+    Inputs as payload_diff_ddl_guard, except ``window_columns`` =
+    ddl_drift_window_columns's (schema_name, table_name, win_from,
+    win_to, moved_cols, moved_known) -- opener-cardinality, broadcast.
+    Shuffle shape: same matched-key equi-join as payload_diff (shared
+    exchange under AQE), broadcast window probe, and the suppression
+    join is a co-partitioned left-anti on (key, column).  Returns
+    payload_diff's contract with the extra status value."""
+    from ..functions.caching import scoped_cache
+    from .ddl import binlog_coord
+
+    binlog_payload = scoped_cache(binlog_payload)
+    avro_payload = scoped_cache(avro_payload)
+    matched = binlog_payload.select(*KEY).join(avro_payload.select(*KEY), KEY)
+    kt = matched.join(key_tables, KEY, "left").join(
+        F.broadcast(window_columns), ["schema_name", "table_name"], "left"
+    )
+    coord = binlog_coord(F.col("binlog_file"), F.col("binlog_position"))
+    in_drift = (
+        F.col("win_from").isNotNull()
+        & (coord >= F.col("win_from"))
+        & (F.col("win_to").isNull() | (coord < F.col("win_to")))
+    )
+    # per key: AND of known flags, union of moved sets over its windows
+    per_key = scoped_cache(
+        kt.filter(in_drift)
+        .groupBy(*KEY)
+        .agg(
+            (F.min(F.col("moved_known").cast("int")) == 1).alias("__known"),
+            F.array_distinct(
+                F.flatten(F.collect_list("moved_cols"))
+            ).alias("__moved"),
+        )
+    )
+    unknown_keys = per_key.filter(~F.col("__known")).select(*KEY)
+    moved = per_key.filter(F.col("__known")).select(
+        *KEY, F.explode("__moved").alias("column")
+    )
+    diff = payload_diff(binlog_payload, avro_payload)
+    kept = diff.join(unknown_keys, KEY, "left_anti").join(
+        moved, [*KEY, "column"], "left_anti"
+    )
+    nulls = [
+        F.lit(None).cast("string").alias("binlog_value"),
+        F.lit(None).cast("string").alias("avro_value"),
+    ]
+    boundary_cols = moved.select(
+        *KEY, "column", *nulls, F.lit("DDL_BOUNDARY").alias("status")
+    )
+    boundary_keys = unknown_keys.select(
+        *KEY,
+        F.lit("*").alias("column"),
+        *nulls,
+        F.lit("DDL_BOUNDARY").alias("status"),
+    )
+    return kept.unionByName(boundary_cols).unionByName(boundary_keys)
+
+
 def ddl_guard_impact(
     binlog_payload: DataFrame,
     avro_payload: DataFrame,

@@ -5,32 +5,48 @@ events (json_parser.go:95 lists "Query" in the typed-key vocabulary;
 the open-schema tail lands it in ``extra``) but nothing downstream ever
 reads it -- so the first ``ALTER TABLE`` on a watched table is invisible
 to every payload-diff consumer, which will silently mis-pair columns
-across the DDL boundary.  This module closes that gap:
+across the DDL boundary.  This module closes that gap with a grammar
+that covers the DDL a real MySQL 8 shop emits in week one:
 
   * :func:`parse_ddl_statements` -- pull ``CREATE/ALTER/DROP TABLE``
-    out of Query events (backtick quoting, optional ``IF [NOT] EXISTS``,
-    optional ``schema.`` qualifier with fallback to the event's session
-    default schema -- the ``Schema:`` kv a real MySQL Query event
-    carries).  Non-DDL statements (BEGIN, SET, DML) are dropped.
+    and ``RENAME TABLE a TO b`` out of Query events (backtick quoting,
+    optional ``IF [NOT] EXISTS``, optional ``schema.`` qualifier with
+    fallback to the event's session default schema -- the ``Schema:``
+    kv a real MySQL Query event carries).  ``ALTER ... RENAME TO b``
+    surfaces its target too.  Non-DDL statements (BEGIN, SET, DML) are
+    dropped.
+  * :func:`alter_clauses` -- split an ALTER body into its clauses
+    (top-level commas found by clause-keyword lookahead, so type args
+    like ``DECIMAL(10,2)`` never split) and classify each:
+    ``ADD/DROP/MODIFY/CHANGE/RENAME COLUMN``, ``RENAME TO``, index /
+    constraint operations (recognized, no column effect), everything
+    else ``UNPARSED``.
+  * :func:`ddl_parse_anomalies` -- the warn-and-skip channel (SURVEY
+    §2.8 discipline): clauses the grammar skips are EMITTED as
+    findings, never dropped silently -- a partially-parsed multi-clause
+    ALTER must not read as success.
   * :func:`schema_timeline` -- the per-(schema, table) effective-dated
-    schema-version table (SCD2 shape: version, valid_from, valid_to,
-    is_current), ordered by event time with binlog coordinates as the
-    tiebreak.
-  * :func:`ddl_drift_windows` -- per table, the coordinate intervals
-    [ALTER, next writer-schema refresh) in which row-image payloads may
-    no longer line up with the avro writer schema.
+    schema-version table (SCD2 shape), with ``RENAME TABLE`` THREADED
+    THROUGH: statements against a renamed name join the original
+    table's history (one table, one history) and ``current_name``
+    carries the as-of name.
+  * :func:`ddl_drift_windows` / :func:`ddl_drift_window_columns` --
+    per table, the coordinate intervals [ALTER-or-RENAME, next
+    writer-schema refresh) in which row-image payloads may no longer
+    line up with the avro writer schema; the ``_columns`` variant adds
+    WHICH columns each window's opening statement moved (and whether
+    that set is fully known), enabling the column-granular quarantine
+    in operators/compare.payload_diff_column_guard.
   * :func:`schema_column_matrix` -- the effective column set per
-    version (CREATE resets, ADD/DROP COLUMN adjust, DROP TABLE
-    empties).
-  * :func:`payload_diff_ddl_guard` lives in operators/compare.py (it
-    composes with payload_diff's join); this module only produces the
-    frames it consumes.
+    version (CREATE resets, ADD/DROP adjust, CHANGE/RENAME COLUMN
+    move, DROP TABLE empties).
 
 Scale shape: Query events are a thin slice of the feed (statement
-cardinality, not row cardinality); the timeline window partitions by
-(schema_name, table_name) -- table-cardinality parallelism -- and the
-boundary frame is table-cardinality, always broadcastable.  All parsing
-is regexp built-ins, JVM-side, codegen end-to-end.
+cardinality, not row cardinality); every window partitions by
+(schema, table) -- table-cardinality parallelism -- the rename-edge
+resolution is a bounded chain of broadcast joins over an
+edge-cardinality frame, and all parsing is regexp built-ins, JVM-side,
+codegen end-to-end.
 """
 
 from __future__ import annotations
@@ -47,6 +63,31 @@ DDL_RE = (
     r"`?([A-Za-z0-9_$]+)`?(?:\s*\.\s*`?([A-Za-z0-9_$]+)`?)?"
 )
 
+# RENAME TABLE old TO new -- first pair only; additional comma-
+# separated pairs are surfaced on the PARTIAL_PARSE channel
+# (ddl_parse_anomalies), never silently dropped.
+RENAME_TABLE_RE = (
+    r"(?i)^\s*rename\s+table\s+"
+    r"`?([A-Za-z0-9_$]+)`?(?:\s*\.\s*`?([A-Za-z0-9_$]+)`?)?"
+    r"\s+to\s+"
+    r"`?([A-Za-z0-9_$]+)`?(?:\s*\.\s*`?([A-Za-z0-9_$]+)`?)?"
+)
+
+# ALTER TABLE t RENAME [TO|AS] new -- a table rename too (RENAME
+# COLUMN never matches: the next word is COLUMN, not TO/AS/an ident)
+_ALTER_RENAME_TO_RE = (
+    r"(?i)\brename\s+(?:to|as)\s+"
+    r"`?([A-Za-z0-9_$]+)`?(?:\s*\.\s*`?([A-Za-z0-9_$]+)`?)?"
+)
+
+
+def _qualified(g_first, g_second, default_schema):
+    """(schema, name) from a two-capture qualified-identifier match:
+    ``a.b`` -> (a, b); bare ``b`` -> (default_schema, b)."""
+    schema = F.when(g_second != "", g_first).otherwise(default_schema)
+    name = F.when(g_second != "", g_second).otherwise(g_first)
+    return schema, name
+
 
 def parse_ddl_statements(parsed: DataFrame) -> DataFrame:
     """Parsed binlog events (operators/parse.parse_binlog_text shape)
@@ -56,9 +97,12 @@ def parse_ddl_statements(parsed: DataFrame) -> DataFrame:
     tail keeps it verbatim); the session default schema (``schema``
     column -- json_parser.go carries "Schema" on every Query event)
     resolves unqualified table names, which is MySQL's own rule for
-    statements replicated without a qualifier.  Returns (schema_name,
-    table_name, ddl_kind, statement, timestamp, binlog_file,
-    log_position, line_no)."""
+    statements replicated without a qualifier.  ``ddl_kind`` is
+    CREATE / ALTER / DROP / RENAME; RENAME rows (and ALTERs carrying a
+    ``RENAME TO`` clause) also fill ``new_schema_name`` /
+    ``new_table_name``.  Returns (schema_name, table_name, ddl_kind,
+    new_schema_name, new_table_name, statement, timestamp,
+    binlog_file, log_position, line_no)."""
     q = (
         parsed.filter(F.col("event_type") == "Query")
         .select(
@@ -71,16 +115,42 @@ def parse_ddl_statements(parsed: DataFrame) -> DataFrame:
         )
         .filter(F.col("statement").isNotNull())
     )
+    dflt = F.col("__default_schema")
     kind = F.upper(F.regexp_extract("statement", DDL_RE, 1))
     g2 = F.regexp_extract("statement", DDL_RE, 2)
     g3 = F.regexp_extract("statement", DDL_RE, 3)
+    r1 = F.regexp_extract("statement", RENAME_TABLE_RE, 1)
+    r2 = F.regexp_extract("statement", RENAME_TABLE_RE, 2)
+    r3 = F.regexp_extract("statement", RENAME_TABLE_RE, 3)
+    r4 = F.regexp_extract("statement", RENAME_TABLE_RE, 4)
+    a1 = F.regexp_extract("statement", _ALTER_RENAME_TO_RE, 1)
+    a2 = F.regexp_extract("statement", _ALTER_RENAME_TO_RE, 2)
+    is_rename = (kind == "") & (r1 != "")
+    t_schema, t_name = _qualified(g2, g3, dflt)
+    rs_schema, rs_name = _qualified(r1, r2, dflt)
+    rt_schema, rt_name = _qualified(r3, r4, dflt)
+    at_schema, at_name = _qualified(a1, a2, dflt)
+    new_schema = (
+        F.when(is_rename, rt_schema)
+        .when((kind == "ALTER") & (a1 != ""), at_schema)
+        .cast("string")
+    )
+    new_name = (
+        F.when(is_rename, rt_name)
+        .when((kind == "ALTER") & (a1 != ""), at_name)
+        .cast("string")
+    )
     return (
         q.select(
-            F.when(g3 != "", g2)
-            .otherwise(F.col("__default_schema"))
-            .alias("schema_name"),
-            F.when(g3 != "", g3).otherwise(g2).alias("table_name"),
-            kind.alias("ddl_kind"),
+            F.when(is_rename, rs_schema).otherwise(t_schema).alias(
+                "schema_name"
+            ),
+            F.when(is_rename, rs_name).otherwise(t_name).alias("table_name"),
+            F.when(is_rename, F.lit("RENAME")).otherwise(kind).alias(
+                "ddl_kind"
+            ),
+            new_schema.alias("new_schema_name"),
+            new_name.alias("new_table_name"),
             "statement",
             "timestamp",
             "binlog_file",
@@ -91,21 +161,311 @@ def parse_ddl_statements(parsed: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# ALTER clause grammar
+# ---------------------------------------------------------------------------
+
+# split an ALTER body on top-level commas: a comma is a clause boundary
+# only when a clause-opening keyword follows -- type arguments like
+# DECIMAL(10,2) or ENUM('a','b') never match the lookahead.  (A column
+# literally named after a clause keyword directly after a paren comma
+# would split wrongly -- stated heuristic, not a silent one: the
+# fragment then lands on the UNPARSED channel.)
+_CLAUSE_SPLIT_RE = (
+    r"(?i),\s*(?=(?:add|drop|modify|change|rename|alter|convert|engine|"
+    r"algorithm|lock|comment|partition|character|default|collate|force|"
+    r"order|disable|enable|with|without|auto_increment|row_format)\b)"
+)
+_ALTER_BODY_RE = (
+    r"(?is)^\s*alter\s+table\s+(?:if\s+exists\s+)?"
+    r"`?[A-Za-z0-9_$]+`?(?:\s*\.\s*`?[A-Za-z0-9_$]+`?)?\s+(.*)$"
+)
+_ID_CAP = r"`?([A-Za-z_$][A-Za-z0-9_$]*)`?"
+_ADD_COL_CL = rf"(?i)^add\s+(?:column\s+)?{_ID_CAP}"
+_DROP_COL_CL = rf"(?i)^drop\s+(?:column\s+)?{_ID_CAP}"
+_MODIFY_COL_CL = rf"(?i)^modify\s+(?:column\s+)?{_ID_CAP}"
+_CHANGE_COL_CL = rf"(?i)^change\s+(?:column\s+)?{_ID_CAP}\s+{_ID_CAP}"
+_RENAME_COL_CL = rf"(?i)^rename\s+column\s+{_ID_CAP}\s+to\s+{_ID_CAP}"
+_RENAME_TO_CL = (
+    r"(?i)^rename\s+(?:to\s+|as\s+)?"
+    r"`?([A-Za-z0-9_$]+)`?(?:\s*\.\s*`?([A-Za-z0-9_$]+)`?)?\s*$"
+)
+# ADD/DROP followed by one of these is an index/constraint operation:
+# recognized grammar with NO column-set effect (not a parse failure)
+_INDEX_WORDS = (
+    "index", "key", "constraint", "primary", "unique", "fulltext",
+    "spatial", "foreign", "check", "partition",
+)
+
+# re-exported for backwards compatibility with round-9 consumers
+_ADD_COL_RE = _ADD_COL_CL.replace("^add", r"\badd")
+_DROP_COL_RE = _DROP_COL_CL.replace("^drop", r"\bdrop")
+
+
+def alter_clauses(ddl: DataFrame) -> DataFrame:
+    """Explode each ALTER statement into classified clauses.
+
+    Returns one row per clause: the statement's identity columns
+    (schema_name, table_name, statement, timestamp, binlog_file,
+    log_position, line_no) plus ``clause_no`` (0-based order inside
+    the statement), ``clause`` (verbatim text), ``clause_kind`` in
+    {ADD_COLUMN, DROP_COLUMN, MODIFY_COLUMN, CHANGE_COLUMN,
+    RENAME_COLUMN, RENAME_TO, INDEX_OP, UNPARSED}, and ``col_a`` /
+    ``col_b`` (the touched column / its new name where the kind has
+    one).  MODIFY keeps the column set intact but marks the column as
+    shape-moved; CHANGE and RENAME COLUMN drop ``col_a`` and add
+    ``col_b``.  Anything the grammar does not recognize classifies as
+    UNPARSED and must be surfaced by ddl_parse_anomalies -- the
+    warn-and-skip discipline."""
+    body = F.regexp_extract("statement", _ALTER_BODY_RE, 1)
+    exploded = (
+        ddl.filter(F.col("ddl_kind") == "ALTER")
+        .select(
+            "schema_name",
+            "table_name",
+            "statement",
+            "timestamp",
+            "binlog_file",
+            "log_position",
+            "line_no",
+            F.posexplode(F.split(body, _CLAUSE_SPLIT_RE)).alias(
+                "clause_no", "__raw"
+            ),
+        )
+        .select(
+            "*", F.trim(F.col("__raw")).alias("clause")
+        )
+        .drop("__raw")
+        .filter(F.col("clause") != "")
+    )
+    w1 = F.lower(F.regexp_extract("clause", r"^\s*([A-Za-z_]+)", 1))
+    w2 = F.lower(
+        F.regexp_extract("clause", r"(?i)^\s*[A-Za-z_]+\s+`?([A-Za-z0-9_$]+)", 1)
+    )
+    add_c = F.regexp_extract("clause", _ADD_COL_CL, 1)
+    drop_c = F.regexp_extract("clause", _DROP_COL_CL, 1)
+    mod_c = F.regexp_extract("clause", _MODIFY_COL_CL, 1)
+    chg_a = F.regexp_extract("clause", _CHANGE_COL_CL, 1)
+    chg_b = F.regexp_extract("clause", _CHANGE_COL_CL, 2)
+    ren_a = F.regexp_extract("clause", _RENAME_COL_CL, 1)
+    ren_b = F.regexp_extract("clause", _RENAME_COL_CL, 2)
+    rto_1 = F.regexp_extract("clause", _RENAME_TO_CL, 1)
+    rto_2 = F.regexp_extract("clause", _RENAME_TO_CL, 2)
+    rto_name = F.when(rto_2 != "", rto_2).otherwise(rto_1)
+    kind = (
+        F.when((w1 == "add") & w2.isin(*_INDEX_WORDS), "INDEX_OP")
+        .when((w1 == "add") & (add_c != ""), "ADD_COLUMN")
+        .when((w1 == "drop") & w2.isin(*_INDEX_WORDS), "INDEX_OP")
+        .when((w1 == "drop") & (drop_c != ""), "DROP_COLUMN")
+        .when((w1 == "modify") & (mod_c != ""), "MODIFY_COLUMN")
+        .when((w1 == "change") & (chg_b != ""), "CHANGE_COLUMN")
+        .when((w1 == "rename") & (w2 == "column") & (ren_b != ""),
+              "RENAME_COLUMN")
+        .when((w1 == "rename") & (w2 != "column") & (rto_1 != ""),
+              "RENAME_TO")
+        .otherwise("UNPARSED")
+    )
+    col_a = (
+        F.when(kind == "ADD_COLUMN", add_c)
+        .when(kind == "DROP_COLUMN", drop_c)
+        .when(kind == "MODIFY_COLUMN", mod_c)
+        .when(kind == "CHANGE_COLUMN", chg_a)
+        .when(kind == "RENAME_COLUMN", ren_a)
+        .cast("string")
+    )
+    col_b = (
+        F.when(kind == "CHANGE_COLUMN", chg_b)
+        .when(kind == "RENAME_COLUMN", ren_b)
+        .when(kind == "RENAME_TO", rto_name)
+        .cast("string")
+    )
+    return exploded.select(
+        "schema_name",
+        "table_name",
+        "statement",
+        "timestamp",
+        "binlog_file",
+        "log_position",
+        "line_no",
+        "clause_no",
+        "clause",
+        kind.alias("clause_kind"),
+        col_a.alias("col_a"),
+        col_b.alias("col_b"),
+    )
+
+
+def ddl_parse_anomalies(ddl: DataFrame) -> DataFrame:
+    """The PARTIAL_PARSE finding channel: every fragment the grammar
+    consumed the statement AROUND but could not interpret.  A
+    multi-clause ALTER where only some clauses parse would otherwise
+    read as success -- the exact silent-failure shape the rest of the
+    engine's warn-and-skip channels (§2.8) exist to prevent.
+
+    Two sources: UNPARSED clauses from alter_clauses, and extra
+    ``RENAME TABLE a TO b, c TO d`` pairs beyond the first (the
+    grammar threads one pair; the rest are surfaced here).  Reports
+    the statement's WRITTEN table name (the operator's actionable
+    handle), not the canonical one.  Statement-cardinality in, at most
+    clause-cardinality out.  Returns (schema_name, table_name,
+    binlog_file, log_position, reason, fragment)."""
+    cl = alter_clauses(ddl)
+    unparsed = cl.filter(F.col("clause_kind") == "UNPARSED").select(
+        "schema_name",
+        "table_name",
+        "binlog_file",
+        "log_position",
+        F.lit("UNPARSED_CLAUSE").alias("reason"),
+        F.col("clause").alias("fragment"),
+    )
+    # a second "x TO y" pair after the matched one: count TO keywords
+    # beyond the first in RENAME TABLE statements
+    n_pairs = F.size(
+        F.regexp_extract_all(
+            "statement", F.lit(r"(?i)\s[tT][oO]\s"), F.lit(0)
+        )
+    )
+    extra_pairs = (
+        ddl.filter((F.col("ddl_kind") == "RENAME") & (n_pairs > 1))
+        .select(
+            "schema_name",
+            "table_name",
+            "binlog_file",
+            "log_position",
+            F.lit("UNPARSED_RENAME_PAIR").alias("reason"),
+            F.regexp_extract(
+                "statement", r"(?is)^\s*rename\s+table\s+[^,]+,\s*(.*)$", 1
+            ).alias("fragment"),
+        )
+    )
+    return unparsed.unionByName(extra_pairs)
+
+
+# ---------------------------------------------------------------------------
+# rename threading: one table, one history
+# ---------------------------------------------------------------------------
+
+
+def rename_edges(ddl: DataFrame) -> DataFrame:
+    """(new_schema, new_name) -> (old_schema, old_name) edges from
+    RENAME TABLE statements and ALTER ... RENAME TO clauses.  When two
+    renames land on the same new name (name reuse), the lexicographic
+    minimum source wins -- a stated deterministic pick, since
+    name-based (not temporally scoped) canonicalization cannot tell
+    the reuses apart.  Edge-cardinality: always broadcastable."""
+    e = ddl.filter(
+        F.col("new_table_name").isNotNull()
+        & (
+            (F.col("new_schema_name") != F.col("schema_name"))
+            | (F.col("new_table_name") != F.col("table_name"))
+        )
+    ).select(
+        F.col("new_schema_name").alias("__n_schema"),
+        F.col("new_table_name").alias("__n_name"),
+        F.col("schema_name").alias("__o_schema"),
+        F.col("table_name").alias("__o_name"),
+    )
+    return e.groupBy("__n_schema", "__n_name").agg(
+        F.min(F.struct("__o_schema", "__o_name")).alias("__o")
+    ).select(
+        "__n_schema",
+        "__n_name",
+        F.col("__o.__o_schema").alias("__o_schema"),
+        F.col("__o.__o_name").alias("__o_name"),
+    )
+
+
+def canonicalize_tables(ddl: DataFrame, max_hops: int = 4) -> DataFrame:
+    """Thread RENAME TABLE through the statement frame: every
+    statement's (schema_name, table_name) is rewritten to the
+    CANONICAL (pre-rename chain) identity so one table keeps one
+    history; the as-written name is preserved in ``written_schema`` /
+    ``written_table``.
+
+    Resolution follows rename edges backward up to ``max_hops`` times
+    -- a fixed chain of broadcast joins over the edge-cardinality
+    frame (no driver action, no iteration-to-fixpoint; chains longer
+    than max_hops and rename cycles resolve partially, stated).  Name
+    reuse over time is NOT temporally scoped: a table re-created under
+    a previously-renamed-away name joins the old history -- the
+    conservative direction for drift quarantine."""
+    edges = rename_edges(ddl)
+    m = edges.select(
+        F.col("__n_schema").alias("__m_schema"),
+        F.col("__n_name").alias("__m_name"),
+        F.col("__o_schema").alias("__c_schema"),
+        F.col("__o_name").alias("__c_name"),
+    )
+    for i in range(max_hops - 1):
+        e = edges.select(
+            F.col("__n_schema").alias(f"__e{i}_s"),
+            F.col("__n_name").alias(f"__e{i}_n"),
+            F.col("__o_schema").alias(f"__e{i}_os"),
+            F.col("__o_name").alias(f"__e{i}_on"),
+        )
+        m = (
+            m.join(
+                F.broadcast(e),
+                (F.col("__c_schema") == F.col(f"__e{i}_s"))
+                & (F.col("__c_name") == F.col(f"__e{i}_n")),
+                "left",
+            )
+            .select(
+                "__m_schema",
+                "__m_name",
+                F.coalesce(F.col(f"__e{i}_os"), F.col("__c_schema")).alias(
+                    "__c_schema"
+                ),
+                F.coalesce(F.col(f"__e{i}_on"), F.col("__c_name")).alias(
+                    "__c_name"
+                ),
+            )
+        )
+    out = (
+        ddl.join(
+            F.broadcast(m),
+            (F.col("schema_name") == F.col("__m_schema"))
+            & (F.col("table_name") == F.col("__m_name")),
+            "left",
+        )
+        .withColumn("written_schema", F.col("schema_name"))
+        .withColumn("written_table", F.col("table_name"))
+        .withColumn(
+            "schema_name", F.coalesce(F.col("__c_schema"), F.col("schema_name"))
+        )
+        .withColumn(
+            "table_name", F.coalesce(F.col("__c_name"), F.col("table_name"))
+        )
+        .drop("__m_schema", "__m_name", "__c_schema", "__c_name")
+    )
+    return out
+
+
+_ORDER_COLS = ("timestamp", "binlog_file", "log_position", "line_no")
+
+
 def schema_timeline(ddl: DataFrame) -> DataFrame:
     """DDL statements -> the effective-dated schema-version table.
 
-    SCD2 shape (same contract as snapshot.scd2_history): per
-    (schema_name, table_name), versions numbered in event-time order
-    (binlog coordinates break timestamp ties, line_no breaks
-    zero-position ties -- the full key is unique, so the window is
-    deterministic); ``valid_to`` is the next version's ``valid_from``,
-    NULL on the current version.  One window, partitioned by table
-    identity: statement-cardinality state, table-cardinality
-    parallelism -- this frame is metadata-sized at any feed size."""
-    w = Window.partitionBy("schema_name", "table_name").orderBy(
-        "timestamp", "binlog_file", "log_position", "line_no"
+    SCD2 shape (same contract as snapshot.scd2_history): per CANONICAL
+    (schema_name, table_name) -- renames threaded so one table keeps
+    one history -- versions numbered in event-time order (binlog
+    coordinates break timestamp ties, line_no breaks zero-position
+    ties; the full key is unique, so the window is deterministic);
+    ``valid_to`` is the next version's ``valid_from``, NULL on the
+    current version; ``current_name`` is the table's as-of name (the
+    last rename target so far, else the canonical name).  One window,
+    partitioned by table identity: statement-cardinality state,
+    table-cardinality parallelism -- metadata-sized at any feed
+    size."""
+    c = canonicalize_tables(ddl)
+    w = Window.partitionBy("schema_name", "table_name").orderBy(*_ORDER_COLS)
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    current_name = F.coalesce(
+        F.last(F.col("new_table_name"), ignorenulls=True).over(wc),
+        F.col("table_name"),
     )
-    return ddl.select(
+    return c.select(
         "schema_name",
         "table_name",
         F.row_number().over(w).cast("long").alias("version"),
@@ -114,6 +474,7 @@ def schema_timeline(ddl: DataFrame) -> DataFrame:
         F.col("timestamp").alias("valid_from"),
         F.lead("timestamp").over(w).alias("valid_to"),
         F.lead("timestamp").over(w).isNull().alias("is_current"),
+        current_name.alias("current_name"),
         "binlog_file",
         "log_position",
     )
@@ -131,10 +492,12 @@ def binlog_coord(file_col: F.Column, pos_col: F.Column) -> F.Column:
 
 
 def ddl_drift_windows(ddl: DataFrame) -> DataFrame:
-    """Per (schema_name, table_name), the coordinate intervals in which
-    row-image payload diffs are UNTRUSTED: each window opens at an
-    ``ALTER TABLE`` (row images now decode under a new table shape) and
-    closes at the next ``CREATE`` statement for the same table -- the
+    """Per canonical (schema_name, table_name), the coordinate
+    intervals in which row-image payload diffs are UNTRUSTED: each
+    window opens at an ``ALTER TABLE`` (row images now decode under a
+    new table shape) or a ``RENAME TABLE`` (row events re-key to the
+    new name mid-feed -- pairing by name breaks wholesale) and closes
+    at the next ``CREATE`` statement for the same table -- the
     writer-schema refresh marker after which producer and binlog agree
     again (reconciling against cdc_avro_schema_census is the lake-side
     equivalent).  A window with no subsequent CREATE stays open
@@ -142,10 +505,11 @@ def ddl_drift_windows(ddl: DataFrame) -> DataFrame:
     zero-as-null rule as the key compare, SURVEY Q5) and are skipped.
 
     One window function partitioned by table identity over a
-    statement-cardinality frame; output is ALTER-cardinality --
+    statement-cardinality frame; output is opener-cardinality --
     metadata-sized, always broadcastable.  Returns (schema_name,
     table_name, win_from, win_to) as sortable coordinate strings."""
-    d = ddl.filter(F.col("log_position") != 0).select(
+    c = canonicalize_tables(ddl)
+    d = c.filter(F.col("log_position") != 0).select(
         "schema_name",
         "table_name",
         "ddl_kind",
@@ -166,22 +530,113 @@ def ddl_drift_windows(ddl: DataFrame) -> DataFrame:
     ).over(w)
     return (
         d.withColumn("win_to", next_create)
-        .filter(F.col("ddl_kind") == "ALTER")
+        .filter(F.col("ddl_kind").isin("ALTER", "RENAME"))
         .select(
             "schema_name",
             "table_name",
             F.col("coord").alias("win_from"),
             "win_to",
         )
-        # two ALTERs at one coordinate (the dup-key plant) open the
+        # two openers at one coordinate (the dup-key plant) open the
         # SAME window -- emit it once
         .distinct()
     )
 
 
-# column-grammar fragments for the effective-column fold
-_ADD_COL_RE = r"(?i)\badd\s+column\s+`?([A-Za-z_$][A-Za-z0-9_$]*)`?"
-_DROP_COL_RE = r"(?i)\bdrop\s+column\s+`?([A-Za-z_$][A-Za-z0-9_$]*)`?"
+def ddl_drift_window_columns(ddl: DataFrame) -> DataFrame:
+    """Drift windows ANNOTATED with what moved: for each window, the
+    set of columns its opening statement(s) touched (``moved_cols``)
+    and whether that set is fully known (``moved_known``).  The moved
+    set is the clause-level union -- ADD/DROP/MODIFY column names plus
+    both sides of CHANGE/RENAME COLUMN (a rename+retype is exactly the
+    mis-pairing hazard).  The set is UNKNOWN when the opener is a
+    table RENAME (every column re-keys) or when any clause landed on
+    the UNPARSED channel (a partially-parsed ALTER must quarantine
+    conservatively, whole-key).
+
+    Same plan as ddl_drift_windows plus one clause-cardinality
+    aggregate; output stays opener-cardinality and broadcastable.
+    Returns (schema_name, table_name, win_from, win_to, moved_cols
+    array<string>, moved_known boolean)."""
+    c = canonicalize_tables(ddl)
+    d = c.filter(F.col("log_position") != 0)
+    coord = binlog_coord(F.col("binlog_file"), F.col("log_position"))
+    w = (
+        Window.partitionBy("schema_name", "table_name")
+        .orderBy("coord", "line_no")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    openers = (
+        d.select(
+            "schema_name",
+            "table_name",
+            "ddl_kind",
+            "statement",
+            "binlog_file",
+            "log_position",
+            "line_no",
+            coord.alias("coord"),
+        )
+        .withColumn(
+            "win_to",
+            F.min(
+                F.when(F.col("ddl_kind") == "CREATE", F.col("coord"))
+            ).over(w),
+        )
+        .filter(F.col("ddl_kind").isin("ALTER", "RENAME"))
+    )
+    # per opening STATEMENT: touched columns + any-unparsed flag.
+    # alter_clauses re-parses from the canonical frame (col names are
+    # identical either way); join back on the statement's unique
+    # physical identity (file, position, line)
+    cl = alter_clauses(
+        c.filter(F.col("ddl_kind") == "ALTER")
+    )
+    touched = F.array_compact(F.array("col_a", "col_b"))
+    per_stmt = cl.groupBy("binlog_file", "log_position", "line_no").agg(
+        F.array_distinct(F.flatten(F.collect_list(touched))).alias(
+            "__cols"
+        ),
+        F.max(
+            (F.col("clause_kind") == "UNPARSED").cast("int")
+        ).alias("__any_unparsed"),
+        F.max(
+            (F.col("clause_kind") == "RENAME_TO").cast("int")
+        ).alias("__any_rename"),
+    )
+    j = openers.join(
+        per_stmt, ["binlog_file", "log_position", "line_no"], "left"
+    )
+    known = (
+        (F.col("ddl_kind") == "ALTER")
+        & (F.coalesce(F.col("__any_unparsed"), F.lit(0)) == 0)
+        & (F.coalesce(F.col("__any_rename"), F.lit(0)) == 0)
+    )
+    empty = F.expr("cast(array() as array<string>)")
+    per_open = j.select(
+        "schema_name",
+        "table_name",
+        F.col("coord").alias("win_from"),
+        "win_to",
+        F.coalesce(F.col("__cols"), empty).alias("__mc"),
+        known.cast("int").alias("__known"),
+    )
+    # dup-coordinate openers (the dup-key plant) merge into ONE window:
+    # union their moved sets, AND their known flags
+    return per_open.groupBy(
+        "schema_name", "table_name", "win_from", "win_to"
+    ).agg(
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list("__mc")))
+        ).alias("moved_cols"),
+        (F.min("__known") == 1).alias("moved_known"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# effective-column fold
+# ---------------------------------------------------------------------------
+
 # identifiers opening a column def: after '(' start or a comma; type
 # arguments like DECIMAL(10,2) never match (digit-led), constraint
 # clauses are filtered by keyword below
@@ -203,60 +658,126 @@ def _create_columns(stmt) -> F.Column:
 
 
 def schema_column_matrix(ddl: DataFrame) -> DataFrame:
-    """The timeline made ACTIONABLE: for every (schema, table,
-    version), the set of columns effectively present -- the inventory
-    a payload-diff consumer needs to know WHICH columns can mis-pair
-    across a boundary (the timeline says WHEN the shape moved; this
-    says WHAT it moved to).
+    """The timeline made ACTIONABLE: for every canonical (schema,
+    table, version), the set of columns effectively present -- the
+    inventory a payload-diff consumer needs to know WHICH columns can
+    mis-pair across a boundary (the timeline says WHEN the shape
+    moved; this says WHAT it moved to).
 
     Fold semantics per column: CREATE resets the table to its declared
-    list, ADD COLUMN adds, DROP COLUMN removes, DROP TABLE empties.
+    list; ADD COLUMN adds; DROP COLUMN removes; CHANGE/RENAME COLUMN
+    remove the old name and add the new; MODIFY leaves the set intact
+    (shape moved, membership did not); DROP TABLE empties; table
+    RENAME carries the set across unchanged.  Within one multi-clause
+    statement the LAST clause touching a column wins (adds outrank
+    drops at equal clause position, so ``CHANGE c c BIGINT`` keeps c).
+
     The fold is carry-forward, not a join triangle: a versions x
     touched-columns grid (linear in statements, never statements^2)
     gets a per-(table, column) ``last(effect) ignore nulls`` window --
     one shuffle on table identity, metadata-sized end to end.
     Returns (schema_name, table_name, version, column_name) for
     present columns only."""
-    w = Window.partitionBy("schema_name", "table_name").orderBy(
-        "timestamp", "binlog_file", "log_position", "line_no"
-    )
+    c = canonicalize_tables(ddl)
+    w = Window.partitionBy("schema_name", "table_name").orderBy(*_ORDER_COLS)
     empty = F.expr("cast(array() as array<string>)")
-    add_col = F.regexp_extract("statement", _ADD_COL_RE, 1)
-    drop_col = F.regexp_extract("statement", _DROP_COL_RE, 1)
     create_cols = F.when(
         F.col("ddl_kind") == "CREATE", _create_columns(F.col("statement"))
     ).otherwise(empty)
-    d = ddl.select(
+    d = c.select(
         "schema_name",
         "table_name",
         "ddl_kind",
+        "binlog_file",
+        "log_position",
+        "line_no",
         F.row_number().over(w).cast("long").alias("version"),
-        add_col.alias("__add"),
-        drop_col.alias("__drop"),
         create_cols.alias("__create_cols"),
     )
-    touched = F.array_distinct(
-        F.flatten(
+    # per-(statement, column) NET set effect from the clause grammar:
+    # each clause contributes (col, effect, ord, tie); the last clause
+    # touching a column wins, adds over drops at equal position
+    cl = alter_clauses(c.filter(F.col("ddl_kind") == "ALTER"))
+    eff_entries = (
+        F.when(
+            F.col("clause_kind") == "ADD_COLUMN",
+            F.array(F.struct(
+                F.col("col_a").alias("col"), F.lit(True).alias("eff")
+            )),
+        )
+        .when(
+            F.col("clause_kind") == "DROP_COLUMN",
+            F.array(F.struct(
+                F.col("col_a").alias("col"), F.lit(False).alias("eff")
+            )),
+        )
+        .when(
+            F.col("clause_kind").isin("CHANGE_COLUMN", "RENAME_COLUMN"),
             F.array(
-                F.col("__create_cols"),
-                F.when(F.col("__add") != "", F.array("__add")).otherwise(empty),
-                F.when(F.col("__drop") != "", F.array("__drop")).otherwise(empty),
+                F.struct(
+                    F.col("col_a").alias("col"), F.lit(False).alias("eff")
+                ),
+                F.struct(
+                    F.col("col_b").alias("col"), F.lit(True).alias("eff")
+                ),
+            ),
+        )
+        .otherwise(F.expr(
+            "cast(array() as array<struct<col:string,eff:boolean>>)"
+        ))
+    )
+    entries = cl.select(
+        "schema_name",
+        "table_name",
+        "binlog_file",
+        "log_position",
+        "line_no",
+        "clause_no",
+        F.posexplode(eff_entries).alias("__tie", "__e"),
+    )
+    stmt_effects = entries.groupBy(
+        "schema_name",
+        "table_name",
+        "binlog_file",
+        "log_position",
+        "line_no",
+        entries["__e"]["col"].alias("column_name"),
+    ).agg(
+        F.max_by(
+            entries["__e"]["eff"], F.struct("clause_no", "__tie")
+        ).alias("__eff")
+    )
+    # the column universe per canonical table: clause-touched + declared
+    uni = (
+        stmt_effects.select("schema_name", "table_name", "column_name")
+        .unionByName(
+            d.select(
+                "schema_name",
+                "table_name",
+                F.explode("__create_cols").alias("column_name"),
             )
         )
-    )
-    uni = (
-        d.select("schema_name", "table_name", F.explode(touched).alias("column_name"))
         .distinct()
     )
-    grid = d.join(uni, ["schema_name", "table_name"])
+    grid = d.join(uni, ["schema_name", "table_name"]).join(
+        stmt_effects,
+        [
+            "schema_name",
+            "table_name",
+            "binlog_file",
+            "log_position",
+            "line_no",
+            "column_name",
+        ],
+        "left",
+    )
     effect = (
         F.when(
             F.col("ddl_kind") == "CREATE",
             F.array_contains(F.col("__create_cols"), F.col("column_name")),
         )
         .when(F.col("ddl_kind") == "DROP", F.lit(False))
-        .when(F.col("__add") == F.col("column_name"), F.lit(True))
-        .when(F.col("__drop") == F.col("column_name"), F.lit(False))
+        .otherwise(F.col("__eff"))
     )
     wp = (
         Window.partitionBy("schema_name", "table_name", "column_name")

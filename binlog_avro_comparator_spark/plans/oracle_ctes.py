@@ -1039,8 +1039,11 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 
 # --- DDL schema-timeline CTEs (fixtures.generate_ddl_text_lines
 # mirror): Query events (event_type outside the DML+XID vocabulary)
-# with deterministic statements by event_id % 5; m=3 is non-DDL noise
-# (BEGIN) the extractor must drop.  Keep in sync with
+# with deterministic statements by event_id % 11; m=3 is non-DDL noise
+# (BEGIN) the extractor must drop; m=9 is RENAME TABLE t TO t_r and
+# m=10 targets the RENAMED name -- the CANONICAL identity (one table,
+# one history) resolves t_r back to t whenever a rename edge exists
+# for that (schema, table).  Keep in sync with
 # fixtures.ddl_statement_col and the derive_binlog_events arithmetic.
 _DDL_STMT_CTE = """qsrc AS (
   SELECT event_id, user_id,
@@ -1051,34 +1054,63 @@ _DDL_STMT_CTE = """qsrc AS (
     'db' || CAST(user_id % 2 AS VARCHAR) AS schema_name,
     't' || CAST(user_id % 3 AS VARCHAR) AS table_name,
     'mysql-bin.' || lpad(CAST(event_id % 4 AS VARCHAR), 6, '0') AS binlog_file,
-    event_id % 5 AS m,
-    'c' || CAST(event_id % 4 AS VARCHAR) AS col_name
+    event_id % 11 AS m,
+    CAST(event_id % 4 AS VARCHAR) AS f4
   FROM events
   WHERE event_type NOT IN ('click', 'view', 'purchase', 'signup')
     AND event_id % 223 <> 0
 ),
+redges AS (
+  SELECT DISTINCT schema_name, table_name FROM qsrc WHERE m = 9
+),
 ddl AS (
-  SELECT *,
-    CASE WHEN m IN (0, 4) THEN 'ALTER'
-         WHEN m = 1 THEN 'CREATE'
-         WHEN m = 2 THEN 'DROP' END AS ddl_kind,
-    CASE m
-      WHEN 0 THEN 'ALTER TABLE ' || table_name || ' ADD COLUMN '
-                  || col_name || ' INT'
-      WHEN 1 THEN 'CREATE TABLE IF NOT EXISTS ' || schema_name || '.'
-                  || table_name || ' (id INT PRIMARY KEY)'
-      WHEN 2 THEN 'DROP TABLE `' || schema_name || '`.`'
-                  || table_name || '`'
-      WHEN 4 THEN 'alter table ' || table_name || ' drop column '
-                  || col_name
+  SELECT q.event_id, q.vts, q.log_position, q.binlog_file, q.m, q.f4,
+    q.schema_name,
+    CASE WHEN q.m = 10 THEN q.table_name || '_r'
+         ELSE q.table_name END AS written_table,
+    CASE WHEN q.m = 10 AND e.table_name IS NOT NULL THEN q.table_name
+         WHEN q.m = 10 THEN q.table_name || '_r'
+         ELSE q.table_name END AS table_name,
+    CASE WHEN q.m = 9 THEN q.table_name || '_r' END AS new_table,
+    CASE WHEN q.m IN (0, 4, 5, 6, 7, 8, 10) THEN 'ALTER'
+         WHEN q.m = 1 THEN 'CREATE'
+         WHEN q.m = 2 THEN 'DROP'
+         WHEN q.m = 9 THEN 'RENAME' END AS ddl_kind,
+    CASE q.m
+      WHEN 0 THEN 'ALTER TABLE ' || q.table_name || ' ADD COLUMN c'
+                  || q.f4 || ' INT'
+      WHEN 1 THEN 'CREATE TABLE IF NOT EXISTS ' || q.schema_name || '.'
+                  || q.table_name || ' (id INT PRIMARY KEY)'
+      WHEN 2 THEN 'DROP TABLE `' || q.schema_name || '`.`'
+                  || q.table_name || '`'
+      WHEN 4 THEN 'alter table ' || q.table_name || ' drop column c'
+                  || q.f4
+      WHEN 5 THEN 'ALTER TABLE ' || q.table_name || ' ADD COLUMN a'
+                  || q.f4 || ' DECIMAL(10,2), DROP COLUMN c' || q.f4
+                  || ', ADD INDEX ix_a' || q.f4 || ' (a' || q.f4 || ')'
+      WHEN 6 THEN 'ALTER TABLE ' || q.table_name || ' MODIFY COLUMN c'
+                  || q.f4 || ' BIGINT NOT NULL'
+      WHEN 7 THEN 'ALTER TABLE ' || q.table_name || ' CHANGE COLUMN c'
+                  || q.f4 || ' r' || q.f4 || ' BIGINT'
+      WHEN 8 THEN 'ALTER TABLE `' || q.table_name || '` RENAME COLUMN c'
+                  || q.f4 || ' TO n' || q.f4
+      WHEN 9 THEN 'RENAME TABLE ' || q.table_name || ' TO '
+                  || q.table_name || '_r'
+      WHEN 10 THEN 'ALTER TABLE ' || q.table_name
+                  || '_r CONVERT TO CHARACTER SET utf8mb4, ADD COLUMN p'
+                  || q.f4 || ' INT'
     END AS statement
-  FROM qsrc WHERE m <> 3
+  FROM qsrc q
+  LEFT JOIN redges e
+    ON e.schema_name = q.schema_name AND e.table_name = q.table_name
+  WHERE q.m <> 3
 )"""
 
-# drift windows over the same derivation: ALTER opens, next CREATE for
-# the table closes; zero positions carry no coordinate (Q5)
+# drift windows over the same derivation: ALTER or RENAME opens, next
+# CREATE for the (canonical) table closes; zero positions carry no
+# coordinate (Q5)
 _DDL_WINDOWS_CTE = """qd AS (
-  SELECT schema_name, table_name, ddl_kind, event_id,
+  SELECT schema_name, table_name, ddl_kind, m, f4, event_id,
     binlog_file || ':' || lpad(CAST(log_position AS VARCHAR), 12, '0')
       AS coord
   FROM ddl WHERE log_position <> 0
@@ -1090,7 +1122,39 @@ win AS (
         PARTITION BY schema_name, table_name ORDER BY coord, event_id
         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS win_to
     FROM qd
-  ) WHERE ddl_kind = 'ALTER'
+  ) WHERE ddl_kind IN ('ALTER', 'RENAME')
+)"""
+
+# drift windows annotated with the moved-column set: per opening
+# statement, the clause-touched columns (m arithmetic mirror of the
+# Spark clause grammar) and whether the set is fully known (false for
+# table RENAMEs and for the m=10 statement whose CONVERT clause lands
+# on the UNPARSED channel); dup-coordinate openers merge into one
+# window, unioning sets and ANDing known flags
+_DDL_WINCOLS_CTE = """wc AS (
+  SELECT schema_name, table_name, win_from, win_to,
+         list_sort(list_distinct(flatten(list(mc)))) AS moved_cols,
+         bool_and(known) AS moved_known
+  FROM (
+    SELECT *,
+      CASE m
+        WHEN 0 THEN ['c' || f4]
+        WHEN 4 THEN ['c' || f4]
+        WHEN 5 THEN ['a' || f4, 'c' || f4]
+        WHEN 6 THEN ['c' || f4]
+        WHEN 7 THEN ['c' || f4, 'r' || f4]
+        WHEN 8 THEN ['c' || f4, 'n' || f4]
+        WHEN 9 THEN CAST([] AS VARCHAR[])
+        WHEN 10 THEN ['p' || f4]
+      END AS mc,
+      m NOT IN (9, 10) AS known,
+      coord AS win_from,
+      min(CASE WHEN ddl_kind = 'CREATE' THEN coord END) OVER (
+        PARTITION BY schema_name, table_name ORDER BY coord, event_id
+        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS win_to
+    FROM qd
+  ) WHERE ddl_kind IN ('ALTER', 'RENAME')
+  GROUP BY 1, 2, 3, 4
 )"""
 
 

@@ -1259,6 +1259,78 @@ SELECT binlog_file, binlog_position, '*' AS "column",
 FROM drift"""
     )
 
+    # COLUMN-granular quarantine: findings on columns the window's
+    # opening ALTER moved suppress to per-(key, column) DDL_BOUNDARY
+    # rows; stable-column findings inside the window KEEP reporting;
+    # unknown-moved-set windows (RENAME / PARTIAL_PARSE openers) stay
+    # whole-key conservative
+    sql["cdc_payload_diff_column_guarded"] = (
+        "WITH diff AS (" + sql["cdc_payload_diff"] + f"""),
+{_DDL_STMT_CTE.strip()},
+{_DDL_WINDOWS_CTE.strip()},
+{_DDL_WINCOLS_CTE.strip()},
+dmlk AS (
+  SELECT binlog_file, binlog_position, user_id FROM (
+    SELECT 'mysql-bin.' || lpad(CAST(event_id % 4 AS VARCHAR), 6, '0')
+             AS binlog_file,
+      CASE WHEN event_id % 211 = 0 THEN 0
+           WHEN event_id % 53 = 0 THEN 100 * ((event_id + 4) // 4) + 4
+           ELSE 100 * (event_id // 4) + 4 END AS binlog_position,
+      event_id, user_id
+    FROM events
+    WHERE event_type IN ('click', 'view', 'purchase')
+      AND event_id % 223 <> 0
+  ) WHERE binlog_position <> 0
+  QUALIFY row_number() OVER (
+    PARTITION BY binlog_file, binlog_position ORDER BY event_id DESC) = 1
+),
+avk AS (
+  SELECT DISTINCT
+    'mysql-bin.' || lpad(CAST(event_id % 4 AS VARCHAR), 6, '0')
+      AS binlog_file,
+    CASE WHEN event_id % 17 = 5 THEN 100 * (event_id // 4) + 4 + 7
+         ELSE 100 * (event_id // 4) + 4 END AS binlog_position
+  FROM events
+  WHERE event_type IN ('click', 'view', 'purchase')
+    AND event_id % 13 <> 0 AND event_id % 29 <> 1
+),
+kc AS (
+  SELECT d.binlog_file, d.binlog_position,
+         'db' || CAST(d.user_id % 2 AS VARCHAR) AS schema_name,
+         't' || CAST(d.user_id % 3 AS VARCHAR) AS table_name,
+         d.binlog_file || ':'
+           || lpad(CAST(d.binlog_position AS VARCHAR), 12, '0') AS coord
+  FROM dmlk d JOIN avk a USING (binlog_file, binlog_position)
+),
+kwin AS (
+  SELECT kc.binlog_file, kc.binlog_position,
+         bool_and(w.moved_known) AS known,
+         list_sort(list_distinct(flatten(list(w.moved_cols)))) AS moved
+  FROM kc JOIN wc w
+    ON w.schema_name = kc.schema_name AND w.table_name = kc.table_name
+   AND kc.coord >= w.win_from
+   AND (w.win_to IS NULL OR kc.coord < w.win_to)
+  GROUP BY 1, 2
+)
+SELECT d.binlog_file, d.binlog_position, d."column",
+       d.binlog_value, d.avro_value, d.status
+FROM diff d LEFT JOIN kwin k USING (binlog_file, binlog_position)
+WHERE k.binlog_file IS NULL
+   OR (k.known AND NOT list_contains(k.moved, d."column"))
+UNION ALL
+SELECT binlog_file, binlog_position, unnest(moved) AS "column",
+       CAST(NULL AS VARCHAR) AS binlog_value,
+       CAST(NULL AS VARCHAR) AS avro_value,
+       'DDL_BOUNDARY' AS status
+FROM kwin WHERE known
+UNION ALL
+SELECT binlog_file, binlog_position, '*' AS "column",
+       CAST(NULL AS VARCHAR) AS binlog_value,
+       CAST(NULL AS VARCHAR) AS avro_value,
+       'DDL_BOUNDARY' AS status
+FROM kwin WHERE NOT known"""
+    )
+
     # quarantine impact rollup: per drift window, the matched keys it
     # swallows; zero-traffic windows kept by the left join
     sql["cdc_ddl_guard_impact"] = f"""

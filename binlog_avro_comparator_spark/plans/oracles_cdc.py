@@ -1478,25 +1478,50 @@ SELECT schema_name, table_name,
        vts AS valid_from,
        lead(vts) OVER w AS valid_to,
        (lead(vts) OVER w IS NULL) AS is_current,
+       coalesce(last_value(new_table IGNORE NULLS) OVER wc, table_name)
+         AS current_name,
        binlog_file, log_position
 FROM ddl
 WINDOW w AS (PARTITION BY schema_name, table_name
-             ORDER BY vts, binlog_file, log_position, event_id)"""
+             ORDER BY vts, binlog_file, log_position, event_id),
+       wc AS (PARTITION BY schema_name, table_name
+              ORDER BY vts, binlog_file, log_position, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
 
     # effective column inventory per schema version: the oracle folds
     # the DDL SEMANTICS from the event arithmetic (m=1 CREATE declares
-    # ['id'], m=0 adds c{eid%4}, m=4 drops it, m=2 empties) while the
-    # Spark side genuinely parses the statements -- two paths again.
+    # ['id'], m=0 adds c{eid%4}, m=4/5 drop it, m=5 adds a, m=7/8
+    # move c to r/n, m=10 adds p on the canonical table, m=2 empties,
+    # m=6 MODIFY leaves the set intact) while the Spark side genuinely
+    # parses the statements clause by clause -- two paths again.
     sql["cdc_schema_columns"] = f"WITH {_DDL_STMT_CTE}" + """,
 vd AS (
   SELECT *, row_number() OVER (PARTITION BY schema_name, table_name
       ORDER BY vts, binlog_file, log_position, event_id) AS version
   FROM ddl
 ),
+fx AS (
+  SELECT schema_name, table_name, version, 'c' || f4 AS col, TRUE AS e
+  FROM vd WHERE m = 0
+  UNION ALL
+  SELECT schema_name, table_name, version, 'a' || f4, TRUE
+  FROM vd WHERE m = 5
+  UNION ALL
+  SELECT schema_name, table_name, version, 'c' || f4, FALSE
+  FROM vd WHERE m IN (4, 5, 7, 8)
+  UNION ALL
+  SELECT schema_name, table_name, version, 'r' || f4, TRUE
+  FROM vd WHERE m = 7
+  UNION ALL
+  SELECT schema_name, table_name, version, 'n' || f4, TRUE
+  FROM vd WHERE m = 8
+  UNION ALL
+  SELECT schema_name, table_name, version, 'p' || f4, TRUE
+  FROM vd WHERE m = 10
+),
 uni AS (
   SELECT DISTINCT schema_name, table_name, col FROM (
-    SELECT schema_name, table_name, col_name AS col
-    FROM vd WHERE m IN (0, 4)
+    SELECT schema_name, table_name, col FROM fx
     UNION ALL
     SELECT DISTINCT schema_name, table_name, 'id' FROM vd WHERE m = 1
   )
@@ -1505,10 +1530,12 @@ grid AS (
   SELECT v.schema_name, v.table_name, v.version, u.col,
     CASE WHEN v.m = 1 THEN (u.col = 'id')
          WHEN v.m = 2 THEN FALSE
-         WHEN v.m = 0 AND v.col_name = u.col THEN TRUE
-         WHEN v.m = 4 AND v.col_name = u.col THEN FALSE
-         ELSE NULL END AS effect
-  FROM vd v JOIN uni u USING (schema_name, table_name)
+         ELSE f.e END AS effect
+  FROM vd v
+  JOIN uni u USING (schema_name, table_name)
+  LEFT JOIN fx f ON f.schema_name = v.schema_name
+    AND f.table_name = v.table_name AND f.version = v.version
+    AND f.col = u.col
 ),
 pres AS (
   SELECT *, last_value(effect IGNORE NULLS) OVER (
@@ -1518,6 +1545,28 @@ pres AS (
 )
 SELECT schema_name, table_name, version, col AS column_name
 FROM pres WHERE present"""
+
+    # the PARTIAL_PARSE channel: the fixture's only unparseable
+    # fragment is the m=10 CONVERT clause; the anomaly reports the
+    # WRITTEN (renamed) table name -- the operator's actionable handle
+    sql["cdc_ddl_partial_parse"] = f"WITH {_DDL_STMT_CTE}" + """
+SELECT schema_name, written_table AS table_name, binlog_file,
+       log_position, 'UNPARSED_CLAUSE' AS reason,
+       'CONVERT TO CHARACTER SET utf8mb4' AS fragment
+FROM ddl WHERE m = 10"""
+
+    # drift windows annotated with the moved-column set (the frame the
+    # column-granular quarantine consumes); arrays string-joined for
+    # the cross-engine hash, empty-as-'' on both sides
+    sql["cdc_ddl_window_columns"] = (
+        f"WITH {_DDL_STMT_CTE},\n{_DDL_WINDOWS_CTE},\n{_DDL_WINCOLS_CTE}"
+        + """
+SELECT schema_name, table_name, win_from, win_to,
+       coalesce(list_aggregate(moved_cols, 'string_agg', ','), '')
+         AS moved_cols,
+       moved_known
+FROM wc"""
+    )
 
     # twin of snapshot.changelog_compaction: arg_min/arg_max over the
     # same (ts_ms, event_id) ordering tuple, same net rule

@@ -1301,6 +1301,57 @@ def _q_cdc_ddl_guard_impact(spark, sf_dir):
     return C.ddl_guard_impact(*_guard_frames(spark, sf_dir))
 
 
+def _q_cdc_payload_diff_column_guarded(spark, sf_dir):
+    """COLUMN-granular DDL quarantine
+    (compare.payload_diff_column_guard): inside a drift window only
+    the columns the opening ALTER actually moved (the clause grammar's
+    touched set, ddl.ddl_drift_window_columns) quarantine; a STABLE
+    column's real mismatch keeps reporting -- the coverage the
+    whole-key guard gives up.  Table RENAMEs and openers with
+    PARTIAL_PARSE clauses stay whole-key conservative (column ``*``).
+    Genuine-bytes binlog side, derived avro side, same LWW key->table
+    mapping as the sibling guard."""
+    from ..operators.ddl import ddl_drift_window_columns
+
+    bp, ap, key_tables, _ = _guard_frames(spark, sf_dir)
+    wc = ddl_drift_window_columns(_ddl_statements(spark, sf_dir))
+    return C.payload_diff_column_guard(bp, ap, key_tables, wc)
+
+
+def _q_cdc_ddl_window_columns(spark, sf_dir):
+    """Drift windows annotated with WHAT moved
+    (ddl.ddl_drift_window_columns): per window, the clause-touched
+    column set and whether it is fully known -- the frame the
+    column-granular quarantine consumes, exposed so an operator can
+    read 'the 10:03 ALTER moved c2 and r2' next to the impact
+    rollup.  The array is joined to a comma string for the
+    cross-engine hash (sorted upstream, so the string is
+    deterministic)."""
+    from ..operators.ddl import ddl_drift_window_columns
+
+    wc = ddl_drift_window_columns(_ddl_statements(spark, sf_dir))
+    return wc.select(
+        "schema_name",
+        "table_name",
+        "win_from",
+        "win_to",
+        F.array_join("moved_cols", ",").alias("moved_cols"),
+        "moved_known",
+    )
+
+
+def _q_cdc_ddl_partial_parse(spark, sf_dir):
+    """The PARTIAL_PARSE finding channel (ddl.ddl_parse_anomalies):
+    every ALTER clause the grammar consumed the statement around but
+    could not interpret, surfaced as findings (warn-and-skip, §2.8) --
+    a multi-clause ALTER where only some clauses parse must not read
+    as success.  The fixture plants a CONVERT TO CHARACTER SET clause
+    ahead of a parseable ADD COLUMN."""
+    from ..operators.ddl import ddl_parse_anomalies
+
+    return ddl_parse_anomalies(_ddl_statements(spark, sf_dir))
+
+
 def _q_cdc_changelog_compaction(spark, sf_dir):
     """Net-effect changelog compaction (snapshot.changelog_compaction):
     each key's change run collapsed to the single op a downstream

@@ -61,6 +61,18 @@ def queries() -> dict[str, QueryFn]:
         # survivorship audit.  All lead the driver window (r3 freeze
         # rule); every entry value-verified at sf0.01 before
         # registration. --
+        # -- NEW or CHANGED in r10: lead the driver window (r3 freeze
+        # rule).  The DDL grammar completion (r9 verdict item 1)
+        # re-certifies the four r9 DDL entries on the extended fixture
+        # (multi-clause ALTER, MODIFY/CHANGE/RENAME COLUMN, RENAME
+        # TABLE threaded through the timeline) and adds the
+        # PARTIAL_PARSE channel + the column-granular quarantine
+        # (item 2).  supplier_similarity / events_hourly_autocorr /
+        # media_audio_perceptual_dup re-certify the ADVICE fixes
+        # (pair symmetry, double-cast Pearson terms, long phash). --
+        "cdc_payload_diff_column_guarded": _q_cdc_payload_diff_column_guarded,
+        "cdc_ddl_partial_parse": _q_cdc_ddl_partial_parse,
+        "cdc_ddl_window_columns": _q_cdc_ddl_window_columns,
         "embedding_pq_distortion": _q_pq_distortion,
         "dedup_survivorship_conflicts": _q_survivorship_conflicts,
         "orders_returns_control": _q_returns_control,

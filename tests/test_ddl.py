@@ -250,6 +250,215 @@ def test_schema_census_drift_flags_stale_lake(spark):
     assert got[("db0", "t2")] == (True, 0)  # absent from the lake entirely
 
 
+def test_alter_clause_grammar(spark):
+    """Multi-clause ALTERs split on top-level commas only (type args
+    like DECIMAL(10,2) never split); each clause classifies; index
+    operations are recognized no-column-effect, not parse failures;
+    unrecognized fragments classify UNPARSED."""
+    from binlog_avro_comparator_spark.operators.ddl import alter_clauses
+
+    rows = [
+        _q("2025-06-01T10:00:00Z", "mysql-bin.000001", 100, 1, "db0",
+           "ALTER TABLE t1 ADD COLUMN a1 DECIMAL(10,2), DROP COLUMN c1,"
+           " ADD INDEX ix_a1 (a1)"),
+        _q("2025-06-01T10:00:01Z", "mysql-bin.000001", 200, 2, "db0",
+           "ALTER TABLE t1 MODIFY COLUMN c2 BIGINT NOT NULL"),
+        _q("2025-06-01T10:00:02Z", "mysql-bin.000001", 300, 3, "db0",
+           "ALTER TABLE t1 CHANGE COLUMN old_c new_c BIGINT"),
+        _q("2025-06-01T10:00:03Z", "mysql-bin.000001", 400, 4, "db0",
+           "ALTER TABLE `t1` RENAME COLUMN c3 TO n3"),
+        _q("2025-06-01T10:00:04Z", "mysql-bin.000001", 500, 5, "db0",
+           "ALTER TABLE t1 CONVERT TO CHARACTER SET utf8mb4,"
+           " ADD COLUMN p1 INT"),
+        _q("2025-06-01T10:00:05Z", "mysql-bin.000001", 600, 6, "db0",
+           "ALTER TABLE t1 RENAME TO t1_new"),
+        # bare ADD without the COLUMN keyword (MySQL-legal)
+        _q("2025-06-01T10:00:06Z", "mysql-bin.000001", 700, 7, "db0",
+           "ALTER TABLE t1 ADD bare_col INT"),
+    ]
+    cl = alter_clauses(
+        parse_ddl_statements(_parsed(spark, rows))
+    ).orderBy("line_no", "clause_no")
+    got = [(r.clause_kind, r.col_a, r.col_b) for r in cl.collect()]
+    assert got == [
+        ("ADD_COLUMN", "a1", None),
+        ("DROP_COLUMN", "c1", None),
+        ("INDEX_OP", None, None),
+        ("MODIFY_COLUMN", "c2", None),
+        ("CHANGE_COLUMN", "old_c", "new_c"),
+        ("RENAME_COLUMN", "c3", "n3"),
+        ("UNPARSED", None, None),
+        ("ADD_COLUMN", "p1", None),
+        ("RENAME_TO", None, "t1_new"),
+        ("ADD_COLUMN", "bare_col", None),
+    ]
+
+
+def test_parse_anomalies_channel(spark):
+    """PARTIAL_PARSE discipline: unparsed clauses and extra RENAME
+    TABLE pairs surface as findings; fully-parsed statements emit
+    nothing."""
+    from binlog_avro_comparator_spark.operators.ddl import (
+        ddl_parse_anomalies,
+    )
+
+    rows = [
+        _q("2025-06-01T10:00:00Z", "mysql-bin.000001", 100, 1, "db0",
+           "ALTER TABLE t1 CONVERT TO CHARACTER SET utf8mb4,"
+           " ADD COLUMN p1 INT"),
+        _q("2025-06-01T10:00:01Z", "mysql-bin.000001", 200, 2, "db0",
+           "RENAME TABLE t1 TO t2, t3 TO t4"),
+        _q("2025-06-01T10:00:02Z", "mysql-bin.000001", 300, 3, "db0",
+           "ALTER TABLE t1 ADD COLUMN ok INT"),
+    ]
+    out = ddl_parse_anomalies(
+        parse_ddl_statements(_parsed(spark, rows))
+    ).collect()
+    by_reason = {r.reason: r for r in out}
+    assert len(out) == 2
+    assert by_reason["UNPARSED_CLAUSE"].fragment == (
+        "CONVERT TO CHARACTER SET utf8mb4"
+    )
+    assert by_reason["UNPARSED_RENAME_PAIR"].fragment == "t3 TO t4"
+
+
+def test_rename_table_threads_one_history(spark):
+    """RENAME TABLE threaded through the timeline: statements against
+    the renamed name join the ORIGINAL table's history (one table, one
+    history), versions number across the rename, and current_name
+    carries the as-of name."""
+    rows = [
+        _q("2025-06-01T10:00:00Z", "mysql-bin.000001", 100, 1, "db0",
+           "CREATE TABLE t1 (id INT)"),
+        _q("2025-06-01T10:00:01Z", "mysql-bin.000001", 200, 2, "db0",
+           "RENAME TABLE t1 TO t1_v2"),
+        _q("2025-06-01T10:00:02Z", "mysql-bin.000001", 300, 3, "db0",
+           "ALTER TABLE t1_v2 ADD COLUMN c1 INT"),
+    ]
+    tl = schema_timeline(parse_ddl_statements(_parsed(spark, rows)))
+    t1 = {r.version: r for r in tl.collect()}
+    assert all(r.table_name == "t1" for r in t1.values())
+    assert [t1[v].ddl_kind for v in (1, 2, 3)] == [
+        "CREATE", "RENAME", "ALTER"
+    ]
+    assert t1[1].current_name == "t1"
+    assert t1[2].current_name == "t1_v2"
+    assert t1[3].current_name == "t1_v2"
+    assert t1[3].is_current
+
+
+def test_column_matrix_change_and_rename_column(spark):
+    """CHANGE/RENAME COLUMN move membership (old out, new in); MODIFY
+    leaves the set intact; a multi-clause statement applies all its
+    clauses at one version."""
+    from binlog_avro_comparator_spark.operators.ddl import (
+        schema_column_matrix,
+    )
+
+    rows = [
+        _q("2025-06-01T10:00:00Z", "mysql-bin.000001", 100, 1, "db0",
+           "CREATE TABLE t1 (id INT, c1 INT, c2 INT)"),
+        _q("2025-06-01T10:00:01Z", "mysql-bin.000001", 200, 2, "db0",
+           "ALTER TABLE t1 CHANGE COLUMN c1 r1 BIGINT"),
+        _q("2025-06-01T10:00:02Z", "mysql-bin.000001", 300, 3, "db0",
+           "ALTER TABLE t1 MODIFY COLUMN c2 BIGINT NOT NULL"),
+        _q("2025-06-01T10:00:03Z", "mysql-bin.000001", 400, 4, "db0",
+           "ALTER TABLE t1 ADD COLUMN a1 DECIMAL(10,2), DROP COLUMN c2"),
+    ]
+    m = schema_column_matrix(parse_ddl_statements(_parsed(spark, rows)))
+    by_ver = {}
+    for r in m.collect():
+        by_ver.setdefault(r.version, set()).add(r.column_name)
+    assert by_ver[1] == {"id", "c1", "c2"}
+    assert by_ver[2] == {"id", "r1", "c2"}  # c1 -> r1
+    assert by_ver[3] == {"id", "r1", "c2"}  # MODIFY: membership intact
+    assert by_ver[4] == {"id", "r1", "a1"}  # add a1, drop c2, one version
+
+
+def test_drift_window_columns_moved_sets(spark):
+    """Window annotations: a clean ALTER knows exactly what moved; a
+    PARTIAL_PARSE opener and a table RENAME are unknown (whole-key
+    conservative downstream)."""
+    from binlog_avro_comparator_spark.operators.ddl import (
+        ddl_drift_window_columns,
+    )
+
+    rows = [
+        _q("2025-06-01T10:00:00Z", "mysql-bin.000001", 100, 1, "db0",
+           "ALTER TABLE t1 CHANGE COLUMN c1 r1 BIGINT, ADD COLUMN a1 INT"),
+        _q("2025-06-01T10:00:01Z", "mysql-bin.000001", 200, 2, "db0",
+           "ALTER TABLE t2 CONVERT TO CHARACTER SET utf8mb4,"
+           " ADD COLUMN p1 INT"),
+        _q("2025-06-01T10:00:02Z", "mysql-bin.000001", 300, 3, "db0",
+           "RENAME TABLE t3 TO t3_x"),
+    ]
+    wc = {
+        r.table_name: r
+        for r in ddl_drift_window_columns(
+            parse_ddl_statements(_parsed(spark, rows))
+        ).collect()
+    }
+    assert wc["t1"].moved_known and wc["t1"].moved_cols == ["a1", "c1", "r1"]
+    assert not wc["t2"].moved_known
+    assert not wc["t3"].moved_known
+
+
+def test_column_guard_recovers_stable_columns(spark):
+    """The column-granular quarantine's whole point: inside a drift
+    window whose moved set is KNOWN, a STABLE column's real mismatch
+    keeps reporting (the whole-key guard goes blind there), moved
+    columns emit per-column DDL_BOUNDARY rows for every matched key
+    (false agreements included), and unknown-set windows stay
+    whole-key conservative."""
+    f = "mysql-bin.000001"
+    bp = spark.createDataFrame(
+        [
+            (f, 600, {"a": "2", "b": "y"}),   # in known window: b diverges
+            (f, 700, {"a": "3", "b": "z"}),   # in known window: agrees
+            (f, 900, {"a": "5", "b": "w"}),   # in UNKNOWN window: diverges
+        ],
+        PAYLOAD_T,
+    )
+    ap = spark.createDataFrame(
+        [
+            (f, 600, {"a": "WRONG", "b": "ALSO-WRONG"}),
+            (f, 700, {"a": "3", "b": "z"}),
+            (f, 900, {"a": "5", "b": "DIFFERENT"}),
+        ],
+        PAYLOAD_T,
+    )
+    kt = spark.createDataFrame(
+        [(f, p, "db0", "t1" if p < 800 else "t2") for p in (600, 700, 900)],
+        KT_T,
+    )
+    wc_schema = T.StructType(
+        WIN_T.fields
+        + [
+            T.StructField("moved_cols", T.ArrayType(T.StringType())),
+            T.StructField("moved_known", T.BooleanType()),
+        ]
+    )
+    wc = spark.createDataFrame(
+        [
+            ("db0", "t1", f + ":" + "500".zfill(12), None, ["a"], True),
+            ("db0", "t2", f + ":" + "800".zfill(12), None, [], False),
+        ],
+        wc_schema,
+    )
+    out = C.payload_diff_column_guard(bp, ap, kt, wc).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.binlog_position, []).append((r.column, r.status))
+    # key 600: the moved column 'a' quarantines, the STABLE column 'b'
+    # keeps its real MISMATCH -- the recovered coverage
+    assert sorted(by_key[600]) == [("a", "DDL_BOUNDARY"), ("b", "MISMATCH")]
+    # key 700 agrees everywhere but still gets the moved-column
+    # boundary row (the false-agreement case)
+    assert by_key[700] == [("a", "DDL_BOUNDARY")]
+    # key 900 is under an unknown-set window: whole-key quarantine
+    assert by_key[900] == [("*", "DDL_BOUNDARY")]
+
+
 def test_schema_column_matrix_fold(spark):
     """Effective column sets fold correctly: CREATE resets to the
     declared list (constraint clauses and type args never parse as
