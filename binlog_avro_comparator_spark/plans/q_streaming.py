@@ -1005,4 +1005,24 @@ def _q_events_lifecycle_incremental(spark, sf_dir):
     return _run_fold(spark, maintain_lifecycle, read_lifecycle, d)
 
 
+def _q_cdc_schema_timeline_stream(spark, sf_dir):
+    """The DDL schema-change timeline maintained ON THE LIVE FEED
+    (streaming/fold_sinks.maintain_schema_timeline): the statement
+    parse is stateless per micro-batch, the fold state is the parsed
+    STATEMENT LOG (statement-cardinality -- metadata-sized at any feed
+    size), and the SCD2 view derives at read time, which makes rename
+    threading retroactive exactly like the batch operator.  4
+    event-time-ordered micro-batches; reading LATEST equals batch
+    schema_timeline verbatim (the shared oracle), ALTERs split across
+    batches included."""
+    from ..streaming.fold_sinks import (
+        maintain_schema_timeline,
+        read_schema_timeline,
+    )
+
+    ensure_session_conf(spark)
+    d = _events_chunk_dir(spark, sf_dir)
+    return _run_fold(spark, maintain_schema_timeline, read_schema_timeline, d)
+
+
 __all__ = [_n for _n in list(globals()) if not _n.startswith('__') and _n != '_shared']

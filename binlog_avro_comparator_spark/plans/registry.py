@@ -73,6 +73,7 @@ def queries() -> dict[str, QueryFn]:
         "cdc_payload_diff_column_guarded": _q_cdc_payload_diff_column_guarded,
         "cdc_ddl_partial_parse": _q_cdc_ddl_partial_parse,
         "cdc_ddl_window_columns": _q_cdc_ddl_window_columns,
+        "cdc_schema_timeline_stream": _q_cdc_schema_timeline_stream,
         "embedding_pq_distortion": _q_pq_distortion,
         "dedup_survivorship_conflicts": _q_survivorship_conflicts,
         "orders_returns_control": _q_returns_control,

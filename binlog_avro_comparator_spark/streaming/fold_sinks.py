@@ -448,6 +448,91 @@ def read_lifecycle(spark: SparkSession, state_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# DDL schema-timeline fold
+
+
+def _ddl_batch_statements(events_batch: DataFrame) -> DataFrame:
+    """One micro-batch of raw events -> parsed DDL statements (the
+    statement parse is STATELESS: render the batch's Query events as
+    parser text, run the real P1-P9 pipeline, extract DDL)."""
+    from ..fixtures import generate_ddl_text_lines
+    from ..operators.ddl import parse_ddl_statements
+    from ..operators.parse import parse_binlog_text
+
+    lines = generate_ddl_text_lines(events_batch)
+    return parse_ddl_statements(parse_binlog_text(lines))
+
+
+def commit_ddl_batch(
+    spark: SparkSession, state_dir: str, batch_df: DataFrame, batch_id: int
+) -> None:
+    """Fold one micro-batch into the DDL STATEMENT LOG state.
+
+    The right state for the timeline is the parsed statement log
+    itself -- statement-cardinality (metadata-sized at any feed size,
+    the same argument as ddl_drift_windows), so appending the delta
+    and re-deriving the SCD2 view at read time is O(statements), never
+    O(feed); the expensive work (parsing the raw feed) touches only
+    the batch delta.  Crucially this makes rename threading RETROACTIVE
+    the way the batch operator is: a RENAME TABLE edge arriving in a
+    later batch re-canonicalizes earlier statements at read time,
+    which per-table incremental version counters could not do.
+
+    ``line_no`` is re-stamped to (batch_id, in-batch line_no) so the
+    cross-batch tiebreak orders like the batch twin's: chunks are
+    event-time-ordered, so coordinate-tied statements split across
+    batches keep their event order.  Same write-then-swing idempotency
+    as the sibling folds."""
+    prev = _latest_version(state_dir)
+    if prev is not None and os.path.basename(prev) == f"v{batch_id}":
+        return
+    delta = _ddl_batch_statements(batch_df).withColumn(
+        "line_no",
+        (F.lit(batch_id).cast("long") * F.lit(1_000_000_000))
+        + F.col("line_no"),
+    )
+    merged = (
+        spark.read.parquet(prev).unionByName(delta) if prev else delta
+    )
+    merged.write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"v{batch_id}")
+    )
+    _swing_pointer(state_dir, batch_id)
+
+
+def maintain_schema_timeline(
+    events_stream: DataFrame, state_dir: str, checkpoint_dir: str
+):
+    """Start the foreachBatch DDL statement-log maintenance query
+    (caller awaits).  DDL arrives on the live feed; the statement
+    parse is stateless per batch and the log is the fold state."""
+    os.makedirs(state_dir, exist_ok=True)
+    spark = events_stream.sparkSession
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        commit_ddl_batch(spark, state_dir, batch_df, batch_id)
+
+    return (
+        events_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_schema_timeline(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The SCD2 timeline over the maintained statement log at LATEST
+    -- the batch schema_timeline contract (rename threading included,
+    retroactively correct)."""
+    from ..operators.ddl import schema_timeline
+
+    target = _latest_version(state_dir)
+    if target is None:
+        raise FileNotFoundError(f"no state version under {state_dir}")
+    return schema_timeline(spark.read.parquet(target))
+
+
 def vacuum_state_versions(state_dir: str, keep: int = 2) -> list[str]:
     """Retention for the versioned fold sinks: every committed batch
     writes a full ``v{batch}`` state copy and swings LATEST, so a

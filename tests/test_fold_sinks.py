@@ -359,3 +359,101 @@ def test_vacuum_keeps_latest_and_n_newest(spark, tmp_path):
     assert after == before[-1:]
     # still readable at LATEST
     assert read_transactions(spark, state).count() > 0
+
+
+# three event-time-ordered chunks of Query events (any unmapped
+# event_type renders as a Query event); event_ids chosen so
+# m = eid % 11 plants: a CREATE, ADD-COLUMN ALTERs, a RENAME TABLE,
+# and -- the retroactivity case -- an ALTER against the RENAMED name
+# arriving one batch BEFORE the rename edge itself
+_DDL_CHUNKS = [
+    [
+        (1, "2025-06-01 10:00:00", 1, "other", 1.0, "{}"),   # m=1 CREATE
+        (10, "2025-06-01 10:00:05", 1, "other", 1.0, "{}"),  # m=10 on t?_r
+    ],
+    [
+        (9, "2025-06-01 10:01:00", 1, "other", 1.0, "{}"),   # m=9 RENAME
+        (11, "2025-06-01 10:01:05", 1, "other", 1.0, "{}"),  # m=0 ALTER
+    ],
+    [
+        (22, "2025-06-01 10:02:00", 1, "other", 1.0, "{}"),  # m=0 ALTER
+        (12, "2025-06-01 10:02:05", 1, "other", 1.0, "{}"),  # m=1 CREATE
+    ],
+]
+
+
+def _write_ddl_chunks(spark, tmp_path) -> str:
+    d = str(tmp_path / "ddl_chunks")
+    os.makedirs(d)
+    import shutil
+
+    for i, rows in enumerate(_DDL_CHUNKS):
+        df = spark.createDataFrame(
+            [
+                (eid, __import__("datetime").datetime.fromisoformat(ts), u, et, v, p)
+                for (eid, ts, u, et, v, p) in rows
+            ],
+            EVENTS_T,
+        )
+        part_dir = os.path.join(d, f"__part_{i}")
+        df.coalesce(1).write.parquet(part_dir)
+        [part] = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        dst = os.path.join(d, f"chunk_{i:02d}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(part_dir)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    return d
+
+
+def test_schema_timeline_fold_equals_batch_across_three_triggers(
+    spark, tmp_path
+):
+    """The streaming DDL timeline (r9 verdict item 4): read-LATEST ==
+    batch schema_timeline across 3 triggers, with the table's DDL
+    history split across batches AND a statement against the renamed
+    name arriving a batch BEFORE its rename edge -- the retroactive
+    threading only a statement-log state can give."""
+    from binlog_avro_comparator_spark.operators.ddl import schema_timeline
+    from binlog_avro_comparator_spark.streaming.fold_sinks import (
+        _ddl_batch_statements,
+        maintain_schema_timeline,
+        read_schema_timeline,
+    )
+
+    d = _write_ddl_chunks(spark, tmp_path)
+    state, ckpt = str(tmp_path / "ddl_state"), str(tmp_path / "ddl_ckpt")
+    _drain(maintain_schema_timeline(_stream(spark, d), state, ckpt))
+    assert len(_versions(state)) == 3
+    all_events = spark.createDataFrame(
+        [
+            (eid, __import__("datetime").datetime.fromisoformat(ts), u, et, v, p)
+            for rows in _DDL_CHUNKS
+            for (eid, ts, u, et, v, p) in rows
+        ],
+        EVENTS_T,
+    )
+    cols = [
+        "schema_name", "table_name", "version", "ddl_kind", "statement",
+        "valid_from", "valid_to", "is_current", "current_name",
+        "binlog_file", "log_position",
+    ]
+    got = sorted(
+        tuple(r) for r in read_schema_timeline(spark, state)
+        .select(*cols).collect()
+    )
+    exp = sorted(
+        tuple(r) for r in schema_timeline(_ddl_batch_statements(all_events))
+        .select(*cols).collect()
+    )
+    assert got == exp and len(got) == 6
+    # ONE canonical history: the m=10 statement (written name t?_r,
+    # arrived before its rename edge) threads into the base table
+    tl = {r.version: r for r in read_schema_timeline(spark, state).collect()}
+    assert len({(r.schema_name, r.table_name) for r in tl.values()}) == 1
+    kinds = [tl[v].ddl_kind for v in sorted(tl)]
+    assert kinds.count("RENAME") == 1 and kinds[0] == "CREATE"
+    # current_name flips at the rename and stays flipped until a later
+    # version; every row before the rename keeps the canonical name
+    ren_v = next(v for v in sorted(tl) if tl[v].ddl_kind == "RENAME")
+    assert all(tl[v].current_name == tl[1].table_name for v in tl if v < ren_v)
+    assert tl[ren_v].current_name.endswith("_r")
