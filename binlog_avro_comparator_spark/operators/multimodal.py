@@ -648,6 +648,164 @@ def encode_bmp_gray(pixels: bytes, width: int, height: int) -> bytes:
     return header + info + palette + b"".join(rows)
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §9.4): the neighbor (left, up,
+    up-left) closest to the linear estimate a + b - c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png_gray(pixels: bytes, width: int, height: int) -> bytes:
+    """Encode row-major 8-bit grayscale pixels as a REAL PNG: spec
+    chunk layout with genuine CRC-32s, zlib-compressed IDAT, and the
+    per-row filter CYCLING through all five spec filter types
+    (None/Sub/Up/Average/Paeth) so a decoder must implement the whole
+    unfilter table, not just the trivial row.  Fixture scaffolding for
+    the perceptual tier; any real PNG reader decodes it."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = bytearray()
+    prev = bytes(width)
+    for r in range(height):
+        row = pixels[r * width : (r + 1) * width]
+        ft = r % 5
+        raw.append(ft)
+        if ft == 0:
+            raw += row
+        elif ft == 1:  # Sub
+            raw += bytes(
+                (row[i] - (row[i - 1] if i else 0)) & 0xFF
+                for i in range(width)
+            )
+        elif ft == 2:  # Up
+            raw += bytes((row[i] - prev[i]) & 0xFF for i in range(width))
+        elif ft == 3:  # Average
+            raw += bytes(
+                (row[i] - (((row[i - 1] if i else 0) + prev[i]) >> 1)) & 0xFF
+                for i in range(width)
+            )
+        else:  # Paeth
+            raw += bytes(
+                (
+                    row[i]
+                    - _paeth(
+                        row[i - 1] if i else 0,
+                        prev[i],
+                        prev[i - 1] if i else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(width)
+            )
+        prev = row
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_png_gray(content: bytes):
+    """Pure-stdlib PNG pixel decode (r9 verdict item 3): non-interlaced
+    8-bit grayscale / RGB / gray+alpha / RGBA -- chunk walk, IDAT
+    concatenation + zlib inflate, the five-filter per-scanline
+    unfilter, then reduction to the luminance plane (ITU-R 601 integer
+    luma for color; alpha dropped).  Returns (width, height, row-major
+    TOP-DOWN gray bytes) or None when the blob is not such a PNG (the
+    ladder falls through).  Makes the perceptual tier REAL for the
+    most common lossless format with no codec dependency; 16-bit and
+    interlaced PNGs fall through to PIL (env-gated) rather than decode
+    wrongly."""
+    import struct
+    import zlib
+
+    if len(content) < 8 or content[:8] != _PNG_SIG:
+        return None
+    pos, w, h, bitd, ct, interlace = 8, None, None, None, None, None
+    idat = bytearray()
+    while pos + 8 <= len(content):
+        ln = struct.unpack(">I", content[pos : pos + 4])[0]
+        tag = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            return None
+        if tag == b"IHDR":
+            if ln != 13:
+                return None
+            w, h, bitd, ct, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln  # length + tag + data + crc
+    if not w or not h or bitd != 8 or interlace != 0:
+        return None
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ct)
+    if channels is None:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except Exception:  # noqa: BLE001 -- corrupt stream: not our PNG
+        return None
+    stride = w * channels
+    if len(raw) < (stride + 1) * h:
+        return None
+    out = bytearray()
+    prev = bytes(stride)
+    p = 0
+    for _r in range(h):
+        ft = raw[p]
+        line = bytearray(raw[p + 1 : p + 1 + stride])
+        p += 1 + stride
+        if ft == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                c = prev[i - channels] if i >= channels else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif ft != 0:
+            return None
+        prev = bytes(line)
+        if channels == 1:
+            out += line
+        elif channels == 2:
+            out += line[0::2]
+        else:
+            for i in range(0, stride, channels):
+                out.append(
+                    (299 * line[i] + 587 * line[i + 1] + 114 * line[i + 2])
+                    // 1000
+                )
+    return w, h, bytes(out)
+
+
 def _decode_bmp_gray(content: bytes):
     """Pure-stdlib BMP decode: 8-bit uncompressed BITMAPINFOHEADER
     only.  Returns (width, height, row-major TOP-DOWN pixel bytes) or
@@ -720,9 +878,10 @@ def image_ahash(media: DataFrame) -> DataFrame:
     """Perceptual average-hash over decoded image content, as four
     16-bit bands (b0..b3 -- band values are ALSO the LSH bucket keys
     of the pair tier, and four ints sidestep 64-bit sign pitfalls
-    across engines).  Decode ladder mirrors _decode_image: stdlib BMP
-    parse, then PIL (env-gated; converted to 8-bit gray), then a
-    deterministic content-hash fake so non-images still flow.
+    across engines).  Decode ladder, most-real first: stdlib BMP
+    parse, stdlib PNG pixel decode (zlib IDAT + five-filter unfilter,
+    _decode_png_gray), then PIL (env-gated; converted to 8-bit gray),
+    then a deterministic content-hash fake so non-images still flow.
 
     Arrow-batched mapInPandas straight off the scan: the payload never
     shuffles; output is 7 small ints + a tag per blob."""
@@ -737,6 +896,11 @@ def image_ahash(media: DataFrame) -> DataFrame:
                 if dec is not None:
                     w, h, pix = dec
                     out.append((mid, w, h, *_ahash_bands(w, h, pix), "bmp"))
+                    continue
+                dec = _decode_png_gray(b)
+                if dec is not None:
+                    w, h, pix = dec
+                    out.append((mid, w, h, *_ahash_bands(w, h, pix), "png"))
                     continue
                 try:
                     import io

@@ -1387,6 +1387,8 @@ GROUP BY 1, 2, 3, 4"""
   SELECT doc_id AS media_id, doc_id AS d, 0 AS shift FROM documents
   UNION ALL
   SELECT doc_id + 500000, doc_id, 32 FROM documents WHERE doc_id % 25 = 0
+  UNION ALL
+  SELECT doc_id + 700000, doc_id, 0 FROM documents WHERE doc_id % 31 = 3
 ),
 px AS (
   SELECT m.media_id, r.r AS r, c.c AS c,
@@ -1418,7 +1420,7 @@ ah AS (
     sql["media_ahash"] = f"""
 WITH {_AHASH_CTES}
 SELECT media_id, 16 AS width, 16 AS height, b0, b1, b2, b3,
-       'bmp' AS decoder
+       CASE WHEN media_id >= 700000 THEN 'png' ELSE 'bmp' END AS decoder
 FROM ah"""
     sql["media_perceptual_dup"] = f"""
 WITH {_AHASH_CTES},

@@ -284,8 +284,12 @@ def _perceptual_media(spark, sf_dir):
     a brightness-shifted RE-ENCODE (every pixel byte +32, media_id
     += 500000): zero shared rare byte-chunks -- provably invisible to
     media_near_dup_pairs -- but aHash-identical, the exact blind spot
-    the r8 verdict named."""
-    from ..operators.multimodal import encode_bmp_gray
+    the r8 verdict named.  doc_id % 31 == 3 plants a CONTAINER-SWAP
+    re-encode (the same pixels written as a real zlib-compressed PNG
+    with all five scanline filters, media_id += 700000): byte tier
+    blind again, and the green row certifies decoder='png' -- the
+    pure-stdlib PNG pixel path (r9 verdict item 3)."""
+    from ..operators.multimodal import encode_bmp_gray, encode_png_gray
 
     ensure_session_conf(spark)
     docs = _docs(spark, sf_dir).select("doc_id")
@@ -315,6 +319,8 @@ def _perceptual_media(spark, sf_dir):
                 if d % 25 == 0:
                     shifted = bytes(p + 32 for p in base)
                     out.append((d + 500000, encode_bmp_gray(shifted, 16, 16)))
+                if d % 31 == 3:
+                    out.append((d + 700000, encode_png_gray(base, 16, 16)))
             yield _pd.DataFrame(out, columns=["media_id", "content"])
 
     return docs.mapInPandas(gen, "media_id long, content binary")
