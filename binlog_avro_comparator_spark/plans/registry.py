@@ -28,16 +28,90 @@ from . import oracles_analytics as _oracles_3
 
 
 
+# NOTE on ordering: the external correctness driver checks the FIRST 50
+# entries of the queries() dict (CORRECTNESS_r02 covered exactly queries
+# 1..50).  Window priority (r3 freeze rule, refined r10 per the r9
+# verdict item 5): (1) never-driver-verified or CHANGED queries lead;
+# (2) the window back-fills with the entries whose last DRIVER
+# verification is OLDEST (r10: the r02-verified originals -- cdc_summary
+# and friends -- which were sweep-verified every round but not
+# driver-verified since), so driver evidence rotates instead of
+# re-sampling recent rounds.  The two lists below encode that order;
+# the literal dict keeps its historical grouping and the final reorder
+# is mechanical.  ALL entries, window or not, are value-verified
+# locally each round at sf0.01 by scratch/check.py -- see
+# FULLSWEEP_r10.md.
+_R10_WINDOW_HEAD = [
+    # new in r10
+    "cdc_payload_diff_column_guarded",
+    "cdc_ddl_partial_parse",
+    "cdc_ddl_window_columns",
+    "cdc_schema_timeline_stream",
+    # changed in r10: DDL grammar completion re-certifies the r9 DDL
+    # tier on the extended fixture
+    "cdc_schema_timeline",
+    "cdc_schema_columns",
+    "cdc_payload_diff_guarded",
+    "cdc_ddl_guard_impact",
+    # changed in r10: perceptual fixture gained the PNG container-swap
+    # plant; ADVICE fixes re-certify pair symmetry / double-cast
+    # Pearson / long phash
+    "media_ahash",
+    "media_perceptual_dup",
+    "supplier_similarity",
+    "events_hourly_autocorr",
+    "media_audio_perceptual_dup",
+]
+_R10_WINDOW_BACKFILL = [
+    # stalest driver evidence: all last driver-verified in r02
+    "ann_cosine_topk",
+    "ann_cosine_topk_ivf",
+    "ann_cosine_topk_lsh",
+    "ann_cosine_topk_pandas",
+    "cdc_avro_native_scan",
+    "cdc_avro_only",
+    "cdc_avro_rows",
+    "cdc_binlog_events",
+    "cdc_binlog_only",
+    "cdc_binlog_prepared",
+    "cdc_findings",
+    "cdc_findings_stream",
+    "cdc_matches",
+    "cdc_parse_binlog_text",
+    "cdc_summary",
+    "corpus_curation_pipeline",
+    "corpus_vocab_topk",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_keep_canonical",
+    "distinct_users_per_type",
+    "doc_contamination",
+    "doc_fingerprint",
+    "doc_length_quantiles",
+    "doc_quality_deciles",
+    "doc_repetition",
+    "doc_shards",
+    "doc_stratified_sample",
+    "doc_token_ids",
+    "embedding_near_dup",
+    "events_asof_purchase",
+    "events_props_stats",
+    "events_running_windows",
+    "events_sessionize",
+    "events_type_pivot",
+    "events_view_click_range",
+    "events_windowed_stream",
+]
+
+
 def queries() -> dict[str, QueryFn]:
-    # NOTE on ordering: the external correctness driver checks the FIRST 50
-    # entries of this dict (CORRECTNESS_r02 covered exactly queries 1..50).
-    # Window priority (r3 freeze rule): never-driver-verified or CHANGED
-    # queries lead the window.  Round 8 puts its 28 new registrations
-    # (14 from the first session + 14 continuation entries) and 5
-    # re-certifications first; the rest of the window back-fills with
-    # cumulative-green rows (the r1-r7 union covers all 250 prior
-    # entries).  ALL entries, window or not, are value-verified locally
-    # each round at sf0.01 by scratch/check.py -- see FULLSWEEP_r08.md.
+    base = _queries_grouped()
+    head = _R10_WINDOW_HEAD + _R10_WINDOW_BACKFILL
+    assert len(head) == 50 and all(k in base for k in head)
+    return {**{k: base[k] for k in head}, **base}
+
+
+def _queries_grouped() -> dict[str, QueryFn]:
     return {
         # -- NEW in r9: lead the driver window (r3 freeze rule).
         # cdc_schema_timeline / cdc_payload_diff_guarded /
