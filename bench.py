@@ -276,6 +276,12 @@ EXTRA_QUERIES = [
     "events_slo_burn",
     "dedup_survivorship_conflicts",
     "embedding_pq_distortion",
+    # round 10 (DDL grammar completion + column-granular quarantine +
+    # streaming timeline)
+    "cdc_payload_diff_column_guarded",
+    "cdc_ddl_partial_parse",
+    "cdc_ddl_window_columns",
+    "cdc_schema_timeline_stream",
 ]
 
 # Plan-stable anchor (r8 verdict item 5): q1_pricing_summary's plan has
@@ -350,6 +356,7 @@ def main() -> None:
                         {
                             "after": j + 1,
                             "anchor_sec": round(a, 3),
+                            "drift": round(a / ANCHOR_REF_WARM_SEC, 3),
                             "segment_wall": round(seg_wall, 3),
                         }
                     )
@@ -357,14 +364,32 @@ def main() -> None:
             if anchor_every and i == 0 and segment_anchors is not None and seg_wall:
                 t0 = time.time()
                 qs[ANCHOR_QUERY](spark, sf_dir).count()
+                a = time.time() - t0
                 segment_anchors.append(
                     {
                         "after": len(names),
-                        "anchor_sec": round(time.time() - t0, 3),
+                        "anchor_sec": round(a, 3),
+                        "drift": round(a / ANCHOR_REF_WARM_SEC, 3),
                         "segment_wall": round(seg_wall, 3),
                     }
                 )
         return first, best
+
+    def seg_normalized(segments: list) -> float | None:
+        """Per-segment drift normalization (the PRIMARY tracked series
+        since r10 -- BASELINE.md "Round-10 tracked series"): each
+        segment's wall divided by the drift its ADJACENT anchor probe
+        measured, so the intra-run VM band (~2x within one r9 run)
+        cannot contaminate round-over-round comparison."""
+        if not segments:
+            return None
+        return round(
+            sum(
+                seg["segment_wall"] / max(seg["drift"], 1e-9)
+                for seg in segments
+            ),
+            3,
+        )
 
     def time_anchor(runs: int = 3) -> float:
         """Best-of-N warm wall of the plan-stable anchor (it was
@@ -378,8 +403,13 @@ def main() -> None:
 
     qs[ANCHOR_QUERY](spark, sf_dir).count()  # anchor's own prewarm
     anchor_start = time_anchor()
-    timings, warm = run_set(BENCH_QUERIES, prewarm=True)
+    head_anchors: list = []
+    timings, warm = run_set(
+        BENCH_QUERIES, prewarm=True,
+        anchor_every=6, segment_anchors=head_anchors,
+    )
     total = round(sum(timings.values()), 3)
+    headline_seg = seg_normalized(head_anchors)
     # r8 (r7 verdict item 7): the extra tier gets the SAME shared-
     # session warm pass as the headline -- its dominant first-pass
     # costs were one-time fixture builds and streaming-sink setup, not
@@ -392,16 +422,7 @@ def main() -> None:
         anchor_every=30, segment_anchors=seg_anchors,
     )
     anchor_end = time_anchor()
-    # per-segment normalization: each segment's wall divided by the
-    # drift its adjacent probe measured
-    extra_total_seg = round(
-        sum(
-            seg["segment_wall"]
-            / max(seg["anchor_sec"] / ANCHOR_REF_WARM_SEC, 1e-9)
-            for seg in seg_anchors
-        ),
-        3,
-    ) if seg_anchors else None
+    extra_total_seg = seg_normalized(seg_anchors)
     # VM speed relative to the reference box-day; >1 = this run's VM
     # is slower.  Normalized totals divide the drift out.
     drift = round(
@@ -414,11 +435,14 @@ def main() -> None:
         "end_sec": anchor_end,
         "vm_drift": drift,
     }
+    # the SEGMENTED numbers are the primary tracked series since r10;
+    # the endpoint-drift normalization stays for r8/r9 comparability
     normalized = {
+        "headline_total_segmented": headline_seg,
+        "extra_total_segmented": extra_total_seg,
         "headline_total": round(total / drift, 3),
         "warm_total": round(sum(warm.values()) / drift, 3),
         "extra_total": round(sum(extra.values()) / drift, 3),
-        "extra_total_segmented": extra_total_seg,
     }
     # Detail lines FIRST, final summary line LAST and SHORT: the driver
     # tail-captures stdout and parses the last JSON line -- round 3's
@@ -427,6 +451,7 @@ def main() -> None:
     # queries/sf contract) in a compact final line and push the big
     # per-query dicts to their own preceding lines.
     print(json.dumps({"detail": "extra_queries", "timings": extra}))
+    print(json.dumps({"detail": "headline_segment_anchors", "segments": head_anchors}))
     print(json.dumps({"detail": "extra_segment_anchors", "segments": seg_anchors}))
     print(json.dumps({"detail": "extra_queries_warm", "timings": extra_warm}))
     print(json.dumps({"detail": "queries_warm", "timings": warm}))
