@@ -105,6 +105,10 @@ PICKS = [
     ("part_sourcing_hhi", "HHI: two map-side-combined aggregates, exact-decimal share algebra, ONE division per bracket"),
     ("media_audio_perceptual_dup", "audio near-dup: wave decode + contour hash INSIDE the scan batch, equi-join candidates on the hash int"),
     ("dedup_survivorship_conflicts", "survivorship audit: shared cluster frame, one struct-max aggregate, conflict-cardinality output"),
+    # round 10
+    ("cdc_payload_diff_column_guarded", "column-granular quarantine: shared matched-key exchange, broadcast window-columns probe, co-partitioned (key, column) left-anti -- zero new shuffle keys over the whole-key guard"),
+    ("cdc_ddl_window_columns", "drift windows + moved sets: clause explode is JVM regexp over the statement frame; one clause-cardinality aggregate; opener-cardinality broadcastable output"),
+    ("cdc_ddl_partial_parse", "PARTIAL_PARSE channel: clause explode + filter, statement-cardinality in, anomaly-cardinality out, no shuffle beyond the parse"),
 ]
 
 

@@ -1647,3 +1647,60 @@ def test_pq_distortion_codewords_broadcast(spark):
     plan = _plan(pq_distortion(load_table(spark, SF, "embeddings")))
     assert plan.count("BroadcastHashJoin") >= 4  # one per subspace
     assert "CartesianProduct" not in plan
+
+
+def test_column_guard_broadcast_wincols_no_cartesian(spark):
+    """payload_diff_column_guard (r10): the annotated-window lookup is
+    a BROADCAST join (opener-cardinality), both suppressions are keyed
+    left-antis (whole-key and (key, column)), and nothing degenerates
+    to a cartesian/nested-loop -- zero new shuffle keys over the
+    whole-key guard."""
+    f = "mysql-bin.000001"
+    bp = spark.createDataFrame(
+        [(f, 100, {"a": "1"})],
+        "binlog_file string, binlog_position long,"
+        " payload map<string,string>",
+    )
+    ap = spark.createDataFrame(
+        [(f, 100, {"a": "2"})],
+        "binlog_file string, binlog_position long,"
+        " payload map<string,string>",
+    )
+    kt = spark.createDataFrame(
+        [(f, 100, "db0", "t1")],
+        "binlog_file string, binlog_position long,"
+        " schema_name string, table_name string",
+    )
+    wc = spark.createDataFrame(
+        [("db0", "t1", f + ":000000000050", None, ["a"], True)],
+        "schema_name string, table_name string, win_from string,"
+        " win_to string, moved_cols array<string>, moved_known boolean",
+    )
+    plan = _plan(C.payload_diff_column_guard(bp, ap, kt, wc))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # the window-columns lookup
+    assert plan.count("LeftAnti") >= 2  # whole-key AND (key, column)
+
+
+def test_ddl_clause_parse_stays_jvm_side(spark):
+    """The clause grammar (r10) is regexp built-ins end to end: no
+    Python UDF / mapInPandas in the window-columns or anomaly plans,
+    and the rename-threading joins are broadcasts."""
+    from binlog_avro_comparator_spark.fixtures import generate_ddl_text_lines
+    from binlog_avro_comparator_spark.operators.ddl import (
+        ddl_drift_window_columns,
+        ddl_parse_anomalies,
+        parse_ddl_statements,
+    )
+    from binlog_avro_comparator_spark.operators.parse import parse_binlog_text
+
+    lines = generate_ddl_text_lines(load_table(spark, SF, "events"))
+    ddl = parse_ddl_statements(parse_binlog_text(lines))
+    for df in (ddl_drift_window_columns(ddl), ddl_parse_anomalies(ddl)):
+        plan = _plan(df)
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+        assert "CartesianProduct" not in plan
+    # canonicalization: the bounded rename-edge chain joins broadcast
+    plan = _plan(ddl_drift_window_columns(ddl))
+    assert "BroadcastHashJoin" in plan
