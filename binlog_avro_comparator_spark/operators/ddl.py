@@ -89,9 +89,24 @@ def _qualified(g_first, g_second, default_schema):
     return schema, name
 
 
+# DROP TABLE takes a comma list of qualified names; the list segment
+# (after the verb and optional IF EXISTS, before optional
+# CASCADE/RESTRICT) explodes into one DROP row per table
+_DROP_LIST_RE = (
+    r"(?is)^\s*drop\s+table\s+(?:if\s+exists\s+)?(.*?)"
+    r"\s*(?:cascade|restrict)?\s*;?\s*$"
+)
+_NAME_ONLY_RE = (
+    r"^\s*`?([A-Za-z0-9_$]+)`?(?:\s*\.\s*`?([A-Za-z0-9_$]+)`?)?\s*$"
+)
+
+
 def parse_ddl_statements(parsed: DataFrame) -> DataFrame:
     """Parsed binlog events (operators/parse.parse_binlog_text shape)
-    -> one row per schema-changing statement.
+    -> one row per schema-changing statement -- and per TABLE for
+    multi-name ``DROP TABLE a, b`` (each name gets its own DROP row;
+    fragments that fail the name grammar drop here and surface on the
+    PARTIAL_PARSE channel instead).
 
     The statement rides in ``extra['query']`` (the reference's dynamic
     tail keeps it verbatim); the session default schema (``schema``
@@ -140,7 +155,7 @@ def parse_ddl_statements(parsed: DataFrame) -> DataFrame:
         .when((kind == "ALTER") & (a1 != ""), at_name)
         .cast("string")
     )
-    return (
+    base = (
         q.select(
             F.when(is_rename, rs_schema).otherwise(t_schema).alias(
                 "schema_name"
@@ -159,6 +174,45 @@ def parse_ddl_statements(parsed: DataFrame) -> DataFrame:
         )
         .filter(F.col("ddl_kind") != "")
     )
+    single = base.filter(F.col("ddl_kind") != "DROP")
+    # DROP: explode the name list (one row per table); fragments that
+    # fail the name grammar contribute no row here -- they surface on
+    # ddl_parse_anomalies, never silently.  Re-filtered from q (no
+    # join): the verb test is the same regexp the base frame used.
+    drop_src = q.filter(
+        F.upper(F.regexp_extract("statement", DDL_RE, 1)) == "DROP"
+    )
+    frag = F.explode(
+        F.split(F.regexp_extract("statement", _DROP_LIST_RE, 1), ",")
+    ).alias("__frag")
+    d1 = F.regexp_extract("__frag", _NAME_ONLY_RE, 1)
+    d2 = F.regexp_extract("__frag", _NAME_ONLY_RE, 2)
+    d_schema, d_name = _qualified(d1, d2, F.col("__default_schema"))
+    drops = (
+        drop_src.select(
+            "timestamp",
+            "binlog_file",
+            "log_position",
+            "line_no",
+            "__default_schema",
+            "statement",
+            frag,
+        )
+        .filter(F.col("__frag").rlike(_NAME_ONLY_RE))
+        .select(
+            d_schema.alias("schema_name"),
+            d_name.alias("table_name"),
+            F.lit("DROP").alias("ddl_kind"),
+            F.lit(None).cast("string").alias("new_schema_name"),
+            F.lit(None).cast("string").alias("new_table_name"),
+            "statement",
+            "timestamp",
+            "binlog_file",
+            "log_position",
+            "line_no",
+        )
+    )
+    return single.unionByName(drops)
 
 
 # ---------------------------------------------------------------------------
@@ -338,7 +392,67 @@ def ddl_parse_anomalies(ddl: DataFrame) -> DataFrame:
             ).alias("fragment"),
         )
     )
-    return unparsed.unionByName(extra_pairs)
+    # DROP-list fragments outside the name grammar (multi-name DROPs
+    # are exploded per good name by parse_ddl_statements; the bad
+    # fragments land here)
+    drop_stmts = (
+        ddl.filter(F.col("ddl_kind") == "DROP")
+        .select(
+            "schema_name",
+            "table_name",
+            "binlog_file",
+            "log_position",
+            "statement",
+        )
+        .distinct()
+    )
+    bad_frags = (
+        drop_stmts.select(
+            "schema_name",
+            "table_name",
+            "binlog_file",
+            "log_position",
+            F.explode(
+                F.split(
+                    F.regexp_extract("statement", _DROP_LIST_RE, 1), ","
+                )
+            ).alias("__frag"),
+        )
+        .filter(
+            (F.trim(F.col("__frag")) != "")
+            & ~F.col("__frag").rlike(_NAME_ONLY_RE)
+        )
+        .select(
+            "schema_name",
+            "table_name",
+            "binlog_file",
+            "log_position",
+            F.lit("UNPARSED_DROP_NAME").alias("reason"),
+            F.trim(F.col("__frag")).alias("fragment"),
+        )
+    )
+    # CREATE without a declared column list (LIKE src / AS SELECT):
+    # the column matrix CANNOT know the shape, so it carries the
+    # previous set forward and this channel says so out loud
+    unresolved_create = (
+        ddl.filter(
+            (F.col("ddl_kind") == "CREATE")
+            & (F.regexp_extract("statement", r"\((.*)\)\s*$", 1) == "")
+        )
+        .select(
+            "schema_name",
+            "table_name",
+            "binlog_file",
+            "log_position",
+            F.lit("UNRESOLVED_CREATE_SHAPE").alias("reason"),
+            F.col("statement").alias("fragment"),
+        )
+    )
+    return (
+        unparsed.unionByName(extra_pairs)
+        .unionByName(bad_frags)
+        .unionByName(unresolved_create)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -693,6 +807,9 @@ def schema_column_matrix(ddl: DataFrame) -> DataFrame:
         "line_no",
         F.row_number().over(w).cast("long").alias("version"),
         create_cols.alias("__create_cols"),
+        (
+            F.regexp_extract("statement", r"\((.*)\)\s*$", 1) != ""
+        ).alias("__has_list"),
     )
     # per-(statement, column) NET set effect from the clause grammar:
     # each clause contributes (col, effect, ord, tie); the last clause
@@ -771,9 +888,13 @@ def schema_column_matrix(ddl: DataFrame) -> DataFrame:
         ],
         "left",
     )
+    # CREATE with a declared list resets membership; CREATE WITHOUT one
+    # (LIKE src / AS SELECT -- shape unknowable statement-locally) is a
+    # NULL effect: the fold carries the previous set forward and
+    # ddl_parse_anomalies says so on the UNRESOLVED_CREATE_SHAPE channel
     effect = (
         F.when(
-            F.col("ddl_kind") == "CREATE",
+            (F.col("ddl_kind") == "CREATE") & F.col("__has_list"),
             F.array_contains(F.col("__create_cols"), F.col("column_name")),
         )
         .when(F.col("ddl_kind") == "DROP", F.lit(False))

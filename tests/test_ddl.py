@@ -489,3 +489,65 @@ def test_schema_column_matrix_fold(spark):
     assert by_ver[3] == {"id", "amount", "c1"}
     assert by_ver[4] == {"id"}
     assert 5 not in by_ver  # DROP TABLE empties the set
+
+
+def test_multi_name_drop_explodes_per_table(spark):
+    """DROP TABLE a, b.c explodes into one DROP row per table (each
+    history sees its drop); a fragment outside the name grammar
+    surfaces on the anomaly channel instead of vanishing."""
+    from binlog_avro_comparator_spark.operators.ddl import (
+        ddl_parse_anomalies,
+    )
+
+    rows = [
+        _q("2025-06-01T10:00:00Z", "mysql-bin.000001", 100, 1, "db0",
+           "DROP TABLE t1, db1.t2, `t3`"),
+        _q("2025-06-01T10:00:01Z", "mysql-bin.000001", 200, 2, "db0",
+           "DROP TABLE IF EXISTS t4, @bad@ CASCADE"),
+    ]
+    ddl = parse_ddl_statements(_parsed(spark, rows))
+    got = sorted(
+        (r.schema_name, r.table_name)
+        for r in ddl.filter(F.col("ddl_kind") == "DROP").collect()
+    )
+    assert got == [
+        ("db0", "t1"), ("db0", "t3"), ("db0", "t4"), ("db1", "t2"),
+    ]
+    anom = ddl_parse_anomalies(ddl).collect()
+    assert [(r.reason, r.fragment) for r in anom] == [
+        ("UNPARSED_DROP_NAME", "@bad@")
+    ]
+
+
+def test_create_like_carries_columns_and_flags(spark):
+    """CREATE TABLE ... LIKE src (no declared list) cannot reset the
+    column set statement-locally: the matrix carries the previous set
+    forward and the anomaly channel reports UNRESOLVED_CREATE_SHAPE --
+    never a silent empty-set reset."""
+    from binlog_avro_comparator_spark.operators.ddl import (
+        ddl_parse_anomalies,
+        schema_column_matrix,
+    )
+
+    rows = [
+        _q("2025-06-01T10:00:00Z", "mysql-bin.000001", 100, 1, "db0",
+           "CREATE TABLE t1 (id INT, c1 INT)"),
+        _q("2025-06-01T10:00:01Z", "mysql-bin.000001", 200, 2, "db0",
+           "CREATE TABLE t1 LIKE template_t"),
+        _q("2025-06-01T10:00:02Z", "mysql-bin.000001", 300, 3, "db0",
+           "ALTER TABLE t1 ADD COLUMN c2 INT"),
+    ]
+    ddl = parse_ddl_statements(_parsed(spark, rows))
+    m = schema_column_matrix(ddl.filter(F.col("table_name") == "t1"))
+    by_ver = {}
+    for r in m.collect():
+        by_ver.setdefault(r.version, set()).add(r.column_name)
+    assert by_ver[1] == {"id", "c1"}
+    assert by_ver[2] == {"id", "c1"}      # carried, not emptied
+    assert by_ver[3] == {"id", "c1", "c2"}
+    anom = [
+        r
+        for r in ddl_parse_anomalies(ddl).collect()
+        if r.reason == "UNRESOLVED_CREATE_SHAPE"
+    ]
+    assert len(anom) == 1 and "LIKE template_t" in anom[0].fragment
