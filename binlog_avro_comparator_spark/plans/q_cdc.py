@@ -1242,20 +1242,36 @@ def _q_cdc_schema_columns(spark, sf_dir):
 # decoded-payload cache for the DDL-guard family: the binary decode +
 # avro derivation is the sweep's heavyweight (the r9 verdict measured
 # 104 s/query when each of the -- now three -- guard queries re-ran it
-# under one session); the frames are fixture scaffolding shared by
-# every family member, so persist them once per (session, sf_dir).
-# The decode path itself stays independently certified by
-# cdc_parse_binlog_binary/typed.  Keyed by applicationId so a fresh
-# driver session never reads another session's persisted plan.
+# under one session).  Two layers, each fixing a measured failure:
+# MATERIALIZE the frames once per sf_dir to parquet (under sf1 memory
+# pressure a bare .persist() partially re-derived through the Python
+# decode -- a parquet base makes eviction cost one columnar scan, not
+# a decode), then .persist() the parquet SCANS per session (the scan
+# + map decode still costs ~5-10 s/query at sf0.01; the in-memory
+# relation serves siblings in 1-3 s).  The decode path itself stays
+# independently certified by cdc_parse_binlog_binary/typed.
 _GUARD_FRAME_CACHE: dict[tuple[str, str], tuple] = {}
 
 
 def _guard_payload_frames(spark, sf_dir):
+    import os
+    import tempfile
+
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _GUARD_FRAME_CACHE.get(key)
     if hit is None:
-        bp, ap, key_tables = _build_guard_payloads(spark, sf_dir)
-        hit = (bp.persist(), ap.persist(), key_tables.persist())
+        d = _FIXTURE_DIRS.get(("guard_payloads", sf_dir))
+        if d is None:
+            bp, ap, key_tables = _build_guard_payloads(spark, sf_dir)
+            d = tempfile.mkdtemp(prefix="guard_payloads_")
+            bp.write.parquet(os.path.join(d, "bp"))
+            ap.write.parquet(os.path.join(d, "ap"))
+            key_tables.write.parquet(os.path.join(d, "kt"))
+            _FIXTURE_DIRS[("guard_payloads", sf_dir)] = d
+        hit = tuple(
+            spark.read.parquet(os.path.join(d, part)).persist()
+            for part in ("bp", "ap", "kt")
+        )
         _GUARD_FRAME_CACHE[key] = hit
     bp, ap, kt = hit
     # hand out CHILD frames: operators scoped_cache their inputs, and
