@@ -282,6 +282,7 @@ EXTRA_QUERIES = [
     "cdc_ddl_partial_parse",
     "cdc_ddl_window_columns",
     "cdc_schema_timeline_stream",
+    "cdc_schema_columns_stream",
 ]
 
 # Plan-stable anchor (r8 verdict item 5): q1_pricing_summary's plan has

@@ -1546,9 +1546,10 @@ pres AS (
 SELECT schema_name, table_name, version, col AS column_name
 FROM pres WHERE present"""
 
-    # streaming twin: the statement-log fold re-derives the SCD2 view
-    # at read time, so read-LATEST == the batch timeline verbatim
+    # streaming twins: the statement-log fold re-derives each view at
+    # read time, so read-LATEST == the batch operator verbatim
     sql["cdc_schema_timeline_stream"] = sql["cdc_schema_timeline"]
+    sql["cdc_schema_columns_stream"] = sql["cdc_schema_columns"]
 
     # the PARTIAL_PARSE channel: the fixture's only unparseable
     # fragment is the m=10 CONVERT clause; the anomaly reports the

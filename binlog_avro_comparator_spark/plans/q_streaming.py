@@ -1025,4 +1025,22 @@ def _q_cdc_schema_timeline_stream(spark, sf_dir):
     return _run_fold(spark, maintain_schema_timeline, read_schema_timeline, d)
 
 
+def _q_cdc_schema_columns_stream(spark, sf_dir):
+    """The effective column inventory served LIVE from the same
+    statement-log fold (fold_sinks.read_schema_columns): the log state
+    is view-agnostic -- timeline, column matrix, and drift windows all
+    derive from one maintained metadata-sized frame, so a second view
+    costs a read-time derivation, not a second stateful query.
+    Reading LATEST equals batch schema_column_matrix verbatim (the
+    shared oracle)."""
+    from ..streaming.fold_sinks import (
+        maintain_schema_timeline,
+        read_schema_columns,
+    )
+
+    ensure_session_conf(spark)
+    d = _events_chunk_dir(spark, sf_dir)
+    return _run_fold(spark, maintain_schema_timeline, read_schema_columns, d)
+
+
 __all__ = [_n for _n in list(globals()) if not _n.startswith('__') and _n != '_shared']

@@ -47,6 +47,7 @@ _R10_WINDOW_HEAD = [
     "cdc_ddl_partial_parse",
     "cdc_ddl_window_columns",
     "cdc_schema_timeline_stream",
+    "cdc_schema_columns_stream",
     # changed in r10: DDL grammar completion re-certifies the r9 DDL
     # tier on the extended fixture
     "cdc_schema_timeline",
@@ -100,7 +101,6 @@ _R10_WINDOW_BACKFILL = [
     "events_sessionize",
     "events_type_pivot",
     "events_view_click_range",
-    "events_windowed_stream",
 ]
 
 
@@ -148,6 +148,7 @@ def _queries_grouped() -> dict[str, QueryFn]:
         "cdc_ddl_partial_parse": _q_cdc_ddl_partial_parse,
         "cdc_ddl_window_columns": _q_cdc_ddl_window_columns,
         "cdc_schema_timeline_stream": _q_cdc_schema_timeline_stream,
+        "cdc_schema_columns_stream": _q_cdc_schema_columns_stream,
         "embedding_pq_distortion": _q_pq_distortion,
         "dedup_survivorship_conflicts": _q_survivorship_conflicts,
         "orders_returns_control": _q_returns_control,

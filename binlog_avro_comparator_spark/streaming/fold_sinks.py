@@ -533,6 +533,32 @@ def read_schema_timeline(spark: SparkSession, state_dir: str) -> DataFrame:
     return schema_timeline(spark.read.parquet(target))
 
 
+def read_schema_columns(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The effective column inventory over the SAME statement log --
+    the point of folding the LOG rather than any one view: every DDL
+    consumer (timeline, column matrix, drift windows) derives from one
+    maintained metadata-sized state, batch-identical."""
+    from ..operators.ddl import schema_column_matrix
+
+    target = _latest_version(state_dir)
+    if target is None:
+        raise FileNotFoundError(f"no state version under {state_dir}")
+    return schema_column_matrix(spark.read.parquet(target))
+
+
+def read_drift_window_columns(
+    spark: SparkSession, state_dir: str
+) -> DataFrame:
+    """The annotated drift windows over the same statement log -- the
+    live feed for the column-granular payload quarantine."""
+    from ..operators.ddl import ddl_drift_window_columns
+
+    target = _latest_version(state_dir)
+    if target is None:
+        raise FileNotFoundError(f"no state version under {state_dir}")
+    return ddl_drift_window_columns(spark.read.parquet(target))
+
+
 def vacuum_state_versions(state_dir: str, keep: int = 2) -> list[str]:
     """Retention for the versioned fold sinks: every committed batch
     writes a full ``v{batch}`` state copy and swings LATEST, so a
