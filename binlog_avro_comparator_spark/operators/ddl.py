@@ -63,9 +63,22 @@ DDL_RE = (
     r"`?([A-Za-z0-9_$]+)`?(?:\s*\.\s*`?([A-Za-z0-9_$]+)`?)?"
 )
 
-# RENAME TABLE old TO new -- first pair only; additional comma-
-# separated pairs are surfaced on the PARTIAL_PARSE channel
-# (ddl_parse_anomalies), never silently dropped.
+# RENAME TABLE takes a comma list of ``old TO new`` pairs and MySQL
+# executes them left to right -- the gh-ost/pt-osc atomic cut-over
+# ``RENAME TABLE t TO _t_old, _t_new TO t`` is the canonical two-pair
+# form, and its SECOND pair (the new table taking the live name) is
+# the one that re-keys the live feed.  Every well-formed pair explodes
+# into its own RENAME row (``pair_no`` keeps the in-statement order);
+# fragments outside the pair grammar surface on the PARTIAL_PARSE
+# channel, never silently.
+_RENAME_VERB_RE = r"(?i)^\s*rename\s+table\s"
+_RENAME_BODY_RE = r"(?is)^\s*rename\s+table\s+(.*?)\s*;?\s*$"
+_RENAME_PAIR_RE = (
+    r"(?is)^\s*`?([A-Za-z0-9_$]+)`?(?:\s*\.\s*`?([A-Za-z0-9_$]+)`?)?"
+    r"\s+to\s+"
+    r"`?([A-Za-z0-9_$]+)`?(?:\s*\.\s*`?([A-Za-z0-9_$]+)`?)?\s*$"
+)
+# legacy single-pair form, kept for external consumers of the constant
 RENAME_TABLE_RE = (
     r"(?i)^\s*rename\s+table\s+"
     r"`?([A-Za-z0-9_$]+)`?(?:\s*\.\s*`?([A-Za-z0-9_$]+)`?)?"
@@ -73,10 +86,15 @@ RENAME_TABLE_RE = (
     r"`?([A-Za-z0-9_$]+)`?(?:\s*\.\s*`?([A-Za-z0-9_$]+)`?)?"
 )
 
-# ALTER TABLE t RENAME [TO|AS] new -- a table rename too (RENAME
-# COLUMN never matches: the next word is COLUMN, not TO/AS/an ident)
+# ALTER TABLE t ... RENAME [TO|AS] new -- a table rename too.  The
+# probe is CLAUSE-ANCHORED (start of the ALTER body or a top-level
+# comma) and runs against the statement with single-quoted string
+# literals stripped, so ``COMMENT 'rename to x'`` or a DEFAULT value
+# can never fabricate a rename target (RENAME COLUMN never matches
+# either: the next word is COLUMN, not TO/AS).
+_QUOTED_LITERAL_RE = r"'[^']*'"
 _ALTER_RENAME_TO_RE = (
-    r"(?i)\brename\s+(?:to|as)\s+"
+    r"(?i)(?:^|,)\s*rename\s+(?:to|as)\s+"
     r"`?([A-Za-z0-9_$]+)`?(?:\s*\.\s*`?([A-Za-z0-9_$]+)`?)?"
 )
 
@@ -104,9 +122,15 @@ _NAME_ONLY_RE = (
 def parse_ddl_statements(parsed: DataFrame) -> DataFrame:
     """Parsed binlog events (operators/parse.parse_binlog_text shape)
     -> one row per schema-changing statement -- and per TABLE for
-    multi-name ``DROP TABLE a, b`` (each name gets its own DROP row;
-    fragments that fail the name grammar drop here and surface on the
-    PARTIAL_PARSE channel instead).
+    multi-name ``DROP TABLE a, b`` and per PAIR for multi-pair
+    ``RENAME TABLE a TO b, c TO d`` (MySQL executes rename pairs left
+    to right; ``pair_no`` preserves that order, so the gh-ost atomic
+    cut-over's second pair -- the new table taking the live name --
+    threads the timeline like any other rename).  Fragments that fail
+    the name/pair grammar contribute no row here and surface on the
+    PARTIAL_PARSE channel instead; a DROP whose EVERY fragment fails
+    keeps one fallback row under the statement's leading identifier so
+    the statement never vanishes from both the frame and the channel.
 
     The statement rides in ``extra['query']`` (the reference's dynamic
     tail keeps it verbatim); the session default schema (``schema``
@@ -114,10 +138,11 @@ def parse_ddl_statements(parsed: DataFrame) -> DataFrame:
     resolves unqualified table names, which is MySQL's own rule for
     statements replicated without a qualifier.  ``ddl_kind`` is
     CREATE / ALTER / DROP / RENAME; RENAME rows (and ALTERs carrying a
-    ``RENAME TO`` clause) also fill ``new_schema_name`` /
-    ``new_table_name``.  Returns (schema_name, table_name, ddl_kind,
-    new_schema_name, new_table_name, statement, timestamp,
-    binlog_file, log_position, line_no)."""
+    top-level ``RENAME TO`` clause -- probed with string literals
+    stripped so quoted text never fabricates a target) also fill
+    ``new_schema_name`` / ``new_table_name``.  Returns (schema_name,
+    table_name, ddl_kind, new_schema_name, new_table_name, statement,
+    timestamp, binlog_file, log_position, line_no, pair_no)."""
     q = (
         parsed.filter(F.col("event_type") == "Query")
         .select(
@@ -134,47 +159,67 @@ def parse_ddl_statements(parsed: DataFrame) -> DataFrame:
     kind = F.upper(F.regexp_extract("statement", DDL_RE, 1))
     g2 = F.regexp_extract("statement", DDL_RE, 2)
     g3 = F.regexp_extract("statement", DDL_RE, 3)
-    r1 = F.regexp_extract("statement", RENAME_TABLE_RE, 1)
-    r2 = F.regexp_extract("statement", RENAME_TABLE_RE, 2)
-    r3 = F.regexp_extract("statement", RENAME_TABLE_RE, 3)
-    r4 = F.regexp_extract("statement", RENAME_TABLE_RE, 4)
-    a1 = F.regexp_extract("statement", _ALTER_RENAME_TO_RE, 1)
-    a2 = F.regexp_extract("statement", _ALTER_RENAME_TO_RE, 2)
-    is_rename = (kind == "") & (r1 != "")
+    stripped = F.regexp_replace(F.col("statement"), _QUOTED_LITERAL_RE, "''")
+    a_body = F.regexp_extract(stripped, _ALTER_BODY_RE, 1)
+    a1 = F.regexp_extract(a_body, _ALTER_RENAME_TO_RE, 1)
+    a2 = F.regexp_extract(a_body, _ALTER_RENAME_TO_RE, 2)
     t_schema, t_name = _qualified(g2, g3, dflt)
-    rs_schema, rs_name = _qualified(r1, r2, dflt)
-    rt_schema, rt_name = _qualified(r3, r4, dflt)
     at_schema, at_name = _qualified(a1, a2, dflt)
-    new_schema = (
-        F.when(is_rename, rt_schema)
-        .when((kind == "ALTER") & (a1 != ""), at_schema)
-        .cast("string")
-    )
-    new_name = (
-        F.when(is_rename, rt_name)
-        .when((kind == "ALTER") & (a1 != ""), at_name)
-        .cast("string")
-    )
-    base = (
-        q.select(
-            F.when(is_rename, rs_schema).otherwise(t_schema).alias(
-                "schema_name"
-            ),
-            F.when(is_rename, rs_name).otherwise(t_name).alias("table_name"),
-            F.when(is_rename, F.lit("RENAME")).otherwise(kind).alias(
-                "ddl_kind"
-            ),
-            new_schema.alias("new_schema_name"),
-            new_name.alias("new_table_name"),
+    has_art = (kind == "ALTER") & (a1 != "")
+    single = q.select(
+        t_schema.alias("schema_name"),
+        t_name.alias("table_name"),
+        kind.alias("ddl_kind"),
+        F.when(has_art, at_schema).cast("string").alias("new_schema_name"),
+        F.when(has_art, at_name).cast("string").alias("new_table_name"),
+        "statement",
+        "timestamp",
+        "binlog_file",
+        "log_position",
+        "line_no",
+        F.lit(0).alias("pair_no"),
+    ).filter(~F.col("ddl_kind").isin("", "DROP"))
+    # RENAME TABLE: explode the pair list (one RENAME row per
+    # well-formed ``old TO new`` pair, in statement order); bad
+    # fragments surface on ddl_parse_anomalies.  A rename whose FIRST
+    # pair parses always keeps at least one row, so the anomaly
+    # channel (which re-derives fragments from these rows) sees the
+    # statement.
+    ren_src = q.filter(F.col("statement").rlike(_RENAME_VERB_RE))
+    pair = F.posexplode(
+        F.split(F.regexp_extract("statement", _RENAME_BODY_RE, 1), ",")
+    ).alias("__pair_no", "__frag")
+    p1 = F.regexp_extract("__frag", _RENAME_PAIR_RE, 1)
+    p2 = F.regexp_extract("__frag", _RENAME_PAIR_RE, 2)
+    p3 = F.regexp_extract("__frag", _RENAME_PAIR_RE, 3)
+    p4 = F.regexp_extract("__frag", _RENAME_PAIR_RE, 4)
+    ps_schema, ps_name = _qualified(p1, p2, F.col("__default_schema"))
+    pt_schema, pt_name = _qualified(p3, p4, F.col("__default_schema"))
+    renames = (
+        ren_src.select(
+            "timestamp",
+            "binlog_file",
+            "log_position",
+            "line_no",
+            "__default_schema",
+            "statement",
+            pair,
+        )
+        .filter(F.col("__frag").rlike(_RENAME_PAIR_RE))
+        .select(
+            ps_schema.alias("schema_name"),
+            ps_name.alias("table_name"),
+            F.lit("RENAME").alias("ddl_kind"),
+            pt_schema.cast("string").alias("new_schema_name"),
+            pt_name.cast("string").alias("new_table_name"),
             "statement",
             "timestamp",
             "binlog_file",
             "log_position",
             "line_no",
+            F.col("__pair_no").alias("pair_no"),
         )
-        .filter(F.col("ddl_kind") != "")
     )
-    single = base.filter(F.col("ddl_kind") != "DROP")
     # DROP: explode the name list (one row per table); fragments that
     # fail the name grammar contribute no row here -- they surface on
     # ddl_parse_anomalies, never silently.  Re-filtered from q (no
@@ -182,12 +227,22 @@ def parse_ddl_statements(parsed: DataFrame) -> DataFrame:
     drop_src = q.filter(
         F.upper(F.regexp_extract("statement", DDL_RE, 1)) == "DROP"
     )
-    frag = F.explode(
+    frag = F.posexplode(
         F.split(F.regexp_extract("statement", _DROP_LIST_RE, 1), ",")
-    ).alias("__frag")
+    ).alias("__pair_no", "__frag")
     d1 = F.regexp_extract("__frag", _NAME_ONLY_RE, 1)
     d2 = F.regexp_extract("__frag", _NAME_ONLY_RE, 2)
     d_schema, d_name = _qualified(d1, d2, F.col("__default_schema"))
+    drop_cols = [
+        F.lit("DROP").alias("ddl_kind"),
+        F.lit(None).cast("string").alias("new_schema_name"),
+        F.lit(None).cast("string").alias("new_table_name"),
+        "statement",
+        "timestamp",
+        "binlog_file",
+        "log_position",
+        "line_no",
+    ]
     drops = (
         drop_src.select(
             "timestamp",
@@ -202,17 +257,31 @@ def parse_ddl_statements(parsed: DataFrame) -> DataFrame:
         .select(
             d_schema.alias("schema_name"),
             d_name.alias("table_name"),
-            F.lit("DROP").alias("ddl_kind"),
-            F.lit(None).cast("string").alias("new_schema_name"),
-            F.lit(None).cast("string").alias("new_table_name"),
-            "statement",
-            "timestamp",
-            "binlog_file",
-            "log_position",
-            "line_no",
+            *drop_cols,
+            F.col("__pair_no").alias("pair_no"),
         )
     )
-    return single.unionByName(drops)
+    # never-silent fallback: a DROP whose every list fragment fails the
+    # name grammar (e.g. ``DROP TABLE a b``) keeps one row under the
+    # statement's leading identifier (DDL_RE matched it, or kind would
+    # be empty) so the anomaly channel can still report its fragments
+    good_keys = drops.select(
+        "binlog_file", "log_position", "line_no"
+    ).distinct()
+    drop_fallback = (
+        drop_src.select(
+            t_schema.alias("schema_name"),
+            t_name.alias("table_name"),
+            *drop_cols,
+            F.lit(0).alias("pair_no"),
+        )
+        .join(good_keys, ["binlog_file", "log_position", "line_no"], "left_anti")
+    )
+    return (
+        single.unionByName(renames)
+        .unionByName(drops)
+        .unionByName(drop_fallback)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -235,6 +304,9 @@ _ALTER_BODY_RE = (
     r"`?[A-Za-z0-9_$]+`?(?:\s*\.\s*`?[A-Za-z0-9_$]+`?)?\s+(.*)$"
 )
 _ID_CAP = r"`?([A-Za-z_$][A-Za-z0-9_$]*)`?"
+# declared type: family word + optional numeric args -- DECIMAL(10,2),
+# VARCHAR(255), BIGINT.  Two captures: family, "(args)".
+_TYPE_CAP = r"([A-Za-z]+)\s*(\(\s*[0-9]+(?:\s*,\s*[0-9]+)?\s*\))?"
 _ADD_COL_CL = rf"(?i)^add\s+(?:column\s+)?{_ID_CAP}"
 _DROP_COL_CL = rf"(?i)^drop\s+(?:column\s+)?{_ID_CAP}"
 _MODIFY_COL_CL = rf"(?i)^modify\s+(?:column\s+)?{_ID_CAP}"
@@ -244,12 +316,58 @@ _RENAME_TO_CL = (
     r"(?i)^rename\s+(?:to\s+|as\s+)?"
     r"`?([A-Za-z0-9_$]+)`?(?:\s*\.\s*`?([A-Za-z0-9_$]+)`?)?\s*$"
 )
+# typed variants (captures: col[, col_b], type family, type args)
+_ADD_COL_TYPED = rf"(?is)^add\s+(?:column\s+)?{_ID_CAP}\s+{_TYPE_CAP}"
+_MODIFY_COL_TYPED = rf"(?is)^modify\s+(?:column\s+)?{_ID_CAP}\s+{_TYPE_CAP}"
+_CHANGE_COL_TYPED = (
+    rf"(?is)^change\s+(?:column\s+)?{_ID_CAP}\s+{_ID_CAP}\s+{_TYPE_CAP}"
+)
+# parenthesized multi-column ADD: ``ADD (x INT, y VARCHAR(255))`` --
+# valid MySQL; the paren list explodes into per-column ADD_COLUMN rows
+_ADD_MULTI_CL = r"(?is)^add\s*\((.*)\)\s*$"
+# one column def inside the paren list: identifier after start-or-comma
+# followed by a type word (type args like DECIMAL(10,2) never open a
+# def: the fragment after their inner comma is digit-led)
+_PAREN_COL_DEF_RE = (
+    r"(?:^|,)\s*`?[A-Za-z_$][A-Za-z0-9_$]*`?"
+    r"\s+[A-Za-z]+(?:\s*\(\s*[0-9]+(?:\s*,\s*[0-9]+)?\s*\))?"
+)
+_PAREN_DEF_NAME = r"^,?\s*`?([A-Za-z_$][A-Za-z0-9_$]*)`?"
+_PAREN_DEF_TYPE = (
+    r"^,?\s*`?[A-Za-z_$][A-Za-z0-9_$]*`?\s+"
+    r"([A-Za-z]+)\s*(\(\s*[0-9]+(?:\s*,\s*[0-9]+)?\s*\))?"
+)
 # ADD/DROP followed by one of these is an index/constraint operation:
 # recognized grammar with NO column-set effect (not a parse failure)
 _INDEX_WORDS = (
     "index", "key", "constraint", "primary", "unique", "fulltext",
     "spatial", "foreign", "check", "partition",
 )
+# clauses opening with one of these words are TABLE OPTIONS with no
+# column effect -- the online-DDL options every gh-ost/pt-osc and most
+# hand-written MySQL 8 migrations carry (``ALGORITHM=INPLACE,
+# LOCK=NONE``) plus the storage/metadata options.  They classify
+# OPTION_NO_EFFECT (recognized grammar, NOT a parse failure), so the
+# column-granular quarantine's ``moved_known`` stays true.  CONVERT TO
+# CHARACTER SET deliberately stays UNPARSED: it retypes every string
+# column, which IS a shape move the grammar cannot enumerate.
+_OPTION_WORDS = (
+    "algorithm", "lock", "engine", "comment", "row_format",
+    "auto_increment", "force", "collate", "charset", "stats_persistent",
+    "stats_auto_recalc", "pack_keys", "max_rows", "min_rows", "checksum",
+    "delay_key_write", "key_block_size", "tablespace",
+)
+
+
+def _norm_type(family: F.Column, args: F.Column) -> F.Column:
+    """Normalize a declared type: upper family + arg list with inner
+    whitespace removed -- ``decimal ( 10 , 2 )`` -> ``DECIMAL(10,2)``;
+    empty family -> NULL (no type declared / not parseable)."""
+    t = F.concat(
+        F.upper(family),
+        F.regexp_replace(F.coalesce(args, F.lit("")), r"\s", ""),
+    )
+    return F.when(family != "", t).cast("string")
 
 # re-exported for backwards compatibility with round-9 consumers
 _ADD_COL_RE = _ADD_COL_CL.replace("^add", r"\badd")
@@ -259,18 +377,26 @@ _DROP_COL_RE = _DROP_COL_CL.replace("^drop", r"\bdrop")
 def alter_clauses(ddl: DataFrame) -> DataFrame:
     """Explode each ALTER statement into classified clauses.
 
-    Returns one row per clause: the statement's identity columns
-    (schema_name, table_name, statement, timestamp, binlog_file,
-    log_position, line_no) plus ``clause_no`` (0-based order inside
-    the statement), ``clause`` (verbatim text), ``clause_kind`` in
-    {ADD_COLUMN, DROP_COLUMN, MODIFY_COLUMN, CHANGE_COLUMN,
-    RENAME_COLUMN, RENAME_TO, INDEX_OP, UNPARSED}, and ``col_a`` /
-    ``col_b`` (the touched column / its new name where the kind has
-    one).  MODIFY keeps the column set intact but marks the column as
-    shape-moved; CHANGE and RENAME COLUMN drop ``col_a`` and add
-    ``col_b``.  Anything the grammar does not recognize classifies as
-    UNPARSED and must be surfaced by ddl_parse_anomalies -- the
-    warn-and-skip discipline."""
+    Returns one row per clause -- and per COLUMN for the
+    parenthesized multi-column ``ADD (x INT, y INT)`` form, which
+    explodes into per-column ADD_COLUMN rows (``col_no`` is the
+    0-based position inside the paren list; 0 elsewhere): the
+    statement's identity columns (schema_name, table_name, statement,
+    timestamp, binlog_file, log_position, line_no) plus ``clause_no``
+    (0-based order inside the statement), ``col_no``, ``clause``
+    (verbatim text), ``clause_kind`` in {ADD_COLUMN, DROP_COLUMN,
+    MODIFY_COLUMN, CHANGE_COLUMN, RENAME_COLUMN, RENAME_TO, INDEX_OP,
+    OPTION_NO_EFFECT, UNPARSED}, ``col_a`` / ``col_b`` (the touched
+    column / its new name where the kind has one), and ``col_type``
+    (the normalized declared type where the clause declares one --
+    ADD/MODIFY/CHANGE and paren-list defs; NULL otherwise).  MODIFY
+    keeps the column set intact but marks the column as shape-moved;
+    CHANGE and RENAME COLUMN drop ``col_a`` and add ``col_b``.
+    OPTION_NO_EFFECT covers table options (ALGORITHM=/LOCK=/ENGINE=
+    and friends): recognized, no column effect -- so an online-DDL
+    ALTER's moved-column set stays fully known.  Anything else
+    classifies as UNPARSED and must be surfaced by
+    ddl_parse_anomalies -- the warn-and-skip discipline."""
     body = F.regexp_extract("statement", _ALTER_BODY_RE, 1)
     exploded = (
         ddl.filter(F.col("ddl_kind") == "ALTER")
@@ -306,9 +432,22 @@ def alter_clauses(ddl: DataFrame) -> DataFrame:
     rto_1 = F.regexp_extract("clause", _RENAME_TO_CL, 1)
     rto_2 = F.regexp_extract("clause", _RENAME_TO_CL, 2)
     rto_name = F.when(rto_2 != "", rto_2).otherwise(rto_1)
+    # parenthesized multi-column ADD: the paren list's column defs
+    # (constraint-keyword-led fragments like PRIMARY KEY(..) filtered)
+    multi_inner = F.regexp_extract("clause", _ADD_MULTI_CL, 1)
+    multi_defs = F.filter(
+        F.regexp_extract_all(multi_inner, F.lit(_PAREN_COL_DEF_RE), F.lit(0)),
+        lambda e: ~F.lower(
+            F.regexp_extract(e, _PAREN_DEF_NAME, 1)
+        ).isin(*_CONSTRAINT_KEYWORDS),
+    )
+    is_multi_add = (
+        (w1 == "add") & (multi_inner != "") & (F.size(multi_defs) > 0)
+    )
     kind = (
         F.when((w1 == "add") & w2.isin(*_INDEX_WORDS), "INDEX_OP")
         .when((w1 == "add") & (add_c != ""), "ADD_COLUMN")
+        .when(is_multi_add, "ADD_COLUMN")
         .when((w1 == "drop") & w2.isin(*_INDEX_WORDS), "INDEX_OP")
         .when((w1 == "drop") & (drop_c != ""), "DROP_COLUMN")
         .when((w1 == "modify") & (mod_c != ""), "MODIFY_COLUMN")
@@ -317,6 +456,11 @@ def alter_clauses(ddl: DataFrame) -> DataFrame:
               "RENAME_COLUMN")
         .when((w1 == "rename") & (w2 != "column") & (rto_1 != ""),
               "RENAME_TO")
+        .when(w1.isin(*_OPTION_WORDS), "OPTION_NO_EFFECT")
+        .when((w1 == "default"), "OPTION_NO_EFFECT")
+        .when((w1 == "character") & (w2 == "set"), "OPTION_NO_EFFECT")
+        .when((w1 == "enable") & (w2 == "keys"), "OPTION_NO_EFFECT")
+        .when((w1 == "disable") & (w2 == "keys"), "OPTION_NO_EFFECT")
         .otherwise("UNPARSED")
     )
     col_a = (
@@ -333,6 +477,51 @@ def alter_clauses(ddl: DataFrame) -> DataFrame:
         .when(kind == "RENAME_TO", rto_name)
         .cast("string")
     )
+    col_type = (
+        F.when(
+            kind == "ADD_COLUMN",
+            _norm_type(
+                F.regexp_extract("clause", _ADD_COL_TYPED, 2),
+                F.regexp_extract("clause", _ADD_COL_TYPED, 3),
+            ),
+        )
+        .when(
+            kind == "MODIFY_COLUMN",
+            _norm_type(
+                F.regexp_extract("clause", _MODIFY_COL_TYPED, 2),
+                F.regexp_extract("clause", _MODIFY_COL_TYPED, 3),
+            ),
+        )
+        .when(
+            kind == "CHANGE_COLUMN",
+            _norm_type(
+                F.regexp_extract("clause", _CHANGE_COL_TYPED, 3),
+                F.regexp_extract("clause", _CHANGE_COL_TYPED, 4),
+            ),
+        )
+        .cast("string")
+    )
+    # one entry per touched column: the paren-ADD list explodes into
+    # per-column entries; every other clause carries exactly one entry
+    # (possibly with NULL columns -- INDEX_OP / OPTION_NO_EFFECT /
+    # UNPARSED), so explode never drops a clause row
+    single_entry = F.struct(
+        col_a.alias("col_a"), col_b.alias("col_b"), col_type.alias("col_type")
+    )
+    entries = F.when(
+        is_multi_add,
+        F.transform(
+            multi_defs,
+            lambda e: F.struct(
+                F.regexp_extract(e, _PAREN_DEF_NAME, 1).alias("col_a"),
+                F.lit(None).cast("string").alias("col_b"),
+                _norm_type(
+                    F.regexp_extract(e, _PAREN_DEF_TYPE, 1),
+                    F.regexp_extract(e, _PAREN_DEF_TYPE, 2),
+                ).alias("col_type"),
+            ),
+        ),
+    ).otherwise(F.array(single_entry))
     return exploded.select(
         "schema_name",
         "table_name",
@@ -344,8 +533,22 @@ def alter_clauses(ddl: DataFrame) -> DataFrame:
         "clause_no",
         "clause",
         kind.alias("clause_kind"),
-        col_a.alias("col_a"),
-        col_b.alias("col_b"),
+        F.posexplode(entries).alias("col_no", "__e"),
+    ).select(
+        "schema_name",
+        "table_name",
+        "statement",
+        "timestamp",
+        "binlog_file",
+        "log_position",
+        "line_no",
+        "clause_no",
+        "col_no",
+        "clause",
+        "clause_kind",
+        F.col("__e.col_a").alias("col_a"),
+        F.col("__e.col_b").alias("col_b"),
+        F.col("__e.col_type").alias("col_type"),
     )
 
 
@@ -356,12 +559,20 @@ def ddl_parse_anomalies(ddl: DataFrame) -> DataFrame:
     read as success -- the exact silent-failure shape the rest of the
     engine's warn-and-skip channels (§2.8) exist to prevent.
 
-    Two sources: UNPARSED clauses from alter_clauses, and extra
-    ``RENAME TABLE a TO b, c TO d`` pairs beyond the first (the
-    grammar threads one pair; the rest are surfaced here).  Reports
-    the statement's WRITTEN table name (the operator's actionable
-    handle), not the canonical one.  Statement-cardinality in, at most
-    clause-cardinality out.  Returns (schema_name, table_name,
+    Three fragment sources: UNPARSED clauses from alter_clauses,
+    ``RENAME TABLE`` list fragments outside the ``old TO new`` pair
+    grammar (well-formed pairs ALL parse now -- the explode in
+    parse_ddl_statements -- so this fires only on genuinely malformed
+    fragments, counted STRUCTURALLY by splitting the name list on
+    commas, never by scanning for ``to`` tokens), and DROP-list
+    fragments outside the name grammar.  Reports the statement's
+    WRITTEN table name (the operator's actionable handle), not the
+    canonical one.  Statement-cardinality in, at most
+    clause-cardinality out.  Known limit, stated: a RENAME TABLE whose
+    EVERY pair fails the grammar carries no parseable table name at
+    all and contributes no frame row to derive fragments from (DROP
+    has a leading-identifier fallback row; RENAME's first identifier
+    sits inside the failed pair).  Returns (schema_name, table_name,
     binlog_file, log_position, reason, fragment)."""
     cl = alter_clauses(ddl)
     unparsed = cl.filter(F.col("clause_kind") == "UNPARSED").select(
@@ -372,24 +583,49 @@ def ddl_parse_anomalies(ddl: DataFrame) -> DataFrame:
         F.lit("UNPARSED_CLAUSE").alias("reason"),
         F.col("clause").alias("fragment"),
     )
-    # a second "x TO y" pair after the matched one: count TO keywords
-    # beyond the first in RENAME TABLE statements
-    n_pairs = F.size(
-        F.regexp_extract_all(
-            "statement", F.lit(r"(?i)\s[tT][oO]\s"), F.lit(0)
+    # RENAME list fragments the pair grammar rejected: one statement
+    # row per physical statement (the lowest-pair_no surviving row
+    # carries the actionable written name), then the same structural
+    # split the parser used
+    rename_stmts = (
+        ddl.filter(F.col("ddl_kind") == "RENAME")
+        .groupBy("binlog_file", "log_position", "line_no", "statement")
+        .agg(
+            F.min_by(
+                F.struct("schema_name", "table_name"), F.col("pair_no")
+            ).alias("__w")
+        )
+        .select(
+            F.col("__w.schema_name").alias("schema_name"),
+            F.col("__w.table_name").alias("table_name"),
+            "binlog_file",
+            "log_position",
+            "statement",
         )
     )
     extra_pairs = (
-        ddl.filter((F.col("ddl_kind") == "RENAME") & (n_pairs > 1))
+        rename_stmts.select(
+            "schema_name",
+            "table_name",
+            "binlog_file",
+            "log_position",
+            F.explode(
+                F.split(
+                    F.regexp_extract("statement", _RENAME_BODY_RE, 1), ","
+                )
+            ).alias("__frag"),
+        )
+        .filter(
+            (F.trim(F.col("__frag")) != "")
+            & ~F.col("__frag").rlike(_RENAME_PAIR_RE)
+        )
         .select(
             "schema_name",
             "table_name",
             "binlog_file",
             "log_position",
             F.lit("UNPARSED_RENAME_PAIR").alias("reason"),
-            F.regexp_extract(
-                "statement", r"(?is)^\s*rename\s+table\s+[^,]+,\s*(.*)$", 1
-            ).alias("fragment"),
+            F.trim(F.col("__frag")).alias("fragment"),
         )
     )
     # DROP-list fragments outside the name grammar (multi-name DROPs
@@ -437,7 +673,7 @@ def ddl_parse_anomalies(ddl: DataFrame) -> DataFrame:
     unresolved_create = (
         ddl.filter(
             (F.col("ddl_kind") == "CREATE")
-            & (F.regexp_extract("statement", r"\((.*)\)\s*$", 1) == "")
+            & (F.regexp_extract("statement", _CREATE_LIST_RE, 1) == "")
         )
         .select(
             "schema_name",
@@ -555,7 +791,12 @@ def canonicalize_tables(ddl: DataFrame, max_hops: int = 4) -> DataFrame:
     return out
 
 
-_ORDER_COLS = ("timestamp", "binlog_file", "log_position", "line_no")
+# pair_no is the in-statement rename-pair order: the two rows a
+# multi-pair RENAME TABLE explodes into share every physical
+# coordinate, and MySQL executes the pairs left to right
+_ORDER_COLS = (
+    "timestamp", "binlog_file", "log_position", "line_no", "pair_no"
+)
 
 
 def schema_timeline(ddl: DataFrame) -> DataFrame:
@@ -631,12 +872,13 @@ def ddl_drift_windows(ddl: DataFrame) -> DataFrame:
             "coord"
         ),
         "line_no",
+        "pair_no",
     )
-    # line_no breaks duplicate-coordinate ties so the frame walk is
-    # deterministic in any engine
+    # line_no breaks duplicate-coordinate ties (pair_no the exploded
+    # rename pairs) so the frame walk is deterministic in any engine
     w = (
         Window.partitionBy("schema_name", "table_name")
-        .orderBy("coord", "line_no")
+        .orderBy("coord", "line_no", "pair_no")
         .rowsBetween(1, Window.unboundedFollowing)
     )
     next_create = F.min(
@@ -677,7 +919,7 @@ def ddl_drift_window_columns(ddl: DataFrame) -> DataFrame:
     coord = binlog_coord(F.col("binlog_file"), F.col("log_position"))
     w = (
         Window.partitionBy("schema_name", "table_name")
-        .orderBy("coord", "line_no")
+        .orderBy("coord", "line_no", "pair_no")
         .rowsBetween(1, Window.unboundedFollowing)
     )
     openers = (
@@ -689,6 +931,7 @@ def ddl_drift_window_columns(ddl: DataFrame) -> DataFrame:
             "binlog_file",
             "log_position",
             "line_no",
+            "pair_no",
             coord.alias("coord"),
         )
         .withColumn(
@@ -755,6 +998,10 @@ def ddl_drift_window_columns(ddl: DataFrame) -> DataFrame:
 # arguments like DECIMAL(10,2) never match (digit-led), constraint
 # clauses are filtered by keyword below
 _CREATE_COL_RE = r"(?:^|,)\s*`?([A-Za-z_$][A-Za-z0-9_$]*)"
+# the declared column list of a CREATE TABLE: (?s) because real CREATE
+# statements span lines (shared by _create_columns, schema_column_matrix
+# and ddl_parse_anomalies -- one constant, one behavior)
+_CREATE_LIST_RE = r"(?s)\((.*)\)\s*$"
 _CONSTRAINT_KEYWORDS = (
     "primary", "key", "unique", "constraint", "foreign", "index", "check",
 )
@@ -762,7 +1009,7 @@ _CONSTRAINT_KEYWORDS = (
 
 def _create_columns(stmt) -> F.Column:
     """Column names declared by a CREATE TABLE's parenthesized list."""
-    inner = F.regexp_extract(stmt, r"\((.*)\)\s*$", 1)
+    inner = F.regexp_extract(stmt, _CREATE_LIST_RE, 1)
     cand = F.regexp_extract_all(inner, F.lit(_CREATE_COL_RE), F.lit(1))
     return F.array_distinct(
         F.filter(
@@ -808,7 +1055,7 @@ def schema_column_matrix(ddl: DataFrame) -> DataFrame:
         F.row_number().over(w).cast("long").alias("version"),
         create_cols.alias("__create_cols"),
         (
-            F.regexp_extract("statement", r"\((.*)\)\s*$", 1) != ""
+            F.regexp_extract("statement", _CREATE_LIST_RE, 1) != ""
         ).alias("__has_list"),
     )
     # per-(statement, column) NET set effect from the clause grammar:
@@ -850,6 +1097,7 @@ def schema_column_matrix(ddl: DataFrame) -> DataFrame:
         "log_position",
         "line_no",
         "clause_no",
+        "col_no",
         F.posexplode(eff_entries).alias("__tie", "__e"),
     )
     stmt_effects = entries.groupBy(
@@ -861,7 +1109,7 @@ def schema_column_matrix(ddl: DataFrame) -> DataFrame:
         entries["__e"]["col"].alias("column_name"),
     ).agg(
         F.max_by(
-            entries["__e"]["eff"], F.struct("clause_no", "__tie")
+            entries["__e"]["eff"], F.struct("clause_no", "col_no", "__tie")
         ).alias("__eff")
     )
     # the column universe per canonical table: clause-touched + declared
@@ -914,6 +1162,272 @@ def schema_column_matrix(ddl: DataFrame) -> DataFrame:
     )
     return pres.filter(F.col("__present")).select(
         "schema_name", "table_name", "version", "column_name"
+    )
+
+
+def _create_column_defs(stmt) -> F.Column:
+    """(col, typ) structs declared by a CREATE TABLE's parenthesized
+    list -- the typed twin of _create_columns (same fragment grammar
+    as the paren-ADD defs; constraint-keyword-led fragments filtered)."""
+    inner = F.regexp_extract(stmt, _CREATE_LIST_RE, 1)
+    defs = F.filter(
+        F.regexp_extract_all(inner, F.lit(_PAREN_COL_DEF_RE), F.lit(0)),
+        lambda e: ~F.lower(
+            F.regexp_extract(e, _PAREN_DEF_NAME, 1)
+        ).isin(*_CONSTRAINT_KEYWORDS),
+    )
+    return F.transform(
+        defs,
+        lambda e: F.struct(
+            F.regexp_extract(e, _PAREN_DEF_NAME, 1).alias("col"),
+            _norm_type(
+                F.regexp_extract(e, _PAREN_DEF_TYPE, 1),
+                F.regexp_extract(e, _PAREN_DEF_TYPE, 2),
+            ).alias("typ"),
+        ),
+    )
+
+
+def _int_width(family: F.Column) -> F.Column:
+    """MySQL integer-family storage width rank; NULL for non-ints."""
+    return (
+        F.when(family == "TINYINT", 1)
+        .when(family == "SMALLINT", 2)
+        .when(family == "MEDIUMINT", 3)
+        .when(family.isin("INT", "INTEGER"), 4)
+        .when(family == "BIGINT", 5)
+        .cast("int")
+    )
+
+
+def _type_narrowing(prev: F.Column, cur: F.Column) -> F.Column:
+    """TRUE when ``cur`` is a same-family NARROWING of ``prev`` -- the
+    quiet-corruption transitions: integer width shrink
+    (bigint -> int), char/varchar length shrink (varchar(255) ->
+    varchar(50)), decimal precision or scale loss.  Cross-family
+    retypes are a different hazard class and report false here (the
+    type strings themselves are in the output for the operator to
+    read)."""
+    fam_p = F.regexp_extract(prev, r"^([A-Z]+)", 1)
+    fam_c = F.regexp_extract(cur, r"^([A-Z]+)", 1)
+    n1_p = F.regexp_extract(prev, r"\((\d+)", 1)
+    n1_c = F.regexp_extract(cur, r"\((\d+)", 1)
+    n2_p = F.regexp_extract(prev, r",(\d+)\)", 1)
+    n2_c = F.regexp_extract(cur, r",(\d+)\)", 1)
+    w_p, w_c = _int_width(fam_p), _int_width(fam_c)
+    int_narrow = w_p.isNotNull() & w_c.isNotNull() & (w_c < w_p)
+    # try_cast: the arg captures are '' when absent, and ANSI mode
+    # (the driver's session) hard-fails a bare cast on ''
+    char_narrow = (
+        fam_p.isin("CHAR", "VARCHAR")
+        & (fam_c == fam_p)
+        & (n1_c.try_cast("int") < n1_p.try_cast("int"))
+    )
+    dec_narrow = (
+        fam_p.isin("DECIMAL", "NUMERIC")
+        & (fam_c == fam_p)
+        & (
+            (n1_c.try_cast("int") < n1_p.try_cast("int"))
+            | (
+                F.coalesce(n2_c.try_cast("int"), F.lit(0))
+                < F.coalesce(n2_p.try_cast("int"), F.lit(0))
+            )
+        )
+    )
+    return F.coalesce(int_narrow | char_narrow | dec_narrow, F.lit(False))
+
+
+def schema_column_types(ddl: DataFrame) -> DataFrame:
+    """The column matrix made TYPE-AWARE: per canonical (schema, table,
+    version), every present column whose DECLARED type is known, with
+    the effective type text and an ``is_narrowing`` flag marking
+    same-family shrink transitions vs the previous version -- the
+    quiet corruption a membership-stable MODIFY hides
+    (``varchar(255) -> varchar(50)``, ``bigint -> int``, decimal
+    precision/scale loss).
+
+    Type sources: CREATE column defs, ADD/MODIFY/CHANGE declarations
+    (paren multi-ADD included).  DROP COLUMN / CHANGE-away / RENAME
+    COLUMN-away and DROP TABLE RESET a column's type (a later re-ADD
+    never inherits a stale one).  A RENAME COLUMN's target is present
+    but DECLARES no type, so it is absent here until something
+    declares one -- membership stays with schema_column_matrix;
+    stated, not silent.  Same carry-forward fold shape as the matrix
+    (grid linear in statements, one shuffle on table identity,
+    metadata-sized end to end).  Returns (schema_name, table_name,
+    version, column_name, column_type, is_narrowing)."""
+    c = canonicalize_tables(ddl)
+    w = Window.partitionBy("schema_name", "table_name").orderBy(*_ORDER_COLS)
+    empty_defs = F.expr(
+        "cast(array() as array<struct<col:string,typ:string>>)"
+    )
+    create_defs = F.when(
+        F.col("ddl_kind") == "CREATE", _create_column_defs(F.col("statement"))
+    ).otherwise(empty_defs)
+    d = c.select(
+        "schema_name",
+        "table_name",
+        "ddl_kind",
+        "binlog_file",
+        "log_position",
+        "line_no",
+        F.row_number().over(w).cast("long").alias("version"),
+        create_defs.alias("__create_defs"),
+        (
+            F.regexp_extract("statement", _CREATE_LIST_RE, 1) != ""
+        ).alias("__has_list"),
+    )
+    # per-(statement, column) NET type action, encoded as one string
+    # so the fold is a plain last-ignore-nulls: 'T:<type>' declares,
+    # 'T:' marks present-but-undeclared, 'X' resets
+    decl = F.concat(F.lit("T:"), F.coalesce(F.col("col_type"), F.lit("")))
+    cl = alter_clauses(c.filter(F.col("ddl_kind") == "ALTER"))
+    type_entries = (
+        F.when(
+            F.col("clause_kind").isin("ADD_COLUMN", "MODIFY_COLUMN"),
+            F.array(F.struct(F.col("col_a").alias("col"), decl.alias("act"))),
+        )
+        .when(
+            F.col("clause_kind") == "CHANGE_COLUMN",
+            F.array(
+                F.struct(
+                    F.col("col_a").alias("col"), F.lit("X").alias("act")
+                ),
+                F.struct(F.col("col_b").alias("col"), decl.alias("act")),
+            ),
+        )
+        .when(
+            F.col("clause_kind") == "RENAME_COLUMN",
+            F.array(
+                F.struct(
+                    F.col("col_a").alias("col"), F.lit("X").alias("act")
+                ),
+                F.struct(
+                    F.col("col_b").alias("col"), F.lit("T:").alias("act")
+                ),
+            ),
+        )
+        .when(
+            F.col("clause_kind") == "DROP_COLUMN",
+            F.array(
+                F.struct(F.col("col_a").alias("col"), F.lit("X").alias("act"))
+            ),
+        )
+        .otherwise(
+            F.expr("cast(array() as array<struct<col:string,act:string>>)")
+        )
+    )
+    entries = cl.select(
+        "schema_name",
+        "table_name",
+        "binlog_file",
+        "log_position",
+        "line_no",
+        "clause_no",
+        "col_no",
+        F.posexplode(type_entries).alias("__tie", "__e"),
+    )
+    stmt_acts = entries.groupBy(
+        "schema_name",
+        "table_name",
+        "binlog_file",
+        "log_position",
+        "line_no",
+        entries["__e"]["col"].alias("column_name"),
+    ).agg(
+        F.max_by(
+            entries["__e"]["act"], F.struct("clause_no", "col_no", "__tie")
+        ).alias("__act")
+    )
+    uni = (
+        stmt_acts.select("schema_name", "table_name", "column_name")
+        .unionByName(
+            d.select(
+                "schema_name",
+                "table_name",
+                F.explode("__create_defs").alias("__d"),
+            ).select(
+                "schema_name",
+                "table_name",
+                F.col("__d.col").alias("column_name"),
+            )
+        )
+        .distinct()
+    )
+    grid = d.join(uni, ["schema_name", "table_name"]).join(
+        stmt_acts,
+        [
+            "schema_name",
+            "table_name",
+            "binlog_file",
+            "log_position",
+            "line_no",
+            "column_name",
+        ],
+        "left",
+    )
+    # CREATE with a declared list resets: declared columns get their
+    # def type, everything else 'X'; CREATE without one carries (the
+    # UNRESOLVED_CREATE_SHAPE channel reports it); DROP TABLE resets all
+    matched = F.filter(
+        F.col("__create_defs"),
+        lambda e: e["col"] == F.col("column_name"),
+    )
+    action = (
+        F.when(
+            (F.col("ddl_kind") == "CREATE") & F.col("__has_list"),
+            F.when(
+                F.size(matched) > 0,
+                F.concat(
+                    F.lit("T:"),
+                    F.coalesce(F.element_at(matched, 1)["typ"], F.lit("")),
+                ),
+            ).otherwise(F.lit("X")),
+        )
+        .when(F.col("ddl_kind") == "DROP", F.lit("X"))
+        .otherwise(F.col("__act"))
+    )
+    wp = (
+        Window.partitionBy("schema_name", "table_name", "column_name")
+        .orderBy("version")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    folded = grid.select(
+        "schema_name",
+        "table_name",
+        "version",
+        "column_name",
+        F.last(action, ignorenulls=True).over(wp).alias("__state"),
+    )
+    wl = Window.partitionBy(
+        "schema_name", "table_name", "column_name"
+    ).orderBy("version")
+    eff = F.when(
+        F.col("__state").startswith("T:") & (F.length("__state") > 2),
+        F.substring(F.col("__state"), 3, 2_000_000),
+    )
+    typed = folded.select(
+        "schema_name",
+        "table_name",
+        "version",
+        "column_name",
+        eff.alias("column_type"),
+        F.lag("__state").over(wl).alias("__prev_state"),
+    )
+    prev_type = F.when(
+        F.col("__prev_state").startswith("T:")
+        & (F.length("__prev_state") > 2),
+        F.substring(F.col("__prev_state"), 3, 2_000_000),
+    )
+    return typed.filter(F.col("column_type").isNotNull()).select(
+        "schema_name",
+        "table_name",
+        "version",
+        "column_name",
+        "column_type",
+        _type_narrowing(prev_type, F.col("column_type")).alias(
+            "is_narrowing"
+        ),
     )
 
 

@@ -295,9 +295,10 @@ def test_alter_clause_grammar(spark):
 
 
 def test_parse_anomalies_channel(spark):
-    """PARTIAL_PARSE discipline: unparsed clauses and extra RENAME
-    TABLE pairs surface as findings; fully-parsed statements emit
-    nothing."""
+    """PARTIAL_PARSE discipline: unparsed clauses and malformed RENAME
+    TABLE pair fragments surface as findings; fully-parsed statements
+    -- multi-pair renames included (r11: every well-formed pair
+    parses) -- emit nothing."""
     from binlog_avro_comparator_spark.operators.ddl import (
         ddl_parse_anomalies,
     )
@@ -306,10 +307,14 @@ def test_parse_anomalies_channel(spark):
         _q("2025-06-01T10:00:00Z", "mysql-bin.000001", 100, 1, "db0",
            "ALTER TABLE t1 CONVERT TO CHARACTER SET utf8mb4,"
            " ADD COLUMN p1 INT"),
+        # both pairs well-formed: parses fully, contributes NOTHING
         _q("2025-06-01T10:00:01Z", "mysql-bin.000001", 200, 2, "db0",
            "RENAME TABLE t1 TO t2, t3 TO t4"),
         _q("2025-06-01T10:00:02Z", "mysql-bin.000001", 300, 3, "db0",
            "ALTER TABLE t1 ADD COLUMN ok INT"),
+        # second fragment fails the pair grammar: structural finding
+        _q("2025-06-01T10:00:03Z", "mysql-bin.000001", 400, 4, "db0",
+           "RENAME TABLE t5 TO t6, @bad TO"),
     ]
     out = ddl_parse_anomalies(
         parse_ddl_statements(_parsed(spark, rows))
@@ -319,7 +324,218 @@ def test_parse_anomalies_channel(spark):
     assert by_reason["UNPARSED_CLAUSE"].fragment == (
         "CONVERT TO CHARACTER SET utf8mb4"
     )
-    assert by_reason["UNPARSED_RENAME_PAIR"].fragment == "t3 TO t4"
+    assert by_reason["UNPARSED_RENAME_PAIR"].fragment == "@bad TO"
+    assert by_reason["UNPARSED_RENAME_PAIR"].table_name == "t5"
+
+
+def test_multi_pair_rename_explodes_and_threads(spark):
+    """The gh-ost/pt-osc atomic cut-over ``RENAME TABLE t TO _t_old,
+    _t_new TO t``: BOTH pairs parse (pair_no keeps MySQL's
+    left-to-right order), the swap threads one history whose canonical
+    identity is the swapped-in table, and current_name ends on the
+    LIVE name -- the second pair is the one that re-keys the feed."""
+    rows = [
+        _q("2025-06-01T10:00:00Z", "mysql-bin.000001", 100, 1, "db0",
+           "RENAME TABLE t TO _t_old, _t_new TO t"),
+        # post-swap DDL against the live name joins the same history
+        _q("2025-06-01T10:00:01Z", "mysql-bin.000001", 200, 2, "db0",
+           "ALTER TABLE t ADD COLUMN c1 INT"),
+    ]
+    ddl = parse_ddl_statements(_parsed(spark, rows))
+    pairs = sorted(
+        (r.pair_no, r.table_name, r.new_table_name)
+        for r in ddl.filter(F.col("ddl_kind") == "RENAME").collect()
+    )
+    assert pairs == [(0, "t", "_t_old"), (1, "_t_new", "t")]
+    tl = {r.version: r for r in schema_timeline(ddl).collect()}
+    # one history under the canonical (swapped-in) identity
+    assert all(r.table_name == "_t_new" for r in tl.values())
+    assert [tl[v].ddl_kind for v in (1, 2, 3)] == [
+        "RENAME", "RENAME", "ALTER"
+    ]
+    # pair order decides current_name: the live name wins the fold
+    assert tl[1].current_name == "_t_old"
+    assert tl[2].current_name == "t"
+    assert tl[3].current_name == "t"
+
+
+def test_option_clauses_keep_moved_known(spark):
+    """The canonical MySQL 8 online-DDL form ``ADD COLUMN a INT,
+    ALGORITHM=INPLACE, LOCK=NONE`` classifies its option clauses
+    OPTION_NO_EFFECT (recognized, no column effect): the moved set
+    stays fully known -- the r10 column-granular guard precision is
+    NOT degraded to whole-key -- and the anomaly channel stays quiet.
+    CONVERT TO CHARACTER SET stays UNPARSED (it retypes string
+    columns)."""
+    from binlog_avro_comparator_spark.operators.ddl import (
+        alter_clauses,
+        ddl_drift_window_columns,
+        ddl_parse_anomalies,
+    )
+
+    rows = [
+        _q("2025-06-01T10:00:00Z", "mysql-bin.000001", 100, 1, "db0",
+           "ALTER TABLE t1 ADD COLUMN a INT, ALGORITHM=INPLACE, LOCK=NONE"),
+        _q("2025-06-01T10:00:01Z", "mysql-bin.000001", 200, 2, "db0",
+           "ALTER TABLE t2 ENGINE=InnoDB, ROW_FORMAT=DYNAMIC,"
+           " AUTO_INCREMENT=1000, COMMENT='resized', DEFAULT CHARACTER"
+           " SET utf8mb4, DISABLE KEYS, FORCE"),
+        _q("2025-06-01T10:00:02Z", "mysql-bin.000001", 300, 3, "db0",
+           "ALTER TABLE t3 CONVERT TO CHARACTER SET utf8mb4"),
+    ]
+    ddl = parse_ddl_statements(_parsed(spark, rows))
+    cl = alter_clauses(ddl)
+    kinds = {
+        (r.line_no, r.clause_no): r.clause_kind for r in cl.collect()
+    }
+    assert kinds[(1, 0)] == "ADD_COLUMN"
+    assert kinds[(1, 1)] == kinds[(1, 2)] == "OPTION_NO_EFFECT"
+    assert all(
+        kinds[(2, i)] == "OPTION_NO_EFFECT" for i in range(7)
+    )
+    assert kinds[(3, 0)] == "UNPARSED"
+    wc = {
+        r.table_name: r
+        for r in ddl_drift_window_columns(ddl).collect()
+    }
+    assert wc["t1"].moved_known and wc["t1"].moved_cols == ["a"]
+    assert wc["t2"].moved_known and wc["t2"].moved_cols == []
+    assert not wc["t3"].moved_known
+    anoms = ddl_parse_anomalies(ddl).collect()
+    assert [(r.table_name, r.reason) for r in anoms] == [
+        ("t3", "UNPARSED_CLAUSE")
+    ]
+
+
+def test_paren_multi_column_add(spark):
+    """``ADD (x INT, y VARCHAR(255))`` -- valid MySQL -- explodes into
+    per-column ADD_COLUMN rows with declared types; constraint
+    fragments inside the paren list never parse as columns; the moved
+    set and the column matrix see every added column."""
+    from binlog_avro_comparator_spark.operators.ddl import (
+        alter_clauses,
+        ddl_drift_window_columns,
+        schema_column_matrix,
+    )
+
+    rows = [
+        _q("2025-06-01T10:00:00Z", "mysql-bin.000001", 100, 1, "db0",
+           "ALTER TABLE t1 ADD (x INT, y VARCHAR(255)), ALGORITHM=INPLACE"),
+        _q("2025-06-01T10:00:01Z", "mysql-bin.000001", 200, 2, "db0",
+           "ALTER TABLE t2 ADD (a DECIMAL(10,2), PRIMARY KEY (a))"),
+    ]
+    ddl = parse_ddl_statements(_parsed(spark, rows))
+    cl = alter_clauses(ddl).orderBy("line_no", "clause_no", "col_no")
+    got = [
+        (r.line_no, r.clause_kind, r.col_a, r.col_type)
+        for r in cl.collect()
+    ]
+    assert got == [
+        (1, "ADD_COLUMN", "x", "INT"),
+        (1, "ADD_COLUMN", "y", "VARCHAR(255)"),
+        (1, "OPTION_NO_EFFECT", None, None),
+        (2, "ADD_COLUMN", "a", "DECIMAL(10,2)"),
+    ]
+    wc = {
+        r.table_name: r for r in ddl_drift_window_columns(ddl).collect()
+    }
+    assert wc["t1"].moved_known and wc["t1"].moved_cols == ["x", "y"]
+    assert wc["t2"].moved_known and wc["t2"].moved_cols == ["a"]
+    m = schema_column_matrix(ddl)
+    cols = {
+        r.table_name: set()
+        for r in m.collect()
+    }
+    for r in m.collect():
+        cols[r.table_name].add(r.column_name)
+    assert cols == {"t1": {"x", "y"}, "t2": {"a"}}
+
+
+def test_schema_column_types_narrowing(spark):
+    """Type-aware matrix: declared types fold across versions
+    (CREATE/ADD/MODIFY/CHANGE; DROP and CHANGE-away reset), and
+    is_narrowing flags exactly the same-family shrink transitions --
+    varchar length, int width, decimal precision/scale -- while
+    widenings, no-op MODIFYs and cross-family retypes stay false."""
+    from binlog_avro_comparator_spark.operators.ddl import (
+        schema_column_types,
+    )
+
+    rows = [
+        _q("2025-06-01T10:00:00Z", "mysql-bin.000001", 100, 1, "db0",
+           "CREATE TABLE t1 (id INT, v VARCHAR(255), d DECIMAL(10,2))"),
+        _q("2025-06-01T10:00:01Z", "mysql-bin.000001", 200, 2, "db0",
+           "ALTER TABLE t1 MODIFY COLUMN id BIGINT"),       # widening
+        _q("2025-06-01T10:00:02Z", "mysql-bin.000001", 300, 3, "db0",
+           "ALTER TABLE t1 MODIFY COLUMN id SMALLINT"),     # NARROWING
+        _q("2025-06-01T10:00:03Z", "mysql-bin.000001", 400, 4, "db0",
+           "ALTER TABLE t1 MODIFY COLUMN id SMALLINT"),     # no-op
+        _q("2025-06-01T10:00:04Z", "mysql-bin.000001", 500, 5, "db0",
+           "ALTER TABLE t1 MODIFY COLUMN v VARCHAR(50)"),   # NARROWING
+        _q("2025-06-01T10:00:05Z", "mysql-bin.000001", 600, 6, "db0",
+           "ALTER TABLE t1 MODIFY COLUMN d DECIMAL(10,1)"),  # NARROWING
+        _q("2025-06-01T10:00:06Z", "mysql-bin.000001", 700, 7, "db0",
+           "ALTER TABLE t1 MODIFY COLUMN v TEXT"),  # cross-family
+        # drop then re-add: the fresh INT must NOT read as a narrowing
+        # of the dropped SMALLINT-era type... it was reset
+        _q("2025-06-01T10:00:07Z", "mysql-bin.000001", 800, 8, "db0",
+           "ALTER TABLE t1 DROP COLUMN id"),
+        _q("2025-06-01T10:00:08Z", "mysql-bin.000001", 900, 9, "db0",
+           "ALTER TABLE t1 ADD COLUMN id TINYINT"),
+    ]
+    t = schema_column_types(parse_ddl_statements(_parsed(spark, rows)))
+    by = {
+        (r.version, r.column_name): (r.column_type, r.is_narrowing)
+        for r in t.collect()
+    }
+    assert by[(1, "id")] == ("INT", False)
+    assert by[(2, "id")] == ("BIGINT", False)
+    assert by[(3, "id")] == ("SMALLINT", True)
+    assert by[(4, "id")] == ("SMALLINT", False)
+    assert by[(5, "v")] == ("VARCHAR(50)", True)
+    assert by[(6, "d")] == ("DECIMAL(10,1)", True)
+    assert by[(7, "v")] == ("TEXT", False)
+    assert (8, "id") not in by            # dropped
+    assert by[(9, "id")] == ("TINYINT", False)  # reset, not a narrow
+
+
+def test_alter_rename_probe_ignores_string_literals(spark):
+    """A quoted literal containing 'rename to x' (COMMENT / DEFAULT
+    text) must not fabricate a rename target -- the probe strips
+    literals and anchors at clause boundaries; a REAL top-level RENAME
+    TO clause still threads."""
+    rows = [
+        _q("2025-06-01T10:00:00Z", "mysql-bin.000001", 100, 1, "db0",
+           "ALTER TABLE t1 COMMENT 'rename to bogus', ADD COLUMN c INT"),
+        _q("2025-06-01T10:00:01Z", "mysql-bin.000001", 200, 2, "db0",
+           "ALTER TABLE t2 ADD COLUMN c INT, RENAME TO t2_v2"),
+    ]
+    ddl = parse_ddl_statements(_parsed(spark, rows))
+    by = {r.table_name: r for r in ddl.collect()}
+    assert by["t1"].new_table_name is None
+    assert by["t2"].new_table_name == "t2_v2"
+
+
+def test_drop_all_bad_fragments_never_silent(spark):
+    """A DROP whose every list fragment fails the name grammar keeps a
+    fallback frame row under its leading identifier, so the anomaly
+    channel still reports the fragments -- the statement can't vanish
+    from both (ADVICE r10)."""
+    from binlog_avro_comparator_spark.operators.ddl import (
+        ddl_parse_anomalies,
+    )
+
+    rows = [
+        _q("2025-06-01T10:00:00Z", "mysql-bin.000001", 100, 1, "db0",
+           "DROP TABLE a b"),
+    ]
+    ddl = parse_ddl_statements(_parsed(spark, rows))
+    got = [(r.table_name, r.ddl_kind) for r in ddl.collect()]
+    assert got == [("a", "DROP")]
+    anom = ddl_parse_anomalies(ddl).collect()
+    assert [(r.reason, r.fragment) for r in anom] == [
+        ("UNPARSED_DROP_NAME", "a b")
+    ]
 
 
 def test_rename_table_threads_one_history(spark):
