@@ -386,6 +386,41 @@ def derive_avro_payload(events: DataFrame) -> DataFrame:
     )
 
 
+PAYLOAD_COLUMN_NAMES = (
+    "order_id", "customer_name", "product_name", "quantity",
+    "order_timestamp",
+)
+
+
+def derive_avro_payload_map(events: DataFrame) -> DataFrame:
+    """The avro side of the payload diff as one binlog-keyed string
+    map: derive_avro_rows x derive_avro_payload, key-filtered (F3) and
+    folded to (binlog_file, binlog_position, payload map<string,
+    string>).  Shared by the batch DDL-guard fixture and the streaming
+    guard's PER-MICRO-BATCH delta derivation -- every column here is
+    row-local event arithmetic, so deriving a batch slice equals the
+    full derivation restricted to that slice."""
+    avro = derive_avro_rows(events).join(
+        derive_avro_payload(events), "avro_line_no"
+    )
+    usable = avro.filter(
+        F.col("binlog_file").isNotNull()
+        & (F.col("binlog_file") != "")
+        & F.col("binlog_position").isNotNull()
+        & (F.col("binlog_position") != 0)
+    )
+    return usable.select(
+        "binlog_file",
+        "binlog_position",
+        F.map_from_arrays(
+            F.array(*[F.lit(n) for n in PAYLOAD_COLUMN_NAMES]),
+            F.array(
+                *[F.col(n).cast("string") for n in PAYLOAD_COLUMN_NAMES]
+            ),
+        ).alias("payload"),
+    )
+
+
 def generate_parser_text_lines(events: DataFrame) -> DataFrame:
     """Render the derived binlog events as go-binlogparser-style text
     lines (FIXTURES.md F-3 format) -> (binlog_file, line_no, value).
@@ -439,9 +474,11 @@ def ddl_statement_col() -> F.Column:
     """Deterministic DDL strings for Query events, keyed on
     ``line_no`` (= event_id) and the derived schema/table columns --
     all SQL-expressible so the DuckDB oracle derives the identical
-    statements.  By event_id % 11:
+    statements.  By event_id % 13:
 
-      0  ADD-COLUMN ALTER (unqualified -> default schema)
+      0  ADD-COLUMN ALTER carrying the canonical MySQL 8 online-DDL
+         options (``, ALGORITHM=INPLACE, LOCK=NONE`` -- must classify
+         OPTION_NO_EFFECT so the moved set stays fully known)
       1  qualified CREATE with IF NOT EXISTS
       2  backtick-quoted DROP
       3  non-DDL noise (BEGIN -- must be filtered)
@@ -449,7 +486,9 @@ def ddl_statement_col() -> F.Column:
       5  MULTI-CLAUSE ALTER: ADD COLUMN with a parens-comma type
          (DECIMAL(10,2) -- must not split), DROP COLUMN, ADD INDEX
          (recognized no-column-effect clause)
-      6  MODIFY COLUMN (retype: shape moves, membership does not)
+      6  MODIFY COLUMN retype, parity-split: even event_id widens to
+         BIGINT NOT NULL, odd narrows to SMALLINT (the type matrix's
+         narrowing plant; shape moves, membership does not)
       7  CHANGE COLUMN old new (rename+retype -- the worst
          mis-pairing case)
       8  ALTER ... RENAME COLUMN old TO new
@@ -457,21 +496,32 @@ def ddl_statement_col() -> F.Column:
      10  ALTER against the RENAMED name (exercises canonical
          threading) whose first clause is OUTSIDE the grammar
          (CONVERT TO CHARACTER SET -- must land on the PARTIAL_PARSE
-         channel, and its window must quarantine whole-key)"""
+         channel, and its window must quarantine whole-key)
+     11  the gh-ost/pt-osc ATOMIC SWAP on a separate table family
+         (``RENAME TABLE s TO s_old, s_new TO s``): both pairs must
+         parse and the live name must thread into s_new's history
+     12  parenthesized multi-column ADD with online-DDL options
+         (``ADD (x INT, y VARCHAR(255)), ALGORITHM=INPLACE,
+         LOCK=NONE`` -- per-column explode, moved set fully known)"""
     eid = F.col("line_no")
-    m = eid % 11
+    m = eid % 13
     four = (eid % 4).cast("string")
     c_col = F.concat(F.lit("c"), four)
     a_col = F.concat(F.lit("a"), four)
     r_col = F.concat(F.lit("r"), four)
     n_col = F.concat(F.lit("n"), four)
     p_col = F.concat(F.lit("p"), four)
+    x_col = F.concat(F.lit("x"), four)
+    y_col = F.concat(F.lit("y"), four)
+    # the swap family: 's' + the table's trailing digit ('t2' -> 's2')
+    s_tbl = F.concat(F.lit("s"), F.substring(F.col("table"), 2, 8))
     return (
         F.when(
             m == 0,
             F.concat(
                 F.lit("ALTER TABLE "), F.col("table"),
-                F.lit(" ADD COLUMN "), c_col, F.lit(" INT"),
+                F.lit(" ADD COLUMN "), c_col,
+                F.lit(" INT, ALGORITHM=INPLACE, LOCK=NONE"),
             ),
         )
         .when(
@@ -511,7 +561,9 @@ def ddl_statement_col() -> F.Column:
             F.concat(
                 F.lit("ALTER TABLE "), F.col("table"),
                 F.lit(" MODIFY COLUMN "), c_col,
-                F.lit(" BIGINT NOT NULL"),
+                F.when(
+                    eid % 2 == 0, F.lit(" BIGINT NOT NULL")
+                ).otherwise(F.lit(" SMALLINT")),
             ),
         )
         .when(
@@ -536,11 +588,26 @@ def ddl_statement_col() -> F.Column:
                 F.lit(" TO "), F.col("table"), F.lit("_r"),
             ),
         )
-        .otherwise(
+        .when(
+            m == 10,
             F.concat(
                 F.lit("ALTER TABLE "), F.col("table"), F.lit("_r"),
                 F.lit(" CONVERT TO CHARACTER SET utf8mb4, ADD COLUMN "),
                 p_col, F.lit(" INT"),
+            ),
+        )
+        .when(
+            m == 11,
+            F.concat(
+                F.lit("RENAME TABLE "), s_tbl, F.lit(" TO "), s_tbl,
+                F.lit("_old, "), s_tbl, F.lit("_new TO "), s_tbl,
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("ALTER TABLE "), F.col("table"),
+                F.lit(" ADD ("), x_col, F.lit(" INT, "), y_col,
+                F.lit(" VARCHAR(255)), ALGORITHM=INPLACE, LOCK=NONE"),
             ),
         )
     )

@@ -847,7 +847,32 @@ def payload_diff_column_guard(
     binlog_payload = scoped_cache(binlog_payload)
     avro_payload = scoped_cache(avro_payload)
     matched = binlog_payload.select(*KEY).join(avro_payload.select(*KEY), KEY)
-    kt = matched.join(key_tables, KEY, "left").join(
+    meta = matched.join(key_tables, KEY, "left")
+    diff = payload_diff(binlog_payload, avro_payload)
+    return column_guard_compose(diff, meta, window_columns)
+
+
+def column_guard_compose(
+    diff: DataFrame, matched_meta: DataFrame, window_columns: DataFrame
+) -> DataFrame:
+    """The column-granular quarantine as a COMPOSITION over an
+    already-computed findings frame: ``diff`` is payload_diff's
+    contract, ``matched_meta`` = (binlog_file, binlog_position,
+    schema_name, table_name) for EVERY matched key (false agreements
+    must quarantine too, so the meta frame is the matched-key set, not
+    the findings), ``window_columns`` =
+    ddl.ddl_drift_window_columns's frame.  This is the form the
+    STREAMING deployment needs: findings and matched-key meta append
+    per micro-batch (an output log, not consulted state), and the
+    LIVE drift windows -- opener-cardinality, broadcast -- compose at
+    READ time, so a late-arriving ALTER retroactively quarantines
+    findings emitted batches ago, exactly like the batch operator over
+    the full feed.  Suppression semantics are
+    payload_diff_column_guard's verbatim."""
+    from ..functions.caching import scoped_cache
+    from .ddl import binlog_coord
+
+    kt = matched_meta.join(
         F.broadcast(window_columns), ["schema_name", "table_name"], "left"
     )
     coord = binlog_coord(F.col("binlog_file"), F.col("binlog_position"))
@@ -871,7 +896,6 @@ def payload_diff_column_guard(
     moved = per_key.filter(F.col("__known")).select(
         *KEY, F.explode("__moved").alias("column")
     )
-    diff = payload_diff(binlog_payload, avro_payload)
     kept = diff.join(unknown_keys, KEY, "left_anti").join(
         moved, [*KEY, "column"], "left_anti"
     )

@@ -1039,11 +1039,15 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 
 # --- DDL schema-timeline CTEs (fixtures.generate_ddl_text_lines
 # mirror): Query events (event_type outside the DML+XID vocabulary)
-# with deterministic statements by event_id % 11; m=3 is non-DDL noise
+# with deterministic statements by event_id % 13; m=3 is non-DDL noise
 # (BEGIN) the extractor must drop; m=9 is RENAME TABLE t TO t_r and
 # m=10 targets the RENAMED name -- the CANONICAL identity (one table,
 # one history) resolves t_r back to t whenever a rename edge exists
-# for that (schema, table).  Keep in sync with
+# for that (schema, table).  m=11 is the gh-ost atomic swap on the
+# separate 's' family: TWO pairs (pair_no 0/1, MySQL's left-to-right
+# order), both canonicalizing to s_new (edges s_old->s->s_new), the
+# second pair carrying the live name.  m=12 is the paren multi-column
+# ADD with online-DDL options.  Keep in sync with
 # fixtures.ddl_statement_col and the derive_binlog_events arithmetic.
 _DDL_STMT_CTE = """qsrc AS (
   SELECT event_id, user_id,
@@ -1053,8 +1057,10 @@ _DDL_STMT_CTE = """qsrc AS (
          ELSE 100 * (event_id // 4) + 4 END AS log_position,
     'db' || CAST(user_id % 2 AS VARCHAR) AS schema_name,
     't' || CAST(user_id % 3 AS VARCHAR) AS table_name,
+    's' || CAST(user_id % 3 AS VARCHAR) AS s_name,
     'mysql-bin.' || lpad(CAST(event_id % 4 AS VARCHAR), 6, '0') AS binlog_file,
-    event_id % 11 AS m,
+    event_id % 13 AS m,
+    event_id % 2 AS p2,
     CAST(event_id % 4 AS VARCHAR) AS f4
   FROM events
   WHERE event_type NOT IN ('click', 'view', 'purchase', 'signup')
@@ -1065,20 +1071,26 @@ redges AS (
 ),
 ddl AS (
   SELECT q.event_id, q.vts, q.log_position, q.binlog_file, q.m, q.f4,
+    q.p2, p.pair_no,
     q.schema_name,
     CASE WHEN q.m = 10 THEN q.table_name || '_r'
+         WHEN q.m = 11 AND p.pair_no = 0 THEN q.s_name
+         WHEN q.m = 11 THEN q.s_name || '_new'
          ELSE q.table_name END AS written_table,
     CASE WHEN q.m = 10 AND e.table_name IS NOT NULL THEN q.table_name
          WHEN q.m = 10 THEN q.table_name || '_r'
+         WHEN q.m = 11 THEN q.s_name || '_new'
          ELSE q.table_name END AS table_name,
-    CASE WHEN q.m = 9 THEN q.table_name || '_r' END AS new_table,
-    CASE WHEN q.m IN (0, 4, 5, 6, 7, 8, 10) THEN 'ALTER'
+    CASE WHEN q.m = 9 THEN q.table_name || '_r'
+         WHEN q.m = 11 AND p.pair_no = 0 THEN q.s_name || '_old'
+         WHEN q.m = 11 THEN q.s_name END AS new_table,
+    CASE WHEN q.m IN (0, 4, 5, 6, 7, 8, 10, 12) THEN 'ALTER'
          WHEN q.m = 1 THEN 'CREATE'
          WHEN q.m = 2 THEN 'DROP'
-         WHEN q.m = 9 THEN 'RENAME' END AS ddl_kind,
+         WHEN q.m IN (9, 11) THEN 'RENAME' END AS ddl_kind,
     CASE q.m
       WHEN 0 THEN 'ALTER TABLE ' || q.table_name || ' ADD COLUMN c'
-                  || q.f4 || ' INT'
+                  || q.f4 || ' INT, ALGORITHM=INPLACE, LOCK=NONE'
       WHEN 1 THEN 'CREATE TABLE IF NOT EXISTS ' || q.schema_name || '.'
                   || q.table_name || ' (id INT PRIMARY KEY)'
       WHEN 2 THEN 'DROP TABLE `' || q.schema_name || '`.`'
@@ -1089,7 +1101,8 @@ ddl AS (
                   || q.f4 || ' DECIMAL(10,2), DROP COLUMN c' || q.f4
                   || ', ADD INDEX ix_a' || q.f4 || ' (a' || q.f4 || ')'
       WHEN 6 THEN 'ALTER TABLE ' || q.table_name || ' MODIFY COLUMN c'
-                  || q.f4 || ' BIGINT NOT NULL'
+                  || q.f4 || CASE WHEN q.p2 = 0 THEN ' BIGINT NOT NULL'
+                                  ELSE ' SMALLINT' END
       WHEN 7 THEN 'ALTER TABLE ' || q.table_name || ' CHANGE COLUMN c'
                   || q.f4 || ' r' || q.f4 || ' BIGINT'
       WHEN 8 THEN 'ALTER TABLE `' || q.table_name || '` RENAME COLUMN c'
@@ -1099,18 +1112,24 @@ ddl AS (
       WHEN 10 THEN 'ALTER TABLE ' || q.table_name
                   || '_r CONVERT TO CHARACTER SET utf8mb4, ADD COLUMN p'
                   || q.f4 || ' INT'
+      WHEN 11 THEN 'RENAME TABLE ' || q.s_name || ' TO ' || q.s_name
+                  || '_old, ' || q.s_name || '_new TO ' || q.s_name
+      WHEN 12 THEN 'ALTER TABLE ' || q.table_name || ' ADD (x' || q.f4
+                  || ' INT, y' || q.f4
+                  || ' VARCHAR(255)), ALGORITHM=INPLACE, LOCK=NONE'
     END AS statement
   FROM qsrc q
   LEFT JOIN redges e
     ON e.schema_name = q.schema_name AND e.table_name = q.table_name
-  WHERE q.m <> 3
+  CROSS JOIN (SELECT unnest([0, 1]) AS pair_no) p
+  WHERE q.m <> 3 AND (p.pair_no = 0 OR q.m = 11)
 )"""
 
 # drift windows over the same derivation: ALTER or RENAME opens, next
 # CREATE for the (canonical) table closes; zero positions carry no
 # coordinate (Q5)
 _DDL_WINDOWS_CTE = """qd AS (
-  SELECT schema_name, table_name, ddl_kind, m, f4, event_id,
+  SELECT schema_name, table_name, ddl_kind, m, f4, event_id, pair_no,
     binlog_file || ':' || lpad(CAST(log_position AS VARCHAR), 12, '0')
       AS coord
   FROM ddl WHERE log_position <> 0
@@ -1119,7 +1138,8 @@ win AS (
   SELECT DISTINCT schema_name, table_name, coord AS win_from, win_to FROM (
     SELECT *,
       min(CASE WHEN ddl_kind = 'CREATE' THEN coord END) OVER (
-        PARTITION BY schema_name, table_name ORDER BY coord, event_id
+        PARTITION BY schema_name, table_name
+        ORDER BY coord, event_id, pair_no
         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS win_to
     FROM qd
   ) WHERE ddl_kind IN ('ALTER', 'RENAME')
@@ -1128,9 +1148,11 @@ win AS (
 # drift windows annotated with the moved-column set: per opening
 # statement, the clause-touched columns (m arithmetic mirror of the
 # Spark clause grammar) and whether the set is fully known (false for
-# table RENAMEs and for the m=10 statement whose CONVERT clause lands
-# on the UNPARSED channel); dup-coordinate openers merge into one
-# window, unioning sets and ANDing known flags
+# table RENAMEs -- m=9 and the m=11 swap pairs -- and for the m=10
+# statement whose CONVERT clause lands on the UNPARSED channel; the
+# m=0/m=12 online-DDL option clauses are OPTION_NO_EFFECT, so those
+# stay fully known); dup-coordinate openers merge into one window,
+# unioning sets and ANDing known flags
 _DDL_WINCOLS_CTE = """wc AS (
   SELECT schema_name, table_name, win_from, win_to,
          list_sort(list_distinct(flatten(list(mc)))) AS moved_cols,
@@ -1146,11 +1168,14 @@ _DDL_WINCOLS_CTE = """wc AS (
         WHEN 8 THEN ['c' || f4, 'n' || f4]
         WHEN 9 THEN CAST([] AS VARCHAR[])
         WHEN 10 THEN ['p' || f4]
+        WHEN 11 THEN CAST([] AS VARCHAR[])
+        WHEN 12 THEN ['x' || f4, 'y' || f4]
       END AS mc,
-      m NOT IN (9, 10) AS known,
+      m NOT IN (9, 10, 11) AS known,
       coord AS win_from,
       min(CASE WHEN ddl_kind = 'CREATE' THEN coord END) OVER (
-        PARTITION BY schema_name, table_name ORDER BY coord, event_id
+        PARTITION BY schema_name, table_name
+        ORDER BY coord, event_id, pair_no
         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS win_to
     FROM qd
   ) WHERE ddl_kind IN ('ALTER', 'RENAME')

@@ -1331,6 +1331,13 @@ SELECT binlog_file, binlog_position, '*' AS "column",
 FROM kwin WHERE NOT known"""
     )
 
+    # streaming twin: the guard composes at read time over the
+    # maintained statement log + findings/meta logs, so read-LATEST
+    # equals the batch column guard verbatim
+    sql["cdc_payload_diff_guarded_stream"] = sql[
+        "cdc_payload_diff_column_guarded"
+    ]
+
     # quarantine impact rollup: per drift window, the matched keys it
     # swallows; zero-traffic windows kept by the left join
     sql["cdc_ddl_guard_impact"] = f"""

@@ -1483,9 +1483,9 @@ SELECT schema_name, table_name,
        binlog_file, log_position
 FROM ddl
 WINDOW w AS (PARTITION BY schema_name, table_name
-             ORDER BY vts, binlog_file, log_position, event_id),
+             ORDER BY vts, binlog_file, log_position, event_id, pair_no),
        wc AS (PARTITION BY schema_name, table_name
-              ORDER BY vts, binlog_file, log_position, event_id
+              ORDER BY vts, binlog_file, log_position, event_id, pair_no
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
 
     # effective column inventory per schema version: the oracle folds
@@ -1497,7 +1497,7 @@ WINDOW w AS (PARTITION BY schema_name, table_name
     sql["cdc_schema_columns"] = f"WITH {_DDL_STMT_CTE}" + """,
 vd AS (
   SELECT *, row_number() OVER (PARTITION BY schema_name, table_name
-      ORDER BY vts, binlog_file, log_position, event_id) AS version
+      ORDER BY vts, binlog_file, log_position, event_id, pair_no) AS version
   FROM ddl
 ),
 fx AS (
@@ -1518,6 +1518,12 @@ fx AS (
   UNION ALL
   SELECT schema_name, table_name, version, 'p' || f4, TRUE
   FROM vd WHERE m = 10
+  UNION ALL
+  SELECT schema_name, table_name, version, 'x' || f4, TRUE
+  FROM vd WHERE m = 12
+  UNION ALL
+  SELECT schema_name, table_name, version, 'y' || f4, TRUE
+  FROM vd WHERE m = 12
 ),
 uni AS (
   SELECT DISTINCT schema_name, table_name, col FROM (
@@ -1550,6 +1556,114 @@ FROM pres WHERE present"""
     # read time, so read-LATEST == the batch operator verbatim
     sql["cdc_schema_timeline_stream"] = sql["cdc_schema_timeline"]
     sql["cdc_schema_columns_stream"] = sql["cdc_schema_columns"]
+
+    # type-aware column matrix: the oracle folds DECLARED types from
+    # the m arithmetic ('T:<type>' declares, 'T:' = present untyped --
+    # the m=8 rename target -- 'X' resets) and flags same-family
+    # narrowing transitions exactly like ddl.schema_column_types; the
+    # m=6 parity split (BIGINT NOT NULL / SMALLINT) is the narrowing
+    # plant, m=12's VARCHAR(255) adds the char family
+    sql["cdc_schema_types"] = f"WITH {_DDL_STMT_CTE}" + """,
+vd AS (
+  SELECT *, row_number() OVER (PARTITION BY schema_name, table_name
+      ORDER BY vts, binlog_file, log_position, event_id, pair_no) AS version
+  FROM ddl
+),
+fx AS (
+  SELECT schema_name, table_name, version, 'c' || f4 AS col,
+         'T:INT' AS act
+  FROM vd WHERE m = 0
+  UNION ALL
+  SELECT schema_name, table_name, version, 'c' || f4, 'X'
+  FROM vd WHERE m IN (4, 5, 7, 8)
+  UNION ALL
+  SELECT schema_name, table_name, version, 'a' || f4, 'T:DECIMAL(10,2)'
+  FROM vd WHERE m = 5
+  UNION ALL
+  SELECT schema_name, table_name, version, 'c' || f4,
+         CASE WHEN p2 = 0 THEN 'T:BIGINT' ELSE 'T:SMALLINT' END
+  FROM vd WHERE m = 6
+  UNION ALL
+  SELECT schema_name, table_name, version, 'r' || f4, 'T:BIGINT'
+  FROM vd WHERE m = 7
+  UNION ALL
+  SELECT schema_name, table_name, version, 'n' || f4, 'T:'
+  FROM vd WHERE m = 8
+  UNION ALL
+  SELECT schema_name, table_name, version, 'p' || f4, 'T:INT'
+  FROM vd WHERE m = 10
+  UNION ALL
+  SELECT schema_name, table_name, version, 'x' || f4, 'T:INT'
+  FROM vd WHERE m = 12
+  UNION ALL
+  SELECT schema_name, table_name, version, 'y' || f4, 'T:VARCHAR(255)'
+  FROM vd WHERE m = 12
+),
+uni AS (
+  SELECT DISTINCT schema_name, table_name, col FROM (
+    SELECT schema_name, table_name, col FROM fx
+    UNION ALL
+    SELECT DISTINCT schema_name, table_name, 'id' FROM vd WHERE m = 1
+  )
+),
+grid AS (
+  SELECT v.schema_name, v.table_name, v.version, u.col,
+    CASE WHEN v.m = 1 THEN
+           (CASE WHEN u.col = 'id' THEN 'T:INT' ELSE 'X' END)
+         WHEN v.m = 2 THEN 'X'
+         ELSE f.act END AS act
+  FROM vd v
+  JOIN uni u USING (schema_name, table_name)
+  LEFT JOIN fx f ON f.schema_name = v.schema_name
+    AND f.table_name = v.table_name AND f.version = v.version
+    AND f.col = u.col
+),
+st AS (
+  SELECT *, last_value(act IGNORE NULLS) OVER (
+    PARTITION BY schema_name, table_name, col ORDER BY version
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS state
+  FROM grid
+),
+ty AS (
+  SELECT schema_name, table_name, version, col,
+    CASE WHEN state LIKE 'T:_%' THEN substr(state, 3) END AS cur,
+    lag(state) OVER (PARTITION BY schema_name, table_name, col
+                     ORDER BY version) AS prev_state
+  FROM st
+),
+tp AS (
+  SELECT *,
+    CASE WHEN prev_state LIKE 'T:_%' THEN substr(prev_state, 3) END AS prv
+  FROM ty WHERE cur IS NOT NULL
+),
+rk AS (
+  SELECT *,
+    regexp_extract(cur, '^([A-Z]+)', 1) AS fam_c,
+    regexp_extract(coalesce(prv, ''), '^([A-Z]+)', 1) AS fam_p,
+    try_cast(regexp_extract(cur, '\\((\\d+)', 1) AS INT) AS n1_c,
+    try_cast(regexp_extract(coalesce(prv, ''), '\\((\\d+)', 1) AS INT)
+      AS n1_p,
+    try_cast(regexp_extract(cur, ',(\\d+)\\)', 1) AS INT) AS n2_c,
+    try_cast(regexp_extract(coalesce(prv, ''), ',(\\d+)\\)', 1) AS INT)
+      AS n2_p
+  FROM tp
+)
+SELECT schema_name, table_name, version, col AS column_name,
+  cur AS column_type,
+  coalesce(
+    (CASE fam_c WHEN 'TINYINT' THEN 1 WHEN 'SMALLINT' THEN 2
+                WHEN 'MEDIUMINT' THEN 3 WHEN 'INT' THEN 4
+                WHEN 'INTEGER' THEN 4 WHEN 'BIGINT' THEN 5 END
+     < CASE fam_p WHEN 'TINYINT' THEN 1 WHEN 'SMALLINT' THEN 2
+                  WHEN 'MEDIUMINT' THEN 3 WHEN 'INT' THEN 4
+                  WHEN 'INTEGER' THEN 4 WHEN 'BIGINT' THEN 5 END)
+    OR (fam_p IN ('CHAR', 'VARCHAR') AND fam_c = fam_p
+        AND n1_c < n1_p)
+    OR (fam_p IN ('DECIMAL', 'NUMERIC') AND fam_c = fam_p
+        AND (n1_c < n1_p
+             OR coalesce(n2_c, 0) < coalesce(n2_p, 0))),
+    FALSE) AS is_narrowing
+FROM rk"""
 
     # the PARTIAL_PARSE channel: the fixture's only unparseable
     # fragment is the m=10 CONVERT clause; the anomaly reports the

@@ -1297,15 +1297,12 @@ def _build_guard_payloads(spark, sf_dir):
     rows = read_binlog_rows_dir(spark, _binlog_binary_fixture_dir(spark, sf_dir))
     bp = C.prepare_binlog_payload(rows)
     ev = load_table(spark, sf_dir, "events")
-    avro = derive_avro_rows(ev).join(derive_avro_payload(ev), "avro_line_no")
-    ap = C.prepare_avro(avro).select(
-        "binlog_file",
-        "binlog_position",
-        F.map_from_arrays(
-            F.array(*[F.lit(n) for n in _PAYLOAD_NAMES]),
-            F.array(*[F.col(n).cast("string") for n in _PAYLOAD_NAMES]),
-        ).alias("payload"),
-    )
+    # one definition with the streaming guard's per-batch delta
+    # derivation (fixtures.derive_avro_payload_map), so batch fixture
+    # and stream slices cannot drift
+    from ..fixtures import derive_avro_payload_map
+
+    ap = derive_avro_payload_map(ev)
     # key -> (schema, table): the LWW winner's row, same filters and
     # ordering as prepare_binlog_payload so every matched key has meta
     eff = rows.filter(
@@ -1403,10 +1400,29 @@ def _q_cdc_ddl_partial_parse(spark, sf_dir):
     could not interpret, surfaced as findings (warn-and-skip, §2.8) --
     a multi-clause ALTER where only some clauses parse must not read
     as success.  The fixture plants a CONVERT TO CHARACTER SET clause
-    ahead of a parseable ADD COLUMN."""
+    ahead of a parseable ADD COLUMN; the online-DDL option clauses
+    (ALGORITHM=/LOCK=) and the multi-pair RENAME it also plants must
+    NOT land here -- they are recognized grammar since r11."""
     from ..operators.ddl import ddl_parse_anomalies
 
     return ddl_parse_anomalies(_ddl_statements(spark, sf_dir))
+
+
+def _q_cdc_schema_types(spark, sf_dir):
+    """Type-aware column matrix (ddl.schema_column_types): per
+    (schema, table, version), every present column with a KNOWN
+    declared type plus ``is_narrowing`` -- the same-family shrink
+    transitions (int width, varchar length, decimal precision/scale)
+    a membership-stable MODIFY otherwise hides.  Spark parses the
+    declared types out of the real statements clause by clause
+    (CREATE defs, ADD/MODIFY/CHANGE, paren multi-ADD) and folds them
+    across versions; the oracle folds the same semantics from the
+    event arithmetic -- two independent paths.  The fixture's m=6
+    parity split (BIGINT NOT NULL vs SMALLINT) plants genuine
+    narrowing, widening, and no-op MODIFY transitions."""
+    from ..operators.ddl import schema_column_types
+
+    return schema_column_types(_ddl_statements(spark, sf_dir))
 
 
 def _q_cdc_changelog_compaction(spark, sf_dir):

@@ -1043,4 +1043,33 @@ def _q_cdc_schema_columns_stream(spark, sf_dir):
     return _run_fold(spark, maintain_schema_timeline, read_schema_columns, d)
 
 
+def _q_cdc_payload_diff_guarded_stream(spark, sf_dir):
+    """The column-granular DDL guard ON THE LIVE FEED
+    (fold_sinks.maintain_guarded_payload_diff): production diffs run
+    on the stream and the DDL arrives on the same stream, so the
+    events replay (4 event-time-ordered micro-batches) advances BOTH
+    the statement-log fold and an append-once findings/matched-key log
+    per batch; the guard composes at READ against the live drift
+    windows (opener-cardinality, broadcast), which makes an ALTER
+    landing mid-replay retroactively quarantine findings emitted
+    batches ago.  Reading LATEST equals the batch
+    payload_diff_column_guard over the full feed -- the shared
+    oracle verbatim."""
+    from ..streaming.fold_sinks import (
+        maintain_guarded_payload_diff,
+        read_guarded_payload_diff,
+    )
+
+    ensure_session_conf(spark)
+    bp, _, key_tables = _guard_payload_frames(spark, sf_dir)
+    d = _events_chunk_dir(spark, sf_dir)
+
+    def maintain(stream, state_dir, ckpt):
+        return maintain_guarded_payload_diff(
+            stream, state_dir, ckpt, bp, key_tables
+        )
+
+    return _run_fold(spark, maintain, read_guarded_payload_diff, d)
+
+
 __all__ = [_n for _n in list(globals()) if not _n.startswith('__') and _n != '_shared']

@@ -144,6 +144,14 @@ def _queries_grouped() -> dict[str, QueryFn]:
         # (item 2).  supplier_similarity / events_hourly_autocorr /
         # media_audio_perceptual_dup re-certify the ADVICE fixes
         # (pair symmetry, double-cast Pearson terms, long phash). --
+        # -- NEW or CHANGED in r11: the online-DDL grammar completion
+        # (option clauses stay OPTION_NO_EFFECT, multi-pair RENAME
+        # explodes -- the gh-ost atomic swap threads the live name --
+        # paren multi-column ADD parses) re-certifies the DDL tier on
+        # the mod-13 fixture; cdc_schema_types is the type-aware
+        # matrix with the narrowing plant. --
+        "cdc_schema_types": _q_cdc_schema_types,
+        "cdc_payload_diff_guarded_stream": _q_cdc_payload_diff_guarded_stream,
         "cdc_payload_diff_column_guarded": _q_cdc_payload_diff_column_guarded,
         "cdc_ddl_partial_parse": _q_cdc_ddl_partial_parse,
         "cdc_ddl_window_columns": _q_cdc_ddl_window_columns,

@@ -559,6 +559,109 @@ def read_drift_window_columns(
     return ddl_drift_window_columns(spark.read.parquet(target))
 
 
+# --------------------------------------------------------------------------
+# guarded payload diff: findings log + live drift windows
+
+
+def commit_guarded_diff_batch(
+    spark: SparkSession,
+    state_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    binlog_payload: DataFrame,
+    key_tables: DataFrame,
+) -> None:
+    """Fold one micro-batch into the GUARDED payload-diff state.
+
+    Production shape: the diff runs on the live feed and the DDL
+    arrives ON THE SAME FEED, so the window where the guard matters
+    most is exactly the streaming one (the r10 verdict's gap).  Per
+    batch this advances two things: (1) the shared DDL statement-log
+    fold (``state_dir/ddl`` -- metadata-sized, the only consulted
+    state), and (2) an APPEND-ONCE findings log: the batch's avro
+    payload slice diffs against the static binlog side (broadcast,
+    stateless -- same as streaming_payload_diff) and lands under
+    ``diff/b{batch}``, alongside the batch's matched-key meta under
+    ``matched/b{batch}`` (every matched key, not just keys with
+    findings: the false agreement on a shifted column is the quiet
+    failure the boundary rows must cover).  The logs are OUTPUT data
+    re-read at read time, not state consulted per batch -- the guard
+    itself composes at READ (read_guarded_payload_diff), which is what
+    makes a mid-replay ALTER retroactively quarantine findings
+    emitted batches ago.  Batch dirs are write-once (overwrite on
+    retry), so replays are idempotent."""
+    import shutil
+
+    from ..fixtures import derive_avro_payload_map
+    from ..operators import compare as C
+
+    commit_ddl_batch(
+        spark, os.path.join(state_dir, "ddl"), batch_df, batch_id
+    )
+    diff_dir = os.path.join(state_dir, "diff", f"b{batch_id}")
+    meta_dir = os.path.join(state_dir, "matched", f"b{batch_id}")
+    if all(
+        os.path.exists(os.path.join(d, "_SUCCESS"))
+        for d in (diff_dir, meta_dir)
+    ):
+        return
+    for d in (diff_dir, meta_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    ap = derive_avro_payload_map(batch_df)
+    bp = F.broadcast(binlog_payload)
+    C.payload_diff(bp, ap).write.parquet(diff_dir)
+    (
+        ap.select(*C.KEY)
+        .join(bp.select(*C.KEY), list(C.KEY))
+        .join(F.broadcast(key_tables), list(C.KEY), "left")
+        .write.parquet(meta_dir)
+    )
+
+
+def maintain_guarded_payload_diff(
+    events_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    binlog_payload: DataFrame,
+    key_tables: DataFrame,
+):
+    """Start the foreachBatch guarded-diff maintenance query (caller
+    awaits): DDL fold + findings/meta logs per batch, guard composed
+    at read."""
+    os.makedirs(state_dir, exist_ok=True)
+    spark = events_stream.sparkSession
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        commit_guarded_diff_batch(
+            spark, state_dir, batch_df, batch_id, binlog_payload, key_tables
+        )
+
+    return (
+        events_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_guarded_payload_diff(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The COLUMN-GRANULAR guarded diff at LATEST: live drift windows
+    from the maintained statement log (opener-cardinality, broadcast)
+    composed over the accumulated findings + matched-key logs with the
+    exact batch suppression (compare.column_guard_compose) -- so
+    read-LATEST equals the batch payload_diff_column_guard over the
+    full replay, ALTERs that landed mid-replay included
+    (retroactively)."""
+    from ..operators.compare import column_guard_compose
+
+    windows = read_drift_window_columns(
+        spark, os.path.join(state_dir, "ddl")
+    )
+    diff = spark.read.parquet(os.path.join(state_dir, "diff", "b*"))
+    meta = spark.read.parquet(os.path.join(state_dir, "matched", "b*"))
+    return column_guard_compose(diff, meta, windows)
+
+
 def vacuum_state_versions(state_dir: str, keep: int = 2) -> list[str]:
     """Retention for the versioned fold sinks: every committed batch
     writes a full ``v{batch}`` state copy and swings LATEST, so a

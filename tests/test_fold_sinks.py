@@ -363,7 +363,7 @@ def test_vacuum_keeps_latest_and_n_newest(spark, tmp_path):
 
 # three event-time-ordered chunks of Query events (any unmapped
 # event_type renders as a Query event); event_ids chosen so
-# m = eid % 11 plants: a CREATE, ADD-COLUMN ALTERs, a RENAME TABLE,
+# m = eid % 13 plants: a CREATE, ADD-COLUMN ALTERs, a RENAME TABLE,
 # and -- the retroactivity case -- an ALTER against the RENAMED name
 # arriving one batch BEFORE the rename edge itself
 _DDL_CHUNKS = [
@@ -373,11 +373,11 @@ _DDL_CHUNKS = [
     ],
     [
         (9, "2025-06-01 10:01:00", 1, "other", 1.0, "{}"),   # m=9 RENAME
-        (11, "2025-06-01 10:01:05", 1, "other", 1.0, "{}"),  # m=0 ALTER
+        (13, "2025-06-01 10:01:05", 1, "other", 1.0, "{}"),  # m=0 ALTER
     ],
     [
-        (22, "2025-06-01 10:02:00", 1, "other", 1.0, "{}"),  # m=0 ALTER
-        (12, "2025-06-01 10:02:05", 1, "other", 1.0, "{}"),  # m=1 CREATE
+        (26, "2025-06-01 10:02:00", 1, "other", 1.0, "{}"),  # m=0 ALTER
+        (14, "2025-06-01 10:02:05", 1, "other", 1.0, "{}"),  # m=1 CREATE
     ],
 ]
 
@@ -457,3 +457,122 @@ def test_schema_timeline_fold_equals_batch_across_three_triggers(
     ren_v = next(v for v in sorted(tl) if tl[v].ddl_kind == "RENAME")
     assert all(tl[v].current_name == tl[1].table_name for v in tl if v < ren_v)
     assert tl[ren_v].current_name.endswith("_r")
+
+
+# --------------------------------------------------------------------------
+# guarded payload diff on the live feed (r10 verdict item 3)
+
+# event-time-ordered chunks mixing DML rows (the avro payload slices)
+# and ONE Query event (the DDL): the ALTER lands in batch 2 at binlog
+# coordinate 1304, BETWEEN keys diffed in batch 1 (1104 pre-window,
+# 1504 in-window) -- the retroactivity case: the finding for 1504 was
+# already emitted when the window opened.  eids avoid every avro-side
+# plant (%13, %29, %17, %31, %37, %47); eid 52 -> m = 52 % 13 = 0, the
+# online-DDL ADD COLUMN c0 (moved set KNOWN, so the stable payload
+# columns keep reporting inside the window).
+_GUARD_CHUNKS = [
+    [
+        (44, "2025-06-01 10:00:00", 1, "click", 1.0, "{}"),  # key 1104
+        (60, "2025-06-01 10:00:01", 1, "click", 1.0, "{}"),  # key 1504
+    ],
+    [
+        (52, "2025-06-01 10:01:00", 1, "other", 1.0, "{}"),  # ALTER @1304
+    ],
+    [
+        (48, "2025-06-01 10:02:00", 1, "click", 1.0, "{}"),  # key 1204
+    ],
+]
+
+
+def test_guarded_diff_fold_alter_lands_mid_replay(spark, tmp_path):
+    """The streaming column guard (fold_sinks.maintain_guarded_payload
+    _diff): an ALTER arriving in batch 2 must RETROACTIVELY govern a
+    finding emitted in batch 1 -- read-LATEST equals the batch
+    payload_diff_column_guard over the full replay, per-column
+    suppression included."""
+    import shutil
+
+    from binlog_avro_comparator_spark.fixtures import (
+        derive_avro_payload_map,
+    )
+    from binlog_avro_comparator_spark.operators.ddl import (
+        ddl_drift_window_columns,
+    )
+    from binlog_avro_comparator_spark.streaming.fold_sinks import (
+        _ddl_batch_statements,
+        maintain_guarded_payload_diff,
+        read_guarded_payload_diff,
+    )
+
+    d = str(tmp_path / "guard_chunks")
+    os.makedirs(d)
+    for i, rows in enumerate(_GUARD_CHUNKS):
+        df = spark.createDataFrame(
+            [
+                (eid, __import__("datetime").datetime.fromisoformat(ts),
+                 u, et, v, p)
+                for (eid, ts, u, et, v, p) in rows
+            ],
+            EVENTS_T,
+        )
+        part_dir = os.path.join(d, f"__part_{i}")
+        df.coalesce(1).write.parquet(part_dir)
+        [part] = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        dst = os.path.join(d, f"chunk_{i:02d}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(part_dir)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    all_events = spark.createDataFrame(
+        [
+            (eid, __import__("datetime").datetime.fromisoformat(ts),
+             u, et, v, p)
+            for rows in _GUARD_CHUNKS
+            for (eid, ts, u, et, v, p) in rows
+        ],
+        EVENTS_T,
+    )
+    # static binlog side: the avro derivation's values with
+    # product_name diverging on EVERY key -- key 1504's divergence is
+    # on a STABLE column, so the guard must keep it even in-window
+    ap_full = derive_avro_payload_map(all_events)
+    bp_rows = [
+        (r.binlog_file, r.binlog_position,
+         {**r.payload, "product_name": "prod-LOCAL"})
+        for r in ap_full.collect()
+    ]
+    assert sorted(p for _, p, _ in bp_rows) == [1104, 1204, 1504]
+    bp = spark.createDataFrame(
+        bp_rows,
+        "binlog_file string, binlog_position bigint, "
+        "payload map<string,string>",
+    )
+    kt = spark.createDataFrame(
+        [(f, p, "db1", "t1") for (f, p, _) in bp_rows],
+        "binlog_file string, binlog_position bigint, "
+        "schema_name string, table_name string",
+    )
+    state = str(tmp_path / "guard_state")
+    ckpt = str(tmp_path / "guard_ckpt")
+    _drain(maintain_guarded_payload_diff(_stream(spark, d), state, ckpt, bp, kt))
+    got = read_guarded_payload_diff(spark, state)
+    by_key = {}
+    for r in got.collect():
+        by_key.setdefault(r.binlog_position, []).append(
+            (r.column, r.status)
+        )
+    # pre-window keys keep their findings verbatim
+    assert by_key[1104] == [("product_name", "MISMATCH")]
+    assert by_key[1204] == [("product_name", "MISMATCH")]
+    # the in-window key (diffed one batch BEFORE the ALTER arrived):
+    # stable column keeps reporting, the moved column c0 gets its
+    # boundary row -- retroactive, column-granular
+    assert sorted(by_key[1504]) == [
+        ("c0", "DDL_BOUNDARY"), ("product_name", "MISMATCH"),
+    ]
+    # and the whole frame equals the batch operator over the full feed
+    wc = ddl_drift_window_columns(_ddl_batch_statements(all_events))
+    exp = sorted(
+        tuple(r)
+        for r in C.payload_diff_column_guard(bp, ap_full, kt, wc).collect()
+    )
+    assert sorted(tuple(r) for r in got.collect()) == exp
