@@ -806,6 +806,327 @@ def _decode_png_gray(content: bytes):
     return w, h, bytes(out)
 
 
+# ---------------------------------------------------------------------------
+# baseline JPEG, DC tier: the dominant LOSSY format decoded far enough
+# for perception -- entropy-decoding only the DC coefficient per 8x8
+# block (AC coefficients are Huffman-decoded and DISCARDED; they must
+# be walked to find block boundaries) yields the 1/8-scale luma
+# raster, which is exactly what an average-hash needs.  Pure stdlib,
+# no codec dependency -- the same design bet as the PNG unfilter.
+
+# minimal LEGAL Huffman tables carried in the file's own DHT segments
+# (a decoder must build them from BITS/HUFFVAL like any JPEG): DC
+# categories 0..11 as the twelve 4-bit codes 0000..1011 (all-ones
+# never assigned, per spec practice), AC with the single 1-bit EOB.
+_JPEG_DC_BITS = bytes([0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0])
+_JPEG_DC_VALS = bytes(range(12))
+_JPEG_AC_BITS = bytes([1] + [0] * 15)
+_JPEG_AC_VALS = bytes([0x00])
+
+
+def encode_jpeg_gray_blocks(block_vals: bytes, bw: int, bh: int) -> bytes:
+    """Encode a BLOCK-CONSTANT grayscale image as a real baseline JFIF:
+    ``block_vals`` holds one 8-bit value per 8x8 block (row-major,
+    ``bw`` x ``bh`` blocks -> a (8*bw) x (8*bh) image).  A constant
+    block's DCT is pure DC (S00 = 8*(v-128), every AC zero), and with
+    an all-ones quantization table the coded DC is exact -- so the
+    encode->DC-decode roundtrip is LOSSLESS and the oracle can derive
+    the expected raster from the block arithmetic alone.  Spec marker
+    layout (DQT/SOF0/DHT/SOS, stuffed entropy bytes), so any real JPEG
+    reader decodes it; fixture scaffolding for the perceptual tier."""
+    import struct
+
+    w, h = 8 * bw, 8 * bh
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
+    out += (
+        b"\xff\xc0"
+        + struct.pack(">HBHHB", 11, 8, h, w, 1)
+        + bytes([1, 0x11, 0])
+    )
+    out += (
+        b"\xff\xc4"
+        + struct.pack(">H", 2 + 1 + 16 + len(_JPEG_DC_VALS))
+        + b"\x00" + _JPEG_DC_BITS + _JPEG_DC_VALS
+    )
+    out += (
+        b"\xff\xc4"
+        + struct.pack(">H", 2 + 1 + 16 + len(_JPEG_AC_VALS))
+        + b"\x10" + _JPEG_AC_BITS + _JPEG_AC_VALS
+    )
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    bits: list[int] = []
+
+    def put(value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            bits.append((value >> i) & 1)
+
+    prev = 0
+    for v in block_vals:
+        dc = 8 * (v - 128)
+        diff = dc - prev
+        prev = dc
+        mag = abs(diff)
+        t = mag.bit_length()
+        put(t, 4)  # DC category code (canonical 4-bit, value == t)
+        if t:
+            put(diff if diff > 0 else diff + (1 << t) - 1, t)
+        put(0, 1)  # AC: EOB (the 1-bit code '0')
+    while len(bits) % 8:
+        bits.append(1)  # pad with 1s, per spec
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for b in bits[i : i + 8]:
+            byte = (byte << 1) | b
+        out.append(byte)
+        if byte == 0xFF:
+            out.append(0x00)  # byte stuffing
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over an entropy-coded segment with
+    0xFF00 byte unstuffing."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise EOFError
+        byte = self.data[self.pos]
+        v = (byte >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+            if byte == 0xFF:
+                if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                    raise EOFError  # marker inside scan: stop
+                self.pos += 1
+        return v
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _jpeg_huff_table(bits_counts: bytes, vals: bytes) -> dict:
+    """Canonical JPEG Huffman table: {(length, code): symbol}."""
+    table: dict = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits_counts[ln - 1]):
+            table[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_decode_symbol(r: _JpegBitReader, table: dict) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | r.read_bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise EOFError
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """JPEG magnitude decode (spec F.2.2.1): t-bit value -> signed."""
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _decode_jpeg_dc(content: bytes):
+    """Pure-stdlib baseline-JPEG DC decode (r10 verdict item 7):
+    marker walk (DQT/DHT/SOF0/SOS/DRI, APPn skipped), canonical
+    Huffman tables built from the file's own DHT, then an entropy-
+    decode of every MCU that KEEPS only each luma block's DC
+    coefficient and Huffman-walks the AC coefficients to discard them
+    (block boundaries are entropy-coded; there is no skipping without
+    decoding).  Returns (width, height, raster_w, raster_h, bytes) --
+    the 1/8-scale luma raster v = clamp(DC*q/8 + 128), the block-mean
+    image an average-hash needs -- or None when the blob is not a
+    baseline JPEG this tier can decode honestly (progressive SOF2,
+    12-bit, arithmetic coding fall through to PIL rather than decode
+    wrongly).  Grayscale and interleaved-color scans both walk;
+    chroma blocks are decoded and dropped."""
+    import struct
+
+    if len(content) < 4 or content[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    sof = None
+    restart = 0
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            return None
+        marker = content[pos + 1]
+        if marker in (0xC8, 0xCC) or 0xC2 <= marker <= 0xC7 and marker != 0xC4:
+            return None  # progressive/extended/arithmetic: not this tier
+        if 0xC9 <= marker <= 0xCB or 0xCD <= marker <= 0xCF:
+            return None
+        ln = struct.unpack(">H", content[pos + 2 : pos + 4])[0]
+        seg = content[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if pq == 0:
+                    qt[tq] = list(seg[i : i + 64])
+                    i += 64
+                else:
+                    qt[tq] = [
+                        struct.unpack(">H", seg[i + 2 * k : i + 2 * k + 2])[0]
+                        for k in range(64)
+                    ]
+                    i += 128
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i + 17 <= len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                counts = seg[i + 1 : i + 17]
+                n = sum(counts)
+                vals = seg[i + 17 : i + 17 + n]
+                huff[(tc, th)] = _jpeg_huff_table(counts, vals)
+                i += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # baseline SOF
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8 or not w or not h:
+                return None
+            comps = []
+            for k in range(nc):
+                cid, hv, tq = seg[6 + 3 * k : 9 + 3 * k]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            sof = (w, h, comps)
+        elif marker == 0xDD:  # DRI
+            restart = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            if sof is None:
+                return None
+            ns = seg[0]
+            scan = []
+            for k in range(ns):
+                cs, tdta = seg[1 + 2 * k : 3 + 2 * k]
+                scan.append((cs, tdta >> 4, tdta & 15))
+            data_start = pos + 2 + ln
+            return _jpeg_dc_scan(
+                content, data_start, sof, scan, qt, huff, restart
+            )
+        elif marker == 0xD9:
+            return None
+        pos += 2 + ln
+    return None
+
+
+def _jpeg_dc_scan(content, start, sof, scan, qt, huff, restart):
+    w, h, comps = sof
+    by_id = {cid: (hh, vv, tq) for cid, hh, vv, tq in comps}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    # interleaved MCU geometry; a single-component scan is its own MCU
+    if len(scan) == 1:
+        hh, vv, _tq = by_id[scan[0][0]]
+        mcx = -(-w * hh // (8 * hmax))
+        mcy = -(-h * vv // (8 * vmax))
+        sampling = [(1, 1)]
+    else:
+        mcx = -(-w // (8 * hmax))
+        mcy = -(-h // (8 * vmax))
+        sampling = [(by_id[cs][0], by_id[cs][1]) for cs, _, _ in scan]
+    luma_cs = scan[0][0]
+    lh, lv, ltq = by_id[luma_cs]
+    if ltq not in qt:
+        return None
+    q_dc = qt[ltq][0]
+    if len(scan) == 1:
+        rw, rh = mcx, mcy
+        lhs, lvs = 1, 1
+    else:
+        lhs, lvs = lh, lv
+        rw, rh = mcx * lh, mcy * lv
+    raster = bytearray(rw * rh)
+    # split the entropy stream on restart markers (RSTn resets the DC
+    # predictors and realigns to a byte boundary)
+    data = content[start:]
+    end = len(data)
+    i = 0
+    segments = []
+    seg_start = 0
+    while i + 1 < end:
+        if data[i] == 0xFF and data[i + 1] != 0x00:
+            if 0xD0 <= data[i + 1] <= 0xD7:
+                segments.append(data[seg_start:i])
+                seg_start = i + 2
+                i += 2
+                continue
+            break
+        i += 1
+    segments.append(data[seg_start : i if i + 1 < end else end])
+    try:
+        seg_idx = 0
+        r = _JpegBitReader(segments[0])
+        pred = {cs: 0 for cs, _, _ in scan}
+        n_in_seg = 0
+        for m in range(mcx * mcy):
+            if restart and n_in_seg == restart and seg_idx + 1 < len(segments):
+                seg_idx += 1
+                r = _JpegBitReader(segments[seg_idx])
+                pred = {cs: 0 for cs, _, _ in scan}
+                n_in_seg = 0
+            my, mx = divmod(m, mcx)
+            for (cs, td, ta), (sh, sv) in zip(scan, sampling):
+                dtab = huff.get((0, td))
+                atab = huff.get((1, ta))
+                if dtab is None or atab is None:
+                    return None
+                for b in range(sh * sv):
+                    t = _jpeg_decode_symbol(r, dtab)
+                    diff = _jpeg_extend(r.read_bits(t), t) if t else 0
+                    pred[cs] += diff
+                    # walk the AC coefficients to the block boundary
+                    k = 1
+                    while k <= 63:
+                        sym = _jpeg_decode_symbol(r, atab)
+                        if sym == 0x00:  # EOB
+                            break
+                        if sym == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        run, size = sym >> 4, sym & 15
+                        if size == 0:
+                            return None
+                        r.read_bits(size)
+                        k += run + 1
+                    if cs == luma_cs:
+                        bv, bx = divmod(b, lhs)
+                        ry = my * lvs + bv
+                        rx = mx * lhs + bx
+                        if ry < rh and rx < rw:
+                            val = round(pred[cs] * q_dc / 8) + 128
+                            raster[ry * rw + rx] = min(255, max(0, val))
+            n_in_seg += 1
+    except EOFError:
+        return None
+    # crop the raster to the image's true block grid
+    cw, ch = -(-w // 8), -(-h // 8)
+    cw, ch = min(cw, rw), min(ch, rh)
+    rows = [raster[y * rw : y * rw + cw] for y in range(ch)]
+    return w, h, cw, ch, bytes(b"".join(rows))
+
+
 def _decode_bmp_gray(content: bytes):
     """Pure-stdlib BMP decode: 8-bit uncompressed BITMAPINFOHEADER
     only.  Returns (width, height, row-major TOP-DOWN pixel bytes) or
@@ -880,8 +1201,11 @@ def image_ahash(media: DataFrame) -> DataFrame:
     of the pair tier, and four ints sidestep 64-bit sign pitfalls
     across engines).  Decode ladder, most-real first: stdlib BMP
     parse, stdlib PNG pixel decode (zlib IDAT + five-filter unfilter,
-    _decode_png_gray), then PIL (env-gated; converted to 8-bit gray),
-    then a deterministic content-hash fake so non-images still flow.
+    _decode_png_gray), stdlib baseline-JPEG DC decode (the 1/8-scale
+    luma raster of block means -- exactly what an average-hash needs;
+    _decode_jpeg_dc, reported dims are the image's), then PIL
+    (env-gated; converted to 8-bit gray), then a deterministic
+    content-hash fake so non-images still flow.
 
     Arrow-batched mapInPandas straight off the scan: the payload never
     shuffles; output is 7 small ints + a tag per blob."""
@@ -901,6 +1225,17 @@ def image_ahash(media: DataFrame) -> DataFrame:
                 if dec is not None:
                     w, h, pix = dec
                     out.append((mid, w, h, *_ahash_bands(w, h, pix), "png"))
+                    continue
+                # baseline-JPEG DC tier: hash the 1/8-scale luma raster
+                # (block means ARE what an average-hash needs); report
+                # the image's true dims.  Progressive/12-bit blobs
+                # return None here and fall through to PIL.
+                dec = _decode_jpeg_dc(b)
+                if dec is not None:
+                    w, h, rw, rh, raster = dec
+                    out.append(
+                        (mid, w, h, *_ahash_bands(rw, rh, raster), "jpeg-dc")
+                    )
                     continue
                 try:
                     import io

@@ -1387,9 +1387,13 @@ GROUP BY 1, 2, 3, 4"""
 
     # perceptual media tier: the oracle derives the aHash from the
     # pixel ARITHMETIC (never touching bytes) while Spark encodes real
-    # BMPs and decodes them back -- encode->decode->hash vs pure SQL.
-    # Integer-exact bit rule: 64*cell_sum > total  <=>  cell mean >
-    # global mean for 16x16 images with 2x2 cells.
+    # BMPs/PNGs/JPEGs and decodes them back -- encode->decode->hash vs
+    # pure SQL.  Integer-exact bit rule: 64*cell_sum > total  <=>
+    # cell mean > global mean for 16x16 images with 2x2 cells.  The
+    # doc_id%41==5 JPEG family is 64x64 BLOCK-CONSTANT (8x8 blocks of
+    # value v): the BMP's 8x8-pixel aHash cells are exactly the
+    # blocks, and the JPEG DC tier reconstructs the same raster, so
+    # both reduce to the one rule 64*v > sum(v) over 64 blocks.
     _AHASH_CTES = """med AS (
   SELECT doc_id AS media_id, doc_id AS d, 0 AS shift FROM documents
   UNION ALL
@@ -1414,6 +1418,28 @@ bits AS (
          CASE WHEN 64 * c.s4 > t.total THEN 1 ELSE 0 END AS b
   FROM cells c JOIN tot t USING (media_id)
 ),
+jmed AS (
+  SELECT doc_id + 800000 AS media_id, doc_id AS d
+  FROM documents WHERE doc_id % 41 = 5
+  UNION ALL
+  SELECT doc_id + 900000, doc_id FROM documents WHERE doc_id % 41 = 5
+),
+jpx AS (
+  SELECT m.media_id, r.r * 8 + c.c AS cell,
+         ((1 + m.d % 191) * (8 * r.r + c.c + 3 + m.d // 191)
+          + (m.d % 7 + 2) * r.r * r.r + (m.d % 11 + 1) * c.c * c.c) % 192
+           AS v
+  FROM jmed m, range(8) r(r), range(8) c(c)
+),
+jtot AS (SELECT media_id, sum(v) AS total FROM jpx GROUP BY 1),
+jbits AS (
+  SELECT x.media_id, x.cell,
+         CASE WHEN 64 * x.v > t.total THEN 1 ELSE 0 END AS b
+  FROM jpx x JOIN jtot t USING (media_id)
+),
+allbits AS (
+  SELECT * FROM bits UNION ALL SELECT * FROM jbits
+),
 ah AS (
   SELECT media_id,
     CAST(sum(CASE WHEN cell < 16 THEN b << (cell % 16) END) AS INTEGER) AS b0,
@@ -1422,12 +1448,17 @@ ah AS (
     CAST(sum(CASE WHEN cell >= 32 AND cell < 48 THEN b << (cell % 16) END)
       AS INTEGER) AS b2,
     CAST(sum(CASE WHEN cell >= 48 THEN b << (cell % 16) END) AS INTEGER) AS b3
-  FROM bits GROUP BY 1
+  FROM allbits GROUP BY 1
 )"""
     sql["media_ahash"] = f"""
 WITH {_AHASH_CTES}
-SELECT media_id, 16 AS width, 16 AS height, b0, b1, b2, b3,
-       CASE WHEN media_id >= 700000 THEN 'png' ELSE 'bmp' END AS decoder
+SELECT media_id,
+       CASE WHEN media_id >= 800000 THEN 64 ELSE 16 END AS width,
+       CASE WHEN media_id >= 800000 THEN 64 ELSE 16 END AS height,
+       b0, b1, b2, b3,
+       CASE WHEN media_id >= 900000 THEN 'jpeg-dc'
+            WHEN media_id >= 800000 THEN 'bmp'
+            WHEN media_id >= 700000 THEN 'png' ELSE 'bmp' END AS decoder
 FROM ah"""
     sql["media_perceptual_dup"] = f"""
 WITH {_AHASH_CTES},

@@ -288,8 +288,18 @@ def _perceptual_media(spark, sf_dir):
     re-encode (the same pixels written as a real zlib-compressed PNG
     with all five scanline filters, media_id += 700000): byte tier
     blind again, and the green row certifies decoder='png' -- the
-    pure-stdlib PNG pixel path (r9 verdict item 3)."""
-    from ..operators.multimodal import encode_bmp_gray, encode_png_gray
+    pure-stdlib PNG pixel path (r9 verdict item 3).  doc_id % 41 == 5
+    plants the LOSSY-FORMAT pair (r10 verdict item 7): a 64x64
+    BLOCK-CONSTANT grayscale BMP (media_id += 800000) and the SAME
+    content as a real baseline JPEG (media_id += 900000; all-ones
+    quant table makes the constant-block DC roundtrip exact) -- byte
+    tier blind, aHashes identical, and the green row certifies
+    decoder='jpeg-dc', the stdlib DC-coefficient path."""
+    from ..operators.multimodal import (
+        encode_bmp_gray,
+        encode_jpeg_gray_blocks,
+        encode_png_gray,
+    )
 
     ensure_session_conf(spark)
     docs = _docs(spark, sf_dir).select("doc_id")
@@ -321,6 +331,29 @@ def _perceptual_media(spark, sf_dir):
                     out.append((d + 500000, encode_bmp_gray(shifted, 16, 16)))
                 if d % 31 == 3:
                     out.append((d + 700000, encode_png_gray(base, 16, 16)))
+                if d % 41 == 5:
+                    # 8x8 block values; same arithmetic shape at block
+                    # granularity (block-constant => the JPEG's DCT is
+                    # pure DC and the DC tier decodes it exactly)
+                    blocks = bytes(
+                        (
+                            (1 + d % 191) * (8 * br + bc + 3 + d // 191)
+                            + (d % 7 + 2) * br * br
+                            + (d % 11 + 1) * bc * bc
+                        )
+                        % 192
+                        for br in range(8)
+                        for bc in range(8)
+                    )
+                    full = bytes(
+                        blocks[(r // 8) * 8 + (c // 8)]
+                        for r in range(64)
+                        for c in range(64)
+                    )
+                    out.append((d + 800000, encode_bmp_gray(full, 64, 64)))
+                    out.append(
+                        (d + 900000, encode_jpeg_gray_blocks(blocks, 8, 8))
+                    )
             yield _pd.DataFrame(out, columns=["media_id", "content"])
 
     return docs.mapInPandas(gen, "media_id long, content binary")

@@ -33,81 +33,83 @@ from . import oracles_analytics as _oracles_3
 # 1..50).  Window priority (r3 freeze rule, refined r10 per the r9
 # verdict item 5): (1) never-driver-verified or CHANGED queries lead;
 # (2) the window back-fills with the entries whose last DRIVER
-# verification is OLDEST (r10: the r02-verified originals -- cdc_summary
-# and friends -- which were sweep-verified every round but not
-# driver-verified since), so driver evidence rotates instead of
-# re-sampling recent rounds.  The two lists below encode that order;
-# the literal dict keeps its historical grouping and the final reorder
-# is mechanical.  ALL entries, window or not, are value-verified
-# locally each round at sf0.01 by scratch/check.py -- see
-# FULLSWEEP_r10.md.
-_R10_WINDOW_HEAD = [
-    # new in r10
-    "cdc_payload_diff_column_guarded",
-    "cdc_ddl_partial_parse",
-    "cdc_ddl_window_columns",
-    "cdc_schema_timeline_stream",
-    "cdc_schema_columns_stream",
-    # changed in r10: DDL grammar completion re-certifies the r9 DDL
-    # tier on the extended fixture
+# verification is OLDEST (r11: the 10 remaining r02-verified entries
+# the r10 backfill did not reach, then the r03-verified originals),
+# so driver evidence rotates instead of re-sampling recent rounds.
+# The two lists below encode that order; the literal dict keeps its
+# historical grouping and the final reorder is mechanical.  ALL
+# entries, window or not, are value-verified locally each round at
+# sf0.01 by scratch/check.py -- see FULLSWEEP_r11.md.
+_R11_WINDOW_HEAD = [
+    # new in r11: the type-aware column matrix and the live-feed
+    # column guard (read-time compose over the statement-log fold)
+    "cdc_schema_types",
+    "cdc_payload_diff_guarded_stream",
+    # changed in r11: the DDL grammar completion (OPTION_NO_EFFECT,
+    # multi-pair RENAME explode, paren multi-ADD) re-certifies the
+    # whole DDL tier on the mod-13 fixture
     "cdc_schema_timeline",
     "cdc_schema_columns",
+    "cdc_ddl_partial_parse",
+    "cdc_ddl_window_columns",
     "cdc_payload_diff_guarded",
+    "cdc_payload_diff_column_guarded",
     "cdc_ddl_guard_impact",
-    # changed in r10: perceptual fixture gained the PNG container-swap
-    # plant; ADVICE fixes re-certify pair symmetry / double-cast
-    # Pearson / long phash
-    "media_ahash",
-    "media_perceptual_dup",
-    "supplier_similarity",
-    "events_hourly_autocorr",
-    "media_audio_perceptual_dup",
+    "cdc_schema_timeline_stream",
+    "cdc_schema_columns_stream",
 ]
-_R10_WINDOW_BACKFILL = [
-    # stalest driver evidence: all last driver-verified in r02
-    "ann_cosine_topk",
-    "ann_cosine_topk_ivf",
-    "ann_cosine_topk_lsh",
-    "ann_cosine_topk_pandas",
-    "cdc_avro_native_scan",
-    "cdc_avro_only",
-    "cdc_avro_rows",
-    "cdc_binlog_events",
-    "cdc_binlog_only",
-    "cdc_binlog_prepared",
-    "cdc_findings",
-    "cdc_findings_stream",
-    "cdc_matches",
-    "cdc_parse_binlog_text",
-    "cdc_summary",
-    "corpus_curation_pipeline",
-    "corpus_vocab_topk",
-    "dedup_clusters",
-    "dedup_exact",
-    "dedup_keep_canonical",
-    "distinct_users_per_type",
-    "doc_contamination",
-    "doc_fingerprint",
-    "doc_length_quantiles",
-    "doc_quality_deciles",
-    "doc_repetition",
-    "doc_shards",
-    "doc_stratified_sample",
-    "doc_token_ids",
-    "embedding_near_dup",
-    "events_asof_purchase",
-    "events_props_stats",
-    "events_running_windows",
-    "events_sessionize",
-    "events_type_pivot",
-    "events_view_click_range",
+_R11_WINDOW_BACKFILL = [
+    # stalest driver evidence first: r02 leftovers, then the r03 set
+    "events_windowed_stream",
+    "lang_id",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "simhash_fingerprints",
+    "simhash_near_pairs",
+    "text_clean",
+    "text_quality",
+    "tfidf_top_terms",
+    "token_count",
+    "big_ticket_orders",
+    "cdc_apply_changes",
+    "cdc_avro_native_scan_jvm",
+    "cdc_parse_binlog_text_pyds",
+    "cdc_snapshot_stream",
+    "corpus_mixture_sample",
+    "customer_nation_revenue",
+    "doc_bigram_logprob",
+    "doc_chunks",
+    "doc_dsir_weights",
+    "doc_fuzzy_contamination",
+    "doc_pack_sequences",
+    "doc_redact_pii",
+    "doc_repeated_spans",
+    "doc_span_removal",
+    "doc_split_assignments",
+    "embedding_cluster_profiles",
+    "embedding_kmeans",
+    "events_dedup_stream",
+    "events_funnel",
+    "events_join_stream",
+    "events_kmv_distinct_users",
+    "events_rank_family",
+    "events_salted_type_stats",
+    "events_top_type_stream",
+    "events_trailing_10min",
+    "events_value_histogram",
+    "high_value_customers",
+    "late_exclusive_suppliers",
 ]
 
 
 def queries() -> dict[str, QueryFn]:
     base = _queries_grouped()
-    head = _R10_WINDOW_HEAD + _R10_WINDOW_BACKFILL
-    assert len(head) == 50 and all(k in base for k in head)
+    head = _R11_WINDOW_HEAD + _R11_WINDOW_BACKFILL
+    # uniqueness locked explicitly: a duplicate between the two lists
+    # would silently shrink the driver's first-50 window (dict merge
+    # dedupes keys) while the length assert stayed green
+    assert len(head) == 50 and len(set(head)) == 50
+    assert all(k in base for k in head)
     return {**{k: base[k] for k in head}, **base}
 
 

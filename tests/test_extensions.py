@@ -4835,6 +4835,175 @@ def test_png_decode_roundtrip_and_luma():
     assert _decode_png_gray(deep) is None
 
 
+def _mini_jpeg(w, h, comps, blocks_per_mcu, mcus, dri=0):
+    """Hand-assemble a baseline JPEG whose entropy stream carries REAL
+    AC coefficients -- the fixture encoder only ever emits EOB, so
+    these streams are what prove the DC tier's AC walk keeps block
+    sync.  ``mcus``: per MCU, per block-slot, (dc_diff_category,
+    dc_diff, [(acsym, size_bits)...]).  Tables: the 4-bit DC category
+    codes plus a 3-bit AC alphabet {EOB, 0x01, 0x11, 0x21, 0xF0}."""
+    import struct
+
+    ac_syms = [0x00, 0x01, 0x11, 0x21, 0xF0]
+    ac_code = {s: (3, i) for i, s in enumerate(ac_syms)}
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * len(comps), 8, h, w,
+                                     len(comps))
+    for cid, hv in comps:
+        out += bytes([cid, hv, 0])
+    out += (b"\xff\xc4" + struct.pack(">H", 31) + b"\x00"
+            + bytes([0, 0, 0, 12] + [0] * 12) + bytes(range(12)))
+    out += (b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + 5) + b"\x10"
+            + bytes([0, 0, 5] + [0] * 13) + bytes(ac_syms))
+    if dri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
+    out += b"\xff\xda" + struct.pack(">HB", 2 + 1 + 2 * len(comps) + 3,
+                                     len(comps))
+    for cid, _hv in comps:
+        out += bytes([cid, 0x00])
+    out += bytes([0, 63, 0])
+
+    def flush(bits):
+        while len(bits) % 8:
+            bits.append(1)
+        seg = bytearray()
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for b in bits[i : i + 8]:
+                byte = (byte << 1) | b
+            seg.append(byte)
+            if byte == 0xFF:
+                seg.append(0x00)
+        return bytes(seg)
+
+    def put(bits, value, n):
+        for i in range(n - 1, -1, -1):
+            bits.append((value >> i) & 1)
+
+    bits = []
+    for m, mcu in enumerate(mcus):
+        if dri and m and m % dri == 0:
+            out += flush(bits)
+            out += bytes([0xFF, 0xD0 + ((m // dri - 1) % 8)])
+            bits = []
+        for t, diff, acs in mcu:
+            put(bits, t, 4)
+            if t:
+                put(bits, diff if diff > 0 else diff + (1 << t) - 1, t)
+            for sym, size in acs:
+                ln, code = ac_code[sym]
+                put(bits, code, ln)
+                if sym not in (0x00, 0xF0):
+                    put(bits, (1 << size) - 1, size)  # max-magnitude bits
+    out += flush(bits)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_dc_decode_walks_ac_and_syncs():
+    """The baseline-JPEG DC tier (r10 verdict item 7) on streams the
+    fixture never emits: blocks carrying real AC coefficients (the
+    walk must consume them exactly or the NEXT block's DC desyncs),
+    a 4:2:0 three-component interleave (chroma decoded and dropped),
+    restart markers (predictor reset + byte realign), and the
+    fall-throughs (progressive, truncated, non-JPEG)."""
+    from binlog_avro_comparator_spark.operators.multimodal import (
+        _decode_jpeg_dc,
+        encode_jpeg_gray_blocks,
+    )
+
+    eob = [(0x00, 0)]
+    # grayscale 16x8: two blocks; block 1 carries AC run/size symbols
+    # and a ZRL before its EOB -- block 2's DC only reads right if the
+    # walk consumed every AC bit
+    blob = _mini_jpeg(
+        16, 8, [(1, 0x11)], 1,
+        [
+            [(4, 8, [(0x01, 1), (0xF0, 0), (0x11, 1), (0x21, 1)] + eob)],
+            [(4, -8, eob)],
+        ],
+    )
+    w, h, rw, rh, raster = _decode_jpeg_dc(blob)
+    assert (w, h, rw, rh) == (16, 8, 2, 1)
+    # DC1 = +8 -> 129; DC2 = 8 + (-8) = 0 -> 128
+    assert list(raster) == [129, 128]
+    # 4:2:0 interleave: 1 MCU = 4 Y blocks + Cb + Cr; chroma blocks
+    # carry ACs too (discarded but must be walked)
+    y_dcs = [(4, 8, eob), (4, 8, [(0x01, 1)] + eob), (5, -16, eob),
+             (4, 8, eob)]
+    chroma = [(3, 4, [(0x11, 1)] + eob), (3, -4, eob)]
+    blob = _mini_jpeg(
+        16, 16, [(1, 0x22), (2, 0x11), (3, 0x11)], 6,
+        [y_dcs + chroma],
+    )
+    w, h, rw, rh, raster = _decode_jpeg_dc(blob)
+    assert (w, h, rw, rh) == (16, 16, 2, 2)
+    # cumulative Y DC: 8, 16, 0, 8 -> value = DC*q/8 + 128
+    assert list(raster) == [129, 130, 128, 129]
+    # restart markers: DRI=1, the second MCU's predictor resets to 0
+    blob = _mini_jpeg(
+        16, 8, [(1, 0x11)], 1,
+        [[(4, 8, eob)], [(4, 8, eob)]],
+        dri=1,
+    )
+    *_, raster = _decode_jpeg_dc(blob)
+    assert list(raster) == [129, 129]  # predictor reset: NOT 129 then 130
+    # fall-throughs: progressive SOF2, truncation, not-a-JPEG
+    prog = bytearray(blob)
+    prog[blob.index(b"\xff\xc0") + 1] = 0xC2
+    assert _decode_jpeg_dc(bytes(prog)) is None
+    assert _decode_jpeg_dc(blob[:30]) is None
+    assert _decode_jpeg_dc(b"\x89PNG\r\n\x1a\nnope") is None
+    # and the fixture encoder's EOB-only stream roundtrips exactly
+    blocks = bytes((7 * i + 13) % 192 for i in range(12))
+    out = _decode_jpeg_dc(encode_jpeg_gray_blocks(blocks, 4, 3))
+    assert out == (32, 24, 4, 3, blocks)
+
+
+def test_perceptual_catches_jpeg_reencode(spark):
+    """The r10 verdict's lossy-format scenario end-to-end: the same
+    block-constant content as a 64x64 BMP and as a real baseline JPEG
+    shares no bytes, but the DC tier reconstructs the identical
+    block-mean raster, so the aHashes match exactly and the pair
+    surfaces with decoder='jpeg-dc' -- provably invisible to the byte
+    tier, caught by the perceptual one."""
+    from binlog_avro_comparator_spark.operators.multimodal import (
+        encode_bmp_gray,
+        encode_jpeg_gray_blocks,
+        image_ahash,
+        media_near_dup_pairs,
+        media_perceptual_dup_pairs,
+    )
+
+    d = 46  # 46 % 41 == 5: the registered plant's arithmetic
+    blocks = bytes(
+        ((1 + d % 191) * (8 * br + bc + 3 + d // 191)
+         + (d % 7 + 2) * br * br + (d % 11 + 1) * bc * bc) % 192
+        for br in range(8) for bc in range(8)
+    )
+    full = bytes(
+        blocks[(r // 8) * 8 + (c // 8)] for r in range(64) for c in range(64)
+    )
+    media = spark.createDataFrame(
+        [
+            (800046, bytearray(encode_bmp_gray(full, 64, 64))),
+            (900046, bytearray(encode_jpeg_gray_blocks(blocks, 8, 8))),
+        ],
+        "media_id long, content binary",
+    )
+    ah = {r.media_id: r for r in image_ahash(media).collect()}
+    assert ah[800046].decoder == "bmp" and ah[900046].decoder == "jpeg-dc"
+    assert (ah[900046].width, ah[900046].height) == (64, 64)
+    for b in ("b0", "b1", "b2", "b3"):
+        assert getattr(ah[800046], b) == getattr(ah[900046], b)
+    pairs = media_perceptual_dup_pairs(media).collect()
+    assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [
+        (800046, 900046, 0)
+    ]
+    assert media_near_dup_pairs(media).count() == 0  # byte tier: blind
+
+
 def test_perceptual_catches_png_container_swap(spark):
     """The r9 verdict's PNG scenario end-to-end: the SAME pixels
     re-encoded as a zlib PNG share no rare byte chunk with the BMP
