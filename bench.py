@@ -285,6 +285,7 @@ EXTRA_QUERIES = [
     "cdc_schema_columns_stream",
     # round 11 (type-aware matrix + live-feed column guard)
     "cdc_schema_types",
+    "cdc_schema_types_stream",
     "cdc_payload_diff_guarded_stream",
 ]
 

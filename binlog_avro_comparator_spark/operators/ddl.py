@@ -297,7 +297,11 @@ def parse_ddl_statements(parsed: DataFrame) -> DataFrame:
 _CLAUSE_SPLIT_RE = (
     r"(?i),\s*(?=(?:add|drop|modify|change|rename|alter|convert|engine|"
     r"algorithm|lock|comment|partition|character|default|collate|force|"
-    r"order|disable|enable|with|without|auto_increment|row_format)\b)"
+    r"order|disable|enable|with|without|auto_increment|row_format|"
+    r"charset|stats_persistent|stats_auto_recalc|pack_keys|max_rows|"
+    r"min_rows|checksum|delay_key_write|key_block_size|tablespace|"
+    r"remove|reorganize|coalesce|truncate|rebuild|optimize|analyze|"
+    r"repair|exchange|discard|import)\b)"
 )
 _ALTER_BODY_RE = (
     r"(?is)^\s*alter\s+table\s+(?:if\s+exists\s+)?"
@@ -386,7 +390,8 @@ def alter_clauses(ddl: DataFrame) -> DataFrame:
     (0-based order inside the statement), ``col_no``, ``clause``
     (verbatim text), ``clause_kind`` in {ADD_COLUMN, DROP_COLUMN,
     MODIFY_COLUMN, CHANGE_COLUMN, RENAME_COLUMN, RENAME_TO, INDEX_OP,
-    OPTION_NO_EFFECT, UNPARSED}, ``col_a`` / ``col_b`` (the touched
+    OPTION_NO_EFFECT, COLUMN_DEFAULT, PARTITION_OP, UNPARSED},
+    ``col_a`` / ``col_b`` (the touched
     column / its new name where the kind has one), and ``col_type``
     (the normalized declared type where the clause declares one --
     ADD/MODIFY/CHANGE and paren-list defs; NULL otherwise).  MODIFY
@@ -454,13 +459,43 @@ def alter_clauses(ddl: DataFrame) -> DataFrame:
         .when((w1 == "change") & (chg_b != ""), "CHANGE_COLUMN")
         .when((w1 == "rename") & (w2 == "column") & (ren_b != ""),
               "RENAME_COLUMN")
+        # RENAME INDEX/KEY old TO new: an index op, no column effect
+        .when((w1 == "rename") & w2.isin("index", "key"), "INDEX_OP")
         .when((w1 == "rename") & (w2 != "column") & (rto_1 != ""),
               "RENAME_TO")
+        # ALTER COLUMN x SET DEFAULT v / DROP DEFAULT: recognized,
+        # default changes never move the column SHAPE (values already
+        # written are untouched), so the moved set stays known-empty
+        .when(
+            (w1 == "alter")
+            & F.col("clause").rlike(
+                r"(?is)^alter\s+(?:column\s+)?`?[A-Za-z_$][A-Za-z0-9_$]*`?"
+                r"\s+(?:set\s+default|drop\s+default)\b"
+            ),
+            "COLUMN_DEFAULT",
+        )
         .when(w1.isin(*_OPTION_WORDS), "OPTION_NO_EFFECT")
         .when((w1 == "default"), "OPTION_NO_EFFECT")
         .when((w1 == "character") & (w2 == "set"), "OPTION_NO_EFFECT")
         .when((w1 == "enable") & (w2 == "keys"), "OPTION_NO_EFFECT")
         .when((w1 == "disable") & (w2 == "keys"), "OPTION_NO_EFFECT")
+        # ORDER BY / partition-maintenance clauses: physical layout,
+        # not column shape (ADD/DROP/TRUNCATE/REORGANIZE/COALESCE
+        # PARTITION route through the add/drop arms or land here)
+        .when((w1 == "order") & (w2 == "by"), "OPTION_NO_EFFECT")
+        .when(
+            w1.isin(
+                "partition", "remove", "reorganize", "coalesce",
+                "truncate", "rebuild", "optimize", "analyze", "repair",
+                "exchange", "discard", "import",
+            )
+            & (
+                (w2 == "partition")
+                | (w1 == "partition")
+                | (w1 == "remove") & (w2 == "partitioning")
+            ),
+            "PARTITION_OP",
+        )
         .otherwise("UNPARSED")
     )
     col_a = (

@@ -1665,6 +1665,10 @@ SELECT schema_name, table_name, version, col AS column_name,
     FALSE) AS is_narrowing
 FROM rk"""
 
+    # streaming twin of the type matrix: same read-time derivation
+    # from the statement-log fold, so read-LATEST == batch verbatim
+    sql["cdc_schema_types_stream"] = sql["cdc_schema_types"]
+
     # the PARTIAL_PARSE channel: the fixture's only unparseable
     # fragment is the m=10 CONVERT clause; the anomaly reports the
     # WRITTEN (renamed) table name -- the operator's actionable handle

@@ -1043,6 +1043,23 @@ def _q_cdc_schema_columns_stream(spark, sf_dir):
     return _run_fold(spark, maintain_schema_timeline, read_schema_columns, d)
 
 
+def _q_cdc_schema_types_stream(spark, sf_dir):
+    """The type-aware column matrix served LIVE from the statement-log
+    fold (fold_sinks.read_schema_types): narrowing detection on the
+    feed -- the fourth read-time view from one maintained
+    metadata-sized state, certifying again that the fold is
+    view-agnostic.  Reading LATEST equals batch schema_column_types
+    verbatim (the shared oracle)."""
+    from ..streaming.fold_sinks import (
+        maintain_schema_timeline,
+        read_schema_types,
+    )
+
+    ensure_session_conf(spark)
+    d = _events_chunk_dir(spark, sf_dir)
+    return _run_fold(spark, maintain_schema_timeline, read_schema_types, d)
+
+
 def _q_cdc_payload_diff_guarded_stream(spark, sf_dir):
     """The column-granular DDL guard ON THE LIVE FEED
     (fold_sinks.maintain_guarded_payload_diff): production diffs run

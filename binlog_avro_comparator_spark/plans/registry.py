@@ -44,6 +44,7 @@ _R11_WINDOW_HEAD = [
     # new in r11: the type-aware column matrix and the live-feed
     # column guard (read-time compose over the statement-log fold)
     "cdc_schema_types",
+    "cdc_schema_types_stream",
     "cdc_payload_diff_guarded_stream",
     # changed in r11: the DDL grammar completion (OPTION_NO_EFFECT,
     # multi-pair RENAME explode, paren multi-ADD) re-certifies the
@@ -98,7 +99,6 @@ _R11_WINDOW_BACKFILL = [
     "events_trailing_10min",
     "events_value_histogram",
     "high_value_customers",
-    "late_exclusive_suppliers",
 ]
 
 
@@ -153,6 +153,7 @@ def _queries_grouped() -> dict[str, QueryFn]:
         # the mod-13 fixture; cdc_schema_types is the type-aware
         # matrix with the narrowing plant. --
         "cdc_schema_types": _q_cdc_schema_types,
+        "cdc_schema_types_stream": _q_cdc_schema_types_stream,
         "cdc_payload_diff_guarded_stream": _q_cdc_payload_diff_guarded_stream,
         "cdc_payload_diff_column_guarded": _q_cdc_payload_diff_column_guarded,
         "cdc_ddl_partial_parse": _q_cdc_ddl_partial_parse,

@@ -546,6 +546,19 @@ def read_schema_columns(spark: SparkSession, state_dir: str) -> DataFrame:
     return schema_column_matrix(spark.read.parquet(target))
 
 
+def read_schema_types(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The TYPE-AWARE column matrix over the same statement log -- a
+    fourth read-time view from the one maintained metadata-sized
+    state (narrowing detection live: the quiet varchar/int/decimal
+    shrink surfaces the trigger after the MODIFY lands)."""
+    from ..operators.ddl import schema_column_types
+
+    target = _latest_version(state_dir)
+    if target is None:
+        raise FileNotFoundError(f"no state version under {state_dir}")
+    return schema_column_types(spark.read.parquet(target))
+
+
 def read_drift_window_columns(
     spark: SparkSession, state_dir: str
 ) -> DataFrame:

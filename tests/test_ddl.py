@@ -407,6 +407,54 @@ def test_option_clauses_keep_moved_known(spark):
     ]
 
 
+def test_maintenance_clauses_classify_no_effect(spark):
+    """The rest of the week-one ALTER vocabulary: ALTER COLUMN SET/DROP
+    DEFAULT (COLUMN_DEFAULT -- defaults never move the column shape),
+    RENAME INDEX (an index op), ORDER BY, and the partition-maintenance
+    family -- all RECOGNIZED no-shape-effect grammar, so none of them
+    degrades the moved-column set to unknown and none lands on the
+    anomaly channel."""
+    from binlog_avro_comparator_spark.operators.ddl import (
+        alter_clauses,
+        ddl_drift_window_columns,
+        ddl_parse_anomalies,
+    )
+
+    rows = [
+        _q("2025-06-01T10:00:00Z", "mysql-bin.000001", 100, 1, "db0",
+           "ALTER TABLE t1 ALTER COLUMN c SET DEFAULT 5, ADD COLUMN d INT"),
+        _q("2025-06-01T10:00:01Z", "mysql-bin.000001", 200, 2, "db0",
+           "ALTER TABLE t2 ALTER c DROP DEFAULT"),
+        _q("2025-06-01T10:00:02Z", "mysql-bin.000001", 300, 3, "db0",
+           "ALTER TABLE t3 RENAME INDEX ix_a TO ix_b"),
+        _q("2025-06-01T10:00:03Z", "mysql-bin.000001", 400, 4, "db0",
+           "ALTER TABLE t4 ORDER BY c1, ADD COLUMN e INT"),
+        _q("2025-06-01T10:00:04Z", "mysql-bin.000001", 500, 5, "db0",
+           "ALTER TABLE t5 TRUNCATE PARTITION p0"),
+        _q("2025-06-01T10:00:05Z", "mysql-bin.000001", 600, 6, "db0",
+           "ALTER TABLE t6 REMOVE PARTITIONING"),
+        _q("2025-06-01T10:00:06Z", "mysql-bin.000001", 700, 7, "db0",
+           "ALTER TABLE t7 REORGANIZE PARTITION p0 INTO"
+           " (PARTITION p1 VALUES LESS THAN (10))"),
+    ]
+    ddl = parse_ddl_statements(_parsed(spark, rows))
+    kinds = {
+        (r.line_no, r.clause_no): r.clause_kind
+        for r in alter_clauses(ddl).collect()
+    }
+    assert kinds[(1, 0)] == "COLUMN_DEFAULT"
+    assert kinds[(1, 1)] == "ADD_COLUMN"
+    assert kinds[(2, 0)] == "COLUMN_DEFAULT"
+    assert kinds[(3, 0)] == "INDEX_OP"
+    assert kinds[(4, 0)] == "OPTION_NO_EFFECT"
+    assert kinds[(4, 1)] == "ADD_COLUMN"
+    assert kinds[(5, 0)] == kinds[(6, 0)] == kinds[(7, 0)] == "PARTITION_OP"
+    wc = {r.table_name: r for r in ddl_drift_window_columns(ddl).collect()}
+    assert all(w.moved_known for w in wc.values())
+    assert wc["t1"].moved_cols == ["d"] and wc["t4"].moved_cols == ["e"]
+    assert ddl_parse_anomalies(ddl).count() == 0
+
+
 def test_paren_multi_column_add(spark):
     """``ADD (x INT, y VARCHAR(255))`` -- valid MySQL -- explodes into
     per-column ADD_COLUMN rows with declared types; constraint

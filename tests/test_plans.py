@@ -1480,6 +1480,27 @@ def test_schema_timeline_single_table_partitioned_window(spark):
     assert "windowspecdefinition(schema_name" in plan
 
 
+def test_schema_column_types_fold_shape(spark):
+    """The type-aware matrix keeps the matrix's fold shape: a linear
+    grid (statements x touched columns) with per-(table, column)
+    carry-forward windows -- no cartesian, no nested-loop join, and
+    every window partitioned by table identity."""
+    from binlog_avro_comparator_spark.fixtures import generate_ddl_text_lines
+    from binlog_avro_comparator_spark.operators.ddl import (
+        parse_ddl_statements,
+        schema_column_types,
+    )
+    from binlog_avro_comparator_spark.operators.parse import parse_binlog_text
+
+    lines = generate_ddl_text_lines(load_table(spark, SF, "events"))
+    plan = _plan(
+        schema_column_types(parse_ddl_statements(parse_binlog_text(lines)))
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "windowspecdefinition(schema_name" in plan
+
+
 def test_perceptual_pairs_payload_never_shuffles(spark):
     """media_perceptual_dup_pairs: blobs collapse to four band ints at
     the scan; no Exchange carries the binary payload, and the
