@@ -774,7 +774,12 @@ def canonicalize_tables(ddl: DataFrame, max_hops: int = 4) -> DataFrame:
     reuse over time is NOT temporally scoped: a table re-created under
     a previously-renamed-away name joins the old history -- the
     conservative direction for drift quarantine."""
-    edges = rename_edges(ddl)
+    from ..functions.caching import scoped_cache
+
+    # the edge frame is referenced once per hop: cached (edge
+    # cardinality -- bytes), or Catalyst re-expands the rename groupBy
+    # subtree max_hops+1 times into every consumer's plan
+    edges = scoped_cache(rename_edges(ddl))
     m = edges.select(
         F.col("__n_schema").alias("__m_schema"),
         F.col("__n_name").alias("__m_name"),
@@ -949,7 +954,13 @@ def ddl_drift_window_columns(ddl: DataFrame) -> DataFrame:
     aggregate; output stays opener-cardinality and broadcastable.
     Returns (schema_name, table_name, win_from, win_to, moved_cols
     array<string>, moved_known boolean)."""
-    c = canonicalize_tables(ddl)
+    from ..functions.caching import scoped_cache
+
+    # the canonicalized statement frame feeds multiple subtrees
+    # here: statement-cardinality, cache it once (the r11 clause
+    # grammar's richer expressions otherwise re-expand into each
+    # arm -- a measured 2x plan blowup at sf0.1)
+    c = scoped_cache(canonicalize_tables(ddl))
     d = c.filter(F.col("log_position") != 0)
     coord = binlog_coord(F.col("binlog_file"), F.col("log_position"))
     w = (
@@ -981,9 +992,9 @@ def ddl_drift_window_columns(ddl: DataFrame) -> DataFrame:
     # alter_clauses re-parses from the canonical frame (col names are
     # identical either way); join back on the statement's unique
     # physical identity (file, position, line)
-    cl = alter_clauses(
+    cl = scoped_cache(alter_clauses(
         c.filter(F.col("ddl_kind") == "ALTER")
-    )
+    ))
     touched = F.array_compact(F.array("col_a", "col_b"))
     per_stmt = cl.groupBy("binlog_file", "log_position", "line_no").agg(
         F.array_distinct(F.flatten(F.collect_list(touched))).alias(
@@ -1074,7 +1085,13 @@ def schema_column_matrix(ddl: DataFrame) -> DataFrame:
     one shuffle on table identity, metadata-sized end to end.
     Returns (schema_name, table_name, version, column_name) for
     present columns only."""
-    c = canonicalize_tables(ddl)
+    from ..functions.caching import scoped_cache
+
+    # the canonicalized statement frame feeds multiple subtrees
+    # here: statement-cardinality, cache it once (the r11 clause
+    # grammar's richer expressions otherwise re-expand into each
+    # arm -- a measured 2x plan blowup at sf0.1)
+    c = scoped_cache(canonicalize_tables(ddl))
     w = Window.partitionBy("schema_name", "table_name").orderBy(*_ORDER_COLS)
     empty = F.expr("cast(array() as array<string>)")
     create_cols = F.when(
@@ -1093,10 +1110,13 @@ def schema_column_matrix(ddl: DataFrame) -> DataFrame:
             F.regexp_extract("statement", _CREATE_LIST_RE, 1) != ""
         ).alias("__has_list"),
     )
+    d = scoped_cache(d)
     # per-(statement, column) NET set effect from the clause grammar:
     # each clause contributes (col, effect, ord, tie); the last clause
-    # touching a column wins, adds over drops at equal position
-    cl = alter_clauses(c.filter(F.col("ddl_kind") == "ALTER"))
+    # touching a column wins, adds over drops at equal position.  The
+    # clause frame carries the grammar's widest expression tree --
+    # cache it (clause-cardinality) so codegen compiles it once
+    cl = scoped_cache(alter_clauses(c.filter(F.col("ddl_kind") == "ALTER")))
     eff_entries = (
         F.when(
             F.col("clause_kind") == "ADD_COLUMN",
@@ -1147,6 +1167,7 @@ def schema_column_matrix(ddl: DataFrame) -> DataFrame:
             entries["__e"]["eff"], F.struct("clause_no", "col_no", "__tie")
         ).alias("__eff")
     )
+    stmt_effects = scoped_cache(stmt_effects)
     # the column universe per canonical table: clause-touched + declared
     uni = (
         stmt_effects.select("schema_name", "table_name", "column_name")
@@ -1291,7 +1312,13 @@ def schema_column_types(ddl: DataFrame) -> DataFrame:
     (grid linear in statements, one shuffle on table identity,
     metadata-sized end to end).  Returns (schema_name, table_name,
     version, column_name, column_type, is_narrowing)."""
-    c = canonicalize_tables(ddl)
+    from ..functions.caching import scoped_cache
+
+    # the canonicalized statement frame feeds multiple subtrees
+    # here: statement-cardinality, cache it once (the r11 clause
+    # grammar's richer expressions otherwise re-expand into each
+    # arm -- a measured 2x plan blowup at sf0.1)
+    c = scoped_cache(canonicalize_tables(ddl))
     w = Window.partitionBy("schema_name", "table_name").orderBy(*_ORDER_COLS)
     empty_defs = F.expr(
         "cast(array() as array<struct<col:string,typ:string>>)"
@@ -1312,11 +1339,12 @@ def schema_column_types(ddl: DataFrame) -> DataFrame:
             F.regexp_extract("statement", _CREATE_LIST_RE, 1) != ""
         ).alias("__has_list"),
     )
+    d = scoped_cache(d)
     # per-(statement, column) NET type action, encoded as one string
     # so the fold is a plain last-ignore-nulls: 'T:<type>' declares,
     # 'T:' marks present-but-undeclared, 'X' resets
     decl = F.concat(F.lit("T:"), F.coalesce(F.col("col_type"), F.lit("")))
-    cl = alter_clauses(c.filter(F.col("ddl_kind") == "ALTER"))
+    cl = scoped_cache(alter_clauses(c.filter(F.col("ddl_kind") == "ALTER")))
     type_entries = (
         F.when(
             F.col("clause_kind").isin("ADD_COLUMN", "MODIFY_COLUMN"),
@@ -1374,6 +1402,7 @@ def schema_column_types(ddl: DataFrame) -> DataFrame:
             entries["__e"]["act"], F.struct("clause_no", "col_no", "__tie")
         ).alias("__act")
     )
+    stmt_acts = scoped_cache(stmt_acts)
     uni = (
         stmt_acts.select("schema_name", "table_name", "column_name")
         .unionByName(

@@ -1208,7 +1208,18 @@ def _ddl_statements(spark, sf_dir):
     if hit is None:
         ensure_session_conf(spark)
         lines = generate_ddl_text_lines(load_table(spark, sf_dir, "events"))
-        hit = parse_ddl_statements(parse_binlog_text(lines)).persist()
+        # persist HASH-PARTITIONED on the fold key, few partitions: the
+        # statement log is metadata-sized, and every downstream view
+        # windows/aggregates by table identity -- a cached frame KEEPS
+        # its outputPartitioning, so the views' first exchange is
+        # satisfied by the cache instead of re-shuffling 32 near-empty
+        # partitions per stage (the whole family is stage-count-bound,
+        # not data-bound)
+        hit = (
+            parse_ddl_statements(parse_binlog_text(lines))
+            .repartition(8, "schema_name", "table_name")
+            .persist()
+        )
         _DDL_STMT_CACHE[key] = hit
     return hit.select("*")
 
