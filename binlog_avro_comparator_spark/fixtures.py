@@ -481,7 +481,15 @@ def ddl_statement_col() -> F.Column:
          OPTION_NO_EFFECT so the moved set stays fully known)
       1  qualified CREATE with IF NOT EXISTS
       2  backtick-quoted DROP
-      3  non-DDL noise (BEGIN -- must be filtered)
+      3  sub-split by k = event_id % 5 (coprime with 13, every combo
+         occurs): k=0 non-DDL noise (BEGIN -- must be filtered);
+         k=1 TRUNCATE (``TABLE`` keyword on even event_id, the bare
+         legal form on odd -- a DATA reset: whole-key drift-window
+         opener, membership/types carry); k=2 standalone qualified
+         CREATE UNIQUE INDEX .. ON (kind INDEX, keyed on the ON
+         target); k=3 multi-name ``OPTIMIZE TABLE t, t_r`` (kind
+         MAINTENANCE, exploded per name; the second name exercises
+         canonical rename threading); k=4 DROP INDEX .. ON
       4  lowercase DROP-COLUMN ALTER (case-insensitive matching)
       5  MULTI-CLAUSE ALTER: ADD COLUMN with a parens-comma type
          (DECIMAL(10,2) -- must not split), DROP COLUMN, ADD INDEX
@@ -505,6 +513,7 @@ def ddl_statement_col() -> F.Column:
          LOCK=NONE`` -- per-column explode, moved set fully known)"""
     eid = F.col("line_no")
     m = eid % 13
+    k = eid % 5
     four = (eid % 4).cast("string")
     c_col = F.concat(F.lit("c"), four)
     a_col = F.concat(F.lit("a"), four)
@@ -536,6 +545,35 @@ def ddl_statement_col() -> F.Column:
             F.concat(
                 F.lit("DROP TABLE `"), F.col("schema"), F.lit("`.`"),
                 F.col("table"), F.lit("`"),
+            ),
+        )
+        .when(
+            (m == 3) & (k == 1),
+            F.when(
+                eid % 2 == 0,
+                F.concat(F.lit("TRUNCATE TABLE "), F.col("table")),
+            ).otherwise(F.concat(F.lit("TRUNCATE "), F.col("table"))),
+        )
+        .when(
+            (m == 3) & (k == 2),
+            F.concat(
+                F.lit("CREATE UNIQUE INDEX ux_c"), four, F.lit(" ON "),
+                F.col("schema"), F.lit("."), F.col("table"),
+                F.lit(" (c"), four, F.lit(")"),
+            ),
+        )
+        .when(
+            (m == 3) & (k == 3),
+            F.concat(
+                F.lit("OPTIMIZE TABLE "), F.col("table"), F.lit(", "),
+                F.col("table"), F.lit("_r"),
+            ),
+        )
+        .when(
+            (m == 3) & (k == 4),
+            F.concat(
+                F.lit("DROP INDEX ix_a"), four, F.lit(" ON "),
+                F.col("table"),
             ),
         )
         .when(m == 3, F.lit("BEGIN"))

@@ -118,6 +118,50 @@ _NAME_ONLY_RE = (
     r"^\s*`?([A-Za-z0-9_$]+)`?(?:\s*\.\s*`?([A-Za-z0-9_$]+)`?)?\s*$"
 )
 
+# TRUNCATE [TABLE] t -- a DATA-reset statement (membership and types
+# are untouched; every row in the table is gone).  MySQL allows the
+# bare ``TRUNCATE t`` form and logs the statement as issued.
+_TRUNCATE_VERB_RE = r"(?i)^\s*truncate\s"
+_TRUNCATE_RE = (
+    r"(?is)^\s*truncate\s+(?:table\s+)?"
+    r"`?([A-Za-z0-9_$]+)`?(?:\s*\.\s*`?([A-Za-z0-9_$]+)`?)?\s*;?\s*$"
+)
+# never-silent fallback capture: the loose leading token after the
+# verb (backticks stripped) so a name outside the identifier grammar
+# still keys a frame row while the anomaly channel reports it
+_TRUNCATE_LOOSE_RE = (
+    r"(?is)^\s*truncate\s+(?:table\s+)?`?([^`\s.,;]+)"
+)
+
+# standalone index DDL: CREATE [UNIQUE|FULLTEXT|SPATIAL] INDEX i ON t
+# and DROP INDEX i ON t -- no column effect (the ALTER-clause INDEX_OP
+# twins), but the statement log must SEE them: they are the statements
+# online-schema-change tooling interleaves with the ALTERs this
+# subsystem guards around
+_INDEX_VERB_RE = (
+    r"(?is)^\s*(?:create\s+(?:unique\s+|fulltext\s+|spatial\s+)?index"
+    r"|drop\s+index)\s"
+)
+_INDEX_ON_RE = (
+    r"(?is)^\s*(?:create\s+(?:unique\s+|fulltext\s+|spatial\s+)?|drop\s+)"
+    r"index\s+`?[A-Za-z0-9_$]+`?\s+on\s+"
+    r"`?([A-Za-z0-9_$]+)`?(?:\s*\.\s*`?([A-Za-z0-9_$]+)`?)?"
+)
+_INDEX_ON_LOOSE_RE = r"(?is)\son\s+`?([^`\s.,;(]+)"
+
+# maintenance statements take a comma list of tables like DROP does:
+# OPTIMIZE/ANALYZE/REPAIR [NO_WRITE_TO_BINLOG|LOCAL] TABLE a, b --
+# no shape effect, but binlogged and part of every operational
+# runbook; the list explodes per name (pair_no keeps order)
+_MAINT_VERB_RE = (
+    r"(?is)^\s*(?:optimize|analyze|repair)\s+"
+    r"(?:no_write_to_binlog\s+|local\s+)?table\s"
+)
+_MAINT_BODY_RE = (
+    r"(?is)^\s*(?:optimize|analyze|repair)\s+"
+    r"(?:no_write_to_binlog\s+|local\s+)?table\s+(.*?)\s*;?\s*$"
+)
+
 
 def parse_ddl_statements(parsed: DataFrame) -> DataFrame:
     """Parsed binlog events (operators/parse.parse_binlog_text shape)
@@ -137,7 +181,16 @@ def parse_ddl_statements(parsed: DataFrame) -> DataFrame:
     column -- json_parser.go carries "Schema" on every Query event)
     resolves unqualified table names, which is MySQL's own rule for
     statements replicated without a qualifier.  ``ddl_kind`` is
-    CREATE / ALTER / DROP / RENAME; RENAME rows (and ALTERs carrying a
+    CREATE / ALTER / DROP / RENAME / TRUNCATE / INDEX / MAINTENANCE:
+    TRUNCATE ([TABLE] optional, bare ``TRUNCATE t`` is legal MySQL) is
+    a DATA reset -- membership and types carry forward but downstream
+    drift windows open whole-key; standalone ``CREATE/DROP INDEX .. ON
+    t`` keys on the ON target; OPTIMIZE/ANALYZE/REPAIR TABLE explodes
+    its comma list per table like DROP does.  All three follow the
+    never-silent rule: a name outside the strict identifier grammar
+    falls back to the loose leading token (the statement keeps a frame
+    row) and ddl_parse_anomalies reports the miss.  RENAME rows (and
+    ALTERs carrying a
     top-level ``RENAME TO`` clause -- probed with string literals
     stripped so quoted text never fabricates a target) also fill
     ``new_schema_name`` / ``new_table_name``.  Returns (schema_name,
@@ -277,10 +330,116 @@ def parse_ddl_statements(parsed: DataFrame) -> DataFrame:
         )
         .join(good_keys, ["binlog_file", "log_position", "line_no"], "left_anti")
     )
+    # TRUNCATE [TABLE] t: kind TRUNCATE -- a DATA reset (drift-window
+    # opener downstream; membership/types carry forward).  The strict
+    # identifier grammar keys the row; a name outside it falls back to
+    # the loose leading token so the statement NEVER vanishes, and
+    # ddl_parse_anomalies reports the strict-grammar miss.
+    trunc_src = q.filter(F.col("statement").rlike(_TRUNCATE_VERB_RE))
+    tr1 = F.regexp_extract("statement", _TRUNCATE_RE, 1)
+    tr2 = F.regexp_extract("statement", _TRUNCATE_RE, 2)
+    tr_loose = F.regexp_extract("statement", _TRUNCATE_LOOSE_RE, 1)
+    trs, trn = _qualified(tr1, tr2, dflt)
+    truncs = trunc_src.filter((tr1 != "") | (tr_loose != "")).select(
+        F.when(tr1 != "", trs).otherwise(dflt).alias("schema_name"),
+        F.when(tr1 != "", trn).otherwise(tr_loose).alias("table_name"),
+        F.lit("TRUNCATE").alias("ddl_kind"),
+        F.lit(None).cast("string").alias("new_schema_name"),
+        F.lit(None).cast("string").alias("new_table_name"),
+        "statement",
+        "timestamp",
+        "binlog_file",
+        "log_position",
+        "line_no",
+        F.lit(0).alias("pair_no"),
+    )
+    # standalone CREATE/DROP INDEX ... ON t: kind INDEX, keyed on the
+    # ON target (the table whose physical layout moves); same
+    # strict-then-loose never-silent discipline
+    idx_src = q.filter(F.col("statement").rlike(_INDEX_VERB_RE))
+    ix1 = F.regexp_extract("statement", _INDEX_ON_RE, 1)
+    ix2 = F.regexp_extract("statement", _INDEX_ON_RE, 2)
+    ix_loose = F.regexp_extract("statement", _INDEX_ON_LOOSE_RE, 1)
+    ixs, ixn = _qualified(ix1, ix2, dflt)
+    idxs = idx_src.filter((ix1 != "") | (ix_loose != "")).select(
+        F.when(ix1 != "", ixs).otherwise(dflt).alias("schema_name"),
+        F.when(ix1 != "", ixn).otherwise(ix_loose).alias("table_name"),
+        F.lit("INDEX").alias("ddl_kind"),
+        F.lit(None).cast("string").alias("new_schema_name"),
+        F.lit(None).cast("string").alias("new_table_name"),
+        "statement",
+        "timestamp",
+        "binlog_file",
+        "log_position",
+        "line_no",
+        F.lit(0).alias("pair_no"),
+    )
+    # OPTIMIZE/ANALYZE/REPAIR TABLE a, b: kind MAINTENANCE, exploded
+    # per name exactly like DROP (pair_no keeps list order); bad
+    # fragments surface on the anomaly channel, and an all-fail list
+    # keeps one loose-token fallback row
+    maint_src = q.filter(F.col("statement").rlike(_MAINT_VERB_RE))
+    m_frag = F.posexplode(
+        F.split(F.regexp_extract("statement", _MAINT_BODY_RE, 1), ",")
+    ).alias("__pair_no", "__frag")
+    m1 = F.regexp_extract("__frag", _NAME_ONLY_RE, 1)
+    m2 = F.regexp_extract("__frag", _NAME_ONLY_RE, 2)
+    m_schema, m_name = _qualified(m1, m2, F.col("__default_schema"))
+    maint_cols = [
+        F.lit("MAINTENANCE").alias("ddl_kind"),
+        F.lit(None).cast("string").alias("new_schema_name"),
+        F.lit(None).cast("string").alias("new_table_name"),
+        "statement",
+        "timestamp",
+        "binlog_file",
+        "log_position",
+        "line_no",
+    ]
+    maints = (
+        maint_src.select(
+            "timestamp",
+            "binlog_file",
+            "log_position",
+            "line_no",
+            "__default_schema",
+            "statement",
+            m_frag,
+        )
+        .filter(F.col("__frag").rlike(_NAME_ONLY_RE))
+        .select(
+            m_schema.alias("schema_name"),
+            m_name.alias("table_name"),
+            *maint_cols,
+            F.col("__pair_no").alias("pair_no"),
+        )
+    )
+    maint_good = maints.select(
+        "binlog_file", "log_position", "line_no"
+    ).distinct()
+    maint_fallback = (
+        maint_src.select(
+            dflt.alias("schema_name"),
+            F.regexp_extract(
+                F.regexp_extract("statement", _MAINT_BODY_RE, 1),
+                r"`?([^`\s.,;]+)",
+                1,
+            ).alias("table_name"),
+            *maint_cols,
+            F.lit(0).alias("pair_no"),
+        )
+        .filter(F.col("table_name") != "")
+        .join(
+            maint_good, ["binlog_file", "log_position", "line_no"], "left_anti"
+        )
+    )
     return (
         single.unionByName(renames)
         .unionByName(drops)
         .unionByName(drop_fallback)
+        .unionByName(truncs)
+        .unionByName(idxs)
+        .unionByName(maints)
+        .unionByName(maint_fallback)
     )
 
 
@@ -719,10 +878,84 @@ def ddl_parse_anomalies(ddl: DataFrame) -> DataFrame:
             F.col("statement").alias("fragment"),
         )
     )
+    # loose-fallback rows from the r11 statement-vocabulary arms: a
+    # TRUNCATE or index statement whose name failed the strict
+    # identifier grammar kept a loose-token frame row -- say so here
+    trunc_loose = (
+        ddl.filter(
+            (F.col("ddl_kind") == "TRUNCATE")
+            & (F.regexp_extract("statement", _TRUNCATE_RE, 1) == "")
+        )
+        .select(
+            "schema_name",
+            "table_name",
+            "binlog_file",
+            "log_position",
+            F.lit("UNPARSED_TRUNCATE_NAME").alias("reason"),
+            F.col("statement").alias("fragment"),
+        )
+        .distinct()
+    )
+    idx_loose = (
+        ddl.filter(
+            (F.col("ddl_kind") == "INDEX")
+            & (F.regexp_extract("statement", _INDEX_ON_RE, 1) == "")
+        )
+        .select(
+            "schema_name",
+            "table_name",
+            "binlog_file",
+            "log_position",
+            F.lit("UNPARSED_INDEX_TARGET").alias("reason"),
+            F.col("statement").alias("fragment"),
+        )
+        .distinct()
+    )
+    # maintenance-list fragments outside the name grammar (the same
+    # per-fragment derivation as DROP)
+    maint_stmts = (
+        ddl.filter(F.col("ddl_kind") == "MAINTENANCE")
+        .select(
+            "schema_name",
+            "table_name",
+            "binlog_file",
+            "log_position",
+            "statement",
+        )
+        .distinct()
+    )
+    maint_bad = (
+        maint_stmts.select(
+            "schema_name",
+            "table_name",
+            "binlog_file",
+            "log_position",
+            F.explode(
+                F.split(
+                    F.regexp_extract("statement", _MAINT_BODY_RE, 1), ","
+                )
+            ).alias("__frag"),
+        )
+        .filter(
+            (F.trim(F.col("__frag")) != "")
+            & ~F.col("__frag").rlike(_NAME_ONLY_RE)
+        )
+        .select(
+            "schema_name",
+            "table_name",
+            "binlog_file",
+            "log_position",
+            F.lit("UNPARSED_MAINT_NAME").alias("reason"),
+            F.trim(F.col("__frag")).alias("fragment"),
+        )
+    )
     return (
         unparsed.unionByName(extra_pairs)
         .unionByName(bad_frags)
         .unionByName(unresolved_create)
+        .unionByName(trunc_loose)
+        .unionByName(idx_loose)
+        .unionByName(maint_bad)
     )
 
 
@@ -890,8 +1123,10 @@ def ddl_drift_windows(ddl: DataFrame) -> DataFrame:
     """Per canonical (schema_name, table_name), the coordinate
     intervals in which row-image payload diffs are UNTRUSTED: each
     window opens at an ``ALTER TABLE`` (row images now decode under a
-    new table shape) or a ``RENAME TABLE`` (row events re-key to the
-    new name mid-feed -- pairing by name breaks wholesale) and closes
+    new table shape), a ``RENAME TABLE`` (row events re-key to the
+    new name mid-feed -- pairing by name breaks wholesale), or a
+    ``TRUNCATE`` (every row is gone on the write side while the lake
+    copy drains -- a DATA reset, quarantined whole-key) and closes
     at the next ``CREATE`` statement for the same table -- the
     writer-schema refresh marker after which producer and binlog agree
     again (reconciling against cdc_avro_schema_census is the lake-side
@@ -926,7 +1161,7 @@ def ddl_drift_windows(ddl: DataFrame) -> DataFrame:
     ).over(w)
     return (
         d.withColumn("win_to", next_create)
-        .filter(F.col("ddl_kind").isin("ALTER", "RENAME"))
+        .filter(F.col("ddl_kind").isin("ALTER", "RENAME", "TRUNCATE"))
         .select(
             "schema_name",
             "table_name",
@@ -946,9 +1181,10 @@ def ddl_drift_window_columns(ddl: DataFrame) -> DataFrame:
     set is the clause-level union -- ADD/DROP/MODIFY column names plus
     both sides of CHANGE/RENAME COLUMN (a rename+retype is exactly the
     mis-pairing hazard).  The set is UNKNOWN when the opener is a
-    table RENAME (every column re-keys) or when any clause landed on
-    the UNPARSED channel (a partially-parsed ALTER must quarantine
-    conservatively, whole-key).
+    table RENAME (every column re-keys), a TRUNCATE (every column's
+    DATA resets -- shape intact, trust gone), or when any clause
+    landed on the UNPARSED channel (a partially-parsed ALTER must
+    quarantine conservatively, whole-key).
 
     Same plan as ddl_drift_windows plus one clause-cardinality
     aggregate; output stays opener-cardinality and broadcastable.
@@ -986,7 +1222,7 @@ def ddl_drift_window_columns(ddl: DataFrame) -> DataFrame:
                 F.when(F.col("ddl_kind") == "CREATE", F.col("coord"))
             ).over(w),
         )
-        .filter(F.col("ddl_kind").isin("ALTER", "RENAME"))
+        .filter(F.col("ddl_kind").isin("ALTER", "RENAME", "TRUNCATE"))
     )
     # per opening STATEMENT: touched columns + any-unparsed flag.
     # alter_clauses re-parses from the canonical frame (col names are

@@ -1039,8 +1039,14 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 
 # --- DDL schema-timeline CTEs (fixtures.generate_ddl_text_lines
 # mirror): Query events (event_type outside the DML+XID vocabulary)
-# with deterministic statements by event_id % 13; m=3 is non-DDL noise
-# (BEGIN) the extractor must drop; m=9 is RENAME TABLE t TO t_r and
+# with deterministic statements by event_id % 13; m=3 sub-splits by
+# k = event_id % 5 (coprime): k=0 non-DDL noise (BEGIN) the extractor
+# must drop, k=1 TRUNCATE (a data reset -- whole-key drift opener,
+# membership/types carry), k=2/4 standalone CREATE/DROP INDEX (kind
+# INDEX, keyed on the ON target), k=3 multi-name OPTIMIZE TABLE t, t_r
+# (kind MAINTENANCE, per-name explode; the _r name canonicalizes to
+# the base table wherever an m=9 rename edge exists); m=9 is RENAME
+# TABLE t TO t_r and
 # m=10 targets the RENAMED name -- the CANONICAL identity (one table,
 # one history) resolves t_r back to t whenever a rename edge exists
 # for that (schema, table).  m=11 is the gh-ost atomic swap on the
@@ -1060,6 +1066,7 @@ _DDL_STMT_CTE = """qsrc AS (
     's' || CAST(user_id % 3 AS VARCHAR) AS s_name,
     'mysql-bin.' || lpad(CAST(event_id % 4 AS VARCHAR), 6, '0') AS binlog_file,
     event_id % 13 AS m,
+    event_id % 5 AS k,
     event_id % 2 AS p2,
     CAST(event_id % 4 AS VARCHAR) AS f4
   FROM events
@@ -1070,16 +1077,22 @@ redges AS (
   SELECT DISTINCT schema_name, table_name FROM qsrc WHERE m = 9
 ),
 ddl AS (
-  SELECT q.event_id, q.vts, q.log_position, q.binlog_file, q.m, q.f4,
-    q.p2, p.pair_no,
+  SELECT q.event_id, q.vts, q.log_position, q.binlog_file, q.m, q.k,
+    q.f4, q.p2, p.pair_no,
     q.schema_name,
     CASE WHEN q.m = 10 THEN q.table_name || '_r'
          WHEN q.m = 11 AND p.pair_no = 0 THEN q.s_name
          WHEN q.m = 11 THEN q.s_name || '_new'
+         WHEN q.m = 3 AND q.k = 3 AND p.pair_no = 1
+           THEN q.table_name || '_r'
          ELSE q.table_name END AS written_table,
     CASE WHEN q.m = 10 AND e.table_name IS NOT NULL THEN q.table_name
          WHEN q.m = 10 THEN q.table_name || '_r'
          WHEN q.m = 11 THEN q.s_name || '_new'
+         WHEN q.m = 3 AND q.k = 3 AND p.pair_no = 1
+              AND e.table_name IS NOT NULL THEN q.table_name
+         WHEN q.m = 3 AND q.k = 3 AND p.pair_no = 1
+           THEN q.table_name || '_r'
          ELSE q.table_name END AS table_name,
     CASE WHEN q.m = 9 THEN q.table_name || '_r'
          WHEN q.m = 11 AND p.pair_no = 0 THEN q.s_name || '_old'
@@ -1087,7 +1100,10 @@ ddl AS (
     CASE WHEN q.m IN (0, 4, 5, 6, 7, 8, 10, 12) THEN 'ALTER'
          WHEN q.m = 1 THEN 'CREATE'
          WHEN q.m = 2 THEN 'DROP'
-         WHEN q.m IN (9, 11) THEN 'RENAME' END AS ddl_kind,
+         WHEN q.m IN (9, 11) THEN 'RENAME'
+         WHEN q.m = 3 AND q.k = 1 THEN 'TRUNCATE'
+         WHEN q.m = 3 AND q.k IN (2, 4) THEN 'INDEX'
+         WHEN q.m = 3 AND q.k = 3 THEN 'MAINTENANCE' END AS ddl_kind,
     CASE q.m
       WHEN 0 THEN 'ALTER TABLE ' || q.table_name || ' ADD COLUMN c'
                   || q.f4 || ' INT, ALGORITHM=INPLACE, LOCK=NONE'
@@ -1117,12 +1133,23 @@ ddl AS (
       WHEN 12 THEN 'ALTER TABLE ' || q.table_name || ' ADD (x' || q.f4
                   || ' INT, y' || q.f4
                   || ' VARCHAR(255)), ALGORITHM=INPLACE, LOCK=NONE'
+      WHEN 3 THEN CASE
+        WHEN q.k = 1 AND q.p2 = 0 THEN 'TRUNCATE TABLE ' || q.table_name
+        WHEN q.k = 1 THEN 'TRUNCATE ' || q.table_name
+        WHEN q.k = 2 THEN 'CREATE UNIQUE INDEX ux_c' || q.f4 || ' ON '
+                          || q.schema_name || '.' || q.table_name
+                          || ' (c' || q.f4 || ')'
+        WHEN q.k = 3 THEN 'OPTIMIZE TABLE ' || q.table_name || ', '
+                          || q.table_name || '_r'
+        WHEN q.k = 4 THEN 'DROP INDEX ix_a' || q.f4 || ' ON '
+                          || q.table_name END
     END AS statement
   FROM qsrc q
   LEFT JOIN redges e
     ON e.schema_name = q.schema_name AND e.table_name = q.table_name
   CROSS JOIN (SELECT unnest([0, 1]) AS pair_no) p
-  WHERE q.m <> 3 AND (p.pair_no = 0 OR q.m = 11)
+  WHERE (q.m <> 3 OR q.k <> 0)
+    AND (p.pair_no = 0 OR q.m = 11 OR (q.m = 3 AND q.k = 3))
 )"""
 
 # drift windows over the same derivation: ALTER or RENAME opens, next
@@ -1142,7 +1169,7 @@ win AS (
         ORDER BY coord, event_id, pair_no
         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS win_to
     FROM qd
-  ) WHERE ddl_kind IN ('ALTER', 'RENAME')
+  ) WHERE ddl_kind IN ('ALTER', 'RENAME', 'TRUNCATE')
 )"""
 
 # drift windows annotated with the moved-column set: per opening
@@ -1170,15 +1197,16 @@ _DDL_WINCOLS_CTE = """wc AS (
         WHEN 10 THEN ['p' || f4]
         WHEN 11 THEN CAST([] AS VARCHAR[])
         WHEN 12 THEN ['x' || f4, 'y' || f4]
+        WHEN 3 THEN CAST([] AS VARCHAR[])
       END AS mc,
-      m NOT IN (9, 10, 11) AS known,
+      m NOT IN (3, 9, 10, 11) AS known,
       coord AS win_from,
       min(CASE WHEN ddl_kind = 'CREATE' THEN coord END) OVER (
         PARTITION BY schema_name, table_name
         ORDER BY coord, event_id, pair_no
         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS win_to
     FROM qd
-  ) WHERE ddl_kind IN ('ALTER', 'RENAME')
+  ) WHERE ddl_kind IN ('ALTER', 'RENAME', 'TRUNCATE')
   GROUP BY 1, 2, 3, 4
 )"""
 

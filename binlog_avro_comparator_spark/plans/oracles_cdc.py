@@ -1669,6 +1669,19 @@ FROM rk"""
     # from the statement-log fold, so read-LATEST == batch verbatim
     sql["cdc_schema_types_stream"] = sql["cdc_schema_types"]
 
+    # statement-vocabulary census: per ddl_kind, frame rows + distinct
+    # canonical tables -- the r11 vocabulary completion (TRUNCATE,
+    # standalone INDEX, multi-name MAINTENANCE) must all land under
+    # their kinds, the maintenance _r names threaded into the base
+    # tables' canonical identity exactly as the ddl CTE mirrors
+    sql["cdc_ddl_statement_census"] = f"WITH {_DDL_STMT_CTE}" + """
+SELECT ddl_kind,
+       count(*) AS n_rows,
+       count(DISTINCT schema_name || '.' || table_name) AS n_tables
+FROM ddl
+GROUP BY ddl_kind
+ORDER BY ddl_kind"""
+
     # the PARTIAL_PARSE channel: the fixture's only unparseable
     # fragment is the m=10 CONVERT clause; the anomaly reports the
     # WRITTEN (renamed) table name -- the operator's actionable handle

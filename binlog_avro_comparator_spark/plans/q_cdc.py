@@ -1436,6 +1436,31 @@ def _q_cdc_schema_types(spark, sf_dir):
     return schema_column_types(_ddl_statements(spark, sf_dir))
 
 
+def _q_cdc_ddl_statement_census(spark, sf_dir):
+    """Statement-vocabulary census over the canonical statement log:
+    per ``ddl_kind`` (CREATE / ALTER / DROP / RENAME / TRUNCATE /
+    INDEX / MAINTENANCE), the frame-row count and the number of
+    distinct canonical tables touched -- the one-page answer to "what
+    kinds of schema traffic does this feed carry and how widely".
+    Exercises the r11 vocabulary completion end to end: the fixture's
+    m=3 sub-split (TRUNCATE both legal forms, standalone CREATE/DROP
+    INDEX, multi-name OPTIMIZE with a renamed second name) must all
+    land under their kinds, with the maintenance ``_r`` names threaded
+    into the base tables' canonical identity.  One hash aggregate over
+    a statement-cardinality frame; kind-cardinality output."""
+    from ..operators.ddl import canonicalize_tables
+
+    d = canonicalize_tables(_ddl_statements(spark, sf_dir))
+    return (
+        d.groupBy("ddl_kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("schema_name", "table_name").alias("n_tables"),
+        )
+        .orderBy("ddl_kind")
+    )
+
+
 def _q_cdc_changelog_compaction(spark, sf_dir):
     """Net-effect changelog compaction (snapshot.changelog_compaction):
     each key's change run collapsed to the single op a downstream

@@ -41,8 +41,11 @@ from . import oracles_analytics as _oracles_3
 # entries, window or not, are value-verified locally each round at
 # sf0.01 by scratch/check.py -- see FULLSWEEP_r11.md.
 _R11_WINDOW_HEAD = [
-    # new in r11: the type-aware column matrix and the live-feed
-    # column guard (read-time compose over the statement-log fold)
+    # new in r11: the type-aware column matrix, the live-feed column
+    # guard (read-time compose over the statement-log fold), and --
+    # from the continuation session -- the statement-vocabulary census
+    # over the m=3 sub-split fixture (TRUNCATE / INDEX / MAINTENANCE)
+    "cdc_ddl_statement_census",
     "cdc_schema_types",
     "cdc_schema_types_stream",
     "cdc_payload_diff_guarded_stream",
@@ -98,7 +101,6 @@ _R11_WINDOW_BACKFILL = [
     "events_top_type_stream",
     "events_trailing_10min",
     "events_value_histogram",
-    "high_value_customers",
 ]
 
 
@@ -152,6 +154,11 @@ def _queries_grouped() -> dict[str, QueryFn]:
         # paren multi-column ADD parses) re-certifies the DDL tier on
         # the mod-13 fixture; cdc_schema_types is the type-aware
         # matrix with the narrowing plant. --
+        # -- r11 continuation: the statement-vocabulary completion
+        # (TRUNCATE / standalone INDEX / multi-name MAINTENANCE on the
+        # m=3 sub-split fixture) re-certifies the tier again, with
+        # cdc_ddl_statement_census as the vocabulary showcase. --
+        "cdc_ddl_statement_census": _q_cdc_ddl_statement_census,
         "cdc_schema_types": _q_cdc_schema_types,
         "cdc_schema_types_stream": _q_cdc_schema_types_stream,
         "cdc_payload_diff_guarded_stream": _q_cdc_payload_diff_guarded_stream,

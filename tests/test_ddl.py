@@ -815,3 +815,119 @@ def test_create_like_carries_columns_and_flags(spark):
         if r.reason == "UNRESOLVED_CREATE_SHAPE"
     ]
     assert len(anom) == 1 and "LIKE template_t" in anom[0].fragment
+
+
+def test_truncate_index_maintenance_vocabulary(spark):
+    """The r11 statement-vocabulary completion: TRUNCATE (both legal
+    forms), standalone CREATE/DROP INDEX keyed on the ON target, and
+    multi-name OPTIMIZE/ANALYZE maintenance exploded per table -- all
+    visible in the statement log, none silent."""
+    from binlog_avro_comparator_spark.operators.ddl import (
+        ddl_drift_window_columns,
+        ddl_parse_anomalies,
+        schema_column_matrix,
+    )
+
+    rows = [
+        _q("2025-06-01T10:00:00Z", "mysql-bin.000001", 100, 1, "db0",
+           "CREATE TABLE t1 (id INT, c1 INT)"),
+        _q("2025-06-01T10:00:01Z", "mysql-bin.000001", 200, 2, "db0",
+           "TRUNCATE TABLE t1"),
+        _q("2025-06-01T10:00:02Z", "mysql-bin.000001", 300, 3, "db0",
+           "truncate t1"),
+        _q("2025-06-01T10:00:03Z", "mysql-bin.000001", 400, 4, "db0",
+           "CREATE UNIQUE INDEX ux ON db1.t2 (a, b)"),
+        _q("2025-06-01T10:00:04Z", "mysql-bin.000001", 500, 5, "db0",
+           "DROP INDEX ux ON t1"),
+        _q("2025-06-01T10:00:05Z", "mysql-bin.000001", 600, 6, "db0",
+           "OPTIMIZE TABLE t1, db1.t2"),
+        _q("2025-06-01T10:00:06Z", "mysql-bin.000001", 700, 7, "db0",
+           "ANALYZE NO_WRITE_TO_BINLOG TABLE t1"),
+    ]
+    ddl = parse_ddl_statements(_parsed(spark, rows))
+    got = sorted(
+        (r.line_no, r.pair_no, r.schema_name, r.table_name, r.ddl_kind)
+        for r in ddl.collect()
+    )
+    assert got == [
+        (1, 0, "db0", "t1", "CREATE"),
+        (2, 0, "db0", "t1", "TRUNCATE"),
+        (3, 0, "db0", "t1", "TRUNCATE"),
+        (4, 0, "db1", "t2", "INDEX"),
+        (5, 0, "db0", "t1", "INDEX"),
+        (6, 0, "db0", "t1", "MAINTENANCE"),
+        (6, 1, "db1", "t2", "MAINTENANCE"),
+        (7, 0, "db0", "t1", "MAINTENANCE"),
+    ]
+    # TRUNCATE opens a whole-key drift window; INDEX/MAINTENANCE do not
+    wins = ddl_drift_window_columns(
+        ddl.filter(F.col("table_name") == "t1")
+    ).collect()
+    assert len(wins) == 2  # the two TRUNCATEs (positions 200, 300)
+    assert all(not w.moved_known and w.moved_cols == [] for w in wins)
+    # membership carries through every new kind (data reset, not shape)
+    m = schema_column_matrix(ddl.filter(F.col("table_name") == "t1"))
+    by_ver = {}
+    for r in m.collect():
+        by_ver.setdefault(r.version, set()).add(r.column_name)
+    assert by_ver[1] == {"id", "c1"}
+    assert all(cols == {"id", "c1"} for cols in by_ver.values())
+    assert max(by_ver) == 6  # CREATE + 2 TRUNCATE + DROP INDEX + 2 MAINT
+    # nothing on the anomaly channel: every statement is well-formed
+    assert ddl_parse_anomalies(ddl).count() == 0
+
+
+def test_new_vocabulary_never_silent_fallbacks(spark):
+    """Names outside the strict identifier grammar keep a loose-token
+    frame row AND surface on the anomaly channel -- the discipline the
+    DROP fallback set (r11 ADVICE)."""
+    from binlog_avro_comparator_spark.operators.ddl import (
+        ddl_parse_anomalies,
+    )
+
+    rows = [
+        _q("2025-06-01T10:00:00Z", "mysql-bin.000001", 100, 1, "db0",
+           "TRUNCATE TABLE `weird name`"),
+        _q("2025-06-01T10:00:01Z", "mysql-bin.000001", 200, 2, "db0",
+           "OPTIMIZE TABLE t1, `bad frag here`"),
+    ]
+    ddl = parse_ddl_statements(_parsed(spark, rows))
+    by_line = {}
+    for r in ddl.collect():
+        by_line.setdefault(r.line_no, []).append(r)
+    # the truncate kept a loose-token row (never vanished)
+    assert [r.ddl_kind for r in by_line[1]] == ["TRUNCATE"]
+    assert by_line[1][0].table_name == "weird"
+    # the maintenance list kept its good name; the bad fragment dropped
+    assert [(r.table_name, r.ddl_kind) for r in by_line[2]] == [
+        ("t1", "MAINTENANCE")
+    ]
+    reasons = {
+        (r.reason, r.fragment)
+        for r in ddl_parse_anomalies(ddl).collect()
+    }
+    assert ("UNPARSED_TRUNCATE_NAME", "TRUNCATE TABLE `weird name`") in reasons
+    assert ("UNPARSED_MAINT_NAME", "`bad frag here`") in reasons
+
+
+def test_maintenance_threads_renamed_name(spark):
+    """OPTIMIZE against a renamed table canonicalizes into the base
+    table's one history (the same threading ALTER gets)."""
+    rows = [
+        _q("2025-06-01T10:00:00Z", "mysql-bin.000001", 100, 1, "db0",
+           "CREATE TABLE t1 (id INT)"),
+        _q("2025-06-01T10:00:01Z", "mysql-bin.000001", 200, 2, "db0",
+           "RENAME TABLE t1 TO t1_r"),
+        _q("2025-06-01T10:00:02Z", "mysql-bin.000001", 300, 3, "db0",
+           "OPTIMIZE TABLE t1_r"),
+    ]
+    tl = schema_timeline(parse_ddl_statements(_parsed(spark, rows)))
+    rows_out = sorted(
+        (r.version, r.ddl_kind, r.table_name, r.current_name)
+        for r in tl.collect()
+    )
+    assert rows_out == [
+        (1, "CREATE", "t1", "t1"),
+        (2, "RENAME", "t1", "t1_r"),
+        (3, "MAINTENANCE", "t1", "t1_r"),
+    ]
