@@ -479,7 +479,11 @@ def ddl_statement_col() -> F.Column:
       0  ADD-COLUMN ALTER carrying the canonical MySQL 8 online-DDL
          options (``, ALGORITHM=INPLACE, LOCK=NONE`` -- must classify
          OPTION_NO_EFFECT so the moved set stays fully known)
-      1  qualified CREATE with IF NOT EXISTS
+      1  qualified CREATE with IF NOT EXISTS; declares (id, order_id,
+         quantity) -- order_id/quantity overlap the avro payload's
+         field names so the schema-agreement report exercises its
+         AGREE arm, id and the clause-family columns exercise
+         BINLOG_ONLY, the remaining payload fields LAKE_ONLY
       2  backtick-quoted DROP
       3  sub-split by k = event_id % 5 (coprime with 13, every combo
          occurs): k=0 non-DDL noise (BEGIN -- must be filtered);
@@ -537,7 +541,8 @@ def ddl_statement_col() -> F.Column:
             m == 1,
             F.concat(
                 F.lit("CREATE TABLE IF NOT EXISTS "), F.col("schema"),
-                F.lit("."), F.col("table"), F.lit(" (id INT PRIMARY KEY)"),
+                F.lit("."), F.col("table"),
+                F.lit(" (id INT PRIMARY KEY, order_id BIGINT, quantity INT)"),
             ),
         )
         .when(

@@ -1760,3 +1760,83 @@ def schema_census_drift(
             "drift"
         ),
     )
+
+
+def current_columns(ddl: DataFrame) -> DataFrame:
+    """The column matrix at each table's LATEST version -- the declared
+    shape a consumer should expect the producer to ship TODAY.  The
+    latest version is the table's total statement count (versions are
+    row_number over the canonical statement log), NOT the matrix's max
+    present-row version: a table whose last statement is a DROP has an
+    empty current set and must contribute nothing, which a max() over
+    present-only rows would silently miss.  Both frames are
+    metadata-sized; the count side broadcasts.  Returns (schema_name,
+    table_name, column_name)."""
+    m = schema_column_matrix(ddl)
+    nv = (
+        canonicalize_tables(ddl)
+        .groupBy("schema_name", "table_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("__nv"))
+    )
+    return (
+        m.join(F.broadcast(nv), ["schema_name", "table_name"])
+        .filter(F.col("version") == F.col("__nv"))
+        .select("schema_name", "table_name", "column_name")
+    )
+
+
+def schema_agreement(
+    current_cols: DataFrame, observed: DataFrame
+) -> DataFrame:
+    """Cross-source schema agreement -- the comparator's loop closed at
+    the SHAPE level: per canonical (schema_name, table_name), the full
+    outer reconciliation of the binlog-DDL-declared current column set
+    (``current_cols``: schema_name, table_name, column_name) against
+    the avro lake's OBSERVED field census (``observed``: schema_name,
+    table_name, field_name, n_obs).  Status per name:
+
+      AGREE        declared and observed -- the healthy column
+      BINLOG_ONLY  declared by DDL, never shipped by the producer
+                   (a column added upstream the pipeline silently
+                   drops -- the lake is quietly lossy)
+      LAKE_ONLY    shipped by the producer, not in the declared shape
+                   (a stale producer writing a dropped/renamed column,
+                   or lake-side enrichment masquerading as source)
+
+    The reference compares row VALUES and never asks whether the two
+    sides even agree on the columns (compare_timestamps.go pairs by
+    name unconditionally); this is the audit that says which per-column
+    findings are structurally meaningful at all.  Both inputs are
+    metadata-to-field cardinality: one broadcastable full-outer join,
+    kind-cardinality output.  Returns (schema_name, table_name,
+    column_name, status, n_obs -- 0 where never observed)."""
+    left = current_cols.select(
+        "schema_name",
+        "table_name",
+        F.col("column_name"),
+        F.lit(True).alias("__declared"),
+    )
+    right = observed.select(
+        "schema_name",
+        "table_name",
+        F.col("field_name").alias("column_name"),
+        F.col("n_obs").cast("long").alias("__n_obs"),
+    )
+    j = left.join(
+        right, ["schema_name", "table_name", "column_name"], "full_outer"
+    )
+    status = (
+        F.when(
+            F.col("__declared").isNotNull() & F.col("__n_obs").isNotNull(),
+            F.lit("AGREE"),
+        )
+        .when(F.col("__declared").isNotNull(), F.lit("BINLOG_ONLY"))
+        .otherwise(F.lit("LAKE_ONLY"))
+    )
+    return j.select(
+        "schema_name",
+        "table_name",
+        "column_name",
+        status.alias("status"),
+        F.coalesce(F.col("__n_obs"), F.lit(0).cast("long")).alias("n_obs"),
+    )

@@ -1108,7 +1108,8 @@ ddl AS (
       WHEN 0 THEN 'ALTER TABLE ' || q.table_name || ' ADD COLUMN c'
                   || q.f4 || ' INT, ALGORITHM=INPLACE, LOCK=NONE'
       WHEN 1 THEN 'CREATE TABLE IF NOT EXISTS ' || q.schema_name || '.'
-                  || q.table_name || ' (id INT PRIMARY KEY)'
+                  || q.table_name
+                  || ' (id INT PRIMARY KEY, order_id BIGINT, quantity INT)'
       WHEN 2 THEN 'DROP TABLE `' || q.schema_name || '`.`'
                   || q.table_name || '`'
       WHEN 4 THEN 'alter table ' || q.table_name || ' drop column c'

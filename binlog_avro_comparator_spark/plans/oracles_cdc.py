@@ -8,6 +8,69 @@ from __future__ import annotations
 from ._shared import *  # noqa: F401,F403
 from .oracle_ctes import *  # noqa: F401,F403
 
+# effective column-membership fold over the ddl CTE (m-arithmetic
+# mirror of ddl.schema_column_matrix): shared by cdc_schema_columns
+# and the cdc_schema_vs_lake agreement report.  m=1 CREATE declares
+# (id, order_id, quantity) -- order_id/quantity deliberately overlap
+# the avro payload's field names; m=3 (TRUNCATE/INDEX/MAINTENANCE)
+# contributes versions but never touches membership
+_COLS_FOLD_CTES = """vd AS (
+  SELECT *, row_number() OVER (PARTITION BY schema_name, table_name
+      ORDER BY vts, binlog_file, log_position, event_id, pair_no) AS version
+  FROM ddl
+),
+fx AS (
+  SELECT schema_name, table_name, version, 'c' || f4 AS col, TRUE AS e
+  FROM vd WHERE m = 0
+  UNION ALL
+  SELECT schema_name, table_name, version, 'a' || f4, TRUE
+  FROM vd WHERE m = 5
+  UNION ALL
+  SELECT schema_name, table_name, version, 'c' || f4, FALSE
+  FROM vd WHERE m IN (4, 5, 7, 8)
+  UNION ALL
+  SELECT schema_name, table_name, version, 'r' || f4, TRUE
+  FROM vd WHERE m = 7
+  UNION ALL
+  SELECT schema_name, table_name, version, 'n' || f4, TRUE
+  FROM vd WHERE m = 8
+  UNION ALL
+  SELECT schema_name, table_name, version, 'p' || f4, TRUE
+  FROM vd WHERE m = 10
+  UNION ALL
+  SELECT schema_name, table_name, version, 'x' || f4, TRUE
+  FROM vd WHERE m = 12
+  UNION ALL
+  SELECT schema_name, table_name, version, 'y' || f4, TRUE
+  FROM vd WHERE m = 12
+),
+uni AS (
+  SELECT DISTINCT schema_name, table_name, col FROM (
+    SELECT schema_name, table_name, col FROM fx
+    UNION ALL
+    SELECT schema_name, table_name, c.col
+    FROM (SELECT DISTINCT schema_name, table_name FROM vd WHERE m = 1) t
+    CROSS JOIN (SELECT unnest(['id', 'order_id', 'quantity']) AS col) c
+  )
+),
+grid AS (
+  SELECT v.schema_name, v.table_name, v.version, u.col,
+    CASE WHEN v.m = 1 THEN (u.col IN ('id', 'order_id', 'quantity'))
+         WHEN v.m = 2 THEN FALSE
+         ELSE f.e END AS effect
+  FROM vd v
+  JOIN uni u USING (schema_name, table_name)
+  LEFT JOIN fx f ON f.schema_name = v.schema_name
+    AND f.table_name = v.table_name AND f.version = v.version
+    AND f.col = u.col
+),
+pres AS (
+  SELECT *, last_value(effect IGNORE NULLS) OVER (
+    PARTITION BY schema_name, table_name, col ORDER BY version
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS present
+  FROM grid
+)"""
+
 
 def add(sql: dict) -> None:
     sql.update({
@@ -1494,63 +1557,12 @@ WINDOW w AS (PARTITION BY schema_name, table_name
     # move c to r/n, m=10 adds p on the canonical table, m=2 empties,
     # m=6 MODIFY leaves the set intact) while the Spark side genuinely
     # parses the statements clause by clause -- two paths again.
-    sql["cdc_schema_columns"] = f"WITH {_DDL_STMT_CTE}" + """,
-vd AS (
-  SELECT *, row_number() OVER (PARTITION BY schema_name, table_name
-      ORDER BY vts, binlog_file, log_position, event_id, pair_no) AS version
-  FROM ddl
-),
-fx AS (
-  SELECT schema_name, table_name, version, 'c' || f4 AS col, TRUE AS e
-  FROM vd WHERE m = 0
-  UNION ALL
-  SELECT schema_name, table_name, version, 'a' || f4, TRUE
-  FROM vd WHERE m = 5
-  UNION ALL
-  SELECT schema_name, table_name, version, 'c' || f4, FALSE
-  FROM vd WHERE m IN (4, 5, 7, 8)
-  UNION ALL
-  SELECT schema_name, table_name, version, 'r' || f4, TRUE
-  FROM vd WHERE m = 7
-  UNION ALL
-  SELECT schema_name, table_name, version, 'n' || f4, TRUE
-  FROM vd WHERE m = 8
-  UNION ALL
-  SELECT schema_name, table_name, version, 'p' || f4, TRUE
-  FROM vd WHERE m = 10
-  UNION ALL
-  SELECT schema_name, table_name, version, 'x' || f4, TRUE
-  FROM vd WHERE m = 12
-  UNION ALL
-  SELECT schema_name, table_name, version, 'y' || f4, TRUE
-  FROM vd WHERE m = 12
-),
-uni AS (
-  SELECT DISTINCT schema_name, table_name, col FROM (
-    SELECT schema_name, table_name, col FROM fx
-    UNION ALL
-    SELECT DISTINCT schema_name, table_name, 'id' FROM vd WHERE m = 1
-  )
-),
-grid AS (
-  SELECT v.schema_name, v.table_name, v.version, u.col,
-    CASE WHEN v.m = 1 THEN (u.col = 'id')
-         WHEN v.m = 2 THEN FALSE
-         ELSE f.e END AS effect
-  FROM vd v
-  JOIN uni u USING (schema_name, table_name)
-  LEFT JOIN fx f ON f.schema_name = v.schema_name
-    AND f.table_name = v.table_name AND f.version = v.version
-    AND f.col = u.col
-),
-pres AS (
-  SELECT *, last_value(effect IGNORE NULLS) OVER (
-    PARTITION BY schema_name, table_name, col ORDER BY version
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS present
-  FROM grid
-)
+    sql["cdc_schema_columns"] = (
+        f"WITH {_DDL_STMT_CTE},\n{_COLS_FOLD_CTES}"
+        + """
 SELECT schema_name, table_name, version, col AS column_name
 FROM pres WHERE present"""
+    )
 
     # streaming twins: the statement-log fold re-derives each view at
     # read time, so read-LATEST == the batch operator verbatim
@@ -1603,13 +1615,18 @@ uni AS (
   SELECT DISTINCT schema_name, table_name, col FROM (
     SELECT schema_name, table_name, col FROM fx
     UNION ALL
-    SELECT DISTINCT schema_name, table_name, 'id' FROM vd WHERE m = 1
+    SELECT schema_name, table_name, c.col
+    FROM (SELECT DISTINCT schema_name, table_name FROM vd WHERE m = 1) t
+    CROSS JOIN (SELECT unnest(['id', 'order_id', 'quantity']) AS col) c
   )
 ),
 grid AS (
   SELECT v.schema_name, v.table_name, v.version, u.col,
     CASE WHEN v.m = 1 THEN
-           (CASE WHEN u.col = 'id' THEN 'T:INT' ELSE 'X' END)
+           (CASE u.col WHEN 'id' THEN 'T:INT'
+                       WHEN 'order_id' THEN 'T:BIGINT'
+                       WHEN 'quantity' THEN 'T:INT'
+                       ELSE 'X' END)
          WHEN v.m = 2 THEN 'X'
          ELSE f.act END AS act
   FROM vd v
@@ -1668,6 +1685,78 @@ FROM rk"""
     # streaming twin of the type matrix: same read-time derivation
     # from the statement-log fold, so read-LATEST == batch verbatim
     sql["cdc_schema_types_stream"] = sql["cdc_schema_types"]
+
+    # cross-source schema agreement: the declared CURRENT column set
+    # (the membership fold at each table's LAST version -- from vd,
+    # not from present-only rows, so a table ending on DROP
+    # contributes nothing) full-outer against the avro lake's observed
+    # field census (matched avro payload keys x the 5 payload field
+    # names, keyed to (schema, table) through the binlog LWW meta --
+    # the dmlk/avk arithmetic the guarded-diff oracles mirror).  The
+    # m=1 CREATE declares order_id/quantity on purpose: AGREE,
+    # BINLOG_ONLY, and LAKE_ONLY all populate.
+    sql["cdc_schema_vs_lake"] = (
+        f"WITH {_DDL_STMT_CTE},\n{_COLS_FOLD_CTES}"
+        + """,
+lastv AS (
+  SELECT schema_name, table_name, max(version) AS v
+  FROM vd GROUP BY 1, 2
+),
+cur AS (
+  SELECT p.schema_name, p.table_name, p.col
+  FROM pres p
+  JOIN lastv l ON l.schema_name = p.schema_name
+    AND l.table_name = p.table_name AND p.version = l.v
+  WHERE p.present
+),
+dmlk AS (
+  SELECT binlog_file, binlog_position, schema_name, table_name FROM (
+    SELECT 'mysql-bin.' || lpad(CAST(event_id % 4 AS VARCHAR), 6, '0')
+             AS binlog_file,
+      CASE WHEN event_id % 211 = 0 THEN 0
+           WHEN event_id % 53 = 0 THEN 100 * ((event_id + 4) // 4) + 4
+           ELSE 100 * (event_id // 4) + 4 END AS binlog_position,
+      event_id,
+      'db' || CAST(user_id % 2 AS VARCHAR) AS schema_name,
+      't' || CAST(user_id % 3 AS VARCHAR) AS table_name
+    FROM events
+    WHERE event_type IN ('click', 'view', 'purchase')
+      AND event_id % 223 <> 0
+  ) WHERE binlog_position <> 0
+  QUALIFY row_number() OVER (
+    PARTITION BY binlog_file, binlog_position ORDER BY event_id DESC) = 1
+),
+avk AS (
+  SELECT 'mysql-bin.' || lpad(CAST(event_id % 4 AS VARCHAR), 6, '0')
+           AS binlog_file,
+    CASE WHEN event_id % 17 = 5 THEN 100 * (event_id // 4) + 4 + 7
+         ELSE 100 * (event_id // 4) + 4 END AS binlog_position
+  FROM events
+  WHERE event_type IN ('click', 'view', 'purchase')
+    AND event_id % 13 <> 0 AND event_id % 29 <> 1
+),
+obs AS (
+  SELECT d.schema_name, d.table_name, f.field_name,
+         count(*) AS n_obs
+  FROM avk a
+  JOIN dmlk d USING (binlog_file, binlog_position)
+  CROSS JOIN (SELECT unnest(['order_id', 'customer_name',
+    'product_name', 'quantity', 'order_timestamp']) AS field_name) f
+  GROUP BY 1, 2, 3
+)
+SELECT coalesce(c.schema_name, o.schema_name) AS schema_name,
+       coalesce(c.table_name, o.table_name) AS table_name,
+       coalesce(c.col, o.field_name) AS column_name,
+       CASE WHEN c.col IS NOT NULL AND o.field_name IS NOT NULL
+              THEN 'AGREE'
+            WHEN c.col IS NOT NULL THEN 'BINLOG_ONLY'
+            ELSE 'LAKE_ONLY' END AS status,
+       coalesce(o.n_obs, 0) AS n_obs
+FROM cur c
+FULL OUTER JOIN obs o
+  ON o.schema_name = c.schema_name AND o.table_name = c.table_name
+  AND o.field_name = c.col"""
+    )
 
     # statement-vocabulary census: per ddl_kind, frame rows + distinct
     # canonical tables -- the r11 vocabulary completion (TRUNCATE,

@@ -1461,6 +1461,37 @@ def _q_cdc_ddl_statement_census(spark, sf_dir):
     )
 
 
+def _q_cdc_schema_vs_lake(spark, sf_dir):
+    """Cross-source schema agreement (ddl.schema_agreement): the
+    binlog-DDL-declared CURRENT column set per canonical table
+    (ddl.current_columns over the parsed statement log) reconciled
+    against the avro lake's observed field census -- AGREE /
+    BINLOG_ONLY (declared, never shipped) / LAKE_ONLY (shipped, not
+    declared), with the matched-key observation count.  The observed
+    side reuses the guard fixture's avro payload maps keyed to
+    (schema, table) through the binlog LWW meta -- the same pairing
+    the payload diff itself uses, so this report says exactly which
+    of THAT diff's per-column findings are structurally meaningful.
+    The fixture's m=1 CREATE deliberately declares order_id/quantity
+    (payload field names): all three arms populate.  Every frame is
+    metadata-to-field cardinality; the joins broadcast."""
+    from ..operators.ddl import current_columns, schema_agreement
+
+    _, ap, key_tables = _guard_payload_frames(spark, sf_dir)
+    observed = (
+        ap.join(key_tables, ["binlog_file", "binlog_position"])
+        .select(
+            "schema_name",
+            "table_name",
+            F.explode(F.map_keys("payload")).alias("field_name"),
+        )
+        .groupBy("schema_name", "table_name", "field_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    cur = current_columns(_ddl_statements(spark, sf_dir))
+    return schema_agreement(cur, observed)
+
+
 def _q_cdc_changelog_compaction(spark, sf_dir):
     """Net-effect changelog compaction (snapshot.changelog_compaction):
     each key's change run collapsed to the single op a downstream

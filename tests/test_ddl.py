@@ -931,3 +931,51 @@ def test_maintenance_threads_renamed_name(spark):
         (2, "RENAME", "t1", "t1_r"),
         (3, "MAINTENANCE", "t1", "t1_r"),
     ]
+
+
+def test_schema_agreement_three_arms(spark):
+    """Cross-source schema agreement: declared-current vs observed
+    fields -- AGREE / BINLOG_ONLY / LAKE_ONLY, with the current set
+    taken at the table's LAST version (a table ending on DROP
+    contributes nothing)."""
+    from binlog_avro_comparator_spark.operators.ddl import (
+        current_columns,
+        schema_agreement,
+    )
+
+    rows = [
+        _q("2025-06-01T10:00:00Z", "mysql-bin.000001", 100, 1, "db0",
+           "CREATE TABLE t1 (id INT, order_id BIGINT)"),
+        _q("2025-06-01T10:00:01Z", "mysql-bin.000001", 200, 2, "db0",
+           "ALTER TABLE t1 ADD COLUMN c1 INT"),
+        # t2 ends on a DROP: current set must be empty
+        _q("2025-06-01T10:00:02Z", "mysql-bin.000001", 300, 3, "db0",
+           "CREATE TABLE t2 (id INT)"),
+        _q("2025-06-01T10:00:03Z", "mysql-bin.000001", 400, 4, "db0",
+           "DROP TABLE t2"),
+    ]
+    ddl = parse_ddl_statements(_parsed(spark, rows))
+    cur = current_columns(ddl)
+    got = {
+        (r.table_name, r.column_name) for r in cur.collect()
+    }
+    assert got == {("t1", "id"), ("t1", "order_id"), ("t1", "c1")}
+    observed = spark.createDataFrame(
+        [
+            ("db0", "t1", "order_id", 7),
+            ("db0", "t1", "legacy_col", 7),
+            ("db0", "t2", "id", 3),
+        ],
+        "schema_name string, table_name string, field_name string,"
+        " n_obs long",
+    )
+    ag = {
+        (r.table_name, r.column_name): (r.status, r.n_obs)
+        for r in schema_agreement(cur, observed).collect()
+    }
+    assert ag[("t1", "order_id")] == ("AGREE", 7)
+    assert ag[("t1", "id")] == ("BINLOG_ONLY", 0)
+    assert ag[("t1", "c1")] == ("BINLOG_ONLY", 0)
+    assert ag[("t1", "legacy_col")] == ("LAKE_ONLY", 7)
+    # the dropped table's observed traffic is ALL lake-only
+    assert ag[("t2", "id")] == ("LAKE_ONLY", 3)
