@@ -1757,6 +1757,10 @@ FULL OUTER JOIN obs o
   ON o.schema_name = c.schema_name AND o.table_name = c.table_name
   AND o.field_name = c.col"""
     )
+    # the live agreement view's read-LATEST contract: identical SQL to
+    # the batch report (same fold-state discipline as the other
+    # _stream aliases above)
+    sql["cdc_schema_vs_lake_stream"] = sql["cdc_schema_vs_lake"]
 
     # statement-vocabulary census: per ddl_kind, frame rows + distinct
     # canonical tables -- the r11 vocabulary completion (TRUNCATE,

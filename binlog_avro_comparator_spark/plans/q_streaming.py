@@ -1060,6 +1060,42 @@ def _q_cdc_schema_types_stream(spark, sf_dir):
     return _run_fold(spark, maintain_schema_timeline, read_schema_types, d)
 
 
+def _q_cdc_schema_vs_lake_stream(spark, sf_dir):
+    """Cross-source schema agreement served LIVE
+    (fold_sinks.read_schema_agreement): the declared current column
+    set derives from the statement-log fold state at read time -- a
+    DDL landing mid-feed flips a column's status at the very next
+    read -- reconciled against the same lake-side field census the
+    batch report uses (matched avro payload keys through the binlog
+    LWW meta).  Fifth read-time view from ONE maintained
+    metadata-sized state, certifying again that the fold is
+    view-agnostic; read-LATEST equals batch ddl.schema_agreement
+    verbatim (the shared oracle)."""
+    from ..streaming.fold_sinks import (
+        maintain_schema_timeline,
+        read_schema_agreement,
+    )
+
+    ensure_session_conf(spark)
+    _, ap, key_tables = _guard_payload_frames(spark, sf_dir)
+    observed = (
+        ap.join(key_tables, ["binlog_file", "binlog_position"])
+        .select(
+            "schema_name",
+            "table_name",
+            F.explode(F.map_keys("payload")).alias("field_name"),
+        )
+        .groupBy("schema_name", "table_name", "field_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    d = _events_chunk_dir(spark, sf_dir)
+
+    def read(spark_, state_dir):
+        return read_schema_agreement(spark_, state_dir, observed)
+
+    return _run_fold(spark, maintain_schema_timeline, read, d)
+
+
 def _q_cdc_payload_diff_guarded_stream(spark, sf_dir):
     """The column-granular DDL guard ON THE LIVE FEED
     (fold_sinks.maintain_guarded_payload_diff): production diffs run

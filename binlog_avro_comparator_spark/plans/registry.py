@@ -47,6 +47,7 @@ _R11_WINDOW_HEAD = [
     # over the m=3 sub-split fixture (TRUNCATE / INDEX / MAINTENANCE)
     "cdc_ddl_statement_census",
     "cdc_schema_vs_lake",
+    "cdc_schema_vs_lake_stream",
     "cdc_schema_types",
     "cdc_schema_types_stream",
     "cdc_payload_diff_guarded_stream",
@@ -100,7 +101,6 @@ _R11_WINDOW_BACKFILL = [
     "events_rank_family",
     "events_salted_type_stats",
     "events_top_type_stream",
-    "events_trailing_10min",
 ]
 
 
@@ -160,6 +160,7 @@ def _queries_grouped() -> dict[str, QueryFn]:
         # cdc_ddl_statement_census as the vocabulary showcase. --
         "cdc_ddl_statement_census": _q_cdc_ddl_statement_census,
         "cdc_schema_vs_lake": _q_cdc_schema_vs_lake,
+        "cdc_schema_vs_lake_stream": _q_cdc_schema_vs_lake_stream,
         "cdc_schema_types": _q_cdc_schema_types,
         "cdc_schema_types_stream": _q_cdc_schema_types_stream,
         "cdc_payload_diff_guarded_stream": _q_cdc_payload_diff_guarded_stream,

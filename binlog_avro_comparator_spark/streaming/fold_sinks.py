@@ -559,6 +559,27 @@ def read_schema_types(spark: SparkSession, state_dir: str) -> DataFrame:
     return schema_column_types(spark.read.parquet(target))
 
 
+def read_schema_agreement(
+    spark: SparkSession, state_dir: str, observed: DataFrame
+) -> DataFrame:
+    """Cross-source schema agreement as a FIFTH read-time view from
+    the statement-log fold: the declared CURRENT column set is derived
+    from the live state (so a DDL landing mid-feed flips a column's
+    status at the very next read) and reconciled against ``observed``
+    -- the lake-side field census (schema_name, table_name,
+    field_name, n_obs), itself maintainable from the matched-key log
+    the guarded diff already folds.  Read-LATEST equals the batch
+    ddl.schema_agreement over the full feed, the same contract every
+    other view here carries."""
+    from ..operators.ddl import current_columns, schema_agreement
+
+    target = _latest_version(state_dir)
+    if target is None:
+        raise FileNotFoundError(f"no state version under {state_dir}")
+    cur = current_columns(spark.read.parquet(target))
+    return schema_agreement(cur, observed)
+
+
 def read_drift_window_columns(
     spark: SparkSession, state_dir: str
 ) -> DataFrame:

@@ -576,3 +576,96 @@ def test_guarded_diff_fold_alter_lands_mid_replay(spark, tmp_path):
         for r in C.payload_diff_column_guard(bp, ap_full, kt, wc).collect()
     )
     assert sorted(tuple(r) for r in got.collect()) == exp
+
+
+def _append_chunk(spark, d, i, rows):
+    import shutil
+
+    df = spark.createDataFrame(
+        [
+            (eid, __import__("datetime").datetime.fromisoformat(ts),
+             u, et, v, p)
+            for (eid, ts, u, et, v, p) in rows
+        ],
+        EVENTS_T,
+    )
+    part_dir = os.path.join(d, f"__part_{i}")
+    df.coalesce(1).write.parquet(part_dir)
+    [part] = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+    dst = os.path.join(d, f"chunk_{i:02d}.parquet")
+    shutil.move(part, dst)
+    shutil.rmtree(part_dir)
+    os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+
+def test_schema_agreement_live_flips_at_next_read(spark, tmp_path):
+    """The live cross-source agreement view (fold_sinks.read_schema_
+    agreement): a DDL landing mid-feed flips a column's status at the
+    VERY NEXT read -- two drains against one state/checkpoint, the
+    second delivering the membership-resetting CREATE -- and the final
+    read equals batch schema_agreement over the full feed."""
+    from binlog_avro_comparator_spark.operators.ddl import (
+        current_columns,
+        schema_agreement,
+    )
+    from binlog_avro_comparator_spark.streaming.fold_sinks import (
+        _ddl_batch_statements,
+        maintain_schema_timeline,
+        read_schema_agreement,
+    )
+
+    d = str(tmp_path / "agree_chunks")
+    os.makedirs(d)
+    for i, rows in enumerate(_DDL_CHUNKS[:2]):
+        _append_chunk(spark, d, i, rows)
+    observed = spark.createDataFrame(
+        [("db1", "t1", "order_id", 7), ("db1", "t1", "ghost_field", 3)],
+        "schema_name string, table_name string, field_name string,"
+        " n_obs long",
+    )
+    state = str(tmp_path / "agree_state")
+    ckpt = str(tmp_path / "agree_ckpt")
+    _drain(maintain_schema_timeline(_stream(spark, d), state, ckpt))
+    first = {
+        (r.column_name): (r.status, r.n_obs)
+        for r in read_schema_agreement(spark, state, observed).collect()
+    }
+    # mid-feed state: the CREATE set + the eid-13 ADD c1 + the eid-10
+    # ADD p2 (threaded through the rename) are all declared-current
+    assert first["order_id"] == ("AGREE", 7)
+    assert first["ghost_field"] == ("LAKE_ONLY", 3)
+    assert first["c1"] == ("BINLOG_ONLY", 0)
+    assert first["p2"] == ("BINLOG_ONLY", 0)
+    # the final chunk lands: its CREATE (column list declared) RESETS
+    # membership -- the next read must drop c1/p2 from the declared set
+    _append_chunk(spark, d, 2, _DDL_CHUNKS[2])
+    _drain(maintain_schema_timeline(_stream(spark, d), state, ckpt))
+    second = {
+        (r.column_name): (r.status, r.n_obs)
+        for r in read_schema_agreement(spark, state, observed).collect()
+    }
+    assert "c1" not in second and "p2" not in second
+    assert second["order_id"] == ("AGREE", 7)
+    assert second["quantity"] == ("BINLOG_ONLY", 0)
+    assert second["ghost_field"] == ("LAKE_ONLY", 3)
+    # read-LATEST == batch over the full feed (the shared contract)
+    all_events = spark.createDataFrame(
+        [
+            (eid, __import__("datetime").datetime.fromisoformat(ts),
+             u, et, v, p)
+            for rows in _DDL_CHUNKS
+            for (eid, ts, u, et, v, p) in rows
+        ],
+        EVENTS_T,
+    )
+    exp = sorted(
+        tuple(r)
+        for r in schema_agreement(
+            current_columns(_ddl_batch_statements(all_events)), observed
+        ).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in read_schema_agreement(spark, state, observed).collect()
+    )
+    assert got == exp
