@@ -1761,6 +1761,10 @@ FULL OUTER JOIN obs o
     # the batch report (same fold-state discipline as the other
     # _stream aliases above)
     sql["cdc_schema_vs_lake_stream"] = sql["cdc_schema_vs_lake"]
+    # the both-sides-live variant reads the same contract: declared
+    # side from the fold state, observed side from the summed
+    # per-batch census log -- full-feed agreement either way
+    sql["cdc_schema_vs_lake_live"] = sql["cdc_schema_vs_lake"]
 
     # statement-vocabulary census: per ddl_kind, frame rows + distinct
     # canonical tables -- the r11 vocabulary completion (TRUNCATE,

@@ -1125,4 +1125,32 @@ def _q_cdc_payload_diff_guarded_stream(spark, sf_dir):
     return _run_fold(spark, maintain, read_guarded_payload_diff, d)
 
 
+def _q_cdc_schema_vs_lake_live(spark, sf_dir):
+    """Cross-source schema agreement with BOTH sides maintained on the
+    live feed (fold_sinks.read_schema_agreement_live): the guarded-diff
+    query already folds the statement log and appends the per-batch
+    matched-key meta, so the lake-side field census rides the same
+    foreachBatch as one more map-side-combined per-batch slice --
+    nothing is recomputed from a batch frame at read.  The deployable
+    shape at 100 TB: declared side from fold state, observed side from
+    the summed (batches x fields) census log, both metadata-sized.
+    Read-LATEST equals batch ddl.schema_agreement over the full feed
+    (the shared oracle, verbatim)."""
+    from ..streaming.fold_sinks import (
+        maintain_guarded_payload_diff,
+        read_schema_agreement_live,
+    )
+
+    ensure_session_conf(spark)
+    bp, _, key_tables = _guard_payload_frames(spark, sf_dir)
+    d = _events_chunk_dir(spark, sf_dir)
+
+    def maintain(stream, state_dir, ckpt):
+        return maintain_guarded_payload_diff(
+            stream, state_dir, ckpt, bp, key_tables
+        )
+
+    return _run_fold(spark, maintain, read_schema_agreement_live, d)
+
+
 __all__ = [_n for _n in list(globals()) if not _n.startswith('__') and _n != '_shared']

@@ -634,12 +634,13 @@ def commit_guarded_diff_batch(
     )
     diff_dir = os.path.join(state_dir, "diff", f"b{batch_id}")
     meta_dir = os.path.join(state_dir, "matched", f"b{batch_id}")
+    obs_dir = os.path.join(state_dir, "observed", f"b{batch_id}")
     if all(
         os.path.exists(os.path.join(d, "_SUCCESS"))
-        for d in (diff_dir, meta_dir)
+        for d in (diff_dir, meta_dir, obs_dir)
     ):
         return
-    for d in (diff_dir, meta_dir):
+    for d in (diff_dir, meta_dir, obs_dir):
         shutil.rmtree(d, ignore_errors=True)
     ap = derive_avro_payload_map(batch_df)
     bp = F.broadcast(binlog_payload)
@@ -649,6 +650,23 @@ def commit_guarded_diff_batch(
         .join(bp.select(*C.KEY), list(C.KEY))
         .join(F.broadcast(key_tables), list(C.KEY), "left")
         .write.parquet(meta_dir)
+    )
+    # the batch's slice of the lake-side FIELD CENSUS (which fields the
+    # producer actually shipped, per table): a map-side-combined
+    # aggregate of THIS batch only -- each key lands in exactly one
+    # batch, so the accumulated log sums to the full-feed census at
+    # read time (counts are associative and commutative).  The log is
+    # (batches x fields)-cardinality: metadata at any feed size.
+    (
+        ap.join(F.broadcast(key_tables), list(C.KEY))
+        .select(
+            "schema_name",
+            "table_name",
+            F.explode(F.map_keys("payload")).alias("field_name"),
+        )
+        .groupBy("schema_name", "table_name", "field_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+        .write.parquet(obs_dir)
     )
 
 
@@ -694,6 +712,34 @@ def read_guarded_payload_diff(spark: SparkSession, state_dir: str) -> DataFrame:
     diff = spark.read.parquet(os.path.join(state_dir, "diff", "b*"))
     meta = spark.read.parquet(os.path.join(state_dir, "matched", "b*"))
     return column_guard_compose(diff, meta, windows)
+
+
+def read_schema_agreement_live(
+    spark: SparkSession, state_dir: str
+) -> DataFrame:
+    """Cross-source schema agreement with BOTH sides maintained on the
+    live feed -- no batch-side recompute anywhere: the declared current
+    column set derives from the guarded-diff query's statement-log fold
+    (``state_dir/ddl``) and the observed field census sums the
+    per-batch slices the same query appended (``observed/b*`` --
+    counts are associative and commutative, and each key landed in
+    exactly one batch, so the sum IS the full-feed census).  At 100 TB
+    this is the only deployable shape: the lake census is exactly the
+    thing you cannot afford to rescan per read, while the accumulated
+    log is (batches x fields)-cardinality metadata.  Read-LATEST
+    equals the batch ddl.schema_agreement over the full feed."""
+    from ..operators.ddl import current_columns, schema_agreement
+
+    target = _latest_version(os.path.join(state_dir, "ddl"))
+    if target is None:
+        raise FileNotFoundError(f"no ddl state under {state_dir}")
+    observed = (
+        spark.read.parquet(os.path.join(state_dir, "observed", "b*"))
+        .groupBy("schema_name", "table_name", "field_name")
+        .agg(F.sum("n_obs").cast("long").alias("n_obs"))
+    )
+    cur = current_columns(spark.read.parquet(target))
+    return schema_agreement(cur, observed)
 
 
 def vacuum_state_versions(state_dir: str, keep: int = 2) -> list[str]:

@@ -669,3 +669,84 @@ def test_schema_agreement_live_flips_at_next_read(spark, tmp_path):
         for r in read_schema_agreement(spark, state, observed).collect()
     )
     assert got == exp
+
+
+def test_schema_agreement_live_both_sides_folded(spark, tmp_path):
+    """read_schema_agreement_live: declared side from the guarded-diff
+    query's statement-log fold, observed side from the summed per-batch
+    census log -- NO batch-side frame at read.  Equals the batch
+    schema_agreement over the full feed."""
+    import shutil
+
+    from binlog_avro_comparator_spark.fixtures import (
+        derive_avro_payload_map,
+    )
+    from binlog_avro_comparator_spark.operators.ddl import (
+        current_columns,
+        schema_agreement,
+    )
+    from binlog_avro_comparator_spark.streaming.fold_sinks import (
+        _ddl_batch_statements,
+        maintain_guarded_payload_diff,
+        read_schema_agreement_live,
+    )
+
+    d = str(tmp_path / "live_chunks")
+    os.makedirs(d)
+    for i, rows in enumerate(_GUARD_CHUNKS):
+        _append_chunk(spark, d, i, rows)
+    all_events = spark.createDataFrame(
+        [
+            (eid, __import__("datetime").datetime.fromisoformat(ts),
+             u, et, v, p)
+            for rows in _GUARD_CHUNKS
+            for (eid, ts, u, et, v, p) in rows
+        ],
+        EVENTS_T,
+    )
+    ap_full = derive_avro_payload_map(all_events)
+    bp_rows = [
+        (r.binlog_file, r.binlog_position, r.payload)
+        for r in ap_full.collect()
+    ]
+    bp = spark.createDataFrame(
+        bp_rows,
+        "binlog_file string, binlog_position bigint, "
+        "payload map<string,string>",
+    )
+    kt = spark.createDataFrame(
+        [(f, p, "db1", "t1") for (f, p, _) in bp_rows],
+        "binlog_file string, binlog_position bigint, "
+        "schema_name string, table_name string",
+    )
+    state = str(tmp_path / "live_state")
+    ckpt = str(tmp_path / "live_ckpt")
+    _drain(maintain_guarded_payload_diff(_stream(spark, d), state, ckpt, bp, kt))
+    got = {
+        (r.column_name): (r.status, r.n_obs)
+        for r in read_schema_agreement_live(spark, state).collect()
+    }
+    # the feed's only DDL is the eid-52 ADD COLUMN c0: declared-only;
+    # every shipped payload field is LAKE_ONLY with the full key count
+    assert got["c0"] == ("BINLOG_ONLY", 0)
+    assert got["product_name"] == ("LAKE_ONLY", 3)
+    # equals batch over the full feed, observed census included
+    observed = (
+        ap_full.join(kt, ["binlog_file", "binlog_position"])
+        .select(
+            "schema_name",
+            "table_name",
+            F.explode(F.map_keys("payload")).alias("field_name"),
+        )
+        .groupBy("schema_name", "table_name", "field_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    exp = sorted(
+        tuple(r)
+        for r in schema_agreement(
+            current_columns(_ddl_batch_statements(all_events)), observed
+        ).collect()
+    )
+    assert sorted(
+        tuple(r) for r in read_schema_agreement_live(spark, state).collect()
+    ) == exp
