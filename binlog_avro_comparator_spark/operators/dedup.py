@@ -127,6 +127,36 @@ def minhash_signatures(documents: DataFrame, k: int = MINHASH_K) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def banded_signatures(
+    documents: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+) -> DataFrame:
+    """(doc_id, band_id, band_key): each document's signature exploded
+    into its LSH band keys -- the INDEX rows an LSH deployment stores.
+    Per-document work only (shingle -> minhash -> concat), so a batch
+    slice produces exactly the rows the full corpus would for those
+    docs -- the property the incremental fold
+    (streaming/fold_sinks.maintain_lsh_index) relies on to share this
+    one definition with the batch join."""
+    sig = minhash_signatures(documents, bands * rows)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    "_",
+                    *[F.col(f"min_{b * rows + r}").cast("string") for r in range(rows)],
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id",
+        F.col("bk.band_id").alias("band_id"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+
+
 def lsh_candidate_pairs(
     documents: DataFrame,
     bands: int = LSH_BANDS,
@@ -152,22 +182,7 @@ def lsh_candidate_pairs(
     if corpus_rows is not None:
         bands, rows = bands_for_corpus(corpus_rows, threshold)
     # cached: both join sides reference it (see simhash_near_pairs note)
-    sig = scoped_cache(minhash_signatures(documents, bands * rows))
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.concat_ws(
-                    "_",
-                    *[F.col(f"min_{b * rows + r}").cast("string") for r in range(rows)],
-                ).alias("band_key"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
-        "doc_id", F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key")
-    )
+    banded = scoped_cache(banded_signatures(documents, bands, rows))
     return (
         banded.alias("l")
         .join(banded.alias("r"), on=["band_id", "band_key"])

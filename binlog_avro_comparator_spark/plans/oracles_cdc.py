@@ -526,6 +526,9 @@ SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
 FROM events GROUP BY event_type""",
         "minhash_signatures": _minhash_sig_sql(),
         "minhash_lsh_pairs": _lsh_pairs_sql(),
+        # the maintained-index fold's read-union contract: the same
+        # candidate-pair set as the batch LSH join, verbatim
+        "corpus_lsh_incremental": _lsh_pairs_sql(),
         "doc_levenshtein_pairs": _lsh_pairs_sql().replace(
             "SELECT DISTINCT doc_a, doc_b FROM (",
             ",\ncand AS (SELECT DISTINCT doc_a, doc_b FROM (",

@@ -939,16 +939,66 @@ def _chunked_events_stream(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
-def _run_fold(spark, maintain, read_state, d: str) -> DataFrame:
+_DOCS_CHUNK_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def _docs_chunk_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> str:
+    """The documents table split into ``n_chunks`` doc_id-ordered
+    parquet files with staggered mtimes -- the ingest-arrival replay
+    for the corpus-side incremental folds (same scaffolding as
+    _events_chunk_dir).  Memoized per sf_dir."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    cached = _FIXTURE_DIRS.get(("docs_chunks", sf_dir))
+    if cached is not None:
+        return cached
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    chunked = docs.withColumn(
+        "__c", F.ntile(n_chunks).over(Window.orderBy("doc_id"))
+    )
+    d = tempfile.mkdtemp(prefix="docs_chunks_")
+    base_mtime = 1_700_000_000
+    for c in range(1, n_chunks + 1):
+        part_dir = os.path.join(d, f"__part_{c}")
+        chunked.filter(F.col("__c") == c).drop("__c").coalesce(1).write.parquet(
+            part_dir
+        )
+        [part] = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        dst = os.path.join(d, f"chunk_{c:02d}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(part_dir)
+        os.utime(dst, (base_mtime + c, base_mtime + c))
+    _FIXTURE_DIRS[("docs_chunks", sf_dir)] = d
+    return d
+
+
+def _chunked_docs_stream(spark: SparkSession, d: str) -> DataFrame:
+    return (
+        spark.readStream.schema(_DOCS_CHUNK_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+
+
+def _run_fold(spark, maintain, read_state, d: str, stream_fn=None) -> DataFrame:
     """Shared drive for the foreachBatch folds: fresh state/checkpoint
     dirs per run (single-writer contract), availableNow drain under
-    the state-partition scope, then read LATEST."""
+    the state-partition scope, then read LATEST.  ``stream_fn``
+    overrides the chunk-stream reader (default: the events schema)."""
     import tempfile
 
     state_dir = tempfile.mkdtemp(prefix="fold_state_")
     ckpt = tempfile.mkdtemp(prefix="fold_ckpt_")
+    reader = stream_fn or _chunked_events_stream
     with _stream_state_partitions(spark):
-        q = maintain(_chunked_events_stream(spark, d), state_dir, ckpt)
+        q = maintain(reader(spark, d), state_dir, ckpt)
         if not q.awaitTermination(300):
             q.stop()
             raise RuntimeError("incremental fold drain exceeded 300s")
@@ -1151,6 +1201,36 @@ def _q_cdc_schema_vs_lake_live(spark, sf_dir):
         )
 
     return _run_fold(spark, maintain, read_schema_agreement_live, d)
+
+
+def _q_corpus_lsh_incremental(spark, sf_dir):
+    """MinHash-LSH near-dup detection as the PRODUCTION incremental
+    fold (fold_sinks.maintain_lsh_index): a growing corpus must NOT be
+    re-LSHed per ingest -- the banded-signature index is maintained as
+    state (docs x bands rows, exactly what an LSH deployment stores),
+    each micro-batch of new documents hashes map-side
+    (dedup.banded_signatures, ONE definition shared with the batch
+    operator) and probes the accumulated index with one equi-join, and
+    a pair is emitted in the batch its LATER document arrives --
+    per-batch pair logs are disjoint, so reading is a plain union.
+    4 doc_id-ordered micro-batches; the union equals batch
+    lsh_candidate_pairs over the full corpus (the shared oracle,
+    verbatim)."""
+    from ..streaming.fold_sinks import maintain_lsh_index, read_lsh_pairs
+
+    ensure_session_conf(spark)
+    d = _docs_chunk_dir(spark, sf_dir)
+
+    def maintain(stream, state_dir, ckpt):
+        return maintain_lsh_index(stream, state_dir, ckpt, bands=4, rows=4)
+
+    return _run_fold(
+        spark,
+        maintain,
+        read_lsh_pairs,
+        d,
+        stream_fn=_chunked_docs_stream,
+    )
 
 
 __all__ = [_n for _n in list(globals()) if not _n.startswith('__') and _n != '_shared']

@@ -37,6 +37,7 @@ at-least-once replay) and its single-writer exclusion contract.
 
 from __future__ import annotations
 
+import glob
 import os
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
@@ -777,3 +778,105 @@ def vacuum_state_versions(state_dir: str, keep: int = 2) -> list[str]:
     for d in doomed:
         shutil.rmtree(os.path.join(state_dir, d))
     return doomed
+
+
+def commit_lsh_batch(
+    spark: SparkSession,
+    state_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    bands: int,
+    rows: int,
+) -> None:
+    """Fold one micro-batch of NEW documents into the maintained LSH
+    index and emit the near-dup candidate pairs they create.
+
+    The 100 TB argument: a production corpus grows by arrival, and
+    re-LSHing the whole corpus per ingest is exactly the recompute an
+    index exists to avoid.  State is the banded signature log
+    (``bands/b*`` -- docs x bands rows, the same index every LSH
+    deployment stores; at warehouse scale you would bucket it by
+    band_key so the probe join below co-locates).  Per batch the work
+    is per-document hashing (map-side, dedup.banded_signatures -- ONE
+    definition shared with the batch operator, so slices cannot
+    drift) plus one equi-join of the batch's band rows against the
+    accumulated index.  Each doc_id arrives exactly once, so a pair
+    collides in the batch where its LATER document lands and nowhere
+    else: the per-batch pair logs (``pairs/b*``) are disjoint and
+    their union IS batch lsh_candidate_pairs over the full corpus --
+    append-once, no read-time dedup.
+
+    Batch dirs are write-once (both rewritten on a retry), so replays
+    are idempotent."""
+    import shutil
+
+    from ..operators.dedup import banded_signatures
+
+    bands_dir = os.path.join(state_dir, "bands", f"b{batch_id}")
+    pairs_dir = os.path.join(state_dir, "pairs", f"b{batch_id}")
+    if all(
+        os.path.exists(os.path.join(d, "_SUCCESS"))
+        for d in (bands_dir, pairs_dir)
+    ):
+        return
+    for d in (bands_dir, pairs_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    new = banded_signatures(batch_df, bands, rows).localCheckpoint()
+    prior_dirs = [
+        p
+        for p in sorted(
+            glob.glob(os.path.join(state_dir, "bands", "b*"))
+        )
+        if os.path.exists(os.path.join(p, "_SUCCESS"))
+        and os.path.basename(p) != f"b{batch_id}"
+    ]
+    index = (
+        spark.read.parquet(*prior_dirs).unionByName(new)
+        if prior_dirs
+        else new
+    )
+    pairs = (
+        new.alias("n")
+        .join(index.alias("i"), ["band_id", "band_key"])
+        .filter(F.col("n.doc_id") != F.col("i.doc_id"))
+        .select(
+            F.least("n.doc_id", "i.doc_id").alias("doc_a"),
+            F.greatest("n.doc_id", "i.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    pairs.write.parquet(pairs_dir)
+    new.write.parquet(bands_dir)
+
+
+def maintain_lsh_index(
+    docs_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    bands: int = 4,
+    rows: int = 4,
+):
+    """Start the foreachBatch LSH-index maintenance query (caller
+    awaits): banded-signature index + disjoint per-batch pair logs."""
+    os.makedirs(state_dir, exist_ok=True)
+    spark = docs_stream.sparkSession
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        commit_lsh_batch(spark, state_dir, batch_df, batch_id, bands, rows)
+
+    return (
+        docs_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_lsh_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
+    """All near-dup candidate pairs the maintained index has emitted:
+    the per-batch logs are DISJOINT by construction (a pair collides
+    only in its later document's batch), so this is a plain union --
+    no distinct, no shuffle."""
+    return spark.read.parquet(
+        os.path.join(state_dir, "pairs", "b*")
+    ).select("doc_a", "doc_b")

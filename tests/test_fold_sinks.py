@@ -750,3 +750,93 @@ def test_schema_agreement_live_both_sides_folded(spark, tmp_path):
     assert sorted(
         tuple(r) for r in read_schema_agreement_live(spark, state).collect()
     ) == exp
+
+
+_DOCS_T = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+# near-dup plants across batch boundaries: docs 1/2 (batch 0) are
+# word-identical, doc 5 (batch 2) repeats doc 1's text verbatim -- the
+# late arrival that must probe the MAINTAINED index, not its own batch
+_LSH_DOC_CHUNKS = [
+    [
+        (1, "the quick brown fox jumps over the lazy dog again and again", "en", "web", 60),
+        (2, "the quick brown fox jumps over the lazy dog again and again", "en", "web", 60),
+        (3, "completely different words about spark shuffle partitions here", "en", "web", 62),
+    ],
+    [
+        (4, "yet another unrelated document concerning parquet row groups", "en", "web", 60),
+    ],
+    [
+        (5, "the quick brown fox jumps over the lazy dog again and again", "en", "web", 60),
+    ],
+]
+
+
+def test_lsh_fold_pair_logs_disjoint_and_equal_batch(spark, tmp_path):
+    """The maintained LSH index (fold_sinks.maintain_lsh_index): a doc
+    arriving batches after its near-dup must pair through the
+    ACCUMULATED index; per-batch pair logs are disjoint; the union
+    equals batch lsh_candidate_pairs over the full corpus."""
+    from binlog_avro_comparator_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+    from binlog_avro_comparator_spark.streaming.fold_sinks import (
+        maintain_lsh_index,
+        read_lsh_pairs,
+    )
+
+    d = str(tmp_path / "lsh_chunks")
+    os.makedirs(d)
+    for i, rows in enumerate(_LSH_DOC_CHUNKS):
+        df = spark.createDataFrame(rows, _DOCS_T)
+        part_dir = os.path.join(d, f"__part_{i}")
+        df.coalesce(1).write.parquet(part_dir)
+        [part] = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        dst = os.path.join(d, f"chunk_{i:02d}.parquet")
+        import shutil
+
+        shutil.move(part, dst)
+        shutil.rmtree(part_dir)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    state = str(tmp_path / "lsh_state")
+    ckpt = str(tmp_path / "lsh_ckpt")
+    stream = (
+        spark.readStream.schema(_DOCS_T)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    _drain(maintain_lsh_index(stream, state, ckpt, bands=4, rows=4))
+    got = sorted(
+        (r.doc_a, r.doc_b) for r in read_lsh_pairs(spark, state).collect()
+    )
+    # the cross-batch late duplicate (5 vs 1 and 5 vs 2) found through
+    # the index; the within-batch pair (1, 2) found at arrival
+    assert (1, 2) in got and (1, 5) in got and (2, 5) in got
+    # per-batch logs are disjoint: a plain union has no duplicates
+    assert len(got) == len(set(got))
+    # batch 2's log holds exactly the late doc's pairs -- emitted in
+    # the LATER document's batch and nowhere else
+    b2 = sorted(
+        (r.doc_a, r.doc_b)
+        for r in spark.read.parquet(
+            os.path.join(state, "pairs", "b2")
+        ).collect()
+    )
+    assert b2 == [(1, 5), (2, 5)]
+    # union == batch operator over the full corpus
+    all_docs = spark.createDataFrame(
+        [r for rows in _LSH_DOC_CHUNKS for r in rows], _DOCS_T
+    )
+    exp = sorted(
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(all_docs, bands=4, rows=4).collect()
+    )
+    assert got == exp
