@@ -1572,6 +1572,34 @@ FROM pres WHERE present"""
     sql["cdc_schema_timeline_stream"] = sql["cdc_schema_timeline"]
     sql["cdc_schema_columns_stream"] = sql["cdc_schema_columns"]
 
+    # time travel: the timeline AS OF batch 1 of the 4-chunk replay ==
+    # the batch timeline over exactly the first two event-time
+    # quartiles (the fixture's own ntile(4) split) -- versions are
+    # prefix-correct, not just the latest
+    sql["cdc_schema_timeline_asof"] = (
+        "WITH events_asof AS (\n"
+        "  SELECT * FROM events\n"
+        "  QUALIFY ntile(4) OVER (ORDER BY ts, event_id) <= 2\n"
+        "),\n"
+        + _DDL_STMT_CTE.replace("FROM events\n", "FROM events_asof\n")
+        + """
+SELECT schema_name, table_name,
+       row_number() OVER w AS version,
+       ddl_kind, statement,
+       vts AS valid_from,
+       lead(vts) OVER w AS valid_to,
+       (lead(vts) OVER w IS NULL) AS is_current,
+       coalesce(last_value(new_table IGNORE NULLS) OVER wc, table_name)
+         AS current_name,
+       binlog_file, log_position
+FROM ddl
+WINDOW w AS (PARTITION BY schema_name, table_name
+             ORDER BY vts, binlog_file, log_position, event_id, pair_no),
+       wc AS (PARTITION BY schema_name, table_name
+              ORDER BY vts, binlog_file, log_position, event_id, pair_no
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+    )
+
     # type-aware column matrix: the oracle folds DECLARED types from
     # the m arithmetic ('T:<type>' declares, 'T:' = present untyped --
     # the m=8 rename target -- 'X' resets) and flags same-family

@@ -1203,6 +1203,32 @@ def _q_cdc_schema_vs_lake_live(spark, sf_dir):
     return _run_fold(spark, maintain, read_schema_agreement_live, d)
 
 
+def _q_cdc_schema_timeline_asof(spark, sf_dir):
+    """TIME TRAVEL over the maintained statement-log state
+    (fold_sinks.read_schema_timeline_asof): after the 4-batch replay
+    drains, read the timeline AS OF batch 1 -- the state the pipeline
+    saw when only the first half of the feed had arrived.  The
+    write-then-swing protocol leaves every committed version behind as
+    an immutable statement log, so as-of reads cost zero extra state
+    (until vacuum reclaims them) -- the reproducible-snapshot
+    primitive.  The oracle recomputes the batch timeline over exactly
+    the first two event-time quartiles (the same ntile(4) split the
+    chunk fixture used), so this certifies the versions are
+    PREFIX-CORRECT, not just the latest one."""
+    from ..streaming.fold_sinks import (
+        maintain_schema_timeline,
+        read_schema_timeline_asof,
+    )
+
+    ensure_session_conf(spark)
+    d = _events_chunk_dir(spark, sf_dir)
+
+    def read(spark_, state_dir):
+        return read_schema_timeline_asof(spark_, state_dir, 1)
+
+    return _run_fold(spark, maintain_schema_timeline, read, d)
+
+
 def _q_corpus_lsh_incremental(spark, sf_dir):
     """MinHash-LSH near-dup detection as the PRODUCTION incremental
     fold (fold_sinks.maintain_lsh_index): a growing corpus must NOT be

@@ -50,6 +50,7 @@ _R11_WINDOW_HEAD = [
     "cdc_schema_vs_lake_stream",
     "cdc_schema_vs_lake_live",
     "corpus_lsh_incremental",
+    "cdc_schema_timeline_asof",
     "cdc_schema_types",
     "cdc_schema_types_stream",
     "cdc_payload_diff_guarded_stream",
@@ -100,7 +101,6 @@ _R11_WINDOW_BACKFILL = [
     "events_funnel",
     "events_join_stream",
     "events_kmv_distinct_users",
-    "events_rank_family",
 ]
 
 
@@ -163,6 +163,7 @@ def _queries_grouped() -> dict[str, QueryFn]:
         "cdc_schema_vs_lake_stream": _q_cdc_schema_vs_lake_stream,
         "cdc_schema_vs_lake_live": _q_cdc_schema_vs_lake_live,
         "corpus_lsh_incremental": _q_corpus_lsh_incremental,
+        "cdc_schema_timeline_asof": _q_cdc_schema_timeline_asof,
         "cdc_schema_types": _q_cdc_schema_types,
         "cdc_schema_types_stream": _q_cdc_schema_types_stream,
         "cdc_payload_diff_guarded_stream": _q_cdc_payload_diff_guarded_stream,

@@ -534,6 +534,28 @@ def read_schema_timeline(spark: SparkSession, state_dir: str) -> DataFrame:
     return schema_timeline(spark.read.parquet(target))
 
 
+def read_schema_timeline_asof(
+    spark: SparkSession, state_dir: str, batch_id: int
+) -> DataFrame:
+    """TIME TRAVEL over the versioned fold state: the SCD2 timeline as
+    it stood after batch ``batch_id`` committed -- every ``v{batch}``
+    directory the write-then-swing protocol leaves behind is a
+    complete, immutable statement log, so an as-of read is the same
+    derivation read_schema_timeline runs, pointed at an older version.
+    The reproducibility primitive a training pipeline needs ("which
+    schema did the corpus snapshot see?") priced at zero extra state:
+    the versions already exist until vacuum_state_versions reclaims
+    them, which is exactly the lakehouse retention trade."""
+    from ..operators.ddl import schema_timeline
+
+    target = os.path.join(state_dir, f"v{batch_id}")
+    if not os.path.exists(os.path.join(target, "_SUCCESS")):
+        raise FileNotFoundError(
+            f"no committed state version v{batch_id} under {state_dir}"
+        )
+    return schema_timeline(spark.read.parquet(target))
+
+
 def read_schema_columns(spark: SparkSession, state_dir: str) -> DataFrame:
     """The effective column inventory over the SAME statement log --
     the point of folding the LOG rather than any one view: every DDL

@@ -840,3 +840,60 @@ def test_lsh_fold_pair_logs_disjoint_and_equal_batch(spark, tmp_path):
         for r in lsh_candidate_pairs(all_docs, bands=4, rows=4).collect()
     )
     assert got == exp
+
+
+def test_schema_timeline_asof_prefix_correct(spark, tmp_path):
+    """Time travel (read_schema_timeline_asof): the timeline as of
+    batch k equals the batch operator over the first k+1 chunks -- and
+    the as-of view must NOT know about later batches' retroactive
+    edges (the m=9 RENAME lands in chunk 1: as-of batch 0 the m=10
+    statement keys under its WRITTEN _r name; at LATEST it threads
+    into the base history)."""
+    from binlog_avro_comparator_spark.operators.ddl import schema_timeline
+    from binlog_avro_comparator_spark.streaming.fold_sinks import (
+        _ddl_batch_statements,
+        maintain_schema_timeline,
+        read_schema_timeline,
+        read_schema_timeline_asof,
+    )
+
+    d = _write_ddl_chunks(spark, tmp_path)
+    state, ckpt = str(tmp_path / "asof_state"), str(tmp_path / "asof_ckpt")
+    _drain(maintain_schema_timeline(_stream(spark, d), state, ckpt))
+    cols = [
+        "schema_name", "table_name", "version", "ddl_kind", "statement",
+        "valid_from", "valid_to", "is_current", "current_name",
+    ]
+    for k in range(3):
+        prefix_events = spark.createDataFrame(
+            [
+                (eid, __import__("datetime").datetime.fromisoformat(ts),
+                 u, et, v, p)
+                for rows in _DDL_CHUNKS[: k + 1]
+                for (eid, ts, u, et, v, p) in rows
+            ],
+            EVENTS_T,
+        )
+        got = sorted(
+            tuple(r)
+            for r in read_schema_timeline_asof(spark, state, k)
+            .select(*cols).collect()
+        )
+        exp = sorted(
+            tuple(r)
+            for r in schema_timeline(_ddl_batch_statements(prefix_events))
+            .select(*cols).collect()
+        )
+        assert got == exp, f"as-of batch {k} diverged from batch prefix"
+    # as-of batch 0: the rename edge has NOT arrived, so the m=10
+    # statement (written against t1_r) keys under the _r name --
+    # two distinct table histories
+    asof0 = read_schema_timeline_asof(spark, state, 0).collect()
+    assert {r.table_name for r in asof0} == {"t1", "t1_r"}
+    # at LATEST the same statement threads into the one canonical
+    # history (retroactive rename threading)
+    latest = read_schema_timeline(spark, state).collect()
+    assert {r.table_name for r in latest} == {"t1"}
+    # an uncommitted version is an explicit error, never a quiet empty
+    with pytest.raises(FileNotFoundError):
+        read_schema_timeline_asof(spark, state, 99)
