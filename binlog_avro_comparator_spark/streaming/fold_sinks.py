@@ -719,6 +719,22 @@ def maintain_guarded_payload_diff(
     )
 
 
+def _log_segments(base: str) -> list[str]:
+    """Committed segments of an append-once batch log: per-trigger
+    ``b{n}`` dirs plus any ``c{n}`` segments compact_log_batches folded
+    them into.  Content is identical either way (compaction is a move,
+    never a merge)."""
+    segs = [
+        p
+        for pat in ("b*", "c*")
+        for p in glob.glob(os.path.join(base, pat))
+        if os.path.exists(os.path.join(p, "_SUCCESS"))
+    ]
+    if not segs:
+        raise FileNotFoundError(f"no committed log segments under {base}")
+    return segs
+
+
 def read_guarded_payload_diff(spark: SparkSession, state_dir: str) -> DataFrame:
     """The COLUMN-GRANULAR guarded diff at LATEST: live drift windows
     from the maintained statement log (opener-cardinality, broadcast)
@@ -732,8 +748,10 @@ def read_guarded_payload_diff(spark: SparkSession, state_dir: str) -> DataFrame:
     windows = read_drift_window_columns(
         spark, os.path.join(state_dir, "ddl")
     )
-    diff = spark.read.parquet(os.path.join(state_dir, "diff", "b*"))
-    meta = spark.read.parquet(os.path.join(state_dir, "matched", "b*"))
+    diff = spark.read.parquet(*_log_segments(os.path.join(state_dir, "diff")))
+    meta = spark.read.parquet(
+        *_log_segments(os.path.join(state_dir, "matched"))
+    )
     return column_guard_compose(diff, meta, windows)
 
 
@@ -757,7 +775,9 @@ def read_schema_agreement_live(
     if target is None:
         raise FileNotFoundError(f"no ddl state under {state_dir}")
     observed = (
-        spark.read.parquet(os.path.join(state_dir, "observed", "b*"))
+        spark.read.parquet(
+            *_log_segments(os.path.join(state_dir, "observed"))
+        )
         .groupBy("schema_name", "table_name", "field_name")
         .agg(F.sum("n_obs").cast("long").alias("n_obs"))
     )
@@ -846,9 +866,8 @@ def commit_lsh_batch(
     new = banded_signatures(batch_df, bands, rows).localCheckpoint()
     prior_dirs = [
         p
-        for p in sorted(
-            glob.glob(os.path.join(state_dir, "bands", "b*"))
-        )
+        for pat in ("b*", "c*")
+        for p in sorted(glob.glob(os.path.join(state_dir, "bands", pat)))
         if os.path.exists(os.path.join(p, "_SUCCESS"))
         and os.path.basename(p) != f"b{batch_id}"
     ]
@@ -898,7 +917,59 @@ def read_lsh_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
     """All near-dup candidate pairs the maintained index has emitted:
     the per-batch logs are DISJOINT by construction (a pair collides
     only in its later document's batch), so this is a plain union --
-    no distinct, no shuffle."""
+    no distinct, no shuffle.  Compacted segments read identically
+    (compaction moves rows, so disjointness survives)."""
     return spark.read.parquet(
-        os.path.join(state_dir, "pairs", "b*")
+        *_log_segments(os.path.join(state_dir, "pairs"))
     ).select("doc_a", "doc_b")
+
+
+def compact_log_batches(
+    spark: SparkSession, state_dir: str, sub: str, keep_last: int = 0
+) -> list[str]:
+    """Compact an append-once batch log (``{sub}/b*`` -- the guarded
+    diff's findings/matched/observed logs, the LSH index's bands/pairs
+    logs) into one committed segment.
+
+    The operational cost of per-trigger appends is SMALL FILES: a
+    per-minute trigger writes ~1.4k directories a day, and every read
+    lists and opens all of them -- the classic streaming-sink decay
+    every lakehouse compacts away.  This folds all committed ``b*``
+    dirs except the newest ``keep_last`` (left out so a concurrently
+    committing trigger is never raced) into a single ``c{n}`` segment:
+    write-new-then-remove, and because segment dirs are globbed by
+    BOTH patterns at read, a reader interleaving with the compactor
+    sees either the b* dirs or the c* segment, both complete.  Content
+    is row-identical by construction -- compaction is a move, never a
+    merge, so disjointness contracts (e.g. the LSH pair logs) survive.
+
+    Single-compactor contract (same as the folds' single-writer rule).
+    Returns the removed directory names."""
+    import shutil
+
+    base = os.path.join(state_dir, sub)
+    batches = sorted(
+        (
+            p
+            for p in glob.glob(os.path.join(base, "b*"))
+            if os.path.exists(os.path.join(p, "_SUCCESS"))
+        ),
+        key=lambda p: int(os.path.basename(p)[1:]),
+    )
+    doomed = batches[: len(batches) - keep_last] if keep_last else batches
+    if len(doomed) < 2:
+        return []
+    seq = 1 + max(
+        (
+            int(os.path.basename(p)[1:])
+            for p in glob.glob(os.path.join(base, "c*"))
+            if os.path.exists(os.path.join(p, "_SUCCESS"))
+        ),
+        default=-1,
+    )
+    target = os.path.join(base, f"c{seq}")
+    shutil.rmtree(target, ignore_errors=True)
+    spark.read.parquet(*doomed).write.parquet(target)
+    for p in doomed:
+        shutil.rmtree(p)
+    return [os.path.basename(p) for p in doomed]

@@ -780,6 +780,19 @@ _LSH_DOC_CHUNKS = [
 ]
 
 
+def _write_doc_chunk(spark, d, i, rows):
+    import shutil
+
+    df = spark.createDataFrame(rows, _DOCS_T)
+    part_dir = os.path.join(d, f"__part_{i}")
+    df.coalesce(1).write.parquet(part_dir)
+    [part] = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+    dst = os.path.join(d, f"chunk_{i:02d}.parquet")
+    shutil.move(part, dst)
+    shutil.rmtree(part_dir)
+    os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+
 def test_lsh_fold_pair_logs_disjoint_and_equal_batch(spark, tmp_path):
     """The maintained LSH index (fold_sinks.maintain_lsh_index): a doc
     arriving batches after its near-dup must pair through the
@@ -796,16 +809,7 @@ def test_lsh_fold_pair_logs_disjoint_and_equal_batch(spark, tmp_path):
     d = str(tmp_path / "lsh_chunks")
     os.makedirs(d)
     for i, rows in enumerate(_LSH_DOC_CHUNKS):
-        df = spark.createDataFrame(rows, _DOCS_T)
-        part_dir = os.path.join(d, f"__part_{i}")
-        df.coalesce(1).write.parquet(part_dir)
-        [part] = glob.glob(os.path.join(part_dir, "part-*.parquet"))
-        dst = os.path.join(d, f"chunk_{i:02d}.parquet")
-        import shutil
-
-        shutil.move(part, dst)
-        shutil.rmtree(part_dir)
-        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        _write_doc_chunk(spark, d, i, rows)
     state = str(tmp_path / "lsh_state")
     ckpt = str(tmp_path / "lsh_ckpt")
     stream = (
@@ -897,3 +901,65 @@ def test_schema_timeline_asof_prefix_correct(spark, tmp_path):
     # an uncommitted version is an explicit error, never a quiet empty
     with pytest.raises(FileNotFoundError):
         read_schema_timeline_asof(spark, state, 99)
+
+
+def test_log_compaction_preserves_reads_and_future_probes(spark, tmp_path):
+    """compact_log_batches: folding the per-trigger b* dirs into one
+    c* segment changes NOTHING a reader sees, and a batch arriving
+    AFTER compaction still probes the compacted index (the late
+    near-dup pairs through the c-segment's band rows)."""
+    import shutil
+
+    from binlog_avro_comparator_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+    from binlog_avro_comparator_spark.streaming.fold_sinks import (
+        compact_log_batches,
+        maintain_lsh_index,
+        read_lsh_pairs,
+    )
+
+    d = str(tmp_path / "cmp_chunks")
+    os.makedirs(d)
+    for i, rows in enumerate(_LSH_DOC_CHUNKS[:2]):
+        _write_doc_chunk(spark, d, i, rows)
+    state = str(tmp_path / "cmp_state")
+    ckpt = str(tmp_path / "cmp_ckpt")
+
+    def stream():
+        return (
+            spark.readStream.schema(_DOCS_T)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+
+    _drain(maintain_lsh_index(stream(), state, ckpt, bands=4, rows=4))
+    before = sorted(
+        (r.doc_a, r.doc_b) for r in read_lsh_pairs(spark, state).collect()
+    )
+    removed_b = compact_log_batches(spark, state, "bands")
+    removed_p = compact_log_batches(spark, state, "pairs")
+    assert removed_b == ["b0", "b1"] and removed_p == ["b0", "b1"]
+    assert not glob.glob(os.path.join(state, "bands", "b*"))
+    assert os.path.exists(os.path.join(state, "bands", "c0", "_SUCCESS"))
+    # reads identical through the compacted segment
+    assert before == sorted(
+        (r.doc_a, r.doc_b) for r in read_lsh_pairs(spark, state).collect()
+    )
+    # a single remaining segment is left alone (nothing to fold)
+    assert compact_log_batches(spark, state, "pairs") == []
+    # the late duplicate arrives AFTER compaction: it must pair
+    # through the c-segment's index rows
+    _write_doc_chunk(spark, d, 2, _LSH_DOC_CHUNKS[2])
+    _drain(maintain_lsh_index(stream(), state, ckpt, bands=4, rows=4))
+    got = sorted(
+        (r.doc_a, r.doc_b) for r in read_lsh_pairs(spark, state).collect()
+    )
+    all_docs = spark.createDataFrame(
+        [r for rows in _LSH_DOC_CHUNKS for r in rows], _DOCS_T
+    )
+    exp = sorted(
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(all_docs, bands=4, rows=4).collect()
+    )
+    assert got == exp and (1, 5) in got and (2, 5) in got
