@@ -1725,3 +1725,38 @@ def test_ddl_clause_parse_stays_jvm_side(spark):
     # canonicalization: the bounded rename-edge chain joins broadcast
     plan = _plan(ddl_drift_window_columns(ddl))
     assert "BroadcastHashJoin" in plan
+
+
+def test_lsh_fold_read_is_scan_only_and_probe_stays_equi(spark, tmp_path):
+    """The maintained LSH index: read_lsh_pairs is a pure union of log
+    scans -- NO Exchange, no aggregate, because the per-batch logs are
+    disjoint by construction -- and the per-batch probe join is an
+    equi-join on (band_id, band_key), never a cartesian."""
+    from binlog_avro_comparator_spark.operators.dedup import (
+        banded_signatures,
+    )
+    from binlog_avro_comparator_spark.streaming.fold_sinks import (
+        commit_lsh_batch,
+        read_lsh_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta", "en", "web", 36),
+            (2, "alpha beta gamma delta epsilon zeta", "en", "web", 36),
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    state = str(tmp_path / "plan_state")
+    commit_lsh_batch(spark, state, docs, 0, bands=4, rows=4)
+    plan = _plan(read_lsh_pairs(spark, state))
+    assert "Exchange" not in plan and "HashAggregate" not in plan
+    # the probe join: equi on the band key, payload text never joins
+    new = banded_signatures(docs, 4, 4)
+    probe = new.alias("n").join(
+        new.alias("i"), ["band_id", "band_key"]
+    )
+    pplan = _plan(probe)
+    assert "CartesianProduct" not in pplan
+    assert "BroadcastNestedLoopJoin" not in pplan
