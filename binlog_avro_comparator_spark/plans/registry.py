@@ -43,8 +43,11 @@ from . import oracles_analytics as _oracles_3
 _R11_WINDOW_HEAD = [
     # new in r11: the type-aware column matrix, the live-feed column
     # guard (read-time compose over the statement-log fold), and --
-    # from the continuation session -- the statement-vocabulary census
-    # over the m=3 sub-split fixture (TRUNCATE / INDEX / MAINTENANCE)
+    # from the continuation sessions -- the statement-vocabulary census
+    # over the m=3 sub-split fixture (TRUNCATE / INDEX / MAINTENANCE),
+    # the cross-source schema agreement (batch / fold-declared stream /
+    # both-sides-live), the incremental LSH index fold, and time-travel
+    # reads over the versioned fold state
     "cdc_ddl_statement_census",
     "cdc_schema_vs_lake",
     "cdc_schema_vs_lake_stream",

@@ -723,12 +723,17 @@ def _log_segments(base: str) -> list[str]:
     """Committed segments of an append-once batch log: per-trigger
     ``b{n}`` dirs plus any ``c{n}`` segments compact_log_batches folded
     them into.  Content is identical either way (compaction is a move,
-    never a merge)."""
+    never a merge).  b* dirs a committed segment's ``_COMPACTED``
+    manifest names are SKIPPED -- a compactor that died between
+    publishing its segment and removing the consumed dirs must not
+    make readers double-count."""
+    consumed = _compacted_basenames(base)
     segs = [
         p
         for pat in ("b*", "c*")
         for p in glob.glob(os.path.join(base, pat))
         if os.path.exists(os.path.join(p, "_SUCCESS"))
+        and os.path.basename(p) not in consumed
     ]
     if not segs:
         raise FileNotFoundError(f"no committed log segments under {base}")
@@ -864,12 +869,15 @@ def commit_lsh_batch(
     for d in (bands_dir, pairs_dir):
         shutil.rmtree(d, ignore_errors=True)
     new = banded_signatures(batch_df, bands, rows).localCheckpoint()
+    bands_base = os.path.join(state_dir, "bands")
+    consumed = _compacted_basenames(bands_base)
     prior_dirs = [
         p
         for pat in ("b*", "c*")
-        for p in sorted(glob.glob(os.path.join(state_dir, "bands", pat)))
+        for p in sorted(glob.glob(os.path.join(bands_base, pat)))
         if os.path.exists(os.path.join(p, "_SUCCESS"))
         and os.path.basename(p) != f"b{batch_id}"
+        and os.path.basename(p) not in consumed
     ]
     index = (
         spark.read.parquet(*prior_dirs).unionByName(new)
@@ -943,22 +951,39 @@ def compact_log_batches(
     is row-identical by construction -- compaction is a move, never a
     merge, so disjointness contracts (e.g. the LSH pair logs) survive.
 
+    Crash safety: the segment carries a ``_COMPACTED`` manifest naming
+    the b* dirs it consumed, written WITH the segment -- a compactor
+    dying between segment commit and b-dir removal leaves both on
+    disk, and ``_log_segments`` uses the manifest to skip the consumed
+    b* dirs, so a reader never double-counts; the next compactor run
+    (or this one retried) finishes the removal.
+
     Single-compactor contract (same as the folds' single-writer rule).
     Returns the removed directory names."""
     import shutil
 
     base = os.path.join(state_dir, sub)
+    consumed = _compacted_basenames(base)
     batches = sorted(
         (
             p
             for p in glob.glob(os.path.join(base, "b*"))
             if os.path.exists(os.path.join(p, "_SUCCESS"))
+            and os.path.basename(p) not in consumed
         ),
         key=lambda p: int(os.path.basename(p)[1:]),
     )
+    # finish a predecessor's interrupted removal first
+    leftovers = [
+        p
+        for p in glob.glob(os.path.join(base, "b*"))
+        if os.path.basename(p) in consumed
+    ]
+    for p in leftovers:
+        shutil.rmtree(p)
     doomed = batches[: len(batches) - keep_last] if keep_last else batches
     if len(doomed) < 2:
-        return []
+        return [os.path.basename(p) for p in leftovers]
     seq = 1 + max(
         (
             int(os.path.basename(p)[1:])
@@ -967,9 +992,35 @@ def compact_log_batches(
         ),
         default=-1,
     )
+    # stage under a name the c* glob cannot see, complete it (parquet
+    # + manifest), then one atomic rename publishes both together --
+    # no reader window where the segment exists without its manifest
     target = os.path.join(base, f"c{seq}")
+    staging = os.path.join(base, f"_c{seq}.inprogress")
     shutil.rmtree(target, ignore_errors=True)
-    spark.read.parquet(*doomed).write.parquet(target)
+    shutil.rmtree(staging, ignore_errors=True)
+    spark.read.parquet(*doomed).write.parquet(staging)
+    with open(
+        os.path.join(staging, "_COMPACTED"), "w", encoding="utf-8"
+    ) as f:
+        f.write("\n".join(os.path.basename(p) for p in doomed))
+    os.rename(staging, target)
     for p in doomed:
         shutil.rmtree(p)
-    return [os.path.basename(p) for p in doomed]
+    return [os.path.basename(p) for p in leftovers + doomed]
+
+
+def _compacted_basenames(base: str) -> set[str]:
+    """The b* dir names every committed c* segment has consumed (its
+    ``_COMPACTED`` manifest) -- readers and the compactor both skip
+    them, which is what makes a crash between segment commit and b-dir
+    removal invisible."""
+    names: set[str] = set()
+    for seg in glob.glob(os.path.join(base, "c*")):
+        manifest = os.path.join(seg, "_COMPACTED")
+        if os.path.exists(os.path.join(seg, "_SUCCESS")) and os.path.exists(
+            manifest
+        ):
+            with open(manifest, encoding="utf-8") as f:
+                names.update(n for n in f.read().split("\n") if n)
+    return names

@@ -937,6 +937,10 @@ def test_log_compaction_preserves_reads_and_future_probes(spark, tmp_path):
     before = sorted(
         (r.doc_a, r.doc_b) for r in read_lsh_pairs(spark, state).collect()
     )
+    # keep a copy of a pair-log b-dir to simulate the crash window
+    # (segment published, consumed dirs not yet removed)
+    stash = str(tmp_path / "stash_b0")
+    shutil.copytree(os.path.join(state, "pairs", "b0"), stash)
     removed_b = compact_log_batches(spark, state, "bands")
     removed_p = compact_log_batches(spark, state, "pairs")
     assert removed_b == ["b0", "b1"] and removed_p == ["b0", "b1"]
@@ -948,6 +952,15 @@ def test_log_compaction_preserves_reads_and_future_probes(spark, tmp_path):
     )
     # a single remaining segment is left alone (nothing to fold)
     assert compact_log_batches(spark, state, "pairs") == []
+    # crash simulation: a consumed b-dir resurfaces next to its
+    # segment -- the _COMPACTED manifest must keep readers from
+    # double-counting, and the next compactor run finishes the removal
+    shutil.copytree(stash, os.path.join(state, "pairs", "b0"))
+    assert before == sorted(
+        (r.doc_a, r.doc_b) for r in read_lsh_pairs(spark, state).collect()
+    )
+    assert compact_log_batches(spark, state, "pairs") == ["b0"]
+    assert not glob.glob(os.path.join(state, "pairs", "b*"))
     # the late duplicate arrives AFTER compaction: it must pair
     # through the c-segment's index rows
     _write_doc_chunk(spark, d, 2, _LSH_DOC_CHUNKS[2])
