@@ -976,3 +976,63 @@ def test_log_compaction_preserves_reads_and_future_probes(spark, tmp_path):
         for r in lsh_candidate_pairs(all_docs, bands=4, rows=4).collect()
     )
     assert got == exp and (1, 5) in got and (2, 5) in got
+
+
+def test_lsh_fold_partition_invariance(spark, tmp_path):
+    """ANY chunking of the corpus folds to the batch operator's exact
+    pair set -- the property that makes the maintained index safe to
+    deploy against an arbitrary arrival pattern.  Seed-driven random
+    corpora and random batch boundaries (commit_lsh_batch called
+    directly: it IS the fold semantics, minus the stream plumbing)."""
+    import random
+
+    from binlog_avro_comparator_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+    from binlog_avro_comparator_spark.streaming.fold_sinks import (
+        commit_lsh_batch,
+        read_lsh_pairs,
+    )
+
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    for seed in (11, 47, 101):
+        rng = random.Random(seed)
+        docs = [
+            (
+                i,
+                " ".join(rng.choice(vocab) for _ in range(8)),
+                "en",
+                "web",
+                40,
+            )
+            for i in range(1, 11)
+        ]
+        # random contiguous batch boundaries (1-4 batches)
+        n_batches = rng.randint(1, 4)
+        cuts = sorted(rng.sample(range(1, len(docs)), n_batches - 1))
+        chunks, prev = [], 0
+        for c in cuts + [len(docs)]:
+            chunks.append(docs[prev:c])
+            prev = c
+        state = str(tmp_path / f"pi_state_{seed}")
+        for b, rows in enumerate(chunks):
+            commit_lsh_batch(
+                spark,
+                state,
+                spark.createDataFrame(rows, _DOCS_T),
+                b,
+                bands=4,
+                rows=4,
+            )
+        got = sorted(
+            (r.doc_a, r.doc_b)
+            for r in read_lsh_pairs(spark, state).collect()
+        )
+        exp = sorted(
+            (r.doc_a, r.doc_b)
+            for r in lsh_candidate_pairs(
+                spark.createDataFrame(docs, _DOCS_T), bands=4, rows=4
+            ).collect()
+        )
+        assert got == exp, f"seed {seed}: fold != batch"
+        assert len(got) == len(set(got)), f"seed {seed}: duplicate pairs"
