@@ -249,6 +249,37 @@ def simhash_band_slices(bits: int, bands: int) -> list[tuple[int, int]]:
     return slices
 
 
+def simhash_banded(
+    documents: DataFrame, bands: int, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """(doc_id, simhash, band_id, band_key): each document's SimHash
+    fingerprint exploded into its bit-slice band keys -- the index rows
+    a hamming-LSH deployment stores.  Per-document work only, so a
+    batch slice produces exactly the rows the full corpus would for
+    those docs (the property the incremental fold relies on, same as
+    banded_signatures for MinHash)."""
+    fps = simhash_fingerprints(documents, bits)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright(F.col("simhash"), off)
+                .bitwiseAND((1 << width) - 1)
+                .alias("band_key"),
+            )
+            for b, (off, width) in enumerate(simhash_band_slices(bits, bands))
+        ]
+    )
+    return fps.select(
+        "doc_id", "simhash", F.explode(band_structs).alias("bk")
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("bk.band_id").alias("band_id"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+
+
 def simhash_near_pairs(
     documents: DataFrame,
     max_hamming: int = 3,
@@ -276,24 +307,7 @@ def simhash_near_pairs(
     # broadcast conversion defeats exchange reuse, so without a persist
     # the whole scan+explode+agg pipeline runs twice; fingerprints are
     # ~16 bytes/doc, the cheapest thing in the query to keep around
-    fps = scoped_cache(simhash_fingerprints(documents, bits))
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.shiftright(F.col("simhash"), off)
-                .bitwiseAND((1 << width) - 1)
-                .alias("band_key"),
-            )
-            for b, (off, width) in enumerate(simhash_band_slices(bits, bands))
-        ]
-    )
-    banded = fps.select("doc_id", "simhash", F.explode(band_structs).alias("bk")).select(
-        "doc_id",
-        "simhash",
-        F.col("bk.band_id").alias("band_id"),
-        F.col("bk.band_key").alias("band_key"),
-    )
+    banded = scoped_cache(simhash_banded(documents, bands, bits))
     return (
         banded.alias("l")
         .join(banded.alias("r"), on=["band_id", "band_key"])

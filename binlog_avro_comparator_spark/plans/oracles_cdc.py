@@ -838,6 +838,9 @@ SELECT doc_id, count(*) AS n_shingles,
 FROM marked GROUP BY doc_id""",
         "simhash_fingerprints": _simhash_fp_sql(),
         "simhash_near_pairs": _simhash_pairs_sql(),
+        # the maintained hamming-LSH index fold reads the same verified
+        # pair set as the batch join, verbatim
+        "corpus_simhash_incremental": _simhash_pairs_sql(),
         "embedding_near_dup": f"""
 WITH ex AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS ord,

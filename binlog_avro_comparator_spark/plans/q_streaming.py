@@ -1259,4 +1259,36 @@ def _q_corpus_lsh_incremental(spark, sf_dir):
     )
 
 
+def _q_corpus_simhash_incremental(spark, sf_dir):
+    """SimHash hamming near-dup detection as the PRODUCTION incremental
+    fold (fold_sinks.maintain_simhash_index) -- the near-dup trio
+    completed incrementally: exact (dedup_incremental), MinHash-Jaccard
+    (corpus_lsh_incremental), and hamming here.  State is the banded
+    fingerprint log (16 bytes of fingerprint per doc); the pigeonhole
+    recall contract (bands >= max_hamming+1 -> EXACT recall at the
+    design radius) is per-pair and carries over unchanged; the xor/
+    bit_count verify runs at probe time so the disjoint per-batch logs
+    hold only VERIFIED pairs.  The union equals batch
+    simhash_near_pairs over the full corpus (the shared oracle,
+    verbatim)."""
+    from ..streaming.fold_sinks import (
+        maintain_simhash_index,
+        read_simhash_pairs,
+    )
+
+    ensure_session_conf(spark)
+    d = _docs_chunk_dir(spark, sf_dir)
+
+    def maintain(stream, state_dir, ckpt):
+        return maintain_simhash_index(stream, state_dir, ckpt)
+
+    return _run_fold(
+        spark,
+        maintain,
+        read_simhash_pairs,
+        d,
+        stream_fn=_chunked_docs_stream,
+    )
+
+
 __all__ = [_n for _n in list(globals()) if not _n.startswith('__') and _n != '_shared']

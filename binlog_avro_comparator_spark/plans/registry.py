@@ -53,6 +53,7 @@ _R11_WINDOW_HEAD = [
     "cdc_schema_vs_lake_stream",
     "cdc_schema_vs_lake_live",
     "corpus_lsh_incremental",
+    "corpus_simhash_incremental",
     "cdc_schema_timeline_asof",
     "cdc_schema_types",
     "cdc_schema_types_stream",
@@ -103,7 +104,6 @@ _R11_WINDOW_BACKFILL = [
     "events_dedup_stream",
     "events_funnel",
     "events_join_stream",
-    "events_kmv_distinct_users",
 ]
 
 
@@ -166,6 +166,7 @@ def _queries_grouped() -> dict[str, QueryFn]:
         "cdc_schema_vs_lake_stream": _q_cdc_schema_vs_lake_stream,
         "cdc_schema_vs_lake_live": _q_cdc_schema_vs_lake_live,
         "corpus_lsh_incremental": _q_corpus_lsh_incremental,
+        "corpus_simhash_incremental": _q_corpus_simhash_incremental,
         "cdc_schema_timeline_asof": _q_cdc_schema_timeline_asof,
         "cdc_schema_types": _q_cdc_schema_types,
         "cdc_schema_types_stream": _q_cdc_schema_types_stream,

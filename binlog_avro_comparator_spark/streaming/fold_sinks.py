@@ -1024,3 +1024,110 @@ def _compacted_basenames(base: str) -> set[str]:
             with open(manifest, encoding="utf-8") as f:
                 names.update(n for n in f.read().split("\n") if n)
     return names
+
+
+def commit_simhash_batch(
+    spark: SparkSession,
+    state_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    max_hamming: int = 3,
+    bands: int | None = None,
+) -> None:
+    """Fold one micro-batch of NEW documents into the maintained
+    SimHash hamming-LSH index -- the incremental twin of
+    dedup.simhash_near_pairs, completing the near-dup trio (exact via
+    dedup_incremental, MinHash via commit_lsh_batch, hamming here).
+
+    Same architecture as the MinHash fold: state is the banded
+    fingerprint log (``bands/b*`` -- docs x bands rows, 16 bytes of
+    fingerprint per doc), the batch hashes map-side with the ONE
+    dedup.simhash_banded definition the batch join uses, probes the
+    accumulated index with one (band_id, band_key) equi-join, and the
+    pigeonhole recall contract (bands >= max_hamming + 1 -> EXACT
+    recall) carries over unchanged because it is per-pair, not
+    per-corpus.  The hamming verify (xor/bit_count on the two stored
+    fingerprints) runs at probe time, so the pair logs (``pairs/b*``)
+    hold only VERIFIED pairs -- emitted in the later document's batch,
+    disjoint across batches, plain-union read."""
+    import shutil
+
+    from ..operators.dedup import simhash_banded
+
+    if bands is None:
+        bands = max_hamming + 1
+    bands_dir = os.path.join(state_dir, "bands", f"b{batch_id}")
+    pairs_dir = os.path.join(state_dir, "pairs", f"b{batch_id}")
+    if all(
+        os.path.exists(os.path.join(d, "_SUCCESS"))
+        for d in (bands_dir, pairs_dir)
+    ):
+        return
+    for d in (bands_dir, pairs_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    new = simhash_banded(batch_df, bands).localCheckpoint()
+    bands_base = os.path.join(state_dir, "bands")
+    consumed = _compacted_basenames(bands_base)
+    prior_dirs = [
+        p
+        for pat in ("b*", "c*")
+        for p in sorted(glob.glob(os.path.join(bands_base, pat)))
+        if os.path.exists(os.path.join(p, "_SUCCESS"))
+        and os.path.basename(p) != f"b{batch_id}"
+        and os.path.basename(p) not in consumed
+    ]
+    index = (
+        spark.read.parquet(*prior_dirs).unionByName(new)
+        if prior_dirs
+        else new
+    )
+    pairs = (
+        new.alias("n")
+        .join(index.alias("i"), ["band_id", "band_key"])
+        .filter(F.col("n.doc_id") != F.col("i.doc_id"))
+        .select(
+            F.least("n.doc_id", "i.doc_id").alias("doc_a"),
+            F.greatest("n.doc_id", "i.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("n.simhash").bitwiseXOR(F.col("i.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    pairs.write.parquet(pairs_dir)
+    new.write.parquet(bands_dir)
+
+
+def maintain_simhash_index(
+    docs_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_hamming: int = 3,
+    bands: int | None = None,
+):
+    """Start the foreachBatch SimHash-index maintenance query (caller
+    awaits): banded-fingerprint index + disjoint verified-pair logs."""
+    os.makedirs(state_dir, exist_ok=True)
+    spark = docs_stream.sparkSession
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        commit_simhash_batch(
+            spark, state_dir, batch_df, batch_id, max_hamming, bands
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_simhash_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
+    """All verified hamming near-dup pairs the maintained index has
+    emitted: disjoint per-batch logs (compacted segments included),
+    plain union -- no distinct, no shuffle."""
+    return spark.read.parquet(
+        *_log_segments(os.path.join(state_dir, "pairs"))
+    ).select("doc_a", "doc_b", "hamming")

@@ -1036,3 +1036,40 @@ def test_lsh_fold_partition_invariance(spark, tmp_path):
         )
         assert got == exp, f"seed {seed}: fold != batch"
         assert len(got) == len(set(got)), f"seed {seed}: duplicate pairs"
+
+
+def test_simhash_fold_verified_pairs_equal_batch(spark, tmp_path):
+    """The maintained SimHash index (fold_sinks.maintain_simhash_index):
+    the hamming verify runs at probe time against the STORED
+    fingerprint, so a doc arriving batches after its near-dup emits a
+    verified pair through the accumulated index; the union equals
+    batch simhash_near_pairs over the full corpus."""
+    from binlog_avro_comparator_spark.operators.dedup import (
+        simhash_near_pairs,
+    )
+    from binlog_avro_comparator_spark.streaming.fold_sinks import (
+        commit_simhash_batch,
+        read_simhash_pairs,
+    )
+
+    state = str(tmp_path / "sh_state")
+    for b, rows in enumerate(_LSH_DOC_CHUNKS):
+        commit_simhash_batch(
+            spark, state, spark.createDataFrame(rows, _DOCS_T), b
+        )
+    got = sorted(
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in read_simhash_pairs(spark, state).collect()
+    )
+    all_docs = spark.createDataFrame(
+        [r for rows in _LSH_DOC_CHUNKS for r in rows], _DOCS_T
+    )
+    exp = sorted(
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_near_pairs(all_docs).collect()
+    )
+    assert got == exp
+    # the cross-batch late duplicate verified at hamming 0 through the
+    # index (word-identical docs -> identical fingerprints)
+    assert (1, 5, 0) in got and (2, 5, 0) in got
+    assert len(got) == len({(a, b) for a, b, _ in got})  # disjoint logs
