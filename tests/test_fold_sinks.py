@@ -1073,3 +1073,63 @@ def test_simhash_fold_verified_pairs_equal_batch(spark, tmp_path):
     # index (word-identical docs -> identical fingerprints)
     assert (1, 5, 0) in got and (2, 5, 0) in got
     assert len(got) == len({(a, b) for a, b, _ in got})  # disjoint logs
+
+
+def test_dedupd_cli_drain_resume_and_compact(spark, tmp_path):
+    """The dedupd CLI end to end: drain-once over two arrivals, a
+    restart-safe second drain picking up only the new file, --both
+    methods from one checkpoint, --compact leaving single segments,
+    and the final pair logs equal to the batch operators."""
+    from binlog_avro_comparator_spark.dedupd import main as dedupd_main
+    from binlog_avro_comparator_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        simhash_near_pairs,
+    )
+    from binlog_avro_comparator_spark.streaming.fold_sinks import (
+        read_lsh_pairs,
+        read_simhash_pairs,
+    )
+
+    d = str(tmp_path / "docs_in")
+    os.makedirs(d)
+    for i, rows in enumerate(_LSH_DOC_CHUNKS[:2]):
+        _write_doc_chunk(spark, d, i, rows)
+    state = str(tmp_path / "dd_state")
+    ckpt = str(tmp_path / "dd_ckpt")
+    args = [
+        "--dir", d, "--state", state, "--checkpoint", ckpt,
+        "--method", "both",
+    ]
+    assert dedupd_main(args, spark=spark) == 0
+    # restart-safe: the late arrival lands, a second drain folds ONLY
+    # it (committed batches replay as no-ops), now with compaction
+    _write_doc_chunk(spark, d, 2, _LSH_DOC_CHUNKS[2])
+    assert dedupd_main(args + ["--compact"], spark=spark) == 0
+    all_docs = spark.createDataFrame(
+        [r for rows in _LSH_DOC_CHUNKS for r in rows], _DOCS_T
+    )
+    got_mh = sorted(
+        (r.doc_a, r.doc_b)
+        for r in read_lsh_pairs(
+            spark, os.path.join(state, "minhash")
+        ).collect()
+    )
+    exp_mh = sorted(
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(all_docs, bands=4, rows=4).collect()
+    )
+    assert got_mh == exp_mh and (1, 5) in got_mh
+    got_sh = sorted(
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in read_simhash_pairs(
+            spark, os.path.join(state, "simhash")
+        ).collect()
+    )
+    exp_sh = sorted(
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_near_pairs(all_docs).collect()
+    )
+    assert got_sh == exp_sh
+    # compaction left single segments behind
+    assert not glob.glob(os.path.join(state, "minhash", "pairs", "b*"))
+    assert glob.glob(os.path.join(state, "minhash", "pairs", "c*"))
