@@ -73,6 +73,10 @@ DDL_RE = (
 # channel, never silently.
 _RENAME_VERB_RE = r"(?i)^\s*rename\s+table\s"
 _RENAME_BODY_RE = r"(?is)^\s*rename\s+table\s+(.*?)\s*;?\s*$"
+# never-silent fallback capture for a RENAME whose every pair fails
+# the pair grammar (e.g. a truncated ``RENAME TABLE t TO``): the loose
+# leading token keys the fallback frame row
+_RENAME_LOOSE_RE = r"(?is)^\s*rename\s+table\s+`?([^`\s.,;]+)"
 _RENAME_PAIR_RE = (
     r"(?is)^\s*`?([A-Za-z0-9_$]+)`?(?:\s*\.\s*`?([A-Za-z0-9_$]+)`?)?"
     r"\s+to\s+"
@@ -273,6 +277,43 @@ def parse_ddl_statements(parsed: DataFrame) -> DataFrame:
             F.col("__pair_no").alias("pair_no"),
         )
     )
+    # never-silent fallback: a RENAME whose EVERY pair fails the pair
+    # grammar (e.g. a truncated ``RENAME TABLE t TO``) keeps one
+    # RENAME row under the loose leading token -- new_* stay NULL (no
+    # edge threads), and ddl_parse_anomalies re-derives the bad
+    # fragments from this row's statement, so the statement is
+    # anomaly-visible instead of vanishing (same discipline as
+    # drop_fallback below)
+    ren_good = renames.select(
+        "binlog_file", "log_position", "line_no"
+    ).distinct()
+    ren_loose = F.regexp_extract("statement", _RENAME_LOOSE_RE, 1)
+    rename_fallback = (
+        ren_src.select(
+            "timestamp",
+            "binlog_file",
+            "log_position",
+            "line_no",
+            "__default_schema",
+            "statement",
+            ren_loose.alias("__loose"),
+        )
+        .filter(F.col("__loose") != "")
+        .select(
+            F.col("__default_schema").alias("schema_name"),
+            F.col("__loose").alias("table_name"),
+            F.lit("RENAME").alias("ddl_kind"),
+            F.lit(None).cast("string").alias("new_schema_name"),
+            F.lit(None).cast("string").alias("new_table_name"),
+            "statement",
+            "timestamp",
+            "binlog_file",
+            "log_position",
+            "line_no",
+            F.lit(0).alias("pair_no"),
+        )
+        .join(ren_good, ["binlog_file", "log_position", "line_no"], "left_anti")
+    )
     # DROP: explode the name list (one row per table); fragments that
     # fail the name grammar contribute no row here -- they surface on
     # ddl_parse_anomalies, never silently.  Re-filtered from q (no
@@ -434,6 +475,7 @@ def parse_ddl_statements(parsed: DataFrame) -> DataFrame:
     )
     return (
         single.unionByName(renames)
+        .unionByName(rename_fallback)
         .unionByName(drops)
         .unionByName(drop_fallback)
         .unionByName(truncs)

@@ -586,6 +586,43 @@ def test_drop_all_bad_fragments_never_silent(spark):
     ]
 
 
+def test_rename_all_bad_pairs_never_silent(spark):
+    """A RENAME TABLE whose every pair fails the pair grammar (e.g. a
+    truncated ``RENAME TABLE t TO``) keeps a fallback frame row under
+    the loose leading token -- new_* NULL, no edge threads -- so the
+    anomaly channel still reports the fragments instead of the
+    statement vanishing from both (probe r11)."""
+    from binlog_avro_comparator_spark.operators.ddl import (
+        ddl_parse_anomalies,
+    )
+
+    rows = [
+        _q("2025-06-01T10:00:00Z", "mysql-bin.000001", 100, 1, "db0",
+           "RENAME TABLE t9 TO"),
+    ]
+    ddl = parse_ddl_statements(_parsed(spark, rows))
+    got = [
+        (r.table_name, r.ddl_kind, r.new_table_name) for r in ddl.collect()
+    ]
+    assert got == [("t9", "RENAME", None)]
+    anom = ddl_parse_anomalies(ddl).collect()
+    assert [(r.reason, r.fragment) for r in anom] == [
+        ("UNPARSED_RENAME_PAIR", "t9 TO")
+    ]
+    # a well-formed rename is untouched by the fallback (anti-joined)
+    rows2 = rows + [
+        _q("2025-06-01T10:00:01Z", "mysql-bin.000001", 200, 2, "db0",
+           "RENAME TABLE t1 TO t2"),
+    ]
+    ddl2 = parse_ddl_statements(_parsed(spark, rows2))
+    per_stmt = {}
+    for r in ddl2.collect():
+        per_stmt.setdefault(r.statement, []).append(r)
+    assert len(per_stmt["RENAME TABLE t1 TO t2"]) == 1
+    assert per_stmt["RENAME TABLE t1 TO t2"][0].new_table_name == "t2"
+    assert len(per_stmt["RENAME TABLE t9 TO"]) == 1
+
+
 def test_rename_table_threads_one_history(spark):
     """RENAME TABLE threaded through the timeline: statements against
     the renamed name join the ORIGINAL table's history (one table, one
