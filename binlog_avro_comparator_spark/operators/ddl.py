@@ -200,7 +200,19 @@ def parse_ddl_statements(parsed: DataFrame) -> DataFrame:
     ``new_schema_name`` / ``new_table_name``.  Returns (schema_name,
     table_name, ddl_kind, new_schema_name, new_table_name, statement,
     timestamp, binlog_file, log_position, line_no, pair_no)."""
-    q = (
+    return _statements_from_query_rows(_query_rows(parsed))
+
+
+def _query_rows(parsed: DataFrame) -> DataFrame:
+    """The narrow Query-event slice the statement grammar consumes:
+    (timestamp, binlog_file, log_position, line_no, __default_schema,
+    statement).  Split out of parse_ddl_statements so hot callers can
+    MATERIALIZE this frame (statement-cardinality -- tiny at any feed
+    size) before the verb-family union below, whose eight branches
+    would otherwise each carry -- and the analyzer each re-walk -- the
+    entire upstream parse pipeline (guide 3.3: wide unions over a heavy
+    subtree make planning itself the bottleneck)."""
+    return (
         parsed.filter(F.col("event_type") == "Query")
         .select(
             "timestamp",
@@ -212,6 +224,11 @@ def parse_ddl_statements(parsed: DataFrame) -> DataFrame:
         )
         .filter(F.col("statement").isNotNull())
     )
+
+
+def _statements_from_query_rows(q: DataFrame) -> DataFrame:
+    """parse_ddl_statements' verb-family union over a prepared
+    Query-rows frame (see _query_rows)."""
     dflt = F.col("__default_schema")
     kind = F.upper(F.regexp_extract("statement", DDL_RE, 1))
     g2 = F.regexp_extract("statement", DDL_RE, 2)

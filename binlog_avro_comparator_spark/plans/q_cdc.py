@@ -1201,22 +1201,52 @@ def _ddl_statements(spark, sf_dir):
     sf_dir); each consumer gets a child frame so operator cache
     scopes never release it."""
     from ..fixtures import generate_ddl_text_lines
-    from ..operators.ddl import parse_ddl_statements
+
+    import os
+    import tempfile
 
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _DDL_STMT_CACHE.get(key)
     if hit is None:
         ensure_session_conf(spark)
-        lines = generate_ddl_text_lines(load_table(spark, sf_dir, "events"))
-        # persist HASH-PARTITIONED on the fold key, few partitions: the
-        # statement log is metadata-sized, and every downstream view
-        # windows/aggregates by table identity -- a cached frame KEEPS
-        # its outputPartitioning, so the views' first exchange is
-        # satisfied by the cache instead of re-shuffling 32 near-empty
-        # partitions per stage (the whole family is stage-count-bound,
-        # not data-bound)
+        # materialize the parsed statements to PARQUET once per sf_dir,
+        # then persist the scan (the guard-frame pattern): a bare
+        # .persist() caches execution but every consumer still carries
+        # -- and the analyzer re-walks, per query -- the full logical
+        # lineage (the P1-P9 parse + the grammar's verb-family union),
+        # which the r11 grammar grew to a 100k-LINE formatted plan.
+        # Cutting the lineage at this statement-cardinality frame is
+        # guide 3.3's "materialise an intermediate to truncate the
+        # plan": measured 2-20x per DDL-tier query at sf0.1 (e.g.
+        # ddl_parse_anomalies 16.7 s -> 2.4 s, schema_column_matrix
+        # 35 s -> 5 s), and the same write is what the 100 TB shape
+        # wants -- the statement log is the durable, reusable artifact.
+        d = _FIXTURE_DIRS.get(("ddl_statements", sf_dir))
+        if d is None:
+            lines = generate_ddl_text_lines(
+                load_table(spark, sf_dir, "events")
+            )
+            # materialize the Query-rows slice before the verb-family
+            # union so the parse pipeline runs once, not once per
+            # union branch (ddl._query_rows docstring)
+            from ..operators.ddl import (
+                _query_rows,
+                _statements_from_query_rows,
+            )
+
+            q = _query_rows(parse_binlog_text(lines)).localCheckpoint()
+            stmts = _statements_from_query_rows(q)
+            d = tempfile.mkdtemp(prefix="ddl_statements_")
+            stmts.write.parquet(os.path.join(d, "stmts"))
+            _FIXTURE_DIRS[("ddl_statements", sf_dir)] = d
+        # re-partition HASH on the fold key, few partitions: every
+        # downstream view windows/aggregates by table identity -- a
+        # cached frame KEEPS its outputPartitioning, so the views'
+        # first exchange is satisfied by the cache instead of
+        # re-shuffling 32 near-empty partitions per stage (the family
+        # is stage-count-bound, not data-bound)
         hit = (
-            parse_ddl_statements(parse_binlog_text(lines))
+            spark.read.parquet(os.path.join(d, "stmts"))
             .repartition(8, "schema_name", "table_name")
             .persist()
         )

@@ -458,11 +458,18 @@ def _ddl_batch_statements(events_batch: DataFrame) -> DataFrame:
     statement parse is STATELESS: render the batch's Query events as
     parser text, run the real P1-P9 pipeline, extract DDL)."""
     from ..fixtures import generate_ddl_text_lines
-    from ..operators.ddl import parse_ddl_statements
+    from ..operators.ddl import _query_rows, _statements_from_query_rows
     from ..operators.parse import parse_binlog_text
 
     lines = generate_ddl_text_lines(events_batch)
-    return parse_ddl_statements(parse_binlog_text(lines))
+    # materialize the statement-cardinality Query-rows slice before
+    # the grammar's verb-family union: the eight union branches then
+    # read a tiny in-memory leaf instead of each re-carrying (and the
+    # analyzer re-walking, EVERY micro-batch) the whole parse pipeline
+    # -- guide 3.3 lineage truncation, same as the batch-side
+    # _ddl_statements cache
+    q = _query_rows(parse_binlog_text(lines)).localCheckpoint()
+    return _statements_from_query_rows(q)
 
 
 def commit_ddl_batch(
