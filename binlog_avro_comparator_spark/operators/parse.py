@@ -123,32 +123,44 @@ def assemble_events(lines: DataFrame) -> DataFrame:
     # k:v split (P2) + key normalization (P5)
     kv_key = F.trim(F.regexp_extract(F.col("value"), KV_RE, 1))
     kv_val = F.trim(F.regexp_extract(F.col("value"), KV_RE, 2))
-    body = body.withColumn("kv_key", kv_key).withColumn("kv_val", kv_val)
 
-    # duplicate keys within an event: Go map semantics -> last line wins
-    kv = (
-        body.filter((F.col("is_header") == 0) & (F.col("kv_key") != ""))
-        .groupBy("binlog_file", "event_id", "kv_key")
-        .agg(F.max_by("kv_val", "line_no").alias("kv_val"))
+    # ONE aggregation builds both the header and the kv map (this was
+    # two groupBys + a join -- three exchanges over the same rows; the
+    # merged form is one exchange and one pass, guide 2.4).  Duplicate
+    # keys within an event: Go map semantics -> last line wins, done
+    # order-explicitly (sort entries by line_no, keep each normalized
+    # key's LAST occurrence) -- events are a handful of lines, so the
+    # per-row array work is constant-bounded.
+    entry = F.when(
+        (F.col("is_header") == 0) & (kv_key != ""),
+        F.struct(
+            F.col("line_no").alias("ord"),
+            F.lower(F.regexp_replace(kv_key, " ", "_")).alias("k"),
+            kv_val.alias("v"),
+        ),
     )
-    kv_maps = kv.groupBy("binlog_file", "event_id").agg(
+    agg = body.groupBy("binlog_file", "event_id").agg(
+        F.min(F.when(F.col("is_header") == 1, F.col("header"))).alias(
+            "raw_header"
+        ),
+        F.reverse(F.array_sort(F.collect_list(entry))).alias("__ents"),
+    )
+    ents = F.col("__ents")  # line-DESCENDING (ord unique per file)
+    last_wins = F.filter(
+        ents,
+        lambda x, i: ~F.exists(
+            F.slice(ents, 1, i), lambda y: y["k"] == x["k"]
+        ),
+    )
+    ev = agg.withColumn(
+        "kvs",
         F.map_from_entries(
-            F.collect_list(
-                F.struct(
-                    F.lower(F.regexp_replace("kv_key", " ", "_")).alias("k"),
-                    F.col("kv_val").alias("v"),
-                )
+            F.transform(
+                last_wins,
+                lambda s: F.struct(s["k"].alias("k"), s["v"].alias("v")),
             )
-        ).alias("kvs")
-    )
-    headers = (
-        body.filter(F.col("is_header") == 1)
-        .groupBy("binlog_file", "event_id")
-        .agg(F.min("header").alias("raw_header"))
-    )
-    ev = headers.join(kv_maps, ["binlog_file", "event_id"], "left").withColumn(
-        "kvs", F.coalesce(F.col("kvs"), F.expr("cast(map() as map<string,string>)"))
-    )
+        ),
+    ).drop("__ents")
     # P6: header canonicalization + in-body 'Event type:' override
     header_type = _canon_event_type(F.col("raw_header"))
     body_type = F.col("kvs")["event_type"]

@@ -538,33 +538,13 @@ def _q_cdc_payload_diff_stream(spark, sf_dir):
     import tempfile
 
     from ..streaming.compare_stream import streaming_payload_diff
-    from ..sources.binlog_binary import read_binlog_rows_dir
 
     ensure_session_conf(spark)
-    rows = read_binlog_rows_dir(spark, _binlog_binary_fixture_dir(spark, sf_dir))
-    bp = C.prepare_binlog_payload(rows)
-    ev = load_table(spark, sf_dir, "events")
-    avro = derive_avro_rows(ev).join(derive_avro_payload(ev), "avro_line_no")
-    ap = C.prepare_avro(avro).select(
-        "binlog_file",
-        "binlog_position",
-        F.map_from_arrays(
-            F.array(
-                F.lit("order_id"),
-                F.lit("customer_name"),
-                F.lit("product_name"),
-                F.lit("quantity"),
-                F.lit("order_timestamp"),
-            ),
-            F.array(
-                F.col("order_id").cast("string"),
-                F.col("customer_name"),
-                F.col("product_name"),
-                F.col("quantity").cast("string"),
-                F.col("order_timestamp").cast("string"),
-            ),
-        ).alias("payload"),
-    )
+    # binlog row images and the avro payload map from the per-session
+    # guard-frame cache: definitionally identical to the inline
+    # derivations this used to repeat, so the Python binary decode is
+    # paid once per session, not once per payload-tier query
+    bp, ap, _ = _guard_payload_frames(spark, sf_dir)
     d = _FIXTURE_DIRS.get(("stream_avro_payload", sf_dir))
     if d is None:
         d = tempfile.mkdtemp(prefix="cdc_stream_avro_payload_")

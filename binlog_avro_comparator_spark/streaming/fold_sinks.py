@@ -672,7 +672,12 @@ def commit_guarded_diff_batch(
         return
     for d in (diff_dir, meta_dir, obs_dir):
         shutil.rmtree(d, ignore_errors=True)
-    ap = derive_avro_payload_map(batch_df)
+    # the batch's avro payload slice feeds THREE writes (diff, matched
+    # meta, field census): materialize it once (batch-slice-sized) so
+    # each write starts from a tiny leaf instead of re-deriving -- and
+    # re-planning -- the payload map per job (guide 3.3 / 5: reuse a
+    # cheap intermediate instead of recomputing it)
+    ap = derive_avro_payload_map(batch_df).localCheckpoint()
     bp = F.broadcast(binlog_payload)
     C.payload_diff(bp, ap).write.parquet(diff_dir)
     (
