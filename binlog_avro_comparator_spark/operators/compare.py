@@ -94,18 +94,26 @@ def prepare_binlog(binlog: DataFrame) -> DataFrame:
         & (F.col("log_position") != 0)  # Q5 zero-as-null
     ).withColumnRenamed("log_position", "binlog_position")
     # content tie-breaks keep the pick deterministic even when line_no
-    # ties (e.g. JSONL inputs that carry no real line order)
-    w = Window.partitionBy(*KEY).orderBy(
-        F.col("line_no").desc(),
-        F.col("event_type").desc_nulls_last(),
-        F.col("timestamp").desc_nulls_last(),
-        F.col("immediate_commmit_timestamp").desc_nulls_last(),
-        F.col("gtid_next").desc_nulls_last(),
+    # ties (e.g. JSONL inputs that carry no real line order).  The pick
+    # is a max_by HASH AGGREGATE, not a row_number window: the partial
+    # (map-side) aggregate already reduces each input partition to one
+    # candidate per key, so the exchange carries one row per (file,
+    # position) per map task instead of every duplicate, and the
+    # per-partition sort disappears (guide 2.3 "aggregate before you
+    # shuffle").  Struct comparison ranks a NULL field below any value,
+    # exactly the window's desc_nulls_last.
+    pick = F.struct(
+        "line_no",
+        "event_type",
+        "timestamp",
+        "immediate_commmit_timestamp",
+        "gtid_next",
     )
+    row = F.struct(*[F.col(c) for c in df.columns if c not in KEY])
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        df.groupBy(*KEY)
+        .agg(F.max_by(row, pick).alias("__r"))
+        .select(*KEY, "__r.*")
     )
 
 
@@ -666,12 +674,15 @@ def prepare_binlog_payload(rows: DataFrame) -> DataFrame:
         & F.col("log_position").isNotNull()
         & (F.col("log_position") != 0)
     ).withColumnRenamed("log_position", "binlog_position")
-    w = Window.partitionBy(*KEY).orderBy(
-        F.col("event_no").desc(), F.col("row_no").desc()
-    )
+    # LWW pick as a max_by hash aggregate (map-side combined, no sort)
+    # -- same rewrite and argument as prepare_binlog above
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        df.groupBy(*KEY)
+        .agg(
+            F.max_by(
+                F.col("payload"), F.struct("event_no", "row_no")
+            ).alias("payload")
+        )
         .select(*KEY, "payload")
     )
 
