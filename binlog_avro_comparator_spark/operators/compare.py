@@ -753,6 +753,93 @@ def payload_diff(
     )
 
 
+def _key_window_sweep(
+    matched_meta: DataFrame, windows: DataFrame
+) -> DataFrame:
+    """Per matched key, how many drift windows CONTAIN its coordinate
+    -- computed as a coordinate SWEEP, never as a key x window join.
+
+    A window [win_from, win_to) becomes a +1 event at ``win_from`` and
+    a -1 event at ``win_to`` (none when open); matched keys ride along
+    as weight-0 probe rows at their own coordinate.  One running sum
+    per (schema_name, table_name), ordered by (pos, probes AFTER
+    boundaries), reads off the active-window count at every key row.
+    The containment test (win_from <= coord < win_to) falls out of the
+    tie order: a start at the key's coordinate has already incremented
+    (inclusive lower bound) and an end there has already decremented
+    (exclusive upper bound).
+
+    ``n_unknown`` counts the containing windows whose ``moved_known``
+    is false (0 everywhere when the window frame has no such column).
+
+    Why: the former shape -- broadcast the window frame and equi-join
+    on (schema, table), then filter the interval test -- enumerates
+    |keys| x |windows-of-their-table| intermediate rows.  The r11 DDL
+    fixture plants thousands of openers per table, which measured 113M
+    intermediate rows for 49k keys x 15k windows at sf0.1 (~30 s per
+    consumer); a real migration-heavy table detonates the same way.
+    The sweep is linear in keys + windows and shuffles each row once
+    (guide 2.3/3.3: shuffle decisions on small rows, avoid exploding
+    joins).  Returns one row per matched_meta row: (KEY, schema_name,
+    table_name, n_any, n_unknown)."""
+    from .ddl import binlog_coord
+
+    tbl = ["schema_name", "table_name"]
+    has_known = "moved_known" in windows.columns
+    unknown = (
+        (~F.col("moved_known")).cast("long") if has_known else F.lit(0).cast("long")
+    )
+    nulls = [
+        F.lit(None).cast("string").alias("binlog_file"),
+        F.lit(None).cast("long").alias("binlog_position"),
+    ]
+    starts = windows.select(
+        *nulls,
+        *tbl,
+        F.col("win_from").alias("__pos"),
+        F.lit(1).cast("long").alias("__d"),
+        unknown.alias("__du"),
+        F.lit(0).alias("__is_key"),
+    )
+    ends = windows.filter(F.col("win_to").isNotNull()).select(
+        *nulls,
+        *tbl,
+        F.col("win_to").alias("__pos"),
+        F.lit(-1).cast("long").alias("__d"),
+        (-unknown).alias("__du"),
+        F.lit(0).alias("__is_key"),
+    )
+    keys = matched_meta.select(
+        *KEY,
+        *tbl,
+        binlog_coord(F.col("binlog_file"), F.col("binlog_position")).alias(
+            "__pos"
+        ),
+        F.lit(0).cast("long").alias("__d"),
+        F.lit(0).cast("long").alias("__du"),
+        F.lit(1).alias("__is_key"),
+    )
+    w = (
+        Window.partitionBy(*tbl)
+        .orderBy("__pos", "__is_key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = (
+        starts.unionByName(ends)
+        .unionByName(keys)
+        .select(
+            *KEY,
+            *tbl,
+            "__is_key",
+            F.sum("__d").over(w).alias("n_any"),
+            F.sum("__du").over(w).alias("n_unknown"),
+        )
+    )
+    return swept.filter(F.col("__is_key") == 1).select(
+        *KEY, *tbl, "n_any", "n_unknown"
+    )
+
+
 def payload_diff_ddl_guard(
     binlog_payload: DataFrame,
     avro_payload: DataFrame,
@@ -781,11 +868,12 @@ def payload_diff_ddl_guard(
 
     Shuffle shape: the matched-key set reuses the SAME composite-key
     equi-join as payload_diff (shared exchange under AQE), the window
-    test is a broadcast lookup, and the suppression is a co-partitioned
-    left-anti on the same key -- no new shuffle key anywhere.  Returns
-    payload_diff's contract with the extra status value."""
+    containment test is the linear coordinate sweep (_key_window_sweep
+    -- formerly a broadcast key x window join whose intermediate was
+    keys x windows-per-table), and the suppression is a co-partitioned
+    left-anti on the same key.  Returns payload_diff's contract with
+    the extra status value."""
     from ..functions.caching import scoped_cache
-    from .ddl import binlog_coord
 
     # both payload frames feed TWO consumers (the matched-key set and
     # the diff) -- scoped_cache or Catalyst re-runs the binary decode
@@ -794,17 +882,14 @@ def payload_diff_ddl_guard(
     binlog_payload = scoped_cache(binlog_payload)
     avro_payload = scoped_cache(avro_payload)
     matched = binlog_payload.select(*KEY).join(avro_payload.select(*KEY), KEY)
-    kt = matched.join(key_tables, KEY, "left").join(
-        F.broadcast(drift_windows), ["schema_name", "table_name"], "left"
-    )
-    coord = binlog_coord(F.col("binlog_file"), F.col("binlog_position"))
-    in_drift = (
-        F.col("win_from").isNotNull()
-        & (coord >= F.col("win_from"))
-        & (F.col("win_to").isNull() | (coord < F.col("win_to")))
-    )
+    kt = matched.join(key_tables, KEY, "left")
     # drift_keys feeds the anti-join AND the flagged rows
-    drift_keys = scoped_cache(kt.filter(in_drift).select(*KEY).distinct())
+    drift_keys = scoped_cache(
+        _key_window_sweep(kt, drift_windows)
+        .filter(F.col("n_any") > 0)
+        .select(*KEY)
+        .distinct()
+    )
     diff = payload_diff(binlog_payload, avro_payload)
     safe = diff.join(drift_keys, KEY, "left_anti")
     flagged = drift_keys.select(
@@ -879,33 +964,83 @@ def column_guard_compose(
     READ time, so a late-arriving ALTER retroactively quarantines
     findings emitted batches ago, exactly like the batch operator over
     the full feed.  Suppression semantics are
-    payload_diff_column_guard's verbatim."""
+    payload_diff_column_guard's verbatim.
+
+    Shape note (r11): the window containment tests run as linear
+    coordinate sweeps (_key_window_sweep for the per-key any/unknown
+    flags, the same event trick per (table, column) for the moved
+    sets), never as a key x window join -- see _key_window_sweep's
+    docstring for the measured blowup that shape had.  The per-column
+    sweep probes each known-window key against its table's
+    moved-column VOCABULARY (schema-bounded), so the intermediate
+    stays keys x columns, linear in both."""
     from ..functions.caching import scoped_cache
     from .ddl import binlog_coord
 
-    kt = matched_meta.join(
-        F.broadcast(window_columns), ["schema_name", "table_name"], "left"
-    )
-    coord = binlog_coord(F.col("binlog_file"), F.col("binlog_position"))
-    in_drift = (
-        F.col("win_from").isNotNull()
-        & (coord >= F.col("win_from"))
-        & (F.col("win_to").isNull() | (coord < F.col("win_to")))
-    )
-    # per key: AND of known flags, union of moved sets over its windows
-    per_key = scoped_cache(
-        kt.filter(in_drift)
-        .groupBy(*KEY)
-        .agg(
-            (F.min(F.col("moved_known").cast("int")) == 1).alias("__known"),
-            F.array_distinct(
-                F.flatten(F.collect_list("moved_cols"))
-            ).alias("__moved"),
+    tbl = ["schema_name", "table_name"]
+    matched_meta = scoped_cache(matched_meta)
+    window_columns = scoped_cache(window_columns)
+    flags = scoped_cache(
+        _key_window_sweep(matched_meta, window_columns).filter(
+            F.col("n_any") > 0
         )
     )
-    unknown_keys = per_key.filter(~F.col("__known")).select(*KEY)
-    moved = per_key.filter(F.col("__known")).select(
-        *KEY, F.explode("__moved").alias("column")
+    unknown_keys = flags.filter(F.col("n_unknown") > 0).select(*KEY).distinct()
+    # per (table, moved column): +1/-1 events from KNOWN windows only
+    # (a key under any unknown window quarantines whole-key above; a
+    # key under known windows only never sees an unknown window's
+    # array -- same outcome as the former union-then-AND aggregate)
+    kw = window_columns.filter(F.col("moved_known"))
+    nulls_key = [
+        F.lit(None).cast("string").alias("binlog_file"),
+        F.lit(None).cast("long").alias("binlog_position"),
+    ]
+    col_starts = kw.select(
+        *nulls_key,
+        *tbl,
+        F.explode("moved_cols").alias("column"),
+        F.col("win_from").alias("__pos"),
+        F.lit(1).cast("long").alias("__d"),
+        F.lit(0).alias("__is_key"),
+    )
+    col_ends = kw.filter(F.col("win_to").isNotNull()).select(
+        *nulls_key,
+        *tbl,
+        F.explode("moved_cols").alias("column"),
+        F.col("win_to").alias("__pos"),
+        F.lit(-1).cast("long").alias("__d"),
+        F.lit(0).alias("__is_key"),
+    )
+    vocab = kw.select(*tbl, F.explode("moved_cols").alias("column")).distinct()
+    key_probes = (
+        flags.filter(F.col("n_unknown") == 0)
+        .select(*KEY, *tbl)
+        .join(vocab, tbl)
+        .select(
+            *KEY,
+            *tbl,
+            "column",
+            binlog_coord(
+                F.col("binlog_file"), F.col("binlog_position")
+            ).alias("__pos"),
+            F.lit(0).cast("long").alias("__d"),
+            F.lit(1).alias("__is_key"),
+        )
+    )
+    wcol = (
+        Window.partitionBy(*tbl, "column")
+        .orderBy("__pos", "__is_key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    moved = scoped_cache(
+        col_starts.unionByName(col_ends)
+        .unionByName(key_probes)
+        .select(
+            *KEY, "column", "__is_key", F.sum("__d").over(wcol).alias("__n")
+        )
+        .filter((F.col("__is_key") == 1) & (F.col("__n") > 0))
+        .select(*KEY, "column")
+        .distinct()
     )
     kept = diff.join(unknown_keys, KEY, "left_anti").join(
         moved, [*KEY, "column"], "left_anti"
@@ -939,41 +1074,91 @@ def ddl_guard_impact(
     refresh').  Windows that quarantine nothing still appear (n = 0):
     an open window with zero traffic yet is still an open risk.
 
-    Same join shape as the guard (matched-key equi-join + broadcast
-    windows), one window-cardinality rollup.  Returns (schema_name,
+    Shape (r11): per-window counts come from BOUNDARY PREFIX SUMS over
+    the sorted per-table coordinate line -- n(window) = (#keys with
+    coord < win_to, or all keys when open) minus (#keys with coord <
+    win_from) -- instead of the former key x window broadcast join
+    whose intermediate was |keys| x |windows-per-table| (113M rows at
+    sf0.1; see _key_window_sweep).  Each window contributes two probe
+    rows, each key one weight row; one running sum per table ordered
+    by (pos, probes AFTER boundaries -- a key AT a boundary coordinate
+    is >= win_from but not < win_to) reads both cumulative counts.
+    Linear in keys + windows; zero-traffic windows fall out with n = 0
+    because their probe rows exist regardless.  Returns (schema_name,
     table_name, win_from, win_to, n_quarantined)."""
     from .ddl import binlog_coord
 
     matched = binlog_payload.select(*KEY).join(avro_payload.select(*KEY), KEY)
     kt = matched.join(key_tables, KEY, "left")
-    # inner join broadcasts (a left join with a broadcast LEFT side
-    # can't build a hash table on the small side); zero-traffic
-    # windows come back in a final window-cardinality left join
-    j = kt.join(F.broadcast(drift_windows), ["schema_name", "table_name"])
-    coord = binlog_coord(F.col("binlog_file"), F.col("binlog_position"))
-    in_win = (coord >= F.col("win_from")) & (
-        F.col("win_to").isNull() | (coord < F.col("win_to"))
+    tbl = ["schema_name", "table_name"]
+    # NULL win_to (open window) can't be a grouping key: surrogate
+    wt = F.coalesce(F.col("win_to"), F.lit("~open~"))
+    keys = kt.select(
+        *tbl,
+        binlog_coord(F.col("binlog_file"), F.col("binlog_position")).alias(
+            "__pos"
+        ),
+        F.lit(1).cast("long").alias("__w"),
+        F.lit(1).alias("__is_key"),
+        F.lit(None).cast("string").alias("__wfrom"),
+        F.lit(None).cast("string").alias("__wt"),
+        F.lit(None).cast("string").alias("__kind"),
     )
-    # NULL win_to (open window) can't be an equi-join key: surrogate
-    wt = F.coalesce(F.col("win_to"), F.lit("~open~")).alias("__wt")
-    counts = (
-        j.filter(in_win)
-        .groupBy("schema_name", "table_name", "win_from", wt)
-        .agg(F.count("*").alias("__n"))
-    )
-    wkeys = ["schema_name", "table_name", "win_from", "__wt"]
-    return (
-        drift_windows.withColumn(
-            "__wt", F.coalesce(F.col("win_to"), F.lit("~open~"))
+    w_id = [F.col("win_from").alias("__wfrom"), wt.alias("__wt")]
+    probes = drift_windows.select(
+        *tbl,
+        F.col("win_from").alias("__pos"),
+        F.lit(0).cast("long").alias("__w"),
+        F.lit(0).alias("__is_key"),
+        *w_id,
+        F.lit("from").alias("__kind"),
+    ).unionByName(
+        drift_windows.filter(F.col("win_to").isNotNull()).select(
+            *tbl,
+            F.col("win_to").alias("__pos"),
+            F.lit(0).cast("long").alias("__w"),
+            F.lit(0).alias("__is_key"),
+            *w_id,
+            F.lit("to").alias("__kind"),
         )
-        .join(counts, wkeys, "left")
+    )
+    wcum = (
+        Window.partitionBy(*tbl)
+        .orderBy("__pos", "__is_key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy(*tbl)
+    swept = (
+        keys.unionByName(probes)
         .select(
-            "schema_name",
-            "table_name",
-            "win_from",
-            "win_to",
-            F.coalesce(F.col("__n"), F.lit(0)).alias("n_quarantined"),
+            *tbl,
+            "__is_key",
+            "__wfrom",
+            "__wt",
+            "__kind",
+            F.sum("__w").over(wcum).alias("__cum"),
+            F.sum("__w").over(wtot).alias("__tot"),
         )
+        .filter(F.col("__is_key") == 0)
+    )
+    per_win = swept.groupBy(*tbl, "__wfrom", "__wt").agg(
+        F.max(F.when(F.col("__kind") == "from", F.col("__cum"))).alias(
+            "__cum_from"
+        ),
+        F.max(F.when(F.col("__kind") == "to", F.col("__cum"))).alias(
+            "__cum_to"
+        ),
+        F.max("__tot").alias("__tot"),
+    )
+    return per_win.select(
+        "schema_name",
+        "table_name",
+        F.col("__wfrom").alias("win_from"),
+        F.when(F.col("__wt") != "~open~", F.col("__wt")).alias("win_to"),
+        (
+            F.coalesce(F.col("__cum_to"), F.col("__tot"))
+            - F.col("__cum_from")
+        ).alias("n_quarantined"),
     )
 
 

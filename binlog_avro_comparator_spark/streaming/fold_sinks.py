@@ -679,30 +679,46 @@ def commit_guarded_diff_batch(
     # cheap intermediate instead of recomputing it)
     ap = derive_avro_payload_map(batch_df).localCheckpoint()
     bp = F.broadcast(binlog_payload)
-    C.payload_diff(bp, ap).write.parquet(diff_dir)
-    (
-        ap.select(*C.KEY)
-        .join(bp.select(*C.KEY), list(C.KEY))
-        .join(F.broadcast(key_tables), list(C.KEY), "left")
-        .write.parquet(meta_dir)
-    )
+
+    def _write_diff() -> None:
+        C.payload_diff(bp, ap).write.parquet(diff_dir)
+
+    def _write_meta() -> None:
+        (
+            ap.select(*C.KEY)
+            .join(bp.select(*C.KEY), list(C.KEY))
+            .join(F.broadcast(key_tables), list(C.KEY), "left")
+            .write.parquet(meta_dir)
+        )
+
     # the batch's slice of the lake-side FIELD CENSUS (which fields the
     # producer actually shipped, per table): a map-side-combined
     # aggregate of THIS batch only -- each key lands in exactly one
     # batch, so the accumulated log sums to the full-feed census at
     # read time (counts are associative and commutative).  The log is
     # (batches x fields)-cardinality: metadata at any feed size.
-    (
-        ap.join(F.broadcast(key_tables), list(C.KEY))
-        .select(
-            "schema_name",
-            "table_name",
-            F.explode(F.map_keys("payload")).alias("field_name"),
+    def _write_census() -> None:
+        (
+            ap.join(F.broadcast(key_tables), list(C.KEY))
+            .select(
+                "schema_name",
+                "table_name",
+                F.explode(F.map_keys("payload")).alias("field_name"),
+            )
+            .groupBy("schema_name", "table_name", "field_name")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+            .write.parquet(obs_dir)
         )
-        .groupBy("schema_name", "table_name", "field_name")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
-        .write.parquet(obs_dir)
-    )
+
+    # the three writes are independent jobs over the same tiny inputs:
+    # submit them concurrently so each job's scheduling/broadcast
+    # latency overlaps instead of serializing (guide 2.6 -- actions are
+    # only sequential because driver code calls them sequentially);
+    # list() propagates the first worker exception
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(pool.map(lambda fn: fn(), (_write_diff, _write_meta, _write_census)))
 
 
 def maintain_guarded_payload_diff(

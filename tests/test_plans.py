@@ -1428,10 +1428,12 @@ def test_media_near_dup_no_cartesian_and_payload_pruned(spark):
 
 
 def test_guarded_diff_broadcast_windows_no_cartesian(spark):
-    """payload_diff_ddl_guard: the drift-window lookup is a BROADCAST
-    join (windows are ALTER-cardinality), the suppression is a keyed
-    left-anti (no new shuffle key), and nothing degenerates to a
-    cartesian/nested-loop."""
+    """payload_diff_ddl_guard (shape re-pinned r11): the drift-window
+    containment runs as the linear coordinate SWEEP (a running sum per
+    table -- windowspecdefinition over (schema, table), never a
+    key x window join that enumerates keys x windows-per-table), the
+    suppression is a keyed left-anti (no new shuffle key), and nothing
+    degenerates to a cartesian/nested-loop."""
     f = "mysql-bin.000001"
     bp = spark.createDataFrame(
         [(f, 100, {"a": "1"})],
@@ -1456,7 +1458,10 @@ def test_guarded_diff_broadcast_windows_no_cartesian(spark):
     plan = _plan(C.payload_diff_ddl_guard(bp, ap, kt, win))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "BroadcastHashJoin" in plan  # the windows lookup
+    # the sweep's per-table running sum (the containment test)
+    assert "windowspecdefinition(schema_name" in plan
+    # no join against the window frame: the only joins are the matched
+    # key set, the key->table meta, and the keyed suppression
     assert "LeftAnti" in plan  # keyed suppression, not a filter scan
 
 
@@ -1671,11 +1676,12 @@ def test_pq_distortion_codewords_broadcast(spark):
 
 
 def test_column_guard_broadcast_wincols_no_cartesian(spark):
-    """payload_diff_column_guard (r10): the annotated-window lookup is
-    a BROADCAST join (opener-cardinality), both suppressions are keyed
-    left-antis (whole-key and (key, column)), and nothing degenerates
-    to a cartesian/nested-loop -- zero new shuffle keys over the
-    whole-key guard."""
+    """payload_diff_column_guard (shape re-pinned r11): the annotated
+    windows compose via the linear coordinate sweeps (per-table and
+    per-(table, column) running sums -- windowspecdefinition, never a
+    key x window join), both suppressions are keyed left-antis
+    (whole-key and (key, column)), and nothing degenerates to a
+    cartesian/nested-loop."""
     f = "mysql-bin.000001"
     bp = spark.createDataFrame(
         [(f, 100, {"a": "1"})],
@@ -1700,7 +1706,8 @@ def test_column_guard_broadcast_wincols_no_cartesian(spark):
     plan = _plan(C.payload_diff_column_guard(bp, ap, kt, wc))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "BroadcastHashJoin" in plan  # the window-columns lookup
+    # the sweeps' running sums: per-table flags and per-(table, column)
+    assert "windowspecdefinition(schema_name" in plan
     assert plan.count("LeftAnti") >= 2  # whole-key AND (key, column)
 
 
