@@ -897,16 +897,23 @@ def _events_chunk_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> st
     )
     d = tempfile.mkdtemp(prefix="events_chunks_")
     base_mtime = 1_700_000_000
+    # ONE partitioned write produces every chunk file (each __c value's
+    # rows land whole in one task, so one file per chunk), instead of
+    # n_chunks filter+coalesce jobs that each re-ran the global ntile
+    # sort -- measured 23 s -> ~6 s for the once-per-session build
+    part_root = os.path.join(d, "__parts")
+    (
+        chunked.repartition(n_chunks, "__c")
+        .sortWithinPartitions("__c", "ts", "event_id")
+        .write.partitionBy("__c")
+        .parquet(part_root)
+    )
     for c in range(1, n_chunks + 1):
-        part_dir = os.path.join(d, f"__part_{c}")
-        chunked.filter(F.col("__c") == c).drop("__c").coalesce(1).write.parquet(
-            part_dir
-        )
-        [part] = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        [part] = glob.glob(os.path.join(part_root, f"__c={c}", "part-*.parquet"))
         dst = os.path.join(d, f"chunk_{c:02d}.parquet")
         shutil.move(part, dst)
-        shutil.rmtree(part_dir)
         os.utime(dst, (base_mtime + c, base_mtime + c))
+    shutil.rmtree(part_root)
     _FIXTURE_DIRS[("events_chunks", sf_dir)] = d
     return d
 
@@ -945,16 +952,20 @@ def _docs_chunk_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> str:
     )
     d = tempfile.mkdtemp(prefix="docs_chunks_")
     base_mtime = 1_700_000_000
+    # one partitioned write for all chunks (see _events_chunk_dir)
+    part_root = os.path.join(d, "__parts")
+    (
+        chunked.repartition(n_chunks, "__c")
+        .sortWithinPartitions("__c", "doc_id")
+        .write.partitionBy("__c")
+        .parquet(part_root)
+    )
     for c in range(1, n_chunks + 1):
-        part_dir = os.path.join(d, f"__part_{c}")
-        chunked.filter(F.col("__c") == c).drop("__c").coalesce(1).write.parquet(
-            part_dir
-        )
-        [part] = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        [part] = glob.glob(os.path.join(part_root, f"__c={c}", "part-*.parquet"))
         dst = os.path.join(d, f"chunk_{c:02d}.parquet")
         shutil.move(part, dst)
-        shutil.rmtree(part_dir)
         os.utime(dst, (base_mtime + c, base_mtime + c))
+    shutil.rmtree(part_root)
     _FIXTURE_DIRS[("docs_chunks", sf_dir)] = d
     return d
 
