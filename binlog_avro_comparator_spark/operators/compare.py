@@ -94,26 +94,28 @@ def prepare_binlog(binlog: DataFrame) -> DataFrame:
         & (F.col("log_position") != 0)  # Q5 zero-as-null
     ).withColumnRenamed("log_position", "binlog_position")
     # content tie-breaks keep the pick deterministic even when line_no
-    # ties (e.g. JSONL inputs that carry no real line order).  The pick
-    # is a max_by HASH AGGREGATE, not a row_number window: the partial
-    # (map-side) aggregate already reduces each input partition to one
-    # candidate per key, so the exchange carries one row per (file,
-    # position) per map task instead of every duplicate, and the
-    # per-partition sort disappears (guide 2.3 "aggregate before you
-    # shuffle").  Struct comparison ranks a NULL field below any value,
-    # exactly the window's desc_nulls_last.
-    pick = F.struct(
-        "line_no",
-        "event_type",
-        "timestamp",
-        "immediate_commmit_timestamp",
-        "gtid_next",
+    # ties (e.g. JSONL inputs that carry no real line order).
+    # Shape note (r11 optimization round): a max_by(row-struct,
+    # ordering-struct) aggregate was tried here and REVERTED -- struct
+    # buffers force SortAggregate (no hash aggregate), while this
+    # row_number window already executes with WindowGroupLimit
+    # (Spark 3.5+): each map partition pre-filters to its local top-1
+    # per key BEFORE the exchange, so the shuffle ships at most one
+    # candidate row per key per partition -- fewer bytes than the
+    # aggregate form, which ships row + ordering structs.  Measured
+    # neutral at sf0.1 (noop ~0.9 s both ways); the window form is
+    # plan-pinned (test_prepare_binlog_uses_window_group_limit).
+    w = Window.partitionBy(*KEY).orderBy(
+        F.col("line_no").desc(),
+        F.col("event_type").desc_nulls_last(),
+        F.col("timestamp").desc_nulls_last(),
+        F.col("immediate_commmit_timestamp").desc_nulls_last(),
+        F.col("gtid_next").desc_nulls_last(),
     )
-    row = F.struct(*[F.col(c) for c in df.columns if c not in KEY])
     return (
-        df.groupBy(*KEY)
-        .agg(F.max_by(row, pick).alias("__r"))
-        .select(*KEY, "__r.*")
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )
 
 
@@ -674,15 +676,14 @@ def prepare_binlog_payload(rows: DataFrame) -> DataFrame:
         & F.col("log_position").isNotNull()
         & (F.col("log_position") != 0)
     ).withColumnRenamed("log_position", "binlog_position")
-    # LWW pick as a max_by hash aggregate (map-side combined, no sort)
-    # -- same rewrite and argument as prepare_binlog above
+    # row_number window, not max_by: WindowGroupLimit pre-filters
+    # map-side (see prepare_binlog's shape note)
+    w = Window.partitionBy(*KEY).orderBy(
+        F.col("event_no").desc(), F.col("row_no").desc()
+    )
     return (
-        df.groupBy(*KEY)
-        .agg(
-            F.max_by(
-                F.col("payload"), F.struct("event_no", "row_no")
-            ).alias("payload")
-        )
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
         .select(*KEY, "payload")
     )
 
