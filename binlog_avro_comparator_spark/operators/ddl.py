@@ -596,68 +596,32 @@ _ADD_COL_RE = _ADD_COL_CL.replace("^add", r"\badd")
 _DROP_COL_RE = _DROP_COL_CL.replace("^drop", r"\bdrop")
 
 
-def alter_clauses(ddl: DataFrame) -> DataFrame:
-    """Explode each ALTER statement into classified clauses.
-
-    Returns one row per clause -- and per COLUMN for the
-    parenthesized multi-column ``ADD (x INT, y INT)`` form, which
-    explodes into per-column ADD_COLUMN rows (``col_no`` is the
-    0-based position inside the paren list; 0 elsewhere): the
-    statement's identity columns (schema_name, table_name, statement,
-    timestamp, binlog_file, log_position, line_no) plus ``clause_no``
-    (0-based order inside the statement), ``col_no``, ``clause``
-    (verbatim text), ``clause_kind`` in {ADD_COLUMN, DROP_COLUMN,
-    MODIFY_COLUMN, CHANGE_COLUMN, RENAME_COLUMN, RENAME_TO, INDEX_OP,
-    OPTION_NO_EFFECT, COLUMN_DEFAULT, PARTITION_OP, UNPARSED},
-    ``col_a`` / ``col_b`` (the touched
-    column / its new name where the kind has one), and ``col_type``
-    (the normalized declared type where the clause declares one --
-    ADD/MODIFY/CHANGE and paren-list defs; NULL otherwise).  MODIFY
-    keeps the column set intact but marks the column as shape-moved;
-    CHANGE and RENAME COLUMN drop ``col_a`` and add ``col_b``.
-    OPTION_NO_EFFECT covers table options (ALGORITHM=/LOCK=/ENGINE=
-    and friends): recognized, no column effect -- so an online-DDL
-    ALTER's moved-column set stays fully known.  Anything else
-    classifies as UNPARSED and must be surfaced by
-    ddl_parse_anomalies -- the warn-and-skip discipline."""
-    body = F.regexp_extract("statement", _ALTER_BODY_RE, 1)
-    exploded = (
-        ddl.filter(F.col("ddl_kind") == "ALTER")
-        .select(
-            "schema_name",
-            "table_name",
-            "statement",
-            "timestamp",
-            "binlog_file",
-            "log_position",
-            "line_no",
-            F.posexplode(F.split(body, _CLAUSE_SPLIT_RE)).alias(
-                "clause_no", "__raw"
-            ),
-        )
-        .select(
-            "*", F.trim(F.col("__raw")).alias("clause")
-        )
-        .drop("__raw")
-        .filter(F.col("clause") != "")
-    )
-    w1 = F.lower(F.regexp_extract("clause", r"^\s*([A-Za-z_]+)", 1))
+def _clause_entry_array(c, i) -> F.Column:
+    """Classified entries for ONE trimmed clause fragment ``c`` at
+    clause position ``i`` -- the clause grammar as a pure column
+    expression: array<struct<clause_no, col_no, clause, clause_kind,
+    col_a, col_b, col_type>>, one entry per clause (and per column of
+    a parenthesized multi-ADD).  This is the SINGLE definition of the
+    grammar: ``alter_clauses`` explodes it and the read-time views
+    aggregate it in place (guide 2.4 -- the row-level form removes the
+    per-statement explode/groupBy/join round trip those views paid)."""
+    w1 = F.lower(F.regexp_extract(c, r"^\s*([A-Za-z_]+)", 1))
     w2 = F.lower(
-        F.regexp_extract("clause", r"(?i)^\s*[A-Za-z_]+\s+`?([A-Za-z0-9_$]+)", 1)
+        F.regexp_extract(c, r"(?i)^\s*[A-Za-z_]+\s+`?([A-Za-z0-9_$]+)", 1)
     )
-    add_c = F.regexp_extract("clause", _ADD_COL_CL, 1)
-    drop_c = F.regexp_extract("clause", _DROP_COL_CL, 1)
-    mod_c = F.regexp_extract("clause", _MODIFY_COL_CL, 1)
-    chg_a = F.regexp_extract("clause", _CHANGE_COL_CL, 1)
-    chg_b = F.regexp_extract("clause", _CHANGE_COL_CL, 2)
-    ren_a = F.regexp_extract("clause", _RENAME_COL_CL, 1)
-    ren_b = F.regexp_extract("clause", _RENAME_COL_CL, 2)
-    rto_1 = F.regexp_extract("clause", _RENAME_TO_CL, 1)
-    rto_2 = F.regexp_extract("clause", _RENAME_TO_CL, 2)
+    add_c = F.regexp_extract(c, _ADD_COL_CL, 1)
+    drop_c = F.regexp_extract(c, _DROP_COL_CL, 1)
+    mod_c = F.regexp_extract(c, _MODIFY_COL_CL, 1)
+    chg_a = F.regexp_extract(c, _CHANGE_COL_CL, 1)
+    chg_b = F.regexp_extract(c, _CHANGE_COL_CL, 2)
+    ren_a = F.regexp_extract(c, _RENAME_COL_CL, 1)
+    ren_b = F.regexp_extract(c, _RENAME_COL_CL, 2)
+    rto_1 = F.regexp_extract(c, _RENAME_TO_CL, 1)
+    rto_2 = F.regexp_extract(c, _RENAME_TO_CL, 2)
     rto_name = F.when(rto_2 != "", rto_2).otherwise(rto_1)
     # parenthesized multi-column ADD: the paren list's column defs
     # (constraint-keyword-led fragments like PRIMARY KEY(..) filtered)
-    multi_inner = F.regexp_extract("clause", _ADD_MULTI_CL, 1)
+    multi_inner = F.regexp_extract(c, _ADD_MULTI_CL, 1)
     multi_defs = F.filter(
         F.regexp_extract_all(multi_inner, F.lit(_PAREN_COL_DEF_RE), F.lit(0)),
         lambda e: ~F.lower(
@@ -686,7 +650,7 @@ def alter_clauses(ddl: DataFrame) -> DataFrame:
         # written are untouched), so the moved set stays known-empty
         .when(
             (w1 == "alter")
-            & F.col("clause").rlike(
+            & c.rlike(
                 r"(?is)^alter\s+(?:column\s+)?`?[A-Za-z_$][A-Za-z0-9_$]*`?"
                 r"\s+(?:set\s+default|drop\s+default)\b"
             ),
@@ -734,75 +698,130 @@ def alter_clauses(ddl: DataFrame) -> DataFrame:
         F.when(
             kind == "ADD_COLUMN",
             _norm_type(
-                F.regexp_extract("clause", _ADD_COL_TYPED, 2),
-                F.regexp_extract("clause", _ADD_COL_TYPED, 3),
+                F.regexp_extract(c, _ADD_COL_TYPED, 2),
+                F.regexp_extract(c, _ADD_COL_TYPED, 3),
             ),
         )
         .when(
             kind == "MODIFY_COLUMN",
             _norm_type(
-                F.regexp_extract("clause", _MODIFY_COL_TYPED, 2),
-                F.regexp_extract("clause", _MODIFY_COL_TYPED, 3),
+                F.regexp_extract(c, _MODIFY_COL_TYPED, 2),
+                F.regexp_extract(c, _MODIFY_COL_TYPED, 3),
             ),
         )
         .when(
             kind == "CHANGE_COLUMN",
             _norm_type(
-                F.regexp_extract("clause", _CHANGE_COL_TYPED, 3),
-                F.regexp_extract("clause", _CHANGE_COL_TYPED, 4),
+                F.regexp_extract(c, _CHANGE_COL_TYPED, 3),
+                F.regexp_extract(c, _CHANGE_COL_TYPED, 4),
             ),
         )
         .cast("string")
     )
-    # one entry per touched column: the paren-ADD list explodes into
-    # per-column entries; every other clause carries exactly one entry
-    # (possibly with NULL columns -- INDEX_OP / OPTION_NO_EFFECT /
-    # UNPARSED), so explode never drops a clause row
-    single_entry = F.struct(
-        col_a.alias("col_a"), col_b.alias("col_b"), col_type.alias("col_type")
+    ino = i.cast("int")
+    single = F.array(
+        F.struct(
+            ino.alias("clause_no"),
+            F.lit(0).alias("col_no"),
+            c.alias("clause"),
+            kind.alias("clause_kind"),
+            col_a.alias("col_a"),
+            col_b.alias("col_b"),
+            col_type.alias("col_type"),
+        )
     )
-    entries = F.when(
-        is_multi_add,
-        F.transform(
-            multi_defs,
-            lambda e: F.struct(
-                F.regexp_extract(e, _PAREN_DEF_NAME, 1).alias("col_a"),
-                F.lit(None).cast("string").alias("col_b"),
-                _norm_type(
-                    F.regexp_extract(e, _PAREN_DEF_TYPE, 1),
-                    F.regexp_extract(e, _PAREN_DEF_TYPE, 2),
-                ).alias("col_type"),
+    multi = F.transform(
+        multi_defs,
+        lambda e, j: F.struct(
+            ino.alias("clause_no"),
+            j.cast("int").alias("col_no"),
+            c.alias("clause"),
+            F.lit("ADD_COLUMN").alias("clause_kind"),
+            F.regexp_extract(e, _PAREN_DEF_NAME, 1).cast("string").alias(
+                "col_a"
             ),
+            F.lit(None).cast("string").alias("col_b"),
+            _norm_type(
+                F.regexp_extract(e, _PAREN_DEF_TYPE, 1),
+                F.regexp_extract(e, _PAREN_DEF_TYPE, 2),
+            ).cast("string").alias("col_type"),
         ),
-    ).otherwise(F.array(single_entry))
-    return exploded.select(
-        "schema_name",
-        "table_name",
-        "statement",
-        "timestamp",
-        "binlog_file",
-        "log_position",
-        "line_no",
-        "clause_no",
-        "clause",
-        kind.alias("clause_kind"),
-        F.posexplode(entries).alias("col_no", "__e"),
-    ).select(
-        "schema_name",
-        "table_name",
-        "statement",
-        "timestamp",
-        "binlog_file",
-        "log_position",
-        "line_no",
-        "clause_no",
-        "col_no",
-        "clause",
-        "clause_kind",
-        F.col("__e.col_a").alias("col_a"),
-        F.col("__e.col_b").alias("col_b"),
-        F.col("__e.col_type").alias("col_type"),
     )
+    return F.when(is_multi_add, multi).otherwise(single)
+
+
+def _classified_clauses(stmt) -> F.Column:
+    """The full clause grammar over one ALTER statement, as an array
+    expression (see _clause_entry_array): entries ordered by
+    (clause_no, col_no) -- the statement's textual clause order, which
+    is exactly the 'last clause wins' fold order the views need.
+    Empty split fragments keep their clause_no (they are enumerated
+    before filtering, matching the exploded form's numbering)."""
+    raw = F.split(F.regexp_extract(stmt, _ALTER_BODY_RE, 1), _CLAUSE_SPLIT_RE)
+    entries = F.flatten(
+        F.transform(raw, lambda frag, i: _clause_entry_array(F.trim(frag), i))
+    )
+    return F.filter(entries, lambda e: e["clause"] != "")
+
+
+def alter_clauses(ddl: DataFrame) -> DataFrame:
+    """Explode each ALTER statement into classified clauses.
+
+    Returns one row per clause -- and per COLUMN for the
+    parenthesized multi-column ``ADD (x INT, y INT)`` form, which
+    explodes into per-column ADD_COLUMN rows (``col_no`` is the
+    0-based position inside the paren list; 0 elsewhere): the
+    statement's identity columns (schema_name, table_name, statement,
+    timestamp, binlog_file, log_position, line_no) plus ``clause_no``
+    (0-based order inside the statement), ``col_no``, ``clause``
+    (verbatim text), ``clause_kind`` in {ADD_COLUMN, DROP_COLUMN,
+    MODIFY_COLUMN, CHANGE_COLUMN, RENAME_COLUMN, RENAME_TO, INDEX_OP,
+    OPTION_NO_EFFECT, COLUMN_DEFAULT, PARTITION_OP, UNPARSED},
+    ``col_a`` / ``col_b`` (the touched
+    column / its new name where the kind has one), and ``col_type``
+    (the normalized declared type where the clause declares one --
+    ADD/MODIFY/CHANGE and paren-list defs; NULL otherwise).  MODIFY
+    keeps the column set intact but marks the column as shape-moved;
+    CHANGE and RENAME COLUMN drop ``col_a`` and add ``col_b``.
+    OPTION_NO_EFFECT covers table options (ALGORITHM=/LOCK=/ENGINE=
+    and friends): recognized, no column effect -- so an online-DDL
+    ALTER's moved-column set stays fully known.  Anything else
+    classifies as UNPARSED and must be surfaced by
+    ddl_parse_anomalies -- the warn-and-skip discipline.
+
+    Since r12 the grammar itself is the row-level array expression
+    ``_classified_clauses`` (one definition; the views aggregate it
+    in place without this explode)."""
+    return (
+        ddl.filter(F.col("ddl_kind") == "ALTER")
+        .select(
+            "schema_name",
+            "table_name",
+            "statement",
+            "timestamp",
+            "binlog_file",
+            "log_position",
+            "line_no",
+            F.explode(_classified_clauses(F.col("statement"))).alias("__e"),
+        )
+        .select(
+            "schema_name",
+            "table_name",
+            "statement",
+            "timestamp",
+            "binlog_file",
+            "log_position",
+            "line_no",
+            F.col("__e.clause_no").alias("clause_no"),
+            F.col("__e.col_no").alias("col_no"),
+            F.col("__e.clause").alias("clause"),
+            F.col("__e.clause_kind").alias("clause_kind"),
+            F.col("__e.col_a").alias("col_a"),
+            F.col("__e.col_b").alias("col_b"),
+            F.col("__e.col_type").alias("col_type"),
+        )
+    )
+
 
 
 def ddl_parse_anomalies(ddl: DataFrame) -> DataFrame:
@@ -1248,7 +1267,15 @@ def ddl_drift_window_columns(ddl: DataFrame) -> DataFrame:
     Same plan as ddl_drift_windows plus one clause-cardinality
     aggregate; output stays opener-cardinality and broadcastable.
     Returns (schema_name, table_name, win_from, win_to, moved_cols
-    array<string>, moved_known boolean)."""
+    array<string>, moved_known boolean).
+
+    Shape note (r12): the per-statement touched set and unparsed/
+    rename flags come from the row-level clause grammar
+    (_classified_clauses) evaluated IN PLACE on the opener rows -- the
+    former alter_clauses explode + per-statement groupBy + join-back
+    collapsed into a projection (guide 2.4: two shuffles and a join
+    removed; the plan is now canonicalize + ONE opener window + ONE
+    dup-coordinate aggregate)."""
     from ..functions.caching import scoped_cache
 
     # the canonicalized statement frame feeds multiple subtrees
@@ -1263,17 +1290,48 @@ def ddl_drift_window_columns(ddl: DataFrame) -> DataFrame:
         .orderBy("coord", "line_no", "pair_no")
         .rowsBetween(1, Window.unboundedFollowing)
     )
+    # the clause grammar, row-level: entries only matter for ALTER
+    # openers (non-ALTER statements extract an empty body -> [])
+    ent = F.when(
+        F.col("ddl_kind") == "ALTER",
+        _classified_clauses(F.col("statement")),
+    ).otherwise(F.expr(
+        "cast(array() as array<struct<clause_no:int,col_no:int,"
+        "clause:string,clause_kind:string,col_a:string,col_b:string,"
+        "col_type:string>>)"
+    ))
+    # ONE fold pass computes the touched set and both flags together:
+    # the clause grammar is a large lambda expression that codegen's
+    # common-subexpression elimination cannot deduplicate, so three
+    # separate derived columns would evaluate it three times per row
+    # (measured 1.8 -> 5.0 s); a single struct accumulator keeps it at
+    # one evaluation (CollapseProject never inlines a non-cheap alias
+    # referenced more than once, so the two-step select holds).
+    summary = F.aggregate(
+        ent,
+        F.expr(
+            "struct(cast(array() as array<string>) as cols,"
+            " false as unp, false as ren)"
+        ),
+        lambda acc, e: F.struct(
+            F.concat(
+                acc["cols"], F.array_compact(F.array(e["col_a"], e["col_b"]))
+            ).alias("cols"),
+            (acc["unp"] | (e["clause_kind"] == "UNPARSED")).alias("unp"),
+            (acc["ren"] | (e["clause_kind"] == "RENAME_TO")).alias("ren"),
+        ),
+    )
     openers = (
         d.select(
             "schema_name",
             "table_name",
             "ddl_kind",
-            "statement",
             "binlog_file",
             "log_position",
             "line_no",
             "pair_no",
             coord.alias("coord"),
+            summary.alias("__g"),
         )
         .withColumn(
             "win_to",
@@ -1282,28 +1340,12 @@ def ddl_drift_window_columns(ddl: DataFrame) -> DataFrame:
             ).over(w),
         )
         .filter(F.col("ddl_kind").isin("ALTER", "RENAME", "TRUNCATE"))
-    )
-    # per opening STATEMENT: touched columns + any-unparsed flag.
-    # alter_clauses re-parses from the canonical frame (col names are
-    # identical either way); join back on the statement's unique
-    # physical identity (file, position, line)
-    cl = scoped_cache(alter_clauses(
-        c.filter(F.col("ddl_kind") == "ALTER")
-    ))
-    touched = F.array_compact(F.array("col_a", "col_b"))
-    per_stmt = cl.groupBy("binlog_file", "log_position", "line_no").agg(
-        F.array_distinct(F.flatten(F.collect_list(touched))).alias(
-            "__cols"
-        ),
-        F.max(
-            (F.col("clause_kind") == "UNPARSED").cast("int")
-        ).alias("__any_unparsed"),
-        F.max(
-            (F.col("clause_kind") == "RENAME_TO").cast("int")
-        ).alias("__any_rename"),
-    )
-    j = openers.join(
-        per_stmt, ["binlog_file", "log_position", "line_no"], "left"
+        .select(
+            "*",
+            F.array_distinct(F.col("__g.cols")).alias("__cols"),
+            F.col("__g.unp").cast("int").alias("__any_unparsed"),
+            F.col("__g.ren").cast("int").alias("__any_rename"),
+        )
     )
     known = (
         (F.col("ddl_kind") == "ALTER")
@@ -1311,7 +1353,7 @@ def ddl_drift_window_columns(ddl: DataFrame) -> DataFrame:
         & (F.coalesce(F.col("__any_rename"), F.lit(0)) == 0)
     )
     empty = F.expr("cast(array() as array<string>)")
-    per_open = j.select(
+    per_open = openers.select(
         "schema_name",
         "table_name",
         F.col("coord").alias("win_from"),
@@ -1392,6 +1434,60 @@ def schema_column_matrix(ddl: DataFrame) -> DataFrame:
     create_cols = F.when(
         F.col("ddl_kind") == "CREATE", _create_columns(F.col("statement"))
     ).otherwise(empty)
+    # per-statement NET set effect from the ROW-LEVEL clause grammar
+    # (r12, guide 2.4): the flattened per-kind effect entries are in
+    # (clause_no, col_no, within-clause) order by construction, so a
+    # left fold with overwrite IS the old max_by tie rule -- 'the last
+    # clause touching a column wins, adds over drops at equal
+    # position'.  Removes the former explode + per-statement groupBy +
+    # grid join-back (two shuffles and a join).
+    ent = F.when(
+        F.col("ddl_kind") == "ALTER",
+        _classified_clauses(F.col("statement")),
+    ).otherwise(F.expr(
+        "cast(array() as array<struct<clause_no:int,col_no:int,"
+        "clause:string,clause_kind:string,col_a:string,col_b:string,"
+        "col_type:string>>)"
+    ))
+    eff_entries = F.flatten(
+        F.transform(
+            ent,
+            lambda e: F.when(
+                e["clause_kind"] == "ADD_COLUMN",
+                F.array(F.struct(
+                    e["col_a"].alias("col"), F.lit(True).alias("eff")
+                )),
+            )
+            .when(
+                e["clause_kind"] == "DROP_COLUMN",
+                F.array(F.struct(
+                    e["col_a"].alias("col"), F.lit(False).alias("eff")
+                )),
+            )
+            .when(
+                e["clause_kind"].isin("CHANGE_COLUMN", "RENAME_COLUMN"),
+                F.array(
+                    F.struct(
+                        e["col_a"].alias("col"), F.lit(False).alias("eff")
+                    ),
+                    F.struct(
+                        e["col_b"].alias("col"), F.lit(True).alias("eff")
+                    ),
+                ),
+            )
+            .otherwise(F.expr(
+                "cast(array() as array<struct<col:string,eff:boolean>>)"
+            )),
+        )
+    )
+    effmap = F.aggregate(
+        eff_entries,
+        F.expr("cast(map() as map<string,boolean>)"),
+        lambda acc, e: F.map_concat(
+            F.map_filter(acc, lambda k, v: k != e["col"]),
+            F.create_map(e["col"], e["eff"]),
+        ),
+    )
     d = c.select(
         "schema_name",
         "table_name",
@@ -1404,89 +1500,21 @@ def schema_column_matrix(ddl: DataFrame) -> DataFrame:
         (
             F.regexp_extract("statement", _CREATE_LIST_RE, 1) != ""
         ).alias("__has_list"),
+        effmap.alias("__effmap"),
     )
     d = scoped_cache(d)
-    # per-(statement, column) NET set effect from the clause grammar:
-    # each clause contributes (col, effect, ord, tie); the last clause
-    # touching a column wins, adds over drops at equal position.  The
-    # clause frame carries the grammar's widest expression tree --
-    # cache it (clause-cardinality) so codegen compiles it once
-    cl = scoped_cache(alter_clauses(c.filter(F.col("ddl_kind") == "ALTER")))
-    eff_entries = (
-        F.when(
-            F.col("clause_kind") == "ADD_COLUMN",
-            F.array(F.struct(
-                F.col("col_a").alias("col"), F.lit(True).alias("eff")
-            )),
-        )
-        .when(
-            F.col("clause_kind") == "DROP_COLUMN",
-            F.array(F.struct(
-                F.col("col_a").alias("col"), F.lit(False).alias("eff")
-            )),
-        )
-        .when(
-            F.col("clause_kind").isin("CHANGE_COLUMN", "RENAME_COLUMN"),
-            F.array(
-                F.struct(
-                    F.col("col_a").alias("col"), F.lit(False).alias("eff")
-                ),
-                F.struct(
-                    F.col("col_b").alias("col"), F.lit(True).alias("eff")
-                ),
-            ),
-        )
-        .otherwise(F.expr(
-            "cast(array() as array<struct<col:string,eff:boolean>>)"
-        ))
-    )
-    entries = cl.select(
-        "schema_name",
-        "table_name",
-        "binlog_file",
-        "log_position",
-        "line_no",
-        "clause_no",
-        "col_no",
-        F.posexplode(eff_entries).alias("__tie", "__e"),
-    )
-    stmt_effects = entries.groupBy(
-        "schema_name",
-        "table_name",
-        "binlog_file",
-        "log_position",
-        "line_no",
-        entries["__e"]["col"].alias("column_name"),
-    ).agg(
-        F.max_by(
-            entries["__e"]["eff"], F.struct("clause_no", "col_no", "__tie")
-        ).alias("__eff")
-    )
-    stmt_effects = scoped_cache(stmt_effects)
     # the column universe per canonical table: clause-touched + declared
     uni = (
-        stmt_effects.select("schema_name", "table_name", "column_name")
-        .unionByName(
-            d.select(
-                "schema_name",
-                "table_name",
-                F.explode("__create_cols").alias("column_name"),
-            )
+        d.select(
+            "schema_name",
+            "table_name",
+            F.explode(
+                F.array_union(F.map_keys("__effmap"), "__create_cols")
+            ).alias("column_name"),
         )
         .distinct()
     )
-    grid = d.join(uni, ["schema_name", "table_name"]).join(
-        stmt_effects,
-        [
-            "schema_name",
-            "table_name",
-            "binlog_file",
-            "log_position",
-            "line_no",
-            "column_name",
-        ],
-        "left",
-    )
+    grid = d.join(uni, ["schema_name", "table_name"])
     # CREATE with a declared list resets membership; CREATE WITHOUT one
     # (LIKE src / AS SELECT -- shape unknowable statement-locally) is a
     # NULL effect: the fold carries the previous set forward and
@@ -1497,7 +1525,7 @@ def schema_column_matrix(ddl: DataFrame) -> DataFrame:
             F.array_contains(F.col("__create_cols"), F.col("column_name")),
         )
         .when(F.col("ddl_kind") == "DROP", F.lit(False))
-        .otherwise(F.col("__eff"))
+        .otherwise(F.element_at(F.col("__effmap"), F.col("column_name")))
     )
     wp = (
         Window.partitionBy("schema_name", "table_name", "column_name")
@@ -1621,6 +1649,74 @@ def schema_column_types(ddl: DataFrame) -> DataFrame:
     create_defs = F.when(
         F.col("ddl_kind") == "CREATE", _create_column_defs(F.col("statement"))
     ).otherwise(empty_defs)
+    # per-statement NET type action from the ROW-LEVEL clause grammar
+    # (r12, same rewrite as schema_column_matrix): entries are in
+    # (clause_no, col_no, within-clause) order, so a left fold with
+    # overwrite IS the old max_by tie rule.  Actions encode as one
+    # string so the fold is a plain last-ignore-nulls: 'T:<type>'
+    # declares, 'T:' marks present-but-undeclared, 'X' resets.
+    ent = F.when(
+        F.col("ddl_kind") == "ALTER",
+        _classified_clauses(F.col("statement")),
+    ).otherwise(F.expr(
+        "cast(array() as array<struct<clause_no:int,col_no:int,"
+        "clause:string,clause_kind:string,col_a:string,col_b:string,"
+        "col_type:string>>)"
+    ))
+
+    def _decl(e):
+        return F.concat(F.lit("T:"), F.coalesce(e["col_type"], F.lit("")))
+
+    type_entries = F.flatten(
+        F.transform(
+            ent,
+            lambda e: F.when(
+                e["clause_kind"].isin("ADD_COLUMN", "MODIFY_COLUMN"),
+                F.array(F.struct(
+                    e["col_a"].alias("col"), _decl(e).alias("act")
+                )),
+            )
+            .when(
+                e["clause_kind"] == "CHANGE_COLUMN",
+                F.array(
+                    F.struct(
+                        e["col_a"].alias("col"), F.lit("X").alias("act")
+                    ),
+                    F.struct(e["col_b"].alias("col"), _decl(e).alias("act")),
+                ),
+            )
+            .when(
+                e["clause_kind"] == "RENAME_COLUMN",
+                F.array(
+                    F.struct(
+                        e["col_a"].alias("col"), F.lit("X").alias("act")
+                    ),
+                    F.struct(
+                        e["col_b"].alias("col"), F.lit("T:").alias("act")
+                    ),
+                ),
+            )
+            .when(
+                e["clause_kind"] == "DROP_COLUMN",
+                F.array(
+                    F.struct(
+                        e["col_a"].alias("col"), F.lit("X").alias("act")
+                    )
+                ),
+            )
+            .otherwise(
+                F.expr("cast(array() as array<struct<col:string,act:string>>)")
+            ),
+        )
+    )
+    actmap = F.aggregate(
+        type_entries,
+        F.expr("cast(map() as map<string,string>)"),
+        lambda acc, e: F.map_concat(
+            F.map_filter(acc, lambda k, v: k != e["col"]),
+            F.create_map(e["col"], e["act"]),
+        ),
+    )
     d = c.select(
         "schema_name",
         "table_name",
@@ -1633,98 +1729,23 @@ def schema_column_types(ddl: DataFrame) -> DataFrame:
         (
             F.regexp_extract("statement", _CREATE_LIST_RE, 1) != ""
         ).alias("__has_list"),
+        actmap.alias("__actmap"),
     )
     d = scoped_cache(d)
-    # per-(statement, column) NET type action, encoded as one string
-    # so the fold is a plain last-ignore-nulls: 'T:<type>' declares,
-    # 'T:' marks present-but-undeclared, 'X' resets
-    decl = F.concat(F.lit("T:"), F.coalesce(F.col("col_type"), F.lit("")))
-    cl = scoped_cache(alter_clauses(c.filter(F.col("ddl_kind") == "ALTER")))
-    type_entries = (
-        F.when(
-            F.col("clause_kind").isin("ADD_COLUMN", "MODIFY_COLUMN"),
-            F.array(F.struct(F.col("col_a").alias("col"), decl.alias("act"))),
-        )
-        .when(
-            F.col("clause_kind") == "CHANGE_COLUMN",
-            F.array(
-                F.struct(
-                    F.col("col_a").alias("col"), F.lit("X").alias("act")
-                ),
-                F.struct(F.col("col_b").alias("col"), decl.alias("act")),
-            ),
-        )
-        .when(
-            F.col("clause_kind") == "RENAME_COLUMN",
-            F.array(
-                F.struct(
-                    F.col("col_a").alias("col"), F.lit("X").alias("act")
-                ),
-                F.struct(
-                    F.col("col_b").alias("col"), F.lit("T:").alias("act")
-                ),
-            ),
-        )
-        .when(
-            F.col("clause_kind") == "DROP_COLUMN",
-            F.array(
-                F.struct(F.col("col_a").alias("col"), F.lit("X").alias("act"))
-            ),
-        )
-        .otherwise(
-            F.expr("cast(array() as array<struct<col:string,act:string>>)")
-        )
-    )
-    entries = cl.select(
-        "schema_name",
-        "table_name",
-        "binlog_file",
-        "log_position",
-        "line_no",
-        "clause_no",
-        "col_no",
-        F.posexplode(type_entries).alias("__tie", "__e"),
-    )
-    stmt_acts = entries.groupBy(
-        "schema_name",
-        "table_name",
-        "binlog_file",
-        "log_position",
-        "line_no",
-        entries["__e"]["col"].alias("column_name"),
-    ).agg(
-        F.max_by(
-            entries["__e"]["act"], F.struct("clause_no", "col_no", "__tie")
-        ).alias("__act")
-    )
-    stmt_acts = scoped_cache(stmt_acts)
     uni = (
-        stmt_acts.select("schema_name", "table_name", "column_name")
-        .unionByName(
-            d.select(
-                "schema_name",
-                "table_name",
-                F.explode("__create_defs").alias("__d"),
-            ).select(
-                "schema_name",
-                "table_name",
-                F.col("__d.col").alias("column_name"),
-            )
+        d.select(
+            "schema_name",
+            "table_name",
+            F.explode(
+                F.array_union(
+                    F.map_keys("__actmap"),
+                    F.transform("__create_defs", lambda e: e["col"]),
+                )
+            ).alias("column_name"),
         )
         .distinct()
     )
-    grid = d.join(uni, ["schema_name", "table_name"]).join(
-        stmt_acts,
-        [
-            "schema_name",
-            "table_name",
-            "binlog_file",
-            "log_position",
-            "line_no",
-            "column_name",
-        ],
-        "left",
-    )
+    grid = d.join(uni, ["schema_name", "table_name"])
     # CREATE with a declared list resets: declared columns get their
     # def type, everything else 'X'; CREATE without one carries (the
     # UNRESOLVED_CREATE_SHAPE channel reports it); DROP TABLE resets all
@@ -1744,7 +1765,7 @@ def schema_column_types(ddl: DataFrame) -> DataFrame:
             ).otherwise(F.lit("X")),
         )
         .when(F.col("ddl_kind") == "DROP", F.lit("X"))
-        .otherwise(F.col("__act"))
+        .otherwise(F.element_at(F.col("__actmap"), F.col("column_name")))
     )
     wp = (
         Window.partitionBy("schema_name", "table_name", "column_name")

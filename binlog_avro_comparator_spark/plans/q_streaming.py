@@ -978,6 +978,17 @@ def _chunked_docs_stream(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def _keyed(maintain, d: str):
+    """Bind the replay source dir as the fold's per-batch slice-cache
+    key (fold_sinks._batch_slice): sibling queries draining the same
+    chunk fixture derive each batch's slice once per session."""
+
+    def maintain_keyed(stream, state_dir, ckpt):
+        return maintain(stream, state_dir, ckpt, slice_key=d)
+
+    return maintain_keyed
+
+
 def _run_fold(spark, maintain, read_state, d: str, stream_fn=None) -> DataFrame:
     """Shared drive for the foreachBatch folds: fresh state/checkpoint
     dirs per run (single-writer contract), availableNow drain under
@@ -1063,7 +1074,9 @@ def _q_cdc_schema_timeline_stream(spark, sf_dir):
 
     ensure_session_conf(spark)
     d = _events_chunk_dir(spark, sf_dir)
-    return _run_fold(spark, maintain_schema_timeline, read_schema_timeline, d)
+    return _run_fold(
+        spark, _keyed(maintain_schema_timeline, d), read_schema_timeline, d
+    )
 
 
 def _q_cdc_schema_columns_stream(spark, sf_dir):
@@ -1081,7 +1094,9 @@ def _q_cdc_schema_columns_stream(spark, sf_dir):
 
     ensure_session_conf(spark)
     d = _events_chunk_dir(spark, sf_dir)
-    return _run_fold(spark, maintain_schema_timeline, read_schema_columns, d)
+    return _run_fold(
+        spark, _keyed(maintain_schema_timeline, d), read_schema_columns, d
+    )
 
 
 def _q_cdc_schema_types_stream(spark, sf_dir):
@@ -1098,7 +1113,9 @@ def _q_cdc_schema_types_stream(spark, sf_dir):
 
     ensure_session_conf(spark)
     d = _events_chunk_dir(spark, sf_dir)
-    return _run_fold(spark, maintain_schema_timeline, read_schema_types, d)
+    return _run_fold(
+        spark, _keyed(maintain_schema_timeline, d), read_schema_types, d
+    )
 
 
 def _q_cdc_schema_vs_lake_stream(spark, sf_dir):
@@ -1134,7 +1151,7 @@ def _q_cdc_schema_vs_lake_stream(spark, sf_dir):
     def read(spark_, state_dir):
         return read_schema_agreement(spark_, state_dir, observed)
 
-    return _run_fold(spark, maintain_schema_timeline, read, d)
+    return _run_fold(spark, _keyed(maintain_schema_timeline, d), read, d)
 
 
 def _q_cdc_payload_diff_guarded_stream(spark, sf_dir):
@@ -1160,7 +1177,7 @@ def _q_cdc_payload_diff_guarded_stream(spark, sf_dir):
 
     def maintain(stream, state_dir, ckpt):
         return maintain_guarded_payload_diff(
-            stream, state_dir, ckpt, bp, key_tables
+            stream, state_dir, ckpt, bp, key_tables, slice_key=d
         )
 
     return _run_fold(spark, maintain, read_guarded_payload_diff, d)
@@ -1188,7 +1205,7 @@ def _q_cdc_schema_vs_lake_live(spark, sf_dir):
 
     def maintain(stream, state_dir, ckpt):
         return maintain_guarded_payload_diff(
-            stream, state_dir, ckpt, bp, key_tables
+            stream, state_dir, ckpt, bp, key_tables, slice_key=d
         )
 
     return _run_fold(spark, maintain, read_schema_agreement_live, d)
@@ -1217,7 +1234,7 @@ def _q_cdc_schema_timeline_asof(spark, sf_dir):
     def read(spark_, state_dir):
         return read_schema_timeline_asof(spark_, state_dir, 1)
 
-    return _run_fold(spark, maintain_schema_timeline, read, d)
+    return _run_fold(spark, _keyed(maintain_schema_timeline, d), read, d)
 
 
 def _q_corpus_lsh_incremental(spark, sf_dir):
@@ -1239,7 +1256,9 @@ def _q_corpus_lsh_incremental(spark, sf_dir):
     d = _docs_chunk_dir(spark, sf_dir)
 
     def maintain(stream, state_dir, ckpt):
-        return maintain_lsh_index(stream, state_dir, ckpt, bands=4, rows=4)
+        return maintain_lsh_index(
+            stream, state_dir, ckpt, bands=4, rows=4, slice_key=d
+        )
 
     return _run_fold(
         spark,
@@ -1271,7 +1290,7 @@ def _q_corpus_simhash_incremental(spark, sf_dir):
     d = _docs_chunk_dir(spark, sf_dir)
 
     def maintain(stream, state_dir, ckpt):
-        return maintain_simhash_index(stream, state_dir, ckpt)
+        return maintain_simhash_index(stream, state_dir, ckpt, slice_key=d)
 
     return _run_fold(
         spark,

@@ -46,6 +46,47 @@ from ..fixtures import derive_binlog_events
 from .snapshot_sink import _latest_version
 
 
+# Per-session cache of MICRO-BATCH-DERIVED slices, keyed by the replay
+# source the caller names (``slice_key``, the chunk fixture dir) plus
+# the batch id and the deriving operator.  Several registered replay
+# queries drain the SAME chunked source through sibling folds
+# back-to-back, and each fold re-derived the identical per-batch slice
+# (the parsed DDL statements, the avro payload map, the banded
+# signatures) from the identical chunk file -- same session, same
+# batch, a pure function of the batch's rows (one mtime-ordered file
+# per trigger, so (source dir, batch_id) identifies the content).
+# Deriving it once per (session, source, batch) and serving the
+# materialized parquet to the sibling folds is fixture-derivation reuse
+# (the _guard_payload_frames discipline), NOT cross-run result caching:
+# the key carries the per-process applicationId and the paths live in
+# per-process tempdirs, so every bench/oracle invocation still computes
+# the slice from its inputs.  Side benefit (guide 3.3): the fold's
+# state merge then plans from a parquet leaf instead of re-carrying the
+# slice's full derivation lineage every batch.
+_BATCH_SLICE_CACHE: dict[tuple, str] = {}
+
+
+def _batch_slice(
+    spark: SparkSession, kind: str, slice_key, batch_id: int, build
+) -> DataFrame:
+    """``build()`` materialized once per (session, kind, source, batch).
+
+    ``slice_key=None`` (the default everywhere) keeps the direct
+    uncached, unmaterialized derivation -- non-replay sources and
+    in-memory test frames keep their old behavior exactly."""
+    import tempfile
+
+    if slice_key is None:
+        return build()
+    key = (spark.sparkContext.applicationId, kind, slice_key, batch_id)
+    d = _BATCH_SLICE_CACHE.get(key)
+    if d is None:
+        d = tempfile.mkdtemp(prefix=f"batch_slice_{kind}_")
+        build().write.parquet(os.path.join(d, "data"))
+        _BATCH_SLICE_CACHE[key] = d
+    return spark.read.parquet(os.path.join(d, "data"))
+
+
 def _swing_pointer(state_dir: str, batch_id: int) -> None:
     pointer = os.path.join(state_dir, "LATEST")
     tmp = pointer + ".tmp"
@@ -473,7 +514,11 @@ def _ddl_batch_statements(events_batch: DataFrame) -> DataFrame:
 
 
 def commit_ddl_batch(
-    spark: SparkSession, state_dir: str, batch_df: DataFrame, batch_id: int
+    spark: SparkSession,
+    state_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    slice_key=None,
 ) -> None:
     """Fold one micro-batch into the DDL STATEMENT LOG state.
 
@@ -495,7 +540,15 @@ def commit_ddl_batch(
     prev = _latest_version(state_dir)
     if prev is not None and os.path.basename(prev) == f"v{batch_id}":
         return
-    delta = _ddl_batch_statements(batch_df).withColumn(
+    # the parsed-statement slice is a pure function of the batch's
+    # files: derive it once per (session, batch) and share it with the
+    # sibling folds replaying the same source (_batch_slice docstring);
+    # the batch_id line_no re-stamp stays outside the cached slice so
+    # the cache key needs only the file set
+    delta = _batch_slice(
+        spark, "ddl_stmts", slice_key, batch_id,
+        lambda: _ddl_batch_statements(batch_df),
+    ).withColumn(
         "line_no",
         (F.lit(batch_id).cast("long") * F.lit(1_000_000_000))
         + F.col("line_no"),
@@ -510,16 +563,19 @@ def commit_ddl_batch(
 
 
 def maintain_schema_timeline(
-    events_stream: DataFrame, state_dir: str, checkpoint_dir: str
+    events_stream: DataFrame, state_dir: str, checkpoint_dir: str,
+    slice_key=None,
 ):
     """Start the foreachBatch DDL statement-log maintenance query
     (caller awaits).  DDL arrives on the live feed; the statement
-    parse is stateless per batch and the log is the fold state."""
+    parse is stateless per batch and the log is the fold state.
+    ``slice_key`` names the replay source for the per-batch slice
+    cache (_batch_slice docstring)."""
     os.makedirs(state_dir, exist_ok=True)
     spark = events_stream.sparkSession
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        commit_ddl_batch(spark, state_dir, batch_df, batch_id)
+        commit_ddl_batch(spark, state_dir, batch_df, batch_id, slice_key)
 
     return (
         events_stream.writeStream.foreachBatch(fold)
@@ -634,6 +690,7 @@ def commit_guarded_diff_batch(
     batch_id: int,
     binlog_payload: DataFrame,
     key_tables: DataFrame,
+    slice_key=None,
 ) -> None:
     """Fold one micro-batch into the GUARDED payload-diff state.
 
@@ -660,7 +717,7 @@ def commit_guarded_diff_batch(
     from ..operators import compare as C
 
     commit_ddl_batch(
-        spark, os.path.join(state_dir, "ddl"), batch_df, batch_id
+        spark, os.path.join(state_dir, "ddl"), batch_df, batch_id, slice_key
     )
     diff_dir = os.path.join(state_dir, "diff", f"b{batch_id}")
     meta_dir = os.path.join(state_dir, "matched", f"b{batch_id}")
@@ -675,9 +732,13 @@ def commit_guarded_diff_batch(
     # the batch's avro payload slice feeds THREE writes (diff, matched
     # meta, field census): materialize it once (batch-slice-sized) so
     # each write starts from a tiny leaf instead of re-deriving -- and
-    # re-planning -- the payload map per job (guide 3.3 / 5: reuse a
-    # cheap intermediate instead of recomputing it)
-    ap = derive_avro_payload_map(batch_df).localCheckpoint()
+    # re-planning -- the payload map per job (guide 3.3 / 5), and share
+    # the materialized slice with the sibling fold replaying the same
+    # source (_batch_slice docstring -- same session, same batch)
+    ap = _batch_slice(
+        spark, "avro_payload", slice_key, batch_id,
+        lambda: derive_avro_payload_map(batch_df),
+    )
     bp = F.broadcast(binlog_payload)
 
     def _write_diff() -> None:
@@ -727,16 +788,19 @@ def maintain_guarded_payload_diff(
     checkpoint_dir: str,
     binlog_payload: DataFrame,
     key_tables: DataFrame,
+    slice_key=None,
 ):
     """Start the foreachBatch guarded-diff maintenance query (caller
     awaits): DDL fold + findings/meta logs per batch, guard composed
-    at read."""
+    at read.  ``slice_key`` names the replay source for the per-batch
+    slice cache (_batch_slice docstring)."""
     os.makedirs(state_dir, exist_ok=True)
     spark = events_stream.sparkSession
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         commit_guarded_diff_batch(
-            spark, state_dir, batch_df, batch_id, binlog_payload, key_tables
+            spark, state_dir, batch_df, batch_id, binlog_payload,
+            key_tables, slice_key,
         )
 
     return (
@@ -862,6 +926,7 @@ def commit_lsh_batch(
     batch_id: int,
     bands: int,
     rows: int,
+    slice_key=None,
 ) -> None:
     """Fold one micro-batch of NEW documents into the maintained LSH
     index and emit the near-dup candidate pairs they create.
@@ -896,7 +961,16 @@ def commit_lsh_batch(
         return
     for d in (bands_dir, pairs_dir):
         shutil.rmtree(d, ignore_errors=True)
-    new = banded_signatures(batch_df, bands, rows).localCheckpoint()
+    if slice_key is None:
+        new = banded_signatures(batch_df, bands, rows).localCheckpoint()
+    else:
+        # per-batch signature slice shared across sibling replays of
+        # the same source (_batch_slice docstring); the parquet leaf
+        # doubles as the localCheckpoint's lineage cut
+        new = _batch_slice(
+            spark, f"lsh_bands_{bands}_{rows}", slice_key, batch_id,
+            lambda: banded_signatures(batch_df, bands, rows),
+        )
     bands_base = os.path.join(state_dir, "bands")
     consumed = _compacted_basenames(bands_base)
     prior_dirs = [
@@ -932,6 +1006,7 @@ def maintain_lsh_index(
     checkpoint_dir: str,
     bands: int = 4,
     rows: int = 4,
+    slice_key=None,
 ):
     """Start the foreachBatch LSH-index maintenance query (caller
     awaits): banded-signature index + disjoint per-batch pair logs."""
@@ -939,7 +1014,9 @@ def maintain_lsh_index(
     spark = docs_stream.sparkSession
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        commit_lsh_batch(spark, state_dir, batch_df, batch_id, bands, rows)
+        commit_lsh_batch(
+            spark, state_dir, batch_df, batch_id, bands, rows, slice_key
+        )
 
     return (
         docs_stream.writeStream.foreachBatch(fold)
@@ -1061,6 +1138,7 @@ def commit_simhash_batch(
     batch_id: int,
     max_hamming: int = 3,
     bands: int | None = None,
+    slice_key=None,
 ) -> None:
     """Fold one micro-batch of NEW documents into the maintained
     SimHash hamming-LSH index -- the incremental twin of
@@ -1093,7 +1171,14 @@ def commit_simhash_batch(
         return
     for d in (bands_dir, pairs_dir):
         shutil.rmtree(d, ignore_errors=True)
-    new = simhash_banded(batch_df, bands).localCheckpoint()
+    if slice_key is None:
+        new = simhash_banded(batch_df, bands).localCheckpoint()
+    else:
+        # shared per-batch fingerprint slice (_batch_slice docstring)
+        new = _batch_slice(
+            spark, f"simhash_bands_{bands}", slice_key, batch_id,
+            lambda: simhash_banded(batch_df, bands),
+        )
     bands_base = os.path.join(state_dir, "bands")
     consumed = _compacted_basenames(bands_base)
     prior_dirs = [
@@ -1133,6 +1218,7 @@ def maintain_simhash_index(
     checkpoint_dir: str,
     max_hamming: int = 3,
     bands: int | None = None,
+    slice_key=None,
 ):
     """Start the foreachBatch SimHash-index maintenance query (caller
     awaits): banded-fingerprint index + disjoint verified-pair logs."""
@@ -1141,7 +1227,8 @@ def maintain_simhash_index(
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         commit_simhash_batch(
-            spark, state_dir, batch_df, batch_id, max_hamming, bands
+            spark, state_dir, batch_df, batch_id, max_hamming, bands,
+            slice_key,
         )
 
     return (
