@@ -754,6 +754,115 @@ def payload_diff(
     )
 
 
+def _ranged_running_sums(
+    u: DataFrame,
+    part_cols: list[str],
+    order_cols: list[str],
+    sum_cols: list[str],
+    with_totals: bool = False,
+) -> DataFrame:
+    """Running sums per ``part_cols`` group ordered by ``order_cols``,
+    computed as a TWO-PHASE prefix sum over a range-partitioned
+    coordinate line -- the de-skewed form of
+    ``Window.partitionBy(part_cols).orderBy(order_cols)``: a single
+    hot group (the normal case for the drift sweeps -- one big table
+    under migration) no longer serializes its whole line through one
+    window task.
+
+    1. Range-partition by the full (part, order) composite key and
+       ``localCheckpoint`` (one job) so ``spark_partition_id`` is a
+       stable, order-respecting bucket id (equal keys land in one
+       partition, so tie semantics are unchanged).
+    2. Partition-local running sums: the window partitions by
+       (bucket, part_cols), so each group's line splits across as many
+       tasks as it has buckets.
+    3. Per-(bucket, group) totals (a map-side-combined aggregate,
+       buckets x groups rows) get cumulative offsets over the tiny
+       frame and broadcast back; cum = local run + offset.
+
+    Returns ``u``'s columns plus ``__cum_<c>`` per sum col (and
+    ``__tot_<c>`` per-group totals when ``with_totals``).  Bucket
+    count: ``spark.comparator.sweep.partitions`` (default: the
+    session's defaultParallelism -- scale-adaptive, not a local-mode
+    constant)."""
+    from ..functions.caching import scoped_cache
+
+    spark = u.sparkSession
+    try:
+        n = int(spark.conf.get("spark.comparator.sweep.partitions"))
+    except Exception:
+        n = spark.sparkContext.defaultParallelism
+    # the range exchange evaluates its input twice (the boundary-
+    # sampling pass, then the shuffle write): cache the union line so
+    # the matched-key join lineage above it computes once
+    u = scoped_cache(u)
+    # lazy checkpoint: materializes once on the first action, and BOTH
+    # consumers (the local-window pass and the offsets aggregate) read
+    # the same checkpointed RDD afterwards, so spark_partition_id is
+    # stable between them by construction -- a cached plan would leave
+    # two range-exchange executions whose consistency depends on
+    # exchange reuse firing, and it re-inflates every consumer's
+    # analyzed plan with the full upstream lineage (the r11 plan-size
+    # lesson: cdc_payload_diff_column_guarded 686 -> 5246 formatted
+    # lines when this frame was cached instead of checkpointed).  The
+    # range exchange is therefore invisible in consumer plans; the
+    # committed component plan (plans/r12/sweep_running_sums_component_
+    # after.txt) and the hot-table probe are the shape evidence.
+    line = u.repartitionByRange(
+        n, *[F.col(c) for c in (*part_cols, *order_cols)]
+    ).localCheckpoint(eager=False)
+    withpid = line.withColumn("__pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("__pid", *part_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = withpid.select(
+        "*", *[F.sum(c).over(w_local).alias(f"__run_{c}") for c in sum_cols]
+    )
+    part_totals = withpid.groupBy("__pid", *part_cols).agg(
+        *[F.sum(c).alias(f"__t_{c}") for c in sum_cols]
+    )
+    w_off = (
+        Window.partitionBy(*part_cols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy(*part_cols)
+    off_cols = [
+        F.coalesce(F.sum(f"__t_{c}").over(w_off), F.lit(0).cast("long")).alias(
+            f"__off_{c}"
+        )
+        for c in sum_cols
+    ]
+    tot_cols = (
+        [F.sum(f"__t_{c}").over(w_tot).alias(f"__tot_{c}") for c in sum_cols]
+        if with_totals
+        else []
+    )
+    offsets = part_totals.select(
+        F.col("__pid").alias("__o_pid"),
+        *[F.col(c).alias(f"__o_{i}") for i, c in enumerate(part_cols)],
+        *off_cols,
+        *tot_cols,
+    )
+    # null-safe group-key match: a NULL part column (e.g. a matched key
+    # with no table meta) is one group, exactly as Window.partitionBy
+    # treats it
+    cond = F.col("__pid") == F.col("__o_pid")
+    for i, c in enumerate(part_cols):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__o_{i}"))
+    joined = local.join(F.broadcast(offsets), cond)
+    cum = [
+        (F.col(f"__run_{c}") + F.col(f"__off_{c}")).alias(f"__cum_{c}")
+        for c in sum_cols
+    ]
+    keep_tots = [F.col(f"__tot_{c}") for c in sum_cols] if with_totals else []
+    return joined.select(
+        *[c for c in u.columns], *cum, *keep_tots
+    )
+
+
 def _key_window_sweep(
     matched_meta: DataFrame, windows: DataFrame
 ) -> DataFrame:
@@ -820,24 +929,21 @@ def _key_window_sweep(
         F.lit(0).cast("long").alias("__du"),
         F.lit(1).alias("__is_key"),
     )
-    w = (
-        Window.partitionBy(*tbl)
-        .orderBy("__pos", "__is_key")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    swept = (
-        starts.unionByName(ends)
-        .unionByName(keys)
-        .select(
-            *KEY,
-            *tbl,
-            "__is_key",
-            F.sum("__d").over(w).alias("n_any"),
-            F.sum("__du").over(w).alias("n_unknown"),
-        )
+    # de-skewed running sums (r12): the per-table coordinate line is
+    # range-partitioned and prefix-summed in two phases, so one hot
+    # table spreads across tasks instead of serializing through a
+    # single window partition (_ranged_running_sums docstring)
+    swept = _ranged_running_sums(
+        starts.unionByName(ends).unionByName(keys),
+        tbl,
+        ["__pos", "__is_key"],
+        ["__d", "__du"],
     )
     return swept.filter(F.col("__is_key") == 1).select(
-        *KEY, *tbl, "n_any", "n_unknown"
+        *KEY,
+        *tbl,
+        F.col("__cum___d").alias("n_any"),
+        F.col("__cum___du").alias("n_unknown"),
     )
 
 
@@ -1028,18 +1134,16 @@ def column_guard_compose(
             F.lit(1).alias("__is_key"),
         )
     )
-    wcol = (
-        Window.partitionBy(*tbl, "column")
-        .orderBy("__pos", "__is_key")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    # same de-skewed two-phase prefix sum as _key_window_sweep, per
+    # (table, column) line (r12)
     moved = scoped_cache(
-        col_starts.unionByName(col_ends)
-        .unionByName(key_probes)
-        .select(
-            *KEY, "column", "__is_key", F.sum("__d").over(wcol).alias("__n")
+        _ranged_running_sums(
+            col_starts.unionByName(col_ends).unionByName(key_probes),
+            [*tbl, "column"],
+            ["__pos", "__is_key"],
+            ["__d"],
         )
-        .filter((F.col("__is_key") == 1) & (F.col("__n") > 0))
+        .filter((F.col("__is_key") == 1) & (F.col("__cum___d") > 0))
         .select(*KEY, "column")
         .distinct()
     )
@@ -1123,22 +1227,25 @@ def ddl_guard_impact(
             F.lit("to").alias("__kind"),
         )
     )
-    wcum = (
-        Window.partitionBy(*tbl)
-        .orderBy("__pos", "__is_key")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wtot = Window.partitionBy(*tbl)
+    # de-skewed two-phase prefix sum (r12, _ranged_running_sums): the
+    # per-table cumulative AND total key counts come from the same
+    # bucketed pass, so the hot table's line spreads across tasks
     swept = (
-        keys.unionByName(probes)
+        _ranged_running_sums(
+            keys.unionByName(probes),
+            tbl,
+            ["__pos", "__is_key"],
+            ["__w"],
+            with_totals=True,
+        )
         .select(
             *tbl,
             "__is_key",
             "__wfrom",
             "__wt",
             "__kind",
-            F.sum("__w").over(wcum).alias("__cum"),
-            F.sum("__w").over(wtot).alias("__tot"),
+            F.col("__cum___w").alias("__cum"),
+            F.col("__tot___w").alias("__tot"),
         )
         .filter(F.col("__is_key") == 0)
     )

@@ -1248,6 +1248,25 @@ def prefix_filter_pairs(
         <= F.col("n") - _safe_ceil(F.lit(threshold) * F.col("n")) + 1
     ).select("doc_id", "h", "__rn", "n")
     t = F.lit(threshold)
+    # PPJoin INDEXING prefix (r12, Xiao et al.): when the pair's
+    # SMALLER set takes the index role, its qualifying overlap is at
+    # least ceil(2t/(1+t)*|S|) (the partner is no smaller), so the
+    # index side only needs the first |S| - ceil(2t/(1+t)*|S|) + 1
+    # tokens -- at t=0.5 that is ~0.33|S| vs the probing prefix's
+    # ~0.5|S|+1, which shrinks the candidate join's exploded index
+    # side by ~1/3.  Role assignment (index = smaller by (n, doc_id))
+    # keeps the standard completeness proof: overlap >= alpha implies a
+    # shared token within the first |S|-alpha+1 of S and |L|-alpha+1
+    # of L, and alpha >= ceil(2t/(1+t)|S|) on the index side, alpha >=
+    # ceil(t|L|) on the probe side (via the length window).
+    index_pref = pref.filter(
+        F.col("__rn")
+        <= F.col("n")
+        - _safe_ceil(
+            F.lit(2.0 * threshold / (1.0 + threshold)) * F.col("n")
+        )
+        + 1
+    )
     overlap_bound = (
         F.least(F.col("l.__rn") - 1, F.col("r.__rn") - 1)
         + F.least(
@@ -1259,16 +1278,24 @@ def prefix_filter_pairs(
         t / (F.lit(1.0) + t) * (F.col("l.n") + F.col("r.n"))
     )
     cand = (
-        pref.alias("l")
+        index_pref.alias("l")
         .join(pref.alias("r"), on="h")
         .filter(
-            (F.col("l.doc_id") < F.col("r.doc_id"))
+            # index role = the pair's smaller set, (n, doc_id) order
+            (
+                (F.col("l.n") < F.col("r.n"))
+                | (
+                    (F.col("l.n") == F.col("r.n"))
+                    & (F.col("l.doc_id") < F.col("r.doc_id"))
+                )
+            )
             # length window: t*n_a <= n_b and t*n_b <= n_a
             & (F.col("r.n") >= _safe_ceil(t * F.col("l.n")))
             & (F.col("l.n") >= _safe_ceil(t * F.col("r.n")))
         )
         .groupBy(
-            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+            F.least(F.col("l.doc_id"), F.col("r.doc_id")).alias("doc_a"),
+            F.greatest(F.col("l.doc_id"), F.col("r.doc_id")).alias("doc_b"),
         )
         # positional filter: every shared prefix token yields a valid
         # overlap upper bound; the tightest one must still qualify

@@ -868,6 +868,56 @@ def cluster_profiles(
     return joined.groupBy("centroid_id").applyInPandas(profile, schema)
 
 
+def pq_model(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    n_iter: int = 2,
+    stride: int = 37,
+    dim: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """The shared PQ model: per-subspace k-means codes and codebooks in
+    long format -- ``codes`` (vec_id, subspace, code) and ``cents``
+    (subspace, code, c).  ONE definition for every PQ consumer (the
+    code table, the ADC scorer, the IVF-PQ composition, the distortion
+    census), so a session can derive the model once and feed all four
+    (guide 1.2); each subspace runs the same deterministic Lloyd's
+    recipe as kmeans_assignments over a sliced view."""
+    sub = dim // m
+    code_parts, cent_parts = [], []
+    for s in range(m):
+        sliced = embeddings.select(
+            "vec_id",
+            F.slice(F.col("embedding"), s * sub + 1, sub).alias("embedding"),
+        )
+        a, c = kmeans_assignments(
+            sliced, k=k, n_iter=n_iter, stride=stride, dim=sub,
+            return_centroids=True,
+        )
+        code_parts.append(
+            a.select(
+                "vec_id",
+                F.lit(s).alias("subspace"),
+                F.col("centroid_id").alias("code"),
+            )
+        )
+        cent_parts.append(
+            c.select(
+                F.lit(s).alias("subspace"),
+                F.col("centroid_id").alias("code"),
+                "c",
+            )
+        )
+
+    def _union(frames):
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionAll(f)
+        return out
+
+    return _union(code_parts), _union(cent_parts)
+
+
 def pq_codes(
     embeddings: DataFrame,
     m: int = 4,
@@ -875,6 +925,7 @@ def pq_codes(
     n_iter: int = 2,
     stride: int = 37,
     dim: int = 64,
+    model: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Product-quantization codebook assignment: split each vector into
     ``m`` contiguous subspaces and k-means-quantize each subspace
@@ -893,26 +944,12 @@ def pq_codes(
     Nothing new crosses the wire: per subspace it is the k-means
     shuffle at 1/m the width.  Determinism is inherited, so the DuckDB
     twin (same iterations unrolled per subspace) lands on identical
-    codes.  Returns (vec_id, subspace, code)."""
-    sub = dim // m
-    parts = []
-    for s in range(m):
-        sliced = embeddings.select(
-            "vec_id",
-            F.slice(F.col("embedding"), s * sub + 1, sub).alias("embedding"),
-        )
-        a = kmeans_assignments(sliced, k=k, n_iter=n_iter, stride=stride, dim=sub)
-        parts.append(
-            a.select(
-                "vec_id",
-                F.lit(s).alias("subspace"),
-                F.col("centroid_id").alias("code"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+    codes.  Returns (vec_id, subspace, code).  ``model`` (r12) serves
+    a precomputed pq_model pair instead of re-deriving."""
+    codes, _ = model if model is not None else pq_model(
+        embeddings, m=m, k=k, n_iter=n_iter, stride=stride, dim=dim
+    )
+    return codes.select("vec_id", "subspace", "code")
 
 
 def pq_adc_topk(
@@ -924,6 +961,7 @@ def pq_adc_topk(
     n_iter: int = 2,
     stride: int = 37,
     dim: int = 64,
+    model: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes -- the query half of
     IVF-PQ: exact query vectors scored against the corpus's compressed
@@ -943,37 +981,23 @@ def pq_adc_topk(
     the exchange).  Same determinism contract as the rest of the
     tier: 1e-6-rounded scores, vec_id tie-break.
 
-    Returns (query_id, neighbor_id, score, rank)."""
+    Returns (query_id, neighbor_id, score, rank).  ``model`` (r12)
+    serves a precomputed pq_model pair instead of re-deriving the
+    per-subspace codebooks."""
     sub = dim // m
-    code_parts, cent_parts, q_parts = [], [], []
-    for s in range(m):
-        sliced = embeddings.select(
-            "vec_id",
-            F.slice(F.col("embedding"), s * sub + 1, sub).alias("embedding"),
+    codes, cents = model if model is not None else pq_model(
+        embeddings, m=m, k=k, n_iter=n_iter, stride=stride, dim=dim
+    )
+    q_parts = [
+        embeddings.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.lit(s).alias("subspace"),
+            F.slice(F.col("embedding"), s * sub + 1, sub)
+            .cast("array<double>")
+            .alias("q"),
         )
-        a, c = kmeans_assignments(
-            sliced, k=k, n_iter=n_iter, stride=stride, dim=sub,
-            return_centroids=True,
-        )
-        code_parts.append(
-            a.select(
-                "vec_id", F.lit(s).alias("subspace"), F.col("centroid_id").alias("code")
-            )
-        )
-        cent_parts.append(
-            c.select(
-                F.lit(s).alias("subspace"), F.col("centroid_id").alias("code"), "c"
-            )
-        )
-        q_parts.append(
-            embeddings.filter(F.col("vec_id") < n_queries).select(
-                F.col("vec_id").alias("query_id"),
-                F.lit(s).alias("subspace"),
-                F.slice(F.col("embedding"), s * sub + 1, sub)
-                .cast("array<double>")
-                .alias("q"),
-            )
-        )
+        for s in range(m)
+    ]
 
     def _union(frames):
         out = frames[0]
@@ -981,7 +1005,7 @@ def pq_adc_topk(
             out = out.unionAll(f)
         return out
 
-    codes, cents, queries = _union(code_parts), _union(cent_parts), _union(q_parts)
+    queries = _union(q_parts)
     part_dot = F.aggregate(
         F.zip_with(F.col("q"), F.col("c"), lambda a, b: a * b),
         F.lit(0.0),
@@ -1747,6 +1771,7 @@ def ivf_pq_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     centroid_stride: int = 37,
+    model: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """The FULL IVF-PQ composition (Jegou et al.): IVF coarse routing
     bounds WHICH vectors are scored (n_probe lists out of n_centroids
@@ -1795,39 +1820,19 @@ def ivf_pq_topk(
     )
 
     sub = dim // m
-    code_parts, cent_parts, q_parts = [], [], []
-    for s in range(m):
-        sliced = embeddings.select(
-            "vec_id",
-            F.slice(F.col("embedding"), s * sub + 1, sub).alias("embedding"),
+    codes, cents = model if model is not None else pq_model(
+        embeddings, m=m, k=k, n_iter=n_iter, stride=stride, dim=dim
+    )
+    q_parts = [
+        embeddings.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.lit(s).alias("subspace"),
+            F.slice(F.col("embedding"), s * sub + 1, sub)
+            .cast("array<double>")
+            .alias("q"),
         )
-        a, c = kmeans_assignments(
-            sliced, k=k, n_iter=n_iter, stride=stride, dim=sub,
-            return_centroids=True,
-        )
-        code_parts.append(
-            a.select(
-                "vec_id",
-                F.lit(s).alias("subspace"),
-                F.col("centroid_id").alias("code"),
-            )
-        )
-        cent_parts.append(
-            c.select(
-                F.lit(s).alias("subspace"),
-                F.col("centroid_id").alias("code"),
-                "c",
-            )
-        )
-        q_parts.append(
-            embeddings.filter(F.col("vec_id") < n_queries).select(
-                F.col("vec_id").alias("query_id"),
-                F.lit(s).alias("subspace"),
-                F.slice(F.col("embedding"), s * sub + 1, sub)
-                .cast("array<double>")
-                .alias("q"),
-            )
-        )
+        for s in range(m)
+    ]
 
     def _union(frames):
         out = frames[0]
@@ -1835,7 +1840,7 @@ def ivf_pq_topk(
             out = out.unionAll(f)
         return out
 
-    codes, cents, queries = _union(code_parts), _union(cent_parts), _union(q_parts)
+    queries = _union(q_parts)
     part_dot = F.aggregate(
         F.zip_with(F.col("q"), F.col("c"), lambda a, b: a * b),
         F.lit(0.0),
@@ -2260,6 +2265,7 @@ def pq_distortion(
     n_iter: int = 2,
     stride: int = 37,
     dim: int = 64,
+    model: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Product-quantization distortion census: per (subspace, code),
     how much signal the compression throws away -- mean and max
@@ -2282,15 +2288,20 @@ def pq_distortion(
     """
     _D6 = "decimal(12,6)"
     sub = dim // m
+    codes, cents = model if model is not None else pq_model(
+        embeddings, m=m, k=k, n_iter=n_iter, stride=stride, dim=dim
+    )
     parts = []
     for s in range(m):
         sliced = embeddings.select(
             "vec_id",
             F.slice(F.col("embedding"), s * sub + 1, sub).alias("embedding"),
         )
-        a, c = kmeans_assignments(
-            sliced, k=k, n_iter=n_iter, stride=stride, dim=sub,
-            return_centroids=True,
+        a = codes.filter(F.col("subspace") == s).select(
+            "vec_id", F.col("code").alias("centroid_id")
+        )
+        c = cents.filter(F.col("subspace") == s).select(
+            F.col("code").alias("centroid_id"), "c"
         )
         ex = sliced.select(
             "vec_id",

@@ -1530,11 +1530,88 @@ def bpe_encode_report(documents: DataFrame, n_merges: int = 8) -> DataFrame:
     )
 
 
+def _bpe_safe_batch(
+    cand: list, k_window: int, budget: int
+) -> list[tuple[str, str, int]]:
+    """The PREFIX of the sorted candidate list that sequential greedy
+    would provably select unchanged -- the batching rule (r11 verdict
+    item 4) that lets one count+collect round commit several merges:
+
+    Applying merge (l, r) can only (a) DECREASE counts of pairs
+    sharing a symbol with it (occurrences destroyed by overlap) and
+    (b) CREATE pairs involving the new token, each bounded by the
+    original count of a pair sharing a symbol with it ((x, M) <=
+    old (x, l); (M, y) <= old (r, y); (M, M) <= old (r, l)).  So a
+    later candidate is still the true greedy argmax iff it is
+    symbol-disjoint from every earlier selected pair (its own count is
+    then unchanged, and no created adjacency can involve it) and its
+    count STRICTLY exceeds every count that could have moved -- the
+    visible sharing candidates plus, when the window truncated at
+    ``k_window``, the invisible tail bound (the k-th count).  Ties
+    among UNAFFECTED candidates are safe because the collect's sort
+    (count desc, l, r) is exactly greedy's tie order.  Stops at the
+    first candidate that fails either test (skipping would change
+    greedy order).  Pure driver-side logic over <= k rows."""
+    selected: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    truncated = len(cand) == k_window
+    floor = int(cand[-1].c) if truncated else 0
+    for j, row in enumerate(cand):
+        if len(selected) >= budget:
+            break
+        l, r, c = row.l, row.r, int(row.c)
+        if selected:
+            if l in used or r in used:
+                break
+            bshare = max(
+                (
+                    int(rr.c)
+                    for rr in cand[j + 1:]
+                    if rr.l in used or rr.r in used
+                ),
+                default=0,
+            )
+            if c <= max(bshare, floor):
+                break
+        selected.append((l, r, c))
+        used.add(l)
+        used.add(r)
+    return selected
+
+
+def _bpe_fold(syms_col: F.Column, l: str, r: str) -> F.Column:
+    """Greedy left-to-right non-overlapping application of one merge
+    (the textbook rule; see bpe_train)."""
+    return F.aggregate(
+        syms_col,
+        F.expr("CAST(array() AS ARRAY<STRING>)"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(l))
+            & (s == F.lit(r)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(F.element_at(acc, -1), s)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+_BPE_CAND_WINDOW = 32
+
+
 def _bpe_fit(
     documents: DataFrame, n_merges: int
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """The shared trainer loop: (merges list, final (word, n, syms)
-    frame).  See bpe_train for the algorithm and scale contract."""
+    frame).  See bpe_train for the algorithm and scale contract.
+
+    r12: each round collects the top-``_BPE_CAND_WINDOW`` candidates
+    (same single count job as the old top-1 collect) and commits the
+    provably-order-stable PREFIX of them (_bpe_safe_batch) in ONE fold
+    projection -- the driver-loop round count drops from n_merges to
+    the number of conflict groups, with bit-identical output to the
+    sequential trainer (the oracle unrolls the sequential form)."""
     words = documents.select(
         F.explode(
             F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))
@@ -1547,7 +1624,7 @@ def _bpe_fit(
     )
     merges: list[tuple[int, str, str, int]] = []
     prev_cached = None
-    for rank in range(1, n_merges + 1):
+    while len(merges) < n_merges:
         # scoped so a long-lived service reclaims the per-iteration
         # caches (cache_scope discipline); the final frame's cache
         # stays live for the encode consumer
@@ -1559,35 +1636,27 @@ def _bpe_fit(
                 "i -> struct(syms[i - 1] AS l, syms[i] AS r))"
             ),
         ).otherwise(F.expr("array()"))
-        best = (
+        cand = (
             cur.select("n", F.explode(pair_structs).alias("p"))
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("n").cast("long").alias("c"))
             .orderBy(F.col("c").desc(), F.col("l").asc(), F.col("r").asc())
-            .limit(1)
+            .limit(_BPE_CAND_WINDOW)
             .collect()
         )
         if prev_cached is not None:
             prev_cached.unpersist(blocking=False)
         prev_cached = cur
-        if not best:
+        if not cand:
             break
-        l, r, c = best[0].l, best[0].r, best[0].c
-        merges.append((rank, l, r, int(c)))
-        fold = F.aggregate(
-            F.col("syms"),
-            F.expr("CAST(array() AS ARRAY<STRING>)"),
-            lambda acc, s: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(l))
-                & (s == F.lit(r)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1),
-                    F.array(F.concat(F.element_at(acc, -1), s)),
-                ),
-            ).otherwise(F.concat(acc, F.array(s))),
+        batch = _bpe_safe_batch(
+            cand, _BPE_CAND_WINDOW, n_merges - len(merges)
         )
-        cur = cur.select("word", "n", fold.alias("syms"))
+        syms_col = F.col("syms")
+        for l, r, c in batch:
+            merges.append((len(merges) + 1, l, r, c))
+            syms_col = _bpe_fold(syms_col, l, r)
+        cur = cur.select("word", "n", syms_col.alias("syms"))
     return merges, cur
 
 

@@ -123,18 +123,64 @@ def _q_ann_cosine_topk_pandas(spark, sf_dir):
     return cosine_topk_pandas(load_table(spark, sf_dir, "embeddings"))
 
 
+# per-session PQ model cache (r11 verdict item 8 -> r12): the four PQ
+# consumers (code table, ADC top-k, IVF-PQ composition, distortion
+# census) each re-derived the identical per-subspace codebooks -- m
+# k-means fits, 2 Lloyd iterations each -- per query.  The model is a
+# deterministic pure function of the embeddings table and its params
+# (the kmeans recipe is seeded by vec_id stride), so it is derived once
+# per (session, sf_dir) through the ONE pq_model definition and
+# materialized to a per-process parquet + persisted scan -- the
+# _guard_payload_frames discipline: no cross-run persistence, and the
+# derivation stays oracle-certified through every consumer.
+_PQ_MODEL_CACHE: dict[tuple, tuple] = {}
+_PQ_MODEL_DIRS: dict[tuple, str] = {}
+
+
+def _pq_model_frames(spark, sf_dir):
+    import os
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _PQ_MODEL_CACHE.get(key)
+    if hit is None:
+        d = _PQ_MODEL_DIRS.get(("pq_model", sf_dir))
+        if d is None:
+            from ..operators.similarity import pq_model
+
+            codes, cents = pq_model(load_table(spark, sf_dir, "embeddings"))
+            d = tempfile.mkdtemp(prefix="pq_model_")
+            codes.write.parquet(os.path.join(d, "codes"))
+            cents.write.parquet(os.path.join(d, "cents"))
+            _PQ_MODEL_DIRS[("pq_model", sf_dir)] = d
+        hit = tuple(
+            spark.read.parquet(os.path.join(d, p)).persist()
+            for p in ("codes", "cents")
+        )
+        _PQ_MODEL_CACHE[key] = hit
+    codes, cents = hit
+    # child frames so operator cache scopes never release this one
+    return codes.select("*"), cents.select("*")
+
+
 def _q_embedding_pq_codes(spark, sf_dir):
     from ..operators.similarity import pq_codes
 
     ensure_session_conf(spark)
-    return pq_codes(load_table(spark, sf_dir, "embeddings"))
+    return pq_codes(
+        load_table(spark, sf_dir, "embeddings"),
+        model=_pq_model_frames(spark, sf_dir),
+    )
 
 
 def _q_ann_pq_adc_topk(spark, sf_dir):
     from ..operators.similarity import pq_adc_topk
 
     ensure_session_conf(spark)
-    return pq_adc_topk(load_table(spark, sf_dir, "embeddings"))
+    return pq_adc_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        model=_pq_model_frames(spark, sf_dir),
+    )
 
 
 def _q_ann_ivf_pq_topk(spark, sf_dir):
@@ -147,7 +193,10 @@ def _q_ann_ivf_pq_topk(spark, sf_dir):
     from ..operators.similarity import ivf_pq_topk
 
     ensure_session_conf(spark)
-    return ivf_pq_topk(load_table(spark, sf_dir, "embeddings"))
+    return ivf_pq_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        model=_pq_model_frames(spark, sf_dir),
+    )
 
 
 def _q_embedding_coreset(spark, sf_dir):
@@ -851,7 +900,10 @@ def _q_pq_distortion(spark, sf_dir):
     ensure_session_conf(spark)
     from ..operators.similarity import pq_distortion
 
-    return pq_distortion(load_table(spark, sf_dir, "embeddings"))
+    return pq_distortion(
+        load_table(spark, sf_dir, "embeddings"),
+        model=_pq_model_frames(spark, sf_dir),
+    )
 
 
 __all__ = [_n for _n in list(globals()) if not _n.startswith('__') and _n != '_shared']

@@ -170,6 +170,7 @@ def test_findings_and_summary(frames):
     assert not s.consistent
 
 
+@pytest.mark.slow
 def test_onepass_equals_compositional(frames):
     """findings_onepass/summary_onepass (single full-outer join) must be
     row-identical to the compositional three-join formulation."""

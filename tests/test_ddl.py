@@ -359,6 +359,7 @@ def test_multi_pair_rename_explodes_and_threads(spark):
     assert tl[3].current_name == "t"
 
 
+@pytest.mark.slow
 def test_option_clauses_keep_moved_known(spark):
     """The canonical MySQL 8 online-DDL form ``ADD COLUMN a INT,
     ALGORITHM=INPLACE, LOCK=NONE`` classifies its option clauses
@@ -407,6 +408,7 @@ def test_option_clauses_keep_moved_known(spark):
     ]
 
 
+@pytest.mark.slow
 def test_maintenance_clauses_classify_no_effect(spark):
     """The rest of the week-one ALTER vocabulary: ALTER COLUMN SET/DROP
     DEFAULT (COLUMN_DEFAULT -- defaults never move the column shape),
@@ -455,6 +457,7 @@ def test_maintenance_clauses_classify_no_effect(spark):
     assert ddl_parse_anomalies(ddl).count() == 0
 
 
+@pytest.mark.slow
 def test_paren_multi_column_add(spark):
     """``ADD (x INT, y VARCHAR(255))`` -- valid MySQL -- explodes into
     per-column ADD_COLUMN rows with declared types; constraint
@@ -586,6 +589,7 @@ def test_drop_all_bad_fragments_never_silent(spark):
     ]
 
 
+@pytest.mark.slow
 def test_rename_all_bad_pairs_never_silent(spark):
     """A RENAME TABLE whose every pair fails the pair grammar (e.g. a
     truncated ``RENAME TABLE t TO``) keeps a fallback frame row under
@@ -820,6 +824,7 @@ def test_multi_name_drop_explodes_per_table(spark):
     ]
 
 
+@pytest.mark.slow
 def test_create_like_carries_columns_and_flags(spark):
     """CREATE TABLE ... LIKE src (no declared list) cannot reset the
     column set statement-locally: the matrix carries the previous set
@@ -854,6 +859,7 @@ def test_create_like_carries_columns_and_flags(spark):
     assert len(anom) == 1 and "LIKE template_t" in anom[0].fragment
 
 
+@pytest.mark.slow
 def test_truncate_index_maintenance_vocabulary(spark):
     """The r11 statement-vocabulary completion: TRUNCATE (both legal
     forms), standalone CREATE/DROP INDEX keyed on the ON target, and
@@ -970,6 +976,7 @@ def test_maintenance_threads_renamed_name(spark):
     ]
 
 
+@pytest.mark.slow
 def test_schema_agreement_three_arms(spark):
     """Cross-source schema agreement: declared-current vs observed
     fields -- AGREE / BINLOG_ONLY / LAKE_ONLY, with the current set

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F, types as T
 
 from binlog_avro_comparator_spark.operators.dedup import (
@@ -255,6 +257,7 @@ def test_bucket_cardinality_grows_with_planes(spark):
     assert counts[4] <= 2**4 and counts[8] <= 2**8
 
 
+@pytest.mark.slow
 def test_near_dup_multi_table_recall_superset(spark):
     """OR-construction across tables can only ADD candidate pairs; at a
     plane count high enough to split a true near-pair in table 0, a
@@ -1274,6 +1277,7 @@ def test_fuzzy_contamination_catches_paraphrase(spark):
     assert all(b == 0 for _, b in got)              # doc 1 never matches
 
 
+@pytest.mark.slow
 def test_mllib_slice_classifier_separates(spark):
     """The MLlib bridge: engine scoring operators -> feature vector ->
     distributed LogisticRegression.  On the synthetic corpus the 'en'
@@ -1371,6 +1375,7 @@ def test_misra_gries_adversarial_partitioning(spark):
     assert misra_gries_heavy_hitters(df, "key", share=0.5).count() == 0
 
 
+@pytest.mark.slow
 def test_curation_gopher_and_source_gates(spark):
     """The cheap gates prepend: a Gopher-failing doc and a doc from a
     low-reputation source drop BEFORE dedup; survivors keep full rows."""
@@ -1836,6 +1841,7 @@ def test_curation_min_novelty_gate(spark):
     assert sorted(r.doc_id for r in loose.collect()) == [10, 11, 12, 13]
 
 
+@pytest.mark.slow
 def test_round5_operators_empty_input_safe(spark):
     """Zero-row inputs for the round-5 additions: empty frames out,
     never a crash (the empty-partition-day contract)."""
@@ -3519,6 +3525,7 @@ def test_monitor_cli_end_to_end(spark, tmp_path):
     assert "psi" in lines2[-1]["tripped"] and "ks" in lines2[-1]["tripped"]
 
 
+@pytest.mark.slow
 def test_auto_join_ladder_and_equivalence(spark):
     """auto_join picks the expected strategy per shape and every
     strategy returns exactly the plain join's rows."""
@@ -4262,6 +4269,7 @@ def test_bpe_train_textbook_merges(spark):
     assert partial["aaab"].n_tokens == 3  # ['aa','a','b']
 
 
+@pytest.mark.slow
 def test_bitext_margin_candidate_path(spark):
     """bitext_margin_pairs candidates= tier: the complete cross-segment
     pair set reproduces the exact tier row-for-row, and bucketed

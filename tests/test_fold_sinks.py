@@ -113,6 +113,7 @@ def _versions(state_dir):
     )
 
 
+@pytest.mark.slow
 def test_funnel_fold_equals_batch_across_three_triggers(spark, tmp_path):
     d = _write_chunks(spark, tmp_path)
     state_dir, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
@@ -137,6 +138,7 @@ def test_funnel_fold_equals_batch_across_three_triggers(spark, tmp_path):
         assert st.count() <= 4  # users with a view, never event count
 
 
+@pytest.mark.slow
 def test_funnel_fold_prefix_equivalence(spark, tmp_path):
     """Every intermediate version equals the batch operator over the
     chunks folded so far -- the fold is exact at every trigger, not
@@ -192,6 +194,7 @@ def test_transactions_fold_equals_batch(spark, tmp_path):
     assert got == exp
 
 
+@pytest.mark.slow
 def test_transactions_fold_idempotent_replay(spark, tmp_path):
     """foreachBatch replay of an already-committed batch is a no-op
     (the at-least-once contract): re-committing the last batch with
@@ -294,6 +297,7 @@ def _write_life_chunks(spark, tmp_path) -> str:
         _CHUNKS[:] = saved
 
 
+@pytest.mark.slow
 def test_lifecycle_fold_equals_batch_and_bounded_state(spark, tmp_path):
     """Reading LATEST equals batch user_lifecycle after 3 event-time-
     ordered triggers; per-user state is one row (never the (user, day)
@@ -405,6 +409,7 @@ def _write_ddl_chunks(spark, tmp_path) -> str:
     return d
 
 
+@pytest.mark.slow
 def test_schema_timeline_fold_equals_batch_across_three_triggers(
     spark, tmp_path
 ):
@@ -484,6 +489,7 @@ _GUARD_CHUNKS = [
 ]
 
 
+@pytest.mark.slow
 def test_guarded_diff_fold_alter_lands_mid_replay(spark, tmp_path):
     """The streaming column guard (fold_sinks.maintain_guarded_payload
     _diff): an ALTER arriving in batch 2 must RETROACTIVELY govern a
@@ -598,6 +604,7 @@ def _append_chunk(spark, d, i, rows):
     os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
 
 
+@pytest.mark.slow
 def test_schema_agreement_live_flips_at_next_read(spark, tmp_path):
     """The live cross-source agreement view (fold_sinks.read_schema_
     agreement): a DDL landing mid-feed flips a column's status at the
@@ -671,6 +678,7 @@ def test_schema_agreement_live_flips_at_next_read(spark, tmp_path):
     assert got == exp
 
 
+@pytest.mark.slow
 def test_schema_agreement_live_both_sides_folded(spark, tmp_path):
     """read_schema_agreement_live: declared side from the guarded-diff
     query's statement-log fold, observed side from the summed per-batch
@@ -793,6 +801,7 @@ def _write_doc_chunk(spark, d, i, rows):
     os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
 
 
+@pytest.mark.slow
 def test_lsh_fold_pair_logs_disjoint_and_equal_batch(spark, tmp_path):
     """The maintained LSH index (fold_sinks.maintain_lsh_index): a doc
     arriving batches after its near-dup must pair through the
@@ -846,6 +855,7 @@ def test_lsh_fold_pair_logs_disjoint_and_equal_batch(spark, tmp_path):
     assert got == exp
 
 
+@pytest.mark.slow
 def test_schema_timeline_asof_prefix_correct(spark, tmp_path):
     """Time travel (read_schema_timeline_asof): the timeline as of
     batch k equals the batch operator over the first k+1 chunks -- and
@@ -903,6 +913,7 @@ def test_schema_timeline_asof_prefix_correct(spark, tmp_path):
         read_schema_timeline_asof(spark, state, 99)
 
 
+@pytest.mark.slow
 def test_log_compaction_preserves_reads_and_future_probes(spark, tmp_path):
     """compact_log_batches: folding the per-trigger b* dirs into one
     c* segment changes NOTHING a reader sees, and a batch arriving
@@ -978,6 +989,7 @@ def test_log_compaction_preserves_reads_and_future_probes(spark, tmp_path):
     assert got == exp and (1, 5) in got and (2, 5) in got
 
 
+@pytest.mark.slow
 def test_lsh_fold_partition_invariance(spark, tmp_path):
     """ANY chunking of the corpus folds to the batch operator's exact
     pair set -- the property that makes the maintained index safe to
@@ -1038,6 +1050,7 @@ def test_lsh_fold_partition_invariance(spark, tmp_path):
         assert len(got) == len(set(got)), f"seed {seed}: duplicate pairs"
 
 
+@pytest.mark.slow
 def test_simhash_fold_verified_pairs_equal_batch(spark, tmp_path):
     """The maintained SimHash index (fold_sinks.maintain_simhash_index):
     the hamming verify runs at probe time against the STORED
@@ -1075,6 +1088,7 @@ def test_simhash_fold_verified_pairs_equal_batch(spark, tmp_path):
     assert len(got) == len({(a, b) for a, b, _ in got})  # disjoint logs
 
 
+@pytest.mark.slow
 def test_dedupd_cli_drain_resume_and_compact(spark, tmp_path):
     """The dedupd CLI end to end: drain-once over two arrivals, a
     restart-safe second drain picking up only the new file, --both

@@ -1346,6 +1346,7 @@ def test_variant_ingestion_matches_declared_reader(spark):
     assert r.lp is None and r.ln == 3
 
 
+@pytest.mark.slow
 def test_gojsonl_python_datasource_writer(spark, tmp_path):
     """The writer half of the Python DataSource surface: two-phase
     commit leaves only complete part files, bytes equal the Go form,
@@ -1464,6 +1465,7 @@ def test_rotate_chain_stream_gap_on_deleted_file(spark, tmp_path):
     assert audit["mysql-bin.000004"] == "ACTIVE_TAIL"
 
 
+@pytest.mark.slow
 def test_pyds_stream_reader_offsets_resume(spark, tmp_path):
     """The Python DataSource stream reader tails by version-ordered
     segment name: a first availableNow run consumes the files present,
@@ -1506,6 +1508,7 @@ def test_pyds_stream_reader_offsets_resume(spark, tmp_path):
     assert third == second  # nothing new, nothing re-read
 
 
+@pytest.mark.slow
 def test_pyds_stream_reader_tails_growing_segment(spark, tmp_path):
     """Byte-offset resume (r8, the reference's `-offset 4` idiom as a
     streaming offset): an ACTIVE segment that grows between triggers is

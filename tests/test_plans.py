@@ -1711,6 +1711,7 @@ def test_column_guard_broadcast_wincols_no_cartesian(spark):
     assert plan.count("LeftAnti") >= 2  # whole-key AND (key, column)
 
 
+@pytest.mark.slow
 def test_ddl_clause_parse_stays_jvm_side(spark):
     """The clause grammar (r10) is regexp built-ins end to end: no
     Python UDF / mapInPandas in the window-columns or anomaly plans,

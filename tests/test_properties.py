@@ -83,6 +83,7 @@ def run(spark):
 
 @settings(max_examples=8, deadline=None)
 @given(seed=st.integers(0, 10_000))
+@pytest.mark.slow
 def test_counter_invariants(run, seed):
     s, valid_avro, dml_build = run(seed, n_binlog=40, n_avro=30)
     assert s.matched + s.avro_only == valid_avro  # I1
@@ -94,6 +95,7 @@ def test_counter_invariants(run, seed):
 
 @settings(max_examples=4, deadline=None)
 @given(seed=st.integers(0, 10_000))
+@pytest.mark.slow
 def test_permutation_invariance(run, seed):
     s1, _, _ = run(seed, n_binlog=40, n_avro=30, permute=False)
     s2, _, _ = run(seed, n_binlog=40, n_avro=30, permute=True)
@@ -153,6 +155,7 @@ def test_as_of_and_range_join_match_bruteforce(spark):
         assert got_pairs == want_pairs, f"range trial {trial}"
 
 
+@pytest.mark.slow
 def test_go_json_lines_property_vs_go_model(spark):
     """Property: for arbitrary kv payloads (unicode, quotes,
     backslashes, HTML chars, int-like strings, colliding keys), the
@@ -452,6 +455,7 @@ def test_curation_boilerplate_composition(spark):
 
 @settings(max_examples=5, deadline=None)
 @given(st.integers(min_value=0, max_value=2**31))
+@pytest.mark.slow
 def test_incremental_snapshot_any_chunking_matches_batch(spark, tmp_path_factory, seed):
     """The snapshot state merge is associative: ANY random chunking of
     a random change stream, drained one chunk per micro-batch, yields
@@ -660,6 +664,7 @@ def test_binlog_binary_roundtrip_property(evs):
 
 @settings(max_examples=8, deadline=None)
 @given(st.integers(min_value=0, max_value=10_000))
+@pytest.mark.slow
 def test_misra_gries_matches_exact_heavy_hitters(spark, seed):
     """Any data, any share, any partitioning: the MG sketch + exact
     confirmation must equal the exact strict-share answer computed in
@@ -835,6 +840,7 @@ def test_gap_fill_locf_matches_python_reference(spark, seed):
 
 @settings(max_examples=10, deadline=None)
 @given(st.integers(min_value=0, max_value=10_000))
+@pytest.mark.slow
 def test_content_checksum_multiset_property(spark, seed):
     """Random multisets: checksums agree iff the multisets agree --
     permutation/partitioning never matters, any single-row mutation,
@@ -961,6 +967,7 @@ def test_hdr_quantiles_match_python_reference(spark, seed):
 
 @settings(max_examples=6, deadline=None)
 @given(seed=st.integers(0, 10_000))
+@pytest.mark.slow
 def test_bloom_contamination_superset_of_exact(spark, seed):
     """Property: on random corpora the Bloom check never misses a true
     contaminated shingle (one-sided error), per doc and in aggregate."""
@@ -988,6 +995,7 @@ def test_bloom_contamination_superset_of_exact(spark, seed):
 
 @settings(max_examples=6, deadline=None)
 @given(seed=st.integers(0, 10_000))
+@pytest.mark.slow
 def test_ivm_incremental_equals_recompute_random_streams(spark, seed):
     """THE IVM algebra property: for a random change stream and a
     random cutoff, folding the post-cutoff delta into the stored view
@@ -1039,6 +1047,7 @@ def test_ivm_incremental_equals_recompute_random_streams(spark, seed):
 
 @settings(max_examples=5, deadline=None)
 @given(seed=st.integers(0, 10_000))
+@pytest.mark.slow
 def test_ols_and_abc_partition_invariance(spark, seed):
     """Exact sufficient statistics make the OLS fit identical under any
     repartitioning; exact decimal addition makes the bucketed ABC
@@ -1075,6 +1084,7 @@ def test_ols_and_abc_partition_invariance(spark, seed):
 
 @settings(max_examples=5, deadline=None)
 @given(seed=st.integers(0, 10_000))
+@pytest.mark.slow
 def test_prefix_filter_complete_on_random_corpora(spark, seed):
     """THE completeness property: on random corpora with overlapping
     vocabulary, the prefix-filter join returns exactly the brute-force
@@ -1109,6 +1119,7 @@ def test_prefix_filter_complete_on_random_corpora(spark, seed):
 
 
 @pytest.mark.parametrize("seed", [11, 12, 13])
+@pytest.mark.slow
 def test_closure_matches_brute_reachability_and_conserves(spark, seed):
     """closure_pairs == brute undirected transitive closure on random
     edge sets, and the cap CONSERVES: capped pairs + overflow's
@@ -1193,6 +1204,7 @@ def test_prefix_filter_complete_at_float_hazard_threshold(spark):
 
 @settings(max_examples=6, deadline=None)
 @given(seed=st.integers(0, 10_000))
+@pytest.mark.slow
 def test_bpe_train_matches_textbook_reference(spark, seed):
     """bpe_train against a pure-Python Sennrich reference on random
     tiny corpora: identical merge sequence (count argmax with
@@ -1245,3 +1257,48 @@ def test_bpe_train_matches_textbook_reference(spark, seed):
     )
     got = [tuple(r) for r in bpe_train(docs, n_merges=4).collect()]
     assert got == ref_bpe(freqs, 4), (seed, freqs)
+
+
+def test_bpe_safe_batch_prefix_rules():
+    """_bpe_safe_batch (r12): the batch is the provably-order-stable
+    prefix -- stops at a symbol conflict, stops when a candidate's
+    count does not strictly exceed every affected/invisible count, and
+    respects the remaining-merge budget."""
+    from collections import namedtuple
+
+    from binlog_avro_comparator_spark.operators.textstats import (
+        _bpe_safe_batch,
+    )
+
+    R = namedtuple("R", "l r c")
+    # disjoint, well-separated counts: all three commit
+    cand = [R("a", "b", 100), R("c", "d", 50), R("e", "f", 20)]
+    assert _bpe_safe_batch(cand, 32, 8) == [
+        ("a", "b", 100), ("c", "d", 50), ("e", "f", 20)
+    ]
+    # symbol conflict stops the batch at the conflicting candidate
+    cand = [R("a", "b", 100), R("b", "c", 90), R("d", "e", 80)]
+    assert _bpe_safe_batch(cand, 32, 8) == [("a", "b", 100)]
+    # a later candidate must STRICTLY exceed the best count that
+    # shares a symbol with the selected set (that count may have
+    # moved): ("d","e",60) ties the affected ("b","x",60) -> stop
+    cand = [R("a", "b", 100), R("b", "x", 60), R("d", "e", 60)]
+    assert _bpe_safe_batch(cand, 32, 8) == [("a", "b", 100)]
+    # ...but a strictly larger disjoint candidate BEFORE the affected
+    # one commits
+    cand = [R("a", "b", 100), R("d", "e", 70), R("b", "x", 60)]
+    assert _bpe_safe_batch(cand, 32, 8) == [
+        ("a", "b", 100), ("d", "e", 70)
+    ]
+    # truncated window: the invisible tail (<= the k-th count) bounds
+    # every later candidate, so a tie with the floor stops the batch
+    cand = [R("a", "b", 5), R("c", "d", 5)]
+    assert _bpe_safe_batch(cand, 2, 8) == [("a", "b", 5)]
+    # same counts, untruncated window (k=32): ties among UNAFFECTED
+    # candidates are safe -- the sort order IS greedy's tie order
+    assert _bpe_safe_batch(cand, 32, 8) == [("a", "b", 5), ("c", "d", 5)]
+    # budget caps the prefix
+    cand = [R("a", "b", 100), R("c", "d", 50), R("e", "f", 20)]
+    assert _bpe_safe_batch(cand, 32, 2) == [
+        ("a", "b", 100), ("c", "d", 50)
+    ]

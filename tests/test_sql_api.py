@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from binlog_avro_comparator_spark.plans import registry
 from binlog_avro_comparator_spark.plans.sql_api import (
     FINDINGS_SQL,
@@ -41,6 +43,7 @@ def test_sql_latency_matches_dataframe_api(spark):
         assert (s.p50_ms, s.p90_ms, s.p99_ms) == (r.p50_ms, r.p90_ms, r.p99_ms)
 
 
+@pytest.mark.slow
 def test_sql_findings_counts(spark):
     register_cdc_views(spark, SF)
     sql_kinds = {
@@ -61,6 +64,7 @@ def test_sql_findings_counts(spark):
         assert sql_kinds[kind] == df_kinds[kind], kind
 
 
+@pytest.mark.slow
 def test_registry_outputs_are_hashable_by_the_driver(spark):
     """Oracle-canonicalization guard: the external driver canonicalizes
     results with pandas sort_values over every column, which throws on

@@ -13,6 +13,7 @@ from binlog_avro_comparator_spark.streaming import sessionize_stream
 import pytest
 
 
+@pytest.mark.slow
 def test_sessionize_stream_closes_on_gap(spark, tmp_path):
     base = 1_700_000_000_000_000  # epoch micros
     rows = [
