@@ -1022,7 +1022,9 @@ def _q_cdc_transactions_incremental(spark, sf_dir):
 
     ensure_session_conf(spark)
     d = _events_chunk_dir(spark, sf_dir)
-    return _run_fold(spark, maintain_transactions, read_transactions, d)
+    return _run_fold(
+        spark, _keyed(maintain_transactions, d), read_transactions, d
+    )
 
 
 def _q_events_funnel_incremental(spark, sf_dir):
@@ -1039,7 +1041,7 @@ def _q_events_funnel_incremental(spark, sf_dir):
 
     ensure_session_conf(spark)
     d = _events_chunk_dir(spark, sf_dir)
-    return _run_fold(spark, maintain_funnel, read_funnel, d)
+    return _run_fold(spark, _keyed(maintain_funnel, d), read_funnel, d)
 
 
 def _q_events_lifecycle_incremental(spark, sf_dir):
@@ -1054,7 +1056,9 @@ def _q_events_lifecycle_incremental(spark, sf_dir):
 
     ensure_session_conf(spark)
     d = _events_chunk_dir(spark, sf_dir)
-    return _run_fold(spark, maintain_lifecycle, read_lifecycle, d)
+    return _run_fold(
+        spark, _keyed(maintain_lifecycle, d), read_lifecycle, d
+    )
 
 
 def _q_cdc_schema_timeline_stream(spark, sf_dir):

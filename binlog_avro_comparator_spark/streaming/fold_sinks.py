@@ -146,7 +146,11 @@ def merge_txn_states(stored: DataFrame, delta: DataFrame) -> DataFrame:
 
 
 def commit_txn_batch(
-    spark: SparkSession, state_dir: str, batch_df: DataFrame, batch_id: int
+    spark: SparkSession,
+    state_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    slice_key=None,
 ) -> None:
     """Fold one micro-batch of raw events into the transaction state.
     Same idempotency as snapshot_sink.commit_batch: a replayed batch
@@ -154,7 +158,10 @@ def commit_txn_batch(
     prev = _latest_version(state_dir)
     if prev is not None and os.path.basename(prev) == f"v{batch_id}":
         return
-    delta = _txn_batch_state(batch_df)
+    delta = _batch_slice(
+        spark, "txn_state", slice_key, batch_id,
+        lambda: _txn_batch_state(batch_df),
+    )
     merged = (
         merge_txn_states(spark.read.parquet(prev), delta) if prev else delta
     )
@@ -165,7 +172,8 @@ def commit_txn_batch(
 
 
 def maintain_transactions(
-    events_stream: DataFrame, state_dir: str, checkpoint_dir: str
+    events_stream: DataFrame, state_dir: str, checkpoint_dir: str,
+    slice_key=None,
 ):
     """Start the foreachBatch transaction-state maintenance query
     (caller awaits)."""
@@ -173,7 +181,7 @@ def maintain_transactions(
     spark = events_stream.sparkSession
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        commit_txn_batch(spark, state_dir, batch_df, batch_id)
+        commit_txn_batch(spark, state_dir, batch_df, batch_id, slice_key)
 
     return (
         events_stream.writeStream.foreachBatch(fold)
@@ -301,14 +309,21 @@ def merge_funnel_state(
 
 
 def commit_funnel_batch(
-    spark: SparkSession, state_dir: str, batch_df: DataFrame, batch_id: int
+    spark: SparkSession,
+    state_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    slice_key=None,
 ) -> None:
     """Fold one micro-batch into the per-user cursor state (same
     write-then-swing idempotency as commit_txn_batch)."""
     prev = _latest_version(state_dir)
     if prev is not None and os.path.basename(prev) == f"v{batch_id}":
         return
-    arrays = _funnel_batch_arrays(batch_df)
+    arrays = _batch_slice(
+        spark, "funnel_arrays", slice_key, batch_id,
+        lambda: _funnel_batch_arrays(batch_df),
+    )
     stored = spark.read.parquet(prev) if prev else None
     merged = merge_funnel_state(stored, arrays)
     merged.write.mode("overwrite").parquet(
@@ -318,7 +333,8 @@ def commit_funnel_batch(
 
 
 def maintain_funnel(
-    events_stream: DataFrame, state_dir: str, checkpoint_dir: str
+    events_stream: DataFrame, state_dir: str, checkpoint_dir: str,
+    slice_key=None,
 ):
     """Start the foreachBatch funnel-cursor maintenance query (caller
     awaits).  Production aging hook: a watermark on last activity
@@ -329,7 +345,7 @@ def maintain_funnel(
     spark = events_stream.sparkSession
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        commit_funnel_batch(spark, state_dir, batch_df, batch_id)
+        commit_funnel_batch(spark, state_dir, batch_df, batch_id, slice_key)
 
     return (
         events_stream.writeStream.foreachBatch(fold)
@@ -363,10 +379,21 @@ def read_funnel(spark: SparkSession, state_dir: str) -> DataFrame:
 # growth-accounting lifecycle fold
 
 
+def _lifecycle_batch_days(batch_df: DataFrame) -> DataFrame:
+    """The pure per-batch slice of the lifecycle fold: distinct
+    (user_id, day) pairs in the batch."""
+    return (
+        batch_df.filter(F.col("user_id").isNotNull())
+        .select("user_id", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .distinct()
+    )
+
+
 def _classify_lifecycle_batch(
-    users_prev: DataFrame | None, batch_df: DataFrame
+    users_prev: DataFrame | None, batch_days: DataFrame
 ) -> tuple[DataFrame, DataFrame]:
-    """One micro-batch's (day-counter delta, per-user day frame).
+    """One micro-batch's (day-counter delta, per-user day frame) from
+    the batch's distinct (user_id, day) slice.
 
     Per-user state is ONE row -- the last active day -- because under
     event-time-ordered batches that is ALL the batch operator's lag
@@ -378,13 +405,7 @@ def _classify_lifecycle_batch(
     maintain_funnel makes."""
     from pyspark.sql import Window
 
-    bd = (
-        batch_df.filter(F.col("user_id").isNotNull())
-        .select(
-            "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
-        )
-        .distinct()
-    )
+    bd = batch_days
     if users_prev is not None:
         bd = bd.join(users_prev, "user_id", "left")
     else:
@@ -415,7 +436,11 @@ def _classify_lifecycle_batch(
 
 
 def commit_lifecycle_batch(
-    spark: SparkSession, state_dir: str, batch_df: DataFrame, batch_id: int
+    spark: SparkSession,
+    state_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    slice_key=None,
 ) -> None:
     """Fold one micro-batch into the (users, days) state pair.  Same
     pointer-swing idempotency as the other folds; the version dir
@@ -427,7 +452,11 @@ def commit_lifecycle_batch(
     users_prev = (
         spark.read.parquet(os.path.join(prev, "users")) if prev else None
     )
-    delta, batch_days = _classify_lifecycle_batch(users_prev, batch_df)
+    bd0 = _batch_slice(
+        spark, "lifecycle_days", slice_key, batch_id,
+        lambda: _lifecycle_batch_days(batch_df),
+    )
+    delta, batch_days = _classify_lifecycle_batch(users_prev, bd0)
     if prev:
         days_merged = (
             spark.read.parquet(os.path.join(prev, "days"))
@@ -458,7 +487,8 @@ def commit_lifecycle_batch(
 
 
 def maintain_lifecycle(
-    events_stream: DataFrame, state_dir: str, checkpoint_dir: str
+    events_stream: DataFrame, state_dir: str, checkpoint_dir: str,
+    slice_key=None,
 ):
     """Start the foreachBatch lifecycle maintenance query (caller
     awaits).  State is per-user ONE day plus the calendar-sized
@@ -469,7 +499,9 @@ def maintain_lifecycle(
     spark = events_stream.sparkSession
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        commit_lifecycle_batch(spark, state_dir, batch_df, batch_id)
+        commit_lifecycle_batch(
+            spark, state_dir, batch_df, batch_id, slice_key
+        )
 
     return (
         events_stream.writeStream.foreachBatch(fold)

@@ -48,8 +48,11 @@ def main():
         F.lit(True).alias("moved_known"),
     )
     swept = C._key_window_sweep(keys, wins)
-    plan_buf = swept._jdf.queryExecution().explainString("formatted")
-    print("rangepartitioning in plan:", "rangepartitioning" in plan_buf)
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        swept.explain("formatted")
+    print("windowspec(__pid in plan:", "windowspecdefinition(__pid" in buf.getvalue())
     t0 = time.time()
     n_in = swept.filter(F.col("n_any") > 0).count()
     print(f"two-phase sweep: {time.time()-t0:.2f}s, keys in windows: {n_in}")
